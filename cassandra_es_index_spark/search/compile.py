@@ -1,0 +1,227 @@
+"""AST → Catalyst (predicate Column, score Column).
+
+This is the engine's replacement for shipping the query to Elasticsearch
+(ref ElasticIndex.java:658-672): the parsed query compiles to built-in
+Column expressions that Catalyst pushes into the parquet scan where
+possible (range/term on typed columns) and evaluates inside
+WholeStageCodegen otherwise (regex token matching). No Python UDFs.
+
+Scoring — deterministic, documented (SURVEY.md §7 hard-part 1: float BM25
+parity with ES is impossible, so the engine defines its own formula):
+
+    score(doc) = Σ over positive text leaves of  tf(leaf, doc)
+               + Σ over positive non-text leaves of  1 if matched
+
+where tf = number of token matches of the leaf's pattern in the field.
+Integer-valued, reproducible, and expressible in ANSI SQL for oracle
+checks. NOT-subtrees contribute 0.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_es_index_spark.search.ast import (
+    And, Exists, MatchAll, Node, Not, Or, Phrase, Range, Term, Wildcard,
+)
+
+
+class CompileError(ValueError):
+    """Unknown field / untypeable comparison — the analogue of the
+    reference's eager `_validate/query` rejection
+    (ref ElasticIndex.java:734-782)."""
+
+
+_NUMERIC = (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+@dataclass
+class FieldRef:
+    col: Column
+    dtype: T.DataType
+
+
+def _escape_regex(text: str) -> str:
+    return re.sub(r"[.^$+?{}\[\]\\|()*]", lambda m: "\\" + m.group(0), text)
+
+
+def token_pattern(term: str) -> str:
+    """Case-insensitive whole-token regex for a term.
+
+    Uses only RE2-safe constructs (``\\b``, no lookaround) so the DuckDB
+    oracle can evaluate the identical pattern.
+    """
+    return r"(?i)\b" + _escape_regex(term) + r"\b"
+
+
+def wildcard_pattern(pattern: str) -> str:
+    """Lucene wildcard → regex: ``*`` = word-char run, ``?`` = one word char."""
+    out: list[str] = [r"(?i)\b"]
+    for ch in pattern:
+        if ch == "*":
+            out.append(r"\w*")
+        elif ch == "?":
+            out.append(r"\w")
+        else:
+            out.append(_escape_regex(ch))
+    out.append(r"\b")
+    return "".join(out)
+
+
+def phrase_pattern(text: str) -> str:
+    words = [_escape_regex(w) for w in text.split()]
+    return r"(?i)\b" + r"\s+".join(words) + r"\b"
+
+
+class Compiler:
+    """Schema-aware compiler for one documents DataFrame."""
+
+    def __init__(self, df: DataFrame, default_field: str | None = None):
+        self.schema = df.schema
+        self.default_field = default_field or self._guess_default_field()
+
+    def _guess_default_field(self) -> str:
+        for f in self.schema.fields:
+            if isinstance(f.dataType, T.StringType) and f.name not in ("_id",):
+                return f.name
+        raise CompileError("no string column to use as default search field")
+
+    # -- field resolution ---------------------------------------------------
+
+    def resolve(self, path: str | None) -> FieldRef:
+        name = path if path is not None else self.default_field
+        parts = name.split(".")
+        root = next((f for f in self.schema.fields if f.name == parts[0]), None)
+        if root is None:
+            raise CompileError(f"unknown field {parts[0]!r}")
+        col: Column = F.col(parts[0])
+        dtype: T.DataType = root.dataType
+        for part in parts[1:]:
+            if isinstance(dtype, T.StructType):
+                sub = next((f for f in dtype.fields if f.name == part), None)
+                if sub is None:
+                    raise CompileError(f"no struct field {part!r} in {name!r}")
+                col, dtype = col.getField(part), sub.dataType
+            elif isinstance(dtype, T.MapType):
+                col, dtype = col.getItem(part), dtype.valueType
+            else:
+                raise CompileError(f"cannot descend into {part!r} of {name!r}")
+        return FieldRef(col, dtype)
+
+    # -- literals -----------------------------------------------------------
+
+    def _typed_lit(self, ref: FieldRef, raw: str) -> Column:
+        if isinstance(ref.dtype, _NUMERIC):
+            try:
+                float(raw)
+            except ValueError as e:
+                raise CompileError(f"non-numeric literal {raw!r} for numeric field") from e
+            return F.lit(float(raw)).cast(ref.dtype)
+        if isinstance(ref.dtype, (T.TimestampType, T.DateType)):
+            return F.lit(raw).cast(ref.dtype)
+        if isinstance(ref.dtype, T.BooleanType):
+            return F.lit(raw.lower() == "true")
+        return F.lit(raw)
+
+    # -- per-leaf tf (token match count) ------------------------------------
+
+    def _text_tf(self, ref: FieldRef, pattern: str) -> Column:
+        """Match count of ``pattern`` in a text-ish field (0 when no match)."""
+        if isinstance(ref.dtype, T.StringType):
+            return F.size(F.regexp_extract_all(ref.col, F.lit(pattern), F.lit(0)))
+        if isinstance(ref.dtype, T.ArrayType) and isinstance(ref.dtype.elementType, T.StringType):
+            return F.aggregate(
+                F.transform(ref.col, lambda x: F.size(
+                    F.regexp_extract_all(x, F.lit(pattern), F.lit(0)))),
+                F.lit(0), lambda acc, x: acc + x)
+        if isinstance(ref.dtype, T.MapType):
+            # flattened map<string,array<string>> / map<string,string>:
+            # search across all values (ref README.md:539 — any token under
+            # the json field matches).
+            vt = ref.dtype.valueType
+            if isinstance(vt, T.ArrayType):
+                return F.aggregate(
+                    F.flatten(F.map_values(ref.col)),
+                    F.lit(0),
+                    lambda acc, x: acc + F.size(
+                        F.regexp_extract_all(x, F.lit(pattern), F.lit(0))),
+                )
+            return F.aggregate(
+                F.map_values(ref.col), F.lit(0),
+                lambda acc, x: acc + F.size(
+                    F.regexp_extract_all(x, F.lit(pattern), F.lit(0))))
+        # numeric/other: no token semantics
+        raise CompileError("text match on non-text field")
+
+    # -- compile ------------------------------------------------------------
+
+    def compile(self, node: Node) -> tuple[Column, Column]:
+        """Return (predicate, score). Score is a LongType Column."""
+        pred, score = self._walk(node)
+        return pred, score.cast("long").alias("_score")
+
+    def _leaf_text(self, field: str | None, pattern: str) -> tuple[Column, Column]:
+        ref = self.resolve(field)
+        if isinstance(ref.dtype, (T.StringType, T.ArrayType, T.MapType)):
+            tf = self._text_tf(ref, pattern)
+            tf = F.coalesce(tf, F.lit(0))
+            return tf > 0, tf
+        raise CompileError("text leaf on non-text field")
+
+    def _walk(self, node: Node) -> tuple[Column, Column]:
+        if isinstance(node, MatchAll):
+            return F.lit(True), F.lit(0)
+        if isinstance(node, Term):
+            ref = self.resolve(node.field)
+            if isinstance(ref.dtype, (T.StringType, T.ArrayType, T.MapType)):
+                # "k=v" entries of flattened fields contain '='; token
+                # pattern covers it since '=' is a non-word boundary char.
+                return self._leaf_text(node.field, token_pattern(node.value))
+            pred = ref.col == self._typed_lit(ref, node.value)
+            return pred, F.when(pred, 1).otherwise(0)
+        if isinstance(node, Wildcard):
+            return self._leaf_text(node.field, wildcard_pattern(node.pattern))
+        if isinstance(node, Phrase):
+            return self._leaf_text(node.field, phrase_pattern(node.text))
+        if isinstance(node, Range):
+            ref = self.resolve(node.field)
+            pred = F.lit(True)
+            if node.lo is not None:
+                lo = self._typed_lit(ref, node.lo)
+                pred = pred & (ref.col >= lo if node.include_lo else ref.col > lo)
+            if node.hi is not None:
+                hi = self._typed_lit(ref, node.hi)
+                pred = pred & (ref.col <= hi if node.include_hi else ref.col < hi)
+            return pred, F.when(pred, 1).otherwise(0)
+        if isinstance(node, Exists):
+            ref = self.resolve(node.field)
+            pred = ref.col.isNotNull()
+            return pred, F.when(pred, 1).otherwise(0)
+        if isinstance(node, And):
+            parts = [self._walk(c) for c in node.children]
+            pred = parts[0][0]
+            for p, _ in parts[1:]:
+                pred = pred & p
+            score = parts[0][1]
+            for _, s in parts[1:]:
+                score = score + s
+            return pred, score
+        if isinstance(node, Or):
+            parts = [self._walk(c) for c in node.children]
+            pred = parts[0][0]
+            for p, _ in parts[1:]:
+                pred = pred | p
+            score = parts[0][1]
+            for _, s in parts[1:]:
+                score = score + s
+            return pred, score
+        if isinstance(node, Not):
+            pred, _ = self._walk(node.child)
+            return ~F.coalesce(pred, F.lit(False)), F.lit(0)
+        raise CompileError(f"unknown node {node!r}")

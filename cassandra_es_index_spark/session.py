@@ -1,0 +1,44 @@
+"""SparkSession factory with engine defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same settings are
+what we would ship as cluster defaults (AQE on, skew-join handling on,
+shuffle partitions sized to the cluster, UTC session timezone so results
+are reproducible and comparable across engines).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cassandra-es-index-spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults chosen for scale:
+    - AQE enabled: runtime coalescing of shuffle partitions, skew-join
+      splitting, dynamic broadcast decisions.
+    - UTC session timezone: deterministic timestamp semantics (and parity
+      with the reference's GMT ISO-8601 serialization,
+      ref JsonUtils.java:49).
+    - Arrow enabled: vectorized pandas-UDF transfer for the few operators
+      that need Python.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,20 @@
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
+from cassandra_es_index_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("cassandra-es-index-spark-tests", shuffle_partitions=4)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

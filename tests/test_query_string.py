@@ -1,0 +1,144 @@
+"""Parser unit tests — query shapes from the reference's docs
+(README.md:179,404,689,731, doc/examples.txt:24)."""
+
+import pytest
+
+from cassandra_es_index_spark.search import es_dsl, query_string as qs
+from cassandra_es_index_spark.search.ast import (
+    And, Exists, MatchAll, Not, Or, Phrase, Range, Term, Wildcard,
+)
+from cassandra_es_index_spark.search.options import QueryMetaData
+
+
+def test_simple_term():
+    assert qs.parse("hello") == Term(None, "hello")
+
+
+def test_field_term():
+    assert qs.parse("body:hello") == Term("body", "hello")
+
+
+def test_wildcard():
+    assert qs.parse("body:cassan*") == Wildcard("body", "cassan*")
+    assert qs.parse("id:ab?") == Wildcard("id", "ab?")
+
+
+def test_nested_field_path():
+    assert qs.parse("AttributeValues.LastName:ab*") == Wildcard(
+        "AttributeValues.LastName", "ab*")
+
+
+def test_boolean_and():
+    assert qs.parse("subject:Hello AND userid:42") == And(
+        (Term("subject", "Hello"), Term("userid", "42")))
+
+
+def test_boolean_or_and_not():
+    node = qs.parse("a OR b AND NOT c")
+    assert node == Or((Term(None, "a"), And((Term(None, "b"), Not(Term(None, "c"))))))
+
+
+def test_juxtaposition_is_or():
+    assert qs.parse("hello world") == Or((Term(None, "hello"), Term(None, "world")))
+
+
+def test_parens_and_field_group():
+    node = qs.parse("body:(hello OR world)")
+    assert node == Or((Term("body", "hello"), Term("body", "world")))
+
+
+def test_phrase():
+    assert qs.parse('body:"hello world"') == Phrase("body", "hello world")
+
+
+def test_range_inclusive_exclusive():
+    assert qs.parse("userid:[10 TO 50]") == Range("userid", "10", "50", True, True)
+    assert qs.parse("userid:{10 TO 50}") == Range("userid", "10", "50", False, False)
+    assert qs.parse("userid:[10 TO *]") == Range("userid", "10", None, True, True)
+
+
+def test_comparisons():
+    assert qs.parse("userid:>=10") == Range("userid", "10", None, True, True)
+    assert qs.parse("userid:>10") == Range("userid", "10", None, False, True)
+    assert qs.parse("userid:<50") == Range("userid", None, "50", True, False)
+
+
+def test_exists_and_match_all():
+    assert qs.parse("_exists_:subject") == Exists("subject")
+    assert qs.parse("*:*") == MatchAll()
+
+
+def test_parse_error():
+    with pytest.raises(qs.QueryParseError):
+        qs.parse("body:(unclosed")
+    with pytest.raises(qs.QueryParseError):
+        qs.parse("")
+
+
+# -- ES DSL subset ---------------------------------------------------------
+
+
+def test_dsl_range_with_size():
+    node, size = es_dsl.parse('{"size": 5, "query":{"range":{"userid":{"gte":10,"lte":50}}}}')
+    assert node == Range("userid", "10", "50", True, True)
+    assert size == 5
+
+
+def test_dsl_term_and_match():
+    node, _ = es_dsl.parse('{"query":{"term":{"lang":"en"}}}')
+    assert node == Term("lang", "en")
+    node, _ = es_dsl.parse('{"query":{"match":{"text":"hello world"}}}')
+    assert node == Or((Term("text", "hello"), Term("text", "world")))
+
+
+def test_dsl_bool():
+    node, _ = es_dsl.parse(
+        '{"query":{"bool":{"must":[{"term":{"lang":"en"}}],'
+        '"must_not":{"term":{"source":"web"}},'
+        '"should":[{"term":{"a":"1"}},{"term":{"a":"2"}}]}}}')
+    assert node == And((
+        Term("lang", "en"),
+        Or((Term("a", "1"), Term("a", "2"))),
+        Not(Term("source", "web")),
+    ))
+
+
+def test_dsl_query_string_passthrough():
+    node, _ = es_dsl.parse('{"query":{"query_string":{"query":"body:cassan*"}}}')
+    assert node == Wildcard("body", "cassan*")
+
+
+def test_dsl_errors():
+    with pytest.raises(es_dsl.DslError):
+        es_dsl.parse("{not json")
+    with pytest.raises(es_dsl.DslError):
+        es_dsl.parse('{"query":{"fuzzy":{"a":"b"}}}')
+
+
+# -- #options:# prefix (QueryMetaDataTest.java:26-57) ----------------------
+
+
+def test_options_false():
+    meta = QueryMetaData.parse("#options:load-rows=false#plop=42")
+    assert meta.query == "plop=42"
+    assert meta.load_rows is False
+
+
+def test_options_true_with_trailing_hashes():
+    meta = QueryMetaData.parse("#options:load-rows=true#plop=42###")
+    assert meta.query == "plop=42###"
+    assert meta.load_rows is True
+
+
+def test_options_extra():
+    meta = QueryMetaData.parse("#options:load-rows=true,number=42#plop=42###")
+    assert meta.query == "plop=42###"
+    assert meta.load_rows is True
+    assert meta.options["number"] == "42"
+
+
+def test_options_absent():
+    meta = QueryMetaData.parse("Text=42#plop")
+    assert meta.query == "Text=42#plop"
+    assert meta.load_rows is True
+    assert meta.load_source is False

@@ -1,0 +1,122 @@
+"""End-to-end search tests mirroring the reference's sample flow
+(samples/App.java: index emails, search ``body:cassan*``, verify rows)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_es_index_spark.catalog import TableSpec
+from cassandra_es_index_spark.search import SearchEngine
+
+EMAILS = [
+    ("e1", "Hello", "cassandra is a database", 42),
+    ("e2", "Meeting", "we talked about cassandra and elasticsearch", 10),
+    ("e3", "Hello again", "hello world hello", 42),
+    ("e4", "Spam", "buy now", 99),
+    ("e5", "Notes", "cassandra cassandra cassandra", 7),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(EMAILS, "id string, subject string, body string, userid int")
+    eng.register(df, TableSpec("emails", ["id"]))
+    return eng
+
+
+def test_wildcard_search_loads_rows(engine):
+    out = engine.search("emails", "body:cassan*")
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"e1", "e2", "e5"}
+    # full base row loaded (J1 join)
+    assert rows["e1"]["subject"] == "Hello"
+    # tf scoring: e5 has three occurrences
+    assert rows["e5"]["_score"] == 3
+
+
+def test_default_field(engine):
+    # default field = first string col after doc_id → "id"; pass explicitly
+    out = engine.search("emails", "cassandra", default_field="body")
+    assert {r["id"] for r in out.collect()} == {"e1", "e2", "e5"}
+
+
+def test_boolean_and(engine):
+    out = engine.search("emails", "subject:Hello AND userid:42")
+    assert {r["id"] for r in out.collect()} == {"e1", "e3"}
+
+
+def test_dsl_range(engine):
+    out = engine.search("emails", '{"query":{"range":{"userid":{"gte":10,"lte":50}}}}')
+    assert {r["id"] for r in out.collect()} == {"e1", "e2", "e3"}
+
+
+def test_dsl_size_caps_results(engine):
+    out = engine.search(
+        "emails", '{"size": 1, "query":{"range":{"userid":{"gte":1}}}}')
+    assert out.count() == 1
+
+
+def test_fake_row_mode(engine):
+    out = engine.search("emails", "#options:load-rows=false#body:cassan*")
+    assert set(out.columns) == {"id", "_score"}
+    assert {r["id"] for r in out.collect()} == {"e1", "e2", "e5"}
+
+
+def test_load_source_mode(engine):
+    out = engine.search("emails", "#options:load-rows=false,load-source=true#body:hello")
+    assert "IndexationDate" in out.columns
+    assert "_cassandraTtl" in out.columns
+
+
+def test_phrase_search(engine):
+    out = engine.search("emails", 'body:"hello world"')
+    assert {r["id"] for r in out.collect()} == {"e3"}
+
+
+def test_not_and_match_all(engine):
+    out = engine.search("emails", "*:* AND NOT body:cassan*")
+    assert {r["id"] for r in out.collect()} == {"e3", "e4"}
+
+
+def test_top_k_deterministic(engine):
+    out = engine.search("emails", "body:cassan*", limit=1)
+    assert [r["id"] for r in out.collect()] == ["e5"]  # highest tf wins
+
+
+def test_metadata(engine):
+    meta = engine.search_metadata("emails", "body:cassan*").first()
+    assert meta["total_hits"] == 3
+    assert meta["max_score"] == 3
+
+
+def test_validate(engine):
+    assert engine.validate("emails", "body:cassan*") is None
+    assert engine.validate("emails", "nosuchcol:x") is not None
+    assert engine.validate("emails", "#update#{}#") is None  # admin skipped
+
+
+def test_admin_get_mapping(engine):
+    out = engine.search("emails", "#get_mapping#")
+    fields = {r["field"]: r["type"] for r in out.collect()}
+    assert fields["userid"] == "int"
+    assert "_id" in fields
+
+
+def test_admin_update_settings(engine):
+    engine.search("emails", '#update#{"max-results": 2}#')
+    out = engine.search("emails", "body:cassan* OR body:hello")
+    assert out.count() == 2
+    engine.search("emails", '#update#{"max-results": 10000}#')
+
+
+def test_ghost_rows_dropped(spark):
+    # hits present in the index but missing from the base table vanish
+    # (ref StreamingPartitionIterator.java:128-139 silent skip)
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(EMAILS, "id string, subject string, body string, userid int")
+    eng.register(df, TableSpec("emails2", ["id"]))
+    # shrink the base table after index build
+    base, spec = eng.catalog.get("emails2")
+    eng.catalog.register(base.where(F.col("id") != "e1"), spec)
+    out = eng.search("emails2", "body:cassan*")
+    assert {r["id"] for r in out.collect()} == {"e2", "e5"}
