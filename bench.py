@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized through the no-op sink (no driver
+collect, no disk write) so the timing covers scan → transform → exchange
+work only. A small warm-up action runs first so JVM/codegen startup isn't
+attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+import __spark_entry__ as entrymod
+from cassandra_es_index_spark import get_spark
+
+# Headline subset: bulk indexing, search surface, joins/aggs, windowing,
+# dedup, similarity, text analysis — one per operator family.
+HEADLINE = [
+    "doc_build",            # the bulk row→document indexing path
+    "search_term_bool",
+    "search_wildcard",
+    "search_dsl_range",
+    "search_topk",
+    "tpch_q1",
+    "tpch_q3",
+    "revenue_by_nation",
+    "window_top_customers",
+    "events_tumbling",
+    "events_sessionize",
+    "events_json_props",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "similarity_knn_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("cassandra-es-index-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch the biggest table so JVM/codegen init isn't billed
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Text-analysis column functions (north-star operators, SURVEY.md §7 phase 5).
+
+All built-in Column expressions — no Python in the hot path, so these run
+inside WholeStageCodegen over arbitrarily large corpora. Regex patterns use
+only RE2-safe constructs so a DuckDB oracle can evaluate the same logic.
+
+The reference punts on text processing entirely (it delegates analysis to
+Elasticsearch analyzers, ref README.md:483-487); these functions are the
+engine-native equivalent of a basic analyzer chain plus the LLM-pipeline
+metrics (token counts, quality scores, language ID, fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+
+# Tiny, deterministic stopword lists per language for the n-gram/stopword
+# language-ID heuristic. Order matters: ties resolve in this priority.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "la", "los", "y", "es", "una"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, lowercased (the engine's default analyzer)."""
+    return F.split(F.lower(F.trim(col)), WS)
+
+
+def token_count(col: Column) -> Column:
+    """Number of whitespace tokens (LongType)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("long")
+
+
+def stopword_count(col: Column, words: list[str]) -> Column:
+    """Total occurrences of any of ``words`` as whole tokens."""
+    pattern = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast("long")
+
+
+def type_token_ratio(col: Column) -> Column:
+    """Lexical diversity = distinct/total tokens, rounded for portability."""
+    return F.round(distinct_token_count(col) / token_count(col), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards mid-length docs
+    and lexical diversity, penalizes very short or highly repetitive text.
+
+        q = least(1, tokens/100) * (distinct/tokens)
+
+    The formula is intentionally simple and published so the oracle can
+    reproduce it exactly.
+    """
+    n = token_count(col)
+    return F.round(F.least(F.lit(1.0), n / F.lit(100.0)) * (distinct_token_count(col) / n), 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID. Returns the language whose stopword list
+    matches the most tokens; ties break by the priority order of
+    ``LANG_STOPWORDS``; zero votes everywhere → 'und' (undetermined)."""
+    scores = {lang: stopword_count(col, words)
+              for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build the WHEN chain in reverse priority so earlier langs win ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), WS, " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text.
+
+    Exact-dedup key; portable (md5 is identical in every engine)."""
+    return F.md5(normalized_text(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array of 'w1 w2 w3' strings) for MinHash."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (north-star operator).
+
+- ``cosine_topk``      — exact brute-force top-k: one scan, one
+  TakeOrderedAndProject; the correctness baseline at any scale.
+- ``cosine_join_topk`` — exact top-k for a *set* of query vectors
+  (broadcast the queries, scan the corpus once).
+- ``lsh_ann_topk``     — random-hyperplane LSH bucketing: queries only
+  compare against corpus vectors in colliding buckets. The 100 TB path —
+  bucket key is computed scan-side, the join is an equi-join on
+  (plane-signature), and candidates per query are bounded.
+
+All arithmetic is double precision, in element order, with final scores
+rounded to 6 dp — reproducible across engines for oracle checks. Dot
+products use built-in higher-order functions (zip_with/aggregate), staying
+JVM-side; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, rounded to 6 dp."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
+                query_vector: list[float], k: int = 10,
+                exclude_id=None) -> DataFrame:
+    """Exact top-k by cosine against one literal query vector.
+
+    Single scan + TakeOrderedAndProject (no shuffle of the corpus); ties
+    break on ascending id for determinism.
+    """
+    q = F.lit(np.asarray(query_vector, dtype="float64").tolist()).cast("array<double>")
+    scored = df.select(F.col(id_col), cosine(as_double_array(F.col(vec_col)), q).alias("cos_sim"))
+    if exclude_id is not None:
+        scored = scored.where(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_join_topk(corpus: DataFrame, queries: DataFrame,
+                     corpus_id: str, corpus_vec: str,
+                     query_id: str, query_vec: str, k: int = 10) -> DataFrame:
+    """Exact top-k per query vector: broadcast the (small) query set and
+    scan the corpus once; rank with a window per query id."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                      as_double_array(F.col(corpus_vec)).alias("cvec"))
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       as_double_array(F.col(query_vec)).alias("qvec"))
+    scored = (c.join(F.broadcast(q))
+               .select("query_id", "corpus_id",
+                       cosine(F.col("cvec"), F.col("qvec")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "corpus_id", "cos_sim", "rank"))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def plane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign bit-string of the vector against each hyperplane — the LSH
+    bucket key. Computed with built-in expressions (no UDF)."""
+    bits = [
+        F.when(_dot(vec, F.lit(p).cast("array<double>")) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame,
+                 corpus_id: str, corpus_vec: str,
+                 query_id: str, query_vec: str,
+                 k: int = 10, n_planes: int = 8, n_tables: int = 2,
+                 seed: int = 42) -> DataFrame:
+    """Approximate top-k: compare only within colliding LSH buckets.
+
+    ``n_tables`` independent plane sets trade recall for cost — a candidate
+    matches if it collides in ANY table. At scale: corpus signatures are
+    computed once per table in the scan, the candidate join is an equi-join
+    on (table, signature) — no all-pairs stage anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    dim = len(corpus.select(corpus_vec).first()[0])
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                      as_double_array(F.col(corpus_vec)).alias("cvec"))
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       as_double_array(F.col(query_vec)).alias("qvec"))
+
+    c_keys = []
+    q_keys = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        c_keys.append(c.select("corpus_id", "cvec", F.lit(t).alias("tbl"),
+                               plane_signature(F.col("cvec"), planes).alias("sig")))
+        q_keys.append(q.select("query_id", "qvec", F.lit(t).alias("tbl"),
+                               plane_signature(F.col("qvec"), planes).alias("sig")))
+    c_all = c_keys[0]
+    for extra in c_keys[1:]:
+        c_all = c_all.unionByName(extra)
+    q_all = q_keys[0]
+    for extra in q_keys[1:]:
+        q_all = q_all.unionByName(extra)
+
+    cand = (c_all.join(F.broadcast(q_all), ["tbl", "sig"])
+                 .select("query_id", "corpus_id", "cvec", "qvec")
+                 .dropDuplicates(["query_id", "corpus_id"]))
+    scored = cand.select("query_id", "corpus_id",
+                         cosine(F.col("cvec"), F.col("qvec")).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "corpus_id", "cos_sim", "rank"))

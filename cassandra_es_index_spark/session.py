@@ -37,6 +37,10 @@ def get_spark(app_name: str = "cassandra-es-index-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet TIMESTAMP(NANOS) columns surface as LongType (epoch ns)
+        # instead of erroring; sources.read_parquet converts them to
+        # microsecond timestamps (same truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

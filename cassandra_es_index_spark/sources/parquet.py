@@ -1,0 +1,47 @@
+"""Parquet source with nanosecond-timestamp normalization.
+
+Spark (≤4.x) cannot represent parquet ``TIMESTAMP(NANOS)`` natively; with
+``spark.sql.legacy.parquet.nanosAsLong`` (set by ``session.get_spark``)
+those columns arrive as LongType epoch-nanoseconds. This reader detects
+them from the parquet footer (driver-side, no data read) and converts to
+microsecond ``TimestampType`` — truncation toward zero, the same
+conversion other engines (e.g. DuckDB) apply when narrowing ns → µs.
+
+The conversion is a Column expression on top of the scan, so pushdown and
+pruning for all other columns are unaffected.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pyarrow.types as pat
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns, read from one file's footer."""
+    probe = path
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return []
+        probe = files[0]
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:  # noqa: BLE001 — fall back to no conversion
+        return []
+    return [name for name, typ in zip(schema.names, schema.types)
+            if pat.is_timestamp(typ) and typ.unit == "ns"]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    for name in _nanos_columns(path):
+        if name in df.columns:
+            df = df.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    return df

@@ -1,0 +1,141 @@
+"""Tests for the north-star operators: dedup, similarity, multimodal,
+text analysis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_es_index_spark.functions import text as tx
+from cassandra_es_index_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (4, "completely different content about spark engines"),
+        (5, "THE QUICK  brown fox jumps over the lazy dog"),  # dup modulo case/ws
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(corpus):
+    out = dedup.exact_duplicates(corpus, "doc_id", "text")
+    groups = {r["representative_id"]: r["n_copies"] for r in out.collect()}
+    assert groups[1] == 3  # docs 1, 2, 5 normalize identically
+    assert groups[3] == 1
+    assert groups[4] == 1
+
+
+def test_jaccard_pairs(corpus):
+    out = dedup.jaccard_pairs(corpus, "doc_id", "text", threshold=0.7)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_and_near(corpus):
+    # true shingle-Jaccard(1,3) = 4/10 = 0.4 (one word changed in 9 →
+    # 3 of 7 trigrams differ), so band narrowly and keep the threshold low
+    out = dedup.minhash_lsh_pairs(corpus, "doc_id", "text",
+                                  threshold=0.2, num_hashes=64, bands=64)
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0  # identical signatures
+    assert (1, 3) in pairs      # near dup shares most shingles
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_pairs(corpus):
+    sigs = {r["doc"]: r["simhash"] for r in dedup.simhash64(corpus, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    out = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=8)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+
+
+def test_cosine_topk(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, "vec_id", "embedding", [1.0, 0.0, 0.0],
+                                 k=2, exclude_id=0)
+    got = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
+    assert got[0][0] == 1 and got[0][1] > 0.99
+    assert got[1][0] == 2
+
+
+def test_cosine_join_topk(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") < 2)
+    out = similarity.cosine_join_topk(corpus, queries, "vec_id", "embedding",
+                                      "vec_id", "embedding", k=1)
+    got = {r["query_id"]: r["corpus_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 1}  # each query's nearest is itself
+
+
+def test_lsh_ann_recall_on_self(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(50)], "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 5)
+    out = similarity.lsh_ann_topk(df, queries, "vec_id", "embedding",
+                                  "vec_id", "embedding", k=1, n_planes=4, n_tables=3)
+    got = {r["query_id"]: r["corpus_id"] for r in out.collect()}
+    # a vector always collides with itself in every table → self is found
+    assert got == {i: i for i in range(5)}
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog in the house",),
+         ("der hund und die katze ist nicht da",),
+         ("xyzzy plugh",)], "text string")
+    out = df.select(
+        tx.token_count(F.col("text")).alias("n"),
+        tx.lang_id(F.col("text")).alias("lang"),
+        tx.quality_score(F.col("text")).alias("q"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert out[0]["n"] == 8 and out[0]["lang"] == "en"
+    assert out[1]["lang"] == "de"
+    assert out[2]["lang"] == "und"
+    assert 0 < out[0]["q"] <= 1
+    assert len(out[0]["fp"]) == 32
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    out = df.select(tx.shingles(F.col("text"), 3).alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+    assert out[1]["s"] == ["a b"]  # shorter than n → whole text
+
+
+def test_multimodal_features_and_frames(spark):
+    rows = [
+        ("m1", b"\x01\x02\x03", ("image", "png", 10, 10, None, None)),
+        ("m2", b"\x09\x08", ("video", "mp4", 64, 48, 3500, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with_meta = multimodal.attach_metadata(df)
+    metas = {r["media_id"]: r["meta"]["n_bytes"] for r in with_meta.collect()}
+    assert metas == {"m1": 3, "m2": 2}
+
+    feats = multimodal.extract_features(df, dim=8).collect()
+    by_id = {r["media_id"]: r["features"] for r in feats}
+    assert len(by_id["m1"]) == 8
+    # deterministic: same bytes → same features
+    feats2 = multimodal.extract_features(df, dim=8).collect()
+    assert {r["media_id"]: r["features"] for r in feats2} == by_id
+
+    frames = multimodal.frame_sample(with_meta, every_ms=1000).collect()
+    ts = sorted(r["frame_ts_ms"] for r in frames)
+    assert ts == [0, 1000, 2000, 3000]  # only the video row, 3.5 s
+
+    with pytest.raises(Exception):
+        multimodal.extract_features(df, dim=8, use_stub=False).collect()
