@@ -41,6 +41,9 @@ def get_spark(app_name: str = "cassandra-es-index-spark",
         # instead of erroring; sources.read_parquet converts them to
         # microsecond timestamps (same truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # segment partition values are opaque strings ('2024-01-01', '19723'),
+        # never dates/ints — keep round-trips exact.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

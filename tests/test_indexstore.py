@@ -1,0 +1,141 @@
+"""Index-store lifecycle tests: build, upsert, TTL, segments, truncate
+(ref DefaultIndexManager / IndexDropManager semantics)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_es_index_spark.catalog import TableSpec
+from cassandra_es_index_spark.docmodel import DOC_ID, INT_MAX
+from cassandra_es_index_spark.indexstore import ParquetIndexStore
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour, 0, 0)
+
+
+@pytest.fixture()
+def base(spark):
+    rows = [
+        ("a", "hello cassandra", 42, _ts(1), None),
+        ("b", "hello elastic", 10, _ts(1, 12), None),
+        ("c", "goodbye world", 7, _ts(2), 1_700_000_000),
+    ]
+    return spark.createDataFrame(
+        rows, "id string, body string, userid int, created timestamp, expire_at long")
+
+
+def _store(spark, tmp_path, base_spec_options=None, event_time_col=None):
+    spec = TableSpec("emails", ["id"], ttl_column="expire_at",
+                     options=base_spec_options or {})
+    return ParquetIndexStore(spark, str(tmp_path / "idx"), spec,
+                             event_time_col=event_time_col)
+
+
+def test_build_and_read(spark, tmp_path, base):
+    store = _store(spark, tmp_path)
+    store.build(base)
+    assert store.count() == 3
+    got = {r[DOC_ID]: r["_cassandraTtl"] for r in store.read().collect()}
+    assert got["a"] == INT_MAX
+    assert got["c"] == 1_700_000_000
+
+
+def test_day_segmentation(spark, tmp_path, base):
+    store = _store(spark, tmp_path,
+                   {"index-segment": "DAY"}, event_time_col="created")
+    store.build(base)
+    segs = {r["segment"] for r in store.read().select("segment").distinct().collect()}
+    assert segs == {"2024-01-01", "2024-01-02"}
+
+
+def test_frame_segmentation_and_retention(spark, tmp_path, base):
+    day_ms = 86_400_000
+    store = _store(spark, tmp_path,
+                   {"index-segment": "FRAME", "segment-size": day_ms},
+                   event_time_col="created")
+    store.build(base)
+    segs = {r["segment"] for r in store.read().select("segment").distinct().collect()}
+    assert len(segs) == 2
+    # retention horizon after day 2 → day-1 segment is expired
+    now_ms = int(_ts(3).replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    expired = store.expired_segments(now_ms, retention_ms=day_ms)
+    assert len(expired) == 1
+    store.drop_segments(expired)
+    assert store.count() == 1  # only the day-2 doc remains
+
+
+def test_upsert_merges_by_id(spark, tmp_path, base):
+    store = _store(spark, tmp_path)
+    store.build(base)
+    patch = spark.createDataFrame(
+        [("a", "hello UPDATED", 99, _ts(1), None),
+         ("d", "brand new", 1, _ts(3), None)],
+        "id string, body string, userid int, created timestamp, expire_at long")
+    store.upsert(patch)
+    got = {r[DOC_ID]: r["body"] for r in store.read().collect()}
+    assert got == {"a": "hello UPDATED", "b": "hello elastic",
+                   "c": "goodbye world", "d": "brand new"}
+
+
+def test_upsert_rewrites_only_touched_segments(spark, tmp_path, base):
+    store = _store(spark, tmp_path,
+                   {"index-segment": "DAY"}, event_time_col="created")
+    store.build(base)
+    import os
+    seg2 = str(tmp_path / "idx" / "segment=2024-01-02")
+    before = {f: os.path.getmtime(os.path.join(seg2, f))
+              for f in os.listdir(seg2)}
+    patch = spark.createDataFrame(
+        [("a", "updated", 99, _ts(1), None)],
+        "id string, body string, userid int, created timestamp, expire_at long")
+    store.upsert(patch)
+    after = {f: os.path.getmtime(os.path.join(seg2, f))
+             for f in os.listdir(seg2)}
+    assert before == after  # untouched segment not rewritten
+    assert store.count() == 3
+
+
+def test_delete_ids_and_missing_is_noop(spark, tmp_path, base):
+    store = _store(spark, tmp_path)
+    store.build(base)
+    ids = spark.createDataFrame([("a",), ("zzz",)], f"{DOC_ID} string")
+    store.delete_ids(ids)
+    assert {r[DOC_ID] for r in store.read().collect()} == {"b", "c"}
+
+
+def test_ttl_sweep(spark, tmp_path, base):
+    store = _store(spark, tmp_path)
+    store.build(base)
+    store.delete_expired(now_epoch_s=1_700_000_001)
+    assert {r[DOC_ID] for r in store.read().collect()} == {"a", "b"}
+    # ttl-shift delays expiry (ref IndexConfig.java:128-129)
+    store2 = _store(spark, tmp_path / "s2", {"ttl-shift": 3600})
+    store2.spec.ttl_column = "expire_at"
+    store2.build(base)
+    store2.delete_expired(now_epoch_s=1_700_000_001)
+    assert store2.count() == 3  # shifted past the sweep time
+
+
+def test_truncate_and_drop(spark, tmp_path, base):
+    store = _store(spark, tmp_path)
+    store.build(base)
+    store.truncate()
+    assert store.count() == 0
+    store.build(base)
+    store.drop()
+    assert not store.exists()
+
+
+def test_purge_empty_segments(spark, tmp_path, base):
+    store = _store(spark, tmp_path,
+                   {"index-segment": "DAY"}, event_time_col="created")
+    store.build(base)
+    # delete all docs of day 1 → purge drops that segment directory
+    ids = spark.createDataFrame([("a",), ("b",)], f"{DOC_ID} string")
+    store.delete_ids(ids)
+    dropped = store.purge_empty_segments()
+    assert dropped == ["2024-01-01"] or dropped == []  # empty seg may already be gone
+    segs = {r["segment"] for r in store.read().select("segment").distinct().collect()}
+    assert segs == {"2024-01-02"}
