@@ -280,6 +280,61 @@ def q_similarity_ann_lsh(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_search_json_field(spark, sf_dir):
+    # json-serialized-fields: nested-path search into a JSON column
+    # (ref ElasticIndex.java:512-514, README.md:539 'col.key:value')
+    eng = SearchEngine(spark)
+    ev = _t(spark, sf_dir, "events")
+    eng.register(ev, TableSpec("events_idx", ["event_id"],
+                               options={"json-serialized-fields": "props"}))
+    return eng.search("events_idx", "#options:load-rows=false#props.k:69")
+
+
+def q_search_metadata_agg(spark, sf_dir):
+    # A1/A3: hits.total + max_score surfaced as metadata
+    # (ref README.md:199-203)
+    eng = _docs_engine(spark, sf_dir)
+    return eng.search_metadata("documents", "text:spark", default_field="text")
+
+
+def q_ttl_expired(spark, sf_dir):
+    # S6 delete-by-query predicate: rows whose _cassandraTtl passed a fixed
+    # 'now' (ref ElasticIndex.java:825-836); ttl synthesized as ts+1h
+    ev = _t(spark, sf_dir, "events")
+    now_epoch = 1_704_240_000  # 2024-01-03T00:00:00Z
+    expire = F.unix_seconds(F.col("ts")) + 3600
+    return (ev.select("event_id", expire.alias("expire_at"))
+              .where(F.col("expire_at") <= now_epoch))
+
+
+def q_segment_assignment(spark, sf_dir):
+    # W9 date segmentation: docs per daily segment
+    # (ref DefaultIndexManager.java:105-132)
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("segment"))
+              .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def q_cross_table_union(spark, sf_dir):
+    # A4 cross-type aggregation via union (ref README.md:679-683)
+    docs = _t(spark, sf_dir, "documents").agg(
+        F.lit("documents").alias("src_table"), F.count("*").cast("long").alias("n"))
+    ev = _t(spark, sf_dir, "events").agg(
+        F.lit("events").alias("src_table"), F.count("*").cast("long").alias("n"))
+    return docs.unionByName(ev)
+
+
+def q_doc_grouping(spark, sf_dir):
+    # A5 doc-grouping by key: one doc per group from a batch of cells
+    # (ref ElasticIndex.group(), ElasticIndex.java:630-639)
+    li = _t(spark, sf_dir, "lineitem")
+    lines = F.sort_array(F.collect_list(F.col("l_linenumber")))
+    return (li.groupBy("l_orderkey")
+              .agg(F.count("*").cast("long").alias("n_cells"),
+                   F.concat_ws(",", F.transform(lines, lambda x: x.cast("string")))
+                    .alias("line_numbers")))
+
+
 def q_multimodal_features(spark, sf_dir):
     # binary-column plumbing with the deterministic stub extractor
     # (no oracle — md5-derived features not SQL-expressible)
@@ -321,6 +376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_knn_join": q_similarity_knn_join,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "search_json_field": q_search_json_field,
+        "search_metadata_agg": q_search_metadata_agg,
+        "ttl_expired": q_ttl_expired,
+        "segment_assignment": q_segment_assignment,
+        "cross_table_union": q_cross_table_union,
+        "doc_grouping": q_doc_grouping,
     }
 
 
@@ -554,6 +615,37 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos_sim DESC, corpus_id ASC)::BIGINT AS rank
                 FROM scored)
             WHERE rank <= 3
+        """,
+        "search_json_field": r"""
+            SELECT event_id, 1::BIGINT AS _score
+            FROM events
+            WHERE len(regexp_extract_all(json_extract_string(props, '$.k'),
+                                         '(?i)\b69\b')) > 0
+        """,
+        "search_metadata_agg": f"""
+            SELECT count(*)::BIGINT AS total_hits,
+                   max(len(regexp_extract_all(text, '{_SPARK}')))::BIGINT AS max_score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
+        """,
+        "ttl_expired": """
+            SELECT event_id, floor(epoch(ts))::BIGINT + 3600 AS expire_at
+            FROM events
+            WHERE floor(epoch(ts))::BIGINT + 3600 <= 1704240000
+        """,
+        "segment_assignment": """
+            SELECT strftime(ts, '%Y-%m-%d') AS segment, count(*)::BIGINT AS n_docs
+            FROM events GROUP BY 1
+        """,
+        "cross_table_union": """
+            SELECT 'documents' AS src_table, count(*)::BIGINT AS n FROM documents
+            UNION ALL
+            SELECT 'events' AS src_table, count(*)::BIGINT AS n FROM events
+        """,
+        "doc_grouping": """
+            SELECT l_orderkey, count(*)::BIGINT AS n_cells,
+                   array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers
+            FROM lineitem GROUP BY l_orderkey
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or
