@@ -26,8 +26,10 @@ from pyspark.sql.window import Window
 from cassandra_es_index_spark.catalog import TableSpec
 from cassandra_es_index_spark.docmodel import INT_MAX, doc_id_column, iso8601
 from cassandra_es_index_spark.functions import text as tx
-from cassandra_es_index_spark.operators import dedup, multimodal, similarity
+from cassandra_es_index_spark.operators import asof, dedup, multimodal, similarity
 from cassandra_es_index_spark.search import SearchEngine
+from cassandra_es_index_spark.search import postings as post
+from cassandra_es_index_spark.search import scoring
 from cassandra_es_index_spark.sources import read_parquet
 
 
@@ -335,6 +337,33 @@ def q_doc_grouping(spark, sf_dir):
                     .alias("line_numbers")))
 
 
+def q_search_bm25_topk(spark, sf_dir):
+    # BM25 relevance (documented formula, SURVEY.md §7 hard-part 1)
+    docs = _t(spark, sf_dir, "documents")
+    out = scoring.bm25_topk(docs, "text", ["spark", "data"], "doc_id", k=15)
+    return out.select("doc_id", "_bm25")
+
+
+def q_search_postings_term(spark, sf_dir):
+    # inverted-postings lookup == scan-based term search (SURVEY.md §4 item 2)
+    docs = _t(spark, sf_dir, "documents")
+    p = post.build_postings(docs, "doc_id", "text")
+    return post.lookup_terms(p, ["spark"], mode="any")
+
+
+def q_asof_last_click(spark, sf_dir):
+    # as-of join: each error event annotated with the user's latest strictly
+    # earlier click (custom operator — Spark lacks a native as-of join)
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error") \
+               .select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("user_id", "ts", "value")
+    out = asof.asof_join(errors, clicks, by=["user_id"], ts_col="ts",
+                         value_cols=["value"], strict=True)
+    return out.select("event_id", "user_id", "asof_ts")
+
+
 def q_multimodal_features(spark, sf_dir):
     # binary-column plumbing with the deterministic stub extractor
     # (no oracle — md5-derived features not SQL-expressible)
@@ -382,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_assignment": q_segment_assignment,
         "cross_table_union": q_cross_table_union,
         "doc_grouping": q_doc_grouping,
+        "search_bm25_topk": q_search_bm25_topk,
+        "search_postings_term": q_search_postings_term,
+        "asof_last_click": q_asof_last_click,
     }
 
 
@@ -646,6 +678,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, count(*)::BIGINT AS n_cells,
                    array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers
             FROM lineitem GROUP BY l_orderkey
+        """,
+        "search_bm25_topk": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x <> '') AS tk
+                FROM documents),
+            base AS (
+                SELECT doc_id,
+                       len(tk)::DOUBLE AS dl,
+                       len(list_filter(tk, x -> x = 'spark'))::DOUBLE AS tf0,
+                       len(list_filter(tk, x -> x = 'data'))::DOUBLE AS tf1
+                FROM toks),
+            stats AS (
+                SELECT count(*)::DOUBLE AS N, avg(dl) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+                FROM base),
+            scored AS (
+                SELECT doc_id,
+                       round(
+                         ln(1 + (N - df0 + 0.5) / (df0 + 0.5))
+                           * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                         + ln(1 + (N - df1 + 0.5) / (df1 + 0.5))
+                           * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                         6) AS _bm25
+                FROM base, stats)
+            SELECT doc_id, _bm25 FROM scored
+            WHERE _bm25 > 0
+            ORDER BY _bm25 DESC, doc_id ASC
+            LIMIT 15
+        """,
+        "search_postings_term": r"""
+            SELECT doc_id AS doc,
+                   len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x = 'spark'))::BIGINT AS score
+            FROM documents
+            WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                  x -> x = 'spark')) > 0
+        """,
+        "asof_last_click": """
+            SELECT e.event_id, e.user_id,
+                   (SELECT max(c.ts) FROM events c
+                    WHERE c.user_id = e.user_id
+                      AND c.event_type = 'click'
+                      AND c.ts < e.ts) AS asof_ts
+            FROM events e
+            WHERE e.event_type = 'error'
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

@@ -1,0 +1,59 @@
+"""Inverted postings index (SURVEY.md §4 custom-work item 2).
+
+For selective term queries over a huge corpus, a full text scan is wasted
+work. The postings table inverts the corpus once — ``(token, doc, tf)``,
+bucketable by token — and a term lookup becomes a broadcast equi-join of
+the (tiny) query-term list against the postings, touching only matching
+rows. At 100 TB: write the postings table bucketed by ``token`` so term
+lookups prune to the matching buckets and repeated queries never reshuffle.
+
+The scan-based regex path (``search/compile.py``) and this postings path
+return identical results for whole-token term queries; the parity is
+oracle-checked (``search_postings_term`` in the driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_es_index_spark.functions.analyzers import standard
+
+
+def build_postings(docs: DataFrame, id_col: str, text_col: str,
+                   analyzer=standard) -> DataFrame:
+    """Corpus → (token, doc, tf). One explode + one aggregation."""
+    return (docs.select(F.col(id_col).alias("doc"),
+                        F.explode(analyzer(F.col(text_col))).alias("token"))
+                .groupBy("token", "doc")
+                .agg(F.count("*").cast("long").alias("tf")))
+
+
+def write_postings(postings: DataFrame, path: str, buckets: int = 64) -> None:
+    """Persist bucketed by token so lookups are shuffle-free."""
+    (postings.write.mode("overwrite")
+     .bucketBy(buckets, "token").sortBy("token")
+     .option("path", path)
+     .saveAsTable("postings_bucketed"))
+
+
+def lookup_terms(postings: DataFrame, terms: list[str],
+                 mode: str = "any") -> DataFrame:
+    """Docs matching the term list.
+
+    ``any`` → (doc, score=Σ tf) over matched terms (OR semantics);
+    ``all`` → docs containing every term (AND), same score column.
+    The term list joins broadcast — no shuffle of the postings side beyond
+    the groupBy on doc.
+    """
+    spark = postings.sparkSession
+    term_df = spark.createDataFrame([(t,) for t in terms], "token string")
+    matched = postings.join(F.broadcast(term_df), "token")
+    agg = matched.groupBy("doc").agg(
+        F.sum("tf").cast("long").alias("score"),
+        F.countDistinct("token").alias("_nterms"))
+    if mode == "all":
+        agg = agg.where(F.col("_nterms") == len(set(terms)))
+    elif mode != "any":
+        raise ValueError(f"unknown mode {mode!r}")
+    return agg.drop("_nterms")
