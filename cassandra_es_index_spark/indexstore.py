@@ -106,9 +106,14 @@ class ParquetIndexStore:
         """``doc_as_upsert`` semantics (ref ElasticIndex.java:603-614):
         replace-or-insert by ``_id``. Only segments present in the batch
         are rewritten; the anti-join reads just those segments thanks to
-        partition pruning on the IN-list filter."""
-        docs = build_documents(batch, self.spec).withColumn(
-            SEGMENT, self.segment_column())
+        partition pruning on the IN-list filter.
+
+        ``batch`` may be a base-table slice (documents get built here) or
+        already-built documents carrying ``_id`` (e.g. from a sink
+        fallback)."""
+        docs = batch if DOC_ID in batch.columns else build_documents(batch, self.spec)
+        if SEGMENT not in docs.columns:
+            docs = docs.withColumn(SEGMENT, self.segment_column())
         if not self.exists():
             docs.write.mode("overwrite").partitionBy(SEGMENT).parquet(self.path)
             return
