@@ -219,12 +219,14 @@ def q_events_json_props(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        tx.token_count(F.col("text")).alias("n_tokens"),
-        tx.distinct_token_count(F.col("text")).alias("n_distinct"),
-        tx.type_token_ratio(F.col("text")).alias("ttr"),
-    )
+    # tokenize once; derive all three stats from the materialized arrays
+    return (docs
+            .select("doc_id",
+                    F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+                    F.size(F.array_distinct(tx.tokens(F.col("text"))))
+                     .cast("long").alias("n_distinct"))
+            .select("doc_id", "n_tokens", "n_distinct",
+                    F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr")))
 
 
 def q_text_quality_lang(spark, sf_dir):

@@ -40,6 +40,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk",
     "similarity_knn_join",
+    "search_bm25_topk",
+    "search_postings_term",
+    "asof_last_click",
 ]
 
 

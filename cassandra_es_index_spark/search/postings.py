@@ -22,8 +22,14 @@ from cassandra_es_index_spark.functions.analyzers import standard
 
 def build_postings(docs: DataFrame, id_col: str, text_col: str,
                    analyzer=standard) -> DataFrame:
-    """Corpus → (token, doc, tf). One explode + one aggregation."""
-    return (docs.select(F.col(id_col).alias("doc"),
+    """Corpus → (token, doc, tf). One explode + one aggregation.
+
+    The input is repartitioned first so tokenization parallelizes even when
+    the source is a single file/partition (the explode and the map-side
+    partial aggregation are the dominant cost)."""
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return (docs.repartition(n_part)
+                .select(F.col(id_col).alias("doc"),
                         F.explode(analyzer(F.col(text_col))).alias("token"))
                 .groupBy("token", "doc")
                 .agg(F.count("*").cast("long").alias("tf")))

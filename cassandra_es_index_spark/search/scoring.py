@@ -33,16 +33,29 @@ def term_tf(tokens: Column, term: str) -> Column:
     return F.size(F.filter(tokens, lambda t: t == F.lit(term)))
 
 
+def _with_tokens(docs: DataFrame, text_col: str, analyzer) -> DataFrame:
+    """Repartition + project the token array once into ``_tk``.
+
+    Downstream expressions reference the ``_tk`` attribute, so the (regex)
+    tokenization runs once per row instead of once per consuming
+    expression — measured ~3× on BM25 at sf0.1. Repartitioning first gives
+    parallelism even for single-file sources."""
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return (docs.repartition(n_part)
+                .withColumn("_tk", analyzer(F.col(text_col))))
+
+
 def corpus_stats(docs: DataFrame, text_col: str, terms: list[str],
                  analyzer=standard) -> DataFrame:
     """One-row DataFrame: N, avgdl, and df_<i> for each query term."""
-    tokens = analyzer(F.col(text_col))
+    toked = _with_tokens(docs, text_col, analyzer)
+    tokens = F.col("_tk")
     aggs = [F.count("*").cast("long").alias("N"),
             F.avg(F.size(tokens)).alias("avgdl")]
     for i, t in enumerate(terms):
         aggs.append(F.sum(F.when(term_tf(tokens, t) > 0, 1).otherwise(0))
                      .cast("long").alias(f"df_{i}"))
-    return docs.agg(*aggs)
+    return toked.agg(*aggs)
 
 
 def bm25_score(docs: DataFrame, text_col: str, terms: list[str],
@@ -50,12 +63,12 @@ def bm25_score(docs: DataFrame, text_col: str, terms: list[str],
                analyzer=standard) -> DataFrame:
     """Input docs + ``_bm25`` column (matching docs only — score > 0)."""
     stats = corpus_stats(docs, text_col, terms, analyzer)
-    tokens = analyzer(F.col(text_col))
-    joined = docs.withColumn("_dl", F.size(tokens).cast("double")) \
-                 .crossJoin(F.broadcast(stats))
+    joined = (_with_tokens(docs, text_col, analyzer)
+              .withColumn("_dl", F.size(F.col("_tk")).cast("double"))
+              .crossJoin(F.broadcast(stats)))
     score: Column = F.lit(0.0)
     for i, t in enumerate(terms):
-        tf = term_tf(analyzer(F.col(text_col)), t).cast("double")
+        tf = term_tf(F.col("_tk"), t).cast("double")
         idf = F.log(F.lit(1.0)
                     + (F.col("N") - F.col(f"df_{i}") + F.lit(0.5))
                     / (F.col(f"df_{i}") + F.lit(0.5)))
@@ -63,7 +76,7 @@ def bm25_score(docs: DataFrame, text_col: str, terms: list[str],
                    / (tf + F.lit(k1) * (F.lit(1.0 - b)
                                         + F.lit(b) * F.col("_dl") / F.col("avgdl"))))
         score = score + idf * tf_part
-    drop = ["_dl", "N", "avgdl", *[f"df_{i}" for i in range(len(terms))]]
+    drop = ["_tk", "_dl", "N", "avgdl", *[f"df_{i}" for i in range(len(terms))]]
     return (joined.withColumn("_bm25", F.round(score, 6))
                   .where(F.col("_bm25") > 0)
                   .drop(*drop))
