@@ -1,0 +1,99 @@
+"""Engine facade — the one-object surface a user of the reference plugin
+switches to.
+
+Ties together the pieces that the reference exposes through CQL + JMX
+(SURVEY.md §3): register/build (CREATE CUSTOM INDEX + rebuild_index),
+search (`SELECT … WHERE query='…'`), incremental indexing (write path),
+and the scheduled maintenance verbs (TTL sweep, segment retention, purge,
+compaction). Each method delegates to the focused module; nothing here
+adds semantics.
+
+    engine = CassandraEsIndexEngine(spark, index_root="/data/indexes")
+    engine.register(df, TableSpec("emails", ["id"]), build=True)
+    engine.search("emails", "body:cassan*")
+    engine.apply_mutations("emails", mutation_batch)
+    engine.maintain("emails", now_epoch_s=..., retention_ms=...)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_es_index_spark.catalog import TableSpec
+from cassandra_es_index_spark.indexstore import ParquetIndexStore
+from cassandra_es_index_spark.search import SearchEngine
+from cassandra_es_index_spark.streaming.indexer import (
+    MutationIndexer, apply_mutation_batch,
+)
+
+
+class CassandraEsIndexEngine:
+    def __init__(self, spark: SparkSession, index_root: str):
+        self.spark = spark
+        self.index_root = index_root
+        self.search_engine = SearchEngine(spark)
+        self._stores: dict[str, ParquetIndexStore] = {}
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def register(self, df: DataFrame, spec: TableSpec,
+                 build: bool = False,
+                 event_time_col: str | None = None) -> ParquetIndexStore:
+        """Register a base table for search; optionally bulk-build the
+        persistent index (ref getInitializationTask / EsIndexBuilder)."""
+        self.search_engine.register(df, spec)
+        store = ParquetIndexStore(
+            self.spark, os.path.join(self.index_root, spec.name), spec,
+            event_time_col=event_time_col)
+        self._stores[spec.name] = store
+        if build:
+            store.build(df, truncate_first=bool(
+                spec.config().get("truncate-rebuild")))
+        return store
+
+    def store(self, table: str) -> ParquetIndexStore:
+        return self._stores[table]
+
+    # -- query path ---------------------------------------------------------
+
+    def search(self, table: str, query: str, **kw) -> DataFrame:
+        return self.search_engine.search(table, query, **kw)
+
+    def validate(self, table: str, query: str) -> str | None:
+        return self.search_engine.validate(table, query)
+
+    # -- write path ---------------------------------------------------------
+
+    def apply_mutations(self, table: str, batch: DataFrame,
+                        ts_col: str = "ts") -> None:
+        apply_mutation_batch(self._stores[table], batch, ts_col)
+
+    def stream_mutations(self, table: str, stream: DataFrame,
+                         checkpoint: str, **kw):
+        return MutationIndexer(self._stores[table]).start(
+            stream, checkpoint, **kw)
+
+    # -- maintenance (the reference's schedulers, caller-cadenced) ----------
+
+    def maintain(self, table: str, now_epoch_s: int | None = None,
+                 now_ms: int | None = None,
+                 retention_ms: int | None = None,
+                 compact_max_files: int | None = None) -> dict[str, object]:
+        """One maintenance pass: TTL sweep (60 s cadence in the reference),
+        segment retention, purge of empty segments, optional compaction."""
+        store = self._stores[table]
+        report: dict[str, object] = {}
+        if now_epoch_s is not None:
+            store.delete_expired(now_epoch_s)
+            report["ttl_swept"] = True
+        if now_ms is not None and retention_ms is not None:
+            expired = store.expired_segments(now_ms, retention_ms)
+            store.drop_segments(expired)
+            report["segments_dropped"] = expired
+        report["segments_purged"] = store.purge_empty_segments()
+        if compact_max_files is not None:
+            report["segments_compacted"] = store.compact_segments(
+                compact_max_files)
+        return report

@@ -181,6 +181,35 @@ class ParquetIndexStore:
         self.drop_segments(dropped)
         return dropped
 
+    # -- compaction (SURVEY.md §7 hard-part 3) ------------------------------
+
+    def segment_file_counts(self) -> dict[str, int]:
+        if not self.exists():
+            return {}
+        out: dict[str, int] = {}
+        for name in os.listdir(self.path):
+            if name.startswith(f"{SEGMENT}="):
+                seg_dir = os.path.join(self.path, name)
+                n = len([f for f in os.listdir(seg_dir) if f.endswith(".parquet")])
+                out[name.split("=", 1)[1]] = n
+        return out
+
+    def compact_segments(self, max_files: int = 8,
+                         target_files: int = 1) -> list[str]:
+        """Rewrite segments whose parquet-file count exceeds ``max_files``
+        down to ``target_files`` — the engine's analogue of ES segment
+        merging. Upsert-heavy workloads accrete small files per merge;
+        compaction restores scan efficiency. Only oversized segments are
+        touched (same partition-pruned rewrite as upsert)."""
+        crowded = [seg for seg, n in self.segment_file_counts().items()
+                   if n > max_files]
+        if not crowded:
+            return []
+        data = (self.read().where(F.col(SEGMENT).isin(crowded))
+                    .repartition(target_files, F.col(SEGMENT)))
+        self._rewrite_segments(data, crowded)
+        return crowded
+
     # -- truncate / drop (S7, S8) -------------------------------------------
 
     def truncate(self) -> None:
