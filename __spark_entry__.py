@@ -284,6 +284,17 @@ def q_similarity_ann_lsh(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_similarity_ivf_topk(spark, sf_dir):
+    # IVF ANN: probe only the nearest cells per query (no oracle —
+    # cluster assignment is iterative, not SQL-expressible)
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, centroids = similarity.ivf_build(emb, "vec_id", "embedding",
+                                              n_cells=8, n_iters=2)
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(indexed, centroids, queries,
+                               "vec_id", "embedding", k=3, nprobe=3)
+
+
 def q_search_json_field(spark, sf_dir):
     # json-serialized-fields: nested-path search into a JSON column
     # (ref ElasticIndex.java:512-514, README.md:539 'col.key:value')
@@ -416,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk": q_search_bm25_topk,
         "search_postings_term": q_search_postings_term,
         "asof_last_click": q_asof_last_click,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
     }
 
 

@@ -165,21 +165,22 @@ def flat_field_column(name: str) -> Column:
 
 def doc_json(docs: DataFrame, spec: TableSpec) -> DataFrame:
     """Serialize documents to the reference's JSON string form:
-    ``(doc_id, doc)`` where every field is string-ified per §1.2."""
+    ``(doc_id, doc)`` where every field is string-ified per §1.2.
+
+    ``discard-nulls`` (default true) controls dead-cell handling exactly as
+    in the reference (ref ElasticIndex.java:525-527, IndexConfig.java:73-74):
+    true → null fields are omitted from the document (cells skipped);
+    false → nulls are written explicitly so fields can be erased downstream.
+    Spark's ``to_json`` ``ignoreNullFields`` option is precisely this
+    switch.
+    """
     fields = []
     for f_def in docs.schema.fields:
         if f_def.name == DOC_ID:
             continue
         fields.append(stringify(F.col(f_def.name), f_def.dataType).alias(f_def.name))
-    return docs.select(F.col(DOC_ID), F.to_json(F.struct(*fields)).alias("doc"))
-
-
-def apply_discard_nulls(docs: DataFrame, spec: TableSpec) -> DataFrame:
-    """``discard-nulls=false`` keeps explicit nulls (default Spark behavior);
-    with true, null-valued *document rows* are unchanged — null handling is
-    per-field at serialization time. ``doc_json`` drops null fields exactly
-    like the reference's writer skips dead cells
-    (ref ElasticIndex.java:525-527): Spark's ``to_json`` omits null fields
-    by default, and ``ignoreNullFields=false`` writes them — the same
-    switch. This helper just records the mapping."""
-    return docs
+    ignore_nulls = "true" if spec.config().discard_nulls else "false"
+    return docs.select(
+        F.col(DOC_ID),
+        F.to_json(F.struct(*fields),
+                  {"ignoreNullFields": ignore_nulls}).alias("doc"))

@@ -81,6 +81,79 @@ def cosine_join_topk(corpus: DataFrame, queries: DataFrame,
                   .select("query_id", "corpus_id", "cos_sim", "rank"))
 
 
+def _sq_dist(a: Column, centroid: list[float]) -> Column:
+    c = F.lit(centroid).cast("array<double>")
+    return F.aggregate(F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_build(corpus: DataFrame, id_col: str, vec_col: str,
+              n_cells: int = 16, n_iters: int = 3) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index: deterministic Lloyd's k-means over the corpus.
+
+    Init = the ``n_cells`` vectors with the smallest ids (deterministic,
+    no RNG). Each iteration is one assignment scan (argmin over per-cell
+    squared distances, pure Column expressions) + one small aggregation;
+    centroids (n_cells × dim doubles) round-trip through the driver and
+    broadcast back as literals — the only driver-side data, independent of
+    corpus size.
+
+    Returns (corpus + ``cell`` column, centroids).
+    """
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      as_double_array(F.col(vec_col)).alias("cvec"))
+    centroids = [r["cvec"] for r in
+                 c.orderBy("corpus_id").limit(n_cells).collect()]
+
+    def assign(df: DataFrame) -> DataFrame:
+        dists = F.array(*[_sq_dist(F.col("cvec"), ct) for ct in centroids])
+        return df.withColumn(
+            "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+
+    for _ in range(n_iters):
+        assigned = assign(c)
+        rows = (assigned
+                .select("cell", F.posexplode("cvec").alias("pos", "x"))
+                .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+                .select("cell", F.col("ms.m").alias("centroid"))
+                .collect())
+        for r in rows:
+            centroids[r["cell"]] = list(r["centroid"])
+    return assign(c), centroids
+
+
+def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
+             queries: DataFrame, query_id: str, query_vec: str,
+             k: int = 10, nprobe: int = 4) -> DataFrame:
+    """ANN top-k probing only the ``nprobe`` nearest cells per query.
+
+    The corpus is touched only where cells collide: candidates come from an
+    equi-join on ``cell``; cost scales with corpus/|cells| × nprobe, not
+    with the corpus. Recall is controlled by ``nprobe`` (= exact when
+    nprobe == n_cells).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       as_double_array(F.col(query_vec)).alias("qvec"))
+    dists = F.array(*[
+        F.struct(_sq_dist(F.col("qvec"), ct).alias("d"),
+                 F.lit(i).cast("int").alias("cell"))
+        for i, ct in enumerate(centroids)])
+    probed = (q.withColumn("_cells", F.slice(F.array_sort(dists), 1, nprobe))
+               .select("query_id", "qvec",
+                       F.explode(F.col("_cells.cell")).alias("cell")))
+    cand = indexed.join(F.broadcast(probed), "cell")
+    scored = cand.select("query_id", "corpus_id",
+                         cosine(F.col("cvec"), F.col("qvec")).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "corpus_id", "cos_sim", "rank"))
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.default_rng(seed)

@@ -34,6 +34,7 @@ class SearchEngine:
         self.spark = spark
         self.catalog = Catalog(spark)
         self._docs: dict[str, DataFrame] = {}
+        self._postings: dict[tuple[str, str], DataFrame] = {}
 
     # -- registration / index build ----------------------------------------
 
@@ -139,15 +140,55 @@ class SearchEngine:
                     .limit(k))
 
         if qmd.load_source:
-            return hits
-        if not qmd.load_rows:
-            return hits.select(*keys, SCORE)
-        # J1 — hits ⋈ base on the full primary key. The hit set is capped at
-        # max-results (10k default) so it is always broadcastable; ghost
-        # rows drop out naturally via the inner join
-        # (ref StreamingPartitionIterator.java:102-140, SURVEY.md §2.3).
-        hit_keys = F.broadcast(hits.select(*keys, SCORE))
-        return base.join(hit_keys, on=keys, how="inner")
+            result = hits
+        elif not qmd.load_rows:
+            result = hits.select(*keys, SCORE)
+        else:
+            # J1 — hits ⋈ base on the full primary key. The hit set is
+            # capped at max-results (10k default) so it is always
+            # broadcastable; ghost rows drop out naturally via the inner
+            # join (ref StreamingPartitionIterator.java:102-140).
+            hit_keys = F.broadcast(hits.select(*keys, SCORE))
+            result = base.join(hit_keys, on=keys, how="inner")
+
+        if qmd.options.get("metadata", "false").lower() == "true":
+            # Global search metadata as a JSON column on every row. The
+            # reference smuggles this into the FIRST row's dummy index
+            # column (ref StreamingPartitionIterator.java:146-173); a
+            # DataFrame has no "first row", so every row carries it.
+            # total/max reflect ALL matches, not the top-k cap (hits.total
+            # semantics, ref README.md:199-203).
+            meta = (docs.where(pred).select(score)
+                        .agg(F.count("*").alias("total_hits"),
+                             F.max(SCORE).alias("max_score"))
+                        .select(F.to_json(F.struct("total_hits", "max_score"))
+                                 .alias("_metadata")))
+            result = result.crossJoin(F.broadcast(meta))
+        return result
+
+    def term_search(self, table: str, terms: list[str],
+                    field: str | None = None, mode: str = "any") -> DataFrame:
+        """Selective term lookup through the inverted postings index
+        (SURVEY.md §4 item 2) instead of a corpus scan.
+
+        The postings DataFrame is built once per (table, field) and cached;
+        on a cluster it would be a bucketed table
+        (``postings.write_postings``). Results match the scan path for
+        whole-token terms (oracle-checked by ``search_postings_term``).
+        """
+        from cassandra_es_index_spark.search.postings import (
+            build_postings, lookup_terms,
+        )
+
+        _, spec = self.catalog.get(table)
+        docs = self._docs[table]
+        fld = field or Compiler(docs).default_field
+        key = (table, fld)
+        if key not in self._postings:
+            self._postings[key] = build_postings(
+                docs, spec.key_columns[0] if len(spec.key_columns) == 1 else DOC_ID,
+                fld).cache()
+        return lookup_terms(self._postings[key], [t.lower() for t in terms], mode)
 
     def search_metadata(self, table: str, query: str,
                         default_field: str | None = None) -> DataFrame:

@@ -110,3 +110,17 @@ def test_doc_json_serialization(spark):
     assert doc["n"] == "5"
     assert doc["ts"] == "2020-06-01T12:00:00.000Z"
     assert doc["flag"] == "true"
+
+
+def test_discard_nulls_modes(spark):
+    df = spark.createDataFrame([("a", None)], "id string, body string")
+    drop_spec = TableSpec("t", ["id"])  # discard-nulls default true
+    keep_spec = TableSpec("t", ["id"], options={"discard-nulls": False})
+    dropped = json.loads(doc_json(build_documents(df, drop_spec), drop_spec)
+                         .first()["doc"])
+    kept = json.loads(doc_json(build_documents(df, keep_spec), keep_spec)
+                      .first()["doc"])
+    # ref ElasticIndex.java:525-527: true skips dead cells, false writes
+    # explicit nulls so fields can be erased
+    assert "body" not in dropped
+    assert kept["body"] is None

@@ -139,3 +139,31 @@ def test_multimodal_features_and_frames(spark):
 
     with pytest.raises(Exception):
         multimodal.extract_features(df, dim=8, use_stub=False).collect()
+
+
+def test_ivf_ann(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((80, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(80)],
+        "vec_id long, embedding array<float>")
+    indexed, centroids = similarity.ivf_build(df, "vec_id", "embedding",
+                                              n_cells=4, n_iters=2)
+    assert indexed.select("cell").distinct().count() <= 4
+    assert len(centroids) == 4
+
+    queries = df.where(F.col("vec_id") < 5)
+    # full probe == exact brute force
+    exact = similarity.cosine_join_topk(df, queries, "vec_id", "embedding",
+                                        "vec_id", "embedding", k=3)
+    full = similarity.ivf_topk(indexed, centroids, queries,
+                               "vec_id", "embedding", k=3, nprobe=4)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    f = {(r["query_id"], r["corpus_id"]) for r in full.collect()}
+    assert e == f
+    # narrow probe still finds self (it lives in the probed cell)
+    narrow = similarity.ivf_topk(indexed, centroids, queries,
+                                 "vec_id", "embedding", k=1, nprobe=1)
+    got = {r["query_id"]: r["corpus_id"] for r in narrow.collect()}
+    assert got == {i: i for i in range(5)}

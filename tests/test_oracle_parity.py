@@ -68,4 +68,5 @@ def test_queries_oracles_consistent():
     missing = set(QUERIES) - set(ORACLES)
     # only the documented non-SQL-expressible ops may lack an oracle
     assert missing == {"dedup_minhash_lsh", "dedup_simhash",
-                       "similarity_ann_lsh", "multimodal_features"}
+                       "similarity_ann_lsh", "similarity_ivf_topk",
+                       "multimodal_features"}

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the pure-Python surfaces:
+JSON flatten, dotted→structured, option parsing, query-string parser."""
+
+import json
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cassandra_es_index_spark.functions import json_utils as ju
+from cassandra_es_index_spark.search import query_string as qs
+from cassandra_es_index_spark.search.ast import Node
+from cassandra_es_index_spark.search.options import QueryMetaData
+
+keys = st.text(string.ascii_letters + "_", min_size=1, max_size=8)
+scalars = st.one_of(st.none(), st.booleans(),
+                    st.integers(-10**6, 10**6),
+                    st.text(string.ascii_letters, max_size=10))
+json_values = st.one_of(
+    scalars,
+    st.lists(scalars, max_size=4),
+    st.dictionaries(keys, scalars, max_size=4),
+)
+json_objects = st.dictionaries(keys, json_values, max_size=6)
+
+
+@given(json_objects)
+@settings(max_examples=200, deadline=None)
+def test_flatten_always_string_arrays(obj):
+    out = json.loads(ju.flatten(json.dumps(obj)))
+    assert set(out) == set(obj)
+    for value in out.values():
+        assert isinstance(value, list)
+        assert all(isinstance(x, str) for x in value)
+
+
+@given(st.dictionaries(
+    st.lists(keys, min_size=1, max_size=4).map(".".join),
+    scalars, min_size=1, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_dotted_to_structured_preserves_leaves(obj):
+    out = ju.dotted_to_structured(obj)
+
+    def leaves(node, prefix=()):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                yield from leaves(v, (*prefix, k))
+        else:
+            yield ".".join(prefix), node
+
+    got = dict(leaves(out))
+    # every input key resolves through the structure (later keys may
+    # overwrite earlier conflicting paths — same as the Java merge)
+    for key, value in obj.items():
+        if key in got:
+            assert got[key] == value or isinstance(got[key], dict)
+    assert all("." not in k for k in out)
+
+
+@given(st.dictionaries(
+    st.text(string.ascii_letters + "-", min_size=1, max_size=10),
+    st.text(string.ascii_letters + string.digits, min_size=1, max_size=10),
+    min_size=1, max_size=5),
+    st.text(string.ascii_letters + string.digits + ":*# ", max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_options_roundtrip(options, query):
+    encoded = "#options:" + ",".join(f"{k}={v}" for k, v in options.items()) \
+              + "#" + query
+    meta = QueryMetaData.parse(encoded)
+    assert meta.query == query
+    assert meta.options == options
+
+
+@given(st.text(string.ascii_letters + string.digits + ' :*?()"[]{}<>=-~&|!.',
+               min_size=1, max_size=60))
+@settings(max_examples=500, deadline=None)
+def test_parser_total(query):
+    """The parser either returns an AST or raises QueryParseError —
+    never a crash of another type (the `validate` contract)."""
+    try:
+        node = qs.parse(query)
+        assert isinstance(node, Node)
+    except qs.QueryParseError:
+        pass
+
+
+@given(st.lists(st.sampled_from(["hello", "body:x", "a*", "f:[1 TO 2]",
+                                 '"p q"', "NOT z", "(a OR b)"]),
+                min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_parser_accepts_well_formed(parts):
+    for joiner in (" ", " AND ", " OR "):
+        node = qs.parse(joiner.join(parts))
+        assert isinstance(node, Node)

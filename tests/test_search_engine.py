@@ -120,3 +120,23 @@ def test_ghost_rows_dropped(spark):
     eng.catalog.register(base.where(F.col("id") != "e1"), spec)
     out = eng.search("emails2", "body:cassan*")
     assert {r["id"] for r in out.collect()} == {"e2", "e5"}
+
+
+def test_metadata_option(engine):
+    out = engine.search("emails", "#options:metadata=true#body:cassan*")
+    rows = out.collect()
+    assert len(rows) == 3
+    import json as _json
+    meta = _json.loads(rows[0]["_metadata"])
+    assert meta == {"total_hits": 3, "max_score": 3}
+    # every row carries the same global metadata
+    assert len({r["_metadata"] for r in rows}) == 1
+
+
+def test_term_search_via_postings(engine):
+    out = engine.term_search("emails", ["cassandra"], field="body")
+    got = {r["doc"]: r["score"] for r in out.collect()}
+    assert got == {"e1": 1, "e2": 1, "e5": 3}
+    both = engine.term_search("emails", ["cassandra", "elasticsearch"],
+                              field="body", mode="all")
+    assert {r["doc"] for r in both.collect()} == {"e2"}
