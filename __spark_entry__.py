@@ -34,6 +34,9 @@ from cassandra_es_index_spark.sources import read_parquet
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # read_parquet also pins the session confs the engine depends on
+    # (UTC, nanos-as-long, string partition keys) — the driver harness may
+    # hand us a SparkSession built without them.
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 

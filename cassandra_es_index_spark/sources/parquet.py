@@ -38,7 +38,19 @@ def _nanos_columns(path: str) -> list[str]:
             if pat.is_timestamp(typ) and typ.unit == "ns"]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply the engine's session-level invariants on a foreign session
+    (e.g. the driver harness creates its own SparkSession): UTC semantics,
+    nanos-as-long parquet reads, string partition keys. All three are
+    runtime-settable SQLConfs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(path)
     for name in _nanos_columns(path):
         if name in df.columns:
