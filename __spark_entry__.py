@@ -298,6 +298,18 @@ def q_similarity_ivf_topk(spark, sf_dir):
                                "vec_id", "embedding", k=3, nprobe=3)
 
 
+def q_search_10k_cap(spark, sf_dir):
+    # The BASELINE.md headline trace analogue: a query matching more rows
+    # than max-results returns exactly the 10,000-key cap
+    # (ref README.md:735,748-749 — 18,188 hits → 10,000 ids in 514 ms).
+    # events has ~100k rows at sf0.1, ~20k 'click's → the cap binds.
+    eng = SearchEngine(spark)
+    ev = _t(spark, sf_dir, "events")
+    eng.register(ev, TableSpec("events_capped", ["event_id"]))
+    return eng.search("events_capped",
+                      "#options:load-rows=false#event_type:click")
+
+
 def q_search_json_field(spark, sf_dir):
     # json-serialized-fields: nested-path search into a JSON column
     # (ref ElasticIndex.java:512-514, README.md:539 'col.key:value')
@@ -431,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_postings_term": q_search_postings_term,
         "asof_last_click": q_asof_last_click,
         "similarity_ivf_topk": q_similarity_ivf_topk,
+        "search_10k_cap": q_search_10k_cap,
     }
 
 
@@ -734,6 +747,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
                                   x -> x = 'spark')) > 0
+        """,
+        "search_10k_cap": r"""
+            SELECT event_id,
+                   len(regexp_extract_all(event_type, '(?i)\bclick\b'))::BIGINT AS _score
+            FROM events
+            WHERE len(regexp_extract_all(event_type, '(?i)\bclick\b')) > 0
+            ORDER BY _score DESC, event_id ASC
+            LIMIT 10000
         """,
         "asof_last_click": """
             SELECT e.event_id, e.user_id,

@@ -43,6 +43,7 @@ HEADLINE = [
     "search_bm25_topk",
     "search_postings_term",
     "asof_last_click",
+    "search_10k_cap",   # the BASELINE.md 514 ms / 10k-key trace analogue
 ]
 
 
