@@ -298,6 +298,32 @@ def q_similarity_ivf_topk(spark, sf_dir):
                                "vec_id", "embedding", k=3, nprobe=3)
 
 
+def q_cube_orders(spark, sf_dir):
+    # superset aggregation: CUBE over status x priority
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+                  .agg(F.count("*").cast("long").alias("n"),
+                       F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+def q_pivot_status_by_priority(spark, sf_dir):
+    # pivot expressed as conditional aggregation (portable to ANSI SQL)
+    orders = _t(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    aggs = [F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+             .cast("long").alias(f"n_{s}") for s in statuses]
+    return orders.groupBy("o_orderpriority").agg(*aggs)
+
+
+def q_hex_keys(spark, sf_dir):
+    # F8 hex encoding of row keys (ref EsSecondaryIndex.java:193 trace ids)
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(F.col("l_orderkey"),
+                      F.col("l_linenumber"),
+                      F.lower(F.hex(F.col("l_orderkey"))).alias("okey_hex"))
+              .where(F.col("l_linenumber") == 1))
+
+
 def q_search_10k_cap(spark, sf_dir):
     # The BASELINE.md headline trace analogue: a query matching more rows
     # than max-results returns exactly the 10,000-key cap
@@ -444,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": q_asof_last_click,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "search_10k_cap": q_search_10k_cap,
+        "cube_orders": q_cube_orders,
+        "pivot_status_by_priority": q_pivot_status_by_priority,
+        "hex_keys": q_hex_keys,
     }
 
 
@@ -747,6 +776,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
                                   x -> x = 'spark')) > 0
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "pivot_status_by_priority": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_O,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_P
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "hex_keys": """
+            SELECT l_orderkey, l_linenumber, lower(hex(l_orderkey)) AS okey_hex
+            FROM lineitem WHERE l_linenumber = 1
         """,
         "search_10k_cap": r"""
             SELECT event_id,
