@@ -140,3 +140,48 @@ def test_term_search_via_postings(engine):
     both = engine.term_search("emails", ["cassandra", "elasticsearch"],
                               field="body", mode="all")
     assert {r["doc"] for r in both.collect()} == {"e2"}
+
+
+def test_nested_json_field_search(spark):
+    """The F2 contact-table headline: search a nested path inside a
+    json-serialized field (ref README.md:539 'AttributeValues.LastName:ab*',
+    trace README.md:731-737)."""
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [("c1", '{"LastName": "abbot", "FirstName": "ann"}'),
+         ("c2", '{"LastName": "abel"}'),
+         ("c3", '{"LastName": "zorn", "FirstName": "abe"}')],
+        "Id string, AttributeValues string")
+    eng.register(df, TableSpec(
+        "contact", ["Id"],
+        options={"json-serialized-fields": "AttributeValues"}))
+    out = eng.search("contact", "AttributeValues.LastName:ab*")
+    assert {r["Id"] for r in out.collect()} == {"c1", "c2"}
+    # AND across nested paths
+    out2 = eng.search(
+        "contact", "AttributeValues.LastName:ab* AND AttributeValues.FirstName:ann")
+    assert {r["Id"] for r in out2.collect()} == {"c1"}
+
+
+def test_flat_field_kv_search(spark):
+    """Flattened-field 'key=value' search (ref README.md:539-540
+    'AllAttributes:EmailAddress=*' over json-flat-serialized-fields)."""
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [("c1", '{"EmailAddress": "a@b.c", "Phone": "123"}'),
+         ("c2", '{"Phone": "456"}'),
+         ("c3", '{"EmailAddress": "x@y.z", "nested": {"EmailAddress": "q"}}')],
+        "Id string, AllAttributes string")
+    eng.register(df, TableSpec(
+        "contact2", ["Id"],
+        options={"json-flat-serialized-fields": "AllAttributes"}))
+    # 'k=v' strings come from SUB-MAP flattening specifically ("this allows
+    # searching for NAME:key=value", ref JsonUtils.java:89-91): only c3 has
+    # a sub-map with an EmailAddress entry
+    out = eng.search("contact2", "#options:load-rows=false#AllAttributes:EmailAddress=*")
+    assert {r["Id"] for r in out.collect()} == {"c3"}
+    # top-level keys are addressed by path into the flattened map
+    out2 = eng.search("contact2", "AllAttributes.Phone:123")
+    assert {r["Id"] for r in out2.collect()} == {"c1"}
+    out3 = eng.search("contact2", "AllAttributes.EmailAddress:a*")
+    assert {r["Id"] for r in out3.collect()} == {"c1"}
