@@ -420,13 +420,20 @@ def q_asof_last_click(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     # binary-column plumbing with the deterministic stub extractor
-    # (no oracle — md5-derived features not SQL-expressible)
+    # (no oracle — md5-derived features not SQL-expressible). The vector is
+    # serialized to JSON so the driver's rows-only canonicalizer (pandas
+    # sort) gets scalar sort keys — array cells are unhashable there.
     docs = _t(spark, sf_dir, "documents").limit(50)
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.lit(None).cast(multimodal.MEDIA_METADATA).alias("meta"))
-    return multimodal.extract_features(media, dim=16)
+    feats = multimodal.extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        F.size("features").cast("long").alias("dim"),
+        F.to_json(F.transform("features", lambda x: F.round(x, 6)))
+         .alias("features_json"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -619,7 +626,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_props": """
             SELECT event_type, count(*)::BIGINT AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY event_type
         """,
