@@ -91,6 +91,16 @@ def q_search_dsl_bool(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_dsl_must_should(spark, sf_dir):
+    # ES bool semantics (ref ElasticIndex.java:663-667 — DSL delegated
+    # verbatim to ES): should alongside must/filter is optional and
+    # score-only; filter gates matching but contributes no score.
+    q = ('{"query":{"bool":{"must":[{"term":{"lang":"en"}}],'
+         '"filter":[{"range":{"n_chars":{"gte":100}}}],'
+         '"should":[{"term":{"text":"spark"}}]}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_topk(spark, sf_dir):
     # T1 top-k by deterministic relevance score
     eng = _docs_engine(spark, sf_dir)
@@ -443,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": q_search_phrase,
         "search_dsl_range": q_search_dsl_range,
         "search_dsl_bool": q_search_dsl_bool,
+        "search_dsl_must_should": q_search_dsl_must_should,
         "search_topk": q_search_topk,
         "doc_build": q_doc_build,
         "tpch_q1": q_tpch_q1,
@@ -530,6 +541,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
               AND n_chars BETWEEN 150 AND 350
               AND NOT len(regexp_extract_all(text, '{_SLOW}')) > 0
+        """,
+        "search_dsl_must_should": f"""
+            SELECT doc_id,
+                   (len(regexp_extract_all(lang, '{_EN}'))
+                    + len(regexp_extract_all(text, '{_SPARK}')))::BIGINT AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
+              AND n_chars >= 100
         """,
         "search_topk": f"""
             SELECT doc_id,

@@ -73,3 +73,17 @@ class Or(Node):
 @dataclass(frozen=True)
 class Not(Node):
     child: Node = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class Should(Node):
+    """ES bool ``should`` alongside must/filter: optional clauses that
+    boost the score when matched but do not gate matching
+    (ES ``minimum_should_match`` defaults to 0 when must/filter exist)."""
+    children: tuple[Node, ...] = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Scoreless(Node):
+    """ES bool ``filter`` context: gates matching, contributes no score."""
+    child: Node = None  # type: ignore[assignment]

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, MatchAll, Node, Not, Or, Phrase, Range, Term, Wildcard,
+    And, Exists, MatchAll, Node, Not, Or, Phrase, Range, Scoreless, Should,
+    Term, Wildcard,
 )
 
 
@@ -224,4 +225,15 @@ class Compiler:
         if isinstance(node, Not):
             pred, _ = self._walk(node.child)
             return ~F.coalesce(pred, F.lit(False)), F.lit(0)
+        if isinstance(node, Should):
+            # optional: every leaf score is already 0 when unmatched, so the
+            # sum boosts matches without gating the predicate
+            parts = [self._walk(c) for c in node.children]
+            score = parts[0][1]
+            for _, s in parts[1:]:
+                score = score + s
+            return F.lit(True), score
+        if isinstance(node, Scoreless):
+            pred, _ = self._walk(node.child)
+            return pred, F.lit(0)
         raise CompileError(f"unknown node {node!r}")

@@ -13,7 +13,7 @@ import json
 from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, MatchAll, Node, Not, Or, Range, Term,
+    And, Exists, MatchAll, Node, Not, Or, Range, Scoreless, Should, Term,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -86,12 +86,20 @@ def _node(q: dict[str, Any]) -> Node:
         if not isinstance(body, dict):
             raise DslError("bool needs an object")
         parts: list[Node] = []
-        for clause in ("must", "filter"):
-            for sub in _as_list(body.get(clause)):
-                parts.append(_node(sub))
+        for sub in _as_list(body.get("must")):
+            parts.append(_node(sub))
+        for sub in _as_list(body.get("filter")):
+            # filter context: required but scoreless, like ES
+            parts.append(Scoreless(_node(sub)))
         should = [_node(sub) for sub in _as_list(body.get("should"))]
         if should:
-            parts.append(should[0] if len(should) == 1 else Or(tuple(should)))
+            if parts:
+                # must/filter present → should is optional, score-only
+                # (ES minimum_should_match=0 in that case)
+                parts.append(Should(tuple(should)))
+            else:
+                # should alone → at least one must match
+                parts.append(should[0] if len(should) == 1 else Or(tuple(should)))
         for sub in _as_list(body.get("must_not")):
             parts.append(Not(_node(sub)))
         if not parts:

@@ -5,7 +5,8 @@ import pytest
 
 from cassandra_es_index_spark.search import es_dsl, query_string as qs
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, MatchAll, Not, Or, Phrase, Range, Term, Wildcard,
+    And, Exists, MatchAll, Not, Or, Phrase, Range, Scoreless, Should, Term,
+    Wildcard,
 )
 from cassandra_es_index_spark.search.options import QueryMetaData
 
@@ -92,14 +93,31 @@ def test_dsl_term_and_match():
 
 
 def test_dsl_bool():
+    # should alongside must is optional/score-only (ES minimum_should_match=0)
     node, _ = es_dsl.parse(
         '{"query":{"bool":{"must":[{"term":{"lang":"en"}}],'
         '"must_not":{"term":{"source":"web"}},'
         '"should":[{"term":{"a":"1"}},{"term":{"a":"2"}}]}}}')
     assert node == And((
         Term("lang", "en"),
-        Or((Term("a", "1"), Term("a", "2"))),
+        Should((Term("a", "1"), Term("a", "2"))),
         Not(Term("source", "web")),
+    ))
+
+
+def test_dsl_bool_should_alone_is_required():
+    node, _ = es_dsl.parse(
+        '{"query":{"bool":{"should":[{"term":{"a":"1"}},{"term":{"a":"2"}}]}}}')
+    assert node == Or((Term("a", "1"), Term("a", "2")))
+
+
+def test_dsl_bool_filter_is_scoreless():
+    node, _ = es_dsl.parse(
+        '{"query":{"bool":{"must":[{"term":{"lang":"en"}}],'
+        '"filter":[{"range":{"n":{"gte":1}}}]}}}')
+    assert node == And((
+        Term("lang", "en"),
+        Scoreless(Range("n", "1", None, include_lo=True, include_hi=True)),
     ))
 
 

@@ -68,6 +68,29 @@ def test_load_source_mode(engine):
     assert "_cassandraTtl" in out.columns
 
 
+def test_dsl_must_with_should_is_optional(engine):
+    # ES semantics: should alongside must does not gate matching — all
+    # userid=42 rows return, but matches of the should clause score higher.
+    out = engine.search(
+        "emails",
+        '{"query":{"bool":{"must":[{"term":{"userid":42}}],'
+        '"should":[{"term":{"body":"cassandra"}}]}}}')
+    rows = {r["id"]: r["_score"] for r in out.collect()}
+    assert set(rows) == {"e1", "e3"}          # e3 matches must only
+    assert rows["e1"] == 2                    # must(1) + should tf(1)
+    assert rows["e3"] == 1                    # must(1) + should(0)
+
+
+def test_dsl_filter_matches_but_does_not_score(engine):
+    out = engine.search(
+        "emails",
+        '{"query":{"bool":{"must":[{"term":{"body":"cassandra"}}],'
+        '"filter":[{"range":{"userid":{"gte":40}}}]}}}')
+    rows = {r["id"]: r["_score"] for r in out.collect()}
+    assert set(rows) == {"e1"}
+    assert rows["e1"] == 1                    # filter contributes no score
+
+
 def test_phrase_search(engine):
     out = engine.search("emails", 'body:"hello world"')
     assert {r["id"] for r in out.collect()} == {"e3"}
