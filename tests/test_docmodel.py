@@ -124,3 +124,34 @@ def test_discard_nulls_modes(spark):
     # explicit nulls so fields can be erased
     assert "body" not in dropped
     assert kept["body"] is None
+
+
+def test_static_mapping_overrides_inferred_types(spark):
+    """`mapping-<table>` ES JSON at registration overrides inferred column
+    types (ref IndexConfig.java:97, README.md:317-400)."""
+    import json
+
+    from cassandra_es_index_spark.docmodel import build_documents, mapping_casts
+
+    df = spark.createDataFrame(
+        [("a", 10, "5"), ("b", 20, "7")], "id string, n long, s string")
+    mapping = json.dumps({"t": {"properties": {
+        "n": {"type": "integer"},
+        "s": {"type": "long"},
+        "id": {"type": "keyword"},
+    }}})
+    spec = TableSpec("t", ["id"], options={"mapping-t": mapping})
+    assert mapping_casts(spec) == {"n": "int", "s": "long", "id": "string"}
+    docs = build_documents(df, spec)
+    types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    assert types["n"] == "int" and types["s"] == "bigint"
+    # values cast, not dropped
+    assert {r["s"] for r in docs.collect()} == {5, 7}
+
+
+def test_static_mapping_unwrapped_properties(spark):
+    from cassandra_es_index_spark.docmodel import mapping_casts
+
+    spec = TableSpec("t", ["id"], options={
+        "mapping": {"properties": {"n": {"type": "double"}}}})
+    assert mapping_casts(spec) == {"n": "double"}

@@ -208,3 +208,67 @@ def test_flat_field_kv_search(spark):
     assert {r["Id"] for r in out2.collect()} == {"c1"}
     out3 = eng.search("contact2", "AllAttributes.EmailAddress:a*")
     assert {r["Id"] for r in out3.collect()} == {"c1"}
+
+
+# -- postings-backed plan rewrite -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def indexed_engine(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        EMAILS, "id string, subject string, body string, userid int")
+    eng.register(df, TableSpec("emails_idx", ["id"]))
+    eng.build_postings_index("emails_idx", "body", materialize=True)
+    eng.build_postings_index("emails_idx", "subject")
+    return eng
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_plan_replaces_scan(indexed_engine):
+    out = indexed_engine.search("emails_idx", "body:cassandra")
+    # the rewrite serves the term from the postings join — no regex scan
+    assert "regexp_extract_all" not in _plan(out)
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"e1", "e2", "e5"}
+    assert rows["e5"]["_score"] == 3          # tf parity with the scan path
+    assert rows["e1"]["subject"] == "Hello"   # J1 row load still happens
+
+
+def test_postings_plan_matches_scan_results(indexed_engine, spark):
+    # same query through a postings-less engine (scan path) — identical rows
+    scan_eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        EMAILS, "id string, subject string, body string, userid int")
+    scan_eng.register(df, TableSpec("emails_scan", ["id"]))
+    for q in ["body:cassandra",
+              "body:cassandra OR body:hello",
+              "body:cassandra AND subject:Hello",
+              "#options:load-rows=false#body:hello OR body:world"]:
+        got = sorted(map(tuple, indexed_engine.search("emails_idx", q)
+                         .select("id", "_score").collect()))
+        want = sorted(map(tuple, scan_eng.search("emails_scan", q)
+                          .select("id", "_score").collect()))
+        assert got == want, q
+
+
+def test_postings_plan_falls_back_for_unservable(indexed_engine):
+    # wildcard → scan path (regex present), same results as ever
+    out = indexed_engine.search("emails_idx", "body:cassan*")
+    assert "regexp_extract_all" in _plan(out)
+    assert {r["id"] for r in out.collect()} == {"e1", "e2", "e5"}
+    # term on a field without postings → scan path
+    out2 = indexed_engine.search("emails_idx", "userid:42")
+    assert {r["id"] for r in out2.collect()} == {"e1", "e3"}
+
+
+def test_postings_plan_metadata(indexed_engine):
+    out = indexed_engine.search(
+        "emails_idx", "#options:metadata=true,load-rows=false#body:cassandra")
+    rows = out.collect()
+    import json as _json
+    meta = _json.loads(rows[0]["_metadata"])
+    assert meta["total_hits"] == 3 and meta["max_score"] == 3
