@@ -48,7 +48,9 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   threshold: float = 0.8,
-                  max_token_df: int | None = None) -> DataFrame:
+                  max_token_df: int | str | None = "auto",
+                  auto_floor: int = 1024,
+                  auto_frac: float = 0.01) -> DataFrame:
     """Exact token-set Jaccard similarity join.
 
     Blocking: explode distinct tokens, self-join on token, count shared
@@ -56,24 +58,57 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     J ≥ threshold > 0 shares a token, so recall is exact.
 
     ``max_token_df`` drops tokens appearing in more than that many docs
-    before pairing — the standard scale lever (hot tokens generate
-    quadratic candidates and contribute least information). Leave None for
-    exact semantics.
+    from *candidate generation* — the standard scale lever: hot tokens
+    generate quadratic candidates and contribute least information. The
+    default ``"auto"`` sets it to max(auto_floor, auto_frac × corpus size),
+    which is a no-op on small corpora and bounds the hottest token's
+    candidate blow-up on large ones; a pair is only missed if *every*
+    token it shares is hot, which at a 0.9-style threshold means
+    stopword-only near-dups. Pass None for strictly exact semantics, or an
+    int to pin the cutoff.
     """
+    if max_token_df == "auto":
+        n_docs = df.count()
+        cutoff = max(auto_floor, int(n_docs * auto_frac))
+        # no-op unless some token can actually exceed the cutoff
+        max_token_df = cutoff if n_docs > cutoff else None
     toks = (df.select(F.col(id_col).alias("doc"),
                       F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")))
     sizes = toks.groupBy("doc").agg(F.count("*").cast("long").alias("sz"))
-    if max_token_df is not None:
-        rare = (toks.groupBy("tok").agg(F.count("*").alias("df_"))
-                    .where(F.col("df_") <= max_token_df).select("tok"))
-        toks = toks.join(rare, "tok")
-    a, b = toks.alias("a"), toks.alias("b")
-    shared = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
-                     & (F.col("a.doc") < F.col("b.doc")))
-               .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-               .agg(F.count("*").cast("long").alias("shared")))
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+
+    if max_token_df is None:
+        # exact path: shared counts straight from the blocking join
+        a, b = toks.alias("a"), toks.alias("b")
+        shared = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                         & (F.col("a.doc") < F.col("b.doc")))
+                   .groupBy(F.col("a.doc").alias("doc_a"),
+                            F.col("b.doc").alias("doc_b"))
+                   .agg(F.count("*").cast("long").alias("shared")))
+    else:
+        # guarded path: hot tokens are excluded from candidate GENERATION
+        # only; the Jaccard itself is verified against the full token sets
+        # so reported values stay exact for every surviving pair.
+        rare = (toks.groupBy("tok").agg(F.count("*").alias("df_"))
+                    .where(F.col("df_") <= max_token_df).select("tok"))
+        blocked = toks.join(rare, "tok")
+        a, b = blocked.alias("a"), blocked.alias("b")
+        cand = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                       & (F.col("a.doc") < F.col("b.doc")))
+                 .select(F.col("a.doc").alias("doc_a"),
+                         F.col("b.doc").alias("doc_b"))
+                 .distinct())
+        tok_arrays = df.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(tokens(F.col(text_col))).alias("ta"))
+        ta = tok_arrays.select(F.col("doc").alias("doc_a"), F.col("ta").alias("ta_a"))
+        tb = tok_arrays.select(F.col("doc").alias("doc_b"), F.col("ta").alias("ta_b"))
+        shared = (cand.join(ta, "doc_a").join(tb, "doc_b")
+                      .select("doc_a", "doc_b",
+                              F.size(F.array_intersect("ta_a", "ta_b"))
+                               .cast("long").alias("shared")))
+
     return (shared.join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("jaccard",
                         F.round(F.col("shared")

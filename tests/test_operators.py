@@ -167,3 +167,29 @@ def test_ivf_ann(spark):
                                  "vec_id", "embedding", k=1, nprobe=1)
     got = {r["query_id"]: r["corpus_id"] for r in narrow.collect()}
     assert got == {i: i for i in range(5)}
+
+
+def test_jaccard_auto_guard_bounds_hot_tokens(spark):
+    # 30 docs all share a hot token; each also carries one unique token.
+    # Bare blocking would generate C(30,2)=435 candidates off the hot token;
+    # the df cutoff drops it from candidate generation, and since no
+    # qualifying pair exists, the result is empty — bounded, not quadratic.
+    rows = [(i, f"common u{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                              max_token_df="auto", auto_floor=5)
+    assert out.count() == 0
+    # near-dup pairs sharing a rare token still pair up under the guard
+    rows.append((100, "common u7 extra"))
+    df2 = spark.createDataFrame(rows, "doc_id long, text string")
+    out2 = dedup.jaccard_pairs(df2, "doc_id", "text", threshold=0.5,
+                               max_token_df="auto", auto_floor=5)
+    assert [(r["doc_a"], r["doc_b"]) for r in out2.collect()] == [(7, 100)]
+
+
+def test_jaccard_auto_guard_noop_on_small_corpus(spark):
+    # corpus smaller than the floor → guard disabled, exact semantics
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.9)
+    assert [(r["doc_a"], r["doc_b"]) for r in out.collect()] == [(1, 2)]
