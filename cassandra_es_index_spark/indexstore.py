@@ -9,12 +9,21 @@ W6/W9/W10) on a partitioned parquet layout:
   policies, mirroring the two reference index managers:
   * date-suffix segments OFF/YEAR/MONTH/DAY/HOUR (DefaultIndexManager)
   * fixed-width epoch frames of ``segment-size`` ms (IndexDropManager.java:92-99)
-- **Upsert** (S3, ``doc_as_upsert``) — MERGE emulated with anti-join +
-  union, rewriting only the segments touched by the batch (partition
-  pruning keeps untouched segments byte-identical — the scale property;
-  with Delta/Iceberg on the cluster this maps 1:1 to ``MERGE INTO``).
-- **Doc-level TTL expiry** (S6) — ``DELETE WHERE _cassandraTtl <= now``
-  rewrite of affected segments (ref ElasticIndex.java:825-836).
+- **Upsert** (S3, ``doc_as_upsert``, ref ElasticIndex.java:603-614) —
+  log-structured merge-on-read: each batch APPENDS delta files tagged with
+  a generation number; existing files are never rewritten, so write cost
+  is O(batch) regardless of segment size (the reference's per-doc HTTP
+  upsert has the same property). Reads resolve last-writer-wins per
+  ``_id`` and drop tombstones; the resolution joins only the (small)
+  delta against the base, so base rows are never shuffled. Because the
+  shadow join is global on ``_id``, a document whose segment assignment
+  changes (event-time update) correctly hides its stale copy in the old
+  segment. ``compact_deltas`` folds deltas back into gen-0 base files —
+  the analogue of ES segment merging; with Delta/Iceberg on the cluster
+  this whole mechanism maps 1:1 to ``MERGE INTO`` + table compaction.
+- **Deletes** (S5) and **delete-by-query / doc-TTL expiry** (S6) — O(batch)
+  tombstone appends under a dedicated ``segment=_tombstones`` partition
+  (ref ElasticIndex.java:642-649, 825-836).
 - **Segment-level expiry** (W10) — drop whole segment directories older
   than the retention horizon (ref IndexDropManager.java:154-168).
 - **Truncate / drop / purge-empty** (S7, S8, A2) — directory-level ops.
@@ -28,13 +37,17 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_es_index_spark.catalog import TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, TTL_FIELD, build_documents
 
 SEGMENT = "segment"
+GEN = "_gen"            # 0 = compacted base, >0 = delta generation
+DELETED = "_deleted"    # tombstone marker
+TOMBSTONE_SEG = "_tombstones"
+_GEN_FILE = "_delta_gen"  # leading underscore → invisible to parquet reads
 
 # date-suffix formats per segmentation level (ref DefaultIndexManager.java:48)
 _SEGMENT_FMT = {
@@ -57,6 +70,9 @@ class ParquetIndexStore:
         cfg = spec.config()
         self.mode = str(cfg.get("index-segment")).upper()   # OFF|YEAR|…|FRAME
         self.segment_size_ms = int(cfg.get("segment-size"))
+        # auto-fold deltas once this many delta generations accumulate
+        # (bounds read-time merge cost; 0 disables)
+        self.compact_every = int(cfg.get("delta-compact-gens") or 32)
 
     # -- segment assignment -------------------------------------------------
 
@@ -75,6 +91,30 @@ class ParquetIndexStore:
             return F.lit(str(self.spec.config().get("segment-name") or "custom"))
         raise ValueError(f"unknown index-segment mode {self.mode!r}")
 
+    # -- generation counter --------------------------------------------------
+
+    def _current_gen(self) -> int:
+        try:
+            with open(os.path.join(self.path, _GEN_FILE)) as f:
+                return int(f.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _set_gen(self, gen: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, _GEN_FILE), "w") as f:
+            f.write(str(gen))
+
+    def _next_gen(self) -> int:
+        gen = self._current_gen() + 1
+        self._set_gen(gen)
+        return gen
+
+    @staticmethod
+    def _tag(docs: DataFrame, gen: int, deleted: bool = False) -> DataFrame:
+        return (docs.withColumn(GEN, F.lit(gen).cast("long"))
+                    .withColumn(DELETED, F.lit(deleted)))
+
     # -- bulk build (S1 → S3 path) ------------------------------------------
 
     def build(self, base: DataFrame, truncate_first: bool = False) -> None:
@@ -85,28 +125,54 @@ class ParquetIndexStore:
             self.truncate()
         docs = build_documents(base, self.spec).withColumn(
             SEGMENT, self.segment_column())
-        (docs.write.mode("overwrite").partitionBy(SEGMENT).parquet(self.path))
+        (self._tag(docs, 0).write.mode("overwrite")
+             .partitionBy(SEGMENT).parquet(self.path))
+        self._set_gen(0)
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
             name.startswith(f"{SEGMENT}=") for name in os.listdir(self.path))
 
-    def read(self) -> DataFrame:
+    def _raw(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+    def read(self) -> DataFrame:
+        """Resolved view: last writer per ``_id`` wins, tombstones dropped.
+
+        With no outstanding deltas this is a plain partition-pruned scan.
+        With deltas, only the delta rows (bounded by ``compact_deltas``
+        cadence) are shuffled/broadcast; base rows pass through one
+        anti-join against the delta id set.
+        """
+        return self._resolve(self._raw())
+
+    def _resolve(self, raw: DataFrame) -> DataFrame:
+        if self._current_gen() == 0:
+            return raw.drop(GEN, DELETED)
+        base = raw.where(F.col(GEN) == 0)
+        delta = raw.where(F.col(GEN) > 0)
+        delta_ids = delta.select(DOC_ID).distinct()
+        w = Window.partitionBy(DOC_ID).orderBy(F.desc(GEN))
+        latest = (delta.withColumn("_rn", F.row_number().over(w))
+                       .where(F.col("_rn") == 1)
+                       .where(~F.col(DELETED))
+                       .drop("_rn", GEN, DELETED))
+        survivors = base.join(delta_ids, on=DOC_ID, how="left_anti") \
+                        .drop(GEN, DELETED)
+        return survivors.unionByName(latest)
 
     def count(self) -> int:
         return self.read().count() if self.exists() else 0
 
     # -- upsert / delete (S3, S5) -------------------------------------------
 
-    def _touched_segments(self, docs: DataFrame) -> list[str]:
-        return [r[SEGMENT] for r in docs.select(SEGMENT).distinct().collect()]
-
     def upsert(self, batch: DataFrame) -> None:
         """``doc_as_upsert`` semantics (ref ElasticIndex.java:603-614):
-        replace-or-insert by ``_id``. Only segments present in the batch
-        are rewritten; the anti-join reads just those segments thanks to
-        partition pruning on the IN-list filter.
+        replace-or-insert by ``_id``. Appends one delta generation —
+        existing files are untouched (byte-identical), written bytes are
+        O(batch). Stale copies anywhere in the table (including other
+        segments, when an event-time change moves a document) are shadowed
+        at read time and physically removed by ``compact_deltas``.
 
         ``batch`` may be a base-table slice (documents get built here) or
         already-built documents carrying ``_id`` (e.g. from a sink
@@ -115,28 +181,47 @@ class ParquetIndexStore:
         if SEGMENT not in docs.columns:
             docs = docs.withColumn(SEGMENT, self.segment_column())
         if not self.exists():
-            docs.write.mode("overwrite").partitionBy(SEGMENT).parquet(self.path)
+            (self._tag(docs, 0).write.mode("overwrite")
+                 .partitionBy(SEGMENT).parquet(self.path))
+            self._set_gen(0)
             return
-        touched = self._touched_segments(docs)
-        existing = self.read().where(F.col(SEGMENT).isin(touched))
-        keep = existing.join(docs.select(DOC_ID), on=DOC_ID, how="left_anti")
-        merged = keep.unionByName(docs)
-        self._rewrite_segments(merged, touched)
+        gen = self._next_gen()
+        (self._tag(docs, gen).write.mode("append")
+             .partitionBy(SEGMENT).parquet(self.path))
+        self._maybe_autocompact()
+
+    def _tombstone(self, ids: DataFrame) -> None:
+        """Append tombstone rows (id-only, full doc schema nulled) under the
+        dedicated tombstone segment."""
+        sample = self._raw().drop(GEN, DELETED, SEGMENT)
+        gen = self._next_gen()
+        stones = ids.select(DOC_ID)
+        for f_def in sample.schema.fields:
+            if f_def.name != DOC_ID:
+                stones = stones.withColumn(
+                    f_def.name, F.lit(None).cast(f_def.dataType))
+        stones = (self._tag(stones.select(*[f.name for f in sample.schema.fields]),
+                            gen, deleted=True)
+                  .withColumn(SEGMENT, F.lit(TOMBSTONE_SEG)))
+        stones.write.mode("append").partitionBy(SEGMENT).parquet(self.path)
+        self._maybe_autocompact()
 
     def delete_ids(self, ids: DataFrame) -> None:
         """Single-doc deletes by ``_id`` (ref ElasticIndex.java:642-649);
-        missing ids are a no-op, like the reference accepting 404."""
+        missing ids are a no-op, like the reference accepting 404 — the
+        tombstone simply shadows nothing."""
         if not self.exists():
             return
-        remaining = self.read().join(F.broadcast(ids.select(DOC_ID)),
-                                     on=DOC_ID, how="left_anti")
-        self._rewrite_all(remaining)
+        self._tombstone(ids)
 
     def delete_where(self, predicate: Column) -> None:
-        """Delete-by-query (ref ElasticIndex.java:817-836)."""
+        """Delete-by-query (ref ElasticIndex.java:817-836): one column-
+        pruned scan to find matching ids, then an O(matches) tombstone
+        append — no segment rewrite."""
         if not self.exists():
             return
-        self._rewrite_all(self.read().where(~predicate | predicate.isNull()))
+        matches = self.read().where(predicate).select(DOC_ID).distinct()
+        self._tombstone(matches)
 
     # -- TTL / retention (S6, W10, A2) --------------------------------------
 
@@ -166,8 +251,9 @@ class ParquetIndexStore:
                           ignore_errors=True)
 
     def purge_empty_segments(self) -> list[str]:
-        """Drop segments with zero rows (ref ElasticIndex.java:839-856,
-        hourly in the reference)."""
+        """Drop segments with zero live rows (ref ElasticIndex.java:839-856,
+        hourly in the reference). The tombstone segment is never purged
+        here — ``compact_deltas`` clears it."""
         if not self.exists():
             return []
         counts = (self.read().groupBy(SEGMENT).count().collect())
@@ -176,12 +262,54 @@ class ParquetIndexStore:
         for name in os.listdir(self.path):
             if name.startswith(f"{SEGMENT}="):
                 seg = name.split("=", 1)[1]
-                if seg not in non_empty:
+                if seg not in non_empty and seg != TOMBSTONE_SEG:
                     dropped.append(seg)
         self.drop_segments(dropped)
         return dropped
 
     # -- compaction (SURVEY.md §7 hard-part 3) ------------------------------
+
+    def delta_stats(self) -> dict[str, int]:
+        """Outstanding merge-on-read state: generation counter + delta/
+        tombstone row counts (monitoring surface)."""
+        gen = self._current_gen()
+        if gen == 0 or not self.exists():
+            return {"gen": gen, "delta_rows": 0, "tombstones": 0}
+        raw = self._raw().where(F.col(GEN) > 0)
+        agg = raw.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col(DELETED), 1).otherwise(0)).alias("t")).first()
+        return {"gen": gen, "delta_rows": agg["n"] or 0,
+                "tombstones": agg["t"] or 0}
+
+    def _maybe_autocompact(self) -> None:
+        if self.compact_every and self._current_gen() >= self.compact_every:
+            self.compact_deltas()
+
+    def compact_deltas(self) -> list[str]:
+        """Fold outstanding deltas/tombstones into gen-0 base files — the
+        engine's ES-segment-merge analogue. Only segments that hold delta
+        rows or shadowed/deleted base rows are rewritten; everything else
+        stays byte-identical. Resets the generation counter, so subsequent
+        reads are plain scans again."""
+        if not self.exists() or self._current_gen() == 0:
+            return []
+        raw = self._raw()
+        delta = raw.where(F.col(GEN) > 0)
+        delta_ids = delta.select(DOC_ID).distinct()
+        base = raw.where(F.col(GEN) == 0)
+        shadowed_segs = (base.join(delta_ids, on=DOC_ID, how="left_semi")
+                             .select(SEGMENT).distinct())
+        delta_segs = delta.select(SEGMENT).distinct()
+        touched = sorted({r[SEGMENT] for r in
+                          shadowed_segs.unionByName(delta_segs).collect()})
+        data_segs = [s for s in touched if s != TOMBSTONE_SEG]
+        resolved = self._resolve(raw).where(F.col(SEGMENT).isin(data_segs))
+        self._rewrite_segments(self._tag(resolved, 0), data_segs)
+        if TOMBSTONE_SEG in touched:
+            self.drop_segments([TOMBSTONE_SEG])
+        self._set_gen(0)
+        return touched
 
     def segment_file_counts(self) -> dict[str, int]:
         if not self.exists():
@@ -197,15 +325,16 @@ class ParquetIndexStore:
     def compact_segments(self, max_files: int = 8,
                          target_files: int = 1) -> list[str]:
         """Rewrite segments whose parquet-file count exceeds ``max_files``
-        down to ``target_files`` — the engine's analogue of ES segment
-        merging. Upsert-heavy workloads accrete small files per merge;
-        compaction restores scan efficiency. Only oversized segments are
-        touched (same partition-pruned rewrite as upsert)."""
+        down to ``target_files``. Upsert-heavy workloads accrete one file
+        set per delta generation; this folds deltas first (so the rewrite
+        sees resolved rows), then bin-packs crowded segments. Only
+        oversized segments are touched."""
+        self.compact_deltas()
         crowded = [seg for seg, n in self.segment_file_counts().items()
                    if n > max_files]
         if not crowded:
             return []
-        data = (self.read().where(F.col(SEGMENT).isin(crowded))
+        data = (self._raw().where(F.col(SEGMENT).isin(crowded))
                     .repartition(target_files, F.col(SEGMENT)))
         self._rewrite_segments(data, crowded)
         return crowded
@@ -216,6 +345,7 @@ class ParquetIndexStore:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path, ignore_errors=True)
         os.makedirs(self.path, exist_ok=True)
+        self._set_gen(0)
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
@@ -223,7 +353,7 @@ class ParquetIndexStore:
     # -- internals ----------------------------------------------------------
 
     def _rewrite_segments(self, data: DataFrame, segments: list[str]) -> None:
-        """Overwrite only the given segment partitions (the MERGE write
+        """Overwrite only the given segment partitions (the compaction write
         path: untouched segments are never read or written)."""
         staged = data.where(F.col(SEGMENT).isin(segments)).cache()
         try:
@@ -239,9 +369,3 @@ class ParquetIndexStore:
             shutil.rmtree(tmp, ignore_errors=True)
         finally:
             staged.unpersist()
-
-    def _rewrite_all(self, data: DataFrame) -> None:
-        tmp = self.path + ".tmp_rewrite"
-        data.write.mode("overwrite").partitionBy(SEGMENT).parquet(tmp)
-        shutil.rmtree(self.path, ignore_errors=True)
-        shutil.move(tmp, self.path)
