@@ -64,6 +64,14 @@ class CassandraEsIndexEngine:
     def validate(self, table: str, query: str) -> str | None:
         return self.search_engine.validate(table, query)
 
+    def sql(self, statement: str) -> DataFrame:
+        """Generic passthrough (S15): the reference forwards arbitrary REST
+        bodies to ES for ops tooling (ref GenericRequest.java:27-48,
+        EsJmxBridge.java:116-131). Registered tables are temp views, so any
+        diagnostic/aggregation a user would send raw to ES is a SQL
+        statement here — same escape hatch, strictly more expressive."""
+        return self.spark.sql(statement)
+
     # -- write path ---------------------------------------------------------
 
     def apply_mutations(self, table: str, batch: DataFrame,

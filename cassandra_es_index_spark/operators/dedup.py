@@ -118,10 +118,17 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
-                      num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
-    """MinHash signatures: component i = min over shingles of
-    xxhash64(i, shingle) — a 64-bit seeded hash per component, all
+                      num_hashes: int = 32, shingle_n: int = 3,
+                      unit: str = "shingle") -> DataFrame:
+    """MinHash signatures: component i = min over features of
+    xxhash64(i, feature) — a 64-bit seeded hash per component, all
     JVM-native.
+
+    ``unit`` picks the feature set the signature estimates Jaccard over:
+    ``"shingle"`` (default) hashes ``shingle_n``-grams — order-sensitive,
+    the right notion for copied/templated text; ``"token"`` hashes the
+    token set — order-free bag-of-words similarity, the estimator twin of
+    ``jaccard_pairs`` (which is token-set Jaccard).
 
     Shape: explode shingles → one aggregation with ``num_hashes`` min()
     columns. The hashes happen map-side in the partial aggregation and the
@@ -131,10 +138,16 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     component — 32× the work and immune to codegen CSE; measured 25×
     slower at sf0.1.)
     """
+    if unit == "shingle":
+        feats = shingles(F.col(text_col), shingle_n)
+    elif unit == "token":
+        feats = tokens(F.col(text_col))  # duplicates don't affect min()
+    else:
+        raise ValueError(f"unknown minhash unit {unit!r}")
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     exploded = (df.repartition(n_part)
                   .select(F.col(id_col).alias("doc"),
-                          F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")))
+                          F.explode(feats).alias("sh")))
     return exploded.groupBy("doc").agg(
         F.array(*[
             F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
@@ -145,7 +158,7 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.7,
                       num_hashes: int = 32, bands: int = 8,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3, unit: str = "shingle") -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding, verified with the
     estimated Jaccard (= fraction of equal signature components).
 
@@ -155,7 +168,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     pairs. Candidates are then filtered on the signature-estimated Jaccard.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, unit)
 
     band_keys = sigs.select(
         "doc", "signature",

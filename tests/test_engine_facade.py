@@ -59,3 +59,16 @@ def test_compaction(engine, spark):
     assert store.count() == 20  # no rows lost
     got = {r[DOC_ID]: r["body"] for r in store.read().collect()}
     assert got["k3"] == "patched 3"
+
+
+def test_sql_passthrough(spark, tmp_path):
+    """S15 generic passthrough: registered tables are queryable with raw
+    SQL through the facade (the reference's GenericRequest escape hatch)."""
+    from cassandra_es_index_spark.engine import CassandraEsIndexEngine
+
+    eng = CassandraEsIndexEngine(spark, str(tmp_path / "root"))
+    df = spark.createDataFrame([("x", 1), ("y", 2)], "id string, n int")
+    eng.register(df, TableSpec("passthrough_t", ["id"]))
+    out = eng.sql("SELECT count(*) AS n, sum(n) AS total FROM passthrough_t")
+    row = out.first()
+    assert (row["n"], row["total"]) == (2, 3)

@@ -193,3 +193,31 @@ def test_jaccard_auto_guard_noop_on_small_corpus(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.9)
     assert [(r["doc_a"], r["doc_b"]) for r in out.collect()] == [(1, 2)]
+
+
+def test_minhash_token_unit_estimates_token_jaccard(spark):
+    # permuted bag-of-words docs: token sets identical, order scrambled —
+    # token-unit signatures match exactly; shingle-unit sees different docs
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "zeta epsilon delta gamma beta alpha"),
+            (3, "totally different words here now ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9,
+                                  num_hashes=16, bands=8, unit="token")
+    got = [(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in tok.collect()]
+    assert got == [(1, 2, 1.0)]
+    sh = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9,
+                                 num_hashes=16, bands=8, unit="shingle")
+    assert sh.count() == 0  # order-sensitive: permutation is not a near-dup
+
+
+def test_ann_recall_floors(spark):
+    """Recall of every approximate tier vs its exact twin stays above a
+    measured floor on the real test corpus (VERDICT r1 item 9)."""
+    import __spark_entry__ as entry
+
+    out = {r["method"]: r["recall"]
+           for r in entry.q_ann_recall(spark, "/root/testdata/sf0.001").collect()}
+    assert out["ivf_topk_nprobe3"] >= 0.8
+    assert out["minhash_lsh_vs_jaccard09"] >= 0.9
+    assert out["lsh_ann_topk"] >= 0.5
