@@ -44,17 +44,23 @@ def write_postings(postings: DataFrame, path: str, buckets: int = 64) -> None:
 
 
 def lookup_terms(postings: DataFrame, terms: list[str],
-                 mode: str = "any") -> DataFrame:
+                 mode: str = "any", isin_threshold: int = 64) -> DataFrame:
     """Docs matching the term list.
 
     ``any`` → (doc, score=Σ tf) over matched terms (OR semantics);
     ``all`` → docs containing every term (AND), same score column.
-    The term list joins broadcast — no shuffle of the postings side beyond
-    the groupBy on doc.
+
+    Small term lists become an ``IN`` predicate — a plain filter that
+    pushes into the (cached/bucketed) postings scan, touching only
+    matching rows. Large lists fall back to a broadcast join — no shuffle
+    of the postings side beyond the groupBy on doc either way.
     """
-    spark = postings.sparkSession
-    term_df = spark.createDataFrame([(t,) for t in terms], "token string")
-    matched = postings.join(F.broadcast(term_df), "token")
+    if 0 < len(terms) <= isin_threshold:
+        matched = postings.where(F.col("token").isin(*terms))
+    else:
+        spark = postings.sparkSession
+        term_df = spark.createDataFrame([(t,) for t in terms], "token string")
+        matched = postings.join(F.broadcast(term_df), "token")
     agg = matched.groupBy("doc").agg(
         F.sum("tf").cast("long").alias("score"),
         F.countDistinct("token").alias("_nterms"))
