@@ -253,6 +253,15 @@ def q_setop_intersect(spark, sf_dir):
     return cust.intersect(supp)
 
 
+def q_setop_except(spark, sf_dir):
+    # §2.6 EXCEPT: customers who ordered but never above 300k
+    orders = _t(spark, sf_dir, "orders")
+    all_cust = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    big_cust = (orders.where(F.col("o_totalprice") > 300000)
+                      .select(F.col("o_custkey").alias("custkey")).distinct())
+    return all_cust.exceptAll(big_cust)
+
+
 def q_window_top_customers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
@@ -607,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti": q_join_anti,
         "revenue_by_nation": q_revenue_by_nation,
         "setop_intersect": q_setop_intersect,
+        "setop_except": q_setop_except,
         "window_top_customers": q_window_top_customers,
         "rollup_orders": q_rollup_orders,
         "events_tumbling": q_events_tumbling,
@@ -760,6 +770,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c_nationkey AS nationkey FROM customer
             INTERSECT
             SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        """,
+        "setop_except": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > 300000
         """,
         "window_top_customers": """
             SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
