@@ -286,12 +286,16 @@ class ParquetIndexStore:
         if self.compact_every and self._current_gen() >= self.compact_every:
             self.compact_deltas()
 
-    def compact_deltas(self) -> list[str]:
+    def compact_deltas(self, target_files_per_segment: int = 1) -> list[str]:
         """Fold outstanding deltas/tombstones into gen-0 base files — the
         engine's ES-segment-merge analogue. Only segments that hold delta
         rows or shadowed/deleted base rows are rewritten; everything else
         stays byte-identical. Resets the generation counter, so subsequent
-        reads are plain scans again."""
+        reads are plain scans again.
+
+        ``target_files_per_segment`` sizes the rewrite (1 is right for
+        delta-sized segments; cluster deployments with large segments
+        raise it so rewritten files stay near the ideal scan size)."""
         if not self.exists() or self._current_gen() == 0:
             return []
         raw = self._raw()
@@ -304,8 +308,13 @@ class ParquetIndexStore:
         touched = sorted({r[SEGMENT] for r in
                           shadowed_segs.unionByName(delta_segs).collect()})
         data_segs = [s for s in touched if s != TOMBSTONE_SEG]
-        resolved = self._resolve(raw).where(F.col(SEGMENT).isin(data_segs))
-        self._rewrite_segments(self._tag(resolved, 0), data_segs)
+        if data_segs:
+            resolved = (self._resolve(raw)
+                        .where(F.col(SEGMENT).isin(data_segs))
+                        .repartition(
+                            max(1, target_files_per_segment * len(data_segs)),
+                            F.col(SEGMENT)))
+            self._rewrite_segments(self._tag(resolved, 0), data_segs)
         if TOMBSTONE_SEG in touched:
             self.drop_segments([TOMBSTONE_SEG])
         self._set_gen(0)
@@ -327,17 +336,16 @@ class ParquetIndexStore:
         """Rewrite segments whose parquet-file count exceeds ``max_files``
         down to ``target_files``. Upsert-heavy workloads accrete one file
         set per delta generation; this folds deltas first (so the rewrite
-        sees resolved rows), then bin-packs crowded segments. Only
-        oversized segments are touched."""
-        self.compact_deltas()
+        sees resolved rows), then bin-packs crowded segments. Returns
+        every segment rewritten by either phase."""
+        folded = [s for s in self.compact_deltas() if s != TOMBSTONE_SEG]
         crowded = [seg for seg, n in self.segment_file_counts().items()
                    if n > max_files]
-        if not crowded:
-            return []
-        data = (self._raw().where(F.col(SEGMENT).isin(crowded))
-                    .repartition(target_files, F.col(SEGMENT)))
-        self._rewrite_segments(data, crowded)
-        return crowded
+        if crowded:
+            data = (self._raw().where(F.col(SEGMENT).isin(crowded))
+                        .repartition(target_files, F.col(SEGMENT)))
+            self._rewrite_segments(data, crowded)
+        return sorted(set(folded) | set(crowded))
 
     # -- truncate / drop (S7, S8) -------------------------------------------
 
