@@ -100,6 +100,9 @@ def bench_prepare(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     t0 = _time.perf_counter()
+    docs_raw = _t(spark, sf_dir, "documents").cache()
+    docs_raw.count()  # the search corpus — hot for every text operator
+    _CACHE[_ck(spark, sf_dir, "table:documents")] = docs_raw
     eng = _docs_engine(spark, sf_dir)
     eng.cache_documents("documents")
     out["documents_index_build"] = round(_time.perf_counter() - t0, 3)

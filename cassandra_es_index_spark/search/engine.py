@@ -47,7 +47,15 @@ class SearchEngine:
         self.catalog.register(df, spec)
         docs = build_documents(df, spec)
         self._docs[spec.name] = docs
+        self._invalidate_postings(spec.name)
         return docs
+
+    def _invalidate_postings(self, table: str) -> None:
+        """Drop cached postings when the documents DataFrame changes
+        (re-register, settings reload, mapping cast) — a stale inverted
+        index must never serve the plan rewrite."""
+        for key in [k for k in self._postings if k[0] == table]:
+            self._postings.pop(key).unpersist()
 
     def documents(self, table: str) -> DataFrame:
         return self._docs[table]
@@ -72,6 +80,7 @@ class SearchEngine:
             updates = json.loads(payload) if payload else {}
             spec.options.update(updates)
             self._docs[table] = build_documents(base, spec)
+            self._invalidate_postings(table)
             return self.spark.createDataFrame(
                 [(k, str(v)) for k, v in updates.items()] or [("", "")],
                 "option string, value string")
@@ -90,6 +99,7 @@ class SearchEngine:
                 if col_name in docs.columns:
                     docs = docs.withColumn(col_name, F.col(col_name).cast(target))
             self._docs[table] = docs
+            self._invalidate_postings(table)
             return self.spark.createDataFrame(
                 [(k, v) for k, v in mapping.items()], "field string, type string")
         return None

@@ -272,3 +272,24 @@ def test_postings_plan_metadata(indexed_engine):
     import json as _json
     meta = _json.loads(rows[0]["_metadata"])
     assert meta["total_hits"] == 3 and meta["max_score"] == 3
+
+
+def test_postings_invalidated_on_reindex(spark):
+    """A docs rebuild (re-register / #update# / #put_mapping#) must drop
+    cached postings — a stale inverted index would serve wrong hits."""
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        EMAILS, "id string, subject string, body string, userid int")
+    spec = TableSpec("emails_inv", ["id"])
+    eng.register(df, spec)
+    eng.build_postings_index("emails_inv", "body", materialize=True)
+    assert eng.search("emails_inv", "body:cassandra").count() == 3
+    # shrink the corpus and re-register: postings must rebuild, not reuse
+    eng.register(df.where(F.col("id") != "e5"), spec)
+    eng.build_postings_index("emails_inv", "body")
+    out = eng.search("emails_inv", "body:cassandra")
+    assert {r["id"] for r in out.collect()} == {"e1", "e2"}
+    # settings reload also invalidates
+    eng.build_postings_index("emails_inv", "body")
+    eng.search("emails_inv", "#update#{}#")
+    assert ("emails_inv", "body") not in eng._postings
