@@ -77,11 +77,26 @@ class CassandraEsIndexEngine:
     def apply_mutations(self, table: str, batch: DataFrame,
                         ts_col: str = "ts") -> None:
         apply_mutation_batch(self._stores[table], batch, ts_col)
+        self.refresh_search_view(table)
 
     def stream_mutations(self, table: str, stream: DataFrame,
                          checkpoint: str, **kw):
+        """Continuous indexing; call ``refresh_search_view`` at whatever
+        cadence searches should observe new batches (each refresh snapshots
+        the store's current file set)."""
         return MutationIndexer(self._stores[table]).start(
             stream, checkpoint, **kw)
+
+    def refresh_search_view(self, table: str) -> None:
+        """Point the search surface at the store's current resolved state
+        so search sees writes — in the reference, search hits ES, which IS
+        the mutated index. Base-row loading (J1) still joins the registered
+        base DataFrame, mirroring the reference loading rows from
+        Cassandra, the system the mutations came from."""
+        store = self._stores[table]
+        if store.exists():
+            self.search_engine.set_documents(
+                table, store.read().drop("segment"))
 
     # -- maintenance (the reference's schedulers, caller-cadenced) ----------
 

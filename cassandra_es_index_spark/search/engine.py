@@ -60,6 +60,13 @@ class SearchEngine:
     def documents(self, table: str) -> DataFrame:
         return self._docs[table]
 
+    def set_documents(self, table: str, docs: DataFrame) -> None:
+        """Swap the searchable documents DataFrame for a table (e.g. to the
+        index store's current resolved state after mutations). Cached
+        postings are invalidated — they were built from the old view."""
+        self._docs[table] = docs
+        self._invalidate_postings(table)
+
     def cache_documents(self, table: str, materialize: bool = True) -> DataFrame:
         """Pin the documents DataFrame (the built index) in executor cache —
         the warm-index state every reference query runs against. On a

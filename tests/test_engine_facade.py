@@ -72,3 +72,29 @@ def test_sql_passthrough(spark, tmp_path):
     out = eng.sql("SELECT count(*) AS n, sum(n) AS total FROM passthrough_t")
     row = out.first()
     assert (row["n"], row["total"]) == (2, 3)
+
+
+def test_search_sees_writes(engine, spark):
+    """After a mutation batch, search must reflect the mutated index — in
+    the reference, search hits ES, which is exactly what the writes
+    updated."""
+    emails = spark.createDataFrame(
+        [("a", "hello cassandra", 1), ("b", "hello spark", 2)],
+        "id string, body string, userid int")
+    engine.register(emails, TableSpec("emails_sw", ["id"]), build=True)
+    assert engine.search(
+        "emails_sw", "#options:load-rows=false#body:freshly").count() == 0
+
+    engine.apply_mutations("emails_sw", spark.createDataFrame(
+        [(_ts(1), "update", "b", "freshly indexed text", 9),
+         (_ts(2), "partition_delete", "a", None, None)],
+        "ts timestamp, op string, id string, body string, userid int"))
+    # new content searchable, deleted doc gone
+    hits = engine.search("emails_sw", "#options:load-rows=false#body:freshly")
+    assert [r["id"] for r in hits.collect()] == ["b"]
+    assert engine.search(
+        "emails_sw", "#options:load-rows=false#body:cassandra").count() == 0
+    # load-source returns the updated document content
+    src = engine.search(
+        "emails_sw", "#options:load-rows=false,load-source=true#body:freshly")
+    assert [r["body"] for r in src.collect()] == ["freshly indexed text"]
