@@ -35,12 +35,22 @@ def build_postings(docs: DataFrame, id_col: str, text_col: str,
                 .agg(F.count("*").cast("long").alias("tf")))
 
 
-def write_postings(postings: DataFrame, path: str, buckets: int = 64) -> None:
-    """Persist bucketed by token so lookups are shuffle-free."""
+def write_postings(postings: DataFrame, path: str, buckets: int = 64,
+                   table_name: str = "postings_bucketed") -> None:
+    """Persist bucketed + sorted by token: term lookups then prune to the
+    matching buckets (``SelectedBucketsCount`` in the scan) and skip
+    non-matching row groups via the sorted min/max stats — at 100 TB a
+    single-term lookup touches 1/``buckets`` of the index files."""
     (postings.write.mode("overwrite")
      .bucketBy(buckets, "token").sortBy("token")
      .option("path", path)
-     .saveAsTable("postings_bucketed"))
+     .saveAsTable(table_name))
+
+
+def read_postings(spark, table_name: str = "postings_bucketed") -> DataFrame:
+    """Reopen a persisted postings table (bucket metadata intact, so the
+    pruning in ``write_postings``'s docstring applies to lookups)."""
+    return spark.table(table_name)
 
 
 def lookup_terms(postings: DataFrame, terms: list[str],

@@ -45,6 +45,12 @@ def get_spark(app_name: str = "cassandra-es-index-spark",
         # never dates/ints — keep round-trips exact.
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep bucketed scans for bucketed tables: the engine's only
+        # bucketed tables are postings (bucketBy token), where bucket
+        # pruning turns a term lookup into a 1/buckets-of-files read;
+        # auto-bucketed-scan would silently fall back to full scans for
+        # filter-only plans.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

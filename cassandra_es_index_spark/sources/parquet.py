@@ -47,6 +47,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    # postings tables are bucketed by token; keep bucketed scans so term
+    # lookups bucket-prune (see session.get_spark)
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

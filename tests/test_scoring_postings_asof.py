@@ -97,3 +97,23 @@ def test_asof_join_inclusive(spark):
     out = asof_join(left, right, by=["user_id"], ts_col="ts",
                     value_cols=["value"], strict=False)
     assert out.first()["asof_value"] == 3.0
+
+
+def test_postings_bucketed_roundtrip(corpus, spark, tmp_path):
+    """write_postings → read_postings: identical lookups, and the term
+    filter prunes to matching buckets (the 100 TB path: a lookup touches
+    1/buckets of the index)."""
+    p = post.build_postings(corpus, "doc_id", "text")
+    want = sorted(map(tuple, post.lookup_terms(p, ["spark"]).collect()))
+
+    post.write_postings(p, str(tmp_path / "postings"), buckets=4,
+                        table_name="postings_rt")
+    try:
+        stored = post.read_postings(spark, "postings_rt")
+        got = sorted(map(tuple, post.lookup_terms(stored, ["spark"]).collect()))
+        assert got == want and len(got) == 2
+        plan = (stored.where(F.col("token") == "spark")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SelectedBucketsCount: 1 out of 4" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_rt")
