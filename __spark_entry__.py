@@ -332,6 +332,16 @@ def q_text_quality_lang(spark, sf_dir):
     )
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    # BPE-style pre-token counting (the unit LLM data budgets count)
+    # alongside whitespace counts — same RE2-safe pattern on both sides
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        tx.token_count(F.col("text")).alias("n_ws"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -627,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "text_stats": q_text_stats,
         "text_quality_lang": q_text_quality_lang,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -840,6 +851,13 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text, '{_STOP_FR}')) AS s_fr,
                        len(regexp_extract_all(text, '{_STOP_ES}')) AS s_es
                 FROM documents)
+        """,
+        "text_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT AS n_bpe,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_ws
+            FROM documents
         """,
         "dedup_exact": r"""
             SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,

@@ -41,6 +41,27 @@ def distinct_token_count(col: Column) -> Column:
     return F.size(F.array_distinct(tokens(col))).cast("long")
 
 
+# BPE-style pre-tokenization pattern (the public GPT-2 shape, simplified to
+# RE2-safe constructs — no lookahead — so the same pattern runs in Spark's
+# Java regex and the DuckDB oracle): contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs.
+BPE_ISH = (r"'(?:[sdmt]|ll|ve|re)"
+           r"| ?[A-Za-z]+"
+           r"| ?[0-9]+"
+           r"| ?[^A-Za-z0-9\s]+")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Subword-style pre-tokens — the unit LLM training budgets count.
+    One whitespace word often yields several pre-tokens ("don't" → 3),
+    so this tracks tokenizer cost more closely than whitespace counting."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH), F.lit(0))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col)).cast("long")
+
+
 def stopword_count(col: Column, words: list[str]) -> Column:
     """Total occurrences of any of ``words`` as whole tokens."""
     pattern = r"(?i)\b(" + "|".join(words) + r")\b"

@@ -107,6 +107,43 @@ def extract_features(df: DataFrame, dim: int = 64,
     return df.select(id_col, content_col).mapInPandas(batches, schema)
 
 
+def resize_images(df: DataFrame, width: int, height: int,
+                  content_col: str = "content",
+                  id_col: str = "media_id",
+                  use_stub: bool = True) -> DataFrame:
+    """Image resize as ``mapInPandas`` plumbing (Arrow batches, full media
+    schema out). The pixel work is stubbed — codecs are not in this image —
+    but the schema, batch shape and metadata propagation are real:
+    ``meta.width``/``meta.height`` become the target size, ``n_bytes``
+    tracks the (stub) output bytes. ``use_stub=False`` raises
+    ``MediaDecodeNotAvailable`` per batch, the real-codec seam."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not use_stub:
+                raise MediaDecodeNotAvailable(
+                    "media codecs are not available in this environment")
+            contents, metas = [], []
+            for content, meta in zip(pdf[content_col], pdf["meta"]):
+                raw = bytes(content) if content is not None else b""
+                # deterministic stand-in for decoded+resized pixels
+                fake = hashlib.md5(
+                    raw + f"{width}x{height}".encode()).digest() * 4
+                contents.append(fake)
+                meta = dict(meta) if meta is not None else {}
+                meta.update(width=width, height=height,
+                            n_bytes=len(fake))
+                metas.append(meta)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype(str),
+                "content": contents,
+                "meta": metas,
+            })
+
+    return df.select(id_col, content_col, "meta").mapInPandas(
+        batches, MEDIA_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000,
                  id_col: str = "media_id") -> DataFrame:
     """Video → sampled frame rows (one row per sampled timestamp).

@@ -221,3 +221,34 @@ def test_ann_recall_floors(spark):
     assert out["ivf_topk_nprobe3"] >= 0.8
     assert out["minhash_lsh_vs_jaccard09"] >= 0.9
     assert out["lsh_ann_topk"] >= 0.5
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop"), (2, "abc123 x-y"), (3, "hello")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    # don|'t|( stop) = 3 ; abc|123|( x)|-|y = 5 ; hello = 1
+    assert out == {1: 3, 2: 5, 3: 1}
+
+
+def test_resize_images_plumbing(spark):
+    media = spark.createDataFrame(
+        [("m1", b"imagebytes-1"), ("m2", b"imagebytes-2")],
+        "media_id string, content binary").withColumn(
+            "meta", F.lit(None).cast(multimodal.MEDIA_METADATA))
+    out = multimodal.resize_images(media, 32, 24)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {"m1", "m2"}
+    for r in rows.values():
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 24
+        assert r["meta"]["n_bytes"] == len(r["content"]) == 64
+    # deterministic stub output
+    again = {r["media_id"]: bytes(r["content"])
+             for r in multimodal.resize_images(media, 32, 24).collect()}
+    assert again == {k: bytes(v["content"]) for k, v in rows.items()}
+    # real-codec seam raises per batch
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        multimodal.resize_images(media, 32, 24, use_stub=False).collect()
