@@ -173,6 +173,18 @@ def q_search_dsl_must_should(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_dsl_terms(spark, sf_dir):
+    # ES-DSL terms (multi-value OR, ref README.md:404)
+    q = '{"query":{"terms":{"lang":["en","de"]}}}'
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
+def q_search_exists(spark, sf_dir):
+    # `_exists_:field` predicate (ref README.md:689 syntax family)
+    return _search("#options:load-rows=false#_exists_:source AND text:spark")(
+        spark, sf_dir)
+
+
 def q_search_topk(spark, sf_dir):
     # T1 top-k by deterministic relevance score
     eng = _docs_engine(spark, sf_dir)
@@ -621,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_range": q_search_dsl_range,
         "search_dsl_bool": q_search_dsl_bool,
         "search_dsl_must_should": q_search_dsl_must_should,
+        "search_dsl_terms": q_search_dsl_terms,
+        "search_exists": q_search_exists,
         "search_topk": q_search_topk,
         "doc_build": q_doc_build,
         "tpch_q1": q_tpch_q1,
@@ -674,6 +688,7 @@ _SPARK = r"(?i)\bspark\b"
 _QUER = r"(?i)\bquer\w*\b"
 _PHRASE = r"(?i)\bvalue\s+table\b"
 _SLOW = r"(?i)\bslow\w*\b"
+_DE = r"(?i)\bde\b"
 _DATA = r"(?i)\bdata\b"
 _STOP_EN = r"(?i)\b(the|a|of|and|to|in|is)\b"
 _STOP_DE = r"(?i)\b(der|die|das|und|ist|nicht)\b"
@@ -720,6 +735,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
               AND n_chars >= 100
+        """,
+        "search_dsl_terms": f"""
+            SELECT doc_id,
+                   (len(regexp_extract_all(lang, '{_EN}'))
+                    + len(regexp_extract_all(lang, '{_DE}')))::BIGINT AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
+               OR len(regexp_extract_all(lang, '{_DE}')) > 0
+        """,
+        "search_exists": f"""
+            SELECT doc_id,
+                   (1 + len(regexp_extract_all(text, '{_SPARK}')))::BIGINT AS _score
+            FROM documents
+            WHERE source IS NOT NULL
+              AND len(regexp_extract_all(text, '{_SPARK}')) > 0
         """,
         "search_topk": f"""
             SELECT doc_id,
