@@ -1,0 +1,72 @@
+"""Physical-plan regression tests for the scale-critical properties
+documented in SCALE.md: pushdown reaches the parquet scan, top-k never
+global-sorts, the J1 hit join broadcasts, and the postings rewrite skips
+the corpus scan. A change that silently loses one of these would still
+pass row-level tests but fall over at cluster scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_es_index_spark.catalog import TableSpec
+from cassandra_es_index_spark.search import SearchEngine
+from cassandra_es_index_spark.sources import read_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def parquet_engine(spark):
+    eng = SearchEngine(spark)
+    eng.register(read_parquet(spark, f"{SF_DIR}/documents.parquet"),
+                 TableSpec("documents_plan", ["doc_id"]))
+    return eng
+
+
+def test_typed_predicate_reaches_parquet_scan(parquet_engine):
+    out = parquet_engine.search(
+        "documents_plan",
+        '#options:load-rows=false#'
+        '{"query":{"range":{"n_chars":{"gte":100,"lte":300}}}}')
+    plan = _plan(out)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(n_chars,100)" in plan
+    assert "LessThanOrEqual(n_chars,300)" in plan
+
+
+def test_projection_pruned_at_scan(parquet_engine):
+    out = parquet_engine.search(
+        "documents_plan", "#options:load-rows=false#text:spark",
+        default_field="text")
+    # fake-row mode needs only the key, the text column, and nothing else
+    scan_lines = [l for l in _plan(out).splitlines() if "ReadSchema" in l]
+    assert scan_lines and "lang" not in scan_lines[0]
+    assert "source" not in scan_lines[0]
+
+
+def test_topk_is_take_ordered_not_global_sort(parquet_engine):
+    out = parquet_engine.search(
+        "documents_plan", "#options:load-rows=false#text:spark",
+        default_field="text", limit=10)
+    assert "TakeOrderedAndProject" in _plan(out)
+
+
+def test_j1_hit_join_broadcasts(parquet_engine):
+    out = parquet_engine.search("documents_plan", "text:spark",
+                                default_field="text")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_postings_rewrite_skips_corpus_scan(parquet_engine):
+    parquet_engine.build_postings_index("documents_plan", "text")
+    out = parquet_engine.search(
+        "documents_plan", "#options:load-rows=false#text:spark",
+        default_field="text")
+    plan = _plan(out)
+    assert "regexp_extract_all" not in plan
+    assert "TakeOrderedAndProject" in plan
