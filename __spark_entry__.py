@@ -359,8 +359,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    # max_token_df=None pins the strictly-exact path: this query is
+    # oracle-checked against an all-pairs SQL join, so the "auto" hot-token
+    # guard (a scale lever that may drop stopword-only near-dup pairs) must
+    # not engage here regardless of corpus size.
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text",
-                               threshold=0.9)
+                               threshold=0.9, max_token_df=None)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -442,7 +446,9 @@ def q_ann_recall(spark, sf_dir):
                               "vec_id", "embedding", k=3, nprobe=3)
 
     docs = _t(spark, sf_dir, "documents")
-    true_pairs = (dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    # ground truth must be the exact all-pairs join (no hot-token guard)
+    true_pairs = (dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.9,
+                                      max_token_df=None)
                   .select("doc_a", "doc_b"))
     # token-unit MinHash is the estimator twin of jaccard_pairs (both
     # token-set Jaccard); shingle-unit measures order-sensitive similarity

@@ -180,15 +180,50 @@ class ParquetIndexStore:
         docs = batch if DOC_ID in batch.columns else build_documents(batch, self.spec)
         if SEGMENT not in docs.columns:
             docs = docs.withColumn(SEGMENT, self.segment_column())
+        docs = self._dedupe_batch(docs)
         if not self.exists():
             (self._tag(docs, 0).write.mode("overwrite")
                  .partitionBy(SEGMENT).parquet(self.path))
             self._set_gen(0)
             return
+        self._check_schema(docs)
         gen = self._next_gen()
         (self._tag(docs, gen).write.mode("append")
              .partitionBy(SEGMENT).parquet(self.path))
         self._maybe_autocompact()
+
+    @staticmethod
+    def _dedupe_batch(docs: DataFrame) -> DataFrame:
+        """One row per ``_id`` within a batch. All rows of one batch share a
+        generation, so without this a duplicated id would pick a
+        nondeterministic winner at read time (and could flip after
+        ``compact_deltas``). The winner is chosen by the lexicographically
+        greatest JSON serialization of the full row — arbitrary but
+        deterministic, so repeated reads and compaction always agree."""
+        w = Window.partitionBy(DOC_ID).orderBy(
+            F.desc(F.to_json(F.struct(*docs.columns))))
+        return (docs.withColumn("_batch_rn", F.row_number().over(w))
+                    .where(F.col("_batch_rn") == 1)
+                    .drop("_batch_rn"))
+
+    def _check_schema(self, docs: DataFrame) -> None:
+        """Fail fast when an upsert batch's schema diverges from the store.
+
+        ``spark.read.parquet`` without mergeSchema resolves the table schema
+        from one representative footer, so a divergent batch would be
+        written but its extra columns silently dropped (or read as null) on
+        later reads — better to reject it at the write."""
+        stored = {(f.name, f.dataType.simpleString())
+                  for f in self._raw().schema.fields
+                  if f.name not in (GEN, DELETED, SEGMENT)}
+        incoming = {(f.name, f.dataType.simpleString())
+                    for f in docs.schema.fields if f.name != SEGMENT}
+        if stored != incoming:
+            extra = sorted(n for n, _ in incoming - stored)
+            missing = sorted(n for n, _ in stored - incoming)
+            raise ValueError(
+                f"upsert batch schema mismatch for {self.spec.name!r}: "
+                f"batch-only {extra}, store-only {missing}")
 
     def _tombstone(self, ids: DataFrame) -> None:
         """Append tombstone rows (id-only, full doc schema nulled) under the

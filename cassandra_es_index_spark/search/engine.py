@@ -37,7 +37,12 @@ class SearchEngine:
         self.catalog = Catalog(spark)
         self._docs: dict[str, DataFrame] = {}
         self._postings: dict[tuple[str, str], DataFrame] = {}
-        self._scored_persisted: list[DataFrame] = []
+        # J1 row-loading side per table: defaults to the registered base
+        # DataFrame (the reference loads rows from Cassandra); the facade
+        # overrides it after mutations so inserted documents — present in
+        # the index but absent from the registered base snapshot — still
+        # load a row (the reference's Cassandra holds the write).
+        self._row_source: dict[str, DataFrame] = {}
 
     # -- registration / index build ----------------------------------------
 
@@ -47,6 +52,7 @@ class SearchEngine:
         self.catalog.register(df, spec)
         docs = build_documents(df, spec)
         self._docs[spec.name] = docs
+        self._row_source.pop(spec.name, None)
         self._invalidate_postings(spec.name)
         return docs
 
@@ -66,6 +72,15 @@ class SearchEngine:
         postings are invalidated — they were built from the old view."""
         self._docs[table] = docs
         self._invalidate_postings(table)
+
+    def set_row_source(self, table: str, df: DataFrame) -> None:
+        """Override where J1 (load-rows) loads base rows from — e.g. the
+        store-resolved current state after mutations, so documents inserted
+        by a mutation batch still return a row."""
+        self._row_source[table] = df
+
+    def _row_load_source(self, table: str, base: DataFrame) -> DataFrame:
+        return self._row_source.get(table, base)
 
     def cache_documents(self, table: str, materialize: bool = True) -> DataFrame:
         """Pin the documents DataFrame (the built index) in executor cache —
@@ -188,7 +203,8 @@ class SearchEngine:
             elif not qmd.load_rows:
                 result = hits.select(idc, SCORE)
             else:
-                result = base.join(F.broadcast(hits), on=[idc], how="inner")
+                result = self._row_load_source(table, base).join(
+                    F.broadcast(hits), on=[idc], how="inner")
             if qmd.options.get("metadata", "false").lower() == "true":
                 meta = (ph.agg(F.count("*").alias("total_hits"),
                                F.max(SCORE).alias("max_score"))
@@ -201,20 +217,31 @@ class SearchEngine:
 
         scored = docs.where(pred).withColumn(SCORE, score)
         want_meta = qmd.options.get("metadata", "false").lower() == "true"
+        meta_json: str | None = None
         if want_meta:
             # metadata needs the FULL match set aggregate; persist the
             # scored matches so top-k and the aggregate share one corpus
-            # scan instead of two. Prior metadata-query persists are
-            # released here (results stay valid — they just recompute).
-            for old in self._scored_persisted:
-                old.unpersist()
+            # scan, run both actions EAGERLY, then release the persist
+            # immediately — nothing stays pinned across calls.
             scored = scored.persist()
-            self._scored_persisted = [scored]
 
         hits = (scored
                 # deterministic top-k: score desc, then full key asc
                 .orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
                 .limit(k))
+
+        if want_meta:
+            agg = scored.agg(F.count("*").alias("total_hits"),
+                             F.max(SCORE).alias("max_score")).first()
+            # same shape as to_json(struct(...)): null max omitted
+            payload = {"total_hits": agg["total_hits"]}
+            if agg["max_score"] is not None:
+                payload["max_score"] = agg["max_score"]
+            meta_json = json.dumps(payload, separators=(",", ":"))
+            # materialize the (≤ max-results) hit set through the warm
+            # persist so the corpus isn't rescanned after unpersist
+            hits = hits.localCheckpoint(eager=True)
+            scored.unpersist()
 
         if qmd.load_source:
             result = hits
@@ -226,21 +253,17 @@ class SearchEngine:
             # broadcastable; ghost rows drop out naturally via the inner
             # join (ref StreamingPartitionIterator.java:102-140).
             hit_keys = F.broadcast(hits.select(*keys, SCORE))
-            result = base.join(hit_keys, on=keys, how="inner")
+            result = self._row_load_source(table, base).join(
+                hit_keys, on=keys, how="inner")
 
-        if want_meta:
+        if meta_json is not None:
             # Global search metadata as a JSON column on every row. The
             # reference smuggles this into the FIRST row's dummy index
             # column (ref StreamingPartitionIterator.java:146-173); a
             # DataFrame has no "first row", so every row carries it.
             # total/max reflect ALL matches, not the top-k cap (hits.total
             # semantics, ref README.md:199-203).
-            meta = (scored.select(F.col(SCORE))
-                        .agg(F.count("*").alias("total_hits"),
-                             F.max(SCORE).alias("max_score"))
-                        .select(F.to_json(F.struct("total_hits", "max_score"))
-                                 .alias("_metadata")))
-            result = result.crossJoin(F.broadcast(meta))
+            result = result.withColumn("_metadata", F.lit(meta_json))
         return result
 
     # -- postings-backed plan ------------------------------------------------

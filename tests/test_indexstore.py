@@ -249,3 +249,38 @@ def test_autocompact_bounds_generations(spark, tmp_path, base):
         store.upsert(patch)
     assert store.delta_stats()["gen"] < 3  # folded along the way
     assert {r[DOC_ID]: r["body"] for r in store.read().collect()}["a"] == "v3"
+
+
+def test_upsert_batch_duplicate_ids_deterministic(spark, tmp_path, base):
+    """Duplicate _ids within one batch share a generation: the store must
+    pick a deterministic winner that survives reads AND compaction
+    unchanged (ADVICE r2: row_number over _gen alone was nondeterministic)."""
+    store = _store(spark, tmp_path)
+    store.build(base)
+    dup = spark.createDataFrame(
+        [("b", "version one", 1, _ts(3), None),
+         ("b", "version two", 2, _ts(3), None)],
+        "id string, body string, userid int, created timestamp, expire_at long")
+    store.upsert(dup)
+    first_read = {r[DOC_ID]: r["body"] for r in store.read().collect()}
+    second_read = {r[DOC_ID]: r["body"] for r in store.read().collect()}
+    assert first_read == second_read
+    store.compact_deltas()
+    after_compact = {r[DOC_ID]: r["body"] for r in store.read().collect()}
+    assert after_compact == first_read
+    # exactly one surviving row for the duplicated id
+    assert store.read().where(F.col(DOC_ID) == "b").count() == 1
+
+
+def test_upsert_schema_mismatch_fails_fast(spark, tmp_path, base):
+    """A batch whose schema diverges from the store must be rejected, not
+    silently written with columns dropped at read time (ADVICE r2)."""
+    store = _store(spark, tmp_path)
+    store.build(base)
+    bad = spark.createDataFrame(
+        [("z", "text", 1, _ts(3), None, "extra")],
+        "id string, body string, userid int, created timestamp, "
+        "expire_at long, surprise string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.upsert(bad)
+    assert store.count() == 3  # nothing was appended
