@@ -374,9 +374,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    # pandas-UDF SimHash (no oracle — md5 bit votes not SQL-expressible)
+    # pandas-UDF SimHash (no oracle — md5 bit votes not SQL-expressible).
+    # Pigeonhole banding: recall 1.0 within the hamming budget by
+    # construction (property-tested in tests/test_operators.py).
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text",
-                               max_hamming=6, prefix_bits=12)
+                               max_hamming=6)
 
 
 def q_similarity_topk(spark, sf_dir):
@@ -463,9 +465,24 @@ def q_ann_recall(spark, sf_dir):
         F.lit("minhash_lsh_vs_jaccard09").alias("method"),
         F.round(F.col("hits") / F.col("tot"), 4).alias("recall"))
 
+    # precision of the exact-verified MinHash tier: every reported pair
+    # must be a true ≥0.9 token-Jaccard pair (1.0 by construction — the
+    # verify stage filters on the true Jaccard; this measures it).
+    mhv_pairs = (dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.9,
+                                         num_hashes=32, bands=16, unit="token",
+                                         verify="exact")
+                 .select("doc_a", "doc_b"))
+    mhv_true = (mhv_pairs.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
+                         .agg(F.count("*").cast("double").alias("hits")))
+    mhv_tot = mhv_pairs.agg(F.count("*").cast("double").alias("tot"))
+    mhv_precision = mhv_true.crossJoin(mhv_tot).select(
+        F.lit("minhash_exactverify_precision").alias("method"),
+        F.round(F.col("hits") / F.col("tot"), 4).alias("recall"))
+
     return (vs_exact("lsh_ann_topk", lsh)
             .unionByName(vs_exact("ivf_topk_nprobe3", ivf))
-            .unionByName(mh_recall))
+            .unionByName(mh_recall)
+            .unionByName(mhv_precision))
 
 
 def q_cube_orders(spark, sf_dir):

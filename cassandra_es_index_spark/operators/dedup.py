@@ -10,10 +10,14 @@ Four tiers, cheapest-exact to cheapest-approximate:
   the worst case, which is why the MinHash path exists.
 - ``minhash_lsh_pairs``  — MinHash signatures + LSH banding. The 100 TB
   path: cost is (docs × shingles × seeds) for signatures plus one shuffle
-  per band join; recall is probabilistic, candidates are verified with
-  exact Jaccard so precision is 1.
+  per band join. Recall is probabilistic. By default candidates are
+  filtered on the signature-ESTIMATED Jaccard (precision < 1);
+  ``verify="exact"`` re-verifies survivors against the full feature sets
+  so reported values are exact and precision is 1.
 - ``simhash64``          — 64-bit SimHash per document (Arrow-batched
-  pandas UDF; hamming-close docs are near-dups).
+  pandas UDF; hamming-close docs are near-dups). Pair generation uses
+  pigeonhole banding: recall is exactly 1 for pairs within the hamming
+  budget.
 
 MinHash uses md5-hex minima (portable across engines) instead of engine-
 specific hash functions, so signatures are reproducible anywhere.
@@ -158,15 +162,31 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.7,
                       num_hashes: int = 32, bands: int = 8,
-                      shingle_n: int = 3, unit: str = "shingle") -> DataFrame:
-    """Near-dup pairs via MinHash + LSH banding, verified with the
-    estimated Jaccard (= fraction of equal signature components).
+                      shingle_n: int = 3, unit: str = "shingle",
+                      verify: str = "estimate") -> DataFrame:
+    """Near-dup pairs via MinHash + LSH banding.
 
     bands × rows layout: a pair collides if any band of ``num_hashes/bands``
     consecutive components matches exactly. Each band is one equi-join on
     the band key — shuffle-friendly and linear in collisions, never in
-    pairs. Candidates are then filtered on the signature-estimated Jaccard.
+    pairs.
+
+    ``verify`` picks the filtering stage applied to candidates:
+
+    - ``"estimate"`` (default): filter on the signature-estimated Jaccard
+      (fraction of equal components). Cheap — no second look at the
+      corpus — but the estimate has sampling error, so precision < 1.
+      Output: (doc_a, doc_b, est_jaccard).
+    - ``"exact"``: additionally join surviving candidates back to their
+      full distinct feature sets (tokens or shingles, matching ``unit``)
+      and filter on the TRUE Jaccard ≥ threshold. Precision is 1 by
+      construction; recall stays that of the LSH candidate generator. The
+      verify join touches only candidate docs, so its cost is linear in
+      collisions, never in corpus size.
+      Output: (doc_a, doc_b, est_jaccard, jaccard).
     """
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, unit)
 
@@ -190,10 +210,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     est = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                         lambda eq: eq))
-        / F.lit(float(len_signature := num_hashes)), 6)
-    return (cand.withColumn("est_jaccard", est)
-                .where(F.col("est_jaccard") >= threshold)
-                .select("doc_a", "doc_b", "est_jaccard"))
+        / F.lit(float(num_hashes)), 6)
+    estimated = (cand.withColumn("est_jaccard", est)
+                     .where(F.col("est_jaccard") >= threshold)
+                     .select("doc_a", "doc_b", "est_jaccard"))
+    if verify == "estimate":
+        return estimated
+
+    # exact verification: candidates → full distinct feature sets →
+    # true Jaccard (same shape as jaccard_pairs' guarded path)
+    feats = (shingles(F.col(text_col), shingle_n) if unit == "shingle"
+             else tokens(F.col(text_col)))
+    feat_sets = df.select(F.col(id_col).alias("doc"),
+                          F.array_distinct(feats).alias("fs"))
+    fa = feat_sets.select(F.col("doc").alias("doc_a"), F.col("fs").alias("fs_a"))
+    fb = feat_sets.select(F.col("doc").alias("doc_b"), F.col("fs").alias("fs_b"))
+    inter = F.size(F.array_intersect("fs_a", "fs_b")).cast("double")
+    union = (F.size("fs_a") + F.size("fs_b")).cast("double") - inter
+    return (estimated.join(fa, "doc_a").join(fb, "doc_b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "est_jaccard", "jaccard"))
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
@@ -223,18 +260,58 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                      simhash_udf(F.col(text_col)).alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: band on the top ``prefix_bits`` bits
-    (docs differing only in low bits still collide when the prefix agrees),
-    verify with exact hamming distance ≤ ``max_hamming``."""
-    sigs = simhash64(df, id_col, text_col)
-    keyed = sigs.withColumn("prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+def _pigeonhole_blocks(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per band: 64 bits split into ``max_hamming + 1``
+    near-equal contiguous blocks. A pair within the hamming budget differs
+    in at most ``max_hamming`` bits, so by pigeonhole at least one block
+    carries zero differing bits — i.e. matches exactly."""
+    n_blocks = max_hamming + 1
+    base, rem = divmod(64, n_blocks)
+    blocks, offset = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < rem else 0)
+        blocks.append((offset, width))
+        offset += width
+    return blocks
+
+
+def simhash_pairs_from_signatures(sigs: DataFrame,
+                                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs from a (doc, simhash) DataFrame via pigeonhole
+    banding: candidates = pairs agreeing exactly on at least one of the
+    ``max_hamming + 1`` bit-blocks, then exact hamming verification.
+    Recall is provably 1.0 for pairs within the hamming budget (any such
+    pair must share an unchanged block); each band is one equi-join —
+    linear in collisions, never in pairs."""
+    blocks = _pigeonhole_blocks(max_hamming)
+    keyed = sigs.select(
+        "doc", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned("simhash", off)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+            for i, (off, width) in enumerate(blocks)
+        ])).alias("bk"),
+    ).select("doc", "simhash",
+             F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
     a, b = keyed.alias("a"), keyed.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    return (a.join(b, (F.col("a.prefix") == F.col("b.prefix"))
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.val") == F.col("b.val"))
                    & (F.col("a.doc") < F.col("b.doc")))
-             .withColumn("hamming", F.bit_count(xor))
+             .select(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"),
+                     F.bit_count(xor).alias("hamming"))
              .where(F.col("hamming") <= max_hamming)
-             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-                     "hamming"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash with pigeonhole banding (full recall
+    within the hamming budget — replaces the earlier top-prefix banding,
+    which silently dropped pairs whose differing bits touched the
+    prefix)."""
+    return simhash_pairs_from_signatures(
+        simhash64(df, id_col, text_col), max_hamming)

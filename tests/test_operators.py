@@ -252,3 +252,65 @@ def test_resize_images_plumbing(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         multimodal.resize_images(media, 32, 24, use_stub=False).collect()
+
+
+def test_simhash_pigeonhole_recall_is_total(spark):
+    """Property: for ANY pair of 64-bit signatures within the hamming
+    budget, pigeonhole banding must generate the candidate (the old
+    top-prefix banding silently dropped pairs whose differing bits touched
+    the prefix — e.g. flipping bit 63)."""
+    import random
+
+    rng = random.Random(42)
+    rows, expected = [], set()
+    doc = 0
+    for trial in range(40):
+        base = rng.getrandbits(64)
+        rows.append((doc, base - (1 << 64) if base >= (1 << 63) else base))
+        # flip up to max_hamming bits, biased to include HIGH bits (the
+        # old prefix scheme's blind spot)
+        n_flips = rng.randint(1, 3)
+        bits = rng.sample(range(64), n_flips)
+        if trial % 2 == 0:
+            bits[0] = 63 - (trial % 4)  # force a high-bit flip
+        mutated = base
+        for bit in set(bits):
+            mutated ^= (1 << bit)
+        rows.append((doc + 1,
+                     mutated - (1 << 64) if mutated >= (1 << 63) else mutated))
+        expected.add((doc, doc + 1))
+        doc += 2
+    sigs = spark.createDataFrame(rows, "doc long, simhash long")
+    out = dedup.simhash_pairs_from_signatures(sigs, max_hamming=3)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    missing = expected - got
+    assert not missing, f"pigeonhole banding missed pairs: {sorted(missing)}"
+
+
+def test_simhash_pairs_hamming_bound(spark):
+    """No pair beyond the hamming budget survives verification."""
+    rows = [(1, 0), (2, 0b111), (3, 0b11111)]  # d(1,2)=3, d(1,3)=5, d(2,3)=2
+    sigs = spark.createDataFrame(rows, "doc long, simhash long")
+    out = dedup.simhash_pairs_from_signatures(sigs, max_hamming=3)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    assert got == {(1, 2): 3, (2, 3): 2}
+
+
+def test_minhash_exact_verify_reports_true_jaccard(corpus):
+    """verify="exact": reported jaccard equals the true token-set Jaccard
+    and no below-threshold pair survives — precision 1 by construction."""
+    out = dedup.minhash_lsh_pairs(corpus, "doc_id", "text",
+                                  threshold=0.5, num_hashes=64, bands=64,
+                                  unit="token", verify="exact")
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    # docs 1/2 identical token sets → true jaccard 1.0
+    assert rows[(1, 2)] == 1.0
+    # doc 3 swaps one of eight distinct tokens → true J = 7/9 = 0.777778
+    assert rows[(1, 3)] == 0.777778
+    assert all(j >= 0.5 for j in rows.values())
+    # cross-check against the exact operator at the same threshold
+    exact = dedup.jaccard_pairs(corpus, "doc_id", "text", threshold=0.5,
+                                max_token_df=None)
+    truth = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact.collect()}
+    for pair, j in rows.items():
+        assert truth[pair] == j
