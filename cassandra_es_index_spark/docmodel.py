@@ -212,6 +212,30 @@ def flat_field_column(name: str) -> Column:
     )
 
 
+def base_rows_view(docs: DataFrame, base: DataFrame) -> DataFrame | None:
+    """Project a documents DataFrame back onto the base table's schema —
+    used after mutations so J1 row loading can serve documents that exist
+    in the index but not in the registered base snapshot (the reference
+    loads such rows from Cassandra, which holds the write).
+
+    Returns None when a base column cannot be reconstructed (it was not
+    carried into the documents), in which case the caller keeps the plain
+    base side."""
+    doc_types = {f.name: f.dataType for f in docs.schema.fields}
+    cols: list[Column] = []
+    for f in base.schema.fields:
+        if f.name not in doc_types:
+            return None
+        if doc_types[f.name] == f.dataType:
+            cols.append(F.col(f.name))
+        elif isinstance(f.dataType, T.StringType):
+            # json-parsed / mapped columns serialize back to their string form
+            cols.append(stringify(F.col(f.name), doc_types[f.name]).alias(f.name))
+        else:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+    return docs.select(*cols)
+
+
 def doc_json(docs: DataFrame, spec: TableSpec) -> DataFrame:
     """Serialize documents to the reference's JSON string form:
     ``(doc_id, doc)`` where every field is string-ified per §1.2.

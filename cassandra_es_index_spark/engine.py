@@ -22,6 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from cassandra_es_index_spark.catalog import TableSpec
+from cassandra_es_index_spark.docmodel import base_rows_view, build_documents
 from cassandra_es_index_spark.indexstore import ParquetIndexStore
 from cassandra_es_index_spark.search import SearchEngine
 from cassandra_es_index_spark.streaming.indexer import (
@@ -76,8 +77,8 @@ class CassandraEsIndexEngine:
 
     def apply_mutations(self, table: str, batch: DataFrame,
                         ts_col: str = "ts") -> None:
-        apply_mutation_batch(self._stores[table], batch, ts_col)
-        self.refresh_search_view(table)
+        changes = apply_mutation_batch(self._stores[table], batch, ts_col)
+        self.refresh_search_view(table, changes=changes)
 
     def stream_mutations(self, table: str, stream: DataFrame,
                          checkpoint: str, **kw):
@@ -87,16 +88,54 @@ class CassandraEsIndexEngine:
         return MutationIndexer(self._stores[table]).start(
             stream, checkpoint, **kw)
 
-    def refresh_search_view(self, table: str) -> None:
+    def refresh_search_view(self, table: str,
+                            changes: dict | None = None) -> None:
         """Point the search surface at the store's current resolved state
         so search sees writes — in the reference, search hits ES, which IS
-        the mutated index. Base-row loading (J1) still joins the registered
-        base DataFrame, mirroring the reference loading rows from
-        Cassandra, the system the mutations came from."""
+        the mutated index.
+
+        With ``changes`` (the batch returned by ``apply_mutation_batch``),
+        postings indexes are maintained INCREMENTALLY: only the batch is
+        tokenized and only its doc-ids' postings rows are replaced, so
+        term search stays index-served under a steady mutation stream
+        (the reference's ES updates its inverted index per-doc the same
+        way, ref ElasticIndex.java:603-614). Without ``changes`` (e.g. a
+        caller-cadenced streaming refresh), postings fall back to full
+        invalidation.
+
+        J1 row loading is pointed at store-resolved rows union'd with the
+        untouched base remainder, so inserted documents — absent from the
+        registered base snapshot — still load a row (the reference reads
+        them from Cassandra, which holds the write)."""
         store = self._stores[table]
-        if store.exists():
-            self.search_engine.set_documents(
-                table, store.read().drop("segment"))
+        if not store.exists():
+            return
+        resolved = store.read().drop("segment")
+        base, spec = self.search_engine.catalog.get(table)
+        if changes is not None and self.search_engine.has_postings(table):
+            upserts = changes.get("upserts")
+            new_docs = (build_documents(upserts, spec)
+                        if upserts is not None else None)
+            self.search_engine.apply_delta(
+                table, resolved, new_docs, changes.get("deletes"))
+        else:
+            self.search_engine.set_documents(table, resolved)
+        self.search_engine.set_row_source(
+            table, self._row_source_view(base, spec, resolved))
+
+    def _row_source_view(self, base: DataFrame, spec: TableSpec,
+                         resolved_docs: DataFrame) -> DataFrame:
+        """Row-loading side after mutations: store rows (current values,
+        including inserts) plus base rows whose keys the store has never
+        seen. Falls back to the plain base when the documents cannot be
+        projected onto the base schema."""
+        converted = base_rows_view(resolved_docs, base)
+        if converted is None:
+            return base
+        keys = spec.key_columns
+        leftover = base.join(resolved_docs.select(*keys).distinct(),
+                             on=keys, how="left_anti")
+        return converted.unionByName(leftover)
 
     # -- maintenance (the reference's schedulers, caller-cadenced) ----------
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
-from cassandra_es_index_spark.search.ast import And, Node, Or, Term
+from cassandra_es_index_spark.search.ast import And, Node, Or, Term, Wildcard
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
 
@@ -31,12 +31,101 @@ PUT_MAPPING_PREFIX = "#put_mapping#"
 SCORE = "_score"
 
 
+class PostingsState:
+    """One table/field inverted index maintained INCREMENTALLY under
+    mutations — the engine's analogue of ES updating its inverted index
+    per document on every upsert (ref ElasticIndex.java:603-614), instead
+    of rebuilding from the full corpus after each batch.
+
+    Log-structured, mirroring the index store's merge-on-read design:
+
+    - ``base``  — the bulk-built postings, cached; never touched by a
+      mutation batch.
+    - ``dead``  — doc ids whose base/older-delta postings are stale
+      (every upserted or deleted id); small, broadcast into an anti-join.
+    - ``delta`` — fresh postings rows for upserted docs; only the BATCH
+      is tokenized, so each update costs O(batch), not O(corpus).
+
+    ``view()`` resolves the three. After ``fold_every`` batches the
+    overlay folds into a new cached base (the compaction analogue), which
+    bounds lookup-time overlay cost under a steady mutation stream."""
+
+    def __init__(self, base: DataFrame, fold_every: int = 16):
+        self.base = base.cache()
+        self.delta: DataFrame | None = None
+        self.dead: DataFrame | None = None
+        self.fold_every = fold_every
+        self._pending = 0
+
+    def view(self) -> DataFrame:
+        v = self.base
+        if self.dead is not None:
+            v = v.join(F.broadcast(self.dead), on="doc", how="left_anti")
+        if self.delta is not None:
+            v = v.unionByName(self.delta)
+        return v
+
+    def apply(self, new_postings: DataFrame | None,
+              touched_ids: DataFrame | None) -> None:
+        """Merge one mutation batch: retire all postings of the touched
+        ids, append the batch's fresh postings. O(batch ∪ outstanding
+        overlay) — the base is never read or written."""
+        if touched_ids is None:
+            return
+        touched = touched_ids.select("doc").distinct().cache()
+        touched.count()
+        old_delta, old_dead = self.delta, self.dead
+        dead = touched if old_dead is None else (
+            old_dead.unionByName(touched).distinct())
+        delta = None
+        if old_delta is not None:
+            delta = old_delta.join(F.broadcast(touched), on="doc",
+                                   how="left_anti")
+        if new_postings is not None:
+            delta = new_postings if delta is None else \
+                delta.unionByName(new_postings)
+        # materialize the new overlay before releasing the old one so the
+        # new caches don't recompute through unpersisted parents
+        self.dead = dead.cache()
+        self.dead.count()
+        if delta is not None:
+            self.delta = delta.cache()
+            self.delta.count()
+        else:
+            self.delta = None
+        for old in (old_delta, old_dead):
+            if old is not None and old is not touched:
+                old.unpersist()
+        if old_dead is not None:  # touched was folded into the new dead set
+            touched.unpersist()
+        self._pending += 1
+        if self._pending >= self.fold_every:
+            self.fold()
+
+    def fold(self) -> None:
+        """Compact the overlay into a fresh cached base."""
+        if self.delta is None and self.dead is None:
+            return
+        new_base = self.view().cache()
+        new_base.count()
+        for old in (self.base, self.delta, self.dead):
+            if old is not None:
+                old.unpersist()
+        self.base, self.delta, self.dead = new_base, None, None
+        self._pending = 0
+
+    def unpersist(self) -> None:
+        for df in (self.base, self.delta, self.dead):
+            if df is not None:
+                df.unpersist()
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.catalog = Catalog(spark)
         self._docs: dict[str, DataFrame] = {}
-        self._postings: dict[tuple[str, str], DataFrame] = {}
+        self._postings: dict[tuple[str, str], PostingsState] = {}
         # J1 row-loading side per table: defaults to the registered base
         # DataFrame (the reference loads rows from Cassandra); the facade
         # overrides it after mutations so inserted documents — present in
@@ -58,10 +147,52 @@ class SearchEngine:
 
     def _invalidate_postings(self, table: str) -> None:
         """Drop cached postings when the documents DataFrame changes
-        (re-register, settings reload, mapping cast) — a stale inverted
-        index must never serve the plan rewrite."""
+        wholesale (re-register, settings reload, mapping cast) — a stale
+        inverted index must never serve the plan rewrite. Mutation batches
+        do NOT come through here: they ride ``apply_delta``, which updates
+        the postings incrementally instead of discarding them."""
         for key in [k for k in self._postings if k[0] == table]:
             self._postings.pop(key).unpersist()
+
+    def has_postings(self, table: str) -> bool:
+        return any(k[0] == table for k in self._postings)
+
+    def apply_delta(self, table: str, resolved_docs: DataFrame,
+                    new_docs: DataFrame | None,
+                    removed_ids: DataFrame | None) -> None:
+        """Point search at the post-mutation document state AND update
+        every postings index of the table incrementally: only the batch's
+        documents are tokenized, and only their postings rows are retired/
+        appended — the inverted index stays warm under a steady mutation
+        stream (the reference's ES does exactly this per-doc upsert,
+        ref ElasticIndex.java:603-614). ``new_docs`` are the upserted
+        documents (built form), ``removed_ids`` a DataFrame with the
+        ``_id`` column of deleted docs."""
+        from cassandra_es_index_spark.search.postings import build_postings
+
+        self._docs[table] = resolved_docs
+        if not self.has_postings(table):
+            return
+        _, spec = self.catalog.get(table)
+        id_col = self._postings_id_col(spec)
+        for (t, fld), state in list(self._postings.items()):
+            if t != table:
+                continue
+            doc_type = state.base.schema["doc"].dataType
+            parts = []
+            if new_docs is not None:
+                parts.append(new_docs.select(
+                    F.col(id_col).cast(doc_type).alias("doc")))
+            if removed_ids is not None:
+                parts.append(removed_ids.select(
+                    F.col(DOC_ID).cast(doc_type).alias("doc")))
+            if not parts:
+                continue
+            touched = parts[0] if len(parts) == 1 else \
+                parts[0].unionByName(parts[1])
+            fresh = (build_postings(new_docs, id_col, fld)
+                     if new_docs is not None else None)
+            state.apply(fresh, touched)
 
     def documents(self, table: str) -> DataFrame:
         return self._docs[table]
@@ -188,23 +319,30 @@ class SearchEngine:
         keys = spec.key_columns
 
         ph = self._postings_hits(table, node, default_field)
-        if ph is not None and len(keys) == 1:
+        if ph is not None:
             # index-backed plan: (doc, _score) straight from the postings —
-            # the corpus is never scanned. Single-key tables only, so the
-            # deterministic (score desc, key asc) order matches the scan
-            # path exactly.
-            idc = keys[0]
-            hits = (ph.withColumnRenamed("doc", idc)
-                      .orderBy(F.desc(SCORE), F.asc(idc))
-                      .limit(k))
+            # the corpus is never text-scanned. Single-key tables rename
+            # ``doc`` back to the key; composite-key tables route through
+            # the synthesized ``_id`` and recover the key columns with one
+            # equi-join against the documents (keys projection only — no
+            # regex work), so the deterministic (score desc, keys asc)
+            # order matches the scan path exactly in both cases.
+            if len(keys) == 1:
+                keyed = ph.withColumnRenamed("doc", keys[0])
+            else:
+                key_map = docs.select(F.col(DOC_ID).alias("doc"), *keys)
+                keyed = ph.join(key_map, on="doc", how="inner").drop("doc")
+            hits = (keyed
+                    .orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
+                    .limit(k))
             if qmd.load_source:
-                result = (docs.join(F.broadcast(hits), on=idc)
+                result = (docs.join(F.broadcast(hits), on=keys)
                               .select(*docs.columns, SCORE))
             elif not qmd.load_rows:
-                result = hits.select(idc, SCORE)
+                result = hits.select(*keys, SCORE)
             else:
                 result = self._row_load_source(table, base).join(
-                    F.broadcast(hits), on=[idc], how="inner")
+                    F.broadcast(hits), on=keys, how="inner")
             if qmd.options.get("metadata", "false").lower() == "true":
                 meta = (ph.agg(F.count("*").alias("total_hits"),
                                F.max(SCORE).alias("max_score"))
@@ -269,6 +407,10 @@ class SearchEngine:
     # -- postings-backed plan ------------------------------------------------
 
     _PLAIN_TOKEN = re.compile(r"\w+", re.ASCII)
+    # `abc*` — the reference's own headline query class (`body:cassan*`,
+    # ref README.md:179): servable from token-sorted postings as a LIKE
+    # prefix range. Any other wildcard shape falls back to the scan.
+    _PREFIX_WILDCARD = re.compile(r"(\w+)\*", re.ASCII)
 
     def _postings_id_col(self, spec: TableSpec) -> str:
         return spec.key_columns[0] if len(spec.key_columns) == 1 else DOC_ID
@@ -287,9 +429,9 @@ class SearchEngine:
         docs = self._docs[table]
         fld = field or Compiler(docs).default_field
         if (table, fld) not in self._postings:
-            self._postings[(table, fld)] = build_postings(
-                docs, self._postings_id_col(spec), fld).cache()
-        p = self._postings[(table, fld)]
+            self._postings[(table, fld)] = PostingsState(build_postings(
+                docs, self._postings_id_col(spec), fld))
+        p = self._postings[(table, fld)].view()
         if materialize:
             p.count()
         return p
@@ -298,11 +440,12 @@ class SearchEngine:
                        default_field: str | None) -> DataFrame | None:
         """Try to serve the query AST as postings equi-joins.
 
-        Servable: And/Or trees whose leaves are whole-token ``Term``s on
-        fields with a built postings index. Returns (doc, _score) with the
-        scan path's exact score semantics (Σ term tf), or None to fall back
-        to the scan plan. Anything else (wildcards, phrases, ranges, NOT,
-        should-boosts) keeps the scan path.
+        Servable: And/Or trees whose leaves are whole-token ``Term``s or
+        trailing-star prefix ``Wildcard``s (``quer*``) on fields with a
+        built postings index. Returns (doc, _score) with the scan path's
+        exact score semantics (Σ leaf tf), or None to fall back to the
+        scan plan. Anything else (non-prefix wildcards, phrases, ranges,
+        NOT, should-boosts) keeps the scan path.
         """
         if not self._postings:
             return None
@@ -312,11 +455,30 @@ class SearchEngine:
         def serve(n: Node) -> DataFrame | None:
             if isinstance(n, Term):
                 fld = n.field if n.field is not None else default
-                p = self._postings.get((table, fld))
-                if p is None or not self._PLAIN_TOKEN.fullmatch(n.value):
+                state = self._postings.get((table, fld))
+                if state is None or not self._PLAIN_TOKEN.fullmatch(n.value):
                     return None
-                return (p.where(F.col("token") == n.value.lower())
+                return (state.view()
+                         .where(F.col("token") == n.value.lower())
                          .select("doc", F.col("tf").alias(SCORE)))
+            if isinstance(n, Wildcard):
+                fld = n.field if n.field is not None else default
+                state = self._postings.get((table, fld))
+                if state is None:
+                    return None
+                m = self._PREFIX_WILDCARD.fullmatch(n.pattern)
+                if m is None:
+                    return None
+                # prefix range over the token dictionary: matches the scan
+                # regex \bprefix\w*\b exactly (tokens are maximal \w+
+                # runs, so every regex hit is a token starting with the
+                # prefix). Multiple matching tokens per doc → sum their tf,
+                # same as the regex match count.
+                prefix = m.group(1).lower()
+                return (state.view()
+                         .where(F.col("token").startswith(prefix))
+                         .groupBy("doc")
+                         .agg(F.sum("tf").cast("long").alias(SCORE)))
             if isinstance(n, (And, Or)) and n.children:
                 parts = [serve(c) for c in n.children]
                 if any(x is None for x in parts):
@@ -354,7 +516,7 @@ class SearchEngine:
         fld = field or Compiler(docs).default_field
         if (table, fld) not in self._postings:
             self.build_postings_index(table, fld)
-        return lookup_terms(self._postings[(table, fld)],
+        return lookup_terms(self._postings[(table, fld)].view(),
                             [t.lower() for t in terms], mode)
 
     def search_metadata(self, table: str, query: str,

@@ -43,8 +43,13 @@ EMPTY_OP = "empty_update"
 
 
 def apply_mutation_batch(store: ParquetIndexStore, batch: DataFrame,
-                         ts_col: str = "ts") -> None:
-    """Apply one micro-batch of mutations to the index store."""
+                         ts_col: str = "ts") -> dict[str, DataFrame | None]:
+    """Apply one micro-batch of mutations to the index store.
+
+    Returns the effective change set ``{"upserts": df|None, "deletes":
+    df|None}`` (post W3/W7 filtering) so the caller can maintain derived
+    state — e.g. the search engine's postings indexes — incrementally
+    instead of rebuilding from the full corpus."""
     spec = store.spec
     keys = spec.key_columns
     cfg = spec.config()
@@ -59,11 +64,13 @@ def apply_mutation_batch(store: ParquetIndexStore, batch: DataFrame,
 
     # W7: empty updates are dropped entirely (not deletes, not upserts).
     latest = latest.where(F.col(OP) != EMPTY_OP)
+    changes: dict[str, DataFrame | None] = {"upserts": None, "deletes": None}
 
     upserts = (latest.where(F.col(OP).isin(*UPSERT_OPS))
                      .drop(OP, ts_col))
     if upserts.limit(1).count() > 0:
         store.upsert(upserts)
+        changes["upserts"] = upserts
 
     # W8: analytic mode retains documents on delete.
     if not cfg.analytic_mode:
@@ -71,6 +78,8 @@ def apply_mutation_batch(store: ParquetIndexStore, batch: DataFrame,
                          .select(doc_id_column(spec).alias(DOC_ID)))
         if deletes.limit(1).count() > 0:
             store.delete_ids(deletes)
+            changes["deletes"] = deletes
+    return changes
 
 
 class MutationIndexer:

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from cassandra_es_index_spark.catalog import TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID
 from cassandra_es_index_spark.engine import CassandraEsIndexEngine
+from cassandra_es_index_spark.search import SearchEngine
 
 
 def _ts(minute):
@@ -64,8 +65,6 @@ def test_compaction(engine, spark):
 def test_sql_passthrough(spark, tmp_path):
     """S15 generic passthrough: registered tables are queryable with raw
     SQL through the facade (the reference's GenericRequest escape hatch)."""
-    from cassandra_es_index_spark.engine import CassandraEsIndexEngine
-
     eng = CassandraEsIndexEngine(spark, str(tmp_path / "root"))
     df = spark.createDataFrame([("x", 1), ("y", 2)], "id string, n int")
     eng.register(df, TableSpec("passthrough_t", ["id"]))
@@ -98,3 +97,105 @@ def test_search_sees_writes(engine, spark):
     src = engine.search(
         "emails_sw", "#options:load-rows=false,load-source=true#body:freshly")
     assert [r["body"] for r in src.collect()] == ["freshly indexed text"]
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_maintained_incrementally_under_mutations(engine, spark):
+    """VERDICT r2 item 1: a mutation batch must NOT invalidate the
+    postings index wholesale — only the touched doc-ids' rows change, the
+    bulk-built base postings survive, and term search stays index-served
+    (no corpus scan) with rows matching the post-mutation state. The
+    reference behavior matched: ES updates its inverted index per-doc on
+    upsert (ElasticIndex.java:603-614)."""
+    emails = spark.createDataFrame(
+        [("a", "hello cassandra", 1), ("b", "hello spark", 2),
+         ("c", "plain filler", 3)],
+        "id string, body string, userid int")
+    engine.register(emails, TableSpec("em_inc", ["id"]), build=True)
+    se = engine.search_engine
+    se.build_postings_index("em_inc", "body", materialize=True)
+    state = se._postings[("em_inc", "body")]
+    base_before = state.base
+
+    # served from postings before the mutation
+    pre = engine.search("em_inc", "#options:load-rows=false#body:cassandra")
+    assert "regexp_extract_all" not in _plan(pre)
+    assert {r["id"] for r in pre.collect()} == {"a"}
+
+    engine.apply_mutations("em_inc", spark.createDataFrame(
+        [(_ts(1), "update", "b", "freshly cassandra text", 9),   # update
+         (_ts(2), "insert", "d", "cassandra arrives anew", 4),   # insert
+         (_ts(3), "partition_delete", "a", None, None)],         # delete
+        "ts timestamp, op string, id string, body string, userid int"))
+
+    out = engine.search("em_inc", "#options:load-rows=false#body:cassandra")
+    plan = _plan(out)
+    # still index-served: no scan-path regex, and NOT rebuilt from scratch
+    assert "regexp_extract_all" not in plan
+    assert state.base is base_before
+    assert state.delta is not None  # the overlay carries the batch
+    got = {r["id"] for r in out.collect()}
+    assert got == {"b", "d"}  # a deleted, b updated in, d inserted
+
+    # retired tokens are gone; new tokens searchable
+    assert engine.search(
+        "em_inc", "#options:load-rows=false#body:spark").count() == 0
+    assert {r["id"] for r in engine.search(
+        "em_inc", "#options:load-rows=false#body:freshly").collect()} == {"b"}
+
+    # postings view matches a from-scratch scan over the resolved docs
+    scan_eng = SearchEngine(spark)
+    scan_eng.register(engine.store("em_inc").read().drop("segment")
+                      .select("id", "body", "userid"),
+                      TableSpec("em_inc_scan", ["id"]))
+    want = sorted((r["id"], r["_score"]) for r in scan_eng.search(
+        "em_inc_scan", "#options:load-rows=false#body:cassandra").collect())
+    assert sorted((r["id"], r["_score"]) for r in out.collect()) == want
+
+
+def test_postings_overlay_folds_after_cadence(engine, spark):
+    """The overlay compacts into a new base after fold_every batches,
+    bounding lookup-time overlay cost under a steady stream."""
+    emails = spark.createDataFrame(
+        [("a", "alpha beta", 1)], "id string, body string, userid int")
+    engine.register(emails, TableSpec("em_fold", ["id"]), build=True)
+    se = engine.search_engine
+    se.build_postings_index("em_fold", "body", materialize=True)
+    state = se._postings[("em_fold", "body")]
+    state.fold_every = 2
+    base_before = state.base
+    for i in range(2):
+        engine.apply_mutations("em_fold", spark.createDataFrame(
+            [(_ts(i + 1), "update", "a", f"alpha gamma{i}", 1)],
+            "ts timestamp, op string, id string, body string, userid int"))
+    assert state.delta is None and state.dead is None  # folded
+    assert state.base is not base_before
+    out = engine.search("em_fold", "#options:load-rows=false#body:gamma1")
+    assert "regexp_extract_all" not in _plan(out)
+    assert [r["id"] for r in out.collect()] == ["a"]
+
+
+def test_insert_mutation_loads_base_row(engine, spark):
+    """ADVICE r2: a document INSERTED by a mutation batch must return a
+    full row in default load-rows mode — the reference loads it from
+    Cassandra, which holds the write; the pre-mutation base snapshot does
+    not have it."""
+    emails = spark.createDataFrame(
+        [("a", "hello cassandra", 1)], "id string, body string, userid int")
+    engine.register(emails, TableSpec("em_ins", ["id"]), build=True)
+    engine.apply_mutations("em_ins", spark.createDataFrame(
+        [(_ts(1), "insert", "z", "brand new cassandra doc", 77),
+         (_ts(2), "update", "a", "hello updated cassandra", 42)],
+        "ts timestamp, op string, id string, body string, userid int"))
+    out = engine.search("em_ins", "body:cassandra")
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"a", "z"}
+    # inserted row carries its mutation values…
+    assert rows["z"]["userid"] == 77
+    assert rows["z"]["body"] == "brand new cassandra doc"
+    # …and updated rows show post-mutation values, not the base snapshot
+    assert rows["a"]["userid"] == 42
+    assert rows["a"]["body"] == "hello updated cassandra"

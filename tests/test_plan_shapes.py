@@ -70,3 +70,15 @@ def test_postings_rewrite_skips_corpus_scan(parquet_engine):
     plan = _plan(out)
     assert "regexp_extract_all" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_prefix_wildcard_served_from_postings(parquet_engine):
+    """`text:quer*` — the reference's headline wildcard class — must be a
+    LIKE-prefix range over the postings, not a corpus regex scan."""
+    parquet_engine.build_postings_index("documents_plan", "text")
+    out = parquet_engine.search(
+        "documents_plan", "#options:load-rows=false#text:quer*",
+        default_field="text")
+    plan = _plan(out)
+    assert "regexp_extract_all" not in plan
+    assert "StartsWith(token" in plan

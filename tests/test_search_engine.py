@@ -255,14 +255,50 @@ def test_postings_plan_matches_scan_results(indexed_engine, spark):
         assert got == want, q
 
 
-def test_postings_plan_falls_back_for_unservable(indexed_engine):
-    # wildcard → scan path (regex present), same results as ever
+def test_postings_plan_serves_prefix_wildcard(indexed_engine):
+    # the reference's headline query class (`body:cassan*`, README.md:179)
+    # is served from token-sorted postings as a LIKE-prefix range — no
+    # corpus regex scan — with the scan path's exact tf scores.
     out = indexed_engine.search("emails_idx", "body:cassan*")
+    assert "regexp_extract_all" not in _plan(out)
+    rows = {r["id"]: r["_score"] for r in out.collect()}
+    assert rows == {"e1": 1, "e2": 1, "e5": 3}
+
+
+def test_postings_plan_falls_back_for_unservable(indexed_engine):
+    # non-prefix wildcard (`?` present) → scan path (regex present)
+    out = indexed_engine.search("emails_idx", "body:ca?san*")
     assert "regexp_extract_all" in _plan(out)
     assert {r["id"] for r in out.collect()} == {"e1", "e2", "e5"}
     # term on a field without postings → scan path
     out2 = indexed_engine.search("emails_idx", "userid:42")
     assert {r["id"] for r in out2.collect()} == {"e1", "e3"}
+
+
+def test_postings_composite_key_table(spark):
+    """Composite-PK tables are postings-served too: hits route through the
+    synthesized _id and split back to key columns for ordering and J1
+    (VERDICT r2 item 7)."""
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, 1, "alpha beta"), (1, 2, "beta gamma beta"), (2, 1, "delta")],
+        "pk int, ck int, body string")
+    eng.register(df, TableSpec("comp", ["pk"], ["ck"]))
+    eng.build_postings_index("comp", "body", materialize=True)
+    out = eng.search("comp", "body:beta")
+    assert "regexp_extract_all" not in _plan(out)
+    rows = {(r["pk"], r["ck"]): r["_score"] for r in out.collect()}
+    assert rows == {(1, 1): 1, (1, 2): 2}
+    # full base row loads through J1 on both key columns
+    got = {(r["pk"], r["ck"]): r["body"] for r in out.collect()}
+    assert got[(1, 2)] == "beta gamma beta"
+    # parity with the scan path
+    scan = SearchEngine(spark)
+    scan.register(df, TableSpec("comp_scan", ["pk"], ["ck"]))
+    want = sorted((r["pk"], r["ck"], r["_score"]) for r in
+                  scan.search("comp_scan", "body:beta").collect())
+    assert sorted((r["pk"], r["ck"], r["_score"])
+                  for r in out.collect()) == want
 
 
 def test_postings_plan_metadata(indexed_engine):
