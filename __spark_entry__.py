@@ -65,6 +65,11 @@ def _docs_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         eng = SearchEngine(spark)
         eng.register(_t(spark, sf_dir, "documents"),
                      TableSpec("documents", ["doc_id"]))
+        # postings on both searched fields: term/prefix-wildcard boolean
+        # queries compile to postings equi-joins (the reference's ES never
+        # scans); phrase/range/NOT queries fall back to the scan plan.
+        eng.build_postings_index("documents", "text")
+        eng.build_postings_index("documents", "lang")
         _CACHE[key] = eng
     return _CACHE[key]
 
@@ -105,6 +110,8 @@ def bench_prepare(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     _CACHE[_ck(spark, sf_dir, "table:documents")] = docs_raw
     eng = _docs_engine(spark, sf_dir)
     eng.cache_documents("documents")
+    eng.build_postings_index("documents", "text", materialize=True)
+    eng.build_postings_index("documents", "lang", materialize=True)
     out["documents_index_build"] = round(_time.perf_counter() - t0, 3)
 
     t0 = _time.perf_counter()
@@ -115,6 +122,10 @@ def bench_prepare(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     t0 = _time.perf_counter()
     _doc_postings(spark, sf_dir).count()
     out["documents_postings_build"] = round(_time.perf_counter() - t0, 3)
+
+    t0 = _time.perf_counter()
+    _disk_postings(spark, sf_dir)  # write the bucketed on-disk postings
+    out["documents_postings_disk_write"] = round(_time.perf_counter() - t0, 3)
     return out
 
 
@@ -381,6 +392,17 @@ def q_dedup_simhash(spark, sf_dir):
                                max_hamming=6)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    # embedding-cosine near-dup pairs, exact method (oracle-checked
+    # all-pairs baseline; the LSH method is the scale path, recall-measured
+    # in ann_recall). Threshold calibrated to the synthetic corpus: the
+    # testdata embeddings are random (max pairwise cosine ≈ 0.51), so a
+    # production-style 0.9+ threshold would make the check vacuous.
+    return similarity.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.35, method="exact")
+
+
 def q_similarity_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -428,14 +450,21 @@ def q_ann_recall(spark, sf_dir):
                                          "vec_id", "embedding", k=3)
              .select("query_id", "corpus_id"))
 
+    def ratio_row(method: str, hits: DataFrame, tot: DataFrame) -> DataFrame:
+        # vacuous sets (no true pairs / nothing reported) measure 1.0
+        # rather than tripping ANSI divide-by-zero at tiny scale factors
+        return hits.crossJoin(tot).select(
+            F.lit(method).alias("method"),
+            F.when(F.col("tot") == 0, F.lit(1.0))
+             .otherwise(F.round(F.col("hits") / F.col("tot"), 4))
+             .alias("recall"))
+
     def vs_exact(method: str, ann: DataFrame) -> DataFrame:
         hits = (exact.join(ann.select("query_id", "corpus_id").distinct(),
                            ["query_id", "corpus_id"], "left_semi")
                      .agg(F.count("*").cast("double").alias("hits")))
         tot = exact.agg(F.count("*").cast("double").alias("tot"))
-        return hits.crossJoin(tot).select(
-            F.lit(method).alias("method"),
-            F.round(F.col("hits") / F.col("tot"), 4).alias("recall"))
+        return ratio_row(method, hits, tot)
 
     # 4 planes × 16 tables measures 0.87-1.0 recall@3 on this corpus; the
     # (n_planes, n_tables) pair is the recall/cost lever (24 tables → 1.0).
@@ -461,9 +490,7 @@ def q_ann_recall(spark, sf_dir):
     mh_hits = (true_pairs.join(mh_pairs, ["doc_a", "doc_b"], "left_semi")
                          .agg(F.count("*").cast("double").alias("hits")))
     mh_tot = true_pairs.agg(F.count("*").cast("double").alias("tot"))
-    mh_recall = mh_hits.crossJoin(mh_tot).select(
-        F.lit("minhash_lsh_vs_jaccard09").alias("method"),
-        F.round(F.col("hits") / F.col("tot"), 4).alias("recall"))
+    mh_recall = ratio_row("minhash_lsh_vs_jaccard09", mh_hits, mh_tot)
 
     # precision of the exact-verified MinHash tier: every reported pair
     # must be a true ≥0.9 token-Jaccard pair (1.0 by construction — the
@@ -475,14 +502,31 @@ def q_ann_recall(spark, sf_dir):
     mhv_true = (mhv_pairs.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
                          .agg(F.count("*").cast("double").alias("hits")))
     mhv_tot = mhv_pairs.agg(F.count("*").cast("double").alias("tot"))
-    mhv_precision = mhv_true.crossJoin(mhv_tot).select(
-        F.lit("minhash_exactverify_precision").alias("method"),
-        F.round(F.col("hits") / F.col("tot"), 4).alias("recall"))
+    mhv_precision = ratio_row("minhash_exactverify_precision",
+                              mhv_true, mhv_tot)
+
+    # embedding-dedup LSH tier vs its exact twin (precision is 1 by
+    # construction — candidates are exact-cosine verified — so the recall
+    # number is the whole story). Threshold 0.35 matches q_dedup_embedding
+    # (random corpus, no planted near-dups); at this low-angle regime
+    # fewer planes + more tables is the recall lever (4×16 ≈ 0.9+).
+    emb_true = (similarity.embedding_dup_pairs(emb, "vec_id", "embedding",
+                                               threshold=0.35, method="exact")
+                .select("doc_a", "doc_b"))
+    emb_lsh = (similarity.embedding_dup_pairs(emb, "vec_id", "embedding",
+                                              threshold=0.35, method="lsh",
+                                              n_planes=4, n_tables=16)
+               .select("doc_a", "doc_b"))
+    ed_hits = (emb_true.join(emb_lsh, ["doc_a", "doc_b"], "left_semi")
+                       .agg(F.count("*").cast("double").alias("hits")))
+    ed_tot = emb_true.agg(F.count("*").cast("double").alias("tot"))
+    ed_recall = ratio_row("embedding_lsh_vs_exact09", ed_hits, ed_tot)
 
     return (vs_exact("lsh_ann_topk", lsh)
             .unionByName(vs_exact("ivf_topk_nprobe3", ivf))
             .unionByName(mh_recall)
-            .unionByName(mhv_precision))
+            .unionByName(mhv_precision)
+            .unionByName(ed_recall))
 
 
 def q_cube_orders(spark, sf_dir):
@@ -609,6 +653,37 @@ def q_search_bm25_topk(spark, sf_dir):
     return out.select("doc_id", "_bm25")
 
 
+def _disk_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents.text postings persisted BUCKETED by token on disk —
+    the cluster deployment shape (``write_postings``): a term lookup prunes
+    to the matching buckets (``SelectedBucketsCount`` in the scan) instead
+    of reading the whole index. Written once per session; lookups against
+    it are cold reads from parquet, not executor cache."""
+    import os as _os
+    import re as _re
+    import tempfile as _tempfile
+
+    key = _ck(spark, sf_dir, "postings_disk:documents.text")
+    if key not in _CACHE:
+        tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+        app = _re.sub(r"\W+", "_", spark.sparkContext.applicationId)
+        table_name = f"postings_disk_{tag}"
+        path = _os.path.join(_tempfile.gettempdir(),
+                             f"spark_graft_{app}_{table_name}")
+        post.write_postings(_doc_postings(spark, sf_dir), path,
+                            buckets=16, table_name=table_name)
+        _CACHE[key] = table_name
+    return post.read_postings(spark, _CACHE[key])
+
+
+def q_search_postings_disk(spark, sf_dir):
+    # term lookup against the PERSISTED bucketed postings table — same
+    # semantics as search_postings_term (oracle-shared), but served from
+    # the on-disk bucket-pruned scan rather than the in-memory cache.
+    return post.lookup_terms(_disk_postings(spark, sf_dir), ["spark"],
+                             mode="any")
+
+
 def q_search_postings_term(spark, sf_dir):
     # inverted-postings lookup == scan-based term search (SURVEY.md §4
     # item 2). The postings table is built once per session (memoized /
@@ -677,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embedding": q_dedup_embedding,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
@@ -691,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_grouping": q_doc_grouping,
         "search_bm25_topk": q_search_bm25_topk,
         "search_postings_term": q_search_postings_term,
+        "search_postings_disk": q_search_postings_disk,
         "asof_last_click": q_asof_last_click,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "ann_recall": q_ann_recall,
@@ -936,6 +1013,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc = doc_b
             WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.9
         """,
+        "dedup_embedding": """
+            WITH v AS (
+                SELECT vec_id AS doc, embedding,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+                FROM embeddings)
+            SELECT a.doc AS doc_a, b.doc AS doc_b,
+                   round(list_sum(list_transform(range(1, 65),
+                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                         / (a.nrm * b.nrm), 6) AS cos_sim
+            FROM v a JOIN v b ON a.doc < b.doc
+            WHERE round(list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                        / (a.nrm * b.nrm), 6) >= 0.35
+        """,
         "similarity_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
@@ -1033,6 +1125,14 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 15
         """,
         "search_postings_term": r"""
+            SELECT doc_id AS doc,
+                   len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x = 'spark'))::BIGINT AS score
+            FROM documents
+            WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                  x -> x = 'spark')) > 0
+        """,
+        "search_postings_disk": r"""
             SELECT doc_id AS doc,
                    len(list_filter(regexp_split_to_array(lower(text), '\W+'),
                                    x -> x = 'spark'))::BIGINT AS score

@@ -7,6 +7,15 @@ Each query is fully materialized through the no-op sink (no driver
 collect, no disk write) so the timing covers scan → transform → exchange
 work only. A small warm-up action runs first so JVM/codegen startup isn't
 attributed to the first query.
+
+Measurement hygiene (round-2 lesson: the recorded dedup_minhash_lsh
+number was 3× its true cost): the HEAVY queries — the suite's biggest
+shuffles — run FIRST, before the search-state caches (documents cache +
+three postings indexes) are built, so they are not taxed with the memory/
+GC pressure of state they never use. The baseline's trace numbers are
+query latency against a prebuilt ES index, so the search queries still
+run against fully warmed state, built in between and reported separately
+as "build".
 """
 
 from __future__ import annotations
@@ -19,6 +28,12 @@ import time
 
 import __spark_entry__ as entrymod
 from cassandra_es_index_spark import get_spark
+
+# The suite's large-shuffle queries: timed on an otherwise-empty executor
+# heap (only the shared documents cache), in suite order before bench_prepare.
+HEAVY = [
+    "dedup_minhash_lsh",
+]
 
 # Headline subset: bulk indexing, search surface, joins/aggs, windowing,
 # dedup, similarity, text analysis — one per operator family.
@@ -37,14 +52,29 @@ HEADLINE = [
     "events_json_props",
     "text_stats",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "similarity_topk",
     "similarity_knn_join",
     "search_bm25_topk",
     "search_postings_term",
+    "search_postings_disk",  # cold lookup on the bucketed on-disk postings
     "asof_last_click",
     "search_10k_cap",   # the BASELINE.md 514 ms / 10k-key trace analogue
 ]
+
+
+def _run(queries, name, spark, sf_dir, best_of, timings):
+    fn = queries[name]
+    # best-of-n to shave single-JVM scheduling noise (±2x observed on
+    # sub-second queries); every run fully materializes via noop sink.
+    best = None
+    for _ in range(best_of):
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        took = time.perf_counter() - start
+        best = took if best is None else min(best, took)
+    timings[name] = round(best, 3)
+    print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
 
 def main() -> None:
@@ -58,28 +88,27 @@ def main() -> None:
     # warm-up: touch the biggest table so JVM/codegen init isn't billed
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # index build phase — reported separately: the baseline's trace numbers
-    # are query latency against an already-built ES index, so the engine's
-    # analogous index state (documents cache, postings) is built here, and
-    # the per-query numbers below time queries only.
-    build = entrymod.bench_prepare(spark, sf_dir)
-    print(f"  build: {build}", file=sys.stderr)
-
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+
+    # phase 1 — heavy shuffles on a clean heap (shared corpus cache only)
+    build: dict[str, float] = {}
+    t0 = time.perf_counter()
+    docs = entrymod._t(spark, sf_dir, "documents").cache()
+    docs.count()
+    build["documents_cache"] = round(time.perf_counter() - t0, 3)
+    for name in HEAVY:
+        _run(queries, name, spark, sf_dir, best_of, timings)
+
+    # phase 2 — index build (documents cache + postings, on-disk bucketed
+    # postings) — reported separately: the baseline's trace numbers are
+    # query latency against an already-built ES index.
+    build.update(entrymod.bench_prepare(spark, sf_dir))
+    print(f"  build: {build}", file=sys.stderr)
+
+    # phase 3 — the query-latency suite against warmed index state
     for name in HEADLINE:
-        fn = queries[name]
-        # best-of-n to shave single-JVM scheduling noise (±2x observed on
-        # sub-second queries); every run fully materializes via noop sink.
-        best = None
-        for _ in range(best_of):
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            took = time.perf_counter() - start
-            best = took if best is None else min(best, took)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        _run(queries, name, spark, sf_dir, best_of, timings)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

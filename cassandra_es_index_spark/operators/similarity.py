@@ -154,6 +154,62 @@ def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
                   .select("query_id", "corpus_id", "cos_sim", "rank"))
 
 
+def embedding_dup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95, method: str = "lsh",
+                        n_planes: int = 6, n_tables: int = 8,
+                        seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic twin of the
+    text dedup tiers: (doc_a, doc_b, cos_sim) for every pair with cosine
+    ≥ ``threshold`` and doc_a < doc_b.
+
+    ``method="exact"`` — all-pairs with precomputed norms: the correctness
+    baseline (oracle-checkable), quadratic, fine at moderate scale.
+
+    ``method="lsh"`` — the 100 TB path: sign-LSH bucketing (``n_tables``
+    independent plane sets), candidates only where buckets collide, each
+    candidate verified with the exact cosine, so precision is 1 and recall
+    is the bucket-collision probability (rises with ``n_tables``; measured
+    per round in the driver's ``ann_recall`` harness). The candidate join
+    is an equi-join on (table, signature) — no all-pairs stage.
+    """
+    c = (corpus.select(F.col(id_col).alias("doc"),
+                       as_double_array(F.col(vec_col)).alias("vec"))
+               .withColumn("nrm", _norm(F.col("vec"))))
+    if method == "exact":
+        a = c.select(F.col("doc").alias("doc_a"), F.col("vec").alias("va"),
+                     F.col("nrm").alias("na"))
+        b = c.select(F.col("doc").alias("doc_b"), F.col("vec").alias("vb"),
+                     F.col("nrm").alias("nb"))
+        pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    elif method == "lsh":
+        dim = len(corpus.select(vec_col).first()[0])
+        keyed = []
+        for t in range(n_tables):
+            planes = hyperplanes(dim, n_planes, seed + t)
+            keyed.append(c.select(
+                "doc", "vec", "nrm", F.lit(t).alias("tbl"),
+                plane_signature(F.col("vec"), planes).alias("sig")))
+        all_keys = keyed[0]
+        for extra in keyed[1:]:
+            all_keys = all_keys.unionByName(extra)
+        a, b = all_keys.alias("a"), all_keys.alias("b")
+        pairs = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                        & (F.col("a.sig") == F.col("b.sig"))
+                        & (F.col("a.doc") < F.col("b.doc")))
+                  .select(F.col("a.doc").alias("doc_a"),
+                          F.col("a.vec").alias("va"), F.col("a.nrm").alias("na"),
+                          F.col("b.doc").alias("doc_b"),
+                          F.col("b.vec").alias("vb"), F.col("b.nrm").alias("nb"))
+                  .dropDuplicates(["doc_a", "doc_b"]))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (pairs.select(
+                "doc_a", "doc_b",
+                F.round(_dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.default_rng(seed)

@@ -314,3 +314,27 @@ def test_minhash_exact_verify_reports_true_jaccard(corpus):
     truth = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact.collect()}
     for pair, j in rows.items():
         assert truth[pair] == j
+
+
+def test_embedding_dup_pairs_exact_and_lsh(spark):
+    """Embedding-cosine near-dup tier: exact all-pairs baseline, and the
+    LSH path whose candidates are exact-verified (precision 1)."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+            (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+            (4, [0.7071, 0.7071, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = similarity.embedding_dup_pairs(emb, "vec_id", "embedding",
+                                           threshold=0.95, method="exact")
+    pairs = {(r["doc_a"], r["doc_b"]): r["cos_sim"] for r in exact.collect()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] > 0.99
+    # LSH path: candidates exact-verified, so every reported pair is true
+    lsh = similarity.embedding_dup_pairs(emb, "vec_id", "embedding",
+                                         threshold=0.95, method="lsh",
+                                         n_planes=4, n_tables=8)
+    lsh_pairs = {(r["doc_a"], r["doc_b"]): r["cos_sim"] for r in lsh.collect()}
+    assert set(lsh_pairs) <= set(pairs)       # precision 1
+    assert (0, 1) in lsh_pairs                # collides in some table
+    assert lsh_pairs[(0, 1)] == pairs[(0, 1)]
