@@ -81,11 +81,17 @@ class CassandraEsIndexEngine:
         self.refresh_search_view(table, changes=changes)
 
     def stream_mutations(self, table: str, stream: DataFrame,
-                         checkpoint: str, **kw):
-        """Continuous indexing; call ``refresh_search_view`` at whatever
-        cadence searches should observe new batches (each refresh snapshots
-        the store's current file set)."""
-        return MutationIndexer(self._stores[table]).start(
+                         checkpoint: str, refresh_each_batch: bool = True,
+                         **kw):
+        """Continuous indexing. With ``refresh_each_batch`` (default) the
+        search view — including any postings indexes, updated
+        incrementally — follows every micro-batch, matching the
+        reference's per-write ES indexing; pass False to refresh manually
+        via ``refresh_search_view`` at a coarser cadence."""
+        on_batch = ((lambda changes:
+                     self.refresh_search_view(table, changes=changes))
+                    if refresh_each_batch else None)
+        return MutationIndexer(self._stores[table], on_batch=on_batch).start(
             stream, checkpoint, **kw)
 
     def refresh_search_view(self, table: str,

@@ -84,14 +84,23 @@ def apply_mutation_batch(store: ParquetIndexStore, batch: DataFrame,
 
 class MutationIndexer:
     """foreachBatch adapter: ``indexer.start(stream_df)`` upserts every
-    micro-batch into the store (exactly-once via the stream checkpoint)."""
+    micro-batch into the store (exactly-once via the stream checkpoint).
 
-    def __init__(self, store: ParquetIndexStore, ts_col: str = "ts"):
+    ``on_batch(changes)``, when given, receives each batch's effective
+    change set — the facade uses it to refresh the search view and update
+    postings incrementally per micro-batch instead of on a manual cadence.
+    """
+
+    def __init__(self, store: ParquetIndexStore, ts_col: str = "ts",
+                 on_batch=None):
         self.store = store
         self.ts_col = ts_col
+        self.on_batch = on_batch
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:  # noqa: ARG002
-        apply_mutation_batch(self.store, batch, self.ts_col)
+        changes = apply_mutation_batch(self.store, batch, self.ts_col)
+        if self.on_batch is not None:
+            self.on_batch(changes)
 
     def start(self, stream_df: DataFrame, checkpoint: str,
               trigger_seconds: int | None = None):

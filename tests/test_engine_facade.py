@@ -199,3 +199,62 @@ def test_insert_mutation_loads_base_row(engine, spark):
     # …and updated rows show post-mutation values, not the base snapshot
     assert rows["a"]["userid"] == 42
     assert rows["a"]["body"] == "hello updated cassandra"
+
+
+def test_stream_mutations_keep_postings_served(engine, spark, tmp_path):
+    """Continuous indexing through the facade: every micro-batch flows
+    into the search view AND the postings overlay, so term search stays
+    index-served under the stream (the reference's per-write ES path)."""
+    emails = spark.createDataFrame(
+        [("a", "hello cassandra", 1)], "id string, body string, userid int")
+    engine.register(emails, TableSpec("em_stream", ["id"]), build=True)
+    se = engine.search_engine
+    se.build_postings_index("em_stream", "body", materialize=True)
+    state = se._postings[("em_stream", "body")]
+    base_before = state.base
+
+    src_dir = str(tmp_path / "mut_src")
+    spark.createDataFrame(
+        [(_ts(1), "insert", "s1", "streamed cassandra text", 5),
+         (_ts(2), "update", "a", "hello streamed", 6)],
+        "ts timestamp, op string, id string, body string, userid int"
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, op string, id string, body string, userid int"
+    ).parquet(src_dir)
+    q = engine.stream_mutations("em_stream", stream,
+                                str(tmp_path / "ckpt_sm"))
+    q.awaitTermination(60)
+
+    out = engine.search("em_stream",
+                        "#options:load-rows=false#body:streamed")
+    assert "regexp_extract_all" not in _plan(out)
+    assert state.base is base_before  # incremental, not rebuilt
+    assert {r["id"] for r in out.collect()} == {"s1", "a"}
+    assert engine.search(
+        "em_stream", "#options:load-rows=false#body:cassandra"
+    ).count() == 1  # only s1 carries it now
+
+
+def test_postings_delta_composite_key(engine, spark):
+    """Incremental postings for a composite-PK table route the delta
+    through the synthesized _id (the postings doc column)."""
+    df = spark.createDataFrame(
+        [(1, 1, "alpha beta"), (2, 1, "gamma")],
+        "pk int, ck int, body string")
+    engine.register(df, TableSpec("comp_mut", ["pk"], ["ck"]), build=True)
+    se = engine.search_engine
+    se.build_postings_index("comp_mut", "body", materialize=True)
+    state = se._postings[("comp_mut", "body")]
+    base_before = state.base
+    engine.apply_mutations("comp_mut", spark.createDataFrame(
+        [(_ts(1), "update", 1, 1, "delta beta beta"),
+         (_ts(2), "insert", 3, 9, "alpha fresh")],
+        "ts timestamp, op string, pk int, ck int, body string"))
+    out = engine.search("comp_mut", "#options:load-rows=false#body:beta")
+    assert "regexp_extract_all" not in _plan(out)
+    assert state.base is base_before
+    rows = {(r["pk"], r["ck"]): r["_score"] for r in out.collect()}
+    assert rows == {(1, 1): 2}
+    out2 = engine.search("comp_mut", "#options:load-rows=false#body:alpha")
+    assert {(r["pk"], r["ck"]) for r in out2.collect()} == {(3, 9)}

@@ -82,3 +82,16 @@ def test_prefix_wildcard_served_from_postings(parquet_engine):
     plan = _plan(out)
     assert "regexp_extract_all" not in plan
     assert "StartsWith(token" in plan
+
+
+def test_disk_postings_query_prunes_buckets(spark):
+    """The benched cold-lookup query must scan the bucketed on-disk
+    postings with bucket pruning (SelectedBucketsCount), not a full read —
+    the property that makes a term lookup touch 1/buckets of the index at
+    cluster scale."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["search_postings_disk"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "SelectedBucketsCount" in plan
+    assert "1 out of 16" in plan  # single-term lookup → one bucket
