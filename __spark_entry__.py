@@ -647,10 +647,14 @@ def q_doc_grouping(spark, sf_dir):
 
 
 def q_search_bm25_topk(spark, sf_dir):
-    # BM25 relevance (documented formula, SURVEY.md §7 hard-part 1)
-    docs = _t(spark, sf_dir, "documents")
-    out = scoring.bm25_topk(docs, "text", ["spark", "data"], "doc_id", k=15)
-    return out.select("doc_id", "_bm25")
+    # BM25 relevance (documented formula, SURVEY.md §7 hard-part 1) —
+    # served from the inverted postings index (the ES/Lucene read path):
+    # per-query cost is a token-pruned lookup + small joins, not a corpus
+    # re-tokenization. Bit-identical to scoring.bm25_topk (parity-tested)
+    # so the same DuckDB oracle applies.
+    out = scoring.bm25_topk_postings(_doc_postings(spark, sf_dir),
+                                     ["spark", "data"], k=15)
+    return out.select(F.col("doc").alias("doc_id"), "_bm25")
 
 
 def _disk_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

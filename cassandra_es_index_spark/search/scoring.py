@@ -89,3 +89,63 @@ def bm25_topk(docs: DataFrame, text_col: str, terms: list[str],
     return (bm25_score(docs, text_col, terms, k1, b)
             .orderBy(F.desc("_bm25"), F.asc(id_col))
             .limit(k))
+
+
+def doc_lengths(postings: DataFrame) -> DataFrame:
+    """(doc, _dl) from a postings table: dl = Σ tf. Build once per index
+    and cache/persist alongside the postings — it is the BM25 norm table.
+
+    Caveat: documents with ZERO tokens have no postings rows and thus no
+    length row; they cannot match any query, but they do shift N/avgdl
+    slightly vs a corpus-side count. Pass an explicit lengths DataFrame to
+    ``bm25_topk_postings`` when that distinction matters."""
+    return postings.groupBy("doc").agg(
+        F.sum("tf").cast("double").alias("_dl"))
+
+
+def bm25_topk_postings(postings: DataFrame, terms: list[str], k: int = 10,
+                       k1: float = 1.2, b: float = 0.75,
+                       lengths: DataFrame | None = None) -> DataFrame:
+    """BM25 top-k served ENTIRELY from the inverted index — the real
+    search-engine architecture (what ES/Lucene do): per-query cost is a
+    token-pruned postings lookup + small joins, never a corpus
+    re-tokenization. Returns (doc, _bm25), identical values to
+    ``bm25_topk`` (same formula, same fixed term-order float summation, so
+    the 6-dp rounding agrees bit-for-bit).
+
+    Shapes at scale: ``matched`` prunes to the query's tokens (bucket
+    pruning on a persisted postings table); per-term df and the global
+    (N, avgdl) are one-row broadcasts; the only corpus-sized side is the
+    (doc, dl) norm table, joined once on doc.
+    """
+    lens = lengths if lengths is not None else doc_lengths(postings)
+    terms = [t.lower() for t in terms]
+    stats = lens.agg(F.count("*").cast("double").alias("N"),
+                     F.avg("_dl").alias("avgdl"))
+    matched = postings.where(F.col("token").isin(*terms))
+    dfs = matched.agg(*[
+        F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+         .cast("double").alias(f"df_{i}")
+        for i, t in enumerate(terms)])  # (token, doc) unique → rows = df
+    per_doc = matched.groupBy("doc").agg(*[
+        F.sum(F.when(F.col("token") == t, F.col("tf")).otherwise(0))
+         .cast("double").alias(f"tf_{i}")
+        for i, t in enumerate(terms)])
+    joined = (per_doc.join(lens, "doc")
+                     .crossJoin(F.broadcast(dfs))
+                     .crossJoin(F.broadcast(stats)))
+    score: Column = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(F.lit(1.0)
+                    + (F.col("N") - F.col(f"df_{i}") + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5)))
+        tf_part = (tf * (k1 + 1.0)
+                   / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                                        + F.lit(b) * F.col("_dl") / F.col("avgdl"))))
+        score = score + idf * tf_part
+    return (joined.withColumn("_bm25", F.round(score, 6))
+                  .where(F.col("_bm25") > 0)
+                  .select("doc", "_bm25")
+                  .orderBy(F.desc("_bm25"), F.asc("doc"))
+                  .limit(k))

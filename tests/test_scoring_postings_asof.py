@@ -117,3 +117,42 @@ def test_postings_bucketed_roundtrip(corpus, spark, tmp_path):
         assert "SelectedBucketsCount: 1 out of 4" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS postings_rt")
+
+
+def test_bm25_postings_matches_scan_bitwise(corpus):
+    """The postings-served BM25 must equal the corpus-scan BM25 exactly —
+    same formula, same fixed term-order summation, same 6-dp rounding —
+    so the two implementations are interchangeable under the oracle."""
+    p = post.build_postings(corpus, "doc_id", "text")
+    scan = {r["doc_id"]: r["_bm25"] for r in
+            scoring.bm25_topk(corpus, "text", ["spark", "data"],
+                              "doc_id", k=10).collect()}
+    idx = {r["doc"]: r["_bm25"] for r in
+           scoring.bm25_topk_postings(p, ["spark", "data"], k=10).collect()}
+    assert idx == scan
+    # single-term too
+    scan1 = {r["doc_id"]: r["_bm25"] for r in
+             scoring.bm25_topk(corpus, "text", ["spark"],
+                               "doc_id", k=10).collect()}
+    idx1 = {r["doc"]: r["_bm25"] for r in
+            scoring.bm25_topk_postings(p, ["spark"], k=10).collect()}
+    assert idx1 == scan1
+
+
+def test_bm25_postings_explicit_lengths(spark):
+    """A zero-token doc has no postings row; passing the corpus-derived
+    lengths keeps N/avgdl identical to the scan implementation."""
+    rows = [(1, "spark spark"), (2, "data"), (3, "")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    p = post.build_postings(corpus, "doc_id", "text")
+    from cassandra_es_index_spark.functions.analyzers import standard
+    lens = corpus.select(F.col("doc_id").alias("doc"),
+                         F.size(standard(F.col("text")))
+                          .cast("double").alias("_dl"))
+    scan = {r["doc_id"]: r["_bm25"] for r in
+            scoring.bm25_topk(corpus, "text", ["spark"],
+                              "doc_id", k=10).collect()}
+    idx = {r["doc"]: r["_bm25"] for r in
+           scoring.bm25_topk_postings(p, ["spark"], k=10,
+                                      lengths=lens).collect()}
+    assert idx == scan
