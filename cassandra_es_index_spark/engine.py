@@ -150,18 +150,38 @@ class CassandraEsIndexEngine:
                  retention_ms: int | None = None,
                  compact_max_files: int | None = None) -> dict[str, object]:
         """One maintenance pass: TTL sweep (60 s cadence in the reference),
-        segment retention, purge of empty segments, optional compaction."""
+        segment retention, purge of empty segments, optional compaction.
+
+        The search view is refreshed afterwards — maintenance changes the
+        store's content (TTL/retention) and its FILE SET (compaction
+        rewrites, segment drops), so a pre-maintenance documents snapshot
+        would be stale or reference deleted files. A TTL-only sweep rides
+        the incremental postings path (the expired ids are known); any
+        structural change (drop/purge/compact) takes the full refresh."""
         store = self._stores[table]
         report: dict[str, object] = {}
+        expired_ids = None
         if now_epoch_s is not None:
-            store.delete_expired(now_epoch_s)
+            expired_ids = store.delete_expired(now_epoch_s)
             report["ttl_swept"] = True
+        structural = False
         if now_ms is not None and retention_ms is not None:
             expired = store.expired_segments(now_ms, retention_ms)
             store.drop_segments(expired)
             report["segments_dropped"] = expired
+            structural = structural or bool(expired)
         report["segments_purged"] = store.purge_empty_segments()
+        structural = structural or bool(report["segments_purged"])
         if compact_max_files is not None:
             report["segments_compacted"] = store.compact_segments(
                 compact_max_files)
+            structural = structural or bool(report["segments_compacted"])
+        ttl_deleted = (expired_ids is not None
+                       and expired_ids.limit(1).count() > 0)
+        if table in self.search_engine.catalog.names():
+            if structural:
+                self.refresh_search_view(table)
+            elif ttl_deleted:
+                self.refresh_search_view(
+                    table, changes={"upserts": None, "deletes": expired_ids})
         return report

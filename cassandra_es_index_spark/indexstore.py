@@ -249,22 +249,31 @@ class ParquetIndexStore:
             return
         self._tombstone(ids)
 
-    def delete_where(self, predicate: Column) -> None:
+    def delete_where(self, predicate: Column) -> DataFrame | None:
         """Delete-by-query (ref ElasticIndex.java:817-836): one column-
         pruned scan to find matching ids, then an O(matches) tombstone
-        append — no segment rewrite."""
+        append — no segment rewrite.
+
+        Returns the matched ``_id`` set, MATERIALIZED (eager local
+        checkpoint) before the tombstones land — re-evaluating the lazy
+        plan afterwards would read the post-tombstone state and resolve to
+        empty. Callers use it to update derived state (postings deltas)
+        incrementally."""
         if not self.exists():
-            return
-        matches = self.read().where(predicate).select(DOC_ID).distinct()
+            return None
+        matches = (self.read().where(predicate).select(DOC_ID).distinct()
+                       .localCheckpoint(eager=True))
         self._tombstone(matches)
+        return matches
 
     # -- TTL / retention (S6, W10, A2) --------------------------------------
 
-    def delete_expired(self, now_epoch_s: int) -> None:
+    def delete_expired(self, now_epoch_s: int) -> DataFrame | None:
         """Doc-level TTL sweep: drop docs whose ``_cassandraTtl`` passed
         (ref ElasticIndex.java:825-836; 60 s cadence in the reference —
-        cadence belongs to the caller's scheduler)."""
-        self.delete_where(F.col(TTL_FIELD) <= F.lit(now_epoch_s))
+        cadence belongs to the caller's scheduler). Returns the expired
+        ``_id`` set (see ``delete_where``)."""
+        return self.delete_where(F.col(TTL_FIELD) <= F.lit(now_epoch_s))
 
     def expired_segments(self, now_ms: int, retention_ms: int) -> list[str]:
         """FRAME-mode segments entirely older than the retention horizon

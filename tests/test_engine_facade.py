@@ -258,3 +258,36 @@ def test_postings_delta_composite_key(engine, spark):
     assert rows == {(1, 1): 2}
     out2 = engine.search("comp_mut", "#options:load-rows=false#body:alpha")
     assert {(r["pk"], r["ck"]) for r in out2.collect()} == {(3, 9)}
+
+
+def test_maintain_refreshes_search_view(engine, spark):
+    """Maintenance changes store content (TTL) and its file set
+    (compaction) — search must observe both afterwards. A TTL-only sweep
+    keeps postings index-served via the incremental delete path."""
+    emails = spark.createDataFrame(
+        [("a", "expiring cassandra doc", 100),
+         ("b", "surviving spark doc", 10_000)],
+        "id string, body string, expire_at long")
+    spec = TableSpec("em_maint", ["id"], ttl_column="expire_at")
+    engine.register(emails, spec, build=True)
+    se = engine.search_engine
+    se.build_postings_index("em_maint", "body", materialize=True)
+    state = se._postings[("em_maint", "body")]
+    base_before = state.base
+    assert engine.search(
+        "em_maint", "#options:load-rows=false#body:cassandra").count() == 1
+
+    engine.maintain("em_maint", now_epoch_s=200)  # 'a' expired
+    out = engine.search("em_maint", "#options:load-rows=false#body:cassandra")
+    assert "regexp_extract_all" not in _plan(out)   # still index-served
+    assert state.base is base_before                # incremental, no rebuild
+    assert out.count() == 0
+    assert engine.search(
+        "em_maint", "#options:load-rows=false#body:surviving").count() == 1
+
+    # compaction rewrites files → full refresh keeps search working
+    engine.maintain("em_maint", compact_max_files=0)
+    assert engine.search(
+        "em_maint", "#options:load-rows=false#body:surviving").count() == 1
+    assert engine.search(
+        "em_maint", "#options:load-rows=false#body:cassandra").count() == 0
