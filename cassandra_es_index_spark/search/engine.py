@@ -479,6 +479,25 @@ class SearchEngine:
                          .where(F.col("token").startswith(prefix))
                          .groupBy("doc")
                          .agg(F.sum("tf").cast("long").alias(SCORE)))
+            if isinstance(n, Or) and n.children and \
+                    all(isinstance(c, Term) for c in n.children):
+                # same-field OR of distinct plain terms → ONE isin filter +
+                # one aggregation over the postings, instead of per-term
+                # filters unioned then re-aggregated. The isin predicate
+                # pushes into the (cached/bucketed) postings scan; score
+                # semantics are identical (Σ tf over matched terms).
+                flds = {c.field if c.field is not None else default
+                        for c in n.children}
+                vals = [c.value.lower() for c in n.children]
+                if len(flds) == 1 and len(set(vals)) == len(vals):
+                    state = self._postings.get((table, next(iter(flds))))
+                    if state is not None and all(
+                            self._PLAIN_TOKEN.fullmatch(c.value)
+                            for c in n.children):
+                        return (state.view()
+                                 .where(F.col("token").isin(*vals))
+                                 .groupBy("doc")
+                                 .agg(F.sum("tf").cast("long").alias(SCORE)))
             if isinstance(n, (And, Or)) and n.children:
                 parts = [serve(c) for c in n.children]
                 if any(x is None for x in parts):

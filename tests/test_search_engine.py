@@ -329,3 +329,32 @@ def test_postings_invalidated_on_reindex(spark):
     eng.build_postings_index("emails_inv", "body")
     eng.search("emails_inv", "#update#{}#")
     assert ("emails_inv", "body") not in eng._postings
+
+
+def test_postings_or_same_field_is_single_lookup(indexed_engine, spark):
+    """`body:a OR body:b` compiles to one isin postings filter + one
+    aggregation — no per-term union — with scan-path score parity."""
+    out = indexed_engine.search(
+        "emails_idx", "#options:load-rows=false#body:cassandra OR body:hello")
+    plan = _plan(out)
+    assert "regexp_extract_all" not in plan
+    assert "Union" not in plan
+    scan_eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        EMAILS, "id string, subject string, body string, userid int")
+    scan_eng.register(df, TableSpec("emails_or_scan", ["id"]))
+    want = sorted(map(tuple, scan_eng.search(
+        "emails_or_scan",
+        "#options:load-rows=false#body:cassandra OR body:hello")
+        .select("id", "_score").collect()))
+    got = sorted(map(tuple, out.select("id", "_score").collect()))
+    assert got == want
+    # duplicate terms keep the generic path (score doubles on the scan
+    # path, so the isin shortcut must not engage)
+    dup = indexed_engine.search(
+        "emails_idx", "#options:load-rows=false#body:cassandra OR body:cassandra")
+    want_dup = sorted(map(tuple, scan_eng.search(
+        "emails_or_scan",
+        "#options:load-rows=false#body:cassandra OR body:cassandra")
+        .select("id", "_score").collect()))
+    assert sorted(map(tuple, dup.select("id", "_score").collect())) == want_dup
