@@ -96,6 +96,15 @@ def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+def _doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 norm table (doc, dl) — part of the index, built once per
+    session and cached (ES stores norms per segment the same way)."""
+    key = _ck(spark, sf_dir, "lengths:documents.text")
+    if key not in _CACHE:
+        _CACHE[key] = scoring.doc_lengths(_doc_postings(spark, sf_dir)).cache()
+    return _CACHE[key]
+
+
 def bench_prepare(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Warm the index-shaped state the bench queries serve from — the
     analogue of the reference's prebuilt ES index (its 514 ms trace is
@@ -121,6 +130,7 @@ def bench_prepare(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
     t0 = _time.perf_counter()
     _doc_postings(spark, sf_dir).count()
+    _doc_lengths(spark, sf_dir).count()  # BM25 norm table
     out["documents_postings_build"] = round(_time.perf_counter() - t0, 3)
 
     t0 = _time.perf_counter()
@@ -653,7 +663,8 @@ def q_search_bm25_topk(spark, sf_dir):
     # re-tokenization. Bit-identical to scoring.bm25_topk (parity-tested)
     # so the same DuckDB oracle applies.
     out = scoring.bm25_topk_postings(_doc_postings(spark, sf_dir),
-                                     ["spark", "data"], k=15)
+                                     ["spark", "data"], k=15,
+                                     lengths=_doc_lengths(spark, sf_dir))
     return out.select(F.col("doc").alias("doc_id"), "_bm25")
 
 

@@ -124,6 +124,32 @@ def ivf_build(corpus: DataFrame, id_col: str, vec_col: str,
     return assign(c), centroids
 
 
+def ivf_write(indexed: DataFrame, centroids: list[list[float]],
+              path: str) -> None:
+    """Persist an IVF index: the assigned corpus parquet-PARTITIONED BY
+    ``cell`` plus the centroids as JSON alongside. Build once, query many
+    — and because ``ivf_topk`` joins a broadcast probe list on ``cell``,
+    scans against the persisted layout prune to the probed cells'
+    directories (dynamic partition pruning), touching nprobe/n_cells of
+    the index per query."""
+    import json as _json
+    import os as _os
+
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(_os.path.join(path, "_centroids.json"), "w") as f:
+        _json.dump(centroids, f)
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Reopen a persisted IVF index → (indexed corpus, centroids)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_centroids.json")) as f:
+        centroids = _json.load(f)
+    return spark.read.parquet(path), centroids
+
+
 def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
              queries: DataFrame, query_id: str, query_vec: str,
              k: int = 10, nprobe: int = 4) -> DataFrame:

@@ -338,3 +338,36 @@ def test_embedding_dup_pairs_exact_and_lsh(spark):
     assert set(lsh_pairs) <= set(pairs)       # precision 1
     assert (0, 1) in lsh_pairs                # collides in some table
     assert lsh_pairs[(0, 1)] == pairs[(0, 1)]
+
+
+def test_ivf_persisted_index_roundtrip(spark, tmp_path):
+    """IVF write/read: identical query results against the persisted
+    index, and probes prune to the probed cells' partitions on disk."""
+    import numpy as np
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((60, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    indexed, centroids = similarity.ivf_build(df, "vec_id", "embedding",
+                                              n_cells=4, n_iters=2)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write(indexed, centroids, path)
+    stored, stored_centroids = similarity.ivf_read(spark, path)
+    assert stored_centroids == centroids
+
+    queries = df.where(F.col("vec_id") < 3)
+    mem = similarity.ivf_topk(indexed, centroids, queries,
+                              "vec_id", "embedding", k=2, nprobe=2)
+    disk = similarity.ivf_topk(stored, stored_centroids, queries,
+                               "vec_id", "embedding", k=2, nprobe=2)
+    m = sorted((r["query_id"], r["corpus_id"], r["cos_sim"])
+               for r in mem.collect())
+    d = sorted((r["query_id"], r["corpus_id"], r["cos_sim"])
+               for r in disk.collect())
+    assert m == d
+    # the persisted layout is partitioned by cell → the probe join can
+    # partition-prune; at minimum the layout must exist per cell
+    import os
+    cells = [n for n in os.listdir(path) if n.startswith("cell=")]
+    assert len(cells) == indexed.select("cell").distinct().count()
