@@ -66,10 +66,13 @@ def _docs_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         eng.register(_t(spark, sf_dir, "documents"),
                      TableSpec("documents", ["doc_id"]))
         # postings on both searched fields: term/prefix-wildcard boolean
-        # queries compile to postings equi-joins (the reference's ES never
-        # scans); phrase/range/NOT queries fall back to the scan plan.
+        # queries compile to postings equi-joins, and the positional index
+        # serves multi-word phrases from chunk-position joins (the
+        # reference's ES never scans); range/NOT queries fall back to the
+        # scan plan.
         eng.build_postings_index("documents", "text")
         eng.build_postings_index("documents", "lang")
+        eng.build_phrase_index("documents", "text")
         _CACHE[key] = eng
     return _CACHE[key]
 
@@ -121,6 +124,7 @@ def bench_prepare(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     eng.cache_documents("documents")
     eng.build_postings_index("documents", "text", materialize=True)
     eng.build_postings_index("documents", "lang", materialize=True)
+    eng.build_phrase_index("documents", "text", materialize=True)
     out["documents_index_build"] = round(_time.perf_counter() - t0, 3)
 
     t0 = _time.perf_counter()

@@ -41,6 +41,7 @@ HEADLINE = [
     "doc_build",            # the bulk row→document indexing path
     "search_term_bool",
     "search_wildcard",
+    "search_phrase",        # positional-index-served (chunk-position joins)
     "search_dsl_range",
     "search_topk",
     "tpch_q1",

@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
-from cassandra_es_index_spark.search.ast import And, Node, Or, Term, Wildcard
+from cassandra_es_index_spark.search.ast import (
+    And, Node, Or, Phrase, Term, Wildcard,
+)
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
 
@@ -126,6 +128,9 @@ class SearchEngine:
         self.catalog = Catalog(spark)
         self._docs: dict[str, DataFrame] = {}
         self._postings: dict[tuple[str, str], PostingsState] = {}
+        # positional (phrase) indexes — chunk postings per (table, field),
+        # maintained incrementally by the same PostingsState mechanism
+        self._positional: dict[tuple[str, str], PostingsState] = {}
         # J1 row-loading side per table: defaults to the registered base
         # DataFrame (the reference loads rows from Cassandra); the facade
         # overrides it after mutations so inserted documents — present in
@@ -153,9 +158,12 @@ class SearchEngine:
         the postings incrementally instead of discarding them."""
         for key in [k for k in self._postings if k[0] == table]:
             self._postings.pop(key).unpersist()
+        for key in [k for k in self._positional if k[0] == table]:
+            self._positional.pop(key).unpersist()
 
     def has_postings(self, table: str) -> bool:
-        return any(k[0] == table for k in self._postings)
+        return any(k[0] == table for k in self._postings) or \
+            any(k[0] == table for k in self._positional)
 
     def apply_delta(self, table: str, resolved_docs: DataFrame,
                     new_docs: DataFrame | None,
@@ -168,6 +176,7 @@ class SearchEngine:
         ref ElasticIndex.java:603-614). ``new_docs`` are the upserted
         documents (built form), ``removed_ids`` a DataFrame with the
         ``_id`` column of deleted docs."""
+        from cassandra_es_index_spark.search.positional import build_chunks
         from cassandra_es_index_spark.search.postings import build_postings
 
         self._docs[table] = resolved_docs
@@ -175,24 +184,26 @@ class SearchEngine:
             return
         _, spec = self.catalog.get(table)
         id_col = self._postings_id_col(spec)
-        for (t, fld), state in list(self._postings.items()):
-            if t != table:
-                continue
-            doc_type = state.base.schema["doc"].dataType
-            parts = []
-            if new_docs is not None:
-                parts.append(new_docs.select(
-                    F.col(id_col).cast(doc_type).alias("doc")))
-            if removed_ids is not None:
-                parts.append(removed_ids.select(
-                    F.col(DOC_ID).cast(doc_type).alias("doc")))
-            if not parts:
-                continue
-            touched = parts[0] if len(parts) == 1 else \
-                parts[0].unionByName(parts[1])
-            fresh = (build_postings(new_docs, id_col, fld)
-                     if new_docs is not None else None)
-            state.apply(fresh, touched)
+        for registry, builder in ((self._postings, build_postings),
+                                  (self._positional, build_chunks)):
+            for (t, fld), state in list(registry.items()):
+                if t != table:
+                    continue
+                doc_type = state.base.schema["doc"].dataType
+                parts = []
+                if new_docs is not None:
+                    parts.append(new_docs.select(
+                        F.col(id_col).cast(doc_type).alias("doc")))
+                if removed_ids is not None:
+                    parts.append(removed_ids.select(
+                        F.col(DOC_ID).cast(doc_type).alias("doc")))
+                if not parts:
+                    continue
+                touched = parts[0] if len(parts) == 1 else \
+                    parts[0].unionByName(parts[1])
+                fresh = (builder(new_docs, id_col, fld)
+                         if new_docs is not None else None)
+                state.apply(fresh, touched)
 
     def documents(self, table: str) -> DataFrame:
         return self._docs[table]
@@ -436,18 +447,46 @@ class SearchEngine:
             p.count()
         return p
 
+    def build_phrase_index(self, table: str, field: str | None = None,
+                           materialize: bool = False) -> DataFrame:
+        """Build (and cache) the positional chunk index for one string
+        field. Once built, ``search`` serves multi-word phrase queries on
+        that field from chunk-position joins (bit-exact with the scan
+        regex, see ``search/positional.py``) instead of re-scanning the
+        corpus — the engine analogue of ES consulting term positions for
+        phrase queries against its prebuilt index."""
+        from pyspark.sql import types as T
+
+        from cassandra_es_index_spark.search.positional import build_chunks
+
+        _, spec = self.catalog.get(table)
+        docs = self._docs[table]
+        fld = field or Compiler(docs).default_field
+        if not isinstance(docs.schema[fld].dataType, T.StringType):
+            raise ValueError(f"phrase index needs a string field, "
+                             f"got {docs.schema[fld].dataType} for {fld!r}")
+        if (table, fld) not in self._positional:
+            self._positional[(table, fld)] = PostingsState(build_chunks(
+                docs, self._postings_id_col(spec), fld))
+        p = self._positional[(table, fld)].view()
+        if materialize:
+            p.count()
+        return p
+
     def _postings_hits(self, table: str, node: Node,
                        default_field: str | None) -> DataFrame | None:
         """Try to serve the query AST as postings equi-joins.
 
-        Servable: And/Or trees whose leaves are whole-token ``Term``s or
+        Servable: And/Or trees whose leaves are whole-token ``Term``s,
         trailing-star prefix ``Wildcard``s (``quer*``) on fields with a
-        built postings index. Returns (doc, _score) with the scan path's
-        exact score semantics (Σ leaf tf), or None to fall back to the
-        scan plan. Anything else (non-prefix wildcards, phrases, ranges,
-        NOT, should-boosts) keeps the scan path.
+        built postings index, or plain-word ``Phrase``s on fields with a
+        built positional index (``build_phrase_index``). Returns
+        (doc, _score) with the scan path's exact score semantics (Σ leaf
+        tf / phrase match count), or None to fall back to the scan plan.
+        Anything else (non-prefix wildcards, ranges, NOT, should-boosts)
+        keeps the scan path.
         """
-        if not self._postings:
+        if not self._postings and not self._positional:
             return None
         docs = self._docs[table]
         default = default_field or Compiler(docs).default_field
@@ -479,6 +518,30 @@ class SearchEngine:
                          .where(F.col("token").startswith(prefix))
                          .groupBy("doc")
                          .agg(F.sum("tf").cast("long").alias(SCORE)))
+            if isinstance(n, Phrase):
+                from cassandra_es_index_spark.search.positional import (
+                    phrase_counts,
+                )
+
+                fld = n.field if n.field is not None else default
+                words = [w.lower() for w in n.text.split()]
+                if not words or not all(
+                        self._PLAIN_TOKEN.fullmatch(w) for w in words):
+                    return None
+                if len(words) == 1:
+                    # \bw\b ≡ whole-token term — the ordinary postings
+                    # already hold the exact tf
+                    state = self._postings.get((table, fld))
+                    if state is None:
+                        return None
+                    return (state.view()
+                             .where(F.col("token") == words[0])
+                             .select("doc", F.col("tf").alias(SCORE)))
+                state = self._positional.get((table, fld))
+                if state is None:
+                    return None
+                out = phrase_counts(state.view(), words, score_col=SCORE)
+                return out.select("doc", F.col(SCORE).cast("long").alias(SCORE))
             if isinstance(n, Or) and n.children and \
                     all(isinstance(c, Term) for c in n.children):
                 # same-field OR of distinct plain terms → ONE isin filter +

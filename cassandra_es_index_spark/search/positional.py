@@ -1,0 +1,117 @@
+"""Positional (phrase) index — chunk postings with positions.
+
+The scan path evaluates a phrase ``"w1 w2 … wn"`` as the regex
+``(?i)\\bw1\\s+w2\\s+…\\s+wn\\b`` over the raw text (``compile.py``,
+``phrase_pattern``), counting NON-OVERLAPPING matches left-to-right
+(``regexp_extract_all`` semantics). At 100 TB that is a full corpus scan
+per phrase query; ES instead consults its positional postings
+(term positions recorded at index time — ref README.md:179's query class
+runs against a prebuilt index, never a scan).
+
+This module is the engine's positional index, built so lookups are
+BIT-EXACT with the scan regex:
+
+- The text splits into whitespace-delimited **chunks** with positions
+  (``\\s+`` is exactly the separator the phrase regex requires between
+  words). Per chunk we store its leading word run, trailing word run,
+  whole-chunk token (when the chunk is a single word run), and whether
+  the chunk holds ≥2 word runs (``multi``).
+- A candidate match of an n-word phrase at chunk ``p`` requires:
+  ``tail(p) = w1``, ``whole(p+i) = w(i+1)`` for the middle words, and
+  ``lead(p+n-1) = wn`` — precisely the character positions where the
+  regex can match (``\\bw1`` forces w1 to be a maximal trailing run,
+  ``\\s+`` forces chunk adjacency, ``wn\\b`` forces a maximal leading
+  run).
+- Regex counting is non-overlapping: after a match at ``p`` the scanner
+  resumes AFTER wn, i.e. inside chunk ``p+n-1``. The next candidate may
+  therefore start at ``p+n-1`` iff that chunk has a second word run
+  (``multi``), else at ``p+n``. A per-doc fold over the sorted candidate
+  starts applies exactly this rule — all JVM-side (``F.aggregate``), no
+  UDFs, and the candidate arrays are phrase-frequency-sized (tiny).
+
+Everything is DataFrame ops: filters on the (cached) chunk index,
+equi-joins on (doc, start), one groupBy — the corpus text is never
+re-scanned. Parity with the scan path is property-tested
+(``tests/test_search_engine.py``) and oracle-checked (``search_phrase``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_RUN = r"\w+"
+
+
+def build_chunks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus → (doc, pos, lead, tail, whole, multi) — one row per
+    whitespace-delimited chunk of the field.
+
+    ``lead``/``tail`` are the chunk's first/last maximal word run
+    (lowered; empty when the chunk has none), ``whole`` the lowered chunk
+    itself when it is exactly one word run (else null), ``multi`` whether
+    the chunk holds ≥2 word runs (drives the non-overlap resume rule).
+    Like ``build_postings``, the input is repartitioned so tokenization
+    parallelizes even from a single source file."""
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    chunk = F.lower(F.col("_chunk"))
+    return (docs.repartition(n_part)
+                .select(F.col(id_col).alias("doc"),
+                        F.posexplode(F.split(F.col(text_col), r"\s+"))
+                         .alias("pos", "_chunk"))
+                .select(
+                    "doc", "pos",
+                    F.regexp_extract(chunk, f"^({_WORD_RUN})", 1).alias("lead"),
+                    F.regexp_extract(chunk, f"({_WORD_RUN})$", 1).alias("tail"),
+                    F.when(chunk.rlike(f"^{_WORD_RUN}$"), chunk).alias("whole"),
+                    # ≥2 word runs ⟺ two word chars separated by non-word
+                    # chars (kept regexp_extract_all-free so index-served
+                    # plans are distinguishable from scan plans)
+                    chunk.rlike(r"\w\W+\w").alias("multi"),
+                ))
+
+
+def _greedy_count(matches: Column, n: int) -> Column:
+    """Non-overlapping match count from sorted candidate structs
+    (start, multi_last) — the regex scanner's resume rule: after a match
+    at ``start`` the next may begin at ``start+n-1`` when the last chunk
+    has a spare word run, else ``start+n``."""
+    zero = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    F.lit(-2147483648).alias("nxt"))
+    step = lambda acc, x: F.when(  # noqa: E731 — aggregate lambda
+        x["start"] >= acc["nxt"],
+        F.struct(
+            (acc["cnt"] + 1).alias("cnt"),
+            (x["start"] + F.lit(n)
+             - F.when(x["multi_last"], F.lit(1)).otherwise(F.lit(0))
+             ).alias("nxt"))).otherwise(acc)
+    return F.aggregate(matches, zero, step)["cnt"]
+
+
+def phrase_counts(chunks: DataFrame, words: list[str],
+                  score_col: str = "_score") -> DataFrame:
+    """(doc, score=match count) for an n≥2-word phrase, bit-exact with the
+    scan regex ``\\bw1\\s+…\\s+wn\\b`` including non-overlap counting.
+    Every returned doc has score ≥ 1 (the leftmost candidate is always a
+    genuine match), so the result set equals the scan predicate's."""
+    n = len(words)
+    if n < 2:
+        raise ValueError("phrase_counts needs >= 2 words")
+    words = [w.lower() for w in words]
+    first = (chunks.where(F.col("tail") == words[0])
+                   .select("doc", F.col("pos").alias("start")))
+    parts = [first]
+    for i, w in enumerate(words[1:-1], 1):
+        parts.append(chunks.where(F.col("whole") == w)
+                           .select("doc", (F.col("pos") - i).alias("start")))
+    parts.append(chunks.where(F.col("lead") == words[-1])
+                       .select("doc", (F.col("pos") - (n - 1)).alias("start"),
+                               F.col("multi").alias("multi_last")))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.join(p, on=["doc", "start"])
+    return (cand.groupBy("doc")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("start", "multi_last"))).alias("_m"))
+                .select("doc",
+                        _greedy_count(F.col("_m"), n).alias(score_col)))

@@ -291,3 +291,45 @@ def test_maintain_refreshes_search_view(engine, spark):
         "em_maint", "#options:load-rows=false#body:surviving").count() == 1
     assert engine.search(
         "em_maint", "#options:load-rows=false#body:cassandra").count() == 0
+
+
+def test_phrase_index_maintained_incrementally_under_mutations(engine, spark):
+    """The positional (phrase) index rides the same log-structured overlay
+    as the term postings: a mutation batch retires only the touched docs'
+    chunk rows, the bulk-built base survives, and phrase search stays
+    index-served with rows matching a from-scratch scan of the resolved
+    state."""
+    emails = spark.createDataFrame(
+        [("a", "hello cassandra world", 1), ("b", "hello spark", 2),
+         ("c", "cassandra world order", 3)],
+        "id string, body string, userid int")
+    engine.register(emails, TableSpec("em_ph", ["id"]), build=True)
+    se = engine.search_engine
+    se.build_phrase_index("em_ph", "body", materialize=True)
+    state = se._positional[("em_ph", "body")]
+    base_before = state.base
+
+    q = '#options:load-rows=false#body:"cassandra world"'
+    pre = engine.search("em_ph", q)
+    assert "regexp_extract_all" not in _plan(pre)
+    assert {r["id"] for r in pre.collect()} == {"a", "c"}
+
+    engine.apply_mutations("em_ph", spark.createDataFrame(
+        [(_ts(1), "update", "a", "no phrase here", 9),        # retires a
+         (_ts(2), "insert", "d", "cassandra world twice cassandra world", 4),
+         (_ts(3), "partition_delete", "c", None, None)],      # deletes c
+        "ts timestamp, op string, id string, body string, userid int"))
+
+    out = engine.search("em_ph", q)
+    assert "regexp_extract_all" not in _plan(out)
+    assert state.base is base_before           # incremental, not rebuilt
+    assert {(r["id"], r["_score"]) for r in out.collect()} == {("d", 2)}
+
+    # parity with a from-scratch scan over the resolved store state
+    scan_eng = SearchEngine(spark)
+    scan_eng.register(engine.store("em_ph").read().drop("segment")
+                      .select("id", "body", "userid"),
+                      TableSpec("em_ph_scan", ["id"]))
+    want = sorted((r["id"], r["_score"]) for r in scan_eng.search(
+        "em_ph_scan", q).collect())
+    assert sorted((r["id"], r["_score"]) for r in out.collect()) == want

@@ -358,3 +358,73 @@ def test_postings_or_same_field_is_single_lookup(indexed_engine, spark):
         "#options:load-rows=false#body:cassandra OR body:cassandra")
         .select("id", "_score").collect()))
     assert sorted(map(tuple, dup.select("id", "_score").collect())) == want_dup
+
+
+# -- positional (phrase) index ----------------------------------------------
+
+
+def test_phrase_plan_replaces_scan(indexed_engine, spark):
+    """A multi-word phrase on a field with a positional index is served
+    from chunk-position joins — no corpus regex scan — with the scan
+    path's exact match-count scores."""
+    indexed_engine.build_phrase_index("emails_idx", "body", materialize=True)
+    out = indexed_engine.search(
+        "emails_idx", '#options:load-rows=false#body:"hello world"')
+    assert "regexp_extract_all" not in _plan(out)
+    assert {(r["id"], r["_score"]) for r in out.collect()} == {("e3", 1)}
+
+    # mixed boolean: phrase AND term, both index-served
+    out2 = indexed_engine.search(
+        "emails_idx",
+        '#options:load-rows=false#body:cassandra AND body:"cassandra is"')
+    assert "regexp_extract_all" not in _plan(out2)
+    assert {(r["id"], r["_score"]) for r in out2.collect()} == {("e1", 2)}
+
+    # single-word quoted phrase ≡ whole-token term → ordinary postings
+    out3 = indexed_engine.search(
+        "emails_idx", '#options:load-rows=false#body:"cassandra"')
+    assert "regexp_extract_all" not in _plan(out3)
+    assert {r["id"]: r["_score"] for r in out3.collect()} == \
+        {"e1": 1, "e2": 1, "e5": 3}
+
+
+def test_phrase_positional_parity_edge_cases(spark):
+    """The positional path must reproduce the scan regex bit-exactly,
+    including non-overlapping greedy counting (`a a` in `a a a a` = 2,
+    not 3) and the punctuation/boundary cases (`hello, world` is NOT the
+    phrase `hello world`; a second match may begin inside the chunk where
+    the previous match ended: `a b-a b` = 2)."""
+    import re as _re
+
+    from cassandra_es_index_spark.search.compile import phrase_pattern
+    from cassandra_es_index_spark.search.positional import (
+        build_chunks, phrase_counts,
+    )
+
+    texts = [
+        (0, "a a a a"), (1, "a b-a b"), (2, "hello, world"),
+        (3, "x-hello world"), (4, "hello world-x"), (5, "a a a a a"),
+        (6, "  hello   world  "), (7, "value table value table value"),
+        (8, "Hello WORLD"), (9, "a b a b a b"), (10, None),
+        (11, "a  b\tc\na b c"), (12, "ab aa ab aa ab"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    chunks = build_chunks(df, "doc_id", "text").cache()
+    for ph in ["a a", "a b", "hello world", "a a a", "value table",
+               "a b c", "b a", "ab aa", "aa ab"]:
+        rx = _re.compile(phrase_pattern(ph).replace("(?i)", ""),
+                        _re.IGNORECASE | _re.ASCII)
+        want = {i: len(rx.findall(t)) for i, t in texts
+                if t and rx.findall(t)}
+        got = {r["doc"]: r["_score"]
+               for r in phrase_counts(chunks, ph.split()).collect()}
+        assert got == want, ph
+    chunks.unpersist()
+
+
+def test_phrase_falls_back_without_positional_index(indexed_engine):
+    # phrase on a field with term postings but no positional index → scan
+    out = indexed_engine.search(
+        "emails_idx", '#options:load-rows=false#subject:"hello again"')
+    assert "regexp_extract_all" in _plan(out)
+    assert {r["id"] for r in out.collect()} == {"e3"}
