@@ -73,6 +73,7 @@ def _docs_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         eng.build_postings_index("documents", "text")
         eng.build_postings_index("documents", "lang")
         eng.build_phrase_index("documents", "text")
+        eng.build_presence_index("documents", "source")
         _CACHE[key] = eng
     return _CACHE[key]
 
@@ -125,6 +126,7 @@ def bench_prepare(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     eng.build_postings_index("documents", "text", materialize=True)
     eng.build_postings_index("documents", "lang", materialize=True)
     eng.build_phrase_index("documents", "text", materialize=True)
+    eng.build_presence_index("documents", "source", materialize=True)
     out["documents_index_build"] = round(_time.perf_counter() - t0, 3)
 
     t0 = _time.perf_counter()

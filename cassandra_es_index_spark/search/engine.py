@@ -19,7 +19,7 @@ from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
-    And, Node, Or, Phrase, Term, Wildcard,
+    And, Exists, Node, Or, Phrase, Term, Wildcard,
 )
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
@@ -31,6 +31,14 @@ GET_MAPPING = "#get_mapping#"
 PUT_MAPPING_PREFIX = "#put_mapping#"
 
 SCORE = "_score"
+
+
+def _presence_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
+    """(doc) rows where ``field`` is non-null — the presence index
+    contents; same builder signature as build_postings/build_chunks so it
+    plugs into the incremental-maintenance loop."""
+    ref = Compiler(docs).resolve(field)
+    return docs.where(ref.col.isNotNull()).select(F.col(id_col).alias("doc"))
 
 
 class PostingsState:
@@ -131,6 +139,9 @@ class SearchEngine:
         # positional (phrase) indexes — chunk postings per (table, field),
         # maintained incrementally by the same PostingsState mechanism
         self._positional: dict[tuple[str, str], PostingsState] = {}
+        # field-presence indexes — the doc-id set where a field is
+        # non-null; serves `_exists_` leaves without a corpus scan
+        self._presence: dict[tuple[str, str], PostingsState] = {}
         # J1 row-loading side per table: defaults to the registered base
         # DataFrame (the reference loads rows from Cassandra); the facade
         # overrides it after mutations so inserted documents — present in
@@ -160,10 +171,14 @@ class SearchEngine:
             self._postings.pop(key).unpersist()
         for key in [k for k in self._positional if k[0] == table]:
             self._positional.pop(key).unpersist()
+        for key in [k for k in self._presence if k[0] == table]:
+            self._presence.pop(key).unpersist()
 
     def has_postings(self, table: str) -> bool:
-        return any(k[0] == table for k in self._postings) or \
-            any(k[0] == table for k in self._positional)
+        return any(k[0] == table
+                   for registry in (self._postings, self._positional,
+                                    self._presence)
+                   for k in registry)
 
     def apply_delta(self, table: str, resolved_docs: DataFrame,
                     new_docs: DataFrame | None,
@@ -185,7 +200,8 @@ class SearchEngine:
         _, spec = self.catalog.get(table)
         id_col = self._postings_id_col(spec)
         for registry, builder in ((self._postings, build_postings),
-                                  (self._positional, build_chunks)):
+                                  (self._positional, build_chunks),
+                                  (self._presence, _presence_rows)):
             for (t, fld), state in list(registry.items()):
                 if t != table:
                     continue
@@ -473,16 +489,35 @@ class SearchEngine:
             p.count()
         return p
 
+    def build_presence_index(self, table: str, field: str,
+                             materialize: bool = False) -> DataFrame:
+        """Build (and cache) the field-presence index — the doc-id set
+        where ``field`` is non-null. Once built, ``_exists_:field`` leaves
+        are served from it (score 1 per doc, the scan path's semantics)
+        instead of scanning the corpus; maintained incrementally under
+        mutations like the other index kinds."""
+        _, spec = self.catalog.get(table)
+        docs = self._docs[table]
+        if (table, field) not in self._presence:
+            self._presence[(table, field)] = PostingsState(_presence_rows(
+                docs, self._postings_id_col(spec), field))
+        p = self._presence[(table, field)].view()
+        if materialize:
+            p.count()
+        return p
+
     def _postings_hits(self, table: str, node: Node,
                        default_field: str | None) -> DataFrame | None:
         """Try to serve the query AST as postings equi-joins.
 
         Servable: And/Or trees whose leaves are whole-token ``Term``s,
         trailing-star prefix ``Wildcard``s (``quer*``) on fields with a
-        built postings index, or plain-word ``Phrase``s on fields with a
-        built positional index (``build_phrase_index``). Returns
-        (doc, _score) with the scan path's exact score semantics (Σ leaf
-        tf / phrase match count), or None to fall back to the scan plan.
+        built postings index, plain-word ``Phrase``s on fields with a
+        built positional index (``build_phrase_index``), or ``Exists``
+        leaves on fields with a built presence index
+        (``build_presence_index``). Returns (doc, _score) with the scan
+        path's exact score semantics (Σ leaf tf / phrase match count /
+        1 per existing doc), or None to fall back to the scan plan.
         Anything else (non-prefix wildcards, ranges, NOT, should-boosts)
         keeps the scan path.
         """
@@ -518,6 +553,12 @@ class SearchEngine:
                          .where(F.col("token").startswith(prefix))
                          .groupBy("doc")
                          .agg(F.sum("tf").cast("long").alias(SCORE)))
+            if isinstance(n, Exists):
+                state = self._presence.get((table, n.field))
+                if state is None:
+                    return None
+                return state.view().select(
+                    "doc", F.lit(1).cast("long").alias(SCORE))
             if isinstance(n, Phrase):
                 from cassandra_es_index_spark.search.positional import (
                     phrase_counts,

@@ -428,3 +428,70 @@ def test_phrase_falls_back_without_positional_index(indexed_engine):
         "emails_idx", '#options:load-rows=false#subject:"hello again"')
     assert "regexp_extract_all" in _plan(out)
     assert {r["id"] for r in out.collect()} == {"e3"}
+
+
+# -- field-presence index ---------------------------------------------------
+
+
+def test_exists_served_from_presence_index(spark):
+    """`_exists_:field` on a field with a presence index is served from
+    the doc-id set (score 1, the scan path's semantics) — no corpus scan —
+    and composes with term leaves in booleans."""
+    rows = [("p1", "alpha text", "s1"), ("p2", "beta text", None),
+            ("p3", "alpha beta", "s3"), ("p4", None, "s4")]
+    schema = "id string, body string, src string"
+    idx = SearchEngine(spark)
+    idx.register(spark.createDataFrame(rows, schema),
+                 TableSpec("pres_idx", ["id"]))
+    idx.build_postings_index("pres_idx", "body", materialize=True)
+    idx.build_presence_index("pres_idx", "src", materialize=True)
+    scan = SearchEngine(spark)
+    scan.register(spark.createDataFrame(rows, schema),
+                  TableSpec("pres_scan", ["id"]))
+
+    for q in ["#options:load-rows=false#_exists_:src",
+              "#options:load-rows=false#_exists_:src AND body:alpha",
+              "#options:load-rows=false#_exists_:src OR body:beta"]:
+        out = idx.search("pres_idx", q, default_field="body")
+        assert "regexp_extract_all" not in _plan(out), q
+        got = sorted(map(tuple, out.select("id", "_score").collect()))
+        want = sorted(map(tuple, scan.search(
+            "pres_scan", q, default_field="body")
+            .select("id", "_score").collect()))
+        assert got == want, q
+
+    # no presence index for the field → scan fallback, same rows
+    out2 = idx.search("pres_idx", "#options:load-rows=false#_exists_:body")
+    assert {r["id"] for r in out2.collect()} == {"p1", "p2", "p3"}
+
+
+def test_presence_index_incremental_under_delta(spark):
+    """apply_delta retires/adds presence rows for only the touched ids —
+    a doc whose field goes null drops out, an insert with the field set
+    appears, and the base presence set is not rebuilt."""
+    from cassandra_es_index_spark.docmodel import build_documents
+
+    rows = [("p1", "t1", "s1"), ("p2", "t2", None), ("p3", "t3", "s3")]
+    schema = "id string, body string, src string"
+    eng = SearchEngine(spark)
+    spec = TableSpec("pres_delta", ["id"])
+    eng.register(spark.createDataFrame(rows, schema), spec)
+    eng.build_presence_index("pres_delta", "src", materialize=True)
+    state = eng._presence[("pres_delta", "src")]
+    base_before = state.base
+
+    new_rows = [("p1", "t1b", None),   # src goes null → retired
+                ("p4", "t4", "s4")]    # insert with src → appears
+    new_docs = build_documents(spark.createDataFrame(new_rows, schema), spec)
+    resolved = build_documents(spark.createDataFrame(
+        [("p3", "t3", "s3")] + new_rows, schema), spec)
+    removed = spark.createDataFrame([("p2",)], "id string") \
+        .select(F.col("id").alias("_id"))  # p2 deleted
+    eng.apply_delta("pres_delta", resolved, new_docs, removed)
+
+    assert state.base is base_before
+    out = eng.search("pres_delta", "#options:load-rows=false#_exists_:src",
+                     default_field="body")
+    assert "regexp_extract_all" not in _plan(out)
+    # p1 retired (null src), p2 deleted, p3 survives from base, p4 added
+    assert {r["id"] for r in out.collect()} == {"p3", "p4"}
