@@ -60,8 +60,12 @@ class PostingsState:
     overlay folds into a new cached base (the compaction analogue), which
     bounds lookup-time overlay cost under a steady mutation stream."""
 
-    def __init__(self, base: DataFrame, fold_every: int = 16):
-        self.base = base.cache()
+    def __init__(self, base: DataFrame, fold_every: int = 16,
+                 cache_base: bool = True):
+        # disk-backed bases (attach/flush) stay UNcached so lookups keep
+        # the bucketed table's bucket-pruned scan; a later fold() compacts
+        # overlay+base into a cached DataFrame as usual.
+        self.base = base.cache() if cache_base else base
         self.delta: DataFrame | None = None
         self.dead: DataFrame | None = None
         self.fold_every = fold_every
@@ -142,6 +146,7 @@ class SearchEngine:
         # field-presence indexes — the doc-id set where a field is
         # non-null; serves `_exists_` leaves without a corpus scan
         self._presence: dict[tuple[str, str], PostingsState] = {}
+        self._flush_gen: dict[tuple[str, str], int] = {}
         # J1 row-loading side per table: defaults to the registered base
         # DataFrame (the reference loads rows from Cassandra); the facade
         # overrides it after mutations so inserted documents — present in
@@ -488,6 +493,53 @@ class SearchEngine:
         if materialize:
             p.count()
         return p
+
+    def flush_postings(self, table: str, field: str, path: str,
+                       table_name: str | None = None,
+                       buckets: int = 64) -> str:
+        """Checkpoint the postings index — base plus the mutation overlay —
+        to a bucketed on-disk table (``postings.write_postings``), then
+        re-point the in-memory state at the persisted table with an empty
+        overlay. The cluster-deployment shape: executor caches don't
+        survive restarts, so the durable index is the bucketed table and
+        the overlay holds only mutations since the last flush (ES's
+        segment-flush analogue). Returns the table name for
+        ``attach_postings``."""
+        from cassandra_es_index_spark.search.postings import (
+            read_postings, write_postings,
+        )
+
+        state = self._postings[(table, field)]
+        # generational layout: each flush writes a NEW directory/table (a
+        # flush may read the previous generation through its base — Spark
+        # cannot overwrite a path it is reading from). Old generations are
+        # dropped from the catalog; file retention is the caller's sweep.
+        gen = self._flush_gen.get((table, field), 0)
+        base_name = table_name or f"postings_{table}_{field}"
+        name = f"{base_name}_g{gen}"
+        write_postings(state.view(), f"{path}/g{gen}", buckets=buckets,
+                       table_name=name)
+        self._flush_gen[(table, field)] = gen + 1
+        if gen > 0:
+            self.spark.sql(f"DROP TABLE IF EXISTS {base_name}_g{gen - 1}")
+        state.unpersist()
+        self._postings[(table, field)] = PostingsState(
+            read_postings(self.spark, name), cache_base=False)
+        return name
+
+    def attach_postings(self, table: str, field: str,
+                        table_name: str) -> None:
+        """Serve term queries from an existing bucketed on-disk postings
+        table (written by ``flush_postings``/``write_postings``) without
+        rebuilding from the corpus — the restart path: a new session
+        attaches the durable index and mutations accumulate in a fresh
+        overlay on top of it."""
+        from cassandra_es_index_spark.search.postings import read_postings
+
+        if (table, field) in self._postings:
+            self._postings.pop((table, field)).unpersist()
+        self._postings[(table, field)] = PostingsState(
+            read_postings(self.spark, table_name), cache_base=False)
 
     def build_presence_index(self, table: str, field: str,
                              materialize: bool = False) -> DataFrame:

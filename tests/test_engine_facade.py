@@ -333,3 +333,64 @@ def test_phrase_index_maintained_incrementally_under_mutations(engine, spark):
     want = sorted((r["id"], r["_score"]) for r in scan_eng.search(
         "em_ph_scan", q).collect())
     assert sorted((r["id"], r["_score"]) for r in out.collect()) == want
+
+
+def test_flush_and_attach_postings_disk_lifecycle(engine, spark, tmp_path):
+    """The durable-index lifecycle: flush checkpoints base+overlay to a
+    bucketed on-disk table and re-points serving at it (empty overlay);
+    term lookups against the flushed state bucket-prune; mutations after
+    a flush accumulate in a fresh overlay; a second flush folds them into
+    the next generation; and a NEW engine attaches the flushed table and
+    serves without rebuilding from the corpus."""
+    emails = spark.createDataFrame(
+        [("a", "hello cassandra", 1), ("b", "hello spark", 2),
+         ("c", "plain filler", 3)],
+        "id string, body string, userid int")
+    engine.register(emails, TableSpec("em_fl", ["id"]), build=True)
+    se = engine.search_engine
+    se.build_postings_index("em_fl", "body", materialize=True)
+
+    q = "#options:load-rows=false#body:cassandra"
+    want_pre = sorted((r["id"], r["_score"])
+                      for r in engine.search("em_fl", q).collect())
+    try:
+        name1 = se.flush_postings("em_fl", "body", str(tmp_path / "pf"))
+        st = se._postings[("em_fl", "body")]
+        assert st.delta is None and st.dead is None   # overlay empty
+        out = engine.search("em_fl", q)
+        assert "regexp_extract_all" not in _plan(out)
+        assert sorted((r["id"], r["_score"])
+                      for r in out.collect()) == want_pre
+        # the flushed base is the bucketed table → term filters prune
+        plan = (st.base.where(F.col("token") == "cassandra")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SelectedBucketsCount: 1 out of 64" in plan
+
+        # mutations land in the overlay on top of the disk base
+        engine.apply_mutations("em_fl", spark.createDataFrame(
+            [(_ts(1), "insert", "d", "cassandra anew", 4)],
+            "ts timestamp, op string, id string, body string, userid int"))
+        assert st.delta is not None
+        got = {r["id"] for r in engine.search("em_fl", q).collect()}
+        assert got == {"a", "d"}
+
+        # second flush: new generation, overlay folded to disk
+        name2 = se.flush_postings("em_fl", "body", str(tmp_path / "pf"))
+        assert name2 != name1
+        st2 = se._postings[("em_fl", "body")]
+        assert st2.delta is None
+        assert {r["id"] for r in engine.search("em_fl", q).collect()} == \
+            {"a", "d"}
+
+        # restart path: a fresh engine attaches the durable table
+        se2 = SearchEngine(spark)
+        se2.register(emails, TableSpec("em_fl2", ["id"]))
+        se2.attach_postings("em_fl2", "body", name2)
+        out2 = se2.search("em_fl2", q, default_field="body")
+        assert "regexp_extract_all" not in _plan(out2)
+        # doc 'd' has no base row in the fresh snapshot, but fake-row mode
+        # returns index hits directly — both index docs surface
+        assert {r["id"] for r in out2.collect()} == {"a", "d"}
+    finally:
+        for g in range(3):
+            spark.sql(f"DROP TABLE IF EXISTS postings_em_fl_body_g{g}")
