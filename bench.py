@@ -58,6 +58,7 @@ HEADLINE = [
     "search_bm25_topk",
     "search_postings_term",
     "search_postings_disk",  # cold lookup on the bucketed on-disk postings
+    "similarity_ivf_disk",   # cold probe on the cell-partitioned IVF index
     "asof_last_click",
     "search_10k_cap",   # the BASELINE.md 514 ms / 10k-key trace analogue
 ]

@@ -148,16 +148,22 @@ class CassandraEsIndexEngine:
     def maintain(self, table: str, now_epoch_s: int | None = None,
                  now_ms: int | None = None,
                  retention_ms: int | None = None,
-                 compact_max_files: int | None = None) -> dict[str, object]:
+                 compact_max_files: int | None = None,
+                 flush_postings_path: str | None = None) -> dict[str, object]:
         """One maintenance pass: TTL sweep (60 s cadence in the reference),
-        segment retention, purge of empty segments, optional compaction.
+        segment retention, purge of empty segments, optional compaction,
+        and (with ``flush_postings_path``) a durable-index flush: every
+        postings index of the table checkpoints base+overlay to a new
+        bucketed on-disk generation (``SearchEngine.flush_postings``) —
+        ES's segment-flush analogue on the maintenance cadence.
 
         The search view is refreshed afterwards — maintenance changes the
         store's content (TTL/retention) and its FILE SET (compaction
         rewrites, segment drops), so a pre-maintenance documents snapshot
         would be stale or reference deleted files. A TTL-only sweep rides
         the incremental postings path (the expired ids are known); any
-        structural change (drop/purge/compact) takes the full refresh."""
+        structural change (drop/purge/compact) takes the full refresh.
+        The flush runs LAST so it checkpoints the post-maintenance state."""
         store = self._stores[table]
         report: dict[str, object] = {}
         expired_ids = None
@@ -184,4 +190,11 @@ class CassandraEsIndexEngine:
             elif ttl_deleted:
                 self.refresh_search_view(
                     table, changes={"upserts": None, "deletes": expired_ids})
+        if flush_postings_path is not None:
+            flushed = []
+            for (t, fld) in list(self.search_engine._postings):
+                if t == table:
+                    flushed.append(self.search_engine.flush_postings(
+                        t, fld, f"{flush_postings_path}/{fld}"))
+            report["postings_flushed"] = flushed
         return report

@@ -394,3 +394,25 @@ def test_flush_and_attach_postings_disk_lifecycle(engine, spark, tmp_path):
     finally:
         for g in range(3):
             spark.sql(f"DROP TABLE IF EXISTS postings_em_fl_body_g{g}")
+
+
+def test_maintain_flushes_postings(engine, spark, tmp_path):
+    """maintain(flush_postings_path=...) checkpoints every postings index
+    of the table to its bucketed on-disk generation AFTER the sweep, so
+    the durable index reflects post-maintenance state (expired docs out)."""
+    emails = spark.createDataFrame(
+        [("a", "hello cassandra", 1), ("b", "hello spark", 2)],
+        "id string, body string, userid int")
+    engine.register(emails, TableSpec("em_mf", ["id"]), build=True)
+    se = engine.search_engine
+    se.build_postings_index("em_mf", "body", materialize=True)
+    try:
+        report = engine.maintain(
+            "em_mf", flush_postings_path=str(tmp_path / "flush"))
+        assert report["postings_flushed"] == ["postings_em_mf_body_g0"]
+        st = se._postings[("em_mf", "body")]
+        assert st.delta is None and st.dead is None
+        out = engine.search("em_mf", "#options:load-rows=false#body:cassandra")
+        assert {r["id"] for r in out.collect()} == {"a"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_em_mf_body_g0")
