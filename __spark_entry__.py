@@ -210,6 +210,13 @@ def q_search_dsl_terms(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_dsl_phrase(spark, sf_dir):
+    # ES-DSL match_phrase (engine superset clause) — served from the
+    # positional index, same semantics as the query_string phrase form
+    q = '{"query":{"match_phrase":{"text":"value table"}}}'
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_exists(spark, sf_dir):
     # `_exists_:field` predicate (ref README.md:689 syntax family)
     return _search("#options:load-rows=false#_exists_:source AND text:spark")(
@@ -792,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_bool": q_search_dsl_bool,
         "search_dsl_must_should": q_search_dsl_must_should,
         "search_dsl_terms": q_search_dsl_terms,
+        "search_dsl_phrase": q_search_dsl_phrase,
         "search_exists": q_search_exists,
         "search_topk": q_search_topk,
         "doc_build": q_doc_build,
@@ -904,6 +912,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
                OR len(regexp_extract_all(lang, '{_DE}')) > 0
+        """,
+        "search_dsl_phrase": f"""
+            SELECT doc_id, len(regexp_extract_all(text, '{_PHRASE}'))::BIGINT AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_PHRASE}')) > 0
         """,
         "search_exists": f"""
             SELECT doc_id,

@@ -4,7 +4,9 @@ The reference forwards any query starting with ``{`` verbatim to ES
 (ref ElasticIndex.java:663-667); the documented/tested subset is
 ``range``, ``term``, ``terms``, ``match``, ``match_all``, ``exists``,
 ``bool`` (must/should/must_not/filter), ``query_string``, plus a top-level
-``size`` (ref README.md:404-405). We translate exactly that subset.
+``size`` (ref README.md:404-405). We translate that subset plus
+``match_phrase`` (a superset clause mapping onto the same Phrase AST the
+query_string parser produces).
 """
 
 from __future__ import annotations
@@ -13,7 +15,8 @@ import json
 from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, MatchAll, Node, Not, Or, Range, Scoreless, Should, Term,
+    And, Exists, MatchAll, Node, Not, Or, Phrase, Range, Scoreless, Should,
+    Term,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -65,6 +68,14 @@ def _node(q: dict[str, Any]) -> Node:
         if len(tokens) == 1:
             return Term(field, tokens[0])
         return Or(tuple(Term(field, t) for t in tokens))
+    if kind == "match_phrase":
+        # tokens adjacent in order; index-served when a positional index
+        # exists (engine superset — the reference's tested subset stops at
+        # match, but phrase composes naturally with the same AST)
+        field, value = _single(body)
+        if isinstance(value, dict):
+            value = value.get("query")
+        return Phrase(field, str(value))
     if kind == "range":
         field, bounds = _single(body)
         if not isinstance(bounds, dict):

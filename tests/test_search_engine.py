@@ -495,3 +495,14 @@ def test_presence_index_incremental_under_delta(spark):
     assert "regexp_extract_all" not in _plan(out)
     # p1 retired (null src), p2 deleted, p3 survives from base, p4 added
     assert {r["id"] for r in out.collect()} == {"p3", "p4"}
+
+
+def test_dsl_match_phrase(indexed_engine, spark):
+    """ES-DSL match_phrase maps onto the Phrase AST: same rows as the
+    query_string phrase form, index-served when the positional index
+    exists."""
+    indexed_engine.build_phrase_index("emails_idx", "body")
+    q = '{"query":{"match_phrase":{"body":"hello world"}}}'
+    out = indexed_engine.search("emails_idx", "#options:load-rows=false#" + q)
+    assert "regexp_extract_all" not in _plan(out)
+    assert {(r["id"], r["_score"]) for r in out.collect()} == {("e3", 1)}
