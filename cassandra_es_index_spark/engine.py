@@ -191,10 +191,8 @@ class CassandraEsIndexEngine:
                 self.refresh_search_view(
                     table, changes={"upserts": None, "deletes": expired_ids})
         if flush_postings_path is not None:
-            flushed = []
-            for (t, fld) in list(self.search_engine._postings):
-                if t == table:
-                    flushed.append(self.search_engine.flush_postings(
-                        t, fld, f"{flush_postings_path}/{fld}"))
-            report["postings_flushed"] = flushed
+            flushed = self.search_engine.flush_indexes(
+                table, flush_postings_path)
+            report["postings_flushed"] = flushed["postings"]
+            report["indexes_flushed"] = flushed
         return report

@@ -541,6 +541,68 @@ class SearchEngine:
         self._postings[(table, field)] = PostingsState(
             read_postings(self.spark, table_name), cache_base=False)
 
+    def _flush_parquet(self, registry: dict, kind: str, table: str,
+                       field: str, path: str, sort_col: str | None) -> str:
+        """Generational parquet flush for the positional/presence
+        registries (no token bucketing applies — the positional index is
+        filtered on three different token columns, so it is sorted within
+        partitions on the most selective one for row-group min/max
+        skipping instead)."""
+        state = registry[(table, field)]
+        gen = self._flush_gen.get((kind, table, field), 0)
+        out = f"{path}/g{gen}"
+        view = state.view()
+        if sort_col is not None:
+            view = view.sortWithinPartitions(sort_col)
+        view.write.mode("overwrite").parquet(out)
+        self._flush_gen[(kind, table, field)] = gen + 1
+        state.unpersist()
+        registry[(table, field)] = PostingsState(
+            self.spark.read.parquet(out), cache_base=False)
+        return out
+
+    def flush_indexes(self, table: str, path: str) -> dict[str, list[str]]:
+        """Checkpoint EVERY index of a table — term postings, positional
+        (phrase), and field-presence — to its next on-disk generation and
+        re-point serving at the durable copies with empty overlays. Term
+        postings flush bucketed (``flush_postings``); positional flushes
+        sorted by ``tail`` (the first-phrase-word filter's entry column);
+        presence flushes plain (doc). Returns {kind: [locations]}."""
+        report: dict[str, list[str]] = {
+            "postings": [], "positional": [], "presence": []}
+        for (t, fld) in list(self._postings):
+            if t == table:
+                report["postings"].append(self.flush_postings(
+                    t, fld, f"{path}/postings/{fld}"))
+        for (t, fld) in list(self._positional):
+            if t == table:
+                report["positional"].append(self._flush_parquet(
+                    self._positional, "positional", t, fld,
+                    f"{path}/positional/{fld}", "tail"))
+        for (t, fld) in list(self._presence):
+            if t == table:
+                report["presence"].append(self._flush_parquet(
+                    self._presence, "presence", t, fld,
+                    f"{path}/presence/{fld}", None))
+        return report
+
+    def attach_phrase_index(self, table: str, field: str,
+                            path: str) -> None:
+        """Restart path for the positional index: serve phrases from a
+        flushed chunk-index directory without re-tokenizing the corpus."""
+        if (table, field) in self._positional:
+            self._positional.pop((table, field)).unpersist()
+        self._positional[(table, field)] = PostingsState(
+            self.spark.read.parquet(path), cache_base=False)
+
+    def attach_presence_index(self, table: str, field: str,
+                              path: str) -> None:
+        """Restart path for the field-presence index."""
+        if (table, field) in self._presence:
+            self._presence.pop((table, field)).unpersist()
+        self._presence[(table, field)] = PostingsState(
+            self.spark.read.parquet(path), cache_base=False)
+
     def build_presence_index(self, table: str, field: str,
                              materialize: bool = False) -> DataFrame:
         """Build (and cache) the field-presence index — the doc-id set

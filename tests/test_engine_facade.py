@@ -416,3 +416,55 @@ def test_maintain_flushes_postings(engine, spark, tmp_path):
         assert {r["id"] for r in out.collect()} == {"a"}
     finally:
         spark.sql("DROP TABLE IF EXISTS postings_em_mf_body_g0")
+
+
+def test_flush_indexes_covers_all_kinds_and_reattaches(engine, spark, tmp_path):
+    """flush_indexes checkpoints term postings, the positional index, and
+    the presence index in one pass; serving re-points at the durable
+    copies (empty overlays) with identical results, and a fresh engine
+    re-attaches the positional/presence directories without rebuilding."""
+    emails = spark.createDataFrame(
+        [("a", "hello cassandra world", "s1"), ("b", "hello spark", None),
+         ("c", "cassandra world", "s3")],
+        "id string, body string, src string")
+    engine.register(emails, TableSpec("em_fi", ["id"]), build=True)
+    se = engine.search_engine
+    se.build_postings_index("em_fi", "body", materialize=True)
+    se.build_phrase_index("em_fi", "body", materialize=True)
+    se.build_presence_index("em_fi", "src", materialize=True)
+
+    qp = '#options:load-rows=false#body:"cassandra world"'
+    qe = "#options:load-rows=false#_exists_:src"
+    want_p = sorted((r["id"], r["_score"])
+                    for r in engine.search("em_fi", qp).collect())
+    want_e = sorted((r["id"], r["_score"])
+                    for r in engine.search("em_fi", qe).collect())
+    try:
+        report = se.flush_indexes("em_fi", str(tmp_path / "fi"))
+        assert report["postings"] and report["positional"] and \
+            report["presence"]
+        for reg in (se._postings, se._positional, se._presence):
+            st = reg[("em_fi", "body" if reg is not se._presence else "src")]
+            assert st.delta is None and st.dead is None
+        out_p = engine.search("em_fi", qp)
+        assert "regexp_extract_all" not in _plan(out_p)
+        assert sorted((r["id"], r["_score"])
+                      for r in out_p.collect()) == want_p
+        assert sorted((r["id"], r["_score"]) for r in
+                      engine.search("em_fi", qe).collect()) == want_e
+
+        # restart: fresh engine attaches the flushed directories
+        se2 = SearchEngine(spark)
+        se2.register(emails, TableSpec("em_fi2", ["id"]))
+        se2.attach_phrase_index("em_fi2", "body", report["positional"][0])
+        se2.attach_presence_index("em_fi2", "src", report["presence"][0])
+        out2 = se2.search("em_fi2", qp, default_field="body")
+        assert "regexp_extract_all" not in _plan(out2)
+        assert sorted((r["id"], r["_score"])
+                      for r in out2.collect()) == want_p
+        assert sorted((r["id"], r["_score"]) for r in
+                      se2.search("em_fi2", qe, default_field="body")
+                      .collect()) == want_e
+    finally:
+        for g in range(2):
+            spark.sql(f"DROP TABLE IF EXISTS postings_em_fi_body_g{g}")
