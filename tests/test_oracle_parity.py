@@ -69,4 +69,5 @@ def test_queries_oracles_consistent():
     # only the documented non-SQL-expressible ops may lack an oracle
     assert missing == {"dedup_minhash_lsh", "dedup_simhash",
                        "similarity_ann_lsh", "similarity_ivf_topk",
-                       "multimodal_features", "ann_recall"}
+                       "similarity_ivf_disk", "multimodal_features",
+                       "ann_recall"}
