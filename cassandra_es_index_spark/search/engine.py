@@ -63,8 +63,12 @@ class PostingsState:
     def __init__(self, base: DataFrame, fold_every: int = 16,
                  cache_base: bool = True):
         # disk-backed bases (attach/flush) stay UNcached so lookups keep
-        # the bucketed table's bucket-pruned scan; a later fold() compacts
-        # overlay+base into a cached DataFrame as usual.
+        # the bucketed table's bucket-pruned scan. They also never
+        # AUTO-fold: folding materializes overlay+base into executor
+        # cache, which for a durable index of arbitrary size is exactly
+        # what the disk path avoids — their compaction is the next
+        # flush_postings/flush_indexes generation instead.
+        self.cache_base = cache_base
         self.base = base.cache() if cache_base else base
         self.delta: DataFrame | None = None
         self.dead: DataFrame | None = None
@@ -113,7 +117,7 @@ class PostingsState:
         if old_dead is not None:  # touched was folded into the new dead set
             touched.unpersist()
         self._pending += 1
-        if self._pending >= self.fold_every:
+        if self._pending >= self.fold_every and self.cache_base:
             self.fold()
 
     def fold(self) -> None:
@@ -126,6 +130,7 @@ class PostingsState:
             if old is not None:
                 old.unpersist()
         self.base, self.delta, self.dead = new_base, None, None
+        self.cache_base = True  # the folded base is a cached DataFrame
         self._pending = 0
 
     def unpersist(self) -> None:

@@ -506,3 +506,28 @@ def test_dsl_match_phrase(indexed_engine, spark):
     out = indexed_engine.search("emails_idx", "#options:load-rows=false#" + q)
     assert "regexp_extract_all" not in _plan(out)
     assert {(r["id"], r["_score"]) for r in out.collect()} == {("e3", 1)}
+
+
+def test_disk_backed_state_never_auto_folds(spark):
+    """A disk-backed PostingsState (attach/flush) must not auto-fold:
+    folding would materialize the durable index into executor cache —
+    its compaction is the next flush generation instead. The overlay
+    keeps accumulating past fold_every."""
+    from cassandra_es_index_spark.search.engine import PostingsState
+
+    base = spark.createDataFrame(
+        [("t", i, 1) for i in range(4)], "token string, doc int, tf int")
+    st = PostingsState(base, fold_every=2, cache_base=False)
+    base_before = st.base
+    for i in range(3):
+        st.apply(
+            spark.createDataFrame([("t", 100 + i, 1)],
+                                  "token string, doc int, tf int"),
+            spark.createDataFrame([(100 + i,)], "doc int"))
+    assert st.base is base_before      # no fold happened
+    assert st.delta is not None        # overlay still carries the batches
+    assert st.view().count() == 7
+    # explicit fold still works and re-enables the cached-base cadence
+    st.fold()
+    assert st.base is not base_before and st.cache_base
+    st.unpersist()
