@@ -488,9 +488,13 @@ class SearchEngine:
         _, spec = self.catalog.get(table)
         docs = self._docs[table]
         fld = field or Compiler(docs).default_field
-        if not isinstance(docs.schema[fld].dataType, T.StringType):
-            raise ValueError(f"phrase index needs a string field, "
-                             f"got {docs.schema[fld].dataType} for {fld!r}")
+        dtype = docs.schema[fld].dataType
+        ok = isinstance(dtype, T.StringType) or (
+            isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StringType))
+        if not ok:
+            raise ValueError(f"phrase index needs a string or "
+                             f"array<string> field, got {dtype} for {fld!r}")
         if (table, fld) not in self._positional:
             self._positional[(table, fld)] = PostingsState(build_chunks(
                 docs, self._postings_id_col(spec), fld))

@@ -44,23 +44,41 @@ _WORD_RUN = r"\w+"
 
 
 def build_chunks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Corpus → (doc, pos, lead, tail, whole, multi) — one row per
+    """Corpus → (doc, elem, pos, lead, tail, whole, multi) — one row per
     whitespace-delimited chunk of the field.
 
     ``lead``/``tail`` are the chunk's first/last maximal word run
     (lowered; empty when the chunk has none), ``whole`` the lowered chunk
     itself when it is exactly one word run (else null), ``multi`` whether
     the chunk holds ≥2 word runs (drives the non-overlap resume rule).
-    Like ``build_postings``, the input is repartitioned so tokenization
+    ``elem`` is the element index for ``array<string>`` fields (0 for
+    plain strings): the scan path evaluates the phrase regex per element
+    and sums, so a match may never bridge two elements — joining
+    candidates on (doc, elem, start) enforces exactly that. Like
+    ``build_postings``, the input is repartitioned so tokenization
     parallelizes even from a single source file."""
+    from pyspark.sql import types as T
+
     n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
     chunk = F.lower(F.col("_chunk"))
-    return (docs.repartition(n_part)
-                .select(F.col(id_col).alias("doc"),
-                        F.posexplode(F.split(F.col(text_col), r"\s+"))
-                         .alias("pos", "_chunk"))
+    dtype = docs.schema[text_col].dataType
+    if isinstance(dtype, T.ArrayType):
+        exploded = (docs.repartition(n_part)
+                        .select(F.col(id_col).alias("doc"),
+                                F.posexplode(F.col(text_col))
+                                 .alias("elem", "_val"))
+                        .select("doc", "elem",
+                                F.posexplode(F.split(F.col("_val"), r"\s+"))
+                                 .alias("pos", "_chunk")))
+    else:
+        exploded = (docs.repartition(n_part)
+                        .select(F.col(id_col).alias("doc"),
+                                F.lit(0).alias("elem"),
+                                F.posexplode(F.split(F.col(text_col), r"\s+"))
+                                 .alias("pos", "_chunk")))
+    return (exploded
                 .select(
-                    "doc", "pos",
+                    "doc", "elem", "pos",
                     F.regexp_extract(chunk, f"^({_WORD_RUN})", 1).alias("lead"),
                     F.regexp_extract(chunk, f"({_WORD_RUN})$", 1).alias("tail"),
                     F.when(chunk.rlike(f"^{_WORD_RUN}$"), chunk).alias("whole"),
@@ -99,19 +117,25 @@ def phrase_counts(chunks: DataFrame, words: list[str],
         raise ValueError("phrase_counts needs >= 2 words")
     words = [w.lower() for w in words]
     first = (chunks.where(F.col("tail") == words[0])
-                   .select("doc", F.col("pos").alias("start")))
+                   .select("doc", "elem", F.col("pos").alias("start")))
     parts = [first]
     for i, w in enumerate(words[1:-1], 1):
         parts.append(chunks.where(F.col("whole") == w)
-                           .select("doc", (F.col("pos") - i).alias("start")))
+                           .select("doc", "elem",
+                                   (F.col("pos") - i).alias("start")))
     parts.append(chunks.where(F.col("lead") == words[-1])
-                       .select("doc", (F.col("pos") - (n - 1)).alias("start"),
+                       .select("doc", "elem",
+                               (F.col("pos") - (n - 1)).alias("start"),
                                F.col("multi").alias("multi_last")))
     cand = parts[0]
     for p in parts[1:]:
-        cand = cand.join(p, on=["doc", "start"])
-    return (cand.groupBy("doc")
-                .agg(F.sort_array(F.collect_list(
-                    F.struct("start", "multi_last"))).alias("_m"))
-                .select("doc",
-                        _greedy_count(F.col("_m"), n).alias(score_col)))
+        cand = cand.join(p, on=["doc", "elem", "start"])
+    # greedy count per (doc, elem) — regex scanning restarts per element —
+    # then Σ over elements, matching the scan path's per-element sum
+    per_elem = (cand.groupBy("doc", "elem")
+                    .agg(F.sort_array(F.collect_list(
+                        F.struct("start", "multi_last"))).alias("_m"))
+                    .select("doc",
+                            _greedy_count(F.col("_m"), n).alias("_c")))
+    return (per_elem.groupBy("doc")
+                    .agg(F.sum("_c").cast("long").alias(score_col)))

@@ -531,3 +531,31 @@ def test_disk_backed_state_never_auto_folds(spark):
     st.fold()
     assert st.base is not base_before and st.cache_base
     st.unpersist()
+
+
+def test_phrase_index_on_array_field(spark):
+    """Phrase serving on array<string> fields: per-element regex
+    semantics (a match never bridges elements; per-element counts sum),
+    index-served, parity with the scan path."""
+    rows = [("a1", ["hello world", "plain text"]),
+            ("a2", ["ends with hello", "world starts this"]),  # bridges: no
+            ("a3", ["hello world hello world"]),               # 2 in one elem
+            ("a4", ["hello world", "more hello world"]),       # 1 + 1
+            ("a5", ["nothing here"]), ("a6", None)]
+    schema_ = "id string, body array<string>"
+    idx = SearchEngine(spark)
+    idx.register(spark.createDataFrame(rows, schema_),
+                 TableSpec("arr_idx", ["id"]))
+    idx.build_phrase_index("arr_idx", "body", materialize=True)
+    scan = SearchEngine(spark)
+    scan.register(spark.createDataFrame(rows, schema_),
+                  TableSpec("arr_scan", ["id"]))
+
+    q = '#options:load-rows=false#body:"hello world"'
+    out = idx.search("arr_idx", q, default_field="body")
+    assert "regexp_extract_all" not in _plan(out)
+    got = sorted(map(tuple, out.select("id", "_score").collect()))
+    want = sorted(map(tuple, scan.search("arr_scan", q, default_field="body")
+                      .select("id", "_score").collect()))
+    assert got == want
+    assert dict(got) == {"a1": 1, "a3": 2, "a4": 2}
