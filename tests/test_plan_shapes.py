@@ -95,3 +95,38 @@ def test_disk_postings_query_prunes_buckets(spark):
     plan = _plan(out)
     assert "SelectedBucketsCount" in plan
     assert "1 out of 16" in plan  # single-term lookup → one bucket
+
+
+def test_phrase_served_from_positional_index(parquet_engine):
+    """A multi-word phrase with a positional index must be chunk-index
+    joins + the greedy fold — no scan-path regex, top-k still
+    TakeOrderedAndProject."""
+    parquet_engine.build_phrase_index("documents_plan", "text")
+    out = parquet_engine.search(
+        "documents_plan", '#options:load-rows=false#text:"value table"',
+        default_field="text", limit=10)
+    plan = _plan(out)
+    assert "regexp_extract_all" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exists_served_from_presence_index_plan(parquet_engine):
+    parquet_engine.build_postings_index("documents_plan", "text")
+    parquet_engine.build_presence_index("documents_plan", "source")
+    out = parquet_engine.search(
+        "documents_plan",
+        "#options:load-rows=false#_exists_:source AND text:spark",
+        default_field="text")
+    assert "regexp_extract_all" not in _plan(out)
+
+
+def test_ivf_disk_probe_prunes_cells(spark):
+    """The benched persisted-IVF probe must partition-prune to the probed
+    cells' directories — the property that makes an ANN query touch
+    nprobe/n_cells of the index at 100 TB."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["similarity_ivf_disk"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "PartitionFilters: [isnotnull(cell" in plan or \
+        "dynamicpruning" in plan.lower()
