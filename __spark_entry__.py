@@ -74,6 +74,7 @@ def _docs_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         eng.build_postings_index("documents", "lang")
         eng.build_phrase_index("documents", "text")
         eng.build_presence_index("documents", "source")
+        eng.build_range_index("documents", "n_chars")
         _CACHE[key] = eng
     return _CACHE[key]
 
@@ -127,6 +128,7 @@ def bench_prepare(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     eng.build_postings_index("documents", "lang", materialize=True)
     eng.build_phrase_index("documents", "text", materialize=True)
     eng.build_presence_index("documents", "source", materialize=True)
+    eng.build_range_index("documents", "n_chars", materialize=True)
     out["documents_index_build"] = round(_time.perf_counter() - t0, 3)
 
     t0 = _time.perf_counter()

@@ -19,7 +19,7 @@ from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, Node, Or, Phrase, Term, Wildcard,
+    And, Exists, Node, Or, Phrase, Range, Term, Wildcard,
 )
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
@@ -39,6 +39,17 @@ def _presence_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
     plugs into the incremental-maintenance loop."""
     ref = Compiler(docs).resolve(field)
     return docs.where(ref.col.isNotNull()).select(F.col(id_col).alias("doc"))
+
+
+def _range_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
+    """(doc, val) rows where ``field`` is non-null — the range index
+    contents (the engine's analogue of ES's BKD points: range leaves
+    filter this narrow two-column set instead of scanning the corpus).
+    Null values are excluded — a null never satisfies a bound, matching
+    the scan predicate's null→false semantics."""
+    ref = Compiler(docs).resolve(field)
+    return (docs.where(ref.col.isNotNull())
+                .select(F.col(id_col).alias("doc"), ref.col.alias("val")))
 
 
 class PostingsState:
@@ -151,6 +162,9 @@ class SearchEngine:
         # field-presence indexes — the doc-id set where a field is
         # non-null; serves `_exists_` leaves without a corpus scan
         self._presence: dict[tuple[str, str], PostingsState] = {}
+        # range indexes — (doc, val) per field; serves Range leaves
+        # without a corpus scan (ES's BKD-points analogue)
+        self._range: dict[tuple[str, str], PostingsState] = {}
         self._flush_gen: dict[tuple[str, str], int] = {}
         # J1 row-loading side per table: defaults to the registered base
         # DataFrame (the reference loads rows from Cassandra); the facade
@@ -183,11 +197,13 @@ class SearchEngine:
             self._positional.pop(key).unpersist()
         for key in [k for k in self._presence if k[0] == table]:
             self._presence.pop(key).unpersist()
+        for key in [k for k in self._range if k[0] == table]:
+            self._range.pop(key).unpersist()
 
     def has_postings(self, table: str) -> bool:
         return any(k[0] == table
                    for registry in (self._postings, self._positional,
-                                    self._presence)
+                                    self._presence, self._range)
                    for k in registry)
 
     def apply_delta(self, table: str, resolved_docs: DataFrame,
@@ -211,7 +227,8 @@ class SearchEngine:
         id_col = self._postings_id_col(spec)
         for registry, builder in ((self._postings, build_postings),
                                   (self._positional, build_chunks),
-                                  (self._presence, _presence_rows)):
+                                  (self._presence, _presence_rows),
+                                  (self._range, _range_rows)):
             for (t, fld), state in list(registry.items()):
                 if t != table:
                     continue
@@ -503,6 +520,35 @@ class SearchEngine:
             p.count()
         return p
 
+    def build_range_index(self, table: str, field: str,
+                          materialize: bool = False) -> DataFrame:
+        """Build (and cache) the range index for one field — the narrow
+        (doc, val) projection that serves ``Range`` leaves (score 1, the
+        scan path's semantics) without a corpus scan, ES's BKD-points
+        analogue. In-memory serving prunes cached batches on the value
+        filter; a flushed copy is sorted by ``val`` so bound filters skip
+        row groups via parquet min/max stats. Incrementally maintained
+        under mutations like the other index kinds."""
+        _, spec = self.catalog.get(table)
+        docs = self._docs[table]
+        if (table, field) not in self._range:
+            self._range[(table, field)] = PostingsState(_range_rows(
+                docs, self._postings_id_col(spec), field))
+        p = self._range[(table, field)].view()
+        if materialize:
+            p.count()
+        return p
+
+    def attach_range_index(self, table: str, field: str,
+                           path: str) -> None:
+        """Restart path for the range index: serve Range leaves from a
+        flushed (doc, val) directory (sorted by val → row-group
+        skipping)."""
+        if (table, field) in self._range:
+            self._range.pop((table, field)).unpersist()
+        self._range[(table, field)] = PostingsState(
+            self.spark.read.parquet(path), cache_base=False)
+
     def flush_postings(self, table: str, field: str, path: str,
                        table_name: str | None = None,
                        buckets: int = 64) -> str:
@@ -578,7 +624,7 @@ class SearchEngine:
         sorted by ``tail`` (the first-phrase-word filter's entry column);
         presence flushes plain (doc). Returns {kind: [locations]}."""
         report: dict[str, list[str]] = {
-            "postings": [], "positional": [], "presence": []}
+            "postings": [], "positional": [], "presence": [], "range": []}
         for (t, fld) in list(self._postings):
             if t == table:
                 report["postings"].append(self.flush_postings(
@@ -593,6 +639,11 @@ class SearchEngine:
                 report["presence"].append(self._flush_parquet(
                     self._presence, "presence", t, fld,
                     f"{path}/presence/{fld}", None))
+        for (t, fld) in list(self._range):
+            if t == table:
+                report["range"].append(self._flush_parquet(
+                    self._range, "range", t, fld,
+                    f"{path}/range/{fld}", "val"))
         return report
 
     def attach_phrase_index(self, table: str, field: str,
@@ -636,13 +687,14 @@ class SearchEngine:
         Servable: And/Or trees whose leaves are whole-token ``Term``s,
         trailing-star prefix ``Wildcard``s (``quer*``) on fields with a
         built postings index, plain-word ``Phrase``s on fields with a
-        built positional index (``build_phrase_index``), or ``Exists``
+        built positional index (``build_phrase_index``), ``Exists``
         leaves on fields with a built presence index
-        (``build_presence_index``). Returns (doc, _score) with the scan
-        path's exact score semantics (Σ leaf tf / phrase match count /
-        1 per existing doc), or None to fall back to the scan plan.
-        Anything else (non-prefix wildcards, ranges, NOT, should-boosts)
-        keeps the scan path.
+        (``build_presence_index``), or bounded ``Range`` leaves on fields
+        with a built range index (``build_range_index``). Returns
+        (doc, _score) with the scan path's exact score semantics (Σ leaf
+        tf / phrase match count / 1 per matched doc), or None to fall
+        back to the scan plan. Anything else (non-prefix wildcards, NOT,
+        should-boosts) keeps the scan path.
         """
         if not self._postings and not self._positional:
             return None
@@ -682,6 +734,28 @@ class SearchEngine:
                     return None
                 return state.view().select(
                     "doc", F.lit(1).cast("long").alias(SCORE))
+            if isinstance(n, Range):
+                fld = n.field if n.field is not None else default
+                state = self._range.get((table, fld))
+                if state is None or (n.lo is None and n.hi is None):
+                    return None  # unbounded range matches null-field docs
+                                 # too — only the scan has those rows
+                comp = Compiler(docs, default)
+                try:
+                    ref = comp.resolve(fld)
+                    pred = F.lit(True)
+                    if n.lo is not None:
+                        lo = comp._typed_lit(ref, n.lo)
+                        pred = pred & (F.col("val") >= lo if n.include_lo
+                                       else F.col("val") > lo)
+                    if n.hi is not None:
+                        hi = comp._typed_lit(ref, n.hi)
+                        pred = pred & (F.col("val") <= hi if n.include_hi
+                                       else F.col("val") < hi)
+                except Exception:  # untypeable literal → scan path errors
+                    return None
+                return (state.view().where(pred)
+                        .select("doc", F.lit(1).cast("long").alias(SCORE)))
             if isinstance(n, Phrase):
                 from cassandra_es_index_spark.search.positional import (
                     phrase_counts,

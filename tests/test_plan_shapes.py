@@ -130,3 +130,16 @@ def test_ivf_disk_probe_prunes_cells(spark):
     plan = _plan(out)
     assert "PartitionFilters: [isnotnull(cell" in plan or \
         "dynamicpruning" in plan.lower()
+
+
+def test_range_served_from_range_index_plan(parquet_engine):
+    """A bounded DSL range with a range index filters the (doc, val)
+    projection — no corpus regex, no full-width document scan."""
+    parquet_engine.build_range_index("documents_plan", "n_chars")
+    out = parquet_engine.search(
+        "documents_plan",
+        '#options:load-rows=false#'
+        '{"query":{"range":{"n_chars":{"gte":100,"lte":300}}}}')
+    plan = _plan(out)
+    assert "regexp_extract_all" not in plan
+    assert "(val" in plan  # the bound filter lands on the index column

@@ -559,3 +559,69 @@ def test_phrase_index_on_array_field(spark):
                       .select("id", "_score").collect()))
     assert got == want
     assert dict(got) == {"a1": 1, "a3": 2, "a4": 2}
+
+
+# -- range index ------------------------------------------------------------
+
+
+def test_range_served_from_range_index(spark):
+    """Bounded Range leaves on a field with a range index filter the
+    (doc, val) projection — no corpus scan — with scan-path parity across
+    query_string comparisons, DSL ranges, and boolean composition."""
+    rows = [("r1", "alpha", 10), ("r2", "beta", 25), ("r3", "alpha", 40),
+            ("r4", None, 25), ("r5", "gamma", None)]
+    schema_ = "id string, body string, n int"
+    idx = SearchEngine(spark)
+    idx.register(spark.createDataFrame(rows, schema_),
+                 TableSpec("rg_idx", ["id"]))
+    idx.build_postings_index("rg_idx", "body", materialize=True)
+    idx.build_range_index("rg_idx", "n", materialize=True)
+    scan = SearchEngine(spark)
+    scan.register(spark.createDataFrame(rows, schema_),
+                  TableSpec("rg_scan", ["id"]))
+
+    for q in ['{"query":{"range":{"n":{"gte":20,"lte":30}}}}',
+              '{"query":{"range":{"n":{"gt":10}}}}',
+              "#options:load-rows=false#n:>=25",
+              "#options:load-rows=false#n:[10 TO 25] AND body:alpha"]:
+        out = idx.search("rg_idx", q, default_field="body")
+        assert "regexp_extract_all" not in _plan(out), q
+        got = sorted(map(tuple, out.select("id", "_score").collect()))
+        want = sorted(map(tuple, scan.search("rg_scan", q,
+                                             default_field="body")
+                          .select("id", "_score").collect()))
+        assert got == want, q
+
+    # no range index for the field → scan fallback, same rows
+    out2 = idx.search("rg_idx", '{"query":{"range":{"id":{"gte":"r4"}}}}')
+    assert {r["id"] for r in out2.collect()} == {"r4", "r5"}
+
+
+def test_range_index_incremental_under_delta(spark):
+    from cassandra_es_index_spark.docmodel import build_documents
+
+    rows = [("r1", "a", 10), ("r2", "b", 25), ("r3", "c", 40)]
+    schema_ = "id string, body string, n int"
+    eng = SearchEngine(spark)
+    spec = TableSpec("rg_delta", ["id"])
+    eng.register(spark.createDataFrame(rows, schema_), spec)
+    eng.build_range_index("rg_delta", "n", materialize=True)
+    state = eng._range[("rg_delta", "n")]
+    base_before = state.base
+
+    new_rows = [("r1", "a", 99),   # moves out of [10, 30]
+                ("r4", "d", 20)]   # insert, lands inside
+    new_docs = build_documents(spark.createDataFrame(new_rows, schema_), spec)
+    resolved = build_documents(spark.createDataFrame(
+        [("r3", "c", 40)] + new_rows, schema_), spec)
+    removed = spark.createDataFrame([("r2",)], "id string") \
+        .select(F.col("id").alias("_id"))
+    eng.apply_delta("rg_delta", resolved, new_docs, removed)
+
+    assert state.base is base_before
+    out = eng.search(
+        "rg_delta",
+        '#options:load-rows=false#{"query":{"range":{"n":{"gte":10,"lte":30}}}}',
+        default_field="body")
+    assert "regexp_extract_all" not in _plan(out)
+    assert {r["id"] for r in out.collect()} == {"r4"}
