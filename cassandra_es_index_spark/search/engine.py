@@ -19,7 +19,8 @@ from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, Node, Or, Phrase, Range, Term, Wildcard,
+    And, Exists, Node, Not, Or, Phrase, Range, Scoreless, Should, Term,
+    Wildcard,
 )
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
@@ -799,18 +800,57 @@ class SearchEngine:
                                  .where(F.col("token").isin(*vals))
                                  .groupBy("doc")
                                  .agg(F.sum("tf").cast("long").alias(SCORE)))
-            if isinstance(n, (And, Or)) and n.children:
+            if isinstance(n, Scoreless):
+                # ES filter context: gates matching, contributes no score
+                inner = serve(n.child)
+                if inner is None:
+                    return None
+                return inner.select(
+                    "doc", F.lit(0).cast("long").alias(SCORE))
+            if isinstance(n, And) and n.children:
+                # full ES-bool composition: positives (must/filter) join
+                # on doc; must_not excludes via broadcast anti-joins;
+                # should left-joins as an optional score boost (ES
+                # minimum_should_match=0 beside must/filter). Requires at
+                # least one positive child to drive the plan — a pure-NOT
+                # conjunction would materialize the corpus complement.
+                pos = [c for c in n.children
+                       if not isinstance(c, (Not, Should))]
+                negs = [c for c in n.children if isinstance(c, Not)]
+                shoulds = [c for c in n.children if isinstance(c, Should)]
+                if not pos:
+                    return None
+                parts = [serve(c) for c in pos]
+                if any(x is None for x in parts):
+                    return None
+                out = parts[0]
+                total = F.col(SCORE)
+                for i, p in enumerate(parts[1:], 1):
+                    out = out.join(p.withColumnRenamed(SCORE, f"_s{i}"),
+                                   on="doc")
+                    total = total + F.col(f"_s{i}")
+                for j, sh in enumerate(shoulds):
+                    subs = [serve(c) for c in sh.children]
+                    if any(x is None for x in subs):
+                        return None
+                    u = subs[0]
+                    for p in subs[1:]:
+                        u = u.unionByName(p)
+                    boost = (u.groupBy("doc")
+                              .agg(F.sum(SCORE).alias(f"_sh{j}")))
+                    out = out.join(boost, on="doc", how="left")
+                    total = total + F.coalesce(F.col(f"_sh{j}"), F.lit(0))
+                for ng in negs:
+                    excluded = serve(ng.child)
+                    if excluded is None:
+                        return None
+                    out = out.join(excluded.select("doc"), on="doc",
+                                   how="left_anti")
+                return out.select("doc", total.cast("long").alias(SCORE))
+            if isinstance(n, Or) and n.children:
                 parts = [serve(c) for c in n.children]
                 if any(x is None for x in parts):
                     return None
-                if isinstance(n, And):
-                    out = parts[0]
-                    total = F.col(SCORE)
-                    for i, p in enumerate(parts[1:], 1):
-                        out = out.join(p.withColumnRenamed(SCORE, f"_s{i}"),
-                                       on="doc")
-                        total = total + F.col(f"_s{i}")
-                    return out.select("doc", total.cast("long").alias(SCORE))
                 unioned = parts[0]
                 for p in parts[1:]:
                     unioned = unioned.unionByName(p)

@@ -625,3 +625,46 @@ def test_range_index_incremental_under_delta(spark):
         default_field="body")
     assert "regexp_extract_all" not in _plan(out)
     assert {r["id"] for r in out.collect()} == {"r4"}
+
+
+def test_bool_must_not_filter_should_index_served(spark):
+    """Full ES-bool composition through the index: must joins, filter
+    gates scorelessly, must_not anti-joins, should boosts optionally —
+    all index-served, with scan-path parity on rows AND scores."""
+    rows = [("b1", "alpha spark", "en", 120), ("b2", "alpha slow", "en", 200),
+            ("b3", "alpha", "de", 250), ("b4", "alpha spark spark", "en", 90),
+            ("b5", "beta", "en", 300)]
+    schema_ = "id string, body string, lang string, n int"
+    idx = SearchEngine(spark)
+    idx.register(spark.createDataFrame(rows, schema_),
+                 TableSpec("bool_idx", ["id"]))
+    idx.build_postings_index("bool_idx", "body", materialize=True)
+    idx.build_postings_index("bool_idx", "lang")
+    idx.build_range_index("bool_idx", "n")
+    scan = SearchEngine(spark)
+    scan.register(spark.createDataFrame(rows, schema_),
+                  TableSpec("bool_scan", ["id"]))
+
+    queries = [
+        # must + must_not
+        '{"query":{"bool":{"must":[{"term":{"body":"alpha"}}],'
+        '"must_not":[{"term":{"body":"slow"}}]}}}',
+        # must + filter (scoreless) + should (boost)
+        '{"query":{"bool":{"must":[{"term":{"lang":"en"}}],'
+        '"filter":[{"range":{"n":{"gte":100}}}],'
+        '"should":[{"term":{"body":"spark"}}]}}}',
+        # all four clause kinds at once
+        '{"query":{"bool":{"must":[{"term":{"body":"alpha"}}],'
+        '"filter":[{"range":{"n":{"gte":100,"lte":260}}}],'
+        '"should":[{"term":{"body":"spark"}}],'
+        '"must_not":[{"term":{"lang":"de"}}]}}}',
+    ]
+    for q in queries:
+        out = idx.search("bool_idx", "#options:load-rows=false#" + q,
+                         default_field="body")
+        assert "regexp_extract_all" not in _plan(out), q
+        got = sorted(map(tuple, out.select("id", "_score").collect()))
+        want = sorted(map(tuple, scan.search(
+            "bool_scan", "#options:load-rows=false#" + q,
+            default_field="body").select("id", "_score").collect()))
+        assert got == want, q
