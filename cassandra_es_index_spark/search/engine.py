@@ -706,11 +706,30 @@ class SearchEngine:
             if isinstance(n, Term):
                 fld = n.field if n.field is not None else default
                 state = self._postings.get((table, fld))
-                if state is None or not self._PLAIN_TOKEN.fullmatch(n.value):
-                    return None
-                return (state.view()
-                         .where(F.col("token") == n.value.lower())
-                         .select("doc", F.col("tf").alias(SCORE)))
+                if state is not None and self._PLAIN_TOKEN.fullmatch(n.value):
+                    return (state.view()
+                             .where(F.col("token") == n.value.lower())
+                             .select("doc", F.col("tf").alias(SCORE)))
+                # typed equality (userid:42) — the scan compiles it to
+                # col == literal, which the (doc, val) range index answers;
+                # never applied to text-ish fields, where Term means token
+                # match, not equality
+                rstate = self._range.get((table, fld))
+                if rstate is not None:
+                    from pyspark.sql import types as T
+                    comp = Compiler(docs, default)
+                    try:
+                        ref = comp.resolve(fld)
+                        if isinstance(ref.dtype, (T.StringType, T.ArrayType,
+                                                  T.MapType)):
+                            return None
+                        lit = comp._typed_lit(ref, n.value)
+                    except Exception:
+                        return None
+                    return (rstate.view().where(F.col("val") == lit)
+                            .select("doc",
+                                    F.lit(1).cast("long").alias(SCORE)))
+                return None
             if isinstance(n, Wildcard):
                 fld = n.field if n.field is not None else default
                 state = self._postings.get((table, fld))

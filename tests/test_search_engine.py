@@ -668,3 +668,35 @@ def test_bool_must_not_filter_should_index_served(spark):
             "bool_scan", "#options:load-rows=false#" + q,
             default_field="body").select("id", "_score").collect()))
         assert got == want, q
+
+
+def test_typed_term_served_from_range_index(spark):
+    """`userid:42`-class equality on a typed column serves from the
+    (doc, val) range index (score 1, scan parity); Term on a text field
+    with only a range index keeps the scan (token semantics differ)."""
+    rows = [("t1", "alpha", 42), ("t2", "beta", 42), ("t3", "alpha", 7)]
+    schema_ = "id string, body string, userid int"
+    idx = SearchEngine(spark)
+    idx.register(spark.createDataFrame(rows, schema_),
+                 TableSpec("tt_idx", ["id"]))
+    idx.build_postings_index("tt_idx", "body", materialize=True)
+    idx.build_range_index("tt_idx", "userid", materialize=True)
+    scan = SearchEngine(spark)
+    scan.register(spark.createDataFrame(rows, schema_),
+                  TableSpec("tt_scan", ["id"]))
+
+    for q in ["#options:load-rows=false#userid:42",
+              "#options:load-rows=false#body:alpha AND userid:42"]:
+        out = idx.search("tt_idx", q, default_field="body")
+        assert "regexp_extract_all" not in _plan(out), q
+        got = sorted(map(tuple, out.select("id", "_score").collect()))
+        want = sorted(map(tuple, scan.search("tt_scan", q,
+                                             default_field="body")
+                          .select("id", "_score").collect()))
+        assert got == want, q
+
+    # a range index on a STRING field must not hijack token terms
+    idx.build_range_index("tt_idx", "id")
+    out2 = idx.search("tt_idx", "#options:load-rows=false#id:t1",
+                      default_field="body")
+    assert {r["id"] for r in out2.collect()} == {"t1"}
