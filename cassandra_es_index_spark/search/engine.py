@@ -736,16 +736,41 @@ class SearchEngine:
                 if state is None:
                     return None
                 m = self._PREFIX_WILDCARD.fullmatch(n.pattern)
-                if m is None:
+                if m is not None:
+                    # prefix range over the token dictionary: matches the
+                    # scan regex \bprefix\w*\b exactly (tokens are maximal
+                    # \w+ runs, so every regex hit is a token starting
+                    # with the prefix). Multiple matching tokens per doc →
+                    # sum their tf, same as the regex match count.
+                    prefix = m.group(1).lower()
+                    return (state.view()
+                             .where(F.col("token").startswith(prefix))
+                             .groupBy("doc")
+                             .agg(F.sum("tf").cast("long").alias(SCORE)))
+                # general wildcard (`ca?san*`) — Lucene's term-dictionary
+                # expansion: the scan regex \b<pat>\b anchors both ends at
+                # word boundaries, so its matches are exactly the whole
+                # tokens matching ^<pat>$. Filter the (small) distinct
+                # token dictionary with the anchored regex, then sum tf
+                # over matching tokens per doc — the corpus text is never
+                # re-scanned. Guarded to patterns with at least one
+                # literal word char (`*`-only degenerates to empty-match
+                # regex semantics that only the scan reproduces).
+                if not re.search(r"\w", n.pattern.replace("?", "")):
                     return None
-                # prefix range over the token dictionary: matches the scan
-                # regex \bprefix\w*\b exactly (tokens are maximal \w+
-                # runs, so every regex hit is a token starting with the
-                # prefix). Multiple matching tokens per doc → sum their tf,
-                # same as the regex match count.
-                prefix = m.group(1).lower()
+                body = []
+                for ch in n.pattern:
+                    if ch == "*":
+                        body.append(r"\w*")
+                    elif ch == "?":
+                        body.append(r"\w")
+                    else:
+                        body.append(re.escape(ch.lower()))
+                anchored = "^" + "".join(body) + "$"
+                dictionary = (state.view().select("token").distinct()
+                              .where(F.col("token").rlike(anchored)))
                 return (state.view()
-                         .where(F.col("token").startswith(prefix))
+                         .join(F.broadcast(dictionary), on="token")
                          .groupBy("doc")
                          .agg(F.sum("tf").cast("long").alias(SCORE)))
             if isinstance(n, Exists):

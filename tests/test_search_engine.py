@@ -266,13 +266,18 @@ def test_postings_plan_serves_prefix_wildcard(indexed_engine):
 
 
 def test_postings_plan_falls_back_for_unservable(indexed_engine):
-    # non-prefix wildcard (`?` present) → scan path (regex present)
+    # general wildcard (`?` present) → term-dictionary expansion, still
+    # index-served (Lucene's own strategy), exact tf parity
     out = indexed_engine.search("emails_idx", "body:ca?san*")
-    assert "regexp_extract_all" in _plan(out)
-    assert {r["id"] for r in out.collect()} == {"e1", "e2", "e5"}
-    # term on a field without postings → scan path
+    assert "regexp_extract_all" not in _plan(out)
+    assert {r["id"]: r["_score"] for r in out.collect()} == \
+        {"e1": 1, "e2": 1, "e5": 3}
+    # term on a field without postings or range index → scan path
     out2 = indexed_engine.search("emails_idx", "userid:42")
     assert {r["id"] for r in out2.collect()} == {"e1", "e3"}
+    # `*`-only wildcard keeps the scan (empty-match regex semantics)
+    out3 = indexed_engine.search("emails_idx", "#options:load-rows=false#body:*")
+    assert "regexp_extract_all" in _plan(out3)
 
 
 def test_postings_composite_key_table(spark):
