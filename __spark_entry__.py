@@ -180,6 +180,13 @@ def q_search_wildcard(spark, sf_dir):
     return _search("#options:load-rows=false#text:quer*")(spark, sf_dir)
 
 
+def q_search_wildcard_mid(spark, sf_dir):
+    # general (mid-pattern) wildcard — served by term-dictionary
+    # expansion (Lucene's strategy), oracle-checked against the scan
+    # regex the dictionary expansion must reproduce exactly
+    return _search("#options:load-rows=false#text:qu?r*")(spark, sf_dir)
+
+
 def q_search_phrase(spark, sf_dir):
     return _search('#options:load-rows=false#text:"value table"')(spark, sf_dir)
 
@@ -796,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "search_term_bool": q_search_term_bool,
         "search_wildcard": q_search_wildcard,
+        "search_wildcard_mid": q_search_wildcard_mid,
         "search_phrase": q_search_phrase,
         "search_dsl_range": q_search_dsl_range,
         "search_dsl_bool": q_search_dsl_bool,
@@ -857,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EN = r"(?i)\ben\b"
 _SPARK = r"(?i)\bspark\b"
 _QUER = r"(?i)\bquer\w*\b"
+_QUR_MID = r"(?i)\bqu\wr\w*\b"
 _PHRASE = r"(?i)\bvalue\s+table\b"
 _SLOW = r"(?i)\bslow\w*\b"
 _DE = r"(?i)\bde\b"
@@ -881,6 +890,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '{_QUER}'))::BIGINT AS _score
             FROM documents
             WHERE len(regexp_extract_all(text, '{_QUER}')) > 0
+        """,
+        "search_wildcard_mid": f"""
+            SELECT doc_id, len(regexp_extract_all(text, '{_QUR_MID}'))::BIGINT AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_QUR_MID}')) > 0
         """,
         "search_phrase": f"""
             SELECT doc_id, len(regexp_extract_all(text, '{_PHRASE}'))::BIGINT AS _score
