@@ -468,3 +468,54 @@ def test_flush_indexes_covers_all_kinds_and_reattaches(engine, spark, tmp_path):
     finally:
         for g in range(2):
             spark.sql(f"DROP TABLE IF EXISTS postings_em_fi_body_g{g}")
+
+
+def test_all_index_kinds_follow_streaming_mutations(engine, spark, tmp_path):
+    """stream_mutations(refresh_each_batch=True): after the streaming
+    query drains, phrase/presence/range/term indexes all serve the
+    post-stream state — incrementally (no base rebuild), index-served."""
+    emails = spark.createDataFrame(
+        [("a", "hello cassandra world", "s1", 10),
+         ("b", "plain filler", None, 25)],
+        "id string, body string, src string, n int")
+    engine.register(emails, TableSpec("em_stream", ["id"]), build=True)
+    se = engine.search_engine
+    se.build_postings_index("em_stream", "body", materialize=True)
+    se.build_phrase_index("em_stream", "body", materialize=True)
+    se.build_presence_index("em_stream", "src", materialize=True)
+    se.build_range_index("em_stream", "n", materialize=True)
+    bases = {k: reg[("em_stream", f)].base
+             for k, (reg, f) in {
+                 "post": (se._postings, "body"),
+                 "pos": (se._positional, "body"),
+                 "pres": (se._presence, "src"),
+                 "rng": (se._range, "n")}.items()}
+
+    src_dir = str(tmp_path / "mut")
+    spark.createDataFrame(
+        [(_ts(1), "update", "a", "updated text", None, 99),
+         (_ts(2), "insert", "c", "cassandra world anew", "s9", 15)],
+        "ts timestamp, op string, id string, body string, src string, n int"
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, op string, id string, body string, src string, n int"
+    ).parquet(src_dir)
+    q = engine.stream_mutations("em_stream", stream,
+                                str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+
+    checks = {
+        '#options:load-rows=false#body:"cassandra world"': {"c"},
+        "#options:load-rows=false#_exists_:src": {"c"},  # a→null, b null
+        "#options:load-rows=false#n:[10 TO 30]": {"b", "c"},
+        "#options:load-rows=false#body:cassandra": {"c"},
+    }
+    for query, want in checks.items():
+        out = engine.search("em_stream", query, default_field="body")
+        assert "regexp_extract_all" not in _plan(out), query
+        assert {r["id"] for r in out.collect()} == want, query
+    # incremental: every base survived the stream
+    assert se._postings[("em_stream", "body")].base is bases["post"]
+    assert se._positional[("em_stream", "body")].base is bases["pos"]
+    assert se._presence[("em_stream", "src")].base is bases["pres"]
+    assert se._range[("em_stream", "n")].base is bases["rng"]

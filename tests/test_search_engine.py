@@ -705,3 +705,32 @@ def test_typed_term_served_from_range_index(spark):
     out2 = idx.search("tt_idx", "#options:load-rows=false#id:t1",
                       default_field="body")
     assert {r["id"] for r in out2.collect()} == {"t1"}
+
+
+def test_range_index_on_timestamp_field(spark):
+    """Range serving with timestamp-typed literals (DSL date bounds cast
+    through the same typed-literal path as the scan compiler)."""
+    import datetime as _dt
+
+    rows = [("s1", "x", _dt.datetime(2024, 1, 1, 10)),
+            ("s2", "x", _dt.datetime(2024, 1, 2, 10)),
+            ("s3", "x", _dt.datetime(2024, 1, 3, 10)),
+            ("s4", "x", None)]
+    schema_ = "id string, body string, ts timestamp"
+    idx = SearchEngine(spark)
+    idx.register(spark.createDataFrame(rows, schema_),
+                 TableSpec("ts_idx", ["id"]))
+    idx.build_range_index("ts_idx", "ts", materialize=True)
+    scan = SearchEngine(spark)
+    scan.register(spark.createDataFrame(rows, schema_),
+                  TableSpec("ts_scan", ["id"]))
+
+    q = ('#options:load-rows=false#{"query":{"range":{"ts":'
+         '{"gte":"2024-01-01 12:00:00","lte":"2024-01-03 00:00:00"}}}}')
+    out = idx.search("ts_idx", q, default_field="body")
+    assert "regexp_extract_all" not in _plan(out)
+    got = sorted(map(tuple, out.select("id", "_score").collect()))
+    want = sorted(map(tuple, scan.search("ts_scan", q, default_field="body")
+                      .select("id", "_score").collect()))
+    assert got == want
+    assert [g[0] for g in got] == ["s2"]
