@@ -930,7 +930,12 @@ class SearchEngine:
         the metadata column)."""
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
-        pred, score, _ = self.parse(docs, qmd.query, default_field)
+        node, _ = self._parse_node(qmd.query)
+        ph = self._postings_hits(table, node, default_field)
+        if ph is not None:  # same index-backed plan as search()
+            return ph.agg(F.count("*").alias("total_hits"),
+                          F.max(SCORE).alias("max_score"))
+        pred, score = Compiler(docs, default_field).compile(node)
         return (docs.where(pred)
                     .select(score)
                     .agg(F.count("*").alias("total_hits"),
