@@ -26,7 +26,9 @@ from pyspark.sql.window import Window
 from cassandra_es_index_spark.catalog import TableSpec
 from cassandra_es_index_spark.docmodel import INT_MAX, doc_id_column, iso8601
 from cassandra_es_index_spark.functions import text as tx
-from cassandra_es_index_spark.operators import asof, dedup, multimodal, similarity
+from cassandra_es_index_spark.operators import (
+    asof, dedup, multimodal, rangejoin, similarity,
+)
 from cassandra_es_index_spark.search import SearchEngine
 from cassandra_es_index_spark.search import postings as post
 from cassandra_es_index_spark.search import scoring
@@ -781,6 +783,26 @@ def q_asof_last_click(spark, sf_dir):
     return out.select("event_id", "user_id", "asof_ts")
 
 
+def q_interval_join_shipments(spark, sf_dir):
+    # range (interval) join: shipments falling inside 30-day windows
+    # anchored at a sampled set of order dates — binned equi-join rewrite
+    # (operators/rangejoin.py), never a nested-loop cross join. Dates are
+    # compared at day granularity (the testdata timestamps are midnight).
+    epoch = F.lit("1970-01-01").cast("date")
+    points = _t(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_day"))
+    intervals = (_t(spark, sf_dir, "orders")
+                 .where(F.col("o_orderkey") % 997 == 0)
+                 .select(F.col("o_orderkey").alias("interval_key"),
+                         F.datediff(F.col("o_orderdate").cast("date"), epoch)
+                          .alias("lo_day"))
+                 .withColumn("hi_day", F.col("lo_day") + F.lit(30)))
+    out = rangejoin.interval_join(points, intervals, "ship_day",
+                                  "lo_day", "hi_day", bin_width=32)
+    return (out.groupBy("interval_key")
+               .agg(F.count("*").cast("long").alias("n_points")))
+
+
 def q_multimodal_features(spark, sf_dir):
     # binary-column plumbing with the deterministic stub extractor
     # (no oracle — md5-derived features not SQL-expressible). The vector is
@@ -849,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": q_asof_last_click,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ivf_disk": q_similarity_ivf_disk,
+        "interval_join_shipments": q_interval_join_shipments,
         "ann_recall": q_ann_recall,
         "search_mapped_range": q_search_mapped_range,
         "search_10k_cap": q_search_10k_cap,
@@ -1266,6 +1289,16 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts < e.ts) AS asof_ts
             FROM events e
             WHERE e.event_type = 'error'
+        """,
+        "interval_join_shipments": """
+            WITH iv AS (
+                SELECT o_orderkey AS interval_key, o_orderdate AS lo,
+                       o_orderdate + INTERVAL 30 DAY AS hi
+                FROM orders WHERE o_orderkey % 997 = 0
+            )
+            SELECT iv.interval_key, COUNT(*)::BIGINT AS n_points
+            FROM lineitem l JOIN iv ON l.l_shipdate BETWEEN iv.lo AND iv.hi
+            GROUP BY iv.interval_key
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

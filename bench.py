@@ -60,6 +60,7 @@ HEADLINE = [
     "search_postings_disk",  # cold lookup on the bucketed on-disk postings
     "similarity_ivf_disk",   # cold probe on the cell-partitioned IVF index
     "asof_last_click",
+    "interval_join_shipments",  # binned range join, no nested-loop
     "search_10k_cap",   # the BASELINE.md 514 ms / 10k-key trace analogue
 ]
 

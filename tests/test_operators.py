@@ -371,3 +371,35 @@ def test_ivf_persisted_index_roundtrip(spark, tmp_path):
     import os
     cells = [n for n in os.listdir(path) if n.startswith("cell=")]
     assert len(cells) == indexed.select("cell").distinct().count()
+
+
+def test_interval_join_matches_naive(spark):
+    """Binned interval join ≡ the naive cross-join filter — including
+    boundary inclusivity, nulls, inverted intervals, and points covered
+    by several intervals — with no duplicate pairs from the binning."""
+    import random
+    from cassandra_es_index_spark.operators import rangejoin
+
+    rng = random.Random(11)
+    pts = [(k, rng.randint(-50, 150)) for k in range(200)] + [(200, None)]
+    ivs = []
+    for k in range(40):
+        lo = rng.randint(-60, 140)
+        ivs.append((k, lo, lo + rng.randint(0, 40)))
+    ivs += [(40, 10, 5), (41, None, 20), (42, 30, None)]  # degenerate
+    p = spark.createDataFrame(pts, "pk long, v int")
+    i = spark.createDataFrame(ivs, "ik long, lo int, hi int")
+
+    got = sorted((r["pk"], r["ik"]) for r in
+                 rangejoin.interval_join(p, i, "v", "lo", "hi",
+                                         bin_width=16).collect())
+    naive = sorted((r["pk"], r["ik"]) for r in
+                   p.crossJoin(i)
+                    .where(F.col("v").between(F.col("lo"), F.col("hi")))
+                    .collect())
+    assert got == naive and len(got) == len(set(got))
+    # a width larger than every interval must agree too
+    wide = sorted((r["pk"], r["ik"]) for r in
+                  rangejoin.interval_join(p, i, "v", "lo", "hi",
+                                          bin_width=500).collect())
+    assert wide == naive
