@@ -403,6 +403,30 @@ def q_text_bpe_tokens(spark, sf_dir):
         tx.token_count(F.col("text")).alias("n_ws"))
 
 
+def q_pipeline_clean_corpus(spark, sf_dir):
+    # the composed training-data flow: quality filter → exact dedup
+    # (min-doc_id representative per fingerprint) → per-language token
+    # accounting. One declarative plan — filter, one dedup aggregation,
+    # one rollup aggregation — fully oracle-checkable. Threshold 0.25 is
+    # calibrated to the synthetic corpus (quality tops out ~0.35 at its
+    # ~65-token docs) so the filter discriminates instead of matching
+    # all-or-nothing.
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang",
+        tx.quality_score(F.col("text")).alias("q"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe"))
+    kept = scored.where(F.col("q") >= 0.25)
+    reps = kept.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "lang", "n_bpe")).alias("r"))
+    return (reps.select(F.col("r.lang").alias("lang"),
+                        F.col("r.n_bpe").alias("n_bpe"))
+                .groupBy("lang")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("n_bpe").cast("long").alias("total_bpe")))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -851,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_lang": q_text_quality_lang,
         "text_bpe_tokens": q_text_bpe_tokens,
         "dedup_exact": q_dedup_exact,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1108,6 +1133,27 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS representative_id
             FROM documents
             GROUP BY 1
+        """,
+        "pipeline_clean_corpus": r"""
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       round(least(1.0, n_tok / 100.0) * (n_dis / n_tok), 6) AS q,
+                       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                       len(regexp_extract_all(text,
+                           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT AS n_bpe
+                FROM (
+                    SELECT doc_id, lang, text,
+                           len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tok,
+                           len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS n_dis
+                    FROM documents)
+            ), kept AS (SELECT * FROM scored WHERE q >= 0.25),
+            reps AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp),
+            rep_rows AS (
+                SELECT k.lang, k.n_bpe
+                FROM kept k JOIN reps r ON k.fp = r.fp AND k.doc_id = r.doc_id)
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_bpe)::BIGINT AS total_bpe
+            FROM rep_rows GROUP BY lang
         """,
         "dedup_jaccard": r"""
             WITH toks AS (
