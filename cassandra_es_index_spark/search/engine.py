@@ -507,12 +507,18 @@ class SearchEngine:
         docs = self._docs[table]
         fld = field or Compiler(docs).default_field
         dtype = docs.schema[fld].dataType
-        ok = isinstance(dtype, T.StringType) or (
-            isinstance(dtype, T.ArrayType)
-            and isinstance(dtype.elementType, T.StringType))
+        ok = (isinstance(dtype, T.StringType)
+              or (isinstance(dtype, T.ArrayType)
+                  and isinstance(dtype.elementType, T.StringType))
+              or (isinstance(dtype, T.MapType)
+                  and (isinstance(dtype.valueType, T.StringType)
+                       or (isinstance(dtype.valueType, T.ArrayType)
+                           and isinstance(dtype.valueType.elementType,
+                                          T.StringType)))))
         if not ok:
-            raise ValueError(f"phrase index needs a string or "
-                             f"array<string> field, got {dtype} for {fld!r}")
+            raise ValueError(
+                f"phrase index needs a string, array<string>, or "
+                f"map-of-string(-array) field, got {dtype} for {fld!r}")
         if (table, fld) not in self._positional:
             self._positional[(table, fld)] = PostingsState(build_chunks(
                 docs, self._postings_id_col(spec), fld))

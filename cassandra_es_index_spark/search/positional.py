@@ -62,11 +62,21 @@ def build_chunks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
     chunk = F.lower(F.col("_chunk"))
     dtype = docs.schema[text_col].dataType
-    if isinstance(dtype, T.ArrayType):
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        # arrays: one element per entry. Maps (the flattened-attribute
+        # columns): one element per value — map<string,array<string>>
+        # flattens first. The scan path evaluates the phrase regex per
+        # value and sums, so any stable enumeration of values works as
+        # the elem id.
+        if isinstance(dtype, T.MapType):
+            vals = F.map_values(F.col(text_col))
+            if isinstance(dtype.valueType, T.ArrayType):
+                vals = F.flatten(vals)
+        else:
+            vals = F.col(text_col)
         exploded = (docs.repartition(n_part)
                         .select(F.col(id_col).alias("doc"),
-                                F.posexplode(F.col(text_col))
-                                 .alias("elem", "_val"))
+                                F.posexplode(vals).alias("elem", "_val"))
                         .select("doc", "elem",
                                 F.posexplode(F.split(F.col("_val"), r"\s+"))
                                  .alias("pos", "_chunk")))

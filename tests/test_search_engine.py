@@ -734,3 +734,37 @@ def test_range_index_on_timestamp_field(spark):
                       .select("id", "_score").collect()))
     assert got == want
     assert [g[0] for g in got] == ["s2"]
+
+
+def test_phrase_index_on_map_field(spark):
+    """Phrase serving on map columns (the flattened-attribute shape):
+    per-value regex semantics summed across values, index-served, scan
+    parity — for both map<string,string> and map<string,array<string>>."""
+    rows = [("m1", {"a": "hello world", "b": "plain"}),
+            ("m2", {"a": "hello", "b": "world"}),          # split: no match
+            ("m3", {"x": "hello world hello world"})]
+    df = spark.createDataFrame(rows, "id string, attrs map<string,string>")
+    idx = SearchEngine(spark)
+    idx.register(df, TableSpec("map_idx", ["id"]))
+    idx.build_phrase_index("map_idx", "attrs", materialize=True)
+    scan = SearchEngine(spark)
+    scan.register(df, TableSpec("map_scan", ["id"]))
+    q = '#options:load-rows=false#attrs:"hello world"'
+    out = idx.search("map_idx", q, default_field="attrs")
+    assert "regexp_extract_all" not in _plan(out)
+    got = sorted(map(tuple, out.select("id", "_score").collect()))
+    want = sorted(map(tuple, scan.search("map_scan", q,
+                                         default_field="attrs")
+                      .select("id", "_score").collect()))
+    assert got == want
+    assert dict(got) == {"m1": 1, "m3": 2}
+
+    arr_rows = [("n1", {"k": ["hello world", "x"]}), ("n2", {"k": ["nope"]})]
+    adf = spark.createDataFrame(
+        arr_rows, "id string, attrs map<string,array<string>>")
+    idx2 = SearchEngine(spark)
+    idx2.register(adf, TableSpec("maparr_idx", ["id"]))
+    idx2.build_phrase_index("maparr_idx", "attrs", materialize=True)
+    out2 = idx2.search("maparr_idx", q, default_field="attrs")
+    assert "regexp_extract_all" not in _plan(out2)
+    assert {(r["id"], r["_score"]) for r in out2.collect()} == {("n1", 1)}
