@@ -75,6 +75,25 @@ def wildcard_pattern(pattern: str) -> str:
     return "".join(out)
 
 
+def wildcard_token_pattern(pattern: str) -> str:
+    """Anchored form of ``wildcard_pattern`` for term-DICTIONARY matching:
+    because ``wildcard_pattern`` pins both ends to word boundaries, its
+    matches in raw text are exactly the whole tokens matching this
+    anchored pattern over the (lowercased) token dictionary — the
+    equivalence the index-served wildcard plan relies on
+    (property-tested in tests/test_property.py)."""
+    out: list[str] = ["^"]
+    for ch in pattern:
+        if ch == "*":
+            out.append(r"\w*")
+        elif ch == "?":
+            out.append(r"\w")
+        else:
+            out.append(re.escape(ch.lower()))
+    out.append("$")
+    return "".join(out)
+
+
 def phrase_pattern(text: str) -> str:
     words = [_escape_regex(w) for w in text.split()]
     return r"(?i)\b" + r"\s+".join(words) + r"\b"

@@ -764,15 +764,10 @@ class SearchEngine:
                 # regex semantics that only the scan reproduces).
                 if not re.search(r"\w", n.pattern.replace("?", "")):
                     return None
-                body = []
-                for ch in n.pattern:
-                    if ch == "*":
-                        body.append(r"\w*")
-                    elif ch == "?":
-                        body.append(r"\w")
-                    else:
-                        body.append(re.escape(ch.lower()))
-                anchored = "^" + "".join(body) + "$"
+                from cassandra_es_index_spark.search.compile import (
+                    wildcard_token_pattern,
+                )
+                anchored = wildcard_token_pattern(n.pattern)
                 dictionary = (state.view().select("token").distinct()
                               .where(F.col("token").rlike(anchored)))
                 return (state.view()

@@ -92,3 +92,31 @@ def test_parser_accepts_well_formed(parts):
     for joiner in (" ", " AND ", " OR "):
         node = qs.parse(joiner.join(parts))
         assert isinstance(node, Node)
+
+
+wildcard_patterns = st.text(
+    string.ascii_lowercase + "*?", min_size=1, max_size=8).filter(
+    lambda p: any(c.isalpha() for c in p.replace("?", "")))
+plain_tokens = st.text(string.ascii_lowercase + string.digits,
+                       min_size=1, max_size=10)
+
+
+@given(wildcard_patterns, plain_tokens)
+@settings(max_examples=300, deadline=None)
+def test_wildcard_dictionary_equivalence(pattern, token):
+    """The index-served wildcard plan's core claim: the scan regex
+    `\\b<pat>\\b` matches inside a text consisting of one token iff the
+    anchored dictionary pattern matches that token — so dictionary
+    expansion reproduces the scan exactly."""
+    import re as _re
+
+    from cassandra_es_index_spark.search.compile import (
+        wildcard_pattern, wildcard_token_pattern,
+    )
+
+    scan = _re.compile(wildcard_pattern(pattern).replace("(?i)", ""),
+                       _re.IGNORECASE | _re.ASCII)
+    anchored = _re.compile(wildcard_token_pattern(pattern), _re.ASCII)
+    # surround the token with non-word context like real text would
+    m = anchored.match(token)
+    assert bool(scan.search(f". {token}, .")) == bool(m and m.end() == len(token))
