@@ -113,11 +113,21 @@ def fingerprint(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array of 'w1 w2 w3' strings) for MinHash."""
+    """Word n-gram shingles (array of 'w1 w2 w3' strings) for MinHash.
+
+    Built by zip_with-chaining the token array against its own shifted
+    slices: every array argument is evaluated ONCE per row. (The obvious
+    ``transform(indices, i -> element_at(toks, i+j))`` formulation
+    re-evaluates the full tokenizing split per element access inside the
+    lambda — measured ~10x slower per corpus scan at sf0.1.)
+    """
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    sz = F.size(toks)
+    acc = toks
+    for j in range(1, n):
+        tail = F.slice(toks, j + 1, F.greatest(sz - j, F.lit(0)))
+        # zip_with pads the shorter side with null; concat_ws skips nulls,
+        # so tail entries hold partial shingles — sliced off below.
+        acc = F.zip_with(acc, tail, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(acc, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    return F.when(sz >= n, full).otherwise(F.array(F.concat_ws(" ", toks)))

@@ -19,8 +19,8 @@ Four tiers, cheapest-exact to cheapest-approximate:
   pigeonhole banding: recall is exactly 1 for pairs within the hamming
   budget.
 
-MinHash uses md5-hex minima (portable across engines) instead of engine-
-specific hash functions, so signatures are reproducible anywhere.
+MinHash components are independently seeded xxhash64 minima —
+deterministic for a given Spark version, and linear in feature count.
 """
 
 from __future__ import annotations
@@ -134,13 +134,16 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     token set — order-free bag-of-words similarity, the estimator twin of
     ``jaccard_pairs`` (which is token-set Jaccard).
 
-    Shape: explode shingles → one aggregation with ``num_hashes`` min()
-    columns. The hashes happen map-side in the partial aggregation and the
-    shuffle carries one partial signature per (partition, doc) — linear in
-    corpus size, parallel across partitions. (A nested higher-order-
-    function formulation re-evaluates the shingle array once per
-    component — 32× the work and immune to codegen CSE; measured 25×
-    slower at sf0.1.)
+    Shape: explode features → one aggregation with ``num_hashes`` min()
+    columns, each over an independently seeded ``xxhash64(i, sh)``. The
+    hashes happen map-side in the partial aggregation and the shuffle
+    carries one partial signature per (partition, doc) — linear in corpus
+    size. Component independence matters: a bounded Kirsch–Mitzenmacher
+    ``h1 + i·h2`` variant (tried for speed) correlates the components'
+    min-rankings and inflated the estimated Jaccard ~25× at sf0.1. The
+    real cost driver was the shingle builder re-evaluating its tokenizer
+    per element — fixed in ``functions.text.shingles`` — after which the
+    32 seeded hashes are map-side-cheap (~1.5s/corpus scan at sf0.1).
     """
     if unit == "shingle":
         feats = shingles(F.col(text_col), shingle_n)
