@@ -241,6 +241,83 @@ def q_search_topk(spark, sf_dir):
                       default_field="text", limit=20)
 
 
+def q_search_dsl_prefix(spark, sf_dir):
+    # ES-DSL `prefix` clause — the reference's headline query class
+    # (`body:cassan*`, ref README.md:179) in DSL form; index-served from
+    # the token-sorted postings as a LIKE range when the index exists.
+    return _search('#options:load-rows=false#'
+                   '{"query":{"prefix":{"text":"quer"}}}')(spark, sf_dir)
+
+
+def q_search_dsl_ids(spark, sf_dir):
+    # ES `ids` query: point lookups by engine doc id, J1 row-load result.
+    # A constant IN-list Catalyst pushes into the scan.
+    return _search('{"query":{"ids":{"values":'
+                   '["5","17","23","999999999"]}}}')(spark, sf_dir)
+
+
+def q_search_dsl_sorted(spark, sf_dir):
+    # DSL `sort`: field ordering replaces score ordering; key tiebreak
+    # appended so the top-50 selection is deterministic.
+    return _search('{"query":{"range":{"n_chars":{"gte":250}}},'
+                   '"sort":[{"n_chars":{"order":"desc"}}],"size":50}')(
+        spark, sf_dir)
+
+
+def q_search_page_after(spark, sf_dir):
+    # ES `search_after` keyset pagination: strictly-after filter over the
+    # (score desc, key asc) total order — page N costs the same as page 1
+    # (no offset scan-and-discard), ES's own deep-pagination mechanism.
+    return _search("#options:load-rows=false#text:data",
+                   search_after=[2, 100], limit=100)(spark, sf_dir)
+
+
+def q_search_dsl_aggs(spark, sf_dir):
+    # ES-DSL `aggs`: terms buckets + metric sub-aggs executed as a native
+    # groupBy over the query's match set (the reference can only pass the
+    # JSON through to ES and never post-processes it — SURVEY.md §2.4).
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"lang":"en"}},'
+         '"aggs":{"by_source":{"terms":{"field":"source","size":5},'
+         '"aggs":{"avg_chars":{"avg":{"field":"n_chars"}},'
+         '"total_chars":{"sum":{"field":"n_chars"}}}}}}')
+    out = eng.search_aggs("documents", q, default_field="text")
+    return out.withColumn("avg_chars", F.round("avg_chars", 4)) \
+              .withColumn("total_chars", F.col("total_chars").cast("long"))
+
+
+def q_search_dsl_metrics(spark, sf_dir):
+    # metrics-only aggs: one global row; `cardinality` is EXACT count
+    # distinct (superset of ES's HyperLogLog estimate).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"range":{"value":{"gte":50}}},'
+         '"aggs":{"n_events":{"value_count":{"field":"value"}},'
+         '"n_users":{"cardinality":{"field":"user_id"}},'
+         '"max_value":{"max":{"field":"value"}}}}')
+    return eng.search_aggs("events_capped", q, default_field="event_type")
+
+
+def q_events_date_histogram(spark, sf_dir):
+    # date_histogram buckets per day over an index-served term filter —
+    # the postings select the match set (left-semi), the calendar
+    # bucketing and metric run as one partial-aggregated groupBy.
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"per_day":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day"},'
+         '"aggs":{"avg_value":{"avg":{"field":"value"}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return out.withColumn("avg_value", F.round("avg_value", 4))
+
+
+def q_events_value_histogram(spark, sf_dir):
+    # numeric histogram: fixed-interval buckets, match_all query
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"by_val":{"histogram":{"field":"value","interval":25.0}}}}')
+    return eng.search_aggs("events_capped", q, default_field="event_type")
+
+
 def q_doc_build(spark, sf_dir):
     # Document model: doc-id synthesis + ISO-8601 + TTL sentinel
     # (ref CStarUtils.java:376-406, JsonUtils.java:122-126,
@@ -858,6 +935,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_phrase": q_search_dsl_phrase,
         "search_exists": q_search_exists,
         "search_topk": q_search_topk,
+        "search_dsl_prefix": q_search_dsl_prefix,
+        "search_dsl_ids": q_search_dsl_ids,
+        "search_dsl_sorted": q_search_dsl_sorted,
+        "search_page_after": q_search_page_after,
+        "search_dsl_aggs": q_search_dsl_aggs,
+        "search_dsl_metrics": q_search_dsl_metrics,
+        "events_date_histogram": q_events_date_histogram,
+        "events_value_histogram": q_events_value_histogram,
         "doc_build": q_doc_build,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -952,6 +1037,67 @@ def oracle_sql() -> dict[str, str]:
         "search_dsl_range": """
             SELECT doc_id, text, lang, source, n_chars, 1::BIGINT AS _score
             FROM documents WHERE n_chars BETWEEN 100 AND 300
+        """,
+        "search_dsl_prefix": f"""
+            SELECT doc_id, len(regexp_extract_all(text, '{_QUER}'))::BIGINT AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_QUER}')) > 0
+        """,
+        "search_dsl_ids": """
+            SELECT doc_id, text, lang, source, n_chars, 1::BIGINT AS _score
+            FROM documents
+            WHERE CAST(doc_id AS VARCHAR) IN ('5', '17', '23', '999999999')
+        """,
+        "search_dsl_sorted": """
+            SELECT doc_id, text, lang, source, n_chars, 1::BIGINT AS _score
+            FROM documents WHERE n_chars >= 250
+            ORDER BY n_chars DESC, doc_id ASC
+            LIMIT 50
+        """,
+        "search_page_after": f"""
+            SELECT doc_id, _score FROM (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_DATA}'))::BIGINT AS _score
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_DATA}')) > 0
+            )
+            WHERE _score < 2 OR (_score = 2 AND doc_id > 100)
+            ORDER BY _score DESC, doc_id ASC
+            LIMIT 100
+        """,
+        "search_dsl_aggs": f"""
+            SELECT source AS key,
+                   COUNT(*)::BIGINT AS doc_count,
+                   ROUND(AVG(n_chars), 4) AS avg_chars,
+                   SUM(n_chars)::BIGINT AS total_chars
+            FROM documents
+            WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
+              AND source IS NOT NULL
+            GROUP BY source
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 5
+        """,
+        "search_dsl_metrics": """
+            SELECT COUNT(value)::BIGINT AS n_events,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users,
+                   MAX(value) AS max_value
+            FROM events WHERE value >= 50
+        """,
+        "events_date_histogram": r"""
+            SELECT date_trunc('day', ts) AS key,
+                   COUNT(*)::BIGINT AS doc_count,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM events
+            WHERE len(regexp_extract_all(event_type, '(?i)\bclick\b')) > 0
+              AND ts IS NOT NULL
+            GROUP BY 1
+        """,
+        "events_value_histogram": """
+            SELECT FLOOR(value / 25.0) * 25.0 AS key,
+                   COUNT(*)::BIGINT AS doc_count
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY 1
         """,
         "search_dsl_bool": f"""
             SELECT doc_id,

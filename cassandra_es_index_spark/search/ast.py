@@ -56,6 +56,12 @@ class Exists(Node):
 
 
 @dataclass(frozen=True)
+class Ids(Node):
+    """ES ``ids`` query — match documents by engine doc id (``_id``)."""
+    values: tuple[str, ...] = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
 class MatchAll(Node):
     """``*:*`` / ES ``match_all``."""
 

@@ -27,8 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, MatchAll, Node, Not, Or, Phrase, Range, Scoreless, Should,
-    Term, Wildcard,
+    And, Exists, Ids, MatchAll, Node, Not, Or, Phrase, Range, Scoreless,
+    Should, Term, Wildcard,
 )
 
 
@@ -241,6 +241,15 @@ class Compiler:
             for _, s in parts[1:]:
                 score = score + s
             return pred, score
+        if isinstance(node, Ids):
+            # ES `ids` query: match on the engine doc-id field. Equality on
+            # `_id` (string, synthesized from the primary key) — a constant
+            # IN-list that Catalyst pushes into the scan; score 1 per hit
+            # like the other non-text leaves.
+            if not any(f.name == "_id" for f in self.schema.fields):
+                raise CompileError("ids query needs the _id document field")
+            pred = F.col("_id").isin(*node.values) if node.values else F.lit(False)
+            return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, Not):
             pred, _ = self._walk(node.child)
             return ~F.coalesce(pred, F.lit(False)), F.lit(0)

@@ -12,8 +12,9 @@ from __future__ import annotations
 import json
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
@@ -32,6 +33,7 @@ GET_MAPPING = "#get_mapping#"
 PUT_MAPPING_PREFIX = "#put_mapping#"
 
 SCORE = "_score"
+RANK = "_hit_rank"   # internal: carries page order through the J1 join
 
 
 def _presence_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
@@ -325,10 +327,15 @@ class SearchEngine:
 
     @staticmethod
     def _parse_node(query: str) -> tuple[Node, int | None]:
+        req = SearchEngine._parse_request(query)
+        return req.node, req.size
+
+    @staticmethod
+    def _parse_request(query: str) -> es_dsl.Request:
         text = query.strip()
         if text.startswith("{"):
-            return es_dsl.parse(text)
-        return query_string.parse(text), None
+            return es_dsl.parse_request(text)
+        return es_dsl.Request(node=query_string.parse(text))
 
     def validate(self, table: str, query: str,
                  default_field: str | None = None) -> str | None:
@@ -344,9 +351,35 @@ class SearchEngine:
         except Exception as e:  # noqa: BLE001 — surface any compile error
             return str(e)
 
+    @staticmethod
+    def _keyset_filter(ordering: list[tuple[Column, bool]],
+                       anchor: tuple) -> Column:
+        """ES ``search_after`` semantics: strictly-after predicate over the
+        total ordering — keyset pagination. A filter, not an offset: page N
+        costs the same as page 1 (no deep scan-and-discard), which is why
+        ES recommends it over ``from`` for deep pagination."""
+        if len(anchor) != len(ordering):
+            raise ValueError(
+                f"search_after needs one value per ordering column "
+                f"({len(ordering)} incl. key tiebreaks), got {len(anchor)}")
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for (col, asc), v in zip(ordering, anchor):
+            cmp = col > F.lit(v) if asc else col < F.lit(v)
+            pred = pred | (eq & cmp)
+            eq = eq & (col == F.lit(v))
+        return pred
+
+    @staticmethod
+    def _apply_ordering(df: DataFrame,
+                        ordering: list[tuple[Column, bool]]) -> DataFrame:
+        return df.orderBy(*[c.asc() if asc else c.desc()
+                            for c, asc in ordering])
+
     def search(self, table: str, query: str,
                default_field: str | None = None,
-               limit: int | None = None) -> DataFrame:
+               limit: int | None = None,
+               search_after: list | tuple | None = None) -> DataFrame:
         """Full search path. Returns, per hit:
 
         - ``load-rows`` default: base-table row + ``_score``  (J1 join)
@@ -360,6 +393,14 @@ class SearchEngine:
         index (``build_postings_index``), it compiles to postings equi-joins
         touching only matching rows; otherwise it compiles to Column
         predicates evaluated in one corpus scan.
+
+        DSL ``sort`` replaces the score ordering with field ordering (key
+        columns always appended as tiebreaks, so the total order is
+        deterministic). ``search_after`` — from the DSL body or the
+        parameter (parameter wins) — keyset-paginates that total order:
+        one value per ordering column (sort fields, or ``_score``, plus
+        the key tiebreaks); metadata counts still reflect the full match
+        set, like ES.
         """
         admin = self._admin(table, query)
         if admin is not None:
@@ -367,13 +408,19 @@ class SearchEngine:
         base, spec = self.catalog.get(table)
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
-        node, size = self._parse_node(qmd.query)
+        req = self._parse_request(qmd.query)
+        node, size = req.node, req.size
+        after = tuple(search_after) if search_after is not None \
+            else req.search_after
 
         cfg = spec.config()
         k = limit if limit is not None else (size if size is not None else cfg.max_results)
         keys = spec.key_columns
 
-        ph = self._postings_hits(table, node, default_field)
+        # field sort needs document column values, which the postings rows
+        # don't carry — sorted requests keep the scan plan
+        ph = None if req.sort else \
+            self._postings_hits(table, node, default_field)
         if ph is not None:
             # index-backed plan: (doc, _score) straight from the postings —
             # the corpus is never text-scanned. Single-key tables rename
@@ -387,12 +434,23 @@ class SearchEngine:
             else:
                 key_map = docs.select(F.col(DOC_ID).alias("doc"), *keys)
                 keyed = ph.join(key_map, on="doc", how="inner").drop("doc")
-            hits = (keyed
-                    .orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
-                    .limit(k))
+            ordering = [(F.col(SCORE), False)] + \
+                [(F.col(c), True) for c in keys]
+            if after is not None:
+                keyed = keyed.where(self._keyset_filter(ordering, after))
+            hits = self._apply_ordering(keyed, ordering).limit(k)
+            # join paths would lose the page order (a join emits rows in
+            # shuffle/broadcast-probe order): rank the ≤k hits first and
+            # re-sort the joined result on that rank, so a paging client
+            # sees rows in ranking order, like ES hits.
+            needs_join = qmd.load_source or qmd.load_rows
+            if needs_join:
+                hits = hits.withColumn(RANK, F.row_number().over(
+                    Window.orderBy(*[c.asc() if asc else c.desc()
+                                     for c, asc in ordering])))
             if qmd.load_source:
                 result = (docs.join(F.broadcast(hits), on=keys)
-                              .select(*docs.columns, SCORE))
+                              .select(*docs.columns, SCORE, RANK))
             elif not qmd.load_rows:
                 result = hits.select(*keys, SCORE)
             else:
@@ -404,9 +462,12 @@ class SearchEngine:
                           .select(F.to_json(F.struct("total_hits", "max_score"))
                                    .alias("_metadata")))
                 result = result.crossJoin(F.broadcast(meta))
+            if needs_join:
+                result = result.orderBy(RANK).drop(RANK)
             return result
 
-        pred, score = Compiler(docs, default_field).compile(node)
+        comp = Compiler(docs, default_field)
+        pred, score = comp.compile(node)
 
         scored = docs.where(pred).withColumn(SCORE, score)
         want_meta = qmd.options.get("metadata", "false").lower() == "true"
@@ -418,10 +479,18 @@ class SearchEngine:
             # immediately — nothing stays pinned across calls.
             scored = scored.persist()
 
-        hits = (scored
-                # deterministic top-k: score desc, then full key asc
-                .orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
-                .limit(k))
+        # deterministic total order: DSL sort fields (or score desc), then
+        # full key asc as tiebreaks
+        if req.sort:
+            ordering = [(F.col(SCORE) if f == "_score" else comp.resolve(f).col,
+                         asc) for f, asc in req.sort]
+        else:
+            ordering = [(F.col(SCORE), False)]
+        ordering += [(F.col(c), True) for c in keys]
+
+        paged = scored if after is None else \
+            scored.where(self._keyset_filter(ordering, after))
+        hits = self._apply_ordering(paged, ordering).limit(k)
 
         if want_meta:
             agg = scored.agg(F.count("*").alias("total_hits"),
@@ -444,10 +513,17 @@ class SearchEngine:
             # J1 — hits ⋈ base on the full primary key. The hit set is
             # capped at max-results (10k default) so it is always
             # broadcastable; ghost rows drop out naturally via the inner
-            # join (ref StreamingPartitionIterator.java:102-140).
-            hit_keys = F.broadcast(hits.select(*keys, SCORE))
-            result = self._row_load_source(table, base).join(
-                hit_keys, on=keys, how="inner")
+            # join (ref StreamingPartitionIterator.java:102-140). The join
+            # emits rows in probe order, so the hits carry their rank and
+            # the result re-sorts on it — a paging client sees rows in
+            # ranking order, like ES hits.
+            ranked = hits.withColumn(RANK, F.row_number().over(
+                Window.orderBy(*[c.asc() if asc else c.desc()
+                                 for c, asc in ordering])))
+            hit_keys = F.broadcast(ranked.select(*keys, SCORE, RANK))
+            result = (self._row_load_source(table, base)
+                      .join(hit_keys, on=keys, how="inner")
+                      .orderBy(RANK).drop(RANK))
 
         if meta_json is not None:
             # Global search metadata as a JSON column on every row. The
@@ -941,3 +1017,82 @@ class SearchEngine:
                     .select(score)
                     .agg(F.count("*").alias("total_hits"),
                          F.max(SCORE).alias("max_score")))
+
+    def search_aggs(self, table: str, query: str,
+                    default_field: str | None = None) -> DataFrame:
+        """Execute the ``aggs`` section of an ES-DSL request over the
+        query's match set — terms / histogram / date_histogram buckets
+        with metric sub-aggs, or a metrics-only global aggregation.
+
+        The reference can only pass an aggs body through to ES and never
+        post-processes the response (SURVEY.md §2.4 — hit extraction looks
+        at ``hits.hits[]._source`` only, ref ElasticIndex.java:679-717);
+        here the same JSON runs as a native groupBy aggregation, with
+        partial (map-side) aggregation and AQE handling skew. When the
+        query part is index-servable, the match set comes from the
+        postings (left-semi join on the key) instead of a corpus text
+        scan.
+
+        Result shapes (column names are the agg names from the request):
+
+        - bucket agg: (key, doc_count, <metric...>) — terms buckets
+          ordered by doc_count desc then key asc, capped at ``size``
+          (ES default 10); histogram/date_histogram buckets ordered by
+          key asc, uncapped. Docs with a null bucket field are dropped
+          (ES terms-agg semantics for missing values).
+        - metrics only: one row of the named metrics. ``cardinality`` is
+          an EXACT count-distinct (superset of ES's HyperLogLog estimate).
+        """
+        docs = self._docs[table]
+        qmd = QueryMetaData.parse(query)
+        req = self._parse_request(qmd.query)
+        if req.aggs is None:
+            raise ValueError("request has no aggs section")
+        _, spec = self.catalog.get(table)
+        comp = Compiler(docs, default_field)
+
+        ph = self._postings_hits(table, req.node, default_field)
+        if ph is not None:
+            id_col = self._postings_id_col(spec)
+            ids = ph.select(F.col("doc").alias(id_col))
+            filtered = docs.join(ids, on=id_col, how="left_semi")
+        else:
+            pred, _ = comp.compile(req.node)
+            filtered = docs.where(pred)
+
+        def metric(m: es_dsl.MetricAgg):
+            c = comp.resolve(m.field).col
+            if m.kind == "avg":
+                return F.avg(c)
+            if m.kind == "sum":
+                return F.sum(c)
+            if m.kind == "min":
+                return F.min(c)
+            if m.kind == "max":
+                return F.max(c)
+            if m.kind == "value_count":
+                return F.count(c).cast("long")
+            if m.kind == "cardinality":
+                return F.countDistinct(c).cast("long")
+            raise ValueError(f"unknown metric kind {m.kind!r}")
+
+        aggs = req.aggs
+        if isinstance(aggs, tuple):  # metrics-only: one global row
+            return filtered.agg(*[metric(m).alias(m.name) for m in aggs])
+
+        bucket_col = comp.resolve(aggs.field).col
+        if aggs.kind == "terms":
+            key = bucket_col
+        elif aggs.kind == "histogram":
+            key = (F.floor(bucket_col / F.lit(float(aggs.interval)))
+                   * F.lit(float(aggs.interval)))
+        else:  # date_histogram
+            key = F.date_trunc(aggs.calendar_interval, bucket_col)
+        measures = [F.count("*").cast("long").alias("doc_count")]
+        measures += [metric(m).alias(m.name) for m in aggs.metrics]
+        out = (filtered.where(bucket_col.isNotNull())
+               .groupBy(key.alias("key")).agg(*measures))
+        if aggs.kind == "terms":
+            return (out.orderBy(F.desc("doc_count"), F.asc("key"))
+                       .limit(aggs.size if aggs.size is not None else 10))
+        return out.orderBy(F.asc("key"))

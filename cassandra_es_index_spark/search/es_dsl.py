@@ -4,19 +4,26 @@ The reference forwards any query starting with ``{`` verbatim to ES
 (ref ElasticIndex.java:663-667); the documented/tested subset is
 ``range``, ``term``, ``terms``, ``match``, ``match_all``, ``exists``,
 ``bool`` (must/should/must_not/filter), ``query_string``, plus a top-level
-``size`` (ref README.md:404-405). We translate that subset plus
-``match_phrase`` (a superset clause mapping onto the same Phrase AST the
-query_string parser produces).
+``size`` (ref README.md:404-405). We translate that subset plus engine
+superset clauses that compose onto the same AST: ``match_phrase``
+(Phrase), ``prefix``/``wildcard`` (Wildcard — index-served when postings
+exist), ``ids`` (doc-id lookup), top-level ``sort`` (field ordering
+instead of score), ``search_after`` (keyset pagination — ES's
+deep-pagination mechanism, a filter rather than an offset scan), and
+``aggs``/``aggregations`` (terms / histogram / date_histogram buckets
+with metric sub-aggs, executed by ``SearchEngine.search_aggs``; the
+reference can only pass these through to ES, ref SURVEY.md §2.4).
 """
 
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass, field as dc_field
 from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, MatchAll, Node, Not, Or, Phrase, Range, Scoreless, Should,
-    Term,
+    And, Exists, Ids, MatchAll, Node, Not, Or, Phrase, Range, Scoreless,
+    Should, Term, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -25,8 +32,52 @@ class DslError(ValueError):
     pass
 
 
+_METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality")
+_BUCKET_KINDS = ("terms", "histogram", "date_histogram")
+
+
+@dataclass(frozen=True)
+class MetricAgg:
+    """One metric aggregation: ``{"name": {"avg": {"field": "f"}}}``.
+
+    ``cardinality`` is served EXACTLY (count distinct) — the engine's
+    superset of ES's HyperLogLog approximation."""
+    name: str
+    kind: str   # avg | sum | min | max | value_count | cardinality
+    field: str
+
+
+@dataclass(frozen=True)
+class BucketAgg:
+    """One bucket aggregation with optional metric sub-aggs."""
+    name: str
+    kind: str   # terms | histogram | date_histogram
+    field: str
+    size: int | None = None                 # terms (ES default 10)
+    interval: float | None = None           # histogram
+    calendar_interval: str | None = None    # date_histogram
+    metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Request:
+    """A parsed search request body."""
+    node: Node
+    size: int | None = None
+    aggs: BucketAgg | tuple[MetricAgg, ...] | None = None
+    sort: tuple[tuple[str, bool], ...] = ()   # (field, ascending)
+    search_after: tuple[Any, ...] | None = None
+
+
 def parse(query_json: str | dict[str, Any]) -> tuple[Node, int | None]:
     """Parse an ES-DSL query; returns (AST, size-or-None)."""
+    req = parse_request(query_json)
+    return req.node, req.size
+
+
+def parse_request(query_json: str | dict[str, Any]) -> Request:
+    """Parse a full ES-DSL request body (query + size + sort +
+    search_after + aggs)."""
     if isinstance(query_json, str):
         try:
             obj = json.loads(query_json)
@@ -40,7 +91,92 @@ def parse(query_json: str | dict[str, Any]) -> tuple[Node, int | None]:
     if size is not None and not isinstance(size, int):
         raise DslError("size must be an integer")
     query = obj.get("query", {"match_all": {}})
-    return _node(query), size
+    after = obj.get("search_after")
+    if after is not None:
+        if not isinstance(after, list) or not after:
+            raise DslError("search_after must be a non-empty list")
+        after = tuple(after)
+    return Request(
+        node=_node(query),
+        size=size,
+        aggs=_aggs(obj.get("aggs", obj.get("aggregations"))),
+        sort=_sort(obj.get("sort")),
+        search_after=after,
+    )
+
+
+def _sort(spec: Any) -> tuple[tuple[str, bool], ...]:
+    """ES sort forms: ``"f"``, ``{"f": "desc"}``, ``{"f": {"order":
+    "desc"}}``, or a list of those. Defaults: ascending (``_score``:
+    descending, like ES)."""
+    if spec is None:
+        return ()
+    if not isinstance(spec, list):
+        spec = [spec]
+    out: list[tuple[str, bool]] = []
+    for entry in spec:
+        if isinstance(entry, str):
+            out.append((entry, entry != "_score"))
+            continue
+        if isinstance(entry, dict) and len(entry) == 1:
+            (fld, body), = entry.items()
+            if isinstance(body, str):
+                order = body
+            elif isinstance(body, dict):
+                order = body.get("order", "desc" if fld == "_score" else "asc")
+            else:
+                raise DslError(f"bad sort entry: {entry!r}")
+            if order not in ("asc", "desc"):
+                raise DslError(f"sort order must be asc/desc, got {order!r}")
+            out.append((fld, order == "asc"))
+            continue
+        raise DslError(f"bad sort entry: {entry!r}")
+    return tuple(out)
+
+
+def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
+    (kind, body), = spec.items()
+    if kind not in _METRIC_KINDS:
+        raise DslError(f"unsupported metric agg {kind!r} (supported: "
+                       f"{', '.join(_METRIC_KINDS)})")
+    if not isinstance(body, dict) or "field" not in body:
+        raise DslError(f"metric agg {name!r} needs {{'field': name}}")
+    return MetricAgg(name, kind, body["field"])
+
+
+def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
+    if spec is None:
+        return None
+    if not isinstance(spec, dict) or not spec:
+        raise DslError("aggs must be a non-empty object")
+    entries = list(spec.items())
+    first_kind = None
+    for name, body in entries:
+        if not isinstance(body, dict) or not body:
+            raise DslError(f"agg {name!r} must be an object")
+        first_kind = next(k for k in body if k != "aggs")
+        break
+    if first_kind in _BUCKET_KINDS:
+        if len(entries) != 1:
+            raise DslError("exactly one bucket agg is supported per request")
+        name, body = entries[0]
+        params = body[first_kind]
+        if not isinstance(params, dict) or "field" not in params:
+            raise DslError(f"bucket agg {name!r} needs a 'field'")
+        metrics = tuple(_metric(n, s)
+                        for n, s in (body.get("aggs") or {}).items())
+        if first_kind == "histogram" and "interval" not in params:
+            raise DslError("histogram needs an 'interval'")
+        if first_kind == "date_histogram" and "calendar_interval" not in params:
+            raise DslError("date_histogram needs a 'calendar_interval'")
+        return BucketAgg(
+            name=name, kind=first_kind, field=params["field"],
+            size=params.get("size"),
+            interval=params.get("interval"),
+            calendar_interval=params.get("calendar_interval"),
+            metrics=metrics)
+    # metrics-only request: every entry must be a metric
+    return tuple(_metric(n, s) for n, s in entries)
 
 
 def _node(q: dict[str, Any]) -> Node:
@@ -89,6 +225,23 @@ def _node(q: dict[str, Any]) -> Node:
             include_lo="gte" in bounds or "gt" not in bounds,
             include_hi="lte" in bounds or "lt" not in bounds,
         )
+    if kind == "prefix":
+        # served from token-sorted postings as a LIKE range when an index
+        # exists — the reference's own headline query class (`body:cassan*`,
+        # ref README.md:179) in DSL form
+        field, value = _single(body)
+        if isinstance(value, dict):
+            value = value.get("value")
+        return Wildcard(field, f"{value}*")
+    if kind == "wildcard":
+        field, value = _single(body)
+        if isinstance(value, dict):
+            value = value.get("value")
+        return Wildcard(field, str(value))
+    if kind == "ids":
+        if not isinstance(body, dict) or not isinstance(body.get("values"), list):
+            raise DslError("ids needs {'values': [...]}")
+        return Ids(tuple(str(v) for v in body["values"]))
     if kind == "exists":
         if not isinstance(body, dict) or "field" not in body:
             raise DslError("exists needs {'field': name}")

@@ -768,3 +768,95 @@ def test_phrase_index_on_map_field(spark):
     out2 = idx2.search("maparr_idx", q, default_field="attrs")
     assert "regexp_extract_all" not in _plan(out2)
     assert {(r["id"], r["_score"]) for r in out2.collect()} == {("n1", 1)}
+
+
+# -- DSL extensions: aggs / sort / prefix / ids / search_after --------------
+
+
+def test_dsl_aggs_terms_buckets(engine):
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"by_user":{"terms":{"field":"userid"}}}}')
+    rows = engine.search_aggs("emails", q).collect()
+    # ES terms order: doc_count desc, then key asc
+    assert [(r["key"], r["doc_count"]) for r in rows] == \
+        [(42, 2), (7, 1), (10, 1), (99, 1)]
+
+
+def test_dsl_aggs_metric_subaggs(engine):
+    q = ('{"query":{"term":{"userid":42}},'
+         '"aggs":{"by_subject":{"terms":{"field":"subject"},'
+         '"aggs":{"max_user":{"max":{"field":"userid"}}}}}}')
+    rows = engine.search_aggs("emails", q).collect()
+    assert {(r["key"], r["doc_count"], r["max_user"]) for r in rows} == \
+        {("Hello", 1, 42), ("Hello again", 1, 42)}
+
+
+def test_dsl_aggs_metrics_only(engine):
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"n":{"value_count":{"field":"userid"}},'
+         '"distinct_users":{"cardinality":{"field":"userid"}},'
+         '"max_user":{"max":{"field":"userid"}}}}')
+    row = engine.search_aggs("emails", q).collect()[0]
+    assert (row["n"], row["distinct_users"], row["max_user"]) == (5, 4, 99)
+
+
+def test_dsl_aggs_index_served(indexed_engine):
+    # the query part rides the postings (left-semi); no corpus text scan
+    q = ('{"query":{"term":{"body":"cassandra"}},'
+         '"aggs":{"by_user":{"terms":{"field":"userid"}}}}')
+    out = indexed_engine.search_aggs("emails_idx", q)
+    assert "regexp_extract_all" not in _plan(out)
+    assert {(r["key"], r["doc_count"]) for r in out.collect()} == \
+        {(42, 1), (10, 1), (7, 1)}
+
+
+def test_dsl_prefix_clause_index_served(indexed_engine):
+    out = indexed_engine.search(
+        "emails_idx", '{"query":{"prefix":{"body":"cassan"}}}')
+    assert "regexp_extract_all" not in _plan(out)
+    assert {r["id"] for r in out.collect()} == {"e1", "e2", "e5"}
+
+
+def test_dsl_ids_query(engine):
+    out = engine.search(
+        "emails", '{"query":{"ids":{"values":["e1","e4","missing"]}}}')
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"e1", "e4"}
+    assert rows["e1"]["_score"] == 1
+
+
+def test_dsl_sort_field_order_preserved_through_join(engine):
+    q = ('{"query":{"range":{"userid":{"gte":1}}},'
+         '"sort":[{"userid":{"order":"desc"}}]}')
+    rows = engine.search("emails", q).collect()
+    vals = [r["userid"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # key tiebreak: equal userids in id order
+    pair = [r["id"] for r in rows if r["userid"] == 42]
+    assert pair == sorted(pair)
+
+
+def test_search_after_keyset_pages(engine):
+    # score ordering: e5 (tf 3) first, then e1/e2 (tf 1) in key order
+    q = "#options:load-rows=false#body:cassan*"
+    page1 = engine.search("emails", q, limit=2).collect()
+    assert [r["id"] for r in page1] == ["e5", "e1"]
+    anchor = [page1[-1]["_score"], page1[-1]["id"]]
+    page2 = engine.search("emails", q, search_after=anchor).collect()
+    assert [r["id"] for r in page2] == ["e2"]
+
+
+def test_search_after_from_dsl_body(engine):
+    # anchor in the request body, sorted ordering; page 2 continues after
+    # (userid=10, id=e2)
+    q = ('{"query":{"range":{"userid":{"gte":1}}},'
+         '"sort":[{"userid":"asc"}],"search_after":[10,"e2"]}')
+    rows = engine.search("emails", q).collect()
+    assert [r["id"] for r in rows] == ["e1", "e3", "e4"]
+
+
+def test_search_after_wrong_arity_rejected(engine):
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="search_after"):
+        engine.search("emails", "body:cassandra",
+                      search_after=[1]).collect()
