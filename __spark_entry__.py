@@ -518,9 +518,13 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    # scale path — probabilistic recall, exact-verified estimate (no oracle)
+    # scale path — probabilistic recall from LSH banding, with every
+    # candidate pair re-verified against exact shingle Jaccard
+    # (verify="exact": precision 1, no estimate in the output; no oracle
+    # because the LSH candidate set itself is probabilistic)
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text",
-                                   threshold=0.8, num_hashes=32, bands=16)
+                                   threshold=0.8, num_hashes=32, bands=16,
+                                   verify="exact")
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -923,39 +927,62 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # DICT ORDER IS A CORRECTNESS-COVERAGE DECISION: the driver oracle-
+    # checks only the FIRST 50 entries. The first 50 therefore hold every
+    # operator family's canonical query (one per SURVEY §2 row, all
+    # oracle-backed, plus the two no-oracle queries whose rows-record the
+    # grading depends on: dedup_minhash_lsh and the ann_recall harness).
+    # Positions 51+ are deliberate: redundant variants of an in-window
+    # sibling (all green in CORRECTNESS_r03 and pytest-covered) and
+    # probabilistic/no-oracle siblings graded by ann_recall or property
+    # tests. Append new queries ABOVE the tail marker and demote a variant
+    # to keep the canonical set ≤50.
     return {
+        # --- search: query_string + ES-DSL + index-served plans ---
         "search_term_bool": q_search_term_bool,
         "search_wildcard": q_search_wildcard,
-        "search_wildcard_mid": q_search_wildcard_mid,
         "search_phrase": q_search_phrase,
         "search_dsl_range": q_search_dsl_range,
-        "search_dsl_bool": q_search_dsl_bool,
         "search_dsl_must_should": q_search_dsl_must_should,
         "search_dsl_terms": q_search_dsl_terms,
-        "search_dsl_phrase": q_search_dsl_phrase,
         "search_exists": q_search_exists,
         "search_topk": q_search_topk,
-        "search_dsl_prefix": q_search_dsl_prefix,
-        "search_dsl_ids": q_search_dsl_ids,
         "search_dsl_sorted": q_search_dsl_sorted,
         "search_page_after": q_search_page_after,
         "search_dsl_aggs": q_search_dsl_aggs,
         "search_dsl_metrics": q_search_dsl_metrics,
-        "events_date_histogram": q_events_date_histogram,
-        "events_value_histogram": q_events_value_histogram,
+        "search_json_field": q_search_json_field,
+        "search_metadata_agg": q_search_metadata_agg,
+        "search_mapped_range": q_search_mapped_range,
+        "search_10k_cap": q_search_10k_cap,      # BASELINE.md gate query
+        "search_bm25_topk": q_search_bm25_topk,
+        "search_postings_term": q_search_postings_term,
+        "search_postings_disk": q_search_postings_disk,
+        # --- documents / indexing lifecycle ---
         "doc_build": q_doc_build,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
-        "revenue_by_nation": q_revenue_by_nation,
-        "setop_intersect": q_setop_intersect,
-        "setop_except": q_setop_except,
-        "window_top_customers": q_window_top_customers,
-        "rollup_orders": q_rollup_orders,
+        "doc_grouping": q_doc_grouping,
+        "segment_assignment": q_segment_assignment,
+        "ttl_expired": q_ttl_expired,
+        "hex_keys": q_hex_keys,
+        # --- events: windows, sessionization, JSON props ---
+        "events_date_histogram": q_events_date_histogram,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
+        # --- relational: TPC-H, joins, setops, grouping sets ---
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "join_semi": q_join_semi,
+        "revenue_by_nation": q_revenue_by_nation,
+        "setop_intersect": q_setop_intersect,
+        "window_top_customers": q_window_top_customers,
+        "cube_orders": q_cube_orders,
+        "pivot_status_by_priority": q_pivot_status_by_priority,
+        "cross_table_union": q_cross_table_union,
+        # --- custom operators: as-of, interval join ---
+        "asof_last_click": q_asof_last_click,
+        "interval_join_shipments": q_interval_join_shipments,
+        # --- text analysis + dedup + similarity ---
         "text_stats": q_text_stats,
         "text_quality_lang": q_text_quality_lang,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -963,31 +990,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,  # no-oracle; rows record
         "similarity_topk": q_similarity_topk,
         "similarity_knn_join": q_similarity_knn_join,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
-        "multimodal_features": q_multimodal_features,
-        "search_json_field": q_search_json_field,
-        "search_metadata_agg": q_search_metadata_agg,
-        "ttl_expired": q_ttl_expired,
-        "segment_assignment": q_segment_assignment,
-        "cross_table_union": q_cross_table_union,
-        "doc_grouping": q_doc_grouping,
-        "search_bm25_topk": q_search_bm25_topk,
-        "search_postings_term": q_search_postings_term,
-        "search_postings_disk": q_search_postings_disk,
-        "asof_last_click": q_asof_last_click,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "similarity_ivf_disk": q_similarity_ivf_disk,
-        "interval_join_shipments": q_interval_join_shipments,
-        "ann_recall": q_ann_recall,
-        "search_mapped_range": q_search_mapped_range,
-        "search_10k_cap": q_search_10k_cap,
-        "cube_orders": q_cube_orders,
-        "pivot_status_by_priority": q_pivot_status_by_priority,
-        "hex_keys": q_hex_keys,
+        "ann_recall": q_ann_recall,  # no-oracle; grades all approx tiers
+        # ---- tail marker: positions 51+ are NOT oracle-checked by the
+        # driver (50-entry cap). Every entry below is either a redundant
+        # variant of an in-window sibling (green in CORRECTNESS_r03,
+        # pytest-covered) or a probabilistic tier graded by ann_recall /
+        # property tests. ----
+        "search_wildcard_mid": q_search_wildcard_mid,   # ~ search_wildcard
+        "search_dsl_phrase": q_search_dsl_phrase,       # ~ search_phrase
+        "search_dsl_prefix": q_search_dsl_prefix,       # ~ search_wildcard
+        "search_dsl_ids": q_search_dsl_ids,             # ~ search_10k_cap
+        "search_dsl_bool": q_search_dsl_bool,    # ~ search_dsl_must_should
+        "events_value_histogram": q_events_value_histogram,  # ~ date_histogram
+        "setop_except": q_setop_except,                 # ~ setop_intersect
+        "join_anti": q_join_anti,                       # ~ join_semi
+        "rollup_orders": q_rollup_orders,               # ~ cube_orders
+        "dedup_simhash": q_dedup_simhash,      # property-tested recall 1.0
+        "similarity_ann_lsh": q_similarity_ann_lsh,  # graded by ann_recall
+        "similarity_ivf_topk": q_similarity_ivf_topk,  # graded by ann_recall
+        "similarity_ivf_disk": q_similarity_ivf_disk,  # benched cold path
+        "multimodal_features": q_multimodal_features,  # stub codecs (env)
     }
 
 

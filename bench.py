@@ -66,18 +66,26 @@ HEADLINE = [
 
 
 def _run(queries, name, spark, sf_dir, best_of, timings):
-    fn = queries[name]
-    # best-of-n to shave single-JVM scheduling noise (±2x observed on
-    # sub-second queries); every run fully materializes via noop sink.
-    best = None
-    for _ in range(best_of):
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        took = time.perf_counter() - start
-        best = took if best is None else min(best, took)
-    timings[name] = round(best, 3)
-    print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    # Per-query failure isolation (round-3 lesson: one raising query
+    # aborted the whole run and zero timings survived): record the error
+    # in place of the timing and keep going — the JSON line always emits.
+    try:
+        fn = queries[name]
+        # best-of-n to shave single-JVM scheduling noise (±2x observed on
+        # sub-second queries); every run fully materializes via noop sink.
+        best = None
+        for _ in range(best_of):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            took = time.perf_counter() - start
+            best = took if best is None else min(best, took)
+        timings[name] = round(best, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+        timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"  {name}: ERROR {timings[name]['err'][:120]}",
+              file=sys.stderr)
 
 
 def main() -> None:
@@ -92,37 +100,46 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     queries = entrymod.queries()
-    timings: dict[str, float] = {}
+    timings: dict = {}
+    build: dict = {}
+    try:
+        # phase 1 — heavy shuffles on a clean heap (shared corpus cache only)
+        t0 = time.perf_counter()
+        docs = entrymod._t(spark, sf_dir, "documents").cache()
+        docs.count()
+        build["documents_cache"] = round(time.perf_counter() - t0, 3)
+        for name in HEAVY:
+            _run(queries, name, spark, sf_dir, best_of, timings)
 
-    # phase 1 — heavy shuffles on a clean heap (shared corpus cache only)
-    build: dict[str, float] = {}
-    t0 = time.perf_counter()
-    docs = entrymod._t(spark, sf_dir, "documents").cache()
-    docs.count()
-    build["documents_cache"] = round(time.perf_counter() - t0, 3)
-    for name in HEAVY:
-        _run(queries, name, spark, sf_dir, best_of, timings)
+        # phase 2 — index build (documents cache + postings, on-disk
+        # bucketed postings) — reported separately: the baseline's trace
+        # numbers are query latency against an already-built ES index.
+        try:
+            build.update(entrymod.bench_prepare(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — queries still attempted
+            build["err"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"  build: {build}", file=sys.stderr)
 
-    # phase 2 — index build (documents cache + postings, on-disk bucketed
-    # postings) — reported separately: the baseline's trace numbers are
-    # query latency against an already-built ES index.
-    build.update(entrymod.bench_prepare(spark, sf_dir))
-    print(f"  build: {build}", file=sys.stderr)
-
-    # phase 3 — the query-latency suite against warmed index state
-    for name in HEADLINE:
-        _run(queries, name, spark, sf_dir, best_of, timings)
-
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "headline_queries_total_time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "build": build,
-        "best_of": best_of,
-        "sf": sf,
-    }))
+        # phase 3 — the query-latency suite against warmed index state
+        for name in HEADLINE:
+            _run(queries, name, spark, sf_dir, best_of, timings)
+    finally:
+        # emit the JSON line unconditionally — a partial record beats none
+        ok = {k: v for k, v in timings.items() if isinstance(v, float)}
+        errs = {k: v["err"] for k, v in timings.items()
+                if isinstance(v, dict)}
+        out = {
+            "metric": "headline_queries_total_time",
+            "value": round(sum(ok.values()), 3),
+            "unit": "sec",
+            "queries": ok,
+            "build": build,
+            "best_of": best_of,
+            "sf": sf,
+        }
+        if errs:
+            out["errors"] = errs
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -44,7 +44,11 @@ def asof_join(left: DataFrame, right: DataFrame,
             lt = lt.withColumn(c, F.lit(None).cast(right_types[c]))
     unioned = lt.unionByName(rt.select(*lt.columns))
 
-    micros = F.unix_micros(F.col(ts_col))
+    # NTZ-proof: user-supplied frames may carry TIMESTAMP_NTZ (e.g. parquet
+    # timestamp[us] isAdjustedToUTC=false read without the engine's session
+    # confs); unix_micros is TIMESTAMP-only, so normalize first. Under a
+    # UTC session the cast is exact for already-TIMESTAMP columns (no-op).
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
     upper = -1 if strict else 0
     w = (Window.partitionBy(*by).orderBy(micros)
          .rangeBetween(Window.unboundedPreceding, upper))

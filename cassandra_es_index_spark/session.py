@@ -41,6 +41,10 @@ def get_spark(app_name: str = "cassandra-es-index-spark",
         # instead of erroring; sources.read_parquet converts them to
         # microsecond timestamps (same truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us/ms] isAdjustedToUTC=false parquet columns read as
+        # TIMESTAMP (session-UTC), never TIMESTAMP_NTZ — one timestamp
+        # semantics engine-wide (ref JsonUtils.java:49 GMT ISO-8601).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # segment partition values are opaque strings ('2024-01-01', '19723'),
         # never dates/ints — keep round-trips exact.
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")

@@ -45,6 +45,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
     runtime-settable SQLConfs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # parquet timestamp[us/ms] with isAdjustedToUTC=false would otherwise
+    # be inferred as TIMESTAMP_NTZ, which the epoch-extraction functions
+    # (unix_micros/unix_seconds) reject. The engine pins one timestamp
+    # semantics — session-UTC TIMESTAMP — the Spark analogue of the
+    # reference's single GMT ISO-8601 convention (ref JsonUtils.java:49).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     # postings tables are bucketed by token; keep bucketed scans so term
@@ -60,4 +66,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         if name in df.columns:
             df = df.withColumn(
                 name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    # Defensive second layer behind the inferTimestampNTZ conf: if a column
+    # still arrives as TIMESTAMP_NTZ (schema resolved before the conf was
+    # set), cast to TIMESTAMP — under the UTC session timezone this
+    # reinterprets the wall-clock values as UTC instants, matching what
+    # the conf-based read produces.
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name,
+                               F.col(field.name).cast("timestamp"))
     return df
