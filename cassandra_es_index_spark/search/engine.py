@@ -353,21 +353,31 @@ class SearchEngine:
 
     @staticmethod
     def _keyset_filter(ordering: list[tuple[Column, bool]],
-                       anchor: tuple) -> Column:
+                       anchor: tuple,
+                       dtypes: list | None = None) -> Column:
         """ES ``search_after`` semantics: strictly-after predicate over the
         total ordering — keyset pagination. A filter, not an offset: page N
         costs the same as page 1 (no deep scan-and-discard), which is why
-        ES recommends it over ``from`` for deep pagination."""
+        ES recommends it over ``from`` for deep pagination.
+
+        ``dtypes`` (one entry per ordering column, None = leave untyped)
+        casts each anchor literal to its column's type — a JSON
+        ``search_after`` body can only carry strings/numbers, so a date- or
+        timestamp-ordered page needs the string anchor coerced explicitly
+        rather than relying on comparison-operator coercion."""
         if len(anchor) != len(ordering):
             raise ValueError(
                 f"search_after needs one value per ordering column "
                 f"({len(ordering)} incl. key tiebreaks), got {len(anchor)}")
         pred = F.lit(False)
         eq = F.lit(True)
-        for (col, asc), v in zip(ordering, anchor):
-            cmp = col > F.lit(v) if asc else col < F.lit(v)
+        for i, ((col, asc), v) in enumerate(zip(ordering, anchor)):
+            lit = F.lit(v)
+            if dtypes is not None and dtypes[i] is not None:
+                lit = lit.cast(dtypes[i])
+            cmp = col > lit if asc else col < lit
             pred = pred | (eq & cmp)
-            eq = eq & (col == F.lit(v))
+            eq = eq & (col == lit)
         return pred
 
     @staticmethod
@@ -417,11 +427,39 @@ class SearchEngine:
         k = limit if limit is not None else (size if size is not None else cfg.max_results)
         keys = spec.key_columns
 
-        # field sort needs document column values, which the postings rows
-        # don't carry — sorted requests keep the scan plan
-        ph = None if req.sort else \
-            self._postings_hits(table, node, default_field)
+        # Field sort needs document column values, which the postings rows
+        # don't carry. ES serves sorted queries from doc-values; the
+        # analogue here is the range index (build_range_index) — already a
+        # narrow (doc, val) projection of exactly the needed column — so a
+        # sorted request stays on the index plan when EVERY sort field
+        # (other than _score) has a built range index: the full match set
+        # of hits left-joins each sort field's (doc, val) rows for its
+        # ordering values, and the corpus is never text-scanned. Sort
+        # fields without a range index fall back to the scan plan.
+        sort_servable = all(f == "_score" or (table, f) in self._range
+                            for f, _ in (req.sort or []))
+        ph = self._postings_hits(table, node, default_field) \
+            if sort_servable else None
         if ph is not None:
+            sort_helpers: list[str] = []
+            order_cols: list[tuple[Column, bool]] = []
+            order_types: list = []
+            for i, (f, asc) in enumerate(req.sort or []):
+                if f == "_score":
+                    order_cols.append((F.col(SCORE), asc))
+                    order_types.append(None)
+                    continue
+                helper = f"_sort{i}"
+                vals = (self._range[(table, f)].view()
+                        .select("doc", F.col("val").alias(helper)))
+                # left join: docs matching the query with a null sort
+                # field keep Spark's default null placement (nulls first
+                # asc / last desc), identical to the scan path ordering
+                ph = ph.join(vals, on="doc", how="left")
+                sort_helpers.append(helper)
+                order_cols.append((F.col(helper), asc))
+                order_types.append(
+                    Compiler(docs, default_field).resolve(f).dtype)
             # index-backed plan: (doc, _score) straight from the postings —
             # the corpus is never text-scanned. Single-key tables rename
             # ``doc`` back to the key; composite-key tables route through
@@ -434,10 +472,13 @@ class SearchEngine:
             else:
                 key_map = docs.select(F.col(DOC_ID).alias("doc"), *keys)
                 keyed = ph.join(key_map, on="doc", how="inner").drop("doc")
-            ordering = [(F.col(SCORE), False)] + \
+            ordering = (order_cols or [(F.col(SCORE), False)]) + \
                 [(F.col(c), True) for c in keys]
+            anchor_types = (order_types or [None]) + \
+                [docs.schema[c].dataType for c in keys]
             if after is not None:
-                keyed = keyed.where(self._keyset_filter(ordering, after))
+                keyed = keyed.where(
+                    self._keyset_filter(ordering, after, anchor_types))
             hits = self._apply_ordering(keyed, ordering).limit(k)
             # join paths would lose the page order (a join emits rows in
             # shuffle/broadcast-probe order): rank the ≤k hits first and
@@ -448,6 +489,10 @@ class SearchEngine:
                 hits = hits.withColumn(RANK, F.row_number().over(
                     Window.orderBy(*[c.asc() if asc else c.desc()
                                      for c, asc in ordering])))
+            if sort_helpers:
+                # ordering values were only needed to rank/page the hits —
+                # they are not part of the result surface
+                hits = hits.drop(*sort_helpers)
             if qmd.load_source:
                 result = (docs.join(F.broadcast(hits), on=keys)
                               .select(*docs.columns, SCORE, RANK))
@@ -484,12 +529,16 @@ class SearchEngine:
         if req.sort:
             ordering = [(F.col(SCORE) if f == "_score" else comp.resolve(f).col,
                          asc) for f, asc in req.sort]
+            anchor_types = [None if f == "_score" else comp.resolve(f).dtype
+                            for f, _ in req.sort]
         else:
             ordering = [(F.col(SCORE), False)]
+            anchor_types = [None]
         ordering += [(F.col(c), True) for c in keys]
+        anchor_types += [docs.schema[c].dataType for c in keys]
 
         paged = scored if after is None else \
-            scored.where(self._keyset_filter(ordering, after))
+            scored.where(self._keyset_filter(ordering, after, anchor_types))
         hits = self._apply_ordering(paged, ordering).limit(k)
 
         if want_meta:

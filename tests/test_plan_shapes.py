@@ -143,3 +143,14 @@ def test_range_served_from_range_index_plan(parquet_engine):
     plan = _plan(out)
     assert "regexp_extract_all" not in plan
     assert "(val" in plan  # the bound filter lands on the index column
+
+
+def test_sorted_dsl_query_keeps_index_plan(spark):
+    """DSL `sort` on a range-indexed field must NOT fall back to a corpus
+    scan: hits come from the range/postings indexes and ordering values
+    from the (doc, val) range projection (ES doc-values analogue)."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["search_dsl_sorted"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "regexp_extract_all" not in plan

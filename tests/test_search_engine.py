@@ -860,3 +860,108 @@ def test_search_after_wrong_arity_rejected(engine):
     with _pytest.raises(Exception, match="search_after"):
         engine.search("emails", "body:cassandra",
                       search_after=[1]).collect()
+
+
+# -- sorted queries served from the indexes (ES doc-values analogue) --------
+
+_SORT_DOCS = [
+    ("d1", "cassandra ring", 30),
+    ("d2", "cassandra table", 10),
+    ("d3", "other text", 99),
+    ("d4", "cassandra index", 10),   # ties with d2 → key tiebreak
+    ("d5", "cassandra nulls", None),  # null sort field, still a hit
+]
+
+
+def _sorted_engines(spark):
+    df = spark.createDataFrame(
+        _SORT_DOCS, "id string, body string, userid int")
+    idx = SearchEngine(spark)
+    idx.register(df, TableSpec("sorted_idx", ["id"]))
+    idx.build_postings_index("sorted_idx", "body")
+    idx.build_range_index("sorted_idx", "userid")
+    scan = SearchEngine(spark)
+    scan.register(df, TableSpec("sorted_scan", ["id"]))
+    return idx, scan
+
+
+def test_sorted_query_served_from_indexes(spark):
+    """DSL sort on a range-indexed field must keep the postings plan —
+    hits join the (doc, val) projection for ordering values instead of
+    falling back to a corpus scan — and match the scan path row-for-row
+    including null sort values and key tiebreaks."""
+    idx, scan = _sorted_engines(spark)
+    q = ('{"query":{"term":{"body":"cassandra"}},'
+         '"sort":[{"userid":{"order":"asc"}}]}')
+    out = idx.search("sorted_idx", q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract_all" not in plan
+    got = [(r["id"], r["userid"]) for r in out.collect()]
+    want = [(r["id"], r["userid"])
+            for r in scan.search("sorted_scan", q).collect()]
+    assert got == want
+    # Spark asc ordering: nulls first, then ties (10,10) in key order
+    assert got == [("d5", None), ("d2", 10), ("d4", 10), ("d1", 30)]
+
+
+def test_sorted_query_desc_and_score_sort(spark):
+    idx, scan = _sorted_engines(spark)
+    q = ('{"query":{"term":{"body":"cassandra"}},'
+         '"sort":[{"userid":{"order":"desc"}},{"_score":"desc"}]}')
+    got = [r["id"] for r in idx.search("sorted_idx", q).collect()]
+    want = [r["id"] for r in scan.search("sorted_scan", q).collect()]
+    assert got == want
+    assert got[0] == "d1"      # 30 first desc
+    assert got[-1] == "d5"     # null last desc (scan-path parity)
+
+
+def test_sorted_query_unindexed_field_falls_back(spark):
+    idx, scan = _sorted_engines(spark)
+    q = ('{"query":{"term":{"body":"cassandra"}},'
+         '"sort":[{"body":{"order":"asc"}}]}')
+    got = [r["id"] for r in idx.search("sorted_idx", q).collect()]
+    want = [r["id"] for r in scan.search("sorted_scan", q).collect()]
+    assert got == want
+
+
+def test_sorted_search_after_on_index_plan(spark):
+    """Keyset pagination over the index-served sorted order."""
+    idx, _ = _sorted_engines(spark)
+    q = ('{"query":{"term":{"body":"cassandra"}},'
+         '"sort":[{"userid":{"order":"asc"}}],"size":3}')
+    page1 = idx.search("sorted_idx", q).collect()
+    # asc → null (d5) first, then the 10-tie in key order
+    assert [r["id"] for r in page1] == ["d5", "d2", "d4"]
+    q2 = ('{"query":{"term":{"body":"cassandra"}},'
+          '"sort":[{"userid":{"order":"asc"}}],'
+          '"search_after":[10,"d4"]}')
+    page2 = idx.search("sorted_idx", q2).collect()
+    assert [r["id"] for r in page2] == ["d1"]
+
+
+# -- non-numeric search_after anchors (typed keyset filter) -----------------
+
+
+def test_search_after_date_anchor(spark):
+    """A timestamp-sorted DSL query paginated with a JSON string anchor:
+    the anchor literal must cast to the ordering column's type (a JSON
+    body can only carry strings/numbers)."""
+    import datetime as dt
+    rows = [(f"e{i}", dt.datetime(2024, 1, 1, 0, 0, 10 * i), "x")
+            for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "id string, ts timestamp, body string")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("dated", ["id"]))
+    q = ('{"query":{"term":{"body":"x"}},"sort":[{"ts":"asc"}],'
+         '"search_after":["2024-01-01 00:00:20","e2"]}')
+    got = [r["id"] for r in eng.search("dated", q).collect()]
+    assert got == ["e3", "e4", "e5"]
+    # and on the index plan: range index on ts orders + pages identically
+    idx = SearchEngine(spark)
+    idx.register(df, TableSpec("dated_idx", ["id"]))
+    idx.build_postings_index("dated_idx", "body")
+    idx.build_range_index("dated_idx", "ts")
+    out = idx.search("dated_idx", q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract_all" not in plan
+    assert [r["id"] for r in out.collect()] == ["e3", "e4", "e5"]
