@@ -32,9 +32,17 @@ class Wildcard(Node):
 
 @dataclass(frozen=True)
 class Phrase(Node):
-    """``field:"hello world"`` — tokens adjacent in order."""
+    """``field:"hello world"`` — tokens adjacent in order.
+
+    ``slop`` > 0 (``"hello world"~2``) allows up to ``slop`` intervening
+    tokens PER GAP, in order. For two-word phrases (one gap) this is
+    exactly Lucene's ordered slop; for longer phrases it is a documented
+    superset of Lucene's total-move budget (any total-moves ≤ slop match
+    also has every gap ≤ slop), and out-of-order transpositions (Lucene
+    cost 2) are not matched."""
     field: str | None
     text: str
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -47,6 +55,43 @@ class Range(Node):
     hi: str | None
     include_lo: bool = True
     include_hi: bool = True
+
+
+@dataclass(frozen=True)
+class Fuzzy(Node):
+    """``field:value~N`` — tokens within ``max_edits`` Levenshtein edits
+    of ``value`` match (Lucene fuzzy query). The engine uses classic
+    Levenshtein (Spark's built-in ``levenshtein``): a transposition costs
+    2 edits, vs 1 in Lucene's Damerau automaton — documented deviation."""
+    field: str | None
+    value: str
+    max_edits: int = 2
+
+
+@dataclass(frozen=True)
+class Boost(Node):
+    """``clause^N`` / DSL ``boost`` param: the subtree's score scales by
+    ``factor``; matching is unchanged. The engine's integer score surface
+    truncates the scaled sum at the root (score stays reproducible and
+    SQL-expressible)."""
+    child: Node = None  # type: ignore[assignment]
+    factor: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScore(Node):
+    """ES ``constant_score``: the filter gates matching, every match
+    scores exactly ``boost``."""
+    child: Node = None  # type: ignore[assignment]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Required(Node):
+    """Parser-level marker for Lucene's ``+clause`` (must) operator in a
+    default-OR juxtaposition group; regrouped into And/Should before
+    compilation, but compilable standalone (≡ its child)."""
+    child: Node = None  # type: ignore[assignment]
 
 
 @dataclass(frozen=True)

@@ -27,8 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, Ids, MatchAll, Node, Not, Or, Phrase, Range, Scoreless,
-    Should, Term, Wildcard,
+    And, Boost, ConstantScore, Exists, Fuzzy, Ids, MatchAll, Node, Not, Or,
+    Phrase, Range, Required, Scoreless, Should, Term, Wildcard,
 )
 
 
@@ -94,8 +94,14 @@ def wildcard_token_pattern(pattern: str) -> str:
     return "".join(out)
 
 
-def phrase_pattern(text: str) -> str:
+def phrase_pattern(text: str, slop: int = 0) -> str:
     words = [_escape_regex(w) for w in text.split()]
+    if slop > 0:
+        # up to `slop` intervening tokens per gap, in order (see
+        # ast.Phrase docstring for the Lucene-semantics comparison);
+        # bounded repetition only — RE2-safe for the DuckDB oracle
+        gap = r"(?:\s+\w+){0,%d}\s+" % slop
+        return r"(?i)\b" + gap.join(words) + r"\b"
     return r"(?i)\b" + r"\s+".join(words) + r"\b"
 
 
@@ -179,6 +185,36 @@ class Compiler:
         # numeric/other: no token semantics
         raise CompileError("text match on non-text field")
 
+    def _fuzzy_tf(self, ref: FieldRef, value: str, max_edits: int) -> Column:
+        """Count of tokens within ``max_edits`` Levenshtein edits of
+        ``value`` — Lucene FuzzyQuery's per-token match, JVM-side (split +
+        higher-order filter + built-in levenshtein; no Python UDF)."""
+        term = F.lit(value.lower())
+        # Lucene prunes the expansion by length: a candidate differing in
+        # length by more than max_edits can never be within the budget —
+        # cheap guard before the O(len²) edit distance.
+        def count(col: Column) -> Column:
+            toks = F.split(F.lower(col), r"\W+")
+            return F.size(F.filter(
+                toks,
+                lambda t: (F.length(t) > 0)
+                & (F.abs(F.length(t) - F.length(term)) <= max_edits)
+                & (F.levenshtein(t, term) <= max_edits)))
+        if isinstance(ref.dtype, T.StringType):
+            return count(ref.col)
+        if isinstance(ref.dtype, T.ArrayType) and \
+                isinstance(ref.dtype.elementType, T.StringType):
+            return F.aggregate(
+                F.transform(ref.col, count), F.lit(0),
+                lambda acc, x: acc + x)
+        if isinstance(ref.dtype, T.MapType):
+            vt = ref.dtype.valueType
+            vals = F.flatten(F.map_values(ref.col)) \
+                if isinstance(vt, T.ArrayType) else F.map_values(ref.col)
+            return F.aggregate(vals, F.lit(0),
+                               lambda acc, x: acc + count(x))
+        raise CompileError("fuzzy match on non-text field")
+
     # -- compile ------------------------------------------------------------
 
     def compile(self, node: Node) -> tuple[Column, Column]:
@@ -208,7 +244,26 @@ class Compiler:
         if isinstance(node, Wildcard):
             return self._leaf_text(node.field, wildcard_pattern(node.pattern))
         if isinstance(node, Phrase):
-            return self._leaf_text(node.field, phrase_pattern(node.text))
+            return self._leaf_text(node.field,
+                                   phrase_pattern(node.text, node.slop))
+        if isinstance(node, Fuzzy):
+            ref = self.resolve(node.field)
+            if not isinstance(ref.dtype,
+                              (T.StringType, T.ArrayType, T.MapType)):
+                raise CompileError("fuzzy match on non-text field")
+            tf = F.coalesce(
+                self._fuzzy_tf(ref, node.value, node.max_edits), F.lit(0))
+            return tf > 0, tf
+        if isinstance(node, Boost):
+            pred, score = self._walk(node.child)
+            # scores stay double until the root cast("long") — nested
+            # boosts compose multiplicatively like Lucene
+            return pred, score * F.lit(float(node.factor))
+        if isinstance(node, ConstantScore):
+            pred, _ = self._walk(node.child)
+            return pred, F.when(pred, F.lit(float(node.boost))).otherwise(0)
+        if isinstance(node, Required):
+            return self._walk(node.child)
         if isinstance(node, Range):
             ref = self.resolve(node.field)
             pred = F.lit(True)

@@ -20,8 +20,8 @@ from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, Node, Not, Or, Phrase, Range, Scoreless, Should, Term,
-    Wildcard,
+    And, Boost, ConstantScore, Exists, Fuzzy, Node, Not, Or, Phrase, Range,
+    Required, Scoreless, Should, Term, Wildcard,
 )
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
@@ -927,11 +927,52 @@ class SearchEngine:
                     return None
                 return (state.view().where(pred)
                         .select("doc", F.lit(1).cast("long").alias(SCORE)))
+            if isinstance(n, Required):
+                return serve(n.child)
+            if isinstance(n, Boost):
+                inner = serve(n.child)
+                if inner is None:
+                    return None
+                # double until the root cast — nested boosts compose
+                # multiplicatively, matching the scan path exactly
+                return inner.select(
+                    "doc",
+                    (F.col(SCORE) * F.lit(float(n.factor))).alias(SCORE))
+            if isinstance(n, ConstantScore):
+                inner = serve(n.child)
+                if inner is None:
+                    return None
+                return inner.select(
+                    "doc", F.lit(float(n.boost)).alias(SCORE))
+            if isinstance(n, Fuzzy):
+                # Lucene FuzzyQuery: expand the (vocabulary-sized) term
+                # dictionary by edit distance, then sum tf over matching
+                # tokens per doc — the corpus text is never re-scanned.
+                # Length pre-filter prunes the O(len²) levenshtein.
+                fld = n.field if n.field is not None else default
+                state = self._postings.get((table, fld))
+                if state is None:
+                    return None
+                term = n.value.lower()
+                dictionary = (
+                    state.view().select("token").distinct()
+                    .where((F.abs(F.length("token") - len(term))
+                            <= n.max_edits)
+                           & (F.levenshtein(F.col("token"), F.lit(term))
+                              <= n.max_edits)))
+                return (state.view()
+                         .join(F.broadcast(dictionary), on="token")
+                         .groupBy("doc")
+                         .agg(F.sum("tf").alias(SCORE)))
             if isinstance(n, Phrase):
                 from cassandra_es_index_spark.search.positional import (
                     phrase_counts,
                 )
 
+                if n.slop:
+                    # the positional join matches exact adjacency only;
+                    # sloppy phrases keep the scan plan
+                    return None
                 fld = n.field if n.field is not None else default
                 words = [w.lower() for w in n.text.split()]
                 if not words or not all(
@@ -1016,19 +1057,29 @@ class SearchEngine:
                         return None
                     out = out.join(excluded.select("doc"), on="doc",
                                    how="left_anti")
-                return out.select("doc", total.cast("long").alias(SCORE))
+                # no intermediate cast: boosted subtrees stay double so
+                # nested compositions sum exactly like the scan path
+                return out.select("doc", total.alias(SCORE))
             if isinstance(n, Or) and n.children:
                 parts = [serve(c) for c in n.children]
                 if any(x is None for x in parts):
                     return None
                 unioned = parts[0]
                 for p in parts[1:]:
+                    # set-operation type widening unifies long/double
+                    # score branches (boosted vs plain)
                     unioned = unioned.unionByName(p)
                 return unioned.groupBy("doc").agg(
-                    F.sum(SCORE).cast("long").alias(SCORE))
+                    F.sum(SCORE).alias(SCORE))
             return None
 
-        return serve(node)
+        out = serve(node)
+        if out is None:
+            return None
+        # ONE root cast, mirroring Compiler.compile()'s final
+        # score.cast("long") — intermediate float scores (boosts,
+        # constant_score) truncate identically on both plans
+        return out.select("doc", F.col(SCORE).cast("long").alias(SCORE))
 
     def term_search(self, table: str, terms: list[str],
                     field: str | None = None, mode: str = "any") -> DataFrame:

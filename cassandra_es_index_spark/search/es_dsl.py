@@ -22,8 +22,8 @@ from dataclasses import dataclass, field as dc_field
 from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, Ids, MatchAll, Node, Not, Or, Phrase, Range, Scoreless,
-    Should, Term, Wildcard,
+    And, Boost, ConstantScore, Exists, Fuzzy, Ids, MatchAll, Node, Not, Or,
+    Phrase, Range, Scoreless, Should, Term, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -187,9 +187,11 @@ def _node(q: dict[str, Any]) -> Node:
         return MatchAll()
     if kind == "term":
         field, value = _single(body)
+        boost = None
         if isinstance(value, dict):
+            boost = value.get("boost")
             value = value.get("value")
-        return Term(field, _scalar(value))
+        return _boosted(Term(field, _scalar(value)), boost)
     if kind == "terms":
         field, values = _single(body)
         if not isinstance(values, list):
@@ -197,47 +199,83 @@ def _node(q: dict[str, Any]) -> Node:
         return Or(tuple(Term(field, _scalar(v)) for v in values))
     if kind == "match":
         field, value = _single(body)
+        fuzziness = None
+        boost = None
         if isinstance(value, dict):
+            fuzziness = value.get("fuzziness")
+            boost = value.get("boost")
             value = value.get("query")
-        # match = analyzed OR-of-tokens over one field
+        # match = analyzed OR-of-tokens over one field; with `fuzziness`
+        # each token matches within the edit budget (ES match+fuzziness)
         tokens = str(value).split()
-        if len(tokens) == 1:
-            return Term(field, tokens[0])
-        return Or(tuple(Term(field, t) for t in tokens))
+        edits = _fuzziness_edits(fuzziness)
+        leaves: list[Node] = [
+            Fuzzy(field, t, edits) if edits is not None else Term(field, t)
+            for t in tokens]
+        node = leaves[0] if len(leaves) == 1 else Or(tuple(leaves))
+        return _boosted(node, boost)
+    if kind == "fuzzy":
+        # ES fuzzy query: {"fuzzy": {"f": {"value": "x", "fuzziness": 1}}}
+        # (short form {"fuzzy": {"f": "x"}} = AUTO → 2 edits)
+        field, value = _single(body)
+        fuzziness = None
+        boost = None
+        if isinstance(value, dict):
+            fuzziness = value.get("fuzziness")
+            boost = value.get("boost")
+            value = value.get("value")
+        edits = _fuzziness_edits(fuzziness)
+        return _boosted(
+            Fuzzy(field, _scalar(value), 2 if edits is None else edits),
+            boost)
     if kind == "match_phrase":
         # tokens adjacent in order; index-served when a positional index
         # exists (engine superset — the reference's tested subset stops at
-        # match, but phrase composes naturally with the same AST)
+        # match, but phrase composes naturally with the same AST).
+        # `slop` allows intervening tokens per gap (ast.Phrase docstring).
         field, value = _single(body)
+        slop = 0
+        boost = None
         if isinstance(value, dict):
+            slop = int(value.get("slop", 0))
+            boost = value.get("boost")
             value = value.get("query")
-        return Phrase(field, str(value))
+        return _boosted(Phrase(field, str(value), slop), boost)
+    if kind == "constant_score":
+        if not isinstance(body, dict) or "filter" not in body:
+            raise DslError("constant_score needs {'filter': clause}")
+        return ConstantScore(_node(body["filter"]),
+                             float(body.get("boost", 1.0)))
     if kind == "range":
         field, bounds = _single(body)
         if not isinstance(bounds, dict):
             raise DslError("range needs bounds object")
         lo = bounds.get("gte", bounds.get("gt"))
         hi = bounds.get("lte", bounds.get("lt"))
-        return Range(
+        return _boosted(Range(
             field,
             None if lo is None else _scalar(lo),
             None if hi is None else _scalar(hi),
             include_lo="gte" in bounds or "gt" not in bounds,
             include_hi="lte" in bounds or "lt" not in bounds,
-        )
+        ), bounds.get("boost"))
     if kind == "prefix":
         # served from token-sorted postings as a LIKE range when an index
         # exists — the reference's own headline query class (`body:cassan*`,
         # ref README.md:179) in DSL form
         field, value = _single(body)
+        boost = None
         if isinstance(value, dict):
+            boost = value.get("boost")
             value = value.get("value")
-        return Wildcard(field, f"{value}*")
+        return _boosted(Wildcard(field, f"{value}*"), boost)
     if kind == "wildcard":
         field, value = _single(body)
+        boost = None
         if isinstance(value, dict):
+            boost = value.get("boost")
             value = value.get("value")
-        return Wildcard(field, str(value))
+        return _boosted(Wildcard(field, str(value)), boost)
     if kind == "ids":
         if not isinstance(body, dict) or not isinstance(body.get("values"), list):
             raise DslError("ids needs {'values': [...]}")
@@ -274,6 +312,28 @@ def _node(q: dict[str, Any]) -> Node:
             raise DslError("query_string needs {'query': str}")
         return qs.parse(body["query"])
     raise DslError(f"unsupported DSL clause {kind!r}")
+
+
+def _boosted(node: Node, boost: Any) -> Node:
+    if boost is None or float(boost) == 1.0:
+        return node
+    return Boost(node, float(boost))
+
+
+def _fuzziness_edits(fuzziness: Any) -> int | None:
+    """ES ``fuzziness`` → max edits: int 0/1/2, or "AUTO" → 2 (the AUTO
+    upper bound; ES varies it by term length). None = not requested."""
+    if fuzziness is None:
+        return None
+    if isinstance(fuzziness, str):
+        if fuzziness.upper().startswith("AUTO"):
+            return 2
+        if fuzziness.isdigit():
+            return int(fuzziness)
+        raise DslError(f"bad fuzziness {fuzziness!r}")
+    if isinstance(fuzziness, int) and 0 <= fuzziness <= 2:
+        return fuzziness
+    raise DslError(f"bad fuzziness {fuzziness!r}")
 
 
 def _single(body: Any) -> tuple[str, Any]:

@@ -5,9 +5,12 @@ parts" item 2): terms, ``field:value``, nested field paths
 (``AttributeValues.LastName:ab*``), wildcards ``*``/``?``, phrases,
 boolean ``AND/OR/NOT`` (+ ``&&/||/!``/leading ``-``), parentheses,
 ranges ``[a TO b]`` / ``{a TO b}``, comparisons ``field:>=v``,
-``_exists_:field``, ``*:*``.
-(ref query examples README.md:179,404,689,731, doc/examples.txt:24,
-ElasticIndexTest.java:243-251.)
+``_exists_:field``, ``*:*`` — plus the rest of the Lucene operator
+surface the reference exposes by forwarding query strings verbatim to ES
+(ref ElasticIndex.java:663-667): fuzzy ``term~``/``term~1``, boosts
+``term^2`` / ``"phrase"^2`` / ``(group)^2``, phrase slop ``"a b"~2``,
+and the required/prohibited operators ``+a -b`` (must / must_not inside
+a default-OR group).
 
 Juxtaposed terms combine with OR — ES ``query_string`` default_operator.
 """
@@ -17,7 +20,8 @@ from __future__ import annotations
 import re
 
 from cassandra_es_index_spark.search.ast import (
-    And, Exists, MatchAll, Node, Not, Or, Phrase, Range, Term, Wildcard,
+    And, Boost, Exists, Fuzzy, MatchAll, Node, Not, Or, Phrase, Range,
+    Required, Should, Term, Wildcard,
 )
 
 
@@ -35,6 +39,7 @@ _TOKEN_RE = re.compile(
         (?P<and>AND\b|&&) |
         (?P<or>OR\b|\|\|) |
         (?P<not>NOT\b|!|-(?=\S)) |
+        (?P<plus>\+(?=\S)) |
         (?P<range>[\[{]\s*\S+\s+TO\s+\S+?\s*[\]}]) |
         (?P<phrase>"(?:[^"\\]|\\.)*") |
         (?P<word>[^\s()!:"]+) |
@@ -83,20 +88,53 @@ class _Parser:
 
     # or_expr := and_expr ((OR | <juxtaposition>) and_expr)*
     def or_expr(self) -> Node:
-        children = [self.and_expr()]
+        # (node, explicit_or): juxtaposed children carry Lucene's
+        # required/prohibited operator semantics; explicitly OR-joined
+        # children are plain boolean disjuncts.
+        items: list[tuple[Node, bool]] = [(self.and_expr(), False)]
         while True:
             tok = self.peek()
             if tok is None or tok[0] == "rparen":
                 break
             if tok[0] == "or":
                 self.take()
-                children.append(self.and_expr())
-            elif tok[0] in ("lparen", "not", "word", "phrase", "range"):
+                items.append((self.and_expr(), True))
+            elif tok[0] in ("lparen", "not", "plus", "word", "phrase",
+                            "range"):
                 # bare juxtaposition → OR (default_operator)
-                children.append(self.and_expr())
+                items.append((self.and_expr(), False))
             else:
                 break
-        return children[0] if len(children) == 1 else Or(tuple(children))
+        return self._regroup(items)
+
+    @staticmethod
+    def _regroup(items: list[tuple[Node, bool]]) -> Node:
+        """Lucene operator semantics over a default-OR group: ``+a`` is a
+        must clause, a juxtaposed ``-b``/``NOT b`` is a prohibit (``a -b``
+        matches a AND NOT b — not the boolean ``a OR NOT b``), everything
+        else is optional. An explicit ``OR NOT`` keeps pure boolean
+        semantics. With no operators present this reduces to the plain
+        default-OR disjunction."""
+        if len(items) == 1:
+            node = items[0][0]
+            return node.child if isinstance(node, Required) else node
+        musts = [n.child for n, _ in items if isinstance(n, Required)]
+        prohibits = [n for n, expl in items
+                     if isinstance(n, Not) and not expl]
+        opts = [n for n, expl in items
+                if not isinstance(n, Required)
+                and not (isinstance(n, Not) and not expl)]
+        if not musts and not prohibits:
+            return Or(tuple(opts))
+        parts: list[Node] = list(musts)
+        if opts:
+            if musts:
+                # musts gate; the rest only boost (minimum_should_match=0)
+                parts.append(Should(tuple(opts)))
+            else:
+                parts.append(opts[0] if len(opts) == 1 else Or(tuple(opts)))
+        parts.extend(prohibits)
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
 
     # and_expr := unary (AND unary)*
     def and_expr(self) -> Node:
@@ -117,7 +155,30 @@ class _Parser:
         if tok[0] == "not":
             self.take()
             return Not(self.unary())
+        if tok[0] == "plus":
+            self.take()
+            return Required(self.unary())
         return self.primary()
+
+    # standalone `~N` / `^N` / `~N^M` after a phrase or group — the
+    # tokenizer emits them as one word token
+    _SUFFIX_RE = re.compile(r"(?:~(?P<slop>\d+))?(?:\^(?P<boost>\d+(?:\.\d+)?))?")
+
+    def _suffix(self, node: Node) -> Node:
+        tok = self.peek()
+        if tok is None or tok[0] != "word":
+            return node
+        m = self._SUFFIX_RE.fullmatch(tok[1])
+        if not m or (m.group("slop") is None and m.group("boost") is None):
+            return node
+        self.take()
+        if m.group("slop") is not None:
+            if not isinstance(node, Phrase):
+                raise QueryParseError("slop (~N) only applies to phrases")
+            node = Phrase(node.field, node.text, int(m.group("slop")))
+        if m.group("boost") is not None:
+            node = Boost(node, float(m.group("boost")))
+        return node
 
     def primary(self) -> Node:
         kind, text = self.take()
@@ -126,11 +187,11 @@ class _Parser:
             nxt = self.take()
             if nxt[0] != "rparen":
                 raise QueryParseError("expected ')'")
-            return node
+            return self._suffix(node)
         if kind == "phrase":
-            return Phrase(None, _unescape(text))
+            return self._suffix(Phrase(None, _unescape(text)))
         if kind == "range":
-            return self._range(None, text)
+            return self._suffix(self._range(None, text))
         if kind == "word":
             nxt = self.peek()
             if nxt is not None and nxt[0] == "colon":
@@ -147,19 +208,24 @@ class _Parser:
             return Exists(text)
         kind, text = self.take()
         if kind == "phrase":
-            return Phrase(fld, _unescape(text))
+            return self._suffix(Phrase(fld, _unescape(text)))
         if kind == "range":
-            return self._range(fld, text)
+            return self._suffix(self._range(fld, text))
         if kind == "lparen":
             # field:(a OR b) — distribute the field over the group
             node = self.or_expr()
             nxt = self.take()
             if nxt[0] != "rparen":
                 raise QueryParseError("expected ')'")
-            return _distribute_field(node, fld)
+            return self._suffix(_distribute_field(node, fld))
         if kind == "word":
             return self._value_node(fld, text)
         raise QueryParseError(f"bad value for field {fld!r}: {text!r}")
+
+    # in-word `value~N^M` suffixes (fuzzy + boost, Lucene order); a word
+    # whose tail doesn't parse as a suffix stays a literal term value
+    _WORD_SUFFIX_RE = re.compile(
+        r"(?P<core>.*?[^~^])(?:~(?P<fuzz>\d*))?(?:\^(?P<boost>\d+(?:\.\d+)?))?")
 
     def _value_node(self, fld: str | None, text: str) -> Node:
         if fld == "*" and text == "*":
@@ -172,11 +238,26 @@ class _Parser:
             op, val = text[0], text[1:]
             return (Range(fld, val, None, False, True) if op == ">"
                     else Range(fld, None, val, True, False))
-        if "*" in text or "?" in text:
-            if fld is None and text == "*":
+        core, fuzz, boost = text, None, None
+        m = self._WORD_SUFFIX_RE.fullmatch(text)
+        if m and (m.group("fuzz") is not None or m.group("boost") is not None):
+            core, fuzz, boost = m.group("core"), m.group("fuzz"), \
+                m.group("boost")
+        if fuzz is not None:
+            if "*" in core or "?" in core:
+                raise QueryParseError(
+                    f"cannot combine fuzzy ~ with wildcards: {text!r}")
+            # bare `~` = Lucene's default budget of 2 edits
+            node: Node = Fuzzy(fld, core, int(fuzz) if fuzz else 2)
+        elif "*" in core or "?" in core:
+            if fld is None and core == "*":
                 return MatchAll()
-            return Wildcard(fld, text)
-        return Term(fld, text)
+            node = Wildcard(fld, core)
+        else:
+            node = Term(fld, core)
+        if boost is not None:
+            node = Boost(node, float(boost))
+        return node
 
     def _range(self, fld: str | None, text: str) -> Range:
         m = re.match(r"([\[{])\s*(\S+)\s+TO\s+(\S+?)\s*([\]}])", text)
@@ -193,17 +274,23 @@ class _Parser:
 
 
 def _distribute_field(node: Node, fld: str) -> Node:
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, Should)):
         cls = type(node)
         return cls(tuple(_distribute_field(c, fld) for c in node.children))
     if isinstance(node, Not):
         return Not(_distribute_field(node.child, fld))
+    if isinstance(node, Required):
+        return Required(_distribute_field(node.child, fld))
+    if isinstance(node, Boost):
+        return Boost(_distribute_field(node.child, fld), node.factor)
     if isinstance(node, Term):
         return Term(fld, node.value)
     if isinstance(node, Wildcard):
         return Wildcard(fld, node.pattern)
     if isinstance(node, Phrase):
-        return Phrase(fld, node.text)
+        return Phrase(fld, node.text, node.slop)
+    if isinstance(node, Fuzzy):
+        return Fuzzy(fld, node.value, node.max_edits)
     if isinstance(node, Range):
         return Range(fld, node.lo, node.hi, node.include_lo, node.include_hi)
     return node

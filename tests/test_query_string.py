@@ -130,7 +130,7 @@ def test_dsl_errors():
     with pytest.raises(es_dsl.DslError):
         es_dsl.parse("{not json")
     with pytest.raises(es_dsl.DslError):
-        es_dsl.parse('{"query":{"fuzzy":{"a":"b"}}}')
+        es_dsl.parse('{"query":{"more_like_this":{"fields":["a"]}}}')
 
 
 # -- #options:# prefix (QueryMetaDataTest.java:26-57) ----------------------
@@ -160,3 +160,81 @@ def test_options_absent():
     assert meta.query == "Text=42#plop"
     assert meta.load_rows is True
     assert meta.load_source is False
+
+
+# -- Lucene operator surface: fuzzy / boost / slop / required-prohibited ----
+# (the reference forwards query strings verbatim to ES, so the full Lucene
+# syntax is its real query surface — ref ElasticIndex.java:663-667)
+
+from cassandra_es_index_spark.search.ast import (  # noqa: E402
+    Boost, ConstantScore, Fuzzy,
+)
+
+
+def test_fuzzy_suffix():
+    assert qs.parse("roam~") == Fuzzy(None, "roam", 2)
+    assert qs.parse("body:roam~1") == Fuzzy("body", "roam", 1)
+
+
+def test_fuzzy_with_wildcard_rejected():
+    with pytest.raises(qs.QueryParseError):
+        qs.parse("roa*m~1")
+
+
+def test_boost_suffixes():
+    assert qs.parse("jakarta^4") == Boost(Term(None, "jakarta"), 4.0)
+    assert qs.parse('"a b"^2') == Boost(Phrase(None, "a b"), 2.0)
+    assert qs.parse("(a OR b)^2") == Boost(
+        Or((Term(None, "a"), Term(None, "b"))), 2.0)
+    assert qs.parse("roam~1^2") == Boost(Fuzzy(None, "roam", 1), 2.0)
+
+
+def test_phrase_slop_suffix():
+    assert qs.parse('"jakarta apache"~3') == Phrase(None, "jakarta apache", 3)
+    assert qs.parse('body:"a b"~2^3') == Boost(Phrase("body", "a b", 2), 3.0)
+
+
+def test_required_prohibited_operators():
+    # +must optional -prohibited: Lucene semantics in a default-OR group
+    node = qs.parse("+apache lucene -deprecated")
+    assert node == And((
+        Term(None, "apache"),
+        Should((Term(None, "lucene"),)),
+        Not(Term(None, "deprecated"))))
+    # juxtaposed prohibit without musts: positives gate, Not excludes
+    assert qs.parse("a -b") == And((Term(None, "a"), Not(Term(None, "b"))))
+    # explicit OR NOT keeps pure boolean semantics
+    assert qs.parse("a OR NOT b") == Or((Term(None, "a"),
+                                         Not(Term(None, "b"))))
+    # lone +term is just the term
+    assert qs.parse("+a") == Term(None, "a")
+    # terms containing '+' are literals, not operators
+    assert qs.parse("c++") == Term(None, "c++")
+
+
+def test_dsl_fuzzy_and_constant_score():
+    node, _ = es_dsl.parse(
+        '{"query":{"fuzzy":{"body":{"value":"roam","fuzziness":1,'
+        '"boost":2}}}}')
+    assert node == Boost(Fuzzy("body", "roam", 1), 2.0)
+    node, _ = es_dsl.parse(
+        '{"query":{"constant_score":{"filter":{"term":{"lang":"en"}},'
+        '"boost":1.5}}}')
+    assert node == ConstantScore(Term("lang", "en"), 1.5)
+
+
+def test_dsl_match_fuzziness_and_phrase_slop():
+    node, _ = es_dsl.parse(
+        '{"query":{"match":{"body":{"query":"quick brown",'
+        '"fuzziness":"AUTO"}}}}')
+    assert node == Or((Fuzzy("body", "quick", 2), Fuzzy("body", "brown", 2)))
+    node, _ = es_dsl.parse(
+        '{"query":{"match_phrase":{"body":{"query":"quick fox",'
+        '"slop":1}}}}')
+    assert node == Phrase("body", "quick fox", 1)
+
+
+def test_dsl_term_boost_param():
+    node, _ = es_dsl.parse(
+        '{"query":{"term":{"lang":{"value":"en","boost":3}}}}')
+    assert node == Boost(Term("lang", "en"), 3.0)

