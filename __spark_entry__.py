@@ -193,6 +193,22 @@ def q_search_phrase(spark, sf_dir):
     return _search('#options:load-rows=false#text:"value table"')(spark, sf_dir)
 
 
+def q_search_fuzzy_boost(spark, sf_dir):
+    # Lucene operator surface in one query: fuzzy (~1 edit, served from
+    # the term dictionary when postings exist), boost (^2, truncated at
+    # the root cast) and the prohibited operator (-term → must_not).
+    # 'sparc' is 1 edit from 'spark' and 'spare'.
+    return _search('#options:load-rows=false#text:sparc~1^2 -text:slow')(
+        spark, sf_dir)
+
+
+def q_search_slop_phrase(spark, sf_dir):
+    # sloppy phrase: up to 1 intervening token per gap, in order
+    # (ast.Phrase documents the Lucene-semantics comparison)
+    return _search('#options:load-rows=false#text:"value table"~1')(
+        spark, sf_dir)
+
+
 def q_search_dsl_range(spark, sf_dir):
     # P2 ES-DSL passthrough (ref README.md:404-405) + J1 row-load join
     return _search('{"query":{"range":{"n_chars":{"gte":100,"lte":300}}}}')(spark, sf_dir)
@@ -942,15 +958,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_term_bool": q_search_term_bool,
         "search_wildcard": q_search_wildcard,
         "search_phrase": q_search_phrase,
+        "search_fuzzy_boost": q_search_fuzzy_boost,
+        "search_slop_phrase": q_search_slop_phrase,
         "search_dsl_range": q_search_dsl_range,
         "search_dsl_must_should": q_search_dsl_must_should,
         "search_dsl_terms": q_search_dsl_terms,
         "search_exists": q_search_exists,
-        "search_topk": q_search_topk,
         "search_dsl_sorted": q_search_dsl_sorted,
         "search_page_after": q_search_page_after,
         "search_dsl_aggs": q_search_dsl_aggs,
-        "search_dsl_metrics": q_search_dsl_metrics,
         "search_json_field": q_search_json_field,
         "search_metadata_agg": q_search_metadata_agg,
         "search_mapped_range": q_search_mapped_range,
@@ -1000,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-covered) or a probabilistic tier graded by ann_recall /
         # property tests. ----
         "search_wildcard_mid": q_search_wildcard_mid,   # ~ search_wildcard
+        "search_topk": q_search_topk,       # ~ search_bm25_topk/search_10k_cap
+        "search_dsl_metrics": q_search_dsl_metrics,     # ~ search_dsl_aggs
         "search_dsl_phrase": q_search_dsl_phrase,       # ~ search_phrase
         "search_dsl_prefix": q_search_dsl_prefix,       # ~ search_wildcard
         "search_dsl_ids": q_search_dsl_ids,             # ~ search_10k_cap
@@ -1025,6 +1043,7 @@ _SPARK = r"(?i)\bspark\b"
 _QUER = r"(?i)\bquer\w*\b"
 _QUR_MID = r"(?i)\bqu\wr\w*\b"
 _PHRASE = r"(?i)\bvalue\s+table\b"
+_PHRASE_SLOP1 = r"(?i)\bvalue(?:\s+\w+){0,1}\s+table\b"
 _SLOW = r"(?i)\bslow\w*\b"
 _DE = r"(?i)\bde\b"
 _DATA = r"(?i)\bdata\b"
@@ -1058,6 +1077,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '{_PHRASE}'))::BIGINT AS _score
             FROM documents
             WHERE len(regexp_extract_all(text, '{_PHRASE}')) > 0
+        """,
+        # fuzzy ~1 + boost ^2 + prohibited -slow: tf = tokens within one
+        # Levenshtein edit of 'sparc'; score doubles then truncates at the
+        # root cast (2*tf is integral, so trunc == exact)
+        "search_fuzzy_boost": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           regexp_split_to_array(lower(text), '\\W+'),
+                           t -> len(t) > 0 AND levenshtein(t, 'sparc') <= 1))
+                           AS tf,
+                       len(regexp_extract_all(text, '{_SLOW}')) AS slow_tf
+                FROM documents)
+            SELECT doc_id, (2 * tf)::BIGINT AS _score
+            FROM toks
+            WHERE tf > 0 AND slow_tf = 0
+        """,
+        "search_slop_phrase": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_PHRASE_SLOP1}'))::BIGINT
+                       AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_PHRASE_SLOP1}')) > 0
         """,
         "search_dsl_range": """
             SELECT doc_id, text, lang, source, n_chars, 1::BIGINT AS _score
