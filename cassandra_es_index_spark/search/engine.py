@@ -1141,7 +1141,10 @@ class SearchEngine:
           key asc, uncapped. Docs with a null bucket field are dropped
           (ES terms-agg semantics for missing values).
         - metrics only: one row of the named metrics. ``cardinality`` is
-          an EXACT count-distinct (superset of ES's HyperLogLog estimate).
+          an EXACT count-distinct (superset of ES's HyperLogLog estimate)
+          unless the request passes ES's ``precision_threshold``, which
+          opts into HLL++ via ``approx_count_distinct`` — the sketch that
+          merges map-side and scales to 100 TB.
         """
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
@@ -1173,6 +1176,16 @@ class SearchEngine:
             if m.kind == "value_count":
                 return F.count(c).cast("long")
             if m.kind == "cardinality":
+                if m.precision_threshold is not None:
+                    # ES precision_threshold → HLL++ (the 100 TB shape:
+                    # fixed-size sketch registers merge map-side; exact
+                    # distinct shuffles every distinct value). HLL
+                    # standard error ≈ 1.04/√m; treat the threshold as
+                    # the register-count knob the way ES does, clamped
+                    # to Spark's supported rsd range.
+                    rsd = min(0.1, max(
+                        0.005, 1.04 / (m.precision_threshold ** 0.5)))
+                    return F.approx_count_distinct(c, rsd).cast("long")
                 return F.countDistinct(c).cast("long")
             raise ValueError(f"unknown metric kind {m.kind!r}")
 

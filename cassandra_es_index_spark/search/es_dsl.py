@@ -40,11 +40,15 @@ _BUCKET_KINDS = ("terms", "histogram", "date_histogram")
 class MetricAgg:
     """One metric aggregation: ``{"name": {"avg": {"field": "f"}}}``.
 
-    ``cardinality`` is served EXACTLY (count distinct) — the engine's
-    superset of ES's HyperLogLog approximation."""
+    ``cardinality`` is served EXACTLY (count distinct) by default — the
+    engine's superset of ES's HyperLogLog approximation. Passing ES's
+    ``precision_threshold`` opts into HLL++ (approx_count_distinct), the
+    shape that scales: the exact distinct needs a shuffle of every
+    distinct value, the sketch merges fixed-size registers map-side."""
     name: str
     kind: str   # avg | sum | min | max | value_count | cardinality
     field: str
+    precision_threshold: int | None = None
 
 
 @dataclass(frozen=True)
@@ -141,7 +145,12 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
                        f"{', '.join(_METRIC_KINDS)})")
     if not isinstance(body, dict) or "field" not in body:
         raise DslError(f"metric agg {name!r} needs {{'field': name}}")
-    return MetricAgg(name, kind, body["field"])
+    threshold = body.get("precision_threshold")
+    if threshold is not None and (not isinstance(threshold, int)
+                                  or threshold <= 0):
+        raise DslError("precision_threshold must be a positive integer")
+    return MetricAgg(name, kind, body["field"],
+                     precision_threshold=threshold)
 
 
 def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:

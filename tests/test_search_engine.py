@@ -1054,3 +1054,27 @@ def test_constant_score_dsl(spark):
     got = _rows(idx, "luc_idx", q)
     assert got == _rows(scan, "luc_scan", q)
     assert got == [("f4", 7), ("f5", 7), ("f6", 7)]
+
+
+def test_cardinality_precision_threshold_uses_hll(spark):
+    """ES precision_threshold opts the cardinality agg into HLL++
+    (approx_count_distinct) — fixed-size sketch registers that merge
+    map-side, vs the exact distinct's shuffle of every distinct value."""
+    df = spark.range(0, 5000).selectExpr(
+        "cast(id as string) as id", "concat('u', id % 1000) as user",
+        "'x' as body")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("card", ["id"]))
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"users":{"cardinality":{"field":"user",'
+         '"precision_threshold":3000}}}}')
+    out = eng.search_aggs("card", q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HyperLogLog" in plan or "approx_count_distinct" in plan
+    got = out.collect()[0]["users"]
+    assert abs(got - 1000) / 1000 < 0.05   # within the sketch's rsd
+    # without the threshold: exact, and no sketch in the plan
+    q_exact = ('{"query":{"match_all":{}},'
+               '"aggs":{"users":{"cardinality":{"field":"user"}}}}')
+    exact = eng.search_aggs("card", q_exact)
+    assert exact.collect()[0]["users"] == 1000
