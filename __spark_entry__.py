@@ -467,14 +467,19 @@ def q_events_json_props(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    # tokenize once; derive all three stats from the materialized arrays
+    # tokenize once; derive the count stats from the materialized arrays,
+    # plus the Gopher-style repetition metrics (dup-token / dup-bigram
+    # fractions, most-common-token share) — all Column exprs, no UDF
     return (docs
-            .select("doc_id",
+            .select("doc_id", "text",
                     F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
                     F.size(F.array_distinct(tx.tokens(F.col("text"))))
                      .cast("long").alias("n_distinct"))
             .select("doc_id", "n_tokens", "n_distinct",
-                    F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr")))
+                    F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
+                    tx.dup_token_fraction(F.col("text")).alias("dup_token_frac"),
+                    tx.dup_bigram_fraction(F.col("text")).alias("dup_bigram_frac"),
+                    tx.top_token_share(F.col("text")).alias("top_token_share")))
 
 
 def q_text_quality_lang(spark, sf_dir):
@@ -1308,12 +1313,32 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "text_stats": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, toks,
+                       len(toks) AS n,
+                       len(list_distinct(toks)) AS nd,
+                       CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i + 1])
+                       ELSE []::VARCHAR[] END AS bigrams
+                FROM t)
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
-                   len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::BIGINT AS n_distinct,
-                   round(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
-                         / len(regexp_split_to_array(trim(lower(text)), '\s+')), 6) AS ttr
-            FROM documents
+                   n::BIGINT AS n_tokens,
+                   nd::BIGINT AS n_distinct,
+                   round(nd / n, 6) AS ttr,
+                   round((n - nd) / n, 6) AS dup_token_frac,
+                   CASE WHEN len(bigrams) > 0 THEN
+                       round((len(bigrams) - len(list_distinct(bigrams)))
+                             / len(bigrams), 6)
+                   ELSE 0.0 END AS dup_bigram_frac,
+                   round(list_max(list_transform(list_distinct(toks),
+                         d -> len(list_filter(toks, t -> t = d)))) / n, 6)
+                       AS top_token_share
+            FROM g
         """,
         "text_quality_lang": f"""
             SELECT doc_id,

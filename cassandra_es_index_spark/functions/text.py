@@ -100,6 +100,35 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+def dup_token_fraction(col: Column) -> Column:
+    """Fraction of token occurrences that repeat an earlier token
+    (1 − distinct/total) — the word-level repetition signal LLM data
+    pipelines (Gopher/CCNet-style filters) threshold on."""
+    n = token_count(col)
+    return F.round((n - distinct_token_count(col)) / n, 6)
+
+
+def dup_bigram_fraction(col: Column) -> Column:
+    """Fraction of word bigrams that duplicate another bigram in the same
+    document — catches looping/boilerplate text that single-token stats
+    miss. 0 for documents with fewer than two tokens."""
+    sh = shingles(col, 2)
+    total = F.size(sh)
+    frac = F.round((total - F.size(F.array_distinct(sh))) / total, 6)
+    return F.when(token_count(col) >= 2, frac).otherwise(F.lit(0.0))
+
+
+def top_token_share(col: Column) -> Column:
+    """Share of the single most frequent token (Gopher's
+    most-common-word filter). O(distinct × tokens) per row via
+    higher-order functions — JVM-side, no shuffle, no UDF."""
+    toks = tokens(col)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    return F.round(F.array_max(counts) / F.size(toks), 6)
+
+
 def normalized_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
     return F.regexp_replace(F.lower(F.trim(col)), WS, " ")

@@ -403,3 +403,37 @@ def test_interval_join_matches_naive(spark):
                   rangejoin.interval_join(p, i, "v", "lo", "hi",
                                           bin_width=500).collect())
     assert wide == naive
+
+
+# -- repetition metrics (Gopher-style LLM data-cleaning signals) ------------
+
+
+def test_repetition_metrics_known_values(spark):
+    from cassandra_es_index_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("d1", "spam spam spam spam"),          # one token repeated
+         ("d2", "all words here differ fully"),  # no repetition
+         ("d3", "go stop go stop go"),           # bigrams repeat
+         ("d4", "solo")],                        # single token
+        "id string, text string")
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        tx.dup_token_fraction(F.col("text")).alias("dtf"),
+        tx.dup_bigram_fraction(F.col("text")).alias("dbf"),
+        tx.top_token_share(F.col("text")).alias("tts")).collect()}
+    assert rows["d1"]["dtf"] == 0.75          # 4 tokens, 1 distinct
+    assert rows["d1"]["dbf"] == round(2 / 3, 6)   # 3 bigrams, 1 distinct
+    assert rows["d1"]["tts"] == 1.0
+    assert rows["d2"]["dtf"] == 0.0
+    assert rows["d2"]["dbf"] == 0.0
+    assert rows["d2"]["tts"] == 0.2
+    # d3: 5 tokens {go:3, stop:2} → dtf 3/5; bigrams: [go stop, stop go,
+    # go stop, stop go] → 4 total 2 distinct → 0.5; tts 3/5
+    assert rows["d3"]["dtf"] == round(3 / 5, 6)
+    assert rows["d3"]["dbf"] == 0.5
+    assert rows["d3"]["tts"] == round(3 / 5, 6)
+    assert rows["d4"]["dtf"] == 0.0
+    assert rows["d4"]["dbf"] == 0.0           # <2 tokens → defined as 0
+    assert rows["d4"]["tts"] == 1.0
