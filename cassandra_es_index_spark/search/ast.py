@@ -58,6 +58,16 @@ class Range(Node):
 
 
 @dataclass(frozen=True)
+class Regexp(Node):
+    """``field:/pat/`` (Lucene regexp syntax) / ES ``regexp`` query —
+    TERM-anchored like ES: the pattern must match a whole (lowercased)
+    token, ``^pat$``. Served from the term dictionary when postings
+    exist; the scan path filters each document's token array."""
+    field: str | None
+    pattern: str
+
+
+@dataclass(frozen=True)
 class Fuzzy(Node):
     """``field:value~N`` — tokens within ``max_edits`` Levenshtein edits
     of ``value`` match (Lucene fuzzy query). The engine uses classic

@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, ConstantScore, Exists, Fuzzy, Ids, MatchAll, Node, Not, Or,
-    Phrase, Range, Required, Scoreless, Should, Term, Wildcard,
+    Phrase, Range, Regexp, Required, Scoreless, Should, Term, Wildcard,
 )
 
 
@@ -185,21 +185,14 @@ class Compiler:
         # numeric/other: no token semantics
         raise CompileError("text match on non-text field")
 
-    def _fuzzy_tf(self, ref: FieldRef, value: str, max_edits: int) -> Column:
-        """Count of tokens within ``max_edits`` Levenshtein edits of
-        ``value`` — Lucene FuzzyQuery's per-token match, JVM-side (split +
-        higher-order filter + built-in levenshtein; no Python UDF)."""
-        term = F.lit(value.lower())
-        # Lucene prunes the expansion by length: a candidate differing in
-        # length by more than max_edits can never be within the budget —
-        # cheap guard before the O(len²) edit distance.
+    def _token_match_tf(self, ref: FieldRef, match) -> Column:
+        """Count tokens (lowercased ``\\w+`` runs) satisfying ``match`` —
+        the shared shape for term-anchored matching (fuzzy, regexp):
+        JVM-side split + higher-order filter, no UDF."""
         def count(col: Column) -> Column:
             toks = F.split(F.lower(col), r"\W+")
             return F.size(F.filter(
-                toks,
-                lambda t: (F.length(t) > 0)
-                & (F.abs(F.length(t) - F.length(term)) <= max_edits)
-                & (F.levenshtein(t, term) <= max_edits)))
+                toks, lambda t: (F.length(t) > 0) & match(t)))
         if isinstance(ref.dtype, T.StringType):
             return count(ref.col)
         if isinstance(ref.dtype, T.ArrayType) and \
@@ -213,7 +206,18 @@ class Compiler:
                 if isinstance(vt, T.ArrayType) else F.map_values(ref.col)
             return F.aggregate(vals, F.lit(0),
                                lambda acc, x: acc + count(x))
-        raise CompileError("fuzzy match on non-text field")
+        raise CompileError("token match on non-text field")
+
+    def _fuzzy_tf(self, ref: FieldRef, value: str, max_edits: int) -> Column:
+        """Count of tokens within ``max_edits`` Levenshtein edits of
+        ``value`` — Lucene FuzzyQuery's per-token match. The length
+        pre-filter prunes the O(len²) edit distance the way Lucene prunes
+        its automaton expansion."""
+        term = F.lit(value.lower())
+        return self._token_match_tf(
+            ref,
+            lambda t: (F.abs(F.length(t) - F.length(term)) <= max_edits)
+            & (F.levenshtein(t, term) <= max_edits))
 
     # -- compile ------------------------------------------------------------
 
@@ -253,6 +257,16 @@ class Compiler:
                 raise CompileError("fuzzy match on non-text field")
             tf = F.coalesce(
                 self._fuzzy_tf(ref, node.value, node.max_edits), F.lit(0))
+            return tf > 0, tf
+        if isinstance(node, Regexp):
+            ref = self.resolve(node.field)
+            if not isinstance(ref.dtype,
+                              (T.StringType, T.ArrayType, T.MapType)):
+                raise CompileError("regexp match on non-text field")
+            anchored = f"^(?:{node.pattern})$"
+            tf = F.coalesce(
+                self._token_match_tf(ref, lambda t: t.rlike(anchored)),
+                F.lit(0))
             return tf > 0, tf
         if isinstance(node, Boost):
             pred, score = self._walk(node.child)

@@ -21,7 +21,7 @@ from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
     And, Boost, ConstantScore, Exists, Fuzzy, Node, Not, Or, Phrase, Range,
-    Required, Scoreless, Should, Term, Wildcard,
+    Regexp, Required, Scoreless, Should, Term, Wildcard,
 )
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
@@ -944,6 +944,21 @@ class SearchEngine:
                     return None
                 return inner.select(
                     "doc", F.lit(float(n.boost)).alias(SCORE))
+            if isinstance(n, Regexp):
+                # Lucene RegexpQuery: term-anchored by definition, so the
+                # anchored pattern filters the (vocabulary-sized) term
+                # dictionary — the corpus text is never re-scanned
+                fld = n.field if n.field is not None else default
+                state = self._postings.get((table, fld))
+                if state is None:
+                    return None
+                anchored = f"^(?:{n.pattern})$"
+                dictionary = (state.view().select("token").distinct()
+                              .where(F.col("token").rlike(anchored)))
+                return (state.view()
+                         .join(F.broadcast(dictionary), on="token")
+                         .groupBy("doc")
+                         .agg(F.sum("tf").alias(SCORE)))
             if isinstance(n, Fuzzy):
                 # Lucene FuzzyQuery: expand the (vocabulary-sized) term
                 # dictionary by edit distance, then sum tf over matching

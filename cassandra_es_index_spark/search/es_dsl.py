@@ -23,7 +23,7 @@ from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, ConstantScore, Exists, Fuzzy, Ids, MatchAll, Node, Not, Or,
-    Phrase, Range, Scoreless, Should, Term, Wildcard,
+    Phrase, Range, Regexp, Scoreless, Should, Term, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -285,6 +285,38 @@ def _node(q: dict[str, Any]) -> Node:
             boost = value.get("boost")
             value = value.get("value")
         return _boosted(Wildcard(field, str(value)), boost)
+    if kind == "regexp":
+        # ES regexp query: TERM-anchored (the pattern must match a whole
+        # lowercased token), like Lucene's RegexpQuery over the term
+        # dictionary
+        field, value = _single(body)
+        boost = None
+        if isinstance(value, dict):
+            boost = value.get("boost")
+            value = value.get("value")
+        return _boosted(Regexp(field, str(value)), boost)
+    if kind == "multi_match":
+        # OR of per-field match clauses; per-field boosts via "f^2"
+        if not isinstance(body, dict) or "query" not in body \
+                or not isinstance(body.get("fields"), list) \
+                or not body["fields"]:
+            raise DslError(
+                "multi_match needs {'query': str, 'fields': [...]}")
+        edits = _fuzziness_edits(body.get("fuzziness"))
+        tokens = str(body["query"]).split()
+        branches: list[Node] = []
+        for f in body["fields"]:
+            fboost = None
+            if "^" in f:
+                f, _, fb = f.partition("^")
+                fboost = float(fb)
+            leaves: list[Node] = [
+                Fuzzy(f, t, edits) if edits is not None else Term(f, t)
+                for t in tokens]
+            branch = leaves[0] if len(leaves) == 1 else Or(tuple(leaves))
+            branches.append(_boosted(branch, fboost))
+        node = branches[0] if len(branches) == 1 else Or(tuple(branches))
+        return _boosted(node, body.get("boost"))
     if kind == "ids":
         if not isinstance(body, dict) or not isinstance(body.get("values"), list):
             raise DslError("ids needs {'values': [...]}")

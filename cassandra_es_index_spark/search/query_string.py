@@ -21,7 +21,7 @@ import re
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Exists, Fuzzy, MatchAll, Node, Not, Or, Phrase, Range,
-    Required, Should, Term, Wildcard,
+    Regexp, Required, Should, Term, Wildcard,
 )
 
 
@@ -41,6 +41,7 @@ _TOKEN_RE = re.compile(
         (?P<not>NOT\b|!|-(?=\S)) |
         (?P<plus>\+(?=\S)) |
         (?P<range>[\[{]\s*\S+\s+TO\s+\S+?\s*[\]}]) |
+        (?P<regex>/(?:[^/\\]|\\.)+/) |
         (?P<phrase>"(?:[^"\\]|\\.)*") |
         (?P<word>[^\s()!:"]+) |
         (?P<colon>:)
@@ -192,6 +193,8 @@ class _Parser:
             return self._suffix(Phrase(None, _unescape(text)))
         if kind == "range":
             return self._suffix(self._range(None, text))
+        if kind == "regex":
+            return self._suffix(Regexp(None, _unescape_regex(text)))
         if kind == "word":
             nxt = self.peek()
             if nxt is not None and nxt[0] == "colon":
@@ -211,6 +214,8 @@ class _Parser:
             return self._suffix(Phrase(fld, _unescape(text)))
         if kind == "range":
             return self._suffix(self._range(fld, text))
+        if kind == "regex":
+            return self._suffix(Regexp(fld, _unescape_regex(text)))
         if kind == "lparen":
             # field:(a OR b) — distribute the field over the group
             node = self.or_expr()
@@ -291,6 +296,8 @@ def _distribute_field(node: Node, fld: str) -> Node:
         return Phrase(fld, node.text, node.slop)
     if isinstance(node, Fuzzy):
         return Fuzzy(fld, node.value, node.max_edits)
+    if isinstance(node, Regexp):
+        return Regexp(fld, node.pattern)
     if isinstance(node, Range):
         return Range(fld, node.lo, node.hi, node.include_lo, node.include_hi)
     return node
@@ -299,6 +306,12 @@ def _distribute_field(node: Node, fld: str) -> Node:
 def _unescape(quoted: str) -> str:
     body = quoted[1:-1]
     return re.sub(r"\\(.)", r"\1", body)
+
+
+def _unescape_regex(slashed: str) -> str:
+    """Strip the ``/.../`` delimiters; only ``\\/`` un-escapes (every
+    other backslash sequence belongs to the regex itself)."""
+    return slashed[1:-1].replace("\\/", "/")
 
 
 def parse(query: str) -> Node:

@@ -1078,3 +1078,28 @@ def test_cardinality_precision_threshold_uses_hll(spark):
                '"aggs":{"users":{"cardinality":{"field":"user"}}}}')
     exact = eng.search_aggs("card", q_exact)
     assert exact.collect()[0]["users"] == 1000
+
+
+def test_regexp_and_multi_match(spark):
+    """ES regexp (term-anchored, dictionary-served) and multi_match."""
+    idx, scan = _lucene_engines(spark)
+    # /ro.m?s?/ matches tokens roam, roams (and foam? no — starts f)
+    for q in ("body:/ro.ms?/", "/qu.ck/"):
+        got = _rows(idx, "luc_idx", q)
+        assert got == _rows(scan, "luc_scan", q), q
+    got = _rows(scan, "luc_scan", "body:/ro.ms?/")
+    assert got == [("f1", 1), ("f3", 2)]
+    # dictionary-served: no corpus regex scan
+    out = idx.search("luc_idx", "body:/ro.ms?/", default_field="body")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract_all" not in plan
+    # multi_match across two engines' fields with a per-field boost
+    df = spark.createDataFrame(
+        [("m1", "spark rocks", "other"), ("m2", "other", "spark here")],
+        "id string, title string, body string")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("mm", ["id"]))
+    q = ('{"query":{"multi_match":{"query":"spark",'
+         '"fields":["title^2","body"]}}}')
+    rows = {r["id"]: r["_score"] for r in eng.search("mm", q).collect()}
+    assert rows == {"m1": 2, "m2": 1}
