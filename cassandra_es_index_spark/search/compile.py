@@ -263,6 +263,13 @@ class Compiler:
             if not isinstance(ref.dtype,
                               (T.StringType, T.ArrayType, T.MapType)):
                 raise CompileError("regexp match on non-text field")
+            try:
+                # eager syntax check so validate() rejects bad patterns at
+                # compile time instead of mid-query (Python re approximates
+                # Java regex syntax closely enough for validation)
+                re.compile(node.pattern)
+            except re.error as e:
+                raise CompileError(f"bad regexp {node.pattern!r}: {e}") from e
             anchored = f"^(?:{node.pattern})$"
             tf = F.coalesce(
                 self._token_match_tf(ref, lambda t: t.rlike(anchored)),

@@ -1115,6 +1115,63 @@ class SearchEngine:
         return lookup_terms(self._postings[(table, fld)].view(),
                             [t.lower() for t in terms], mode)
 
+    def suggest(self, table: str, prefix: str, field: str | None = None,
+                k: int = 10) -> DataFrame:
+        """ES completion-suggester analogue, served ENTIRELY from the term
+        dictionary: tokens starting with ``prefix`` ranked by corpus
+        frequency (Σ tf), ties alphabetical. Never touches the corpus —
+        at any scale the cost is a prefix range over the (bucketed,
+        token-sorted) postings plus a vocabulary-sized aggregation.
+        Returns (token, freq)."""
+        docs = self._docs[table]
+        fld = field or Compiler(docs).default_field
+        if (table, fld) not in self._postings:
+            self.build_postings_index(table, fld)
+        view = self._postings[(table, fld)].view()
+        return (view.where(F.col("token").startswith(prefix.lower()))
+                    .groupBy("token")
+                    .agg(F.sum("tf").cast("long").alias("freq"))
+                    .orderBy(F.desc("freq"), F.asc("token"))
+                    .limit(k))
+
+    def more_like_this(self, table: str, doc_id, field: str | None = None,
+                       max_query_terms: int = 10, min_doc_freq: int = 1,
+                       k: int = 10) -> DataFrame:
+        """ES ``more_like_this`` for one source document, fully
+        index-served: the source doc's terms rank by tf·idf over the
+        postings (idf = ln((N+1)/(df+0.5)), N = corpus size), the top
+        ``max_query_terms`` become an OR-term query answered from the
+        postings, and the source doc is excluded — exactly ES's two-phase
+        shape (term selection driver-side over ≤max_query_terms rows, the
+        way ES builds the boolean query from the source's term vector;
+        the corpus is never text-scanned).
+
+        Returns (doc, _score) ordered by score desc, doc asc."""
+        docs = self._docs[table]
+        fld = field or Compiler(docs).default_field
+        if (table, fld) not in self._postings:
+            self.build_postings_index(table, fld)
+        view = self._postings[(table, fld)].view()
+        n_docs = docs.count()
+        dfreq = view.groupBy("token").agg(
+            F.count_distinct("doc").alias("df"))
+        ranked = (view.where(F.col("doc") == F.lit(doc_id))
+                      .join(dfreq, on="token")
+                      .where(F.col("df") >= min_doc_freq)
+                      .withColumn("w", F.col("tf") * F.log(
+                          F.lit(float(n_docs + 1)) / (F.col("df") + 0.5)))
+                      .orderBy(F.desc("w"), F.asc("token"))
+                      .limit(max_query_terms))
+        terms = [r["token"] for r in ranked.collect()]  # ≤ max_query_terms
+        if not terms:
+            return (view.select("doc", F.col("tf").cast("long")
+                                .alias(SCORE)).limit(0))
+        node = Or(tuple(Term(fld, t) for t in terms))
+        ph = self._postings_hits(table, node, fld)
+        return (ph.where(F.col("doc") != F.lit(doc_id))
+                  .orderBy(F.desc(SCORE), F.asc("doc"))
+                  .limit(k))
+
     def search_metadata(self, table: str, query: str,
                         default_field: str | None = None) -> DataFrame:
         """Global search metadata: total hit count + max score

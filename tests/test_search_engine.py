@@ -1103,3 +1103,33 @@ def test_regexp_and_multi_match(spark):
          '"fields":["title^2","body"]}}}')
     rows = {r["id"]: r["_score"] for r in eng.search("mm", q).collect()}
     assert rows == {"m1": 2, "m2": 1}
+
+
+def test_suggest_from_dictionary(engine):
+    out = engine.suggest("emails", "cass", field="body").collect()
+    assert out[0]["token"] == "cassandra"
+    assert out[0]["freq"] == 5          # e1(1) + e2(1) + e5(3)
+
+
+def test_more_like_this(spark):
+    """MLT: docs sharing the source's highest-tf·idf terms rank first;
+    the source itself is excluded; ubiquitous terms carry little weight."""
+    df = spark.createDataFrame(
+        [("m1", "alpha beta gamma"),
+         ("m2", "alpha beta gamma delta"),   # shares all three terms
+         ("m3", "alpha zzz yyy"),            # shares one term
+         ("m4", "qqq www eee"),              # shares nothing
+         ("m5", "rrr ttt uuu")],
+        "id string, body string")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("mlt", ["id"]))
+    out = eng.more_like_this("mlt", "m1", field="body",
+                             max_query_terms=3).collect()
+    ids = [r["doc"] for r in out]
+    assert "m1" not in ids
+    assert ids[0] == "m2"
+    assert set(ids) >= {"m2", "m3"}
+    # the plan stays on the postings — no corpus text scan
+    plan = eng.more_like_this("mlt", "m1", field="body")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "regexp_extract_all" not in plan
