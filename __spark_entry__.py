@@ -202,6 +202,21 @@ def q_search_fuzzy_boost(spark, sf_dir):
         spark, sf_dir)
 
 
+def q_search_mlt(spark, sf_dir):
+    # more_like_this doc 42: tf·idf term selection + OR-term query, both
+    # over the postings (no oracle: the two-phase driver-side term pick is
+    # not one SQL statement; rows-only + pytest parity)
+    eng = _docs_engine(spark, sf_dir)
+    return eng.more_like_this("documents", 42, field="text",
+                              max_query_terms=10, k=20)
+
+
+def q_search_suggest(spark, sf_dir):
+    # completion suggester: prefix completions from the term dictionary
+    eng = _docs_engine(spark, sf_dir)
+    return eng.suggest("documents", "qu", field="text", k=10)
+
+
 def q_search_slop_phrase(spark, sf_dir):
     # sloppy phrase: up to 1 intervening token per gap, in order
     # (ast.Phrase documents the Lucene-semantics comparison)
@@ -1040,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,  # graded by ann_recall
         "similarity_ivf_disk": q_similarity_ivf_disk,  # benched cold path
         "multimodal_features": q_multimodal_features,  # stub codecs (env)
+        "search_mlt": q_search_mlt,          # two-phase; pytest + bench
+        "search_suggest": q_search_suggest,  # dictionary-only; pytest + bench
     }
 
 

@@ -44,6 +44,8 @@ HEADLINE = [
     "search_phrase",        # positional-index-served (chunk-position joins)
     "search_fuzzy_boost",   # fuzzy term-dictionary expansion + boost
     "search_dsl_sorted",    # sorted-from-index (range-index doc-values)
+    "search_mlt",           # more_like_this: tf-idf pick + OR postings query
+    "search_suggest",       # completion suggester over the term dictionary
     "search_dsl_range",
     "search_topk",
     "tpch_q1",
