@@ -71,7 +71,8 @@ def test_options_roundtrip(options, query):
     assert meta.options == options
 
 
-@given(st.text(string.ascii_letters + string.digits + ' :*?()"[]{}<>=-~&|!.',
+@given(st.text(string.ascii_letters + string.digits
+               + ' :*?()"[]{}<>=-~&|!.^+/',
                min_size=1, max_size=60))
 @settings(max_examples=500, deadline=None)
 def test_parser_total(query):
@@ -120,3 +121,49 @@ def test_wildcard_dictionary_equivalence(pattern, token):
     # surround the token with non-word context like real text would
     m = anchored.match(token)
     assert bool(scan.search(f". {token}, .")) == bool(m and m.end() == len(token))
+
+
+# -- sloppy-phrase pattern equivalence --------------------------------------
+
+_phrase_words = st.lists(st.sampled_from(["alpha", "beta", "gamma"]),
+                         min_size=2, max_size=3, unique=True)
+_gap_sizes = st.lists(st.integers(min_value=0, max_value=4),
+                      min_size=1, max_size=2)
+
+
+@given(_phrase_words, _gap_sizes, st.integers(min_value=0, max_value=3))
+@settings(max_examples=300, deadline=None)
+def test_slop_pattern_gap_budget(words, gaps, slop):
+    """phrase_pattern(text, slop) matches exactly when every gap between
+    consecutive phrase words holds at most `slop` intervening tokens —
+    the documented per-gap budget semantics."""
+    import re as _re
+
+    from cassandra_es_index_spark.search.compile import phrase_pattern
+
+    gaps = (gaps * len(words))[:len(words) - 1]  # one gap per word pair
+    fillers = ["zzz"] * 99  # disjoint from the phrase vocabulary
+    parts = [words[0]]
+    for w, g in zip(words[1:], gaps):
+        parts.extend(fillers[:g])
+        parts.append(w)
+    text = "pre " + " ".join(parts) + " post"
+    pat = _re.compile(phrase_pattern(" ".join(words), slop)
+                      .replace("(?i)", ""), _re.IGNORECASE)
+    assert bool(pat.search(text)) == all(g <= slop for g in gaps)
+
+
+@given(st.lists(st.sampled_from(["+alpha", "-beta", "gamma", "+d", "-e"]),
+                min_size=1, max_size=5, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_required_prohibited_regroup_total(parts):
+    """Any mix of +/-/plain juxtaposed clauses parses to a well-formed
+    node, and the musts always gate: a query with any +clause regroups
+    into a conjunction rooted at And (or the must itself)."""
+    from cassandra_es_index_spark.search.ast import And, Node, Not, Term
+
+    node = qs.parse(" ".join(parts))
+    assert isinstance(node, Node)
+    musts = [p for p in parts if p.startswith("+")]
+    if musts and len(parts) > 1:
+        assert isinstance(node, (And, Term, Not))
