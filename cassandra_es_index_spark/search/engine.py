@@ -1134,6 +1134,33 @@ class SearchEngine:
                     .orderBy(F.desc("freq"), F.asc("token"))
                     .limit(k))
 
+    def suggest_similar(self, table: str, term: str,
+                        field: str | None = None, max_edits: int = 2,
+                        k: int = 5) -> DataFrame:
+        """ES term-suggester ("did you mean") analogue: dictionary tokens
+        within ``max_edits`` Levenshtein edits of ``term``, ranked by
+        (distance asc, corpus frequency desc, token asc) — ES's own
+        candidate ordering. Dictionary-only: cost scales with vocabulary,
+        never the corpus. Returns (token, distance, freq)."""
+        docs = self._docs[table]
+        fld = field or Compiler(docs).default_field
+        if (table, fld) not in self._postings:
+            self.build_postings_index(table, fld)
+        view = self._postings[(table, fld)].view()
+        t = term.lower()
+        return (view.groupBy("token")
+                    .agg(F.sum("tf").cast("long").alias("freq"))
+                    .where((F.abs(F.length("token") - len(t)) <= max_edits)
+                           & (F.levenshtein(F.col("token"), F.lit(t))
+                              <= max_edits))
+                    .select("token",
+                            F.levenshtein(F.col("token"), F.lit(t))
+                             .cast("int").alias("distance"),
+                            "freq")
+                    .orderBy(F.asc("distance"), F.desc("freq"),
+                             F.asc("token"))
+                    .limit(k))
+
     def more_like_this(self, table: str, doc_id, field: str | None = None,
                        max_query_terms: int = 10, min_doc_freq: int = 1,
                        k: int = 10) -> DataFrame:

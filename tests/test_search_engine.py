@@ -1133,3 +1133,11 @@ def test_more_like_this(spark):
     plan = eng.more_like_this("mlt", "m1", field="body")._jdf \
         .queryExecution().executedPlan().toString()
     assert "regexp_extract_all" not in plan
+
+
+def test_suggest_similar_did_you_mean(engine):
+    out = engine.suggest_similar("emails", "casandra", field="body",
+                                 max_edits=2).collect()
+    assert out[0]["token"] == "cassandra"
+    assert out[0]["distance"] == 1
+    assert out[0]["freq"] == 5
