@@ -436,7 +436,8 @@ class SearchEngine:
         # of hits left-joins each sort field's (doc, val) rows for its
         # ordering values, and the corpus is never text-scanned. Sort
         # fields without a range index fall back to the scan plan.
-        sort_servable = all(f == "_score" or (table, f) in self._range
+        sort_servable = all(f == "_score" or f in keys
+                            or (table, f) in self._range
                             for f, _ in (req.sort or []))
         ph = self._postings_hits(table, node, default_field) \
             if sort_servable else None
@@ -448,6 +449,12 @@ class SearchEngine:
                 if f == "_score":
                     order_cols.append((F.col(SCORE), asc))
                     order_types.append(None)
+                    continue
+                if f in keys:
+                    # key columns ride the hits already (doc rename /
+                    # key-map join) — no range index needed to sort
+                    order_cols.append((F.col(f), asc))
+                    order_types.append(docs.schema[f].dataType)
                     continue
                 helper = f"_sort{i}"
                 vals = (self._range[(table, f)].view()

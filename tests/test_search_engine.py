@@ -1141,3 +1141,17 @@ def test_suggest_similar_did_you_mean(engine):
     assert out[0]["token"] == "cassandra"
     assert out[0]["distance"] == 1
     assert out[0]["freq"] == 5
+
+
+def test_sorted_by_key_column_keeps_index_plan(spark):
+    """Sorting by a key column needs no range index: keys already ride
+    the hits, so the postings plan serves the sorted query directly."""
+    idx, scan = _sorted_engines(spark)
+    q = ('{"query":{"term":{"body":"cassandra"}},'
+         '"sort":[{"id":{"order":"desc"}}]}')
+    out = idx.search("sorted_idx", q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract_all" not in plan
+    got = [r["id"] for r in out.collect()]
+    assert got == [r["id"] for r in scan.search("sorted_scan", q).collect()]
+    assert got == ["d5", "d4", "d2", "d1"]
