@@ -372,12 +372,24 @@ class SearchEngine:
         pred = F.lit(False)
         eq = F.lit(True)
         for i, ((col, asc), v) in enumerate(zip(ordering, anchor)):
+            if v is None:
+                # null anchors follow Spark's null placement (nulls FIRST
+                # asc, LAST desc): asc → every non-null row is strictly
+                # after a null anchor; desc → nothing is (null is last);
+                # equal-so-far continues through the null rows
+                cmp = col.isNotNull() if asc else F.lit(False)
+                pred = pred | (eq & cmp)
+                eq = eq & col.isNull()
+                continue
             lit = F.lit(v)
             if dtypes is not None and dtypes[i] is not None:
                 lit = lit.cast(dtypes[i])
-            cmp = col > lit if asc else col < lit
+            if asc:
+                cmp = col > lit          # null rows sorted before v: done
+            else:
+                cmp = (col < lit) | col.isNull()   # nulls come after v
             pred = pred | (eq & cmp)
-            eq = eq & (col == lit)
+            eq = eq & (col == lit)       # null == lit → false, correct
         return pred
 
     @staticmethod

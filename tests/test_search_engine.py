@@ -1155,3 +1155,25 @@ def test_sorted_by_key_column_keeps_index_plan(spark):
     got = [r["id"] for r in out.collect()]
     assert got == [r["id"] for r in scan.search("sorted_scan", q).collect()]
     assert got == ["d5", "d4", "d2", "d1"]
+
+
+def test_search_after_null_anchor_pages_past_nulls(spark):
+    """Keyset pagination across null sort values, both directions:
+    asc (nulls first) resumes from a null anchor into the non-null rows;
+    desc (nulls last) reaches the null rows after the values."""
+    idx, scan = _sorted_engines(spark)
+    # asc: page1 = d5(null); anchor [null, 'd5'] → d2, d4, d1 follow
+    q2 = ('{"query":{"term":{"body":"cassandra"}},'
+          '"sort":[{"userid":{"order":"asc"}}],'
+          '"search_after":[null,"d5"]}')
+    for eng, tbl in ((idx, "sorted_idx"), (scan, "sorted_scan")):
+        got = [r["id"] for r in eng.search(tbl, q2).collect()]
+        assert got == ["d2", "d4", "d1"], (tbl, got)
+    # desc: values first, nulls last — anchor at the last value row
+    # (10, 'd4') must still surface the trailing null row d5
+    q3 = ('{"query":{"term":{"body":"cassandra"}},'
+          '"sort":[{"userid":{"order":"desc"}}],'
+          '"search_after":[10,"d2"]}')
+    for eng, tbl in ((idx, "sorted_idx"), (scan, "sorted_scan")):
+        got = [r["id"] for r in eng.search(tbl, q3).collect()]
+        assert got == ["d4", "d5"], (tbl, got)
