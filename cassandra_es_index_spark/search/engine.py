@@ -352,7 +352,7 @@ class SearchEngine:
             return str(e)
 
     @staticmethod
-    def _keyset_filter(ordering: list[tuple[Column, bool]],
+    def _keyset_filter(ordering: list[tuple[Column, bool, bool]],
                        anchor: tuple,
                        dtypes: list | None = None) -> Column:
         """ES ``search_after`` semantics: strictly-after predicate over the
@@ -371,32 +371,44 @@ class SearchEngine:
                 f"({len(ordering)} incl. key tiebreaks), got {len(anchor)}")
         pred = F.lit(False)
         eq = F.lit(True)
-        for i, ((col, asc), v) in enumerate(zip(ordering, anchor)):
+        for i, ((col, asc, nulls_first), v) in enumerate(
+                zip(ordering, anchor)):
             if v is None:
-                # null anchors follow Spark's null placement (nulls FIRST
-                # asc, LAST desc): asc → every non-null row is strictly
-                # after a null anchor; desc → nothing is (null is last);
-                # equal-so-far continues through the null rows
-                cmp = col.isNotNull() if asc else F.lit(False)
+                # null anchor: when nulls sort FIRST, every non-null row
+                # is strictly after it; when nulls sort LAST, nothing is;
+                # equal-so-far continues through the null ties
+                cmp = col.isNotNull() if nulls_first else F.lit(False)
                 pred = pred | (eq & cmp)
                 eq = eq & col.isNull()
                 continue
             lit = F.lit(v)
             if dtypes is not None and dtypes[i] is not None:
                 lit = lit.cast(dtypes[i])
-            if asc:
-                cmp = col > lit          # null rows sorted before v: done
-            else:
-                cmp = (col < lit) | col.isNull()   # nulls come after v
+            cmp = col > lit if asc else col < lit
+            if not nulls_first:
+                # nulls sort after every value → strictly after any
+                # non-null anchor
+                cmp = cmp | col.isNull()
             pred = pred | (eq & cmp)
             eq = eq & (col == lit)       # null == lit → false, correct
         return pred
 
     @staticmethod
+    def _sort_exprs(ordering: list[tuple[Column, bool, bool]]) -> list:
+        exprs = []
+        for c, asc, nulls_first in ordering:
+            if asc:
+                exprs.append(c.asc_nulls_first() if nulls_first
+                             else c.asc_nulls_last())
+            else:
+                exprs.append(c.desc_nulls_first() if nulls_first
+                             else c.desc_nulls_last())
+        return exprs
+
+    @staticmethod
     def _apply_ordering(df: DataFrame,
-                        ordering: list[tuple[Column, bool]]) -> DataFrame:
-        return df.orderBy(*[c.asc() if asc else c.desc()
-                            for c, asc in ordering])
+                        ordering: list[tuple[Column, bool, bool]]) -> DataFrame:
+        return df.orderBy(*SearchEngine._sort_exprs(ordering))
 
     def search(self, table: str, query: str,
                default_field: str | None = None,
@@ -450,22 +462,22 @@ class SearchEngine:
         # fields without a range index fall back to the scan plan.
         sort_servable = all(f == "_score" or f in keys
                             or (table, f) in self._range
-                            for f, _ in (req.sort or []))
+                            for f, *_ in (req.sort or []))
         ph = self._postings_hits(table, node, default_field) \
             if sort_servable else None
         if ph is not None:
             sort_helpers: list[str] = []
             order_cols: list[tuple[Column, bool]] = []
             order_types: list = []
-            for i, (f, asc) in enumerate(req.sort or []):
+            for i, (f, asc, nf) in enumerate(req.sort or []):
                 if f == "_score":
-                    order_cols.append((F.col(SCORE), asc))
+                    order_cols.append((F.col(SCORE), asc, nf))
                     order_types.append(None)
                     continue
                 if f in keys:
                     # key columns ride the hits already (doc rename /
                     # key-map join) — no range index needed to sort
-                    order_cols.append((F.col(f), asc))
+                    order_cols.append((F.col(f), asc, nf))
                     order_types.append(docs.schema[f].dataType)
                     continue
                 helper = f"_sort{i}"
@@ -476,7 +488,7 @@ class SearchEngine:
                 # asc / last desc), identical to the scan path ordering
                 ph = ph.join(vals, on="doc", how="left")
                 sort_helpers.append(helper)
-                order_cols.append((F.col(helper), asc))
+                order_cols.append((F.col(helper), asc, nf))
                 order_types.append(
                     Compiler(docs, default_field).resolve(f).dtype)
             # index-backed plan: (doc, _score) straight from the postings —
@@ -491,8 +503,8 @@ class SearchEngine:
             else:
                 key_map = docs.select(F.col(DOC_ID).alias("doc"), *keys)
                 keyed = ph.join(key_map, on="doc", how="inner").drop("doc")
-            ordering = (order_cols or [(F.col(SCORE), False)]) + \
-                [(F.col(c), True) for c in keys]
+            ordering = (order_cols or [(F.col(SCORE), False, False)]) + \
+                [(F.col(c), True, True) for c in keys]
             anchor_types = (order_types or [None]) + \
                 [docs.schema[c].dataType for c in keys]
             if after is not None:
@@ -506,8 +518,7 @@ class SearchEngine:
             needs_join = qmd.load_source or qmd.load_rows
             if needs_join:
                 hits = hits.withColumn(RANK, F.row_number().over(
-                    Window.orderBy(*[c.asc() if asc else c.desc()
-                                     for c, asc in ordering])))
+                    Window.orderBy(*self._sort_exprs(ordering))))
             if sort_helpers:
                 # ordering values were only needed to rank/page the hits —
                 # they are not part of the result surface
@@ -547,13 +558,13 @@ class SearchEngine:
         # full key asc as tiebreaks
         if req.sort:
             ordering = [(F.col(SCORE) if f == "_score" else comp.resolve(f).col,
-                         asc) for f, asc in req.sort]
+                         asc, nf) for f, asc, nf in req.sort]
             anchor_types = [None if f == "_score" else comp.resolve(f).dtype
-                            for f, _ in req.sort]
+                            for f, *_ in req.sort]
         else:
-            ordering = [(F.col(SCORE), False)]
+            ordering = [(F.col(SCORE), False, False)]
             anchor_types = [None]
-        ordering += [(F.col(c), True) for c in keys]
+        ordering += [(F.col(c), True, True) for c in keys]
         anchor_types += [docs.schema[c].dataType for c in keys]
 
         paged = scored if after is None else \
@@ -586,8 +597,7 @@ class SearchEngine:
             # the result re-sorts on it — a paging client sees rows in
             # ranking order, like ES hits.
             ranked = hits.withColumn(RANK, F.row_number().over(
-                Window.orderBy(*[c.asc() if asc else c.desc()
-                                 for c, asc in ordering])))
+                Window.orderBy(*self._sort_exprs(ordering))))
             hit_keys = F.broadcast(ranked.select(*keys, SCORE, RANK))
             result = (self._row_load_source(table, base)
                       .join(hit_keys, on=keys, how="inner")

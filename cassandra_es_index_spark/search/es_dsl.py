@@ -69,7 +69,9 @@ class Request:
     node: Node
     size: int | None = None
     aggs: BucketAgg | tuple[MetricAgg, ...] | None = None
-    sort: tuple[tuple[str, bool], ...] = ()   # (field, ascending)
+    # (field, ascending, nulls_first); nulls_first defaults to Spark's
+    # placement (asc → first, desc → last), overridable via ES `missing`
+    sort: tuple[tuple[str, bool, bool], ...] = ()
     search_after: tuple[Any, ...] | None = None
 
 
@@ -109,30 +111,43 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
     )
 
 
-def _sort(spec: Any) -> tuple[tuple[str, bool], ...]:
+def _sort(spec: Any) -> tuple[tuple[str, bool, bool], ...]:
     """ES sort forms: ``"f"``, ``{"f": "desc"}``, ``{"f": {"order":
     "desc"}}``, or a list of those. Defaults: ascending (``_score``:
-    descending, like ES)."""
+    descending, like ES). ES ``missing`` (``"_first"``/``"_last"``)
+    overrides null placement; absent, nulls follow Spark's default
+    (first when ascending, last when descending)."""
     if spec is None:
         return ()
     if not isinstance(spec, list):
         spec = [spec]
-    out: list[tuple[str, bool]] = []
+    out: list[tuple[str, bool, bool]] = []
     for entry in spec:
         if isinstance(entry, str):
-            out.append((entry, entry != "_score"))
+            asc = entry != "_score"
+            out.append((entry, asc, asc))
             continue
         if isinstance(entry, dict) and len(entry) == 1:
             (fld, body), = entry.items()
+            missing = None
             if isinstance(body, str):
                 order = body
             elif isinstance(body, dict):
                 order = body.get("order", "desc" if fld == "_score" else "asc")
+                missing = body.get("missing")
             else:
                 raise DslError(f"bad sort entry: {entry!r}")
             if order not in ("asc", "desc"):
                 raise DslError(f"sort order must be asc/desc, got {order!r}")
-            out.append((fld, order == "asc"))
+            asc = order == "asc"
+            if missing is None:
+                nulls_first = asc
+            elif missing in ("_first", "_last"):
+                nulls_first = missing == "_first"
+            else:
+                raise DslError(
+                    f"sort missing must be _first/_last, got {missing!r}")
+            out.append((fld, asc, nulls_first))
             continue
         raise DslError(f"bad sort entry: {entry!r}")
     return tuple(out)

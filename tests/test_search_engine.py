@@ -1177,3 +1177,22 @@ def test_search_after_null_anchor_pages_past_nulls(spark):
     for eng, tbl in ((idx, "sorted_idx"), (scan, "sorted_scan")):
         got = [r["id"] for r in eng.search(tbl, q3).collect()]
         assert got == ["d4", "d5"], (tbl, got)
+
+
+def test_sort_missing_param_overrides_null_placement(spark):
+    """ES `missing`: `_last` on an ascending sort pushes null sort values
+    to the end (ES's default placement), on both plans, and keyset
+    pagination respects it."""
+    idx, scan = _sorted_engines(spark)
+    q = ('{"query":{"term":{"body":"cassandra"}},'
+         '"sort":[{"userid":{"order":"asc","missing":"_last"}}]}')
+    for eng, tbl in ((idx, "sorted_idx"), (scan, "sorted_scan")):
+        got = [r["id"] for r in eng.search(tbl, q).collect()]
+        assert got == ["d2", "d4", "d1", "d5"], (tbl, got)
+    # paginate past the last value row: the trailing null (d5) follows
+    q2 = ('{"query":{"term":{"body":"cassandra"}},'
+          '"sort":[{"userid":{"order":"asc","missing":"_last"}}],'
+          '"search_after":[30,"d1"]}')
+    for eng, tbl in ((idx, "sorted_idx"), (scan, "sorted_scan")):
+        got = [r["id"] for r in eng.search(tbl, q2).collect()]
+        assert got == ["d5"], (tbl, got)
