@@ -44,6 +44,22 @@ def _presence_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
     return docs.where(ref.col.isNotNull()).select(F.col(id_col).alias("doc"))
 
 
+_FIXED_INTERVAL_UNITS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _fixed_interval_seconds(spec: str) -> int:
+    """ES date_histogram ``fixed_interval`` ("30s", "5m", "1h", "7d") →
+    whole seconds. Sub-second intervals are rejected (the engine buckets
+    at second granularity, like ``unix_seconds``)."""
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", spec.strip())
+    if not m:
+        raise ValueError(f"bad fixed_interval {spec!r}")
+    secs = int(m.group(1)) * _FIXED_INTERVAL_UNITS[m.group(2)]
+    if secs < 1 or secs != int(secs):
+        raise ValueError(f"fixed_interval below 1s unsupported: {spec!r}")
+    return int(secs)
+
+
 def _range_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
     """(doc, val) rows where ``field`` is non-null — the range index
     contents (the engine's analogue of ES's BKD points: range leaves
@@ -1327,8 +1343,15 @@ class SearchEngine:
         elif aggs.kind == "histogram":
             key = (F.floor(bucket_col / F.lit(float(aggs.interval)))
                    * F.lit(float(aggs.interval)))
-        else:  # date_histogram
+        elif aggs.calendar_interval is not None:  # date_histogram
             key = F.date_trunc(aggs.calendar_interval, bucket_col)
+        else:
+            # fixed_interval "30s"/"5m"/"1h"/"7d": epoch-aligned buckets
+            # of an exact duration (ES's non-calendar variant)
+            secs = _fixed_interval_seconds(aggs.fixed_interval)
+            key = F.timestamp_seconds(
+                F.floor(F.unix_seconds(bucket_col.cast("timestamp"))
+                        / F.lit(secs)) * F.lit(secs))
         measures = [F.count("*").cast("long").alias("doc_count")]
         measures += [metric(m).alias(m.name) for m in aggs.metrics]
         out = (filtered.where(bucket_col.isNotNull())

@@ -60,6 +60,7 @@ class BucketAgg:
     size: int | None = None                 # terms (ES default 10)
     interval: float | None = None           # histogram
     calendar_interval: str | None = None    # date_histogram
+    fixed_interval: str | None = None       # date_histogram ("30s","1h",…)
     metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
 
 
@@ -191,13 +192,17 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         for n, s in (body.get("aggs") or {}).items())
         if first_kind == "histogram" and "interval" not in params:
             raise DslError("histogram needs an 'interval'")
-        if first_kind == "date_histogram" and "calendar_interval" not in params:
-            raise DslError("date_histogram needs a 'calendar_interval'")
+        if first_kind == "date_histogram" \
+                and "calendar_interval" not in params \
+                and "fixed_interval" not in params:
+            raise DslError("date_histogram needs a 'calendar_interval' "
+                           "or 'fixed_interval'")
         return BucketAgg(
             name=name, kind=first_kind, field=params["field"],
             size=params.get("size"),
             interval=params.get("interval"),
             calendar_interval=params.get("calendar_interval"),
+            fixed_interval=params.get("fixed_interval"),
             metrics=metrics)
     # metrics-only request: every entry must be a metric
     return tuple(_metric(n, s) for n, s in entries)

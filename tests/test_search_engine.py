@@ -1196,3 +1196,22 @@ def test_sort_missing_param_overrides_null_placement(spark):
     for eng, tbl in ((idx, "sorted_idx"), (scan, "sorted_scan")):
         got = [r["id"] for r in eng.search(tbl, q2).collect()]
         assert got == ["d5"], (tbl, got)
+
+
+def test_date_histogram_fixed_interval(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(str(i), base + dt.timedelta(seconds=10 * i), "x")
+            for i in range(12)]   # 0..110s in 10s steps
+    df = spark.createDataFrame(rows, "id string, ts timestamp, body string")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("fixed", ["id"]))
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"per30":{"date_histogram":{"field":"ts",'
+         '"fixed_interval":"30s"}}}}')
+    out = {r["key"]: r["doc_count"] for r in
+           eng.search_aggs("fixed", q).collect()}
+    assert len(out) == 4            # 0-30, 30-60, 60-90, 90-120
+    assert all(v == 3 for v in out.values())
+    starts = sorted(k.second + 60 * k.minute for k in out)
+    assert starts == [0, 30, 60, 90]
