@@ -1357,6 +1357,14 @@ class SearchEngine:
         out = (filtered.where(bucket_col.isNotNull())
                .groupBy(key.alias("key")).agg(*measures))
         if aggs.kind == "terms":
-            return (out.orderBy(F.desc("doc_count"), F.asc("key"))
+            if aggs.order is not None:
+                # ES terms `order`: by _count, _key, or a sub-metric agg
+                target, asc = aggs.order
+                col = {"_count": F.col("doc_count"),
+                       "_key": F.col("key")}.get(target, F.col(target))
+                primary = col.asc() if asc else col.desc()
+            else:
+                primary = F.desc("doc_count")   # ES default
+            return (out.orderBy(primary, F.asc("key"))
                        .limit(aggs.size if aggs.size is not None else 10))
         return out.orderBy(F.asc("key"))

@@ -61,6 +61,10 @@ class BucketAgg:
     interval: float | None = None           # histogram
     calendar_interval: str | None = None    # date_histogram
     fixed_interval: str | None = None       # date_histogram ("30s","1h",…)
+    # terms bucket ordering: (target, ascending) where target is
+    # "_count", "_key", or a sub-metric agg name (ES `order` param);
+    # default ES ordering is doc_count desc
+    order: tuple[str, bool] | None = None
     metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
 
 
@@ -190,6 +194,19 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             raise DslError(f"bucket agg {name!r} needs a 'field'")
         metrics = tuple(_metric(n, s)
                         for n, s in (body.get("aggs") or {}).items())
+        order = None
+        if "order" in params:
+            ospec = params["order"]
+            if not isinstance(ospec, dict) or len(ospec) != 1:
+                raise DslError("terms order must be {target: asc|desc}")
+            (target, direction), = ospec.items()
+            if direction not in ("asc", "desc"):
+                raise DslError(f"bad order direction {direction!r}")
+            if target not in ("_count", "_key") \
+                    and target not in {m.name for m in metrics}:
+                raise DslError(f"order target {target!r} is neither "
+                               "_count, _key, nor a sub-agg name")
+            order = (target, direction == "asc")
         if first_kind == "histogram" and "interval" not in params:
             raise DslError("histogram needs an 'interval'")
         if first_kind == "date_histogram" \
@@ -203,6 +220,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             interval=params.get("interval"),
             calendar_interval=params.get("calendar_interval"),
             fixed_interval=params.get("fixed_interval"),
+            order=order,
             metrics=metrics)
     # metrics-only request: every entry must be a metric
     return tuple(_metric(n, s) for n, s in entries)

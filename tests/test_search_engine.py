@@ -1215,3 +1215,20 @@ def test_date_histogram_fixed_interval(spark):
     assert all(v == 3 for v in out.values())
     starts = sorted(k.second + 60 * k.minute for k in out)
     assert starts == [0, 30, 60, 90]
+
+
+def test_terms_agg_order_param(engine):
+    base = ('{"query":{"match_all":{}},'
+            '"aggs":{"by_user":{"terms":{"field":"userid",%s},'
+            '"aggs":{"maxu":{"max":{"field":"userid"}}}}}}')
+    # order by key ascending
+    out = engine.search_aggs("emails", base % '"order":{"_key":"asc"}')
+    assert [r["key"] for r in out.collect()] == [7, 10, 42, 99]
+    # order by the sub-metric descending
+    out = engine.search_aggs("emails", base % '"order":{"maxu":"desc"}')
+    assert [r["key"] for r in out.collect()] == [99, 42, 10, 7]
+    # bad target rejected
+    import pytest as _pytest
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    with _pytest.raises(DslError, match="order target"):
+        engine.search_aggs("emails", base % '"order":{"nope":"desc"}')
