@@ -1232,3 +1232,24 @@ def test_terms_agg_order_param(engine):
     from cassandra_es_index_spark.search.es_dsl import DslError
     with _pytest.raises(DslError, match="order target"):
         engine.search_aggs("emails", base % '"order":{"nope":"desc"}')
+
+
+def test_fuzzy_and_regexp_on_array_and_map_fields(spark):
+    """The token-match compile path covers array<string> and
+    map<string,string> fields (the flattened-attribute shapes), not just
+    plain strings: tf sums across all values."""
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [("a1", ["roam widely", "roams again"], {"k": "foam bath"}),
+         ("a2", ["nothing here"], {"k": "other"})],
+        "id string, tags array<string>, attrs map<string,string>")
+    eng.register(df, TableSpec("arrmap", ["id"]))
+    rows = {r["id"]: r["_score"] for r in
+            eng.search("arrmap", "tags:roam~1").collect()}
+    assert rows == {"a1": 2}    # roam (0 edits) + roams (1 edit)
+    rows = {r["id"]: r["_score"] for r in
+            eng.search("arrmap", "attrs:roam~1").collect()}
+    assert rows == {"a1": 1}    # foam (1 edit) inside the map values
+    rows = {r["id"]: r["_score"] for r in
+            eng.search("arrmap", "tags:/roams?/").collect()}
+    assert rows == {"a1": 2}    # term-anchored regexp across elements
