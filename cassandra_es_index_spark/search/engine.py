@@ -526,7 +526,12 @@ class SearchEngine:
             if after is not None:
                 keyed = keyed.where(
                     self._keyset_filter(ordering, after, anchor_types))
-            hits = self._apply_ordering(keyed, ordering).limit(k)
+            hits = self._apply_ordering(keyed, ordering)
+            if req.from_:
+                # ES `from` shallow pagination: skip the first N of the
+                # total order (search_after remains the deep-paging path)
+                hits = hits.offset(req.from_)
+            hits = hits.limit(k)
             # join paths would lose the page order (a join emits rows in
             # shuffle/broadcast-probe order): rank the ≤k hits first and
             # re-sort the joined result on that rank, so a paging client
@@ -585,7 +590,11 @@ class SearchEngine:
 
         paged = scored if after is None else \
             scored.where(self._keyset_filter(ordering, after, anchor_types))
-        hits = self._apply_ordering(paged, ordering).limit(k)
+        hits = self._apply_ordering(paged, ordering)
+        if req.from_:
+            # ES `from` shallow pagination (see the index-plan note)
+            hits = hits.offset(req.from_)
+        hits = hits.limit(k)
 
         if want_meta:
             agg = scored.agg(F.count("*").alias("total_hits"),

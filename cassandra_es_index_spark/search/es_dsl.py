@@ -73,6 +73,7 @@ class Request:
     """A parsed search request body."""
     node: Node
     size: int | None = None
+    from_: int = 0   # ES `from` offset (shallow pagination)
     aggs: BucketAgg | tuple[MetricAgg, ...] | None = None
     # (field, ascending, nulls_first); nulls_first defaults to Spark's
     # placement (asc → first, desc → last), overridable via ES `missing`
@@ -101,6 +102,9 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
     size = obj.get("size")
     if size is not None and not isinstance(size, int):
         raise DslError("size must be an integer")
+    from_ = obj.get("from", 0)
+    if not isinstance(from_, int) or from_ < 0:
+        raise DslError("from must be a non-negative integer")
     query = obj.get("query", {"match_all": {}})
     after = obj.get("search_after")
     if after is not None:
@@ -110,6 +114,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
     return Request(
         node=_node(query),
         size=size,
+        from_=from_,
         aggs=_aggs(obj.get("aggs", obj.get("aggregations"))),
         sort=_sort(obj.get("sort")),
         search_after=after,

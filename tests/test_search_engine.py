@@ -1253,3 +1253,15 @@ def test_fuzzy_and_regexp_on_array_and_map_fields(spark):
     rows = {r["id"]: r["_score"] for r in
             eng.search("arrmap", "tags:/roams?/").collect()}
     assert rows == {"a1": 2}    # term-anchored regexp across elements
+
+
+def test_dsl_from_offset_pagination(spark):
+    """ES `from`+`size` shallow pagination over the deterministic total
+    order, identical on the scan and index plans."""
+    idx, scan = _sorted_engines(spark)
+    q = ('{"query":{"term":{"body":"cassandra"}},'
+         '"sort":[{"userid":{"order":"asc","missing":"_last"}}],'
+         '"from":1,"size":2}')
+    for eng, tbl in ((idx, "sorted_idx"), (scan, "sorted_scan")):
+        got = [r["id"] for r in eng.search(tbl, q).collect()]
+        assert got == ["d4", "d1"], (tbl, got)
