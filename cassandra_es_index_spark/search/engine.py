@@ -1342,38 +1342,79 @@ class SearchEngine:
                 return F.countDistinct(c).cast("long")
             raise ValueError(f"unknown metric kind {m.kind!r}")
 
+        def bucket_key(b: es_dsl.BucketAgg):
+            col = comp.resolve(b.field).col
+            if b.kind == "terms":
+                return col, col
+            if b.kind == "histogram":
+                return (F.floor(col / F.lit(float(b.interval)))
+                        * F.lit(float(b.interval))), col
+            if b.calendar_interval is not None:  # date_histogram
+                return F.date_trunc(b.calendar_interval, col), col
+            # fixed_interval "30s"/"5m"/"1h"/"7d": epoch-aligned buckets
+            # of an exact duration (ES's non-calendar variant)
+            secs = _fixed_interval_seconds(b.fixed_interval)
+            return F.timestamp_seconds(
+                F.floor(F.unix_seconds(col.cast("timestamp"))
+                        / F.lit(secs)) * F.lit(secs)), col
+
+        def terms_primary(b: es_dsl.BucketAgg, count_col: str, key_col: str):
+            if b.order is not None:
+                # ES terms `order`: by _count, _key, or a sub-metric agg
+                target, asc = b.order
+                col = {"_count": F.col(count_col),
+                       "_key": F.col(key_col)}.get(target, F.col(target))
+                return col.asc() if asc else col.desc()
+            return F.desc(count_col)   # ES default
+
         aggs = req.aggs
         if isinstance(aggs, tuple):  # metrics-only: one global row
             return filtered.agg(*[metric(m).alias(m.name) for m in aggs])
 
-        bucket_col = comp.resolve(aggs.field).col
-        if aggs.kind == "terms":
-            key = bucket_col
-        elif aggs.kind == "histogram":
-            key = (F.floor(bucket_col / F.lit(float(aggs.interval)))
-                   * F.lit(float(aggs.interval)))
-        elif aggs.calendar_interval is not None:  # date_histogram
-            key = F.date_trunc(aggs.calendar_interval, bucket_col)
-        else:
-            # fixed_interval "30s"/"5m"/"1h"/"7d": epoch-aligned buckets
-            # of an exact duration (ES's non-calendar variant)
-            secs = _fixed_interval_seconds(aggs.fixed_interval)
-            key = F.timestamp_seconds(
-                F.floor(F.unix_seconds(bucket_col.cast("timestamp"))
-                        / F.lit(secs)) * F.lit(secs))
+        key, bucket_col = bucket_key(aggs)
+        if aggs.sub is not None:
+            # Nested sub-bucket, flattened: one row per (outer, inner)
+            # bucket pair. ES semantics preserved: outer buckets selected
+            # by their own doc_count (all matching docs, null inner
+            # included), inner buckets computed within each surviving
+            # outer bucket, capped per outer via one rank window. Two
+            # aggregations + one broadcastable join of the ≤size outer
+            # keys — no corpus rescan beyond the shared match set.
+            sub = aggs.sub
+            ikey, icol = bucket_key(sub)
+            outer = (filtered.where(bucket_col.isNotNull())
+                     .groupBy(key.alias("key"))
+                     .agg(F.count("*").cast("long").alias("doc_count")))
+            if aggs.kind == "terms":
+                outer = (outer.orderBy(terms_primary(aggs, "doc_count",
+                                                     "key"), F.asc("key"))
+                              .limit(aggs.size if aggs.size is not None
+                                     else 10))
+            imeasures = [F.count("*").cast("long").alias("sub_doc_count")]
+            imeasures += [metric(m).alias(m.name) for m in sub.metrics]
+            inner = (filtered.where(bucket_col.isNotNull()
+                                    & icol.isNotNull())
+                     .groupBy(key.alias("key"), ikey.alias("sub_key"))
+                     .agg(*imeasures))
+            if sub.kind == "terms":
+                w = Window.partitionBy("key").orderBy(
+                    terms_primary(sub, "sub_doc_count", "sub_key"),
+                    F.asc("sub_key"))
+                inner = (inner.withColumn("_rn", F.row_number().over(w))
+                              .where(F.col("_rn") <= (
+                                  sub.size if sub.size is not None else 10))
+                              .drop("_rn"))
+            out = outer.join(inner, on="key", how="left")
+            order_outer = [F.desc("doc_count"), F.asc("key")] \
+                if aggs.kind == "terms" else [F.asc("key")]
+            return out.orderBy(*order_outer, F.desc("sub_doc_count"),
+                               F.asc("sub_key"))
         measures = [F.count("*").cast("long").alias("doc_count")]
         measures += [metric(m).alias(m.name) for m in aggs.metrics]
         out = (filtered.where(bucket_col.isNotNull())
                .groupBy(key.alias("key")).agg(*measures))
         if aggs.kind == "terms":
-            if aggs.order is not None:
-                # ES terms `order`: by _count, _key, or a sub-metric agg
-                target, asc = aggs.order
-                col = {"_count": F.col("doc_count"),
-                       "_key": F.col("key")}.get(target, F.col(target))
-                primary = col.asc() if asc else col.desc()
-            else:
-                primary = F.desc("doc_count")   # ES default
-            return (out.orderBy(primary, F.asc("key"))
+            return (out.orderBy(terms_primary(aggs, "doc_count", "key"),
+                                F.asc("key"))
                        .limit(aggs.size if aggs.size is not None else 10))
         return out.orderBy(F.asc("key"))

@@ -66,6 +66,9 @@ class BucketAgg:
     # default ES ordering is doc_count desc
     order: tuple[str, bool] | None = None
     metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
+    # one nested sub-bucket (two levels max) — ES sub-aggregations;
+    # executed flattened: (key, doc_count, sub_key, sub_doc_count, …)
+    sub: "BucketAgg | None" = None
 
 
 @dataclass(frozen=True)
@@ -197,8 +200,20 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         params = body[first_kind]
         if not isinstance(params, dict) or "field" not in params:
             raise DslError(f"bucket agg {name!r} needs a 'field'")
-        metrics = tuple(_metric(n, s)
-                        for n, s in (body.get("aggs") or {}).items())
+        sub_specs = dict(body.get("aggs") or {})
+        sub_bucket = None
+        bucket_subs = [n for n, sp in sub_specs.items()
+                       if isinstance(sp, dict) and sp
+                       and next(k for k in sp if k != "aggs")
+                       in _BUCKET_KINDS]
+        if bucket_subs:
+            if len(bucket_subs) != 1:
+                raise DslError("at most one nested bucket agg is supported")
+            sub_parsed = _aggs({bucket_subs[0]: sub_specs.pop(bucket_subs[0])})
+            if sub_parsed.sub is not None:
+                raise DslError("bucket aggs nest at most two levels")
+            sub_bucket = sub_parsed
+        metrics = tuple(_metric(n, s) for n, s in sub_specs.items())
         order = None
         if "order" in params:
             ospec = params["order"]
@@ -226,7 +241,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             calendar_interval=params.get("calendar_interval"),
             fixed_interval=params.get("fixed_interval"),
             order=order,
-            metrics=metrics)
+            metrics=metrics,
+            sub=sub_bucket)
     # metrics-only request: every entry must be a metric
     return tuple(_metric(n, s) for n, s in entries)
 

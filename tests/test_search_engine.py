@@ -1265,3 +1265,48 @@ def test_dsl_from_offset_pagination(spark):
     for eng, tbl in ((idx, "sorted_idx"), (scan, "sorted_scan")):
         got = [r["id"] for r in eng.search(tbl, q).collect()]
         assert got == ["d4", "d1"], (tbl, got)
+
+
+def test_nested_terms_in_terms_aggs(engine):
+    """Two-level bucket aggs flattened to (key, doc_count, sub_key,
+    sub_doc_count, metrics): outer buckets by their own doc_count, inner
+    buckets computed within each outer bucket."""
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"by_user":{"terms":{"field":"userid"},'
+         '"aggs":{"by_subject":{"terms":{"field":"subject","size":1},'
+         '"aggs":{"maxu":{"max":{"field":"userid"}}}}}}}}')
+    rows = engine.search_aggs("emails", q).collect()
+    # outer: userid 42 has 2 docs, others 1 — 42 first
+    assert rows[0]["key"] == 42 and rows[0]["doc_count"] == 2
+    # inner size 1: top subject within userid 42 ('Hello' vs 'Hello again'
+    # tie by count -> alphabetical)
+    assert rows[0]["sub_key"] == "Hello"
+    assert rows[0]["sub_doc_count"] == 1
+    assert rows[0]["maxu"] == 42
+    assert len(rows) == 4          # one inner row per outer bucket
+    # three-level nesting rejected
+    import pytest as _pytest
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with _pytest.raises(DslError, match="two levels"):
+        parse_request(
+            '{"aggs":{"a":{"terms":{"field":"x"},'
+            '"aggs":{"b":{"terms":{"field":"y"},'
+            '"aggs":{"c":{"terms":{"field":"z"}}}}}}}}')
+
+
+def test_nested_date_histogram_in_terms(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(str(i), "u%d" % (i % 2), base + dt.timedelta(minutes=30 * i))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "id string, user string, ts timestamp")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("nested2", ["id"]))
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"by_user":{"terms":{"field":"user"},'
+         '"aggs":{"hourly":{"date_histogram":{"field":"ts",'
+         '"fixed_interval":"1h"}}}}}}')
+    out = eng.search_aggs("nested2", q).collect()
+    # 2 users x 4 hours, one doc per (user, hour)
+    assert len(out) == 8
+    assert all(r["sub_doc_count"] == 1 for r in out)
