@@ -191,6 +191,10 @@ class SearchEngine:
         # the index but absent from the registered base snapshot — still
         # load a row (the reference's Cassandra holds the write).
         self._row_source: dict[str, DataFrame] = {}
+        # corpus-size cache (n_docs for idf) — computed lazily, dropped
+        # whenever the documents DataFrame changes, so more_like_this
+        # never re-counts the corpus per call
+        self._n_docs: dict[str, int] = {}
 
     # -- registration / index build ----------------------------------------
 
@@ -201,6 +205,7 @@ class SearchEngine:
         docs = build_documents(df, spec)
         self._docs[spec.name] = docs
         self._row_source.pop(spec.name, None)
+        self._n_docs.pop(spec.name, None)
         self._invalidate_postings(spec.name)
         return docs
 
@@ -240,6 +245,7 @@ class SearchEngine:
         from cassandra_es_index_spark.search.postings import build_postings
 
         self._docs[table] = resolved_docs
+        self._n_docs.pop(table, None)
         if not self.has_postings(table):
             return
         _, spec = self.catalog.get(table)
@@ -275,6 +281,7 @@ class SearchEngine:
         index store's current resolved state after mutations). Cached
         postings are invalidated — they were built from the old view."""
         self._docs[table] = docs
+        self._n_docs.pop(table, None)
         self._invalidate_postings(table)
 
     def set_row_source(self, table: str, df: DataFrame) -> None:
@@ -1215,35 +1222,81 @@ class SearchEngine:
                              F.asc("token"))
                     .limit(k))
 
+    def _corpus_size(self, table: str) -> int:
+        """n_docs for idf — counted once per documents DataFrame and
+        cached; ``register``/``set_documents``/``apply_delta`` drop the
+        entry, so mutations see a fresh count on the next call."""
+        if table not in self._n_docs:
+            self._n_docs[table] = self._docs[table].count()
+        return self._n_docs[table]
+
+    @staticmethod
+    def _mlt_dfreq(view: DataFrame, tokens: list[str]) -> DataFrame:
+        """(token, df) for the CANDIDATE tokens only: the ``isin``
+        predicate pushes below the aggregate into the (cached/bucketed)
+        postings scan, so the df stage reads candidate-token postings —
+        never the full index (plan-pinned in tests/test_plan_shapes.py).
+        At 100 TB this is the difference between a vocabulary-sized
+        aggregation over the whole corpus per MLT call and a lookup
+        bounded by one document's term vector."""
+        return (view.where(F.col("token").isin(*tokens))
+                    .groupBy("token")
+                    .agg(F.count_distinct("doc").alias("df")))
+
     def more_like_this(self, table: str, doc_id, field: str | None = None,
                        max_query_terms: int = 10, min_doc_freq: int = 1,
                        k: int = 10) -> DataFrame:
         """ES ``more_like_this`` for one source document, fully
-        index-served: the source doc's terms rank by tf·idf over the
-        postings (idf = ln((N+1)/(df+0.5)), N = corpus size), the top
+        index-served: the source doc's terms rank by tf·idf
+        (idf = ln((N+1)/(df+0.5)), N = corpus size), the top
         ``max_query_terms`` become an OR-term query answered from the
         postings, and the source doc is excluded — exactly ES's two-phase
-        shape (term selection driver-side over ≤max_query_terms rows, the
-        way ES builds the boolean query from the source's term vector;
+        shape (ES builds the boolean query from the source's term vector;
         the corpus is never text-scanned).
 
+        Document frequency is computed ONLY for the source doc's tokens
+        (``_mlt_dfreq``) — a term-vector-bounded lookup, not a corpus-wide
+        aggregate — and the corpus size comes from the per-table cache
+        (``_corpus_size``), so an MLT call costs two bounded index lookups
+        plus the final OR-term postings query.
+
         Returns (doc, _score) ordered by score desc, doc asc."""
+        import math
+
+        from cassandra_es_index_spark.functions.analyzers import standard
+
         docs = self._docs[table]
+        _, spec = self.catalog.get(table)
         fld = field or Compiler(docs).default_field
         if (table, fld) not in self._postings:
             self.build_postings_index(table, fld)
         view = self._postings[(table, fld)].view()
-        n_docs = docs.count()
-        dfreq = view.groupBy("token").agg(
-            F.count_distinct("doc").alias("df"))
-        ranked = (view.where(F.col("doc") == F.lit(doc_id))
-                      .join(dfreq, on="token")
-                      .where(F.col("df") >= min_doc_freq)
-                      .withColumn("w", F.col("tf") * F.log(
-                          F.lit(float(n_docs + 1)) / (F.col("df") + 0.5)))
-                      .orderBy(F.desc("w"), F.asc("token"))
-                      .limit(max_query_terms))
-        terms = [r["token"] for r in ranked.collect()]  # ≤ max_query_terms
+        # phase 1 — the source doc's term vector: tokenize the ONE source
+        # document (key-filtered scan — the predicate pushes into the
+        # parquet/cached documents scan) with the postings analyzer, so
+        # the result equals the doc's postings rows without scanning the
+        # doc-scattered postings on a non-pruning `doc ==` filter
+        id_col = self._postings_id_col(spec)
+        src_tf = {r["token"]: r["tf"]
+                  for r in (docs.where(F.col(id_col) == F.lit(doc_id))
+                                .select(F.explode(standard(F.col(fld)))
+                                        .alias("token"))
+                                .groupBy("token")
+                                .agg(F.count("*").cast("long").alias("tf"))
+                                .collect())}
+        if not src_tf:
+            return (view.select("doc", F.col("tf").cast("long")
+                                .alias(SCORE)).limit(0))
+        # phase 2 — df for the candidate tokens only (token-filtered scan)
+        df_map = {r["token"]: r["df"]
+                  for r in self._mlt_dfreq(view, list(src_tf)).collect()}
+        n_docs = self._corpus_size(table)
+        weighted = sorted(
+            ((tf * math.log((n_docs + 1) / (df_map[t] + 0.5)), t)
+             for t, tf in src_tf.items()
+             if df_map.get(t, 0) >= min_doc_freq),
+            key=lambda p: (-p[0], p[1]))
+        terms = [t for _, t in weighted[:max_query_terms]]
         if not terms:
             return (view.select("doc", F.col("tf").cast("long")
                                 .alias(SCORE)).limit(0))

@@ -55,6 +55,16 @@ def get_spark(app_name: str = "cassandra-es-index-spark",
         # auto-bucketed-scan would silently fall back to full scans for
         # filter-only plans.
         .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        # let AQE coalesce shuffle partitions INSIDE cached plans: the
+        # in-memory indexes (postings/positional/presence/range) are small
+        # relative to the corpus, and pinning them at
+        # spark.sql.shuffle.partitions makes every index lookup schedule
+        # that many tasks — pure fixed overhead at low SF, and at scale a
+        # cached dimension should still be sized by bytes, not by the
+        # session's shuffle width (the r04 search_* latency regressions
+        # were exactly this: 32 tasks scanning a 4 MB cached index).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
