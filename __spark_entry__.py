@@ -203,18 +203,22 @@ def q_search_fuzzy_boost(spark, sf_dir):
 
 
 def q_search_mlt(spark, sf_dir):
-    # more_like_this doc 42: tf·idf term selection + OR-term query, both
-    # over the postings (no oracle: the two-phase driver-side term pick is
-    # not one SQL statement; rows-only + pytest parity)
+    # more_like_this doc 42: tf·idf term selection (deterministic — ties
+    # by token asc) + OR-term postings query, oracle-checked: the DuckDB
+    # twin replays the same pick (ln((N+1)/(df+0.5)) in doubles) and the
+    # same Σ-tf scoring in one SQL statement.
     eng = _docs_engine(spark, sf_dir)
     return eng.more_like_this("documents", 42, field="text",
                               max_query_terms=10, k=20)
 
 
 def q_search_suggest(spark, sf_dir):
-    # completion suggester: prefix completions from the term dictionary
+    # completion suggester: prefix completions from the term dictionary,
+    # frequency-ranked (freq desc, token asc) — oracle-checked. Prefix
+    # 's' completes 6 dictionary tokens (scan/small/slow/stream/spark/
+    # sort), so the ranking itself is exercised, not just membership.
     eng = _docs_engine(spark, sf_dir)
-    return eng.suggest("documents", "qu", field="text", k=10)
+    return eng.suggest("documents", "s", field="text", k=10)
 
 
 def q_search_slop_phrase(spark, sf_dir):
@@ -991,13 +995,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_sorted": q_search_dsl_sorted,
         "search_page_after": q_search_page_after,
         "search_dsl_aggs": q_search_dsl_aggs,
-        "search_json_field": q_search_json_field,
+        "search_mlt": q_search_mlt,          # tf·idf pick, oracle-backed
+        "search_suggest": q_search_suggest,  # dictionary completion, oracle
         "search_metadata_agg": q_search_metadata_agg,
         "search_mapped_range": q_search_mapped_range,
         "search_10k_cap": q_search_10k_cap,      # BASELINE.md gate query
         "search_bm25_topk": q_search_bm25_topk,
         "search_postings_term": q_search_postings_term,
-        "search_postings_disk": q_search_postings_disk,
         # --- documents / indexing lifecycle ---
         "doc_build": q_doc_build,
         "doc_grouping": q_doc_grouping,
@@ -1040,6 +1044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-covered) or a probabilistic tier graded by ann_recall /
         # property tests. ----
         "search_wildcard_mid": q_search_wildcard_mid,   # ~ search_wildcard
+        "search_json_field": q_search_json_field,   # ~ events_json_props
+        "search_postings_disk": q_search_postings_disk,  # ~ search_postings_term
+        #   (oracle-shared semantics; disk lifecycle pytest-covered + benched)
         "search_topk": q_search_topk,       # ~ search_bm25_topk/search_10k_cap
         "search_dsl_metrics": q_search_dsl_metrics,     # ~ search_dsl_aggs
         "search_dsl_phrase": q_search_dsl_phrase,       # ~ search_phrase
@@ -1055,8 +1062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,  # graded by ann_recall
         "similarity_ivf_disk": q_similarity_ivf_disk,  # benched cold path
         "multimodal_features": q_multimodal_features,  # stub codecs (env)
-        "search_mlt": q_search_mlt,          # two-phase; pytest + bench
-        "search_suggest": q_search_suggest,  # dictionary-only; pytest + bench
     }
 
 
@@ -1119,6 +1124,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (2 * tf)::BIGINT AS _score
             FROM toks
             WHERE tf > 0 AND slow_tf = 0
+        """,
+        # more_like_this doc 42 replayed in one SQL statement: the same
+        # postings (lowercased \\w+ tokens), the same tf·idf pick
+        # (w = tf·ln((N+1)/(df+0.5)) in doubles, ties token asc, top 10),
+        # the same Σ-tf OR-term scoring with the source doc excluded.
+        "search_mlt": r"""
+            WITH tok AS (
+                SELECT doc_id AS doc, t AS token, COUNT(*)::BIGINT AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text),
+                                                          '\W+')) AS t
+                      FROM documents) u
+                WHERE len(t) > 0
+                GROUP BY doc_id, t
+            ),
+            src AS (SELECT token, tf FROM tok WHERE doc = 42),
+            dfreq AS (
+                SELECT token, COUNT(DISTINCT doc)::BIGINT AS df
+                FROM tok
+                WHERE token IN (SELECT token FROM src)
+                GROUP BY token
+            ),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            picked AS (
+                SELECT s.token
+                FROM src s JOIN dfreq d USING (token) CROSS JOIN n
+                WHERE d.df >= 1
+                ORDER BY s.tf * ln((n.n_docs + 1)::DOUBLE
+                                   / (d.df + CAST(0.5 AS DOUBLE))) DESC,
+                         s.token ASC
+                LIMIT 10
+            )
+            SELECT t.doc, SUM(t.tf)::BIGINT AS _score
+            FROM tok t JOIN picked p USING (token)
+            WHERE t.doc <> 42
+            GROUP BY t.doc
+            ORDER BY _score DESC, doc ASC
+            LIMIT 20
+        """,
+        # completion suggester: frequency-ranked prefix completions over
+        # the same term dictionary (freq = Σ tf, ties token asc)
+        "search_suggest": r"""
+            WITH tok AS (
+                SELECT doc_id AS doc, t AS token, COUNT(*)::BIGINT AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text),
+                                                          '\W+')) AS t
+                      FROM documents) u
+                WHERE len(t) > 0
+                GROUP BY doc_id, t
+            )
+            SELECT token, SUM(tf)::BIGINT AS freq
+            FROM tok
+            WHERE token LIKE 's%'
+            GROUP BY token
+            ORDER BY freq DESC, token ASC
+            LIMIT 10
         """,
         "search_slop_phrase": f"""
             SELECT doc_id,

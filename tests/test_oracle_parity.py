@@ -70,7 +70,4 @@ def test_queries_oracles_consistent():
     assert missing == {"dedup_minhash_lsh", "dedup_simhash",
                        "similarity_ann_lsh", "similarity_ivf_topk",
                        "similarity_ivf_disk", "multimodal_features",
-                       "ann_recall",
-                       # two-phase (driver-side term pick) / dictionary-only
-                       # engine APIs — not one SQL statement by design
-                       "search_mlt", "search_suggest"}
+                       "ann_recall"}
