@@ -321,6 +321,22 @@ def q_search_dsl_aggs(spark, sf_dir):
               .withColumn("total_chars", F.col("total_chars").cast("long"))
 
 
+def q_search_aggs_nested3(spark, sf_dir):
+    # three-level nested buckets (terms > terms > histogram) with a leaf
+    # metric — the arbitrary-depth flatten-join: one aggregation + one
+    # join per level over the shared match set, per-parent top-size at
+    # terms levels (ES nests sub-aggs freely; the reference passes the
+    # JSON through to ES — SURVEY.md §2.4).
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"by_lang":{"terms":{"field":"lang"},'
+         '"aggs":{"by_source":{"terms":{"field":"source","size":3},'
+         '"aggs":{"chars":{"histogram":{"field":"n_chars","interval":200},'
+         '"aggs":{"avg_chars":{"avg":{"field":"n_chars"}}}}}}}}}}')
+    out = eng.search_aggs("documents", q, default_field="text")
+    return out.withColumn("avg_chars", F.round("avg_chars", 4))
+
+
 def q_search_dsl_metrics(spark, sf_dir):
     # metrics-only aggs: one global row; `cardinality` is EXACT count
     # distinct (superset of ES's HyperLogLog estimate).
@@ -994,7 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_exists": q_search_exists,
         "search_dsl_sorted": q_search_dsl_sorted,
         "search_page_after": q_search_page_after,
-        "search_dsl_aggs": q_search_dsl_aggs,
+        "search_aggs_nested3": q_search_aggs_nested3,  # 3-level flatten-join
         "search_mlt": q_search_mlt,          # tf·idf pick, oracle-backed
         "search_suggest": q_search_suggest,  # dictionary completion, oracle
         "search_metadata_agg": q_search_metadata_agg,
@@ -1044,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-covered) or a probabilistic tier graded by ann_recall /
         # property tests. ----
         "search_wildcard_mid": q_search_wildcard_mid,   # ~ search_wildcard
+        "search_dsl_aggs": q_search_dsl_aggs,  # ~ search_aggs_nested3
+        #   (single-level terms+metrics subset of the 3-level query)
         "search_json_field": q_search_json_field,   # ~ events_json_props
         "search_postings_disk": q_search_postings_disk,  # ~ search_postings_term
         #   (oracle-shared semantics; disk lifecycle pytest-covered + benched)
@@ -1231,6 +1249,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             ORDER BY doc_count DESC, key ASC
             LIMIT 5
+        """,
+        # 3-level nested buckets replayed: per-level doc_count over its
+        # own non-null path (deeper nulls included), top-3-per-parent at
+        # the middle terms level (count desc, key asc), leaf histogram
+        # buckets with the avg metric, left-join flattening
+        "search_aggs_nested3": """
+            WITH l0 AS (
+                SELECT lang AS key, COUNT(*)::BIGINT AS doc_count
+                FROM documents WHERE lang IS NOT NULL
+                GROUP BY lang
+                ORDER BY doc_count DESC, key ASC
+                LIMIT 10
+            ),
+            l1 AS (
+                SELECT key, sub_key, sub_doc_count FROM (
+                    SELECT d.lang AS key, d.source AS sub_key,
+                           COUNT(*)::BIGINT AS sub_doc_count,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY d.lang
+                               ORDER BY COUNT(*) DESC, d.source ASC) AS rn
+                    FROM documents d
+                    WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+                      AND d.lang IN (SELECT key FROM l0)
+                    GROUP BY d.lang, d.source)
+                WHERE rn <= 3
+            ),
+            l2 AS (
+                SELECT d.lang AS key, d.source AS sub_key,
+                       FLOOR(d.n_chars / 200.0) * 200.0 AS sub2_key,
+                       COUNT(*)::BIGINT AS sub2_doc_count,
+                       ROUND(AVG(d.n_chars), 4) AS avg_chars
+                FROM documents d
+                JOIN l1 ON d.lang = l1.key AND d.source = l1.sub_key
+                WHERE d.n_chars IS NOT NULL
+                GROUP BY 1, 2, 3
+            )
+            SELECT l0.key, l0.doc_count, l1.sub_key, l1.sub_doc_count,
+                   l2.sub2_key, l2.sub2_doc_count, l2.avg_chars
+            FROM l0
+            LEFT JOIN l1 USING (key)
+            LEFT JOIN l2 ON l2.key = l0.key AND l2.sub_key = l1.sub_key
         """,
         "search_dsl_metrics": """
             SELECT COUNT(value)::BIGINT AS n_events,

@@ -59,10 +59,18 @@ class Range(Node):
 
 @dataclass(frozen=True)
 class Regexp(Node):
-    """``field:/pat/`` (Lucene regexp syntax) / ES ``regexp`` query —
-    TERM-anchored like ES: the pattern must match a whole (lowercased)
-    token, ``^pat$``. Served from the term dictionary when postings
-    exist; the scan path filters each document's token array."""
+    """``field:/pat/`` / ES ``regexp`` query — TERM-anchored like ES:
+    the pattern must match a whole (lowercased) token, ``^pat$``. Served
+    from the term dictionary when postings exist; the scan path filters
+    each document's token array.
+
+    Syntax DEVIATION (documented in COVERAGE.md): patterns are JAVA
+    regex (what ``rlike`` executes), not Lucene's regexp operators —
+    Lucene's ``<1-10>`` numeric ranges, ``~`` complement, and ``&``
+    intersection are not supported, while Java-only constructs
+    (``\\p{Alpha}``, possessive quantifiers) ARE. Both serving paths
+    validate with java.util.regex at compile time, so accept/reject does
+    not depend on whether an index exists."""
     field: str | None
     pattern: str
 
@@ -72,10 +80,29 @@ class Fuzzy(Node):
     """``field:value~N`` — tokens within ``max_edits`` Levenshtein edits
     of ``value`` match (Lucene fuzzy query). The engine uses classic
     Levenshtein (Spark's built-in ``levenshtein``): a transposition costs
-    2 edits, vs 1 in Lucene's Damerau automaton — documented deviation."""
+    2 edits, vs 1 in Lucene's Damerau automaton — documented deviation
+    (COVERAGE.md P1''), identical on the scan and dictionary-served paths
+    and pinned by ``test_fuzzy_transposition_costs_two_edits``.
+
+    ``max_edits=None`` means AUTO (Lucene/ES default for ``term~`` and
+    DSL ``"fuzziness": "AUTO"``): the budget depends on the QUERY term's
+    length — 0 edits below ``auto_low`` chars, 1 below ``auto_high``,
+    else 2 (``AUTO:low,high`` overrides the bounds). Resolve with
+    ``fuzzy_edits``."""
     field: str | None
     value: str
-    max_edits: int = 2
+    max_edits: int | None = 2
+    auto_low: int = 3
+    auto_high: int = 6
+
+
+def fuzzy_edits(node: "Fuzzy") -> int:
+    """Resolve a Fuzzy node's edit budget: explicit ``max_edits``, or the
+    Lucene/ES AUTO ladder on the query term's length."""
+    if node.max_edits is not None:
+        return node.max_edits
+    n = len(node.value)
+    return 0 if n < node.auto_low else (1 if n < node.auto_high else 2)
 
 
 @dataclass(frozen=True)

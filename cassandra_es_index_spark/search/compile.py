@@ -52,6 +52,22 @@ def _escape_regex(text: str) -> str:
     return re.sub(r"[.^$+?{}\[\]\\|()*]", lambda m: "\\" + m.group(0), text)
 
 
+def validate_java_regex(pattern: str, spark) -> None:
+    """Syntax-check a user regexp with the SAME engine that executes it
+    (java.util.regex, what ``rlike`` runs) so accept/reject never depends
+    on a Python-re approximation or on whether an index exists: Java-only
+    constructs (``\\p{Alpha}``, possessive quantifiers) pass, malformed
+    patterns fail eagerly with CompileError on BOTH the scan and the
+    dictionary-served paths. See ast.Regexp for the documented
+    Java-vs-Lucene syntax deviation."""
+    if spark is None:  # no JVM handle (e.g. Connect) — defer to runtime
+        return
+    try:
+        spark._jvm.java.util.regex.Pattern.compile(pattern)
+    except Exception as e:  # Py4JJavaError → eager, typed rejection
+        raise CompileError(f"bad regexp {pattern!r}: {e}") from e
+
+
 def token_pattern(term: str) -> str:
     """Case-insensitive whole-token regex for a term.
 
@@ -110,6 +126,10 @@ class Compiler:
 
     def __init__(self, df: DataFrame, default_field: str | None = None):
         self.schema = df.schema
+        try:
+            self._spark = df.sparkSession
+        except Exception:  # noqa: BLE001 — schema-only uses stay valid
+            self._spark = None
         self.default_field = default_field or self._guess_default_field()
 
     def _guess_default_field(self) -> str:
@@ -251,25 +271,25 @@ class Compiler:
             return self._leaf_text(node.field,
                                    phrase_pattern(node.text, node.slop))
         if isinstance(node, Fuzzy):
+            from cassandra_es_index_spark.search.ast import fuzzy_edits
+
             ref = self.resolve(node.field)
             if not isinstance(ref.dtype,
                               (T.StringType, T.ArrayType, T.MapType)):
                 raise CompileError("fuzzy match on non-text field")
             tf = F.coalesce(
-                self._fuzzy_tf(ref, node.value, node.max_edits), F.lit(0))
+                self._fuzzy_tf(ref, node.value, fuzzy_edits(node)),
+                F.lit(0))
             return tf > 0, tf
         if isinstance(node, Regexp):
             ref = self.resolve(node.field)
             if not isinstance(ref.dtype,
                               (T.StringType, T.ArrayType, T.MapType)):
                 raise CompileError("regexp match on non-text field")
-            try:
-                # eager syntax check so validate() rejects bad patterns at
-                # compile time instead of mid-query (Python re approximates
-                # Java regex syntax closely enough for validation)
-                re.compile(node.pattern)
-            except re.error as e:
-                raise CompileError(f"bad regexp {node.pattern!r}: {e}") from e
+            # eager syntax check with java.util.regex — the engine that
+            # rlike executes — so validate() rejects bad patterns at
+            # compile time and Java-valid syntax is never wrongly refused
+            validate_java_regex(node.pattern, self._spark)
             anchored = f"^(?:{node.pattern})$"
             tf = F.coalesce(
                 self._token_match_tf(ref, lambda t: t.rlike(anchored)),

@@ -507,8 +507,8 @@ class SearchEngine:
                 vals = (self._range[(table, f)].view()
                         .select("doc", F.col("val").alias(helper)))
                 # left join: docs matching the query with a null sort
-                # field keep Spark's default null placement (nulls first
-                # asc / last desc), identical to the scan path ordering
+                # field place per the threaded nulls_first flag (ES
+                # default `missing: _last`), identical to the scan path
                 ph = ph.join(vals, on="doc", how="left")
                 sort_helpers.append(helper)
                 order_cols.append((F.col(helper), asc, nf))
@@ -1008,7 +1008,13 @@ class SearchEngine:
             if isinstance(n, Regexp):
                 # Lucene RegexpQuery: term-anchored by definition, so the
                 # anchored pattern filters the (vocabulary-sized) term
-                # dictionary — the corpus text is never re-scanned
+                # dictionary — the corpus text is never re-scanned. Same
+                # eager java.util.regex syntax check as the scan path, so
+                # accept/reject is identical with or without an index.
+                from cassandra_es_index_spark.search.compile import (
+                    validate_java_regex,
+                )
+                validate_java_regex(n.pattern, self.spark)
                 fld = n.field if n.field is not None else default
                 state = self._postings.get((table, fld))
                 if state is None:
@@ -1025,17 +1031,22 @@ class SearchEngine:
                 # dictionary by edit distance, then sum tf over matching
                 # tokens per doc — the corpus text is never re-scanned.
                 # Length pre-filter prunes the O(len²) levenshtein.
+                # AUTO budgets resolve on the query term's length
+                # (fuzzy_edits), identical to the scan path.
+                from cassandra_es_index_spark.search.ast import fuzzy_edits
+
                 fld = n.field if n.field is not None else default
                 state = self._postings.get((table, fld))
                 if state is None:
                     return None
                 term = n.value.lower()
+                edits = fuzzy_edits(n)
                 dictionary = (
                     state.view().select("token").distinct()
                     .where((F.abs(F.length("token") - len(term))
-                            <= n.max_edits)
+                            <= edits)
                            & (F.levenshtein(F.col("token"), F.lit(term))
-                              <= n.max_edits)))
+                              <= edits)))
                 return (state.view()
                          .join(F.broadcast(dictionary), on="token")
                          .groupBy("doc")
@@ -1424,50 +1435,85 @@ class SearchEngine:
         if isinstance(aggs, tuple):  # metrics-only: one global row
             return filtered.agg(*[metric(m).alias(m.name) for m in aggs])
 
-        key, bucket_col = bucket_key(aggs)
-        if aggs.sub is not None:
-            # Nested sub-bucket, flattened: one row per (outer, inner)
-            # bucket pair. ES semantics preserved: outer buckets selected
-            # by their own doc_count (all matching docs, null inner
-            # included), inner buckets computed within each surviving
-            # outer bucket, capped per outer via one rank window. Two
-            # aggregations + one broadcastable join of the ≤size outer
-            # keys — no corpus rescan beyond the shared match set.
-            sub = aggs.sub
-            ikey, icol = bucket_key(sub)
-            outer = (filtered.where(bucket_col.isNotNull())
-                     .groupBy(key.alias("key"))
-                     .agg(F.count("*").cast("long").alias("doc_count")))
-            if aggs.kind == "terms":
-                outer = (outer.orderBy(terms_primary(aggs, "doc_count",
-                                                     "key"), F.asc("key"))
-                              .limit(aggs.size if aggs.size is not None
-                                     else 10))
-            imeasures = [F.count("*").cast("long").alias("sub_doc_count")]
-            imeasures += [metric(m).alias(m.name) for m in sub.metrics]
-            inner = (filtered.where(bucket_col.isNotNull()
-                                    & icol.isNotNull())
-                     .groupBy(key.alias("key"), ikey.alias("sub_key"))
-                     .agg(*imeasures))
-            if sub.kind == "terms":
-                w = Window.partitionBy("key").orderBy(
-                    terms_primary(sub, "sub_doc_count", "sub_key"),
-                    F.asc("sub_key"))
-                inner = (inner.withColumn("_rn", F.row_number().over(w))
-                              .where(F.col("_rn") <= (
-                                  sub.size if sub.size is not None else 10))
-                              .drop("_rn"))
-            out = outer.join(inner, on="key", how="left")
-            order_outer = [F.desc("doc_count"), F.asc("key")] \
-                if aggs.kind == "terms" else [F.asc("key")]
-            return out.orderBy(*order_outer, F.desc("sub_doc_count"),
-                               F.asc("sub_key"))
-        measures = [F.count("*").cast("long").alias("doc_count")]
-        measures += [metric(m).alias(m.name) for m in aggs.metrics]
-        out = (filtered.where(bucket_col.isNotNull())
-               .groupBy(key.alias("key")).agg(*measures))
-        if aggs.kind == "terms":
-            return (out.orderBy(terms_primary(aggs, "doc_count", "key"),
-                                F.asc("key"))
-                       .limit(aggs.size if aggs.size is not None else 10))
-        return out.orderBy(F.asc("key"))
+        # Bucket aggs at ARBITRARY nesting depth (ES nests freely:
+        # terms > date_histogram > terms > metrics), flattened: one row
+        # per leaf bucket path, ancestor columns repeated, childless
+        # ancestors kept as null-child rows (left join). ES semantics per
+        # level: a bucket's doc_count counts all matching docs with its
+        # own path non-null (deeper null fields included), terms levels
+        # keep the top ``size`` buckets PER PARENT by their `order`
+        # (default doc_count desc, ties key asc) via one rank window, and
+        # each level is computed only within the surviving parent buckets
+        # (left-semi join on the parent path). One aggregation + one join
+        # per level over the shared match set — no corpus rescan, and
+        # every level's metrics ride its own aggregation, so `order` may
+        # target a metric at any level.
+        levels: list[es_dsl.BucketAgg] = []
+        b = aggs
+        while b is not None:
+            levels.append(b)
+            b = b.sub
+
+        def level_names(i: int) -> tuple[str, str]:
+            if i == 0:
+                return "key", "doc_count"
+            if i == 1:
+                return "sub_key", "sub_doc_count"
+            return f"sub{i}_key", f"sub{i}_doc_count"
+
+        seen: set[str] = set()
+        for i, lv in enumerate(levels):
+            for nm in level_names(i) + tuple(m.name for m in lv.metrics):
+                if nm in seen:
+                    raise es_dsl.DslError(
+                        f"duplicate column {nm!r} in flattened aggs")
+                seen.add(nm)
+
+        keyed = [bucket_key(lv) for lv in levels]
+        out: DataFrame | None = None
+        selected: DataFrame | None = None
+        parent_keys: list[str] = []
+        order_exprs: list[Column] = []
+        for i, lv in enumerate(levels):
+            kname, cname = level_names(i)
+            notnull = keyed[0][1].isNotNull()
+            for _, bc in keyed[1:i + 1]:
+                notnull = notnull & bc.isNotNull()
+            grp_keys = [keyed[j][0].alias(level_names(j)[0])
+                        for j in range(i + 1)]
+            measures = [F.count("*").cast("long").alias(cname)]
+            measures += [metric(m).alias(m.name) for m in lv.metrics]
+            frame = filtered.where(notnull).groupBy(*grp_keys).agg(*measures)
+            if selected is not None:
+                frame = frame.join(selected, on=parent_keys, how="left_semi")
+            if lv.kind == "terms":
+                size = lv.size if lv.size is not None else 10
+                if i == 0:
+                    frame = (frame.orderBy(terms_primary(lv, cname, kname),
+                                           F.asc(kname))
+                                  .limit(size))
+                else:
+                    w = Window.partitionBy(*parent_keys).orderBy(
+                        terms_primary(lv, cname, kname), F.asc(kname))
+                    frame = (frame.withColumn("_rn", F.row_number().over(w))
+                                  .where(F.col("_rn") <= size).drop("_rn"))
+            out = frame if out is None else \
+                out.join(frame, on=parent_keys, how="left")
+            parent_keys = parent_keys + [kname]
+            selected = frame.select(*parent_keys)
+            # flattened-output ordering, level-major: terms levels follow
+            # their `order` param (ES default doc_count desc, ties key
+            # asc); histogram/date_histogram levels order by key asc (ES
+            # orders histogram buckets by key). Nulls last, so childless
+            # ancestors trail their populated siblings.
+            if lv.kind == "terms":
+                target, asc = lv.order if lv.order is not None \
+                    else ("_count", False)
+                col = {"_count": F.col(cname),
+                       "_key": F.col(kname)}.get(target, F.col(target))
+                order_exprs.append(col.asc_nulls_last() if asc
+                                   else col.desc_nulls_last())
+                order_exprs.append(F.asc_nulls_last(kname))
+            else:
+                order_exprs.append(F.asc_nulls_last(kname))
+        return out.orderBy(*order_exprs)

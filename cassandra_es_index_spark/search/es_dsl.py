@@ -18,6 +18,7 @@ reference can only pass these through to ES, ref SURVEY.md §2.4).
 from __future__ import annotations
 
 import json
+import re as _re
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
@@ -66,8 +67,9 @@ class BucketAgg:
     # default ES ordering is doc_count desc
     order: tuple[str, bool] | None = None
     metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
-    # one nested sub-bucket (two levels max) — ES sub-aggregations;
-    # executed flattened: (key, doc_count, sub_key, sub_doc_count, …)
+    # one nested sub-bucket per level, nesting to arbitrary depth — ES
+    # sub-aggregations; executed flattened: (key, doc_count, sub_key,
+    # sub_doc_count, sub2_key, sub2_doc_count, …, metrics per level)
     sub: "BucketAgg | None" = None
 
 
@@ -78,8 +80,9 @@ class Request:
     size: int | None = None
     from_: int = 0   # ES `from` offset (shallow pagination)
     aggs: BucketAgg | tuple[MetricAgg, ...] | None = None
-    # (field, ascending, nulls_first); nulls_first defaults to Spark's
-    # placement (asc → first, desc → last), overridable via ES `missing`
+    # (field, ascending, nulls_first); nulls_first defaults to False —
+    # ES defaults `missing` to `_last` for BOTH directions — and the
+    # explicit `missing` param (`_first`/`_last`) overrides it
     sort: tuple[tuple[str, bool, bool], ...] = ()
     search_after: tuple[Any, ...] | None = None
 
@@ -127,9 +130,9 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
 def _sort(spec: Any) -> tuple[tuple[str, bool, bool], ...]:
     """ES sort forms: ``"f"``, ``{"f": "desc"}``, ``{"f": {"order":
     "desc"}}``, or a list of those. Defaults: ascending (``_score``:
-    descending, like ES). ES ``missing`` (``"_first"``/``"_last"``)
-    overrides null placement; absent, nulls follow Spark's default
-    (first when ascending, last when descending)."""
+    descending, like ES). Null placement follows ES: ``missing``
+    defaults to ``_last`` for BOTH directions (docs without the sort
+    field trail), and ``"_first"``/``"_last"`` overrides it."""
     if spec is None:
         return ()
     if not isinstance(spec, list):
@@ -138,7 +141,7 @@ def _sort(spec: Any) -> tuple[tuple[str, bool, bool], ...]:
     for entry in spec:
         if isinstance(entry, str):
             asc = entry != "_score"
-            out.append((entry, asc, asc))
+            out.append((entry, asc, False))
             continue
         if isinstance(entry, dict) and len(entry) == 1:
             (fld, body), = entry.items()
@@ -154,7 +157,7 @@ def _sort(spec: Any) -> tuple[tuple[str, bool, bool], ...]:
                 raise DslError(f"sort order must be asc/desc, got {order!r}")
             asc = order == "asc"
             if missing is None:
-                nulls_first = asc
+                nulls_first = False   # ES default `missing: _last`
             elif missing in ("_first", "_last"):
                 nulls_first = missing == "_first"
             else:
@@ -191,28 +194,42 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
     for name, body in entries:
         if not isinstance(body, dict) or not body:
             raise DslError(f"agg {name!r} must be an object")
-        first_kind = next(k for k in body if k != "aggs")
+        first_kind = next((k for k in body if k != "aggs"), None)
+        if first_kind is None:
+            raise DslError(f"agg {name!r} has no aggregation clause")
         break
     if first_kind in _BUCKET_KINDS:
         if len(entries) != 1:
             raise DslError("exactly one bucket agg is supported per request")
         name, body = entries[0]
+        extra = set(body) - {first_kind, "aggs"}
+        if extra:
+            # sibling metrics belong INSIDE the bucket's `aggs` object
+            # (ES syntax) — stray keys here would be silently dropped
+            raise DslError(f"unexpected keys {sorted(extra)} in bucket "
+                           f"agg {name!r} (siblings go under 'aggs')")
         params = body[first_kind]
         if not isinstance(params, dict) or "field" not in params:
             raise DslError(f"bucket agg {name!r} needs a 'field'")
         sub_specs = dict(body.get("aggs") or {})
         sub_bucket = None
-        bucket_subs = [n for n, sp in sub_specs.items()
-                       if isinstance(sp, dict) and sp
-                       and next(k for k in sp if k != "aggs")
-                       in _BUCKET_KINDS]
+        bucket_subs = []
+        for n, sp in sub_specs.items():
+            if not isinstance(sp, dict) or not sp:
+                raise DslError(f"agg {n!r} must be an object")
+            kind = next((k for k in sp if k != "aggs"), None)
+            if kind is None:
+                raise DslError(f"agg {n!r} has no aggregation clause")
+            if kind in _BUCKET_KINDS:
+                bucket_subs.append(n)
         if bucket_subs:
             if len(bucket_subs) != 1:
-                raise DslError("at most one nested bucket agg is supported")
-            sub_parsed = _aggs({bucket_subs[0]: sub_specs.pop(bucket_subs[0])})
-            if sub_parsed.sub is not None:
-                raise DslError("bucket aggs nest at most two levels")
-            sub_bucket = sub_parsed
+                raise DslError("at most one nested bucket agg is supported"
+                               " per level")
+            # recursion: sub-buckets nest to ARBITRARY depth, each level
+            # carrying its own metrics and at most one deeper bucket
+            sub_bucket = _aggs(
+                {bucket_subs[0]: sub_specs.pop(bucket_subs[0])})
         metrics = tuple(_metric(n, s) for n, s in sub_specs.items())
         order = None
         if "order" in params:
@@ -278,13 +295,14 @@ def _node(q: dict[str, Any]) -> Node:
         tokens = str(value).split()
         edits = _fuzziness_edits(fuzziness)
         leaves: list[Node] = [
-            Fuzzy(field, t, edits) if edits is not None else Term(field, t)
+            _fuzzy_node(field, t, edits) if edits is not None
+            else Term(field, t)
             for t in tokens]
         node = leaves[0] if len(leaves) == 1 else Or(tuple(leaves))
         return _boosted(node, boost)
     if kind == "fuzzy":
         # ES fuzzy query: {"fuzzy": {"f": {"value": "x", "fuzziness": 1}}}
-        # (short form {"fuzzy": {"f": "x"}} = AUTO → 2 edits)
+        # (short form {"fuzzy": {"f": "x"}} = AUTO, length-dependent)
         field, value = _single(body)
         fuzziness = None
         boost = None
@@ -293,8 +311,10 @@ def _node(q: dict[str, Any]) -> Node:
             boost = value.get("boost")
             value = value.get("value")
         edits = _fuzziness_edits(fuzziness)
+        # ES fuzzy default fuzziness is AUTO (length-dependent)
         return _boosted(
-            Fuzzy(field, _scalar(value), 2 if edits is None else edits),
+            _fuzzy_node(field, _scalar(value),
+                        (3, 6) if edits is None else edits),
             boost)
     if kind == "match_phrase":
         # tokens adjacent in order; index-served when a positional index
@@ -368,9 +388,14 @@ def _node(q: dict[str, Any]) -> Node:
             fboost = None
             if "^" in f:
                 f, _, fb = f.partition("^")
-                fboost = float(fb)
+                try:
+                    fboost = float(fb)
+                except ValueError as e:
+                    raise DslError(
+                        f"bad multi_match field boost {fb!r}") from e
             leaves: list[Node] = [
-                Fuzzy(f, t, edits) if edits is not None else Term(f, t)
+                _fuzzy_node(f, t, edits) if edits is not None
+                else Term(f, t)
                 for t in tokens]
             branch = leaves[0] if len(leaves) == 1 else Or(tuple(leaves))
             branches.append(_boosted(branch, fboost))
@@ -415,25 +440,46 @@ def _node(q: dict[str, Any]) -> Node:
 
 
 def _boosted(node: Node, boost: Any) -> Node:
-    if boost is None or float(boost) == 1.0:
+    if boost is None:
         return node
-    return Boost(node, float(boost))
+    try:
+        factor = float(boost)
+    except (TypeError, ValueError) as e:
+        raise DslError(f"bad boost {boost!r}") from e
+    return node if factor == 1.0 else Boost(node, factor)
 
 
-def _fuzziness_edits(fuzziness: Any) -> int | None:
-    """ES ``fuzziness`` → max edits: int 0/1/2, or "AUTO" → 2 (the AUTO
-    upper bound; ES varies it by term length). None = not requested."""
+def _fuzziness_edits(fuzziness: Any) -> int | tuple[int, int] | None:
+    """ES ``fuzziness`` → edit budget: int 0/1/2; ``"AUTO"`` /
+    ``"AUTO:low,high"`` → an (auto_low, auto_high) tuple, resolved
+    against each query term's LENGTH the way ES does (0 edits below
+    ``low`` chars, 1 below ``high``, else 2). None = not requested."""
     if fuzziness is None:
         return None
     if isinstance(fuzziness, str):
-        if fuzziness.upper().startswith("AUTO"):
-            return 2
+        up = fuzziness.upper()
+        if up == "AUTO":
+            return (3, 6)
+        if up.startswith("AUTO:"):
+            m = _re.fullmatch(r"AUTO:(\d+),(\d+)", up)
+            if m is None:
+                raise DslError(f"bad fuzziness {fuzziness!r} "
+                               "(expected AUTO:low,high)")
+            return (int(m.group(1)), int(m.group(2)))
         if fuzziness.isdigit():
             return int(fuzziness)
         raise DslError(f"bad fuzziness {fuzziness!r}")
     if isinstance(fuzziness, int) and 0 <= fuzziness <= 2:
         return fuzziness
     raise DslError(f"bad fuzziness {fuzziness!r}")
+
+
+def _fuzzy_node(field: str, term: str,
+                edits: int | tuple[int, int]) -> Fuzzy:
+    if isinstance(edits, tuple):
+        return Fuzzy(field, term, None,
+                     auto_low=edits[0], auto_high=edits[1])
+    return Fuzzy(field, term, edits)
 
 
 def _single(body: Any) -> tuple[str, Any]:

@@ -252,8 +252,9 @@ class _Parser:
             if "*" in core or "?" in core:
                 raise QueryParseError(
                     f"cannot combine fuzzy ~ with wildcards: {text!r}")
-            # bare `~` = Lucene's default budget of 2 edits
-            node: Node = Fuzzy(fld, core, int(fuzz) if fuzz else 2)
+            # bare `~` = Lucene's AUTO budget (length-dependent: 0/1/2
+            # edits below 3 / below 6 / at 6+ query-term chars)
+            node: Node = Fuzzy(fld, core, int(fuzz) if fuzz else None)
         elif "*" in core or "?" in core:
             if fld is None and core == "*":
                 return MatchAll()
@@ -295,7 +296,8 @@ def _distribute_field(node: Node, fld: str) -> Node:
     if isinstance(node, Phrase):
         return Phrase(fld, node.text, node.slop)
     if isinstance(node, Fuzzy):
-        return Fuzzy(fld, node.value, node.max_edits)
+        return Fuzzy(fld, node.value, node.max_edits,
+                     node.auto_low, node.auto_high)
     if isinstance(node, Regexp):
         return Regexp(fld, node.pattern)
     if isinstance(node, Range):

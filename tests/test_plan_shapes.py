@@ -161,6 +161,22 @@ def test_mlt_df_stage_is_token_filtered(parquet_engine):
     assert plan.index("HashAggregate") < plan.index(" IN (spark,query)")
 
 
+def test_match_plus_sort_stays_index_served(parquet_engine):
+    """The common dashboards request — `match` (analyzed OR-of-tokens)
+    with a field `sort` — must serve from postings + range index with no
+    corpus text scan: hits from the token postings, ordering values from
+    the (doc, val) range projection."""
+    parquet_engine.build_postings_index("documents_plan", "text")
+    parquet_engine.build_range_index("documents_plan", "n_chars")
+    for q in ('{"query":{"match":{"text":"spark data"}},'
+              '"sort":[{"n_chars":{"order":"desc"}}],"size":10}',
+              '{"query":{"multi_match":{"query":"spark",'
+              '"fields":["text"]}},"sort":[{"n_chars":"asc"}],"size":5}'):
+        out = parquet_engine.search("documents_plan", q,
+                                    default_field="text")
+        assert "regexp_extract_all" not in _plan(out), q
+
+
 def test_sorted_dsl_query_keeps_index_plan(spark):
     """DSL `sort` on a range-indexed field must NOT fall back to a corpus
     scan: hits come from the range/postings indexes and ordering values

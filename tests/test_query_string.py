@@ -172,8 +172,21 @@ from cassandra_es_index_spark.search.ast import (  # noqa: E402
 
 
 def test_fuzzy_suffix():
-    assert qs.parse("roam~") == Fuzzy(None, "roam", 2)
+    # bare `~` = Lucene AUTO: budget resolves on the query term's length
+    assert qs.parse("roam~") == Fuzzy(None, "roam", None)
     assert qs.parse("body:roam~1") == Fuzzy("body", "roam", 1)
+
+
+def test_fuzzy_auto_budget_resolves_on_term_length():
+    from cassandra_es_index_spark.search.ast import fuzzy_edits
+    assert fuzzy_edits(Fuzzy(None, "ab", None)) == 0      # < 3 chars
+    assert fuzzy_edits(Fuzzy(None, "roam", None)) == 1    # 3–5 chars
+    assert fuzzy_edits(Fuzzy(None, "routed", None)) == 2  # 6+ chars
+    # AUTO:low,high overrides the ladder
+    assert fuzzy_edits(Fuzzy(None, "roam", None,
+                             auto_low=5, auto_high=7)) == 0
+    # explicit budget wins over AUTO resolution
+    assert fuzzy_edits(Fuzzy(None, "ab", 2)) == 2
 
 
 def test_fuzzy_with_wildcard_rejected():
@@ -227,7 +240,13 @@ def test_dsl_match_fuzziness_and_phrase_slop():
     node, _ = es_dsl.parse(
         '{"query":{"match":{"body":{"query":"quick brown",'
         '"fuzziness":"AUTO"}}}}')
-    assert node == Or((Fuzzy("body", "quick", 2), Fuzzy("body", "brown", 2)))
+    assert node == Or((Fuzzy("body", "quick", None),
+                       Fuzzy("body", "brown", None)))
+    # AUTO:low,high carries the custom ladder bounds
+    node, _ = es_dsl.parse(
+        '{"query":{"match":{"body":{"query":"quick",'
+        '"fuzziness":"AUTO:4,8"}}}}')
+    assert node == Fuzzy("body", "quick", None, auto_low=4, auto_high=8)
     node, _ = es_dsl.parse(
         '{"query":{"match_phrase":{"body":{"query":"quick fox",'
         '"slop":1}}}}')

@@ -900,8 +900,9 @@ def test_sorted_query_served_from_indexes(spark):
     want = [(r["id"], r["userid"])
             for r in scan.search("sorted_scan", q).collect()]
     assert got == want
-    # Spark asc ordering: nulls first, then ties (10,10) in key order
-    assert got == [("d5", None), ("d2", 10), ("d4", 10), ("d1", 30)]
+    # ES default `missing: _last`: nulls trail on asc too; ties (10,10)
+    # break in key order
+    assert got == [("d2", 10), ("d4", 10), ("d1", 30), ("d5", None)]
 
 
 def test_sorted_query_desc_and_score_sort(spark):
@@ -930,13 +931,14 @@ def test_sorted_search_after_on_index_plan(spark):
     q = ('{"query":{"term":{"body":"cassandra"}},'
          '"sort":[{"userid":{"order":"asc"}}],"size":3}')
     page1 = idx.search("sorted_idx", q).collect()
-    # asc → null (d5) first, then the 10-tie in key order
-    assert [r["id"] for r in page1] == ["d5", "d2", "d4"]
+    # asc, ES default `missing: _last` → the 10-tie in key order, then 30
+    assert [r["id"] for r in page1] == ["d2", "d4", "d1"]
     q2 = ('{"query":{"term":{"body":"cassandra"}},'
           '"sort":[{"userid":{"order":"asc"}}],'
           '"search_after":[10,"d4"]}')
     page2 = idx.search("sorted_idx", q2).collect()
-    assert [r["id"] for r in page2] == ["d1"]
+    # the trailing null row (d5) follows the values on the second page
+    assert [r["id"] for r in page2] == ["d1", "d5"]
 
 
 # -- non-numeric search_after anchors (typed keyset filter) -----------------
@@ -1009,6 +1011,32 @@ def test_fuzzy_scan_vs_postings_parity(spark):
     out = idx.search("luc_idx", "body:roam~1", default_field="body")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "regexp_extract_all" not in plan
+
+
+def test_fuzzy_transposition_costs_two_edits(spark):
+    """Documented deviation (ast.Fuzzy, COVERAGE.md P1''): classic
+    Levenshtein prices an adjacent transposition at 2 edits, vs 1 in
+    Lucene's Damerau automaton — identical on both serving paths.
+    'oram' is 'roam' with the first two letters swapped."""
+    idx, scan = _lucene_engines(spark)
+    for q in ("body:oram~1", "body:oram~2"):
+        assert _rows(idx, "luc_idx", q) == _rows(scan, "luc_scan", q), q
+    assert _rows(scan, "luc_scan", "body:oram~1") == []        # 2 > 1
+    got2 = dict(_rows(scan, "luc_scan", "body:oram~2"))
+    assert got2.get("f1") == 1      # roam reachable within 2 edits
+
+
+def test_fuzzy_auto_budget_end_to_end(spark):
+    """AUTO resolves on the query term's length on BOTH paths: a 2-char
+    term gets 0 edits (exact only), a 4-char term gets 1 edit."""
+    idx, scan = _lucene_engines(spark)
+    # 'fo~': 0-edit budget → only the exact token 'fo' (absent) matches
+    assert _rows(scan, "luc_scan", "fo~") == []
+    assert _rows(idx, "luc_idx", "fo~") == []
+    # 'roam~': 1-edit budget → roam, foam, roams — not 2-edit tokens
+    got = _rows(scan, "luc_scan", "roam~")
+    assert got == [("f1", 1), ("f2", 1), ("f3", 2)]
+    assert _rows(idx, "luc_idx", "roam~") == got
 
 
 def test_boost_scan_vs_postings_parity(spark):
@@ -1105,6 +1133,28 @@ def test_regexp_and_multi_match(spark):
     assert rows == {"m1": 2, "m2": 1}
 
 
+def test_regexp_validation_same_on_both_paths(spark):
+    """Regexp accept/reject must not depend on whether an index exists:
+    Java-only syntax (\\p{Alpha}) runs on BOTH paths (it used to be
+    wrongly rejected by a Python-re pre-check on the scan path), and a
+    malformed pattern raises CompileError eagerly on BOTH paths (the
+    dictionary-served path used to skip validation entirely)."""
+    import pytest as _pytest
+
+    from cassandra_es_index_spark.search.compile import CompileError
+
+    idx, scan = _lucene_engines(spark)
+    # \p{Alpha}+ is Java-valid (Python re rejects it): both paths serve it
+    q = r"body:/\p{Alpha}+/"
+    got = _rows(idx, "luc_idx", q)
+    assert got == _rows(scan, "luc_scan", q)
+    assert got  # every token is alphabetic in the fixture — non-empty
+    # malformed pattern: eager CompileError on both paths
+    for eng, tbl in ((idx, "luc_idx"), (scan, "luc_scan")):
+        with _pytest.raises(CompileError, match="bad regexp"):
+            eng.search(tbl, "body:/[unclosed/", default_field="body")
+
+
 def test_suggest_from_dictionary(engine):
     out = engine.suggest("emails", "cass", field="body").collect()
     assert out[0]["token"] == "cassandra"
@@ -1159,12 +1209,13 @@ def test_sorted_by_key_column_keeps_index_plan(spark):
 
 def test_search_after_null_anchor_pages_past_nulls(spark):
     """Keyset pagination across null sort values, both directions:
-    asc (nulls first) resumes from a null anchor into the non-null rows;
-    desc (nulls last) reaches the null rows after the values."""
+    asc with `missing: _first` (nulls first) resumes from a null anchor
+    into the non-null rows; desc (ES default `missing: _last` → nulls
+    last) reaches the null rows after the values."""
     idx, scan = _sorted_engines(spark)
-    # asc: page1 = d5(null); anchor [null, 'd5'] → d2, d4, d1 follow
+    # asc nulls-first: page1 = d5(null); anchor [null, 'd5'] → d2, d4, d1
     q2 = ('{"query":{"term":{"body":"cassandra"}},'
-          '"sort":[{"userid":{"order":"asc"}}],'
+          '"sort":[{"userid":{"order":"asc","missing":"_first"}}],'
           '"search_after":[null,"d5"]}')
     for eng, tbl in ((idx, "sorted_idx"), (scan, "sorted_scan")):
         got = [r["id"] for r in eng.search(tbl, q2).collect()]
@@ -1284,14 +1335,76 @@ def test_nested_terms_in_terms_aggs(engine):
     assert rows[0]["sub_doc_count"] == 1
     assert rows[0]["maxu"] == 42
     assert len(rows) == 4          # one inner row per outer bucket
-    # three-level nesting rejected
-    import pytest as _pytest
-    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
-    with _pytest.raises(DslError, match="two levels"):
-        parse_request(
-            '{"aggs":{"a":{"terms":{"field":"x"},'
-            '"aggs":{"b":{"terms":{"field":"y"},'
-            '"aggs":{"c":{"terms":{"field":"z"}}}}}}}}')
+    # three-level nesting parses (arbitrary depth)
+    from cassandra_es_index_spark.search.es_dsl import parse_request
+    req = parse_request(
+        '{"aggs":{"a":{"terms":{"field":"x"},'
+        '"aggs":{"b":{"terms":{"field":"y"},'
+        '"aggs":{"c":{"terms":{"field":"z"}}}}}}}}')
+    assert req.aggs.sub.sub.field == "z"
+
+
+def test_outer_metrics_beside_nested_bucket(engine):
+    """Sibling metrics NEXT TO a nested bucket land on the outer rows
+    (previously silently dropped), and a terms `order` may target an
+    outer metric (previously an AnalysisException at runtime)."""
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"by_user":{"terms":{"field":"userid",'
+         '"order":{"maxu":"desc"}},'
+         '"aggs":{"maxu":{"max":{"field":"userid"}},'
+         '"by_subject":{"terms":{"field":"subject","size":1}}}}}}')
+    rows = engine.search_aggs("emails", q).collect()
+    # every outer bucket carries its own metric, repeated per inner row
+    assert all(r["maxu"] == r["key"] for r in rows)
+    # order by the outer metric desc: keys descend
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_three_level_nested_bucket_aggs(spark):
+    """terms > date_histogram > terms with leaf metrics — arbitrary-depth
+    flatten-join: each level's buckets computed within surviving parents,
+    per-parent top-size at terms levels, level-major output ordering."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(24):
+        rows.append((str(i), "u%d" % (i % 2),
+                     base + dt.timedelta(hours=i % 4),
+                     "s%d" % (i % 3), float(i)))
+    df = spark.createDataFrame(
+        rows, "id string, user string, ts timestamp, st string, v double")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("nested3", ["id"]))
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"by_user":{"terms":{"field":"user"},'
+         '"aggs":{"hourly":{"date_histogram":{"field":"ts",'
+         '"fixed_interval":"1h"},'
+         '"aggs":{"by_st":{"terms":{"field":"st","size":2},'
+         '"aggs":{"sumv":{"sum":{"field":"v"}}}}}}}}}}')
+    out = eng.search_aggs("nested3", q)
+    got = out.collect()
+    cols = out.columns
+    assert {"key", "doc_count", "sub_key", "sub_doc_count",
+            "sub2_key", "sub2_doc_count", "sumv"} <= set(cols)
+    # users hit only 2 distinct hours each (i%2 and i%4 correlate):
+    # 2 users × 2 hours × (3 statuses capped at 2) = 8 leaf rows
+    assert len(got) == 8
+    # level-major order: user buckets by doc_count desc then key asc,
+    # hours ascending within user, statuses by count desc/key asc
+    # (6 docs per (user, hour) split 2/2/2 → tie broken s0 before s1)
+    assert [r["key"] for r in got] == ["u0"] * 4 + ["u1"] * 4
+    hours = [r["sub_key"].hour for r in got[:4]]
+    assert hours == sorted(hours)
+    assert [r["sub2_key"] for r in got[:2]] == ["s0", "s1"]
+    # leaf metric is the sum within its full (user, hour, status) path
+    r0 = got[0]
+    expect = sum(v for (i_, u, ts, st, v) in
+                 ((str(i), "u%d" % (i % 2), base + dt.timedelta(hours=i % 4),
+                   "s%d" % (i % 3), float(i)) for i in range(24))
+                 if u == r0["key"] and ts == r0["sub_key"]
+                 and st == r0["sub2_key"])
+    assert r0["sumv"] == expect
 
 
 def test_nested_date_histogram_in_terms(spark):
