@@ -337,6 +337,22 @@ def q_search_aggs_nested3(spark, sf_dir):
     return out.withColumn("avg_chars", F.round("avg_chars", 4))
 
 
+def q_search_aggs_range_stats(spark, sf_dir):
+    # ES range buckets (from inclusive / to exclusive, keyed + OVERLAPPING
+    # ranges — a doc in two ranges counts in both) with a `stats` metric
+    # flattened to five columns. One pass: matching range keys explode
+    # per doc, then one groupBy.
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"char_ranges":{"range":{"field":"n_chars","ranges":['
+         '{"to":200},{"from":200,"to":400},'
+         '{"from":150,"to":250,"key":"mid"}]},'
+         '"aggs":{"s":{"stats":{"field":"n_chars"}}}}}}')
+    out = eng.search_aggs("documents", q, default_field="text")
+    return (out.withColumn("s_avg", F.round("s_avg", 4))
+               .withColumn("s_sum", F.col("s_sum").cast("long")))
+
+
 def q_search_dsl_metrics(spark, sf_dir):
     # metrics-only aggs: one global row; `cardinality` is EXACT count
     # distinct (superset of ES's HyperLogLog estimate).
@@ -1037,7 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_intersect": q_setop_intersect,
         "window_top_customers": q_window_top_customers,
         "cube_orders": q_cube_orders,
-        "pivot_status_by_priority": q_pivot_status_by_priority,
+        "search_aggs_range_stats": q_search_aggs_range_stats,
         "cross_table_union": q_cross_table_union,
         # --- custom operators: as-of, interval join ---
         "asof_last_click": q_asof_last_click,
@@ -1075,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_except": q_setop_except,                 # ~ setop_intersect
         "join_anti": q_join_anti,                       # ~ join_semi
         "rollup_orders": q_rollup_orders,               # ~ cube_orders
+        "pivot_status_by_priority": q_pivot_status_by_priority,  # ~ cube_orders
         "dedup_simhash": q_dedup_simhash,      # property-tested recall 1.0
         "similarity_ann_lsh": q_similarity_ann_lsh,  # graded by ann_recall
         "similarity_ivf_topk": q_similarity_ivf_topk,  # graded by ann_recall
@@ -1290,6 +1307,26 @@ def oracle_sql() -> dict[str, str]:
             FROM l0
             LEFT JOIN l1 USING (key)
             LEFT JOIN l2 ON l2.key = l0.key AND l2.sub_key = l1.sub_key
+        """,
+        # range buckets: from inclusive / to exclusive, ES "from-to"
+        # default keys, overlapping ranges count a doc in each; stats
+        # metric flattened to five columns
+        "search_aggs_range_stats": """
+            WITH r(key, lo, hi) AS (VALUES
+                ('*-200.0', NULL, 200.0),
+                ('200.0-400.0', 200.0, 400.0),
+                ('mid', 150.0, 250.0))
+            SELECT r.key, COUNT(*)::BIGINT AS doc_count,
+                   COUNT(d.n_chars)::BIGINT AS s_count,
+                   MIN(d.n_chars) AS s_min,
+                   MAX(d.n_chars) AS s_max,
+                   ROUND(AVG(d.n_chars), 4) AS s_avg,
+                   SUM(d.n_chars)::BIGINT AS s_sum
+            FROM documents d JOIN r
+              ON (r.lo IS NULL OR d.n_chars >= r.lo)
+             AND (r.hi IS NULL OR d.n_chars < r.hi)
+            WHERE d.n_chars IS NOT NULL
+            GROUP BY r.key
         """,
         "search_dsl_metrics": """
             SELECT COUNT(value)::BIGINT AS n_events,

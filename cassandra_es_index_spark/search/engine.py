@@ -1338,8 +1338,11 @@ class SearchEngine:
     def search_aggs(self, table: str, query: str,
                     default_field: str | None = None) -> DataFrame:
         """Execute the ``aggs`` section of an ES-DSL request over the
-        query's match set — terms / histogram / date_histogram buckets
-        with metric sub-aggs, or a metrics-only global aggregation.
+        query's match set — terms / histogram / date_histogram / range
+        buckets (nested to arbitrary depth) with metric sub-aggs
+        (avg/sum/min/max/value_count/cardinality/stats, ``missing`` and
+        ``min_doc_count`` bucket params), or a metrics-only global
+        aggregation.
 
         The reference can only pass an aggs body through to ES and never
         post-processes the response (SURVEY.md §2.4 — hit extraction looks
@@ -1380,18 +1383,25 @@ class SearchEngine:
             pred, _ = comp.compile(req.node)
             filtered = docs.where(pred)
 
-        def metric(m: es_dsl.MetricAgg):
+        def metric_cols(m: es_dsl.MetricAgg) -> list[Column]:
             c = comp.resolve(m.field).col
             if m.kind == "avg":
-                return F.avg(c)
+                return [F.avg(c).alias(m.name)]
             if m.kind == "sum":
-                return F.sum(c)
+                return [F.sum(c).alias(m.name)]
             if m.kind == "min":
-                return F.min(c)
+                return [F.min(c).alias(m.name)]
             if m.kind == "max":
-                return F.max(c)
+                return [F.max(c).alias(m.name)]
             if m.kind == "value_count":
-                return F.count(c).cast("long")
+                return [F.count(c).cast("long").alias(m.name)]
+            if m.kind == "stats":
+                # ES stats object, flattened to five columns (out_names)
+                return [F.count(c).cast("long").alias(f"{m.name}_count"),
+                        F.min(c).alias(f"{m.name}_min"),
+                        F.max(c).alias(f"{m.name}_max"),
+                        F.avg(c).alias(f"{m.name}_avg"),
+                        F.sum(c).alias(f"{m.name}_sum")]
             if m.kind == "cardinality":
                 if m.precision_threshold is not None:
                     # ES precision_threshold → HLL++ (the 100 TB shape:
@@ -1402,12 +1412,17 @@ class SearchEngine:
                     # to Spark's supported rsd range.
                     rsd = min(0.1, max(
                         0.005, 1.04 / (m.precision_threshold ** 0.5)))
-                    return F.approx_count_distinct(c, rsd).cast("long")
-                return F.countDistinct(c).cast("long")
+                    return [F.approx_count_distinct(c, rsd).cast("long")
+                            .alias(m.name)]
+                return [F.countDistinct(c).cast("long").alias(m.name)]
             raise ValueError(f"unknown metric kind {m.kind!r}")
 
         def bucket_key(b: es_dsl.BucketAgg):
             col = comp.resolve(b.field).col
+            if b.missing is not None:
+                # ES `missing`: null field values join this substitute
+                # bucket instead of dropping out
+                col = F.coalesce(col, F.lit(b.missing))
             if b.kind == "terms":
                 return col, col
             if b.kind == "histogram":
@@ -1424,16 +1439,19 @@ class SearchEngine:
 
         def terms_primary(b: es_dsl.BucketAgg, count_col: str, key_col: str):
             if b.order is not None:
-                # ES terms `order`: by _count, _key, or a sub-metric agg
+                # ES terms `order`: _count, _key, a sub-metric agg, or a
+                # stats component ("s.avg" → the flattened s_avg column)
                 target, asc = b.order
                 col = {"_count": F.col(count_col),
-                       "_key": F.col(key_col)}.get(target, F.col(target))
+                       "_key": F.col(key_col)}.get(
+                    target, F.col(target.replace(".", "_")))
                 return col.asc() if asc else col.desc()
             return F.desc(count_col)   # ES default
 
         aggs = req.aggs
         if isinstance(aggs, tuple):  # metrics-only: one global row
-            return filtered.agg(*[metric(m).alias(m.name) for m in aggs])
+            return filtered.agg(
+                *[c for m in aggs for c in metric_cols(m)])
 
         # Bucket aggs at ARBITRARY nesting depth (ES nests freely:
         # terms > date_histogram > terms > metrics), flattened: one row
@@ -1463,27 +1481,63 @@ class SearchEngine:
 
         seen: set[str] = set()
         for i, lv in enumerate(levels):
-            for nm in level_names(i) + tuple(m.name for m in lv.metrics):
+            for nm in level_names(i) + tuple(
+                    n for m in lv.metrics for n in m.out_names()):
                 if nm in seen:
                     raise es_dsl.DslError(
                         f"duplicate column {nm!r} in flattened aggs")
                 seen.add(nm)
 
-        keyed = [bucket_key(lv) for lv in levels]
+        # Per level: key expression + non-null gate over `src`. A `range`
+        # level pre-explodes the matching range keys (a doc in k
+        # overlapping ranges contributes one row per range, ES's
+        # count-in-each semantics; docs outside every range drop out via
+        # the non-outer explode). `missing` levels have no gate — the
+        # coalesced key is never null.
+        src = filtered
+        level_key: list[Column] = []
+        level_gate: list[Column | None] = []
+        for i, lv in enumerate(levels):
+            if lv.kind == "range":
+                val = comp.resolve(lv.field).col.cast("double")
+                if lv.missing is not None:
+                    val = F.coalesce(val, F.lit(lv.missing).cast("double"))
+                matches = F.array_compact(F.array(*[
+                    F.when(
+                        (F.lit(True) if lo is None else val >= F.lit(lo))
+                        & (F.lit(True) if hi is None else val < F.lit(hi))
+                        & val.isNotNull(),
+                        F.lit(key))
+                    for key, lo, hi in lv.ranges]))
+                helper = f"_bk{i}"
+                src = src.select("*", F.explode(matches).alias(helper))
+                level_key.append(F.col(helper))
+                level_gate.append(None)
+            else:
+                k, bc = bucket_key(lv)
+                level_key.append(k)
+                level_gate.append(None if lv.missing is not None
+                                  else bc.isNotNull())
+
         out: DataFrame | None = None
         selected: DataFrame | None = None
         parent_keys: list[str] = []
         order_exprs: list[Column] = []
         for i, lv in enumerate(levels):
             kname, cname = level_names(i)
-            notnull = keyed[0][1].isNotNull()
-            for _, bc in keyed[1:i + 1]:
-                notnull = notnull & bc.isNotNull()
-            grp_keys = [keyed[j][0].alias(level_names(j)[0])
+            gates = [g for g in level_gate[:i + 1] if g is not None]
+            frame = src
+            for g in gates:
+                frame = frame.where(g)
+            grp_keys = [level_key[j].alias(level_names(j)[0])
                         for j in range(i + 1)]
             measures = [F.count("*").cast("long").alias(cname)]
-            measures += [metric(m).alias(m.name) for m in lv.metrics]
-            frame = filtered.where(notnull).groupBy(*grp_keys).agg(*measures)
+            measures += [c for m in lv.metrics for c in metric_cols(m)]
+            frame = frame.groupBy(*grp_keys).agg(*measures)
+            if lv.min_doc_count is not None:
+                # ES min_doc_count: buckets below the floor vanish
+                # (applied before terms top-size selection, like ES)
+                frame = frame.where(F.col(cname) >= lv.min_doc_count)
             if selected is not None:
                 frame = frame.join(selected, on=parent_keys, how="left_semi")
             if lv.kind == "terms":
@@ -1510,7 +1564,8 @@ class SearchEngine:
                 target, asc = lv.order if lv.order is not None \
                     else ("_count", False)
                 col = {"_count": F.col(cname),
-                       "_key": F.col(kname)}.get(target, F.col(target))
+                       "_key": F.col(kname)}.get(
+                    target, F.col(target.replace(".", "_")))
                 order_exprs.append(col.asc_nulls_last() if asc
                                    else col.desc_nulls_last())
                 order_exprs.append(F.asc_nulls_last(kname))

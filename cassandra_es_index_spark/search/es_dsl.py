@@ -33,8 +33,9 @@ class DslError(ValueError):
     pass
 
 
-_METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality")
-_BUCKET_KINDS = ("terms", "histogram", "date_histogram")
+_METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
+                 "stats")
+_BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range")
 
 
 @dataclass(frozen=True)
@@ -45,27 +46,50 @@ class MetricAgg:
     engine's superset of ES's HyperLogLog approximation. Passing ES's
     ``precision_threshold`` opts into HLL++ (approx_count_distinct), the
     shape that scales: the exact distinct needs a shuffle of every
-    distinct value, the sketch merges fixed-size registers map-side."""
+    distinct value, the sketch merges fixed-size registers map-side.
+
+    ``stats`` expands to five flattened columns (``<name>_count``/
+    ``_min``/``_max``/``_avg``/``_sum``) — ES returns them as one object;
+    a DataFrame row flattens it. A terms ``order`` may target
+    ``"<name>.avg"`` etc., mapped onto the flattened column."""
     name: str
-    kind: str   # avg | sum | min | max | value_count | cardinality
+    kind: str   # avg | sum | min | max | value_count | cardinality | stats
     field: str
     precision_threshold: int | None = None
+
+    def out_names(self) -> tuple[str, ...]:
+        if self.kind == "stats":
+            return tuple(f"{self.name}_{s}"
+                         for s in ("count", "min", "max", "avg", "sum"))
+        return (self.name,)
 
 
 @dataclass(frozen=True)
 class BucketAgg:
     """One bucket aggregation with optional metric sub-aggs."""
     name: str
-    kind: str   # terms | histogram | date_histogram
+    kind: str   # terms | histogram | date_histogram | range
     field: str
     size: int | None = None                 # terms (ES default 10)
     interval: float | None = None           # histogram
     calendar_interval: str | None = None    # date_histogram
     fixed_interval: str | None = None       # date_histogram ("30s","1h",…)
     # terms bucket ordering: (target, ascending) where target is
-    # "_count", "_key", or a sub-metric agg name (ES `order` param);
-    # default ES ordering is doc_count desc
+    # "_count", "_key", a sub-metric agg name, or "<stats>.avg" etc.
+    # (ES `order` param); default ES ordering is doc_count desc
     order: tuple[str, bool] | None = None
+    # range agg: ((key, from, to), ...) — from inclusive, to exclusive,
+    # None = open side; key is the ES "from-to" label unless the request
+    # names the range. Overlapping ranges count a doc in EACH bucket
+    # (ES semantics).
+    ranges: tuple[tuple[str, float | None, float | None], ...] = ()
+    # ES `missing`: substitute for null bucket values (docs with a null
+    # field join this bucket instead of being dropped)
+    missing: Any = None
+    # ES `min_doc_count`: drop buckets below this count (terms default 1;
+    # histogram 0 — the engine never materializes empty buckets, so only
+    # values > 1 change the result)
+    min_doc_count: int | None = None
     metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
     # one nested sub-bucket per level, nesting to arbitrary depth — ES
     # sub-aggregations; executed flattened: (key, doc_count, sub_key,
@@ -169,6 +193,35 @@ def _sort(spec: Any) -> tuple[tuple[str, bool, bool], ...]:
     return tuple(out)
 
 
+def _ranges(name: str,
+            spec: Any) -> tuple[tuple[str, float | None, float | None], ...]:
+    """ES range-agg ``ranges``: each entry has ``from`` (inclusive)
+    and/or ``to`` (exclusive), and an optional ``key`` label (default is
+    ES's ``from-to`` with ``*`` for an open side)."""
+    if not isinstance(spec, list) or not spec:
+        raise DslError(f"range agg {name!r} needs a non-empty 'ranges' list")
+    out = []
+    for entry in spec:
+        if not isinstance(entry, dict) or \
+                ("from" not in entry and "to" not in entry):
+            raise DslError(f"range agg {name!r}: each range needs "
+                           "'from' and/or 'to'")
+        lo = entry.get("from")
+        hi = entry.get("to")
+        for v in (lo, hi):
+            if v is not None and not isinstance(v, (int, float)):
+                raise DslError(f"range agg {name!r}: bounds must be numbers")
+        key = entry.get("key") or (
+            f"{'*' if lo is None else float(lo)}"
+            f"-{'*' if hi is None else float(hi)}")
+        out.append((str(key),
+                    None if lo is None else float(lo),
+                    None if hi is None else float(hi)))
+    if len({k for k, *_ in out}) != len(out):
+        raise DslError(f"range agg {name!r}: duplicate range keys")
+    return tuple(out)
+
+
 def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
     (kind, body), = spec.items()
     if kind not in _METRIC_KINDS:
@@ -239,8 +292,14 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             (target, direction), = ospec.items()
             if direction not in ("asc", "desc"):
                 raise DslError(f"bad order direction {direction!r}")
-            if target not in ("_count", "_key") \
-                    and target not in {m.name for m in metrics}:
+            valid = {"_count", "_key"}
+            for m in metrics:
+                valid.add(m.name)
+                if m.kind == "stats":
+                    valid.update(f"{m.name}.{s}"
+                                 for s in ("count", "min", "max",
+                                           "avg", "sum"))
+            if target not in valid:
                 raise DslError(f"order target {target!r} is neither "
                                "_count, _key, nor a sub-agg name")
             order = (target, direction == "asc")
@@ -251,6 +310,12 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 and "fixed_interval" not in params:
             raise DslError("date_histogram needs a 'calendar_interval' "
                            "or 'fixed_interval'")
+        ranges: tuple = ()
+        if first_kind == "range":
+            ranges = _ranges(name, params.get("ranges"))
+        mdc = params.get("min_doc_count")
+        if mdc is not None and (not isinstance(mdc, int) or mdc < 0):
+            raise DslError("min_doc_count must be a non-negative integer")
         return BucketAgg(
             name=name, kind=first_kind, field=params["field"],
             size=params.get("size"),
@@ -258,6 +323,9 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             calendar_interval=params.get("calendar_interval"),
             fixed_interval=params.get("fixed_interval"),
             order=order,
+            ranges=ranges,
+            missing=params.get("missing"),
+            min_doc_count=mdc,
             metrics=metrics,
             sub=sub_bucket)
     # metrics-only request: every entry must be a metric

@@ -1407,6 +1407,67 @@ def test_three_level_nested_bucket_aggs(spark):
     assert r0["sumv"] == expect
 
 
+def test_stats_metric_and_order_by_component(engine):
+    """ES `stats` flattens to five columns; terms `order` may target a
+    component ("s.min" → the flattened s_min column)."""
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"by_user":{"terms":{"field":"userid",'
+         '"order":{"s.min":"asc"}},'
+         '"aggs":{"s":{"stats":{"field":"userid"}}}}}}')
+    rows = engine.search_aggs("emails", q).collect()
+    assert {"key", "doc_count", "s_count", "s_min", "s_max",
+            "s_avg", "s_sum"} <= set(rows[0].asDict())
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys)          # ordered by s_min asc == key asc
+    r42 = next(r for r in rows if r["key"] == 42)
+    assert (r42["s_count"], r42["s_min"], r42["s_max"],
+            r42["s_avg"], r42["s_sum"]) == (2, 42, 42, 42.0, 84)
+
+
+def test_range_agg_overlapping_and_keyed(spark):
+    """ES range buckets: from inclusive / to exclusive, `key` labels,
+    and a doc inside two overlapping ranges counts in BOTH."""
+    df = spark.createDataFrame(
+        [("a", 50), ("b", 150), ("c", 250), ("d", 250), ("e", None)],
+        "id string, v int")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("ragg", ["id"]))
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"vr":{"range":{"field":"v","ranges":['
+         '{"to":100},{"from":100,"to":300},'
+         '{"from":200,"key":"high"}]},'
+         '"aggs":{"sv":{"sum":{"field":"v"}}}}}}')
+    rows = {r["key"]: (r["doc_count"], r["sv"])
+            for r in eng.search_aggs("ragg", q).collect()}
+    assert rows == {"*-100.0": (1, 50),
+                    "100.0-300.0": (3, 650),    # b, c, d
+                    "high": (2, 500)}           # c, d — counted again
+    # null v joins no bucket; bad specs raise DslError
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    import pytest as _pytest
+    with _pytest.raises(DslError, match="ranges"):
+        eng.search_aggs("ragg",
+                        '{"aggs":{"vr":{"range":{"field":"v"}}}}')
+
+
+def test_terms_missing_and_min_doc_count(spark):
+    """`missing` buckets null field values under a substitute key;
+    `min_doc_count` drops buckets below the floor."""
+    df = spark.createDataFrame(
+        [("1", "x"), ("2", "x"), ("3", "y"), ("4", None), ("5", None)],
+        "id string, s string")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("tmiss", ["id"]))
+    q = ('{"aggs":{"by_s":{"terms":{"field":"s","missing":"(none)"}}}}')
+    rows = {r["key"]: r["doc_count"]
+            for r in eng.search_aggs("tmiss", q).collect()}
+    assert rows == {"x": 2, "(none)": 2, "y": 1}
+    q2 = ('{"aggs":{"by_s":{"terms":{"field":"s","min_doc_count":2}}}}')
+    rows2 = {r["key"]: r["doc_count"]
+             for r in eng.search_aggs("tmiss", q2).collect()}
+    assert rows2 == {"x": 2}
+
+
 def test_nested_date_histogram_in_terms(spark):
     import datetime as dt
     base = dt.datetime(2024, 1, 1)
