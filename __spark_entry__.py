@@ -367,14 +367,20 @@ def q_search_dsl_metrics(spark, sf_dir):
 def q_events_date_histogram(spark, sf_dir):
     # date_histogram buckets per day over an index-served term filter —
     # the postings select the match set (left-semi), the calendar
-    # bucketing and metric run as one partial-aggregated groupBy.
+    # bucketing and metrics run as one partial-aggregated groupBy. The
+    # percentiles metric is served EXACTLY (continuous interpolation,
+    # DuckDB quantile_cont-checkable; ES `compression` opts into the
+    # TDigest-style percentile_approx sketch at scale).
     eng = _events_capped_engine(spark, sf_dir)
     q = ('{"query":{"term":{"event_type":"click"}},'
          '"aggs":{"per_day":{"date_histogram":'
          '{"field":"ts","calendar_interval":"day"},'
-         '"aggs":{"avg_value":{"avg":{"field":"value"}}}}}}')
+         '"aggs":{"avg_value":{"avg":{"field":"value"}},'
+         '"vp":{"percentiles":{"field":"value","percents":[50,95]}}}}}}')
     out = eng.search_aggs("events_capped", q, default_field="event_type")
-    return out.withColumn("avg_value", F.round("avg_value", 4))
+    return (out.withColumn("avg_value", F.round("avg_value", 4))
+               .withColumn("vp_p50", F.round("vp_p50", 4))
+               .withColumn("vp_p95", F.round("vp_p95", 4)))
 
 
 def q_events_value_histogram(spark, sf_dir):
@@ -1337,7 +1343,9 @@ def oracle_sql() -> dict[str, str]:
         "events_date_histogram": r"""
             SELECT date_trunc('day', ts) AS key,
                    COUNT(*)::BIGINT AS doc_count,
-                   ROUND(AVG(value), 4) AS avg_value
+                   ROUND(AVG(value), 4) AS avg_value,
+                   ROUND(quantile_cont(value, 0.50), 4) AS vp_p50,
+                   ROUND(quantile_cont(value, 0.95), 4) AS vp_p95
             FROM events
             WHERE len(regexp_extract_all(event_type, '(?i)\bclick\b')) > 0
               AND ts IS NOT NULL

@@ -1402,6 +1402,21 @@ class SearchEngine:
                         F.max(c).alias(f"{m.name}_max"),
                         F.avg(c).alias(f"{m.name}_avg"),
                         F.sum(c).alias(f"{m.name}_sum")]
+            if m.kind == "percentiles":
+                # EXACT by default (continuous interpolation — oracle-
+                # checkable, superset of ES's TDigest estimate); ES
+                # `compression` opts into the percentile_approx sketch,
+                # the shape that scales (mirrors cardinality/HLL)
+                out = []
+                for p, nm in zip(m.percents, m.out_names()):
+                    if m.compression is not None:
+                        out.append(F.percentile_approx(
+                            c, F.lit(p / 100.0),
+                            F.lit(int(m.compression))).alias(nm))
+                    else:
+                        out.append(F.percentile(
+                            c, F.lit(p / 100.0)).alias(nm))
+                return out
             if m.kind == "cardinality":
                 if m.precision_threshold is not None:
                     # ES precision_threshold → HLL++ (the 100 TB shape:
@@ -1488,17 +1503,25 @@ class SearchEngine:
                         f"duplicate column {nm!r} in flattened aggs")
                 seen.add(nm)
 
-        # Per level: key expression + non-null gate over `src`. A `range`
-        # level pre-explodes the matching range keys (a doc in k
-        # overlapping ranges contributes one row per range, ES's
-        # count-in-each semantics; docs outside every range drop out via
-        # the non-outer explode). `missing` levels have no gate — the
-        # coalesced key is never null.
+        # Per level: key expression + non-null gate over `src`. `range`
+        # and `filters` levels pre-explode their matching bucket keys (a
+        # doc in k overlapping ranges / matching filters contributes one
+        # row per bucket, ES's count-in-each semantics; docs matching
+        # none drop out via the non-outer explode). `missing` levels
+        # have no gate — the coalesced key is never null.
         src = filtered
         level_key: list[Column] = []
         level_gate: list[Column | None] = []
         for i, lv in enumerate(levels):
-            if lv.kind == "range":
+            if lv.kind == "filters":
+                matches = F.array_compact(F.array(*[
+                    F.when(comp.compile(node)[0], F.lit(fname))
+                    for fname, node in lv.filter_nodes]))
+                helper = f"_bk{i}"
+                src = src.select("*", F.explode(matches).alias(helper))
+                level_key.append(F.col(helper))
+                level_gate.append(None)
+            elif lv.kind == "range":
                 val = comp.resolve(lv.field).col.cast("double")
                 if lv.missing is not None:
                     val = F.coalesce(val, F.lit(lv.missing).cast("double"))

@@ -34,8 +34,15 @@ class DslError(ValueError):
 
 
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
-                 "stats")
-_BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range")
+                 "stats", "percentiles")
+_BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters")
+# ES default percents for the percentiles agg
+_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def _pct_label(p: float) -> str:
+    """50.0 → "50", 99.9 → "99_9" — column-name-safe percent label."""
+    return (f"{p:g}").replace(".", "_")
 
 
 @dataclass(frozen=True)
@@ -51,16 +58,29 @@ class MetricAgg:
     ``stats`` expands to five flattened columns (``<name>_count``/
     ``_min``/``_max``/``_avg``/``_sum``) — ES returns them as one object;
     a DataFrame row flattens it. A terms ``order`` may target
-    ``"<name>.avg"`` etc., mapped onto the flattened column."""
+    ``"<name>.avg"`` etc., mapped onto the flattened column.
+
+    ``percentiles`` is served EXACTLY by default (Spark ``percentile``,
+    continuous interpolation — the engine's superset of ES's TDigest
+    estimate, and DuckDB-oracle-checkable via ``quantile_cont``);
+    passing ES's ``compression`` opts into the sketch
+    (``percentile_approx``), the shape that scales — mirroring the
+    ``cardinality``/``precision_threshold`` pattern. One flattened column
+    per percent: ``<name>_p50``, ``<name>_p99_9``, …"""
     name: str
-    kind: str   # avg | sum | min | max | value_count | cardinality | stats
+    kind: str   # avg|sum|min|max|value_count|cardinality|stats|percentiles
     field: str
     precision_threshold: int | None = None
+    percents: tuple[float, ...] = _DEFAULT_PERCENTS
+    compression: int | None = None
 
     def out_names(self) -> tuple[str, ...]:
         if self.kind == "stats":
             return tuple(f"{self.name}_{s}"
                          for s in ("count", "min", "max", "avg", "sum"))
+        if self.kind == "percentiles":
+            return tuple(f"{self.name}_p{_pct_label(p)}"
+                         for p in self.percents)
         return (self.name,)
 
 
@@ -83,6 +103,9 @@ class BucketAgg:
     # names the range. Overlapping ranges count a doc in EACH bucket
     # (ES semantics).
     ranges: tuple[tuple[str, float | None, float | None], ...] = ()
+    # filters agg: ((name, query-AST), ...) — one bucket per named query;
+    # a doc joins EVERY bucket whose query it matches (ES semantics)
+    filter_nodes: tuple[tuple[str, Node], ...] = ()
     # ES `missing`: substitute for null bucket values (docs with a null
     # field join this bucket instead of being dropped)
     missing: Any = None
@@ -233,8 +256,27 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
     if threshold is not None and (not isinstance(threshold, int)
                                   or threshold <= 0):
         raise DslError("precision_threshold must be a positive integer")
+    percents: tuple[float, ...] = _DEFAULT_PERCENTS
+    compression = None
+    if kind == "percentiles":
+        if "percents" in body:
+            raw = body["percents"]
+            if not isinstance(raw, list) or not raw or not all(
+                    isinstance(p, (int, float)) and 0 <= p <= 100
+                    for p in raw):
+                raise DslError(f"percentiles agg {name!r}: percents must "
+                               "be numbers in [0, 100]")
+            percents = tuple(float(p) for p in raw)
+        # ES nests compression under "tdigest"; accept flat too
+        compression = body.get("compression",
+                               (body.get("tdigest") or {}).get("compression"))
+        if compression is not None and (not isinstance(compression, int)
+                                        or compression <= 0):
+            raise DslError("compression must be a positive integer")
     return MetricAgg(name, kind, body["field"],
-                     precision_threshold=threshold)
+                     precision_threshold=threshold,
+                     percents=percents,
+                     compression=compression)
 
 
 def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
@@ -262,7 +304,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             raise DslError(f"unexpected keys {sorted(extra)} in bucket "
                            f"agg {name!r} (siblings go under 'aggs')")
         params = body[first_kind]
-        if not isinstance(params, dict) or "field" not in params:
+        if not isinstance(params, dict) or (
+                first_kind != "filters" and "field" not in params):
             raise DslError(f"bucket agg {name!r} needs a 'field'")
         sub_specs = dict(body.get("aggs") or {})
         sub_bucket = None
@@ -313,17 +356,27 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         ranges: tuple = ()
         if first_kind == "range":
             ranges = _ranges(name, params.get("ranges"))
+        filter_nodes: tuple = ()
+        if first_kind == "filters":
+            fspec = params.get("filters")
+            if not isinstance(fspec, dict) or not fspec:
+                raise DslError(f"filters agg {name!r} needs a non-empty "
+                               "'filters' object")
+            filter_nodes = tuple((fname, _node(clause))
+                                 for fname, clause in fspec.items())
         mdc = params.get("min_doc_count")
         if mdc is not None and (not isinstance(mdc, int) or mdc < 0):
             raise DslError("min_doc_count must be a non-negative integer")
         return BucketAgg(
-            name=name, kind=first_kind, field=params["field"],
+            name=name, kind=first_kind,
+            field=params.get("field", ""),
             size=params.get("size"),
             interval=params.get("interval"),
             calendar_interval=params.get("calendar_interval"),
             fixed_interval=params.get("fixed_interval"),
             order=order,
             ranges=ranges,
+            filter_nodes=filter_nodes,
             missing=params.get("missing"),
             min_doc_count=mdc,
             metrics=metrics,

@@ -1450,6 +1450,45 @@ def test_range_agg_overlapping_and_keyed(spark):
                         '{"aggs":{"vr":{"range":{"field":"v"}}}}')
 
 
+def test_filters_agg_named_query_buckets(spark):
+    """ES `filters` agg: one bucket per named query; a doc joins every
+    bucket whose query it matches; composes with metrics and nesting."""
+    df = spark.createDataFrame(
+        [("1", "spark is fast", 10), ("2", "slow spark", 20),
+         ("3", "other text", 30)],
+        "id string, body string, n int")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("fagg", ["id"]))
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"cats":{"filters":{"filters":{'
+         '"has_spark":{"term":{"body":"spark"}},'
+         '"big_n":{"range":{"n":{"gte":20}}}}},'
+         '"aggs":{"sum_n":{"sum":{"field":"n"}}}}}}')
+    rows = {r["key"]: (r["doc_count"], r["sum_n"])
+            for r in eng.search_aggs("fagg", q).collect()}
+    # doc 2 matches BOTH filters and counts in each
+    assert rows == {"has_spark": (2, 30), "big_n": (2, 50)}
+
+
+def test_percentiles_exact_and_approx(spark):
+    """`percentiles` defaults to the exact continuous-interpolation
+    quantile (flattened <name>_pNN columns); ES `compression` opts into
+    the percentile_approx sketch."""
+    df = spark.createDataFrame([(str(i), float(i)) for i in range(1, 101)],
+                               "id string, v double")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("pctl", ["id"]))
+    q = ('{"aggs":{"vp":{"percentiles":{"field":"v",'
+         '"percents":[50,99.9]}}}}')
+    row = eng.search_aggs("pctl", q).collect()[0]
+    assert row["vp_p50"] == 50.5                 # (50 + 51) / 2
+    assert abs(row["vp_p99_9"] - 99.901) < 1e-9  # interpolated tail
+    q2 = ('{"aggs":{"vp":{"percentiles":{"field":"v","percents":[50],'
+          '"compression":100}}}}')
+    row2 = eng.search_aggs("pctl", q2).collect()[0]
+    assert 49 <= row2["vp_p50"] <= 52            # sketch: approximate
+
+
 def test_terms_missing_and_min_doc_count(spark):
     """`missing` buckets null field values under a substitute key;
     `min_doc_count` drops buckets below the floor."""
