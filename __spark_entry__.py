@@ -337,6 +337,14 @@ def q_search_aggs_nested3(spark, sf_dir):
     return out.withColumn("avg_chars", F.round("avg_chars", 4))
 
 
+def q_search_collapse(spark, sf_dir):
+    # ES field collapsing: top hit per distinct source (nulls
+    # uncollapsed), n_chars-desc ordering, collapse before size
+    return _search('{"query":{"range":{"n_chars":{"gte":100}}},'
+                   '"collapse":{"field":"source"},'
+                   '"sort":[{"n_chars":"desc"}],"size":20}')(spark, sf_dir)
+
+
 def q_search_aggs_range_stats(spark, sf_dir):
     # ES range buckets (from inclusive / to exclusive, keyed + OVERLAPPING
     # ranges — a doc in two ranges counts in both) with a `stats` metric
@@ -1103,6 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,  # graded by ann_recall
         "similarity_ivf_disk": q_similarity_ivf_disk,  # benched cold path
         "multimodal_features": q_multimodal_features,  # stub codecs (env)
+        "search_collapse": q_search_collapse,  # ~ search_dsl_sorted
+        #   (oracle present — pytest-checked; window-capped only)
     }
 
 
@@ -1249,6 +1259,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE n_chars >= 250
             ORDER BY n_chars DESC, doc_id ASC
             LIMIT 50
+        """,
+        # field collapsing: top row per source (nulls each their own
+        # group), n_chars-desc / key-asc ordering, collapse before LIMIT
+        "search_collapse": """
+            SELECT doc_id, text, lang, source, n_chars, _score FROM (
+                SELECT doc_id, text, lang, source, n_chars,
+                       1::BIGINT AS _score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source,
+                               CASE WHEN source IS NULL THEN doc_id END
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents WHERE n_chars >= 100)
+            WHERE rn = 1
+            ORDER BY n_chars DESC, doc_id ASC
+            LIMIT 20
         """,
         "search_page_after": f"""
             SELECT doc_id, _score FROM (

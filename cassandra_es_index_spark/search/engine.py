@@ -416,6 +416,23 @@ class SearchEngine:
             eq = eq & (col == lit)       # null == lit → false, correct
         return pred
 
+    def _collapse_dedup(self, df: DataFrame, ccol: Column,
+                        keys: list[str],
+                        ordering: list[tuple[Column, bool, bool]]
+                        ) -> DataFrame:
+        """ES field collapsing: keep the TOP hit per distinct collapse
+        value under the active ordering — one rank window partitioned by
+        the collapse field (a groupBy-shaped shuffle; no global window).
+        Docs with a NULL collapse value are not collapsed (ES keeps every
+        doc missing the field): the null-row partition key falls back to
+        the full primary key, so each null row is its own group."""
+        null_id = F.when(ccol.isNull(), F.concat_ws(
+            "\x00", *[F.col(kc).cast("string") for kc in keys]))
+        w = Window.partitionBy(ccol, null_id) \
+                  .orderBy(*self._sort_exprs(ordering))
+        return (df.withColumn("_crn", F.row_number().over(w))
+                  .where(F.col("_crn") == 1).drop("_crn"))
+
     @staticmethod
     def _sort_exprs(ordering: list[tuple[Column, bool, bool]]) -> list:
         exprs = []
@@ -457,7 +474,9 @@ class SearchEngine:
         parameter (parameter wins) — keyset-paginates that total order:
         one value per ordering column (sort fields, or ``_score``, plus
         the key tiebreaks); metadata counts still reflect the full match
-        set, like ES.
+        set, like ES. ``collapse`` keeps the top hit per distinct field
+        value (nulls uncollapsed) before pagination; on the index plan
+        the collapse values ride the range index like sort values.
         """
         admin = self._admin(table, query)
         if admin is not None:
@@ -486,6 +505,12 @@ class SearchEngine:
         sort_servable = all(f == "_score" or f in keys
                             or (table, f) in self._range
                             for f, *_ in (req.sort or []))
+        # collapse needs the field's values too — served from the same
+        # range index (doc-values analogue) or a key column
+        if req.collapse is not None:
+            sort_servable = sort_servable and (
+                req.collapse in keys
+                or (table, req.collapse) in self._range)
         ph = self._postings_hits(table, node, default_field) \
             if sort_servable else None
         if ph is not None:
@@ -514,6 +539,13 @@ class SearchEngine:
                 order_cols.append((F.col(helper), asc, nf))
                 order_types.append(
                     Compiler(docs, default_field).resolve(f).dtype)
+            if req.collapse is not None and req.collapse not in keys:
+                # collapse values ride the hits the same way sort values
+                # do: a left join against the (doc, val) range projection
+                cvals = (self._range[(table, req.collapse)].view()
+                         .select("doc", F.col("val").alias("_collapse")))
+                ph = ph.join(cvals, on="doc", how="left")
+                sort_helpers.append("_collapse")
             # index-backed plan: (doc, _score) straight from the postings —
             # the corpus is never text-scanned. Single-key tables rename
             # ``doc`` back to the key; composite-key tables route through
@@ -530,6 +562,12 @@ class SearchEngine:
                 [(F.col(c), True, True) for c in keys]
             anchor_types = (order_types or [None]) + \
                 [docs.schema[c].dataType for c in keys]
+            if req.collapse is not None:
+                # collapse BEFORE pagination, like ES: pages walk the
+                # collapsed hit list
+                ccol = F.col(req.collapse) if req.collapse in keys \
+                    else F.col("_collapse")
+                keyed = self._collapse_dedup(keyed, ccol, keys, ordering)
             if after is not None:
                 keyed = keyed.where(
                     self._keyset_filter(ordering, after, anchor_types))
@@ -595,8 +633,15 @@ class SearchEngine:
         ordering += [(F.col(c), True, True) for c in keys]
         anchor_types += [docs.schema[c].dataType for c in keys]
 
-        paged = scored if after is None else \
-            scored.where(self._keyset_filter(ordering, after, anchor_types))
+        collapsed = scored
+        if req.collapse is not None:
+            # collapse BEFORE pagination; metadata keeps aggregating the
+            # UNcollapsed `scored` (ES hits.total ignores collapsing)
+            collapsed = self._collapse_dedup(
+                scored, comp.resolve(req.collapse).col, keys, ordering)
+        paged = collapsed if after is None else \
+            collapsed.where(self._keyset_filter(ordering, after,
+                                                anchor_types))
         hits = self._apply_ordering(paged, ordering)
         if req.from_:
             # ES `from` shallow pagination (see the index-plan note)

@@ -132,6 +132,11 @@ class Request:
     # explicit `missing` param (`_first`/`_last`) overrides it
     sort: tuple[tuple[str, bool, bool], ...] = ()
     search_after: tuple[Any, ...] | None = None
+    # ES field collapsing: keep only the top hit (per the active
+    # ordering) for each distinct value of this field; docs with a null
+    # field are NOT collapsed (each keeps its own hit, like ES docs
+    # missing the field). hits.total stays uncollapsed.
+    collapse: str | None = None
 
 
 def parse(query_json: str | dict[str, Any]) -> tuple[Node, int | None]:
@@ -164,6 +169,12 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         if not isinstance(after, list) or not after:
             raise DslError("search_after must be a non-empty list")
         after = tuple(after)
+    collapse = None
+    cspec = obj.get("collapse")
+    if cspec is not None:
+        if not isinstance(cspec, dict) or "field" not in cspec:
+            raise DslError("collapse needs {'field': name}")
+        collapse = cspec["field"]
     return Request(
         node=_node(query),
         size=size,
@@ -171,6 +182,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         aggs=_aggs(obj.get("aggs", obj.get("aggregations"))),
         sort=_sort(obj.get("sort")),
         search_after=after,
+        collapse=collapse,
     )
 
 

@@ -1133,6 +1133,42 @@ def test_regexp_and_multi_match(spark):
     assert rows == {"m1": 2, "m2": 1}
 
 
+def test_collapse_field_top_hit_per_group(spark):
+    """ES field collapsing: one hit per distinct collapse value (the top
+    one under the active ordering), null-field docs uncollapsed, applied
+    before size — identical on the scan and index plans."""
+    df = spark.createDataFrame(
+        [("d1", "x x x", "a"), ("d2", "x", "a"), ("d3", "x x", "b"),
+         ("d4", "x", None), ("d5", "x", None)],
+        "id string, body string, cat string")
+    idx = SearchEngine(spark)
+    idx.register(df, TableSpec("col_idx", ["id"]))
+    idx.build_postings_index("col_idx", "body")
+    idx.build_range_index("col_idx", "cat")
+    scan = SearchEngine(spark)
+    scan.register(df, TableSpec("col_scan", ["id"]))
+    q = ('#options:load-rows=false#'
+         '{"query":{"term":{"body":"x"}},"collapse":{"field":"cat"}}')
+    got = sorted((r["id"], r["_score"]) for r in
+                 idx.search("col_idx", q, default_field="body").collect())
+    want = sorted((r["id"], r["_score"]) for r in
+                  scan.search("col_scan", q, default_field="body").collect())
+    assert got == want
+    # top hit per cat: d1 (score 3) beats d2 in 'a'; both nulls kept
+    assert got == [("d1", 3), ("d3", 2), ("d4", 1), ("d5", 1)]
+    # index plan stays scan-free (collapse values from the range index)
+    plan = idx.search("col_idx", q, default_field="body") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract_all" not in plan
+    # collapse + field sort: per cat keep the LOWEST id under id asc
+    q2 = ('#options:load-rows=false#'
+          '{"query":{"term":{"body":"x"}},"collapse":{"field":"cat"},'
+          '"sort":[{"id":"asc"}]}')
+    got2 = [r["id"] for r in
+            scan.search("col_scan", q2, default_field="body").collect()]
+    assert got2 == ["d1", "d3", "d4", "d5"]
+
+
 def test_regexp_validation_same_on_both_paths(spark):
     """Regexp accept/reject must not depend on whether an index exists:
     Java-only syntax (\\p{Alpha}) runs on BOTH paths (it used to be
