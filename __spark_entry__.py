@@ -345,6 +345,17 @@ def q_search_collapse(spark, sf_dir):
                    '"sort":[{"n_chars":"desc"}],"size":20}')(spark, sf_dir)
 
 
+def q_search_top_hits(spark, sf_dir):
+    # ES top_hits: top-2 docs per source bucket by n_chars desc,
+    # flattened one row per hit with _hit_rank
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"lang":"en"}},'
+         '"aggs":{"by_source":{"terms":{"field":"source","size":5},'
+         '"aggs":{"top":{"top_hits":{"size":2,'
+         '"sort":[{"n_chars":"desc"}],"_source":["doc_id","n_chars"]}}}}}}')
+    return eng.search_aggs("documents", q, default_field="text")
+
+
 def q_search_aggs_range_stats(spark, sf_dir):
     # ES range buckets (from inclusive / to exclusive, keyed + OVERLAPPING
     # ranges — a doc in two ranges counts in both) with a `stats` metric
@@ -1113,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,  # stub codecs (env)
         "search_collapse": q_search_collapse,  # ~ search_dsl_sorted
         #   (oracle present — pytest-checked; window-capped only)
+        "search_top_hits": q_search_top_hits,  # ~ search_aggs_nested3
+        #   (oracle present — pytest-checked; window-capped only)
     }
 
 
@@ -1338,6 +1351,30 @@ def oracle_sql() -> dict[str, str]:
             FROM l0
             LEFT JOIN l1 USING (key)
             LEFT JOIN l2 ON l2.key = l0.key AND l2.sub_key = l1.sub_key
+        """,
+        # top_hits: per-bucket top-2 docs by n_chars desc (key-asc
+        # tiebreak), only surviving (top-5) buckets carry hits
+        "search_top_hits": f"""
+            WITH matched AS (
+                SELECT * FROM documents
+                WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
+            ),
+            b AS (
+                SELECT source AS key, COUNT(*)::BIGINT AS doc_count
+                FROM matched WHERE source IS NOT NULL
+                GROUP BY source ORDER BY doc_count DESC, key ASC LIMIT 5
+            ),
+            h AS (
+                SELECT source AS key, doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC)::INT
+                           AS _hit_rank
+                FROM matched WHERE source IS NOT NULL
+            )
+            SELECT b.key, b.doc_count, h.doc_id, h.n_chars, h._hit_rank
+            FROM b JOIN h USING (key)
+            WHERE h._hit_rank <= 2
         """,
         # range buckets: from inclusive / to exclusive, ES "from-to"
         # default keys, overlapping ranges count a doc in each; stats

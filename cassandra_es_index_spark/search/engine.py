@@ -1639,4 +1639,43 @@ class SearchEngine:
                 order_exprs.append(F.asc_nulls_last(kname))
             else:
                 order_exprs.append(F.asc_nulls_last(kname))
+
+        th = levels[-1].top_hits
+        if th is not None:
+            # ES top_hits on the innermost level: rank the bucket's docs
+            # under the top_hits sort (keys appended as tiebreak), keep
+            # the top `size` per bucket — ONE window partitioned by the
+            # full bucket path (groupBy-shaped shuffle) — and flatten as
+            # one row per hit joined onto the bucket row.
+            all_keys = [level_names(j)[0] for j in range(len(levels))]
+            for s in th.source:
+                if s not in filtered.columns:
+                    raise es_dsl.DslError(
+                        f"top_hits _source field {s!r} does not exist")
+            src_cols = list(th.source) if th.source else \
+                [c for c in filtered.columns if not c.startswith("_bk")]
+            for nm in src_cols + ["_hit_rank"]:
+                if nm in seen:
+                    raise es_dsl.DslError(
+                        f"duplicate column {nm!r} between top_hits "
+                        "_source and the flattened aggs")
+            hit_order = [(comp.resolve(f).col, asc, nf)
+                         for f, asc, nf in th.sort] + \
+                [(F.col(kc), True, True) for kc in spec.key_columns]
+            hsrc = src
+            for g in [g for g in level_gate if g is not None]:
+                hsrc = hsrc.where(g)
+            w = Window.partitionBy(*[level_key[j]
+                                     for j in range(len(levels))]) \
+                      .orderBy(*self._sort_exprs(hit_order))
+            ranked = (hsrc.withColumn("_hit_rank", F.row_number().over(w))
+                          .where(F.col("_hit_rank") <= th.size))
+            hits = ranked.select(
+                *[level_key[j].alias(all_keys[j])
+                  for j in range(len(levels))],
+                *src_cols, "_hit_rank")
+            # only hits of SURVIVING buckets (terms top-size etc.)
+            hits = hits.join(selected, on=all_keys, how="left_semi")
+            out = out.join(hits, on=all_keys, how="left")
+            order_exprs.append(F.asc_nulls_last("_hit_rank"))
         return out.orderBy(*order_exprs)

@@ -85,6 +85,19 @@ class MetricAgg:
 
 
 @dataclass(frozen=True)
+class TopHits:
+    """ES ``top_hits`` sub-agg: the top ``size`` documents per bucket
+    under ``sort`` (primary key appended as tiebreak; default ordering is
+    key asc), flattened as one output row per hit with ``_hit_rank``.
+    ``source`` limits the emitted document columns (ES ``_source``
+    filtering); empty = all document columns. Allowed only on the
+    innermost bucket level."""
+    size: int = 3
+    sort: tuple[tuple[str, bool, bool], ...] = ()
+    source: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class BucketAgg:
     """One bucket aggregation with optional metric sub-aggs."""
     name: str
@@ -114,6 +127,8 @@ class BucketAgg:
     # values > 1 change the result)
     min_doc_count: int | None = None
     metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
+    # ES top_hits sub-agg (innermost level only)
+    top_hits: TopHits | None = None
     # one nested sub-bucket per level, nesting to arbitrary depth — ES
     # sub-aggregations; executed flattened: (key, doc_count, sub_key,
     # sub_doc_count, sub2_key, sub2_doc_count, …, metrics per level)
@@ -228,6 +243,23 @@ def _sort(spec: Any) -> tuple[tuple[str, bool, bool], ...]:
     return tuple(out)
 
 
+def _top_hits(name: str, body: Any) -> TopHits:
+    if not isinstance(body, dict):
+        raise DslError(f"top_hits agg {name!r} needs an object")
+    size = body.get("size", 3)
+    if not isinstance(size, int) or size <= 0:
+        raise DslError(f"top_hits agg {name!r}: size must be positive")
+    source = body.get("_source", [])
+    if isinstance(source, str):
+        source = [source]
+    if not isinstance(source, list) or not all(
+            isinstance(s, str) for s in source):
+        raise DslError(f"top_hits agg {name!r}: _source must be "
+                       "a field name or list of field names")
+    return TopHits(size=size, sort=_sort(body.get("sort")),
+                   source=tuple(source))
+
+
 def _ranges(name: str,
             spec: Any) -> tuple[tuple[str, float | None, float | None], ...]:
     """ES range-agg ``ranges``: each entry has ``from`` (inclusive)
@@ -322,12 +354,19 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         sub_specs = dict(body.get("aggs") or {})
         sub_bucket = None
         bucket_subs = []
-        for n, sp in sub_specs.items():
+        top_hits = None
+        for n, sp in list(sub_specs.items()):
             if not isinstance(sp, dict) or not sp:
                 raise DslError(f"agg {n!r} must be an object")
             kind = next((k for k in sp if k != "aggs"), None)
             if kind is None:
                 raise DslError(f"agg {n!r} has no aggregation clause")
+            if kind == "top_hits":
+                if top_hits is not None:
+                    raise DslError("at most one top_hits per bucket level")
+                top_hits = _top_hits(n, sp[kind])
+                sub_specs.pop(n)
+                continue
             if kind in _BUCKET_KINDS:
                 bucket_subs.append(n)
         if bucket_subs:
@@ -379,6 +418,9 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         mdc = params.get("min_doc_count")
         if mdc is not None and (not isinstance(mdc, int) or mdc < 0):
             raise DslError("min_doc_count must be a non-negative integer")
+        if top_hits is not None and sub_bucket is not None:
+            raise DslError("top_hits is supported on the innermost "
+                           "bucket level only")
         return BucketAgg(
             name=name, kind=first_kind,
             field=params.get("field", ""),
@@ -392,6 +434,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             missing=params.get("missing"),
             min_doc_count=mdc,
             metrics=metrics,
+            top_hits=top_hits,
             sub=sub_bucket)
     # metrics-only request: every entry must be a metric
     return tuple(_metric(n, s) for n, s in entries)

@@ -1525,6 +1525,35 @@ def test_percentiles_exact_and_approx(spark):
     assert 49 <= row2["vp_p50"] <= 52            # sketch: approximate
 
 
+def test_top_hits_per_bucket(spark):
+    """ES top_hits: the top `size` docs per bucket under the sub-agg's
+    own sort, flattened one row per hit with _hit_rank; only surviving
+    buckets carry hits; _source limits the emitted columns."""
+    df = spark.createDataFrame(
+        [("1", "a", 10), ("2", "a", 30), ("3", "a", 20),
+         ("4", "b", 5), ("5", None, 99)],
+        "id string, g string, n int")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("th", ["id"]))
+    q = ('{"aggs":{"by_g":{"terms":{"field":"g"},'
+         '"aggs":{"top":{"top_hits":{"size":2,'
+         '"sort":[{"n":"desc"}],"_source":["id","n"]}},'
+         '"max_n":{"max":{"field":"n"}}}}}}')
+    rows = eng.search_aggs("th", q).collect()
+    assert [(r["key"], r["_hit_rank"], r["id"], r["n"], r["max_n"])
+            for r in rows] == [
+        ("a", 1, "2", 30, 30), ("a", 2, "3", 20, 30),
+        ("b", 1, "4", 5, 5)]
+    # top_hits under a NON-innermost level is rejected
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    import pytest as _pytest
+    with _pytest.raises(DslError, match="innermost"):
+        eng.search_aggs("th", (
+            '{"aggs":{"a":{"terms":{"field":"g"},'
+            '"aggs":{"t":{"top_hits":{}},'
+            '"b":{"terms":{"field":"id"}}}}}}'))
+
+
 def test_terms_missing_and_min_doc_count(spark):
     """`missing` buckets null field values under a substitute key;
     `min_doc_count` drops buckets below the floor."""
