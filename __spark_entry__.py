@@ -356,6 +356,21 @@ def q_search_top_hits(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_search_pipeline_aggs(spark, sf_dir):
+    # date_histogram with explicit min_doc_count 0 (gap days materialize
+    # as empty buckets) + ES pipeline aggs over the key-ordered frame:
+    # cumulative_sum and derivative of the bucket doc_count
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"error"}},'
+         '"aggs":{"daily":{"date_histogram":{"field":"ts",'
+         '"calendar_interval":"day","min_doc_count":0},'
+         '"aggs":{"cum":{"cumulative_sum":{"buckets_path":"_count"}},'
+         '"diff":{"derivative":{"buckets_path":"_count"}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return (out.withColumn("cum", F.col("cum").cast("long"))
+               .withColumn("diff", F.col("diff").cast("long")))
+
+
 def q_search_aggs_range_stats(spark, sf_dir):
     # ES range buckets (from inclusive / to exclusive, keyed + OVERLAPPING
     # ranges — a doc in two ranges counts in both) with a `stats` metric
@@ -1126,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (oracle present — pytest-checked; window-capped only)
         "search_top_hits": q_search_top_hits,  # ~ search_aggs_nested3
         #   (oracle present — pytest-checked; window-capped only)
+        "search_pipeline_aggs": q_search_pipeline_aggs,  # ~ events_date_histogram
+        #   (oracle present — pytest-checked; window-capped only)
     }
 
 
@@ -1351,6 +1368,37 @@ def oracle_sql() -> dict[str, str]:
             FROM l0
             LEFT JOIN l1 USING (key)
             LEFT JOIN l2 ON l2.key = l0.key AND l2.sub_key = l1.sub_key
+        """,
+        # empty-bucket materialization + pipeline aggs: generate_series
+        # fills gap days, cumulative_sum / derivative over the ordered
+        # bucket frame (derivative null at the first bucket)
+        "search_pipeline_aggs": r"""
+            WITH m AS (
+                SELECT date_trunc('day', ts) AS key,
+                       COUNT(*)::BIGINT AS doc_count
+                FROM events
+                WHERE len(regexp_extract_all(event_type,
+                                             '(?i)\berror\b')) > 0
+                  AND ts IS NOT NULL
+                GROUP BY 1
+            ),
+            b AS (SELECT MIN(key) AS lo, MAX(key) AS hi FROM m),
+            keys AS (
+                SELECT unnest(generate_series(lo, hi,
+                                              INTERVAL 1 DAY)) AS key
+                FROM b
+            ),
+            f AS (
+                SELECT k.key, COALESCE(m.doc_count, 0)::BIGINT AS doc_count
+                FROM keys k LEFT JOIN m USING (key)
+            )
+            SELECT key, doc_count,
+                   (SUM(doc_count) OVER (
+                        ORDER BY key ROWS UNBOUNDED PRECEDING))::BIGINT
+                       AS cum,
+                   (doc_count - LAG(doc_count) OVER (ORDER BY key))::BIGINT
+                       AS diff
+            FROM f
         """,
         # top_hits: per-bucket top-2 docs by n_chars desc (key-asc
         # tiebreak), only surviving (top-5) buckets carry hits

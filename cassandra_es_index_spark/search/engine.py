@@ -1542,7 +1542,8 @@ class SearchEngine:
         seen: set[str] = set()
         for i, lv in enumerate(levels):
             for nm in level_names(i) + tuple(
-                    n for m in lv.metrics for n in m.out_names()):
+                    n for m in lv.metrics for n in m.out_names()) + tuple(
+                    n for n, _, _ in lv.pipelines):
                 if nm in seen:
                     raise es_dsl.DslError(
                         f"duplicate column {nm!r} in flattened aggs")
@@ -1639,6 +1640,100 @@ class SearchEngine:
                 order_exprs.append(F.asc_nulls_last(kname))
             else:
                 order_exprs.append(F.asc_nulls_last(kname))
+
+        lv0 = levels[0]
+        if len(levels) == 1 and lv0.min_doc_count == 0 \
+                and lv0.kind in ("histogram", "date_histogram"):
+            # ES `min_doc_count: 0` (explicitly requested — the engine's
+            # default keeps observed buckets only, documented deviation):
+            # materialize EMPTY buckets across the observed key span,
+            # widened by `extended_bounds`. The key sequence generates
+            # JVM-side from ONE bounds row (agg → sequence → explode),
+            # then the computed buckets left-join on — no corpus rescan,
+            # and the generated side is bucket-count-sized.
+            bounds = out.agg(F.min("key").alias("lo"),
+                             F.max("key").alias("hi"))
+            if lv0.kind == "histogram":
+                step = float(lv0.interval)
+
+                def align_h(c):
+                    return F.floor(c / F.lit(step)) * F.lit(step)
+                if lv0.extended_bounds is not None:
+                    lo_e, hi_e = lv0.extended_bounds
+                    bounds = bounds.select(
+                        F.least(F.col("lo"),
+                                align_h(F.lit(float(lo_e)))).alias("lo"),
+                        F.greatest(F.col("hi"),
+                                   align_h(F.lit(float(hi_e)))).alias("hi"))
+                keys_df = bounds.select(F.explode(F.transform(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.floor((F.col("hi") - F.col("lo")) / F.lit(step))
+                         .cast("long")),
+                    lambda i: F.col("lo")
+                    + i.cast("double") * F.lit(step))).alias("key"))
+            elif lv0.fixed_interval is not None:
+                secs = _fixed_interval_seconds(lv0.fixed_interval)
+
+                def align_f(c):
+                    return F.timestamp_seconds(
+                        F.floor(F.unix_seconds(c.cast("timestamp"))
+                                / F.lit(secs)) * F.lit(secs))
+                if lv0.extended_bounds is not None:
+                    lo_e, hi_e = lv0.extended_bounds
+                    bounds = bounds.select(
+                        F.least(F.col("lo"),
+                                align_f(F.lit(lo_e))).alias("lo"),
+                        F.greatest(F.col("hi"),
+                                   align_f(F.lit(hi_e))).alias("hi"))
+                keys_df = bounds.select(F.explode(F.transform(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.floor((F.unix_seconds(F.col("hi"))
+                                 - F.unix_seconds(F.col("lo")))
+                                / F.lit(secs)).cast("long")),
+                    lambda i: F.timestamp_seconds(
+                        F.unix_seconds(F.col("lo"))
+                        + i * F.lit(secs)))).alias("key"))
+            else:
+                step_expr = {
+                    "minute": "interval 1 minute", "hour": "interval 1 hour",
+                    "day": "interval 1 day", "week": "interval 7 days",
+                    "month": "interval 1 month",
+                    "quarter": "interval 3 months",
+                    "year": "interval 1 year",
+                }[lv0.calendar_interval]
+                if lv0.extended_bounds is not None:
+                    lo_e, hi_e = lv0.extended_bounds
+
+                    def align_c(v):
+                        return F.date_trunc(lv0.calendar_interval,
+                                            F.lit(v).cast("timestamp"))
+                    bounds = bounds.select(
+                        F.least(F.col("lo"), align_c(lo_e)).alias("lo"),
+                        F.greatest(F.col("hi"), align_c(hi_e)).alias("hi"))
+                keys_df = bounds.select(F.explode(F.sequence(
+                    F.col("lo"), F.col("hi"),
+                    F.expr(step_expr))).alias("key"))
+            out = (keys_df.join(out, on="key", how="left")
+                   .withColumn("doc_count",
+                               F.coalesce("doc_count",
+                                          F.lit(0).cast("long"))))
+
+        if len(levels) == 1 and lv0.pipelines:
+            # ES pipeline aggs over the key-ordered bucket frame. The
+            # global window is bounded by bucket cardinality (never
+            # corpus-sized) — same justification as the post-limit RANK
+            # windows in search().
+            wseq = Window.orderBy(F.asc("key"))
+            for pn, pk, path in lv0.pipelines:
+                vcol = F.col("doc_count") if path == "_count" \
+                    else F.col(path)
+                if pk == "cumulative_sum":
+                    out = out.withColumn(pn, F.sum(vcol).over(
+                        wseq.rowsBetween(Window.unboundedPreceding, 0)))
+                else:  # derivative — ES: null for the first bucket
+                    out = out.withColumn(pn, vcol - F.lag(vcol, 1).over(wseq))
 
         th = levels[-1].top_hits
         if th is not None:

@@ -36,6 +36,9 @@ class DslError(ValueError):
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "percentiles")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters")
+# ES pipeline aggs computed OVER the bucket frame (single-level only):
+# value per bucket from a sibling metric (or "_count")
+_PIPELINE_KINDS = ("cumulative_sum", "derivative")
 # ES default percents for the percentiles agg
 _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
@@ -129,6 +132,12 @@ class BucketAgg:
     metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
     # ES top_hits sub-agg (innermost level only)
     top_hits: TopHits | None = None
+    # ES pipeline aggs ((name, kind, buckets_path), ...) — cumulative_sum
+    # / derivative over the key-ordered bucket frame; single level only
+    pipelines: tuple[tuple[str, str, str], ...] = ()
+    # ES extended_bounds {"min":…, "max":…} — with min_doc_count 0 the
+    # materialized empty-bucket span widens to cover these bounds
+    extended_bounds: tuple[Any, Any] | None = None
     # one nested sub-bucket per level, nesting to arbitrary depth — ES
     # sub-aggregations; executed flattened: (key, doc_count, sub_key,
     # sub_doc_count, sub2_key, sub2_doc_count, …, metrics per level)
@@ -355,6 +364,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         sub_bucket = None
         bucket_subs = []
         top_hits = None
+        pipelines: list[tuple[str, str, str]] = []
         for n, sp in list(sub_specs.items()):
             if not isinstance(sp, dict) or not sp:
                 raise DslError(f"agg {n!r} must be an object")
@@ -365,6 +375,15 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 if top_hits is not None:
                     raise DslError("at most one top_hits per bucket level")
                 top_hits = _top_hits(n, sp[kind])
+                sub_specs.pop(n)
+                continue
+            if kind in _PIPELINE_KINDS:
+                pbody = sp[kind]
+                if not isinstance(pbody, dict) \
+                        or "buckets_path" not in pbody:
+                    raise DslError(f"pipeline agg {n!r} needs a "
+                                   "'buckets_path'")
+                pipelines.append((n, kind, str(pbody["buckets_path"])))
                 sub_specs.pop(n)
                 continue
             if kind in _BUCKET_KINDS:
@@ -421,6 +440,25 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         if top_hits is not None and sub_bucket is not None:
             raise DslError("top_hits is supported on the innermost "
                            "bucket level only")
+        if pipelines:
+            if sub_bucket is not None:
+                raise DslError("pipeline aggs are supported on "
+                               "single-level buckets only")
+            if first_kind not in ("histogram", "date_histogram"):
+                raise DslError("pipeline aggs need an ordered histogram/"
+                               "date_histogram bucket (ES requirement)")
+            valid_paths = {"_count"} | {m.name for m in metrics}
+            for pn, _pk, path in pipelines:
+                if path not in valid_paths:
+                    raise DslError(f"pipeline agg {pn!r}: unknown "
+                                   f"buckets_path {path!r}")
+        eb = None
+        if "extended_bounds" in params:
+            ebs = params["extended_bounds"]
+            if not isinstance(ebs, dict) \
+                    or "min" not in ebs or "max" not in ebs:
+                raise DslError("extended_bounds needs {'min': …, 'max': …}")
+            eb = (ebs["min"], ebs["max"])
         return BucketAgg(
             name=name, kind=first_kind,
             field=params.get("field", ""),
@@ -435,6 +473,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             min_doc_count=mdc,
             metrics=metrics,
             top_hits=top_hits,
+            pipelines=tuple(pipelines),
+            extended_bounds=eb,
             sub=sub_bucket)
     # metrics-only request: every entry must be a metric
     return tuple(_metric(n, s) for n, s in entries)

@@ -1525,6 +1525,49 @@ def test_percentiles_exact_and_approx(spark):
     assert 49 <= row2["vp_p50"] <= 52            # sketch: approximate
 
 
+def test_histogram_min_doc_count_zero_materializes_empty(spark):
+    """Explicit `min_doc_count: 0` materializes EMPTY buckets across the
+    observed span (the engine default keeps observed buckets only —
+    documented deviation from ES's default 0); extended_bounds widens
+    the span; pipeline aggs see the empty buckets."""
+    df = spark.createDataFrame(
+        [("1", 10.0), ("2", 15.0), ("3", 55.0)], "id string, v double")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("hmz", ["id"]))
+    q = ('{"aggs":{"by_v":{"histogram":{"field":"v","interval":10,'
+         '"min_doc_count":0}}}}')
+    rows = [(r["key"], r["doc_count"])
+            for r in eng.search_aggs("hmz", q).collect()]
+    assert rows == [(10.0, 2), (20.0, 0), (30.0, 0), (40.0, 0), (50.0, 1)]
+    q2 = ('{"aggs":{"by_v":{"histogram":{"field":"v","interval":10,'
+          '"min_doc_count":0,"extended_bounds":{"min":0,"max":75}}}}}')
+    rows2 = [(r["key"], r["doc_count"])
+             for r in eng.search_aggs("hmz", q2).collect()]
+    assert rows2[0] == (0.0, 0) and rows2[-1] == (70.0, 0)
+    assert len(rows2) == 8
+
+
+def test_date_histogram_empty_buckets_and_pipelines(spark):
+    """Calendar date_histogram with min_doc_count 0 fills day gaps;
+    cumulative_sum and derivative run over the key-ordered frame
+    (derivative null at the first bucket, like ES)."""
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("1", dt.datetime(2024, 1, 1)), ("2", dt.datetime(2024, 1, 1)),
+         ("3", dt.datetime(2024, 1, 4))],
+        "id string, ts timestamp")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("dhz", ["id"]))
+    q = ('{"aggs":{"daily":{"date_histogram":{"field":"ts",'
+         '"calendar_interval":"day","min_doc_count":0},'
+         '"aggs":{"cum":{"cumulative_sum":{"buckets_path":"_count"}},'
+         '"diff":{"derivative":{"buckets_path":"_count"}}}}}}')
+    rows = [(r["key"].day, r["doc_count"], r["cum"], r["diff"])
+            for r in eng.search_aggs("dhz", q).collect()]
+    assert rows == [(1, 2, 2, None), (2, 0, 2, -2),
+                    (3, 0, 2, 0), (4, 1, 3, 1)]
+
+
 def test_top_hits_per_bucket(spark):
     """ES top_hits: the top `size` docs per bucket under the sub-agg's
     own sort, flattened one row per hit with _hit_rank; only surviving
