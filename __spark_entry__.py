@@ -356,6 +356,22 @@ def q_search_top_hits(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_search_composite_aggs(spark, sf_dir):
+    # ES composite agg: (lang, source) buckets in lexicographic order
+    # with an `after` keyset cursor — the filter applies BEFORE the
+    # aggregation, so deep pages prune the scan (the scalable
+    # walk-every-bucket shape)
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"comp":{"composite":{"size":50,"sources":['
+         '{"l":{"terms":{"field":"lang"}}},'
+         '{"s":{"terms":{"field":"source"}}}],'
+         '"after":{"l":"de","s":"src5"}},'
+         '"aggs":{"avg_chars":{"avg":{"field":"n_chars"}}}}}}')
+    out = eng.search_aggs("documents", q, default_field="text")
+    return out.withColumn("avg_chars", F.round("avg_chars", 4))
+
+
 def q_search_pipeline_aggs(spark, sf_dir):
     # date_histogram with explicit min_doc_count 0 (gap days materialize
     # as empty buckets) + ES pipeline aggs over the key-ordered frame:
@@ -1143,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (oracle present — pytest-checked; window-capped only)
         "search_pipeline_aggs": q_search_pipeline_aggs,  # ~ events_date_histogram
         #   (oracle present — pytest-checked; window-capped only)
+        "search_composite_aggs": q_search_composite_aggs,  # ~ search_page_after
+        #   (oracle present — pytest-checked; window-capped only)
     }
 
 
@@ -1368,6 +1386,18 @@ def oracle_sql() -> dict[str, str]:
             FROM l0
             LEFT JOIN l1 USING (key)
             LEFT JOIN l2 ON l2.key = l0.key AND l2.sub_key = l1.sub_key
+        """,
+        # composite buckets: all (lang, source) combinations past the
+        # (de, src5) cursor, lexicographic order, capped at 50
+        "search_composite_aggs": """
+            SELECT lang AS l, source AS s, COUNT(*)::BIGINT AS doc_count,
+                   ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+              AND (lang > 'de' OR (lang = 'de' AND source > 'src5'))
+            GROUP BY lang, source
+            ORDER BY l ASC, s ASC
+            LIMIT 50
         """,
         # empty-bucket materialization + pipeline aggs: generate_series
         # fills gap days, cumulative_sum / derivative over the ordered

@@ -1513,6 +1513,54 @@ class SearchEngine:
             return filtered.agg(
                 *[c for m in aggs for c in metric_cols(m)])
 
+        if isinstance(aggs, es_dsl.CompositeAgg):
+            # ES composite agg = Spark groupBy + keyset pagination: ALL
+            # distinct source-key combinations, lexicographic order,
+            # `after` cursor + size. The keyset filter applies BEFORE the
+            # aggregation, on the key EXPRESSIONS — page N prunes the
+            # scan/shuffle input to the remaining key range instead of
+            # aggregating everything and discarding (the property that
+            # makes walking every bucket of a 100 TB table feasible).
+            from pyspark.sql import types as T
+            key_exprs: list[Column] = []
+            raw_ordering: list[tuple[Column, bool, bool]] = []
+            out_ordering: list[tuple[Column, bool, bool]] = []
+            anchor_types: list = []
+            gate: Column | None = None
+            for s in aggs.sources:
+                ref = comp.resolve(s.field)
+                if s.kind == "terms":
+                    k = ref.col
+                    anchor_types.append(ref.dtype)
+                elif s.kind == "histogram":
+                    k = (F.floor(ref.col / F.lit(float(s.interval)))
+                         * F.lit(float(s.interval)))
+                    anchor_types.append(T.DoubleType())
+                elif s.calendar_interval is not None:
+                    k = F.date_trunc(s.calendar_interval, ref.col)
+                    anchor_types.append(T.TimestampType())
+                else:
+                    secs = _fixed_interval_seconds(s.fixed_interval)
+                    k = F.timestamp_seconds(
+                        F.floor(F.unix_seconds(ref.col.cast("timestamp"))
+                                / F.lit(secs)) * F.lit(secs))
+                    anchor_types.append(T.TimestampType())
+                key_exprs.append(k)
+                raw_ordering.append((k, s.asc, False))
+                out_ordering.append((F.col(s.name), s.asc, False))
+                g = ref.col.isNotNull()
+                gate = g if gate is None else gate & g
+            src = filtered.where(gate)
+            if aggs.after is not None:
+                src = src.where(self._keyset_filter(
+                    raw_ordering, aggs.after, anchor_types))
+            grp = (src.groupBy(*[k.alias(s.name) for k, s in
+                                 zip(key_exprs, aggs.sources)])
+                   .agg(F.count("*").cast("long").alias("doc_count"),
+                        *[c for m in aggs.metrics for c in metric_cols(m)]))
+            return (grp.orderBy(*self._sort_exprs(out_ordering))
+                       .limit(aggs.size))
+
         # Bucket aggs at ARBITRARY nesting depth (ES nests freely:
         # terms > date_histogram > terms > metrics), flattened: one row
         # per leaf bucket path, ancestor columns repeated, childless

@@ -145,12 +145,41 @@ class BucketAgg:
 
 
 @dataclass(frozen=True)
+class CompositeSource:
+    """One composite-agg source: terms / histogram / date_histogram over
+    a field, ascending by default (``order: desc`` flips it)."""
+    name: str
+    kind: str       # terms | histogram | date_histogram
+    field: str
+    interval: float | None = None
+    calendar_interval: str | None = None
+    fixed_interval: str | None = None
+    asc: bool = True
+
+
+@dataclass(frozen=True)
+class CompositeAgg:
+    """ES ``composite`` agg: ALL distinct combinations of the source
+    keys (docs with a null source value drop out — ES's default without
+    ``missing_bucket``), ordered lexicographically by the source tuple,
+    paged with ``size`` + ``after`` keyset cursor — the ES-recommended
+    way to walk every bucket at scale, and exactly a Spark
+    groupBy + keyset filter + ordered limit (no top-size truncation,
+    pages cost the same at any depth)."""
+    name: str
+    sources: tuple[CompositeSource, ...]
+    size: int = 10
+    after: tuple[Any, ...] | None = None   # one anchor per source, in order
+    metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
 class Request:
     """A parsed search request body."""
     node: Node
     size: int | None = None
     from_: int = 0   # ES `from` offset (shallow pagination)
-    aggs: BucketAgg | tuple[MetricAgg, ...] | None = None
+    aggs: "BucketAgg | CompositeAgg | tuple[MetricAgg, ...] | None" = None
     # (field, ascending, nulls_first); nulls_first defaults to False —
     # ES defaults `missing` to `_last` for BOTH directions — and the
     # explicit `missing` param (`_first`/`_last`) overrides it
@@ -346,6 +375,68 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         if first_kind is None:
             raise DslError(f"agg {name!r} has no aggregation clause")
         break
+    if first_kind == "composite":
+        if len(entries) != 1:
+            raise DslError("exactly one bucket agg is supported per request")
+        name, body = entries[0]
+        extra = set(body) - {"composite", "aggs"}
+        if extra:
+            raise DslError(f"unexpected keys {sorted(extra)} in composite "
+                           f"agg {name!r}")
+        params = body["composite"]
+        if not isinstance(params, dict) \
+                or not isinstance(params.get("sources"), list) \
+                or not params["sources"]:
+            raise DslError(f"composite agg {name!r} needs a non-empty "
+                           "'sources' list")
+        sources: list[CompositeSource] = []
+        for s in params["sources"]:
+            if not isinstance(s, dict) or len(s) != 1:
+                raise DslError("each composite source must be "
+                               "{name: {kind: {...}}}")
+            (sname, sbody), = s.items()
+            if not isinstance(sbody, dict) or len(sbody) != 1:
+                raise DslError(f"composite source {sname!r} must have "
+                               "exactly one kind")
+            (skind, sparams), = sbody.items()
+            if skind not in ("terms", "histogram", "date_histogram"):
+                raise DslError(
+                    f"unsupported composite source kind {skind!r}")
+            if not isinstance(sparams, dict) or "field" not in sparams:
+                raise DslError(f"composite source {sname!r} needs a 'field'")
+            if skind == "histogram" and "interval" not in sparams:
+                raise DslError("histogram source needs an 'interval'")
+            if skind == "date_histogram" \
+                    and "calendar_interval" not in sparams \
+                    and "fixed_interval" not in sparams:
+                raise DslError("date_histogram source needs a "
+                               "'calendar_interval' or 'fixed_interval'")
+            order = sparams.get("order", "asc")
+            if order not in ("asc", "desc"):
+                raise DslError(f"bad source order {order!r}")
+            sources.append(CompositeSource(
+                sname, skind, sparams["field"],
+                interval=sparams.get("interval"),
+                calendar_interval=sparams.get("calendar_interval"),
+                fixed_interval=sparams.get("fixed_interval"),
+                asc=order == "asc"))
+        names = [s.name for s in sources]
+        if len(set(names)) != len(names):
+            raise DslError("duplicate composite source names")
+        size = params.get("size", 10)
+        if not isinstance(size, int) or size <= 0:
+            raise DslError("composite size must be a positive integer")
+        after = None
+        if "after" in params:
+            aspec = params["after"]
+            if not isinstance(aspec, dict) or set(aspec) != set(names):
+                raise DslError("composite 'after' must provide one value "
+                               "per source")
+            after = tuple(aspec[n] for n in names)
+        metrics = tuple(_metric(n, sp)
+                        for n, sp in (body.get("aggs") or {}).items())
+        return CompositeAgg(name, tuple(sources), size=size,
+                            after=after, metrics=metrics)
     if first_kind in _BUCKET_KINDS:
         if len(entries) != 1:
             raise DslError("exactly one bucket agg is supported per request")

@@ -1568,6 +1568,37 @@ def test_date_histogram_empty_buckets_and_pipelines(spark):
                     (3, 0, 2, 0), (4, 1, 3, 1)]
 
 
+def test_composite_agg_pages_all_buckets(spark):
+    """ES composite agg: every distinct source combination in
+    lexicographic order, `after` keyset cursor + size pages through ALL
+    buckets (no top-size truncation); docs with a null source drop."""
+    df = spark.createDataFrame(
+        [("1", "a", 10), ("2", "a", 10), ("3", "a", 25),
+         ("4", "b", 5), ("5", None, 7)],
+        "id string, g string, v int")
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("camp", ["id"]))
+    q = ('{"aggs":{"comp":{"composite":{"size":2,"sources":['
+         '{"grp":{"terms":{"field":"g"}}},'
+         '{"bucket":{"histogram":{"field":"v","interval":10}}}]},'
+         '"aggs":{"sum_v":{"sum":{"field":"v"}}}}}}')
+    page1 = eng.search_aggs("camp", q).collect()
+    assert [(r["grp"], r["bucket"], r["doc_count"], r["sum_v"])
+            for r in page1] == [("a", 10.0, 2, 20), ("a", 20.0, 1, 25)]
+    q2 = ('{"aggs":{"comp":{"composite":{"size":2,"sources":['
+          '{"grp":{"terms":{"field":"g"}}},'
+          '{"bucket":{"histogram":{"field":"v","interval":10}}}],'
+          '"after":{"grp":"a","bucket":20.0}},'
+          '"aggs":{"sum_v":{"sum":{"field":"v"}}}}}}')
+    page2 = eng.search_aggs("camp", q2).collect()
+    assert [(r["grp"], r["bucket"]) for r in page2] == [("b", 0.0)]
+    # the after cursor prunes BEFORE aggregation: the plan filters the
+    # scan on the key expressions, not the aggregated output
+    plan = eng.search_aggs("camp", q2)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert plan.index("Aggregate") < plan.index("Filter")
+
+
 def test_top_hits_per_bucket(spark):
     """ES top_hits: the top `size` docs per bucket under the sub-agg's
     own sort, flattened one row per hit with _hit_rank; only surviving
