@@ -1075,13 +1075,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wildcard": q_search_wildcard,
         "search_phrase": q_search_phrase,
         "search_fuzzy_boost": q_search_fuzzy_boost,
-        "search_slop_phrase": q_search_slop_phrase,
         "search_dsl_range": q_search_dsl_range,
         "search_dsl_must_should": q_search_dsl_must_should,
-        "search_dsl_terms": q_search_dsl_terms,
         "search_exists": q_search_exists,
         "search_dsl_sorted": q_search_dsl_sorted,
         "search_page_after": q_search_page_after,
+        "search_collapse": q_search_collapse,    # field collapsing (r5)
+        "search_top_hits": q_search_top_hits,    # top_hits sub-agg (r5)
+        "search_pipeline_aggs": q_search_pipeline_aggs,  # cumsum/deriv (r5)
+        "search_composite_aggs": q_search_composite_aggs,  # keyset aggs (r5)
         "search_aggs_nested3": q_search_aggs_nested3,  # 3-level flatten-join
         "search_mlt": q_search_mlt,          # tf·idf pick, oracle-backed
         "search_suggest": q_search_suggest,  # dictionary completion, oracle
@@ -1095,10 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_grouping": q_doc_grouping,
         "segment_assignment": q_segment_assignment,
         "ttl_expired": q_ttl_expired,
-        "hex_keys": q_hex_keys,
         # --- events: windows, sessionization, JSON props ---
         "events_date_histogram": q_events_date_histogram,
-        "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
         # --- relational: TPC-H, joins, setops, grouping sets ---
@@ -1128,9 +1128,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,  # no-oracle; grades all approx tiers
         # ---- tail marker: positions 51+ are NOT oracle-checked by the
         # driver (50-entry cap). Every entry below is either a redundant
-        # variant of an in-window sibling (green in CORRECTNESS_r03,
-        # pytest-covered) or a probabilistic tier graded by ann_recall /
-        # property tests. ----
+        # variant of an in-window sibling (green in a prior round's
+        # CORRECTNESS record and pytest-covered) or a probabilistic tier
+        # graded by ann_recall / property tests. ----
+        "search_slop_phrase": q_search_slop_phrase,  # ~ search_phrase
+        #   (green r04; slop semantics pinned by property tests)
+        "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
+        #   (green r04; P2 family has 5 in-window reps)
+        "events_tumbling": q_events_tumbling,  # ~ events_sessionize
+        #   (green r04; windowing family kept by sessionize + date_histogram)
+        "hex_keys": q_hex_keys,  # F8 hex family — green r01-r04, golden
+        #   vectors in pytest
         "search_wildcard_mid": q_search_wildcard_mid,   # ~ search_wildcard
         "search_dsl_aggs": q_search_dsl_aggs,  # ~ search_aggs_nested3
         #   (single-level terms+metrics subset of the 3-level query)
@@ -1153,14 +1161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,  # graded by ann_recall
         "similarity_ivf_disk": q_similarity_ivf_disk,  # benched cold path
         "multimodal_features": q_multimodal_features,  # stub codecs (env)
-        "search_collapse": q_search_collapse,  # ~ search_dsl_sorted
-        #   (oracle present — pytest-checked; window-capped only)
-        "search_top_hits": q_search_top_hits,  # ~ search_aggs_nested3
-        #   (oracle present — pytest-checked; window-capped only)
-        "search_pipeline_aggs": q_search_pipeline_aggs,  # ~ events_date_histogram
-        #   (oracle present — pytest-checked; window-capped only)
-        "search_composite_aggs": q_search_composite_aggs,  # ~ search_page_after
-        #   (oracle present — pytest-checked; window-capped only)
     }
 
 
