@@ -35,6 +35,20 @@ from pyspark.sql.functions import pandas_udf
 from cassandra_es_index_spark.functions.text import fingerprint, shingles, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input's planned parallelism
+    is below the cluster's (single-file local reads, tiny cached inputs):
+    the compute-heavy maps downstream — shingling, seeded hashing,
+    ``array_distinct`` over shingle sets — must be sized by CPU, not by
+    input file count, or a 1-file corpus runs them on 1 core. At scale
+    (input partitions ≥ defaultParallelism, the normal case for a large
+    parquet table) this is a no-op and adds no shuffle."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group rows by content fingerprint.
 
@@ -71,6 +85,7 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     stopword-only near-dups. Pass None for strictly exact semantics, or an
     int to pin the cutoff.
     """
+    df = _spread(df)
     if max_token_df == "auto":
         n_docs = df.count()
         cutoff = max(auto_floor, int(n_docs * auto_frac))
@@ -151,10 +166,9 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
         feats = tokens(F.col(text_col))  # duplicates don't affect min()
     else:
         raise ValueError(f"unknown minhash unit {unit!r}")
-    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    exploded = (df.repartition(n_part)
-                  .select(F.col(id_col).alias("doc"),
-                          F.explode(feats).alias("sh")))
+    exploded = (_spread(df)
+                .select(F.col(id_col).alias("doc"),
+                        F.explode(feats).alias("sh")))
     return exploded.groupBy("doc").agg(
         F.array(*[
             F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
@@ -224,8 +238,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # true Jaccard (same shape as jaccard_pairs' guarded path)
     feats = (shingles(F.col(text_col), shingle_n) if unit == "shingle"
              else tokens(F.col(text_col)))
-    feat_sets = df.select(F.col(id_col).alias("doc"),
-                          F.array_distinct(feats).alias("fs"))
+    feat_sets = _spread(df).select(F.col(id_col).alias("doc"),
+                                   F.array_distinct(feats).alias("fs"))
     fa = feat_sets.select(F.col("doc").alias("doc_a"), F.col("fs").alias("fs_a"))
     fb = feat_sets.select(F.col("doc").alias("doc_b"), F.col("fs").alias("fs_b"))
     inter = F.size(F.array_intersect("fs_a", "fs_b")).cast("double")
@@ -259,8 +273,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) — near-dups have small hamming distance between
     signatures; pair generation can then band on signature prefixes."""
     simhash_udf = pandas_udf(_simhash_batch, "long")
-    return df.select(F.col(id_col).alias("doc"),
-                     simhash_udf(F.col(text_col)).alias("simhash"))
+    return _spread(df).select(F.col(id_col).alias("doc"),
+                              simhash_udf(F.col(text_col)).alias("simhash"))
 
 
 def _pigeonhole_blocks(max_hamming: int) -> list[tuple[int, int]]:
