@@ -256,6 +256,36 @@ def q_search_dsl_terms(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_dis_max(spark, sf_dir):
+    # ES dis_max (best-field disjunction): score = best subquery +
+    # tie_breaker × the other matching subqueries. Both subqueries are
+    # postings-served token matches; the union+groupBy plan reproduces
+    # the scan's greatest()+tb formula exactly (root-cast truncation).
+    q = ('{"query":{"dis_max":{"tie_breaker":0.5,"queries":['
+         '{"match":{"text":"spark"}},{"match":{"text":"table value"}}]}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
+def q_search_function_score(spark, sf_dir):
+    # ES function_score / field_value_factor: tf(spark) + ln(1 + 0.01 ×
+    # n_chars), boost_mode=sum. Index-served: the match rides the
+    # postings and the n_chars values ride the range index (doc-values
+    # analogue) — no corpus scan.
+    q = ('{"query":{"function_score":{"query":{"match":{"text":"spark"}},'
+         '"field_value_factor":{"field":"n_chars","factor":0.01,'
+         '"modifier":"ln1p","missing":1.0},"boost_mode":"sum"}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
+def q_search_phrase_prefix(spark, sf_dir):
+    # ES match_phrase_prefix: last word matches any token it prefixes
+    # (\btable\s+ta\w*\b), served from the positional index with a
+    # startswith filter on the last slot (unbounded expansion — the
+    # documented superset of ES's max_expansions cap)
+    q = '{"query":{"match_phrase_prefix":{"text":"table ta"}}}'
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_dsl_phrase(spark, sf_dir):
     # ES-DSL match_phrase (engine superset clause) — served from the
     # positional index, same semantics as the query_string phrase form
@@ -1077,6 +1107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy_boost": q_search_fuzzy_boost,
         "search_dsl_range": q_search_dsl_range,
         "search_dsl_must_should": q_search_dsl_must_should,
+        "search_dis_max": q_search_dis_max,            # best-field (r5)
+        "search_function_score": q_search_function_score,  # fvf (r5)
+        "search_phrase_prefix": q_search_phrase_prefix,    # mpp (r5)
         "search_exists": q_search_exists,
         "search_dsl_sorted": q_search_dsl_sorted,
         "search_page_after": q_search_page_after,
@@ -1109,7 +1142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_intersect": q_setop_intersect,
         "window_top_customers": q_window_top_customers,
         "cube_orders": q_cube_orders,
-        "search_aggs_range_stats": q_search_aggs_range_stats,
         "cross_table_union": q_cross_table_union,
         # --- custom operators: as-of, interval join ---
         "asof_last_click": q_asof_last_click,
@@ -1117,14 +1149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis + dedup + similarity ---
         "text_stats": q_text_stats,
         "text_quality_lang": q_text_quality_lang,
-        "text_bpe_tokens": q_text_bpe_tokens,
         "dedup_exact": q_dedup_exact,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,  # no-oracle; rows record
         "similarity_topk": q_similarity_topk,
-        "similarity_knn_join": q_similarity_knn_join,
         "ann_recall": q_ann_recall,  # no-oracle; grades all approx tiers
         # ---- tail marker: positions 51+ are NOT oracle-checked by the
         # driver (50-entry cap). Every entry below is either a redundant
@@ -1133,6 +1163,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded by ann_recall / property tests. ----
         "search_slop_phrase": q_search_slop_phrase,  # ~ search_phrase
         #   (green r04; slop semantics pinned by property tests)
+        "search_aggs_range_stats": q_search_aggs_range_stats,
+        #   (green r04; agg family has nested3/top_hits/pipeline/composite
+        #   in window)
+        "events_date_histogram": q_events_date_histogram,
+        #   (green r04; date_histogram semantics exercised in-window by
+        #   search_pipeline_aggs' bucket stage)
+        "similarity_knn_join": q_similarity_knn_join,  # ~ similarity_topk
+        #   (green r04; same cosine kernel, join variant pytest-covered)
+        "text_bpe_tokens": q_text_bpe_tokens,  # ~ text_stats
+        #   (green r04; tokenizer family kept by text_stats/quality_lang)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1173,6 +1213,9 @@ _SPARK = r"(?i)\bspark\b"
 _QUER = r"(?i)\bquer\w*\b"
 _QUR_MID = r"(?i)\bqu\wr\w*\b"
 _PHRASE = r"(?i)\bvalue\s+table\b"
+_TABLE = r"(?i)\btable\b"
+_VALUE = r"(?i)\bvalue\b"
+_MPP = r"(?i)\btable\s+ta\w*\b"
 _PHRASE_SLOP1 = r"(?i)\bvalue(?:\s+\w+){0,1}\s+table\b"
 _SLOW = r"(?i)\bslow\w*\b"
 _DE = r"(?i)\bde\b"
@@ -1207,6 +1250,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '{_PHRASE}'))::BIGINT AS _score
             FROM documents
             WHERE len(regexp_extract_all(text, '{_PHRASE}')) > 0
+        """,
+        "search_phrase_prefix": f"""
+            SELECT doc_id, len(regexp_extract_all(text, '{_MPP}'))::BIGINT AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_MPP}')) > 0
+        """,
+        # dis_max tie_breaker=0.5: best subquery + 0.5 × the rest, root
+        # truncation (trunc, not round — Spark's double→long cast)
+        "search_dis_max": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::DOUBLE AS s1,
+                       (len(regexp_extract_all(text, '{_TABLE}'))
+                        + len(regexp_extract_all(text, '{_VALUE}')))::DOUBLE AS s2
+                FROM documents)
+            SELECT doc_id,
+                   CAST(trunc(greatest(s1, s2)
+                              + 0.5 * ((s1 + s2) - greatest(s1, s2))) AS BIGINT)
+                       AS _score
+            FROM s
+            WHERE s1 > 0 OR s2 > 0
+        """,
+        # function_score field_value_factor: tf + ln(1 + 0.01×n_chars)
+        # (missing=1.0 substitutes for null field values), trunc at root
+        "search_function_score": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::DOUBLE AS tf,
+                       ln(1.0 + 0.01 * COALESCE(n_chars, 1.0)) AS fv
+                FROM documents)
+            SELECT doc_id, CAST(trunc(tf + fv) AS BIGINT) AS _score
+            FROM s
+            WHERE tf > 0
         """,
         # fuzzy ~1 + boost ^2 + prohibited -slow: tf = tokens within one
         # Levenshtein edit of 'sparc'; score doubles then truncates at the

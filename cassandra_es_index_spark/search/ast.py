@@ -39,10 +39,18 @@ class Phrase(Node):
     exactly Lucene's ordered slop; for longer phrases it is a documented
     superset of Lucene's total-move budget (any total-moves ≤ slop match
     also has every gap ≤ slop), and out-of-order transpositions (Lucene
-    cost 2) are not matched."""
+    cost 2) are not matched.
+
+    ``last_prefix`` (ES ``match_phrase_prefix``): the LAST word matches
+    any token it prefixes (``\\blast\\w*``). DEVIATION (documented in
+    COVERAGE.md): ES caps the prefix expansion at ``max_expansions=50``
+    index-order terms — a result-changing optimization artifact; the
+    engine expands unbounded, so it is a documented superset identical
+    on the scan and positional-index paths."""
     field: str | None
     text: str
     slop: int = 0
+    last_prefix: bool = False
 
 
 @dataclass(frozen=True)
@@ -169,6 +177,33 @@ class Should(Node):
     boost the score when matched but do not gate matching
     (ES ``minimum_should_match`` defaults to 0 when must/filter exist)."""
     children: tuple[Node, ...] = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class DisMax(Node):
+    """ES/Lucene ``dis_max``: a doc matches when ANY subquery matches;
+    its score is the BEST subquery's score plus ``tie_breaker`` × the sum
+    of the other matching subqueries' scores (tie_breaker=0, the default,
+    is pure max — the Lucene DisjunctionMaxQuery contract)."""
+    children: tuple[Node, ...] = field(default_factory=tuple)
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class FunctionScore(Node):
+    """ES ``function_score`` with a ``field_value_factor`` function: the
+    child gates matching; the matched doc's ``field`` value maps through
+    ``factor`` × ``modifier`` and combines with the query score per
+    ``boost_mode``. ``missing`` substitutes for null field values (ES
+    requires it server-side when the field is absent; the engine defaults
+    it to 1.0). Modifiers follow ES's definitions — ``log`` family is
+    log10, ``ln`` family natural."""
+    child: Node = None  # type: ignore[assignment]
+    field_name: str = ""
+    factor: float = 1.0
+    modifier: str = "none"
+    missing: float = 1.0
+    boost_mode: str = "multiply"
 
 
 @dataclass(frozen=True)

@@ -27,8 +27,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
-    And, Boost, ConstantScore, Exists, Fuzzy, Ids, MatchAll, Node, Not, Or,
-    Phrase, Range, Regexp, Required, Scoreless, Should, Term, Wildcard,
+    And, Boost, ConstantScore, DisMax, Exists, FunctionScore, Fuzzy, Ids,
+    MatchAll, Node, Not, Or, Phrase, Range, Regexp, Required, Scoreless,
+    Should, Term, Wildcard,
 )
 
 
@@ -110,8 +111,13 @@ def wildcard_token_pattern(pattern: str) -> str:
     return "".join(out)
 
 
-def phrase_pattern(text: str, slop: int = 0) -> str:
+def phrase_pattern(text: str, slop: int = 0, last_prefix: bool = False) -> str:
     words = [_escape_regex(w) for w in text.split()]
+    if last_prefix:
+        # match_phrase_prefix: the last word matches any token it
+        # prefixes. `\w*` greedily consumes the rest of the token, so the
+        # trailing `\b` still holds — one pattern serves both flavors.
+        words[-1] = words[-1] + r"\w*"
     if slop > 0:
         # up to `slop` intervening tokens per gap, in order (see
         # ast.Phrase docstring for the Lucene-semantics comparison);
@@ -119,6 +125,55 @@ def phrase_pattern(text: str, slop: int = 0) -> str:
         gap = r"(?:\s+\w+){0,%d}\s+" % slop
         return r"(?i)\b" + gap.join(words) + r"\b"
     return r"(?i)\b" + r"\s+".join(words) + r"\b"
+
+
+# ES field_value_factor modifiers (log family is log10, ln natural —
+# ES's own definitions). Shared by the scan compiler and the index-served
+# plan so both paths score identically.
+_FVF_MODIFIERS = {
+    "none": lambda v: v,
+    "log": F.log10,
+    "log1p": lambda v: F.log10(v + F.lit(1.0)),
+    "log2p": lambda v: F.log10(v + F.lit(2.0)),
+    "ln": F.log,
+    "ln1p": lambda v: F.log(v + F.lit(1.0)),
+    "ln2p": lambda v: F.log(v + F.lit(2.0)),
+    "square": lambda v: v * v,
+    "sqrt": F.sqrt,
+    "reciprocal": lambda v: F.lit(1.0) / v,
+}
+
+_BOOST_MODES = ("multiply", "sum", "replace", "max", "min", "avg")
+
+
+def fvf_value(raw: Column, node: FunctionScore) -> Column:
+    """``field_value_factor`` function value: ``modifier(factor ×
+    coalesce(field, missing))`` — ES applies factor and modifier to the
+    ``missing`` substitute exactly as to a stored value."""
+    if node.modifier not in _FVF_MODIFIERS:
+        raise CompileError(
+            f"unknown field_value_factor modifier {node.modifier!r}")
+    v = (F.coalesce(raw.cast("double"), F.lit(float(node.missing)))
+         * F.lit(float(node.factor)))
+    return _FVF_MODIFIERS[node.modifier](v)
+
+
+def combine_boost_mode(score: Column, fv: Column, mode: str) -> Column:
+    """Combine the query score with the function value per ES
+    ``boost_mode``."""
+    if mode == "multiply":
+        return score * fv
+    if mode == "sum":
+        return score + fv
+    if mode == "replace":
+        return fv
+    if mode == "max":
+        return F.greatest(score, fv)
+    if mode == "min":
+        return F.least(score, fv)
+    if mode == "avg":
+        return (score + fv) / F.lit(2.0)
+    raise CompileError(f"unknown boost_mode {mode!r}")
 
 
 class Compiler:
@@ -268,8 +323,9 @@ class Compiler:
         if isinstance(node, Wildcard):
             return self._leaf_text(node.field, wildcard_pattern(node.pattern))
         if isinstance(node, Phrase):
-            return self._leaf_text(node.field,
-                                   phrase_pattern(node.text, node.slop))
+            return self._leaf_text(
+                node.field,
+                phrase_pattern(node.text, node.slop, node.last_prefix))
         if isinstance(node, Fuzzy):
             from cassandra_es_index_spark.search.ast import fuzzy_edits
 
@@ -337,6 +393,32 @@ class Compiler:
             for _, s in parts[1:]:
                 score = score + s
             return pred, score
+        if isinstance(node, DisMax):
+            # best matching subquery's score + tie_breaker × the rest;
+            # non-matching subqueries contribute nothing (their leaf tf
+            # is already 0 for text leaves, and the when() guards the
+            # predicate-style leaves that score a flat 1)
+            parts = [self._walk(c) for c in node.children]
+            pred = parts[0][0]
+            for p, _ in parts[1:]:
+                pred = pred | p
+            scores = [F.when(p, s.cast("double")).otherwise(F.lit(0.0))
+                      for p, s in parts]
+            best = scores[0] if len(scores) == 1 else F.greatest(*scores)
+            total = scores[0]
+            for s in scores[1:]:
+                total = total + s
+            return pred, best + F.lit(float(node.tie_breaker)) * (total - best)
+        if isinstance(node, FunctionScore):
+            pred, score = self._walk(node.child)
+            ref = self.resolve(node.field_name)
+            if not isinstance(ref.dtype, _NUMERIC):
+                raise CompileError(
+                    "field_value_factor needs a numeric field, got "
+                    f"{ref.dtype.simpleString()} for {node.field_name!r}")
+            fv = fvf_value(ref.col, node)
+            return pred, combine_boost_mode(score.cast("double"), fv,
+                                            node.boost_mode)
         if isinstance(node, Ids):
             # ES `ids` query: match on the engine doc-id field. Equality on
             # `_id` (string, synthesized from the primary key) — a constant

@@ -20,8 +20,9 @@ from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
-    And, Boost, ConstantScore, Exists, Fuzzy, Node, Not, Or, Phrase, Range,
-    Regexp, Required, Scoreless, Should, Term, Wildcard,
+    And, Boost, ConstantScore, DisMax, Exists, FunctionScore, Fuzzy, Node,
+    Not, Or, Phrase, Range, Regexp, Required, Scoreless, Should, Term,
+    Wildcard,
 )
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
@@ -1111,18 +1112,26 @@ class SearchEngine:
                         self._PLAIN_TOKEN.fullmatch(w) for w in words):
                     return None
                 if len(words) == 1:
-                    # \bw\b ≡ whole-token term — the ordinary postings
-                    # already hold the exact tf
                     state = self._postings.get((table, fld))
                     if state is None:
                         return None
+                    if n.last_prefix:
+                        # \bpre\w*\b ≡ trailing-star wildcard — sum tf
+                        # over dictionary tokens carrying the prefix
+                        return (state.view()
+                                 .where(F.col("token").startswith(words[0]))
+                                 .groupBy("doc")
+                                 .agg(F.sum("tf").cast("long").alias(SCORE)))
+                    # \bw\b ≡ whole-token term — the ordinary postings
+                    # already hold the exact tf
                     return (state.view()
                              .where(F.col("token") == words[0])
                              .select("doc", F.col("tf").alias(SCORE)))
                 state = self._positional.get((table, fld))
                 if state is None:
                     return None
-                out = phrase_counts(state.view(), words, score_col=SCORE)
+                out = phrase_counts(state.view(), words, score_col=SCORE,
+                                    last_prefix=n.last_prefix)
                 return out.select("doc", F.col(SCORE).cast("long").alias(SCORE))
             if isinstance(n, Or) and n.children and \
                     all(isinstance(c, Term) for c in n.children):
@@ -1150,6 +1159,54 @@ class SearchEngine:
                     return None
                 return inner.select(
                     "doc", F.lit(0).cast("long").alias(SCORE))
+            if isinstance(n, DisMax):
+                # each served child yields ≤1 row per doc, so one union +
+                # per-doc (max, sum) reproduces the scan's best + tb×rest
+                parts = [serve(c) for c in n.children]
+                if not parts or any(x is None for x in parts):
+                    return None
+                u = parts[0].select("doc",
+                                    F.col(SCORE).cast("double").alias(SCORE))
+                for p in parts[1:]:
+                    u = u.unionByName(p.select(
+                        "doc", F.col(SCORE).cast("double").alias(SCORE)))
+                tb = F.lit(float(n.tie_breaker))
+                return (u.groupBy("doc")
+                         .agg((F.max(SCORE)
+                               + tb * (F.sum(SCORE) - F.max(SCORE)))
+                              .alias(SCORE)))
+            if isinstance(n, FunctionScore):
+                # the function's field values ride the range index
+                # (doc-values analogue), like sorted serving — no corpus
+                # scan; docs with no index row take the `missing` default
+                from cassandra_es_index_spark.search.compile import (
+                    combine_boost_mode, fvf_value,
+                )
+                from pyspark.sql import types as T
+
+                from cassandra_es_index_spark.search.compile import (
+                    _NUMERIC, CompileError,
+                )
+                # same eager type check as the scan path, so a bad field
+                # is rejected identically with or without an index
+                ref = Compiler(docs, default).resolve(n.field_name)
+                if not isinstance(ref.dtype, _NUMERIC):
+                    raise CompileError(
+                        "field_value_factor needs a numeric field, got "
+                        f"{ref.dtype.simpleString()} for {n.field_name!r}")
+                inner = serve(n.child)
+                if inner is None:
+                    return None
+                rstate = self._range.get((table, n.field_name))
+                if rstate is None:
+                    return None
+                vals = rstate.view().select(
+                    "doc", F.col("val").alias("_fv_raw"))
+                joined = inner.join(vals, on="doc", how="left")
+                fv = fvf_value(F.col("_fv_raw"), n)
+                score = combine_boost_mode(
+                    F.col(SCORE).cast("double"), fv, n.boost_mode)
+                return joined.select("doc", score.alias(SCORE))
             if isinstance(n, And) and n.children:
                 # full ES-bool composition: positives (must/filter) join
                 # on doc; must_not excludes via broadcast anti-joins;

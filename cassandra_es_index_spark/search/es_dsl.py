@@ -23,8 +23,9 @@ from dataclasses import dataclass, field as dc_field
 from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
-    And, Boost, ConstantScore, Exists, Fuzzy, Ids, MatchAll, Node, Not, Or,
-    Phrase, Range, Regexp, Scoreless, Should, Term, Wildcard,
+    And, Boost, ConstantScore, DisMax, Exists, FunctionScore, Fuzzy, Ids,
+    MatchAll, Node, Not, Or, Phrase, Range, Regexp, Scoreless, Should, Term,
+    Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -641,6 +642,73 @@ def _node(q: dict[str, Any]) -> Node:
             raise DslError("constant_score needs {'filter': clause}")
         return ConstantScore(_node(body["filter"]),
                              float(body.get("boost", 1.0)))
+    if kind == "match_phrase_prefix":
+        # phrase whose LAST word matches any token it prefixes (ES
+        # match_phrase_prefix; expansion is unbounded — documented
+        # superset of ES's max_expansions=50 cap, see ast.Phrase)
+        field, value = _single(body)
+        slop = 0
+        boost = None
+        if isinstance(value, dict):
+            slop = int(value.get("slop", 0))
+            boost = value.get("boost")
+            value = value.get("query")
+        words = str(value).split()
+        if len(words) == 1:
+            # one word ≡ its prefix query (\bpre\w*\b = trailing-star
+            # wildcard), served from token-sorted postings
+            return _boosted(Wildcard(field, f"{words[0]}*"), boost)
+        return _boosted(Phrase(field, str(value), slop, last_prefix=True),
+                        boost)
+    if kind == "dis_max":
+        # ES dis_max: best subquery's score + tie_breaker × the rest
+        if not isinstance(body, dict) \
+                or not isinstance(body.get("queries"), list) \
+                or not body["queries"]:
+            raise DslError("dis_max needs {'queries': [clause, ...]}")
+        try:
+            tb = float(body.get("tie_breaker", 0.0))
+        except (TypeError, ValueError) as e:
+            raise DslError(
+                f"bad tie_breaker {body.get('tie_breaker')!r}") from e
+        if not 0.0 <= tb <= 1.0:
+            raise DslError(f"tie_breaker must be in [0,1], got {tb}")
+        return _boosted(
+            DisMax(tuple(_node(q) for q in body["queries"]), tb),
+            body.get("boost"))
+    if kind == "function_score":
+        # subset: one field_value_factor function + boost_mode (the
+        # script_score/decay functions are not supported — no script
+        # engine by design)
+        if not isinstance(body, dict) or "field_value_factor" not in body:
+            raise DslError(
+                "function_score needs {'query': ..., "
+                "'field_value_factor': {...}} (only field_value_factor "
+                "functions are supported)")
+        fvf = body["field_value_factor"]
+        if not isinstance(fvf, dict) or "field" not in fvf:
+            raise DslError("field_value_factor needs {'field': name}")
+        modifier = str(fvf.get("modifier", "none"))
+        from cassandra_es_index_spark.search.compile import (
+            _BOOST_MODES, _FVF_MODIFIERS,
+        )
+        if modifier not in _FVF_MODIFIERS:
+            raise DslError(
+                f"unknown field_value_factor modifier {modifier!r}")
+        boost_mode = str(body.get("boost_mode", "multiply"))
+        if boost_mode not in _BOOST_MODES:
+            raise DslError(f"unknown boost_mode {boost_mode!r}")
+        try:
+            factor = float(fvf.get("factor", 1.0))
+            missing = float(fvf.get("missing", 1.0))
+        except (TypeError, ValueError) as e:
+            raise DslError("field_value_factor factor/missing must be "
+                           "numeric") from e
+        child = _node(body["query"]) if "query" in body else MatchAll()
+        return _boosted(
+            FunctionScore(child, fvf["field"], factor, modifier, missing,
+                          boost_mode),
+            body.get("boost"))
     if kind == "range":
         field, bounds = _single(body)
         if not isinstance(bounds, dict):

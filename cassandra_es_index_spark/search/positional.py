@@ -117,11 +117,17 @@ def _greedy_count(matches: Column, n: int) -> Column:
 
 
 def phrase_counts(chunks: DataFrame, words: list[str],
-                  score_col: str = "_score") -> DataFrame:
+                  score_col: str = "_score",
+                  last_prefix: bool = False) -> DataFrame:
     """(doc, score=match count) for an n≥2-word phrase, bit-exact with the
     scan regex ``\\bw1\\s+…\\s+wn\\b`` including non-overlap counting.
     Every returned doc has score ≥ 1 (the leftmost candidate is always a
-    genuine match), so the result set equals the scan predicate's."""
+    genuine match), so the result set equals the scan predicate's.
+
+    ``last_prefix`` (ES ``match_phrase_prefix``): the last slot matches
+    any leading word run it prefixes — the regex twin ``wn\\w*`` consumes
+    the whole run, so candidate starts and the non-overlap resume rule
+    are unchanged (one candidate per chunk either way)."""
     n = len(words)
     if n < 2:
         raise ValueError("phrase_counts needs >= 2 words")
@@ -133,7 +139,9 @@ def phrase_counts(chunks: DataFrame, words: list[str],
         parts.append(chunks.where(F.col("whole") == w)
                            .select("doc", "elem",
                                    (F.col("pos") - i).alias("start")))
-    parts.append(chunks.where(F.col("lead") == words[-1])
+    last_pred = (F.col("lead").startswith(words[-1]) if last_prefix
+                 else F.col("lead") == words[-1])
+    parts.append(chunks.where(last_pred)
                        .select("doc", "elem",
                                (F.col("pos") - (n - 1)).alias("start"),
                                F.col("multi").alias("multi_last")))

@@ -1662,3 +1662,140 @@ def test_nested_date_histogram_in_terms(spark):
     # 2 users x 4 hours, one doc per (user, hour)
     assert len(out) == 8
     assert all(r["sub_doc_count"] == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# dis_max / function_score / match_phrase_prefix (round 5)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def r5_engines(spark):
+    """Same corpus twice: a scan-only engine and a fully indexed one, so
+    every new query kind is asserted bit-identical on both paths."""
+    rows = [
+        ("d1", "cassandra is a database spark reads", 10),
+        ("d2", "spark spark spark", 20),
+        ("d3", "the cassette tape cassandra", None),
+        ("d4", "no relevant words here", 40),
+        ("d5", "cassandra spark cassandra spark", 50),
+        ("d6", "casserole recipes", 5),
+    ]
+    schema = "id string, body string, n int"
+    scan = SearchEngine(spark)
+    scan.register(spark.createDataFrame(rows, schema),
+                  TableSpec("r5_scan", ["id"]))
+    idx = SearchEngine(spark)
+    idx.register(spark.createDataFrame(rows, schema),
+                 TableSpec("r5_idx", ["id"]))
+    idx.build_postings_index("r5_idx", "body", materialize=True)
+    idx.build_phrase_index("r5_idx", "body")
+    idx.build_range_index("r5_idx", "n")
+    return scan, idx
+
+
+def _both(r5_engines, query, **kw):
+    scan, idx = r5_engines
+    a = sorted(map(tuple, scan.search("r5_scan", query, default_field="body",
+                                      **kw).select("id", "_score").collect()))
+    b = sorted(map(tuple, idx.search("r5_idx", query, default_field="body",
+                                     **kw).select("id", "_score").collect()))
+    assert a == b, f"scan/index divergence for {query}: {a} != {b}"
+    return a
+
+
+def test_dis_max_pure_max(r5_engines):
+    q = ('{"query":{"dis_max":{"queries":['
+         '{"match":{"body":"cassandra"}},{"match":{"body":"spark"}}]}}}')
+    rows = dict(_both(r5_engines, q))
+    # d5: max(tf_cassandra=2, tf_spark=2) = 2 (tie_breaker 0 → pure max)
+    assert rows["d5"] == 2
+    assert rows["d2"] == 3      # spark x3
+    assert rows["d3"] == 1      # cassandra x1
+    assert "d4" not in rows
+
+
+def test_dis_max_tie_breaker(r5_engines):
+    q = ('{"query":{"dis_max":{"tie_breaker":0.5,"queries":['
+         '{"match":{"body":"cassandra"}},{"match":{"body":"spark"}}]}}}')
+    rows = dict(_both(r5_engines, q))
+    # d5: 2 + 0.5*2 = 3; d1: 1 + 0.5*1 = 1.5 → trunc 1
+    assert rows["d5"] == 3
+    assert rows["d1"] == 1
+
+
+def test_dis_max_bad_dsl():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"dis_max":{}}}')
+    with pytest.raises(DslError):
+        parse_request('{"query":{"dis_max":{"queries":['
+                      '{"match_all":{}}],"tie_breaker":2.0}}}')
+
+
+def test_function_score_multiply_sqrt(r5_engines):
+    q = ('{"query":{"function_score":{"query":{"match":{"body":"spark"}},'
+         '"field_value_factor":{"field":"n","factor":1.0,'
+         '"modifier":"sqrt","missing":100.0},"boost_mode":"multiply"}}}')
+    rows = dict(_both(r5_engines, q))
+    # d2: tf 3 × sqrt(20) ≈ 13.41 → 13; d5: 2 × sqrt(50) ≈ 14.14 → 14
+    assert rows["d2"] == 13
+    assert rows["d5"] == 14
+
+
+def test_function_score_missing_substitutes(r5_engines):
+    # d3 has n=null → missing=9.0 feeds the modifier like a stored value
+    q = ('{"query":{"function_score":{"query":{"match":{"body":"cassandra"}},'
+         '"field_value_factor":{"field":"n","factor":1.0,'
+         '"modifier":"sqrt","missing":9.0},"boost_mode":"replace"}}}')
+    rows = dict(_both(r5_engines, q))
+    assert rows["d3"] == 3      # sqrt(9) regardless of tf
+    assert rows["d1"] == 3      # sqrt(10) ≈ 3.16 → 3
+
+
+def test_function_score_rejects_text_field_on_both_paths(r5_engines):
+    from cassandra_es_index_spark.search.compile import CompileError
+    scan, idx = r5_engines
+    q = ('{"query":{"function_score":{"query":{"match_all":{}},'
+         '"field_value_factor":{"field":"body"}}}}')
+    for eng, tbl in ((scan, "r5_scan"), (idx, "r5_idx")):
+        with pytest.raises(CompileError):
+            eng.search(tbl, q, default_field="body").collect()
+
+
+def test_function_score_bad_dsl():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"function_score":{"query":{"match_all":{}}}}}')
+    with pytest.raises(DslError):
+        parse_request('{"query":{"function_score":{'
+                      '"field_value_factor":{"field":"n","modifier":"cube"}}}}')
+    with pytest.raises(DslError):
+        parse_request('{"query":{"function_score":{'
+                      '"field_value_factor":{"field":"n"},'
+                      '"boost_mode":"divide"}}}')
+
+
+def test_match_phrase_prefix_parity(r5_engines):
+    q = '{"query":{"match_phrase_prefix":{"body":"the cass"}}}'
+    rows = dict(_both(r5_engines, q))
+    assert rows == {"d3": 1}    # "the cassette" — prefix hits a longer token
+
+
+def test_match_phrase_prefix_single_word_is_prefix_query(r5_engines):
+    q = '{"query":{"match_phrase_prefix":{"body":"cass"}}}'
+    rows = dict(_both(r5_engines, q))
+    # \bcass\w*\b: cassandra / cassette / casserole tokens, tf-summed
+    assert rows == {"d1": 1, "d3": 2, "d5": 2, "d6": 1}
+
+
+def test_match_phrase_prefix_slop_scan(r5_engines):
+    # slop composes with the last-word prefix on the scan path (the
+    # positional index serves slop-0 only, like plain phrases)
+    scan, idx = r5_engines
+    q = ('{"query":{"match_phrase_prefix":'
+         '{"body":{"query":"database read","slop":1}}}}')
+    for eng, tbl in ((scan, "r5_scan"), (idx, "r5_idx")):
+        out = eng.search(tbl, q, default_field="body")
+        # d1 "database spark reads": one intervening token, prefix "read"
+        # consumes "reads"
+        assert {r["id"] for r in out.collect()} == {"d1"}
