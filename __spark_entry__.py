@@ -277,6 +277,56 @@ def q_search_function_score(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_significant_terms(spark, sf_dir):
+    # ES significant_terms (JLH): langs overrepresented among docs
+    # matching 'spark' vs the whole corpus — two aggregations + one join
+    # on the term, both totals broadcast
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match":{"text":"spark"}},"aggs":{"sig":'
+         '{"significant_terms":{"field":"lang","size":8}}}}')
+    return eng.search_aggs("documents", q, default_field="text")
+
+
+def q_search_filter_agg(spark, sf_dir):
+    # ES single-bucket filter agg with metric sub-aggs: stats over the
+    # short-doc subset of the match set
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match":{"text":"spark"}},"aggs":{"short":'
+         '{"filter":{"range":{"n_chars":{"lte":300}}},'
+         '"aggs":{"chars_avg":{"avg":{"field":"n_chars"}},'
+         '"chars_max":{"max":{"field":"n_chars"}}}}}}')
+    return eng.search_aggs("documents", q, default_field="text")
+
+
+def q_search_extended_stats(spark, sf_dir):
+    # ES extended_stats (population variance/stddev, sum of squares) +
+    # weighted_avg in one metrics-only aggregation
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"lang":"en"}},"aggs":{'
+         '"es":{"extended_stats":{"field":"n_chars"}},'
+         '"wa":{"weighted_avg":{"value":{"field":"n_chars"},'
+         '"weight":{"field":"doc_id"}}}}}')
+    out = eng.search_aggs("documents", q, default_field="text")
+    return (out.withColumn("es_avg", F.round("es_avg", 6))
+               .withColumn("es_sum_of_squares",
+                           F.round("es_sum_of_squares", 4))
+               .withColumn("es_variance", F.round("es_variance", 4))
+               .withColumn("es_std_deviation", F.round("es_std_deviation", 4))
+               .withColumn("wa", F.round("wa", 6)))
+
+
+def q_search_date_range(spark, sf_dir):
+    # ES date_range buckets over the events timestamp (from inclusive,
+    # to exclusive, open sides; ES date-math deliberately unsupported)
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},"aggs":{"dr":{"date_range":'
+         '{"field":"ts","ranges":['
+         '{"to":"2024-01-10","key":"early"},'
+         '{"from":"2024-01-10","to":"2024-01-20","key":"mid"},'
+         '{"from":"2024-01-20","key":"late"}]}}}}')
+    return eng.search_aggs("events_capped", q, default_field="event_type")
+
+
 def q_search_phrase_prefix(spark, sf_dir):
     # ES match_phrase_prefix: last word matches any token it prefixes
     # (\btable\s+ta\w*\b), served from the positional index with a
@@ -1118,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_pipeline_aggs": q_search_pipeline_aggs,  # cumsum/deriv (r5)
         "search_composite_aggs": q_search_composite_aggs,  # keyset aggs (r5)
         "search_aggs_nested3": q_search_aggs_nested3,  # 3-level flatten-join
+        "search_significant_terms": q_search_significant_terms,  # JLH (r5)
         "search_mlt": q_search_mlt,          # tf·idf pick, oracle-backed
         "search_suggest": q_search_suggest,  # dictionary completion, oracle
         "search_metadata_agg": q_search_metadata_agg,
@@ -1127,7 +1178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_postings_term": q_search_postings_term,
         # --- documents / indexing lifecycle ---
         "doc_build": q_doc_build,
-        "doc_grouping": q_doc_grouping,
         "segment_assignment": q_segment_assignment,
         "ttl_expired": q_ttl_expired,
         # --- events: windows, sessionization, JSON props ---
@@ -1173,6 +1223,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (green r04; same cosine kernel, join variant pytest-covered)
         "text_bpe_tokens": q_text_bpe_tokens,  # ~ text_stats
         #   (green r04; tokenizer family kept by text_stats/quality_lang)
+        "doc_grouping": q_doc_grouping,  # ~ doc_build + tpch_q1 groupBy
+        #   (green r01-r04)
+        "search_filter_agg": q_search_filter_agg,  # single-bucket filter
+        #   (oracle present, pytest-checked; ~ search_dsl_must_should
+        #   filter semantics)
+        "search_extended_stats": q_search_extended_stats,  # metrics tier
+        #   (oracle present, pytest-checked; ~ search_aggs_range_stats)
+        "search_date_range": q_search_date_range,  # ~ range buckets
+        #   (oracle present, pytest-checked)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1250,6 +1309,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '{_PHRASE}'))::BIGINT AS _score
             FROM documents
             WHERE len(regexp_extract_all(text, '{_PHRASE}')) > 0
+        """,
+        # significant_terms / JLH over the spark match set: score =
+        # (fg% − bg%) × (fg% / bg%), positive only, top size by score
+        "search_significant_terms": f"""
+            WITH fg AS (
+                SELECT lang AS key, COUNT(*)::BIGINT AS doc_count
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
+                  AND lang IS NOT NULL
+                GROUP BY lang),
+            bg AS (
+                SELECT lang AS key, COUNT(*)::BIGINT AS bg_count
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+            tot AS (
+                SELECT (SELECT COUNT(*)::DOUBLE FROM documents
+                        WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0)
+                           AS fgt,
+                       (SELECT COUNT(*)::DOUBLE FROM documents) AS bgt),
+            scored AS (
+                SELECT key, doc_count, bg_count,
+                       round((doc_count / fgt - bg_count / bgt)
+                             * ((doc_count / fgt) / (bg_count / bgt)), 6)
+                           AS score
+                FROM fg JOIN bg USING (key) CROSS JOIN tot)
+            SELECT key, doc_count, bg_count, score
+            FROM scored WHERE score > 0
+            ORDER BY score DESC, key ASC LIMIT 8
+        """,
+        "search_filter_agg": f"""
+            SELECT COUNT(*)::BIGINT AS doc_count,
+                   AVG(n_chars) AS chars_avg,
+                   MAX(n_chars) AS chars_max
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
+              AND n_chars <= 300
+        """,
+        "search_extended_stats": f"""
+            SELECT COUNT(n_chars)::BIGINT AS es_count,
+                   MIN(n_chars) AS es_min,
+                   MAX(n_chars) AS es_max,
+                   ROUND(AVG(n_chars), 6) AS es_avg,
+                   SUM(n_chars)::BIGINT AS es_sum,
+                   ROUND(SUM(n_chars::DOUBLE * n_chars::DOUBLE), 4)
+                       AS es_sum_of_squares,
+                   ROUND(var_pop(n_chars), 4) AS es_variance,
+                   ROUND(stddev_pop(n_chars), 4) AS es_std_deviation,
+                   ROUND(SUM(CASE WHEN n_chars IS NOT NULL
+                                   AND doc_id IS NOT NULL
+                             THEN n_chars::DOUBLE * doc_id END)
+                         / SUM(CASE WHEN n_chars IS NOT NULL
+                                     AND doc_id IS NOT NULL
+                               THEN doc_id::DOUBLE END), 6) AS wa
+            FROM documents
+            WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
+        """,
+        "search_date_range": """
+            SELECT * FROM (
+                SELECT 'early' AS key, COUNT(*)::BIGINT AS doc_count
+                FROM events WHERE ts < TIMESTAMP '2024-01-10'
+                UNION ALL
+                SELECT 'mid', COUNT(*)::BIGINT FROM events
+                WHERE ts >= TIMESTAMP '2024-01-10'
+                  AND ts < TIMESTAMP '2024-01-20'
+                UNION ALL
+                SELECT 'late', COUNT(*)::BIGINT FROM events
+                WHERE ts >= TIMESTAMP '2024-01-20'
+            ) WHERE doc_count > 0
         """,
         "search_phrase_prefix": f"""
             SELECT doc_id, len(regexp_extract_all(text, '{_MPP}'))::BIGINT AS _score

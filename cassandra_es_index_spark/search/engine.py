@@ -1504,6 +1504,25 @@ class SearchEngine:
                         F.max(c).alias(f"{m.name}_max"),
                         F.avg(c).alias(f"{m.name}_avg"),
                         F.sum(c).alias(f"{m.name}_sum")]
+            if m.kind == "extended_stats":
+                # stats + sum_of_squares and POPULATION variance/stddev
+                # (ES defaults) — all map-side-combinable aggregates
+                d = c.cast("double")
+                return [F.count(c).cast("long").alias(f"{m.name}_count"),
+                        F.min(c).alias(f"{m.name}_min"),
+                        F.max(c).alias(f"{m.name}_max"),
+                        F.avg(c).alias(f"{m.name}_avg"),
+                        F.sum(c).alias(f"{m.name}_sum"),
+                        F.sum(d * d).alias(f"{m.name}_sum_of_squares"),
+                        F.var_pop(d).alias(f"{m.name}_variance"),
+                        F.stddev_pop(d).alias(f"{m.name}_std_deviation")]
+            if m.kind == "weighted_avg":
+                # Σ(v×w)/Σ(w) over docs carrying BOTH fields (ES skips
+                # docs missing the weight; symmetric skip documented)
+                w = comp.resolve(m.weight_field).col
+                valid = c.isNotNull() & w.isNotNull()
+                return [(F.sum(F.when(valid, c * w))
+                         / F.sum(F.when(valid, w))).alias(m.name)]
             if m.kind == "percentiles":
                 # EXACT by default (continuous interpolation — oracle-
                 # checkable, superset of ES's TDigest estimate); ES
@@ -1569,6 +1588,53 @@ class SearchEngine:
         if isinstance(aggs, tuple):  # metrics-only: one global row
             return filtered.agg(
                 *[c for m in aggs for c in metric_cols(m)])
+
+        if isinstance(aggs, es_dsl.SingleBucketAgg):
+            # filter / missing / global: ONE bucket over a transformed
+            # doc set — still a single aggregation, no extra shuffle
+            if aggs.kind == "filter":
+                fpred, _ = comp.compile(aggs.node)
+                frame = filtered.where(fpred)
+            elif aggs.kind == "missing":
+                frame = filtered.where(
+                    comp.resolve(aggs.field).col.isNull())
+            else:  # global — ES: the whole index, ignoring the query
+                frame = docs
+            return frame.agg(
+                F.count("*").cast("long").alias("doc_count"),
+                *[c for m in aggs.metrics for c in metric_cols(m)])
+
+        if isinstance(aggs, es_dsl.BucketAgg) \
+                and aggs.kind == "significant_terms":
+            # ES significant_terms with the JLH heuristic: terms
+            # overrepresented in the match set (foreground) vs the whole
+            # index (background); score = (fg% − bg%) × (fg% / bg%),
+            # positive-score terms only, top `size` by score. Two
+            # aggregations over field values + one join on the term —
+            # linear at any scale; the two one-row totals broadcast.
+            ref = comp.resolve(aggs.field).col
+            fg = (filtered.where(ref.isNotNull())
+                  .groupBy(ref.alias("key"))
+                  .agg(F.count("*").cast("long").alias("doc_count")))
+            bg = (docs.where(ref.isNotNull())
+                  .groupBy(ref.alias("key"))
+                  .agg(F.count("*").cast("long").alias("bg_count")))
+            fg_total = filtered.agg(
+                F.count("*").cast("long").alias("_fg_total"))
+            bg_total = docs.agg(
+                F.count("*").cast("long").alias("_bg_total"))
+            joined = (fg.join(bg, on="key")
+                        .crossJoin(F.broadcast(fg_total))
+                        .crossJoin(F.broadcast(bg_total)))
+            fg_pct = F.col("doc_count") / F.col("_fg_total")
+            bg_pct = F.col("bg_count") / F.col("_bg_total")
+            score = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+            size = aggs.size if aggs.size is not None else 10
+            return (joined.withColumn("score", score)
+                          .where(F.col("score") > 0)
+                          .select("key", "doc_count", "bg_count", "score")
+                          .orderBy(F.desc("score"), F.asc("key"))
+                          .limit(size))
 
         if isinstance(aggs, es_dsl.CompositeAgg):
             # ES composite agg = Spark groupBy + keyset pagination: ALL
@@ -1672,14 +1738,19 @@ class SearchEngine:
                 src = src.select("*", F.explode(matches).alias(helper))
                 level_key.append(F.col(helper))
                 level_gate.append(None)
-            elif lv.kind == "range":
-                val = comp.resolve(lv.field).col.cast("double")
+            elif lv.kind in ("range", "date_range"):
+                if lv.kind == "date_range":
+                    val = comp.resolve(lv.field).col.cast("timestamp")
+                    bound = lambda v: F.lit(v).cast("timestamp")  # noqa: E731
+                else:
+                    val = comp.resolve(lv.field).col.cast("double")
+                    bound = lambda v: F.lit(v)  # noqa: E731
                 if lv.missing is not None:
-                    val = F.coalesce(val, F.lit(lv.missing).cast("double"))
+                    val = F.coalesce(val, bound(lv.missing))
                 matches = F.array_compact(F.array(*[
                     F.when(
-                        (F.lit(True) if lo is None else val >= F.lit(lo))
-                        & (F.lit(True) if hi is None else val < F.lit(hi))
+                        (F.lit(True) if lo is None else val >= bound(lo))
+                        & (F.lit(True) if hi is None else val < bound(hi))
                         & val.isNotNull(),
                         F.lit(key))
                     for key, lo, hi in lv.ranges]))

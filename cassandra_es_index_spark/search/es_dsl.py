@@ -35,8 +35,12 @@ class DslError(ValueError):
 
 
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
-                 "stats", "percentiles")
-_BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters")
+                 "stats", "percentiles", "extended_stats", "weighted_avg")
+_BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
+                 "date_range", "significant_terms")
+# single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
+# set is a transform of the match set
+_SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
 # ES pipeline aggs computed OVER the bucket frame (single-level only):
 # value per bucket from a sibling metric (or "_count")
 _PIPELINE_KINDS = ("cumulative_sum", "derivative")
@@ -73,15 +77,26 @@ class MetricAgg:
     per percent: ``<name>_p50``, ``<name>_p99_9``, …"""
     name: str
     kind: str   # avg|sum|min|max|value_count|cardinality|stats|percentiles
+                # |extended_stats|weighted_avg
     field: str
     precision_threshold: int | None = None
     percents: tuple[float, ...] = _DEFAULT_PERCENTS
     compression: int | None = None
+    # weighted_avg: Σ(value×weight)/Σ(weight); docs missing either the
+    # value or the weight are skipped (ES semantics without `missing`)
+    weight_field: str | None = None
 
     def out_names(self) -> tuple[str, ...]:
         if self.kind == "stats":
             return tuple(f"{self.name}_{s}"
                          for s in ("count", "min", "max", "avg", "sum"))
+        if self.kind == "extended_stats":
+            # ES extended_stats flattened: the stats five plus sum of
+            # squares and POPULATION variance/std-deviation (ES defaults)
+            return tuple(f"{self.name}_{s}"
+                         for s in ("count", "min", "max", "avg", "sum",
+                                   "sum_of_squares", "variance",
+                                   "std_deviation"))
         if self.kind == "percentiles":
             return tuple(f"{self.name}_p{_pct_label(p)}"
                          for p in self.percents)
@@ -175,12 +190,29 @@ class CompositeAgg:
 
 
 @dataclass(frozen=True)
+class SingleBucketAgg:
+    """ES single-bucket aggs — one bucket of ``doc_count`` + metric
+    sub-aggs whose doc set transforms the match set:
+
+    - ``filter``: match set ∩ the filter clause
+    - ``missing``: matching docs with a null ``field``
+    - ``global``: ALL documents, ignoring the query
+    """
+    name: str
+    kind: str                       # filter | missing | global
+    node: Node | None = None        # filter clause (kind == "filter")
+    field: str = ""                 # kind == "missing"
+    metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
 class Request:
     """A parsed search request body."""
     node: Node
     size: int | None = None
     from_: int = 0   # ES `from` offset (shallow pagination)
-    aggs: "BucketAgg | CompositeAgg | tuple[MetricAgg, ...] | None" = None
+    aggs: ("BucketAgg | CompositeAgg | SingleBucketAgg | "
+           "tuple[MetricAgg, ...] | None") = None
     # (field, ascending, nulls_first); nulls_first defaults to False —
     # ES defaults `missing` to `_last` for BOTH directions — and the
     # explicit `missing` param (`_first`/`_last`) overrides it
@@ -328,11 +360,53 @@ def _ranges(name: str,
     return tuple(out)
 
 
+def _date_ranges(name: str,
+                 spec: Any) -> tuple[tuple[str, str | None, str | None], ...]:
+    """ES date_range-agg ``ranges``: like ``_ranges`` but bounds are date
+    strings the engine casts to timestamps (``from`` inclusive, ``to``
+    exclusive). ES date-math (``now-1M/d``) is NOT supported — bounds
+    must be concrete dates (documented deviation)."""
+    if not isinstance(spec, list) or not spec:
+        raise DslError(
+            f"date_range agg {name!r} needs a non-empty 'ranges' list")
+    out = []
+    for entry in spec:
+        if not isinstance(entry, dict) or \
+                ("from" not in entry and "to" not in entry):
+            raise DslError(f"date_range agg {name!r}: each range needs "
+                           "'from' and/or 'to'")
+        lo = entry.get("from")
+        hi = entry.get("to")
+        for v in (lo, hi):
+            if v is not None and (not isinstance(v, str) or "now" in v):
+                raise DslError(
+                    f"date_range agg {name!r}: bounds must be date "
+                    "strings (ES date-math is not supported)")
+        key = entry.get("key") or (
+            f"{'*' if lo is None else lo}-{'*' if hi is None else hi}")
+        out.append((str(key), lo, hi))
+    if len({k for k, *_ in out}) != len(out):
+        raise DslError(f"date_range agg {name!r}: duplicate range keys")
+    return tuple(out)
+
+
 def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
     (kind, body), = spec.items()
     if kind not in _METRIC_KINDS:
         raise DslError(f"unsupported metric agg {kind!r} (supported: "
                        f"{', '.join(_METRIC_KINDS)})")
+    if kind == "weighted_avg":
+        # ES shape: {"value": {"field": v}, "weight": {"field": w}}
+        if not isinstance(body, dict) \
+                or not isinstance(body.get("value"), dict) \
+                or "field" not in body["value"] \
+                or not isinstance(body.get("weight"), dict) \
+                or "field" not in body["weight"]:
+            raise DslError(
+                f"weighted_avg agg {name!r} needs "
+                "{'value': {'field': …}, 'weight': {'field': …}}")
+        return MetricAgg(name, kind, body["value"]["field"],
+                         weight_field=body["weight"]["field"])
     if not isinstance(body, dict) or "field" not in body:
         raise DslError(f"metric agg {name!r} needs {{'field': name}}")
     threshold = body.get("precision_threshold")
@@ -438,6 +512,31 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         for n, sp in (body.get("aggs") or {}).items())
         return CompositeAgg(name, tuple(sources), size=size,
                             after=after, metrics=metrics)
+    if first_kind in _SINGLE_BUCKET_KINDS:
+        if len(entries) != 1:
+            raise DslError("exactly one bucket agg is supported per request")
+        name, body = entries[0]
+        extra = set(body) - {first_kind, "aggs"}
+        if extra:
+            raise DslError(f"unexpected keys {sorted(extra)} in "
+                           f"single-bucket agg {name!r}")
+        params = body[first_kind]
+        metrics = tuple(_metric(n, sp)
+                        for n, sp in (body.get("aggs") or {}).items())
+        if first_kind == "filter":
+            if not isinstance(params, dict) or not params:
+                raise DslError(f"filter agg {name!r} needs a query clause")
+            return SingleBucketAgg(name, "filter", node=_node(params),
+                                   metrics=metrics)
+        if first_kind == "missing":
+            if not isinstance(params, dict) or "field" not in params:
+                raise DslError(f"missing agg {name!r} needs a 'field'")
+            return SingleBucketAgg(name, "missing", field=params["field"],
+                                   metrics=metrics)
+        # global: body must be the empty object (ES syntax)
+        if params not in ({}, None):
+            raise DslError(f"global agg {name!r} takes no parameters")
+        return SingleBucketAgg(name, "global", metrics=metrics)
     if first_kind in _BUCKET_KINDS:
         if len(entries) != 1:
             raise DslError("exactly one bucket agg is supported per request")
@@ -452,6 +551,20 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         if not isinstance(params, dict) or (
                 first_kind != "filters" and "field" not in params):
             raise DslError(f"bucket agg {name!r} needs a 'field'")
+        if first_kind == "significant_terms":
+            # foreground-vs-background scored terms; no sub-aggs (the
+            # score IS the payload), size caps the output
+            extra_p = set(params) - {"field", "size"}
+            if extra_p:
+                raise DslError(
+                    f"significant_terms agg {name!r}: unsupported "
+                    f"params {sorted(extra_p)}")
+            if body.get("aggs"):
+                raise DslError("significant_terms does not support "
+                               "sub-aggregations")
+            return BucketAgg(name=name, kind="significant_terms",
+                             field=params["field"],
+                             size=params.get("size"))
         sub_specs = dict(body.get("aggs") or {})
         sub_bucket = None
         bucket_subs = []
@@ -488,6 +601,9 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             # carrying its own metrics and at most one deeper bucket
             sub_bucket = _aggs(
                 {bucket_subs[0]: sub_specs.pop(bucket_subs[0])})
+            if getattr(sub_bucket, "kind", None) == "significant_terms":
+                raise DslError("significant_terms is supported at the "
+                               "top level only")
         metrics = tuple(_metric(n, s) for n, s in sub_specs.items())
         order = None
         if "order" in params:
@@ -500,10 +616,10 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             valid = {"_count", "_key"}
             for m in metrics:
                 valid.add(m.name)
-                if m.kind == "stats":
-                    valid.update(f"{m.name}.{s}"
-                                 for s in ("count", "min", "max",
-                                           "avg", "sum"))
+                if m.kind in ("stats", "extended_stats"):
+                    valid.update(
+                        f"{m.name}.{n[len(m.name) + 1:]}"
+                        for n in m.out_names())
             if target not in valid:
                 raise DslError(f"order target {target!r} is neither "
                                "_count, _key, nor a sub-agg name")
@@ -518,6 +634,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         ranges: tuple = ()
         if first_kind == "range":
             ranges = _ranges(name, params.get("ranges"))
+        elif first_kind == "date_range":
+            ranges = _date_ranges(name, params.get("ranges"))
         filter_nodes: tuple = ()
         if first_kind == "filters":
             fspec = params.get("filters")

@@ -1799,3 +1799,131 @@ def test_match_phrase_prefix_slop_scan(r5_engines):
         # d1 "database spark reads": one intervening token, prefix "read"
         # consumes "reads"
         assert {r["id"] for r in out.collect()} == {"d1"}
+
+
+# ---------------------------------------------------------------------------
+# significant_terms / single-bucket aggs / date_range / extended metrics (r5)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def agg5_engine(spark):
+    rows = [
+        ("a1", "spark spark", "en", 10, 2),
+        ("a2", "spark", "en", 20, 4),
+        ("a3", "spark", "de", 30, 6),
+        ("a4", "other", "de", 40, 8),
+        ("a5", "other", "de", None, 10),
+        ("a6", "other", "fr", 60, None),
+        ("a7", "other", None, 70, 14),
+    ]
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        rows, "id string, body string, lang string, n int, w int"),
+        TableSpec("agg5", ["id"]))
+    return eng
+
+
+def test_significant_terms_jlh(agg5_engine):
+    q = ('{"query":{"match":{"body":"spark"}},"aggs":'
+         '{"sig":{"significant_terms":{"field":"lang"}}}}')
+    out = agg5_engine.search_aggs("agg5", q, default_field="body")
+    rows = {r["key"]: r for r in out.collect()}
+    # fg: en 2/3, de 1/3; bg: en 2/7, de 4/7, fr 1/7 —
+    # en is overrepresented (score > 0), de/fr under (dropped)
+    assert set(rows) == {"en"}
+    r = rows["en"]
+    assert r["doc_count"] == 2 and r["bg_count"] == 2
+    fg_pct, bg_pct = 2 / 3, 2 / 7
+    assert r["score"] == round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+
+
+def test_significant_terms_rejects_nesting_and_subaggs():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"aggs":{"s":{"significant_terms":{"field":"x"},'
+                      '"aggs":{"m":{"avg":{"field":"n"}}}}}}')
+    with pytest.raises(DslError):
+        parse_request('{"aggs":{"t":{"terms":{"field":"lang"},'
+                      '"aggs":{"s":{"significant_terms":{"field":"x"}}}}}}')
+
+
+def test_filter_agg_single_bucket(agg5_engine):
+    q = ('{"query":{"match":{"body":"spark"}},"aggs":'
+         '{"big":{"filter":{"range":{"n":{"gte":20}}},'
+         '"aggs":{"m":{"avg":{"field":"n"}}}}}}')
+    out = agg5_engine.search_aggs("agg5", q, default_field="body").collect()
+    assert len(out) == 1
+    assert out[0]["doc_count"] == 2        # a2, a3
+    assert out[0]["m"] == 25.0
+
+
+def test_missing_agg_counts_null_field(agg5_engine):
+    q = ('{"query":{"match_all":{}},"aggs":'
+         '{"nolang":{"missing":{"field":"lang"}}}}')
+    out = agg5_engine.search_aggs("agg5", q, default_field="body").collect()
+    assert out[0]["doc_count"] == 1        # a7
+
+
+def test_global_agg_ignores_query(agg5_engine):
+    q = ('{"query":{"match":{"body":"spark"}},"aggs":'
+         '{"all":{"global":{},"aggs":{"c":{"value_count":{"field":"id"}}}}}}')
+    out = agg5_engine.search_aggs("agg5", q, default_field="body").collect()
+    assert out[0]["doc_count"] == 7 and out[0]["c"] == 7
+
+
+def test_extended_stats_population_variance(agg5_engine):
+    q = ('{"query":{"match_all":{}},"aggs":'
+         '{"x":{"extended_stats":{"field":"n"}}}}')
+    out = agg5_engine.search_aggs("agg5", q, default_field="body").collect()
+    r = out[0]
+    vals = [10, 20, 30, 40, 60, 70]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n   # population
+    assert r["x_count"] == n
+    assert r["x_sum"] == sum(vals)
+    assert r["x_sum_of_squares"] == sum(v * v for v in vals)
+    assert abs(r["x_variance"] - var) < 1e-9
+    assert abs(r["x_std_deviation"] - var ** 0.5) < 1e-9
+
+
+def test_weighted_avg_skips_docs_missing_either_field(agg5_engine):
+    q = ('{"query":{"match_all":{}},"aggs":'
+         '{"wa":{"weighted_avg":{"value":{"field":"n"},'
+         '"weight":{"field":"w"}}}}}')
+    out = agg5_engine.search_aggs("agg5", q, default_field="body").collect()
+    # a5 (null n) and a6 (null w) drop; a7 counts (both present)
+    pairs = [(10, 2), (20, 4), (30, 6), (40, 8), (70, 14)]
+    want = sum(v * w for v, w in pairs) / sum(w for _, w in pairs)
+    assert abs(out[0]["wa"] - want) < 1e-9
+
+
+def test_weighted_avg_bad_dsl():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"aggs":{"wa":{"weighted_avg":{"field":"n"}}}}')
+
+
+def test_date_range_buckets(spark):
+    import datetime as dt
+    rows = [("e%d" % i, dt.datetime(2024, 1, d, 12, 0, 0))
+            for i, d in enumerate([1, 5, 9, 10, 15, 25])]
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(rows, "id string, ts timestamp"),
+                 TableSpec("dr5", ["id"]))
+    q = ('{"query":{"match_all":{}},"aggs":{"dr":{"date_range":'
+         '{"field":"ts","ranges":['
+         '{"to":"2024-01-10","key":"early"},'
+         '{"from":"2024-01-10","to":"2024-01-20","key":"mid"},'
+         '{"from":"2024-02-01","key":"none"}]}}}}')
+    out = eng.search_aggs("dr5", q, default_field="id")
+    rows_out = {r["key"]: r["doc_count"] for r in out.collect()}
+    # from inclusive / to exclusive; empty bucket ('none') never appears
+    assert rows_out == {"early": 3, "mid": 2}
+
+
+def test_date_range_rejects_date_math():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"aggs":{"dr":{"date_range":{"field":"ts",'
+                      '"ranges":[{"from":"now-1M"}]}}}}')
