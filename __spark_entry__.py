@@ -277,6 +277,25 @@ def q_search_function_score(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_highlight(spark, sf_dir):
+    # ES highlight (whole-field, the number_of_fragments:0 shape): every
+    # positive-leaf match wrapped in <em> tags, null column when the
+    # field carries no match; runs on the ≤k hit rows, never corpus-wide
+    q = ('{"query":{"query_string":{"query":"text:spark OR text:quer*"}},'
+         '"highlight":{"fields":{"text":{}}}}')
+    return _search(q)(spark, sf_dir)
+
+
+def q_search_sqs(spark, sf_dir):
+    # ES simple_query_string: lenient grammar — phrase | term with a
+    # group-level negation ("-slow" is a MUST_NOT on the enclosing OR
+    # group, Lucene SimpleQueryParser semantics)
+    q = ('{"query":{"simple_query_string":{'
+         '"query":"\\"value table\\" | spark -slow",'
+         '"fields":["text"]}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_significant_terms(spark, sf_dir):
     # ES significant_terms (JLH): langs overrepresented among docs
     # matching 'spark' vs the whole corpus — two aggregations + one join
@@ -1169,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_composite_aggs": q_search_composite_aggs,  # keyset aggs (r5)
         "search_aggs_nested3": q_search_aggs_nested3,  # 3-level flatten-join
         "search_significant_terms": q_search_significant_terms,  # JLH (r5)
+        "search_highlight": q_search_highlight,  # <em> term wrap (r5)
+        "search_sqs": q_search_sqs,  # simple_query_string grammar (r5)
         "search_mlt": q_search_mlt,          # tf·idf pick, oracle-backed
         "search_suggest": q_search_suggest,  # dictionary completion, oracle
         "search_metadata_agg": q_search_metadata_agg,
@@ -1187,10 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational: TPC-H, joins, setops, grouping sets ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "join_semi": q_join_semi,
         "revenue_by_nation": q_revenue_by_nation,
         "setop_intersect": q_setop_intersect,
-        "window_top_customers": q_window_top_customers,
         "cube_orders": q_cube_orders,
         "cross_table_union": q_cross_table_union,
         # --- custom operators: as-of, interval join ---
@@ -1224,6 +1243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,  # ~ text_stats
         #   (green r04; tokenizer family kept by text_stats/quality_lang)
         "doc_grouping": q_doc_grouping,  # ~ doc_build + tpch_q1 groupBy
+        #   (green r01-r04)
+        "join_semi": q_join_semi,  # J1 family — in-window via
+        #   search_dsl_range's row-load join (green r01-r04)
+        "window_top_customers": q_window_top_customers,  # ranking-window
+        #   family — in-window via search_10k_cap's pinned top-k
         #   (green r01-r04)
         "search_filter_agg": q_search_filter_agg,  # single-bucket filter
         #   (oracle present, pytest-checked; ~ search_dsl_must_should
@@ -1277,6 +1301,7 @@ _VALUE = r"(?i)\bvalue\b"
 _MPP = r"(?i)\btable\s+ta\w*\b"
 _PHRASE_SLOP1 = r"(?i)\bvalue(?:\s+\w+){0,1}\s+table\b"
 _SLOW = r"(?i)\bslow\w*\b"
+_SLOW_WORD = r"(?i)\bslow\b"
 _DE = r"(?i)\bde\b"
 _DATA = r"(?i)\bdata\b"
 _STOP_EN = r"(?i)\b(the|a|of|and|to|in|is)\b"
@@ -1309,6 +1334,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '{_PHRASE}'))::BIGINT AS _score
             FROM documents
             WHERE len(regexp_extract_all(text, '{_PHRASE}')) > 0
+        """,
+        # highlight: same combined alternation the engine builds
+        # ((?:pat1)|(?:pat2)), whole-match wrap, global replace; row-load
+        # result carries all base columns + _score
+        "search_highlight": f"""
+            WITH s AS (
+                SELECT *,
+                       (len(regexp_extract_all(text, '{_SPARK}'))
+                        + len(regexp_extract_all(text, '{_QUER}')))::BIGINT
+                           AS _score
+                FROM documents)
+            SELECT doc_id, text, lang, source, n_chars, _score,
+                   CASE WHEN regexp_matches(text,
+                            '(?:{_SPARK})|(?:{_QUER})')
+                        THEN regexp_replace(text,
+                            '(?:{_SPARK})|(?:{_QUER})',
+                            '<em>\\0</em>', 'g')
+                   END AS _highlight_text
+            FROM s WHERE _score > 0
+        """,
+        # simple_query_string "value table" | spark -slow: group-level
+        # MUST_NOT; score sums the positive text leaves (phrase tf + term
+        # tf), NOT leaves contribute 0
+        "search_sqs": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_PHRASE}')) AS ptf,
+                       len(regexp_extract_all(text, '{_SPARK}')) AS stf,
+                       len(regexp_extract_all(text, '{_SLOW_WORD}')) AS neg
+                FROM documents)
+            SELECT doc_id, (ptf + stf)::BIGINT AS _score
+            FROM s WHERE (ptf > 0 OR stf > 0) AND neg = 0
         """,
         # significant_terms / JLH over the spark match set: score =
         # (fg% − bg%) × (fg% / bg%), positive only, top size by score

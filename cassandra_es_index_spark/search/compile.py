@@ -127,6 +127,46 @@ def phrase_pattern(text: str, slop: int = 0, last_prefix: bool = False) -> str:
     return r"(?i)\b" + r"\s+".join(words) + r"\b"
 
 
+def highlight_patterns(node: Node, field: str,
+                       default_field: str | None) -> list[str]:
+    """Regex patterns of the POSITIVE text leaves targeting ``field`` —
+    the match set a highlighter must wrap. Term/Wildcard/Phrase leaves
+    contribute their scan patterns (the same regexes the scan plan
+    counts); Not subtrees are excluded (their matches are absent from the
+    hits); Fuzzy/Regexp leaves contribute nothing (their match sets are
+    dictionary expansions, not a single pattern — documented deviation
+    from ES's unified highlighter, which highlights those too)."""
+    out: list[str] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, Not):
+            return
+        if isinstance(n, (And, Or, Should, DisMax)):
+            for c in n.children:
+                walk(c)
+            return
+        if isinstance(n, (Boost, ConstantScore, Required, Scoreless,
+                          FunctionScore)):
+            walk(n.child)
+            return
+        tgt = getattr(n, "field", None)
+        resolved = tgt if tgt is not None else default_field
+        if resolved != field:
+            return
+        if isinstance(n, Term):
+            out.append(token_pattern(n.value))
+        elif isinstance(n, Wildcard):
+            out.append(wildcard_pattern(n.pattern))
+        elif isinstance(n, Phrase):
+            out.append(phrase_pattern(n.text, n.slop, n.last_prefix))
+
+    walk(node)
+    # de-dup, order-preserving — alternation order is part of the match
+    # semantics for overlapping patterns
+    seen: set[str] = set()
+    return [p for p in out if not (p in seen or seen.add(p))]
+
+
 # ES field_value_factor modifiers (log family is log10, ln natural —
 # ES's own definitions). Shared by the scan compiler and the index-served
 # plan so both paths score identically.

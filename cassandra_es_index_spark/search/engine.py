@@ -494,6 +494,39 @@ class SearchEngine:
         k = limit if limit is not None else (size if size is not None else cfg.max_results)
         keys = spec.key_columns
 
+        def apply_highlight(result: DataFrame) -> DataFrame:
+            # ES highlight, whole-field shape (`number_of_fragments: 0`):
+            # one `_highlight_<field>` column per requested field wrapping
+            # every positive-leaf match in the tags, null when the field
+            # carries no match (ES omits the field then). Runs on the ≤k
+            # result rows of either plan — never corpus-wide.
+            if not req.highlight:
+                return result
+            from cassandra_es_index_spark.search.compile import (
+                highlight_patterns,
+            )
+            default = default_field or Compiler(docs).default_field
+            for fld, pre, post in req.highlight:
+                if fld not in result.columns:
+                    raise es_dsl.DslError(
+                        f"highlight field {fld!r} requires the document "
+                        "columns (use load-source=true or row-load mode)")
+                pats = highlight_patterns(req.node, fld, default)
+                if not pats:
+                    result = result.withColumn(
+                        f"_highlight_{fld}",
+                        F.lit(None).cast("string"))
+                    continue
+                combined = "|".join(f"(?:{p})" for p in pats)
+                repl = re.sub(r"([\\$])", r"\\\1", pre) + "$0" \
+                    + re.sub(r"([\\$])", r"\\\1", post)
+                col = F.col(fld)
+                result = result.withColumn(
+                    f"_highlight_{fld}",
+                    F.when(col.rlike(combined),
+                           F.regexp_replace(col, combined, repl)))
+            return result
+
         # Field sort needs document column values, which the postings rows
         # don't carry. ES serves sorted queries from doc-values; the
         # analogue here is the range index (build_range_index) — already a
@@ -606,7 +639,7 @@ class SearchEngine:
                 result = result.crossJoin(F.broadcast(meta))
             if needs_join:
                 result = result.orderBy(RANK).drop(RANK)
-            return result
+            return apply_highlight(result)
 
         comp = Compiler(docs, default_field)
         pred, score = comp.compile(node)
@@ -689,7 +722,7 @@ class SearchEngine:
             # total/max reflect ALL matches, not the top-k cap (hits.total
             # semantics, ref README.md:199-203).
             result = result.withColumn("_metadata", F.lit(meta_json))
-        return result
+        return apply_highlight(result)
 
     # -- postings-backed plan ------------------------------------------------
 

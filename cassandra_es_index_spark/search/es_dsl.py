@@ -223,6 +223,11 @@ class Request:
     # field are NOT collapsed (each keeps its own hit, like ES docs
     # missing the field). hits.total stays uncollapsed.
     collapse: str | None = None
+    # ES highlight: ((field, pre_tag, post_tag), ...) — each requested
+    # field gains a `_highlight_<field>` column wrapping query-term
+    # matches in the tags (whole-field highlighting, the ES
+    # `number_of_fragments: 0` shape; see SearchEngine.search)
+    highlight: tuple[tuple[str, str, str], ...] = ()
 
 
 def parse(query_json: str | dict[str, Any]) -> tuple[Node, int | None]:
@@ -261,6 +266,37 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         if not isinstance(cspec, dict) or "field" not in cspec:
             raise DslError("collapse needs {'field': name}")
         collapse = cspec["field"]
+    highlight: tuple[tuple[str, str, str], ...] = ()
+    hspec = obj.get("highlight")
+    if hspec is not None:
+        if not isinstance(hspec, dict) \
+                or not isinstance(hspec.get("fields"), dict) \
+                or not hspec["fields"]:
+            raise DslError(
+                "highlight needs a non-empty {'fields': {name: {...}}}")
+
+        def tag(spec: dict, key: str, default: str) -> str:
+            raw = spec.get(key)
+            if raw is None:
+                return default
+            if not isinstance(raw, list) or len(raw) != 1 \
+                    or not isinstance(raw[0], str):
+                # ES supports tag ARRAYS for multi-level highlighting;
+                # the engine's single-pass replace takes exactly one
+                raise DslError(f"{key} must be a one-element string list")
+            return raw[0]
+
+        g_pre = tag(hspec, "pre_tags", "<em>")
+        g_post = tag(hspec, "post_tags", "</em>")
+        out: list[tuple[str, str, str]] = []
+        for fld, fbody in hspec["fields"].items():
+            if fbody is None:
+                fbody = {}
+            if not isinstance(fbody, dict):
+                raise DslError(f"highlight field {fld!r} must be an object")
+            out.append((fld, tag(fbody, "pre_tags", g_pre),
+                        tag(fbody, "post_tags", g_post)))
+        highlight = tuple(out)
     return Request(
         node=_node(query),
         size=size,
@@ -269,6 +305,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         sort=_sort(obj.get("sort")),
         search_after=after,
         collapse=collapse,
+        highlight=highlight,
     )
 
 
@@ -929,7 +966,178 @@ def _node(q: dict[str, Any]) -> Node:
         if not isinstance(body, dict) or "query" not in body:
             raise DslError("query_string needs {'query': str}")
         return qs.parse(body["query"])
+    if kind == "simple_query_string":
+        if not isinstance(body, dict) or "query" not in body:
+            raise DslError("simple_query_string needs {'query': str}")
+        default_op = str(body.get("default_operator", "or")).lower()
+        if default_op not in ("or", "and"):
+            raise DslError(f"bad default_operator {default_op!r}")
+        fields = body.get("fields")
+        if fields is not None and (not isinstance(fields, list)
+                                   or not fields):
+            raise DslError("simple_query_string fields must be a "
+                           "non-empty list")
+        text = str(body["query"])
+        if fields is None:
+            node = _sqs_parse(text, None, default_op)
+            return _boosted(node, body.get("boost"))
+        branches = []
+        for f in fields:
+            fboost = None
+            if "^" in f:
+                f, _, fb = f.partition("^")
+                try:
+                    fboost = float(fb)
+                except ValueError as e:
+                    raise DslError(
+                        f"bad simple_query_string field boost {fb!r}") from e
+            branches.append(_boosted(_sqs_parse(text, f, default_op),
+                                     fboost))
+        node = branches[0] if len(branches) == 1 else Or(tuple(branches))
+        return _boosted(node, body.get("boost"))
     raise DslError(f"unsupported DSL clause {kind!r}")
+
+
+def _sqs_parse(text: str, field: str | None, default_op: str) -> Node:
+    """ES ``simple_query_string`` parser — the LENIENT grammar: ``+``
+    (AND), ``|`` (OR), ``-`` (negate next clause), ``"..."``~N phrases,
+    trailing-``*`` prefixes, ``word~N`` fuzziness, ``( )`` grouping;
+    juxtaposed clauses join with ``default_operator``. AND binds tighter
+    than OR (Lucene SimpleQueryParser precedence). Lenient by contract:
+    malformed syntax never raises — an unmatched quote drops, an
+    unmatched ``(`` opens a group to end-of-input, stray operators are
+    skipped, and an all-empty query is ``match_all``. DEVIATION
+    (documented): a mid-word hyphen splits into a negation (tokens are
+    ``\\s()|+-"``-delimited), and Lucene's left-assoc operator chaining
+    is approximated by the AND-over-OR precedence grammar."""
+    toks: list[tuple[str, Any]] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "()|+-":
+            toks.append((c, c))
+            i += 1
+            continue
+        if c == '"':
+            j = text.find('"', i + 1)
+            if j == -1:
+                i += 1      # lenient: unmatched quote drops
+                continue
+            phrase = text[i + 1:j]
+            i = j + 1
+            slop = 0
+            m = _re.match(r"~(\d+)", text[i:])
+            if m:
+                slop = int(m.group(1))
+                i += m.end()
+            if phrase.strip():
+                toks.append(("phrase", (phrase, slop)))
+            continue
+        m = _re.match(r'[^\s()|+\-"]+', text[i:])
+        toks.append(("word", m.group(0)))
+        i += m.end()
+
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos][0] if pos < len(toks) else None
+
+    def leaf(kind: str, val: Any) -> Node:
+        if kind == "phrase":
+            return Phrase(field, val[0], val[1])
+        w = val
+        m = _re.fullmatch(r"(.+)~(\d+)", w)
+        if m:
+            return Fuzzy(field, m.group(1), int(m.group(2)))
+        if w.endswith("~"):
+            return Fuzzy(field, w[:-1], None)   # AUTO budget
+        if ("*" in w or "?" in w) and w.strip("*?"):
+            return Wildcard(field, w)
+        return Term(field, w)
+
+    def parse_unary() -> Node | None:
+        nonlocal pos
+        while peek() in ("+", "|"):     # stray infix operator — skip
+            pos += 1
+        k = peek()
+        if k is None or k == ")":
+            return None
+        if k == "-":
+            pos += 1
+            inner = parse_unary()
+            return None if inner is None else Not(inner)
+        if k == "(":
+            pos += 1
+            inner = parse_or()
+            if peek() == ")":
+                pos += 1
+            return inner
+        kind, val = toks[pos]
+        pos += 1
+        return leaf(kind, val)
+
+    def parse_and() -> Node | None:
+        nonlocal pos
+        parts: list[Node] = []
+        first = parse_unary()
+        if first is not None:
+            parts.append(first)
+        while True:
+            k = peek()
+            if k == "+":
+                pos += 1
+                nxt = parse_unary()
+                if nxt is not None:
+                    parts.append(nxt)
+                continue
+            if k in ("word", "phrase", "(", "-") and default_op == "and":
+                nxt = parse_unary()
+                if nxt is not None:
+                    parts.append(nxt)
+                continue
+            break
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def parse_or() -> Node | None:
+        nonlocal pos
+        parts: list[Node] = []
+        first = parse_and()
+        if first is not None:
+            parts.append(first)
+        while True:
+            k = peek()
+            if k == "|":
+                pos += 1
+            elif k in ("word", "phrase", "(", "-") and default_op == "or":
+                pass
+            else:
+                break
+            nxt = parse_and()
+            if nxt is not None:
+                parts.append(nxt)
+        if not parts:
+            return None
+        # Lucene SQP: a negated clause is a MUST_NOT on the ENCLOSING
+        # group, never a disjunct — `foo | -bar` matches foo AND NOT bar
+        positives = [p for p in parts if not isinstance(p, Not)]
+        negs = [p for p in parts if isinstance(p, Not)]
+        core = (positives[0] if len(positives) == 1
+                else Or(tuple(positives)) if positives else MatchAll())
+        if negs:
+            return And((core, *negs))
+        return core
+
+    node = parse_or()
+    # pure-negation queries (`-foo`) gate like ES: everything except the
+    # match set; wrap with match_all so the And has a positive driver
+    if isinstance(node, Not):
+        node = And((MatchAll(), node))
+    return node if node is not None else MatchAll()
 
 
 def _boosted(node: Node, boost: Any) -> Node:

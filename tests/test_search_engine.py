@@ -1927,3 +1927,107 @@ def test_date_range_rejects_date_math():
     with pytest.raises(DslError):
         parse_request('{"aggs":{"dr":{"date_range":{"field":"ts",'
                       '"ranges":[{"from":"now-1M"}]}}}}')
+
+
+# ---------------------------------------------------------------------------
+# highlight / simple_query_string (round 5)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hl_engines(spark):
+    rows = [
+        ("h1", "cassandra is a database"),
+        ("h2", "spark and CASSANDRA and more cassandra"),
+        ("h3", "slow cassandra value table"),
+        ("h4", "value table of spark"),
+        ("h5", "nothing relevant"),
+    ]
+    scan = SearchEngine(spark)
+    scan.register(spark.createDataFrame(rows, "id string, body string"),
+                  TableSpec("hl_scan", ["id"]))
+    idx = SearchEngine(spark)
+    idx.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("hl_idx", ["id"]))
+    idx.build_postings_index("hl_idx", "body", materialize=True)
+    idx.build_phrase_index("hl_idx", "body")
+    return scan, idx
+
+
+def test_highlight_wraps_matches_case_preserving(hl_engines):
+    q = ('{"query":{"match":{"body":"cassandra"}},'
+         '"highlight":{"fields":{"body":{}}}}')
+    for eng, tbl in zip(hl_engines, ("hl_scan", "hl_idx")):
+        rows = {r["id"]: r["_highlight_body"]
+                for r in eng.search(tbl, q, default_field="body").collect()}
+        assert rows["h2"] == \
+            "spark and <em>CASSANDRA</em> and more <em>cassandra</em>"
+        assert rows["h1"] == "<em>cassandra</em> is a database"
+
+
+def test_highlight_custom_tags_and_phrase(hl_engines):
+    scan, _ = hl_engines
+    q = ('{"query":{"match_phrase":{"body":"value table"}},'
+         '"highlight":{"fields":{"body":{}},'
+         '"pre_tags":["<b>"],"post_tags":["</b>"]}}')
+    rows = {r["id"]: r["_highlight_body"]
+            for r in scan.search("hl_scan", q, default_field="body").collect()}
+    assert rows["h4"] == "<b>value table</b> of spark"
+
+
+def test_highlight_null_when_field_unmatched(hl_engines):
+    scan, _ = hl_engines
+    # match-all query carries no text leaves → highlight column is null
+    q = '{"query":{"match_all":{}},"highlight":{"fields":{"body":{}}}}'
+    rows = scan.search("hl_scan", q, default_field="body").collect()
+    assert all(r["_highlight_body"] is None for r in rows)
+
+
+def test_highlight_rejected_in_fake_row_mode(hl_engines):
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    scan, _ = hl_engines
+    q = ('#options:load-rows=false#{"query":{"match":{"body":"spark"}},'
+         '"highlight":{"fields":{"body":{}}}}')
+    with pytest.raises(DslError):
+        scan.search("hl_scan", q, default_field="body")
+
+
+def test_sqs_group_negation(hl_engines):
+    # `-slow` is a MUST_NOT on the enclosing OR group (Lucene SQP)
+    q = ('{"query":{"simple_query_string":{'
+         '"query":"cassandra | spark -slow","fields":["body"]}}}')
+    for eng, tbl in zip(hl_engines, ("hl_scan", "hl_idx")):
+        got = {r["id"] for r in
+               eng.search(tbl, q, default_field="body").collect()}
+        assert got == {"h1", "h2", "h4"}
+
+
+def test_sqs_precedence_and_prefix(hl_engines):
+    scan, _ = hl_engines
+    # AND binds tighter than OR: (value + spark) | slow
+    q = ('{"query":{"simple_query_string":{'
+         '"query":"value + spark | slow","fields":["body"]}}}')
+    got = {r["id"] for r in
+           scan.search("hl_scan", q, default_field="body").collect()}
+    assert got == {"h3", "h4"}
+    q2 = ('{"query":{"simple_query_string":{'
+          '"query":"cassan*","fields":["body"]}}}')
+    got2 = {r["id"] for r in
+            scan.search("hl_scan", q2, default_field="body").collect()}
+    assert got2 == {"h1", "h2", "h3"}
+
+
+def test_sqs_lenient_never_raises(hl_engines):
+    scan, _ = hl_engines
+    for junk in ['"unclosed', "(((", ")|+ -", "", "   ", '()""']:
+        q = ('{"query":{"simple_query_string":{"query":'
+             + __import__("json").dumps(junk) + ',"fields":["body"]}}}')
+        scan.search("hl_scan", q, default_field="body").collect()
+
+
+def test_sqs_default_operator_and(hl_engines):
+    scan, _ = hl_engines
+    q = ('{"query":{"simple_query_string":{"query":"value table spark",'
+         '"fields":["body"],"default_operator":"and"}}}')
+    got = {r["id"] for r in
+           scan.search("hl_scan", q, default_field="body").collect()}
+    assert got == {"h4"}
