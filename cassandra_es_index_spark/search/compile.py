@@ -12,9 +12,13 @@ parity with ES is impossible, so the engine defines its own formula):
     score(doc) = Σ over positive text leaves of  tf(leaf, doc)
                + Σ over positive non-text leaves of  1 if matched
 
-where tf = number of token matches of the leaf's pattern in the field.
-Integer-valued, reproducible, and expressible in ANSI SQL for oracle
-checks. NOT-subtrees contribute 0.
+where tf = number of token matches of the leaf's pattern in the field,
+and — like Lucene's disjunction scoring — a leaf under an Or/Should
+contributes ONLY when its own branch matches (a compound disjunct with a
+partial match adds nothing; pinned by
+``test_or_compound_child_scores_matching_only``, identical on the scan
+and index-served plans). Integer-valued, reproducible, and expressible
+in ANSI SQL for oracle checks. NOT-subtrees contribute 0.
 """
 
 from __future__ import annotations
@@ -341,6 +345,12 @@ class Compiler:
         pred, score = self._walk(node)
         return pred, score.cast("long").alias("_score")
 
+    @staticmethod
+    def _gated(pred: Column, score: Column) -> Column:
+        """Score contribution of one disjunct: its score when it matches,
+        else 0 (null-safe — a null predicate is a non-match)."""
+        return F.when(F.coalesce(pred, F.lit(False)), score).otherwise(0)
+
     def _leaf_text(self, field: str | None, pattern: str) -> tuple[Column, Column]:
         ref = self.resolve(field)
         if isinstance(ref.dtype, (T.StringType, T.ArrayType, T.MapType)):
@@ -425,13 +435,19 @@ class Compiler:
                 score = score + s
             return pred, score
         if isinstance(node, Or):
+            # Lucene disjunction: only MATCHING clauses contribute score.
+            # Leaf tf is already 0 when unmatched, but a compound child
+            # (an And with a partial match) carries leaf tfs without
+            # matching — gate each child's score on its own predicate so
+            # the scan and the index-served union score identically
+            # (pinned by test_or_compound_child_scores_matching_only).
             parts = [self._walk(c) for c in node.children]
             pred = parts[0][0]
             for p, _ in parts[1:]:
                 pred = pred | p
-            score = parts[0][1]
-            for _, s in parts[1:]:
-                score = score + s
+            score = self._gated(*parts[0])
+            for p, s in parts[1:]:
+                score = score + self._gated(p, s)
             return pred, score
         if isinstance(node, DisMax):
             # best matching subquery's score + tie_breaker × the rest;
@@ -472,12 +488,12 @@ class Compiler:
             pred, _ = self._walk(node.child)
             return ~F.coalesce(pred, F.lit(False)), F.lit(0)
         if isinstance(node, Should):
-            # optional: every leaf score is already 0 when unmatched, so the
-            # sum boosts matches without gating the predicate
+            # optional score boost, matching clauses only (same gating
+            # rationale as Or — a compound child must not leak partial tf)
             parts = [self._walk(c) for c in node.children]
-            score = parts[0][1]
-            for _, s in parts[1:]:
-                score = score + s
+            score = self._gated(*parts[0])
+            for p, s in parts[1:]:
+                score = score + self._gated(p, s)
             return F.lit(True), score
         if isinstance(node, Scoreless):
             pred, _ = self._walk(node.child)

@@ -2031,3 +2031,29 @@ def test_sqs_default_operator_and(hl_engines):
     got = {r["id"] for r in
            scan.search("hl_scan", q, default_field="body").collect()}
     assert got == {"h4"}
+
+
+def test_or_compound_child_scores_matching_only(spark):
+    # Lucene disjunction scoring: a compound OR-branch with only a
+    # PARTIAL match contributes nothing — "apple cherry" matches via the
+    # cherry term only, so (apple AND banana)'s apple-tf must not leak.
+    # Identical on the scan and the index-served plan.
+    rows = [("x1", "apple banana"), ("x2", "apple cherry"), ("x3", "cherry")]
+    q = ('{"query":{"bool":{"should":['
+         '{"bool":{"must":[{"term":{"body":"apple"}},'
+         '{"term":{"body":"banana"}}]}},'
+         '{"term":{"body":"cherry"}}]}}}')
+    want = [("x1", 2), ("x2", 1), ("x3", 1)]
+    scan = SearchEngine(spark)
+    scan.register(spark.createDataFrame(rows, "id string, body string"),
+                  TableSpec("org_s", ["id"]))
+    got = sorted((r["id"], r["_score"]) for r in
+                 scan.search("org_s", q, default_field="body").collect())
+    assert got == want
+    idx = SearchEngine(spark)
+    idx.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("org_i", ["id"]))
+    idx.build_postings_index("org_i", "body")
+    got_i = sorted((r["id"], r["_score"]) for r in
+                   idx.search("org_i", q, default_field="body").collect())
+    assert got_i == want
