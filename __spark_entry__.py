@@ -296,6 +296,16 @@ def q_search_sqs(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_rescore(spark, sf_dir):
+    # ES rescore: the top-50 primary (term) hits re-rank by
+    # qw×primary + rw×phrase-tf; window docs without the phrase keep
+    # qw×primary, docs past the window keep the raw primary score
+    q = ('{"query":{"match":{"text":"spark"}},"rescore":{"window_size":50,'
+         '"query":{"rescore_query":{"match_phrase":{"text":"value table"}},'
+         '"query_weight":1.0,"rescore_query_weight":3.0}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_significant_terms(spark, sf_dir):
     # ES significant_terms (JLH): langs overrepresented among docs
     # matching 'spark' vs the whole corpus — two aggregations + one join
@@ -1256,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (oracle present, pytest-checked; ~ search_aggs_range_stats)
         "search_date_range": q_search_date_range,  # ~ range buckets
         #   (oracle present, pytest-checked)
+        "search_rescore": q_search_rescore,  # top-window re-rank
+        #   (oracle present, pytest-checked; window-capped — the r5
+        #   window already carries 10 new features)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1366,6 +1379,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id, (ptf + stf)::BIGINT AS _score
             FROM s WHERE (ptf > 0 OR stf > 0) AND neg = 0
+        """,
+        # rescore window=50: rank by (primary desc, doc_id asc); in-window
+        # docs combine 1.0×primary + 3.0×phrase-tf (qw×primary when the
+        # phrase is absent), out-of-window docs keep the raw primary
+        "search_rescore": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}')) AS prim,
+                       len(regexp_extract_all(text, '{_PHRASE}')) AS phr
+                FROM documents),
+            r AS (
+                SELECT doc_id, prim, phr,
+                       row_number() OVER (ORDER BY prim DESC, doc_id ASC)
+                           AS rk
+                FROM s WHERE prim > 0)
+            SELECT doc_id,
+                   CASE WHEN rk > 50 THEN prim::BIGINT
+                        WHEN phr = 0 THEN CAST(trunc(1.0 * prim) AS BIGINT)
+                        ELSE CAST(trunc(1.0 * prim + 3.0 * phr) AS BIGINT)
+                   END AS _score
+            FROM r
         """,
         # significant_terms / JLH over the spark match set: score =
         # (fg% − bg%) × (fg% / bg%), positive only, top size by score

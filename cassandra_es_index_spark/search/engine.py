@@ -527,6 +527,58 @@ class SearchEngine:
                            F.regexp_replace(col, combined, repl)))
             return result
 
+        if req.rescore is not None and (req.sort or req.collapse is not None
+                                        or after is not None):
+            raise es_dsl.DslError(
+                "rescore cannot combine with sort, collapse, or "
+                "search_after (ES contract: rescore re-ranks the "
+                "score-ordered window)")
+
+        def apply_rescore(hits: DataFrame) -> DataFrame:
+            # ES rescore: the top window_size primary hits re-score as
+            # combine(qw×primary, rw×secondary); window docs not matching
+            # the rescore query take qw×primary; docs past the window
+            # keep the raw primary score. Everything runs on the ≤k hit
+            # set: the rank window, the semi-join pruning the secondary
+            # scorer to hit keys, and the broadcast hash joins — never
+            # corpus-wide.
+            if req.rescore is None:
+                return hits
+            node2, window, qw, rw, mode = req.rescore
+            ph2 = self._postings_hits(table, node2, default_field)
+            if ph2 is not None:
+                if len(keys) == 1:
+                    sec = ph2.withColumnRenamed("doc", keys[0])
+                else:
+                    key_map = docs.select(F.col(DOC_ID).alias("doc"), *keys)
+                    sec = ph2.join(key_map, on="doc", how="inner").drop("doc")
+                sec = sec.withColumnRenamed(SCORE, "_s2")
+            else:
+                pred2, score2 = Compiler(docs, default_field).compile(node2)
+                sec = docs.where(pred2).select(*keys, score2.alias("_s2"))
+            wnd = Window.orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
+            ranked = hits.withColumn("_prk", F.row_number().over(wnd))
+            sec_small = sec.join(F.broadcast(ranked.select(*keys)),
+                                 on=keys, how="left_semi")
+            out = ranked.join(F.broadcast(sec_small), on=keys, how="left")
+            prim = F.col(SCORE).cast("double")
+            qp = prim * F.lit(qw)
+            s2 = F.col("_s2").cast("double") * F.lit(rw)
+            combined = {"total": qp + s2, "multiply": qp * s2,
+                        "avg": (qp + s2) / F.lit(2.0),
+                        "max": F.greatest(qp, s2),
+                        "min": F.least(qp, s2)}[mode]
+            new = (F.when(F.col("_prk") > window, prim)
+                    .otherwise(F.when(F.col("_s2").isNull(), qp)
+                                .otherwise(combined)))
+            out = (out.withColumn(SCORE, new.cast("long"))
+                      .drop("_s2", "_prk"))
+            # re-sort on the rescored totals (same default ordering —
+            # rescore is score-ordered by construction)
+            return self._apply_ordering(
+                out, [(F.col(SCORE), False, False)]
+                + [(F.col(c), True, True) for c in keys])
+
         # Field sort needs document column values, which the postings rows
         # don't carry. ES serves sorted queries from doc-values; the
         # analogue here is the range index (build_range_index) — already a
@@ -611,6 +663,7 @@ class SearchEngine:
                 # total order (search_after remains the deep-paging path)
                 hits = hits.offset(req.from_)
             hits = hits.limit(k)
+            hits = apply_rescore(hits)
             # join paths would lose the page order (a join emits rows in
             # shuffle/broadcast-probe order): rank the ≤k hits first and
             # re-sort the joined result on that rank, so a paging client
@@ -681,6 +734,7 @@ class SearchEngine:
             # ES `from` shallow pagination (see the index-plan note)
             hits = hits.offset(req.from_)
         hits = hits.limit(k)
+        hits = apply_rescore(hits)
 
         if want_meta:
             agg = scored.agg(F.count("*").alias("total_hits"),

@@ -228,6 +228,13 @@ class Request:
     # matches in the tags (whole-field highlighting, the ES
     # `number_of_fragments: 0` shape; see SearchEngine.search)
     highlight: tuple[tuple[str, str, str], ...] = ()
+    # ES rescore: (rescore-query AST, window_size, query_weight,
+    # rescore_query_weight, score_mode) — the top window_size primary
+    # hits re-score as combine(qw×primary, rw×secondary); window docs not
+    # matching the rescore query score qw×primary; docs past the window
+    # keep their raw primary score (ES contract). Incompatible with
+    # sort/collapse/search_after, like ES.
+    rescore: "tuple[Node, int, float, float, str] | None" = None
 
 
 def parse(query_json: str | dict[str, Any]) -> tuple[Node, int | None]:
@@ -297,6 +304,31 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             out.append((fld, tag(fbody, "pre_tags", g_pre),
                         tag(fbody, "post_tags", g_post)))
         highlight = tuple(out)
+    rescore = None
+    rspec = obj.get("rescore")
+    if rspec is not None:
+        if isinstance(rspec, list):
+            if len(rspec) != 1:
+                raise DslError("exactly one rescore stage is supported")
+            rspec = rspec[0]
+        if not isinstance(rspec, dict) or not isinstance(
+                rspec.get("query"), dict) \
+                or "rescore_query" not in rspec["query"]:
+            raise DslError(
+                "rescore needs {'query': {'rescore_query': clause}}")
+        rq = rspec["query"]
+        mode = str(rq.get("score_mode", "total"))
+        if mode not in ("total", "multiply", "avg", "max", "min"):
+            raise DslError(f"unknown rescore score_mode {mode!r}")
+        window = rspec.get("window_size", 10)
+        if not isinstance(window, int) or window <= 0:
+            raise DslError("rescore window_size must be a positive integer")
+        try:
+            qw = float(rq.get("query_weight", 1.0))
+            rw = float(rq.get("rescore_query_weight", 1.0))
+        except (TypeError, ValueError) as e:
+            raise DslError("rescore weights must be numeric") from e
+        rescore = (_node(rq["rescore_query"]), window, qw, rw, mode)
     return Request(
         node=_node(query),
         size=size,
@@ -306,6 +338,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         search_after=after,
         collapse=collapse,
         highlight=highlight,
+        rescore=rescore,
     )
 
 

@@ -2057,3 +2057,39 @@ def test_or_compound_child_scores_matching_only(spark):
     got_i = sorted((r["id"], r["_score"]) for r in
                    idx.search("org_i", q, default_field="body").collect())
     assert got_i == want
+
+
+def test_rescore_window_and_modes(hl_engines):
+    # window=2: top-2 primary hits re-rank (h2 gains the phrase boost);
+    # outside-window hits keep their raw primary score. Identical on
+    # scan and index-served plans.
+    q = ('{"query":{"match":{"body":"cassandra"}},"rescore":{'
+         '"window_size":2,"query":{'
+         '"rescore_query":{"match_phrase":{"body":"value table"}},'
+         '"query_weight":1.0,"rescore_query_weight":5.0}}}')
+    for eng, tbl in zip(hl_engines, ("hl_scan", "hl_idx")):
+        got = [(r["id"], r["_score"]) for r in
+               eng.search(tbl, q, default_field="body").collect()]
+        # primary: h2 tf2, h1 tf1, h3 tf1 → window {h2, h1};
+        # h2 has no phrase → 2; h1 no phrase → 1; h3 outside → 1
+        assert got[0] == ("h2", 2)
+        assert dict(got)["h1"] == 1 and dict(got)["h3"] == 1
+
+
+def test_rescore_rejects_sort_and_search_after(hl_engines):
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    scan, _ = hl_engines
+    q = ('{"query":{"match":{"body":"cassandra"}},"sort":[{"id":"asc"}],'
+         '"rescore":{"query":{"rescore_query":{"match_all":{}}}}}')
+    with pytest.raises(DslError):
+        scan.search("hl_scan", q, default_field="body")
+
+
+def test_rescore_bad_dsl():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_all":{}},"rescore":{"query":{}}}')
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_all":{}},"rescore":{"query":'
+                      '{"rescore_query":{"match_all":{}},'
+                      '"score_mode":"sumx"}}}')
