@@ -745,6 +745,16 @@ def q_pipeline_clean_corpus(spark, sf_dir):
                      F.sum("n_bpe").cast("long").alias("total_bpe")))
 
 
+def q_dedup_spans(spark, sf_dir):
+    # span-level corpus dedup (C4 / "Deduplicating Training Data" line
+    # dedup): 25-token windows, first occurrence wins by (doc, pos),
+    # cleaned text rebuilt. One fingerprint agg + one equi-join (AQE
+    # skew-safe on hot boilerplate) + one per-doc rebuild.
+    return dedup.span_dedup(_t(spark, sf_dir, "documents"),
+                            "doc_id", "text",
+                            mode="token_window", span_tokens=25)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1269,6 +1279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rescore": q_search_rescore,  # top-window re-rank
         #   (oracle present, pytest-checked; window-capped — the r5
         #   window already carries 10 new features)
+        "dedup_spans": q_dedup_spans,  # C4-style span dedup — extra
+        #   tier beyond the five prompt-listed dedup ops (oracle
+        #   present, pytest-checked)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -2012,6 +2025,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*)::BIGINT AS n_docs,
                    sum(n_bpe)::BIGINT AS total_bpe
             FROM rep_rows GROUP BY lang
+        """,
+        # span dedup, 25-token windows: chunk the token stream, keep only
+        # each span's first corpus occurrence by (doc, pos), rebuild
+        "dedup_spans": r"""
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+            ex AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       array_to_string(
+                           toks[(i * 25 + 1):((i + 1) * 25)], ' ') AS span
+                FROM t, UNNEST(range(CAST(ceil(len(toks) / 25.0)
+                                          AS BIGINT))) AS u(i)),
+            w AS (
+                SELECT doc_id, pos, span,
+                       row_number() OVER (PARTITION BY md5(span)
+                                          ORDER BY doc_id, pos) AS rn
+                FROM ex WHERE len(span) > 0)
+            SELECT doc_id AS doc,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN span END,
+                                       ' ' ORDER BY pos), '') AS text_clean,
+                   COUNT(*)::BIGINT AS n_spans,
+                   SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dropped
+            FROM w GROUP BY doc_id
         """,
         "dedup_jaccard": r"""
             WITH toks AS (

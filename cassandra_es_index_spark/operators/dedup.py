@@ -332,3 +332,61 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     prefix)."""
     return simhash_pairs_from_signatures(
         simhash64(df, id_col, text_col), max_hamming)
+
+
+def span_dedup(df: DataFrame, id_col: str, text_col: str,
+               mode: str = "paragraph", sep: str = r"\n+",
+               span_tokens: int = 25) -> DataFrame:
+    """Span-level corpus dedup (the C4 / "Deduplicating Training Data"
+    line-dedup shape): split every document into spans, drop each span
+    that already occurred earlier in the corpus (first occurrence wins,
+    ordered by (id, position)), and rebuild the cleaned text.
+
+    ``mode="paragraph"`` splits on the ``sep`` regex (newlines by
+    default); ``mode="token_window"`` chunks the whitespace token stream
+    into fixed non-overlapping ``span_tokens``-sized windows — the
+    approximation of substring dedup that works on unstructured text.
+
+    Returns (doc, text_clean, n_spans, n_dropped).
+
+    Scale shape: one hash aggregation per span fingerprint (min (id,
+    pos) — map-side combinable) and one fingerprint equi-join back, so
+    hot boilerplate spans ride AQE's skew-join split instead of piling
+    into a single window partition; then one per-doc rebuild
+    aggregation. All linear in corpus size.
+    """
+    if mode == "paragraph":
+        spans = F.split(F.col(text_col), sep)
+    elif mode == "token_window":
+        toks = F.split(F.col(text_col), r"\s+")
+        n_chunks = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+        spans = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * span_tokens + 1, span_tokens)))
+    else:
+        raise ValueError(f"unknown span_dedup mode {mode!r}")
+
+    exploded = (_spread(df)
+                .select(F.col(id_col).alias("doc"),
+                        F.posexplode(spans).alias("pos", "span"))
+                .where(F.length("span") > 0))
+    keyed = exploded.withColumn("fp", F.md5(F.col("span")))
+    firsts = (keyed.groupBy("fp")
+              .agg(F.min(F.struct("doc", "pos")).alias("first_at")))
+    kept = (keyed.join(firsts, on="fp")
+            .withColumn("_keep",
+                        (F.col("doc") == F.col("first_at.doc"))
+                        & (F.col("pos") == F.col("first_at.pos"))))
+    sep_out = " " if mode == "token_window" else "\n"
+    return (kept.groupBy("doc")
+            .agg(F.concat_ws(
+                     sep_out,
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("pos", "span")))),
+                         lambda s: s["span"])).alias("text_clean"),
+                 F.count("*").cast("long").alias("n_spans"),
+                 F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                  .cast("long").alias("n_dropped")))

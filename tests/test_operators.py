@@ -437,3 +437,43 @@ def test_repetition_metrics_known_values(spark):
     assert rows["d4"]["dtf"] == 0.0
     assert rows["d4"]["dbf"] == 0.0           # <2 tokens → defined as 0
     assert rows["d4"]["tts"] == 1.0
+
+
+def test_span_dedup_paragraph_first_wins(spark):
+    from cassandra_es_index_spark.operators import dedup
+    df = spark.createDataFrame([
+        (1, "one two three\nshared para\nunique a"),
+        (2, "shared para\nunique b"),
+        (3, "unique c\nshared para"),
+    ], "id long, text string")
+    out = {r["doc"]: r for r in
+           dedup.span_dedup(df, "id", "text").collect()}
+    # doc 1 owns the shared paragraph's first occurrence
+    assert out[1]["text_clean"] == "one two three\nshared para\nunique a"
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["text_clean"] == "unique b" and out[2]["n_dropped"] == 1
+    assert out[3]["text_clean"] == "unique c" and out[3]["n_dropped"] == 1
+
+
+def test_span_dedup_token_window_exact_copy_empties(spark):
+    from cassandra_es_index_spark.operators import dedup
+    text = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "zz yy xx")],
+        "id long, text string")
+    out = {r["doc"]: r for r in
+           dedup.span_dedup(df, "id", "text", mode="token_window",
+                            span_tokens=25).collect()}
+    assert out[1]["n_dropped"] == 0 and out[1]["text_clean"] == text
+    # doc 2 is an exact copy — every span already seen → cleaned empty
+    assert out[2]["n_dropped"] == out[2]["n_spans"] == 3
+    assert out[2]["text_clean"] == ""
+    assert out[3]["text_clean"] == "zz yy xx"
+
+
+def test_span_dedup_rejects_unknown_mode(spark):
+    from cassandra_es_index_spark.operators import dedup
+    import pytest as _pt
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with _pt.raises(ValueError):
+        dedup.span_dedup(df, "id", "text", mode="sentence")
