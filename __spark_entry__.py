@@ -296,6 +296,32 @@ def q_search_sqs(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_nested(spark, sf_dir):
+    # ES nested query: orders carry their lineitems as array<struct>;
+    # the inner bool must hold in the SAME element (returnflag R AND
+    # qty >= 45 on one lineitem), score_mode=sum adds 2 per matching
+    # element (term tf 1 + range 1). Evaluated with higher-order array
+    # functions — no explode, no per-element shuffle.
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    items = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   F.col("l_linenumber").alias("ln"),
+                   F.col("l_quantity").alias("qty"),
+                   F.col("l_returnflag").alias("rf")))).alias("items")))
+    docs = (orders.select("o_orderkey")
+            .join(items, orders["o_orderkey"] == items["l_orderkey"],
+                  "left")
+            .drop("l_orderkey"))
+    eng = SearchEngine(spark)
+    eng.register(docs, TableSpec("orders_nested", ["o_orderkey"]))
+    q = ('{"query":{"nested":{"path":"items","query":{"bool":{"must":['
+         '{"term":{"items.rf":"R"}},'
+         '{"range":{"items.qty":{"gte":45}}}]}},"score_mode":"sum"}}}')
+    return eng.search("orders_nested", "#options:load-rows=false#" + q,
+                      default_field="o_orderkey")
+
+
 def q_search_rescore(spark, sf_dir):
     # ES rescore: the top-50 primary (term) hits re-rank by
     # qw×primary + rw×phrase-tf; window docs without the phrase keep
@@ -1282,6 +1308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,  # C4-style span dedup — extra
         #   tier beyond the five prompt-listed dedup ops (oracle
         #   present, pytest-checked)
+        "search_nested": q_search_nested,  # nested array<struct> query
+        #   (oracle present, pytest-checked; window-capped like
+        #   search_rescore)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1392,6 +1421,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id, (ptf + stf)::BIGINT AS _score
             FROM s WHERE (ptf > 0 OR stf > 0) AND neg = 0
+        """,
+        # nested query, score_mode=sum: each lineitem matching BOTH
+        # conditions in the same element contributes 2 (term tf + range)
+        "search_nested": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   (2 * COUNT(*))::BIGINT AS _score
+            FROM lineitem l
+            WHERE l.l_returnflag = 'R' AND l.l_quantity >= 45
+            GROUP BY l.l_orderkey
         """,
         # rescore window=50: rank by (primary desc, doc_id asc); in-window
         # docs combine 1.0×primary + 3.0×phrase-tf (qw×primary when the

@@ -207,6 +207,21 @@ class FunctionScore(Node):
 
 
 @dataclass(frozen=True)
+class Nested(Node):
+    """ES ``nested`` query over an ``array<struct>`` column: the child
+    query evaluates PER ELEMENT (all its leaves must address fields
+    under ``path``), a document matches when some element matches, and
+    the document score combines the matching elements' child scores per
+    ``score_mode`` (ES default ``avg``; ``none`` scores 0). Evaluated
+    with higher-order array functions on the scan plan — element
+    semantics have no postings analogue, so nested queries always scan
+    (documented)."""
+    path: str = ""
+    child: Node = None  # type: ignore[assignment]
+    score_mode: str = "avg"
+
+
+@dataclass(frozen=True)
 class Scoreless(Node):
     """ES bool ``filter`` context: gates matching, contributes no score."""
     child: Node = None  # type: ignore[assignment]

@@ -32,8 +32,8 @@ from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, ConstantScore, DisMax, Exists, FunctionScore, Fuzzy, Ids,
-    MatchAll, Node, Not, Or, Phrase, Range, Regexp, Required, Scoreless,
-    Should, Term, Wildcard,
+    MatchAll, Nested, Node, Not, Or, Phrase, Range, Regexp, Required,
+    Scoreless, Should, Term, Wildcard,
 )
 
 
@@ -129,6 +129,38 @@ def phrase_pattern(text: str, slop: int = 0, last_prefix: bool = False) -> str:
         gap = r"(?:\s+\w+){0,%d}\s+" % slop
         return r"(?i)\b" + gap.join(words) + r"\b"
     return r"(?i)\b" + r"\s+".join(words) + r"\b"
+
+
+def _strip_nested_prefix(node: Node, path: str) -> Node:
+    """Rewrite a nested query's child so its leaf fields are relative to
+    the array element: ``items.qty`` → ``qty``. Every leaf must address a
+    field under ``path`` (ES requires it); a bare or foreign field is a
+    compile error — nested children have no default field."""
+    import dataclasses
+
+    prefix = path + "."
+
+    def rewrite(n: Node) -> Node:
+        if isinstance(n, (And, Or, Should, DisMax)):
+            return dataclasses.replace(
+                n, children=tuple(rewrite(c) for c in n.children))
+        if isinstance(n, (Boost, ConstantScore, Required, Scoreless, Not)):
+            return dataclasses.replace(n, child=rewrite(n.child))
+        if isinstance(n, Nested):
+            raise CompileError("nested queries do not nest (one level)")
+        fld = getattr(n, "field", None)
+        if fld is None:
+            if isinstance(n, MatchAll):
+                return n
+            raise CompileError(
+                "nested query leaves must name a field under "
+                f"{path!r} (no default field inside nested)")
+        if not fld.startswith(prefix):
+            raise CompileError(
+                f"nested query leaf field {fld!r} is not under {path!r}")
+        return dataclasses.replace(n, field=fld[len(prefix):])
+
+    return rewrite(node)
 
 
 def highlight_patterns(node: Node, field: str,
@@ -475,6 +507,50 @@ class Compiler:
             fv = fvf_value(ref.col, node)
             return pred, combine_boost_mode(score.cast("double"), fv,
                                             node.boost_mode)
+        if isinstance(node, Nested):
+            # ES nested query: the child evaluates PER ELEMENT of the
+            # array<struct> column (so `a.x = 1 AND a.y = 2` must hold in
+            # the SAME element, unlike flattened-field matching); the doc
+            # matches when any element does, and the doc score combines
+            # the matching elements' child scores per score_mode. All
+            # higher-order array functions — JVM-side, no UDF.
+            ref = self.resolve(node.path)
+            if not (isinstance(ref.dtype, T.ArrayType)
+                    and isinstance(ref.dtype.elementType, T.StructType)):
+                raise CompileError(
+                    f"nested path {node.path!r} must be array<struct>, "
+                    f"got {ref.dtype.simpleString()}")
+            child = _strip_nested_prefix(node.child, node.path)
+            elem_type = ref.dtype.elementType
+
+            def epred(x: Column) -> Column:
+                p, _ = _ElementCompiler(x, elem_type, self._spark)._walk(
+                    child)
+                return F.coalesce(p, F.lit(False))
+
+            def escore(x: Column) -> Column:
+                _, s = _ElementCompiler(x, elem_type, self._spark)._walk(
+                    child)
+                return s.cast("double")
+
+            matches = F.filter(ref.col, epred)
+            # a null array yields null filter/size — treat as no match
+            n = F.coalesce(F.size(matches), F.lit(0))
+            pred = n > 0
+            if node.score_mode == "none":
+                return pred, F.when(pred, F.lit(0.0)).otherwise(0.0)
+            scores = F.transform(matches, escore)
+            total = F.aggregate(scores, F.lit(0.0), lambda a, x: a + x)
+            combined = {
+                "sum": total,
+                "avg": total / n,
+                "max": F.array_max(scores),
+                "min": F.array_min(scores),
+            }.get(node.score_mode)
+            if combined is None:
+                raise CompileError(
+                    f"unknown nested score_mode {node.score_mode!r}")
+            return pred, F.coalesce(F.when(pred, combined), F.lit(0.0))
         if isinstance(node, Ids):
             # ES `ids` query: match on the engine doc-id field. Equality on
             # `_id` (string, synthesized from the primary key) — a constant
@@ -499,3 +575,51 @@ class Compiler:
             pred, _ = self._walk(node.child)
             return pred, F.lit(0)
         raise CompileError(f"unknown node {node!r}")
+
+
+class _ElementCompiler:
+    """Compiler facade bound to ONE array element (a lambda variable of
+    a higher-order function) — resolves leaf fields against the
+    element's struct type instead of the DataFrame schema, then reuses
+    the full Compiler walk for predicates and scores."""
+
+    def __init__(self, elem: Column, dtype, spark) -> None:
+        self._elem = elem
+        self._dtype = dtype
+        self._spark = spark
+        self.schema = dtype          # duck-typed for Compiler methods
+        self.default_field = None
+
+    def resolve(self, path: str | None) -> FieldRef:
+        if path is None:
+            raise CompileError("nested leaves must name a field")
+        parts = path.split(".")
+        fld = next((f for f in self._dtype.fields if f.name == parts[0]),
+                   None)
+        if fld is None:
+            raise CompileError(
+                f"no nested field {parts[0]!r} in element struct")
+        col, dtype = self._elem.getField(parts[0]), fld.dataType
+        for part in parts[1:]:
+            if isinstance(dtype, T.StructType):
+                sub = next((f for f in dtype.fields if f.name == part),
+                           None)
+                if sub is None:
+                    raise CompileError(
+                        f"no struct field {part!r} in {path!r}")
+                col, dtype = col.getField(part), sub.dataType
+            elif isinstance(dtype, T.MapType):
+                col, dtype = col.getItem(part), dtype.valueType
+            else:
+                raise CompileError(
+                    f"cannot descend into {part!r} of {path!r}")
+        return FieldRef(col, dtype)
+
+    # reuse the real Compiler's machinery against the element binding
+    _typed_lit = Compiler._typed_lit
+    _text_tf = Compiler._text_tf
+    _token_match_tf = Compiler._token_match_tf
+    _fuzzy_tf = Compiler._fuzzy_tf
+    _leaf_text = Compiler._leaf_text
+    _gated = Compiler._gated
+    _walk = Compiler._walk

@@ -24,8 +24,8 @@ from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, ConstantScore, DisMax, Exists, FunctionScore, Fuzzy, Ids,
-    MatchAll, Node, Not, Or, Phrase, Range, Regexp, Scoreless, Should, Term,
-    Wildcard,
+    MatchAll, Nested, Node, Not, Or, Phrase, Range, Regexp, Scoreless,
+    Should, Term, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -995,6 +995,19 @@ def _node(q: dict[str, Any]) -> Node:
         if not parts:
             return MatchAll()
         return parts[0] if len(parts) == 1 else And(tuple(parts))
+    if kind == "nested":
+        # ES nested query over an array<struct> column: the inner query
+        # evaluates per element (same-element semantics), score_mode
+        # combines matching elements' scores (ES default avg)
+        if not isinstance(body, dict) or "path" not in body \
+                or "query" not in body:
+            raise DslError("nested needs {'path': name, 'query': clause}")
+        mode = str(body.get("score_mode", "avg"))
+        if mode not in ("avg", "sum", "min", "max", "none"):
+            raise DslError(f"unknown nested score_mode {mode!r}")
+        return _boosted(
+            Nested(str(body["path"]), _node(body["query"]), mode),
+            body.get("boost"))
     if kind == "query_string":
         if not isinstance(body, dict) or "query" not in body:
             raise DslError("query_string needs {'query': str}")

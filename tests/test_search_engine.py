@@ -2093,3 +2093,63 @@ def test_rescore_bad_dsl():
         parse_request('{"query":{"match_all":{}},"rescore":{"query":'
                       '{"rescore_query":{"match_all":{}},'
                       '"score_mode":"sumx"}}}')
+
+
+# ---------------------------------------------------------------------------
+# nested query (round 5)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def nested_engine(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame([
+        (1, [{"sku": "a", "qty": 5}, {"sku": "b", "qty": 1}]),
+        (2, [{"sku": "a", "qty": 1}]),    # a present but qty<3 SAME element
+        (3, [{"sku": "c", "qty": 9}, {"sku": "a", "qty": 4}]),
+        (4, None),
+        (5, []),
+    ], "id long, items array<struct<sku string, qty int>>")
+    eng.register(df, TableSpec("nst", ["id"]))
+    return eng
+
+
+def test_nested_same_element_semantics(nested_engine):
+    q = ('{"query":{"nested":{"path":"items","query":{"bool":{"must":['
+         '{"term":{"items.sku":"a"}},{"range":{"items.qty":{"gte":3}}}]}},'
+         '"score_mode":"sum"}}}')
+    out = sorted((r["id"], r["_score"]) for r in
+                 nested_engine.search("nst", q, default_field="id").collect())
+    # doc 2 has sku=a and a qty>=3 in DIFFERENT elements → no match;
+    # null / empty arrays never match
+    assert out == [(1, 2), (3, 2)]
+
+
+def test_nested_score_modes(nested_engine):
+    base = ('{"query":{"nested":{"path":"items","query":'
+            '{"range":{"items.qty":{"gte":1}}},"score_mode":"%s"}}}')
+    # doc 1 has 2 matching elements (scores 1 and 1)
+    for mode, want in (("sum", 2), ("avg", 1), ("max", 1), ("none", 0)):
+        out = {r["id"]: r["_score"] for r in nested_engine.search(
+            "nst", base % mode, default_field="id").collect()}
+        assert out[1] == want, mode
+
+
+def test_nested_rejects_foreign_field_and_nesting(nested_engine):
+    from cassandra_es_index_spark.search.compile import CompileError
+    q = ('{"query":{"nested":{"path":"items",'
+         '"query":{"term":{"other.sku":"a"}}}}}')
+    with pytest.raises(CompileError):
+        nested_engine.search("nst", q, default_field="id").collect()
+    q2 = ('{"query":{"nested":{"path":"items","query":{"nested":'
+          '{"path":"items","query":{"term":{"items.sku":"a"}}}}}}}')
+    with pytest.raises(CompileError):
+        nested_engine.search("nst", q2, default_field="id").collect()
+
+
+def test_nested_bad_dsl():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"nested":{"path":"items"}}}')
+    with pytest.raises(DslError):
+        parse_request('{"query":{"nested":{"path":"items",'
+                      '"query":{"match_all":{}},"score_mode":"median"}}}')
