@@ -296,6 +296,14 @@ def q_search_sqs(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_boosting(spark, sf_dir):
+    # ES boosting query: spark hits demoted (×0.5, root truncation) when
+    # they also mention slow — demote, never exclude
+    q = ('{"query":{"boosting":{"positive":{"match":{"text":"spark"}},'
+         '"negative":{"match":{"text":"slow"}},"negative_boost":0.5}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_nested(spark, sf_dir):
     # ES nested query: orders carry their lineitems as array<struct>;
     # the inner bool must hold in the SAME element (returnflag R AND
@@ -1311,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_nested": q_search_nested,  # nested array<struct> query
         #   (oracle present, pytest-checked; window-capped like
         #   search_rescore)
+        "search_boosting": q_search_boosting,  # demote-not-exclude
+        #   (oracle present, pytest-checked; window-capped)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1421,6 +1431,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id, (ptf + stf)::BIGINT AS _score
             FROM s WHERE (ptf > 0 OR stf > 0) AND neg = 0
+        """,
+        # boosting: positive tf, halved (trunc) when the negative matches
+        "search_boosting": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}')) AS tf,
+                       len(regexp_extract_all(text, '{_SLOW_WORD}')) AS neg
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN neg > 0
+                        THEN CAST(trunc(0.5 * tf) AS BIGINT)
+                        ELSE tf::BIGINT END AS _score
+            FROM s WHERE tf > 0
         """,
         # nested query, score_mode=sum: each lineitem matching BOTH
         # conditions in the same element contributes 2 (term tf + range)

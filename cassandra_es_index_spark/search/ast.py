@@ -207,6 +207,16 @@ class FunctionScore(Node):
 
 
 @dataclass(frozen=True)
+class Boosting(Node):
+    """ES ``boosting`` query: matches exactly the ``positive`` query;
+    docs ALSO matching ``negative`` keep matching but their score
+    multiplies by ``negative_boost`` (demote, don't exclude)."""
+    positive: Node = None   # type: ignore[assignment]
+    negative: Node = None   # type: ignore[assignment]
+    negative_boost: float = 0.5
+
+
+@dataclass(frozen=True)
 class Nested(Node):
     """ES ``nested`` query over an ``array<struct>`` column: the child
     query evaluates PER ELEMENT (all its leaves must address fields

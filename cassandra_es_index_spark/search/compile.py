@@ -31,9 +31,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
-    And, Boost, ConstantScore, DisMax, Exists, FunctionScore, Fuzzy, Ids,
-    MatchAll, Nested, Node, Not, Or, Phrase, Range, Regexp, Required,
-    Scoreless, Should, Term, Wildcard,
+    And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
+    Fuzzy, Ids, MatchAll, Nested, Node, Not, Or, Phrase, Range, Regexp,
+    Required, Scoreless, Should, Term, Wildcard,
 )
 
 
@@ -507,6 +507,17 @@ class Compiler:
             fv = fvf_value(ref.col, node)
             return pred, combine_boost_mode(score.cast("double"), fv,
                                             node.boost_mode)
+        if isinstance(node, Boosting):
+            # ES boosting: positive gates matching; a doc also matching
+            # the negative keeps matching with its score scaled by
+            # negative_boost (demote, don't exclude)
+            pred, score = self._walk(node.positive)
+            npred, _ = self._walk(node.negative)
+            demoted = F.coalesce(npred, F.lit(False))
+            return pred, F.when(
+                demoted,
+                score.cast("double") * F.lit(float(node.negative_boost))
+            ).otherwise(score.cast("double"))
         if isinstance(node, Nested):
             # ES nested query: the child evaluates PER ELEMENT of the
             # array<struct> column (so `a.x = 1 AND a.y = 2` must hold in

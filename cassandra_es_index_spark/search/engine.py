@@ -20,9 +20,9 @@ from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
-    And, Boost, ConstantScore, DisMax, Exists, FunctionScore, Fuzzy, Node,
-    Not, Or, Phrase, Range, Regexp, Required, Scoreless, Should, Term,
-    Wildcard,
+    And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
+    Fuzzy, Node, Not, Or, Phrase, Range, Regexp, Required, Scoreless,
+    Should, Term, Wildcard,
 )
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
@@ -1246,6 +1246,24 @@ class SearchEngine:
                     return None
                 return inner.select(
                     "doc", F.lit(0).cast("long").alias(SCORE))
+            if isinstance(n, Boosting):
+                # positive hits left-join the negative's doc set; the
+                # marker scales the score by negative_boost (demote,
+                # never exclude) — matching the scan branch exactly
+                pos = serve(n.positive)
+                if pos is None:
+                    return None
+                neg = serve(n.negative)
+                if neg is None:
+                    return None
+                marker = neg.select("doc", F.lit(True).alias("_neg"))
+                nb = F.lit(float(n.negative_boost))
+                return (pos.join(marker, on="doc", how="left")
+                        .select("doc",
+                                F.when(F.col("_neg").isNotNull(),
+                                       F.col(SCORE).cast("double") * nb)
+                                 .otherwise(F.col(SCORE).cast("double"))
+                                 .alias(SCORE)))
             if isinstance(n, DisMax):
                 # each served child yields ≤1 row per doc, so one union +
                 # per-doc (max, sum) reproduces the scan's best + tb×rest

@@ -23,9 +23,9 @@ from dataclasses import dataclass, field as dc_field
 from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
-    And, Boost, ConstantScore, DisMax, Exists, FunctionScore, Fuzzy, Ids,
-    MatchAll, Nested, Node, Not, Or, Phrase, Range, Regexp, Scoreless,
-    Should, Term, Wildcard,
+    And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
+    Fuzzy, Ids, MatchAll, Nested, Node, Not, Or, Phrase, Range, Regexp,
+    Scoreless, Should, Term, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -995,6 +995,20 @@ def _node(q: dict[str, Any]) -> Node:
         if not parts:
             return MatchAll()
         return parts[0] if len(parts) == 1 else And(tuple(parts))
+    if kind == "boosting":
+        # ES boosting query: positive gates, negative demotes by
+        # negative_boost (must be in [0, 1) per ES)
+        if not isinstance(body, dict) or "positive" not in body \
+                or "negative" not in body:
+            raise DslError(
+                "boosting needs {'positive': clause, 'negative': clause}")
+        try:
+            nb = float(body.get("negative_boost", 0.5))
+        except (TypeError, ValueError) as e:
+            raise DslError("negative_boost must be numeric") from e
+        if not 0.0 <= nb < 1.0:
+            raise DslError(f"negative_boost must be in [0, 1), got {nb}")
+        return Boosting(_node(body["positive"]), _node(body["negative"]), nb)
     if kind == "nested":
         # ES nested query over an array<struct> column: the inner query
         # evaluates per element (same-element semantics), score_mode

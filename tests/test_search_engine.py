@@ -2153,3 +2153,25 @@ def test_nested_bad_dsl():
     with pytest.raises(DslError):
         parse_request('{"query":{"nested":{"path":"items",'
                       '"query":{"match_all":{}},"score_mode":"median"}}}')
+
+
+def test_boosting_demotes_not_excludes(hl_engines):
+    # h3 matches cassandra but also 'slow' → score halves (trunc);
+    # matching is unchanged (demote, don't exclude)
+    q = ('{"query":{"boosting":{"positive":{"match":{"body":"cassandra"}},'
+         '"negative":{"match":{"body":"slow"}},"negative_boost":0.5}}}')
+    for eng, tbl in zip(hl_engines, ("hl_scan", "hl_idx")):
+        rows = {r["id"]: r["_score"] for r in
+                eng.search(tbl, q, default_field="body").collect()}
+        assert rows["h2"] == 2          # cassandra x2, no slow
+        assert rows["h3"] == 0          # 1 * 0.5 -> trunc 0, still a hit
+        assert "h5" not in rows
+
+
+def test_boosting_bad_dsl():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"boosting":{"positive":{"match_all":{}}}}}')
+    with pytest.raises(DslError):
+        parse_request('{"query":{"boosting":{"positive":{"match_all":{}},'
+                      '"negative":{"match_all":{}},"negative_boost":1.5}}}')
