@@ -186,3 +186,36 @@ def test_sorted_dsl_query_keeps_index_plan(spark):
     out = entrymod.queries()["search_dsl_sorted"](spark, SF_DIR)
     plan = _plan(out)
     assert "regexp_extract_all" not in plan
+
+
+def test_round5_query_kinds_stay_index_served(parquet_engine):
+    """dis_max / function_score / boosting / match_phrase_prefix all
+    serve scan-free once the postings + positional + range indexes
+    exist — no regexp token matching anywhere in the plan."""
+    parquet_engine.build_postings_index("documents_plan", "text")
+    parquet_engine.build_phrase_index("documents_plan", "text")
+    parquet_engine.build_range_index("documents_plan", "n_chars")
+    queries = (
+        '{"query":{"dis_max":{"tie_breaker":0.3,"queries":['
+        '{"match":{"text":"spark"}},{"match":{"text":"data"}}]}}}',
+        '{"query":{"function_score":{"query":{"match":{"text":"spark"}},'
+        '"field_value_factor":{"field":"n_chars","factor":0.01,'
+        '"modifier":"ln1p"},"boost_mode":"sum"}}}',
+        '{"query":{"boosting":{"positive":{"match":{"text":"spark"}},'
+        '"negative":{"match":{"text":"slow"}},"negative_boost":0.4}}}',
+        '{"query":{"match_phrase_prefix":{"text":"spark da"}}}',
+    )
+    for q in queries:
+        out = parquet_engine.search("documents_plan", q,
+                                    default_field="text")
+        assert "regexp_extract_all" not in _plan(out), q
+
+
+def test_rescore_secondary_scorer_index_served(parquet_engine):
+    parquet_engine.build_postings_index("documents_plan", "text")
+    parquet_engine.build_phrase_index("documents_plan", "text")
+    q = ('{"query":{"match":{"text":"spark"}},"rescore":{"window_size":20,'
+         '"query":{"rescore_query":{"match_phrase":{"text":"spark data"}},'
+         '"rescore_query_weight":2.0}}}')
+    out = parquet_engine.search("documents_plan", q, default_field="text")
+    assert "regexp_extract_all" not in _plan(out)
