@@ -296,6 +296,25 @@ def q_search_sqs(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_bucket_script(spark, sf_dir):
+    # ES bucket_script (painless arithmetic subset → Spark SQL expr),
+    # bucket_selector gating, and a sibling avg_bucket constant column —
+    # all over one terms-bucket frame
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},"aggs":{'
+         '"bylang":{"terms":{"field":"lang","size":20},"aggs":{'
+         '"chars":{"sum":{"field":"n_chars"}},'
+         '"per_doc":{"bucket_script":{"buckets_path":'
+         '{"c":"chars","n":"_count"},"script":"params.c / params.n"}},'
+         '"keep":{"bucket_selector":{"buckets_path":{"n":"_count"},'
+         '"script":"params.n >= 10"}}}},'
+         '"avg_chars":{"avg_bucket":{"buckets_path":"bylang>chars"}}}}')
+    out = eng.search_aggs("documents", q, default_field="text")
+    return (out.withColumn("chars", F.col("chars").cast("double"))
+               .withColumn("per_doc", F.round("per_doc", 6))
+               .withColumn("avg_chars", F.round("avg_chars", 6)))
+
+
 def q_search_boosting(spark, sf_dir):
     # ES boosting query: spark hits demoted (×0.5, root truncation) when
     # they also mention slow — demote, never exclude
@@ -1321,6 +1340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   search_rescore)
         "search_boosting": q_search_boosting,  # demote-not-exclude
         #   (oracle present, pytest-checked; window-capped)
+        "search_bucket_script": q_search_bucket_script,  # script/selector
+        #   /sibling pipeline aggs (oracle present, pytest-checked;
+        #   window-capped)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1431,6 +1453,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id, (ptf + stf)::BIGINT AS _score
             FROM s WHERE (ptf > 0 OR stf > 0) AND neg = 0
+        """,
+        # bucket_script / bucket_selector / sibling avg_bucket: per-lang
+        # sum + per-doc ratio, buckets under 10 docs gated out, sibling
+        # average over the SURVIVING buckets as a constant column
+        "search_bucket_script": """
+            WITH b AS (
+                SELECT lang AS key, COUNT(*)::BIGINT AS doc_count,
+                       SUM(n_chars)::DOUBLE AS chars
+                FROM documents WHERE lang IS NOT NULL
+                GROUP BY lang),
+            kept AS (
+                SELECT key, doc_count, chars,
+                       ROUND(chars / doc_count, 6) AS per_doc
+                FROM b WHERE doc_count >= 10)
+            SELECT key, doc_count, chars, per_doc,
+                   (SELECT ROUND(AVG(chars), 6) FROM kept) AS avg_chars
+            FROM kept
         """,
         # boosting: positive tf, halved (trunc) when the negative matches
         "search_boosting": f"""

@@ -1819,7 +1819,9 @@ class SearchEngine:
         for i, lv in enumerate(levels):
             for nm in level_names(i) + tuple(
                     n for m in lv.metrics for n in m.out_names()) + tuple(
-                    n for n, _, _ in lv.pipelines):
+                    n for n, k, _ in lv.pipelines
+                    if k != "bucket_selector") + tuple(
+                    n for n, _, _ in lv.siblings):
                 if nm in seen:
                     raise es_dsl.DslError(
                         f"duplicate column {nm!r} in flattened aggs")
@@ -2002,19 +2004,53 @@ class SearchEngine:
                                           F.lit(0).cast("long"))))
 
         if len(levels) == 1 and lv0.pipelines:
-            # ES pipeline aggs over the key-ordered bucket frame. The
-            # global window is bounded by bucket cardinality (never
-            # corpus-sized) — same justification as the post-limit RANK
-            # windows in search().
+            # ES pipeline aggs over the bucket frame, applied in request
+            # order. Sequence aggs ride one key-ordered window; script
+            # aggs are row-local expressions; bucket_sort re-orders and
+            # truncates the frame. Every stage operates on the
+            # bucket-cardinality frame, never the corpus — same
+            # justification as the post-limit RANK windows in search().
             wseq = Window.orderBy(F.asc("key"))
-            for pn, pk, path in lv0.pipelines:
-                vcol = F.col("doc_count") if path == "_count" \
-                    else F.col(path)
-                if pk == "cumulative_sum":
-                    out = out.withColumn(pn, F.sum(vcol).over(
-                        wseq.rowsBetween(Window.unboundedPreceding, 0)))
-                else:  # derivative — ES: null for the first bucket
-                    out = out.withColumn(pn, vcol - F.lag(vcol, 1).over(wseq))
+            for pn, pk, payload in lv0.pipelines:
+                if pk in ("cumulative_sum", "derivative"):
+                    vcol = F.col("doc_count") if payload == "_count" \
+                        else F.col(payload)
+                    if pk == "cumulative_sum":
+                        out = out.withColumn(pn, F.sum(vcol).over(
+                            wseq.rowsBetween(Window.unboundedPreceding,
+                                             0)))
+                    else:  # derivative — ES: null for the first bucket
+                        out = out.withColumn(
+                            pn, vcol - F.lag(vcol, 1).over(wseq))
+                elif pk == "bucket_script":
+                    out = out.withColumn(pn, F.expr(payload[0]))
+                elif pk == "bucket_selector":
+                    # gates buckets, adds no column (ES semantics)
+                    out = out.where(F.expr(payload[0]))
+                else:  # bucket_sort: reorder + truncate the frame
+                    bsort, bsize = payload
+                    if bsort:
+                        out = out.orderBy(*[
+                            (F.col("doc_count") if f == "_count"
+                             else F.col("key") if f == "_key"
+                             else F.col(f)).asc() if asc else
+                            (F.col("doc_count") if f == "_count"
+                             else F.col("key") if f == "_key"
+                             else F.col(f)).desc()
+                            for f, asc, _nf in bsort])
+                    if bsize is not None:
+                        out = out.limit(bsize)
+
+        if len(levels) == 1 and lv0.siblings:
+            # sibling pipeline aggs (avg_bucket & co): one value over the
+            # WHOLE bucket frame, emitted as a constant column via a
+            # broadcast one-row cross join
+            sib_fns = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+                       "min_bucket": F.min, "max_bucket": F.max}
+            sib_row = out.agg(*[
+                sib_fns[sk](F.col(scol)).alias(sn)
+                for sn, sk, scol in lv0.siblings])
+            out = out.crossJoin(F.broadcast(sib_row))
 
         th = levels[-1].top_hits
         if th is not None:

@@ -43,7 +43,38 @@ _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
 # ES pipeline aggs computed OVER the bucket frame (single-level only):
 # value per bucket from a sibling metric (or "_count")
-_PIPELINE_KINDS = ("cumulative_sum", "derivative")
+_PIPELINE_KINDS = ("cumulative_sum", "derivative", "bucket_script",
+                   "bucket_selector", "bucket_sort")
+# sibling pipeline aggs: one value computed OVER the bucket agg's frame,
+# declared NEXT TO the bucket agg (ES syntax), emitted as a constant
+# column on every bucket row
+_SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+
+# bucket_script / bucket_selector scripts: the painless subset that is
+# pure arithmetic/comparison over params refs — translated to a Spark SQL
+# expression (params.x → the resolved bucket column)
+_SCRIPT_OK = _re.compile(
+    r"^(?:params\.\w+|\d+(?:\.\d+)?|[\s\+\-\*/%\(\)]|==|!=|<=|>=|<|>|&&"
+    r"|\|\||!)+$")
+
+
+def _compile_bucket_script(name: str, script: str,
+                           paths: dict[str, str]) -> str:
+    """Translate an ES bucket script (painless arithmetic subset) to a
+    Spark SQL expression: ``params.x`` refs substitute their resolved
+    bucket column; anything beyond arithmetic/comparison is rejected."""
+    if not _SCRIPT_OK.match(script):
+        raise DslError(
+            f"bucket script {name!r}: only arithmetic/comparison over "
+            f"params refs is supported, got {script!r}")
+    out = script.replace("&&", " AND ").replace("||", " OR ")
+    for pname, target in paths.items():
+        col = "doc_count" if target == "_count" else target
+        out = _re.sub(rf"params\.{_re.escape(pname)}\b", f"`{col}`", out)
+    if "params." in out:
+        raise DslError(f"bucket script {name!r}: unbound params ref "
+                       f"in {script!r}")
+    return out
 # ES default percents for the percentiles agg
 _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
@@ -154,6 +185,11 @@ class BucketAgg:
     # ES extended_bounds {"min":…, "max":…} — with min_doc_count 0 the
     # materialized empty-bucket span widens to cover these bounds
     extended_bounds: tuple[Any, Any] | None = None
+    # sibling pipeline aggs ((name, kind, bucket column), ...) — ES
+    # avg_bucket/sum_bucket/min_bucket/max_bucket declared NEXT TO this
+    # bucket agg; one value over the whole bucket frame, emitted as a
+    # constant column (single level only)
+    siblings: tuple[tuple[str, str, str], ...] = ()
     # one nested sub-bucket per level, nesting to arbitrary depth — ES
     # sub-aggregations; executed flattened: (key, doc_count, sub_key,
     # sub_doc_count, sub2_key, sub2_doc_count, …, metrics per level)
@@ -512,6 +548,28 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
     if not isinstance(spec, dict) or not spec:
         raise DslError("aggs must be a non-empty object")
     entries = list(spec.items())
+    # peel off sibling pipeline aggs (avg_bucket & co) — they sit NEXT TO
+    # the bucket agg in ES syntax and attach to it after parsing
+    sib_raw: list[tuple[str, str, str]] = []
+    rest: list[tuple[str, Any]] = []
+    for name, body in entries:
+        if isinstance(body, dict) and body:
+            k = next((k for k in body if k != "aggs"), None)
+            if k in _SIBLING_KINDS:
+                pbody = body[k]
+                if not isinstance(pbody, dict) \
+                        or "buckets_path" not in pbody \
+                        or ">" not in str(pbody["buckets_path"]):
+                    raise DslError(
+                        f"sibling agg {name!r} needs a 'buckets_path' "
+                        "of the form 'bucket>metric'")
+                sib_raw.append((name, k, str(pbody["buckets_path"])))
+                continue
+        rest.append((name, body))
+    entries = rest
+    if sib_raw and not entries:
+        raise DslError("sibling pipeline aggs need a bucket agg to "
+                       "aggregate over")
     first_kind = None
     for name, body in entries:
         if not isinstance(body, dict) or not body:
@@ -520,6 +578,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         if first_kind is None:
             raise DslError(f"agg {name!r} has no aggregation clause")
         break
+    if sib_raw and first_kind not in _BUCKET_KINDS:
+        raise DslError("sibling pipeline aggs need a bucket agg sibling")
     if first_kind == "composite":
         if len(entries) != 1:
             raise DslError("exactly one bucket agg is supported per request")
@@ -654,11 +714,37 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 continue
             if kind in _PIPELINE_KINDS:
                 pbody = sp[kind]
-                if not isinstance(pbody, dict) \
-                        or "buckets_path" not in pbody:
-                    raise DslError(f"pipeline agg {n!r} needs a "
-                                   "'buckets_path'")
-                pipelines.append((n, kind, str(pbody["buckets_path"])))
+                if not isinstance(pbody, dict):
+                    raise DslError(f"pipeline agg {n!r} must be an object")
+                if kind in ("cumulative_sum", "derivative"):
+                    if "buckets_path" not in pbody:
+                        raise DslError(f"pipeline agg {n!r} needs a "
+                                       "'buckets_path'")
+                    pipelines.append((n, kind, str(pbody["buckets_path"])))
+                elif kind in ("bucket_script", "bucket_selector"):
+                    bp = pbody.get("buckets_path")
+                    if not isinstance(bp, dict) or not bp \
+                            or "script" not in pbody:
+                        raise DslError(
+                            f"{kind} agg {n!r} needs "
+                            "{'buckets_path': {param: path}, "
+                            "'script': str}")
+                    paths = {str(k): str(v) for k, v in bp.items()}
+                    pipelines.append(
+                        (n, kind,
+                         (_compile_bucket_script(n, str(pbody["script"]),
+                                                 paths), paths)))
+                else:  # bucket_sort
+                    bsort = _sort(pbody.get("sort"))
+                    bsize = pbody.get("size")
+                    if bsize is not None and (not isinstance(bsize, int)
+                                              or bsize <= 0):
+                        raise DslError("bucket_sort size must be a "
+                                       "positive integer")
+                    if not bsort and bsize is None:
+                        raise DslError(f"bucket_sort agg {n!r} needs "
+                                       "'sort' and/or 'size'")
+                    pipelines.append((n, kind, (bsort, bsize)))
                 sub_specs.pop(n)
                 continue
             if kind in _BUCKET_KINDS:
@@ -724,14 +810,31 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             if sub_bucket is not None:
                 raise DslError("pipeline aggs are supported on "
                                "single-level buckets only")
-            if first_kind not in ("histogram", "date_histogram"):
-                raise DslError("pipeline aggs need an ordered histogram/"
-                               "date_histogram bucket (ES requirement)")
-            valid_paths = {"_count"} | {m.name for m in metrics}
-            for pn, _pk, path in pipelines:
-                if path not in valid_paths:
-                    raise DslError(f"pipeline agg {pn!r}: unknown "
-                                   f"buckets_path {path!r}")
+            valid_paths = {"_count"} | {
+                n for m in metrics for n in m.out_names()}
+            for pn, pk, payload in pipelines:
+                if pk in ("cumulative_sum", "derivative"):
+                    # sequence aggs need a key-ordered frame (ES
+                    # requires histogram parents for these two)
+                    if first_kind not in ("histogram", "date_histogram"):
+                        raise DslError(
+                            f"{pk} needs an ordered histogram/"
+                            "date_histogram bucket (ES requirement)")
+                    if payload not in valid_paths:
+                        raise DslError(f"pipeline agg {pn!r}: unknown "
+                                       f"buckets_path {payload!r}")
+                elif pk in ("bucket_script", "bucket_selector"):
+                    for tgt in payload[1].values():
+                        if tgt != "_count" and tgt not in valid_paths:
+                            raise DslError(
+                                f"pipeline agg {pn!r}: unknown "
+                                f"buckets_path {tgt!r}")
+                else:  # bucket_sort — targets are bucket columns
+                    for fld, _asc, _nf in payload[0]:
+                        if fld not in valid_paths | {"_key"}:
+                            raise DslError(
+                                f"bucket_sort {pn!r}: unknown sort "
+                                f"target {fld!r}")
         eb = None
         if "extended_bounds" in params:
             ebs = params["extended_bounds"]
@@ -739,6 +842,22 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     or "min" not in ebs or "max" not in ebs:
                 raise DslError("extended_bounds needs {'min': …, 'max': …}")
             eb = (ebs["min"], ebs["max"])
+        siblings: list[tuple[str, str, str]] = []
+        if sib_raw:
+            if sub_bucket is not None:
+                raise DslError("sibling pipeline aggs are supported on "
+                               "single-level buckets only")
+            sib_valid = {"_count"} | {
+                n for m in metrics for n in m.out_names()}
+            for sn, sk, spath in sib_raw:
+                bkt, _, metric = spath.partition(">")
+                if bkt != name or metric not in sib_valid:
+                    raise DslError(
+                        f"sibling agg {sn!r}: buckets_path {spath!r} "
+                        f"must be '{name}>[_count|metric]'")
+                siblings.append(
+                    (sn, sk,
+                     "doc_count" if metric == "_count" else metric))
         return BucketAgg(
             name=name, kind=first_kind,
             field=params.get("field", ""),
@@ -754,6 +873,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             metrics=metrics,
             top_hits=top_hits,
             pipelines=tuple(pipelines),
+            siblings=tuple(siblings),
             extended_bounds=eb,
             sub=sub_bucket)
     # metrics-only request: every entry must be a metric

@@ -2175,3 +2175,77 @@ def test_boosting_bad_dsl():
     with pytest.raises(DslError):
         parse_request('{"query":{"boosting":{"positive":{"match_all":{}},'
                       '"negative":{"match_all":{}},"negative_boost":1.5}}}')
+
+
+# ---------------------------------------------------------------------------
+# bucket_script / bucket_selector / bucket_sort / sibling aggs (round 5)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pipe5_engine(spark):
+    eng = SearchEngine(spark)
+    rows = [(i, f"u{i % 3}", float(i)) for i in range(12)]
+    eng.register(spark.createDataFrame(
+        rows, "id long, user string, v double"), TableSpec("pipe5", ["id"]))
+    return eng
+
+
+def test_bucket_script_and_selector(pipe5_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{'
+         '"byuser":{"terms":{"field":"user"},"aggs":{'
+         '"total":{"sum":{"field":"v"}},'
+         '"per_doc":{"bucket_script":{"buckets_path":'
+         '{"t":"total","c":"_count"},"script":"params.t / params.c"}},'
+         '"keep":{"bucket_selector":{"buckets_path":{"t":"total"},'
+         '"script":"params.t >= 20"}}}}}}')
+    out = {r["key"]: r for r in pipe5_engine.search_aggs(
+        "pipe5", q, default_field="user").collect()}
+    # u0 total 18 < 20 → dropped by the selector
+    assert set(out) == {"u1", "u2"}
+    assert out["u1"]["per_doc"] == 5.5 and out["u2"]["per_doc"] == 6.5
+
+
+def test_bucket_sort_truncates(pipe5_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{"byuser":{"terms":'
+         '{"field":"user"},"aggs":{"total":{"sum":{"field":"v"}},'
+         '"top1":{"bucket_sort":{"sort":[{"total":"desc"}],"size":1}}}}}}')
+    out = pipe5_engine.search_aggs("pipe5", q,
+                                   default_field="user").collect()
+    assert len(out) == 1 and out[0]["key"] == "u2"
+
+
+def test_sibling_bucket_aggs(pipe5_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{'
+         '"byuser":{"terms":{"field":"user"},"aggs":{'
+         '"total":{"sum":{"field":"v"}}}},'
+         '"avg_total":{"avg_bucket":{"buckets_path":"byuser>total"}},'
+         '"max_total":{"max_bucket":{"buckets_path":"byuser>total"}}}}')
+    out = pipe5_engine.search_aggs("pipe5", q,
+                                   default_field="user").collect()
+    assert all(r["avg_total"] == 22.0 for r in out)   # (18+22+26)/3
+    assert all(r["max_total"] == 26.0 for r in out)
+
+
+def test_bucket_script_rejects_non_arithmetic():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request(
+            '{"aggs":{"b":{"terms":{"field":"u"},"aggs":{'
+            '"x":{"bucket_script":{"buckets_path":{"a":"_count"},'
+            '"script":"java.lang.Runtime.getRuntime()"}}}}}}')
+    with pytest.raises(DslError):
+        parse_request(
+            '{"aggs":{"b":{"terms":{"field":"u"},"aggs":{'
+            '"x":{"bucket_script":{"buckets_path":{"a":"_count"},'
+            '"script":"params.a + params.missing"}}}}}}')
+
+
+def test_sibling_agg_bad_path():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request(
+            '{"aggs":{"b":{"terms":{"field":"u"}},'
+            '"s":{"avg_bucket":{"buckets_path":"other>_count"}}}}')
+    with pytest.raises(DslError):
+        parse_request(
+            '{"aggs":{"s":{"avg_bucket":{"buckets_path":"b>_count"}}}}')
