@@ -296,6 +296,14 @@ def q_search_sqs(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_termvectors(spark, sf_dir):
+    # ES _termvectors analogue: doc 42's (token, term_freq) from a
+    # key-filtered tokenization, plus corpus doc_freq/ttf from a
+    # token-filtered postings lookup
+    eng = _docs_engine(spark, sf_dir)
+    return eng.term_vectors("documents", 42, "text", term_statistics=True)
+
+
 def q_search_bucket_script(spark, sf_dir):
     # ES bucket_script (painless arithmetic subset → Spark SQL expr),
     # bucket_selector gating, and a sibling avg_bucket constant column —
@@ -1343,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bucket_script": q_search_bucket_script,  # script/selector
         #   /sibling pipeline aggs (oracle present, pytest-checked;
         #   window-capped)
+        "search_termvectors": q_search_termvectors,  # _termvectors API
+        #   (oracle present, pytest-checked; window-capped)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1453,6 +1463,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id, (ptf + stf)::BIGINT AS _score
             FROM s WHERE (ptf > 0 OR stf > 0) AND neg = 0
+        """,
+        # _termvectors doc 42: same tokenizer as the postings (lowercased
+        # \w+ runs), term stats restricted to the doc's own tokens
+        "search_termvectors": r"""
+            WITH tok AS (
+                SELECT doc_id AS doc, t AS token, COUNT(*)::BIGINT AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text),
+                                                          '\W+')) AS t
+                      FROM documents) u
+                WHERE len(t) > 0
+                GROUP BY doc_id, t),
+            src AS (SELECT token, tf AS term_freq FROM tok WHERE doc = 42),
+            stats AS (
+                SELECT token, COUNT(DISTINCT doc)::BIGINT AS doc_freq,
+                       SUM(tf)::BIGINT AS ttf
+                FROM tok
+                WHERE token IN (SELECT token FROM src)
+                GROUP BY token)
+            SELECT token, term_freq, doc_freq, ttf
+            FROM src LEFT JOIN stats USING (token)
+            ORDER BY token
         """,
         # bucket_script / bucket_selector / sibling avg_bucket: per-lang
         # sum + per-doc ratio, buckets under 10 docs gated out, sibling

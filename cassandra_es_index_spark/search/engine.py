@@ -1440,6 +1440,47 @@ class SearchEngine:
                              F.asc("token"))
                     .limit(k))
 
+    def term_vectors(self, table: str, doc_id, field: str | None = None,
+                     term_statistics: bool = False) -> DataFrame:
+        """ES ``_termvectors`` analogue for one document: (token,
+        term_freq) from a key-filtered tokenization of the ONE source row
+        (the predicate pushes into the documents scan — ES's realtime
+        term-vector path), ordered token asc.
+
+        ``term_statistics=True`` adds corpus-wide ``doc_freq`` and
+        ``ttf`` (total term frequency) per token, computed with a
+        token-filtered postings lookup (``isin`` pushes below the
+        aggregate into the postings scan, the ``_mlt_dfreq`` shape) —
+        term-vector-bounded, never a full-postings aggregate."""
+        from cassandra_es_index_spark.functions.analyzers import standard
+
+        docs = self._docs[table]
+        _, spec = self.catalog.get(table)
+        fld = field or Compiler(docs).default_field
+        id_col = self._postings_id_col(spec)
+        tv = (docs.where(F.col(id_col) == F.lit(doc_id))
+                  .select(F.explode(standard(F.col(fld))).alias("token"))
+                  .groupBy("token")
+                  .agg(F.count("*").cast("long").alias("term_freq")))
+        if not term_statistics:
+            return tv.orderBy(F.asc("token"))
+        if (table, fld) not in self._postings:
+            self.build_postings_index(table, fld)
+        view = self._postings[(table, fld)].view()
+        tokens = [r["token"] for r in tv.select("token").collect()]
+        if not tokens:
+            return tv.select(
+                "token", "term_freq",
+                F.lit(None).cast("long").alias("doc_freq"),
+                F.lit(None).cast("long").alias("ttf"))
+        stats = (view.where(F.col("token").isin(*tokens))
+                     .groupBy("token")
+                     .agg(F.count_distinct("doc").cast("long")
+                           .alias("doc_freq"),
+                          F.sum("tf").cast("long").alias("ttf")))
+        return (tv.join(stats, on="token", how="left")
+                  .orderBy(F.asc("token")))
+
     def _corpus_size(self, table: str) -> int:
         """n_docs for idf — counted once per documents DataFrame and
         cached; ``register``/``set_documents``/``apply_delta`` drop the
@@ -1643,6 +1684,13 @@ class SearchEngine:
                         out.append(F.percentile(
                             c, F.lit(p / 100.0)).alias(nm))
                 return out
+            if m.kind == "percentile_ranks":
+                # EXACT percentage of non-null values ≤ each probe
+                # (superset of ES's TDigest estimate); avg skips nulls
+                return [F.avg(F.when(c.isNotNull(),
+                                     F.when(c <= F.lit(v), 100.0)
+                                      .otherwise(0.0))).alias(nm)
+                        for v, nm in zip(m.rank_values, m.out_names())]
             if m.kind == "cardinality":
                 if m.precision_threshold is not None:
                     # ES precision_threshold → HLL++ (the 100 TB shape:
@@ -2012,16 +2060,20 @@ class SearchEngine:
             # justification as the post-limit RANK windows in search().
             wseq = Window.orderBy(F.asc("key"))
             for pn, pk, payload in lv0.pipelines:
-                if pk in ("cumulative_sum", "derivative"):
-                    vcol = F.col("doc_count") if payload == "_count" \
-                        else F.col(payload)
+                if pk in ("cumulative_sum", "derivative",
+                          "serial_diff"):
+                    path, lag = (payload if pk == "serial_diff"
+                                 else (payload, 1))
+                    vcol = F.col("doc_count") if path == "_count" \
+                        else F.col(path)
                     if pk == "cumulative_sum":
                         out = out.withColumn(pn, F.sum(vcol).over(
                             wseq.rowsBetween(Window.unboundedPreceding,
                                              0)))
-                    else:  # derivative — ES: null for the first bucket
+                    else:  # derivative / serial_diff — null for the
+                           # first `lag` buckets, like ES
                         out = out.withColumn(
-                            pn, vcol - F.lag(vcol, 1).over(wseq))
+                            pn, vcol - F.lag(vcol, lag).over(wseq))
                 elif pk == "bucket_script":
                     out = out.withColumn(pn, F.expr(payload[0]))
                 elif pk == "bucket_selector":

@@ -35,7 +35,8 @@ class DslError(ValueError):
 
 
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
-                 "stats", "percentiles", "extended_stats", "weighted_avg")
+                 "stats", "percentiles", "percentile_ranks",
+                 "extended_stats", "weighted_avg")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
                  "date_range", "significant_terms")
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
@@ -43,8 +44,8 @@ _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
 # ES pipeline aggs computed OVER the bucket frame (single-level only):
 # value per bucket from a sibling metric (or "_count")
-_PIPELINE_KINDS = ("cumulative_sum", "derivative", "bucket_script",
-                   "bucket_selector", "bucket_sort")
+_PIPELINE_KINDS = ("cumulative_sum", "derivative", "serial_diff",
+                   "bucket_script", "bucket_selector", "bucket_sort")
 # sibling pipeline aggs: one value computed OVER the bucket agg's frame,
 # declared NEXT TO the bucket agg (ES syntax), emitted as a constant
 # column on every bucket row
@@ -116,6 +117,10 @@ class MetricAgg:
     # weighted_avg: Σ(value×weight)/Σ(weight); docs missing either the
     # value or the weight are skipped (ES semantics without `missing`)
     weight_field: str | None = None
+    # percentile_ranks: the probe values; result per value = percentage
+    # of field values ≤ the probe (EXACT — superset of ES's TDigest
+    # estimate, like the percentiles metric)
+    rank_values: tuple[float, ...] = ()
 
     def out_names(self) -> tuple[str, ...]:
         if self.kind == "stats":
@@ -131,6 +136,9 @@ class MetricAgg:
         if self.kind == "percentiles":
             return tuple(f"{self.name}_p{_pct_label(p)}"
                          for p in self.percents)
+        if self.kind == "percentile_ranks":
+            return tuple(f"{self.name}_{_pct_label(v)}"
+                         for v in self.rank_values)
         return (self.name,)
 
 
@@ -515,6 +523,14 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
                          weight_field=body["weight"]["field"])
     if not isinstance(body, dict) or "field" not in body:
         raise DslError(f"metric agg {name!r} needs {{'field': name}}")
+    if kind == "percentile_ranks":
+        vals = body.get("values")
+        if not isinstance(vals, list) or not vals or not all(
+                isinstance(v, (int, float)) for v in vals):
+            raise DslError(f"percentile_ranks agg {name!r} needs a "
+                           "non-empty numeric 'values' list")
+        return MetricAgg(name, kind, body["field"],
+                         rank_values=tuple(float(v) for v in vals))
     threshold = body.get("precision_threshold")
     if threshold is not None and (not isinstance(threshold, int)
                                   or threshold <= 0):
@@ -716,11 +732,19 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 pbody = sp[kind]
                 if not isinstance(pbody, dict):
                     raise DslError(f"pipeline agg {n!r} must be an object")
-                if kind in ("cumulative_sum", "derivative"):
+                if kind in ("cumulative_sum", "derivative",
+                            "serial_diff"):
                     if "buckets_path" not in pbody:
                         raise DslError(f"pipeline agg {n!r} needs a "
                                        "'buckets_path'")
-                    pipelines.append((n, kind, str(pbody["buckets_path"])))
+                    lag = pbody.get("lag", 1)
+                    if not isinstance(lag, int) or lag <= 0:
+                        raise DslError("serial_diff lag must be a "
+                                       "positive integer")
+                    path = str(pbody["buckets_path"])
+                    pipelines.append(
+                        (n, kind,
+                         (path, lag) if kind == "serial_diff" else path))
                 elif kind in ("bucket_script", "bucket_selector"):
                     bp = pbody.get("buckets_path")
                     if not isinstance(bp, dict) or not bp \
@@ -813,16 +837,18 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             valid_paths = {"_count"} | {
                 n for m in metrics for n in m.out_names()}
             for pn, pk, payload in pipelines:
-                if pk in ("cumulative_sum", "derivative"):
+                if pk in ("cumulative_sum", "derivative",
+                          "serial_diff"):
                     # sequence aggs need a key-ordered frame (ES
-                    # requires histogram parents for these two)
+                    # requires histogram parents)
                     if first_kind not in ("histogram", "date_histogram"):
                         raise DslError(
                             f"{pk} needs an ordered histogram/"
                             "date_histogram bucket (ES requirement)")
-                    if payload not in valid_paths:
+                    path = payload[0] if pk == "serial_diff" else payload
+                    if path not in valid_paths:
                         raise DslError(f"pipeline agg {pn!r}: unknown "
-                                       f"buckets_path {payload!r}")
+                                       f"buckets_path {path!r}")
                 elif pk in ("bucket_script", "bucket_selector"):
                     for tgt in payload[1].values():
                         if tgt != "_count" and tgt not in valid_paths:

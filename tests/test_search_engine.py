@@ -2249,3 +2249,37 @@ def test_sibling_agg_bad_path():
     with pytest.raises(DslError):
         parse_request(
             '{"aggs":{"s":{"avg_bucket":{"buckets_path":"b>_count"}}}}')
+
+
+def test_serial_diff_and_percentile_ranks(pipe5_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{"byv":{"histogram":'
+         '{"field":"v","interval":4},"aggs":{'
+         '"sd":{"serial_diff":{"buckets_path":"_count","lag":2}}}}}}')
+    out = pipe5_engine.search_aggs("pipe5", q,
+                                   default_field="user").collect()
+    rows = {r["key"]: r["sd"] for r in out}
+    # 3 buckets of 4 docs each: first two lags null, third 4-4=0
+    assert rows[0.0] is None and rows[4.0] is None and rows[8.0] == 0
+    q2 = ('{"query":{"match_all":{}},"aggs":{'
+          '"pr":{"percentile_ranks":{"field":"v","values":[5.0,100.0]}}}}')
+    out2 = pipe5_engine.search_aggs("pipe5", q2,
+                                    default_field="user").collect()[0]
+    # v = 0..11: 6 of 12 values ≤ 5 → 50%; all ≤ 100 → 100%
+    assert out2["pr_5"] == 50.0 and out2["pr_100"] == 100.0
+
+
+def test_term_vectors_with_statistics(hl_engines):
+    _, idx = hl_engines
+    out = idx.term_vectors("hl_idx", "h2", "body",
+                           term_statistics=True).collect()
+    rows = {r["token"]: r for r in out}
+    # h2 = "spark and CASSANDRA and more cassandra"
+    assert rows["cassandra"]["term_freq"] == 2
+    assert rows["and"]["term_freq"] == 2
+    assert rows["spark"]["term_freq"] == 1
+    # corpus stats: cassandra appears in h1,h2,h3 (df 3; ttf 1+2+1)
+    assert rows["cassandra"]["doc_freq"] == 3
+    assert rows["cassandra"]["ttf"] == 4
+    # plain variant has no stats columns
+    plain = idx.term_vectors("hl_idx", "h2", "body")
+    assert plain.columns == ["token", "term_freq"]
