@@ -1715,8 +1715,10 @@ class SearchEngine:
             if b.kind == "terms":
                 return col, col
             if b.kind == "histogram":
-                return (F.floor(col / F.lit(float(b.interval)))
-                        * F.lit(float(b.interval))), col
+                off = float(b.offset or 0.0)
+                step = float(b.interval)
+                return (F.floor((col - F.lit(off)) / F.lit(step))
+                        * F.lit(step) + F.lit(off)), col
             if b.calendar_interval is not None:  # date_histogram
                 return F.date_trunc(b.calendar_interval, col), col
             # fixed_interval "30s"/"5m"/"1h"/"7d": epoch-aligned buckets
@@ -1916,8 +1918,23 @@ class SearchEngine:
             else:
                 k, bc = bucket_key(lv)
                 level_key.append(k)
-                level_gate.append(None if lv.missing is not None
-                                  else bc.isNotNull())
+                gate = None if lv.missing is not None else bc.isNotNull()
+                # ES terms include/exclude: whole-term regex or exact
+                # value list, applied to the bucket key before counting
+                for spec_ie, positive in ((lv.include, True),
+                                          (lv.exclude, False)):
+                    if spec_ie is None:
+                        continue
+                    mode_ie, val_ie = spec_ie
+                    if mode_ie == "re":
+                        cond = k.cast("string").rlike(
+                            f"^(?:{val_ie})$")
+                    else:
+                        cond = k.isin(*val_ie)
+                    if not positive:
+                        cond = ~cond
+                    gate = cond if gate is None else gate & cond
+                level_gate.append(gate)
 
         out: DataFrame | None = None
         selected: DataFrame | None = None
@@ -1986,9 +2003,11 @@ class SearchEngine:
                              F.max("key").alias("hi"))
             if lv0.kind == "histogram":
                 step = float(lv0.interval)
+                off = float(lv0.offset or 0.0)
 
                 def align_h(c):
-                    return F.floor(c / F.lit(step)) * F.lit(step)
+                    return (F.floor((c - F.lit(off)) / F.lit(step))
+                            * F.lit(step) + F.lit(off))
                 if lv0.extended_bounds is not None:
                     lo_e, hi_e = lv0.extended_bounds
                     bounds = bounds.select(

@@ -163,6 +163,13 @@ class BucketAgg:
     field: str
     size: int | None = None                 # terms (ES default 10)
     interval: float | None = None           # histogram
+    # histogram `offset`: buckets align to offset + n×interval (ES
+    # requires |offset| < interval; normalized at parse time)
+    offset: float | None = None
+    # terms `include`/`exclude`: ("re", anchored-pattern) — the regex
+    # must match the WHOLE term string, like ES — or ("values", (…,))
+    include: tuple | None = None
+    exclude: tuple | None = None
     calendar_interval: str | None = None    # date_histogram
     fixed_interval: str | None = None       # date_histogram ("30s","1h",…)
     # terms bucket ordering: (target, ascending) where target is
@@ -827,6 +834,28 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         mdc = params.get("min_doc_count")
         if mdc is not None and (not isinstance(mdc, int) or mdc < 0):
             raise DslError("min_doc_count must be a non-negative integer")
+        offset = params.get("offset")
+        if offset is not None:
+            if first_kind != "histogram" \
+                    or not isinstance(offset, (int, float)):
+                raise DslError("offset is a numeric histogram param")
+            offset = float(offset) % float(params["interval"])
+
+        def _inc_exc(key: str):
+            raw = params.get(key)
+            if raw is None:
+                return None
+            if first_kind != "terms":
+                raise DslError(f"{key} is a terms-agg param")
+            if isinstance(raw, str):
+                return ("re", raw)
+            if isinstance(raw, list) and raw:
+                return ("values", tuple(raw))
+            raise DslError(f"terms {key} must be a regex string or a "
+                           "non-empty value list")
+
+        include = _inc_exc("include")
+        exclude = _inc_exc("exclude")
         if top_hits is not None and sub_bucket is not None:
             raise DslError("top_hits is supported on the innermost "
                            "bucket level only")
@@ -889,6 +918,9 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             field=params.get("field", ""),
             size=params.get("size"),
             interval=params.get("interval"),
+            offset=offset,
+            include=include,
+            exclude=exclude,
             calendar_interval=params.get("calendar_interval"),
             fixed_interval=params.get("fixed_interval"),
             order=order,

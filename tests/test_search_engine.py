@@ -2283,3 +2283,23 @@ def test_term_vectors_with_statistics(hl_engines):
     # plain variant has no stats columns
     plain = idx.term_vectors("hl_idx", "h2", "body")
     assert plain.columns == ["token", "term_freq"]
+
+
+def test_histogram_offset_and_terms_include_exclude(pipe5_engine):
+    # offset 1: buckets align to 1 + 4n — v 0..11 → buckets -3,1,5,9
+    q = ('{"query":{"match_all":{}},"aggs":{"h":{"histogram":'
+         '{"field":"v","interval":4,"offset":1}}}}')
+    out = {r["key"]: r["doc_count"] for r in pipe5_engine.search_aggs(
+        "pipe5", q, default_field="user").collect()}
+    assert out == {-3.0: 1, 1.0: 4, 5.0: 4, 9.0: 3}
+    # include regex (whole-term anchored) and exclude value list
+    q2 = ('{"query":{"match_all":{}},"aggs":{"t":{"terms":'
+          '{"field":"user","include":"u[01]"}}}}')
+    keys = {r["key"] for r in pipe5_engine.search_aggs(
+        "pipe5", q2, default_field="user").collect()}
+    assert keys == {"u0", "u1"}
+    q3 = ('{"query":{"match_all":{}},"aggs":{"t":{"terms":'
+          '{"field":"user","exclude":["u1"]}}}}')
+    keys3 = {r["key"] for r in pipe5_engine.search_aggs(
+        "pipe5", q3, default_field="user").collect()}
+    assert keys3 == {"u0", "u2"}
