@@ -1586,11 +1586,18 @@ class SearchEngine:
     def search_aggs(self, table: str, query: str,
                     default_field: str | None = None) -> DataFrame:
         """Execute the ``aggs`` section of an ES-DSL request over the
-        query's match set — terms / histogram / date_histogram / range
-        buckets (nested to arbitrary depth) with metric sub-aggs
-        (avg/sum/min/max/value_count/cardinality/stats, ``missing`` and
-        ``min_doc_count`` bucket params), or a metrics-only global
-        aggregation.
+        query's match set — terms (with ``order``, ``include``/
+        ``exclude``) / histogram (``interval``+``offset``) /
+        date_histogram (calendar or fixed interval) / range / date_range
+        / filters buckets nested to arbitrary depth, ``composite``
+        keyset-paged buckets, ``significant_terms`` (JLH), single-bucket
+        ``filter``/``missing``/``global``, ``top_hits``, pipeline aggs
+        (``cumulative_sum``/``derivative``/``serial_diff``,
+        ``bucket_script``/``bucket_selector``/``bucket_sort``, sibling
+        ``avg_bucket`` & co), metric sub-aggs (avg/sum/min/max/
+        value_count/cardinality/stats/extended_stats/percentiles/
+        percentile_ranks/weighted_avg, ``missing`` and ``min_doc_count``
+        bucket params), or a metrics-only global aggregation.
 
         The reference can only pass an aggs body through to ES and never
         post-processes the response (SURVEY.md §2.4 — hit extraction looks
