@@ -296,6 +296,26 @@ def q_search_sqs(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_multi_terms(spark, sf_dir):
+    # ES multi_terms: composite (lang, source) key, terms ordering
+    # (doc_count desc, keys asc), size cap, with a metric sub-agg
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},"aggs":{"mt":{"multi_terms":'
+         '{"terms":[{"field":"lang"},{"field":"source"}],"size":15},'
+         '"aggs":{"chars_avg":{"avg":{"field":"n_chars"}}}}}}')
+    out = eng.search_aggs("documents", q, default_field="text")
+    return out.withColumn("chars_avg", F.round("chars_avg", 6))
+
+
+def q_search_rare_terms(spark, sf_dir):
+    # ES rare_terms: the long tail — sources appearing in at most 3
+    # docs among the spark match set, doc_count asc
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match":{"text":"spark"}},"aggs":{"rt":{"rare_terms":'
+         '{"field":"source","max_doc_count":3}}}}')
+    return eng.search_aggs("documents", q, default_field="text")
+
+
 def q_search_termvectors(spark, sf_dir):
     # ES _termvectors analogue: doc 42's (token, term_freq) from a
     # key-filtered tokenization, plus corpus doc_freq/ttf from a
@@ -1353,6 +1373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   window-capped)
         "search_termvectors": q_search_termvectors,  # _termvectors API
         #   (oracle present, pytest-checked; window-capped)
+        "search_multi_terms": q_search_multi_terms,  # composite-key terms
+        #   (oracle present, pytest-checked; window-capped)
+        "search_rare_terms": q_search_rare_terms,  # long-tail terms
+        #   (oracle present, pytest-checked; window-capped)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1463,6 +1487,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id, (ptf + stf)::BIGINT AS _score
             FROM s WHERE (ptf > 0 OR stf > 0) AND neg = 0
+        """,
+        # multi_terms (lang, source): top-15 composite keys by count
+        "search_multi_terms": """
+            SELECT lang, source, COUNT(*)::BIGINT AS doc_count,
+                   ROUND(AVG(n_chars), 6) AS chars_avg
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY lang, source
+            ORDER BY doc_count DESC, lang ASC, source ASC
+            LIMIT 15
+        """,
+        # rare_terms: sources with ≤3 docs in the spark match set
+        "search_rare_terms": f"""
+            SELECT source AS key, COUNT(*)::BIGINT AS doc_count
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
+              AND source IS NOT NULL
+            GROUP BY source
+            HAVING COUNT(*) <= 3
+            ORDER BY doc_count ASC, key ASC
         """,
         # _termvectors doc 42: same tokenizer as the postings (lowercased
         # \w+ runs), term stats restricted to the doc's own tokens

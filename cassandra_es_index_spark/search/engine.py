@@ -1767,6 +1767,36 @@ class SearchEngine:
                 *[c for m in aggs.metrics for c in metric_cols(m)])
 
         if isinstance(aggs, es_dsl.BucketAgg) \
+                and aggs.kind == "rare_terms":
+            # ES rare_terms: long-tail buckets at or below max_doc_count
+            # (stored in .size), doc_count asc then key asc. One
+            # aggregation; the HAVING-style filter rides the agg output.
+            ref = comp.resolve(aggs.field).col
+            return (filtered.where(ref.isNotNull())
+                    .groupBy(ref.alias("key"))
+                    .agg(F.count("*").cast("long").alias("doc_count"))
+                    .where(F.col("doc_count") <= aggs.size)
+                    .orderBy(F.asc("doc_count"), F.asc("key")))
+
+        if isinstance(aggs, es_dsl.BucketAgg) \
+                and aggs.kind == "multi_terms":
+            # ES multi_terms: composite key over several fields, terms
+            # ordering (doc_count desc, keys asc), size cap; flattened
+            # one output column per source field. Docs with ANY null key
+            # field drop (ES semantics).
+            refs = [comp.resolve(f).col for f in aggs.multi_fields]
+            frame = filtered
+            for r in refs:
+                frame = frame.where(r.isNotNull())
+            grp = (frame.groupBy(*[r.alias(f) for r, f in
+                                   zip(refs, aggs.multi_fields)])
+                   .agg(F.count("*").cast("long").alias("doc_count"),
+                        *[c for m in aggs.metrics for c in metric_cols(m)]))
+            return (grp.orderBy(F.desc("doc_count"),
+                                *[F.asc(f) for f in aggs.multi_fields])
+                       .limit(aggs.size if aggs.size is not None else 10))
+
+        if isinstance(aggs, es_dsl.BucketAgg) \
                 and aggs.kind == "significant_terms":
             # ES significant_terms with the JLH heuristic: terms
             # overrepresented in the match set (foreground) vs the whole
@@ -2087,17 +2117,27 @@ class SearchEngine:
             wseq = Window.orderBy(F.asc("key"))
             for pn, pk, payload in lv0.pipelines:
                 if pk in ("cumulative_sum", "derivative",
-                          "serial_diff"):
-                    path, lag = (payload if pk == "serial_diff"
-                                 else (payload, 1))
+                          "serial_diff", "moving_fn"):
+                    path = payload if isinstance(payload, str) \
+                        else payload[0]
                     vcol = F.col("doc_count") if path == "_count" \
                         else F.col(path)
                     if pk == "cumulative_sum":
                         out = out.withColumn(pn, F.sum(vcol).over(
                             wseq.rowsBetween(Window.unboundedPreceding,
                                              0)))
+                    elif pk == "moving_fn":
+                        # window of `window` buckets ending `shift-1`
+                        # after the current (ES: shift=0 excludes the
+                        # current bucket); empty window → null
+                        _, fn, window, shift = payload
+                        mf = {"unweightedAvg": F.avg, "min": F.min,
+                              "max": F.max, "sum": F.sum}[fn]
+                        out = out.withColumn(pn, mf(vcol).over(
+                            wseq.rowsBetween(shift - window, shift - 1)))
                     else:  # derivative / serial_diff — null for the
                            # first `lag` buckets, like ES
+                        lag = 1 if pk == "derivative" else payload[1]
                         out = out.withColumn(
                             pn, vcol - F.lag(vcol, lag).over(wseq))
                 elif pk == "bucket_script":

@@ -38,14 +38,16 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "percentiles", "percentile_ranks",
                  "extended_stats", "weighted_avg")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
-                 "date_range", "significant_terms")
+                 "date_range", "significant_terms", "rare_terms",
+                 "multi_terms")
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
 # set is a transform of the match set
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
 # ES pipeline aggs computed OVER the bucket frame (single-level only):
 # value per bucket from a sibling metric (or "_count")
 _PIPELINE_KINDS = ("cumulative_sum", "derivative", "serial_diff",
-                   "bucket_script", "bucket_selector", "bucket_sort")
+                   "moving_fn", "bucket_script", "bucket_selector",
+                   "bucket_sort")
 # sibling pipeline aggs: one value computed OVER the bucket agg's frame,
 # declared NEXT TO the bucket agg (ES syntax), emitted as a constant
 # column on every bucket row
@@ -170,6 +172,8 @@ class BucketAgg:
     # must match the WHOLE term string, like ES — or ("values", (…,))
     include: tuple | None = None
     exclude: tuple | None = None
+    # multi_terms: the composite key's source fields (≥2)
+    multi_fields: tuple[str, ...] = ()
     calendar_interval: str | None = None    # date_histogram
     fixed_interval: str | None = None       # date_histogram ("30s","1h",…)
     # terms bucket ordering: (target, ascending) where target is
@@ -702,8 +706,46 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                            f"agg {name!r} (siblings go under 'aggs')")
         params = body[first_kind]
         if not isinstance(params, dict) or (
-                first_kind != "filters" and "field" not in params):
+                first_kind not in ("filters", "multi_terms")
+                and "field" not in params):
             raise DslError(f"bucket agg {name!r} needs a 'field'")
+        if first_kind == "rare_terms":
+            # ES rare_terms: buckets at or below max_doc_count, ordered
+            # doc_count asc then key asc, no top-size truncation
+            extra_p = set(params) - {"field", "max_doc_count"}
+            if extra_p:
+                raise DslError(f"rare_terms agg {name!r}: unsupported "
+                               f"params {sorted(extra_p)}")
+            if body.get("aggs"):
+                raise DslError("rare_terms does not support "
+                               "sub-aggregations")
+            mx = params.get("max_doc_count", 1)
+            if not isinstance(mx, int) or mx <= 0:
+                raise DslError("max_doc_count must be a positive integer")
+            return BucketAgg(name=name, kind="rare_terms",
+                             field=params["field"], size=mx)
+        if first_kind == "multi_terms":
+            # ES multi_terms: composite key over several fields, terms
+            # ordering (doc_count desc, keys asc), size cap; flattened
+            # one column per source field
+            tspec = params.get("terms")
+            if not isinstance(tspec, list) or len(tspec) < 2 or not all(
+                    isinstance(t, dict) and "field" in t for t in tspec):
+                raise DslError(
+                    f"multi_terms agg {name!r} needs a 'terms' list of "
+                    "at least two {'field': ...} entries")
+            msize = params.get("size", 10)
+            if not isinstance(msize, int) or msize <= 0:
+                raise DslError("multi_terms size must be a positive "
+                               "integer")
+            metrics = tuple(_metric(n, sp)
+                            for n, sp in (body.get("aggs") or {}).items())
+            flds = tuple(t["field"] for t in tspec)
+            if len(set(flds)) != len(flds):
+                raise DslError("duplicate multi_terms fields")
+            return BucketAgg(name=name, kind="multi_terms",
+                             field=flds[0], multi_fields=flds,
+                             size=msize, metrics=metrics)
         if first_kind == "significant_terms":
             # foreground-vs-background scored terms; no sub-aggs (the
             # score IS the payload), size caps the output
@@ -740,7 +782,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 if not isinstance(pbody, dict):
                     raise DslError(f"pipeline agg {n!r} must be an object")
                 if kind in ("cumulative_sum", "derivative",
-                            "serial_diff"):
+                            "serial_diff", "moving_fn"):
                     if "buckets_path" not in pbody:
                         raise DslError(f"pipeline agg {n!r} needs a "
                                        "'buckets_path'")
@@ -749,9 +791,32 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         raise DslError("serial_diff lag must be a "
                                        "positive integer")
                     path = str(pbody["buckets_path"])
-                    pipelines.append(
-                        (n, kind,
-                         (path, lag) if kind == "serial_diff" else path))
+                    if kind == "moving_fn":
+                        # painless subset: the built-in MovingFunctions
+                        # over the window values
+                        m = _re.fullmatch(
+                            r"MovingFunctions\.(unweightedAvg|min|max"
+                            r"|sum)\(values\)",
+                            str(pbody.get("script", "")).strip())
+                        if m is None:
+                            raise DslError(
+                                f"moving_fn agg {n!r}: only MovingFunc"
+                                "tions.unweightedAvg/min/max/sum(values)"
+                                " scripts are supported")
+                        window = pbody.get("window")
+                        if not isinstance(window, int) or window <= 0:
+                            raise DslError("moving_fn needs a positive "
+                                           "integer 'window'")
+                        shift = pbody.get("shift", 0)
+                        if not isinstance(shift, int):
+                            raise DslError("moving_fn shift must be an "
+                                           "integer")
+                        pipelines.append(
+                            (n, kind, (path, m.group(1), window, shift)))
+                    elif kind == "serial_diff":
+                        pipelines.append((n, kind, (path, lag)))
+                    else:
+                        pipelines.append((n, kind, path))
                 elif kind in ("bucket_script", "bucket_selector"):
                     bp = pbody.get("buckets_path")
                     if not isinstance(bp, dict) or not bp \
@@ -867,14 +932,15 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 n for m in metrics for n in m.out_names()}
             for pn, pk, payload in pipelines:
                 if pk in ("cumulative_sum", "derivative",
-                          "serial_diff"):
+                          "serial_diff", "moving_fn"):
                     # sequence aggs need a key-ordered frame (ES
                     # requires histogram parents)
                     if first_kind not in ("histogram", "date_histogram"):
                         raise DslError(
                             f"{pk} needs an ordered histogram/"
                             "date_histogram bucket (ES requirement)")
-                    path = payload[0] if pk == "serial_diff" else payload
+                    path = payload if isinstance(payload, str) \
+                        else payload[0]
                     if path not in valid_paths:
                         raise DslError(f"pipeline agg {pn!r}: unknown "
                                        f"buckets_path {path!r}")

@@ -2303,3 +2303,49 @@ def test_histogram_offset_and_terms_include_exclude(pipe5_engine):
     keys3 = {r["key"] for r in pipe5_engine.search_aggs(
         "pipe5", q3, default_field="user").collect()}
     assert keys3 == {"u0", "u2"}
+
+
+def test_rare_terms_long_tail(pipe5_engine, spark):
+    eng = SearchEngine(spark)
+    rows = [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "z")]
+    eng.register(spark.createDataFrame(rows, "id long, tag string"),
+                 TableSpec("rare5", ["id"]))
+    q = ('{"query":{"match_all":{}},"aggs":{"r":{"rare_terms":'
+         '{"field":"tag","max_doc_count":1}}}}')
+    out = [(r["key"], r["doc_count"]) for r in
+           eng.search_aggs("rare5", q, default_field="tag").collect()]
+    assert out == [("y", 1), ("z", 1)]
+
+
+def test_multi_terms_composite_key(pipe5_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{"mt":{"multi_terms":'
+         '{"terms":[{"field":"user"},{"field":"id"}],"size":2},'
+         '"aggs":{"m":{"max":{"field":"v"}}}}}}')
+    out = pipe5_engine.search_aggs("pipe5", q,
+                                   default_field="user").collect()
+    # every (user, id) pair is unique → count 1; size caps at 2,
+    # ordered count desc then keys asc
+    assert len(out) == 2
+    assert [(r["user"], r["id"]) for r in out] == [("u0", 0), ("u0", 3)]
+    assert out[0]["m"] == 0.0
+
+
+def test_moving_fn_window(pipe5_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{"h":{"histogram":'
+         '{"field":"v","interval":4},"aggs":{'
+         '"mavg":{"moving_fn":{"buckets_path":"_count","window":2,'
+         '"script":"MovingFunctions.unweightedAvg(values)"}}}}}}')
+    out = {r["key"]: r["mavg"] for r in pipe5_engine.search_aggs(
+        "pipe5", q, default_field="user").collect()}
+    # shift=0 excludes the current bucket: first → null, then avg of
+    # the preceding counts (all buckets hold 4 docs)
+    assert out[0.0] is None and out[4.0] == 4.0 and out[8.0] == 4.0
+
+
+def test_moving_fn_bad_script():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request(
+            '{"aggs":{"h":{"histogram":{"field":"v","interval":1},'
+            '"aggs":{"m":{"moving_fn":{"buckets_path":"_count",'
+            '"window":3,"script":"values.sum() * evil()"}}}}}}')
