@@ -1440,6 +1440,69 @@ class SearchEngine:
                              F.asc("token"))
                     .limit(k))
 
+    def explain(self, table: str, query: str, doc_id,
+                default_field: str | None = None) -> DataFrame:
+        """ES ``_explain`` analogue: for ONE document, whether it matches
+        the query and the per-positive-leaf score contributions. Returns
+        a single row (matched boolean, _score, explanation json mapping
+        each leaf's label to its tf/score contribution). Key-filtered
+        single-row evaluation — a pushdown point lookup of the documents
+        scan; no index required and none consulted (explanation is about
+        the scoring algebra, which both plans share)."""
+        from cassandra_es_index_spark.search import ast as A
+
+        docs = self._docs[table]
+        _, spec = self.catalog.get(table)
+        qmd = QueryMetaData.parse(query)
+        req = self._parse_request(qmd.query)
+        comp = Compiler(docs, default_field)
+        pred, score = comp.compile(req.node)
+
+        leaves: list[tuple[str, Node]] = []
+
+        def walk(n: Node, positive: bool = True) -> None:
+            if isinstance(n, A.Not):
+                walk(n.child, False)
+                return
+            if isinstance(n, (A.And, A.Or, A.Should, A.DisMax)):
+                for c in n.children:
+                    walk(c, positive)
+                return
+            if isinstance(n, (A.Boost, A.ConstantScore, A.Required,
+                              A.Scoreless)):
+                walk(n.child, positive)
+                return
+            if isinstance(n, A.Boosting):
+                walk(n.positive, positive)
+                walk(n.negative, False)
+                return
+            if isinstance(n, A.FunctionScore):
+                walk(n.child, positive)
+                return
+            if not positive:
+                return
+            fld = getattr(n, "field", None) or comp.default_field
+            kind = type(n).__name__.lower()
+            val = (getattr(n, "value", None) or getattr(n, "pattern", None)
+                   or getattr(n, "text", None) or "")
+            leaves.append((f"{kind}:{fld}:{val}"[:80], n))
+
+        walk(req.node)
+        id_col = self._postings_id_col(spec)
+        contrib = []
+        seen_labels: set[str] = set()
+        for label, leaf in leaves:
+            if label in seen_labels:
+                continue
+            seen_labels.add(label)
+            _, ls = comp.compile(leaf)
+            contrib.append(ls.cast("double").alias(label))
+        expl = F.to_json(F.struct(*contrib)) if contrib else F.lit("{}")
+        return (docs.where(F.col(id_col) == F.lit(doc_id))
+                    .select(F.coalesce(pred, F.lit(False)).alias("matched"),
+                            score.alias(SCORE),
+                            expl.alias("explanation")))
+
     def term_vectors(self, table: str, doc_id, field: str | None = None,
                      term_statistics: bool = False) -> DataFrame:
         """ES ``_termvectors`` analogue for one document: (token,
@@ -1924,10 +1987,21 @@ class SearchEngine:
         level_key: list[Column] = []
         level_gate: list[Column | None] = []
         for i, lv in enumerate(levels):
-            if lv.kind == "filters":
-                matches = F.array_compact(F.array(*[
-                    F.when(comp.compile(node)[0], F.lit(fname))
-                    for fname, node in lv.filter_nodes]))
+            if lv.kind in ("filters", "adjacency_matrix"):
+                cells = [(fname, comp.compile(node)[0])
+                         for fname, node in lv.filter_nodes]
+                whens = [F.when(p, F.lit(fname)) for fname, p in cells]
+                if lv.kind == "adjacency_matrix":
+                    # ES adjacency_matrix: the singles PLUS one "a&b"
+                    # bucket per pairwise intersection (sorted name
+                    # order, like ES) — all evaluated in the same pass
+                    for x in range(len(cells)):
+                        for y in range(x + 1, len(cells)):
+                            na, pa = cells[x]
+                            nb, pb = cells[y]
+                            key = "&".join(sorted((na, nb)))
+                            whens.append(F.when(pa & pb, F.lit(key)))
+                matches = F.array_compact(F.array(*whens))
                 helper = f"_bk{i}"
                 src = src.select("*", F.explode(matches).alias(helper))
                 level_key.append(F.col(helper))

@@ -39,7 +39,7 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "extended_stats", "weighted_avg")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
                  "date_range", "significant_terms", "rare_terms",
-                 "multi_terms")
+                 "multi_terms", "adjacency_matrix")
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
 # set is a transform of the match set
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
@@ -706,7 +706,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                            f"agg {name!r} (siblings go under 'aggs')")
         params = body[first_kind]
         if not isinstance(params, dict) or (
-                first_kind not in ("filters", "multi_terms")
+                first_kind not in ("filters", "multi_terms",
+                                   "adjacency_matrix")
                 and "field" not in params):
             raise DslError(f"bucket agg {name!r} needs a 'field'")
         if first_kind == "rare_terms":
@@ -889,13 +890,17 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         elif first_kind == "date_range":
             ranges = _date_ranges(name, params.get("ranges"))
         filter_nodes: tuple = ()
-        if first_kind == "filters":
+        if first_kind in ("filters", "adjacency_matrix"):
             fspec = params.get("filters")
             if not isinstance(fspec, dict) or not fspec:
-                raise DslError(f"filters agg {name!r} needs a non-empty "
-                               "'filters' object")
+                raise DslError(f"{first_kind} agg {name!r} needs a "
+                               "non-empty 'filters' object")
             filter_nodes = tuple((fname, _node(clause))
                                  for fname, clause in fspec.items())
+            if first_kind == "adjacency_matrix" \
+                    and any("&" in fname for fname, _ in filter_nodes):
+                raise DslError("adjacency_matrix filter names must not "
+                               "contain '&' (the intersection separator)")
         mdc = params.get("min_doc_count")
         if mdc is not None and (not isinstance(mdc, int) or mdc < 0):
             raise DslError("min_doc_count must be a non-negative integer")

@@ -2349,3 +2349,43 @@ def test_moving_fn_bad_script():
             '{"aggs":{"h":{"histogram":{"field":"v","interval":1},'
             '"aggs":{"m":{"moving_fn":{"buckets_path":"_count",'
             '"window":3,"script":"values.sum() * evil()"}}}}}}')
+
+
+def test_explain_per_leaf_contributions(hl_engines):
+    import json as _json
+    scan, _ = hl_engines
+    q = ('{"query":{"bool":{"must":[{"match":{"body":"cassandra"}}],'
+         '"should":[{"match":{"body":"spark"}}],'
+         '"must_not":[{"match":{"body":"missingword"}}]}}}')
+    row = scan.explain("hl_scan", q, "h2", default_field="body").collect()[0]
+    assert row["matched"] is True
+    assert row["_score"] == 3       # cassandra x2 + spark x1
+    ex = _json.loads(row["explanation"])
+    assert ex["term:body:cassandra"] == 2.0
+    assert ex["term:body:spark"] == 1.0
+    # negative leaves are excluded from the explanation
+    assert not any("missingword" in k for k in ex)
+    # non-matching doc
+    row2 = scan.explain("hl_scan", q, "h5",
+                        default_field="body").collect()[0]
+    assert row2["matched"] is False and row2["_score"] == 0
+
+
+def test_adjacency_matrix(pipe5_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{"adj":{"adjacency_matrix":'
+         '{"filters":{"low":{"range":{"v":{"lt":6}}},'
+         '"even":{"query_string":{"query":"id:[0 TO 11]"}},'
+         '"high":{"range":{"v":{"gte":9}}}}}}}}')
+    out = {r["key"]: r["doc_count"] for r in pipe5_engine.search_aggs(
+        "pipe5", q, default_field="user").collect()}
+    # low: v 0-5 (6); high: v 9-11 (3); even: all 12
+    assert out["low"] == 6 and out["high"] == 3 and out["even"] == 12
+    assert out["even&low"] == 6 and out["even&high"] == 3
+    assert "high&low" not in out      # empty intersection never appears
+
+
+def test_adjacency_matrix_rejects_ampersand_names():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"aggs":{"a":{"adjacency_matrix":{"filters":'
+                      '{"x&y":{"match_all":{}}}}}}}')
