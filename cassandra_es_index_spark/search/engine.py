@@ -1924,11 +1924,16 @@ class SearchEngine:
                                 / F.lit(secs)) * F.lit(secs))
                     anchor_types.append(T.TimestampType())
                 key_exprs.append(k)
-                raw_ordering.append((k, s.asc, False))
-                out_ordering.append((F.col(s.name), s.asc, False))
-                g = ref.col.isNotNull()
-                gate = g if gate is None else gate & g
-            src = filtered.where(gate)
+                # missing_bucket: null keys become a real bucket, sorted
+                # first ascending / last descending (ES missing_order
+                # default); otherwise null-source docs drop out
+                nf = s.missing_bucket and s.asc
+                raw_ordering.append((k, s.asc, nf))
+                out_ordering.append((F.col(s.name), s.asc, nf))
+                if not s.missing_bucket:
+                    g = ref.col.isNotNull()
+                    gate = g if gate is None else gate & g
+            src = filtered if gate is None else filtered.where(gate)
             if aggs.after is not None:
                 src = src.where(self._keyset_filter(
                     raw_ordering, aggs.after, anchor_types))

@@ -218,7 +218,10 @@ class BucketAgg:
 @dataclass(frozen=True)
 class CompositeSource:
     """One composite-agg source: terms / histogram / date_histogram over
-    a field, ascending by default (``order: desc`` flips it)."""
+    a field, ascending by default (``order: desc`` flips it).
+    ``missing_bucket`` keeps docs with a null source value as a null
+    bucket, sorted first ascending / last descending (ES default
+    missing_order)."""
     name: str
     kind: str       # terms | histogram | date_histogram
     field: str
@@ -226,6 +229,7 @@ class CompositeSource:
     calendar_interval: str | None = None
     fixed_interval: str | None = None
     asc: bool = True
+    missing_bucket: bool = False
 
 
 @dataclass(frozen=True)
@@ -646,12 +650,16 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             order = sparams.get("order", "asc")
             if order not in ("asc", "desc"):
                 raise DslError(f"bad source order {order!r}")
+            mb = sparams.get("missing_bucket", False)
+            if not isinstance(mb, bool):
+                raise DslError("missing_bucket must be a boolean")
             sources.append(CompositeSource(
                 sname, skind, sparams["field"],
                 interval=sparams.get("interval"),
                 calendar_interval=sparams.get("calendar_interval"),
                 fixed_interval=sparams.get("fixed_interval"),
-                asc=order == "asc"))
+                asc=order == "asc",
+                missing_bucket=mb))
         names = [s.name for s in sources]
         if len(set(names)) != len(names):
             raise DslError("duplicate composite source names")

@@ -2389,3 +2389,30 @@ def test_adjacency_matrix_rejects_ampersand_names():
     with pytest.raises(DslError):
         parse_request('{"aggs":{"a":{"adjacency_matrix":{"filters":'
                       '{"x&y":{"match_all":{}}}}}}}')
+
+
+def test_composite_missing_bucket(spark):
+    eng = SearchEngine(spark)
+    rows = [(1, "a"), (2, None), (3, "b"), (4, None), (5, "a")]
+    eng.register(spark.createDataFrame(rows, "id long, tag string"),
+                 TableSpec("cmb", ["id"]))
+    base = ('{"query":{"match_all":{}},"aggs":{"c":{"composite":'
+            '{"size":10,"sources":[{"t":{"terms":{"field":"tag",'
+            '"missing_bucket":true}}}]}}}}')
+    out = [(r["t"], r["doc_count"]) for r in
+           eng.search_aggs("cmb", base, default_field="tag").collect()]
+    # nulls first ascending, then a, b
+    assert out == [(None, 2), ("a", 2), ("b", 1)]
+    # paging THROUGH the null bucket with the after cursor
+    page2 = ('{"query":{"match_all":{}},"aggs":{"c":{"composite":'
+             '{"size":1,"after":{"t":null},"sources":[{"t":{"terms":'
+             '{"field":"tag","missing_bucket":true}}}]}}}}')
+    out2 = [(r["t"], r["doc_count"]) for r in
+            eng.search_aggs("cmb", page2, default_field="tag").collect()]
+    assert out2 == [("a", 2)]
+    # without missing_bucket the nulls drop (ES default)
+    plain = ('{"query":{"match_all":{}},"aggs":{"c":{"composite":'
+             '{"size":10,"sources":[{"t":{"terms":{"field":"tag"}}}]}}}}')
+    out3 = [r["t"] for r in
+            eng.search_aggs("cmb", plain, default_field="tag").collect()]
+    assert out3 == ["a", "b"]
