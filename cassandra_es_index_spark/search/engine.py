@@ -478,6 +478,10 @@ class SearchEngine:
         set, like ES. ``collapse`` keeps the top hit per distinct field
         value (nulls uncollapsed) before pagination; on the index plan
         the collapse values ride the range index like sort values.
+        ``rescore`` re-ranks the top window of the score-ordered hits
+        (see ``apply_rescore``); ``highlight`` adds
+        ``_highlight_<field>`` columns wrapping query-term matches on
+        the hit rows (see ``apply_highlight``).
         """
         admin = self._admin(table, query)
         if admin is not None:
