@@ -46,6 +46,10 @@ HEADLINE = [
     "search_dsl_sorted",    # sorted-from-index (range-index doc-values)
     "search_mlt",           # more_like_this: tf-idf pick + OR postings query
     "search_suggest",       # completion suggester over the term dictionary
+    "search_dis_max",       # best-field disjunction (union + per-doc max)
+    "search_rescore",       # top-window re-rank on the <=k hit set
+    "search_significant_terms",  # JLH fg-vs-bg term scoring
+    "search_aggs_nested3",  # 3-level bucket flatten-join
     "search_dsl_range",
     "search_topk",
     "tpch_q1",
