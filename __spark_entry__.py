@@ -296,6 +296,15 @@ def q_search_sqs(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_span_near(spark, sf_dir):
+    # Lucene span_near, two span_terms: 'table' then 'value' within 3
+    # intervening tokens; score = number of qualifying position pairs
+    q = ('{"query":{"span_near":{"clauses":['
+         '{"span_term":{"text":"table"}},{"span_term":{"text":"value"}}],'
+         '"slop":3,"in_order":true}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_multi_terms(spark, sf_dir):
     # ES multi_terms: composite (lang, source) key, terms ordering
     # (doc_count desc, keys asc), size cap, with a metric sub-agg
@@ -1377,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (oracle present, pytest-checked; window-capped)
         "search_rare_terms": q_search_rare_terms,  # long-tail terms
         #   (oracle present, pytest-checked; window-capped)
+        "search_span_near": q_search_span_near,  # span position pairs
+        #   (oracle present, pytest-checked; window-capped)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1487,6 +1498,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id, (ptf + stf)::BIGINT AS _score
             FROM s WHERE (ptf > 0 OR stf > 0) AND neg = 0
+        """,
+        # span_near: position pairs of 'table' before 'value' with ≤3
+        # intervening tokens, replayed with DuckDB list lambdas
+        "search_span_near": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(text), '\W+') AS toks
+                FROM documents),
+            p AS (
+                SELECT doc_id,
+                       list_filter(range(len(toks)),
+                                   i -> len(toks[i + 1]) > 0
+                                        AND toks[i + 1] = 'table') AS p1,
+                       list_filter(range(len(toks)),
+                                   i -> len(toks[i + 1]) > 0
+                                        AND toks[i + 1] = 'value') AS p2
+                FROM t),
+            s AS (
+                SELECT doc_id,
+                       COALESCE(list_sum(list_transform(p1,
+                           a -> len(list_filter(p2,
+                               b -> b > a AND b - a - 1 <= 3)))), 0)
+                           AS pairs
+                FROM p)
+            SELECT doc_id, pairs::BIGINT AS _score
+            FROM s WHERE pairs > 0
         """,
         # multi_terms (lang, source): top-15 composite keys by count
         "search_multi_terms": """

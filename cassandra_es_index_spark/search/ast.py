@@ -207,6 +207,23 @@ class FunctionScore(Node):
 
 
 @dataclass(frozen=True)
+class SpanNear(Node):
+    """Lucene/ES ``span_near`` with exactly two ``span_term`` clauses:
+    the two tokens occur within ``slop`` intervening TOKENS of each
+    other (``in_order`` restricts to first-then-second). Score = number
+    of qualifying position pairs (deterministic, SQL-expressible).
+    Evaluated with higher-order functions over the token-position
+    arrays on the scan plan; span queries are not index-served (the
+    positional chunk index records chunk positions, not token
+    positions — documented)."""
+    field: str | None = None
+    first: str = ""
+    second: str = ""
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
 class Boosting(Node):
     """ES ``boosting`` query: matches exactly the ``positive`` query;
     docs ALSO matching ``negative`` keep matching but their score

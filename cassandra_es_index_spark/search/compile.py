@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
     Fuzzy, Ids, MatchAll, Nested, Node, Not, Or, Phrase, Range, Regexp,
-    Required, Scoreless, Should, Term, Wildcard,
+    Required, Scoreless, Should, SpanNear, Term, Wildcard,
 )
 
 
@@ -507,6 +507,39 @@ class Compiler:
             fv = fvf_value(ref.col, node)
             return pred, combine_boost_mode(score.cast("double"), fv,
                                             node.boost_mode)
+        if isinstance(node, SpanNear):
+            # token-position arrays via split + filtered index sequences
+            # (JVM higher-order functions, no UDF); score = number of
+            # qualifying position pairs
+            ref = self.resolve(node.field)
+            if not isinstance(ref.dtype, T.StringType):
+                raise CompileError(
+                    "span_near supports plain string fields")
+            toks = F.split(F.lower(ref.col), r"\W+")
+            idx = F.sequence(F.lit(0), F.size(toks) - 1)
+
+            def positions(term: str) -> Column:
+                t = F.lit(term.lower())
+                return F.filter(
+                    idx, lambda i: (F.length(F.element_at(toks, i + 1))
+                                    > 0)
+                    & (F.element_at(toks, i + 1) == t))
+
+            p1, p2 = positions(node.first), positions(node.second)
+            gap = F.lit(int(node.slop))
+
+            def pair_ok(a: Column, b: Column) -> Column:
+                ordered = (b > a) & (b - a - 1 <= gap)
+                if node.in_order:
+                    return ordered
+                return ordered | ((a > b) & (a - b - 1 <= gap))
+
+            pairs = F.aggregate(
+                p1, F.lit(0),
+                lambda acc, a: acc + F.size(
+                    F.filter(p2, lambda b: pair_ok(a, b))))
+            cnt = F.coalesce(pairs, F.lit(0))
+            return cnt > 0, cnt
         if isinstance(node, Boosting):
             # ES boosting: positive gates matching; a doc also matching
             # the negative keeps matching with its score scaled by

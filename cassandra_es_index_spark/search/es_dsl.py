@@ -25,7 +25,7 @@ from typing import Any
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
     Fuzzy, Ids, MatchAll, Nested, Node, Not, Or, Phrase, Range, Regexp,
-    Scoreless, Should, Term, Wildcard,
+    Scoreless, Should, SpanNear, Term, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -1252,6 +1252,37 @@ def _node(q: dict[str, Any]) -> Node:
         if not parts:
             return MatchAll()
         return parts[0] if len(parts) == 1 else And(tuple(parts))
+    if kind == "span_near":
+        # exactly two span_term clauses (the common Lucene shape); slop
+        # counts intervening tokens, in_order defaults true like Lucene
+        if not isinstance(body, dict) \
+                or not isinstance(body.get("clauses"), list) \
+                or len(body["clauses"]) != 2:
+            raise DslError("span_near needs {'clauses': [two span_term "
+                           "clauses]} (the engine supports exactly two)")
+        terms = []
+        fields = set()
+        for cl in body["clauses"]:
+            if not isinstance(cl, dict) or len(cl) != 1 \
+                    or "span_term" not in cl:
+                raise DslError("span_near clauses must be span_term")
+            fld, val = _single(cl["span_term"])
+            if isinstance(val, dict):
+                val = val.get("value")
+            fields.add(fld)
+            terms.append(_scalar(val))
+        if len(fields) != 1:
+            raise DslError("span_near clauses must share one field")
+        slop = body.get("slop", 0)
+        if not isinstance(slop, int) or slop < 0:
+            raise DslError("span_near slop must be a non-negative integer")
+        in_order = body.get("in_order", True)
+        if not isinstance(in_order, bool):
+            raise DslError("span_near in_order must be a boolean")
+        return _boosted(
+            SpanNear(next(iter(fields)), terms[0], terms[1], slop,
+                     in_order),
+            body.get("boost"))
     if kind == "boosting":
         # ES boosting query: positive gates, negative demotes by
         # negative_boost (must be in [0, 1) per ES)

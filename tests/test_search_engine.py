@@ -2416,3 +2416,38 @@ def test_composite_missing_bucket(spark):
     out3 = [r["t"] for r in
             eng.search_aggs("cmb", plain, default_field="tag").collect()]
     assert out3 == ["a", "b"]
+
+
+def test_span_near_ordered_and_unordered(spark):
+    eng = SearchEngine(spark)
+    rows = [("s1", "alpha beta gamma"),
+            ("s2", "gamma one two alpha"),
+            ("s3", "alpha x y z gamma"),
+            ("s4", "alpha gamma alpha gamma")]
+    eng.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("span5", ["id"]))
+
+    def run(slop, in_order):
+        q = ('{"query":{"span_near":{"clauses":['
+             '{"span_term":{"body":"alpha"}},'
+             '{"span_term":{"body":"gamma"}}],"slop":%d,"in_order":%s}}}'
+             % (slop, in_order))
+        return sorted((r["id"], r["_score"]) for r in
+                      eng.search("span5", q,
+                                 default_field="body").collect())
+
+    # score = number of qualifying position pairs
+    assert run(1, "true") == [("s1", 1), ("s4", 2)]
+    assert run(2, "false") == [("s1", 1), ("s2", 1), ("s4", 4)]
+    assert run(0, "true") == [("s4", 2)]
+
+
+def test_span_near_bad_dsl():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"span_near":{"clauses":'
+                      '[{"span_term":{"b":"x"}}]}}}')
+    with pytest.raises(DslError):
+        parse_request('{"query":{"span_near":{"clauses":'
+                      '[{"span_term":{"a":"x"}},{"span_term":{"b":"y"}}],'
+                      '"slop":1}}}')
