@@ -1444,6 +1444,42 @@ class SearchEngine:
                              F.asc("token"))
                     .limit(k))
 
+    def field_caps(self, table: str) -> DataFrame:
+        """ES ``_field_caps`` analogue: one row per document field with
+        its Spark type, whether it is text-searchable (string-ish) and
+        aggregatable (any concrete type — the engine has no fielddata
+        restriction). Schema introspection only — no data touched."""
+        from pyspark.sql import types as T
+
+        from cassandra_es_index_spark.search.compile import _NUMERIC
+
+        docs = self._docs[table]
+        rows = []
+        for f in docs.schema.fields:
+            searchable = isinstance(
+                f.dataType, (T.StringType, T.ArrayType, T.MapType)) \
+                or isinstance(f.dataType, _NUMERIC + (
+                    T.TimestampType, T.DateType, T.BooleanType))
+            rows.append((f.name, f.dataType.simpleString(),
+                         bool(searchable), True))
+        return self.spark.createDataFrame(
+            rows, "field string, type string, searchable boolean, "
+                  "aggregatable boolean")
+
+    def count(self, table: str, query: str,
+              default_field: str | None = None) -> int:
+        """ES ``_count`` analogue: the total hit count of a query with no
+        hit fetching — the postings-served match set when servable, else
+        one predicate-pushed scan count."""
+        docs = self._docs[table]
+        qmd = QueryMetaData.parse(query)
+        req = self._parse_request(qmd.query)
+        ph = self._postings_hits(table, req.node, default_field)
+        if ph is not None:
+            return ph.count()
+        pred, _ = Compiler(docs, default_field).compile(req.node)
+        return docs.where(pred).count()
+
     def explain(self, table: str, query: str, doc_id,
                 default_field: str | None = None) -> DataFrame:
         """ES ``_explain`` analogue: for ONE document, whether it matches

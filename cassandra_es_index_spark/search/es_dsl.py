@@ -1252,6 +1252,36 @@ def _node(q: dict[str, Any]) -> Node:
         if not parts:
             return MatchAll()
         return parts[0] if len(parts) == 1 else And(tuple(parts))
+    if kind == "wrapper":
+        # ES wrapper query: base64-encoded JSON query, decoded and parsed
+        import base64 as _b64
+        if not isinstance(body, dict) or "query" not in body:
+            raise DslError("wrapper needs {'query': base64-string}")
+        try:
+            decoded = _b64.b64decode(str(body["query"])).decode("utf-8")
+            inner = json.loads(decoded)
+        except Exception as e:  # noqa: BLE001 — malformed payloads
+            raise DslError(f"wrapper query is not valid base64 JSON: "
+                           f"{e}") from e
+        return _node(inner)
+    if kind == "pinned":
+        # ES pinned query, desugared onto the existing algebra: pinned
+        # doc i becomes constant_score(ids([i]), BASE - i) and the whole
+        # request is a dis_max over those branches plus the organic
+        # query — pinned docs outrank any organic score, in listed
+        # order, and organic-only docs keep their scores. Requires the
+        # synthesized `_id` document field, like the ids query.
+        if not isinstance(body, dict) \
+                or not isinstance(body.get("ids"), list) \
+                or not body["ids"] or "organic" not in body:
+            raise DslError(
+                "pinned needs {'ids': [...], 'organic': clause}")
+        base = float(1 << 30)
+        branches: list[Node] = [
+            ConstantScore(Ids((str(v),)), base - k)
+            for k, v in enumerate(body["ids"])]
+        branches.append(_node(body["organic"]))
+        return DisMax(tuple(branches), 0.0)
     if kind == "span_near":
         # exactly two span_term clauses (the common Lucene shape); slop
         # counts intervening tokens, in_order defaults true like Lucene

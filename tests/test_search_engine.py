@@ -2451,3 +2451,45 @@ def test_span_near_bad_dsl():
         parse_request('{"query":{"span_near":{"clauses":'
                       '[{"span_term":{"a":"x"}},{"span_term":{"b":"y"}}],'
                       '"slop":1}}}')
+
+
+def test_wrapper_query_decodes(hl_engines):
+    import base64
+    scan, _ = hl_engines
+    inner = '{"match":{"body":"cassandra"}}'
+    b64 = base64.b64encode(inner.encode()).decode()
+    q = '{"query":{"wrapper":{"query":"%s"}}}' % b64
+    got = {r["id"] for r in
+           scan.search("hl_scan", q, default_field="body").collect()}
+    assert got == {"h1", "h2", "h3"}
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"wrapper":{"query":"!!!notbase64"}}}')
+
+
+def test_pinned_query_ranks_ids_first(spark):
+    eng = SearchEngine(spark)
+    rows = [("d1", "spark spark spark"), ("d2", "spark"),
+            ("d3", "spark spark"), ("d4", "nothing")]
+    eng.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("pin5", ["id"]))
+    q = ('{"query":{"pinned":{"ids":["d4","d2"],'
+         '"organic":{"match":{"body":"spark"}}}}}')
+    out = [r["id"] for r in
+           eng.search("pin5", q, default_field="body").collect()]
+    # pinned first in listed order (even d4, which has no organic
+    # match), then organic by score
+    assert out == ["d4", "d2", "d1", "d3"]
+
+
+def test_field_caps_and_count(hl_engines):
+    scan, idx = hl_engines
+    caps = {r["field"]: r for r in scan.field_caps("hl_scan").collect()}
+    assert caps["body"]["type"] == "string" and caps["body"]["searchable"]
+    assert scan.count("hl_scan",
+                      '{"query":{"match":{"body":"cassandra"}}}',
+                      default_field="body") == 3
+    # postings-served count matches
+    assert idx.count("hl_idx",
+                     '{"query":{"match":{"body":"cassandra"}}}',
+                     default_field="body") == 3
