@@ -296,6 +296,25 @@ def q_search_sqs(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_knn(spark, sf_dir):
+    # ES 8 top-level knn search through the DSL: exact cosine top-k over
+    # the embeddings table against a fixed query vector (deterministic —
+    # all-ones direction), ties by id
+    import json as _json
+    eng_key = _ck(spark, sf_dir, "eng:embeddings")
+    if eng_key not in _CACHE:
+        eng = SearchEngine(spark)
+        eng.register(_t(spark, sf_dir, "embeddings"),
+                     TableSpec("embeddings", ["vec_id"]))
+        _CACHE[eng_key] = eng
+    eng = _CACHE[eng_key]
+    dim = len(_t(spark, sf_dir, "embeddings").first()["embedding"])
+    q = _json.dumps({"knn": {"field": "embedding",
+                             "query_vector": [1.0] * dim, "k": 20}})
+    out = eng.search("embeddings", "#options:load-rows=false#" + q)
+    return out.withColumn("_score", F.round("_score", 6))
+
+
 def q_search_span_near(spark, sf_dir):
     # Lucene span_near, two span_terms: 'table' then 'value' within 3
     # intervening tokens; score = number of qualifying position pairs
@@ -1388,6 +1407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (oracle present, pytest-checked; window-capped)
         "search_span_near": q_search_span_near,  # span position pairs
         #   (oracle present, pytest-checked; window-capped)
+        "search_knn": q_search_knn,  # ES 8 knn through the DSL
+        #   (oracle present, pytest-checked; window-capped; exact tier —
+        #   approximate tiers graded by ann_recall)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1498,6 +1520,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id, (ptf + stf)::BIGINT AS _score
             FROM s WHERE (ptf > 0 OR stf > 0) AND neg = 0
+        """,
+        # knn: exact cosine top-20 against the all-ones direction
+        # (list_cosine_similarity is DuckDB's built-in cosine)
+        "search_knn": """
+            WITH q AS (
+                SELECT vec_id,
+                       ROUND(list_cosine_similarity(
+                           embedding::DOUBLE[],
+                           list_transform(embedding, x -> 1.0)), 6)
+                           AS _score
+                FROM embeddings)
+            SELECT vec_id, _score
+            FROM q ORDER BY _score DESC, vec_id ASC LIMIT 20
         """,
         # span_near: position pairs of 'table' before 'value' with ≤3
         # intervening tokens, replayed with DuckDB list lambdas

@@ -531,6 +531,42 @@ class SearchEngine:
                            F.regexp_replace(col, combined, repl)))
             return result
 
+        if req.knn is not None:
+            # ES 8 kNN search: EXACT cosine top-k over the vector column
+            # (documented superset of ES's approximate HNSW — the
+            # approximate tiers are operators/similarity LSH/IVF). One
+            # corpus scan + TakeOrderedAndProject; the optional filter
+            # pre-gates the scan with a pushed predicate; `_score` is the
+            # cosine similarity (double — kNN's score domain, unlike the
+            # integer tf surface).
+            if req.sort or req.collapse is not None \
+                    or req.rescore is not None or after is not None:
+                raise es_dsl.DslError(
+                    "knn cannot combine with sort/collapse/rescore/"
+                    "search_after")
+            from cassandra_es_index_spark.operators.similarity import (
+                as_double_array, cosine,
+            )
+            fld, vec, kk, fnode = req.knn
+            comp_k = Compiler(docs, default_field)
+            ref = comp_k.resolve(fld)
+            from pyspark.sql import types as T
+            if not isinstance(ref.dtype, T.ArrayType):
+                raise es_dsl.DslError(
+                    f"knn field {fld!r} must be an array vector column")
+            frame = docs
+            if fnode is not None:
+                fpred, _ = comp_k.compile(fnode)
+                frame = frame.where(fpred)
+            qv = F.lit(list(vec)).cast("array<double>")
+            scored = frame.withColumn(
+                SCORE, cosine(as_double_array(ref.col), qv))
+            hits = scored.orderBy(
+                F.desc(SCORE), *[F.asc(c) for c in keys]).limit(kk)
+            if qmd.load_source or qmd.load_rows:
+                return hits.select(*docs.columns, SCORE)
+            return hits.select(*keys, SCORE)
+
         if req.rescore is not None and (req.sort or req.collapse is not None
                                         or after is not None):
             raise es_dsl.DslError(

@@ -287,6 +287,12 @@ class Request:
     # matches in the tags (whole-field highlighting, the ES
     # `number_of_fragments: 0` shape; see SearchEngine.search)
     highlight: tuple[tuple[str, str, str], ...] = ()
+    # ES kNN search (the ES 8 top-level `knn` section): (vector field,
+    # query vector, k, optional pre-filter AST). Served as an EXACT
+    # cosine top-k — a documented superset of ES's approximate HNSW
+    # (`num_candidates` is accepted and ignored); the approximate tiers
+    # live in operators/similarity (LSH/IVF), graded by ann_recall.
+    knn: "tuple[str, tuple[float, ...], int, Node | None] | None" = None
     # ES rescore: (rescore-query AST, window_size, query_weight,
     # rescore_query_weight, score_mode) — the top window_size primary
     # hits re-score as combine(qw×primary, rw×secondary); window docs not
@@ -363,6 +369,32 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             out.append((fld, tag(fbody, "pre_tags", g_pre),
                         tag(fbody, "post_tags", g_post)))
         highlight = tuple(out)
+    knn = None
+    kspec = obj.get("knn")
+    if kspec is not None:
+        if isinstance(kspec, list):
+            if len(kspec) != 1:
+                raise DslError("exactly one knn section is supported")
+            kspec = kspec[0]
+        if not isinstance(kspec, dict) or "field" not in kspec \
+                or not isinstance(kspec.get("query_vector"), list) \
+                or not kspec["query_vector"]:
+            raise DslError(
+                "knn needs {'field': name, 'query_vector': [...], "
+                "'k': int}")
+        kk = kspec.get("k", 10)
+        if not isinstance(kk, int) or kk <= 0:
+            raise DslError("knn k must be a positive integer")
+        if not all(isinstance(v, (int, float))
+                   for v in kspec["query_vector"]):
+            raise DslError("knn query_vector must be numeric")
+        kfilter = _node(kspec["filter"]) if "filter" in kspec else None
+        if "query" in obj:
+            raise DslError("knn cannot combine with a query section "
+                           "(hybrid scoring is not supported)")
+        knn = (str(kspec["field"]),
+               tuple(float(v) for v in kspec["query_vector"]), kk,
+               kfilter)
     rescore = None
     rspec = obj.get("rescore")
     if rspec is not None:
@@ -398,6 +430,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         collapse=collapse,
         highlight=highlight,
         rescore=rescore,
+        knn=knn,
     )
 
 

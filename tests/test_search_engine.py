@@ -2493,3 +2493,28 @@ def test_field_caps_and_count(hl_engines):
     assert idx.count("hl_idx",
                      '{"query":{"match":{"body":"cassandra"}}}',
                      default_field="body") == 3
+
+
+def test_knn_search_exact_topk(spark):
+    eng = SearchEngine(spark)
+    rows = [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+            (3, [0.0, 1.0], "b"), (4, [0.7, 0.7], "b")]
+    eng.register(spark.createDataFrame(
+        rows, "id long, vec array<double>, tag string"),
+        TableSpec("knn5", ["id"]))
+    import json
+    q = json.dumps({"knn": {"field": "vec", "query_vector": [1.0, 0.0],
+                            "k": 2}})
+    out = [r["id"] for r in eng.search(
+        "knn5", "#options:load-rows=false#" + q).collect()]
+    assert out == [1, 2]
+    # pre-filter gates the corpus before the top-k
+    qf = json.dumps({"knn": {"field": "vec", "query_vector": [1.0, 0.0],
+                             "k": 2, "filter": {"term": {"tag": "b"}}}})
+    outf = [r["id"] for r in eng.search(
+        "knn5", "#options:load-rows=false#" + qf).collect()]
+    assert outf == [4, 3]
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_all":{}},'
+                      '"knn":{"field":"vec","query_vector":[1],"k":1}}')
