@@ -553,6 +553,9 @@ def _date_ranges(name: str,
 
 
 def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise DslError(
+            f"metric agg {name!r} must have exactly one kind: {spec!r}")
     (kind, body), = spec.items()
     if kind not in _METRIC_KINDS:
         raise DslError(f"unsupported metric agg {kind!r} (supported: "

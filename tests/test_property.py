@@ -167,3 +167,63 @@ def test_required_prohibited_regroup_total(parts):
     musts = [p for p in parts if p.startswith("+")]
     if musts and len(parts) > 1:
         assert isinstance(node, (And, Term, Not))
+
+
+# ---------------------------------------------------------------------------
+# DSL robustness fuzz (round 5): parse_request must reject malformed
+# bodies with DslError — never leak StopIteration/KeyError/TypeError
+# ---------------------------------------------------------------------------
+
+_JSON_SCALARS = st.one_of(
+    st.none(), st.booleans(), st.integers(-10, 10),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(alphabet="abz*?~^&|()[]{}<>\"'\\/.+-_:int 0123", max_size=12))
+
+_DSL_KEYWORDS = st.sampled_from([
+    "query", "aggs", "sort", "size", "from", "search_after", "collapse",
+    "highlight", "rescore", "knn", "match", "term", "terms", "bool",
+    "must", "should", "filter", "must_not", "range", "field", "fields",
+    "gte", "lte", "boost", "fuzziness", "terms", "histogram",
+    "date_histogram", "interval", "calendar_interval", "buckets_path",
+    "script", "significant_terms", "composite", "sources", "dis_max",
+    "queries", "function_score", "field_value_factor", "nested", "path",
+    "span_near", "clauses", "span_term", "pinned", "ids", "organic",
+    "wrapper", "simple_query_string", "missing", "min_doc_count",
+    "top_hits", "filters", "ranges", "order", "include", "exclude",
+])
+
+_JSON_VALUES = st.recursive(
+    _JSON_SCALARS,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(_DSL_KEYWORDS, children, max_size=3)),
+    max_leaves=12)
+
+
+@given(st.dictionaries(_DSL_KEYWORDS, _JSON_VALUES, max_size=4))
+@settings(max_examples=400, deadline=None)
+def test_parse_request_rejects_with_dsl_error_only(body):
+    """Arbitrary JSON built from DSL keywords either parses or raises
+    DslError — any other exception type is a parser robustness bug (the
+    class the round-4 advice flagged: bare StopIteration / ValueError
+    escaping on malformed aggs/boost specs)."""
+    from cassandra_es_index_spark.search.es_dsl import (
+        DslError, parse_request,
+    )
+    from cassandra_es_index_spark.search.query_string import (
+        QueryParseError,
+    )
+
+    try:
+        parse_request(body)
+    except (DslError, QueryParseError):
+        pass
+
+
+@given(st.text(alphabet='ab "|+-()*~^:[]{}<>&!\\0123', max_size=30))
+@settings(max_examples=400, deadline=None)
+def test_simple_query_string_is_lenient(text):
+    """simple_query_string is lenient BY CONTRACT: any input parses."""
+    from cassandra_es_index_spark.search.es_dsl import parse_request
+
+    parse_request({"query": {"simple_query_string": {"query": text}}})
