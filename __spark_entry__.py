@@ -1364,9 +1364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_range_stats": q_search_aggs_range_stats,
         #   (green r04; agg family has nested3/top_hits/pipeline/composite
         #   in window)
-        "events_date_histogram": q_events_date_histogram,
-        #   (green r04; date_histogram semantics exercised in-window by
-        #   search_pipeline_aggs' bucket stage)
         "similarity_knn_join": q_similarity_knn_join,  # ~ similarity_topk
         #   (green r04; same cosine kernel, join variant pytest-covered)
         "text_bpe_tokens": q_text_bpe_tokens,  # ~ text_stats

@@ -619,6 +619,22 @@ class SearchEngine:
                 out, [(F.col(SCORE), False, False)]
                 + [(F.col(c), True, True) for c in keys])
 
+        def page_and_rescore(hits: DataFrame) -> DataFrame:
+            # ES scoping order: rescore's window_size applies to the
+            # GLOBAL score order and `from`/`size` page the RESCORED
+            # list afterwards — offsetting first would hand the window
+            # page-relative ranks (docs globally ranked past the window
+            # would be rescored, in-window docs skipped).
+            if req.rescore is not None:
+                window = req.rescore[1]
+                head = hits.limit(max(window, (req.from_ or 0) + k))
+                hits = apply_rescore(head)
+            if req.from_:
+                # ES `from` shallow pagination (search_after remains the
+                # deep-paging path)
+                hits = hits.offset(req.from_)
+            return hits.limit(k)
+
         # Field sort needs document column values, which the postings rows
         # don't carry. ES serves sorted queries from doc-values; the
         # analogue here is the range index (build_range_index) — already a
@@ -698,12 +714,7 @@ class SearchEngine:
                 keyed = keyed.where(
                     self._keyset_filter(ordering, after, anchor_types))
             hits = self._apply_ordering(keyed, ordering)
-            if req.from_:
-                # ES `from` shallow pagination: skip the first N of the
-                # total order (search_after remains the deep-paging path)
-                hits = hits.offset(req.from_)
-            hits = hits.limit(k)
-            hits = apply_rescore(hits)
+            hits = page_and_rescore(hits)
             # join paths would lose the page order (a join emits rows in
             # shuffle/broadcast-probe order): rank the ≤k hits first and
             # re-sort the joined result on that rank, so a paging client
@@ -770,11 +781,7 @@ class SearchEngine:
             collapsed.where(self._keyset_filter(ordering, after,
                                                 anchor_types))
         hits = self._apply_ordering(paged, ordering)
-        if req.from_:
-            # ES `from` shallow pagination (see the index-plan note)
-            hits = hits.offset(req.from_)
-        hits = hits.limit(k)
-        hits = apply_rescore(hits)
+        hits = page_and_rescore(hits)
 
         if want_meta:
             agg = scored.agg(F.count("*").alias("total_hits"),
@@ -1482,9 +1489,11 @@ class SearchEngine:
 
     def field_caps(self, table: str) -> DataFrame:
         """ES ``_field_caps`` analogue: one row per document field with
-        its Spark type, whether it is text-searchable (string-ish) and
-        aggregatable (any concrete type — the engine has no fielddata
-        restriction). Schema introspection only — no data touched."""
+        its Spark type, whether it is text-searchable (string-ish — the
+        fields ``match``/``query_string`` tokenization applies to) and
+        aggregatable (groupable / metric-capable concrete types — struct
+        and binary columns no aggregation can consume report false).
+        Schema introspection only — no data touched."""
         from pyspark.sql import types as T
 
         from cassandra_es_index_spark.search.compile import _NUMERIC
@@ -1492,12 +1501,15 @@ class SearchEngine:
         docs = self._docs[table]
         rows = []
         for f in docs.schema.fields:
-            searchable = isinstance(
-                f.dataType, (T.StringType, T.ArrayType, T.MapType)) \
-                or isinstance(f.dataType, _NUMERIC + (
-                    T.TimestampType, T.DateType, T.BooleanType))
+            elem = f.dataType.elementType \
+                if isinstance(f.dataType, T.ArrayType) else None
+            searchable = isinstance(f.dataType, T.StringType) \
+                or isinstance(elem, T.StringType)
+            aggregatable = isinstance(f.dataType, _NUMERIC + (
+                T.StringType, T.TimestampType, T.TimestampNTZType,
+                T.DateType, T.BooleanType))
             rows.append((f.name, f.dataType.simpleString(),
-                         bool(searchable), True))
+                         bool(searchable), bool(aggregatable)))
         return self.spark.createDataFrame(
             rows, "field string, type string, searchable boolean, "
                   "aggregatable boolean")

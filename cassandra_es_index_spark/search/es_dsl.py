@@ -676,8 +676,14 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     f"unsupported composite source kind {skind!r}")
             if not isinstance(sparams, dict) or "field" not in sparams:
                 raise DslError(f"composite source {sname!r} needs a 'field'")
-            if skind == "histogram" and "interval" not in sparams:
-                raise DslError("histogram source needs an 'interval'")
+            if skind == "histogram":
+                siv = sparams.get("interval")
+                if siv is None:
+                    raise DslError("histogram source needs an 'interval'")
+                if isinstance(siv, bool) \
+                        or not isinstance(siv, (int, float)) or siv <= 0:
+                    raise DslError(
+                        "histogram source interval must be a number > 0")
             if skind == "date_histogram" \
                     and "calendar_interval" not in sparams \
                     and "fixed_interval" not in sparams:
@@ -754,6 +760,13 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                                    "adjacency_matrix")
                 and "field" not in params):
             raise DslError(f"bucket agg {name!r} needs a 'field'")
+        if sib_raw and first_kind in ("rare_terms", "multi_terms",
+                                      "significant_terms"):
+            # these branches return before the sibling attach below — a
+            # silent pass-through would DROP the requested aggregation
+            raise DslError(
+                "sibling pipeline aggs are not supported beside "
+                f"{first_kind} buckets")
         if first_kind == "rare_terms":
             # ES rare_terms: buckets at or below max_doc_count, ordered
             # doc_count asc then key asc, no top-size truncation
@@ -921,8 +934,13 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 raise DslError(f"order target {target!r} is neither "
                                "_count, _key, nor a sub-agg name")
             order = (target, direction == "asc")
-        if first_kind == "histogram" and "interval" not in params:
-            raise DslError("histogram needs an 'interval'")
+        if first_kind == "histogram":
+            iv = params.get("interval")
+            if iv is None:
+                raise DslError("histogram needs an 'interval'")
+            if isinstance(iv, bool) or not isinstance(iv, (int, float)) \
+                    or iv <= 0:
+                raise DslError("histogram interval must be a number > 0")
         if first_kind == "date_histogram" \
                 and "calendar_interval" not in params \
                 and "fixed_interval" not in params:
@@ -1135,6 +1153,8 @@ def _node(q: dict[str, Any]) -> Node:
             boost = value.get("boost")
             value = value.get("query")
         words = str(value).split()
+        if not words:
+            raise DslError("match_phrase_prefix needs a non-empty query")
         if len(words) == 1:
             # one word ≡ its prefix query (\bpre\w*\b = trailing-star
             # wildcard), served from token-sorted postings

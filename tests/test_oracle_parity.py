@@ -71,3 +71,23 @@ def test_queries_oracles_consistent():
                        "similarity_ann_lsh", "similarity_ivf_topk",
                        "similarity_ivf_disk", "multimodal_features",
                        "ann_recall"}
+
+
+def test_queries_dict_has_no_duplicate_keys():
+    """The driver's 50-entry correctness window is positional; a duplicate
+    dict key silently shadows an earlier entry (r05 verdict hygiene #3).
+    Parse the source AST and assert every literal key in queries() /
+    oracle_sql() is unique."""
+    import ast as pyast
+    import inspect
+
+    src = inspect.getsource(entrymod)
+    tree = pyast.parse(src)
+    for fname in ("queries", "oracle_sql"):
+        fn = next(n for n in tree.body
+                  if isinstance(n, pyast.FunctionDef) and n.name == fname)
+        keys = [k.value for node in pyast.walk(fn)
+                if isinstance(node, pyast.Dict)
+                for k in node.keys if isinstance(k, pyast.Constant)]
+        dupes = {k for k in keys if keys.count(k) > 1}
+        assert not dupes, f"{fname}() duplicate keys: {sorted(dupes)}"

@@ -2076,6 +2076,46 @@ def test_rescore_window_and_modes(hl_engines):
         assert dict(got)["h1"] == 1 and dict(got)["h3"] == 1
 
 
+def test_rescore_with_from_scopes_window_globally(spark):
+    # ADVICE r05: rescore used to run AFTER offset(from).limit(size), so
+    # the window applied to PAGE-relative ranks. ES scoping: rescore the
+    # global top window docs, then page the rescored order.
+    eng = SearchEngine(spark)
+    rows = [("d1", "x x x x"), ("d2", "x x x boost me"),
+            ("d3", "x x"), ("d4", "x")]
+    eng.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("rsf", ["id"]))
+    q = ('{"from":1,"size":2,"query":{"match":{"body":"x"}},"rescore":{'
+         '"window_size":2,"query":{'
+         '"rescore_query":{"match_phrase":{"body":"boost me"}},'
+         '"query_weight":1.0,"rescore_query_weight":10.0}}}')
+    got = [r["id"] for r in eng.search(
+        "rsf", "#options:load-rows=false#" + q,
+        default_field="body").collect()]
+    # primary order d1(4) d2(3) d3(2) d4(1); window {d1,d2}; d2 →
+    # 3 + 10×1 = 13 → rescored order d2 d1 d3 d4; page from=1 → [d1,d3]
+    # (the old page-relative bug returned [d2, d3])
+    assert got == ["d1", "d3"]
+
+
+def test_rescore_window_larger_than_size(spark):
+    # window > size: docs outside the requested page but inside the
+    # window must still be rescored (a doc can be rescored INTO the page)
+    eng = SearchEngine(spark)
+    rows = [("d1", "x x x x"), ("d2", "x x x boost me"),
+            ("d3", "x x"), ("d4", "x")]
+    eng.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("rsw", ["id"]))
+    q = ('{"size":1,"query":{"match":{"body":"x"}},"rescore":{'
+         '"window_size":2,"query":{'
+         '"rescore_query":{"match_phrase":{"body":"boost me"}},'
+         '"query_weight":1.0,"rescore_query_weight":10.0}}}')
+    got = [r["id"] for r in eng.search(
+        "rsw", "#options:load-rows=false#" + q,
+        default_field="body").collect()]
+    assert got == ["d2"]  # rescored into rank 1 from primary rank 2
+
+
 def test_rescore_rejects_sort_and_search_after(hl_engines):
     from cassandra_es_index_spark.search.es_dsl import DslError
     scan, _ = hl_engines
@@ -2249,6 +2289,46 @@ def test_sibling_agg_bad_path():
     with pytest.raises(DslError):
         parse_request(
             '{"aggs":{"s":{"avg_bucket":{"buckets_path":"b>_count"}}}}')
+
+
+def test_sibling_agg_rejected_beside_early_return_buckets():
+    # ADVICE r05 (medium): siblings beside rare_terms/multi_terms/
+    # significant_terms used to be silently DROPPED (those branches
+    # return before the sibling attach) — now a typed rejection
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    for bucket in ('"rt":{"rare_terms":{"field":"u"}}',
+                   '"st":{"significant_terms":{"field":"u"}}',
+                   '"mt":{"multi_terms":{"terms":[{"field":"u"},'
+                   '{"field":"v"}]}}'):
+        name = bucket.split('"')[1]
+        with pytest.raises(DslError, match="sibling"):
+            parse_request(
+                '{"aggs":{' + bucket + ','
+                '"sib":{"avg_bucket":{"buckets_path":"'
+                + name + '>_count"}}}}')
+
+
+def test_histogram_zero_interval_is_dsl_error():
+    # ADVICE r05: interval 0 + offset used to raise ZeroDivisionError
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    for body in (
+            '{"aggs":{"h":{"histogram":{"field":"v","interval":0,'
+            '"offset":3}}}}',
+            '{"aggs":{"h":{"histogram":{"field":"v","interval":-2}}}}',
+            '{"aggs":{"h":{"histogram":{"field":"v","interval":true}}}}',
+            '{"aggs":{"c":{"composite":{"sources":[{"hb":{"histogram":'
+            '{"field":"v","interval":0}}}]}}}}'):
+        with pytest.raises(DslError):
+            parse_request(body)
+
+
+def test_match_phrase_prefix_empty_query_is_dsl_error():
+    # ADVICE r05: empty query used to crash at compile (IndexError)
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    for q in ('""', '"   "'):
+        with pytest.raises(DslError, match="non-empty"):
+            parse_request(
+                '{"query":{"match_phrase_prefix":{"body":' + q + '}}}')
 
 
 def test_serial_diff_and_percentile_ranks(pipe5_engine):
@@ -2486,6 +2566,21 @@ def test_field_caps_and_count(hl_engines):
     scan, idx = hl_engines
     caps = {r["field"]: r for r in scan.field_caps("hl_scan").collect()}
     assert caps["body"]["type"] == "string" and caps["body"]["searchable"]
+    # searchable = text (string-ish) only; aggregatable = groupable /
+    # metric-capable concrete types only (ADVICE r05)
+    eng = SearchEngine(scan.spark)
+    eng.register(scan.spark.createDataFrame(
+        [(1, "t", 2.5, [0.1], ("a",), b"\x00")],
+        "id long, txt string, num double, vec array<double>, "
+        "st struct<a:string>, blob binary"),
+        TableSpec("caps_t", ["id"]))
+    c2 = {r["field"]: r for r in eng.field_caps("caps_t").collect()}
+    assert c2["txt"]["searchable"] and c2["txt"]["aggregatable"]
+    assert not c2["num"]["searchable"] and c2["num"]["aggregatable"]
+    assert not c2["vec"]["searchable"] and not c2["vec"]["aggregatable"]
+    assert not c2["st"]["searchable"] and not c2["st"]["aggregatable"]
+    assert not c2["blob"]["searchable"] and not c2["blob"]["aggregatable"]
+    assert c2["id"]["aggregatable"] and not c2["id"]["searchable"]
     assert scan.count("hl_scan",
                       '{"query":{"match":{"body":"cassandra"}}}',
                       default_field="body") == 3
