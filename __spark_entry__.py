@@ -77,6 +77,9 @@ def _docs_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         eng.build_phrase_index("documents", "text")
         eng.build_presence_index("documents", "source")
         eng.build_range_index("documents", "n_chars")
+        # token-position index: span_near serves as position-filter
+        # joins (r6) — the oracle gate checks the SERVED plan's results
+        eng.build_span_index("documents", "text")
         _CACHE[key] = eng
     return _CACHE[key]
 
@@ -1060,8 +1063,38 @@ def q_ann_recall(spark, sf_dir):
     ed_tot = emb_true.agg(F.count("*").cast("double").alias("tot"))
     ed_recall = ratio_row("embedding_lsh_vs_exact09", ed_hits, ed_tot)
 
+    # DSL `knn` route (r05 weak #1 fix): the engine-level knn clause
+    # probing the ATTACHED cell-partitioned disk IVF index — the same
+    # probe the operator tier runs, reached through the ES-DSL surface,
+    # so the DSL path gets its own graded recall row. Reuses the
+    # per-session persisted index (no second k-means build); the 5 query
+    # vectors are the only driver-side data.
+    import json as _json
+    from functools import reduce as _reduce
+
+    from cassandra_es_index_spark.catalog import TableSpec
+    from cassandra_es_index_spark.search import SearchEngine
+
+    _ivf_disk(spark, sf_dir)  # ensure built + persisted
+    path = _CACHE[_ck(spark, sf_dir, "ivf_disk:embeddings")]
+    eng = SearchEngine(spark)
+    eng.register(emb, TableSpec("emb_ann", ["vec_id"]))
+    eng.attach_ivf_index("emb_ann", "embedding", path)
+    parts = []
+    for r in queries_df.select("vec_id", "embedding").collect():
+        body = _json.dumps({"knn": {
+            "field": "embedding",
+            "query_vector": [float(x) for x in r["embedding"]],
+            "k": 3, "nprobe": 3}})
+        parts.append(
+            eng.search("emb_ann", "#options:load-rows=false#" + body)
+               .select(F.lit(int(r["vec_id"])).alias("query_id"),
+                       F.col("vec_id").alias("corpus_id")))
+    dsl_knn = _reduce(lambda a, b: a.unionByName(b), parts)
+
     return (vs_exact("lsh_ann_topk", lsh)
             .unionByName(vs_exact("ivf_topk_nprobe3", ivf))
+            .unionByName(vs_exact("dsl_knn_ivf_nprobe3", dsl_knn))
             .unionByName(mh_recall)
             .unionByName(mhv_precision)
             .unionByName(ed_recall))

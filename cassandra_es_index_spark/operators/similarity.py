@@ -256,17 +256,20 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame,
                  corpus_id: str, corpus_vec: str,
                  query_id: str, query_vec: str,
                  k: int = 10, n_planes: int = 8, n_tables: int = 2,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, dim: int | None = None) -> DataFrame:
     """Approximate top-k: compare only within colliding LSH buckets.
 
     ``n_tables`` independent plane sets trade recall for cost — a candidate
     matches if it collides in ANY table. At scale: corpus signatures are
     computed once per table in the scan, the candidate join is an equi-join
-    on (table, signature) — no all-pairs stage anywhere.
+    on (table, signature) — no all-pairs stage anywhere. Pass ``dim``
+    (the vector dimensionality) to skip the one-row corpus probe that
+    otherwise infers it.
     """
     from pyspark.sql.window import Window
 
-    dim = len(corpus.select(corpus_vec).first()[0])
+    if dim is None:
+        dim = len(corpus.select(corpus_vec).first()[0])
     c = corpus.select(F.col(corpus_id).alias("corpus_id"),
                       as_double_array(F.col(corpus_vec)).alias("cvec"))
     q = queries.select(F.col(query_id).alias("query_id"),

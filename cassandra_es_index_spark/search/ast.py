@@ -213,9 +213,10 @@ class SpanNear(Node):
     other (``in_order`` restricts to first-then-second). Score = number
     of qualifying position pairs (deterministic, SQL-expressible).
     Evaluated with higher-order functions over the token-position
-    arrays on the scan plan; span queries are not index-served (the
-    positional chunk index records chunk positions, not token
-    positions — documented)."""
+    arrays on the scan plan; with a built token-position index
+    (``SearchEngine.build_span_index``) it serves as position filters +
+    one distance-predicate equi-join instead — bit-exact, and the
+    corpus is never re-tokenized (r6)."""
     field: str | None = None
     first: str = ""
     second: str = ""

@@ -288,11 +288,17 @@ class Request:
     # `number_of_fragments: 0` shape; see SearchEngine.search)
     highlight: tuple[tuple[str, str, str], ...] = ()
     # ES kNN search (the ES 8 top-level `knn` section): (vector field,
-    # query vector, k, optional pre-filter AST). Served as an EXACT
-    # cosine top-k — a documented superset of ES's approximate HNSW
-    # (`num_candidates` is accepted and ignored); the approximate tiers
-    # live in operators/similarity (LSH/IVF), graded by ann_recall.
-    knn: "tuple[str, tuple[float, ...], int, Node | None] | None" = None
+    # query vector, k, optional pre-filter AST, method, num_candidates,
+    # nprobe). `method` routes the plan: "exact" is a full cosine top-k
+    # scan (the correctness baseline), "ivf" probes a built/attached IVF
+    # index with cell partition pruning (the 100 TB path — ES's
+    # approximate-HNSW analogue), "lsh" buckets on sign-LSH signatures
+    # with no prebuilt index. Default: "ivf" when the engine holds an
+    # IVF index for the field, else "exact". `num_candidates` (ES param)
+    # sizes the examined candidate pool — mapped onto the IVF probe
+    # width when `nprobe` is not given explicitly.
+    knn: ("tuple[str, tuple[float, ...], int, Node | None, str | None,"
+          " int | None, int | None] | None") = None
     # ES rescore: (rescore-query AST, window_size, query_weight,
     # rescore_query_weight, score_mode) — the top window_size primary
     # hits re-score as combine(qw×primary, rw×secondary); window docs not
@@ -392,9 +398,22 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         if "query" in obj:
             raise DslError("knn cannot combine with a query section "
                            "(hybrid scoring is not supported)")
+        method = kspec.get("method")
+        if method is not None and method not in ("exact", "ivf", "lsh"):
+            raise DslError("knn method must be 'exact', 'ivf' or 'lsh'")
+        ncand = kspec.get("num_candidates")
+        if ncand is not None and (not isinstance(ncand, int)
+                                  or isinstance(ncand, bool)
+                                  or ncand < kk):
+            raise DslError("knn num_candidates must be an integer >= k")
+        nprobe = kspec.get("nprobe")
+        if nprobe is not None and (not isinstance(nprobe, int)
+                                   or isinstance(nprobe, bool)
+                                   or nprobe <= 0):
+            raise DslError("knn nprobe must be a positive integer")
         knn = (str(kspec["field"]),
                tuple(float(v) for v in kspec["query_vector"]), kk,
-               kfilter)
+               kfilter, method, ncand, nprobe)
     rescore = None
     rspec = obj.get("rescore")
     if rspec is not None:

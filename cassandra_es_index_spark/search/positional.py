@@ -157,3 +157,49 @@ def phrase_counts(chunks: DataFrame, words: list[str],
                             _greedy_count(F.col("_m"), n).alias("_c")))
     return (per_elem.groupBy("doc")
                     .agg(F.sum("_c").cast("long").alias(score_col)))
+
+
+def build_token_positions(docs: DataFrame, id_col: str,
+                          text_col: str) -> DataFrame:
+    """Corpus → (doc, token, pos) — one row per token OCCURRENCE with its
+    token position, the span-query twin of the scan path's position
+    arrays (``compile.py`` SpanNear): ``split(lower(text), \\W+)`` with
+    the array index as ``pos`` and empty entries dropped (a leading
+    delimiter yields an empty slot whose index still counts, exactly like
+    the scan's filtered index sequence — so span distances are bit-exact
+    with the scan plan). Plain string fields only, matching the scan
+    path's ``span_near`` support. Incrementally maintained under
+    mutations by the same PostingsState mechanism as the other index
+    kinds."""
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    return (docs.repartition(n_part)
+                .select(F.col(id_col).alias("doc"),
+                        F.posexplode(F.split(F.lower(F.col(text_col)),
+                                             r"\W+"))
+                         .alias("pos", "token"))
+                .where(F.length("token") > 0))
+
+
+def span_pair_counts(tokens: DataFrame, first: str, second: str,
+                     slop: int = 0, in_order: bool = True,
+                     score_col: str = "_score") -> DataFrame:
+    """(doc, score = number of qualifying position pairs) for a two-term
+    ``span_near`` — bit-exact with the scan path's higher-order-function
+    evaluation: pairs (a ∈ positions(first), b ∈ positions(second)) with
+    ``b > a`` and ``b−a−1 ≤ slop`` (and the symmetric direction when
+    ``in_order`` is false). Both sides are position filters on the
+    token index; the pair match is an equi-join on ``doc`` with the
+    distance residual — the corpus text is never re-scanned."""
+    a = (tokens.where(F.col("token") == first.lower())
+               .select("doc", F.col("pos").alias("_pa")))
+    b = (tokens.where(F.col("token") == second.lower())
+               .select("doc", F.col("pos").alias("_pb")))
+    gap = F.lit(int(slop))
+    ordered = (F.col("_pb") > F.col("_pa")) \
+        & (F.col("_pb") - F.col("_pa") - 1 <= gap)
+    cond = ordered if in_order else ordered | (
+        (F.col("_pa") > F.col("_pb"))
+        & (F.col("_pa") - F.col("_pb") - 1 <= gap))
+    return (a.join(b, on="doc").where(cond)
+             .groupBy("doc")
+             .agg(F.count("*").cast("long").alias(score_col)))

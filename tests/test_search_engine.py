@@ -2613,3 +2613,215 @@ def test_knn_search_exact_topk(spark):
     with pytest.raises(DslError):
         parse_request('{"query":{"match_all":{}},'
                       '"knn":{"field":"vec","query_vector":[1],"k":1}}')
+
+
+# ---------------------------------------------------------------------------
+# DSL knn ANN routing (round 6 — r05 weak #1)
+# ---------------------------------------------------------------------------
+
+
+def _knn_body(q, **kw):
+    import json
+    return "#options:load-rows=false#" + json.dumps(
+        {"knn": {"field": "vec", "query_vector": q, "k": 5, **kw}})
+
+
+@pytest.fixture(scope="module")
+def knn6_engine(spark):
+    eng = SearchEngine(spark)
+    rows = [(i, [float(i % 5), float((i * 3) % 7), 1.0], "even" if i % 2 == 0 else "odd")
+            for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, tag string")
+    eng.register(df, TableSpec("knn6", ["id"]))
+    return eng, df
+
+
+def test_knn_ivf_full_probe_matches_exact(knn6_engine, spark):
+    eng, df = knn6_engine
+    q = [1.0, 2.0, 3.0]
+    exact = [(r["id"], r["_score"]) for r in
+             eng.search("knn6", _knn_body(q, method="exact")).collect()]
+    eng.build_ivf_index("knn6", "vec", n_cells=4, n_iters=2)
+    # probing every cell == exact (same scores, same order)
+    full = [(r["id"], r["_score"]) for r in
+            eng.search("knn6", _knn_body(q, nprobe=4)).collect()]
+    assert full == exact
+    # default route follows the built index (method omitted → ivf)
+    auto = [(r["id"], r["_score"]) for r in
+            eng.search("knn6", _knn_body(q)).collect()]
+    assert auto == full
+    # explicit exact bypasses the index even when built
+    still = [(r["id"], r["_score"]) for r in
+             eng.search("knn6", _knn_body(q, method="exact")).collect()]
+    assert still == exact
+
+
+def test_knn_ivf_filter_contract(knn6_engine):
+    # ES filtered-knn: all k hits satisfy the pre-filter on the ANN route
+    eng, _ = knn6_engine
+    eng.build_ivf_index("knn6", "vec", n_cells=4, n_iters=2)
+    out = eng.search("knn6", '#options:load-rows=false#' +
+                     __import__("json").dumps(
+                         {"knn": {"field": "vec",
+                                  "query_vector": [1.0, 2.0, 3.0],
+                                  "k": 5, "nprobe": 4,
+                                  "filter": {"term": {"tag": "even"}}}}))
+    ids = [r["id"] for r in out.collect()]
+    assert ids and all(i % 2 == 0 for i in ids)
+
+
+def test_knn_ivf_without_index_is_dsl_error(spark):
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        [(1, [1.0, 0.0])], "id long, vec array<double>"),
+        TableSpec("knn6b", ["id"]))
+    with pytest.raises(DslError, match="IVF index"):
+        eng.search("knn6b", _knn_body([1.0, 0.0], method="ivf"))
+
+
+def test_knn_lsh_route_runs(knn6_engine):
+    eng, _ = knn6_engine
+    out = eng.search("knn6", _knn_body([1.0, 2.0, 3.0], method="lsh"))
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    assert [c for c in out.columns] == ["id", "_score"]
+
+
+def test_knn_param_validation():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    bad = ['{"knn":{"field":"v","query_vector":[1.0],"k":3,"method":"hnsw"}}',
+           '{"knn":{"field":"v","query_vector":[1.0],"k":3,'
+           '"num_candidates":1}}',
+           '{"knn":{"field":"v","query_vector":[1.0],"k":3,"nprobe":0}}']
+    for b in bad:
+        with pytest.raises(DslError):
+            parse_request(b)
+    # num_candidates >= k parses
+    parse_request('{"knn":{"field":"v","query_vector":[1.0],"k":3,'
+                  '"num_candidates":3}}')
+
+
+def test_knn_ivf_incremental_mutation(spark):
+    # upserts graft into the nearest existing cell; deletes retire rows
+    import json
+
+    from cassandra_es_index_spark.docmodel import build_documents
+
+    eng = SearchEngine(spark)
+    rows = [(i, [float(i % 5), float((i * 3) % 7), 1.0]) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    spec = TableSpec("knn6m", ["id"])
+    eng.register(df, spec)
+    eng.build_ivf_index("knn6m", "vec", n_cells=4, n_iters=1)
+    q = [1.0, 2.0, 3.0]
+    # insert a doc exactly on the query vector → must become the top hit
+    new_base = spark.createDataFrame([(99, [1.0, 2.0, 3.0])],
+                                     "id long, vec array<double>")
+    resolved = build_documents(df.unionByName(new_base), spec)
+    eng.apply_delta("knn6m", resolved, build_documents(new_base, spec), None)
+    got = [r["id"] for r in eng.search(
+        "knn6m", _knn_body(q, nprobe=4)).collect()]
+    assert got[0] == 99
+    # delete it again → gone from the probe
+    removed = spark.createDataFrame([("99",)], "_id string")
+    eng.apply_delta("knn6m", build_documents(df, spec), None, removed)
+    got2 = [r["id"] for r in eng.search(
+        "knn6m", _knn_body(q, nprobe=4)).collect()]
+    assert 99 not in got2
+
+
+# ---------------------------------------------------------------------------
+# span_near index serving (round 6 — r05 weak #2)
+# ---------------------------------------------------------------------------
+
+
+SPAN6_ROWS = [("s1", "alpha beta gamma"),
+              ("s2", "gamma one two alpha"),
+              ("s3", "alpha x y z gamma"),
+              ("s4", "alpha gamma alpha gamma"),
+              ("s5", "alpha,beta;gamma done"),   # multi-run chunks: token
+              ("s6", ",alpha beta-gamma"),       # distance ≠ chunk distance
+              ("s7", None)]
+
+
+def _span_q(slop, in_order):
+    # load-rows=false: these tests drive apply_delta directly (no facade
+    # set_row_source), so the J1 row-load side would lag the mutations
+    return ('#options:load-rows=false#'
+            '{"query":{"span_near":{"clauses":['
+            '{"span_term":{"body":"alpha"}},'
+            '{"span_term":{"body":"gamma"}}],"slop":%d,"in_order":%s}}}'
+            % (slop, in_order))
+
+
+def test_span_near_index_served_matches_scan(spark):
+    # bit-exact parity including punctuated chunks, where a chunk-distance
+    # approximation would diverge from the scan's token distances
+    scan, idx = SearchEngine(spark), SearchEngine(spark)
+    for eng in (scan, idx):
+        eng.register(spark.createDataFrame(
+            SPAN6_ROWS, "id string, body string"),
+            TableSpec("span6", ["id"]))
+    idx.build_span_index("span6", "body", materialize=True)
+
+    def run(eng, slop, io):
+        return sorted((r["id"], r["_score"]) for r in eng.search(
+            "span6", _span_q(slop, io), default_field="body").collect())
+
+    for slop, io in [(0, "true"), (1, "true"), (2, "false"),
+                     (3, "true"), (0, "false")]:
+        assert run(scan, slop, io) == run(idx, slop, io)
+
+
+def test_span_index_maintained_under_mutations(spark):
+    from cassandra_es_index_spark.docmodel import build_documents
+
+    eng = SearchEngine(spark)
+    base = spark.createDataFrame(SPAN6_ROWS[:4], "id string, body string")
+    spec = TableSpec("span6m", ["id"])
+    eng.register(base, spec)
+    eng.build_span_index("span6m", "body", materialize=True)
+    new = spark.createDataFrame([("s9", "alpha gamma")],
+                                "id string, body string")
+    resolved = build_documents(base.unionByName(new), spec)
+    eng.apply_delta("span6m", resolved, build_documents(new, spec), None)
+    got = dict((r["id"], r["_score"]) for r in eng.search(
+        "span6m", _span_q(0, "true"), default_field="body").collect())
+    assert got.get("s9") == 1
+    removed = spark.createDataFrame([("s4",)], "_id string")
+    eng.apply_delta("span6m", build_documents(
+        base.where(F.col("id") != "s4").unionByName(new), spec),
+        None, removed)
+    got2 = dict((r["id"], r["_score"]) for r in eng.search(
+        "span6m", _span_q(0, "true"), default_field="body").collect())
+    assert "s4" not in got2 and got2.get("s9") == 1
+
+
+def test_span_index_rejects_non_string_fields(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        [(1, ["a", "b"])], "id long, tags array<string>"),
+        TableSpec("span6t", ["id"]))
+    with pytest.raises(ValueError, match="string"):
+        eng.build_span_index("span6t", "tags")
+
+
+def test_span_index_flush_attach_roundtrip(spark, tmp_path):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        SPAN6_ROWS, "id string, body string"),
+        TableSpec("span6f", ["id"]))
+    eng.build_span_index("span6f", "body", materialize=True)
+    before = sorted((r["id"], r["_score"]) for r in eng.search(
+        "span6f", _span_q(1, "true"), default_field="body").collect())
+    report = eng.flush_indexes("span6f", str(tmp_path / "idx"))
+    assert report["span"]
+    cold = SearchEngine(spark)
+    cold.register(spark.createDataFrame(
+        SPAN6_ROWS, "id string, body string"),
+        TableSpec("span6f", ["id"]))
+    cold.attach_span_index("span6f", "body", report["span"][0])
+    after = sorted((r["id"], r["_score"]) for r in cold.search(
+        "span6f", _span_q(1, "true"), default_field="body").collect())
+    assert after == before
