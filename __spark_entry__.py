@@ -94,6 +94,9 @@ def _events_capped_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         eng.register(_t(spark, sf_dir, "events"),
                      TableSpec("events_capped", ["event_id"]))
         eng.build_postings_index("events_capped", "event_type")
+        # (doc, val) range index on ts: date-math range bounds serve from
+        # the index instead of scanning the events corpus (r6)
+        eng.build_range_index("events_capped", "ts")
         _CACHE[key] = eng
     return _CACHE[key]
 
@@ -285,7 +288,19 @@ def q_search_highlight(spark, sf_dir):
     # positive-leaf match wrapped in <em> tags, null column when the
     # field carries no match; runs on the ≤k hit rows, never corpus-wide
     q = ('{"query":{"query_string":{"query":"text:spark OR text:quer*"}},'
-         '"highlight":{"fields":{"text":{}}}}')
+         '"highlight":{"fields":{"text":{"number_of_fragments":0}}}}')
+    return _search(q)(spark, sf_dir)
+
+
+def q_search_highlight_fragments(spark, sf_dir):
+    # ES highlight fragments (the r6 DEFAULT shape): a JSON array of up
+    # to number_of_fragments match-bearing fragments per hit, sentence
+    # fragmenter, each capped at fragment_size chars BEFORE matching (a
+    # match past the cap is lost — deterministic, oracle-reproducible);
+    # null when no fragment carries a match
+    q = ('{"query":{"match":{"text":"spark"}},'
+         '"highlight":{"fields":{"text":{}},'
+         '"number_of_fragments":2,"fragment_size":120}}')
     return _search(q)(spark, sf_dir)
 
 
@@ -608,6 +623,25 @@ def q_search_pipeline_aggs(spark, sf_dir):
                .withColumn("diff", F.col("diff").cast("long")))
 
 
+def q_search_pipeline_nested(spark, sf_dir):
+    # r6: pipeline aggs generalized to nested depth — terms(event_type) >
+    # date_histogram(day) with an inner cumulative_sum and derivative:
+    # the sequence window PARTITIONS BY the parent bucket path, so each
+    # event_type's daily run accumulates independently (ES semantics).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"bytype":{"terms":{"field":"event_type","size":20},'
+         '"aggs":{"daily":{"date_histogram":{"field":"ts",'
+         '"calendar_interval":"day"},'
+         '"aggs":{"dv":{"sum":{"field":"value"}},'
+         '"cum":{"cumulative_sum":{"buckets_path":"_count"}},'
+         '"dd":{"derivative":{"buckets_path":"dv"}}}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return (out.withColumn("dv", F.round("dv", 4))
+               .withColumn("cum", F.col("cum").cast("long"))
+               .withColumn("dd", F.round("dd", 4)))
+
+
 def q_search_aggs_range_stats(spark, sf_dir):
     # ES range buckets (from inclusive / to exclusive, keyed + OVERLAPPING
     # ranges — a doc in two ranges counts in both) with a `stats` metric
@@ -652,6 +686,18 @@ def q_events_date_histogram(spark, sf_dir):
     return (out.withColumn("avg_value", F.round("avg_value", 4))
                .withColumn("vp_p50", F.round("vp_p50", 4))
                .withColumn("vp_p95", F.round("vp_p95", 4)))
+
+
+def q_search_date_math(spark, sf_dir):
+    # ES date-math range bounds (r6): the dashboard idiom `now-7d/d` /
+    # `now/d` with an injected deterministic `now` — rewritten engine-side
+    # to concrete bounds (gte rounds down, lt rounds down), served from
+    # the ts range index when built; the oracle pins the same instants.
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('#options:load-rows=false,now=2024-01-20T10:30:00#'
+         '{"query":{"range":{"ts":{"gte":"now-7d/d","lt":"now/d"}}},'
+         '"size":1000000}')
+    return eng.search("events_capped", q)
 
 
 def q_events_value_histogram(spark, sf_dir):
@@ -1346,11 +1392,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_page_after": q_search_page_after,
         "search_collapse": q_search_collapse,    # field collapsing (r5)
         "search_top_hits": q_search_top_hits,    # top_hits sub-agg (r5)
-        "search_pipeline_aggs": q_search_pipeline_aggs,  # cumsum/deriv (r5)
+        "search_pipeline_nested": q_search_pipeline_nested,  # per-parent
+        #   sequence windows at depth (r6) — supersedes the single-level
+        #   variant in the window; that one is in the tail, green r05
         "search_composite_aggs": q_search_composite_aggs,  # keyset aggs (r5)
         "search_aggs_nested3": q_search_aggs_nested3,  # 3-level flatten-join
         "search_significant_terms": q_search_significant_terms,  # JLH (r5)
-        "search_highlight": q_search_highlight,  # <em> term wrap (r5)
+        "search_highlight_fragments": q_search_highlight_fragments,
+        #   fragment shape, the ES default (r6); the whole-field variant
+        #   search_highlight is in the tail, green r05
         "search_sqs": q_search_sqs,  # simple_query_string grammar (r5)
         "search_mlt": q_search_mlt,          # tf·idf pick, oracle-backed
         "search_suggest": q_search_suggest,  # dictionary completion, oracle
@@ -1359,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_10k_cap": q_search_10k_cap,      # BASELINE.md gate query
         "search_bm25_topk": q_search_bm25_topk,
         "search_postings_term": q_search_postings_term,
+        "search_date_math": q_search_date_math,  # now-7d/d bounds (r6),
+        #   range-index served, pinned now → deterministic oracle
         # --- documents / indexing lifecycle ---
         "doc_build": q_doc_build,
         "segment_assignment": q_segment_assignment,
@@ -1372,7 +1424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "revenue_by_nation": q_revenue_by_nation,
         "setop_intersect": q_setop_intersect,
-        "cube_orders": q_cube_orders,
         "cross_table_union": q_cross_table_union,
         # --- custom operators: as-of, interval join ---
         "asof_last_click": q_asof_last_click,
@@ -1394,6 +1445,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded by ann_recall / property tests. ----
         "search_slop_phrase": q_search_slop_phrase,  # ~ search_phrase
         #   (green r04; slop semantics pinned by property tests)
+        "search_pipeline_aggs": q_search_pipeline_aggs,
+        #   (green r05; single-level case of search_pipeline_nested,
+        #   min_doc_count:0 empty-bucket path pytest-covered)
+        "search_highlight": q_search_highlight,
+        #   (green r05; whole-field number_of_fragments:0 shape of
+        #   search_highlight_fragments, pytest-pinned)
+        "cube_orders": q_cube_orders,  # ~ tpch_q1 grouping family
+        #   (green r01-r05; CUBE semantics pytest-covered)
         "search_aggs_range_stats": q_search_aggs_range_stats,
         #   (green r04; agg family has nested3/top_hits/pipeline/composite
         #   in window)
@@ -1537,6 +1596,32 @@ def oracle_sql() -> dict[str, str]:
                             '<em>\\0</em>', 'g')
                    END AS _highlight_text
             FROM s WHERE _score > 0
+        """,
+        # r6 fragment shape: sentence split [^.!?]+[.!?]*, cap 120 chars
+        # BEFORE matching, keep match-bearing fragments, wrap, first 2,
+        # JSON array (identical list pipeline on both engines)
+        "search_highlight_fragments": f"""
+            WITH s AS (
+                SELECT *,
+                       len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                           AS _score
+                FROM documents),
+            h AS (
+                SELECT *, list_slice(
+                    list_transform(
+                        list_filter(
+                            list_transform(
+                                regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                                g -> trim(substring(g, 1, 120))),
+                            c -> regexp_matches(c, '{_SPARK}')),
+                        c -> regexp_replace(c, '{_SPARK}',
+                                            '<em>\\0</em>', 'g')),
+                    1, 2) AS frags
+                FROM s WHERE _score > 0)
+            SELECT doc_id, text, lang, source, n_chars, _score,
+                   CASE WHEN len(frags) > 0 THEN to_json(frags) END
+                       AS _highlight_text
+            FROM h
         """,
         # simple_query_string "value table" | spark -slow: group-level
         # MUST_NOT; score sums the positive text leaves (phrase tf + term
@@ -2013,6 +2098,40 @@ def oracle_sql() -> dict[str, str]:
                    (doc_count - LAG(doc_count) OVER (ORDER BY key))::BIGINT
                        AS diff
             FROM f
+        """,
+        # r6 nested pipelines: the cumulative/derivative windows
+        # PARTITION BY the parent bucket (each event_type's daily run is
+        # independent); dv rounds after the window math, like the engine
+        "search_pipeline_nested": """
+            WITH i AS (
+                SELECT event_type AS key, date_trunc('day', ts) AS sub_key,
+                       COUNT(*)::BIGINT AS sub_doc_count,
+                       SUM(value) AS dv_raw
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            o AS (
+                SELECT event_type AS key, COUNT(*)::BIGINT AS doc_count
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT o.key, o.doc_count, i.sub_key, i.sub_doc_count,
+                   ROUND(i.dv_raw, 4) AS dv,
+                   (SUM(i.sub_doc_count) OVER (
+                        PARTITION BY o.key ORDER BY i.sub_key
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+                   ROUND(i.dv_raw - LAG(i.dv_raw) OVER (
+                        PARTITION BY o.key ORDER BY i.sub_key), 4) AS dd
+            FROM o LEFT JOIN i USING (key)
+        """,
+        # r6 date-math: now pinned to 2024-01-20T10:30:00 → gte now-7d/d
+        # = 2024-01-13 00:00, lt now/d = 2024-01-20 00:00
+        "search_date_math": """
+            SELECT event_id, 1::BIGINT AS _score
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-20 00:00:00'
         """,
         # top_hits: per-bucket top-2 docs by n_chars desc (key-asc
         # tiebreak), only surviving (top-5) buckets carry hits

@@ -48,6 +48,10 @@ HEADLINE = [
     "search_suggest",       # completion suggester over the term dictionary
     "search_dis_max",       # best-field disjunction (union + per-doc max)
     "search_rescore",       # top-window re-rank on the <=k hit set
+    "search_date_math",     # now-7d/d bounds, range-index served (r6)
+    "search_pipeline_nested",  # per-parent sequence windows at depth (r6)
+    "search_highlight_fragments",  # sentence fragmenter on <=k hits (r6)
+    "search_span_near",     # token-position-index served spans (r6)
     "search_significant_terms",  # JLH fg-vs-bg term scoring
     "search_aggs_nested3",  # 3-level bucket flatten-join
     "search_dsl_range",

@@ -42,15 +42,22 @@ class Phrase(Node):
     cost 2) are not matched.
 
     ``last_prefix`` (ES ``match_phrase_prefix``): the LAST word matches
-    any token it prefixes (``\\blast\\w*``). DEVIATION (documented in
-    COVERAGE.md): ES caps the prefix expansion at ``max_expansions=50``
-    index-order terms — a result-changing optimization artifact; the
-    engine expands unbounded, so it is a documented superset identical
-    on the scan and positional-index paths."""
+    any token it prefixes (``\\blast\\w*``). ``max_expansions`` (ES
+    default 50, r6): the engine expands the prefix against the term
+    dictionary in term order and, when MORE than that many terms match,
+    rewrites the node to ``last_alternatives`` — the capped, concrete
+    expansion set the last slot must equal exactly (ES parity; both
+    plans consume the same set). When the dictionary holds at most
+    ``max_expansions`` matching terms the unbounded node is kept — the
+    results are identical and the plans stay prefix-served.
+    ``last_alternatives`` of ``()`` matches nothing (an empty-dictionary
+    prefix compiles to a constant-false predicate)."""
     field: str | None
     text: str
     slop: int = 0
     last_prefix: bool = False
+    max_expansions: int | None = None
+    last_alternatives: tuple[str, ...] | None = None
 
 
 @dataclass(frozen=True)

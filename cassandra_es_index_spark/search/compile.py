@@ -115,9 +115,17 @@ def wildcard_token_pattern(pattern: str) -> str:
     return "".join(out)
 
 
-def phrase_pattern(text: str, slop: int = 0, last_prefix: bool = False) -> str:
+def phrase_pattern(text: str, slop: int = 0, last_prefix: bool = False,
+                   last_alternatives: tuple[str, ...] | None = None) -> str:
     words = [_escape_regex(w) for w in text.split()]
-    if last_prefix:
+    if last_alternatives is not None:
+        # capped match_phrase_prefix expansion (ES max_expansions, r6):
+        # the last token must EQUAL one of the concrete dictionary
+        # expansions — the trailing `\b` rejects longer runs, so this is
+        # exactly the term-set semantics the positional serve uses
+        words[-1] = "(?:%s)" % "|".join(
+            _escape_regex(t) for t in last_alternatives)
+    elif last_prefix:
         # match_phrase_prefix: the last word matches any token it
         # prefixes. `\w*` greedily consumes the rest of the token, so the
         # trailing `\b` still holds — one pattern serves both flavors.
@@ -194,7 +202,10 @@ def highlight_patterns(node: Node, field: str,
         elif isinstance(n, Wildcard):
             out.append(wildcard_pattern(n.pattern))
         elif isinstance(n, Phrase):
-            out.append(phrase_pattern(n.text, n.slop, n.last_prefix))
+            if n.last_alternatives == ():
+                return  # empty expansion matches nothing
+            out.append(phrase_pattern(n.text, n.slop, n.last_prefix,
+                                      n.last_alternatives))
 
     walk(node)
     # de-dup, order-preserving — alternation order is part of the match
@@ -405,9 +416,14 @@ class Compiler:
         if isinstance(node, Wildcard):
             return self._leaf_text(node.field, wildcard_pattern(node.pattern))
         if isinstance(node, Phrase):
+            if node.last_alternatives == ():
+                # capped expansion with an empty dictionary set — the
+                # phrase can match nothing (ES: zero expanded terms)
+                return F.lit(False), F.lit(0)
             return self._leaf_text(
                 node.field,
-                phrase_pattern(node.text, node.slop, node.last_prefix))
+                phrase_pattern(node.text, node.slop, node.last_prefix,
+                               node.last_alternatives))
         if isinstance(node, Fuzzy):
             from cassandra_es_index_spark.search.ast import fuzzy_edits
 

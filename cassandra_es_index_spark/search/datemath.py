@@ -1,0 +1,154 @@
+"""ES date-math evaluation for range bounds (``now-7d/d``,
+``2024-01-01||+1M/d``).
+
+The reference forwards any DSL to ES (ref ElasticIndex.java:658-667), so
+date-math in ``range`` / ``date_range`` bounds is part of its query
+surface — and it is the single most common idiom in real dashboard
+queries (every "last 7 days" panel). Grammar (ES "Date Math"):
+
+- anchor: ``now``, or a concrete date string followed by ``||``
+- operations, applied left to right: ``+Nu`` / ``-Nu`` arithmetic and
+  ``/u`` rounding, units ``y M w d h H m s`` (``w`` rounds to Monday,
+  month arithmetic clamps the day like ES/Joda: Jan 31 + 1M = Feb 28)
+
+Rounding direction depends on the comparison the bound sits in (ES
+contract): ``gte``/``lt``/``from``/``to`` round DOWN to the unit start;
+``gt``/``lte`` round UP — evaluated here as the start of the NEXT unit,
+so the engine rewrites the operator instead of subtracting a
+millisecond (``gt X/M`` → ``gte next-month-start``, ``lte X/M`` →
+``lt next-month-start``): exact at any timestamp precision, and the
+same concrete bound lands in both the scan predicate and the range
+index filter.
+
+``now`` is injectable (``#options:now=…#`` or ``SearchEngine.now``) so
+query results — and the driver's DuckDB oracles — stay deterministic;
+without injection it is the wall-clock UTC instant, captured once per
+request so every bound in one query shares the same ``now``.
+
+Evaluation happens driver-side at request-rewrite time (a few bounds
+per query — never per row); the executors only ever see concrete
+timestamp literals, which keep pushing down into parquet scans.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta, timezone
+
+_ANCHOR_NOW = "now"
+_OP_RE = re.compile(r"([+-]\d+[yMwdhHms]|/[yMwdhHms])")
+_UNIT_DAYS = {"w": 7, "d": 1}
+_UNIT_SECONDS = {"h": 3600, "H": 3600, "m": 60, "s": 1}
+
+
+class DateMathError(ValueError):
+    """Malformed date-math expression (reported as a DslError upstream)."""
+
+
+def is_date_math(raw: object) -> bool:
+    """Whether a range bound is a date-math expression: anchored at
+    ``now`` or carrying the ``||`` separator. Plain date strings are NOT
+    date-math (they flow through the ordinary typed-literal cast)."""
+    return isinstance(raw, str) and (
+        raw == _ANCHOR_NOW or raw.startswith(_ANCHOR_NOW + "+")
+        or raw.startswith(_ANCHOR_NOW + "-")
+        or raw.startswith(_ANCHOR_NOW + "/") or "||" in raw)
+
+
+def utcnow() -> datetime:
+    """The default anchor: current UTC wall-clock, naive (the engine's
+    session timezone is pinned UTC)."""
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def parse_now(raw: str) -> datetime:
+    """Parse an injected ``now`` option (ISO-8601; trailing ``Z`` ok)."""
+    try:
+        return datetime.fromisoformat(raw.replace("Z", "")
+                                      .replace("T", " "))
+    except ValueError as e:
+        raise DateMathError(f"bad injected now {raw!r}: {e}") from e
+
+
+def _add_months(dt: datetime, n: int) -> datetime:
+    month0 = dt.year * 12 + (dt.month - 1) + n
+    year, month = divmod(month0, 12)
+    month += 1
+    # clamp the day to the target month's length (Joda/ES semantics)
+    for day in (dt.day, 30, 29, 28):
+        try:
+            return dt.replace(year=year, month=month, day=day)
+        except ValueError:
+            continue
+    raise DateMathError(f"month arithmetic failed on {dt}")  # pragma: no cover
+
+
+def _round_down(dt: datetime, unit: str) -> datetime:
+    if unit == "y":
+        return dt.replace(month=1, day=1, hour=0, minute=0, second=0,
+                          microsecond=0)
+    if unit == "M":
+        return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if unit == "w":  # ES rounds weeks to Monday
+        start = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+        return start - timedelta(days=start.weekday())
+    if unit == "d":
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit in ("h", "H"):
+        return dt.replace(minute=0, second=0, microsecond=0)
+    if unit == "m":
+        return dt.replace(second=0, microsecond=0)
+    return dt.replace(microsecond=0)  # "s"
+
+
+def _step(dt: datetime, n: int, unit: str) -> datetime:
+    if unit == "y":
+        return _add_months(dt, 12 * n)
+    if unit == "M":
+        return _add_months(dt, n)
+    if unit in _UNIT_DAYS:
+        return dt + timedelta(days=n * _UNIT_DAYS[unit])
+    return dt + timedelta(seconds=n * _UNIT_SECONDS[unit])
+
+
+def resolve(expr: str, now: datetime, round_up: bool = False) -> datetime:
+    """Evaluate a date-math expression to a concrete datetime.
+
+    ``round_up``: a ``/u`` rounding yields the start of the NEXT unit
+    instead of the unit start — the caller rewrites the comparison
+    operator accordingly (see module docstring), so no sub-second
+    fudge factors appear anywhere."""
+    if "||" in expr:
+        anchor_raw, _, ops = expr.partition("||")
+        try:
+            anchor = datetime.fromisoformat(
+                anchor_raw.replace("Z", "").replace("T", " "))
+        except ValueError as e:
+            raise DateMathError(
+                f"bad date-math anchor {anchor_raw!r}") from e
+    elif expr.startswith(_ANCHOR_NOW):
+        anchor, ops = now, expr[len(_ANCHOR_NOW):]
+    else:
+        raise DateMathError(f"not a date-math expression: {expr!r}")
+    pos = 0
+    dt = anchor
+    for m in _OP_RE.finditer(ops):
+        if m.start() != pos:
+            raise DateMathError(f"bad date-math ops in {expr!r}")
+        pos = m.end()
+        tok = m.group(1)
+        if tok.startswith("/"):
+            unit = tok[1]
+            down = _round_down(dt, unit)
+            dt = _step(down, 1, unit) if round_up else down
+        else:
+            dt = _step(dt, int(tok[:-1]), tok[-1])
+    if pos != len(ops):
+        raise DateMathError(f"bad date-math ops in {expr!r}")
+    return dt
+
+
+def fmt(dt: datetime) -> str:
+    """Concrete-bound literal the typed-literal cast consumes."""
+    return dt.strftime("%Y-%m-%d %H:%M:%S") if dt.microsecond == 0 \
+        else dt.strftime("%Y-%m-%d %H:%M:%S.%f")

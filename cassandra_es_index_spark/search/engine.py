@@ -200,6 +200,10 @@ class SearchEngine:
         # whenever the documents DataFrame changes, so more_like_this
         # never re-counts the corpus per call
         self._n_docs: dict[str, int] = {}
+        # date-math anchor pin: set to a datetime to make `now` in range
+        # bounds deterministic engine-wide (per-query #options:now=…#
+        # overrides); None = wall-clock UTC
+        self.now = None
         # IVF vector indexes — (cell-assigned corpus, centroids) per
         # (table, field); routes the DSL `knn` clause's approximate tier
         # (ES's HNSW analogue). A disk-backed index is parquet
@@ -427,6 +431,273 @@ class SearchEngine:
             return es_dsl.parse_request(text)
         return es_dsl.Request(node=query_string.parse(text))
 
+    def _now_anchor(self, qmd: QueryMetaData):
+        """The ``now`` instant date-math resolves against: the per-query
+        ``#options:now=…#`` injection, else the engine-level ``self.now``
+        pin, else wall-clock UTC — captured once per request so every
+        bound shares one anchor (deterministic oracles need the pins)."""
+        from cassandra_es_index_spark.search import datemath as dm
+
+        raw = qmd.options.get("now")
+        try:
+            if raw:
+                return dm.parse_now(raw)
+        except dm.DateMathError as e:
+            raise es_dsl.DslError(str(e)) from e
+        return self.now if self.now is not None else dm.utcnow()
+
+    def _resolve_date_math(self, req: "es_dsl.Request", docs: DataFrame,
+                           default_field: str | None,
+                           qmd: QueryMetaData) -> "es_dsl.Request":
+        """Rewrite every date-math range bound (``now-7d/d``,
+        ``2024-01-01||+1M/d``) in the request — query tree, rescore
+        query, knn filter, filters-agg clauses, date_range agg bounds —
+        to a concrete timestamp literal, so BOTH plans (scan predicate
+        pushdown and range-index filter) see plain typed bounds.
+        Rounding direction follows the ES contract by rewriting the
+        operator (``gt X/u`` → ``gte next-unit-start``, ``lte X/u`` →
+        ``lt next-unit-start``); bounds on non-date fields pass through
+        untouched (they are literal strings there, like ES). Driver-side
+        and bound-count-sized — never per row."""
+        from dataclasses import fields as dc_fields
+        from dataclasses import is_dataclass, replace
+
+        from pyspark.sql import types as T
+
+        from cassandra_es_index_spark.search import datemath as dm
+        from cassandra_es_index_spark.search.ast import Range
+
+        comp = Compiler(docs, default_field)
+        now_holder: list = []  # captured lazily, once per request
+
+        def now() -> "object":
+            if not now_holder:
+                now_holder.append(self._now_anchor(qmd))
+            return now_holder[0]
+
+        def date_field(fld: str | None) -> bool:
+            try:
+                ref = comp.resolve(fld) if fld is not None \
+                    else comp.resolve(comp.default_field)
+            except Exception:
+                return False
+            return isinstance(ref.dtype, (T.TimestampType,
+                                          T.TimestampNTZType, T.DateType))
+
+        def fix_range(n: Range) -> Range:
+            lo, hi, ilo, ihi = n.lo, n.hi, n.include_lo, n.include_hi
+            if not (dm.is_date_math(lo) or dm.is_date_math(hi)):
+                return n
+            if not date_field(n.field):
+                return n
+            try:
+                if dm.is_date_math(lo):
+                    rounded = "/" in str(lo)
+                    if ilo or not rounded:   # gte (or gt w/o rounding)
+                        lo = dm.fmt(dm.resolve(lo, now(), round_up=False))
+                    else:                    # gt X/u → gte next-unit
+                        lo = dm.fmt(dm.resolve(lo, now(), round_up=True))
+                        ilo = True
+                if dm.is_date_math(hi):
+                    rounded = "/" in str(hi)
+                    if ihi and rounded:      # lte X/u → lt next-unit
+                        hi = dm.fmt(dm.resolve(hi, now(), round_up=True))
+                        ihi = False
+                    else:                    # lt (or lte w/o rounding)
+                        hi = dm.fmt(dm.resolve(hi, now(), round_up=False))
+            except dm.DateMathError as e:
+                raise es_dsl.DslError(str(e)) from e
+            return replace(n, lo=lo, hi=hi,
+                           include_lo=ilo, include_hi=ihi)
+
+        def walk(n):
+            if isinstance(n, Range):
+                return fix_range(n)
+            if isinstance(n, Node) and is_dataclass(n):
+                changes = {}
+                for f in dc_fields(n):
+                    v = getattr(n, f.name)
+                    if isinstance(v, Node):
+                        nv = walk(v)
+                    elif isinstance(v, tuple) and any(
+                            isinstance(x, Node) for x in v):
+                        nv = tuple(walk(x) if isinstance(x, Node) else x
+                                   for x in v)
+                    else:
+                        continue
+                    if nv is not v:
+                        changes[f.name] = nv
+                return replace(n, **changes) if changes else n
+            return n
+
+        def walk_agg(a):
+            if a is None or isinstance(a, tuple):
+                return a  # None / metrics-only
+            changes = {}
+            if isinstance(a, es_dsl.SingleBucketAgg):
+                if a.node is not None:
+                    nn = walk(a.node)
+                    if nn is not a.node:
+                        changes["node"] = nn
+            elif isinstance(a, es_dsl.BucketAgg):
+                if a.kind == "date_range" and a.ranges and any(
+                        dm.is_date_math(lo) or dm.is_date_math(hi)
+                        for _, lo, hi in a.ranges):
+                    # from is gte, to is lt — both round DOWN
+                    try:
+                        changes["ranges"] = tuple(
+                            (key,
+                             dm.fmt(dm.resolve(lo, now()))
+                             if dm.is_date_math(lo) else lo,
+                             dm.fmt(dm.resolve(hi, now()))
+                             if dm.is_date_math(hi) else hi)
+                            for key, lo, hi in a.ranges)
+                    except dm.DateMathError as e:
+                        raise es_dsl.DslError(str(e)) from e
+                if a.filter_nodes:
+                    nf = tuple((fname, walk(fn))
+                               for fname, fn in a.filter_nodes)
+                    if any(b is not c for (_, b), (_, c)
+                           in zip(nf, a.filter_nodes)):
+                        changes["filter_nodes"] = nf
+                if a.sub is not None:
+                    ns = walk_agg(a.sub)
+                    if ns is not a.sub:
+                        changes["sub"] = ns
+            return replace(a, **changes) if changes else a
+
+        return self._rewrite_request(req, walk, walk_agg)
+
+    @staticmethod
+    def _rewrite_request(req: "es_dsl.Request", walk, walk_agg
+                         ) -> "es_dsl.Request":
+        """Apply a node rewriter (and agg rewriter) to every query tree
+        a request carries: the main node, aggs (incl. filters-agg
+        clauses and nested levels), the rescore query, the knn filter."""
+        from dataclasses import replace
+
+        changes: dict = {}
+        if req.node is not None:
+            nn = walk(req.node)
+            if nn is not req.node:
+                changes["node"] = nn
+        na = walk_agg(req.aggs)
+        if na is not req.aggs:
+            changes["aggs"] = na
+        if req.rescore is not None:
+            n2, *rest = req.rescore
+            nn2 = walk(n2)
+            if nn2 is not n2:
+                changes["rescore"] = (nn2, *rest)
+        if req.knn is not None and req.knn[3] is not None:
+            nk = walk(req.knn[3])
+            if nk is not req.knn[3]:
+                changes["knn"] = (*req.knn[:3], nk, *req.knn[4:])
+        return replace(req, **changes) if changes else req
+
+    def _expand_phrase_prefixes(self, req: "es_dsl.Request", table: str,
+                                docs: DataFrame,
+                                default_field: str | None
+                                ) -> "es_dsl.Request":
+        """ES ``max_expansions`` for ``match_phrase_prefix`` (r6): when
+        the term dictionary holds MORE than the cap's prefix-matching
+        terms, rewrite the Phrase to its concrete expansion set — the
+        first ``max_expansions`` terms in term order, exactly ES's
+        capped expansion. Both plans then consume the same set (regex
+        alternation on the scan, ``lead ∈ set`` on the positional
+        index). When the cap does not bind the node stays unbounded —
+        identical results, prefix-served plans.
+
+        The dictionary probe reads the (distinct-token) postings when
+        built, else one distinct-aggregation over the field; ≤ cap+1
+        tokens ever reach the driver — the same bounded term collect ES
+        performs per phrase-prefix query."""
+        from dataclasses import fields as dc_fields
+        from dataclasses import is_dataclass, replace
+
+        from cassandra_es_index_spark.search.ast import Or, Phrase, Term
+
+        comp = Compiler(docs, default_field)
+        cache: dict[tuple[str | None, str, int],
+                    tuple[str, ...] | None] = {}
+
+        def expansions(fld_raw: str | None, prefix: str,
+                       cap: int) -> tuple[str, ...] | None:
+            key = (fld_raw, prefix, cap)
+            if key not in cache:
+                fld = fld_raw if fld_raw is not None \
+                    else comp.default_field
+                state = self._postings.get((table, fld))
+                if state is not None:
+                    toks = state.view().select("token").distinct()
+                else:
+                    from cassandra_es_index_spark.functions.analyzers \
+                        import standard
+                    toks = docs.select(
+                        F.explode(standard(comp.resolve(fld).col))
+                         .alias("token")).distinct()
+                rows = (toks.where(F.col("token")
+                                    .startswith(prefix.lower()))
+                            .orderBy("token").limit(cap + 1).collect())
+                vals = tuple(r["token"] for r in rows)
+                # None → the cap does not bind; keep the unbounded node
+                cache[key] = None if len(vals) <= cap else vals[:cap]
+            return cache[key]
+
+        def walk(n):
+            if isinstance(n, Phrase) and n.last_prefix \
+                    and n.max_expansions is not None:
+                words = n.text.split()
+                alts = expansions(n.field, words[-1], n.max_expansions)
+                if alts is None:
+                    return n
+                if len(words) == 1:
+                    # single-word phrase-prefix ≡ capped prefix query:
+                    # OR of the expanded terms (postings-servable isin)
+                    return Or(tuple(Term(n.field, t) for t in alts))
+                return replace(n, last_prefix=False, max_expansions=None,
+                               last_alternatives=alts)
+            if isinstance(n, Node) and is_dataclass(n):
+                changes = {}
+                for f in dc_fields(n):
+                    v = getattr(n, f.name)
+                    if isinstance(v, Node):
+                        nv = walk(v)
+                    elif isinstance(v, tuple) and any(
+                            isinstance(x, Node) for x in v):
+                        nv = tuple(walk(x) if isinstance(x, Node) else x
+                                   for x in v)
+                    else:
+                        continue
+                    if nv is not v:
+                        changes[f.name] = nv
+                return replace(n, **changes) if changes else n
+            return n
+
+        def walk_agg(a):
+            if a is None or isinstance(a, tuple):
+                return a
+            changes = {}
+            if isinstance(a, es_dsl.SingleBucketAgg):
+                if a.node is not None:
+                    nn = walk(a.node)
+                    if nn is not a.node:
+                        changes["node"] = nn
+            elif isinstance(a, es_dsl.BucketAgg):
+                if a.filter_nodes:
+                    nf = tuple((fname, walk(fn))
+                               for fname, fn in a.filter_nodes)
+                    if any(b is not c for (_, b), (_, c)
+                           in zip(nf, a.filter_nodes)):
+                        changes["filter_nodes"] = nf
+                if a.sub is not None:
+                    ns = walk_agg(a.sub)
+                    if ns is not a.sub:
+                        changes["sub"] = ns
+            return replace(a, **changes) if changes else a
+
+        return self._rewrite_request(req, walk, walk_agg)
+
     def validate(self, table: str, query: str,
                  default_field: str | None = None) -> str | None:
         """Return an error message, or None if the query is valid
@@ -556,6 +827,8 @@ class SearchEngine:
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
         req = self._parse_request(qmd.query)
+        req = self._resolve_date_math(req, docs, default_field, qmd)
+        req = self._expand_phrase_prefixes(req, table, docs, default_field)
         node, size = req.node, req.size
         after = tuple(search_after) if search_after is not None \
             else req.search_after
@@ -565,18 +838,27 @@ class SearchEngine:
         keys = spec.key_columns
 
         def apply_highlight(result: DataFrame) -> DataFrame:
-            # ES highlight, whole-field shape (`number_of_fragments: 0`):
-            # one `_highlight_<field>` column per requested field wrapping
-            # every positive-leaf match in the tags, null when the field
-            # carries no match (ES omits the field then). Runs on the ≤k
-            # result rows of either plan — never corpus-wide.
+            # ES highlight, both shapes, on the ≤k result rows of either
+            # plan — never corpus-wide:
+            # - `number_of_fragments: 0` — whole-field: one string
+            #   wrapping every positive-leaf match in the tags, null when
+            #   the field carries no match (ES omits the field then).
+            # - N > 0 (ES default 5) — fragments (r6): a JSON array of up
+            #   to N fragments in document order. Deterministic SENTENCE
+            #   fragmenter (documented; Lucene ships several fragmenter
+            #   strategies): sentences are the `[^.!?]+[.!?]*` runs
+            #   (RE2-safe — the DuckDB oracle runs the same split), each
+            #   truncated to `fragment_size` chars BEFORE matching (a
+            #   match past the cap doesn't rescue its sentence), kept if
+            #   a match survives, wrapped, first N taken. All built-in
+            #   higher-order functions — no UDF.
             if not req.highlight:
                 return result
             from cassandra_es_index_spark.search.compile import (
                 highlight_patterns,
             )
             default = default_field or Compiler(docs).default_field
-            for fld, pre, post in req.highlight:
+            for fld, pre, post, n_frags, frag_size in req.highlight:
                 if fld not in result.columns:
                     raise es_dsl.DslError(
                         f"highlight field {fld!r} requires the document "
@@ -591,10 +873,26 @@ class SearchEngine:
                 repl = re.sub(r"([\\$])", r"\\\1", pre) + "$0" \
                     + re.sub(r"([\\$])", r"\\\1", post)
                 col = F.col(fld)
+                if n_frags == 0:
+                    result = result.withColumn(
+                        f"_highlight_{fld}",
+                        F.when(col.rlike(combined),
+                               F.regexp_replace(col, combined, repl)))
+                    continue
+                sentences = F.regexp_extract_all(
+                    col, F.lit(r"[^.!?]+[.!?]*"), F.lit(0))
+                capped = F.transform(
+                    sentences,
+                    lambda s: F.trim(F.substring(s, 1, frag_size)))
+                kept = F.filter(capped, lambda s: s.rlike(combined))
+                wrapped = F.transform(
+                    kept,
+                    lambda s: F.regexp_replace(s, F.lit(combined),
+                                               F.lit(repl)))
+                frags = F.slice(wrapped, 1, n_frags)
                 result = result.withColumn(
                     f"_highlight_{fld}",
-                    F.when(col.rlike(combined),
-                           F.regexp_replace(col, combined, repl)))
+                    F.when(F.size(frags) > 0, F.to_json(frags)))
             return result
 
         if req.knn is not None:
@@ -1316,7 +1614,8 @@ class SearchEngine:
         back to the scan plan. Anything else (non-prefix wildcards, NOT,
         should-boosts) keeps the scan path.
         """
-        if not self._postings and not self._positional and not self._span:
+        if not (self._postings or self._positional or self._span
+                or self._presence or self._range):
             return None
         docs = self._docs[table]
         default = default_field or Compiler(docs).default_field
@@ -1511,8 +1810,13 @@ class SearchEngine:
                 state = self._positional.get((table, fld))
                 if state is None:
                     return None
+                if n.last_alternatives == ():
+                    # empty capped expansion — matches nothing; the scan
+                    # fallback compiles to constant-false identically
+                    return None
                 out = phrase_counts(state.view(), words, score_col=SCORE,
-                                    last_prefix=n.last_prefix)
+                                    last_prefix=n.last_prefix,
+                                    last_alternatives=n.last_alternatives)
                 return out.select("doc", F.col(SCORE).cast("long").alias(SCORE))
             if isinstance(n, SpanNear):
                 # span_near from the token-position index (r05 weak #2):
@@ -1786,6 +2090,8 @@ class SearchEngine:
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
         req = self._parse_request(qmd.query)
+        req = self._resolve_date_math(req, docs, default_field, qmd)
+        req = self._expand_phrase_prefixes(req, table, docs, default_field)
         ph = self._postings_hits(table, req.node, default_field)
         if ph is not None:
             return ph.count()
@@ -1807,6 +2113,8 @@ class SearchEngine:
         _, spec = self.catalog.get(table)
         qmd = QueryMetaData.parse(query)
         req = self._parse_request(qmd.query)
+        req = self._resolve_date_math(req, docs, default_field, qmd)
+        req = self._expand_phrase_prefixes(req, table, docs, default_field)
         comp = Compiler(docs, default_field)
         pred, score = comp.compile(req.node)
 
@@ -2039,6 +2347,8 @@ class SearchEngine:
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
         req = self._parse_request(qmd.query)
+        req = self._resolve_date_math(req, docs, default_field, qmd)
+        req = self._expand_phrase_prefixes(req, table, docs, default_field)
         if req.aggs is None:
             raise ValueError("request has no aggs section")
         _, spec = self.catalog.get(table)
@@ -2538,20 +2848,40 @@ class SearchEngine:
                                F.coalesce("doc_count",
                                           F.lit(0).cast("long"))))
 
-        if len(levels) == 1 and lv0.pipelines:
-            # ES pipeline aggs over the bucket frame, applied in request
-            # order. Sequence aggs ride one key-ordered window; script
-            # aggs are row-local expressions; bucket_sort re-orders and
-            # truncates the frame. Every stage operates on the
-            # bucket-cardinality frame, never the corpus — same
-            # justification as the post-limit RANK windows in search().
-            wseq = Window.orderBy(F.asc("key"))
-            for pn, pk, payload in lv0.pipelines:
+        leaf = levels[-1]
+        if leaf.pipelines:
+            # ES pipeline aggs over the INNERMOST bucket frame (the
+            # parser pins pipelines to the leaf level), applied in
+            # request order and generalized to any nesting depth (r6 —
+            # the single-level gate used to silently drop inner
+            # pipelines): sequence aggs ride one key-ordered window
+            # PARTITIONED BY the ancestor bucket path (each parent's
+            # bucket sequence computes independently, ES semantics);
+            # script aggs are row-local; bucket_sort ranks per parent.
+            # Flattened rows with a null leaf key (childless ancestors
+            # from the left join) carry null pipeline values and survive
+            # selectors/sorts — they are parent placeholders, not
+            # buckets. Every stage operates on the bucket-cardinality
+            # frame, never the corpus — same justification as the
+            # post-limit RANK windows in search().
+            li = len(levels) - 1
+            kname, cname = level_names(li)
+            anc = [level_names(j)[0] for j in range(li)]
+            wseq = (Window.partitionBy(*anc).orderBy(F.asc(kname))
+                    if anc else Window.orderBy(F.asc(kname)))
+
+            def leaf_script(sql: str) -> str:
+                # _compile_bucket_script binds _count to `doc_count`;
+                # deeper leaf levels count in `sub…_doc_count`
+                return sql.replace("`doc_count`", f"`{cname}`") \
+                    if li > 0 else sql
+
+            for pn, pk, payload in leaf.pipelines:
                 if pk in ("cumulative_sum", "derivative",
                           "serial_diff", "moving_fn"):
                     path = payload if isinstance(payload, str) \
                         else payload[0]
-                    vcol = F.col("doc_count") if path == "_count" \
+                    vcol = F.col(cname) if path == "_count" \
                         else F.col(path)
                     if pk == "cumulative_sum":
                         out = out.withColumn(pn, F.sum(vcol).over(
@@ -2572,23 +2902,39 @@ class SearchEngine:
                         out = out.withColumn(
                             pn, vcol - F.lag(vcol, lag).over(wseq))
                 elif pk == "bucket_script":
-                    out = out.withColumn(pn, F.expr(payload[0]))
+                    out = out.withColumn(pn, F.expr(leaf_script(payload[0])))
                 elif pk == "bucket_selector":
-                    # gates buckets, adds no column (ES semantics)
-                    out = out.where(F.expr(payload[0]))
+                    # gates buckets, adds no column (ES semantics);
+                    # null-leaf parent placeholders pass through
+                    cond = F.expr(leaf_script(payload[0]))
+                    out = out.where(F.col(kname).isNull() | cond) \
+                        if li > 0 else out.where(cond)
                 else:  # bucket_sort: reorder + truncate the frame
                     bsort, bsize = payload
-                    if bsort:
-                        out = out.orderBy(*[
-                            (F.col("doc_count") if f == "_count"
-                             else F.col("key") if f == "_key"
-                             else F.col(f)).asc() if asc else
-                            (F.col("doc_count") if f == "_count"
-                             else F.col("key") if f == "_key"
-                             else F.col(f)).desc()
-                            for f, asc, _nf in bsort])
-                    if bsize is not None:
-                        out = out.limit(bsize)
+
+                    def bs_col(f):
+                        return (F.col(cname) if f == "_count"
+                                else F.col(kname) if f == "_key"
+                                else F.col(f))
+                    exprs = [bs_col(f).asc() if asc else bs_col(f).desc()
+                             for f, asc, _nf in bsort]
+                    if li == 0:
+                        if exprs:
+                            out = out.orderBy(*exprs)
+                        if bsize is not None:
+                            out = out.limit(bsize)
+                    else:
+                        # per-parent: rank under the bucket_sort order
+                        # (current level order when only size is given)
+                        # (a null-leaf placeholder is always alone in its
+                        # parent partition, so plain row_number keeps it)
+                        wbs = Window.partitionBy(*anc).orderBy(
+                            *(exprs or [F.asc(kname)]))
+                        if bsize is not None:
+                            out = (out.withColumn(
+                                       "_bsrn", F.row_number().over(wbs))
+                                      .where(F.col("_bsrn") <= bsize)
+                                      .drop("_bsrn"))
 
         if len(levels) == 1 and lv0.siblings:
             # sibling pipeline aggs (avg_bucket & co): one value over the

@@ -282,11 +282,13 @@ class Request:
     # field are NOT collapsed (each keeps its own hit, like ES docs
     # missing the field). hits.total stays uncollapsed.
     collapse: str | None = None
-    # ES highlight: ((field, pre_tag, post_tag), ...) — each requested
-    # field gains a `_highlight_<field>` column wrapping query-term
-    # matches in the tags (whole-field highlighting, the ES
-    # `number_of_fragments: 0` shape; see SearchEngine.search)
-    highlight: tuple[tuple[str, str, str], ...] = ()
+    # ES highlight: ((field, pre_tag, post_tag, number_of_fragments,
+    # fragment_size), ...) — each requested field gains a
+    # `_highlight_<field>` column. number_of_fragments 0 = whole-field
+    # wrapping (one string); N > 0 (ES default 5, r6) = the fragment
+    # shape: a JSON array of up to N match-bearing fragments (sentence
+    # fragmenter, fragment_size char cap — see SearchEngine.search)
+    highlight: tuple[tuple[str, str, str, int, int], ...] = ()
     # ES kNN search (the ES 8 top-level `knn` section): (vector field,
     # query vector, k, optional pre-filter AST, method, num_candidates,
     # nprobe). `method` routes the plan: "exact" is a full cosine top-k
@@ -344,7 +346,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         if not isinstance(cspec, dict) or "field" not in cspec:
             raise DslError("collapse needs {'field': name}")
         collapse = cspec["field"]
-    highlight: tuple[tuple[str, str, str], ...] = ()
+    highlight: tuple[tuple[str, str, str, int, int], ...] = ()
     hspec = obj.get("highlight")
     if hspec is not None:
         if not isinstance(hspec, dict) \
@@ -364,16 +366,27 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 raise DslError(f"{key} must be a one-element string list")
             return raw[0]
 
+        def num(spec: dict, key: str, default: int, floor: int) -> int:
+            raw = spec.get(key, default)
+            if not isinstance(raw, int) or isinstance(raw, bool) \
+                    or raw < floor:
+                raise DslError(f"{key} must be an integer >= {floor}")
+            return raw
+
         g_pre = tag(hspec, "pre_tags", "<em>")
         g_post = tag(hspec, "post_tags", "</em>")
-        out: list[tuple[str, str, str]] = []
+        g_nf = num(hspec, "number_of_fragments", 5, 0)
+        g_fs = num(hspec, "fragment_size", 100, 1)
+        out: list[tuple[str, str, str, int, int]] = []
         for fld, fbody in hspec["fields"].items():
             if fbody is None:
                 fbody = {}
             if not isinstance(fbody, dict):
                 raise DslError(f"highlight field {fld!r} must be an object")
             out.append((fld, tag(fbody, "pre_tags", g_pre),
-                        tag(fbody, "post_tags", g_post)))
+                        tag(fbody, "post_tags", g_post),
+                        num(fbody, "number_of_fragments", g_nf, 0),
+                        num(fbody, "fragment_size", g_fs, 1)))
         highlight = tuple(out)
     knn = None
     kspec = obj.get("knn")
@@ -545,8 +558,10 @@ def _date_ranges(name: str,
                  spec: Any) -> tuple[tuple[str, str | None, str | None], ...]:
     """ES date_range-agg ``ranges``: like ``_ranges`` but bounds are date
     strings the engine casts to timestamps (``from`` inclusive, ``to``
-    exclusive). ES date-math (``now-1M/d``) is NOT supported — bounds
-    must be concrete dates (documented deviation)."""
+    exclusive). ES date-math bounds (``now-1M/d``, ``2024-01-01||+1w``)
+    pass through and resolve engine-side against the injectable ``now``
+    anchor (r6; ``search/datemath.py``) — ``from``/``to`` both round
+    DOWN, their gte/lt comparison semantics."""
     if not isinstance(spec, list) or not spec:
         raise DslError(
             f"date_range agg {name!r} needs a non-empty 'ranges' list")
@@ -559,10 +574,10 @@ def _date_ranges(name: str,
         lo = entry.get("from")
         hi = entry.get("to")
         for v in (lo, hi):
-            if v is not None and (not isinstance(v, str) or "now" in v):
+            if v is not None and not isinstance(v, str):
                 raise DslError(
                     f"date_range agg {name!r}: bounds must be date "
-                    "strings (ES date-math is not supported)")
+                    "strings (optionally with ES date-math)")
         key = entry.get("key") or (
             f"{'*' if lo is None else lo}-{'*' if hi is None else hi}")
         out.append((str(key), lo, hi))
@@ -1012,8 +1027,10 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                            "bucket level only")
         if pipelines:
             if sub_bucket is not None:
-                raise DslError("pipeline aggs are supported on "
-                               "single-level buckets only")
+                raise DslError(
+                    "pipeline aggs are supported on the innermost "
+                    "bucket level only (declare them inside the "
+                    "deepest bucket's aggs)")
             valid_paths = {"_count"} | {
                 n for m in metrics for n in m.out_names()}
             for pn, pk, payload in pipelines:
@@ -1162,23 +1179,27 @@ def _node(q: dict[str, Any]) -> Node:
                              float(body.get("boost", 1.0)))
     if kind == "match_phrase_prefix":
         # phrase whose LAST word matches any token it prefixes (ES
-        # match_phrase_prefix; expansion is unbounded — documented
-        # superset of ES's max_expansions=50 cap, see ast.Phrase)
+        # match_phrase_prefix). The expansion caps at max_expansions
+        # (ES default 50) dictionary terms in term order — the engine
+        # rewrites the node to its concrete expansion set at search
+        # time when the cap binds (r6; see ast.Phrase)
         field, value = _single(body)
         slop = 0
         boost = None
+        me = 50
         if isinstance(value, dict):
             slop = int(value.get("slop", 0))
             boost = value.get("boost")
+            me = value.get("max_expansions", 50)
+            if not isinstance(me, int) or isinstance(me, bool) or me <= 0:
+                raise DslError(
+                    "max_expansions must be a positive integer")
             value = value.get("query")
         words = str(value).split()
         if not words:
             raise DslError("match_phrase_prefix needs a non-empty query")
-        if len(words) == 1:
-            # one word ≡ its prefix query (\bpre\w*\b = trailing-star
-            # wildcard), served from token-sorted postings
-            return _boosted(Wildcard(field, f"{words[0]}*"), boost)
-        return _boosted(Phrase(field, str(value), slop, last_prefix=True),
+        return _boosted(Phrase(field, str(value), slop, last_prefix=True,
+                               max_expansions=me),
                         boost)
     if kind == "dis_max":
         # ES dis_max: best subquery's score + tie_breaker × the rest

@@ -118,7 +118,9 @@ def _greedy_count(matches: Column, n: int) -> Column:
 
 def phrase_counts(chunks: DataFrame, words: list[str],
                   score_col: str = "_score",
-                  last_prefix: bool = False) -> DataFrame:
+                  last_prefix: bool = False,
+                  last_alternatives: tuple[str, ...] | None = None
+                  ) -> DataFrame:
     """(doc, score=match count) for an n≥2-word phrase, bit-exact with the
     scan regex ``\\bw1\\s+…\\s+wn\\b`` including non-overlap counting.
     Every returned doc has score ≥ 1 (the leftmost candidate is always a
@@ -139,8 +141,17 @@ def phrase_counts(chunks: DataFrame, words: list[str],
         parts.append(chunks.where(F.col("whole") == w)
                            .select("doc", "elem",
                                    (F.col("pos") - i).alias("start")))
-    last_pred = (F.col("lead").startswith(words[-1]) if last_prefix
-                 else F.col("lead") == words[-1])
+    if last_alternatives is not None:
+        # capped match_phrase_prefix expansion (ES max_expansions, r6):
+        # the last slot's lead run must equal one of the concrete
+        # dictionary expansions — the index twin of the regex
+        # alternation (compile.phrase_pattern)
+        last_pred = F.col("lead").isin(*[t.lower()
+                                         for t in last_alternatives])
+    elif last_prefix:
+        last_pred = F.col("lead").startswith(words[-1])
+    else:
+        last_pred = F.col("lead") == words[-1]
     parts.append(chunks.where(last_pred)
                        .select("doc", "elem",
                                (F.col("pos") - (n - 1)).alias("start"),

@@ -1922,11 +1922,18 @@ def test_date_range_buckets(spark):
     assert rows_out == {"early": 3, "mid": 2}
 
 
-def test_date_range_rejects_date_math():
-    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+def test_date_range_accepts_date_math():
+    # r5 rejected date-math; r6 supports it (resolved engine-side against
+    # the injectable now anchor — see test_datemath_date_range_agg)
+    from cassandra_es_index_spark.search.es_dsl import parse_request
+    req = parse_request('{"aggs":{"dr":{"date_range":{"field":"ts",'
+                        '"ranges":[{"from":"now-1M"}]}}}}')
+    assert req.aggs.ranges[0][1] == "now-1M"
+    # non-string bounds stay rejected
+    from cassandra_es_index_spark.search.es_dsl import DslError
     with pytest.raises(DslError):
         parse_request('{"aggs":{"dr":{"date_range":{"field":"ts",'
-                      '"ranges":[{"from":"now-1M"}]}}}}')
+                      '"ranges":[{"from":12}]}}}}')
 
 
 # ---------------------------------------------------------------------------
@@ -1954,8 +1961,10 @@ def hl_engines(spark):
 
 
 def test_highlight_wraps_matches_case_preserving(hl_engines):
+    # number_of_fragments 0 pins the whole-field shape (the r6 default
+    # is the ES fragment shape — see test_highlight_fragments_*)
     q = ('{"query":{"match":{"body":"cassandra"}},'
-         '"highlight":{"fields":{"body":{}}}}')
+         '"highlight":{"fields":{"body":{"number_of_fragments":0}}}}')
     for eng, tbl in zip(hl_engines, ("hl_scan", "hl_idx")):
         rows = {r["id"]: r["_highlight_body"]
                 for r in eng.search(tbl, q, default_field="body").collect()}
@@ -1967,7 +1976,7 @@ def test_highlight_wraps_matches_case_preserving(hl_engines):
 def test_highlight_custom_tags_and_phrase(hl_engines):
     scan, _ = hl_engines
     q = ('{"query":{"match_phrase":{"body":"value table"}},'
-         '"highlight":{"fields":{"body":{}},'
+         '"highlight":{"fields":{"body":{}},"number_of_fragments":0,'
          '"pre_tags":["<b>"],"post_tags":["</b>"]}}')
     rows = {r["id"]: r["_highlight_body"]
             for r in scan.search("hl_scan", q, default_field="body").collect()}
@@ -2825,3 +2834,331 @@ def test_span_index_flush_attach_roundtrip(spark, tmp_path):
     after = sorted((r["id"], r["_score"]) for r in cold.search(
         "span6f", _span_q(1, "true"), default_field="body").collect())
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# ES date-math (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_datemath_resolution_rules():
+    from datetime import datetime
+
+    from cassandra_es_index_spark.search import datemath as dm
+
+    now = datetime(2024, 3, 15, 12, 34, 56)
+    r = dm.resolve
+    assert r("now", now) == now
+    assert r("now-7d", now) == datetime(2024, 3, 8, 12, 34, 56)
+    assert r("now-7d/d", now) == datetime(2024, 3, 8)
+    assert r("now/d", now, round_up=True) == datetime(2024, 3, 16)
+    assert r("now/M", now) == datetime(2024, 3, 1)
+    assert r("now/M", now, round_up=True) == datetime(2024, 4, 1)
+    assert r("now/y", now) == datetime(2024, 1, 1)
+    # weeks round to Monday (2024-03-15 is a Friday)
+    assert r("now/w", now) == datetime(2024, 3, 11)
+    # month arithmetic clamps the day (Joda/ES): Jan 31 + 1M = Feb 29 ('24)
+    assert r("now+1M", datetime(2024, 1, 31)) == datetime(2024, 2, 29)
+    assert r("now+1M", datetime(2023, 1, 31)) == datetime(2023, 2, 28)
+    # anchored math
+    assert r("2024-01-01||+1w/d", now) == datetime(2024, 1, 8)
+    assert r("2024-01-01T06:00:00||+2h", now) == datetime(2024, 1, 1, 8)
+    # chained ops apply left to right
+    assert r("now/d+1h", now) == datetime(2024, 3, 15, 1)
+    for bad in ("now-7q", "now-7d extra", "2024-13-01||+1d", "nope"):
+        with pytest.raises(dm.DateMathError):
+            r(bad, now)
+    assert dm.is_date_math("now-7d/d")
+    assert dm.is_date_math("2024-01-01||+1M")
+    assert not dm.is_date_math("2024-01-01")
+    assert not dm.is_date_math(None)
+    assert not dm.is_date_math("nowhere")  # 'now' + non-op suffix... 
+    # ("nowhere" starts with now but has no valid op — resolve rejects it)
+
+
+def test_datemath_range_query_and_operator_rewrite(spark):
+    from datetime import datetime
+
+    eng = SearchEngine(spark)
+    rows = [(i, datetime(2024, 1, i)) for i in range(1, 21)]
+    eng.register(spark.createDataFrame(rows, "id long, ts timestamp"),
+                 TableSpec("dm1", ["id"]))
+    pin = "now=2024-01-15T10:30:00"
+
+    def ids(body):
+        return sorted(r["id"] for r in eng.search(
+            "dm1", f"#options:load-rows=false,{pin}#" + body).collect())
+
+    # gte rounds down, lt rounds down
+    assert ids('{"query":{"range":{"ts":{"gte":"now-7d/d","lt":"now/d"}}},'
+               '"size":100}') == [8, 9, 10, 11, 12, 13, 14]
+    # gt with rounding excludes the whole rounded unit (ES contract)
+    assert ids('{"query":{"range":{"ts":{"gt":"now-7d/d"}}},"size":100}') \
+        == list(range(9, 21))
+    # lte with rounding includes the whole rounded unit
+    assert ids('{"query":{"range":{"ts":{"lte":"now/d"}}},"size":100}') \
+        == list(range(1, 16))
+    # gt WITHOUT rounding stays strict on the instant
+    assert ids('{"query":{"range":{"ts":{"gt":"now-7d"}}},"size":100}') \
+        == list(range(9, 21))
+    # engine-level pin
+    eng.now = datetime(2024, 1, 5)
+    got = sorted(r["id"] for r in eng.search(
+        "dm1", '#options:load-rows=false#'
+        '{"query":{"range":{"ts":{"gte":"now"}}},"size":100}').collect())
+    assert got == list(range(5, 21))
+    eng.now = None
+    # malformed date-math is a typed error
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    with pytest.raises(DslError):
+        eng.search("dm1", f"#options:{pin}#"
+                   '{"query":{"range":{"ts":{"gte":"now-3q"}}}}')
+
+
+def test_datemath_non_date_field_passthrough(spark):
+    # a range bound 'now…' on a string field stays a literal string
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        [(1, "now-1d"), (2, "zzz")], "id long, tag string"),
+        TableSpec("dm2", ["id"]))
+    got = [r["id"] for r in eng.search(
+        "dm2", '#options:load-rows=false#'
+        '{"query":{"range":{"tag":{"gte":"now-1d","lte":"now-1d"}}}}'
+    ).collect()]
+    assert got == [1]
+
+
+def test_datemath_served_from_range_index(spark):
+    # the rewritten concrete bound must reach the range index (both
+    # plans see the same typed literal)
+    from datetime import datetime
+
+    eng = SearchEngine(spark)
+    rows = [(i, datetime(2024, 1, i)) for i in range(1, 21)]
+    eng.register(spark.createDataFrame(rows, "id long, ts timestamp"),
+                 TableSpec("dm3", ["id"]))
+    eng.build_range_index("dm3", "ts")
+    out = eng.search("dm3", '#options:load-rows=false,'
+                     'now=2024-01-15T10:30:00#'
+                     '{"query":{"range":{"ts":{"gte":"now-7d/d"}}},'
+                     '"size":100}')
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "(val" in plan  # bound filter lands on the index column
+    assert sorted(r["id"] for r in out.collect()) == list(range(8, 21))
+
+
+def test_datemath_date_range_agg(spark):
+    from datetime import datetime
+
+    eng = SearchEngine(spark)
+    rows = [(i, datetime(2024, 1, i)) for i in range(1, 21)]
+    eng.register(spark.createDataFrame(rows, "id long, ts timestamp"),
+                 TableSpec("dm4", ["id"]))
+    out = {r["key"]: r["doc_count"] for r in eng.search_aggs(
+        "dm4", '#options:now=2024-01-15T10:30:00#'
+        '{"query":{"match_all":{}},"aggs":{"p":{"date_range":{"field":"ts",'
+        '"ranges":[{"key":"old","to":"now-7d/d"},'
+        '{"key":"recent","from":"now-7d/d","to":"now/d"}]}}}}').collect()}
+    assert out == {"old": 7, "recent": 7}
+
+
+# ---------------------------------------------------------------------------
+# pipeline aggs at nested depth (round 6 — VERDICT r05 item 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pipe6_engine(spark):
+    from datetime import datetime
+
+    eng = SearchEngine(spark)
+    rows = [(i, f"u{i % 2}", datetime(2024, 1, 1 + (i % 4)), float(i))
+            for i in range(20)]
+    eng.register(spark.createDataFrame(
+        rows, "id long, user string, ts timestamp, v double"),
+        TableSpec("pipe6", ["id"]))
+    return eng
+
+
+def test_nested_cumulative_sum_resets_per_parent(pipe6_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{"byu":{"terms":'
+         '{"field":"user"},"aggs":{"perday":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day"},"aggs":{'
+         '"dv":{"sum":{"field":"v"}},'
+         '"cs":{"cumulative_sum":{"buckets_path":"_count"}},'
+         '"csv":{"cumulative_sum":{"buckets_path":"dv"}},'
+         '"dd":{"derivative":{"buckets_path":"dv"}}}}}}}}')
+    rows = pipe6_engine.search_aggs("pipe6", q,
+                                    default_field="user").collect()
+    # u0 hits days 1,3 (even ids: i%4 in {0,2}); u1 days 2,4
+    got = {(r["key"], r["sub_key"].day): (r["cs"], r["csv"], r["dd"])
+           for r in rows}
+    assert got[("u0", 1)] == (5, 40.0, None)   # cumsum starts per parent
+    assert got[("u0", 3)] == (10, 90.0, 10.0)
+    assert got[("u1", 2)] == (5, 45.0, None)   # NOT continuing u0's run
+    assert got[("u1", 4)] == (10, 100.0, 10.0)
+
+
+def test_nested_bucket_script_and_selector(pipe6_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{"byu":{"terms":'
+         '{"field":"user"},"aggs":{"perday":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day"},"aggs":{'
+         '"dv":{"sum":{"field":"v"}},'
+         '"ratio":{"bucket_script":{"buckets_path":'
+         '{"c":"_count","s":"dv"},"script":"params.s / params.c"}},'
+         '"keep":{"bucket_selector":{"buckets_path":{"s":"dv"},'
+         '"script":"params.s > 42"}}}}}}}}')
+    rows = pipe6_engine.search_aggs("pipe6", q,
+                                    default_field="user").collect()
+    got = {(r["key"], r["sub_key"].day): r["ratio"] for r in rows}
+    # selector binds _count/metrics to the LEAF columns; dv>42 keeps
+    # u0-day3 (50) and u1-days 2? (45) and 4 (55)
+    assert got == {("u0", 3): 10.0, ("u1", 2): 9.0, ("u1", 4): 11.0}
+
+
+def test_nested_bucket_sort_truncates_per_parent(pipe6_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{"byu":{"terms":'
+         '{"field":"user"},"aggs":{"perday":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day"},"aggs":{'
+         '"dv":{"sum":{"field":"v"}},'
+         '"top1":{"bucket_sort":{"sort":[{"dv":"desc"}],"size":1}}'
+         '}}}}}}')
+    rows = pipe6_engine.search_aggs("pipe6", q,
+                                    default_field="user").collect()
+    got = {(r["key"], r["sub_key"].day): r["dv"] for r in rows}
+    # one (best-dv) day bucket PER user survives
+    assert got == {("u0", 3): 50.0, ("u1", 4): 55.0}
+
+
+def test_nested_moving_fn_and_serial_diff(pipe6_engine):
+    q = ('{"query":{"match_all":{}},"aggs":{"byu":{"terms":'
+         '{"field":"user"},"aggs":{"perday":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day"},"aggs":{'
+         '"dv":{"sum":{"field":"v"}},'
+         '"mf":{"moving_fn":{"buckets_path":"dv","window":1,'
+         '"script":"MovingFunctions.sum(values)"}},'
+         '"sd":{"serial_diff":{"buckets_path":"dv","lag":1}}}}}}}}')
+    rows = pipe6_engine.search_aggs("pipe6", q,
+                                    default_field="user").collect()
+    got = {(r["key"], r["sub_key"].day): (r["mf"], r["sd"]) for r in rows}
+    # moving_fn shift=0 excludes the current bucket → previous dv
+    assert got[("u0", 1)] == (None, None)
+    assert got[("u0", 3)] == (40.0, 10.0)
+    assert got[("u1", 4)] == (45.0, 10.0)
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix max_expansions (round 6 — VERDICT r05 item 5)
+# ---------------------------------------------------------------------------
+
+
+MPP_ROWS = [("m1", "big table tab"),
+            ("m2", "big table tabby"),
+            ("m3", "big table tableau"),
+            ("m4", "big table tabloid"),
+            ("m5", "big table nothing"),
+            ("m6", "tabloid alone")]
+
+
+def _mpp(query, me=None):
+    body = {"query": {"match_phrase_prefix": {"body": (
+        {"query": query} if me is None
+        else {"query": query, "max_expansions": me})}}}
+    import json
+    return "#options:load-rows=false#" + json.dumps(body)
+
+
+def test_phrase_prefix_max_expansions_parity_both_plans(spark):
+    # dictionary terms with prefix 'tab' in term order:
+    # tab, tabby, tableau, table, tabloid — cap 2 keeps {tab, tabby}
+    scan, idx = SearchEngine(spark), SearchEngine(spark)
+    for eng in (scan, idx):
+        eng.register(spark.createDataFrame(
+            MPP_ROWS, "id string, body string"),
+            TableSpec("mpp6", ["id"]))
+    idx.build_postings_index("mpp6", "body", materialize=True)
+    idx.build_phrase_index("mpp6", "body")
+
+    def run(eng, q):
+        return sorted(r["id"] for r in eng.search(
+            "mpp6", q, default_field="body").collect())
+
+    capped = _mpp("table tab", me=2)
+    assert run(scan, capped) == ["m1", "m2"]          # tableau/tabloid cut
+    assert run(idx, capped) == ["m1", "m2"]           # index plan agrees
+    # cap larger than the dictionary expansion → unbounded behavior
+    loose = _mpp("table tab", me=50)
+    assert run(scan, loose) == ["m1", "m2", "m3", "m4"]
+    assert run(idx, loose) == ["m1", "m2", "m3", "m4"]
+    # ES default IS 50 when the param is omitted
+    assert run(scan, _mpp("table tab")) == ["m1", "m2", "m3", "m4"]
+    # single-word phrase-prefix caps too (rewritten to an OR of terms)
+    single = _mpp("tab", me=2)
+    assert run(scan, single) == ["m1", "m2"]
+    assert run(idx, single) == ["m1", "m2"]
+    # cap of 1: expansion order is TERM order (tab first), not frequency
+    one = _mpp("table tab", me=1)
+    assert run(scan, one) == ["m1"]
+    assert run(idx, one) == ["m1"]
+
+
+def test_phrase_prefix_max_expansions_validation():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_phrase_prefix":{"b":'
+                      '{"query":"a b","max_expansions":0}}}}')
+    req = parse_request('{"query":{"match_phrase_prefix":{"b":"a b"}}}')
+    assert req.node.max_expansions == 50  # ES default
+
+
+# ---------------------------------------------------------------------------
+# highlight fragments (round 6 — VERDICT r05 item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_highlight_fragments_default_shape(spark):
+    # ES default output IS fragments (number_of_fragments 5): a JSON
+    # array of match-bearing sentences in document order
+    eng = SearchEngine(spark)
+    rows = [("f1", "Cassandra is fast. Spark is faster! "
+                   "But cassandra scales? Nothing here.")]
+    eng.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("hlf", ["id"]))
+    q = ('{"query":{"match":{"body":"cassandra"}},'
+         '"highlight":{"fields":{"body":{}}}}')
+    row = eng.search("hlf", q, default_field="body").collect()[0]
+    assert row["_highlight_body"] == (
+        '["<em>Cassandra</em> is fast.","But <em>cassandra</em> scales?"]')
+
+
+def test_highlight_fragments_cap_and_count(spark):
+    eng = SearchEngine(spark)
+    long_tail = "x" * 150 + " cassandra beyond the cap."
+    rows = [("f1", "Cassandra one. Cassandra two. Cassandra three. "
+                   + long_tail)]
+    eng.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("hlf2", ["id"]))
+    # number_of_fragments truncates the list; fragment_size truncates
+    # each sentence BEFORE matching (a match past the cap is lost)
+    q = ('{"query":{"match":{"body":"cassandra"}},'
+         '"highlight":{"fields":{"body":{}},'
+         '"number_of_fragments":2,"fragment_size":80}}')
+    row = eng.search("hlf2", q, default_field="body").collect()[0]
+    assert row["_highlight_body"] == (
+        '["<em>Cassandra</em> one.","<em>Cassandra</em> two."]')
+    # no fragment carries a match → null (ES omits the field)
+    q2 = ('{"query":{"match":{"body":"beyond"}},'
+          '"highlight":{"fields":{"body":{}},'
+          '"number_of_fragments":2,"fragment_size":80}}')
+    row2 = eng.search("hlf2", q2, default_field="body").collect()[0]
+    assert row2["_highlight_body"] is None
+
+
+def test_highlight_fragments_validation():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_all":{}},"highlight":'
+                      '{"fields":{"b":{}},"number_of_fragments":-1}}')
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_all":{}},"highlight":'
+                      '{"fields":{"b":{}},"fragment_size":0}}')
