@@ -333,6 +333,45 @@ def q_search_knn(spark, sf_dir):
     return out.withColumn("_score", F.round("_score", 6))
 
 
+def q_search_knn_hybrid(spark, sf_dir):
+    # ES 8.4 hybrid search (r6): knn top-5 BESIDE a term query — hit
+    # union, scores SUM where a doc appears in both (one full-outer join
+    # on the key; knn side broadcasts), size truncates the combined rank
+    import json as _json
+    eng_key = _ck(spark, sf_dir, "eng:embeddings")
+    if eng_key not in _CACHE:
+        eng = SearchEngine(spark)
+        eng.register(_t(spark, sf_dir, "embeddings"),
+                     TableSpec("embeddings", ["vec_id"]))
+        _CACHE[eng_key] = eng
+    eng = _CACHE[eng_key]
+    dim = len(_t(spark, sf_dir, "embeddings").first()["embedding"])
+    q = _json.dumps({"size": 30, "query": {"term": {"label": 9}},
+                     "knn": {"field": "embedding",
+                             "query_vector": [1.0] * dim, "k": 5}})
+    out = eng.search("embeddings", "#options:load-rows=false#" + q)
+    return out.withColumn("_score", F.round("_score", 6))
+
+
+def q_events_offset_histogram(spark, sf_dir):
+    # date_histogram with a "+6h" offset (r6): day buckets run
+    # 06:00→06:00 — shift, truncate, shift back
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},"aggs":{"d":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day","offset":"+6h"}}}}')
+    return eng.search_aggs("events_capped", q,
+                           default_field="event_type")
+
+
+def q_search_script_fields(spark, sf_dir):
+    # ES script_fields (r6): painless arithmetic over doc refs adds
+    # response columns on the ≤k hit rows
+    q = ('{"query":{"range":{"n_chars":{"gte":200,"lte":400}}},'
+         '"script_fields":{"chars_per_100":'
+         '{"script":"doc[\'n_chars\'].value / 100.0"}}}')
+    return _search(q)(spark, sf_dir)
+
+
 def q_search_span_near(spark, sf_dir):
     # Lucene span_near, two span_terms: 'table' then 'value' within 3
     # intervening tokens; score = number of qualifying position pairs
@@ -1498,7 +1537,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (oracle present, pytest-checked; window-capped)
         "search_knn": q_search_knn,  # ES 8 knn through the DSL
         #   (oracle present, pytest-checked; window-capped; exact tier —
-        #   approximate tiers graded by ann_recall)
+        #   approximate IVF/LSH routing graded by ann_recall's
+        #   dsl_knn_ivf row)
+        "search_knn_hybrid": q_search_knn_hybrid,  # r6 hybrid knn+query
+        #   (oracle present, pytest-checked; window-capped)
+        "events_offset_histogram": q_events_offset_histogram,  # r6
+        #   date_histogram offset (oracle present, pytest-checked;
+        #   window-capped)
+        "search_script_fields": q_search_script_fields,  # r6 painless
+        #   arithmetic columns (oracle present, pytest-checked;
+        #   window-capped)
         "search_dsl_terms": q_search_dsl_terms,  # ~ search_dsl_must_should
         #   (green r04; P2 family has 5 in-window reps)
         "events_tumbling": q_events_tumbling,  # ~ events_sessionize
@@ -1648,6 +1696,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings)
             SELECT vec_id, _score
             FROM q ORDER BY _score DESC, vec_id ASC LIMIT 20
+        """,
+        # r6 hybrid: knn top-5 ∪ label=9 matches, scores sum where both
+        "search_knn_hybrid": """
+            WITH kn AS (
+                SELECT vec_id,
+                       ROUND(list_cosine_similarity(
+                           embedding::DOUBLE[],
+                           list_transform(embedding, x -> 1.0)), 6) AS ks
+                FROM embeddings
+                ORDER BY ks DESC, vec_id ASC LIMIT 5),
+            qs AS (
+                SELECT vec_id, 1.0 AS qsc FROM embeddings WHERE label = 9)
+            SELECT vec_id,
+                   ROUND(COALESCE(ks, 0) + COALESCE(qsc, 0), 6) AS _score
+            FROM kn FULL OUTER JOIN qs USING (vec_id)
+            ORDER BY _score DESC, vec_id ASC LIMIT 30
+        """,
+        # r6 date_histogram offset "+6h": shift, truncate, shift back
+        "events_offset_histogram": """
+            SELECT date_trunc('day', ts - INTERVAL 6 HOUR)
+                       + INTERVAL 6 HOUR AS key,
+                   COUNT(*)::BIGINT AS doc_count
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1
+        """,
+        # r6 script_fields: arithmetic over doc refs on the hit rows
+        "search_script_fields": """
+            SELECT doc_id, text, lang, source, n_chars,
+                   1::BIGINT AS _score,
+                   n_chars::DOUBLE / 100.0 AS chars_per_100
+            FROM documents WHERE n_chars >= 200 AND n_chars <= 400
         """,
         # span_near: position pairs of 'table' before 'value' with ≤3
         # intervening tokens, replayed with DuckDB list lambdas

@@ -467,6 +467,11 @@ class SearchEngine:
         from cassandra_es_index_spark.search import datemath as dm
         from cassandra_es_index_spark.search.ast import Range
 
+        # cheap bail-out: a date-math bound needs a "now" anchor or the
+        # "||" separator somewhere in the raw request (false positives
+        # just run the no-op walk)
+        if "now" not in qmd.query and "||" not in qmd.query:
+            return req
         comp = Compiler(docs, default_field)
         now_holder: list = []  # captured lazily, once per request
 
@@ -617,7 +622,13 @@ class SearchEngine:
 
         from cassandra_es_index_spark.search.ast import Or, Phrase, Term
 
-        comp = Compiler(docs, default_field)
+        comp_holder: list = []  # built only when an expansion is needed
+
+        def comp() -> Compiler:
+            if not comp_holder:
+                comp_holder.append(Compiler(docs, default_field))
+            return comp_holder[0]
+
         cache: dict[tuple[str | None, str, int],
                     tuple[str, ...] | None] = {}
 
@@ -626,7 +637,7 @@ class SearchEngine:
             key = (fld_raw, prefix, cap)
             if key not in cache:
                 fld = fld_raw if fld_raw is not None \
-                    else comp.default_field
+                    else comp().default_field
                 state = self._postings.get((table, fld))
                 if state is not None:
                     toks = state.view().select("token").distinct()
@@ -634,7 +645,7 @@ class SearchEngine:
                     from cassandra_es_index_spark.functions.analyzers \
                         import standard
                     toks = docs.select(
-                        F.explode(standard(comp.resolve(fld).col))
+                        F.explode(standard(comp().resolve(fld).col))
                          .alias("token")).distinct()
                 rows = (toks.where(F.col("token")
                                     .startswith(prefix.lower()))
@@ -895,6 +906,25 @@ class SearchEngine:
                     F.when(F.size(frags) > 0, F.to_json(frags)))
             return result
 
+        def apply_script_fields(result: DataFrame) -> DataFrame:
+            # ES script_fields (r6): one response column per script,
+            # computed on the ≤k result rows — row-local Spark SQL
+            # expressions (the painless arithmetic subset translated at
+            # parse time), never corpus-wide
+            for name, sql in req.script_fields:
+                if name in result.columns:
+                    raise es_dsl.DslError(
+                        f"script field {name!r} collides with an "
+                        "existing column")
+                for ref_col in re.findall(r"`([^`]+)`", sql):
+                    if ref_col not in result.columns:
+                        raise es_dsl.DslError(
+                            f"script field {name!r} references "
+                            f"{ref_col!r}, which is not in the result "
+                            "(use load-source=true or row-load mode)")
+                result = result.withColumn(name, F.expr(sql))
+            return result
+
         if req.knn is not None:
             return self._knn_search(table, docs, qmd, req, after, keys,
                                     default_field)
@@ -1075,7 +1105,7 @@ class SearchEngine:
                 result = result.crossJoin(F.broadcast(meta))
             if needs_join:
                 result = result.orderBy(RANK).drop(RANK)
-            return apply_highlight(result)
+            return apply_highlight(apply_script_fields(result))
 
         comp = Compiler(docs, default_field)
         pred, score = comp.compile(node)
@@ -1155,7 +1185,7 @@ class SearchEngine:
             # total/max reflect ALL matches, not the top-k cap (hits.total
             # semantics, ref README.md:199-203).
             result = result.withColumn("_metadata", F.lit(meta_json))
-        return apply_highlight(result)
+        return apply_highlight(apply_script_fields(result))
 
     # -- postings-backed plan ------------------------------------------------
 
@@ -1308,7 +1338,14 @@ class SearchEngine:
         ``_score`` is the cosine similarity (double, 6 dp) on every
         route; the optional ``filter`` pre-gates candidates so all k
         hits satisfy it (ES filtered-knn contract). Approximate routes
-        are graded per-round by the driver's ann_recall harness."""
+        are graded per-round by the driver's ann_recall harness.
+
+        Hybrid search (r6, ES 8.4+): a ``knn`` section BESIDE a
+        ``query`` section unions the knn top-k with the query's match
+        set and SUMS the scores where a doc appears in both (one
+        full-outer join on the keys; the knn side is ≤k rows and
+        broadcasts). The final frame orders by the combined score and
+        truncates to the request ``size``."""
         from pyspark.sql import types as T
 
         from cassandra_es_index_spark.operators.similarity import (
@@ -1320,7 +1357,7 @@ class SearchEngine:
             raise es_dsl.DslError(
                 "knn cannot combine with sort/collapse/rescore/"
                 "search_after")
-        fld, vec, kk, fnode, method, ncand, nprobe = req.knn
+        fld, vec, kk, fnode, method, ncand, nprobe, hybrid = req.knn
         comp_k = Compiler(docs, default_field)
         ref = comp_k.resolve(fld)
         if not isinstance(ref.dtype, T.ArrayType):
@@ -1335,69 +1372,104 @@ class SearchEngine:
                 fpred, _ = comp_k.compile(fnode)
                 frame = frame.where(fpred)
             qv = F.lit(list(vec)).cast("array<double>")
-            scored = frame.withColumn(
-                SCORE, cosine(as_double_array(ref.col), qv))
-            hits = scored.orderBy(
-                F.desc(SCORE), *[F.asc(c) for c in keys]).limit(kk)
-            if qmd.load_source or qmd.load_rows:
-                return hits.select(*docs.columns, SCORE)
-            return hits.select(*keys, SCORE)
-
-        _, spec = self.catalog.get(table)
-        id_col = self._postings_id_col(spec)
-        qdf = self.spark.createDataFrame(
-            [(0, [float(v) for v in vec])],
-            "query_id int, qvec array<double>")
-        if method == "ivf":
-            if (table, fld) not in self._ivf:
-                raise es_dsl.DslError(
-                    f"knn method 'ivf' needs a built or attached IVF "
-                    f"index for field {fld!r} "
-                    "(SearchEngine.build_ivf_index)")
-            indexed, centroids = self._ivf[(table, fld)]
-            n_cells = len(centroids)
-            if nprobe is None:
-                if ncand is not None:
-                    avg_cell = max(1, self._corpus_size(table)
-                                   // max(1, n_cells))
-                    nprobe = max(1, -(-ncand // avg_cell))
-                else:
-                    nprobe = max(1, n_cells // 4)
-            nprobe = min(nprobe, n_cells)
-            if fnode is not None:
-                # pre-filter (ES contract: all k hits satisfy the
-                # filter): gate the cell-joined candidates on the
-                # filtered doc-id set
-                fpred, _ = comp_k.compile(fnode)
-                fids = docs.where(fpred).select(
-                    F.col(id_col)
-                     .cast(indexed.schema["corpus_id"].dataType)
-                     .alias("corpus_id"))
-                indexed = indexed.join(fids, "corpus_id", "left_semi")
-            cand = ivf_topk(indexed, centroids, qdf, "query_id", "qvec",
-                            k=kk, nprobe=nprobe)
-        else:  # lsh
-            frame = docs
-            if fnode is not None:
-                fpred, _ = comp_k.compile(fnode)
-                frame = frame.where(fpred)
-            cand = lsh_ann_topk(frame, qdf, id_col, fld,
-                                "query_id", "qvec", k=kk, dim=len(vec))
-        hits = cand.select("corpus_id", F.col("cos_sim").alias(SCORE))
-        if len(keys) == 1:
-            keyed = hits.select(
-                F.col("corpus_id").cast(docs.schema[keys[0]].dataType)
-                 .alias(keys[0]), SCORE)
+            keyed = (frame.withColumn(
+                         SCORE, cosine(as_double_array(ref.col), qv))
+                     .orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
+                     .limit(kk)
+                     .select(*keys, SCORE))
         else:
-            key_map = docs.select(F.col(DOC_ID).alias("corpus_id"), *keys)
-            keyed = key_map.join(F.broadcast(hits), "corpus_id") \
-                           .select(*keys, SCORE)
+            _, spec = self.catalog.get(table)
+            id_col = self._postings_id_col(spec)
+            qdf = self.spark.createDataFrame(
+                [(0, [float(v) for v in vec])],
+                "query_id int, qvec array<double>")
+            if method == "ivf":
+                if (table, fld) not in self._ivf:
+                    raise es_dsl.DslError(
+                        f"knn method 'ivf' needs a built or attached IVF "
+                        f"index for field {fld!r} "
+                        "(SearchEngine.build_ivf_index)")
+                indexed, centroids = self._ivf[(table, fld)]
+                n_cells = len(centroids)
+                if nprobe is None:
+                    if ncand is not None:
+                        avg_cell = max(1, self._corpus_size(table)
+                                       // max(1, n_cells))
+                        nprobe = max(1, -(-ncand // avg_cell))
+                    else:
+                        nprobe = max(1, n_cells // 4)
+                nprobe = min(nprobe, n_cells)
+                if fnode is not None:
+                    # pre-filter (ES contract: all k hits satisfy the
+                    # filter): gate the cell-joined candidates on the
+                    # filtered doc-id set
+                    fpred, _ = comp_k.compile(fnode)
+                    fids = docs.where(fpred).select(
+                        F.col(id_col)
+                         .cast(indexed.schema["corpus_id"].dataType)
+                         .alias("corpus_id"))
+                    indexed = indexed.join(fids, "corpus_id", "left_semi")
+                cand = ivf_topk(indexed, centroids, qdf,
+                                "query_id", "qvec", k=kk, nprobe=nprobe)
+            else:  # lsh
+                frame = docs
+                if fnode is not None:
+                    fpred, _ = comp_k.compile(fnode)
+                    frame = frame.where(fpred)
+                cand = lsh_ann_topk(frame, qdf, id_col, fld,
+                                    "query_id", "qvec", k=kk,
+                                    dim=len(vec))
+            hits = cand.select("corpus_id", F.col("cos_sim").alias(SCORE))
+            if len(keys) == 1:
+                keyed = hits.select(
+                    F.col("corpus_id").cast(docs.schema[keys[0]].dataType)
+                     .alias(keys[0]), SCORE)
+            else:
+                key_map = docs.select(F.col(DOC_ID).alias("corpus_id"),
+                                      *keys)
+                keyed = key_map.join(F.broadcast(hits), "corpus_id") \
+                               .select(*keys, SCORE)
+
+        out_k = kk
+        if hybrid:
+            # union the ≤k knn hits with the query's match set; scores
+            # sum where both sides hold the doc (ES hybrid contract).
+            # The knn side broadcasts; the query side serves from the
+            # postings when servable, else one compiled scan.
+            ph = self._postings_hits(table, req.node, default_field)
+            if ph is not None:
+                if len(keys) == 1:
+                    qside = ph.withColumnRenamed("doc", keys[0])
+                else:
+                    key_map = docs.select(F.col(DOC_ID).alias("doc"),
+                                          *keys)
+                    qside = ph.join(key_map, on="doc",
+                                    how="inner").drop("doc")
+            else:
+                qpred, qscore = comp_k.compile(req.node)
+                qside = docs.where(qpred).select(
+                    *keys, qscore.alias(SCORE))
+            qside = qside.select(
+                *keys, F.col(SCORE).cast("double").alias("_qs"))
+            keyed = (qside.join(
+                         F.broadcast(keyed.withColumnRenamed(SCORE,
+                                                             "_ks")),
+                         on=keys, how="full_outer")
+                     .select(*keys,
+                             (F.coalesce(F.col("_ks"), F.lit(0.0))
+                              + F.coalesce(F.col("_qs"), F.lit(0.0))
+                              ).alias(SCORE)))
+            out_k = req.size if req.size is not None else 10
+
+        ordered = keyed.orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
+        if hybrid:
+            ordered = ordered.limit(out_k)
         if qmd.load_source or qmd.load_rows:
-            return (docs.join(F.broadcast(keyed), on=keys)
+            return (docs.join(F.broadcast(ordered), on=keys)
                         .select(*docs.columns, SCORE)
                         .orderBy(F.desc(SCORE),
                                  *[F.asc(c) for c in keys]))
-        return keyed.orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
+        return ordered
 
     def build_ivf_index(self, table: str, field: str,
                         n_cells: int = 16, n_iters: int = 3,
@@ -2204,6 +2276,100 @@ class SearchEngine:
         return (tv.join(stats, on="token", how="left")
                   .orderBy(F.asc("token")))
 
+    def mterm_vectors(self, table: str, doc_ids: list,
+                      field: str | None = None,
+                      term_statistics: bool = False) -> DataFrame:
+        """ES ``_mtermvectors`` analogue: term vectors for SEVERAL
+        documents in one call — (doc, token, term_freq) from ONE
+        key-set-filtered tokenization pass (the ``isin`` predicate
+        pushes into the documents scan), not a per-doc loop.
+        ``term_statistics=True`` adds corpus ``doc_freq``/``ttf`` with a
+        single token-filtered postings lookup over the UNION of the
+        requested docs' vocabularies — still bounded by the request,
+        never a full-postings aggregate."""
+        from cassandra_es_index_spark.functions.analyzers import standard
+
+        docs = self._docs[table]
+        _, spec = self.catalog.get(table)
+        fld = field or Compiler(docs).default_field
+        id_col = self._postings_id_col(spec)
+        if not doc_ids:
+            raise ValueError("mterm_vectors needs at least one doc id")
+        tv = (docs.where(F.col(id_col).isin(*doc_ids))
+                  .select(F.col(id_col).alias("doc"),
+                          F.explode(standard(F.col(fld))).alias("token"))
+                  .groupBy("doc", "token")
+                  .agg(F.count("*").cast("long").alias("term_freq")))
+        if not term_statistics:
+            return tv.orderBy(F.asc("doc"), F.asc("token"))
+        if (table, fld) not in self._postings:
+            self.build_postings_index(table, fld)
+        view = self._postings[(table, fld)].view()
+        tokens = [r["token"]
+                  for r in tv.select("token").distinct().collect()]
+        if not tokens:
+            return tv.select(
+                "doc", "token", "term_freq",
+                F.lit(None).cast("long").alias("doc_freq"),
+                F.lit(None).cast("long").alias("ttf"))
+        stats = (view.where(F.col("token").isin(*tokens))
+                     .groupBy("token")
+                     .agg(F.count_distinct("doc").cast("long")
+                           .alias("doc_freq"),
+                          F.sum("tf").cast("long").alias("ttf")))
+        return (tv.join(stats, on="token", how="left")
+                  .orderBy(F.asc("doc"), F.asc("token")))
+
+    def msearch(self, table: str, queries: list,
+                default_field: str | None = None) -> list:
+        """ES ``_msearch`` analogue: evaluate several request bodies in
+        one call — one result DataFrame per request, in request order
+        (ES responses are per-body; schemas legitimately differ, so no
+        forced union). Each body is lazily planned; nothing executes
+        until the caller acts on a result."""
+        return [self.search(table, q, default_field=default_field)
+                for q in queries]
+
+    def suggest_phrase(self, table: str, text: str,
+                       field: str | None = None,
+                       max_edits: int = 2) -> DataFrame:
+        """ES phrase-suggester analogue (simplified, deterministic):
+        correct a whole input phrase token by token. In-dictionary
+        tokens pass through; each out-of-dictionary token takes its best
+        term-suggester candidate (edit distance ≤ ``max_edits``, ranked
+        distance asc → corpus freq desc → token asc, the
+        ``suggest_similar`` ordering). Returns one row: (text,
+        corrected, n_corrections). Driver work is bounded by the
+        phrase's token count; each candidate lookup is a
+        length-prefiltered dictionary scan (never the corpus)."""
+        docs = self._docs[table]
+        fld = field or Compiler(docs).default_field
+        if (table, fld) not in self._postings:
+            self.build_postings_index(table, fld)
+        view = self._postings[(table, fld)].view()
+        tokens = [t for t in re.split(r"\W+", text.lower()) if t]
+        known = {r["token"] for r in
+                 (view.where(F.col("token").isin(*tokens))
+                      .select("token").distinct().collect())} \
+            if tokens else set()
+        corrected: list[str] = []
+        n_fix = 0
+        for t in tokens:
+            if t in known:
+                corrected.append(t)
+                continue
+            cand = self.suggest_similar(table, t, field=fld,
+                                        max_edits=max_edits,
+                                        k=1).collect()
+            if cand:
+                corrected.append(cand[0]["token"])
+                n_fix += 1
+            else:
+                corrected.append(t)
+        return self.spark.createDataFrame(
+            [(text, " ".join(corrected), n_fix)],
+            "text string, corrected string, n_corrections int")
+
     def _corpus_size(self, table: str) -> int:
         """n_docs for idf — counted once per documents DataFrame and
         cached; ``register``/``set_documents``/``apply_delta`` drop the
@@ -2452,13 +2618,25 @@ class SearchEngine:
                 return (F.floor((col - F.lit(off)) / F.lit(step))
                         * F.lit(step) + F.lit(off)), col
             if b.calendar_interval is not None:  # date_histogram
+                if b.offset:
+                    # ES offset: shift, truncate, shift back — bucket
+                    # boundaries move by the offset (day + "+6h" buckets
+                    # run 06:00→06:00)
+                    osec = int(b.offset)
+                    shifted = F.timestamp_seconds(
+                        F.unix_seconds(col.cast("timestamp")) - osec)
+                    return F.timestamp_seconds(
+                        F.unix_seconds(F.date_trunc(
+                            b.calendar_interval, shifted)) + osec), col
                 return F.date_trunc(b.calendar_interval, col), col
             # fixed_interval "30s"/"5m"/"1h"/"7d": epoch-aligned buckets
             # of an exact duration (ES's non-calendar variant)
             secs = _fixed_interval_seconds(b.fixed_interval)
+            osec = int(b.offset or 0)
             return F.timestamp_seconds(
-                F.floor(F.unix_seconds(col.cast("timestamp"))
-                        / F.lit(secs)) * F.lit(secs)), col
+                F.floor((F.unix_seconds(col.cast("timestamp"))
+                         - F.lit(osec))
+                        / F.lit(secs)) * F.lit(secs) + F.lit(osec)), col
 
         def terms_primary(b: es_dsl.BucketAgg, count_col: str, key_col: str):
             if b.order is not None:
@@ -2803,10 +2981,14 @@ class SearchEngine:
             elif lv0.fixed_interval is not None:
                 secs = _fixed_interval_seconds(lv0.fixed_interval)
 
+                osec0 = int(lv0.offset or 0)
+
                 def align_f(c):
                     return F.timestamp_seconds(
-                        F.floor(F.unix_seconds(c.cast("timestamp"))
-                                / F.lit(secs)) * F.lit(secs))
+                        F.floor((F.unix_seconds(c.cast("timestamp"))
+                                 - F.lit(osec0))
+                                / F.lit(secs)) * F.lit(secs)
+                        + F.lit(osec0))
                 if lv0.extended_bounds is not None:
                     lo_e, hi_e = lv0.extended_bounds
                     bounds = bounds.select(
@@ -2835,6 +3017,14 @@ class SearchEngine:
                     lo_e, hi_e = lv0.extended_bounds
 
                     def align_c(v):
+                        osec0 = int(lv0.offset or 0)
+                        if osec0:
+                            sh = F.timestamp_seconds(
+                                F.unix_seconds(F.lit(v).cast("timestamp"))
+                                - osec0)
+                            return F.timestamp_seconds(
+                                F.unix_seconds(F.date_trunc(
+                                    lv0.calendar_interval, sh)) + osec0)
                         return F.date_trunc(lv0.calendar_interval,
                                             F.lit(v).cast("timestamp"))
                     bounds = bounds.select(

@@ -61,6 +61,27 @@ _SCRIPT_OK = _re.compile(
     r"|\|\||!)+$")
 
 
+_DOC_SCRIPT_OK = _re.compile(
+    r"^(?:doc\['[A-Za-z_][\w.]*'\]\.value|\d+(?:\.\d+)?"
+    r"|[\s\+\-\*/%\(\)]|==|!=|<=|>=|<|>|&&|\|\||!)+$")
+
+
+def _compile_doc_script(name: str, script: str) -> str:
+    """Translate an ES ``script_fields`` painless script (the same
+    arithmetic/comparison subset the bucket scripts accept, with
+    ``doc['field'].value`` refs instead of ``params``) to a Spark SQL
+    expression over the document columns. Numeric refs evaluate as
+    DOUBLE, painless's arithmetic domain (also keeps Spark's DECIMAL
+    literal typing out of the result)."""
+    if not _DOC_SCRIPT_OK.match(script):
+        raise DslError(
+            f"script field {name!r}: only arithmetic/comparison over "
+            f"doc['field'].value refs is supported, got {script!r}")
+    out = script.replace("&&", " AND ").replace("||", " OR ")
+    return _re.sub(r"doc\['([A-Za-z_][\w.]*)'\]\.value",
+                   r"CAST(`\1` AS DOUBLE)", out)
+
+
 def _compile_bucket_script(name: str, script: str,
                            paths: dict[str, str]) -> str:
     """Translate an ES bucket script (painless arithmetic subset) to a
@@ -291,7 +312,9 @@ class Request:
     highlight: tuple[tuple[str, str, str, int, int], ...] = ()
     # ES kNN search (the ES 8 top-level `knn` section): (vector field,
     # query vector, k, optional pre-filter AST, method, num_candidates,
-    # nprobe). `method` routes the plan: "exact" is a full cosine top-k
+    # nprobe, hybrid). `hybrid` (r6) marks a knn section declared BESIDE
+    # a `query` section — ES 8.4 hybrid search: hit union, score sum.
+    # `method` routes the plan: "exact" is a full cosine top-k
     # scan (the correctness baseline), "ivf" probes a built/attached IVF
     # index with cell partition pruning (the 100 TB path — ES's
     # approximate-HNSW analogue), "lsh" buckets on sign-LSH signatures
@@ -300,7 +323,12 @@ class Request:
     # sizes the examined candidate pool — mapped onto the IVF probe
     # width when `nprobe` is not given explicitly.
     knn: ("tuple[str, tuple[float, ...], int, Node | None, str | None,"
-          " int | None, int | None] | None") = None
+          " int | None, int | None, bool] | None") = None
+    # ES script_fields (r6): ((name, spark-sql-expr), ...) — the painless
+    # arithmetic subset over `doc['field'].value` refs, translated at
+    # parse time; each adds a response column computed on the ≤k hit rows
+    # (requires the document columns, like highlight)
+    script_fields: "tuple[tuple[str, str], ...]" = ()
     # ES rescore: (rescore-query AST, window_size, query_weight,
     # rescore_query_weight, score_mode) — the top window_size primary
     # hits re-score as combine(qw×primary, rw×secondary); window docs not
@@ -408,9 +436,10 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                    for v in kspec["query_vector"]):
             raise DslError("knn query_vector must be numeric")
         kfilter = _node(kspec["filter"]) if "filter" in kspec else None
-        if "query" in obj:
-            raise DslError("knn cannot combine with a query section "
-                           "(hybrid scoring is not supported)")
+        # ES 8.4+ hybrid search: a knn section BESIDE a query section —
+        # the hit set is the union, scores SUM where a doc appears in
+        # both (r6; previously rejected)
+        hybrid = "query" in obj
         method = kspec.get("method")
         if method is not None and method not in ("exact", "ivf", "lsh"):
             raise DslError("knn method must be 'exact', 'ivf' or 'lsh'")
@@ -426,7 +455,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             raise DslError("knn nprobe must be a positive integer")
         knn = (str(kspec["field"]),
                tuple(float(v) for v in kspec["query_vector"]), kk,
-               kfilter, method, ncand, nprobe)
+               kfilter, method, ncand, nprobe, hybrid)
     rescore = None
     rspec = obj.get("rescore")
     if rspec is not None:
@@ -452,6 +481,24 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         except (TypeError, ValueError) as e:
             raise DslError("rescore weights must be numeric") from e
         rescore = (_node(rq["rescore_query"]), window, qw, rw, mode)
+    script_fields: tuple[tuple[str, str], ...] = ()
+    sfspec = obj.get("script_fields")
+    if sfspec is not None:
+        if not isinstance(sfspec, dict) or not sfspec:
+            raise DslError("script_fields must be a non-empty object")
+        out_sf = []
+        for sname, sbody in sfspec.items():
+            if not isinstance(sbody, dict) or "script" not in sbody:
+                raise DslError(f"script field {sname!r} needs a 'script'")
+            sb = sbody["script"]
+            src = sb.get("source") if isinstance(sb, dict) else sb
+            if not isinstance(src, str):
+                raise DslError(f"script field {sname!r}: script source "
+                               "must be a string")
+            out_sf.append((str(sname), _compile_doc_script(sname, src)))
+        if len({n for n, _ in out_sf}) != len(out_sf):
+            raise DslError("duplicate script_fields names")
+        script_fields = tuple(out_sf)
     return Request(
         node=_node(query),
         size=size,
@@ -463,6 +510,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         highlight=highlight,
         rescore=rescore,
         knn=knn,
+        script_fields=script_fields,
     )
 
 
@@ -1002,10 +1050,26 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             raise DslError("min_doc_count must be a non-negative integer")
         offset = params.get("offset")
         if offset is not None:
-            if first_kind != "histogram" \
-                    or not isinstance(offset, (int, float)):
-                raise DslError("offset is a numeric histogram param")
-            offset = float(offset) % float(params["interval"])
+            if first_kind == "histogram":
+                if not isinstance(offset, (int, float)) \
+                        or isinstance(offset, bool):
+                    raise DslError("histogram offset must be numeric")
+                offset = float(offset) % float(params["interval"])
+            elif first_kind == "date_histogram":
+                # ES date_histogram offset: a signed duration shifting
+                # every bucket boundary (e.g. "+6h" → day buckets start
+                # at 06:00). Fixed units only, like ES (the offset must
+                # be smaller than the calendar unit to be meaningful).
+                m = _re.fullmatch(r"([+-]?)(\d+)([smhd])", str(offset))
+                if m is None:
+                    raise DslError(
+                        "date_histogram offset must be ±N(s|m|h|d)")
+                mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+                secs = int(m.group(2)) * mult[m.group(3)]
+                offset = float(-secs if m.group(1) == "-" else secs)
+            else:
+                raise DslError("offset is a histogram/date_histogram "
+                               "param")
 
         def _inc_exc(key: str):
             raw = params.get(key)

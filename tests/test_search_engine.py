@@ -2618,10 +2618,15 @@ def test_knn_search_exact_topk(spark):
     outf = [r["id"] for r in eng.search(
         "knn5", "#options:load-rows=false#" + qf).collect()]
     assert outf == [4, 3]
-    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
-    with pytest.raises(DslError):
-        parse_request('{"query":{"match_all":{}},'
-                      '"knn":{"field":"vec","query_vector":[1],"k":1}}')
+    # knn beside a query section is HYBRID search since r6 (hit union,
+    # score sum) — no longer rejected
+    from cassandra_es_index_spark.search.es_dsl import parse_request
+    req = parse_request('{"query":{"match_all":{}},'
+                        '"knn":{"field":"vec","query_vector":[1],"k":1}}')
+    assert req.knn[-1] is True   # hybrid flag
+    req2 = parse_request(
+        '{"knn":{"field":"vec","query_vector":[1],"k":1}}')
+    assert req2.knn[-1] is False
 
 
 # ---------------------------------------------------------------------------
@@ -3162,3 +3167,203 @@ def test_highlight_fragments_validation():
     with pytest.raises(DslError):
         parse_request('{"query":{"match_all":{}},"highlight":'
                       '{"fields":{"b":{}},"fragment_size":0}}')
+
+
+def test_date_histogram_offset_shifts_boundaries(spark):
+    # ES date_histogram offset "+6h": day buckets run 06:00→06:00
+    from datetime import datetime
+
+    eng = SearchEngine(spark)
+    rows = [(1, datetime(2024, 1, 1, 3)),   # belongs to 2023-12-31T06
+            (2, datetime(2024, 1, 1, 7)),   # 2024-01-01T06
+            (3, datetime(2024, 1, 1, 23)),  # 2024-01-01T06
+            (4, datetime(2024, 1, 2, 5))]   # 2024-01-01T06
+    eng.register(spark.createDataFrame(rows, "id long, ts timestamp"),
+                 TableSpec("dho", ["id"]))
+    q = ('{"query":{"match_all":{}},"aggs":{"d":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day","offset":"+6h"}}}}')
+    got = {str(r["key"]): r["doc_count"]
+           for r in eng.search_aggs("dho", q).collect()}
+    assert got == {"2023-12-31 06:00:00": 1, "2024-01-01 06:00:00": 3}
+    # negative offset and fixed_interval variant
+    q2 = ('{"query":{"match_all":{}},"aggs":{"d":{"date_histogram":'
+          '{"field":"ts","fixed_interval":"1d","offset":"-2h"}}}}')
+    got2 = {str(r["key"]): r["doc_count"]
+            for r in eng.search_aggs("dho", q2).collect()}
+    # epoch day grid shifted -2h: buckets start at 22:00 — 03:00/07:00
+    # fall in the 12-31T22 bucket, 23:00 and next-day 05:00 in 01-01T22
+    assert got2 == {"2023-12-31 22:00:00": 2, "2024-01-01 22:00:00": 2}
+
+
+def test_date_histogram_offset_validation():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"aggs":{"d":{"date_histogram":{"field":"ts",'
+                      '"calendar_interval":"day","offset":"6x"}}}}')
+    with pytest.raises(DslError):
+        parse_request('{"aggs":{"d":{"terms":{"field":"t",'
+                      '"offset":3}}}}')
+
+
+def test_knn_hybrid_unions_and_sums_scores(spark):
+    # ES 8.4 hybrid: knn top-k ∪ query match set, scores SUM where both
+    import json
+
+    eng = SearchEngine(spark)
+    rows = [(1, [1.0, 0.0], "apple pie"),
+            (2, [0.9, 0.1], "banana split"),
+            (3, [0.0, 1.0], "apple tart"),
+            (4, [-1.0, 0.0], "apple apple apple")]
+    eng.register(spark.createDataFrame(
+        rows, "id long, vec array<double>, body string"),
+        TableSpec("knnh", ["id"]))
+    q = json.dumps({
+        "size": 10,
+        "query": {"match": {"body": "apple"}},
+        "knn": {"field": "vec", "query_vector": [1.0, 0.0], "k": 2}})
+    got = {r["id"]: r["_score"] for r in eng.search(
+        "knnh", "#options:load-rows=false#" + q).collect()}
+    # knn top-2: d1 (cos 1.0), d2 (cos ~0.993884); query: d1 (tf 1),
+    # d3 (tf 1), d4 (tf 3)
+    assert got[1] == pytest.approx(2.0)          # 1.0 cos + tf 1
+    assert got[2] == pytest.approx(0.993884)     # knn only
+    assert got[3] == pytest.approx(1.0)          # query only
+    assert got[4] == pytest.approx(3.0)          # query only (knn miss)
+    # size truncates the COMBINED ranking
+    q2 = json.dumps({
+        "size": 2,
+        "query": {"match": {"body": "apple"}},
+        "knn": {"field": "vec", "query_vector": [1.0, 0.0], "k": 2}})
+    top2 = [r["id"] for r in eng.search(
+        "knnh", "#options:load-rows=false#" + q2).collect()]
+    assert top2 == [4, 1]   # 3.0, 2.0
+
+
+def test_knn_hybrid_index_served_query_side(spark):
+    import json
+
+    eng = SearchEngine(spark)
+    rows = [(1, [1.0, 0.0], "apple pie"),
+            (2, [0.9, 0.1], "banana split"),
+            (3, [0.0, 1.0], "apple tart")]
+    eng.register(spark.createDataFrame(
+        rows, "id long, vec array<double>, body string"),
+        TableSpec("knnh2", ["id"]))
+    eng.build_postings_index("knnh2", "body", materialize=True)
+    q = json.dumps({
+        "size": 10,
+        "query": {"match": {"body": "apple"}},
+        "knn": {"field": "vec", "query_vector": [1.0, 0.0], "k": 1}})
+    got = {r["id"]: r["_score"] for r in eng.search(
+        "knnh2", "#options:load-rows=false#" + q,
+        default_field="body").collect()}
+    assert got[1] == pytest.approx(2.0)
+    assert got[3] == pytest.approx(1.0)
+    assert 2 not in got
+
+
+# ---------------------------------------------------------------------------
+# script_fields (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_script_fields_add_computed_columns(spark):
+    eng = SearchEngine(spark)
+    rows = [(1, "apple", 10.0, 2), (2, "apple pie", 20.0, 4),
+            (3, "banana", 30.0, 5)]
+    eng.register(spark.createDataFrame(
+        rows, "id long, body string, price double, qty long"),
+        TableSpec("sf6", ["id"]))
+    q = ('{"query":{"match":{"body":"apple"}},"script_fields":{'
+         '"discounted":{"script":{"source":"doc[\'price\'].value * 0.9"}},'
+         '"total":{"script":"doc[\'price\'].value * doc[\'qty\'].value"}}}')
+    got = {r["id"]: (r["discounted"], r["total"]) for r in eng.search(
+        "sf6", q, default_field="body").collect()}
+    assert got == {1: (9.0, 20.0), 2: (18.0, 80.0)}
+    # served plan too (postings): same columns
+    eng.build_postings_index("sf6", "body", materialize=True)
+    got2 = {r["id"]: (r["discounted"], r["total"]) for r in eng.search(
+        "sf6", q, default_field="body").collect()}
+    assert got2 == got
+
+
+def test_script_fields_validation(spark):
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_all":{}},"script_fields":{'
+                      '"x":{"script":"params.nope + 1"}}}')
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_all":{}},"script_fields":{'
+                      '"x":{"script":"doc[\'a\'].value; drop"}}}')
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame([(1, "t")], "id long, body string"),
+                 TableSpec("sf6v", ["id"]))
+    # fake-row mode has no doc columns → typed error
+    with pytest.raises(DslError, match="load-source"):
+        eng.search("sf6v", '#options:load-rows=false#'
+                   '{"query":{"match":{"body":"t"}},"script_fields":{'
+                   '"x":{"script":"doc[\'missing\'].value + 1"}}}',
+                   default_field="body").collect()
+    # collision with an existing column
+    with pytest.raises(DslError, match="collides"):
+        eng.search("sf6v", '{"query":{"match":{"body":"t"}},'
+                   '"script_fields":{"id":{"script":'
+                   '"doc[\'id\'].value + 1"}}}',
+                   default_field="body").collect()
+
+
+# ---------------------------------------------------------------------------
+# _mtermvectors / _msearch / phrase suggester (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_mterm_vectors_batch(spark):
+    eng = SearchEngine(spark)
+    rows = [("d1", "apple apple banana"),
+            ("d2", "banana cherry"),
+            ("d3", "nothing")]
+    eng.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("mtv", ["id"]))
+    out = eng.mterm_vectors("mtv", ["d1", "d2"], field="body")
+    got = {(r["doc"], r["token"]): r["term_freq"] for r in out.collect()}
+    assert got == {("d1", "apple"): 2, ("d1", "banana"): 1,
+                   ("d2", "banana"): 1, ("d2", "cherry"): 1}
+    # term_statistics adds corpus df/ttf via ONE bounded postings lookup
+    stats = eng.mterm_vectors("mtv", ["d1", "d2"], field="body",
+                              term_statistics=True)
+    s = {(r["doc"], r["token"]): (r["doc_freq"], r["ttf"])
+         for r in stats.collect()}
+    assert s[("d1", "banana")] == (2, 2)   # in d1 and d2
+    assert s[("d1", "apple")] == (1, 2)    # tf 2 in one doc
+    with pytest.raises(ValueError):
+        eng.mterm_vectors("mtv", [])
+
+
+def test_msearch_runs_bodies_in_order(spark):
+    eng = SearchEngine(spark)
+    rows = [("d1", "apple"), ("d2", "banana")]
+    eng.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("ms6", ["id"]))
+    outs = eng.msearch("ms6", [
+        '#options:load-rows=false#{"query":{"match":{"body":"apple"}}}',
+        '#options:load-rows=false#{"query":{"match":{"body":"banana"}}}',
+    ], default_field="body")
+    assert [r["id"] for r in outs[0].collect()] == ["d1"]
+    assert [r["id"] for r in outs[1].collect()] == ["d2"]
+
+
+def test_suggest_phrase_corrects_oov_tokens(spark):
+    eng = SearchEngine(spark)
+    rows = [("d1", "the spark table joins data"),
+            ("d2", "spark tables everywhere")]
+    eng.register(spark.createDataFrame(rows, "id string, body string"),
+                 TableSpec("sp6", ["id"]))
+    row = eng.suggest_phrase("sp6", "spak tabel joins",
+                             field="body").collect()[0]
+    assert row["corrected"] == "spark table joins"
+    assert row["n_corrections"] == 2
+    # in-dictionary phrases pass through untouched
+    row2 = eng.suggest_phrase("sp6", "spark data",
+                              field="body").collect()[0]
+    assert row2["corrected"] == "spark data"
+    assert row2["n_corrections"] == 0
