@@ -3126,13 +3126,22 @@ class SearchEngine:
                                       .where(F.col("_bsrn") <= bsize)
                                       .drop("_bsrn"))
 
-        if len(levels) == 1 and lv0.siblings:
+        if lv0.siblings:
             # sibling pipeline aggs (avg_bucket & co): one value over the
-            # WHOLE bucket frame, emitted as a constant column via a
-            # broadcast one-row cross join
+            # TERMINAL bucket level's frame (the buckets_path walks the
+            # full level chain — parse-validated), emitted as a constant
+            # column via a broadcast one-row cross join. At depth the
+            # flattened frame has one row per leaf bucket; null-leaf
+            # placeholder rows (childless ancestors) are not buckets and
+            # are excluded from the aggregate (r6 — previously
+            # single-level only).
             sib_fns = {"avg_bucket": F.avg, "sum_bucket": F.sum,
                        "min_bucket": F.min, "max_bucket": F.max}
-            sib_row = out.agg(*[
+            leaf_frame = out
+            if len(levels) > 1:
+                leaf_frame = out.where(
+                    F.col(level_names(len(levels) - 1)[0]).isNotNull())
+            sib_row = leaf_frame.agg(*[
                 sib_fns[sk](F.col(scol)).alias(sn)
                 for sn, sk, scol in lv0.siblings])
             out = out.crossJoin(F.broadcast(sib_row))

@@ -1132,20 +1132,34 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             eb = (ebs["min"], ebs["max"])
         siblings: list[tuple[str, str, str]] = []
         if sib_raw:
-            if sub_bucket is not None:
-                raise DslError("sibling pipeline aggs are supported on "
-                               "single-level buckets only")
+            # sibling aggs aggregate over the TERMINAL (leaf) bucket
+            # level's frame; the buckets_path must walk the full chain
+            # of level names down to a leaf metric or _count (r6 —
+            # previously single-level only)
+            chain = [name]
+            leaf: Any = None
+            b = sub_bucket
+            while b is not None and not isinstance(b, tuple):
+                chain.append(b.name)
+                leaf = b
+                b = getattr(b, "sub", None)
+            leaf_metrics = metrics if leaf is None else leaf.metrics
+            depth = len(chain) - 1
+            count_col = "doc_count" if depth == 0 else (
+                "sub_doc_count" if depth == 1
+                else f"sub{depth}_doc_count")
             sib_valid = {"_count"} | {
-                n for m in metrics for n in m.out_names()}
+                n for m in leaf_metrics for n in m.out_names()}
+            want = ">".join(chain)
             for sn, sk, spath in sib_raw:
-                bkt, _, metric = spath.partition(">")
-                if bkt != name or metric not in sib_valid:
+                *bkts, metric = spath.split(">")
+                if bkts != chain or metric not in sib_valid:
                     raise DslError(
                         f"sibling agg {sn!r}: buckets_path {spath!r} "
-                        f"must be '{name}>[_count|metric]'")
+                        f"must be '{want}>[_count|leaf metric]'")
                 siblings.append(
                     (sn, sk,
-                     "doc_count" if metric == "_count" else metric))
+                     count_col if metric == "_count" else metric))
         return BucketAgg(
             name=name, kind=first_kind,
             field=params.get("field", ""),

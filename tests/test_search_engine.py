@@ -3367,3 +3367,40 @@ def test_suggest_phrase_corrects_oov_tokens(spark):
                               field="body").collect()[0]
     assert row2["corrected"] == "spark data"
     assert row2["n_corrections"] == 0
+
+
+def test_sibling_aggs_at_nested_depth(pipe6_engine):
+    # r6: avg_bucket/max_bucket over the LEAF level of a 2-deep nest —
+    # buckets_path walks the full chain; the value aggregates over every
+    # leaf bucket (per-parent runs concatenated, ES semantics)
+    q = ('{"query":{"match_all":{}},"aggs":{'
+         '"byu":{"terms":{"field":"user"},"aggs":{'
+         '"perday":{"date_histogram":{"field":"ts",'
+         '"calendar_interval":"day"},"aggs":{'
+         '"dv":{"sum":{"field":"v"}}}}}},'
+         '"avg_dv":{"avg_bucket":{"buckets_path":"byu>perday>dv"}},'
+         '"max_n":{"max_bucket":{"buckets_path":"byu>perday>_count"}}}}')
+    rows = pipe6_engine.search_aggs("pipe6", q,
+                                    default_field="user").collect()
+    # leaf dv values: u0 → 40, 50; u1 → 45, 55 → avg 47.5; counts all 5
+    assert all(r["avg_dv"] == 47.5 for r in rows)
+    assert all(r["max_n"] == 5 for r in rows)
+
+
+def test_sibling_aggs_nested_path_validation():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    # partial path (outer level only) is rejected — the sibling must
+    # walk the full chain to the leaf
+    with pytest.raises(DslError, match="buckets_path"):
+        parse_request('{"aggs":{'
+                      '"byu":{"terms":{"field":"u"},"aggs":{'
+                      '"perday":{"date_histogram":{"field":"ts",'
+                      '"calendar_interval":"day"}}}},'
+                      '"s":{"avg_bucket":{"buckets_path":"byu>_count"}}}}')
+    with pytest.raises(DslError, match="buckets_path"):
+        parse_request('{"aggs":{'
+                      '"byu":{"terms":{"field":"u"},"aggs":{'
+                      '"perday":{"date_histogram":{"field":"ts",'
+                      '"calendar_interval":"day"}}}},'
+                      '"s":{"avg_bucket":{"buckets_path":'
+                      '"byu>wrong>_count"}}}}')
