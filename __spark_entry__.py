@@ -482,6 +482,17 @@ def q_search_significant_terms(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_search_sig_nested(spark, sf_dir):
+    # r6: significant_terms ONE level under a terms bucket — per-parent
+    # foreground (the parent's share of the match set) vs whole-index
+    # background; per-parent rank window caps at size
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match":{"text":"spark"}},"aggs":{"bysrc":'
+         '{"terms":{"field":"source","size":10},"aggs":{"sig":'
+         '{"significant_terms":{"field":"lang","size":5}}}}}}')
+    return eng.search_aggs("documents", q, default_field="text")
+
+
 def q_search_filter_agg(spark, sf_dir):
     # ES single-bucket filter agg with metric sub-aggs: stats over the
     # short-doc subset of the match set
@@ -1541,6 +1552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   dsl_knn_ivf row)
         "search_knn_hybrid": q_search_knn_hybrid,  # r6 hybrid knn+query
         #   (oracle present, pytest-checked; window-capped)
+        "search_sig_nested": q_search_sig_nested,  # r6 per-parent
+        #   significant_terms (oracle present, pytest-checked;
+        #   window-capped)
         "events_offset_histogram": q_events_offset_histogram,  # r6
         #   date_histogram offset (oracle present, pytest-checked;
         #   window-capped)
@@ -1712,6 +1726,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(ks, 0) + COALESCE(qsc, 0), 6) AS _score
             FROM kn FULL OUTER JOIN qs USING (vec_id)
             ORDER BY _score DESC, vec_id ASC LIMIT 30
+        """,
+        # r6 nested significant_terms: per-parent JLH vs whole-index
+        # background, per-parent rank window caps at 5
+        "search_sig_nested": f"""
+            WITH matched AS (
+                SELECT * FROM documents
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0),
+            par AS (
+                SELECT source AS key, COUNT(*)::BIGINT AS doc_count
+                FROM matched WHERE source IS NOT NULL GROUP BY 1
+                ORDER BY doc_count DESC, key ASC LIMIT 10),
+            fg AS (
+                SELECT source AS key, lang AS sub_key,
+                       COUNT(*)::BIGINT AS sub_doc_count
+                FROM matched
+                WHERE source IS NOT NULL AND lang IS NOT NULL
+                GROUP BY 1, 2),
+            bg AS (
+                SELECT lang AS sub_key, COUNT(*)::BIGINT AS bg_count
+                FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+            tot AS (SELECT COUNT(*)::DOUBLE AS bgt FROM documents),
+            scored AS (
+                SELECT fg.key, fg.sub_key, fg.sub_doc_count, bg.bg_count,
+                       ROUND((fg.sub_doc_count / par.doc_count::DOUBLE
+                              - bg.bg_count / tot.bgt)
+                             * ((fg.sub_doc_count / par.doc_count::DOUBLE)
+                                / (bg.bg_count / tot.bgt)), 6) AS score
+                FROM fg JOIN par USING (key) JOIN bg USING (sub_key)
+                CROSS JOIN tot),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY key ORDER BY score DESC, sub_key ASC
+                ) AS rn
+                FROM scored WHERE score > 0)
+            SELECT par.key, par.doc_count, r.sub_key, r.sub_doc_count,
+                   r.bg_count, r.score
+            FROM par LEFT JOIN (SELECT * FROM ranked WHERE rn <= 5) r
+                USING (key)
         """,
         # r6 date_histogram offset "+6h": shift, truncate, shift back
         "events_offset_histogram": """

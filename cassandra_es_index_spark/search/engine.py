@@ -2797,11 +2797,27 @@ class SearchEngine:
         # per level over the shared match set — no corpus rescan, and
         # every level's metrics ride its own aggregation, so `order` may
         # target a metric at any level.
+        # significant_terms one level deep (r6): strip the sig sub-agg —
+        # the generic machinery computes the PARENT frame (terms
+        # selection, ordering, metrics all apply), then the sig rows
+        # compute per parent and left-join on, right before the final
+        # ordering below.
+        sig_sub = None
+        if isinstance(aggs, es_dsl.BucketAgg) and aggs.sub is not None \
+                and getattr(aggs.sub, "kind", None) == "significant_terms":
+            import dataclasses as _dc
+            sig_sub = aggs.sub
+            aggs = _dc.replace(aggs, sub=None)
+
         levels: list[es_dsl.BucketAgg] = []
         b = aggs
         while b is not None:
             levels.append(b)
             b = b.sub
+        if any(lv.kind == "significant_terms" for lv in levels):
+            raise es_dsl.DslError(
+                "significant_terms may nest at most one level deep "
+                "(directly under a top-level bucket)")
 
         def level_names(i: int) -> tuple[str, str]:
             if i == 0:
@@ -3184,4 +3200,57 @@ class SearchEngine:
             hits = hits.join(selected, on=all_keys, how="left_semi")
             out = out.join(hits, on=all_keys, how="left")
             order_exprs.append(F.asc_nulls_last("_hit_rank"))
+
+        if sig_sub is not None:
+            # per-parent significant_terms (JLH): foreground = the
+            # parent bucket's share of the match set, background = the
+            # WHOLE index (ES default). One (parent, term) aggregation +
+            # one term equi-join against the vocabulary-sized background
+            # counts + a broadcast one-row background total; per-parent
+            # rank window caps at `size`. Same cost class as a nested
+            # terms level — no corpus rescan.
+            if len(levels) != 1:
+                raise es_dsl.DslError(
+                    "significant_terms may nest at most one level deep "
+                    "(directly under a top-level bucket)")
+            for nm in ("sub_key", "sub_doc_count", "bg_count", "score"):
+                if nm in seen:
+                    raise es_dsl.DslError(
+                        f"duplicate column {nm!r} in flattened aggs")
+            tref = comp.resolve(sig_sub.field).col
+            pgates = [g for g in level_gate[:1] if g is not None]
+            fgsrc = src
+            for g in pgates:
+                fgsrc = fgsrc.where(g)
+            fg = (fgsrc.where(tref.isNotNull())
+                  .groupBy(level_key[0].alias("key"),
+                           tref.alias("sub_key"))
+                  .agg(F.count("*").cast("long").alias("sub_doc_count")))
+            # surviving parents only (terms top-size etc.) + their totals
+            fg = fg.join(out.select("key", F.col("doc_count")
+                                    .alias("_fg_total")),
+                         on="key", how="inner")
+            bg = (docs.where(tref.isNotNull())
+                  .groupBy(tref.alias("sub_key"))
+                  .agg(F.count("*").cast("long").alias("bg_count")))
+            bg_total = docs.agg(
+                F.count("*").cast("long").alias("_bg_total"))
+            joined = (fg.join(bg, on="sub_key")
+                        .crossJoin(F.broadcast(bg_total)))
+            fg_pct = F.col("sub_doc_count") / F.col("_fg_total")
+            bg_pct = F.col("bg_count") / F.col("_bg_total")
+            score = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+            ssize = sig_sub.size if sig_sub.size is not None else 10
+            wsig = Window.partitionBy("key").orderBy(
+                F.desc("score"), F.asc("sub_key"))
+            sig_rows = (joined.withColumn("score", score)
+                        .where(F.col("score") > 0)
+                        .withColumn("_srn", F.row_number().over(wsig))
+                        .where(F.col("_srn") <= ssize)
+                        .select("key", "sub_key", "sub_doc_count",
+                                "bg_count", "score"))
+            out = out.join(sig_rows, on="key", how="left")
+            order_exprs.append(F.desc_nulls_last("score"))
+            order_exprs.append(F.asc_nulls_last("sub_key"))
+
         return out.orderBy(*order_exprs)

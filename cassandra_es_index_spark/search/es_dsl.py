@@ -993,9 +993,9 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             # carrying its own metrics and at most one deeper bucket
             sub_bucket = _aggs(
                 {bucket_subs[0]: sub_specs.pop(bucket_subs[0])})
-            if getattr(sub_bucket, "kind", None) == "significant_terms":
-                raise DslError("significant_terms is supported at the "
-                               "top level only")
+            # significant_terms may nest ONE level deep as the terminal
+            # sub-agg (per-parent foreground vs whole-index background,
+            # r6); the engine rejects deeper placements
         metrics = tuple(_metric(n, s) for n, s in sub_specs.items())
         order = None
         if "order" in params:

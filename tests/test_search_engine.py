@@ -1837,14 +1837,17 @@ def test_significant_terms_jlh(agg5_engine):
     assert r["score"] == round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
 
 
-def test_significant_terms_rejects_nesting_and_subaggs():
+def test_significant_terms_rejects_subaggs():
     from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
     with pytest.raises(DslError):
         parse_request('{"aggs":{"s":{"significant_terms":{"field":"x"},'
                       '"aggs":{"m":{"avg":{"field":"n"}}}}}}')
-    with pytest.raises(DslError):
-        parse_request('{"aggs":{"t":{"terms":{"field":"lang"},'
-                      '"aggs":{"s":{"significant_terms":{"field":"x"}}}}}}')
+    # one-level nesting under a bucket is SUPPORTED since r6 — see
+    # test_significant_terms_nested_under_terms
+    req = parse_request('{"aggs":{"t":{"terms":{"field":"lang"},'
+                        '"aggs":{"s":{"significant_terms":'
+                        '{"field":"x"}}}}}}')
+    assert req.aggs.sub.kind == "significant_terms"
 
 
 def test_filter_agg_single_bucket(agg5_engine):
@@ -3404,3 +3407,41 @@ def test_sibling_aggs_nested_path_validation():
                       '"calendar_interval":"day"}}}},'
                       '"s":{"avg_bucket":{"buckets_path":'
                       '"byu>wrong>_count"}}}}')
+
+
+def test_significant_terms_nested_under_terms(spark):
+    # r6: per-parent foreground vs whole-index background — each parent
+    # bucket surfaces the langs overrepresented within ITS docs
+    eng = SearchEngine(spark)
+    rows = ([("s", "en")] * 6 + [("s", "de")] * 2
+            + [("t", "de")] * 6 + [("t", "en")] * 2)
+    rows = [(i, g, l) for i, (g, l) in enumerate(rows)]
+    eng.register(spark.createDataFrame(
+        rows, "id long, grp string, lang string"),
+        TableSpec("sig6", ["id"]))
+    q = ('{"query":{"match_all":{}},"aggs":{"byg":{"terms":'
+         '{"field":"grp"},"aggs":{"sig":{"significant_terms":'
+         '{"field":"lang","size":3}}}}}}')
+    out = eng.search_aggs("sig6", q).collect()
+    top = {r["key"]: r["sub_key"] for r in out
+           if r["score"] == max(x["score"] for x in out
+                                if x["key"] == r["key"])}
+    # 'en' is overrepresented in s (6/8 vs 8/16), 'de' in t
+    assert top == {"s": "en", "t": "de"}
+    # every row carries parent doc_count + sig columns
+    assert all(r["doc_count"] == 8 for r in out)
+    assert all(r["bg_count"] == 8 for r in out)
+
+
+def test_significant_terms_too_deep_rejected(spark):
+    from cassandra_es_index_spark.search.es_dsl import DslError
+
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        [(1, "a", "b", "c")], "id long, x string, y string, z string"),
+        TableSpec("sig6d", ["id"]))
+    q = ('{"query":{"match_all":{}},"aggs":{"l0":{"terms":{"field":"x"},'
+         '"aggs":{"l1":{"terms":{"field":"y"},"aggs":{"sig":'
+         '{"significant_terms":{"field":"z"}}}}}}}}')
+    with pytest.raises(DslError, match="one level deep"):
+        eng.search_aggs("sig6d", q)
