@@ -906,6 +906,30 @@ class SearchEngine:
                     F.when(F.size(frags) > 0, F.to_json(frags)))
             return result
 
+        def apply_source_filter(result: DataFrame) -> DataFrame:
+            # ES `_source` filtering (r6): False = metadata only (keys,
+            # _score, highlight/script/metadata columns), a list = that
+            # source subset plus the metadata columns. A pure projection
+            # — Catalyst prunes the dropped columns out of the scan.
+            sf = req.source_filter
+            if sf is None:
+                return result
+            script_names = {n for n, _ in req.script_fields}
+            meta = {c for c in result.columns
+                    if c in keys or c == SCORE or c == "_metadata"
+                    or c.startswith("_highlight_") or c in script_names}
+            if sf is False:
+                return result.select(
+                    *[c for c in result.columns if c in meta])
+            for f in sf:
+                if f not in result.columns:
+                    raise es_dsl.DslError(
+                        f"_source field {f!r} is not in the result "
+                        "(use load-source=true or row-load mode)")
+            keep = meta | set(sf)
+            return result.select(
+                *[c for c in result.columns if c in keep])
+
         def apply_script_fields(result: DataFrame) -> DataFrame:
             # ES script_fields (r6): one response column per script,
             # computed on the ≤k result rows — row-local Spark SQL
@@ -1017,6 +1041,10 @@ class SearchEngine:
                 or (table, req.collapse) in self._range)
         ph = self._postings_hits(table, node, default_field) \
             if sort_servable else None
+        if ph is not None and req.min_score is not None:
+            # ES min_score: floor the match set BEFORE ranking/paging
+            # and before the metadata totals
+            ph = ph.where(F.col(SCORE) >= F.lit(req.min_score))
         if ph is not None:
             sort_helpers: list[str] = []
             order_cols: list[tuple[Column, bool]] = []
@@ -1105,12 +1133,16 @@ class SearchEngine:
                 result = result.crossJoin(F.broadcast(meta))
             if needs_join:
                 result = result.orderBy(RANK).drop(RANK)
-            return apply_highlight(apply_script_fields(result))
+            return apply_source_filter(
+                apply_highlight(apply_script_fields(result)))
 
         comp = Compiler(docs, default_field)
         pred, score = comp.compile(node)
 
         scored = docs.where(pred).withColumn(SCORE, score)
+        if req.min_score is not None:
+            # ES min_score on the scan plan — same pre-ranking floor
+            scored = scored.where(F.col(SCORE) >= F.lit(req.min_score))
         want_meta = qmd.options.get("metadata", "false").lower() == "true"
         meta_json: str | None = None
         if want_meta:
@@ -1185,7 +1217,8 @@ class SearchEngine:
             # total/max reflect ALL matches, not the top-k cap (hits.total
             # semantics, ref README.md:199-203).
             result = result.withColumn("_metadata", F.lit(meta_json))
-        return apply_highlight(apply_script_fields(result))
+        return apply_source_filter(
+                apply_highlight(apply_script_fields(result)))
 
     # -- postings-backed plan ------------------------------------------------
 
@@ -1357,7 +1390,8 @@ class SearchEngine:
             raise es_dsl.DslError(
                 "knn cannot combine with sort/collapse/rescore/"
                 "search_after")
-        fld, vec, kk, fnode, method, ncand, nprobe, hybrid = req.knn
+        (fld, vec, kk, fnode, method, ncand, nprobe, hybrid,
+         ksim) = req.knn
         comp_k = Compiler(docs, default_field)
         ref = comp_k.resolve(fld)
         if not isinstance(ref.dtype, T.ArrayType):
@@ -1429,6 +1463,11 @@ class SearchEngine:
                                       *keys)
                 keyed = key_map.join(F.broadcast(hits), "corpus_id") \
                                .select(*keys, SCORE)
+
+        if ksim is not None:
+            # ES knn `similarity`: vectors below the cosine floor drop
+            # out of the knn hit set (applied before any hybrid union)
+            keyed = keyed.where(F.col(SCORE) >= F.lit(ksim))
 
         out_k = kk
         if hybrid:

@@ -324,6 +324,16 @@ class Request:
     # width when `nprobe` is not given explicitly.
     knn: ("tuple[str, tuple[float, ...], int, Node | None, str | None,"
           " int | None, int | None, bool] | None") = None
+    # ES `min_score` (r6): hits scoring below the floor drop out —
+    # applied to the match set BEFORE ranking/pagination and before the
+    # metadata totals, like ES
+    min_score: float | None = None
+    # ES `_source` filtering (r6): None = full source (default), False =
+    # metadata only (keys + _score), a tuple = that column subset (plus
+    # keys/_score/highlight/script columns). ES include-list form only;
+    # wildcard patterns and the excludes object are not supported
+    # (documented).
+    source_filter: "bool | tuple[str, ...] | None" = None
     # ES script_fields (r6): ((name, spark-sql-expr), ...) — the painless
     # arithmetic subset over `doc['field'].value` refs, translated at
     # parse time; each adds a response column computed on the ≤k hit rows
@@ -362,6 +372,12 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
     from_ = obj.get("from", 0)
     if not isinstance(from_, int) or from_ < 0:
         raise DslError("from must be a non-negative integer")
+    min_score = obj.get("min_score")
+    if min_score is not None:
+        if isinstance(min_score, bool) \
+                or not isinstance(min_score, (int, float)):
+            raise DslError("min_score must be numeric")
+        min_score = float(min_score)
     query = obj.get("query", {"match_all": {}})
     after = obj.get("search_after")
     if after is not None:
@@ -440,6 +456,11 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         # the hit set is the union, scores SUM where a doc appears in
         # both (r6; previously rejected)
         hybrid = "query" in obj
+        ksim = kspec.get("similarity")
+        if ksim is not None:
+            if isinstance(ksim, bool) or not isinstance(ksim, (int, float)):
+                raise DslError("knn similarity must be numeric")
+            ksim = float(ksim)
         method = kspec.get("method")
         if method is not None and method not in ("exact", "ivf", "lsh"):
             raise DslError("knn method must be 'exact', 'ivf' or 'lsh'")
@@ -455,7 +476,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             raise DslError("knn nprobe must be a positive integer")
         knn = (str(kspec["field"]),
                tuple(float(v) for v in kspec["query_vector"]), kk,
-               kfilter, method, ncand, nprobe, hybrid)
+               kfilter, method, ncand, nprobe, hybrid, ksim)
     rescore = None
     rspec = obj.get("rescore")
     if rspec is not None:
@@ -481,6 +502,23 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         except (TypeError, ValueError) as e:
             raise DslError("rescore weights must be numeric") from e
         rescore = (_node(rq["rescore_query"]), window, qw, rw, mode)
+    source_filter: bool | tuple[str, ...] | None = None
+    srcspec = obj.get("_source")
+    if srcspec is not None and srcspec is not True:
+        if srcspec is False:
+            source_filter = False
+        elif isinstance(srcspec, str):
+            source_filter = (srcspec,)
+        elif isinstance(srcspec, list) and srcspec \
+                and all(isinstance(x, str) for x in srcspec):
+            source_filter = tuple(srcspec)
+        else:
+            raise DslError(
+                "_source must be a boolean, a field name, or a "
+                "non-empty field-name list")
+        if source_filter is not False and any(
+                "*" in f for f in source_filter):
+            raise DslError("_source wildcard patterns are not supported")
     script_fields: tuple[tuple[str, str], ...] = ()
     sfspec = obj.get("script_fields")
     if sfspec is not None:
@@ -511,6 +549,8 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         rescore=rescore,
         knn=knn,
         script_fields=script_fields,
+        source_filter=source_filter,
+        min_score=min_score,
     )
 
 

@@ -190,6 +190,9 @@ _DSL_KEYWORDS = st.sampled_from([
     "span_near", "clauses", "span_term", "pinned", "ids", "organic",
     "wrapper", "simple_query_string", "missing", "min_doc_count",
     "top_hits", "filters", "ranges", "order", "include", "exclude",
+    "_source", "script_fields", "max_expansions", "offset",
+    "number_of_fragments", "fragment_size", "num_candidates", "method",
+    "nprobe",
 ])
 
 _JSON_VALUES = st.recursive(

@@ -2626,10 +2626,10 @@ def test_knn_search_exact_topk(spark):
     from cassandra_es_index_spark.search.es_dsl import parse_request
     req = parse_request('{"query":{"match_all":{}},'
                         '"knn":{"field":"vec","query_vector":[1],"k":1}}')
-    assert req.knn[-1] is True   # hybrid flag
+    assert req.knn[7] is True   # hybrid flag
     req2 = parse_request(
         '{"knn":{"field":"vec","query_vector":[1],"k":1}}')
-    assert req2.knn[-1] is False
+    assert req2.knn[7] is False
 
 
 # ---------------------------------------------------------------------------
@@ -3445,3 +3445,73 @@ def test_significant_terms_too_deep_rejected(spark):
          '{"significant_terms":{"field":"z"}}}}}}}}')
     with pytest.raises(DslError, match="one level deep"):
         eng.search_aggs("sig6d", q)
+
+
+def test_source_filtering(spark):
+    # ES `_source`: false → metadata only; a list → that subset (+ keys,
+    # _score, highlight/script columns)
+    eng = SearchEngine(spark)
+    rows = [(1, "apple pie", "en", 10.0)]
+    eng.register(spark.createDataFrame(
+        rows, "id long, body string, lang string, price double"),
+        TableSpec("src6", ["id"]))
+    base = '{"query":{"match":{"body":"apple"}},"_source":%s}'
+    out_f = eng.search("src6", base % "false", default_field="body")
+    assert out_f.columns == ["id", "_score"]
+    out_l = eng.search("src6", base % '["body","price"]',
+                       default_field="body")
+    assert out_l.columns == ["id", "body", "price", "_score"]
+    # _source:false keeps highlight and script columns
+    q = ('{"query":{"match":{"body":"apple"}},"_source":false,'
+         '"highlight":{"fields":{"body":{"number_of_fragments":0}}},'
+         '"script_fields":{"p2":{"script":"doc[\'price\'].value * 2"}}}')
+    out_h = eng.search("src6", q, default_field="body")
+    assert set(out_h.columns) == {"id", "_score", "p2", "_highlight_body"}
+    assert out_h.collect()[0]["p2"] == 20.0
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_all":{}},"_source":["a*"]}')
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_all":{}},"_source":[]}')
+    # missing column → typed error
+    with pytest.raises(DslError, match="_source field"):
+        eng.search("src6", base % '["nope"]', default_field="body")
+
+
+def test_min_score_floors_both_plans(spark):
+    scan, idx = SearchEngine(spark), SearchEngine(spark)
+    rows = [("d1", "x x x"), ("d2", "x x"), ("d3", "x")]
+    for eng in (scan, idx):
+        eng.register(spark.createDataFrame(rows, "id string, body string"),
+                     TableSpec("ms7", ["id"]))
+    idx.build_postings_index("ms7", "body", materialize=True)
+    q = ('#options:load-rows=false#'
+         '{"query":{"match":{"body":"x"}},"min_score":2}')
+    for eng in (scan, idx):
+        got = sorted(r["id"] for r in eng.search(
+            "ms7", q, default_field="body").collect())
+        assert got == ["d1", "d2"]
+    # metadata totals count the FLOORED match set
+    qm = ('#options:load-rows=false,metadata=true#'
+          '{"query":{"match":{"body":"x"}},"min_score":2}')
+    import json
+    meta = json.loads(idx.search("ms7", qm, default_field="body")
+                      .select("_metadata").first()[0])
+    assert meta["total_hits"] == 2
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError):
+        parse_request('{"query":{"match_all":{}},"min_score":true}')
+
+
+def test_knn_similarity_floor(spark):
+    import json
+
+    eng = SearchEngine(spark)
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    eng.register(spark.createDataFrame(rows, "id long, vec array<double>"),
+                 TableSpec("knns", ["id"]))
+    q = json.dumps({"knn": {"field": "vec", "query_vector": [1.0, 0.0],
+                            "k": 3, "similarity": 0.9}})
+    got = [r["id"] for r in eng.search(
+        "knns", "#options:load-rows=false#" + q).collect()]
+    assert got == [1, 2]   # d3 (cos 0) dropped by the floor
