@@ -27,7 +27,7 @@ from cassandra_es_index_spark.catalog import TableSpec
 from cassandra_es_index_spark.docmodel import INT_MAX, doc_id_column, iso8601
 from cassandra_es_index_spark.functions import text as tx
 from cassandra_es_index_spark.operators import (
-    asof, dedup, multimodal, rangejoin, similarity,
+    asof, dedup, multimodal, packing, rangejoin, similarity,
 )
 from cassandra_es_index_spark.search import SearchEngine
 from cassandra_es_index_spark.search import postings as post
@@ -963,6 +963,17 @@ def q_dedup_spans(spark, sf_dir):
                             mode="token_window", span_tokens=25)
 
 
+def q_pack_token_budget(spark, sf_dir):
+    # r6 LLM-pipeline operator: token-budget sequence chunking — the
+    # deterministic contiguous packer (chunk = start-offset // budget).
+    # Two-pass prefix sum (range partition → per-partition window →
+    # broadcast partition offsets), NOT one global single-task window;
+    # bit-exact with the oracle's windowed cumsum.
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tx.token_count(F.col("text")).alias("ntok"))
+    return packing.chunk_by_token_budget(d, "doc_id", "ntok", budget=2048)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1480,7 +1491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_shipments": q_interval_join_shipments,
         # --- text analysis + dedup + similarity ---
         "text_stats": q_text_stats,
-        "text_quality_lang": q_text_quality_lang,
+        "pack_token_budget": q_pack_token_budget,  # token-budget chunking
+        #   (r6 LLM-pipeline op; text_quality_lang moved to the tail,
+        #   family kept by text_stats)
         "dedup_exact": q_dedup_exact,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1509,7 +1522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_knn_join": q_similarity_knn_join,  # ~ similarity_topk
         #   (green r04; same cosine kernel, join variant pytest-covered)
         "text_bpe_tokens": q_text_bpe_tokens,  # ~ text_stats
-        #   (green r04; tokenizer family kept by text_stats/quality_lang)
+        #   (green r04; tokenizer family kept by text_stats)
+        "text_quality_lang": q_text_quality_lang,  # ~ text_stats
+        #   (green r01-r05; quality/lang heuristics pytest-covered)
         "doc_grouping": q_doc_grouping,  # ~ doc_build + tpch_q1 groupBy
         #   (green r01-r04)
         "join_semi": q_join_semi,  # J1 family — in-window via
@@ -2472,6 +2487,22 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY event_type
+        """,
+        # r6 token-budget chunking: windowed cumsum twin of the two-pass
+        # prefix sum (chunk = start offset // 2048)
+        "pack_token_budget": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(lower(text)),
+                                                 '\s+'))::BIGINT AS ntok
+                FROM documents)
+            SELECT doc_id AS id, ntok AS tokens,
+                   (SUM(ntok) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - ntok) AS start_offset,
+                   ((SUM(ntok) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - ntok) // 2048)
+                       AS chunk_id
+            FROM t
         """,
         "text_stats": r"""
             WITH t AS (

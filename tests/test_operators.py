@@ -477,3 +477,33 @@ def test_span_dedup_rejects_unknown_mode(spark):
     df = spark.createDataFrame([(1, "a")], "id long, text string")
     with _pt.raises(ValueError):
         dedup.span_dedup(df, "id", "text", mode="sentence")
+
+
+# ---------------------------------------------------------------------------
+# token-budget chunking (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_by_token_budget_contiguous(spark):
+    from cassandra_es_index_spark.operators.packing import (
+        chunk_by_token_budget,
+    )
+
+    rows = [(i, 100) for i in range(1, 21)]  # 20 docs × 100 tokens
+    df = spark.createDataFrame(rows, "id long, ntok long")
+    out = chunk_by_token_budget(df, "id", "ntok", budget=512,
+                                n_partitions=4).orderBy("id").collect()
+    # start offsets 0,100,…,1900 → chunk = offset // 512: 5 docs in
+    # chunk 0 (0..400), docs starting 500..900 → chunk 0? 500//512=0 —
+    # budget 512 holds starts 0..511 → 6 docs (0..500), next 512..1023
+    assert [r["chunk_id"] for r in out] == \
+        [0]*6 + [1]*5 + [2]*5 + [3]*4
+    assert [r["start_offset"] for r in out] == \
+        [100 * i for i in range(20)]
+    # deterministic across partition counts (the two-pass offsets make
+    # the physical layout invisible)
+    out2 = chunk_by_token_budget(df, "id", "ntok", budget=512,
+                                 n_partitions=7).orderBy("id").collect()
+    assert [tuple(r) for r in out2] == [tuple(r) for r in out]
+    with pytest.raises(ValueError):
+        chunk_by_token_budget(df, "id", "ntok", budget=0)
