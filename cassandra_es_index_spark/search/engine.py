@@ -2378,9 +2378,11 @@ class SearchEngine:
         term-suggester candidate (edit distance ≤ ``max_edits``, ranked
         distance asc → corpus freq desc → token asc, the
         ``suggest_similar`` ordering). Returns one row: (text,
-        corrected, n_corrections). Driver work is bounded by the
-        phrase's token count; each candidate lookup is a
-        length-prefiltered dictionary scan (never the corpus)."""
+        corrected, n_corrections). ALL out-of-dictionary tokens resolve
+        in ONE vocabulary pass (broadcast token list × term dictionary,
+        length-prefiltered levenshtein, per-token rank window) — never
+        the corpus, and never a per-token loop; driver data is bounded
+        by the phrase's token count."""
         docs = self._docs[table]
         fld = field or Compiler(docs).default_field
         if (table, fld) not in self._postings:
@@ -2391,20 +2393,36 @@ class SearchEngine:
                  (view.where(F.col("token").isin(*tokens))
                       .select("token").distinct().collect())} \
             if tokens else set()
-        corrected: list[str] = []
-        n_fix = 0
-        for t in tokens:
-            if t in known:
-                corrected.append(t)
-                continue
-            cand = self.suggest_similar(table, t, field=fld,
-                                        max_edits=max_edits,
-                                        k=1).collect()
-            if cand:
-                corrected.append(cand[0]["token"])
-                n_fix += 1
-            else:
-                corrected.append(t)
+        oov = sorted({t for t in tokens if t not in known})
+        best: dict[str, str] = {}
+        if oov:
+            # ONE dictionary pass for every OOV token: broadcast the
+            # (tiny) token list against the term dictionary, keep pairs
+            # within the edit budget (length prefilter prunes the
+            # O(len²) levenshtein), rank per input token by the ES
+            # ordering (distance asc, freq desc, token asc). Cost is one
+            # vocabulary scan regardless of phrase length.
+            tdf = self.spark.createDataFrame([(t,) for t in oov],
+                                             "_q string")
+            dictionary = view.groupBy("token").agg(
+                F.sum("tf").cast("long").alias("freq"))
+            pairs = (dictionary.join(F.broadcast(tdf))
+                     .where((F.abs(F.length("token") - F.length("_q"))
+                             <= max_edits)
+                            & (F.levenshtein(F.col("token"),
+                                             F.col("_q")) <= max_edits))
+                     .withColumn("_d", F.levenshtein(F.col("token"),
+                                                     F.col("_q"))))
+            w = Window.partitionBy("_q").orderBy(
+                F.asc("_d"), F.desc("freq"), F.asc("token"))
+            top = (pairs.withColumn("_rn", F.row_number().over(w))
+                        .where(F.col("_rn") == 1)
+                        .select("_q", "token").collect())
+            best = {r["_q"]: r["token"] for r in top}
+        corrected = [best.get(t, t) if t not in known else t
+                     for t in tokens]
+        n_fix = sum(1 for t in tokens
+                    if t not in known and t in best)
         return self.spark.createDataFrame(
             [(text, " ".join(corrected), n_fix)],
             "text string, corrected string, n_corrections int")
