@@ -850,8 +850,21 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             raise DslError(f"unexpected keys {sorted(extra)} in "
                            f"single-bucket agg {name!r}")
         params = body[first_kind]
-        metrics = tuple(_metric(n, sp)
-                        for n, sp in (body.get("aggs") or {}).items())
+        subs = body.get("aggs") or {}
+        if first_kind == "filter" and any(
+                isinstance(sp, dict) and any(
+                    k in _BUCKET_KINDS for k in sp if k != "aggs")
+                for sp in subs.values()):
+            # filter agg with a BUCKET sub-agg (r6): desugar to a
+            # one-entry `filters` bucket — the generic nested machinery
+            # then handles the sub levels/metrics; the flattened key
+            # column carries the agg's name (the filter bucket is
+            # anonymous in ES; documented)
+            if not isinstance(params, dict) or not params:
+                raise DslError(f"filter agg {name!r} needs a query clause")
+            return _aggs({name: {"filters": {"filters": {name: params}},
+                                 "aggs": subs}})
+        metrics = tuple(_metric(n, sp) for n, sp in subs.items())
         if first_kind == "filter":
             if not isinstance(params, dict) or not params:
                 raise DslError(f"filter agg {name!r} needs a query clause")

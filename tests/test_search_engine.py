@@ -3515,3 +3515,21 @@ def test_knn_similarity_floor(spark):
     got = [r["id"] for r in eng.search(
         "knns", "#options:load-rows=false#" + q).collect()]
     assert got == [1, 2]   # d3 (cos 0) dropped by the floor
+
+
+def test_filter_agg_with_bucket_sub(spark):
+    # r6: filter > terms desugars to a one-entry filters bucket — the
+    # flattened key column carries the agg's name, the sub level nests
+    eng = SearchEngine(spark)
+    rows = [(1, "a", 5.0), (2, "a", 15.0), (3, "b", 25.0), (4, "b", 3.0)]
+    eng.register(spark.createDataFrame(
+        rows, "id long, grp string, v double"),
+        TableSpec("fb6", ["id"]))
+    q = ('{"query":{"match_all":{}},"aggs":{"big":{"filter":'
+         '{"range":{"v":{"gte":10}}},"aggs":{"bygrp":{"terms":'
+         '{"field":"grp"},"aggs":{"mv":{"max":{"field":"v"}}}}}}}}')
+    rows_out = eng.search_aggs("fb6", q).collect()
+    got = {(r["key"], r["sub_key"]): (r["sub_doc_count"], r["mv"])
+           for r in rows_out}
+    assert got == {("big", "a"): (1, 15.0), ("big", "b"): (1, 25.0)}
+    assert all(r["doc_count"] == 2 for r in rows_out)  # the filter bucket
