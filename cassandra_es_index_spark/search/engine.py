@@ -765,6 +765,28 @@ class SearchEngine:
             eq = eq & (col == lit)       # null == lit → false, correct
         return pred
 
+    def _expand_inner_hits(self, hits: DataFrame, pool: DataFrame,
+                           ccol: Column, keys: list[str],
+                           ordering: list, isize: int) -> DataFrame:
+        """ES collapse ``inner_hits`` (r6), flattened: each selected
+        group (≤k heads, already paged) expands to its top ``isize``
+        member rows from the pre-collapse pool, ranked by the PRIMARY
+        ordering with an ``_inner_rank`` column. The group id re-uses
+        the collapse value (null-collapse rows group by their own key,
+        like ``_collapse_dedup``); the selected-group list is ≤k and
+        broadcasts, the per-group rank is one groupBy-shaped window —
+        never corpus-wide."""
+        gkey = F.when(ccol.isNull(), F.concat_ws(
+            "\x00", *[F.col(kc).cast("string") for kc in keys]))             .otherwise(ccol.cast("string"))
+        groups = hits.select(gkey.alias("_gk")).distinct()
+        w = Window.partitionBy("_gk").orderBy(*self._sort_exprs(ordering))
+        return (pool.withColumn("_gk", gkey)
+                    .join(F.broadcast(groups), "_gk")
+                    .withColumn("_inner_rank",
+                                F.row_number().over(w).cast("int"))
+                    .where(F.col("_inner_rank") <= isize)
+                    .drop("_gk"))
+
     def _collapse_dedup(self, df: DataFrame, ccol: Column,
                         keys: list[str],
                         ordering: list[tuple[Column, bool, bool]]
@@ -959,6 +981,11 @@ class SearchEngine:
                 "rescore cannot combine with sort, collapse, or "
                 "search_after (ES contract: rescore re-ranks the "
                 "score-ordered window)")
+        if req.collapse_inner is not None and (req.from_
+                                               or after is not None):
+            raise es_dsl.DslError(
+                "collapse inner_hits cannot combine with from/"
+                "search_after (paging counts groups)")
 
         def apply_rescore(hits: DataFrame) -> DataFrame:
             # ES rescore: the top window_size primary hits re-score as
@@ -1094,6 +1121,7 @@ class SearchEngine:
                 [(F.col(c), True, True) for c in keys]
             anchor_types = (order_types or [None]) + \
                 [docs.schema[c].dataType for c in keys]
+            collapse_pool = keyed
             if req.collapse is not None:
                 # collapse BEFORE pagination, like ES: pages walk the
                 # collapsed hit list
@@ -1105,6 +1133,10 @@ class SearchEngine:
                     self._keyset_filter(ordering, after, anchor_types))
             hits = self._apply_ordering(keyed, ordering)
             hits = page_and_rescore(hits)
+            if req.collapse is not None and req.collapse_inner is not None:
+                hits = self._expand_inner_hits(
+                    hits, collapse_pool, ccol, keys, ordering,
+                    req.collapse_inner)
             # join paths would lose the page order (a join emits rows in
             # shuffle/broadcast-probe order): rank the ≤k hits first and
             # re-sort the joined result on that rank, so a paging client
@@ -1117,11 +1149,14 @@ class SearchEngine:
                 # ordering values were only needed to rank/page the hits —
                 # they are not part of the result surface
                 hits = hits.drop(*sort_helpers)
+            inner_cols = ["_inner_rank"] \
+                if "_inner_rank" in hits.columns else []
             if qmd.load_source:
                 result = (docs.join(F.broadcast(hits), on=keys)
-                              .select(*docs.columns, SCORE, RANK))
+                              .select(*docs.columns, SCORE, RANK,
+                                      *inner_cols))
             elif not qmd.load_rows:
-                result = hits.select(*keys, SCORE)
+                result = hits.select(*keys, SCORE, *inner_cols)
             else:
                 result = self._row_load_source(table, base).join(
                     F.broadcast(hits), on=keys, how="inner")
@@ -1176,6 +1211,10 @@ class SearchEngine:
                                                 anchor_types))
         hits = self._apply_ordering(paged, ordering)
         hits = page_and_rescore(hits)
+        if req.collapse is not None and req.collapse_inner is not None:
+            hits = self._expand_inner_hits(
+                hits, scored, comp.resolve(req.collapse).col, keys,
+                ordering, req.collapse_inner)
 
         if want_meta:
             agg = scored.agg(F.count("*").alias("total_hits"),
@@ -1190,10 +1229,12 @@ class SearchEngine:
             hits = hits.localCheckpoint(eager=True)
             scored.unpersist()
 
+        inner_cols = ["_inner_rank"] \
+            if "_inner_rank" in hits.columns else []
         if qmd.load_source:
             result = hits
         elif not qmd.load_rows:
-            result = hits.select(*keys, SCORE)
+            result = hits.select(*keys, SCORE, *inner_cols)
         else:
             # J1 — hits ⋈ base on the full primary key. The hit set is
             # capped at max-results (10k default) so it is always
@@ -1204,7 +1245,8 @@ class SearchEngine:
             # ranking order, like ES hits.
             ranked = hits.withColumn(RANK, F.row_number().over(
                 Window.orderBy(*self._sort_exprs(ordering))))
-            hit_keys = F.broadcast(ranked.select(*keys, SCORE, RANK))
+            hit_keys = F.broadcast(ranked.select(*keys, SCORE, RANK,
+                                                 *inner_cols))
             result = (self._row_load_source(table, base)
                       .join(hit_keys, on=keys, how="inner")
                       .orderBy(RANK).drop(RANK))

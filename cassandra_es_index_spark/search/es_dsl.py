@@ -303,6 +303,11 @@ class Request:
     # field are NOT collapsed (each keeps its own hit, like ES docs
     # missing the field). hits.total stays uncollapsed.
     collapse: str | None = None
+    # ES collapse inner_hits size (r6): when set, each collapsed group
+    # expands to its top-N member rows with an `_inner_rank` column
+    # (flattened form of ES's inner_hits arrays); group selection and
+    # paging still count GROUPS
+    collapse_inner: int | None = None
     # ES highlight: ((field, pre_tag, post_tag, number_of_fragments,
     # fragment_size), ...) — each requested field gains a
     # `_highlight_<field>` column. number_of_fragments 0 = whole-field
@@ -385,11 +390,30 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             raise DslError("search_after must be a non-empty list")
         after = tuple(after)
     collapse = None
+    collapse_inner = None
     cspec = obj.get("collapse")
     if cspec is not None:
         if not isinstance(cspec, dict) or "field" not in cspec:
             raise DslError("collapse needs {'field': name}")
         collapse = cspec["field"]
+        ih = cspec.get("inner_hits")
+        if ih is not None:
+            # ES collapse inner_hits (r6): each collapsed group expands
+            # to its top `size` member rows, ranked by the PRIMARY
+            # ordering and tagged `_inner_rank` (flattened surface; a
+            # custom inner sort is not supported — documented)
+            if not isinstance(ih, dict):
+                raise DslError("collapse inner_hits must be an object")
+            if "sort" in ih:
+                raise DslError(
+                    "collapse inner_hits sort is not supported (inner "
+                    "hits rank by the primary ordering)")
+            isz = ih.get("size", 3)
+            if not isinstance(isz, int) or isinstance(isz, bool)                     or isz <= 0:
+                raise DslError(
+                    "collapse inner_hits size must be a positive "
+                    "integer")
+            collapse_inner = isz
     highlight: tuple[tuple[str, str, str, int, int], ...] = ()
     hspec = obj.get("highlight")
     if hspec is not None:
@@ -545,6 +569,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         sort=_sort(obj.get("sort")),
         search_after=after,
         collapse=collapse,
+        collapse_inner=collapse_inner,
         highlight=highlight,
         rescore=rescore,
         knn=knn,

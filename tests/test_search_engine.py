@@ -3533,3 +3533,51 @@ def test_filter_agg_with_bucket_sub(spark):
            for r in rows_out}
     assert got == {("big", "a"): (1, 15.0), ("big", "b"): (1, 25.0)}
     assert all(r["doc_count"] == 2 for r in rows_out)  # the filter bucket
+
+
+def test_collapse_inner_hits_both_plans(spark):
+    # r6: each collapsed group expands to its top-N member rows with
+    # _inner_rank, ranked by the primary ordering; group selection
+    # still pages like plain collapse
+    import json
+
+    rows = [("c1", "g1", "x x x"), ("c2", "g1", "x x"),
+            ("c3", "g1", "x"), ("c4", "g2", "x x"),
+            ("c5", None, "x")]
+    scan, idx = SearchEngine(spark), SearchEngine(spark)
+    for eng in (scan, idx):
+        eng.register(spark.createDataFrame(
+            rows, "id string, grp string, body string"),
+            TableSpec("cih", ["id"]))
+        eng.build_range_index("cih", "grp")
+    idx.build_postings_index("cih", "body", materialize=True)
+    q = json.dumps({"query": {"match": {"body": "x"}},
+                    "collapse": {"field": "grp",
+                                 "inner_hits": {"size": 2}}})
+    for eng in (scan, idx):
+        got = sorted((r["id"], r["_inner_rank"]) for r in eng.search(
+            "cih", "#options:load-rows=false#" + q,
+            default_field="body").collect())
+        # g1 expands to its top-2 (c1 tf3, c2 tf2); g2 → c4; the
+        # null-group row is its own group
+        assert got == [("c1", 1), ("c2", 2), ("c4", 1), ("c5", 1)]
+    # plain collapse (no inner_hits) unchanged: one head per group
+    q0 = json.dumps({"query": {"match": {"body": "x"}},
+                     "collapse": {"field": "grp"}})
+    got0 = sorted(r["id"] for r in scan.search(
+        "cih", "#options:load-rows=false#" + q0,
+        default_field="body").collect())
+    assert got0 == ["c1", "c4", "c5"]
+
+
+def test_collapse_inner_hits_validation():
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError, match="sort"):
+        parse_request('{"query":{"match_all":{}},"collapse":'
+                      '{"field":"g","inner_hits":{"sort":[{"x":"asc"}]}}}')
+    with pytest.raises(DslError, match="size"):
+        parse_request('{"query":{"match_all":{}},"collapse":'
+                      '{"field":"g","inner_hits":{"size":0}}}')
+    req = parse_request('{"query":{"match_all":{}},"collapse":'
+                        '{"field":"g","inner_hits":{"size":2}}}')
+    assert req.collapse_inner == 2
