@@ -482,6 +482,14 @@ def q_search_significant_terms(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_search_collapse_inner(spark, sf_dir):
+    # r6 collapse inner_hits: top-5 language groups by their head hit,
+    # each expanded to its top-2 member rows with _inner_rank
+    q = ('#options:load-rows=false#{"query":{"match":{"text":"spark"}},'
+         '"size":5,"collapse":{"field":"lang","inner_hits":{"size":2}}}')
+    return _search(q)(spark, sf_dir)
+
+
 def q_search_sig_nested(spark, sf_dir):
     # r6: significant_terms ONE level under a terms bucket — per-parent
     # foreground (the parent's share of the match set) vs whole-index
@@ -1570,6 +1578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sig_nested": q_search_sig_nested,  # r6 per-parent
         #   significant_terms (oracle present, pytest-checked;
         #   window-capped)
+        "search_collapse_inner": q_search_collapse_inner,  # r6 collapse
+        #   inner_hits (oracle present, pytest-checked; window-capped)
         "events_offset_histogram": q_events_offset_histogram,  # r6
         #   date_histogram offset (oracle present, pytest-checked;
         #   window-capped)
@@ -1741,6 +1751,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(ks, 0) + COALESCE(qsc, 0), 6) AS _score
             FROM kn FULL OUTER JOIN qs USING (vec_id)
             ORDER BY _score DESC, vec_id ASC LIMIT 30
+        """,
+        # r6 collapse inner_hits: top-5 groups by head, top-2 rows each
+        "search_collapse_inner": f"""
+            WITH s AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                           AS _score
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0),
+            h AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY lang
+                    ORDER BY _score DESC, doc_id ASC) AS irn
+                FROM s),
+            heads AS (
+                SELECT lang FROM h WHERE irn = 1
+                ORDER BY _score DESC, doc_id ASC LIMIT 5)
+            SELECT h.doc_id, h._score, h.irn::INT AS _inner_rank
+            FROM h JOIN heads USING (lang) WHERE h.irn <= 2
         """,
         # r6 nested significant_terms: per-parent JLH vs whole-index
         # background, per-parent rank window caps at 5

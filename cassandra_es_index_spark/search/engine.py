@@ -1433,7 +1433,7 @@ class SearchEngine:
                 "knn cannot combine with sort/collapse/rescore/"
                 "search_after")
         (fld, vec, kk, fnode, method, ncand, nprobe, hybrid,
-         ksim) = req.knn
+         ksim, kboost) = req.knn
         comp_k = Compiler(docs, default_field)
         ref = comp_k.resolve(fld)
         if not isinstance(ref.dtype, T.ArrayType):
@@ -1508,8 +1508,14 @@ class SearchEngine:
 
         if ksim is not None:
             # ES knn `similarity`: vectors below the cosine floor drop
-            # out of the knn hit set (applied before any hybrid union)
+            # out of the knn hit set (applied before any hybrid union,
+            # against the RAW cosine — boost scales afterwards, like ES)
             keyed = keyed.where(F.col(SCORE) >= F.lit(ksim))
+        if kboost != 1.0:
+            # ES knn `boost`: scales the knn side's scores (the hybrid
+            # union then sums the boosted value)
+            keyed = keyed.withColumn(
+                SCORE, F.round(F.col(SCORE) * F.lit(kboost), 6))
 
         out_k = kk
         if hybrid:

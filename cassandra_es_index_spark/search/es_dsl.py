@@ -485,6 +485,10 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             if isinstance(ksim, bool) or not isinstance(ksim, (int, float)):
                 raise DslError("knn similarity must be numeric")
             ksim = float(ksim)
+        kboost = kspec.get("boost", 1.0)
+        if isinstance(kboost, bool) or not isinstance(kboost, (int, float)):
+            raise DslError("knn boost must be numeric")
+        kboost = float(kboost)
         method = kspec.get("method")
         if method is not None and method not in ("exact", "ivf", "lsh"):
             raise DslError("knn method must be 'exact', 'ivf' or 'lsh'")
@@ -500,7 +504,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             raise DslError("knn nprobe must be a positive integer")
         knn = (str(kspec["field"]),
                tuple(float(v) for v in kspec["query_vector"]), kk,
-               kfilter, method, ncand, nprobe, hybrid, ksim)
+               kfilter, method, ncand, nprobe, hybrid, ksim, kboost)
     rescore = None
     rspec = obj.get("rescore")
     if rspec is not None:

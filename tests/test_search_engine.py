@@ -3515,6 +3515,12 @@ def test_knn_similarity_floor(spark):
     got = [r["id"] for r in eng.search(
         "knns", "#options:load-rows=false#" + q).collect()]
     assert got == [1, 2]   # d3 (cos 0) dropped by the floor
+    # boost scales the knn scores (floor applies to the RAW cosine)
+    qb = json.dumps({"knn": {"field": "vec", "query_vector": [1.0, 0.0],
+                             "k": 3, "similarity": 0.9, "boost": 2.0}})
+    rows = {r["id"]: r["_score"] for r in eng.search(
+        "knns", "#options:load-rows=false#" + qb).collect()}
+    assert rows[1] == pytest.approx(2.0) and 3 not in rows
 
 
 def test_filter_agg_with_bucket_sub(spark):
