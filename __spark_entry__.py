@@ -982,6 +982,19 @@ def q_pack_token_budget(spark, sf_dir):
     return packing.chunk_by_token_budget(d, "doc_id", "ntok", budget=2048)
 
 
+def q_mix_rebalance(spark, sf_dir):
+    # r6 LLM-pipeline operator: deterministic weighted corpus mixing —
+    # rebalance languages (upsample en at 0.9, downsample the rest at
+    # 0.3) with the engine-portable bucket arithmetic
+    # ((id % p) * knuth) % modulus; no RNG, a pure pushed filter. The
+    # oracle replays the identical int arithmetic.
+    docs = _t(spark, sf_dir, "documents")
+    return packing.mix_sources(
+        [("en", docs.where(F.col("lang") == "en"), 0.9),
+         ("rest", docs.where(F.col("lang") != "en"), 0.3)],
+        "doc_id").select("doc_id", "lang", "_source")
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1609,6 +1622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti": q_join_anti,                       # ~ join_semi
         "rollup_orders": q_rollup_orders,               # ~ cube_orders
         "pivot_status_by_priority": q_pivot_status_by_priority,  # ~ cube_orders
+        "mix_rebalance": q_mix_rebalance,  # r6 deterministic corpus
+        #   mixing (oracle present, pytest-checked; window-capped)
         "dedup_simhash": q_dedup_simhash,      # property-tested recall 1.0
         "similarity_ann_lsh": q_similarity_ann_lsh,  # graded by ann_recall
         "similarity_ivf_topk": q_similarity_ivf_topk,  # graded by ann_recall
@@ -2516,6 +2531,17 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY event_type
+        """,
+        # r6 deterministic mixing: same ((id % 100003) * 2654435761)
+        # % 10000 bucket arithmetic, en kept < 9000, rest < 3000
+        "mix_rebalance": """
+            SELECT doc_id, lang, 'en' AS _source FROM documents
+            WHERE lang = 'en'
+              AND ((doc_id % 100003) * 2654435761) % 10000 < 9000
+            UNION ALL
+            SELECT doc_id, lang, 'rest' AS _source FROM documents
+            WHERE lang != 'en'
+              AND ((doc_id % 100003) * 2654435761) % 10000 < 3000
         """,
         # r6 token-budget chunking: windowed cumsum twin of the two-pass
         # prefix sum (chunk = start offset // 2048)

@@ -75,3 +75,57 @@ def chunk_by_token_budget(df: DataFrame, id_col: str, tokens_col: str,
                  .withColumn("chunk_id",
                              F.floor(F.col("start_offset")
                                      / F.lit(int(budget))).cast("long")))
+
+
+# -- deterministic sampling / corpus mixing ---------------------------------
+
+# Knuth multiplicative constant; the id first folds mod a prime so the
+# product stays far inside int64 at ANY id magnitude (100 TB tables have
+# ids past 2^32 — a raw multiply would overflow)
+_MIX_PRIME = 100_003
+_MIX_MULT = 2_654_435_761
+
+
+def sample_bucket(id_col, modulus: int = 10_000):
+    """Deterministic pseudo-random bucket in [0, modulus) from a numeric
+    id — `((id % p) * knuth) % modulus`, pure int64 Column arithmetic
+    reproducible in any engine (the DuckDB oracle runs the same three
+    ops). No RNG, no seed state: the same row always lands in the same
+    bucket, so samples are stable across runs, retries, and engines."""
+    from pyspark.sql import functions as F
+
+    folded = F.pmod(F.col(id_col).cast("long"), F.lit(_MIX_PRIME))
+    return F.pmod(folded * F.lit(_MIX_MULT), F.lit(int(modulus)))
+
+
+def weighted_sample(df: DataFrame, id_col: str, fraction: float,
+                    modulus: int = 10_000) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows: bucket < fraction ×
+    modulus. A pure filter — pushes into the scan, no shuffle, no RNG;
+    sampling granularity is 1/modulus."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = int(round(fraction * modulus))
+    return df.where(sample_bucket(id_col, modulus) < cut)
+
+
+def mix_sources(sources: list, id_col: str,
+                modulus: int = 10_000) -> DataFrame:
+    """Weighted corpus mixture — the training-data rebalancing step
+    (e.g. upsample a low-resource language, downsample boilerplate):
+    ``sources`` is ``[(name, df, fraction), ...]`` over UNION-compatible
+    frames; each source samples deterministically at its fraction and
+    rows carry a ``_source`` tag. One filter per source + one union —
+    linear, shuffle-free, reproducible."""
+    from pyspark.sql import functions as F
+
+    if not sources:
+        raise ValueError("mix_sources needs at least one source")
+    parts = []
+    for name, df, fraction in sources:
+        parts.append(weighted_sample(df, id_col, fraction, modulus)
+                     .withColumn("_source", F.lit(str(name))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

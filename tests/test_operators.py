@@ -507,3 +507,34 @@ def test_chunk_by_token_budget_contiguous(spark):
     assert [tuple(r) for r in out2] == [tuple(r) for r in out]
     with pytest.raises(ValueError):
         chunk_by_token_budget(df, "id", "ntok", budget=0)
+
+
+def test_weighted_sample_and_mix_deterministic(spark):
+    from cassandra_es_index_spark.operators.packing import (
+        mix_sources, weighted_sample,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(10_000)], "id long")
+    half = weighted_sample(df, "id", 0.5)
+    n = half.count()
+    assert 4_500 <= n <= 5_500           # ~fraction of the corpus
+    # deterministic: same rows every run
+    assert half.count() == n
+    a = {r["id"] for r in half.collect()}
+    b = {r["id"] for r in weighted_sample(df, "id", 0.5).collect()}
+    assert a == b
+    # nested fractions: the 0.3 sample is a SUBSET of the 0.5 sample
+    # (bucket < 3000 ⊂ bucket < 5000) — stable curriculum subsets
+    c = {r["id"] for r in weighted_sample(df, "id", 0.3).collect()}
+    assert c <= a
+    mixed = mix_sources(
+        [("evens", df.where(F.col("id") % 2 == 0), 1.0),
+         ("odds", df.where(F.col("id") % 2 == 1), 0.1)], "id")
+    counts = {r["_source"]: r["n"] for r in
+              mixed.groupBy("_source").agg(
+                  F.count("*").alias("n")).collect()}
+    assert counts["evens"] == 5_000 and 300 <= counts["odds"] <= 700
+    with pytest.raises(ValueError):
+        weighted_sample(df, "id", 1.5)
+    with pytest.raises(ValueError):
+        mix_sources([], "id")
