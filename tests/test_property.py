@@ -230,3 +230,30 @@ def test_simple_query_string_is_lenient(text):
     from cassandra_es_index_spark.search.es_dsl import parse_request
 
     parse_request({"query": {"simple_query_string": {"query": text}}})
+
+
+@given(st.datetimes(min_value=__import__("datetime").datetime(1990, 1, 5),
+                    max_value=__import__("datetime").datetime(2100, 12, 25)),
+       st.integers(min_value=-500, max_value=500),
+       st.sampled_from(["y", "M", "w", "d", "h", "m", "s"]))
+@settings(max_examples=300, deadline=None)
+def test_datemath_properties(now, n, unit):
+    from cassandra_es_index_spark.search import datemath as dm
+
+    # arithmetic round-trips: +Nu then -Nu is identity for fixed units;
+    # month/year arithmetic may clamp the day, so only fixed units assert
+    expr = f"now{'+' if n >= 0 else ''}{n}{unit}"
+    moved = dm.resolve(expr, now)
+    if unit in ("w", "d", "h", "m", "s"):
+        back = dm.resolve(
+            f"now{'+' if -n >= 0 else ''}{-n}{unit}", moved)
+        assert back == now
+    # rounding brackets the instant: down <= now < up, exactly one unit
+    # apart in the fixed-unit cases
+    down = dm.resolve(f"now/{unit}", now)
+    up = dm.resolve(f"now/{unit}", now, round_up=True)
+    assert down <= now < up
+    assert dm.resolve(f"now/{unit}", down) == down   # idempotent
+    # weeks round to Monday
+    if unit == "w":
+        assert down.weekday() == 0
