@@ -1417,10 +1417,10 @@ class SearchEngine:
 
         Hybrid search (r6, ES 8.4+): a ``knn`` section BESIDE a
         ``query`` section unions the knn top-k with the query's match
-        set and SUMS the scores where a doc appears in both (one
-        full-outer join on the keys; the knn side is ≤k rows and
-        broadcasts). The final frame orders by the combined score and
-        truncates to the request ``size``."""
+        set and SUMS the scores where a doc appears in both — a union +
+        one key-grouped aggregation (map-side combine; full outer would
+        force a sort-merge join). The final frame orders by the
+        combined score and truncates to the request ``size``."""
         from pyspark.sql import types as T
 
         from cassandra_es_index_spark.operators.similarity import (
@@ -1521,8 +1521,8 @@ class SearchEngine:
         if hybrid:
             # union the ≤k knn hits with the query's match set; scores
             # sum where both sides hold the doc (ES hybrid contract).
-            # The knn side broadcasts; the query side serves from the
-            # postings when servable, else one compiled scan.
+            # The query side serves from the postings when servable,
+            # else one compiled scan.
             ph = self._postings_hits(table, req.node, default_field)
             if ph is not None:
                 if len(keys) == 1:
@@ -1536,16 +1536,17 @@ class SearchEngine:
                 qpred, qscore = comp_k.compile(req.node)
                 qside = docs.where(qpred).select(
                     *keys, qscore.alias(SCORE))
-            qside = qside.select(
-                *keys, F.col(SCORE).cast("double").alias("_qs"))
-            keyed = (qside.join(
-                         F.broadcast(keyed.withColumnRenamed(SCORE,
-                                                             "_ks")),
-                         on=keys, how="full_outer")
-                     .select(*keys,
-                             (F.coalesce(F.col("_ks"), F.lit(0.0))
-                              + F.coalesce(F.col("_qs"), F.lit(0.0))
-                              ).alias(SCORE)))
+            # union + one key-grouped SUM (map-side combine) — NOT a
+            # full-outer join: Spark only executes full outer as a
+            # sort-merge join (the broadcast hint would be ignored), so
+            # the union/agg shape costs one shuffle of the match set
+            # with partial aggregation instead of a full sort
+            both = (qside.select(*keys, F.col(SCORE).cast("double")
+                                 .alias("_s"))
+                    .unionByName(keyed.select(
+                        *keys, F.col(SCORE).cast("double").alias("_s"))))
+            keyed = (both.groupBy(*keys)
+                         .agg(F.sum("_s").alias(SCORE)))
             out_k = req.size if req.size is not None else 10
 
         ordered = keyed.orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
