@@ -640,15 +640,18 @@ class SearchEngine:
                     else comp().default_field
                 state = self._postings.get((table, fld))
                 if state is not None:
-                    toks = state.view().select("token").distinct()
+                    toks = state.view().select("token")
                 else:
                     from cassandra_es_index_spark.functions.analyzers \
                         import standard
                     toks = docs.select(
                         F.explode(standard(comp().resolve(fld).col))
-                         .alias("token")).distinct()
+                         .alias("token"))
+                # prefix filter BEFORE the distinct, so the aggregate
+                # runs over the matching-token slice only
                 rows = (toks.where(F.col("token")
                                     .startswith(prefix.lower()))
+                            .distinct()
                             .orderBy("token").limit(cap + 1).collect())
                 vals = tuple(r["token"] for r in rows)
                 # None → the cap does not bind; keep the unbounded node
@@ -3333,8 +3336,9 @@ class SearchEngine:
                            tref.alias("sub_key"))
                   .agg(F.count("*").cast("long").alias("sub_doc_count")))
             # surviving parents only (terms top-size etc.) + their totals
-            fg = fg.join(out.select("key", F.col("doc_count")
-                                    .alias("_fg_total")),
+            fg = fg.join(F.broadcast(out.select(
+                             "key", F.col("doc_count")
+                                     .alias("_fg_total"))),
                          on="key", how="inner")
             bg = (docs.where(tref.isNotNull())
                   .groupBy(tref.alias("sub_key"))
