@@ -880,10 +880,21 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                            f"single-bucket agg {name!r}")
         params = body[first_kind]
         subs = body.get("aggs") or {}
-        if first_kind == "filter" and any(
-                isinstance(sp, dict) and any(
-                    k in _BUCKET_KINDS for k in sp if k != "aggs")
-                for sp in subs.values()):
+        has_bucket_sub = any(
+            isinstance(sp, dict) and any(
+                k in _BUCKET_KINDS for k in sp if k != "aggs")
+            for sp in subs.values())
+        if first_kind == "missing" and has_bucket_sub:
+            # missing agg with a BUCKET sub-agg (r6): same desugar as
+            # filter — the missing bucket IS the docs where the field
+            # is absent
+            if not isinstance(params, dict) or "field" not in params:
+                raise DslError(f"missing agg {name!r} needs a 'field'")
+            clause = {"bool": {"must_not": [
+                {"exists": {"field": params["field"]}}]}}
+            return _aggs({name: {"filters": {"filters": {name: clause}},
+                                 "aggs": subs}})
+        if first_kind == "filter" and has_bucket_sub:
             # filter agg with a BUCKET sub-agg (r6): desugar to a
             # one-entry `filters` bucket — the generic nested machinery
             # then handles the sub levels/metrics; the flattened key

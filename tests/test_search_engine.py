@@ -3587,3 +3587,17 @@ def test_collapse_inner_hits_validation():
     req = parse_request('{"query":{"match_all":{}},"collapse":'
                         '{"field":"g","inner_hits":{"size":2}}}')
     assert req.collapse_inner == 2
+
+
+def test_missing_agg_with_bucket_sub(spark):
+    # r6: missing > terms desugars like filter > terms
+    eng = SearchEngine(spark)
+    rows = [(1, None, "a"), (2, None, "b"), (3, "t", "a"), (4, None, "a")]
+    eng.register(spark.createDataFrame(
+        rows, "id long, tag string, grp string"),
+        TableSpec("mb6", ["id"]))
+    q = ('{"query":{"match_all":{}},"aggs":{"notag":{"missing":'
+         '{"field":"tag"},"aggs":{"bygrp":{"terms":{"field":"grp"}}}}}}')
+    got = {(r["key"], r["sub_key"]): r["sub_doc_count"]
+           for r in eng.search_aggs("mb6", q).collect()}
+    assert got == {("notag", "a"): 2, ("notag", "b"): 1}
