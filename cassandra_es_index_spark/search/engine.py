@@ -2411,6 +2411,43 @@ class SearchEngine:
         return (tv.join(stats, on="token", how="left")
                   .orderBy(F.asc("doc"), F.asc("token")))
 
+    def render_template(self, source: str, params: dict | None = None
+                        ) -> str:
+        """ES ``_render/template`` analogue: substitute mustache
+        ``{{var}}`` refs in a search-template source with JSON-encoded
+        parameter values (strings keep their quotes when the ref sits
+        inside JSON quotes — the ``"{{q}}"`` idiom — and encode as JSON
+        elsewhere). The mustache subset is plain variable substitution:
+        sections/partials are rejected with a typed error, unknown refs
+        raise rather than render empty (fail-fast beats a silently
+        malformed query)."""
+        params = params or {}
+        if re.search(r"\{\{[#^/>&]", source):
+            raise es_dsl.DslError(
+                "search templates support plain {{var}} substitution "
+                "only (no sections/partials)")
+
+        def sub(m: "re.Match[str]") -> str:
+            quoted, name = m.group(1), m.group(2).strip()
+            if name not in params:
+                raise es_dsl.DslError(
+                    f"search template: missing parameter {name!r}")
+            v = params[name]
+            if quoted:
+                return json.dumps(str(v))
+            return json.dumps(v)
+
+        return re.sub(r'("?)\{\{([^{}]+)\}\}\1', sub, source)
+
+    def search_template(self, table: str, source: str,
+                        params: dict | None = None,
+                        default_field: str | None = None,
+                        **kw) -> DataFrame:
+        """ES ``_search/template`` analogue: render the template, then
+        run the resulting request through ``search``."""
+        return self.search(table, self.render_template(source, params),
+                           default_field=default_field, **kw)
+
     def msearch(self, table: str, queries: list,
                 default_field: str | None = None) -> list:
         """ES ``_msearch`` analogue: evaluate several request bodies in

@@ -3601,3 +3601,28 @@ def test_missing_agg_with_bucket_sub(spark):
     got = {(r["key"], r["sub_key"]): r["sub_doc_count"]
            for r in eng.search_aggs("mb6", q).collect()}
     assert got == {("notag", "a"): 2, ("notag", "b"): 1}
+
+
+def test_search_template(spark):
+    eng = SearchEngine(spark)
+    rows = [(1, "apple pie", 10), (2, "banana", 90)]
+    eng.register(spark.createDataFrame(
+        rows, "id long, body string, n long"),
+        TableSpec("tpl6", ["id"]))
+    src = ('{"query":{"bool":{"must":[{"match":{"body":"{{q}}"}},'
+           '{"range":{"n":{"lte":{{cap}}}}}]}},"size":{{sz}}}')
+    rendered = eng.render_template(src, {"q": "apple", "cap": 50,
+                                         "sz": 5})
+    assert '"match":{"body":"apple"}' in rendered
+    assert '"lte":50' in rendered and '"size":5' in rendered
+    out = eng.search_template("tpl6", src,
+                              {"q": "apple", "cap": 50, "sz": 5},
+                              default_field="body")
+    assert [r["id"] for r in out.collect()] == [1]
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    with pytest.raises(DslError, match="missing parameter"):
+        eng.render_template(src, {"q": "apple"})
+    with pytest.raises(DslError, match="sections"):
+        eng.render_template('{"q":{{#x}}y{{/x}}}', {})
+    # quoted string params keep quoting; a quoted int renders as string
+    assert eng.render_template('"{{v}}"', {"v": 3}) == '"3"'
