@@ -490,6 +490,23 @@ def q_search_collapse_inner(spark, sf_dir):
     return _search(q)(spark, sf_dir)
 
 
+def q_search_min_score(spark, sf_dir):
+    # r6 min_score: the score floor applies to the match set before
+    # ranking — tf >= 3 survivors only
+    q = ('#options:load-rows=false#'
+         '{"query":{"match":{"text":"spark"}},"min_score":3,'
+         '"size":1000000}')
+    return _search(q)(spark, sf_dir)
+
+
+def q_search_source_filter(spark, sf_dir):
+    # r6 _source filtering: the include-list projection (keys + subset
+    # + _score), pruned into the scan by Catalyst
+    q = ('{"query":{"match":{"text":"spark"}},"_source":["lang"],'
+         '"size":1000000}')
+    return _search(q)(spark, sf_dir)
+
+
 def q_search_sig_nested(spark, sf_dir):
     # r6: significant_terms ONE level under a terms bucket — per-parent
     # foreground (the parent's share of the match set) vs whole-index
@@ -1593,6 +1610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   window-capped)
         "search_collapse_inner": q_search_collapse_inner,  # r6 collapse
         #   inner_hits (oracle present, pytest-checked; window-capped)
+        "search_min_score": q_search_min_score,  # r6 score floor
+        #   (oracle present, pytest-checked; window-capped)
+        "search_source_filter": q_search_source_filter,  # r6 _source
+        #   projection (oracle present, pytest-checked; window-capped)
         "events_offset_histogram": q_events_offset_histogram,  # r6
         #   date_histogram offset (oracle present, pytest-checked;
         #   window-capped)
@@ -1766,6 +1787,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(ks, 0) + COALESCE(qsc, 0), 6) AS _score
             FROM kn FULL OUTER JOIN qs USING (vec_id)
             ORDER BY _score DESC, vec_id ASC LIMIT 30
+        """,
+        # r6 min_score: tf floor before ranking
+        "search_min_score": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                       AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_SPARK}')) >= 3
+        """,
+        # r6 _source include list: keys + subset + _score
+        "search_source_filter": f"""
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                       AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
         """,
         # r6 collapse inner_hits: top-5 groups by head, top-2 rows each
         "search_collapse_inner": f"""
