@@ -2784,16 +2784,21 @@ class SearchEngine:
                          - F.lit(osec))
                         / F.lit(secs)) * F.lit(secs) + F.lit(osec)), col
 
-        def terms_primary(b: es_dsl.BucketAgg, count_col: str, key_col: str):
-            if b.order is not None:
-                # ES terms `order`: _count, _key, a sub-metric agg, or a
-                # stats component ("s.avg" → the flattened s_avg column)
-                target, asc = b.order
+        def terms_primary(b: es_dsl.BucketAgg, count_col: str,
+                          key_col: str) -> list:
+            # ES terms `order` criteria (left to right): _count, _key, a
+            # sub-metric agg, or a stats component ("s.avg" → the
+            # flattened s_avg column). Returns the expr LIST (the r6
+            # list form carries several criteria).
+            if b.order is None:
+                return [F.desc(count_col)]   # ES default
+            exprs = []
+            for target, asc in b.order:
                 col = {"_count": F.col(count_col),
                        "_key": F.col(key_col)}.get(
                     target, F.col(target.replace(".", "_")))
-                return col.asc() if asc else col.desc()
-            return F.desc(count_col)   # ES default
+                exprs.append(col.asc() if asc else col.desc())
+            return exprs
 
         aggs = req.aggs
         if isinstance(aggs, tuple):  # metrics-only: one global row
@@ -3078,12 +3083,13 @@ class SearchEngine:
             if lv.kind == "terms":
                 size = lv.size if lv.size is not None else 10
                 if i == 0:
-                    frame = (frame.orderBy(terms_primary(lv, cname, kname),
+                    frame = (frame.orderBy(*terms_primary(lv, cname,
+                                                          kname),
                                            F.asc(kname))
                                   .limit(size))
                 else:
                     w = Window.partitionBy(*parent_keys).orderBy(
-                        terms_primary(lv, cname, kname), F.asc(kname))
+                        *terms_primary(lv, cname, kname), F.asc(kname))
                     frame = (frame.withColumn("_rn", F.row_number().over(w))
                                   .where(F.col("_rn") <= size).drop("_rn"))
             out = frame if out is None else \
@@ -3096,13 +3102,14 @@ class SearchEngine:
             # orders histogram buckets by key). Nulls last, so childless
             # ancestors trail their populated siblings.
             if lv.kind == "terms":
-                target, asc = lv.order if lv.order is not None \
-                    else ("_count", False)
-                col = {"_count": F.col(cname),
-                       "_key": F.col(kname)}.get(
-                    target, F.col(target.replace(".", "_")))
-                order_exprs.append(col.asc_nulls_last() if asc
-                                   else col.desc_nulls_last())
+                crits = lv.order if lv.order is not None \
+                    else (("_count", False),)
+                for target, asc in crits:
+                    col = {"_count": F.col(cname),
+                           "_key": F.col(kname)}.get(
+                        target, F.col(target.replace(".", "_")))
+                    order_exprs.append(col.asc_nulls_last() if asc
+                                       else col.desc_nulls_last())
                 order_exprs.append(F.asc_nulls_last(kname))
             else:
                 order_exprs.append(F.asc_nulls_last(kname))

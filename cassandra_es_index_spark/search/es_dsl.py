@@ -197,10 +197,11 @@ class BucketAgg:
     multi_fields: tuple[str, ...] = ()
     calendar_interval: str | None = None    # date_histogram
     fixed_interval: str | None = None       # date_histogram ("30s","1h",…)
-    # terms bucket ordering: (target, ascending) where target is
-    # "_count", "_key", a sub-metric agg name, or "<stats>.avg" etc.
-    # (ES `order` param); default ES ordering is doc_count desc
-    order: tuple[str, bool] | None = None
+    # terms bucket ordering: ((target, ascending), ...) criteria
+    # applied left to right, where target is "_count", "_key", a
+    # sub-metric agg name, or "<stats>.avg" etc. (ES `order` param —
+    # single object or list form); default ES ordering is doc_count desc
+    order: tuple[tuple[str, bool], ...] | None = None
     # range agg: ((key, from, to), ...) — from inclusive, to exclusive,
     # None = open side; key is the ES "from-to" label unless the request
     # names the range. Overlapping ranges count a doc in EACH bucket
@@ -1092,12 +1093,14 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         metrics = tuple(_metric(n, s) for n, s in sub_specs.items())
         order = None
         if "order" in params:
+            # ES terms order: one {target: dir} object, or a LIST of
+            # them — multi-criteria ordering, applied left to right (r6)
             ospec = params["order"]
-            if not isinstance(ospec, dict) or len(ospec) != 1:
-                raise DslError("terms order must be {target: asc|desc}")
-            (target, direction), = ospec.items()
-            if direction not in ("asc", "desc"):
-                raise DslError(f"bad order direction {direction!r}")
+            specs = ospec if isinstance(ospec, list) else [ospec]
+            if not specs or not all(
+                    isinstance(o, dict) and len(o) == 1 for o in specs):
+                raise DslError("terms order must be {target: asc|desc} "
+                               "or a list of those")
             valid = {"_count", "_key"}
             for m in metrics:
                 valid.add(m.name)
@@ -1105,10 +1108,18 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     valid.update(
                         f"{m.name}.{n[len(m.name) + 1:]}"
                         for n in m.out_names())
-            if target not in valid:
-                raise DslError(f"order target {target!r} is neither "
-                               "_count, _key, nor a sub-agg name")
-            order = (target, direction == "asc")
+            crits = []
+            for o in specs:
+                (target, direction), = o.items()
+                if direction not in ("asc", "desc"):
+                    raise DslError(f"bad order direction {direction!r}")
+                if target not in valid:
+                    raise DslError(f"order target {target!r} is neither "
+                                   "_count, _key, nor a sub-agg name")
+                crits.append((target, direction == "asc"))
+            if len({t for t, _ in crits}) != len(crits):
+                raise DslError("duplicate terms order targets")
+            order = tuple(crits)
         if first_kind == "histogram":
             iv = params.get("interval")
             if iv is None:

@@ -3626,3 +3626,29 @@ def test_search_template(spark):
         eng.render_template('{"q":{{#x}}y{{/x}}}', {})
     # quoted string params keep quoting; a quoted int renders as string
     assert eng.render_template('"{{v}}"', {"v": 3}) == '"3"'
+
+
+def test_terms_order_multi_criteria(spark):
+    # r6: ES list-form terms order — criteria apply left to right
+    eng = SearchEngine(spark)
+    rows = [(1, "a", 10.0), (2, "a", 20.0),   # a: n=2, sum=30
+            (3, "b", 25.0), (4, "b", 5.0),    # b: n=2, sum=30
+            (5, "c", 50.0)]                   # c: n=1, sum=50
+    eng.register(spark.createDataFrame(
+        rows, "id long, grp string, v double"),
+        TableSpec("ord6", ["id"]))
+    q = ('{"query":{"match_all":{}},"aggs":{"byg":{"terms":'
+         '{"field":"grp","order":[{"_count":"desc"},{"sv":"desc"},'
+         '{"_key":"asc"}],"size":2},"aggs":{"sv":{"sum":'
+         '{"field":"v"}}}}}}')
+    got = [r["key"] for r in eng.search_aggs("ord6", q).collect()]
+    # count desc puts a,b (2) before c (1); sv ties at 30 → key asc
+    assert got == ["a", "b"]
+    from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+    with pytest.raises(DslError, match="duplicate"):
+        parse_request('{"aggs":{"t":{"terms":{"field":"g","order":'
+                      '[{"_count":"desc"},{"_count":"asc"}]}}}}')
+    # single-object form still parses to one criterion
+    req = parse_request('{"aggs":{"t":{"terms":{"field":"g",'
+                        '"order":{"_key":"asc"}}}}}')
+    assert req.aggs.order == (("_key", True),)
