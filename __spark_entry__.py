@@ -2590,9 +2590,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id AS id, ntok AS tokens,
                    (SUM(ntok) OVER (ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - ntok) AS start_offset,
+                        ROWS UNBOUNDED PRECEDING) - ntok)::BIGINT
+                       AS start_offset,
                    ((SUM(ntok) OVER (ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - ntok) // 2048)
+                        ROWS UNBOUNDED PRECEDING) - ntok) // 2048)::BIGINT
                        AS chunk_id
             FROM t
         """,
