@@ -164,6 +164,16 @@ class MatchAll(Node):
 
 
 @dataclass(frozen=True)
+class MatchNone(Node):
+    """ES ``match_none`` / Lucene MatchNoDocsQuery — matches nothing.
+
+    Also the desugar target for empty analyzed input (``{"terms":
+    {f: []}}``, ``{"match": {f: ""}}``, ``{"match_phrase": {f: ""}}``,
+    ``{"multi_match": {"query": ""}}``): ES treats these as valid
+    match-no-docs queries, not errors (MatchNoDocsQuery rewrite)."""
+
+
+@dataclass(frozen=True)
 class And(Node):
     children: tuple[Node, ...] = field(default_factory=tuple)
 

@@ -32,7 +32,8 @@ from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
-    Fuzzy, Ids, MatchAll, Nested, Node, Not, Or, Phrase, Range, Regexp,
+    Fuzzy, Ids, MatchAll, MatchNone, Nested, Node, Not, Or, Phrase, Range,
+    Regexp,
     Required, Scoreless, Should, SpanNear, Term, Wildcard,
 )
 
@@ -158,7 +159,7 @@ def _strip_nested_prefix(node: Node, path: str) -> Node:
             raise CompileError("nested queries do not nest (one level)")
         fld = getattr(n, "field", None)
         if fld is None:
-            if isinstance(n, MatchAll):
+            if isinstance(n, (MatchAll, MatchNone)):
                 return n
             raise CompileError(
                 "nested query leaves must name a field under "
@@ -405,6 +406,10 @@ class Compiler:
     def _walk(self, node: Node) -> tuple[Column, Column]:
         if isinstance(node, MatchAll):
             return F.lit(True), F.lit(0)
+        if isinstance(node, MatchNone):
+            # Lucene MatchNoDocsQuery — Catalyst folds `WHERE false`
+            # to an empty LocalRelation, so this never scans.
+            return F.lit(False), F.lit(0)
         if isinstance(node, Term):
             ref = self.resolve(node.field)
             if isinstance(ref.dtype, (T.StringType, T.ArrayType, T.MapType)):
@@ -474,6 +479,8 @@ class Compiler:
             pred = ref.col.isNotNull()
             return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, And):
+            if not node.children:
+                return F.lit(True), F.lit(0)  # ES: empty bool = match_all
             parts = [self._walk(c) for c in node.children]
             pred = parts[0][0]
             for p, _ in parts[1:]:
@@ -489,6 +496,8 @@ class Compiler:
             # matching — gate each child's score on its own predicate so
             # the scan and the index-served union score identically
             # (pinned by test_or_compound_child_scores_matching_only).
+            if not node.children:
+                return F.lit(False), F.lit(0)  # empty disjunction = none
             parts = [self._walk(c) for c in node.children]
             pred = parts[0][0]
             for p, _ in parts[1:]:
@@ -502,6 +511,8 @@ class Compiler:
             # non-matching subqueries contribute nothing (their leaf tf
             # is already 0 for text leaves, and the when() guards the
             # predicate-style leaves that score a flat 1)
+            if not node.children:
+                return F.lit(False), F.lit(0)
             parts = [self._walk(c) for c in node.children]
             pred = parts[0][0]
             for p, _ in parts[1:]:
@@ -626,6 +637,8 @@ class Compiler:
         if isinstance(node, Should):
             # optional score boost, matching clauses only (same gating
             # rationale as Or — a compound child must not leak partial tf)
+            if not node.children:
+                return F.lit(True), F.lit(0)
             parts = [self._walk(c) for c in node.children]
             score = self._gated(*parts[0])
             for p, s in parts[1:]:

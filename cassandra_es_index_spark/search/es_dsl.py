@@ -24,7 +24,8 @@ from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
-    Fuzzy, Ids, MatchAll, Nested, Node, Not, Or, Phrase, Range, Regexp,
+    Fuzzy, Ids, MatchAll, MatchNone, Nested, Node, Not, Or, Phrase, Range,
+    Regexp,
     Scoreless, Should, SpanNear, Term, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
@@ -373,8 +374,9 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
     if not isinstance(obj, dict):
         raise DslError("DSL root must be an object")
     size = obj.get("size")
-    if size is not None and not isinstance(size, int):
-        raise DslError("size must be an integer")
+    if size is not None and (not isinstance(size, int)
+                             or isinstance(size, bool) or size < 0):
+        raise DslError("size must be a non-negative integer")
     from_ = obj.get("from", 0)
     if not isinstance(from_, int) or from_ < 0:
         raise DslError("from must be a non-negative integer")
@@ -1295,6 +1297,8 @@ def _node(q: dict[str, Any]) -> Node:
     (kind, body), = q.items()
     if kind == "match_all":
         return MatchAll()
+    if kind == "match_none":
+        return MatchNone()
     if kind == "term":
         field, value = _single(body)
         boost = None
@@ -1306,6 +1310,9 @@ def _node(q: dict[str, Any]) -> Node:
         field, values = _single(body)
         if not isinstance(values, list):
             raise DslError("terms needs a list")
+        if not values:
+            # ES: empty terms list is a valid match-no-docs query
+            return MatchNone()
         return Or(tuple(Term(field, _scalar(v)) for v in values))
     if kind == "match":
         field, value = _single(body)
@@ -1318,6 +1325,10 @@ def _node(q: dict[str, Any]) -> Node:
         # match = analyzed OR-of-tokens over one field; with `fuzziness`
         # each token matches within the edit budget (ES match+fuzziness)
         tokens = str(value).split()
+        if not tokens:
+            # ES: match on empty/whitespace text analyzes to zero
+            # tokens → MatchNoDocs, not an error
+            return MatchNone()
         edits = _fuzziness_edits(fuzziness)
         leaves: list[Node] = [
             _fuzzy_node(field, t, edits) if edits is not None
@@ -1353,6 +1364,10 @@ def _node(q: dict[str, Any]) -> Node:
             slop = int(value.get("slop", 0))
             boost = value.get("boost")
             value = value.get("query")
+        if not str(value).split():
+            # ES: empty analyzed phrase matches NO docs (not all) —
+            # mirror of the match_phrase_prefix empty guard
+            return MatchNone()
         return _boosted(Phrase(field, str(value), slop), boost)
     if kind == "constant_score":
         if not isinstance(body, dict) or "filter" not in body:
@@ -1481,6 +1496,8 @@ def _node(q: dict[str, Any]) -> Node:
                 "multi_match needs {'query': str, 'fields': [...]}")
         edits = _fuzziness_edits(body.get("fuzziness"))
         tokens = str(body["query"]).split()
+        if not tokens:
+            return MatchNone()  # zero analyzed tokens → MatchNoDocs
         branches: list[Node] = []
         for f in body["fields"]:
             fboost = None
@@ -1662,7 +1679,8 @@ def _sqs_parse(text: str, field: str | None, default_op: str) -> Node:
     than OR (Lucene SimpleQueryParser precedence). Lenient by contract:
     malformed syntax never raises — an unmatched quote drops, an
     unmatched ``(`` opens a group to end-of-input, stray operators are
-    skipped, and an all-empty query is ``match_all``. DEVIATION
+    skipped, and an all-empty query is ``match_none`` (the ES builder's
+    MatchNoDocsQuery rewrite for empty query text). DEVIATION
     (documented): a mid-word hyphen splits into a negation (tokens are
     ``\\s()|+-"``-delimited), and Lucene's left-assoc operator chaining
     is approximated by the AND-over-OR precedence grammar."""
@@ -1793,7 +1811,9 @@ def _sqs_parse(text: str, field: str | None, default_op: str) -> Node:
     # match set; wrap with match_all so the And has a positive driver
     if isinstance(node, Not):
         node = And((MatchAll(), node))
-    return node if node is not None else MatchAll()
+    # ES SimpleQueryStringQueryBuilder: empty/all-dropped query text
+    # rewrites to MatchNoDocsQuery, not match_all
+    return node if node is not None else MatchNone()
 
 
 def _boosted(node: Node, boost: Any) -> Node:
