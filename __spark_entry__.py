@@ -775,6 +775,49 @@ def q_search_date_math(spark, sf_dir):
     return eng.search("events_capped", q)
 
 
+def q_search_intervals(spark, sf_dir):
+    # ES intervals query, match rule (r7): 3-term ordered positional
+    # match with max_gaps — the modern positional query (generalizes
+    # span_near's 2-term distance join). Served from the token-position
+    # index as one token filter + per-doc position-list aggregation;
+    # same width predicate as the scan plan. Score = flat 1 (documented
+    # deviation: ES interval scores are frequency-sampled).
+    q = ('{"query":{"intervals":{"text":{"match":'
+         '{"query":"spark query table","ordered":true,"max_gaps":6}}}},'
+         '"size":1000000}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
+def q_search_decay_recency(spark, sf_dir):
+    # ES function_score gauss decay on ts (r7) — the #1 dashboard
+    # recency-ranking idiom. Closed-form Column math (no script engine):
+    # score = tf(term) × exp(d²·ln(decay)/scale²), d = max(0, |ts −
+    # origin| − offset) in epoch millis; `now/d` origin resolves through
+    # the injected now like range bounds; decay values ride the ts range
+    # index (doc-values analogue) — no corpus scan. Fractional-scorer
+    # trees keep DOUBLE scores (rounded for oracle hash stability).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('#options:load-rows=false,now=2024-01-20T10:30:00#'
+         '{"query":{"function_score":{'
+         '"query":{"term":{"event_type":"click"}},'
+         '"gauss":{"ts":{"origin":"now/d","scale":"7d","offset":"1d",'
+         '"decay":0.5}},"boost_mode":"multiply"}},"size":1000000}')
+    out = eng.search("events_capped", q)
+    return out.withColumn("_score", F.round("_score", 4))
+
+
+def q_search_script_score(spark, sf_dir):
+    # ES function_score script_score (r7): the painless arithmetic
+    # subset over doc['f'].value refs, translated to one Spark SQL
+    # expression; refs ride the range index on the served plan.
+    q = ('{"query":{"function_score":{"query":{"match":{"text":"spark"}},'
+         '"script_score":{"script":{"source":'
+         '"doc[\'n_chars\'].value / 100.0 + 1"}},'
+         '"boost_mode":"multiply"}},"size":1000000}')
+    out = _search("#options:load-rows=false#" + q)(spark, sf_dir)
+    return out.withColumn("_score", F.round("_score", 4))
+
+
 def q_events_value_histogram(spark, sf_dir):
     # numeric histogram: fixed-interval buckets, match_all query
     eng = _events_capped_engine(spark, sf_dir)
@@ -1480,6 +1523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_term_bool": q_search_term_bool,
         "search_wildcard": q_search_wildcard,
         "search_phrase": q_search_phrase,
+        "search_intervals": q_search_intervals,  # intervals/match (r7),
+        #   3-term ordered + max_gaps, token-position-index served;
+        #   revenue_by_nation moved to the tail — join+agg family is
+        #   represented by tpch_q3 (same shape, green r01-r06)
         "search_fuzzy_boost": q_search_fuzzy_boost,
         "search_dsl_range": q_search_dsl_range,
         "search_dsl_must_should": q_search_dsl_must_should,
@@ -1487,7 +1534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_function_score": q_search_function_score,  # fvf (r5)
         "search_phrase_prefix": q_search_phrase_prefix,    # mpp (r5)
         "search_exists": q_search_exists,
-        "search_dsl_sorted": q_search_dsl_sorted,
+        "search_decay_recency": q_search_decay_recency,  # gauss decay on
+        #   ts, pinned now, range-index served (r7); search_dsl_sorted
+        #   moved to the tail — its sort+limit path is exercised by
+        #   search_page_after (sort is search_after's precondition)
         "search_page_after": q_search_page_after,
         "search_collapse": q_search_collapse,    # field collapsing (r5)
         "search_top_hits": q_search_top_hits,    # top_hits sub-agg (r5)
@@ -1521,7 +1571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational: TPC-H, joins, setops, grouping sets ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "revenue_by_nation": q_revenue_by_nation,
         "setop_intersect": q_setop_intersect,
         "cross_table_union": q_cross_table_union,
         # --- custom operators: as-of, interval join ---
@@ -1546,6 +1595,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded by ann_recall / property tests. ----
         "search_slop_phrase": q_search_slop_phrase,  # ~ search_phrase
         #   (green r04; slop semantics pinned by property tests)
+        "search_dsl_sorted": q_search_dsl_sorted,  # ~ search_page_after
+        #   (green r01-r06; demoted r7 for search_decay_recency)
+        "revenue_by_nation": q_revenue_by_nation,  # ~ tpch_q3 join+agg
+        #   (green r01-r06; demoted r7 for search_intervals)
+        "search_script_score": q_search_script_score,  # ~ function_score
+        #   family rep in window is search_decay_recency (r7); oracle
+        #   defined below, pytest-pinned closed-form values
         "search_pipeline_aggs": q_search_pipeline_aggs,
         #   (green r05; single-level case of search_pipeline_nested,
         #   min_doc_count:0 empty-bucket path pytest-covered)
@@ -2359,6 +2415,62 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
               AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        # intervals/match (r7): ordered 3-term greedy earliest-next
+        # chain, width pn − p1 + 1 − n ≤ max_gaps (n=3, G=6 → −2 ≤ 6);
+        # positions from the same \W+ split as the engine, empty slots
+        # keep their index (len > 0 filter)
+        "search_intervals": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(text), '\W+') AS toks
+                FROM documents),
+            p AS (
+                SELECT doc_id,
+                       list_filter(range(len(toks)), i ->
+                           len(toks[i+1]) > 0 AND toks[i+1] = 'spark')
+                           AS p1,
+                       list_filter(range(len(toks)), i ->
+                           len(toks[i+1]) > 0 AND toks[i+1] = 'query')
+                           AS p2,
+                       list_filter(range(len(toks)), i ->
+                           len(toks[i+1]) > 0 AND toks[i+1] = 'table')
+                           AS p3
+                FROM t)
+            SELECT doc_id, 1::BIGINT AS _score FROM p
+            WHERE len(list_filter(p1, a ->
+                  list_min(list_filter(p3, c -> c >
+                      COALESCE(list_min(list_filter(p2, b -> b > a)),
+                               9223372036854775807)))
+                  - a - 2 <= 6)) > 0
+        """,
+        # gauss decay recency (r7): tf(click)=1 × exp(d²·ln(.5)/scale²),
+        # d = max(0, |epoch_ms(ts) − origin| − offset); origin = pinned
+        # now/d = 2024-01-20 00:00:00 UTC (1705708800000 ms), scale 7d,
+        # offset 1d; d*d (not pow) to match Spark's multiply bit-for-bit
+        "search_decay_recency": """
+            WITH s AS (
+                SELECT event_id,
+                       greatest(0e0,
+                                abs(epoch_ms(ts)::DOUBLE - 1705708800e3)
+                                - 864e5) AS d
+                FROM events WHERE event_type = 'click')
+            SELECT event_id,
+                   round(exp(d * d * (ln(0.5::DOUBLE)
+                             / (6048e5 * 6048e5))), 4) AS _score
+            FROM s
+        """,
+        # script_score (r7): tf(spark) × (n_chars/100 + 1), double score
+        "search_script_score": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::DOUBLE
+                           AS tf,
+                       n_chars
+                FROM documents)
+            SELECT doc_id,
+                   round(tf * (n_chars::DOUBLE / 100.0 + 1), 4) AS _score
+            FROM s WHERE tf > 0
         """,
         # top_hits: per-bucket top-2 docs by n_chars desc (key-asc
         # tiebreak), only surviving (top-5) buckets carry hits

@@ -224,6 +224,110 @@ class FunctionScore(Node):
 
 
 @dataclass(frozen=True)
+class ScriptScore(Node):
+    """ES ``function_score`` with a ``script_score`` function: the
+    child gates matching; the function value is the script result —
+    the painless arithmetic/comparison subset over ``doc['f'].value``
+    refs (the same grammar script_fields/bucket_script accept),
+    translated at parse time to one Spark SQL expression over the
+    document columns and combined with the query score per
+    ``boost_mode``. No script engine: anything beyond the arithmetic
+    subset is a DslError (documented deviation)."""
+    child: Node = None  # type: ignore[assignment]
+    expr: str = ""                      # translated Spark SQL expression
+    fields: tuple[str, ...] = field(default_factory=tuple)  # doc refs
+    raw: str = ""                       # original source, for errors
+    boost_mode: str = "multiply"
+
+
+@dataclass(frozen=True)
+class DecayScore(Node):
+    """ES ``function_score`` decay functions ``gauss``/``linear``/
+    ``exp`` as closed-form Column math (no script engine):
+
+        d      = max(0, |value − origin| − offset)
+        gauss  = exp(d² · ln(decay) / scale²)
+        exp    = exp(d · ln(decay) / scale)
+        linear = max(0, (s − d) / s),  s = scale / (1 − decay)
+
+    which are exactly ES's curves after substituting its σ²/λ/s
+    pivots. On date fields ``origin`` may be date-math (``now``-anchored
+    origins resolve through the engine's injectable ``now``, like range
+    bounds) and ``scale``/``offset`` are durations (``10d``); the engine
+    rewrites them to epoch-millis floats before compile, so both the
+    scan plan and the range-index-served plan see plain numbers.
+    Docs with a null field value take function value 1.0 (ES: missing
+    docs are not decayed)."""
+    child: Node = None  # type: ignore[assignment]
+    field_name: str = ""
+    kind: str = "gauss"                 # gauss | linear | exp
+    origin: object = None               # number, or raw date-math string
+    scale: object = None                # number, or raw duration string
+    offset: object = 0.0
+    decay: float = 0.5
+    boost_mode: str = "multiply"
+
+
+@dataclass(frozen=True)
+class RandomScore(Node):
+    """ES ``function_score`` ``random_score`` with ``seed`` + ``field``:
+    deterministic per-doc pseudo-random value in [0, 1) derived from
+    ``xxhash64(field, seed)`` — reproducible across runs and executors
+    like ES's seeded variant (which hashes the field value with the
+    seed). The unseeded form is rejected: a per-request wall-clock seed
+    would break plan determinism (documented deviation)."""
+    child: Node = None  # type: ignore[assignment]
+    seed: int = 0
+    field_name: str = ""
+    boost_mode: str = "multiply"
+
+
+@dataclass(frozen=True)
+class TermsSet(Node):
+    """ES ``terms_set`` query: a doc matches when at least
+    ``minimum_should_match`` of the supplied terms occur in the field —
+    the per-doc threshold comes from a document field
+    (``minimum_should_match_field``) or a painless arithmetic script
+    over ``doc['f'].value`` refs and ``params.num_terms``
+    (pre-substituted with the term count at parse). Lucene
+    CoveringQuery semantics: thresholds below 1 are treated as 1; a
+    doc whose threshold value is null matches nothing. Score = Σ leaf
+    tf of the matched terms (the engine's Or convention). Compiles to
+    a match-count floor over per-term tfs on the scan plan; with a
+    postings index it serves as ONE `token IN terms` filter + per-doc
+    (count, Σtf) aggregation joined to the threshold field's range
+    index (doc-values analogue)."""
+    field: str | None = None
+    terms: tuple[str, ...] = ()
+    msm_field: str | None = None
+    msm_expr: str | None = None     # translated Spark SQL expression
+
+
+@dataclass(frozen=True)
+class IntervalsMatch(Node):
+    """ES ``intervals`` query with a ``match`` rule (the modern
+    positional query; ref: the reference forwards any DSL to ES,
+    ElasticIndex.java:663-667). A doc matches when its token positions
+    admit an occurrence tuple of ALL query terms with total gap count
+    ``max(pos) − min(pos) + 1 − n ≤ max_gaps`` (``max_gaps = −1`` —
+    the ES default — lifts the width constraint); ``ordered`` further
+    requires the tuple to follow query order. Ordered matching checks
+    each start against the GREEDY earliest-next chain, which attains
+    the minimal end for a fixed start (Lucene's minimal-interval
+    property), so the exists-check is exact. Evaluated with
+    higher-order functions over position arrays on the scan plan; with
+    a built token-position index (``build_span_index``) the same array
+    logic runs over per-term position lists collected from the index —
+    the corpus is never re-tokenized. DEVIATION (documented): matching
+    docs score a flat 1 (predicate-style, like constant_score) — ES's
+    interval scores are IDF/frequency-sampled and not reproducible."""
+    field: str | None = None
+    terms: tuple[str, ...] = ()   # plain default: `field` is shadowed
+    ordered: bool = False
+    max_gaps: int = -1
+
+
+@dataclass(frozen=True)
 class SpanNear(Node):
     """Lucene/ES ``span_near`` with exactly two ``span_term`` clauses:
     the two tokens occur within ``slop`` intervening TOKENS of each

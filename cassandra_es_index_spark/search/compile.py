@@ -31,10 +31,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
-    And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
-    Fuzzy, Ids, MatchAll, MatchNone, Nested, Node, Not, Or, Phrase, Range,
-    Regexp,
-    Required, Scoreless, Should, SpanNear, Term, Wildcard,
+    And, Boost, Boosting, ConstantScore, DecayScore, DisMax, Exists,
+    FunctionScore,
+    Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested, Node, Not, Or,
+    Phrase, Range,
+    RandomScore, Regexp,
+    Required, Scoreless, ScriptScore, Should, SpanNear, Term, TermsSet,
+    Wildcard,
 )
 
 
@@ -191,7 +194,8 @@ def highlight_patterns(node: Node, field: str,
                 walk(c)
             return
         if isinstance(n, (Boost, ConstantScore, Required, Scoreless,
-                          FunctionScore)):
+                          FunctionScore, ScriptScore, DecayScore,
+                          RandomScore)):
             walk(n.child)
             return
         tgt = getattr(n, "field", None)
@@ -244,6 +248,110 @@ def fvf_value(raw: Column, node: FunctionScore) -> Column:
     v = (F.coalesce(raw.cast("double"), F.lit(float(node.missing)))
          * F.lit(float(node.factor)))
     return _FVF_MODIFIERS[node.modifier](v)
+
+
+def decay_params(node: "DecayScore", is_date: bool) -> tuple[float, float,
+                                                             float]:
+    """Coerce a DecayScore's origin/scale/offset to floats. Numeric
+    fields take plain numbers; date fields take epoch-millis numbers
+    (pre-resolved by the engine for ``now``-anchored origins) or the
+    driver-resolvable forms: a plain ISO origin and ``10d``-style
+    durations. A still-symbolic ``now`` here means the query bypassed
+    the engine's date-math rewrite — a compile error, not a silent 0."""
+    from cassandra_es_index_spark.search import datemath as dm
+
+    def num(v: object, what: str) -> float:
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise CompileError(
+                f"{node.kind} {what} on {node.field_name!r} must be "
+                f"numeric, got {v!r}")
+        return float(v)
+
+    if not is_date:
+        return (num(node.origin, "origin"), num(node.scale, "scale"),
+                num(node.offset, "offset"))
+    try:
+        if isinstance(node.origin, (int, float)) \
+                and not isinstance(node.origin, bool):
+            origin = float(node.origin)
+        elif dm.is_date_math(node.origin):
+            raise CompileError(
+                f"unresolved date-math origin {node.origin!r} (now-"
+                "anchored origins resolve through the engine)")
+        else:
+            origin = dm.epoch_millis(dm.parse_now(str(node.origin)))
+        return (origin, dm.duration_millis(node.scale),
+                dm.duration_millis(node.offset))
+    except dm.DateMathError as e:
+        raise CompileError(str(e)) from e
+
+
+def decay_value(value: Column, node: "DecayScore", origin: float,
+                scale: float, offset: float) -> Column:
+    """ES decay curve as closed-form Column math over a DOUBLE value
+    (epoch millis on date fields). Null values decay to 1.0 — ES does
+    not penalize docs missing the field."""
+    import math
+
+    if scale <= 0:
+        raise CompileError(f"{node.kind} scale must be > 0, got {scale}")
+    d = F.greatest(F.lit(0.0),
+                   F.abs(value - F.lit(origin)) - F.lit(float(offset)))
+    ln_decay = math.log(node.decay)
+    if node.kind == "gauss":
+        fv = F.exp(d * d * F.lit(ln_decay / (scale * scale)))
+    elif node.kind == "exp":
+        fv = F.exp(d * F.lit(ln_decay / scale))
+    elif node.kind == "linear":
+        s = scale / (1.0 - node.decay)
+        fv = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+    else:
+        raise CompileError(f"unknown decay kind {node.kind!r}")
+    return F.when(value.isNull(), F.lit(1.0)).otherwise(fv)
+
+
+def decay_input(col: Column, dtype: T.DataType, node: "DecayScore") \
+        -> Column:
+    """The decay distance domain for a field value: DOUBLE for numeric
+    fields, epoch millis for date/timestamp fields."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_millis(col).cast("double")
+    if isinstance(dtype, T.DateType):
+        return F.unix_millis(col.cast("timestamp")).cast("double")
+    if isinstance(dtype, _NUMERIC):
+        return col.cast("double")
+    raise CompileError(
+        f"{node.kind} needs a numeric or date field, got "
+        f"{dtype.simpleString()} for {node.field_name!r}")
+
+
+def random_value(col: Column, seed: int) -> Column:
+    """Seeded per-doc pseudo-random value in [0, 1): xxhash64 of the
+    field value and the seed, folded to 31 bits — deterministic across
+    runs/executors like ES's seeded random_score."""
+    return (F.pmod(F.xxhash64(col, F.lit(int(seed))), F.lit(1 << 31))
+            .cast("double") / F.lit(float(1 << 31)))
+
+
+def has_fractional_scorer(node: Node) -> bool:
+    """Whether the tree carries a scorer whose values are meaningful
+    fractions (script_score / decay / random_score) — those trees keep
+    DOUBLE scores instead of the legacy long tf-count contract."""
+    from dataclasses import fields as dc_fields
+    from dataclasses import is_dataclass
+
+    if isinstance(node, (ScriptScore, DecayScore, RandomScore)):
+        return True
+    if is_dataclass(node):
+        for f in dc_fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, Node) and has_fractional_scorer(v):
+                return True
+            if isinstance(v, tuple) and any(
+                    isinstance(x, Node) and has_fractional_scorer(x)
+                    for x in v):
+                return True
+    return False
 
 
 def combine_boost_mode(score: Column, fv: Column, mode: str) -> Column:
@@ -385,9 +493,16 @@ class Compiler:
     # -- compile ------------------------------------------------------------
 
     def compile(self, node: Node) -> tuple[Column, Column]:
-        """Return (predicate, score). Score is a LongType Column."""
+        """Return (predicate, score). Score is LongType (the engine's
+        tf-count contract, matching the reference's count-style scores)
+        — except when the tree carries a fractional scorer
+        (script_score / decay / random_score), whose [0,1]-range values
+        a long cast would truncate to nothing: those stay DOUBLE, like
+        ES's float scores. The index-served plan applies the same root
+        cast rule so both plans score identically."""
         pred, score = self._walk(node)
-        return pred, score.cast("long").alias("_score")
+        target = "double" if has_fractional_scorer(node) else "long"
+        return pred, score.cast(target).alias("_score")
 
     @staticmethod
     def _gated(pred: Column, score: Column) -> Column:
@@ -534,6 +649,87 @@ class Compiler:
             fv = fvf_value(ref.col, node)
             return pred, combine_boost_mode(score.cast("double"), fv,
                                             node.boost_mode)
+        if isinstance(node, ScriptScore):
+            pred, score = self._walk(node.child)
+            for fld in node.fields:   # unknown refs fail at compile,
+                self.resolve(fld)     # not as a late AnalysisException
+            fv = F.expr(node.expr).cast("double")
+            return pred, combine_boost_mode(score.cast("double"), fv,
+                                            node.boost_mode)
+        if isinstance(node, DecayScore):
+            pred, score = self._walk(node.child)
+            ref = self.resolve(node.field_name)
+            is_date = isinstance(ref.dtype, (T.TimestampType,
+                                             T.TimestampNTZType,
+                                             T.DateType))
+            origin, scale, offset = decay_params(node, is_date)
+            fv = decay_value(decay_input(ref.col, ref.dtype, node),
+                             node, origin, scale, offset)
+            return pred, combine_boost_mode(score.cast("double"), fv,
+                                            node.boost_mode)
+        if isinstance(node, RandomScore):
+            pred, score = self._walk(node.child)
+            ref = self.resolve(node.field_name)
+            fv = random_value(ref.col, node.seed)
+            return pred, combine_boost_mode(score.cast("double"), fv,
+                                            node.boost_mode)
+        if isinstance(node, TermsSet):
+            # match-count floor over per-term tfs; threshold from the
+            # doc field / script expr, Lucene CoveringQuery's <1 → 1
+            # clamp; null thresholds match nothing
+            tfs = []
+            for t in node.terms:
+                _, tf = self._leaf_text(node.field, token_pattern(t))
+                tfs.append(tf)
+            m: Column = F.lit(0)
+            total: Column = F.lit(0)
+            for tf in tfs:
+                m = m + F.when(tf > 0, 1).otherwise(0)
+                total = total + tf
+            if node.msm_field is not None:
+                msm = self.resolve(node.msm_field).col.cast("long")
+            else:
+                import re as _re2
+                for fld in _re2.findall(r"CAST\(`([^`]+)` AS DOUBLE\)",
+                                        node.msm_expr or ""):
+                    self.resolve(fld)   # typed error, not a late
+                msm = F.expr(node.msm_expr).cast("long")
+            # greatest() skips nulls, so gate null thresholds explicitly
+            # (they match nothing — same as the index plan, whose range
+            # index holds no row for a null-valued doc)
+            pred = F.coalesce(
+                msm.isNotNull() & (m >= F.greatest(msm, F.lit(1))),
+                F.lit(False))
+            return pred, F.when(pred, total).otherwise(0)
+        if isinstance(node, IntervalsMatch):
+            # position arrays via split + filtered index sequences (JVM
+            # higher-order functions, no UDF); width/order logic shared
+            # with the index-served plan (positional.interval_match_pred)
+            from cassandra_es_index_spark.search.positional import (
+                interval_match_pred,
+            )
+
+            ref = self.resolve(node.field)
+            if not isinstance(ref.dtype, T.StringType):
+                raise CompileError(
+                    "intervals supports plain string fields")
+            toks = F.split(F.lower(ref.col), r"\W+")
+            idx = F.sequence(F.lit(0), F.size(toks) - 1)
+            def positions(term: str) -> Column:
+                # NB: single-parameter lambda — a second (even
+                # defaulted) parameter flips F.filter into its
+                # (element, index) form
+                t = F.lit(term.lower())
+                return F.filter(
+                    idx, lambda i: (F.length(F.element_at(toks, i + 1))
+                                    > 0)
+                    & (F.element_at(toks, i + 1) == t))
+
+            arrays = [positions(term) for term in node.terms]
+            pred = F.coalesce(
+                interval_match_pred(arrays, node.ordered, node.max_gaps),
+                F.lit(False))
+            return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, SpanNear):
             # token-position arrays via split + filtered index sequences
             # (JVM higher-order functions, no UDF); score = number of

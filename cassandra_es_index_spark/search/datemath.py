@@ -148,6 +148,33 @@ def resolve(expr: str, now: datetime, round_up: bool = False) -> datetime:
     return dt
 
 
+_DURATION_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ms|s|m|h|H|d|w)\s*$")
+_DURATION_MILLIS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+                    "H": 3_600_000, "d": 86_400_000, "w": 604_800_000}
+
+
+def duration_millis(raw: object) -> float:
+    """Parse an ES time-value duration (``10d``, ``2h``, ``500ms``) to
+    milliseconds — the unit decay scale/offset use on date fields
+    (ES TimeValue: fixed units only, no months/years). Bare numbers
+    pass through as millis."""
+    if isinstance(raw, bool):
+        raise DateMathError(f"bad duration {raw!r}")
+    if isinstance(raw, (int, float)):
+        return float(raw)
+    m = _DURATION_RE.match(str(raw))
+    if not m:
+        raise DateMathError(
+            f"bad duration {raw!r} (expected <number><ms|s|m|h|d|w>)")
+    return float(m.group(1)) * _DURATION_MILLIS[m.group(2)]
+
+
+def epoch_millis(dt: datetime) -> float:
+    """Naive-UTC datetime → epoch milliseconds (the decay distance
+    domain on date fields)."""
+    return dt.replace(tzinfo=timezone.utc).timestamp() * 1000.0
+
+
 def fmt(dt: datetime) -> str:
     """Concrete-bound literal the typed-literal cast consumes."""
     return dt.strftime("%Y-%m-%d %H:%M:%S") if dt.microsecond == 0 \

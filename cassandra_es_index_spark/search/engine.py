@@ -20,9 +20,11 @@ from cassandra_es_index_spark.catalog import Catalog, TableSpec
 from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
-    And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
-    Fuzzy, Node, Not, Or, Phrase, Range, Regexp, Required, Scoreless,
-    Should, SpanNear, Term, Wildcard,
+    And, Boost, Boosting, ConstantScore, DecayScore, DisMax, Exists,
+    FunctionScore,
+    Fuzzy, IntervalsMatch, Node, Not, Or, Phrase, Range, Regexp, Required,
+    Scoreless,
+    ScriptScore, Should, SpanNear, Term, TermsSet, Wildcard,
 )
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
@@ -200,6 +202,11 @@ class SearchEngine:
         # whenever the documents DataFrame changes, so more_like_this
         # never re-counts the corpus per call
         self._n_docs: dict[str, int] = {}
+        # term-dictionary cache — the (token, freq) vocabulary frame the
+        # suggesters rank against, aggregated once per (table, field)
+        # beside _corpus_size and dropped whenever the postings change
+        # (r7: repeated suggest calls no longer re-aggregate vocabulary)
+        self._term_dict: dict[tuple[str, str], DataFrame] = {}
         # date-math anchor pin: set to a datetime to make `now` in range
         # bounds deterministic engine-wide (per-query #options:now=…#
         # overrides); None = wall-clock UTC
@@ -239,12 +246,34 @@ class SearchEngine:
             self._range.pop(key).unpersist()
         for key in [k for k in self._span if k[0] == table]:
             self._span.pop(key).unpersist()
+        self._drop_term_dict(table)
         for key in [k for k in self._ivf if k[0] == table]:
             indexed, _ = self._ivf.pop(key)
             try:
                 indexed.unpersist()
             except Exception:
                 pass
+
+    def _drop_term_dict(self, table: str) -> None:
+        for key in [k for k in self._term_dict if k[0] == table]:
+            try:
+                self._term_dict.pop(key).unpersist()
+            except Exception:
+                pass
+
+    def _term_dictionary(self, table: str, fld: str) -> DataFrame:
+        """The (token, freq) vocabulary frame per (table, field) —
+        aggregated from the postings ONCE and cached (like
+        ``_corpus_size``), so repeated suggest calls rank against the
+        cached dictionary instead of re-aggregating the postings;
+        dropped on any postings change (full or incremental)."""
+        if (table, fld) not in self._term_dict:
+            view = self._postings[(table, fld)].view()
+            d = (view.groupBy("token")
+                     .agg(F.sum("tf").cast("long").alias("freq"))
+                     .cache())
+            self._term_dict[(table, fld)] = d
+        return self._term_dict[(table, fld)]
 
     def has_postings(self, table: str) -> bool:
         return any(k[0] == table
@@ -271,6 +300,7 @@ class SearchEngine:
 
         self._docs[table] = resolved_docs
         self._n_docs.pop(table, None)
+        self._drop_term_dict(table)   # vocabulary changed incrementally
         if not self.has_postings(table) \
                 and not any(k[0] == table for k in self._ivf):
             return
@@ -468,9 +498,11 @@ class SearchEngine:
         from cassandra_es_index_spark.search.ast import Range
 
         # cheap bail-out: a date-math bound needs a "now" anchor or the
-        # "||" separator somewhere in the raw request (false positives
-        # just run the no-op walk)
-        if "now" not in qmd.query and "||" not in qmd.query:
+        # "||" separator somewhere in the raw request; decay functions
+        # may carry date origins/durations needing the same rewrite
+        # (false positives just run the no-op walk)
+        if not any(tok in qmd.query
+                   for tok in ("now", "||", "gauss", "linear", '"exp"')):
             return req
         comp = Compiler(docs, default_field)
         now_holder: list = []  # captured lazily, once per request
@@ -515,9 +547,32 @@ class SearchEngine:
             return replace(n, lo=lo, hi=hi,
                            include_lo=ilo, include_hi=ihi)
 
+        def fix_decay(n):
+            # decay on a date field: resolve origin (date-math or ISO,
+            # default `now`) to epoch millis and scale/offset durations
+            # to millis, so compile and the index-served plan see plain
+            # numbers. Numeric-field decays pass through untouched.
+            from cassandra_es_index_spark.search.ast import DecayScore
+
+            if not isinstance(n, DecayScore) \
+                    or not date_field(n.field_name) \
+                    or isinstance(n.origin, (int, float)):
+                return n
+            try:
+                origin_dt = (dm.resolve(str(n.origin), now())
+                             if dm.is_date_math(n.origin)
+                             else dm.parse_now(str(n.origin)))
+                return replace(
+                    n, origin=dm.epoch_millis(origin_dt),
+                    scale=dm.duration_millis(n.scale),
+                    offset=dm.duration_millis(n.offset))
+            except dm.DateMathError as e:
+                raise es_dsl.DslError(str(e)) from e
+
         def walk(n):
             if isinstance(n, Range):
                 return fix_range(n)
+            n = fix_decay(n)
             if isinstance(n, Node) and is_dataclass(n):
                 changes = {}
                 for f in dc_fields(n):
@@ -1981,6 +2036,53 @@ class SearchEngine:
                                     last_prefix=n.last_prefix,
                                     last_alternatives=n.last_alternatives)
                 return out.select("doc", F.col(SCORE).cast("long").alias(SCORE))
+            if isinstance(n, TermsSet):
+                # ONE `token IN terms` postings filter + per-doc
+                # (match-count, Σtf) aggregation, floor joined from the
+                # threshold field's range index (doc-values analogue).
+                # Script thresholds and non-plain terms keep the scan.
+                if n.msm_field is None:
+                    return None
+                fld = n.field if n.field is not None else default
+                state = self._postings.get((table, fld))
+                if state is None:
+                    return None
+                if not all(self._PLAIN_TOKEN.fullmatch(t)
+                           for t in n.terms):
+                    return None
+                rstate = self._range.get((table, n.msm_field))
+                if rstate is None:
+                    return None
+                lows = [t.lower() for t in n.terms]
+                grouped = (state.view()
+                           .where(F.col("token").isin(lows))
+                           .groupBy("doc")
+                           .agg(F.count("*").alias("_m"),
+                                F.sum("tf").alias(SCORE)))
+                floor = rstate.view().select(
+                    "doc", F.col("val").alias("_msm_raw"))
+                return (grouped.join(floor, on="doc")
+                        .where(F.col("_m") >=
+                               F.greatest(F.col("_msm_raw").cast("long"),
+                                          F.lit(1)))
+                        .select("doc", F.col(SCORE).cast("long")
+                                        .alias(SCORE)))
+            if isinstance(n, IntervalsMatch):
+                # intervals from the token-position index: one token
+                # filter + one per-doc aggregation collecting each
+                # term's position list, then the same width/order
+                # predicate the scan plan compiles — the corpus is
+                # never re-tokenized
+                from cassandra_es_index_spark.search.positional import (
+                    interval_hits,
+                )
+
+                fld = n.field if n.field is not None else default
+                state = self._span.get((table, fld))
+                if state is None:
+                    return None
+                return interval_hits(state.view(), n.terms, n.ordered,
+                                     n.max_gaps, score_col=SCORE)
             if isinstance(n, SpanNear):
                 # span_near from the token-position index (r05 weak #2):
                 # two position filters + one distance-predicate equi-join
@@ -2090,6 +2192,63 @@ class SearchEngine:
                 score = combine_boost_mode(
                     F.col(SCORE).cast("double"), fv, n.boost_mode)
                 return joined.select("doc", score.alias(SCORE))
+            if isinstance(n, DecayScore):
+                # decay values ride the range index like
+                # field_value_factor — no corpus scan; docs without an
+                # index row (null field) take function value 1.0, the
+                # scan path's null rule
+                from pyspark.sql import types as T
+
+                from cassandra_es_index_spark.search.compile import (
+                    combine_boost_mode, decay_input, decay_params,
+                    decay_value,
+                )
+
+                ref = Compiler(docs, default).resolve(n.field_name)
+                is_date = isinstance(ref.dtype, (T.TimestampType,
+                                                 T.TimestampNTZType,
+                                                 T.DateType))
+                origin, scale, offset = decay_params(n, is_date)
+                inner = serve(n.child)
+                if inner is None:
+                    return None
+                rstate = self._range.get((table, n.field_name))
+                if rstate is None:
+                    return None
+                vals = rstate.view().select(
+                    "doc", F.col("val").alias("_dv_raw"))
+                joined = inner.join(vals, on="doc", how="left")
+                fv = decay_value(
+                    decay_input(F.col("_dv_raw"), ref.dtype, n),
+                    n, origin, scale, offset)
+                score = combine_boost_mode(
+                    F.col(SCORE).cast("double"), fv, n.boost_mode)
+                return joined.select("doc", score.alias(SCORE))
+            if isinstance(n, ScriptScore):
+                # each doc['f'].value ref joins its range index (the
+                # doc-values analogue); any un-indexed ref falls back to
+                # the scan plan
+                from cassandra_es_index_spark.search.compile import (
+                    combine_boost_mode,
+                )
+
+                for fld in n.fields:
+                    Compiler(docs, default).resolve(fld)
+                states = [self._range.get((table, f)) for f in n.fields]
+                if any(s is None for s in states):
+                    return None
+                inner = serve(n.child)
+                if inner is None:
+                    return None
+                joined = inner
+                for fld, st in zip(n.fields, states):
+                    joined = joined.join(
+                        st.view().select("doc", F.col("val").alias(fld)),
+                        on="doc", how="left")
+                fv = F.expr(n.expr).cast("double")
+                score = combine_boost_mode(
+                    F.col(SCORE).cast("double"), fv, n.boost_mode)
+                return joined.select("doc", score.alias(SCORE))
             if isinstance(n, And) and n.children:
                 # full ES-bool composition: positives (must/filter) join
                 # on doc; must_not excludes via broadcast anti-joins;
@@ -2148,10 +2307,16 @@ class SearchEngine:
         out = serve(node)
         if out is None:
             return None
-        # ONE root cast, mirroring Compiler.compile()'s final
-        # score.cast("long") — intermediate float scores (boosts,
-        # constant_score) truncate identically on both plans
-        return out.select("doc", F.col(SCORE).cast("long").alias(SCORE))
+        # ONE root cast, mirroring Compiler.compile()'s final cast —
+        # long for the tf-count contract (intermediate float scores from
+        # boosts/constant_score truncate identically on both plans),
+        # double when the tree carries a fractional scorer (decay /
+        # script_score / random_score), same rule as the scan plan
+        from cassandra_es_index_spark.search.compile import (
+            has_fractional_scorer,
+        )
+        target = "double" if has_fractional_scorer(node) else "long"
+        return out.select("doc", F.col(SCORE).cast(target).alias(SCORE))
 
     def term_search(self, table: str, terms: list[str],
                     field: str | None = None, mode: str = "any") -> DataFrame:
@@ -2203,10 +2368,10 @@ class SearchEngine:
         fld = field or Compiler(docs).default_field
         if (table, fld) not in self._postings:
             self.build_postings_index(table, fld)
-        view = self._postings[(table, fld)].view()
         t = term.lower()
-        return (view.groupBy("token")
-                    .agg(F.sum("tf").cast("long").alias("freq"))
+        # cached per (table, field) — repeated suggesters rank against
+        # the cached vocabulary instead of re-aggregating postings (r7)
+        return (self._term_dictionary(table, fld)
                     .where((F.abs(F.length("token") - len(t)) <= max_edits)
                            & (F.levenshtein(F.col("token"), F.lit(t))
                               <= max_edits))
@@ -2244,6 +2409,28 @@ class SearchEngine:
         return self.spark.createDataFrame(
             rows, "field string, type string, searchable boolean, "
                   "aggregatable boolean")
+
+    def analyze(self, text: str, analyzer: str = "standard") -> DataFrame:
+        """ES ``_analyze`` analogue: tokenize ``text`` with a registered
+        analyzer (U2 registry, ``functions/analyzers.py``) and return
+        (token, position) rows — the debugging surface users hit
+        constantly when a query unexpectedly misses (ES
+        IndicesAnalyzeAction; the reference delegates it to ES wholesale
+        like the rest of the admin surface, ElasticIndex.java:663-667).
+        One literal row in, token-count rows out — driver-bounded by the
+        input string, never a corpus operation."""
+        from cassandra_es_index_spark.functions import analyzers
+
+        try:
+            fn = analyzers.get(str(analyzer))
+        except KeyError as e:
+            raise es_dsl.DslError(
+                f"unknown analyzer {analyzer!r} (registered: "
+                f"{', '.join(analyzers.names())})") from e
+        one = self.spark.createDataFrame([(text,)], "_text string")
+        return (one.select(F.posexplode(fn(F.col("_text")))
+                            .alias("position", "token"))
+                   .select("token", "position"))
 
     def count(self, table: str, query: str,
               default_field: str | None = None) -> int:
@@ -2493,8 +2680,9 @@ class SearchEngine:
             # vocabulary scan regardless of phrase length.
             tdf = self.spark.createDataFrame([(t,) for t in oov],
                                              "_q string")
-            dictionary = view.groupBy("token").agg(
-                F.sum("tf").cast("long").alias("freq"))
+            # cached vocabulary frame (r7) — one aggregation per
+            # (table, field) across all suggest calls
+            dictionary = self._term_dictionary(table, fld)
             pairs = (dictionary.join(F.broadcast(tdf))
                      .where((F.abs(F.length("token") - F.length("_q"))
                              <= max_edits)

@@ -24,9 +24,10 @@ from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
-    Fuzzy, Ids, MatchAll, MatchNone, Nested, Node, Not, Or, Phrase, Range,
-    Regexp,
-    Scoreless, Should, SpanNear, Term, Wildcard,
+    DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested,
+    Node, Not, Or,
+    Phrase, Range, RandomScore, Regexp,
+    Scoreless, ScriptScore, Should, SpanNear, Term, TermsSet, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -1369,6 +1370,64 @@ def _node(q: dict[str, Any]) -> Node:
             # mirror of the match_phrase_prefix empty guard
             return MatchNone()
         return _boosted(Phrase(field, str(value), slop), boost)
+    if kind == "terms_set":
+        # {"terms_set": {f: {"terms": [...],
+        #                    "minimum_should_match_field": g}}} or the
+        # _script form (painless arithmetic over doc refs +
+        # params.num_terms, substituted with the term count here)
+        field, spec = _single(body)
+        if not isinstance(spec, dict) \
+                or not isinstance(spec.get("terms"), list):
+            raise DslError("terms_set needs {'terms': [...]}")
+        # lowercase dedupe: token matching is case-insensitive, so
+        # "Spark" and "spark" are ONE term on both plan shapes
+        terms = tuple(dict.fromkeys(str(t).lower() for t in spec["terms"]))
+        if not terms:
+            return MatchNone()
+        msm_f = spec.get("minimum_should_match_field")
+        msm_s = spec.get("minimum_should_match_script")
+        if (msm_f is None) == (msm_s is None):
+            raise DslError(
+                "terms_set needs exactly one of "
+                "minimum_should_match_field / "
+                "minimum_should_match_script")
+        if msm_f is not None:
+            return TermsSet(field, terms, str(msm_f), None)
+        if isinstance(msm_s, dict):
+            msm_s = msm_s.get("source")
+        if not isinstance(msm_s, str) or not msm_s.strip():
+            raise DslError("minimum_should_match_script needs a source "
+                           "string")
+        substituted = _re.sub(r"params\.num_terms\b", str(len(terms)),
+                              msm_s)
+        expr = _compile_doc_script("terms_set", substituted)
+        return TermsSet(field, terms, None, expr)
+    if kind == "intervals":
+        # ES intervals query, `match` rule subset: multi-term,
+        # ordered/unordered, max_gaps. Width/order semantics in
+        # ast.IntervalsMatch; duplicate query terms collapse (documented
+        # deviation — one occurrence satisfies repeats).
+        field, spec = _single(body)
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise DslError("intervals needs {field: {rule: {...}}}")
+        (rule, params), = spec.items()
+        if rule != "match":
+            raise DslError(
+                f"intervals rule {rule!r} is not supported (the engine "
+                "implements the 'match' rule)")
+        if not isinstance(params, dict) or "query" not in params:
+            raise DslError("intervals match needs {'query': str}")
+        tokens = tuple(dict.fromkeys(str(params["query"]).lower().split()))
+        if not tokens:
+            return MatchNone()
+        mg = params.get("max_gaps", -1)
+        if isinstance(mg, bool) or not isinstance(mg, int) or mg < -1:
+            raise DslError("max_gaps must be an integer >= -1")
+        ordered = params.get("ordered", False)
+        if not isinstance(ordered, bool):
+            raise DslError("intervals 'ordered' must be a boolean")
+        return _boosted(IntervalsMatch(field, tokens, ordered, mg),
+                        params.get("boost"))
     if kind == "constant_score":
         if not isinstance(body, dict) or "filter" not in body:
             raise DslError("constant_score needs {'filter': clause}")
@@ -1415,37 +1474,95 @@ def _node(q: dict[str, Any]) -> Node:
             DisMax(tuple(_node(q) for q in body["queries"]), tb),
             body.get("boost"))
     if kind == "function_score":
-        # subset: one field_value_factor function + boost_mode (the
-        # script_score/decay functions are not supported — no script
-        # engine by design)
-        if not isinstance(body, dict) or "field_value_factor" not in body:
-            raise DslError(
-                "function_score needs {'query': ..., "
-                "'field_value_factor': {...}} (only field_value_factor "
-                "functions are supported)")
-        fvf = body["field_value_factor"]
-        if not isinstance(fvf, dict) or "field" not in fvf:
-            raise DslError("field_value_factor needs {'field': name}")
-        modifier = str(fvf.get("modifier", "none"))
+        # one function per query: field_value_factor, script_score (the
+        # painless arithmetic subset), random_score (seeded), or a decay
+        # function gauss/linear/exp (closed-form Column math) + boost_mode
+        if not isinstance(body, dict):
+            raise DslError("function_score needs an object")
         from cassandra_es_index_spark.search.compile import (
             _BOOST_MODES, _FVF_MODIFIERS,
         )
-        if modifier not in _FVF_MODIFIERS:
-            raise DslError(
-                f"unknown field_value_factor modifier {modifier!r}")
         boost_mode = str(body.get("boost_mode", "multiply"))
         if boost_mode not in _BOOST_MODES:
             raise DslError(f"unknown boost_mode {boost_mode!r}")
-        try:
-            factor = float(fvf.get("factor", 1.0))
-            missing = float(fvf.get("missing", 1.0))
-        except (TypeError, ValueError) as e:
-            raise DslError("field_value_factor factor/missing must be "
-                           "numeric") from e
+        fns = [k for k in ("field_value_factor", "script_score",
+                           "random_score", "gauss", "linear", "exp")
+               if k in body]
+        if len(fns) != 1:
+            raise DslError(
+                "function_score needs exactly one of field_value_factor/"
+                "script_score/random_score/gauss/linear/exp "
+                f"(got {fns or 'none'})")
         child = _node(body["query"]) if "query" in body else MatchAll()
+        fn = fns[0]
+        if fn == "field_value_factor":
+            fvf = body["field_value_factor"]
+            if not isinstance(fvf, dict) or "field" not in fvf:
+                raise DslError("field_value_factor needs {'field': name}")
+            modifier = str(fvf.get("modifier", "none"))
+            if modifier not in _FVF_MODIFIERS:
+                raise DslError(
+                    f"unknown field_value_factor modifier {modifier!r}")
+            try:
+                factor = float(fvf.get("factor", 1.0))
+                missing = float(fvf.get("missing", 1.0))
+            except (TypeError, ValueError) as e:
+                raise DslError("field_value_factor factor/missing must "
+                               "be numeric") from e
+            return _boosted(
+                FunctionScore(child, fvf["field"], factor, modifier,
+                              missing, boost_mode),
+                body.get("boost"))
+        if fn == "script_score":
+            spec = body["script_score"]
+            if not isinstance(spec, dict) or "script" not in spec:
+                raise DslError("script_score needs {'script': ...}")
+            script = spec["script"]
+            if isinstance(script, dict):
+                script = script.get("source")
+            if not isinstance(script, str) or not script.strip():
+                raise DslError("script_score needs a script source "
+                               "string")
+            expr = _compile_doc_script("script_score", script)
+            refs = tuple(dict.fromkeys(_re.findall(
+                r"doc\['([A-Za-z_][\w.]*)'\]\.value", script)))
+            return _boosted(
+                ScriptScore(child, expr, refs, script, boost_mode),
+                body.get("boost"))
+        if fn == "random_score":
+            spec = body["random_score"]
+            if not isinstance(spec, dict) or "seed" not in spec \
+                    or "field" not in spec:
+                raise DslError(
+                    "random_score needs {'seed': int, 'field': name} — "
+                    "the unseeded wall-clock form is not supported "
+                    "(non-deterministic plans)")
+            seed = spec["seed"]
+            if isinstance(seed, bool) or not isinstance(seed, int):
+                raise DslError("random_score seed must be an integer")
+            return _boosted(
+                RandomScore(child, seed, str(spec["field"]), boost_mode),
+                body.get("boost"))
+        # decay: {"gauss": {field: {"origin", "scale", "offset", "decay"}}}
+        spec = body[fn]
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise DslError(
+                f"{fn} needs {{field: {{'origin','scale',...}}}}")
+        (dfield, params), = spec.items()
+        if not isinstance(params, dict) or "scale" not in params:
+            raise DslError(f"{fn} on {dfield!r} needs a 'scale'")
+        try:
+            decay = float(params.get("decay", 0.5))
+        except (TypeError, ValueError) as e:
+            raise DslError(f"bad decay {params.get('decay')!r}") from e
+        if not 0.0 < decay < 1.0:
+            raise DslError(f"decay must be in (0,1), got {decay}")
+        # origin defaults to `now` like ES (meaningful on date fields
+        # only; numeric fields reject a non-numeric origin at compile)
+        origin = params.get("origin", "now")
         return _boosted(
-            FunctionScore(child, fvf["field"], factor, modifier, missing,
-                          boost_mode),
+            DecayScore(child, str(dfield), fn, origin, params["scale"],
+                       params.get("offset", 0.0), decay, boost_mode),
             body.get("boost"))
     if kind == "range":
         field, bounds = _single(body)

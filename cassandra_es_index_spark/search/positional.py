@@ -214,3 +214,80 @@ def span_pair_counts(tokens: DataFrame, first: str, second: str,
     return (a.join(b, on="doc").where(cond)
              .groupBy("doc")
              .agg(F.count("*").cast("long").alias(score_col)))
+
+
+def interval_match_pred(arrays: list, ordered: bool,
+                        max_gaps: int):
+    """Predicate over per-term position arrays: do they admit an
+    ``intervals``-``match`` occurrence tuple? (ast.IntervalsMatch
+    semantics — width ``max(pos) − min(pos) + 1 − n ≤ max_gaps``,
+    ``max_gaps = −1`` lifts the constraint, ``ordered`` requires query
+    order.) Ordered mode checks each start position against the greedy
+    earliest-next chain — minimal end for a fixed start, so the
+    exists-check is exact. Pure higher-order-function Column math;
+    arrays need not be sorted (only min/exists are consulted). Shared
+    by the scan plan (position arrays from split) and the index-served
+    plan (position lists collected from the token-position index), so
+    both match bit-identically."""
+    n = len(arrays)
+    if n == 1:
+        return F.size(F.coalesce(arrays[0], F.array())) > 0
+    if ordered:
+        # NB: the inner lambdas take exactly ONE parameter — a second
+        # (even defaulted) parameter flips F.filter/F.exists into the
+        # (element, index) form
+        def after(arr, cur):
+            return F.array_min(F.filter(arr, lambda x: x > cur))
+
+        def chain(p1):
+            cur = p1
+            for arr in arrays[1:]:
+                cur = after(arr, cur)
+            ok = cur.isNotNull()
+            if max_gaps >= 0:
+                ok = ok & (cur - p1 + F.lit(1 - n) <= F.lit(max_gaps))
+            return ok
+        return F.exists(arrays[0], chain)
+    nonempty = arrays[0].isNotNull() & (F.size(arrays[0]) > 0)
+    for arr in arrays[1:]:
+        nonempty = nonempty & arr.isNotNull() & (F.size(arr) > 0)
+    if max_gaps < 0:
+        return nonempty
+    # unordered bounded width: some window of span n + max_gaps anchored
+    # at an occurrence position covers one occurrence of every term (a
+    # qualifying interval's min position is itself an occurrence, so
+    # anchoring at occurrences loses nothing)
+    span = n + max_gaps
+    starts = F.concat(*arrays)
+
+    def in_window(arr, s):
+        return F.exists(arr, lambda p: (p >= s)
+                        & (p <= s + F.lit(span - 1)))
+
+    def covered(s):
+        ok = F.lit(True)
+        for arr in arrays:
+            ok = ok & in_window(arr, s)
+        return ok
+
+    return nonempty & F.exists(starts, covered)
+
+
+def interval_hits(tokens: DataFrame, terms: tuple, ordered: bool,
+                  max_gaps: int, score_col: str = "_score") -> DataFrame:
+    """(doc, 1) for docs whose token-position index rows admit an
+    intervals-match tuple. One token filter (``token IN terms``) + one
+    per-doc aggregation collecting each term's position list — linear
+    in the matched postings, never a corpus re-tokenization; the width
+    logic is the same ``interval_match_pred`` the scan plan compiles."""
+    low = [t.lower() for t in terms]
+    per_doc = (tokens.where(F.col("token").isin(low))
+                     .groupBy("doc")
+                     .agg(*[F.collect_list(
+                               F.when(F.col("token") == t, F.col("pos")))
+                             .alias(f"_p{i}")
+                            for i, t in enumerate(low)]))
+    pred = interval_match_pred([F.col(f"_p{i}") for i in range(len(low))],
+                               ordered, max_gaps)
+    return (per_doc.where(pred)
+                   .select("doc", F.lit(1).cast("long").alias(score_col)))

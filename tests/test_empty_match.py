@@ -111,6 +111,9 @@ _KEYS = st.sampled_from([
     "simple_query_string", "fields", "range", "text", "title", "gte",
     "boost", "dis_max", "queries", "exists", "field", "match_none",
     "match_all", "ids", "values", "wildcard", "prefix", "fuzziness",
+    "intervals", "terms_set", "minimum_should_match_field", "max_gaps",
+    "ordered", "function_score", "gauss", "origin", "scale", "decay",
+    "script_score", "script", "source", "random_score", "seed", "n",
 ])
 
 _BODIES = st.recursive(
