@@ -788,6 +788,28 @@ def q_search_intervals(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_scroll_drain(spark, sf_dir):
+    # ES classic scroll (r7): drain a term query's FULL hit order in
+    # keyset-paged batches against a PIT-pinned generation (never a
+    # deepening OFFSET rescan), then union the batches — proving batch
+    # completeness + no duplication against the one-shot oracle.
+    eng = _docs_engine(spark, sf_dir)
+    q = ('#options:load-rows=false#'
+         '{"query":{"term":{"text":"spark"}},"sort":[{"doc_id":"asc"}]}')
+    sid = eng.open_scroll("documents", q, size=100)
+    frames = []
+    while True:
+        b = eng.scroll_next(sid)
+        if b.isEmpty():
+            break
+        frames.append(b)
+    eng.clear_scroll(sid)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def q_search_decay_recency(spark, sf_dir):
     # ES function_score gauss decay on ts (r7) — the #1 dashboard
     # recency-ranking idiom. Closed-form Column math (no script engine):
@@ -1557,7 +1579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mapped_range": q_search_mapped_range,
         "search_10k_cap": q_search_10k_cap,      # BASELINE.md gate query
         "search_bm25_topk": q_search_bm25_topk,
-        "search_postings_term": q_search_postings_term,
+        "search_scroll_drain": q_search_scroll_drain,  # PIT + scroll
+        #   paging (r7); search_postings_term moved to the tail — the
+        #   postings-served term family is represented in-window by
+        #   search_term_bool + search_10k_cap (both index-served,
+        #   plan-pinned by test_postings_plan_replaces_scan)
         "search_date_math": q_search_date_math,  # now-7d/d bounds (r6),
         #   range-index served, pinned now → deterministic oracle
         # --- documents / indexing lifecycle ---
@@ -1599,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (green r01-r06; demoted r7 for search_decay_recency)
         "revenue_by_nation": q_revenue_by_nation,  # ~ tpch_q3 join+agg
         #   (green r01-r06; demoted r7 for search_intervals)
+        "search_postings_term": q_search_postings_term,  # ~ term family
+        #   (green r01-r06; demoted r7 for search_scroll_drain)
         "search_script_score": q_search_script_score,  # ~ function_score
         #   family rep in window is search_decay_recency (r7); oracle
         #   defined below, pytest-pinned closed-form values
@@ -2415,6 +2443,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
               AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        # scroll drain (r7): the batched union must equal the one-shot
+        # match set — same term-tf scores, no dup, no gap
+        "search_scroll_drain": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                           AS _score
+                FROM documents)
+            SELECT doc_id, _score FROM t WHERE _score > 0
         """,
         # intervals/match (r7): ordered 3-term greedy earliest-next
         # chain, width pn − p1 + 1 − n ≤ max_gaps (n=3, G=6 → −2 ≤ 6);

@@ -74,6 +74,18 @@ def _range_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
                 .select(F.col(id_col).alias("doc"), ref.col.alias("val")))
 
 
+class _PinnedState:
+    """A read-only PIT snapshot of one index's view — the serve paths
+    only ever call ``view()``, so a frozen frame stands in for the live
+    PostingsState during a pinned search."""
+
+    def __init__(self, df: DataFrame) -> None:
+        self._df = df
+
+    def view(self) -> DataFrame:
+        return self._df
+
+
 class PostingsState:
     """One table/field inverted index maintained INCREMENTALLY under
     mutations — the engine's analogue of ES updating its inverted index
@@ -211,6 +223,12 @@ class SearchEngine:
         # bounds deterministic engine-wide (per-query #options:now=…#
         # overrides); None = wall-clock UTC
         self.now = None
+        # point-in-time handles (open_pit) and scroll cursors (scroll)
+        # — snapshot pins of the docs frame + per-table index views so
+        # paging walks a stable generation while writes continue
+        self._pits: dict[str, dict] = {}
+        self._scrolls: dict[str, dict] = {}
+        self._pit_seq = 0
         # IVF vector indexes — (cell-assigned corpus, centroids) per
         # (table, field); routes the DSL `knn` clause's approximate tier
         # (ES's HNSW analogue). A disk-backed index is parquet
@@ -2431,6 +2449,165 @@ class SearchEngine:
         return (one.select(F.posexplode(fn(F.col("_text")))
                             .alias("position", "token"))
                    .select("token", "position"))
+
+    # -- point-in-time + scroll ---------------------------------------------
+
+    def open_pit(self, table: str) -> str:
+        """ES point-in-time analogue: pin the CURRENT search generation
+        of ``table`` — the documents frame, the row-load source, and
+        every built index's current view — under a handle. Searches
+        through the handle (``search_pit``) see the data as of open
+        time even while mutations/deltas continue, exactly ES's
+        snapshot-reader contract (the engine's durable indexes are
+        generational — ``indexstore._current_gen`` — so pinned lineage
+        stays readable; compaction writes new generations, it never
+        rewrites old files in place). Driver-side bookkeeping only —
+        nothing is materialized at open time."""
+        self.catalog.get(table)   # typed error on unknown table
+        self._pit_seq += 1
+        pid = f"pit_{self._pit_seq}"
+        registries = (self._postings, self._positional, self._presence,
+                      self._range, self._span)
+        self._pits[pid] = {
+            "table": table,
+            "docs": self._docs[table],
+            "row_source": self._row_source.get(table),
+            "n_docs": self._n_docs.get(table),
+            "indexes": [(reg, key, _PinnedState(state.view()))
+                        for reg in registries
+                        for key, state in list(reg.items())
+                        if key[0] == table],
+        }
+        return pid
+
+    def close_pit(self, pit_id: str) -> bool:
+        """Release a PIT handle (ES DELETE _pit). True when it existed."""
+        return self._pits.pop(pit_id, None) is not None
+
+    def search_pit(self, pit_id: str, query: str,
+                   default_field: str | None = None,
+                   limit: int | None = None,
+                   search_after: list | tuple | None = None) -> DataFrame:
+        """``search`` against a PIT handle's pinned generation: the
+        documents frame, row source, and index views are swapped to the
+        snapshot for plan construction and restored after (the returned
+        DataFrame keeps the pinned lineage). Combine with
+        ``search_after`` for consistent deep paging under concurrent
+        writes — the ES PIT + search_after idiom."""
+        snap = self._pits.get(pit_id)
+        if snap is None:
+            raise es_dsl.DslError(f"unknown pit {pit_id!r}")
+        table = snap["table"]
+        saved_docs = self._docs[table]
+        saved_rs = self._row_source.get(table)
+        saved_nd = self._n_docs.get(table)
+        registries = (self._postings, self._positional, self._presence,
+                      self._range, self._span)
+        saved_entries = {id(reg): {k: v for k, v in reg.items()
+                                   if k[0] == table}
+                         for reg in registries}
+        try:
+            self._docs[table] = snap["docs"]
+            if snap["row_source"] is not None:
+                self._row_source[table] = snap["row_source"]
+            else:
+                self._row_source.pop(table, None)
+            if snap["n_docs"] is not None:
+                self._n_docs[table] = snap["n_docs"]
+            else:
+                self._n_docs.pop(table, None)
+            for reg in registries:
+                for k in [k for k in reg if k[0] == table]:
+                    del reg[k]
+            for reg, key, pinned in snap["indexes"]:
+                reg[key] = pinned
+            return self.search(table, query, default_field=default_field,
+                               limit=limit, search_after=search_after)
+        finally:
+            self._docs[table] = saved_docs
+            if saved_rs is not None:
+                self._row_source[table] = saved_rs
+            else:
+                self._row_source.pop(table, None)
+            if saved_nd is not None:
+                self._n_docs[table] = saved_nd
+            else:
+                self._n_docs.pop(table, None)
+            for reg in registries:
+                for k in [k for k in reg if k[0] == table]:
+                    del reg[k]
+                reg.update(saved_entries[id(reg)])
+
+    def open_scroll(self, table: str, query: str, size: int = 100,
+                    default_field: str | None = None) -> str:
+        """ES classic ``scroll`` analogue (the reference README's
+        big-result paging idiom): open a cursor over the query's FULL
+        deterministic hit order — (sort spec or score desc) + key
+        tiebreaks — pinned to a PIT generation. Each ``scroll_next``
+        call returns the next batch; the cursor advances by keyset
+        (``search_after`` under the hood — no deepening OFFSET rescans,
+        every batch is one top-``size`` query, ES's own scroll cost
+        model). Release with ``clear_scroll``."""
+        if not isinstance(size, int) or isinstance(size, bool) \
+                or size <= 0:
+            raise es_dsl.DslError("scroll size must be a positive int")
+        pid = self.open_pit(table)
+        self._pit_seq += 1
+        sid = f"scroll_{self._pit_seq}"
+        self._scrolls[sid] = {
+            "pit": pid, "table": table, "query": query, "size": size,
+            "default_field": default_field, "after": None, "done": False,
+        }
+        return sid
+
+    def scroll_next(self, scroll_id: str) -> DataFrame:
+        """The next ≤size batch of the scroll's hit order (empty when
+        exhausted). The batch is collected once driver-side (size-
+        bounded — the scroll cursor, same cost class as ES's) both to
+        return stable rows and to extract the keyset anchor for the
+        next call."""
+        st = self._scrolls.get(scroll_id)
+        if st is None:
+            raise es_dsl.DslError(f"unknown scroll {scroll_id!r}")
+        table = st["table"]
+        if st["done"]:
+            out = self.search_pit(st["pit"], st["query"],
+                                  default_field=st["default_field"],
+                                  limit=1)
+            return self.spark.createDataFrame([], out.schema)
+        batch = self.search_pit(st["pit"], st["query"],
+                                default_field=st["default_field"],
+                                limit=st["size"],
+                                search_after=st["after"])
+        rows = batch.collect()
+        if len(rows) < st["size"]:
+            st["done"] = True
+        if rows:
+            _, spec = self.catalog.get(table)
+            qmd = QueryMetaData.parse(st["query"])
+            req = self._parse_request(qmd.query)
+            anchor_fields = [f for f, *_ in (req.sort or [("_score",)])]
+            missing = [f for f in anchor_fields + list(spec.key_columns)
+                       if f not in batch.columns]
+            if missing:
+                raise es_dsl.DslError(
+                    f"scroll needs the ordering columns in the result "
+                    f"(missing {missing}; use load-rows or load-source "
+                    "mode, or sort by returned fields)")
+            last = rows[-1]
+            st["after"] = tuple(
+                last[f] for f in anchor_fields + list(spec.key_columns))
+        if not rows:
+            return self.spark.createDataFrame([], batch.schema)
+        return self.spark.createDataFrame(rows, batch.schema)
+
+    def clear_scroll(self, scroll_id: str) -> bool:
+        """Release a scroll cursor and its PIT (ES DELETE _search/scroll).
+        True when it existed."""
+        st = self._scrolls.pop(scroll_id, None)
+        if st is not None:
+            self.close_pit(st["pit"])
+        return st is not None
 
     def count(self, table: str, query: str,
               default_field: str | None = None) -> int:
