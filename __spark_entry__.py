@@ -272,6 +272,29 @@ def q_search_dis_max(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_function_score_multi(spark, sf_dir):
+    # ES function_score `functions` ARRAY (r8) — the production
+    # relevance-tuning idiom the reference forwards verbatim to ES
+    # (ref ElasticIndex.java:663-667): a filtered weight function (2×
+    # for lang:en), a weighted ln1p field_value_factor, and a gauss
+    # decay on n_chars, combined with score_mode=sum, capped by
+    # max_boost, folded into tf(spark) with boost_mode=multiply.
+    # Index-served: the match rides the postings, the lang filter is a
+    # broadcast doc-set marker, n_chars values ride the range index —
+    # no corpus scan. Fractional scores stay DOUBLE (rounded for
+    # oracle hash stability).
+    q = ('{"query":{"function_score":{"query":{"match":{"text":"spark"}},'
+         '"functions":['
+         '{"filter":{"term":{"lang":"en"}},"weight":2},'
+         '{"field_value_factor":{"field":"n_chars","factor":0.01,'
+         '"modifier":"ln1p","missing":1.0},"weight":1.5},'
+         '{"gauss":{"n_chars":{"origin":500,"scale":300,"decay":0.5}}}],'
+         '"score_mode":"sum","boost_mode":"multiply","max_boost":4}},'
+         '"size":1000000}')
+    out = _search("#options:load-rows=false#" + q)(spark, sf_dir)
+    return out.withColumn("_score", F.round("_score", 4))
+
+
 def q_search_function_score(spark, sf_dir):
     # ES function_score / field_value_factor: tf(spark) + ln(1 + 0.01 ×
     # n_chars), boost_mode=sum. Index-served: the match rides the
@@ -1553,7 +1576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_range": q_search_dsl_range,
         "search_dsl_must_should": q_search_dsl_must_should,
         "search_dis_max": q_search_dis_max,            # best-field (r5)
-        "search_function_score": q_search_function_score,  # fvf (r5)
+        "search_function_score_multi": q_search_function_score_multi,
+        #   functions ARRAY (r8): filtered weight + weighted fvf + gauss,
+        #   score_mode=sum, max_boost cap, range-index served;
+        #   search_function_score (single fvf) moved to the tail — the
+        #   array form composes the same fvf scorer and more
         "search_phrase_prefix": q_search_phrase_prefix,    # mpp (r5)
         "search_exists": q_search_exists,
         "search_decay_recency": q_search_decay_recency,  # gauss decay on
@@ -1630,6 +1657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_script_score": q_search_script_score,  # ~ function_score
         #   family rep in window is search_decay_recency (r7); oracle
         #   defined below, pytest-pinned closed-form values
+        "search_function_score": q_search_function_score,  # single-fvf
+        #   form (green r05-r07; demoted r8 for
+        #   search_function_score_multi, which composes the same fvf
+        #   scorer inside the functions array)
         "search_pipeline_aggs": q_search_pipeline_aggs,
         #   (green r05; single-level case of search_pipeline_nested,
         #   min_doc_count:0 empty-bucket path pytest-covered)
@@ -2175,6 +2206,29 @@ def oracle_sql() -> dict[str, str]:
                        AS _score
             FROM s
             WHERE s1 > 0 OR s2 > 0
+        """,
+        # function_score functions ARRAY (r8): tf(spark) × min(4,
+        # Σ applying entries) — 2.0 when lang='en', 1.5·ln(1+.01·n_chars),
+        # gauss d²·ln(.5)/300² with d = max(0,|n_chars−500|−0); the sum
+        # always has ≥2 applying entries so the empty-set→1 rule never
+        # fires here (it is pytest-pinned instead)
+        "search_function_score_multi": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::DOUBLE
+                           AS tf,
+                       CASE WHEN lang = 'en' THEN 2.0 ELSE 0.0 END AS f0,
+                       1.5 * ln(1.0 + 0.01 * COALESCE(n_chars, 1.0))
+                           AS f1,
+                       exp(greatest(0e0,
+                                    abs(n_chars::DOUBLE - 500.0) - 0.0)
+                           * greatest(0e0,
+                                      abs(n_chars::DOUBLE - 500.0) - 0.0)
+                           * (ln(0.5::DOUBLE) / (300.0 * 300.0))) AS f2
+                FROM documents)
+            SELECT doc_id,
+                   round(tf * least(4.0, f0 + f1 + f2), 4) AS _score
+            FROM s WHERE tf > 0
         """,
         # function_score field_value_factor: tf + ln(1 + 0.01×n_chars)
         # (missing=1.0 substitutes for null field values), trunc at root

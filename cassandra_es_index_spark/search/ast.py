@@ -232,7 +232,11 @@ class ScriptScore(Node):
     translated at parse time to one Spark SQL expression over the
     document columns and combined with the query score per
     ``boost_mode``. No script engine: anything beyond the arithmetic
-    subset is a DslError (documented deviation)."""
+    subset is a DslError (documented deviation). Function values are
+    floored at 0 — ES rejects negative script scores at query time;
+    the engine's lazy plans clamp instead (r8, deterministic on both
+    plans) — and NULL results (0-divisor try_divide, NULL field refs)
+    also score 0."""
     child: Node = None  # type: ignore[assignment]
     expr: str = ""                      # translated Spark SQL expression
     fields: tuple[str, ...] = field(default_factory=tuple)  # doc refs
@@ -280,6 +284,43 @@ class RandomScore(Node):
     seed: int = 0
     field_name: str = ""
     boost_mode: str = "multiply"
+
+
+@dataclass(frozen=True)
+class ScoreFunction(Node):
+    """One entry of a ``function_score`` ``functions`` ARRAY: an
+    optional ``filter`` gating whether the entry applies to a doc, an
+    optional ``weight`` multiplier, and an optional scorer carrier —
+    one of FunctionScore / ScriptScore / DecayScore / RandomScore with
+    ``child=MatchAll()`` and its ``boost_mode`` ignored (the array
+    node's ``score_mode``/``boost_mode`` govern combination). A
+    weight-only entry scores ``weight`` (ES's weight function). A Node
+    subclass so the engine's generic date-math walker resolves Range
+    bounds inside ``filter`` and decay pivots inside ``scorer``."""
+    filter: Node | None = None
+    weight: float | None = None
+    scorer: Node | None = None
+
+
+@dataclass(frozen=True)
+class FunctionScoreArray(Node):
+    """ES ``function_score`` with a ``functions`` array (the production
+    relevance-tuning idiom; the reference forwards it verbatim to ES,
+    ref ElasticIndex.java:663-667): per-doc, the entries whose
+    ``filter`` matches (no filter = always) each yield
+    ``weight × function value``; ``score_mode`` combines them —
+    ``multiply`` (default) / ``sum`` / ``avg`` (weighted by the entry
+    weights, ES's documented rule) / ``first`` / ``max`` / ``min`` —
+    into one factor, 1.0 when NO entry applies (ES FunctionScoreQuery:
+    the factor starts at 1 and only matching functions contribute).
+    ``max_boost`` caps the combined factor; ``boost_mode`` then folds
+    it into the query score. Scores stay DOUBLE (ES float-score
+    semantics) — the array form is always a fractional scorer."""
+    child: Node = None  # type: ignore[assignment]
+    functions: tuple[ScoreFunction, ...] = field(default_factory=tuple)
+    score_mode: str = "multiply"
+    boost_mode: str = "multiply"
+    max_boost: float | None = None
 
 
 @dataclass(frozen=True)

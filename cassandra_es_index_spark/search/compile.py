@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax, Exists,
-    FunctionScore,
+    FunctionScore, FunctionScoreArray,
     Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested, Node, Not, Or,
     Phrase, Range,
     RandomScore, Regexp,
@@ -333,14 +333,29 @@ def random_value(col: Column, seed: int) -> Column:
             .cast("double") / F.lit(float(1 << 31)))
 
 
+def script_score_value(expr: str) -> Column:
+    """``script_score`` function value: the compiled script expression
+    floored at 0 — ES rejects script scores < 0 at query time ("script
+    score function must not produce negative scores"); the engine's
+    lazy plans cannot raise a typed error per-row, so negatives clamp
+    to 0 (documented deviation, deterministic on both plans). Spark
+    ``greatest`` skips NULLs, so a script whose arithmetic failed
+    (try_divide 0-divisor → NULL) or that read a NULL field also
+    scores 0."""
+    return F.greatest(F.lit(0.0), F.expr(expr).cast("double"))
+
+
 def has_fractional_scorer(node: Node) -> bool:
     """Whether the tree carries a scorer whose values are meaningful
-    fractions (script_score / decay / random_score) — those trees keep
-    DOUBLE scores instead of the legacy long tf-count contract."""
+    fractions (script_score / decay / random_score, or any
+    ``functions``-array form — whose score_mode math is fractional by
+    construction) — those trees keep DOUBLE scores instead of the
+    legacy long tf-count contract."""
     from dataclasses import fields as dc_fields
     from dataclasses import is_dataclass
 
-    if isinstance(node, (ScriptScore, DecayScore, RandomScore)):
+    if isinstance(node, (ScriptScore, DecayScore, RandomScore,
+                         FunctionScoreArray)):
         return True
     if is_dataclass(node):
         for f in dc_fields(node):
@@ -370,6 +385,49 @@ def combine_boost_mode(score: Column, fv: Column, mode: str) -> Column:
     if mode == "avg":
         return (score + fv) / F.lit(2.0)
     raise CompileError(f"unknown boost_mode {mode!r}")
+
+
+_SCORE_MODES = ("multiply", "sum", "avg", "first", "max", "min")
+
+
+def combine_score_mode(parts: list[tuple[Column, Column, Column]],
+                       mode: str) -> Column:
+    """Combine the per-function values of a ``functions`` array per ES
+    ``score_mode``. ``parts`` is ``[(applies, weighted_value, weight),
+    …]`` in declaration order; a doc where NO function applies takes
+    factor 1.0 (ES FunctionScoreQuery: the factor starts at 1 and only
+    matching functions contribute). ``avg`` is the WEIGHTED average
+    Σ(w·fv)/Σw — ES's documented rule — and degrades to 1.0 when the
+    applicable weights sum to 0. Shared by the scan compiler and the
+    index-served plan so both score bit-identically."""
+    one = F.lit(1.0)
+    if mode == "multiply":
+        out = one
+        for ap, wfv, _ in parts:
+            out = out * F.when(ap, wfv).otherwise(one)
+        return out
+    if mode in ("sum", "avg"):
+        zero = F.lit(0.0)
+        total = zero
+        wsum = zero
+        cnt: Column = F.lit(0)
+        for ap, wfv, w in parts:
+            total = total + F.when(ap, wfv).otherwise(zero)
+            wsum = wsum + F.when(ap, w).otherwise(zero)
+            cnt = cnt + F.when(ap, 1).otherwise(0)
+        if mode == "sum":
+            return F.when(cnt > 0, total).otherwise(one)
+        return F.when(wsum != 0, total / wsum).otherwise(one)
+    # first/max/min: null marks a non-applying function — greatest/least
+    # skip nulls (Spark semantics), coalesce restores the empty-set 1.0
+    gated = [F.when(ap, wfv) for ap, wfv, _ in parts]
+    if mode == "first":
+        return F.coalesce(*gated, one)
+    if mode in ("max", "min"):
+        agg = F.greatest if mode == "max" else F.least
+        g = gated[0] if len(gated) == 1 else agg(*gated)
+        return F.coalesce(g, one)
+    raise CompileError(f"unknown score_mode {mode!r}")
 
 
 class Compiler:
@@ -518,6 +576,37 @@ class Compiler:
             return tf > 0, tf
         raise CompileError("text leaf on non-text field")
 
+    def _fn_value(self, node: Node) -> Column:
+        """Raw function value of one function_score scorer node —
+        field_value_factor / script_score / decay / random_score —
+        ignoring its ``child``/``boost_mode`` (the caller combines).
+        Field refs resolve eagerly so bad fields raise CompileError,
+        not a late AnalysisException."""
+        if isinstance(node, FunctionScore):
+            ref = self.resolve(node.field_name)
+            if not isinstance(ref.dtype, _NUMERIC):
+                raise CompileError(
+                    "field_value_factor needs a numeric field, got "
+                    f"{ref.dtype.simpleString()} for {node.field_name!r}")
+            return fvf_value(ref.col, node)
+        if isinstance(node, ScriptScore):
+            for fld in node.fields:   # unknown refs fail at compile,
+                self.resolve(fld)     # not as a late AnalysisException
+            return script_score_value(node.expr)
+        if isinstance(node, DecayScore):
+            ref = self.resolve(node.field_name)
+            is_date = isinstance(ref.dtype, (T.TimestampType,
+                                             T.TimestampNTZType,
+                                             T.DateType))
+            origin, scale, offset = decay_params(node, is_date)
+            return decay_value(decay_input(ref.col, ref.dtype, node),
+                               node, origin, scale, offset)
+        if isinstance(node, RandomScore):
+            ref = self.resolve(node.field_name)
+            return random_value(ref.col, node.seed)
+        raise CompileError(
+            f"unsupported score function {type(node).__name__}")
+
     def _walk(self, node: Node) -> tuple[Column, Column]:
         if isinstance(node, MatchAll):
             return F.lit(True), F.lit(0)
@@ -639,39 +728,34 @@ class Compiler:
             for s in scores[1:]:
                 total = total + s
             return pred, best + F.lit(float(node.tie_breaker)) * (total - best)
-        if isinstance(node, FunctionScore):
+        if isinstance(node, (FunctionScore, ScriptScore, DecayScore,
+                             RandomScore)):
             pred, score = self._walk(node.child)
-            ref = self.resolve(node.field_name)
-            if not isinstance(ref.dtype, _NUMERIC):
-                raise CompileError(
-                    "field_value_factor needs a numeric field, got "
-                    f"{ref.dtype.simpleString()} for {node.field_name!r}")
-            fv = fvf_value(ref.col, node)
+            fv = self._fn_value(node)
             return pred, combine_boost_mode(score.cast("double"), fv,
                                             node.boost_mode)
-        if isinstance(node, ScriptScore):
+        if isinstance(node, FunctionScoreArray):
+            # per-entry: filter gates applicability, weight × function
+            # value contributes; combine_score_mode folds the applying
+            # entries (empty set → 1.0), max_boost caps, boost_mode
+            # merges with the query score — ES FunctionScoreQuery order
             pred, score = self._walk(node.child)
-            for fld in node.fields:   # unknown refs fail at compile,
-                self.resolve(fld)     # not as a late AnalysisException
-            fv = F.expr(node.expr).cast("double")
-            return pred, combine_boost_mode(score.cast("double"), fv,
-                                            node.boost_mode)
-        if isinstance(node, DecayScore):
-            pred, score = self._walk(node.child)
-            ref = self.resolve(node.field_name)
-            is_date = isinstance(ref.dtype, (T.TimestampType,
-                                             T.TimestampNTZType,
-                                             T.DateType))
-            origin, scale, offset = decay_params(node, is_date)
-            fv = decay_value(decay_input(ref.col, ref.dtype, node),
-                             node, origin, scale, offset)
-            return pred, combine_boost_mode(score.cast("double"), fv,
-                                            node.boost_mode)
-        if isinstance(node, RandomScore):
-            pred, score = self._walk(node.child)
-            ref = self.resolve(node.field_name)
-            fv = random_value(ref.col, node.seed)
-            return pred, combine_boost_mode(score.cast("double"), fv,
+            parts = []
+            for fn in node.functions:
+                if fn.filter is None:
+                    ap: Column = F.lit(True)
+                else:
+                    fpred, _ = self._walk(fn.filter)
+                    ap = F.coalesce(fpred, F.lit(False))
+                fv = (F.lit(1.0) if fn.scorer is None
+                      else self._fn_value(fn.scorer))
+                w = 1.0 if fn.weight is None else float(fn.weight)
+                parts.append((ap, (F.lit(w) * fv).cast("double"),
+                              F.lit(w)))
+            factor = combine_score_mode(parts, node.score_mode)
+            if node.max_boost is not None:
+                factor = F.least(factor, F.lit(float(node.max_boost)))
+            return pred, combine_boost_mode(score.cast("double"), factor,
                                             node.boost_mode)
         if isinstance(node, TermsSet):
             # match-count floor over per-term tfs; threshold from the
@@ -686,14 +770,19 @@ class Compiler:
             for tf in tfs:
                 m = m + F.when(tf > 0, 1).otherwise(0)
                 total = total + tf
+            # try_cast, not cast: a threshold that does not cast to a
+            # long (non-numeric string field, NaN/overflowing script
+            # value) becomes NULL → matches nothing, instead of an
+            # untyped ANSI CAST_INVALID_INPUT at collect time (r8);
+            # the index plan applies the identical rule
             if node.msm_field is not None:
-                msm = self.resolve(node.msm_field).col.cast("long")
+                msm = self.resolve(node.msm_field).col.try_cast("long")
             else:
                 import re as _re2
-                for fld in _re2.findall(r"CAST\(`([^`]+)` AS DOUBLE\)",
+                for fld in _re2.findall(r"TRY_CAST\(`([^`]+)` AS DOUBLE\)",
                                         node.msm_expr or ""):
                     self.resolve(fld)   # typed error, not a late
-                msm = F.expr(node.msm_expr).cast("long")
+                msm = F.expr(node.msm_expr).try_cast("long")
             # greatest() skips nulls, so gate null thresholds explicitly
             # (they match nothing — same as the index plan, whose range
             # index holds no row for a null-valued doc)

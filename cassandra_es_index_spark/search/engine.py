@@ -21,7 +21,7 @@ from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax, Exists,
-    FunctionScore,
+    FunctionScore, FunctionScoreArray, RandomScore,
     Fuzzy, IntervalsMatch, Node, Not, Or, Phrase, Range, Regexp, Required,
     Scoreless,
     ScriptScore, Should, SpanNear, Term, TermsSet, Wildcard,
@@ -2079,10 +2079,17 @@ class SearchEngine:
                                 F.sum("tf").alias(SCORE)))
                 floor = rstate.view().select(
                     "doc", F.col("val").alias("_msm_raw"))
+                # try_cast + explicit null gate: greatest() skips
+                # nulls, so a threshold value that does not cast to a
+                # long (non-numeric string field) must be excluded
+                # explicitly — never clamped to 1, never an untyped
+                # ANSI CAST_INVALID_INPUT; the scan plan applies the
+                # identical try_cast + isNotNull rule (r8)
+                msm_long = F.col("_msm_raw").try_cast("long")
                 return (grouped.join(floor, on="doc")
-                        .where(F.col("_m") >=
-                               F.greatest(F.col("_msm_raw").cast("long"),
-                                          F.lit(1)))
+                        .where(msm_long.isNotNull()
+                               & (F.col("_m") >=
+                                  F.greatest(msm_long, F.lit(1))))
                         .select("doc", F.col(SCORE).cast("long")
                                         .alias(SCORE)))
             if isinstance(n, IntervalsMatch):
@@ -2247,7 +2254,7 @@ class SearchEngine:
                 # doc-values analogue); any un-indexed ref falls back to
                 # the scan plan
                 from cassandra_es_index_spark.search.compile import (
-                    combine_boost_mode,
+                    combine_boost_mode, script_score_value,
                 )
 
                 for fld in n.fields:
@@ -2263,10 +2270,104 @@ class SearchEngine:
                     joined = joined.join(
                         st.view().select("doc", F.col("val").alias(fld)),
                         on="doc", how="left")
-                fv = F.expr(n.expr).cast("double")
+                fv = script_score_value(n.expr)
                 score = combine_boost_mode(
                     F.col(SCORE).cast("double"), fv, n.boost_mode)
                 return joined.select("doc", score.alias(SCORE))
+            if isinstance(n, FunctionScoreArray):
+                # functions-array relevance tuning (r8): the child rides
+                # its index plan; each entry's field values ride the
+                # range index (doc-values analogue) and per-entry
+                # filters join as broadcast doc-set markers — no corpus
+                # scan. random_score entries fall back to the scan plan
+                # (the range index projects values, not hash inputs of
+                # the original column dtype). combine_score_mode /
+                # combine_boost_mode are shared with the scan compiler,
+                # so both plans score bit-identically.
+                from cassandra_es_index_spark.search.compile import (
+                    combine_boost_mode, combine_score_mode, decay_input,
+                    decay_params, decay_value, fvf_value,
+                    script_score_value,
+                )
+                from pyspark.sql import types as T
+
+                comp = Compiler(docs, default)
+                for f_ in n.functions:
+                    if f_.scorer is not None:
+                        # same eager field/type checks as the scan path
+                        comp._fn_value(f_.scorer)
+                        if isinstance(f_.scorer, RandomScore):
+                            return None
+                inner = serve(n.child)
+                if inner is None:
+                    return None
+                out = inner.select(
+                    "doc", F.col(SCORE).cast("double").alias(SCORE))
+                parts = []
+                for i, f_ in enumerate(n.functions):
+                    if f_.filter is None:
+                        ap: Column = F.lit(True)
+                    else:
+                        fd = serve(f_.filter)
+                        if fd is None:
+                            return None
+                        out = out.join(
+                            fd.select("doc",
+                                      F.lit(True).alias(f"_fsm{i}")),
+                            on="doc", how="left")
+                        ap = F.coalesce(F.col(f"_fsm{i}"), F.lit(False))
+                    sc = f_.scorer
+                    if sc is None:
+                        fv: Column = F.lit(1.0)
+                    elif isinstance(sc, (FunctionScore, DecayScore)):
+                        rstate = self._range.get((table, sc.field_name))
+                        if rstate is None:
+                            return None
+                        out = out.join(
+                            rstate.view().select(
+                                "doc", F.col("val").alias(f"_fsv{i}")),
+                            on="doc", how="left")
+                        if isinstance(sc, FunctionScore):
+                            fv = fvf_value(F.col(f"_fsv{i}"), sc)
+                        else:
+                            ref = comp.resolve(sc.field_name)
+                            is_date = isinstance(
+                                ref.dtype, (T.TimestampType,
+                                            T.TimestampNTZType,
+                                            T.DateType))
+                            origin, scale, offset = decay_params(
+                                sc, is_date)
+                            fv = decay_value(
+                                decay_input(F.col(f"_fsv{i}"),
+                                            ref.dtype, sc),
+                                sc, origin, scale, offset)
+                    else:  # ScriptScore
+                        states = [self._range.get((table, fld))
+                                  for fld in sc.fields]
+                        if any(s is None for s in states):
+                            return None
+                        for fld, st in zip(sc.fields, states):
+                            out = out.join(
+                                st.view().select(
+                                    "doc", F.col("val").alias(fld)),
+                                on="doc", how="left")
+                        fv = script_score_value(sc.expr)
+                    w = 1.0 if f_.weight is None else float(f_.weight)
+                    # materialize the entry value eagerly, then drop the
+                    # raw ref columns so a later entry referencing the
+                    # same field joins without ambiguity
+                    out = out.withColumn(
+                        f"_fsf{i}", (F.lit(w) * fv).cast("double"))
+                    if isinstance(sc, ScriptScore):
+                        out = out.drop(*sc.fields)
+                    parts.append((ap, F.col(f"_fsf{i}"), F.lit(w)))
+                factor = combine_score_mode(parts, n.score_mode)
+                if n.max_boost is not None:
+                    factor = F.least(factor,
+                                     F.lit(float(n.max_boost)))
+                score = combine_boost_mode(F.col(SCORE), factor,
+                                           n.boost_mode)
+                return out.select("doc", score.alias(SCORE))
             if isinstance(n, And) and n.children:
                 # full ES-bool composition: positives (must/filter) join
                 # on doc; must_not excludes via broadcast anti-joins;
@@ -2477,6 +2578,12 @@ class SearchEngine:
                         for reg in registries
                         for key, state in list(reg.items())
                         if key[0] == table],
+            # IVF entries are (DataFrame, centroids) tuples REPLACED
+            # (never mutated) by build/attach/maintain — holding the
+            # tuple pins the ANN view too, so a knn query through the
+            # handle cannot see post-open vectors (ADVICE r7)
+            "ivf": {k: v for k, v in self._ivf.items()
+                    if k[0] == table},
         }
         return pid
 
@@ -2489,11 +2596,21 @@ class SearchEngine:
                    limit: int | None = None,
                    search_after: list | tuple | None = None) -> DataFrame:
         """``search`` against a PIT handle's pinned generation: the
-        documents frame, row source, and index views are swapped to the
-        snapshot for plan construction and restored after (the returned
-        DataFrame keeps the pinned lineage). Combine with
-        ``search_after`` for consistent deep paging under concurrent
-        writes — the ES PIT + search_after idiom."""
+        documents frame, row source, and index views (including IVF)
+        are swapped to the snapshot for plan construction and restored
+        after (the returned DataFrame keeps the pinned lineage).
+        Combine with ``search_after`` for consistent deep paging under
+        concurrent writes — the ES PIT + search_after idiom.
+
+        Concurrency contract: the swap-and-restore is engine-mutable
+        state guarded by try/finally — correct for the engine's
+        single-threaded driver model (one SearchEngine per driver
+        thread, like a SparkSession's session state), NOT safe for
+        concurrent ``search_pit``/``search`` calls on the same engine
+        from multiple threads. Scroll handles hold only
+        ``{pit, cursor}`` driver dicts (no cached DataFrames) until
+        ``clear_scroll`` — bounded bookkeeping; abandoners leak a
+        size-bounded dict entry, not executor memory."""
         snap = self._pits.get(pit_id)
         if snap is None:
             raise es_dsl.DslError(f"unknown pit {pit_id!r}")
@@ -2506,6 +2623,8 @@ class SearchEngine:
         saved_entries = {id(reg): {k: v for k, v in reg.items()
                                    if k[0] == table}
                          for reg in registries}
+        saved_ivf = {k: v for k, v in self._ivf.items()
+                     if k[0] == table}
         try:
             self._docs[table] = snap["docs"]
             if snap["row_source"] is not None:
@@ -2521,6 +2640,9 @@ class SearchEngine:
                     del reg[k]
             for reg, key, pinned in snap["indexes"]:
                 reg[key] = pinned
+            for k in [k for k in self._ivf if k[0] == table]:
+                del self._ivf[k]
+            self._ivf.update(snap.get("ivf", {}))
             return self.search(table, query, default_field=default_field,
                                limit=limit, search_after=search_after)
         finally:
@@ -2537,6 +2659,9 @@ class SearchEngine:
                 for k in [k for k in reg if k[0] == table]:
                     del reg[k]
                 reg.update(saved_entries[id(reg)])
+            for k in [k for k in self._ivf if k[0] == table]:
+                del self._ivf[k]
+            self._ivf.update(saved_ivf)
 
     def open_scroll(self, table: str, query: str, size: int = 100,
                     default_field: str | None = None) -> str:
@@ -2551,6 +2676,15 @@ class SearchEngine:
         if not isinstance(size, int) or isinstance(size, bool) \
                 or size <= 0:
             raise es_dsl.DslError("scroll size must be a positive int")
+        # ES rejects `from` with scroll: the cursor owns the paging, and
+        # a body offset would re-apply to EVERY keyset batch, silently
+        # dropping the first N rows of each remaining page (ADVICE r7)
+        qmd = QueryMetaData.parse(query)
+        req = self._parse_request(qmd.query)
+        if req.from_:
+            raise es_dsl.DslError(
+                "scroll does not support 'from' (ES rejects it; "
+                "the cursor pages the full order itself)")
         pid = self.open_pit(table)
         self._pit_seq += 1
         sid = f"scroll_{self._pit_seq}"
@@ -2664,6 +2798,11 @@ class SearchEngine:
                 walk(n.negative, False)
                 return
             if isinstance(n, A.FunctionScore):
+                walk(n.child, positive)
+                return
+            if isinstance(n, A.FunctionScoreArray):
+                # entry filters gate function applicability, not doc
+                # matching — only the child query carries match leaves
                 walk(n.child, positive)
                 return
             if not positive:

@@ -24,9 +24,10 @@ from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
+    FunctionScoreArray,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested,
     Node, Not, Or,
-    Phrase, Range, RandomScore, Regexp,
+    Phrase, Range, RandomScore, Regexp, ScoreFunction,
     Scoreless, ScriptScore, Should, SpanNear, Term, TermsSet, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
@@ -68,20 +69,211 @@ _DOC_SCRIPT_OK = _re.compile(
     r"|[\s\+\-\*/%\(\)]|==|!=|<=|>=|<|>|&&|\|\||!)+$")
 
 
+# user-script token stream: SQL atoms (substituted refs / numbers),
+# arithmetic/comparison/logical operators, parens
+_SCRIPT_TOK = _re.compile(
+    r"\s*(TRY_CAST\(`[^`]+` AS DOUBLE\)|`[^`]+`|\d+(?:\.\d+)?"
+    r"|&&|\|\||==|!=|<=|>=|[-+*/%()<>!])")
+_SCRIPT_OPS = {"&&", "||", "==", "!=", "<=", ">=", "<", ">", "!",
+               "+", "-", "*", "/", "%", "(", ")"}
+
+
+def _arith_sql(name: str, substituted: str) -> str:
+    """Precedence-climbing re-emit of a user script (painless
+    arithmetic/comparison subset, refs already substituted with SQL
+    atoms) as ONE Spark SQL expression — with ``/`` → ``try_divide``
+    and ``%`` → ``try_mod`` so a runtime zero divisor yields NULL
+    instead of an untyped SparkArithmeticException (ANSI mode): the
+    typed-error contract holds at runtime too. NULL results then follow
+    each consumer's null rule — a null terms_set threshold matches
+    nothing, a null script_score scores 0, a null bucket-script value
+    stays a null bucket column. Spark's ``/`` on integers is already
+    floating-point division, so try_divide only changes the 0-divisor
+    case."""
+    toks: list[str] = []
+    i = 0
+    while i < len(substituted):
+        if substituted[i:].strip() == "":
+            break
+        m = _SCRIPT_TOK.match(substituted, i)
+        if not m:
+            raise DslError(
+                f"script {name!r}: cannot parse {substituted[i:]!r}")
+        toks.append(m.group(1))
+        i = m.end()
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def primary() -> str:
+        t = peek()
+        if t == "(":
+            take()
+            e = or_()
+            if peek() != ")":
+                raise DslError(f"script {name!r}: unbalanced parens")
+            take()
+            return f"({e})"
+        if t in ("+", "-"):
+            take()
+            inner = primary()
+            return f"(- {inner})" if t == "-" else inner
+        if t is None or t in _SCRIPT_OPS:
+            raise DslError(f"script {name!r}: expected a value, got "
+                           f"{t!r}")
+        return take()
+
+    def mul() -> str:
+        e = primary()
+        while peek() in ("*", "/", "%"):
+            op = take()
+            r = primary()
+            if op == "/":
+                e = f"try_divide({e}, {r})"
+            elif op == "%":
+                e = f"try_mod({e}, {r})"
+            else:
+                e = f"({e} * {r})"
+        return e
+
+    def add() -> str:
+        e = mul()
+        while peek() in ("+", "-"):
+            op = take()
+            e = f"({e} {op} {mul()})"
+        return e
+
+    def cmp() -> str:
+        e = add()
+        if peek() in ("==", "!=", "<=", ">=", "<", ">"):
+            op = take()
+            e = f"({e} {'=' if op == '==' else op} {add()})"
+        return e
+
+    def not_() -> str:
+        if peek() == "!":
+            take()
+            return f"(NOT {not_()})"
+        return cmp()
+
+    def and_() -> str:
+        e = not_()
+        while peek() == "&&":
+            take()
+            e = f"({e} AND {not_()})"
+        return e
+
+    def or_() -> str:
+        e = and_()
+        while peek() == "||":
+            take()
+            e = f"({e} OR {and_()})"
+        return e
+
+    out = or_()
+    if pos != len(toks):
+        raise DslError(f"script {name!r}: trailing tokens "
+                       f"{toks[pos:]!r}")
+    return out
+
+
 def _compile_doc_script(name: str, script: str) -> str:
     """Translate an ES ``script_fields`` painless script (the same
     arithmetic/comparison subset the bucket scripts accept, with
     ``doc['field'].value`` refs instead of ``params``) to a Spark SQL
     expression over the document columns. Numeric refs evaluate as
     DOUBLE, painless's arithmetic domain (also keeps Spark's DECIMAL
-    literal typing out of the result)."""
+    literal typing out of the result). Division/modulo emit
+    try_divide/try_mod — a runtime zero divisor yields NULL, never an
+    untyped Spark exception (see ``_arith_sql``)."""
     if not _DOC_SCRIPT_OK.match(script):
         raise DslError(
             f"script field {name!r}: only arithmetic/comparison over "
             f"doc['field'].value refs is supported, got {script!r}")
-    out = script.replace("&&", " AND ").replace("||", " OR ")
-    return _re.sub(r"doc\['([A-Za-z_][\w.]*)'\]\.value",
-                   r"CAST(`\1` AS DOUBLE)", out)
+    substituted = _re.sub(r"doc\['([A-Za-z_][\w.]*)'\]\.value",
+                          r"TRY_CAST(`\1` AS DOUBLE)", script)
+    return _arith_sql(name, substituted)
+
+
+# the function kinds a function_score query / functions-array entry may
+# carry (exactly one per entry)
+_FS_FN_KEYS = ("field_value_factor", "script_score", "random_score",
+               "gauss", "linear", "exp")
+
+
+def _parse_score_fn(fn: str, spec: Any) -> Node:
+    """Parse ONE function_score function (``fn`` is a ``_FS_FN_KEYS``
+    member, ``spec`` its body) into its scorer node with
+    ``child=MatchAll()`` / ``boost_mode="multiply"`` — the caller
+    re-attaches the real child/boost_mode (single-function form) or
+    wraps it in a ScoreFunction entry (functions-array form)."""
+    from cassandra_es_index_spark.search.compile import _FVF_MODIFIERS
+
+    child = MatchAll()
+    if fn == "field_value_factor":
+        if not isinstance(spec, dict) or "field" not in spec:
+            raise DslError("field_value_factor needs {'field': name}")
+        modifier = str(spec.get("modifier", "none"))
+        if modifier not in _FVF_MODIFIERS:
+            raise DslError(
+                f"unknown field_value_factor modifier {modifier!r}")
+        try:
+            factor = float(spec.get("factor", 1.0))
+            missing = float(spec.get("missing", 1.0))
+        except (TypeError, ValueError) as e:
+            raise DslError("field_value_factor factor/missing must "
+                           "be numeric") from e
+        return FunctionScore(child, spec["field"], factor, modifier,
+                             missing)
+    if fn == "script_score":
+        if not isinstance(spec, dict) or "script" not in spec:
+            raise DslError("script_score needs {'script': ...}")
+        script = spec["script"]
+        if isinstance(script, dict):
+            script = script.get("source")
+        if not isinstance(script, str) or not script.strip():
+            raise DslError("script_score needs a script source "
+                           "string")
+        expr = _compile_doc_script("script_score", script)
+        refs = tuple(dict.fromkeys(_re.findall(
+            r"doc\['([A-Za-z_][\w.]*)'\]\.value", script)))
+        return ScriptScore(child, expr, refs, script)
+    if fn == "random_score":
+        if not isinstance(spec, dict) or "seed" not in spec \
+                or "field" not in spec:
+            raise DslError(
+                "random_score needs {'seed': int, 'field': name} — "
+                "the unseeded wall-clock form is not supported "
+                "(non-deterministic plans)")
+        seed = spec["seed"]
+        if isinstance(seed, bool) or not isinstance(seed, int):
+            raise DslError("random_score seed must be an integer")
+        return RandomScore(child, seed, str(spec["field"]))
+    # decay: {"gauss": {field: {"origin", "scale", "offset", "decay"}}}
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise DslError(
+            f"{fn} needs {{field: {{'origin','scale',...}}}}")
+    (dfield, params), = spec.items()
+    if not isinstance(params, dict) or "scale" not in params:
+        raise DslError(f"{fn} on {dfield!r} needs a 'scale'")
+    try:
+        decay = float(params.get("decay", 0.5))
+    except (TypeError, ValueError) as e:
+        raise DslError(f"bad decay {params.get('decay')!r}") from e
+    if not 0.0 < decay < 1.0:
+        raise DslError(f"decay must be in (0,1), got {decay}")
+    # origin defaults to `now` like ES (meaningful on date fields
+    # only; numeric fields reject a non-numeric origin at compile)
+    origin = params.get("origin", "now")
+    return DecayScore(child, str(dfield), fn, origin, params["scale"],
+                      params.get("offset", 0.0), decay)
 
 
 def _compile_bucket_script(name: str, script: str,
@@ -93,14 +285,17 @@ def _compile_bucket_script(name: str, script: str,
         raise DslError(
             f"bucket script {name!r}: only arithmetic/comparison over "
             f"params refs is supported, got {script!r}")
-    out = script.replace("&&", " AND ").replace("||", " OR ")
+    out = script
     for pname, target in paths.items():
         col = "doc_count" if target == "_count" else target
         out = _re.sub(rf"params\.{_re.escape(pname)}\b", f"`{col}`", out)
     if "params." in out:
         raise DslError(f"bucket script {name!r}: unbound params ref "
                        f"in {script!r}")
-    return out
+    # try_divide/try_mod re-emit: a zero divisor yields a NULL bucket
+    # value (bucket_selector: NULL never selects), not an untyped
+    # SparkArithmeticException
+    return _arith_sql(name, out)
 # ES default percents for the percentiles agg
 _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
@@ -1474,95 +1669,89 @@ def _node(q: dict[str, Any]) -> Node:
             DisMax(tuple(_node(q) for q in body["queries"]), tb),
             body.get("boost"))
     if kind == "function_score":
-        # one function per query: field_value_factor, script_score (the
-        # painless arithmetic subset), random_score (seeded), or a decay
-        # function gauss/linear/exp (closed-form Column math) + boost_mode
+        # single-function form (field_value_factor / script_score /
+        # random_score / gauss/linear/exp) OR the `functions` ARRAY —
+        # per-entry filter/weight, score_mode combination, max_boost
+        # cap — the production relevance-tuning idiom (r8)
         if not isinstance(body, dict):
             raise DslError("function_score needs an object")
+        from dataclasses import replace as _dc_replace
+
         from cassandra_es_index_spark.search.compile import (
-            _BOOST_MODES, _FVF_MODIFIERS,
+            _BOOST_MODES, _SCORE_MODES,
         )
         boost_mode = str(body.get("boost_mode", "multiply"))
         if boost_mode not in _BOOST_MODES:
             raise DslError(f"unknown boost_mode {boost_mode!r}")
-        fns = [k for k in ("field_value_factor", "script_score",
-                           "random_score", "gauss", "linear", "exp")
-               if k in body]
+        fns = [k for k in _FS_FN_KEYS if k in body]
+        child = _node(body["query"]) if "query" in body else MatchAll()
+        if "functions" in body:
+            if fns:
+                raise DslError(
+                    "function_score cannot mix a top-level function "
+                    f"({fns[0]!r}) with a 'functions' array")
+            arr = body["functions"]
+            if not isinstance(arr, list) or not arr:
+                raise DslError(
+                    "function_score 'functions' needs a non-empty "
+                    "array")
+            score_mode = str(body.get("score_mode", "multiply"))
+            if score_mode not in _SCORE_MODES:
+                raise DslError(f"unknown score_mode {score_mode!r}")
+            max_boost = body.get("max_boost")
+            if max_boost is not None:
+                if isinstance(max_boost, bool):
+                    raise DslError("max_boost must be numeric")
+                try:
+                    max_boost = float(max_boost)
+                except (TypeError, ValueError) as e:
+                    raise DslError(
+                        f"bad max_boost {max_boost!r}") from e
+            entries = []
+            for i, spec in enumerate(arr):
+                if not isinstance(spec, dict):
+                    raise DslError(f"functions[{i}] must be an object")
+                extra = set(spec) - set(_FS_FN_KEYS) \
+                    - {"filter", "weight"}
+                if extra:
+                    raise DslError(
+                        f"functions[{i}]: unknown keys {sorted(extra)}")
+                flt = _node(spec["filter"]) if "filter" in spec else None
+                weight = spec.get("weight")
+                if weight is not None:
+                    if isinstance(weight, bool):
+                        raise DslError(
+                            f"functions[{i}] weight must be numeric")
+                    try:
+                        weight = float(weight)
+                    except (TypeError, ValueError) as e:
+                        raise DslError(
+                            f"bad weight {weight!r}") from e
+                fk = [k for k in _FS_FN_KEYS if k in spec]
+                if len(fk) > 1:
+                    raise DslError(
+                        f"functions[{i}] carries more than one "
+                        f"function: {fk}")
+                scorer = (_parse_score_fn(fk[0], spec[fk[0]])
+                          if fk else None)
+                if scorer is None and weight is None:
+                    raise DslError(
+                        f"functions[{i}] needs a function or a "
+                        "'weight' (ES: an entry in the functions list "
+                        "is missing a function)")
+                entries.append(ScoreFunction(flt, weight, scorer))
+            return _boosted(
+                FunctionScoreArray(child, tuple(entries), score_mode,
+                                   boost_mode, max_boost),
+                body.get("boost"))
         if len(fns) != 1:
             raise DslError(
                 "function_score needs exactly one of field_value_factor/"
-                "script_score/random_score/gauss/linear/exp "
-                f"(got {fns or 'none'})")
-        child = _node(body["query"]) if "query" in body else MatchAll()
-        fn = fns[0]
-        if fn == "field_value_factor":
-            fvf = body["field_value_factor"]
-            if not isinstance(fvf, dict) or "field" not in fvf:
-                raise DslError("field_value_factor needs {'field': name}")
-            modifier = str(fvf.get("modifier", "none"))
-            if modifier not in _FVF_MODIFIERS:
-                raise DslError(
-                    f"unknown field_value_factor modifier {modifier!r}")
-            try:
-                factor = float(fvf.get("factor", 1.0))
-                missing = float(fvf.get("missing", 1.0))
-            except (TypeError, ValueError) as e:
-                raise DslError("field_value_factor factor/missing must "
-                               "be numeric") from e
-            return _boosted(
-                FunctionScore(child, fvf["field"], factor, modifier,
-                              missing, boost_mode),
-                body.get("boost"))
-        if fn == "script_score":
-            spec = body["script_score"]
-            if not isinstance(spec, dict) or "script" not in spec:
-                raise DslError("script_score needs {'script': ...}")
-            script = spec["script"]
-            if isinstance(script, dict):
-                script = script.get("source")
-            if not isinstance(script, str) or not script.strip():
-                raise DslError("script_score needs a script source "
-                               "string")
-            expr = _compile_doc_script("script_score", script)
-            refs = tuple(dict.fromkeys(_re.findall(
-                r"doc\['([A-Za-z_][\w.]*)'\]\.value", script)))
-            return _boosted(
-                ScriptScore(child, expr, refs, script, boost_mode),
-                body.get("boost"))
-        if fn == "random_score":
-            spec = body["random_score"]
-            if not isinstance(spec, dict) or "seed" not in spec \
-                    or "field" not in spec:
-                raise DslError(
-                    "random_score needs {'seed': int, 'field': name} — "
-                    "the unseeded wall-clock form is not supported "
-                    "(non-deterministic plans)")
-            seed = spec["seed"]
-            if isinstance(seed, bool) or not isinstance(seed, int):
-                raise DslError("random_score seed must be an integer")
-            return _boosted(
-                RandomScore(child, seed, str(spec["field"]), boost_mode),
-                body.get("boost"))
-        # decay: {"gauss": {field: {"origin", "scale", "offset", "decay"}}}
-        spec = body[fn]
-        if not isinstance(spec, dict) or len(spec) != 1:
-            raise DslError(
-                f"{fn} needs {{field: {{'origin','scale',...}}}}")
-        (dfield, params), = spec.items()
-        if not isinstance(params, dict) or "scale" not in params:
-            raise DslError(f"{fn} on {dfield!r} needs a 'scale'")
-        try:
-            decay = float(params.get("decay", 0.5))
-        except (TypeError, ValueError) as e:
-            raise DslError(f"bad decay {params.get('decay')!r}") from e
-        if not 0.0 < decay < 1.0:
-            raise DslError(f"decay must be in (0,1), got {decay}")
-        # origin defaults to `now` like ES (meaningful on date fields
-        # only; numeric fields reject a non-numeric origin at compile)
-        origin = params.get("origin", "now")
+                "script_score/random_score/gauss/linear/exp or a "
+                f"'functions' array (got {fns or 'none'})")
+        scorer = _parse_score_fn(fns[0], body[fns[0]])
         return _boosted(
-            DecayScore(child, str(dfield), fn, origin, params["scale"],
-                       params.get("offset", 0.0), decay, boost_mode),
+            _dc_replace(scorer, child=child, boost_mode=boost_mode),
             body.get("boost"))
     if kind == "range":
         field, bounds = _single(body)

@@ -138,3 +138,49 @@ def test_scroll_validation(spark):
     with pytest.raises(DslError, match="size"):
         eng.open_scroll("scroll_val", '{"query":{"match_all":{}}}',
                         size=0)
+
+
+def test_scroll_rejects_from(spark):
+    # ES rejects `from` with scroll; pre-r8 the offset silently
+    # re-applied to EVERY keyset batch, dropping rows from the drain
+    eng = _engine(spark, "scroll_from")
+    with pytest.raises(DslError, match="from"):
+        eng.open_scroll(
+            "scroll_from",
+            '{"query":{"match":{"text":"spark"}},"from":5,'
+            '"sort":[{"id":"asc"}]}', size=4)
+
+
+def test_pit_pins_ivf_view(spark):
+    # ADVICE r7: knn under a PIT must not see post-open vectors — the
+    # IVF registry is pinned alongside the doc/index registries
+    import json
+
+    eng = SearchEngine(spark)
+    rows = [(i, [1.0, float(i) / 100.0]) for i in range(1, 11)]
+    eng.register(spark.createDataFrame(rows, "id int, vec array<double>"),
+                 TableSpec("knn_pit", ["id"]))
+    eng.build_ivf_index("knn_pit", "vec", n_cells=2, n_iters=1)
+    pid = eng.open_pit("knn_pit")
+
+    spec = TableSpec("knn_pit", ["id"])
+    rows2 = rows + [(99, [0.0, 1.0])]
+    resolved = build_documents(
+        spark.createDataFrame(rows2, "id int, vec array<double>"), spec)
+    new = build_documents(
+        spark.createDataFrame([(99, [0.0, 1.0])],
+                              "id int, vec array<double>"), spec)
+    eng.apply_delta("knn_pit", resolved, new, None)
+    eng.build_ivf_index("knn_pit", "vec", n_cells=2, n_iters=1)
+
+    q = "#options:load-rows=false#" + json.dumps(
+        {"knn": {"field": "vec", "query_vector": [0.0, 1.0],
+                 "k": 3, "nprobe": 2}})
+    live = [r["id"] for r in eng.search("knn_pit", q).collect()]
+    assert 99 in live
+    pinned = [r["id"] for r in eng.search_pit(pid, q).collect()]
+    assert 99 not in pinned and pinned
+    # live route untouched after the pinned call (state restored)
+    live2 = [r["id"] for r in eng.search("knn_pit", q).collect()]
+    assert live2 == live
+    eng.close_pit(pid)
