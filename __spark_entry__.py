@@ -404,6 +404,20 @@ def q_search_span_near(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_span_not(spark, sf_dir):
+    # span family completion (r8): span_not — 'spark' occurrences NOT
+    # within 2 tokens after / 0 before a 'slow' occurrence; include
+    # clause is a span_or union with 'sparks' (exercises the clause
+    # algebra); score = surviving include positions. Token-position
+    # index served: one token filter + per-doc position-list agg, same
+    # survival Column math as the scan plan.
+    q = ('{"query":{"span_not":{"include":{"span_or":{"clauses":['
+         '{"span_term":{"text":"spark"}},{"span_term":{"text":"sparks"}}'
+         ']}},"exclude":{"span_term":{"text":"slow"}},'
+         '"pre":0,"post":2}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_multi_terms(spark, sf_dir):
     # ES multi_terms: composite (lang, source) key, terms ordering
     # (doc_count desc, keys asc), size cap, with a metric sub-agg
@@ -1714,6 +1728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (oracle present, pytest-checked; window-capped)
         "search_span_near": q_search_span_near,  # span position pairs
         #   (oracle present, pytest-checked; window-capped)
+        "search_span_not": q_search_span_not,  # r8 span family
+        #   completion (span_or-in-span_not, pre/post survival; oracle
+        #   present, pytest-checked incl. index parity; window-capped)
         "search_knn": q_search_knn,  # ES 8 knn through the DSL
         #   (oracle present, pytest-checked; window-capped; exact tier —
         #   approximate IVF/LSH routing graded by ann_recall's
@@ -2016,6 +2033,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM p)
             SELECT doc_id, pairs::BIGINT AS _score
             FROM s WHERE pairs > 0
+        """,
+        # span_not (r8): include = positions of spark|sparks, exclude =
+        # positions of slow; an include position p survives when no
+        # exclude q lies in [p − 0, p + 2]; score = survivor count
+        "search_span_not": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(text), '\W+') AS toks
+                FROM documents),
+            p AS (
+                SELECT doc_id,
+                       list_filter(range(len(toks)),
+                                   i -> len(toks[i + 1]) > 0
+                                        AND toks[i + 1] IN
+                                            ('spark', 'sparks')) AS inc,
+                       list_filter(range(len(toks)),
+                                   i -> len(toks[i + 1]) > 0
+                                        AND toks[i + 1] = 'slow') AS exc
+                FROM t),
+            s AS (
+                SELECT doc_id,
+                       len(list_filter(inc,
+                           p -> len(list_filter(exc,
+                               q -> q >= p - 0 AND q <= p + 2)) = 0))
+                           AS survivors
+                FROM p)
+            SELECT doc_id, survivors::BIGINT AS _score
+            FROM s WHERE survivors > 0
         """,
         # multi_terms (lang, source): top-15 composite keys by count
         "search_multi_terms": """

@@ -387,6 +387,47 @@ class SpanNear(Node):
 
 
 @dataclass(frozen=True)
+class SpanOr(Node):
+    """Lucene/ES ``span_or`` over single-token ``span_term`` clauses
+    (one shared field — the engine's documented span subset, like
+    span_near's two-clause shape): a doc matches when ANY clause's
+    token occurs; score = total count of matching token POSITIONS
+    (Σ tf — Lucene SpanOrQuery's union-of-spans frequency, and the
+    engine's Or convention). Also the composable clause form accepted
+    inside ``span_first``/``span_not``."""
+    field: str | None = None
+    terms: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class SpanFirst(Node):
+    """Lucene/ES ``span_first``: spans of ``match`` (span_term or
+    span_or — single-token spans) whose END position ≤ ``end``. A
+    single-token span at position p (0-based) has end p+1, so the
+    qualifying positions are p < end — Lucene
+    SpanPositionRangeQuery(match, 0, end). Score = count of qualifying
+    positions."""
+    field: str | None = None
+    terms: tuple[str, ...] = ()
+    end: int = 0
+
+
+@dataclass(frozen=True)
+class SpanNot(Node):
+    """Lucene/ES ``span_not``: ``include`` spans (span_term / span_or)
+    that do NOT fall within ``pre`` tokens before or ``post`` tokens
+    after any ``exclude`` span. For single-token spans an include
+    position p survives when no exclude position q satisfies
+    p − pre ≤ q ≤ p + post (``dist`` sets both, ES parity). Score =
+    count of surviving include positions."""
+    field: str | None = None
+    include_terms: tuple[str, ...] = ()
+    exclude_terms: tuple[str, ...] = ()
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
 class Boosting(Node):
     """ES ``boosting`` query: matches exactly the ``positive`` query;
     docs ALSO matching ``negative`` keep matching but their score

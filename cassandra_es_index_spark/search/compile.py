@@ -36,7 +36,8 @@ from cassandra_es_index_spark.search.ast import (
     Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested, Node, Not, Or,
     Phrase, Range,
     RandomScore, Regexp,
-    Required, Scoreless, ScriptScore, Should, SpanNear, Term, TermsSet,
+    Required, Scoreless, ScriptScore, Should, SpanFirst, SpanNear,
+    SpanNot, SpanOr, Term, TermsSet,
     Wildcard,
 )
 
@@ -851,6 +852,49 @@ class Compiler:
                 lambda acc, a: acc + F.size(
                     F.filter(p2, lambda b: pair_ok(a, b))))
             cnt = F.coalesce(pairs, F.lit(0))
+            return cnt > 0, cnt
+        if isinstance(node, (SpanOr, SpanFirst, SpanNot)):
+            # single-token span algebra (r8): position arrays via split
+            # + filtered index sequences, the SpanNear machinery; the
+            # span_not survival count is shared with the index-served
+            # plan (positional.span_not_count) so both plans count
+            # bit-identically
+            from cassandra_es_index_spark.search.positional import (
+                span_not_count,
+            )
+
+            ref = self.resolve(node.field)
+            if not isinstance(ref.dtype, T.StringType):
+                raise CompileError(
+                    "span queries support plain string fields")
+            toks = F.split(F.lower(ref.col), r"\W+")
+            idx = F.sequence(F.lit(0), F.size(toks) - 1)
+
+            def positions(term: str) -> Column:
+                t = F.lit(term.lower())
+                return F.filter(
+                    idx, lambda i: (F.length(F.element_at(toks, i + 1))
+                                    > 0)
+                    & (F.element_at(toks, i + 1) == t))
+
+            def union(terms: tuple) -> Column:
+                arrs = [positions(t) for t in dict.fromkeys(terms)]
+                return arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+
+            if isinstance(node, SpanOr):
+                cnt = F.coalesce(F.size(union(node.terms)), F.lit(0))
+            elif isinstance(node, SpanFirst):
+                # single-token span END = p+1 ≤ end ⇔ p < end
+                cnt = F.coalesce(
+                    F.size(F.filter(union(node.terms),
+                                    lambda p: p < F.lit(int(node.end)))),
+                    F.lit(0))
+            else:
+                cnt = F.coalesce(
+                    span_not_count(union(node.include_terms),
+                                   union(node.exclude_terms),
+                                   node.pre, node.post),
+                    F.lit(0))
             return cnt > 0, cnt
         if isinstance(node, Boosting):
             # ES boosting: positive gates matching; a doc also matching

@@ -24,7 +24,8 @@ from cassandra_es_index_spark.search.ast import (
     FunctionScore, FunctionScoreArray, RandomScore,
     Fuzzy, IntervalsMatch, Node, Not, Or, Phrase, Range, Regexp, Required,
     Scoreless,
-    ScriptScore, Should, SpanNear, Term, TermsSet, Wildcard,
+    ScriptScore, Should, SpanFirst, SpanNear, SpanNot, SpanOr, Term,
+    TermsSet, Wildcard,
 )
 from cassandra_es_index_spark.search.compile import Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
@@ -2125,6 +2126,29 @@ class SearchEngine:
                 return span_pair_counts(
                     state.view(), n.first, n.second,
                     slop=n.slop, in_order=n.in_order, score_col=SCORE)
+            if isinstance(n, (SpanOr, SpanFirst, SpanNot)):
+                # span family from the token-position index (r8): each
+                # is one token filter + one per-doc aggregation — the
+                # corpus is never re-tokenized; span_not's survival
+                # count is the same Column math the scan plan compiles
+                # (positional.span_not_count)
+                from cassandra_es_index_spark.search.positional import (
+                    span_first_hits, span_not_hits, span_or_hits,
+                )
+
+                fld = n.field if n.field is not None else default
+                state = self._span.get((table, fld))
+                if state is None:
+                    return None
+                if isinstance(n, SpanOr):
+                    return span_or_hits(state.view(), n.terms,
+                                        score_col=SCORE)
+                if isinstance(n, SpanFirst):
+                    return span_first_hits(state.view(), n.terms,
+                                           n.end, score_col=SCORE)
+                return span_not_hits(state.view(), n.include_terms,
+                                     n.exclude_terms, n.pre, n.post,
+                                     score_col=SCORE)
             if isinstance(n, Or) and n.children and \
                     all(isinstance(c, Term) for c in n.children):
                 # same-field OR of distinct plain terms → ONE isin filter +

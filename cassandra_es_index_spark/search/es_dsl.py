@@ -28,7 +28,8 @@ from cassandra_es_index_spark.search.ast import (
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested,
     Node, Not, Or,
     Phrase, Range, RandomScore, Regexp, ScoreFunction,
-    Scoreless, ScriptScore, Should, SpanNear, Term, TermsSet, Wildcard,
+    Scoreless, ScriptScore, Should, SpanFirst, SpanNear, SpanNot, SpanOr,
+    Term, TermsSet, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -1914,6 +1915,47 @@ def _node(q: dict[str, Any]) -> Node:
             SpanNear(next(iter(fields)), terms[0], terms[1], slop,
                      in_order),
             body.get("boost"))
+    if kind == "span_or":
+        # union of single-token span_term clauses, one shared field —
+        # score = count of matching positions (Σ tf)
+        fld, terms = _span_clause_terms({"span_or": body})
+        return _boosted(SpanOr(fld, terms), body.get("boost")
+                        if isinstance(body, dict) else None)
+    if kind == "span_first":
+        # spans of `match` ending at position ≤ end (Lucene
+        # SpanPositionRangeQuery(match, 0, end))
+        if not isinstance(body, dict) or "match" not in body \
+                or "end" not in body:
+            raise DslError(
+                "span_first needs {'match': span clause, 'end': int}")
+        end = body["end"]
+        if isinstance(end, bool) or not isinstance(end, int) or end < 0:
+            raise DslError("span_first end must be a non-negative "
+                           "integer")
+        fld, terms = _span_clause_terms(body["match"])
+        return _boosted(SpanFirst(fld, terms, end), body.get("boost"))
+    if kind == "span_not":
+        # include spans not within pre/post tokens of an exclude span;
+        # `dist` sets both (ES parity)
+        if not isinstance(body, dict) or "include" not in body \
+                or "exclude" not in body:
+            raise DslError("span_not needs {'include': span clause, "
+                           "'exclude': span clause}")
+        if "dist" in body and ("pre" in body or "post" in body):
+            raise DslError("span_not takes dist OR pre/post, not both")
+        pre = body.get("dist", body.get("pre", 0))
+        post = body.get("dist", body.get("post", 0))
+        for nm, v in (("pre", pre), ("post", post)):
+            if isinstance(v, bool) or not isinstance(v, int) or v < 0:
+                raise DslError(
+                    f"span_not {nm} must be a non-negative integer")
+        ifld, inc = _span_clause_terms(body["include"])
+        efld, exc = _span_clause_terms(body["exclude"])
+        if ifld != efld:
+            raise DslError("span_not include/exclude must share one "
+                           "field")
+        return _boosted(SpanNot(ifld, inc, exc, pre, post),
+                        body.get("boost"))
     if kind == "boosting":
         # ES boosting query: positive gates, negative demotes by
         # negative_boost (must be in [0, 1) per ES)
@@ -2120,6 +2162,40 @@ def _sqs_parse(text: str, field: str | None, default_op: str) -> Node:
     # ES SimpleQueryStringQueryBuilder: empty/all-dropped query text
     # rewrites to MatchNoDocsQuery, not match_all
     return node if node is not None else MatchNone()
+
+
+def _span_clause_terms(clause: Any) -> tuple[str, tuple[str, ...]]:
+    """(field, terms) of a single-token span clause — ``span_term`` or
+    ``span_or`` of span_terms (nesting collapses: a union of unions is
+    a union). The engine's documented span subset: composite spans
+    (span_near inside span_or etc.) are rejected with a typed error,
+    like span_near's two-clause shape."""
+    if not isinstance(clause, dict) or len(clause) != 1:
+        raise DslError("span clause must be span_term or span_or")
+    (k, v), = clause.items()
+    if k == "span_term":
+        fld, val = _single(v)
+        if isinstance(val, dict):
+            val = val.get("value")
+        return fld, (_scalar(val),)
+    if k == "span_or":
+        if not isinstance(v, dict) \
+                or not isinstance(v.get("clauses"), list) \
+                or not v["clauses"]:
+            raise DslError(
+                "span_or needs {'clauses': [span_term, ...]}")
+        fields: set[str] = set()
+        terms: list[str] = []
+        for cl in v["clauses"]:
+            f2, ts = _span_clause_terms(cl)
+            fields.add(f2)
+            terms.extend(ts)
+        if len(fields) != 1:
+            raise DslError("span_or clauses must share one field")
+        return next(iter(fields)), tuple(dict.fromkeys(terms))
+    raise DslError(
+        f"span clause {k!r} is not supported here (the engine "
+        "composes span_term and span_or)")
 
 
 def _boosted(node: Node, boost: Any) -> Node:

@@ -291,3 +291,68 @@ def interval_hits(tokens: DataFrame, terms: tuple, ordered: bool,
                                ordered, max_gaps)
     return (per_doc.where(pred)
                    .select("doc", F.lit(1).cast("long").alias(score_col)))
+
+
+def span_not_count(inc, exc, pre: int, post: int):
+    """Count of include positions that survive ``span_not``: an include
+    position p is rejected when some exclude position q falls in
+    [p − pre, p + post] (single-token spans — ast.SpanNot). Pure
+    higher-order Column math over two position arrays; SHARED by the
+    scan plan (arrays from split) and the index-served plan (arrays
+    collected from the token-position index) so both count
+    bit-identically. A null/empty exclude array rejects nothing."""
+    exc_safe = F.coalesce(exc, F.array())
+    return F.size(F.filter(
+        F.coalesce(inc, F.array()),
+        lambda p: ~F.exists(
+            exc_safe, lambda q: (q >= p - F.lit(int(pre)))
+            & (q <= p + F.lit(int(post))))))
+
+
+def span_or_hits(tokens: DataFrame, terms: tuple,
+                 score_col: str = "_score") -> DataFrame:
+    """(doc, score = count of matching token positions) for ``span_or``
+    over single-token span_terms — ONE ``token IN terms`` filter + one
+    per-doc count over the token-position index; Σ tf, the engine's Or
+    convention (ast.SpanOr)."""
+    low = list(dict.fromkeys(t.lower() for t in terms))
+    return (tokens.where(F.col("token").isin(low))
+                  .groupBy("doc")
+                  .agg(F.count("*").cast("long").alias(score_col)))
+
+
+def span_first_hits(tokens: DataFrame, terms: tuple, end: int,
+                    score_col: str = "_score") -> DataFrame:
+    """(doc, score = count of positions p with p < end) for
+    ``span_first`` — a single-token span at p has END p+1, so p+1 ≤ end
+    (Lucene SpanPositionRangeQuery(match, 0, end); ast.SpanFirst). The
+    position bound pushes into the token filter — never a corpus
+    scan."""
+    low = list(dict.fromkeys(t.lower() for t in terms))
+    return (tokens.where(F.col("token").isin(low)
+                         & (F.col("pos") < F.lit(int(end))))
+                  .groupBy("doc")
+                  .agg(F.count("*").cast("long").alias(score_col)))
+
+
+def span_not_hits(tokens: DataFrame, include_terms: tuple,
+                  exclude_terms: tuple, pre: int, post: int,
+                  score_col: str = "_score") -> DataFrame:
+    """(doc, score = surviving include positions) for ``span_not`` —
+    ONE ``token IN include ∪ exclude`` filter + one per-doc aggregation
+    collecting both position lists, then the same ``span_not_count``
+    the scan plan compiles (ast.SpanNot). Linear in the matched
+    postings."""
+    inc = list(dict.fromkeys(t.lower() for t in include_terms))
+    exc = list(dict.fromkeys(t.lower() for t in exclude_terms))
+    per_doc = (tokens.where(F.col("token").isin(inc + exc))
+                     .groupBy("doc")
+                     .agg(F.collect_list(
+                              F.when(F.col("token").isin(inc),
+                                     F.col("pos"))).alias("_inc"),
+                          F.collect_list(
+                              F.when(F.col("token").isin(exc),
+                                     F.col("pos"))).alias("_exc")))
+    cnt = span_not_count(F.col("_inc"), F.col("_exc"), pre, post)
+    return (per_doc.select("doc", cnt.cast("long").alias(score_col))
+                   .where(F.col(score_col) > 0))

@@ -1,0 +1,131 @@
+"""span_or / span_first / span_not (round-8, VERDICT "What's missing"
+#2) — completing the span family next to span_near/intervals, over the
+single-token span subset (ast.SpanOr/SpanFirst/SpanNot):
+
+- span_or: union of span_term positions; score = matching position
+  count (Σ tf, the engine's Or convention)
+- span_first: positions p with span END p+1 ≤ end — Lucene
+  SpanPositionRangeQuery(match, 0, end)
+- span_not: include positions with no exclude position in
+  [p − pre, p + post] (dist sets both, ES parity)
+
+Both plans share the survival/count Column math
+(positional.span_not_count), so scan and token-position-index serving
+are bit-exact; the index plans are one token filter + one per-doc
+aggregation — never a corpus re-tokenization.
+"""
+
+import pytest
+
+from cassandra_es_index_spark.search.engine import SearchEngine, TableSpec
+from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
+
+ROWS = [
+    ("a", "spark table spark value"),
+    ("b", "slow spark table"),
+    ("c", "value spark"),
+    ("d", "other words here"),
+    ("e", None),
+]
+
+Q_OR = ('{"query":{"span_or":{"clauses":[{"span_term":{"text":"spark"}},'
+        '{"span_term":{"text":"value"}}]}}}')
+Q_FIRST = ('{"query":{"span_first":{"match":{"span_term":'
+           '{"text":"spark"}},"end":1}}}')
+Q_NOT = ('{"query":{"span_not":{"include":{"span_term":{"text":"spark"}},'
+         '"exclude":{"span_term":{"text":"slow"}},"pre":1,"post":0}}}')
+
+
+@pytest.fixture(scope="module")
+def sp_engine(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(ROWS, "id string, text string"),
+                 TableSpec("sp_docs", ["id"]))
+    return eng
+
+
+def _rows(eng, q):
+    out = eng.search("sp_docs", "#options:load-rows=false#" + q,
+                     default_field="text")
+    return {r["id"]: r["_score"] for r in out.collect()}, out
+
+
+def test_span_or_counts_positions(sp_engine):
+    got, _ = _rows(sp_engine, Q_OR)
+    assert got == {"a": 3, "b": 1, "c": 2}
+
+
+def test_span_first_end_bound(sp_engine):
+    got, _ = _rows(sp_engine, Q_FIRST)
+    assert got == {"a": 1}          # only a has spark at position 0
+    got2, _ = _rows(sp_engine, Q_FIRST.replace('"end":1', '"end":2'))
+    assert got2 == {"a": 1, "b": 1, "c": 1}
+
+
+def test_span_not_pre_post_buffers(sp_engine):
+    got, _ = _rows(sp_engine, Q_NOT)
+    # b: spark@1 has slow@0 within pre=1 → rejected entirely
+    assert got == {"a": 2, "c": 1}
+    loose = Q_NOT.replace('"pre":1', '"pre":0')
+    got2, _ = _rows(sp_engine, loose)
+    # pre=0,post=0: only exact overlap rejects — b's spark@1 survives
+    assert got2 == {"a": 2, "b": 1, "c": 1}
+
+
+def test_span_or_inside_first_and_not(sp_engine):
+    q = ('{"query":{"span_first":{"match":{"span_or":{"clauses":['
+         '{"span_term":{"text":"spark"}},{"span_term":{"text":"slow"}},'
+         '{"span_or":{"clauses":[{"span_term":{"text":"value"}}]}}]}},'
+         '"end":1}}}')
+    got, _ = _rows(sp_engine, q)    # first token ∈ {spark, slow, value}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_span_family_index_served_bit_exact(sp_engine):
+    queries = [Q_OR, Q_FIRST, Q_NOT]
+    scans = [_rows(sp_engine, q)[0] for q in queries]
+    sp_engine.build_span_index("sp_docs", "text")
+    for q, scan in zip(queries, scans):
+        got, out = _rows(sp_engine, q)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "regexp_extract_all" not in plan
+        assert got == scan
+
+
+def test_span_family_composes_in_bool(sp_engine):
+    q = ('{"query":{"bool":{"must":[{"span_or":{"clauses":['
+         '{"span_term":{"text":"spark"}},{"span_term":{"text":"value"}}'
+         ']}}],"must_not":[{"span_first":{"match":{"span_term":'
+         '{"text":"value"}},"end":1}}]}}}')
+    got, _ = _rows(sp_engine, q)
+    # c starts with 'value' → excluded; a/b keep their span_or scores
+    assert got == {"a": 3, "b": 1}
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ('{"span_or":{"clauses":[]}}', "span_or needs"),
+    ('{"span_or":{"clauses":[{"span_near":{}}]}}', "not supported"),
+    ('{"span_first":{"match":{"span_term":{"text":"x"}}}}',
+     "span_first needs"),
+    ('{"span_first":{"match":{"span_term":{"text":"x"}},"end":-1}}',
+     "non-negative"),
+    ('{"span_not":{"include":{"span_term":{"text":"x"}},'
+     '"exclude":{"span_term":{"text":"y"}},"dist":1,"pre":1}}',
+     "dist OR pre/post"),
+    ('{"span_not":{"include":{"span_term":{"text":"x"}},'
+     '"exclude":{"span_term":{"other":"y"}}}}', "share one field"),
+    ('{"span_or":{"clauses":[{"span_term":{"text":"x"}},'
+     '{"span_term":{"other":"y"}}]}}', "share one field"),
+])
+def test_span_family_typed_errors(bad, msg):
+    with pytest.raises(DslError, match=msg):
+        parse_request('{"query":' + bad + "}")
+
+
+def test_span_not_dist_sets_both(sp_engine):
+    q = ('{"query":{"span_not":{"include":{"span_term":'
+         '{"text":"table"}},"exclude":{"span_term":{"text":"slow"}},'
+         '"dist":2}}}')
+    got, _ = _rows(sp_engine, q)
+    # b: table@2, slow@0 within dist 2 → rejected; a: table@1 survives
+    assert got == {"a": 1}
