@@ -418,6 +418,35 @@ def q_search_span_not(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_nested_inner(spark, sf_dir):
+    # ES nested inner_hits (r8): per parent order hit, the top-2
+    # MATCHING lineitem elements ranked by element child score desc
+    # (must rf:R scores 1, should qty>=48 adds 1; ties by element
+    # struct order → ln asc), flattened as items_* columns with
+    # _inner_rank — the "show WHY the parent matched" idiom. Element
+    # ranking is per-row array math (sort_array) — no window, no extra
+    # shuffle.
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    items = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   F.col("l_linenumber").alias("ln"),
+                   F.col("l_quantity").alias("qty"),
+                   F.col("l_returnflag").alias("rf")))).alias("items")))
+    docs = (orders.select("o_orderkey")
+            .join(items, orders["o_orderkey"] == items["l_orderkey"],
+                  "left")
+            .drop("l_orderkey"))
+    eng = SearchEngine(spark)
+    eng.register(docs, TableSpec("orders_nested_ih", ["o_orderkey"]))
+    q = ('{"query":{"nested":{"path":"items","query":{"bool":{"must":['
+         '{"term":{"items.rf":"R"}}],"should":['
+         '{"range":{"items.qty":{"gte":48}}}]}},"score_mode":"sum",'
+         '"inner_hits":{"size":2}}},"size":1000000}')
+    return eng.search("orders_nested_ih", "#options:load-rows=false#" + q,
+                      default_field="o_orderkey")
+
+
 def q_search_multi_terms(spark, sf_dir):
     # ES multi_terms: composite (lang, source) key, terms ordering
     # (doc_count desc, keys asc), size cap, with a metric sub-agg
@@ -1731,6 +1760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_span_not": q_search_span_not,  # r8 span family
         #   completion (span_or-in-span_not, pre/post survival; oracle
         #   present, pytest-checked incl. index parity; window-capped)
+        "search_nested_inner": q_search_nested_inner,  # r8 nested
+        #   inner_hits (matching elements flattened per parent, ranked
+        #   by element score; oracle present, pytest-checked;
+        #   window-capped)
         "search_knn": q_search_knn,  # ES 8 knn through the DSL
         #   (oracle present, pytest-checked; window-capped; exact tier —
         #   approximate IVF/LSH routing graded by ann_recall's
@@ -2061,6 +2094,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM p)
             SELECT doc_id, survivors::BIGINT AS _score
             FROM s WHERE survivors > 0
+        """,
+        # nested inner_hits (r8): matching lineitems per order hit —
+        # element score = 1 (must rf:R) + 1 when qty >= 48 (should);
+        # parent _score = Σ element scores (score_mode sum, long root
+        # cast); inner rank = element score desc, struct-order ties
+        # (ln, qty, rf asc), top 2 per parent
+        "search_nested_inner": """
+            WITH m AS (
+                SELECT l_orderkey AS o_orderkey,
+                       l_linenumber AS ln, l_quantity AS qty,
+                       l_returnflag AS rf,
+                       (1 + CASE WHEN l_quantity >= 48 THEN 1 ELSE 0
+                            END) AS es
+                FROM lineitem WHERE l_returnflag = 'R'),
+            parent AS (
+                SELECT o_orderkey, SUM(es)::BIGINT AS _score
+                FROM m GROUP BY o_orderkey),
+            ranked AS (
+                SELECT o_orderkey, ln, qty, rf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderkey
+                           ORDER BY es DESC, ln ASC, qty ASC,
+                                    rf ASC)::INT AS _inner_rank
+                FROM m)
+            SELECT p.o_orderkey, p._score, r._inner_rank,
+                   r.ln AS items_ln, r.qty AS items_qty,
+                   r.rf AS items_rf
+            FROM parent p JOIN ranked r USING (o_orderkey)
+            WHERE r._inner_rank <= 2
         """,
         # multi_terms (lang, source): top-15 composite keys by count
         "search_multi_terms": """

@@ -608,6 +608,47 @@ class Compiler:
         raise CompileError(
             f"unsupported score function {type(node).__name__}")
 
+    def _nested_fns(self, node: Nested):
+        """(field ref, element struct type, per-element predicate fn,
+        per-element score fn) of a nested query — shared by the match
+        branch and the ``inner_hits`` element expansion."""
+        ref = self.resolve(node.path)
+        if not (isinstance(ref.dtype, T.ArrayType)
+                and isinstance(ref.dtype.elementType, T.StructType)):
+            raise CompileError(
+                f"nested path {node.path!r} must be array<struct>, "
+                f"got {ref.dtype.simpleString()}")
+        child = _strip_nested_prefix(node.child, node.path)
+        elem_type = ref.dtype.elementType
+
+        def epred(x: Column) -> Column:
+            p, _ = _ElementCompiler(x, elem_type, self._spark)._walk(
+                child)
+            return F.coalesce(p, F.lit(False))
+
+        def escore(x: Column) -> Column:
+            _, s = _ElementCompiler(x, elem_type, self._spark)._walk(
+                child)
+            return s.cast("double")
+
+        return ref, elem_type, epred, escore
+
+    def nested_matches_ranked(self, node: Nested) -> tuple[Column,
+                                                           T.StructType]:
+        """Matching elements of a nested query as ONE array column of
+        ``struct<_neg: -score, _elem: element>`` sorted ascending — i.e.
+        by element child score DESC, ties by element field order (ES
+        inner-hit ranking, deterministic). Per-row array math
+        (sort_array over transform) — no window, no shuffle; the
+        ``inner_hits`` source (r8)."""
+        ref, elem_type, epred, escore = self._nested_fns(node)
+        matched = F.filter(ref.col, epred)
+        pairs = F.transform(
+            matched,
+            lambda x: F.struct((-escore(x)).alias("_neg"),
+                               x.alias("_elem")))
+        return F.sort_array(pairs), elem_type
+
     def _walk(self, node: Node) -> tuple[Column, Column]:
         if isinstance(node, MatchAll):
             return F.lit(True), F.lit(0)
@@ -914,25 +955,7 @@ class Compiler:
             # matches when any element does, and the doc score combines
             # the matching elements' child scores per score_mode. All
             # higher-order array functions — JVM-side, no UDF.
-            ref = self.resolve(node.path)
-            if not (isinstance(ref.dtype, T.ArrayType)
-                    and isinstance(ref.dtype.elementType, T.StructType)):
-                raise CompileError(
-                    f"nested path {node.path!r} must be array<struct>, "
-                    f"got {ref.dtype.simpleString()}")
-            child = _strip_nested_prefix(node.child, node.path)
-            elem_type = ref.dtype.elementType
-
-            def epred(x: Column) -> Column:
-                p, _ = _ElementCompiler(x, elem_type, self._spark)._walk(
-                    child)
-                return F.coalesce(p, F.lit(False))
-
-            def escore(x: Column) -> Column:
-                _, s = _ElementCompiler(x, elem_type, self._spark)._walk(
-                    child)
-                return s.cast("double")
-
+            ref, _, epred, escore = self._nested_fns(node)
             matches = F.filter(ref.col, epred)
             # a null array yields null filter/size — treat as no match
             n = F.coalesce(F.size(matches), F.lit(0))
@@ -1023,5 +1046,8 @@ class _ElementCompiler:
     _token_match_tf = Compiler._token_match_tf
     _fuzzy_tf = Compiler._fuzzy_tf
     _leaf_text = Compiler._leaf_text
-    _gated = Compiler._gated
+    # staticmethod() re-wrap: a bare `Compiler._gated` assignment makes
+    # it an instance method here, so `self._gated(p, s)` would pass
+    # self as the predicate (Should/Or inside nested crashed pre-r8)
+    _gated = staticmethod(Compiler._gated)
     _walk = Compiler._walk

@@ -864,6 +864,38 @@ class SearchEngine:
                     .where(F.col("_inner_rank") <= isize)
                     .drop("_gk"))
 
+    def _expand_nested_inner(self, hits: DataFrame, comp,
+                             req) -> tuple[DataFrame, list[str]]:
+        """ES nested ``inner_hits`` (r8), flattened: each parent hit
+        expands to its top-``size`` MATCHING array elements ranked by
+        element child score desc with an ``_inner_rank`` column —
+        element fields surface as ``<path>_<field>`` columns and the
+        parent array column drops (the flattened twin of the collapse
+        inner_hits shape). Element ranking is per-row array math
+        (sort_array over (−score, element) structs,
+        Compiler.nested_matches_ranked) — no window, no extra
+        shuffle; parent selection/paging already happened."""
+        from cassandra_es_index_spark.search.ast import Boost, Nested
+
+        node = req.node
+        while isinstance(node, Boost):
+            node = node.child
+        if not isinstance(node, Nested):   # defensive; parse guarantees
+            return hits, []
+        pairs, elem_type = comp.nested_matches_ranked(node)
+        top = F.slice(pairs, 1, int(req.nested_inner))
+        out = (hits.withColumn("_ih", top)
+                   .select("*", F.posexplode("_ih")
+                                 .alias("_ipos", "_ihit"))
+                   .withColumn("_inner_rank",
+                               (F.col("_ipos") + 1).cast("int")))
+        cols: list[str] = []
+        for f_ in elem_type.fields:
+            cname = f"{node.path}_{f_.name}"
+            out = out.withColumn(cname, F.col("_ihit")["_elem"][f_.name])
+            cols.append(cname)
+        return out.drop("_ih", "_ipos", "_ihit", node.path), cols
+
     def _collapse_dedup(self, df: DataFrame, ccol: Column,
                         keys: list[str],
                         ordering: list[tuple[Column, bool, bool]]
@@ -1292,6 +1324,10 @@ class SearchEngine:
             hits = self._expand_inner_hits(
                 hits, scored, comp.resolve(req.collapse).col, keys,
                 ordering, req.collapse_inner)
+        nested_cols: list[str] = []
+        if req.nested_inner is not None:
+            hits, nested_cols = self._expand_nested_inner(hits, comp,
+                                                          req)
 
         if want_meta:
             agg = scored.agg(F.count("*").alias("total_hits"),
@@ -1306,8 +1342,9 @@ class SearchEngine:
             hits = hits.localCheckpoint(eager=True)
             scored.unpersist()
 
-        inner_cols = ["_inner_rank"] \
-            if "_inner_rank" in hits.columns else []
+        inner_cols = (["_inner_rank"]
+                      if "_inner_rank" in hits.columns else []) \
+            + nested_cols
         if qmd.load_source:
             result = hits
         elif not qmd.load_rows:

@@ -507,6 +507,12 @@ class Request:
     # (flattened form of ES's inner_hits arrays); group selection and
     # paging still count GROUPS
     collapse_inner: int | None = None
+    # ES nested inner_hits size (r8): when set (top-level nested query
+    # only — documented), each parent hit expands to its top-N MATCHING
+    # array elements ranked by element child score desc, flattened as
+    # `<path>_<field>` columns + `_inner_rank`; hit selection and
+    # paging still count PARENTS
+    nested_inner: int | None = None
     # ES highlight: ((field, pre_tag, post_tag, number_of_fragments,
     # fragment_size), ...) — each requested field gains a
     # `_highlight_<field>` column. number_of_fragments 0 = whole-field
@@ -584,6 +590,29 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             raise DslError("min_score must be numeric")
         min_score = float(min_score)
     query = obj.get("query", {"match_all": {}})
+    nested_inner = None
+    if isinstance(query, dict) and set(query) == {"nested"} \
+            and isinstance(query["nested"], dict) \
+            and "inner_hits" in query["nested"]:
+        # ES nested inner_hits (r8): supported on a TOP-LEVEL nested
+        # query (the "show why the parent matched" idiom) — popped here
+        # so _node's nested branch stays inner_hits-free; a deeper
+        # nested clause carrying inner_hits is rejected there
+        nbody = dict(query["nested"])
+        ih = nbody.pop("inner_hits")
+        if not isinstance(ih, dict):
+            raise DslError("nested inner_hits must be an object")
+        if "sort" in ih:
+            raise DslError(
+                "nested inner_hits sort is not supported (inner hits "
+                "rank by element score)")
+        isz = ih.get("size", 3)
+        if not isinstance(isz, int) or isinstance(isz, bool) \
+                or isz <= 0:
+            raise DslError(
+                "nested inner_hits size must be a positive integer")
+        nested_inner = isz
+        query = {"nested": nbody}
     after = obj.get("search_after")
     if after is not None:
         if not isinstance(after, list) or not after:
@@ -765,6 +794,10 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         if len({n for n, _ in out_sf}) != len(out_sf):
             raise DslError("duplicate script_fields names")
         script_fields = tuple(out_sf)
+    if nested_inner is not None and collapse_inner is not None:
+        raise DslError(
+            "nested inner_hits and collapse inner_hits cannot combine "
+            "(both flatten an _inner_rank surface)")
     return Request(
         node=_node(query),
         size=size,
@@ -774,6 +807,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         search_after=after,
         collapse=collapse,
         collapse_inner=collapse_inner,
+        nested_inner=nested_inner,
         highlight=highlight,
         rescore=rescore,
         knn=knn,
@@ -1977,6 +2011,10 @@ def _node(q: dict[str, Any]) -> Node:
         if not isinstance(body, dict) or "path" not in body \
                 or "query" not in body:
             raise DslError("nested needs {'path': name, 'query': clause}")
+        if "inner_hits" in body:
+            raise DslError(
+                "nested inner_hits is supported on a TOP-LEVEL nested "
+                "query only (documented engine subset)")
         mode = str(body.get("score_mode", "avg"))
         if mode not in ("avg", "sum", "min", "max", "none"):
             raise DslError(f"unknown nested score_mode {mode!r}")
