@@ -1,0 +1,166 @@
+"""Geo primitives (r8): haversine distance, web-mercator geotile keys,
+and geohash encoding — pure Column math (JVM-side, no UDF), shared by
+the geo queries (``geo_distance`` / ``geo_bounding_box``) and the grid
+aggregations (``geotile_grid`` / ``geohash_grid``).
+
+The reference forwards geo queries verbatim to ES
+(ref ElasticIndex.java:663-667), so the ES contracts are the parity
+targets: distance on the mean-earth-radius haversine (ES
+GeoUtils.EARTH_MEAN_RADIUS), geotile keys as ``"zoom/x/y"`` web-mercator
+tiles, geohash as the standard base32 interleave. A geo_point field is
+an ``struct<lat:double, lon:double>`` column (documented engine
+representation of ES's geo_point)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ES GeoUtils.EARTH_MEAN_RADIUS (meters) — used by both the Spark plans
+# and the DuckDB oracles so boundary predicates agree bit-for-bit
+EARTH_RADIUS_M = 6371008.7714150598
+
+# web-mercator latitude clamp (ES GeoTileUtils.LATITUDE_MASK)
+MAX_MERCATOR_LAT = 85.0511287798066
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# ES distance units → meters
+_UNITS = {
+    "mm": 0.001, "millimeters": 0.001,
+    "cm": 0.01, "centimeters": 0.01,
+    "m": 1.0, "meters": 1.0,
+    "km": 1000.0, "kilometers": 1000.0,
+    "in": 0.0254, "inch": 0.0254,
+    "ft": 0.3048, "feet": 0.3048,
+    "yd": 0.9144, "yards": 0.9144,
+    "mi": 1609.344, "miles": 1609.344,
+    "nmi": 1852.0, "nauticalmiles": 1852.0, "nm": 1852.0,
+}
+
+
+def distance_meters(raw) -> float:
+    """Parse an ES distance — a number (meters) or ``"200km"``-style
+    string with an ES unit suffix — to meters. Raises ValueError on an
+    unknown unit or non-positive distance (the caller wraps in its
+    typed error)."""
+    if isinstance(raw, bool):
+        raise ValueError(f"bad distance {raw!r}")
+    if isinstance(raw, (int, float)):
+        value, unit = float(raw), "m"
+    else:
+        s = str(raw).strip().lower()
+        i = len(s)
+        while i > 0 and not (s[i - 1].isdigit() or s[i - 1] == "."):
+            i -= 1
+        value_s, unit = s[:i], s[i:].strip() or "m"
+        try:
+            value = float(value_s)
+        except ValueError as e:
+            raise ValueError(f"bad distance {raw!r}") from e
+    if unit not in _UNITS:
+        raise ValueError(f"unknown distance unit {unit!r} in {raw!r}")
+    meters = value * _UNITS[unit]
+    if not meters > 0:
+        raise ValueError(f"distance must be positive, got {raw!r}")
+    return meters
+
+
+def geo_point_cols(col: Column, dtype: T.DataType,
+                   field: str) -> tuple[Column, Column]:
+    """(lat, lon) DOUBLE columns of a geo_point field — the engine's
+    geo_point representation is ``struct<lat, lon>`` (numeric members);
+    anything else is rejected with a ValueError the compiler converts
+    to its typed error."""
+    if not isinstance(dtype, T.StructType) \
+            or sorted(f.name for f in dtype.fields if f.name
+                      in ("lat", "lon")) != ["lat", "lon"]:
+        raise ValueError(
+            f"geo field {field!r} must be a struct<lat, lon> column, "
+            f"got {dtype.simpleString()}")
+    return (col.getField("lat").cast("double"),
+            col.getField("lon").cast("double"))
+
+
+def haversine_meters(lat1: Column, lon1: Column, lat2: Column,
+                     lon2: Column) -> Column:
+    """Great-circle distance in meters — the haversine on ES's mean
+    earth radius. Written in one fixed operation order so the DuckDB
+    oracle (same formula text) evaluates bit-identically:
+
+        2R · asin(sqrt(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)))
+    """
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / F.lit(2.0)
+    dlmb = F.radians(lon2 - lon1) / F.lit(2.0)
+    a = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(p1) * F.cos(p2) * F.sin(dlmb) * F.sin(dlmb))
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def geotile_key(lat: Column, lon: Column, precision: int) -> Column:
+    """ES ``geotile_grid`` bucket key ``"zoom/x/y"`` — web-mercator
+    slippy-map tiles: x = ⌊2^z·(lon+180)/360⌋,
+    y = ⌊2^z·(1 − ln(tan φ + sec φ)/π)/2⌋, latitude clamped to the
+    mercator range and x/y clamped to [0, 2^z−1] (ES GeoTileUtils).
+    Null lat/lon propagates to a null key (the doc drops out of the
+    aggregation, like any null bucket field)."""
+    n = 1 << precision
+    lat_c = F.greatest(F.lit(-MAX_MERCATOR_LAT),
+                       F.least(F.lit(MAX_MERCATOR_LAT), lat))
+    phi = F.radians(lat_c)
+    x = F.floor(F.lit(float(n)) * (lon + F.lit(180.0)) / F.lit(360.0))
+    y = F.floor(F.lit(float(n))
+                * (F.lit(1.0)
+                   - F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi))
+                   / F.lit(math.pi)) / F.lit(2.0))
+    clamp = lambda c: F.greatest(  # noqa: E731
+        F.lit(0).cast("long"),
+        F.least(F.lit(n - 1).cast("long"), c.cast("long")))
+    return F.concat_ws("/", F.lit(str(precision)),
+                       clamp(x).cast("string"),
+                       clamp(y).cast("string"))
+
+
+def geohash_col(lat: Column, lon: Column, precision: int) -> Column:
+    """Standard geohash (base32, longitude-first bit interleave) of
+    ``precision`` characters as pure Column math: the lat/lon binary
+    subdivisions are ONE floor each (cell index = ⌊norm · 2^bits⌋),
+    the interleave is a fixed sum of shift-and-mask terms generated at
+    plan-build time, and the base32 chars come from element_at over a
+    literal array — ≤ 5·precision tiny JVM expressions, no UDF."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"geohash precision must be in [1, 12], "
+                         f"got {precision}")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+
+    def cell(value: Column, lo: float, hi: float, bits: int) -> Column:
+        n = 1 << bits
+        raw = F.floor((value - F.lit(lo)) / F.lit(hi - lo)
+                      * F.lit(float(n))).cast("long")
+        return F.greatest(F.lit(0).cast("long"),
+                          F.least(F.lit(n - 1).cast("long"), raw))
+
+    cx = cell(lon, -180.0, 180.0, lon_bits)
+    cy = cell(lat, -90.0, 90.0, lat_bits)
+    combined: Column = F.lit(0).cast("long")
+    for i in range(lon_bits):           # even interleave slots (MSB 1st)
+        bit = F.shiftright(cx, lon_bits - 1 - i).bitwiseAND(F.lit(1).cast("long"))
+        combined = combined + F.shiftleft(bit.cast("long"),
+                                          total - 1 - 2 * i)
+    for j in range(lat_bits):           # odd interleave slots
+        bit = F.shiftright(cy, lat_bits - 1 - j).bitwiseAND(F.lit(1).cast("long"))
+        combined = combined + F.shiftleft(bit.cast("long"),
+                                          total - 2 - 2 * j)
+    alphabet = F.array(*[F.lit(c) for c in _GEOHASH32])
+    chars = [F.element_at(
+        alphabet,
+        F.shiftright(combined, 5 * (precision - 1 - k))
+         .bitwiseAND(F.lit(31).cast("long")).cast("int") + F.lit(1))
+        for k in range(precision)]
+    return F.concat(*chars)

@@ -428,6 +428,33 @@ class SpanNot(Node):
 
 
 @dataclass(frozen=True)
+class GeoDistance(Node):
+    """ES ``geo_distance`` filter: docs whose geo_point field (the
+    engine's geo_point is a ``struct<lat, lon>`` column, documented)
+    lies within ``meters`` of the origin by haversine on ES's mean
+    earth radius (GeoUtils.EARTH_MEAN_RADIUS). Score 1 per match, like
+    the other predicate leaves. Distance strings parse ES units
+    (m/km/mi/ft/nmi/...)."""
+    field: str = ""
+    lat: float = 0.0
+    lon: float = 0.0
+    meters: float = 0.0
+
+
+@dataclass(frozen=True)
+class GeoBoundingBox(Node):
+    """ES ``geo_bounding_box`` filter: lat ∈ [bottom, top] and
+    lon ∈ [left, right] — pure comparisons. Antimeridian-crossing
+    boxes (left > right) are rejected at parse (documented engine
+    subset). Score 1 per match."""
+    field: str = ""
+    top: float = 0.0
+    left: float = 0.0
+    bottom: float = 0.0
+    right: float = 0.0
+
+
+@dataclass(frozen=True)
 class Boosting(Node):
     """ES ``boosting`` query: matches exactly the ``positive`` query;
     docs ALSO matching ``negative`` keep matching but their score

@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax, Exists,
-    FunctionScore, FunctionScoreArray,
+    FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance,
     Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested, Node, Not, Or,
     Phrase, Range,
     RandomScore, Regexp,
@@ -894,6 +894,31 @@ class Compiler:
                     F.filter(p2, lambda b: pair_ok(a, b))))
             cnt = F.coalesce(pairs, F.lit(0))
             return cnt > 0, cnt
+        if isinstance(node, (GeoDistance, GeoBoundingBox)):
+            # geo leaves (r8): haversine / box comparisons as pure
+            # Column math over the struct<lat, lon> geo_point column —
+            # Catalyst evaluates inside WholeStageCodegen; the
+            # comparisons push toward the scan like any numeric filter
+            from cassandra_es_index_spark.functions.geo import (
+                geo_point_cols, haversine_meters,
+            )
+
+            ref = self.resolve(node.field)
+            try:
+                lat, lon = geo_point_cols(ref.col, ref.dtype, node.field)
+            except ValueError as e:
+                raise CompileError(str(e)) from e
+            if isinstance(node, GeoDistance):
+                d = haversine_meters(lat, lon, F.lit(float(node.lat)),
+                                     F.lit(float(node.lon)))
+                pred = d <= F.lit(float(node.meters))
+            else:
+                pred = ((lat <= F.lit(float(node.top)))
+                        & (lat >= F.lit(float(node.bottom)))
+                        & (lon >= F.lit(float(node.left)))
+                        & (lon <= F.lit(float(node.right))))
+            pred = F.coalesce(pred, F.lit(False))
+            return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, (SpanOr, SpanFirst, SpanNot)):
             # single-token span algebra (r8): position arrays via split
             # + filtered index sequences, the SpanNear machinery; the

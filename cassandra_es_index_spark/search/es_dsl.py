@@ -24,7 +24,7 @@ from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
-    FunctionScoreArray,
+    FunctionScoreArray, GeoBoundingBox, GeoDistance,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested,
     Node, Not, Or,
     Phrase, Range, RandomScore, Regexp, ScoreFunction,
@@ -43,7 +43,8 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "extended_stats", "weighted_avg")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
                  "date_range", "significant_terms", "rare_terms",
-                 "multi_terms", "adjacency_matrix")
+                 "multi_terms", "adjacency_matrix",
+                 "geotile_grid", "geohash_grid")
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
 # set is a transform of the match set
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
@@ -415,6 +416,9 @@ class BucketAgg:
     # histogram 0 — the engine never materializes empty buckets, so only
     # values > 1 change the result)
     min_doc_count: int | None = None
+    # geotile_grid zoom (0-29, ES default 7) / geohash_grid chars
+    # (1-12, ES default 5)
+    precision: int | None = None
     metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
     # ES top_hits sub-agg (innermost level only)
     top_hits: TopHits | None = None
@@ -1170,7 +1174,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 and "field" not in params):
             raise DslError(f"bucket agg {name!r} needs a 'field'")
         if sib_raw and first_kind in ("rare_terms", "multi_terms",
-                                      "significant_terms"):
+                                      "significant_terms",
+                                      "geotile_grid", "geohash_grid"):
             # these branches return before the sibling attach below — a
             # silent pass-through would DROP the requested aggregation
             raise DslError(
@@ -1213,6 +1218,33 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             return BucketAgg(name=name, kind="multi_terms",
                              field=flds[0], multi_fields=flds,
                              size=msize, metrics=metrics)
+        if first_kind in ("geotile_grid", "geohash_grid"):
+            # ES geo grid aggs (r8): web-mercator "z/x/y" tiles /
+            # base32 geohash cells of the struct<lat,lon> geo_point
+            # field, doc_count desc + key asc, size cap (ES default
+            # 10000); metric sub-aggs ride the same aggregation
+            extra_p = set(params) - {"field", "precision", "size"}
+            if extra_p:
+                raise DslError(f"{first_kind} agg {name!r}: unsupported "
+                               f"params {sorted(extra_p)}")
+            lo_p, hi_p, dflt = (0, 29, 7) if first_kind == "geotile_grid" \
+                else (1, 12, 5)
+            prec = params.get("precision", dflt)
+            if isinstance(prec, bool) or not isinstance(prec, int) \
+                    or not lo_p <= prec <= hi_p:
+                raise DslError(
+                    f"{first_kind} precision must be an integer in "
+                    f"[{lo_p}, {hi_p}]")
+            gsize = params.get("size", 10_000)
+            if isinstance(gsize, bool) or not isinstance(gsize, int) \
+                    or gsize <= 0:
+                raise DslError(f"{first_kind} size must be a positive "
+                               "integer")
+            metrics = tuple(_metric(n, sp)
+                            for n, sp in (body.get("aggs") or {}).items())
+            return BucketAgg(name=name, kind=first_kind,
+                             field=params["field"], size=gsize,
+                             precision=prec, metrics=metrics)
         if first_kind == "significant_terms":
             # foreground-vs-background scored terms; no sub-aggs (the
             # score IS the payload), size caps the output
@@ -1990,6 +2022,45 @@ def _node(q: dict[str, Any]) -> Node:
                            "field")
         return _boosted(SpanNot(ifld, inc, exc, pre, post),
                         body.get("boost"))
+    if kind == "geo_distance":
+        # {"geo_distance": {"distance": "200km", field: point}} —
+        # haversine filter on the struct<lat,lon> geo_point column
+        if not isinstance(body, dict) or "distance" not in body:
+            raise DslError(
+                "geo_distance needs {'distance': d, field: point}")
+        from cassandra_es_index_spark.functions.geo import (
+            distance_meters,
+        )
+        try:
+            meters = distance_meters(body["distance"])
+        except ValueError as e:
+            raise DslError(str(e)) from e
+        rest = {k: v for k, v in body.items() if k != "distance"}
+        if len(rest) != 1:
+            raise DslError("geo_distance needs exactly one field")
+        (gfield, point), = rest.items()
+        lat, lon = _geo_point(point, "geo_distance")
+        return GeoDistance(str(gfield), lat, lon, meters)
+    if kind == "geo_bounding_box":
+        if not isinstance(body, dict) or len(body) != 1:
+            raise DslError(
+                "geo_bounding_box needs {field: {'top_left': point, "
+                "'bottom_right': point}}")
+        (gfield, box), = body.items()
+        if not isinstance(box, dict) \
+                or set(box) != {"top_left", "bottom_right"}:
+            raise DslError("geo_bounding_box needs top_left and "
+                           "bottom_right corners")
+        top, left = _geo_point(box["top_left"], "geo_bounding_box")
+        bottom, right = _geo_point(box["bottom_right"],
+                                   "geo_bounding_box")
+        if bottom > top:
+            raise DslError("geo_bounding_box bottom above top")
+        if left > right:
+            raise DslError(
+                "geo_bounding_box crossing the antimeridian "
+                "(left > right) is not supported (documented)")
+        return GeoBoundingBox(str(gfield), top, left, bottom, right)
     if kind == "boosting":
         # ES boosting query: positive gates, negative demotes by
         # negative_boost (must be in [0, 1) per ES)
@@ -2200,6 +2271,29 @@ def _sqs_parse(text: str, field: str | None, default_op: str) -> Node:
     # ES SimpleQueryStringQueryBuilder: empty/all-dropped query text
     # rewrites to MatchNoDocsQuery, not match_all
     return node if node is not None else MatchNone()
+
+
+def _geo_point(raw: Any, ctx: str) -> tuple[float, float]:
+    """(lat, lon) of an ES geo point literal — ``{"lat", "lon"}``
+    object, ``[lon, lat]`` array (GeoJSON order, ES parity), or
+    ``"lat,lon"`` string — range-checked."""
+    if isinstance(raw, dict) and set(raw) == {"lat", "lon"}:
+        lat, lon = raw["lat"], raw["lon"]
+    elif isinstance(raw, list) and len(raw) == 2:
+        lon, lat = raw
+    elif isinstance(raw, str) and raw.count(",") == 1:
+        lat, lon = raw.split(",")
+    else:
+        raise DslError(f"{ctx}: bad geo point {raw!r}")
+    try:
+        lat_f, lon_f = float(lat), float(lon)
+    except (TypeError, ValueError) as e:
+        raise DslError(f"{ctx}: bad geo point {raw!r}") from e
+    if not -90.0 <= lat_f <= 90.0:
+        raise DslError(f"{ctx}: latitude {lat_f} out of [-90, 90]")
+    if not -180.0 <= lon_f <= 180.0:
+        raise DslError(f"{ctx}: longitude {lon_f} out of [-180, 180]")
+    return lat_f, lon_f
 
 
 def _span_clause_terms(clause: Any) -> tuple[str, tuple[str, ...]]:
