@@ -969,6 +969,16 @@ class SearchEngine:
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
         req = self._parse_request(qmd.query)
+        if req.aggs is not None:
+            # ES returns hits and aggs in one response; this engine
+            # splits them across search()/search_aggs() by design. A
+            # request carrying `aggs` here would silently lose the
+            # aggregation — reject with a typed error instead (the
+            # everything-is-a-typed-error contract).
+            raise es_dsl.DslError(
+                "request has an 'aggs' section: search() returns hit "
+                "rows only — run the aggregations with search_aggs() "
+                "(same request body)")
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         node, size = req.node, req.size
@@ -3316,6 +3326,25 @@ class SearchEngine:
             raise ValueError(f"unknown metric kind {m.kind!r}")
 
         def bucket_key(b: es_dsl.BucketAgg):
+            if b.kind in ("geotile_grid", "geohash_grid"):
+                # ES geo grid buckets (r9 wiring of the r8 primitives):
+                # the key is the web-mercator "z/x/y" tile / base32
+                # geohash cell of the struct<lat,lon> geo_point — pure
+                # Column math (functions/geo.py), one expression per
+                # doc, no UDF. Null lat/lon → null key → the doc drops
+                # out of the aggregation (ES semantics).
+                from cassandra_es_index_spark.functions import geo
+                ref = comp.resolve(b.field)
+                try:
+                    lat, lon = geo.geo_point_cols(ref.col, ref.dtype,
+                                                  b.field)
+                except ValueError as e:
+                    raise es_dsl.DslError(str(e)) from e
+                key = (geo.geotile_key(lat, lon, b.precision)
+                       if b.kind == "geotile_grid"
+                       else geo.geohash_col(lat, lon, b.precision))
+                key = F.when(lat.isNotNull() & lon.isNotNull(), key)
+                return key, key
             col = comp.resolve(b.field).col
             if b.missing is not None:
                 # ES `missing`: null field values join this substitute
@@ -3645,7 +3674,9 @@ class SearchEngine:
                 frame = frame.where(F.col(cname) >= lv.min_doc_count)
             if selected is not None:
                 frame = frame.join(selected, on=parent_keys, how="left_semi")
-            if lv.kind == "terms":
+            if lv.kind in ("terms", "geotile_grid", "geohash_grid"):
+                # geo grids select like terms: top `size` buckets by
+                # doc_count desc then cell key asc (ES default 10000)
                 size = lv.size if lv.size is not None else 10
                 if i == 0:
                     frame = (frame.orderBy(*terms_primary(lv, cname,
@@ -3666,7 +3697,7 @@ class SearchEngine:
             # asc); histogram/date_histogram levels order by key asc (ES
             # orders histogram buckets by key). Nulls last, so childless
             # ancestors trail their populated siblings.
-            if lv.kind == "terms":
+            if lv.kind in ("terms", "geotile_grid", "geohash_grid"):
                 crits = lv.order if lv.order is not None \
                     else (("_count", False),)
                 for target, asc in crits:

@@ -1,0 +1,224 @@
+"""Geo end-to-end (round-9, VERDICT "What's wrong" #1 / "Next" #1):
+
+- geohash known vector (57.64911, 10.40744) -> u4pruydqqvj, and the
+  prefix property (precision p key is a prefix of the precision p+k key)
+- geotile clamping at the +/-85.0511 mercator edge (poles land in the
+  top/bottom tile row, never out of range)
+- geotile_grid / geohash_grid aggregations via search_aggs: doc_count
+  desc + key asc ordering, size cap, metric sub-aggs, null-point
+  dropout, nesting under terms
+- geo_distance / geo_bounding_box filters on hand-computed haversine
+  boundaries + distance unit parsing
+- typed DslError for every malformed geo request reachable from a
+  parsed body (non-geo field, bad precision, bad unit, antimeridian
+  box), and the search()-rejects-aggs contract (VERDICT "wrong" #2)
+
+The reference forwards geo queries verbatim to ES
+(ref ElasticIndex.java:663-667); ES geo semantics are the parity
+target (GeoUtils mean-radius haversine, GeoTileUtils tiles, standard
+base32 geohash).
+"""
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_es_index_spark.functions.geo import (
+    EARTH_RADIUS_M, distance_meters, geohash_col, geotile_key,
+)
+from cassandra_es_index_spark.search.engine import SearchEngine, TableSpec
+from cassandra_es_index_spark.search.es_dsl import DslError
+
+# (id, lat, lon, tag, weight) — two tight clusters + a null point
+ROWS = [
+    (1, 57.64911, 10.40744, "dk", 10.0),   # Jutland (the geohash vector)
+    (2, 57.64920, 10.40750, "dk", 20.0),   # ~11 m away from row 1
+    (3, 57.70000, 10.50000, "dk", 30.0),   # ~7.8 km away from row 1
+    (4, 40.71280, -74.00600, "ny", 40.0),  # NYC
+    (5, 40.71290, -74.00610, "ny", 50.0),  # ~14 m from row 4
+    (6, None, None, "nil", 60.0),          # null point: drops out
+    (7, 89.99000, 0.00000, "pole", 70.0),  # beyond the mercator clamp
+]
+
+
+def hav_m(lat1, lon1, lat2, lon2):
+    """Python twin of functions.geo.haversine_meters (same operation
+    order, same ES mean radius) for hand-computing expectations."""
+    dphi = math.radians(lat2 - lat1) / 2.0
+    dlmb = math.radians(lon2 - lon1) / 2.0
+    a = (math.sin(dphi) ** 2
+         + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+         * math.sin(dlmb) ** 2)
+    return 2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
+
+
+@pytest.fixture(scope="module")
+def geo_engine(spark):
+    df = (spark.createDataFrame(
+        ROWS, "id bigint, lat double, lon double, tag string, w double")
+        .select("id", "tag", "w", F.struct("lat", "lon").alias("loc")))
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("pts", ["id"]))
+    return eng
+
+
+def _grid(eng, body):
+    q = json.dumps({"query": {"match_all": {}}, "aggs": body})
+    return eng.search_aggs("pts", q).collect()
+
+
+# ---------------------------------------------------------------- keys
+
+def test_geohash_known_vector(spark):
+    df = spark.createDataFrame([(57.64911, 10.40744)],
+                               "lat double, lon double")
+    got = df.select(
+        *[geohash_col(F.col("lat"), F.col("lon"), p).alias(f"g{p}")
+          for p in (1, 4, 5, 11)]).first()
+    assert got.g11 == "u4pruydqqvj"
+    # prefix property: shorter precisions are prefixes of longer ones
+    assert got.g1 == "u" and got.g4 == "u4pr" and got.g5 == "u4pru"
+
+
+def test_geotile_pole_clamps_to_top_row(spark):
+    df = spark.createDataFrame([(89.99, 0.0), (-89.99, 0.0)],
+                               "lat double, lon double")
+    keys = [r.k for r in df.select(
+        geotile_key(F.col("lat"), F.col("lon"), 3).alias("k")).collect()]
+    assert keys == ["3/4/0", "3/4/7"]   # top and bottom tile rows
+
+
+def test_geotile_known_cell(spark):
+    # zoom 7, (40.7128, -74.006): x=floor(128*(105.994)/360)=37,
+    # y=floor(128*(1-ln(tan+sec)/pi)/2)=48 (hand computation)
+    df = spark.createDataFrame([(40.7128, -74.006)],
+                               "lat double, lon double")
+    assert df.select(geotile_key(F.col("lat"), F.col("lon"), 7)
+                     .alias("k")).first().k == "7/37/48"
+
+
+# ----------------------------------------------------------- grid aggs
+
+def test_geohash_grid_counts_order_and_null_dropout(geo_engine):
+    rows = _grid(geo_engine,
+                 {"g": {"geohash_grid": {"field": "loc",
+                                         "precision": 4}}})
+    # independent-encoder expectations: rows 1-2 u4pr, row 3 u4r2,
+    # rows 4-5 dr5r, row 7 upbp; row 6 (null point) drops. Ordering:
+    # doc_count desc, then key asc.
+    got = [(r["key"], r["doc_count"]) for r in rows]
+    assert got == [("dr5r", 2), ("u4pr", 2), ("u4r2", 1), ("upbp", 1)]
+
+
+def test_geotile_grid_size_cap_and_metrics(geo_engine):
+    rows = _grid(geo_engine,
+                 {"g": {"geotile_grid": {"field": "loc", "precision": 7,
+                                         "size": 2},
+                        "aggs": {"wsum": {"sum": {"field": "w"}}}}})
+    assert len(rows) == 2                       # size cap (3 tiles exist)
+    got = [(r["key"], r["doc_count"], r["wsum"]) for r in rows]
+    # dk tile holds rows 1-3 at zoom 7 (both 10.40 and 10.50 fall in
+    # x=67), NYC tile rows 4+5; the pole singleton is cut by size=2
+    assert got == [("7/67/38", 3, 60.0), ("7/37/48", 2, 90.0)]
+
+
+def test_geohash_grid_default_precision_is_5(geo_engine):
+    rows = _grid(geo_engine, {"g": {"geohash_grid": {"field": "loc"}}})
+    assert all(len(r["key"]) == 5 for r in rows)
+
+
+def test_grid_under_terms_nesting(geo_engine):
+    q = json.dumps({"query": {"match_all": {}}, "aggs": {
+        "t": {"terms": {"field": "tag"},
+              "aggs": {"g": {"geohash_grid": {"field": "loc",
+                                              "precision": 4}}}}}})
+    rows = geo_engine.search_aggs("pts", q).collect()
+    dk = [r for r in rows if r["key"] == "dk"]
+    assert {r["sub_key"] for r in dk} >= {"u4pr"}
+    # nil parent bucket survives (its docs have a tag) with a null-child
+    # row: the null loc never produces a sub-bucket
+    nil = [r for r in rows if r["key"] == "nil"]
+    assert len(nil) == 1 and nil[0]["sub_key"] is None
+
+
+# ------------------------------------------------------------- filters
+
+def test_geo_distance_boundary(geo_engine):
+    # 20 m around row 1 catches rows 1+2 only (row 2 is ~11.1 m away)
+    assert hav_m(57.64911, 10.40744, 57.6492, 10.4075) < 20 < \
+        hav_m(57.64911, 10.40744, 57.7, 10.5)
+    q = json.dumps({"query": {"geo_distance": {
+        "distance": "20m", "loc": {"lat": 57.64911, "lon": 10.40744}}}})
+    got = {r["id"] for r in geo_engine.search(
+        "pts", "#options:load-rows=false#" + q).collect()}
+    assert got == {1, 2}
+
+
+def test_geo_distance_km_unit(geo_engine):
+    q = json.dumps({"query": {"geo_distance": {
+        "distance": "10km", "loc": {"lat": 57.64911, "lon": 10.40744}}}})
+    got = {r["id"] for r in geo_engine.search(
+        "pts", "#options:load-rows=false#" + q).collect()}
+    assert got == {1, 2, 3}                     # 7.8 km point now in
+
+
+def test_geo_bounding_box(geo_engine):
+    q = json.dumps({"query": {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 41.0, "lon": -75.0},
+        "bottom_right": {"lat": 40.0, "lon": -74.0}}}}})
+    got = {r["id"] for r in geo_engine.search(
+        "pts", "#options:load-rows=false#" + q).collect()}
+    assert got == {4, 5}                        # -74.006 <= -74.0? no:
+    # lon -74.006 < right bound -74.0 -> inside; row 6 null drops
+
+
+def test_distance_units():
+    assert distance_meters("200km") == 200000.0
+    assert distance_meters("1mi") == 1609.344
+    assert distance_meters(250) == 250.0
+    assert distance_meters("3nmi") == 5556.0
+    for bad in ("10parsec", "km", -5, 0, "0m", True):
+        with pytest.raises(ValueError):
+            distance_meters(bad)
+
+
+# -------------------------------------------------------- typed errors
+
+def test_grid_rejects_non_geo_field(geo_engine):
+    with pytest.raises(DslError, match="struct<lat, lon>"):
+        _grid(geo_engine,
+              {"g": {"geohash_grid": {"field": "tag", "precision": 4}}})
+
+
+@pytest.mark.parametrize("kind,prec", [
+    ("geohash_grid", 0), ("geohash_grid", 13), ("geohash_grid", True),
+    ("geotile_grid", -1), ("geotile_grid", 30), ("geotile_grid", "7"),
+])
+def test_grid_rejects_bad_precision(geo_engine, kind, prec):
+    with pytest.raises(DslError, match="precision"):
+        _grid(geo_engine, {"g": {kind: {"field": "loc",
+                                        "precision": prec}}})
+
+
+def test_distance_rejects_bad_unit_typed(geo_engine):
+    with pytest.raises(DslError, match="unknown distance unit"):
+        geo_engine.search("pts", json.dumps({"query": {"geo_distance": {
+            "distance": "9智m",
+            "loc": {"lat": 0.0, "lon": 0.0}}}}))
+
+
+def test_bbox_rejects_antimeridian(geo_engine):
+    with pytest.raises(DslError, match="antimeridian"):
+        geo_engine.search("pts", json.dumps({"query": {
+            "geo_bounding_box": {"loc": {
+                "top_left": {"lat": 1.0, "lon": 170.0},
+                "bottom_right": {"lat": -1.0, "lon": -170.0}}}}}))
+
+
+def test_search_rejects_aggs_section(geo_engine):
+    q = json.dumps({"query": {"match_all": {}}, "size": 0,
+                    "aggs": {"g": {"geohash_grid": {"field": "loc"}}}})
+    with pytest.raises(DslError, match="search_aggs"):
+        geo_engine.search("pts", q)
