@@ -125,6 +125,12 @@ def _geo_events_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
                                lon.alias("lon")).alias("loc"))
         eng = SearchEngine(spark)
         eng.register(g, TableSpec("geo_events", ["event_id"]))
+        # geo cell index (r9): geo_distance serves as covering-cell
+        # filter + exact verify over the (doc, cell, lat, lon) frame —
+        # the corpus is never read on the served plan (SCALE.md geo).
+        # Precision 2 (~630 km cells) suits the 4000 km query radius:
+        # its covering is ~416 cells, well under the 4096 fallback cap.
+        eng.build_geo_index("geo_events", "loc", precision=2)
         _CACHE[key] = eng
     return _CACHE[key]
 
@@ -446,6 +452,21 @@ def q_search_span_not(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_span_containing(spark, sf_dir):
+    # span family completion (r9): span_containing — ordered
+    # span_near(spark, table, slop 8) big spans that CONTAIN a 'value'
+    # occurrence; score = count of containing big spans (span_within
+    # flips the roles — same shared Column math, pinned in
+    # test_span_family.py). Token-position-index served: one token
+    # filter + per-doc position lists + positional.span_big_spans/
+    # span_containing_count, bit-exact with the scan plan.
+    q = ('{"query":{"span_containing":{"big":{"span_near":{"clauses":['
+         '{"span_term":{"text":"spark"}},{"span_term":{"text":"table"}}'
+         '],"slop":8,"in_order":true}},'
+         '"little":{"span_term":{"text":"value"}}}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_nested_inner(spark, sf_dir):
     # ES nested inner_hits (r8): per parent order hit, the top-2
     # MATCHING lineitem elements ranked by element child score desc
@@ -517,6 +538,21 @@ def q_search_geotile_grid(spark, sf_dir):
          '"aggs":{"tiles":{"geotile_grid":{"field":"loc","precision":5,'
          '"size":40}}}}')
     return eng.search_aggs("geo_events", q, default_field="event_type")
+
+
+def q_search_geo_metrics(spark, sf_dir):
+    # A+ geo metric aggs (r9): geo_centroid (coordinate mean + point
+    # count, ES GeoCentroid) and geo_bounds (enclosing box,
+    # wrap_longitude=false) over the term match set — plain avg/min/
+    # max/count aggregates, map-side combinable. Centroid rounded 6dp
+    # on both sides (partial-agg sum order).
+    eng = _geo_events_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"c":{"geo_centroid":{"field":"loc"}},'
+         '"b":{"geo_bounds":{"field":"loc"}}}}')
+    out = eng.search_aggs("geo_events", q, default_field="event_type")
+    return (out.withColumn("c_lat", F.round("c_lat", 6))
+               .withColumn("c_lon", F.round("c_lon", 6)))
 
 
 def q_search_multi_terms(spark, sf_dir):
@@ -1850,6 +1886,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_geotile_grid": q_search_geotile_grid,  # r9 tail variant
         #   of in-window search_geohash_grid (same terms-style grid
         #   selection, web-mercator key math; oracle present)
+        "search_geo_metrics": q_search_geo_metrics,  # r9 geo_centroid +
+        #   geo_bounds metrics (oracle present, pytest-checked)
+        "search_span_containing": q_search_span_containing,  # r9 span
+        #   family completion (containing/within share the Column math;
+        #   oracle present, pytest-checked incl. index parity;
+        #   span family rep in the window is search_span_not)
         "search_nested_inner": q_search_nested_inner,  # r8 nested
         #   inner_hits (matching elements flattened per parent, ranked
         #   by element score; oracle present, pytest-checked;
@@ -2258,6 +2300,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM p)
             SELECT doc_id, survivors::BIGINT AS _score
             FROM s WHERE survivors > 0
+        """,
+        # span_containing (r9): big spans = ordered span_near(spark,
+        # table, slop 8) pairs as [min, max]; count the big spans
+        # holding >= 1 'value' position — the same span/containment
+        # math positional.span_big_spans/span_containing_count compiles
+        "search_span_containing": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(text), '\W+') AS toks
+                FROM documents),
+            p AS (
+                SELECT doc_id,
+                       list_filter(range(len(toks)),
+                                   i -> len(toks[i + 1]) > 0
+                                        AND toks[i + 1] = 'spark') AS b1,
+                       list_filter(range(len(toks)),
+                                   i -> len(toks[i + 1]) > 0
+                                        AND toks[i + 1] = 'table') AS b2,
+                       list_filter(range(len(toks)),
+                                   i -> len(toks[i + 1]) > 0
+                                        AND toks[i + 1] = 'value') AS lt
+                FROM t),
+            s AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           flatten(list_transform(b1,
+                               pa -> list_transform(
+                                   list_filter(b2,
+                                       pb -> pb > pa
+                                             AND pb - pa - 1 <= 8),
+                                   pb -> [least(pa, pb),
+                                          greatest(pa, pb)]))),
+                           sp -> len(list_filter(lt,
+                               q -> q >= sp[1] AND q <= sp[2])) > 0))
+                           AS c
+                FROM p)
+            SELECT doc_id, c::BIGINT AS _score
+            FROM s WHERE c > 0
         """,
         # nested inner_hits (r8): matching lineitems per order hit —
         # element score = 1 (must rf:R) + 1 when qty >= 48 (should);
@@ -2938,6 +3018,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY doc_count DESC, key ASC
             LIMIT 40
+        """,
+        "search_geo_metrics": f"""
+            WITH g AS ({_GEO_CTE})
+            SELECT ROUND(AVG(lat), 6) AS c_lat,
+                   ROUND(AVG(lon), 6) AS c_lon,
+                   COUNT(lat)::BIGINT AS c_count,
+                   MAX(lat) AS b_top, MIN(lon) AS b_left,
+                   MIN(lat) AS b_bottom, MAX(lon) AS b_right
+            FROM g
+            WHERE len(regexp_extract_all(event_type,
+                                         '(?i)\\bclick\\b')) > 0
         """,
         "search_dsl_bool": f"""
             SELECT doc_id,

@@ -52,6 +52,13 @@ HEADLINE = [
     "search_pipeline_nested",  # per-parent sequence windows at depth (r6)
     "search_highlight_fragments",  # sentence fragmenter on <=k hits (r6)
     "search_span_near",     # token-position-index served spans (r6)
+    "search_intervals",     # intervals/match, position-index served (r7)
+    "search_decay_recency",  # gauss decay, range-index served (r7)
+    "search_scroll_drain",   # PIT + keyset scroll batches (r7)
+    "search_function_score_multi",  # functions array fold (r8)
+    "search_span_not",      # span survival math, index served (r8)
+    "search_span_containing",  # span containment, index served (r9)
+    "search_nested_inner",  # per-parent matching elements flatten (r8)
     "search_significant_terms",  # JLH fg-vs-bg term scoring
     "search_aggs_nested3",  # 3-level bucket flatten-join
     "search_dsl_range",
@@ -73,6 +80,8 @@ HEADLINE = [
     "similarity_ivf_disk",   # cold probe on the cell-partitioned IVF index
     "asof_last_click",
     "interval_join_shipments",  # binned range join, no nested-loop
+    "geo_distance_filter",  # haversine Column filter (scan plan, r9)
+    "search_geohash_grid",  # geo grid agg: one groupBy on cell keys (r9)
     "search_10k_cap",   # the BASELINE.md 514 ms / 10k-key trace analogue
 ]
 

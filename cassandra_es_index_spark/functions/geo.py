@@ -164,3 +164,125 @@ def geohash_col(lat: Column, lon: Column, precision: int) -> Column:
          .bitwiseAND(F.lit(31).cast("long")).cast("int") + F.lit(1))
         for k in range(precision)]
     return F.concat(*chars)
+
+
+# --- driver-side cell enumeration (r9: the geo index-served plan) -----
+
+def _cell_index(value: float, lo: float, hi: float, bits: int) -> int:
+    """Pure-Python twin of geohash_col's cell(): ONE floor of the
+    normalized coordinate, clamped — the same IEEE double operation
+    order ((v − lo) / span * n), so enumeration and the Spark-side cell
+    keys agree bit-for-bit."""
+    n = 1 << bits
+    raw = math.floor((value - lo) / (hi - lo) * float(n))
+    return max(0, min(n - 1, int(raw)))
+
+
+def geohash_cell(ix: int, iy: int, precision: int) -> str:
+    """Base32 geohash string of the (lon cell ix, lat cell iy) pair —
+    the same longitude-first bit interleave geohash_col generates as
+    Column math, for driver-side covering-cell enumeration."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    combined = 0
+    for i in range(lon_bits):
+        combined += ((ix >> (lon_bits - 1 - i)) & 1) << (total - 1 - 2 * i)
+    for j in range(lat_bits):
+        combined += ((iy >> (lat_bits - 1 - j)) & 1) << (total - 2 - 2 * j)
+    return "".join(_GEOHASH32[(combined >> (5 * (precision - 1 - k))) & 31]
+                   for k in range(precision))
+
+
+def _lon_ranges(lon_lo: float, lon_hi: float,
+                bits: int) -> list[tuple[int, int]]:
+    """Inclusive lon cell-index ranges covering [lon_lo, lon_hi],
+    splitting at the antimeridian when the span wraps."""
+    n = 1 << bits
+    if lon_hi - lon_lo >= 360.0:
+        return [(0, n - 1)]
+    spans = []
+    if lon_lo < -180.0:
+        spans.append((lon_lo + 360.0, 180.0))
+        spans.append((-180.0, lon_hi))
+    elif lon_hi > 180.0:
+        spans.append((lon_lo, 180.0))
+        spans.append((-180.0, lon_hi - 360.0))
+    else:
+        spans.append((lon_lo, lon_hi))
+    return [(_cell_index(a, -180.0, 180.0, bits),
+             _cell_index(b, -180.0, 180.0, bits)) for a, b in spans]
+
+
+def covering_cells(lat: float, lon: float, meters: float,
+                   precision: int,
+                   max_cells: int = 4096) -> list[str] | None:
+    """Geohash cells (at ``precision``) covering the ``meters``-radius
+    circle around (lat, lon) — the driver-side plan step of the
+    index-served geo_distance: equi-join these cells against the
+    (doc, cell) geo index, then exact-haversine-verify candidates (the
+    LSH/IVF two-tier shape). Returns None when the covering needs more
+    than ``max_cells`` cells (circle ≫ cell size, pole-enclosing, …) —
+    the caller falls back to the scan plan, which is then the right
+    plan anyway. The bbox is exact sphere math (max Δlat = r/R; max
+    Δlon = asin(sin(r/R)/cos φ) at the band's extreme latitude) plus an
+    epsilon margin that swallows libm last-ulp differences, so a
+    candidate can never be missed — only over-covered."""
+    eps = 1e-9
+    c = meters / EARTH_RADIUS_M
+    dlat = math.degrees(c) + eps
+    lat_lo, lat_hi = lat - dlat, lat + dlat
+    pole = lat_hi >= 90.0 or lat_lo <= -90.0
+    lat_lo, lat_hi = max(-90.0, lat_lo), min(90.0, lat_hi)
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    if pole:
+        lon_spans = [(0, (1 << lon_bits) - 1)]
+    else:
+        cos_ext = math.cos(math.radians(max(abs(lat_lo), abs(lat_hi))))
+        sin_c = math.sin(min(c, math.pi / 2))
+        if cos_ext <= sin_c:
+            lon_spans = [(0, (1 << lon_bits) - 1)]
+        else:
+            dlon = math.degrees(math.asin(sin_c / cos_ext)) + eps
+            lon_spans = _lon_ranges(lon - dlon, lon + dlon, lon_bits)
+    iy_lo = _cell_index(lat_lo, -90.0, 90.0, lat_bits)
+    iy_hi = _cell_index(lat_hi, -90.0, 90.0, lat_bits)
+    n_cells = (iy_hi - iy_lo + 1) * sum(b - a + 1 for a, b in lon_spans)
+    if n_cells > max_cells:
+        return None
+    return [geohash_cell(ix, iy, precision)
+            for a, b in lon_spans for ix in range(a, b + 1)
+            for iy in range(iy_lo, iy_hi + 1)]
+
+
+def bbox_covering_cells(top: float, left: float, bottom: float,
+                        right: float, precision: int,
+                        max_cells: int = 4096) -> list[str] | None:
+    """Geohash cells covering a bounding box, for the index-served
+    geo_bounding_box. ``left > right`` is an antimeridian-crossing box
+    (ES semantics, r9): the lon band wraps and enumerates as two
+    index ranges. None when over ``max_cells`` → scan fallback."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    eps = 1e-9
+    iy_lo = _cell_index(max(-90.0, bottom - eps), -90.0, 90.0, lat_bits)
+    iy_hi = _cell_index(min(90.0, top + eps), -90.0, 90.0, lat_bits)
+
+    def ix(v: float) -> int:
+        return _cell_index(max(-180.0, min(180.0, v)), -180.0, 180.0,
+                           lon_bits)
+
+    if left <= right:
+        lon_spans = [(ix(left - eps), ix(right + eps))]
+    else:
+        lon_spans = [(ix(left - eps), (1 << lon_bits) - 1),
+                     (0, ix(right + eps))]
+    n_cells = (iy_hi - iy_lo + 1) * sum(b - a + 1 for a, b in lon_spans)
+    if n_cells > max_cells:
+        return None
+    return [geohash_cell(ixx, iy, precision)
+            for a, b in lon_spans for ixx in range(a, b + 1)
+            for iy in range(iy_lo, iy_hi + 1)]

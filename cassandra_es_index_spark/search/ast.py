@@ -428,6 +428,28 @@ class SpanNot(Node):
 
 
 @dataclass(frozen=True)
+class SpanContaining(Node):
+    """Lucene/ES ``span_containing`` / ``span_within`` (``within``
+    flips the role): ``big`` spans that contain a ``little`` span —
+    resp. ``little`` spans that lie inside a ``big`` span. The engine's
+    span subset: ``little`` is single-token (span_term / span_or);
+    ``big`` is either single-token or a two-clause ``span_near``
+    (first/second/slop/in_order — the engine's near shape), whose
+    qualifying pairs form spans [min(p₁,p₂), max(p₁,p₂)]. A
+    single-token little span at q is contained when s ≤ q ≤ e (a
+    single-token big span contains only a co-positioned little —
+    Lucene's containment on [start, end) spans, degenerate but exact).
+    Score = count of qualifying big spans (containing) / surviving
+    little positions (within) — the span family's count convention."""
+    field: str | None = None
+    big_terms: tuple[str, ...] = ()     # single-token big (union)
+    # two-clause span_near big: (first, second, slop, in_order)
+    big_near: tuple | None = None
+    little_terms: tuple[str, ...] = ()
+    within: bool = False
+
+
+@dataclass(frozen=True)
 class GeoDistance(Node):
     """ES ``geo_distance`` filter: docs whose geo_point field (the
     engine's geo_point is a ``struct<lat, lon>`` column, documented)

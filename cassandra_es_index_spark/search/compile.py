@@ -36,7 +36,8 @@ from cassandra_es_index_spark.search.ast import (
     Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested, Node, Not, Or,
     Phrase, Range,
     RandomScore, Regexp,
-    Required, Scoreless, ScriptScore, Should, SpanFirst, SpanNear,
+    Required, Scoreless, ScriptScore, Should, SpanContaining,
+    SpanFirst, SpanNear,
     SpanNot, SpanOr, Term, TermsSet,
     Wildcard,
 )
@@ -913,20 +914,30 @@ class Compiler:
                                      F.lit(float(node.lon)))
                 pred = d <= F.lit(float(node.meters))
             else:
+                if node.left <= node.right:
+                    lon_pred = ((lon >= F.lit(float(node.left)))
+                                & (lon <= F.lit(float(node.right))))
+                else:
+                    # antimeridian-crossing box (ES left > right, r9):
+                    # the lon band wraps — ≥ left OR ≤ right
+                    lon_pred = ((lon >= F.lit(float(node.left)))
+                                | (lon <= F.lit(float(node.right))))
                 pred = ((lat <= F.lit(float(node.top)))
                         & (lat >= F.lit(float(node.bottom)))
-                        & (lon >= F.lit(float(node.left)))
-                        & (lon <= F.lit(float(node.right))))
+                        & lon_pred)
             pred = F.coalesce(pred, F.lit(False))
             return pred, F.when(pred, 1).otherwise(0)
-        if isinstance(node, (SpanOr, SpanFirst, SpanNot)):
-            # single-token span algebra (r8): position arrays via split
-            # + filtered index sequences, the SpanNear machinery; the
-            # span_not survival count is shared with the index-served
-            # plan (positional.span_not_count) so both plans count
-            # bit-identically
+        if isinstance(node, (SpanOr, SpanFirst, SpanNot,
+                             SpanContaining)):
+            # single-token span algebra (r8) + containing/within (r9):
+            # position arrays via split + filtered index sequences, the
+            # SpanNear machinery; the span_not survival count and the
+            # containing/within span math are shared with the
+            # index-served plan (positional.span_not_count /
+            # span_big_spans / span_containing_count) so both plans
+            # count bit-identically
             from cassandra_es_index_spark.search.positional import (
-                span_not_count,
+                span_big_spans, span_containing_count, span_not_count,
             )
 
             ref = self.resolve(node.field)
@@ -947,7 +958,21 @@ class Compiler:
                 arrs = [positions(t) for t in dict.fromkeys(terms)]
                 return arrs[0] if len(arrs) == 1 else F.concat(*arrs)
 
-            if isinstance(node, SpanOr):
+            if isinstance(node, SpanContaining):
+                little = union(node.little_terms)
+                if node.big_near is not None:
+                    first, second, slop, in_order = node.big_near
+                    big = span_big_spans(positions(first),
+                                         positions(second),
+                                         slop, in_order)
+                else:
+                    big = F.transform(
+                        union(node.big_terms),
+                        lambda p: F.struct(p.alias("s"), p.alias("e")))
+                cnt = F.coalesce(
+                    span_containing_count(big, little, node.within),
+                    F.lit(0))
+            elif isinstance(node, SpanOr):
                 cnt = F.coalesce(F.size(union(node.terms)), F.lit(0))
             elif isinstance(node, SpanFirst):
                 # single-token span END = p+1 ≤ end ⇔ p < end

@@ -21,10 +21,12 @@ from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax, Exists,
-    FunctionScore, FunctionScoreArray, RandomScore,
+    FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance,
+    RandomScore,
     Fuzzy, IntervalsMatch, Node, Not, Or, Phrase, Range, Regexp, Required,
     Scoreless,
-    ScriptScore, Should, SpanFirst, SpanNear, SpanNot, SpanOr, Term,
+    ScriptScore, Should, SpanContaining, SpanFirst, SpanNear, SpanNot,
+    SpanOr, Term,
     TermsSet, Wildcard,
 )
 from cassandra_es_index_spark.search.compile import Compiler
@@ -73,6 +75,26 @@ def _range_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
     ref = Compiler(docs).resolve(field)
     return (docs.where(ref.col.isNotNull())
                 .select(F.col(id_col).alias("doc"), ref.col.alias("val")))
+
+
+def _geo_rows(docs: DataFrame, id_col: str, field: str,
+              precision: int) -> DataFrame:
+    """(doc, cell, lat, lon) rows — the geohash cell (at ``precision``)
+    of the ``struct<lat, lon>`` geo_point field plus the point itself;
+    null points excluded (they can never match a geo predicate). The
+    geo index contents: a geo_distance/geo_bounding_box query filters
+    this narrow frame on its covering cells and exact-verifies the
+    candidates' lat/lon IN PLACE — the corpus is never touched (the
+    range index's (doc, val) doc-values shape, SCALE.md geo note)."""
+    from cassandra_es_index_spark.functions.geo import (
+        geo_point_cols, geohash_col,
+    )
+    ref = Compiler(docs).resolve(field)
+    lat, lon = geo_point_cols(ref.col, ref.dtype, field)
+    return (docs.where(lat.isNotNull() & lon.isNotNull())
+                .select(F.col(id_col).alias("doc"),
+                        geohash_col(lat, lon, precision).alias("cell"),
+                        lat.alias("lat"), lon.alias("lon")))
 
 
 class _PinnedState:
@@ -204,6 +226,11 @@ class SearchEngine:
         # the scan path's position arrays materialized; serves SpanNear
         # leaves without re-tokenizing the corpus
         self._span: dict[tuple[str, str], PostingsState] = {}
+        # geo cell indexes — (doc, geohash cell) per geo_point field;
+        # serves geo_distance/geo_bounding_box as covering-cell
+        # equi-join + exact verify instead of a corpus scan
+        self._geo: dict[tuple[str, str], PostingsState] = {}
+        self._geo_prec: dict[tuple[str, str], int] = {}
         self._flush_gen: dict[tuple[str, str], int] = {}
         # J1 row-loading side per table: defaults to the registered base
         # DataFrame (the reference loads rows from Cassandra); the facade
@@ -265,6 +292,9 @@ class SearchEngine:
             self._range.pop(key).unpersist()
         for key in [k for k in self._span if k[0] == table]:
             self._span.pop(key).unpersist()
+        for key in [k for k in self._geo if k[0] == table]:
+            self._geo.pop(key).unpersist()
+            self._geo_prec.pop(key, None)
         self._drop_term_dict(table)
         for key in [k for k in self._ivf if k[0] == table]:
             indexed, _ = self._ivf.pop(key)
@@ -298,7 +328,7 @@ class SearchEngine:
         return any(k[0] == table
                    for registry in (self._postings, self._positional,
                                     self._presence, self._range,
-                                    self._span)
+                                    self._span, self._geo)
                    for k in registry)
 
     def apply_delta(self, table: str, resolved_docs: DataFrame,
@@ -348,6 +378,27 @@ class SearchEngine:
                 fresh = (builder(new_docs, id_col, fld)
                          if new_docs is not None else None)
                 state.apply(fresh, touched)
+        for (t, fld), state in list(self._geo.items()):
+            # geo index: same retire-and-append shape, but the builder
+            # carries the per-entry cell precision
+            if t != table:
+                continue
+            doc_type = state.base.schema["doc"].dataType
+            parts = []
+            if new_docs is not None:
+                parts.append(new_docs.select(
+                    F.col(id_col).cast(doc_type).alias("doc")))
+            if removed_ids is not None:
+                parts.append(removed_ids.select(
+                    F.col(DOC_ID).cast(doc_type).alias("doc")))
+            if not parts:
+                continue
+            touched = parts[0] if len(parts) == 1 else \
+                parts[0].unionByName(parts[1])
+            fresh = (_geo_rows(new_docs, id_col, fld,
+                               self._geo_prec[(t, fld)])
+                     if new_docs is not None else None)
+            state.apply(fresh, touched)
         for (t, fld), (indexed, centroids) in list(self._ivf.items()):
             if t != table:
                 continue
@@ -1506,6 +1557,45 @@ class SearchEngine:
             p.count()
         return p
 
+    def build_geo_index(self, table: str, field: str,
+                        precision: int = 5,
+                        materialize: bool = False) -> DataFrame:
+        """Build (and cache) the geo cell index for one geo_point field
+        — (doc, geohash cell at ``precision``) rows. Serves
+        ``geo_distance`` / ``geo_bounding_box`` as a covering-cell
+        equi-join + exact haversine/box verify over candidates only
+        (the LSH/IVF two-tier bucket-then-verify shape) instead of a
+        full corpus scan — the geo scale path promised in SCALE.md.
+        Queries whose covering needs too many cells (radius ≫ cell
+        size, pole-enclosing circles) fall back to the scan plan, which
+        is then the right plan anyway. Precision trades candidate
+        over-coverage (coarse cells) against covering-cell count (fine
+        cells): ~5 (≈4.9 km cells) suits city-scale radii.
+        Incrementally maintained under mutations like the other index
+        kinds."""
+        from cassandra_es_index_spark.functions.geo import geohash_col
+
+        if not 1 <= int(precision) <= 12:
+            raise ValueError(f"geo index precision must be in [1, 12], "
+                             f"got {precision}")
+        _, spec = self.catalog.get(table)
+        docs = self._docs[table]
+        existing = self._geo_prec.get((table, field))
+        if existing is not None and existing != int(precision):
+            # one precision per field: re-building at a new precision
+            # replaces the index
+            self._geo.pop((table, field)).unpersist()
+            self._geo_prec.pop((table, field))
+        if (table, field) not in self._geo:
+            self._geo[(table, field)] = PostingsState(_geo_rows(
+                docs, self._postings_id_col(spec), field,
+                int(precision)))
+            self._geo_prec[(table, field)] = int(precision)
+        p = self._geo[(table, field)].view()
+        if materialize:
+            p.count()
+        return p
+
     def attach_range_index(self, table: str, field: str,
                            path: str) -> None:
         """Restart path for the range index: serve Range leaves from a
@@ -1899,7 +1989,7 @@ class SearchEngine:
         should-boosts) keeps the scan path.
         """
         if not (self._postings or self._positional or self._span
-                or self._presence or self._range):
+                or self._presence or self._range or self._geo):
             return None
         docs = self._docs[table]
         default = default_field or Compiler(docs).default_field
@@ -2196,6 +2286,71 @@ class SearchEngine:
                 return span_not_hits(state.view(), n.include_terms,
                                      n.exclude_terms, n.pre, n.post,
                                      score_col=SCORE)
+            if isinstance(n, SpanContaining):
+                # span_containing / span_within from the token-position
+                # index (r9): one token filter + one per-doc aggregation
+                # collecting big/little position lists, then the SAME
+                # span/containment Column math the scan plan compiles
+                # (positional.span_big_spans / span_containing_count)
+                from cassandra_es_index_spark.search.positional import (
+                    span_containing_hits,
+                )
+
+                fld = n.field if n.field is not None else default
+                state = self._span.get((table, fld))
+                if state is None:
+                    return None
+                return span_containing_hits(
+                    state.view(), n.big_terms, n.big_near,
+                    n.little_terms, n.within, score_col=SCORE)
+            if isinstance(n, (GeoDistance, GeoBoundingBox)):
+                # geo index-served plan (r9, the SCALE.md follow-up):
+                # enumerate the query's covering geohash cells
+                # driver-side (bounded list), equi-join the (doc, cell)
+                # index to get candidates, then exact-verify ONLY the
+                # candidates against the base — bucket-then-verify, the
+                # LSH/IVF shape. Over-large coverings (radius ≫ cell
+                # size, pole circles) return None → scan plan, which is
+                # the right plan for a corpus-sized match set anyway.
+                from cassandra_es_index_spark.functions.geo import (
+                    bbox_covering_cells, covering_cells,
+                    haversine_meters,
+                )
+
+                entry = self._geo.get((table, n.field))
+                if entry is None:
+                    return None
+                prec = self._geo_prec[(table, n.field)]
+                if isinstance(n, GeoDistance):
+                    cells = covering_cells(n.lat, n.lon, n.meters, prec)
+                else:
+                    cells = bbox_covering_cells(n.top, n.left, n.bottom,
+                                                n.right, prec)
+                if cells is None:
+                    return None
+                lat, lon = F.col("lat"), F.col("lon")
+                if isinstance(n, GeoDistance):
+                    pred = haversine_meters(
+                        lat, lon, F.lit(float(n.lat)),
+                        F.lit(float(n.lon))) <= F.lit(float(n.meters))
+                else:
+                    if n.left <= n.right:
+                        lon_pred = ((lon >= F.lit(float(n.left)))
+                                    & (lon <= F.lit(float(n.right))))
+                    else:   # antimeridian-crossing box: wrap (r9)
+                        lon_pred = ((lon >= F.lit(float(n.left)))
+                                    | (lon <= F.lit(float(n.right))))
+                    pred = ((lat <= F.lit(float(n.top)))
+                            & (lat >= F.lit(float(n.bottom)))
+                            & lon_pred)
+                # cell filter prunes to candidates, the exact predicate
+                # verifies lat/lon carried IN the index rows — the
+                # corpus is never read on this plan
+                return (entry.view()
+                        .where(F.col("cell").isin(cells))
+                        .where(pred)
+                        .select("doc",
+                                F.lit(1).cast("long").alias(SCORE)))
             if isinstance(n, Or) and n.children and \
                     all(isinstance(c, Term) for c in n.children):
                 # same-field OR of distinct plain terms → ONE isin filter +
@@ -2639,7 +2794,7 @@ class SearchEngine:
         self._pit_seq += 1
         pid = f"pit_{self._pit_seq}"
         registries = (self._postings, self._positional, self._presence,
-                      self._range, self._span)
+                      self._range, self._span, self._geo)
         self._pits[pid] = {
             "table": table,
             "docs": self._docs[table],
@@ -2690,7 +2845,7 @@ class SearchEngine:
         saved_rs = self._row_source.get(table)
         saved_nd = self._n_docs.get(table)
         registries = (self._postings, self._positional, self._presence,
-                      self._range, self._span)
+                      self._range, self._span, self._geo)
         saved_entries = {id(reg): {k: v for k, v in reg.items()
                                    if k[0] == table}
                          for reg in registries}
@@ -3251,6 +3406,32 @@ class SearchEngine:
             filtered = docs.where(pred)
 
         def metric_cols(m: es_dsl.MetricAgg) -> list[Column]:
+            if m.kind in ("geo_centroid", "geo_bounds"):
+                # geo metrics over the struct<lat, lon> geo_point (r9):
+                # centroid = arithmetic mean of coordinates + point
+                # count (ES GeoCentroid accumulator); bounds = the
+                # enclosing box (wrap_longitude=false). Plain min/max/
+                # avg aggregates — map-side combinable, scale-safe.
+                from cassandra_es_index_spark.functions.geo import (
+                    geo_point_cols,
+                )
+                gref = comp.resolve(m.field)
+                try:
+                    glat, glon = geo_point_cols(gref.col, gref.dtype,
+                                                m.field)
+                except ValueError as e:
+                    raise es_dsl.DslError(str(e)) from e
+                if m.kind == "geo_centroid":
+                    both = glat.isNotNull() & glon.isNotNull()
+                    return [
+                        F.avg(F.when(both, glat)).alias(f"{m.name}_lat"),
+                        F.avg(F.when(both, glon)).alias(f"{m.name}_lon"),
+                        F.count(F.when(both, 1)).cast("long")
+                         .alias(f"{m.name}_count")]
+                return [F.max(glat).alias(f"{m.name}_top"),
+                        F.min(glon).alias(f"{m.name}_left"),
+                        F.min(glat).alias(f"{m.name}_bottom"),
+                        F.max(glon).alias(f"{m.name}_right")]
             c = comp.resolve(m.field).col
             if m.kind == "avg":
                 return [F.avg(c).alias(m.name)]

@@ -28,7 +28,8 @@ from cassandra_es_index_spark.search.ast import (
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested,
     Node, Not, Or,
     Phrase, Range, RandomScore, Regexp, ScoreFunction,
-    Scoreless, ScriptScore, Should, SpanFirst, SpanNear, SpanNot, SpanOr,
+    Scoreless, ScriptScore, Should, SpanContaining, SpanFirst, SpanNear,
+    SpanNot, SpanOr,
     Term, TermsSet, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
@@ -40,7 +41,8 @@ class DslError(ValueError):
 
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "percentiles", "percentile_ranks",
-                 "extended_stats", "weighted_avg")
+                 "extended_stats", "weighted_avg",
+                 "geo_centroid", "geo_bounds")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
                  "date_range", "significant_terms", "rare_terms",
                  "multi_terms", "adjacency_matrix",
@@ -361,6 +363,15 @@ class MetricAgg:
         if self.kind == "percentile_ranks":
             return tuple(f"{self.name}_{_pct_label(v)}"
                          for v in self.rank_values)
+        if self.kind == "geo_centroid":
+            # ES returns {location: {lat, lon}, count} — flattened
+            return tuple(f"{self.name}_{s}"
+                         for s in ("lat", "lon", "count"))
+        if self.kind == "geo_bounds":
+            # ES returns {top_left: {lat, lon}, bottom_right: {...}} —
+            # flattened to the four box edges (wrap_longitude=false)
+            return tuple(f"{self.name}_{s}"
+                         for s in ("top", "left", "bottom", "right"))
         return (self.name,)
 
 
@@ -2022,6 +2033,39 @@ def _node(q: dict[str, Any]) -> Node:
                            "field")
         return _boosted(SpanNot(ifld, inc, exc, pre, post),
                         body.get("boost"))
+    if kind in ("span_containing", "span_within"):
+        # big spans that contain a little span / little spans inside a
+        # big span (r9). Engine subset: little is single-token
+        # (span_term/span_or); big is single-token OR a two-clause
+        # span_near (the engine's near shape) — Lucene's common usage
+        # (phrase-contains-term). Score = count of qualifying spans.
+        if not isinstance(body, dict) or "big" not in body \
+                or "little" not in body:
+            raise DslError(f"{kind} needs {{'big': span clause, "
+                           "'little': span clause}")
+        lfld, little = _span_clause_terms(body["little"])
+        big = body["big"]
+        if isinstance(big, dict) and len(big) == 1 \
+                and "span_near" in big:
+            near = _node(big)
+            # a `boost` inside the big clause would come back wrapped —
+            # reject it (boost the whole query instead)
+            if not isinstance(near, SpanNear):
+                raise DslError(f"{kind} big span_near does not take "
+                               "boost (boost the whole query)")
+            bfld = near.field
+            big_terms: tuple = ()
+            big_near = (near.first, near.second, near.slop,
+                        near.in_order)
+        else:
+            bfld, big_terms = _span_clause_terms(big)
+            big_near = None
+        if bfld != lfld:
+            raise DslError(f"{kind} big/little must share one field")
+        return _boosted(
+            SpanContaining(bfld, big_terms, big_near, little,
+                           within=(kind == "span_within")),
+            body.get("boost"))
     if kind == "geo_distance":
         # {"geo_distance": {"distance": "200km", field: point}} —
         # haversine filter on the struct<lat,lon> geo_point column
@@ -2056,10 +2100,10 @@ def _node(q: dict[str, Any]) -> Node:
                                    "geo_bounding_box")
         if bottom > top:
             raise DslError("geo_bounding_box bottom above top")
-        if left > right:
-            raise DslError(
-                "geo_bounding_box crossing the antimeridian "
-                "(left > right) is not supported (documented)")
+        # left > right is a box CROSSING the antimeridian (ES
+        # semantics, r9): the lon predicate becomes lon ≥ left OR
+        # lon ≤ right — handled by the compiler and the covering-cell
+        # enumeration alike
         return GeoBoundingBox(str(gfield), top, left, bottom, right)
     if kind == "boosting":
         # ES boosting query: positive gates, negative demotes by

@@ -356,3 +356,95 @@ def span_not_hits(tokens: DataFrame, include_terms: tuple,
     cnt = span_not_count(F.col("_inc"), F.col("_exc"), pre, post)
     return (per_doc.select("doc", cnt.cast("long").alias(score_col))
                    .where(F.col(score_col) > 0))
+
+
+def span_big_spans(a1, a2, slop: int, in_order: bool):
+    """``array<struct<s, e>>`` of the qualifying two-clause span_near
+    pair spans from two position-array Columns — pairs (p₁ ∈ a1,
+    p₂ ∈ a2) under the SAME rule as span_pair_counts (b−a−1 ≤ slop,
+    ordered or symmetric), each emitted as [min, max]. Pure
+    higher-order Column math SHARED by the scan plan (arrays from
+    split) and the index-served plan (arrays collected from the
+    token-position index). Null arrays yield an empty span list."""
+    gap = F.lit(int(slop))
+
+    def pair_ok(pa, pb):
+        ordered = (pb > pa) & (pb - pa - 1 <= gap)
+        if in_order:
+            return ordered
+        return ordered | ((pa > pb) & (pa - pb - 1 <= gap))
+
+    a2s = F.coalesce(a2, F.array())
+    return F.flatten(F.transform(
+        F.coalesce(a1, F.array()),
+        lambda pa: F.transform(
+            F.filter(a2s, lambda pb: pair_ok(pa, pb)),
+            lambda pb: F.struct(F.least(pa, pb).alias("s"),
+                                F.greatest(pa, pb).alias("e")))))
+
+
+def span_containing_count(big_spans, little, within: bool):
+    """``span_containing`` / ``span_within`` count over a
+    ``array<struct<s, e>>`` of big spans and an array of single-token
+    little positions: containing counts big spans holding ≥1 little
+    position (s ≤ q ≤ e); within counts little positions inside ≥1 big
+    span (ast.SpanContaining). SHARED by both plans so they count
+    bit-identically."""
+    big_safe = F.coalesce(big_spans, F.array())
+    little_safe = F.coalesce(little, F.array())
+    if within:
+        return F.size(F.filter(
+            little_safe,
+            lambda q: F.exists(
+                big_safe, lambda sp: (sp.getField("s") <= q)
+                & (q <= sp.getField("e")))))
+    return F.size(F.filter(
+        big_safe,
+        lambda sp: F.exists(
+            little_safe, lambda q: (sp.getField("s") <= q)
+            & (q <= sp.getField("e")))))
+
+
+def span_containing_hits(tokens: DataFrame, big_terms: tuple,
+                         big_near: tuple | None, little_terms: tuple,
+                         within: bool,
+                         score_col: str = "_score") -> DataFrame:
+    """(doc, score) for ``span_containing``/``span_within`` from the
+    token-position index — ONE ``token IN (big ∪ little)`` filter + one
+    per-doc aggregation collecting the needed position lists, then the
+    same ``span_big_spans``/``span_containing_count`` Column math the
+    scan plan compiles. Linear in the matched postings; the corpus is
+    never re-tokenized."""
+    little = list(dict.fromkeys(t.lower() for t in little_terms))
+    if big_near is not None:
+        first, second, slop, in_order = big_near
+        first, second = first.lower(), second.lower()
+        wanted = list(dict.fromkeys([first, second] + little))
+        per_doc = (tokens.where(F.col("token").isin(wanted))
+                   .groupBy("doc")
+                   .agg(F.collect_list(
+                            F.when(F.col("token") == first,
+                                   F.col("pos"))).alias("_b1"),
+                        F.collect_list(
+                            F.when(F.col("token") == second,
+                                   F.col("pos"))).alias("_b2"),
+                        F.collect_list(
+                            F.when(F.col("token").isin(little),
+                                   F.col("pos"))).alias("_lt")))
+        big = span_big_spans(F.col("_b1"), F.col("_b2"), slop, in_order)
+    else:
+        bigs = list(dict.fromkeys(t.lower() for t in big_terms))
+        wanted = list(dict.fromkeys(bigs + little))
+        per_doc = (tokens.where(F.col("token").isin(wanted))
+                   .groupBy("doc")
+                   .agg(F.collect_list(
+                            F.when(F.col("token").isin(bigs),
+                                   F.col("pos"))).alias("_bp"),
+                        F.collect_list(
+                            F.when(F.col("token").isin(little),
+                                   F.col("pos"))).alias("_lt")))
+        big = F.transform(F.col("_bp"),
+                          lambda p: F.struct(p.alias("s"), p.alias("e")))
+    cnt = span_containing_count(big, F.col("_lt"), within)
+    return (per_doc.select("doc", cnt.cast("long").alias(score_col))
+                   .where(F.col(score_col) > 0))

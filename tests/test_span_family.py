@@ -129,3 +129,79 @@ def test_span_not_dist_sets_both(sp_engine):
     got, _ = _rows(sp_engine, q)
     # b: table@2, slow@0 within dist 2 → rejected; a: table@1 survives
     assert got == {"a": 1}
+
+
+# --- span_containing / span_within (r9) --------------------------------
+# ROWS reminder: a="spark table spark value", b="slow spark table",
+# c="value spark", d="other words here", e=None
+
+Q_CONT = ('{"query":{"span_containing":{"big":{"span_near":{"clauses":['
+          '{"span_term":{"text":"spark"}},{"span_term":{"text":"value"}}'
+          '],"slop":2,"in_order":true}},'
+          '"little":{"span_term":{"text":"table"}}}}}')
+Q_WITHIN = Q_CONT.replace("span_containing", "span_within")
+
+
+def test_span_containing_counts_big_spans(sp_engine):
+    # a: spark@0,spark@2,value@3 → ordered pairs slop≤2: (0,3) gap 2 ✓,
+    # (2,3) gap 0 ✓ → spans [0,3],[2,3]; table@1 ∈ [0,3] only → 1
+    got, _ = _rows(sp_engine, Q_CONT)
+    assert got == {"a": 1}
+
+
+def test_span_within_counts_little_positions(sp_engine):
+    # within counts table positions inside a big span: a's table@1 → 1
+    got, _ = _rows(sp_engine, Q_WITHIN)
+    assert got == {"a": 1}
+
+
+def test_span_containing_single_token_big_degenerate(sp_engine):
+    # single-token big contains only a co-positioned little — matching
+    # docs are exactly those where a big token IS a little token
+    q = ('{"query":{"span_within":{"big":{"span_or":{"clauses":['
+         '{"span_term":{"text":"spark"}},{"span_term":{"text":"slow"}}'
+         ']}},"little":{"span_term":{"text":"spark"}}}}}')
+    got, _ = _rows(sp_engine, q)
+    assert got == {"a": 2, "b": 1, "c": 1}
+
+
+def test_span_containing_index_served_bit_exact(spark):
+    # fresh engine: the module fixture may already carry the span index
+    # (an earlier test builds it), which would make the "scan" baseline
+    # index-served too
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(ROWS, "id string, text string"),
+                 TableSpec("sp_docs_c", ["id"]))
+
+    def rows(q):
+        out = eng.search("sp_docs_c", "#options:load-rows=false#" + q,
+                         default_field="text")
+        return {r["id"]: r["_score"] for r in out.collect()}, out
+
+    scans = [rows(q)[0] for q in (Q_CONT, Q_WITHIN)]
+    eng.build_span_index("sp_docs_c", "text")
+    for q, scan in zip((Q_CONT, Q_WITHIN), scans):
+        got, out = rows(q)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "regexp_extract_all" not in plan
+        assert got == scan
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ('{"span_containing":{"big":{"span_term":{"text":"x"}}}}',
+     "span_containing needs"),
+    ('{"span_within":{"little":{"span_term":{"text":"x"}}}}',
+     "span_within needs"),
+    ('{"span_containing":{"big":{"span_term":{"text":"x"}},'
+     '"little":{"span_term":{"other":"y"}}}}', "share one field"),
+    ('{"span_containing":{"big":{"span_near":{"clauses":['
+     '{"span_term":{"text":"x"}},{"span_term":{"text":"y"}}],'
+     '"boost":2.0}},"little":{"span_term":{"text":"z"}}}}',
+     "does not take boost"),
+    ('{"span_within":{"big":{"span_near":{"clauses":['
+     '{"span_term":{"text":"x"}}]}},'
+     '"little":{"span_term":{"text":"z"}}}}', "exactly two"),
+])
+def test_span_containing_typed_errors(bad, msg):
+    with pytest.raises(DslError, match=msg):
+        parse_request('{"query":' + bad + "}")
