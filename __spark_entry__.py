@@ -984,6 +984,40 @@ def q_search_scroll_drain(spark, sf_dir):
     return out
 
 
+def q_search_feature_boosts(spark, sf_dir):
+    # ES rank_feature + distance_feature (r9) — the feature-query pair
+    # (the reference forwards both verbatim to ES, ref
+    # ElasticIndex.java:663-667): a term gate with two should-boosts,
+    #   distance_feature: pivot/(pivot + |ts − now/d| ms), pivot 7d
+    #   rank_feature: 2 × v/(v + 100) saturation, only v > 0 matches
+    # Both are closed-form Column math (no script engine); the tree
+    # carries fractional scorers so scores stay DOUBLE (rounded for
+    # oracle hash stability). The term gate serves from the event_type
+    # postings; the feature boosts are per-row expressions on top.
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('#options:load-rows=false,now=2024-01-20T00:00:00#'
+         '{"query":{"bool":{'
+         '"must":[{"term":{"event_type":"click"}}],'
+         '"should":['
+         '{"distance_feature":{"field":"ts","origin":"now/d",'
+         '"pivot":"7d"}},'
+         '{"rank_feature":{"field":"value",'
+         '"saturation":{"pivot":100},"boost":2}}]}},"size":1000000}')
+    out = eng.search("events_capped", q)
+    return out.withColumn("_score", F.round("_score", 4))
+
+
+def q_search_script_filter(spark, sf_dir):
+    # ES script query in filter context (r9): the painless
+    # arithmetic/comparison subset compiles to ONE SQL boolean — the
+    # filter gates, contributes no score (bool filter semantics), and a
+    # null n_chars filters the doc out (painless null → false contract).
+    q = ('{"query":{"bool":{"must":[{"term":{"text":"spark"}}],'
+         '"filter":[{"script":{"script":{"source":'
+         '"doc[\'n_chars\'].value * 2 > 500"}}}]}},"size":1000000}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_decay_recency(spark, sf_dir):
     # ES function_score gauss decay on ts (r7) — the #1 dashboard
     # recency-ranking idiom. Closed-form Column math (no script engine):
@@ -1717,7 +1751,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- search: query_string + ES-DSL + index-served plans ---
         "search_term_bool": q_search_term_bool,
-        "search_wildcard": q_search_wildcard,
+        "search_feature_boosts": q_search_feature_boosts,  # rank_feature
+        #   + distance_feature should-boosts (r9) — the feature-query
+        #   family's window representative; search_wildcard demoted to
+        #   the tail (the term/dictionary family keeps search_term_bool,
+        #   search_fuzzy_boost, and search_10k_cap in-window)
         "search_phrase": q_search_phrase,
         "search_intervals": q_search_intervals,  # intervals/match (r7),
         #   3-term ordered + max_gaps, token-position-index served;
@@ -1807,6 +1845,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variant of an in-window sibling (green in a prior round's
         # CORRECTNESS record and pytest-covered) or a probabilistic tier
         # graded by ann_recall / property tests. ----
+        "search_wildcard": q_search_wildcard,  # ~ term/dictionary family
+        #   (green r01-r08; demoted r9 for search_feature_boosts)
+        "search_script_filter": q_search_script_filter,  # ~ script family
+        #   (r9; oracle present, script_score's window rep is
+        #   search_decay_recency's function_score tree)
         "search_slop_phrase": q_search_slop_phrase,  # ~ search_phrase
         #   (green r04; slop semantics pinned by property tests)
         "search_dsl_sorted": q_search_dsl_sorted,  # ~ search_page_after
@@ -2891,6 +2934,35 @@ def oracle_sql() -> dict[str, str]:
         # d = max(0, |epoch_ms(ts) − origin| − offset); origin = pinned
         # now/d = 2024-01-20 00:00:00 UTC (1705708800000 ms), scale 7d,
         # offset 1d; d*d (not pow) to match Spark's multiply bit-for-bit
+        # feature boosts (r9): term gate scores 1; distance_feature adds
+        # pivot/(pivot + |epoch_ms(ts) − now/d|), pivot = 7d = 6048e5 ms,
+        # now/d = 2024-01-20 00:00:00 UTC (1705708800000 ms);
+        # rank_feature adds 2·v/(v+100) only when v > 0 (positive
+        # features only — ES rank_feature contract)
+        "search_feature_boosts": """
+            SELECT event_id,
+                   round(1
+                         + CASE WHEN ts IS NOT NULL THEN
+                               6048e5 / (6048e5
+                                   + abs(epoch_ms(ts)::DOUBLE
+                                         - 1705708800e3))
+                           ELSE 0e0 END
+                         + CASE WHEN value > 0 THEN
+                               2 * value / (value + 100)
+                           ELSE 0e0 END, 4) AS _score
+            FROM events WHERE event_type = 'click'
+        """,
+        # script filter (r9): boolean script gates (null n_chars → no
+        # match), contributes no score — score is the must-term's tf
+        "search_script_filter": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                           AS tf
+                FROM documents
+                WHERE n_chars * 2 > 500)
+            SELECT doc_id, tf AS _score FROM s WHERE tf > 0
+        """,
         "search_decay_recency": """
             WITH s AS (
                 SELECT event_id,

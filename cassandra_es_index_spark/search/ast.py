@@ -505,3 +505,68 @@ class Nested(Node):
 class Scoreless(Node):
     """ES bool ``filter`` context: gates matching, contributes no score."""
     child: Node = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class ScriptFilter(Node):
+    """ES ``script`` query (filter context; the reference forwards it
+    verbatim to ES, ref ElasticIndex.java:663-667): the painless
+    arithmetic/comparison subset over ``doc['f'].value`` refs — the
+    SAME grammar script_score / script_fields accept — translated at
+    parse time to ONE Spark SQL boolean expression over the document
+    columns. A doc matches when the expression evaluates TRUE; NULL
+    (null field ref, try_divide by 0) matches nothing, mirroring
+    painless's null-propagation into a false filter. The top-level
+    operator must be a comparison (ES: a filter script must return a
+    boolean; arithmetic-only scripts are a typed DslError at parse, not
+    a runtime surprise). Predicate-style score: 1 per match."""
+    expr: str = ""                      # translated Spark SQL expression
+    fields: tuple[str, ...] = ()        # doc refs, for compile-time resolve
+    raw: str = ""                       # original source, for errors
+
+
+@dataclass(frozen=True)
+class RankFeature(Node):
+    """ES ``rank_feature`` query: docs with a POSITIVE numeric value in
+    ``field`` match (ES's rank_feature field type only stores positive
+    values; docs lacking the feature never match), scored by a
+    saturating function of the value so that bigger is better but
+    bounded:
+
+        saturation  S = v / (v + pivot)
+        log         S = ln(scaling_factor + v)
+        sigmoid     S = v^exp / (v^exp + pivot^exp)
+        linear      S = v
+
+    times ``boost``. DEVIATION (documented): ES derives a default
+    saturation pivot from index statistics (approximate geometric mean
+    of the feature); the engine requires an explicit ``pivot`` — a
+    data-dependent default would make the same query text mean
+    different things as the corpus mutates. Fractional scorer: the
+    tree keeps DOUBLE scores."""
+    field: str = ""
+    kind: str = "saturation"            # saturation | log | sigmoid | linear
+    pivot: float | None = None          # saturation / sigmoid
+    exponent: float | None = None       # sigmoid
+    scaling_factor: float | None = None  # log
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DistanceFeature(Node):
+    """ES ``distance_feature`` query: docs with a non-null ``field``
+    match, scored by closeness to ``origin``:
+
+        S = boost · pivot / (pivot + distance)
+
+    On date fields distance is |value − origin| in millis and ``pivot``
+    is a duration (``7d``); ``origin`` may be date-math
+    (``now``-anchored origins resolve through the engine's injectable
+    ``now``, like range bounds) — the engine rewrites both to plain
+    millis before compile. On geo_point fields origin is a (lat, lon)
+    point, distance is haversine meters, and ``pivot`` parses ES
+    distance units (``1km``). Fractional scorer (DOUBLE scores)."""
+    field: str = ""
+    origin: object = None   # epoch-millis float | raw date-math str | (lat, lon)
+    pivot: object = None    # millis/meters float | raw duration/distance str
+    boost: float = 1.0

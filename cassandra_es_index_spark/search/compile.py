@@ -31,12 +31,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cassandra_es_index_spark.search.ast import (
-    And, Boost, Boosting, ConstantScore, DecayScore, DisMax, Exists,
+    And, Boost, Boosting, ConstantScore, DecayScore, DisMax,
+    DistanceFeature, Exists,
     FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance,
     Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested, Node, Not, Or,
     Phrase, Range,
-    RandomScore, Regexp,
-    Required, Scoreless, ScriptScore, Should, SpanContaining,
+    RandomScore, RankFeature, Regexp,
+    Required, Scoreless, ScriptFilter, ScriptScore, Should, SpanContaining,
     SpanFirst, SpanNear,
     SpanNot, SpanOr, Term, TermsSet,
     Wildcard,
@@ -347,6 +348,40 @@ def script_score_value(expr: str) -> Column:
     return F.greatest(F.lit(0.0), F.expr(expr).cast("double"))
 
 
+def rank_feature_value(v: Column, node: "RankFeature") -> Column:
+    """``rank_feature`` score curve over the (positive, DOUBLE) feature
+    value — ES's saturation / log / sigmoid / linear functions times
+    ``boost``. The caller gates on v > 0 (ES: docs without a positive
+    feature never match)."""
+    import math
+
+    if node.kind == "saturation":
+        fv = v / (v + F.lit(float(node.pivot)))
+    elif node.kind == "log":
+        fv = F.log(F.lit(float(node.scaling_factor)) + v)
+    elif node.kind == "sigmoid":
+        vp = F.pow(v, F.lit(float(node.exponent)))
+        fv = vp / (vp + F.lit(math.pow(float(node.pivot),
+                                       float(node.exponent))))
+    elif node.kind == "linear":
+        fv = v
+    else:
+        raise CompileError(f"unknown rank_feature kind {node.kind!r}")
+    return F.lit(float(node.boost)) * fv
+
+
+def distance_feature_value(dist: Column, pivot: float,
+                           boost: float) -> Column:
+    """``distance_feature`` score: boost · pivot / (pivot + distance) —
+    1×boost at the origin, halving at the pivot distance (the ES
+    curve)."""
+    if pivot <= 0:
+        raise CompileError(
+            f"distance_feature pivot must be > 0, got {pivot}")
+    return F.lit(float(boost)) * F.lit(float(pivot)) \
+        / (F.lit(float(pivot)) + dist)
+
+
 def has_fractional_scorer(node: Node) -> bool:
     """Whether the tree carries a scorer whose values are meaningful
     fractions (script_score / decay / random_score, or any
@@ -357,7 +392,8 @@ def has_fractional_scorer(node: Node) -> bool:
     from dataclasses import is_dataclass
 
     if isinstance(node, (ScriptScore, DecayScore, RandomScore,
-                         FunctionScoreArray)):
+                         FunctionScoreArray, RankFeature,
+                         DistanceFeature)):
         return True
     if is_dataclass(node):
         for f in dc_fields(node):
@@ -800,6 +836,94 @@ class Compiler:
                 factor = F.least(factor, F.lit(float(node.max_boost)))
             return pred, combine_boost_mode(score.cast("double"), factor,
                                             node.boost_mode)
+        if isinstance(node, ScriptFilter):
+            # filter-context script: the pre-translated SQL boolean over
+            # document columns; NULL (null ref, try_divide 0) → no match.
+            # Refs resolve eagerly so unknown fields raise CompileError,
+            # not a late AnalysisException.
+            for fld in node.fields:
+                self.resolve(fld)
+            pred = F.coalesce(F.expr(node.expr).cast("boolean"),
+                              F.lit(False))
+            return pred, F.when(pred, 1).otherwise(0)
+        if isinstance(node, RankFeature):
+            ref = self.resolve(node.field)
+            if not isinstance(ref.dtype, _NUMERIC):
+                raise CompileError(
+                    "rank_feature needs a numeric field, got "
+                    f"{ref.dtype.simpleString()} for {node.field!r}")
+            v = ref.col.cast("double")
+            pred = F.coalesce(v > F.lit(0.0), F.lit(False))
+            score = F.when(pred, rank_feature_value(v, node)) \
+                .otherwise(F.lit(0.0))
+            return pred, score
+        if isinstance(node, DistanceFeature):
+            ref = self.resolve(node.field)
+            if isinstance(ref.dtype, (T.TimestampType, T.TimestampNTZType,
+                                      T.DateType)):
+                from cassandra_es_index_spark.search import datemath as dm
+
+                origin, pivot = node.origin, node.pivot
+                if isinstance(origin, str):
+                    # plain ISO origins resolve here; now-anchored
+                    # date-math resolved by the engine pass before
+                    # compile (Compiler alone has no `now`)
+                    try:
+                        origin = dm.epoch_millis(dm.parse_now(origin))
+                    except dm.DateMathError as e:
+                        raise CompileError(
+                            f"distance_feature origin {node.origin!r} "
+                            "on a date field must be a timestamp or "
+                            "engine-resolved date-math") from e
+                if isinstance(origin, tuple):
+                    raise CompileError(
+                        "distance_feature origin is a geo point but "
+                        f"{node.field!r} is a date field")
+                if isinstance(pivot, str):
+                    try:
+                        pivot = dm.duration_millis(pivot)
+                    except dm.DateMathError as e:
+                        raise CompileError(str(e)) from e
+                value = decay_input(ref.col, ref.dtype,
+                                    DecayScore(MatchAll(), node.field))
+                pred = ref.col.isNotNull()
+                dist = F.abs(value - F.lit(float(origin)))
+                score = F.when(
+                    pred, distance_feature_value(
+                        dist, float(pivot), node.boost)) \
+                    .otherwise(F.lit(0.0))
+                return pred, score
+            # geo_point branch: struct<lat, lon> column
+            from cassandra_es_index_spark.functions.geo import (
+                distance_meters, geo_point_cols, haversine_meters,
+            )
+
+            try:
+                lat, lon = geo_point_cols(ref.col, ref.dtype, node.field)
+            except ValueError as e:
+                raise CompileError(
+                    "distance_feature needs a date or geo_point field: "
+                    f"{e}") from e
+            if not isinstance(node.origin, tuple):
+                raise CompileError(
+                    "distance_feature origin on a geo field must be a "
+                    f"point, got {node.origin!r}")
+            pivot = node.pivot
+            if isinstance(pivot, str):
+                try:
+                    pivot = distance_meters(pivot)
+                except ValueError as e:
+                    raise CompileError(str(e)) from e
+            olat, olon = node.origin
+            pred = F.coalesce(lat.isNotNull() & lon.isNotNull(),
+                              F.lit(False))
+            dist = haversine_meters(lat, lon, F.lit(float(olat)),
+                                    F.lit(float(olon)))
+            score = F.when(
+                pred, distance_feature_value(dist, float(pivot),
+                                             node.boost)) \
+                .otherwise(F.lit(0.0))
+            return pred, score
         if isinstance(node, TermsSet):
             # match-count floor over per-term tfs; threshold from the
             # doc field / script expr, Lucene CoveringQuery's <1 → 1

@@ -572,7 +572,8 @@ class SearchEngine:
         # may carry date origins/durations needing the same rewrite
         # (false positives just run the no-op walk)
         if not any(tok in qmd.query
-                   for tok in ("now", "||", "gauss", "linear", '"exp"')):
+                   for tok in ("now", "||", "gauss", "linear", '"exp"',
+                               "distance_feature")):
             return req
         comp = Compiler(docs, default_field)
         now_holder: list = []  # captured lazily, once per request
@@ -639,10 +640,35 @@ class SearchEngine:
             except dm.DateMathError as e:
                 raise es_dsl.DslError(str(e)) from e
 
+        def fix_distance_feature(n):
+            # distance_feature on a date field: resolve a string origin
+            # (date-math or ISO) to epoch millis and a duration pivot to
+            # millis, like fix_decay — geo origins/pivots pass through
+            # (the compiler resolves them from the field's dtype)
+            from cassandra_es_index_spark.search.ast import (
+                DistanceFeature,
+            )
+
+            if not isinstance(n, DistanceFeature) \
+                    or not date_field(n.field) \
+                    or not isinstance(n.origin, str):
+                return n
+            try:
+                origin_dt = (dm.resolve(n.origin, now())
+                             if dm.is_date_math(n.origin)
+                             else dm.parse_now(n.origin))
+                pivot = (dm.duration_millis(n.pivot)
+                         if isinstance(n.pivot, str) else n.pivot)
+                return replace(n, origin=dm.epoch_millis(origin_dt),
+                               pivot=pivot)
+            except dm.DateMathError as e:
+                raise es_dsl.DslError(str(e)) from e
+
         def walk(n):
             if isinstance(n, Range):
                 return fix_range(n)
             n = fix_decay(n)
+            n = fix_distance_feature(n)
             if isinstance(n, Node) and is_dataclass(n):
                 changes = {}
                 for f in dc_fields(n):

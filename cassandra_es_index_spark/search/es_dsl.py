@@ -23,12 +23,14 @@ from dataclasses import dataclass, field as dc_field
 from typing import Any
 
 from cassandra_es_index_spark.search.ast import (
-    And, Boost, Boosting, ConstantScore, DisMax, Exists, FunctionScore,
+    And, Boost, Boosting, ConstantScore, DisMax, DistanceFeature, Exists,
+    FunctionScore,
     FunctionScoreArray, GeoBoundingBox, GeoDistance,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested,
     Node, Not, Or,
-    Phrase, Range, RandomScore, Regexp, ScoreFunction,
-    Scoreless, ScriptScore, Should, SpanContaining, SpanFirst, SpanNear,
+    Phrase, Range, RandomScore, RankFeature, Regexp, ScoreFunction,
+    Scoreless, ScriptFilter, ScriptScore, Should, SpanContaining,
+    SpanFirst, SpanNear,
     SpanNot, SpanOr,
     Term, TermsSet, Wildcard,
 )
@@ -2169,6 +2171,137 @@ def _node(q: dict[str, Any]) -> Node:
                                      fboost))
         node = branches[0] if len(branches) == 1 else Or(tuple(branches))
         return _boosted(node, body.get("boost"))
+    if kind == "script":
+        # ES script query (filter context): {"script": {"script":
+        # {"source": "doc['f'].value > 5"}}} — the painless
+        # arithmetic/comparison subset, compiled to ONE SQL boolean
+        # expression. ES requires filter scripts to return a boolean;
+        # the engine enforces it at parse: the translated expression
+        # must carry a comparison (arithmetic-only → typed error).
+        spec = body.get("script") if isinstance(body, dict) else None
+        if isinstance(spec, dict):
+            spec = spec.get("source")
+        if not isinstance(spec, str) or not spec.strip():
+            raise DslError("script query needs {'script': {'source': "
+                           "str}}")
+        expr = _compile_doc_script("script", spec)
+        if not _re.search(r"(?:<=|>=|!=|<|>|=)", expr):
+            raise DslError(
+                "script query must return a boolean — the script "
+                f"{spec!r} is arithmetic-only (no comparison)")
+        refs = tuple(dict.fromkeys(_re.findall(
+            r"doc\['([A-Za-z_][\w.]*)'\]\.value", spec)))
+        return _boosted(ScriptFilter(expr, refs, spec),
+                        body.get("boost") if isinstance(body, dict)
+                        else None)
+    if kind == "rank_feature":
+        # {"rank_feature": {"field": f, "saturation": {"pivot": 8}}} —
+        # positive-feature matching + saturating score (ast.RankFeature)
+        if not isinstance(body, dict) or "field" not in body:
+            raise DslError("rank_feature needs {'field': name}")
+        fns = [k for k in ("saturation", "log", "sigmoid", "linear")
+               if k in body]
+        if len(fns) > 1:
+            raise DslError(
+                f"rank_feature takes at most one function, got {fns}")
+        extra = set(body) - {"field", "boost"} - set(fns)
+        if extra:
+            raise DslError(f"unknown rank_feature keys {sorted(extra)}")
+        try:
+            boost = float(body.get("boost", 1.0))
+        except (TypeError, ValueError) as e:
+            raise DslError("rank_feature boost must be numeric") from e
+        fkind = fns[0] if fns else "saturation"
+        spec = body.get(fkind, {})
+        if not isinstance(spec, dict):
+            raise DslError(f"rank_feature {fkind} must be an object")
+
+        def _pos(name: str, required: bool = True,
+                 minimum: float = 0.0) -> float | None:
+            v = spec.get(name)
+            if v is None:
+                if required:
+                    raise DslError(
+                        f"rank_feature {fkind} needs {name!r} (the "
+                        "engine does not derive index-statistic "
+                        "defaults — documented deviation)")
+                return None
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise DslError(f"rank_feature {name} must be numeric")
+            bad = (float(v) <= 0.0) if minimum == 0.0 \
+                else (float(v) < minimum)
+            if bad:
+                raise DslError(
+                    f"rank_feature {name} must be "
+                    f"{'> 0' if minimum == 0.0 else f'>= {minimum}'}")
+            return float(v)
+
+        pivot = exponent = scaling = None
+        if fkind == "saturation":
+            if set(spec) - {"pivot"}:
+                raise DslError("rank_feature saturation takes only "
+                               "'pivot'")
+            pivot = _pos("pivot")
+        elif fkind == "log":
+            if set(spec) - {"scaling_factor"}:
+                raise DslError("rank_feature log takes only "
+                               "'scaling_factor'")
+            scaling = _pos("scaling_factor", minimum=1.0)
+        elif fkind == "sigmoid":
+            if set(spec) - {"pivot", "exponent"}:
+                raise DslError("rank_feature sigmoid takes only "
+                               "'pivot' and 'exponent'")
+            pivot = _pos("pivot")
+            exponent = _pos("exponent")
+        else:  # linear
+            if spec:
+                raise DslError("rank_feature linear takes no "
+                               "parameters")
+        return RankFeature(str(body["field"]), fkind, pivot, exponent,
+                           scaling, boost)
+    if kind == "distance_feature":
+        # {"distance_feature": {"field": f, "origin": ..., "pivot":
+        # "7d"}} — closeness scoring on date / geo_point fields
+        # (ast.DistanceFeature). Origin/pivot stay raw here; the
+        # engine's date-math pass (date fields) or the compiler (geo
+        # fields) resolves them by the field's dtype.
+        if not isinstance(body, dict) or "field" not in body \
+                or "origin" not in body or "pivot" not in body:
+            raise DslError("distance_feature needs {'field': name, "
+                           "'origin': ..., 'pivot': ...}")
+        extra = set(body) - {"field", "origin", "pivot", "boost"}
+        if extra:
+            raise DslError(
+                f"unknown distance_feature keys {sorted(extra)}")
+        try:
+            boost = float(body.get("boost", 1.0))
+        except (TypeError, ValueError) as e:
+            raise DslError(
+                "distance_feature boost must be numeric") from e
+        origin: object = body["origin"]
+        if isinstance(origin, bool):
+            raise DslError("distance_feature origin must be a date, "
+                           "date-math string, or geo point")
+        if isinstance(origin, (list, dict)):
+            # geo literal point forms ([lon, lat], {lat, lon})
+            origin = _geo_point(origin, "distance_feature")
+        elif isinstance(origin, (int, float)):
+            origin = float(origin)
+        elif isinstance(origin, str):
+            # "lat,lon" string point parses eagerly; date strings stay
+            # raw for the engine's date-math pass
+            if _re.fullmatch(r"\s*-?\d+(\.\d+)?\s*,\s*-?\d+(\.\d+)?\s*",
+                             origin):
+                origin = _geo_point(origin, "distance_feature")
+        else:
+            raise DslError("distance_feature origin must be a date, "
+                           "date-math string, or geo point")
+        pivot: object = body["pivot"]
+        if isinstance(pivot, bool) or not isinstance(pivot,
+                                                     (str, int, float)):
+            raise DslError("distance_feature pivot must be a duration "
+                           "or distance string")
+        return DistanceFeature(str(body["field"]), origin, pivot, boost)
     raise DslError(f"unsupported DSL clause {kind!r}")
 
 

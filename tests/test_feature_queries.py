@@ -1,0 +1,265 @@
+"""ES ``script`` (filter), ``rank_feature``, ``distance_feature``
+queries (round-9). The reference forwards any query DSL verbatim to ES
+(ref ElasticIndex.java:663-667); these are the remaining scoring-query
+kinds of that surface.
+
+ES parity targets:
+- script query: filter-context boolean script over doc values; a
+  non-boolean script is an error (engine: typed DslError at parse);
+  null evaluation (null ref, 0 divisor) filters the doc out.
+- rank_feature: only docs with a POSITIVE feature match; saturation
+  v/(v+pivot), log ln(s+v), sigmoid v^e/(v^e+pivot^e), linear v; boost
+  multiplies. The engine requires an explicit saturation pivot
+  (documented deviation — no index-statistic defaults).
+- distance_feature: only docs with the field match; score =
+  boost·pivot/(pivot+dist); date fields use |value−origin| millis with
+  date-math origins and duration pivots, geo fields haversine meters
+  with distance-unit pivots.
+"""
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_es_index_spark.search.compile import CompileError
+from cassandra_es_index_spark.search.engine import SearchEngine, TableSpec
+from cassandra_es_index_spark.search.es_dsl import DslError
+
+from tests.test_geo import hav_m
+
+DAY_MS = 86400000.0
+
+
+@pytest.fixture(scope="module")
+def feat_engine(spark):
+    eng = SearchEngine(spark)
+    df = (spark.createDataFrame(
+        [("a", "spark rules", 100, "2024-01-19 00:00:00", 3.0,
+          57.64911, 10.40744),
+         ("b", "spark", 400, "2024-01-10 00:00:00", 0.0,
+          57.70000, 10.50000),
+         ("c", "spark", None, "2023-12-01 00:00:00", None,
+          None, None),
+         ("d", "other", 100, "2024-01-20 00:00:00", 9.0,
+          40.71280, -74.00600)],
+        "id string, text string, n int, ts string, pr double, "
+        "lat double, lon double")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("id", "text", "n", "ts", "pr",
+                F.struct("lat", "lon").alias("loc")))
+    eng.register(df, TableSpec("feat", ["id"]))
+    return eng
+
+
+def _rows(eng, q, **kw):
+    out = eng.search("feat", "#options:load-rows=false#" + json.dumps(q),
+                     default_field="text", **kw)
+    return {r["id"]: r["_score"] for r in out.collect()}
+
+
+# ------------------------------------------------------------- script
+
+def test_script_filter_matches_boolean(feat_engine):
+    got = _rows(feat_engine,
+                {"query": {"script": {"script":
+                                      {"source": "doc['n'].value > 150"}}}})
+    assert got == {"b": 1}
+
+
+def test_script_filter_null_ref_no_match(feat_engine):
+    # c has null n: painless would NPE; the engine's contract is
+    # null → no match (same rule as terms_set null thresholds)
+    got = _rows(feat_engine,
+                {"query": {"script": {"script":
+                                      {"source": "doc['n'].value >= 100"}}}})
+    assert got == {"a": 1, "b": 1, "d": 1}
+
+
+def test_script_filter_zero_divisor_no_match(feat_engine):
+    # 100/(n-100): divisor 0 for a and d → try_divide NULL → no match
+    src = "100 / (doc['n'].value - 100) > 0.1"
+    got = _rows(feat_engine, {"query": {"script": {"script":
+                                                   {"source": src}}}})
+    assert got == {"b": 1}
+
+
+def test_script_filter_arithmetic_only_rejected(feat_engine):
+    with pytest.raises(DslError, match="must return a boolean"):
+        _rows(feat_engine,
+              {"query": {"script": {"script":
+                                    {"source": "doc['n'].value + 1"}}}})
+
+
+def test_script_filter_unknown_field_typed(feat_engine):
+    with pytest.raises(CompileError):
+        _rows(feat_engine,
+              {"query": {"script": {"script":
+                                    {"source": "doc['nope'].value > 1"}}}})
+
+
+def test_script_filter_composes_in_bool(feat_engine):
+    got = _rows(feat_engine, {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"script": {"script":
+                               {"source": "doc['n'].value < 200"}}}]}}})
+    assert got == {"a": 1}
+
+
+# -------------------------------------------------------- rank_feature
+
+def test_rank_feature_saturation(feat_engine):
+    got = _rows(feat_engine,
+                {"query": {"rank_feature": {"field": "pr",
+                                            "saturation": {"pivot": 3}}}})
+    # b (pr=0) and c (null) never match — positive features only
+    assert set(got) == {"a", "d"}
+    assert got["a"] == pytest.approx(3.0 / 6.0)
+    assert got["d"] == pytest.approx(9.0 / 12.0)
+
+
+def test_rank_feature_log_sigmoid_linear_boost(feat_engine):
+    log = _rows(feat_engine,
+                {"query": {"rank_feature":
+                           {"field": "pr",
+                            "log": {"scaling_factor": 1}}}})
+    assert log["d"] == pytest.approx(math.log(10.0))
+    sig = _rows(feat_engine,
+                {"query": {"rank_feature":
+                           {"field": "pr", "boost": 2,
+                            "sigmoid": {"pivot": 3, "exponent": 2}}}})
+    assert sig["a"] == pytest.approx(2 * 9.0 / 18.0)
+    assert sig["d"] == pytest.approx(2 * 81.0 / 90.0)
+    lin = _rows(feat_engine,
+                {"query": {"rank_feature": {"field": "pr",
+                                            "linear": {}}}})
+    assert lin == {"a": pytest.approx(3.0), "d": pytest.approx(9.0)}
+
+
+def test_rank_feature_in_should_adds_to_match_score(feat_engine):
+    # the production shape: match gates, rank_feature boosts
+    got = _rows(feat_engine, {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "should": [{"rank_feature": {"field": "pr",
+                                     "saturation": {"pivot": 3}}}]}}})
+    assert got["a"] == pytest.approx(1 + 0.5)
+    assert got["b"] == pytest.approx(1.0)   # pr=0: no boost, still matches
+    assert got["c"] == pytest.approx(1.0)
+
+
+def test_rank_feature_typed_errors(feat_engine):
+    for q, pat in [
+        ({"rank_feature": {"field": "pr"}}, "needs 'pivot'"),
+        ({"rank_feature": {"field": "pr", "log": {"scaling_factor": 0.5}}},
+         ">= 1.0"),
+        ({"rank_feature": {"field": "pr", "saturation": {"pivot": 0}}},
+         "> 0"),
+        ({"rank_feature": {"field": "pr", "saturation": {"pivot": 1},
+                           "log": {"scaling_factor": 2}}},
+         "at most one"),
+        ({"rank_feature": {"field": "pr", "linear": {"pivot": 1}}},
+         "no parameters"),
+        ({"rank_feature": {"field": "pr", "nope": 1}}, "unknown"),
+    ]:
+        with pytest.raises(DslError, match=pat):
+            _rows(feat_engine, {"query": q})
+    with pytest.raises(CompileError, match="numeric"):
+        _rows(feat_engine, {"query": {"rank_feature":
+                                      {"field": "text",
+                                       "saturation": {"pivot": 1}}}})
+
+
+# ---------------------------------------------------- distance_feature
+
+def test_distance_feature_date(feat_engine):
+    got = _rows(feat_engine,
+                {"query": {"distance_feature":
+                           {"field": "ts",
+                            "origin": "2024-01-20 00:00:00",
+                            "pivot": "10d"}}})
+    p = 10 * DAY_MS
+    assert got["d"] == pytest.approx(1.0)
+    assert got["a"] == pytest.approx(p / (p + DAY_MS))
+    assert got["b"] == pytest.approx(0.5)
+    assert got["c"] == pytest.approx(p / (p + 50 * DAY_MS))
+
+
+def test_distance_feature_date_math_origin(feat_engine):
+    # now-anchored origin resolves through the injectable now, like
+    # range bounds (#now# option pins the anchor)
+    out = feat_engine.search(
+        "feat",
+        '#options:load-rows=false,now=2024-01-20T00:00:00#'
+        + json.dumps({"query": {"distance_feature":
+                                {"field": "ts", "origin": "now/d",
+                                 "pivot": "10d"}}}),
+        default_field="text")
+    got = {r["id"]: r["_score"] for r in out.collect()}
+    assert got["d"] == pytest.approx(1.0)
+    assert got["b"] == pytest.approx(0.5)
+
+
+def test_distance_feature_geo(feat_engine):
+    got = _rows(feat_engine,
+                {"query": {"distance_feature":
+                           {"field": "loc",
+                            "origin": [10.40744, 57.64911],  # lon, lat
+                            "pivot": "10km", "boost": 3}}})
+    assert set(got) == {"a", "b", "d"}   # c's null point never matches
+    assert got["a"] == pytest.approx(3.0)
+    d_b = hav_m(57.64911, 10.40744, 57.7, 10.5)
+    assert got["b"] == pytest.approx(3 * 10000.0 / (10000.0 + d_b))
+    d_d = hav_m(57.64911, 10.40744, 40.7128, -74.006)
+    assert got["d"] == pytest.approx(3 * 10000.0 / (10000.0 + d_d))
+
+
+def test_distance_feature_boosts_matches(feat_engine):
+    got = _rows(feat_engine, {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "should": [{"distance_feature":
+                    {"field": "ts", "origin": "2024-01-20 00:00:00",
+                     "pivot": "10d"}}]}}})
+    assert got["a"] == pytest.approx(1 + 10.0 / 11.0)
+    assert got["b"] == pytest.approx(1.5)
+
+
+def test_distance_feature_typed_errors(feat_engine):
+    with pytest.raises(DslError, match="needs"):
+        _rows(feat_engine, {"query": {"distance_feature":
+                                      {"field": "ts", "origin": "now"}}})
+    with pytest.raises(DslError, match="unknown"):
+        _rows(feat_engine, {"query": {"distance_feature":
+                                      {"field": "ts", "origin": "now",
+                                       "pivot": "1d", "nope": 1}}})
+    # numeric field: neither date nor geo_point
+    with pytest.raises(CompileError, match="date or geo_point"):
+        _rows(feat_engine, {"query": {"distance_feature":
+                                      {"field": "n", "origin": 0,
+                                       "pivot": "1d"}}})
+    # geo origin against a date field
+    with pytest.raises(CompileError, match="geo point"):
+        _rows(feat_engine, {"query": {"distance_feature":
+                                      {"field": "ts",
+                                       "origin": [10.0, 57.0],
+                                       "pivot": "1d"}}})
+    # bad duration / bad distance unit
+    with pytest.raises((DslError, CompileError)):
+        _rows(feat_engine, {"query": {"distance_feature":
+                                      {"field": "ts", "origin": "now",
+                                       "pivot": "10parsecs"}}})
+
+
+def test_fractional_score_dtype(feat_engine):
+    out = feat_engine.search(
+        "feat", "#options:load-rows=false#" + json.dumps(
+            {"query": {"rank_feature": {"field": "pr",
+                                        "saturation": {"pivot": 3}}}}),
+        default_field="text")
+    assert dict(out.dtypes)["_score"] == "double"
+    out2 = feat_engine.search(
+        "feat", "#options:load-rows=false#" + json.dumps(
+            {"query": {"script": {"script":
+                                  {"source": "doc['n'].value > 0"}}}}),
+        default_field="text")
+    assert dict(out2.dtypes)["_score"] == "bigint"
