@@ -511,6 +511,58 @@ def q_geo_distance_filter(spark, sf_dir):
     return eng.search("geo_events", "#options:load-rows=false#" + q)
 
 
+# geo_polygon vertices (lat, lon) — shared by the Spark query and the
+# oracle SQL generator so the ray-casting slope constants are the SAME
+# Python doubles on both sides (bit-parity of the parity test)
+_POLY_PTS = [(-70.0, -150.0), (70.0, -30.0), (-70.0, 90.0)]
+
+
+def _poly_cond_sql(pts) -> str:
+    """DuckDB twin of the compiler's even-odd ray cast: per-edge
+    ((y1 > lat) <> (y2 > lat)) AND lon < slope·(lat − y1) + x1, XOR-folded
+    with a left-assoc ``<>`` chain — the identical constants and
+    operation order as ``compile.py``'s GeoPolygon branch."""
+    conds = []
+    n = len(pts)
+    for i in range(n):
+        y1, x1 = pts[i]
+        y2, x2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        s = (x2 - x1) / (y2 - y1)
+        conds.append(f"((({y1!r} > lat) <> ({y2!r} > lat)) "
+                     f"AND lon < {s!r} * (lat - {y1!r}) + {x1!r})")
+    return " <> ".join(conds)
+
+
+def q_geo_polygon_filter(spark, sf_dir):
+    # P2 geo_polygon (r9): even-odd ray casting as per-edge Column
+    # comparisons with driver-side slope constants (planar semantics
+    # like ES's legacy geo_polygon; no UDF, WholeStageCodegen). The
+    # oracle re-emits the identical constants via _poly_cond_sql, so
+    # the parity test is bit-for-bit. NULL points never match.
+    eng = _geo_events_engine(spark, sf_dir)
+    pts = ",".join('{"lat":%r,"lon":%r}' % (la, lo)
+                   for la, lo in _POLY_PTS)
+    q = '{"query":{"geo_polygon":{"loc":{"points":[%s]}}}}' % pts
+    return eng.search("geo_events", "#options:load-rows=false#" + q)
+
+
+def q_search_bool_prefix(spark, sf_dir):
+    # ES match_bool_prefix (r9): terms + trailing prefix — desugars to
+    # the prefix-served Term/Wildcard shape (search-as-you-type)
+    q = '{"query":{"match_bool_prefix":{"text":"spark quer"}}}'
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
+def q_search_combined_fields(spark, sf_dir):
+    # ES combined_fields (r9): terms match across fields as one
+    # combined field; engine scoring = Σ matching per-field tfs
+    q = ('{"query":{"combined_fields":{"query":"spark en",'
+         '"fields":["text","lang"]}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_geohash_grid(spark, sf_dir):
     # A+ geohash_grid (r9): base32 geohash cells (standard
     # longitude-first interleave) of the derived geo_point at
@@ -1847,6 +1899,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded by ann_recall / property tests. ----
         "search_wildcard": q_search_wildcard,  # ~ term/dictionary family
         #   (green r01-r08; demoted r9 for search_feature_boosts)
+        "geo_polygon_filter": q_geo_polygon_filter,  # ~ geo family (r9;
+        #   oracle re-emits the identical ray-cast constants)
+        "search_bool_prefix": q_search_bool_prefix,  # ~ prefix family
+        #   (r9; desugar to the served Term/Wildcard shape)
+        "search_combined_fields": q_search_combined_fields,  # ~ multi-
+        #   field family (r9; Σ per-field tf, documented no-BM25F)
         "search_script_filter": q_search_script_filter,  # ~ script family
         #   (r9; oracle present, script_score's window rep is
         #   search_decay_recency's function_score tree)
@@ -3064,6 +3122,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND {_GEO_HAV} <= 4000000.0::DOUBLE
+        """,
+        # geo_polygon (r9): even-odd ray cast, identical slope
+        # constants/op order as the compiler (generated by
+        # _poly_cond_sql from the shared _POLY_PTS)
+        "geo_polygon_filter": f"""
+            WITH g AS ({_GEO_CTE})
+            SELECT event_id, 1::BIGINT AS _score
+            FROM g
+            WHERE lat IS NOT NULL AND ({_poly_cond_sql(_POLY_PTS)})
+        """,
+        # match_bool_prefix (r9): tf(spark) + tf(quer-prefix tokens)
+        "search_bool_prefix": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                       + len(regexp_extract_all(text,
+                             '(?i)\\bquer\\w*\\b'))::BIGINT AS sc
+                FROM documents)
+            SELECT doc_id, sc AS _score FROM s WHERE sc > 0
+        """,
+        # combined_fields (r9): Σ per-field tf over (text, lang) for
+        # each term; any positive leaf matches the doc
+        "search_combined_fields": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(coalesce(text, ''),
+                           '{_SPARK}'))::BIGINT
+                       + len(regexp_extract_all(coalesce(lang, ''),
+                             '{_SPARK}'))::BIGINT
+                       + len(regexp_extract_all(coalesce(text, ''),
+                             '{_EN}'))::BIGINT
+                       + len(regexp_extract_all(coalesce(lang, ''),
+                             '{_EN}'))::BIGINT AS sc
+                FROM documents)
+            SELECT doc_id, sc AS _score FROM s WHERE sc > 0
         """,
         "search_geohash_grid": (lambda parts: f"""
             WITH g AS ({_GEO_CTE}),

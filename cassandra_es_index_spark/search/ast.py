@@ -477,6 +477,20 @@ class GeoBoundingBox(Node):
 
 
 @dataclass(frozen=True)
+class GeoPolygon(Node):
+    """ES ``geo_polygon`` filter: docs whose geo_point lies inside the
+    polygon by even-odd ray casting (a ray east from the point crosses
+    an odd number of edges). ``points`` are (lat, lon) vertices in
+    order, implicitly closed; horizontal edges never flip parity (the
+    standard crossing rule — also keeps the slope finite). Pure Column
+    comparisons per edge — planar semantics like ES's legacy
+    geo_polygon (no great-circle edges, no antimeridian wrap;
+    documented). Score 1 per match."""
+    field: str = ""
+    points: tuple = ()   # ((lat, lon), ...)
+
+
+@dataclass(frozen=True)
 class Boosting(Node):
     """ES ``boosting`` query: matches exactly the ``positive`` query;
     docs ALSO matching ``negative`` keep matching but their score

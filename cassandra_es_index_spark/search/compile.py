@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax,
     DistanceFeature, Exists,
-    FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance,
+    FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoPolygon,
     Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested, Node, Not, Or,
     Phrase, Range,
     RandomScore, RankFeature, Regexp,
@@ -1050,6 +1050,37 @@ class Compiler:
                         & (lat >= F.lit(float(node.bottom)))
                         & lon_pred)
             pred = F.coalesce(pred, F.lit(False))
+            return pred, F.when(pred, 1).otherwise(0)
+        if isinstance(node, GeoPolygon):
+            # even-odd ray casting: a ray east from the point crosses an
+            # odd number of edges ⇔ inside. Per-edge Column comparisons
+            # with driver-side slope constants (the oracle re-emits the
+            # identical constants); horizontal edges skip — they never
+            # flip parity and would divide by zero. `!=` on booleans is
+            # XOR-parity folding.
+            from cassandra_es_index_spark.functions.geo import (
+                geo_point_cols,
+            )
+
+            ref = self.resolve(node.field)
+            try:
+                lat, lon = geo_point_cols(ref.col, ref.dtype, node.field)
+            except ValueError as e:
+                raise CompileError(str(e)) from e
+            inside: Column = F.lit(False)
+            pts = node.points
+            for i in range(len(pts)):
+                y1, x1 = pts[i]
+                y2, x2 = pts[(i + 1) % len(pts)]
+                if y1 == y2:
+                    continue
+                slope = (x2 - x1) / (y2 - y1)
+                crosses = (
+                    ((F.lit(y1) > lat) != (F.lit(y2) > lat))
+                    & (lon < F.lit(slope) * (lat - F.lit(y1))
+                       + F.lit(x1)))
+                inside = inside != crosses
+            pred = F.coalesce(inside, F.lit(False))
             return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, (SpanOr, SpanFirst, SpanNot,
                              SpanContaining)):

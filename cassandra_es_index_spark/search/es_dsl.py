@@ -25,7 +25,7 @@ from typing import Any
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, DistanceFeature, Exists,
     FunctionScore,
-    FunctionScoreArray, GeoBoundingBox, GeoDistance,
+    FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoPolygon,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested,
     Node, Not, Or,
     Phrase, Range, RandomScore, RankFeature, Regexp, ScoreFunction,
@@ -2171,6 +2171,100 @@ def _node(q: dict[str, Any]) -> Node:
                                      fboost))
         node = branches[0] if len(branches) == 1 else Or(tuple(branches))
         return _boosted(node, body.get("boost"))
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: analyzed terms as a bool query whose
+        # LAST term is a prefix — the search-as-you-type primitive.
+        # Desugars to Term leaves + a trailing-star Wildcard (exactly
+        # the prefix-served shape); `operator` joins with and/or (ES
+        # default or). Empty analyzed input → MatchNoDocs, like match.
+        field, value = _single(body)
+        op = "or"
+        boost = None
+        if isinstance(value, dict):
+            extra = set(value) - {"query", "operator", "boost"}
+            if extra:
+                raise DslError(
+                    f"unknown match_bool_prefix keys {sorted(extra)}")
+            op = str(value.get("operator", "or")).lower()
+            boost = value.get("boost")
+            value = value.get("query")
+        if op not in ("or", "and"):
+            raise DslError(f"bad match_bool_prefix operator {op!r}")
+        tokens = str(value).split()
+        if not tokens:
+            return MatchNone()
+        leaves: list[Node] = [Term(field, t) for t in tokens[:-1]]
+        leaves.append(Wildcard(field, tokens[-1] + "*"))
+        node = leaves[0] if len(leaves) == 1 else \
+            (Or if op == "or" else And)(tuple(leaves))
+        return _boosted(node, boost)
+    if kind == "combined_fields":
+        # ES combined_fields: the query terms match across several
+        # fields AS IF they were one combined field. Desugar: per term,
+        # an Or over the fields (the engine's Or sums matching branch
+        # tfs — the term-centric combined-field frequency; DEVIATION:
+        # no BM25F weighting, the engine's documented tf-count scoring
+        # applies); `operator` joins the per-term groups (ES default
+        # or). Per-field `^boost` syntax scales that field's
+        # contribution, like multi_match.
+        if not isinstance(body, dict) or "query" not in body \
+                or "fields" not in body:
+            raise DslError("combined_fields needs {'query': str, "
+                           "'fields': [...]}")
+        extra = set(body) - {"query", "fields", "operator", "boost"}
+        if extra:
+            raise DslError(
+                f"unknown combined_fields keys {sorted(extra)}")
+        fields = body["fields"]
+        if not isinstance(fields, list) or not fields:
+            raise DslError("combined_fields fields must be a "
+                           "non-empty list")
+        op = str(body.get("operator", "or")).lower()
+        if op not in ("or", "and"):
+            raise DslError(f"bad combined_fields operator {op!r}")
+        parsed_fields: list[tuple[str, float | None]] = []
+        for f in fields:
+            fboost = None
+            f = str(f)
+            if "^" in f:
+                f, _, fb = f.partition("^")
+                try:
+                    fboost = float(fb)
+                except ValueError as e:
+                    raise DslError(
+                        f"bad combined_fields field boost {fb!r}") from e
+            parsed_fields.append((f, fboost))
+        tokens = str(body["query"]).split()
+        if not tokens:
+            return MatchNone()
+        groups: list[Node] = []
+        for t in tokens:
+            branches = [_boosted(Term(f, t), fb)
+                        for f, fb in parsed_fields]
+            groups.append(branches[0] if len(branches) == 1
+                          else Or(tuple(branches)))
+        node = groups[0] if len(groups) == 1 else \
+            (Or if op == "or" else And)(tuple(groups))
+        return _boosted(node, body.get("boost"))
+    if kind == "geo_polygon":
+        # {"geo_polygon": {field: {"points": [...]}}} — even-odd
+        # point-in-polygon (ast.GeoPolygon)
+        if not isinstance(body, dict) or len(body) != 1:
+            raise DslError(
+                "geo_polygon needs {field: {'points': [...]}}")
+        (gfield, spec), = body.items()
+        if not isinstance(spec, dict) \
+                or not isinstance(spec.get("points"), list):
+            raise DslError("geo_polygon needs {'points': [...]}")
+        pts = [_geo_point(p, "geo_polygon") for p in spec["points"]]
+        # an explicitly closed ring (first == last) is accepted and
+        # unclosed — the edge walk closes implicitly
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        if len(pts) < 3:
+            raise DslError("geo_polygon needs at least 3 distinct "
+                           "points")
+        return GeoPolygon(str(gfield), tuple(pts))
     if kind == "script":
         # ES script query (filter context): {"script": {"script":
         # {"source": "doc['f'].value > 5"}}} — the painless
