@@ -563,6 +563,93 @@ def q_search_combined_fields(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def _auto_ladder_case(target: int) -> str:
+    """DuckDB CASE re-deriving the auto_date_histogram ladder choice
+    from (lo, hi) epoch seconds — the SAME ladder and bucket-count
+    formula the engine evaluates driver-side."""
+    ladder = SearchEngine._AUTO_LADDER
+    whens = " ".join(
+        f"WHEN (hi // {s} - lo // {s} + 1) <= {target} THEN {s}"
+        for s in ladder)
+    return f"CASE {whens} ELSE {ladder[-1]} END"
+
+
+def _round_doubles(df: DataFrame, digits: int = 4) -> DataFrame:
+    """Round every DOUBLE column (oracle hash stability for float aggs)."""
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "double":
+            df = df.withColumn(f.name, F.round(F.col(f.name), digits))
+    return df
+
+
+def q_percolate_route(spark, sf_dir):
+    # ES percolator, Spark-first (r9): three stored queries (a
+    # query_string, a DSL range, a bool with a should-boost) compile to
+    # Column predicates evaluated over ONE documents scan — one row per
+    # (doc, matching query), scores DOUBLE. The stored-query set is
+    # driver-bounded by design (ES's per-shard memory index analogue);
+    # the corpus side stays distributed (SCALE.md percolate).
+    eng = _docs_engine(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    qs = [("q_spark", "text:spark"),
+          ("q_long", '{"query":{"range":{"n_chars":{"gte":400}}}}'),
+          ("q_en_query", '{"query":{"bool":{'
+                         '"must":[{"term":{"lang":"en"}}],'
+                         '"should":[{"wildcard":{"text":"quer*"}}]}}}')]
+    return eng.percolate(docs, qs, default_field="text",
+                         id_cols=("doc_id",))
+
+
+def q_search_mlt_dsl(spark, sf_dir):
+    # ES more_like_this DSL form (r9): like-text → standard-analyzed
+    # candidates → df-gated tf·idf top-K → TermsSet with the resolved
+    # minimum_should_match. Parameters chosen so ALL 4 candidates
+    # survive selection (df ≥ 1 everywhere, K=25 ≥ 4) — the oracle then
+    # needs only the TermsSet semantics: ≥ 2 of the terms present,
+    # score = Σ matched tf.
+    q = ('{"query":{"more_like_this":{'
+         '"like":"spark table batch filter","min_term_freq":1,'
+         '"min_doc_freq":1,"max_query_terms":25,'
+         '"minimum_should_match":"50%"}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
+def q_search_boxplot_mad_strings(spark, sf_dir):
+    # A+ analytics metrics tier (r9): boxplot (exact quartiles),
+    # median_absolute_deviation (two-pass: median broadcast into the
+    # deviation pass), string_stats (length stats + Shannon entropy of
+    # the character distribution via an explode→count→−Σp·log2 p chain)
+    # in ONE metrics-only request — one row out, declaration order.
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},"aggs":{'
+         '"bx":{"boxplot":{"field":"n_chars"}},'
+         '"mad":{"median_absolute_deviation":{"field":"n_chars"}},'
+         '"ss":{"string_stats":{"field":"lang"}}}}')
+    return _round_doubles(eng.search_aggs("documents", q))
+
+
+def q_search_matrix_stats(spark, sf_dir):
+    # A+ matrix_stats (r9): listwise-deleted sample moments +
+    # covariance/correlation over (value, user_id) of the click events
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},"aggs":{'
+         '"mx":{"matrix_stats":{"fields":["value","user_id"]}}}}')
+    return _round_doubles(eng.search_aggs("events_capped", q))
+
+
+def q_search_auto_date_histogram(spark, sf_dir):
+    # A+ auto_date_histogram (r9): target bucket COUNT resolved to the
+    # smallest fixed ladder interval fitting the click events' span
+    # (one two-value driver collect), then ordinary epoch-aligned
+    # fixed_interval buckets with an avg metric. The oracle re-derives
+    # the interval with the SAME ladder CASE over min/max.
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},"aggs":{'
+         '"h":{"auto_date_histogram":{"field":"ts","buckets":40},'
+         '"aggs":{"av":{"avg":{"field":"value"}}}}}}')
+    return _round_doubles(eng.search_aggs("events_capped", q))
+
+
 def q_search_geohash_grid(spark, sf_dir):
     # A+ geohash_grid (r9): base32 geohash cells (standard
     # longitude-first interleave) of the derived geo_point at
@@ -1832,7 +1919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   ts, pinned now, range-index served (r7); search_dsl_sorted
         #   moved to the tail — its sort+limit path is exercised by
         #   search_page_after (sort is search_after's precondition)
-        "search_page_after": q_search_page_after,
+        "percolate_route": q_percolate_route,  # stored-query matching
+        #   over one corpus scan (r9) — the alerting/routing primitive;
+        #   search_page_after demoted to the tail (scroll_drain's keyset
+        #   batches exercise the same search_after machinery)
         "search_collapse": q_search_collapse,    # field collapsing (r5)
         "search_top_hits": q_search_top_hits,    # top_hits sub-agg (r5)
         "search_pipeline_nested": q_search_pipeline_nested,  # per-parent
@@ -1899,12 +1989,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded by ann_recall / property tests. ----
         "search_wildcard": q_search_wildcard,  # ~ term/dictionary family
         #   (green r01-r08; demoted r9 for search_feature_boosts)
+        "search_page_after": q_search_page_after,  # ~ keyset paging
+        #   (green r01-r08; demoted r9 for percolate_route —
+        #   search_scroll_drain's batches are search_after under the
+        #   hood)
         "geo_polygon_filter": q_geo_polygon_filter,  # ~ geo family (r9;
         #   oracle re-emits the identical ray-cast constants)
         "search_bool_prefix": q_search_bool_prefix,  # ~ prefix family
         #   (r9; desugar to the served Term/Wildcard shape)
         "search_combined_fields": q_search_combined_fields,  # ~ multi-
         #   field family (r9; Σ per-field tf, documented no-BM25F)
+        "search_mlt_dsl": q_search_mlt_dsl,  # ~ MLT family (r9 DSL form;
+        #   the API form search_mlt is in-window)
+        "search_boxplot_mad_strings": q_search_boxplot_mad_strings,
+        #   ~ metrics tier (r9: boxplot + MAD two-pass + string_stats
+        #   entropy in one metrics-only row; oracle present)
+        "search_matrix_stats": q_search_matrix_stats,  # ~ metrics tier
+        #   (r9; listwise-deleted sample moments + covar/corr)
+        "search_auto_date_histogram": q_search_auto_date_histogram,
+        #   ~ date_histogram family (r9; ladder interval re-derived by
+        #   the oracle CASE)
         "search_script_filter": q_search_script_filter,  # ~ script family
         #   (r9; oracle present, script_score's window rep is
         #   search_decay_recency's function_score tree)
@@ -3131,6 +3235,120 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND ({_poly_cond_sql(_POLY_PTS)})
+        """,
+        # more_like_this DSL (r9): all 4 candidates survive selection,
+        # so the oracle is pure TermsSet semantics (>= 2 of 4, score =
+        # sum of matched tfs)
+        "search_mlt_dsl": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}')) AS t1,
+                       len(regexp_extract_all(text,
+                           '(?i)\\btable\\b')) AS t2,
+                       len(regexp_extract_all(text,
+                           '(?i)\\bbatch\\b')) AS t3,
+                       len(regexp_extract_all(text,
+                           '(?i)\\bfilter\\b')) AS t4
+                FROM documents)
+            SELECT doc_id, (t1 + t2 + t3 + t4)::BIGINT AS _score
+            FROM s
+            WHERE (CASE WHEN t1 > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN t2 > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN t3 > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN t4 > 0 THEN 1 ELSE 0 END) >= 2
+        """,
+        # percolate (r9): one UNION ALL branch per stored query —
+        # q_spark scores tf, q_long scores 1, q_en_query scores
+        # tf(en in lang) + matched wildcard tf (Or-branch convention)
+        "percolate_route": f"""
+            SELECT doc_id, 'q_spark' AS query_id,
+                   len(regexp_extract_all(text, '{_SPARK}'))::DOUBLE
+                       AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
+            UNION ALL
+            SELECT doc_id, 'q_long', 1.0::DOUBLE
+            FROM documents WHERE n_chars >= 400
+            UNION ALL
+            SELECT doc_id, 'q_en_query',
+                   (len(regexp_extract_all(lang, '{_EN}'))
+                    + len(regexp_extract_all(text,
+                          '(?i)\\bquer\\w*\\b')))::DOUBLE
+            FROM documents
+            WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
+        """,
+        # boxplot + MAD + string_stats (r9): exact quantile_cont twins,
+        # MAD = median of |x − median|, entropy = −Σ p·log2 p over the
+        # char distribution — doubles rounded to 4 on both sides
+        "search_boxplot_mad_strings": """
+            WITH q AS (
+                SELECT min(n_chars)::BIGINT AS bx_min,
+                       max(n_chars)::BIGINT AS bx_max,
+                       round(quantile_cont(n_chars::DOUBLE, 0.25), 4)
+                           AS bx_q1,
+                       round(quantile_cont(n_chars::DOUBLE, 0.50), 4)
+                           AS bx_q2,
+                       round(quantile_cont(n_chars::DOUBLE, 0.75), 4)
+                           AS bx_q3
+                FROM documents),
+            med AS (SELECT quantile_cont(n_chars::DOUBLE, 0.5) AS m
+                    FROM documents),
+            madq AS (
+                SELECT round(quantile_cont(
+                           abs(n_chars::DOUBLE - med.m), 0.5), 4) AS mad
+                FROM documents, med),
+            ssb AS (
+                SELECT count(lang)::BIGINT AS ss_count,
+                       min(length(lang))::BIGINT AS ss_min_length,
+                       max(length(lang))::BIGINT AS ss_max_length,
+                       round(avg(length(lang)), 4) AS ss_avg_length
+                FROM documents),
+            ch AS (SELECT unnest(string_split(lang, '')) AS c
+                   FROM documents WHERE lang IS NOT NULL),
+            fr AS (SELECT c, count(*)::DOUBLE AS n FROM ch GROUP BY c),
+            ent AS (
+                SELECT round(-sum((n / t.t) * log2(n / t.t)), 4)
+                           AS ss_entropy
+                FROM fr, (SELECT sum(n) AS t FROM fr) t)
+            SELECT * FROM q, madq, ssb, ent
+        """,
+        # matrix_stats (r9): listwise deletion — rows missing EITHER
+        # field drop from every statistic; sample variance/covariance
+        "search_matrix_stats": """
+            WITH obs AS (
+                SELECT value, user_id FROM events
+                WHERE event_type = 'click'
+                  AND value IS NOT NULL AND user_id IS NOT NULL)
+            SELECT count(*)::BIGINT AS mx_value_count,
+                   round(avg(value), 4) AS mx_value_mean,
+                   round(var_samp(value), 4) AS mx_value_variance,
+                   count(*)::BIGINT AS mx_user_id_count,
+                   round(avg(user_id::DOUBLE), 4) AS mx_user_id_mean,
+                   round(var_samp(user_id::DOUBLE), 4)
+                       AS mx_user_id_variance,
+                   round(covar_samp(value, user_id::DOUBLE), 4)
+                       AS mx_value_user_id_covariance,
+                   round(corr(value, user_id::DOUBLE), 4)
+                       AS mx_value_user_id_correlation
+            FROM obs
+        """,
+        # auto_date_histogram (r9): the oracle re-derives the ladder
+        # interval with the same CASE the engine evaluates driver-side,
+        # then buckets epoch-aligned
+        "search_auto_date_histogram": f"""
+            WITH m AS (
+                SELECT floor(epoch(min(ts)))::BIGINT AS lo,
+                       floor(epoch(max(ts)))::BIGINT AS hi
+                FROM events WHERE event_type = 'click'),
+            i AS (SELECT ({_auto_ladder_case(40)}) AS secs FROM m)
+            SELECT make_timestamp(
+                       ((floor(epoch(ts))::BIGINT // i.secs) * i.secs)
+                       * 1000000) AS key,
+                   COUNT(*)::BIGINT AS doc_count,
+                   round(avg(value), 4) AS av
+            FROM events, i
+            WHERE event_type = 'click' AND ts IS NOT NULL
+            GROUP BY 1
         """,
         # match_bool_prefix (r9): tf(spark) + tf(quer-prefix tokens)
         "search_bool_prefix": f"""

@@ -477,6 +477,31 @@ class GeoBoundingBox(Node):
 
 
 @dataclass(frozen=True)
+class MoreLikeThis(Node):
+    """ES ``more_like_this`` query: find documents resembling free text
+    and/or existing documents. A DATA-DRIVEN node: the engine resolves
+    it before compile (``SearchEngine._expand_mlt`` — the same
+    engine-rewrite pattern as match_phrase_prefix ``max_expansions``)
+    into a TermsSet over the top ``max_query_terms`` like-terms ranked
+    by tf·idf (tf in the like text, idf = ln((N+1)/(df+0.5)) from the
+    postings — the selection rule ``SearchEngine.more_like_this``
+    already uses), thresholded by ``minimum_should_match``; with
+    ``like`` doc ids and ``include=false`` (ES default) the source docs
+    are excluded via And(…, Not(Ids)). Compiling the raw node without
+    the engine is a typed CompileError — term selection needs corpus
+    statistics. Engine subset (documented): exactly ONE field."""
+    field: str | None = None
+    like_texts: tuple[str, ...] = ()
+    like_ids: tuple[str, ...] = ()
+    max_query_terms: int = 25
+    min_term_freq: int = 2
+    min_doc_freq: int = 5
+    max_doc_freq: int | None = None
+    minimum_should_match: str = "30%"
+    include: bool = False
+
+
+@dataclass(frozen=True)
 class GeoPolygon(Node):
     """ES ``geo_polygon`` filter: docs whose geo_point lies inside the
     polygon by even-odd ray casting (a ray east from the point crosses

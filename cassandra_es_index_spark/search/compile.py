@@ -34,7 +34,8 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax,
     DistanceFeature, Exists,
     FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoPolygon,
-    Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested, Node, Not, Or,
+    Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, MoreLikeThis,
+    Nested, Node, Not, Or,
     Phrase, Range,
     RandomScore, RankFeature, Regexp,
     Required, Scoreless, ScriptFilter, ScriptScore, Should, SpanContaining,
@@ -836,6 +837,11 @@ class Compiler:
                 factor = F.least(factor, F.lit(float(node.max_boost)))
             return pred, combine_boost_mode(score.cast("double"), factor,
                                             node.boost_mode)
+        if isinstance(node, MoreLikeThis):
+            raise CompileError(
+                "more_like_this is data-driven (tf·idf term selection "
+                "over the postings) — run it through SearchEngine, "
+                "which resolves it before compile (_expand_mlt)")
         if isinstance(node, ScriptFilter):
             # filter-context script: the pre-translated SQL boolean over
             # document columns; NULL (null ref, try_divide 0) → no match.

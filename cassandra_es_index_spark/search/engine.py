@@ -29,7 +29,7 @@ from cassandra_es_index_spark.search.ast import (
     SpanOr, Term,
     TermsSet, Wildcard,
 )
-from cassandra_es_index_spark.search.compile import Compiler
+from cassandra_es_index_spark.search.compile import CompileError, Compiler
 from cassandra_es_index_spark.search.options import QueryMetaData
 
 # Admin verbs dispatched before search (ref EsSecondaryIndex.java:101-103,
@@ -863,6 +863,144 @@ class SearchEngine:
 
         return self._rewrite_request(req, walk, walk_agg)
 
+    def _expand_mlt(self, req: "es_dsl.Request", table: str,
+                    docs: DataFrame,
+                    default_field: str | None) -> "es_dsl.Request":
+        """Resolve every ``more_like_this`` node (ast.MoreLikeThis) to a
+        concrete TermsSet before compile — the same engine-rewrite
+        pattern as match_phrase_prefix ``max_expansions``:
+
+        1. like text = the request's strings + the referenced docs'
+           field values (ONE key-filtered lookup, bounded by the id
+           count);
+        2. candidate terms = standard-analyzed like text with
+           tf ≥ min_term_freq;
+        3. df for the candidates only (``_mlt_dfreq`` — a term-vector-
+           bounded postings lookup, built on demand like
+           ``more_like_this``), filtered to min_doc_freq ≤ df
+           (≤ max_doc_freq);
+        4. top max_query_terms by (tf·ln((N+1)/(df+0.5)) desc, term
+           asc) — the selection rule ``more_like_this`` pins;
+        5. TermsSet with the resolved minimum_should_match count;
+           like-ids with include=false (ES default) are excluded via
+           And(…, Not(Ids)).
+
+        Driver data is candidate-term-sized throughout (a document's
+        vocabulary, never the corpus's)."""
+        import math
+        import re as _re2
+        from dataclasses import fields as dc_fields
+        from dataclasses import is_dataclass, replace
+
+        from cassandra_es_index_spark.search.ast import (
+            And, Ids, MatchNone, MoreLikeThis, Not, TermsSet,
+        )
+
+        comp_holder: list = []
+
+        def comp() -> Compiler:
+            if not comp_holder:
+                comp_holder.append(Compiler(docs, default_field))
+            return comp_holder[0]
+
+        def expand(n: MoreLikeThis) -> Node:
+            fld = n.field if n.field is not None else comp().default_field
+            comp().resolve(fld)   # typed error for unknown fields
+            texts = list(n.like_texts)
+            if n.like_ids:
+                _, spec = self.catalog.get(table)
+                id_col = self._postings_id_col(spec)
+                ref = comp().resolve(id_col)
+                rows = (docs.where(ref.col.cast("string").isin(
+                            [str(v) for v in n.like_ids]))
+                            .select(comp().resolve(fld).col.alias("t"))
+                            .collect())
+                texts += [r["t"] for r in rows if r["t"] is not None]
+            # driver-side twin of analyzers.standard (lower + \W+ split)
+            tf: dict[str, int] = {}
+            for t in texts:
+                for tok in _re2.split(r"\W+", str(t).lower()):
+                    if tok:
+                        tf[tok] = tf.get(tok, 0) + 1
+            cands = [t for t, c in tf.items() if c >= n.min_term_freq]
+            if not cands:
+                return MatchNone()
+            if (table, fld) not in self._postings:
+                self.build_postings_index(table, fld)
+            view = self._postings[(table, fld)].view()
+            df_map = {r["token"]: r["df"]
+                      for r in self._mlt_dfreq(view, cands).collect()}
+            n_docs = self._corpus_size(table)
+            weighted = sorted(
+                ((tf[t] * math.log((n_docs + 1) / (df_map[t] + 0.5)), t)
+                 for t in cands
+                 if df_map.get(t, 0) >= n.min_doc_freq
+                 and (n.max_doc_freq is None
+                      or df_map.get(t, 0) <= n.max_doc_freq)),
+                key=lambda p: (-p[0], p[1]))
+            terms = tuple(t for _, t in weighted[:n.max_query_terms])
+            if not terms:
+                return MatchNone()
+            msm = n.minimum_should_match
+            if msm.endswith("%"):
+                count = int(len(terms) * int(msm[:-1]) / 100.0)
+            else:
+                count = int(msm)
+            node: Node = TermsSet(fld, terms, msm_expr=str(max(1, count)))
+            if n.like_ids and not n.include:
+                node = And((node, Not(Ids(tuple(n.like_ids)))))
+            return node
+
+        def walk(node):
+            if isinstance(node, MoreLikeThis):
+                return expand(node)
+            if isinstance(node, Node) and is_dataclass(node):
+                changes = {}
+                for f in dc_fields(node):
+                    v = getattr(node, f.name)
+                    if isinstance(v, Node):
+                        nv = walk(v)
+                    elif isinstance(v, tuple) and any(
+                            isinstance(x, Node) for x in v):
+                        nv = tuple(walk(x) if isinstance(x, Node) else x
+                                   for x in v)
+                    else:
+                        continue
+                    if nv is not v:
+                        changes[f.name] = nv
+                return replace(node, **changes) if changes else node
+            return node
+
+        def walk_agg(a):
+            return a   # mlt inside agg filters is not reference surface
+
+        # cheap bail-out: walk only when the tree actually carries an
+        # mlt node (the probe is an AST scan, no Spark work)
+        found = []
+
+        def probe(x):
+            if isinstance(x, MoreLikeThis):
+                found.append(x)
+            if isinstance(x, Node) and is_dataclass(x):
+                for f in dc_fields(x):
+                    v = getattr(x, f.name)
+                    if isinstance(v, Node):
+                        probe(v)
+                    elif isinstance(v, tuple):
+                        for y in v:
+                            if isinstance(y, Node):
+                                probe(y)
+
+        if req.node is not None:
+            probe(req.node)
+        if req.rescore is not None:
+            probe(req.rescore[0])
+        if req.knn is not None and req.knn[3] is not None:
+            probe(req.knn[3])
+        if not found:
+            return req
+        return self._rewrite_request(req, walk, walk_agg)
+
     def validate(self, table: str, query: str,
                  default_field: str | None = None) -> str | None:
         """Return an error message, or None if the query is valid
@@ -1058,6 +1196,7 @@ class SearchEngine:
                 "(same request body)")
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
+        req = self._expand_mlt(req, table, docs, default_field)
         node, size = req.node, req.size
         after = tuple(search_after) if search_after is not None \
             else req.search_after
@@ -3005,6 +3144,7 @@ class SearchEngine:
         req = self._parse_request(qmd.query)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
+        req = self._expand_mlt(req, table, docs, default_field)
         ph = self._postings_hits(table, req.node, default_field)
         if ph is not None:
             return ph.count()
@@ -3028,6 +3168,7 @@ class SearchEngine:
         req = self._parse_request(qmd.query)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
+        req = self._expand_mlt(req, table, docs, default_field)
         comp = Compiler(docs, default_field)
         pred, score = comp.compile(req.node)
 
@@ -3374,6 +3515,155 @@ class SearchEngine:
                     .agg(F.count("*").alias("total_hits"),
                          F.max(SCORE).alias("max_score")))
 
+    def percolate(self, documents: DataFrame, queries,
+                  default_field: str | None = None,
+                  id_cols: tuple[str, ...] | None = None) -> DataFrame:
+        """ES percolator, Spark-first (ref: the reference forwards
+        percolate requests to ES like any query,
+        ElasticIndex.java:663-667): match a CORPUS of documents against
+        a bounded set of stored queries in ONE pass — the
+        alerting/routing primitive (ES stores the queries in a
+        percolator field and runs each doc through a per-shard memory
+        index; the engine compiles each stored query to Column
+        predicates and evaluates them all inside one WholeStageCodegen
+        projection over the documents scan).
+
+        ``queries``: ``[(query_id, query_text), ...]`` or a DataFrame
+        with (query_id, query) columns — a DataFrame is collected
+        driver-side (the stored-query set is bounded by design, exactly
+        like ES's percolator memory index; the DOCUMENT side is the
+        unbounded one and stays distributed). Query text is either
+        query_string syntax or a JSON DSL body — the same parsers
+        ``search()`` uses; parse/compile errors surface eagerly with
+        the offending query_id.
+
+        Returns (id_cols…, query_id, _score) — one row per (document,
+        matching query), scores cast DOUBLE (queries may mix integer
+        tf-count and fractional scorers; ES percolator scores are
+        float). ``id_cols`` defaults to every document column, pass a
+        projection to keep the output narrow."""
+        rows = queries
+        if isinstance(rows, DataFrame):
+            rows = [(r[0], r[1]) for r in rows.select(*rows.columns[:2])
+                    .collect()]
+        if not rows:
+            raise ValueError("percolate needs at least one stored query")
+        comp = Compiler(documents, default_field)
+        structs = []
+        for qid, qtext in rows:
+            try:
+                node, _ = self._parse_node(str(qtext))
+                pred, score = comp.compile(node)
+            except (es_dsl.DslError, CompileError) as e:
+                raise type(e)(f"percolator query {qid!r}: {e}") from e
+            structs.append(F.struct(
+                F.lit(str(qid)).alias("query_id"),
+                F.coalesce(pred, F.lit(False)).alias("_m"),
+                score.cast("double").alias(SCORE)))
+        keep = list(id_cols) if id_cols is not None else documents.columns
+        # filter INSIDE the array before exploding — non-matching
+        # queries never materialize as rows
+        q = F.explode(F.filter(
+            F.array(*structs), lambda s: s.getField("_m"))).alias("_q")
+        return (documents.select(*keep, q)
+                .select(*keep, F.col("_q.query_id").alias("query_id"),
+                        F.col(f"_q.{SCORE}").alias(SCORE)))
+
+    # ES AutoDateHistogram's rounding ladder re-expressed as FIXED
+    # second intervals (documented deviation: month = 30d, year = 365d —
+    # no calendar-variable buckets in auto mode): 1s 5s 10s 30s, 1m 5m
+    # 10m 30m, 1h 3h 12h, 1d 7d, 30d 90d, 365d ×{1,5,10,20,50,100}
+    _AUTO_LADDER = (1, 5, 10, 30, 60, 300, 600, 1800,
+                    3600, 10800, 43200, 86400, 604800,
+                    2592000, 7776000, 31536000, 157680000, 315360000,
+                    630720000, 1576800000, 3153600000)
+
+    def _resolve_auto_interval(self, aggs, filtered: DataFrame,
+                               comp: Compiler):
+        """Rewrite an ``auto_date_histogram`` bucket agg to a concrete
+        ``fixed_interval`` date_histogram: the smallest ladder interval
+        whose epoch-aligned bucket count over the match set's [min, max]
+        span fits the target. ONE two-value driver collect (an
+        aggregate, not a scan of rows) — the same bounded-pre-pass shape
+        as IVF centroid loading. Empty match sets keep the coarsest
+        interval (zero buckets either way)."""
+        from dataclasses import replace
+
+        from pyspark.sql import types as T
+
+        ref = comp.resolve(aggs.field)
+        if not isinstance(ref.dtype, (T.TimestampType, T.TimestampNTZType,
+                                      T.DateType)):
+            raise es_dsl.DslError(
+                f"auto_date_histogram field {aggs.field!r} must be a "
+                f"date, got {ref.dtype.simpleString()}")
+        ts = ref.col.cast("timestamp")
+        row = filtered.agg(
+            F.min(F.unix_seconds(ts)).alias("lo"),
+            F.max(F.unix_seconds(ts)).alias("hi")).first()
+        lo, hi = row["lo"], row["hi"]
+        target = aggs.buckets if aggs.buckets is not None else 10
+        secs = self._AUTO_LADDER[-1]
+        if lo is not None:
+            for s in self._AUTO_LADDER:
+                # epoch-aligned buckets, same formula as the
+                # fixed_interval branch of bucket_key
+                if (hi // s) - (lo // s) + 1 <= target:
+                    secs = s
+                    break
+        return replace(aggs, kind="date_histogram",
+                       fixed_interval=f"{secs}s", buckets=None)
+
+    def _two_pass_metric(self, m, filtered: DataFrame,
+                         comp: Compiler) -> DataFrame:
+        """One-row frame for a metric that needs TWO aggregation passes:
+
+        - ``median_absolute_deviation``: median first (exact percentile,
+          or the sketch when ES ``compression`` is passed), broadcast to
+          the second pass computing the median of |x − median|.
+        - ``string_stats``: lengths in one pass; Shannon entropy of the
+          bucket's CHARACTER distribution from an explode → count →
+          −Σ p·log2 p chain (ES StringStats entropy).
+
+        Both passes aggregate the shared match set — no corpus rescan
+        beyond the second pass, and every intermediate is one row (or
+        charset-sized for the char counts)."""
+        c = comp.resolve(m.field).col
+        if m.kind == "median_absolute_deviation":
+            d = c.cast("double")
+
+            def med(col: Column, nm: str) -> Column:
+                if m.compression is not None:
+                    return F.percentile_approx(
+                        col, F.lit(0.5), F.lit(int(m.compression))) \
+                        .alias(nm)
+                return F.percentile(col, F.lit(0.5)).alias(nm)
+
+            median = filtered.agg(med(d, "_med"))
+            return (filtered.crossJoin(F.broadcast(median))
+                    .agg(med(F.abs(d - F.col("_med")), m.name)))
+        # string_stats
+        from pyspark.sql import types as T
+        if not isinstance(comp.resolve(m.field).dtype, T.StringType):
+            raise es_dsl.DslError(
+                f"string_stats field {m.field!r} must be a string")
+        ln = F.length(c)
+        base = filtered.agg(
+            F.count(c).cast("long").alias(f"{m.name}_count"),
+            F.min(ln).cast("long").alias(f"{m.name}_min_length"),
+            F.max(ln).cast("long").alias(f"{m.name}_max_length"),
+            F.avg(ln).alias(f"{m.name}_avg_length"))
+        chars = (filtered.where(c.isNotNull())
+                 .select(F.explode(F.split(c, "")).alias("_ch"))
+                 .where(F.length("_ch") > 0))
+        freq = chars.groupBy("_ch").agg(F.count("*").alias("_n"))
+        total = freq.agg(F.sum("_n").alias("_tot"))
+        p = F.col("_n").cast("double") / F.col("_tot").cast("double")
+        entropy = (freq.crossJoin(F.broadcast(total))
+                   .agg((-F.sum(p * F.log2(p)))
+                        .alias(f"{m.name}_entropy")))
+        return base.crossJoin(F.broadcast(entropy))
+
     def search_aggs(self, table: str, query: str,
                     default_field: str | None = None) -> DataFrame:
         """Execute the ``aggs`` section of an ES-DSL request over the
@@ -3417,6 +3707,7 @@ class SearchEngine:
         req = self._parse_request(qmd.query)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
+        req = self._expand_mlt(req, table, docs, default_field)
         if req.aggs is None:
             raise ValueError("request has no aggs section")
         _, spec = self.catalog.get(table)
@@ -3517,6 +3808,57 @@ class SearchEngine:
                                      F.when(c <= F.lit(v), 100.0)
                                       .otherwise(0.0))).alias(nm)
                         for v, nm in zip(m.rank_values, m.out_names())]
+            if m.kind == "boxplot":
+                # ES boxplot: min/max + exact quartiles by default
+                # (superset of ES's TDigest estimate, oracle-checkable);
+                # `compression` opts into the percentile_approx sketch
+                def q(p: float, nm: str) -> Column:
+                    if m.compression is not None:
+                        return F.percentile_approx(
+                            c, F.lit(p), F.lit(int(m.compression))) \
+                            .alias(nm)
+                    return F.percentile(c, F.lit(p)).alias(nm)
+                return [F.min(c).alias(f"{m.name}_min"),
+                        F.max(c).alias(f"{m.name}_max"),
+                        q(0.25, f"{m.name}_q1"),
+                        q(0.50, f"{m.name}_q2"),
+                        q(0.75, f"{m.name}_q3")]
+            if m.kind == "matrix_stats":
+                # ES matrix_stats with LISTWISE deletion: docs missing
+                # ANY of the fields are excluded everywhere, so the
+                # per-field moments and the pair matrices describe one
+                # common observation set. Sample variance/covariance +
+                # Pearson correlation (skewness/kurtosis omitted,
+                # documented deviation). All map-side-combinable.
+                refs = [(f, comp.resolve(f).col.cast("double"))
+                        for f in m.multi_fields]
+                valid = refs[0][1].isNotNull()
+                for _, r in refs[1:]:
+                    valid = valid & r.isNotNull()
+                vals = [(f, F.when(valid, r)) for f, r in refs]
+                cols: list[Column] = []
+                for f, v in vals:
+                    cols += [F.count(v).cast("long")
+                             .alias(f"{m.name}_{f}_count"),
+                             F.avg(v).alias(f"{m.name}_{f}_mean"),
+                             F.var_samp(v)
+                             .alias(f"{m.name}_{f}_variance")]
+                for i, (fa, va) in enumerate(vals):
+                    for fb, vb in vals[i + 1:]:
+                        cols += [F.covar_samp(va, vb).alias(
+                                     f"{m.name}_{fa}_{fb}_covariance"),
+                                 F.corr(va, vb).alias(
+                                     f"{m.name}_{fa}_{fb}_correlation")]
+                return cols
+            if m.kind in ("median_absolute_deviation", "string_stats"):
+                # two-pass metrics (MAD needs the median before the
+                # deviations; entropy needs the char distribution) —
+                # served at the TOP metrics level by search_aggs'
+                # dedicated assembly; inside bucket aggs they would need
+                # a per-bucket join, not yet supported
+                raise es_dsl.DslError(
+                    f"{m.kind} is supported at the top metrics level "
+                    "only (documented engine subset)")
             if m.kind == "cardinality":
                 if m.precision_threshold is not None:
                     # ES precision_threshold → HLL++ (the 100 TB shape:
@@ -3602,9 +3944,41 @@ class SearchEngine:
             return exprs
 
         aggs = req.aggs
+        # auto_date_histogram: resolve the target bucket COUNT to a
+        # concrete fixed interval from the match set's min/max span
+        # (ONE two-value driver collect), then run the ordinary
+        # date_histogram machinery — metrics/ordering all apply
+        if isinstance(aggs, es_dsl.BucketAgg) \
+                and aggs.kind == "auto_date_histogram":
+            aggs = self._resolve_auto_interval(aggs, filtered, comp)
+        sb = getattr(aggs, "sub", None)
+        while sb is not None:
+            if getattr(sb, "kind", None) == "auto_date_histogram":
+                raise es_dsl.DslError(
+                    "auto_date_histogram is supported at the top bucket "
+                    "level only (documented engine subset)")
+            sb = getattr(sb, "sub", None)
         if isinstance(aggs, tuple):  # metrics-only: one global row
-            return filtered.agg(
-                *[c for m in aggs for c in metric_cols(m)])
+            two_pass = [m for m in aggs
+                        if m.kind in ("median_absolute_deviation",
+                                      "string_stats")]
+            if not two_pass:
+                return filtered.agg(
+                    *[c for m in aggs for c in metric_cols(m)])
+            # two-pass metrics: each produces ONE row (bounded), cross-
+            # joined broadcast onto the single-pass row; the final
+            # select restores declaration order
+            simple = [m for m in aggs if m not in two_pass]
+            frames = []
+            if simple:
+                frames.append(filtered.agg(
+                    *[c for m in simple for c in metric_cols(m)]))
+            for m in two_pass:
+                frames.append(self._two_pass_metric(m, filtered, comp))
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.crossJoin(F.broadcast(fr))
+            return out.select(*[n for m in aggs for n in m.out_names()])
 
         if isinstance(aggs, es_dsl.SingleBucketAgg):
             # filter / missing / global: ONE bucket over a transformed

@@ -26,7 +26,8 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, DistanceFeature, Exists,
     FunctionScore,
     FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoPolygon,
-    DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, Nested,
+    DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone,
+    MoreLikeThis, Nested,
     Node, Not, Or,
     Phrase, Range, RandomScore, RankFeature, Regexp, ScoreFunction,
     Scoreless, ScriptFilter, ScriptScore, Should, SpanContaining,
@@ -44,11 +45,13 @@ class DslError(ValueError):
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "percentiles", "percentile_ranks",
                  "extended_stats", "weighted_avg",
-                 "geo_centroid", "geo_bounds")
+                 "geo_centroid", "geo_bounds",
+                 "boxplot", "matrix_stats",
+                 "median_absolute_deviation", "string_stats")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
                  "date_range", "significant_terms", "rare_terms",
                  "multi_terms", "adjacency_matrix",
-                 "geotile_grid", "geohash_grid")
+                 "geotile_grid", "geohash_grid", "auto_date_histogram")
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
 # set is a transform of the match set
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
@@ -347,6 +350,9 @@ class MetricAgg:
     # of field values ≤ the probe (EXACT — superset of ES's TDigest
     # estimate, like the percentiles metric)
     rank_values: tuple[float, ...] = ()
+    # matrix_stats: the field list (listwise deletion — docs missing ANY
+    # field are excluded, ES MatrixStats semantics)
+    multi_fields: tuple[str, ...] = ()
 
     def out_names(self) -> tuple[str, ...]:
         if self.kind == "stats":
@@ -374,6 +380,26 @@ class MetricAgg:
             # flattened to the four box edges (wrap_longitude=false)
             return tuple(f"{self.name}_{s}"
                          for s in ("top", "left", "bottom", "right"))
+        if self.kind == "boxplot":
+            return tuple(f"{self.name}_{s}"
+                         for s in ("min", "max", "q1", "q2", "q3"))
+        if self.kind == "string_stats":
+            return tuple(f"{self.name}_{s}"
+                         for s in ("count", "min_length", "max_length",
+                                   "avg_length", "entropy"))
+        if self.kind == "matrix_stats":
+            # per field: count / mean / variance (sample); per unordered
+            # pair: covariance / correlation — ES's matrix flattened
+            # (skewness/kurtosis omitted, documented deviation)
+            names = []
+            for f in self.multi_fields:
+                names += [f"{self.name}_{f}_{s}"
+                          for s in ("count", "mean", "variance")]
+            for i, a in enumerate(self.multi_fields):
+                for b in self.multi_fields[i + 1:]:
+                    names += [f"{self.name}_{a}_{b}_covariance",
+                              f"{self.name}_{a}_{b}_correlation"]
+            return tuple(names)
         return (self.name,)
 
 
@@ -432,6 +458,10 @@ class BucketAgg:
     # geotile_grid zoom (0-29, ES default 7) / geohash_grid chars
     # (1-12, ES default 5)
     precision: int | None = None
+    # auto_date_histogram target bucket count (ES default 10): the
+    # engine picks the smallest fixed interval from its ladder whose
+    # bucket count fits, then runs the date_histogram machinery
+    buckets: int | None = None
     metrics: tuple[MetricAgg, ...] = dc_field(default_factory=tuple)
     # ES top_hits sub-agg (innermost level only)
     top_hits: TopHits | None = None
@@ -974,8 +1004,29 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
                 "{'value': {'field': …}, 'weight': {'field': …}}")
         return MetricAgg(name, kind, body["value"]["field"],
                          weight_field=body["weight"]["field"])
+    if kind == "matrix_stats":
+        # ES shape: {"matrix_stats": {"fields": [a, b, ...]}} —
+        # listwise deletion across the field set
+        flds = body.get("fields") if isinstance(body, dict) else None
+        if not isinstance(flds, list) or len(flds) < 2 or not all(
+                isinstance(f, str) for f in flds):
+            raise DslError(f"matrix_stats agg {name!r} needs a 'fields' "
+                           "list of at least two field names")
+        if len(set(flds)) != len(flds):
+            raise DslError(f"matrix_stats agg {name!r}: duplicate fields")
+        return MetricAgg(name, kind, flds[0], multi_fields=tuple(flds))
     if not isinstance(body, dict) or "field" not in body:
         raise DslError(f"metric agg {name!r} needs {{'field': name}}")
+    if kind in ("boxplot", "median_absolute_deviation"):
+        # EXACT percentiles by default; ES `compression` opts into the
+        # percentile_approx sketch (the shape that scales), mirroring
+        # the percentiles metric's contract
+        comp_v = body.get("compression")
+        if comp_v is not None and (isinstance(comp_v, bool)
+                                   or not isinstance(comp_v, int)
+                                   or comp_v <= 0):
+            raise DslError("compression must be a positive integer")
+        return MetricAgg(name, kind, body["field"], compression=comp_v)
     if kind == "percentile_ranks":
         vals = body.get("values")
         if not isinstance(vals, list) or not vals or not all(
@@ -1188,7 +1239,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             raise DslError(f"bucket agg {name!r} needs a 'field'")
         if sib_raw and first_kind in ("rare_terms", "multi_terms",
                                       "significant_terms",
-                                      "geotile_grid", "geohash_grid"):
+                                      "geotile_grid", "geohash_grid",
+                                      "auto_date_histogram"):
             # these branches return before the sibling attach below — a
             # silent pass-through would DROP the requested aggregation
             raise DslError(
@@ -1258,6 +1310,35 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             return BucketAgg(name=name, kind=first_kind,
                              field=params["field"], size=gsize,
                              precision=prec, metrics=metrics)
+        if first_kind == "auto_date_histogram":
+            # ES auto_date_histogram: target a bucket COUNT instead of
+            # an interval — the engine picks the smallest interval from
+            # its fixed ladder whose bucket count fits the data's
+            # min/max span (resolved in search_aggs, where the match
+            # set is known), then runs the ordinary date_histogram
+            # machinery. Metric sub-aggs ride along; sub-BUCKETS are
+            # rejected (the interval resolution is top-level-only,
+            # documented engine subset).
+            extra_p = set(params) - {"field", "buckets"}
+            if extra_p:
+                raise DslError(
+                    f"auto_date_histogram agg {name!r}: unsupported "
+                    f"params {sorted(extra_p)}")
+            nb = params.get("buckets", 10)
+            if isinstance(nb, bool) or not isinstance(nb, int) or nb < 1:
+                raise DslError("auto_date_histogram buckets must be a "
+                               "positive integer")
+            sub_specs_a = dict(body.get("aggs") or {})
+            if any(isinstance(sp, dict) and any(
+                    k in _BUCKET_KINDS or k in _SINGLE_BUCKET_KINDS
+                    for k in sp) for sp in sub_specs_a.values()):
+                raise DslError("auto_date_histogram supports metric "
+                               "sub-aggs only (documented subset)")
+            metrics = tuple(_metric(n, sp)
+                            for n, sp in sub_specs_a.items())
+            return BucketAgg(name=name, kind="auto_date_histogram",
+                             field=params["field"], buckets=nb,
+                             metrics=metrics)
         if first_kind == "significant_terms":
             # foreground-vs-background scored terms; no sub-aggs (the
             # score IS the payload), size caps the output
@@ -2246,6 +2327,78 @@ def _node(q: dict[str, Any]) -> Node:
         node = groups[0] if len(groups) == 1 else \
             (Or if op == "or" else And)(tuple(groups))
         return _boosted(node, body.get("boost"))
+    if kind == "more_like_this":
+        # {"more_like_this": {"fields": [f], "like": "text" |
+        #  [... , {"_id": id}], "max_query_terms": 25, ...}} —
+        # data-driven: resolved engine-side (ast.MoreLikeThis)
+        if not isinstance(body, dict) or "like" not in body:
+            raise DslError("more_like_this needs {'like': ...}")
+        extra = set(body) - {"fields", "like", "max_query_terms",
+                             "min_term_freq", "min_doc_freq",
+                             "max_doc_freq", "minimum_should_match",
+                             "include", "boost"}
+        if extra:
+            raise DslError(
+                f"unknown more_like_this keys {sorted(extra)}")
+        fields = body.get("fields")
+        fld = None
+        if fields is not None:
+            if not isinstance(fields, list) or not fields:
+                raise DslError("more_like_this fields must be a "
+                               "non-empty list")
+            if len(fields) > 1:
+                raise DslError("more_like_this supports exactly one "
+                               "field (documented engine subset)")
+            fld = str(fields[0])
+        likes = body["like"]
+        if not isinstance(likes, list):
+            likes = [likes]
+        texts: list[str] = []
+        ids: list[str] = []
+        for lk in likes:
+            if isinstance(lk, str):
+                texts.append(lk)
+            elif isinstance(lk, dict) and "_id" in lk:
+                ids.append(str(lk["_id"]))
+            else:
+                raise DslError(
+                    "more_like_this like entries must be strings or "
+                    f"{{'_id': id}} objects, got {lk!r}")
+        if not texts and not ids:
+            raise DslError("more_like_this needs at least one like "
+                           "text or doc id")
+
+        def _posint(nm: str, dflt: int) -> int:
+            v = body.get(nm, dflt)
+            if isinstance(v, bool) or not isinstance(v, int) or v < 1:
+                raise DslError(f"more_like_this {nm} must be a "
+                               "positive integer")
+            return v
+
+        mdf = body.get("max_doc_freq")
+        if mdf is not None and (isinstance(mdf, bool)
+                                or not isinstance(mdf, int) or mdf < 1):
+            raise DslError("more_like_this max_doc_freq must be a "
+                           "positive integer")
+        msm = body.get("minimum_should_match", "30%")
+        if isinstance(msm, bool) \
+                or not isinstance(msm, (int, str)) \
+                or (isinstance(msm, str)
+                    and not _re.fullmatch(r"\d+%", msm.strip())):
+            raise DslError("more_like_this minimum_should_match must "
+                           "be an integer or a 'N%' string")
+        inc = body.get("include", False)
+        if not isinstance(inc, bool):
+            raise DslError("more_like_this include must be a boolean")
+        return _boosted(
+            MoreLikeThis(fld, tuple(texts), tuple(ids),
+                         max_query_terms=_posint("max_query_terms", 25),
+                         min_term_freq=_posint("min_term_freq", 2),
+                         min_doc_freq=_posint("min_doc_freq", 5),
+                         max_doc_freq=mdf,
+                         minimum_should_match=str(msm).strip(),
+                         include=inc),
+            body.get("boost"))
     if kind == "geo_polygon":
         # {"geo_polygon": {field: {"points": [...]}}} — even-odd
         # point-in-polygon (ast.GeoPolygon)

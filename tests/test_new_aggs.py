@@ -1,0 +1,216 @@
+"""ES ``boxplot``, ``matrix_stats``, ``median_absolute_deviation``,
+``string_stats``, and ``auto_date_histogram`` aggregations (round-9).
+The reference delegates all aggs to ES (ref ElasticIndex.java:663-667);
+these complete the analytics-metric tier.
+
+Engine contracts under test:
+- boxplot: min/max + EXACT quartiles (superset of ES's TDigest
+  estimate); `compression` opts into percentile_approx; composes under
+  bucket levels like any metric.
+- matrix_stats: LISTWISE deletion (docs missing any field drop from
+  every statistic); sample variance/covariance + Pearson correlation;
+  skewness/kurtosis omitted (documented deviation).
+- median_absolute_deviation / string_stats: top-metrics-level only
+  (documented subset) — two-pass plans (median-then-deviation / char
+  distribution entropy), typed DslError inside bucket aggs.
+- auto_date_histogram: target bucket COUNT resolved to the smallest
+  fixed ladder interval fitting the match set's span (fixed-second
+  ladder, documented deviation: month=30d, year=365d); metric sub-aggs
+  ride along; sub-buckets and nested placement rejected typed.
+"""
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_es_index_spark.search.engine import SearchEngine, TableSpec
+from cassandra_es_index_spark.search.es_dsl import DslError
+
+
+@pytest.fixture(scope="module")
+def agg_engine(spark):
+    eng = SearchEngine(spark)
+    df = (spark.createDataFrame(
+        [(1, 10.0, 100.0, "aab", "2024-01-01 00:00:00", "g1"),
+         (2, 20.0, 210.0, "ab", "2024-01-01 06:00:00", "g1"),
+         (3, 30.0, 290.0, "b", "2024-01-02 00:00:00", "g2"),
+         (4, 40.0, 400.0, None, "2024-01-05 00:00:00", "g2"),
+         (5, None, 500.0, "cc", None, "g2"),
+         (6, 60.0, None, "dd", "2024-01-09 12:00:00", "g1")],
+        "id bigint, x double, y double, s string, ts string, g string")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    eng.register(df, TableSpec("aggdocs", ["id"]))
+    return eng
+
+
+def _aggs(eng, body, query=None):
+    q = json.dumps({"query": query or {"match_all": {}}, "aggs": body})
+    return [r.asDict() for r in eng.search_aggs("aggdocs", q).collect()]
+
+
+# ------------------------------------------------------------- boxplot
+
+def test_boxplot_global_exact_quartiles(agg_engine):
+    (row,) = _aggs(agg_engine, {"b": {"boxplot": {"field": "x"}}})
+    # x = 10 20 30 40 60 (null skipped): exact continuous quartiles
+    assert row == {"b_min": 10.0, "b_max": 60.0,
+                   "b_q1": 20.0, "b_q2": 30.0, "b_q3": 40.0}
+
+
+def test_boxplot_under_terms(agg_engine):
+    rows = _aggs(agg_engine,
+                 {"t": {"terms": {"field": "g"},
+                        "aggs": {"b": {"boxplot": {"field": "x"}}}}})
+    by_key = {r["key"]: r for r in rows}
+    # g1: x = 10, 20, 60
+    assert by_key["g1"]["b_q2"] == pytest.approx(20.0)
+    assert by_key["g1"]["b_q1"] == pytest.approx(15.0)
+    assert by_key["g2"]["b_min"] == 30.0
+
+
+def test_boxplot_compression_sketch_runs(agg_engine):
+    (row,) = _aggs(agg_engine,
+                   {"b": {"boxplot": {"field": "x", "compression": 100}}})
+    assert row["b_min"] == 10.0 and row["b_max"] == 60.0
+    assert row["b_q2"] in (20.0, 30.0)  # sketch may pick either side
+
+
+# -------------------------------------------------------- matrix_stats
+
+def test_matrix_stats_listwise_deletion(agg_engine):
+    (row,) = _aggs(agg_engine,
+                   {"mx": {"matrix_stats": {"fields": ["x", "y"]}}})
+    # rows 5 (null x) and 6 (null y) drop EVERYWHERE: obs = rows 1-4
+    assert row["mx_x_count"] == 4 and row["mx_y_count"] == 4
+    assert row["mx_x_mean"] == pytest.approx(25.0)
+    assert row["mx_y_mean"] == pytest.approx(250.0)
+    # sample stats over x=10,20,30,40 / y=100,210,290,400
+    assert row["mx_x_variance"] == pytest.approx(500.0 / 3.0)
+    xs, ys = [10.0, 20.0, 30.0, 40.0], [100.0, 210.0, 290.0, 400.0]
+    cov = sum((a - 25.0) * (b - 250.0) for a, b in zip(xs, ys)) / 3.0
+    assert row["mx_x_y_covariance"] == pytest.approx(cov)
+    var_y = sum((b - 250.0) ** 2 for b in ys) / 3.0
+    assert row["mx_x_y_correlation"] == pytest.approx(
+        cov / math.sqrt(500.0 / 3.0 * var_y))
+
+
+def test_matrix_stats_three_fields_pairs(agg_engine):
+    (row,) = _aggs(agg_engine,
+                   {"m": {"matrix_stats": {"fields": ["x", "y", "id"]}}})
+    for pair in ("x_y", "x_id", "y_id"):
+        assert f"m_{pair}_covariance" in row
+        assert f"m_{pair}_correlation" in row
+
+
+def test_matrix_stats_errors(agg_engine):
+    with pytest.raises(DslError, match="at least two"):
+        _aggs(agg_engine, {"m": {"matrix_stats": {"fields": ["x"]}}})
+    with pytest.raises(DslError, match="duplicate"):
+        _aggs(agg_engine,
+              {"m": {"matrix_stats": {"fields": ["x", "x"]}}})
+
+
+# ------------------------------------- median_absolute_deviation (MAD)
+
+def test_mad_global(agg_engine):
+    (row,) = _aggs(agg_engine,
+                   {"mad": {"median_absolute_deviation":
+                            {"field": "x"}}})
+    # median(10,20,30,40,60)=30; |x-30| = 20,10,0,10,30 → median 10
+    assert row == {"mad": 10.0}
+
+
+def test_mad_beside_simple_metrics_keeps_order(agg_engine):
+    (row,) = _aggs(agg_engine,
+                   {"a": {"avg": {"field": "x"}},
+                    "mad": {"median_absolute_deviation": {"field": "x"}},
+                    "mx": {"max": {"field": "x"}}})
+    assert list(row) == ["a", "mad", "mx"]
+    assert row["a"] == pytest.approx(32.0)
+    assert row["mad"] == 10.0 and row["mx"] == 60.0
+
+
+def test_mad_inside_bucket_rejected(agg_engine):
+    with pytest.raises(DslError, match="top metrics level"):
+        _aggs(agg_engine,
+              {"t": {"terms": {"field": "g"},
+                     "aggs": {"mad": {"median_absolute_deviation":
+                                      {"field": "x"}}}}})
+
+
+# -------------------------------------------------------- string_stats
+
+def test_string_stats_global(agg_engine):
+    (row,) = _aggs(agg_engine,
+                   {"ss": {"string_stats": {"field": "s"}}})
+    assert row["ss_count"] == 5
+    assert row["ss_min_length"] == 1 and row["ss_max_length"] == 3
+    assert row["ss_avg_length"] == pytest.approx(2.0)
+    # chars of aab ab b cc dd: a×3 b×3 c×2 d×2 (n=10)
+    want = -(2 * (0.3 * math.log2(0.3)) + 2 * (0.2 * math.log2(0.2)))
+    assert row["ss_entropy"] == pytest.approx(want)
+
+
+def test_string_stats_non_string_rejected(agg_engine):
+    with pytest.raises(DslError, match="must be a string"):
+        _aggs(agg_engine, {"ss": {"string_stats": {"field": "x"}}})
+
+
+def test_string_stats_inside_bucket_rejected(agg_engine):
+    with pytest.raises(DslError, match="top metrics level"):
+        _aggs(agg_engine,
+              {"t": {"terms": {"field": "g"},
+                     "aggs": {"ss": {"string_stats": {"field": "s"}}}}})
+
+
+# ------------------------------------------------- auto_date_histogram
+
+def test_auto_date_histogram_picks_daily(agg_engine):
+    rows = _aggs(agg_engine,
+                 {"h": {"auto_date_histogram":
+                        {"field": "ts", "buckets": 10},
+                        "aggs": {"ax": {"avg": {"field": "x"}}}}})
+    # span Jan 1 → Jan 9.5: 1d buckets give 9 ≤ 10 → daily
+    keys = [r["key"].strftime("%m-%d") for r in rows]
+    assert keys == ["01-01", "01-02", "01-05", "01-09"]
+    assert rows[0]["doc_count"] == 2
+    assert rows[0]["ax"] == pytest.approx(15.0)
+
+
+def test_auto_date_histogram_coarsens_for_small_target(agg_engine):
+    rows = _aggs(agg_engine,
+                 {"h": {"auto_date_histogram":
+                        {"field": "ts", "buckets": 2}}})
+    # 1d gives 9 epoch-aligned buckets > 2; 7d gives 2 ≤ 2 → weekly
+    assert len(rows) == 2
+    assert sum(r["doc_count"] for r in rows) == 5   # null ts drops out
+
+
+def test_auto_date_histogram_narrow_query_refines(agg_engine):
+    rows = _aggs(agg_engine,
+                 {"h": {"auto_date_histogram":
+                        {"field": "ts", "buckets": 10}}},
+                 query={"range": {"ts": {"lte": "2024-01-01 12:00:00"}}})
+    # the match set spans 6h → ladder drops to 3h buckets (3 ≤ 10 at
+    # 3h; 1h would give 7 ≤ 10, so 1h wins — smallest that fits)
+    assert [r["doc_count"] for r in rows] == [1, 1]
+
+
+def test_auto_date_histogram_errors(agg_engine):
+    with pytest.raises(DslError, match="buckets must be"):
+        _aggs(agg_engine, {"h": {"auto_date_histogram":
+                                 {"field": "ts", "buckets": 0}}})
+    with pytest.raises(DslError, match="must be a date"):
+        _aggs(agg_engine, {"h": {"auto_date_histogram":
+                                 {"field": "x"}}})
+    with pytest.raises(DslError, match="metric sub-aggs only"):
+        _aggs(agg_engine,
+              {"h": {"auto_date_histogram": {"field": "ts"},
+                     "aggs": {"t": {"terms": {"field": "g"}}}}})
+    with pytest.raises(DslError, match="top bucket level"):
+        _aggs(agg_engine,
+              {"t": {"terms": {"field": "g"},
+                     "aggs": {"h": {"auto_date_histogram":
+                                    {"field": "ts"}}}}})

@@ -1,0 +1,105 @@
+"""ES percolator, Spark-first (round-9). The reference forwards
+percolate requests to ES like any query (ref ElasticIndex.java:663-667);
+ES stores the queries in a percolator field and runs each incoming doc
+through a per-shard memory index. The engine inverts the shape for the
+corpus-scale case: a BOUNDED stored-query set compiles to Column
+predicates evaluated over the (unbounded, distributed) documents scan in
+one pass — the alerting/routing primitive.
+
+Contracts under test:
+- one output row per (document, matching query), scores DOUBLE
+- queries accept both query_string and JSON-DSL text, same parsers as
+  search(); parse/compile errors are typed and name the query_id
+- array-filter-then-explode: non-matching (doc, query) pairs never
+  materialize as rows (plan shape), and the whole evaluation is one
+  projection over one scan — no per-query scans, no join
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_es_index_spark.search.compile import CompileError
+from cassandra_es_index_spark.search.engine import SearchEngine, TableSpec
+from cassandra_es_index_spark.search.es_dsl import DslError
+
+
+@pytest.fixture(scope="module")
+def perc(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [("a", "spark rules", 100), ("b", "flink wins", 500),
+         ("c", "spark and flink and spark", 450), ("d", "other", None)],
+        "id string, text string, n int")
+    eng.register(df, TableSpec("perc", ["id"]))
+    return eng, df
+
+
+QUERIES = [
+    ("q_spark", "text:spark"),
+    ("q_big", '{"query":{"range":{"n":{"gte":400}}}}'),
+    ("q_both", '{"query":{"bool":{"must":[{"term":{"text":"flink"}}],'
+               '"filter":[{"range":{"n":{"gte":470}}}]}}}'),
+]
+
+
+def test_percolate_matches_and_scores(perc):
+    eng, df = perc
+    out = eng.percolate(df, QUERIES, default_field="text",
+                        id_cols=("id",))
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("a", "q_spark", 1.0),
+                   ("b", "q_big", 1.0),
+                   ("b", "q_both", 1.0),
+                   ("c", "q_big", 1.0),
+                   ("c", "q_spark", 2.0)]
+    assert dict(out.dtypes)["_score"] == "double"
+
+
+def test_percolate_queries_dataframe_form(perc):
+    eng, df = perc
+    qdf = df.sparkSession.createDataFrame(
+        QUERIES, "query_id string, query string")
+    out = eng.percolate(df, qdf, default_field="text", id_cols=("id",))
+    assert out.count() == 5
+
+
+def test_percolate_default_id_cols_keep_documents(perc):
+    eng, df = perc
+    out = eng.percolate(df, QUERIES[:1], default_field="text")
+    assert out.columns == ["id", "text", "n", "query_id", "_score"]
+
+
+def test_percolate_single_scan_no_join(perc):
+    # ONE scan, no join, no per-query re-scan: the stored-query set
+    # rides a single projection
+    eng, df = perc
+    out = eng.percolate(df, QUERIES, default_field="text",
+                        id_cols=("id",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Scan ") <= 1
+
+
+def test_percolate_typed_errors_name_the_query(perc):
+    eng, df = perc
+    with pytest.raises(DslError, match="q_bad"):
+        eng.percolate(df, [("q_bad", '{"query":{"nope":{}}}')],
+                      default_field="text")
+    with pytest.raises(CompileError, match="q_missing"):
+        eng.percolate(df, [("q_missing", "missing_field:x")],
+                      default_field="text")
+    with pytest.raises(ValueError, match="at least one"):
+        eng.percolate(df, [], default_field="text")
+
+
+def test_percolate_mixed_fractional_scores(perc):
+    # a fractional scorer beside tf-count queries: all scores DOUBLE
+    eng, df = perc
+    qs = [("q_rf", '{"query":{"rank_feature":{"field":"n",'
+                   '"saturation":{"pivot":100}}}}'),
+          ("q_spark", "text:spark")]
+    out = eng.percolate(df, qs, default_field="text", id_cols=("id",))
+    got = {(r["id"], r["query_id"]): r["_score"] for r in out.collect()}
+    assert got[("a", "q_rf")] == pytest.approx(0.5)
+    assert got[("b", "q_rf")] == pytest.approx(500.0 / 600.0)
+    assert got[("a", "q_spark")] == 1.0
