@@ -563,6 +563,35 @@ def q_search_combined_fields(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_post_filter(spark, sf_dir):
+    # ES post_filter (r9): the faceted-navigation idiom — the hit list
+    # narrows to the selection but scores stay those of `query` alone
+    # (observable: _score is the term tf, NOT affected by the range).
+    # Aggs on the same body keep the wider scope (search_aggs ignores
+    # post_filter) — pinned in tests/test_post_filter.py.
+    q = ('{"query":{"term":{"text":"spark"}},'
+         '"post_filter":{"range":{"n_chars":{"gte":300}}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
+def q_suggest_spellcheck(spark, sf_dir):
+    # ES request-body suggest section (r9): a term suggester
+    # (did-you-mean for two misspelled tokens, missing mode) and a
+    # completion suggester (prefix 's') in ONE request — unified
+    # (suggest, text, option, score, freq) rows, all served from the
+    # term DICTIONARY (one vocabulary pass, never a corpus scan). The
+    # oracle rebuilds the vocabulary and re-ranks with DuckDB's own
+    # levenshtein — candidate ordering (distance asc, freq desc, token
+    # asc) and the 1 − d/max(len) score are re-derived bit-for-bit.
+    eng = _docs_engine(spark, sf_dir)
+    body = ('{"suggest":{'
+            '"fix":{"text":"sprak tble","term":{"field":"text",'
+            '"size":3}},'
+            '"comp":{"prefix":"s","completion":{"field":"text",'
+            '"size":4}}}}')
+    return eng.suggest_request("documents", body)
+
+
 def _auto_ladder_case(target: int) -> str:
     """DuckDB CASE re-deriving the auto_date_histogram ladder choice
     from (lo, hi) epoch seconds — the SAME ladder and bucket-count
@@ -2012,6 +2041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_script_filter": q_search_script_filter,  # ~ script family
         #   (r9; oracle present, script_score's window rep is
         #   search_decay_recency's function_score tree)
+        "search_post_filter": q_search_post_filter,  # ~ request-surface
+        #   family (r9; scores stay query-only while the hit list
+        #   narrows — oracle present)
+        "suggest_spellcheck": q_suggest_spellcheck,  # ~ suggest family
+        #   (r9 request-body form; term+completion, dictionary-served;
+        #   oracle re-derives ranking with DuckDB levenshtein)
         "search_slop_phrase": q_search_slop_phrase,  # ~ search_phrase
         #   (green r04; slop semantics pinned by property tests)
         "search_dsl_sorted": q_search_dsl_sorted,  # ~ search_page_after
@@ -3276,6 +3311,54 @@ def oracle_sql() -> dict[str, str]:
                           '(?i)\\bquer\\w*\\b')))::DOUBLE
             FROM documents
             WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
+        """,
+        # post_filter (r9): hit list narrows, score stays the query tf
+        "search_post_filter": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                       AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
+              AND n_chars >= 300
+        """,
+        # request-body suggest (r9): vocabulary + DuckDB levenshtein
+        # re-derive the term-suggester candidates (missing mode: OOV
+        # inputs only) and the completion prefix ranking bit-for-bit
+        "suggest_spellcheck": r"""
+            WITH vocab AS (
+                SELECT t AS token, COUNT(*)::BIGINT AS freq
+                FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                                                          '\W+')) AS t
+                      FROM documents) u
+                WHERE len(t) > 0
+                GROUP BY t),
+            q(_q) AS (VALUES ('sprak'), ('tble')),
+            oov AS (
+                SELECT _q FROM q
+                WHERE _q NOT IN (SELECT token FROM vocab)),
+            cand AS (
+                SELECT o._q, v.token, v.freq,
+                       levenshtein(v.token, o._q) AS d
+                FROM vocab v, oov o
+                WHERE abs(length(v.token) - length(o._q)) <= 2
+                  AND levenshtein(v.token, o._q) <= 2
+                  AND v.token <> o._q),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY _q
+                    ORDER BY d ASC, freq DESC, token ASC) AS rn
+                FROM cand)
+            SELECT 'fix' AS suggest, _q AS text, token AS option,
+                   round(1.0 - d::DOUBLE
+                         / greatest(length(_q), length(token)), 4)
+                       AS score,
+                   freq
+            FROM ranked WHERE rn <= 3
+            UNION ALL
+            SELECT 'comp', 's', token, freq::DOUBLE, freq
+            FROM (SELECT token, freq FROM vocab
+                  WHERE token LIKE 's%'
+                  ORDER BY freq DESC, token ASC LIMIT 4)
         """,
         # boxplot + MAD + string_stats (r9): exact quantile_cont twins,
         # MAD = median of |x − median|, entropy = −Σ p·log2 p over the

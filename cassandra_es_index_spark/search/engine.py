@@ -749,6 +749,10 @@ class SearchEngine:
             nk = walk(req.knn[3])
             if nk is not req.knn[3]:
                 changes["knn"] = (*req.knn[:3], nk, *req.knn[4:])
+        if req.post_filter is not None:
+            npf = walk(req.post_filter)
+            if npf is not req.post_filter:
+                changes["post_filter"] = npf
         return replace(req, **changes) if changes else req
 
     def _expand_phrase_prefixes(self, req: "es_dsl.Request", table: str,
@@ -1194,6 +1198,12 @@ class SearchEngine:
                 "request has an 'aggs' section: search() returns hit "
                 "rows only — run the aggregations with search_aggs() "
                 "(same request body)")
+        if req.suggest is not None:
+            # same contract for the suggest section (r9)
+            raise es_dsl.DslError(
+                "request has a 'suggest' section: search() returns hit "
+                "rows only — run the suggesters with suggest_request() "
+                "(same request body)")
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_mlt(req, table, docs, default_field)
@@ -1307,6 +1317,15 @@ class SearchEngine:
             return result
 
         if req.knn is not None:
+            if req.post_filter is not None:
+                # kNN pre-filters belong in the knn section's own
+                # `filter` (ES: knn filtering is a pre-filter so k is
+                # met); a silently-ignored post_filter would be a
+                # wrong-shape response
+                raise es_dsl.DslError(
+                    "post_filter cannot combine with knn — use the knn "
+                    "section's 'filter' (ES knn filtering is a "
+                    "pre-filter)")
             return self._knn_search(table, docs, qmd, req, after, keys,
                                     default_field)
 
@@ -1452,6 +1471,16 @@ class SearchEngine:
             else:
                 key_map = docs.select(F.col(DOC_ID).alias("doc"), *keys)
                 keyed = ph.join(key_map, on="doc", how="inner").drop("doc")
+            if req.post_filter is not None:
+                # ES post_filter on the index-served plan: the scores
+                # stay index-served; the narrowing predicate evaluates
+                # against the documents (pushed to the scan, keys-only
+                # projection) and prunes the hits via one semi-join —
+                # the postings are never re-scored
+                pf_pred, _ = Compiler(docs, default_field).compile(
+                    req.post_filter)
+                keyed = keyed.join(docs.where(pf_pred).select(*keys),
+                                   on=keys, how="left_semi")
             ordering = (order_cols or [(F.col(SCORE), False, False)]) + \
                 [(F.col(c), True, True) for c in keys]
             anchor_types = (order_types or [None]) + \
@@ -1496,11 +1525,12 @@ class SearchEngine:
                 result = self._row_load_source(table, base).join(
                     F.broadcast(hits), on=keys, how="inner")
             if qmd.options.get("metadata", "false").lower() == "true":
-                meta = (ph.agg(F.count("*").alias("total_hits"),
-                               F.max(SCORE).alias("max_score"))
-                          .select(F.to_json(F.struct("total_hits", "max_score"))
-                                   .alias("_metadata")))
-                result = result.crossJoin(F.broadcast(meta))
+                # totals reflect min_score AND post_filter but ignore
+                # collapse/paging (hits.total semantics) — aggregate
+                # the pre-collapse hit pool, not raw ph
+                mj = self._metadata_json(collapse_pool,
+                                         req.track_total_hits)
+                result = result.withColumn("_metadata", F.lit(mj))
             if needs_join:
                 result = result.orderBy(RANK).drop(RANK)
             return apply_source_filter(
@@ -1513,6 +1543,14 @@ class SearchEngine:
         if req.min_score is not None:
             # ES min_score on the scan plan — same pre-ranking floor
             scored = scored.where(F.col(SCORE) >= F.lit(req.min_score))
+        if req.post_filter is not None:
+            # ES post_filter (r9): narrows the HIT LIST after scoring —
+            # scores stay those of `query` alone (filter context), and
+            # hits.total/collapse/paging all see the narrowed set, like
+            # ES. (Aggregations keep the wider scope — they run in
+            # search_aggs(), which ignores post_filter by design.)
+            pf_pred, _ = comp.compile(req.post_filter)
+            scored = scored.where(pf_pred)
         want_meta = qmd.options.get("metadata", "false").lower() == "true"
         meta_json: str | None = None
         if want_meta:
@@ -1556,13 +1594,7 @@ class SearchEngine:
                                                           req)
 
         if want_meta:
-            agg = scored.agg(F.count("*").alias("total_hits"),
-                             F.max(SCORE).alias("max_score")).first()
-            # same shape as to_json(struct(...)): null max omitted
-            payload = {"total_hits": agg["total_hits"]}
-            if agg["max_score"] is not None:
-                payload["max_score"] = agg["max_score"]
-            meta_json = json.dumps(payload, separators=(",", ":"))
+            meta_json = self._metadata_json(scored, req.track_total_hits)
             # materialize the (≤ max-results) hit set through the warm
             # persist so the corpus isn't rescanned after unpersist
             hits = hits.localCheckpoint(eager=True)
@@ -2893,6 +2925,180 @@ class SearchEngine:
                              F.asc("token"))
                     .limit(k))
 
+    def suggest_request(self, table: str, body,
+                        default_field: str | None = None) -> DataFrame:
+        """ES request-body ``suggest`` section (r9): run every named
+        suggester in one request body — the ``{"suggest": {name:
+        {"text"/"prefix": …, "term"/"phrase"/"completion": {…}}}}``
+        surface (the reference forwards suggest bodies to ES verbatim
+        like the rest of the search surface,
+        ref ElasticIndex.java:663-667). Routes each named entry to the
+        engine's suggesters (``suggest`` / ``suggest_similar`` ranking /
+        ``suggest_phrase``) and unions the results under ONE schema:
+
+        ``(suggest, text, option, score, freq)`` — suggester name, the
+        input token/prefix/phrase, the suggested string, a DOUBLE score,
+        and the corpus frequency (null for phrase suggestions).
+
+        Scores (documented deterministic forms — ES's are
+        Lucene-internal): term = ``1 − distance/max(len)`` (the
+        string-similarity normalization), completion = corpus frequency,
+        phrase = ``1/(1+n_corrections)``.
+
+        The term form supports ES ``suggest_mode``: ``missing``
+        (default — options only for out-of-dictionary tokens),
+        ``popular`` (only candidates more frequent than the input
+        token), ``always``. All suggesters are DICTIONARY-scale: one
+        vocabulary pass per request (broadcast token list × term
+        dictionary, length-prefiltered levenshtein), never a corpus
+        scan."""
+        obj = body
+        if isinstance(obj, str):
+            try:
+                obj = json.loads(obj)
+            except json.JSONDecodeError as e:
+                raise es_dsl.DslError(f"bad suggest JSON: {e}") from e
+        if not isinstance(obj, dict):
+            raise es_dsl.DslError("suggest body must be an object")
+        spec = obj.get("suggest", obj)
+        if not isinstance(spec, dict) or not spec:
+            raise es_dsl.DslError(
+                "suggest needs a non-empty {name: {...}} object")
+
+        def edits(name: str, ks: dict) -> int:
+            me = ks.get("max_edits", 2)
+            if not isinstance(me, int) or isinstance(me, bool) \
+                    or not 1 <= me <= 2:
+                raise es_dsl.DslError(
+                    f"suggester {name!r}: max_edits must be 1 or 2 "
+                    "(ES contract)")
+            return me
+
+        frames: list[DataFrame] = []
+        for name, s in spec.items():
+            if not isinstance(s, dict):
+                raise es_dsl.DslError(
+                    f"suggester {name!r} must be an object")
+            kinds = [k for k in ("term", "phrase", "completion")
+                     if k in s]
+            if len(kinds) != 1:
+                raise es_dsl.DslError(
+                    f"suggester {name!r} needs exactly one of "
+                    "term/phrase/completion")
+            kind = kinds[0]
+            ks = s[kind]
+            if not isinstance(ks, dict):
+                raise es_dsl.DslError(
+                    f"suggester {name!r}: {kind} must be an object")
+            fld = ks.get("field", default_field)
+            if fld is not None and not isinstance(fld, str):
+                raise es_dsl.DslError(
+                    f"suggester {name!r}: field must be a string")
+            size = ks.get("size", 5)
+            if not isinstance(size, int) or isinstance(size, bool) \
+                    or size <= 0:
+                raise es_dsl.DslError(
+                    f"suggester {name!r}: size must be a positive "
+                    "integer")
+            if kind == "completion":
+                prefix = s.get("prefix", s.get("text"))
+                if not isinstance(prefix, str) or not prefix:
+                    raise es_dsl.DslError(
+                        f"completion suggester {name!r} needs a "
+                        "'prefix' (or 'text') string")
+                out = (self.suggest(table, prefix, field=fld, k=size)
+                       .select(F.lit(name).alias("suggest"),
+                               F.lit(prefix).alias("text"),
+                               F.col("token").alias("option"),
+                               F.col("freq").cast("double")
+                                .alias("score"),
+                               F.col("freq").cast("long").alias("freq")))
+            elif kind == "phrase":
+                text = s.get("text")
+                if not isinstance(text, str) or not text:
+                    raise es_dsl.DslError(
+                        f"phrase suggester {name!r} needs a 'text' "
+                        "string")
+                ph = self.suggest_phrase(table, text, field=fld,
+                                         max_edits=edits(name, ks))
+                out = ph.select(
+                    F.lit(name).alias("suggest"), F.col("text"),
+                    F.col("corrected").alias("option"),
+                    (F.lit(1.0) / (F.lit(1.0) + F.col("n_corrections")))
+                    .alias("score"),
+                    F.lit(None).cast("long").alias("freq"))
+            else:
+                text = s.get("text")
+                if not isinstance(text, str) or not text:
+                    raise es_dsl.DslError(
+                        f"term suggester {name!r} needs a 'text' string")
+                mode = ks.get("suggest_mode", "missing")
+                if mode not in ("missing", "popular", "always"):
+                    raise es_dsl.DslError(
+                        f"suggester {name!r}: suggest_mode must be "
+                        "missing/popular/always")
+                out = self._term_suggest_options(
+                    table, fld, name, text, edits(name, ks), size, mode)
+            frames.append(out)
+        res = frames[0]
+        for f in frames[1:]:
+            res = res.unionByName(f)
+        return res
+
+    def _term_suggest_options(self, table: str, fld: str | None,
+                              name: str, text: str, max_edits: int,
+                              size: int, mode: str) -> DataFrame:
+        """Term-suggester options for every token of ``text`` in ONE
+        vocabulary pass: broadcast the (tiny, driver-bounded) token
+        list against the cached term dictionary, keep candidates within
+        the edit budget (length prefilter prunes the O(len²)
+        levenshtein), apply ``suggest_mode``, rank per input token by
+        (distance asc, freq desc, token asc) — the ES candidate
+        ordering ``suggest_similar`` pins — and keep the top ``size``.
+        Cost scales with vocabulary, never the corpus."""
+        docs = self._docs[table]
+        f2 = fld or Compiler(docs).default_field
+        if (table, f2) not in self._postings:
+            self.build_postings_index(table, f2)
+        vocab = self._term_dictionary(table, f2)
+        tokens = [t for t in re.split(r"\W+", text.lower()) if t]
+        if not tokens:
+            raise es_dsl.DslError(
+                f"term suggester {name!r}: text has no tokens")
+        toks = self.spark.createDataFrame(
+            [(t,) for t in dict.fromkeys(tokens)], "_q string")
+        own = vocab.select(F.col("token").alias("_q"),
+                           F.col("freq").alias("_qf"))
+        toks = toks.join(own, on="_q", how="left").na.fill({"_qf": 0})
+        pairs = (vocab.join(
+                    F.broadcast(toks),
+                    (F.abs(F.length("token") - F.length("_q"))
+                     <= max_edits)
+                    & (F.col("token") != F.col("_q")))
+                 .where(F.levenshtein(F.col("token"), F.col("_q"))
+                        <= max_edits)
+                 .withColumn("_d", F.levenshtein(F.col("token"),
+                                                 F.col("_q"))))
+        if mode == "missing":
+            # options only for out-of-dictionary tokens (ES default)
+            pairs = pairs.where(F.col("_qf") == 0)
+        elif mode == "popular":
+            # only candidates MORE frequent than the input token
+            pairs = pairs.where(F.col("freq") > F.col("_qf"))
+        w = Window.partitionBy("_q").orderBy(
+            F.asc("_d"), F.desc("freq"), F.asc("token"))
+        return (pairs.withColumn("_rn", F.row_number().over(w))
+                     .where(F.col("_rn") <= size)
+                     .select(
+                         F.lit(name).alias("suggest"),
+                         F.col("_q").alias("text"),
+                         F.col("token").alias("option"),
+                         F.round(F.lit(1.0) - F.col("_d")
+                                 / F.greatest(F.length("_q"),
+                                              F.length("token")), 4)
+                          .alias("score"),
+                         F.col("freq").cast("long").alias("freq")))
+
     def field_caps(self, table: str) -> DataFrame:
         """ES ``_field_caps`` analogue: one row per document field with
         its Spark type, whether it is text-searchable (string-ish — the
@@ -3497,6 +3703,43 @@ class SearchEngine:
                   .orderBy(F.desc(SCORE), F.asc("doc"))
                   .limit(k))
 
+    def _metadata_json(self, matches: DataFrame, tth) -> str:
+        """hits.total / max_score payload honoring ``track_total_hits``
+        (r9). ``matches`` is the post-min_score/post_filter match set
+        carrying ``_score``.
+
+        - ``True`` (engine default — DEVIATION from ES's 10000 cap,
+          exactness documented): exact total + max_score.
+        - ``False``: max_score only (ES omits hits.total).
+        - int N: count accurately up to N via a ``limit(N+1)`` count —
+          Spark pushes the limit into the scan, so the count
+          early-terminates like ES's collector — and report
+          ``{"total_hits": N, "relation": "gte"}`` when the cap binds
+          (``"eq"`` with the exact count otherwise). The capped form
+          reports totals only (documented subset: no max_score — a
+          capped-total request is count-oriented, and the prefix the
+          limit examined cannot prove a global max)."""
+        if tth is False:
+            agg = matches.agg(F.max(SCORE).alias("m")).first()
+            payload: dict = {}
+            if agg["m"] is not None:
+                payload["max_score"] = agg["m"]
+            return json.dumps(payload, separators=(",", ":"))
+        if tth is True:
+            agg = matches.agg(F.count("*").alias("t"),
+                              F.max(SCORE).alias("m")).first()
+            payload = {"total_hits": agg["t"]}
+            if agg["m"] is not None:
+                payload["max_score"] = agg["m"]
+            return json.dumps(payload, separators=(",", ":"))
+        n = int(tth)
+        cnt = matches.limit(n + 1).count()
+        if cnt > n:
+            payload = {"total_hits": n, "relation": "gte"}
+        else:
+            payload = {"total_hits": cnt, "relation": "eq"}
+        return json.dumps(payload, separators=(",", ":"))
+
     def search_metadata(self, table: str, query: str,
                         default_field: str | None = None) -> DataFrame:
         """Global search metadata: total hit count + max score
@@ -3710,6 +3953,13 @@ class SearchEngine:
         req = self._expand_mlt(req, table, docs, default_field)
         if req.aggs is None:
             raise ValueError("request has no aggs section")
+        if req.suggest is not None:
+            raise es_dsl.DslError(
+                "request has a 'suggest' section: run the suggesters "
+                "with suggest_request() (same request body)")
+        # NOTE: req.post_filter is deliberately NOT applied here — ES
+        # post_filter narrows the HIT LIST only; aggregations keep the
+        # query scope (the faceted-navigation contract, r9)
         _, spec = self.catalog.get(table)
         comp = Compiler(docs, default_field)
 

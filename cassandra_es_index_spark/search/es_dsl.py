@@ -585,6 +585,24 @@ class Request:
     # applied to the match set BEFORE ranking/pagination and before the
     # metadata totals, like ES
     min_score: float | None = None
+    # ES `post_filter` (r9): an extra filter applied to the HIT LIST
+    # only — scores stay those of `query` alone (filter context), and
+    # aggregations keep the pre-post_filter scope (the faceted-nav
+    # idiom: aggs show all facets, hits show the selection). hits.total
+    # reflects the post-filtered set, like ES.
+    post_filter: Node | None = None
+    # ES `track_total_hits` (r9): True = exact total (this engine's
+    # default — DEVIATION from ES's default 10000-cap, documented),
+    # False = no total in the metadata payload, int N = count accurately
+    # up to N via a limit(N+1) early-terminating count and report
+    # {"total_hits": N, "relation": "gte"} when the cap is hit
+    # ("eq" otherwise)
+    track_total_hits: "bool | int" = True
+    # ES request-body `suggest` section (r9): carried RAW — the engine
+    # routes it to SearchEngine.suggest_request(); search()/
+    # search_aggs() typed-reject it rather than silently dropping it
+    # (the everything-is-a-typed-error contract)
+    suggest: Any = None
     # ES `_source` filtering (r6): None = full source (default), False =
     # metadata only (keys + _score), a tuple = that column subset (plus
     # keys/_score/highlight/script columns). ES include-list form only;
@@ -636,6 +654,15 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 or not isinstance(min_score, (int, float)):
             raise DslError("min_score must be numeric")
         min_score = float(min_score)
+    pf = obj.get("post_filter")
+    if pf is not None and not isinstance(pf, dict):
+        raise DslError("post_filter must be a query object")
+    tth = obj.get("track_total_hits", True)
+    if not isinstance(tth, bool):
+        if not isinstance(tth, int) or tth < 0:
+            raise DslError(
+                "track_total_hits must be a boolean or a non-negative "
+                "integer")
     query = obj.get("query", {"match_all": {}})
     nested_inner = None
     if isinstance(query, dict) and set(query) == {"nested"} \
@@ -861,6 +888,9 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         script_fields=script_fields,
         source_filter=source_filter,
         min_score=min_score,
+        post_filter=_node(pf) if pf is not None else None,
+        track_total_hits=tth,
+        suggest=obj.get("suggest"),
     )
 
 
