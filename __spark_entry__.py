@@ -548,10 +548,41 @@ def q_geo_polygon_filter(spark, sf_dir):
     return eng.search("geo_events", "#options:load-rows=false#" + q)
 
 
+def q_geo_sort_nearest(spark, sf_dir):
+    # ES _geo_distance sort (r9): the 50 events nearest the Jutland
+    # reference point, distance (km) exposed as the `_geo_distance`
+    # response column (ES returns it as the hit's sort value). Pure
+    # Column haversine in the SAME operation order as the oracle, so
+    # the top-50 membership agrees (inter-event distance spacing ≫ any
+    # libm last-ulp difference); values round to 3 decimals (1 m in km)
+    # on BOTH sides so the value hash is insensitive to those ulps.
+    # NULL points sort as Infinity (ES missing-geo) — never in the top
+    # 50. GeoSort is scan-plan-only by design (SCALE.md geo).
+    eng = _geo_events_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},"size":50,'
+         '"sort":[{"_geo_distance":{"loc":'
+         '{"lat":57.64911,"lon":10.40744},"order":"asc","unit":"km"}}]}')
+    out = eng.search("geo_events", "#options:load-rows=false#" + q)
+    return out.withColumn("_geo_distance",
+                          F.round("_geo_distance", 3))
+
+
 def q_search_bool_prefix(spark, sf_dir):
     # ES match_bool_prefix (r9): terms + trailing prefix — desugars to
     # the prefix-served Term/Wildcard shape (search-as-you-type)
     q = '{"query":{"match_bool_prefix":{"text":"spark quer"}}}'
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
+def q_search_terms_lookup(spark, sf_dir):
+    # ES terms lookup (r9): the terms list fetched from ONE other
+    # document — here a self-lookup, "docs with the same lang as doc
+    # 42" (the classic my-followers filter shape). The engine resolves
+    # it pre-compile via ONE id-filtered row fetch
+    # (_expand_data_nodes); the oracle re-derives the term with a
+    # scalar subquery. lang is one token → Term tf = 1.
+    q = ('{"query":{"terms":{"lang":{"index":"documents","id":"42",'
+         '"path":"lang"}}}}')
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
@@ -1023,6 +1054,39 @@ def q_search_composite_aggs(spark, sf_dir):
          '"aggs":{"avg_chars":{"avg":{"field":"n_chars"}}}}}}')
     out = eng.search_aggs("documents", q, default_field="text")
     return out.withColumn("avg_chars", F.round("avg_chars", 4))
+
+
+def q_search_normalize_topm(spark, sf_dir):
+    # r9 pipeline/sibling tier completion in ONE frame: per-lang terms
+    # buckets carrying avg(n_chars) — `pct` normalizes it against the
+    # bucket frame (percent_of_sum), `r100` rescales doc_count to
+    # [0, 100]; `tm` is top_metrics (the n_chars of the highest doc_id
+    # in the bucket — unique sort key, so the ES arbitrary-tie caveat
+    # never bites); `st`/`pb`/`ex` are the sibling stat tier over the
+    # frame (stats_bucket on the metric, EXACT percentiles_bucket,
+    # extended_stats_bucket on _count). The oracle re-derives the frame
+    # and every rescale/stat with DuckDB windows + arg_max +
+    # quantile_cont. Fractional columns round to 4 on both sides.
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},"aggs":{'
+         '"by":{"terms":{"field":"lang","size":50},"aggs":{'
+         '"m":{"avg":{"field":"n_chars"}},'
+         '"pct":{"normalize":{"buckets_path":"m",'
+         '"method":"percent_of_sum"}},'
+         '"r100":{"normalize":{"buckets_path":"_count",'
+         '"method":"rescale_0_100"}},'
+         '"tm":{"top_metrics":{"metrics":{"field":"n_chars"},'
+         '"sort":{"doc_id":"desc"}}}}},'
+         '"st":{"stats_bucket":{"buckets_path":"by>m"}},'
+         '"pb":{"percentiles_bucket":{"buckets_path":"by>m",'
+         '"percents":[25.0,50.0,75.0]}},'
+         '"ex":{"extended_stats_bucket":{"buckets_path":"by>_count"}}}}')
+    out = eng.search_aggs("documents", q, default_field="text")
+    for c in ("m", "pct", "r100", "st_avg", "st_sum", "st_min", "st_max",
+              "pb_p25", "pb_p50", "pb_p75", "ex_avg", "ex_variance",
+              "ex_std_deviation"):
+        out = out.withColumn(c, F.round(c, 4))
+    return out
 
 
 def q_search_pipeline_aggs(spark, sf_dir):
@@ -1957,7 +2021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_pipeline_nested": q_search_pipeline_nested,  # per-parent
         #   sequence windows at depth (r6) — supersedes the single-level
         #   variant in the window; that one is in the tail, green r05
-        "search_composite_aggs": q_search_composite_aggs,  # keyset aggs (r5)
+        "search_normalize_topm": q_search_normalize_topm,  # r9 pipeline
+        #   tier completion: normalize + top_metrics + sibling stat tier
+        #   in one frame (oracle re-derives with DuckDB windows/arg_max)
         "search_aggs_nested3": q_search_aggs_nested3,  # 3-level flatten-join
         "search_significant_terms": q_search_significant_terms,  # JLH (r5)
         "search_highlight_fragments": q_search_highlight_fragments,
@@ -2024,8 +2090,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   hood)
         "geo_polygon_filter": q_geo_polygon_filter,  # ~ geo family (r9;
         #   oracle re-emits the identical ray-cast constants)
+        "geo_sort_nearest": q_geo_sort_nearest,  # ~ geo family (r9;
+        #   _geo_distance sort, top-50 nearest + km distance column)
+        "search_composite_aggs": q_search_composite_aggs,  # ~ aggs
+        #   family (keyset cursor; green r05-r08, demoted r9 for
+        #   search_normalize_topm — the family keeps seven window reps)
         "search_bool_prefix": q_search_bool_prefix,  # ~ prefix family
         #   (r9; desugar to the served Term/Wildcard shape)
+        "search_terms_lookup": q_search_terms_lookup,  # ~ terms family
+        #   (r9; data-driven terms list via one id-filtered row fetch)
         "search_combined_fields": q_search_combined_fields,  # ~ multi-
         #   field family (r9; Σ per-field tf, documented no-BM25F)
         "search_mlt_dsl": q_search_mlt_dsl,  # ~ MLT family (r9 DSL form;
@@ -3024,6 +3097,49 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l ASC, s ASC
             LIMIT 50
         """,
+        # normalize + top_metrics + sibling stat tier (r9): the bucket
+        # frame re-derived once, rescales as window functions over it,
+        # arg_max as the top_metrics twin, sibling stats via a
+        # cross-joined one-row aggregate (quantile_cont = the exact
+        # percentile twin)
+        "search_normalize_topm": """
+            WITH b AS (
+                SELECT lang AS key, COUNT(*)::BIGINT AS doc_count,
+                       AVG(n_chars) AS m,
+                       arg_max(n_chars, doc_id) AS tm_n_chars
+                FROM documents
+                WHERE lang IS NOT NULL
+                GROUP BY lang
+            ),
+            sib AS (
+                SELECT COUNT(m)::BIGINT AS st_count,
+                       ROUND(MIN(m), 4) AS st_min,
+                       ROUND(MAX(m), 4) AS st_max,
+                       ROUND(AVG(m), 4) AS st_avg,
+                       ROUND(SUM(m), 4) AS st_sum,
+                       ROUND(quantile_cont(m, 0.25), 4) AS pb_p25,
+                       ROUND(quantile_cont(m, 0.50), 4) AS pb_p50,
+                       ROUND(quantile_cont(m, 0.75), 4) AS pb_p75,
+                       COUNT(doc_count)::BIGINT AS ex_count,
+                       MIN(doc_count) AS ex_min,
+                       MAX(doc_count) AS ex_max,
+                       ROUND(AVG(doc_count), 4) AS ex_avg,
+                       SUM(doc_count)::BIGINT AS ex_sum,
+                       SUM(doc_count * doc_count)::BIGINT
+                           AS ex_sum_of_squares,
+                       ROUND(var_pop(doc_count), 4) AS ex_variance,
+                       ROUND(stddev_pop(doc_count), 4)
+                           AS ex_std_deviation
+                FROM b
+            )
+            SELECT key, doc_count, ROUND(m, 4) AS m,
+                   ROUND(m / SUM(m) OVER (), 4) AS pct,
+                   ROUND(100.0 * (doc_count - MIN(doc_count) OVER ())
+                         / (MAX(doc_count) OVER ()
+                            - MIN(doc_count) OVER ()), 4) AS r100,
+                   tm_n_chars, sib.*
+            FROM b CROSS JOIN sib
+        """,
         # empty-bucket materialization + pipeline aggs: generate_series
         # fills gap days, cumulative_sum / derivative over the ordered
         # bucket frame (derivative null at the first bucket)
@@ -3271,6 +3387,19 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             WHERE lat IS NOT NULL AND ({_poly_cond_sql(_POLY_PTS)})
         """,
+        # _geo_distance sort (r9): top-50 nearest, same haversine op
+        # order; distances round to 3 decimals on both sides (the sort
+        # key stays unrounded — membership has ≫-ulp spacing)
+        "geo_sort_nearest": f"""
+            WITH g AS ({_GEO_CTE})
+            SELECT event_id, 0::BIGINT AS _score,
+                   round({_GEO_HAV} / 1000.0::DOUBLE, 3)
+                       AS _geo_distance
+            FROM g
+            WHERE lat IS NOT NULL
+            ORDER BY {_GEO_HAV} ASC, event_id ASC
+            LIMIT 50
+        """,
         # more_like_this DSL (r9): all 4 candidates survive selection,
         # so the oracle is pure TermsSet semantics (>= 2 of 4, score =
         # sum of matched tfs)
@@ -3432,6 +3561,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events, i
             WHERE event_type = 'click' AND ts IS NOT NULL
             GROUP BY 1
+        """,
+        # terms lookup (r9): the term is doc 42's lang — a scalar
+        # subquery twin of the engine's one-row fetch; lang is one
+        # token so the Term tf (and the hit score) is 1
+        "search_terms_lookup": """
+            SELECT doc_id, 1::BIGINT AS _score
+            FROM documents
+            WHERE lang = (SELECT lang FROM documents WHERE doc_id = 42)
         """,
         # match_bool_prefix (r9): tf(spark) + tf(quer-prefix tokens)
         "search_bool_prefix": f"""

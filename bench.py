@@ -81,11 +81,13 @@ HEADLINE = [
     "asof_last_click",
     "interval_join_shipments",  # binned range join, no nested-loop
     "geo_distance_filter",  # haversine Column filter (scan plan, r9)
+    "geo_sort_nearest",     # _geo_distance sort: codegen distance + top-k (r9)
     "search_geohash_grid",  # geo grid agg: one groupBy on cell keys (r9)
     "percolate_route",      # stored-query matching, one corpus scan (r9)
     "search_feature_boosts",  # rank_feature + distance_feature (r9)
     "search_mlt_dsl",       # MLT DSL: tf-idf pick → TermsSet serve (r9)
     "search_boxplot_mad_strings",  # two-pass metrics assembly (r9)
+    "search_normalize_topm",  # normalize + top_metrics + sibling stats (r9)
     "search_10k_cap",   # the BASELINE.md 514 ms / 10k-key trace analogue
 ]
 

@@ -480,7 +480,7 @@ class GeoBoundingBox(Node):
 class MoreLikeThis(Node):
     """ES ``more_like_this`` query: find documents resembling free text
     and/or existing documents. A DATA-DRIVEN node: the engine resolves
-    it before compile (``SearchEngine._expand_mlt`` — the same
+    it before compile (``SearchEngine._expand_data_nodes`` — the same
     engine-rewrite pattern as match_phrase_prefix ``max_expansions``)
     into a TermsSet over the top ``max_query_terms`` like-terms ranked
     by tf·idf (tf in the like text, idf = ln((N+1)/(df+0.5)) from the
@@ -499,6 +499,25 @@ class MoreLikeThis(Node):
     max_doc_freq: int | None = None
     minimum_should_match: str = "30%"
     include: bool = False
+
+
+@dataclass(frozen=True)
+class TermsLookup(Node):
+    """ES terms-lookup query: ``{"terms": {f: {"index": t, "id": i,
+    "path": p}}}`` — the terms list comes from ONE other document's
+    field (classic "my followers" filtering). A DATA-DRIVEN node like
+    MoreLikeThis: the engine resolves it before compile
+    (``SearchEngine._expand_data_nodes``) with ONE id-filtered lookup
+    against the registered source table (bounded: one doc), turning the
+    fetched value (array → many terms, scalar → one) into the plain
+    terms disjunction; a missing doc / null / empty value matches
+    nothing (ES). Lookup values are NOT analyzed (ES keyword
+    semantics). Compiling the raw node without the engine is a typed
+    CompileError — the terms live in another table's data."""
+    field: str
+    index: str
+    id: str
+    path: str
 
 
 @dataclass(frozen=True)

@@ -40,7 +40,7 @@ from cassandra_es_index_spark.search.ast import (
     RandomScore, RankFeature, Regexp,
     Required, Scoreless, ScriptFilter, ScriptScore, Should, SpanContaining,
     SpanFirst, SpanNear,
-    SpanNot, SpanOr, Term, TermsSet,
+    SpanNot, SpanOr, Term, TermsLookup, TermsSet,
     Wildcard,
 )
 
@@ -841,7 +841,12 @@ class Compiler:
             raise CompileError(
                 "more_like_this is data-driven (tf·idf term selection "
                 "over the postings) — run it through SearchEngine, "
-                "which resolves it before compile (_expand_mlt)")
+                "which resolves it before compile (_expand_data_nodes)")
+        if isinstance(node, TermsLookup):
+            raise CompileError(
+                "terms lookup is data-driven (the terms live in another "
+                "table's document) — run it through SearchEngine, which "
+                "resolves it before compile (_expand_data_nodes)")
         if isinstance(node, ScriptFilter):
             # filter-context script: the pre-translated SQL boolean over
             # document columns; NULL (null ref, try_divide 0) → no match.

@@ -14,6 +14,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from cassandra_es_index_spark.catalog import Catalog, TableSpec
@@ -40,6 +41,7 @@ PUT_MAPPING_PREFIX = "#put_mapping#"
 
 SCORE = "_score"
 RANK = "_hit_rank"   # internal: carries page order through the J1 join
+GEO_DIST = "_geo_distance"   # _geo_distance sort value (requested unit)
 
 
 def _presence_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
@@ -867,12 +869,22 @@ class SearchEngine:
 
         return self._rewrite_request(req, walk, walk_agg)
 
-    def _expand_mlt(self, req: "es_dsl.Request", table: str,
-                    docs: DataFrame,
-                    default_field: str | None) -> "es_dsl.Request":
-        """Resolve every ``more_like_this`` node (ast.MoreLikeThis) to a
-        concrete TermsSet before compile — the same engine-rewrite
-        pattern as match_phrase_prefix ``max_expansions``:
+    def _expand_data_nodes(self, req: "es_dsl.Request", table: str,
+                           docs: DataFrame,
+                           default_field: str | None) -> "es_dsl.Request":
+        """Resolve every DATA-DRIVEN query node before compile — the
+        same engine-rewrite pattern as match_phrase_prefix
+        ``max_expansions``. Two node kinds:
+
+        ``terms`` lookup (ast.TermsLookup): ONE id-filtered row fetch
+        against the registered source table (bounded: one doc); the
+        fetched value (array → many terms, scalar → one) becomes the
+        plain terms disjunction, a missing doc / null / empty value
+        becomes MatchNone (ES). Values are not analyzed (ES keyword
+        semantics).
+
+        ``more_like_this`` (ast.MoreLikeThis) resolves to a concrete
+        TermsSet:
 
         1. like text = the request's strings + the referenced docs'
            field values (ONE key-filtered lookup, bounded by the id
@@ -897,7 +909,8 @@ class SearchEngine:
         from dataclasses import is_dataclass, replace
 
         from cassandra_es_index_spark.search.ast import (
-            And, Ids, MatchNone, MoreLikeThis, Not, TermsSet,
+            And, Ids, MatchNone, MoreLikeThis, Not, Or, Term,
+            TermsLookup, TermsSet,
         )
 
         comp_holder: list = []
@@ -906,6 +919,31 @@ class SearchEngine:
             if not comp_holder:
                 comp_holder.append(Compiler(docs, default_field))
             return comp_holder[0]
+
+        def expand_lookup(n: TermsLookup) -> Node:
+            comp().resolve(n.field)   # typed error for unknown fields
+            try:
+                src, spec = self.catalog.get(n.index)
+            except KeyError:
+                raise es_dsl.DslError(
+                    f"terms lookup: index {n.index!r} is not a "
+                    "registered table") from None
+            id_col = self._postings_id_col(spec)
+            # default field = the lookup path: skips the string-column
+            # guess (the source table may be all-numeric/array typed)
+            lcomp = Compiler(src, n.path)
+            ref = lcomp.resolve(id_col)
+            vref = lcomp.resolve(n.path)
+            rows = (src.where(ref.col.cast("string") == n.id)
+                       .select(vref.col.alias("v")).limit(1).collect())
+            if not rows or rows[0]["v"] is None:
+                return MatchNone()   # ES: missing doc/value → no terms
+            v = rows[0]["v"]
+            vals = [x for x in v if x is not None] \
+                if isinstance(v, list) else [v]
+            if not vals:
+                return MatchNone()
+            return Or(tuple(Term(n.field, str(x)) for x in vals))
 
         def expand(n: MoreLikeThis) -> Node:
             fld = n.field if n.field is not None else comp().default_field
@@ -958,6 +996,8 @@ class SearchEngine:
         def walk(node):
             if isinstance(node, MoreLikeThis):
                 return expand(node)
+            if isinstance(node, TermsLookup):
+                return expand_lookup(node)
             if isinstance(node, Node) and is_dataclass(node):
                 changes = {}
                 for f in dc_fields(node):
@@ -983,7 +1023,7 @@ class SearchEngine:
         found = []
 
         def probe(x):
-            if isinstance(x, MoreLikeThis):
+            if isinstance(x, (MoreLikeThis, TermsLookup)):
                 found.append(x)
             if isinstance(x, Node) and is_dataclass(x):
                 for f in dc_fields(x):
@@ -1149,6 +1189,23 @@ class SearchEngine:
                         ordering: list[tuple[Column, bool, bool]]) -> DataFrame:
         return df.orderBy(*SearchEngine._sort_exprs(ordering))
 
+    @staticmethod
+    def _geo_sort_col(comp: "Compiler", gs: "es_dsl.GeoSort") -> Column:
+        """The ``_geo_distance`` sort value: haversine meters from the
+        origin scaled to the requested unit — pure Column math on the
+        struct<lat, lon> field (null point → null distance; the parsed
+        nulls flags place it as Infinity, like ES missing geo)."""
+        from cassandra_es_index_spark.functions.geo import (
+            geo_point_cols, haversine_meters,
+        )
+        ref = comp.resolve(gs.field)
+        try:
+            lat, lon = geo_point_cols(ref.col, ref.dtype, gs.field)
+        except ValueError as e:
+            raise es_dsl.DslError(str(e)) from e
+        return (haversine_meters(lat, lon, F.lit(gs.lat), F.lit(gs.lon))
+                / F.lit(gs.unit_m))
+
     def search(self, table: str, query: str,
                default_field: str | None = None,
                limit: int | None = None,
@@ -1206,7 +1263,7 @@ class SearchEngine:
                 "(same request body)")
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
-        req = self._expand_mlt(req, table, docs, default_field)
+        req = self._expand_data_nodes(req, table, docs, default_field)
         node, size = req.node, req.size
         after = tuple(search_after) if search_after is not None \
             else req.search_after
@@ -1551,6 +1608,18 @@ class SearchEngine:
             # search_aggs(), which ignores post_filter by design.)
             pf_pred, _ = comp.compile(req.post_filter)
             scored = scored.where(pf_pred)
+        # _geo_distance sort (r9): materialize the haversine distance
+        # (requested unit) as a `_geo_distance` column BEFORE the
+        # persist/ordering — ES exposes it as the hit's sort value, so
+        # it rides the response and anchors search_after/scroll. Pure
+        # Column math (no UDF); null points evaluate to a null distance
+        # and place per the parse-threaded missing-=-Infinity flags.
+        geo_cols: list[str] = []
+        for gs in (f for f, *_ in req.sort or ()
+                   if isinstance(f, es_dsl.GeoSort)):
+            scored = scored.withColumn(
+                GEO_DIST, self._geo_sort_col(comp, gs))
+            geo_cols.append(GEO_DIST)
         want_meta = qmd.options.get("metadata", "false").lower() == "true"
         meta_json: str | None = None
         if want_meta:
@@ -1563,9 +1632,15 @@ class SearchEngine:
         # deterministic total order: DSL sort fields (or score desc), then
         # full key asc as tiebreaks
         if req.sort:
-            ordering = [(F.col(SCORE) if f == "_score" else comp.resolve(f).col,
+            ordering = [(F.col(SCORE) if f == "_score"
+                         else F.col(GEO_DIST)
+                         if isinstance(f, es_dsl.GeoSort)
+                         else comp.resolve(f).col,
                          asc, nf) for f, asc, nf in req.sort]
-            anchor_types = [None if f == "_score" else comp.resolve(f).dtype
+            anchor_types = [None if f == "_score"
+                            else DoubleType()
+                            if isinstance(f, es_dsl.GeoSort)
+                            else comp.resolve(f).dtype
                             for f, *_ in req.sort]
         else:
             ordering = [(F.col(SCORE), False, False)]
@@ -1602,7 +1677,7 @@ class SearchEngine:
 
         inner_cols = (["_inner_rank"]
                       if "_inner_rank" in hits.columns else []) \
-            + nested_cols
+            + nested_cols + geo_cols
         if qmd.load_source:
             result = hits
         elif not qmd.load_rows:
@@ -3317,7 +3392,11 @@ class SearchEngine:
             _, spec = self.catalog.get(table)
             qmd = QueryMetaData.parse(st["query"])
             req = self._parse_request(qmd.query)
-            anchor_fields = [f for f, *_ in (req.sort or [("_score",)])]
+            # a GeoSort entry's anchor is its materialized response
+            # column (the ES sort-value analogue)
+            anchor_fields = [GEO_DIST if isinstance(f, es_dsl.GeoSort)
+                             else f
+                             for f, *_ in (req.sort or [("_score",)])]
             missing = [f for f in anchor_fields + list(spec.key_columns)
                        if f not in batch.columns]
             if missing:
@@ -3350,7 +3429,7 @@ class SearchEngine:
         req = self._parse_request(qmd.query)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
-        req = self._expand_mlt(req, table, docs, default_field)
+        req = self._expand_data_nodes(req, table, docs, default_field)
         ph = self._postings_hits(table, req.node, default_field)
         if ph is not None:
             return ph.count()
@@ -3374,7 +3453,7 @@ class SearchEngine:
         req = self._parse_request(qmd.query)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
-        req = self._expand_mlt(req, table, docs, default_field)
+        req = self._expand_data_nodes(req, table, docs, default_field)
         comp = Compiler(docs, default_field)
         pred, score = comp.compile(req.node)
 
@@ -3950,7 +4029,7 @@ class SearchEngine:
         req = self._parse_request(qmd.query)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
-        req = self._expand_mlt(req, table, docs, default_field)
+        req = self._expand_data_nodes(req, table, docs, default_field)
         if req.aggs is None:
             raise ValueError("request has no aggs section")
         if req.suggest is not None:
@@ -4000,6 +4079,15 @@ class SearchEngine:
                         F.min(glat).alias(f"{m.name}_bottom"),
                         F.max(glon).alias(f"{m.name}_right")]
             c = comp.resolve(m.field).col
+            if m.kind == "top_metrics":
+                # the metric fields of the TOP doc under the sort —
+                # max_by/min_by (map-side combinable, no window/shuffle
+                # beyond the bucket agg's own); docs with a null sort
+                # value are skipped (ES), ties break arbitrarily (ES
+                # shard-order analogue, documented)
+                fn = F.min_by if m.sort_asc else F.max_by
+                return [fn(comp.resolve(f).col, c).alias(nm)
+                        for f, nm in zip(m.multi_fields, m.out_names())]
             if m.kind == "avg":
                 return [F.avg(c).alias(m.name)]
             if m.kind == "sum":
@@ -4408,7 +4496,8 @@ class SearchEngine:
                     n for m in lv.metrics for n in m.out_names()) + tuple(
                     n for n, k, _ in lv.pipelines
                     if k != "bucket_selector") + tuple(
-                    n for n, _, _ in lv.siblings):
+                    n for sn, sk, _, spcts in lv.siblings
+                    for n in es_dsl.sibling_out_names(sn, sk, spcts)):
                 if nm in seen:
                     raise es_dsl.DslError(
                         f"duplicate column {nm!r} in flattened aggs")
@@ -4687,6 +4776,38 @@ class SearchEngine:
                         lag = 1 if pk == "derivative" else payload[1]
                         out = out.withColumn(
                             pn, vcol - F.lag(vcol, lag).over(wseq))
+                elif pk == "normalize":
+                    # ES normalize (r9): rescale each bucket's value
+                    # against its PARENT's bucket frame — frame stats
+                    # via unbounded windows over the same ancestor
+                    # partitioning as the sequence aggs (bucket-
+                    # cardinality frame, never the corpus). A constant
+                    # frame (max == min) or zero sum yields null
+                    # (Spark's 0-divisor), documented.
+                    path, method = payload
+                    vcol = F.col(cname) if path == "_count" \
+                        else F.col(path)
+                    wall = wseq.rowsBetween(Window.unboundedPreceding,
+                                            Window.unboundedFollowing)
+                    mn, mx = F.min(vcol).over(wall), F.max(vcol).over(wall)
+                    mean = F.avg(vcol).over(wall)
+                    if method == "rescale_0_1":
+                        nexpr = F.try_divide(vcol - mn, mx - mn)
+                    elif method == "rescale_0_100":
+                        nexpr = F.lit(100.0) \
+                            * F.try_divide(vcol - mn, mx - mn)
+                    elif method == "percent_of_sum":
+                        nexpr = F.try_divide(vcol, F.sum(vcol).over(wall))
+                    elif method == "mean":
+                        nexpr = F.try_divide(vcol - mean, mx - mn)
+                    elif method == "z-score":
+                        # population deviation (extended_stats convention)
+                        nexpr = F.try_divide(
+                            vcol - mean, F.stddev_pop(vcol).over(wall))
+                    else:  # softmax
+                        nexpr = F.try_divide(
+                            F.exp(vcol), F.sum(F.exp(vcol)).over(wall))
+                    out = out.withColumn(pn, nexpr)
                 elif pk == "bucket_script":
                     out = out.withColumn(pn, F.expr(leaf_script(payload[0])))
                 elif pk == "bucket_selector":
@@ -4737,9 +4858,31 @@ class SearchEngine:
             if len(levels) > 1:
                 leaf_frame = out.where(
                     F.col(level_names(len(levels) - 1)[0]).isNotNull())
+            sib_exprs: list[Column] = []
+            for sn, sk, scol, spcts in lv0.siblings:
+                c = F.col(scol)
+                if sk == "stats_bucket":
+                    # flattened like the stats metric: count of non-null
+                    # bucket values + min/max/avg/sum
+                    sib_exprs += [F.count(c), F.min(c), F.max(c),
+                                  F.avg(c), F.sum(c)]
+                elif sk == "extended_stats_bucket":
+                    # the stats five + sum of squares and POPULATION
+                    # variance/std-deviation (extended_stats convention)
+                    sib_exprs += [F.count(c), F.min(c), F.max(c),
+                                  F.avg(c), F.sum(c), F.sum(c * c),
+                                  F.var_pop(c), F.stddev_pop(c)]
+                elif sk == "percentiles_bucket":
+                    # EXACT percentiles over the bucket values (the
+                    # percentiles metric's oracle-checkable default)
+                    sib_exprs += [
+                        F.percentile(c, F.lit(p / 100.0)) for p in spcts]
+                else:
+                    sib_exprs.append(sib_fns[sk](c))
+            sib_names = [n for sn, sk, _, spcts in lv0.siblings
+                         for n in es_dsl.sibling_out_names(sn, sk, spcts)]
             sib_row = leaf_frame.agg(*[
-                sib_fns[sk](F.col(scol)).alias(sn)
-                for sn, sk, scol in lv0.siblings])
+                e.alias(n) for e, n in zip(sib_exprs, sib_names)])
             out = out.crossJoin(F.broadcast(sib_row))
 
         th = levels[-1].top_hits

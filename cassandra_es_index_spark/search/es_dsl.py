@@ -33,7 +33,7 @@ from cassandra_es_index_spark.search.ast import (
     Scoreless, ScriptFilter, ScriptScore, Should, SpanContaining,
     SpanFirst, SpanNear,
     SpanNot, SpanOr,
-    Term, TermsSet, Wildcard,
+    Term, TermsLookup, TermsSet, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -47,7 +47,8 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "extended_stats", "weighted_avg",
                  "geo_centroid", "geo_bounds",
                  "boxplot", "matrix_stats",
-                 "median_absolute_deviation", "string_stats")
+                 "median_absolute_deviation", "string_stats",
+                 "top_metrics")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
                  "date_range", "significant_terms", "rare_terms",
                  "multi_terms", "adjacency_matrix",
@@ -59,11 +60,19 @@ _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
 # value per bucket from a sibling metric (or "_count")
 _PIPELINE_KINDS = ("cumulative_sum", "derivative", "serial_diff",
                    "moving_fn", "bucket_script", "bucket_selector",
-                   "bucket_sort")
-# sibling pipeline aggs: one value computed OVER the bucket agg's frame,
-# declared NEXT TO the bucket agg (ES syntax), emitted as a constant
-# column on every bucket row
-_SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+                   "bucket_sort", "normalize")
+# ES normalize methods → the rescaling applied per bucket over its
+# parent's bucket frame (r9); z-score uses the POPULATION deviation
+# (extended_stats convention); a constant frame (max == min) or zero
+# sum yields null values (Spark 0-divisor), documented
+_NORMALIZE_METHODS = ("rescale_0_1", "rescale_0_100", "percent_of_sum",
+                      "mean", "z-score", "softmax")
+# sibling pipeline aggs: one value (or flattened stat set, r9) computed
+# OVER the bucket agg's frame, declared NEXT TO the bucket agg (ES
+# syntax), emitted as constant columns on every bucket row
+_SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+                  "stats_bucket", "extended_stats_bucket",
+                  "percentiles_bucket")
 
 # bucket_script / bucket_selector scripts: the painless subset that is
 # pure arithmetic/comparison over params refs — translated to a Spark SQL
@@ -314,6 +323,25 @@ def _pct_label(p: float) -> str:
     return (f"{p:g}").replace(".", "_")
 
 
+def sibling_out_names(sn: str, sk: str,
+                      percents: tuple[float, ...]) -> tuple[str, ...]:
+    """Flattened output columns of one sibling pipeline agg entry —
+    single-value kinds emit one column named after the agg; the stat
+    kinds (r9) flatten like their metric twins (``stats`` /
+    ``extended_stats`` / ``percentiles``)."""
+    if sk == "stats_bucket":
+        return tuple(f"{sn}_{s}"
+                     for s in ("count", "min", "max", "avg", "sum"))
+    if sk == "extended_stats_bucket":
+        return tuple(f"{sn}_{s}"
+                     for s in ("count", "min", "max", "avg", "sum",
+                               "sum_of_squares", "variance",
+                               "std_deviation"))
+    if sk == "percentiles_bucket":
+        return tuple(f"{sn}_p{_pct_label(p)}" for p in percents)
+    return (sn,)
+
+
 @dataclass(frozen=True)
 class MetricAgg:
     """One metric aggregation: ``{"name": {"avg": {"field": "f"}}}``.
@@ -351,8 +379,15 @@ class MetricAgg:
     # estimate, like the percentiles metric)
     rank_values: tuple[float, ...] = ()
     # matrix_stats: the field list (listwise deletion — docs missing ANY
-    # field are excluded, ES MatrixStats semantics)
+    # field are excluded, ES MatrixStats semantics);
+    # top_metrics: the metric fields returned from the top document
     multi_fields: tuple[str, ...] = ()
+    # top_metrics: `field` holds the sort field, `sort_asc` its
+    # direction; size-1 engine subset (one flattened column per metric
+    # field — max_by/min_by, map-side combinable; docs with a null sort
+    # value are skipped like ES, ties break arbitrarily like ES's
+    # shard-order ties)
+    sort_asc: bool = True
 
     def out_names(self) -> tuple[str, ...]:
         if self.kind == "stats":
@@ -387,6 +422,8 @@ class MetricAgg:
             return tuple(f"{self.name}_{s}"
                          for s in ("count", "min_length", "max_length",
                                    "avg_length", "entropy"))
+        if self.kind == "top_metrics":
+            return tuple(f"{self.name}_{f}" for f in self.multi_fields)
         if self.kind == "matrix_stats":
             # per field: count / mean / variance (sample); per unordered
             # pair: covariance / correlation — ES's matrix flattened
@@ -474,8 +511,10 @@ class BucketAgg:
     # sibling pipeline aggs ((name, kind, bucket column), ...) — ES
     # avg_bucket/sum_bucket/min_bucket/max_bucket declared NEXT TO this
     # bucket agg; one value over the whole bucket frame, emitted as a
-    # constant column (single level only)
-    siblings: tuple[tuple[str, str, str], ...] = ()
+    # constant column (single level only); entries are
+    # (name, kind, resolved leaf column, percents — percentiles_bucket
+    # only); flattened output columns per entry via sibling_out_names
+    siblings: tuple[tuple[str, str, str, tuple[float, ...]], ...] = ()
     # one nested sub-bucket per level, nesting to arbitrary depth — ES
     # sub-aggregations; executed flattened: (key, doc_count, sub_key,
     # sub_doc_count, sub2_key, sub2_doc_count, …, metrics per level)
@@ -894,12 +933,67 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
     )
 
 
+@dataclass(frozen=True)
+class GeoSort:
+    """An ES ``_geo_distance`` sort entry: order hits by haversine
+    distance from one origin point. The computed distance (in the
+    requested ``unit``) surfaces as a ``_geo_distance`` response column
+    — ES returns it as the hit's sort value; a flat frame carries it as
+    a column — which also makes it the ``search_after``/scroll anchor.
+    Docs with a NULL point sort as infinitely far (ES: missing geo =
+    Infinity), i.e. last ascending / first descending. Engine subset
+    (documented, typed errors): ONE origin point, ONE geo sort entry
+    per request, ``distance_type`` arc only, no ``mode``."""
+    field: str
+    lat: float
+    lon: float
+    unit_m: float = 1.0     # meters per requested unit
+
+
+_GEO_SORT_PARAMS = {"order", "unit", "distance_type", "mode",
+                    "ignore_unmapped"}
+
+
+def _geo_sort(body: Any) -> tuple[GeoSort, bool, bool]:
+    if not isinstance(body, dict):
+        raise DslError(f"_geo_distance sort needs an object, got {body!r}")
+    fields = [k for k in body if k not in _GEO_SORT_PARAMS]
+    if len(fields) != 1:
+        raise DslError("_geo_distance sort needs exactly one geo field, "
+                       f"got {fields!r}")
+    fld = fields[0]
+    if isinstance(body[fld], list) and body[fld] \
+            and isinstance(body[fld][0], (list, dict)):
+        raise DslError("_geo_distance sort: multiple origin points are "
+                       "not supported (engine subset)")
+    lat, lon = _geo_point(body[fld], "_geo_distance sort")
+    order = body.get("order", "asc")
+    if order not in ("asc", "desc"):
+        raise DslError(f"sort order must be asc/desc, got {order!r}")
+    if body.get("distance_type", "arc") != "arc":
+        raise DslError("_geo_distance sort: only distance_type 'arc' "
+                       "is supported (engine subset)")
+    if "mode" in body:
+        raise DslError("_geo_distance sort: 'mode' is not supported "
+                       "(single-point fields — engine subset)")
+    unit = body.get("unit", "m")
+    from cassandra_es_index_spark.functions.geo import _UNITS
+    if unit not in _UNITS:
+        raise DslError(f"_geo_distance sort: unknown unit {unit!r}")
+    asc = order == "asc"
+    # missing geo point = Infinity distance (ES): nulls trail ascending
+    # and lead descending
+    return (GeoSort(field=fld, lat=lat, lon=lon, unit_m=_UNITS[unit]),
+            asc, not asc)
+
+
 def _sort(spec: Any) -> tuple[tuple[str, bool, bool], ...]:
     """ES sort forms: ``"f"``, ``{"f": "desc"}``, ``{"f": {"order":
-    "desc"}}``, or a list of those. Defaults: ascending (``_score``:
-    descending, like ES). Null placement follows ES: ``missing``
-    defaults to ``_last`` for BOTH directions (docs without the sort
-    field trail), and ``"_first"``/``"_last"`` overrides it."""
+    "desc"}}``, ``{"_geo_distance": {...}}`` (→ :class:`GeoSort`), or a
+    list of those. Defaults: ascending (``_score``: descending, like
+    ES). Null placement follows ES: ``missing`` defaults to ``_last``
+    for BOTH directions (docs without the sort field trail), and
+    ``"_first"``/``"_last"`` overrides it."""
     if spec is None:
         return ()
     if not isinstance(spec, list):
@@ -912,6 +1006,9 @@ def _sort(spec: Any) -> tuple[tuple[str, bool, bool], ...]:
             continue
         if isinstance(entry, dict) and len(entry) == 1:
             (fld, body), = entry.items()
+            if fld == "_geo_distance":
+                out.append(_geo_sort(body))
+                continue
             missing = None
             if isinstance(body, str):
                 order = body
@@ -933,6 +1030,10 @@ def _sort(spec: Any) -> tuple[tuple[str, bool, bool], ...]:
             out.append((fld, asc, nulls_first))
             continue
         raise DslError(f"bad sort entry: {entry!r}")
+    if sum(isinstance(f, GeoSort) for f, *_ in out) > 1:
+        raise DslError("at most one _geo_distance sort entry per request "
+                       "(engine subset: one _geo_distance response "
+                       "column)")
     return tuple(out)
 
 
@@ -949,8 +1050,11 @@ def _top_hits(name: str, body: Any) -> TopHits:
             isinstance(s, str) for s in source):
         raise DslError(f"top_hits agg {name!r}: _source must be "
                        "a field name or list of field names")
-    return TopHits(size=size, sort=_sort(body.get("sort")),
-                   source=tuple(source))
+    th_sort = _sort(body.get("sort"))
+    if any(isinstance(f, GeoSort) for f, *_ in th_sort):
+        raise DslError(f"top_hits agg {name!r}: _geo_distance sort is "
+                       "not supported inside top_hits (engine subset)")
+    return TopHits(size=size, sort=th_sort, source=tuple(source))
 
 
 def _ranges(name: str,
@@ -1045,6 +1149,39 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
         if len(set(flds)) != len(flds):
             raise DslError(f"matrix_stats agg {name!r}: duplicate fields")
         return MetricAgg(name, kind, flds[0], multi_fields=tuple(flds))
+    if kind == "top_metrics":
+        # ES shape: {"metrics": {"field": f} | [{...}, ...],
+        # "sort": {field: "asc"|"desc"}, "size": 1} — the metric field
+        # values of the TOP document under the sort. Engine subset:
+        # size 1 (the ES default; the flattened frame has no
+        # array-of-hits shape), plain-field sort only.
+        if not isinstance(body, dict):
+            raise DslError(f"top_metrics agg {name!r} must be an object")
+        mts = body.get("metrics")
+        if isinstance(mts, dict):
+            mts = [mts]
+        if not isinstance(mts, list) or not mts or not all(
+                isinstance(e, dict) and isinstance(e.get("field"), str)
+                for e in mts):
+            raise DslError(f"top_metrics agg {name!r} needs 'metrics' "
+                           "as {'field': name} or a list of those")
+        mfields = tuple(e["field"] for e in mts)
+        if len(set(mfields)) != len(mfields):
+            raise DslError(f"top_metrics agg {name!r}: duplicate "
+                           "metric fields")
+        size = body.get("size", 1)
+        if size != 1:
+            raise DslError(f"top_metrics agg {name!r}: only size 1 is "
+                           "supported (engine subset — the flattened "
+                           "frame carries one top document per bucket)")
+        tsort = _sort(body.get("sort"))
+        if len(tsort) != 1 or not isinstance(tsort[0][0], str) \
+                or tsort[0][0] == "_score":
+            raise DslError(f"top_metrics agg {name!r} needs exactly one "
+                           "plain-field sort entry")
+        sfield, sasc, _ = tsort[0]
+        return MetricAgg(name, kind, sfield, multi_fields=mfields,
+                         sort_asc=sasc)
     if not isinstance(body, dict) or "field" not in body:
         raise DslError(f"metric agg {name!r} needs {{'field': name}}")
     if kind in ("boxplot", "median_absolute_deviation"):
@@ -1100,7 +1237,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
     entries = list(spec.items())
     # peel off sibling pipeline aggs (avg_bucket & co) — they sit NEXT TO
     # the bucket agg in ES syntax and attach to it after parsing
-    sib_raw: list[tuple[str, str, str]] = []
+    sib_raw: list[tuple[str, str, str, tuple[float, ...]]] = []
     rest: list[tuple[str, Any]] = []
     for name, body in entries:
         if isinstance(body, dict) and body:
@@ -1113,7 +1250,19 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     raise DslError(
                         f"sibling agg {name!r} needs a 'buckets_path' "
                         "of the form 'bucket>metric'")
-                sib_raw.append((name, k, str(pbody["buckets_path"])))
+                percents: tuple[float, ...] = ()
+                if k == "percentiles_bucket":
+                    praw = pbody.get("percents", list(_DEFAULT_PERCENTS))
+                    if not isinstance(praw, list) or not praw or not all(
+                            isinstance(p, (int, float))
+                            and not isinstance(p, bool)
+                            and 0 <= p <= 100 for p in praw):
+                        raise DslError(
+                            f"percentiles_bucket agg {name!r}: percents "
+                            "must be numbers in [0, 100]")
+                    percents = tuple(float(p) for p in praw)
+                sib_raw.append((name, k, str(pbody["buckets_path"]),
+                                percents))
                 continue
         rest.append((name, body))
     entries = rest
@@ -1440,6 +1589,18 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         pipelines.append((n, kind, (path, lag)))
                     else:
                         pipelines.append((n, kind, path))
+                elif kind == "normalize":
+                    if "buckets_path" not in pbody:
+                        raise DslError(f"normalize agg {n!r} needs a "
+                                       "'buckets_path'")
+                    method = pbody.get("method")
+                    if method not in _NORMALIZE_METHODS:
+                        raise DslError(
+                            f"normalize agg {n!r}: method must be one "
+                            f"of {', '.join(_NORMALIZE_METHODS)}, got "
+                            f"{method!r}")
+                    pipelines.append(
+                        (n, kind, (str(pbody["buckets_path"]), method)))
                 elif kind in ("bucket_script", "bucket_selector"):
                     bp = pbody.get("buckets_path")
                     if not isinstance(bp, dict) or not bp \
@@ -1604,6 +1765,11 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     if path not in valid_paths:
                         raise DslError(f"pipeline agg {pn!r}: unknown "
                                        f"buckets_path {path!r}")
+                elif pk == "normalize":
+                    # any multi-bucket parent qualifies (ES normalize)
+                    if payload[0] not in valid_paths:
+                        raise DslError(f"pipeline agg {pn!r}: unknown "
+                                       f"buckets_path {payload[0]!r}")
                 elif pk in ("bucket_script", "bucket_selector"):
                     for tgt in payload[1].values():
                         if tgt != "_count" and tgt not in valid_paths:
@@ -1623,7 +1789,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     or "min" not in ebs or "max" not in ebs:
                 raise DslError("extended_bounds needs {'min': …, 'max': …}")
             eb = (ebs["min"], ebs["max"])
-        siblings: list[tuple[str, str, str]] = []
+        siblings: list[tuple[str, str, str, tuple[float, ...]]] = []
         if sib_raw:
             # sibling aggs aggregate over the TERMINAL (leaf) bucket
             # level's frame; the buckets_path must walk the full chain
@@ -1644,7 +1810,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             sib_valid = {"_count"} | {
                 n for m in leaf_metrics for n in m.out_names()}
             want = ">".join(chain)
-            for sn, sk, spath in sib_raw:
+            for sn, sk, spath, spcts in sib_raw:
                 *bkts, metric = spath.split(">")
                 if bkts != chain or metric not in sib_valid:
                     raise DslError(
@@ -1652,7 +1818,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         f"must be '{want}>[_count|leaf metric]'")
                 siblings.append(
                     (sn, sk,
-                     count_col if metric == "_count" else metric))
+                     count_col if metric == "_count" else metric,
+                     spcts))
         return BucketAgg(
             name=name, kind=first_kind,
             field=params.get("field", ""),
@@ -1695,8 +1862,29 @@ def _node(q: dict[str, Any]) -> Node:
         return _boosted(Term(field, _scalar(value)), boost)
     if kind == "terms":
         field, values = _single(body)
+        if isinstance(values, dict):
+            # ES terms lookup: the list lives in another document
+            # ({"index", "id", "path"}, optional "routing" rejected —
+            # single-engine, no routing); resolved by the engine before
+            # compile (ast.TermsLookup)
+            extra = set(values) - {"index", "id", "path"}
+            if extra:
+                raise DslError(f"terms lookup: unsupported keys "
+                               f"{sorted(extra)} (engine subset: "
+                               "index/id/path)")
+            bad = [k for k in ("index", "path")
+                   if not isinstance(values.get(k), str)]
+            if not isinstance(values.get("id"), (str, int)) \
+                    or isinstance(values.get("id"), bool):
+                bad.append("id")
+            if bad:
+                raise DslError("terms lookup needs 'index'/'path' "
+                               "strings and a string-or-int 'id' "
+                               f"(missing/bad: {bad})")
+            return TermsLookup(field, str(values["index"]),
+                               str(values["id"]), str(values["path"]))
         if not isinstance(values, list):
-            raise DslError("terms needs a list")
+            raise DslError("terms needs a list or a lookup object")
         if not values:
             # ES: empty terms list is a valid match-no-docs query
             return MatchNone()

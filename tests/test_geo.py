@@ -418,3 +418,123 @@ def test_geo_metric_rejects_non_geo_field(geo_engine):
             {"query": {"match_all": {}},
              "aggs": {"c": {"geo_centroid": {"field": "tag"}}}})) \
             .collect()
+
+
+# ---------------------------------------------------------------- geo sort
+
+ORIGIN = {"lat": 57.64911, "lon": 10.40744}   # row 1 exactly
+
+
+def _geo_sort_q(order="asc", unit="m", extra=""):
+    return ('{"query":{"match_all":{}},"sort":[{"_geo_distance":'
+            '{"loc":{"lat":57.64911,"lon":10.40744},'
+            f'"order":"{order}","unit":"{unit}"}}{extra}}}]}}')
+
+
+def test_geo_sort_asc_order_and_values(geo_engine):
+    rows = geo_engine.search(
+        "pts", "#options:load-rows=false#" + _geo_sort_q()).collect()
+    # nearest-first: 1 (0 m), 2 (~11 m), 3 (~7.8 km), pole (~3597 km),
+    # then the NYC pair (~6200 km, row 5 a hair nearer); the null point
+    # trails (missing geo = Infinity, ES)
+    assert [r["id"] for r in rows] == [1, 2, 3, 7, 5, 4, 6]
+    assert rows[0]["_geo_distance"] == 0.0
+    want = hav_m(57.64920, 10.40750, ORIGIN["lat"], ORIGIN["lon"])
+    assert abs(rows[1]["_geo_distance"] - want) < 1e-9
+    assert rows[-1]["_geo_distance"] is None
+
+
+def test_geo_sort_desc_puts_missing_first(geo_engine):
+    rows = geo_engine.search(
+        "pts", "#options:load-rows=false#" + _geo_sort_q("desc")).collect()
+    assert [r["id"] for r in rows] == [6, 4, 5, 7, 3, 2, 1]
+
+
+def test_geo_sort_unit_scales_values(geo_engine):
+    m = geo_engine.search(
+        "pts", "#options:load-rows=false#" + _geo_sort_q()).collect()
+    km = geo_engine.search(
+        "pts", "#options:load-rows=false#" + _geo_sort_q(unit="km")
+    ).collect()
+    assert abs(km[2]["_geo_distance"] * 1000.0
+               - m[2]["_geo_distance"]) < 1e-9
+
+
+def test_geo_sort_search_after_pages(geo_engine):
+    first = geo_engine.search(
+        "pts", "#options:load-rows=false#" + _geo_sort_q(),
+        limit=2).collect()
+    assert [r["id"] for r in first] == [1, 2]
+    nxt = geo_engine.search(
+        "pts", "#options:load-rows=false#" + _geo_sort_q(), limit=2,
+        search_after=(first[-1]["_geo_distance"], first[-1]["id"]),
+    ).collect()
+    assert [r["id"] for r in nxt] == [3, 7]
+
+
+def test_geo_sort_rides_row_load(geo_engine):
+    # default load-rows mode: the J1 join carries the distance column
+    rows = geo_engine.search("pts", _geo_sort_q(), limit=3).collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert "tag" in rows[0].asDict() and "_geo_distance" in rows[0].asDict()
+
+
+def test_geo_sort_falls_back_to_scan_with_indexes(spark):
+    # a postings/range index on other fields must not break the geo
+    # sort: GeoSort is never index-servable, the request stays on the
+    # scan plan and returns the same ranking
+    df = (spark.createDataFrame(
+        ROWS, "id bigint, lat double, lon double, tag string, w double")
+        .select("id", "tag", "w", F.struct("lat", "lon").alias("loc")))
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("pts_sorted", ["id"]))
+    eng.build_range_index("pts_sorted", "w")
+    rows = eng.search(
+        "pts_sorted", "#options:load-rows=false#" + _geo_sort_q()
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2, 3, 7, 5, 4, 6]
+
+
+@pytest.mark.parametrize("body, msg", [
+    ('{"loc":[10.4,57.6],"mode":"min"}', "mode"),
+    ('{"loc":[10.4,57.6],"distance_type":"plane"}', "distance_type"),
+    ('{"loc":[10.4,57.6],"unit":"parsec"}', "unknown unit"),
+    ('{"loc":[[10.4,57.6],[1.0,2.0]]}', "multiple origin points"),
+    ('{"loc":[10.4,57.6],"order":"sideways"}', "asc/desc"),
+    ('{}', "exactly one geo field"),
+])
+def test_geo_sort_typed_errors(geo_engine, body, msg):
+    q = ('{"query":{"match_all":{}},"sort":[{"_geo_distance":'
+         + body + '}]}')
+    with pytest.raises(DslError, match=msg):
+        geo_engine.search("pts", q).collect()
+
+
+def test_geo_sort_rejects_non_geo_field(geo_engine):
+    with pytest.raises(DslError, match="struct<lat, lon>"):
+        geo_engine.search(
+            "pts", '{"query":{"match_all":{}},"sort":'
+            '[{"_geo_distance":{"tag":[10.4,57.6]}}]}').collect()
+
+
+def test_geo_sort_rejects_two_entries_and_top_hits(geo_engine):
+    two = ('{"query":{"match_all":{}},"sort":['
+           '{"_geo_distance":{"loc":[10.4,57.6]}},'
+           '{"_geo_distance":{"loc":[0.0,0.0]}}]}')
+    with pytest.raises(DslError, match="at most one _geo_distance"):
+        geo_engine.search("pts", two).collect()
+    th = ('{"query":{"match_all":{}},"aggs":{"t":{"terms":'
+          '{"field":"tag"},"aggs":{"h":{"top_hits":{"size":1,"sort":'
+          '[{"_geo_distance":{"loc":[10.4,57.6]}}]}}}}}}')
+    with pytest.raises(DslError, match="top_hits"):
+        geo_engine.search_aggs("pts", th).collect()
+
+
+def test_geo_sort_secondary_after_field_sort(geo_engine):
+    # geo sort composes as a secondary criterion under a field sort
+    q = ('{"query":{"match_all":{}},"sort":[{"tag":"asc"},'
+         '{"_geo_distance":{"loc":{"lat":57.64911,"lon":10.40744},'
+         '"order":"asc"}}]}')
+    rows = geo_engine.search(
+        "pts", "#options:load-rows=false#" + q).collect()
+    assert [r["id"] for r in rows] == [1, 2, 3, 6, 5, 4, 7]

@@ -2,7 +2,7 @@
 it verbatim to ES (ref ElasticIndex.java:663-667); the engine already
 served the one-doc API form (``SearchEngine.more_like_this``) — this is
 the full query-DSL form resolved through the engine-rewrite seam
-(``_expand_mlt``, same pattern as match_phrase_prefix max_expansions):
+(``_expand_data_nodes``, same pattern as match_phrase_prefix max_expansions):
 
 - like = free text and/or {"_id": ...} refs (one key-filtered lookup)
 - candidate terms: standard-analyzed, tf >= min_term_freq
