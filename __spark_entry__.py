@@ -574,6 +574,22 @@ def q_search_bool_prefix(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_sampler_diversified(spark, sf_dir):
+    # ES diversified_sampler (r9): the 200 best-scoring 'spark' matches
+    # with at most 3 docs per source, then per-lang terms buckets over
+    # the sample. Fully deterministic (score desc, doc_id asc at both
+    # the per-source cap and the top-200 cut), so the oracle re-derives
+    # the sample with two DuckDB row_number windows. source/lang are
+    # never null in the fixture, so the null-group convention (never
+    # limited) is pinned in tests, not here.
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"text":"spark"}},"aggs":{'
+         '"s":{"diversified_sampler":{"shard_size":200,'
+         '"field":"source","max_docs_per_value":3},'
+         '"aggs":{"by":{"terms":{"field":"lang","size":50}}}}}}')
+    return eng.search_aggs("documents", q, default_field="text")
+
+
 def q_search_terms_lookup(spark, sf_dir):
     # ES terms lookup (r9): the terms list fetched from ONE other
     # document — here a self-lookup, "docs with the same lang as doc
@@ -2099,6 +2115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r9; desugar to the served Term/Wildcard shape)
         "search_terms_lookup": q_search_terms_lookup,  # ~ terms family
         #   (r9; data-driven terms list via one id-filtered row fetch)
+        "search_sampler_diversified": q_search_sampler_diversified,
+        #   ~ aggs family (r9; per-source cap + top-200 sample, both
+        #   deterministic — oracle re-derives with two windows)
         "search_combined_fields": q_search_combined_fields,  # ~ multi-
         #   field family (r9; Σ per-field tf, documented no-BM25F)
         "search_mlt_dsl": q_search_mlt_dsl,  # ~ MLT family (r9 DSL form;
@@ -3561,6 +3580,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events, i
             WHERE event_type = 'click' AND ts IS NOT NULL
             GROUP BY 1
+        """,
+        # diversified_sampler (r9): two row_number windows re-derive
+        # the per-source cap and the top-200 sample, then the per-lang
+        # terms frame (count desc, key asc)
+        "search_sampler_diversified": f"""
+            WITH s AS (
+                SELECT doc_id, lang, source,
+                       len(regexp_extract_all(text, '{_SPARK}')) AS sc
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0),
+            capped AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY sc DESC, doc_id ASC) AS prn
+                FROM s),
+            sample AS (
+                SELECT * FROM capped WHERE prn <= 3
+                ORDER BY sc DESC, doc_id ASC LIMIT 200)
+            SELECT lang AS key, COUNT(*)::BIGINT AS doc_count
+            FROM sample GROUP BY lang
+            ORDER BY doc_count DESC, key ASC
         """,
         # terms lookup (r9): the term is doc 42's lang — a scalar
         # subquery twin of the engine's one-row fetch; lang is one

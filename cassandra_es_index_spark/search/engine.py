@@ -4282,6 +4282,45 @@ class SearchEngine:
             return exprs
 
         aggs = req.aggs
+        if isinstance(aggs, es_dsl.SamplerAgg):
+            # sampler / diversified_sampler (r9): rebind the agg frame
+            # to the top shard_size highest-scoring matches BEFORE the
+            # sub-aggregations run. Scores come from the postings hits
+            # when the query is index-served (no re-scan), else from
+            # the compiled score expression over the match set; the
+            # truncation is a TakeOrdered (per-partition top-k + a
+            # k-sized merge), never a full sort. Diversification is one
+            # groupBy-shaped window capped at max_docs_per_value —
+            # null-field docs are never limited (collapse's null
+            # convention, documented).
+            keys = list(spec.key_columns)
+            if ph is not None:
+                sid = self._postings_id_col(spec)
+                scored = filtered.join(
+                    ph.select(F.col("doc").alias(sid),
+                              F.col(SCORE).alias("_sscore")), on=sid)
+            else:
+                _, sscore = comp.compile(req.node)
+                scored = filtered.withColumn(
+                    "_sscore", sscore.cast("double"))
+            rank = [F.desc("_sscore")] + [F.asc(k) for k in keys]
+            if aggs.kind == "diversified_sampler":
+                dref = comp.resolve(aggs.field).col
+                gkey = F.when(dref.isNull(), F.concat_ws(
+                    "\x00", *[F.col(k).cast("string") for k in keys])) \
+                    .otherwise(dref.cast("string"))
+                w = Window.partitionBy(gkey).orderBy(*rank)
+                scored = (scored.withColumn("_drn",
+                                            F.row_number().over(w))
+                          .where(F.col("_drn")
+                                 <= aggs.max_docs_per_value)
+                          .drop("_drn"))
+            filtered = (scored.orderBy(*rank).limit(aggs.shard_size)
+                        .drop("_sscore"))
+            if aggs.sub is None:
+                return filtered.agg(
+                    F.count("*").cast("long").alias("doc_count"))
+            aggs = aggs.sub
         # auto_date_histogram: resolve the target bucket COUNT to a
         # concrete fixed interval from the match set's min/max span
         # (ONE two-value driver collect), then run the ordinary

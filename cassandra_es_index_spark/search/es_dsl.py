@@ -571,6 +571,28 @@ class SingleBucketAgg:
 
 
 @dataclass(frozen=True)
+class SamplerAgg:
+    """ES ``sampler`` / ``diversified_sampler`` (r9): restrict the
+    sub-aggregations to the top ``shard_size`` highest-SCORING matches
+    (single engine = one shard, so shard_size IS the sample size —
+    deterministic: score desc, primary key asc). ``diversified_sampler``
+    first caps each distinct ``field`` value at ``max_docs_per_value``
+    best-scoring docs (one groupBy-shaped window); docs with a NULL
+    field value are never diversity-limited (each forms its own group —
+    the engine's collapse null convention, documented vs Lucene's
+    single missing-key bucket). Top level only; the flattened output is
+    the sub-aggregation's frame computed over the sample (one
+    ``doc_count`` row when no sub-aggs are declared)."""
+    name: str
+    kind: str                       # sampler | diversified_sampler
+    shard_size: int = 100
+    field: str = ""                 # diversified only
+    max_docs_per_value: int = 1     # diversified only
+    sub: ("BucketAgg | CompositeAgg | SingleBucketAgg | "
+          "tuple[MetricAgg, ...] | None") = None
+
+
+@dataclass(frozen=True)
 class Request:
     """A parsed search request body."""
     node: Node
@@ -1351,6 +1373,48 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         for n, sp in (body.get("aggs") or {}).items())
         return CompositeAgg(name, tuple(sources), size=size,
                             after=after, metrics=metrics)
+    if first_kind in ("sampler", "diversified_sampler"):
+        if len(entries) != 1:
+            raise DslError("exactly one bucket agg is supported per request")
+        name, body = entries[0]
+        extra = set(body) - {first_kind, "aggs"}
+        if extra:
+            raise DslError(f"unexpected keys {sorted(extra)} in "
+                           f"sampler agg {name!r}")
+        params = body[first_kind] or {}
+        if not isinstance(params, dict):
+            raise DslError(f"sampler agg {name!r} must be an object")
+        allowed = {"shard_size"} if first_kind == "sampler" \
+            else {"shard_size", "field", "max_docs_per_value"}
+        bad = set(params) - allowed
+        if bad:
+            raise DslError(f"sampler agg {name!r}: unsupported "
+                           f"parameters {sorted(bad)}")
+        shard_size = params.get("shard_size", 100)
+        if not isinstance(shard_size, int) or isinstance(shard_size, bool) \
+                or shard_size <= 0:
+            raise DslError(f"sampler agg {name!r}: shard_size must be a "
+                           "positive integer")
+        field = ""
+        max_per = 1
+        if first_kind == "diversified_sampler":
+            field = params.get("field")
+            if not isinstance(field, str) or not field:
+                raise DslError(f"diversified_sampler agg {name!r} needs "
+                               "a 'field' (engine subset: field-based "
+                               "diversification only)")
+            max_per = params.get("max_docs_per_value", 1)
+            if not isinstance(max_per, int) or isinstance(max_per, bool) \
+                    or max_per <= 0:
+                raise DslError(f"diversified_sampler agg {name!r}: "
+                               "max_docs_per_value must be a positive "
+                               "integer")
+        sub = _aggs(body.get("aggs")) if body.get("aggs") else None
+        if isinstance(sub, SamplerAgg):
+            raise DslError("sampler aggs do not nest (top level only)")
+        return SamplerAgg(name, first_kind, shard_size=shard_size,
+                          field=field, max_docs_per_value=max_per,
+                          sub=sub)
     if first_kind in _SINGLE_BUCKET_KINDS:
         if len(entries) != 1:
             raise DslError("exactly one bucket agg is supported per request")
