@@ -574,6 +574,36 @@ def q_search_bool_prefix(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_nested_agg(spark, sf_dir):
+    # ES nested agg (r9): orders carry their lineitems as array<struct>
+    # (the q_search_nested fixture shape); the agg explodes ONCE and
+    # buckets the ELEMENTS per returnflag with a qty sum + exact median
+    # — doc_count = element count (ES nested contract). The oracle
+    # skips the collect_list/explode roundtrip and aggregates lineitem
+    # directly: identical frames by construction.
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    items = (li.groupBy("l_orderkey")
+               .agg(F.collect_list(F.struct(
+                   F.col("l_quantity").alias("qty"),
+                   F.col("l_returnflag").alias("rf"))).alias("items")))
+    docs = (orders.select("o_orderkey")
+            .join(items, orders["o_orderkey"] == items["l_orderkey"],
+                  "left")
+            .drop("l_orderkey"))
+    eng = SearchEngine(spark)
+    eng.register(docs, TableSpec("orders_nested_agg", ["o_orderkey"]))
+    q = ('{"query":{"match_all":{}},"aggs":{'
+         '"n":{"nested":{"path":"items"},"aggs":{'
+         '"by":{"terms":{"field":"items.rf"},"aggs":{'
+         '"s":{"sum":{"field":"items.qty"}},'
+         '"med":{"percentiles":{"field":"items.qty",'
+         '"percents":[50.0]}}}}}}}}')
+    out = eng.search_aggs("orders_nested_agg", q)
+    return (out.withColumn("s", F.round("s", 4))
+               .withColumn("med_p50", F.round("med_p50", 4)))
+
+
 def q_search_sampler_diversified(spark, sf_dir):
     # ES diversified_sampler (r9): the 200 best-scoring 'spark' matches
     # with at most 3 docs per source, then per-lang terms buckets over
@@ -2118,6 +2148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sampler_diversified": q_search_sampler_diversified,
         #   ~ aggs family (r9; per-source cap + top-200 sample, both
         #   deterministic — oracle re-derives with two windows)
+        "search_nested_agg": q_search_nested_agg,  # ~ aggs family (r9;
+        #   element-frame buckets — oracle aggregates lineitem directly,
+        #   skipping the collect_list/explode roundtrip)
         "search_combined_fields": q_search_combined_fields,  # ~ multi-
         #   field family (r9; Σ per-field tf, documented no-BM25F)
         "search_mlt_dsl": q_search_mlt_dsl,  # ~ MLT family (r9 DSL form;
@@ -3580,6 +3613,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events, i
             WHERE event_type = 'click' AND ts IS NOT NULL
             GROUP BY 1
+        """,
+        # nested agg (r9): the element frame IS lineitem — aggregate
+        # it directly (terms order: count desc, key asc, size 10)
+        "search_nested_agg": """
+            SELECT l_returnflag AS key, COUNT(*)::BIGINT AS doc_count,
+                   ROUND(SUM(l_quantity), 4) AS s,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_p50
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 10
         """,
         # diversified_sampler (r9): two row_number windows re-derive
         # the per-source cap and the top-200 sample, then the per-lang

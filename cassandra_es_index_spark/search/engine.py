@@ -4321,6 +4321,31 @@ class SearchEngine:
                 return filtered.agg(
                     F.count("*").cast("long").alias("doc_count"))
             aggs = aggs.sub
+        if isinstance(aggs, es_dsl.NestedAgg):
+            # nested agg (r9): ONE explode rebinds the agg frame to the
+            # array ELEMENTS — the path column is replaced by the
+            # element struct, so `items.rating` resolves through the
+            # ordinary struct descent and every downstream kind
+            # composes unchanged. Docs with a null/empty array
+            # contribute no elements (plain explode — ES doc_count
+            # semantics). The explode multiplies rows, never shuffles;
+            # downstream groupBys aggregate the element frame exactly
+            # as they would documents.
+            from pyspark.sql import types as T
+            nref = comp.resolve(aggs.path)
+            if not isinstance(nref.dtype, T.ArrayType) \
+                    or not isinstance(nref.dtype.elementType,
+                                      T.StructType):
+                raise es_dsl.DslError(
+                    f"nested agg path {aggs.path!r} must be an "
+                    f"array<struct> column, got "
+                    f"{nref.dtype.simpleString()}")
+            filtered = filtered.withColumn(aggs.path, F.explode(nref.col))
+            comp = Compiler(filtered, comp.default_field)
+            if aggs.sub is None:
+                return filtered.agg(
+                    F.count("*").cast("long").alias("doc_count"))
+            aggs = aggs.sub
         # auto_date_histogram: resolve the target bucket COUNT to a
         # concrete fixed interval from the match set's min/max span
         # (ONE two-value driver collect), then run the ordinary

@@ -593,6 +593,25 @@ class SamplerAgg:
 
 
 @dataclass(frozen=True)
+class NestedAgg:
+    """ES ``nested`` aggregation (r9): the sub-aggregations run over the
+    ELEMENTS of an array-of-structs field — doc_count semantics switch
+    from documents to elements (ES nested agg contract). The engine
+    explodes the path once and rebinds the agg frame, so element fields
+    resolve by their ES dotted path (``items.rating``) through the
+    ordinary struct descent; every bucket/metric/pipeline kind composes
+    unchanged over the element frame. Engine subset (typed): top level
+    only (optionally under a sampler), ONE nested level (no
+    nested-in-nested), path = a top-level array<struct> column,
+    ``reverse_nested`` not supported (the flattened output has no
+    per-bucket parent identity column to return to)."""
+    name: str
+    path: str
+    sub: ("BucketAgg | CompositeAgg | SingleBucketAgg | "
+          "tuple[MetricAgg, ...] | None") = None
+
+
+@dataclass(frozen=True)
 class Request:
     """A parsed search request body."""
     node: Node
@@ -1373,6 +1392,28 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         for n, sp in (body.get("aggs") or {}).items())
         return CompositeAgg(name, tuple(sources), size=size,
                             after=after, metrics=metrics)
+    if first_kind == "nested":
+        if len(entries) != 1:
+            raise DslError("exactly one bucket agg is supported per request")
+        name, body = entries[0]
+        extra = set(body) - {"nested", "aggs"}
+        if extra:
+            raise DslError(f"unexpected keys {sorted(extra)} in nested "
+                           f"agg {name!r}")
+        params = body["nested"]
+        if not isinstance(params, dict) \
+                or not isinstance(params.get("path"), str):
+            raise DslError(f"nested agg {name!r} needs a 'path' string")
+        if "." in params["path"]:
+            raise DslError(f"nested agg {name!r}: path must be a "
+                           "top-level array field (one nested level — "
+                           "engine subset)")
+        sub = _aggs(body.get("aggs")) if body.get("aggs") else None
+        if isinstance(sub, (NestedAgg, SamplerAgg)):
+            raise DslError("nested aggs hold ordinary bucket/metric "
+                           "sub-aggs only (no nested-in-nested or "
+                           "sampler — engine subset)")
+        return NestedAgg(name, params["path"], sub=sub)
     if first_kind in ("sampler", "diversified_sampler"):
         if len(entries) != 1:
             raise DslError("exactly one bucket agg is supported per request")
