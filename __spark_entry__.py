@@ -574,6 +574,27 @@ def q_search_bool_prefix(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_runtime_fields(spark, sf_dir):
+    # ES runtime_mappings (r9): a search-time computed `revenue` field
+    # (painless arithmetic subset → one Column expression) used by BOTH
+    # the query (range gate) and the aggs (per-returnflag sum). The
+    # oracle repeats the identical ::DOUBLE arithmetic in the same
+    # operation order, so the gate boundary is bit-deterministic; the
+    # summed doubles round to 2 (cents on ~1e8 values).
+    li = _t(spark, sf_dir, "lineitem")
+    eng = SearchEngine(spark)
+    eng.register(li, TableSpec("lineitem_rt",
+                               ["l_orderkey", "l_linenumber"]))
+    q = ('{"runtime_mappings":{"revenue":{"type":"double","script":'
+         '{"source":"emit(doc[\'l_extendedprice\'].value'
+         ' * (1 - doc[\'l_discount\'].value))"}}},'
+         '"query":{"range":{"revenue":{"gte":50000}}},'
+         '"aggs":{"by":{"terms":{"field":"l_returnflag"},'
+         '"aggs":{"r":{"sum":{"field":"revenue"}}}}}}')
+    out = eng.search_aggs("lineitem_rt", q)
+    return out.withColumn("r", F.round("r", 2))
+
+
 def q_search_nested_agg(spark, sf_dir):
     # ES nested agg (r9): orders carry their lineitems as array<struct>
     # (the q_search_nested fixture shape); the agg explodes ONCE and
@@ -2151,6 +2172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_nested_agg": q_search_nested_agg,  # ~ aggs family (r9;
         #   element-frame buckets — oracle aggregates lineitem directly,
         #   skipping the collect_list/explode roundtrip)
+        "search_runtime_fields": q_search_runtime_fields,  # ~ request-
+        #   surface family (r9; computed field in query + aggs, oracle
+        #   repeats the identical ::DOUBLE arithmetic)
         "search_combined_fields": q_search_combined_fields,  # ~ multi-
         #   field family (r9; Σ per-field tf, documented no-BM25F)
         "search_mlt_dsl": q_search_mlt_dsl,  # ~ MLT family (r9 DSL form;
@@ -3613,6 +3637,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events, i
             WHERE event_type = 'click' AND ts IS NOT NULL
             GROUP BY 1
+        """,
+        # runtime_mappings (r9): the same ::DOUBLE arithmetic in the
+        # same operation order — gate + per-flag sum
+        "search_runtime_fields": """
+            WITH r AS (
+                SELECT l_returnflag,
+                       l_extendedprice::DOUBLE
+                       * (1 - l_discount::DOUBLE) AS rev
+                FROM lineitem)
+            SELECT l_returnflag AS key, COUNT(*)::BIGINT AS doc_count,
+                   ROUND(SUM(rev), 2) AS r
+            FROM r
+            WHERE rev >= 50000.0::DOUBLE
+            GROUP BY l_returnflag
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 10
         """,
         # nested agg (r9): the element frame IS lineitem — aggregate
         # it directly (terms order: count desc, key asc, size 10)

@@ -1190,6 +1190,30 @@ class SearchEngine:
         return df.orderBy(*SearchEngine._sort_exprs(ordering))
 
     @staticmethod
+    def _apply_runtime(docs: DataFrame, req: "es_dsl.Request") -> DataFrame:
+        """ES ``runtime_mappings`` (r9): add the request's runtime
+        fields as computed columns BEFORE compile — query, aggs, sort,
+        and script_fields then resolve them like stored fields. Pure
+        Column expressions (the painless arithmetic subset compiled at
+        parse); Catalyst prunes them from plans that never read them.
+        Shadowing a stored column is a typed error (ES allows it; the
+        engine keeps one name = one column, documented)."""
+        for rname, rtype, rsql in req.runtime:
+            if rname in docs.columns:
+                raise es_dsl.DslError(
+                    f"runtime field {rname!r} shadows a stored column "
+                    "(engine subset: runtime names must be new)")
+            for ref_col in re.findall(r"`([^`]+)`", rsql):
+                # earlier runtime fields are already columns here, so
+                # runtime-on-runtime references resolve in order
+                if ref_col not in docs.columns:
+                    raise es_dsl.DslError(
+                        f"runtime field {rname!r} references unknown "
+                        f"field {ref_col!r}")
+            docs = docs.withColumn(rname, F.expr(rsql).cast(rtype))
+        return docs
+
+    @staticmethod
     def _geo_sort_col(comp: "Compiler", gs: "es_dsl.GeoSort") -> Column:
         """The ``_geo_distance`` sort value: haversine meters from the
         origin scaled to the requested unit — pure Column math on the
@@ -1264,6 +1288,7 @@ class SearchEngine:
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_data_nodes(req, table, docs, default_field)
+        docs = self._apply_runtime(docs, req)
         node, size = req.node, req.size
         after = tuple(search_after) if search_after is not None \
             else req.search_after
@@ -3430,6 +3455,7 @@ class SearchEngine:
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_data_nodes(req, table, docs, default_field)
+        docs = self._apply_runtime(docs, req)
         ph = self._postings_hits(table, req.node, default_field)
         if ph is not None:
             return ph.count()
@@ -3454,6 +3480,7 @@ class SearchEngine:
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_data_nodes(req, table, docs, default_field)
+        docs = self._apply_runtime(docs, req)
         comp = Compiler(docs, default_field)
         pred, score = comp.compile(req.node)
 
@@ -4030,6 +4057,7 @@ class SearchEngine:
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_data_nodes(req, table, docs, default_field)
+        docs = self._apply_runtime(docs, req)
         if req.aggs is None:
             raise ValueError("request has no aggs section")
         if req.suggest is not None:

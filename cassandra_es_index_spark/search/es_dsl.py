@@ -220,6 +220,12 @@ def _compile_doc_script(name: str, script: str) -> str:
     return _arith_sql(name, substituted)
 
 
+# ES runtime_mappings types the arithmetic-script subset can produce →
+# the Spark cast target (keyword/date need string/date-producing
+# painless, outside the subset — typed error)
+_RUNTIME_TYPES = {"double": "double", "long": "bigint",
+                  "boolean": "boolean"}
+
 # the function kinds a function_score query / functions-array entry may
 # carry (exactly one per entry)
 _FS_FN_KEYS = ("field_value_factor", "script_score", "random_score",
@@ -665,6 +671,14 @@ class Request:
     # applied to the match set BEFORE ranking/pagination and before the
     # metadata totals, like ES
     min_score: float | None = None
+    # ES `runtime_mappings` (r9): ((name, spark type, sql expr), ...) —
+    # search-time computed fields over the painless arithmetic subset
+    # (`doc['f'].value` refs, the script_fields grammar; an `emit(...)`
+    # wrapper unwraps). The engine adds them as computed columns before
+    # compile, so query/aggs/sort/script_fields all see them; queries
+    # over runtime fields always take the scan plan (no index holds a
+    # computed column). Engine subset: double/long/boolean types.
+    runtime: tuple[tuple[str, str, str], ...] = ()
     # ES `post_filter` (r9): an extra filter applied to the HIT LIST
     # only — scores stay those of `query` alone (filter context), and
     # aggregations keep the pre-post_filter scope (the faceted-nav
@@ -948,6 +962,36 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         if len({n for n, _ in out_sf}) != len(out_sf):
             raise DslError("duplicate script_fields names")
         script_fields = tuple(out_sf)
+    runtime: tuple[tuple[str, str, str], ...] = ()
+    rmspec = obj.get("runtime_mappings")
+    if rmspec is not None:
+        if not isinstance(rmspec, dict) or not rmspec:
+            raise DslError("runtime_mappings must be a non-empty object")
+        out_rm = []
+        for rname, rbody in rmspec.items():
+            if not isinstance(rbody, dict):
+                raise DslError(f"runtime field {rname!r} must be an "
+                               "object")
+            rtype = rbody.get("type")
+            if rtype not in _RUNTIME_TYPES:
+                raise DslError(
+                    f"runtime field {rname!r}: type must be one of "
+                    f"{', '.join(sorted(_RUNTIME_TYPES))} (engine "
+                    f"subset — arithmetic scripts), got {rtype!r}")
+            rb = rbody.get("script")
+            src = rb.get("source") if isinstance(rb, dict) else rb
+            if not isinstance(src, str):
+                raise DslError(f"runtime field {rname!r} needs a "
+                               "'script' with a string source")
+            m = _re.fullmatch(r"\s*emit\s*\((.*)\)\s*;?\s*", src,
+                              _re.DOTALL)
+            if m is not None:
+                src = m.group(1)
+            out_rm.append((str(rname), _RUNTIME_TYPES[rtype],
+                           _compile_doc_script(rname, src)))
+        if len({n for n, *_ in out_rm}) != len(out_rm):
+            raise DslError("duplicate runtime field names")
+        runtime = tuple(out_rm)
     if nested_inner is not None and collapse_inner is not None:
         raise DslError(
             "nested inner_hits and collapse inner_hits cannot combine "
@@ -968,6 +1012,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         script_fields=script_fields,
         source_filter=source_filter,
         min_score=min_score,
+        runtime=runtime,
         post_filter=_node(pf) if pf is not None else None,
         track_total_hits=tth,
         suggest=obj.get("suggest"),
