@@ -641,6 +641,17 @@ def q_search_sampler_diversified(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_search_match_operator(spark, sf_dir):
+    # ES match operator/minimum_should_match (r9): both tokens required
+    # (operator and, score Σ tf) UNION-style beside an msm form is
+    # overkill for one oracle — this pins operator=and; the msm
+    # covering form is search_mlt_dsl's TermsSet shape, pinned there
+    # and in test_match_params.py.
+    q = ('{"query":{"match":{"text":'
+         '{"query":"spark table","operator":"and"}}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_terms_lookup(spark, sf_dir):
     # ES terms lookup (r9): the terms list fetched from ONE other
     # document — here a self-lookup, "docs with the same lang as doc
@@ -2166,6 +2177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r9; desugar to the served Term/Wildcard shape)
         "search_terms_lookup": q_search_terms_lookup,  # ~ terms family
         #   (r9; data-driven terms list via one id-filtered row fetch)
+        "search_match_operator": q_search_match_operator,  # ~ match
+        #   family (r9; operator=and — previously a silent drop)
         "search_sampler_diversified": q_search_sampler_diversified,
         #   ~ aggs family (r9; per-source cap + top-200 sample, both
         #   deterministic — oracle re-derives with two windows)
@@ -3685,6 +3698,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang AS key, COUNT(*)::BIGINT AS doc_count
             FROM sample GROUP BY lang
             ORDER BY doc_count DESC, key ASC
+        """,
+        # match operator=and (r9): both tokens required, score = Σ tf
+        "search_match_operator": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}')) AS t1,
+                       len(regexp_extract_all(text,
+                           '(?i)\\btable\\b')) AS t2
+                FROM documents)
+            SELECT doc_id, (t1 + t2)::BIGINT AS _score
+            FROM s WHERE t1 > 0 AND t2 > 0
         """,
         # terms lookup (r9): the term is doc 42's lang — a scalar
         # subquery twin of the engine's one-row fetch; lang is one

@@ -329,6 +329,34 @@ def _pct_label(p: float) -> str:
     return (f"{p:g}").replace(".", "_")
 
 
+def _msm_count(msm: Any, n_terms: int, ctx: str) -> int:
+    """Resolve an ES ``minimum_should_match`` value (positive int or
+    ``"N%"`` — the engine subset; ES's negative/combination grammar is
+    typed-rejected) to a clause-count floor, clamped to ≥1 (Lucene
+    CoveringQuery treats sub-1 floors as 1)."""
+    if isinstance(msm, bool):
+        raise DslError(f"{ctx}: bad minimum_should_match {msm!r}")
+    if isinstance(msm, int):
+        if msm <= 0:
+            raise DslError(f"{ctx}: minimum_should_match must be a "
+                           "positive integer or 'N%' (engine subset)")
+        # a floor above the clause count is unsatisfiable and matches
+        # nothing — exactly what the covering count produces
+        return msm
+    if isinstance(msm, str) and msm.endswith("%"):
+        try:
+            pct = int(msm[:-1])
+        except ValueError as e:
+            raise DslError(
+                f"{ctx}: bad minimum_should_match {msm!r}") from e
+        if pct <= 0 or pct > 100:
+            raise DslError(f"{ctx}: minimum_should_match percentage "
+                           "must be in (0, 100] (engine subset)")
+        return max(1, n_terms * pct // 100)
+    raise DslError(f"{ctx}: minimum_should_match must be a positive "
+                   f"integer or 'N%', got {msm!r}")
+
+
 def sibling_out_names(sn: str, sk: str,
                       percents: tuple[float, ...]) -> tuple[str, ...]:
     """Flattened output columns of one sibling pipeline agg entry —
@@ -2043,23 +2071,59 @@ def _node(q: dict[str, Any]) -> Node:
         field, value = _single(body)
         fuzziness = None
         boost = None
+        operator = "or"
+        msm = None
         if isinstance(value, dict):
+            extra = set(value) - {"query", "fuzziness", "boost",
+                                  "operator", "minimum_should_match"}
+            if extra:
+                # reject rather than silently drop — a dropped operator
+                # changes the match set with no signal (r9)
+                raise DslError(f"match: unsupported parameters "
+                               f"{sorted(extra)} (engine subset)")
             fuzziness = value.get("fuzziness")
             boost = value.get("boost")
+            operator = value.get("operator", "or")
+            if operator not in ("or", "and"):
+                raise DslError(
+                    f"match operator must be or/and, got {operator!r}")
+            msm = value.get("minimum_should_match")
             value = value.get("query")
-        # match = analyzed OR-of-tokens over one field; with `fuzziness`
-        # each token matches within the edit budget (ES match+fuzziness)
+        # match = analyzed OR-of-tokens over one field (AND with
+        # `operator: and`); with `fuzziness` each token matches within
+        # the edit budget (ES match+fuzziness); `minimum_should_match`
+        # floors the count of distinct matching terms (CoveringQuery —
+        # the TermsSet machinery, Σ-matched-tf score)
         tokens = str(value).split()
         if not tokens:
             # ES: match on empty/whitespace text analyzes to zero
             # tokens → MatchNoDocs, not an error
             return MatchNone()
         edits = _fuzziness_edits(fuzziness)
+        if msm is not None:
+            if operator == "and":
+                # ES silently ignores msm under operator=and; the
+                # engine rejects the combination instead (no silent
+                # parameter drops — documented)
+                raise DslError("match: minimum_should_match is "
+                               "inoperative with operator 'and' (ES "
+                               "ignores it; this engine rejects the "
+                               "combination)")
+            if edits is not None:
+                raise DslError("match: minimum_should_match with "
+                               "fuzziness is not supported (engine "
+                               "subset — the covering count is over "
+                               "exact terms)")
+            terms = tuple(dict.fromkeys(t.lower() for t in tokens))
+            count = _msm_count(msm, len(terms), "match")
+            return _boosted(
+                TermsSet(field, terms, msm_expr=str(count)), boost)
         leaves: list[Node] = [
             _fuzzy_node(field, t, edits) if edits is not None
             else Term(field, t)
             for t in tokens]
-        node = leaves[0] if len(leaves) == 1 else Or(tuple(leaves))
+        node = leaves[0] if len(leaves) == 1 else (
+            And(tuple(leaves)) if operator == "and" else Or(tuple(leaves)))
         return _boosted(node, boost)
     if kind == "fuzzy":
         # ES fuzzy query: {"fuzzy": {"f": {"value": "x", "fuzziness": 1}}}
@@ -2323,12 +2387,38 @@ def _node(q: dict[str, Any]) -> Node:
             value = value.get("value")
         return _boosted(Regexp(field, str(value)), boost)
     if kind == "multi_match":
-        # OR of per-field match clauses; per-field boosts via "f^2"
+        # per-field match clauses combined by `type`: "most_fields"
+        # (the engine DEFAULT — Σ of per-field branch scores, the Or
+        # convention; documented DEVIATION: ES defaults best_fields) or
+        # "best_fields" (DisMax — best branch + tie_breaker × rest, ES
+        # scoring). `operator: and` requires every token per field.
         if not isinstance(body, dict) or "query" not in body \
                 or not isinstance(body.get("fields"), list) \
                 or not body["fields"]:
             raise DslError(
                 "multi_match needs {'query': str, 'fields': [...]}")
+        extra = set(body) - {"query", "fields", "fuzziness", "boost",
+                             "type", "tie_breaker", "operator"}
+        if extra:
+            raise DslError(f"multi_match: unsupported parameters "
+                           f"{sorted(extra)} (engine subset)")
+        mm_type = body.get("type", "most_fields")
+        if mm_type not in ("most_fields", "best_fields"):
+            raise DslError("multi_match type must be most_fields/"
+                           f"best_fields (engine subset), got "
+                           f"{mm_type!r}")
+        tie = body.get("tie_breaker", 0.0)
+        if isinstance(tie, bool) or not isinstance(tie, (int, float)) \
+                or not 0.0 <= tie <= 1.0:
+            raise DslError("multi_match tie_breaker must be a number "
+                           "in [0, 1]")
+        if mm_type != "best_fields" and "tie_breaker" in body:
+            raise DslError("multi_match tie_breaker applies to "
+                           "best_fields only")
+        operator = body.get("operator", "or")
+        if operator not in ("or", "and"):
+            raise DslError(
+                f"multi_match operator must be or/and, got {operator!r}")
         edits = _fuzziness_edits(body.get("fuzziness"))
         tokens = str(body["query"]).split()
         if not tokens:
@@ -2347,9 +2437,16 @@ def _node(q: dict[str, Any]) -> Node:
                 _fuzzy_node(f, t, edits) if edits is not None
                 else Term(f, t)
                 for t in tokens]
-            branch = leaves[0] if len(leaves) == 1 else Or(tuple(leaves))
+            branch = leaves[0] if len(leaves) == 1 else (
+                And(tuple(leaves)) if operator == "and"
+                else Or(tuple(leaves)))
             branches.append(_boosted(branch, fboost))
-        node = branches[0] if len(branches) == 1 else Or(tuple(branches))
+        if len(branches) == 1:
+            node: Node = branches[0]
+        elif mm_type == "best_fields":
+            node = DisMax(tuple(branches), tie_breaker=float(tie))
+        else:
+            node = Or(tuple(branches))
         return _boosted(node, body.get("boost"))
     if kind == "ids":
         if not isinstance(body, dict) or not isinstance(body.get("values"), list):
