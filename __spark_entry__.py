@@ -641,6 +641,16 @@ def q_search_sampler_diversified(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_search_bool_msm(spark, sf_dir):
+    # ES bool minimum_should_match (r9): ≥2 of three should clauses
+    # must match (previously silently dropped — the match set was the
+    # plain OR); score = Σ matching clause tfs (the Should convention).
+    q = ('{"query":{"bool":{"should":[{"term":{"text":"spark"}},'
+         '{"term":{"text":"table"}},{"term":{"text":"batch"}}],'
+         '"minimum_should_match":2}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_match_operator(spark, sf_dir):
     # ES match operator/minimum_should_match (r9): both tokens required
     # (operator and, score Σ tf) UNION-style beside an msm form is
@@ -2179,6 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r9; data-driven terms list via one id-filtered row fetch)
         "search_match_operator": q_search_match_operator,  # ~ match
         #   family (r9; operator=and — previously a silent drop)
+        "search_bool_msm": q_search_bool_msm,  # ~ bool family (r9;
+        #   minimum_should_match gate — previously a silent drop)
         "search_sampler_diversified": q_search_sampler_diversified,
         #   ~ aggs family (r9; per-source cap + top-200 sample, both
         #   deterministic — oracle re-derives with two windows)
@@ -3698,6 +3710,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang AS key, COUNT(*)::BIGINT AS doc_count
             FROM sample GROUP BY lang
             ORDER BY doc_count DESC, key ASC
+        """,
+        # bool minimum_should_match (r9): ≥2 of 3 clauses, Σ matched tf
+        "search_bool_msm": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}')) AS t1,
+                       len(regexp_extract_all(text,
+                           '(?i)\\btable\\b')) AS t2,
+                       len(regexp_extract_all(text,
+                           '(?i)\\bbatch\\b')) AS t3
+                FROM documents)
+            SELECT doc_id, (t1 + t2 + t3)::BIGINT AS _score
+            FROM s
+            WHERE (CASE WHEN t1 > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN t2 > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN t3 > 0 THEN 1 ELSE 0 END) >= 2
         """,
         # match operator=and (r9): both tokens required, score = Σ tf
         "search_match_operator": f"""

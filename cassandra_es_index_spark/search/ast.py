@@ -192,8 +192,15 @@ class Not(Node):
 class Should(Node):
     """ES bool ``should`` alongside must/filter: optional clauses that
     boost the score when matched but do not gate matching
-    (ES ``minimum_should_match`` defaults to 0 when must/filter exist)."""
+    (ES ``minimum_should_match`` defaults to 0 when must/filter exist).
+
+    ``min_count`` > 0 (r9) carries an explicit bool
+    ``minimum_should_match``: at least that many should clauses must
+    match (Lucene's BooleanQuery msm gate); the score stays the sum of
+    ALL matching clauses. A floor above the clause count matches
+    nothing."""
     children: tuple[Node, ...] = field(default_factory=tuple)
+    min_count: int = 0
 
 
 @dataclass(frozen=True)

@@ -1204,13 +1204,20 @@ class Compiler:
             return ~F.coalesce(pred, F.lit(False)), F.lit(0)
         if isinstance(node, Should):
             # optional score boost, matching clauses only (same gating
-            # rationale as Or — a compound child must not leak partial tf)
+            # rationale as Or — a compound child must not leak partial
+            # tf); min_count > 0 (r9) gates on the count of matching
+            # clauses — ES bool minimum_should_match
             if not node.children:
                 return F.lit(True), F.lit(0)
             parts = [self._walk(c) for c in node.children]
             score = self._gated(*parts[0])
             for p, s in parts[1:]:
                 score = score + self._gated(p, s)
+            if node.min_count > 0:
+                matched = sum(
+                    (F.when(p, 1).otherwise(0) for p, _ in parts),
+                    F.lit(0))
+                return matched >= F.lit(node.min_count), score
             return F.lit(True), score
         if isinstance(node, Scoreless):
             pred, _ = self._walk(node.child)

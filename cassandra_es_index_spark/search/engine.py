@@ -2917,13 +2917,30 @@ class SearchEngine:
                     subs = [serve(c) for c in sh.children]
                     if any(x is None for x in subs):
                         return None
-                    u = subs[0]
-                    for p in subs[1:]:
-                        u = u.unionByName(p)
+                    # tag each child so an explicit minimum_should_match
+                    # (r9) can gate on the count of matching CLAUSES —
+                    # a doc served by one clause is one row per clause
+                    u = subs[0].select("doc", SCORE,
+                                       F.lit(0).alias("_ci"))
+                    for ci, p in enumerate(subs[1:], 1):
+                        u = u.unionByName(p.select(
+                            "doc", SCORE, F.lit(ci).alias("_ci")))
                     boost = (u.groupBy("doc")
-                              .agg(F.sum(SCORE).alias(f"_sh{j}")))
-                    out = out.join(boost, on="doc", how="left")
-                    total = total + F.coalesce(F.col(f"_sh{j}"), F.lit(0))
+                              .agg(F.sum(SCORE).alias(f"_sh{j}"),
+                                   F.count_distinct("_ci")
+                                    .alias(f"_shc{j}")))
+                    if sh.min_count > 0:
+                        # gate: ≥ min_count should clauses — inner join
+                        out = out.join(
+                            boost.where(F.col(f"_shc{j}")
+                                        >= sh.min_count)
+                                 .drop(f"_shc{j}"), on="doc")
+                        total = total + F.col(f"_sh{j}")
+                    else:
+                        out = out.join(boost.drop(f"_shc{j}"),
+                                       on="doc", how="left")
+                        total = total + F.coalesce(F.col(f"_sh{j}"),
+                                                   F.lit(0))
                 for ng in negs:
                     excluded = serve(ng.child)
                     if excluded is None:

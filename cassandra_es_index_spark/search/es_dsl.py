@@ -2459,6 +2459,11 @@ def _node(q: dict[str, Any]) -> Node:
     if kind == "bool":
         if not isinstance(body, dict):
             raise DslError("bool needs an object")
+        extra = set(body) - {"must", "filter", "should", "must_not",
+                             "minimum_should_match", "boost"}
+        if extra:
+            raise DslError(f"bool: unsupported parameters "
+                           f"{sorted(extra)} (engine subset)")
         parts: list[Node] = []
         for sub in _as_list(body.get("must")):
             parts.append(_node(sub))
@@ -2466,8 +2471,17 @@ def _node(q: dict[str, Any]) -> Node:
             # filter context: required but scoreless, like ES
             parts.append(Scoreless(_node(sub)))
         should = [_node(sub) for sub in _as_list(body.get("should"))]
+        msm = body.get("minimum_should_match")
+        if msm is not None and not should:
+            raise DslError("bool: minimum_should_match needs 'should' "
+                           "clauses")
         if should:
-            if parts:
+            if msm is not None:
+                # explicit msm gates ≥ n should clauses, beside
+                # must/filter or alone; score = Σ matching clauses (r9)
+                n = _msm_count(msm, len(should), "bool")
+                parts.append(Should(tuple(should), min_count=n))
+            elif parts:
                 # must/filter present → should is optional, score-only
                 # (ES minimum_should_match=0 in that case)
                 parts.append(Should(tuple(should)))
@@ -2478,7 +2492,8 @@ def _node(q: dict[str, Any]) -> Node:
             parts.append(Not(_node(sub)))
         if not parts:
             return MatchAll()
-        return parts[0] if len(parts) == 1 else And(tuple(parts))
+        node = parts[0] if len(parts) == 1 else And(tuple(parts))
+        return _boosted(node, body.get("boost"))
     if kind == "wrapper":
         # ES wrapper query: base64-encoded JSON query, decoded and parsed
         import base64 as _b64

@@ -104,3 +104,57 @@ def test_multi_match_best_fields_is_dis_max(eng):
 def test_typed_errors(eng, q, msg):
     with pytest.raises(DslError, match=msg):
         eng.search("mp", q).collect()
+
+
+# ------------------------------------------------ bool minimum_should_match
+
+BOOL_MSM = ('{"query":{"bool":{"should":[{"term":{"text":"a"}},'
+            '{"term":{"text":"b"}},{"term":{"text":"c"}}],'
+            '"minimum_should_match":2}}}')
+
+
+def test_bool_msm_bare_should(eng):
+    got = _rows(eng, BOOL_MSM)
+    # ≥2 of {a, b, c}: doc 1 "a b" (2 clauses, Σtf 2), doc 4 "a b c"
+    # (3 clauses, 3), doc 5 "a a b" (2 clauses, Σtf a×2 + b = 3)
+    assert sorted(got) == [1, 4, 5]
+    assert got[1] == 2 and got[4] == 3 and got[5] == 3
+
+
+def test_bool_msm_beside_must(eng):
+    q = ('{"query":{"bool":{"must":[{"term":{"text":"a"}}],'
+         '"should":[{"term":{"text":"b"}},{"term":{"text":"c"}}],'
+         '"minimum_should_match":1}}}')
+    got = _rows(eng, q)
+    # must a AND ≥1 of {b, c}: 1 (a+b+c=3), 4 (a+b+c=3), 5 (a×2+b=3)
+    assert sorted(got) == [1, 4, 5]
+
+
+def test_bool_msm_index_served_parity(eng, spark):
+    e2 = SearchEngine(spark)
+    docs = spark.createDataFrame(ROWS, "id int, text string, title string")
+    e2.register(docs, TableSpec("mp2", ["id"]))
+    e2.build_postings_index("mp2", "text", materialize=True)
+    scan = _rows(eng, BOOL_MSM)
+    served = {r["id"]: r["_score"] for r in e2.search(
+        "mp2", "#options:load-rows=false#" + BOOL_MSM).collect()}
+    assert scan == served
+
+
+def test_bool_boost_scales_scores(eng):
+    base = _rows(eng, '{"query":{"bool":{"must":'
+                      '[{"term":{"text":"a"}}]}}}')
+    boosted = _rows(eng, '{"query":{"bool":{"must":'
+                         '[{"term":{"text":"a"}}],"boost":3.0}}}')
+    assert {k: v * 3 for k, v in base.items()} == boosted
+
+
+@pytest.mark.parametrize("q, msg", [
+    ('{"query":{"bool":{"must":[{"term":{"text":"a"}}],'
+     '"minimum_should_match":1}}}', "needs 'should'"),
+    ('{"query":{"bool":{"should":[{"term":{"text":"a"}}],'
+     '"adjust_pure_negative":true}}}', "unsupported parameters"),
+])
+def test_bool_typed_errors(eng, q, msg):
+    with pytest.raises(DslError, match=msg):
+        eng.search("mp", q).collect()
