@@ -329,6 +329,24 @@ def _pct_label(p: float) -> str:
     return (f"{p:g}").replace(".", "_")
 
 
+def _leaf_params(kind: str, value: dict, allowed: set[str]) -> None:
+    """Typed-reject unknown parameters on a leaf query's object form —
+    a silently dropped parameter changes the match set or scoring vs ES
+    with no signal (r9, the match-operator lesson). ``case_insensitive``
+    is allowed wherever ES allows it but only as ``true``: the engine's
+    analyzed-text model lowercases both sides by construction, so
+    case-SENSITIVE matching is not expressible (documented)."""
+    extra = set(value) - allowed
+    if extra:
+        raise DslError(f"{kind}: unsupported parameters "
+                       f"{sorted(extra)} (engine subset)")
+    if value.get("case_insensitive") is False:
+        raise DslError(
+            f"{kind}: case_insensitive=false is not supported — the "
+            "engine's analyzed-text model matches case-insensitively "
+            "by construction (documented)")
+
+
 def _msm_count(msm: Any, n_terms: int, ctx: str) -> int:
     """Resolve an ES ``minimum_should_match`` value (positive int or
     ``"N%"`` — the engine subset; ES's negative/combination grammar is
@@ -2035,6 +2053,8 @@ def _node(q: dict[str, Any]) -> Node:
         field, value = _single(body)
         boost = None
         if isinstance(value, dict):
+            _leaf_params("term", value,
+                         {"value", "boost", "case_insensitive"})
             boost = value.get("boost")
             value = value.get("value")
         return _boosted(Term(field, _scalar(value)), boost)
@@ -2132,6 +2152,27 @@ def _node(q: dict[str, Any]) -> Node:
         fuzziness = None
         boost = None
         if isinstance(value, dict):
+            _leaf_params("fuzzy", value,
+                         {"value", "fuzziness", "boost", "rewrite",
+                          "transpositions", "prefix_length",
+                          "max_expansions"})
+            if value.get("transpositions") is True:
+                # explicit true would promise Damerau single-edit
+                # transpositions; the engine prices them at 2 (classic
+                # Levenshtein — documented deviation, COVERAGE P1'')
+                raise DslError(
+                    "fuzzy: transpositions=true is not supported (the "
+                    "engine uses classic Levenshtein — a transposition "
+                    "costs 2 edits, documented deviation)")
+            if value.get("prefix_length", 0) != 0:
+                raise DslError("fuzzy: prefix_length is not supported "
+                               "(engine subset)")
+            if "max_expansions" in value:
+                raise DslError(
+                    "fuzzy: max_expansions is not supported — the "
+                    "engine expands the whole edit-budget "
+                    "neighbourhood (a silent cap would shrink the "
+                    "match set; engine subset)")
             fuzziness = value.get("fuzziness")
             boost = value.get("boost")
             value = value.get("value")
@@ -2150,6 +2191,11 @@ def _node(q: dict[str, Any]) -> Node:
         slop = 0
         boost = None
         if isinstance(value, dict):
+            _leaf_params("match_phrase", value,
+                         {"query", "slop", "boost", "zero_terms_query"})
+            if value.get("zero_terms_query", "none") != "none":
+                raise DslError("match_phrase: only zero_terms_query "
+                               "'none' is supported (engine subset)")
             slop = int(value.get("slop", 0))
             boost = value.get("boost")
             value = value.get("query")
@@ -2350,6 +2396,14 @@ def _node(q: dict[str, Any]) -> Node:
         field, bounds = _single(body)
         if not isinstance(bounds, dict):
             raise DslError("range needs bounds object")
+        # format/time_zone change date PARSING and relation changes
+        # range-field semantics — mis-parsing silently would shift the
+        # bounds, so anything but the defaults typed-rejects (subset)
+        _leaf_params("range", bounds,
+                     {"gte", "gt", "lte", "lt", "boost", "relation"})
+        if bounds.get("relation", "intersects") != "intersects":
+            raise DslError("range: only relation 'intersects' is "
+                           "supported (engine subset — scalar fields)")
         lo = bounds.get("gte", bounds.get("gt"))
         hi = bounds.get("lte", bounds.get("lt"))
         return _boosted(Range(
@@ -2362,10 +2416,16 @@ def _node(q: dict[str, Any]) -> Node:
     if kind == "prefix":
         # served from token-sorted postings as a LIKE range when an index
         # exists — the reference's own headline query class (`body:cassan*`,
-        # ref README.md:179) in DSL form
+        # ref README.md:179) in DSL form. `rewrite` only selects ES's
+        # internal scoring strategy (the match set is unchanged) — the
+        # engine has ONE documented scoring convention, so it is
+        # accepted as a no-op.
         field, value = _single(body)
         boost = None
         if isinstance(value, dict):
+            _leaf_params("prefix", value,
+                         {"value", "boost", "case_insensitive",
+                          "rewrite"})
             boost = value.get("boost")
             value = value.get("value")
         return _boosted(Wildcard(field, f"{value}*"), boost)
@@ -2373,8 +2433,11 @@ def _node(q: dict[str, Any]) -> Node:
         field, value = _single(body)
         boost = None
         if isinstance(value, dict):
+            _leaf_params("wildcard", value,
+                         {"value", "wildcard", "boost",
+                          "case_insensitive", "rewrite"})
             boost = value.get("boost")
-            value = value.get("value")
+            value = value.get("value", value.get("wildcard"))
         return _boosted(Wildcard(field, str(value)), boost)
     if kind == "regexp":
         # ES regexp query: TERM-anchored (the pattern must match a whole
@@ -2383,6 +2446,17 @@ def _node(q: dict[str, Any]) -> Node:
         field, value = _single(body)
         boost = None
         if isinstance(value, dict):
+            # flags select Lucene regexp OPERATORS (the engine executes
+            # JAVA regex — documented deviation), so only the ALL
+            # default passes; max_determinized_states is a safety knob
+            # with no match-set effect (no-op)
+            _leaf_params("regexp", value,
+                         {"value", "boost", "case_insensitive", "flags",
+                          "max_determinized_states", "rewrite"})
+            if value.get("flags", "ALL") != "ALL":
+                raise DslError("regexp: only flags 'ALL' is supported "
+                               "(engine executes Java regex — "
+                               "documented deviation)")
             boost = value.get("boost")
             value = value.get("value")
         return _boosted(Regexp(field, str(value)), boost)

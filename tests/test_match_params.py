@@ -158,3 +158,46 @@ def test_bool_boost_scales_scores(eng):
 def test_bool_typed_errors(eng, q, msg):
     with pytest.raises(DslError, match=msg):
         eng.search("mp", q).collect()
+
+
+# ------------------------------------------------ leaf object-form params
+
+@pytest.mark.parametrize("q, msg", [
+    ('{"query":{"term":{"text":{"value":"a","zzz":1}}}}',
+     "unsupported parameters"),
+    ('{"query":{"term":{"text":{"value":"a",'
+     '"case_insensitive":false}}}}', "case_insensitive=false"),
+    ('{"query":{"range":{"id":{"gte":1,"format":"epoch_millis"}}}}',
+     "unsupported parameters"),
+    ('{"query":{"range":{"id":{"gte":1,"time_zone":"+01:00"}}}}',
+     "unsupported parameters"),
+    ('{"query":{"range":{"id":{"gte":1,"relation":"within"}}}}',
+     "intersects"),
+    ('{"query":{"regexp":{"text":{"value":"a|b",'
+     '"flags":"INTERSECTION"}}}}', "Java regex"),
+    ('{"query":{"fuzzy":{"text":{"value":"ab",'
+     '"transpositions":true}}}}', "classic Levenshtein"),
+    ('{"query":{"fuzzy":{"text":{"value":"ab","prefix_length":2}}}}',
+     "prefix_length"),
+    ('{"query":{"fuzzy":{"text":{"value":"ab","max_expansions":10}}}}',
+     "max_expansions"),
+    ('{"query":{"match_phrase":{"text":{"query":"a b",'
+     '"analyzer":"simple"}}}}', "unsupported parameters"),
+    ('{"query":{"match_phrase":{"text":{"query":"a b",'
+     '"zero_terms_query":"all"}}}}', "zero_terms_query"),
+])
+def test_leaf_param_typed_errors(eng, q, msg):
+    with pytest.raises(DslError, match=msg):
+        eng.search("mp", q).collect()
+
+
+def test_leaf_accepted_params_still_work(eng):
+    # case_insensitive=true, rewrite, and the wildcard alias are
+    # accepted (no-ops under the engine's analyzed model)
+    assert _rows(eng, '{"query":{"term":{"text":{"value":"A",'
+                      '"case_insensitive":true}}}}')
+    assert _rows(eng, '{"query":{"wildcard":{"text":{"wildcard":"a*",'
+                      '"rewrite":"top_terms_10"}}}}')
+    assert _rows(eng, '{"query":{"regexp":{"text":{"value":"a|b",'
+                      '"flags":"ALL","max_determinized_states":'
+                      '10000}}}}')
