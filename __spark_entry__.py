@@ -645,6 +645,18 @@ def q_search_sampler_diversified(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_search_span_multi(spark, sf_dir):
+    # ES span_multi (r9): a prefix in a span position — expands against
+    # the term dictionary to the concrete span_or (Lucene
+    # SpanMultiTermQueryWrapper), score = Σ matching positions. The
+    # oracle counts tokens with the prefix directly (the expansion is
+    # exactly the corpus's matching dictionary tokens, so the counts
+    # coincide by construction).
+    q = ('{"query":{"span_multi":{"match":{"prefix":{"text":'
+         '{"value":"quer"}}}}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_bool_msm(spark, sf_dir):
     # ES bool minimum_should_match (r9): ≥2 of three should clauses
     # must match (previously silently dropped — the match set was the
@@ -2187,6 +2199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   family (r9; operator=and — previously a silent drop)
         "search_bool_msm": q_search_bool_msm,  # ~ bool family (r9;
         #   minimum_should_match gate — previously a silent drop)
+        "search_span_multi": q_search_span_multi,  # ~ span family (r9;
+        #   the last span operator — dictionary-expanded prefix span)
         "search_sampler_diversified": q_search_sampler_diversified,
         #   ~ aggs family (r9; per-source cap + top-200 sample, both
         #   deterministic — oracle re-derives with two windows)
@@ -3706,6 +3720,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang AS key, COUNT(*)::BIGINT AS doc_count
             FROM sample GROUP BY lang
             ORDER BY doc_count DESC, key ASC
+        """,
+        # span_multi (r9): prefix positions — tokens starting 'quer'
+        "search_span_multi": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           regexp_split_to_array(lower(text), '\W+'),
+                           t -> t LIKE 'quer%'))::BIGINT AS _score
+                FROM documents)
+            SELECT doc_id, _score FROM s WHERE _score > 0
         """,
         # bool minimum_should_match (r9): ≥2 of 3 clauses, Σ matched tf
         "search_bool_msm": f"""

@@ -376,6 +376,26 @@ class IntervalsMatch(Node):
 
 
 @dataclass(frozen=True)
+class TermPattern:
+    """A span term-slot holding a multi-term PATTERN instead of one
+    token — the parse form of ES ``span_multi`` (Lucene
+    SpanMultiTermQueryWrapper). DATA-DRIVEN: the engine expands it
+    against the term dictionary into the concrete matching tokens
+    before compile (``SearchEngine._expand_data_nodes``), capped at
+    1024 expansions (Lucene's BooleanQuery max-clause ceiling — a
+    wider pattern raises the same typed too-many-clauses error ES
+    surfaces); the expanded node then behaves exactly like the
+    equivalent ``span_or`` (union of positions). Compiling a raw
+    pattern-carrying span without the engine is a typed CompileError.
+    Kinds: ``prefix`` | ``wildcard`` | ``regexp`` | ``fuzzy``
+    (``edits`` = the resolved Levenshtein budget, AUTO already
+    applied)."""
+    kind: str
+    value: str
+    edits: int = 2
+
+
+@dataclass(frozen=True)
 class SpanNear(Node):
     """Lucene/ES ``span_near`` with exactly two ``span_term`` clauses:
     the two tokens occur within ``slop`` intervening TOKENS of each

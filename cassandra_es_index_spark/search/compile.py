@@ -1106,6 +1106,16 @@ class Compiler:
                 span_big_spans, span_containing_count, span_not_count,
             )
 
+            from cassandra_es_index_spark.search.ast import TermPattern
+            for attr in ("terms", "include_terms", "exclude_terms",
+                         "little_terms", "big_terms"):
+                if any(isinstance(t, TermPattern)
+                       for t in getattr(node, attr, ()) or ()):
+                    raise CompileError(
+                        "span_multi is data-driven (term-dictionary "
+                        "expansion) — run it through SearchEngine, "
+                        "which resolves it before compile "
+                        "(_expand_data_nodes)")
             ref = self.resolve(node.field)
             if not isinstance(ref.dtype, T.StringType):
                 raise CompileError(

@@ -909,9 +909,60 @@ class SearchEngine:
         from dataclasses import is_dataclass, replace
 
         from cassandra_es_index_spark.search.ast import (
-            And, Ids, MatchNone, MoreLikeThis, Not, Or, Term,
+            And, Ids, MatchNone, MoreLikeThis, Not, Or, SpanContaining,
+            SpanFirst, SpanNot, SpanOr, Term, TermPattern,
             TermsLookup, TermsSet,
         )
+
+        SPANS = (SpanOr, SpanFirst, SpanNot, SpanContaining)
+
+        def has_pattern(n) -> bool:
+            return isinstance(n, SPANS) and any(
+                isinstance(t, TermPattern)
+                for attr in ("terms", "include_terms", "exclude_terms",
+                             "little_terms", "big_terms")
+                for t in getattr(n, attr, ()) or ())
+
+        def expand_span(n) -> Node:
+            # span_multi (r9): expand every TermPattern slot against
+            # the term dictionary (bounded ≤1025-token collect, typed
+            # >1024 like Lucene's max-clause ceiling), then the node is
+            # the ordinary concrete-terms span. Empty-expansion
+            # semantics per slot: a required slot with no matching
+            # terms matches nothing; an empty span_not EXCLUDE drops
+            # the exclusion (nothing to exclude).
+            fld = n.field
+            comp().resolve(fld if fld is not None
+                           else comp().default_field)
+
+            def concrete(terms: tuple) -> tuple:
+                out: list[str] = []
+                for t in terms:
+                    if isinstance(t, TermPattern):
+                        out.extend(self._expand_term_pattern(
+                            table, fld, t, comp(), docs))
+                    else:
+                        out.append(t)
+                return tuple(dict.fromkeys(out))
+
+            if isinstance(n, SpanNot):
+                inc = concrete(n.include_terms)
+                exc = concrete(n.exclude_terms)
+                if not inc:
+                    return MatchNone()
+                if not exc:
+                    return SpanOr(n.field, inc)
+                return replace(n, include_terms=inc, exclude_terms=exc)
+            if isinstance(n, SpanContaining):
+                little = concrete(n.little_terms)
+                big = concrete(n.big_terms) if n.big_terms else ()
+                if not little or (not big and n.big_near is None):
+                    return MatchNone()
+                return replace(n, little_terms=little, big_terms=big)
+            terms = concrete(n.terms)
+            if not terms:
+                return MatchNone()
+            return replace(n, terms=terms)
 
         comp_holder: list = []
 
@@ -998,6 +1049,8 @@ class SearchEngine:
                 return expand(node)
             if isinstance(node, TermsLookup):
                 return expand_lookup(node)
+            if has_pattern(node):
+                return expand_span(node)
             if isinstance(node, Node) and is_dataclass(node):
                 changes = {}
                 for f in dc_fields(node):
@@ -1023,7 +1076,8 @@ class SearchEngine:
         found = []
 
         def probe(x):
-            if isinstance(x, (MoreLikeThis, TermsLookup)):
+            if isinstance(x, (MoreLikeThis, TermsLookup)) \
+                    or has_pattern(x):
                 found.append(x)
             if isinstance(x, Node) and is_dataclass(x):
                 for f in dc_fields(x):
@@ -1188,6 +1242,55 @@ class SearchEngine:
     def _apply_ordering(df: DataFrame,
                         ordering: list[tuple[Column, bool, bool]]) -> DataFrame:
         return df.orderBy(*SearchEngine._sort_exprs(ordering))
+
+    def _expand_term_pattern(self, table: str, fld_raw: str | None,
+                             pat, comp: "Compiler",
+                             docs: DataFrame) -> tuple[str, ...]:
+        """Expand one span_multi TermPattern against the term
+        dictionary: the (distinct-token) postings when built, else one
+        distinct aggregation over the field — the same bounded probe as
+        match_phrase_prefix expansion. ≤1025 tokens ever reach the
+        driver; >1024 matching terms raises the typed max-clause error
+        (Lucene's BooleanQuery ceiling, the error ES itself surfaces
+        for too-wide span_multi patterns)."""
+        from cassandra_es_index_spark.search.compile import (
+            validate_java_regex, wildcard_token_pattern,
+        )
+
+        fld = fld_raw if fld_raw is not None else comp.default_field
+        state = self._postings.get((table, fld))
+        if state is not None:
+            toks = self._postings[(table, fld)].view().select("token")
+        else:
+            from cassandra_es_index_spark.functions.analyzers import (
+                standard,
+            )
+            toks = docs.select(
+                F.explode(standard(comp.resolve(fld).col))
+                 .alias("token"))
+        v = pat.value.lower()
+        tok = F.col("token")
+        if pat.kind == "prefix":
+            cond = tok.startswith(v)
+        elif pat.kind == "wildcard":
+            cond = tok.rlike(wildcard_token_pattern(pat.value))
+        elif pat.kind == "regexp":
+            anchored = f"^(?:{v})$"
+            validate_java_regex(anchored, self.spark)
+            cond = tok.rlike(anchored)
+        else:  # fuzzy — length window prefilter + budget
+            n = len(v)
+            cond = ((F.length(tok) >= n - pat.edits)
+                    & (F.length(tok) <= n + pat.edits)
+                    & (F.levenshtein(tok, F.lit(v)) <= pat.edits))
+        rows = (toks.where(cond).distinct()
+                    .orderBy("token").limit(1025).collect())
+        if len(rows) > 1024:
+            raise es_dsl.DslError(
+                f"span_multi pattern {pat.value!r} expands to more "
+                "than 1024 terms (Lucene max-clause ceiling) — narrow "
+                "the pattern")
+        return tuple(r["token"] for r in rows)
 
     @staticmethod
     def _apply_runtime(docs: DataFrame, req: "es_dsl.Request") -> DataFrame:

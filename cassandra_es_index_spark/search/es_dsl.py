@@ -33,7 +33,7 @@ from cassandra_es_index_spark.search.ast import (
     Scoreless, ScriptFilter, ScriptScore, Should, SpanContaining,
     SpanFirst, SpanNear,
     SpanNot, SpanOr,
-    Term, TermsLookup, TermsSet, Wildcard,
+    Term, TermPattern, TermsLookup, TermsSet, Wildcard,
 )
 from cassandra_es_index_spark.search import query_string as qs
 
@@ -2635,6 +2635,12 @@ def _node(q: dict[str, Any]) -> Node:
         fld, terms = _span_clause_terms({"span_or": body})
         return _boosted(SpanOr(fld, terms), body.get("boost")
                         if isinstance(body, dict) else None)
+    if kind == "span_multi":
+        # standalone span_multi ≡ span_or over the pattern's dictionary
+        # expansion (Σ matching positions — Lucene
+        # SpanMultiTermQueryWrapper's union-of-spans frequency)
+        fld, terms = _span_clause_terms({"span_multi": body})
+        return SpanOr(fld, terms)
     if kind == "span_first":
         # spans of `match` ending at position ≤ end (Lucene
         # SpanPositionRangeQuery(match, 0, end))
@@ -3303,9 +3309,36 @@ def _span_clause_terms(clause: Any) -> tuple[str, tuple[str, ...]]:
         if len(fields) != 1:
             raise DslError("span_or clauses must share one field")
         return next(iter(fields)), tuple(dict.fromkeys(terms))
+    if k == "span_multi":
+        # ES span_multi: a multi-term query in a span position — the
+        # slot carries a TermPattern the engine expands against the
+        # term dictionary pre-compile (the span_or union semantics,
+        # Lucene SpanMultiTermQueryWrapper)
+        if not isinstance(v, dict) or "match" not in v \
+                or not isinstance(v["match"], dict) \
+                or len(v["match"]) != 1:
+            raise DslError("span_multi needs {'match': {prefix|"
+                           "wildcard|regexp|fuzzy: {field: ...}}}")
+        (mk, mv), = v["match"].items()
+        if mk not in ("prefix", "wildcard", "regexp", "fuzzy"):
+            raise DslError("span_multi supports prefix/wildcard/"
+                           f"regexp/fuzzy matches, got {mk!r}")
+        fld, val = _single(mv)
+        fuzziness = None
+        if isinstance(val, dict):
+            fuzziness = val.get("fuzziness")
+            val = val.get("value")
+        edits = 2
+        if mk == "fuzzy":
+            from cassandra_es_index_spark.search.ast import fuzzy_edits
+            e = _fuzziness_edits(fuzziness)
+            edits = fuzzy_edits(
+                _fuzzy_node(fld, _scalar(val),
+                            (3, 6) if e is None else e))
+        return fld, (TermPattern(mk, _scalar(val), edits),)
     raise DslError(
         f"span clause {k!r} is not supported here (the engine "
-        "composes span_term and span_or)")
+        "composes span_term, span_or, and span_multi)")
 
 
 def _boosted(node: Node, boost: Any) -> Node:
