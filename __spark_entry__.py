@@ -622,6 +622,7 @@ def q_search_nested_agg(spark, sf_dir):
          '"n":{"nested":{"path":"items"},"aggs":{'
          '"by":{"terms":{"field":"items.rf"},"aggs":{'
          '"s":{"sum":{"field":"items.qty"}},'
+         '"parents":{"reverse_nested":{}},'
          '"med":{"percentiles":{"field":"items.qty",'
          '"percents":[50.0]}}}}}}}}')
     out = eng.search_aggs("orders_nested_agg", q)
@@ -3694,6 +3695,8 @@ def oracle_sql() -> dict[str, str]:
         "search_nested_agg": """
             SELECT l_returnflag AS key, COUNT(*)::BIGINT AS doc_count,
                    ROUND(SUM(l_quantity), 4) AS s,
+                   COUNT(DISTINCT l_orderkey)::BIGINT
+                       AS parents_doc_count,
                    ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_p50
             FROM lineitem
             GROUP BY l_returnflag

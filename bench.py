@@ -88,6 +88,11 @@ HEADLINE = [
     "search_mlt_dsl",       # MLT DSL: tf-idf pick → TermsSet serve (r9)
     "search_boxplot_mad_strings",  # two-pass metrics assembly (r9)
     "search_normalize_topm",  # normalize + top_metrics + sibling stats (r9)
+    "search_sampler_diversified",  # per-value cap + top-k sample (r9)
+    "search_nested_agg",    # element-frame buckets + reverse_nested (r9)
+    "search_runtime_fields",  # computed field in query + aggs (r9)
+    "search_span_multi",    # dictionary-expanded prefix span (r9)
+    "search_bool_msm",      # bool minimum_should_match gate (r9)
     "search_10k_cap",   # the BASELINE.md 514 ms / 10k-key trace analogue
 ]
 

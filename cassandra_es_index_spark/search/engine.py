@@ -4205,7 +4205,23 @@ class SearchEngine:
             pred, _ = comp.compile(req.node)
             filtered = docs.where(pred)
 
+        # set by the NestedAgg block below; reverse_nested (the
+        # parent-doc count) is meaningful only inside it
+        nested_ctx = {"on": False}
+
         def metric_cols(m: es_dsl.MetricAgg) -> list[Column]:
+            if m.kind == "reverse_nested":
+                if not nested_ctx["on"]:
+                    raise es_dsl.DslError(
+                        "reverse_nested is valid inside a nested "
+                        "aggregation only (ES contract)")
+                # distinct parents holding ≥1 element in the bucket —
+                # ES reverse_nested doc_count (engine subset: count
+                # only). Distinct pairs are bounded by the element
+                # frame; map-side partial distinct applies.
+                return [F.count_distinct(
+                    *[F.col(k) for k in spec.key_columns])
+                    .cast("long").alias(f"{m.name}_doc_count")]
             if m.kind in ("geo_centroid", "geo_bounds"):
                 # geo metrics over the struct<lat, lon> geo_point (r9):
                 # centroid = arithmetic mean of coordinates + point
@@ -4496,6 +4512,7 @@ class SearchEngine:
                     f"{nref.dtype.simpleString()}")
             filtered = filtered.withColumn(aggs.path, F.explode(nref.col))
             comp = Compiler(filtered, comp.default_field)
+            nested_ctx["on"] = True
             if aggs.sub is None:
                 return filtered.agg(
                     F.count("*").cast("long").alias("doc_count"))

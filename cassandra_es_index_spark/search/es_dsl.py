@@ -48,7 +48,7 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "geo_centroid", "geo_bounds",
                  "boxplot", "matrix_stats",
                  "median_absolute_deviation", "string_stats",
-                 "top_metrics")
+                 "top_metrics", "reverse_nested")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
                  "date_range", "significant_terms", "rare_terms",
                  "multi_terms", "adjacency_matrix",
@@ -476,6 +476,8 @@ class MetricAgg:
                                    "avg_length", "entropy"))
         if self.kind == "top_metrics":
             return tuple(f"{self.name}_{f}" for f in self.multi_fields)
+        if self.kind == "reverse_nested":
+            return (f"{self.name}_doc_count",)
         if self.kind == "matrix_stats":
             # per field: count / mean / variance (sample); per unordered
             # pair: covariance / correlation — ES's matrix flattened
@@ -1281,6 +1283,17 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
         if len(set(flds)) != len(flds):
             raise DslError(f"matrix_stats agg {name!r}: duplicate fields")
         return MetricAgg(name, kind, flds[0], multi_fields=tuple(flds))
+    if kind == "reverse_nested":
+        # ES reverse_nested jumps back to PARENT documents inside a
+        # nested agg. Engine subset (doc_count only, documented): the
+        # count of distinct parents holding ≥1 element in the bucket —
+        # the idiom's common question; parent-scope sub-aggs would need
+        # a per-bucket join back to the document frame (typed error).
+        if body not in ({}, None):
+            raise DslError(
+                f"reverse_nested agg {name!r}: parameters/sub-aggs are "
+                "not supported (engine subset — doc_count only)")
+        return MetricAgg(name, kind, "")
     if kind == "top_metrics":
         # ES shape: {"metrics": {"field": f} | [{...}, ...],
         # "sort": {field: "asc"|"desc"}, "size": 1} — the metric field

@@ -76,10 +76,29 @@ def test_composes_under_sampler(eng):
     ({"n": {"nested": {"path": "items"},
             "aggs": {"m": {"nested": {"path": "items"}}}}},
      "no nested-in-nested"),
-    ({"n": {"nested": {"path": "items"},
-            "aggs": {"r": {"reverse_nested": {}}}}},
-     "unsupported metric agg 'reverse_nested'"),
 ])
 def test_typed_errors(eng, aggs, msg):
     with pytest.raises(DslError, match=msg):
         _run(eng, {"query": {"match_all": {}}, "aggs": aggs})
+
+
+def test_reverse_nested_counts_parents(eng):
+    rows = _run(eng, {"query": {"match_all": {}}, "aggs": {
+        "n": {"nested": {"path": "items"}, "aggs": {
+            "by": {"terms": {"field": "items.tag"}, "aggs": {
+                "parents": {"reverse_nested": {}}}}}}}})
+    by = {r["key"]: r for r in rows}
+    # tag b: elements in docs 1 and 5 → 2 parents (3 elements)
+    assert by["b"]["doc_count"] == 3
+    assert by["b"]["parents_doc_count"] == 2
+    assert by["a"]["parents_doc_count"] == 2
+
+
+def test_reverse_nested_typed_errors(eng):
+    with pytest.raises(DslError, match="inside a nested"):
+        _run(eng, {"query": {"match_all": {}},
+                   "aggs": {"p": {"reverse_nested": {}}}})
+    with pytest.raises(DslError, match="doc_count only"):
+        _run(eng, {"query": {"match_all": {}}, "aggs": {
+            "n": {"nested": {"path": "items"}, "aggs": {
+                "p": {"reverse_nested": {"path": "x"}}}}}})
