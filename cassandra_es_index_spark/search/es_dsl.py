@@ -783,6 +783,19 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         obj = query_json
     if not isinstance(obj, dict):
         raise DslError("DSL root must be an object")
+    # unknown top-level sections typed-reject (r9): a typo'd or
+    # unimplemented section ("sorts", "profile", "timeout"…) silently
+    # ignored would change results or promise behavior with no signal —
+    # the same contract as the per-clause parameter audit
+    unknown = set(obj) - {
+        "query", "size", "from", "sort", "search_after", "aggs",
+        "aggregations", "collapse", "highlight", "knn", "rescore",
+        "_source", "script_fields", "runtime_mappings", "min_score",
+        "post_filter", "track_total_hits", "suggest",
+    }
+    if unknown:
+        raise DslError(f"unsupported request sections "
+                       f"{sorted(unknown)} (engine subset)")
     size = obj.get("size")
     if size is not None and (not isinstance(size, int)
                              or isinstance(size, bool) or size < 0):

@@ -201,3 +201,14 @@ def test_leaf_accepted_params_still_work(eng):
     assert _rows(eng, '{"query":{"regexp":{"text":{"value":"a|b",'
                       '"flags":"ALL","max_determinized_states":'
                       '10000}}}}')
+
+
+@pytest.mark.parametrize("q", [
+    '{"query":{"match_all":{}},"sorts":[{"id":"asc"}]}',   # typo'd sort
+    '{"query":{"match_all":{}},"profile":true}',
+    '{"query":{"match_all":{}},"timeout":"2s"}',
+    '{"query":{"match_all":{}},"pit":{"id":"x"}}',         # use search_pit
+])
+def test_unknown_top_level_sections_typed(eng, q):
+    with pytest.raises(DslError, match="unsupported request sections"):
+        eng.search("mp", q).collect()
