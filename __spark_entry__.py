@@ -646,6 +646,20 @@ def q_search_sampler_diversified(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_search_intervals_combined(spark, sf_dir):
+    # ES intervals any_of/all_of (r9): docs holding an adjacent ordered
+    # "spark table" interval OR the token 'batch', AND the token
+    # 'filter' somewhere (positionally-unconstrained all_of — the
+    # engine subset). Combined trees score a flat 1 (the documented
+    # intervals deviation), so the oracle is pure predicate SQL.
+    q = ('{"query":{"intervals":{"text":{"all_of":{"intervals":['
+         '{"any_of":{"intervals":['
+         '{"match":{"query":"spark table","max_gaps":0,"ordered":true}},'
+         '{"match":{"query":"batch"}}]}},'
+         '{"match":{"query":"filter"}}]}}}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def q_search_span_multi(spark, sf_dir):
     # ES span_multi (r9): a prefix in a span position — expands against
     # the term dictionary to the concrete span_or (Lucene
@@ -2202,6 +2216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   minimum_should_match gate — previously a silent drop)
         "search_span_multi": q_search_span_multi,  # ~ span family (r9;
         #   the last span operator — dictionary-expanded prefix span)
+        "search_intervals_combined": q_search_intervals_combined,
+        #   ~ intervals family (r9 any_of/all_of combiners; flat-1)
         "search_sampler_diversified": q_search_sampler_diversified,
         #   ~ aggs family (r9; per-source cap + top-200 sample, both
         #   deterministic — oracle re-derives with two windows)
@@ -3723,6 +3739,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang AS key, COUNT(*)::BIGINT AS doc_count
             FROM sample GROUP BY lang
             ORDER BY doc_count DESC, key ASC
+        """,
+        # intervals any_of/all_of (r9): (adjacent ordered "spark table"
+        # OR token batch) AND token filter — flat-1 predicate
+        "search_intervals_combined": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(text), '\W+') AS toks
+                FROM documents),
+            p AS (
+                SELECT doc_id,
+                       list_filter(range(len(toks)), i ->
+                           len(toks[i+1]) > 0 AND toks[i+1] = 'spark'
+                           AND i + 2 <= len(toks)
+                           AND toks[i+2] = 'table') AS phr,
+                       list_contains(toks, 'batch') AS has_batch,
+                       list_contains(toks, 'filter') AS has_filter
+                FROM t)
+            SELECT doc_id, 1::BIGINT AS _score FROM p
+            WHERE (len(phr) > 0 OR has_batch) AND has_filter
         """,
         # span_multi (r9): prefix positions — tokens starting 'quer'
         "search_span_multi": r"""

@@ -2263,31 +2263,67 @@ def _node(q: dict[str, Any]) -> Node:
         expr = _compile_doc_script("terms_set", substituted)
         return TermsSet(field, terms, None, expr)
     if kind == "intervals":
-        # ES intervals query, `match` rule subset: multi-term,
-        # ordered/unordered, max_gaps. Width/order semantics in
-        # ast.IntervalsMatch; duplicate query terms collapse (documented
-        # deviation — one occurrence satisfies repeats).
+        # ES intervals query: `match` rule (multi-term, ordered/
+        # unordered, max_gaps — width/order semantics in
+        # ast.IntervalsMatch; duplicate query terms collapse, documented
+        # deviation) plus the combining rules `any_of` (ANY source
+        # matches) and positionally-unconstrained `all_of` (EVERY
+        # source matches somewhere in the doc — all_of with
+        # ordered/max_gaps needs cross-source interval algebra, typed
+        # error, documented subset). Combined trees keep the intervals
+        # flat-1 score (ConstantScore — the engine's documented
+        # intervals scoring deviation).
         field, spec = _single(body)
+
+        def rule_node(rspec: Any) -> Node:
+            if not isinstance(rspec, dict) or len(rspec) != 1:
+                raise DslError("intervals needs {field: {rule: {...}}}")
+            (rule, params), = rspec.items()
+            if rule == "match":
+                if not isinstance(params, dict) or "query" not in params:
+                    raise DslError("intervals match needs {'query': str}")
+                tokens = tuple(dict.fromkeys(
+                    str(params["query"]).lower().split()))
+                if not tokens:
+                    return MatchNone()
+                mg = params.get("max_gaps", -1)
+                if isinstance(mg, bool) or not isinstance(mg, int) \
+                        or mg < -1:
+                    raise DslError("max_gaps must be an integer >= -1")
+                ordered = params.get("ordered", False)
+                if not isinstance(ordered, bool):
+                    raise DslError("intervals 'ordered' must be a boolean")
+                return IntervalsMatch(field, tokens, ordered, mg)
+            if rule in ("any_of", "all_of"):
+                if not isinstance(params, dict) \
+                        or not isinstance(params.get("intervals"), list) \
+                        or not params["intervals"]:
+                    raise DslError(f"intervals {rule} needs "
+                                   "{'intervals': [rule, ...]}")
+                if rule == "all_of" and (
+                        params.get("ordered") or
+                        params.get("max_gaps", -1) != -1):
+                    raise DslError(
+                        "intervals all_of with ordered/max_gaps needs "
+                        "cross-source interval algebra (engine subset: "
+                        "positionally unconstrained all_of)")
+                subs = tuple(rule_node(r) for r in params["intervals"])
+                return Or(subs) if rule == "any_of" else And(subs)
+            raise DslError(
+                f"intervals rule {rule!r} is not supported (engine "
+                "rules: match, any_of, all_of)")
+
         if not isinstance(spec, dict) or len(spec) != 1:
             raise DslError("intervals needs {field: {rule: {...}}}")
-        (rule, params), = spec.items()
-        if rule != "match":
-            raise DslError(
-                f"intervals rule {rule!r} is not supported (the engine "
-                "implements the 'match' rule)")
-        if not isinstance(params, dict) or "query" not in params:
-            raise DslError("intervals match needs {'query': str}")
-        tokens = tuple(dict.fromkeys(str(params["query"]).lower().split()))
-        if not tokens:
-            return MatchNone()
-        mg = params.get("max_gaps", -1)
-        if isinstance(mg, bool) or not isinstance(mg, int) or mg < -1:
-            raise DslError("max_gaps must be an integer >= -1")
-        ordered = params.get("ordered", False)
-        if not isinstance(ordered, bool):
-            raise DslError("intervals 'ordered' must be a boolean")
-        return _boosted(IntervalsMatch(field, tokens, ordered, mg),
-                        params.get("boost"))
+        (rule0, params0), = spec.items()
+        node = rule_node(spec)
+        if rule0 == "match":
+            return _boosted(node, params0.get("boost")
+                            if isinstance(params0, dict) else None)
+        if isinstance(node, MatchNone):
+            return node
+        # combined tree: flat-1 intervals score (documented deviation)
+        return ConstantScore(node, 1.0)
     if kind == "constant_score":
         if not isinstance(body, dict) or "filter" not in body:
             raise DslError("constant_score needs {'filter': clause}")

@@ -123,3 +123,61 @@ def test_intervals_composes_in_bool(iv_engine):
         "must_not": [{"term": {"text": "fox"}}]}}})
     got = {r["id"] for r in iv_engine.search("iv_docs", q).collect()}
     assert got == {"f"}
+
+
+# ------------------------------------------- any_of / all_of rules (r9)
+
+def _ids2(eng, q):
+    out = eng.search("iv", "#options:load-rows=false#" + q)
+    return sorted(r["id"] for r in out.collect())
+
+
+@pytest.fixture(scope="module")
+def iv_eng(spark):
+    from cassandra_es_index_spark.search.engine import (
+        SearchEngine, TableSpec,
+    )
+    e = SearchEngine(spark)
+    docs = spark.createDataFrame(
+        [(1, "red fox jumps"), (2, "red dog"), (3, "blue fox"),
+         (4, "cat")], "id int, text string")
+    e.register(docs, TableSpec("iv", ["id"]))
+    return e
+
+
+def test_intervals_any_of(iv_eng):
+    q = ('{"query":{"intervals":{"text":{"any_of":{"intervals":['
+         '{"match":{"query":"red dog","max_gaps":0,"ordered":true}},'
+         '{"match":{"query":"blue"}}]}}}}}')
+    assert _ids2(iv_eng, q) == [2, 3]
+    # combined trees keep the flat-1 intervals score
+    out = iv_eng.search("iv", "#options:load-rows=false#" + q).collect()
+    assert all(r["_score"] == 1 for r in out)
+
+
+def test_intervals_all_of_unconstrained(iv_eng):
+    q = ('{"query":{"intervals":{"text":{"all_of":{"intervals":['
+         '{"match":{"query":"red"}},{"match":{"query":"fox"}}]}}}}}')
+    assert _ids2(iv_eng, q) == [1]
+
+
+def test_intervals_nested_combiners(iv_eng):
+    q = ('{"query":{"intervals":{"text":{"all_of":{"intervals":['
+         '{"any_of":{"intervals":[{"match":{"query":"red"}},'
+         '{"match":{"query":"blue"}}]}},'
+         '{"match":{"query":"fox"}}]}}}}}')
+    assert _ids2(iv_eng, q) == [1, 3]
+
+
+@pytest.mark.parametrize("q, msg", [
+    ('{"query":{"intervals":{"text":{"all_of":{"intervals":'
+     '[{"match":{"query":"a"}}],"ordered":true}}}}}',
+     "cross-source interval algebra"),
+    ('{"query":{"intervals":{"text":{"prefix":{"prefix":"re"}}}}}',
+     "match, any_of, all_of"),
+    ('{"query":{"intervals":{"text":{"any_of":{}}}}}',
+     "any_of needs"),
+])
+def test_intervals_combiner_typed_errors(iv_eng, q, msg):
+    with pytest.raises(DslError, match=msg):
+        iv_eng.search("iv", q).collect()
