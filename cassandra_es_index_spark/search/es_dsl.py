@@ -790,8 +790,8 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
     unknown = set(obj) - {
         "query", "size", "from", "sort", "search_after", "aggs",
         "aggregations", "collapse", "highlight", "knn", "rescore",
-        "_source", "script_fields", "runtime_mappings", "min_score",
-        "post_filter", "track_total_hits", "suggest",
+        "_source", "fields", "script_fields", "runtime_mappings",
+        "min_score", "post_filter", "track_total_hits", "suggest",
     }
     if unknown:
         raise DslError(f"unsupported request sections "
@@ -1005,6 +1005,28 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         if source_filter is not False and any(
                 "*" in f for f in source_filter):
             raise DslError("_source wildcard patterns are not supported")
+    fspec = obj.get("fields")
+    if fspec is not None:
+        # ES 8 `fields` retrieval: the engine's flattened response has
+        # ONE projection surface, so a plain field-name list maps onto
+        # the _source filter (documented; ES returns a separate
+        # `fields` section beside _source). Object entries carry
+        # `format` — per-field formatting is not supported (typed), and
+        # combining with an explicit _source filter would need two
+        # projections (typed).
+        if source_filter is not None:
+            raise DslError("'fields' cannot combine with a '_source' "
+                           "filter (one projection surface — engine "
+                           "subset)")
+        if not isinstance(fspec, list) or not fspec or not all(
+                isinstance(x, str) for x in fspec):
+            raise DslError(
+                "fields must be a non-empty list of field names "
+                "(object entries carry 'format' — per-field "
+                "formatting is not supported, engine subset)")
+        if any("*" in f for f in fspec):
+            raise DslError("fields wildcard patterns are not supported")
+        source_filter = tuple(fspec)
     script_fields: tuple[tuple[str, str], ...] = ()
     sfspec = obj.get("script_fields")
     if sfspec is not None:

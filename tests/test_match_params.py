@@ -212,3 +212,22 @@ def test_leaf_accepted_params_still_work(eng):
 def test_unknown_top_level_sections_typed(eng, q):
     with pytest.raises(DslError, match="unsupported request sections"):
         eng.search("mp", q).collect()
+
+
+def test_fields_retrieval_maps_to_projection(eng):
+    q = ('{"query":{"term":{"text":"a"}},"fields":["title"]}')
+    out = eng.search("mp", "#options:load-source=true#" + q)
+    cols = out.columns
+    assert "title" in cols and "text" not in cols
+
+
+@pytest.mark.parametrize("q, msg", [
+    ('{"query":{"match_all":{}},"fields":[{"field":"title",'
+     '"format":"epoch_millis"}]}', "formatting is not supported"),
+    ('{"query":{"match_all":{}},"fields":["title"],"_source":["text"]}',
+     "one projection surface"),
+    ('{"query":{"match_all":{}},"fields":["ti*"]}', "wildcard"),
+])
+def test_fields_typed_errors(eng, q, msg):
+    with pytest.raises(DslError, match=msg):
+        eng.search("mp", q).collect()
