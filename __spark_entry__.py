@@ -474,7 +474,11 @@ def _orders_nested_engine(spark: SparkSession, sf_dir: str, name: str
     derived fixtures, not once per query call (bench best-of-2 was
     paying it 2× per nested query). The CACHED frame is persisted so
     repeat queries read memory, mirroring a registered table."""
-    key = _ck(spark, sf_dir, f"eng:{name}")
+    # ONE persisted frame + ONE engine per (session, sf): the callers'
+    # distinct table names all register against the same fixture (r10 —
+    # the r9 name-keyed cache built and persisted the identical
+    # collect_list shuffle once per name, VERDICT r9 "wrong" #2)
+    key = _ck(spark, sf_dir, "eng:orders_nested_shared")
     if key not in _CACHE:
         orders = _t(spark, sf_dir, "orders")
         li = _t(spark, sf_dir, "lineitem")
@@ -488,10 +492,12 @@ def _orders_nested_engine(spark: SparkSession, sf_dir: str, name: str
                       "left")
                 .drop("l_orderkey")
                 .persist())
-        eng = SearchEngine(spark)
+        _CACHE[key] = (SearchEngine(spark), docs, set())
+    eng, docs, names = _CACHE[key]
+    if name not in names:
         eng.register(docs, TableSpec(name, ["o_orderkey"]))
-        _CACHE[key] = eng
-    return _CACHE[key]
+        names.add(name)
+    return eng
 
 
 def q_search_nested_inner(spark, sf_dir):

@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -103,16 +104,26 @@ def _run(queries, name, spark, sf_dir, best_of, timings):
     # in place of the timing and keep going — the JSON line always emits.
     try:
         fn = queries[name]
-        # best-of-n to shave single-JVM scheduling noise (±2x observed on
-        # sub-second queries); every run fully materializes via noop sink.
-        best = None
+        # best-of-n to shave single-JVM scheduling noise; every run fully
+        # materializes via the noop sink. Sub-second entries swing ±70%
+        # at best-of-2 even on an idle box (r9: phantom 1.8× regressions
+        # a judge re-run disproved), so they extend to 3 runs and record
+        # the MEDIAN — one inflated or one lucky run can't move the
+        # recorded number.
+        times = []
         for _ in range(best_of):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            took = time.perf_counter() - start
-            best = took if best is None else min(best, took)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - start)
+        while min(times) < 1.0 and len(times) < 3:
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop") \
+                             .mode("overwrite").save()
+            times.append(time.perf_counter() - start)
+        value = (statistics.median(times) if min(times) < 1.0
+                 else min(times))
+        timings[name] = round(value, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — isolate, record, continue
         timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}

@@ -397,20 +397,39 @@ class TermPattern:
 
 @dataclass(frozen=True)
 class SpanNear(Node):
-    """Lucene/ES ``span_near`` with exactly two ``span_term`` clauses:
-    the two tokens occur within ``slop`` intervening TOKENS of each
-    other (``in_order`` restricts to first-then-second). Score = number
-    of qualifying position pairs (deterministic, SQL-expressible).
-    Evaluated with higher-order functions over the token-position
-    arrays on the scan plan; with a built token-position index
-    (``SearchEngine.build_span_index``) it serves as position filters +
-    one distance-predicate equi-join instead — bit-exact, and the
-    corpus is never re-tokenized (r6)."""
+    """Lucene/ES ``span_near`` over N span clause slots (r10 — the r9
+    engine accepted exactly two span_term clauses; Lucene SpanNearQuery
+    is N-ary, ref ElasticIndex.java:663-667 forwards it verbatim).
+
+    ``clauses`` is the general form: one tuple per slot, each a union
+    of alternatives (plain terms from span_term/span_or; TermPattern
+    from span_multi, expanded against the term dictionary upstream).
+    A tuple (p₁…p_N), pᵢ from slot i's position set, qualifies when
+    ``max(p) − min(p) + 1 − N ≤ slop`` (Lucene's match width for
+    single-token subspans) with strictly increasing positions under
+    ``in_order`` and pairwise-distinct positions otherwise. Score =
+    number of qualifying tuples (deterministic, SQL-expressible — the
+    N-ary generalization of the r6 pair count).
+
+    ``first``/``second`` mirror the 2×single-term shape when it
+    applies (legacy plan paths + span_containing's big-span shape);
+    empty strings otherwise. Evaluated with nested higher-order
+    functions over token-position arrays on the scan plan; with a
+    built token-position index it serves as one token filter + one
+    per-doc aggregation (N-ary) or a distance-predicate equi-join
+    (two single terms) — bit-exact, corpus never re-tokenized."""
     field: str | None = None
     first: str = ""
     second: str = ""
     slop: int = 0
     in_order: bool = True
+    clauses: tuple = ()
+
+    def slots(self) -> tuple:
+        """Canonical N-slot form: ``clauses`` when present, else the
+        legacy two-single-term shape."""
+        return self.clauses if self.clauses \
+            else ((self.first,), (self.second,))
 
 
 @dataclass(frozen=True)

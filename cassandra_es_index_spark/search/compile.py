@@ -998,9 +998,23 @@ class Compiler:
                 F.lit(False))
             return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, SpanNear):
-            # token-position arrays via split + filtered index sequences
-            # (JVM higher-order functions, no UDF); score = number of
-            # qualifying position pairs
+            # token-position arrays via split + filtered index
+            # sequences (JVM higher-order functions, no UDF); score =
+            # number of qualifying position tuples — N-ary since r10,
+            # the same positional.span_near_tuple_count math the
+            # index-served plan applies, so both plans count
+            # bit-identically. Each slot is a union of alternatives
+            # (span_or / expanded span_multi).
+            from cassandra_es_index_spark.search.ast import TermPattern
+            from cassandra_es_index_spark.search.positional import (
+                span_near_tuple_count,
+            )
+            if any(isinstance(t, TermPattern)
+                   for c in node.slots() for t in c):
+                raise CompileError(
+                    "span_multi is data-driven (term-dictionary "
+                    "expansion) — run it through SearchEngine, which "
+                    "resolves it before compile (_expand_data_nodes)")
             ref = self.resolve(node.field)
             if not isinstance(ref.dtype, T.StringType):
                 raise CompileError(
@@ -1008,27 +1022,17 @@ class Compiler:
             toks = F.split(F.lower(ref.col), r"\W+")
             idx = F.sequence(F.lit(0), F.size(toks) - 1)
 
-            def positions(term: str) -> Column:
-                t = F.lit(term.lower())
+            def slot_positions(terms) -> Column:
+                lits = [str(t).lower() for t in terms]
                 return F.filter(
                     idx, lambda i: (F.length(F.element_at(toks, i + 1))
                                     > 0)
-                    & (F.element_at(toks, i + 1) == t))
+                    & F.element_at(toks, i + 1).isin(lits))
 
-            p1, p2 = positions(node.first), positions(node.second)
-            gap = F.lit(int(node.slop))
-
-            def pair_ok(a: Column, b: Column) -> Column:
-                ordered = (b > a) & (b - a - 1 <= gap)
-                if node.in_order:
-                    return ordered
-                return ordered | ((a > b) & (a - b - 1 <= gap))
-
-            pairs = F.aggregate(
-                p1, F.lit(0),
-                lambda acc, a: acc + F.size(
-                    F.filter(p2, lambda b: pair_ok(a, b))))
-            cnt = F.coalesce(pairs, F.lit(0))
+            arrays = [slot_positions(c) for c in node.slots()]
+            cnt = F.coalesce(
+                span_near_tuple_count(arrays, node.slop, node.in_order),
+                F.lit(0))
             return cnt > 0, cnt
         if isinstance(node, (GeoDistance, GeoBoundingBox)):
             # geo leaves (r8): haversine / box comparisons as pure

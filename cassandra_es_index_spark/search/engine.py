@@ -919,6 +919,9 @@ class SearchEngine:
         SPANS = (SpanOr, SpanFirst, SpanNot, SpanContaining)
 
         def has_pattern(n) -> bool:
+            if isinstance(n, SpanNear):   # N-ary slots (r10)
+                return any(isinstance(t, TermPattern)
+                           for c in n.clauses for t in c)
             return isinstance(n, SPANS) and any(
                 isinstance(t, TermPattern)
                 for attr in ("terms", "include_terms", "exclude_terms",
@@ -947,6 +950,22 @@ class SearchEngine:
                         out.append(t)
                 return tuple(dict.fromkeys(out))
 
+            if isinstance(n, SpanNear):
+                # N-ary slots (r10): expand every TermPattern
+                # alternative; a required slot with no matching
+                # dictionary terms matches nothing
+                new_slots = []
+                for c in n.clauses:
+                    cc = concrete(c)
+                    if not cc:
+                        return MatchNone()
+                    new_slots.append(cc)
+                first = second = ""
+                if len(new_slots) == 2 and all(len(s) == 1
+                                               for s in new_slots):
+                    first, second = new_slots[0][0], new_slots[1][0]
+                return replace(n, first=first, second=second,
+                               clauses=tuple(new_slots))
             if isinstance(n, SpanNot):
                 inc = concrete(n.include_terms)
                 exc = concrete(n.exclude_terms)
@@ -1036,12 +1055,12 @@ class SearchEngine:
             terms = tuple(t for _, t in weighted[:n.max_query_terms])
             if not terms:
                 return MatchNone()
-            msm = n.minimum_should_match
-            if msm.endswith("%"):
-                count = int(len(terms) * int(msm[:-1]) / 100.0)
-            else:
-                count = int(msm)
-            node: Node = TermsSet(fld, terms, msm_expr=str(max(1, count)))
+            # shared msm grammar (r10): ints / integer strings incl.
+            # negative "all but |N|" forms / ±N% — clamped ≥1 (MLT is
+            # a pure disjunction, Lucene needs one matching term)
+            count = es_dsl._msm_count(n.minimum_should_match,
+                                      len(terms), "more_like_this")
+            node: Node = TermsSet(fld, terms, msm_expr=str(count))
             if n.like_ids and not n.include:
                 node = And((node, Not(Ids(tuple(n.like_ids)))))
             return node
@@ -2647,22 +2666,30 @@ class SearchEngine:
                 return interval_hits(state.view(), n.terms, n.ordered,
                                      n.max_gaps, score_col=SCORE)
             if isinstance(n, SpanNear):
-                # span_near from the token-position index (r05 weak #2):
-                # two position filters + one distance-predicate equi-join
-                # on doc — score = number of qualifying position pairs,
-                # bit-exact with the scan path's higher-order-function
-                # evaluation; the corpus is never re-tokenized
+                # span_near from the token-position index (r05 weak #2;
+                # N-ary r10): the two-single-term shape stays the
+                # distance-predicate equi-join on doc; N slots / union
+                # slots run as one token filter + one per-doc
+                # aggregation applying the SAME tuple-count Column math
+                # the scan plan compiles (positional.
+                # span_near_tuple_count) — bit-exact either way, and
+                # the corpus is never re-tokenized
                 from cassandra_es_index_spark.search.positional import (
-                    span_pair_counts,
+                    span_near_hits, span_pair_counts,
                 )
 
                 fld = n.field if n.field is not None else default
                 state = self._span.get((table, fld))
                 if state is None:
                     return None
-                return span_pair_counts(
-                    state.view(), n.first, n.second,
-                    slop=n.slop, in_order=n.in_order, score_col=SCORE)
+                if n.first:          # legacy 2×single-term fast join
+                    return span_pair_counts(
+                        state.view(), n.first, n.second,
+                        slop=n.slop, in_order=n.in_order,
+                        score_col=SCORE)
+                return span_near_hits(
+                    state.view(), n.slots(), n.slop, n.in_order,
+                    score_col=SCORE)
             if isinstance(n, (SpanOr, SpanFirst, SpanNot)):
                 # span family from the token-position index (r8): each
                 # is one token filter + one per-doc aggregation — the
@@ -3976,19 +4003,61 @@ class SearchEngine:
                         default_field: str | None = None) -> DataFrame:
         """Global search metadata: total hit count + max score
         (ref README.md:199-203 — ``hits.total`` / ``max_score`` surfaced in
-        the metadata column)."""
+        the metadata column).
+
+        Honors the request sections that CHANGE the metadata (r10 — the
+        r9 API silently ignored them, against the no-silent-drops
+        contract): ``track_total_hits`` with the ``_metadata_json``
+        semantics in DataFrame form — True (default) = exact total +
+        max_score; False = max_score only (ES omits hits.total); int N =
+        early-terminating ``limit(N+1)`` count with a ``relation``
+        column (``"gte"`` when the cap binds, ``"eq"`` otherwise;
+        totals-only, like the capped JSON payload) — plus ``min_score``
+        (drops sub-floor hits before counting, like ES). Sections whose
+        effect a totals-only API cannot honor (aggs / suggest / knn /
+        rescore / post_filter) typed-reject with a pointer at the API
+        that runs them. Pagination/presentation sections (size, from,
+        sort, _source, highlight, script_fields) are ignored — ES
+        hits.total / max_score are defined over the full match set, so
+        they genuinely don't change the answer."""
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
-        node, _ = self._parse_node(qmd.query)
-        ph = self._postings_hits(table, node, default_field)
-        if ph is not None:  # same index-backed plan as search()
-            return ph.agg(F.count("*").alias("total_hits"),
-                          F.max(SCORE).alias("max_score"))
-        pred, score = Compiler(docs, default_field).compile(node)
-        return (docs.where(pred)
-                    .select(score)
-                    .agg(F.count("*").alias("total_hits"),
-                         F.max(SCORE).alias("max_score")))
+        req = self._parse_request(qmd.query)
+        for sec, present, hint in (
+                ("aggs", req.aggs is not None, "search_aggs()"),
+                ("suggest", req.suggest is not None, "suggest_request()"),
+                ("knn", req.knn is not None, "search()"),
+                ("rescore", req.rescore is not None, "search()"),
+                ("post_filter", req.post_filter is not None, "search()")):
+            if present:
+                raise es_dsl.DslError(
+                    f"request has a {sec!r} section: search_metadata() "
+                    f"computes hit totals only — run it with {hint} "
+                    "(same request body)")
+        req = self._resolve_date_math(req, docs, default_field, qmd)
+        req = self._expand_phrase_prefixes(req, table, docs,
+                                           default_field)
+        req = self._expand_data_nodes(req, table, docs, default_field)
+        docs = self._apply_runtime(docs, req)
+        matches = self._postings_hits(table, req.node, default_field)
+        if matches is None:  # scan plan
+            pred, score = Compiler(docs, default_field).compile(req.node)
+            matches = docs.where(pred).select(score)
+        if req.min_score is not None:
+            matches = matches.where(
+                F.col(SCORE) >= F.lit(req.min_score))
+        tth = req.track_total_hits
+        if tth is False:
+            return matches.agg(F.max(SCORE).alias("max_score"))
+        if tth is True:
+            return matches.agg(F.count("*").alias("total_hits"),
+                               F.max(SCORE).alias("max_score"))
+        n = int(tth)
+        return (matches.limit(n + 1).agg(F.count("*").alias("_c"))
+                .select(F.least(F.col("_c"), F.lit(n).cast("long"))
+                         .alias("total_hits"),
+                        F.when(F.col("_c") > n, F.lit("gte"))
+                         .otherwise(F.lit("eq")).alias("relation")))
 
     def percolate(self, documents: DataFrame, queries,
                   default_field: str | None = None,

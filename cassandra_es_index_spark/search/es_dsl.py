@@ -347,32 +347,66 @@ def _leaf_params(kind: str, value: dict, allowed: set[str]) -> None:
             "by construction (documented)")
 
 
-def _msm_count(msm: Any, n_terms: int, ctx: str) -> int:
-    """Resolve an ES ``minimum_should_match`` value (positive int or
-    ``"N%"`` — the engine subset; ES's negative/combination grammar is
-    typed-rejected) to a clause-count floor, clamped to ≥1 (Lucene
-    CoveringQuery treats sub-1 floors as 1)."""
+def _msm_count(msm: Any, n_terms: int, ctx: str, *,
+               clamp: bool = True) -> int:
+    """Resolve an ES ``minimum_should_match`` value to a clause-count
+    floor. Accepted grammar (r10 widening — ES minimum-should-match
+    spec, Solr calculateMinShouldMatch arithmetic):
+
+    - int or integer STRING (``2``, ``"2"``): that many clauses;
+      negative N = ``n_terms + N`` (ES's "all but |N|" form)
+    - ``"N%"``: that percent of the clauses, fraction truncated toward
+      zero (Java integer division); ``"-N%"`` = the percent allowed to
+      be UNMATCHED
+    - combination forms (``"3<90%"``, space-separated lists) keep a
+      typed error naming the accepted subset
+
+    ``clamp=True`` floors the result at 1 — correct for pure
+    disjunctions (match / more_like_this / terms_set), where Lucene
+    requires ≥1 matching optional clause regardless. ``bool`` passes
+    ``clamp=False`` and maps a sub-1 floor itself: beside must/filter
+    the should clauses become fully optional (ES msm=0), alone they
+    gate at ≥1."""
     if isinstance(msm, bool):
         raise DslError(f"{ctx}: bad minimum_should_match {msm!r}")
+    plain: int | None = None
     if isinstance(msm, int):
-        if msm <= 0:
-            raise DslError(f"{ctx}: minimum_should_match must be a "
-                           "positive integer or 'N%' (engine subset)")
-        # a floor above the clause count is unsatisfiable and matches
-        # nothing — exactly what the covering count produces
-        return msm
-    if isinstance(msm, str) and msm.endswith("%"):
-        try:
-            pct = int(msm[:-1])
-        except ValueError as e:
+        plain = msm
+    elif isinstance(msm, str):
+        s = msm.strip()
+        if "<" in s or " " in s:
             raise DslError(
-                f"{ctx}: bad minimum_should_match {msm!r}") from e
-        if pct <= 0 or pct > 100:
-            raise DslError(f"{ctx}: minimum_should_match percentage "
-                           "must be in (0, 100] (engine subset)")
-        return max(1, n_terms * pct // 100)
-    raise DslError(f"{ctx}: minimum_should_match must be a positive "
-                   f"integer or 'N%', got {msm!r}")
+                f"{ctx}: combination minimum_should_match forms "
+                f"({msm!r}) are not supported — the engine subset is "
+                "an integer, an integer string, or '[-]N%'")
+        if s.endswith("%"):
+            try:
+                pct = int(s[:-1])
+            except ValueError as e:
+                raise DslError(
+                    f"{ctx}: bad minimum_should_match {msm!r}") from e
+            if pct == 0 or pct > 100 or pct < -100:
+                raise DslError(
+                    f"{ctx}: minimum_should_match percentage must be "
+                    "in (0, 100] or [-100, 0) (engine subset)")
+            # Java-style toward-zero truncation of n·pct/100
+            value = ((n_terms * pct) // 100 if pct > 0
+                     else n_terms - (n_terms * -pct) // 100)
+        else:
+            try:
+                plain = int(s)
+            except ValueError as e:
+                raise DslError(
+                    f"{ctx}: minimum_should_match must be an integer, "
+                    f"an integer string, or '[-]N%', got {msm!r}") from e
+    else:
+        raise DslError(f"{ctx}: minimum_should_match must be an "
+                       f"integer, an integer string, or '[-]N%', "
+                       f"got {msm!r}")
+    if plain is not None:
+        # negative plain form: all but |N| of the clauses must match
+        value = plain if plain >= 0 else n_terms + plain
+    return max(1, value) if clamp else value
 
 
 def sibling_out_names(sn: str, sk: str,
@@ -2636,9 +2670,19 @@ def _node(q: dict[str, Any]) -> Node:
         if should:
             if msm is not None:
                 # explicit msm gates ≥ n should clauses, beside
-                # must/filter or alone; score = Σ matching clauses (r9)
-                n = _msm_count(msm, len(should), "bool")
-                parts.append(Should(tuple(should), min_count=n))
+                # must/filter or alone; score = Σ matching clauses (r9).
+                # A sub-1 resolved floor (negative forms, r10) means
+                # fully-optional shoulds beside must/filter (ES msm=0)
+                # but still gates at ≥1 when should stands alone
+                # (Lucene: a pure-should bool needs one match).
+                n = _msm_count(msm, len(should), "bool", clamp=False)
+                if n >= 1:
+                    parts.append(Should(tuple(should), min_count=n))
+                elif parts:
+                    parts.append(Should(tuple(should)))
+                else:
+                    parts.append(should[0] if len(should) == 1
+                                 else Or(tuple(should)))
             elif parts:
                 # must/filter present → should is optional, score-only
                 # (ES minimum_should_match=0 in that case)
@@ -2683,35 +2727,50 @@ def _node(q: dict[str, Any]) -> Node:
         branches.append(_node(body["organic"]))
         return DisMax(tuple(branches), 0.0)
     if kind == "span_near":
-        # exactly two span_term clauses (the common Lucene shape); slop
-        # counts intervening tokens, in_order defaults true like Lucene
+        # N span clause slots (r10 — Lucene SpanNearQuery is N-ary and
+        # the reference forwards it verbatim, ElasticIndex.java:663-667;
+        # the r9 engine accepted exactly two span_term clauses). Each
+        # slot is span_term / span_or / span_multi (_span_clause_terms
+        # — span_multi slots carry TermPattern, expanded against the
+        # term dictionary before compile); slop bounds the non-matched
+        # positions inside the match window (max − min + 1 − N ≤ slop),
+        # in_order defaults true like Lucene.
         if not isinstance(body, dict) \
                 or not isinstance(body.get("clauses"), list) \
-                or len(body["clauses"]) != 2:
-            raise DslError("span_near needs {'clauses': [two span_term "
-                           "clauses]} (the engine supports exactly two)")
-        terms = []
+                or len(body["clauses"]) < 2:
+            raise DslError("span_near needs {'clauses': [two or more "
+                           "span clauses]}")
+        extra = set(body) - {"clauses", "slop", "in_order", "boost"}
+        if extra:
+            raise DslError(f"span_near: unsupported parameters "
+                           f"{sorted(extra)} (engine subset)")
+        if len(body["clauses"]) > 8:
+            raise DslError(
+                "span_near supports at most 8 clauses (engine subset "
+                "— the tuple-count plan nests one evaluation level "
+                "per clause)")
         fields = set()
+        slots: list[tuple] = []
         for cl in body["clauses"]:
-            if not isinstance(cl, dict) or len(cl) != 1 \
-                    or "span_term" not in cl:
-                raise DslError("span_near clauses must be span_term")
-            fld, val = _single(cl["span_term"])
-            if isinstance(val, dict):
-                val = val.get("value")
+            fld, terms = _span_clause_terms(cl)
             fields.add(fld)
-            terms.append(_scalar(val))
+            slots.append(terms)
         if len(fields) != 1:
             raise DslError("span_near clauses must share one field")
         slop = body.get("slop", 0)
-        if not isinstance(slop, int) or slop < 0:
+        if isinstance(slop, bool) or not isinstance(slop, int) \
+                or slop < 0:
             raise DslError("span_near slop must be a non-negative integer")
         in_order = body.get("in_order", True)
         if not isinstance(in_order, bool):
             raise DslError("span_near in_order must be a boolean")
+        first = second = ""
+        if len(slots) == 2 and all(
+                len(s) == 1 and isinstance(s[0], str) for s in slots):
+            first, second = slots[0][0], slots[1][0]
         return _boosted(
-            SpanNear(next(iter(fields)), terms[0], terms[1], slop,
-                     in_order),
+            SpanNear(next(iter(fields)), first, second, slop,
+                     in_order, tuple(slots)),
             body.get("boost"))
     if kind == "span_or":
         # union of single-token span_term clauses, one shared field —
@@ -2780,6 +2839,11 @@ def _node(q: dict[str, Any]) -> Node:
             if not isinstance(near, SpanNear):
                 raise DslError(f"{kind} big span_near does not take "
                                "boost (boost the whole query)")
+            if not near.first:
+                raise DslError(
+                    f"{kind} big span_near must be two span_term "
+                    "clauses (engine subset — the big-span pair math "
+                    "is two-clause)")
             bfld = near.field
             big_terms: tuple = ()
             big_near = (near.first, near.second, near.slop,
@@ -3025,12 +3089,10 @@ def _node(q: dict[str, Any]) -> Node:
             raise DslError("more_like_this max_doc_freq must be a "
                            "positive integer")
         msm = body.get("minimum_should_match", "30%")
-        if isinstance(msm, bool) \
-                or not isinstance(msm, (int, str)) \
-                or (isinstance(msm, str)
-                    and not _re.fullmatch(r"\d+%", msm.strip())):
-            raise DslError("more_like_this minimum_should_match must "
-                           "be an integer or a 'N%' string")
+        # grammar check at parse time (widened r10: ints, integer
+        # strings incl. negative, ±N% — the _msm_count subset); the
+        # count resolves against the picked term set at expansion time
+        _msm_count(msm, 100, "more_like_this")
         inc = body.get("include", False)
         if not isinstance(inc, bool):
             raise DslError("more_like_this include must be a boolean")

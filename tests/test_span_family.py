@@ -200,8 +200,131 @@ def test_span_containing_index_served_bit_exact(spark):
      "does not take boost"),
     ('{"span_within":{"big":{"span_near":{"clauses":['
      '{"span_term":{"text":"x"}}]}},'
-     '"little":{"span_term":{"text":"z"}}}}', "exactly two"),
+     '"little":{"span_term":{"text":"z"}}}}', "two or more"),
+    # N-ary big span_near (legal as a standalone query since r10) still
+    # rejects inside containing/within — the big-span pair math is
+    # two-clause (engine subset)
+    ('{"span_within":{"big":{"span_near":{"clauses":['
+     '{"span_term":{"text":"x"}},{"span_term":{"text":"y"}},'
+     '{"span_term":{"text":"w"}}]}},'
+     '"little":{"span_term":{"text":"z"}}}}', "two span_term"),
 ])
 def test_span_containing_typed_errors(bad, msg):
+    with pytest.raises(DslError, match=msg):
+        parse_request('{"query":' + bad + "}")
+
+
+# --------------------------------------------- r10: N-ary span_near
+
+NEAR_ROWS = [
+    (1, "quick brown fox jumps"),
+    (2, "quick fox brown"),
+    (3, "quick x brown y fox"),
+    (4, "brown quick fox"),
+    (5, "quick quick brown fox"),
+    (6, "nothing here"),
+]
+
+
+@pytest.fixture(scope="module")
+def near_engine(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(NEAR_ROWS, "id int, text string"),
+                 TableSpec("near_docs", ["id"]))
+    return eng
+
+
+def _near(eng, q, table="near_docs"):
+    out = eng.search(table, "#options:load-rows=false#" + q)
+    return {r["id"]: r["_score"] for r in out.collect()}
+
+
+def _q3(slop, in_order):
+    import json as _json
+    return _json.dumps({"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "quick"}},
+        {"span_term": {"text": "brown"}},
+        {"span_term": {"text": "fox"}}],
+        "slop": slop, "in_order": in_order}}})
+
+
+def test_span_near_three_clauses_ordered(near_engine):
+    # hand positions: 1 → q0 b1 f2 (width 0); 5 → q0 q1 b2 f3: tuples
+    # (1,2,3) width 0 and (0,2,3) width 1
+    assert _near(near_engine, _q3(0, True)) == {1: 1, 5: 1}
+    assert _near(near_engine, _q3(2, True)) == {1: 1, 3: 1, 5: 2}
+
+
+def test_span_near_three_clauses_unordered(near_engine):
+    # any arrangement within a 3-token window: docs 1, 2, 4 tight; 5
+    # via (1,2,3); 3 needs slop 2
+    assert _near(near_engine, _q3(0, False)) == {1: 1, 2: 1, 4: 1, 5: 1}
+
+
+def test_span_near_span_or_slot(near_engine):
+    import json as _json
+    q = _json.dumps({"query": {"span_near": {"clauses": [
+        {"span_or": {"clauses": [{"span_term": {"text": "quick"}},
+                                 {"span_term": {"text": "brown"}}]}},
+        {"span_term": {"text": "fox"}}], "slop": 0, "in_order": True}}})
+    assert _near(near_engine, q) == {1: 1, 2: 1, 4: 1, 5: 1}
+
+
+def test_span_near_span_multi_slot(near_engine):
+    # prefix qu* in the first slot (dictionary-expanded TermPattern)
+    import json as _json
+    q = _json.dumps({"query": {"span_near": {"clauses": [
+        {"span_multi": {"match": {"prefix": {"text": "qu"}}}},
+        {"span_term": {"text": "brown"}},
+        {"span_term": {"text": "fox"}}], "slop": 2, "in_order": True}}})
+    assert _near(near_engine, q) == {1: 1, 3: 1, 5: 2}
+
+
+def test_span_near_index_served_parity(near_engine, spark):
+    e2 = SearchEngine(spark)
+    e2.register(spark.createDataFrame(NEAR_ROWS, "id int, text string"),
+                TableSpec("near_docs2", ["id"]))
+    e2.build_span_index("near_docs2", "text", materialize=True)
+    import json as _json
+    qm = _json.dumps({"query": {"span_near": {"clauses": [
+        {"span_multi": {"match": {"prefix": {"text": "qu"}}}},
+        {"span_term": {"text": "brown"}},
+        {"span_term": {"text": "fox"}}], "slop": 2, "in_order": True}}})
+    for q in (_q3(0, True), _q3(2, True), _q3(0, False), qm):
+        scan = _near(near_engine, q)
+        served = _near(e2, q, table="near_docs2")
+        assert scan == served, q
+
+
+def test_span_near_two_clause_form_unchanged(near_engine):
+    # the r6 two-clause shape keeps its semantics (and its join-served
+    # plan — first/second stay populated on the parsed node)
+    from cassandra_es_index_spark.search.ast import SpanNear
+    req = parse_request('{"query":{"span_near":{"clauses":['
+                        '{"span_term":{"text":"quick"}},'
+                        '{"span_term":{"text":"brown"}}],"slop":0}}}')
+    assert isinstance(req.node, SpanNear)
+    assert (req.node.first, req.node.second) == ("quick", "brown")
+    assert req.node.clauses == (("quick",), ("brown",))
+
+
+@pytest.mark.parametrize("bad, msg", [
+    ('{"span_near":{"clauses":[{"span_term":{"text":"x"}}]}}',
+     "two or more"),
+    ('{"span_near":{"clauses":[{"span_term":{"text":"x"}},'
+     '{"span_term":{"other":"y"}}]}}', "share one field"),
+    ('{"span_near":{"clauses":[{"span_term":{"text":"x"}},'
+     '{"span_near":{"clauses":[{"span_term":{"text":"y"}},'
+     '{"span_term":{"text":"z"}}]}}]}}', "not supported here"),
+    ('{"span_near":{"clauses":[{"span_term":{"text":"x"}},'
+     '{"span_term":{"text":"y"}}],"slop":-1}}', "non-negative"),
+    ('{"span_near":{"clauses":[{"span_term":{"text":"x"}},'
+     '{"span_term":{"text":"y"}}],"collect_payloads":true}}',
+     "unsupported parameters"),
+    ('{"span_near":{"clauses":[' +
+     ",".join('{"span_term":{"text":"t%d"}}' % i for i in range(9)) +
+     ']}}', "at most 8"),
+])
+def test_span_near_typed_errors(bad, msg):
     with pytest.raises(DslError, match=msg):
         parse_request('{"query":' + bad + "}")
