@@ -261,6 +261,32 @@ def with_geotile_key(df, lat: Column, lon: Column, precision: int,
     return df.withColumn(out, key).drop(tx, ty)
 
 
+def polygon_contains(lat: Column, lon: Column,
+                     points: tuple) -> Column:
+    """Even-odd ray-cast containment of (lat, lon) in the implicitly
+    closed (lat, lon) vertex ring: a ray east from the point crosses
+    an odd number of edges ⇔ inside. Per-edge Column comparisons with
+    driver-side slope constants (the DuckDB oracles re-emit the
+    identical constants); horizontal edges skip — they never flip
+    parity and would divide by zero; ``!=`` on booleans is XOR-parity
+    folding. Planar semantics like ES's legacy geo_polygon (no
+    great-circle edges, no antimeridian wrap; documented). SHARED by
+    the scan plan (compile.py GeoPolygon) and the geo index-served
+    plan (r10 geo_shape polygon), so both match bit-identically."""
+    inside: Column = F.lit(False)
+    for i in range(len(points)):
+        y1, x1 = points[i]
+        y2, x2 = points[(i + 1) % len(points)]
+        if y1 == y2:
+            continue
+        slope = (x2 - x1) / (y2 - y1)
+        crosses = (((F.lit(y1) > lat) != (F.lit(y2) > lat))
+                   & (lon < F.lit(slope) * (lat - F.lit(y1))
+                      + F.lit(x1)))
+        inside = inside != crosses
+    return inside
+
+
 # --- driver-side cell enumeration (r9: the geo index-served plan) -----
 
 def _cell_index(value: float, lo: float, hi: float, bits: int) -> int:

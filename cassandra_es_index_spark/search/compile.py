@@ -1067,14 +1067,11 @@ class Compiler:
             pred = F.coalesce(pred, F.lit(False))
             return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, GeoPolygon):
-            # even-odd ray casting: a ray east from the point crosses an
-            # odd number of edges ⇔ inside. Per-edge Column comparisons
-            # with driver-side slope constants (the oracle re-emits the
-            # identical constants); horizontal edges skip — they never
-            # flip parity and would divide by zero. `!=` on booleans is
-            # XOR-parity folding.
+            # even-odd ray casting, shared with the geo index-served
+            # plan (functions/geo.py::polygon_contains) so both plans
+            # match bit-identically
             from cassandra_es_index_spark.functions.geo import (
-                geo_point_cols,
+                geo_point_cols, polygon_contains,
             )
 
             ref = self.resolve(node.field)
@@ -1082,20 +1079,8 @@ class Compiler:
                 lat, lon = geo_point_cols(ref.col, ref.dtype, node.field)
             except ValueError as e:
                 raise CompileError(str(e)) from e
-            inside: Column = F.lit(False)
-            pts = node.points
-            for i in range(len(pts)):
-                y1, x1 = pts[i]
-                y2, x2 = pts[(i + 1) % len(pts)]
-                if y1 == y2:
-                    continue
-                slope = (x2 - x1) / (y2 - y1)
-                crosses = (
-                    ((F.lit(y1) > lat) != (F.lit(y2) > lat))
-                    & (lon < F.lit(slope) * (lat - F.lit(y1))
-                       + F.lit(x1)))
-                inside = inside != crosses
-            pred = F.coalesce(inside, F.lit(False))
+            pred = F.coalesce(polygon_contains(lat, lon, node.points),
+                              F.lit(False))
             return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, (SpanOr, SpanFirst, SpanNot,
                              SpanContaining)):

@@ -23,7 +23,7 @@ from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax, Exists,
     FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance,
-    RandomScore,
+    GeoPolygon, RandomScore,
     Fuzzy, IntervalsMatch, Node, Not, Or, Phrase, Range, Regexp, Required,
     Scoreless,
     ScriptScore, Should, SpanContaining, SpanFirst, SpanNear, SpanNot,
@@ -2730,18 +2730,19 @@ class SearchEngine:
                 return span_containing_hits(
                     state.view(), n.big_terms, n.big_near,
                     n.little_terms, n.within, score_col=SCORE)
-            if isinstance(n, (GeoDistance, GeoBoundingBox)):
-                # geo index-served plan (r9, the SCALE.md follow-up):
-                # enumerate the query's covering geohash cells
-                # driver-side (bounded list), equi-join the (doc, cell)
-                # index to get candidates, then exact-verify ONLY the
-                # candidates against the base — bucket-then-verify, the
-                # LSH/IVF shape. Over-large coverings (radius ≫ cell
-                # size, pole circles) return None → scan plan, which is
-                # the right plan for a corpus-sized match set anyway.
+            if isinstance(n, (GeoDistance, GeoBoundingBox, GeoPolygon)):
+                # geo index-served plan (r9, polygons r10 via
+                # geo_shape): enumerate the query's covering geohash
+                # cells driver-side (bounded list), equi-join the
+                # (doc, cell) index to get candidates, then
+                # exact-verify ONLY the candidates against the base —
+                # bucket-then-verify, the LSH/IVF shape. Over-large
+                # coverings (radius ≫ cell size, pole circles) return
+                # None → scan plan, which is the right plan for a
+                # corpus-sized match set anyway.
                 from cassandra_es_index_spark.functions.geo import (
                     bbox_covering_cells, covering_cells,
-                    haversine_meters,
+                    haversine_meters, polygon_contains,
                 )
 
                 entry = self._geo.get((table, n.field))
@@ -2750,9 +2751,18 @@ class SearchEngine:
                 prec = self._geo_prec[(table, n.field)]
                 if isinstance(n, GeoDistance):
                     cells = covering_cells(n.lat, n.lon, n.meters, prec)
-                else:
+                elif isinstance(n, GeoBoundingBox):
                     cells = bbox_covering_cells(n.top, n.left, n.bottom,
                                                 n.right, prec)
+                else:
+                    # polygon: cover the ring's planar bbox (polygon
+                    # semantics never wrap the antimeridian —
+                    # documented), exact even-odd verify below
+                    lats = [p[0] for p in n.points]
+                    lons = [p[1] for p in n.points]
+                    cells = bbox_covering_cells(max(lats), min(lons),
+                                                min(lats), max(lons),
+                                                prec)
                 if cells is None:
                     return None
                 lat, lon = F.col("lat"), F.col("lon")
@@ -2760,6 +2770,12 @@ class SearchEngine:
                     pred = haversine_meters(
                         lat, lon, F.lit(float(n.lat)),
                         F.lit(float(n.lon))) <= F.lit(float(n.meters))
+                elif isinstance(n, GeoPolygon):
+                    # same Column math the scan plan compiles
+                    # (functions/geo.py::polygon_contains) — bit-exact
+                    pred = F.coalesce(
+                        polygon_contains(lat, lon, n.points),
+                        F.lit(False))
                 else:
                     if n.left <= n.right:
                         lon_pred = ((lon >= F.lit(float(n.left)))

