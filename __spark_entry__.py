@@ -467,6 +467,24 @@ def q_search_span_containing(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_span_near_nary(spark, sf_dir):
+    # N-ary span_near (r10 engine; oracle-backed r11 — the r9 "done"
+    # criterion VERDICT r10 missing #2): 3 clause slots with one
+    # span_or union slot — spark ... (table|value) ... query, in
+    # order, window rule max - min + 1 - 3 <= 6. Score = qualifying
+    # tuple count (positional.span_near_tuple_count — the same nested
+    # higher-order-function Column math on the scan and index-served
+    # plans, clause count capped at 8 so the expression tree stays
+    # bounded).
+    q = ('{"query":{"span_near":{"clauses":['
+         '{"span_term":{"text":"spark"}},'
+         '{"span_or":{"clauses":[{"span_term":{"text":"table"}},'
+         '{"span_term":{"text":"value"}}]}},'
+         '{"span_term":{"text":"query"}}],'
+         '"slop":6,"in_order":true}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def _orders_nested_engine(spark: SparkSession, sf_dir: str, name: str
                           ) -> SearchEngine:
     """Cached orders-with-lineitems-as-array<struct> fixture engine —
@@ -553,7 +571,13 @@ def _poly_cond_sql(pts) -> str:
         s = (x2 - x1) / (y2 - y1)
         conds.append(f"((({y1!r} > lat) <> ({y2!r} > lat)) "
                      f"AND lon < {s!r} * (lat - {y1!r}) + {x1!r})")
-    return " <> ".join(conds)
+    # explicit left-assoc fold: DuckDB's <> is NON-associative, so a
+    # 3+-edge chain `a <> b <> c` is a parse error (the r9 polygon
+    # never hit this — its horizontal edge is skipped, leaving 2 terms)
+    expr = conds[0]
+    for c in conds[1:]:
+        expr = f"({expr} <> {c})"
+    return expr
 
 
 def q_geo_polygon_filter(spark, sf_dir):
@@ -586,6 +610,30 @@ def q_geo_sort_nearest(spark, sf_dir):
     out = eng.search("geo_events", "#options:load-rows=false#" + q)
     return out.withColumn("_geo_distance",
                           F.round("_geo_distance", 3))
+
+
+# geo_shape polygon vertices (lat, lon) — a DIFFERENT triangle from
+# _POLY_PTS so the two queries pin independent constants; shared by the
+# Spark query and the oracle generator (_poly_cond_sql) for bit-parity
+_GS_PTS = [(-60.0, -170.0), (75.0, -20.0), (-65.0, 100.0)]
+
+
+def q_geo_shape_filter(spark, sf_dir):
+    # ES geo_shape (r10 surface, oracle-pinned r11): polygon shape
+    # with relation `within` — on the point corpus within ≡ intersects
+    # (r11 desugar), landing on the SAME even-odd ray-cast algebra as
+    # geo_polygon (ast.GeoPolygon), so the oracle re-emits the
+    # identical slope constants via _poly_cond_sql. The GeoJSON ring
+    # is [lon, lat] and explicitly closed — the parser strips the
+    # closure. NULL points never match.
+    import json as _json
+    eng = _geo_events_engine(spark, sf_dir)
+    ring = [[lo, la] for la, lo in _GS_PTS]
+    ring.append(ring[0])
+    q = _json.dumps({"query": {"geo_shape": {"loc": {
+        "shape": {"type": "polygon", "coordinates": [ring]},
+        "relation": "within"}}}})
+    return eng.search("geo_events", "#options:load-rows=false#" + q)
 
 
 def q_search_bool_prefix(spark, sf_dir):
@@ -2209,6 +2257,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   oracle re-emits the identical ray-cast constants)
         "geo_sort_nearest": q_geo_sort_nearest,  # ~ geo family (r9;
         #   _geo_distance sort, top-50 nearest + km distance column)
+        "geo_shape_filter": q_geo_shape_filter,  # ~ geo family (r11
+        #   oracle pin of the r10 geo_shape surface: polygon shape,
+        #   relation within — desugars onto the geo_polygon ray-cast
+        #   algebra; oracle re-emits the identical slope constants)
+        "search_span_near_nary": q_search_span_near_nary,  # ~ span
+        #   family (r11 oracle for the r10 N-ary span_near: 3 slots
+        #   with a span_or union slot; oracle re-derives the tuple
+        #   count with DuckDB list lambdas)
         "search_composite_aggs": q_search_composite_aggs,  # ~ aggs
         #   family (keyset cursor; green r05-r08, demoted r9 for
         #   search_normalize_topm — the family keeps seven window reps)
@@ -2719,6 +2775,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM p)
             SELECT doc_id, pairs::BIGINT AS _score
             FROM s WHERE pairs > 0
+        """,
+        # N-ary span_near (r11 oracle for the r10 operator): tuples
+        # (p1, p2, p3) with p1 ∈ pos(spark), p2 ∈ pos(table)∪pos(value),
+        # p3 ∈ pos(query), strictly increasing, max − min ≤ slop + 2
+        # (= 8) — the same window rule span_near_tuple_count compiles;
+        # per-level pruning (b − a ≤ 8) mirrors the engine exactly.
+        # list_sum of an empty list is NULL and SUM skips NULLs, so
+        # empty levels contribute 0 like the engine's empty-candidate
+        # filter.
+        "search_span_near_nary": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(text), '\W+') AS toks
+                FROM documents),
+            p AS (
+                SELECT doc_id,
+                       list_filter(range(len(toks)),
+                                   i -> len(toks[i + 1]) > 0
+                                        AND toks[i + 1] = 'spark') AS p1,
+                       list_filter(range(len(toks)),
+                                   i -> len(toks[i + 1]) > 0
+                                        AND toks[i + 1] IN
+                                            ('table', 'value')) AS p2,
+                       list_filter(range(len(toks)),
+                                   i -> len(toks[i + 1]) > 0
+                                        AND toks[i + 1] = 'query') AS p3
+                FROM t),
+            s AS (
+                SELECT doc_id,
+                       COALESCE(list_sum(list_transform(p1, a ->
+                           list_sum(list_transform(
+                               list_filter(p2, b -> b > a
+                                                    AND b - a <= 8),
+                               b -> len(list_filter(p3,
+                                   c -> c > b AND c - a <= 8)))))), 0)
+                           AS tuples
+                FROM p)
+            SELECT doc_id, tuples::BIGINT AS _score
+            FROM s WHERE tuples > 0
         """,
         # span_not (r8): include = positions of spark|sparks, exclude =
         # positions of slow; an include position p survives when no
@@ -3520,6 +3615,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND ({_poly_cond_sql(_POLY_PTS)})
+        """,
+        # geo_shape polygon, relation within (r11): on the point corpus
+        # within ≡ intersects ≡ the even-odd ray cast — identical slope
+        # constants/op order as the compiler (generated by
+        # _poly_cond_sql from the shared _GS_PTS)
+        "geo_shape_filter": f"""
+            WITH g AS ({_GEO_CTE})
+            SELECT event_id, 1::BIGINT AS _score
+            FROM g
+            WHERE lat IS NOT NULL AND ({_poly_cond_sql(_GS_PTS)})
         """,
         # _geo_distance sort (r9): top-50 nearest, same haversine op
         # order; distances round to 3 decimals on both sides (the sort

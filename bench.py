@@ -59,6 +59,7 @@ HEADLINE = [
     "search_function_score_multi",  # functions array fold (r8)
     "search_span_not",      # span survival math, index served (r8)
     "search_span_containing",  # span containment, index served (r9)
+    "search_span_near_nary",  # N-ary span_near, span_or slot (r10/r11)
     "search_nested_inner",  # per-parent matching elements flatten (r8)
     "search_significant_terms",  # JLH fg-vs-bg term scoring
     "search_aggs_nested3",  # 3-level bucket flatten-join
@@ -84,6 +85,7 @@ HEADLINE = [
     "geo_distance_filter",  # haversine Column filter (scan plan, r9)
     "geo_sort_nearest",     # _geo_distance sort: codegen distance + top-k (r9)
     "search_geohash_grid",  # geo grid agg: one groupBy on cell keys (r9)
+    "geo_shape_filter",     # geo_shape polygon within — ray cast (r10/r11)
     "percolate_route",      # stored-query matching, one corpus scan (r9)
     "search_feature_boosts",  # rank_feature + distance_feature (r9)
     "search_mlt_dsl",       # MLT DSL: tf-idf pick → TermsSet serve (r9)
@@ -145,6 +147,7 @@ def main() -> None:
     queries = entrymod.queries()
     timings: dict = {}
     build: dict = {}
+    anchor_hot = False
     try:
         # phase 1 — heavy shuffles on a clean heap (shared corpus cache only)
         t0 = time.perf_counter()
@@ -153,6 +156,36 @@ def main() -> None:
         build["documents_cache"] = round(time.perf_counter() - t0, 3)
         for name in HEAVY:
             _run(queries, name, spark, sf_dir, best_of, timings)
+
+        # Idle-anchor gate, ENFORCED in code (r10 lesson: the 2.8 s
+        # convention failed — BENCH_r10 was committed with the anchor
+        # at 3.065 s and recorded phantom 5-10x regressions a judge
+        # re-run disproved). dedup_minhash_lsh reads ~2.5 s on an idle
+        # box at sf0.1; above the gate the machine is busy and EVERY
+        # number inflates ~25-30%. One retry, then stamp anchor_hot so
+        # no future round mistakes a hot-machine record for a
+        # regression. The gate only arms at the sf it was calibrated
+        # for (sf0.1, the driver's per-round scale).
+        anchor = HEAVY[0]
+        gate = float(os.environ.get("SPARK_GRAFT_ANCHOR_GATE", "2.8"))
+        readings = [timings.get(anchor)]
+        if sf == 0.1 and isinstance(readings[0], float) \
+                and readings[0] > gate:
+            print(f"  ANCHOR HOT ({readings[0]:.3f}s > {gate}s gate) "
+                  "— retrying once", file=sys.stderr)
+            _run(queries, anchor, spark, sf_dir, best_of, timings)
+            readings.append(timings.get(anchor))
+        if isinstance(readings[-1], float):
+            build["anchor_sec"] = readings[-1]
+            build["anchor_gate"] = gate
+            if sf == 0.1 and all(isinstance(r, float) and r > gate
+                                 for r in readings):
+                anchor_hot = True
+                build["anchor_readings"] = [round(r, 3)
+                                            for r in readings]
+                print("  ANCHOR STILL HOT — record is suspect; "
+                      "treat per-query numbers as upper bounds",
+                      file=sys.stderr)
 
         # phase 2 — index build (documents cache + postings, on-disk
         # bucketed postings) — reported separately: the baseline's trace
@@ -180,6 +213,11 @@ def main() -> None:
             "best_of": best_of,
             "sf": sf,
         }
+        if anchor_hot:
+            # loud top-level flag: the machine failed the idle-anchor
+            # gate twice — every per-query number is inflated; do NOT
+            # diagnose regressions from this record
+            out["anchor_hot"] = True
         if errs:
             out["errors"] = errs
         print(json.dumps(out))

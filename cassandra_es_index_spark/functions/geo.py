@@ -237,7 +237,13 @@ def with_geotile_key(df, lat: Column, lon: Column, precision: int,
     tile indexes staged as named columns — same codegen-hygiene shape
     as `with_geohash_key` (geotile's tree is O(1) in precision, so
     this is belt-and-braces CSE, not a 64 KB fix). Null lat/lon → null
-    key (explicit guard: concat_ws would otherwise skip nulls)."""
+    key (explicit guard: concat_ws would otherwise skip nulls).
+    Precision is bounds-checked like the DSL (ES geotile zoom range
+    0..29) — a huge precision would silently build 1<<p tile math
+    whose clamped keys are meaningless."""
+    if not 0 <= precision <= 29:
+        raise ValueError(f"geotile precision must be in [0, 29], "
+                         f"got {precision}")
     n = 1 << precision
     tx, ty = f"__{out}_x", f"__{out}_y"
     lat_c = F.greatest(F.lit(-MAX_MERCATOR_LAT),

@@ -581,6 +581,18 @@ class GeoPolygon(Node):
 
 
 @dataclass(frozen=True)
+class GeoExists(Node):
+    """Docs whose geo_point field carries a non-null point (BOTH
+    coordinates non-null — a struct of two nulls is itself non-null,
+    so the generic ``Exists`` cannot express this). The null-exclusion
+    leg of ``geo_shape`` relation ``disjoint`` (r11): ES only matches
+    documents that HAVE an indexed shape, so
+    ``disjoint ≡ has-point AND NOT intersects``. Score 1 per match,
+    like the other geo leaves."""
+    field: str = ""
+
+
+@dataclass(frozen=True)
 class Boosting(Node):
     """ES ``boosting`` query: matches exactly the ``positive`` query;
     docs ALSO matching ``negative`` keep matching but their score

@@ -33,8 +33,8 @@ from pyspark.sql import types as T
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax,
     DistanceFeature, Exists,
-    FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoPolygon,
-    Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, MoreLikeThis,
+    FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists,
+    GeoPolygon, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, MoreLikeThis,
     Nested, Node, Not, Or,
     Phrase, Range,
     RandomScore, RankFeature, Regexp,
@@ -1081,6 +1081,24 @@ class Compiler:
                 raise CompileError(str(e)) from e
             pred = F.coalesce(polygon_contains(lat, lon, node.points),
                               F.lit(False))
+            return pred, F.when(pred, 1).otherwise(0)
+        if isinstance(node, GeoExists):
+            # geo-point presence (r11): both coordinates non-null — the
+            # null-exclusion leg of geo_shape relation `disjoint`
+            # (struct(null, null) is non-null, so Exists can't express
+            # it). Scores 1 like the other geo leaves, so
+            # And((GeoExists, Not(shape))) keeps the geo filter score
+            # convention.
+            from cassandra_es_index_spark.functions.geo import (
+                geo_point_cols,
+            )
+
+            ref = self.resolve(node.field)
+            try:
+                lat, lon = geo_point_cols(ref.col, ref.dtype, node.field)
+            except ValueError as e:
+                raise CompileError(str(e)) from e
+            pred = lat.isNotNull() & lon.isNotNull()
             return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, (SpanOr, SpanFirst, SpanNot,
                              SpanContaining)):

@@ -25,7 +25,7 @@ from typing import Any
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, DistanceFeature, Exists,
     FunctionScore,
-    FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoPolygon,
+    FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists, GeoPolygon,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone,
     MoreLikeThis, Nested,
     Node, Not, Or,
@@ -3128,12 +3128,16 @@ def _node(q: dict[str, Any]) -> Node:
                 "supported; inline the shape)")
         if "shape" not in spec:
             raise DslError("geo_shape needs a 'shape' object")
-        rel = spec.get("relation", "intersects")
-        if str(rel).lower() != "intersects":
+        rel = str(spec.get("relation", "intersects")).lower()
+        if rel not in ("intersects", "within", "disjoint"):
+            # `contains` would need shape-typed documents (a point can
+            # only contain a point); the engine's corpus geo field is
+            # a point
             raise DslError(
                 f"geo_shape relation {rel!r} is not supported (engine "
-                "subset: intersects — the corpus field is a point, so "
-                "within/contains/disjoint need shape-typed documents)")
+                "subset: intersects / within / disjoint — the corpus "
+                "field is a point, so contains needs shape-typed "
+                "documents)")
         shape = spec["shape"]
         if not isinstance(shape, dict):
             raise DslError(
@@ -3141,6 +3145,18 @@ def _node(q: dict[str, Any]) -> Node:
                 "...}")
         stype = str(shape.get("type", "")).lower()
         coords = shape.get("coordinates")
+
+        def _rel(node: Node) -> Node:
+            # point corpus (r11): `within` ≡ `intersects` (a point is
+            # within the query shape iff it intersects it); `disjoint`
+            # ≡ has-a-point AND NOT intersects — ES only matches docs
+            # that HAVE the field, and GeoExists checks both
+            # coordinates (a struct of two nulls is non-null). Score
+            # stays 1 per match (GeoExists 1 + Not 0).
+            if rel == "disjoint":
+                return And((GeoExists(str(gfield)), Not(node)))
+            return node
+
         if stype == "envelope":
             # GeoJSON-ish ES envelope: [[minLon, maxLat],
             # [maxLon, minLat]] — top-left then bottom-right
@@ -3156,12 +3172,14 @@ def _node(q: dict[str, Any]) -> Node:
                     "bottom-right")
             # left > right wraps the antimeridian, like
             # geo_bounding_box (r9 semantics)
-            return GeoBoundingBox(str(gfield), top, left, bottom, right)
+            return _rel(GeoBoundingBox(str(gfield), top, left,
+                                       bottom, right))
         if stype == "point":
             # point ∩ point-corpus: exact coordinate match — the
             # degenerate box, which both plans already serve
             plat, plon = _geo_point(coords, "geo_shape point")
-            return GeoBoundingBox(str(gfield), plat, plon, plat, plon)
+            return _rel(GeoBoundingBox(str(gfield), plat, plon,
+                                       plat, plon))
         if stype == "polygon":
             if not isinstance(coords, list) or not coords \
                     or not isinstance(coords[0], list):
@@ -3179,7 +3197,7 @@ def _node(q: dict[str, Any]) -> Node:
             if len(pts) < 3:
                 raise DslError("geo_shape polygon ring needs at least "
                                "3 distinct points")
-            return GeoPolygon(str(gfield), tuple(pts))
+            return _rel(GeoPolygon(str(gfield), tuple(pts)))
         raise DslError(
             f"geo_shape type {shape.get('type')!r} is not supported "
             "(engine subset: envelope / polygon / point)")
