@@ -485,6 +485,19 @@ def q_search_span_near_nary(spark, sf_dir):
     return _search("#options:load-rows=false#" + q)(spark, sf_dir)
 
 
+def q_search_cross_fields(spark, sf_dir):
+    # multi_match type=cross_fields (r11 — the last multi_match type):
+    # term-centric grouping — token-major OR-over-fields groups,
+    # operator=and requires every token in >=1 of the fields. Score =
+    # Σ over tokens of the per-field tf sum (the engine's Or
+    # convention in place of ES's blended term statistics — documented
+    # deviation, same match set).
+    q = ('{"query":{"multi_match":{"query":"spark en",'
+         '"fields":["text","lang"],"type":"cross_fields",'
+         '"operator":"and"}}}')
+    return _search("#options:load-rows=false#" + q)(spark, sf_dir)
+
+
 def _orders_nested_engine(spark: SparkSession, sf_dir: str, name: str
                           ) -> SearchEngine:
     """Cached orders-with-lineitems-as-array<struct> fixture engine —
@@ -2265,6 +2278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   family (r11 oracle for the r10 N-ary span_near: 3 slots
         #   with a span_or union slot; oracle re-derives the tuple
         #   count with DuckDB list lambdas)
+        "search_cross_fields": q_search_cross_fields,  # ~ multi-field
+        #   family (r11 cross_fields: token-major field-OR groups;
+        #   oracle repeats the per-field tf sums)
         "search_composite_aggs": q_search_composite_aggs,  # ~ aggs
         #   family (keyset cursor; green r05-r08, demoted r9 for
         #   search_normalize_topm — the family keeps seven window reps)
@@ -2559,6 +2575,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(regexp_extract_all(lang, '{_EN}')) > 0
               AND len(regexp_extract_all(text, '{_SPARK}')) > 0
+        """,
+        # cross_fields (r11): token-major — every token in >= 1 of the
+        # fields; score = Σ tokens Σ fields tf (engine Or convention)
+        "search_cross_fields": f"""
+            SELECT doc_id,
+                   (len(regexp_extract_all(text, '{_SPARK}'))
+                    + len(regexp_extract_all(lang, '{_SPARK}'))
+                    + len(regexp_extract_all(text, '{_EN}'))
+                    + len(regexp_extract_all(lang, '{_EN}')))::BIGINT
+                       AS _score
+            FROM documents
+            WHERE (len(regexp_extract_all(text, '{_SPARK}')) > 0
+                   OR len(regexp_extract_all(lang, '{_SPARK}')) > 0)
+              AND (len(regexp_extract_all(text, '{_EN}')) > 0
+                   OR len(regexp_extract_all(lang, '{_EN}')) > 0)
         """,
         "search_wildcard": f"""
             SELECT doc_id, len(regexp_extract_all(text, '{_QUER}'))::BIGINT AS _score

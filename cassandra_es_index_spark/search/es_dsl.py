@@ -347,19 +347,60 @@ def _leaf_params(kind: str, value: dict, allowed: set[str]) -> None:
             "by construction (documented)")
 
 
+def _msm_simple(s: str, n_terms: int, ctx: str) -> int:
+    """Resolve one SIMPLE minimum-should-match expression (integer
+    string or ``[-]N%``) against ``n_terms`` — the leaf evaluator of
+    the full Solr grammar (`_msm_count`). Percent resolves by
+    toward-zero INTEGER truncation of n·pct/100; Lucene's own
+    arithmetic goes through ``(int)(n * pct * (1/100f))`` whose
+    float32 rounding can under-count an exact multiple by one (90% of
+    10 → 8) — the engine defines the deterministic integer rule
+    instead (documented deviation, also what the r10 oracle probes
+    pinned)."""
+    if s.endswith("%"):
+        try:
+            pct = int(s[:-1])
+        except ValueError as e:
+            raise DslError(
+                f"{ctx}: bad minimum_should_match {s!r}") from e
+        if pct == 0 or pct > 100 or pct < -100:
+            raise DslError(
+                f"{ctx}: minimum_should_match percentage must be "
+                "in (0, 100] or [-100, 0) (engine subset)")
+        # Java-style toward-zero truncation of n·pct/100
+        return ((n_terms * pct) // 100 if pct > 0
+                else n_terms - (n_terms * -pct) // 100)
+    try:
+        plain = int(s)
+    except ValueError as e:
+        raise DslError(
+            f"{ctx}: minimum_should_match must be an integer, "
+            f"an integer string, '[-]N%', or a conditional list "
+            f"('3<90%'), got {s!r}") from e
+    # negative plain form: all but |N| of the clauses must match
+    return plain if plain >= 0 else n_terms + plain
+
+
 def _msm_count(msm: Any, n_terms: int, ctx: str, *,
                clamp: bool = True) -> int:
     """Resolve an ES ``minimum_should_match`` value to a clause-count
-    floor. Accepted grammar (r10 widening — ES minimum-should-match
-    spec, Solr calculateMinShouldMatch arithmetic):
+    floor. Full grammar (r11 — ES minimum-should-match spec, Lucene
+    ``Queries.calculateMinShouldMatch`` / Solr
+    ``calculateMinShouldMatch`` control flow):
 
     - int or integer STRING (``2``, ``"2"``): that many clauses;
       negative N = ``n_terms + N`` (ES's "all but |N|" form)
     - ``"N%"``: that percent of the clauses, fraction truncated toward
-      zero (Java integer division); ``"-N%"`` = the percent allowed to
-      be UNMATCHED
-    - combination forms (``"3<90%"``, space-separated lists) keep a
-      typed error naming the accepted subset
+      zero (integer division — see `_msm_simple` for the documented
+      float32 deviation); ``"-N%"`` = the percent allowed to be
+      UNMATCHED
+    - conditional list (``"3<90%"``, ``"2<-25% 9<-3"``): each
+      space-separated ``N<value`` clause in order — when the optional
+      clause count is ≤ N the previous result stands (initially ALL
+      clauses required) and evaluation STOPS; otherwise the result
+      becomes the simple-form value. Callers list conditions in
+      ascending N, like Solr. A negative conditional result floors
+      at 0.
 
     ``clamp=True`` floors the result at 1 — correct for pure
     disjunctions (match / more_like_this / terms_set), where Lucene
@@ -369,43 +410,42 @@ def _msm_count(msm: Any, n_terms: int, ctx: str, *,
     gate at ≥1."""
     if isinstance(msm, bool):
         raise DslError(f"{ctx}: bad minimum_should_match {msm!r}")
-    plain: int | None = None
     if isinstance(msm, int):
-        plain = msm
+        value = msm if msm >= 0 else n_terms + msm
     elif isinstance(msm, str):
         s = msm.strip()
-        if "<" in s or " " in s:
+        if "<" in s:
+            # conditional spec(s): normalize spaces around '<' then
+            # split on whitespace — Lucene's spaceAroundLessThan /
+            # spacePattern pipeline
+            value = n_terms          # "below every bound: all required"
+            for part in _re.sub(r"\s*<\s*", "<", s).split():
+                left, sep, rest = part.partition("<")
+                if not sep or not rest:
+                    raise DslError(
+                        f"{ctx}: bad conditional minimum_should_match "
+                        f"clause {part!r} (want 'N<value')")
+                try:
+                    upper = int(left)
+                except ValueError as e:
+                    raise DslError(
+                        f"{ctx}: bad conditional minimum_should_match "
+                        f"bound {left!r} in {msm!r}") from e
+                if n_terms <= upper:
+                    break            # Lucene: return the running result
+                value = _msm_simple(rest, n_terms, ctx)
+            value = max(0, value)
+        elif " " in s:
             raise DslError(
-                f"{ctx}: combination minimum_should_match forms "
-                f"({msm!r}) are not supported — the engine subset is "
-                "an integer, an integer string, or '[-]N%'")
-        if s.endswith("%"):
-            try:
-                pct = int(s[:-1])
-            except ValueError as e:
-                raise DslError(
-                    f"{ctx}: bad minimum_should_match {msm!r}") from e
-            if pct == 0 or pct > 100 or pct < -100:
-                raise DslError(
-                    f"{ctx}: minimum_should_match percentage must be "
-                    "in (0, 100] or [-100, 0) (engine subset)")
-            # Java-style toward-zero truncation of n·pct/100
-            value = ((n_terms * pct) // 100 if pct > 0
-                     else n_terms - (n_terms * -pct) // 100)
+                f"{ctx}: bad minimum_should_match {msm!r} — a "
+                "space-separated list is only valid as conditional "
+                "'N<value' clauses")
         else:
-            try:
-                plain = int(s)
-            except ValueError as e:
-                raise DslError(
-                    f"{ctx}: minimum_should_match must be an integer, "
-                    f"an integer string, or '[-]N%', got {msm!r}") from e
+            value = _msm_simple(s, n_terms, ctx)
     else:
         raise DslError(f"{ctx}: minimum_should_match must be an "
-                       f"integer, an integer string, or '[-]N%', "
-                       f"got {msm!r}")
-    if plain is not None:
-        # negative plain form: all but |N| of the clauses must match
-        value = plain if plain >= 0 else n_terms + plain
+                       f"integer, an integer string, '[-]N%', or a "
+                       f"conditional list, got {msm!r}")
     return max(1, value) if clamp else value
 
 
@@ -2579,11 +2619,17 @@ def _node(q: dict[str, Any]) -> Node:
             value = value.get("value")
         return _boosted(Regexp(field, str(value)), boost)
     if kind == "multi_match":
-        # per-field match clauses combined by `type`: "most_fields"
-        # (the engine DEFAULT — Σ of per-field branch scores, the Or
-        # convention; documented DEVIATION: ES defaults best_fields) or
-        # "best_fields" (DisMax — best branch + tie_breaker × rest, ES
-        # scoring). `operator: and` requires every token per field.
+        # per-field match clauses combined by `type`: "best_fields"
+        # (the DEFAULT since r11, matching ES — DisMax: best branch +
+        # tie_breaker × rest), "most_fields" (Σ of per-field branch
+        # scores, the Or convention), or "cross_fields" (r11 —
+        # term-centric: the token grouping flips field-major →
+        # token-major, each token must appear in ≥1 field under
+        # `operator: and`; score = Σ over tokens of the per-field tf
+        # sum, the engine's Or convention in place of ES's blended
+        # term statistics — documented deviation, same match set).
+        # `operator: and` requires every token (per field for
+        # best/most_fields, in any field for cross_fields).
         if not isinstance(body, dict) or "query" not in body \
                 or not isinstance(body.get("fields"), list) \
                 or not body["fields"]:
@@ -2594,11 +2640,12 @@ def _node(q: dict[str, Any]) -> Node:
         if extra:
             raise DslError(f"multi_match: unsupported parameters "
                            f"{sorted(extra)} (engine subset)")
-        mm_type = body.get("type", "most_fields")
-        if mm_type not in ("most_fields", "best_fields"):
+        mm_type = body.get("type", "best_fields")
+        if mm_type not in ("most_fields", "best_fields",
+                           "cross_fields"):
             raise DslError("multi_match type must be most_fields/"
-                           f"best_fields (engine subset), got "
-                           f"{mm_type!r}")
+                           f"best_fields/cross_fields (engine "
+                           f"subset), got {mm_type!r}")
         tie = body.get("tie_breaker", 0.0)
         if isinstance(tie, bool) or not isinstance(tie, (int, float)) \
                 or not 0.0 <= tie <= 1.0:
@@ -2612,10 +2659,13 @@ def _node(q: dict[str, Any]) -> Node:
             raise DslError(
                 f"multi_match operator must be or/and, got {operator!r}")
         edits = _fuzziness_edits(body.get("fuzziness"))
+        if mm_type == "cross_fields" and edits is not None:
+            raise DslError("multi_match cross_fields does not support "
+                           "fuzziness (ES parity)")
         tokens = str(body["query"]).split()
         if not tokens:
             return MatchNone()  # zero analyzed tokens → MatchNoDocs
-        branches: list[Node] = []
+        fields: list[tuple[str, float | None]] = []
         for f in body["fields"]:
             fboost = None
             if "^" in f:
@@ -2625,7 +2675,24 @@ def _node(q: dict[str, Any]) -> Node:
                 except ValueError as e:
                     raise DslError(
                         f"bad multi_match field boost {fb!r}") from e
-            leaves: list[Node] = [
+            fields.append((f, fboost))
+        if mm_type == "cross_fields":
+            # token-major: one group per TOKEN, each an OR over the
+            # fields (the token matches in any of them); groups
+            # combine And/Or by `operator`
+            groups: list[Node] = []
+            for t in tokens:
+                leaves = [_boosted(Term(f, t), fboost)
+                          for f, fboost in fields]
+                groups.append(leaves[0] if len(leaves) == 1
+                              else Or(tuple(leaves)))
+            node: Node = groups[0] if len(groups) == 1 else (
+                And(tuple(groups)) if operator == "and"
+                else Or(tuple(groups)))
+            return _boosted(node, body.get("boost"))
+        branches: list[Node] = []
+        for f, fboost in fields:
+            leaves = [
                 _fuzzy_node(f, t, edits) if edits is not None
                 else Term(f, t)
                 for t in tokens]
@@ -2634,7 +2701,7 @@ def _node(q: dict[str, Any]) -> Node:
                 else Or(tuple(leaves)))
             branches.append(_boosted(branch, fboost))
         if len(branches) == 1:
-            node: Node = branches[0]
+            node = branches[0]
         elif mm_type == "best_fields":
             node = DisMax(tuple(branches), tie_breaker=float(tie))
         else:

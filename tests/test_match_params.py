@@ -71,12 +71,41 @@ def test_multi_match_best_fields_is_dis_max(eng):
     # doc 2 matches 'a' in BOTH fields: most_fields sums (2),
     # best_fields takes the max (1)
     most = _rows(eng, '{"query":{"multi_match":{"query":"a",'
-                      '"fields":["text","title"]}}}')
+                      '"fields":["text","title"],'
+                      '"type":"most_fields"}}}')
     best = _rows(eng, '{"query":{"multi_match":{"query":"a",'
                       '"fields":["text","title"],'
                       '"type":"best_fields"}}}')
     assert most[2] == 2 and best[2] == 1
     assert most[1] == best[1] == 1
+
+
+def test_multi_match_default_type_is_best_fields(eng):
+    # r11: the default type flipped to ES's best_fields (the r9-r10
+    # most_fields default was a documented deviation that silently
+    # reordered multi-field top-k for porting users)
+    dflt = _rows(eng, '{"query":{"multi_match":{"query":"a",'
+                      '"fields":["text","title"]}}}')
+    best = _rows(eng, '{"query":{"multi_match":{"query":"a",'
+                      '"fields":["text","title"],'
+                      '"type":"best_fields"}}}')
+    assert dflt == best and dflt[2] == 1
+
+
+def test_multi_match_cross_fields_token_major(eng):
+    # cross_fields (r11): token-major — each token must appear in >=1
+    # field under operator=and; score = Σ tokens Σ fields tf
+    got = _rows(eng, '{"query":{"multi_match":{"query":"a b",'
+                     '"fields":["text","title"],'
+                     '"type":"cross_fields","operator":"and"}}}')
+    # doc 2: 'a' in text AND title (tf 2), 'b' in title only (tf 1) —
+    # field-major operator=and would also match here, but doc 3
+    # ('b' text-only, no 'a' anywhere) shows the token-major gate
+    assert got == {1: 2, 2: 3, 4: 2, 5: 3}
+    got_or = _rows(eng, '{"query":{"multi_match":{"query":"a b",'
+                        '"fields":["text","title"],'
+                        '"type":"cross_fields"}}}')
+    assert got_or == {1: 2, 2: 3, 3: 1, 4: 2, 5: 3}
 
 
 @pytest.mark.parametrize("q, msg", [
@@ -89,9 +118,11 @@ def test_multi_match_best_fields_is_dis_max(eng):
     ('{"query":{"match":{"text":{"query":"a b",'
      '"minimum_should_match":"150%"}}}}', r"\(0, 100\]"),
     ('{"query":{"match":{"text":{"query":"a b",'
-     '"minimum_should_match":"3<90%"}}}}', "combination"),
+     '"minimum_should_match":"2 -1"}}}}', "space-separated"),
     ('{"query":{"match":{"text":{"query":"a b",'
-     '"minimum_should_match":"2 -1"}}}}', "combination"),
+     '"minimum_should_match":"x<90%"}}}}', "bound"),
+    ('{"query":{"match":{"text":{"query":"a b",'
+     '"minimum_should_match":"3<"}}}}', "'N<value'"),
     ('{"query":{"match":{"text":{"query":"a b",'
      '"minimum_should_match":"two"}}}}', "integer"),
     ('{"query":{"match":{"text":{"query":"a b",'
@@ -99,9 +130,11 @@ def test_multi_match_best_fields_is_dis_max(eng):
     ('{"query":{"match":{"text":{"query":"a b","fuzziness":1,'
      '"minimum_should_match":2}}}}', "fuzziness"),
     ('{"query":{"multi_match":{"query":"a","fields":["text"],'
-     '"type":"cross_fields"}}}', "most_fields/best_fields"),
+     '"type":"phrase"}}}', "most_fields/best_fields/cross_fields"),
     ('{"query":{"multi_match":{"query":"a","fields":["text"],'
-     '"tie_breaker":0.5}}}', "best_fields only"),
+     '"type":"cross_fields","fuzziness":1}}}', "fuzziness"),
+    ('{"query":{"multi_match":{"query":"a","fields":["text"],'
+     '"type":"most_fields","tie_breaker":0.5}}}', "best_fields only"),
     ('{"query":{"multi_match":{"query":"a","fields":["text"],'
      '"type":"best_fields","tie_breaker":1.5}}}', r"\[0, 1\]"),
     ('{"query":{"multi_match":{"query":"a","fields":["text"],'
@@ -303,3 +336,39 @@ def test_bool_msm_integer_string(eng):
                      '{"term":{"text":"b"}},{"term":{"text":"c"}}],'
                      '"minimum_should_match":"2"}}}')
     assert sorted(got) == [1, 4, 5]
+
+
+# ------------------------------ msm conditional grammar (r11, Solr spec)
+
+def test_msm_conditional_single():
+    from cassandra_es_index_spark.search.es_dsl import _msm_count
+    # "3<90%": n <= 3 → all required; n > 3 → 90% (integer trunc)
+    assert _msm_count("3<90%", 2, "t") == 2
+    assert _msm_count("3<90%", 3, "t") == 3
+    assert _msm_count("3<90%", 4, "t") == 3     # trunc(3.6)
+    assert _msm_count("3<90%", 10, "t") == 9
+
+
+def test_msm_conditional_list_hand_cases():
+    from cassandra_es_index_spark.search.es_dsl import _msm_count
+    # Solr calculateMinShouldMatch control flow: conditions in order;
+    # n <= bound stops with the running result, else result = value
+    spec = "2<-25% 9<-3"
+    assert _msm_count(spec, 2, "t") == 2        # ≤ 2 → all required
+    assert _msm_count(spec, 3, "t") == 3        # 3-(3·25)//100 = 3
+    assert _msm_count(spec, 8, "t") == 6        # 8-2
+    assert _msm_count(spec, 9, "t") == 7        # 9-2; 9 ≤ 9 stops
+    assert _msm_count(spec, 10, "t") == 7       # 10-2=8 then 10-3=7
+    # spaces around '<' normalize like Lucene's spaceAroundLessThan
+    assert _msm_count("2 < -25%  9 < -3", 10, "t") == 7
+
+
+def test_msm_conditional_end_to_end(eng):
+    # n=3 tokens > bound 2 → 67% → 2 required: same set as msm=2
+    got = _rows(eng, '{"query":{"match":{"text":{"query":"a b c",'
+                     '"minimum_should_match":"2<67%"}}}}')
+    assert sorted(got) == [1, 4, 5]
+    # n=3 ≤ bound 3 → all three required: only doc 4 carries a, b AND c
+    got = _rows(eng, '{"query":{"match":{"text":{"query":"a b c",'
+                     '"minimum_should_match":"3<67%"}}}}')
+    assert sorted(got) == [4]
