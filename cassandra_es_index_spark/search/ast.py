@@ -479,17 +479,21 @@ class SpanContaining(Node):
     flips the role): ``big`` spans that contain a ``little`` span —
     resp. ``little`` spans that lie inside a ``big`` span. The engine's
     span subset: ``little`` is single-token (span_term / span_or);
-    ``big`` is either single-token or a two-clause ``span_near``
-    (first/second/slop/in_order — the engine's near shape), whose
-    qualifying pairs form spans [min(p₁,p₂), max(p₁,p₂)]. A
-    single-token little span at q is contained when s ≤ q ≤ e (a
-    single-token big span contains only a co-positioned little —
-    Lucene's containment on [start, end) spans, degenerate but exact).
-    Score = count of qualifying big spans (containing) / surviving
-    little positions (within) — the span family's count convention."""
+    ``big`` is either single-token or an N-ary ``span_near`` (r11 —
+    the r9 shape accepted exactly two span_term clauses; now any
+    2–8-clause near with union slots, matching span_near itself),
+    whose qualifying tuples form spans [min(p), max(p)]
+    (positional.span_near_tuple_spans — the same window rule as
+    span_near's tuple count). A single-token little span at q is
+    contained when s ≤ q ≤ e (a single-token big span contains only a
+    co-positioned little — Lucene's containment on [start, end) spans,
+    degenerate but exact). Score = count of qualifying big spans
+    (containing) / surviving little positions (within) — the span
+    family's count convention."""
     field: str | None = None
     big_terms: tuple[str, ...] = ()     # single-token big (union)
-    # two-clause span_near big: (first, second, slop, in_order)
+    # N-ary span_near big (r11): (slots, slop, in_order) — one
+    # union-of-alternatives term tuple per slot
     big_near: tuple | None = None
     little_terms: tuple[str, ...] = ()
     within: bool = False

@@ -1107,10 +1107,11 @@ class Compiler:
             # SpanNear machinery; the span_not survival count and the
             # containing/within span math are shared with the
             # index-served plan (positional.span_not_count /
-            # span_big_spans / span_containing_count) so both plans
+            # span_near_tuple_spans / span_containing_count) so both plans
             # count bit-identically
             from cassandra_es_index_spark.search.positional import (
-                span_big_spans, span_containing_count, span_not_count,
+                span_containing_count, span_near_tuple_spans,
+                span_not_count,
             )
 
             from cassandra_es_index_spark.search.ast import TermPattern
@@ -1144,10 +1145,13 @@ class Compiler:
             if isinstance(node, SpanContaining):
                 little = union(node.little_terms)
                 if node.big_near is not None:
-                    first, second, slop, in_order = node.big_near
-                    big = span_big_spans(positions(first),
-                                         positions(second),
-                                         slop, in_order)
+                    # N-ary big (r11): per-slot union position arrays
+                    # → qualifying tuple spans, the same window rule
+                    # as span_near's tuple count
+                    slots, slop, in_order = node.big_near
+                    big = span_near_tuple_spans(
+                        [union(tuple(c)) for c in slots],
+                        slop, in_order)
                 else:
                     big = F.transform(
                         union(node.big_terms),

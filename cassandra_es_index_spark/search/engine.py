@@ -922,6 +922,10 @@ class SearchEngine:
             if isinstance(n, SpanNear):   # N-ary slots (r10)
                 return any(isinstance(t, TermPattern)
                            for c in n.clauses for t in c)
+            if isinstance(n, SpanContaining) and n.big_near \
+                    and any(isinstance(t, TermPattern)
+                            for c in n.big_near[0] for t in c):
+                return True   # N-ary big slots (r11)
             return isinstance(n, SPANS) and any(
                 isinstance(t, TermPattern)
                 for attr in ("terms", "include_terms", "exclude_terms",
@@ -977,9 +981,22 @@ class SearchEngine:
             if isinstance(n, SpanContaining):
                 little = concrete(n.little_terms)
                 big = concrete(n.big_terms) if n.big_terms else ()
-                if not little or (not big and n.big_near is None):
+                bn = n.big_near
+                if bn is not None:
+                    # N-ary big slots (r11): expand each alternative;
+                    # a required slot with no matching dictionary
+                    # terms matches nothing
+                    new_slots = []
+                    for c in bn[0]:
+                        cc = concrete(c)
+                        if not cc:
+                            return MatchNone()
+                        new_slots.append(cc)
+                    bn = (tuple(new_slots), bn[1], bn[2])
+                if not little or (not big and bn is None):
                     return MatchNone()
-                return replace(n, little_terms=little, big_terms=big)
+                return replace(n, little_terms=little, big_terms=big,
+                               big_near=bn)
             terms = concrete(n.terms)
             if not terms:
                 return MatchNone()
@@ -2718,7 +2735,7 @@ class SearchEngine:
                 # index (r9): one token filter + one per-doc aggregation
                 # collecting big/little position lists, then the SAME
                 # span/containment Column math the scan plan compiles
-                # (positional.span_big_spans / span_containing_count)
+                # (positional.span_near_tuple_spans / span_containing_count)
                 from cassandra_es_index_spark.search.positional import (
                     span_containing_hits,
                 )

@@ -2888,10 +2888,12 @@ def _node(q: dict[str, Any]) -> Node:
                         body.get("boost"))
     if kind in ("span_containing", "span_within"):
         # big spans that contain a little span / little spans inside a
-        # big span (r9). Engine subset: little is single-token
-        # (span_term/span_or); big is single-token OR a two-clause
-        # span_near (the engine's near shape) — Lucene's common usage
-        # (phrase-contains-term). Score = count of qualifying spans.
+        # big span (r9; N-ary big r11). Engine subset: little is
+        # single-token (span_term/span_or); big is single-token OR a
+        # span_near of 2–8 clauses with union slots (span_term /
+        # span_or / span_multi — the same shapes span_near itself
+        # takes) — Lucene's common usage (phrase-contains-term).
+        # Score = count of qualifying spans.
         if not isinstance(body, dict) or "big" not in body \
                 or "little" not in body:
             raise DslError(f"{kind} needs {{'big': span clause, "
@@ -2906,15 +2908,9 @@ def _node(q: dict[str, Any]) -> Node:
             if not isinstance(near, SpanNear):
                 raise DslError(f"{kind} big span_near does not take "
                                "boost (boost the whole query)")
-            if not near.first:
-                raise DslError(
-                    f"{kind} big span_near must be two span_term "
-                    "clauses (engine subset — the big-span pair math "
-                    "is two-clause)")
             bfld = near.field
             big_terms: tuple = ()
-            big_near = (near.first, near.second, near.slop,
-                        near.in_order)
+            big_near = (near.slots(), near.slop, near.in_order)
         else:
             bfld, big_terms = _span_clause_terms(big)
             big_near = None

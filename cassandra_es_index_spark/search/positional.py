@@ -434,29 +434,58 @@ def span_not_hits(tokens: DataFrame, include_terms: tuple,
                    .where(F.col(score_col) > 0))
 
 
-def span_big_spans(a1, a2, slop: int, in_order: bool):
-    """``array<struct<s, e>>`` of the qualifying two-clause span_near
-    pair spans from two position-array Columns — pairs (p₁ ∈ a1,
-    p₂ ∈ a2) under the SAME rule as span_pair_counts (b−a−1 ≤ slop,
-    ordered or symmetric), each emitted as [min, max]. Pure
-    higher-order Column math SHARED by the scan plan (arrays from
-    split) and the index-served plan (arrays collected from the
-    token-position index). Null arrays yield an empty span list."""
-    gap = F.lit(int(slop))
+def span_near_tuple_spans(arrays: list, slop: int, in_order: bool):
+    """``array<struct<s, e>>`` of the qualifying N-slot ``span_near``
+    tuple spans from per-slot position-array Columns (r11 — replaces
+    the r9 two-clause ``span_big_spans``, emitting one [min, max] span
+    per qualifying tuple under EXACTLY ``span_near_tuple_count``'s
+    rule: max − min + 1 − N ≤ slop, strictly increasing under
+    ``in_order``, pairwise-distinct otherwise; for N = 2 the spans are
+    identical to the r9 pair rule b − a − 1 ≤ slop). Used by ``span_containing`` /
+    ``span_within`` with an N-ary big clause; same nesting/pruning
+    structure as the count twin, so per-doc work is bounded by the
+    pruned tuple count. Null arrays yield an empty span list. SHARED
+    by the scan and index-served plans, so both count
+    bit-identically."""
+    n = len(arrays)
+    w = F.lit(int(slop) + n - 1)        # max allowed max(p) − min(p)
+    arrs = [F.coalesce(a, F.array()) for a in arrays]
+    if n == 1:
+        return F.transform(arrs[0],
+                           lambda p: F.struct(p.alias("s"),
+                                              p.alias("e")))
+    if in_order:
+        def spans_from(k, prev, head):
+            cand = F.filter(arrs[k],
+                            lambda p: (p > prev) & (p - head <= w))
+            if k == n - 1:
+                return F.transform(
+                    cand, lambda p: F.struct(head.alias("s"),
+                                             p.alias("e")))
+            return F.flatten(F.transform(
+                cand, lambda p: spans_from(k + 1, p, head)))
 
-    def pair_ok(pa, pb):
-        ordered = (pb > pa) & (pb - pa - 1 <= gap)
-        if in_order:
-            return ordered
-        return ordered | ((pa > pb) & (pa - pb - 1 <= gap))
+        return F.flatten(F.transform(
+            arrs[0], lambda p: spans_from(1, p, p)))
 
-    a2s = F.coalesce(a2, F.array())
-    return F.flatten(F.transform(
-        F.coalesce(a1, F.array()),
-        lambda pa: F.transform(
-            F.filter(a2s, lambda pb: pair_ok(pa, pb)),
-            lambda pb: F.struct(F.least(pa, pb).alias("s"),
-                                F.greatest(pa, pb).alias("e")))))
+    def spans_from_u(k, chosen):
+        def ok(p):
+            cond = None
+            for q in chosen:
+                c = (p != q) & (F.abs(p - q) <= w)
+                cond = c if cond is None else cond & c
+            return cond if cond is not None else F.lit(True)
+
+        cand = F.filter(arrs[k], ok)
+        if k == n - 1:
+            return F.transform(
+                cand, lambda p: F.struct(
+                    F.least(*chosen, p).alias("s"),
+                    F.greatest(*chosen, p).alias("e")))
+        return F.flatten(F.transform(
+            cand, lambda p: spans_from_u(k + 1, chosen + [p])))
+
+    return spans_from_u(0, [])
 
 
 def span_containing_count(big_spans, little, within: bool):
@@ -488,26 +517,30 @@ def span_containing_hits(tokens: DataFrame, big_terms: tuple,
     """(doc, score) for ``span_containing``/``span_within`` from the
     token-position index — ONE ``token IN (big ∪ little)`` filter + one
     per-doc aggregation collecting the needed position lists, then the
-    same ``span_big_spans``/``span_containing_count`` Column math the
-    scan plan compiles. Linear in the matched postings; the corpus is
+    same ``span_near_tuple_spans``/``span_containing_count`` Column
+    math the scan plan compiles. ``big_near`` is the N-ary form (r11):
+    ``(slots, slop, in_order)`` with one union-of-alternatives term
+    tuple per slot. Linear in the matched postings; the corpus is
     never re-tokenized."""
     little = list(dict.fromkeys(t.lower() for t in little_terms))
     if big_near is not None:
-        first, second, slop, in_order = big_near
-        first, second = first.lower(), second.lower()
-        wanted = list(dict.fromkeys([first, second] + little))
+        slots, slop, in_order = big_near
+        slots = [tuple(dict.fromkeys(t.lower() for t in c))
+                 for c in slots]
+        wanted = list(dict.fromkeys(
+            [t for c in slots for t in c] + little))
         per_doc = (tokens.where(F.col("token").isin(wanted))
                    .groupBy("doc")
-                   .agg(F.collect_list(
-                            F.when(F.col("token") == first,
-                                   F.col("pos"))).alias("_b1"),
-                        F.collect_list(
-                            F.when(F.col("token") == second,
-                                   F.col("pos"))).alias("_b2"),
-                        F.collect_list(
-                            F.when(F.col("token").isin(little),
-                                   F.col("pos"))).alias("_lt")))
-        big = span_big_spans(F.col("_b1"), F.col("_b2"), slop, in_order)
+                   .agg(*([F.collect_list(
+                               F.when(F.col("token").isin(list(c)),
+                                      F.col("pos"))).alias(f"_b{i}")
+                           for i, c in enumerate(slots)]
+                          + [F.collect_list(
+                                 F.when(F.col("token").isin(little),
+                                        F.col("pos"))).alias("_lt")])))
+        big = span_near_tuple_spans(
+            [F.col(f"_b{i}") for i in range(len(slots))],
+            slop, in_order)
     else:
         bigs = list(dict.fromkeys(t.lower() for t in big_terms))
         wanted = list(dict.fromkeys(bigs + little))

@@ -201,17 +201,83 @@ def test_span_containing_index_served_bit_exact(spark):
     ('{"span_within":{"big":{"span_near":{"clauses":['
      '{"span_term":{"text":"x"}}]}},'
      '"little":{"span_term":{"text":"z"}}}}', "two or more"),
-    # N-ary big span_near (legal as a standalone query since r10) still
-    # rejects inside containing/within — the big-span pair math is
-    # two-clause (engine subset)
-    ('{"span_within":{"big":{"span_near":{"clauses":['
-     '{"span_term":{"text":"x"}},{"span_term":{"text":"y"}},'
-     '{"span_term":{"text":"w"}}]}},'
-     '"little":{"span_term":{"text":"z"}}}}', "two span_term"),
+    # the span_near clause cap applies inside the big clause too
+    ('{"span_within":{"big":{"span_near":{"clauses":[' +
+     ",".join('{"span_term":{"text":"t%d"}}' % i for i in range(9)) +
+     ']}},"little":{"span_term":{"text":"z"}}}}', "at most 8"),
 ])
 def test_span_containing_typed_errors(bad, msg):
     with pytest.raises(DslError, match=msg):
         parse_request('{"query":' + bad + "}")
+
+
+# --- N-ary big clause (r11) --------------------------------------------
+# the r9 restriction (big span_near = exactly two span_terms) is lifted:
+# big takes the same 2-8-clause union-slot shapes as span_near itself;
+# qualifying tuples become [min, max] spans (span_near_tuple_spans, the
+# same window rule as span_near's tuple count)
+
+Q_BIG3 = ('{"query":{"span_containing":{"big":{"span_near":{"clauses":['
+          '{"span_term":{"text":"spark"}},{"span_term":{"text":"table"}},'
+          '{"span_term":{"text":"value"}}],"slop":1,"in_order":true}},'
+          '"little":{"span_term":{"text":"spark"}}}}}')
+Q_BIG3_W = Q_BIG3.replace("span_containing", "span_within")
+Q_BIG_OR = ('{"query":{"span_containing":{"big":{"span_near":{"clauses":['
+            '{"span_term":{"text":"spark"}},'
+            '{"span_or":{"clauses":[{"span_term":{"text":"table"}},'
+            '{"span_term":{"text":"value"}}]}}],'
+            '"slop":2,"in_order":true}},'
+            '"little":{"span_term":{"text":"value"}}}}}')
+
+
+def test_span_containing_nary_big(sp_engine):
+    # a: slots spark{0,2} table{1} value{3}; ordered tuples with
+    # max-min+1-3 <= 1: (0,1,3) only -> big span [0,3]; spark@0,2
+    # inside -> containing counts the 1 big span
+    got, _ = _rows(sp_engine, Q_BIG3)
+    assert got == {"a": 1}
+    # within counts spark positions inside a big span: 0 and 2 -> 2
+    got, _ = _rows(sp_engine, Q_BIG3_W)
+    assert got == {"a": 2}
+
+
+def test_span_containing_union_slot_big(sp_engine):
+    # big = spark ... (table|value): a's pairs (0,1) (0,3) (2,3) ->
+    # spans [0,1] [0,3] [2,3]; value@3 in [0,3] and [2,3] -> 2
+    got, _ = _rows(sp_engine, Q_BIG_OR)
+    assert got == {"a": 2}
+
+
+def test_span_containing_span_multi_big_slot(sp_engine):
+    # span_multi prefix slot inside the big clause (r11 expansion
+    # path): spar* adjacent-precedes table -> a [0,1], b [1,2]; the
+    # little spark position inside each -> 1
+    q = ('{"query":{"span_within":{"big":{"span_near":{"clauses":['
+         '{"span_multi":{"match":{"prefix":{"text":"spar"}}}},'
+         '{"span_term":{"text":"table"}}],"slop":0,"in_order":true}},'
+         '"little":{"span_term":{"text":"spark"}}}}}')
+    got, _ = _rows(sp_engine, q)
+    assert got == {"a": 1, "b": 1}
+
+
+def test_span_containing_nary_index_served_bit_exact(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(ROWS, "id string, text string"),
+                 TableSpec("sp_docs_n", ["id"]))
+
+    def rows(q):
+        out = eng.search("sp_docs_n", "#options:load-rows=false#" + q,
+                         default_field="text")
+        return {r["id"]: r["_score"] for r in out.collect()}, out
+
+    qs = (Q_BIG3, Q_BIG3_W, Q_BIG_OR)
+    scans = [rows(q)[0] for q in qs]
+    eng.build_span_index("sp_docs_n", "text")
+    for q, scan in zip(qs, scans):
+        got, out = rows(q)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "regexp_extract_all" not in plan
+        assert got == scan
 
 
 # --------------------------------------------- r10: N-ary span_near
