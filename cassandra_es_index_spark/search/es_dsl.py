@@ -2619,49 +2619,104 @@ def _node(q: dict[str, Any]) -> Node:
             value = value.get("value")
         return _boosted(Regexp(field, str(value)), boost)
     if kind == "multi_match":
-        # per-field match clauses combined by `type`: "best_fields"
-        # (the DEFAULT since r11, matching ES — DisMax: best branch +
-        # tie_breaker × rest), "most_fields" (Σ of per-field branch
-        # scores, the Or convention), or "cross_fields" (r11 —
-        # term-centric: the token grouping flips field-major →
-        # token-major, each token must appear in ≥1 field under
-        # `operator: and`; score = Σ over tokens of the per-field tf
-        # sum, the engine's Or convention in place of ES's blended
-        # term statistics — documented deviation, same match set).
-        # `operator: and` requires every token (per field for
-        # best/most_fields, in any field for cross_fields).
+        # per-field match clauses combined by `type` — the FULL ES
+        # type set (r11): "best_fields" (the DEFAULT, matching ES —
+        # DisMax: best branch + tie_breaker × rest), "most_fields"
+        # (Σ of per-field branch scores, the Or convention),
+        # "cross_fields" (term-centric: the token grouping flips
+        # field-major → token-major, each token must appear in ≥1
+        # field under `operator: and`; score = Σ over tokens of the
+        # per-field tf sum — documented deviation from ES's blended
+        # term statistics, same match set), "phrase"/"phrase_prefix"
+        # (a match_phrase(_prefix) per field under a DisMax — ES's
+        # best_fields-like behavior; `slop`/`max_expansions` pass
+        # through), and "bool_prefix" (a match_bool_prefix per field,
+        # scores combined like most_fields — the ES-documented scoring
+        # for this type). `operator: and` requires every token (per
+        # field for best/most/bool_prefix, in any field for
+        # cross_fields); `minimum_should_match` (r11) lands on each
+        # per-field covering (best/most) or the token-group Should
+        # gate (cross_fields).
         if not isinstance(body, dict) or "query" not in body \
                 or not isinstance(body.get("fields"), list) \
                 or not body["fields"]:
             raise DslError(
                 "multi_match needs {'query': str, 'fields': [...]}")
         extra = set(body) - {"query", "fields", "fuzziness", "boost",
-                             "type", "tie_breaker", "operator"}
+                             "type", "tie_breaker", "operator",
+                             "minimum_should_match", "slop",
+                             "max_expansions"}
         if extra:
             raise DslError(f"multi_match: unsupported parameters "
                            f"{sorted(extra)} (engine subset)")
         mm_type = body.get("type", "best_fields")
-        if mm_type not in ("most_fields", "best_fields",
-                           "cross_fields"):
+        if mm_type not in ("most_fields", "best_fields", "cross_fields",
+                           "phrase", "phrase_prefix", "bool_prefix"):
             raise DslError("multi_match type must be most_fields/"
-                           f"best_fields/cross_fields (engine "
-                           f"subset), got {mm_type!r}")
+                           "best_fields/cross_fields/phrase/"
+                           f"phrase_prefix/bool_prefix, got "
+                           f"{mm_type!r}")
         tie = body.get("tie_breaker", 0.0)
         if isinstance(tie, bool) or not isinstance(tie, (int, float)) \
                 or not 0.0 <= tie <= 1.0:
             raise DslError("multi_match tie_breaker must be a number "
                            "in [0, 1]")
-        if mm_type != "best_fields" and "tie_breaker" in body:
+        phrase_like = mm_type in ("phrase", "phrase_prefix")
+        if mm_type not in ("best_fields", "phrase", "phrase_prefix") \
+                and "tie_breaker" in body:
             raise DslError("multi_match tie_breaker applies to "
                            "best_fields only")
         operator = body.get("operator", "or")
         if operator not in ("or", "and"):
             raise DslError(
                 f"multi_match operator must be or/and, got {operator!r}")
+        if phrase_like:
+            # ES silently ignores operator/minimum_should_match for the
+            # phrase types; the engine rejects instead (no silent
+            # parameter drops — the r9 match-operator lesson)
+            for bad in ("operator", "minimum_should_match",
+                        "fuzziness"):
+                if bad in body:
+                    raise DslError(
+                        f"multi_match {bad} does not apply to the "
+                        f"{mm_type} type (ES ignores it; this engine "
+                        "rejects the combination)")
+        if "slop" in body and not phrase_like:
+            raise DslError("multi_match slop applies to phrase/"
+                           "phrase_prefix only")
+        if "max_expansions" in body and mm_type != "phrase_prefix":
+            raise DslError("multi_match max_expansions applies to "
+                           "phrase_prefix only")
+        slop = body.get("slop", 0)
+        if isinstance(slop, bool) or not isinstance(slop, int) \
+                or slop < 0:
+            raise DslError("multi_match slop must be a non-negative "
+                           "integer")
+        me = body.get("max_expansions", 50)
+        if isinstance(me, bool) or not isinstance(me, int) or me <= 0:
+            raise DslError("multi_match max_expansions must be a "
+                           "positive integer")
         edits = _fuzziness_edits(body.get("fuzziness"))
-        if mm_type == "cross_fields" and edits is not None:
-            raise DslError("multi_match cross_fields does not support "
-                           "fuzziness (ES parity)")
+        if mm_type in ("cross_fields", "bool_prefix") \
+                and edits is not None:
+            raise DslError(f"multi_match {mm_type} does not support "
+                           "fuzziness (engine subset)")
+        msm = body.get("minimum_should_match")
+        if msm is not None:
+            if operator == "and":
+                raise DslError("multi_match: minimum_should_match is "
+                               "inoperative with operator 'and' (ES "
+                               "ignores it; this engine rejects the "
+                               "combination)")
+            if edits is not None:
+                raise DslError("multi_match: minimum_should_match "
+                               "with fuzziness is not supported "
+                               "(engine subset — the covering count "
+                               "is over exact terms)")
+            if mm_type == "bool_prefix":
+                raise DslError("multi_match bool_prefix does not "
+                               "support minimum_should_match (engine "
+                               "subset)")
         tokens = str(body["query"]).split()
         if not tokens:
             return MatchNone()  # zero analyzed tokens → MatchNoDocs
@@ -2676,22 +2731,67 @@ def _node(q: dict[str, Any]) -> Node:
                     raise DslError(
                         f"bad multi_match field boost {fb!r}") from e
             fields.append((f, fboost))
+        if phrase_like:
+            # ES: phrase / phrase_prefix behave like best_fields — a
+            # match_phrase(_prefix) per field under a DisMax
+            qtext = str(body["query"])
+            branches = [
+                _boosted(Phrase(f, qtext, slop,
+                                last_prefix=(mm_type == "phrase_prefix"),
+                                max_expansions=me), fboost)
+                for f, fboost in fields]
+            node: Node = branches[0] if len(branches) == 1 \
+                else DisMax(tuple(branches), tie_breaker=float(tie))
+            return _boosted(node, body.get("boost"))
+        if mm_type == "bool_prefix":
+            # ES: a match_bool_prefix per field, scores combined like
+            # most_fields (Σ branch scores — the ES-documented scoring
+            # for this type)
+            branches = []
+            for f, fboost in fields:
+                leaves = [Term(f, t) for t in tokens[:-1]]
+                leaves.append(Wildcard(f, tokens[-1] + "*"))
+                br = leaves[0] if len(leaves) == 1 else (
+                    And(tuple(leaves)) if operator == "and"
+                    else Or(tuple(leaves)))
+                branches.append(_boosted(br, fboost))
+            node = branches[0] if len(branches) == 1 \
+                else Or(tuple(branches))
+            return _boosted(node, body.get("boost"))
         if mm_type == "cross_fields":
             # token-major: one group per TOKEN, each an OR over the
             # fields (the token matches in any of them); groups
-            # combine And/Or by `operator`
+            # combine And/Or by `operator`. With minimum_should_match
+            # (r11) the groups become a Should gated on the count of
+            # matching DISTINCT-token groups — the token-major twin of
+            # match's covering count.
+            if msm is not None:
+                tokens = list(dict.fromkeys(t.lower() for t in tokens))
             groups: list[Node] = []
             for t in tokens:
                 leaves = [_boosted(Term(f, t), fboost)
                           for f, fboost in fields]
                 groups.append(leaves[0] if len(leaves) == 1
                               else Or(tuple(leaves)))
+            if msm is not None and len(groups) > 1:
+                count = _msm_count(msm, len(groups), "multi_match")
+                return _boosted(Should(tuple(groups), min_count=count),
+                                body.get("boost"))
             node: Node = groups[0] if len(groups) == 1 else (
                 And(tuple(groups)) if operator == "and"
                 else Or(tuple(groups)))
             return _boosted(node, body.get("boost"))
         branches: list[Node] = []
         for f, fboost in fields:
+            if msm is not None:
+                # ES passes minimum_should_match into each per-field
+                # match query — the same CoveringQuery the match leaf
+                # compiles (TermsSet machinery, index-servable)
+                terms = tuple(dict.fromkeys(t.lower() for t in tokens))
+                count = _msm_count(msm, len(terms), "multi_match")
+                branches.append(_boosted(
+                    TermsSet(f, terms, msm_expr=str(count)), fboost))
+                continue
             leaves = [
                 _fuzzy_node(f, t, edits) if edits is not None
                 else Term(f, t)
@@ -3261,9 +3361,41 @@ def _node(q: dict[str, Any]) -> Node:
                 raise DslError("geo_shape polygon ring needs at least "
                                "3 distinct points")
             return _rel(GeoPolygon(str(gfield), tuple(pts)))
+        if stype == "multipolygon":
+            # GeoJSON multipolygon (r11): [[outer-ring, holes...],
+            # ...] — point-in-multipolygon ≡ OR over the member
+            # polygons (holes reject like single polygons). Score =
+            # number of containing polygons (the engine's Or
+            # convention; ES scores a flat 1 — documented deviation,
+            # same match set for non-overlapping members).
+            if not isinstance(coords, list) or not coords \
+                    or not all(isinstance(pg, list) and pg
+                               and isinstance(pg[0], list)
+                               for pg in coords):
+                raise DslError(
+                    "geo_shape multipolygon needs [[[[lon, lat], "
+                    "...]], ...] polygon coordinates")
+            polys: list[Node] = []
+            for pg in coords:
+                if len(pg) > 1:
+                    raise DslError(
+                        "geo_shape polygon holes (inner rings) are "
+                        "not supported (engine subset)")
+                pts = [_geo_point(p, "geo_shape multipolygon")
+                       for p in pg[0]]
+                if len(pts) > 1 and pts[0] == pts[-1]:
+                    pts = pts[:-1]
+                if len(pts) < 3:
+                    raise DslError(
+                        "geo_shape polygon ring needs at least 3 "
+                        "distinct points")
+                polys.append(GeoPolygon(str(gfield), tuple(pts)))
+            return _rel(polys[0] if len(polys) == 1
+                        else Or(tuple(polys)))
         raise DslError(
             f"geo_shape type {shape.get('type')!r} is not supported "
-            "(engine subset: envelope / polygon / point)")
+            "(engine subset: envelope / polygon / multipolygon / "
+            "point)")
     if kind == "geo_polygon":
         # {"geo_polygon": {field: {"points": [...]}}} — even-odd
         # point-in-polygon (ast.GeoPolygon)

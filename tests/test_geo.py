@@ -693,9 +693,12 @@ def test_geo_shape_index_served_parity_and_plan(spark):
 
 
 @pytest.mark.parametrize("body,msg", [
-    # multipolygon / other shape kinds
-    ({"shape": {"type": "multipolygon", "coordinates": []}},
+    # unsupported shape kinds (multipolygon graduated to supported r11)
+    ({"shape": {"type": "linestring",
+                "coordinates": [[0.0, 0.0], [1.0, 1.0]]}},
      "not supported"),
+    ({"shape": {"type": "multipolygon", "coordinates": []}},
+     "multipolygon needs"),
     # relation contains needs shape-typed docs
     ({"shape": GS_ENVELOPE, "relation": "contains"},
      "relation 'contains'"),
@@ -723,3 +726,24 @@ def test_geo_shape_typed_errors(geo_engine, body, msg):
     q = json.dumps({"query": {"geo_shape": {"loc": body}}})
     with pytest.raises(DslError, match=msg):
         geo_engine.search("pts", q)
+
+
+def test_geo_shape_multipolygon(geo_engine):
+    # two disjoint triangles: the NYC one + one around Jutland —
+    # point-in-multipolygon = OR over members (r11)
+    jut = [[9.0, 57.0], [11.5, 57.0], [10.5, 58.5], [9.0, 57.0]]
+    mp = {"type": "multipolygon",
+          "coordinates": [GS_POLYGON["coordinates"], [jut]]}
+    got, out = _gs_ids(geo_engine, "pts", _gs(mp))
+    assert got == [1, 2, 3, 4, 5]          # both clusters; null row out
+    assert all(r["_score"] == 1 for r in out.collect())
+    # disjoint flips to the complement among docs WITH a point
+    assert _gs_ids(geo_engine, "pts", _gs(mp, "disjoint"))[0] == [7]
+    # holes inside a member reject like single polygons
+    bad = {"type": "multipolygon",
+           "coordinates": [[GS_POLYGON["coordinates"][0],
+                            [[-74.5, 40.5], [-73.5, 40.5],
+                             [-74.0, 41.0]]]]}
+    with pytest.raises(DslError, match="holes"):
+        geo_engine.search("pts", json.dumps(
+            {"query": {"geo_shape": {"loc": {"shape": bad}}}}))

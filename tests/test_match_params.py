@@ -130,7 +130,7 @@ def test_multi_match_cross_fields_token_major(eng):
     ('{"query":{"match":{"text":{"query":"a b","fuzziness":1,'
      '"minimum_should_match":2}}}}', "fuzziness"),
     ('{"query":{"multi_match":{"query":"a","fields":["text"],'
-     '"type":"phrase"}}}', "most_fields/best_fields/cross_fields"),
+     '"type":"blended"}}}', "most_fields/best_fields/cross_fields"),
     ('{"query":{"multi_match":{"query":"a","fields":["text"],'
      '"type":"cross_fields","fuzziness":1}}}', "fuzziness"),
     ('{"query":{"multi_match":{"query":"a","fields":["text"],'
@@ -372,3 +372,76 @@ def test_msm_conditional_end_to_end(eng):
     got = _rows(eng, '{"query":{"match":{"text":{"query":"a b c",'
                      '"minimum_should_match":"3<67%"}}}}')
     assert sorted(got) == [4]
+
+
+# ------------------------- multi_match full type set (r11, ES parity)
+# fixture reminder: 1=("a b","x") 2=("a","a b") 3=("b","y")
+# 4=("a b c","z") 5=("a a b","w")
+
+def test_multi_match_phrase_type(eng):
+    # match_phrase per field under a DisMax: "a b" adjacent in order —
+    # text carries it for 1/4/5, title for 2
+    got = _rows(eng, '{"query":{"multi_match":{"query":"a b",'
+                     '"fields":["text","title"],"type":"phrase"}}}')
+    assert got == {1: 1, 2: 1, 4: 1, 5: 1}
+    # slop 1 lets "a ? b" through: doc 4 unchanged, none added here
+    # (no "a x b" rows) — but the parameter routes (no typed error)
+    got = _rows(eng, '{"query":{"multi_match":{"query":"a c",'
+                     '"fields":["text"],"type":"phrase","slop":1}}}')
+    assert got == {4: 1}                 # "a b c": one gap allowed
+
+
+def test_multi_match_phrase_prefix_type(eng):
+    # last word prefix-expands: "a b" prefix b → docs with a then b*
+    got = _rows(eng, '{"query":{"multi_match":{"query":"a b",'
+                     '"fields":["text","title"],'
+                     '"type":"phrase_prefix"}}}')
+    assert got == {1: 1, 2: 1, 4: 1, 5: 1}
+
+
+def test_multi_match_bool_prefix_type(eng):
+    # match_bool_prefix per field, most_fields-like Σ: terms "a" +
+    # prefix "b*"; doc 2 scores text(a)=1 + title(a)=1 + title(b)=1
+    got = _rows(eng, '{"query":{"multi_match":{"query":"a b",'
+                     '"fields":["text","title"],'
+                     '"type":"bool_prefix"}}}')
+    assert got[2] == 3 and got[5] == 3   # 5: a×2 + b×1 in text
+    assert sorted(got) == [1, 2, 3, 4, 5]
+
+
+def test_multi_match_msm_per_field_covering(eng):
+    # msm=2 of (a, b, c) per field: text must carry ≥2 distinct terms
+    got = _rows(eng, '{"query":{"multi_match":{"query":"a b c",'
+                     '"fields":["text"],'
+                     '"minimum_should_match":2}}}')
+    assert sorted(got) == [1, 4, 5]
+    # cross_fields + msm: ≥2 of the token groups (any field) —
+    # doc 3 has b (text) only → out; doc 2 has a (both) + b (title) → in
+    got = _rows(eng, '{"query":{"multi_match":{"query":"a b c",'
+                     '"fields":["text","title"],'
+                     '"type":"cross_fields",'
+                     '"minimum_should_match":2}}}')
+    assert sorted(got) == [1, 2, 4, 5]
+
+
+@pytest.mark.parametrize("q, msg", [
+    ('{"query":{"multi_match":{"query":"a b","fields":["text"],'
+     '"type":"phrase","operator":"and"}}}', "does not apply"),
+    ('{"query":{"multi_match":{"query":"a b","fields":["text"],'
+     '"type":"phrase_prefix","minimum_should_match":2}}}',
+     "does not apply"),
+    ('{"query":{"multi_match":{"query":"a b","fields":["text"],'
+     '"slop":1}}}', "phrase/"),
+    ('{"query":{"multi_match":{"query":"a b","fields":["text"],'
+     '"type":"phrase","max_expansions":10}}}', "phrase_prefix only"),
+    ('{"query":{"multi_match":{"query":"a b","fields":["text"],'
+     '"type":"bool_prefix","minimum_should_match":2}}}',
+     "bool_prefix does not"),
+    ('{"query":{"multi_match":{"query":"a b","fields":["text"],'
+     '"operator":"and","minimum_should_match":2}}}', "inoperative"),
+    ('{"query":{"multi_match":{"query":"a b","fields":["text"],'
+     '"fuzziness":1,"minimum_should_match":2}}}', "fuzziness"),
+])
+def test_multi_match_type_typed_errors(eng, q, msg):
+    with pytest.raises(DslError, match=msg):
+        eng.search("mp", q).collect()
