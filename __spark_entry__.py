@@ -649,6 +649,20 @@ def q_geo_shape_filter(spark, sf_dir):
     return eng.search("geo_events", "#options:load-rows=false#" + q)
 
 
+def q_geo_distance_agg(spark, sf_dir):
+    # ES geo_distance aggregation (r11): distance-from-origin range
+    # buckets over the geo_events fixture (km unit) + an avg metric.
+    # The oracle repeats the identical haversine/scale operation order;
+    # avg rounds to 4 decimals on both sides (summation-order ulps).
+    eng = _geo_events_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},"aggs":{"d":{"geo_distance":'
+         '{"field":"loc","origin":{"lat":57.64911,"lon":10.40744},'
+         '"unit":"km","ranges":[{"to":2000},{"from":2000,"to":8000},'
+         '{"from":8000}]},"aggs":{"av":{"avg":{"field":"value"}}}}}}')
+    out = eng.search_aggs("geo_events", q)
+    return out.withColumn("av", F.round("av", 4))
+
+
 def q_search_bool_prefix(spark, sf_dir):
     # ES match_bool_prefix (r9): terms + trailing prefix — desugars to
     # the prefix-served Term/Wildcard shape (search-as-you-type)
@@ -2278,6 +2292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   family (r11 oracle for the r10 N-ary span_near: 3 slots
         #   with a span_or union slot; oracle re-derives the tuple
         #   count with DuckDB list lambdas)
+        "geo_distance_agg": q_geo_distance_agg,  # ~ geo family (r11
+        #   geo_distance bucket agg: haversine value + range machinery;
+        #   oracle repeats the identical distance/scale op order)
         "search_cross_fields": q_search_cross_fields,  # ~ multi-field
         #   family (r11 cross_fields: token-major field-OR groups;
         #   oracle repeats the per-field tf sums)
@@ -3646,6 +3663,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND ({_poly_cond_sql(_POLY_PTS)})
+        """,
+        # geo_distance agg (r11): per-range counts + avg over the same
+        # haversine/scale expression the engine computes; empty buckets
+        # never materialize (engine convention)
+        "geo_distance_agg": f"""
+            WITH g AS ({_GEO_CTE}),
+            d AS (
+                SELECT value,
+                       {_GEO_HAV} / 1000.0::DOUBLE AS dist
+                FROM g WHERE lat IS NOT NULL),
+            b AS (
+                SELECT '*-2000.0' AS key, count(*)::BIGINT AS doc_count,
+                       round(avg(value), 4) AS av
+                FROM d WHERE dist < 2000.0
+                UNION ALL
+                SELECT '2000.0-8000.0', count(*)::BIGINT,
+                       round(avg(value), 4)
+                FROM d WHERE dist >= 2000.0 AND dist < 8000.0
+                UNION ALL
+                SELECT '8000.0-*', count(*)::BIGINT,
+                       round(avg(value), 4)
+                FROM d WHERE dist >= 8000.0)
+            SELECT * FROM b WHERE doc_count > 0
         """,
         # geo_shape polygon, relation within (r11): on the point corpus
         # within ≡ intersects ≡ the even-odd ray cast — identical slope

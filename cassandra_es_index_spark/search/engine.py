@@ -4877,10 +4877,30 @@ class SearchEngine:
                 src = src.select("*", F.explode(matches).alias(helper))
                 level_key.append(F.col(helper))
                 level_gate.append(None)
-            elif lv.kind in ("range", "date_range"):
+            elif lv.kind in ("range", "date_range", "geo_distance"):
                 if lv.kind == "date_range":
                     val = comp.resolve(lv.field).col.cast("timestamp")
                     bound = lambda v: F.lit(v).cast("timestamp")  # noqa: E731
+                elif lv.kind == "geo_distance":
+                    # geo_distance agg (r11): the bucket value is the
+                    # haversine distance from the request origin,
+                    # scaled to the request unit — then the ordinary
+                    # overlapping-range explode below. Null points
+                    # yield a null value → no bucket (ES semantics).
+                    from cassandra_es_index_spark.functions.geo import (
+                        geo_point_cols, haversine_meters,
+                    )
+                    ref = comp.resolve(lv.field)
+                    try:
+                        glat, glon = geo_point_cols(ref.col, ref.dtype,
+                                                    lv.field)
+                    except ValueError as e:
+                        raise es_dsl.DslError(str(e)) from e
+                    olat, olon, scale = lv.geo_origin
+                    val = haversine_meters(
+                        glat, glon, F.lit(float(olat)),
+                        F.lit(float(olon))) / F.lit(float(scale))
+                    bound = lambda v: F.lit(v)  # noqa: E731
                 else:
                     val = comp.resolve(lv.field).col.cast("double")
                     bound = lambda v: F.lit(v)  # noqa: E731

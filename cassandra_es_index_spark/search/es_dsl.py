@@ -49,7 +49,8 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "boxplot", "matrix_stats",
                  "median_absolute_deviation", "string_stats",
                  "top_metrics", "reverse_nested")
-_BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filters",
+_BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
+                 "geo_distance", "filters",
                  "date_range", "significant_terms", "rare_terms",
                  "multi_terms", "adjacency_matrix",
                  "geotile_grid", "geohash_grid", "auto_date_histogram")
@@ -623,6 +624,9 @@ class BucketAgg:
     # geotile_grid zoom (0-29, ES default 7) / geohash_grid chars
     # (1-12, ES default 5)
     precision: int | None = None
+    # geo_distance agg (r11): (origin_lat, origin_lon, meters_per_unit)
+    # — the range bounds/keys are in the request's unit
+    geo_origin: tuple | None = None
     # auto_date_histogram target bucket count (ES default 10): the
     # engine picks the smallest fixed interval from its ladder whose
     # bucket count fits, then runs the date_histogram machinery
@@ -1807,6 +1811,46 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             return BucketAgg(name=name, kind=first_kind,
                              field=params["field"], size=gsize,
                              precision=prec, metrics=metrics)
+        if first_kind == "geo_distance":
+            # ES geo_distance aggregation (r11): range buckets keyed by
+            # the doc point's distance from `origin`, expressed in
+            # `unit` (ES default m). Reuses the range-bucket machinery
+            # — the value column is the haversine distance scaled to
+            # the unit (arc distance_type only; `plane` typed-rejects,
+            # the engine computes one distance formula on both plans).
+            # Overlapping ranges count a doc in EACH bucket; null
+            # points drop out (ES semantics). Buckets order by key
+            # string asc like the range agg (documented deviation: ES
+            # returns request order).
+            extra_p = set(params) - {"field", "origin", "ranges",
+                                     "unit", "distance_type"}
+            if extra_p:
+                raise DslError(
+                    f"geo_distance agg {name!r}: unsupported params "
+                    f"{sorted(extra_p)}")
+            if "origin" not in params:
+                raise DslError(f"geo_distance agg {name!r} needs an "
+                               "'origin' point")
+            olat, olon = _geo_point(params["origin"],
+                                    f"geo_distance agg {name!r}")
+            dtype_p = str(params.get("distance_type", "arc")).lower()
+            if dtype_p != "arc":
+                raise DslError(
+                    f"geo_distance agg {name!r}: distance_type "
+                    f"{dtype_p!r} is not supported (engine subset: "
+                    "arc — one haversine formula on every plan)")
+            unit = str(params.get("unit", "m")).lower()
+            from cassandra_es_index_spark.functions.geo import _UNITS
+            if unit not in _UNITS:
+                raise DslError(f"geo_distance agg {name!r}: unknown "
+                               f"distance unit {unit!r}")
+            ranges = _ranges(name, params.get("ranges"))
+            metrics = tuple(_metric(n, sp)
+                            for n, sp in (body.get("aggs") or {}).items())
+            return BucketAgg(name=name, kind="geo_distance",
+                             field=params["field"], ranges=ranges,
+                             geo_origin=(olat, olon, _UNITS[unit]),
+                             metrics=metrics)
         if first_kind == "auto_date_histogram":
             # ES auto_date_histogram: target a bucket COUNT instead of
             # an interval — the engine picks the smallest interval from
@@ -2405,9 +2449,44 @@ def _node(q: dict[str, Any]) -> Node:
                         "positionally unconstrained all_of)")
                 subs = tuple(rule_node(r) for r in params["intervals"])
                 return Or(subs) if rule == "any_of" else And(subs)
+            if rule in ("prefix", "wildcard", "fuzzy"):
+                # ES intervals multi-term rules (r11): the rule
+                # matches wherever ANY dictionary term the pattern
+                # expands to occurs — a one-term interval, the
+                # span_multi TermPattern machinery (expanded against
+                # the term dictionary pre-compile, ≤1024 clauses).
+                # Inside any_of/all_of they compose positionally
+                # unconstrained, like the engine's all_of subset.
+                # `analyzer`/`use_field` are not supported (typed).
+                if not isinstance(params, dict):
+                    raise DslError(f"intervals {rule} needs an object")
+                key = {"prefix": "prefix", "wildcard": "pattern",
+                       "fuzzy": "term"}[rule]
+                allowed = {key} | ({"fuzziness"} if rule == "fuzzy"
+                                   else set())
+                extra = set(params) - allowed
+                if extra:
+                    raise DslError(
+                        f"intervals {rule}: unsupported parameters "
+                        f"{sorted(extra)} (engine subset)")
+                if key not in params:
+                    raise DslError(
+                        f"intervals {rule} needs {{{key!r}: str}}")
+                val = _scalar(params[key])
+                edits = 2
+                if rule == "fuzzy":
+                    from cassandra_es_index_spark.search.ast import (
+                        fuzzy_edits,
+                    )
+                    e = _fuzziness_edits(params.get("fuzziness"))
+                    edits = fuzzy_edits(
+                        _fuzzy_node(field, val,
+                                    (3, 6) if e is None else e))
+                return SpanOr(field, (TermPattern(rule, val, edits),))
             raise DslError(
                 f"intervals rule {rule!r} is not supported (engine "
-                "rules: match, any_of, all_of)")
+                "rules: match, any_of, all_of, prefix, wildcard, "
+                "fuzzy)")
 
         if not isinstance(spec, dict) or len(spec) != 1:
             raise DslError("intervals needs {field: {rule: {...}}}")

@@ -747,3 +747,49 @@ def test_geo_shape_multipolygon(geo_engine):
     with pytest.raises(DslError, match="holes"):
         geo_engine.search("pts", json.dumps(
             {"query": {"geo_shape": {"loc": {"shape": bad}}}}))
+
+
+# ------------------------------------------ geo_distance agg (r11)
+
+def test_geo_distance_agg_buckets(geo_engine):
+    # distances from row 1's point: row2 ~11 m, row3 ~7.8 km,
+    # row7 (pole) ~3598 km, rows 4/5 (NYC) ~6200 km, row6 null drops
+    assert hav_m(57.64911, 10.40744, 89.99, 0.0) / 1000 < 5000 < \
+        hav_m(57.64911, 10.40744, 40.7128, -74.006) / 1000
+    rows = _grid(geo_engine, {"d": {"geo_distance": {
+        "field": "loc", "origin": {"lat": 57.64911, "lon": 10.40744},
+        "unit": "km",
+        "ranges": [{"to": 1}, {"from": 1, "to": 5000},
+                   {"from": 5000, "key": "far"}]}}})
+    got = {r["key"]: r["doc_count"] for r in rows}
+    assert got == {"*-1.0": 2, "1.0-5000.0": 2, "far": 2}
+
+
+def test_geo_distance_agg_metrics_and_overlap(geo_engine):
+    q = json.dumps({"query": {"match_all": {}}, "aggs": {
+        "d": {"geo_distance": {
+            "field": "loc",
+            "origin": [10.40744, 57.64911],              # GeoJSON order
+            "ranges": [{"to": 20000}, {"to": 1000000}]},
+            "aggs": {"aw": {"avg": {"field": "w"}}}}}})
+    rows = geo_engine.search_aggs("pts", q).collect()
+    got = {r["key"]: (r["doc_count"], r["aw"]) for r in rows}
+    # meters: rows 1,2 within 20 km AND within 1000 km (overlap);
+    # row 3 (7.8 km) too — all three in both buckets
+    assert got == {"*-20000.0": (3, 20.0), "*-1000000.0": (3, 20.0)}
+
+
+@pytest.mark.parametrize("body,msg", [
+    ({"field": "loc", "ranges": [{"to": 1}]}, "origin"),
+    ({"field": "loc", "origin": [0.0, 0.0], "ranges": [{"to": 1}],
+      "distance_type": "plane"}, "arc"),
+    ({"field": "loc", "origin": [0.0, 0.0], "ranges": [{"to": 1}],
+      "unit": "parsec"}, "unknown distance unit"),
+    ({"field": "loc", "origin": [0.0, 0.0], "ranges": [{"to": 1}],
+      "keyed": True}, "unsupported params"),
+    ({"field": "tag", "origin": [0.0, 0.0], "ranges": [{"to": 1}]},
+     "struct<lat, lon>"),
+])
+def test_geo_distance_agg_typed_errors(geo_engine, body, msg):
+    with pytest.raises(DslError, match=msg):
+        _grid(geo_engine, {"d": {"geo_distance": body}})

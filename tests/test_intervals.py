@@ -173,11 +173,59 @@ def test_intervals_nested_combiners(iv_eng):
     ('{"query":{"intervals":{"text":{"all_of":{"intervals":'
      '[{"match":{"query":"a"}}],"ordered":true}}}}}',
      "cross-source interval algebra"),
-    ('{"query":{"intervals":{"text":{"prefix":{"prefix":"re"}}}}}',
+    ('{"query":{"intervals":{"text":{"regexp":{"pattern":"re.*"}}}}}',
      "match, any_of, all_of"),
     ('{"query":{"intervals":{"text":{"any_of":{}}}}}',
      "any_of needs"),
+    ('{"query":{"intervals":{"text":{"prefix":{"prefix":"re",'
+     '"use_field":"other"}}}}}', "unsupported parameters"),
+    ('{"query":{"intervals":{"text":{"wildcard":{"wc":"r*"}}}}}',
+     "unsupported parameters"),
+    ('{"query":{"intervals":{"text":{"wildcard":{}}}}}', "needs"),
 ])
 def test_intervals_combiner_typed_errors(iv_eng, q, msg):
     with pytest.raises(DslError, match=msg):
         iv_eng.search("iv", q).collect()
+
+
+# --------------------------- prefix / wildcard / fuzzy rules (r11)
+# fixture: 1="red fox jumps", 2="red dog", 3="blue fox", 4="cat"
+
+def test_intervals_prefix_rule(iv_eng):
+    # standalone: any token with the prefix; flat-1 intervals score
+    q = '{"query":{"intervals":{"text":{"prefix":{"prefix":"re"}}}}}'
+    assert _ids2(iv_eng, q) == [1, 2]
+    out = iv_eng.search("iv", "#options:load-rows=false#" + q).collect()
+    assert all(r["_score"] == 1 for r in out)
+
+
+def test_intervals_wildcard_rule(iv_eng):
+    q = ('{"query":{"intervals":{"text":'
+         '{"wildcard":{"pattern":"*o*"}}}}}')
+    assert _ids2(iv_eng, q) == [1, 2, 3]    # fox/dog/fox
+
+
+def test_intervals_fuzzy_rule(iv_eng):
+    # "rad" within 1 edit of "red" — explicit fuzziness 1 and the AUTO
+    # default (3-char term → 1 edit) both match; a 2-char term gets 0
+    # edits under AUTO (exact only) → no match
+    q1 = ('{"query":{"intervals":{"text":'
+          '{"fuzzy":{"term":"rad","fuzziness":1}}}}}')
+    assert _ids2(iv_eng, q1) == [1, 2]
+    assert _ids2(iv_eng, '{"query":{"intervals":{"text":'
+                         '{"fuzzy":{"term":"rad"}}}}}') == [1, 2]
+    assert _ids2(iv_eng, '{"query":{"intervals":{"text":'
+                         '{"fuzzy":{"term":"rd"}}}}}') == []
+
+
+def test_intervals_multiterm_rule_in_combiners(iv_eng):
+    # all_of: a red-prefixed token AND fox somewhere (unconstrained)
+    q = ('{"query":{"intervals":{"text":{"all_of":{"intervals":['
+         '{"prefix":{"prefix":"re"}},'
+         '{"match":{"query":"fox"}}]}}}}}')
+    assert _ids2(iv_eng, q) == [1]
+    # any_of: blue OR a d-prefixed token
+    q2 = ('{"query":{"intervals":{"text":{"any_of":{"intervals":['
+          '{"prefix":{"prefix":"d"}},'
+          '{"match":{"query":"blue"}}]}}}}}')
+    assert _ids2(iv_eng, q2) == [2, 3]
