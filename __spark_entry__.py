@@ -563,6 +563,11 @@ def q_geo_distance_filter(spark, sf_dir):
     return eng.search("geo_events", "#options:load-rows=false#" + q)
 
 
+# PII patterns by name — shared with functions.text.PII_PATTERNS so the
+# oracle SQL embeds the IDENTICAL regex strings (RE2-safe by contract)
+_PII = {name: pat for name, pat, _ in tx.PII_PATTERNS}
+
+
 # geo_polygon vertices (lat, lon) — shared by the Spark query and the
 # oracle SQL generator so the ray-casting slope constants are the SAME
 # Python doubles on both sides (bit-parity of the parity test)
@@ -1709,6 +1714,45 @@ def q_mix_rebalance(spark, sf_dir):
         "doc_id").select("doc_id", "lang", "_source")
 
 
+def q_pii_redact(spark, sf_dir):
+    # PII redaction (r11 LLM-pipeline op): the corpus text carries no
+    # PII, so a deterministic augmentation derives one email + IPv4
+    # per doc and a phone for every 7th (same integer arithmetic in
+    # the oracle CTE — the geo-fixture convention). redact_pii chains
+    # RE2-safe regexp_replace passes (email → ssn → ipv4 → phone,
+    # order documented in functions.text.PII_PATTERNS); pii_counts
+    # audits each kind on the progressively-redacted value.
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com ip 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0.1"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" call 555-867-5309")).otherwise(F.lit("")))
+    c = tx.pii_counts(aug)
+    return docs.select(
+        "doc_id", tx.redact_pii(aug).alias("redacted"),
+        c["email"].alias("n_email"), c["ipv4"].alias("n_ip"),
+        c["phone"].alias("n_phone"))
+
+
+def q_contamination_flag(spark, sf_dir):
+    # Benchmark decontamination (r11 LLM-pipeline op): every 100th doc
+    # plays the "benchmark/eval set"; flag the remaining docs sharing
+    # >= 1 word n-gram with it. Production uses 8-13-gram rules; the
+    # synthetic word-salad corpus only collides at n=4 (148 hits at
+    # n=3, 11 at n=4, 0 at n>=5 at sf0.01), so the oracle query pins
+    # n=4 — the operator itself takes any n. Benchmark grams distinct
+    # + BROADCAST; the corpus side is a map-side probe — no corpus
+    # shuffle (operators.dedup.ngram_contamination). hashed=False here
+    # so the DuckDB oracle joins the identical gram strings.
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 100 == 0)
+    rest = docs.where(F.col("doc_id") % 100 != 0)
+    return dedup.ngram_contamination(rest, bench, "doc_id", "text",
+                                     n=4, hashed=False)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -2292,6 +2336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   family (r11 oracle for the r10 N-ary span_near: 3 slots
         #   with a span_or union slot; oracle re-derives the tuple
         #   count with DuckDB list lambdas)
+        "pii_redact": q_pii_redact,  # ~ text family (r11 LLM-pipeline
+        #   op: RE2-safe regexp_replace chain + per-kind audit counts;
+        #   oracle repeats identical patterns/order with 'g' flag)
+        "contamination_flag": q_contamination_flag,  # ~ dedup family
+        #   (r11 LLM-pipeline op: benchmark 8-gram broadcast probe;
+        #   oracle re-derives grams with DuckDB list slicing)
         "geo_distance_agg": q_geo_distance_agg,  # ~ geo family (r11
         #   geo_distance bucket agg: haversine value + range machinery;
         #   oracle repeats the identical distance/scale op order)
@@ -4323,6 +4373,66 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
                        AS n_dropped
             FROM w GROUP BY doc_id
+        """,
+        # PII redaction (r11): IDENTICAL patterns/order as
+        # functions.text.PII_PATTERNS (injected below via f-string),
+        # DuckDB 'g' flag = Spark regexp_replace's replace-all; counts
+        # audit each kind on the progressively-redacted value, exactly
+        # like pii_counts
+        "pii_redact": f"""
+            WITH a AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com ip 10.' || (doc_id % 200)
+                            || '.0.1'
+                            || CASE WHEN doc_id % 7 = 0
+                                    THEN ' call 555-867-5309'
+                                    ELSE '' END AS aug
+                FROM documents),
+            r1 AS (SELECT doc_id, aug,
+                          regexp_replace(aug, '{_PII['email']}',
+                                         '<EMAIL>', 'g') AS t1 FROM a),
+            r2 AS (SELECT *, regexp_replace(t1, '{_PII['ssn']}',
+                                            '<SSN>', 'g') AS t2 FROM r1),
+            r3 AS (SELECT *, regexp_replace(t2, '{_PII['ipv4']}',
+                                            '<IP>', 'g') AS t3 FROM r2)
+            SELECT doc_id,
+                   regexp_replace(t3, '{_PII['phone']}',
+                                  '<PHONE>', 'g') AS redacted,
+                   len(regexp_extract_all(aug, '{_PII['email']}'))::BIGINT
+                       AS n_email,
+                   len(regexp_extract_all(t2, '{_PII['ipv4']}'))::BIGINT
+                       AS n_ip,
+                   len(regexp_extract_all(t3, '{_PII['phone']}'))::BIGINT
+                       AS n_phone
+            FROM r3
+        """,
+        # decontamination (r11): DuckDB list slicing re-derives the
+        # SAME 8-gram shingles (incl. the whole-text gram for docs
+        # shorter than 8 tokens — the shingles() convention)
+        "contamination_flag": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\s+') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 4 THEN
+                           list_distinct(list_transform(
+                               range(len(toks) - 3),
+                               i -> array_to_string(
+                                   list_slice(toks, i + 1, i + 4),
+                                   ' ')))
+                       ELSE [array_to_string(toks, ' ')] END AS grams
+                FROM t),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            b AS (SELECT DISTINCT gram FROM e WHERE doc_id % 100 = 0)
+            SELECT e.doc_id AS doc,
+                   count(DISTINCT e.gram)::BIGINT AS contaminated_ngrams
+            FROM e JOIN b USING (gram)
+            WHERE e.doc_id % 100 <> 0
+            GROUP BY 1
         """,
         "dedup_jaccard": r"""
             WITH toks AS (

@@ -73,6 +73,8 @@ HEADLINE = [
     "events_sessionize",
     "events_json_props",
     "text_stats",
+    "pii_redact",           # 4-pass regexp_replace chain + audit counts (r11)
+    "contamination_flag",   # benchmark n-gram broadcast probe (r11)
     "dedup_exact",
     "similarity_topk",
     "similarity_knn_join",

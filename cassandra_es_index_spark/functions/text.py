@@ -186,3 +186,46 @@ def shingles(col: Column, n: int = 3) -> Column:
         acc = F.zip_with(acc, tail, lambda a, b: F.concat_ws(" ", a, b))
     full = F.slice(acc, 1, F.greatest(sz - (n - 1), F.lit(0)))
     return F.when(sz >= n, full).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# --------------------------------------------------- PII redaction (r11)
+# Training-data pipelines scrub contact/identifier strings before
+# anything else sees the text. Patterns are RE2-safe (no lookaround, no
+# backrefs) so the DuckDB oracle evaluates the IDENTICAL regexes; the
+# replacement ORDER is part of the contract (emails first — they contain
+# dots and digits that the later patterns would shred; SSN before IP
+# before phone — each later pattern could otherwise swallow pieces of an
+# earlier kind's match).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\b\d[\d() .-]{6,}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email / SSN-shaped / IPv4 / phone-shaped substrings with
+    typed placeholder tokens, in the documented ``PII_PATTERNS`` order.
+    Pure ``regexp_replace`` chain — whole-stage codegen, no UDF, one
+    pass per pattern over the value (4 passes total, all map-side: at
+    100 TB this is scan-bound, shuffle-free)."""
+    out = col
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (LongType) — the audit twin of
+    ``redact_pii``; applied to the SAME progressively-redacted value so
+    the counts match what redact_pii replaces (an email's digits never
+    double-count as a phone)."""
+    out: dict[str, Column] = {}
+    cur = col
+    for name, pat, rep in PII_PATTERNS:
+        out[name] = F.size(F.regexp_extract_all(cur, F.lit(pat),
+                                                F.lit(0))).cast("long")
+        cur = F.regexp_replace(cur, pat, rep)
+    return out

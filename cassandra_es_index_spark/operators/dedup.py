@@ -390,3 +390,41 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
                  F.count("*").cast("long").alias("n_spans"),
                  F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
                   .cast("long").alias("n_dropped")))
+
+
+def ngram_contamination(df: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str,
+                        n: int = 8, hashed: bool = True) -> DataFrame:
+    """Benchmark-decontamination flagging (r11): documents sharing ≥1
+    word ``n``-gram with a benchmark/eval corpus — the standard
+    train-set contamination check (e.g. the 8-gram/13-gram overlap
+    rules used for public-benchmark decontamination).
+
+    Shape: both sides explode into shingle n-grams
+    (``functions.text.shingles`` — zip_with-chained, one tokenize per
+    row); the benchmark side distincts (eval sets are small) and
+    BROADCASTS, so the corpus side is one map-side semi-join-shaped
+    probe — no corpus shuffle at all; the only exchange is the final
+    per-doc groupBy, whose input is hits-only. ``hashed=True`` joins on
+    ``xxhash64(gram)`` (8 bytes instead of ~n words of string — the
+    scale default); ``hashed=False`` joins on the gram strings
+    (oracle-exact). Returns (doc, contaminated_ngrams = count of
+    DISTINCT shared n-grams)."""
+    from cassandra_es_index_spark.functions.text import shingles
+
+    def grams(frame: DataFrame) -> DataFrame:
+        out = frame.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(
+                shingles(F.col(text_col), n))).alias("gram"))
+        if hashed:
+            out = out.select("doc",
+                             F.xxhash64("gram").alias("gram"))
+        return out
+
+    bench = grams(benchmark).select("gram").distinct()
+    return (grams(df)
+            .join(F.broadcast(bench), "gram")
+            .groupBy("doc")
+            .agg(F.count_distinct("gram").cast("long")
+                  .alias("contaminated_ngrams")))

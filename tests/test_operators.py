@@ -538,3 +538,67 @@ def test_weighted_sample_and_mix_deterministic(spark):
         weighted_sample(df, "id", 1.5)
     with pytest.raises(ValueError):
         mix_sources([], "id")
+
+
+# ------------------------------ PII redaction + decontamination (r11)
+
+def test_redact_pii_kinds_and_order(spark):
+    from cassandra_es_index_spark.functions.text import (
+        pii_counts, redact_pii,
+    )
+    rows = [
+        (1, "mail a.user+tag@sub.example.org now"),
+        (2, "ssn 123-45-6789 and ip 10.0.255.1"),
+        (3, "call +1 (555) 867-5309 ok"),
+        (4, "no pii here at all"),
+        (5, "two mails x@y.io and z@w.ai"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {r["id"]: r["red"] for r in df.select(
+        "id", redact_pii(F.col("t")).alias("red")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    # SSN redacts BEFORE the phone pattern could swallow it; the IP
+    # stays an IP (not a phone — digits are gone by the phone pass)
+    assert got[2] == "ssn <SSN> and ip <IP>"
+    assert got[3] == "call <PHONE> ok"
+    assert got[4] == "no pii here at all"
+    assert got[5] == "two mails <EMAIL> and <EMAIL>"
+    counts = df.select(
+        "id", *[c.alias(k) for k, c in pii_counts(F.col("t")).items()]
+    ).collect()
+    by_id = {r["id"]: (r["email"], r["ssn"], r["ipv4"], r["phone"])
+             for r in counts}
+    assert by_id[1] == (1, 0, 0, 0)
+    assert by_id[2] == (0, 1, 1, 0)   # progressive: ip not a phone
+    assert by_id[3] == (0, 0, 0, 1)
+    assert by_id[5] == (2, 0, 0, 0)
+
+
+def test_ngram_contamination_broadcast_and_parity(spark):
+    from cassandra_es_index_spark.operators.dedup import (
+        ngram_contamination,
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "quick brown fox jumps elsewhere entirely today"),
+         (3, "completely different words in this row here"),
+         (4, "tiny doc")],                      # < n tokens
+        "id int, t string")
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps test sentence"),
+         (101, "tiny doc")],
+        "id int, t string")
+    out = ngram_contamination(docs, bench, "id", "t", n=4,
+                              hashed=False)
+    got = {r["doc"]: r["contaminated_ngrams"] for r in out.collect()}
+    # doc 1 and 2 share 'quick brown fox jumps' with the bench set;
+    # doc 4 (< 4 tokens) matches via the whole-text gram convention
+    assert got == {1: 1, 2: 1, 4: 1}
+    # hashed tier: identical result, 8-byte join keys
+    hashed = {r["doc"]: r["contaminated_ngrams"]
+              for r in ngram_contamination(docs, bench, "id", "t",
+                                           n=4).collect()}
+    assert hashed == got
+    # the benchmark side broadcasts — no corpus-side shuffle join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
