@@ -390,6 +390,33 @@ def q_search_knn(spark, sf_dir):
     return out.withColumn("_score", F.round("_score", 6))
 
 
+def q_search_script_vector(spark, sf_dir):
+    # ES standalone script_score query with the dense-vector painless
+    # functions (r11): cosineSimilarity(params.qv, 'embedding') + 1.0
+    # over the label-3 rows — the canonical ES vector-scoring idiom.
+    # Compiles to zip_with/aggregate higher-order-function SQL (no
+    # UDF); the oracle repeats the same double math, both sides round
+    # to 6 decimals (summation-order ulps). Size is uncapped so the
+    # result set is the whole filtered label — no tie-boundary
+    # nondeterminism.
+    import json as _json
+    eng_key = _ck(spark, sf_dir, "eng:embeddings")
+    if eng_key not in _CACHE:
+        eng = SearchEngine(spark)
+        eng.register(_t(spark, sf_dir, "embeddings"),
+                     TableSpec("embeddings", ["vec_id"]))
+        _CACHE[eng_key] = eng
+    eng = _CACHE[eng_key]
+    dim = len(_t(spark, sf_dir, "embeddings").first()["embedding"])
+    q = _json.dumps({"size": 1000000, "query": {"script_score": {
+        "query": {"term": {"label": 3}},
+        "script": {
+            "source": "cosineSimilarity(params.qv, 'embedding') + 1.0",
+            "params": {"qv": [1.0] * dim}}}}})
+    out = eng.search("embeddings", "#options:load-rows=false#" + q)
+    return out.withColumn("_score", F.round("_score", 6))
+
+
 def q_search_knn_hybrid(spark, sf_dir):
     # ES 8.4 hybrid search (r6): knn top-5 BESIDE a term query — hit
     # union, scores SUM where a doc appears in both (one full-outer join
@@ -2336,6 +2363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   family (r11 oracle for the r10 N-ary span_near: 3 slots
         #   with a span_or union slot; oracle re-derives the tuple
         #   count with DuckDB list lambdas)
+        "search_script_vector": q_search_script_vector,  # ~ script/
+        #   vector family (r11: standalone script_score query +
+        #   painless cosineSimilarity/dotProduct/l2norm; oracle
+        #   re-derives the cosine with DuckDB list math)
         "pii_redact": q_pii_redact,  # ~ text family (r11 LLM-pipeline
         #   op: RE2-safe regexp_replace chain + per-kind audit counts;
         #   oracle repeats identical patterns/order with 'g' flag)
@@ -4450,6 +4481,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc = doc_a
             JOIN sizes sb ON sb.doc = doc_b
             WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.9
+        """,
+        # standalone script_score + cosineSimilarity (r11): the same
+        # double math over the float32 array, norm_q = sqrt(64) = 8
+        "search_script_vector": """
+            SELECT vec_id,
+                   round(
+                       list_sum(list_transform(range(1, 65),
+                           i -> embedding[i]::DOUBLE * 1.0))
+                       / nullif(
+                       sqrt(list_sum(list_transform(range(1, 65),
+                           i -> embedding[i]::DOUBLE
+                                * embedding[i]::DOUBLE))) * 8.0, 0.0)
+                       + 1.0, 6) AS _score
+            FROM embeddings WHERE label = 3
         """,
         "dedup_embedding": """
             WITH v AS (

@@ -78,6 +78,7 @@ HEADLINE = [
     "dedup_exact",
     "similarity_topk",
     "similarity_knn_join",
+    "search_script_vector",  # HOF cosine over the embedding column (r11)
     "search_bm25_topk",
     "search_postings_term",
     "search_postings_disk",  # cold lookup on the bucketed on-disk postings

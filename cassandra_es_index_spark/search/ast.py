@@ -249,6 +249,10 @@ class ScriptScore(Node):
     fields: tuple[str, ...] = field(default_factory=tuple)  # doc refs
     raw: str = ""                       # original source, for errors
     boost_mode: str = "multiply"
+    # dense-vector function refs (r11 — cosineSimilarity/dotProduct/
+    # l2norm over params vectors): fields that must resolve to a
+    # numeric ARRAY column (typed CompileError otherwise)
+    array_fields: tuple[str, ...] = field(default_factory=tuple)
 
 
 @dataclass(frozen=True)

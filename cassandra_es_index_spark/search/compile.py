@@ -631,6 +631,17 @@ class Compiler:
         if isinstance(node, ScriptScore):
             for fld in node.fields:   # unknown refs fail at compile,
                 self.resolve(fld)     # not as a late AnalysisException
+            for fld in node.array_fields:
+                # vector-function refs (r11) must be numeric arrays —
+                # typed here, not a late AnalysisException
+                ref = self.resolve(fld)
+                if not (isinstance(ref.dtype, T.ArrayType)
+                        and isinstance(ref.dtype.elementType,
+                                       _NUMERIC)):
+                    raise CompileError(
+                        f"script_score vector function needs a "
+                        f"numeric array field, got "
+                        f"{ref.dtype.simpleString()} for {fld!r}")
             return script_score_value(node.expr)
         if isinstance(node, DecayScore):
             ref = self.resolve(node.field_name)

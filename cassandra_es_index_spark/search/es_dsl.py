@@ -221,6 +221,94 @@ def _compile_doc_script(name: str, script: str) -> str:
     return _arith_sql(name, substituted)
 
 
+_VEC_CALL = _re.compile(
+    r"(cosineSimilarity|dotProduct|l2norm)\(\s*params\.(\w+)\s*,"
+    r"\s*'([A-Za-z_][\w.]*)'\s*\)")
+
+
+def _compile_score_script(name: str, script: str,
+                          params: dict) -> tuple[str, tuple, tuple]:
+    """Translate a ``script_score`` painless source to ONE Spark SQL
+    expression — the arithmetic/comparison subset over
+    ``doc['f'].value`` refs PLUS (r11) the ES dense-vector functions
+    ``cosineSimilarity(params.qv, 'field')`` / ``dotProduct`` /
+    ``l2norm`` and numeric ``params.X`` scalars. Vector calls compile
+    to higher-order-function SQL over the array column (zip_with dot
+    products against a literal query array — JVM codegen, no UDF, the
+    same kernel shape as operators/similarity.py); ``cosineSimilarity``
+    divides by try_divide so a zero document vector yields NULL →
+    score 0 (the engine's null rule). Returns (sql, doc_field_refs,
+    array_field_refs)."""
+    import math as _math
+
+    placeholders: dict[str, str] = {}
+    arr_fields: list[str] = []
+
+    def vec_sub(m: "_re.Match") -> str:
+        fn_name, pname, fld = m.groups()
+        if pname not in params:
+            raise DslError(
+                f"{name}: script references params.{pname} but the "
+                "script carries no such param")
+        vec = params[pname]
+        if not isinstance(vec, list) or not vec or not all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in vec):
+            raise DslError(f"{name}: params.{pname} must be a "
+                           "non-empty numeric array")
+        qa = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vec)
+        col = f"`{fld}`"
+        dot = (f"aggregate(zip_with({col}, array({qa}), "
+               "(a, b) -> CAST(a AS DOUBLE) * b), "
+               "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+        if fn_name == "dotProduct":
+            sql = dot
+        elif fn_name == "cosineSimilarity":
+            nq = _math.sqrt(sum(float(v) ** 2 for v in vec))
+            if nq == 0.0:
+                raise DslError(f"{name}: params.{pname} is a zero "
+                               "vector (cosine undefined)")
+            nd = (f"sqrt(aggregate(transform({col}, "
+                  "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                  "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+            sql = (f"try_divide({dot}, "
+                   f"{nd} * CAST({nq!r} AS DOUBLE))")
+        else:   # l2norm: euclidean distance doc-vector ↔ query vector
+            sql = ("sqrt(aggregate(zip_with(" + col + ", array(" + qa
+                   + "), (a, b) -> (CAST(a AS DOUBLE) - b) "
+                   "* (CAST(a AS DOUBLE) - b)), "
+                   "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+        key = f"__vec{len(placeholders)}"
+        placeholders[key] = f"({sql})"
+        arr_fields.append(fld)
+        return f"doc['{key}'].value"
+
+    src = _VEC_CALL.sub(vec_sub, script)
+
+    def param_sub(m: "_re.Match") -> str:
+        pname = m.group(1)
+        if pname not in params:
+            raise DslError(
+                f"{name}: script references params.{pname} but the "
+                "script carries no such param")
+        v = params[pname]
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise DslError(f"{name}: params.{pname} must be numeric "
+                           "here (vector params belong inside the "
+                           "vector functions)")
+        return repr(float(v))
+
+    src = _re.sub(r"params\.(\w+)", param_sub, src)
+    out = _compile_doc_script(name, src)
+    for key, sql in placeholders.items():
+        out = out.replace(f"TRY_CAST(`{key}` AS DOUBLE)", sql)
+    refs = tuple(dict.fromkeys(
+        f for f in _re.findall(r"doc\['([A-Za-z_][\w.]*)'\]\.value",
+                               src)
+        if not f.startswith("__vec")))
+    return out, refs, tuple(dict.fromkeys(arr_fields))
+
+
 # ES runtime_mappings types the arithmetic-script subset can produce →
 # the Spark cast target (keyword/date need string/date-producing
 # painless, outside the subset — typed error)
@@ -261,15 +349,19 @@ def _parse_score_fn(fn: str, spec: Any) -> Node:
         if not isinstance(spec, dict) or "script" not in spec:
             raise DslError("script_score needs {'script': ...}")
         script = spec["script"]
+        sparams: dict = {}
         if isinstance(script, dict):
+            sparams = script.get("params") or {}
+            if not isinstance(sparams, dict):
+                raise DslError("script params must be an object")
             script = script.get("source")
         if not isinstance(script, str) or not script.strip():
             raise DslError("script_score needs a script source "
                            "string")
-        expr = _compile_doc_script("script_score", script)
-        refs = tuple(dict.fromkeys(_re.findall(
-            r"doc\['([A-Za-z_][\w.]*)'\]\.value", script)))
-        return ScriptScore(child, expr, refs, script)
+        expr, refs, arr_fields = _compile_score_script(
+            "script_score", script, sparams)
+        return ScriptScore(child, expr, refs, script,
+                           array_fields=arr_fields)
     if fn == "random_score":
         if not isinstance(spec, dict) or "seed" not in spec \
                 or "field" not in spec:
@@ -2543,6 +2635,30 @@ def _node(q: dict[str, Any]) -> Node:
             raise DslError(f"tie_breaker must be in [0,1], got {tb}")
         return _boosted(
             DisMax(tuple(_node(q) for q in body["queries"]), tb),
+            body.get("boost"))
+    if kind == "script_score":
+        # ES standalone script_score query (r11): the script REPLACES
+        # the query score (function_score boost_mode=replace) — the
+        # home of the dense-vector idiom
+        # `cosineSimilarity(params.qv, 'embedding') + 1.0`. `query` is
+        # required like ES; min_score is served by the request-level
+        # `min_score` (typed pointer, engine subset).
+        if not isinstance(body, dict) or "query" not in body \
+                or "script" not in body:
+            raise DslError(
+                "script_score needs {'query': clause, 'script': ...}")
+        extra = set(body) - {"query", "script", "boost"}
+        if extra:
+            raise DslError(
+                f"script_score: unsupported parameters {sorted(extra)}"
+                " (engine subset — use the request-level min_score "
+                "instead of the query-level one)")
+        from dataclasses import replace as _dc_replace2
+        scorer = _parse_score_fn("script_score",
+                                 {"script": body["script"]})
+        return _boosted(
+            _dc_replace2(scorer, child=_node(body["query"]),
+                         boost_mode="replace"),
             body.get("boost"))
     if kind == "function_score":
         # single-function form (field_value_factor / script_score /

@@ -176,3 +176,101 @@ def test_decay_served_from_range_index_bit_exact(fs_engine, spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "regexp_extract_all" not in plan   # scan-free
     assert got == scan
+
+
+# ---------------- standalone script_score + vector functions (r11)
+
+@pytest.fixture(scope="module")
+def vec_engine(spark):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("emb", T.ArrayType(T.FloatType())),
+        T.StructField("w", T.DoubleType())])
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], 2.0), (2, [0.0, 1.0, 0.0], 3.0),
+         (3, [0.6, 0.8, 0.0], 4.0), (4, None, 5.0)], schema)
+    eng = SearchEngine(spark)
+    eng.register(df, TableSpec("vs", ["id"]))
+    return eng
+
+
+def _vq(eng, q):
+    import json
+    out = eng.search("vs", "#options:load-rows=false#" + json.dumps(q))
+    return {r["id"]: round(r["_score"], 6) for r in out.collect()}
+
+
+def test_script_score_query_replaces_score(vec_engine):
+    # standalone script_score: the script REPLACES the query score
+    # (w-gated term would otherwise contribute); null vector → 0
+    got = _vq(vec_engine, {"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source":
+                   "cosineSimilarity(params.qv, 'emb') + params.base",
+                   "params": {"qv": [1.0, 0.0, 0.0], "base": 1.0}}}}})
+    assert got == {1: 2.0, 2: 1.0, 3: 1.6, 4: 0.0}
+
+
+def test_script_score_dot_and_l2(vec_engine):
+    got = _vq(vec_engine, {"query": {"script_score": {
+        "query": {"range": {"w": {"gte": 3.0}}},
+        "script": {"source": "dotProduct(params.qv, 'emb')",
+                   "params": {"qv": [2.0, 1.0, 0.0]}}}}})
+    assert got[2] == 1.0 and abs(got[3] - 2.0) < 1e-6 and got[4] == 0.0
+    l2 = _vq(vec_engine, {"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source": "l2norm(params.qv, 'emb')",
+                   "params": {"qv": [1.0, 0.0, 0.0]}}}}})
+    assert l2[1] == 0.0 and abs(l2[2] - math.sqrt(2)) < 1e-6
+    assert abs(l2[3] - math.sqrt(0.16 + 0.64)) < 1e-5
+
+
+def test_function_score_script_params_and_vector(vec_engine):
+    # the function_score form takes params + vector functions too;
+    # boost_mode default multiply composes with the query score
+    got = _vq(vec_engine, {"query": {"function_score": {
+        "query": {"term": {"id": 1}},
+        "script_score": {"script": {
+            "source": "dotProduct(params.qv, 'emb') * params.k",
+            "params": {"qv": [3.0, 0.0, 0.0], "k": 2.0}}},
+        "boost_mode": "replace"}}})
+    assert got == {1: 6.0}
+
+
+@pytest.mark.parametrize("script,params,err", [
+    ("cosineSimilarity(params.qv, 'emb')", {}, "no such param"),
+    ("cosineSimilarity(params.qv, 'emb')", {"qv": [0.0, 0.0, 0.0]},
+     "zero"),
+    ("cosineSimilarity(params.qv, 'emb')", {"qv": "nope"},
+     "numeric array"),
+    ("doc['w'].value * params.k", {"k": [1.0]}, "must be numeric"),
+])
+def test_script_vector_typed_errors(vec_engine, script, params, err):
+    import json
+    q = json.dumps({"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source": script, "params": params}}}})
+    with pytest.raises(DslError, match=err):
+        vec_engine.search("vs", q).collect()
+
+
+def test_script_vector_non_array_field_typed(vec_engine):
+    import json
+    q = json.dumps({"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source": "dotProduct(params.qv, 'w')",
+                   "params": {"qv": [1.0]}}}}})
+    with pytest.raises(CompileError, match="numeric array"):
+        vec_engine.search("vs", q).collect()
+
+
+def test_script_score_query_needs_query_and_script(vec_engine):
+    import json
+    with pytest.raises(DslError, match="needs"):
+        vec_engine.search("vs", json.dumps(
+            {"query": {"script_score": {"script": {"source": "1"}}}}))
+    with pytest.raises(DslError, match="min_score"):
+        vec_engine.search("vs", json.dumps(
+            {"query": {"script_score": {
+                "query": {"match_all": {}},
+                "script": {"source": "1"}, "min_score": 2.0}}}))
