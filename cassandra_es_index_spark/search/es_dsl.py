@@ -3286,9 +3286,65 @@ def _node(q: dict[str, Any]) -> Node:
             Nested(str(body["path"]), _node(body["query"]), mode),
             body.get("boost"))
     if kind == "query_string":
+        # full Lucene grammar via the query_string parser; r11 adds
+        # the field-binding parameters (previously any extra key was
+        # SILENTLY DROPPED — the r9 no-silent-drops lesson):
+        # `default_field` rebinds the parse's default-field leaves;
+        # `fields` (with `^boost` syntax) runs the parse per field
+        # under a DisMax + `tie_breaker` (ES's multi-field
+        # query_string combination). `default_operator` accepts only
+        # the default OR — AND would change the juxtaposition regroup
+        # (Lucene +/- operator semantics), typed engine subset.
         if not isinstance(body, dict) or "query" not in body:
             raise DslError("query_string needs {'query': str}")
-        return qs.parse(body["query"])
+        extra = set(body) - {"query", "default_field", "fields",
+                             "default_operator", "tie_breaker",
+                             "boost"}
+        if extra:
+            raise DslError(f"query_string: unsupported parameters "
+                           f"{sorted(extra)} (engine subset)")
+        if str(body.get("default_operator", "or")).lower() != "or":
+            raise DslError(
+                "query_string default_operator 'and' is not supported "
+                "(engine subset: OR — the Lucene +/- juxtaposition "
+                "regroup is OR-based)")
+        if "default_field" in body and "fields" in body:
+            raise DslError("query_string takes default_field OR "
+                           "fields, not both")
+        tie = body.get("tie_breaker", 0.0)
+        if isinstance(tie, bool) or not isinstance(tie, (int, float)) \
+                or not 0.0 <= tie <= 1.0:
+            raise DslError("query_string tie_breaker must be a number "
+                           "in [0, 1]")
+        if "tie_breaker" in body and "fields" not in body:
+            raise DslError("query_string tie_breaker applies to the "
+                           "'fields' form only")
+        parsed = qs.parse(body["query"])
+        if "fields" in body:
+            flist = body["fields"]
+            if not isinstance(flist, list) or not flist:
+                raise DslError("query_string fields must be a "
+                               "non-empty list")
+            branches: list[Node] = []
+            for f in flist:
+                fboost = None
+                if "^" in f:
+                    f, _, fb = f.partition("^")
+                    try:
+                        fboost = float(fb)
+                    except ValueError as e:
+                        raise DslError(
+                            f"bad query_string field boost {fb!r}"
+                        ) from e
+                branches.append(_boosted(
+                    _bind_default_field(parsed, str(f)), fboost))
+            node = branches[0] if len(branches) == 1 \
+                else DisMax(tuple(branches), tie_breaker=float(tie))
+            return _boosted(node, body.get("boost"))
+        if "default_field" in body:
+            parsed = _bind_default_field(parsed,
+                                         str(body["default_field"]))
+        return _boosted(parsed, body.get("boost"))
     if kind == "simple_query_string":
         if not isinstance(body, dict) or "query" not in body:
             raise DslError("simple_query_string needs {'query': str}")
@@ -3971,6 +4027,26 @@ def _span_clause_terms(clause: Any) -> tuple[str, tuple[str, ...]]:
     raise DslError(
         f"span clause {k!r} is not supported here (the engine "
         "composes span_term, span_or, and span_multi)")
+
+
+def _bind_default_field(node: Node, fld: str) -> Node:
+    """Rewrite a parsed query_string tree so default-field leaves
+    (``field=None``) address ``fld`` — the DSL ``default_field`` /
+    per-entry ``fields`` binding (r11). Compound nodes recurse; leaves
+    with an explicit field are untouched."""
+    import dataclasses
+
+    if isinstance(node, (And, Or, Should, DisMax)):
+        return dataclasses.replace(
+            node, children=tuple(_bind_default_field(c, fld)
+                                 for c in node.children))
+    if hasattr(node, "child") and getattr(node, "child", None) \
+            is not None:
+        return dataclasses.replace(
+            node, child=_bind_default_field(node.child, fld))
+    if getattr(node, "field", "") is None:
+        return dataclasses.replace(node, field=fld)
+    return node
 
 
 def _boosted(node: Node, boost: Any) -> Node:

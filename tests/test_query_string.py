@@ -257,3 +257,51 @@ def test_dsl_term_boost_param():
     node, _ = es_dsl.parse(
         '{"query":{"term":{"lang":{"value":"en","boost":3}}}}')
     assert node == Boost(Term("lang", "en"), 3.0)
+
+
+# -------------------- DSL query_string field binding (r11)
+
+def test_dsl_query_string_field_params(spark):
+    import json
+
+    from cassandra_es_index_spark.search.engine import (
+        SearchEngine, TableSpec,
+    )
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "spark rocks", "other"), (2, "other", "spark here"),
+         (3, "plain", "words")],
+        "id int, title string, body string")
+    eng.register(df, TableSpec("qsf", ["id"]))
+
+    def run(q):
+        out = eng.search("qsf", "#options:load-rows=false#"
+                         + json.dumps(q))
+        return {r["id"]: r["_score"] for r in out.collect()}
+
+    # default_field binds the bare leaves
+    got = run({"query": {"query_string": {
+        "query": "spark AND NOT plain", "default_field": "body"}}})
+    assert got == {2: 1}
+    # fields form: per-field parse under a DisMax with ^boost
+    got = run({"query": {"query_string": {
+        "query": "spark", "fields": ["title^3", "body"]}}})
+    assert got == {1: 3, 2: 1}
+    # explicit field: wins over the binding
+    got = run({"query": {"query_string": {
+        "query": "title:spark OR spark", "fields": ["body"]}}})
+    assert got == {1: 1, 2: 1}
+
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    import pytest as _p
+    for bad, msg in [
+        ({"query": "x", "analyzer": "simple"}, "unsupported"),
+        ({"query": "x", "default_operator": "and"}, "OR"),
+        ({"query": "x", "default_field": "a", "fields": ["b"]},
+         "not both"),
+        ({"query": "x", "tie_breaker": 0.5}, "'fields' form"),
+        ({"query": "x", "fields": []}, "non-empty"),
+    ]:
+        with _p.raises(DslError, match=msg):
+            eng.search("qsf", json.dumps(
+                {"query": {"query_string": bad}}))
