@@ -1075,6 +1075,17 @@ def q_search_significant_terms(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_search_significant_text(spark, sf_dir):
+    # ES significant_text (r11): analyzed TOKENS overrepresented among
+    # docs matching lang:zh vs the whole corpus — one explode per side
+    # (distinct per doc, ES doc-count semantics), then the same JLH
+    # join/score as significant_terms. size=12.
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"lang":"zh"}},"aggs":{"sig":'
+         '{"significant_text":{"field":"text","size":12}}}}')
+    return eng.search_aggs("documents", q, default_field="text")
+
+
 def q_search_collapse_inner(spark, sf_dir):
     # r6 collapse inner_hits: top-5 language groups by their head hit,
     # each expanded to its top-2 member rows with _inner_rank
@@ -2376,6 +2387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_agg": q_geo_distance_agg,  # ~ geo family (r11
         #   geo_distance bucket agg: haversine value + range machinery;
         #   oracle repeats the identical distance/scale op order)
+        "search_significant_text": q_search_significant_text,  # ~ sig
+        #   family (r11: token-unit JLH over analyzed text; oracle
+        #   re-derives the token explode + identical score arithmetic)
         "search_cross_fields": q_search_cross_fields,  # ~ multi-field
         #   family (r11 cross_fields: token-major field-OR groups;
         #   oracle repeats the per-field tf sums)
@@ -3143,6 +3157,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # significant_terms / JLH over the spark match set: score =
         # (fg% − bg%) × (fg% / bg%), positive only, top size by score
+        # significant_text (r11): token explode (split \W+, lowered,
+        # distinct per doc) on both sides, identical JLH arithmetic
+        "search_significant_text": r"""
+            WITH tok AS (
+                SELECT doc_id, lang, unnest(list_distinct(list_filter(
+                    regexp_split_to_array(lower(text), '\W+'),
+                    x -> len(x) > 0))) AS key
+                FROM documents),
+            fg AS (
+                SELECT key, COUNT(*)::BIGINT AS doc_count
+                FROM tok WHERE lang = 'zh' GROUP BY key),
+            bg AS (
+                SELECT key, COUNT(*)::BIGINT AS bg_count
+                FROM tok GROUP BY key),
+            tot AS (
+                SELECT (SELECT COUNT(*)::DOUBLE FROM documents
+                        WHERE lang = 'zh') AS fgt,
+                       (SELECT COUNT(*)::DOUBLE FROM documents) AS bgt),
+            scored AS (
+                SELECT key, doc_count, bg_count,
+                       round((doc_count / fgt - bg_count / bgt)
+                             * ((doc_count / fgt) / (bg_count / bgt)),
+                             6) AS score
+                FROM fg JOIN bg USING (key) CROSS JOIN tot)
+            SELECT key, doc_count, bg_count, score
+            FROM scored WHERE score > 0
+            ORDER BY score DESC, key ASC LIMIT 12
+        """,
         "search_significant_terms": f"""
             WITH fg AS (
                 SELECT lang AS key, COUNT(*)::BIGINT AS doc_count

@@ -547,6 +547,11 @@ class MoreLikeThis(Node):
     field: str | None = None
     like_texts: tuple[str, ...] = ()
     like_ids: tuple[str, ...] = ()
+    # `unlike` (r11): texts/docs whose analyzed terms form a STOP SET —
+    # excluded from candidate selection before the tf·idf ranking (ES
+    # unlike semantics)
+    unlike_texts: tuple[str, ...] = ()
+    unlike_ids: tuple[str, ...] = ()
     max_query_terms: int = 25
     min_term_freq: int = 2
     min_doc_freq: int = 5

@@ -1037,23 +1037,40 @@ class SearchEngine:
         def expand(n: MoreLikeThis) -> Node:
             fld = n.field if n.field is not None else comp().default_field
             comp().resolve(fld)   # typed error for unknown fields
-            texts = list(n.like_texts)
-            if n.like_ids:
+
+            def fetch_texts(id_list) -> list[str]:
                 _, spec = self.catalog.get(table)
                 id_col = self._postings_id_col(spec)
                 ref = comp().resolve(id_col)
                 rows = (docs.where(ref.col.cast("string").isin(
-                            [str(v) for v in n.like_ids]))
+                            [str(v) for v in id_list]))
                             .select(comp().resolve(fld).col.alias("t"))
                             .collect())
-                texts += [r["t"] for r in rows if r["t"] is not None]
+                return [r["t"] for r in rows if r["t"] is not None]
+
+            texts = list(n.like_texts)
+            if n.like_ids:
+                texts += fetch_texts(n.like_ids)
             # driver-side twin of analyzers.standard (lower + \W+ split)
             tf: dict[str, int] = {}
             for t in texts:
                 for tok in _re2.split(r"\W+", str(t).lower()):
                     if tok:
                         tf[tok] = tf.get(tok, 0) + 1
-            cands = [t for t, c in tf.items() if c >= n.min_term_freq]
+            # `unlike` (r11): the unlike texts/docs' analyzed terms form
+            # a stop set excluded BEFORE the tf·idf ranking (ES
+            # semantics) — another top-`max_query_terms` term takes the
+            # freed slot
+            stop: set[str] = set()
+            un_texts = list(n.unlike_texts)
+            if n.unlike_ids:
+                un_texts += fetch_texts(n.unlike_ids)
+            for t in un_texts:
+                for tok in _re2.split(r"\W+", str(t).lower()):
+                    if tok:
+                        stop.add(tok)
+            cands = [t for t, c in tf.items()
+                     if c >= n.min_term_freq and t not in stop]
             if not cands:
                 return MatchNone()
             if (table, fld) not in self._postings:
@@ -4709,20 +4726,47 @@ class SearchEngine:
                        .limit(aggs.size if aggs.size is not None else 10))
 
         if isinstance(aggs, es_dsl.BucketAgg) \
-                and aggs.kind == "significant_terms":
+                and aggs.kind in ("significant_terms",
+                                  "significant_text"):
             # ES significant_terms with the JLH heuristic: terms
             # overrepresented in the match set (foreground) vs the whole
             # index (background); score = (fg% − bg%) × (fg% / bg%),
             # positive-score terms only, top `size` by score. Two
             # aggregations over field values + one join on the term —
             # linear at any scale; the two one-row totals broadcast.
-            ref = comp.resolve(aggs.field).col
-            fg = (filtered.where(ref.isNotNull())
-                  .groupBy(ref.alias("key"))
-                  .agg(F.count("*").cast("long").alias("doc_count")))
-            bg = (docs.where(ref.isNotNull())
-                  .groupBy(ref.alias("key"))
-                  .agg(F.count("*").cast("long").alias("bg_count")))
+            # significant_text (r11): the unit is the analyzed TOKEN
+            # (split \W+, lowered — the engine's analyzer), distinct
+            # per doc so doc_count keeps ES's document semantics; one
+            # explode per side, otherwise the identical plan.
+            if aggs.kind == "significant_text":
+                from pyspark.sql import types as T
+                ref0 = comp.resolve(aggs.field)
+                if not isinstance(ref0.dtype, T.StringType):
+                    raise es_dsl.DslError(
+                        "significant_text needs a plain string field, "
+                        f"got {ref0.dtype.simpleString()} for "
+                        f"{aggs.field!r}")
+                toks = F.array_distinct(F.filter(
+                    F.split(F.lower(ref0.col), r"\W+"),
+                    lambda x: F.length(x) > 0))
+
+                def tokenized(frame):
+                    return frame.select(F.explode(toks).alias("key"))
+
+                fg = (tokenized(filtered).groupBy("key")
+                      .agg(F.count("*").cast("long")
+                            .alias("doc_count")))
+                bg = (tokenized(docs).groupBy("key")
+                      .agg(F.count("*").cast("long")
+                            .alias("bg_count")))
+            else:
+                ref = comp.resolve(aggs.field).col
+                fg = (filtered.where(ref.isNotNull())
+                      .groupBy(ref.alias("key"))
+                      .agg(F.count("*").cast("long").alias("doc_count")))
+                bg = (docs.where(ref.isNotNull())
+                      .groupBy(ref.alias("key"))
+                      .agg(F.count("*").cast("long").alias("bg_count")))
             fg_total = filtered.agg(
                 F.count("*").cast("long").alias("_fg_total"))
             bg_total = docs.agg(
@@ -4823,6 +4867,10 @@ class SearchEngine:
         while b is not None:
             levels.append(b)
             b = b.sub
+        if any(lv.kind == "significant_text" for lv in levels):
+            raise es_dsl.DslError(
+                "significant_text is top-level only (engine subset — "
+                "significant_terms may nest one level under a bucket)")
         if any(lv.kind == "significant_terms" for lv in levels):
             raise es_dsl.DslError(
                 "significant_terms may nest at most one level deep "

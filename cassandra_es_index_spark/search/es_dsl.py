@@ -51,7 +51,8 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "top_metrics", "reverse_nested")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                  "geo_distance", "filters",
-                 "date_range", "significant_terms", "rare_terms",
+                 "date_range", "significant_terms",
+                 "significant_text", "rare_terms",
                  "multi_terms", "adjacency_matrix",
                  "geotile_grid", "geohash_grid", "auto_date_histogram")
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
@@ -1972,18 +1973,23 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             return BucketAgg(name=name, kind="auto_date_histogram",
                              field=params["field"], buckets=nb,
                              metrics=metrics)
-        if first_kind == "significant_terms":
+        if first_kind in ("significant_terms", "significant_text"):
             # foreground-vs-background scored terms; no sub-aggs (the
-            # score IS the payload), size caps the output
+            # score IS the payload), size caps the output.
+            # significant_text (r11): the unit is the analyzed TOKEN of
+            # a text field (distinct per doc — ES's doc-count
+            # semantics), same JLH scorer; top-level only (documented
+            # subset — significant_terms may nest one level under a
+            # bucket).
             extra_p = set(params) - {"field", "size"}
             if extra_p:
                 raise DslError(
-                    f"significant_terms agg {name!r}: unsupported "
+                    f"{first_kind} agg {name!r}: unsupported "
                     f"params {sorted(extra_p)}")
             if body.get("aggs"):
-                raise DslError("significant_terms does not support "
+                raise DslError(f"{first_kind} does not support "
                                "sub-aggregations")
-            return BucketAgg(name=name, kind="significant_terms",
+            return BucketAgg(name=name, kind=first_kind,
                              field=params["field"],
                              size=params.get("size"))
         sub_specs = dict(body.get("aggs") or {})
@@ -3455,7 +3461,8 @@ def _node(q: dict[str, Any]) -> Node:
         # data-driven: resolved engine-side (ast.MoreLikeThis)
         if not isinstance(body, dict) or "like" not in body:
             raise DslError("more_like_this needs {'like': ...}")
-        extra = set(body) - {"fields", "like", "max_query_terms",
+        extra = set(body) - {"fields", "like", "unlike",
+                             "max_query_terms",
                              "min_term_freq", "min_doc_freq",
                              "max_doc_freq", "minimum_should_match",
                              "include", "boost"}
@@ -3489,6 +3496,20 @@ def _node(q: dict[str, Any]) -> Node:
         if not texts and not ids:
             raise DslError("more_like_this needs at least one like "
                            "text or doc id")
+        unlikes = body.get("unlike", [])
+        if not isinstance(unlikes, list):
+            unlikes = [unlikes]
+        un_texts: list[str] = []
+        un_ids: list[str] = []
+        for lk in unlikes:
+            if isinstance(lk, str):
+                un_texts.append(lk)
+            elif isinstance(lk, dict) and "_id" in lk:
+                un_ids.append(str(lk["_id"]))
+            else:
+                raise DslError(
+                    "more_like_this unlike entries must be strings or "
+                    f"{{'_id': id}} objects, got {lk!r}")
 
         def _posint(nm: str, dflt: int) -> int:
             v = body.get(nm, dflt)
@@ -3512,6 +3533,8 @@ def _node(q: dict[str, Any]) -> Node:
             raise DslError("more_like_this include must be a boolean")
         return _boosted(
             MoreLikeThis(fld, tuple(texts), tuple(ids),
+                         unlike_texts=tuple(un_texts),
+                         unlike_ids=tuple(un_ids),
                          max_query_terms=_posint("max_query_terms", 25),
                          min_term_freq=_posint("min_term_freq", 2),
                          min_doc_freq=_posint("min_doc_freq", 5),

@@ -137,3 +137,45 @@ def test_mlt_raw_node_compile_is_typed(mlt_engine, spark):
         {"query": {"more_like_this": {"like": "x"}}}))
     with pytest.raises(CompileError, match="data-driven"):
         Compiler(df, "text").compile(req.node)
+
+
+# -------------------------------------------------- unlike (r11)
+
+def test_mlt_unlike_text_stop_set(mlt_engine):
+    # 'spark' lands in the unlike stop set → selection keeps
+    # streaming/joins only; doc b matches via streaming, c via joins
+    eng, _ = mlt_engine
+    got = _run(eng, {"query": {"more_like_this": {
+        "like": "spark streaming joins", "unlike": "spark window",
+        "min_term_freq": 1, "min_doc_freq": 1,
+        "minimum_should_match": 1}}})
+    assert got == {"a": 2, "b": 1, "c": 1}
+
+
+def test_mlt_unlike_doc_id(mlt_engine):
+    # unlike {'_id': 'd'} stops flink/only/here — here harmless, but
+    # unlike {'_id': 'c'} stops joins/window/shuffle/spark → only
+    # streaming survives from the like text
+    eng, _ = mlt_engine
+    got = _run(eng, {"query": {"more_like_this": {
+        "like": "spark streaming joins",
+        "unlike": [{"_id": "c"}],
+        "min_term_freq": 1, "min_doc_freq": 1,
+        "minimum_should_match": 1}}})
+    assert got == {"a": 1, "b": 1}
+
+
+def test_mlt_unlike_everything_matches_none(mlt_engine):
+    eng, _ = mlt_engine
+    got = _run(eng, {"query": {"more_like_this": {
+        "like": "spark streaming", "unlike": "spark streaming",
+        "min_term_freq": 1, "min_doc_freq": 1}}})
+    assert got == {}
+
+
+def test_mlt_unlike_bad_entry_typed(mlt_engine):
+    eng, _ = mlt_engine
+    with pytest.raises(DslError, match="unlike entries"):
+        eng.search("mltd", json.dumps({"query": {"more_like_this": {
+            "like": "spark", "unlike": [7]}}}),
+            default_field="text")

@@ -214,3 +214,45 @@ def test_auto_date_histogram_errors(agg_engine):
               {"t": {"terms": {"field": "g"},
                      "aggs": {"h": {"auto_date_histogram":
                                     {"field": "ts"}}}}})
+
+
+# ---------------------------------------- significant_text (r11)
+
+def test_significant_text_token_jlh(spark):
+    # fg = docs with tag 'x': tokens distinct per doc; hand-computed
+    # JLH for 'spark': fg 2/2=1.0, bg 3/5=0.6 → (1-0.6)*(1/0.6)=0.6667
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "x", "spark fast spark"),      # distinct: spark, fast
+         (2, "x", "spark slow"),
+         (3, "y", "spark other"),
+         (4, "y", "plain words"),
+         (5, "y", "more words")],
+        "id int, tag string, text string")
+    eng.register(df, TableSpec("sigtxt", ["id"]))
+    q = json.dumps({"query": {"term": {"tag": "x"}}, "aggs": {
+        "sig": {"significant_text": {"field": "text", "size": 5}}}})
+    rows = {r["key"]: (r["doc_count"], r["bg_count"], r["score"])
+            for r in eng.search_aggs("sigtxt", q,
+                                     default_field="text").collect()}
+    assert rows["spark"] == (2, 3, round((1.0 - 0.6) * (1.0 / 0.6), 6))
+    # fast/slow: fg 1/2=0.5, bg 1/5=0.2 → 0.3*2.5 = 0.75 — outrank spark
+    assert rows["fast"] == (1, 1, 0.75) and rows["slow"] == (1, 1, 0.75)
+    # 'words' never appears in fg → absent; bg-only tokens never emit
+    assert "words" not in rows and "plain" not in rows
+    # ordering: score desc, key asc → fast, slow, spark
+    keys = [r["key"] for r in eng.search_aggs(
+        "sigtxt", q, default_field="text").collect()]
+    assert keys[:3] == ["fast", "slow", "spark"]
+
+    with pytest.raises(DslError, match="plain string"):
+        eng.search_aggs("sigtxt", json.dumps(
+            {"query": {"match_all": {}}, "aggs": {
+                "s": {"significant_text": {"field": "id"}}}}),
+            default_field="text")
+    with pytest.raises(DslError, match="top-level only"):
+        eng.search_aggs("sigtxt", json.dumps(
+            {"query": {"match_all": {}}, "aggs": {
+                "t": {"terms": {"field": "tag"}, "aggs": {
+                    "s": {"significant_text": {"field": "text"}}}}}}),
+            default_field="text")
