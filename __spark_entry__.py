@@ -695,6 +695,24 @@ def q_geo_distance_agg(spark, sf_dir):
     return out.withColumn("av", F.round("av", 4))
 
 
+def q_geo_decay_score(spark, sf_dir):
+    # gauss decay on the GEO field (r11): score = exp(ln(.5)·d²/scale²)
+    # with d = haversine meters from the Jutland origin, scale 3000 km;
+    # null points decay to 1.0 (ES missing-field rule). The oracle
+    # repeats the identical haversine text and the PYTHON-computed
+    # constant ln(.5)/scale² (same double, emitted via repr); both
+    # sides round to 6 decimals.
+    import json as _json
+    eng = _geo_events_engine(spark, sf_dir)
+    q = _json.dumps({"query": {"function_score": {
+        "query": {"match_all": {}},
+        "gauss": {"loc": {"origin": {"lat": 57.64911, "lon": 10.40744},
+                          "scale": "3000km", "decay": 0.5}},
+        "boost_mode": "replace"}}, "size": 1000000})
+    out = eng.search("geo_events", "#options:load-rows=false#" + q)
+    return out.withColumn("_score", F.round("_score", 6))
+
+
 def q_search_bool_prefix(spark, sf_dir):
     # ES match_bool_prefix (r9): terms + trailing prefix — desugars to
     # the prefix-served Term/Wildcard shape (search-as-you-type)
@@ -2384,6 +2402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flag": q_contamination_flag,  # ~ dedup family
         #   (r11 LLM-pipeline op: benchmark 8-gram broadcast probe;
         #   oracle re-derives grams with DuckDB list slicing)
+        "geo_decay_score": q_geo_decay_score,  # ~ geo/function_score
+        #   family (r11 geo decay: haversine distance domain; oracle
+        #   repeats the formula + the python-computed decay constant)
         "geo_distance_agg": q_geo_distance_agg,  # ~ geo family (r11
         #   geo_distance bucket agg: haversine value + range machinery;
         #   oracle repeats the identical distance/scale op order)
@@ -3786,6 +3807,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND ({_poly_cond_sql(_POLY_PTS)})
+        """,
+        # geo gauss decay (r11): same haversine text, python-emitted
+        # ln(.5)/scale² constant, null → 1.0, round 6 both sides
+        "geo_decay_score": f"""
+            WITH g AS ({_GEO_CTE})
+            SELECT event_id,
+                   round(CASE WHEN lat IS NULL THEN 1.0::DOUBLE
+                         ELSE exp({_GEO_HAV} * {_GEO_HAV}
+                                  * -7.701635339554948e-14::DOUBLE)
+                         END, 6) AS _score
+            FROM g
         """,
         # geo_distance agg (r11): per-range counts + avg over the same
         # haversine/scale expression the engine computes; empty buckets

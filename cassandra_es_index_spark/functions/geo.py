@@ -413,3 +413,26 @@ def bbox_covering_cells(top: float, left: float, bottom: float,
     return [geohash_cell(ixx, iy, precision)
             for a, b in lon_spans for ixx in range(a, b + 1)
             for iy in range(iy_lo, iy_hi + 1)]
+
+
+def point_latlon(raw) -> tuple[float, float]:
+    """(lat, lon) floats of a geo point literal — the ``{"lat","lon"}``
+    object, ``[lon, lat]`` GeoJSON array, or ``"lat,lon"`` string forms
+    (ES parity; range-checked). ValueError on anything else — callers
+    wrap in their typed error (the DSL's ``_geo_point`` twin, exposed
+    here so the compiler's geo decay branch can parse origins without
+    importing the DSL layer)."""
+    if isinstance(raw, dict) and set(raw) == {"lat", "lon"}:
+        lat, lon = raw["lat"], raw["lon"]
+    elif isinstance(raw, (list, tuple)) and len(raw) == 2:
+        lon, lat = raw
+    elif isinstance(raw, str) and raw.count(",") == 1:
+        lat, lon = raw.split(",")
+    else:
+        raise ValueError(f"bad geo point {raw!r}")
+    lat_f, lon_f = float(lat), float(lon)
+    if not -90.0 <= lat_f <= 90.0:
+        raise ValueError(f"latitude {lat_f} out of [-90, 90]")
+    if not -180.0 <= lon_f <= 180.0:
+        raise ValueError(f"longitude {lon_f} out of [-180, 180]")
+    return lat_f, lon_f

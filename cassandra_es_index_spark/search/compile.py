@@ -645,6 +645,36 @@ class Compiler:
             return script_score_value(node.expr)
         if isinstance(node, DecayScore):
             ref = self.resolve(node.field_name)
+            if isinstance(ref.dtype, T.StructType):
+                # geo decay (r11): origin is a point literal, scale/
+                # offset are ES distance strings; the decay domain is
+                # the haversine distance in meters (so decay_value
+                # runs with origin 0 over the distance itself). Null
+                # points decay to 1.0 like any missing field.
+                from cassandra_es_index_spark.functions.geo import (
+                    distance_meters, geo_point_cols, haversine_meters,
+                    point_latlon,
+                )
+                try:
+                    lat, lon = geo_point_cols(ref.col, ref.dtype,
+                                              node.field_name)
+                except ValueError as e:
+                    raise CompileError(str(e)) from e
+                if node.origin == "now":   # the date default leaked in
+                    raise CompileError(
+                        f"{node.kind} on geo field "
+                        f"{node.field_name!r} needs an 'origin' point")
+                try:
+                    olat, olon = point_latlon(node.origin)
+                    scale_m = distance_meters(node.scale)
+                    off = node.offset
+                    off_m = 0.0 if off in (0, 0.0, None)                         else distance_meters(off)
+                except ValueError as e:
+                    raise CompileError(
+                        f"{node.kind} on geo field: {e}") from e
+                dist = haversine_meters(lat, lon, F.lit(olat),
+                                        F.lit(olon))
+                return decay_value(dist, node, 0.0, scale_m, off_m)
             is_date = isinstance(ref.dtype, (T.TimestampType,
                                              T.TimestampNTZType,
                                              T.DateType))

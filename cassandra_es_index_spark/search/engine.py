@@ -2933,6 +2933,10 @@ class SearchEngine:
                 )
 
                 ref = Compiler(docs, default).resolve(n.field_name)
+                if isinstance(ref.dtype, T.StructType):
+                    # geo decay (r11) is scan-plan by design: the geo
+                    # struct has no range index to ride
+                    return None
                 is_date = isinstance(ref.dtype, (T.TimestampType,
                                                  T.TimestampNTZType,
                                                  T.DateType))

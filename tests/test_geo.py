@@ -793,3 +793,53 @@ def test_geo_distance_agg_metrics_and_overlap(geo_engine):
 def test_geo_distance_agg_typed_errors(geo_engine, body, msg):
     with pytest.raises(DslError, match=msg):
         _grid(geo_engine, {"d": {"geo_distance": body}})
+
+
+# ------------------------------------------------ geo decay (r11)
+
+def test_geo_gauss_decay(geo_engine):
+    # gauss decay on the geo_point field: origin = row 1's point,
+    # scale 10 km, decay 0.5 → row 1 scores 1.0, row 3 (~7.8 km)
+    # exp(ln(.5)·d²/scale²); null point (row 6) decays to 1.0
+    import math as m
+    q = json.dumps({"query": {"function_score": {
+        "query": {"match_all": {}},
+        "gauss": {"loc": {"origin": {"lat": 57.64911, "lon": 10.40744},
+                          "scale": "10km"}},
+        "boost_mode": "replace"}}, "size": 10})
+    got = {r["id"]: r["_score"] for r in geo_engine.search(
+        "pts", "#options:load-rows=false#" + q).collect()}
+    assert got[1] == 1.0 and got[6] == 1.0
+    d3 = hav_m(57.64911, 10.40744, 57.7, 10.5)
+    want3 = m.exp(m.log(0.5) * d3 * d3 / (10000.0 ** 2))
+    assert abs(got[3] - want3) < 1e-9
+    assert got[4] < 1e-12 < got[2]        # NYC decays to ~0
+
+
+def test_geo_decay_offset_and_linear(geo_engine):
+    # offset "8km" zeroes the distance for rows 1-3 (7.8 km < 8 km);
+    # linear decay s = scale/(1-decay)
+    q = json.dumps({"query": {"function_score": {
+        "query": {"match_all": {}},
+        "linear": {"loc": {"origin": [10.40744, 57.64911],   # GeoJSON
+                           "scale": "100km", "offset": "8km"}},
+        "boost_mode": "replace"}}, "size": 10})
+    got = {r["id"]: r["_score"] for r in geo_engine.search(
+        "pts", "#options:load-rows=false#" + q).collect()}
+    assert got[1] == got[2] == got[3] == 1.0
+    assert got[4] == 0.0                  # NYC beyond the linear span
+
+
+@pytest.mark.parametrize("spec,msg", [
+    ({"scale": "10km"}, "origin"),                    # missing origin
+    ({"origin": {"lat": 0.0, "lon": 0.0}, "scale": "10parsec"},
+     "unknown distance unit"),
+    ({"origin": "not-a-point", "scale": "10km"}, "bad geo point"),
+])
+def test_geo_decay_typed_errors(geo_engine, spec, msg):
+    from cassandra_es_index_spark.search.compile import CompileError
+    q = json.dumps({"query": {"function_score": {
+        "query": {"match_all": {}}, "gauss": {"loc": spec}}}})
+    with pytest.raises((DslError, CompileError), match=msg):
+        geo_engine.search("pts", "#options:load-rows=false#" + q) \
+                  .collect()

@@ -39,7 +39,11 @@ def _norm(v):
 
 def _rows_to_set(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # stringify for the sort only — mixed None/str/int tuples are not
+    # orderable in Python (the driver's comparator hashes normalized
+    # strings; this local twin mirrors that by sorting on repr)
+    out = sorted((tuple(_norm(r[i]) for i in order) for r in rows),
+                 key=repr)
     return [cols[i] for i in order], out
 
 
