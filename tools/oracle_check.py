@@ -31,7 +31,12 @@ def _norm(v):
         # guard with explicit rounding
         return f"{v:.10g}"
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        # Spark hands back datetime even for date-valued results;
+        # DuckDB hands back date — the driver's comparator treats a
+        # midnight timestamp and its date as the same value, so strip
+        # the zero time here too
+        iso = v.isoformat()
+        return iso[:-9] if iso.endswith("T00:00:00") else iso
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     return v
