@@ -417,6 +417,31 @@ def q_search_script_vector(spark, sf_dir):
     return out.withColumn("_score", F.round("_score", 6))
 
 
+def q_search_rrf(spark, sf_dir):
+    # ES 8.14 retriever.rrf (r11): reciprocal rank fusion of a term
+    # retriever (label=3 — score ties, so its ranking is vec_id order)
+    # and an exact-cosine knn retriever, rank_constant 60, window 50,
+    # size 30. Score = Σ 1/(60 + rank) — the oracle re-derives both
+    # rankings with window functions and fuses identically; ties in
+    # the fused score break by vec_id on both sides.
+    import json as _json
+    eng_key = _ck(spark, sf_dir, "eng:embeddings")
+    if eng_key not in _CACHE:
+        eng = SearchEngine(spark)
+        eng.register(_t(spark, sf_dir, "embeddings"),
+                     TableSpec("embeddings", ["vec_id"]))
+        _CACHE[eng_key] = eng
+    eng = _CACHE[eng_key]
+    dim = len(_t(spark, sf_dir, "embeddings").first()["embedding"])
+    q = _json.dumps({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"term": {"label": 3}}}},
+        {"knn": {"field": "embedding", "query_vector": [1.0] * dim,
+                 "k": 50}}],
+        "rank_constant": 60, "rank_window_size": 50}}, "size": 30})
+    out = eng.search("embeddings", "#options:load-rows=false#" + q)
+    return out.withColumn("_score", F.round("_score", 6))
+
+
 def q_search_knn_hybrid(spark, sf_dir):
     # ES 8.4 hybrid search (r6): knn top-5 BESIDE a term query — hit
     # union, scores SUM where a doc appears in both (one full-outer join
@@ -2392,6 +2417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   family (r11 oracle for the r10 N-ary span_near: 3 slots
         #   with a span_or union slot; oracle re-derives the tuple
         #   count with DuckDB list lambdas)
+        "search_rrf": q_search_rrf,  # ~ hybrid/knn family (r11
+        #   retriever.rrf: rank fusion over a term + knn retriever;
+        #   oracle re-derives both rankings with window functions)
         "search_script_vector": q_search_script_vector,  # ~ script/
         #   vector family (r11: standalone script_score query +
         #   painless cosineSimilarity/dotProduct/l2norm; oracle
@@ -2799,6 +2827,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # knn: exact cosine top-20 against the all-ones direction
         # (list_cosine_similarity is DuckDB's built-in cosine)
+        # retriever.rrf (r11): both rankings re-derived with window
+        # functions; 1/(60+rank) terms are bitwise-identical doubles on
+        # both sides, fused sum rounds to 6
+        "search_rrf": """
+            WITH std AS (
+                SELECT vec_id,
+                       ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS r
+                FROM embeddings WHERE label = 3),
+            kn AS (
+                SELECT vec_id,
+                       ROW_NUMBER() OVER (ORDER BY
+                           list_cosine_similarity(embedding::DOUBLE[],
+                               list_transform(embedding, x -> 1.0))
+                           DESC, vec_id ASC) AS r
+                FROM embeddings),
+            u AS (
+                SELECT vec_id, 1.0 / (60.0 + r) AS s
+                FROM std WHERE r <= 50
+                UNION ALL
+                SELECT vec_id, 1.0 / (60.0 + r) AS s
+                FROM kn WHERE r <= 50)
+            SELECT vec_id, round(sum(s), 6) AS _score
+            FROM u GROUP BY vec_id
+            ORDER BY sum(s) DESC, vec_id ASC LIMIT 30
+        """,
         "search_knn": """
             WITH q AS (
                 SELECT vec_id,

@@ -79,6 +79,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_knn_join",
     "search_script_vector",  # HOF cosine over the embedding column (r11)
+    "search_rrf",           # reciprocal rank fusion: term + knn (r11)
     "search_bm25_topk",
     "search_postings_term",
     "search_postings_disk",  # cold lookup on the bucketed on-disk postings

@@ -1556,6 +1556,10 @@ class SearchEngine:
                 result = result.withColumn(name, F.expr(sql))
             return result
 
+        if req.rrf is not None:
+            return self._rrf_search(table, base, docs, qmd, req, keys,
+                                    default_field)
+
         if req.knn is not None:
             if req.post_filter is not None:
                 # kNN pre-filters belong in the knn section's own
@@ -2222,6 +2226,62 @@ class SearchEngine:
         if qmd.load_source or qmd.load_rows:
             return (docs.join(F.broadcast(ordered), on=keys)
                         .select(*docs.columns, SCORE)
+                        .orderBy(F.desc(SCORE),
+                                 *[F.asc(c) for c in keys]))
+        return ordered
+
+    def _rrf_search(self, table: str, base, docs, qmd, req, keys,
+                    default_field):
+        """Reciprocal rank fusion (ES 8.14+ `retriever.rrf`, r11): each
+        sub-retriever re-enters ``search()`` in fake-row mode with
+        ``size = rank_window_size`` — so every plan path (postings-
+        served terms, IVF knn, scan) serves its own retriever — then
+        ranks its window deterministically (score desc, keys asc) and
+        contributes ``1/(rank_constant + rank)``. Fusion is the hybrid
+        union/groupBy shape (map-side combine; Spark would execute a
+        full-outer join as a sort-merge), so the only shuffle is over
+        ≤ n_retrievers × window rows. Ties in the fused score break by
+        keys asc (deterministic)."""
+        import json as _json
+
+        sub_bodies, kconst, window = req.rrf
+        frames = []
+        for body in sub_bodies:
+            sub = _json.loads(body)
+            sub["size"] = window
+            hits = self.search(table,
+                               "#options:load-rows=false#"
+                               + _json.dumps(sub),
+                               default_field=default_field)
+            wnd = Window.orderBy(F.desc(SCORE),
+                                 *[F.asc(c) for c in keys])
+            frames.append(
+                hits.select(*keys, F.row_number().over(wnd)
+                             .alias("_rank"))
+                    .where(F.col("_rank") <= window)
+                    .select(*keys,
+                            (F.lit(1.0) / (F.lit(float(kconst))
+                                           + F.col("_rank")))
+                            .alias("_s")))
+        both = frames[0]
+        for f in frames[1:]:
+            both = both.unionByName(f)
+        fused = (both.groupBy(*keys)
+                     .agg(F.sum("_s").alias(SCORE)))
+        out_k = req.size if req.size is not None else 10
+        ordered = (fused.orderBy(F.desc(SCORE),
+                                 *[F.asc(c) for c in keys])
+                        .limit(out_k))
+        if qmd.load_source:
+            return (docs.join(F.broadcast(ordered), on=keys)
+                        .select(*docs.columns, SCORE)
+                        .orderBy(F.desc(SCORE),
+                                 *[F.asc(c) for c in keys]))
+        if qmd.load_rows:
+            # J1 convention: row-load joins BASE rows (or the
+            # store-resolved override), not the document frame
+            return (self._row_load_source(table, base)
+                        .join(F.broadcast(ordered), on=keys)
                         .orderBy(F.desc(SCORE),
                                  *[F.asc(c) for c in keys]))
         return ordered
@@ -3659,6 +3719,10 @@ class SearchEngine:
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
         req = self._parse_request(qmd.query)
+        if req.rrf is not None:
+            raise es_dsl.DslError(
+                "retriever (rrf) is a search()-only section — a fused "
+                "ranking has no single count/explain semantics")
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_data_nodes(req, table, docs, default_field)
@@ -3684,6 +3748,10 @@ class SearchEngine:
         _, spec = self.catalog.get(table)
         qmd = QueryMetaData.parse(query)
         req = self._parse_request(qmd.query)
+        if req.rrf is not None:
+            raise es_dsl.DslError(
+                "retriever (rrf) is a search()-only section — a fused "
+                "ranking has no single count/explain semantics")
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_data_nodes(req, table, docs, default_field)

@@ -872,6 +872,13 @@ class Request:
     # shape: a JSON array of up to N match-bearing fragments (sentence
     # fragmenter, fragment_size char cap — see SearchEngine.search)
     highlight: tuple[tuple[str, str, str, int, int], ...] = ()
+    # ES retriever.rrf (r11 — reciprocal rank fusion, the ES 8.14+
+    # hybrid-ranking surface): (sub_request_json_strings, rank_constant,
+    # rank_window_size). Each sub request is a standard {"query": ...}
+    # or {"knn": ...} body the engine re-enters search() with; the
+    # final score is Σ 1/(rank_constant + rank_i) over the retrievers
+    # that ranked the doc inside the window.
+    rrf: tuple | None = None
     # ES kNN search (the ES 8 top-level `knn` section): (vector field,
     # query vector, k, optional pre-filter AST, method, num_candidates,
     # nprobe, hybrid). `hybrid` (r6) marks a knn section declared BESIDE
@@ -963,10 +970,79 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         "aggregations", "collapse", "highlight", "knn", "rescore",
         "_source", "fields", "script_fields", "runtime_mappings",
         "min_score", "post_filter", "track_total_hits", "suggest",
+        "retriever",
     }
     if unknown:
         raise DslError(f"unsupported request sections "
                        f"{sorted(unknown)} (engine subset)")
+    rrf = None
+    if "retriever" in obj:
+        # reciprocal rank fusion (r11): rank-based hybrid combination.
+        # The retriever tree replaces the query/knn sections entirely;
+        # the other ranking-affecting sections typed-reject (engine
+        # subset — a silently-ignored sort/rescore would change the
+        # fused ranking with no signal).
+        other = set(obj) - {"retriever", "size", "_source"}
+        if other:
+            raise DslError(
+                f"retriever cannot combine with {sorted(other)} "
+                "(engine subset: retriever + size/_source only)")
+        ret = obj["retriever"]
+        if not isinstance(ret, dict) or set(ret) != {"rrf"}:
+            raise DslError("retriever supports the 'rrf' kind only "
+                           "(engine subset)")
+        spec = ret["rrf"]
+        if not isinstance(spec, dict) \
+                or not isinstance(spec.get("retrievers"), list) \
+                or len(spec["retrievers"]) < 2:
+            raise DslError("rrf needs {'retrievers': [two or more "
+                           "sub-retrievers]}")
+        extra_r = set(spec) - {"retrievers", "rank_constant",
+                               "rank_window_size"}
+        if extra_r:
+            raise DslError(f"rrf: unsupported parameters "
+                           f"{sorted(extra_r)} (engine subset)")
+        if len(spec["retrievers"]) > 8:
+            raise DslError("rrf supports at most 8 retrievers "
+                           "(engine subset)")
+        kconst = spec.get("rank_constant", 60)
+        if isinstance(kconst, bool) or not isinstance(kconst, int) \
+                or kconst < 1:
+            raise DslError("rrf rank_constant must be a positive "
+                           "integer")
+        window = spec.get("rank_window_size", 10)
+        if isinstance(window, bool) or not isinstance(window, int) \
+                or window < 1:
+            raise DslError("rrf rank_window_size must be a positive "
+                           "integer")
+        subs = []
+        for i, r in enumerate(spec["retrievers"]):
+            if not isinstance(r, dict) or len(r) != 1:
+                raise DslError(f"rrf retrievers[{i}] must be a "
+                               "single-kind object")
+            (rk, rbody), = r.items()
+            if rk == "standard":
+                if not isinstance(rbody, dict) or "query" not in rbody:
+                    raise DslError(f"rrf retrievers[{i}]: standard "
+                                   "needs {'query': clause}")
+                if set(rbody) != {"query"}:
+                    raise DslError(
+                        f"rrf retrievers[{i}]: standard takes 'query' "
+                        "only (engine subset)")
+                _node(rbody["query"])      # eager validation
+                subs.append(json.dumps({"query": rbody["query"]},
+                                       sort_keys=True))
+            elif rk == "knn":
+                if not isinstance(rbody, dict):
+                    raise DslError(f"rrf retrievers[{i}]: knn needs "
+                                   "an object")
+                subs.append(json.dumps({"knn": rbody},
+                                       sort_keys=True))
+            else:
+                raise DslError(
+                    f"rrf retrievers[{i}]: unsupported retriever kind "
+                    f"{rk!r} (engine subset: standard, knn)")
+        rrf = (tuple(subs), kconst, window)
     size = obj.get("size")
     if size is not None and (not isinstance(size, int)
                              or isinstance(size, bool) or size < 0):
@@ -1270,6 +1346,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         post_filter=_node(pf) if pf is not None else None,
         track_total_hits=tth,
         suggest=obj.get("suggest"),
+        rrf=rrf,
     )
 
 

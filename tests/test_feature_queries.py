@@ -263,3 +263,95 @@ def test_fractional_score_dtype(feat_engine):
                                   {"source": "doc['n'].value > 0"}}}}),
         default_field="text")
     assert dict(out2.dtypes)["_score"] == "bigint"
+
+
+# ------------------------------------------- retriever.rrf (r11)
+
+@pytest.fixture(scope="module")
+def rrf_engine(spark):
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("text", T.StringType()),
+                           T.StructField("emb",
+                                         T.ArrayType(T.FloatType()))])
+    rows = [(1, "spark fast", [1.0, 0.0]),
+            (2, "spark slow", [0.9, 0.1]),
+            (3, "other text", [1.0, 0.05]),
+            (4, "spark spark spark", [0.0, 1.0])]
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(rows, schema),
+                 TableSpec("rrft", ["id"]))
+    return eng
+
+
+def test_rrf_hand_computed_fusion(rrf_engine):
+    # standard tf ranking: 4 (tf 3), 1, 2 (ties by id);
+    # knn cosine to [1,0]: 1 (1.0), 3 (~.9988), 2 (~.9939)
+    # rrf k=60: 1 → 1/62+1/61, 2 → 2/63, 4 → 1/61, 3 → 1/62
+    q = json.dumps({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "spark"}}}},
+        {"knn": {"field": "emb", "query_vector": [1.0, 0.0], "k": 3}}],
+        "rank_constant": 60, "rank_window_size": 3}}, "size": 4})
+    out = rrf_engine.search("rrft", "#options:load-rows=false#" + q)
+    got = [(r["id"], round(r["_score"], 9)) for r in out.collect()]
+    want = [(1, round(1 / 62 + 1 / 61, 9)), (2, round(2 / 63, 9)),
+            (4, round(1 / 61, 9)), (3, round(1 / 62, 9))]
+    assert got == want
+
+
+def test_rrf_window_and_size(rrf_engine):
+    # window 1 keeps only each retriever's top hit; size truncates
+    q = json.dumps({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "spark"}}}},
+        {"knn": {"field": "emb", "query_vector": [1.0, 0.0], "k": 3}}],
+        "rank_window_size": 1}}, "size": 1})
+    out = rrf_engine.search("rrft", "#options:load-rows=false#" + q)
+    got = [(r["id"], round(r["_score"], 9)) for r in out.collect()]
+    # doc 1 is knn top-1 (1/61); doc 4 standard top-1 (1/61) — tie,
+    # id asc, size 1 keeps doc 1
+    assert got == [(1, round(1 / 61, 9))]
+
+
+def test_rrf_row_load_mode(rrf_engine):
+    q = json.dumps({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "spark"}}}},
+        {"standard": {"query": {"match": {"text": "other"}}}}],
+    }}, "size": 2})
+    out = rrf_engine.search("rrft", q)     # default row-load mode
+    assert set(out.columns) == {"id", "text", "emb", "_score"}
+    assert out.count() == 2
+
+
+@pytest.mark.parametrize("body,msg", [
+    ({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match_all": {}}}}]}}},
+     "two or more"),
+    ({"retriever": {"linear": {}}}, "'rrf' kind only"),
+    ({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match_all": {}}}},
+        {"rescorer": {}}]}}}, "retriever kind"),
+    ({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match_all": {}}}},
+        {"standard": {"query": {"match_all": {}}}}],
+        "rank_constant": 0}}}, "positive"),
+    ({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match_all": {}}}},
+        {"standard": {"query": {"match_all": {}}}}]}},
+      "sort": [{"id": "asc"}]}, "cannot combine"),
+    ({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match_all": {}},
+                      "filter": {"term": {"text": "x"}}}},
+        {"standard": {"query": {"match_all": {}}}}]}}},
+     "'query' only"),
+])
+def test_rrf_typed_errors(rrf_engine, body, msg):
+    with pytest.raises(DslError, match=msg):
+        rrf_engine.search("rrft", json.dumps(body)).collect()
+
+
+def test_rrf_count_and_aggs_reject(rrf_engine):
+    q = json.dumps({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match_all": {}}}},
+        {"standard": {"query": {"match_all": {}}}}]}}})
+    with pytest.raises(DslError, match="search\\(\\)-only"):
+        rrf_engine.count("rrft", q)
