@@ -2244,9 +2244,16 @@ class SearchEngine:
         keys asc (deterministic)."""
         import json as _json
 
-        sub_bodies, kconst, window = req.rrf
+        kind = req.rrf[0]
+        if kind == "rrf":
+            _, sub_bodies, kconst, window = req.rrf
+            entries = [(b, None, None) for b in sub_bodies]
+        else:   # linear (r11): weighted, optionally minmax-normalized
+            _, lsubs, window = req.rrf
+            kconst = None
+            entries = list(lsubs)
         frames = []
-        for body in sub_bodies:
+        for body, weight, norm in entries:
             sub = _json.loads(body)
             sub["size"] = window
             hits = self.search(table,
@@ -2255,14 +2262,33 @@ class SearchEngine:
                                default_field=default_field)
             wnd = Window.orderBy(F.desc(SCORE),
                                  *[F.asc(c) for c in keys])
-            frames.append(
-                hits.select(*keys, F.row_number().over(wnd)
-                             .alias("_rank"))
-                    .where(F.col("_rank") <= window)
-                    .select(*keys,
-                            (F.lit(1.0) / (F.lit(float(kconst))
-                                           + F.col("_rank")))
-                            .alias("_s")))
+            ranked = (hits.select(*keys,
+                                  F.col(SCORE).cast("double")
+                                   .alias("_raw"),
+                                  F.row_number().over(wnd)
+                                   .alias("_rank"))
+                          .where(F.col("_rank") <= window))
+            if kind == "rrf":
+                frames.append(ranked.select(
+                    *keys,
+                    (F.lit(1.0) / (F.lit(float(kconst))
+                                   + F.col("_rank"))).alias("_s")))
+                continue
+            sc = F.col("_raw")
+            if norm == "minmax":
+                # minmax over the retriever's own window (ES linear
+                # normalizer); a degenerate window (max == min) maps
+                # every score to 1.0 (documented)
+                mm = ranked.agg(F.min("_raw").alias("_mn"),
+                                F.max("_raw").alias("_mx"))
+                ranked = ranked.crossJoin(F.broadcast(mm))
+                sc = F.when(
+                    F.col("_mx") > F.col("_mn"),
+                    (sc - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))).otherwise(
+                        F.lit(1.0))
+            frames.append(ranked.select(
+                *keys, (F.lit(float(weight)) * sc).alias("_s")))
         both = frames[0]
         for f in frames[1:]:
             both = both.unionByName(f)

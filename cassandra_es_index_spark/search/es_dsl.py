@@ -988,10 +988,84 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 f"retriever cannot combine with {sorted(other)} "
                 "(engine subset: retriever + size/_source only)")
         ret = obj["retriever"]
-        if not isinstance(ret, dict) or set(ret) != {"rrf"}:
-            raise DslError("retriever supports the 'rrf' kind only "
-                           "(engine subset)")
-        spec = ret["rrf"]
+        if not isinstance(ret, dict) \
+                or set(ret) not in ({"rrf"}, {"linear"}):
+            raise DslError("retriever supports the 'rrf' and 'linear' "
+                           "kinds (engine subset)")
+        if "linear" in ret:
+            # linear retriever (ES 8.16+): weighted sum of per-
+            # retriever scores, optionally minmax-normalized within
+            # each retriever's rank window
+            spec = ret["linear"]
+            if not isinstance(spec, dict) \
+                    or not isinstance(spec.get("retrievers"), list) \
+                    or len(spec["retrievers"]) < 2:
+                raise DslError("linear needs {'retrievers': [two or "
+                               "more sub-retrievers]}")
+            extra_r = set(spec) - {"retrievers", "rank_window_size"}
+            if extra_r:
+                raise DslError(f"linear: unsupported parameters "
+                               f"{sorted(extra_r)} (engine subset)")
+            if len(spec["retrievers"]) > 8:
+                raise DslError("linear supports at most 8 retrievers "
+                               "(engine subset)")
+            window = spec.get("rank_window_size", 10)
+            if isinstance(window, bool) or not isinstance(window, int) \
+                    or window < 1:
+                raise DslError("linear rank_window_size must be a "
+                               "positive integer")
+            lsubs = []
+            for i, entry in enumerate(spec["retrievers"]):
+                if not isinstance(entry, dict) \
+                        or "retriever" not in entry:
+                    raise DslError(
+                        f"linear retrievers[{i}] needs "
+                        "{'retriever': {...}, 'weight'?, "
+                        "'normalizer'?}")
+                extra_e = set(entry) - {"retriever", "weight",
+                                        "normalizer"}
+                if extra_e:
+                    raise DslError(
+                        f"linear retrievers[{i}]: unsupported keys "
+                        f"{sorted(extra_e)}")
+                w = entry.get("weight", 1.0)
+                if isinstance(w, bool) \
+                        or not isinstance(w, (int, float)) or w <= 0:
+                    raise DslError(f"linear retrievers[{i}] weight "
+                                   "must be a positive number")
+                norm = str(entry.get("normalizer", "none"))
+                if norm not in ("none", "minmax"):
+                    raise DslError(
+                        f"linear retrievers[{i}] normalizer must be "
+                        "none/minmax (engine subset)")
+                r = entry["retriever"]
+                if not isinstance(r, dict) or len(r) != 1:
+                    raise DslError(f"linear retrievers[{i}] retriever "
+                                   "must be a single-kind object")
+                (rk, rbody), = r.items()
+                if rk == "standard":
+                    if not isinstance(rbody, dict) \
+                            or set(rbody) != {"query"}:
+                        raise DslError(
+                            f"linear retrievers[{i}]: standard takes "
+                            "'query' only (engine subset)")
+                    _node(rbody["query"])
+                    sub = json.dumps({"query": rbody["query"]},
+                                     sort_keys=True)
+                elif rk == "knn":
+                    if not isinstance(rbody, dict):
+                        raise DslError(f"linear retrievers[{i}]: knn "
+                                       "needs an object")
+                    sub = json.dumps({"knn": rbody}, sort_keys=True)
+                else:
+                    raise DslError(
+                        f"linear retrievers[{i}]: unsupported "
+                        f"retriever kind {rk!r} (engine subset: "
+                        "standard, knn)")
+                lsubs.append((sub, float(w), norm))
+            rrf = ("linear", tuple(lsubs), window)
+    if "retriever" in obj and rrf is None:
+        spec = obj["retriever"]["rrf"]
         if not isinstance(spec, dict) \
                 or not isinstance(spec.get("retrievers"), list) \
                 or len(spec["retrievers"]) < 2:
@@ -1042,7 +1116,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 raise DslError(
                     f"rrf retrievers[{i}]: unsupported retriever kind "
                     f"{rk!r} (engine subset: standard, knn)")
-        rrf = (tuple(subs), kconst, window)
+        rrf = ("rrf", tuple(subs), kconst, window)
     size = obj.get("size")
     if size is not None and (not isinstance(size, int)
                              or isinstance(size, bool) or size < 0):

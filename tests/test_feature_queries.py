@@ -326,7 +326,7 @@ def test_rrf_row_load_mode(rrf_engine):
     ({"retriever": {"rrf": {"retrievers": [
         {"standard": {"query": {"match_all": {}}}}]}}},
      "two or more"),
-    ({"retriever": {"linear": {}}}, "'rrf' kind only"),
+    ({"retriever": {"bm25f": {}}}, "'rrf' and 'linear' kinds"),
     ({"retriever": {"rrf": {"retrievers": [
         {"standard": {"query": {"match_all": {}}}},
         {"rescorer": {}}]}}}, "retriever kind"),
@@ -355,3 +355,53 @@ def test_rrf_count_and_aggs_reject(rrf_engine):
         {"standard": {"query": {"match_all": {}}}}]}}})
     with pytest.raises(DslError, match="search\\(\\)-only"):
         rrf_engine.count("rrft", q)
+
+
+def test_linear_retriever_minmax_and_weights(rrf_engine):
+    # two standard retrievers, minmax within each window: spark-match
+    # scores (4:3, 1:1, 2:1) → 4:1.0, 1:0.0, 2:0.0; other-match is a
+    # degenerate window (one doc) → 3:1.0
+    q = json.dumps({"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {"match":
+                                              {"text": "spark"}}}},
+         "normalizer": "minmax"},
+        {"retriever": {"standard": {"query": {"match":
+                                              {"text": "other"}}}},
+         "normalizer": "minmax"}],
+        "rank_window_size": 5}}, "size": 10})
+    out = rrf_engine.search("rrft", "#options:load-rows=false#" + q)
+    got = [(r["id"], r["_score"]) for r in out.collect()]
+    assert got == [(3, 1.0), (4, 1.0), (1, 0.0), (2, 0.0)]
+
+    # weights without normalization: score = 2·tf + 1·tf_other
+    q2 = json.dumps({"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {"match":
+                                              {"text": "spark"}}}},
+         "weight": 2.0},
+        {"retriever": {"standard": {"query": {"match":
+                                              {"text": "text"}}}}}],
+        "rank_window_size": 5}}, "size": 10})
+    out2 = rrf_engine.search("rrft", "#options:load-rows=false#" + q2)
+    got2 = {r["id"]: r["_score"] for r in out2.collect()}
+    assert got2 == {4: 6.0, 1: 2.0, 2: 2.0, 3: 1.0}
+
+
+@pytest.mark.parametrize("body,msg", [
+    ({"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {"match_all": {}}}},
+         "normalizer": "l2_norm"},
+        {"retriever": {"standard": {"query": {"match_all": {}}}}}]}}},
+     "none/minmax"),
+    ({"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {"match_all": {}}}},
+         "weight": 0},
+        {"retriever": {"standard": {"query": {"match_all": {}}}}}]}}},
+     "positive number"),
+    ({"retriever": {"linear": {"retrievers": [
+        {"standard": {"query": {"match_all": {}}}},
+        {"retriever": {"standard": {"query": {"match_all": {}}}}}]}}},
+     "needs"),
+])
+def test_linear_retriever_typed_errors(rrf_engine, body, msg):
+    with pytest.raises(DslError, match=msg):
+        rrf_engine.search("rrft", json.dumps(body)).collect()
