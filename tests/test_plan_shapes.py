@@ -266,3 +266,64 @@ def test_span_near_served_from_token_position_index(parquet_engine):
     plan = _plan(out)
     assert "sequence(0" not in plan          # no scan-path re-tokenize
     assert "InMemoryTableScan" in plan       # hits come from the index
+
+
+# --------------------------------------- r11 operator plan pins
+
+def test_pii_redact_plan_is_shuffle_free(spark):
+    # the 4-pass regexp_replace chain is one map-side projection: no
+    # Exchange anywhere, no Python UDF
+    from cassandra_es_index_spark.functions.text import redact_pii
+    df = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    out = df.select("doc_id", redact_pii(F.col("text")).alias("r"))
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_script_vector_plan_stays_jvm_side(parquet_engine, spark):
+    # the painless vector functions compile to higher-order-function
+    # SQL — no Python UDF in the plan
+    import json
+
+    from cassandra_es_index_spark.catalog import TableSpec as TS
+    eng = SearchEngine(spark)
+    eng.register(read_parquet(spark, f"{SF_DIR}/embeddings.parquet"),
+                 TS("emb_plan", ["vec_id"]))
+    q = json.dumps({"size": 10, "query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source": "dotProduct(params.qv, 'embedding')",
+                   "params": {"qv": [1.0] * 64}}}}})
+    out = eng.search("emb_plan", "#options:load-rows=false#" + q)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "aggregate(zip_with" in plan or "WholeStageCodegen" in plan
+
+
+def test_rrf_fusion_avoids_sort_merge_join(parquet_engine):
+    # the fusion is union + hash-aggregate over <= n×window rows —
+    # never a sort-merge full outer join
+    import json
+    q = json.dumps({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "spark"}}}},
+        {"standard": {"query": {"match": {"text": "table"}}}}],
+        "rank_window_size": 20}}, "size": 10})
+    out = parquet_engine.search("documents_plan",
+                                "#options:load-rows=false#" + q,
+                                default_field="text")
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan and "HashAggregate" in plan
+
+
+def test_contamination_probe_broadcasts(spark):
+    from cassandra_es_index_spark.operators.dedup import (
+        ngram_contamination,
+    )
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 100 == 0)
+    rest = docs.where(F.col("doc_id") % 100 != 0)
+    out = ngram_contamination(rest, bench, "doc_id", "text", n=4)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
