@@ -81,6 +81,20 @@ def validate_java_regex(pattern: str, spark) -> None:
         raise CompileError(f"bad regexp {pattern!r}: {e}") from e
 
 
+def presence_pred(col: Column, dtype: T.DataType) -> Column:
+    """Field-presence predicate — ES ``exists`` semantics (r11 fix): a
+    geo_point-shaped struct (lat/lon members) EXISTS only when both
+    coordinates are non-null — a struct of two nulls is itself non-null,
+    so plain ``isNotNull`` wrongly matched pointless docs. Shared by the
+    scan plan (Exists compile) and the presence-index builder
+    (engine._presence_rows) so both plans agree."""
+    if isinstance(dtype, T.StructType) \
+            and {"lat", "lon"} <= {f.name for f in dtype.fields}:
+        return (col.getField("lat").isNotNull()
+                & col.getField("lon").isNotNull())
+    return col.isNotNull()
+
+
 def token_pattern(term: str) -> str:
     """Case-insensitive whole-token regex for a term.
 
@@ -801,7 +815,7 @@ class Compiler:
             return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, Exists):
             ref = self.resolve(node.field)
-            pred = ref.col.isNotNull()
+            pred = presence_pred(ref.col, ref.dtype)
             return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, And):
             if not node.children:

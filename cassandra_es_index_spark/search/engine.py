@@ -45,11 +45,15 @@ GEO_DIST = "_geo_distance"   # _geo_distance sort value (requested unit)
 
 
 def _presence_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
-    """(doc) rows where ``field`` is non-null — the presence index
-    contents; same builder signature as build_postings/build_chunks so it
-    plugs into the incremental-maintenance loop."""
+    """(doc) rows where ``field`` is present — ES exists semantics via
+    the SHARED predicate (compile.presence_pred: geo-shaped structs
+    need both coordinates non-null, r11), so the presence index and the
+    scan plan agree; same builder signature as build_postings/
+    build_chunks so it plugs into the incremental-maintenance loop."""
+    from cassandra_es_index_spark.search.compile import presence_pred
     ref = Compiler(docs).resolve(field)
-    return docs.where(ref.col.isNotNull()).select(F.col(id_col).alias("doc"))
+    return (docs.where(presence_pred(ref.col, ref.dtype))
+                .select(F.col(id_col).alias("doc")))
 
 
 _FIXED_INTERVAL_UNITS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}

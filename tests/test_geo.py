@@ -843,3 +843,22 @@ def test_geo_decay_typed_errors(geo_engine, spec, msg):
     with pytest.raises((DslError, CompileError), match=msg):
         geo_engine.search("pts", "#options:load-rows=false#" + q) \
                   .collect()
+
+
+def test_exists_on_geo_field_skips_null_points(geo_engine, spark):
+    # ES exists semantics (r11 fix): a struct of two nulls is non-null,
+    # so plain isNotNull matched pointless docs — exists on a geo field
+    # now requires both coordinates, on the scan AND presence-index
+    # plans
+    q = '{"query":{"exists":{"field":"loc"}}}'
+    got = {r["id"] for r in geo_engine.search(
+        "pts", "#options:load-rows=false#" + q).collect()}
+    assert got == {1, 2, 3, 4, 5, 7}          # null row 6 out
+    eng = _mk_geo_engine(spark, "gex")
+    scan = {r["id"] for r in eng.search(
+        "gex", "#options:load-rows=false#" + q).collect()}
+    assert scan == {1, 2, 3, 4, 6}            # ROWS_IDX null row 5 out
+    eng.build_presence_index("gex", "loc", materialize=True)
+    served = {r["id"] for r in eng.search(
+        "gex", "#options:load-rows=false#" + q).collect()}
+    assert served == scan
