@@ -103,3 +103,30 @@ def test_percolate_mixed_fractional_scores(perc):
     assert got[("a", "q_rf")] == pytest.approx(0.5)
     assert got[("b", "q_rf")] == pytest.approx(500.0 / 600.0)
     assert got[("a", "q_spark")] == 1.0
+
+
+def test_percolate_r11_query_kinds(spark):
+    # r11 surface rides percolate for free (stored queries go through
+    # the same parse + compile): geo_shape and cross_fields
+    from pyspark.sql import functions as F
+
+    from cassandra_es_index_spark.search.engine import (
+        SearchEngine, TableSpec,
+    )
+    eng = SearchEngine(spark)
+    docs = (spark.createDataFrame(
+        [(1, 57.6, 10.4, "spark fast"), (2, 40.7, -74.0, "slow words"),
+         (3, None, None, "spark here")],
+        "id int, lat double, lon double, text string")
+        .select("id", "text", F.struct("lat", "lon").alias("loc")))
+    qs = [
+        ("near_jutland", '{"query":{"geo_shape":{"loc":{"shape":'
+         '{"type":"envelope","coordinates":[[9.0,58.0],[11.0,57.0]]}'
+         '}}}}'),
+        ("cross", '{"query":{"multi_match":{"query":"spark",'
+         '"fields":["text"],"type":"cross_fields"}}}'),
+    ]
+    out = eng.percolate(docs, qs, default_field="text",
+                        id_cols=("id",))
+    got = sorted((r["id"], r["query_id"]) for r in out.collect())
+    assert got == [(1, "cross"), (1, "near_jutland"), (3, "cross")]
