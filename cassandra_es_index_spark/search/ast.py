@@ -594,6 +594,31 @@ class GeoPolygon(Node):
 
 
 @dataclass(frozen=True)
+class GeoShapeLookup(Node):
+    """ES ``geo_shape`` with an ``indexed_shape`` reference: the query
+    shape lives in ANOTHER document — ``{"geo_shape": {f:
+    {"indexed_shape": {"index": t, "id": i, "path": p}, "relation":
+    r}}}`` (the reference forwards geo_shape bodies verbatim,
+    ElasticIndex.java:663-667; pre-registered shapes are ES's classic
+    shared-geofence pattern). A DATA-DRIVEN node like TermsLookup: the
+    engine resolves it before compile
+    (``SearchEngine._expand_data_nodes``) with ONE id-filtered lookup
+    against the registered source table, parses the fetched GeoJSON
+    (a JSON string column), and desugars it through the same
+    inline-shape algebra (``es_dsl.shape_to_node``) — so both the scan
+    predicate and the covering-cell index-served plan are inherited
+    unchanged. Unlike terms lookup, a missing document or null shape
+    is a typed error (ES raises "shape not found", it does not
+    match-none). Compiling the raw node without the engine is a typed
+    CompileError — the shape lives in another table's data."""
+    field: str
+    index: str
+    id: str
+    path: str
+    relation: str = "intersects"
+
+
+@dataclass(frozen=True)
 class GeoExists(Node):
     """Docs whose geo_point field carries a non-null point (BOTH
     coordinates non-null — a struct of two nulls is itself non-null,

@@ -34,7 +34,8 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax,
     DistanceFeature, Exists,
     FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists,
-    GeoPolygon, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone, MoreLikeThis,
+    GeoPolygon, GeoShapeLookup, Fuzzy, Ids, IntervalsMatch, MatchAll,
+    MatchNone, MoreLikeThis,
     Nested, Node, Not, Or,
     Phrase, Range,
     RandomScore, RankFeature, Regexp,
@@ -902,6 +903,12 @@ class Compiler:
                 "terms lookup is data-driven (the terms live in another "
                 "table's document) — run it through SearchEngine, which "
                 "resolves it before compile (_expand_data_nodes)")
+        if isinstance(node, GeoShapeLookup):
+            raise CompileError(
+                "geo_shape indexed_shape is data-driven (the shape "
+                "lives in another table's document) — run it through "
+                "SearchEngine, which resolves it before compile "
+                "(_expand_data_nodes)")
         if isinstance(node, ScriptFilter):
             # filter-context script: the pre-translated SQL boolean over
             # document columns; NULL (null ref, try_divide 0) → no match.

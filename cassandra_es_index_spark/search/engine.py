@@ -915,7 +915,8 @@ class SearchEngine:
         from dataclasses import is_dataclass, replace
 
         from cassandra_es_index_spark.search.ast import (
-            And, Ids, MatchNone, MoreLikeThis, Not, Or, SpanContaining,
+            And, GeoShapeLookup, Ids, MatchNone, MoreLikeThis, Not, Or,
+            SpanContaining,
             SpanFirst, SpanNot, SpanOr, Term, TermPattern,
             TermsLookup, TermsSet,
         )
@@ -1038,6 +1039,47 @@ class SearchEngine:
                 return MatchNone()
             return Or(tuple(Term(n.field, str(x)) for x in vals))
 
+        def expand_shape_lookup(n: GeoShapeLookup) -> Node:
+            # geo_shape indexed_shape (r11): ONE id-filtered row fetch
+            # against the registered shape table (bounded: one doc),
+            # the fetched GeoJSON string parses and desugars through
+            # the SAME inline-shape algebra (es_dsl.shape_to_node), so
+            # both plans are inherited. Unlike terms lookup, ES raises
+            # for a missing shape document ("shape not found") — typed
+            # error here, not MatchNone.
+            import json as _json
+            comp().resolve(n.field)   # typed error for unknown fields
+            try:
+                src, spec = self.catalog.get(n.index)
+            except KeyError:
+                raise es_dsl.DslError(
+                    f"geo_shape indexed_shape: index {n.index!r} is "
+                    "not a registered table") from None
+            id_col = self._postings_id_col(spec)
+            lcomp = Compiler(src, n.path)
+            ref = lcomp.resolve(id_col)
+            vref = lcomp.resolve(n.path)
+            rows = (src.where(ref.col.cast("string") == n.id)
+                       .select(vref.col.alias("v")).limit(1).collect())
+            if not rows or rows[0]["v"] is None:
+                raise es_dsl.DslError(
+                    f"geo_shape indexed_shape: shape document "
+                    f"{n.id!r} not found in {n.index!r} (path "
+                    f"{n.path!r}) — ES raises, it does not match-none")
+            v = rows[0]["v"]
+            if not isinstance(v, str):
+                raise es_dsl.DslError(
+                    "geo_shape indexed_shape: the shape column must "
+                    "hold a GeoJSON string, got "
+                    f"{type(v).__name__}")
+            try:
+                shape = _json.loads(v)
+            except ValueError as e:
+                raise es_dsl.DslError(
+                    f"geo_shape indexed_shape: shape document {n.id!r}"
+                    f" is not valid JSON: {e}") from None
+            return es_dsl.shape_to_node(n.field, shape, n.relation)
+
         def expand(n: MoreLikeThis) -> Node:
             fld = n.field if n.field is not None else comp().default_field
             comp().resolve(fld)   # typed error for unknown fields
@@ -1108,6 +1150,8 @@ class SearchEngine:
                 return expand(node)
             if isinstance(node, TermsLookup):
                 return expand_lookup(node)
+            if isinstance(node, GeoShapeLookup):
+                return expand_shape_lookup(node)
             if has_pattern(node):
                 return expand_span(node)
             if isinstance(node, Node) and is_dataclass(node):
@@ -1135,7 +1179,8 @@ class SearchEngine:
         found = []
 
         def probe(x):
-            if isinstance(x, (MoreLikeThis, TermsLookup)) \
+            if isinstance(x, (MoreLikeThis, TermsLookup,
+                              GeoShapeLookup)) \
                     or has_pattern(x):
                 found.append(x)
             if isinstance(x, Node) and is_dataclass(x):

@@ -26,6 +26,7 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, DistanceFeature, Exists,
     FunctionScore,
     FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists, GeoPolygon,
+    GeoShapeLookup,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone,
     MoreLikeThis, Nested,
     Node, Not, Or,
@@ -3701,21 +3702,24 @@ def _node(q: dict[str, Any]) -> Node:
         # `intersects`. The corpus geo field is a POINT, so intersects
         # ≡ point-in-shape and every shape desugars onto the existing
         # bbox/polygon algebra — inheriting their scan predicates AND
-        # the covering-cell index-served plan. Other relations /
-        # shape kinds / indexed-shape references typed-reject.
+        # the covering-cell index-served plan (shape_to_node). r11
+        # adds `indexed_shape` (the query shape lives in another
+        # document — ES's shared-geofence pattern): parsed to the
+        # data-driven GeoShapeLookup node, resolved by the engine
+        # before compile like terms lookup.
         if not isinstance(body, dict) or len(body) != 1:
             raise DslError("geo_shape needs {field: {'shape': {...}}}")
         (gfield, spec), = body.items()
         if not isinstance(spec, dict):
             raise DslError("geo_shape needs {'shape': {...}}")
-        extra = set(spec) - {"shape", "relation"}
+        extra = set(spec) - {"shape", "indexed_shape", "relation"}
         if extra:
             raise DslError(
                 f"geo_shape: unsupported parameters {sorted(extra)} "
-                "(engine subset — indexed-shape references are not "
-                "supported; inline the shape)")
-        if "shape" not in spec:
-            raise DslError("geo_shape needs a 'shape' object")
+                "(engine subset)")
+        if ("shape" in spec) == ("indexed_shape" in spec):
+            raise DslError("geo_shape needs exactly one of 'shape' "
+                           "(inline) or 'indexed_shape' (reference)")
         rel = str(spec.get("relation", "intersects")).lower()
         if rel not in ("intersects", "within", "disjoint"):
             # `contains` would need shape-typed documents (a point can
@@ -3726,101 +3730,27 @@ def _node(q: dict[str, Any]) -> Node:
                 "subset: intersects / within / disjoint — the corpus "
                 "field is a point, so contains needs shape-typed "
                 "documents)")
-        shape = spec["shape"]
-        if not isinstance(shape, dict):
-            raise DslError(
-                "geo_shape shape needs {'type': ..., 'coordinates': "
-                "...}")
-        stype = str(shape.get("type", "")).lower()
-        coords = shape.get("coordinates")
-
-        def _rel(node: Node) -> Node:
-            # point corpus (r11): `within` ≡ `intersects` (a point is
-            # within the query shape iff it intersects it); `disjoint`
-            # ≡ has-a-point AND NOT intersects — ES only matches docs
-            # that HAVE the field, and GeoExists checks both
-            # coordinates (a struct of two nulls is non-null). Score
-            # stays 1 per match (GeoExists 1 + Not 0).
-            if rel == "disjoint":
-                return And((GeoExists(str(gfield)), Not(node)))
-            return node
-
-        if stype == "envelope":
-            # GeoJSON-ish ES envelope: [[minLon, maxLat],
-            # [maxLon, minLat]] — top-left then bottom-right
-            if not isinstance(coords, list) or len(coords) != 2:
+        if "indexed_shape" in spec:
+            ref = spec["indexed_shape"]
+            if not isinstance(ref, dict):
                 raise DslError(
-                    "geo_shape envelope needs [[lon, lat], [lon, lat]]"
-                    " (top-left, bottom-right)")
-            top, left = _geo_point(coords[0], "geo_shape envelope")
-            bottom, right = _geo_point(coords[1], "geo_shape envelope")
-            if bottom > top:
+                    "geo_shape indexed_shape needs {'index': ..., "
+                    "'id': ..., 'path': ...}")
+            iextra = set(ref) - {"index", "id", "path"}
+            if iextra:
+                # `routing` is a shard-addressing hint with no engine
+                # analogue — typed, not silently dropped
                 raise DslError(
-                    "geo_shape envelope top-left must be north of "
-                    "bottom-right")
-            # left > right wraps the antimeridian, like
-            # geo_bounding_box (r9 semantics)
-            return _rel(GeoBoundingBox(str(gfield), top, left,
-                                       bottom, right))
-        if stype == "point":
-            # point ∩ point-corpus: exact coordinate match — the
-            # degenerate box, which both plans already serve
-            plat, plon = _geo_point(coords, "geo_shape point")
-            return _rel(GeoBoundingBox(str(gfield), plat, plon,
-                                       plat, plon))
-        if stype == "polygon":
-            if not isinstance(coords, list) or not coords \
-                    or not isinstance(coords[0], list):
+                    "geo_shape indexed_shape: unsupported parameters "
+                    f"{sorted(iextra)} (engine subset: index/id/path)")
+            missing = {"index", "id", "path"} - set(ref)
+            if missing:
                 raise DslError(
-                    "geo_shape polygon needs [[[lon, lat], ...]] ring "
-                    "coordinates")
-            if len(coords) > 1:
-                raise DslError(
-                    "geo_shape polygon holes (inner rings) are not "
-                    "supported (engine subset)")
-            pts = [_geo_point(p, "geo_shape polygon")
-                   for p in coords[0]]
-            if len(pts) > 1 and pts[0] == pts[-1]:
-                pts = pts[:-1]   # GeoJSON closed ring → implicit close
-            if len(pts) < 3:
-                raise DslError("geo_shape polygon ring needs at least "
-                               "3 distinct points")
-            return _rel(GeoPolygon(str(gfield), tuple(pts)))
-        if stype == "multipolygon":
-            # GeoJSON multipolygon (r11): [[outer-ring, holes...],
-            # ...] — point-in-multipolygon ≡ OR over the member
-            # polygons (holes reject like single polygons). Score =
-            # number of containing polygons (the engine's Or
-            # convention; ES scores a flat 1 — documented deviation,
-            # same match set for non-overlapping members).
-            if not isinstance(coords, list) or not coords \
-                    or not all(isinstance(pg, list) and pg
-                               and isinstance(pg[0], list)
-                               for pg in coords):
-                raise DslError(
-                    "geo_shape multipolygon needs [[[[lon, lat], "
-                    "...]], ...] polygon coordinates")
-            polys: list[Node] = []
-            for pg in coords:
-                if len(pg) > 1:
-                    raise DslError(
-                        "geo_shape polygon holes (inner rings) are "
-                        "not supported (engine subset)")
-                pts = [_geo_point(p, "geo_shape multipolygon")
-                       for p in pg[0]]
-                if len(pts) > 1 and pts[0] == pts[-1]:
-                    pts = pts[:-1]
-                if len(pts) < 3:
-                    raise DslError(
-                        "geo_shape polygon ring needs at least 3 "
-                        "distinct points")
-                polys.append(GeoPolygon(str(gfield), tuple(pts)))
-            return _rel(polys[0] if len(polys) == 1
-                        else Or(tuple(polys)))
-        raise DslError(
-            f"geo_shape type {shape.get('type')!r} is not supported "
-            "(engine subset: envelope / polygon / multipolygon / "
-            "point)")
+                    f"geo_shape indexed_shape needs {sorted(missing)}")
+            return GeoShapeLookup(str(gfield), str(ref["index"]),
+                                  str(ref["id"]), str(ref["path"]),
+                                  relation=rel)
+        return shape_to_node(str(gfield), spec["shape"], rel)
     if kind == "geo_polygon":
         # {"geo_polygon": {field: {"points": [...]}}} — even-odd
         # point-in-polygon (ast.GeoPolygon)
@@ -4140,6 +4070,107 @@ def _geo_point(raw: Any, ctx: str) -> tuple[float, float]:
     if not -180.0 <= lon_f <= 180.0:
         raise DslError(f"{ctx}: longitude {lon_f} out of [-180, 180]")
     return lat_f, lon_f
+
+
+def shape_to_node(gfield: str, shape: Any, rel: str) -> Node:
+    """Desugar one geo_shape body (GeoJSON-ish dict, validated) onto
+    the bbox/polygon algebra for the point corpus — shared by the
+    inline ``shape`` form and the engine's ``indexed_shape``
+    resolution (``SearchEngine._expand_data_nodes``), so both forms
+    inherit identical scan predicates AND the covering-cell
+    index-served plan. ``rel`` must be pre-validated
+    (intersects/within/disjoint)."""
+    if not isinstance(shape, dict):
+        raise DslError(
+            "geo_shape shape needs {'type': ..., 'coordinates': ...}")
+    stype = str(shape.get("type", "")).lower()
+    coords = shape.get("coordinates")
+
+    def _rel(node: Node) -> Node:
+        # point corpus (r11): `within` ≡ `intersects` (a point is
+        # within the query shape iff it intersects it); `disjoint`
+        # ≡ has-a-point AND NOT intersects — ES only matches docs
+        # that HAVE the field, and GeoExists checks both
+        # coordinates (a struct of two nulls is non-null). Score
+        # stays 1 per match (GeoExists 1 + Not 0).
+        if rel == "disjoint":
+            return And((GeoExists(gfield), Not(node)))
+        return node
+
+    if stype == "envelope":
+        # GeoJSON-ish ES envelope: [[minLon, maxLat],
+        # [maxLon, minLat]] — top-left then bottom-right
+        if not isinstance(coords, list) or len(coords) != 2:
+            raise DslError(
+                "geo_shape envelope needs [[lon, lat], [lon, lat]]"
+                " (top-left, bottom-right)")
+        top, left = _geo_point(coords[0], "geo_shape envelope")
+        bottom, right = _geo_point(coords[1], "geo_shape envelope")
+        if bottom > top:
+            raise DslError(
+                "geo_shape envelope top-left must be north of "
+                "bottom-right")
+        # left > right wraps the antimeridian, like
+        # geo_bounding_box (r9 semantics)
+        return _rel(GeoBoundingBox(gfield, top, left, bottom, right))
+    if stype == "point":
+        # point ∩ point-corpus: exact coordinate match — the
+        # degenerate box, which both plans already serve
+        plat, plon = _geo_point(coords, "geo_shape point")
+        return _rel(GeoBoundingBox(gfield, plat, plon, plat, plon))
+    if stype == "polygon":
+        if not isinstance(coords, list) or not coords \
+                or not isinstance(coords[0], list):
+            raise DslError(
+                "geo_shape polygon needs [[[lon, lat], ...]] ring "
+                "coordinates")
+        if len(coords) > 1:
+            raise DslError(
+                "geo_shape polygon holes (inner rings) are not "
+                "supported (engine subset)")
+        pts = [_geo_point(p, "geo_shape polygon")
+               for p in coords[0]]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]   # GeoJSON closed ring → implicit close
+        if len(pts) < 3:
+            raise DslError("geo_shape polygon ring needs at least "
+                           "3 distinct points")
+        return _rel(GeoPolygon(gfield, tuple(pts)))
+    if stype == "multipolygon":
+        # GeoJSON multipolygon (r11): [[outer-ring, holes...],
+        # ...] — point-in-multipolygon ≡ OR over the member
+        # polygons (holes reject like single polygons). Score =
+        # number of containing polygons (the engine's Or
+        # convention; ES scores a flat 1 — documented deviation,
+        # same match set for non-overlapping members).
+        if not isinstance(coords, list) or not coords \
+                or not all(isinstance(pg, list) and pg
+                           and isinstance(pg[0], list)
+                           for pg in coords):
+            raise DslError(
+                "geo_shape multipolygon needs [[[[lon, lat], "
+                "...]], ...] polygon coordinates")
+        polys: list[Node] = []
+        for pg in coords:
+            if len(pg) > 1:
+                raise DslError(
+                    "geo_shape polygon holes (inner rings) are "
+                    "not supported (engine subset)")
+            pts = [_geo_point(p, "geo_shape multipolygon")
+                   for p in pg[0]]
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            if len(pts) < 3:
+                raise DslError(
+                    "geo_shape polygon ring needs at least 3 "
+                    "distinct points")
+            polys.append(GeoPolygon(gfield, tuple(pts)))
+        return _rel(polys[0] if len(polys) == 1
+                    else Or(tuple(polys)))
+    raise DslError(
+        f"geo_shape type {shape.get('type')!r} is not supported "
+        "(engine subset: envelope / polygon / multipolygon / "
+        "point)")
 
 
 def _span_clause_terms(clause: Any) -> tuple[str, tuple[str, ...]]:

@@ -702,9 +702,16 @@ def test_geo_shape_index_served_parity_and_plan(spark):
     # relation contains needs shape-typed docs
     ({"shape": GS_ENVELOPE, "relation": "contains"},
      "relation 'contains'"),
-    # indexed-shape references
+    # indexed_shape exists r11 but still validates its keys
     ({"indexed_shape": {"index": "shapes", "id": "1"}},
+     "indexed_shape needs"),
+    ({"indexed_shape": {"index": "shapes", "id": "1", "path": "s",
+                        "routing": "r"}},
      "unsupported parameters"),
+    # inline and reference forms are mutually exclusive
+    ({"shape": GS_ENVELOPE,
+      "indexed_shape": {"index": "shapes", "id": "1", "path": "s"}},
+     "exactly one of"),
     # polygon holes (inner rings)
     ({"shape": {"type": "polygon",
                 "coordinates": [[[-75.0, 40.0], [-73.0, 40.0],
@@ -720,7 +727,7 @@ def test_geo_shape_index_served_parity_and_plan(spark):
                 "coordinates": [[[10.0, 57.0], [11.0, 58.0],
                                  [10.0, 57.0]]]}}, "3 distinct"),
     # missing shape object
-    ({"relation": "intersects"}, "needs a 'shape'"),
+    ({"relation": "intersects"}, "exactly one of"),
 ])
 def test_geo_shape_typed_errors(geo_engine, body, msg):
     q = json.dumps({"query": {"geo_shape": {"loc": body}}})
@@ -747,6 +754,80 @@ def test_geo_shape_multipolygon(geo_engine):
     with pytest.raises(DslError, match="holes"):
         geo_engine.search("pts", json.dumps(
             {"query": {"geo_shape": {"loc": {"shape": bad}}}}))
+
+
+# ------------------------------------ geo_shape indexed_shape (r11)
+# The query shape lives in ANOTHER registered table's document as a
+# GeoJSON string — the engine resolves it before compile with ONE
+# id-filtered lookup (the terms-lookup pattern) and desugars through
+# the same shape_to_node algebra, so scan/index plans are inherited.
+
+def _register_shapes(eng, spark):
+    rows = [("env", json.dumps(GS_ENVELOPE)),
+            ("tri", json.dumps(GS_POLYGON)),
+            ("nul", None),
+            ("bad", "{not json")]
+    df = spark.createDataFrame(rows, "sid string, geom string")
+    eng.register(df, TableSpec("shapes", ["sid"]))
+
+
+def _gs_ref(sid, relation=None, path="geom"):
+    spec = {"indexed_shape": {"index": "shapes", "id": sid,
+                              "path": path}}
+    if relation is not None:
+        spec["relation"] = relation
+    return json.dumps({"query": {"geo_shape": {"loc": spec}}})
+
+
+def test_geo_shape_indexed_shape_matches_inline(geo_engine, spark):
+    _register_shapes(geo_engine, spark)
+    # identical match sets to the inline forms pinned above
+    assert _gs_ids(geo_engine, "pts", _gs_ref("env"))[0] == [1, 2, 3]
+    assert _gs_ids(geo_engine, "pts", _gs_ref("tri"))[0] == [4, 5]
+    # relations ride the same desugar
+    assert _gs_ids(geo_engine, "pts",
+                   _gs_ref("env", "within"))[0] == [1, 2, 3]
+    assert _gs_ids(geo_engine, "pts",
+                   _gs_ref("env", "disjoint"))[0] == [4, 5, 7]
+
+
+def test_geo_shape_indexed_shape_index_served_plan(spark):
+    eng = _mk_geo_engine(spark, "gshape2")
+    _register_shapes(eng, spark)
+    want = _gs_ids(eng, "gshape2", _gs(GS_ENVELOPE))[0]
+    eng.build_geo_index("gshape2", "loc", precision=4, materialize=True)
+    got, out = _gs_ids(eng, "gshape2", _gs_ref("env"))
+    assert got == want == [1, 2, 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the resolved shape rides the covering-cell index-served plan
+    assert "cell#" in plan and "InMemoryTableScan" in plan
+
+
+def test_geo_shape_indexed_shape_typed_errors(geo_engine, spark):
+    _register_shapes(geo_engine, spark)
+    # ES raises for a missing shape document — no silent match-none
+    with pytest.raises(DslError, match="not found"):
+        geo_engine.search("pts", _gs_ref("ghost"))
+    # a null shape value is the same "shape not found" class
+    with pytest.raises(DslError, match="not found"):
+        geo_engine.search("pts", _gs_ref("nul"))
+    with pytest.raises(DslError, match="not valid JSON"):
+        geo_engine.search("pts", _gs_ref("bad"))
+    with pytest.raises(DslError, match="not a registered table"):
+        geo_engine.search("pts", json.dumps({"query": {"geo_shape": {
+            "loc": {"indexed_shape": {"index": "nowhere", "id": "x",
+                                      "path": "geom"}}}}}))
+    # the resolved shape still validates: relation pre-checks stay in
+    # the parser (bad relation rejects before any lookup)
+    with pytest.raises(DslError, match="relation 'contains'"):
+        geo_engine.search("pts", _gs_ref("env", "contains"))
+    # a non-string shape column is typed, not a late crash
+    df = geo_engine.spark.createDataFrame([(1, 2.0)], "sid int, g double")
+    geo_engine.register(df, TableSpec("shapes_num", ["sid"]))
+    with pytest.raises(DslError, match="GeoJSON string"):
+        geo_engine.search("pts", json.dumps({"query": {"geo_shape": {
+            "loc": {"indexed_shape": {"index": "shapes_num", "id": "1",
+                                      "path": "g"}}}}}))
 
 
 # ------------------------------------------ geo_distance agg (r11)
