@@ -268,6 +268,20 @@ def q_search_slop_phrase(spark, sf_dir):
         spark, sf_dir)
 
 
+def q_search_fuzzy_transpositions(spark, sf_dir):
+    # DSL fuzzy with transpositions=true + prefix_length (r11):
+    # unrestricted Damerau-Levenshtein — adjacent swap = 1 edit,
+    # computed exactly for budgets <= 2 by compile.fuzzy_token_cond
+    # and EXACTLY the metric DuckDB's damerau_levenshtein implements,
+    # so the oracle replays the identical predicate. 'sprak' is
+    # 'spark' with a-r transposed (DL 1, classic lev 2); prefix_length
+    # 2 pins the Lucene prefix guard (candidates share 'sp', budget on
+    # the suffixes). Term-dictionary served when postings exist.
+    q = ('{"query":{"fuzzy":{"text":{"value":"sprak","fuzziness":1,'
+         '"transpositions":true,"prefix_length":2}}}}')
+    return _search('#options:load-rows=false#' + q)(spark, sf_dir)
+
+
 def q_search_dsl_range(spark, sf_dir):
     # P2 ES-DSL passthrough (ref README.md:404-405) + J1 row-load join
     return _search('{"query":{"range":{"n_chars":{"gte":100,"lte":300}}}}')(spark, sf_dir)
@@ -2416,6 +2430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_date_histogram": q_events_date_histogram,  # ~ window/
         #   agg family (green r01-r10; demoted r11 for pii_redact —
         #   events_sessionize stays in-window)
+        "search_fuzzy_transpositions": q_search_fuzzy_transpositions,
+        #   ~ term/dictionary family (r11): Damerau fuzzy + prefix
+        #   guard, oracle replays damerau_levenshtein on suffixes
         "search_wildcard": q_search_wildcard,  # ~ term/dictionary family
         #   (green r01-r08; demoted r9 for search_feature_boosts)
         "search_page_after": q_search_page_after,  # ~ keyset paging
@@ -3406,6 +3423,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (2 * tf)::BIGINT AS _score
             FROM toks
             WHERE tf > 0 AND slow_tf = 0
+        """,
+        # Damerau fuzzy (r11): tf = tokens sharing the 'sp' prefix whose
+        # suffix is within one damerau_levenshtein edit of 'rak' — the
+        # engine's fuzzy_token_cond is EXACTLY this predicate (the
+        # |len delta| <= 1 window is implied by DL <= 1 on the suffixes
+        # plus prefix equality)
+        "search_fuzzy_transpositions": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           regexp_split_to_array(lower(text), '\W+'),
+                           t -> len(t) > 0 AND substr(t, 1, 2) = 'sp'
+                                AND damerau_levenshtein(substr(t, 3),
+                                                        'rak') <= 1))
+                           AS tf
+                FROM documents)
+            SELECT doc_id, tf::BIGINT AS _score
+            FROM toks
+            WHERE tf > 0
         """,
         # more_like_this doc 42 replayed in one SQL statement: the same
         # postings (lowercased \\w+ tokens), the same tf·idf pick

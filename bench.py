@@ -44,6 +44,7 @@ HEADLINE = [
     "search_wildcard",
     "search_phrase",        # positional-index-served (chunk-position joins)
     "search_fuzzy_boost",   # fuzzy term-dictionary expansion + boost
+    "search_fuzzy_transpositions",  # Damerau fuzzy + prefix guard (r11)
     "search_dsl_sorted",    # sorted-from-index (range-index doc-values)
     "search_mlt",           # more_like_this: tf-idf pick + OR postings query
     "search_suggest",       # completion suggester over the term dictionary

@@ -92,12 +92,29 @@ class Regexp(Node):
 
 @dataclass(frozen=True)
 class Fuzzy(Node):
-    """``field:value~N`` — tokens within ``max_edits`` Levenshtein edits
-    of ``value`` match (Lucene fuzzy query). The engine uses classic
-    Levenshtein (Spark's built-in ``levenshtein``): a transposition costs
-    2 edits, vs 1 in Lucene's Damerau automaton — documented deviation
-    (COVERAGE.md P1''), identical on the scan and dictionary-served paths
-    and pinned by ``test_fuzzy_transposition_costs_two_edits``.
+    """``field:value~N`` — tokens within ``max_edits`` edits of
+    ``value`` match (Lucene fuzzy query). By default the engine uses
+    classic Levenshtein (Spark's built-in ``levenshtein``): a
+    transposition costs 2 edits — documented deviation (COVERAGE.md
+    P1''; ES defaults ``fuzzy_transpositions=true``), identical on the
+    scan and dictionary-served paths and pinned by
+    ``test_fuzzy_transposition_costs_two_edits``.
+
+    ``transpositions=True`` (r11, DSL ``fuzzy``/``match`` opt-in)
+    prices an adjacent transposition at 1 edit using UNRESTRICTED
+    Damerau–Levenshtein — computed exactly for budgets ≤ 2 by
+    two-sided adjacent-swap enumeration (``compile.fuzzy_token_cond``:
+    DL ≤ k ⟺ lev ≤ k, or one swap on either string then lev ≤ k-1,
+    or a swap on each/two on one making them equal). This is the
+    metric DuckDB's ``damerau_levenshtein`` implements (exact oracle
+    parity); Lucene's automaton is the RESTRICTED variant (OSA) —
+    identical except overlapping-edit corners like ca→abc (DL 2,
+    OSA 3), a documented deviation pinned in tests. Budgets > 2 with
+    transpositions are a typed error (ES caps fuzziness at 2).
+
+    ``prefix_length`` (Lucene semantics): candidate tokens must share
+    the query term's first ``prefix_length`` characters exactly; the
+    edit budget applies to the remaining suffixes only.
 
     ``max_edits=None`` means AUTO (Lucene/ES default for ``term~`` and
     DSL ``"fuzziness": "AUTO"``): the budget depends on the QUERY term's
@@ -109,6 +126,8 @@ class Fuzzy(Node):
     max_edits: int | None = 2
     auto_low: int = 3
     auto_high: int = 6
+    transpositions: bool = False
+    prefix_length: int = 0
 
 
 def fuzzy_edits(node: "Fuzzy") -> int:

@@ -398,6 +398,89 @@ def distance_feature_value(dist: Column, pivot: float,
         / (F.lit(float(pivot)) + dist)
 
 
+def _swap_at(s: Column, i: Column) -> Column:
+    """``s`` with the adjacent characters at 1-based positions
+    ``i``/``i+1`` transposed — the primitive Damerau edit, built from
+    four substrings (the over-long tail length is clamped by
+    ``substr``)."""
+    return F.concat(s.substr(F.lit(1), i - 1),
+                    s.substr(i + 1, F.lit(1)),
+                    s.substr(i, F.lit(1)),
+                    s.substr(i + 2, F.length(s)))
+
+
+def _dl_cond(t: Column, w: str, k: int) -> Column:
+    """Unrestricted Damerau–Levenshtein(t, w) ≤ k as a pure Column
+    predicate — EXACT for k ≤ 2 (the ES fuzziness ceiling) by
+    two-sided adjacent-swap enumeration: any ≤2-op DL script is
+    (a) pure Levenshtein, (b) one swap on either string followed by
+    ≤k-1 Levenshtein ops, or (c) two swaps, which always reduce to
+    ``swap(t, i) == swap(w, j)`` (both-on-t / both-on-w / one each).
+    Term-side swaps are driver-enumerated literals; token-side swaps
+    are one higher-order ``exists`` over the ≤len-1 positions. This is
+    the metric DuckDB's ``damerau_levenshtein`` implements (oracle
+    parity); Lucene's automaton is the restricted OSA variant —
+    documented deviation on overlapping-edit corners (ast.Fuzzy)."""
+    if k <= 0:
+        return t == F.lit(w)
+
+    def lev_le(a: Column, b: str, budget: int) -> Column:
+        if budget <= 0:
+            return a == F.lit(b)
+        return F.levenshtein(a, F.lit(b)) <= budget
+
+    swaps_w: list[str] = []
+    for i in range(len(w) - 1):
+        v = w[:i] + w[i + 1] + w[i] + w[i + 2:]
+        if v != w and v not in swaps_w:
+            swaps_w.append(v)
+    cond = F.levenshtein(t, F.lit(w)) <= k
+    for v in swaps_w:          # one swap on the TERM side
+        cond = cond | lev_le(t, v, k - 1)
+
+    def swapped_hits(i: Column) -> Column:
+        s = _swap_at(t, i)
+        c = lev_le(s, w, k - 1)   # one swap on the TOKEN side
+        if k >= 2 and swaps_w:    # two swaps ⇒ token swap == term swap
+            c = c | s.isin(*swaps_w)
+        return c
+
+    # guard: sequence(1, 0) would run DESCENDING for 1-char tokens
+    tok_side = F.when(
+        F.length(t) >= 2,
+        F.exists(F.sequence(F.lit(1), F.length(t) - 1), swapped_hits)
+    ).otherwise(F.lit(False))
+    return cond | tok_side
+
+
+def fuzzy_token_cond(tok: Column, node: "Fuzzy", edits: int) -> Column:
+    """Per-token fuzzy match predicate — ONE definition shared by the
+    scan path (``Compiler._fuzzy_tf``) and the dictionary-served plan
+    rewrite (``SearchEngine``), so both plans match identically.
+    Composes the length-window prefilter (|Δlen| ≤ edits holds for
+    Levenshtein and DL alike — every op changes length by ≤ 1), the
+    Lucene ``prefix_length`` guard (token shares the term's first P
+    chars; the budget applies to the suffixes), and classic
+    Levenshtein or unrestricted DL per ``node.transpositions``."""
+    term = node.value.lower()
+    if node.transpositions and edits > 2:
+        raise CompileError(
+            "fuzzy transpositions need an edit budget <= 2 (the "
+            f"ES/Lucene fuzziness ceiling), got {edits}")
+    p = min(node.prefix_length, len(term))
+    w = term[p:]
+    cond = F.abs(F.length(tok) - len(term)) <= edits
+    suffix = tok
+    if p:
+        cond = cond & (tok.substr(F.lit(1), F.lit(p)) == F.lit(term[:p]))
+        suffix = tok.substr(F.lit(p + 1), F.length(tok))
+    if node.transpositions:
+        return cond & _dl_cond(suffix, w, edits)
+    if edits <= 0:
+        return cond & (suffix == F.lit(w))
+    return cond & (F.levenshtein(suffix, F.lit(w)) <= edits)
+
+
 def has_fractional_scorer(node: Node) -> bool:
     """Whether the tree carries a scorer whose values are meaningful
     fractions (script_score / decay / random_score, or any
@@ -591,16 +674,17 @@ class Compiler:
                                lambda acc, x: acc + count(x))
         raise CompileError("token match on non-text field")
 
-    def _fuzzy_tf(self, ref: FieldRef, value: str, max_edits: int) -> Column:
-        """Count of tokens within ``max_edits`` Levenshtein edits of
-        ``value`` — Lucene FuzzyQuery's per-token match. The length
-        pre-filter prunes the O(len²) edit distance the way Lucene prunes
-        its automaton expansion."""
-        term = F.lit(value.lower())
+    def _fuzzy_tf(self, ref: FieldRef, node: "Fuzzy",
+                  max_edits: int) -> Column:
+        """Count of tokens within ``max_edits`` edits of the node's
+        term — Lucene FuzzyQuery's per-token match. The shared
+        ``fuzzy_token_cond`` carries the length pre-filter (pruning
+        the O(len²) edit distance the way Lucene prunes its automaton
+        expansion), the ``prefix_length`` guard, and the
+        transpositions variant — identical on the dictionary-served
+        plan."""
         return self._token_match_tf(
-            ref,
-            lambda t: (F.abs(F.length(t) - F.length(term)) <= max_edits)
-            & (F.levenshtein(t, term) <= max_edits))
+            ref, lambda t: fuzzy_token_cond(t, node, max_edits))
 
     # -- compile ------------------------------------------------------------
 
@@ -777,7 +861,7 @@ class Compiler:
                               (T.StringType, T.ArrayType, T.MapType)):
                 raise CompileError("fuzzy match on non-text field")
             tf = F.coalesce(
-                self._fuzzy_tf(ref, node.value, fuzzy_edits(node)),
+                self._fuzzy_tf(ref, node, fuzzy_edits(node)),
                 F.lit(0))
             return tf > 0, tf
         if isinstance(node, Regexp):

@@ -2718,23 +2718,25 @@ class SearchEngine:
                 # Lucene FuzzyQuery: expand the (vocabulary-sized) term
                 # dictionary by edit distance, then sum tf over matching
                 # tokens per doc — the corpus text is never re-scanned.
-                # Length pre-filter prunes the O(len²) levenshtein.
+                # The SHARED fuzzy_token_cond carries the length
+                # pre-filter (pruning the O(len²) edit distance), the
+                # prefix_length guard, and the transpositions (DL)
+                # variant — bit-identical semantics to the scan path.
                 # AUTO budgets resolve on the query term's length
-                # (fuzzy_edits), identical to the scan path.
+                # (fuzzy_edits).
                 from cassandra_es_index_spark.search.ast import fuzzy_edits
+                from cassandra_es_index_spark.search.compile import (
+                    fuzzy_token_cond,
+                )
 
                 fld = n.field if n.field is not None else default
                 state = self._postings.get((table, fld))
                 if state is None:
                     return None
-                term = n.value.lower()
-                edits = fuzzy_edits(n)
                 dictionary = (
                     state.view().select("token").distinct()
-                    .where((F.abs(F.length("token") - len(term))
-                            <= edits)
-                           & (F.levenshtein(F.col("token"), F.lit(term))
-                              <= edits)))
+                    .where(fuzzy_token_cond(F.col("token"), n,
+                                            fuzzy_edits(n))))
                 return (state.view()
                          .join(F.broadcast(dictionary), on="token")
                          .groupBy("doc")

@@ -2509,15 +2509,38 @@ def _node(q: dict[str, Any]) -> Node:
         boost = None
         operator = "or"
         msm = None
+        transpositions = False
+        prefix_length = 0
         if isinstance(value, dict):
             extra = set(value) - {"query", "fuzziness", "boost",
-                                  "operator", "minimum_should_match"}
+                                  "operator", "minimum_should_match",
+                                  "fuzzy_transpositions",
+                                  "prefix_length"}
             if extra:
                 # reject rather than silently drop — a dropped operator
                 # changes the match set with no signal (r9)
                 raise DslError(f"match: unsupported parameters "
                                f"{sorted(extra)} (engine subset)")
             fuzziness = value.get("fuzziness")
+            # fuzzy modifiers without fuzziness do nothing in ES —
+            # the engine rejects the inoperative combination instead
+            # (no silent parameter drops)
+            if fuzziness is None and ("fuzzy_transpositions" in value
+                                      or "prefix_length" in value):
+                raise DslError(
+                    "match: fuzzy_transpositions/prefix_length are "
+                    "inoperative without fuzziness (this engine "
+                    "rejects the combination)")
+            transpositions = value.get("fuzzy_transpositions", False)
+            if not isinstance(transpositions, bool):
+                raise DslError("match: fuzzy_transpositions must be "
+                               "a boolean")
+            prefix_length = value.get("prefix_length", 0)
+            if isinstance(prefix_length, bool) \
+                    or not isinstance(prefix_length, int) \
+                    or prefix_length < 0:
+                raise DslError("match: prefix_length must be a "
+                               "non-negative integer")
             boost = value.get("boost")
             operator = value.get("operator", "or")
             if operator not in ("or", "and"):
@@ -2555,7 +2578,10 @@ def _node(q: dict[str, Any]) -> Node:
             return _boosted(
                 TermsSet(field, terms, msm_expr=str(count)), boost)
         leaves: list[Node] = [
-            _fuzzy_node(field, t, edits) if edits is not None
+            _fuzzy_node(field, t, edits,
+                        transpositions=transpositions,
+                        prefix_length=prefix_length)
+            if edits is not None
             else Term(field, t)
             for t in tokens]
         node = leaves[0] if len(leaves) == 1 else (
@@ -2567,22 +2593,28 @@ def _node(q: dict[str, Any]) -> Node:
         field, value = _single(body)
         fuzziness = None
         boost = None
+        transpositions = False
+        prefix_length = 0
         if isinstance(value, dict):
             _leaf_params("fuzzy", value,
                          {"value", "fuzziness", "boost", "rewrite",
                           "transpositions", "prefix_length",
                           "max_expansions"})
-            if value.get("transpositions") is True:
-                # explicit true would promise Damerau single-edit
-                # transpositions; the engine prices them at 2 (classic
-                # Levenshtein — documented deviation, COVERAGE P1'')
-                raise DslError(
-                    "fuzzy: transpositions=true is not supported (the "
-                    "engine uses classic Levenshtein — a transposition "
-                    "costs 2 edits, documented deviation)")
-            if value.get("prefix_length", 0) != 0:
-                raise DslError("fuzzy: prefix_length is not supported "
-                               "(engine subset)")
+            # transpositions=true (r11): unrestricted Damerau —
+            # adjacent swap = 1 edit (ast.Fuzzy documents the
+            # OSA-corner deviation vs Lucene's automaton). The ENGINE
+            # default stays false (classic Levenshtein) where ES
+            # defaults true — documented deviation, COVERAGE P1''.
+            transpositions = value.get("transpositions", False)
+            if not isinstance(transpositions, bool):
+                raise DslError("fuzzy: transpositions must be a "
+                               "boolean")
+            prefix_length = value.get("prefix_length", 0)
+            if isinstance(prefix_length, bool) \
+                    or not isinstance(prefix_length, int) \
+                    or prefix_length < 0:
+                raise DslError("fuzzy: prefix_length must be a "
+                               "non-negative integer")
             if "max_expansions" in value:
                 raise DslError(
                     "fuzzy: max_expansions is not supported — the "
@@ -2596,7 +2628,9 @@ def _node(q: dict[str, Any]) -> Node:
         # ES fuzzy default fuzziness is AUTO (length-dependent)
         return _boosted(
             _fuzzy_node(field, _scalar(value),
-                        (3, 6) if edits is None else edits),
+                        (3, 6) if edits is None else edits,
+                        transpositions=transpositions,
+                        prefix_length=prefix_length),
             boost)
     if kind == "match_phrase":
         # tokens adjacent in order; index-served when a positional index
@@ -4290,11 +4324,16 @@ def _fuzziness_edits(fuzziness: Any) -> int | tuple[int, int] | None:
 
 
 def _fuzzy_node(field: str, term: str,
-                edits: int | tuple[int, int]) -> Fuzzy:
+                edits: int | tuple[int, int], *,
+                transpositions: bool = False,
+                prefix_length: int = 0) -> Fuzzy:
     if isinstance(edits, tuple):
         return Fuzzy(field, term, None,
-                     auto_low=edits[0], auto_high=edits[1])
-    return Fuzzy(field, term, edits)
+                     auto_low=edits[0], auto_high=edits[1],
+                     transpositions=transpositions,
+                     prefix_length=prefix_length)
+    return Fuzzy(field, term, edits, transpositions=transpositions,
+                 prefix_length=prefix_length)
 
 
 def _single(body: Any) -> tuple[str, Any]:

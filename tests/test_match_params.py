@@ -215,11 +215,17 @@ def test_bool_typed_errors(eng, q, msg):
     ('{"query":{"regexp":{"text":{"value":"a|b",'
      '"flags":"INTERSECTION"}}}}', "Java regex"),
     ('{"query":{"fuzzy":{"text":{"value":"ab",'
-     '"transpositions":true}}}}', "classic Levenshtein"),
-    ('{"query":{"fuzzy":{"text":{"value":"ab","prefix_length":2}}}}',
-     "prefix_length"),
+     '"transpositions":"yes"}}}}', "must be a boolean"),
+    ('{"query":{"fuzzy":{"text":{"value":"ab","prefix_length":-1}}}}',
+     "non-negative"),
     ('{"query":{"fuzzy":{"text":{"value":"ab","max_expansions":10}}}}',
      "max_expansions"),
+    # fuzzy modifiers on match are inoperative without fuzziness —
+    # rejected, not silently dropped
+    ('{"query":{"match":{"text":{"query":"a",'
+     '"fuzzy_transpositions":true}}}}', "inoperative without"),
+    ('{"query":{"match":{"text":{"query":"a","prefix_length":1}}}}',
+     "inoperative without"),
     ('{"query":{"match_phrase":{"text":{"query":"a b",'
      '"analyzer":"simple"}}}}', "unsupported parameters"),
     ('{"query":{"match_phrase":{"text":{"query":"a b",'

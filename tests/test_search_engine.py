@@ -1066,6 +1066,102 @@ def test_fuzzy_transposition_costs_two_edits(spark):
     assert got2.get("f1") == 1      # roam reachable within 2 edits
 
 
+def test_fuzzy_transpositions_damerau(spark):
+    """DSL opt-in ``transpositions: true`` (r11): adjacent swaps cost
+    1 edit (unrestricted Damerau–Levenshtein, exact for budgets ≤ 2 —
+    compile.fuzzy_token_cond). Hand distances (verified against
+    DuckDB damerau_levenshtein, the oracle function): oram→roam DL 1
+    / lev 2; oram→foam DL 2; ormas→roams DL 2 / lev 3 (two disjoint
+    swaps). Identical on the scan and dictionary-served plans."""
+    idx, scan = _lucene_engines(spark)
+
+    def q(value, fuzz, **kw):
+        import json
+        return json.dumps({"query": {"fuzzy": {"body": dict(
+            {"value": value, "fuzziness": fuzz}, **kw)}}})
+
+    cases = [
+        # one swap: roam matches at 1 (classic needs 2 — pinned above)
+        (q("oram", 1, transpositions=True), [("f1", 1)]),
+        # budget 2: roam(1), foam(2: swap+sub), roams(2: swap+insert)
+        (q("oram", 2, transpositions=True),
+         [("f1", 1), ("f2", 1), ("f3", 2)]),
+        # two disjoint swaps: ormas→roams = 2 transpositions (lev 3)
+        (q("ormas", 2, transpositions=True), [("f3", 2)]),
+        (q("ormas", 2), []),                      # classic: lev 3 > 2
+    ]
+    for body, want in cases:
+        assert _rows(scan, "luc_scan", body) == want, body
+        assert _rows(idx, "luc_idx", body) == want, body
+
+
+def test_fuzzy_dl_not_osa_corner_pinned(spark):
+    """Documented deviation (ast.Fuzzy): the engine's transpositions
+    metric is UNRESTRICTED DL — ca→abc is 2 (swap then insert through
+    the swapped pair), where Lucene's OSA automaton says 3. DuckDB's
+    damerau_levenshtein agrees with the engine (oracle parity)."""
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame([(1, "abc xyz")], "id int, body string")
+    eng.register(df, TableSpec("osa", ["id"]))
+    import json
+    hit = eng.search("osa", json.dumps({"query": {"fuzzy": {"body": {
+        "value": "ca", "fuzziness": 2, "transpositions": True}}}}))
+    assert [r["id"] for r in hit.collect()] == [1]
+
+
+def test_fuzzy_prefix_length(spark):
+    """Lucene prefix_length: candidates share the term's first P
+    chars; the edit budget applies to the suffixes only — on BOTH
+    plans."""
+    idx, scan = _lucene_engines(spark)
+    import json
+
+    def q(value, p, fuzz=1):
+        return json.dumps({"query": {"fuzzy": {"body": {
+            "value": value, "fuzziness": fuzz, "prefix_length": p}}}})
+
+    # roam~1 normally matches roam/foam/roams; prefix r drops foam
+    assert _rows(scan, "luc_scan", q("roam", 1)) == [
+        ("f1", 1), ("f3", 2)]
+    assert _rows(idx, "luc_idx", q("roam", 1)) == [("f1", 1), ("f3", 2)]
+    # prefix longer than the term clamps to the whole term
+    assert _rows(scan, "luc_scan", q("roam", 9)) == [
+        ("f1", 1), ("f3", 2)]
+    # prefix_length composes with transpositions: ormas shares no
+    # 1-char prefix with roams → dropped despite DL 2
+    qq = json.dumps({"query": {"fuzzy": {"body": {
+        "value": "ormas", "fuzziness": 2, "transpositions": True,
+        "prefix_length": 1}}}})
+    assert _rows(scan, "luc_scan", qq) == []
+    assert _rows(idx, "luc_idx", qq) == []
+
+
+def test_match_fuzzy_transpositions_param(spark):
+    """``match`` forwards fuzzy_transpositions/prefix_length to each
+    per-token fuzzy leaf (ES match+fuzziness surface)."""
+    idx, scan = _lucene_engines(spark)
+    import json
+    body = json.dumps({"query": {"match": {"body": {
+        "query": "oram wrold", "fuzziness": 1,
+        "fuzzy_transpositions": True}}}})
+    # oram→roam (DL 1, f1); wrold→world (DL 1, f1)
+    assert _rows(scan, "luc_scan", body) == [("f1", 2)]
+    assert _rows(idx, "luc_idx", body) == [("f1", 2)]
+
+
+def test_fuzzy_transpositions_budget_ceiling_typed(spark):
+    """The DL enumeration is exact only to budget 2 (the ES ceiling);
+    a larger explicit budget with transpositions is a typed error,
+    never a silently-wrong match set."""
+    from cassandra_es_index_spark.search.compile import CompileError
+    idx, _ = _lucene_engines(spark)
+    import json
+    q = json.dumps({"query": {"fuzzy": {"body": {
+        "value": "roam", "fuzziness": "3", "transpositions": True}}}})
+    with pytest.raises(CompileError, match="edit budget"):
+        idx.search("luc_idx", q, default_field="body").collect()
+
+
 def test_fuzzy_auto_budget_end_to_end(spark):
     """AUTO resolves on the query term's length on BOTH paths: a 2-char
     term gets 0 edits (exact only), a 4-char term gets 1 edit."""
