@@ -3484,9 +3484,11 @@ def _node(q: dict[str, Any]) -> Node:
         # `default_field` rebinds the parse's default-field leaves;
         # `fields` (with `^boost` syntax) runs the parse per field
         # under a DisMax + `tie_breaker` (ES's multi-field
-        # query_string combination). `default_operator` accepts only
-        # the default OR — AND would change the juxtaposition regroup
-        # (Lucene +/- operator semantics), typed engine subset.
+        # query_string combination). `default_operator: and` (r11)
+        # requires every juxtaposed clause (query_string._regroup_and);
+        # mixing explicit OR with juxtaposition under the AND default
+        # typed-rejects — Lucene's classic-QP regroup of that
+        # combination is inconsistent, parenthesize instead.
         if not isinstance(body, dict) or "query" not in body:
             raise DslError("query_string needs {'query': str}")
         extra = set(body) - {"query", "default_field", "fields",
@@ -3495,11 +3497,9 @@ def _node(q: dict[str, Any]) -> Node:
         if extra:
             raise DslError(f"query_string: unsupported parameters "
                            f"{sorted(extra)} (engine subset)")
-        if str(body.get("default_operator", "or")).lower() != "or":
-            raise DslError(
-                "query_string default_operator 'and' is not supported "
-                "(engine subset: OR — the Lucene +/- juxtaposition "
-                "regroup is OR-based)")
+        default_op = str(body.get("default_operator", "or")).lower()
+        if default_op not in ("or", "and"):
+            raise DslError(f"bad default_operator {default_op!r}")
         if "default_field" in body and "fields" in body:
             raise DslError("query_string takes default_field OR "
                            "fields, not both")
@@ -3511,7 +3511,12 @@ def _node(q: dict[str, Any]) -> Node:
         if "tie_breaker" in body and "fields" not in body:
             raise DslError("query_string tie_breaker applies to the "
                            "'fields' form only")
-        parsed = qs.parse(body["query"])
+        try:
+            parsed = qs.parse(body["query"], default_operator=default_op)
+        except qs.QueryParseError as e:
+            # the mixed OR/juxtaposition AND-default rejection (and any
+            # other parse error) surfaces as the DSL's typed error class
+            raise DslError(f"query_string: {e}") from e
         if "fields" in body:
             flist = body["fields"]
             if not isinstance(flist, list) or not flist:

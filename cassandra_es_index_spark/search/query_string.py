@@ -66,9 +66,11 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(self, tokens: list[tuple[str, str]],
+                 default_and: bool = False):
         self.tokens = tokens
         self.i = 0
+        self.default_and = default_and
 
     def peek(self) -> tuple[str, str] | None:
         return self.tokens[self.i] if self.i < len(self.tokens) else None
@@ -106,7 +108,39 @@ class _Parser:
                 items.append((self.and_expr(), False))
             else:
                 break
+        if self.default_and:
+            return self._regroup_and(items)
         return self._regroup(items)
+
+    @staticmethod
+    def _regroup_and(items: list[tuple[Node, bool]]) -> Node:
+        """``default_operator: and`` (r11): juxtaposed clauses are ALL
+        required (Lucene's AND default), so the group is a plain
+        conjunction — ``+a`` is redundant (unwrapped), ``-b``/``NOT b``
+        prohibits as before (And + Not). A group joined ENTIRELY by
+        explicit ``OR`` stays the plain boolean disjunction. MIXING
+        juxtaposition with explicit ``OR`` in one group is a typed
+        error: Lucene's classic QueryParser regroups that combination
+        inconsistently (pairwise SHOULD conversion — famously
+        surprising), so the engine rejects the ambiguous form instead
+        of guessing; parenthesize the OR group (``a (b OR c)``)."""
+        if len(items) == 1:
+            node = items[0][0]
+            return node.child if isinstance(node, Required) else node
+        explicit = [expl for _, expl in items[1:]]
+        if all(explicit):
+            # pure explicit-OR group: plain boolean disjunction (a
+            # stray `+` is a no-op inside a disjunction — unwrapped)
+            return Or(tuple(n.child if isinstance(n, Required) else n
+                            for n, _ in items))
+        if any(explicit):
+            raise QueryParseError(
+                "mixing explicit OR with juxtaposition under "
+                "default_operator 'and' is ambiguous in Lucene's "
+                "grammar — parenthesize the OR group (engine subset)")
+        parts = [n.child if isinstance(n, Required) else n
+                 for n, _ in items]
+        return And(tuple(parts))
 
     @staticmethod
     def _regroup(items: list[tuple[Node, bool]]) -> Node:
@@ -296,8 +330,8 @@ def _distribute_field(node: Node, fld: str) -> Node:
     if isinstance(node, Phrase):
         return Phrase(fld, node.text, node.slop)
     if isinstance(node, Fuzzy):
-        return Fuzzy(fld, node.value, node.max_edits,
-                     node.auto_low, node.auto_high)
+        import dataclasses
+        return dataclasses.replace(node, field=fld)
     if isinstance(node, Regexp):
         return Regexp(fld, node.pattern)
     if isinstance(node, Range):
@@ -316,9 +350,16 @@ def _unescape_regex(slashed: str) -> str:
     return slashed[1:-1].replace("\\/", "/")
 
 
-def parse(query: str) -> Node:
-    """Parse a Lucene-ish query string into the engine AST."""
+def parse(query: str, default_operator: str = "or") -> Node:
+    """Parse a Lucene-ish query string into the engine AST.
+    ``default_operator`` sets how juxtaposed clauses combine — ``or``
+    (Lucene/ES default: the ±-operator regroup over a default-OR
+    group) or ``and`` (every juxtaposed clause required; explicit
+    ``OR`` inside such a group is a typed error — ``_regroup_and``)."""
+    if default_operator not in ("or", "and"):
+        raise QueryParseError(
+            f"bad default_operator {default_operator!r}")
     tokens = _tokenize(query)
     if not tokens:
         raise QueryParseError("empty query")
-    return _Parser(tokens).parse()
+    return _Parser(tokens, default_and=default_operator == "and").parse()

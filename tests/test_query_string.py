@@ -292,11 +292,35 @@ def test_dsl_query_string_field_params(spark):
         "query": "title:spark OR spark", "fields": ["body"]}}})
     assert got == {1: 1, 2: 1}
 
+    # default_operator: and (r11) — juxtaposed clauses all required
+    got = run({"query": {"query_string": {
+        "query": "spark here", "default_operator": "and",
+        "default_field": "body"}}})
+    assert got == {2: 2}            # doc 1's body lacks 'here'
+    # pure explicit-OR group stays the boolean disjunction
+    got = run({"query": {"query_string": {
+        "query": "plain OR words", "default_operator": "and",
+        "default_field": "body"}}})
+    assert got == {3: 1}            # body has 'words' ('plain' is title)
+    # prohibit still works under the AND default
+    got = run({"query": {"query_string": {
+        "query": "spark -rocks", "default_operator": "AND",
+        "default_field": "title"}}})
+    assert got == {}                # doc 1 has rocks; doc 2's title no spark
+    # parenthesized OR group under an AND juxtaposition
+    got = run({"query": {"query_string": {
+        "query": "spark (rocks OR here)", "default_operator": "and",
+        "default_field": "body"}}})
+    assert got == {2: 2}
+
     from cassandra_es_index_spark.search.es_dsl import DslError
     import pytest as _p
     for bad, msg in [
         ({"query": "x", "analyzer": "simple"}, "unsupported"),
-        ({"query": "x", "default_operator": "and"}, "OR"),
+        ({"query": "x y OR z", "default_operator": "and"},
+         "parenthesize"),
+        ({"query": "x", "default_operator": "xor"},
+         "default_operator"),
         ({"query": "x", "default_field": "a", "fields": ["b"]},
          "not both"),
         ({"query": "x", "tie_breaker": 0.5}, "'fields' form"),
