@@ -411,11 +411,15 @@ class TermPattern:
     equivalent ``span_or`` (union of positions). Compiling a raw
     pattern-carrying span without the engine is a typed CompileError.
     Kinds: ``prefix`` | ``wildcard`` | ``regexp`` | ``fuzzy``
-    (``edits`` = the resolved Levenshtein budget, AUTO already
-    applied)."""
+    (``edits`` = the resolved edit budget, AUTO already applied;
+    ``transpositions``/``prefix_length`` ride the shared
+    ``compile.fuzzy_token_cond`` predicate, r11 — same semantics as
+    the top-level fuzzy query)."""
     kind: str
     value: str
     edits: int = 2
+    transpositions: bool = False
+    prefix_length: int = 0
 
 
 @dataclass(frozen=True)

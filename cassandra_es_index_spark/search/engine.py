@@ -1382,11 +1382,18 @@ class SearchEngine:
             anchored = f"^(?:{v})$"
             validate_java_regex(anchored, self.spark)
             cond = tok.rlike(anchored)
-        else:  # fuzzy — length window prefilter + budget
-            n = len(v)
-            cond = ((F.length(tok) >= n - pat.edits)
-                    & (F.length(tok) <= n + pat.edits)
-                    & (F.levenshtein(tok, F.lit(v)) <= pat.edits))
+        else:  # fuzzy — the SHARED predicate (length window prefilter,
+            # Lucene prefix guard, classic-or-Damerau budget): identical
+            # match semantics to the top-level fuzzy query (r11)
+            from cassandra_es_index_spark.search.ast import Fuzzy
+            from cassandra_es_index_spark.search.compile import (
+                fuzzy_token_cond,
+            )
+            cond = fuzzy_token_cond(
+                tok, Fuzzy(fld, v, pat.edits,
+                           transpositions=pat.transpositions,
+                           prefix_length=pat.prefix_length),
+                pat.edits)
         rows = (toks.where(cond).distinct()
                     .orderBy("token").limit(1025).collect())
         if len(rows) > 1024:

@@ -4257,8 +4257,30 @@ def _span_clause_terms(clause: Any) -> tuple[str, tuple[str, ...]]:
                            f"regexp/fuzzy matches, got {mk!r}")
         fld, val = _single(mv)
         fuzziness = None
+        transpositions = False
+        prefix_length = 0
         if isinstance(val, dict):
+            # per-kind allowlist — unknown keys typed-reject, never
+            # silently dropped (r11; previously extra keys vanished)
+            allowed = {"value"} if mk != "fuzzy" else \
+                {"value", "fuzziness", "transpositions",
+                 "prefix_length"}
+            extra = set(val) - allowed
+            if extra:
+                raise DslError(
+                    f"span_multi {mk}: unsupported parameters "
+                    f"{sorted(extra)} (engine subset)")
             fuzziness = val.get("fuzziness")
+            transpositions = val.get("transpositions", False)
+            if not isinstance(transpositions, bool):
+                raise DslError("span_multi fuzzy: transpositions "
+                               "must be a boolean")
+            prefix_length = val.get("prefix_length", 0)
+            if isinstance(prefix_length, bool) \
+                    or not isinstance(prefix_length, int) \
+                    or prefix_length < 0:
+                raise DslError("span_multi fuzzy: prefix_length must "
+                               "be a non-negative integer")
             val = val.get("value")
         edits = 2
         if mk == "fuzzy":
@@ -4267,7 +4289,9 @@ def _span_clause_terms(clause: Any) -> tuple[str, tuple[str, ...]]:
             edits = fuzzy_edits(
                 _fuzzy_node(fld, _scalar(val),
                             (3, 6) if e is None else e))
-        return fld, (TermPattern(mk, _scalar(val), edits),)
+        return fld, (TermPattern(mk, _scalar(val), edits,
+                                 transpositions=transpositions,
+                                 prefix_length=prefix_length),)
     raise DslError(
         f"span clause {k!r} is not supported here (the engine "
         "composes span_term, span_or, and span_multi)")

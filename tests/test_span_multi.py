@@ -50,6 +50,26 @@ def test_wildcard_regexp_fuzzy_patterns(eng):
         == {1: 1, 2: 1}   # quest within 1 edit
 
 
+def test_fuzzy_pattern_transpositions_and_prefix(eng):
+    # 'uqest' is 'quest' with q-u swapped: DL 1, classic lev 2 — the
+    # shared fuzzy_token_cond drives the expansion (r11)
+    assert _rows(eng, _sm("fuzzy", "uqest", ',"fuzziness":1')) == {}
+    assert _rows(eng, _sm("fuzzy", "uqest",
+                          ',"fuzziness":1,"transpositions":true')) \
+        == {1: 1, 2: 1}
+    # prefix guard: juest~1 matches quest (one substitution), but
+    # prefix_length 1 requires a literal 'j' start — nothing survives
+    assert _rows(eng, _sm("fuzzy", "juest", ',"fuzziness":1')) \
+        == {1: 1, 2: 1}
+    assert _rows(eng, _sm("fuzzy", "juest",
+                          ',"fuzziness":1,"prefix_length":1')) == {}
+    # unknown pattern params typed-reject (previously silently dropped)
+    with pytest.raises(DslError, match="unsupported parameters"):
+        _rows(eng, _sm("prefix", "qu", ',"rewrite":"top_terms_10"'))
+    with pytest.raises(DslError, match="boolean"):
+        _rows(eng, _sm("fuzzy", "quast", ',"transpositions":"y"'))
+
+
 def test_inside_span_first_and_span_not(eng):
     first = _rows(eng, '{"query":{"span_first":{"match":'
                        '{"span_multi":{"match":{"prefix":{"text":'
