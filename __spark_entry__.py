@@ -1028,6 +1028,19 @@ def q_search_geotile_grid(spark, sf_dir):
     return eng.search_aggs("geo_events", q, default_field="event_type")
 
 
+def q_search_composite_geotile(spark, sf_dir):
+    # composite agg with a geotile_grid source (r11): string-keyset
+    # bucket walk — the `after` cursor prunes BEFORE aggregation on the
+    # tile-key expression, the property that makes walking every bucket
+    # of a 100 TB table feasible. Oracle re-derives the identical tile
+    # string (_geotile_sql) and replays the cursor as `tile > after`.
+    eng = _geo_events_engine(spark, sf_dir)
+    q = ('{"aggs":{"comp":{"composite":{"size":500,"sources":['
+         '{"tile":{"geotile_grid":{"field":"loc","precision":4}}}],'
+         '"after":{"tile":"4/3/9"}}}}}')
+    return eng.search_aggs("geo_events", q)
+
+
 def q_search_geo_metrics(spark, sf_dir):
     # A+ geo metric aggs (r9): geo_centroid (coordinate mean + point
     # count, ES GeoCentroid) and geo_bounds (enclosing box,
@@ -2592,6 +2605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_suggest": q_search_suggest,  # demoted r9 (green
         #   r05-r08; completion pinned by pytest + oracle kept)
         "search_geotile_grid": q_search_geotile_grid,  # r9 tail variant
+        "search_composite_geotile": q_search_composite_geotile,
+        #   ~ composite family (r11): geotile_grid source + keyset
+        #   cursor pruning before aggregation; oracle replays the tile
+        #   string and the cursor filter
         #   of in-window search_geohash_grid (same terms-style grid
         #   selection, web-mercator key math; oracle present)
         "search_geo_metrics": q_search_geo_metrics,  # r9 geo_centroid +
@@ -4292,6 +4309,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY doc_count DESC, key ASC
             LIMIT 40
+        """,
+        # composite geotile_grid source (r11): every tile bucket past
+        # the '4/3/9' cursor in STRING key order (the engine's
+        # documented pagination order), doc_count per tile
+        "search_composite_geotile": f"""
+            WITH g AS ({_GEO_CTE})
+            SELECT {_geotile_sql(4)} AS tile, COUNT(*)::BIGINT AS doc_count
+            FROM g
+            WHERE lat IS NOT NULL AND lon IS NOT NULL
+              AND {_geotile_sql(4)} > '4/3/9'
+            GROUP BY 1
+            ORDER BY tile ASC
+            LIMIT 500
         """,
         "search_geo_metrics": f"""
             WITH g AS ({_GEO_CTE})

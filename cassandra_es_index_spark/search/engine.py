@@ -4959,6 +4959,23 @@ class SearchEngine:
                 if s.kind == "terms":
                     k = ref.col
                     anchor_types.append(ref.dtype)
+                elif s.kind == "geotile_grid":
+                    # web-mercator "z/x/y" tile key (r11) — geotile's
+                    # expression tree is O(1) in precision, safe to
+                    # inline as a key expression (vs the staged
+                    # builders the plain grid agg uses for geohash's
+                    # O(precision) interleave). Keyset pagination
+                    # orders the STRING key — documented deviation
+                    # from ES's underlying-long order, identical
+                    # bucket membership.
+                    from cassandra_es_index_spark.functions import geo
+                    try:
+                        glat, glon = geo.geo_point_cols(
+                            ref.col, ref.dtype, s.field)
+                    except ValueError as e:
+                        raise es_dsl.DslError(str(e)) from e
+                    k = geo.geotile_key(glat, glon, s.precision)
+                    anchor_types.append(T.StringType())
                 elif s.kind == "histogram":
                     k = (F.floor(ref.col / F.lit(float(s.interval)))
                          * F.lit(float(s.interval)))
@@ -4980,7 +4997,12 @@ class SearchEngine:
                 raw_ordering.append((k, s.asc, nf))
                 out_ordering.append((F.col(s.name), s.asc, nf))
                 if not s.missing_bucket:
-                    g = ref.col.isNotNull()
+                    # geotile gates on the KEY: a geo_point struct of
+                    # two nulls is itself non-null, so the column test
+                    # would admit null points as a phantom bucket.
+                    # Plain columns keep the pushdown-able IsNotNull.
+                    g = k.isNotNull() if s.kind == "geotile_grid" \
+                        else ref.col.isNotNull()
                     gate = g if gate is None else gate & g
             src = filtered if gate is None else filtered.where(gate)
             if aggs.after is not None:

@@ -749,19 +749,25 @@ class BucketAgg:
 
 @dataclass(frozen=True)
 class CompositeSource:
-    """One composite-agg source: terms / histogram / date_histogram over
-    a field, ascending by default (``order: desc`` flips it).
-    ``missing_bucket`` keeps docs with a null source value as a null
-    bucket, sorted first ascending / last descending (ES default
-    missing_order)."""
+    """One composite-agg source: terms / histogram / date_histogram /
+    geotile_grid over a field, ascending by default (``order: desc``
+    flips it). ``missing_bucket`` keeps docs with a null source value
+    as a null bucket, sorted first ascending / last descending (ES
+    default missing_order). ``geotile_grid`` (r11) keys on the
+    web-mercator "z/x/y" tile of a geo_point field
+    (functions/geo.geotile_key) at ``precision`` (0-29, ES default 7);
+    pagination order is the tile key's STRING order — a documented
+    deviation from ES's underlying-long order with identical bucket
+    membership, mirrored exactly by a string-sorting oracle."""
     name: str
-    kind: str       # terms | histogram | date_histogram
+    kind: str       # terms | histogram | date_histogram | geotile_grid
     field: str
     interval: float | None = None
     calendar_interval: str | None = None
     fixed_interval: str | None = None
     asc: bool = True
     missing_bucket: bool = False
+    precision: int = 7
 
 
 @dataclass(frozen=True)
@@ -1806,11 +1812,27 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 raise DslError(f"composite source {sname!r} must have "
                                "exactly one kind")
             (skind, sparams), = sbody.items()
-            if skind not in ("terms", "histogram", "date_histogram"):
+            if skind not in ("terms", "histogram", "date_histogram",
+                             "geotile_grid"):
                 raise DslError(
                     f"unsupported composite source kind {skind!r}")
             if not isinstance(sparams, dict) or "field" not in sparams:
                 raise DslError(f"composite source {sname!r} needs a 'field'")
+            allowed_sp = {"field", "order", "missing_bucket"} | {
+                "terms": set(),
+                "histogram": {"interval"},
+                "date_histogram": {"calendar_interval",
+                                   "fixed_interval"},
+                "geotile_grid": {"precision"},
+            }[skind]
+            sp_extra = set(sparams) - allowed_sp
+            if sp_extra:
+                # no silent drops: a vanished interval/precision would
+                # change every bucket key without a signal
+                raise DslError(
+                    f"composite source {sname!r} ({skind}): "
+                    f"unsupported parameters {sorted(sp_extra)} "
+                    "(engine subset)")
             if skind == "histogram":
                 siv = sparams.get("interval")
                 if siv is None:
@@ -1824,6 +1846,14 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     and "fixed_interval" not in sparams:
                 raise DslError("date_histogram source needs a "
                                "'calendar_interval' or 'fixed_interval'")
+            sprec = 7
+            if skind == "geotile_grid":
+                sprec = sparams.get("precision", 7)
+                if isinstance(sprec, bool) or not isinstance(sprec, int) \
+                        or not 0 <= sprec <= 29:
+                    raise DslError(
+                        "geotile_grid source precision must be an "
+                        "integer in [0, 29] (ES zoom range)")
             order = sparams.get("order", "asc")
             if order not in ("asc", "desc"):
                 raise DslError(f"bad source order {order!r}")
@@ -1836,7 +1866,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 calendar_interval=sparams.get("calendar_interval"),
                 fixed_interval=sparams.get("fixed_interval"),
                 asc=order == "asc",
-                missing_bucket=mb))
+                missing_bucket=mb,
+                precision=sprec))
         names = [s.name for s in sources]
         if len(set(names)) != len(names):
             raise DslError("duplicate composite source names")

@@ -756,6 +756,41 @@ def test_geo_shape_multipolygon(geo_engine):
             {"query": {"geo_shape": {"loc": {"shape": bad}}}}))
 
 
+# ------------------------------- composite geotile_grid source (r11)
+
+def test_composite_geotile_grid_source(geo_engine):
+    # zoom-3 tiles (hand-derived from the pinned geotile vectors):
+    # Jutland rows 1-3 → 3/4/2, NYC rows 4-5 → 3/2/3, pole row 7 →
+    # 3/4/0; null row 6 drops (the KEY gate — a struct of two nulls
+    # is non-null, so a column gate would admit a phantom bucket).
+    # String-ordered keyset pagination, size 2 + after cursor.
+    q = ('{"aggs":{"comp":{"composite":{"size":2,"sources":['
+         '{"tile":{"geotile_grid":{"field":"loc","precision":3}}}]},'
+         '"aggs":{"w_sum":{"sum":{"field":"w"}}}}}}')
+    page1 = geo_engine.search_aggs("pts", q).collect()
+    assert [(r["tile"], r["doc_count"], r["w_sum"]) for r in page1] \
+        == [("3/2/3", 2, 90.0), ("3/4/0", 1, 70.0)]
+    q2 = ('{"aggs":{"comp":{"composite":{"size":2,"sources":['
+          '{"tile":{"geotile_grid":{"field":"loc","precision":3}}}],'
+          '"after":{"tile":"3/4/0"}}}}}')
+    page2 = geo_engine.search_aggs("pts", q2).collect()
+    assert [(r["tile"], r["doc_count"]) for r in page2] == [("3/4/2", 3)]
+    # missing_bucket keeps the null point as a null-key bucket
+    q3 = ('{"aggs":{"comp":{"composite":{"size":10,"sources":['
+          '{"tile":{"geotile_grid":{"field":"loc","precision":3,'
+          '"missing_bucket":true}}}]}}}}')
+    rows = geo_engine.search_aggs("pts", q3).collect()
+    assert [(r["tile"], r["doc_count"]) for r in rows] == [
+        (None, 1), ("3/2/3", 2), ("3/4/0", 1), ("3/4/2", 3)]
+    # typed errors: bad precision, unknown source params
+    with pytest.raises(DslError, match="precision"):
+        geo_engine.search_aggs("pts", q.replace('"precision":3',
+                                                '"precision":31'))
+    with pytest.raises(DslError, match="unsupported parameters"):
+        geo_engine.search_aggs("pts", q.replace('"precision"',
+                                                '"precison"'))
+
+
 # ------------------------------------ geo_shape indexed_shape (r11)
 # The query shape lives in ANOTHER registered table's document as a
 # GeoJSON string — the engine resolves it before compile with ONE
