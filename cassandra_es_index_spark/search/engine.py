@@ -1584,12 +1584,24 @@ class SearchEngine:
             if sf is False:
                 return result.select(
                     *[c for c in result.columns if c in meta])
+            picked: set[str] = set()
             for f in sf:
+                if "*" in f:
+                    # ES `*` glob (r11): a PATTERN is a filter, not a
+                    # reference — zero matches is valid (ES returns no
+                    # fields for it), only exact names typed-error
+                    pat = re.compile(
+                        "^" + ".*".join(re.escape(p)
+                                        for p in f.split("*")) + "$")
+                    picked.update(c for c in result.columns
+                                  if pat.fullmatch(c))
+                    continue
                 if f not in result.columns:
                     raise es_dsl.DslError(
                         f"_source field {f!r} is not in the result "
                         "(use load-source=true or row-load mode)")
-            keep = meta | set(sf)
+                picked.add(f)
+            keep = meta | picked
             return result.select(
                 *[c for c in result.columns if c in keep])
 

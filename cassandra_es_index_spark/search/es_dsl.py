@@ -1330,9 +1330,8 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             raise DslError(
                 "_source must be a boolean, a field name, or a "
                 "non-empty field-name list")
-        if source_filter is not False and any(
-                "*" in f for f in source_filter):
-            raise DslError("_source wildcard patterns are not supported")
+        # `*` glob patterns (r11) expand against the RESULT columns in
+        # the engine (apply_source_filter) — the parse is table-blind
     fspec = obj.get("fields")
     if fspec is not None:
         # ES 8 `fields` retrieval: the engine's flattened response has
@@ -1352,8 +1351,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 "fields must be a non-empty list of field names "
                 "(object entries carry 'format' — per-field "
                 "formatting is not supported, engine subset)")
-        if any("*" in f for f in fspec):
-            raise DslError("fields wildcard patterns are not supported")
+        # `*` glob patterns (r11) expand like _source's — in the engine
         source_filter = tuple(fspec)
     script_fields: tuple[tuple[str, str], ...] = ()
     sfspec = obj.get("script_fields")

@@ -271,7 +271,6 @@ def test_fields_retrieval_maps_to_projection(eng):
      '"format":"epoch_millis"}]}', "formatting is not supported"),
     ('{"query":{"match_all":{}},"fields":["title"],"_source":["text"]}',
      "one projection surface"),
-    ('{"query":{"match_all":{}},"fields":["ti*"]}', "wildcard"),
 ])
 def test_fields_typed_errors(eng, q, msg):
     with pytest.raises(DslError, match=msg):

@@ -3605,8 +3605,13 @@ def test_source_filtering(spark):
     assert set(out_h.columns) == {"id", "_score", "p2", "_highlight_body"}
     assert out_h.collect()[0]["p2"] == 20.0
     from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
-    with pytest.raises(DslError):
-        parse_request('{"query":{"match_all":{}},"_source":["a*"]}')
+    # `*` globs expand against the result columns (r11); a pattern is
+    # a filter, so zero matches is valid (ES) — exact names still typed
+    out_w = eng.search("src6", base % '["b*","pr*"]',
+                       default_field="body")
+    assert out_w.columns == ["id", "body", "price", "_score"]
+    out_n = eng.search("src6", base % '["zz*"]', default_field="body")
+    assert out_n.columns == ["id", "_score"]
     with pytest.raises(DslError):
         parse_request('{"query":{"match_all":{}},"_source":[]}')
     # missing column → typed error
