@@ -773,8 +773,13 @@ def test_composite_geotile_grid_source(geo_engine):
     q2 = ('{"aggs":{"comp":{"composite":{"size":2,"sources":['
           '{"tile":{"geotile_grid":{"field":"loc","precision":3}}}],'
           '"after":{"tile":"3/4/0"}}}}}')
-    page2 = geo_engine.search_aggs("pts", q2).collect()
+    out2 = geo_engine.search_aggs("pts", q2)
+    page2 = out2.collect()
     assert [(r["tile"], r["doc_count"]) for r in page2] == [("3/4/2", 3)]
+    # the after cursor prunes BEFORE aggregation on the tile-key
+    # expression (the walking-100TB-of-buckets property)
+    plan = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("Aggregate") < plan.index("Filter")
     # missing_bucket keeps the null point as a null-key bucket
     q3 = ('{"aggs":{"comp":{"composite":{"size":10,"sources":['
           '{"tile":{"geotile_grid":{"field":"loc","precision":3,'
