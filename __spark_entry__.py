@@ -404,6 +404,30 @@ def q_search_knn(spark, sf_dir):
     return out.withColumn("_score", F.round("_score", 6))
 
 
+def q_search_knn_clause(spark, sf_dir):
+    # ES 8.12 knn QUERY kind (r11): vector search as a composable bool
+    # clause — the engine resolves the top-num_candidates pool
+    # pre-compile into a ScoredIds literal (string-_id tiebreak), so
+    # it gates beside the term clause and the bool sums term tf (1) +
+    # the 6dp-rounded cosine. The oracle replays the pool (rounded
+    # ranking, VARCHAR-id tiebreak) and the intersection in SQL.
+    import json as _json
+    eng_key = _ck(spark, sf_dir, "eng:embeddings")
+    if eng_key not in _CACHE:
+        eng = SearchEngine(spark)
+        eng.register(_t(spark, sf_dir, "embeddings"),
+                     TableSpec("embeddings", ["vec_id"]))
+        _CACHE[eng_key] = eng
+    eng = _CACHE[eng_key]
+    dim = len(_t(spark, sf_dir, "embeddings").first()["embedding"])
+    q = _json.dumps({"size": 1000000, "query": {"bool": {"must": [
+        {"term": {"label": 3}},
+        {"knn": {"field": "embedding", "query_vector": [1.0] * dim,
+                 "num_candidates": 50}}]}}})
+    out = eng.search("embeddings", "#options:load-rows=false#" + q)
+    return out.withColumn("_score", F.round("_score", 6))
+
+
 def q_search_script_vector(spark, sf_dir):
     # ES standalone script_score query with the dense-vector painless
     # functions (r11): cosineSimilarity(params.qv, 'embedding') + 1.0
@@ -2622,6 +2646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   by element score; oracle present, pytest-checked;
         #   window-capped)
         "search_knn": q_search_knn,  # ES 8 knn through the DSL
+        "search_knn_clause": q_search_knn_clause,  # ~ knn family
+        #   (r11): the 8.12 knn QUERY kind composing inside bool —
+        #   candidate pool resolved pre-compile to a ScoredIds literal
         #   (oracle present, pytest-checked; window-capped; exact tier —
         #   approximate IVF/LSH routing graded by ann_recall's
         #   dsl_knn_ivf row)
@@ -2907,6 +2934,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings)
             SELECT vec_id, _score
             FROM q ORDER BY _score DESC, vec_id ASC LIMIT 20
+        """,
+        # knn QUERY kind (r11): top-50 cosine pool (6dp-rounded
+        # ranking, VARCHAR-id tiebreak — the engine ranks the resolved
+        # pool by the rounded score with a string-_id tie) ∩ label=3;
+        # bool-must score = term tf (1) + the pooled cosine
+        "search_knn_clause": """
+            WITH q AS (
+                SELECT vec_id, label,
+                       ROUND(list_cosine_similarity(
+                           embedding::DOUBLE[],
+                           list_transform(embedding, x -> 1.0)), 6)
+                           AS cs
+                FROM embeddings),
+            pool AS (
+                SELECT vec_id, cs FROM q
+                ORDER BY cs DESC, CAST(vec_id AS VARCHAR) ASC
+                LIMIT 50)
+            SELECT q.vec_id, ROUND(1.0 + pool.cs, 6) AS _score
+            FROM q JOIN pool USING (vec_id)
+            WHERE q.label = 3
         """,
         # r6 hybrid: knn top-5 ∪ label=9 matches, scores sum where both
         "search_knn_hybrid": """

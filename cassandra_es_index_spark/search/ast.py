@@ -178,6 +178,40 @@ class Ids(Node):
 
 
 @dataclass(frozen=True)
+class KnnClause(Node):
+    """ES 8.12+ ``knn`` QUERY kind — vector search as a composable
+    bool clause (vs the top-level ``knn`` SECTION): ``{"knn": {
+    "field": f, "query_vector": [...], "num_candidates": N, "k": k,
+    "filter": {...}, "similarity": s}}``. A DATA-DRIVEN node: the
+    engine resolves it before compile
+    (``SearchEngine._expand_data_nodes``) by running the vector search
+    (IVF-served when an index exists, exact cosine otherwise — the
+    same routing as the section form) for the top ``num_candidates``
+    docs (≤ 10000, the ES ceiling; ``k`` truncates further,
+    ``similarity`` floors the raw cosine, ``filter`` pre-gates), and
+    rewrites to a ``ScoredIds`` literal — so the clause composes with
+    the rest of the bool tree as an ordinary scored leaf. Compiling
+    the raw node without the engine is a typed CompileError."""
+    field: str
+    vector: tuple = ()
+    num_candidates: int = 100
+    k: int | None = None
+    filter_node: "Node | None" = None
+    similarity: float | None = None
+
+
+@dataclass(frozen=True)
+class ScoredIds(Node):
+    """Literal ``(_id → cosine)`` pairs — the RESOLVED form of a
+    ``KnnClause``. Compiles to one constant-folded map literal probed
+    by ``_id`` (Catalyst folds the all-literal map into a single
+    runtime object — no codegen blowup at the 10k ES ceiling, pinned);
+    predicate = containment, score = the DOUBLE similarity (a
+    fractional scorer: the root cast stays double)."""
+    pairs: tuple = ()   # ((id, score), ...)
+
+
+@dataclass(frozen=True)
 class MatchAll(Node):
     """``*:*`` / ES ``match_all``."""
 

@@ -34,8 +34,9 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax,
     DistanceFeature, Exists,
     FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists,
-    GeoPolygon, GeoShapeLookup, Fuzzy, Ids, IntervalsMatch, MatchAll,
-    MatchNone, MoreLikeThis,
+    GeoPolygon, GeoShapeLookup, Fuzzy, Ids, IntervalsMatch, KnnClause,
+    MatchAll,
+    MatchNone, MoreLikeThis, ScoredIds,
     Nested, Node, Not, Or,
     Phrase, Range,
     RandomScore, RankFeature, Regexp,
@@ -492,7 +493,7 @@ def has_fractional_scorer(node: Node) -> bool:
 
     if isinstance(node, (ScriptScore, DecayScore, RandomScore,
                          FunctionScoreArray, RankFeature,
-                         DistanceFeature)):
+                         DistanceFeature, ScoredIds, KnnClause)):
         return True
     if is_dataclass(node):
         for f in dc_fields(node):
@@ -993,6 +994,31 @@ class Compiler:
                 "lives in another table's document) — run it through "
                 "SearchEngine, which resolves it before compile "
                 "(_expand_data_nodes)")
+        if isinstance(node, KnnClause):
+            raise CompileError(
+                "the knn query clause is data-driven (a vector search "
+                "resolves its candidate pool) — run it through "
+                "SearchEngine, which resolves it before compile "
+                "(_expand_data_nodes)")
+        if isinstance(node, ScoredIds):
+            # resolved knn clause: ONE all-literal map (Catalyst
+            # constant-folds it to a single runtime object — no
+            # codegen blowup at the 10k ES ceiling) probed by _id;
+            # backslash-escaped SQL literals keep arbitrary doc ids
+            # safe
+            if not any(f.name == "_id" for f in self.schema.fields):
+                raise CompileError(
+                    "knn clause needs the _id document field")
+            if not node.pairs:
+                return F.lit(False), F.lit(0.0)
+
+            def esc(s: str) -> str:
+                return s.replace("\\", "\\\\").replace("'", "\\'")
+
+            entries = ", ".join(
+                f"'{esc(i)}', {float(s)!r}D" for i, s in node.pairs)
+            score = F.expr(f"map({entries})")[F.col("_id")]
+            return score.isNotNull(), F.coalesce(score, F.lit(0.0))
         if isinstance(node, ScriptFilter):
             # filter-context script: the pre-translated SQL boolean over
             # document columns; NULL (null ref, try_divide 0) → no match.

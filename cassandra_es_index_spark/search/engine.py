@@ -915,7 +915,8 @@ class SearchEngine:
         from dataclasses import is_dataclass, replace
 
         from cassandra_es_index_spark.search.ast import (
-            And, GeoShapeLookup, Ids, MatchNone, MoreLikeThis, Not, Or,
+            And, GeoShapeLookup, Ids, KnnClause, MatchNone, MoreLikeThis,
+            Not, Or, ScoredIds,
             SpanContaining,
             SpanFirst, SpanNot, SpanOr, Term, TermPattern,
             TermsLookup, TermsSet,
@@ -1039,6 +1040,81 @@ class SearchEngine:
                 return MatchNone()
             return Or(tuple(Term(n.field, str(x)) for x in vals))
 
+        def expand_knn_clause(n: KnnClause) -> Node:
+            # knn QUERY kind (r11): resolve the top-num_candidates
+            # (doc _id → cosine) pairs pre-compile — IVF-served when an
+            # index exists (cell-pruned, the 100 TB path), exact cosine
+            # top-N otherwise — and rewrite to the ScoredIds literal.
+            # The collect is bounded by num_candidates ≤ 10000 (ES
+            # ceiling); scores round to 6 dp like the knn section.
+            from pyspark.sql import types as T
+
+            from cassandra_es_index_spark.operators.similarity import (
+                as_double_array, cosine, ivf_topk,
+            )
+
+            comp_n = comp()
+            ref = comp_n.resolve(n.field)
+            if not isinstance(ref.dtype, T.ArrayType):
+                raise es_dsl.DslError(
+                    f"knn query field {n.field!r} must be an array "
+                    "vector column")
+            if (table, n.field) in self._ivf:
+                _, spec = self.catalog.get(table)
+                id_col = self._postings_id_col(spec)
+                indexed, centroids = self._ivf[(table, n.field)]
+                n_cells = len(centroids)
+                avg_cell = max(1, self._corpus_size(table)
+                               // max(1, n_cells))
+                nprobe = min(n_cells,
+                             max(1, -(-n.num_candidates // avg_cell)))
+                cand_src = indexed
+                if n.filter_node is not None:
+                    fpred, _ = comp_n.compile(n.filter_node)
+                    fids = docs.where(fpred).select(
+                        F.col(id_col)
+                         .cast(indexed.schema["corpus_id"].dataType)
+                         .alias("corpus_id"))
+                    cand_src = indexed.join(fids, "corpus_id",
+                                            "left_semi")
+                qdf = self.spark.createDataFrame(
+                    [(0, [float(v) for v in n.vector])],
+                    "query_id int, qvec array<double>")
+                cand = ivf_topk(cand_src, centroids, qdf, "query_id",
+                                "qvec", k=n.num_candidates,
+                                nprobe=nprobe)
+                id_map = docs.select(
+                    F.col(id_col).cast(
+                        cand.schema["corpus_id"].dataType)
+                     .alias("corpus_id"), "_id")
+                rows = (cand.join(F.broadcast(id_map), "corpus_id")
+                        .select("_id",
+                                F.round(F.col("cos_sim"), 6)
+                                 .alias("_s"))
+                        .collect())
+            else:
+                frame = docs
+                if n.filter_node is not None:
+                    fpred, _ = comp_n.compile(n.filter_node)
+                    frame = frame.where(fpred)
+                qv = F.lit([float(v) for v in n.vector]) \
+                    .cast("array<double>")
+                rows = (frame.withColumn(
+                            "_s", F.round(
+                                cosine(as_double_array(ref.col), qv),
+                                6))
+                        .where(F.col("_s").isNotNull())
+                        .orderBy(F.desc("_s"), F.asc("_id"))
+                        .limit(n.num_candidates)
+                        .select("_id", "_s").collect())
+            pairs = sorted(((r["_id"], float(r["_s"])) for r in rows),
+                           key=lambda p: (-p[1], p[0]))
+            if n.similarity is not None:
+                pairs = [p for p in pairs if p[1] >= n.similarity]
+            if n.k is not None:
+                pairs = pairs[:n.k]
+            return ScoredIds(tuple(pairs))
+
         def expand_shape_lookup(n: GeoShapeLookup) -> Node:
             # geo_shape indexed_shape (r11): ONE id-filtered row fetch
             # against the registered shape table (bounded: one doc),
@@ -1152,6 +1228,8 @@ class SearchEngine:
                 return expand_lookup(node)
             if isinstance(node, GeoShapeLookup):
                 return expand_shape_lookup(node)
+            if isinstance(node, KnnClause):
+                return expand_knn_clause(node)
             if has_pattern(node):
                 return expand_span(node)
             if isinstance(node, Node) and is_dataclass(node):
@@ -1180,7 +1258,7 @@ class SearchEngine:
 
         def probe(x):
             if isinstance(x, (MoreLikeThis, TermsLookup,
-                              GeoShapeLookup)) \
+                              GeoShapeLookup, KnnClause)) \
                     or has_pattern(x):
                 found.append(x)
             if isinstance(x, Node) and is_dataclass(x):

@@ -26,7 +26,7 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, DistanceFeature, Exists,
     FunctionScore,
     FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists, GeoPolygon,
-    GeoShapeLookup,
+    GeoShapeLookup, KnnClause,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone,
     MoreLikeThis, Nested,
     Node, Not, Or,
@@ -3279,6 +3279,60 @@ def _node(q: dict[str, Any]) -> Node:
             return MatchAll()
         node = parts[0] if len(parts) == 1 else And(tuple(parts))
         return _boosted(node, body.get("boost"))
+    if kind == "knn":
+        # ES 8.12+ knn QUERY kind (vs the top-level knn SECTION): a
+        # vector search usable as an ordinary bool clause — in should
+        # it adds similarity to the score, in must/filter it gates to
+        # the candidate pool. Data-driven (ast.KnnClause): the engine
+        # resolves the top-num_candidates docs pre-compile (IVF-served
+        # when an index exists, exact cosine otherwise) into a
+        # ScoredIds literal. Engine defaults num_candidates to 100
+        # when neither it nor k is given (documented — ES derives it
+        # from k).
+        if not isinstance(body, dict):
+            raise DslError("knn query needs an object body")
+        extra = set(body) - {"field", "query_vector", "num_candidates",
+                             "k", "filter", "similarity", "boost"}
+        if extra:
+            raise DslError(f"knn query: unsupported parameters "
+                           f"{sorted(extra)} (engine subset)")
+        fld = body.get("field")
+        if not isinstance(fld, str):
+            raise DslError("knn query needs a 'field' string")
+        vec = body.get("query_vector")
+        if not isinstance(vec, list) or not vec or not all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                for x in vec):
+            raise DslError(
+                "knn query needs a non-empty numeric 'query_vector'")
+        kk = body.get("k")
+        if kk is not None and (isinstance(kk, bool)
+                               or not isinstance(kk, int) or kk < 1):
+            raise DslError("knn query k must be a positive integer")
+        nc = body.get("num_candidates",
+                      kk if kk is not None else 100)
+        if isinstance(nc, bool) or not isinstance(nc, int) \
+                or not 1 <= nc <= 10000:
+            raise DslError("knn query num_candidates must be an "
+                           "integer in [1, 10000] (the ES ceiling)")
+        if kk is not None and kk > nc:
+            raise DslError("knn query k cannot exceed num_candidates")
+        sim = body.get("similarity")
+        if sim is not None and (isinstance(sim, bool)
+                                or not isinstance(sim, (int, float))):
+            raise DslError("knn query similarity must be a number")
+        fnode: Node | None = None
+        if "filter" in body:
+            parts = tuple(_node(f) for f in _as_list(body["filter"]))
+            if not parts:
+                raise DslError("knn query filter cannot be empty")
+            fnode = parts[0] if len(parts) == 1 \
+                else And(tuple(Scoreless(p) for p in parts))
+        return _boosted(
+            KnnClause(fld, tuple(float(x) for x in vec),
+                      num_candidates=nc, k=kk, filter_node=fnode,
+                      similarity=None if sim is None else float(sim)),
+            body.get("boost"))
     if kind == "wrapper":
         # ES wrapper query: base64-encoded JSON query, decoded and parsed
         import base64 as _b64

@@ -2768,6 +2768,82 @@ def test_knn_search_exact_topk(spark):
     assert req2.knn[7] is False
 
 
+def test_knn_query_clause_composes_in_bool(spark):
+    """ES 8.12 knn QUERY kind (r11): vector search as a bool clause —
+    the engine resolves the candidate pool pre-compile into a
+    ScoredIds literal, so it gates in must/filter and adds similarity
+    in should."""
+    import json
+    eng = SearchEngine(spark)
+    rows = [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+            (3, [0.0, 1.0], "b"), (4, [0.7, 0.7], "b")]
+    eng.register(spark.createDataFrame(
+        rows, "id long, vec array<double>, tag string"),
+        TableSpec("knnq", ["id"]))
+
+    def run(q):
+        out = eng.search("knnq", "#options:load-rows=false#"
+                         + json.dumps(q))
+        return {r["id"]: r["_score"] for r in out.collect()}
+
+    # standalone: scores are the (6dp-rounded) cosines; k truncates
+    got = run({"query": {"knn": {"field": "vec",
+                                 "query_vector": [1.0, 0.0], "k": 2}}})
+    assert sorted(got) == [1, 2] and got[1] == 1.0
+    assert abs(got[2] - 0.993884) < 1e-6
+    # must-gate beside a term clause: knn pool ∩ tag=a
+    got = run({"query": {"bool": {
+        "must": [{"term": {"tag": "a"}},
+                 {"knn": {"field": "vec", "query_vector": [1.0, 0.0],
+                          "num_candidates": 3}}]}}})
+    assert sorted(got) == [1, 2]        # doc 4 in pool but tag=b
+    # similarity floor drops below-threshold candidates
+    got = run({"query": {"knn": {"field": "vec",
+                                 "query_vector": [1.0, 0.0],
+                                 "num_candidates": 4,
+                                 "similarity": 0.9}}})
+    assert sorted(got) == [1, 2]
+    # filter pre-gates the pool (all candidates satisfy it)
+    got = run({"query": {"knn": {"field": "vec",
+                                 "query_vector": [1.0, 0.0], "k": 2,
+                                 "filter": {"term": {"tag": "b"}}}}})
+    assert sorted(got) == [3, 4] and got[4] > got[3]
+    # IVF route: with an index built the clause resolves through the
+    # cell-pruned candidate join — wide probe covers the whole tiny
+    # corpus, so the pool (and scores) match the exact route
+    exact = run({"query": {"knn": {"field": "vec",
+                                   "query_vector": [1.0, 0.0],
+                                   "num_candidates": 4}}})
+    eng.build_ivf_index("knnq", "vec", n_cells=2, n_iters=2)
+    served = run({"query": {"knn": {"field": "vec",
+                                    "query_vector": [1.0, 0.0],
+                                    "num_candidates": 4}}})
+    assert served == exact
+    # typed errors
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    for bad, msg in [
+        ({"field": "vec", "query_vector": [1.0, 0.0],
+          "num_candidates": 20000}, "10000"),
+        ({"field": "vec", "query_vector": [1.0, 0.0], "k": 5,
+          "num_candidates": 2}, "cannot exceed"),
+        ({"field": "vec", "query_vector": []}, "query_vector"),
+        ({"field": "tag", "query_vector": [1.0]}, "array vector"),
+        ({"field": "vec", "query_vector": [1.0, 0.0],
+          "routing": "x"}, "unsupported parameters"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            eng.search("knnq", json.dumps({"query": {"knn": bad}}))
+    # raw compile without the engine is typed (data-driven node)
+    from cassandra_es_index_spark.search.ast import KnnClause
+    from cassandra_es_index_spark.search.compile import (
+        Compiler, CompileError,
+    )
+    with pytest.raises(CompileError, match="data-driven"):
+        Compiler(spark.createDataFrame(rows,
+                 "id long, vec array<double>, tag string"),
+                 None).compile(KnnClause("vec", (1.0,)))
+
+
 # ---------------------------------------------------------------------------
 # DSL knn ANN routing (round 6 — r05 weak #1)
 # ---------------------------------------------------------------------------
