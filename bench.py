@@ -27,8 +27,20 @@ import statistics
 import sys
 import time
 
-import __spark_entry__ as entrymod
-from cassandra_es_index_spark import get_spark
+# The bench JVM accumulates every family's cached fixtures (documents +
+# postings + positional + geo + nested + retriever frames — 60+ queries
+# by r11): at the engine's conservative 16g default the heap starts
+# GC-thrashing mid-suite, inflating an arbitrary cluster of mid-list
+# queries 2-3x (r11 finding: tpch_q1 0.82s at 16g vs 0.30s at 48g on
+# the SAME idle box — phantom regressions of exactly the class the
+# anchor gate exists to catch, but uniform-inflation detection misses
+# because GC pressure ramps with suite position, not machine load).
+# The bench owns its measurement environment: default the heap high;
+# an explicit SPARK_GRAFT_DRIVER_MEM still wins.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from cassandra_es_index_spark import get_spark  # noqa: E402
 
 # The suite's large-shuffle queries: timed on an otherwise-empty executor
 # heap (only the shared documents cache), in suite order before bench_prepare.
@@ -112,23 +124,28 @@ def _run(queries, name, spark, sf_dir, best_of, timings):
     try:
         fn = queries[name]
         # best-of-n to shave single-JVM scheduling noise; every run fully
-        # materializes via the noop sink. Sub-second entries swing ±70%
-        # at best-of-2 even on an idle box (r9: phantom 1.8× regressions
-        # a judge re-run disproved), so they extend to 3 runs and record
-        # the MEDIAN — one inflated or one lucky run can't move the
-        # recorded number.
+        # materializes via the noop sink. Entries under the median
+        # threshold swing wildly at best-of-2 even on an idle box (r9:
+        # ±70% on sub-second queries, phantom 1.8× regressions a judge
+        # re-run disproved; r11: a 0.3 s query recorded 2.0 s when both
+        # of its runs landed in one GC wave), so they extend to 3 runs
+        # and record the MEDIAN — one inflated or one lucky run can't
+        # move the recorded number. Threshold 3.0 s covers the 1-3 s
+        # band that previously recorded min-of-2 (r11 widening; only
+        # the genuinely heavy multi-second entries keep best-of min,
+        # where run-to-run variance is proportionally small).
         times = []
         for _ in range(best_of):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - start)
-        while min(times) < 1.0 and len(times) < 3:
+        while min(times) < 3.0 and len(times) < 3:
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop") \
                              .mode("overwrite").save()
             times.append(time.perf_counter() - start)
-        value = (statistics.median(times) if min(times) < 1.0
+        value = (statistics.median(times) if min(times) < 3.0
                  else min(times))
         timings[name] = round(value, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
@@ -172,7 +189,15 @@ def main() -> None:
         # regression. The gate only arms at the sf it was calibrated
         # for (sf0.1, the driver's per-round scale).
         anchor = HEAVY[0]
-        gate = float(os.environ.get("SPARK_GRAFT_ANCHOR_GATE", "2.8"))
+        # Gate recalibrated for the 48g bench heap (r11): the anchor's
+        # early-suite median reads 2.6-3.2 s idle at 48g (vs 2.5-2.6 s
+        # at the old 16g heap — larger young gen shifts the minhash
+        # shuffle's GC profile), and a busy box inflates it 25-30% to
+        # 4 s+. 3.5 separates the two; the recorded heap size rides the
+        # JSON so a future recalibration has the context.
+        gate = float(os.environ.get("SPARK_GRAFT_ANCHOR_GATE", "3.5"))
+        build["driver_mem"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                             "16g")
         readings = [timings.get(anchor)]
         if sf == 0.1 and isinstance(readings[0], float) \
                 and readings[0] > gate:
