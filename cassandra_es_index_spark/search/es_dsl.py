@@ -2540,16 +2540,21 @@ def _node(q: dict[str, Any]) -> Node:
         msm = None
         transpositions = False
         prefix_length = 0
+        ztq = "none"
         if isinstance(value, dict):
             extra = set(value) - {"query", "fuzziness", "boost",
                                   "operator", "minimum_should_match",
                                   "fuzzy_transpositions",
-                                  "prefix_length"}
+                                  "prefix_length", "zero_terms_query"}
             if extra:
                 # reject rather than silently drop — a dropped operator
                 # changes the match set with no signal (r9)
                 raise DslError(f"match: unsupported parameters "
                                f"{sorted(extra)} (engine subset)")
+            ztq = str(value.get("zero_terms_query", "none")).lower()
+            if ztq not in ("none", "all"):
+                raise DslError("match: zero_terms_query must be "
+                               "'none' or 'all' (ES contract)")
             fuzziness = value.get("fuzziness")
             # fuzzy modifiers without fuzziness do nothing in ES —
             # the engine rejects the inoperative combination instead
@@ -2584,9 +2589,10 @@ def _node(q: dict[str, Any]) -> Node:
         # the TermsSet machinery, Σ-matched-tf score)
         tokens = str(value).split()
         if not tokens:
-            # ES: match on empty/whitespace text analyzes to zero
-            # tokens → MatchNoDocs, not an error
-            return MatchNone()
+            # ES zero_terms_query: empty/whitespace text analyzes to
+            # zero tokens → MatchNoDocs by default; 'all' (r11) flips
+            # to match_all (the stopword-analyzer escape hatch)
+            return MatchAll() if ztq == "all" else MatchNone()
         edits = _fuzziness_edits(fuzziness)
         if msm is not None:
             if operator == "and":
@@ -2669,19 +2675,22 @@ def _node(q: dict[str, Any]) -> Node:
         field, value = _single(body)
         slop = 0
         boost = None
+        ztq = "none"
         if isinstance(value, dict):
             _leaf_params("match_phrase", value,
                          {"query", "slop", "boost", "zero_terms_query"})
-            if value.get("zero_terms_query", "none") != "none":
-                raise DslError("match_phrase: only zero_terms_query "
-                               "'none' is supported (engine subset)")
+            ztq = str(value.get("zero_terms_query", "none")).lower()
+            if ztq not in ("none", "all"):
+                raise DslError("match_phrase: zero_terms_query must be "
+                               "'none' or 'all' (ES contract)")
             slop = int(value.get("slop", 0))
             boost = value.get("boost")
             value = value.get("query")
         if not str(value).split():
-            # ES: empty analyzed phrase matches NO docs (not all) —
-            # mirror of the match_phrase_prefix empty guard
-            return MatchNone()
+            # ES zero_terms_query: an empty analyzed phrase matches NO
+            # docs by default; 'all' (r11) flips it to match_all — the
+            # stopword-analyzer escape hatch
+            return MatchAll() if ztq == "all" else MatchNone()
         return _boosted(Phrase(field, str(value), slop), boost)
     if kind == "terms_set":
         # {"terms_set": {f: {"terms": [...],

@@ -108,9 +108,25 @@ def test_multi_match_cross_fields_token_major(eng):
     assert got_or == {1: 2, 2: 3, 3: 1, 4: 2, 5: 3}
 
 
+def test_zero_terms_query(eng):
+    # ES zero_terms_query (r11): zero analyzed tokens → MatchNoDocs by
+    # default, match_all under 'all' (the stopword-analyzer escape
+    # hatch); a non-empty query is unaffected by the parameter
+    base = '{"query":{"match":{"text":{"query":"%s"%s}}}}'
+    assert _rows(eng, base % ("  ", "")) == {}
+    got = _rows(eng, base % ("  ", ',"zero_terms_query":"all"'))
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    assert _rows(eng, base % ("a", ',"zero_terms_query":"all"')) \
+        == _rows(eng, base % ("a", ""))
+    phr = ('{"query":{"match_phrase":{"text":{"query":"   ",'
+           '"zero_terms_query":"all"}}}}')
+    assert sorted(_rows(eng, phr)) == [1, 2, 3, 4, 5]
+    with pytest.raises(DslError, match="'none' or 'all'"):
+        eng.search("mp", '{"query":{"match":{"text":{"query":"a",'
+                         '"zero_terms_query":"maybe"}}}}')
+
+
 @pytest.mark.parametrize("q, msg", [
-    ('{"query":{"match":{"text":{"query":"a",'
-     '"zero_terms_query":"all"}}}}', "unsupported parameters"),
     ('{"query":{"match":{"text":{"query":"a b","operator":"and",'
      '"minimum_should_match":2}}}}', "inoperative"),
     ('{"query":{"match":{"text":{"query":"a b","operator":"xor"}}}}',
@@ -229,7 +245,7 @@ def test_bool_typed_errors(eng, q, msg):
     ('{"query":{"match_phrase":{"text":{"query":"a b",'
      '"analyzer":"simple"}}}}', "unsupported parameters"),
     ('{"query":{"match_phrase":{"text":{"query":"a b",'
-     '"zero_terms_query":"all"}}}}', "zero_terms_query"),
+     '"zero_terms_query":"any"}}}}', "zero_terms_query"),
 ])
 def test_leaf_param_typed_errors(eng, q, msg):
     with pytest.raises(DslError, match=msg):
