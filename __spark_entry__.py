@@ -1748,6 +1748,19 @@ def q_events_json_props(spark, sf_dir):
                    F.round(F.avg("value"), 4).alias("avg_value")))
 
 
+def q_text_unigram_xent(spark, sf_dir):
+    # CCNet-style LM quality signal (r11, operators/lm_score.py): per-
+    # document unigram cross-entropy under the corpus' own add-0.5-
+    # smoothed model (CCNet bootstrap mode) — low = reads like the
+    # corpus, high = noise. One vocab aggregation + one token-joined
+    # per-doc average; the oracle replays the identical double math
+    # (every token is in-vocabulary in self-model mode), both sides
+    # rounded 4dp.
+    from cassandra_es_index_spark.operators import lm_score
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score.cross_entropy_score(docs, "doc_id", "text")
+
+
 def q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # tokenize ONCE (the split stays in its own projection — CollapseProject
@@ -2582,6 +2595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (green r04; same cosine kernel, join variant pytest-covered)
         "text_bpe_tokens": q_text_bpe_tokens,  # ~ text_stats
         #   (green r04; tokenizer family kept by text_stats)
+        "text_unigram_xent": q_text_unigram_xent,  # ~ text family
+        #   (r11): CCNet-style unigram cross-entropy quality signal
         "text_quality_lang": q_text_quality_lang,  # ~ text_stats
         #   (green r01-r05; quality/lang heuristics pytest-covered)
         "doc_grouping": q_doc_grouping,  # ~ doc_build + tpch_q1 groupBy
@@ -4577,6 +4592,26 @@ def oracle_sql() -> dict[str, str]:
                          d -> len(list_filter(toks, t -> t = d)))) / n, 6)
                        AS top_token_share
             FROM g
+        """,
+        # CCNet-style unigram cross-entropy (r11): self-model with
+        # add-0.5 smoothing — every token is in-vocabulary, so the
+        # oracle needs no unseen branch; ROUND 4dp on both sides
+        # absorbs summation-order ulps
+        "text_unigram_xent": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS token
+                FROM documents),
+            m AS (SELECT token, COUNT(*)::DOUBLE AS c
+                  FROM tok GROUP BY token),
+            tot AS (SELECT SUM(c) AS n, COUNT(*)::DOUBLE AS v FROM m)
+            SELECT tok.doc_id,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   ROUND(-AVG(ln((m.c + 0.5)
+                                 / (tot.n + 0.5 * tot.v))), 4) AS xent
+            FROM tok JOIN m USING (token) CROSS JOIN tot
+            GROUP BY tok.doc_id
         """,
         "text_quality_lang": f"""
             SELECT doc_id,

@@ -86,6 +86,7 @@ HEADLINE = [
     "events_sessionize",
     "events_json_props",
     "text_stats",
+    "text_unigram_xent",  # CCNet-style LM quality signal (r11)
     "pii_redact",           # 4-pass regexp_replace chain + audit counts (r11)
     "contamination_flag",   # benchmark n-gram broadcast probe (r11)
     "dedup_exact",

@@ -602,3 +602,39 @@ def test_ngram_contamination_broadcast_and_parity(spark):
     # the benchmark side broadcasts — no corpus-side shuffle join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_unigram_cross_entropy_hand_case(spark):
+    """CCNet-style LM scoring (operators/lm_score.py, r11): hand-check
+    the add-k math on a 3-doc corpus. Corpus tokens: a×3 b×2 c×2 →
+    N=7, V=3, denom=8.5; p(a)=3.5/8.5, p(b)=p(c)=2.5/8.5."""
+    import math
+
+    from cassandra_es_index_spark.operators import lm_score
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "c")], "id int, t string")
+    out = {r["id"]: (r["n_tokens"], r["xent"])
+           for r in lm_score.cross_entropy_score(
+               docs, "id", "t").collect()}
+    la, lb, lc = (math.log(3.5 / 8.5), math.log(2.5 / 8.5),
+                  math.log(2.5 / 8.5))
+    assert out[1] == (3, round(-(2 * la + lb) / 3, 4))
+    assert out[2] == (3, round(-(la + lb + lc) / 3, 4))
+    assert out[3] == (1, round(-lc, 4))
+    # reference-model mode: score against ANOTHER corpus' model —
+    # 'd' is unseen there and takes the ln(k/denom) mass
+    ref = lm_score.unigram_model(
+        spark.createDataFrame([(9, "a a b")], "id int, t string"), "t")
+    scored = {r["id"]: r["xent"] for r in lm_score.cross_entropy_score(
+        spark.createDataFrame([(4, "a d")], "id int, t string"),
+        "id", "t", model=ref).collect()}
+    # ref: N=3, V=2 → denom=4; p(a)=2.5/4, unseen=0.5/4
+    want = round(-(math.log(2.5 / 4) + math.log(0.5 / 4)) / 2, 4)
+    assert scored == {4: want}
+    with pytest.raises(ValueError, match="k must be"):
+        lm_score.cross_entropy_score(docs, "id", "t", k=0)
+    # the scoring plan joins exploded tokens to the vocab — no UDF,
+    # no crossJoin
+    plan = lm_score.cross_entropy_score(docs, "id", "t") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan
