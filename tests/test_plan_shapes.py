@@ -327,3 +327,41 @@ def test_contamination_probe_broadcasts(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_damerau_fuzzy_served_from_dictionary(parquet_engine):
+    # transpositions=true must stay dictionary-served: the DL predicate
+    # (term-side literal swaps + one token-side exists) filters the
+    # VOCABULARY, the corpus is never re-tokenized (no regexp scan)
+    import json
+    parquet_engine.build_postings_index("documents_plan", "text")
+    q = json.dumps({"query": {"fuzzy": {"text": {
+        "value": "sprak", "fuzziness": 1, "transpositions": True,
+        "prefix_length": 2}}}})
+    out = parquet_engine.search("documents_plan",
+                                "#options:load-rows=false#" + q)
+    plan = _plan(out)
+    assert "regexp_extract_all" not in plan
+    assert "levenshtein" in plan          # the DL cond over tokens
+
+
+def test_knn_clause_resolves_to_constant_map_probe(parquet_engine):
+    # the resolved knn clause is ONE constant-folded map literal probed
+    # by _id — no join, no second corpus pass in the final plan
+    import json
+    from cassandra_es_index_spark.sources import read_parquet as rp
+    eng = SearchEngine(parquet_engine.spark)
+    eng.register(rp(parquet_engine.spark, f"{SF_DIR}/embeddings.parquet"),
+                 TableSpec("emb_plan", ["vec_id"]))
+    q = json.dumps({"query": {"bool": {"must": [
+        {"term": {"label": 3}},
+        {"knn": {"field": "embedding",
+                 "query_vector": [1.0] * 8, "num_candidates": 20}}]}}})
+    dim = len(rp(parquet_engine.spark,
+                 f"{SF_DIR}/embeddings.parquet").first()["embedding"])
+    q = q.replace('[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]',
+                  str([1.0] * dim))
+    out = eng.search("emb_plan", "#options:load-rows=false#" + q)
+    plan = _plan(out)
+    assert "keys:" in plan            # the folded map literal
+    assert "Join" not in plan         # probe, not a join
