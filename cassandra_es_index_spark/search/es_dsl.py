@@ -3070,10 +3070,14 @@ def _node(q: dict[str, Any]) -> Node:
         extra = set(body) - {"query", "fields", "fuzziness", "boost",
                              "type", "tie_breaker", "operator",
                              "minimum_should_match", "slop",
-                             "max_expansions"}
+                             "max_expansions", "zero_terms_query"}
         if extra:
             raise DslError(f"multi_match: unsupported parameters "
                            f"{sorted(extra)} (engine subset)")
+        mm_ztq = str(body.get("zero_terms_query", "none")).lower()
+        if mm_ztq not in ("none", "all"):
+            raise DslError("multi_match: zero_terms_query must be "
+                           "'none' or 'all' (ES contract)")
         mm_type = body.get("type", "best_fields")
         if mm_type not in ("most_fields", "best_fields", "cross_fields",
                            "phrase", "phrase_prefix", "bool_prefix"):
@@ -3144,7 +3148,9 @@ def _node(q: dict[str, Any]) -> Node:
                                "subset)")
         tokens = str(body["query"]).split()
         if not tokens:
-            return MatchNone()  # zero analyzed tokens → MatchNoDocs
+            # zero analyzed tokens → MatchNoDocs; 'all' flips to
+            # match_all (zero_terms_query, r11 — same as match)
+            return MatchAll() if mm_ztq == "all" else MatchNone()
         fields: list[tuple[str, float | None]] = []
         for f in body["fields"]:
             fboost = None

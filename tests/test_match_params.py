@@ -121,6 +121,10 @@ def test_zero_terms_query(eng):
     phr = ('{"query":{"match_phrase":{"text":{"query":"   ",'
            '"zero_terms_query":"all"}}}}')
     assert sorted(_rows(eng, phr)) == [1, 2, 3, 4, 5]
+    mm = ('{"query":{"multi_match":{"query":"  ","fields":'
+          '["text","title"],"zero_terms_query":"all"}}}')
+    assert sorted(_rows(eng, mm)) == [1, 2, 3, 4, 5]
+    assert _rows(eng, mm.replace('"all"', '"none"')) == {}
     with pytest.raises(DslError, match="'none' or 'all'"):
         eng.search("mp", '{"query":{"match":{"text":{"query":"a",'
                          '"zero_terms_query":"maybe"}}}}')
