@@ -156,6 +156,14 @@ def _run(queries, name, spark, sf_dir, best_of, timings):
               file=sys.stderr)
 
 
+def _loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     best_of = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "2")))
@@ -163,6 +171,14 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("cassandra-es-index-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Machine-state stamps (r11): the minhash anchor is shuffle-bound
+    # and BLIND to residual load that still inflates the lighter
+    # mid-suite entries 2-4x (a just-finished test run's scheduler
+    # residue read anchor 3.0 — green — while span_near tripled).
+    # Record the load averages so a reader judges the environment
+    # instead of trusting the anchor alone: 5-min load > ~1 at start
+    # makes the record suspect even with a green anchor.
+    load_start = _loadavg()
 
     # warm-up: touch the biggest table so JVM/codegen init isn't billed
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -235,6 +251,8 @@ def main() -> None:
         ok = {k: v for k, v in timings.items() if isinstance(v, float)}
         errs = {k: v["err"] for k, v in timings.items()
                 if isinstance(v, dict)}
+        build["loadavg_start"] = load_start
+        build["loadavg_end"] = _loadavg()
         out = {
             "metric": "headline_queries_total_time",
             "value": round(sum(ok.values()), 3),
