@@ -268,6 +268,16 @@ def q_search_slop_phrase(spark, sf_dir):
         spark, sf_dir)
 
 
+def q_search_qs_and_operator(spark, sf_dir):
+    # query_string default_operator 'and' (r11): juxtaposed clauses
+    # all required (query_string._regroup_and) — match set = docs with
+    # BOTH tokens, score = Σ tf (the And sum convention). Oracle is
+    # the conjunctive twin of search_term_bool's.
+    q = ('{"query":{"query_string":{"query":"spark filter",'
+         '"default_operator":"and","default_field":"text"}}}')
+    return _search('#options:load-rows=false#' + q)(spark, sf_dir)
+
+
 def q_search_fuzzy_transpositions(spark, sf_dir):
     # DSL fuzzy with transpositions=true + prefix_length (r11):
     # unrestricted Damerau-Levenshtein — adjacent swap = 1 edit,
@@ -740,6 +750,29 @@ def q_geo_shape_filter(spark, sf_dir):
     ring.append(ring[0])
     q = _json.dumps({"query": {"geo_shape": {"loc": {
         "shape": {"type": "polygon", "coordinates": [ring]},
+        "relation": "within"}}}})
+    return eng.search("geo_events", "#options:load-rows=false#" + q)
+
+
+def q_geo_shape_indexed(spark, sf_dir):
+    # geo_shape indexed_shape (r11): the SAME polygon as
+    # geo_shape_filter, but stored as a GeoJSON string in a registered
+    # shapes table and referenced by id — the engine resolves it with
+    # one id-filtered lookup (_expand_data_nodes) and desugars through
+    # the same ray-cast algebra, so the oracle IS the inline query's
+    # (identical slope constants via _poly_cond_sql).
+    import json as _json
+    eng = _geo_events_engine(spark, sf_dir)
+    ring = [[lo, la] for la, lo in _GS_PTS]
+    ring.append(ring[0])
+    shapes = spark.createDataFrame(
+        [("zone", _json.dumps({"type": "polygon",
+                               "coordinates": [ring]}))],
+        "sid string, geom string")
+    eng.register(shapes, TableSpec("shapes", ["sid"]))
+    q = _json.dumps({"query": {"geo_shape": {"loc": {
+        "indexed_shape": {"index": "shapes", "id": "zone",
+                          "path": "geom"},
         "relation": "within"}}}})
     return eng.search("geo_events", "#options:load-rows=false#" + q)
 
@@ -2481,6 +2514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   agg family (green r01-r10; demoted r11 for pii_redact —
         #   events_sessionize stays in-window)
         "search_fuzzy_transpositions": q_search_fuzzy_transpositions,
+        "search_qs_and_operator": q_search_qs_and_operator,
+        #   ~ query_string family (r11): AND default operator —
+        #   conjunctive juxtaposition regroup
         #   ~ term/dictionary family (r11): Damerau fuzzy + prefix
         #   guard, oracle replays damerau_levenshtein on suffixes
         "search_wildcard": q_search_wildcard,  # ~ term/dictionary family
@@ -2493,6 +2529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   oracle re-emits the identical ray-cast constants)
         "geo_sort_nearest": q_geo_sort_nearest,  # ~ geo family (r9;
         #   _geo_distance sort, top-50 nearest + km distance column)
+        "geo_shape_indexed": q_geo_shape_indexed,  # ~ geo family
+        #   (r11): indexed_shape reference — same desugar, same
+        #   oracle constants as the inline form
         "geo_shape_filter": q_geo_shape_filter,  # ~ geo family (r11
         #   oracle pin of the r10 geo_shape surface: polygon shape,
         #   relation within — desugars onto the geo_polygon ray-cast
@@ -3503,6 +3542,19 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             WHERE tf > 0 AND slow_tf = 0
         """,
+        # query_string AND default (r11): both tokens required,
+        # score = sum of the two tf counts
+        "search_qs_and_operator": f"""
+            SELECT doc_id,
+                   (len(regexp_extract_all(text, '{_SPARK}'))
+                    + len(regexp_extract_all(text,
+                                             '(?i)\\bfilter\\b')))::BIGINT
+                       AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
+              AND len(regexp_extract_all(text,
+                                         '(?i)\\bfilter\\b')) > 0
+        """,
         # Damerau fuzzy (r11): tf = tokens sharing the 'sp' prefix whose
         # suffix is within one damerau_levenshtein edit of 'rak' — the
         # engine's fuzzy_token_cond is EXACTLY this predicate (the
@@ -4026,6 +4078,14 @@ def oracle_sql() -> dict[str, str]:
         # constants/op order as the compiler (generated by
         # _poly_cond_sql from the shared _GS_PTS)
         "geo_shape_filter": f"""
+            WITH g AS ({_GEO_CTE})
+            SELECT event_id, 1::BIGINT AS _score
+            FROM g
+            WHERE lat IS NOT NULL AND ({_poly_cond_sql(_GS_PTS)})
+        """,
+        # indexed_shape (r11): the stored GeoJSON resolves to the SAME
+        # polygon, so the oracle is the inline query's verbatim
+        "geo_shape_indexed": f"""
             WITH g AS ({_GEO_CTE})
             SELECT event_id, 1::BIGINT AS _score
             FROM g
