@@ -1085,6 +1085,31 @@ def q_search_geotile_grid(spark, sf_dir):
     return eng.search_aggs("geo_events", q, default_field="event_type")
 
 
+def q_search_categorize_text(spark, sf_dir):
+    # ES categorize_text, deterministic subset (r11): exact token
+    # templates — digit-bearing tokens mask to <num> (the drain-tree
+    # categorizer's adaptive merging typed-rejects). Fixture: a
+    # derived log line per event ("user <id> did <type>"), so the
+    # masking collapses the id and the buckets land one-per-event-type
+    # — the oracle repeats the identical concat + mask + terms
+    # selection in SQL.
+    key = _ck(spark, sf_dir, "eng:event_logs")
+    if key not in _CACHE:
+        ev = _t(spark, sf_dir, "events")
+        logs = ev.select(
+            "event_id",
+            F.concat(F.lit("user "),
+                     F.col("user_id").cast("string"),
+                     F.lit(" did "), F.col("event_type")).alias("msg"))
+        eng = SearchEngine(spark)
+        eng.register(logs, TableSpec("event_logs", ["event_id"]))
+        _CACHE[key] = eng
+    eng = _CACHE[key]
+    q = ('{"query":{"match_all":{}},"aggs":{"cats":{"categorize_text":'
+         '{"field":"msg","size":10}}}}')
+    return eng.search_aggs("event_logs", q, default_field="msg")
+
+
 def q_search_composite_geotile(spark, sf_dir):
     # composite agg with a geotile_grid source (r11): string-keyset
     # bucket walk — the `after` cursor prunes BEFORE aggregation on the
@@ -2683,6 +2708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_suggest": q_search_suggest,  # demoted r9 (green
         #   r05-r08; completion pinned by pytest + oracle kept)
         "search_geotile_grid": q_search_geotile_grid,  # r9 tail variant
+        "search_categorize_text": q_search_categorize_text,
+        #   ~ agg family (r11): deterministic log-template buckets
         "search_composite_geotile": q_search_composite_geotile,
         #   ~ composite family (r11): geotile_grid source + keyset
         #   cursor pruning before aggregation; oracle replays the tile
@@ -4431,6 +4458,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY doc_count DESC, key ASC
             LIMIT 40
+        """,
+        # categorize_text (r11): identical concat + digit-mask + terms
+        # selection in SQL
+        "search_categorize_text": r"""
+            WITH t AS (
+                SELECT 'user ' || CAST(user_id AS VARCHAR)
+                       || ' did ' || event_type AS msg
+                FROM events),
+            k AS (
+                SELECT array_to_string(list_transform(
+                           regexp_split_to_array(trim(lower(msg)),
+                                                 '\s+'),
+                           x -> CASE WHEN regexp_matches(x, '[0-9]')
+                                THEN '<num>' ELSE x END), ' ') AS key
+                FROM t WHERE msg IS NOT NULL)
+            SELECT key, COUNT(*)::BIGINT AS doc_count
+            FROM k GROUP BY 1
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 10
         """,
         # composite geotile_grid source (r11): every tile bucket past
         # the '4/3/9' cursor in STRING key order (the engine's

@@ -4782,6 +4782,19 @@ class SearchEngine:
                 col = F.coalesce(col, F.lit(b.missing))
             if b.kind == "terms":
                 return col, col
+            if b.kind == "categorize_text":
+                # exact token-template key (r11): lowercase \s+ tokens,
+                # digit-bearing tokens masked to <num> — pure Column
+                # exprs, one map-side-combined groupBy like terms; the
+                # documented deterministic subset of ES's drain-tree
+                # categorizer. Null text drops (concat_ws would turn a
+                # null array into "").
+                toks = F.split(F.lower(F.trim(col)), r"\s+")
+                masked = F.transform(
+                    toks, lambda t: F.when(t.rlike("[0-9]"),
+                                           F.lit("<num>")).otherwise(t))
+                k = F.when(col.isNotNull(), F.concat_ws(" ", masked))
+                return k, k
             if b.kind == "histogram":
                 off = float(b.offset or 0.0)
                 step = float(b.interval)
@@ -5275,8 +5288,10 @@ class SearchEngine:
                 frame = frame.where(F.col(cname) >= lv.min_doc_count)
             if selected is not None:
                 frame = frame.join(selected, on=parent_keys, how="left_semi")
-            if lv.kind in ("terms", "geotile_grid", "geohash_grid"):
-                # geo grids select like terms: top `size` buckets by
+            if lv.kind in ("terms", "geotile_grid", "geohash_grid",
+                           "categorize_text"):
+                # geo grids + categorize_text select like terms: top
+                # `size` buckets by
                 # doc_count desc then cell key asc (ES default 10000)
                 size = lv.size if lv.size is not None else 10
                 if i == 0:
@@ -5298,7 +5313,8 @@ class SearchEngine:
             # asc); histogram/date_histogram levels order by key asc (ES
             # orders histogram buckets by key). Nulls last, so childless
             # ancestors trail their populated siblings.
-            if lv.kind in ("terms", "geotile_grid", "geohash_grid"):
+            if lv.kind in ("terms", "geotile_grid", "geohash_grid",
+                           "categorize_text"):
                 crits = lv.order if lv.order is not None \
                     else (("_count", False),)
                 for target, asc in crits:

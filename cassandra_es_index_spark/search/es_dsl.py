@@ -55,7 +55,8 @@ _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                  "date_range", "significant_terms",
                  "significant_text", "rare_terms",
                  "multi_terms", "adjacency_matrix",
-                 "geotile_grid", "geohash_grid", "auto_date_histogram")
+                 "geotile_grid", "geohash_grid", "auto_date_histogram",
+                 "categorize_text")
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
 # set is a transform of the match set
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
@@ -2058,6 +2059,35 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             return BucketAgg(name=name, kind="multi_terms",
                              field=flds[0], multi_fields=flds,
                              size=msize, metrics=metrics)
+        if first_kind == "categorize_text":
+            # ES categorize_text, deterministic subset (r11): ES's
+            # drain-tree categorizer is ML-adaptive (merges near-equal
+            # templates by similarity) and not reproducible; the
+            # engine groups by an EXACT token template — lowercase
+            # whitespace tokens with every digit-bearing token masked
+            # to <num> — the classic log-template key. Terms-style
+            # selection (doc_count desc, key asc, size cap, ES default
+            # 10); metric sub-aggs ride the same aggregation. The
+            # adaptive knobs (similarity_threshold,
+            # max_unique_tokens, categorization_filters, …)
+            # typed-reject.
+            extra_p = set(params) - {"field", "size"}
+            if extra_p:
+                raise DslError(
+                    f"categorize_text agg {name!r}: unsupported "
+                    f"params {sorted(extra_p)} (engine subset — the "
+                    "adaptive drain-tree knobs are not reproducible)")
+            csize = params.get("size", 10)
+            if isinstance(csize, bool) or not isinstance(csize, int) \
+                    or csize <= 0:
+                raise DslError("categorize_text size must be a "
+                               "positive integer")
+            metrics = tuple(_metric(n, sp)
+                            for n, sp in (body.get("aggs")
+                                          or {}).items())
+            return BucketAgg(name=name, kind="categorize_text",
+                             field=params["field"], size=csize,
+                             metrics=metrics)
         if first_kind in ("geotile_grid", "geohash_grid"):
             # ES geo grid aggs (r8): web-mercator "z/x/y" tiles /
             # base32 geohash cells of the struct<lat,lon> geo_point

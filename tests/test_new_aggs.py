@@ -256,3 +256,49 @@ def test_significant_text_token_jlh(spark):
                 "t": {"terms": {"field": "tag"}, "aggs": {
                     "s": {"significant_text": {"field": "text"}}}}}}),
             default_field="text")
+
+
+# ------------------------------------------- categorize_text (r11)
+
+def test_categorize_text_templates(spark):
+    """Deterministic subset of ES categorize_text: exact token
+    templates — lowercase whitespace tokens, digit-bearing tokens
+    masked to <num>; terms-style selection; null text drops."""
+    eng = SearchEngine(spark)
+    rows = [(1, "Error code 42 at node7"),
+            (2, "error code 99 at node3"),
+            (3, "error code 7 at node3"),
+            (4, "login ok"), (5, "login ok"), (6, None),
+            (7, "disk 0x1f full")]
+    eng.register(spark.createDataFrame(rows, "id int, msg string"),
+                 TableSpec("logs_ct", ["id"]))
+
+    def run(q):
+        return [(r["key"], r["doc_count"])
+                for r in eng.search_aggs("logs_ct", q).collect()]
+
+    q = ('{"query":{"match_all":{}},"aggs":{"cats":{"categorize_text":'
+         '{"field":"msg","size":5}}}}')
+    assert run(q) == [("error code <num> at <num>", 3),
+                      ("login ok", 2),
+                      ("disk <num> full", 1)]   # 0x1f carries a digit
+    # size caps after doc_count-desc/key-asc selection
+    assert run(q.replace('"size":5', '"size":1')) \
+        == [("error code <num> at <num>", 3)]
+    # metric sub-aggs ride the same aggregation
+    q2 = ('{"query":{"match_all":{}},"aggs":{"cats":{"categorize_text":'
+          '{"field":"msg","size":5},"aggs":{"max_id":{"max":'
+          '{"field":"id"}}}}}}')
+    got = {r["key"]: r["max_id"]
+           for r in eng.search_aggs("logs_ct", q2).collect()}
+    assert got["error code <num> at <num>"] == 3
+    assert got["login ok"] == 5
+    # adaptive drain-tree knobs typed-reject; so does a bad size
+    with pytest.raises(DslError, match="not reproducible"):
+        eng.search_aggs("logs_ct", json.dumps(
+            {"aggs": {"c": {"categorize_text": {
+                "field": "msg", "similarity_threshold": 70}}}}))
+    with pytest.raises(DslError, match="positive integer"):
+        eng.search_aggs("logs_ct", json.dumps(
+            {"aggs": {"c": {"categorize_text": {
+                "field": "msg", "size": 0}}}}))
