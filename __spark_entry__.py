@@ -1533,6 +1533,22 @@ def q_search_dsl_metrics(spark, sf_dir):
     return eng.search_aggs("events_capped", q, default_field="event_type")
 
 
+def q_events_rate_hourly(spark, sf_dir):
+    # ES rate metric (r11): per-day buckets rescaled to an hourly rate
+    # — doc-count rate (exact: integer count × one double factor) and
+    # a field-sum rate (rounded 4dp on both sides — double summation
+    # order). Fixed-span parents only; the factor (3600/86400) is the
+    # identical double on both engines.
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"per_day":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day"},'
+         '"aggs":{"r":{"rate":{"unit":"hour"}},'
+         '"rv":{"rate":{"unit":"hour","field":"value"}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return out.withColumn("rv", F.round("rv", 4))
+
+
 def q_events_date_histogram(spark, sf_dir):
     # date_histogram buckets per day over an index-served term filter —
     # the postings select the match set (left-semi), the calendar
@@ -2535,6 +2551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_intersect": q_setop_intersect,  # ~ setops family
         #   (green r01-r10; demoted r11 for search_rrf — the family
         #   keeps cross_table_union in-window)
+        "events_rate_hourly": q_events_rate_hourly,  # ~ agg metric
+        #   family (r11): ES rate — fixed-span rescaling
         "events_date_histogram": q_events_date_histogram,  # ~ window/
         #   agg family (green r01-r10; demoted r11 for pii_redact —
         #   events_sessionize stays in-window)
@@ -4028,6 +4046,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id)::BIGINT AS n_users,
                    MAX(value) AS max_value
             FROM events WHERE value >= 50
+        """,
+        # rate metric (r11): hourly rate of daily buckets — the
+        # doc-count rate is exact (int count x the identical double
+        # factor), the field-sum rate rounds 4dp (summation order)
+        "events_rate_hourly": r"""
+            SELECT date_trunc('day', ts) AS key,
+                   COUNT(*)::BIGINT AS doc_count,
+                   COUNT(*) * (3600.0 / 86400.0) AS r,
+                   ROUND(SUM(value) * (3600.0 / 86400.0), 4) AS rv
+            FROM events
+            WHERE len(regexp_extract_all(event_type, '(?i)\bclick\b')) > 0
+              AND ts IS NOT NULL
+            GROUP BY 1
         """,
         "events_date_histogram": r"""
             SELECT date_trunc('day', ts) AS key,

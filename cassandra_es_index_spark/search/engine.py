@@ -4574,7 +4574,42 @@ class SearchEngine:
         # parent-doc count) is meaningful only inside it
         nested_ctx = {"on": False}
 
-        def metric_cols(m: es_dsl.MetricAgg) -> list[Column]:
+        def metric_cols(m: es_dsl.MetricAgg,
+                        parent: "es_dsl.BucketAgg | None" = None
+                        ) -> list[Column]:
+            if m.kind == "rate":
+                # ES rate (r11): bucket doc_count (or field sum)
+                # rescaled to a time unit of the PARENT
+                # date_histogram's span — both spans are plan-time
+                # constants, so the scale factor is one double
+                # literal; the aggregate itself stays a plain
+                # count/sum (map-side combinable). Fixed-span parents
+                # only: calendar month/quarter/year buckets vary in
+                # length (engine subset, typed).
+                secs = {"second": 1, "minute": 60, "hour": 3600,
+                        "day": 86400, "week": 604800}
+                cal_ok = {"second": 1, "minute": 60, "hour": 3600,
+                          "day": 86400, "week": 604800}
+                if parent is None or (parent.calendar_interval is None
+                                      and parent.fixed_interval is None):
+                    raise es_dsl.DslError(
+                        f"rate agg {m.name!r} is valid inside a "
+                        "date_histogram bucket only (ES contract)")
+                if parent.fixed_interval is not None:
+                    span = _fixed_interval_seconds(parent.fixed_interval)
+                else:
+                    span = cal_ok.get(parent.calendar_interval)
+                    if span is None:
+                        raise es_dsl.DslError(
+                            f"rate agg {m.name!r}: calendar "
+                            f"{parent.calendar_interval!r} buckets "
+                            "vary in length — use a fixed-span "
+                            "interval (engine subset)")
+                factor = F.lit(float(secs[m.unit]) / float(span))
+                base = (F.count(F.lit(1)).cast("double") if not m.field
+                        else F.sum(comp.resolve(m.field).col
+                                   .cast("double")))
+                return [(base * factor).alias(m.name)]
             if m.kind == "reverse_nested":
                 if not nested_ctx["on"]:
                     raise es_dsl.DslError(
@@ -5280,7 +5315,8 @@ class SearchEngine:
             grp_keys = [level_key[j].alias(level_names(j)[0])
                         for j in range(i + 1)]
             measures = [F.count("*").cast("long").alias(cname)]
-            measures += [c for m in lv.metrics for c in metric_cols(m)]
+            measures += [c for m in lv.metrics
+                         for c in metric_cols(m, parent=lv)]
             frame = frame.groupBy(*grp_keys).agg(*measures)
             if lv.min_doc_count is not None:
                 # ES min_doc_count: buckets below the floor vanish

@@ -49,7 +49,7 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "geo_centroid", "geo_bounds",
                  "boxplot", "matrix_stats",
                  "median_absolute_deviation", "string_stats",
-                 "top_metrics", "reverse_nested")
+                 "top_metrics", "reverse_nested", "rate")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                  "geo_distance", "filters",
                  "date_range", "significant_terms",
@@ -610,6 +610,10 @@ class MetricAgg:
     # value are skipped like ES, ties break arbitrarily like ES's
     # shard-order ties)
     sort_asc: bool = True
+    # rate: the per-`unit` scaling of a date_histogram bucket's
+    # doc_count (field=None) or field sum — validated against the
+    # PARENT at execution (fixed-span parents only, engine subset)
+    unit: str | None = None
 
     def out_names(self) -> tuple[str, ...]:
         if self.kind == "stats":
@@ -1623,6 +1627,32 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
     if kind not in _METRIC_KINDS:
         raise DslError(f"unsupported metric agg {kind!r} (supported: "
                        f"{', '.join(_METRIC_KINDS)})")
+    if kind == "rate":
+        # ES rate: bucket doc_count (or `field` sum) rescaled to a
+        # time unit of the PARENT date_histogram's span — the span
+        # itself is validated at execution where the parent is known
+        # (fixed-span parents only: minute/hour/day/week calendar or
+        # any fixed_interval — month/quarter/year buckets vary by
+        # calendar, engine subset). Unit subset mirrors that:
+        # second/minute/hour/day/week. `mode: value_count`
+        # typed-rejects.
+        if not isinstance(body, dict) or "unit" not in body:
+            raise DslError(f"rate agg {name!r} needs a 'unit'")
+        extra = set(body) - {"unit", "field"}
+        if extra:
+            raise DslError(f"rate agg {name!r}: unsupported params "
+                           f"{sorted(extra)} (engine subset — "
+                           "mode defaults to sum semantics)")
+        unit = str(body["unit"])
+        if unit not in ("second", "minute", "hour", "day", "week"):
+            raise DslError(
+                f"rate agg {name!r}: unit must be second/minute/hour/"
+                f"day/week (fixed spans — engine subset), got {unit!r}")
+        fld = body.get("field")
+        if fld is not None and not isinstance(fld, str):
+            raise DslError(f"rate agg {name!r}: field must be a string")
+        return MetricAgg(name=name, kind="rate", field=fld or "",
+                         unit=unit)
     if kind == "weighted_avg":
         # ES shape: {"value": {"field": v}, "weight": {"field": w}}
         if not isinstance(body, dict) \

@@ -302,3 +302,48 @@ def test_categorize_text_templates(spark):
         eng.search_aggs("logs_ct", json.dumps(
             {"aggs": {"c": {"categorize_text": {
                 "field": "msg", "size": 0}}}}))
+
+
+# ---------------------------------------------------- rate metric (r11)
+
+def test_rate_metric_hand_case(spark):
+    """ES rate: bucket doc_count (or field sum) rescaled to a time
+    unit of the parent date_histogram's fixed span — 6 docs in one
+    day at unit=hour → 6/24; sum 21 → 21/24."""
+    import datetime as dt
+    eng = SearchEngine(spark)
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i % 3, 0), float(i))
+            for i in range(1, 7)]
+    eng.register(spark.createDataFrame(
+        rows, "id int, ts timestamp, v double"),
+        TableSpec("rate_t", ["id"]))
+    q = ('{"aggs":{"per_day":{"date_histogram":{"field":"ts",'
+         '"calendar_interval":"day"},"aggs":{"r":{"rate":'
+         '{"unit":"hour"}},"rv":{"rate":{"unit":"hour",'
+         '"field":"v"}}}}}}')
+    row, = eng.search_aggs("rate_t", q).collect()
+    assert (row["doc_count"], row["r"], row["rv"]) == (6, 0.25, 0.875)
+    # fixed_interval parents work too; unit may exceed the span
+    q2 = ('{"aggs":{"per_hour":{"date_histogram":{"field":"ts",'
+          '"fixed_interval":"30m"},"aggs":{"r":{"rate":'
+          '{"unit":"hour"}}}}}}')
+    got = {str(r["key"]): r["r"]
+           for r in eng.search_aggs("rate_t", q2).collect()}
+    # minutes 0-2 land in the first 30m bucket: 6 docs × (3600/1800)
+    assert got == {"2024-01-01 00:00:00": 12.0}
+    # typed: wrong parent, calendar-variable parent, bad unit/params
+    for q_bad, msg in [
+        ('{"aggs":{"t":{"terms":{"field":"id"},"aggs":{"r":{"rate":'
+         '{"unit":"hour"}}}}}}', "date_histogram bucket only"),
+        ('{"aggs":{"m":{"date_histogram":{"field":"ts",'
+         '"calendar_interval":"month"},"aggs":{"r":{"rate":'
+         '{"unit":"day"}}}}}}', "vary in length"),
+        ('{"aggs":{"d":{"date_histogram":{"field":"ts",'
+         '"calendar_interval":"day"},"aggs":{"r":{"rate":'
+         '{"unit":"fortnight"}}}}}}', "second/minute/hour"),
+        ('{"aggs":{"d":{"date_histogram":{"field":"ts",'
+         '"calendar_interval":"day"},"aggs":{"r":{"rate":'
+         '{"unit":"hour","mode":"value_count"}}}}}}', "unsupported"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            eng.search_aggs("rate_t", q_bad)
