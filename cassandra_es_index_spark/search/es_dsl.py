@@ -60,6 +60,26 @@ _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
 # set is a transform of the match set
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
+# Per-kind parameter allowlists for the GENERIC bucket parse path (r11
+# — the specialized branches carry their own): a silently-dropped
+# `shard_size`/`time_zone`/`other_bucket` would change bucket contents
+# vs ES with no signal (the r9 leaf-params lesson, applied to aggs).
+# `keyed` is an accepted no-op where listed: the engine's flattened
+# frame is ALWAYS keyed by the key column, so both response shapes
+# read identically.
+_GENERIC_BUCKET_PARAMS = {
+    "terms": {"field", "size", "order", "missing", "min_doc_count",
+              "include", "exclude"},
+    "histogram": {"field", "interval", "offset", "missing",
+                  "min_doc_count", "extended_bounds"},
+    "date_histogram": {"field", "calendar_interval", "fixed_interval",
+                       "offset", "missing", "min_doc_count",
+                       "extended_bounds"},
+    "range": {"field", "ranges", "keyed"},
+    "date_range": {"field", "ranges", "keyed"},
+    "filters": {"filters", "keyed"},
+    "adjacency_matrix": {"filters"},
+}
 # ES pipeline aggs computed OVER the bucket frame (single-level only):
 # value per bucket from a sibling metric (or "_count")
 _PIPELINE_KINDS = ("cumulative_sum", "derivative", "serial_diff",
@@ -2043,6 +2063,15 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                                    "adjacency_matrix")
                 and "field" not in params):
             raise DslError(f"bucket agg {name!r} needs a 'field'")
+        allowed_bp = _GENERIC_BUCKET_PARAMS.get(first_kind)
+        if allowed_bp is not None:
+            bp_extra = set(params) - allowed_bp
+            if bp_extra:
+                # no silent drops: a vanished shard_size/time_zone/
+                # other_bucket would silently change bucket contents
+                raise DslError(
+                    f"{first_kind} agg {name!r}: unsupported params "
+                    f"{sorted(bp_extra)} (engine subset)")
         if sib_raw and first_kind in ("rare_terms", "multi_terms",
                                       "significant_terms",
                                       "geotile_grid", "geohash_grid",

@@ -347,3 +347,34 @@ def test_rate_metric_hand_case(spark):
     ]:
         with pytest.raises(DslError, match=msg):
             eng.search_aggs("rate_t", q_bad)
+
+
+def test_generic_bucket_param_allowlists(spark):
+    """r11: the generic bucket parse typed-rejects unknown params —
+    previously shard_size/time_zone/other_bucket/hard_bounds were
+    SILENTLY DROPPED (the r9 leaf-params lesson applied to aggs);
+    `keyed` stays an accepted no-op (the flattened frame is always
+    keyed)."""
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame([(1, "a", 5.0)],
+                                       "id int, g string, v double"),
+                 TableSpec("bp", ["id"]))
+    for q, msg in [
+        ('{"aggs":{"t":{"terms":{"field":"g","shard_size":50}}}}',
+         "shard_size"),
+        ('{"aggs":{"f":{"filters":{"filters":{"a":{"term":{"g":"a"}}},'
+         '"other_bucket":true}}}}', "other_bucket"),
+        ('{"aggs":{"h":{"histogram":{"field":"v","interval":5,'
+         '"hard_bounds":{"min":0}}}}}', "hard_bounds"),
+        ('{"aggs":{"d":{"date_histogram":{"field":"v",'
+         '"calendar_interval":"day","time_zone":"+01:00"}}}}',
+         "time_zone"),
+        ('{"aggs":{"h2":{"histogram":{"field":"v","interval":5,'
+         '"order":{"_count":"desc"}}}}}', "order"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            eng.search_aggs("bp", q)
+    # keyed: accepted no-op on range/date_range/filters
+    rows = eng.search_aggs("bp", json.dumps({"aggs": {"r": {"range": {
+        "field": "v", "ranges": [{"to": 10}], "keyed": True}}}})).collect()
+    assert [r["doc_count"] for r in rows] == [1]
