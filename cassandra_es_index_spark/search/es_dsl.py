@@ -1206,6 +1206,10 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
     if cspec is not None:
         if not isinstance(cspec, dict) or "field" not in cspec:
             raise DslError("collapse needs {'field': name}")
+        c_extra = set(cspec) - {"field", "inner_hits"}
+        if c_extra:
+            raise DslError(f"collapse: unsupported parameters "
+                           f"{sorted(c_extra)} (engine subset)")
         collapse = cspec["field"]
         ih = cspec.get("inner_hits")
         if ih is not None:
@@ -1219,6 +1223,11 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 raise DslError(
                     "collapse inner_hits sort is not supported (inner "
                     "hits rank by the primary ordering)")
+            ih_extra = set(ih) - {"size"}
+            if ih_extra:
+                raise DslError(
+                    f"collapse inner_hits: unsupported parameters "
+                    f"{sorted(ih_extra)} (engine subset)")
             isz = ih.get("size", 3)
             if not isinstance(isz, int) or isinstance(isz, bool)                     or isz <= 0:
                 raise DslError(
@@ -1233,6 +1242,14 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 or not hspec["fields"]:
             raise DslError(
                 "highlight needs a non-empty {'fields': {name: {...}}}")
+        _H_KEYS = {"pre_tags", "post_tags", "number_of_fragments",
+                   "fragment_size"}
+        h_extra = set(hspec) - _H_KEYS - {"fields"}
+        if h_extra:
+            # no silent drops (r11): a vanished `type`/`highlight_query`
+            # would change the emitted fragments with no signal
+            raise DslError(f"highlight: unsupported parameters "
+                           f"{sorted(h_extra)} (engine subset)")
 
         def tag(spec: dict, key: str, default: str) -> str:
             raw = spec.get(key)
@@ -1262,6 +1279,11 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 fbody = {}
             if not isinstance(fbody, dict):
                 raise DslError(f"highlight field {fld!r} must be an object")
+            f_extra = set(fbody) - _H_KEYS
+            if f_extra:
+                raise DslError(
+                    f"highlight field {fld!r}: unsupported parameters "
+                    f"{sorted(f_extra)} (engine subset)")
             out.append((fld, tag(fbody, "pre_tags", g_pre),
                         tag(fbody, "post_tags", g_post),
                         num(fbody, "number_of_fragments", g_nf, 0),
@@ -1328,7 +1350,16 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 or "rescore_query" not in rspec["query"]:
             raise DslError(
                 "rescore needs {'query': {'rescore_query': clause}}")
+        r_extra = set(rspec) - {"query", "window_size"}
+        if r_extra:
+            raise DslError(f"rescore: unsupported parameters "
+                           f"{sorted(r_extra)} (engine subset)")
         rq = rspec["query"]
+        rq_extra = set(rq) - {"rescore_query", "score_mode",
+                              "query_weight", "rescore_query_weight"}
+        if rq_extra:
+            raise DslError(f"rescore query: unsupported parameters "
+                           f"{sorted(rq_extra)} (engine subset)")
         mode = str(rq.get("score_mode", "total"))
         if mode not in ("total", "multiply", "avg", "max", "min"):
             raise DslError(f"unknown rescore score_mode {mode!r}")
@@ -1534,6 +1565,13 @@ def _sort(spec: Any) -> tuple[tuple[str, bool, bool], ...]:
             if isinstance(body, str):
                 order = body
             elif isinstance(body, dict):
+                s_extra = set(body) - {"order", "missing"}
+                if s_extra:
+                    # no silent drops (r11): a vanished `mode`/
+                    # `unmapped_type`/`format` would reorder results
+                    raise DslError(
+                        f"sort on {fld!r}: unsupported parameters "
+                        f"{sorted(s_extra)} (engine subset)")
                 order = body.get("order", "desc" if fld == "_score" else "asc")
                 missing = body.get("missing")
             else:
@@ -2041,6 +2079,11 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         if first_kind == "missing":
             if not isinstance(params, dict) or "field" not in params:
                 raise DslError(f"missing agg {name!r} needs a 'field'")
+            m_extra = set(params) - {"field"}
+            if m_extra:
+                raise DslError(f"missing agg {name!r}: unsupported "
+                               f"params {sorted(m_extra)} "
+                               "(engine subset)")
             return SingleBucketAgg(name, "missing", field=params["field"],
                                    metrics=metrics)
         # global: body must be the empty object (ES syntax)
@@ -2790,6 +2833,11 @@ def _node(q: dict[str, Any]) -> Node:
         if not isinstance(spec, dict) \
                 or not isinstance(spec.get("terms"), list):
             raise DslError("terms_set needs {'terms': [...]}")
+        ts_extra = set(spec) - {"terms", "minimum_should_match_field",
+                                "minimum_should_match_script", "boost"}
+        if ts_extra:
+            raise DslError(f"terms_set: unsupported parameters "
+                           f"{sorted(ts_extra)} (engine subset)")
         # lowercase dedupe: token matching is case-insensitive, so
         # "Spark" and "spark" are ONE term on both plan shapes
         terms = tuple(dict.fromkeys(str(t).lower() for t in spec["terms"]))
@@ -2803,7 +2851,9 @@ def _node(q: dict[str, Any]) -> Node:
                 "minimum_should_match_field / "
                 "minimum_should_match_script")
         if msm_f is not None:
-            return TermsSet(field, terms, str(msm_f), None)
+            # boost now EXECUTES (r11 — previously silently dropped)
+            return _boosted(TermsSet(field, terms, str(msm_f), None),
+                            spec.get("boost"))
         if isinstance(msm_s, dict):
             msm_s = msm_s.get("source")
         if not isinstance(msm_s, str) or not msm_s.strip():
@@ -2812,7 +2862,8 @@ def _node(q: dict[str, Any]) -> Node:
         substituted = _re.sub(r"params\.num_terms\b", str(len(terms)),
                               msm_s)
         expr = _compile_doc_script("terms_set", substituted)
-        return TermsSet(field, terms, None, expr)
+        return _boosted(TermsSet(field, terms, None, expr),
+                        spec.get("boost"))
     if kind == "intervals":
         # ES intervals query: `match` rule (multi-term, ordered/
         # unordered, max_gaps — width/order semantics in

@@ -470,3 +470,37 @@ def test_multi_match_msm_per_field_covering(eng):
 def test_multi_match_type_typed_errors(eng, q, msg):
     with pytest.raises(DslError, match=msg):
         eng.search("mp", q).collect()
+
+
+def test_request_surface_param_allowlists(eng):
+    """r11: highlight/sort/collapse/rescore/terms_set/missing-agg now
+    typed-reject unknown parameters (previously silently dropped);
+    terms_set boost EXECUTES."""
+    import json
+    for q, msg in [
+        ({"query": {"match_all": {}},
+          "highlight": {"fields": {"text": {"type": "fvh"}}}}, "fvh|unsupported"),
+        ({"query": {"match_all": {}},
+          "sort": [{"id": {"order": "asc", "unmapped_type": "long"}}]},
+         "unmapped_type"),
+        ({"query": {"match_all": {}},
+          "collapse": {"field": "title",
+                       "max_concurrent_group_searches": 4}},
+         "unsupported"),
+        ({"query": {"match_all": {}},
+          "rescore": {"query": {"rescore_query": {"match_all": {}},
+                                "zzz": 1}}}, "unsupported"),
+        ({"query": {"terms_set": {"text": {
+            "terms": ["a"], "minimum_should_match_field": "id",
+            "zzz": 1}}}}, "unsupported"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            eng.search("mp", json.dumps(q))
+    # terms_set boost scales the matched-tf score (was dropped pre-r11)
+    base = _rows(eng, json.dumps({"query": {"terms_set": {"text": {
+        "terms": ["a", "b"], "minimum_should_match_script":
+        {"source": "1"}}}}}))
+    boosted = _rows(eng, json.dumps({"query": {"terms_set": {"text": {
+        "terms": ["a", "b"], "minimum_should_match_script":
+        {"source": "1"}, "boost": 3}}}}))
+    assert boosted == {k: v * 3 for k, v in base.items()}
