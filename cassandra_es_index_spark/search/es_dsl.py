@@ -3381,11 +3381,22 @@ def _node(q: dict[str, Any]) -> Node:
     if kind == "ids":
         if not isinstance(body, dict) or not isinstance(body.get("values"), list):
             raise DslError("ids needs {'values': [...]}")
-        return Ids(tuple(str(v) for v in body["values"]))
+        extra = set(body) - {"values", "boost"}
+        if extra:
+            raise DslError(f"ids: unsupported parameters "
+                           f"{sorted(extra)} (engine subset)")
+        # boost now EXECUTES (r11 — previously silently dropped)
+        return _boosted(Ids(tuple(str(v) for v in body["values"])),
+                        body.get("boost"))
     if kind == "exists":
         if not isinstance(body, dict) or "field" not in body:
             raise DslError("exists needs {'field': name}")
-        return Exists(body["field"])
+        extra = set(body) - {"field", "boost"}
+        if extra:
+            raise DslError(f"exists: unsupported parameters "
+                           f"{sorted(extra)} (engine subset)")
+        # boost now EXECUTES (r11 — previously silently dropped)
+        return _boosted(Exists(body["field"]), body.get("boost"))
     if kind == "bool":
         if not isinstance(body, dict):
             raise DslError("bool needs an object")

@@ -504,3 +504,21 @@ def test_request_surface_param_allowlists(eng):
         "terms": ["a", "b"], "minimum_should_match_script":
         {"source": "1"}, "boost": 3}}}}))
     assert boosted == {k: v * 3 for k, v in base.items()}
+
+
+def test_ids_exists_boost_executes(eng):
+    """r11: ids/exists accepted `boost` but silently dropped it —
+    scores stayed 1. They now scale, and unknown params typed-reject."""
+    import json
+    base = _rows(eng, '{"query":{"exists":{"field":"text"}}}')
+    b3 = _rows(eng, '{"query":{"exists":{"field":"text","boost":3}}}')
+    assert b3 == {k: v * 3 for k, v in base.items()} and base
+    i1 = _rows(eng, '{"query":{"ids":{"values":["1","2"]}}}')
+    i3 = _rows(eng, '{"query":{"ids":{"values":["1","2"],"boost":3}}}')
+    assert i3 == {k: v * 3 for k, v in i1.items()} and set(i1) == {1, 2}
+    for q, msg in [
+        ('{"query":{"ids":{"values":["1"],"zzz":1}}}', "unsupported"),
+        ('{"query":{"exists":{"field":"text","zzz":1}}}', "unsupported"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            eng.search("mp", q)
