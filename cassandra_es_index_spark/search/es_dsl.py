@@ -2636,6 +2636,13 @@ def _node(q: dict[str, Any]) -> Node:
             value = value.get("value")
         return _boosted(Term(field, _scalar(value)), boost)
     if kind == "terms":
+        # ES terms boost rides BESIDE the field key:
+        # {"terms": {f: [...], "boost": b}} (r11 — previously a typed
+        # "exactly one field" error)
+        t_boost = None
+        if isinstance(body, dict) and "boost" in body and len(body) == 2:
+            t_boost = body["boost"]
+            body = {k: v for k, v in body.items() if k != "boost"}
         field, values = _single(body)
         if isinstance(values, dict):
             # ES terms lookup: the list lives in another document
@@ -2663,7 +2670,8 @@ def _node(q: dict[str, Any]) -> Node:
         if not values:
             # ES: empty terms list is a valid match-no-docs query
             return MatchNone()
-        return Or(tuple(Term(field, _scalar(v)) for v in values))
+        return _boosted(Or(tuple(Term(field, _scalar(v))
+                                 for v in values)), t_boost)
     if kind == "match":
         field, value = _single(body)
         fuzziness = None
@@ -3669,13 +3677,21 @@ def _node(q: dict[str, Any]) -> Node:
             meters = distance_meters(body["distance"])
         except ValueError as e:
             raise DslError(str(e)) from e
-        rest = {k: v for k, v in body.items() if k != "distance"}
+        g_boost = body.get("boost")
+        rest = {k: v for k, v in body.items()
+                if k not in ("distance", "boost")}
         if len(rest) != 1:
             raise DslError("geo_distance needs exactly one field")
         (gfield, point), = rest.items()
         lat, lon = _geo_point(point, "geo_distance")
-        return GeoDistance(str(gfield), lat, lon, meters)
+        return _boosted(GeoDistance(str(gfield), lat, lon, meters),
+                        g_boost)
     if kind == "geo_bounding_box":
+        # ES boost rides beside the field key (r11)
+        gb_boost = None
+        if isinstance(body, dict) and "boost" in body and len(body) == 2:
+            gb_boost = body["boost"]
+            body = {k: v for k, v in body.items() if k != "boost"}
         if not isinstance(body, dict) or len(body) != 1:
             raise DslError(
                 "geo_bounding_box needs {field: {'top_left': point, "
@@ -3694,7 +3710,8 @@ def _node(q: dict[str, Any]) -> Node:
         # semantics, r9): the lon predicate becomes lon ≥ left OR
         # lon ≤ right — handled by the compiler and the covering-cell
         # enumeration alike
-        return GeoBoundingBox(str(gfield), top, left, bottom, right)
+        return _boosted(GeoBoundingBox(str(gfield), top, left,
+                                       bottom, right), gb_boost)
     if kind == "boosting":
         # ES boosting query: positive gates, negative demotes by
         # negative_boost (must be in [0, 1) per ES)
@@ -4000,11 +4017,13 @@ def _node(q: dict[str, Any]) -> Node:
         (gfield, spec), = body.items()
         if not isinstance(spec, dict):
             raise DslError("geo_shape needs {'shape': {...}}")
-        extra = set(spec) - {"shape", "indexed_shape", "relation"}
+        extra = set(spec) - {"shape", "indexed_shape", "relation",
+                             "boost"}
         if extra:
             raise DslError(
                 f"geo_shape: unsupported parameters {sorted(extra)} "
                 "(engine subset)")
+        gs_boost = spec.get("boost")
         if ("shape" in spec) == ("indexed_shape" in spec):
             raise DslError("geo_shape needs exactly one of 'shape' "
                            "(inline) or 'indexed_shape' (reference)")
@@ -4035,13 +4054,20 @@ def _node(q: dict[str, Any]) -> Node:
             if missing:
                 raise DslError(
                     f"geo_shape indexed_shape needs {sorted(missing)}")
-            return GeoShapeLookup(str(gfield), str(ref["index"]),
-                                  str(ref["id"]), str(ref["path"]),
-                                  relation=rel)
-        return shape_to_node(str(gfield), spec["shape"], rel)
+            return _boosted(
+                GeoShapeLookup(str(gfield), str(ref["index"]),
+                               str(ref["id"]), str(ref["path"]),
+                               relation=rel), gs_boost)
+        return _boosted(shape_to_node(str(gfield), spec["shape"], rel),
+                        gs_boost)
     if kind == "geo_polygon":
         # {"geo_polygon": {field: {"points": [...]}}} — even-odd
-        # point-in-polygon (ast.GeoPolygon)
+        # point-in-polygon (ast.GeoPolygon); ES boost rides beside
+        # the field key (r11)
+        gp_boost = None
+        if isinstance(body, dict) and "boost" in body and len(body) == 2:
+            gp_boost = body["boost"]
+            body = {k: v for k, v in body.items() if k != "boost"}
         if not isinstance(body, dict) or len(body) != 1:
             raise DslError(
                 "geo_polygon needs {field: {'points': [...]}}")
@@ -4057,7 +4083,7 @@ def _node(q: dict[str, Any]) -> Node:
         if len(pts) < 3:
             raise DslError("geo_polygon needs at least 3 distinct "
                            "points")
-        return GeoPolygon(str(gfield), tuple(pts))
+        return _boosted(GeoPolygon(str(gfield), tuple(pts)), gp_boost)
     if kind == "script":
         # ES script query (filter context): {"script": {"script":
         # {"source": "doc['f'].value > 5"}}} — the painless

@@ -983,3 +983,34 @@ def test_exists_on_geo_field_skips_null_points(geo_engine, spark):
     served = {r["id"] for r in eng.search(
         "gex", "#options:load-rows=false#" + q).collect()}
     assert served == scan
+
+
+def test_geo_query_boosts_execute(geo_engine):
+    # r11: ES boost rides beside the field key on terms/geo kinds —
+    # previously a typed "exactly one field" rejection
+    import json as _j
+
+    def score(q):
+        rows = geo_engine.search("pts", "#options:load-rows=false#"
+                                 + _j.dumps({"query": q})).collect()
+        return {r["id"]: r["_score"] for r in rows}
+
+    base = score({"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 58.0, "lon": 9.0},
+        "bottom_right": {"lat": 56.0, "lon": 11.0}}}})
+    b3 = score({"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 58.0, "lon": 9.0},
+        "bottom_right": {"lat": 56.0, "lon": 11.0}}, "boost": 3}})
+    assert base and b3 == {k: v * 3 for k, v in base.items()}
+    gs = score({"geo_shape": {"loc": {"shape": GS_ENVELOPE,
+                                      "boost": 2}}})
+    assert gs and set(gs.values()) == {2}
+    gp = score({"geo_polygon": {"loc": {"points":
+                                        [[9.0, 56.0], [11.5, 56.0],
+                                         [10.5, 58.5]]}, "boost": 4}})
+    assert gp and set(gp.values()) == {4}
+    gd = score({"geo_distance": {"distance": "4000km",
+                                 "loc": {"lat": 57.64911,
+                                         "lon": 10.40744},
+                                 "boost": 5}})
+    assert gd and set(gd.values()) == {5}
