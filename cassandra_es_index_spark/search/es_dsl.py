@@ -2970,6 +2970,11 @@ def _node(q: dict[str, Any]) -> Node:
         # combined tree: flat-1 intervals score (documented deviation)
         return ConstantScore(node, 1.0)
     if kind == "constant_score":
+        cs_extra = set(body) - {"filter", "boost"} \
+            if isinstance(body, dict) else set()
+        if cs_extra:
+            raise DslError(f"constant_score: unsupported parameters "
+                           f"{sorted(cs_extra)} (engine subset)")
         if not isinstance(body, dict) or "filter" not in body:
             raise DslError("constant_score needs {'filter': clause}")
         return ConstantScore(_node(body["filter"]),
@@ -3000,6 +3005,11 @@ def _node(q: dict[str, Any]) -> Node:
                         boost)
     if kind == "dis_max":
         # ES dis_max: best subquery's score + tie_breaker × the rest
+        dm_extra = set(body) - {"queries", "tie_breaker", "boost"} \
+            if isinstance(body, dict) else set()
+        if dm_extra:
+            raise DslError(f"dis_max: unsupported parameters "
+                           f"{sorted(dm_extra)} (engine subset)")
         if not isinstance(body, dict) \
                 or not isinstance(body.get("queries"), list) \
                 or not body["queries"]:
@@ -3526,6 +3536,13 @@ def _node(q: dict[str, Any]) -> Node:
         # query — pinned docs outrank any organic score, in listed
         # order, and organic-only docs keep their scores. Requires the
         # synthesized `_id` document field, like the ids query.
+        pn_extra = set(body) - {"ids", "organic"} \
+            if isinstance(body, dict) else set()
+        if pn_extra:
+            raise DslError(f"pinned: unsupported parameters "
+                           f"{sorted(pn_extra)} (engine subset — "
+                           "docs-form pins and boost are not "
+                           "supported)")
         if not isinstance(body, dict) \
                 or not isinstance(body.get("ids"), list) \
                 or not body["ids"] or "organic" not in body:
@@ -3586,6 +3603,11 @@ def _node(q: dict[str, Any]) -> Node:
     if kind == "span_or":
         # union of single-token span_term clauses, one shared field —
         # score = count of matching positions (Σ tf)
+        so_extra = set(body) - {"clauses", "boost"} \
+            if isinstance(body, dict) else set()
+        if so_extra:
+            raise DslError(f"span_or: unsupported parameters "
+                           f"{sorted(so_extra)} (engine subset)")
         fld, terms = _span_clause_terms({"span_or": body})
         return _boosted(SpanOr(fld, terms), body.get("boost")
                         if isinstance(body, dict) else None)
@@ -3598,6 +3620,11 @@ def _node(q: dict[str, Any]) -> Node:
     if kind == "span_first":
         # spans of `match` ending at position ≤ end (Lucene
         # SpanPositionRangeQuery(match, 0, end))
+        sf_extra = set(body) - {"match", "end", "boost"} \
+            if isinstance(body, dict) else set()
+        if sf_extra:
+            raise DslError(f"span_first: unsupported parameters "
+                           f"{sorted(sf_extra)} (engine subset)")
         if not isinstance(body, dict) or "match" not in body \
                 or "end" not in body:
             raise DslError(
@@ -3611,6 +3638,12 @@ def _node(q: dict[str, Any]) -> Node:
     if kind == "span_not":
         # include spans not within pre/post tokens of an exclude span;
         # `dist` sets both (ES parity)
+        sn_extra = set(body) - {"include", "exclude", "pre", "post",
+                                "dist", "boost"} \
+            if isinstance(body, dict) else set()
+        if sn_extra:
+            raise DslError(f"span_not: unsupported parameters "
+                           f"{sorted(sn_extra)} (engine subset)")
         if not isinstance(body, dict) or "include" not in body \
                 or "exclude" not in body:
             raise DslError("span_not needs {'include': span clause, "
@@ -3715,6 +3748,12 @@ def _node(q: dict[str, Any]) -> Node:
     if kind == "boosting":
         # ES boosting query: positive gates, negative demotes by
         # negative_boost (must be in [0, 1) per ES)
+        bo_extra = set(body) - {"positive", "negative",
+                                "negative_boost", "boost"} \
+            if isinstance(body, dict) else set()
+        if bo_extra:
+            raise DslError(f"boosting: unsupported parameters "
+                           f"{sorted(bo_extra)} (engine subset)")
         if not isinstance(body, dict) or "positive" not in body \
                 or "negative" not in body:
             raise DslError(
@@ -3725,11 +3764,19 @@ def _node(q: dict[str, Any]) -> Node:
             raise DslError("negative_boost must be numeric") from e
         if not 0.0 <= nb < 1.0:
             raise DslError(f"negative_boost must be in [0, 1), got {nb}")
-        return Boosting(_node(body["positive"]), _node(body["negative"]), nb)
+        return _boosted(
+            Boosting(_node(body["positive"]), _node(body["negative"]),
+                     nb), body.get("boost"))
     if kind == "nested":
         # ES nested query over an array<struct> column: the inner query
         # evaluates per element (same-element semantics), score_mode
         # combines matching elements' scores (ES default avg)
+        ne_extra = set(body) - {"path", "query", "score_mode",
+                                "boost", "inner_hits"} \
+            if isinstance(body, dict) else set()
+        if ne_extra:
+            raise DslError(f"nested: unsupported parameters "
+                           f"{sorted(ne_extra)} (engine subset)")
         if not isinstance(body, dict) or "path" not in body \
                 or "query" not in body:
             raise DslError("nested needs {'path': name, 'query': clause}")

@@ -522,3 +522,43 @@ def test_ids_exists_boost_executes(eng):
     ]:
         with pytest.raises(DslError, match=msg):
             eng.search("mp", q)
+
+
+@pytest.mark.parametrize("q", [
+    '{"query":{"span_first":{"match":{"span_term":{"text":"a"}},'
+    '"end":2,"zzz":1}}}',
+    '{"query":{"span_or":{"clauses":[{"span_term":{"text":"a"}}],'
+    '"zzz":1}}}',
+    '{"query":{"span_not":{"include":{"span_term":{"text":"a"}},'
+    '"exclude":{"span_term":{"text":"b"}},"zzz":1}}}',
+    '{"query":{"constant_score":{"filter":{"term":{"text":"a"}},'
+    '"zzz":1}}}',
+    '{"query":{"dis_max":{"queries":[{"term":{"text":"a"}}],"zzz":1}}}',
+    '{"query":{"boosting":{"positive":{"term":{"text":"a"}},'
+    '"negative":{"term":{"text":"b"}},"zzz":1}}}',
+    '{"query":{"pinned":{"ids":["1"],"organic":{"term":{"text":"a"}},'
+    '"zzz":1}}}',
+])
+def test_compound_kind_param_allowlists(eng, q):
+    # r11: compound kinds typed-reject unknown keys (previously
+    # silently dropped)
+    with pytest.raises(DslError, match="unsupported parameters"):
+        eng.search("mp", q)
+
+
+def test_boosting_outer_boost_executes(eng):
+    # boosting's own `boost` now scales the combined score (r11)
+    import json
+    base = _rows(eng, json.dumps({"query": {"boosting": {
+        "positive": {"term": {"text": "a"}},
+        "negative": {"term": {"text": "c"}},
+        "negative_boost": 0.5}}}))
+    b2 = _rows(eng, json.dumps({"query": {"boosting": {
+        "positive": {"term": {"text": "a"}},
+        "negative": {"term": {"text": "c"}},
+        "negative_boost": 0.5, "boost": 2}}}))
+    # boost applies BEFORE the root long cast (like every Boost node):
+    # doc 4's demoted 0.5 truncated to 0 unboosted but 0.5×2 = 1 — the
+    # same pre-cast arithmetic ES's float scores would show
+    assert base == {1: 1, 2: 1, 4: 0, 5: 2}
+    assert b2 == {1: 2, 2: 2, 4: 1, 5: 4}
