@@ -3525,6 +3525,24 @@ class SearchEngine:
             if not isinstance(ks, dict):
                 raise es_dsl.DslError(
                     f"suggester {name!r}: {kind} must be an object")
+            # no silent drops (r11): unknown option keys typed-reject
+            # at every level — a vanished max_edits/suggest_mode would
+            # change the options with no signal
+            top_extra = set(s) - {kind, "text", "prefix"}
+            if top_extra:
+                raise es_dsl.DslError(
+                    f"suggester {name!r}: unsupported keys "
+                    f"{sorted(top_extra)} (engine subset)")
+            allowed_ks = {"field", "size"} | {
+                "completion": set(),
+                "phrase": {"max_edits"},
+                "term": {"max_edits", "suggest_mode"},
+            }[kind]
+            ks_extra = set(ks) - allowed_ks
+            if ks_extra:
+                raise es_dsl.DslError(
+                    f"suggester {name!r} ({kind}): unsupported "
+                    f"options {sorted(ks_extra)} (engine subset)")
             fld = ks.get("field", default_field)
             if fld is not None and not isinstance(fld, str):
                 raise es_dsl.DslError(

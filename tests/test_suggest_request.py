@@ -113,3 +113,29 @@ def test_search_and_aggs_reject_suggest_section(eng):
     abody = body[:-1] + ',"aggs":{"n":{"value_count":{"field":"id"}}}}'
     with pytest.raises(DslError, match="suggest_request"):
         eng.search_aggs("sg", abody, default_field="text")
+
+
+def test_suggester_option_allowlists(spark):
+    """r11: unknown suggester options typed-reject at both levels —
+    previously silently dropped."""
+    import pytest as _p
+
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame([(1, "alpha beta")],
+                                       "id int, body string"),
+                 TableSpec("sgp", ["id"]))
+    for body, msg in [
+        ({"suggest": {"s": {"text": "alpa",
+                            "term": {"field": "body", "zzz": 1}}}},
+         "unsupported options"),
+        ({"suggest": {"s": {"text": "alpa", "analyzer": "simple",
+                            "term": {"field": "body"}}}},
+         "unsupported keys"),
+        ({"suggest": {"s": {"text": "alpha beta",
+                            "phrase": {"field": "body",
+                                       "collate": {}}}}},
+         "unsupported options"),
+    ]:
+        with _p.raises(DslError, match=msg):
+            eng.suggest_request("sgp", body)
