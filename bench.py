@@ -175,10 +175,25 @@ def main() -> None:
     # and BLIND to residual load that still inflates the lighter
     # mid-suite entries 2-4x (a just-finished test run's scheduler
     # residue read anchor 3.0 — green — while span_near tripled).
-    # Record the load averages so a reader judges the environment
-    # instead of trusting the anchor alone: 5-min load > ~1 at start
-    # makes the record suspect even with a green anchor.
+    # r12: the heuristic is ARMED, not just stamped (r11 lesson: the
+    # record was committed at loadavg 8.78/5.17 with a green anchor and
+    # carried 14 phantom 25-70% inflations a judge re-run disproved).
+    # If the 5-min load exceeds the gate at start, wait once for the
+    # 1-min load to drain; if it is still above the gate the record is
+    # flagged hot exactly like a failed anchor.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.5"))
     load_start = _loadavg()
+    load_hot = False
+    if load_start and load_start[1] > load_gate:
+        print(f"  LOADAVG HOT (5-min {load_start[1]:.2f} > {load_gate}) "
+              "— waiting 60s for the machine to drain", file=sys.stderr)
+        time.sleep(60)
+        load_start = _loadavg()
+        if load_start and min(load_start[0], load_start[1]) > load_gate:
+            load_hot = True
+            print("  LOADAVG STILL HOT — record is suspect; "
+                  "treat per-query numbers as upper bounds",
+                  file=sys.stderr)
 
     # warm-up: touch the biggest table so JVM/codegen init isn't billed
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -247,29 +262,43 @@ def main() -> None:
         for name in HEADLINE:
             _run(queries, name, spark, sf_dir, best_of, timings)
     finally:
-        # emit the JSON line unconditionally — a partial record beats none
-        ok = {k: v for k, v in timings.items() if isinstance(v, float)}
-        errs = {k: v["err"] for k, v in timings.items()
+        # Emit the JSON line unconditionally — a partial record beats
+        # none. The driver keeps only the LAST 2,000 bytes of stdout and
+        # JSON-parses them (r11 lesson: the line grew to 2,230 bytes with
+        # the build dict inline and the durable record became
+        # `parsed: null`). So the stdout line is kept COMPACT: the build
+        # dict goes to stderr only, per-query values round to 2 dp, and
+        # separators carry no whitespace. A >1,950-byte line degrades to
+        # 1 dp rather than overflow.
+        ok = {k: round(v, 2) for k, v in timings.items()
+              if isinstance(v, float)}
+        errs = {k: v["err"][:80] for k, v in timings.items()
                 if isinstance(v, dict)}
         build["loadavg_start"] = load_start
         build["loadavg_end"] = _loadavg()
+        print(f"  build: {json.dumps(build)}", file=sys.stderr)
         out = {
             "metric": "headline_queries_total_time",
-            "value": round(sum(ok.values()), 3),
+            "value": round(sum(ok.values()), 2),
             "unit": "sec",
             "queries": ok,
-            "build": build,
             "best_of": best_of,
             "sf": sf,
         }
-        if anchor_hot:
+        if anchor_hot or load_hot:
             # loud top-level flag: the machine failed the idle-anchor
-            # gate twice — every per-query number is inflated; do NOT
-            # diagnose regressions from this record
+            # or loadavg gate twice — every per-query number is
+            # inflated; do NOT diagnose regressions from this record
             out["anchor_hot"] = True
         if errs:
             out["errors"] = errs
-        print(json.dumps(out))
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1950:
+            print(f"  stdout line {len(line)}B > 1950 — degrading "
+                  "query values to 1 dp", file=sys.stderr)
+            out["queries"] = {k: round(v, 1) for k, v in ok.items()}
+            line = json.dumps(out, separators=(",", ":"))
+        print(line)
 
 
 if __name__ == "__main__":

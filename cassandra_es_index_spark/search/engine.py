@@ -1229,6 +1229,15 @@ class SearchEngine:
             if isinstance(node, GeoShapeLookup):
                 return expand_shape_lookup(node)
             if isinstance(node, KnnClause):
+                # expand CHILDREN first (r12): a knn `filter` may itself
+                # carry a data-driven node (terms lookup, mlt) that must
+                # be resolved before expand_knn_clause compiles it —
+                # otherwise it reaches comp_n.compile unresolved and
+                # fails with a misleading CompileError
+                if node.filter_node is not None:
+                    nf = walk(node.filter_node)
+                    if nf is not node.filter_node:
+                        node = replace(node, filter_node=nf)
                 return expand_knn_clause(node)
             if has_pattern(node):
                 return expand_span(node)
@@ -1703,8 +1712,12 @@ class SearchEngine:
             return result
 
         if req.rrf is not None:
-            return self._rrf_search(table, base, docs, qmd, req, keys,
-                                    default_field)
+            # the retriever allowlist permits `_source` beside
+            # `retriever` — apply it (r12): previously accepted and
+            # silently ignored, violating the no-silent-drops contract
+            return apply_source_filter(
+                self._rrf_search(table, base, docs, qmd, req, keys,
+                                 default_field))
 
         if req.knn is not None:
             if req.post_filter is not None:

@@ -1007,6 +1007,15 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
     if unknown:
         raise DslError(f"unsupported request sections "
                        f"{sorted(unknown)} (engine subset)")
+    # size parses BEFORE the retriever tree (r12): the retriever
+    # rank_window_size default derives from it (ES defaults the window
+    # to the request size and validates window >= size — a size=30
+    # request fusing only each retriever's top-10 would return a
+    # differently-ranked tail with no signal)
+    size = obj.get("size")
+    if size is not None and (not isinstance(size, int)
+                             or isinstance(size, bool) or size < 0):
+        raise DslError("size must be a non-negative integer")
     rrf = None
     if "retriever" in obj:
         # reciprocal rank fusion (r11): rank-based hybrid combination.
@@ -1041,11 +1050,16 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             if len(spec["retrievers"]) > 8:
                 raise DslError("linear supports at most 8 retrievers "
                                "(engine subset)")
-            window = spec.get("rank_window_size", 10)
+            window = spec.get("rank_window_size")
+            if window is None:
+                window = max(10, size or 0)   # ES default: window = size
             if isinstance(window, bool) or not isinstance(window, int) \
                     or window < 1:
                 raise DslError("linear rank_window_size must be a "
                                "positive integer")
+            if size is not None and window < size:
+                raise DslError("linear rank_window_size must be >= "
+                               "size (ES contract)")
             lsubs = []
             for i, entry in enumerate(spec["retrievers"]):
                 if not isinstance(entry, dict) \
@@ -1116,11 +1130,16 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 or kconst < 1:
             raise DslError("rrf rank_constant must be a positive "
                            "integer")
-        window = spec.get("rank_window_size", 10)
+        window = spec.get("rank_window_size")
+        if window is None:
+            window = max(10, size or 0)   # ES default: window = size
         if isinstance(window, bool) or not isinstance(window, int) \
                 or window < 1:
             raise DslError("rrf rank_window_size must be a positive "
                            "integer")
+        if size is not None and window < size:
+            raise DslError("rrf rank_window_size must be >= size "
+                           "(ES contract)")
         subs = []
         for i, r in enumerate(spec["retrievers"]):
             if not isinstance(r, dict) or len(r) != 1:
@@ -1149,10 +1168,6 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                     f"rrf retrievers[{i}]: unsupported retriever kind "
                     f"{rk!r} (engine subset: standard, knn)")
         rrf = ("rrf", tuple(subs), kconst, window)
-    size = obj.get("size")
-    if size is not None and (not isinstance(size, int)
-                             or isinstance(size, bool) or size < 0):
-        raise DslError("size must be a non-negative integer")
     from_ = obj.get("from", 0)
     if not isinstance(from_, int) or from_ < 0:
         raise DslError("from must be a non-negative integer")
@@ -2663,8 +2678,12 @@ def _node(q: dict[str, Any]) -> Node:
                 raise DslError("terms lookup needs 'index'/'path' "
                                "strings and a string-or-int 'id' "
                                f"(missing/bad: {bad})")
-            return TermsLookup(field, str(values["index"]),
-                               str(values["id"]), str(values["path"]))
+            # the beside-the-field boost applies to the lookup form too
+            # (r12): the engine's expansion to Or(Term...) inherits it
+            # through the Boost wrapper — previously silently dropped
+            return _boosted(TermsLookup(field, str(values["index"]),
+                                        str(values["id"]),
+                                        str(values["path"])), t_boost)
         if not isinstance(values, list):
             raise DslError("terms needs a list or a lookup object")
         if not values:

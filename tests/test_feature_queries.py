@@ -291,7 +291,7 @@ def test_rrf_hand_computed_fusion(rrf_engine):
     q = json.dumps({"retriever": {"rrf": {"retrievers": [
         {"standard": {"query": {"match": {"text": "spark"}}}},
         {"knn": {"field": "emb", "query_vector": [1.0, 0.0], "k": 3}}],
-        "rank_constant": 60, "rank_window_size": 3}}, "size": 4})
+        "rank_constant": 60, "rank_window_size": 3}}})
     out = rrf_engine.search("rrft", "#options:load-rows=false#" + q)
     got = [(r["id"], round(r["_score"], 9)) for r in out.collect()]
     want = [(1, round(1 / 62 + 1 / 61, 9)), (2, round(2 / 63, 9)),
@@ -368,7 +368,7 @@ def test_linear_retriever_minmax_and_weights(rrf_engine):
         {"retriever": {"standard": {"query": {"match":
                                               {"text": "other"}}}},
          "normalizer": "minmax"}],
-        "rank_window_size": 5}}, "size": 10})
+        "rank_window_size": 5}}, "size": 5})
     out = rrf_engine.search("rrft", "#options:load-rows=false#" + q)
     got = [(r["id"], r["_score"]) for r in out.collect()]
     assert got == [(3, 1.0), (4, 1.0), (1, 0.0), (2, 0.0)]
@@ -380,7 +380,7 @@ def test_linear_retriever_minmax_and_weights(rrf_engine):
          "weight": 2.0},
         {"retriever": {"standard": {"query": {"match":
                                               {"text": "text"}}}}}],
-        "rank_window_size": 5}}, "size": 10})
+        "rank_window_size": 5}}, "size": 5})
     out2 = rrf_engine.search("rrft", "#options:load-rows=false#" + q2)
     got2 = {r["id"]: r["_score"] for r in out2.collect()}
     assert got2 == {4: 6.0, 1: 2.0, 2: 2.0, 3: 1.0}
@@ -405,3 +405,56 @@ def test_linear_retriever_minmax_and_weights(rrf_engine):
 def test_linear_retriever_typed_errors(rrf_engine, body, msg):
     with pytest.raises(DslError, match=msg):
         rrf_engine.search("rrft", json.dumps(body)).collect()
+
+
+def test_rrf_window_defaults_to_size(rrf_engine):
+    # r12 (ADVICE): no explicit rank_window_size + size=4 must fuse each
+    # retriever's top-4 (ES defaults window to size), not top-10-vs-
+    # silent-top-10 — and, critically, not a silent top-10 ranking when
+    # size exceeds 10. With window=size=4 every doc appears in both
+    # retriever windows, so doc 3 gets a standard-rank contribution it
+    # would NOT get at window 3.
+    q = json.dumps({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "spark"}}}},
+        {"knn": {"field": "emb", "query_vector": [1.0, 0.0], "k": 4}}],
+        "rank_constant": 60}}, "size": 4})
+    out = rrf_engine.search("rrft", "#options:load-rows=false#" + q)
+    got = [(r["id"], round(r["_score"], 9)) for r in out.collect()]
+    # standard tf: 4,1,2 then non-matching (3) rank 4 in knn only;
+    # knn cosine ranks: 1,3,2,4
+    want = sorted([(1, 1 / 62 + 1 / 61), (2, 1 / 63 + 1 / 63),
+                   (4, 1 / 61 + 1 / 64), (3, 1 / 62)],
+                  key=lambda p: (-p[1], p[0]))
+    assert got == [(i, round(s, 9)) for i, s in want]
+
+
+def test_rrf_window_below_size_typed_rejects(rrf_engine):
+    q = json.dumps({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match_all": {}}}},
+        {"standard": {"query": {"match_all": {}}}}],
+        "rank_window_size": 2}}, "size": 5})
+    with pytest.raises(DslError, match="must be >= size"):
+        rrf_engine.search("rrft", q).collect()
+    q2 = json.dumps({"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {"match_all": {}}}}},
+        {"retriever": {"standard": {"query": {"match_all": {}}}}}],
+        "rank_window_size": 2}}, "size": 5})
+    with pytest.raises(DslError, match="must be >= size"):
+        rrf_engine.search("rrft", q2).collect()
+
+
+def test_retriever_source_filter_applies(rrf_engine):
+    # r12 (ADVICE): `_source` beside `retriever` was accepted but
+    # silently ignored — now it projects the fused result
+    q = json.dumps({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "spark"}}}},
+        {"standard": {"query": {"match": {"text": "other"}}}}],
+    }}, "size": 2, "_source": ["text"]})
+    out = rrf_engine.search("rrft", q)     # row-load mode
+    assert set(out.columns) == {"id", "text", "_score"}
+    q_false = json.dumps({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "spark"}}}},
+        {"standard": {"query": {"match": {"text": "other"}}}}],
+    }}, "size": 2, "_source": False})
+    out2 = rrf_engine.search("rrft", q_false)
+    assert set(out2.columns) == {"id", "_score"}

@@ -83,6 +83,46 @@ def test_unknown_path_is_typed(eng):
         eng.search("docs_tl", _lookup("1", path="zzz")).collect()
 
 
+def test_lookup_boost_beside_field_applies(eng):
+    # r12 (ADVICE): {"terms": {f: {lookup}, "boost": b}} must scale the
+    # score — the literal-list branch applied the beside-the-field
+    # boost but the lookup branch silently dropped it
+    q = ('{"query":{"terms":{"lang":{"index":"users_tl","id":"10",'
+         '"path":"follows"},"boost":3.0}}}')
+    out = eng.search("docs_tl", "#options:load-rows=false#" + q)
+    scores = {r["doc_id"]: r["_score"] for r in out.collect()}
+    q1 = ('{"query":{"terms":{"lang":{"index":"users_tl","id":"10",'
+          '"path":"follows"}}}}')
+    base = {r["doc_id"]: r["_score"] for r in
+            eng.search("docs_tl",
+                       "#options:load-rows=false#" + q1).collect()}
+    assert set(scores) == set(base) == {1, 3, 4}
+    for d in scores:
+        assert scores[d] == pytest.approx(3.0 * base[d])
+
+
+def test_knn_filter_with_terms_lookup_resolves(eng, spark):
+    # r12 (ADVICE): a knn query's `filter` carrying a data-driven node
+    # (terms lookup) must be expanded BEFORE the knn clause compiles
+    # its pre-filter — previously a misleading CompileError
+    e = SearchEngine(spark)
+    docs = spark.createDataFrame(
+        [(1, "en", [1.0, 0.0]), (2, "de", [0.9, 0.1]),
+         (3, "en", [0.0, 1.0]), (4, "fr", [0.8, 0.2])],
+        "doc_id int, lang string, emb array<double>")
+    e.register(docs, TableSpec("docs_knn_tl", ["doc_id"]))
+    users = spark.createDataFrame(
+        [(10, ["en"])], "uid int, follows array<string>")
+    e.register(users, TableSpec("users_knn_tl", ["uid"]))
+    q = ('{"query":{"knn":{"field":"emb","query_vector":[1.0,0.0],'
+         '"num_candidates":10,"filter":{"terms":{"lang":{"index":'
+         '"users_knn_tl","id":"10","path":"follows"}}}}},"size":5}')
+    out = e.search("docs_knn_tl", "#options:load-rows=false#" + q)
+    got = [r["doc_id"] for r in out.collect()]
+    # only lang=en docs are candidates; cosine to [1,0]: 1 then 3
+    assert got == [1, 3]
+
+
 def test_raw_node_compile_is_typed(eng, spark):
     docs, _ = eng.catalog.get("docs_tl")
     with pytest.raises(CompileError, match="data-driven"):
