@@ -490,6 +490,27 @@ def q_search_rrf(spark, sf_dir):
     return out.withColumn("_score", F.round("_score", 6))
 
 
+def q_search_retriever_linear(spark, sf_dir):
+    # ES 8.16 retriever.linear (r12): weighted score fusion of two
+    # standard term retrievers over documents — the 'spark' retriever
+    # minmax-normalized within its rank window and weighted 2.0, the
+    # 'table' retriever raw tf at weight 1.0; window 50, size 30. The
+    # oracle re-derives both rank windows with ROW_NUMBER (score desc,
+    # doc_id asc — the engine's deterministic tiebreak), replays the
+    # minmax in doubles, and fuses the identical weighted sum.
+    import json as _json
+    eng = _docs_engine(spark, sf_dir)
+    q = _json.dumps({"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {"match":
+                                              {"text": "spark"}}}},
+         "weight": 2.0, "normalizer": "minmax"},
+        {"retriever": {"standard": {"query": {"match":
+                                              {"text": "table"}}}}}],
+        "rank_window_size": 50}}, "size": 30})
+    out = eng.search("documents", "#options:load-rows=false#" + q)
+    return out.withColumn("_score", F.round("_score", 6))
+
+
 def q_search_knn_hybrid(spark, sf_dir):
     # ES 8.4 hybrid search (r6): knn top-5 BESIDE a term query — hit
     # union, scores SUM where a doc appears in both (one full-outer join
@@ -2472,7 +2493,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   search_page_after demoted to the tail (scroll_drain's keyset
         #   batches exercise the same search_after machinery)
         "search_collapse": q_search_collapse,    # field collapsing (r5)
-        "search_top_hits": q_search_top_hits,    # top_hits sub-agg (r5)
         "search_pipeline_nested": q_search_pipeline_nested,  # per-parent
         #   sequence windows at depth (r6) — supersedes the single-level
         #   variant in the window; that one is in the tail, green r05
@@ -2504,6 +2524,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_geohash_grid": q_search_geohash_grid,  # base32 cells +
         #   avg metric; the geotile variant is in the tail (same
         #   selection machinery, different key math)
+        "geo_shape_filter": q_geo_shape_filter,  # geo_shape polygon
+        #   within (r10/r11 surface) — promoted in-window r12 so the
+        #   driver's oracle gates the geo_shape family (judge-verified
+        #   green in the r11 tail; search_top_hits demoted — its
+        #   grouping/top-1 machinery rides search_collapse, green
+        #   r01-r11, pytest-covered)
         # --- documents / indexing lifecycle ---
         "doc_build": q_doc_build,
         "segment_assignment": q_segment_assignment,
@@ -2575,10 +2601,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_indexed": q_geo_shape_indexed,  # ~ geo family
         #   (r11): indexed_shape reference — same desugar, same
         #   oracle constants as the inline form
-        "geo_shape_filter": q_geo_shape_filter,  # ~ geo family (r11
-        #   oracle pin of the r10 geo_shape surface: polygon shape,
-        #   relation within — desugars onto the geo_polygon ray-cast
-        #   algebra; oracle re-emits the identical slope constants)
+        "search_top_hits": q_search_top_hits,  # ~ grouping/top-1 family
+        #   (green r01-r11; demoted r12 for geo_shape_filter —
+        #   search_collapse keeps the family in-window)
+        "search_retriever_linear": q_search_retriever_linear,
+        #   ~ retriever fusion family (r12): weighted + minmax-
+        #   normalized linear fusion — search_rrf's sibling; the
+        #   oracle replays both windows + minmax + weighted sum
         "search_span_near_nary": q_search_span_near_nary,  # ~ span
         #   family (r11 oracle for the r10 N-ary span_near: 3 slots
         #   with a span_or union slot; oracle re-derives the tuple
@@ -3022,6 +3051,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(sum(s), 6) AS _score
             FROM u GROUP BY vec_id
             ORDER BY sum(s) DESC, vec_id ASC LIMIT 30
+        """,
+        # retriever.linear (r12): both rank windows re-derived with
+        # ROW_NUMBER (score desc, doc_id asc — the engine tiebreak);
+        # minmax replays in doubles over each retriever's own window,
+        # degenerate window → 1.0; weighted sum fuses identically
+        "search_retriever_linear": f"""
+            WITH t1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::DOUBLE
+                           AS s
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0),
+            w1 AS (
+                SELECT doc_id, s FROM (
+                    SELECT doc_id, s, ROW_NUMBER() OVER (
+                        ORDER BY s DESC, doc_id ASC) AS r FROM t1)
+                WHERE r <= 50),
+            n1 AS (
+                SELECT doc_id,
+                       2.0 * (CASE WHEN mx > mn
+                                   THEN (s - mn) / (mx - mn)
+                                   ELSE 1.0 END) AS ws
+                FROM w1, (SELECT min(s) AS mn, max(s) AS mx FROM w1)),
+            t2 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_TABLE}'))::DOUBLE
+                           AS s
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_TABLE}')) > 0),
+            w2 AS (
+                SELECT doc_id, s FROM (
+                    SELECT doc_id, s, ROW_NUMBER() OVER (
+                        ORDER BY s DESC, doc_id ASC) AS r FROM t2)
+                WHERE r <= 50),
+            n2 AS (SELECT doc_id, 1.0 * s AS ws FROM w2),
+            u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+            SELECT doc_id, round(sum(ws), 6) AS _score
+            FROM u GROUP BY doc_id
+            ORDER BY sum(ws) DESC, doc_id ASC LIMIT 30
         """,
         "search_knn": """
             WITH q AS (
