@@ -684,6 +684,18 @@ def q_geo_distance_filter(spark, sf_dir):
     return eng.search("geo_events", "#options:load-rows=false#" + q)
 
 
+def q_geo_shape_circle(spark, sf_dir):
+    # geo_shape circle (r12): desugars onto the GeoDistance haversine
+    # predicate (point-in-circle ≡ distance ≤ radius) — both geo plans
+    # serve it unchanged; the oracle replays the identical haversine
+    # text at a 2500 km threshold (libm last-ulp error ~1e-3 m, no
+    # membership flip reachable on the pseudo-random fixture).
+    eng = _geo_events_engine(spark, sf_dir)
+    q = ('{"query":{"geo_shape":{"loc":{"shape":{"type":"circle",'
+         '"coordinates":[10.40744,57.64911],"radius":"2500km"}}}}}')
+    return eng.search("geo_events", "#options:load-rows=false#" + q)
+
+
 # PII patterns by name — shared with functions.text.PII_PATTERNS so the
 # oracle SQL embeds the IDENTICAL regex strings (RE2-safe by contract)
 _PII = {name: pat for name, pat, _ in tx.PII_PATTERNS}
@@ -1568,6 +1580,24 @@ def q_events_rate_hourly(spark, sf_dir):
          '"rv":{"rate":{"unit":"hour","field":"value"}}}}}}')
     out = eng.search_aggs("events_capped", q, default_field="event_type")
     return out.withColumn("rv", F.round("rv", 4))
+
+
+def q_events_rate_monthly(spark, sf_dir):
+    # ES rate with a CALENDAR month parent (r12): bucket spans vary
+    # (31-day months rescale differently from 28/29/30-day ones), so
+    # the engine folds a per-bucket span column — rate = count ×
+    # 86400/span_secs. The oracle re-derives the span from the bucket
+    # key (next month boundary − key, in seconds); the count rate
+    # rounds 6dp and the field-sum rate 4dp (double summation order).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"per_month":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"month"},'
+         '"aggs":{"r":{"rate":{"unit":"day"}},'
+         '"rv":{"rate":{"unit":"day","field":"value"}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return (out.withColumn("r", F.round("r", 6))
+               .withColumn("rv", F.round("rv", 4)))
 
 
 def q_events_date_histogram(spark, sf_dir):
@@ -2579,6 +2609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   keeps cross_table_union in-window)
         "events_rate_hourly": q_events_rate_hourly,  # ~ agg metric
         #   family (r11): ES rate — fixed-span rescaling
+        "events_rate_monthly": q_events_rate_monthly,  # ~ agg metric
+        #   family (r12): ES rate with a calendar month parent —
+        #   per-bucket span column (31 vs 28/29/30-day months)
         "events_date_histogram": q_events_date_histogram,  # ~ window/
         #   agg family (green r01-r10; demoted r11 for pii_redact —
         #   events_sessionize stays in-window)
@@ -2598,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   oracle re-emits the identical ray-cast constants)
         "geo_sort_nearest": q_geo_sort_nearest,  # ~ geo family (r9;
         #   _geo_distance sort, top-50 nearest + km distance column)
+        "geo_shape_circle": q_geo_shape_circle,  # ~ geo family (r12):
+        #   circle shape desugars onto the GeoDistance haversine
         "geo_shape_indexed": q_geo_shape_indexed,  # ~ geo family
         #   (r11): indexed_shape reference — same desugar, same
         #   oracle constants as the inline form
@@ -4128,6 +4163,25 @@ def oracle_sql() -> dict[str, str]:
               AND ts IS NOT NULL
             GROUP BY 1
         """,
+        # rate, calendar month parent (r12): the span re-derives from
+        # the bucket key (next boundary − key in seconds); factors are
+        # the identical doubles on both engines
+        "events_rate_monthly": r"""
+            WITH b AS (
+                SELECT date_trunc('month', ts) AS key,
+                       COUNT(*) AS n, SUM(value) AS sv
+                FROM events
+                WHERE len(regexp_extract_all(event_type,
+                                             '(?i)\bclick\b')) > 0
+                  AND ts IS NOT NULL
+                GROUP BY 1)
+            SELECT key, n::BIGINT AS doc_count,
+                   ROUND(n * (86400.0 / date_diff('second', key,
+                       key + INTERVAL 1 MONTH)), 6) AS r,
+                   ROUND(sv * (86400.0 / date_diff('second', key,
+                       key + INTERVAL 1 MONTH)), 4) AS rv
+            FROM b
+        """,
         "events_date_histogram": r"""
             SELECT date_trunc('day', ts) AS key,
                    COUNT(*)::BIGINT AS doc_count,
@@ -4155,6 +4209,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND {_GEO_HAV} <= 4000000.0::DOUBLE
+        """,
+        # geo_shape circle (r12): the same haversine text at 2500 km
+        "geo_shape_circle": f"""
+            WITH g AS ({_GEO_CTE})
+            SELECT event_id, 1::BIGINT AS _score
+            FROM g
+            WHERE lat IS NOT NULL AND {_GEO_HAV} <= 2500000.0::DOUBLE
         """,
         # geo_polygon (r9): even-odd ray cast, identical slope
         # constants/op order as the compiler (generated by

@@ -293,6 +293,31 @@ def polygon_contains(lat: Column, lon: Column,
     return inside
 
 
+def line_contains(lat: Column, lon: Column, points: tuple) -> Column:
+    """Exact point-on-polyline test of (lat, lon) against the open
+    (lat, lon) vertex chain (r12 geo_shape linestring): the point lies
+    ON some segment AB ⇔ the cross product (B−A)×(P−A) is exactly 0
+    (collinear) AND P falls inside AB's bounding box. Per-segment
+    Column comparisons with driver-side literal constants (the DuckDB
+    oracle re-emits the identical arithmetic). Planar semantics like
+    the polygon ray-cast (no great-circle edges, documented); exact
+    doubles — a measure-zero predicate by construction, meaningful
+    for grid-aligned / synthetic corpora and hand-built fixtures."""
+    on_line: Column = F.lit(False)
+    for i in range(len(points) - 1):
+        y1, x1 = points[i]
+        y2, x2 = points[i + 1]
+        cross = (F.lit(x2 - x1) * (lat - F.lit(y1))
+                 - F.lit(y2 - y1) * (lon - F.lit(x1)))
+        seg = ((cross == F.lit(0.0))
+               & (lat >= F.lit(min(y1, y2)))
+               & (lat <= F.lit(max(y1, y2)))
+               & (lon >= F.lit(min(x1, x2)))
+               & (lon <= F.lit(max(x1, x2))))
+        on_line = on_line | seg
+    return on_line
+
+
 # --- driver-side cell enumeration (r9: the geo index-served plan) -----
 
 def _cell_index(value: float, lo: float, hi: float, bits: int) -> int:

@@ -651,6 +651,20 @@ class GeoPolygon(Node):
 
 
 @dataclass(frozen=True)
+class GeoOnLine(Node):
+    """Docs whose geo_point lies exactly ON the open polyline (r12 —
+    the ``geo_shape`` linestring/multilinestring query kinds against
+    the point corpus): per-segment collinearity (cross product == 0)
+    plus bounding-box containment, pure Column comparisons. Exact
+    doubles — a measure-zero predicate by construction (meaningful for
+    grid-aligned/synthetic data; ES's indexed variant has the same
+    character at fine precision). ``points`` are (lat, lon) vertices,
+    NOT closed. Score 1 per match."""
+    field: str = ""
+    points: tuple = ()   # ((lat, lon), ...), len >= 2
+
+
+@dataclass(frozen=True)
 class GeoShapeLookup(Node):
     """ES ``geo_shape`` with an ``indexed_shape`` reference: the query
     shape lives in ANOTHER document — ``{"geo_shape": {f:

@@ -34,7 +34,8 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax,
     DistanceFeature, Exists,
     FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists,
-    GeoPolygon, GeoShapeLookup, Fuzzy, Ids, IntervalsMatch, KnnClause,
+    GeoOnLine, GeoPolygon, GeoShapeLookup, Fuzzy, Ids, IntervalsMatch,
+    KnnClause,
     MatchAll,
     MatchNone, MoreLikeThis, ScoredIds,
     Nested, Node, Not, Or,
@@ -494,6 +495,16 @@ def has_fractional_scorer(node: Node) -> bool:
     if isinstance(node, (ScriptScore, DecayScore, RandomScore,
                          FunctionScoreArray, RankFeature,
                          DistanceFeature, ScoredIds, KnnClause)):
+        return True
+    # a FRACTIONAL boost / constant_score value is itself a meaningful
+    # fraction (r12): `^2.5` truncated to ×2 by the long root cast was
+    # a silent value change — such trees keep double scores (integer
+    # boosts stay on the long tf-count contract)
+    if isinstance(node, Boost) and float(node.factor) \
+            != int(node.factor):
+        return True
+    if isinstance(node, ConstantScore) and float(node.boost) \
+            != int(node.boost):
         return True
     if is_dataclass(node):
         for f in dc_fields(node):
@@ -1252,6 +1263,21 @@ class Compiler:
             except ValueError as e:
                 raise CompileError(str(e)) from e
             pred = F.coalesce(polygon_contains(lat, lon, node.points),
+                              F.lit(False))
+            return pred, F.when(pred, 1).otherwise(0)
+        if isinstance(node, GeoOnLine):
+            # exact point-on-polyline (r12 geo_shape linestring) —
+            # per-segment collinearity + bbox, pure Column math
+            from cassandra_es_index_spark.functions.geo import (
+                geo_point_cols, line_contains,
+            )
+
+            ref = self.resolve(node.field)
+            try:
+                lat, lon = geo_point_cols(ref.col, ref.dtype, node.field)
+            except ValueError as e:
+                raise CompileError(str(e)) from e
+            pred = F.coalesce(line_contains(lat, lon, node.points),
                               F.lit(False))
             return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, GeoExists):

@@ -4611,35 +4611,57 @@ class SearchEngine:
             if m.kind == "rate":
                 # ES rate (r11): bucket doc_count (or field sum)
                 # rescaled to a time unit of the PARENT
-                # date_histogram's span — both spans are plan-time
-                # constants, so the scale factor is one double
-                # literal; the aggregate itself stays a plain
-                # count/sum (map-side combinable). Fixed-span parents
-                # only: calendar month/quarter/year buckets vary in
-                # length (engine subset, typed).
+                # date_histogram's span. Fixed-span parents yield ONE
+                # double-literal scale factor; calendar month/quarter/
+                # year parents (r12) vary in length, so the span is a
+                # per-ROW column (seconds from the row's own bucket
+                # start to the next calendar boundary) folded with
+                # min() — constant within a bucket, and the whole
+                # aggregate stays a plain count/sum + min (map-side
+                # combinable, no extra shuffle).
                 secs = {"second": 1, "minute": 60, "hour": 3600,
                         "day": 86400, "week": 604800}
-                cal_ok = {"second": 1, "minute": 60, "hour": 3600,
-                          "day": 86400, "week": 604800}
+                cal_fixed = {"second": 1, "minute": 60, "hour": 3600,
+                             "day": 86400, "week": 604800}
+                cal_months = {"month": 1, "quarter": 3, "year": 12}
                 if parent is None or (parent.calendar_interval is None
                                       and parent.fixed_interval is None):
                     raise es_dsl.DslError(
                         f"rate agg {m.name!r} is valid inside a "
                         "date_histogram bucket only (ES contract)")
-                if parent.fixed_interval is not None:
-                    span = _fixed_interval_seconds(parent.fixed_interval)
-                else:
-                    span = cal_ok.get(parent.calendar_interval)
-                    if span is None:
-                        raise es_dsl.DslError(
-                            f"rate agg {m.name!r}: calendar "
-                            f"{parent.calendar_interval!r} buckets "
-                            "vary in length — use a fixed-span "
-                            "interval (engine subset)")
-                factor = F.lit(float(secs[m.unit]) / float(span))
                 base = (F.count(F.lit(1)).cast("double") if not m.field
                         else F.sum(comp.resolve(m.field).col
                                    .cast("double")))
+                if parent.fixed_interval is not None:
+                    span = _fixed_interval_seconds(parent.fixed_interval)
+                elif parent.calendar_interval in cal_fixed:
+                    span = cal_fixed[parent.calendar_interval]
+                elif parent.calendar_interval in cal_months:
+                    # per-bucket span: unix(add_months(start, n)) −
+                    # unix(start). The offset shifts both boundaries
+                    # equally, so the span computes from the
+                    # UN-shifted calendar truncation.
+                    months = cal_months[parent.calendar_interval]
+                    pcol = comp.resolve(parent.field).col \
+                               .cast("timestamp")
+                    if parent.offset:
+                        pcol = F.timestamp_seconds(
+                            F.unix_seconds(pcol) - int(parent.offset))
+                    start = F.date_trunc(parent.calendar_interval,
+                                         pcol)
+                    span_col = (
+                        F.unix_seconds(
+                            F.add_months(start, months)
+                             .cast("timestamp"))
+                        - F.unix_seconds(start)).cast("double")
+                    return [(base * (F.lit(float(secs[m.unit]))
+                                     / F.min(span_col)))
+                            .alias(m.name)]
+                else:
+                    raise es_dsl.DslError(
+                        f"rate agg {m.name!r}: unsupported calendar "
+                        f"interval {parent.calendar_interval!r}")
+                factor = F.lit(float(secs[m.unit]) / float(span))
                 return [(base * factor).alias(m.name)]
             if m.kind == "reverse_nested":
                 if not nested_ctx["on"]:

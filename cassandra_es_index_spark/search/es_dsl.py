@@ -25,8 +25,8 @@ from typing import Any
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, DistanceFeature, Exists,
     FunctionScore,
-    FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists, GeoPolygon,
-    GeoShapeLookup, KnnClause,
+    FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists, GeoOnLine,
+    GeoPolygon, GeoShapeLookup, KnnClause,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone,
     MoreLikeThis, Nested,
     Node, Not, Or,
@@ -1703,12 +1703,11 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
     if kind == "rate":
         # ES rate: bucket doc_count (or `field` sum) rescaled to a
         # time unit of the PARENT date_histogram's span — the span
-        # itself is validated at execution where the parent is known
-        # (fixed-span parents only: minute/hour/day/week calendar or
-        # any fixed_interval — month/quarter/year buckets vary by
-        # calendar, engine subset). Unit subset mirrors that:
-        # second/minute/hour/day/week. `mode: value_count`
-        # typed-rejects.
+        # itself is validated at execution where the parent is known.
+        # Fixed-span parents use one literal factor; calendar month/
+        # quarter/year parents (r12) use a per-bucket span column.
+        # Unit subset: second/minute/hour/day/week. `mode:
+        # value_count` typed-rejects.
         if not isinstance(body, dict) or "unit" not in body:
             raise DslError(f"rate agg {name!r} needs a 'unit'")
         extra = set(body) - {"unit", "field"}
@@ -4547,10 +4546,55 @@ def shape_to_node(gfield: str, shape: Any, rel: str) -> Node:
             polys.append(GeoPolygon(gfield, tuple(pts)))
         return _rel(polys[0] if len(polys) == 1
                     else Or(tuple(polys)))
+    if stype == "circle":
+        # ES circle shape (r12): center [lon, lat] + "radius" distance
+        # string — point-in-circle ≡ the geo_distance haversine
+        # predicate, so both geo plans serve it unchanged
+        radius = shape.get("radius")
+        if radius is None:
+            raise DslError("geo_shape circle needs a 'radius' "
+                           "(ES distance string, e.g. '10km')")
+        from cassandra_es_index_spark.functions.geo import (
+            distance_meters,
+        )
+        try:
+            meters = distance_meters(radius)
+        except ValueError as e:
+            raise DslError(str(e)) from e
+        clat, clon = _geo_point(coords, "geo_shape circle")
+        return _rel(GeoDistance(gfield, clat, clon, meters))
+
+    def _line_pts(raw, what: str) -> tuple:
+        if not isinstance(raw, list) or len(raw) < 2:
+            raise DslError(f"{what} needs at least 2 [lon, lat] "
+                           "points")
+        if len(raw) > 128:
+            raise DslError(f"{what} supports at most 128 points "
+                           "(engine subset)")
+        return tuple(_geo_point(p, what) for p in raw)
+
+    if stype == "linestring":
+        # measure-zero against the point corpus by construction
+        # (exact on-segment doubles) — implemented, documented in
+        # GeoOnLine; within ≡ intersects (a point within a line is
+        # on it), disjoint composes via the GeoExists leg
+        return _rel(GeoOnLine(gfield,
+                              _line_pts(coords, "geo_shape "
+                                                "linestring")))
+    if stype == "multilinestring":
+        if not isinstance(coords, list) or not coords:
+            raise DslError("geo_shape multilinestring needs "
+                           "[[[lon, lat], ...], ...] line "
+                           "coordinates")
+        lines = tuple(
+            GeoOnLine(gfield, _line_pts(ln, "geo_shape "
+                                            "multilinestring"))
+            for ln in coords)
+        return _rel(lines[0] if len(lines) == 1 else Or(lines))
     raise DslError(
         f"geo_shape type {shape.get('type')!r} is not supported "
-        "(engine subset: envelope / polygon / multipolygon / "
-        "point)")
+        "(engine subset: envelope / polygon / multipolygon / point / "
+        "circle / linestring / multilinestring)")
 
 
 def _span_clause_terms(clause: Any) -> tuple[str, tuple[str, ...]]:

@@ -693,9 +693,9 @@ def test_geo_shape_index_served_parity_and_plan(spark):
 
 
 @pytest.mark.parametrize("body,msg", [
-    # unsupported shape kinds (multipolygon graduated to supported r11)
-    ({"shape": {"type": "linestring",
-                "coordinates": [[0.0, 0.0], [1.0, 1.0]]}},
+    # unsupported shape kinds (multipolygon graduated r11;
+    # circle/linestring/multilinestring graduated r12)
+    ({"shape": {"type": "geometrycollection", "geometries": []}},
      "not supported"),
     ({"shape": {"type": "multipolygon", "coordinates": []}},
      "multipolygon needs"),
@@ -794,6 +794,73 @@ def test_composite_geotile_grid_source(geo_engine):
     with pytest.raises(DslError, match="unsupported parameters"):
         geo_engine.search_aggs("pts", q.replace('"precision"',
                                                 '"precison"'))
+
+
+# ------------------- geo_shape circle / linestring / multiline (r12)
+
+GS_CIRCLE_1KM = {"type": "circle",
+                 "coordinates": [10.40744, 57.64911], "radius": "1km"}
+GS_CIRCLE_10KM = {"type": "circle",
+                  "coordinates": [10.40744, 57.64911],
+                  "radius": "10km"}
+# vertical (constant-lon) segment through row 1 only
+GS_LINE_V = {"type": "linestring",
+             "coordinates": [[10.40744, 57.64911], [10.40744, 58.0]]}
+# horizontal segment at lat 89.99 — row 7 sits MID-segment
+GS_LINE_H = {"type": "linestring",
+             "coordinates": [[-10.0, 89.99], [10.0, 89.99]]}
+
+
+def test_geo_shape_circle_desugar_to_distance(geo_engine):
+    # 1 km around row 1: rows 1+2 (~11 m apart); 10 km adds row 3
+    got, out = _gs_ids(geo_engine, "pts", _gs(GS_CIRCLE_1KM))
+    assert got == [1, 2]
+    assert all(r["_score"] == 1 for r in out.collect())
+    assert _gs_ids(geo_engine, "pts", _gs(GS_CIRCLE_10KM))[0] \
+        == [1, 2, 3]
+    # disjoint: everyone else WITH a point
+    assert _gs_ids(geo_engine, "pts",
+                   _gs(GS_CIRCLE_10KM, "disjoint"))[0] == [4, 5, 7]
+
+
+def test_geo_shape_linestring_exact_on_segment(geo_engine):
+    # endpoint hit: row 1 lies on the vertical segment's start; row 2
+    # (different lon) does not
+    assert _gs_ids(geo_engine, "pts", _gs(GS_LINE_V))[0] == [1]
+    # MID-segment collinear hit: row 7 (89.99, 0) on the horizontal
+    # segment (-10..10 at lat 89.99); null row 6 never matches
+    got, out = _gs_ids(geo_engine, "pts", _gs(GS_LINE_H))
+    assert got == [7]
+    assert all(r["_score"] == 1 for r in out.collect())
+    # within ≡ intersects on a point corpus; disjoint = the others
+    assert _gs_ids(geo_engine, "pts",
+                   _gs(GS_LINE_H, "within"))[0] == [7]
+    assert _gs_ids(geo_engine, "pts",
+                   _gs(GS_LINE_H, "disjoint"))[0] == [1, 2, 3, 4, 5]
+
+
+def test_geo_shape_multilinestring_union(geo_engine):
+    shape = {"type": "multilinestring",
+             "coordinates": [GS_LINE_V["coordinates"],
+                             GS_LINE_H["coordinates"]]}
+    assert _gs_ids(geo_engine, "pts", _gs(shape))[0] == [1, 7]
+
+
+@pytest.mark.parametrize("shape,msg", [
+    ({"type": "circle", "coordinates": [0.0, 0.0]}, "radius"),
+    ({"type": "circle", "coordinates": [0.0, 0.0],
+      "radius": "10 parsecs"}, "distance"),
+    ({"type": "linestring", "coordinates": [[0.0, 0.0]]},
+     "at least 2"),
+    ({"type": "linestring",
+      "coordinates": [[float(i), 0.0] for i in range(129)]},
+     "at most 128"),
+    ({"type": "multilinestring", "coordinates": []},
+     "multilinestring"),
+])
+def test_geo_shape_line_circle_typed_errors(geo_engine, shape, msg):
+    with pytest.raises(DslError, match=msg):
+        geo_engine.search("pts", _gs(shape)).collect()
 
 
 # ------------------------------------ geo_shape indexed_shape (r11)

@@ -331,13 +331,10 @@ def test_rate_metric_hand_case(spark):
            for r in eng.search_aggs("rate_t", q2).collect()}
     # minutes 0-2 land in the first 30m bucket: 6 docs × (3600/1800)
     assert got == {"2024-01-01 00:00:00": 12.0}
-    # typed: wrong parent, calendar-variable parent, bad unit/params
+    # typed: wrong parent, bad unit/params
     for q_bad, msg in [
         ('{"aggs":{"t":{"terms":{"field":"id"},"aggs":{"r":{"rate":'
          '{"unit":"hour"}}}}}}', "date_histogram bucket only"),
-        ('{"aggs":{"m":{"date_histogram":{"field":"ts",'
-         '"calendar_interval":"month"},"aggs":{"r":{"rate":'
-         '{"unit":"day"}}}}}}', "vary in length"),
         ('{"aggs":{"d":{"date_histogram":{"field":"ts",'
          '"calendar_interval":"day"},"aggs":{"r":{"rate":'
          '{"unit":"fortnight"}}}}}}', "second/minute/hour"),
@@ -347,6 +344,46 @@ def test_rate_metric_hand_case(spark):
     ]:
         with pytest.raises(DslError, match=msg):
             eng.search_aggs("rate_t", q_bad)
+
+
+def test_rate_calendar_parents_hand_case(spark):
+    """r12: month/quarter/year date_histogram parents — the span is a
+    per-bucket column (next calendar boundary − bucket start), so a
+    Jan-2024 bucket (31 d) and a leap-Feb-2024 bucket (29 d) rescale
+    differently. Hand values: unit=day rate = doc_count / days."""
+    import datetime as dt
+    eng = SearchEngine(spark)
+    rows = ([(i, dt.datetime(2024, 1, 1 + i, 12, 0, 0), 2.0)
+             for i in range(4)]           # 4 docs in Jan 2024
+            + [(10 + i, dt.datetime(2024, 2, 1 + i, 12, 0, 0), 3.0)
+               for i in range(2)])        # 2 docs in Feb 2024
+    eng.register(spark.createDataFrame(
+        rows, "id int, ts timestamp, v double"),
+        TableSpec("rate_cal_t", ["id"]))
+    q = ('{"aggs":{"per_month":{"date_histogram":{"field":"ts",'
+         '"calendar_interval":"month"},"aggs":{"r":{"rate":'
+         '{"unit":"day"}},"rv":{"rate":{"unit":"day",'
+         '"field":"v"}}}}}}')
+    got = {str(r["key"]): (r["doc_count"], r["r"], r["rv"])
+           for r in eng.search_aggs("rate_cal_t", q).collect()}
+    assert got == {
+        "2024-01-01 00:00:00": (4, pytest.approx(4 / 31),
+                                pytest.approx(8.0 / 31)),
+        "2024-02-01 00:00:00": (2, pytest.approx(2 / 29),
+                                pytest.approx(6.0 / 29)),
+    }
+    # quarter: Q1 2024 = 91 days (31+29+31); year 2024 = 366 days
+    qq = ('{"aggs":{"per_q":{"date_histogram":{"field":"ts",'
+          '"calendar_interval":"quarter"},"aggs":{"r":{"rate":'
+          '{"unit":"day"}}}}}}')
+    row, = eng.search_aggs("rate_cal_t", qq).collect()
+    assert (row["doc_count"], row["r"]) == (6, pytest.approx(6 / 91))
+    qy = ('{"aggs":{"per_y":{"date_histogram":{"field":"ts",'
+          '"calendar_interval":"year"},"aggs":{"r":{"rate":'
+          '{"unit":"week"}}}}}}')
+    row, = eng.search_aggs("rate_cal_t", qy).collect()
+    assert (row["doc_count"], row["r"]) == (6, pytest.approx(
+        6 * 604800 / (366 * 86400)))
 
 
 def test_generic_bucket_param_allowlists(spark):

@@ -1180,10 +1180,14 @@ def test_boost_scan_vs_postings_parity(spark):
     for q in ("body:roam^3", "body:roam^3 OR body:foam",
               "body:quick^2 AND body:fox", 'body:"quick brown"^2'):
         assert _rows(idx, "luc_idx", q) == _rows(scan, "luc_scan", q), q
-    # fractional boost truncates at the root only, on both plans
-    q = "body:roams^1.5"   # tf 2 → 3.0 → long 3
+    # fractional boost keeps DOUBLE scores (r12: ^1.5 truncated to ×1
+    # by the long root cast was a silent value change), on both plans
+    q = "body:roams^1.5"   # tf 2 → 3.0 exact
     assert _rows(idx, "luc_idx", q) == _rows(scan, "luc_scan", q) == [
-        ("f3", 3)]
+        ("f3", 3.0)]
+    q = "body:roam^1.5"    # tf 1 → 1.5, previously truncated to 1
+    assert _rows(idx, "luc_idx", q) == _rows(scan, "luc_scan", q)
+    assert _rows(scan, "luc_scan", q)[0][1] == 1.5
 
 
 def test_phrase_slop_matching(spark):
