@@ -1873,6 +1873,27 @@ def q_events_json_props(spark, sf_dir):
                    F.round(F.avg("value"), 4).alias("avg_value")))
 
 
+def q_text_dup_lines(spark, sf_dir):
+    # Gopher line-level repetition signals (r12): duplicate-line
+    # fraction + the character-weighted companion. The corpus has no
+    # newlines, so the query derives a deterministic multi-line
+    # fixture (the pii_redact pattern): line1 = first 40 chars,
+    # line2 = the full text, and every 3rd doc repeats line1 — an
+    # injected duplicate whose expected fractions the oracle replays
+    # with the identical substr/split/trim/distinct algebra.
+    docs = _t(spark, sf_dir, "documents")
+    l1 = F.substring(F.col("text"), 1, 40)
+    synth = (F.when(F.col("doc_id") % 3 == 0,
+                    F.concat_ws("\n", l1, F.col("text"), l1))
+              .otherwise(F.concat_ws("\n", l1, F.col("text"))))
+    framed = docs.select("doc_id", synth.alias("t"))
+    lns = tx.lines_of(F.col("t"))
+    return framed.select(
+        "doc_id",
+        tx.dup_line_fraction(lns=lns).alias("dup_line_frac"),
+        tx.dup_line_char_fraction(lns=lns).alias("dup_char_frac"))
+
+
 def q_text_unigram_xent(spark, sf_dir):
     # CCNet-style LM quality signal (r11, operators/lm_score.py): per-
     # document unigram cross-entropy under the corpus' own add-0.5-
@@ -2741,6 +2762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (green r04; same cosine kernel, join variant pytest-covered)
         "text_bpe_tokens": q_text_bpe_tokens,  # ~ text_stats
         #   (green r04; tokenizer family kept by text_stats)
+        "text_dup_lines": q_text_dup_lines,  # ~ text family (r12):
+        #   Gopher line-level duplicate fractions on a derived
+        #   multi-line fixture
         "text_unigram_xent": q_text_unigram_xent,  # ~ text family
         #   (r11): CCNet-style unigram cross-entropy quality signal
         "text_quality_lang": q_text_quality_lang,  # ~ text_stats
@@ -4863,6 +4887,43 @@ def oracle_sql() -> dict[str, str]:
         # add-0.5 smoothing — every token is in-vocabulary, so the
         # oracle needs no unseen branch; ROUND 4dp on both sides
         # absorbs summation-order ulps
+        # Gopher line-level dup fractions (r12): identical derived
+        # fixture (substr/chr(10) concat) + identical trim/filter/
+        # distinct/length algebra in DuckDB list lambdas
+        "text_dup_lines": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN substr(text, 1, 40) || chr(10) ||
+                                 text || chr(10) || substr(text, 1, 40)
+                            ELSE substr(text, 1, 40) || chr(10) ||
+                                 text END AS t
+                FROM documents),
+            l AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           string_split(t, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lns
+                FROM s),
+            m AS (
+                SELECT doc_id, lns,
+                       list_sum(list_transform(lns,
+                                               x -> length(x)))
+                           AS chars,
+                       list_sum(list_transform(list_distinct(lns),
+                                               x -> length(x)))
+                           AS dchars
+                FROM l)
+            SELECT doc_id,
+                   CASE WHEN len(lns) >= 2
+                        THEN round((len(lns) - len(list_distinct(lns)))
+                                   ::DOUBLE / len(lns), 6)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN chars > 0
+                        THEN round((chars - dchars)::DOUBLE / chars, 6)
+                        ELSE 0.0 END AS dup_char_frac
+            FROM m
+        """,
         "text_unigram_xent": r"""
             WITH tok AS (
                 SELECT doc_id,

@@ -155,6 +155,47 @@ def top_token_share(col: Column | None = None,
     return F.round(max_run_count(toks) / F.size(toks), 6)
 
 
+def lines_of(col: Column) -> Column:
+    """Non-empty trimmed lines of a document (newline-split) — the
+    unit of Gopher's line-level repetition filters."""
+    raw = F.split(col, "\n")
+    # one-arg lambda on purpose: F.trim has an optional second param,
+    # and transform() passes (element, INDEX) to any 2-arg callable —
+    # bare F.trim would silently become trim(element, trim=index)
+    trimmed = F.transform(raw, lambda ln: F.trim(ln))
+    return F.filter(trimmed, lambda ln: ln != "")
+
+
+def dup_line_fraction(col: Column | None = None,
+                      lns: Column | None = None) -> Column:
+    """Fraction of lines that duplicate another line in the same
+    document (1 − distinct/total) — Gopher's duplicate-line filter
+    (boilerplate nav bars, repeated headers). 0 for single-line and
+    empty documents. Pass a pre-split ``lns`` array to share one split
+    across the line metrics."""
+    lns = lines_of(col) if lns is None else lns
+    n = F.size(lns)
+    frac = F.round((n - F.size(F.array_distinct(lns))) / n, 6)
+    return F.when(n >= 2, frac).otherwise(F.lit(0.0))
+
+
+def dup_line_char_fraction(col: Column | None = None,
+                           lns: Column | None = None) -> Column:
+    """Fraction of line CHARACTERS inside duplicate lines — Gopher's
+    companion signal (a repeated long footer weighs more than a
+    repeated one-word line). Characters of every occurrence beyond a
+    line's first count as duplicated: 1 − Σ distinct-line lengths /
+    Σ all-line lengths, 0 when there are no duplicate lines."""
+    lns = lines_of(col) if lns is None else lns
+    chars = F.aggregate(F.transform(lns, F.length),
+                        F.lit(0), lambda a, x: a + x)
+    dchars = F.aggregate(
+        F.transform(F.array_distinct(lns), F.length),
+        F.lit(0), lambda a, x: a + x)
+    frac = F.round((chars - dchars) / chars, 6)
+    return F.when(chars > 0, frac).otherwise(F.lit(0.0))
+
+
 def normalized_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
     return F.regexp_replace(F.lower(F.trim(col)), WS, " ")

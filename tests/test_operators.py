@@ -439,6 +439,39 @@ def test_repetition_metrics_known_values(spark):
     assert rows["d4"]["tts"] == 1.0
 
 
+def test_dup_line_fractions_known_values(spark):
+    """r12 Gopher line-level repetition signals: duplicate-line
+    fraction (1 − distinct/total over non-empty trimmed lines) and the
+    character-weighted companion (occurrences beyond a line's first
+    count their characters as duplicated)."""
+    from cassandra_es_index_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("d1", "nav bar\nbody text here\nnav bar"),   # 1 of 3 dup
+         ("d2", "a\nb\nc"),                            # no dups
+         ("d3", "only one line"),                      # single line
+         ("d4", "x\n\n  \nx"),                         # blanks drop
+         ("d5", "looong footer line\nz\nlooong footer line")],
+        "id string, text string")
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        tx.dup_line_fraction(F.col("text")).alias("dlf"),
+        tx.dup_line_char_fraction(F.col("text")).alias("dlcf"))
+        .collect()}
+    assert rows["d1"]["dlf"] == round(1 / 3, 6)
+    # chars: 7+14+7 = 28, distinct 7+14 = 21 → 7/28
+    assert rows["d1"]["dlcf"] == 0.25
+    assert rows["d2"]["dlf"] == 0.0 and rows["d2"]["dlcf"] == 0.0
+    assert rows["d3"]["dlf"] == 0.0 and rows["d3"]["dlcf"] == 0.0
+    # d4: lines after trim+drop = [x, x] → dlf 1/2, chars 2→1 → 1/2
+    assert rows["d4"]["dlf"] == 0.5 and rows["d4"]["dlcf"] == 0.5
+    # d5: 18+1+18 = 37 chars, distinct 19 → 18/37 — the long footer
+    # dominates the char-weighted form vs the count form's 1/3
+    assert rows["d5"]["dlf"] == round(1 / 3, 6)
+    assert rows["d5"]["dlcf"] == round(18 / 37, 6)
+
+
 def test_span_dedup_paragraph_first_wins(spark):
     from cassandra_es_index_spark.operators import dedup
     df = spark.createDataFrame([
