@@ -684,6 +684,18 @@ def q_geo_distance_filter(spark, sf_dir):
     return eng.search("geo_events", "#options:load-rows=false#" + q)
 
 
+def q_geo_grid_cell(spark, sf_dir):
+    # ES geo_grid query (r12): docs in ONE named geohash cell — the
+    # same key function as the geohash_grid agg, so a bucket key fed
+    # back as a query returns exactly that bucket's documents. Served
+    # from the geo index by cell-prefix pruning when one exists; the
+    # oracle regenerates the identical interleave arithmetic and
+    # compares the key to the literal.
+    eng = _geo_events_engine(spark, sf_dir)
+    q = '{"query":{"geo_grid":{"loc":{"geohash":"0n"}}}}'
+    return eng.search("geo_events", "#options:load-rows=false#" + q)
+
+
 def q_geo_shape_circle(spark, sf_dir):
     # geo_shape circle (r12): desugars onto the GeoDistance haversine
     # predicate (point-in-circle ≡ distance ≤ radius) — both geo plans
@@ -2654,6 +2666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   _geo_distance sort, top-50 nearest + km distance column)
         "geo_shape_circle": q_geo_shape_circle,  # ~ geo family (r12):
         #   circle shape desugars onto the GeoDistance haversine
+        "geo_grid_cell": q_geo_grid_cell,  # ~ geo family (r12):
+        #   geo_grid query — agg bucket key fed back as a query
         "geo_shape_indexed": q_geo_shape_indexed,  # ~ geo family
         #   (r11): indexed_shape reference — same desugar, same
         #   oracle constants as the inline form
@@ -4234,6 +4248,16 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             WHERE lat IS NOT NULL AND {_GEO_HAV} <= 4000000.0::DOUBLE
         """,
+        # geo_grid (r12): the identical precision-2 interleave
+        # arithmetic; membership = key == literal
+        "geo_grid_cell": (lambda parts: f"""
+            WITH g AS ({_GEO_CTE}),
+            c AS (SELECT *, {parts[0]} AS cx, {parts[1]} AS cy
+                  FROM g WHERE lat IS NOT NULL),
+            m AS (SELECT *, {parts[2]} AS combined FROM c)
+            SELECT event_id, 1::BIGINT AS _score
+            FROM m WHERE {parts[3]} = '0n'
+        """)(_geohash_sql_parts(2)),
         # geo_shape circle (r12): the same haversine text at 2500 km
         "geo_shape_circle": f"""
             WITH g AS ({_GEO_CTE})

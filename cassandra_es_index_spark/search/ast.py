@@ -651,6 +651,20 @@ class GeoPolygon(Node):
 
 
 @dataclass(frozen=True)
+class GeoGridCell(Node):
+    """ES ``geo_grid`` query (r12): docs whose geo_point falls in ONE
+    named grid cell — ``kind`` is ``geohash`` (base32 key, precision =
+    key length) or ``geotile`` ("z/x/y"). Compiles to key-function
+    equality (``geohash_col``/``geotile_key`` == the literal), so cell
+    membership is bit-exact with the engine's grid aggregations; the
+    geo index serves it by prefix-pruning cells then exact-verifying
+    (geohash prefix property). Score 1 per match."""
+    field: str = ""
+    kind: str = "geohash"   # geohash | geotile
+    key: str = ""
+
+
+@dataclass(frozen=True)
 class GeoOnLine(Node):
     """Docs whose geo_point lies exactly ON the open polyline (r12 —
     the ``geo_shape`` linestring/multilinestring query kinds against

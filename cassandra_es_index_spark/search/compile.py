@@ -34,8 +34,8 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax,
     DistanceFeature, Exists,
     FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists,
-    GeoOnLine, GeoPolygon, GeoShapeLookup, Fuzzy, Ids, IntervalsMatch,
-    KnnClause,
+    GeoGridCell, GeoOnLine, GeoPolygon, GeoShapeLookup, Fuzzy, Ids,
+    IntervalsMatch, KnnClause,
     MatchAll,
     MatchNone, MoreLikeThis, ScoredIds,
     Nested, Node, Not, Or,
@@ -1264,6 +1264,26 @@ class Compiler:
                 raise CompileError(str(e)) from e
             pred = F.coalesce(polygon_contains(lat, lon, node.points),
                               F.lit(False))
+            return pred, F.when(pred, 1).otherwise(0)
+        if isinstance(node, GeoGridCell):
+            # geo_grid (r12): cell-key equality — the SAME key math as
+            # the grid aggregations, so query and agg cells agree
+            # bit-for-bit
+            from cassandra_es_index_spark.functions.geo import (
+                geo_point_cols, geohash_col, geotile_key,
+            )
+
+            ref = self.resolve(node.field)
+            try:
+                lat, lon = geo_point_cols(ref.col, ref.dtype, node.field)
+            except ValueError as e:
+                raise CompileError(str(e)) from e
+            if node.kind == "geohash":
+                kcol = geohash_col(lat, lon, len(node.key))
+            else:
+                zoom = int(node.key.split("/")[0])
+                kcol = geotile_key(lat, lon, zoom)
+            pred = F.coalesce(kcol == F.lit(node.key), F.lit(False))
             return pred, F.when(pred, 1).otherwise(0)
         if isinstance(node, GeoOnLine):
             # exact point-on-polyline (r12 geo_shape linestring) —

@@ -23,7 +23,7 @@ from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax, Exists,
     FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance,
-    GeoPolygon, RandomScore,
+    GeoGridCell, GeoPolygon, RandomScore,
     Fuzzy, IntervalsMatch, Node, Not, Or, Phrase, Range, Regexp, Required,
     Scoreless,
     ScriptScore, Should, SpanContaining, SpanFirst, SpanNear, SpanNot,
@@ -3011,6 +3011,58 @@ class SearchEngine:
                 return span_containing_hits(
                     state.view(), n.big_terms, n.big_near,
                     n.little_terms, n.within, score_col=SCORE)
+            if isinstance(n, GeoGridCell):
+                # geo_grid (r12) on the geo index: prune candidate
+                # cells, then exact-verify with the SAME key function
+                # the scan plan compiles. geohash queries prune by the
+                # prefix property (index cells at precision P either
+                # refine or coarsen the query cell); geotile cells
+                # don't share the geohash lattice, so the tile's bbox
+                # covers at the index precision — pole/antimeridian
+                # clamped rows widen to the full edge (geotile_key
+                # clamps out-of-mercator points INTO the edge rows).
+                import math as _math
+
+                from cassandra_es_index_spark.functions.geo import (
+                    bbox_covering_cells, geohash_col, geotile_key,
+                )
+
+                entry = self._geo.get((table, n.field))
+                if entry is None:
+                    return None
+                prec = self._geo_prec[(table, n.field)]
+                lat, lon = F.col("lat"), F.col("lon")
+                if n.kind == "geohash":
+                    kl = len(n.key)
+                    cand = (F.col("cell").startswith(n.key)
+                            if kl <= prec
+                            else F.col("cell") == n.key[:prec])
+                    pred = geohash_col(lat, lon, kl) == F.lit(n.key)
+                else:
+                    z, x, y = (int(p) for p in n.key.split("/"))
+                    ntiles = 1 << z
+
+                    def _tile_lat(row: int) -> float:
+                        return _math.degrees(_math.atan(_math.sinh(
+                            _math.pi * (1.0 - 2.0 * row / ntiles))))
+
+                    top = 90.0 if y == 0 else _tile_lat(y)
+                    bottom = (-90.0 if y == ntiles - 1
+                              else _tile_lat(y + 1))
+                    left = x / ntiles * 360.0 - 180.0
+                    right = (180.0 if x == ntiles - 1
+                             else (x + 1) / ntiles * 360.0 - 180.0)
+                    cells = bbox_covering_cells(top, left, bottom,
+                                                right, prec)
+                    if cells is None:
+                        return None
+                    cand = F.col("cell").isin(cells)
+                    pred = geotile_key(lat, lon, z) == F.lit(n.key)
+                return (entry.view()
+                        .where(cand)
+                        .where(F.coalesce(pred, F.lit(False)))
+                        .select("doc",
+                                F.lit(1).cast("long").alias(SCORE)))
             if isinstance(n, (GeoDistance, GeoBoundingBox, GeoPolygon)):
                 # geo index-served plan (r9, polygons r10 via
                 # geo_shape): enumerate the query's covering geohash

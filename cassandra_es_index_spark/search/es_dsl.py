@@ -25,8 +25,8 @@ from typing import Any
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, DistanceFeature, Exists,
     FunctionScore,
-    FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists, GeoOnLine,
-    GeoPolygon, GeoShapeLookup, KnnClause,
+    FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists, GeoGridCell,
+    GeoOnLine, GeoPolygon, GeoShapeLookup, KnnClause,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone,
     MoreLikeThis, Nested,
     Node, Not, Or,
@@ -4149,6 +4149,54 @@ def _node(q: dict[str, Any]) -> Node:
             raise DslError("geo_polygon needs at least 3 distinct "
                            "points")
         return _boosted(GeoPolygon(str(gfield), tuple(pts)), gp_boost)
+    if kind == "geo_grid":
+        # ES geo_grid query (r12): docs in ONE named grid cell —
+        # {"geo_grid": {field: {"geohash": key}}} or {"geotile":
+        # "z/x/y"}. Compiles to the SAME key functions as the grid
+        # aggregations, so a bucket key fed back as a query returns
+        # exactly that bucket's documents. geohex typed-rejects (no
+        # H3 library in the engine subset); boost rides beside the
+        # field key like the other geo kinds.
+        gg_boost = None
+        if isinstance(body, dict) and "boost" in body and len(body) == 2:
+            gg_boost = body["boost"]
+            body = {k: v for k, v in body.items() if k != "boost"}
+        if not isinstance(body, dict) or len(body) != 1:
+            raise DslError("geo_grid needs {field: {'geohash': key} "
+                           "or {'geotile': 'z/x/y'}}")
+        (gfield, spec), = body.items()
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise DslError("geo_grid needs exactly one of "
+                           "geohash/geotile (geohex: engine subset)")
+        (gkind, gkey), = spec.items()
+        if gkind == "geohash":
+            key = str(gkey).lower()
+            if not 1 <= len(key) <= 12 \
+                    or any(c not in "0123456789bcdefghjkmnpqrstuvwxyz"
+                           for c in key):
+                raise DslError(
+                    f"geo_grid geohash key {gkey!r} must be 1-12 "
+                    "base32 geohash characters")
+            return _boosted(GeoGridCell(str(gfield), "geohash", key),
+                            gg_boost)
+        if gkind == "geotile":
+            parts = str(gkey).split("/")
+            try:
+                z, x, y = (int(p) for p in parts)
+            except (ValueError, TypeError):
+                z = -1
+            if len(parts) != 3 or not 0 <= z <= 29 \
+                    or not 0 <= x < (1 << z) or not 0 <= y < (1 << z):
+                raise DslError(
+                    f"geo_grid geotile key {gkey!r} must be 'z/x/y' "
+                    "with 0 <= z <= 29 and x, y tile indices in "
+                    "range")
+            return _boosted(
+                GeoGridCell(str(gfield), "geotile", f"{z}/{x}/{y}"),
+                gg_boost)
+        raise DslError(
+            f"geo_grid kind {gkind!r} is not supported (engine "
+            "subset: geohash / geotile — geohex needs an H3 library)")
     if kind == "script":
         # ES script query (filter context): {"script": {"script":
         # {"source": "doc['f'].value > 5"}}} — the painless

@@ -863,6 +863,86 @@ def test_geo_shape_line_circle_typed_errors(geo_engine, shape, msg):
         geo_engine.search("pts", _gs(shape)).collect()
 
 
+# --------------------------------------------- geo_grid query (r12)
+
+def _gg(field_spec, boost=None):
+    body = {"loc": field_spec}
+    if boost is not None:
+        body["boost"] = boost   # ES: boost rides BESIDE the field key
+    return json.dumps({"query": {"geo_grid": body}})
+
+
+def test_geo_grid_geohash_scan(geo_engine):
+    # rows 1-2 encode to u4pr at precision 4 (the known vector); row 3
+    # to u4r2 — the agg's own bucket keys fed back as queries
+    got, out = _gs_ids(geo_engine, "pts", _gg({"geohash": "u4pr"}))
+    assert got == [1, 2]
+    assert all(r["_score"] == 1 for r in out.collect())
+    assert _gs_ids(geo_engine, "pts", _gg({"geohash": "u4r2"}))[0] == [3]
+    # coarser cell: precision 1 'u' (lon [0,45], lat [45,90]) covers
+    # the Jutland cluster AND the near-pole row 7 at (89.99, 0)
+    assert _gs_ids(geo_engine, "pts", _gg({"geohash": "u"}))[0] \
+        == [1, 2, 3, 7]
+    # uppercase keys normalize like the encoder's output
+    assert _gs_ids(geo_engine, "pts", _gg({"geohash": "U4PR"}))[0] \
+        == [1, 2]
+
+
+def test_geo_grid_geotile_scan_and_pole_clamp(geo_engine):
+    # NYC tile at zoom 7 (the known hand computation 7/37/48)
+    assert _gs_ids(geo_engine, "pts", _gg({"geotile": "7/37/48"}))[0] \
+        == [4, 5]
+    # the pole row: geotile_key clamps lat 89.99 INTO the top row
+    assert _gs_ids(geo_engine, "pts", _gg({"geotile": "3/4/0"}))[0] \
+        == [7]
+
+
+def test_geo_grid_index_parity_and_plan(spark):
+    rows = [(i,) + r[1:3] for i, r in enumerate(ROWS) if r[1] is not None]
+    df = (spark.createDataFrame(rows, "id bigint, lat double, lon double")
+          .select("id", F.struct("lat", "lon").alias("loc")))
+    scan_eng = SearchEngine(spark)
+    scan_eng.register(df, TableSpec("gg_scan", ["id"]))
+    idx_eng = SearchEngine(spark)
+    idx_eng.register(df, TableSpec("gg_idx", ["id"]))
+    idx_eng.build_geo_index("gg_idx", "loc", precision=4,
+                            materialize=True)
+    for spec in ({"geohash": "u4pr"}, {"geohash": "u"},
+                 {"geohash": "u4pruydqq"},       # FINER than the index
+                 {"geotile": "7/37/48"}, {"geotile": "3/4/0"}):
+        q = _gg(spec)
+        a = sorted(r["id"] for r in scan_eng.search(
+            "gg_scan", "#options:load-rows=false#" + q).collect())
+        b = sorted(r["id"] for r in idx_eng.search(
+            "gg_idx", "#options:load-rows=false#" + q).collect())
+        assert a == b, spec
+    # the geohash form rides the index (no corpus scan of gg_idx)
+    plan = idx_eng.search(
+        "gg_idx", "#options:load-rows=false#" + _gg({"geohash": "u4pr"})
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "gg_idx" not in plan or "geo_idx" in plan.lower() \
+        or plan.count("Scan") <= 2
+
+
+def test_geo_grid_boost_and_typed_errors(geo_engine):
+    out = geo_engine.search(
+        "pts", "#options:load-rows=false#"
+        + _gg({"geohash": "u4pr"}, boost=3))
+    assert sorted((r["id"], r["_score"]) for r in out.collect()) \
+        == [(1, 3), (2, 3)]
+    for body, msg in [
+        ({"geohex": "8a1fb46622dffff"}, "exactly one of|not supported"),
+        ({"geohash": "u4pr!"}, "base32"),
+        ({"geohash": ""}, "base32"),
+        ({"geohash": "u4pruydqqvja9"}, "base32"),   # 13 chars
+        ({"geotile": "7/999/48"}, "tile indices"),
+        ({"geotile": "notatile"}, "z/x/y"),
+        ({"geotile": "31/0/0"}, "z/x/y|tile"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            geo_engine.search("pts", _gg(body)).collect()
+
+
 # ------------------------------------ geo_shape indexed_shape (r11)
 # The query shape lives in ANOTHER registered table's document as a
 # GeoJSON string — the engine resolves it before compile with ONE
