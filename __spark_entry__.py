@@ -1051,6 +1051,36 @@ def q_percolate_route(spark, sf_dir):
                          id_cols=("doc_id",))
 
 
+def q_percolate_query_kind(spark, sf_dir):
+    # ES percolate QUERY kind (r12): searched against a stored-queries
+    # table, matching the rows whose query matches the inline document
+    # — here doc 42's REAL text/n_chars (one bounded row fetch), so
+    # the DuckDB oracle independently re-evaluates each stored query's
+    # semantics against the same corpus row. Resolves via
+    # _expand_data_nodes → ScoredIds (the knn-clause shape).
+    import json as _json
+    key = _ck(spark, sf_dir, "eng:stored_queries")
+    if key not in _CACHE:
+        eng = SearchEngine(spark)
+        qdf = spark.createDataFrame(
+            [("q_spark", "text:spark"),
+             ("q_long", '{"query":{"range":{"n_chars":{"gte":400}}}}'),
+             ("q_table", '{"query":{"wildcard":{"text":"tab*"}}}')],
+            "qid string, query string")
+        eng.register(qdf, TableSpec("stored_queries", ["qid"]))
+        _CACHE[key] = eng
+    eng = _CACHE[key]
+    row = (_t(spark, sf_dir, "documents")
+           .where(F.col("doc_id") == 42)
+           .select("text", "n_chars").first())
+    q = _json.dumps({"query": {"percolate": {
+        "field": "query",
+        "document": {"text": row["text"],
+                     "n_chars": int(row["n_chars"])}}}})
+    return eng.search("stored_queries", "#options:load-rows=false#" + q,
+                      default_field="text")
+
+
 def q_search_mlt_dsl(spark, sf_dir):
     # ES more_like_this DSL form (r9): like-text → standard-analyzed
     # candidates → df-gated tf·idf top-K → TermsSet with the resolved
@@ -2671,6 +2701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_indexed": q_geo_shape_indexed,  # ~ geo family
         #   (r11): indexed_shape reference — same desugar, same
         #   oracle constants as the inline form
+        "percolate_query_kind": q_percolate_query_kind,  # ~ percolate
+        #   family (r12): the ES DSL calling convention — stored-query
+        #   table searched with an inline document; oracle re-evaluates
+        #   each stored query against the same corpus row
         "search_top_hits": q_search_top_hits,  # ~ grouping/top-1 family
         #   (green r01-r11; demoted r12 for geo_shape_filter —
         #   search_collapse keeps the family in-window)
@@ -4247,6 +4281,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND {_GEO_HAV} <= 4000000.0::DOUBLE
+        """,
+        # percolate QUERY kind (r12): the oracle independently
+        # re-evaluates each stored query's semantics against the SAME
+        # corpus row (doc 42) the Spark side feeds in as the inline
+        # document — term tf, range gate, wildcard tf
+        "percolate_query_kind": rf"""
+            WITH d AS (SELECT text, n_chars FROM documents
+                       WHERE doc_id = 42),
+            m AS (
+                SELECT 'q_spark' AS qid,
+                       len(regexp_extract_all(text, '{_SPARK}'))::DOUBLE
+                           AS _score
+                FROM d
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
+                UNION ALL
+                SELECT 'q_long', 1.0::DOUBLE FROM d
+                WHERE n_chars >= 400
+                UNION ALL
+                SELECT 'q_table',
+                       len(regexp_extract_all(text,
+                           '(?i)\btab\w*\b'))::DOUBLE
+                FROM d
+                WHERE len(regexp_extract_all(text,
+                          '(?i)\btab\w*\b')) > 0)
+            SELECT qid, _score FROM m
         """,
         # geo_grid (r12): the identical precision-2 interleave
         # arithmetic; membership = key == literal

@@ -651,6 +651,21 @@ class GeoPolygon(Node):
 
 
 @dataclass(frozen=True)
+class PercolateDoc(Node):
+    """ES ``percolate`` QUERY kind (r12): searched against a table of
+    STORED queries, it matches the rows whose query (the text in
+    ``field``) matches the inline ``document`` — the DSL calling
+    convention over the engine's ``percolate()`` primitive (the table
+    side is the driver-bounded stored-query set, exactly ES's
+    per-shard percolator memory index). The engine resolves it before
+    compile (``_expand_data_nodes`` → ScoredIds), so bool composition,
+    paging, and aggs all compose. Engine subset: one inline document;
+    raw compile without the engine is a typed CompileError."""
+    field: str = ""
+    doc_json: str = ""   # the inline document, canonical JSON
+
+
+@dataclass(frozen=True)
 class GeoGridCell(Node):
     """ES ``geo_grid`` query (r12): docs whose geo_point falls in ONE
     named grid cell — ``kind`` is ``geohash`` (base32 key, precision =

@@ -35,7 +35,7 @@ from cassandra_es_index_spark.search.ast import (
     DistanceFeature, Exists,
     FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists,
     GeoGridCell, GeoOnLine, GeoPolygon, GeoShapeLookup, Fuzzy, Ids,
-    IntervalsMatch, KnnClause,
+    IntervalsMatch, KnnClause, PercolateDoc,
     MatchAll,
     MatchNone, MoreLikeThis, ScoredIds,
     Nested, Node, Not, Or,
@@ -1011,6 +1011,12 @@ class Compiler:
                 "resolves its candidate pool) — run it through "
                 "SearchEngine, which resolves it before compile "
                 "(_expand_data_nodes)")
+        if isinstance(node, PercolateDoc):
+            raise CompileError(
+                "percolate is data-driven (every stored query "
+                "evaluates against the inline document) — run it "
+                "through SearchEngine, which resolves it before "
+                "compile (_expand_data_nodes)")
         if isinstance(node, ScoredIds):
             # resolved knn clause: ONE all-literal map (Catalyst
             # constant-folds it to a single runtime object — no

@@ -916,7 +916,7 @@ class SearchEngine:
 
         from cassandra_es_index_spark.search.ast import (
             And, GeoShapeLookup, Ids, KnnClause, MatchNone, MoreLikeThis,
-            Not, Or, ScoredIds,
+            Not, Or, PercolateDoc, ScoredIds,
             SpanContaining,
             SpanFirst, SpanNot, SpanOr, Term, TermPattern,
             TermsLookup, TermsSet,
@@ -1039,6 +1039,42 @@ class SearchEngine:
             if not vals:
                 return MatchNone()
             return Or(tuple(Term(n.field, str(x)) for x in vals))
+
+        def expand_percolate(n: PercolateDoc) -> Node:
+            # percolate QUERY kind (r12): the searched table IS the
+            # stored-query set — evaluate every stored query against
+            # the ONE inline document via the percolate() primitive
+            # and rewrite to the ScoredIds literal (the knn-clause
+            # resolution shape), so paging/aggs/count and bool
+            # composition all compose for free. The stored-query
+            # collect is driver-bounded by design (ES's per-shard
+            # percolator memory index); a >10k set typed-rejects
+            # rather than silently OOM-ing the driver.
+            import pandas as pd
+
+            comp_n = comp()
+            qcol = comp_n.resolve(n.field).col
+            qrows = (docs.select(F.col("_id"), qcol.alias("q"))
+                         .where(F.col("q").isNotNull())
+                         .limit(10_001).collect())
+            if len(qrows) > 10_000:
+                raise es_dsl.DslError(
+                    "percolate: more than 10000 stored queries in "
+                    f"{n.field!r} (engine subset — ES's percolator is "
+                    "a bounded per-shard memory index; partition the "
+                    "stored-query table)")
+            if not qrows:
+                return MatchNone()
+            doc_obj = json.loads(n.doc_json)
+            one = self.spark.createDataFrame(pd.DataFrame([doc_obj]))
+            matched = self.percolate(
+                one, [(r["_id"], r["q"]) for r in qrows],
+                default_field=default_field, id_cols=())
+            pairs = tuple((r["query_id"], float(r[SCORE]))
+                          for r in matched.collect())
+            if not pairs:
+                return MatchNone()
+            return ScoredIds(pairs)
 
         def expand_knn_clause(n: KnnClause) -> Node:
             # knn QUERY kind (r11): resolve the top-num_candidates
@@ -1228,6 +1264,8 @@ class SearchEngine:
                 return expand_lookup(node)
             if isinstance(node, GeoShapeLookup):
                 return expand_shape_lookup(node)
+            if isinstance(node, PercolateDoc):
+                return expand_percolate(node)
             if isinstance(node, KnnClause):
                 # expand CHILDREN first (r12): a knn `filter` may itself
                 # carry a data-driven node (terms lookup, mlt) that must
@@ -1267,7 +1305,8 @@ class SearchEngine:
 
         def probe(x):
             if isinstance(x, (MoreLikeThis, TermsLookup,
-                              GeoShapeLookup, KnnClause)) \
+                              GeoShapeLookup, KnnClause,
+                              PercolateDoc)) \
                     or has_pattern(x):
                 found.append(x)
             if isinstance(x, Node) and is_dataclass(x):

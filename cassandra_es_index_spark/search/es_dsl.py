@@ -26,7 +26,7 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, DistanceFeature, Exists,
     FunctionScore,
     FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists, GeoGridCell,
-    GeoOnLine, GeoPolygon, GeoShapeLookup, KnnClause,
+    GeoOnLine, GeoPolygon, GeoShapeLookup, KnnClause, PercolateDoc,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone,
     MoreLikeThis, Nested,
     Node, Not, Or,
@@ -4197,6 +4197,33 @@ def _node(q: dict[str, Any]) -> Node:
         raise DslError(
             f"geo_grid kind {gkind!r} is not supported (engine "
             "subset: geohash / geotile — geohex needs an H3 library)")
+    if kind == "percolate":
+        # ES percolate query (r12): run against a STORED-QUERIES
+        # table, match the rows whose query matches the inline
+        # document. {"percolate": {"field": <query column>,
+        # "document": {...}}} — `documents` (multi-doc slots) and the
+        # stored-document reference form (index/id) typed-reject
+        # (engine subset); `name` is ES's multi-percolate disambiguator
+        # and meaningless for a single clause.
+        if not isinstance(body, dict):
+            raise DslError("percolate needs {'field': ..., "
+                           "'document': {...}}")
+        extra = set(body) - {"field", "document"}
+        if extra:
+            raise DslError(
+                f"percolate: unsupported parameters {sorted(extra)} "
+                "(engine subset: field + one inline document — "
+                "multi-document slots and stored-document references "
+                "are not implemented)")
+        pfield = body.get("field")
+        pdoc = body.get("document")
+        if not isinstance(pfield, str) or not pfield:
+            raise DslError("percolate needs a 'field' naming the "
+                           "stored-query column")
+        if not isinstance(pdoc, dict) or not pdoc:
+            raise DslError("percolate needs a non-empty 'document' "
+                           "object")
+        return PercolateDoc(pfield, json.dumps(pdoc, sort_keys=True))
     if kind == "script":
         # ES script query (filter context): {"script": {"script":
         # {"source": "doc['f'].value > 5"}}} — the painless

@@ -130,3 +130,99 @@ def test_percolate_r11_query_kinds(spark):
                         id_cols=("id",))
     got = sorted((r["id"], r["query_id"]) for r in out.collect())
     assert got == [(1, "cross"), (1, "near_jutland"), (3, "cross")]
+
+
+# ------------------------------- percolate QUERY kind (r12, ES form)
+# Searched against a STORED-QUERIES table: matches the rows whose
+# query text matches the inline document. Resolves through
+# _expand_data_nodes → ScoredIds, so paging/bool composition/count
+# all compose.
+
+@pytest.fixture(scope="module")
+def stored_q(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [("alert_spark", "text:spark", "infra"),
+         ("alert_big", '{"query":{"range":{"n":{"gte":400}}}}', "size"),
+         ("alert_both", '{"query":{"bool":{"must":['
+          '{"term":{"text":"flink"}}],"filter":['
+          '{"range":{"n":{"gte":470}}}]}}}', "combo"),
+         ("alert_null", None, "dead")],
+        "qid string, query string, topic string")
+    eng.register(df, TableSpec("stored_q", ["qid"]))
+    return eng
+
+
+def _perc_q(doc, extra=""):
+    import json as _json
+    return ('{"query":{"percolate":{"field":"query","document":'
+            + _json.dumps(doc) + '}}' + extra + '}')
+
+
+def test_percolate_query_kind_matches(stored_q):
+    out = stored_q.search(
+        "stored_q", "#options:load-rows=false#"
+        + _perc_q({"text": "spark and flink and spark", "n": 480}),
+        default_field="text")
+    got = sorted((r["qid"], r["_score"]) for r in out.collect())
+    # q_spark: tf 2; q_big: range score 1; q_both: must tf 1 + filter 0
+    assert got == [("alert_big", 1.0), ("alert_both", 1.0),
+                   ("alert_spark", 2.0)]
+
+
+def test_percolate_query_kind_row_load_and_compose(stored_q):
+    # default row-load mode returns the stored-query table's own rows
+    out = stored_q.search(
+        "stored_q", _perc_q({"text": "spark rules", "n": 10}),
+        default_field="text")
+    rows = out.collect()
+    assert [r["qid"] for r in rows] == ["alert_spark"]
+    assert rows[0]["topic"] == "infra"
+    # composes under bool: percolate AND a filter on the stored-query
+    # table's own metadata
+    q = ('{"query":{"bool":{"must":[{"percolate":{"field":"query",'
+         '"document":{"text":"spark","n":480}}}],'
+         '"filter":[{"term":{"topic":"size"}}]}}}')
+    out2 = stored_q.search("stored_q", q, default_field="topic")
+    assert [r["qid"] for r in out2.collect()] == ["alert_big"]
+
+
+def test_percolate_query_kind_no_match_and_nulls_skip(stored_q):
+    # no stored query matches; the null-query row never errors
+    out = stored_q.search(
+        "stored_q", _perc_q({"text": "nothing here", "n": 1}),
+        default_field="text")
+    assert out.count() == 0
+
+
+def test_percolate_query_kind_typed_errors(stored_q, spark):
+    for body, msg in [
+        ({"query": {"percolate": {"document": {"a": 1}}}}, "field"),
+        ({"query": {"percolate": {"field": "query"}}}, "document"),
+        ({"query": {"percolate": {"field": "query", "document": {},
+                                  }}}, "non-empty"),
+        ({"query": {"percolate": {"field": "query",
+                                  "document": {"a": 1},
+                                  "documents": [{"a": 1}]}}},
+         "unsupported parameters"),
+        ({"query": {"percolate": {"field": "query",
+                                  "document": {"a": 1},
+                                  "index": "x", "id": "1"}}},
+         "unsupported parameters"),
+    ]:
+        import json as _json
+        with pytest.raises(DslError, match=msg):
+            stored_q.search("stored_q", _json.dumps(body)).collect()
+    # a stored query referencing a field absent from the inline doc
+    # is a typed error naming the offending query (engine contract:
+    # unknown fields typed-error; ES would silently not match)
+    with pytest.raises(CompileError, match="alert_big"):
+        stored_q.search(
+            "stored_q", _perc_q({"text": "only text"}),
+            default_field="text").collect()
+    # raw compile without the engine is typed
+    from cassandra_es_index_spark.search.ast import PercolateDoc
+    from cassandra_es_index_spark.search.compile import Compiler
+    df = spark.createDataFrame([("a", "x")], "qid string, query string")
+    with pytest.raises(CompileError, match="data-driven"):
+        Compiler(df, "query").compile(PercolateDoc("query", "{}"))
