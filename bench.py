@@ -104,7 +104,13 @@ HEADLINE = [
     "geo_sort_nearest",     # _geo_distance sort: codegen distance + top-k (r9)
     "search_geohash_grid",  # geo grid agg: one groupBy on cell keys (r9)
     "geo_shape_filter",     # geo_shape polygon within — ray cast (r10/r11)
+    "geo_shape_circle",     # circle → GeoDistance desugar (r12)
+    "geo_grid_cell",        # geo_grid query, index cell-prefix served (r12)
     "percolate_route",      # stored-query matching, one corpus scan (r9)
+    "percolate_query_kind",  # percolate DSL kind → ScoredIds rewrite (r12)
+    "search_retriever_linear",  # weighted/minmax linear fusion (r12)
+    "text_dup_lines",       # Gopher line-level dup fractions (r12)
+    "events_rate_monthly",  # rate, calendar month parent (r12)
     "search_feature_boosts",  # rank_feature + distance_feature (r9)
     "search_mlt_dsl",       # MLT DSL: tf-idf pick → TermsSet serve (r9)
     "search_boxplot_mad_strings",  # two-pass metrics assembly (r9)
