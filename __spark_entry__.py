@@ -2524,21 +2524,44 @@ def q_interval_join_shipments(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    # binary-column plumbing with the deterministic stub extractor
-    # (no oracle — md5-derived features not SQL-expressible). The vector is
-    # serialized to JSON so the driver's rows-only canonicalizer (pandas
-    # sort) gets scalar sort keys — array cells are unhashable there.
-    docs = _t(spark, sf_dir, "documents").limit(50)
-    media = docs.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        F.lit(None).cast(multimodal.MEDIA_METADATA).alias("meta"))
-    feats = multimodal.extract_features(media, dim=16)
+    # REAL PNG decode path (r12 — was a no-oracle stub): deterministic
+    # 4×4 constant-color PNGs generated from doc_id via the stdlib
+    # encoder, features from decode_png PIXEL statistics
+    # (operators/multimodal._png_features). Because the pixel value is
+    # doc_id % 256, the oracle re-derives every output from doc_id
+    # arithmetic alone: mean = c/255, std = 0, the 16-bin luminance
+    # histogram is one-hot with mass 1 at bin min(floor(c·16/255), 15).
+    # The decode is genuinely exercised — wrong unfiltering or pixel
+    # math breaks the hash.
+    import numpy as _np
+    import pandas as _pd
+
+    from cassandra_es_index_spark.functions.media_codecs import (
+        encode_png,
+    )
+
+    ids = [r["doc_id"] for r in
+           _t(spark, sf_dir, "documents").select("doc_id")
+           .orderBy("doc_id").limit(50).collect()]
+    pdf = _pd.DataFrame({
+        "media_id": [str(i) for i in ids],
+        "content": [encode_png(_np.full((4, 4, 3), i % 256,
+                                        dtype=_np.uint8))
+                    for i in ids],
+        "meta": [{"media_type": "image", "format": "png", "width": 4,
+                  "height": 4, "duration_ms": None, "n_bytes": None}
+                 for _ in ids]})
+    media = spark.createDataFrame(pdf, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, dim=24)
+    hist = F.slice("features", 7, 16)
     return feats.select(
         "media_id",
         F.size("features").cast("long").alias("dim"),
-        F.to_json(F.transform("features", lambda x: F.round(x, 6)))
-         .alias("features_json"))
+        F.round(F.element_at("features", 1), 6).alias("mean_c"),
+        F.element_at("features", 2).alias("std_c"),
+        F.round(F.aggregate(hist, F.lit(0.0), lambda a, x: a + x), 6)
+         .alias("hist_mass"),
+        F.array_position(hist, 1.0).cast("long").alias("hot_bin"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2936,7 +2959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,  # graded by ann_recall
         "similarity_ivf_topk": q_similarity_ivf_topk,  # graded by ann_recall
         "similarity_ivf_disk": q_similarity_ivf_disk,  # benched cold path
-        "multimodal_features": q_multimodal_features,  # stub codecs (env)
+        "multimodal_features": q_multimodal_features,  # REAL stdlib PNG
+        #   decode (r12) — oracle re-derives pixel stats from doc_id
     }
 
 
@@ -4284,6 +4308,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND {_GEO_HAV} <= 4000000.0::DOUBLE
+        """,
+        # multimodal REAL PNG decode (r12 — was no-oracle): every
+        # output re-derives from doc_id arithmetic because the pixel
+        # value is doc_id % 256; a decode/unfilter/pixel-math bug on
+        # the Spark side breaks the hash
+        "multimodal_features": """
+            WITH d AS (SELECT doc_id, doc_id % 256 AS c
+                       FROM documents ORDER BY doc_id LIMIT 50)
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   24::BIGINT AS dim,
+                   ROUND(c / 255.0, 6) AS mean_c,
+                   0.0::DOUBLE AS std_c,
+                   1.0::DOUBLE AS hist_mass,
+                   (LEAST(CAST(FLOOR(c * 16.0 / 255.0) AS BIGINT),
+                          15) + 1)::BIGINT AS hot_bin
+            FROM d
         """,
         # percolate QUERY kind (r12): the oracle independently
         # re-evaluates each stored query's semantics against the SAME

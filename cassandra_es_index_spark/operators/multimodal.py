@@ -4,9 +4,10 @@ The reference refuses to index blobs (``"<N> bytes"`` placeholder,
 ref CStarUtils.java:305-306). This engine treats media as first-class
 opaque ``binary`` columns with a typed metadata struct, and runs
 decode/feature steps as Arrow-batched pandas transforms over
-``mapInPandas`` — the schema, partitioning, UDF signature and batch shapes
-are real and tested; only the codec itself is stubbed (image/audio libs
-are not in this container).
+``mapInPandas``. PNG and WAV decode for REAL via stdlib codecs
+(functions/media_codecs.py, r12 — zlib + wave need no external libs);
+entropy-coded formats (JPEG/MP4/…) keep the documented
+``MediaDecodeNotAvailable`` seam / deterministic stub.
 
 Scale design: media rows are *much* wider than text rows, so every
 transform here is ``mapInPandas`` (streamed Arrow batches, no
@@ -43,7 +44,61 @@ MEDIA_SCHEMA = T.StructType([
 
 
 class MediaDecodeNotAvailable(NotImplementedError):
-    """Raised by the real decode path — codecs are not in this image."""
+    """Raised by the real decode path for formats that need external
+    codec libraries (JPEG/MP4/…). PNG and WAV decode for REAL via the
+    stdlib codecs (functions/media_codecs.py, r12)."""
+
+
+# formats the stdlib codecs genuinely decode (r12)
+REAL_DECODE_FORMATS = ("png", "wav")
+
+
+def _png_features(content: bytes, dim: int) -> list[float]:
+    """REAL image features from decoded PNG pixels (r12): per-channel
+    mean/std (scaled to [0,1]) + a 16-bin luminance histogram
+    (L1-normalized), zero-padded / truncated to ``dim``. Deterministic
+    — pure pixel arithmetic."""
+    import numpy as np
+
+    from cassandra_es_index_spark.functions.media_codecs import decode_png
+
+    px = decode_png(content).astype(np.float64)
+    feats: list[float] = []
+    for c in range(px.shape[2]):
+        feats.append(float(px[:, :, c].mean()) / 255.0)
+        feats.append(float(px[:, :, c].std()) / 255.0)
+    lum = px[:, :, : min(3, px.shape[2])].mean(axis=2)
+    hist, _ = np.histogram(lum, bins=16, range=(0.0, 255.0))
+    total = max(1, int(hist.sum()))
+    feats.extend(float(h) / total for h in hist)
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
+def _wav_features(content: bytes, dim: int) -> list[float]:
+    """REAL audio features from decoded PCM samples (r12): RMS, mean
+    |amplitude|, zero-crossing rate, duration-seconds (log1p-scaled) +
+    a 12-bin |amplitude| histogram (L1-normalized), padded/truncated
+    to ``dim``."""
+    import math
+
+    import numpy as np
+
+    from cassandra_es_index_spark.functions.media_codecs import decode_wav
+
+    samples, rate = decode_wav(content)
+    mono = samples.mean(axis=1) if samples.size else np.zeros(1)
+    rms = float(np.sqrt((mono ** 2).mean()))
+    mean_abs = float(np.abs(mono).mean())
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) \
+        if mono.size > 1 else 0.0
+    dur = math.log1p(mono.size / max(1, rate))
+    hist, _ = np.histogram(np.abs(mono), bins=12, range=(0.0, 1.0))
+    total = max(1, int(hist.sum()))
+    feats = [rms, mean_abs, zcr, dur] \
+        + [float(h) / total for h in hist]
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
 
 
 def _fake_features(content: bytes, dim: int) -> list[float]:
@@ -81,58 +136,87 @@ def extract_features(df: DataFrame, dim: int = 64,
                      use_stub: bool = True) -> DataFrame:
     """Media → feature vectors via ``mapInPandas`` (Arrow batches).
 
-    ``use_stub=True`` uses the deterministic fake extractor; False raises
-    ``MediaDecodeNotAvailable`` per batch (the real codec isn't shipped).
-    Output: (media_id, features array<double>) — ready for
-    ``operators.similarity`` joins.
+    PNG and WAV content decodes for REAL (r12 — the stdlib codecs in
+    functions/media_codecs.py): pixel/sample statistics + histograms,
+    deterministic. Other formats: ``use_stub=True`` uses the
+    deterministic fake extractor, False raises
+    ``MediaDecodeNotAvailable`` per batch (JPEG/MP4 need external
+    codec libraries). The format is read from ``meta.format`` when the
+    frame carries a ``meta`` column. Output: (media_id, features
+    array<double>) — ready for ``operators.similarity`` joins.
     """
     schema = T.StructType([
         T.StructField("media_id", T.StringType()),
         T.StructField("features", T.ArrayType(T.DoubleType())),
     ])
+    has_meta = "meta" in df.columns
+    cols = [id_col, content_col] + (["meta"] if has_meta else [])
+
+    def one(content, fmt) -> list[float]:
+        raw = bytes(content) if content is not None else b""
+        if fmt == "png":
+            return _png_features(raw, dim)
+        if fmt == "wav":
+            return _wav_features(raw, dim)
+        if not use_stub:
+            raise MediaDecodeNotAvailable(
+                f"codec for format {fmt!r} is not available in this "
+                "environment (real decode: png/wav)")
+        return _fake_features(raw, dim)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not use_stub:
-                raise MediaDecodeNotAvailable(
-                    "media codecs are not available in this environment")
+            fmts = ([
+                (m.get("format") if isinstance(m, dict) else None)
+                for m in pdf["meta"]
+            ] if has_meta else [None] * len(pdf))
             yield pd.DataFrame({
                 "media_id": pdf[id_col].astype(str),
-                "features": [
-                    _fake_features(bytes(c) if c is not None else b"", dim)
-                    for c in pdf[content_col]
-                ],
+                "features": [one(c, f) for c, f
+                             in zip(pdf[content_col], fmts)],
             })
 
-    return df.select(id_col, content_col).mapInPandas(batches, schema)
+    return df.select(*cols).mapInPandas(batches, schema)
 
 
 def resize_images(df: DataFrame, width: int, height: int,
                   content_col: str = "content",
                   id_col: str = "media_id",
                   use_stub: bool = True) -> DataFrame:
-    """Image resize as ``mapInPandas`` plumbing (Arrow batches, full media
-    schema out). The pixel work is stubbed — codecs are not in this image —
-    but the schema, batch shape and metadata propagation are real:
-    ``meta.width``/``meta.height`` become the target size, ``n_bytes``
-    tracks the (stub) output bytes. ``use_stub=False`` raises
-    ``MediaDecodeNotAvailable`` per batch, the real-codec seam."""
+    """Image resize as ``mapInPandas`` (Arrow batches, full media schema
+    out). PNG content resizes for REAL (r12: stdlib decode →
+    nearest-neighbor → re-encode); other formats keep the deterministic
+    stub bytes when ``use_stub=True`` and raise
+    ``MediaDecodeNotAvailable`` per batch otherwise. Metadata
+    propagation is real either way: ``meta.width``/``meta.height``
+    become the target size, ``n_bytes`` tracks the output bytes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cassandra_es_index_spark.functions.media_codecs import (
+            decode_png, encode_png, resize_nearest,
+        )
+
         for pdf in it:
-            if not use_stub:
-                raise MediaDecodeNotAvailable(
-                    "media codecs are not available in this environment")
             contents, metas = [], []
             for content, meta in zip(pdf[content_col], pdf["meta"]):
                 raw = bytes(content) if content is not None else b""
-                # deterministic stand-in for decoded+resized pixels
-                fake = hashlib.md5(
-                    raw + f"{width}x{height}".encode()).digest() * 4
-                contents.append(fake)
+                fmt = (meta.get("format")
+                       if isinstance(meta, dict) else None)
+                if fmt == "png":
+                    out = encode_png(resize_nearest(
+                        decode_png(raw), width, height))
+                elif use_stub:
+                    # deterministic stand-in for decoded+resized pixels
+                    out = hashlib.md5(
+                        raw + f"{width}x{height}".encode()).digest() * 4
+                else:
+                    raise MediaDecodeNotAvailable(
+                        f"codec for format {fmt!r} is not available "
+                        "in this environment (real resize: png)")
+                contents.append(out)
                 meta = dict(meta) if meta is not None else {}
                 meta.update(width=width, height=height,
-                            n_bytes=len(fake))
+                            n_bytes=len(out))
                 metas.append(meta)
             yield pd.DataFrame({
                 "media_id": pdf[id_col].astype(str),

@@ -1,0 +1,185 @@
+"""Pure-stdlib media codecs (r12): REAL PNG (zlib) and WAV (wave)
+decode, plus the multimodal tier's real feature/resize paths for those
+formats. No Spark needed for the codec units; the transform tests ride
+the shared session."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from cassandra_es_index_spark.functions.media_codecs import (
+    decode_png, decode_wav, encode_png, encode_wav, resize_nearest,
+)
+
+
+# ------------------------------------------------------------- PNG
+
+@pytest.mark.parametrize("shape", [(5, 7, 3), (4, 4, 4), (3, 2, 1),
+                                   (2, 3, 2)])
+def test_png_round_trip_all_color_types(shape):
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr))
+    assert out.shape == shape
+    assert np.array_equal(out, arr)
+
+
+def _filtered_png(expected: np.ndarray, ftypes: list[int]) -> bytes:
+    """Build a PNG whose scanlines are filtered with the GIVEN filter
+    types — an independent forward-filter implementation, so decoding
+    exercises the inverse path against hand-built data."""
+    h, w, c = expected.shape
+    prev = np.zeros(w * c, dtype=np.int32)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+    body = bytearray()
+    for y in range(h):
+        cur = expected[y].reshape(-1).astype(np.int32)
+        ft = ftypes[y]
+        body.append(ft)
+        for x in range(w * c):
+            left = int(cur[x - c]) if x >= c else 0
+            up = int(prev[x])
+            ul = int(prev[x - c]) if x >= c else 0
+            if ft == 0:
+                v = cur[x]
+            elif ft == 1:
+                v = cur[x] - left
+            elif ft == 2:
+                v = cur[x] - up
+            elif ft == 3:
+                v = cur[x] - ((left + up) >> 1)
+            else:
+                v = cur[x] - paeth(left, up, ul)
+            body.append(v & 0xFF)
+        prev = cur
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, p):
+        return (struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c],
+                       0, 0, 0)
+    return (sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(body)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_all_five_filters_decode():
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    data = _filtered_png(arr, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(data), arr)
+
+
+def test_png_typed_rejections():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF not a png")
+    # palette color type (3)
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, p):
+        return (struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF))
+
+    pal = sig + chunk(b"IHDR",
+                      struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(pal)
+    deep = sig + chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(deep)
+    adam = sig + chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(adam)
+
+
+def test_resize_nearest_hand_case():
+    arr = np.array([[[0], [10]], [[20], [30]]], dtype=np.uint8)
+    out = resize_nearest(arr, 4, 4)
+    assert out.shape == (4, 4, 1)
+    # each source pixel expands to a 2x2 block
+    assert out[0, 0, 0] == 0 and out[0, 3, 0] == 10
+    assert out[3, 0, 0] == 20 and out[3, 3, 0] == 30
+    down = resize_nearest(out, 2, 2)
+    assert np.array_equal(down, arr)
+
+
+# ------------------------------------------------------------- WAV
+
+def test_wav_round_trip_stereo():
+    t = np.linspace(0, 1, 800, endpoint=False)
+    left = np.sin(2 * np.pi * 5 * t)
+    right = 0.5 * np.cos(2 * np.pi * 3 * t)
+    samples = np.stack([left, right], axis=1)
+    out, rate = decode_wav(encode_wav(samples, 800))
+    assert rate == 800 and out.shape == (800, 2)
+    assert np.abs(out - samples).max() < 1e-3   # 16-bit quantization
+
+
+def test_wav_8bit_decode():
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(100)
+        w.writeframes(bytes([128, 255, 0, 128]))
+    out, rate = decode_wav(buf.getvalue())
+    assert rate == 100
+    assert out[:, 0] == pytest.approx([0.0, 127 / 128, -1.0, 0.0])
+
+
+# ----------------------------------------- multimodal real paths
+
+def test_extract_features_real_png_and_wav(spark):
+    from cassandra_es_index_spark.operators import multimodal
+
+    flat = np.full((4, 4, 3), 100, dtype=np.uint8)   # constant color
+    png = encode_png(flat)
+    silence = encode_wav(np.zeros((400, 1)), 400)
+    rows = [("img", png, ("image", "png", 4, 4, None, None)),
+            ("aud", silence, ("audio", "wav", None, None, 1000, None)),
+            ("vid", b"\x00\x01", ("video", "mp4", 64, 48, 500, None))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["features"] for r in
+             multimodal.extract_features(df, dim=24).collect()}
+    # constant-color image: mean 100/255, std 0, one histogram bin = 1
+    img = feats["img"]
+    assert img[0] == pytest.approx(100 / 255)
+    assert img[1] == pytest.approx(0.0)
+    assert sorted(img[6:22])[-1] == pytest.approx(1.0)
+    # silence: rms / mean-abs / zcr all 0, duration log1p(1s)
+    aud = feats["aud"]
+    assert aud[0] == 0.0 and aud[1] == 0.0 and aud[2] == 0.0
+    assert aud[3] == pytest.approx(np.log1p(1.0))
+    # mp4 still stubs deterministically (md5 expansion)
+    assert len(feats["vid"]) == 24
+    # and typed-raises with use_stub=False
+    with pytest.raises(Exception, match="not available"):
+        multimodal.extract_features(df, dim=8,
+                                    use_stub=False).collect()
+
+
+def test_resize_images_real_png(spark):
+    from cassandra_es_index_spark.operators import multimodal
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [("img", encode_png(arr), ("image", "png", 8, 8, None, None))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out, = multimodal.resize_images(df, width=4, height=4).collect()
+    assert (out["meta"]["width"], out["meta"]["height"]) == (4, 4)
+    decoded = decode_png(bytes(out["content"]))
+    assert decoded.shape == (4, 4, 3)
+    assert np.array_equal(decoded, resize_nearest(arr, 4, 4))
