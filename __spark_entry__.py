@@ -1084,6 +1084,40 @@ def q_percolate_query_kind(spark, sf_dir):
                       default_field="text")
 
 
+def q_multimodal_audio(spark, sf_dir):
+    # REAL WAV decode path (r12): deterministic silent PCM clips whose
+    # LENGTH derives from doc_id (n = 100 + doc_id % 400 frames at
+    # 400 Hz), decoded by the stdlib codec inside mapInPandas. Silence
+    # pins rms/mean-abs/zcr to exact 0.0 and the amplitude histogram
+    # one-hot at bin 1; duration = log1p(n/400) re-derives from doc_id
+    # arithmetic in the oracle (rounded 6dp — libm log parity).
+    import numpy as _np
+    import pandas as _pd
+
+    from cassandra_es_index_spark.functions.media_codecs import (
+        encode_wav,
+    )
+
+    ids = [r["doc_id"] for r in
+           _t(spark, sf_dir, "documents").select("doc_id")
+           .orderBy("doc_id").limit(50).collect()]
+    pdf = _pd.DataFrame({
+        "media_id": [str(i) for i in ids],
+        "content": [encode_wav(_np.zeros((100 + i % 400, 1)), 400)
+                    for i in ids],
+        "meta": [{"media_type": "audio", "format": "wav", "width": None,
+                  "height": None, "duration_ms": None, "n_bytes": None}
+                 for _ in ids]})
+    media = spark.createDataFrame(pdf, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).alias("rms"),
+        F.element_at("features", 3).alias("zcr"),
+        F.round(F.element_at("features", 4), 6).alias("log_dur"),
+        F.element_at("features", 5).alias("amp_bin1"))
+
+
 def q_search_mlt_dsl(spark, sf_dir):
     # ES more_like_this DSL form (r9): like-text → standard-analyzed
     # candidates → df-gated tf·idf top-K → TermsSet with the resolved
@@ -2961,6 +2995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_disk": q_similarity_ivf_disk,  # benched cold path
         "multimodal_features": q_multimodal_features,  # REAL stdlib PNG
         #   decode (r12) — oracle re-derives pixel stats from doc_id
+        "multimodal_audio": q_multimodal_audio,  # REAL stdlib WAV
+        #   decode (r12) — silence stats + doc_id-derived duration
     }
 
 
@@ -4323,6 +4359,17 @@ def oracle_sql() -> dict[str, str]:
                    1.0::DOUBLE AS hist_mass,
                    (LEAST(CAST(FLOOR(c * 16.0 / 255.0) AS BIGINT),
                           15) + 1)::BIGINT AS hot_bin
+            FROM d
+        """,
+        # multimodal REAL WAV decode (r12): silence pins the sample
+        # stats exactly; duration re-derives from doc_id arithmetic
+        "multimodal_audio": """
+            WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n
+                       FROM documents ORDER BY doc_id LIMIT 50)
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   0.0::DOUBLE AS rms, 0.0::DOUBLE AS zcr,
+                   ROUND(LN(1.0 + n / 400.0), 6) AS log_dur,
+                   1.0::DOUBLE AS amp_bin1
             FROM d
         """,
         # percolate QUERY kind (r12): the oracle independently
