@@ -1749,6 +1749,33 @@ def q_search_scroll_drain(spark, sf_dir):
     return out
 
 
+def q_search_scroll_sliced(spark, sf_dir):
+    # ES SLICED scroll (r12 — the parallel-export idiom): three
+    # disjoint slice cursors (key % 3 partitions, the script-filter
+    # desugar) each drain independently; the union of all three slices
+    # must equal the one-shot match set EXACTLY (disjoint + complete)
+    # with slice-independent scores. The slice column proves
+    # disjointness in the hash itself.
+    eng = _docs_engine(spark, sf_dir)
+    q = ('#options:load-rows=false#'
+         '{"query":{"term":{"text":"spark"}},"sort":[{"doc_id":"asc"}]}')
+    frames = []
+    for i in range(3):
+        sid = eng.open_scroll("documents", q, size=500,
+                              slice_id=i, slice_max=3)
+        while True:
+            b = eng.scroll_next(sid)
+            if b.isEmpty():
+                break
+            frames.append(b.withColumn("slice_id", F.lit(i)
+                                       .cast("long")))
+        eng.clear_scroll(sid)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def q_search_feature_boosts(spark, sf_dir):
     # ES rank_feature + distance_feature (r9) — the feature-query pair
     # (the reference forwards both verbatim to ES, ref
@@ -2765,6 +2792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   family (r12): the ES DSL calling convention — stored-query
         #   table searched with an inline document; oracle re-evaluates
         #   each stored query against the same corpus row
+        "search_scroll_sliced": q_search_scroll_sliced,  # ~ scroll
+        #   family (r12): sliced parallel-export drain — 3 disjoint
+        #   key-mod cursors union to the one-shot match set
         "search_top_hits": q_search_top_hits,  # ~ grouping/top-1 family
         #   (green r01-r11; demoted r12 for geo_shape_filter —
         #   search_collapse keeps the family in-window)
@@ -4149,6 +4179,17 @@ def oracle_sql() -> dict[str, str]:
                            AS _score
                 FROM documents)
             SELECT doc_id, _score FROM t WHERE _score > 0
+        """,
+        # sliced scroll (r12): union of the 3 key-mod slices == the
+        # one-shot match set; slice_id re-derives from the key
+        "search_scroll_sliced": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                           AS _score
+                FROM documents)
+            SELECT doc_id, _score, (doc_id % 3)::BIGINT AS slice_id
+            FROM t WHERE _score > 0
         """,
         # intervals/match (r7): ordered 3-term greedy earliest-next
         # chain, width pn − p1 + 1 − n ≤ max_gaps (n=3, G=6 → −2 ≤ 6);

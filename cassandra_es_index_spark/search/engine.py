@@ -3918,7 +3918,9 @@ class SearchEngine:
             self._ivf.update(saved_ivf)
 
     def open_scroll(self, table: str, query: str, size: int = 100,
-                    default_field: str | None = None) -> str:
+                    default_field: str | None = None,
+                    slice_id: int | None = None,
+                    slice_max: int | None = None) -> str:
         """ES classic ``scroll`` analogue (the reference README's
         big-result paging idiom): open a cursor over the query's FULL
         deterministic hit order — (sort spec or score desc) + key
@@ -3926,10 +3928,38 @@ class SearchEngine:
         call returns the next batch; the cursor advances by keyset
         (``search_after`` under the hood — no deepening OFFSET rescans,
         every batch is one top-``size`` query, ES's own scroll cost
-        model). Release with ``clear_scroll``."""
+        model). Release with ``clear_scroll``.
+
+        SLICED scroll (r12 — ES's parallel-export idiom,
+        ``"slice": {"id": i, "max": m}``): pass ``slice_id``/
+        ``slice_max`` to open one of ``m`` disjoint cursors whose
+        union is exactly the full hit set — each slice keeps the
+        query's key-mod-``m`` partition (``key % m == i``; ES slices
+        by a hash of _id — a modulus over the numeric key is the same
+        disjoint-and-complete partitioner, uniform for sequential
+        ids). The filter desugars onto the script-query clause, so it
+        rides EVERY plan path unchanged and each slice's batches stay
+        one top-``size`` query each. m independent clients each drain
+        their own slice concurrently — the 100 TB export pattern.
+        Engine subset: single numeric-key tables (typed otherwise)."""
         if not isinstance(size, int) or isinstance(size, bool) \
                 or size <= 0:
             raise es_dsl.DslError("scroll size must be a positive int")
+        if (slice_id is None) != (slice_max is None):
+            raise es_dsl.DslError(
+                "sliced scroll needs BOTH slice_id and slice_max")
+        if slice_max is not None:
+            if not isinstance(slice_max, int) \
+                    or isinstance(slice_max, bool) or slice_max < 2:
+                raise es_dsl.DslError(
+                    "slice_max must be an integer >= 2")
+            if not isinstance(slice_id, int) \
+                    or isinstance(slice_id, bool) \
+                    or not 0 <= slice_id < slice_max:
+                raise es_dsl.DslError(
+                    "slice_id must be an integer in [0, slice_max)")
+            query = self._sliced_query(table, query, slice_id,
+                                       slice_max)
         # ES rejects `from` with scroll: the cursor owns the paging, and
         # a body offset would re-apply to EVERY keyset batch, silently
         # dropping the first N rows of each remaining page (ADVICE r7)
@@ -3947,6 +3977,52 @@ class SearchEngine:
             "default_field": default_field, "after": None, "done": False,
         }
         return sid
+
+    def _sliced_query(self, table: str, query: str, slice_id: int,
+                      slice_max: int) -> str:
+        """Rewrite a scroll query to its slice partition: the original
+        query clause (JSON DSL or query_string text) wraps under a
+        ``bool`` with a scoreless ``script`` filter ``key % m == i`` —
+        pure request-body desugar, so every plan path serves the slice
+        unchanged. Scores/order within a slice match the unsliced
+        query's (the filter leg is scoreless by the bool contract)."""
+        from pyspark.sql import types as T
+
+        _, spec = self.catalog.get(table)
+        if len(spec.key_columns) != 1:
+            raise es_dsl.DslError(
+                "sliced scroll supports single-key tables (engine "
+                f"subset); {table!r} has keys {spec.key_columns}")
+        key = spec.key_columns[0]
+        docs, _ = self.catalog.get(table)
+        if not isinstance(docs.schema[key].dataType,
+                          (T.IntegerType, T.LongType, T.ShortType)):
+            raise es_dsl.DslError(
+                "sliced scroll needs an integer key column (engine "
+                f"subset); {key!r} is "
+                f"{docs.schema[key].dataType.simpleString()}")
+        qmd = QueryMetaData.parse(query)
+        body_text = qmd.query.strip()
+        body: dict = {}
+        clause = None
+        if body_text.startswith("{"):
+            body = json.loads(body_text)
+            if not isinstance(body, dict):
+                raise es_dsl.DslError("scroll body must be an object")
+            clause = body.get("query")
+        elif body_text:
+            clause = {"query_string": {"query": body_text}}
+        slice_filter = {"script": {"script": {
+            "source": f"doc['{key}'].value % {slice_max} "
+                      f"== {slice_id}"}}}
+        must = [clause] if clause is not None else []
+        body["query"] = {"bool": {"must": must,
+                                  "filter": [slice_filter]}}
+        prefix = ""
+        if qmd.options:
+            opts = ",".join(f"{k}={v}" for k, v in qmd.options.items())
+            prefix = f"#options:{opts}#"
+        return prefix + json.dumps(body)
 
     def scroll_next(self, scroll_id: str) -> DataFrame:
         """The next ≤size batch of the scroll's hit order (empty when

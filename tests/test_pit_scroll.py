@@ -184,3 +184,63 @@ def test_pit_pins_ivf_view(spark):
     live2 = [r["id"] for r in eng.search("knn_pit", q).collect()]
     assert live2 == live
     eng.close_pit(pid)
+
+
+# ------------------------------------------ sliced scroll (r12)
+
+def test_sliced_scroll_disjoint_and_complete(spark):
+    eng = _engine(spark, "scroll_sliced", n=23)
+    q = ('#options:load-rows=false#'
+         '{"query":{"match":{"text":"spark"}},"sort":[{"id":"asc"}]}')
+
+    def drain(sid):
+        out = []
+        while True:
+            rows = eng.scroll_next(sid).collect()
+            if not rows:
+                break
+            out.extend(r["id"] for r in rows)
+        eng.clear_scroll(sid)
+        return out
+
+    full = drain(eng.open_scroll("scroll_sliced", q, size=6))
+    slices = [drain(eng.open_scroll("scroll_sliced", q, size=6,
+                                    slice_id=i, slice_max=3))
+              for i in range(3)]
+    # each slice is key % 3 == i, batches stay in-order within a slice
+    for i, got in enumerate(slices):
+        assert got == [d for d in full if d % 3 == i]
+    # disjoint and complete union
+    merged = sorted(x for s in slices for x in s)
+    assert merged == sorted(full) == list(range(23))
+
+
+def test_sliced_scroll_query_string_and_options(spark):
+    # lucene-syntax queries slice too (wrapped as a query_string
+    # clause) and the options prefix survives the rewrite
+    eng = _engine(spark, "scroll_sliced_qs", n=10)
+    sid = eng.open_scroll("scroll_sliced_qs",
+                          "#options:load-rows=false#text:spark",
+                          size=50, default_field="text",
+                          slice_id=1, slice_max=2)
+    rows = eng.scroll_next(sid).collect()
+    assert sorted(r["id"] for r in rows) == [1, 3, 5, 7, 9]
+    assert "text" not in rows[0].asDict()    # load-rows=false honored
+    eng.clear_scroll(sid)
+
+
+def test_sliced_scroll_typed_errors(spark):
+    eng = _engine(spark, "scroll_sliced_err", n=3)
+    q = '{"query":{"match_all":{}}}'
+    with pytest.raises(DslError, match="BOTH"):
+        eng.open_scroll("scroll_sliced_err", q, slice_id=0)
+    with pytest.raises(DslError, match=">= 2"):
+        eng.open_scroll("scroll_sliced_err", q, slice_id=0, slice_max=1)
+    with pytest.raises(DslError, match="\\[0, slice_max\\)"):
+        eng.open_scroll("scroll_sliced_err", q, slice_id=2, slice_max=2)
+    # composite / non-integer keys typed-reject
+    eng.register(spark.createDataFrame(
+        [("a", "x")], "k string, text string"),
+        TableSpec("scroll_strkey", ["k"]))
+    with pytest.raises(DslError, match="integer key"):
+        eng.open_scroll("scroll_strkey", q, slice_id=0, slice_max=2)
