@@ -916,12 +916,13 @@ def test_geo_grid_index_parity_and_plan(spark):
         b = sorted(r["id"] for r in idx_eng.search(
             "gg_idx", "#options:load-rows=false#" + q).collect())
         assert a == b, spec
-    # the geohash form rides the index (no corpus scan of gg_idx)
-    plan = idx_eng.search(
-        "gg_idx", "#options:load-rows=false#" + _gg({"geohash": "u4pr"})
-    )._jdf.queryExecution().executedPlan().toString()
-    assert "gg_idx" not in plan or "geo_idx" in plan.lower() \
-        or plan.count("Scan") <= 2
+    # PLAN PIN: both grid kinds ride the geo index — the covering-cell
+    # filter over the cached index rows, never a corpus scan
+    for spec in ({"geohash": "u4pr"}, {"geotile": "7/37/48"}):
+        plan = idx_eng.search(
+            "gg_idx", "#options:load-rows=false#" + _gg(spec)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "cell#" in plan and "InMemoryTableScan" in plan, spec
 
 
 def test_geo_grid_boost_and_typed_errors(geo_engine):
