@@ -3618,6 +3618,23 @@ def _node(q: dict[str, Any]) -> Node:
             SpanNear(next(iter(fields)), first, second, slop,
                      in_order, tuple(slots)),
             body.get("boost"))
+    if kind == "span_term":
+        # standalone span_term (r12): a span of one token ≡ the term's
+        # own positions — ES scores it like a term query (Σ tf, which
+        # IS the position count). The one-element SpanOr keeps the
+        # span-family score convention and the index-served plan.
+        st_boost = None
+        if isinstance(body, dict) and len(body) == 1:
+            inner = next(iter(body.values()))
+            if isinstance(inner, dict):
+                st_extra = set(inner) - {"value", "boost"}
+                if st_extra:
+                    raise DslError(
+                        f"span_term: unsupported parameters "
+                        f"{sorted(st_extra)} (engine subset)")
+                st_boost = inner.get("boost")
+        fld, terms = _span_clause_terms({"span_term": body})
+        return _boosted(SpanOr(fld, terms), st_boost)
     if kind == "span_or":
         # union of single-token span_term clauses, one shared field —
         # score = count of matching positions (Σ tf)

@@ -394,3 +394,29 @@ def test_span_near_two_clause_form_unchanged(near_engine):
 def test_span_near_typed_errors(bad, msg):
     with pytest.raises(DslError, match=msg):
         parse_request('{"query":' + bad + "}")
+
+
+def test_standalone_span_term(sp_engine):
+    # r12: a bare span_term query is valid ES — one token's positions,
+    # scored Σ tf like a term query, span-family plan
+    import json
+    q = json.dumps({"query": {"span_term": {"text": "spark"}}})
+    out = sp_engine.search("sp_docs", "#options:load-rows=false#" + q)
+    term = sp_engine.search(
+        "sp_docs", '#options:load-rows=false#'
+        '{"query":{"term":{"text":"spark"}}}')
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, term.collect()))
+    # object form with boost; unknown params typed-reject
+    qb = json.dumps({"query": {"span_term": {"text": {
+        "value": "spark", "boost": 2}}}})
+    outb = {r[0]: r["_score"] for r in
+            sp_engine.search("sp_docs",
+                             "#options:load-rows=false#" + qb).collect()}
+    base = {r[0]: r["_score"] for r in out.collect()}
+    assert outb == {k: 2 * v for k, v in base.items()}
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    import pytest as _pt
+    with _pt.raises(DslError, match="unsupported parameters"):
+        sp_engine.search("sp_docs", json.dumps({"query": {"span_term": {
+            "text": {"value": "spark", "zzz": 1}}}}))
