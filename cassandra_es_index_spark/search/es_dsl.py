@@ -1000,7 +1000,8 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
     unknown = set(obj) - {
         "query", "size", "from", "sort", "search_after", "aggs",
         "aggregations", "collapse", "highlight", "knn", "rescore",
-        "_source", "fields", "script_fields", "runtime_mappings",
+        "_source", "fields", "docvalue_fields", "script_fields",
+        "runtime_mappings",
         "min_score", "post_filter", "track_total_hits", "suggest",
         "retriever",
     }
@@ -1424,6 +1425,26 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 "formatting is not supported, engine subset)")
         # `*` glob patterns (r11) expand like _source's — in the engine
         source_filter = tuple(fspec)
+    dvspec = obj.get("docvalue_fields")
+    if dvspec is not None:
+        # ES `docvalue_fields` (r12): the third field-retrieval idiom —
+        # same one-projection mapping as `fields` (documented; ES
+        # returns doc-values formatted, which for the engine's typed
+        # columns is the stored value). Object entries carry `format`
+        # (typed-reject like fields'); combining with fields/_source
+        # would need two projections (typed).
+        if source_filter is not None:
+            raise DslError(
+                "'docvalue_fields' cannot combine with 'fields' or a "
+                "'_source' filter (one projection surface — engine "
+                "subset)")
+        if not isinstance(dvspec, list) or not dvspec or not all(
+                isinstance(x, str) for x in dvspec):
+            raise DslError(
+                "docvalue_fields must be a non-empty list of field "
+                "names (object entries carry 'format' — per-field "
+                "formatting is not supported, engine subset)")
+        source_filter = tuple(dvspec)
     script_fields: tuple[tuple[str, str], ...] = ()
     sfspec = obj.get("script_fields")
     if sfspec is not None:

@@ -297,6 +297,23 @@ def test_fields_typed_errors(eng, q, msg):
         eng.search("mp", q).collect()
 
 
+def test_docvalue_fields_maps_to_projection(eng):
+    # r12: the third retrieval idiom — same one-projection mapping
+    q = ('{"query":{"term":{"text":"a"}},"docvalue_fields":["title"]}')
+    out = eng.search("mp", "#options:load-source=true#" + q)
+    assert "title" in out.columns and "text" not in out.columns
+    for bad, msg in [
+        ('{"query":{"match_all":{}},"docvalue_fields":[{"field":"t",'
+         '"format":"epoch_millis"}]}', "formatting is not supported"),
+        ('{"query":{"match_all":{}},"docvalue_fields":["title"],'
+         '"fields":["title"]}', "one projection surface"),
+        ('{"query":{"match_all":{}},"docvalue_fields":[]}',
+         "non-empty"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            eng.search("mp", bad).collect()
+
+
 # ------------------------------- r10: widened minimum_should_match grammar
 
 def test_msm_integer_string_forms(eng):
