@@ -226,3 +226,19 @@ def test_percolate_query_kind_typed_errors(stored_q, spark):
     df = spark.createDataFrame([("a", "x")], "qid string, query string")
     with pytest.raises(CompileError, match="data-driven"):
         Compiler(df, "query").compile(PercolateDoc("query", "{}"))
+
+
+def test_percolate_query_kind_count_and_aggs(stored_q):
+    # the expansion hooks at every entry point: count + aggs over the
+    # stored-query table scoped by the percolate match set
+    import json as _json
+    q = {"query": {"percolate": {"field": "query", "document":
+                                 {"text": "spark flink", "n": 480}}}}
+    assert stored_q.count("stored_q", _json.dumps(q),
+                          default_field="text") == 3
+    qa = dict(q)
+    qa["aggs"] = {"by_topic": {"terms": {"field": "topic"}}}
+    got = {(r["key"], r["doc_count"]) for r in
+           stored_q.search_aggs("stored_q", _json.dumps(qa),
+                                default_field="text").collect()}
+    assert got == {("infra", 1), ("size", 1), ("combo", 1)}
