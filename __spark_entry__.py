@@ -1679,6 +1679,24 @@ def q_events_rate_monthly(spark, sf_dir):
                .withColumn("rv", F.round("rv", 4)))
 
 
+def q_events_t_test(spark, sf_dir):
+    # ES t_test metric (r12): Welch t of `value` under click vs view —
+    # conditional count/avg/var_samp combos, one map-side-combinable
+    # pass. DEVIATION (documented): emits the t statistic + df; ES
+    # emits the p-value (functions.stats.t_p_value converts). The
+    # oracle replays the identical FILTER-cased aggregates and Welch
+    # algebra; both sides round (summation order in var_samp).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"aggs":{"tt":{"t_test":{'
+         '"a":{"field":"value",'
+         '"filter":{"term":{"event_type":"click"}}},'
+         '"b":{"field":"value",'
+         '"filter":{"term":{"event_type":"view"}}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return out.select(F.round("tt_t", 6).alias("tt_t"),
+                      F.round("tt_df", 4).alias("tt_df"))
+
+
 def q_events_date_histogram(spark, sf_dir):
     # date_histogram buckets per day over an index-served term filter —
     # the postings select the match set (left-semi), the calendar
@@ -2762,6 +2780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_monthly": q_events_rate_monthly,  # ~ agg metric
         #   family (r12): ES rate with a calendar month parent —
         #   per-bucket span column (31 vs 28/29/30-day months)
+        "events_t_test": q_events_t_test,  # ~ agg metric family (r12):
+        #   Welch t statistic + df (documented p-value deviation)
         "events_date_histogram": q_events_date_histogram,  # ~ window/
         #   agg family (green r01-r10; demoted r11 for pii_redact —
         #   events_sessionize stays in-window)
@@ -4357,6 +4377,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sv * (86400.0 / date_diff('second', key,
                        key + INTERVAL 1 MONTH)), 4) AS rv
             FROM b
+        """,
+        # t_test (r12): the identical FILTER-cased aggregates + Welch
+        # algebra; rounds absorb var_samp summation-order drift
+        "events_t_test": r"""
+            WITH s AS (
+                SELECT
+                    count(CASE WHEN len(regexp_extract_all(event_type,
+                        '(?i)\bclick\b')) > 0 THEN value END)::DOUBLE
+                        AS na,
+                    avg(CASE WHEN len(regexp_extract_all(event_type,
+                        '(?i)\bclick\b')) > 0 THEN value END) AS ma,
+                    var_samp(CASE WHEN len(regexp_extract_all(
+                        event_type, '(?i)\bclick\b')) > 0
+                        THEN value END) AS s2a,
+                    count(CASE WHEN len(regexp_extract_all(event_type,
+                        '(?i)\bview\b')) > 0 THEN value END)::DOUBLE
+                        AS nb,
+                    avg(CASE WHEN len(regexp_extract_all(event_type,
+                        '(?i)\bview\b')) > 0 THEN value END) AS mb,
+                    var_samp(CASE WHEN len(regexp_extract_all(
+                        event_type, '(?i)\bview\b')) > 0
+                        THEN value END) AS s2b
+                FROM events)
+            SELECT ROUND((ma - mb) / sqrt(s2a / na + s2b / nb), 6)
+                       AS tt_t,
+                   ROUND((s2a / na + s2b / nb) * (s2a / na + s2b / nb)
+                         / ((s2a / na) * (s2a / na) / (na - 1)
+                            + (s2b / nb) * (s2b / nb) / (nb - 1)), 4)
+                       AS tt_df
+            FROM s
         """,
         "events_date_histogram": r"""
             SELECT date_trunc('day', ts) AS key,

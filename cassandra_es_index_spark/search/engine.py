@@ -4830,6 +4830,47 @@ class SearchEngine:
                         f"interval {parent.calendar_interval!r}")
                 factor = F.lit(float(secs[m.unit]) / float(span))
                 return [(base * factor).alias(m.name)]
+            if m.kind == "t_test":
+                # r12: Welch / pooled / paired t — pure aggregate
+                # combinations (conditional count/avg/var_samp), one
+                # pass, map-side combinable. DEVIATION (documented at
+                # MetricAgg): emits <name>_t + <name>_df; ES emits the
+                # p-value (a t-CDF — functions.stats.t_p_value converts
+                # client-side). Degenerate sides (n < 2) yield null
+                # like ES.
+                a_col = comp.resolve(m.field).col.cast("double")
+                b_col = comp.resolve(m.t_b).col.cast("double")
+                if m.t_type == "paired":
+                    d = F.when(a_col.isNotNull() & b_col.isNotNull(),
+                               a_col - b_col)
+                    n = F.count(d).cast("double")
+                    t = (F.avg(d)
+                         / (F.stddev_samp(d) / F.sqrt(n)))
+                    return [t.alias(f"{m.name}_t"),
+                            (n - 1).alias(f"{m.name}_df")]
+                pa = (comp.compile(m.t_filter_a)[0]
+                      if m.t_filter_a is not None else F.lit(True))
+                pb = (comp.compile(m.t_filter_b)[0]
+                      if m.t_filter_b is not None else F.lit(True))
+                va = F.when(pa, a_col)
+                vb = F.when(pb, b_col)
+                na = F.count(va).cast("double")
+                nb = F.count(vb).cast("double")
+                ma, mb = F.avg(va), F.avg(vb)
+                s2a, s2b = F.var_samp(va), F.var_samp(vb)
+                if m.t_type == "homoscedastic":
+                    dof = na + nb - F.lit(2.0)
+                    sp2 = ((na - 1) * s2a + (nb - 1) * s2b) / dof
+                    t = (ma - mb) / F.sqrt(sp2 * (1 / na + 1 / nb))
+                    return [t.alias(f"{m.name}_t"),
+                            dof.alias(f"{m.name}_df")]
+                se2 = s2a / na + s2b / nb            # Welch
+                t = (ma - mb) / F.sqrt(se2)
+                dof = (se2 * se2
+                       / ((s2a / na) * (s2a / na) / (na - 1)
+                          + (s2b / nb) * (s2b / nb) / (nb - 1)))
+                return [t.alias(f"{m.name}_t"),
+                        dof.alias(f"{m.name}_df")]
             if m.kind == "reverse_nested":
                 if not nested_ctx["on"]:
                     raise es_dsl.DslError(

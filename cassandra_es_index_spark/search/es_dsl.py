@@ -49,7 +49,7 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "geo_centroid", "geo_bounds",
                  "boxplot", "matrix_stats",
                  "median_absolute_deviation", "string_stats",
-                 "top_metrics", "reverse_nested", "rate")
+                 "top_metrics", "reverse_nested", "rate", "t_test")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                  "geo_distance", "filters",
                  "date_range", "significant_terms",
@@ -634,6 +634,17 @@ class MetricAgg:
     # doc_count (field=None) or field sum — validated against the
     # PARENT at execution (fixed-span parents only, engine subset)
     unit: str | None = None
+    # t_test (r12): `field` holds population a's field; t_b is b's;
+    # optional filter Nodes gate each side; t_type ∈ paired/
+    # heteroscedastic/homoscedastic. DEVIATION (documented): the
+    # engine returns the t-STATISTIC and degrees of freedom —
+    # deterministic, SQL-oracle-checkable — where ES returns the
+    # p-value (a t-distribution CDF, not expressible as Column math;
+    # ``functions.stats.t_p_value`` converts client-side).
+    t_b: str | None = None
+    t_filter_a: "Node | None" = None
+    t_filter_b: "Node | None" = None
+    t_type: str = "heteroscedastic"
 
     def out_names(self) -> tuple[str, ...]:
         if self.kind == "stats":
@@ -672,6 +683,8 @@ class MetricAgg:
             return tuple(f"{self.name}_{f}" for f in self.multi_fields)
         if self.kind == "reverse_nested":
             return (f"{self.name}_doc_count",)
+        if self.kind == "t_test":
+            return (f"{self.name}_t", f"{self.name}_df")
         if self.kind == "matrix_stats":
             # per field: count / mean / variance (sample); per unordered
             # pair: covariance / correlation — ES's matrix flattened
@@ -1758,6 +1771,57 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
                 "{'value': {'field': …}, 'weight': {'field': …}}")
         return MetricAgg(name, kind, body["value"]["field"],
                          weight_field=body["weight"]["field"])
+    if kind == "t_test":
+        # ES shape: {"t_test": {"a": {"field": f, "filter"?: q},
+        # "b": {...}, "type"?: ...}}. DEVIATION (documented on
+        # MetricAgg): returns <name>_t + <name>_df instead of ES's
+        # p-value. paired requires two plain fields over the SAME rows
+        # (ES contract: no filters with paired).
+        if not isinstance(body, dict) \
+                or not isinstance(body.get("a"), dict) \
+                or not isinstance(body.get("b"), dict):
+            raise DslError(f"t_test agg {name!r} needs "
+                           "{'a': {'field': …}, 'b': {'field': …}}")
+        tt_extra = set(body) - {"a", "b", "type"}
+        if tt_extra:
+            raise DslError(f"t_test agg {name!r}: unsupported params "
+                           f"{sorted(tt_extra)} (engine subset)")
+        tt_type = str(body.get("type", "heteroscedastic"))
+        if tt_type not in ("paired", "heteroscedastic",
+                           "homoscedastic"):
+            raise DslError(
+                f"t_test agg {name!r}: type must be paired/"
+                f"heteroscedastic/homoscedastic, got {tt_type!r}")
+        sides = {}
+        for side in ("a", "b"):
+            sspec = body[side]
+            s_extra = set(sspec) - {"field", "filter"}
+            if s_extra:
+                raise DslError(
+                    f"t_test agg {name!r}.{side}: unsupported params "
+                    f"{sorted(s_extra)}")
+            if not isinstance(sspec.get("field"), str):
+                raise DslError(f"t_test agg {name!r}.{side} needs a "
+                               "'field'")
+            filt = None
+            if "filter" in sspec:
+                if tt_type == "paired":
+                    raise DslError(
+                        f"t_test agg {name!r}: paired type cannot "
+                        "take filters (ES contract — pairs come from "
+                        "the same documents)")
+                filt = _node(sspec["filter"])
+            sides[side] = (sspec["field"], filt)
+        if tt_type != "paired" and sides["a"][0] == sides["b"][0] \
+                and sides["a"][1] is None and sides["b"][1] is None:
+            raise DslError(
+                f"t_test agg {name!r}: unpaired types need distinct "
+                "fields or filters (identical populations)")
+        return MetricAgg(name, kind, sides["a"][0],
+                         t_b=sides["b"][0],
+                         t_filter_a=sides["a"][1],
+                         t_filter_b=sides["b"][1],
+                         t_type=tt_type)
     if kind == "matrix_stats":
         # ES shape: {"matrix_stats": {"fields": [a, b, ...]}} —
         # listwise deletion across the field set

@@ -415,3 +415,94 @@ def test_generic_bucket_param_allowlists(spark):
     rows = eng.search_aggs("bp", json.dumps({"aggs": {"r": {"range": {
         "field": "v", "ranges": [{"to": 10}], "keyed": True}}}})).collect()
     assert [r["doc_count"] for r in rows] == [1]
+
+
+# ------------------------------------------------- t_test metric (r12)
+
+def test_t_test_hand_cases(spark):
+    """Welch / pooled / paired t against hand-computed values.
+    DEVIATION pin: the engine emits <name>_t + <name>_df (ES emits the
+    p-value; functions.stats.t_p_value converts client-side)."""
+    import math
+    eng = SearchEngine(spark)
+    # group g=1: [1,2,3,4]  (mean 2.5, s² 5/3, n 4)
+    # group g=2: [2,4,6]    (mean 4,   s² 4,   n 3)
+    rows = ([(i, 1, float(v), float(v) + 1.0)
+             for i, v in enumerate([1, 2, 3, 4])]
+            + [(10 + i, 2, float(v), 0.0)
+               for i, v in enumerate([2, 4, 6])])
+    eng.register(spark.createDataFrame(
+        rows, "id int, g int, x double, y double"),
+        TableSpec("tt_t", ["id"]))
+    q = ('{"aggs":{"tt":{"t_test":{'
+         '"a":{"field":"x","filter":{"term":{"g":1}}},'
+         '"b":{"field":"x","filter":{"term":{"g":2}}}}}}}')
+    row, = eng.search_aggs("tt_t", q).collect()
+    se2 = (5 / 3) / 4 + 4 / 3
+    t_w = (2.5 - 4.0) / math.sqrt(se2)
+    df_w = se2 ** 2 / (((5 / 3) / 4) ** 2 / 3 + (4 / 3) ** 2 / 2)
+    assert row["tt_t"] == pytest.approx(t_w)
+    assert row["tt_df"] == pytest.approx(df_w)
+    # homoscedastic: pooled s² = (3·5/3 + 2·4)/5 = 13/5
+    qh = ('{"aggs":{"tt":{"t_test":{'
+          '"a":{"field":"x","filter":{"term":{"g":1}}},'
+          '"b":{"field":"x","filter":{"term":{"g":2}}},'
+          '"type":"homoscedastic"}}}}')
+    row, = eng.search_aggs("tt_t", qh).collect()
+    sp2 = (3 * (5 / 3) + 2 * 4.0) / 5.0
+    t_h = (2.5 - 4.0) / math.sqrt(sp2 * (1 / 4 + 1 / 3))
+    assert row["tt_t"] == pytest.approx(t_h)
+    assert row["tt_df"] == 5.0
+    # paired on x vs y over group 1: d = x−y = −1 everywhere → s_d = 0
+    # → t null (degenerate); use a varied pair instead
+    eng.register(spark.createDataFrame(
+        [(1, 2.0, 1.0), (2, 4.0, 1.0), (3, 6.0, 5.0)],
+        "id int, x double, y double"),
+        TableSpec("tt_p", ["id"]))
+    qp = ('{"aggs":{"tt":{"t_test":{"a":{"field":"x"},'
+          '"b":{"field":"y"},"type":"paired"}}}}')
+    row, = eng.search_aggs("tt_p", qp).collect()
+    # d = [1, 3, 1]: mean 5/3, s_d² = 4/3, n 3 → t = (5/3)/sqrt(4/9)
+    assert row["tt_t"] == pytest.approx((5 / 3) / math.sqrt(4 / 9))
+    assert row["tt_df"] == 2.0
+
+
+def test_t_test_p_value_against_published_table(spark):
+    """functions.stats two-sided p-values vs published t-table rows
+    (t=2.0, df=10 → 0.07339; t=1.0, df=1 → 0.5; t=12.706, df=1 →
+    0.05)."""
+    from cassandra_es_index_spark.functions.stats import (
+        t_sf_two_sided, with_p_value,
+    )
+    assert t_sf_two_sided(2.0, 10.0) == pytest.approx(0.07339, abs=1e-5)
+    assert t_sf_two_sided(1.0, 1.0) == pytest.approx(0.5, abs=1e-9)
+    assert t_sf_two_sided(12.7062, 1.0) == pytest.approx(0.05, abs=1e-5)
+    assert t_sf_two_sided(0.0, 7.0) == pytest.approx(1.0)
+    # the vectorized UDF rides a result frame
+    df = spark.createDataFrame([(2.0, 10.0), (0.0, 7.0)],
+                               "tt_t double, tt_df double")
+    got = [r["p_value"] for r in
+           with_p_value(df, "tt_t", "tt_df").collect()]
+    assert got[0] == pytest.approx(0.07339, abs=1e-5)
+    assert got[1] == pytest.approx(1.0)
+
+
+def test_t_test_typed_errors(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        [(1, 1.0, 2.0)], "id int, x double, y double"),
+        TableSpec("tt_err", ["id"]))
+    for q, msg in [
+        ('{"aggs":{"t":{"t_test":{"a":{"field":"x"}}}}}', "needs"),
+        ('{"aggs":{"t":{"t_test":{"a":{"field":"x"},'
+         '"b":{"field":"y"},"type":"welch"}}}}', "paired/"),
+        ('{"aggs":{"t":{"t_test":{"a":{"field":"x","filter":'
+         '{"term":{"id":1}}},"b":{"field":"y"},'
+         '"type":"paired"}}}}', "cannot take filters"),
+        ('{"aggs":{"t":{"t_test":{"a":{"field":"x"},'
+         '"b":{"field":"x"}}}}}', "identical populations"),
+        ('{"aggs":{"t":{"t_test":{"a":{"field":"x","zzz":1},'
+         '"b":{"field":"y"}}}}}', "unsupported params"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            eng.search_aggs("tt_err", q)
