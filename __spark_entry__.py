@@ -2643,6 +2643,58 @@ def q_multimodal_features(spark, sf_dir):
         F.array_position(hist, 1.0).cast("long").alias("hot_bin"))
 
 
+def _join_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    # parent/child join-field analogue (r12): orders = parent, lineitem
+    # = child on the order key (SearchEngine.register_relation — the ES
+    # join-field mapping). Serves has_child / has_parent / parent_id.
+    key = _ck(spark, sf_dir, "eng:parent_child")
+    if key not in _CACHE:
+        eng = SearchEngine(spark)
+        eng.register(_t(spark, sf_dir, "orders"),
+                     TableSpec("orders", ["o_orderkey"]))
+        eng.register(_t(spark, sf_dir, "lineitem"),
+                     TableSpec("lineitem", ["l_orderkey", "l_linenumber"]))
+        eng.register_relation("orders", "lineitem",
+                              "o_orderkey", "l_orderkey")
+        _CACHE[key] = eng
+    return _CACHE[key]
+
+
+def q_search_has_child(spark, sf_dir):
+    # ES has_child (r12): parents (orders) whose children (lineitem)
+    # match a scored bool, min_children 2, score_mode sum. Resolution =
+    # one child-side map-side-combinable groupBy on the foreign key +
+    # one keyed LEFT join onto the parents (_expand_join_nodes) — no
+    # driver collect, AQE-broadcastable aggregate. Child scores: term
+    # rf:R (tf 1) + should range qty>=30 (1), summed per parent.
+    eng = _join_engine(spark, sf_dir)
+    q = ('{"query":{"has_child":{"type":"lineitem","query":{"bool":'
+         '{"should":[{"term":{"l_returnflag":"R"}},'
+         '{"range":{"l_quantity":{"gte":30}}}]}},'
+         '"score_mode":"sum","min_children":2}},"size":1000000}')
+    return eng.search("orders", "#options:load-rows=false#" + q)
+
+
+def q_search_has_parent(spark, sf_dir):
+    # ES has_parent (r12): children (lineitem) whose parent order
+    # matches a scored bool; score: true hands each child its parent's
+    # score. Parent match frame → keyed LEFT join onto the children.
+    eng = _join_engine(spark, sf_dir)
+    q = ('{"query":{"has_parent":{"parent_type":"orders","query":'
+         '{"bool":{"should":[{"term":{"o_orderpriority":"urgent"}},'
+         '{"range":{"o_totalprice":{"gte":150000}}}]}},'
+         '"score":true}},"size":1000000}')
+    return eng.search("lineitem", "#options:load-rows=false#" + q)
+
+
+def q_search_parent_id(spark, sf_dir):
+    # ES parent_id (r12): children of one parent — engine-resolved to a
+    # Range equality on the relation's foreign-key column (no join).
+    eng = _join_engine(spark, sf_dir)
+    q = '{"query":{"parent_id":{"type":"lineitem","id":"7"}},"size":10000}'
+    return eng.search("lineitem", "#options:load-rows=false#" + q)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS A CORRECTNESS-COVERAGE DECISION: the driver oracle-
     # checks only the FIRST 50 entries. The first 50 therefore hold every
@@ -3047,6 +3099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   decode (r12) — oracle re-derives pixel stats from doc_id
         "multimodal_audio": q_multimodal_audio,  # REAL stdlib WAV
         #   decode (r12) — silence stats + doc_id-derived duration
+        "search_has_child": q_search_has_child,    # ~ join family (r12):
+        #   parent/child has_child — child-side keyed agg + LEFT join
+        "search_has_parent": q_search_has_parent,  # ~ join family (r12)
+        "search_parent_id": q_search_parent_id,    # ~ join family (r12):
+        #   FK equality rewrite, no join
     }
 
 
@@ -5546,6 +5603,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT iv.interval_key, COUNT(*)::BIGINT AS n_points
             FROM lineitem l JOIN iv ON l.l_shipdate BETWEEN iv.lo AND iv.hi
             GROUP BY iv.interval_key
+        """,
+        # has_child (r12): child-side scores re-derived per lineitem
+        # (term rf:R tf + range qty gate), aggregated per order key with
+        # the same count/sum the engine's keyed aggregate computes
+        "search_has_child": """
+            WITH ch AS (
+                SELECT l_orderkey,
+                       (CASE WHEN lower(l_returnflag) = 'r'
+                             THEN 1 ELSE 0 END
+                        + CASE WHEN l_quantity >= 30
+                               THEN 1 ELSE 0 END) AS s
+                FROM lineitem),
+            m AS (
+                SELECT l_orderkey, count(*) AS c, sum(s) AS sc
+                FROM ch WHERE s > 0 GROUP BY l_orderkey)
+            SELECT o.o_orderkey, CAST(m.sc AS DOUBLE) AS _score
+            FROM orders o JOIN m ON m.l_orderkey = o.o_orderkey
+            WHERE m.c >= 2
+        """,
+        # has_parent (r12): each lineitem inherits its order's score
+        # (term URGENT tf + totalprice gate) when the parent matches
+        "search_has_parent": r"""
+            WITH p AS (
+                SELECT o_orderkey,
+                       (len(regexp_extract_all(o_orderpriority,
+                            '(?i)\burgent\b'))
+                        + CASE WHEN o_totalprice >= 150000
+                               THEN 1 ELSE 0 END) AS s
+                FROM orders)
+            SELECT l.l_orderkey, l.l_linenumber,
+                   CAST(p.s AS DOUBLE) AS _score
+            FROM lineitem l JOIN p ON p.o_orderkey = l.l_orderkey
+            WHERE p.s > 0
+        """,
+        # parent_id (r12): FK equality, score 1 per match
+        "search_parent_id": """
+            SELECT l_orderkey, l_linenumber, 1::BIGINT AS _score
+            FROM lineitem WHERE l_orderkey = 7
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

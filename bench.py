@@ -109,6 +109,8 @@ HEADLINE = [
     "percolate_route",      # stored-query matching, one corpus scan (r9)
     "percolate_query_kind",  # percolate DSL kind → ScoredIds rewrite (r12)
     "search_retriever_linear",  # weighted/minmax linear fusion (r12)
+    "search_has_child",     # parent/child join: child keyed agg + join (r12)
+    "search_has_parent",    # parent match frame → FK join (r12)
     "text_dup_lines",       # Gopher line-level dup fractions (r12)
     "events_rate_monthly",  # rate, calendar month parent (r12)
     "search_feature_boosts",  # rank_feature + distance_feature (r9)

@@ -212,6 +212,69 @@ class ScoredIds(Node):
 
 
 @dataclass(frozen=True)
+class HasChild(Node):
+    """ES ``has_child`` query (the join-field parent/child surface):
+    matches PARENT docs whose children (per a registered relation —
+    ``SearchEngine.register_relation``, the engine's analogue of the ES
+    join-field mapping) satisfy ``query``, with ``min_children``/
+    ``max_children`` bounds and child-score combination per
+    ``score_mode``. A DATA-DRIVEN node: the engine resolves it before
+    compile (``SearchEngine._expand_join_nodes``) by running the child
+    query against the child table, aggregating matches per parent key
+    (one map-side-combinable groupBy), LEFT-joining the keyed aggregate
+    onto the parent documents as hidden ``__rel_*`` columns, and
+    rewriting to a ``JoinRelMatch`` — so the clause composes with the
+    rest of the bool tree as an ordinary scored leaf and the whole
+    thing stays one distributed plan (no driver collect; the keyed
+    aggregate is AQE-broadcastable when the child match set is small).
+    Compiling the raw node without the engine is a typed CompileError."""
+    child_type: str = ""
+    query: "Node | None" = None
+    score_mode: str = "none"       # none|min|max|sum|avg (ES default none)
+    min_children: int = 1
+    max_children: "int | None" = None
+
+
+@dataclass(frozen=True)
+class HasParent(Node):
+    """ES ``has_parent`` query: matches CHILD docs whose parent (per a
+    registered relation) satisfies ``query``; ``score: true`` hands each
+    child its parent's score (ES score mode; default false = predicate
+    score 1). Engine-resolved like ``HasChild`` (one parent-side match
+    frame, keyed LEFT join onto the child documents)."""
+    parent_type: str = ""
+    query: "Node | None" = None
+    score: bool = False
+
+
+@dataclass(frozen=True)
+class ParentIdQ(Node):
+    """ES ``parent_id`` query: matches CHILD docs (of relation ``type``)
+    whose parent key equals ``id``. Engine-resolved to a Range equality
+    on the relation's child foreign-key column — no join needed."""
+    child_type: str = ""
+    id: str = ""
+
+
+@dataclass(frozen=True)
+class JoinRelMatch(Node):
+    """RESOLVED form of ``HasChild``/``HasParent``: the other side's
+    match set has been aggregated per join key and LEFT-joined onto the
+    searched documents as hidden columns. Predicate = the joined match
+    count within [min_children, max_children] (a missing join row
+    counts 0, so ``min_children: 0`` matches parents with no matching
+    children, like ES); score per ``mode``: ``none`` scores 1 per match
+    (predicate-style, the ScriptFilter convention), ``min/max/sum/avg``
+    read the pre-aggregated child score column, ``parent`` reads the
+    parent's own score (has_parent ``score: true``)."""
+    count_col: str = ""
+    score_col: "str | None" = None
+    mode: str = "none"
+    min_children: int = 1
+    max_children: "int | None" = None
+
+
+@dataclass(frozen=True)
 class MatchAll(Node):
     """``*:*`` / ES ``match_all``."""
 

@@ -34,8 +34,9 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax,
     DistanceFeature, Exists,
     FunctionScore, FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists,
-    GeoGridCell, GeoOnLine, GeoPolygon, GeoShapeLookup, Fuzzy, Ids,
-    IntervalsMatch, KnnClause, PercolateDoc,
+    GeoGridCell, GeoOnLine, GeoPolygon, GeoShapeLookup, Fuzzy,
+    HasChild, HasParent, Ids,
+    IntervalsMatch, JoinRelMatch, KnnClause, ParentIdQ, PercolateDoc,
     MatchAll,
     MatchNone, MoreLikeThis, ScoredIds,
     Nested, Node, Not, Or,
@@ -495,6 +496,12 @@ def has_fractional_scorer(node: Node) -> bool:
     if isinstance(node, (ScriptScore, DecayScore, RandomScore,
                          FunctionScoreArray, RankFeature,
                          DistanceFeature, ScoredIds, KnnClause)):
+        return True
+    # a resolved has_child/has_parent with a real score mode reads a
+    # pre-aggregated DOUBLE column (avg of child tf counts is fractional
+    # by construction); mode "none" scores 0/1 and stays on the long
+    # contract
+    if isinstance(node, JoinRelMatch) and node.mode != "none":
         return True
     # a FRACTIONAL boost / constant_score value is itself a meaningful
     # fraction (r12): `^2.5` truncated to ×2 by the long root cast was
@@ -1036,6 +1043,28 @@ class Compiler:
                 f"'{esc(i)}', {float(s)!r}D" for i, s in node.pairs)
             score = F.expr(f"map({entries})")[F.col("_id")]
             return score.isNotNull(), F.coalesce(score, F.lit(0.0))
+        if isinstance(node, (HasChild, HasParent, ParentIdQ)):
+            raise CompileError(
+                "has_child/has_parent/parent_id are data-driven (the "
+                "other side of a registered parent/child relation must "
+                "be matched and joined) — run them through SearchEngine, "
+                "which resolves them before compile (_expand_join_nodes)")
+        if isinstance(node, JoinRelMatch):
+            # resolved parent/child join: the hidden per-doc columns were
+            # LEFT-joined on by the engine; a missing join row is a
+            # 0-count (so min_children: 0 matches childless parents, like
+            # ES). Pure Column algebra over the joined columns — the join
+            # itself already happened at the DataFrame level.
+            cnt = F.coalesce(F.col(node.count_col).cast("long"),
+                             F.lit(0))
+            pred = cnt >= F.lit(int(node.min_children))
+            if node.max_children is not None:
+                pred = pred & (cnt <= F.lit(int(node.max_children)))
+            if node.mode == "none" or node.score_col is None:
+                return pred, F.when(pred, 1).otherwise(0)
+            score = F.coalesce(F.col(node.score_col).cast("double"),
+                               F.lit(0.0))
+            return pred, F.when(pred, score).otherwise(F.lit(0.0))
         if isinstance(node, ScriptFilter):
             # filter-context script: the pre-translated SQL boolean over
             # document columns; NULL (null ref, try_divide 0) → no match.

@@ -270,6 +270,15 @@ class SearchEngine:
         # (ES's HNSW analogue). A disk-backed index is parquet
         # PARTITIONED BY cell, so probes prune to nprobe/n_cells of it.
         self._ivf: dict[tuple[str, str], tuple[DataFrame, list]] = {}
+        # parent/child relations (register_relation) — the engine's
+        # analogue of the ES join-field mapping; serves the
+        # has_child/has_parent/parent_id query kinds. Keyed three ways:
+        # (parent_table, child_name) for has_child, (child_table,
+        # parent_name) for has_parent, (child_table, child_name) for
+        # parent_id (which is searched ON the child table).
+        self._rel_child: dict[tuple[str, str], dict] = {}
+        self._rel_parent: dict[tuple[str, str], dict] = {}
+        self._rel_pid: dict[tuple[str, str], dict] = {}
 
     # -- registration / index build ----------------------------------------
 
@@ -283,6 +292,39 @@ class SearchEngine:
         self._n_docs.pop(spec.name, None)
         self._invalidate_postings(spec.name)
         return docs
+
+    def register_relation(self, parent_table: str, child_table: str,
+                          parent_key: str, child_key: str, *,
+                          child_name: str | None = None,
+                          parent_name: str | None = None) -> None:
+        """Register a parent/child relation between two registered
+        tables — the engine's analogue of the ES join-field mapping
+        (``relations: {"parent_name": "child_name"}``). Serves the
+        ``has_child`` / ``has_parent`` / ``parent_id`` query kinds:
+        ``has_child`` searched on the parent table names the CHILD
+        relation (``type``), ``has_parent`` searched on the child table
+        names the PARENT relation (``parent_type``), ``parent_id`` is
+        searched on the child table and names the child relation. Names
+        default to the table names.
+
+        ``parent_key`` / ``child_key`` are the join columns (the ES
+        join field routes children to their parent's shard; here the
+        keys drive one keyed aggregate + one equi-join per query —
+        fully distributed, AQE-broadcastable when the match set is
+        small)."""
+        for t in (parent_table, child_table):
+            if t not in self._docs:
+                raise es_dsl.DslError(
+                    f"register_relation: table {t!r} is not registered")
+        for t, c in ((parent_table, parent_key), (child_table, child_key)):
+            if c not in self._docs[t].columns:
+                raise es_dsl.DslError(
+                    f"register_relation: {t!r} has no column {c!r}")
+        rel = {"parent_table": parent_table, "child_table": child_table,
+               "parent_key": parent_key, "child_key": child_key}
+        self._rel_child[(parent_table, child_name or child_table)] = rel
+        self._rel_parent[(child_table, parent_name or parent_table)] = rel
+        self._rel_pid[(child_table, child_name or child_table)] = rel
 
     def _invalidate_postings(self, table: str) -> None:
         """Drop cached postings when the documents DataFrame changes
@@ -1329,6 +1371,190 @@ class SearchEngine:
             return req
         return self._rewrite_request(req, walk, walk_agg)
 
+    def _expand_join_nodes(self, req: "es_dsl.Request", table: str,
+                           docs: DataFrame,
+                           default_field: str | None,
+                           qmd: "QueryMetaData | None" = None
+                           ) -> tuple["es_dsl.Request", DataFrame]:
+        """Resolve the parent/child JOIN query kinds (has_child /
+        has_parent / parent_id) before compile. Runs FIRST in the
+        expansion pipeline — before date-math — so the inner query's
+        fields resolve against the OTHER table's schema, never this
+        one's.
+
+        ``has_child`` (searched on the parent table): the child query
+        runs through the full sub-pipeline (date-math → phrase-prefix →
+        data-node → join-node expansion, so grandparent chains and
+        data-driven child clauses compose) against the child documents,
+        matching children aggregate per child foreign key — ONE
+        map-side-combinable groupBy producing (key, count[, score]) —
+        and the keyed aggregate LEFT-joins onto the parent documents as
+        hidden ``__rel_*`` columns. The node rewrites to
+        ``JoinRelMatch``, pure Column algebra over those columns, so
+        bool composition / aggs / count / paging all compose. Scale
+        shape: the aggregate is bounded by the number of DISTINCT
+        matched parents, shuffles only the child match set, and the
+        equi-join is AQE-broadcastable when that set is small — never a
+        driver collect, never all-pairs.
+
+        ``has_parent`` (searched on the child table): symmetric — the
+        parent match frame (parent keys are unique per TableSpec;
+        ``max`` dedups defensively) LEFT-joins onto the child docs on
+        the foreign key; ``score: true`` hands children the parent's
+        score.
+
+        ``parent_id`` (searched on the child table): no join at all —
+        rewrites to a Range equality on the relation's foreign-key
+        column (ES routes this through the join field; the analogue of
+        one term lookup)."""
+        from dataclasses import fields as dc_fields
+        from dataclasses import is_dataclass, replace
+
+        from cassandra_es_index_spark.search.ast import (
+            HasChild, HasParent, JoinRelMatch, ParentIdQ, Range,
+        )
+
+        JOINERS = (HasChild, HasParent, ParentIdQ)
+        found = []
+
+        def probe(x):
+            if isinstance(x, JOINERS):
+                found.append(x)
+            if isinstance(x, Node) and is_dataclass(x):
+                for f in dc_fields(x):
+                    v = getattr(x, f.name)
+                    if isinstance(v, Node):
+                        probe(v)
+                    elif isinstance(v, tuple):
+                        for y in v:
+                            if isinstance(y, Node):
+                                probe(y)
+
+        if req.node is not None:
+            probe(req.node)
+        if req.post_filter is not None:
+            probe(req.post_filter)
+        if req.rescore is not None:
+            probe(req.rescore[0])
+        if not found:
+            return req, docs
+
+        cur = {"docs": docs, "n": 0}
+
+        def sub_match(other_table: str, node: Node
+                      ) -> tuple[DataFrame, Column, Column]:
+            """Full expansion sub-pipeline + compile of the inner query
+            against the OTHER side's documents; returns (other_docs,
+            pred, score)."""
+            odocs = self._docs[other_table]
+            sub = es_dsl.Request(node=node)
+            sub = self._resolve_date_math(sub, odocs, None, qmd)
+            sub = self._expand_phrase_prefixes(sub, other_table, odocs,
+                                               None)
+            sub = self._expand_data_nodes(sub, other_table, odocs, None)
+            sub, odocs = self._expand_join_nodes(sub, other_table,
+                                                 odocs, None, qmd)
+            pred, score = Compiler(odocs, None).compile(sub.node)
+            return odocs, pred, score
+
+        def expand_has_child(n: "HasChild") -> Node:
+            rel = self._rel_child.get((table, n.child_type))
+            if rel is None:
+                known = sorted(c for t, c in self._rel_child if t == table)
+                raise es_dsl.DslError(
+                    f"has_child: no child relation {n.child_type!r} "
+                    f"registered for table {table!r} (registered: "
+                    f"{known or 'none'} — see register_relation)")
+            cdocs, pred, score = sub_match(rel["child_table"], n.query)
+            i = cur["n"]
+            cur["n"] += 1
+            jk, cnt = f"__rel_{i}_key", f"__rel_{i}_cnt"
+            sc = f"__rel_{i}_score"
+            hits = (cdocs.where(pred)
+                    .select(F.col(rel["child_key"]).alias(jk),
+                            score.cast("double").alias("_cs")))
+            aggs = [F.count(F.lit(1)).alias(cnt)]
+            if n.score_mode != "none":
+                fn = {"min": F.min, "max": F.max,
+                      "sum": F.sum, "avg": F.avg}[n.score_mode]
+                aggs.append(fn(F.col("_cs")).alias(sc))
+            per = hits.groupBy(jk).agg(*aggs)
+            cur["docs"] = (cur["docs"]
+                           .join(per,
+                                 F.col(rel["parent_key"]) == F.col(jk),
+                                 "left")
+                           .drop(jk))
+            return JoinRelMatch(
+                cnt, sc if n.score_mode != "none" else None,
+                n.score_mode, n.min_children, n.max_children)
+
+        def expand_has_parent(n: "HasParent") -> Node:
+            rel = self._rel_parent.get((table, n.parent_type))
+            if rel is None:
+                known = sorted(p for t, p in self._rel_parent
+                               if t == table)
+                raise es_dsl.DslError(
+                    f"has_parent: no parent relation {n.parent_type!r} "
+                    f"registered for table {table!r} (registered: "
+                    f"{known or 'none'} — see register_relation)")
+            pdocs, pred, score = sub_match(rel["parent_table"], n.query)
+            i = cur["n"]
+            cur["n"] += 1
+            jk, cnt = f"__rel_{i}_key", f"__rel_{i}_cnt"
+            sc = f"__rel_{i}_score"
+            hits = (pdocs.where(pred)
+                    .select(F.col(rel["parent_key"]).alias(jk),
+                            score.cast("double").alias("_ps")))
+            per = hits.groupBy(jk).agg(F.count(F.lit(1)).alias(cnt),
+                                       F.max("_ps").alias(sc))
+            cur["docs"] = (cur["docs"]
+                           .join(per,
+                                 F.col(rel["child_key"]) == F.col(jk),
+                                 "left")
+                           .drop(jk))
+            return JoinRelMatch(cnt, sc if n.score else None,
+                                "parent" if n.score else "none", 1, None)
+
+        def expand_parent_id(n: "ParentIdQ") -> Node:
+            rel = self._rel_pid.get((table, n.child_type))
+            if rel is None:
+                known = sorted(c for t, c in self._rel_pid if t == table)
+                raise es_dsl.DslError(
+                    f"parent_id: no child relation {n.child_type!r} "
+                    f"registered for table {table!r} (registered: "
+                    f"{known or 'none'} — see register_relation)")
+            return Range(rel["child_key"], n.id, n.id, True, True)
+
+        def walk(node):
+            if isinstance(node, HasChild):
+                return expand_has_child(node)
+            if isinstance(node, HasParent):
+                return expand_has_parent(node)
+            if isinstance(node, ParentIdQ):
+                return expand_parent_id(node)
+            if isinstance(node, Node) and is_dataclass(node):
+                changes = {}
+                for f in dc_fields(node):
+                    v = getattr(node, f.name)
+                    if isinstance(v, Node):
+                        nv = walk(v)
+                    elif isinstance(v, tuple) and any(
+                            isinstance(x, Node) for x in v):
+                        nv = tuple(walk(x) if isinstance(x, Node) else x
+                                   for x in v)
+                    else:
+                        continue
+                    if nv is not v:
+                        changes[f.name] = nv
+                return replace(node, **changes) if changes else node
+            return node
+
+        def walk_agg(a):
+            return a   # join queries inside agg filters: not supported
+
+        req = self._rewrite_request(req, walk, walk_agg)
+        return req, cur["docs"]
+
     def validate(self, table: str, query: str,
                  default_field: str | None = None) -> str | None:
         """Return an error message, or None if the query is valid
@@ -1625,6 +1851,8 @@ class SearchEngine:
                 "request has a 'suggest' section: search() returns hit "
                 "rows only — run the suggesters with suggest_request() "
                 "(same request body)")
+        req, docs = self._expand_join_nodes(req, table, docs,
+                                            default_field, qmd)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_data_nodes(req, table, docs, default_field)
@@ -1700,6 +1928,14 @@ class SearchEngine:
             # _score, highlight/script/metadata columns), a list = that
             # source subset plus the metadata columns. A pure projection
             # — Catalyst prunes the dropped columns out of the scan.
+            #
+            # The hidden `__rel_*` join columns (has_child/has_parent
+            # resolution, _expand_join_nodes) are plan plumbing, never
+            # result surface — dropped unconditionally.
+            rel_cols = [c for c in result.columns
+                        if c.startswith("__rel_")]
+            if rel_cols:
+                result = result.drop(*rel_cols)
             sf = req.source_filter
             if sf is None:
                 return result
@@ -4095,6 +4331,8 @@ class SearchEngine:
             raise es_dsl.DslError(
                 "retriever (rrf) is a search()-only section — a fused "
                 "ranking has no single count/explain semantics")
+        req, docs = self._expand_join_nodes(req, table, docs,
+                                            default_field, qmd)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_data_nodes(req, table, docs, default_field)
@@ -4124,6 +4362,8 @@ class SearchEngine:
             raise es_dsl.DslError(
                 "retriever (rrf) is a search()-only section — a fused "
                 "ranking has no single count/explain semantics")
+        req, docs = self._expand_join_nodes(req, table, docs,
+                                            default_field, qmd)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_data_nodes(req, table, docs, default_field)
@@ -4528,6 +4768,8 @@ class SearchEngine:
                     f"request has a {sec!r} section: search_metadata() "
                     f"computes hit totals only — run it with {hint} "
                     "(same request body)")
+        req, docs = self._expand_join_nodes(req, table, docs,
+                                            default_field, qmd)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs,
                                            default_field)
@@ -4743,6 +4985,8 @@ class SearchEngine:
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
         req = self._parse_request(qmd.query)
+        req, docs = self._expand_join_nodes(req, table, docs,
+                                            default_field, qmd)
         req = self._resolve_date_math(req, docs, default_field, qmd)
         req = self._expand_phrase_prefixes(req, table, docs, default_field)
         req = self._expand_data_nodes(req, table, docs, default_field)

@@ -26,7 +26,8 @@ from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DisMax, DistanceFeature, Exists,
     FunctionScore,
     FunctionScoreArray, GeoBoundingBox, GeoDistance, GeoExists, GeoGridCell,
-    GeoOnLine, GeoPolygon, GeoShapeLookup, KnnClause, PercolateDoc,
+    GeoOnLine, GeoPolygon, GeoShapeLookup, HasChild, HasParent,
+    KnnClause, ParentIdQ, PercolateDoc,
     DecayScore, Fuzzy, Ids, IntervalsMatch, MatchAll, MatchNone,
     MoreLikeThis, Nested,
     Node, Not, Or,
@@ -3910,6 +3911,103 @@ def _node(q: dict[str, Any]) -> Node:
         return _boosted(
             Nested(str(body["path"]), _node(body["query"]), mode),
             body.get("boost"))
+    if kind == "has_child":
+        # ES has_child (join-field parent/child): matches PARENT docs
+        # whose children — per a relation registered with
+        # SearchEngine.register_relation, the engine's analogue of the
+        # ES join-field mapping — satisfy the inner query. Data-driven:
+        # the engine resolves it before compile (_expand_join_nodes).
+        hc_extra = set(body) - {"type", "query", "score_mode",
+                                "min_children", "max_children", "boost",
+                                "ignore_unmapped"} \
+            if isinstance(body, dict) else set()
+        if hc_extra:
+            raise DslError(f"has_child: unsupported parameters "
+                           f"{sorted(hc_extra)} (engine subset; "
+                           "inner_hits is not supported on join "
+                           "queries — documented)")
+        if not isinstance(body, dict) or "type" not in body \
+                or "query" not in body:
+            raise DslError(
+                "has_child needs {'type': child_relation, 'query': "
+                "clause}")
+        if body.get("ignore_unmapped"):
+            raise DslError(
+                "has_child ignore_unmapped: true is not supported — an "
+                "unregistered relation is a typed error by design "
+                "(the everything-is-a-typed-error contract)")
+        hc_mode = str(body.get("score_mode", "none"))
+        if hc_mode not in ("none", "min", "max", "sum", "avg"):
+            raise DslError(f"unknown has_child score_mode {hc_mode!r}")
+        hc_min = body.get("min_children", 1)
+        hc_max = body.get("max_children")
+        for label, v in (("min_children", hc_min),
+                         ("max_children", hc_max)):
+            if v is not None and (isinstance(v, bool)
+                                  or not isinstance(v, int) or v < 0):
+                raise DslError(
+                    f"has_child {label} must be a non-negative "
+                    f"integer, got {v!r}")
+        if hc_max is not None and hc_max < hc_min:
+            raise DslError(
+                f"has_child max_children ({hc_max}) < min_children "
+                f"({hc_min}) matches nothing — typed error, not a "
+                "silent MatchNone")
+        return _boosted(
+            HasChild(str(body["type"]), _node(body["query"]), hc_mode,
+                     int(hc_min),
+                     int(hc_max) if hc_max is not None else None),
+            body.get("boost"))
+    if kind == "has_parent":
+        # ES has_parent: matches CHILD docs whose parent satisfies the
+        # inner query; score: true hands children their parent's score
+        hp_extra = set(body) - {"parent_type", "query", "score",
+                                "boost", "ignore_unmapped"} \
+            if isinstance(body, dict) else set()
+        if hp_extra:
+            raise DslError(f"has_parent: unsupported parameters "
+                           f"{sorted(hp_extra)} (engine subset; "
+                           "inner_hits is not supported on join "
+                           "queries — documented)")
+        if not isinstance(body, dict) or "parent_type" not in body \
+                or "query" not in body:
+            raise DslError(
+                "has_parent needs {'parent_type': parent_relation, "
+                "'query': clause}")
+        if body.get("ignore_unmapped"):
+            raise DslError(
+                "has_parent ignore_unmapped: true is not supported — "
+                "an unregistered relation is a typed error by design")
+        hp_score = body.get("score", False)
+        if not isinstance(hp_score, bool):
+            raise DslError(
+                f"has_parent score must be a boolean, got {hp_score!r}")
+        return _boosted(
+            HasParent(str(body["parent_type"]), _node(body["query"]),
+                      hp_score),
+            body.get("boost"))
+    if kind == "parent_id":
+        # ES parent_id: child docs of relation `type` whose parent key
+        # equals `id` — engine-resolved to an equality on the child
+        # foreign-key column (no join needed)
+        pid_extra = set(body) - {"type", "id", "boost",
+                                 "ignore_unmapped"} \
+            if isinstance(body, dict) else set()
+        if pid_extra:
+            raise DslError(f"parent_id: unsupported parameters "
+                           f"{sorted(pid_extra)}")
+        if not isinstance(body, dict) or "type" not in body \
+                or "id" not in body:
+            raise DslError("parent_id needs {'type': child_relation, "
+                           "'id': parent_id}")
+        if body.get("ignore_unmapped"):
+            raise DslError(
+                "parent_id ignore_unmapped: true is not supported — "
+                "an unregistered relation is a typed error by design")
+        if isinstance(body["id"], (dict, list)):
+            raise DslError("parent_id id must be a scalar")
+        return _boosted(ParentIdQ(str(body["type"]), str(body["id"])),
+                        body.get("boost"))
     if kind == "query_string":
         # full Lucene grammar via the query_string parser; r11 adds
         # the field-binding parameters (previously any extra key was
