@@ -2687,6 +2687,44 @@ def q_search_has_parent(spark, sf_dir):
     return eng.search("lineitem", "#options:load-rows=false#" + q)
 
 
+def q_events_variable_width(spark, sf_dir):
+    # ES variable_width_histogram (r12): deterministic gap-split
+    # clustering of `value` into 5 buckets — boundary resolution is a
+    # bounded driver collect over the distinct-value frame (the
+    # auto_date_histogram cost class); the corpus pass is one
+    # map-side-combinable groupBy on the cluster id. key = the bucket's
+    # value average (ES centroid), rounded for hash parity (summation
+    # order).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"vw":{"variable_width_histogram":'
+         '{"field":"value","buckets":5},'
+         '"aggs":{"av":{"avg":{"field":"value"}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return out.select(F.round("key", 4).alias("key"),
+                      F.round("min", 4).alias("min"),
+                      F.round("max", 4).alias("max"),
+                      "doc_count",
+                      F.round("av", 4).alias("av"))
+
+
+def q_events_random_sampler(spark, sf_dir):
+    # ES random_sampler (r12): the deterministic multiplicative-hash
+    # sample — h = ((event_id + seed)·2654435761) mod 2³² < p·2³² —
+    # evaluated as pure Column math in the scan filter; sub-aggs run
+    # over the sample in the same pass. The oracle replays the exact
+    # integer arithmetic (HUGEINT on the DuckDB side; Spark's wrapping
+    # long multiply is exact because 2³² divides 2⁶⁴).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},'
+         '"aggs":{"rs":{"random_sampler":'
+         '{"probability":0.37,"seed":11},'
+         '"aggs":{"av":{"avg":{"field":"value"}},'
+         '"n":{"value_count":{"field":"event_id"}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return out.select(F.round("av", 4).alias("av"), "n")
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3104,6 +3142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_has_parent": q_search_has_parent,  # ~ join family (r12)
         "search_parent_id": q_search_parent_id,    # ~ join family (r12):
         #   FK equality rewrite, no join
+        "events_variable_width": q_events_variable_width,  # ~ agg
+        #   superset (r12): deterministic gap-split clustering
+        "events_random_sampler": q_events_random_sampler,  # ~ agg
+        #   superset (r12): deterministic keyed-hash sample
     }
 
 
@@ -5641,6 +5683,40 @@ def oracle_sql() -> dict[str, str]:
         "search_parent_id": """
             SELECT l_orderkey, l_linenumber, 1::BIGINT AS _score
             FROM lineitem WHERE l_orderkey = 7
+        """,
+        # variable_width_histogram (r12): identical gap-split — distinct
+        # values, lag window gaps, top buckets−1 gaps (desc, value asc),
+        # cluster id = boundaries ≤ value, grouped stats
+        "events_variable_width": """
+            WITH src AS (
+                SELECT value FROM events
+                WHERE event_type = 'click' AND value IS NOT NULL),
+            vals AS (SELECT DISTINCT value AS v FROM src),
+            g AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS gap
+                  FROM vals),
+            bnd AS (SELECT v FROM g WHERE gap IS NOT NULL
+                    ORDER BY gap DESC, v ASC LIMIT 4),
+            c AS (SELECT value,
+                         (SELECT count(*) FROM bnd
+                          WHERE bnd.v <= src.value) AS cl
+                  FROM src)
+            SELECT round(avg(value), 4) AS key,
+                   round(min(value), 4) AS "min",
+                   round(max(value), 4) AS "max",
+                   count(*)::BIGINT AS doc_count,
+                   round(avg(value), 4) AS av
+            FROM c GROUP BY cl
+        """,
+        # random_sampler (r12): the exact multiplicative-hash integer
+        # arithmetic (HUGEINT avoids BIGINT overflow; Spark's wrapping
+        # multiply is exact mod 2^32)
+        "events_random_sampler": """
+            SELECT round(avg(value), 4) AS av,
+                   count(event_id)::BIGINT AS n
+            FROM events
+            WHERE (CAST(event_id + 11 AS HUGEINT) * 2654435761)
+                  % 4294967296
+                  < CAST(floor(0.37 * 4294967296.0) AS HUGEINT)
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

@@ -5378,6 +5378,39 @@ class SearchEngine:
             return exprs
 
         aggs = req.aggs
+        if isinstance(aggs, es_dsl.SamplerAgg) \
+                and aggs.kind == "random_sampler":
+            # random_sampler (r12): rebind the agg frame to a
+            # ≈probability-sized subset via a DETERMINISTIC
+            # multiplicative hash of the primary key — h = ((key +
+            # seed) · 2654435761) mod 2³², keep h < p·2³² (Knuth's
+            # golden-ratio constant; Java's wrapping long multiply is
+            # exact here because 2³² divides 2⁶⁴). Pure Column math in
+            # the scan filter — the sample never materializes, sub-aggs
+            # run map-side over it like any filter, and the same seed
+            # reproduces the same sample at any scale (the documented
+            # deterministic subset of ES's per-shard RNG). Counts are
+            # the sample's own (UNSCALED — ES rescales by 1/p;
+            # documented deviation: callers scale, determinism is
+            # preserved).
+            from pyspark.sql import types as T
+            keys = list(spec.key_columns)
+            kdt = filtered.schema[keys[0]].dataType
+            if len(keys) != 1 or not isinstance(
+                    kdt, (T.LongType, T.IntegerType, T.ShortType)):
+                raise es_dsl.DslError(
+                    "random_sampler needs a single integer primary key "
+                    "(engine subset: the deterministic hash is keyed "
+                    "arithmetic, oracle-reproducible)")
+            h = F.pmod((F.col(keys[0]).cast("long")
+                        + F.lit(int(aggs.seed))) * F.lit(2654435761),
+                       F.lit(4294967296))
+            thresh = int(aggs.probability * 4294967296)
+            filtered = filtered.where(h < F.lit(thresh))
+            if aggs.sub is None:
+                return filtered.agg(
+                    F.count("*").cast("long").alias("doc_count"))
+            aggs = aggs.sub
         if isinstance(aggs, es_dsl.SamplerAgg):
             # sampler / diversified_sampler (r9): rebind the agg frame
             # to the top shard_size highest-scoring matches BEFORE the
@@ -5450,6 +5483,64 @@ class SearchEngine:
         if isinstance(aggs, es_dsl.BucketAgg) \
                 and aggs.kind == "auto_date_histogram":
             aggs = self._resolve_auto_interval(aggs, filtered, comp)
+        if isinstance(aggs, es_dsl.BucketAgg) \
+                and aggs.kind == "variable_width_histogram":
+            # variable_width_histogram (r12): deterministic 1-D
+            # clustering — split the sorted DISTINCT values at the
+            # buckets−1 largest adjacent gaps (ties → smallest
+            # boundary). Boundary resolution is a (buckets−1)-value
+            # driver collect over the DISTINCT-value frame (the
+            # auto_date_histogram cost class); the gap window orders
+            # that frame globally, so the distinct count is gated at
+            # 65536 with a typed error (the Lucene max-clause-style
+            # ceiling — ES's own clusterer is per-shard in-memory with
+            # a shard_size cap, the same boundedness premise). The
+            # corpus-side work stays ONE map-side-combinable groupBy on
+            # the cluster id.
+            from cassandra_es_index_spark.search.compile import (
+                _NUMERIC,
+            )
+            vref = comp.resolve(aggs.field)
+            if not isinstance(vref.dtype, _NUMERIC):
+                raise es_dsl.DslError(
+                    "variable_width_histogram needs a numeric field, "
+                    f"got {vref.dtype.simpleString()} for "
+                    f"{aggs.field!r}")
+            v = vref.col.cast("double")
+            vals = (filtered.where(v.isNotNull())
+                    .select(v.alias("_v")).distinct())
+            nd = vals.limit(65537).count()
+            if nd > 65536:
+                raise es_dsl.DslError(
+                    "variable_width_histogram: more than 65536 "
+                    "distinct values — use histogram or percentiles "
+                    "at this cardinality (engine ceiling)")
+            gap_w = Window.orderBy("_v")
+            gaps = vals.select(
+                "_v", (F.col("_v") - F.lag("_v", 1).over(gap_w))
+                .alias("_g"))
+            bounds = sorted(
+                r["_v"] for r in gaps.where(F.col("_g").isNotNull())
+                .orderBy(F.desc("_g"), F.asc("_v"))
+                .limit(int(aggs.buckets) - 1).collect())
+            cl = F.lit(0)
+            for b in bounds:
+                cl = cl + F.when(v >= F.lit(b), 1).otherwise(0)
+            mcols = [c for m in aggs.metrics for c in metric_cols(m)]
+            out = (filtered.where(v.isNotNull())
+                   .groupBy(cl.alias("_cl"))
+                   .agg(F.min(v).alias("min"),
+                        F.avg(v).alias("key"),
+                        F.max(v).alias("max"),
+                        F.count(F.lit(1)).cast("long")
+                        .alias("doc_count"),
+                        *mcols)
+                   .drop("_cl"))
+            return out.select("key", "min", "max", "doc_count",
+                              *[c for c in out.columns
+                                if c not in ("key", "min", "max",
+                                             "doc_count")]) \
+                      .orderBy("key")
         sb = getattr(aggs, "sub", None)
         while sb is not None:
             if getattr(sb, "kind", None) == "auto_date_histogram":

@@ -57,7 +57,7 @@ _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                  "significant_text", "rare_terms",
                  "multi_terms", "adjacency_matrix",
                  "geotile_grid", "geohash_grid", "auto_date_histogram",
-                 "categorize_text")
+                 "categorize_text", "variable_width_histogram")
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
 # set is a transform of the match set
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
@@ -855,10 +855,16 @@ class SamplerAgg:
     the sub-aggregation's frame computed over the sample (one
     ``doc_count`` row when no sub-aggs are declared)."""
     name: str
-    kind: str                       # sampler | diversified_sampler
+    kind: str          # sampler | diversified_sampler | random_sampler
     shard_size: int = 100
     field: str = ""                 # diversified only
     max_docs_per_value: int = 1     # diversified only
+    # random_sampler (r12): keep ≈ probability of the match set via a
+    # DETERMINISTIC multiplicative hash of the primary key (documented
+    # subset of ES's per-shard RNG — same seed → same sample on every
+    # run and every engine, which is what the seed param is FOR)
+    probability: float = 0.0        # random_sampler only
+    seed: int = 0                   # random_sampler only
     sub: ("BucketAgg | CompositeAgg | SingleBucketAgg | "
           "tuple[MetricAgg, ...] | None") = None
 
@@ -2094,7 +2100,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                            "sub-aggs only (no nested-in-nested or "
                            "sampler — engine subset)")
         return NestedAgg(name, params["path"], sub=sub)
-    if first_kind in ("sampler", "diversified_sampler"):
+    if first_kind in ("sampler", "diversified_sampler", "random_sampler"):
         if len(entries) != 1:
             raise DslError("exactly one bucket agg is supported per request")
         name, body = entries[0]
@@ -2105,6 +2111,30 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         params = body[first_kind] or {}
         if not isinstance(params, dict):
             raise DslError(f"sampler agg {name!r} must be an object")
+        if first_kind == "random_sampler":
+            r_extra = set(params) - {"probability", "seed"}
+            if r_extra:
+                raise DslError(
+                    f"random_sampler agg {name!r}: unsupported params "
+                    f"{sorted(r_extra)} (engine subset)")
+            p = params.get("probability")
+            if isinstance(p, bool) or not isinstance(p, (int, float)) \
+                    or not 0.0 < p <= 1.0:
+                raise DslError(
+                    f"random_sampler agg {name!r}: probability must be "
+                    "a number in (0, 1]")
+            seed = params.get("seed", 0)
+            if isinstance(seed, bool) or not isinstance(seed, int) \
+                    or seed < 0:
+                raise DslError(
+                    f"random_sampler agg {name!r}: seed must be a "
+                    "non-negative integer")
+            sub = _aggs(body.get("aggs")) if body.get("aggs") else None
+            if isinstance(sub, SamplerAgg):
+                raise DslError("sampler aggs do not nest (top level "
+                               "only)")
+            return SamplerAgg(name, "random_sampler",
+                              probability=float(p), seed=seed, sub=sub)
         allowed = {"shard_size"} if first_kind == "sampler" \
             else {"shard_size", "field", "max_docs_per_value"}
         bad = set(params) - allowed
@@ -2218,7 +2248,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         if sib_raw and first_kind in ("rare_terms", "multi_terms",
                                       "significant_terms",
                                       "geotile_grid", "geohash_grid",
-                                      "auto_date_histogram"):
+                                      "auto_date_histogram",
+                                      "variable_width_histogram"):
             # these branches return before the sibling attach below — a
             # silent pass-through would DROP the requested aggregation
             raise DslError(
@@ -2384,6 +2415,46 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             metrics = tuple(_metric(n, sp)
                             for n, sp in sub_specs_a.items())
             return BucketAgg(name=name, kind="auto_date_histogram",
+                             field=params["field"], buckets=nb,
+                             metrics=metrics)
+        if first_kind == "variable_width_histogram":
+            # ES variable_width_histogram: cluster a numeric field into
+            # ~`buckets` dynamically-sized buckets. ES's streaming
+            # clusterer is shard-order dependent; the engine's
+            # DETERMINISTIC analogue (documented) splits the sorted
+            # DISTINCT values at the buckets−1 LARGEST adjacent gaps
+            # (ties → the leftmost/smallest boundary), which is the
+            # 1-D clustering that minimizes within-cluster spread for
+            # fixed k. Output per bucket: min, key (the ES centroid =
+            # value average), max, doc_count. Metric sub-aggs ride
+            # along; sub-buckets typed-reject (documented subset).
+            extra_p = set(params) - {"field", "buckets"}
+            if extra_p:
+                raise DslError(
+                    f"variable_width_histogram agg {name!r}: "
+                    f"unsupported params {sorted(extra_p)} "
+                    "(engine subset: field + buckets; ES's "
+                    "shard_size/initial_buffer tune its streaming "
+                    "clusterer, which the deterministic gap-split "
+                    "replaces)")
+            nb = params.get("buckets", 10)
+            if isinstance(nb, bool) or not isinstance(nb, int) \
+                    or nb < 1 or nb > 256:
+                raise DslError(
+                    "variable_width_histogram buckets must be an "
+                    "integer in [1, 256] (engine ceiling — the "
+                    "boundary set is driver-resolved like "
+                    "auto_date_histogram's interval)")
+            sub_specs_v = dict(body.get("aggs") or {})
+            if any(isinstance(sp, dict) and any(
+                    k in _BUCKET_KINDS or k in _SINGLE_BUCKET_KINDS
+                    for k in sp) for sp in sub_specs_v.values()):
+                raise DslError("variable_width_histogram supports "
+                               "metric sub-aggs only (documented "
+                               "subset)")
+            metrics = tuple(_metric(n, sp)
+                            for n, sp in sub_specs_v.items())
+            return BucketAgg(name=name, kind="variable_width_histogram",
                              field=params["field"], buckets=nb,
                              metrics=metrics)
         if first_kind in ("significant_terms", "significant_text"):

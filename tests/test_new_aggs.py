@@ -506,3 +506,165 @@ def test_t_test_typed_errors(spark):
     ]:
         with pytest.raises(DslError, match=msg):
             eng.search_aggs("tt_err", q)
+
+
+# ---------------------------------------- variable_width_histogram (r12)
+
+def test_variable_width_histogram_gap_split(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in
+         enumerate([1, 2, 3, 10, 11, 50, 50, 51, 100])],
+        "id bigint, val double")
+    eng.register(df, TableSpec("vw", ["id"]))
+    q = json.dumps({"query": {"match_all": {}}, "aggs": {
+        "vw": {"variable_width_histogram": {"field": "val",
+                                            "buckets": 4}}}})
+    rows = [r.asDict() for r in eng.search_aggs("vw", q).collect()]
+    # sorted distinct: 1 2 3 10 11 50 51 100 — the 3 largest gaps are
+    # 100−51=49, 50−11=39, 10−3=7 → clusters {1,2,3} {10,11}
+    # {50,50,51} {100}; key = the cluster's value average
+    assert [(r["min"], r["max"], r["doc_count"]) for r in rows] == \
+        [(1.0, 3.0, 3), (10.0, 11.0, 2), (50.0, 51.0, 3),
+         (100.0, 100.0, 1)]
+    assert rows[0]["key"] == pytest.approx(2.0)
+    assert rows[2]["key"] == pytest.approx(151.0 / 3)
+
+
+def test_variable_width_histogram_fewer_values_than_buckets(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame([(1, 5.0), (2, 9.0)], "id bigint, v double")
+    eng.register(df, TableSpec("vw2", ["id"]))
+    q = json.dumps({"aggs": {"vw": {"variable_width_histogram":
+                                    {"field": "v", "buckets": 10}}}})
+    rows = eng.search_aggs("vw2", q).collect()
+    # every distinct value becomes its own cluster — never an error
+    assert [(r["key"], r["doc_count"]) for r in rows] == \
+        [(5.0, 1), (9.0, 1)]
+
+
+def test_variable_width_histogram_metric_sub_and_ties(spark):
+    eng = SearchEngine(spark)
+    # equal gaps (ties): 1..4 with buckets=3 → gaps all 1; ties break
+    # toward the SMALLEST boundary values → boundaries {2, 3}
+    df = spark.createDataFrame(
+        [(1, 1.0, 10.0), (2, 2.0, 20.0), (3, 3.0, 30.0),
+         (4, 4.0, 40.0)],
+        "id bigint, v double, w double")
+    eng.register(df, TableSpec("vw3", ["id"]))
+    q = json.dumps({"aggs": {"vw": {
+        "variable_width_histogram": {"field": "v", "buckets": 3},
+        "aggs": {"sw": {"sum": {"field": "w"}}}}}})
+    rows = [r.asDict() for r in eng.search_aggs("vw3", q).collect()]
+    assert [(r["min"], r["max"], r["sw"]) for r in rows] == \
+        [(1.0, 1.0, 10.0), (2.0, 2.0, 20.0), (3.0, 4.0, 70.0)]
+
+
+def test_variable_width_histogram_typed_errors(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame([(1, 1.0, "x")], "id bigint, v double, s string")
+    eng.register(df, TableSpec("vw4", ["id"]))
+
+    def run(body):
+        eng.search_aggs("vw4", json.dumps({"aggs": body}))
+
+    with pytest.raises(DslError, match="numeric field"):
+        run({"a": {"variable_width_histogram": {"field": "s"}}})
+    with pytest.raises(DslError, match="buckets must be"):
+        run({"a": {"variable_width_histogram": {"field": "v",
+                                                "buckets": 0}}})
+    with pytest.raises(DslError, match="buckets must be"):
+        run({"a": {"variable_width_histogram": {"field": "v",
+                                                "buckets": 257}}})
+    with pytest.raises(DslError, match="unsupported params"):
+        run({"a": {"variable_width_histogram": {"field": "v",
+                                                "shard_size": 100}}})
+    with pytest.raises(DslError, match="metric sub-aggs only"):
+        run({"a": {"variable_width_histogram": {"field": "v"},
+                   "aggs": {"t": {"terms": {"field": "s"}}}}})
+    with pytest.raises(DslError, match="needs a 'field'"):
+        run({"a": {"variable_width_histogram": {"buckets": 3}}})
+
+
+# ----------------------------------------------- random_sampler (r12)
+
+def test_random_sampler_deterministic_and_subaggs(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "id bigint, v double")
+    eng.register(df, TableSpec("rs", ["id"]))
+    q = json.dumps({"aggs": {"s": {
+        "random_sampler": {"probability": 0.3, "seed": 7},
+        "aggs": {"n": {"value_count": {"field": "id"}},
+                 "mx": {"max": {"field": "v"}}}}}})
+    (row,) = eng.search_aggs("rs", q).collect()
+    # hand-replayed multiplicative hash: ((id+7)*2654435761) mod 2^32
+    thresh = int(0.3 * 4294967296)
+    exp = [i for i in range(400)
+           if ((i + 7) * 2654435761) % 4294967296 < thresh]
+    assert row["n"] == len(exp)
+    assert row["mx"] == float(max(exp))
+    # same seed → same sample on a second run
+    (row2,) = eng.search_aggs("rs", q).collect()
+    assert row2["n"] == row["n"]
+    # different seed → (almost surely) different sample
+    q2 = q.replace('"seed": 7', '"seed": 8')
+    (row3,) = eng.search_aggs("rs", q2).collect()
+    exp8 = [i for i in range(400)
+            if ((i + 8) * 2654435761) % 4294967296 < thresh]
+    assert row3["n"] == len(exp8)
+
+
+def test_random_sampler_no_subaggs_counts(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id bigint")
+    eng.register(df, TableSpec("rs2", ["id"]))
+    q = json.dumps({"aggs": {"s": {"random_sampler":
+                                   {"probability": 0.25}}}})
+    (row,) = eng.search_aggs("rs2", q).collect()
+    thresh = int(0.25 * 4294967296)
+    exp = sum(1 for i in range(1000)
+              if (i * 2654435761) % 4294967296 < thresh)
+    assert row["doc_count"] == exp
+
+
+def test_random_sampler_respects_query_scope(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "id bigint, t string")
+    eng.register(df, TableSpec("rs3", ["id"]))
+    q = json.dumps({"query": {"term": {"t": "a"}},
+                    "aggs": {"s": {"random_sampler":
+                                   {"probability": 0.5, "seed": 1}}}})
+    (row,) = eng.search_aggs("rs3", q).collect()
+    thresh = int(0.5 * 4294967296)
+    exp = sum(1 for i in range(0, 200, 2)
+              if ((i + 1) * 2654435761) % 4294967296 < thresh)
+    assert row["doc_count"] == exp
+
+
+def test_random_sampler_typed_errors(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    eng.register(df, TableSpec("rs4", ["id"]))
+    comp = spark.createDataFrame([("a", "b")], "k1 string, k2 string")
+    eng.register(comp, TableSpec("rs5", ["k1", "k2"]))
+
+    def run(table, body):
+        eng.search_aggs(table, json.dumps({"aggs": body}))
+
+    with pytest.raises(DslError, match="probability"):
+        run("rs4", {"s": {"random_sampler": {"probability": 0.0}}})
+    with pytest.raises(DslError, match="probability"):
+        run("rs4", {"s": {"random_sampler": {"probability": 1.5}}})
+    with pytest.raises(DslError, match="probability"):
+        run("rs4", {"s": {"random_sampler": {}}})
+    with pytest.raises(DslError, match="seed"):
+        run("rs4", {"s": {"random_sampler": {"probability": 0.5,
+                                             "seed": -1}}})
+    with pytest.raises(DslError, match="unsupported params"):
+        run("rs4", {"s": {"random_sampler": {"probability": 0.5,
+                                             "shard_size": 10}}})
+    with pytest.raises(DslError, match="integer primary key"):
+        run("rs5", {"s": {"random_sampler": {"probability": 0.5}}})
