@@ -2725,6 +2725,48 @@ def q_events_random_sampler(spark, sf_dir):
     return out.select(F.round("av", 4).alias("av"), "n")
 
 
+def q_events_bucket_correlation(spark, sf_dir):
+    # ES bucket_correlation (r12): Pearson between the histogram's
+    # bucket counts and the indicator expectations, aligned by the
+    # key-ascending bucket order (engine subset — documented). The
+    # range filter fixes the bucket span at 4 buckets for any sf, so
+    # the expectation list length is scale-independent. The corr runs
+    # over the 4-row bucket frame, never the corpus.
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"range":{"value":{"gte":0,"lt":100}}},'
+         '"aggs":{"h":{"histogram":{"field":"value","interval":25}},'
+         '"corr":{"bucket_correlation":{"buckets_path":"h>_count",'
+         '"function":{"count_correlation":{"indicator":'
+         '{"expectations":[4,3,2,1]}}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return out.select("key", "doc_count",
+                      F.round("corr", 6).alias("corr"))
+
+
+def q_events_geo_line(spark, sf_dir):
+    # ES geo_line (r12): per event_type bucket, the GeoJSON LineString
+    # of the matched points in event_id order — one aggregate
+    # expression (sort_array ∘ collect_list + slice + to_json) in the
+    # same groupBy as the bucket. The registry query re-explodes the
+    # line so the oracle compares scalar rows (JSON float formatting
+    # never enters the hash).
+    eng = _geo_events_engine(spark, sf_dir)
+    q = ('{"query":{"range":{"value":{"gte":170}}},'
+         '"aggs":{"byt":{"terms":{"field":"event_type"},'
+         '"aggs":{"track":{"geo_line":{"point":{"field":"loc"},'
+         '"sort":{"field":"event_id"}}}}}}}')
+    out = eng.search_aggs("geo_events", q, default_field="event_type")
+    parsed = F.from_json(
+        "track", "STRUCT<type: STRING, coordinates: ARRAY<ARRAY<DOUBLE>>>")
+    ex = out.select("key", "doc_count",
+                    F.posexplode(parsed["coordinates"])
+                    .alias("pos", "pt"))
+    return ex.select("key", "doc_count",
+                     (F.col("pos") + 1).cast("long").alias("idx"),
+                     F.round(F.element_at("pt", 1), 6).alias("lon"),
+                     F.round(F.element_at("pt", 2), 6).alias("lat"))
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3146,6 +3188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
         #   superset (r12): deterministic keyed-hash sample
+        "events_bucket_correlation": q_events_bucket_correlation,
+        #   ~ agg superset (r12): sibling Pearson vs expectations
+        "events_geo_line": q_events_geo_line,  # ~ agg superset (r12):
+        #   GeoJSON track per bucket, re-exploded for the oracle
     }
 
 
@@ -5717,6 +5763,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CAST(event_id + 11 AS HUGEINT) * 2654435761)
                   % 4294967296
                   < CAST(floor(0.37 * 4294967296.0) AS HUGEINT)
+        """,
+        # bucket_correlation (r12): the same key-ordered alignment +
+        # Pearson over the 4-bucket frame
+        "events_bucket_correlation": """
+            WITH b AS (
+                SELECT floor(value / 25.0) * 25.0 AS key,
+                       count(*)::BIGINT AS doc_count
+                FROM events WHERE value >= 0 AND value < 100
+                GROUP BY 1),
+            r AS (SELECT *, row_number() OVER (ORDER BY key) AS rn
+                  FROM b),
+            e AS (SELECT rn, exp_v FROM (VALUES (1, 4.0), (2, 3.0),
+                  (3, 2.0), (4, 1.0)) AS t(rn, exp_v)),
+            c AS (SELECT round(corr(r.doc_count, e.exp_v), 6) AS corr
+                  FROM r JOIN e USING (rn))
+            SELECT r.key, r.doc_count, c.corr FROM r, c
+        """,
+        # geo_line (r12): the same point synthesis (_GEO_CTE), bucket
+        # doc_count over ALL matched docs (null points included, like
+        # the terms bucket), line membership/order over non-null points
+        # by event_id, capped at the ES 10k ceiling
+        "events_geo_line": f"""
+            WITH g AS ({_GEO_CTE}),
+            m AS (SELECT * FROM g WHERE value >= 170),
+            dc AS (SELECT event_type AS key,
+                          count(*)::BIGINT AS doc_count
+                   FROM m GROUP BY 1),
+            pts AS (
+                SELECT event_type AS key,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY event_id) AS idx,
+                       round(lon, 6) AS lon, round(lat, 6) AS lat
+                FROM m WHERE lat IS NOT NULL)
+            SELECT dc.key, dc.doc_count, pts.idx::BIGINT AS idx,
+                   pts.lon, pts.lat
+            FROM pts JOIN dc ON dc.key = pts.key
+            WHERE pts.idx <= 10000
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

@@ -5127,6 +5127,37 @@ class SearchEngine:
                 return [F.count_distinct(
                     *[F.col(k) for k in spec.key_columns])
                     .cast("long").alias(f"{m.name}_doc_count")]
+            if m.kind == "geo_line":
+                # geo_line (r12): the bucket's points as one GeoJSON
+                # LineString in sort order — sort_array(collect_list)
+                # + slice + to_json, a single aggregate expression that
+                # composes under any bucket level and combines in the
+                # same groupBy as its metric siblings. The per-bucket
+                # array materializes before the ES 10k `size` cap
+                # truncates it (ES buffers the same way per bucket) —
+                # see SCALE.md. Points missing the sort value or either
+                # coordinate are skipped (ES).
+                from cassandra_es_index_spark.functions.geo import (
+                    geo_point_cols,
+                )
+                gref = comp.resolve(m.field)
+                try:
+                    glat, glon = geo_point_cols(gref.col, gref.dtype,
+                                                m.field)
+                except ValueError as e:
+                    raise es_dsl.DslError(str(e)) from e
+                s = comp.resolve(m.sort_field).col.cast("double")
+                ok = s.isNotNull() & glat.isNotNull() & glon.isNotNull()
+                pt = F.when(ok, F.struct(
+                    s.alias("s"), glon.cast("double").alias("x"),
+                    glat.cast("double").alias("y")))
+                arr = F.sort_array(F.collect_list(pt), asc=m.sort_asc)
+                line = F.slice(arr, 1, m.line_size)
+                coords = F.transform(
+                    line, lambda e: F.array(e["x"], e["y"]))
+                return [F.to_json(F.struct(
+                    F.lit("LineString").alias("type"),
+                    coords.alias("coordinates"))).alias(m.name)]
             if m.kind in ("geo_centroid", "geo_bounds"):
                 # geo metrics over the struct<lat, lon> geo_point (r9):
                 # centroid = arithmetic mean of coordinates + point
@@ -6187,9 +6218,50 @@ class SearchEngine:
             if len(levels) > 1:
                 leaf_frame = out.where(
                     F.col(level_names(len(levels) - 1)[0]).isNotNull())
+            if any(sk == "bucket_correlation"
+                   for _, sk, _, _ in lv0.siblings):
+                # bucket_correlation (r12): Pearson between the bucket
+                # series and the indicator expectations, aligned by the
+                # KEY-ASCENDING bucket order — so the parent must be a
+                # kind whose response order IS key-ascending
+                # (histogram/date_histogram), and the expectation list
+                # must match the bucket count exactly (ES contract;
+                # typed — a silent truncation would shift the
+                # alignment). The row_number window runs over the
+                # bucket-cardinality frame, never the corpus.
+                if len(levels) != 1 or lv0.kind not in (
+                        "histogram", "date_histogram"):
+                    raise es_dsl.DslError(
+                        "bucket_correlation needs a single-level "
+                        "histogram/date_histogram sibling (engine "
+                        "subset: expectations align to the "
+                        "key-ascending bucket order)")
+                n_b = leaf_frame.count()
+                for sn, sk, scol, spcts in lv0.siblings:
+                    if sk == "bucket_correlation" \
+                            and len(spcts) != n_b:
+                        raise es_dsl.DslError(
+                            f"bucket_correlation {sn!r}: "
+                            f"{len(spcts)} expectations vs {n_b} "
+                            "buckets — lengths must match (ES "
+                            "contract)")
+                rn = F.row_number().over(
+                    Window.orderBy(F.asc(level_names(0)[0])))
+                leaf_frame = leaf_frame.withColumn("_sib_rn", rn)
+                for sn, sk, scol, spcts in lv0.siblings:
+                    if sk == "bucket_correlation":
+                        leaf_frame = leaf_frame.withColumn(
+                            f"_exp_{sn}",
+                            F.element_at(
+                                F.array(*[F.lit(e) for e in spcts]),
+                                F.col("_sib_rn")))
             sib_exprs: list[Column] = []
             for sn, sk, scol, spcts in lv0.siblings:
                 c = F.col(scol)
+                if sk == "bucket_correlation":
+                    sib_exprs.append(
+                        F.corr(c.cast("double"), F.col(f"_exp_{sn}")))
+                    continue
                 if sk == "stats_bucket":
                     # flattened like the stats metric: count of non-null
                     # bucket values + min/max/avg/sum

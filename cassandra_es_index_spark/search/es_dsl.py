@@ -50,7 +50,8 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "geo_centroid", "geo_bounds",
                  "boxplot", "matrix_stats",
                  "median_absolute_deviation", "string_stats",
-                 "top_metrics", "reverse_nested", "rate", "t_test")
+                 "top_metrics", "reverse_nested", "rate", "t_test",
+                 "geo_line")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                  "geo_distance", "filters",
                  "date_range", "significant_terms",
@@ -97,7 +98,7 @@ _NORMALIZE_METHODS = ("rescale_0_1", "rescale_0_100", "percent_of_sum",
 # syntax), emitted as constant columns on every bucket row
 _SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
                   "stats_bucket", "extended_stats_bucket",
-                  "percentiles_bucket")
+                  "percentiles_bucket", "bucket_correlation")
 
 # bucket_script / bucket_selector scripts: the painless subset that is
 # pure arithmetic/comparison over params refs — translated to a Spark SQL
@@ -646,6 +647,12 @@ class MetricAgg:
     t_filter_a: "Node | None" = None
     t_filter_b: "Node | None" = None
     t_type: str = "heteroscedastic"
+    # geo_line (r12): `field` holds the geo_point field, `sort_field`
+    # the ordering field (sort_asc its direction), `line_size` the ES
+    # point cap (default/max 10000). Output: ONE GeoJSON LineString
+    # string column — the track of the bucket's points in sort order.
+    sort_field: str | None = None
+    line_size: int = 10000
 
     def out_names(self) -> tuple[str, ...]:
         if self.kind == "stats":
@@ -1766,6 +1773,42 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
             raise DslError(f"rate agg {name!r}: field must be a string")
         return MetricAgg(name=name, kind="rate", field=fld or "",
                          unit=unit)
+    if kind == "geo_line":
+        # ES geo_line: the bucket's points as a GeoJSON LineString in
+        # sort order — {"point": {"field": p}, "sort": {"field": s},
+        # "size"?, "sort_order"?}. include_sort: true typed-rejects
+        # (it changes the response shape; the sort values are the
+        # caller's own field). Output: one string column.
+        if not isinstance(body, dict) \
+                or not isinstance(body.get("point"), dict) \
+                or "field" not in body["point"] \
+                or not isinstance(body.get("sort"), dict) \
+                or "field" not in body["sort"]:
+            raise DslError(
+                f"geo_line agg {name!r} needs "
+                "{'point': {'field': …}, 'sort': {'field': …}}")
+        gl_extra = set(body) - {"point", "sort", "size", "sort_order",
+                                "include_sort"}
+        if gl_extra:
+            raise DslError(f"geo_line agg {name!r}: unsupported params "
+                           f"{sorted(gl_extra)} (engine subset)")
+        if body.get("include_sort"):
+            raise DslError(
+                f"geo_line agg {name!r}: include_sort: true is not "
+                "supported (it changes the response shape; the sort "
+                "values are the request's own field — documented)")
+        order = body.get("sort_order", "asc")
+        if order not in ("asc", "desc"):
+            raise DslError(f"geo_line agg {name!r}: sort_order must be "
+                           f"'asc' or 'desc', got {order!r}")
+        size = body.get("size", 10000)
+        if isinstance(size, bool) or not isinstance(size, int) \
+                or not 1 <= size <= 10000:
+            raise DslError(f"geo_line agg {name!r}: size must be an "
+                           "integer in [1, 10000] (the ES ceiling)")
+        return MetricAgg(name, "geo_line", body["point"]["field"],
+                         sort_field=str(body["sort"]["field"]),
+                         sort_asc=(order == "asc"), line_size=size)
     if kind == "weighted_avg":
         # ES shape: {"value": {"field": v}, "weight": {"field": w}}
         if not isinstance(body, dict) \
@@ -1953,6 +1996,55 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         f"sibling agg {name!r} needs a 'buckets_path' "
                         "of the form 'bucket>metric'")
                 percents: tuple[float, ...] = ()
+                if k == "bucket_correlation":
+                    # ES bucket_correlation (r12): Pearson correlation
+                    # between the bucket series (key-ascending) and the
+                    # indicator expectations. Engine subset (typed):
+                    # plain Pearson — ES's count_correlation variant
+                    # additionally scales by the indicator's doc_count,
+                    # so doc_count is REJECTED rather than silently
+                    # ignored (the no-silent-drops contract).
+                    c_extra = set(pbody) - {"buckets_path", "function"}
+                    if c_extra:
+                        raise DslError(
+                            f"bucket_correlation agg {name!r}: "
+                            f"unsupported params {sorted(c_extra)}")
+                    fn = pbody.get("function")
+                    if not isinstance(fn, dict) \
+                            or set(fn) != {"count_correlation"} \
+                            or not isinstance(fn["count_correlation"],
+                                              dict) \
+                            or set(fn["count_correlation"]) \
+                            != {"indicator"}:
+                        raise DslError(
+                            f"bucket_correlation agg {name!r} needs "
+                            "{'function': {'count_correlation': "
+                            "{'indicator': {...}}}}")
+                    ind = fn["count_correlation"]["indicator"]
+                    if not isinstance(ind, dict) \
+                            or "expectations" not in ind:
+                        raise DslError(
+                            f"bucket_correlation agg {name!r}: the "
+                            "indicator needs 'expectations'")
+                    i_extra = set(ind) - {"expectations"}
+                    if i_extra:
+                        raise DslError(
+                            f"bucket_correlation agg {name!r}: "
+                            f"unsupported indicator params "
+                            f"{sorted(i_extra)} (engine subset: plain "
+                            "Pearson — doc_count scaling would "
+                            "silently change the statistic)")
+                    exp = ind["expectations"]
+                    if not isinstance(exp, list) or len(exp) < 2 \
+                            or not all(isinstance(e, (int, float))
+                                       and not isinstance(e, bool)
+                                       for e in exp):
+                        raise DslError(
+                            f"bucket_correlation agg {name!r}: "
+                            "expectations must be a list of ≥2 numbers")
+                    sib_raw.append((name, k, str(pbody["buckets_path"]),
+                                    tuple(float(e) for e in exp)))
+                    continue
                 if k == "percentiles_bucket":
                     praw = pbody.get("percents", list(_DEFAULT_PERCENTS))
                     if not isinstance(praw, list) or not praw or not all(

@@ -668,3 +668,142 @@ def test_random_sampler_typed_errors(spark):
                                              "shard_size": 10}}})
     with pytest.raises(DslError, match="integer primary key"):
         run("rs5", {"s": {"random_sampler": {"probability": 0.5}}})
+
+
+# --------------------------------------------- bucket_correlation (r12)
+
+def test_bucket_correlation_hand_cases(spark):
+    eng = SearchEngine(spark)
+    rows = [(i, float(b)) for i, b in
+            enumerate([0] * 1 + [1] * 2 + [2] * 3 + [3] * 4)]
+    eng.register(spark.createDataFrame(rows, "id bigint, x double"),
+                 TableSpec("bc", ["id"]))
+
+    def run(exp, path="h>_count", extra_metric=False):
+        body = {"h": {"histogram": {"field": "x", "interval": 1}},
+                "corr": {"bucket_correlation": {
+                    "buckets_path": path,
+                    "function": {"count_correlation": {
+                        "indicator": {"expectations": exp}}}}}}
+        if extra_metric:
+            body["h"]["aggs"] = {"sx": {"sum": {"field": "x"}}}
+        q = json.dumps({"aggs": body})
+        return eng.search_aggs("bc", q).collect()
+
+    # counts are 1,2,3,4 — perfectly (anti)correlated series
+    assert run([1, 2, 3, 4])[0]["corr"] == pytest.approx(1.0)
+    assert run([4, 3, 2, 1])[0]["corr"] == pytest.approx(-1.0)
+    # hand-computed Pearson: corr([1,2,3,4],[1,1,2,0]) = -0.3162278
+    assert run([1.0, 1.0, 2.0, 0.0])[0]["corr"] == \
+        pytest.approx(-0.31622776, abs=1e-6)
+    # against a leaf metric instead of _count: sums are 0,2,6,12
+    got = run([0, 2, 6, 12], path="h>sx", extra_metric=True)
+    assert got[0]["corr"] == pytest.approx(1.0)
+
+
+def test_bucket_correlation_typed_errors(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        [(1, 1.0, "a")], "id bigint, x double, t string"),
+        TableSpec("bc2", ["id"]))
+
+    def run(body):
+        eng.search_aggs("bc2", json.dumps({"aggs": body}))
+
+    ok_fn = {"count_correlation": {"indicator": {"expectations": [1, 2]}}}
+    with pytest.raises(DslError, match="lengths must match"):
+        run({"h": {"histogram": {"field": "x", "interval": 1}},
+             "c": {"bucket_correlation": {"buckets_path": "h>_count",
+                                          "function": ok_fn}}})
+    with pytest.raises(DslError, match="key-ascending"):
+        run({"t": {"terms": {"field": "t"}},
+             "c": {"bucket_correlation": {"buckets_path": "t>_count",
+                                          "function": ok_fn}}})
+    with pytest.raises(DslError, match="doc_count scaling"):
+        run({"h": {"histogram": {"field": "x", "interval": 1}},
+             "c": {"bucket_correlation": {
+                 "buckets_path": "h>_count",
+                 "function": {"count_correlation": {"indicator": {
+                     "expectations": [1], "doc_count": 10}}}}}})
+    with pytest.raises(DslError, match="needs .'function'"):
+        run({"h": {"histogram": {"field": "x", "interval": 1}},
+             "c": {"bucket_correlation": {"buckets_path": "h>_count"}}})
+    with pytest.raises(DslError, match="of ≥2 numbers"):
+        run({"h": {"histogram": {"field": "x", "interval": 1}},
+             "c": {"bucket_correlation": {
+                 "buckets_path": "h>_count",
+                 "function": {"count_correlation": {"indicator": {
+                     "expectations": [1]}}}}}})
+    with pytest.raises(DslError, match="unsupported params"):
+        run({"h": {"histogram": {"field": "x", "interval": 1}},
+             "c": {"bucket_correlation": {
+                 "buckets_path": "h>_count", "function": ok_fn,
+                 "gap_policy": "skip"}}})
+
+
+# --------------------------------------------------------- geo_line (r12)
+
+def _geo_line_engine(spark):
+    eng = SearchEngine(spark)
+    rows = [(1, "a", 3.0, 10.0, 100.0), (2, "a", 1.0, 11.0, 101.0),
+            (3, "a", 2.0, 12.0, 102.0), (4, "b", 1.0, 20.0, 200.0),
+            (5, "a", None, 99.0, 99.0),    # null sort → skipped
+            (6, "b", 2.0, None, 201.0)]    # null lat  → skipped
+    df = (spark.createDataFrame(
+        rows, "id bigint, g string, ts double, lat double, lon double")
+        .selectExpr("id", "g", "ts",
+                    "named_struct('lat', lat, 'lon', lon) as loc"))
+    eng.register(df, TableSpec("gl", ["id"]))
+    return eng
+
+
+def test_geo_line_bucketed_sorted_and_skips(spark):
+    eng = _geo_line_engine(spark)
+    q = json.dumps({"aggs": {"byg": {"terms": {"field": "g"}, "aggs": {
+        "track": {"geo_line": {"point": {"field": "loc"},
+                               "sort": {"field": "ts"}}}}}}})
+    rows = {r["key"]: r for r in eng.search_aggs("gl", q).collect()}
+    # bucket a: ts order 1→2→3 gives lon 101, 102, 100; the null-sort
+    # doc 5 is skipped from the line but counted in the bucket
+    assert json.loads(rows["a"]["track"]) == {
+        "type": "LineString",
+        "coordinates": [[101.0, 11.0], [102.0, 12.0], [100.0, 10.0]]}
+    assert rows["a"]["doc_count"] == 4
+    assert json.loads(rows["b"]["track"]) == {
+        "type": "LineString", "coordinates": [[200.0, 20.0]]}
+
+
+def test_geo_line_desc_and_size_cap(spark):
+    eng = _geo_line_engine(spark)
+    q = json.dumps({"aggs": {"track": {"geo_line": {
+        "point": {"field": "loc"}, "sort": {"field": "ts"},
+        "sort_order": "desc", "size": 2}}}})
+    (row,) = eng.search_aggs("gl", q).collect()
+    assert json.loads(row["track"])["coordinates"] == \
+        [[100.0, 10.0], [102.0, 12.0]]
+
+
+def test_geo_line_typed_errors(spark):
+    eng = _geo_line_engine(spark)
+
+    def run(body):
+        eng.search_aggs("gl", json.dumps({"aggs": body}))
+
+    with pytest.raises(DslError, match="needs"):
+        run({"t": {"geo_line": {"point": {"field": "loc"}}}})
+    with pytest.raises(DslError, match="include_sort"):
+        run({"t": {"geo_line": {"point": {"field": "loc"},
+                                "sort": {"field": "ts"},
+                                "include_sort": True}}})
+    with pytest.raises(DslError, match="sort_order"):
+        run({"t": {"geo_line": {"point": {"field": "loc"},
+                                "sort": {"field": "ts"},
+                                "sort_order": "up"}}})
+    with pytest.raises(DslError, match="size"):
+        run({"t": {"geo_line": {"point": {"field": "loc"},
+                                "sort": {"field": "ts"},
+                                "size": 20000}}})
+    with pytest.raises(DslError, match="unsupported params"):
+        run({"t": {"geo_line": {"point": {"field": "loc"},
+                                "sort": {"field": "ts"},
+                                "shard_size": 5}}})
