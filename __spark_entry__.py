@@ -2767,6 +2767,20 @@ def q_events_geo_line(spark, sf_dir):
                      F.round(F.element_at("pt", 2), 6).alias("lat"))
 
 
+def q_text_dup_ngrams(spark, sf_dir):
+    # Gopher n-gram repetition signals (r12): top {2,3}-gram char-mass
+    # share + duplicate 5-gram char-mass share, each a single sorted
+    # fold over the row's gram array (O(n log n) per row, zero
+    # shuffles — the max_run_count trick generalized to char mass).
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        tx.top_ngram_char_fraction(n=2, toks=toks).alias("top2"),
+        tx.top_ngram_char_fraction(n=3, toks=toks).alias("top3"),
+        tx.dup_ngram_char_fraction(n=5, toks=toks).alias("dup5"))
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3192,6 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   ~ agg superset (r12): sibling Pearson vs expectations
         "events_geo_line": q_events_geo_line,  # ~ agg superset (r12):
         #   GeoJSON track per bucket, re-exploded for the oracle
+        "text_dup_ngrams": q_text_dup_ngrams,  # ~ text family (r12):
+        #   Gopher top/dup n-gram char-mass signals, sorted-fold kernel
     }
 
 
@@ -5800,6 +5816,38 @@ def oracle_sql() -> dict[str, str]:
                    pts.lon, pts.lat
             FROM pts JOIN dc ON dc.key = pts.key
             WHERE pts.idx <= 10000
+        """,
+        # Gopher n-gram signals (r12): identical gram construction
+        # (token slice windows) + identical char-mass algebra, via
+        # unnest/groupBy instead of the row-local fold
+        "text_dup_ngrams": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+')
+                           AS tk
+                FROM documents),
+            grams AS (
+                SELECT doc_id, n, array_to_string(tk[i:i+n-1], ' ') AS g
+                FROM toks
+                CROSS JOIN (VALUES (2), (3), (5)) AS ns(n)
+                CROSS JOIN UNNEST(range(1, greatest(len(tk) - n + 1, 0)
+                                  + 1)) AS t(i)),
+            c AS (SELECT doc_id, n, g, count(*) AS cnt
+                  FROM grams GROUP BY 1, 2, 3),
+            m AS (SELECT doc_id, n,
+                         max(cnt * length(g)) AS top,
+                         sum(CASE WHEN cnt >= 2
+                             THEN cnt * length(g) ELSE 0 END) AS dup,
+                         sum(cnt * length(g)) AS tot
+                  FROM c GROUP BY 1, 2)
+            SELECT d.doc_id,
+                   coalesce(round(m2.top / m2.tot, 6), 0.0) AS top2,
+                   coalesce(round(m3.top / m3.tot, 6), 0.0) AS top3,
+                   coalesce(round(m5.dup / m5.tot, 6), 0.0) AS dup5
+            FROM documents d
+            LEFT JOIN m m2 ON m2.doc_id = d.doc_id AND m2.n = 2
+            LEFT JOIN m m3 ON m3.doc_id = d.doc_id AND m3.n = 3
+            LEFT JOIN m m5 ON m5.doc_id = d.doc_id AND m5.n = 5
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

@@ -155,6 +155,79 @@ def top_token_share(col: Column | None = None,
     return F.round(max_run_count(toks) / F.size(toks), 6)
 
 
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Word n-gram array ('w1 … wn' strings) from a token array — one
+    transform over the valid start offsets; empty for documents with
+    fewer than n tokens."""
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(F.sequence(F.lit(1), sz - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_char_scores(grams: Column) -> Column:
+    """Fold the SORTED gram array once carrying (prev, run,
+    top = max over groups of count×len, dup = Σ over groups with
+    count ≥ 2 of count×len) — the max_run_count trick generalized to
+    char mass, O(n log n) per row instead of the naive
+    O(distinct × grams). Returns struct(top, dup)."""
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("top"), F.lit(0).alias("dup"))
+
+    def flush(acc: Column) -> Column:
+        # close the running group: its char mass is run × len(prev)
+        mass = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            F.greatest(acc["top"], mass).alias("top"),
+            (acc["dup"] + F.when(acc["run"] >= 2, mass)
+             .otherwise(F.lit(0))).alias("dup"))
+
+    def step(acc: Column, g: Column) -> Column:
+        closed = flush(acc)
+        same = g == acc["prev"]
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["top"]).otherwise(closed["top"]).alias("top"),
+            F.when(same, acc["dup"]).otherwise(closed["dup"]).alias("dup"))
+
+    return F.aggregate(F.array_sort(grams), zero, step, flush)
+
+
+def top_ngram_char_fraction(col: Column | None = None, n: int = 2,
+                            toks: Column | None = None) -> Column:
+    """Gopher's top n-gram filter signal (n ∈ 2..4 in the paper): the
+    char-mass share of the single most frequent word n-gram —
+    count×chars of that gram over the char mass of ALL n-gram
+    occurrences (the self-normalized variant: bounded [0,1] by
+    construction, deterministic, oracle-mirrorable). 0 for documents
+    with fewer than n tokens."""
+    toks = tokens(col) if toks is None else toks
+    grams = ngrams_of(toks, n)
+    total = F.aggregate(F.transform(grams, F.length),
+                        F.lit(0), lambda a, x: a + x)
+    top = _gram_char_scores(grams)["top"]
+    return F.when(total > 0, F.round(top / total, 6)).otherwise(F.lit(0.0))
+
+
+def dup_ngram_char_fraction(col: Column | None = None, n: int = 5,
+                            toks: Column | None = None) -> Column:
+    """Gopher's duplicate n-gram filter signal (n ∈ 5..10 in the
+    paper): the char-mass share of n-gram occurrences whose gram occurs
+    at least twice in the document — every occurrence of a repeated
+    gram counts (the paper dedups overlapping character positions; this
+    occurrence-mass variant is the deterministic, oracle-mirrorable
+    form, documented). 0 for documents with fewer than n tokens."""
+    toks = tokens(col) if toks is None else toks
+    grams = ngrams_of(toks, n)
+    total = F.aggregate(F.transform(grams, F.length),
+                        F.lit(0), lambda a, x: a + x)
+    dup = _gram_char_scores(grams)["dup"]
+    return F.when(total > 0, F.round(dup / total, 6)).otherwise(F.lit(0.0))
+
+
 def lines_of(col: Column) -> Column:
     """Non-empty trimmed lines of a document (newline-split) — the
     unit of Gopher's line-level repetition filters."""

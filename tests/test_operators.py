@@ -673,3 +673,37 @@ def test_unigram_cross_entropy_hand_case(spark):
     plan = lm_score.cross_entropy_score(docs, "id", "t") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+
+
+def test_ngram_char_fractions_known_values(spark):
+    # Gopher n-gram repetition signals (r12), hand-computed:
+    # "a b a b a c" 2-grams = [a b, b a, a b, b a, a c] (len 3 each,
+    # total mass 15): top = 2×3 = 6 → 0.4; dup = (2+2)×3 = 12 → 0.8
+    from pyspark.sql import functions as F
+
+    from cassandra_es_index_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "x y z"), (3, "w"),
+         (4, "r r r r r"), (5, "one two three one two three")],
+        "id int, t string")
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        tx.top_ngram_char_fraction(F.col("t"), 2).alias("top2"),
+        tx.dup_ngram_char_fraction(F.col("t"), 2).alias("dup2"),
+        tx.top_ngram_char_fraction(F.col("t"), 3).alias("top3"),
+        tx.dup_ngram_char_fraction(F.col("t"), 5).alias("dup5"),
+    ).collect()}
+    assert rows[1]["top2"] == 0.4 and rows[1]["dup2"] == 0.8
+    # "x y z": grams [x y, y z], all distinct → top 0.5, dup 0
+    assert rows[2]["top2"] == 0.5 and rows[2]["dup2"] == 0.0
+    # single token: no grams → 0 everywhere
+    assert rows[3]["top2"] == 0.0 and rows[3]["dup5"] == 0.0
+    # "r r r r r": one distinct 2-gram occurring 4× → 1.0 / 1.0
+    assert rows[4]["top2"] == 1.0 and rows[4]["dup2"] == 1.0
+    # 6 tokens: 3-grams = [one two three, two three one, three one two,
+    # one two three] — "one two three" (13 ch) twice of 4 grams
+    # (mass 13+13+13+13=52): top = 26/52 = 0.5, and exactly one
+    # 5-gram pair distinct → dup5 = 0
+    assert rows[5]["top3"] == 0.5
+    assert rows[5]["dup5"] == 0.0
