@@ -2781,6 +2781,23 @@ def q_text_dup_ngrams(spark, sf_dir):
         tx.dup_ngram_char_fraction(n=5, toks=toks).alias("dup5"))
 
 
+def q_search_span_masking(spark, sf_dir):
+    # span_field_masking (r12): mixed-field span_near — the lang
+    # field's single token (position 0) masked as text, combined with
+    # text:spark under slop 4 unordered. A tuple (p_spark, 0) qualifies
+    # when p − 1 ≤ 4 and p ≠ 0 (pairwise-distinct unordered positions),
+    # so the match set is lang=en docs with "spark" at token positions
+    # 1..5; score = the count of such positions. Masked spans take the
+    # scan plan by design (documented).
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"span_near":{"clauses":['
+         '{"span_field_masking":{"query":{"span_term":{"lang":"en"}},'
+         '"field":"text"}},'
+         '{"span_term":{"text":"spark"}}],'
+         '"slop":4,"in_order":false}},"size":1000000}')
+    return eng.search("documents", "#options:load-rows=false#" + q)
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3208,6 +3225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   GeoJSON track per bucket, re-exploded for the oracle
         "text_dup_ngrams": q_text_dup_ngrams,  # ~ text family (r12):
         #   Gopher top/dup n-gram char-mass signals, sorted-fold kernel
+        "search_span_masking": q_search_span_masking,  # ~ span family
+        #   (r12): span_field_masking mixed-field near, scan plan
     }
 
 
@@ -5848,6 +5867,24 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN m m2 ON m2.doc_id = d.doc_id AND m2.n = 2
             LEFT JOIN m m3 ON m3.doc_id = d.doc_id AND m3.n = 3
             LEFT JOIN m m5 ON m5.doc_id = d.doc_id AND m5.n = 5
+        """,
+        # span_field_masking (r12): the lang token stream contributes
+        # position 0; qualifying tuples are spark positions 1..5 of the
+        # \W+ token stream (unordered pairwise-distinct + slop 4 width)
+        "search_span_masking": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\W+') AS tk,
+                       lower(lang) AS lg
+                FROM documents),
+            p AS (
+                SELECT doc_id,
+                       len(list_filter(range(1, len(tk) + 1),
+                           i -> tk[i] = 'spark'
+                                AND i - 1 BETWEEN 1 AND 5))::BIGINT
+                           AS _score
+                FROM t WHERE lg = 'en')
+            SELECT doc_id, _score FROM p WHERE _score > 0
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

@@ -548,6 +548,15 @@ class SpanNear(Node):
     slop: int = 0
     in_order: bool = True
     clauses: tuple = ()
+    # span_field_masking (r12): per-slot SOURCE field overrides — slot
+    # i's positions come from slot_fields[i]'s token stream when set
+    # (None = this node's field). Lucene FieldMaskingSpanQuery: the
+    # masked clause REPORTS the outer field so span_near accepts the
+    # mix; positions stay the inner field's. Masked span_nears always
+    # take the scan plan (each slot tokenizes its own column; the
+    # single-field span index can't serve a mixed-field tuple count —
+    # documented).
+    slot_fields: tuple = ()
 
     def slots(self) -> tuple:
         """Canonical N-slot form: ``clauses`` when present, else the

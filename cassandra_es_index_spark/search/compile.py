@@ -1233,21 +1233,32 @@ class Compiler:
                     "span_multi is data-driven (term-dictionary "
                     "expansion) — run it through SearchEngine, which "
                     "resolves it before compile (_expand_data_nodes)")
-            ref = self.resolve(node.field)
-            if not isinstance(ref.dtype, T.StringType):
-                raise CompileError(
-                    "span_near supports plain string fields")
-            toks = F.split(F.lower(ref.col), r"\W+")
-            idx = F.sequence(F.lit(0), F.size(toks) - 1)
+            def toks_of(fname) -> Column:
+                ref = self.resolve(fname)
+                if not isinstance(ref.dtype, T.StringType):
+                    raise CompileError(
+                        "span_near supports plain string fields")
+                return F.split(F.lower(ref.col), r"\W+")
 
-            def slot_positions(terms) -> Column:
+            toks0 = toks_of(node.field)
+
+            def slot_positions(terms, toks) -> Column:
+                # positions are indexes into the SLOT's own token
+                # stream (span_field_masking, r12: a masked slot reads
+                # another field's tokens — Lucene FieldMaskingSpanQuery
+                # compares positions across streams verbatim, same as
+                # here)
+                idx = F.sequence(F.lit(0), F.size(toks) - 1)
                 lits = [str(t).lower() for t in terms]
                 return F.filter(
                     idx, lambda i: (F.length(F.element_at(toks, i + 1))
                                     > 0)
                     & F.element_at(toks, i + 1).isin(lits))
 
-            arrays = [slot_positions(c) for c in node.slots()]
+            sfields = node.slot_fields or (None,) * len(node.slots())
+            arrays = [slot_positions(c, toks0 if sf is None
+                                     else toks_of(sf))
+                      for c, sf in zip(node.slots(), sfields)]
             cnt = F.coalesce(
                 span_near_tuple_count(arrays, node.slop, node.in_order),
                 F.lit(0))

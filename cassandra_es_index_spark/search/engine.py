@@ -3234,6 +3234,11 @@ class SearchEngine:
                     span_near_hits, span_pair_counts,
                 )
 
+                if any(f is not None for f in n.slot_fields):
+                    # span_field_masking (r12): per-slot source fields
+                    # — the single-field span index can't serve a
+                    # mixed-field tuple count; scan plan (documented)
+                    return None
                 fld = n.field if n.field is not None else default
                 state = self._span.get((table, fld))
                 if state is None:

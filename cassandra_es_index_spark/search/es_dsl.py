@@ -3846,12 +3846,47 @@ def _node(q: dict[str, Any]) -> Node:
                 "per clause)")
         fields = set()
         slots: list[tuple] = []
+        slot_fields: list = []
         for cl in body["clauses"]:
+            # span_field_masking (r12): the clause REPORTS `field` (so
+            # the mixed-field combination is accepted) while its
+            # positions come from the inner query's own field
+            # (Lucene FieldMaskingSpanQuery). Engine subset (typed):
+            # masking wraps a whole span_near clause only, and the
+            # inner query is span_term/span_or (no span_multi — its
+            # term-dictionary expansion would run against the wrong
+            # field's dictionary).
+            if isinstance(cl, dict) and len(cl) == 1 \
+                    and "span_field_masking" in cl:
+                m = cl["span_field_masking"]
+                if not isinstance(m, dict) or "query" not in m \
+                        or "field" not in m:
+                    raise DslError(
+                        "span_field_masking needs {'query': span "
+                        "clause, 'field': masked-as field}")
+                m_extra = set(m) - {"query", "field", "boost"}
+                if m_extra:
+                    raise DslError(
+                        f"span_field_masking: unsupported parameters "
+                        f"{sorted(m_extra)} (engine subset)")
+                src_fld, terms = _span_clause_terms(m["query"])
+                if any(not isinstance(t, str) for t in terms):
+                    raise DslError(
+                        "span_field_masking does not wrap span_multi "
+                        "(the pattern would expand against the wrong "
+                        "field's term dictionary — documented subset)")
+                fields.add(str(m["field"]))
+                slots.append(terms)
+                slot_fields.append(src_fld)
+                continue
             fld, terms = _span_clause_terms(cl)
             fields.add(fld)
             slots.append(terms)
+            slot_fields.append(None)
         if len(fields) != 1:
-            raise DslError("span_near clauses must share one field")
+            raise DslError("span_near clauses must share one field "
+                           "(wrap cross-field clauses in "
+                           "span_field_masking)")
         slop = body.get("slop", 0)
         if isinstance(slop, bool) or not isinstance(slop, int) \
                 or slop < 0:
@@ -3859,13 +3894,15 @@ def _node(q: dict[str, Any]) -> Node:
         in_order = body.get("in_order", True)
         if not isinstance(in_order, bool):
             raise DslError("span_near in_order must be a boolean")
+        masked = any(f is not None for f in slot_fields)
         first = second = ""
-        if len(slots) == 2 and all(
+        if not masked and len(slots) == 2 and all(
                 len(s) == 1 and isinstance(s[0], str) for s in slots):
             first, second = slots[0][0], slots[1][0]
         return _boosted(
             SpanNear(next(iter(fields)), first, second, slop,
-                     in_order, tuple(slots)),
+                     in_order, tuple(slots),
+                     tuple(slot_fields) if masked else ()),
             body.get("boost"))
     if kind == "span_term":
         # standalone span_term (r12): a span of one token ≡ the term's

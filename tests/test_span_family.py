@@ -420,3 +420,104 @@ def test_standalone_span_term(sp_engine):
     with _pt.raises(DslError, match="unsupported parameters"):
         sp_engine.search("sp_docs", json.dumps({"query": {"span_term": {
             "text": {"value": "spark", "zzz": 1}}}}))
+
+
+# ------------------------------------------------ span_field_masking (r12)
+
+def _masking_engine(spark):
+    from cassandra_es_index_spark.catalog import TableSpec
+    from cassandra_es_index_spark.search import SearchEngine
+    eng = SearchEngine(spark)
+    rows = [(1, "quick brown fox", "lazy brown dog"),
+            (2, "quick red fox", "quick lazy dog"),
+            (3, "slow brown fox", "brown quick dog")]
+    df = spark.createDataFrame(rows,
+                               "id bigint, title string, body string")
+    eng.register(df, TableSpec("mask", ["id"]))
+    return eng
+
+
+def test_span_field_masking_cross_field_positions(spark):
+    import json
+    eng = _masking_engine(spark)
+    # title:quick @0 + masked body:brown — doc1 has body brown @1:
+    # tuple (0,1), width 0 ≤ slop 0, in order. doc2 has no body brown;
+    # doc3 has no title quick.
+    q = json.dumps({"query": {"span_near": {"clauses": [
+        {"span_term": {"title": "quick"}},
+        {"span_field_masking": {
+            "query": {"span_term": {"body": "brown"}},
+            "field": "title"}}],
+        "slop": 0, "in_order": True}}, "size": 10})
+    rows = eng.search("mask", "#options:load-rows=false#" + q).collect()
+    assert [(r["id"], r["_score"]) for r in rows] == [(1, 1)]
+    # unordered, wider slop: doc3 body "brown quick dog" has brown @0 —
+    # masked tuple with title quick? doc3 title has no quick. Still 1.
+    q2 = json.dumps({"query": {"span_near": {"clauses": [
+        {"span_term": {"title": "fox"}},
+        {"span_field_masking": {
+            "query": {"span_term": {"body": "dog"}},
+            "field": "title"}}],
+        "slop": 5, "in_order": False}}, "size": 10})
+    rows2 = eng.search("mask", "#options:load-rows=false#" + q2).collect()
+    # fox @2 on every title; dog @2 on every body → tuple (2,2) is NOT
+    # pairwise-distinct under in_order false → no matches
+    assert rows2 == []
+
+
+def test_span_field_masking_typed_errors(spark):
+    import json
+
+    import pytest
+
+    from cassandra_es_index_spark.search import es_dsl
+    eng = _masking_engine(spark)
+
+    def run(q):
+        eng.search("mask", json.dumps(q))
+
+    with pytest.raises(es_dsl.DslError, match="share one field"):
+        run({"query": {"span_near": {"clauses": [
+            {"span_term": {"title": "quick"}},
+            {"span_term": {"body": "brown"}}], "slop": 0}}})
+    with pytest.raises(es_dsl.DslError, match="needs .'query'"):
+        run({"query": {"span_near": {"clauses": [
+            {"span_term": {"title": "quick"}},
+            {"span_field_masking": {"field": "title"}}], "slop": 0}}})
+    with pytest.raises(es_dsl.DslError, match="unsupported parameters"):
+        run({"query": {"span_near": {"clauses": [
+            {"span_term": {"title": "quick"}},
+            {"span_field_masking": {
+                "query": {"span_term": {"body": "x"}},
+                "field": "title", "rewrite": "y"}}], "slop": 0}}})
+    with pytest.raises(es_dsl.DslError, match="span_multi"):
+        run({"query": {"span_near": {"clauses": [
+            {"span_term": {"title": "quick"}},
+            {"span_field_masking": {
+                "query": {"span_multi": {"match": {
+                    "prefix": {"body": "bro"}}}},
+                "field": "title"}}], "slop": 0}}})
+
+
+def test_span_field_masking_takes_scan_plan(spark):
+    # the single-field span index can't serve a mixed-field tuple
+    # count — a masked span_near must bail to the scan plan even with
+    # a built span index
+    import json
+    eng = _masking_engine(spark)
+    eng.build_span_index("mask", "title")
+    q = json.dumps({"query": {"span_near": {"clauses": [
+        {"span_term": {"title": "quick"}},
+        {"span_field_masking": {
+            "query": {"span_term": {"body": "brown"}},
+            "field": "title"}}],
+        "slop": 0, "in_order": True}}, "size": 10})
+    hits = eng.search("mask", "#options:load-rows=false#" + q)
+    assert [(r["id"], r["_score"]) for r in hits.collect()] == [(1, 1)]
+    # same-field span_near still serves from the index (sanity)
+    q3 = json.dumps({"query": {"span_near": {"clauses": [
+        {"span_term": {"title": "quick"}},
+        {"span_term": {"title": "brown"}}],
+        "slop": 0, "in_order": True}}, "size": 10})
+    assert eng.search(
+        "mask", "#options:load-rows=false#" + q3).count() == 1
