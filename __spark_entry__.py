@@ -2798,6 +2798,26 @@ def q_search_span_masking(spark, sf_dir):
     return eng.search("documents", "#options:load-rows=false#" + q)
 
 
+def q_events_scripted_metric(spark, sf_dir):
+    # ES scripted_metric, declaratively (r12): the init/map/combine/
+    # reduce pipeline parse-translates to ONE SQL aggregate — here the
+    # RMS-style mean square of `value` per event_type. The iterative
+    # per-doc script becomes map-side-combinable sums; reduce is the
+    # single-shard identity (documented subset).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"aggs":{"byt":{"terms":{"field":"event_type"},'
+         '"aggs":{"msq":{"scripted_metric":{'
+         '"init_script":"state.ss = 0; state.n = 0",'
+         '"map_script":"state.ss += doc[\'value\'].value * '
+         'doc[\'value\'].value; state.n += 1",'
+         '"combine_script":"return state.ss / state.n",'
+         '"reduce_script":"double s = 0; for (t in states) '
+         '{ s += t } return s"}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return out.select("key", "doc_count",
+                      F.round("msq", 4).alias("msq"))
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3227,6 +3247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   Gopher top/dup n-gram char-mass signals, sorted-fold kernel
         "search_span_masking": q_search_span_masking,  # ~ span family
         #   (r12): span_field_masking mixed-field near, scan plan
+        "events_scripted_metric": q_events_scripted_metric,  # ~ agg
+        #   superset (r12): scripted_metric -> declarative sum algebra
     }
 
 
@@ -5885,6 +5907,14 @@ def oracle_sql() -> dict[str, str]:
                            AS _score
                 FROM t WHERE lg = 'en')
             SELECT doc_id, _score FROM p WHERE _score > 0
+        """,
+        # scripted_metric (r12): the same per-bucket Σv²/n algebra —
+        # sum skips nulls on both sides; n counts matched docs (the
+        # map's `+= 1` over the bucket frame)
+        "events_scripted_metric": """
+            SELECT event_type AS key, count(*)::BIGINT AS doc_count,
+                   round(sum(value * value) / count(*), 4) AS msq
+            FROM events GROUP BY event_type
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

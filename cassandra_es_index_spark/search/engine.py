@@ -5132,6 +5132,13 @@ class SearchEngine:
                 return [F.count_distinct(
                     *[F.col(k) for k in spec.key_columns])
                     .cast("long").alias(f"{m.name}_doc_count")]
+            if m.kind == "scripted_metric":
+                # parse-time-composed aggregate SQL (sum() aggregates
+                # + combine arithmetic — see es_dsl scripted_metric);
+                # the doc refs resolve against the agg frame here, so
+                # unknown fields fail as typed AnalysisException-free
+                # errors at the same point every metric does
+                return [F.expr(m.script_sql).alias(m.name)]
             if m.kind == "geo_line":
                 # geo_line (r12): the bucket's points as one GeoJSON
                 # LineString in sort order — sort_array(collect_list)

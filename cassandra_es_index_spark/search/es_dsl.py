@@ -51,7 +51,7 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality",
                  "boxplot", "matrix_stats",
                  "median_absolute_deviation", "string_stats",
                  "top_metrics", "reverse_nested", "rate", "t_test",
-                 "geo_line")
+                 "geo_line", "scripted_metric")
 _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                  "geo_distance", "filters",
                  "date_range", "significant_terms",
@@ -653,6 +653,14 @@ class MetricAgg:
     # string column — the track of the bucket's points in sort order.
     sort_field: str | None = None
     line_size: int = 10000
+    # scripted_metric (r12): the init/map/combine/reduce pipeline
+    # translated AT PARSE TIME to one Spark SQL aggregate expression —
+    # `state.v += <arith>` map statements become sum() aggregates, the
+    # combine arithmetic composes them, and the reduce must be a
+    # single-state identity form (this engine is ONE shard, the
+    # SamplerAgg premise). Stored fully composed; metric_cols just
+    # F.expr()s it.
+    script_sql: str | None = None
 
     def out_names(self) -> tuple[str, ...]:
         if self.kind == "stats":
@@ -1773,6 +1781,122 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
             raise DslError(f"rate agg {name!r}: field must be a string")
         return MetricAgg(name=name, kind="rate", field=fld or "",
                          unit=unit)
+    if kind == "scripted_metric":
+        # ES scripted_metric, DECLARATIVELY (r12): the engine's subset
+        # translates the init/map/combine/reduce pipeline at parse time
+        # into ONE Spark SQL aggregate expression — the iterative
+        # per-doc script becomes sum() aggregates Catalyst combines
+        # map-side, which is both the 100 TB shape and deterministic
+        # where the general scripted_metric is not. Subset (all typed):
+        # - init:    `state.v = 0` assignments only (a nonzero init is
+        #   per-shard in ES — shard-count-dependent results — so it is
+        #   rejected, not emulated);
+        # - map:     `state.v += <arith>` statements over the
+        #   doc['f'].value painless arithmetic subset (no comparisons/
+        #   conditionals; null field values contribute nothing, the
+        #   sum-skips-nulls convention);
+        # - combine: `return <arith over state.*>`;
+        # - reduce:  a single-state identity (`return states[0]` or
+        #   the canonical `for (t in states) { s += t }` sum loop) —
+        #   this engine is ONE shard (the SamplerAgg premise), so the
+        #   combine arithmetic is exact over GLOBAL sums and reduce
+        #   has nothing to merge.
+        if not isinstance(body, dict):
+            raise DslError(f"scripted_metric agg {name!r} must be an "
+                           "object")
+        sm_required = {"init_script", "map_script", "combine_script",
+                       "reduce_script"}
+        sm_missing = sm_required - set(body)
+        if sm_missing:
+            raise DslError(f"scripted_metric agg {name!r} needs "
+                           f"{sorted(sm_missing)}")
+        sm_extra = set(body) - sm_required
+        if sm_extra:
+            raise DslError(
+                f"scripted_metric agg {name!r}: unsupported params "
+                f"{sorted(sm_extra)} (engine subset; params would make "
+                "the translation non-declarative)")
+
+        def stmts(s: str) -> list[str]:
+            return [x.strip() for x in str(s).split(";") if x.strip()]
+
+        sm_vars: set[str] = set()
+        for st in stmts(body["init_script"]):
+            m_i = _re.fullmatch(r"state\.(\w+)\s*=\s*0(?:\.0)?", st)
+            if m_i is None:
+                raise DslError(
+                    f"scripted_metric agg {name!r}: init must be "
+                    f"'state.<var> = 0' assignments, got {st!r} (a "
+                    "nonzero init is per-shard in ES — shard-count-"
+                    "dependent — and is rejected, not emulated)")
+            sm_vars.add(m_i.group(1))
+        if not sm_vars:
+            raise DslError(f"scripted_metric agg {name!r}: init_script "
+                           "initializes no state variables")
+        var_sums: dict[str, list[str]] = {v: [] for v in sm_vars}
+        for st in stmts(body["map_script"]):
+            m_m = _re.fullmatch(r"state\.(\w+)\s*\+=\s*(.+)", st)
+            if m_m is None:
+                raise DslError(
+                    f"scripted_metric agg {name!r}: map must be "
+                    f"'state.<var> += <arithmetic>' statements, got "
+                    f"{st!r}")
+            v, expr = m_m.group(1), m_m.group(2)
+            if v not in sm_vars:
+                raise DslError(
+                    f"scripted_metric agg {name!r}: map writes "
+                    f"uninitialized state.{v}")
+            if _re.search(r"==|!=|<=|>=|<|>|&&|\|\||!|\?", expr):
+                raise DslError(
+                    f"scripted_metric agg {name!r}: map expressions "
+                    "are arithmetic only (engine subset — no "
+                    "comparisons/conditionals)")
+            var_sums[v].append(_compile_doc_script(name, expr))
+        mapped = {v: es_ for v, es_ in var_sums.items() if es_}
+        if not mapped:
+            raise DslError(f"scripted_metric agg {name!r}: map_script "
+                           "updates no state variables")
+        m_c = _re.fullmatch(r"return\s+(.+?)\s*;?",
+                            str(body["combine_script"]).strip())
+        if m_c is None:
+            raise DslError(
+                f"scripted_metric agg {name!r}: combine must be "
+                "'return <arithmetic over state.*>'")
+        comb = m_c.group(1)
+        if _re.search(r"==|!=|<=|>=|<|>|&&|\|\||!|\?", comb):
+            raise DslError(
+                f"scripted_metric agg {name!r}: combine is arithmetic "
+                "only (engine subset)")
+
+        def comb_ref(m_v: "_re.Match[str]") -> str:
+            v = m_v.group(1)
+            if v not in mapped:
+                raise DslError(
+                    f"scripted_metric agg {name!r}: combine reads "
+                    f"state.{v}, which the map never updates")
+            return f"`__stv_{v}`"
+
+        comb_sub = _re.sub(r"state\.(\w+)", comb_ref, comb)
+        comb_sql = _arith_sql(name, comb_sub)
+        red = _re.sub(r"\s+", " ", str(body["reduce_script"]).strip())
+        red_ok = (
+            _re.fullmatch(r"return states\[0\] ?;?", red) or
+            _re.fullmatch(
+                r"double (\w+) = 0 ?; for \( ?(\w+) in states ?\) "
+                r"\{ ?\1 \+= \2 ?;? ?\} return \1 ?;?", red))
+        if not red_ok:
+            raise DslError(
+                f"scripted_metric agg {name!r}: reduce must be a "
+                "single-state identity — 'return states[0]' or the "
+                "canonical 'double s = 0; for (t in states) "
+                "{ s += t } return s' sum loop (this engine is ONE "
+                "shard; any other reduce would change the result)")
+        final = comb_sql
+        for v, exprs in mapped.items():
+            total = " + ".join(f"sum({e})" for e in exprs)
+            final = final.replace(f"`__stv_{v}`", f"({total})")
+        return MetricAgg(name, "scripted_metric", "",
+                         script_sql=f"CAST(({final}) AS DOUBLE)")
     if kind == "geo_line":
         # ES geo_line: the bucket's points as a GeoJSON LineString in
         # sort order — {"point": {"field": p}, "sort": {"field": s},

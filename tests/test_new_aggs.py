@@ -807,3 +807,74 @@ def test_geo_line_typed_errors(spark):
         run({"t": {"geo_line": {"point": {"field": "loc"},
                                 "sort": {"field": "ts"},
                                 "shard_size": 5}}})
+
+
+# ----------------------------------------------- scripted_metric (r12)
+
+def test_scripted_metric_weighted_avg_translation(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, 10.0, 2.0, "a"), (2, 20.0, 4.0, "a"),
+         (3, 30.0, 6.0, "b"), (4, None, 8.0, "b")],
+        "id bigint, x double, w double, g string")
+    eng.register(df, TableSpec("sm", ["id"]))
+    sm = {"init_script": "state.tx = 0; state.tw = 0",
+          "map_script": ("state.tx += doc['x'].value * doc['w'].value; "
+                         "state.tw += doc['w'].value"),
+          "combine_script": "return state.tx / state.tw",
+          "reduce_script":
+              "double s = 0; for (t in states) { s += t } return s"}
+    q = json.dumps({"aggs": {"wavg": {"scripted_metric": sm}}})
+    (row,) = eng.search_aggs("sm", q).collect()
+    # (10·2 + 20·4 + 30·6) / (2+4+6+8) = 280/20; the null-x row's
+    # product is null and contributes nothing (sum-skips-nulls,
+    # documented) while its weight still counts
+    assert row["wavg"] == pytest.approx(14.0)
+    # composes under buckets: per-group sums
+    q2 = json.dumps({"aggs": {"byg": {"terms": {"field": "g"}, "aggs": {
+        "wavg": {"scripted_metric": sm}}}}})
+    got = {r["key"]: r["wavg"] for r in eng.search_aggs("sm", q2).collect()}
+    assert got["a"] == pytest.approx(100.0 / 6)
+    assert got["b"] == pytest.approx(180.0 / 14)
+    # `return states[0]` reduce + count-style map
+    sm2 = dict(sm, map_script="state.tx += 1",
+               combine_script="return state.tx",
+               reduce_script="return states[0]")
+    (row2,) = eng.search_aggs(
+        "sm", json.dumps({"aggs": {"n": {"scripted_metric": sm2}}})
+    ).collect()
+    assert row2["n"] == pytest.approx(4.0)
+
+
+def test_scripted_metric_typed_errors(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame([(1, 1.0)], "id bigint, x double"),
+                 TableSpec("sm2", ["id"]))
+    base = {"init_script": "state.t = 0",
+            "map_script": "state.t += doc['x'].value",
+            "combine_script": "return state.t",
+            "reduce_script": "return states[0]"}
+
+    def run(**kw):
+        body = dict(base, **kw)
+        eng.search_aggs("sm2", json.dumps(
+            {"aggs": {"m": {"scripted_metric": body}}}))
+
+    with pytest.raises(DslError, match="nonzero init"):
+        run(init_script="state.t = 5")
+    with pytest.raises(DslError, match="uninitialized"):
+        run(map_script="state.u += doc['x'].value")
+    with pytest.raises(DslError, match="arithmetic only"):
+        run(map_script="state.t += doc['x'].value > 3")
+    with pytest.raises(DslError, match="map never updates"):
+        run(combine_script="return state.zzz")
+    with pytest.raises(DslError, match="single-state identity"):
+        run(reduce_script="double m = 0; for (t in states) "
+                          "{ m = max(m, t) } return m")
+    with pytest.raises(DslError, match="needs"):
+        eng.search_aggs("sm2", json.dumps({"aggs": {"m": {
+            "scripted_metric": {"init_script": "state.t = 0"}}}}))
+    with pytest.raises(DslError, match="unsupported params"):
+        run(params={"k": 1})
+    with pytest.raises(DslError, match="'state.<var> \\+="):
+        run(map_script="state.t = doc['x'].value")
