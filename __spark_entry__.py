@@ -2818,6 +2818,32 @@ def q_events_scripted_metric(spark, sf_dir):
                       F.round("msq", 4).alias("msq"))
 
 
+def q_search_terms_enum(spark, sf_dir):
+    # ES _terms_enum (r12): dictionary terms under a prefix, term
+    # order, keyset-paged — served entirely from the cached (token,
+    # freq) vocabulary frame, never the corpus.
+    eng = _docs_engine(spark, sf_dir)
+    return eng.terms_enum("documents", "text", string="s", size=20)
+
+
+def q_search_rank_eval(spark, sf_dir):
+    # ES _rank_eval (r12): NDCG@5 over two rated term queries — each
+    # request is an ordinary top-k search whose ≤k hits join a
+    # broadcast rating literal; the metric is one aggregate over ≤k
+    # rows, the response a union of request rows + the mean overall.
+    eng = _docs_engine(spark, sf_dir)
+    body = {"requests": [
+        {"id": "q_spark",
+         "request": {"query": {"term": {"text": "spark"}}},
+         "ratings": [{"_id": "42", "rating": 3}, {"_id": "93", "rating": 2},
+                     {"_id": "7", "rating": 0}, {"_id": "457", "rating": 1}]},
+        {"id": "q_batch",
+         "request": {"query": {"term": {"text": "batch"}}},
+         "ratings": [{"_id": "1", "rating": 2}, {"_id": "477", "rating": 3}]},
+    ], "metric": {"dcg": {"k": 5, "normalize": True}}}
+    return eng.rank_eval("documents", body)
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3249,6 +3275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): span_field_masking mixed-field near, scan plan
         "events_scripted_metric": q_events_scripted_metric,  # ~ agg
         #   superset (r12): scripted_metric -> declarative sum algebra
+        "search_terms_enum": q_search_terms_enum,  # ~ dictionary APIs
+        #   (r12): _terms_enum prefix walk, vocabulary-only cost
+        "search_rank_eval": q_search_rank_eval,  # ~ eval APIs (r12):
+        #   _rank_eval NDCG@5 over rated top-k searches
     }
 
 
@@ -3258,6 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _EN = r"(?i)\ben\b"
 _SPARK = r"(?i)\bspark\b"
+_BATCH = r"(?i)\bbatch\b"
 _QUER = r"(?i)\bquer\w*\b"
 _QUR_MID = r"(?i)\bqu\wr\w*\b"
 _PHRASE = r"(?i)\bvalue\s+table\b"
@@ -3347,6 +3378,36 @@ def _geotile_sql(z: int) -> str:
 
     return (f"'{z}' || '/' || CAST({cl(x)} AS VARCHAR) || '/' || "
             f"CAST({cl(y)} AS VARCHAR)")
+
+
+
+def _dcg_cte(tag: str, regex: str, ratings: list, k: int = 5) -> str:
+    """DuckDB CTE bundle replaying one rank_eval request: the identical
+    (tf desc, doc_id asc) ranking, gains from the rating list, ideal
+    DCG from the sorted ratings."""
+    vals = ", ".join(f"({i}, {r})" for i, r in ratings)
+    return f"""
+            {tag}_h AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{regex}'))::BIGINT
+                           AS s
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{regex}')) > 0),
+            {tag}_t AS (
+                SELECT doc_id, row_number() OVER
+                       (ORDER BY s DESC, doc_id ASC) AS rk
+                FROM {tag}_h QUALIFY rk <= {k}),
+            {tag}_d AS (
+                SELECT coalesce(sum((pow(2, coalesce(v.rating, 0)) - 1)
+                       / log2(t.rk + 1)), 0) AS dcg
+                FROM {tag}_t t LEFT JOIN (VALUES {vals}) v(id, rating)
+                     ON v.id = t.doc_id),
+            {tag}_i AS (
+                SELECT sum((pow(2, rating) - 1) / log2(rn + 1)) AS idcg
+                FROM (SELECT rating, row_number() OVER
+                             (ORDER BY rating DESC) AS rn
+                      FROM (VALUES {vals}) v(id, rating)) q
+                WHERE rn <= {k})"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5915,6 +5976,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS key, count(*)::BIGINT AS doc_count,
                    round(sum(value * value) / count(*), 4) AS msq
             FROM events GROUP BY event_type
+        """,
+        # _terms_enum (r12): the same vocabulary slice — distinct
+        # analyzed tokens under the prefix, term order, size-capped
+        "search_terms_enum": r"""
+            SELECT DISTINCT tok AS token
+            FROM documents,
+                 UNNEST(string_split_regex(lower(text), '\W+'))
+                     AS u(tok)
+            WHERE tok LIKE 's%' AND tok <> ''
+            ORDER BY token LIMIT 20
+        """,
+        # _rank_eval (r12): NDCG@5 replayed — the identical
+        # (tf desc, doc_id asc) ranking, gains from the rating lists,
+        # ideal DCG from the sorted ratings
+        "search_rank_eval": rf"""
+            WITH {_dcg_cte("a", _SPARK, [(42, 3), (93, 2), (7, 0),
+                                         (457, 1)])},
+            {_dcg_cte("b", _BATCH, [(1, 2), (477, 3)])},
+            per AS (
+                SELECT 'q_spark' AS id,
+                       round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg
+                             ELSE 0 END, 6) AS metric_score
+                FROM a_d d, a_i i
+                UNION ALL
+                SELECT 'q_batch',
+                       round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg
+                             ELSE 0 END, 6)
+                FROM b_d d, b_i i),
+            o AS (SELECT round(avg(metric_score), 6) AS overall
+                  FROM per)
+            SELECT per.id, per.metric_score, o.overall FROM per, o
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

@@ -10,6 +10,7 @@ that Catalyst/AQE plan (broadcast for the ≤max-results hit set).
 from __future__ import annotations
 
 import json
+import math
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -4557,6 +4558,179 @@ class SearchEngine:
         until the caller acts on a result."""
         return [self.search(table, q, default_field=default_field)
                 for q in queries]
+
+    def terms_enum(self, table: str, field: str | None = None,
+                   string: str = "", size: int = 10,
+                   search_after: str | None = None,
+                   case_insensitive: bool = True) -> DataFrame:
+        """ES ``_terms_enum`` analogue: up to ``size`` index terms
+        starting with ``string``, in term order, with keyset paging via
+        ``search_after`` (strictly-after the given term — the ES
+        cursor). Served ENTIRELY from the cached (token, freq) term
+        dictionary — cost scales with the vocabulary slice, never the
+        corpus. ``case_insensitive`` must stay True (the analyzed model
+        lowercases by construction — False would silently return
+        nothing for uppercase prefixes, so it typed-rejects; the same
+        convention as the leaf-query param). ES's ``index_filter`` is
+        not supported (typed) — filter the corpus, not the dictionary.
+        Returns (token) rows."""
+        if not case_insensitive:
+            raise es_dsl.DslError(
+                "terms_enum case_insensitive: false is not supported — "
+                "the analyzed model lowercases terms by construction "
+                "(documented engine convention)")
+        if not isinstance(size, int) or isinstance(size, bool) \
+                or not 1 <= size <= 10000:
+            raise es_dsl.DslError(
+                "terms_enum size must be an integer in [1, 10000]")
+        docs = self._docs[table]
+        fld = field or Compiler(docs).default_field
+        if (table, fld) not in self._postings:
+            self.build_postings_index(table, fld)
+        d = self._term_dictionary(table, fld)
+        pref = string.lower()
+        if pref:
+            d = d.where(F.col("token").startswith(pref))
+        if search_after is not None:
+            d = d.where(F.col("token") > F.lit(str(search_after).lower()))
+        return d.select("token").orderBy("token").limit(size)
+
+    _RANK_EVAL_METRICS = ("precision", "recall", "mean_reciprocal_rank",
+                          "dcg")
+
+    def rank_eval(self, table: str, body: dict,
+                  default_field: str | None = None) -> DataFrame:
+        """ES ``_rank_eval`` analogue: score each rated request's
+        ranking with ONE metric — ``precision`` / ``recall`` (@k,
+        ``relevant_rating_threshold``), ``mean_reciprocal_rank``, or
+        ``dcg`` (``normalize: true`` = NDCG). Returns one row per
+        request (id, metric_score) plus the mean over requests as a
+        constant ``overall`` column (ES's headline metric_score).
+
+        Shape: each request runs as an ordinary top-k search (every
+        plan path applies); its ≤k hits get a rank window (k-bounded,
+        the post-limit RANK precedent), LEFT-join the request's rating
+        list (a broadcast literal frame — ES caps rated docs the same
+        way), and the metric is one aggregate over ≤k rows. Requests
+        are capped at 50 (typed) — the result is a union of that many
+        k-row plans, never a corpus-sized union. Unrated docs count
+        irrelevant / gain 0 (ES default). Single-key tables only
+        (ratings address docs by ``_id``)."""
+        import json as _json
+
+        _, spec = self.catalog.get(table)
+        if len(spec.key_columns) != 1:
+            raise es_dsl.DslError(
+                "rank_eval needs a single-key table (ratings address "
+                "docs by _id)")
+        key = spec.key_columns[0]
+        if not isinstance(body, dict) \
+                or not isinstance(body.get("requests"), list) \
+                or not body["requests"] \
+                or not isinstance(body.get("metric"), dict) \
+                or len(body["metric"]) != 1:
+            raise es_dsl.DslError(
+                "rank_eval needs {'requests': [...], 'metric': "
+                "{kind: {...}}}")
+        extra = set(body) - {"requests", "metric"}
+        if extra:
+            raise es_dsl.DslError(
+                f"rank_eval: unsupported params {sorted(extra)}")
+        if len(body["requests"]) > 50:
+            raise es_dsl.DslError(
+                "rank_eval supports at most 50 requests per call "
+                "(engine ceiling)")
+        (mkind, mparams), = body["metric"].items()
+        if mkind not in self._RANK_EVAL_METRICS:
+            raise es_dsl.DslError(
+                f"rank_eval metric must be one of "
+                f"{'/'.join(self._RANK_EVAL_METRICS)}, got {mkind!r} "
+                "(expected_reciprocal_rank is not supported — engine "
+                "subset)")
+        mparams = mparams or {}
+        allowed = {"k", "relevant_rating_threshold"} \
+            if mkind != "dcg" else {"k", "normalize"}
+        bad = set(mparams) - allowed
+        if bad:
+            raise es_dsl.DslError(
+                f"rank_eval {mkind}: unsupported params {sorted(bad)}")
+        k = mparams.get("k", 10)
+        if isinstance(k, bool) or not isinstance(k, int) \
+                or not 1 <= k <= 100:
+            raise es_dsl.DslError(
+                "rank_eval k must be an integer in [1, 100] (the ES "
+                "window premise — rated rankings are heads, not scans)")
+        thresh = mparams.get("relevant_rating_threshold", 1)
+        if isinstance(thresh, bool) or not isinstance(thresh, int) \
+                or thresh < 0:
+            raise es_dsl.DslError(
+                "relevant_rating_threshold must be a non-negative "
+                "integer")
+        normalize = bool(mparams.get("normalize", False))
+
+        per_req: list[DataFrame] = []
+        for req in body["requests"]:
+            if not isinstance(req, dict) or "id" not in req \
+                    or not isinstance(req.get("request"), dict) \
+                    or "query" not in req["request"] \
+                    or not isinstance(req.get("ratings"), list):
+                raise es_dsl.DslError(
+                    "each rank_eval request needs {'id', 'request': "
+                    "{'query': ...}, 'ratings': [...]}")
+            ratings: dict[str, int] = {}
+            for r in req["ratings"]:
+                if not isinstance(r, dict) or "_id" not in r \
+                        or "rating" not in r:
+                    raise es_dsl.DslError(
+                        "each rating needs {'_id', 'rating'}")
+                ratings[str(r["_id"])] = int(r["rating"])
+            q = _json.dumps({"query": req["request"]["query"],
+                             "size": k})
+            hits = self.search(table, "#options:load-rows=false#" + q,
+                               default_field=default_field)
+            ranked = hits.withColumn(
+                "_re_rank", F.row_number().over(Window.orderBy(
+                    F.desc(SCORE), F.asc(key))))
+            rate_map = F.create_map(
+                *[x for i, r in ratings.items()
+                  for x in (F.lit(i), F.lit(r))]) if ratings else None
+            gain = (rate_map[F.col(key).cast("string")]
+                    if rate_map is not None else F.lit(None).cast("int"))
+            rel = F.coalesce(gain >= thresh, F.lit(False))
+            if mkind == "precision":
+                score = F.coalesce(
+                    F.avg(F.when(rel, 1.0).otherwise(0.0)), F.lit(0.0))
+            elif mkind == "recall":
+                n_rel = sum(1 for v in ratings.values() if v >= thresh)
+                score = (F.coalesce(F.sum(F.when(rel, 1).otherwise(0)),
+                                    F.lit(0)) / F.lit(n_rel)
+                         if n_rel else F.lit(0.0))
+            elif mkind == "mean_reciprocal_rank":
+                score = F.coalesce(
+                    1.0 / F.min(F.when(rel, F.col("_re_rank"))),
+                    F.lit(0.0))
+            else:  # dcg / ndcg
+                g = F.coalesce(gain.cast("double"), F.lit(0.0))
+                dcg = F.sum((F.pow(F.lit(2.0), g) - 1.0)
+                            / F.log2(F.col("_re_rank") + 1.0))
+                score = F.coalesce(dcg, F.lit(0.0))
+                if normalize:
+                    ideal = sum(
+                        (2.0 ** r - 1.0) / math.log2(i + 2.0)
+                        for i, r in enumerate(
+                            sorted(ratings.values(), reverse=True)[:k]))
+                    score = (score / F.lit(ideal)) if ideal \
+                        else F.lit(0.0)
+            per_req.append(ranked.agg(score.alias("metric_score"))
+                           .select(F.lit(str(req["id"])).alias("id"),
+                                   F.round("metric_score", 6)
+                                   .alias("metric_score")))
+        out = per_req[0]
+        for p in per_req[1:]:
+            out = out.unionByName(p)
+        overall = out.agg(F.round(F.avg("metric_score"), 6)
+                          .alias("overall"))
+        return out.crossJoin(F.broadcast(overall))
 
     def suggest_phrase(self, table: str, text: str,
                        field: str | None = None,
