@@ -2844,6 +2844,19 @@ def q_search_rank_eval(spark, sf_dir):
     return eng.rank_eval("documents", body)
 
 
+def q_docs_frequent_pairs(spark, sf_dir):
+    # ES frequent_item_sets (r12), the 2-itemset A-priori subset:
+    # frequent co-occurring token pairs across documents — explode to
+    # (doc, distinct item), prune items below the support floor
+    # (A-priori), self-join the pruned rows on the doc key, count
+    # pairs, floor, top-size. Every stage map-side-combines.
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"aggs":{"fis":{"frequent_item_sets":{'
+         '"fields":[{"field":"text"}],'
+         '"minimum_support":0.6,"size":15}}}}')
+    return eng.search_aggs("documents", q, default_field="text")
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3279,6 +3292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): _terms_enum prefix walk, vocabulary-only cost
         "search_rank_eval": q_search_rank_eval,  # ~ eval APIs (r12):
         #   _rank_eval NDCG@5 over rated top-k searches
+        "docs_frequent_pairs": q_docs_frequent_pairs,  # ~ agg superset
+        #   (r12): frequent_item_sets 2-itemset A-priori plan
     }
 
 
@@ -6007,6 +6022,39 @@ def oracle_sql() -> dict[str, str]:
             o AS (SELECT round(avg(metric_score), 6) AS overall
                   FROM per)
             SELECT per.id, per.metric_score, o.overall FROM per, o
+        """,
+        # frequent_item_sets (r12): the identical A-priori pipeline —
+        # distinct tokens per doc, item floor, pair self-join, pair
+        # floor, (doc_count desc, items asc) top-15
+        "docs_frequent_pairs": r"""
+            WITH base AS (
+                SELECT doc_id, tok AS item
+                FROM (SELECT doc_id,
+                             list_distinct(list_filter(
+                                 string_split_regex(lower(text),
+                                                    '\W+'),
+                                 t -> t <> '')) AS items
+                      FROM documents) d,
+                     UNNEST(d.items) AS u(tok)),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            f1 AS (SELECT item FROM base, n GROUP BY item, n.n_docs
+                   HAVING count(*) >= ceil(0.6 * n.n_docs)),
+            pruned AS (SELECT b.* FROM base b
+                       JOIN f1 ON f1.item = b.item),
+            pairs AS (
+                SELECT a.item AS item1, b.item AS item2
+                FROM pruned a JOIN pruned b ON a.doc_id = b.doc_id
+                WHERE a.item < b.item),
+            cnt AS (
+                SELECT item1, item2, count(*)::BIGINT AS doc_count
+                FROM pairs GROUP BY 1, 2),
+            flt AS (SELECT c.*, n.n_docs FROM cnt c, n
+                    WHERE c.doc_count >= ceil(0.6 * n.n_docs))
+            SELECT item1, item2, doc_count,
+                   round(doc_count / n_docs::DOUBLE, 6) AS support
+            FROM flt
+            ORDER BY doc_count DESC, item1 ASC, item2 ASC
+            LIMIT 15
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

@@ -5701,6 +5701,63 @@ class SearchEngine:
                 and aggs.kind == "auto_date_histogram":
             aggs = self._resolve_auto_interval(aggs, filtered, comp)
         if isinstance(aggs, es_dsl.BucketAgg) \
+                and aggs.kind == "frequent_item_sets":
+            # frequent_item_sets (r12), the 2-itemset A-priori plan:
+            # (1) one explode to (doc, distinct item) rows; (2) count
+            # items, keep those meeting the support floor (the A-priori
+            # property: no frequent pair has an infrequent member);
+            # (3) self-join the PRUNED item rows on the doc key with
+            # item1 < item2; (4) count pairs, floor, top-size. Every
+            # stage is an equi-join/groupBy that partial-aggregates
+            # map-side; the prune keeps the self-join's per-doc
+            # blowup to frequent items only — the classic distributed
+            # market-basket shape. n_docs is ONE scalar count (the
+            # auto_date_histogram cost class).
+            from pyspark.sql import types as T
+            ref = comp.resolve(aggs.field)
+            keys = list(spec.key_columns)
+            if isinstance(ref.dtype, T.StringType):
+                items_col = F.array_distinct(
+                    F.filter(F.split(F.lower(ref.col), r"\W+"),
+                             lambda t: F.length(t) > 0))
+            elif isinstance(ref.dtype, T.ArrayType) \
+                    and isinstance(ref.dtype.elementType, T.StringType):
+                items_col = F.array_distinct(ref.col)
+            else:
+                raise es_dsl.DslError(
+                    "frequent_item_sets needs a string or "
+                    "array<string> field, got "
+                    f"{ref.dtype.simpleString()} for {aggs.field!r}")
+            n_docs = filtered.count()
+            if n_docs == 0:
+                return (filtered.select(
+                    F.lit("").alias("item1"), F.lit("").alias("item2"),
+                    F.lit(0).cast("long").alias("doc_count"),
+                    F.lit(0.0).alias("support")).limit(0))
+            min_cnt = max(1, math.ceil(float(aggs.interval) * n_docs))
+            base = filtered.select(*keys,
+                                   F.explode(items_col).alias("item"))
+            freq1 = (base.groupBy("item")
+                     .agg(F.count(F.lit(1)).alias("_c1"))
+                     .where(F.col("_c1") >= min_cnt)
+                     .select("item"))
+            pruned = base.join(freq1, on="item", how="left_semi")
+            a = pruned.select(*keys, F.col("item").alias("item1"))
+            b = pruned.select(*keys, F.col("item").alias("item2"))
+            pairs = a.join(b, on=keys).where(
+                F.col("item1") < F.col("item2"))
+            out = (pairs.groupBy("item1", "item2")
+                   .agg(F.count(F.lit(1)).cast("long")
+                        .alias("doc_count"))
+                   .where(F.col("doc_count") >= min_cnt)
+                   .withColumn("support",
+                               F.round(F.col("doc_count")
+                                       / F.lit(float(n_docs)), 6))
+                   .orderBy(F.desc("doc_count"), F.asc("item1"),
+                            F.asc("item2"))
+                   .limit(int(aggs.size)))
+            return out
+        if isinstance(aggs, es_dsl.BucketAgg) \
                 and aggs.kind == "variable_width_histogram":
             # variable_width_histogram (r12): deterministic 1-D
             # clustering — split the sorted DISTINCT values at the

@@ -58,7 +58,8 @@ _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                  "significant_text", "rare_terms",
                  "multi_terms", "adjacency_matrix",
                  "geotile_grid", "geohash_grid", "auto_date_histogram",
-                 "categorize_text", "variable_width_histogram")
+                 "categorize_text", "variable_width_histogram",
+                 "frequent_item_sets")
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
 # set is a transform of the match set
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
@@ -2449,7 +2450,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         params = body[first_kind]
         if not isinstance(params, dict) or (
                 first_kind not in ("filters", "multi_terms",
-                                   "adjacency_matrix")
+                                   "adjacency_matrix",
+                                   "frequent_item_sets")
                 and "field" not in params):
             raise DslError(f"bucket agg {name!r} needs a 'field'")
         allowed_bp = _GENERIC_BUCKET_PARAMS.get(first_kind)
@@ -2465,7 +2467,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                                       "significant_terms",
                                       "geotile_grid", "geohash_grid",
                                       "auto_date_histogram",
-                                      "variable_width_histogram"):
+                                      "variable_width_histogram",
+                                      "frequent_item_sets"):
             # these branches return before the sibling attach below — a
             # silent pass-through would DROP the requested aggregation
             raise DslError(
@@ -2633,6 +2636,55 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             return BucketAgg(name=name, kind="auto_date_histogram",
                              field=params["field"], buckets=nb,
                              metrics=metrics)
+        if first_kind == "frequent_item_sets":
+            # ES frequent_item_sets (r12), the 2-itemset A-priori
+            # subset (typed): frequent co-occurring ITEM PAIRS across
+            # documents — items are the doc's DISTINCT analyzed tokens
+            # (string field) or distinct array elements (array<string>
+            # field). ES's ECLAT miner returns sets of any size;
+            # pairs are the overwhelmingly-common use and the shape
+            # with a clean distributed plan (apriori prune → pruned
+            # self-join on the doc key → pair count), so larger
+            # minimum_set_size typed-rejects. Output per bucket:
+            # item1, item2 (item1 < item2), doc_count, support.
+            extra_p = set(params) - {"fields", "minimum_support",
+                                     "minimum_set_size", "size"}
+            if extra_p:
+                raise DslError(
+                    f"frequent_item_sets agg {name!r}: unsupported "
+                    f"params {sorted(extra_p)} (engine subset)")
+            flds = params.get("fields")
+            if not isinstance(flds, list) or len(flds) != 1 \
+                    or not isinstance(flds[0], dict) \
+                    or "field" not in flds[0]:
+                raise DslError(
+                    f"frequent_item_sets agg {name!r} needs "
+                    "{'fields': [{'field': …}]} — exactly one field "
+                    "(engine subset)")
+            mss = params.get("minimum_set_size", 2)
+            if mss != 2:
+                raise DslError(
+                    "frequent_item_sets minimum_set_size must be 2 "
+                    "(engine subset: the pair miner — larger sets "
+                    "would need an iterative candidate generation)")
+            msup = params.get("minimum_support", 0.1)
+            if isinstance(msup, bool) \
+                    or not isinstance(msup, (int, float)) \
+                    or not 0.0 < msup <= 1.0:
+                raise DslError("frequent_item_sets minimum_support "
+                               "must be a number in (0, 1]")
+            fis_size = params.get("size", 10)
+            if isinstance(fis_size, bool) or not isinstance(fis_size, int) \
+                    or not 1 <= fis_size <= 10000:
+                raise DslError("frequent_item_sets size must be an "
+                               "integer in [1, 10000]")
+            if body.get("aggs"):
+                raise DslError("frequent_item_sets does not support "
+                               "sub-aggregations")
+            return BucketAgg(name=name, kind="frequent_item_sets",
+                             field=flds[0]["field"],
+                             size=fis_size,
+                             interval=float(msup))
         if first_kind == "variable_width_histogram":
             # ES variable_width_histogram: cluster a numeric field into
             # ~`buckets` dynamically-sized buckets. ES's streaming

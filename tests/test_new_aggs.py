@@ -878,3 +878,75 @@ def test_scripted_metric_typed_errors(spark):
         run(params={"k": 1})
     with pytest.raises(DslError, match="'state.<var> \\+="):
         run(map_script="state.t = doc['x'].value")
+
+
+# -------------------------------------------- frequent_item_sets (r12)
+
+def test_frequent_item_sets_pairs(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame([
+        (1, "milk bread butter"), (2, "milk bread"),
+        (3, "milk bread beer"), (4, "beer chips"),
+        (5, "milk butter"), (6, "bread milk milk")],
+        "id bigint, basket string")
+    eng.register(df, TableSpec("fis", ["id"]))
+    q = json.dumps({"aggs": {"s": {"frequent_item_sets": {
+        "fields": [{"field": "basket"}],
+        "minimum_support": 0.5, "size": 5}}}})
+    rows = [r.asDict() for r in eng.search_aggs("fis", q).collect()]
+    # support floor ceil(0.5·6)=3: frequent items milk(5) bread(4);
+    # butter(2)/beer(2)/chips(1) pruned before pairing; duplicate
+    # tokens in doc 6 count once (distinct items per transaction)
+    assert rows == [{"item1": "bread", "item2": "milk",
+                     "doc_count": 4, "support": 0.666667}]
+    # lower support admits the butter pairs
+    q2 = json.dumps({"aggs": {"s": {"frequent_item_sets": {
+        "fields": [{"field": "basket"}],
+        "minimum_support": 0.3, "size": 10}}}})
+    got = {(r["item1"], r["item2"]): r["doc_count"]
+           for r in eng.search_aggs("fis", q2).collect()}
+    # floor ceil(0.3·6)=2: (bread,milk) co-occurs in docs 1,2,3,6;
+    # (butter,milk) in docs 1,5; every other pair co-occurs once
+    assert got == {("bread", "milk"): 4, ("butter", "milk"): 2}
+
+
+def test_frequent_item_sets_array_field_and_query_scope(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], "x"), (2, ["a", "b"], "x"),
+         (3, ["a", "c"], "y")],
+        "id bigint, items array<string>, t string")
+    eng.register(df, TableSpec("fis2", ["id"]))
+    q = json.dumps({"query": {"term": {"t": "x"}},
+                    "aggs": {"s": {"frequent_item_sets": {
+                        "fields": [{"field": "items"}],
+                        "minimum_support": 0.9}}}})
+    rows = [r.asDict() for r in eng.search_aggs("fis2", q).collect()]
+    assert rows == [{"item1": "a", "item2": "b",
+                     "doc_count": 2, "support": 1.0}]
+
+
+def test_frequent_item_sets_typed_errors(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame([(1, "x", 2.0)],
+                                       "id bigint, s string, v double"),
+                 TableSpec("fis3", ["id"]))
+
+    def run(body):
+        eng.search_aggs("fis3", json.dumps({"aggs": {"s": body}}))
+
+    with pytest.raises(DslError, match="minimum_set_size must be 2"):
+        run({"frequent_item_sets": {"fields": [{"field": "s"}],
+                                    "minimum_set_size": 3}})
+    with pytest.raises(DslError, match="exactly one field"):
+        run({"frequent_item_sets": {"fields": [{"field": "s"},
+                                               {"field": "v"}]}})
+    with pytest.raises(DslError, match="minimum_support"):
+        run({"frequent_item_sets": {"fields": [{"field": "s"}],
+                                    "minimum_support": 0}})
+    with pytest.raises(DslError, match="string or"):
+        run({"frequent_item_sets": {"fields": [{"field": "v"}]}})
+    with pytest.raises(DslError, match="sub-aggregations"):
+        eng.search_aggs("fis3", json.dumps({"aggs": {"s": {
+            "frequent_item_sets": {"fields": [{"field": "s"}]},
+            "aggs": {"m": {"avg": {"field": "v"}}}}}}))
