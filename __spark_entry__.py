@@ -2857,6 +2857,24 @@ def q_docs_frequent_pairs(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_events_ks_test(spark, sf_dir):
+    # ES bucket_count_ks_test (r12): KS of a histogram's bucket-count
+    # distribution against request fractions — per-row ECDF diffs via
+    # cumulative windows over the 4-bucket frame, p-values composed
+    # from the aggregated D and n in one sibling expression
+    # (asymptotic one-sided exp(−2nD²); two-sided Kolmogorov series).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"range":{"value":{"gte":100,"lt":200}}},'
+         '"aggs":{"h":{"histogram":{"field":"value","interval":25}},'
+         '"ks":{"bucket_count_ks_test":{"buckets_path":"h>_count",'
+         '"fractions":[0.45,0.29,0.165,0.095]}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return out.select("key", "doc_count",
+                      F.round("ks_less", 6).alias("ks_less"),
+                      F.round("ks_greater", 6).alias("ks_greater"),
+                      F.round("ks_two_sided", 6).alias("ks_two_sided"))
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3294,6 +3312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   _rank_eval NDCG@5 over rated top-k searches
         "docs_frequent_pairs": q_docs_frequent_pairs,  # ~ agg superset
         #   (r12): frequent_item_sets 2-itemset A-priori plan
+        "events_ks_test": q_events_ks_test,  # ~ agg superset (r12):
+        #   bucket_count_ks_test drift p-values over the bucket frame
     }
 
 
@@ -6055,6 +6075,48 @@ def oracle_sql() -> dict[str, str]:
             FROM flt
             ORDER BY doc_count DESC, item1 ASC, item2 ASC
             LIMIT 15
+        """,
+        # bucket_count_ks_test (r12): the identical ECDF-diff + D + n
+        # + asymptotic-p algebra (one-sided exp(−2nD²); two-sided
+        # Kolmogorov series, 25 terms, λ = D(√n + 0.12 + 0.11/√n))
+        "events_ks_test": """
+            WITH b AS (
+                SELECT floor(value / 25.0) * 25.0 AS key,
+                       count(*)::BIGINT AS doc_count
+                FROM events WHERE value >= 100 AND value < 200
+                GROUP BY 1),
+            r AS (SELECT *, row_number() OVER (ORDER BY key) AS rn
+                  FROM b),
+            f AS (SELECT rn, cf FROM (VALUES
+                      (1, 0.45), (2, 0.74), (3, 0.905), (4, 1.0))
+                  AS t(rn, cf)),
+            d AS (SELECT r.*,
+                         sum(r.doc_count) OVER (ORDER BY r.rn)
+                         / (sum(r.doc_count) OVER ())::DOUBLE
+                         - f.cf AS diff
+                  FROM r JOIN f USING (rn)),
+            s AS (SELECT greatest(max(diff), 0) AS dg,
+                         greatest(max(-diff), 0) AS dl,
+                         max(abs(diff)) AS dt,
+                         sum(doc_count)::DOUBLE AS n
+                  FROM d),
+            p AS (SELECT
+                    least(1.0, exp(-2.0 * n * dl * dl)) AS ks_less,
+                    least(1.0, exp(-2.0 * n * dg * dg)) AS ks_greater,
+                    least(1.0, greatest(0.0, 2.0 * (
+                        SELECT sum(CASE WHEN k % 2 = 1 THEN 1 ELSE -1
+                                   END * exp(-2.0 * k * k
+                                   * (dt * (sqrt(n) + 0.12
+                                      + 0.11 / sqrt(n)))
+                                   * (dt * (sqrt(n) + 0.12
+                                      + 0.11 / sqrt(n)))))
+                        FROM range(1, 26) t(k)))) AS ks_two_sided
+                  FROM s)
+            SELECT d.key, d.doc_count,
+                   round(p.ks_less, 6) AS ks_less,
+                   round(p.ks_greater, 6) AS ks_greater,
+                   round(p.ks_two_sided, 6) AS ks_two_sided
+            FROM d, p
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

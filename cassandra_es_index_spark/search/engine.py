@@ -6461,24 +6461,24 @@ class SearchEngine:
             if len(levels) > 1:
                 leaf_frame = out.where(
                     F.col(level_names(len(levels) - 1)[0]).isNotNull())
-            if any(sk == "bucket_correlation"
-                   for _, sk, _, _ in lv0.siblings):
-                # bucket_correlation (r12): Pearson between the bucket
-                # series and the indicator expectations, aligned by the
-                # KEY-ASCENDING bucket order — so the parent must be a
-                # kind whose response order IS key-ascending
-                # (histogram/date_histogram), and the expectation list
-                # must match the bucket count exactly (ES contract;
-                # typed — a silent truncation would shift the
-                # alignment). The row_number window runs over the
+            ALIGNED = ("bucket_correlation", "bucket_count_ks_test")
+            if any(sk in ALIGNED for _, sk, _, _ in lv0.siblings):
+                # bucket_correlation / bucket_count_ks_test (r12):
+                # series statistics against a request-provided list,
+                # aligned by the KEY-ASCENDING bucket order — so the
+                # parent must be a kind whose response order IS key
+                # order (histogram/date_histogram), and a provided
+                # list must match the bucket count exactly (ES
+                # contract; typed — a silent truncation would shift
+                # the alignment). Windows run over the
                 # bucket-cardinality frame, never the corpus.
                 if len(levels) != 1 or lv0.kind not in (
                         "histogram", "date_histogram"):
                     raise es_dsl.DslError(
-                        "bucket_correlation needs a single-level "
-                        "histogram/date_histogram sibling (engine "
-                        "subset: expectations align to the "
-                        "key-ascending bucket order)")
+                        "bucket_correlation/bucket_count_ks_test need "
+                        "a single-level histogram/date_histogram "
+                        "sibling (engine subset: the provided series "
+                        "aligns to the key-ascending bucket order)")
                 n_b = leaf_frame.count()
                 for sn, sk, scol, spcts in lv0.siblings:
                     if sk == "bucket_correlation" \
@@ -6486,6 +6486,14 @@ class SearchEngine:
                         raise es_dsl.DslError(
                             f"bucket_correlation {sn!r}: "
                             f"{len(spcts)} expectations vs {n_b} "
+                            "buckets — lengths must match (ES "
+                            "contract)")
+                    if sk == "bucket_count_ks_test" \
+                            and spcts[1] is not None \
+                            and len(spcts[1]) != n_b:
+                        raise es_dsl.DslError(
+                            f"bucket_count_ks_test {sn!r}: "
+                            f"{len(spcts[1])} fractions vs {n_b} "
                             "buckets — lengths must match (ES "
                             "contract)")
                 rn = F.row_number().over(
@@ -6498,12 +6506,70 @@ class SearchEngine:
                             F.element_at(
                                 F.array(*[F.lit(e) for e in spcts]),
                                 F.col("_sib_rn")))
+                    elif sk == "bucket_count_ks_test":
+                        # per-row ECDF difference: cumsum(counts)/Σ −
+                        # cumsum(fractions)/Σ (uniform when the request
+                        # gives no fractions)
+                        fr = spcts[1]
+                        if fr is None:
+                            fr = (1.0,) * n_b
+                        tot_f = sum(fr)
+                        cum_f = []
+                        acc = 0.0
+                        for x in fr:
+                            acc += x
+                            cum_f.append(acc / tot_f)
+                        wcum = (Window.orderBy(F.asc("_sib_rn"))
+                                .rowsBetween(Window.unboundedPreceding,
+                                             0))
+                        wall = (Window.orderBy(F.asc("_sib_rn"))
+                                .rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing))
+                        cv = F.col(scol).cast("double")
+                        ecdf = F.sum(cv).over(wcum) / F.sum(cv).over(wall)
+                        cdf = F.element_at(
+                            F.array(*[F.lit(x) for x in cum_f]),
+                            F.col("_sib_rn"))
+                        leaf_frame = leaf_frame.withColumn(
+                            f"_ksd_{sn}", ecdf - cdf)
             sib_exprs: list[Column] = []
             for sn, sk, scol, spcts in lv0.siblings:
                 c = F.col(scol)
                 if sk == "bucket_correlation":
                     sib_exprs.append(
                         F.corr(c.cast("double"), F.col(f"_exp_{sn}")))
+                    continue
+                if sk == "bucket_count_ks_test":
+                    # asymptotic p-values composed from the aggregated
+                    # D and n (one agg expression each): one-sided
+                    # p = exp(−2nD²) with D floored at 0; two-sided
+                    # p = 2 Σ (−1)^{k−1} exp(−2k²λ²), λ = D(√n + 0.12
+                    # + 0.11/√n), 25 terms (the series is alternating
+                    # and e^{−2k²λ²} vanishes fast — truncation error
+                    # below double precision for λ > 0.05)
+                    d = F.col(f"_ksd_{sn}")
+                    n_tot = F.sum(c.cast("double"))
+                    for alt in spcts[0]:
+                        if alt == "greater":
+                            dd = F.greatest(F.max(d), F.lit(0.0))
+                            p = F.exp(-2.0 * n_tot * dd * dd)
+                        elif alt == "less":
+                            dd = F.greatest(F.max(-d), F.lit(0.0))
+                            p = F.exp(-2.0 * n_tot * dd * dd)
+                        else:  # two_sided
+                            dd = F.max(F.abs(d))
+                            lam = dd * (F.sqrt(n_tot) + 0.12
+                                        + 0.11 / F.sqrt(n_tot))
+                            terms = None
+                            for k_i in range(1, 26):
+                                t = ((1.0 if k_i % 2 == 1 else -1.0)
+                                     * F.exp(-2.0 * (k_i ** 2)
+                                             * lam * lam))
+                                terms = t if terms is None else terms + t
+                            p = F.least(F.lit(1.0),
+                                        F.greatest(2.0 * terms,
+                                                   F.lit(0.0)))
+                        sib_exprs.append(F.least(F.lit(1.0), p))
                     continue
                 if sk == "stats_bucket":
                     # flattened like the stats metric: count of non-null

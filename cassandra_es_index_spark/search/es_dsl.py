@@ -99,7 +99,8 @@ _NORMALIZE_METHODS = ("rescale_0_1", "rescale_0_100", "percent_of_sum",
 # syntax), emitted as constant columns on every bucket row
 _SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
                   "stats_bucket", "extended_stats_bucket",
-                  "percentiles_bucket", "bucket_correlation")
+                  "percentiles_bucket", "bucket_correlation",
+                  "bucket_count_ks_test")
 
 # bucket_script / bucket_selector scripts: the painless subset that is
 # pure arithmetic/comparison over params refs — translated to a Spark SQL
@@ -584,6 +585,10 @@ def sibling_out_names(sn: str, sk: str,
                                "std_deviation"))
     if sk == "percentiles_bucket":
         return tuple(f"{sn}_p{_pct_label(p)}" for p in percents)
+    if sk == "bucket_count_ks_test":
+        # one p-value column per requested alternative (the 4th slot
+        # carries (alternatives, fractions) for this kind)
+        return tuple(f"{sn}_{a}" for a in percents[0])
     return (sn,)
 
 
@@ -2121,6 +2126,52 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         f"sibling agg {name!r} needs a 'buckets_path' "
                         "of the form 'bucket>metric'")
                 percents: tuple[float, ...] = ()
+                if k == "bucket_count_ks_test":
+                    # ES bucket_count_ks_test (r12): Kolmogorov-Smirnov
+                    # of the bucket-count distribution against the
+                    # request's `fractions` (default uniform) — the
+                    # drift/anomaly idiom over a date_histogram.
+                    # Engine subset (typed): alternatives
+                    # less/greater/two_sided; p-values via the
+                    # ASYMPTOTIC null distributions (one-sided
+                    # exp(−2nD²), two-sided the Kolmogorov series with
+                    # the √n + 0.12 + 0.11/√n refinement) — documented
+                    # vs ES's sampled variant; `sampling_method`
+                    # typed-rejects (it changes which docs n counts).
+                    k_extra = set(pbody) - {"buckets_path",
+                                            "alternative", "fractions"}
+                    if k_extra:
+                        raise DslError(
+                            f"bucket_count_ks_test agg {name!r}: "
+                            f"unsupported params {sorted(k_extra)} "
+                            "(engine subset — sampling_method would "
+                            "silently change the statistic)")
+                    alts = pbody.get("alternative",
+                                     ["less", "greater", "two_sided"])
+                    if not isinstance(alts, list) or not alts or not all(
+                            a in ("less", "greater", "two_sided")
+                            for a in alts):
+                        raise DslError(
+                            f"bucket_count_ks_test agg {name!r}: "
+                            "alternative must be a non-empty list of "
+                            "less/greater/two_sided")
+                    fr = pbody.get("fractions")
+                    if fr is not None and (
+                            not isinstance(fr, list) or len(fr) < 2
+                            or not all(isinstance(x, (int, float))
+                                       and not isinstance(x, bool)
+                                       and x >= 0 for x in fr)
+                            or sum(fr) <= 0):
+                        raise DslError(
+                            f"bucket_count_ks_test agg {name!r}: "
+                            "fractions must be ≥2 non-negative numbers "
+                            "with a positive sum")
+                    sib_raw.append(
+                        (name, k, str(pbody["buckets_path"]),
+                         (tuple(dict.fromkeys(alts)),
+                          tuple(float(x) for x in fr)
+                          if fr is not None else None)))
+                    continue
                 if k == "bucket_correlation":
                     # ES bucket_correlation (r12): Pearson correlation
                     # between the bucket series (key-ascending) and the

@@ -950,3 +950,72 @@ def test_frequent_item_sets_typed_errors(spark):
         eng.search_aggs("fis3", json.dumps({"aggs": {"s": {
             "frequent_item_sets": {"fields": [{"field": "s"}]},
             "aggs": {"m": {"avg": {"field": "v"}}}}}}))
+
+
+# -------------------------------------------- bucket_count_ks_test (r12)
+
+def test_ks_test_hand_computed(spark):
+    import math
+    eng = SearchEngine(spark)
+    rows = [(i, float(b)) for i, b in
+            enumerate([0] * 10 + [1] * 10 + [2] * 10 + [3] * 70)]
+    eng.register(spark.createDataFrame(rows, "id bigint, x double"),
+                 TableSpec("ks", ["id"]))
+    q = json.dumps({"aggs": {
+        "h": {"histogram": {"field": "x", "interval": 1}},
+        "ks": {"bucket_count_ks_test": {"buckets_path": "h>_count"}}}})
+    (row, *_) = eng.search_aggs("ks", q).collect()
+    # ecdf .1 .2 .3 1.0 vs uniform .25 .5 .75 1.0: D_less = 0.45,
+    # D_greater = 0 → p_greater 1; p_less = exp(−2·100·0.45²)
+    assert row["ks_greater"] == pytest.approx(1.0)
+    assert row["ks_less"] == pytest.approx(
+        math.exp(-2 * 100 * 0.45 ** 2), rel=1e-9)
+    # two-sided via the Kolmogorov series at λ = D(√n + 0.12 + 0.11/√n)
+    lam = 0.45 * (10.0 + 0.12 + 0.011)
+    exp2 = 2 * sum((-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+                   for k in range(1, 26))
+    assert row["ks_two_sided"] == pytest.approx(min(1.0, exp2),
+                                                rel=1e-9)
+    # explicit fractions matching the counts exactly → D 0 → p 1
+    q2 = json.dumps({"aggs": {
+        "h": {"histogram": {"field": "x", "interval": 1}},
+        "ks": {"bucket_count_ks_test": {
+            "buckets_path": "h>_count",
+            "fractions": [0.1, 0.1, 0.1, 0.7],
+            "alternative": ["two_sided"]}}}})
+    (row2, *_) = eng.search_aggs("ks", q2).collect()
+    assert row2["ks_two_sided"] == pytest.approx(1.0)
+    assert "ks_less" not in row2.asDict()   # only requested alternatives
+
+
+def test_ks_test_typed_errors(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame([(1, 1.0, "a")],
+                                       "id bigint, x double, t string"),
+                 TableSpec("ks2", ["id"]))
+
+    def run(body):
+        eng.search_aggs("ks2", json.dumps({"aggs": body}))
+
+    with pytest.raises(DslError, match="alternative"):
+        run({"h": {"histogram": {"field": "x", "interval": 1}},
+             "ks": {"bucket_count_ks_test": {
+                 "buckets_path": "h>_count", "alternative": ["both"]}}})
+    with pytest.raises(DslError, match="sampling_method"):
+        run({"h": {"histogram": {"field": "x", "interval": 1}},
+             "ks": {"bucket_count_ks_test": {
+                 "buckets_path": "h>_count",
+                 "sampling_method": "upper_tail"}}})
+    with pytest.raises(DslError, match="fractions"):
+        run({"h": {"histogram": {"field": "x", "interval": 1}},
+             "ks": {"bucket_count_ks_test": {
+                 "buckets_path": "h>_count", "fractions": [0, 0]}}})
+    with pytest.raises(DslError, match="lengths must match"):
+        run({"h": {"histogram": {"field": "x", "interval": 1}},
+             "ks": {"bucket_count_ks_test": {
+                 "buckets_path": "h>_count",
+                 "fractions": [0.5, 0.5]}}})
+    with pytest.raises(DslError, match="key-ascending"):
+        run({"t": {"terms": {"field": "t"}},
+             "ks": {"bucket_count_ks_test": {
+                 "buckets_path": "t>_count"}}})
