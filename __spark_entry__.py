@@ -2875,6 +2875,22 @@ def q_events_ks_test(spark, sf_dir):
                       F.round("ks_two_sided", 6).alias("ks_two_sided"))
 
 
+def q_corpus_split(spark, sf_dir):
+    # deterministic train/valid/test split (r12): keyed multiplicative
+    # hash into cumulative-fraction buckets — reproducible across runs
+    # and cluster sizes (Spark's randomSplit is not: it seeds per
+    # partition), zero coordination, pure Column math. Per-split doc
+    # and char totals.
+    from cassandra_es_index_spark.operators import split as sp
+    docs = _t(spark, sf_dir, "documents")
+    out = sp.split_assign(docs, "doc_id",
+                          {"train": 0.9, "valid": 0.05, "test": 0.05},
+                          seed=13)
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars")))
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3314,6 +3330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): frequent_item_sets 2-itemset A-priori plan
         "events_ks_test": q_events_ks_test,  # ~ agg superset (r12):
         #   bucket_count_ks_test drift p-values over the bucket frame
+        "corpus_split": q_corpus_split,  # ~ LLM pipeline tier (r12):
+        #   keyed-hash train/valid/test split, reproducible at any scale
     }
 
 
@@ -6117,6 +6135,21 @@ def oracle_sql() -> dict[str, str]:
                    round(p.ks_greater, 6) AS ks_greater,
                    round(p.ks_two_sided, 6) AS ks_two_sided
             FROM d, p
+        """,
+        # corpus split (r12): the exact keyed-hash bucket arithmetic
+        # (HUGEINT on the DuckDB side), cumulative fractions 0.9/0.95
+        "corpus_split": """
+            WITH h AS (
+                SELECT n_chars,
+                       ((CAST(doc_id + 13 AS HUGEINT) * 2654435761)
+                        % 4294967296) / 4294967296.0 AS u
+                FROM documents)
+            SELECT CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS n_chars
+            FROM h GROUP BY 1
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

@@ -707,3 +707,41 @@ def test_ngram_char_fractions_known_values(spark):
     # 5-gram pair distinct → dup5 = 0
     assert rows[5]["top3"] == 0.5
     assert rows[5]["dup5"] == 0.0
+
+
+def test_split_assign_deterministic_and_stable(spark):
+    # keyed train/valid/test split (r12): reproducible across runs and
+    # partitionings; growing the corpus never moves an existing row
+    from cassandra_es_index_spark.operators import split as sp
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id bigint")
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"]
+         for r in sp.split_assign(df, "id", fr, seed=7).collect()}
+    b = {r["id"]: r["split"]
+         for r in sp.split_assign(df.repartition(13), "id", fr,
+                                  seed=7).collect()}
+    assert a == b            # partitioning-independent (randomSplit isn't)
+    # hand-replay the hash for a few keys
+    for k in (0, 1, 999):
+        u = (((k + 7) * 2654435761) % 2**32) / 2**32
+        want = "train" if u < 0.8 else ("valid" if u < 0.9 else "test")
+        assert a[k] == want
+    # fractions are respected within a few percent at n=1000
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 1000 - 0.8) < 0.05
+    # stability: a 2× corpus assigns the original keys identically
+    df2 = spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+    a2 = {r["id"]: r["split"]
+          for r in sp.split_assign(df2, "id", fr, seed=7).collect()}
+    assert all(a2[k] == v for k, v in a.items())
+    # different seed reshuffles
+    a9 = {r["id"]: r["split"]
+          for r in sp.split_assign(df, "id", fr, seed=9).collect()}
+    assert a9 != a
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sum to 1"):
+        sp.split_assign(df, "id", {"a": 0.5, "b": 0.2})
+    with _pt.raises(ValueError, match="non-empty"):
+        sp.split_assign(df, "id", {})
