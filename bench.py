@@ -111,6 +111,8 @@ HEADLINE = [
     "search_retriever_linear",  # weighted/minmax linear fusion (r12)
     "search_has_child",     # parent/child join: child keyed agg + join (r12)
     "search_has_parent",    # parent match frame → FK join (r12)
+    "docs_frequent_pairs",  # A-priori pair mining: prune + self-join (r12)
+    "text_dup_ngrams",      # Gopher n-gram signals: sorted fold/row (r12)
     "text_dup_lines",       # Gopher line-level dup fractions (r12)
     "events_rate_monthly",  # rate, calendar month parent (r12)
     "search_feature_boosts",  # rank_feature + distance_feature (r9)
