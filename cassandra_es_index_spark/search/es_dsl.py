@@ -80,7 +80,7 @@ _GENERIC_BUCKET_PARAMS = {
                        "extended_bounds"},
     "range": {"field", "ranges", "keyed"},
     "date_range": {"field", "ranges", "keyed"},
-    "filters": {"filters", "keyed"},
+    "filters": {"filters", "keyed", "other_bucket", "other_bucket_key"},
     "adjacency_matrix": {"filters"},
 }
 # ES pipeline aggs computed OVER the bucket frame (single-level only):
@@ -2962,6 +2962,28 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     and any("&" in fname for fname, _ in filter_nodes):
                 raise DslError("adjacency_matrix filter names must not "
                                "contain '&' (the intersection separator)")
+            if first_kind == "filters" and (
+                    params.get("other_bucket")
+                    or "other_bucket_key" in params):
+                # ES other_bucket (r12): one extra bucket of the docs
+                # matching NONE of the named filters — a parse-time
+                # desugar to Not(Or(all clauses)); the engine's filters
+                # machinery then treats it like any named bucket
+                ob = params.get("other_bucket", True)
+                if not isinstance(ob, bool):
+                    raise DslError("filters other_bucket must be a "
+                                   "boolean")
+                ob_key = params.get("other_bucket_key", "_other_")
+                if not isinstance(ob_key, str) or not ob_key:
+                    raise DslError("filters other_bucket_key must be a "
+                                   "non-empty string")
+                if ob_key in {fname for fname, _ in filter_nodes}:
+                    raise DslError(
+                        f"filters other_bucket_key {ob_key!r} collides "
+                        "with a named filter bucket")
+                if ob:
+                    filter_nodes += ((ob_key, Not(Or(tuple(
+                        n for _, n in filter_nodes)))),)
         mdc = params.get("min_doc_count")
         if mdc is not None and (not isinstance(mdc, int) or mdc < 0):
             raise DslError("min_doc_count must be a non-negative integer")

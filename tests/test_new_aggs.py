@@ -1019,3 +1019,42 @@ def test_ks_test_typed_errors(spark):
         run({"t": {"terms": {"field": "t"}},
              "ks": {"bucket_count_ks_test": {
                  "buckets_path": "t>_count"}}})
+
+
+# ------------------------------------------- filters other_bucket (r12)
+
+def test_filters_other_bucket(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "apple", 5.0), (2, "banana", 3.0), (3, "cherry", 9.0),
+         (4, "apple", 1.0)], "id bigint, fruit string, v double")
+    eng.register(df, TableSpec("ob", ["id"]))
+    q = json.dumps({"aggs": {"f": {"filters": {
+        "filters": {"apples": {"term": {"fruit": "apple"}},
+                    "big": {"range": {"v": {"gte": 8}}}},
+        "other_bucket": True},
+        "aggs": {"sv": {"sum": {"field": "v"}}}}}})
+    rows = {r["key"]: r for r in eng.search_aggs("ob", q).collect()}
+    # banana (doc 2) matches neither filter — it IS the other bucket;
+    # cherry matches `big`, apples match `apples` (overlap counts both)
+    assert rows["_other_"]["doc_count"] == 1
+    assert rows["_other_"]["sv"] == 3.0
+    assert rows["apples"]["doc_count"] == 2
+    assert rows["big"]["doc_count"] == 1
+    # custom key implies other_bucket
+    q2 = json.dumps({"aggs": {"f": {"filters": {
+        "filters": {"apples": {"term": {"fruit": "apple"}}},
+        "other_bucket_key": "rest"}}}})
+    rows2 = {r["key"]: r["doc_count"]
+             for r in eng.search_aggs("ob", q2).collect()}
+    assert rows2 == {"apples": 2, "rest": 2}
+    # other_bucket: false with a key → no extra bucket
+    q3 = json.dumps({"aggs": {"f": {"filters": {
+        "filters": {"apples": {"term": {"fruit": "apple"}}},
+        "other_bucket": False}}}})
+    rows3 = {r["key"] for r in eng.search_aggs("ob", q3).collect()}
+    assert rows3 == {"apples"}
+    with pytest.raises(DslError, match="collides"):
+        eng.search_aggs("ob", json.dumps({"aggs": {"f": {"filters": {
+            "filters": {"x": {"match_all": {}}},
+            "other_bucket_key": "x"}}}}))
