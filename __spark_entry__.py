@@ -2891,6 +2891,21 @@ def q_corpus_split(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("n_chars")))
 
 
+def q_similarity_quantized(spark, sf_dir):
+    # int8 quantized two-stage retrieval (r12): symmetric max-abs SQ8
+    # quantization (floor(x·127/m + 0.5) — deterministic, no codebook),
+    # quantized dot-product prefilter over the 4×-smaller projection,
+    # exact cosine re-rank of the ≤50 survivors. The quantized dot is
+    # an INTEGER sum × one scale, so the prefilter order is bit-exact
+    # across engines.
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.quantized_topk(emb, "vec_id", "embedding",
+                                    [float(x) for x in qvec],
+                                    k=10, prefilter_k=50)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3332,6 +3347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   bucket_count_ks_test drift p-values over the bucket frame
         "corpus_split": q_corpus_split,  # ~ LLM pipeline tier (r12):
         #   keyed-hash train/valid/test split, reproducible at any scale
+        "similarity_quantized": q_similarity_quantized,  # ~ similarity
+        #   tier (r12): int8 SQ8 prefilter + exact re-rank, oracle-exact
     }
 
 
@@ -6150,6 +6167,52 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS n_chars
             FROM h GROUP BY 1
+        """,
+        # int8 quantized retrieval (r12): identical floor-quantization
+        # and integer-sum prefilter, exact cosine re-rank — the
+        # quantized dot is an integer sum × one scale, bit-exact
+        "similarity_quantized": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings
+                       WHERE vec_id = 0),
+            qm AS (SELECT qe, list_max(list_transform(qe,
+                       x -> abs(x::DOUBLE))) AS m FROM q),
+            qq AS (SELECT list_transform(qe,
+                       x -> floor(x::DOUBLE * 127.0 / m + 0.5)) AS qv
+                   FROM qm),
+            cq AS (SELECT vec_id, embedding,
+                          list_max(list_transform(embedding,
+                              x -> abs(x::DOUBLE))) AS cm
+                   FROM embeddings),
+            pre AS (
+                SELECT c.vec_id, c.embedding,
+                       CASE WHEN c.cm > 0 THEN
+                           list_sum(list_transform(range(1, 65),
+                               i -> floor(c.embedding[i]::DOUBLE
+                                          * 127.0 / c.cm + 0.5)
+                                    * qq.qv[i]))
+                           * (c.cm / 127.0)
+                       ELSE 0 END AS qdot
+                FROM cq c, qq
+                ORDER BY qdot DESC, c.vec_id ASC LIMIT 50),
+            exact AS (
+                SELECT p.vec_id,
+                       round(
+                         list_sum(list_transform(range(1, 65),
+                             i -> p.embedding[i]::DOUBLE
+                                  * q.qe[i]::DOUBLE))
+                         / (sqrt(list_sum(list_transform(range(1, 65),
+                               i -> p.embedding[i]::DOUBLE
+                                    * p.embedding[i]::DOUBLE)))
+                            * sqrt(list_sum(list_transform(range(1, 65),
+                               i -> q.qe[i]::DOUBLE
+                                    * q.qe[i]::DOUBLE)))), 6)
+                           AS cos_sim
+                FROM pre p, q)
+            SELECT vec_id, cos_sim,
+                   row_number() OVER (ORDER BY cos_sim DESC,
+                                      vec_id ASC)::BIGINT AS rank
+            FROM exact
+            QUALIFY rank <= 10
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

@@ -299,3 +299,71 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select("query_id", "corpus_id", "cos_sim", "rank"))
+
+
+# -- int8 quantization tier (r12) ------------------------------------------
+#
+# The standard two-stage retrieval memory trade: store 4-byte floats as
+# 1-byte ints (per-vector symmetric max-abs scaling — the faiss/SQ8
+# shape), prefilter candidates with the cheap quantized dot product,
+# then re-rank the short list exactly. At 100 TB of embeddings the
+# quantized corpus is 4× smaller on disk and in cache, and the
+# prefilter scan reads only it; the exact pass touches ≤ prefilter_k
+# full vectors. Quantization is DETERMINISTIC (floor(x·127/m + 0.5),
+# identical in any engine) so the whole pipeline is oracle-checkable —
+# no RNG, no codebook training.
+
+def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str
+                        ) -> DataFrame:
+    """(id, qvec: array<int>, scale: double) — symmetric per-vector
+    max-abs int8 quantization: q_i = floor(x_i·127/m + 0.5) ∈
+    [−127, 127] with m = max|x|, scale = m/127 reconstructs x ≈
+    q·scale. A zero vector quantizes to zeros with scale 0."""
+    v = as_double_array(F.col(vec_col))
+    m = F.array_max(F.transform(v, F.abs))
+    q = F.when(m > 0, F.transform(
+        v, lambda x: F.floor(x * F.lit(127.0) / m + F.lit(0.5))
+        .cast("int"))).otherwise(
+        F.transform(v, lambda x: F.lit(0)))
+    return df.select(F.col(id_col),
+                     q.alias("qvec"),
+                     F.coalesce(m / F.lit(127.0), F.lit(0.0))
+                     .alias("scale"))
+
+
+def quantized_topk(df: DataFrame, id_col: str, vec_col: str,
+                   query_vector: list, k: int = 10,
+                   prefilter_k: int = 50) -> DataFrame:
+    """Two-stage top-k by cosine: an int8-quantized dot-product
+    prefilter picks ``prefilter_k`` candidates (one scan of the 4×
+    smaller quantized projection, TakeOrdered — no corpus shuffle),
+    then the ≤prefilter_k survivors re-rank by EXACT cosine (one
+    broadcast semi-join back to the full vectors). Returns
+    (id, cos_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    qv = np.asarray(query_vector, dtype="float64")
+    m = float(np.abs(qv).max())
+    qq = [int(np.floor(x * 127.0 / m + 0.5)) if m > 0 else 0
+          for x in qv.tolist()]
+    quant = quantize_embeddings(df, id_col, vec_col)
+    qlit = F.lit(qq).cast("array<double>")
+    approx = (quant.select(
+        F.col(id_col),
+        (F.zip_with("qvec", qlit, lambda a, b: a.cast("double") * b)
+         .cast("array<double>")).alias("_p"),
+        "scale")
+        .select(F.col(id_col),
+                (F.aggregate("_p", F.lit(0.0), lambda acc, x: acc + x)
+                 * F.col("scale")).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc(id_col)).limit(prefilter_k))
+    cand = df.join(F.broadcast(approx.select(id_col)), on=id_col,
+                   how="left_semi")
+    exact = cand.select(
+        F.col(id_col),
+        F.round(cosine(as_double_array(F.col(vec_col)),
+                       F.lit(qv.tolist()).cast("array<double>")), 6)
+        .alias("cos_sim"))
+    w = Window.orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

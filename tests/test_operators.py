@@ -745,3 +745,37 @@ def test_split_assign_deterministic_and_stable(spark):
         sp.split_assign(df, "id", {"a": 0.5, "b": 0.2})
     with _pt.raises(ValueError, match="non-empty"):
         sp.split_assign(df, "id", {})
+
+
+def test_quantized_topk_recall_and_determinism(spark):
+    # int8 SQ8 two-stage retrieval (r12): the quantized prefilter at a
+    # generous width recovers the exact top-k, and quantization is
+    # deterministic floor arithmetic
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cassandra_es_index_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    probe = rows[7][1]
+    exact = sim.cosine_topk(df, "vec_id", "embedding", probe, k=5)
+    two_stage = sim.quantized_topk(df, "vec_id", "embedding", probe,
+                                   k=5, prefilter_k=60)
+    assert [r["vec_id"] for r in two_stage.collect()] == \
+        [r["vec_id"] for r in exact.collect()]
+    # quantization bounds and reconstruction error
+    q = sim.quantize_embeddings(df, "vec_id", "embedding").collect()
+    for r in q[:20]:
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+    row0 = next(r for r in q if r["vec_id"] == 0)
+    recon = [x * row0["scale"] for x in row0["qvec"]]
+    orig = rows[0][1]
+    assert max(abs(a - b) for a, b in zip(recon, orig)) \
+        <= row0["scale"] / 2 + 1e-12
+    # zero vector → zeros with scale 0
+    z = spark.createDataFrame([(1, [0.0, 0.0])],
+                              "vec_id bigint, embedding array<double>")
+    zr = sim.quantize_embeddings(z, "vec_id", "embedding").collect()[0]
+    assert zr["qvec"] == [0, 0] and zr["scale"] == 0.0
