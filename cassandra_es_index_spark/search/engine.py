@@ -6379,6 +6379,28 @@ class SearchEngine:
                         lag = 1 if pk == "derivative" else payload[1]
                         out = out.withColumn(
                             pn, vcol - F.lag(vcol, lag).over(wseq))
+                        if pk == "derivative" \
+                                and isinstance(payload, tuple) \
+                                and len(payload) == 3:
+                            # derivative `unit` (r12): the per-unit
+                            # rate — derivative ÷ (bucket span / unit
+                            # span), ONE literal factor; requires a
+                            # fixed-interval date_histogram parent
+                            # (the rate agg's premise — calendar
+                            # parents have no constant span)
+                            if leaf.kind != "date_histogram" \
+                                    or not leaf.fixed_interval:
+                                raise es_dsl.DslError(
+                                    "derivative unit needs a "
+                                    "fixed-interval date_histogram "
+                                    "parent (engine subset — calendar "
+                                    "intervals have no constant span)")
+                            span = _fixed_interval_seconds(
+                                leaf.fixed_interval)
+                            usec = _fixed_interval_seconds(payload[2])
+                            out = out.withColumn(
+                                f"{pn}_normalized",
+                                F.col(pn) / F.lit(span / usec))
                 elif pk == "normalize":
                     # ES normalize (r9): rescale each bucket's value
                     # against its PARENT's bucket frame — frame stats

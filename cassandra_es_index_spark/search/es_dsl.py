@@ -2850,6 +2850,21 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                             (n, kind, (path, m.group(1), window, shift)))
                     elif kind == "serial_diff":
                         pipelines.append((n, kind, (path, lag)))
+                    elif kind == "derivative" and "unit" in pbody:
+                        # ES derivative `unit` (r12): adds a
+                        # `<name>_normalized` column = derivative ÷
+                        # (parent bucket span / unit span) — the
+                        # per-unit rate of change. Fixed-interval
+                        # date_histogram parents only (one literal
+                        # factor — the `rate` agg's premise); validated
+                        # at execution where the parent is known.
+                        u = str(pbody["unit"])
+                        if not _re.fullmatch(r"\d+[smhd]", u.strip()):
+                            raise DslError(
+                                f"derivative agg {n!r}: unit must be a "
+                                f"fixed interval ('30s'/'5m'/'1h'/'7d'),"
+                                f" got {u!r}")
+                        pipelines.append((n, kind, (path, "unit", u)))
                     else:
                         pipelines.append((n, kind, path))
                 elif kind == "normalize":

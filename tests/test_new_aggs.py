@@ -1058,3 +1058,38 @@ def test_filters_other_bucket(spark):
         eng.search_aggs("ob", json.dumps({"aggs": {"f": {"filters": {
             "filters": {"x": {"match_all": {}}},
             "other_bucket_key": "x"}}}}))
+
+
+# -------------------------------------------- derivative `unit` (r12)
+
+def test_derivative_unit_normalized(spark):
+    eng = SearchEngine(spark)
+    rows = [(1, "2024-01-01 00:00:00", 10.0),
+            (2, "2024-01-01 00:00:30", 20.0),
+            (3, "2024-01-01 00:01:10", 60.0),
+            (4, "2024-01-01 00:02:30", 100.0)]
+    df = (spark.createDataFrame(rows, "id bigint, ts string, v double")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    eng.register(df, TableSpec("dv", ["id"]))
+    q = json.dumps({"aggs": {"h": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1m"},
+        "aggs": {"sv": {"sum": {"field": "v"}},
+                 "d": {"derivative": {"buckets_path": "sv",
+                                      "unit": "30s"}}}}}})
+    rows_out = eng.search_aggs("dv", q).collect()
+    # minute sums 30, 60, 100 → d null, 30, 40; ÷ (60s span / 30s unit)
+    assert [r["d"] for r in rows_out] == [None, 30.0, 40.0]
+    assert [r["d_normalized"] for r in rows_out] == [None, 15.0, 20.0]
+    with pytest.raises(DslError, match="fixed interval"):
+        eng.search_aggs("dv", json.dumps({"aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1m"},
+            "aggs": {"sv": {"sum": {"field": "v"}},
+                     "d": {"derivative": {"buckets_path": "sv",
+                                          "unit": "month"}}}}}}))
+    with pytest.raises(DslError, match="fixed-interval date_histogram"):
+        eng.search_aggs("dv", json.dumps({"aggs": {"h": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"sv": {"sum": {"field": "v"}},
+                     "d": {"derivative": {"buckets_path": "sv",
+                                          "unit": "1h"}}}}}})).collect()
