@@ -2769,16 +2769,17 @@ def q_events_geo_line(spark, sf_dir):
 
 def q_text_dup_ngrams(spark, sf_dir):
     # Gopher n-gram repetition signals (r12): top {2,3}-gram char-mass
-    # share + duplicate 5-gram char-mass share, each a single sorted
-    # fold over the row's gram array (O(n log n) per row, zero
-    # shuffles — the max_run_count trick generalized to char mass).
+    # share + duplicate 5-gram char-mass share via the explode +
+    # hash-aggregation pipeline (whole-stage codegen, map-side partial
+    # combine; shuffle bounded by corpus token count — the
+    # postings-build cost class, and ~15x the best row-local HOF form
+    # on this corpus: see ngram_repetition_stats).
     docs = _t(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
-    return docs.select(
-        "doc_id",
-        tx.top_ngram_char_fraction(n=2, toks=toks).alias("top2"),
-        tx.top_ngram_char_fraction(n=3, toks=toks).alias("top3"),
-        tx.dup_ngram_char_fraction(n=5, toks=toks).alias("dup5"))
+    out = tx.ngram_repetition_stats(docs, "doc_id", "text", ns=(2, 3, 5))
+    return out.select("doc_id",
+                      F.col("top2_frac").alias("top2"),
+                      F.col("top3_frac").alias("top3"),
+                      F.col("dup5_frac").alias("dup5"))
 
 
 def q_search_span_masking(spark, sf_dir):

@@ -50,21 +50,23 @@ HEAVY = [
 
 # Headline subset: bulk indexing, search surface, joins/aggs, windowing,
 # dedup, similarity, text analysis — one per operator family.
+# Kept under ~70 entries so the compact 2-dp stdout record stays inside
+# the driver's 2,000-byte tail window (r12: at 75 entries the line hit
+# 1,997 B and degraded to 1 dp — precision the sub-second entries need).
+# Dropped entries remain in the registry/correctness gate; their bench
+# families stay covered (term_bool/postings_term, suggest_request tests,
+# dsl_range date bounds, highlight in search() paths).
 HEADLINE = [
     "doc_build",            # the bulk row→document indexing path
     "search_term_bool",
-    "search_wildcard",
     "search_phrase",        # positional-index-served (chunk-position joins)
     "search_fuzzy_boost",   # fuzzy term-dictionary expansion + boost
     "search_fuzzy_transpositions",  # Damerau fuzzy + prefix guard (r11)
     "search_dsl_sorted",    # sorted-from-index (range-index doc-values)
     "search_mlt",           # more_like_this: tf-idf pick + OR postings query
-    "search_suggest",       # completion suggester over the term dictionary
     "search_dis_max",       # best-field disjunction (union + per-doc max)
     "search_rescore",       # top-window re-rank on the <=k hit set
-    "search_date_math",     # now-7d/d bounds, range-index served (r6)
     "search_pipeline_nested",  # per-parent sequence windows at depth (r6)
-    "search_highlight_fragments",  # sentence fragmenter on <=k hits (r6)
     "search_span_near",     # token-position-index served spans (r6)
     "search_intervals",     # intervals/match, position-index served (r7)
     "search_decay_recency",  # gauss decay, range-index served (r7)

@@ -779,3 +779,30 @@ def test_quantized_topk_recall_and_determinism(spark):
                               "vec_id bigint, embedding array<double>")
     zr = sim.quantize_embeddings(z, "vec_id", "embedding").collect()[0]
     assert zr["qvec"] == [0, 0] and zr["scale"] == 0.0
+
+
+def test_ngram_repetition_stats_matches_column_form(spark):
+    # the explode/hash-agg pipeline and the row-local Column functions
+    # compute the same statistics (the pipeline is the corpus-scale
+    # path — see ngram_repetition_stats docstring)
+    from pyspark.sql import functions as F
+
+    from cassandra_es_index_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "x y z"), (3, "w"),
+         (4, "r r r r r"), (5, "one two three one two three")],
+        "doc_id int, text string")
+    pipe = {r["doc_id"]: r for r in tx.ngram_repetition_stats(
+        df, "doc_id", "text", ns=(2, 3)).collect()}
+    toks = tx.tokens(F.col("text"))
+    cols = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        tx.top_ngram_char_fraction(n=2, toks=toks).alias("t2"),
+        tx.dup_ngram_char_fraction(n=2, toks=toks).alias("d2"),
+        tx.top_ngram_char_fraction(n=3, toks=toks).alias("t3"),
+    ).collect()}
+    for k in pipe:
+        assert pipe[k]["top2_frac"] == cols[k]["t2"], k
+        assert pipe[k]["dup2_frac"] == cols[k]["d2"], k
+        assert pipe[k]["top3_frac"] == cols[k]["t3"], k
