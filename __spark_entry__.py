@@ -2907,6 +2907,26 @@ def q_similarity_quantized(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_text_nfc_normalize(spark, sf_dir):
+    # Unicode NFC normalization (r12): a derived fixture plants NFD
+    # sequences (e + combining acute, c + combining cedilla) and
+    # control chars into the corpus text; the Arrow-batched pandas UDF
+    # normalizes + strips per batch (vectorized, no per-row Python).
+    # Output: doc_id, the changed-row flag, and the normalized length
+    # — DuckDB's nfc_normalize replays the same Unicode algorithm.
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("cafe\u0301 "), F.lit("\u0007"),
+        F.substring("text", 1, 60),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit(" c\u0327a")).otherwise(F.lit("")))
+    out = docs.select("doc_id", tx.nfc_normalize(dirty).alias("clean"))
+    return out.select(
+        "doc_id",
+        F.length("clean").cast("long").alias("n_clean"),
+        (F.substring("clean", 1, 5) == "caf\u00e9 ").alias("starts_nfc"))
+
+
 def q_search_parent_id(spark, sf_dir):
     # ES parent_id (r12): children of one parent — engine-resolved to a
     # Range equality on the relation's foreign-key column (no join).
@@ -3350,6 +3370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   keyed-hash train/valid/test split, reproducible at any scale
         "similarity_quantized": q_similarity_quantized,  # ~ similarity
         #   tier (r12): int8 SQ8 prefilter + exact re-rank, oracle-exact
+        "text_nfc_normalize": q_text_nfc_normalize,  # ~ LLM pipeline
+        #   tier (r12): Arrow-batched Unicode NFC + control strip
     }
 
 
@@ -6214,6 +6236,27 @@ def oracle_sql() -> dict[str, str]:
                                       vec_id ASC)::BIGINT AS rank
             FROM exact
             QUALIFY rank <= 10
+        """,
+        # NFC normalization (r12): DuckDB's nfc_normalize runs the
+        # same Unicode algorithm; the control strip is the same regex
+        "text_nfc_normalize": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       'cafe' || chr(769) || ' ' || chr(7)
+                       || substr(text, 1, 60)
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN ' c' || chr(807) || 'a'
+                               ELSE '' END AS dirty
+                FROM documents),
+            c AS (SELECT doc_id,
+                         regexp_replace(nfc_normalize(dirty),
+                             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]',
+                             '', 'g') AS clean
+                  FROM d)
+            SELECT doc_id, length(clean)::BIGINT AS n_clean,
+                   substr(clean, 1, 5) = ('caf' || chr(233) || ' ')
+                       AS starts_nfc
+            FROM c
         """,
         # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
         # multimodal_features: intentionally no oracle — probabilistic or

@@ -351,6 +351,28 @@ def dup_line_char_fraction(col: Column | None = None,
     return F.when(chars > 0, frac).otherwise(F.lit(0.0))
 
 
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization + control-character strip (keeping
+    \\t \\n \\r) — the first pass of every LLM text-cleaning pipeline
+    (mojibake from mixed NFC/NFD sources makes identical strings
+    compare unequal, breaking dedup and tokenization). Spark SQL has
+    no normalization builtin, so this is an Arrow-batched pandas UDF —
+    one vectorized `str.normalize('NFC')` per batch, no per-row Python
+    (the sanctioned slow-path shape); the output is the Unicode
+    standard's, byte-identical to DuckDB's ``nfc_normalize`` (the
+    oracle's)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s):
+        return s.str.normalize("NFC").str.replace(
+            r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", regex=True)
+
+    # lambda-style registration: this module's `from __future__ import
+    # annotations` stringifies type hints, which pandas_udf's
+    # signature inference can't resolve
+    return pandas_udf(_norm, "string")(col)
+
+
 def normalized_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
     return F.regexp_replace(F.lower(F.trim(col)), WS, " ")

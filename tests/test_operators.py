@@ -806,3 +806,25 @@ def test_ngram_repetition_stats_matches_column_form(spark):
         assert pipe[k]["top2_frac"] == cols[k]["t2"], k
         assert pipe[k]["dup2_frac"] == cols[k]["d2"], k
         assert pipe[k]["top3_frac"] == cols[k]["t3"], k
+
+
+def test_nfc_normalize_unicode_and_controls(spark):
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from cassandra_es_index_spark.functions import text as tx
+
+    rows = [(1, "café"),          # NFD e + combining acute
+            (2, "ça"),            # combining cedilla
+            (3, "plain ascii"),
+            (4, "tab\tand\nnewline kept, bell\x07gone"),
+            (5, None)]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", tx.nfc_normalize(F.col("t")).alias("c")).collect()}
+    assert got[1] == "café"
+    assert got[2] == unicodedata.normalize("NFC", "ça")
+    assert got[3] == "plain ascii"
+    assert got[4] == "tab\tand\nnewline kept, bellgone"
+    assert got[5] is None
