@@ -767,6 +767,10 @@ class SearchEngine:
                     if any(b is not c for (_, b), (_, c)
                            in zip(nf, a.filter_nodes)):
                         changes["filter_nodes"] = nf
+                if a.bg_filter is not None:
+                    nb = walk(a.bg_filter)
+                    if nb is not a.bg_filter:
+                        changes["bg_filter"] = nb
                 if a.sub is not None:
                     ns = walk_agg(a.sub)
                     if ns is not a.sub:
@@ -910,6 +914,10 @@ class SearchEngine:
                     if any(b is not c for (_, b), (_, c)
                            in zip(nf, a.filter_nodes)):
                         changes["filter_nodes"] = nf
+                if a.bg_filter is not None:
+                    nb = walk(a.bg_filter)
+                    if nb is not a.bg_filter:
+                        changes["bg_filter"] = nb
                 if a.sub is not None:
                     ns = walk_agg(a.sub)
                     if ns is not a.sub:
@@ -5902,6 +5910,14 @@ class SearchEngine:
             # (split \W+, lowered — the engine's analyzer), distinct
             # per doc so doc_count keeps ES's document semantics; one
             # explode per side, otherwise the identical plan.
+            # background_filter (r12): the background becomes the
+            # matching subset instead of the whole index — same two
+            # aggregations, the predicate pushes into the background
+            # scan like any filter
+            bg_base = docs
+            if aggs.bg_filter is not None:
+                bg_pred, _ = comp.compile(aggs.bg_filter)
+                bg_base = docs.where(bg_pred)
             if aggs.kind == "significant_text":
                 from pyspark.sql import types as T
                 ref0 = comp.resolve(aggs.field)
@@ -5920,7 +5936,7 @@ class SearchEngine:
                 fg = (tokenized(filtered).groupBy("key")
                       .agg(F.count("*").cast("long")
                             .alias("doc_count")))
-                bg = (tokenized(docs).groupBy("key")
+                bg = (tokenized(bg_base).groupBy("key")
                       .agg(F.count("*").cast("long")
                             .alias("bg_count")))
             else:
@@ -5928,12 +5944,12 @@ class SearchEngine:
                 fg = (filtered.where(ref.isNotNull())
                       .groupBy(ref.alias("key"))
                       .agg(F.count("*").cast("long").alias("doc_count")))
-                bg = (docs.where(ref.isNotNull())
+                bg = (bg_base.where(ref.isNotNull())
                       .groupBy(ref.alias("key"))
                       .agg(F.count("*").cast("long").alias("bg_count")))
             fg_total = filtered.agg(
                 F.count("*").cast("long").alias("_fg_total"))
-            bg_total = docs.agg(
+            bg_total = bg_base.agg(
                 F.count("*").cast("long").alias("_bg_total"))
             joined = (fg.join(bg, on="key")
                         .crossJoin(F.broadcast(fg_total))
@@ -6686,10 +6702,17 @@ class SearchEngine:
                              "key", F.col("doc_count")
                                      .alias("_fg_total"))),
                          on="key", how="inner")
-            bg = (docs.where(tref.isNotNull())
+            sig_bg = docs
+            if sig_sub.bg_filter is not None:
+                # background_filter on the nested
+                # significant_terms (r12): same background
+                # narrowing as the top-level branch
+                sig_pred, _ = comp.compile(sig_sub.bg_filter)
+                sig_bg = docs.where(sig_pred)
+            bg = (sig_bg.where(tref.isNotNull())
                   .groupBy(tref.alias("sub_key"))
                   .agg(F.count("*").cast("long").alias("bg_count")))
-            bg_total = docs.agg(
+            bg_total = sig_bg.agg(
                 F.count("*").cast("long").alias("_bg_total"))
             joined = (fg.join(bg, on="sub_key")
                         .crossJoin(F.broadcast(bg_total)))

@@ -781,6 +781,10 @@ class BucketAgg:
     # geo_distance agg (r11): (origin_lat, origin_lon, meters_per_unit)
     # — the range bounds/keys are in the request's unit
     geo_origin: tuple | None = None
+    # significant_terms/_text background_filter (r12): narrows the
+    # BACKGROUND set the foreground is scored against (ES's
+    # compare-against-a-context idiom) — None = the whole index
+    bg_filter: "Node | None" = None
     # auto_date_histogram target bucket count (ES default 10): the
     # engine picks the smallest fixed interval from its ladder whose
     # bucket count fits, then runs the date_histogram machinery
@@ -2784,7 +2788,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             # semantics), same JLH scorer; top-level only (documented
             # subset — significant_terms may nest one level under a
             # bucket).
-            extra_p = set(params) - {"field", "size"}
+            extra_p = set(params) - {"field", "size",
+                                     "background_filter"}
             if extra_p:
                 raise DslError(
                     f"{first_kind} agg {name!r}: unsupported "
@@ -2792,9 +2797,15 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             if body.get("aggs"):
                 raise DslError(f"{first_kind} does not support "
                                "sub-aggregations")
+            bgf = params.get("background_filter")
+            if bgf is not None and (not isinstance(bgf, dict) or not bgf):
+                raise DslError(
+                    f"{first_kind} agg {name!r}: background_filter "
+                    "must be a query clause object")
             return BucketAgg(name=name, kind=first_kind,
                              field=params["field"],
-                             size=params.get("size"))
+                             size=params.get("size"),
+                             bg_filter=_node(bgf) if bgf else None)
         sub_specs = dict(body.get("aggs") or {})
         sub_bucket = None
         bucket_subs = []

