@@ -388,10 +388,11 @@ def test_rate_calendar_parents_hand_case(spark):
 
 def test_generic_bucket_param_allowlists(spark):
     """r11: the generic bucket parse typed-rejects unknown params —
-    previously shard_size/time_zone/other_bucket/hard_bounds were
-    SILENTLY DROPPED (the r9 leaf-params lesson applied to aggs);
-    `keyed` stays an accepted no-op (the flattened frame is always
-    keyed)."""
+    previously shard_size/time_zone/hard_bounds were SILENTLY DROPPED
+    (the r9 leaf-params lesson applied to aggs); `keyed` stays an
+    accepted no-op (the flattened frame is always keyed). filters
+    `other_bucket` GRADUATED from this reject list to implemented in
+    r12 (see test_filters_other_bucket)."""
     eng = SearchEngine(spark)
     eng.register(spark.createDataFrame([(1, "a", 5.0)],
                                        "id int, g string, v double"),
@@ -399,8 +400,6 @@ def test_generic_bucket_param_allowlists(spark):
     for q, msg in [
         ('{"aggs":{"t":{"terms":{"field":"g","shard_size":50}}}}',
          "shard_size"),
-        ('{"aggs":{"f":{"filters":{"filters":{"a":{"term":{"g":"a"}}},'
-         '"other_bucket":true}}}}', "other_bucket"),
         ('{"aggs":{"h":{"histogram":{"field":"v","interval":5,'
          '"hard_bounds":{"min":0}}}}}', "hard_bounds"),
         ('{"aggs":{"d":{"date_histogram":{"field":"v",'
