@@ -4567,6 +4567,43 @@ class SearchEngine:
         return [self.search(table, q, default_field=default_field)
                 for q in queries]
 
+    def get_doc(self, table: str, doc_id) -> DataFrame:
+        """ES GET ``/{index}/_doc/{id}`` analogue: one document by id —
+        a key-filtered point lookup of the documents scan (predicate
+        pushdown; never an index consult). Missing id → empty frame
+        (the 404 analogue; the reference treats single-doc 404 as a
+        no-op, ref ElasticIndex.java:593-615). Composite-key tables
+        route through the synthesized ``_id``."""
+        docs = self._docs[table]
+        _, spec = self.catalog.get(table)
+        if len(spec.key_columns) == 1:
+            k = spec.key_columns[0]
+            return docs.where(
+                F.col(k).cast("string") == str(doc_id))
+        return docs.where(F.col(DOC_ID) == str(doc_id))
+
+    def mget(self, table: str, doc_ids: list) -> DataFrame:
+        """ES ``_mget`` analogue: the docs for a bounded id list — ONE
+        key-filtered scan (an IN predicate, pushed down), never a
+        per-id loop. Missing ids simply produce no row (ES marks them
+        found: false; a frame has no absent-row slot — documented).
+        The id list is request-sized (ES's own bound); > 10k ids
+        typed-rejects like the scroll/percolate ceilings."""
+        if not isinstance(doc_ids, (list, tuple)) or not doc_ids:
+            raise es_dsl.DslError("mget needs a non-empty id list")
+        if len(doc_ids) > 10000:
+            raise es_dsl.DslError(
+                "mget supports at most 10000 ids per call (the ES "
+                "request-size premise — batch reads beyond that are "
+                "a scan/join, not a point-get API)")
+        docs = self._docs[table]
+        _, spec = self.catalog.get(table)
+        ids = [str(x) for x in doc_ids]
+        if len(spec.key_columns) == 1:
+            k = spec.key_columns[0]
+            return docs.where(F.col(k).cast("string").isin(ids))
+        return docs.where(F.col(DOC_ID).isin(ids))
+
     def terms_enum(self, table: str, field: str | None = None,
                    string: str = "", size: int = 10,
                    search_after: str | None = None,

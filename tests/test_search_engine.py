@@ -3873,3 +3873,29 @@ def test_terms_order_multi_criteria(spark):
     req = parse_request('{"aggs":{"t":{"terms":{"field":"g",'
                         '"order":{"_key":"asc"}}}}}')
     assert req.aggs.order == (("_key", True),)
+
+
+def test_get_doc_and_mget(spark):
+    import pytest
+
+    from cassandra_es_index_spark.catalog import TableSpec
+    from cassandra_es_index_spark.search import SearchEngine, es_dsl
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                       "id bigint, t string"),
+                 TableSpec("mg", ["id"]))
+    assert eng.get_doc("mg", 2).collect()[0]["t"] == "b"
+    assert eng.get_doc("mg", "2").count() == 1    # string id coerces
+    assert eng.get_doc("mg", 99).count() == 0     # 404 → empty frame
+    got = {r["id"] for r in eng.mget("mg", [1, 3, 99]).collect()}
+    assert got == {1, 3}                          # missing ids no-row
+    with pytest.raises(es_dsl.DslError, match="non-empty"):
+        eng.mget("mg", [])
+    with pytest.raises(es_dsl.DslError, match="at most 10000"):
+        eng.mget("mg", list(range(10001)))
+    # composite keys route through the synthesized _id
+    eng.register(spark.createDataFrame([(1, 2, "x"), (1, 3, "y")],
+                                       "a bigint, b bigint, t string"),
+                 TableSpec("mg2", ["a", "b"]))
+    some_id = eng._docs["mg2"].select("_id").orderBy("_id").first()[0]
+    assert eng.get_doc("mg2", some_id).count() == 1
