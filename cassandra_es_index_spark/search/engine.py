@@ -1445,6 +1445,11 @@ class SearchEngine:
             probe(req.post_filter)
         if req.rescore is not None:
             probe(req.rescore[0])
+        if req.knn is not None and req.knn[3] is not None:
+            # the top-level knn section's pre-filter may carry a join
+            # query too — _rewrite_request already walks it (the r11
+            # knn-filter expansion-order lesson, ADVICE #4 class)
+            probe(req.knn[3])
         if not found:
             return req, docs
 

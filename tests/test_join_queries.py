@@ -298,3 +298,33 @@ def test_has_child_boost(eng):
         "boost": 3}}}
     got = dict(_rows(_search(eng, "parents", body), "pid", "_score"))
     assert got == {1: 3, 2: 3}
+
+
+def test_has_child_inside_knn_filter(spark):
+    # the top-level knn section's pre-filter may carry a join query —
+    # the join expansion probes it (the r11 knn-filter expansion-order
+    # lesson applied to has_child)
+    import json as _json
+
+    from pyspark.sql import functions as F
+    eng = _mk_engine(spark)
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 5)],
+        "pid bigint, emb array<double>")
+    base = eng._docs["parents"].drop("_id").join(vecs, on="pid")
+    eng2 = SearchEngine(spark)
+    eng2.register(base, TableSpec("pvec", ["pid"]))
+    eng2.register(eng._docs["children"].drop("_id"),
+                  TableSpec("children", ["cid"]))
+    eng2.register_relation("pvec", "children", "pid", "fk")
+    q = _json.dumps({
+        "knn": {"field": "emb", "query_vector": [1.0, 1.0], "k": 2,
+                "filter": {"has_child": {
+                    "type": "children",
+                    "query": {"term": {"tags": "red"}}}}},
+        "size": 2})
+    rows = eng2.search("pvec",
+                       "#options:load-rows=false#" + q).collect()
+    # parents with red children: 1 and 2 — both pass the filter, knn
+    # ranks them by cosine to [1, 1]
+    assert {r["pid"] for r in rows} == {1, 2}
