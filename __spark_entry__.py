@@ -2687,6 +2687,38 @@ def q_search_has_parent(spark, sf_dir):
     return eng.search("lineitem", "#options:load-rows=false#" + q)
 
 
+def q_search_children_agg(spark, sf_dir):
+    # ES children agg (r12): urgent orders → the agg frame rebinds to
+    # their LINEITEM children via ONE left-semi equi-join on the
+    # relation key (AQE-broadcastable, no driver collect); a terms
+    # bucket + metrics then compose unchanged over the child frame
+    # (doc_count counts children — ES children-agg contract).
+    eng = _join_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"o_orderpriority":"urgent"}},'
+         '"aggs":{"ch":{"children":{"type":"lineitem"},'
+         '"aggs":{"rf":{"terms":{"field":"l_returnflag","size":10},'
+         '"aggs":{"sq":{"sum":{"field":"l_quantity"}},'
+         '"aq":{"avg":{"field":"l_quantity"}}}}}}}}')
+    out = eng.search_aggs("orders", q, default_field="o_comment")
+    return out.select("key", "doc_count",
+                      F.round("sq", 4).alias("sq"),
+                      F.round("aq", 4).alias("aq"))
+
+
+def q_search_parent_agg(spark, sf_dir):
+    # ES parent agg (r12): lineitems with returnflag R → the DISTINCT
+    # parent orders (the semi-join dedups — each parent bucketed once,
+    # ES parent-agg contract), bucketed by priority with an avg metric.
+    eng = _join_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"l_returnflag":"R"}},'
+         '"aggs":{"po":{"parent":{"type":"orders"},'
+         '"aggs":{"pr":{"terms":{"field":"o_orderpriority","size":10},'
+         '"aggs":{"tp":{"avg":{"field":"o_totalprice"}}}}}}}}')
+    out = eng.search_aggs("lineitem", q, default_field="l_comment")
+    return out.select("key", "doc_count",
+                      F.round("tp", 4).alias("tp"))
+
+
 def q_events_variable_width(spark, sf_dir):
     # ES variable_width_histogram (r12): deterministic gap-split
     # clustering of `value` into 5 buckets — boundary resolution is a
@@ -3344,6 +3376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_has_parent": q_search_has_parent,  # ~ join family (r12)
         "search_parent_id": q_search_parent_id,    # ~ join family (r12):
         #   FK equality rewrite, no join
+        "search_children_agg": q_search_children_agg,  # ~ join family
+        #   (r12): frame rebind to child docs, one semi-join
+        "search_parent_agg": q_search_parent_agg,  # ~ join family (r12):
+        #   distinct-parent rebind, semi-join dedup
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -5940,6 +5976,38 @@ def oracle_sql() -> dict[str, str]:
         "search_parent_id": """
             SELECT l_orderkey, l_linenumber, 1::BIGINT AS _score
             FROM lineitem WHERE l_orderkey = 7
+        """,
+        # children agg (r12): child rows of the urgent-order match set
+        # (the semi-join), terms over returnflag + sum/avg metrics
+        "search_children_agg": r"""
+            WITH par AS (
+                SELECT o_orderkey FROM orders
+                WHERE len(regexp_extract_all(o_orderpriority,
+                          '(?i)\burgent\b')) > 0),
+            ch AS (
+                SELECT l.l_returnflag, l.l_quantity
+                FROM lineitem l JOIN par p
+                  ON l.l_orderkey = p.o_orderkey)
+            SELECT l_returnflag AS key, COUNT(*)::BIGINT AS doc_count,
+                   ROUND(SUM(l_quantity), 4) AS sq,
+                   ROUND(AVG(l_quantity), 4) AS aq
+            FROM ch WHERE l_returnflag IS NOT NULL
+            GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+        """,
+        # parent agg (r12): DISTINCT parent orders of the R-flag
+        # lineitem match set, terms over priority + avg metric
+        "search_parent_agg": """
+            WITH kids AS (
+                SELECT DISTINCT l_orderkey FROM lineitem
+                WHERE lower(l_returnflag) = 'r'),
+            par AS (
+                SELECT o.o_orderpriority, o.o_totalprice
+                FROM orders o JOIN kids k
+                  ON o.o_orderkey = k.l_orderkey)
+            SELECT o_orderpriority AS key, COUNT(*)::BIGINT AS doc_count,
+                   ROUND(AVG(o_totalprice), 4) AS tp
+            FROM par WHERE o_orderpriority IS NOT NULL
+            GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
         """,
         # variable_width_histogram (r12): identical gap-split — distinct
         # values, lag window gaps, top buckets−1 gaps (desc, value asc),

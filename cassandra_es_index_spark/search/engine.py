@@ -5645,6 +5645,59 @@ class SearchEngine:
             return exprs
 
         aggs = req.aggs
+        if isinstance(aggs, es_dsl.RelAgg):
+            # children / parent join aggs (r12): rebind the agg frame
+            # to the OTHER side of a registered relation via ONE
+            # left-semi equi-join on the relation key (AQE-
+            # broadcastable when the match set is small, never a
+            # driver collect). `children` = child docs whose foreign
+            # key appears in the parent match set (doc_count counts
+            # children — ES contract); `parent` = the DISTINCT parents
+            # of the matching children (semi-join dedups for free —
+            # each parent bucketed once, ES contract). Every
+            # downstream bucket/metric/pipeline kind then composes
+            # unchanged over the rebound frame; `spec`/`comp` rebind
+            # so fields and keys resolve against the other table.
+            if aggs.kind == "children":
+                rel = self._rel_child.get((table, aggs.rel_type))
+                if rel is None:
+                    known = sorted(c for t, c in self._rel_child
+                                   if t == table)
+                    raise es_dsl.DslError(
+                        f"children agg: no child relation "
+                        f"{aggs.rel_type!r} registered for table "
+                        f"{table!r} (registered: {known or 'none'} — "
+                        "see register_relation)")
+                other = rel["child_table"]
+                this_key, other_key = (rel["parent_key"],
+                                       rel["child_key"])
+            else:
+                rel = self._rel_parent.get((table, aggs.rel_type))
+                if rel is None:
+                    known = sorted(p for t, p in self._rel_parent
+                                   if t == table)
+                    raise es_dsl.DslError(
+                        f"parent agg: no parent relation "
+                        f"{aggs.rel_type!r} registered for table "
+                        f"{table!r} (registered: {known or 'none'} — "
+                        "see register_relation)")
+                other = rel["parent_table"]
+                this_key, other_key = (rel["child_key"],
+                                       rel["parent_key"])
+            rel_keys = filtered.select(
+                F.col(this_key).alias("__relagg_key"))
+            odocs = self._docs[other]
+            filtered = odocs.join(
+                rel_keys, F.col(other_key) == F.col("__relagg_key"),
+                "left_semi")
+            docs = odocs
+            _, spec = self.catalog.get(other)
+            comp = Compiler(filtered, None)
+            ph = None
+            if aggs.sub is None:
+                return filtered.agg(
+                    F.count("*").cast("long").alias("doc_count"))
+            aggs = aggs.sub
         if isinstance(aggs, es_dsl.SamplerAgg) \
                 and aggs.kind == "random_sampler":
             # random_sampler (r12): rebind the agg frame to a

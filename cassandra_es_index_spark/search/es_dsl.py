@@ -914,6 +914,35 @@ class NestedAgg:
 
 
 @dataclass(frozen=True)
+class RelAgg:
+    """ES ``children`` / ``parent`` join aggregations (r12): rebind the
+    agg frame to the OTHER side of a registered parent/child relation
+    (``SearchEngine.register_relation`` — the ES join-field mapping
+    analogue; the reference forwards join aggs verbatim to ES, ref
+    ElasticIndex.java search passthrough).
+
+    ``children`` (searched on the parent table): the sub-aggregations
+    run over the CHILD documents whose foreign key appears in the
+    parent match set — doc_count semantics switch from parents to
+    children (ES children-agg contract). ``parent`` (searched on the
+    child table): symmetric — the frame becomes the DISTINCT parent
+    documents of the matching children (each parent bucketed once, the
+    ES parent-agg contract; a semi-join gives that for free).
+
+    Plan shape: ONE left-semi equi-join on the relation key
+    (AQE-broadcastable when the match set is small, never a driver
+    collect), then every downstream bucket/metric/pipeline kind
+    composes unchanged over the rebound frame. Engine subset (typed):
+    top level only, no sampler/global/rel sub-aggs (they would score or
+    scope against the wrong table)."""
+    name: str
+    kind: str                       # children | parent
+    rel_type: str                   # relation name from the mapping
+    sub: ("BucketAgg | CompositeAgg | SingleBucketAgg | "
+          "tuple[MetricAgg, ...] | None") = None
+
+
+@dataclass(frozen=True)
 class Request:
     """A parsed search request body."""
     node: Node
@@ -2372,6 +2401,34 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                            "sub-aggs only (no nested-in-nested or "
                            "sampler — engine subset)")
         return NestedAgg(name, params["path"], sub=sub)
+    if first_kind in ("children", "parent"):
+        if len(entries) != 1:
+            raise DslError("exactly one bucket agg is supported per request")
+        name, body = entries[0]
+        extra = set(body) - {first_kind, "aggs"}
+        if extra:
+            raise DslError(f"unexpected keys {sorted(extra)} in "
+                           f"{first_kind} agg {name!r}")
+        params = body[first_kind]
+        if not isinstance(params, dict) \
+                or not isinstance(params.get("type"), str) \
+                or not params["type"]:
+            raise DslError(f"{first_kind} agg {name!r} needs a 'type' "
+                           "string (the relation name from the join "
+                           "mapping — see register_relation)")
+        j_extra = set(params) - {"type"}
+        if j_extra:
+            raise DslError(f"{first_kind} agg {name!r}: unsupported "
+                           f"params {sorted(j_extra)} (engine subset)")
+        sub = _aggs(body.get("aggs")) if body.get("aggs") else None
+        if isinstance(sub, (RelAgg, SamplerAgg)) or (
+                isinstance(sub, SingleBucketAgg) and sub.kind == "global"):
+            raise DslError(
+                f"{first_kind} agg {name!r}: sampler/global/join "
+                "sub-aggs are not supported under a join agg (they "
+                "would score or scope against the wrong table — "
+                "engine subset)")
+        return RelAgg(name, first_kind, params["type"], sub=sub)
     if first_kind in ("sampler", "diversified_sampler", "random_sampler"):
         if len(entries) != 1:
             raise DslError("exactly one bucket agg is supported per request")

@@ -328,3 +328,80 @@ def test_has_child_inside_knn_filter(spark):
     # parents with red children: 1 and 2 — both pass the filter, knn
     # ranks them by cosine to [1, 1]
     assert {r["pid"] for r in rows} == {1, 2}
+
+
+# -- children / parent aggregations (r12) ---------------------------------
+
+
+def test_children_agg_doc_count_and_buckets(eng):
+    # parents matching note:urgent = {1, 3}; their children = {10, 11,
+    # 14} — doc_count counts CHILDREN (ES children-agg contract), the
+    # orphan (fk 9) and parent-2 children never enter the frame
+    body = {"query": {"term": {"note": "urgent"}},
+            "aggs": {"ch": {"children": {"type": "children"}}}}
+    out = eng.search_aggs("parents", json.dumps(body),
+                          default_field="note").collect()
+    assert len(out) == 1 and out[0]["doc_count"] == 3
+    # bucket sub-agg composes unchanged over the rebound child frame
+    body["aggs"]["ch"]["aggs"] = {
+        "t": {"terms": {"field": "tags", "size": 10},
+              "aggs": {"sq": {"sum": {"field": "qty"}}}}}
+    rows = sorted((r["key"], r["doc_count"], r["sq"]) for r in
+                  eng.search_aggs("parents", json.dumps(body),
+                                  default_field="note").collect())
+    assert rows == [("green", 1, 2.0), ("red fast", 1, 5.0),
+                    ("red slow", 1, 40.0)]
+
+
+def test_children_agg_metrics_only(eng):
+    # metrics-only sub rides the generic global-metrics path (one row,
+    # metric columns — the sampler/nested convention)
+    body = {"query": {"term": {"note": "urgent"}},
+            "aggs": {"ch": {"children": {"type": "children"},
+                            "aggs": {"sq": {"sum": {"field": "qty"}},
+                                     "mx": {"max": {"field": "qty"}}}}}}
+    row = eng.search_aggs("parents", json.dumps(body),
+                          default_field="note").collect()[0]
+    assert (row["sq"], row["mx"]) == (47.0, 40.0)
+
+
+def test_parent_agg_distinct_parents(eng):
+    # children matching tags:red = {10, 11, 13, 15}; their parents =
+    # {1, 2} — parent 1 bucketed ONCE despite two matching children
+    # (the semi-join dedup, ES parent-agg contract); orphan fk 9 has no
+    # parent row and drops out
+    body = {"query": {"term": {"tags": "red"}},
+            "aggs": {"p": {"parent": {"type": "parents"}}}}
+    out = eng.search_aggs("children", json.dumps(body),
+                          default_field="tags").collect()
+    assert len(out) == 1 and out[0]["doc_count"] == 2
+    body["aggs"]["p"]["aggs"] = {"at": {"avg": {"field": "total"}}}
+    row = eng.search_aggs("children", json.dumps(body),
+                          default_field="tags").collect()[0]
+    assert row["at"] == pytest.approx(175.0)   # (100 + 250) / 2
+
+
+def test_rel_agg_typed_errors(eng):
+    cases = [
+        ({"ch": {"children": {"type": "nope"}}},
+         "no child relation"),
+        ({"p": {"parent": {"type": "nope"}}},
+         "no parent relation"),
+        ({"ch": {"children": {"type": "children", "x": 1}}},
+         "unsupported params"),
+        ({"ch": {"children": {}}}, "needs a 'type'"),
+        ({"ch": {"children": {"type": "children"},
+                 "aggs": {"g": {"global": {}}}}},
+         "wrong table"),
+        ({"ch": {"children": {"type": "children"},
+                 "aggs": {"s": {"sampler": {}}}}},
+         "wrong table"),
+        ({"ch": {"children": {"type": "children"},
+                 "aggs": {"c2": {"children": {"type": "children"}}}}},
+         "wrong table"),
+    ]
+    for aggs, frag in cases:
+        body = {"query": {"match_all": {}}, "aggs": aggs}
+        with pytest.raises(es_dsl.DslError, match=frag):
+            eng.search_aggs("parents" if "ch" in aggs else "children",
+                            json.dumps(body))
