@@ -2719,6 +2719,23 @@ def q_search_parent_agg(spark, sf_dir):
                       F.round("tp", 4).alias("tp"))
 
 
+def q_events_cumulative_cardinality(spark, sf_dir):
+    # ES cumulative_cardinality (r12): running DISTINCT users up to
+    # each day bucket. Per-bucket cardinalities don't merge, so the
+    # engine computes each user's FIRST bucket (one min-key groupBy,
+    # shuffle bounded by the distinct-user count), counts first
+    # appearances per bucket, and running-sums over the bucket frame.
+    # EXACT (the engine's superset of ES's HLL merge).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"per_day":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day"},'
+         '"aggs":{"u":{"cardinality":{"field":"user_id"}},'
+         '"cu":{"cumulative_cardinality":{"buckets_path":"u"}}}}}}')
+    return eng.search_aggs("events_capped", q,
+                           default_field="event_type")
+
+
 def q_events_variable_width(spark, sf_dir):
     # ES variable_width_histogram (r12): deterministic gap-split
     # clustering of `value` into 5 buckets — boundary resolution is a
@@ -3380,6 +3397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): frame rebind to child docs, one semi-join
         "search_parent_agg": q_search_parent_agg,  # ~ join family (r12):
         #   distinct-parent rebind, semi-join dedup
+        "events_cumulative_cardinality": q_events_cumulative_cardinality,
+        #   ~ pipeline agg (r12): exact running distinct via
+        #   first-appearance pass
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -5993,6 +6013,29 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_quantity), 4) AS aq
             FROM ch WHERE l_returnflag IS NOT NULL
             GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+        """,
+        # cumulative_cardinality (r12): exact running distinct users —
+        # each user's first bucket, first-appearance counts per bucket,
+        # running sum over the key-ordered frame
+        "events_cumulative_cardinality": r"""
+            WITH b AS (
+                SELECT date_trunc('day', ts) AS key, user_id
+                FROM events
+                WHERE len(regexp_extract_all(event_type,
+                                             '(?i)\bclick\b')) > 0
+                  AND ts IS NOT NULL),
+            cnt AS (
+                SELECT key, COUNT(*)::BIGINT AS doc_count,
+                       COUNT(DISTINCT user_id)::BIGINT AS u
+                FROM b GROUP BY 1),
+            fst AS (
+                SELECT user_id, MIN(key) AS key FROM b
+                WHERE user_id IS NOT NULL GROUP BY 1),
+            nw AS (SELECT key, COUNT(*) AS n FROM fst GROUP BY 1)
+            SELECT c.key, c.doc_count, c.u,
+                   CAST(SUM(COALESCE(nw.n, 0)) OVER (
+                       ORDER BY c.key) AS BIGINT) AS cu
+            FROM cnt c LEFT JOIN nw ON c.key = nw.key
         """,
         # parent agg (r12): DISTINCT parent orders of the R-flag
         # lineitem match set, terms over priority + avg metric

@@ -6512,6 +6512,44 @@ class SearchEngine:
                             out = out.withColumn(
                                 f"{pn}_normalized",
                                 F.col(pn) / F.lit(span / usec))
+                elif pk == "cumulative_cardinality":
+                    # ES cumulative_cardinality (r12): the running
+                    # DISTINCT count up to each bucket. Per-bucket
+                    # cardinalities don't merge into a cumulative one,
+                    # so this reads the SOURCE frame once more: each
+                    # distinct value's FIRST bucket (one
+                    # map-side-combinable min-key groupBy, shuffle
+                    # bounded by the distinct-value count), then
+                    # first-appearance counts per bucket (bounded by
+                    # the bucket count) running-summed over the same
+                    # key-ordered window as cumulative_sum. EXACT — the
+                    # engine's superset of ES's HLL merge, same
+                    # convention as the cardinality metric itself.
+                    # Engine subset (typed): single-level histogram/
+                    # date_histogram (the first-appearance pass has no
+                    # ancestor partitioning).
+                    _path, cc_field = payload
+                    if len(levels) != 1:
+                        raise es_dsl.DslError(
+                            "cumulative_cardinality is supported on a "
+                            "single-level histogram/date_histogram "
+                            "(engine subset)")
+                    cc_ref = comp.resolve(cc_field).col
+                    cc_first = (src.where(cc_ref.isNotNull())
+                                .groupBy(cc_ref.alias("__ccv"))
+                                .agg(F.min(level_key[0]).alias("key")))
+                    cc_per = (cc_first.where(F.col("key").isNotNull())
+                              .groupBy("key")
+                              .agg(F.count("*").alias("__cc_new")))
+                    out = (out.join(cc_per, on="key", how="left")
+                           .withColumn("__cc_new",
+                                       F.coalesce(F.col("__cc_new"),
+                                                  F.lit(0)))
+                           .withColumn(pn, F.sum("__cc_new").over(
+                               wseq.rowsBetween(
+                                   Window.unboundedPreceding, 0))
+                               .cast("long"))
+                           .drop("__cc_new"))
                 elif pk == "normalize":
                     # ES normalize (r9): rescale each bucket's value
                     # against its PARENT's bucket frame — frame stats

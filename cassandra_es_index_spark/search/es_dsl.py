@@ -87,7 +87,7 @@ _GENERIC_BUCKET_PARAMS = {
 # value per bucket from a sibling metric (or "_count")
 _PIPELINE_KINDS = ("cumulative_sum", "derivative", "serial_diff",
                    "moving_fn", "bucket_script", "bucket_selector",
-                   "bucket_sort", "normalize")
+                   "bucket_sort", "normalize", "cumulative_cardinality")
 # ES normalize methods → the rescaling applied per bucket over its
 # parent's bucket frame (r9); z-score uses the POPULATION deviation
 # (extended_stats convention); a constant frame (max == min) or zero
@@ -2935,6 +2935,25 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         pipelines.append((n, kind, (path, "unit", u)))
                     else:
                         pipelines.append((n, kind, path))
+                elif kind == "cumulative_cardinality":
+                    # ES cumulative_cardinality (r12): the running
+                    # count of DISTINCT values seen up to each bucket.
+                    # Per-bucket cardinalities don't merge into a
+                    # cumulative one, so the buckets_path must name a
+                    # sibling `cardinality` metric at this level — its
+                    # FIELD drives a first-appearance pass over the
+                    # source frame at execution (resolved in the
+                    # validation block below, where `metrics` exists).
+                    cc_extra = set(pbody) - {"buckets_path"}
+                    if cc_extra:
+                        raise DslError(
+                            f"cumulative_cardinality agg {n!r}: "
+                            f"unsupported params {sorted(cc_extra)} "
+                            "(engine subset)")
+                    if "buckets_path" not in pbody:
+                        raise DslError(f"pipeline agg {n!r} needs a "
+                                       "'buckets_path'")
+                    pipelines.append((n, kind, str(pbody["buckets_path"])))
                 elif kind == "normalize":
                     if "buckets_path" not in pbody:
                         raise DslError(f"normalize agg {n!r} needs a "
@@ -3119,7 +3138,26 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     "deepest bucket's aggs)")
             valid_paths = {"_count"} | {
                 n for m in metrics for n in m.out_names()}
-            for pn, pk, payload in pipelines:
+            for pi, (pn, pk, payload) in enumerate(pipelines):
+                if pk == "cumulative_cardinality":
+                    if first_kind not in ("histogram", "date_histogram"):
+                        raise DslError(
+                            "cumulative_cardinality needs an ordered "
+                            "histogram/date_histogram bucket "
+                            "(ES requirement)")
+                    tgt = next((m for m in metrics
+                                if m.name == payload
+                                and m.kind == "cardinality"), None)
+                    if tgt is None:
+                        raise DslError(
+                            f"cumulative_cardinality agg {pn!r}: "
+                            f"buckets_path {payload!r} must name a "
+                            "sibling cardinality metric at this level "
+                            "(its field drives the first-appearance "
+                            "pass)")
+                    # rewrite the payload to carry the resolved field
+                    pipelines[pi] = (pn, pk, (payload, tgt.field))
+                    continue
                 if pk in ("cumulative_sum", "derivative",
                           "serial_diff", "moving_fn"):
                     # sequence aggs need a key-ordered frame (ES

@@ -1135,3 +1135,68 @@ def test_significant_terms_background_filter(spark):
             "significant_terms": {"field": "lang",
                                   "background_filter": "not-a-clause"
                                   }}}}))
+
+
+# -- cumulative_cardinality (r12) -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cc_engine(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, 0.0, "a"), (2, 0.5, "b"),        # bucket 0: a,b → cum 2
+         (3, 1.0, "a"), (4, 1.5, "c"),        # bucket 1: +c  → cum 3
+         (5, 2.0, "b"), (6, 2.9, "a"),        # bucket 2: none new → 3
+         (7, 3.0, "d"), (8, 3.5, None)],      # bucket 3: +d (null
+                                              # skipped) → cum 4
+        "id bigint, v double, u string")
+    eng.register(df, TableSpec("cct", ["id"]))
+    return eng
+
+
+def test_cumulative_cardinality_hand_case(cc_engine):
+    # the running distinct is EXACT — a value re-appearing in a later
+    # bucket never recounts (its min-key first appearance pins it)
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"h": {
+                        "histogram": {"field": "v", "interval": 1.0},
+                        "aggs": {
+                            "card": {"cardinality": {"field": "u"}},
+                            "cc": {"cumulative_cardinality": {
+                                "buckets_path": "card"}}}}}})
+    rows = {r["key"]: (r["card"], r["cc"]) for r in
+            cc_engine.search_aggs("cct", q).collect()}
+    assert rows == {0.0: (2, 2), 1.0: (2, 3), 2.0: (2, 3), 3.0: (1, 4)}
+
+
+def test_cumulative_cardinality_typed_errors(cc_engine):
+    base = {"card": {"cardinality": {"field": "u"}}}
+    cases = [
+        # ordered-parent requirement (ES)
+        ({"h": {"terms": {"field": "u"},
+                "aggs": {**base, "cc": {"cumulative_cardinality": {
+                    "buckets_path": "card"}}}}},
+         "ordered histogram"),
+        # path must name a sibling CARDINALITY metric
+        ({"h": {"histogram": {"field": "v", "interval": 1.0},
+                "aggs": {"s": {"sum": {"field": "v"}},
+                         "cc": {"cumulative_cardinality": {
+                             "buckets_path": "s"}}}}},
+         "sibling cardinality"),
+        # param allowlist
+        ({"h": {"histogram": {"field": "v", "interval": 1.0},
+                "aggs": {**base, "cc": {"cumulative_cardinality": {
+                    "buckets_path": "card", "x": 1}}}}},
+         "unsupported params"),
+        # single-level engine subset
+        ({"t1": {"terms": {"field": "u", "size": 5},
+                 "aggs": {"h": {
+                     "histogram": {"field": "v", "interval": 1.0},
+                     "aggs": {**base, "cc": {"cumulative_cardinality": {
+                         "buckets_path": "card"}}}}}}},
+         "single-level"),
+    ]
+    for aggs, frag in cases:
+        q = json.dumps({"query": {"match_all": {}}, "aggs": aggs})
+        with pytest.raises(DslError, match=frag):
+            cc_engine.search_aggs("cct", q).collect()
