@@ -2719,6 +2719,58 @@ def q_search_parent_agg(spark, sf_dir):
                       F.round("tp", 4).alias("tp"))
 
 
+def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    # ip_range/ip_prefix corpus (r12): the testdata has no IP column,
+    # so one is DERIVED deterministically from the integer keys (pure
+    # integer arithmetic — exactly replayable by the oracle). The
+    # derivation is the fixture, not the feature: the aggs themselves
+    # parse/mask the dotted-quad STRING column like any ES ip field.
+    key = _ck(spark, sf_dir, "eng:events_ip")
+    if key not in _CACHE:
+        ev = _t(spark, sf_dir, "events")
+        ev = ev.withColumn(
+            "ip", F.concat_ws(
+                ".", F.lit(10),
+                F.pmod(F.col("user_id"), F.lit(256)),
+                F.pmod(F.expr("user_id div 256"), F.lit(256)),
+                F.pmod(F.col("event_id"), F.lit(256))))
+        eng = SearchEngine(spark)
+        eng.register(ev, TableSpec("events_ip", ["event_id"]))
+        _CACHE[key] = eng
+    return _CACHE[key]
+
+
+def q_events_ip_range(spark, sf_dir):
+    # ES ip_range agg (r12): dotted quads parse to a 32-bit long (one
+    # regexp gate + four casts, whole-stage codegen); bounds/CIDR masks
+    # resolve to plan-time numeric constants at parse; buckets ride the
+    # same overlapping-range explode as the range agg (from inclusive,
+    # to exclusive).
+    eng = _events_ip_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"r":{"ip_range":{"field":"ip","ranges":['
+         '{"to":"10.64.0.0"},'
+         '{"from":"10.64.0.0","to":"10.192.0.0"},'
+         '{"mask":"10.192.0.0/10"}]},'
+         '"aggs":{"sv":{"sum":{"field":"value"}}}}}}')
+    out = eng.search_aggs("events_ip", q, default_field="event_type")
+    return out.select("key", "doc_count", F.round("sv", 4).alias("sv"))
+
+
+def q_events_ip_prefix(spark, sf_dir):
+    # ES ip_prefix agg (r12): buckets keyed by the /16 network — parse
+    # to long, mask, render back, one map-side-combinable groupBy; key
+    # order is the rendered string's (documented deviation from ES's
+    # underlying-long order, identical membership).
+    eng = _events_ip_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"p":{"ip_prefix":{"field":"ip","prefix_length":16,'
+         '"append_prefix_length":true},'
+         '"aggs":{"av":{"avg":{"field":"value"}}}}}}')
+    out = eng.search_aggs("events_ip", q, default_field="event_type")
+    return out.select("key", "doc_count", F.round("av", 4).alias("av"))
+
+
 def q_events_cumulative_cardinality(spark, sf_dir):
     # ES cumulative_cardinality (r12): running DISTINCT users up to
     # each day bucket. Per-bucket cardinalities don't merge, so the
@@ -3400,6 +3452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cumulative_cardinality": q_events_cumulative_cardinality,
         #   ~ pipeline agg (r12): exact running distinct via
         #   first-appearance pass
+        "events_ip_range": q_events_ip_range,      # ~ agg superset
+        #   (r12): dotted-quad → long, plan-time numeric bounds
+        "events_ip_prefix": q_events_ip_prefix,    # ~ agg superset
+        #   (r12): network-prefix buckets, one groupBy
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -6013,6 +6069,45 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_quantity), 4) AS aq
             FROM ch WHERE l_returnflag IS NOT NULL
             GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+        """,
+        # ip_range (r12): the derived dotted quad replayed as integer
+        # arithmetic; bounds are the same plan-time constants
+        # (10.64.0.0 = 171966464, 10.192.0.0 = 180355072, /10 block
+        # end = 184549376); from inclusive, to exclusive
+        "events_ip_range": r"""
+            WITH src AS (
+                SELECT (167772160 + (user_id % 256) * 65536
+                        + ((user_id // 256) % 256) * 256
+                        + (event_id % 256)) AS ipn, value
+                FROM events
+                WHERE len(regexp_extract_all(event_type,
+                                             '(?i)\bclick\b')) > 0),
+            b AS (
+                SELECT '*-10.64.0.0' AS key,
+                       COUNT(*)::BIGINT AS doc_count, SUM(value) AS sv
+                FROM src WHERE ipn < 171966464
+                UNION ALL
+                SELECT '10.64.0.0-10.192.0.0',
+                       COUNT(*)::BIGINT, SUM(value)
+                FROM src WHERE ipn >= 171966464 AND ipn < 180355072
+                UNION ALL
+                SELECT '10.192.0.0/10', COUNT(*)::BIGINT, SUM(value)
+                FROM src WHERE ipn >= 180355072 AND ipn < 184549376)
+            SELECT key, doc_count, ROUND(sv, 4) AS sv
+            FROM b WHERE doc_count > 0 ORDER BY key
+        """,
+        # ip_prefix (r12): /16 masking ≡ the derived second octet —
+        # the key renders straight from user_id arithmetic
+        "events_ip_prefix": r"""
+            WITH src AS (
+                SELECT '10.' || CAST(user_id % 256 AS VARCHAR)
+                       || '.0.0/16' AS key, value
+                FROM events
+                WHERE len(regexp_extract_all(event_type,
+                                             '(?i)\bclick\b')) > 0)
+            SELECT key, COUNT(*)::BIGINT AS doc_count,
+                   ROUND(AVG(value), 4) AS av
+            FROM src GROUP BY 1 ORDER BY key
         """,
         # cumulative_cardinality (r12): exact running distinct users —
         # each user's first bucket, first-appearance counts per bucket,

@@ -5589,6 +5589,27 @@ class SearchEngine:
                 col = F.coalesce(col, F.lit(b.missing))
             if b.kind == "terms":
                 return col, col
+            if b.kind == "ip_prefix":
+                # ES ip_prefix (r12): buckets keyed by the network
+                # prefix — parse the dotted quad to a long (one regexp
+                # gate + four casts, whole-stage codegen), mask to the
+                # prefix, render back. Malformed/null IPs → null key →
+                # the doc drops (ES's unindexable-value convention).
+                # Bucket ORDER is the rendered key's string order — a
+                # documented deviation from ES's underlying-long order
+                # with identical bucket membership (the geotile
+                # composite precedent).
+                from cassandra_es_index_spark.functions.net import (
+                    ipv4_to_long, long_to_ipv4,
+                )
+                ipn = ipv4_to_long(col.cast("string"))
+                step = 1 << (32 - b.precision)
+                masked = ipn - (ipn % F.lit(step))
+                k = long_to_ipv4(masked)
+                if b.append_prefix:
+                    k = F.concat(k, F.lit(f"/{b.precision}"))
+                k = F.when(ipn.isNotNull(), k)
+                return k, k
             if b.kind == "categorize_text":
                 # exact token-template key (r11): lowercase \s+ tokens,
                 # digit-bearing tokens masked to <num> — pure Column
@@ -6222,10 +6243,25 @@ class SearchEngine:
                 src = src.select("*", F.explode(matches).alias(helper))
                 level_key.append(F.col(helper))
                 level_gate.append(None)
-            elif lv.kind in ("range", "date_range", "geo_distance"):
+            elif lv.kind in ("range", "date_range", "geo_distance",
+                             "ip_range"):
                 if lv.kind == "date_range":
                     val = comp.resolve(lv.field).col.cast("timestamp")
                     bound = lambda v: F.lit(v).cast("timestamp")  # noqa: E731
+                elif lv.kind == "ip_range":
+                    # ip_range agg (r12): the bucket value is the
+                    # dotted quad's 32-bit long (parse-time-resolved
+                    # numeric bounds, from inclusive / to exclusive —
+                    # CIDR masks desugared at parse); then the ordinary
+                    # overlapping-range explode below. Malformed IPs →
+                    # null value → no bucket.
+                    from cassandra_es_index_spark.functions.net import (
+                        ipv4_to_long,
+                    )
+                    val = ipv4_to_long(
+                        comp.resolve(lv.field).col.cast("string")
+                    ).cast("double")
+                    bound = lambda v: F.lit(v)  # noqa: E731
                 elif lv.kind == "geo_distance":
                     # geo_distance agg (r11): the bucket value is the
                     # haversine distance from the request origin,

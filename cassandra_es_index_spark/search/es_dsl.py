@@ -59,7 +59,7 @@ _BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range",
                  "multi_terms", "adjacency_matrix",
                  "geotile_grid", "geohash_grid", "auto_date_histogram",
                  "categorize_text", "variable_width_histogram",
-                 "frequent_item_sets")
+                 "frequent_item_sets", "ip_range", "ip_prefix")
 # single-bucket aggs: one bucket (doc_count + metric sub-aggs) whose doc
 # set is a transform of the match set
 _SINGLE_BUCKET_KINDS = ("filter", "missing", "global")
@@ -82,6 +82,9 @@ _GENERIC_BUCKET_PARAMS = {
     "date_range": {"field", "ranges", "keyed"},
     "filters": {"filters", "keyed", "other_bucket", "other_bucket_key"},
     "adjacency_matrix": {"filters"},
+    "ip_range": {"field", "ranges", "keyed"},
+    "ip_prefix": {"field", "prefix_length", "is_ipv6",
+                  "append_prefix_length", "min_doc_count"},
 }
 # ES pipeline aggs computed OVER the bucket frame (single-level only):
 # value per bucket from a sibling metric (or "_count")
@@ -776,8 +779,10 @@ class BucketAgg:
     # values > 1 change the result)
     min_doc_count: int | None = None
     # geotile_grid zoom (0-29, ES default 7) / geohash_grid chars
-    # (1-12, ES default 5)
+    # (1-12, ES default 5) / ip_prefix prefix_length (1-32)
     precision: int | None = None
+    # ip_prefix append_prefix_length: suffix bucket keys with "/len"
+    append_prefix: bool = False
     # geo_distance agg (r11): (origin_lat, origin_lon, meters_per_unit)
     # — the range bounds/keys are in the request's unit
     geo_origin: tuple | None = None
@@ -1784,6 +1789,72 @@ def _date_ranges(name: str,
         out.append((str(key), lo, hi))
     if len({k for k, *_ in out}) != len(out):
         raise DslError(f"date_range agg {name!r}: duplicate range keys")
+    return tuple(out)
+
+
+def _ip_ranges(name: str,
+               spec: Any) -> tuple[tuple[str, float | None,
+                                         float | None], ...]:
+    """ES ip_range-agg ``ranges``: each entry has ``from`` (inclusive)
+    / ``to`` (exclusive) dotted-quad bounds, OR a CIDR ``mask``
+    (resolved to [network, broadcast+1) — ES's mask semantics). Bounds
+    resolve to their 32-bit values AT PARSE TIME (plan-time constants;
+    a 32-bit long is exact in the float the generic range machinery
+    carries). IPv4 only — IPv6 bounds typed-reject (engine subset).
+    Default keys are ES's ``from-to`` (``*`` for an open side) or the
+    mask string itself."""
+    import ipaddress
+    if not isinstance(spec, list) or not spec:
+        raise DslError(
+            f"ip_range agg {name!r} needs a non-empty 'ranges' list")
+
+    def ip_val(v: Any, side: str) -> int:
+        try:
+            addr = ipaddress.ip_address(str(v))
+        except ValueError:
+            raise DslError(f"ip_range agg {name!r}: {side} {v!r} is "
+                           "not a valid IP address") from None
+        if addr.version != 4:
+            raise DslError(f"ip_range agg {name!r}: IPv6 bounds are "
+                           "not supported (engine subset)")
+        return int(addr)
+
+    out = []
+    for entry in spec:
+        if not isinstance(entry, dict) \
+                or ("mask" not in entry
+                    and "from" not in entry and "to" not in entry):
+            raise DslError(f"ip_range agg {name!r}: each range needs "
+                           "'from'/'to' bounds or a 'mask'")
+        if "mask" in entry and ("from" in entry or "to" in entry):
+            raise DslError(f"ip_range agg {name!r}: 'mask' excludes "
+                           "'from'/'to' (ES contract)")
+        if "mask" in entry:
+            try:
+                net = ipaddress.ip_network(str(entry["mask"]),
+                                           strict=False)
+            except ValueError:
+                raise DslError(
+                    f"ip_range agg {name!r}: mask {entry['mask']!r} "
+                    "is not a valid CIDR block") from None
+            if net.version != 4:
+                raise DslError(f"ip_range agg {name!r}: IPv6 masks "
+                               "are not supported (engine subset)")
+            lo = int(net.network_address)
+            hi = int(net.broadcast_address) + 1
+            key = entry.get("key") or str(entry["mask"])
+        else:
+            lo = ip_val(entry["from"], "from") \
+                if "from" in entry else None
+            hi = ip_val(entry["to"], "to") if "to" in entry else None
+            key = entry.get("key") or (
+                f"{'*' if lo is None else entry['from']}"
+                f"-{'*' if hi is None else entry['to']}")
+        out.append((str(key),
+                    None if lo is None else float(lo),
+                    None if hi is None else float(hi)))
+    if len({k for k, *_ in out}) != len(out):
+        raise DslError(f"ip_range agg {name!r}: duplicate range keys")
     return tuple(out)
 
 
@@ -3052,6 +3123,25 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             ranges = _ranges(name, params.get("ranges"))
         elif first_kind == "date_range":
             ranges = _date_ranges(name, params.get("ranges"))
+        elif first_kind == "ip_range":
+            ranges = _ip_ranges(name, params.get("ranges"))
+        ip_plen = None
+        ip_append = False
+        if first_kind == "ip_prefix":
+            ip_plen = params.get("prefix_length")
+            if isinstance(ip_plen, bool) or not isinstance(ip_plen, int) \
+                    or not 1 <= ip_plen <= 32:
+                raise DslError(f"ip_prefix agg {name!r}: prefix_length "
+                               "must be an integer in [1, 32] "
+                               "(IPv4 — engine subset)")
+            if params.get("is_ipv6", False) is not False:
+                raise DslError(f"ip_prefix agg {name!r}: is_ipv6 is "
+                               "not supported (engine subset — IPv4 "
+                               "dotted-quad fields only)")
+            ip_append = params.get("append_prefix_length", False)
+            if not isinstance(ip_append, bool):
+                raise DslError(f"ip_prefix agg {name!r}: "
+                               "append_prefix_length must be a boolean")
         filter_nodes: tuple = ()
         if first_kind in ("filters", "adjacency_matrix"):
             fspec = params.get("filters")
@@ -3246,6 +3336,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             pipelines=tuple(pipelines),
             siblings=tuple(siblings),
             extended_bounds=eb,
+            precision=ip_plen,
+            append_prefix=ip_append,
             sub=sub_bucket)
     # metrics-only request: every entry must be a metric
     return tuple(_metric(n, s) for n, s in entries)

@@ -1200,3 +1200,79 @@ def test_cumulative_cardinality_typed_errors(cc_engine):
         q = json.dumps({"query": {"match_all": {}}, "aggs": aggs})
         with pytest.raises(DslError, match=frag):
             cc_engine.search_aggs("cct", q).collect()
+
+
+# -- ip_range / ip_prefix (r12) -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ip_engine(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.0.200"), (3, "10.0.1.5"),
+         (4, "192.168.1.10"), (5, "192.168.2.10"),
+         (6, "not-an-ip"),     # malformed → dropped (null key)
+         (7, None),            # null → dropped
+         (8, "10.0.0.255"),
+         (9, "256.1.1.1")],    # octet > 255 → dropped
+        "id bigint, ip string")
+    eng.register(df, TableSpec("ipt", ["id"]))
+    return eng
+
+
+def test_ip_range_bounds_masks_and_keys(ip_engine):
+    # from inclusive / to exclusive; masks desugar to
+    # [network, broadcast+1); default keys are ES's from-to with *
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"r": {"ip_range": {"field": "ip", "ranges": [
+                        {"to": "10.0.0.128"},
+                        {"from": "10.0.0.128", "to": "10.0.2.0"},
+                        {"mask": "192.168.0.0/16"},
+                        {"mask": "10.0.0.0/25", "key": "tiny"}]}}}})
+    rows = {r["key"]: r["doc_count"] for r in
+            ip_engine.search_aggs("ipt", q).collect()}
+    assert rows == {"*-10.0.0.128": 1, "10.0.0.128-10.0.2.0": 3,
+                    "192.168.0.0/16": 2, "tiny": 1}
+
+
+def test_ip_prefix_masking_and_append(ip_engine):
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"p": {"ip_prefix": {
+                        "field": "ip", "prefix_length": 24,
+                        "append_prefix_length": True},
+                        "aggs": {"mx": {"max": {"field": "id"}}}}}})
+    rows = {r["key"]: (r["doc_count"], r["mx"]) for r in
+            ip_engine.search_aggs("ipt", q).collect()}
+    assert rows == {"10.0.0.0/24": (3, 8), "10.0.1.0/24": (1, 3),
+                    "192.168.1.0/24": (1, 4), "192.168.2.0/24": (1, 5)}
+    # short prefix — the malformed rows (6, 7, 9) never form a bucket
+    q8 = json.dumps({"query": {"match_all": {}},
+                     "aggs": {"p": {"ip_prefix": {
+                         "field": "ip", "prefix_length": 8}}}})
+    rows8 = {r["key"]: r["doc_count"] for r in
+             ip_engine.search_aggs("ipt", q8).collect()}
+    assert rows8 == {"10.0.0.0": 4, "192.0.0.0": 2}
+
+
+def test_ip_agg_typed_errors(ip_engine):
+    cases = [
+        ({"r": {"ip_range": {"field": "ip",
+                             "ranges": [{"mask": "::/0"}]}}},
+         "IPv6 masks"),
+        ({"r": {"ip_range": {"field": "ip",
+                             "ranges": [{"from": "zap"}]}}},
+         "not a valid IP"),
+        ({"r": {"ip_range": {"field": "ip", "ranges": [
+            {"mask": "10.0.0.0/8", "from": "10.0.0.1"}]}}},
+         "'mask' excludes"),
+        ({"p": {"ip_prefix": {"field": "ip", "prefix_length": 40}}},
+         r"\[1, 32\]"),
+        ({"p": {"ip_prefix": {"field": "ip", "prefix_length": 24,
+                              "is_ipv6": True}}},
+         "is_ipv6"),
+        ({"r": {"ip_range": {"field": "ip"}}}, "non-empty 'ranges'"),
+    ]
+    for aggs, frag in cases:
+        q = json.dumps({"query": {"match_all": {}}, "aggs": aggs})
+        with pytest.raises(DslError, match=frag):
+            ip_engine.search_aggs("ipt", q).collect()
