@@ -2719,6 +2719,19 @@ def q_search_parent_agg(spark, sf_dir):
                       F.round("tp", 4).alias("tp"))
 
 
+def q_search_sparse_vector(spark, sf_dir):
+    # ES sparse_vector with an inline query_vector (r12): score =
+    # Σ_token weight × stored weight; engine subset stores tf as the
+    # weight, so the query desugars EXACTLY to a weighted bool/should
+    # of term clauses — postings-servable, fully composable, fractional
+    # double scores (the r12 fractional-boost contract).
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"sparse_vector":{"field":"text","query_vector":'
+         '{"spark":2.0,"query":1.5,"data":0.5}}},"size":1000000}')
+    return eng.search("documents", "#options:load-rows=false#" + q,
+                      default_field="text")
+
+
 def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     # ip_range/ip_prefix corpus (r12): the testdata has no IP column,
     # so one is DERIVED deterministically from the integer keys (pure
@@ -3456,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): dotted-quad → long, plan-time numeric bounds
         "events_ip_prefix": q_events_ip_prefix,    # ~ agg superset
         #   (r12): network-prefix buckets, one groupBy
+        "search_sparse_vector": q_search_sparse_vector,  # ~ P2 (r12):
+        #   weighted term-sum desugar, tf weights
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -6069,6 +6084,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_quantity), 4) AS aq
             FROM ch WHERE l_returnflag IS NOT NULL
             GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+        """,
+        # sparse_vector (r12): Σ_token weight × tf, fractional double
+        # scores; match = any token present (bool/should)
+        "search_sparse_vector": r"""
+            SELECT doc_id,
+                   (2.0::DOUBLE * len(regexp_extract_all(text,
+                        '(?i)\bspark\b'))
+                    + 1.5::DOUBLE * len(regexp_extract_all(text,
+                        '(?i)\bquery\b'))
+                    + 0.5::DOUBLE * len(regexp_extract_all(text,
+                        '(?i)\bdata\b'))) AS _score
+            FROM documents
+            WHERE len(regexp_extract_all(text, '(?i)\bspark\b')) > 0
+               OR len(regexp_extract_all(text, '(?i)\bquery\b')) > 0
+               OR len(regexp_extract_all(text, '(?i)\bdata\b')) > 0
         """,
         # ip_range (r12): the derived dotted quad replayed as integer
         # arithmetic; bounds are the same plan-time constants

@@ -5109,6 +5109,59 @@ def _node(q: dict[str, Any]) -> Node:
         return _boosted(ScriptFilter(expr, refs, spec),
                         body.get("boost") if isinstance(body, dict)
                         else None)
+    if kind == "sparse_vector":
+        # ES sparse_vector with an INLINE query_vector (r12): score =
+        # Σ_token query_weight × stored_weight over the matched tokens.
+        # Engine subset: the field is an analyzed text column whose
+        # stored weight for a token IS its tf (the engine's scoring
+        # model — ES stores learned weights in a rank_features field;
+        # with tf weights the query desugars EXACTLY to a weighted
+        # bool/should of term clauses, so every plan path — postings
+        # serve, bool composition, paging, aggs — composes for free).
+        # Tokens must be pre-analyzed (lowercase), like ES's (the model
+        # emits vocabulary tokens; term clauses don't analyze).
+        # inference_id/query (server-side ML) and prune/pruning_config
+        # typed-reject.
+        if not isinstance(body, dict):
+            raise DslError("sparse_vector must be an object")
+        extra = set(body) - {"field", "query_vector", "boost"}
+        if extra:
+            raise DslError(
+                f"sparse_vector: unsupported keys {sorted(extra)} "
+                "(engine subset: inline query_vector only — "
+                "inference_id/query need a model; prune changes the "
+                "match set silently)")
+        fld = body.get("field")
+        if not isinstance(fld, str) or not fld:
+            raise DslError("sparse_vector needs a 'field' string")
+        qv = body.get("query_vector")
+        if not isinstance(qv, dict) or not qv:
+            raise DslError("sparse_vector needs a non-empty "
+                           "'query_vector' object of token: weight")
+        if len(qv) > 1024:
+            raise DslError(
+                "sparse_vector query_vector exceeds 1024 tokens "
+                "(the engine's max-clause ceiling)")
+        shoulds = []
+        for tok, w in qv.items():
+            if not isinstance(tok, str) or not tok:
+                raise DslError("sparse_vector query_vector tokens "
+                               "must be non-empty strings")
+            if isinstance(w, bool) or not isinstance(w, (int, float)) \
+                    or w <= 0:
+                raise DslError(
+                    f"sparse_vector weight for token {tok!r} must be "
+                    "a positive number")
+            shoulds.append(_boosted(Term(fld, tok), float(w)))
+        node = Or(tuple(shoulds)) if len(shoulds) > 1 else shoulds[0]
+        sv_boost = body.get("boost")
+        if sv_boost is not None and (
+                isinstance(sv_boost, bool)
+                or not isinstance(sv_boost, (int, float))
+                or sv_boost <= 0):
+            raise DslError("sparse_vector boost must be a positive "
+                           "number")
+        return _boosted(node, sv_boost)
     if kind == "rank_feature":
         # {"rank_feature": {"field": f, "saturation": {"pivot": 8}}} —
         # positive-feature matching + saturating score (ast.RankFeature)

@@ -458,3 +458,47 @@ def test_retriever_source_filter_applies(rrf_engine):
     }}, "size": 2, "_source": False})
     out2 = rrf_engine.search("rrft", q_false)
     assert set(out2.columns) == {"id", "_score"}
+
+
+# -- sparse_vector (r12) ---------------------------------------------------
+
+
+def test_sparse_vector_weighted_term_sum(feat_engine):
+    # score = Σ_token weight × tf; docs matching any token qualify
+    # ("spark rules" tf 1 each → 2.0 + 0.5; "spark" → 2.0; "other" out)
+    body = {"query": {"sparse_vector": {
+        "field": "text",
+        "query_vector": {"spark": 2.0, "rules": 0.5}}}, "size": 10}
+    rows = {r["id"]: r["_score"] for r in feat_engine.search(
+        "feat", "#options:load-rows=false#" + json.dumps(body)).collect()}
+    assert rows == {"a": 2.5, "b": 2.0, "c": 2.0}
+
+
+def test_sparse_vector_composes_and_boosts(feat_engine):
+    body = {"query": {"bool": {
+        "must": [{"sparse_vector": {
+            "field": "text", "query_vector": {"spark": 1.0},
+            "boost": 3.0}}],
+        "filter": [{"term": {"id": "b"}}]}}, "size": 10}
+    rows = feat_engine.search(
+        "feat", "#options:load-rows=false#" + json.dumps(body)).collect()
+    assert [(r["id"], r["_score"]) for r in rows] == [("b", 3.0)]
+
+
+def test_sparse_vector_typed_errors(feat_engine):
+    cases = [
+        ({"sparse_vector": {"field": "text"}}, "query_vector"),
+        ({"sparse_vector": {"field": "text", "query_vector": {}}},
+         "query_vector"),
+        ({"sparse_vector": {"field": "text",
+                            "query_vector": {"a": 0}}}, "positive"),
+        ({"sparse_vector": {"field": "text", "query_vector": {"a": 1},
+                            "inference_id": "m"}}, "unsupported keys"),
+        ({"sparse_vector": {"field": "text", "query_vector": {"a": 1},
+                            "prune": True}}, "unsupported keys"),
+    ]
+    for q, frag in cases:
+        with pytest.raises(DslError, match=frag):
+            feat_engine.search(
+                "feat",
+                "#options:load-rows=false#" + json.dumps({"query": q}))
