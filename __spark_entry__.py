@@ -2753,6 +2753,25 @@ def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _CACHE[key]
 
 
+def q_events_change_point(spark, sf_dir):
+    # ES change_point (r12, documented deterministic subset): the best
+    # mean-shift split of the daily count series — argmax over split
+    # points of the two-segment Welch t. The series collects into ONE
+    # bounded array (bucket-cardinality); candidate stats read from
+    # prefix sums; the argmax folds with one higher-order aggregate.
+    # The oracle replays t/df (the p-value needs the t-CDF — pinned in
+    # pytest instead, the t_test convention).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"d":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day"}},'
+         '"cp":{"change_point":{"buckets_path":"d>_count"}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return (out.select(F.round("cp_t", 6).alias("cp_t"),
+                       F.round("cp_df", 6).alias("cp_df"))
+               .limit(1))
+
+
 def q_events_ip_range(spark, sf_dir):
     # ES ip_range agg (r12): dotted quads parse to a 32-bit long (one
     # regexp gate + four casts, whole-stage codegen); bounds/CIDR masks
@@ -3471,6 +3490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): network-prefix buckets, one groupBy
         "search_sparse_vector": q_search_sparse_vector,  # ~ P2 (r12):
         #   weighted term-sum desugar, tf weights
+        "events_change_point": q_events_change_point,  # ~ sibling agg
+        #   (r12): argmax Welch mean-shift over the bucket series
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -6084,6 +6105,55 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_quantity), 4) AS aq
             FROM ch WHERE l_returnflag IS NOT NULL
             GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+        """,
+        # change_point (r12): identical prefix-sum/argmax Welch algebra
+        # over the daily count series; earliest-k tie rule = ORDER BY
+        # abs(t) DESC, k ASC LIMIT 1
+        "events_change_point": r"""
+            WITH b AS (
+                SELECT date_trunc('day', ts) AS key,
+                       COUNT(*)::DOUBLE AS v
+                FROM events
+                WHERE len(regexp_extract_all(event_type,
+                                             '(?i)\bclick\b')) > 0
+                  AND ts IS NOT NULL
+                GROUP BY 1),
+            r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY key) AS rn
+                  FROM b),
+            tot AS (SELECT COUNT(*)::DOUBLE AS n, SUM(v) AS s,
+                           SUM(v * v) AS q FROM r),
+            c AS (SELECT rn AS k,
+                         SUM(v) OVER (ORDER BY rn) AS s1,
+                         SUM(v * v) OVER (ORDER BY rn) AS q1
+                  FROM r),
+            st AS (
+                SELECT k,
+                       s1 / k AS m1, (tot.s - s1) / (tot.n - k) AS m2,
+                       GREATEST((q1 - s1 * s1 / k) / (k - 1),
+                                0.0) AS v1,
+                       GREATEST(((tot.q - q1)
+                                 - (tot.s - s1) * (tot.s - s1)
+                                   / (tot.n - k)) / (tot.n - k - 1),
+                                0.0) AS v2,
+                       k::DOUBLE AS n1, (tot.n - k) AS n2
+                FROM c, tot WHERE k >= 2 AND k <= tot.n - 2),
+            tt AS (
+                SELECT k,
+                       CASE WHEN v1 / n1 + v2 / n2 > 0
+                            THEN (m1 - m2) / sqrt(v1 / n1 + v2 / n2)
+                            WHEN m1 = m2 THEN 0.0
+                            ELSE CASE WHEN m1 > m2
+                                      THEN 'infinity'::DOUBLE
+                                      ELSE '-infinity'::DOUBLE END
+                       END AS t,
+                       CASE WHEN v1 / n1 + v2 / n2 > 0
+                            THEN pow(v1 / n1 + v2 / n2, 2)
+                                 / (pow(v1 / n1, 2) / (n1 - 1)
+                                    + pow(v2 / n2, 2) / (n2 - 1))
+                            ELSE n1 + n2 - 2 END AS df
+                FROM st)
+            SELECT ROUND(t, 6) AS cp_t, ROUND(df, 6) AS cp_df
+            FROM tt ORDER BY ABS(t) DESC, k ASC LIMIT 1
         """,
         # sparse_vector (r12): Σ_token weight × tf, fractional double
         # scores; match = any token present (bool/should)

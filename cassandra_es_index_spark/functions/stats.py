@@ -74,8 +74,13 @@ def _betainc_reg(a: float, b: float, x: float) -> float:
 def t_sf_two_sided(t: float, df: float) -> float:
     """Two-sided Student-t survival value: P(|T_df| >= |t|) =
     I_{df/(df+t²)}(df/2, 1/2) — the p-value ES's t_test reports."""
-    if not np.isfinite(t) or not np.isfinite(df) or df <= 0:
+    if not np.isfinite(df) or df <= 0 or np.isnan(t):
         return float("nan")
+    if np.isinf(t):
+        # the distribution limit, not a guard: P(|T_df| >= ∞) = 0
+        # (an infinite statistic arises from a zero-variance split in
+        # change_point — infinite evidence, zero p)
+        return 0.0
     x = df / (df + t * t)
     return _betainc_reg(df / 2.0, 0.5, x)
 

@@ -6668,7 +6668,8 @@ class SearchEngine:
             if len(levels) > 1:
                 leaf_frame = out.where(
                     F.col(level_names(len(levels) - 1)[0]).isNotNull())
-            ALIGNED = ("bucket_correlation", "bucket_count_ks_test")
+            ALIGNED = ("bucket_correlation", "bucket_count_ks_test",
+                       "change_point")
             if any(sk in ALIGNED for _, sk, _, _ in lv0.siblings):
                 # bucket_correlation / bucket_count_ks_test (r12):
                 # series statistics against a request-provided list,
@@ -6682,10 +6683,11 @@ class SearchEngine:
                 if len(levels) != 1 or lv0.kind not in (
                         "histogram", "date_histogram"):
                     raise es_dsl.DslError(
-                        "bucket_correlation/bucket_count_ks_test need "
-                        "a single-level histogram/date_histogram "
-                        "sibling (engine subset: the provided series "
-                        "aligns to the key-ascending bucket order)")
+                        "bucket_correlation/bucket_count_ks_test/"
+                        "change_point need a single-level histogram/"
+                        "date_histogram sibling (engine subset: the "
+                        "series aligns to the key-ascending bucket "
+                        "order)")
                 n_b = leaf_frame.count()
                 for sn, sk, scol, spcts in lv0.siblings:
                     if sk == "bucket_correlation" \
@@ -6703,6 +6705,10 @@ class SearchEngine:
                             f"{len(spcts[1])} fractions vs {n_b} "
                             "buckets — lengths must match (ES "
                             "contract)")
+                    if sk == "change_point" and n_b < 22:
+                        raise es_dsl.DslError(
+                            f"change_point {sn!r}: needs at least 22 "
+                            f"buckets, got {n_b} (ES contract)")
                 rn = F.row_number().over(
                     Window.orderBy(F.asc(level_names(0)[0])))
                 leaf_frame = leaf_frame.withColumn("_sib_rn", rn)
@@ -6739,8 +6745,27 @@ class SearchEngine:
                             F.col("_sib_rn"))
                         leaf_frame = leaf_frame.withColumn(
                             f"_ksd_{sn}", ecdf - cdf)
+                    elif sk == "change_point":
+                        # prefix sums of the target series — each
+                        # candidate split's segment stats then read in
+                        # O(1) from two array lookups (no per-split
+                        # re-aggregation)
+                        wcp = (Window.orderBy(F.asc("_sib_rn"))
+                               .rowsBetween(Window.unboundedPreceding,
+                                            0))
+                        cv = F.col(scol).cast("double")
+                        leaf_frame = (
+                            leaf_frame
+                            .withColumn(f"_cpc_{sn}",
+                                        F.sum(cv).over(wcp))
+                            .withColumn(f"_cpq_{sn}",
+                                        F.sum(cv * cv).over(wcp)))
+            cp_sibs = [s for s in lv0.siblings
+                       if s[1] == "change_point"]
+            std_sibs = [s for s in lv0.siblings
+                        if s[1] != "change_point"]
             sib_exprs: list[Column] = []
-            for sn, sk, scol, spcts in lv0.siblings:
+            for sn, sk, scol, spcts in std_sibs:
                 c = F.col(scol)
                 if sk == "bucket_correlation":
                     sib_exprs.append(
@@ -6796,11 +6821,97 @@ class SearchEngine:
                         F.percentile(c, F.lit(p / 100.0)) for p in spcts]
                 else:
                     sib_exprs.append(sib_fns[sk](c))
-            sib_names = [n for sn, sk, _, spcts in lv0.siblings
+            sib_names = [n for sn, sk, _, spcts in std_sibs
                          for n in es_dsl.sibling_out_names(sn, sk, spcts)]
-            sib_row = leaf_frame.agg(*[
-                e.alias(n) for e, n in zip(sib_exprs, sib_names)])
-            out = out.crossJoin(F.broadcast(sib_row))
+            if std_sibs:
+                sib_row = leaf_frame.agg(*[
+                    e.alias(n) for e, n in zip(sib_exprs, sib_names)])
+                out = out.crossJoin(F.broadcast(sib_row))
+            for sn, sk, scol, _ in cp_sibs:
+                # change_point (r12): argmax over split points k of
+                # the two-segment Welch t — the bucket series collects
+                # into ONE bounded array (bucket-cardinality, never
+                # corpus rows), candidate stats read from the prefix
+                # sums via element_at, and the argmax folds with ONE
+                # higher-order aggregate — the expression tree is
+                # O(1), the loop runs at runtime (no janino blowup).
+                # Verdict: two-sided p (Welch df, the t_test metric's
+                # pandas-UDF CDF over this ONE row) < 0.05 →
+                # step_change at the RIGHT segment's first bucket,
+                # else stationary (null key). Documented deterministic
+                # subset of ES's spike/dip/trend agglomerate.
+                from cassandra_es_index_spark.functions.stats import (
+                    t_p_value,
+                )
+                key_name = level_names(0)[0]
+                arr = F.array_sort(F.collect_list(F.struct(
+                    F.col("_sib_rn").alias("rn"),
+                    F.col(key_name).cast("string").alias("key"),
+                    F.col(f"_cpc_{sn}").alias("cs"),
+                    F.col(f"_cpq_{sn}").alias("cq"))))
+                one = leaf_frame.agg(arr.alias("_a"))
+                a = F.col("_a")
+                n_c = F.size(a)
+                tot = F.element_at(a, n_c)
+
+                def _split_stats(k):
+                    e = F.element_at(a, k)
+                    n1 = k.cast("double")
+                    n2 = (n_c - k).cast("double")
+                    s1, q1 = e["cs"], e["cq"]
+                    s2, q2 = tot["cs"] - s1, tot["cq"] - q1
+                    m1, m2 = s1 / n1, s2 / n2
+                    v1 = F.greatest((q1 - s1 * s1 / n1) / (n1 - 1),
+                                    F.lit(0.0))
+                    v2 = F.greatest((q2 - s2 * s2 / n2) / (n2 - 1),
+                                    F.lit(0.0))
+                    se2 = v1 / n1 + v2 / n2
+                    # zero segment variance on BOTH sides: a perfectly
+                    # clean split — infinite evidence when the means
+                    # differ (t = ±∞ → p = 0, so the cleanest change
+                    # point always wins the argmax), zero when they
+                    # don't (identical constants, p = 1)
+                    t = F.when(se2 > 0, (m1 - m2) / F.sqrt(se2)) \
+                        .otherwise(F.when(m1 == m2, F.lit(0.0))
+                                   .otherwise(F.signum(m1 - m2)
+                                              * F.lit(float("inf"))))
+                    dfree = F.when(
+                        se2 > 0,
+                        (se2 * se2)
+                        / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                           + (v2 / n2) * (v2 / n2) / (n2 - 1))) \
+                        .otherwise(n1 + n2 - 2)
+                    return F.struct(
+                        t.alias("t"), dfree.alias("df"),
+                        F.element_at(a, k + 1)["key"].alias("key"))
+
+                cands = F.transform(
+                    F.sequence(F.lit(2), n_c - 2), _split_stats)
+                best = F.aggregate(
+                    cands, F.element_at(cands, 1),
+                    lambda acc, x: F.when(
+                        F.coalesce(F.abs(x["t"]), F.lit(-1.0))
+                        > F.coalesce(F.abs(acc["t"]), F.lit(-1.0)),
+                        x).otherwise(acc))
+                one = (one.select(best.alias("_b"))
+                       .select(F.col("_b")["t"].alias(f"{sn}_t"),
+                               F.col("_b")["df"].alias(f"{sn}_df"),
+                               F.col("_b")["key"].alias("_cpk"))
+                       .withColumn(f"{sn}_p",
+                                   t_p_value(F.col(f"{sn}_t"),
+                                             F.col(f"{sn}_df")))
+                       .withColumn(
+                           f"{sn}_type",
+                           F.when(F.col(f"{sn}_p") < 0.05,
+                                  F.lit("step_change"))
+                            .otherwise(F.lit("stationary")))
+                       .withColumn(
+                           f"{sn}_key",
+                           F.when(F.col(f"{sn}_type") == "step_change",
+                                  F.col("_cpk")))
+                       .select(f"{sn}_type", f"{sn}_key", f"{sn}_t",
+                               f"{sn}_df", f"{sn}_p"))
+                out = out.crossJoin(F.broadcast(one))
 
         th = levels[-1].top_hits
         if th is not None:

@@ -103,7 +103,7 @@ _NORMALIZE_METHODS = ("rescale_0_1", "rescale_0_100", "percent_of_sum",
 _SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
                   "stats_bucket", "extended_stats_bucket",
                   "percentiles_bucket", "bucket_correlation",
-                  "bucket_count_ks_test")
+                  "bucket_count_ks_test", "change_point")
 
 # bucket_script / bucket_selector scripts: the painless subset that is
 # pure arithmetic/comparison over params refs — translated to a Spark SQL
@@ -592,6 +592,11 @@ def sibling_out_names(sn: str, sk: str,
         # one p-value column per requested alternative (the 4th slot
         # carries (alternatives, fractions) for this kind)
         return tuple(f"{sn}_{a}" for a in percents[0])
+    if sk == "change_point":
+        # step_change/stationary verdict + the detected bucket key +
+        # the best split's Welch statistic, df, and two-sided p-value
+        return (f"{sn}_type", f"{sn}_key", f"{sn}_t",
+                f"{sn}_df", f"{sn}_p")
     return (sn,)
 
 
@@ -2275,6 +2280,25 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                          (tuple(dict.fromkeys(alts)),
                           tuple(float(x) for x in fr)
                           if fr is not None else None)))
+                    continue
+                if k == "change_point":
+                    # ES change_point (r12): detect a shift in the
+                    # bucket series. Engine subset (documented,
+                    # deterministic): the BEST MEAN-SHIFT split —
+                    # argmax over split points of the two-segment
+                    # Welch t statistic — reported as `step_change`
+                    # when its two-sided p < 0.05, else `stationary`
+                    # (ES's agglomerate of spike/dip/trend detectors
+                    # is shard-order- and sampling-dependent; the
+                    # mean-shift test is the reproducible core).
+                    cp_extra = set(pbody) - {"buckets_path"}
+                    if cp_extra:
+                        raise DslError(
+                            f"change_point agg {name!r}: unsupported "
+                            f"params {sorted(cp_extra)} "
+                            "(engine subset)")
+                    sib_raw.append(
+                        (name, k, str(pbody["buckets_path"]), ()))
                     continue
                 if k == "bucket_correlation":
                     # ES bucket_correlation (r12): Pearson correlation

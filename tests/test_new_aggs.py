@@ -1276,3 +1276,118 @@ def test_ip_agg_typed_errors(ip_engine):
         q = json.dumps({"query": {"match_all": {}}, "aggs": aggs})
         with pytest.raises(DslError, match=frag):
             ip_engine.search_aggs("ipt", q).collect()
+
+
+# -- change_point (r12) ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cp_engine(spark):
+    eng = SearchEngine(spark)
+    rows, rid = [], 0
+    for b in range(24):
+        base = 10.0 if b < 12 else 20.0
+        for j in range(3):            # bucket avg exactly base
+            rid += 1
+            rows.append((rid, float(b), base + (j - 1) * 0.5))
+    df = spark.createDataFrame(rows, "id bigint, v double, x double")
+    eng.register(df, TableSpec("cpt", ["id"]))
+    return eng
+
+
+def _cp_q(path, parent=None):
+    parent = parent or {"histogram": {"field": "v", "interval": 1.0}}
+    return json.dumps({"query": {"match_all": {}},
+                       "aggs": {"h": {**parent,
+                                      "aggs": {"m": {"avg":
+                                                     {"field": "x"}}}},
+                                "cp": {"change_point":
+                                       {"buckets_path": path}}}})
+
+
+def test_change_point_clean_step(cp_engine):
+    # bucket means step 10.0 → 20.0 at bucket 12: the zero-variance
+    # split carries infinite evidence (t = ±∞, p = 0) and wins the
+    # argmax; the reported key is the RIGHT segment's first bucket
+    r = cp_engine.search_aggs("cpt", _cp_q("h>m")).limit(1).collect()[0]
+    assert r["cp_type"] == "step_change" and r["cp_key"] == "12.0"
+    assert r["cp_p"] == 0.0 and math.isinf(r["cp_t"])
+    assert r["cp_df"] == 22.0
+
+
+def test_change_point_stationary_constant(cp_engine):
+    # the count series is constant (3 per bucket): identical constant
+    # segments → t 0, p 1, stationary, null key
+    r = cp_engine.search_aggs(
+        "cpt", _cp_q("h>_count")).limit(1).collect()[0]
+    assert r["cp_type"] == "stationary" and r["cp_key"] is None
+    assert r["cp_t"] == 0.0 and r["cp_p"] == 1.0
+
+
+def test_change_point_noisy_step_hand_welch(spark):
+    # a noisy step: the engine's best split must equal the
+    # hand-computed Welch argmax over the same series
+    series = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.0, 9.0, 10.5, 9.5,
+              10.0, 11.0, 19.0, 21.0, 20.5, 19.5, 20.0, 21.0, 19.0,
+              20.5, 19.5, 20.0, 21.0, 20.0]
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(i + 1, float(i), x) for i, x in enumerate(series)],
+        "id bigint, v double, x double")
+    eng.register(df, TableSpec("cpn", ["id"]))
+
+    def welch(k):
+        left, right = series[:k], series[k:]
+        n1, n2 = len(left), len(right)
+        m1, m2 = sum(left) / n1, sum(right) / n2
+        v1 = sum((x - m1) ** 2 for x in left) / (n1 - 1)
+        v2 = sum((x - m2) ** 2 for x in right) / (n2 - 1)
+        se2 = v1 / n1 + v2 / n2
+        t = (m1 - m2) / math.sqrt(se2)
+        dfree = se2 ** 2 / ((v1 / n1) ** 2 / (n1 - 1)
+                            + (v2 / n2) ** 2 / (n2 - 1))
+        return t, dfree
+
+    best_k = max(range(2, len(series) - 1),
+                 key=lambda k: abs(welch(k)[0]))
+    exp_t, exp_df = welch(best_k)
+    r = eng.search_aggs("cpn", _cp_q("h>m")).limit(1).collect()[0]
+    assert best_k == 12 and r["cp_key"] == "12.0"
+    assert r["cp_t"] == pytest.approx(exp_t, rel=1e-9)
+    assert r["cp_df"] == pytest.approx(exp_df, rel=1e-9)
+    assert r["cp_type"] == "step_change" and r["cp_p"] < 1e-6
+
+
+def test_change_point_typed_errors(cp_engine):
+    # fewer than 22 buckets (ES contract)
+    with pytest.raises(DslError, match="at least 22 buckets"):
+        cp_engine.search_aggs("cpt", json.dumps(
+            {"query": {"range": {"v": {"lt": 10}}},
+             "aggs": {"h": {"histogram": {"field": "v",
+                                          "interval": 1.0}},
+                      "cp": {"change_point":
+                             {"buckets_path": "h>_count"}}}})).collect()
+    # ordered single-level parent required
+    with pytest.raises(DslError, match="single-level histogram"):
+        cp_engine.search_aggs("cpt", json.dumps(
+            {"query": {"match_all": {}},
+             "aggs": {"h": {"terms": {"field": "v", "size": 30}},
+                      "cp": {"change_point":
+                             {"buckets_path": "h>_count"}}}})).collect()
+    # param allowlist
+    with pytest.raises(DslError, match="unsupported params"):
+        cp_engine.search_aggs("cpt", json.dumps(
+            {"query": {"match_all": {}},
+             "aggs": {"h": {"histogram": {"field": "v",
+                                          "interval": 1.0}},
+                      "cp": {"change_point": {"buckets_path":
+                                              "h>_count",
+                                              "x": 1}}}})).collect()
+    # unknown buckets_path target
+    with pytest.raises(DslError, match="buckets_path"):
+        cp_engine.search_aggs("cpt", json.dumps(
+            {"query": {"match_all": {}},
+             "aggs": {"h": {"histogram": {"field": "v",
+                                          "interval": 1.0}},
+                      "cp": {"change_point":
+                             {"buckets_path": "h>nope"}}}})).collect()
