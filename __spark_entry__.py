@@ -2753,6 +2753,25 @@ def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _CACHE[key]
 
 
+def q_events_moving_median(spark, sf_dir):
+    # ES moving_percentiles (r12): the rolling weekly median of event
+    # values — EXACT percentiles over each 7-day window's SOURCE rows
+    # (the engine's exact-percentiles convention; ES merges TDigest
+    # sketches). Each row fans out to ≤7 bucket windows (one bounded
+    # explode), then one percentile groupBy per window.
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"d":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day"},'
+         '"aggs":{"pct":{"percentiles":{"field":"value",'
+         '"percents":[50.0]}},'
+         '"mm":{"moving_percentiles":{"buckets_path":"pct",'
+         '"window":7,"shift":1}}}}}}')
+    out = eng.search_aggs("events_capped", q, default_field="event_type")
+    return out.select("key", "doc_count",
+                      F.round("mm_p50", 4).alias("mm_p50"))
+
+
 def q_events_change_point(spark, sf_dir):
     # ES change_point (r12, documented deterministic subset): the best
     # mean-shift split of the daily count series — argmax over split
@@ -3492,6 +3511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   weighted term-sum desugar, tf weights
         "events_change_point": q_events_change_point,  # ~ sibling agg
         #   (r12): argmax Welch mean-shift over the bucket series
+        "events_moving_median": q_events_moving_median,  # ~ pipeline
+        #   agg (r12): exact window percentiles from source rows
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -6105,6 +6126,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_quantity), 4) AS aq
             FROM ch WHERE l_returnflag IS NOT NULL
             GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+        """,
+        # moving_percentiles (r12): rows fan out to the rn+1-s..rn+w-s
+        # windows they affect (shift 1, window 7 → rn..rn+6), exact
+        # quantile_cont per window, joined back on the bucket rank
+        "events_moving_median": r"""
+            WITH srcv AS (
+                SELECT date_trunc('day', ts) AS key, value
+                FROM events
+                WHERE len(regexp_extract_all(event_type,
+                                             '(?i)\bclick\b')) > 0
+                  AND ts IS NOT NULL),
+            b AS (SELECT key, COUNT(*)::BIGINT AS doc_count
+                  FROM srcv GROUP BY 1),
+            r AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) AS rn
+                  FROM b),
+            j AS (SELECT r.rn, s.value FROM srcv s
+                  JOIN r ON s.key = r.key
+                  WHERE s.value IS NOT NULL),
+            contrib AS (
+                SELECT j.rn + g.i AS t, j.value
+                FROM j CROSS JOIN (SELECT UNNEST(range(0, 7)) AS i) g),
+            per AS (SELECT t, quantile_cont(value, 0.5) AS q
+                    FROM contrib GROUP BY t)
+            SELECT b.key, b.doc_count, ROUND(per.q, 4) AS mm_p50
+            FROM b JOIN r ON b.key = r.key
+            LEFT JOIN per ON per.t = r.rn
         """,
         # change_point (r12): identical prefix-sum/argmax Welch algebra
         # over the daily count series; earliest-k tie rule = ORDER BY

@@ -61,7 +61,9 @@ HEADLINE = [
     "search_term_bool",
     "search_phrase",        # positional-index-served (chunk-position joins)
     "search_fuzzy_boost",   # fuzzy term-dictionary expansion + boost
-    "search_fuzzy_transpositions",  # Damerau fuzzy + prefix guard (r11)
+    # (search_fuzzy_transpositions swapped out r12 — fuzzy family stays
+    # covered by search_fuzzy_boost; registry/correctness keep it)
+    "events_change_point",  # argmax Welch mean-shift, HOF fold (r12)
     "search_dsl_sorted",    # sorted-from-index (range-index doc-values)
     "search_mlt",           # more_like_this: tf-idf pick + OR postings query
     "search_dis_max",       # best-field disjunction (union + per-doc max)
@@ -73,7 +75,9 @@ HEADLINE = [
     "search_scroll_drain",   # PIT + keyset scroll batches (r7)
     "search_function_score_multi",  # functions array fold (r8)
     "search_span_not",      # span survival math, index served (r8)
-    "search_span_containing",  # span containment, index served (r9)
+    # (search_span_containing swapped out r12 — span family stays
+    # covered by span_near/span_not/span_near_nary/span_multi)
+    "search_children_agg",  # children agg: semi-join frame rebind (r12)
     "search_span_near_nary",  # N-ary span_near, span_or slot (r10/r11)
     "search_nested_inner",  # per-parent matching elements flatten (r8)
     "search_significant_terms",  # JLH fg-vs-bg term scoring

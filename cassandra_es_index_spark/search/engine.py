@@ -6548,6 +6548,56 @@ class SearchEngine:
                             out = out.withColumn(
                                 f"{pn}_normalized",
                                 F.col(pn) / F.lit(span / usec))
+                elif pk == "moving_percentiles":
+                    # ES moving_percentiles (r12): percentiles over a
+                    # moving window of buckets. Per-bucket percentiles
+                    # don't merge (ES merges TDigest sketches), so the
+                    # engine reads the SOURCE frame: each row fans out
+                    # to the ≤`window` bucket-windows it affects (one
+                    # explode, multiplier bounded by the validated
+                    # window), then ONE exact-percentile groupBy per
+                    # window — the engine's exact-percentiles
+                    # convention (superset of the sketch merge,
+                    # DuckDB-oracle-checkable). Engine subset (typed):
+                    # single-level histogram/date_histogram.
+                    _path, mp_field, mp_pcts, mp_w, mp_s = payload
+                    if len(levels) != 1:
+                        raise es_dsl.DslError(
+                            "moving_percentiles is supported on a "
+                            "single-level histogram/date_histogram "
+                            "(engine subset)")
+                    mp_ref = comp.resolve(mp_field).col
+                    out = out.withColumn("_mp_rn",
+                                         F.row_number().over(wseq))
+                    b_keys = out.select(
+                        F.col(kname).alias("_mp_k"), F.col("_mp_rn"))
+                    srcv = (src.where(mp_ref.isNotNull())
+                            .select(level_key[0].alias("_mp_k"),
+                                    mp_ref.cast("double")
+                                          .alias("_mp_v"))
+                            .join(F.broadcast(b_keys), on="_mp_k"))
+                    # a row in bucket j contributes to window k where
+                    # j ∈ [k+shift−window, k+shift−1] — the same frame
+                    # moving_fn's rowsBetween(shift−window, shift−1)
+                    # reads (ES: shift 0 excludes the current bucket)
+                    contrib = srcv.withColumn(
+                        "_mp_t",
+                        F.explode(F.sequence(
+                            F.col("_mp_rn") - F.lit(mp_s) + 1,
+                            F.col("_mp_rn") - F.lit(mp_s)
+                            + F.lit(mp_w))))
+                    from cassandra_es_index_spark.search.es_dsl import (
+                        _pct_label,
+                    )
+                    per = contrib.groupBy("_mp_t").agg(
+                        *[F.percentile("_mp_v", F.lit(p / 100.0))
+                          .alias(f"{pn}_p{_pct_label(p)}")
+                          for p in mp_pcts])
+                    out = (out.join(
+                               per,
+                               F.col("_mp_rn") == F.col("_mp_t"),
+                               "left")
+                           .drop("_mp_t", "_mp_rn"))
                 elif pk == "cumulative_cardinality":
                     # ES cumulative_cardinality (r12): the running
                     # DISTINCT count up to each bucket. Per-bucket

@@ -90,7 +90,8 @@ _GENERIC_BUCKET_PARAMS = {
 # value per bucket from a sibling metric (or "_count")
 _PIPELINE_KINDS = ("cumulative_sum", "derivative", "serial_diff",
                    "moving_fn", "bucket_script", "bucket_selector",
-                   "bucket_sort", "normalize", "cumulative_cardinality")
+                   "bucket_sort", "normalize", "cumulative_cardinality",
+                   "moving_percentiles")
 # ES normalize methods → the rescaling applied per bucket over its
 # parent's bucket frame (r9); z-score uses the POPULATION deviation
 # (extended_stats convention); a constant frame (max == min) or zero
@@ -3030,6 +3031,43 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         pipelines.append((n, kind, (path, "unit", u)))
                     else:
                         pipelines.append((n, kind, path))
+                elif kind == "moving_percentiles":
+                    # ES moving_percentiles (r12): percentiles over a
+                    # moving window of buckets. Per-bucket percentiles
+                    # don't merge (ES merges TDigest sketches), so the
+                    # engine computes EXACT percentiles over the
+                    # window's SOURCE rows — the buckets_path must
+                    # name a sibling `percentiles` metric (its field +
+                    # percents drive the pass; resolved in the
+                    # validation block below).
+                    mp_extra = set(pbody) - {"buckets_path", "window",
+                                             "shift"}
+                    if mp_extra:
+                        raise DslError(
+                            f"moving_percentiles agg {n!r}: "
+                            f"unsupported params {sorted(mp_extra)} "
+                            "(engine subset)")
+                    if "buckets_path" not in pbody:
+                        raise DslError(f"pipeline agg {n!r} needs a "
+                                       "'buckets_path'")
+                    mp_w = pbody.get("window")
+                    if not isinstance(mp_w, int) \
+                            or isinstance(mp_w, bool) or mp_w <= 0 \
+                            or mp_w > 1000:
+                        raise DslError(
+                            f"moving_percentiles agg {n!r}: window "
+                            "must be an integer in [1, 1000] (each "
+                            "source row fans out to `window` bucket "
+                            "windows — bounded by contract)")
+                    mp_s = pbody.get("shift", 0)
+                    if not isinstance(mp_s, int) \
+                            or isinstance(mp_s, bool):
+                        raise DslError(
+                            f"moving_percentiles agg {n!r}: shift "
+                            "must be an integer")
+                    pipelines.append(
+                        (n, kind, (str(pbody["buckets_path"]),
+                                   mp_w, mp_s)))
                 elif kind == "cumulative_cardinality":
                     # ES cumulative_cardinality (r12): the running
                     # count of DISTINCT values seen up to each bucket.
@@ -3253,6 +3291,27 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             valid_paths = {"_count"} | {
                 n for m in metrics for n in m.out_names()}
             for pi, (pn, pk, payload) in enumerate(pipelines):
+                if pk == "moving_percentiles":
+                    if first_kind not in ("histogram", "date_histogram"):
+                        raise DslError(
+                            "moving_percentiles needs an ordered "
+                            "histogram/date_histogram bucket "
+                            "(ES requirement)")
+                    mp_path, mp_w, mp_s = payload
+                    tgt = next((m for m in metrics
+                                if m.name == mp_path
+                                and m.kind == "percentiles"), None)
+                    if tgt is None:
+                        raise DslError(
+                            f"moving_percentiles agg {pn!r}: "
+                            f"buckets_path {mp_path!r} must name a "
+                            "sibling percentiles metric (its field "
+                            "and percents drive the source-window "
+                            "pass)")
+                    pipelines[pi] = (pn, pk, (mp_path, tgt.field,
+                                              tgt.percents, mp_w,
+                                              mp_s))
+                    continue
                 if pk == "cumulative_cardinality":
                     if first_kind not in ("histogram", "date_histogram"):
                         raise DslError(

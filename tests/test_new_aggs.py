@@ -1391,3 +1391,85 @@ def test_change_point_typed_errors(cp_engine):
                                           "interval": 1.0}},
                       "cp": {"change_point":
                              {"buckets_path": "h>nope"}}}})).collect()
+
+
+# -- moving_percentiles (r12) ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mp_engine(spark):
+    eng = SearchEngine(spark)
+    rows, rid = [], 0
+    for b in range(5):                 # bucket b holds {10b+1, 10b+2, 10b+3}
+        for j in (1, 2, 3):
+            rid += 1
+            rows.append((rid, float(b), float(b * 10 + j)))
+    df = spark.createDataFrame(rows, "id bigint, v double, x double")
+    eng.register(df, TableSpec("mpt", ["id"]))
+    return eng
+
+
+def test_moving_percentiles_window_medians(mp_engine):
+    # shift 0 (ES default) excludes the current bucket: window 2 over
+    # buckets [k-2, k-1] — exact percentiles over the window's SOURCE
+    # rows, not merged per-bucket values
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"h": {
+                        "histogram": {"field": "v", "interval": 1.0},
+                        "aggs": {"pct": {"percentiles": {
+                            "field": "x", "percents": [50.0]}},
+                            "mp": {"moving_percentiles": {
+                                "buckets_path": "pct",
+                                "window": 2}}}}}})
+    rows = {r["key"]: r["mp_p50"] for r in
+            mp_engine.search_aggs("mpt", q).collect()}
+    # bucket1 ← {1,2,3} → 2; bucket2 ← {1..3,11..13} → (3+11)/2 = 7
+    assert rows == {0.0: None, 1.0: 2.0, 2.0: 7.0, 3.0: 17.0,
+                    4.0: 27.0}
+
+
+def test_moving_percentiles_shift_includes_current(mp_engine):
+    # window 1 shift 1 = exactly the current bucket; p99 interpolates
+    # continuously (the exact-percentiles convention)
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"h": {
+                        "histogram": {"field": "v", "interval": 1.0},
+                        "aggs": {"pct": {"percentiles": {
+                            "field": "x", "percents": [50.0, 99.0]}},
+                            "mp": {"moving_percentiles": {
+                                "buckets_path": "pct", "window": 1,
+                                "shift": 1}}}}}})
+    rows = {r["key"]: (r["mp_p50"], r["mp_p99"]) for r in
+            mp_engine.search_aggs("mpt", q).collect()}
+    assert rows[2.0][0] == 22.0
+    assert rows[2.0][1] == pytest.approx(22.98)
+
+
+def test_moving_percentiles_typed_errors(mp_engine):
+    cases = [
+        ({"h": {"histogram": {"field": "v", "interval": 1.0},
+                "aggs": {"s": {"sum": {"field": "x"}},
+                         "mp": {"moving_percentiles": {
+                             "buckets_path": "s", "window": 2}}}}},
+         "sibling percentiles"),
+        ({"h": {"terms": {"field": "v"},
+                "aggs": {"pct": {"percentiles": {"field": "x"}},
+                         "mp": {"moving_percentiles": {
+                             "buckets_path": "pct", "window": 2}}}}},
+         "ordered histogram"),
+        ({"h": {"histogram": {"field": "v", "interval": 1.0},
+                "aggs": {"pct": {"percentiles": {"field": "x"}},
+                         "mp": {"moving_percentiles": {
+                             "buckets_path": "pct"}}}}},
+         r"window must be"),
+        ({"h": {"histogram": {"field": "v", "interval": 1.0},
+                "aggs": {"pct": {"percentiles": {"field": "x"}},
+                         "mp": {"moving_percentiles": {
+                             "buckets_path": "pct", "window": 2,
+                             "keyed": True}}}}},
+         "unsupported params"),
+    ]
+    for aggs, frag in cases:
+        q = json.dumps({"query": {"match_all": {}}, "aggs": aggs})
+        with pytest.raises(DslError, match=frag):
+            mp_engine.search_aggs("mpt", q).collect()
