@@ -2753,6 +2753,31 @@ def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _CACHE[key]
 
 
+def q_docs_url_blocklist(spark, sf_dir):
+    # URL/domain filtering (r12 LLM-pipeline op): a derived fixture
+    # plants URLs (one with a trailing comma — the extraction trap, one
+    # mixed-case) into the corpus text; extraction/host/registered-
+    # domain reduction is pure regexp Column algebra, the blocklist
+    # broadcast-joins, the corpus pass stays map-side.
+    from cassandra_es_index_spark.functions import web
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.substring("text", 1, 40),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" visit http://a.Spam.Example.com/x?id=1,"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" see https://Ok.Org/path."))
+         .otherwise(F.lit("")))
+    df = docs.select("doc_id", dirty.alias("text"))
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    out = web.flag_blocklisted(df, ["doc_id"], "text", bl, "domain")
+    return out.select(
+        "doc_id",
+        web.url_count(F.col("text")).alias("n_urls"),
+        F.col("blocklisted"))
+
+
 def q_events_moving_median(spark, sf_dir):
     # ES moving_percentiles (r12): the rolling weekly median of event
     # values — EXACT percentiles over each 7-day window's SOURCE rows
@@ -3513,6 +3538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): argmax Welch mean-shift over the bucket series
         "events_moving_median": q_events_moving_median,  # ~ pipeline
         #   agg (r12): exact window percentiles from source rows
+        "docs_url_blocklist": q_docs_url_blocklist,  # ~ LLM-pipeline
+        #   (r12): URL extract + domain reduce + broadcast blocklist
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -6126,6 +6153,47 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_quantity), 4) AS aq
             FROM ch WHERE l_returnflag IS NOT NULL
             GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+        """,
+        # URL blocklist (r12): DuckDB replays the identical regexp
+        # extraction (trailing-punctuation strip, host capture,
+        # last-two-label domain reduction) over the same derived text
+        "docs_url_blocklist": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       substr(text, 1, 40)
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN ' visit http://a.Spam.Example.com/x?id=1,'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                          THEN ' see https://Ok.Org/path.'
+                          ELSE '' END AS text
+                FROM documents),
+            u AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(text,
+                               'https?://[^\s<>"'')\]]+'),
+                           x -> regexp_replace(x, '[.,;:!?]+$', ''))
+                           AS urls
+                FROM d),
+            h AS (
+                SELECT doc_id, len(urls)::BIGINT AS n_urls,
+                       list_transform(urls, x ->
+                           lower(regexp_extract(x,
+                               'https?://([^/:?#]+)', 1))) AS hosts
+                FROM u),
+            doms AS (
+                SELECT doc_id, n_urls,
+                       list_distinct(list_transform(hosts, x ->
+                           CASE WHEN len(string_split(x, '.')) >= 2
+                                THEN string_split(x, '.')[-2] || '.'
+                                     || string_split(x, '.')[-1]
+                                ELSE x END)) AS dlist
+                FROM h)
+            SELECT doc_id, n_urls,
+                   len(list_filter(dlist,
+                       x -> x = 'example.com')) > 0 AS blocklisted
+            FROM doms
         """,
         # moving_percentiles (r12): rows fan out to the rn+1-s..rn+w-s
         # windows they affect (shift 1, window 7 → rn..rn+6), exact

@@ -828,3 +828,34 @@ def test_nfc_normalize_unicode_and_controls(spark):
     assert got[3] == "plain ascii"
     assert got[4] == "tab\tand\nnewline kept, bellgone"
     assert got[5] is None
+
+
+# -- URL extraction / domain blocklist (r12) ------------------------------
+
+
+def test_url_extract_domains_and_blocklist(spark):
+    from cassandra_es_index_spark.functions import web
+    df = spark.createDataFrame([
+        (1, 'see http://a.b.Spam.Example.com/path?q=1 and '
+            'https://ok.org/x.'),
+        (2, 'no urls here'),
+        (3, 'multi http://ok.org http://also.ok.org, '
+            '(https://spam.example.com).'),
+        (4, 'bare host example.com not a url; ftp://x.y ignored'),
+        (5, 'https://single-label'),
+    ], "id bigint, text string")
+    rows = {r["id"]: (r["n"], r["d"]) for r in df.select(
+        "id", web.url_count(F.col("text")).alias("n"),
+        web.doc_domains(F.col("text")).alias("d")).collect()}
+    # trailing sentence punctuation stripped; hosts lowercased; the
+    # registered domain is the last two labels; bare hosts and other
+    # schemes are not URLs; single-label hosts pass through
+    assert rows == {1: (2, ["example.com", "ok.org"]),
+                    2: (0, []),
+                    3: (3, ["ok.org", "example.com"]),
+                    4: (0, []),
+                    5: (1, ["single-label"])}
+    bl = spark.createDataFrame([("Example.com",)], "domain string")
+    out = {r["id"]: r["blocklisted"] for r in web.flag_blocklisted(
+        df, ["id"], "text", bl, "domain").collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False, 5: False}
