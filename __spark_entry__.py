@@ -2753,6 +2753,19 @@ def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _CACHE[key]
 
 
+def q_search_sig_chi_square(spark, sf_dir):
+    # ES significance heuristics (r12): the same fg-vs-bg plan with
+    # the chi_square scorer — standard 2×2 contingency table with
+    # background_is_superset (the ¬fg slice subtracts the foreground),
+    # include_negatives false (negatively associated terms score 0 and
+    # drop at the positive filter).
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"query":{"match":{"text":"spark"}},"aggs":{"sig":'
+         '{"significant_terms":{"field":"lang","size":8,'
+         '"chi_square":{}}}}}')
+    return eng.search_aggs("documents", q, default_field="text")
+
+
 def q_docs_url_blocklist(spark, sf_dir):
     # URL/domain filtering (r12 LLM-pipeline op): a derived fixture
     # plants URLs (one with a trailing comma — the extraction trap, one
@@ -3540,6 +3553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   agg (r12): exact window percentiles from source rows
         "docs_url_blocklist": q_docs_url_blocklist,  # ~ LLM-pipeline
         #   (r12): URL extract + domain reduce + broadcast blocklist
+        "search_sig_chi_square": q_search_sig_chi_square,  # ~ agg
+        #   superset (r12): chi_square significance heuristic
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -6153,6 +6168,49 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_quantity), 4) AS aq
             FROM ch WHERE l_returnflag IS NOT NULL
             GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+        """,
+        # chi_square significance (r12): 2×2 table with the ¬fg slice
+        # subtracting the foreground (background_is_superset); score 0
+        # for negatively associated terms drops at the positive filter
+        "search_sig_chi_square": f"""
+            WITH fg AS (
+                SELECT lang AS key, COUNT(*)::BIGINT AS doc_count
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
+                  AND lang IS NOT NULL
+                GROUP BY lang),
+            bg AS (
+                SELECT lang AS key, COUNT(*)::BIGINT AS bg_count
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+            tot AS (
+                SELECT (SELECT COUNT(*)::DOUBLE FROM documents
+                        WHERE len(regexp_extract_all(text,
+                                                     '{_SPARK}')) > 0)
+                           AS fgt,
+                       (SELECT COUNT(*)::DOUBLE FROM documents) AS bgt),
+            cells AS (
+                SELECT key, doc_count, bg_count,
+                       doc_count::DOUBLE AS a1,
+                       fgt - doc_count AS b1,
+                       (bg_count - doc_count)::DOUBLE AS c1,
+                       (bgt - fgt) - (bg_count - doc_count) AS d1,
+                       doc_count / fgt AS fgp
+                FROM fg JOIN bg USING (key) CROSS JOIN tot),
+            scored AS (
+                SELECT key, doc_count, bg_count,
+                       round(CASE
+                         WHEN c1 < 0 OR d1 < 0 OR b1 < 0 THEN NULL
+                         WHEN fgp < c1 / GREATEST(c1 + d1, 1.0)
+                           THEN 0.0
+                         ELSE (a1 + b1 + c1 + d1)
+                              * pow(a1 * d1 - b1 * c1, 2)
+                              / ((a1 + b1) * (c1 + d1)
+                                 * (a1 + c1) * (b1 + d1))
+                       END, 6) AS score
+                FROM cells)
+            SELECT key, doc_count, bg_count, score
+            FROM scored WHERE score > 0
+            ORDER BY score DESC, key ASC LIMIT 8
         """,
         # URL blocklist (r12): DuckDB replays the identical regexp
         # extraction (trailing-punctuation strip, host capture,

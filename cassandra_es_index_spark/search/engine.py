@@ -84,6 +84,60 @@ def _range_rows(docs: DataFrame, id_col: str, field: str) -> DataFrame:
                 .select(F.col(id_col).alias("doc"), ref.col.alias("val")))
 
 
+def _sig_score(a: Column, fgt: Column, b: Column, bgt: Column,
+               heuristic: tuple) -> Column:
+    """Significance score of one term for the significant_terms/_text
+    aggregations — a/fgt = term count / total in the FOREGROUND,
+    b/bgt in the BACKGROUND (ref: ES significance heuristics; the
+    reference forwards the aggs body to ES verbatim).
+
+    Kinds: ``jlh`` (ES default: (fg%−bg%)·(fg%/bg%)); ``percentage``
+    (a/b); ``chi_square`` / ``mutual_information`` over the standard
+    2×2 contingency table (term ∈/∉ doc × doc ∈ fg/¬fg), honoring
+    ES's ``background_is_superset`` (the ¬fg slice subtracts the
+    foreground) and ``include_negatives`` (false → negatively
+    associated terms score 0 and drop at the positive filter). MI is
+    base-2 with 0·log0 = 0 — the textbook statistic, documented vs
+    ES's per-version sign treatment. Invalid tables (a superset flag
+    on a non-superset background) yield null → dropped, not wrong."""
+    kind, inc_neg, superset = heuristic
+    fg_pct = a / fgt
+    bg_pct = b / bgt
+    if kind == "jlh":
+        return F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+    if kind == "percentage":
+        return F.round(a / b, 6)
+    # 2×2 table: a1 = term∈fg, b1 = ¬term∈fg, c1 = term∈¬fg,
+    # d1 = ¬term∈¬fg
+    a1 = a.cast("double")
+    b1 = (fgt - a).cast("double")
+    c1 = ((b - a) if superset else b).cast("double")
+    d1 = (((bgt - fgt) if superset else bgt) - (
+        (b - a) if superset else b)).cast("double")
+    valid = (c1 >= 0) & (d1 >= 0) & (b1 >= 0)
+    neg_assoc = fg_pct < (
+        c1 / F.greatest(c1 + d1, F.lit(1.0)))
+    n_all = a1 + b1 + c1 + d1
+    if kind == "chi_square":
+        num = n_all * (a1 * d1 - b1 * c1) * (a1 * d1 - b1 * c1)
+        den = (a1 + b1) * (c1 + d1) * (a1 + c1) * (b1 + d1)
+        raw = F.try_divide(num, den)
+    else:  # mutual_information
+        def cell(j, rt, ct):
+            p = j / n_all
+            return F.when(
+                p > 0, p * F.log2(F.try_divide(
+                    p, (rt / n_all) * (ct / n_all)))).otherwise(0.0)
+        raw = (cell(a1, a1 + b1, a1 + c1)
+               + cell(b1, a1 + b1, b1 + d1)
+               + cell(c1, c1 + d1, a1 + c1)
+               + cell(d1, c1 + d1, b1 + d1))
+    scored = F.when(~valid, F.lit(None)) \
+        .when(~F.lit(inc_neg) & neg_assoc, F.lit(0.0)) \
+        .otherwise(raw)
+    return F.round(scored, 6)
+
+
 def _geo_rows(docs: DataFrame, id_col: str, field: str,
               precision: int) -> DataFrame:
     """(doc, cell, lat, lon) rows — the geohash cell (at ``precision``)
@@ -6070,9 +6124,9 @@ class SearchEngine:
             joined = (fg.join(bg, on="key")
                         .crossJoin(F.broadcast(fg_total))
                         .crossJoin(F.broadcast(bg_total)))
-            fg_pct = F.col("doc_count") / F.col("_fg_total")
-            bg_pct = F.col("bg_count") / F.col("_bg_total")
-            score = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+            score = _sig_score(F.col("doc_count"), F.col("_fg_total"),
+                               F.col("bg_count"), F.col("_bg_total"),
+                               aggs.sig_heuristic)
             size = aggs.size if aggs.size is not None else 10
             return (joined.withColumn("score", score)
                           .where(F.col("score") > 0)
@@ -7046,9 +7100,10 @@ class SearchEngine:
                 F.count("*").cast("long").alias("_bg_total"))
             joined = (fg.join(bg, on="sub_key")
                         .crossJoin(F.broadcast(bg_total)))
-            fg_pct = F.col("sub_doc_count") / F.col("_fg_total")
-            bg_pct = F.col("bg_count") / F.col("_bg_total")
-            score = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+            score = _sig_score(F.col("sub_doc_count"),
+                               F.col("_fg_total"),
+                               F.col("bg_count"), F.col("_bg_total"),
+                               sig_sub.sig_heuristic)
             ssize = sig_sub.size if sig_sub.size is not None else 10
             wsig = Window.partitionBy("key").orderBy(
                 F.desc("score"), F.asc("sub_key"))

@@ -796,6 +796,10 @@ class BucketAgg:
     # BACKGROUND set the foreground is scored against (ES's
     # compare-against-a-context idiom) — None = the whole index
     bg_filter: "Node | None" = None
+    # significance heuristic (r12): (kind, include_negatives,
+    # background_is_superset) — jlh (ES default) | percentage |
+    # chi_square | mutual_information
+    sig_heuristic: tuple = ("jlh", False, True)
     # auto_date_histogram target bucket count (ES default 10): the
     # engine picks the smallest fixed interval from its ladder whose
     # bucket count fits, then runs the date_histogram machinery
@@ -2941,8 +2945,10 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             # semantics), same JLH scorer; top-level only (documented
             # subset — significant_terms may nest one level under a
             # bucket).
+            H_KINDS = ("jlh", "percentage", "chi_square",
+                       "mutual_information", "gnd")
             extra_p = set(params) - {"field", "size",
-                                     "background_filter"}
+                                     "background_filter"} - set(H_KINDS)
             if extra_p:
                 raise DslError(
                     f"{first_kind} agg {name!r}: unsupported "
@@ -2955,10 +2961,52 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 raise DslError(
                     f"{first_kind} agg {name!r}: background_filter "
                     "must be a query clause object")
+            # significance heuristic (r12): at most one of the ES
+            # heuristic keys; jlh is the default. gnd typed-rejects —
+            # its return transform differs across ES versions, so a
+            # silent approximation would mis-rank (the no-silent-drops
+            # contract).
+            chosen = [h for h in H_KINDS if h in params]
+            if len(chosen) > 1:
+                raise DslError(
+                    f"{first_kind} agg {name!r}: at most one "
+                    f"significance heuristic, got {chosen}")
+            h_kind, h_neg, h_sup = "jlh", False, True
+            if chosen:
+                h_kind = chosen[0]
+                if h_kind == "gnd":
+                    raise DslError(
+                        f"{first_kind} agg {name!r}: gnd is not "
+                        "supported (engine subset — its score "
+                        "transform is ES-version-dependent; use "
+                        "jlh/chi_square/mutual_information/"
+                        "percentage)")
+                hspec = params[h_kind]
+                if not isinstance(hspec, dict):
+                    raise DslError(
+                        f"{first_kind} agg {name!r}: the {h_kind} "
+                        "heuristic must be an object")
+                h_allow = (set() if h_kind in ("jlh", "percentage")
+                           else {"include_negatives",
+                                 "background_is_superset"})
+                h_extra = set(hspec) - h_allow
+                if h_extra:
+                    raise DslError(
+                        f"{first_kind} agg {name!r}: {h_kind} takes "
+                        f"{sorted(h_allow) or 'no'} params, got "
+                        f"{sorted(h_extra)}")
+                h_neg = hspec.get("include_negatives", False)
+                h_sup = hspec.get("background_is_superset", True)
+                if not isinstance(h_neg, bool) \
+                        or not isinstance(h_sup, bool):
+                    raise DslError(
+                        f"{first_kind} agg {name!r}: heuristic flags "
+                        "must be booleans")
             return BucketAgg(name=name, kind=first_kind,
                              field=params["field"],
                              size=params.get("size"),
-                             bg_filter=_node(bgf) if bgf else None)
+                             bg_filter=_node(bgf) if bgf else None,
+                             sig_heuristic=(h_kind, h_neg, h_sup))
         sub_specs = dict(body.get("aggs") or {})
         sub_bucket = None
         bucket_subs = []

@@ -1473,3 +1473,62 @@ def test_moving_percentiles_typed_errors(mp_engine):
         q = json.dumps({"query": {"match_all": {}}, "aggs": aggs})
         with pytest.raises(DslError, match=frag):
             mp_engine.search_aggs("mpt", q).collect()
+
+
+# -- significance heuristics (r12) ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sig_engine(spark):
+    # fg = tag x (10 docs); term 'a': 8 in fg, 12 overall;
+    # term 'b': 2 in fg, 20 overall; 'c' background-only
+    eng = SearchEngine(spark)
+    rows, rid = [], 0
+    for i in range(40):
+        rid += 1
+        if i < 10:
+            term = "a" if i < 8 else "b"
+            tag = "x"
+        else:
+            term = "a" if i < 14 else ("b" if i < 32 else "c")
+            tag = "y"
+        rows.append((rid, tag, term))
+    df = spark.createDataFrame(rows, "id bigint, tag string, term string")
+    eng.register(df, TableSpec("sigt", ["id"]))
+    return eng
+
+
+def _sig_run(eng, heur):
+    q = json.dumps({"query": {"term": {"tag": "x"}},
+                    "aggs": {"s": {"significant_terms": {
+                        "field": "term", "size": 10, **heur}}}})
+    return {r["key"]: r["score"] for r in
+            eng.search_aggs("sigt", q, default_field="tag").collect()}
+
+
+def test_sig_heuristics_hand_cases(sig_engine):
+    # hand 2×2 for 'a': a1=8, b1=2, c1=4, d1=26 (superset ¬fg slice)
+    assert _sig_run(sig_engine, {}) == {"a": 1.333333}
+    assert _sig_run(sig_engine, {"percentage": {}}) == {
+        "a": 0.666667, "b": 0.1}
+    assert _sig_run(sig_engine, {"chi_square": {}}) == {"a": 15.873016}
+    assert _sig_run(sig_engine, {"mutual_information": {}}) == {
+        "a": 0.275927}
+    # include_negatives keeps the negatively associated 'b'
+    # (chi² of its table — 2/10 fg vs 18/30 ¬fg)
+    assert _sig_run(sig_engine, {"chi_square": {
+        "include_negatives": True}}) == {"a": 15.873016, "b": 4.8}
+
+
+def test_sig_heuristic_typed_errors(sig_engine):
+    cases = [
+        ({"chi_square": {}, "jlh": {}}, "at most one"),
+        ({"gnd": {}}, "gnd is not supported"),
+        ({"chi_square": {"x": 1}}, "takes"),
+        ({"jlh": {"include_negatives": True}}, "takes"),
+        ({"mutual_information": {"include_negatives": "y"}},
+         "booleans"),
+    ]
+    for heur, frag in cases:
+        with pytest.raises(DslError, match=frag):
+            _sig_run(sig_engine, heur)
