@@ -2753,6 +2753,28 @@ def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _CACHE[key]
 
 
+def q_search_knn_rescored(spark, sf_dir):
+    # ES 8.17 knn rescore_vector (r12): the quantized-index rescore
+    # idiom through the DSL — vectors normalize in-plan, the int8
+    # dot-product prefilter picks ⌈k×oversample⌉ candidates (integer
+    # sum × one scale, bit-exact across engines), exact cosine
+    # re-ranks to k.
+    import json as _json
+    eng_key = _ck(spark, sf_dir, "eng:embeddings")
+    if eng_key not in _CACHE:
+        eng = SearchEngine(spark)
+        eng.register(_t(spark, sf_dir, "embeddings"),
+                     TableSpec("embeddings", ["vec_id"]))
+        _CACHE[eng_key] = eng
+    eng = _CACHE[eng_key]
+    dim = len(_t(spark, sf_dir, "embeddings").first()["embedding"])
+    q = _json.dumps({"knn": {"field": "embedding",
+                             "query_vector": [1.0] * dim, "k": 10,
+                             "rescore_vector": {"oversample": 4}}})
+    out = eng.search("embeddings", "#options:load-rows=false#" + q)
+    return out.withColumn("_score", F.round("_score", 6))
+
+
 def q_search_sig_chi_square(spark, sf_dir):
     # ES significance heuristics (r12): the same fg-vs-bg plan with
     # the chi_square scorer — standard 2×2 contingency table with
@@ -3555,6 +3577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): URL extract + domain reduce + broadcast blocklist
         "search_sig_chi_square": q_search_sig_chi_square,  # ~ agg
         #   superset (r12): chi_square significance heuristic
+        "search_knn_rescored": q_search_knn_rescored,  # ~ knn surface
+        #   (r12): rescore_vector quantized two-stage
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -6168,6 +6192,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_quantity), 4) AS aq
             FROM ch WHERE l_returnflag IS NOT NULL
             GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+        """,
+        # knn rescore_vector (r12): full two-stage replay — normalize,
+        # int8-quantize (query [1]*64 → all-127s), integer-dot
+        # prefilter top ⌈10×4⌉, exact cosine re-rank top 10
+        "search_knn_rescored": """
+            WITH n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE /
+                           sqrt(list_sum(list_transform(embedding,
+                               y -> y::DOUBLE * y::DOUBLE)))) AS ne
+                FROM embeddings),
+            c AS (SELECT vec_id, ne,
+                         list_max(list_transform(ne, x -> abs(x)))
+                             AS cm
+                  FROM n),
+            pre AS (
+                SELECT vec_id, ne,
+                       CASE WHEN cm > 0 THEN
+                           list_sum(list_transform(ne,
+                               x -> floor(x * 127.0 / cm + 0.5)
+                                    * 127.0)) * (cm / 127.0)
+                       ELSE 0 END AS qdot
+                FROM c ORDER BY qdot DESC, vec_id ASC LIMIT 40),
+            ex AS (
+                SELECT vec_id,
+                       round(list_sum(ne)
+                             / (sqrt(list_sum(list_transform(ne,
+                                    x -> x * x)))
+                                * sqrt(64.0)), 6) AS _score
+                FROM pre)
+            SELECT vec_id, _score FROM ex
+            ORDER BY _score DESC, vec_id ASC LIMIT 10
         """,
         # chi_square significance (r12): 2×2 table with the ¬fg slice
         # subtracting the foreground (background_is_superset); score 0

@@ -2606,12 +2606,21 @@ class SearchEngine:
                 "knn cannot combine with sort/collapse/rescore/"
                 "search_after")
         (fld, vec, kk, fnode, method, ncand, nprobe, hybrid,
-         ksim, kboost) = req.knn
+         ksim, kboost, rv_over) = req.knn
         comp_k = Compiler(docs, default_field)
         ref = comp_k.resolve(fld)
         if not isinstance(ref.dtype, T.ArrayType):
             raise es_dsl.DslError(
                 f"knn field {fld!r} must be an array vector column")
+        if rv_over is not None:
+            # rescore_vector (r12, ES 8.17): the quantized-index
+            # rescore idiom — route through the int8-quantized
+            # two-stage regardless of any IVF index (the prefilter
+            # reads the 4×-smaller quantized projection, TakeOrdered
+            # on integer dot products; only the ⌈k×oversample⌉
+            # survivors touch full vectors for the exact-cosine
+            # re-rank).
+            method = "exact"
         if method is None:
             method = "ivf" if (table, fld) in self._ivf else "exact"
 
@@ -2620,12 +2629,55 @@ class SearchEngine:
             if fnode is not None:
                 fpred, _ = comp_k.compile(fnode)
                 frame = frame.where(fpred)
-            qv = F.lit(list(vec)).cast("array<double>")
-            keyed = (frame.withColumn(
-                         SCORE, cosine(as_double_array(ref.col), qv))
-                     .orderBy(F.desc(SCORE), *[F.asc(c) for c in keys])
-                     .limit(kk)
-                     .select(*keys, SCORE))
+            if rv_over is not None:
+                from cassandra_es_index_spark.operators.similarity \
+                    import quantized_topk
+                if fld not in frame.columns or not isinstance(
+                        frame.schema[fld].dataType, T.ArrayType):
+                    raise es_dsl.DslError(
+                        "knn rescore_vector needs a top-level array "
+                        f"vector column, got {fld!r} "
+                        "(engine subset)")
+                _, spec0 = self.catalog.get(table)
+                id0 = self._postings_id_col(spec0)
+                pre_k = max(kk, int(math.ceil(kk * rv_over)))
+                # the quantized DOT-PRODUCT prefilter orders like
+                # cosine only on unit vectors — normalize in-plan
+                # first (norm via one helper column, not a captured
+                # array in the lambda — the HOF-capture lesson);
+                # cosine is normalization-invariant so the exact
+                # re-rank is unchanged
+                dvec = as_double_array(F.col(fld))
+                nframe = (frame.withColumn(
+                              "_rv_n",
+                              F.sqrt(F.aggregate(
+                                  dvec, F.lit(0.0),
+                                  lambda a, x: a + x * x)))
+                          .withColumn(
+                              fld,
+                              F.transform(dvec,
+                                          lambda x: x
+                                          / F.col("_rv_n"))))
+                cand = quantized_topk(nframe, id0, fld,
+                                      [float(v) for v in vec],
+                                      k=kk, prefilter_k=pre_k)
+                hits0 = cand.select(F.col(id0),
+                                    F.col("cos_sim").alias(SCORE))
+                if keys == [id0]:
+                    keyed = hits0
+                else:
+                    keyed = (docs.select(F.col(id0), *keys)
+                             .join(F.broadcast(hits0), on=id0)
+                             .select(*keys, SCORE))
+            else:
+                qv = F.lit(list(vec)).cast("array<double>")
+                keyed = (frame.withColumn(
+                             SCORE,
+                             cosine(as_double_array(ref.col), qv))
+                         .orderBy(F.desc(SCORE),
+                                  *[F.asc(c) for c in keys])
+                         .limit(kk)
+                         .select(*keys, SCORE))
         else:
             _, spec = self.catalog.get(table)
             id_col = self._postings_id_col(spec)

@@ -1440,9 +1440,40 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                                    or isinstance(nprobe, bool)
                                    or nprobe <= 0):
             raise DslError("knn nprobe must be a positive integer")
+        # param allowlist (r12 — an unknown knn key was previously a
+        # silent no-op; query_vector_builder now rejects typed, it
+        # needs a model)
+        k_extra2 = set(kspec) - {"field", "query_vector", "k",
+                                 "filter", "similarity", "boost",
+                                 "method", "num_candidates", "nprobe",
+                                 "rescore_vector"}
+        if k_extra2:
+            raise DslError(f"knn: unsupported params "
+                           f"{sorted(k_extra2)} (engine subset)")
+        # ES 8.17 rescore_vector (r12): oversample × k candidates via
+        # the int8-quantized dot-product prefilter, exact-cosine
+        # re-rank to k — the quantized-index rescore idiom
+        rv_over = None
+        rv = kspec.get("rescore_vector")
+        if rv is not None:
+            if not isinstance(rv, dict) or set(rv) != {"oversample"}:
+                raise DslError(
+                    "knn rescore_vector needs {'oversample': number}")
+            ov = rv["oversample"]
+            if isinstance(ov, bool) or not isinstance(ov, (int, float)) \
+                    or not 1.0 <= float(ov) <= 10.0:
+                raise DslError("knn rescore_vector oversample must be "
+                               "a number in [1, 10] (ES contract)")
+            rv_over = float(ov)
+            if method not in (None, "exact"):
+                raise DslError(
+                    "knn rescore_vector combines with the exact "
+                    "method only (engine subset: the ANN routes "
+                    "already re-rank candidates by exact cosine)")
         knn = (str(kspec["field"]),
                tuple(float(v) for v in kspec["query_vector"]), kk,
-               kfilter, method, ncand, nprobe, hybrid, ksim, kboost)
+               kfilter, method, ncand, nprobe, hybrid, ksim, kboost,
+               rv_over)
     rescore = None
     rspec = obj.get("rescore")
     if rspec is not None:

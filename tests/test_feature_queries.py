@@ -502,3 +502,60 @@ def test_sparse_vector_typed_errors(feat_engine):
             feat_engine.search(
                 "feat",
                 "#options:load-rows=false#" + json.dumps({"query": q}))
+
+
+# -- knn rescore_vector (r12) ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rv_engine(spark):
+    from cassandra_es_index_spark.search.engine import SearchEngine
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(1, 51)],
+        "id bigint, emb array<double>")
+    eng.register(df, TableSpec("rvv", ["id"]))
+    return eng
+
+
+def _rv_search(eng, knn):
+    body = {"knn": knn, "size": 10}
+    return eng.search("rvv",
+                      "#options:load-rows=false#" + json.dumps(body))
+
+
+def test_rescore_vector_matches_exact_at_generous_oversample(rv_engine):
+    # UNNORMALIZED corpus (growing norms — the case where a raw
+    # dot-product prefilter mis-ranks): the in-plan normalization must
+    # make the two-stage reproduce the exact top-k, ids AND scores
+    base = {"field": "emb", "query_vector": [3.0, 1.0, 0.5], "k": 5}
+    exact = sorted((r["id"], r["_score"]) for r in
+                   _rv_search(rv_engine, base).collect())
+    two = sorted((r["id"], r["_score"]) for r in _rv_search(
+        rv_engine, {**base, "rescore_vector":
+                    {"oversample": 3.0}}).collect())
+    assert exact == two
+    assert [i for i, _ in exact] == [2, 3, 4, 5, 6]
+
+
+def test_rescore_vector_filter_composes(rv_engine):
+    knn = {"field": "emb", "query_vector": [3.0, 1.0, 0.5], "k": 5,
+           "rescore_vector": {"oversample": 2},
+           "filter": {"range": {"id": {"lte": 10}}}}
+    rows = _rv_search(rv_engine, knn).collect()
+    assert len(rows) == 5 and all(r["id"] <= 10 for r in rows)
+
+
+def test_rescore_vector_typed_errors(rv_engine):
+    base = {"field": "emb", "query_vector": [1.0, 1.0, 0.5], "k": 5}
+    cases = [
+        ({**base, "rescore_vector": {"oversample": 0.5}},
+         r"\[1, 10\]"),
+        ({**base, "rescore_vector": {"x": 1}}, "oversample"),
+        ({**base, "rescore_vector": {"oversample": 2},
+          "method": "lsh"}, "exact method"),
+        ({**base, "query_vector_builder": {}}, "unsupported params"),
+    ]
+    for knn, frag in cases:
+        with pytest.raises(DslError, match=frag):
+            _rv_search(rv_engine, knn).collect()
