@@ -2753,6 +2753,39 @@ def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _CACHE[key]
 
 
+def q_percolate_multi_doc(spark, sf_dir):
+    # ES multi-document percolation (r12): docs 42 + 43 as slots in
+    # ONE pass — a stored query matching any slot qualifies, scoring
+    # the SUM of its per-slot scores (the engine's Σ composition; ES
+    # reports per-slot fields — documented). The oracle re-evaluates
+    # each stored query against each corpus row independently and sums.
+    import json as _json
+    key = _ck(spark, sf_dir, "eng:stored_queries")
+    if key not in _CACHE:
+        eng = SearchEngine(spark)
+        qdf = spark.createDataFrame(
+            [("q_spark", "text:spark"),
+             ("q_long", '{"query":{"range":{"n_chars":{"gte":400}}}}'),
+             ("q_table", '{"query":{"wildcard":{"text":"tab*"}}}')],
+            "qid string, query string")
+        eng.register(qdf, TableSpec("stored_queries", ["qid"]))
+        _CACHE[key] = eng
+    eng = _CACHE[key]
+    row_key = _ck(spark, sf_dir, "percolate:docs4243")
+    if row_key not in _CACHE:
+        _CACHE[row_key] = (_t(spark, sf_dir, "documents")
+                           .where(F.col("doc_id").isin(42, 43))
+                           .select("doc_id", "text", "n_chars")
+                           .orderBy("doc_id").collect())
+    rows = _CACHE[row_key]
+    q = _json.dumps({"query": {"percolate": {
+        "field": "query",
+        "documents": [{"text": r["text"],
+                       "n_chars": int(r["n_chars"])} for r in rows]}}})
+    return eng.search("stored_queries", "#options:load-rows=false#" + q,
+                      default_field="text")
+
+
 def q_search_knn_rescored(spark, sf_dir):
     # ES 8.17 knn rescore_vector (r12): the quantized-index rescore
     # idiom through the DSL — vectors normalize in-plan, the int8
@@ -3579,6 +3612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   superset (r12): chi_square significance heuristic
         "search_knn_rescored": q_search_knn_rescored,  # ~ knn surface
         #   (r12): rescore_vector quantized two-stage
+        "percolate_multi_doc": q_percolate_multi_doc,  # ~ percolator
+        #   (r12): multi-slot one-pass, Σ per-slot scores
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -5078,6 +5113,29 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(regexp_extract_all(text,
                           '(?i)\btab\w*\b')) > 0)
             SELECT qid, _score FROM m
+        """,
+        # multi-doc percolation (r12): per-(query, slot) re-evaluation,
+        # summed per query — the Σ composition the engine documents
+        "percolate_multi_doc": rf"""
+            WITH d AS (SELECT doc_id, text, n_chars FROM documents
+                       WHERE doc_id IN (42, 43)),
+            m AS (
+                SELECT 'q_spark' AS qid,
+                       len(regexp_extract_all(text, '{_SPARK}'))::DOUBLE
+                           AS s
+                FROM d
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
+                UNION ALL
+                SELECT 'q_long', 1.0::DOUBLE FROM d
+                WHERE n_chars >= 400
+                UNION ALL
+                SELECT 'q_table',
+                       len(regexp_extract_all(text,
+                           '(?i)\btab\w*\b'))::DOUBLE
+                FROM d
+                WHERE len(regexp_extract_all(text,
+                          '(?i)\btab\w*\b')) > 0)
+            SELECT qid, SUM(s) AS _score FROM m GROUP BY qid
         """,
         # geo_grid (r12): the identical precision-2 interleave
         # arithmetic; membership = key == literal

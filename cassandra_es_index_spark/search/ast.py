@@ -731,10 +731,15 @@ class PercolateDoc(Node):
     side is the driver-bounded stored-query set, exactly ES's
     per-shard percolator memory index). The engine resolves it before
     compile (``_expand_data_nodes`` → ScoredIds), so bool composition,
-    paging, and aggs all compose. Engine subset: one inline document;
-    raw compile without the engine is a typed CompileError."""
+    paging, and aggs all compose. ``documents`` (r12, the ES
+    multi-document form) evaluates every slot in ONE percolate pass;
+    a query's score is the SUM of its per-slot scores (the engine's Σ
+    composition — ES reports per-slot fields instead, documented).
+    Engine subset: all slots share one key set; raw compile without
+    the engine is a typed CompileError."""
     field: str = ""
-    doc_json: str = ""   # the inline document, canonical JSON
+    # the inline document slot(s), canonical JSON per slot
+    docs_json: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -1170,13 +1170,21 @@ class SearchEngine:
                     "stored-query table)")
             if not qrows:
                 return MatchNone()
-            doc_obj = json.loads(n.doc_json)
-            one = self.spark.createDataFrame(pd.DataFrame([doc_obj]))
+            # one frame with every inline slot (parse guarantees one
+            # shared key set → one inferred schema); multi-document
+            # form (r12): a query's score SUMS its per-slot scores
+            # (the engine's Σ composition; ES reports per-slot fields
+            # instead — documented on PercolateDoc)
+            slot_objs = [json.loads(j) for j in n.docs_json]
+            frame = self.spark.createDataFrame(
+                pd.DataFrame(slot_objs))
             matched = self.percolate(
-                one, [(r["_id"], r["q"]) for r in qrows],
+                frame, [(r["_id"], r["q"]) for r in qrows],
                 default_field=default_field, id_cols=())
+            agg = (matched.groupBy("query_id")
+                   .agg(F.sum(SCORE).alias(SCORE)))
             pairs = tuple((r["query_id"], float(r[SCORE]))
-                          for r in matched.collect())
+                          for r in agg.collect())
             if not pairs:
                 return MatchNone()
             return ScoredIds(pairs)

@@ -5232,22 +5232,42 @@ def _node(q: dict[str, Any]) -> Node:
         if not isinstance(body, dict):
             raise DslError("percolate needs {'field': ..., "
                            "'document': {...}}")
-        extra = set(body) - {"field", "document"}
+        extra = set(body) - {"field", "document", "documents"}
         if extra:
             raise DslError(
                 f"percolate: unsupported parameters {sorted(extra)} "
-                "(engine subset: field + one inline document — "
-                "multi-document slots and stored-document references "
-                "are not implemented)")
+                "(engine subset: field + inline document(s) — "
+                "stored-document references are not implemented)")
         pfield = body.get("field")
-        pdoc = body.get("document")
         if not isinstance(pfield, str) or not pfield:
             raise DslError("percolate needs a 'field' naming the "
                            "stored-query column")
-        if not isinstance(pdoc, dict) or not pdoc:
-            raise DslError("percolate needs a non-empty 'document' "
-                           "object")
-        return PercolateDoc(pfield, json.dumps(pdoc, sort_keys=True))
+        if ("document" in body) == ("documents" in body):
+            raise DslError("percolate takes exactly one of "
+                           "'document' or 'documents'")
+        if "document" in body:
+            pdocs = [body["document"]]
+        else:
+            pdocs = body["documents"]
+            if not isinstance(pdocs, list) or not pdocs:
+                raise DslError("percolate 'documents' must be a "
+                               "non-empty array of objects")
+            if len(pdocs) > 100:
+                raise DslError(
+                    "percolate 'documents' exceeds 100 slots (engine "
+                    "subset — every slot multiplies the one-pass "
+                    "evaluation; batch through percolate())")
+        for d in pdocs:
+            if not isinstance(d, dict) or not d:
+                raise DslError("each percolate document must be a "
+                               "non-empty object")
+        keysets = {tuple(sorted(d)) for d in pdocs}
+        if len(keysets) > 1:
+            raise DslError(
+                "percolate 'documents' slots must share one key set "
+                "(engine subset — one inferred schema per pass)")
+        return PercolateDoc(pfield, tuple(
+            json.dumps(d, sort_keys=True) for d in pdocs))
     if kind == "script":
         # ES script query (filter context): {"script": {"script":
         # {"source": "doc['f'].value > 5"}}} — the painless

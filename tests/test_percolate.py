@@ -204,7 +204,13 @@ def test_percolate_query_kind_typed_errors(stored_q, spark):
         ({"query": {"percolate": {"field": "query",
                                   "document": {"a": 1},
                                   "documents": [{"a": 1}]}}},
-         "unsupported parameters"),
+         "exactly one of"),
+        ({"query": {"percolate": {"field": "query",
+                                  "documents": []}}}, "non-empty"),
+        ({"query": {"percolate": {"field": "query",
+                                  "documents": [{"a": 1},
+                                                {"b": 2}]}}},
+         "share one key set"),
         ({"query": {"percolate": {"field": "query",
                                   "document": {"a": 1},
                                   "index": "x", "id": "1"}}},
@@ -242,3 +248,30 @@ def test_percolate_query_kind_count_and_aggs(stored_q):
            stored_q.search_aggs("stored_q", _json.dumps(qa),
                                 default_field="text").collect()}
     assert got == {("infra", 1), ("size", 1), ("combo", 1)}
+
+
+def test_percolate_documents_multi_slot(stored_q):
+    # multi-document form (r12): a stored query matching ANY slot
+    # qualifies; its score SUMS the per-slot scores (the engine's Σ
+    # composition — ES reports per-slot fields instead, documented)
+    import json as _json
+    one = {"query": {"percolate": {
+        "field": "query",
+        "document": {"text": "spark spark", "n": 480}}},
+        "size": 100}
+    multi = {"query": {"percolate": {
+        "field": "query",
+        "documents": [{"text": "spark spark", "n": 480},
+                      {"text": "spark", "n": 10},
+                      {"text": "nothing", "n": 0}]}}, "size": 100}
+    r1 = {r["qid"]: r["_score"] for r in stored_q.search(
+        "stored_q", "#options:load-rows=false#"
+        + _json.dumps(one)).collect()}
+    rm_ = {r["qid"]: r["_score"] for r in stored_q.search(
+        "stored_q", "#options:load-rows=false#"
+        + _json.dumps(multi)).collect()}
+    # every single-doc match persists, and queries matching the extra
+    # 'alpha' slot gain its score on top
+    assert set(r1) <= set(rm_)
+    for qid, s in r1.items():
+        assert rm_[qid] >= s
