@@ -6422,12 +6422,24 @@ class SearchEngine:
                                           (lv.exclude, False)):
                     if spec_ie is None:
                         continue
-                    mode_ie, val_ie = spec_ie
-                    if mode_ie == "re":
-                        cond = k.cast("string").rlike(
-                            f"^(?:{val_ie})$")
+                    if spec_ie[0] == "partition":
+                        # partitioned terms (r12): deterministic
+                        # disjoint slice via pmod(xxhash64(key), m) —
+                        # native per-row hash in the scan filter, so
+                        # partition N's aggregation shuffles only its
+                        # own slice of the key space (the property
+                        # that makes walking a billion-term field
+                        # feasible)
+                        _, pp, mm = spec_ie
+                        cond = F.pmod(F.xxhash64(k.cast("string")),
+                                      F.lit(mm)) == F.lit(pp)
                     else:
-                        cond = k.isin(*val_ie)
+                        mode_ie, val_ie = spec_ie
+                        if mode_ie == "re":
+                            cond = k.cast("string").rlike(
+                                f"^(?:{val_ie})$")
+                        else:
+                            cond = k.isin(*val_ie)
                     if not positive:
                         cond = ~cond
                     gate = cond if gate is None else gate & cond

@@ -3353,8 +3353,29 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 return ("re", raw)
             if isinstance(raw, list) and raw:
                 return ("values", tuple(raw))
-            raise DslError(f"terms {key} must be a regex string or a "
-                           "non-empty value list")
+            if isinstance(raw, dict) and key == "include":
+                # ES partitioned terms (r12): walk a huge-cardinality
+                # field in disjoint deterministic slices —
+                # {"partition": p, "num_partitions": m}. The engine
+                # partitioner is pmod(xxhash64(key-as-string), m)
+                # (documented constant; ES's own partition hash is
+                # likewise engine-internal — the CONTRACT is
+                # deterministic + disjoint + complete, pinned by test)
+                if set(raw) != {"partition", "num_partitions"}:
+                    raise DslError(
+                        "terms include partition form needs exactly "
+                        "{'partition': p, 'num_partitions': m}")
+                p, m = raw["partition"], raw["num_partitions"]
+                if not isinstance(p, int) or not isinstance(m, int) \
+                        or isinstance(p, bool) or isinstance(m, bool) \
+                        or m <= 0 or not 0 <= p < m:
+                    raise DslError(
+                        "terms include partition needs integers "
+                        "0 <= partition < num_partitions")
+                return ("partition", p, m)
+            raise DslError(f"terms {key} must be a regex string, a "
+                           "non-empty value list, or the include "
+                           "partition object")
 
         include = _inc_exc("include")
         exclude = _inc_exc("exclude")

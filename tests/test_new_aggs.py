@@ -1532,3 +1532,54 @@ def test_sig_heuristic_typed_errors(sig_engine):
     for heur, frag in cases:
         with pytest.raises(DslError, match=frag):
             _sig_run(sig_engine, heur)
+
+
+# -- partitioned terms (r12) ----------------------------------------------
+
+
+def test_terms_include_partition_contract(spark):
+    # the partition form's CONTRACT: deterministic, disjoint, complete
+    # (the engine partitioner is pmod(xxhash64(key), m) — documented
+    # constant; ES's own partition hash is likewise engine-internal)
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(i, f"user_{i % 37}") for i in range(1, 301)],
+        "id bigint, u string")
+    eng.register(df, TableSpec("pterms", ["id"]))
+
+    def part(p, m):
+        q = json.dumps({"query": {"match_all": {}},
+                        "aggs": {"t": {"terms": {
+                            "field": "u", "size": 100,
+                            "include": {"partition": p,
+                                        "num_partitions": m}}}}})
+        return {r["key"]: r["doc_count"] for r in
+                eng.search_aggs("pterms", q).collect()}
+
+    parts = [part(p, 4) for p in range(4)]
+    union: dict = {}
+    for d in parts:
+        for k, v in d.items():
+            assert k not in union          # disjoint
+            union[k] = v
+    assert union == part(0, 1)             # complete
+    assert part(2, 4) == parts[2]          # deterministic
+
+
+def test_terms_include_partition_typed_errors(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame([(1, "a")], "id bigint, u string")
+    eng.register(df, TableSpec("pterr", ["id"]))
+    cases = [
+        ({"include": {"partition": 4, "num_partitions": 4}},
+         "0 <= partition"),
+        ({"include": {"partition": 0}}, "exactly"),
+        ({"exclude": {"partition": 0, "num_partitions": 2}},
+         "exclude must be"),
+    ]
+    for extra, frag in cases:
+        q = json.dumps({"query": {"match_all": {}},
+                        "aggs": {"t": {"terms": {"field": "u",
+                                                 **extra}}}})
+        with pytest.raises(DslError, match=frag):
+            eng.search_aggs("pterr", q).collect()
