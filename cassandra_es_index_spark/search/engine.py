@@ -4476,6 +4476,82 @@ class SearchEngine:
         pred, _ = Compiler(docs, default_field).compile(req.node)
         return docs.where(pred).count()
 
+    def _match_rows(self, table: str, query: str | None,
+                    default_field: str | None = None) -> DataFrame:
+        """The raw match set of a query over a table's documents frame
+        — the full expansion pipeline (join nodes → date math →
+        phrase-prefix → data nodes → runtime fields), postings-served
+        when servable, no scoring/paging. ``None`` query = every
+        document. The write APIs (reindex / update_by_query) build on
+        this."""
+        docs = self._docs[table]
+        if query is None:
+            return docs
+        qmd = QueryMetaData.parse(query)
+        req = self._parse_request(qmd.query)
+        if req.rrf is not None:
+            raise es_dsl.DslError(
+                "retriever (rrf) is a search()-only section — a fused "
+                "ranking has no match-set semantics")
+        req, docs = self._expand_join_nodes(req, table, docs,
+                                            default_field, qmd)
+        req = self._resolve_date_math(req, docs, default_field, qmd)
+        req = self._expand_phrase_prefixes(req, table, docs,
+                                           default_field)
+        req = self._expand_data_nodes(req, table, docs, default_field)
+        docs = self._apply_runtime(docs, req)
+        _, spec = self.catalog.get(table)
+        ph = self._postings_hits(table, req.node, default_field)
+        if ph is not None:
+            id_col = self._postings_id_col(spec)
+            ids = ph.select(F.col("doc").alias(id_col))
+            return docs.join(ids, on=id_col, how="left_semi")
+        pred, _ = Compiler(docs, default_field).compile(req.node)
+        return docs.where(pred)
+
+    def reindex(self, src_table: str, dest, query: str | None = None,
+                *, pipeline: str | None = None, registry=None,
+                default_field: str | None = None) -> int:
+        """ES ``_reindex`` analogue: the match set of ``query`` over
+        the source table flows into the destination ``IndexStore`` as
+        ONE distributed upsert batch — log-structured O(batch), never
+        the reference's per-document HTTP round trips
+        (ElasticIndex.java:593-615). An optional ingest ``pipeline``
+        (from ``registry``, a PipelineRegistry) transforms rows
+        in-flight, the ES script/processor slot. Returns the number of
+        documents written (ES's ``total``). The destination store's
+        schema check applies — reindex into a mismatched store is the
+        store's typed error, not silent coercion."""
+        rows = self._match_rows(src_table, query, default_field)
+        if pipeline is not None:
+            if registry is None:
+                raise es_dsl.DslError(
+                    "reindex: a pipeline needs a PipelineRegistry "
+                    "(pass registry=)")
+            rows = registry.apply(pipeline, rows)
+        n = rows.count()
+        if n:
+            dest.upsert(rows)
+        return n
+
+    def update_by_query(self, table: str, store, query: str | None,
+                        *, pipeline: str, registry,
+                        default_field: str | None = None) -> int:
+        """ES ``_update_by_query`` analogue: apply an ingest
+        ``pipeline`` to the match set and upsert the transformed rows
+        back into the table's ``IndexStore`` (per-key last-writer-wins
+        — the store's upsert contract). Returns the number of updated
+        documents. The engine's registered frame is NOT auto-refreshed
+        — re-register from ``store.read()`` to serve the new rows (the
+        reference's row re-load pattern, EsSecondaryIndex.java
+        read-path)."""
+        rows = self._match_rows(table, query, default_field)
+        rows = registry.apply(pipeline, rows)
+        n = rows.count()
+        if n:
+            store.upsert(rows)
+        return n
+
     def explain(self, table: str, query: str, doc_id,
                 default_field: str | None = None) -> DataFrame:
         """ES ``_explain`` analogue: for ONE document, whether it matches

@@ -284,3 +284,59 @@ def test_upsert_schema_mismatch_fails_fast(spark, tmp_path, base):
     with pytest.raises(ValueError, match="schema mismatch"):
         store.upsert(bad)
     assert store.count() == 3  # nothing was appended
+
+
+# -- reindex / update_by_query (r12) --------------------------------------
+
+
+def test_reindex_match_set_into_store(spark, tmp_path, base):
+    from cassandra_es_index_spark.search.engine import SearchEngine
+    eng = SearchEngine(spark)
+    eng.register(base, TableSpec("emails", ["id"]))
+    dest = _store(spark, tmp_path)
+    dest.build(base.limit(0))
+    n = eng.reindex("emails", dest, "body:hello",
+                    default_field="body")
+    assert n == 2
+    got = sorted(r["id"] for r in dest.read().collect())
+    assert got == ["a", "b"]
+    # no query = the whole table (upsert dedups by key)
+    assert eng.reindex("emails", dest) == 3
+    assert dest.count() == 3
+
+
+def test_reindex_with_pipeline_and_registry_guard(spark, tmp_path,
+                                                  base):
+    from cassandra_es_index_spark import pipelines as P
+    from cassandra_es_index_spark.search.engine import SearchEngine
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    eng = SearchEngine(spark)
+    eng.register(base, TableSpec("emails", ["id"]))
+    dest = _store(spark, tmp_path)
+    dest.build(base.limit(0))
+    reg = P.PipelineRegistry()
+    reg.put("up", [P.lowercase_field("body")])
+    n = eng.reindex("emails", dest, "body:CASSANDRA",
+                    pipeline="up", registry=reg, default_field="body")
+    assert n == 1
+    assert dest.read().collect()[0]["body"] == "hello cassandra"
+    with pytest.raises(DslError, match="PipelineRegistry"):
+        eng.reindex("emails", dest, None, pipeline="up")
+
+
+def test_update_by_query_last_writer_wins(spark, tmp_path, base):
+    from cassandra_es_index_spark import pipelines as P
+    from cassandra_es_index_spark.search.engine import SearchEngine
+    eng = SearchEngine(spark)
+    eng.register(base, TableSpec("emails", ["id"]))
+    store = _store(spark, tmp_path)
+    store.build(base)
+    reg = P.PipelineRegistry()
+    reg.put("flag", [P.set_field("userid", 999)])
+    n = eng.update_by_query("emails", store, "body:hello",
+                            pipeline="flag", registry=reg,
+                            default_field="body")
+    assert n == 2
+    rows = {r["id"]: r["userid"] for r in store.read().collect()}
+    # matched rows updated in the store, the non-match untouched
+    assert rows == {"a": 999, "b": 999, "c": 7}
