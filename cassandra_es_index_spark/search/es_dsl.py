@@ -1193,11 +1193,27 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                         raise DslError(f"linear retrievers[{i}]: knn "
                                        "needs an object")
                     sub = json.dumps({"knn": rbody}, sort_keys=True)
+                elif rk in ("rrf", "linear"):
+                    # nested retriever tree (r12): one level, eager
+                    # parse — see the rrf branch
+                    if not isinstance(rbody, dict):
+                        raise DslError(f"linear retrievers[{i}]: "
+                                       f"{rk} needs an object")
+                    inner = parse_request(
+                        json.dumps({"retriever": {rk: rbody}}))
+                    for sb in (inner.rrf[1] if rk == "rrf"
+                               else [e[0] for e in inner.rrf[1]]):
+                        if "retriever" in json.loads(sb):
+                            raise DslError(
+                                "retriever trees nest at most one "
+                                "level (engine subset)")
+                    sub = json.dumps({"retriever": {rk: rbody}},
+                                     sort_keys=True)
                 else:
                     raise DslError(
                         f"linear retrievers[{i}]: unsupported "
                         f"retriever kind {rk!r} (engine subset: "
-                        "standard, knn)")
+                        "standard, knn, rrf, linear)")
                 lsubs.append((sub, float(w), norm))
             rrf = ("linear", tuple(lsubs), window)
     if "retriever" in obj and rrf is None:
@@ -1253,10 +1269,31 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                                    "an object")
                 subs.append(json.dumps({"knn": rbody},
                                        sort_keys=True))
+            elif rk in ("rrf", "linear"):
+                # nested retriever tree (r12, ES 8.16): ONE extra
+                # level — the sub body re-enters search() whole, so
+                # its own fusion serves every plan path; the nested
+                # spec parses EAGERLY here (typed errors surface at
+                # the outer request), and a further nesting level
+                # inside it rejects below
+                if not isinstance(rbody, dict):
+                    raise DslError(f"rrf retrievers[{i}]: {rk} needs "
+                                   "an object")
+                inner = parse_request(
+                    json.dumps({"retriever": {rk: rbody}}))
+                for sb in (inner.rrf[1] if rk == "rrf"
+                           else [e[0] for e in inner.rrf[1]]):
+                    if "retriever" in json.loads(sb):
+                        raise DslError(
+                            "retriever trees nest at most one level "
+                            "(engine subset)")
+                subs.append(json.dumps({"retriever": {rk: rbody}},
+                                       sort_keys=True))
             else:
                 raise DslError(
                     f"rrf retrievers[{i}]: unsupported retriever kind "
-                    f"{rk!r} (engine subset: standard, knn)")
+                    f"{rk!r} (engine subset: standard, knn, rrf, "
+                    "linear)")
         rrf = ("rrf", tuple(subs), kconst, window)
     from_ = obj.get("from", 0)
     if not isinstance(from_, int) or from_ < 0:

@@ -559,3 +559,69 @@ def test_rescore_vector_typed_errors(rv_engine):
     for knn, frag in cases:
         with pytest.raises(DslError, match=frag):
             _rv_search(rv_engine, knn).collect()
+
+
+# -- nested retriever trees (r12) ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tree_engine(spark):
+    from cassandra_es_index_spark.search.engine import SearchEngine
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "spark fast engine", 10.0), (2, "spark slow", 50.0),
+         (3, "engine room", 30.0), (4, "fast engine spark spark", 5.0),
+         (5, "other", 99.0)], "id bigint, text string, v double")
+    eng.register(df, TableSpec("rtree", ["id"]))
+    return eng
+
+
+def test_linear_of_linear_hand_weights(tree_engine):
+    # inner linear (weight 2): fast {1,4} + engine {1,3,4} → {1:2,
+    # 4:2, 3:1}; outer adds spark tf (1:1, 2:1, 4:2) →
+    # {4:6, 1:5, 3:2, 2:1}
+    body = {"retriever": {"linear": {"retrievers": [
+        {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {
+                "term": {"text": "fast"}}}}, "weight": 1.0},
+            {"retriever": {"standard": {"query": {
+                "term": {"text": "engine"}}}}, "weight": 1.0}],
+            "rank_window_size": 10}}, "weight": 2.0},
+        {"retriever": {"standard": {"query": {
+            "term": {"text": "spark"}}}}, "weight": 1.0}],
+        "rank_window_size": 10}}, "size": 10}
+    rows = [(r["id"], r["_score"]) for r in tree_engine.search(
+        "rtree",
+        "#options:load-rows=false#" + json.dumps(body)).collect()]
+    assert rows == [(4, 6.0), (1, 5.0), (3, 2.0), (2, 1.0)]
+
+
+def test_rrf_of_rrf_runs_and_ranks(tree_engine):
+    body = {"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"term": {"text": "spark"}}}},
+        {"rrf": {"retrievers": [
+            {"standard": {"query": {"term": {"text": "engine"}}}},
+            {"standard": {"query": {"range": {"v": {"gte": 30}}}}}],
+            "rank_window_size": 10}}],
+        "rank_window_size": 10}}, "size": 10}
+    rows = [r["id"] for r in tree_engine.search(
+        "rtree",
+        "#options:load-rows=false#" + json.dumps(body)).collect()]
+    # docs in BOTH branches lead; hand check: 1 (rank1+rank3-ish)
+    assert rows[0] == 1 and set(rows) == {1, 2, 3, 4, 5}
+
+
+def test_retriever_tree_depth_cap_typed(tree_engine):
+    deep = {"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"term": {"text": "spark"}}}},
+        {"rrf": {"retrievers": [
+            {"standard": {"query": {"term": {"text": "engine"}}}},
+            {"rrf": {"retrievers": [
+                {"standard": {"query": {"term": {"text": "fast"}}}},
+                {"standard": {"query": {"term": {"text": "room"}}}}],
+                "rank_window_size": 10}}],
+            "rank_window_size": 10}}],
+        "rank_window_size": 10}}}
+    with pytest.raises(DslError, match="at most one level"):
+        tree_engine.search(
+            "rtree", "#options:load-rows=false#" + json.dumps(deep))
