@@ -5611,6 +5611,10 @@ class SearchEngine:
                         F.min(glat).alias(f"{m.name}_bottom"),
                         F.max(glon).alias(f"{m.name}_right")]
             c = comp.resolve(m.field).col
+            if m.missing is not None:
+                # ES metric `missing` (r12): nulls substitute instead
+                # of dropping — one coalesce ahead of the aggregate
+                c = F.coalesce(c, F.lit(m.missing))
             if m.kind == "top_metrics":
                 # the metric fields of the TOP doc under the sort —
                 # max_by/min_by (map-side combinable, no window/shuffle

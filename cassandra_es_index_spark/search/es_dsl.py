@@ -647,6 +647,9 @@ class MetricAgg:
     # value are skipped like ES, ties break arbitrarily like ES's
     # shard-order ties)
     sort_asc: bool = True
+    # ES metric `missing` (r12, the simple tier): null field values
+    # substitute this value instead of dropping from the aggregate
+    missing: Any = None
     # rate: the per-`unit` scaling of a date_histogram bucket's
     # doc_count (field=None) or field sum — validated against the
     # PARENT at execution (fixed-span parents only, engine subset)
@@ -2259,6 +2262,26 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
                            "non-empty numeric 'values' list")
         return MetricAgg(name, kind, body["field"],
                          rank_values=tuple(float(v) for v in vals))
+    # simple-metric tail (avg/sum/min/max/value_count/cardinality/
+    # stats/extended_stats/percentiles/weighted_avg base …): param
+    # allowlist (r12 — an unknown key was previously a silent no-op)
+    # + ES `missing` (null field values substitute this value instead
+    # of dropping from the aggregate)
+    tail_allow = {"field", "missing"}
+    if kind == "cardinality":
+        tail_allow |= {"precision_threshold"}
+    if kind == "percentiles":
+        tail_allow |= {"percents", "compression", "tdigest"}
+    t_extra = set(body) - tail_allow
+    if t_extra:
+        raise DslError(f"metric agg {name!r} ({kind}): unsupported "
+                       f"params {sorted(t_extra)} (engine subset)")
+    mval = body.get("missing")
+    if mval is not None and (isinstance(mval, bool)
+                             or not isinstance(mval,
+                                               (int, float, str))):
+        raise DslError(f"metric agg {name!r}: missing must be a "
+                       "number or string")
     threshold = body.get("precision_threshold")
     if threshold is not None and (not isinstance(threshold, int)
                                   or threshold <= 0):
@@ -2283,7 +2306,8 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
     return MetricAgg(name, kind, body["field"],
                      precision_threshold=threshold,
                      percents=percents,
-                     compression=compression)
+                     compression=compression,
+                     missing=mval)
 
 
 def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:

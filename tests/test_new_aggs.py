@@ -1583,3 +1583,38 @@ def test_terms_include_partition_typed_errors(spark):
                                                  **extra}}}})
         with pytest.raises(DslError, match=frag):
             eng.search_aggs("pterr", q).collect()
+
+
+# -- metric `missing` (r12) -----------------------------------------------
+
+
+def test_metric_missing_substitutes_nulls(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "b", 30.0),
+         (4, "b", None)], "id bigint, g string, v double")
+    eng.register(df, TableSpec("mmiss", ["id"]))
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"t": {"terms": {"field": "g", "size": 10},
+                                   "aggs": {
+        "av": {"avg": {"field": "v", "missing": 0}},
+        "vc": {"value_count": {"field": "v", "missing": 0}},
+        "plain": {"avg": {"field": "v"}}}}}})
+    rows = {r["key"]: (r["av"], r["vc"], r["plain"]) for r in
+            eng.search_aggs("mmiss", q).collect()}
+    # missing: 0 pulls nulls into the aggregate; the plain sibling
+    # keeps ES's drop-null default
+    assert rows == {"a": (5.0, 2, 10.0), "b": (15.0, 2, 30.0)}
+    with pytest.raises(DslError, match="unsupported params"):
+        eng.search_aggs("mmiss", json.dumps(
+            {"query": {"match_all": {}},
+             "aggs": {"t": {"terms": {"field": "g"},
+                            "aggs": {"x": {"avg": {
+                                "field": "v", "nope": 1}}}}}}))
+    with pytest.raises(DslError, match="number or string"):
+        eng.search_aggs("mmiss", json.dumps(
+            {"query": {"match_all": {}},
+             "aggs": {"t": {"terms": {"field": "g"},
+                            "aggs": {"x": {"avg": {
+                                "field": "v",
+                                "missing": True}}}}}}))
