@@ -2753,6 +2753,30 @@ def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _CACHE[key]
 
 
+def q_search_retriever_tree(spark, sf_dir):
+    # nested retriever tree (r12, ES 8.16): linear fusion whose FIRST
+    # sub-retriever is itself a linear fusion (spark + value term
+    # scores, window 50) weighted 2.0, beside a raw table retriever at
+    # 1.0 — the nested spec re-enters search() whole, so the inner
+    # fusion serves its own plan paths. All normalizers "none": the
+    # oracle replays both fusion levels as plain weighted sums over
+    # re-derived rank windows.
+    import json as _json
+    eng = _docs_engine(spark, sf_dir)
+    q = _json.dumps({"retriever": {"linear": {"retrievers": [
+        {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {
+                "match": {"text": "spark"}}}}},
+            {"retriever": {"standard": {"query": {
+                "match": {"text": "value"}}}}}],
+            "rank_window_size": 50}}, "weight": 2.0},
+        {"retriever": {"standard": {"query": {
+            "match": {"text": "table"}}}}}],
+        "rank_window_size": 50}}, "size": 30})
+    out = eng.search("documents", "#options:load-rows=false#" + q)
+    return out.withColumn("_score", F.round("_score", 6))
+
+
 def q_percolate_multi_doc(spark, sf_dir):
     # ES multi-document percolation (r12): docs 42 + 43 as slots in
     # ONE pass — a stored query matching any slot qualifies, scoring
@@ -3614,6 +3638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): rescore_vector quantized two-stage
         "percolate_multi_doc": q_percolate_multi_doc,  # ~ percolator
         #   (r12): multi-slot one-pass, Σ per-slot scores
+        "search_retriever_tree": q_search_retriever_tree,  # ~ fusion
+        #   (r12): nested linear-of-linear, one extra level
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -5113,6 +5139,55 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(regexp_extract_all(text,
                           '(?i)\btab\w*\b')) > 0)
             SELECT qid, _score FROM m
+        """,
+        # nested retriever tree (r12): both fusion levels replayed —
+        # inner = spark + value windows summed, its own top-50 window
+        # weighted 2.0; outer adds the table window at 1.0
+        "search_retriever_tree": f"""
+            WITH t1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::DOUBLE
+                           AS s
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0),
+            w1 AS (SELECT doc_id, s FROM (
+                       SELECT doc_id, s, ROW_NUMBER() OVER (
+                           ORDER BY s DESC, doc_id ASC) AS r FROM t1)
+                   WHERE r <= 50),
+            t2 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_VALUE}'))::DOUBLE
+                           AS s
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_VALUE}')) > 0),
+            w2 AS (SELECT doc_id, s FROM (
+                       SELECT doc_id, s, ROW_NUMBER() OVER (
+                           ORDER BY s DESC, doc_id ASC) AS r FROM t2)
+                   WHERE r <= 50),
+            inner_u AS (
+                SELECT doc_id, SUM(s) AS s FROM (
+                    SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+                GROUP BY doc_id),
+            iw AS (SELECT doc_id, s FROM (
+                       SELECT doc_id, s, ROW_NUMBER() OVER (
+                           ORDER BY s DESC, doc_id ASC) AS r
+                       FROM inner_u)
+                   WHERE r <= 50),
+            t3 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_TABLE}'))::DOUBLE
+                           AS s
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_TABLE}')) > 0),
+            w3 AS (SELECT doc_id, s FROM (
+                       SELECT doc_id, s, ROW_NUMBER() OVER (
+                           ORDER BY s DESC, doc_id ASC) AS r FROM t3)
+                   WHERE r <= 50),
+            u AS (SELECT doc_id, 2.0 * s AS ws FROM iw
+                  UNION ALL SELECT doc_id, 1.0 * s FROM w3)
+            SELECT doc_id, round(SUM(ws), 6) AS _score
+            FROM u GROUP BY doc_id
+            ORDER BY SUM(ws) DESC, doc_id ASC LIMIT 30
         """,
         # multi-doc percolation (r12): per-(query, slot) re-evaluation,
         # summed per query — the Σ composition the engine documents
