@@ -365,3 +365,81 @@ def test_knn_clause_resolves_to_constant_map_probe(parquet_engine):
     plan = _plan(out)
     assert "keys:" in plan            # the folded map literal
     assert "Join" not in plan         # probe, not a join
+
+
+def test_children_agg_is_semi_join_no_corpus_collect(spark):
+    # children agg: frame rebind = ONE left-semi equi-join on the
+    # relation key, then an ordinary map-side-combinable groupBy —
+    # no Python in the plan, no cartesian
+    import json
+    eng = SearchEngine(spark)
+    parents = read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    children = read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    eng.register(parents, TableSpec("orders_p", ["o_orderkey"]))
+    eng.register(children,
+                 TableSpec("lineitem_c", ["l_orderkey", "l_linenumber"]))
+    eng.register_relation("orders_p", "lineitem_c",
+                          "o_orderkey", "l_orderkey")
+    q = json.dumps({"query": {"term": {"o_orderpriority": "urgent"}},
+                    "aggs": {"ch": {"children": {"type": "lineitem_c"},
+                                    "aggs": {"rf": {"terms": {
+                                        "field": "l_returnflag",
+                                        "size": 10}}}}}})
+    plan = _plan(eng.search_aggs("orders_p", q,
+                                 default_field="o_comment"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ip_prefix_plan_stays_codegen(spark):
+    # ip parsing/masking/rendering is pure Column algebra — one
+    # hash aggregate, zero Python, zero extra joins
+    import json
+    eng = SearchEngine(spark)
+    ev = (read_parquet(spark, f"{SF_DIR}/events.parquet")
+          .withColumn("ip", F.concat_ws(
+              ".", F.lit(10), F.pmod(F.col("user_id"), F.lit(256)),
+              F.pmod(F.expr("user_id div 256"), F.lit(256)),
+              F.pmod(F.col("event_id"), F.lit(256)))))
+    eng.register(ev, TableSpec("events_ip_plan", ["event_id"]))
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"p": {"ip_prefix": {
+                        "field": "ip", "prefix_length": 16}}}})
+    plan = _plan(eng.search_aggs("events_ip_plan", q))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_sparse_vector_serves_from_postings(parquet_engine):
+    # the weighted term-sum desugar is an OR of term clauses — with
+    # the postings built it serves index-backed like any terms query
+    import json
+    parquet_engine.build_postings_index("documents_plan", "text")
+    q = json.dumps({"query": {"sparse_vector": {
+        "field": "text",
+        "query_vector": {"spark": 2.0, "query": 1.5}}}, "size": 10})
+    out = parquet_engine.search(
+        "documents_plan", "#options:load-rows=false#" + q,
+        default_field="text")
+    plan = _plan(out)
+    # index-served: no corpus text regexp in the plan
+    assert "regexp_extract_all" not in plan
+
+
+def test_rescore_vector_prefilter_is_take_ordered(spark):
+    # the quantized prefilter must TakeOrdered over the projection,
+    # never globally sort; the exact re-rank joins candidates back
+    import json
+    eng = SearchEngine(spark)
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    eng.register(emb, TableSpec("emb_plan", ["vec_id"]))
+    dim = len(emb.first()["embedding"])
+    q = json.dumps({"knn": {"field": "embedding",
+                            "query_vector": [1.0] * dim, "k": 5,
+                            "rescore_vector": {"oversample": 3}}})
+    plan = _plan(eng.search("emb_plan",
+                            "#options:load-rows=false#" + q))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
