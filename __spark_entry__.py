@@ -2753,6 +2753,31 @@ def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _CACHE[key]
 
 
+def q_events_metric_missing(spark, sf_dir):
+    # metric `missing` (r12): a derived fixture nulls every 7th value;
+    # the avg with missing: 0 pulls those rows in at zero while the
+    # plain sibling keeps ES's drop-null default — one coalesce ahead
+    # of the aggregate, nothing else changes.
+    eng_key = _ck(spark, sf_dir, "eng:events_nullv")
+    if eng_key not in _CACHE:
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "v2", F.when(F.col("event_id") % 7 != 0, F.col("value")))
+        eng = SearchEngine(spark)
+        eng.register(ev, TableSpec("events_nullv", ["event_id"]))
+        _CACHE[eng_key] = eng
+    eng = _CACHE[eng_key]
+    q = ('{"query":{"term":{"event_type":"click"}},'
+         '"aggs":{"d":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day"},'
+         '"aggs":{"am":{"avg":{"field":"v2","missing":0}},'
+         '"ap":{"avg":{"field":"v2"}},'
+         '"vc":{"value_count":{"field":"v2","missing":0}}}}}}')
+    out = eng.search_aggs("events_nullv", q, default_field="event_type")
+    return out.select("key", "doc_count",
+                      F.round("am", 4).alias("am"),
+                      F.round("ap", 4).alias("ap"), "vc")
+
+
 def q_search_retriever_tree(spark, sf_dir):
     # nested retriever tree (r12, ES 8.16): linear fusion whose FIRST
     # sub-retriever is itself a linear fusion (spark + value term
@@ -3640,6 +3665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): multi-slot one-pass, Σ per-slot scores
         "search_retriever_tree": q_search_retriever_tree,  # ~ fusion
         #   (r12): nested linear-of-linear, one extra level
+        "events_metric_missing": q_events_metric_missing,  # ~ metric
+        #   param (r12): null substitution via one coalesce
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -5139,6 +5166,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(regexp_extract_all(text,
                           '(?i)\btab\w*\b')) > 0)
             SELECT qid, _score FROM m
+        """,
+        # metric missing (r12): identical COALESCE ahead of the
+        # aggregates over the same derived-null fixture
+        "events_metric_missing": r"""
+            WITH src AS (
+                SELECT date_trunc('day', ts) AS key,
+                       CASE WHEN event_id % 7 != 0 THEN value END AS v2
+                FROM events
+                WHERE len(regexp_extract_all(event_type,
+                                             '(?i)\bclick\b')) > 0
+                  AND ts IS NOT NULL)
+            SELECT key, COUNT(*)::BIGINT AS doc_count,
+                   ROUND(AVG(COALESCE(v2, 0)), 4) AS am,
+                   ROUND(AVG(v2), 4) AS ap,
+                   COUNT(COALESCE(v2, 0))::BIGINT AS vc
+            FROM src GROUP BY 1
         """,
         # nested retriever tree (r12): both fusion levels replayed —
         # inner = spark + value windows summed, its own top-50 window
