@@ -6268,8 +6268,12 @@ class SearchEngine:
                                F.col("bg_count"), F.col("_bg_total"),
                                aggs.sig_heuristic)
             size = aggs.size if aggs.size is not None else 10
+            # min_doc_count (r12): foreground-count floor before
+            # ranking (engine default 1 — documented vs ES's 3)
+            sig_mdc = aggs.min_doc_count or 1
             return (joined.withColumn("score", score)
                           .where(F.col("score") > 0)
+                          .where(F.col("doc_count") >= sig_mdc)
                           .select("key", "doc_count", "bg_count", "score")
                           .orderBy(F.desc("score"), F.asc("key"))
                           .limit(size))
@@ -7261,6 +7265,8 @@ class SearchEngine:
                 F.desc("score"), F.asc("sub_key"))
             sig_rows = (joined.withColumn("score", score)
                         .where(F.col("score") > 0)
+                        .where(F.col("sub_doc_count")
+                               >= (sig_sub.min_doc_count or 1))
                         .withColumn("_srn", F.row_number().over(wsig))
                         .where(F.col("_srn") <= ssize)
                         .select("key", "sub_key", "sub_doc_count",

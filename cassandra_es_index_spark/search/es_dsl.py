@@ -3040,7 +3040,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             H_KINDS = ("jlh", "percentage", "chi_square",
                        "mutual_information", "gnd")
             extra_p = set(params) - {"field", "size",
-                                     "background_filter"} - set(H_KINDS)
+                                     "background_filter",
+                                     "min_doc_count"} - set(H_KINDS)
             if extra_p:
                 raise DslError(
                     f"{first_kind} agg {name!r}: unsupported "
@@ -3094,10 +3095,21 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     raise DslError(
                         f"{first_kind} agg {name!r}: heuristic flags "
                         "must be booleans")
+            # ES significant min_doc_count: foreground-count floor
+            # before ranking. ENGINE DEFAULT 1 (every matched term
+            # ranks) — a documented deviation from ES's noise-trim
+            # default of 3; pass the param for ES behavior.
+            sig_mdc = params.get("min_doc_count", 1)
+            if isinstance(sig_mdc, bool) or not isinstance(sig_mdc, int) \
+                    or sig_mdc < 1:
+                raise DslError(f"{first_kind} agg {name!r}: "
+                               "min_doc_count must be a positive "
+                               "integer")
             return BucketAgg(name=name, kind=first_kind,
                              field=params["field"],
                              size=params.get("size"),
                              bg_filter=_node(bgf) if bgf else None,
+                             min_doc_count=sig_mdc,
                              sig_heuristic=(h_kind, h_neg, h_sup))
         sub_specs = dict(body.get("aggs") or {})
         sub_bucket = None

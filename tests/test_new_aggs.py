@@ -1618,3 +1618,13 @@ def test_metric_missing_substitutes_nulls(spark):
                             "aggs": {"x": {"avg": {
                                 "field": "v",
                                 "missing": True}}}}}}))
+
+
+def test_significant_min_doc_count_floor(sig_engine):
+    # fg counts: a=8, b=2; the floor trims b even when
+    # include_negatives would rank it
+    rows = _sig_run(sig_engine, {"chi_square": {
+        "include_negatives": True}, "min_doc_count": 3})
+    assert rows == {"a": 15.873016}
+    with pytest.raises(DslError, match="min_doc_count"):
+        _sig_run(sig_engine, {"min_doc_count": 0})
