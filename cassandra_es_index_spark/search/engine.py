@@ -5459,9 +5459,16 @@ class SearchEngine:
                     raise es_dsl.DslError(
                         f"rate agg {m.name!r} is valid inside a "
                         "date_histogram bucket only (ES contract)")
-                base = (F.count(F.lit(1)).cast("double") if not m.field
-                        else F.sum(comp.resolve(m.field).col
-                                   .cast("double")))
+                if not m.field:
+                    base = F.count(F.lit(1)).cast("double")
+                elif m.rate_mode == "value_count":
+                    # mode value_count (r12): count of field VALUES
+                    # (nulls drop, like the value_count metric)
+                    base = F.count(comp.resolve(m.field).col) \
+                            .cast("double")
+                else:
+                    base = F.sum(comp.resolve(m.field).col
+                                 .cast("double"))
                 if parent.fixed_interval is not None:
                     span = _fixed_interval_seconds(parent.fixed_interval)
                 elif parent.calendar_interval in cal_fixed:

@@ -654,6 +654,9 @@ class MetricAgg:
     # doc_count (field=None) or field sum — validated against the
     # PARENT at execution (fixed-span parents only, engine subset)
     unit: str | None = None
+    # rate mode (r12): "sum" (ES default — field sum, or doc_count
+    # when no field) | "value_count" (count of field VALUES)
+    rate_mode: str = "sum"
     # t_test (r12): `field` holds population a's field; t_b is b's;
     # optional filter Nodes gate each side; t_type ∈ paired/
     # heteroscedastic/homoscedastic. DEVIATION (documented): the
@@ -1957,11 +1960,10 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
         # value_count` typed-rejects.
         if not isinstance(body, dict) or "unit" not in body:
             raise DslError(f"rate agg {name!r} needs a 'unit'")
-        extra = set(body) - {"unit", "field"}
+        extra = set(body) - {"unit", "field", "mode"}
         if extra:
             raise DslError(f"rate agg {name!r}: unsupported params "
-                           f"{sorted(extra)} (engine subset — "
-                           "mode defaults to sum semantics)")
+                           f"{sorted(extra)} (engine subset)")
         unit = str(body["unit"])
         if unit not in ("second", "minute", "hour", "day", "week"):
             raise DslError(
@@ -1970,8 +1972,17 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
         fld = body.get("field")
         if fld is not None and not isinstance(fld, str):
             raise DslError(f"rate agg {name!r}: field must be a string")
+        # ES rate mode (r12): sum (default) | value_count — the latter
+        # counts field VALUES instead of summing them
+        mode = body.get("mode", "sum")
+        if mode not in ("sum", "value_count"):
+            raise DslError(f"rate agg {name!r}: mode must be 'sum' or "
+                           f"'value_count', got {mode!r}")
+        if mode == "value_count" and not fld:
+            raise DslError(f"rate agg {name!r}: mode value_count "
+                           "needs a 'field' (ES contract)")
         return MetricAgg(name=name, kind="rate", field=fld or "",
-                         unit=unit)
+                         unit=unit, rate_mode=str(mode))
     if kind == "scripted_metric":
         # ES scripted_metric, DECLARATIVELY (r12): the engine's subset
         # translates the init/map/combine/reduce pipeline at parse time

@@ -338,9 +338,12 @@ def test_rate_metric_hand_case(spark):
         ('{"aggs":{"d":{"date_histogram":{"field":"ts",'
          '"calendar_interval":"day"},"aggs":{"r":{"rate":'
          '{"unit":"fortnight"}}}}}}', "second/minute/hour"),
+        # mode value_count graduated to implemented (r12) — the
+        # fieldless form is the remaining typed contract
         ('{"aggs":{"d":{"date_histogram":{"field":"ts",'
          '"calendar_interval":"day"},"aggs":{"r":{"rate":'
-         '{"unit":"hour","mode":"value_count"}}}}}}', "unsupported"),
+         '{"unit":"hour","mode":"value_count"}}}}}}',
+         "needs a 'field'"),
     ]:
         with pytest.raises(DslError, match=msg):
             eng.search_aggs("rate_t", q_bad)
@@ -1628,3 +1631,35 @@ def test_significant_min_doc_count_floor(sig_engine):
     assert rows == {"a": 15.873016}
     with pytest.raises(DslError, match="min_doc_count"):
         _sig_run(sig_engine, {"min_doc_count": 0})
+
+
+def test_rate_mode_value_count(spark):
+    # value_count mode: count of field VALUES rescaled (nulls drop);
+    # hand case — 3 values over a 1-day bucket at unit hour → 3/24
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", 5.0),
+         (2, "2024-01-01 02:00:00", 7.0),
+         (3, "2024-01-01 03:00:00", 9.0),
+         (4, "2024-01-01 04:00:00", None)],
+        "id bigint, ts string, v double").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    eng.register(df, TableSpec("ratevc", ["id"]))
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"d": {"date_histogram": {
+                        "field": "ts", "calendar_interval": "day"},
+                        "aggs": {"r": {"rate": {
+                            "unit": "hour", "field": "v",
+                            "mode": "value_count"}}}}}})
+    row = eng.search_aggs("ratevc", q).collect()[0]
+    assert row["r"] == pytest.approx(3.0 * 3600 / 86400)
+    for bad, frag in [
+        ({"unit": "hour", "mode": "value_count"}, "needs a 'field'"),
+        ({"unit": "hour", "field": "v", "mode": "avg"}, "mode must"),
+    ]:
+        with pytest.raises(DslError, match=frag):
+            eng.search_aggs("ratevc", json.dumps(
+                {"query": {"match_all": {}},
+                 "aggs": {"d": {"date_histogram": {
+                     "field": "ts", "calendar_interval": "day"},
+                     "aggs": {"r": {"rate": bad}}}}})).collect()
