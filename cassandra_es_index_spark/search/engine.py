@@ -5755,7 +5755,10 @@ class SearchEngine:
                 return [F.countDistinct(c).cast("long").alias(m.name)]
             raise ValueError(f"unknown metric kind {m.kind!r}")
 
-        def bucket_key(b: es_dsl.BucketAgg):
+        def bucket_key(b: es_dsl.BucketAgg, level_i: int = 0):
+            # geo-grid keys and array-terms explodes stage helper
+            # columns on the shared scan frame
+            nonlocal src
             if b.kind in ("geotile_grid", "geohash_grid"):
                 # ES geo grid buckets: the web-mercator "z/x/y" tile /
                 # base32 geohash cell of the struct<lat,lon> geo_point,
@@ -5769,7 +5772,6 @@ class SearchEngine:
                 # method limit at precision ≥ ~10, silently dropping
                 # to interpreted eval). Null lat/lon → null key → the
                 # doc drops out of the aggregation (ES semantics).
-                nonlocal src
                 from cassandra_es_index_spark.functions import geo
                 ref = comp.resolve(b.field)
                 try:
@@ -5783,7 +5785,34 @@ class SearchEngine:
                 helper = f"_gk{len(level_key)}"
                 src = binder(src, lat, lon, b.precision, helper)
                 return F.col(helper), F.col(helper)
-            col = comp.resolve(b.field).col
+            from pyspark.sql import types as T
+            ref_b = comp.resolve(b.field)
+            col = ref_b.col
+            if b.kind == "terms" and isinstance(ref_b.dtype,
+                                                T.ArrayType):
+                # terms over an ARRAY field (r12): ES buckets each
+                # ELEMENT — one explode of the DISTINCT elements (a
+                # doc counts once per term even when the array repeats
+                # it, ES doc_count semantics; null/empty arrays
+                # contribute nothing). The explode stages on `src`
+                # like the geo-grid keys, so sibling metrics at this
+                # level see the doc once per bucket it joins —
+                # exactly ES's per-bucket metric scope.
+                if b.missing is not None:
+                    raise es_dsl.DslError(
+                        "terms `missing` is not supported on array "
+                        "fields (engine subset — the substitute "
+                        "value's type is ambiguous per element)")
+                if level_i > 0:
+                    raise es_dsl.DslError(
+                        "array-field terms buckets are supported at "
+                        "the top level only (engine subset — the "
+                        "element explode would multiply ancestor "
+                        "doc_counts)")
+                helper = f"_ta{len(level_key)}"
+                src = src.withColumn(
+                    helper, F.explode(F.array_distinct(col)))
+                return F.col(helper), F.col(helper)
             if b.missing is not None:
                 # ES `missing`: null field values join this substitute
                 # bucket instead of dropping out
@@ -6504,7 +6533,7 @@ class SearchEngine:
                 level_key.append(F.col(helper))
                 level_gate.append(None)
             else:
-                k, bc = bucket_key(lv)
+                k, bc = bucket_key(lv, i)
                 level_key.append(k)
                 gate = None if lv.missing is not None else bc.isNotNull()
                 # ES terms include/exclude: whole-term regex or exact

@@ -1663,3 +1663,51 @@ def test_rate_mode_value_count(spark):
                  "aggs": {"d": {"date_histogram": {
                      "field": "ts", "calendar_interval": "day"},
                      "aggs": {"r": {"rate": bad}}}}})).collect()
+
+
+# -- terms over array fields (r12) ------------------------------------------
+
+
+def test_terms_array_field_buckets_elements(spark):
+    # ES buckets each ELEMENT: a doc counts once per DISTINCT term
+    # (repeats collapse), null/empty arrays contribute nothing, and
+    # sibling metrics see the doc once per bucket it joins
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, ["red", "blue"], 10.0), (2, ["red", "red"], 20.0),
+         (3, [], 30.0), (4, None, 40.0)],
+        "id bigint, tags array<string>, v double")
+    eng.register(df, TableSpec("aterms", ["id"]))
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"t": {"terms": {"field": "tags",
+                                             "size": 10},
+                                   "aggs": {"av": {"avg": {
+                                       "field": "v"}}}}}})
+    rows = {r["key"]: (r["doc_count"], r["av"]) for r in
+            eng.search_aggs("aterms", q).collect()}
+    assert rows == {"red": (2, 15.0), "blue": (1, 10.0)}
+    # a sub level BELOW the array terms composes over the exploded
+    # frame
+    q2 = json.dumps({"query": {"match_all": {}},
+                     "aggs": {"t": {"terms": {"field": "tags",
+                                              "size": 10},
+                                    "aggs": {"h": {"histogram": {
+                                        "field": "v",
+                                        "interval": 100.0}}}}}})
+    sub = {(r["key"], r["sub_key"]): r["sub_doc_count"] for r in
+           eng.search_aggs("aterms", q2).collect()}
+    assert sub == {("red", 0.0): 2, ("blue", 0.0): 1}
+    # BELOW another bucket the explode would multiply ancestor
+    # doc_counts — typed
+    q3 = json.dumps({"query": {"match_all": {}},
+                     "aggs": {"h": {"histogram": {"field": "v",
+                                                  "interval": 100.0},
+                                    "aggs": {"t": {"terms": {
+                                        "field": "tags"}}}}}})
+    with pytest.raises(DslError, match="top level only"):
+        eng.search_aggs("aterms", q3).collect()
+    with pytest.raises(DslError, match="array fields"):
+        eng.search_aggs("aterms", json.dumps(
+            {"query": {"match_all": {}},
+             "aggs": {"t": {"terms": {"field": "tags",
+                                      "missing": "x"}}}}))
