@@ -6231,6 +6231,15 @@ class SearchEngine:
             # ordering (doc_count desc, keys asc), size cap; flattened
             # one output column per source field. Docs with ANY null key
             # field drop (ES semantics).
+            from pyspark.sql import types as Tmt
+            for f in aggs.multi_fields:
+                if isinstance(comp.resolve(f).dtype, Tmt.ArrayType):
+                    raise es_dsl.DslError(
+                        f"multi_terms field {f!r} is an array — "
+                        "array fields are supported by the plain "
+                        "terms agg only (engine subset; silently "
+                        "bucketing whole arrays would deviate "
+                        "from ES)")
             refs = [comp.resolve(f).col for f in aggs.multi_fields]
             frame = filtered
             for r in refs:
@@ -6331,6 +6340,12 @@ class SearchEngine:
             for s in aggs.sources:
                 ref = comp.resolve(s.field)
                 if s.kind == "terms":
+                    if isinstance(ref.dtype, T.ArrayType):
+                        raise es_dsl.DslError(
+                            f"composite terms source {s.field!r} is "
+                            "an array — array fields are supported "
+                            "by the plain terms agg only (engine "
+                            "subset)")
                     k = ref.col
                     anchor_types.append(ref.dtype)
                 elif s.kind == "geotile_grid":
