@@ -2753,6 +2753,28 @@ def _events_ip_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _CACHE[key]
 
 
+def q_docs_terms_array(spark, sf_dir):
+    # terms over an ARRAY field (r12): a derived tags column (the
+    # doc's distinct analyzed tokens) buckets per ELEMENT — one
+    # explode of the distinct elements, docs count once per term, and
+    # the avg sub-metric sees each doc once per bucket it joins.
+    eng_key = _ck(spark, sf_dir, "eng:docs_tags")
+    if eng_key not in _CACHE:
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "tags", F.array_distinct(F.filter(
+                F.split(F.lower(F.col("text")), r"\W+"),
+                lambda x: F.length(x) > 0)))
+        eng = SearchEngine(spark)
+        eng.register(docs, TableSpec("docs_tags", ["doc_id"]))
+        _CACHE[eng_key] = eng
+    eng = _CACHE[eng_key]
+    q = ('{"query":{"term":{"lang":"en"}},'
+         '"aggs":{"t":{"terms":{"field":"tags","size":15},'
+         '"aggs":{"ac":{"avg":{"field":"n_chars"}}}}}}')
+    out = eng.search_aggs("docs_tags", q, default_field="text")
+    return out.select("key", "doc_count", F.round("ac", 4).alias("ac"))
+
+
 def q_events_metric_missing(spark, sf_dir):
     # metric `missing` (r12): a derived fixture nulls every 7th value;
     # the avg with missing: 0 pulls those rows in at zero while the
@@ -3667,6 +3689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): nested linear-of-linear, one extra level
         "events_metric_missing": q_events_metric_missing,  # ~ metric
         #   param (r12): null substitution via one coalesce
+        "docs_terms_array": q_docs_terms_array,  # ~ agg superset
+        #   (r12): per-element buckets via distinct explode
         "events_variable_width": q_events_variable_width,  # ~ agg
         #   superset (r12): deterministic gap-split clustering
         "events_random_sampler": q_events_random_sampler,  # ~ agg
@@ -5166,6 +5190,23 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(regexp_extract_all(text,
                           '(?i)\btab\w*\b')) > 0)
             SELECT qid, _score FROM m
+        """,
+        # array-field terms (r12): identical distinct-token explode,
+        # docs counted once per element
+        "docs_terms_array": rf"""
+            WITH fg AS (
+                SELECT doc_id, text, n_chars FROM documents
+                WHERE len(regexp_extract_all(lang, '{_EN}')) > 0),
+            tok AS (
+                SELECT doc_id, n_chars,
+                       unnest(list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\W+'),
+                           x -> len(x) > 0))) AS key
+                FROM fg)
+            SELECT key, COUNT(*)::BIGINT AS doc_count,
+                   ROUND(AVG(n_chars), 4) AS ac
+            FROM tok GROUP BY 1
+            ORDER BY doc_count DESC, key ASC LIMIT 15
         """,
         # metric missing (r12): identical COALESCE ahead of the
         # aggregates over the same derived-null fixture
