@@ -5853,11 +5853,26 @@ class SearchEngine:
                                            F.lit("<num>")).otherwise(t))
                 k = F.when(col.isNotNull(), F.concat_ws(" ", masked))
                 return k, k
+            def clamp(key, date: bool):
+                # ES hard_bounds (r12): buckets outside [min, max]
+                # drop, docs with them — the guard nulls the key, the
+                # generic non-null gate does the rest (a plain scan
+                # filter, pushdown-friendly)
+                if b.hard_bounds is None:
+                    return key
+                lo, hi = b.hard_bounds
+                lo_c = (F.lit(lo).cast("timestamp") if date
+                        else F.lit(float(lo)))
+                hi_c = (F.lit(hi).cast("timestamp") if date
+                        else F.lit(float(hi)))
+                return F.when((key >= lo_c) & (key <= hi_c), key)
+
             if b.kind == "histogram":
                 off = float(b.offset or 0.0)
                 step = float(b.interval)
-                return (F.floor((col - F.lit(off)) / F.lit(step))
-                        * F.lit(step) + F.lit(off)), col
+                hk = clamp(F.floor((col - F.lit(off)) / F.lit(step))
+                           * F.lit(step) + F.lit(off), False)
+                return hk, hk
             if b.calendar_interval is not None:  # date_histogram
                 if b.offset:
                     # ES offset: shift, truncate, shift back — bucket
@@ -5866,18 +5881,23 @@ class SearchEngine:
                     osec = int(b.offset)
                     shifted = F.timestamp_seconds(
                         F.unix_seconds(col.cast("timestamp")) - osec)
-                    return F.timestamp_seconds(
+                    dk = clamp(F.timestamp_seconds(
                         F.unix_seconds(F.date_trunc(
-                            b.calendar_interval, shifted)) + osec), col
-                return F.date_trunc(b.calendar_interval, col), col
+                            b.calendar_interval, shifted)) + osec),
+                        True)
+                    return dk, dk
+                dk = clamp(F.date_trunc(b.calendar_interval, col), True)
+                return dk, dk
             # fixed_interval "30s"/"5m"/"1h"/"7d": epoch-aligned buckets
             # of an exact duration (ES's non-calendar variant)
             secs = _fixed_interval_seconds(b.fixed_interval)
             osec = int(b.offset or 0)
-            return F.timestamp_seconds(
+            fk = clamp(F.timestamp_seconds(
                 F.floor((F.unix_seconds(col.cast("timestamp"))
                          - F.lit(osec))
-                        / F.lit(secs)) * F.lit(secs) + F.lit(osec)), col
+                        / F.lit(secs)) * F.lit(secs) + F.lit(osec)),
+                True)
+            return fk, fk
 
         def terms_primary(b: es_dsl.BucketAgg, count_col: str,
                           key_col: str) -> list:

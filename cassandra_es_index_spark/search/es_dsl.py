@@ -74,10 +74,10 @@ _GENERIC_BUCKET_PARAMS = {
     "terms": {"field", "size", "order", "missing", "min_doc_count",
               "include", "exclude"},
     "histogram": {"field", "interval", "offset", "missing",
-                  "min_doc_count", "extended_bounds"},
+                  "min_doc_count", "extended_bounds", "hard_bounds"},
     "date_histogram": {"field", "calendar_interval", "fixed_interval",
                        "offset", "missing", "min_doc_count",
-                       "extended_bounds"},
+                       "extended_bounds", "hard_bounds"},
     "range": {"field", "ranges", "keyed"},
     "date_range": {"field", "ranges", "keyed"},
     "filters": {"filters", "keyed", "other_bucket", "other_bucket_key"},
@@ -819,6 +819,10 @@ class BucketAgg:
     # ES extended_bounds {"min":…, "max":…} — with min_doc_count 0 the
     # materialized empty-bucket span widens to cover these bounds
     extended_bounds: tuple[Any, Any] | None = None
+    # ES hard_bounds (r12): LIMITS the bucket range — docs whose
+    # bucket falls outside [min, max] drop from the aggregation
+    # (enforced in the scan gate, a plain pushdown-friendly filter)
+    hard_bounds: tuple[Any, Any] | None = None
     # sibling pipeline aggs ((name, kind, bucket column), ...) — ES
     # avg_bucket/sum_bucket/min_bucket/max_bucket declared NEXT TO this
     # bucket agg; one value over the whole bucket frame, emitted as a
@@ -3552,6 +3556,16 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     or "min" not in ebs or "max" not in ebs:
                 raise DslError("extended_bounds needs {'min': …, 'max': …}")
             eb = (ebs["min"], ebs["max"])
+        hb = None
+        if "hard_bounds" in params:
+            hbs = params["hard_bounds"]
+            if not isinstance(hbs, dict) \
+                    or "min" not in hbs or "max" not in hbs:
+                raise DslError("hard_bounds needs {'min': …, 'max': …}")
+            if eb is not None:
+                raise DslError("hard_bounds and extended_bounds are "
+                               "mutually exclusive (ES contract)")
+            hb = (hbs["min"], hbs["max"])
         siblings: list[tuple[str, str, str, tuple[float, ...]]] = []
         if sib_raw:
             # sibling aggs aggregate over the TERMINAL (leaf) bucket
@@ -3603,6 +3617,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             pipelines=tuple(pipelines),
             siblings=tuple(siblings),
             extended_bounds=eb,
+            hard_bounds=hb,
             precision=ip_plen,
             append_prefix=ip_append,
             sub=sub_bucket)

@@ -1711,3 +1711,31 @@ def test_terms_array_field_buckets_elements(spark):
             {"query": {"match_all": {}},
              "aggs": {"t": {"terms": {"field": "tags",
                                       "missing": "x"}}}}))
+
+
+def test_histogram_hard_bounds_clamp(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 50, 5)], "id bigint, v double")
+    eng.register(df, TableSpec("hbnds", ["id"]))
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"h": {"histogram": {
+                        "field": "v", "interval": 10.0,
+                        "hard_bounds": {"min": 10, "max": 30}}}}})
+    rows = {r["key"]: r["doc_count"] for r in
+            eng.search_aggs("hbnds", q).collect()}
+    # buckets outside [10, 30] drop, docs with them
+    assert rows == {10.0: 2, 20.0: 2, 30.0: 2}
+    with pytest.raises(DslError, match="mutually exclusive"):
+        eng.search_aggs("hbnds", json.dumps(
+            {"query": {"match_all": {}},
+             "aggs": {"h": {"histogram": {
+                 "field": "v", "interval": 10.0,
+                 "hard_bounds": {"min": 0, "max": 10},
+                 "extended_bounds": {"min": 0, "max": 100}}}}}))
+    with pytest.raises(DslError, match="hard_bounds needs"):
+        eng.search_aggs("hbnds", json.dumps(
+            {"query": {"match_all": {}},
+             "aggs": {"h": {"histogram": {
+                 "field": "v", "interval": 10.0,
+                 "hard_bounds": {"min": 0}}}}}))
