@@ -6316,12 +6316,32 @@ class SearchEngine:
                             .alias("bg_count")))
             else:
                 ref = comp.resolve(aggs.field).col
-                fg = (filtered.where(ref.isNotNull())
-                      .groupBy(ref.alias("key"))
-                      .agg(F.count("*").cast("long").alias("doc_count")))
-                bg = (bg_base.where(ref.isNotNull())
-                      .groupBy(ref.alias("key"))
-                      .agg(F.count("*").cast("long").alias("bg_count")))
+                from pyspark.sql import types as Tst
+                sig_ref = comp.resolve(aggs.field)
+                if isinstance(sig_ref.dtype, Tst.ArrayType):
+                    # significant_terms over an ARRAY field (r12): the
+                    # unit is the DISTINCT element (the significant_
+                    # text token convention — a doc counts once per
+                    # term), one explode per side
+                    def sig_elems(frame):
+                        return frame.select(F.explode(
+                            F.array_distinct(sig_ref.col))
+                            .alias("key"))
+                    fg = (sig_elems(filtered).groupBy("key")
+                          .agg(F.count("*").cast("long")
+                                .alias("doc_count")))
+                    bg = (sig_elems(bg_base).groupBy("key")
+                          .agg(F.count("*").cast("long")
+                                .alias("bg_count")))
+                else:
+                    fg = (filtered.where(ref.isNotNull())
+                          .groupBy(ref.alias("key"))
+                          .agg(F.count("*").cast("long")
+                                .alias("doc_count")))
+                    bg = (bg_base.where(ref.isNotNull())
+                          .groupBy(ref.alias("key"))
+                          .agg(F.count("*").cast("long")
+                                .alias("bg_count")))
             fg_total = filtered.agg(
                 F.count("*").cast("long").alias("_fg_total"))
             bg_total = bg_base.agg(
@@ -7299,6 +7319,13 @@ class SearchEngine:
                 if nm in seen:
                     raise es_dsl.DslError(
                         f"duplicate column {nm!r} in flattened aggs")
+            from pyspark.sql import types as Tsg
+            if isinstance(comp.resolve(sig_sub.field).dtype,
+                          Tsg.ArrayType):
+                raise es_dsl.DslError(
+                    "nested significant_terms does not support array "
+                    "fields (engine subset — use the top-level form, "
+                    "which explodes distinct elements)")
             tref = comp.resolve(sig_sub.field).col
             pgates = [g for g in level_gate[:1] if g is not None]
             fgsrc = src

@@ -1739,3 +1739,33 @@ def test_histogram_hard_bounds_clamp(spark):
              "aggs": {"h": {"histogram": {
                  "field": "v", "interval": 10.0,
                  "hard_bounds": {"min": 0}}}}}))
+
+
+def test_significant_terms_array_field_elements(spark):
+    # significant over an array: the unit is the DISTINCT element
+    # (the significant_text token convention); hand JLH for 'a' —
+    # fg 8/10, bg 14/40
+    eng = SearchEngine(spark)
+    rows = []
+    for i in range(40):
+        fg = i < 10
+        tags = (["a", "z"] if (i < 8 if fg else i < 16) else ["b", "z"])
+        rows.append((i + 1, "x" if fg else "y", tags))
+    eng.register(spark.createDataFrame(
+        rows, "id bigint, tag string, tags array<string>"),
+        TableSpec("sigarr", ["id"]))
+    q = json.dumps({"query": {"term": {"tag": "x"}},
+                    "aggs": {"s": {"significant_terms": {
+                        "field": "tags", "size": 10}}}})
+    rows_out = {r["key"]: (r["doc_count"], r["bg_count"], r["score"])
+                for r in eng.search_aggs(
+                    "sigarr", q, default_field="tag").collect()}
+    assert rows_out == {"a": (8, 14, 1.028571)}
+    # nested placement typed-rejects
+    q2 = json.dumps({"query": {"match_all": {}},
+                     "aggs": {"t": {"terms": {"field": "tag"},
+                                    "aggs": {"s": {
+                                        "significant_terms": {
+                                            "field": "tags"}}}}}})
+    with pytest.raises(DslError, match="array"):
+        eng.search_aggs("sigarr", q2, default_field="tag").collect()
