@@ -6238,6 +6238,13 @@ class SearchEngine:
             # ES rare_terms: long-tail buckets at or below max_doc_count
             # (stored in .size), doc_count asc then key asc. One
             # aggregation; the HAVING-style filter rides the agg output.
+            from pyspark.sql import types as Trt
+            if isinstance(comp.resolve(aggs.field).dtype,
+                          Trt.ArrayType):
+                raise es_dsl.DslError(
+                    f"rare_terms field {aggs.field!r} is an array — "
+                    "array fields are supported by the plain terms "
+                    "agg only (engine subset)")
             ref = comp.resolve(aggs.field).col
             return (filtered.where(ref.isNotNull())
                     .groupBy(ref.alias("key"))
