@@ -7046,6 +7046,14 @@ class SearchEngine:
                         "date_histogram sibling (engine subset: the "
                         "series aligns to the key-ascending bucket "
                         "order)")
+                # the aligned siblings drive SEVERAL actions over the
+                # bucket frame (the n_b validation count here, the
+                # sibling aggregate, change_point's collect) — cache
+                # the BUCKET-CARDINALITY frame so the corpus
+                # aggregation underneath runs once, not once per
+                # action (r12: halves events_change_point's wall time;
+                # the cached frame is bucket-sized, never corpus-sized)
+                leaf_frame = leaf_frame.cache()
                 n_b = leaf_frame.count()
                 for sn, sk, scol, spcts in lv0.siblings:
                     if sk == "bucket_correlation" \
