@@ -5883,10 +5883,27 @@ def shape_to_node(gfield: str, shape: Any, rel: str) -> Node:
                                             "multilinestring"))
             for ln in coords)
         return _rel(lines[0] if len(lines) == 1 else Or(lines))
+    if stype == "geometrycollection":
+        # GeoJSON GeometryCollection (r12): the UNION of its member
+        # shapes — each member desugars recursively WITHOUT the
+        # relation (intersects semantics), the union wraps once, and
+        # `_rel` applies the within/disjoint treatment to the whole
+        # collection (disjoint-from-a-collection = disjoint from
+        # every member, which Not(Or(...)) gives exactly)
+        geoms = shape.get("geometries")
+        if not isinstance(geoms, list) or not geoms:
+            raise DslError("geo_shape geometrycollection needs a "
+                           "non-empty 'geometries' list")
+        if len(geoms) > 32:
+            raise DslError("geo_shape geometrycollection supports at "
+                           "most 32 member geometries (engine subset)")
+        members = tuple(shape_to_node(gfield, g, "intersects")
+                        for g in geoms)
+        return _rel(members[0] if len(members) == 1 else Or(members))
     raise DslError(
         f"geo_shape type {shape.get('type')!r} is not supported "
         "(engine subset: envelope / polygon / multipolygon / point / "
-        "circle / linestring / multilinestring)")
+        "circle / linestring / multilinestring / geometrycollection)")
 
 
 def _span_clause_terms(clause: Any) -> tuple[str, tuple[str, ...]]:

@@ -695,8 +695,10 @@ def test_geo_shape_index_served_parity_and_plan(spark):
 @pytest.mark.parametrize("body,msg", [
     # unsupported shape kinds (multipolygon graduated r11;
     # circle/linestring/multilinestring graduated r12)
+    # geometrycollection graduated to implemented (r12) — the empty
+    # list is the remaining typed contract
     ({"shape": {"type": "geometrycollection", "geometries": []}},
-     "not supported"),
+     "non-empty 'geometries'"),
     ({"shape": {"type": "multipolygon", "coordinates": []}},
      "multipolygon needs"),
     # relation contains needs shape-typed docs
@@ -1162,3 +1164,43 @@ def test_geo_query_boosts_execute(geo_engine):
                                          "lon": 10.40744},
                                  "boost": 5}})
     assert gd and set(gd.values()) == {5}
+
+
+# -- geometrycollection (r12) ----------------------------------------------
+
+
+def test_geo_shape_geometrycollection_union(spark):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from cassandra_es_index_spark.search.engine import (
+        SearchEngine, TableSpec,
+    )
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    eng = SearchEngine(spark)
+    df = (spark.createDataFrame(
+        [(1, 57.6, 10.4), (2, 40.71, -74.0), (3, 0.0, 0.0),
+         (4, None, None)],
+        "id bigint, lat double, lon double")
+        .select("id", F.struct("lat", "lon").alias("loc")))
+    eng.register(df, TableSpec("gcoll", ["id"]))
+    gc = {"type": "geometrycollection", "geometries": [
+        {"type": "envelope", "coordinates": [[9.0, 58.0], [11.0, 57.0]]},
+        {"type": "circle", "coordinates": [-74.0, 40.7],
+         "radius": "5km"}]}
+    q = json.dumps({"query": {"geo_shape": {"loc": {"shape": gc}}},
+                    "size": 10})
+    hit = sorted(r["id"] for r in eng.search(
+        "gcoll", "#options:load-rows=false#" + q).collect())
+    assert hit == [1, 2]          # union of the two members
+    # disjoint-from-a-collection = disjoint from EVERY member; the
+    # missing-point doc never matches (GeoExists)
+    qd = json.dumps({"query": {"geo_shape": {"loc": {
+        "shape": gc, "relation": "disjoint"}}}, "size": 10})
+    assert sorted(r["id"] for r in eng.search(
+        "gcoll", "#options:load-rows=false#" + qd).collect()) == [3]
+    with pytest.raises(DslError, match="non-empty 'geometries'"):
+        eng.search("gcoll", "#options:load-rows=false#" + json.dumps(
+            {"query": {"geo_shape": {"loc": {"shape": {
+                "type": "geometrycollection"}}}}}))
