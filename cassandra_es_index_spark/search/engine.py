@@ -5628,6 +5628,32 @@ class SearchEngine:
                 # beyond the bucket agg's own); docs with a null sort
                 # value are skipped (ES), ties break arbitrarily (ES
                 # shard-order analogue, documented)
+                if (m.line_size or 1) > 1:
+                    # size > 1 (r12): each metric column becomes the
+                    # ARRAY of its top-`size` values in sort order —
+                    # collect_list + sort_array + slice (the collect
+                    # is bucket-bounded; the PRIMARY KEY rides the
+                    # sort struct as a deterministic tiebreak where
+                    # ES's shard order is arbitrary, documented)
+                    tb = F.concat_ws(
+                        "\x00", *[F.col(k).cast("string")
+                                  for k in spec.key_columns])
+                    packed = F.when(c.isNotNull(), F.struct(
+                        c.alias("_s"), tb.alias("_k"),
+                        *[comp.resolve(f).col.alias(f"_v{i}")
+                          for i, f in enumerate(m.multi_fields)]))
+                    top = F.slice(
+                        F.sort_array(F.collect_list(packed),
+                                     asc=m.sort_asc),
+                        1, m.line_size)
+                    def _pick(i):
+                        # (a default-arg capture would make transform
+                        # bind the element INDEX as the second lambda
+                        # parameter)
+                        return lambda x: x[f"_v{i}"]
+                    return [
+                        F.transform(top, _pick(i)).alias(nm)
+                        for i, nm in enumerate(m.out_names())]
                 fn = F.min_by if m.sort_asc else F.max_by
                 return [fn(comp.resolve(f).col, c).alias(nm)
                         for f, nm in zip(m.multi_fields, m.out_names())]

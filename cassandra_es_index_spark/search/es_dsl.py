@@ -2245,10 +2245,10 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
             raise DslError(f"top_metrics agg {name!r}: duplicate "
                            "metric fields")
         size = body.get("size", 1)
-        if size != 1:
-            raise DslError(f"top_metrics agg {name!r}: only size 1 is "
-                           "supported (engine subset — the flattened "
-                           "frame carries one top document per bucket)")
+        if isinstance(size, bool) or not isinstance(size, int) \
+                or not 1 <= size <= 10:
+            raise DslError(f"top_metrics agg {name!r}: size must be an "
+                           "integer in [1, 10] (the ES ceiling)")
         tsort = _sort(body.get("sort"))
         if len(tsort) != 1 or not isinstance(tsort[0][0], str) \
                 or tsort[0][0] == "_score":
@@ -2256,7 +2256,7 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
                            "plain-field sort entry")
         sfield, sasc, _ = tsort[0]
         return MetricAgg(name, kind, sfield, multi_fields=mfields,
-                         sort_asc=sasc)
+                         sort_asc=sasc, line_size=size)
     if not isinstance(body, dict) or "field" not in body:
         raise DslError(f"metric agg {name!r} needs {{'field': name}}")
     if kind in ("boxplot", "median_absolute_deviation"):

@@ -1769,3 +1769,33 @@ def test_significant_terms_array_field_elements(spark):
                                             "field": "tags"}}}}}})
     with pytest.raises(DslError, match="array"):
         eng.search_aggs("sigarr", q2, default_field="tag").collect()
+
+
+def test_top_metrics_size_gt_one_arrays(spark):
+    # size > 1 (r12): each metric column becomes the ARRAY of its
+    # top-size values in sort order; null-sort docs skip; the primary
+    # key is the deterministic tiebreak
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 3.0, 30.0), (2, "a", 1.0, 10.0), (3, "a", 2.0, 20.0),
+         (4, "a", None, 99.0), (5, "b", 5.0, 50.0)],
+        "id bigint, g string, s double, v double")
+    eng.register(df, TableSpec("tmn", ["id"]))
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"t": {"terms": {"field": "g", "size": 10},
+                                   "aggs": {"tm": {"top_metrics": {
+                                       "metrics": [{"field": "v"},
+                                                   {"field": "id"}],
+                                       "sort": {"s": "desc"},
+                                       "size": 2}}}}}})
+    rows = {r["key"]: (r["tm_v"], r["tm_id"]) for r in
+            eng.search_aggs("tmn", q).collect()}
+    assert rows == {"a": ([30.0, 20.0], [1, 3]), "b": ([50.0], [5])}
+    with pytest.raises(DslError, match=r"\[1, 10\]"):
+        eng.search_aggs("tmn", json.dumps(
+            {"query": {"match_all": {}},
+             "aggs": {"t": {"terms": {"field": "g"},
+                            "aggs": {"tm": {"top_metrics": {
+                                "metrics": {"field": "v"},
+                                "sort": {"s": "desc"},
+                                "size": 50}}}}}}))
