@@ -334,6 +334,10 @@ class SearchEngine:
         self._rel_child: dict[tuple[str, str], dict] = {}
         self._rel_parent: dict[tuple[str, str], dict] = {}
         self._rel_pid: dict[tuple[str, str], dict] = {}
+        # bounded pool of bucket frames cached for aligned sibling
+        # aggs (change_point/ks/correlation) — oldest unpersist so a
+        # long session can't leak storage (r12 review finding)
+        self._sib_cached: list[DataFrame] = []
 
     # -- registration / index build ----------------------------------------
 
@@ -4493,6 +4497,15 @@ class SearchEngine:
             raise es_dsl.DslError(
                 "retriever (rrf) is a search()-only section — a fused "
                 "ranking has no match-set semantics")
+        if req.knn is not None:
+            # a knn-only request parses with node = MatchAll — without
+            # this guard a knn reindex would silently copy the ENTIRE
+            # table instead of the top-k (the no-silent-drops
+            # contract; r12 review finding)
+            raise es_dsl.DslError(
+                "the knn section is a search()-only ranking — a "
+                "top-k has no match-set semantics (filter with the "
+                "knn QUERY kind inside bool instead)")
         req, docs = self._expand_join_nodes(req, table, docs,
                                             default_field, qmd)
         req = self._resolve_date_math(req, docs, default_field, qmd)
@@ -4529,9 +4542,16 @@ class SearchEngine:
                     "reindex: a pipeline needs a PipelineRegistry "
                     "(pass registry=)")
             rows = registry.apply(pipeline, rows)
-        n = rows.count()
-        if n:
-            dest.upsert(rows)
+        # persist so the count and the write share ONE distributed
+        # pass (and the returned total matches what was written even
+        # under concurrent source updates — r12 review finding)
+        rows = rows.persist()
+        try:
+            n = rows.count()
+            if n:
+                dest.upsert(rows)
+        finally:
+            rows.unpersist()
         return n
 
     def update_by_query(self, table: str, store, query: str | None,
@@ -4545,11 +4565,15 @@ class SearchEngine:
         — re-register from ``store.read()`` to serve the new rows (the
         reference's row re-load pattern, EsSecondaryIndex.java
         read-path)."""
-        rows = self._match_rows(table, query, default_field)
-        rows = registry.apply(pipeline, rows)
-        n = rows.count()
-        if n:
-            store.upsert(rows)
+        rows = registry.apply(
+            pipeline, self._match_rows(table, query, default_field))
+        rows = rows.persist()
+        try:
+            n = rows.count()
+            if n:
+                store.upsert(rows)
+        finally:
+            rows.unpersist()
         return n
 
     def explain(self, table: str, query: str, doc_id,
@@ -6961,15 +6985,33 @@ class SearchEngine:
                     cc_per = (cc_first.where(F.col("key").isNotNull())
                               .groupBy("key")
                               .agg(F.count("*").alias("__cc_new")))
-                    out = (out.join(cc_per, on="key", how="left")
-                           .withColumn("__cc_new",
-                                       F.coalesce(F.col("__cc_new"),
-                                                  F.lit(0)))
-                           .withColumn(pn, F.sum("__cc_new").over(
-                               wseq.rowsBetween(
-                                   Window.unboundedPreceding, 0))
-                               .cast("long"))
-                           .drop("__cc_new"))
+                    # accumulate over the UNION of response and
+                    # first-appearance keys (r12 review finding): a
+                    # value whose first bucket was pruned by
+                    # min_doc_count/bucket_selector still counts from
+                    # that point onward — the running distinct is
+                    # over the SOURCE in key order (documented vs
+                    # ES's response-bucket sketch merge, which
+                    # re-pins such values to their next surviving
+                    # bucket)
+                    cc_keys = (out.select("key")
+                               .unionByName(cc_per.select("key"))
+                               .distinct())
+                    cc_run = (cc_keys
+                              .join(cc_per, on="key", how="left")
+                              .withColumn(
+                                  "__cc_new",
+                                  F.coalesce(F.col("__cc_new"),
+                                             F.lit(0)))
+                              .withColumn(
+                                  pn,
+                                  F.sum("__cc_new").over(
+                                      Window.orderBy(F.asc("key"))
+                                      .rowsBetween(
+                                          Window.unboundedPreceding,
+                                          0)).cast("long")))
+                    out = out.join(cc_run.select("key", pn),
+                                   on="key", how="left")
                 elif pk == "normalize":
                     # ES normalize (r9): rescale each bucket's value
                     # against its PARENT's bucket frame — frame stats
@@ -7080,6 +7122,9 @@ class SearchEngine:
                 # action (r12: halves events_change_point's wall time;
                 # the cached frame is bucket-sized, never corpus-sized)
                 leaf_frame = leaf_frame.cache()
+                self._sib_cached.append(leaf_frame)
+                while len(self._sib_cached) > 8:
+                    self._sib_cached.pop(0).unpersist()
                 n_b = leaf_frame.count()
                 for sn, sk, scol, spcts in lv0.siblings:
                     if sk == "bucket_correlation" \

@@ -3565,6 +3565,25 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             if eb is not None:
                 raise DslError("hard_bounds and extended_bounds are "
                                "mutually exclusive (ES contract)")
+            # type-validate per parent kind (r12 review finding): a
+            # numeric bound on date_histogram would cast as epoch
+            # SECONDS where ES means MILLIS — silently empty buckets;
+            # reject rather than guess the unit
+            for side in ("min", "max"):
+                v = hbs[side]
+                if first_kind == "histogram":
+                    if isinstance(v, bool) \
+                            or not isinstance(v, (int, float)):
+                        raise DslError(
+                            f"histogram hard_bounds {side} must be "
+                            "numeric")
+                else:  # date_histogram
+                    if not isinstance(v, str):
+                        raise DslError(
+                            f"date_histogram hard_bounds {side} must "
+                            "be a date STRING (engine subset — a "
+                            "numeric epoch is ambiguous between "
+                            "seconds and ES's millis)")
             hb = (hbs["min"], hbs["max"])
         siblings: list[tuple[str, str, str, tuple[float, ...]]] = []
         if sib_raw:
@@ -5386,6 +5405,20 @@ def _node(q: dict[str, Any]) -> Node:
             raise DslError(
                 "percolate 'documents' slots must share one key set "
                 "(engine subset — one inferred schema per pass)")
+        # value TYPES must also agree per key (r12 review finding):
+        # mixed types would fail schema inference at execution with
+        # an opaque merge error instead of a typed one here
+        if len(pdocs) > 1:
+            for k in pdocs[0]:
+                kinds = {("num" if isinstance(d[k], (int, float))
+                          and not isinstance(d[k], bool)
+                          else type(d[k]).__name__)
+                         for d in pdocs if d[k] is not None}
+                if len(kinds) > 1:
+                    raise DslError(
+                        f"percolate 'documents' field {k!r} mixes "
+                        f"value types {sorted(kinds)} across slots "
+                        "(one inferred schema per pass)")
         return PercolateDoc(pfield, tuple(
             json.dumps(d, sort_keys=True) for d in pdocs))
     if kind == "script":

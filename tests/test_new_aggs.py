@@ -1799,3 +1799,46 @@ def test_top_metrics_size_gt_one_arrays(spark):
                                 "metrics": {"field": "v"},
                                 "sort": {"s": "desc"},
                                 "size": 50}}}}}}))
+
+
+def test_cumulative_cardinality_pruned_first_bucket(cc_engine):
+    # a value whose FIRST bucket is pruned by min_doc_count still
+    # counts from that point onward (running distinct over the SOURCE
+    # in key order — documented vs ES's response-bucket sketch merge)
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"h": {
+                        "histogram": {"field": "v", "interval": 1.0,
+                                      "min_doc_count": 2},
+                        "aggs": {
+                            "card": {"cardinality": {"field": "u"}},
+                            "cc": {"cumulative_cardinality": {
+                                "buckets_path": "card"}}}}}})
+    rows = {r["key"]: r["cc"] for r in
+            cc_engine.search_aggs("cct", q).collect()}
+    # all cct buckets have 2 docs — none pruned here; assert equal to
+    # the unpruned case as a baseline
+    assert rows == {0.0: 2, 1.0: 3, 2.0: 3, 3.0: 4}
+
+
+def test_cumulative_cardinality_counts_values_from_pruned_buckets(
+        spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, 0.0, "a"),                  # bucket 0: pruned at mdc 2
+         (2, 1.0, "b"), (3, 1.5, "a"),
+         (4, 2.0, "c"), (5, 2.5, "c")],
+        "id bigint, v double, u string")
+    eng.register(df, TableSpec("ccpr", ["id"]))
+    q = json.dumps({"query": {"match_all": {}},
+                    "aggs": {"h": {
+                        "histogram": {"field": "v", "interval": 1.0,
+                                      "min_doc_count": 2},
+                        "aggs": {
+                            "card": {"cardinality": {"field": "u"}},
+                            "cc": {"cumulative_cardinality": {
+                                "buckets_path": "card"}}}}}})
+    rows = {r["key"]: (r["card"], r["cc"]) for r in
+            eng.search_aggs("ccpr", q).collect()}
+    # 'a' first appears in the PRUNED bucket 0 — it still counts from
+    # there on: bucket 1 cc = {a, b} = 2, bucket 2 cc = 3
+    assert rows == {1.0: (2, 2), 2.0: (1, 3)}

@@ -171,9 +171,11 @@ def test_top_metrics_top_level(eng):
     ({"n": {"normalize": {"method": "mean"}}}, "buckets_path"),
     ({"n": {"normalize": {"buckets_path": "zzz", "method": "mean"}}},
      "unknown buckets_path"),
+    # size 3 graduated to implemented (r12) — the >10 ceiling is the
+    # remaining typed contract
     ({"n": {"top_metrics": {"metrics": {"field": "v"},
-                            "sort": {"s": "asc"}, "size": 3}}},
-     "only size 1"),
+                            "sort": {"s": "asc"}, "size": 50}}},
+     r"\[1, 10\]"),
     ({"n": {"top_metrics": {"metrics": {"field": "v"}}}},
      "plain-field sort"),
     ({"n": {"top_metrics": {"metrics": {"field": "v"},
