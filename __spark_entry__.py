@@ -2687,6 +2687,31 @@ def q_search_has_parent(spark, sf_dir):
     return eng.search("lineitem", "#options:load-rows=false#" + q)
 
 
+def q_search_has_child_inner(spark, sf_dir):
+    # ES has_child inner_hits (r13): each matched parent order expands
+    # to its top-2 matching lineitem children ranked by child score
+    # desc (line number asc tiebreak), flattened as lineitem_* columns
+    # + _inner_rank. Scale shape: the <=k parent keys broadcast into a
+    # left-semi prune of the child match frame, the rank is one
+    # groupBy-shaped window on the join key, and the ranked inner frame
+    # broadcasts back onto the hits (SearchEngine._expand_join_inner).
+    eng = _join_engine(spark, sf_dir)
+    q = ('{"query":{"has_child":{"type":"lineitem","query":{"bool":'
+         '{"should":[{"term":{"l_returnflag":"R"}},'
+         '{"range":{"l_quantity":{"gte":30}}}]}},'
+         '"score_mode":"sum","min_children":2,'
+         '"inner_hits":{"size":2}}},"size":1000000}')
+    out = eng.search("orders", "#options:load-rows=false#" + q)
+    # projection = exactly the rank-ordering columns: the synthetic
+    # lineitem table duplicates l_linenumber within an order, so rows
+    # tied on (score, line) rank arbitrarily — projecting only
+    # rank-determined columns keeps the output multiset deterministic
+    return out.select(
+        "o_orderkey", "_score", "_inner_rank",
+        F.col("lineitem__score").alias("inner_score"),
+        F.col("lineitem_l_linenumber").alias("inner_line"))
+
+
 def q_search_children_agg(spark, sf_dir):
     # ES children agg (r12): urgent orders → the agg frame rebinds to
     # their LINEITEM children via ONE left-semi equi-join on the
@@ -3719,6 +3744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tier (r12): int8 SQ8 prefilter + exact re-rank, oracle-exact
         "text_nfc_normalize": q_text_nfc_normalize,  # ~ LLM pipeline
         #   tier (r12): Arrow-batched Unicode NFC + control strip
+        "search_has_child_inner": q_search_has_child_inner,  # ~ join
+        #   family (r13): has_child inner_hits flatten, broadcast-pruned
     }
 
 
@@ -6387,6 +6414,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.s AS DOUBLE) AS _score
             FROM lineitem l JOIN p ON p.o_orderkey = l.l_orderkey
             WHERE p.s > 0
+        """,
+        # has_child inner_hits (r13): matched parents join their top-2
+        # matching children ranked by re-derived child score desc,
+        # line number asc — the flattened inner_hits contract
+        "search_has_child_inner": """
+            WITH ch AS (
+                SELECT l_orderkey, l_linenumber, l_quantity,
+                       (CASE WHEN lower(l_returnflag) = 'r'
+                             THEN 1 ELSE 0 END
+                        + CASE WHEN l_quantity >= 30
+                               THEN 1 ELSE 0 END) AS s
+                FROM lineitem),
+            m AS (
+                SELECT l_orderkey, count(*) AS c, sum(s) AS sc
+                FROM ch WHERE s > 0 GROUP BY l_orderkey),
+            par AS (
+                SELECT o.o_orderkey, CAST(m.sc AS DOUBLE) AS _score
+                FROM orders o JOIN m ON m.l_orderkey = o.o_orderkey
+                WHERE m.c >= 2),
+            rk AS (
+                SELECT l_orderkey, l_linenumber, s,
+                       row_number() OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY s DESC, l_linenumber) AS r
+                FROM ch WHERE s > 0)
+            SELECT p.o_orderkey, p._score,
+                   CAST(i.r AS INT) AS _inner_rank,
+                   CAST(i.s AS DOUBLE) AS inner_score,
+                   i.l_linenumber AS inner_line
+            FROM par p JOIN rk i ON i.l_orderkey = p.o_orderkey
+            WHERE i.r <= 2
         """,
         # parent_id (r12): FK equality, score 1 per match
         "search_parent_id": """

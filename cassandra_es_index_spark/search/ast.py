@@ -233,6 +233,12 @@ class HasChild(Node):
     score_mode: str = "none"       # none|min|max|sum|avg (ES default none)
     min_children: int = 1
     max_children: "int | None" = None
+    # ES inner_hits size (r13): when set (TOP-LEVEL join query only —
+    # documented), each parent hit expands to its top-N matching
+    # children ranked by child score desc, flattened as
+    # `<child_type>_<field>` columns + `_inner_rank` (the join twin of
+    # the nested inner_hits shape); hit selection/paging count PARENTS
+    inner_size: "int | None" = None
 
 
 @dataclass(frozen=True)
@@ -245,6 +251,10 @@ class HasParent(Node):
     parent_type: str = ""
     query: "Node | None" = None
     score: bool = False
+    # ES inner_hits size (r13): each child hit expands to its matching
+    # parent row (≤1 per unique parent key), flattened as
+    # `<parent_type>_<field>` columns + `_inner_rank`
+    inner_size: "int | None" = None
 
 
 @dataclass(frozen=True)

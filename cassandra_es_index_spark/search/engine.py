@@ -19,7 +19,9 @@ from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from cassandra_es_index_spark.catalog import Catalog, TableSpec
-from cassandra_es_index_spark.docmodel import DOC_ID, build_documents
+from cassandra_es_index_spark.docmodel import (
+    DOC_ID, INDEXATION_FIELD, TTL_FIELD, build_documents,
+)
 from cassandra_es_index_spark.search import es_dsl, query_string
 from cassandra_es_index_spark.search.ast import (
     And, Boost, Boosting, ConstantScore, DecayScore, DisMax, Exists,
@@ -1519,7 +1521,23 @@ class SearchEngine:
         if not found:
             return req, docs
 
-        cur = {"docs": docs, "n": 0}
+        # inner_hits placement contract (r13): expansion multiplies hit
+        # rows, so it is only well-defined when the join query IS the
+        # query — a clause buried in a bool tree / post_filter / rescore
+        # window / knn pre-filter typed-rejects (documented engine
+        # subset, the same restriction as nested inner_hits)
+        top = req.node
+        while isinstance(top, Boost):
+            top = top.child
+        for n in found:
+            if isinstance(n, (HasChild, HasParent)) \
+                    and n.inner_size is not None and n is not top:
+                raise es_dsl.DslError(
+                    "inner_hits on has_child/has_parent is supported "
+                    "on a TOP-LEVEL join query only (documented engine "
+                    "subset)")
+
+        cur = {"docs": docs, "n": 0, "inner": None}
 
         def sub_match(other_table: str, node: Node
                       ) -> tuple[DataFrame, Column, Column]:
@@ -1534,6 +1552,14 @@ class SearchEngine:
             sub = self._expand_data_nodes(sub, other_table, odocs, None)
             sub, odocs = self._expand_join_nodes(sub, other_table,
                                                  odocs, None, qmd)
+            if sub.join_inner is not None:
+                # a grandparent chain's INNER join query is top-level
+                # within its own sub-request — reject rather than
+                # silently dropping its inner_hits
+                raise es_dsl.DslError(
+                    "inner_hits on has_child/has_parent is supported "
+                    "on a TOP-LEVEL join query only (documented engine "
+                    "subset)")
             pred, score = Compiler(odocs, None).compile(sub.node)
             return odocs, pred, score
 
@@ -1564,6 +1590,11 @@ class SearchEngine:
                                  F.col(rel["parent_key"]) == F.col(jk),
                                  "left")
                            .drop(jk))
+            if n.inner_size is not None:
+                cur["inner"] = self._join_inner_spec(
+                    cdocs, pred, score, rel["child_key"],
+                    rel["parent_key"], n.child_type, n.inner_size,
+                    rel["child_table"])
             return JoinRelMatch(
                 cnt, sc if n.score_mode != "none" else None,
                 n.score_mode, n.min_children, n.max_children)
@@ -1592,6 +1623,11 @@ class SearchEngine:
                                  F.col(rel["child_key"]) == F.col(jk),
                                  "left")
                            .drop(jk))
+            if n.inner_size is not None:
+                cur["inner"] = self._join_inner_spec(
+                    pdocs, pred, score, rel["parent_key"],
+                    rel["child_key"], n.parent_type, n.inner_size,
+                    rel["parent_table"])
             return JoinRelMatch(cnt, sc if n.score else None,
                                 "parent" if n.score else "none", 1, None)
 
@@ -1633,7 +1669,85 @@ class SearchEngine:
             return a   # join queries inside agg filters: not supported
 
         req = self._rewrite_request(req, walk, walk_agg)
+        if cur["inner"] is not None:
+            req = replace(req, join_inner=cur["inner"])
         return req, cur["docs"]
+
+    def _join_inner_spec(self, odocs: DataFrame, pred: Column,
+                         score: Column, fk: str, hit_key: str,
+                         prefix: str, size: int,
+                         other_table: str) -> dict:
+        """Build the join inner_hits payload during join-node expansion:
+        the matched other-side rows (surfaced source columns + the inner
+        query's score) plus the join/ranking metadata
+        ``_expand_join_inner`` needs after hit paging. The frame is the
+        SAME match set the keyed aggregate consumed — one extra
+        projection, no second corpus scan shape."""
+        surf = [c for c in odocs.columns
+                if not c.startswith("__rel_")
+                and c not in (INDEXATION_FIELD, TTL_FIELD)]
+        frame = odocs.where(pred).select(
+            *surf, score.cast("double").alias("_ih_score"))
+        order_keys = [c for c in
+                      self.catalog.get(other_table)[1].key_columns
+                      if c in frame.columns]
+        return {"frame": frame, "fk": fk, "hit_key": hit_key,
+                "prefix": prefix, "size": size,
+                "order_keys": order_keys or [c for c in surf
+                                             if c == DOC_ID]}
+
+    def _expand_join_inner(self, hits: DataFrame, ordering: list,
+                           spec: dict) -> tuple[DataFrame, list[str]]:
+        """has_child/has_parent ``inner_hits`` (r13), flattened: each
+        paged hit expands to its top-``size`` matching relatives from
+        the other side of the relation, ranked by the inner query's
+        score desc (other-side keys asc as tiebreaks) with an
+        ``_inner_rank`` column; relative fields surface as
+        ``<type>_<field>`` columns — the join twin of the nested
+        inner_hits shape. Hits whose relative set is empty
+        (min_children: 0) keep one row with null inner columns.
+
+        Scale shape: the ≤k hit keys broadcast into a left-semi prune of
+        the match frame, the per-relative rank is one groupBy-shaped
+        window partitioned by the join key (bounded by the pruned match
+        set, never corpus-wide), and the final join back onto the ≤k
+        hits broadcasts the ranked (≤k×size-row) inner frame."""
+        frame, fk = spec["frame"], spec["fk"]
+        hk = hits.select(F.col(spec["hit_key"]).alias("_jk")).distinct()
+        pruned = (frame.withColumn("_jk", F.col(fk).cast("string"))
+                       .join(F.broadcast(hk.select(
+                           F.col("_jk").cast("string").alias("_jk"))),
+                             "_jk"))
+        w = Window.partitionBy("_jk").orderBy(
+            F.desc("_ih_score"),
+            *[F.asc(c) for c in spec["order_keys"]])
+        ranked = (pruned
+                  .withColumn("_inner_rank",
+                              F.row_number().over(w).cast("int"))
+                  .where(F.col("_inner_rank") <= int(spec["size"])))
+        cols: list[str] = []
+        sel = [F.col("_jk"), F.col("_inner_rank"),
+               F.col("_ih_score").alias(f"{spec['prefix']}__score")]
+        cols.append(f"{spec['prefix']}__score")
+        for c in ranked.columns:
+            if c in ("_jk", "_inner_rank", "_ih_score"):
+                continue
+            cname = f"{spec['prefix']}_{c}"
+            if cname in hits.columns:
+                raise es_dsl.DslError(
+                    f"inner_hits column {cname!r} collides with a hit "
+                    "column — rename the relation or the column")
+            sel.append(F.col(c).alias(cname))
+            cols.append(cname)
+        inner = ranked.select(*sel)
+        out = (hits.join(
+                   F.broadcast(inner),
+                   F.col(spec["hit_key"]).cast("string")
+                   == inner["_jk"], "left")
+                   .drop("_jk")
+                   .orderBy(*self._sort_exprs(ordering),
+                            F.asc_nulls_last("_inner_rank")))
+        return out, cols
 
     def validate(self, table: str, query: str,
                  default_field: str | None = None) -> str | None:
@@ -2066,6 +2180,15 @@ class SearchEngine:
                 result = result.withColumn(name, F.expr(sql))
             return result
 
+        if req.join_inner is not None and (req.knn is not None
+                                           or req.rrf is not None):
+            # the knn/retriever paths return from their own renderers,
+            # which do not expand join inner hits — reject rather than
+            # silently dropping them (the no-silent-drops contract)
+            raise es_dsl.DslError(
+                "has_child/has_parent inner_hits cannot combine with "
+                "knn/retriever sections (engine subset)")
+
         if req.rrf is not None:
             # the retriever allowlist permits `_source` beside
             # `retriever` — apply it (r12): previously accepted and
@@ -2098,6 +2221,10 @@ class SearchEngine:
             raise es_dsl.DslError(
                 "collapse inner_hits cannot combine with from/"
                 "search_after (paging counts groups)")
+        if req.join_inner is not None and req.collapse_inner is not None:
+            raise es_dsl.DslError(
+                "has_child/has_parent inner_hits cannot combine with "
+                "collapse inner_hits (both flatten an _inner_rank)")
 
         def apply_rescore(hits: DataFrame) -> DataFrame:
             # ES rescore: the top window_size primary hits re-score as
@@ -2368,6 +2495,10 @@ class SearchEngine:
         if req.nested_inner is not None:
             hits, nested_cols = self._expand_nested_inner(hits, comp,
                                                           req)
+        if req.join_inner is not None:
+            hits, join_cols = self._expand_join_inner(hits, ordering,
+                                                      req.join_inner)
+            nested_cols += join_cols
 
         if want_meta:
             meta_json = self._metadata_json(scored, req.track_total_hits)
@@ -2391,8 +2522,13 @@ class SearchEngine:
             # emits rows in probe order, so the hits carry their rank and
             # the result re-sorts on it — a paging client sees rows in
             # ranking order, like ES hits.
+            rank_order = self._sort_exprs(ordering)
+            if "_inner_rank" in hits.columns:
+                # expanded inner rows tie on every ordering column —
+                # break by inner rank so the page order is deterministic
+                rank_order.append(F.asc_nulls_last("_inner_rank"))
             ranked = hits.withColumn(RANK, F.row_number().over(
-                Window.orderBy(*self._sort_exprs(ordering))))
+                Window.orderBy(*rank_order)))
             hit_keys = F.broadcast(ranked.select(*keys, SCORE, RANK,
                                                  *inner_cols))
             result = (self._row_load_source(table, base)

@@ -996,6 +996,12 @@ class Request:
     # `<path>_<field>` columns + `_inner_rank`; hit selection and
     # paging still count PARENTS
     nested_inner: int | None = None
+    # has_child/has_parent inner_hits (r13): populated by the ENGINE's
+    # join expansion (never by the parser) — a spec dict holding the
+    # matched other-side frame + join-key/prefix/size so the search
+    # path can flatten each hit's top-N matching relatives as
+    # `<type>_<field>` columns + `_inner_rank` after paging
+    join_inner: Any = None
     # ES highlight: ((field, pre_tag, post_tag, number_of_fragments,
     # fragment_size), ...) — each requested field gains a
     # `_highlight_<field>` column. number_of_fragments 0 = whole-field
@@ -4882,13 +4888,11 @@ def _node(q: dict[str, Any]) -> Node:
         # the engine resolves it before compile (_expand_join_nodes).
         hc_extra = set(body) - {"type", "query", "score_mode",
                                 "min_children", "max_children", "boost",
-                                "ignore_unmapped"} \
+                                "ignore_unmapped", "inner_hits"} \
             if isinstance(body, dict) else set()
         if hc_extra:
             raise DslError(f"has_child: unsupported parameters "
-                           f"{sorted(hc_extra)} (engine subset; "
-                           "inner_hits is not supported on join "
-                           "queries — documented)")
+                           f"{sorted(hc_extra)} (engine subset)")
         if not isinstance(body, dict) or "type" not in body \
                 or "query" not in body:
             raise DslError(
@@ -4919,19 +4923,20 @@ def _node(q: dict[str, Any]) -> Node:
         return _boosted(
             HasChild(str(body["type"]), _node(body["query"]), hc_mode,
                      int(hc_min),
-                     int(hc_max) if hc_max is not None else None),
+                     int(hc_max) if hc_max is not None else None,
+                     _join_inner_size("has_child",
+                                      body.get("inner_hits"))),
             body.get("boost"))
     if kind == "has_parent":
         # ES has_parent: matches CHILD docs whose parent satisfies the
         # inner query; score: true hands children their parent's score
         hp_extra = set(body) - {"parent_type", "query", "score",
-                                "boost", "ignore_unmapped"} \
+                                "boost", "ignore_unmapped",
+                                "inner_hits"} \
             if isinstance(body, dict) else set()
         if hp_extra:
             raise DslError(f"has_parent: unsupported parameters "
-                           f"{sorted(hp_extra)} (engine subset; "
-                           "inner_hits is not supported on join "
-                           "queries — documented)")
+                           f"{sorted(hp_extra)} (engine subset)")
         if not isinstance(body, dict) or "parent_type" not in body \
                 or "query" not in body:
             raise DslError(
@@ -4947,7 +4952,9 @@ def _node(q: dict[str, Any]) -> Node:
                 f"has_parent score must be a boolean, got {hp_score!r}")
         return _boosted(
             HasParent(str(body["parent_type"]), _node(body["query"]),
-                      hp_score),
+                      hp_score,
+                      _join_inner_size("has_parent",
+                                       body.get("inner_hits"))),
             body.get("boost"))
     if kind == "parent_id":
         # ES parent_id: child docs of relation `type` whose parent key
@@ -6052,6 +6059,25 @@ def _boosted(node: Node, boost: Any) -> Node:
     except (TypeError, ValueError) as e:
         raise DslError(f"bad boost {boost!r}") from e
     return node if factor == 1.0 else Boost(node, factor)
+
+
+def _join_inner_size(kind: str, ih: Any) -> int | None:
+    """Validate a has_child/has_parent ``inner_hits`` object (r13) —
+    engine subset: ``{"size": n}`` only (name/sort/_source/highlight on
+    join inner hits typed-reject). ES default size is 3."""
+    if ih is None:
+        return None
+    if not isinstance(ih, dict):
+        raise DslError(f"{kind} inner_hits must be an object")
+    extra = set(ih) - {"size"}
+    if extra:
+        raise DslError(f"{kind} inner_hits: unsupported parameters "
+                       f"{sorted(extra)} (engine subset: size only)")
+    size = ih.get("size", 3)
+    if isinstance(size, bool) or not isinstance(size, int) or size < 1:
+        raise DslError(f"{kind} inner_hits size must be a positive "
+                       f"integer, got {size!r}")
+    return size
 
 
 def _fuzziness_edits(fuzziness: Any) -> int | tuple[int, int] | None:

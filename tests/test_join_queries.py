@@ -235,11 +235,6 @@ def test_join_query_typed_errors(eng):
     with pytest.raises(es_dsl.DslError, match="no child relation"):
         _search(eng, "children",
                 {"query": {"parent_id": {"type": "nope", "id": "1"}}})
-    with pytest.raises(es_dsl.DslError, match="unsupported parameters"):
-        _search(eng, "parents",
-                {"query": {"has_child": {
-                    "type": "children", "query": {"match_all": {}},
-                    "inner_hits": {}}}})
     with pytest.raises(es_dsl.DslError, match="score_mode"):
         _search(eng, "parents",
                 {"query": {"has_child": {
@@ -405,3 +400,102 @@ def test_rel_agg_typed_errors(eng):
         with pytest.raises(es_dsl.DslError, match=frag):
             eng.search_aggs("parents" if "ch" in aggs else "children",
                             json.dumps(body))
+
+
+# -- join inner_hits (r13) -------------------------------------------------
+
+
+def test_has_child_inner_hits_flatten_and_ranking(eng):
+    # each parent hit expands to its top-2 matching children ranked by
+    # child score desc (key asc tiebreak); parent 2's single match
+    # "red red fast" carries tf 2
+    body = {"query": {"has_child": {
+        "type": "children", "query": {"term": {"tags": "red"}},
+        "score_mode": "sum", "inner_hits": {"size": 2}}}}
+    rows = _rows(_search(eng, "parents", body),
+                 "pid", "_inner_rank", "children_cid",
+                 "children__score")
+    assert rows == [(1, 1, 10, 1.0), (1, 2, 11, 1.0), (2, 1, 13, 2.0)]
+
+
+def test_has_child_inner_hits_size_caps_children(eng):
+    body = {"query": {"has_child": {
+        "type": "children", "query": {"term": {"tags": "red"}},
+        "inner_hits": {"size": 1}}}}
+    rows = _rows(_search(eng, "parents", body), "pid", "children_cid")
+    assert rows == [(1, 10), (2, 13)]
+
+
+def test_has_child_inner_hits_paging_counts_parents(eng):
+    # size: 1 pages PARENTS — one parent hit, its <=2 inner rows ride
+    body = {"query": {"has_child": {
+        "type": "children", "query": {"term": {"tags": "red"}},
+        "inner_hits": {"size": 2}}}, "size": 1}
+    df = _search(eng, "parents", body)
+    rows = df.collect()
+    assert len({r["pid"] for r in rows}) == 1
+    assert sorted(r["_inner_rank"] for r in rows) == [1, 2]
+
+
+def test_has_child_inner_hits_min_children_zero_null_row(eng):
+    # min_children 0 admits childless parents — they keep ONE row with
+    # null inner columns (the flattened twin of an empty inner_hits)
+    body = {"query": {"has_child": {
+        "type": "children", "query": {"term": {"tags": "red"}},
+        "min_children": 0, "inner_hits": {"size": 2}}}}
+    got = {r["pid"]: r["_inner_rank"]
+           for r in _search(eng, "parents", body).collect()
+           if r["_inner_rank"] is None}
+    assert set(got) == {3, 4}
+
+
+def test_has_parent_inner_hits_parent_fields(eng):
+    body = {"query": {"has_parent": {
+        "parent_type": "parents", "query": {"term": {"note": "urgent"}},
+        "inner_hits": {"size": 1}}}}
+    rows = _rows(_search(eng, "children", body),
+                 "cid", "_inner_rank", "parents_pid", "parents_note")
+    assert rows == [(10, 1, 1, "alpha urgent"),
+                    (11, 1, 1, "alpha urgent"),
+                    (14, 1, 3, "gamma urgent")]
+
+
+def test_has_child_inner_hits_row_load_mode(eng):
+    # default row-load mode: base row + _score + flattened inner cols
+    import json as _json
+    body = {"query": {"has_child": {
+        "type": "children", "query": {"term": {"tags": "red"}},
+        "inner_hits": {"size": 1}}}}
+    df = eng.search("parents", _json.dumps(body))
+    assert {"note", "total", "_inner_rank", "children_cid",
+            "children__score"} <= set(df.columns)
+    assert df.count() == 2
+
+
+def test_join_inner_hits_typed_errors(eng):
+    # non-top-level join clause
+    with pytest.raises(es_dsl.DslError, match="TOP-LEVEL join"):
+        _search(eng, "parents", {"query": {"bool": {
+            "must": [{"has_child": {"type": "children",
+                                    "query": {"term": {"tags": "red"}},
+                                    "inner_hits": {}}},
+                     {"term": {"note": "urgent"}}]}}})
+    # grandparent chain: inner join query carrying inner_hits
+    with pytest.raises(es_dsl.DslError, match="TOP-LEVEL join"):
+        _search(eng, "parents", {"query": {"has_child": {
+            "type": "children",
+            "query": {"has_parent": {
+                "parent_type": "parents",
+                "query": {"match_all": {}}, "inner_hits": {}}}}}})
+    with pytest.raises(es_dsl.DslError, match="positive integer"):
+        _search(eng, "parents", {"query": {"has_child": {
+            "type": "children", "query": {"match_all": {}},
+            "inner_hits": {"size": 0}}}})
+    with pytest.raises(es_dsl.DslError, match="unsupported parameters"):
+        _search(eng, "parents", {"query": {"has_child": {
+            "type": "children", "query": {"match_all": {}},
+            "inner_hits": {"name": "x"}}}})
+    with pytest.raises(es_dsl.DslError, match="must be an object"):
+        _search(eng, "parents", {"query": {"has_parent": {
+            "parent_type": "parents", "query": {"match_all": {}},
+            "inner_hits": 3}}})
