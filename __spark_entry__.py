@@ -639,7 +639,10 @@ def _orders_nested_engine(spark: SparkSession, sf_dir: str, name: str
                        F.col("l_linenumber").alias("ln"),
                        F.col("l_quantity").alias("qty"),
                        F.col("l_returnflag").alias("rf")))).alias("items")))
-        docs = (orders.select("o_orderkey")
+        # o_totalprice/o_custkey ride as parent-scope fields (r13 —
+        # reverse_nested sub-aggs); existing fixture users return
+        # keys-only or agg columns, so the extra columns are inert there
+        docs = (orders.select("o_orderkey", "o_totalprice", "o_custkey")
                 .join(items, orders["o_orderkey"] == items["l_orderkey"],
                       "left")
                 .drop("l_orderkey")
@@ -900,6 +903,29 @@ def q_search_nested_agg(spark, sf_dir):
     out = eng.search_aggs("orders_nested_agg", q)
     return (out.withColumn("s", F.round("s", 4))
                .withColumn("med_p50", F.round("med_p50", 4)))
+
+
+def q_search_reverse_nested_aggs(spark, sf_dir):
+    # ES reverse_nested parent-scope sub-aggs (r13): per element-frame
+    # returnflag bucket, jump back to the DISTINCT parent orders and
+    # aggregate parent fields (avg/max totalprice, distinct custkeys).
+    # Plan: one (bucket, parent)-keyed aggregation of the same gated
+    # element frame + one bucket-keyed pass — both map-side-combinable
+    # hash aggs bounded by the element frame, never a per-bucket
+    # corpus join (SearchEngine._reverse_nested_frame).
+    eng = _orders_nested_engine(spark, sf_dir, "orders_nested_rn")
+    q = ('{"query":{"match_all":{}},"aggs":{'
+         '"n":{"nested":{"path":"items"},"aggs":{'
+         '"by":{"terms":{"field":"items.rf"},"aggs":{'
+         '"parents":{"reverse_nested":{},"aggs":{'
+         '"tp":{"avg":{"field":"o_totalprice"}},'
+         '"mx":{"max":{"field":"o_totalprice"}},'
+         '"nc":{"cardinality":{"field":"o_custkey"}}}}}}}}}}')
+    out = eng.search_aggs("orders_nested_rn", q)
+    return out.select(
+        "key", "doc_count", "parents_doc_count",
+        F.round("parents_tp", 4).alias("parents_tp"),
+        "parents_mx", "parents_nc")
 
 
 def q_search_sampler_diversified(spark, sf_dir):
@@ -3746,6 +3772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tier (r12): Arrow-batched Unicode NFC + control strip
         "search_has_child_inner": q_search_has_child_inner,  # ~ join
         #   family (r13): has_child inner_hits flatten, broadcast-pruned
+        "search_reverse_nested_aggs": q_search_reverse_nested_aggs,
+        #   ~ aggs family (r13): parent-scope sub-aggs over the
+        #   distinct-parent frame, two hash aggs, no corpus join
     }
 
 
@@ -5604,6 +5633,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
             ORDER BY doc_count DESC, key ASC
             LIMIT 10
+        """,
+        # reverse_nested parent-scope sub-aggs (r13): the distinct
+        # (rf, order) frame re-derives doc_count + parent-field metrics
+        "search_reverse_nested_aggs": """
+            WITH par AS (
+                SELECT l.l_returnflag AS key, o.o_orderkey,
+                       o.o_totalprice, o.o_custkey
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                GROUP BY 1, 2, 3, 4),
+            cnt AS (
+                SELECT l_returnflag AS key,
+                       COUNT(*)::BIGINT AS doc_count
+                FROM lineitem GROUP BY 1)
+            SELECT c.key, c.doc_count,
+                   COUNT(*)::BIGINT AS parents_doc_count,
+                   ROUND(AVG(p.o_totalprice), 4) AS parents_tp,
+                   MAX(p.o_totalprice) AS parents_mx,
+                   COUNT(DISTINCT p.o_custkey)::BIGINT AS parents_nc
+            FROM par p JOIN cnt c ON c.key = p.key
+            GROUP BY c.key, c.doc_count
         """,
         # diversified_sampler (r9): two row_number windows re-derive
         # the per-source cap and the top-200 sample, then the per-lang

@@ -5473,6 +5473,46 @@ class SearchEngine:
         return replace(aggs, kind="date_histogram",
                        fixed_interval=f"{secs}s", buckets=None)
 
+    @staticmethod
+    def _reverse_nested_frame(m, fsrc: DataFrame, comp: Compiler,
+                              grp_exprs: list[Column],
+                              grp_names: list[str],
+                              doc_keys: list[str]) -> DataFrame:
+        """reverse_nested with parent-scope sub-aggs (r13): one frame of
+        (bucket keys..., <name>_doc_count, <name>_<sub>...) — one row
+        per bucket (one row total when ``grp_names`` is empty, the
+        metrics-only shape).
+
+        Plan: pass 1 groups the ELEMENT frame by (bucket, parent doc
+        keys) taking first(parent field) — parent fields are constant
+        per parent, so first() is deterministic — which IS the
+        distinct-parent frame; pass 2 groups by bucket computing
+        doc_count + the sub metrics. Both passes are map-side-
+        combinable hash aggregations bounded by the element frame —
+        never a per-bucket join back to the corpus."""
+        vals, subs = [], []
+        for j, s in enumerate(m.sub_metrics):
+            col = comp.resolve(s.field).col
+            if s.missing is not None:
+                col = F.coalesce(col, F.lit(s.missing))
+            vals.append(F.first(col).alias(f"_rnv{j}"))
+            c2 = F.col(f"_rnv{j}")
+            nm = f"{m.name}_{s.name}"
+            if s.kind == "value_count":
+                subs.append(F.count(c2).cast("long").alias(nm))
+            elif s.kind == "cardinality":
+                subs.append(F.count_distinct(c2).cast("long").alias(nm))
+            else:
+                fn = {"avg": F.avg, "sum": F.sum,
+                      "min": F.min, "max": F.max}[s.kind]
+                subs.append(fn(c2).alias(nm))
+        dd = fsrc.groupBy(*[e.alias(n) for e, n
+                            in zip(grp_exprs, grp_names)],
+                          *doc_keys).agg(*vals)
+        return dd.groupBy(*grp_names).agg(
+            F.count(F.lit(1)).cast("long")
+             .alias(f"{m.name}_doc_count"), *subs)
+
     def _two_pass_metric(self, m, filtered: DataFrame,
                          comp: Compiler) -> DataFrame:
         """One-row frame for a metric that needs TWO aggregation passes:
@@ -5706,6 +5746,16 @@ class SearchEngine:
                     raise es_dsl.DslError(
                         "reverse_nested is valid inside a nested "
                         "aggregation only (ES contract)")
+                if m.sub_metrics:
+                    # the two-pass distinct-parent frame rides the
+                    # generic bucket machinery / metrics-only path;
+                    # other bucket kinds keep doc_count-only (typed)
+                    raise es_dsl.DslError(
+                        "reverse_nested parent-scope sub-aggs are "
+                        "supported under terms/histogram/"
+                        "date_histogram/range/filters levels or "
+                        "directly under the nested agg (engine "
+                        "subset — doc_count-only elsewhere)")
                 # distinct parents holding ≥1 element in the bucket —
                 # ES reverse_nested doc_count (engine subset: count
                 # only). Distinct pairs are bounded by the element
@@ -6386,6 +6436,8 @@ class SearchEngine:
             two_pass = [m for m in aggs
                         if m.kind in ("median_absolute_deviation",
                                       "string_stats")]
+            two_pass += [m for m in aggs
+                         if m.kind == "reverse_nested" and m.sub_metrics]
             if not two_pass:
                 return filtered.agg(
                     *[c for m in aggs for c in metric_cols(m)])
@@ -6398,6 +6450,15 @@ class SearchEngine:
                 frames.append(filtered.agg(
                     *[c for m in simple for c in metric_cols(m)]))
             for m in two_pass:
+                if m.kind == "reverse_nested":
+                    if not nested_ctx["on"]:
+                        raise es_dsl.DslError(
+                            "reverse_nested is valid inside a nested "
+                            "aggregation only (ES contract)")
+                    frames.append(self._reverse_nested_frame(
+                        m, filtered, comp, [], [],
+                        list(spec.key_columns)))
+                    continue
                 frames.append(self._two_pass_metric(m, filtered, comp))
             out = frames[0]
             for fr in frames[1:]:
@@ -6825,10 +6886,29 @@ class SearchEngine:
                 frame = frame.where(g)
             grp_keys = [level_key[j].alias(level_names(j)[0])
                         for j in range(i + 1)]
+            rn_two = [m for m in lv.metrics
+                      if m.kind == "reverse_nested" and m.sub_metrics]
+            fsrc = frame
             measures = [F.count("*").cast("long").alias(cname)]
-            measures += [c for m in lv.metrics
+            measures += [c for m in lv.metrics if m not in rn_two
                          for c in metric_cols(m, parent=lv)]
             frame = frame.groupBy(*grp_keys).agg(*measures)
+            for m in rn_two:
+                # reverse_nested parent-scope sub-aggs (r13): a second
+                # (bucket, parent)-keyed aggregation of the SAME gated
+                # element frame, left-joined on the bucket keys before
+                # ordering/selection so terms `order` may target the
+                # parent-scope columns; bounded by bucket × parent
+                # cardinality, map-side combinable
+                if not nested_ctx["on"]:
+                    raise es_dsl.DslError(
+                        "reverse_nested is valid inside a nested "
+                        "aggregation only (ES contract)")
+                names_i = [level_names(j)[0] for j in range(i + 1)]
+                rn = self._reverse_nested_frame(
+                    m, fsrc, comp, [level_key[j] for j in range(i + 1)],
+                    names_i, list(spec.key_columns))
+                frame = frame.join(rn, on=names_i, how="left")
             if lv.min_doc_count is not None:
                 # ES min_doc_count: buckets below the floor vanish
                 # (applied before terms top-size selection, like ES)

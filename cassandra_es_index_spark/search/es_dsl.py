@@ -682,6 +682,12 @@ class MetricAgg:
     # SamplerAgg premise). Stored fully composed; metric_cols just
     # F.expr()s it.
     script_sql: str | None = None
+    # reverse_nested (r13): parent-scope metric sub-aggs — each runs
+    # over the DISTINCT parent documents holding ≥1 element in the
+    # bucket (ES: aggregating continues in parent scope after
+    # reverse_nested). Engine subset: avg/sum/min/max/value_count/
+    # cardinality over a parent field.
+    sub_metrics: tuple["MetricAgg", ...] = ()
 
     def out_names(self) -> tuple[str, ...]:
         if self.kind == "stats":
@@ -719,7 +725,9 @@ class MetricAgg:
         if self.kind == "top_metrics":
             return tuple(f"{self.name}_{f}" for f in self.multi_fields)
         if self.kind == "reverse_nested":
-            return (f"{self.name}_doc_count",)
+            return (f"{self.name}_doc_count",) + tuple(
+                f"{self.name}_{n}" for s in self.sub_metrics
+                for n in s.out_names())
         if self.kind == "t_test":
             return (f"{self.name}_t", f"{self.name}_df")
         if self.kind == "matrix_stats":
@@ -1952,7 +1960,19 @@ def _ip_ranges(name: str,
     return tuple(out)
 
 
+_RN_SUB_KINDS = ("avg", "sum", "min", "max", "value_count",
+                 "cardinality")
+
+
 def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
+    rn_sub_spec = None
+    if isinstance(spec, dict) and "reverse_nested" in spec \
+            and set(spec) == {"reverse_nested", "aggs"}:
+        # reverse_nested is the one metric-tier kind that may carry
+        # sub-aggs (ES: aggregation continues in parent scope) — peel
+        # them off before the exactly-one-kind check
+        rn_sub_spec = spec["aggs"]
+        spec = {"reverse_nested": spec["reverse_nested"]}
     if not isinstance(spec, dict) or len(spec) != 1:
         raise DslError(
             f"metric agg {name!r} must have exactly one kind: {spec!r}")
@@ -2221,15 +2241,40 @@ def _metric(name: str, spec: dict[str, Any]) -> MetricAgg:
         return MetricAgg(name, kind, flds[0], multi_fields=tuple(flds))
     if kind == "reverse_nested":
         # ES reverse_nested jumps back to PARENT documents inside a
-        # nested agg. Engine subset (doc_count only, documented): the
-        # count of distinct parents holding ≥1 element in the bucket —
-        # the idiom's common question; parent-scope sub-aggs would need
-        # a per-bucket join back to the document frame (typed error).
+        # nested agg: doc_count = distinct parents holding ≥1 element
+        # in the bucket. r13 adds parent-scope METRIC sub-aggs (ES:
+        # aggregation continues in parent scope) — engine subset:
+        # avg/sum/min/max/value_count/cardinality over a parent field,
+        # computed over the distinct-parent frame (one extra
+        # map-side-combinable aggregation on (bucket, parent) — never
+        # a per-bucket corpus join). `path` (multi-level nesting) and
+        # bucket sub-aggs stay typed errors.
         if body not in ({}, None):
             raise DslError(
-                f"reverse_nested agg {name!r}: parameters/sub-aggs are "
-                "not supported (engine subset — doc_count only)")
-        return MetricAgg(name, kind, "")
+                f"reverse_nested agg {name!r}: parameters are not "
+                "supported (engine subset — one nested level, so the "
+                "jump target is always the document root)")
+        subs: list[MetricAgg] = []
+        if rn_sub_spec is not None:
+            if not isinstance(rn_sub_spec, dict) or not rn_sub_spec:
+                raise DslError(f"reverse_nested agg {name!r}: aggs "
+                               "must be a non-empty object")
+            for sn, ss in rn_sub_spec.items():
+                sm = _metric(sn, ss)
+                if sm.kind not in _RN_SUB_KINDS:
+                    raise DslError(
+                        f"reverse_nested agg {name!r}: parent-scope "
+                        f"sub-agg {sn!r} kind {sm.kind!r} is not "
+                        f"supported (engine subset: "
+                        f"{', '.join(_RN_SUB_KINDS)})")
+                if sm.precision_threshold is not None:
+                    raise DslError(
+                        f"reverse_nested agg {name!r}: "
+                        "precision_threshold is not supported on "
+                        "parent-scope cardinality (engine subset — "
+                        "exact count distinct)")
+                subs.append(sm)
+        return MetricAgg(name, kind, "", sub_metrics=tuple(subs))
     if kind == "top_metrics":
         # ES shape: {"metrics": {"field": f} | [{...}, ...],
         # "sort": {field: "asc"|"desc"}, "size": 1} — the metric field

@@ -98,7 +98,77 @@ def test_reverse_nested_typed_errors(eng):
     with pytest.raises(DslError, match="inside a nested"):
         _run(eng, {"query": {"match_all": {}},
                    "aggs": {"p": {"reverse_nested": {}}}})
-    with pytest.raises(DslError, match="doc_count only"):
+    with pytest.raises(DslError, match="document root"):
         _run(eng, {"query": {"match_all": {}}, "aggs": {
             "n": {"nested": {"path": "items"}, "aggs": {
                 "p": {"reverse_nested": {"path": "x"}}}}}})
+
+
+# -- reverse_nested parent-scope sub-aggs (r13) ----------------------------
+
+
+def test_reverse_nested_parent_scope_metrics(eng):
+    # tag b: elements in docs 1 (q 3) and 5 (q 2, 4) → parents {1, 5};
+    # parent-scope metrics aggregate each parent ONCE (doc 5 holds two
+    # b elements but contributes one id value)
+    rows = _run(eng, {"query": {"match_all": {}}, "aggs": {
+        "n": {"nested": {"path": "items"}, "aggs": {
+            "by": {"terms": {"field": "items.tag"}, "aggs": {
+                "back": {"reverse_nested": {}, "aggs": {
+                    "avg_id": {"avg": {"field": "id"}},
+                    "sum_id": {"sum": {"field": "id"}},
+                    "n_id": {"value_count": {"field": "id"}},
+                    "c_txt": {"cardinality": {"field": "text"}}}}}}}}}})
+    by = {r["key"]: r for r in rows}
+    assert by["b"]["back_doc_count"] == 2
+    assert by["b"]["back_avg_id"] == 3.0      # (1 + 5) / 2
+    assert by["b"]["back_sum_id"] == 6
+    assert by["b"]["back_n_id"] == 2
+    assert by["b"]["back_c_txt"] == 2         # "x", "x x"
+    assert by["a"]["back_avg_id"] == 1.5      # parents {1, 2}
+    assert by["c"]["back_doc_count"] == 1
+    assert by["c"]["back_sum_id"] == 5
+
+
+def test_reverse_nested_subs_directly_under_nested(eng):
+    # metrics-only shape: one global bucket over all parents holding
+    # >=1 element — docs {1, 2, 5}
+    rows = _run(eng, {"query": {"match_all": {}}, "aggs": {
+        "n": {"nested": {"path": "items"}, "aggs": {
+            "back": {"reverse_nested": {}, "aggs": {
+                "s": {"sum": {"field": "id"}}}}}}}})
+    assert rows[0]["back_doc_count"] == 3
+    assert rows[0]["back_s"] == 8
+
+
+def test_reverse_nested_subs_beside_element_metrics(eng):
+    # element-scope and parent-scope metrics compose in one bucket
+    rows = _run(eng, {"query": {"match_all": {}}, "aggs": {
+        "n": {"nested": {"path": "items"}, "aggs": {
+            "by": {"terms": {"field": "items.tag"}, "aggs": {
+                "q": {"sum": {"field": "items.qty"}},
+                "back": {"reverse_nested": {}, "aggs": {
+                    "m": {"max": {"field": "id"}}}}}}}}}})
+    by = {r["key"]: r for r in rows}
+    assert by["b"]["q"] == 9.0 and by["b"]["back_m"] == 5
+    assert by["a"]["q"] == 6.0 and by["a"]["back_m"] == 2
+
+
+def test_reverse_nested_sub_typed_errors(eng):
+    with pytest.raises(DslError, match="is not supported"):
+        _run(eng, {"query": {"match_all": {}}, "aggs": {
+            "n": {"nested": {"path": "items"}, "aggs": {
+                "by": {"terms": {"field": "items.tag"}, "aggs": {
+                    "back": {"reverse_nested": {}, "aggs": {
+                        "p": {"percentiles": {"field": "id"}}}}}}}}}})
+    with pytest.raises(DslError, match="precision_threshold"):
+        _run(eng, {"query": {"match_all": {}}, "aggs": {
+            "n": {"nested": {"path": "items"}, "aggs": {
+                "back": {"reverse_nested": {}, "aggs": {
+                    "c": {"cardinality": {
+                        "field": "id",
+                        "precision_threshold": 100}}}}}}}})
+    with pytest.raises(DslError, match="non-empty object"):
+        _run(eng, {"query": {"match_all": {}}, "aggs": {
+            "n": {"nested": {"path": "items"}, "aggs": {
+                "back": {"reverse_nested": {}, "aggs": {}}}}}})
