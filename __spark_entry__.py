@@ -3225,6 +3225,20 @@ def q_docs_frequent_pairs(spark, sf_dir):
     return eng.search_aggs("documents", q, default_field="text")
 
 
+def q_docs_frequent_triples(spark, sf_dir):
+    # ES frequent_item_sets minimum_set_size 3 (r13): the third
+    # A-priori level — frequent-pair occurrences extend with a third
+    # pruned item, (i1,i3)/(i2,i3) sub-pairs must be frequent (the full
+    # candidate prune), then the triple count applies the true support
+    # floor. Equi-joins/groupBys only, blowup bounded by co-frequent
+    # items.
+    eng = _docs_engine(spark, sf_dir)
+    q = ('{"aggs":{"fis":{"frequent_item_sets":{'
+         '"fields":[{"field":"text"}],"minimum_set_size":3,'
+         '"minimum_support":0.55,"size":15}}}}')
+    return eng.search_aggs("documents", q, default_field="text")
+
+
 def q_events_ks_test(spark, sf_dir):
     # ES bucket_count_ks_test (r12): KS of a histogram's bucket-count
     # distribution against request fractions — per-row ECDF diffs via
@@ -3775,6 +3789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_reverse_nested_aggs": q_search_reverse_nested_aggs,
         #   ~ aggs family (r13): parent-scope sub-aggs over the
         #   distinct-parent frame, two hash aggs, no corpus join
+        "docs_frequent_triples": q_docs_frequent_triples,  # ~ agg
+        #   superset (r13): 3-itemset A-priori with full sub-pair prune
     }
 
 
@@ -6992,6 +7008,42 @@ def oracle_sql() -> dict[str, str]:
                    round(doc_count / n_docs::DOUBLE, 6) AS support
             FROM flt
             ORDER BY doc_count DESC, item1 ASC, item2 ASC
+            LIMIT 15
+        """,
+        # frequent_item_sets minimum_set_size 3 (r13): the same
+        # pipeline one A-priori level deeper — triple self-join over
+        # the pruned rows, triple floor, (doc_count desc, items asc)
+        "docs_frequent_triples": r"""
+            WITH base AS (
+                SELECT doc_id, tok AS item
+                FROM (SELECT doc_id,
+                             list_distinct(list_filter(
+                                 string_split_regex(lower(text),
+                                                    '\W+'),
+                                 t -> t <> '')) AS items
+                      FROM documents) d,
+                     UNNEST(d.items) AS u(tok)),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            f1 AS (SELECT item FROM base, n GROUP BY item, n.n_docs
+                   HAVING count(*) >= ceil(0.55 * n.n_docs)),
+            pruned AS (SELECT b.* FROM base b
+                       JOIN f1 ON f1.item = b.item),
+            triples AS (
+                SELECT a.item AS item1, b.item AS item2, c.item AS item3
+                FROM pruned a
+                JOIN pruned b ON a.doc_id = b.doc_id
+                JOIN pruned c ON a.doc_id = c.doc_id
+                WHERE a.item < b.item AND b.item < c.item),
+            cnt AS (
+                SELECT item1, item2, item3,
+                       count(*)::BIGINT AS doc_count
+                FROM triples GROUP BY 1, 2, 3),
+            flt AS (SELECT c.*, n.n_docs FROM cnt c, n
+                    WHERE c.doc_count >= ceil(0.55 * n.n_docs))
+            SELECT item1, item2, item3, doc_count,
+                   round(doc_count / n_docs::DOUBLE, 6) AS support
+            FROM flt
+            ORDER BY doc_count DESC, item1 ASC, item2 ASC, item3 ASC
             LIMIT 15
         """,
         # bucket_count_ks_test (r12): the identical ECDF-diff + D + n

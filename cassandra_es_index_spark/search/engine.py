@@ -6338,10 +6338,12 @@ class SearchEngine:
                     "frequent_item_sets needs a string or "
                     "array<string> field, got "
                     f"{ref.dtype.simpleString()} for {aggs.field!r}")
+            set_size = aggs.precision or 2
+            item_cols = [f"item{j + 1}" for j in range(set_size)]
             n_docs = filtered.count()
             if n_docs == 0:
                 return (filtered.select(
-                    F.lit("").alias("item1"), F.lit("").alias("item2"),
+                    *[F.lit("").alias(c) for c in item_cols],
                     F.lit(0).cast("long").alias("doc_count"),
                     F.lit(0.0).alias("support")).limit(0))
             min_cnt = max(1, math.ceil(float(aggs.interval) * n_docs))
@@ -6356,15 +6358,45 @@ class SearchEngine:
             b = pruned.select(*keys, F.col("item").alias("item2"))
             pairs = a.join(b, on=keys).where(
                 F.col("item1") < F.col("item2"))
-            out = (pairs.groupBy("item1", "item2")
-                   .agg(F.count(F.lit(1)).cast("long")
-                        .alias("doc_count"))
-                   .where(F.col("doc_count") >= min_cnt)
+            pair_counts = (pairs.groupBy("item1", "item2")
+                           .agg(F.count(F.lit(1)).cast("long")
+                                .alias("doc_count"))
+                           .where(F.col("doc_count") >= min_cnt))
+            if set_size == 3:
+                # third A-priori level (r13): per-doc occurrences of
+                # FREQUENT pairs extend with a third pruned item, and
+                # the (i1,i3)/(i2,i3) sub-pairs must be frequent too
+                # (the full A-priori candidate prune) before the triple
+                # count applies the true support floor. Every stage is
+                # an equi-join/groupBy bounded by frequent-pair
+                # occurrences × frequent items per doc — the prunes
+                # keep the blowup to genuinely co-frequent items.
+                fp = pair_counts.select("item1", "item2")
+                occ2 = pairs.join(fp, on=["item1", "item2"],
+                                  how="left_semi")
+                c = pruned.select(*keys, F.col("item").alias("item3"))
+                cand = (occ2.join(c, on=keys)
+                        .where(F.col("item3") > F.col("item2")))
+                cand = cand.join(
+                    fp.select(F.col("item1").alias("item1"),
+                              F.col("item2").alias("item3")),
+                    on=["item1", "item3"], how="left_semi")
+                cand = cand.join(
+                    fp.select(F.col("item1").alias("item2"),
+                              F.col("item2").alias("item3")),
+                    on=["item2", "item3"], how="left_semi")
+                counted = (cand.groupBy(*item_cols)
+                           .agg(F.count(F.lit(1)).cast("long")
+                                .alias("doc_count"))
+                           .where(F.col("doc_count") >= min_cnt))
+            else:
+                counted = pair_counts
+            out = (counted
                    .withColumn("support",
                                F.round(F.col("doc_count")
                                        / F.lit(float(n_docs)), 6))
-                   .orderBy(F.desc("doc_count"), F.asc("item1"),
-                            F.asc("item2"))
+                   .orderBy(F.desc("doc_count"),
+                            *[F.asc(c) for c in item_cols])
                    .limit(int(aggs.size)))
             return out
         if isinstance(aggs, es_dsl.BucketAgg) \

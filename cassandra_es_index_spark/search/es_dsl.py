@@ -3032,11 +3032,13 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     "{'fields': [{'field': …}]} — exactly one field "
                     "(engine subset)")
             mss = params.get("minimum_set_size", 2)
-            if mss != 2:
+            if mss not in (2, 3):
                 raise DslError(
-                    "frequent_item_sets minimum_set_size must be 2 "
-                    "(engine subset: the pair miner — larger sets "
-                    "would need an iterative candidate generation)")
+                    "frequent_item_sets minimum_set_size must be 2 or "
+                    "3 (engine subset: the pair/triple A-priori miner "
+                    "— deeper levels would need iterative candidate "
+                    "generation; sets are EXACTLY that size, a "
+                    "documented deviation from ES's ≥-size ECLAT)")
             msup = params.get("minimum_support", 0.1)
             if isinstance(msup, bool) \
                     or not isinstance(msup, (int, float)) \
@@ -3054,7 +3056,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             return BucketAgg(name=name, kind="frequent_item_sets",
                              field=flds[0]["field"],
                              size=fis_size,
-                             interval=float(msup))
+                             interval=float(msup),
+                             precision=int(mss))  # set size (2|3)
         if first_kind == "variable_width_histogram":
             # ES variable_width_histogram: cluster a numeric field into
             # ~`buckets` dynamically-sized buckets. ES's streaming

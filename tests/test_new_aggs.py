@@ -937,9 +937,9 @@ def test_frequent_item_sets_typed_errors(spark):
     def run(body):
         eng.search_aggs("fis3", json.dumps({"aggs": {"s": body}}))
 
-    with pytest.raises(DslError, match="minimum_set_size must be 2"):
+    with pytest.raises(DslError, match="minimum_set_size must be 2 or"):
         run({"frequent_item_sets": {"fields": [{"field": "s"}],
-                                    "minimum_set_size": 3}})
+                                    "minimum_set_size": 4}})
     with pytest.raises(DslError, match="exactly one field"):
         run({"frequent_item_sets": {"fields": [{"field": "s"},
                                                {"field": "v"}]}})
@@ -952,6 +952,31 @@ def test_frequent_item_sets_typed_errors(spark):
         eng.search_aggs("fis3", json.dumps({"aggs": {"s": {
             "frequent_item_sets": {"fields": [{"field": "s"}]},
             "aggs": {"m": {"avg": {"field": "v"}}}}}}))
+
+
+def test_frequent_item_sets_triples(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a", "b", "c"]),
+         (3, ["a", "b", "c", "d"]), (4, ["a", "b"]),
+         (5, ["b", "c"]), (6, ["a", "c"]),
+         (7, ["d", "e"]), (8, ["a", "b", "c"])],
+        "id bigint, tags array<string>")
+    eng.register(df, TableSpec("fis4", ["id"]))
+    q = json.dumps({"aggs": {"s": {"frequent_item_sets": {
+        "fields": [{"field": "tags"}], "minimum_set_size": 3,
+        "minimum_support": 0.4, "size": 5}}}})
+    rows = [r.asDict() for r in eng.search_aggs("fis4", q).collect()]
+    # floor ceil(0.4·8)=4: only (a,b,c) co-occurs in 4 docs (1,2,3,8);
+    # d/e pruned at level 1 (d:2, e:1 < 4)
+    assert rows == [{"item1": "a", "item2": "b", "item3": "c",
+                     "doc_count": 4, "support": 0.5}]
+    # a frequent PAIR whose extensions all miss the floor yields no
+    # triple: raise the floor past the triple count
+    q2 = json.dumps({"aggs": {"s": {"frequent_item_sets": {
+        "fields": [{"field": "tags"}], "minimum_set_size": 3,
+        "minimum_support": 0.6, "size": 5}}}})
+    assert eng.search_aggs("fis4", q2).count() == 0
 
 
 # -------------------------------------------- bucket_count_ks_test (r12)
