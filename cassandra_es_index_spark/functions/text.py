@@ -233,7 +233,24 @@ def ngram_repetition_stats(df, id_col: str, text_col: str,
     codegen and partial-combine map-side; the shuffle is bounded by
     the corpus token count × len(ns) — the postings-build cost class,
     and 15× faster than the best row-local form on the same corpus.
-    The Column functions remain for small-document row-local use."""
+    The Column functions remain for small-document row-local use.
+
+    Parallelism guard (r13): the explode + per-gram hash is a
+    CPU-AMPLIFYING projection — its cost is invisible to AQE's
+    byte-based coalescing, so a small-byte input (one parquet file →
+    one scan partition; an AQE-coalesced exchange) serializes the
+    whole map stage on one core (measured 9.8 s → 1.3 s at sf0.1,
+    7.6×). When the input's parallelism is below the session default,
+    widen it by EXPLICIT-count hash repartition on the doc id (an
+    explicit count is exempt from AQE coalescing; the id key also
+    lets the three downstream groupBys — (doc,n,h,l) → (doc,n) →
+    (doc) — and the final join reuse the one exchange, since hash
+    partitioning on a subset of the grouping keys satisfies their
+    clustered distribution). A big input (the 100 TB case) already
+    has ≥ default-parallelism partitions and is never collapsed."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want, id_col)
     toks = tokens(F.col(text_col))
 
     def tag(nn: int):
