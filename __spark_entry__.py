@@ -3363,7 +3363,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   over one corpus scan (r9) — the alerting/routing primitive;
         #   search_page_after demoted to the tail (scroll_drain's keyset
         #   batches exercise the same search_after machinery)
-        "search_collapse": q_search_collapse,    # field collapsing (r5)
+        "search_has_child": q_search_has_child,  # ~ join family —
+        #   rotated IN r13 (judge ask #4: the window had never checked
+        #   a parent/child join); search_collapse demoted to the tail
+        #   (T2 paging family stays covered by scroll_drain; collapse
+        #   pytest-pinned + tail oracle, green r05-r12)
         "search_pipeline_nested": q_search_pipeline_nested,  # per-parent
         #   sequence windows at depth (r6) — supersedes the single-level
         #   variant in the window; that one is in the tail, green r05
@@ -3375,7 +3379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight_fragments": q_search_highlight_fragments,
         #   fragment shape, the ES default (r6); the whole-field variant
         #   search_highlight is in the tail, green r05
-        "search_sqs": q_search_sqs,  # simple_query_string grammar (r5)
+        "events_t_test": q_events_t_test,  # ~ statistics siblings —
+        #   rotated IN r13 (judge ask #4: first window check of the
+        #   t_test/KS/change_point family); search_sqs demoted to the
+        #   tail (query_string grammar family stays covered by
+        #   search_term_bool + search_dsl_must_should, green r05-r12)
         "search_mlt": q_search_mlt,          # tf·idf pick, oracle-backed
         #   search_suggest demoted to the tail r9 (dictionary completion
         #   — the least query-shaped API; oracle kept, green r05-r08)
@@ -3388,8 +3396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   postings-served term family is represented in-window by
         #   search_term_bool + search_10k_cap (both index-served,
         #   plan-pinned by test_postings_plan_replaces_scan)
-        "search_date_math": q_search_date_math,  # now-7d/d bounds (r6),
-        #   range-index served, pinned now → deterministic oracle
+        "docs_frequent_pairs": q_docs_frequent_pairs,  # ~ agg superset
+        #   — rotated IN r13 (judge ask #4: first window check of
+        #   frequent_item_sets); search_date_math demoted to the tail
+        #   (date-bound range family stays covered by search_dsl_range's
+        #   date bounds, green r06-r12)
         # --- geo: derived geo_point fixture over events (r9) ---
         "geo_distance_filter": q_geo_distance_filter,  # haversine ≤ 4000km
         "search_geohash_grid": q_search_geohash_grid,  # base32 cells +
@@ -3453,8 +3464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_monthly": q_events_rate_monthly,  # ~ agg metric
         #   family (r12): ES rate with a calendar month parent —
         #   per-bucket span column (31 vs 28/29/30-day months)
-        "events_t_test": q_events_t_test,  # ~ agg metric family (r12):
-        #   Welch t statistic + df (documented p-value deviation)
         "events_date_histogram": q_events_date_histogram,  # ~ window/
         #   agg family (green r01-r10; demoted r11 for pii_redact —
         #   events_sessionize stays in-window)
@@ -3720,8 +3729,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   decode (r12) — oracle re-derives pixel stats from doc_id
         "multimodal_audio": q_multimodal_audio,  # REAL stdlib WAV
         #   decode (r12) — silence stats + doc_id-derived duration
-        "search_has_child": q_search_has_child,    # ~ join family (r12):
-        #   parent/child has_child — child-side keyed agg + LEFT join
         "search_has_parent": q_search_has_parent,  # ~ join family (r12)
         "search_parent_id": q_search_parent_id,    # ~ join family (r12):
         #   FK equality rewrite, no join
@@ -3774,8 +3781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r12): _terms_enum prefix walk, vocabulary-only cost
         "search_rank_eval": q_search_rank_eval,  # ~ eval APIs (r12):
         #   _rank_eval NDCG@5 over rated top-k searches
-        "docs_frequent_pairs": q_docs_frequent_pairs,  # ~ agg superset
-        #   (r12): frequent_item_sets 2-itemset A-priori plan
         "events_ks_test": q_events_ks_test,  # ~ agg superset (r12):
         #   bucket_count_ks_test drift p-values over the bucket frame
         "corpus_split": q_corpus_split,  # ~ LLM pipeline tier (r12):
@@ -3791,6 +3796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   distinct-parent frame, two hash aggs, no corpus join
         "docs_frequent_triples": q_docs_frequent_triples,  # ~ agg
         #   superset (r13): 3-itemset A-priori with full sub-pair prune
+        # --- demoted from the window r13 (ask #4 rotation; all green
+        #     r05-r12, in-window siblings named at their new slots) ---
+        "search_collapse": q_search_collapse,    # field collapsing (r5)
+        "search_sqs": q_search_sqs,  # simple_query_string grammar (r5)
+        "search_date_math": q_search_date_math,  # now-7d/d bounds (r6)
     }
 
 
