@@ -2207,6 +2207,20 @@ def q_dedup_jaccard(spark, sf_dir):
                                threshold=0.9, max_token_df=None)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # Near-dup CLUSTERING (r13): exact-jaccard pairs (threshold 0.9,
+    # strictly-exact path so the oracle's all-pairs SQL join matches) →
+    # connected components via iterative min-label propagation (one
+    # keyed join + min-groupBy per round, rounds = graph diameter,
+    # lineage checkpointed) → every document joined back with a
+    # canonical `keep` flag. The "keep one doc per duplicate cluster"
+    # step every dedup pipeline runs after pair generation.
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.9,
+                                max_token_df=None)
+    return dedup.dedup_clusters(docs, "doc_id", pairs)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     # scale path — probabilistic recall from LSH banding, with every
     # candidate pair re-verified against exact shingle Jaccard
@@ -3796,6 +3810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   distinct-parent frame, two hash aggs, no corpus join
         "docs_frequent_triples": q_docs_frequent_triples,  # ~ agg
         #   superset (r13): 3-itemset A-priori with full sub-pair prune
+        "dedup_clusters": q_dedup_clusters,  # ~ LLM pipeline tier
+        #   (r13): connected components over exact-jaccard pairs +
+        #   canonical keep flag — recursive-CTE-oracle-checkable
         # --- demoted from the window r13 (ask #4 rotation; all green
         #     r05-r12, in-window siblings named at their new slots) ---
         "search_collapse": q_search_collapse,    # field collapsing (r5)
@@ -6252,6 +6269,45 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (gram)
             WHERE e.doc_id % 100 <> 0
             GROUP BY 1
+        """,
+        # dedup_clusters (r13): the dedup_jaccard pair derivation +
+        # a recursive reachability closure — component = min reachable
+        # id, singletons cluster to themselves, keep = (cluster == id)
+        "dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id AS doc,
+                       unnest(list_distinct(regexp_split_to_array(
+                           trim(lower(text)), '\s+'))) AS tok
+                FROM documents),
+            sizes AS (SELECT doc, count(*)::BIGINT AS sz
+                      FROM toks GROUP BY doc),
+            shared AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b,
+                       count(*)::BIGINT AS shared
+                FROM toks a JOIN toks b
+                     ON a.tok = b.tok AND a.doc < b.doc
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT doc_a, doc_b FROM shared
+                JOIN sizes sa ON sa.doc = doc_a
+                JOIN sizes sb ON sb.doc = doc_b
+                WHERE round(shared / (sa.sz + sb.sz - shared), 6)
+                      >= 0.9),
+            edges AS (
+                SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+                SELECT s AS src, s AS dst FROM edges
+                UNION
+                SELECT r.src, e.d FROM reach r
+                JOIN edges e ON e.s = r.dst),
+            comp AS (SELECT src AS doc_id, min(dst) AS cluster
+                     FROM reach GROUP BY src)
+            SELECT d.doc_id,
+                   coalesce(c.cluster, d.doc_id) AS cluster,
+                   coalesce(c.cluster, d.doc_id) = d.doc_id AS keep
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
         """,
         "dedup_jaccard": r"""
             WITH toks AS (

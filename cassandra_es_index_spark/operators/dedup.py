@@ -428,3 +428,82 @@ def ngram_contamination(df: DataFrame, benchmark: DataFrame,
             .groupBy("doc")
             .agg(F.count_distinct("gram").cast("long")
                   .alias("contaminated_ngrams")))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components of the undirected near-dup pair graph:
+    (``node``, ``component``) where component = the MINIMUM node id
+    reachable from the node — the canonical-representative convention
+    every dedup pipeline needs one step after pair generation ("keep
+    one document per duplicate cluster").
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes min(own label, neighbor labels); the loop stops when a round
+    changes nothing. Rounds needed = the graph diameter, and near-dup
+    graphs are short-diameter by construction (a cluster is documents
+    mutually similar to one near-identical text), so 3-5 rounds is
+    typical; ``max_iters`` bounds pathological chains with a typed
+    error rather than silently shipping a half-merged clustering.
+
+    Scale shape: one round = one equi-join (labels onto edge sources)
+    + one map-side-combinable min-groupBy on the node key + one
+    bounded-count action for the convergence test — all keyed shuffles,
+    no driver-side graph. ``localCheckpoint`` cuts the lineage every
+    round so plan depth stays O(1) across iterations (the classic
+    iterative-DataFrame trap). For graphs with long chains at extreme
+    scale the large-star/small-star variant (O(log n) rounds) is the
+    upgrade path — documented, not needed for dedup-shaped graphs.
+    """
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
+    e1 = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    edges = e1.union(e1.select(F.col("d").alias("s"),
+                               F.col("s").alias("d")))
+    edges = edges.localCheckpoint(eager=False)
+    labels = (edges.select(F.col("s").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iters):
+        prop = (edges.join(labels,
+                           edges["s"] == labels["node"])
+                .select(F.col("d").alias("node"), "component"))
+        merged = (labels.select("node", "component").union(prop)
+                  .groupBy("node")
+                  .agg(F.min("component").alias("component"))
+                  .localCheckpoint(eager=True))
+        changed = (merged.join(
+            labels.select("node",
+                          F.col("component").alias("_old")), "node")
+            .where(F.col("component") < F.col("_old"))
+            .limit(1).count())
+        labels = merged
+        if changed == 0:
+            return labels
+    raise ValueError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "— the pair graph has a longer chain than a near-dup cluster "
+        "should; raise max_iters explicitly if that is intended")
+
+
+def dedup_clusters(df: DataFrame, id_col: str, pairs: DataFrame,
+                   a_col: str = "doc_a", b_col: str = "doc_b",
+                   max_iters: int = 20) -> DataFrame:
+    """Cluster assignment + canonical flag for EVERY document: joins
+    ``connected_components`` of the pair graph back onto the corpus —
+    documents in no pair become singleton clusters of themselves —
+    and flags the cluster minimum as the keeper. Output:
+    (id_col, cluster, keep). ``df.where(~keep)`` is the drop list;
+    one broadcast-friendly left join over the corpus (the component
+    frame is bounded by documents-in-pairs, typically a small
+    fraction)."""
+    cc = connected_components(pairs, a_col, b_col, max_iters)
+    out = (df.select(F.col(id_col))
+           .join(cc.withColumnRenamed("node", id_col), on=id_col,
+                 how="left")
+           .withColumn("cluster", F.coalesce("component",
+                                             F.col(id_col)))
+           .withColumn("keep", F.col("cluster") == F.col(id_col))
+           .drop("component"))
+    return out

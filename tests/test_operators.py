@@ -859,3 +859,51 @@ def test_url_extract_domains_and_blocklist(spark):
     out = {r["id"]: r["blocklisted"] for r in web.flag_blocklisted(
         df, ["id"], "text", bl, "domain").collect()}
     assert out == {1: True, 2: False, 3: True, 4: False, 5: False}
+
+
+# -- near-dup clustering: connected components (r13) -----------------------
+
+
+def test_connected_components_hand_graph(spark):
+    # {1-2, 2-3} -> 1; {5-6} -> 5; chain 10-11-12-13 -> 10
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6), (11, 10), (11, 12), (12, 13)],
+        "doc_a bigint, doc_b bigint")
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                   10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_connected_components_max_iters_typed(spark):
+    pairs = spark.createDataFrame(
+        [(11, 10), (11, 12), (12, 13)], "doc_a bigint, doc_b bigint")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=1)
+    with _pytest.raises(ValueError, match="max_iters"):
+        dedup.connected_components(pairs, max_iters=0)
+
+
+def test_dedup_clusters_keep_flags_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 6, 99)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], "doc_a bigint, doc_b bigint")
+    rows = {r["doc_id"]: (r["cluster"], r["keep"])
+            for r in dedup.dedup_clusters(docs, "doc_id",
+                                          pairs).collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False),
+                    5: (5, True), 6: (5, False), 99: (99, True)}
+
+
+def test_dedup_clusters_from_jaccard(corpus):
+    # near-identical docs 1/2 cluster together; the distinct doc keeps
+    pairs = dedup.jaccard_pairs(corpus, "doc_id", "text", threshold=0.7)
+    out = dedup.dedup_clusters(corpus, "doc_id", pairs)
+    by = {r["doc_id"]: (r["cluster"], r["keep"]) for r in out.collect()}
+    clustered = [d for d, (c, _) in by.items() if c != d or not by[d][1]]
+    # every non-keeper's cluster representative IS a keeper
+    for d, (c, keep) in by.items():
+        if not keep:
+            assert by[c] == (c, True)
