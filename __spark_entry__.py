@@ -3287,6 +3287,34 @@ def q_corpus_split(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("n_chars")))
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    # deterministic global shuffle key (r13): writing the corpus
+    # ordered by the keyed hash IS the shuffled epoch — reproducible
+    # across runs/cluster sizes/engines; the distributed sort is a
+    # range exchange, never a single-partition rank window. The query
+    # surfaces the key + the epoch position check (top-20 by key) so
+    # the oracle pins both the arithmetic and the induced order.
+    from cassandra_es_index_spark.operators import split as sp
+    docs = _t(spark, sf_dir, "documents")
+    out = sp.shuffle_key(docs, "doc_id", seed=7)
+    return (out.select("doc_id", F.round("shuffle_key", 9)
+                       .alias("shuffle_key"))
+            .orderBy("shuffle_key", "doc_id").limit(20))
+
+
+def q_docs_chunked(spark, sf_dir):
+    # document chunking (r13): 64-token windows, 8-token overlap —
+    # the long-document step before sequence packing. Pure Column math
+    # (posexplode of the chunk index range + slice/array_join), no
+    # UDF, no shuffle; row multiplier bounded by tokens/56.
+    from cassandra_es_index_spark.operators import chunking
+    docs = _t(spark, sf_dir, "documents")
+    out = chunking.chunk_documents(docs, "doc_id", "text",
+                                   chunk_tokens=64, overlap=8)
+    return out.select("doc_id", "chunk_id", "n_tokens",
+                      F.md5("chunk_text").alias("chunk_md5"))
+
+
 def q_similarity_quantized(spark, sf_dir):
     # int8 quantized two-stage retrieval (r12): symmetric max-abs SQ8
     # quantization (floor(x·127/m + 0.5) — deterministic, no codebook),
@@ -3813,6 +3841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,  # ~ LLM pipeline tier
         #   (r13): connected components over exact-jaccard pairs +
         #   canonical keep flag — recursive-CTE-oracle-checkable
+        "corpus_shuffle": q_corpus_shuffle,  # ~ LLM pipeline tier
+        #   (r13): deterministic epoch-shuffle key, range-sort scale path
+        "docs_chunked": q_docs_chunked,  # ~ LLM pipeline tier (r13):
+        #   token-window chunking, slice/array_join Column math
         # --- demoted from the window r13 (ask #4 rotation; all green
         #     r05-r12, in-window siblings named at their new slots) ---
         "search_collapse": q_search_collapse,    # field collapsing (r5)
@@ -7156,6 +7188,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # corpus split (r12): the exact keyed-hash bucket arithmetic
         # (HUGEINT on the DuckDB side), cumulative fractions 0.9/0.95
+        # corpus_shuffle (r13): the same Knuth arithmetic + induced
+        # top-20 order
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   round(((CAST(doc_id + 7 AS HUGEINT) * 2654435761)
+                          % 4294967296) / 4294967296.0, 9)
+                       AS shuffle_key
+            FROM documents
+            ORDER BY shuffle_key, doc_id
+            LIMIT 20
+        """,
+        # docs_chunked (r13): identical window arithmetic via DuckDB
+        # list slicing (1-based inclusive, end-clamped)
+        "docs_chunked": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            c AS (SELECT doc_id, toks, len(toks) AS n
+                  FROM t WHERE len(toks) > 0),
+            i AS (SELECT doc_id, toks, n,
+                         unnest(range(0, greatest(1,
+                             CAST(ceil((n - 8) / 56.0) AS BIGINT))))
+                             AS k
+                  FROM c)
+            SELECT doc_id, CAST(k AS INT) AS chunk_id,
+                   len(toks[k * 56 + 1:
+                            least(k * 56 + 64, n)])::BIGINT
+                       AS n_tokens,
+                   md5(array_to_string(
+                       toks[k * 56 + 1:least(k * 56 + 64, n)], ' '))
+                       AS chunk_md5
+            FROM i
+        """,
         "corpus_split": """
             WITH h AS (
                 SELECT n_chars,

@@ -78,7 +78,8 @@ HEADLINE = [
     # (search_span_containing swapped out r12 — span family stays
     # covered by span_near/span_not/span_near_nary/span_multi)
     "search_children_agg",  # children agg: semi-join frame rebind (r12)
-    "search_span_near_nary",  # N-ary span_near, span_or slot (r10/r11)
+    # (search_span_near_nary swapped out r13 — span family stays
+    # covered by span_near/span_not/span_multi)
     "search_nested_inner",  # per-parent matching elements flatten (r8)
     "search_significant_terms",  # JLH fg-vs-bg term scoring
     "search_aggs_nested3",  # 3-level bucket flatten-join
@@ -96,12 +97,14 @@ HEADLINE = [
     "pii_redact",           # 4-pass regexp_replace chain + audit counts (r11)
     "contamination_flag",   # benchmark n-gram broadcast probe (r11)
     "dedup_exact",
+    "dedup_clusters",       # CC min-label propagation + keep flags (r13)
     "similarity_topk",
     "similarity_knn_join",
     "search_script_vector",  # HOF cosine over the embedding column (r11)
     "search_rrf",           # reciprocal rank fusion: term + knn (r11)
     "search_bm25_topk",
-    "search_postings_term",
+    # (search_postings_term swapped out r13 — postings-served family
+    # covered by search_bm25_topk/search_postings_disk/search_10k_cap)
     "search_postings_disk",  # cold lookup on the bucketed on-disk postings
     "similarity_ivf_disk",   # cold probe on the cell-partitioned IVF index
     "asof_last_click",
@@ -110,14 +113,18 @@ HEADLINE = [
     "geo_sort_nearest",     # _geo_distance sort: codegen distance + top-k (r9)
     "search_geohash_grid",  # geo grid agg: one groupBy on cell keys (r9)
     "geo_shape_filter",     # geo_shape polygon within — ray cast (r10/r11)
-    "geo_shape_circle",     # circle → GeoDistance desugar (r12)
+    # (geo_shape_circle swapped out r13 — desugars to GeoDistance,
+    # covered by geo_distance_filter + geo_shape_filter)
     "geo_grid_cell",        # geo_grid query, index cell-prefix served (r12)
     "percolate_route",      # stored-query matching, one corpus scan (r9)
-    "percolate_query_kind",  # percolate DSL kind → ScoredIds rewrite (r12)
+    # (percolate_query_kind swapped out r13 — family covered by
+    # percolate_route; registry/correctness keep it)
     "search_retriever_linear",  # weighted/minmax linear fusion (r12)
     "search_has_child",     # parent/child join: child keyed agg + join (r12)
+    "search_has_child_inner",  # join inner_hits flatten (r13)
     "search_has_parent",    # parent match frame → FK join (r12)
     "docs_frequent_pairs",  # A-priori pair mining: prune + self-join (r12)
+    "docs_frequent_triples",  # third A-priori level (r13)
     "text_dup_ngrams",      # Gopher n-gram signals: sorted fold/row (r12)
     "text_dup_lines",       # Gopher line-level dup fractions (r12)
     "events_rate_monthly",  # rate, calendar month parent (r12)
@@ -127,6 +134,7 @@ HEADLINE = [
     "search_normalize_topm",  # normalize + top_metrics + sibling stats (r9)
     "search_sampler_diversified",  # per-value cap + top-k sample (r9)
     "search_nested_agg",    # element-frame buckets + reverse_nested (r9)
+    "search_reverse_nested_aggs",  # parent-scope sub-aggs (r13)
     "search_runtime_fields",  # computed field in query + aggs (r9)
     "search_span_multi",    # dictionary-expanded prefix span (r9)
     "search_bool_msm",      # bool minimum_should_match gate (r9)

@@ -489,21 +489,42 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
 
 def dedup_clusters(df: DataFrame, id_col: str, pairs: DataFrame,
                    a_col: str = "doc_a", b_col: str = "doc_b",
-                   max_iters: int = 20) -> DataFrame:
+                   max_iters: int = 20,
+                   quality_col: str | None = None) -> DataFrame:
     """Cluster assignment + canonical flag for EVERY document: joins
     ``connected_components`` of the pair graph back onto the corpus —
     documents in no pair become singleton clusters of themselves —
-    and flags the cluster minimum as the keeper. Output:
-    (id_col, cluster, keep). ``df.where(~keep)`` is the drop list;
-    one broadcast-friendly left join over the corpus (the component
-    frame is bounded by documents-in-pairs, typically a small
-    fraction)."""
+    and flags one keeper per cluster. Output: (id_col, cluster, keep).
+    ``df.where(~keep)`` is the drop list; one broadcast-friendly left
+    join over the corpus (the component frame is bounded by
+    documents-in-pairs, typically a small fraction).
+
+    Keeper selection: the cluster-minimum id by default; with
+    ``quality_col`` the cluster's HIGHEST-quality document keeps (ties
+    by id DESC — deterministic for any orderable id type; null quality
+    sorts below every value), the convention real pipelines use
+    ("keep the best copy, not the first crawled"). The argmax is one
+    extra map-side-combinable max_by aggregation over the clustered
+    rows, bounded by documents-in-pairs."""
     cc = connected_components(pairs, a_col, b_col, max_iters)
-    out = (df.select(F.col(id_col))
+    out = (df.select(F.col(id_col), *([quality_col] if quality_col
+                                      else []))
            .join(cc.withColumnRenamed("node", id_col), on=id_col,
                  how="left")
            .withColumn("cluster", F.coalesce("component",
                                              F.col(id_col)))
-           .withColumn("keep", F.col("cluster") == F.col(id_col))
            .drop("component"))
-    return out
+    if quality_col is None:
+        return out.withColumn("keep",
+                              F.col("cluster") == F.col(id_col))
+    # argmax quality per cluster, ties id desc: max_by over a
+    # (quality, id)-ordered struct — works for any orderable id type,
+    # null quality sorts below every value
+    best = (out.groupBy("cluster")
+            .agg(F.max_by(
+                F.col(id_col),
+                F.struct(F.col(quality_col).alias("q"),
+                         F.col(id_col).alias("i"))).alias("_best")))
+    return (out.join(best, on="cluster", how="left")
+            .withColumn("keep", F.col(id_col) == F.col("_best"))
+            .drop("_best", quality_col))

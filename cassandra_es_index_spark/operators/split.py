@@ -65,3 +65,21 @@ def split_assign(df: DataFrame, key_col: str,
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, out)
+
+
+def shuffle_key(df: DataFrame, key_col: str, seed: int = 0,
+                out_col: str = "shuffle_key") -> DataFrame:
+    """Deterministic global training-data shuffle (r13): add a
+    uniform-ish sort key derived from the document key alone — writing
+    the corpus ordered by it IS the shuffled epoch, reproducible
+    across runs, cluster sizes, and engines (the same Knuth arithmetic
+    replays in the DuckDB oracle).
+
+    Scale shape: consumers ``repartitionByRange(out_col)`` /
+    ``orderBy(out_col)`` at write time — a distributed range-exchange
+    sort, never a single-partition rank window (a global row_number
+    would serialize the corpus through one task; the key itself is
+    embarrassingly parallel Column math). Different epochs = different
+    seeds."""
+    return df.withColumn(out_col,
+                         split_hash_unit(F.col(key_col), seed))

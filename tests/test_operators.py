@@ -907,3 +907,81 @@ def test_dedup_clusters_from_jaccard(corpus):
     for d, (c, keep) in by.items():
         if not keep:
             assert by[c] == (c, True)
+
+
+def test_dedup_clusters_quality_keeper(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (5, None), (6, 0.1), (9, 0.5)],
+        "doc_id bigint, q double")
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], "doc_a bigint, doc_b bigint")
+    rows = {r["doc_id"]: (r["cluster"], r["keep"])
+            for r in dedup.dedup_clusters(docs, "doc_id", pairs,
+                                          quality_col="q").collect()}
+    # cluster 1: max quality 0.9 tied by docs 2/3 -> id desc keeps 3;
+    # cluster 5: null quality sorts below 0.1 -> 6 keeps;
+    # singleton 9 keeps itself
+    assert rows == {1: (1, False), 2: (1, False), 3: (1, True),
+                    5: (5, False), 6: (5, True), 9: (9, True)}
+
+
+# -- document chunking (r13) ------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from cassandra_es_index_spark.operators import chunking
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"),    # 7 toks: chunks [a..d], [c..f], [e..g]
+         (2, "x y"),              # single short chunk
+         (3, ""), (4, None),      # no chunks
+         (5, "  p   Q! r  ")],    # whitespace runs collapse, case kept
+        "id bigint, text string")
+    out = chunking.chunk_documents(docs, "id", "text",
+                                   chunk_tokens=4, overlap=2)
+    rows = {(r["id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    assert rows == {
+        (1, 0): (4, "a b c d"), (1, 1): (4, "c d e f"),
+        (1, 2): (3, "e f g"),
+        (2, 0): (2, "x y"),
+        (5, 0): (3, "p Q! r")}
+
+
+def test_chunk_documents_no_overlap_and_exact_fit(spark):
+    from cassandra_es_index_spark.operators import chunking
+    docs = spark.createDataFrame([(1, "a b c d")], "id bigint, text string")
+    out = chunking.chunk_documents(docs, "id", "text",
+                                   chunk_tokens=2, overlap=0)
+    rows = sorted((r["chunk_id"], r["chunk_text"])
+                  for r in out.collect())
+    assert rows == [(0, "a b"), (1, "c d")]
+
+
+def test_chunk_documents_typed_errors(spark):
+    from cassandra_es_index_spark.operators import chunking
+    import pytest as _pytest
+    docs = spark.createDataFrame([(1, "a")], "id bigint, text string")
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunking.chunk_documents(docs, "id", "text", chunk_tokens=0)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunking.chunk_documents(docs, "id", "text",
+                                 chunk_tokens=4, overlap=4)
+
+
+def test_shuffle_key_deterministic_and_seeded(spark):
+    from cassandra_es_index_spark.operators import split as sp
+    docs = spark.createDataFrame([(i,) for i in range(100)],
+                                 "doc_id bigint")
+    a = {r["doc_id"]: r["shuffle_key"]
+         for r in sp.shuffle_key(docs, "doc_id", seed=7).collect()}
+    b = {r["doc_id"]: r["shuffle_key"]
+         for r in sp.shuffle_key(docs.repartition(7), "doc_id",
+                                 seed=7).collect()}
+    assert a == b                      # partitioning-independent
+    c = {r["doc_id"]: r["shuffle_key"]
+         for r in sp.shuffle_key(docs, "doc_id", seed=8).collect()}
+    assert a != c                      # epochs differ by seed
+    assert all(0.0 <= v < 1.0 for v in a.values())
+    # hand value: ((3 + 7) * 2654435761) % 2^32 / 2^32
+    exp = ((3 + 7) * 2654435761 % 4294967296) / 4294967296
+    assert abs(a[3] - exp) < 1e-15
