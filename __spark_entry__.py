@@ -3315,6 +3315,15 @@ def q_docs_chunked(spark, sf_dir):
                       F.md5("chunk_text").alias("chunk_md5"))
 
 
+def q_docs_keywords(spark, sf_dir):
+    # per-document TF-IDF keywords (r13): top-3 characteristic terms
+    # per doc — one (doc, term, tf) hash agg, one vocabulary df agg,
+    # one AQE-broadcastable join, one doc-partitioned rank window.
+    from cassandra_es_index_spark.operators import keywords
+    docs = _t(spark, sf_dir, "documents")
+    return keywords.top_tfidf_terms(docs, "doc_id", "text", k=3)
+
+
 def q_similarity_quantized(spark, sf_dir):
     # int8 quantized two-stage retrieval (r12): symmetric max-abs SQ8
     # quantization (floor(x·127/m + 0.5) — deterministic, no codebook),
@@ -3845,6 +3854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r13): deterministic epoch-shuffle key, range-sort scale path
         "docs_chunked": q_docs_chunked,  # ~ LLM pipeline tier (r13):
         #   token-window chunking, slice/array_join Column math
+        "docs_keywords": q_docs_keywords,  # ~ text analysis (r13):
+        #   per-doc TF-IDF top-k, hash aggs + vocab join + rank window
         # --- demoted from the window r13 (ask #4 rotation; all green
         #     r05-r12, in-window siblings named at their new slots) ---
         "search_collapse": q_search_collapse,    # field collapsing (r5)
@@ -7188,6 +7199,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # corpus split (r12): the exact keyed-hash bucket arithmetic
         # (HUGEINT on the DuckDB side), cumulative fractions 0.9/0.95
+        # docs_keywords (r13): identical tf/df/smoothed-idf algebra +
+        # per-doc rank window
+        "docs_keywords": r"""
+            WITH toks AS (
+                SELECT doc_id, tok AS term
+                FROM (SELECT doc_id,
+                             list_filter(string_split_regex(
+                                 trim(lower(text)), '\s+'),
+                                 t -> t <> '') AS ts
+                      FROM documents) d,
+                     UNNEST(d.ts) AS u(tok)),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            dfq AS (SELECT term, count(*)::DOUBLE AS df_
+                    FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * (ln((n.n_docs + 1)
+                                          / (dfq.df_ + 1)) + 1), 6)
+                           AS score
+                FROM tf JOIN dfq USING (term), n),
+            rk AS (SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS INT) AS rank
+                   FROM scored)
+            SELECT doc_id, term, tf, score, rank
+            FROM rk WHERE rank <= 3
+        """,
         # corpus_shuffle (r13): the same Knuth arithmetic + induced
         # top-20 order
         "corpus_shuffle": """

@@ -985,3 +985,26 @@ def test_shuffle_key_deterministic_and_seeded(spark):
     # hand value: ((3 + 7) * 2654435761) % 2^32 / 2^32
     exp = ((3 + 7) * 2654435761 % 4294967296) / 4294967296
     assert abs(a[3] - exp) < 1e-15
+
+
+def test_top_tfidf_terms_hand_case(spark):
+    from cassandra_es_index_spark.operators import keywords
+    import math
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog fish"), (3, "fish fish fish")],
+        "id bigint, text string")
+    out = keywords.top_tfidf_terms(docs, "id", "text", k=2)
+    rows = {(r["id"], r["rank"]): (r["term"], r["tf"], r["score"])
+            for r in out.collect()}
+    idf1 = math.log(4 / 2) + 1   # df 1 -> ln((3+1)/(1+1))+1
+    idf2 = math.log(4 / 3) + 1   # df 2
+    assert rows[(1, 1)][0] == "cat"
+    assert abs(rows[(1, 1)][2] - round(2 * idf1, 6)) < 1e-9
+    assert rows[(1, 2)][0] == "dog"
+    assert abs(rows[(1, 2)][2] - round(1 * idf2, 6)) < 1e-9
+    # doc 2: dog/fish tie on score (tf 1, df 2 each) -> term asc
+    assert rows[(2, 1)][0] == "dog" and rows[(2, 2)][0] == "fish"
+    assert rows[(3, 1)] == ("fish", 3, round(3 * idf2, 6))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive integer"):
+        keywords.top_tfidf_terms(docs, "id", "text", k=0)
