@@ -1384,6 +1384,16 @@ def q_search_collapse_inner(spark, sf_dir):
     return _search(q)(spark, sf_dir)
 
 
+def q_search_collapse_inner_sorted(spark, sf_dir):
+    # r13 collapse inner_hits custom sort: group selection still rides
+    # the primary (score) ordering; each selected group's members rank
+    # by n_chars desc instead — the ES inner_hits.sort contract.
+    q = ('#options:load-rows=false#{"query":{"match":{"text":"spark"}},'
+         '"size":5,"collapse":{"field":"lang","inner_hits":{"size":2,'
+         '"sort":[{"n_chars":"desc"}]}}}')
+    return _search(q)(spark, sf_dir)
+
+
 def q_search_min_score(spark, sf_dir):
     # r6 min_score: the score floor applies to the match set before
     # ranking — tf >= 3 survivors only
@@ -3856,6 +3866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   token-window chunking, slice/array_join Column math
         "docs_keywords": q_docs_keywords,  # ~ text analysis (r13):
         #   per-doc TF-IDF top-k, hash aggs + vocab join + rank window
+        "search_collapse_inner_sorted": q_search_collapse_inner_sorted,
+        #   ~ collapse family (r13): inner_hits custom sort ranking
         # --- demoted from the window r13 (ask #4 rotation; all green
         #     r05-r12, in-window siblings named at their new slots) ---
         "search_collapse": q_search_collapse,    # field collapsing (r5)
@@ -4220,6 +4232,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0
         """,
         # r6 collapse inner_hits: top-5 groups by head, top-2 rows each
+        # r13: same head selection, members re-ranked by the custom
+        # inner sort (n_chars desc, doc_id tiebreak)
+        "search_collapse_inner_sorted": f"""
+            WITH s AS (
+                SELECT doc_id, lang, n_chars,
+                       len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                           AS _score
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0),
+            h AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY lang
+                    ORDER BY _score DESC, doc_id ASC) AS hrn
+                FROM s),
+            heads AS (
+                SELECT lang FROM h WHERE hrn = 1
+                ORDER BY _score DESC, doc_id ASC LIMIT 5),
+            mem AS (
+                SELECT s.doc_id, s.lang, s._score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.lang
+                           ORDER BY s.n_chars DESC, s.doc_id ASC)
+                           AS irn
+                FROM s JOIN heads USING (lang))
+            SELECT doc_id, _score, irn::INT AS _inner_rank
+            FROM mem WHERE irn <= 2
+        """,
         "search_collapse_inner": f"""
             WITH s AS (
                 SELECT doc_id, lang,

@@ -1807,19 +1807,40 @@ class SearchEngine:
 
     def _expand_inner_hits(self, hits: DataFrame, pool: DataFrame,
                            ccol: Column, keys: list[str],
-                           ordering: list, isize: int) -> DataFrame:
+                           ordering: list, isize: int,
+                           inner_sort: tuple = ()) -> DataFrame:
         """ES collapse ``inner_hits`` (r6), flattened: each selected
         group (≤k heads, already paged) expands to its top ``isize``
         member rows from the pre-collapse pool, ranked by the PRIMARY
-        ordering with an ``_inner_rank`` column. The group id re-uses
-        the collapse value (null-collapse rows group by their own key,
-        like ``_collapse_dedup``); the selected-group list is ≤k and
-        broadcasts, the per-group rank is one groupBy-shaped window —
-        never corpus-wide."""
+        ordering — or by the request's ``inner_hits.sort`` (r13) when
+        given, key tiebreaks appended — with an ``_inner_rank`` column.
+        The group id re-uses the collapse value (null-collapse rows
+        group by their own key, like ``_collapse_dedup``); the
+        selected-group list is ≤k and broadcasts, the per-group rank is
+        one groupBy-shaped window — never corpus-wide."""
+        if inner_sort:
+            rank_order = []
+            for f, asc, nf in inner_sort:
+                if f == "_score":
+                    col = F.col(SCORE)
+                else:
+                    if f.split(".")[0] not in pool.columns:
+                        raise es_dsl.DslError(
+                            f"collapse inner_hits sort field {f!r} is "
+                            "not available on this plan's hit pool "
+                            "(the index-served collapse pool carries "
+                            "keys and sort values only — sort inner "
+                            "hits by _score, or keep the scan plan)")
+                    col = F.col(f)
+                rank_order.append((col, asc, nf))
+            rank_order += [(F.col(kc), True, True) for kc in keys]
+        else:
+            rank_order = ordering
         gkey = F.when(ccol.isNull(), F.concat_ws(
             "\x00", *[F.col(kc).cast("string") for kc in keys]))             .otherwise(ccol.cast("string"))
         groups = hits.select(gkey.alias("_gk")).distinct()
-        w = Window.partitionBy("_gk").orderBy(*self._sort_exprs(ordering))
+        w = Window.partitionBy("_gk").orderBy(
+            *self._sort_exprs(rank_order))
         return (pool.withColumn("_gk", gkey)
                     .join(F.broadcast(groups), "_gk")
                     .withColumn("_inner_rank",
@@ -2385,7 +2406,7 @@ class SearchEngine:
             if req.collapse is not None and req.collapse_inner is not None:
                 hits = self._expand_inner_hits(
                     hits, collapse_pool, ccol, keys, ordering,
-                    req.collapse_inner)
+                    req.collapse_inner, req.collapse_inner_sort)
             # join paths would lose the page order (a join emits rows in
             # shuffle/broadcast-probe order): rank the ≤k hits first and
             # re-sort the joined result on that rank, so a paging client
@@ -2490,7 +2511,7 @@ class SearchEngine:
         if req.collapse is not None and req.collapse_inner is not None:
             hits = self._expand_inner_hits(
                 hits, scored, comp.resolve(req.collapse).col, keys,
-                ordering, req.collapse_inner)
+                ordering, req.collapse_inner, req.collapse_inner_sort)
         nested_cols: list[str] = []
         if req.nested_inner is not None:
             hits, nested_cols = self._expand_nested_inner(hits, comp,

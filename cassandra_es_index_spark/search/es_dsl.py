@@ -998,6 +998,11 @@ class Request:
     # (flattened form of ES's inner_hits arrays); group selection and
     # paging still count GROUPS
     collapse_inner: int | None = None
+    # collapse inner_hits custom sort (r13): ((field, asc,
+    # nulls_first), ...) — when set, group members rank by THIS
+    # ordering instead of the request's primary ordering (ES inner_hits
+    # sort); empty = primary ordering
+    collapse_inner_sort: tuple = ()
     # ES nested inner_hits size (r8): when set (top-level nested query
     # only — documented), each parent hit expands to its top-N MATCHING
     # array elements ranked by element child score desc, flattened as
@@ -1368,6 +1373,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         after = tuple(after)
     collapse = None
     collapse_inner = None
+    collapse_inner_sort: tuple = ()
     cspec = obj.get("collapse")
     if cspec is not None:
         if not isinstance(cspec, dict) or "field" not in cspec:
@@ -1386,10 +1392,16 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             if not isinstance(ih, dict):
                 raise DslError("collapse inner_hits must be an object")
             if "sort" in ih:
-                raise DslError(
-                    "collapse inner_hits sort is not supported (inner "
-                    "hits rank by the primary ordering)")
-            ih_extra = set(ih) - {"size"}
+                # r13: custom inner sort — group members rank by this
+                # ordering instead of the primary (ES inner_hits sort);
+                # plain fields + _score only (geo sorts typed-reject)
+                collapse_inner_sort = _sort(ih["sort"])
+                if any(isinstance(f, GeoSort)
+                       for f, *_ in collapse_inner_sort):
+                    raise DslError(
+                        "collapse inner_hits sort does not take "
+                        "_geo_distance entries (engine subset)")
+            ih_extra = set(ih) - {"size", "sort"}
             if ih_extra:
                 raise DslError(
                     f"collapse inner_hits: unsupported parameters "
@@ -1687,6 +1699,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         search_after=after,
         collapse=collapse,
         collapse_inner=collapse_inner,
+        collapse_inner_sort=collapse_inner_sort,
         nested_inner=nested_inner,
         highlight=highlight,
         rescore=rescore,

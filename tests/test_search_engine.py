@@ -3799,15 +3799,56 @@ def test_collapse_inner_hits_both_plans(spark):
 
 def test_collapse_inner_hits_validation():
     from cassandra_es_index_spark.search.es_dsl import DslError, parse_request
-    with pytest.raises(DslError, match="sort"):
-        parse_request('{"query":{"match_all":{}},"collapse":'
-                      '{"field":"g","inner_hits":{"sort":[{"x":"asc"}]}}}')
     with pytest.raises(DslError, match="size"):
         parse_request('{"query":{"match_all":{}},"collapse":'
                       '{"field":"g","inner_hits":{"size":0}}}')
     req = parse_request('{"query":{"match_all":{}},"collapse":'
                         '{"field":"g","inner_hits":{"size":2}}}')
     assert req.collapse_inner == 2
+    # r13: custom inner sort parses into collapse_inner_sort
+    req2 = parse_request(
+        '{"query":{"match_all":{}},"collapse":{"field":"g",'
+        '"inner_hits":{"sort":[{"x":"desc"},"_score"]}}}')
+    assert req2.collapse_inner == 3   # ES default size
+    assert req2.collapse_inner_sort == (("x", False, False),
+                                        ("_score", False, False))
+    with pytest.raises(DslError, match="_geo_distance"):
+        parse_request(
+            '{"query":{"match_all":{}},"collapse":{"field":"g",'
+            '"inner_hits":{"sort":[{"_geo_distance":'
+            '{"p":{"lat":0,"lon":0}}}]}}}')
+
+
+def test_collapse_inner_hits_custom_sort(spark):
+    # r13: group members rank by the inner sort, not the primary score
+    import json
+    rows = [("c1", "g1", "x x x", 5), ("c2", "g1", "x x", 9),
+            ("c3", "g1", "x", 7), ("c4", "g2", "x x", 1)]
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        rows, "id string, grp string, body string, v long"),
+        TableSpec("cis", ["id"]))
+    q = json.dumps({"query": {"match": {"body": "x"}},
+                    "collapse": {"field": "grp",
+                                 "inner_hits": {"size": 2,
+                                                "sort": [{"v": "desc"}]}}})
+    got = sorted((r["id"], r["_inner_rank"]) for r in eng.search(
+        "cis", "#options:load-rows=false#" + q,
+        default_field="body").collect())
+    # g1 by v desc: c2 (9), c3 (7); g2: c4 — primary order would have
+    # picked c1 (tf 3) first
+    assert got == [("c2", 1), ("c3", 2), ("c4", 1)]
+    # index-served pool lacks the sort column → typed error
+    idx = SearchEngine(spark)
+    idx.register(spark.createDataFrame(
+        rows, "id string, grp string, body string, v long"),
+        TableSpec("cis2", ["id"]))
+    idx.build_postings_index("cis2", "body", materialize=True)
+    idx.build_range_index("cis2", "grp")
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    with pytest.raises(DslError, match="hit pool"):
+        idx.search("cis2", "#options:load-rows=false#" + q,
+                   default_field="body").collect()
 
 
 def test_missing_agg_with_bucket_sub(spark):
