@@ -2231,6 +2231,19 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(docs, "doc_id", pairs)
 
 
+def q_dedup_clusters_lsh(spark, sf_dir):
+    # Near-dup clustering at the 100 TB shape (r13): LSH band buckets
+    # contribute STAR edges (member → bucket-min hub — linear in
+    # docs × bands where the pair miner is quadratic in dup-cluster
+    # size), then connected components + keep flags. No oracle: LSH
+    # recall is probabilistic (the ann_recall-graded tier); the exact
+    # twin `dedup_clusters` is the oracle-checked sibling.
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_star_edges(docs, "doc_id", "text",
+                                         num_hashes=32, bands=16)
+    return dedup.dedup_clusters(docs, "doc_id", edges)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     # scale path — probabilistic recall from LSH banding, with every
     # candidate pair re-verified against exact shingle Jaccard
@@ -3868,6 +3881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   per-doc TF-IDF top-k, hash aggs + vocab join + rank window
         "search_collapse_inner_sorted": q_search_collapse_inner_sorted,
         #   ~ collapse family (r13): inner_hits custom sort ranking
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,  # ~ LLM pipeline
+        #   tier (r13): star-edge LSH clustering — linear edges, no
+        #   oracle by design (LSH recall is probabilistic)
         # --- demoted from the window r13 (ask #4 rotation; all green
         #     r05-r12, in-window siblings named at their new slots) ---
         "search_collapse": q_search_collapse,    # field collapsing (r5)

@@ -97,7 +97,10 @@ HEADLINE = [
     "pii_redact",           # 4-pass regexp_replace chain + audit counts (r11)
     "contamination_flag",   # benchmark n-gram broadcast probe (r11)
     "dedup_exact",
-    "dedup_clusters",       # CC min-label propagation + keep flags (r13)
+    "dedup_clusters_lsh",   # star-edge LSH clustering + CC keep flags
+    # (r13; the exact-pair twin dedup_clusters is oracle-checked in the
+    # registry — its all-pairs input is quadratic in dup-cluster size
+    # by definition, so the bench times the linear star-edge path)
     "similarity_topk",
     "similarity_knn_join",
     "search_script_vector",  # HOF cosine over the embedding column (r11)

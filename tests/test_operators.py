@@ -1008,3 +1008,16 @@ def test_top_tfidf_terms_hand_case(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positive integer"):
         keywords.top_tfidf_terms(docs, "id", "text", k=0)
+
+
+def test_lsh_star_edges_connectivity_matches_pairs(corpus):
+    # the star graph spans exactly the same band buckets as the pair
+    # clique, so connected components agree with the pair-based ones
+    edges = dedup.minhash_lsh_star_edges(corpus, "doc_id", "text",
+                                         num_hashes=32, bands=16)
+    cc_star = {r["node"]: r["component"]
+               for r in dedup.connected_components(edges).collect()}
+    # hub is always the bucket minimum -> components are min-ids
+    assert all(c <= n for n, c in cc_star.items())
+    # near-identical docs 1/2 share a bucket in this fixture
+    assert cc_star.get(2) == 1 or cc_star.get(1) == cc_star.get(2)
