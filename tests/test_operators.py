@@ -1021,3 +1021,77 @@ def test_lsh_star_edges_connectivity_matches_pairs(corpus):
     assert all(c <= n for n, c in cc_star.items())
     # near-identical docs 1/2 share a bucket in this fixture
     assert cc_star.get(2) == 1 or cc_star.get(1) == cc_star.get(2)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    # seeded random graphs vs a reference union-find — exercises
+    # chains, cliques, singleton-free frontiers, and the contraction
+    import random
+
+    def union_find(n_edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in n_edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in list(parent)}
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 50, 60),
+                                   (3, 80, 40), (4, 25, 200)]:
+        rng = random.Random(seed)
+        es = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+              for _ in range(n_edges)]
+        es = [(a, b) for a, b in es if a != b]
+        if not es:
+            continue
+        expect = union_find(es)
+        pairs = spark.createDataFrame(es, "doc_a bigint, doc_b bigint")
+        got = {r["node"]: r["component"]
+               for r in dedup.connected_components(pairs).collect()}
+        assert got == expect, f"seed {seed}"
+
+
+def test_chunk_documents_reference_model(spark):
+    # random token counts vs the closed-form chunk model
+    import math
+    import random
+    from cassandra_es_index_spark.operators import chunking
+    rng = random.Random(7)
+    rows = [(i, " ".join(f"t{j}" for j in range(rng.randrange(0, 40))))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    for ct, ov in [(8, 0), (8, 3), (5, 4), (1, 0)]:
+        out = chunking.chunk_documents(docs, "id", "text",
+                                       chunk_tokens=ct, overlap=ov)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["id"], []).append(
+                (r["chunk_id"], r["n_tokens"], r["chunk_text"]))
+        step = ct - ov
+        for i, text in rows:
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                assert i not in got
+                continue
+            n_chunks = max(1, math.ceil((n - ov) / step))
+            chunks = sorted(got[i])
+            assert len(chunks) == n_chunks, (i, ct, ov)
+            for k, ntk, ctext in chunks:
+                ref = toks[k * step:k * step + ct]
+                assert ctext == " ".join(ref)
+                assert ntk == len(ref)
+            # every token appears in some chunk
+            covered = set()
+            for k, _, _ in chunks:
+                covered.update(range(k * step,
+                                     min(k * step + ct, n)))
+            assert covered == set(range(n))
