@@ -672,6 +672,22 @@ def q_search_nested_inner(spark, sf_dir):
                       default_field="o_orderkey")
 
 
+def q_search_nested_inner_sorted(spark, sf_dir):
+    # r13 nested inner_hits custom sort: the matching elements rank by
+    # items.qty desc (element struct-order ties reversed under the
+    # descending sort_array — ln desc, the documented tie convention)
+    # instead of the element child score; still per-row array math.
+    eng = _orders_nested_engine(spark, sf_dir, "orders_nested_ihs")
+    q = ('{"query":{"nested":{"path":"items","query":{"bool":{"must":['
+         '{"term":{"items.rf":"R"}}],"should":['
+         '{"range":{"items.qty":{"gte":48}}}]}},"score_mode":"sum",'
+         '"inner_hits":{"size":2,"sort":[{"items.qty":"desc"}]}}},'
+         '"size":1000000}')
+    return eng.search("orders_nested_ihs",
+                      "#options:load-rows=false#" + q,
+                      default_field="o_orderkey")
+
+
 def q_geo_distance_filter(spark, sf_dir):
     # P2 geo_distance (r9): haversine on ES's mean earth radius,
     # ≤ 4000 km around the Jutland reference point — pure Column math
@@ -3884,6 +3900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": q_dedup_clusters_lsh,  # ~ LLM pipeline
         #   tier (r13): star-edge LSH clustering — linear edges, no
         #   oracle by design (LSH recall is probabilistic)
+        "search_nested_inner_sorted": q_search_nested_inner_sorted,
+        #   ~ nested family (r13): inner_hits custom element sort
         # --- demoted from the window r13 (ask #4 rotation; all green
         #     r05-r12, in-window siblings named at their new slots) ---
         "search_collapse": q_search_collapse,    # field collapsing (r5)
@@ -4482,6 +4500,33 @@ def oracle_sql() -> dict[str, str]:
         # parent _score = Σ element scores (score_mode sum, long root
         # cast); inner rank = element score desc, struct-order ties
         # (ln, qty, rf asc), top 2 per parent
+        # r13 custom element sort: rank by qty desc; ties = element
+        # struct order REVERSED under the descending sort_array
+        # (ln desc, rf desc)
+        "search_nested_inner_sorted": """
+            WITH m AS (
+                SELECT l_orderkey AS o_orderkey,
+                       l_linenumber AS ln, l_quantity AS qty,
+                       l_returnflag AS rf,
+                       (1 + CASE WHEN l_quantity >= 48 THEN 1 ELSE 0
+                            END) AS es
+                FROM lineitem WHERE l_returnflag = 'R'),
+            parent AS (
+                SELECT o_orderkey, SUM(es)::BIGINT AS _score
+                FROM m GROUP BY o_orderkey),
+            ranked AS (
+                SELECT o_orderkey, ln, qty, rf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderkey
+                           ORDER BY qty DESC, ln DESC,
+                                    rf DESC)::INT AS _inner_rank
+                FROM m)
+            SELECT p.o_orderkey, p._score, r._inner_rank,
+                   r.ln AS items_ln, r.qty AS items_qty,
+                   r.rf AS items_rf
+            FROM parent p JOIN ranked r USING (o_orderkey)
+            WHERE r._inner_rank <= 2
+        """,
         "search_nested_inner": """
             WITH m AS (
                 SELECT l_orderkey AS o_orderkey,

@@ -846,6 +846,29 @@ class Compiler:
                                x.alias("_elem")))
         return F.sort_array(pairs), elem_type
 
+    def nested_matches_ranked_by(self, node: Nested, elem_field: str,
+                                 asc: bool) -> tuple[Column,
+                                                     T.StructType]:
+        """``nested_matches_ranked`` with a CUSTOM element sort (r13,
+        the inner_hits.sort surface): matching elements ordered by one
+        element field asc/desc instead of the child score — same
+        per-row sort_array shape, no window, no shuffle. Ties follow
+        element struct order (asc) or its reverse (desc); element
+        nulls sort first asc / last desc (sort_array semantics —
+        documented deviation from ES's missing-last default)."""
+        ref, elem_type, epred, _ = self._nested_fns(node)
+        if elem_field not in elem_type.fieldNames():
+            raise CompileError(
+                f"nested inner_hits sort field {elem_field!r} is not "
+                f"an element field (has: "
+                f"{', '.join(elem_type.fieldNames())})")
+        matched = F.filter(ref.col, epred)
+        pairs = F.transform(
+            matched,
+            lambda x: F.struct(x[elem_field].alias("_k"),
+                               x.alias("_elem")))
+        return F.sort_array(pairs, asc=asc), elem_type
+
     def _walk(self, node: Node) -> tuple[Column, Column]:
         if isinstance(node, MatchAll):
             return F.lit(True), F.lit(0)

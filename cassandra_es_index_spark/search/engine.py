@@ -1866,7 +1866,14 @@ class SearchEngine:
             node = node.child
         if not isinstance(node, Nested):   # defensive; parse guarantees
             return hits, []
-        pairs, elem_type = comp.nested_matches_ranked(node)
+        if req.nested_inner_sort is not None:
+            try:
+                pairs, elem_type = comp.nested_matches_ranked_by(
+                    node, *req.nested_inner_sort)
+            except CompileError as e:
+                raise es_dsl.DslError(str(e)) from e
+        else:
+            pairs, elem_type = comp.nested_matches_ranked(node)
         top = F.slice(pairs, 1, int(req.nested_inner))
         out = (hits.withColumn("_ih", top)
                    .select("*", F.posexplode("_ih")

@@ -1009,6 +1009,10 @@ class Request:
     # `<path>_<field>` columns + `_inner_rank`; hit selection and
     # paging still count PARENTS
     nested_inner: int | None = None
+    # nested inner_hits custom sort (r13): (element_field, asc) — when
+    # set, matching elements rank by this element field instead of the
+    # element child score; None = score ranking
+    nested_inner_sort: "tuple[str, bool] | None" = None
     # has_child/has_parent inner_hits (r13): populated by the ENGINE's
     # join expansion (never by the parser) — a spec dict holding the
     # matched other-side frame + join-key/prefix/size so the search
@@ -1344,6 +1348,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                 "integer")
     query = obj.get("query", {"match_all": {}})
     nested_inner = None
+    nested_inner_sort = None
     if isinstance(query, dict) and set(query) == {"nested"} \
             and isinstance(query["nested"], dict) \
             and "inner_hits" in query["nested"]:
@@ -1355,10 +1360,31 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         ih = nbody.pop("inner_hits")
         if not isinstance(ih, dict):
             raise DslError("nested inner_hits must be an object")
+        ihx = set(ih) - {"size", "sort"}
+        if ihx:
+            raise DslError(f"nested inner_hits: unsupported parameters "
+                           f"{sorted(ihx)} (engine subset)")
         if "sort" in ih:
-            raise DslError(
-                "nested inner_hits sort is not supported (inner hits "
-                "rank by element score)")
+            # r13: custom element sort — ONE entry over an element
+            # field (the path-dotted form), asc or desc; the per-row
+            # sort_array ranking keeps the no-window shape. Ties follow
+            # element struct order (asc) / its reverse (desc) —
+            # deterministic; element nulls sort first asc / last desc
+            # (sort_array semantics; documented deviation from ES's
+            # missing-last default).
+            srt = _sort(ih["sort"])
+            if len(srt) != 1 or isinstance(srt[0][0], GeoSort):
+                raise DslError(
+                    "nested inner_hits sort takes exactly one plain "
+                    "field entry (engine subset)")
+            sfld, sasc, _ = srt[0]
+            path = str(nbody.get("path", ""))
+            if not sfld.startswith(path + "."):
+                raise DslError(
+                    f"nested inner_hits sort field {sfld!r} must be "
+                    f"an element field under the nested path "
+                    f"({path}.<field>)")
+            nested_inner_sort = (sfld[len(path) + 1:], sasc)
         isz = ih.get("size", 3)
         if not isinstance(isz, int) or isinstance(isz, bool) \
                 or isz <= 0:
@@ -1701,6 +1727,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         collapse_inner=collapse_inner,
         collapse_inner_sort=collapse_inner_sort,
         nested_inner=nested_inner,
+        nested_inner_sort=nested_inner_sort,
         highlight=highlight,
         rescore=rescore,
         knn=knn,

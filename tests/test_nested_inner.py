@@ -87,9 +87,35 @@ def test_inner_hits_typed_errors():
     with pytest.raises(DslError, match="positive integer"):
         parse_request('{"query":{"nested":{"path":"p","query":'
                       '{"match_all":{}},"inner_hits":{"size":0}}}}')
-    with pytest.raises(DslError, match="sort is not supported"):
+    # r13: custom sort parses (path-dotted element field required)
+    with pytest.raises(DslError, match="under the nested path"):
         parse_request('{"query":{"nested":{"path":"p","query":'
                       '{"match_all":{}},"inner_hits":{"sort":["x"]}}}}')
+    with pytest.raises(DslError, match="exactly one plain field"):
+        parse_request('{"query":{"nested":{"path":"p","query":'
+                      '{"match_all":{}},"inner_hits":'
+                      '{"sort":[{"p.a":"asc"},{"p.b":"asc"}]}}}}')
+    req = parse_request('{"query":{"nested":{"path":"p","query":'
+                        '{"match_all":{}},"inner_hits":'
+                        '{"sort":[{"p.qty":"desc"}]}}}}')
+    assert req.nested_inner_sort == ("qty", False)
+
+
+def test_inner_hits_custom_element_sort(ni_engine):
+    # r13: elements rank by the element field, not the child score
+    q = Q.replace('"inner_hits":{"size":2}',
+                  '"inner_hits":{"size":2,"sort":[{"items.qty":"desc"}]}')
+    rows, _ = _rows(ni_engine, q)
+    a = sorted((r["_inner_rank"], r["items_qty"])
+               for r in rows if r["id"] == "a")
+    assert [q_ for _, q_ in a] == sorted(
+        [q_ for _, q_ in a], reverse=True)
+    assert [rk for rk, _ in a] == list(range(1, len(a) + 1))
+    # unknown element field is typed
+    bad = Q.replace('"inner_hits":{"size":2}',
+                    '"inner_hits":{"size":2,"sort":[{"items.zz":"desc"}]}')
+    with pytest.raises(DslError, match="not an element field"):
+        _rows(ni_engine, bad)
 
 
 def test_nested_should_scores_elements(ni_engine):
