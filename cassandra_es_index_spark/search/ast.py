@@ -239,6 +239,9 @@ class HasChild(Node):
     # `<child_type>_<field>` columns + `_inner_rank` (the join twin of
     # the nested inner_hits shape); hit selection/paging count PARENTS
     inner_size: "int | None" = None
+    # inner_hits _source include-list (r13): limits which child fields
+    # surface (None = all source fields)
+    inner_source: "tuple[str, ...] | None" = None
 
 
 @dataclass(frozen=True)
@@ -255,6 +258,7 @@ class HasParent(Node):
     # parent row (≤1 per unique parent key), flattened as
     # `<parent_type>_<field>` columns + `_inner_rank`
     inner_size: "int | None" = None
+    inner_source: "tuple[str, ...] | None" = None
 
 
 @dataclass(frozen=True)

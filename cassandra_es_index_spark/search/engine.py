@@ -1594,7 +1594,7 @@ class SearchEngine:
                 cur["inner"] = self._join_inner_spec(
                     cdocs, pred, score, rel["child_key"],
                     rel["parent_key"], n.child_type, n.inner_size,
-                    rel["child_table"])
+                    rel["child_table"], n.inner_source)
             return JoinRelMatch(
                 cnt, sc if n.score_mode != "none" else None,
                 n.score_mode, n.min_children, n.max_children)
@@ -1627,7 +1627,7 @@ class SearchEngine:
                 cur["inner"] = self._join_inner_spec(
                     pdocs, pred, score, rel["parent_key"],
                     rel["child_key"], n.parent_type, n.inner_size,
-                    rel["parent_table"])
+                    rel["parent_table"], n.inner_source)
             return JoinRelMatch(cnt, sc if n.score else None,
                                 "parent" if n.score else "none", 1, None)
 
@@ -1675,26 +1675,38 @@ class SearchEngine:
 
     def _join_inner_spec(self, odocs: DataFrame, pred: Column,
                          score: Column, fk: str, hit_key: str,
-                         prefix: str, size: int,
-                         other_table: str) -> dict:
+                         prefix: str, size: int, other_table: str,
+                         source: "tuple[str, ...] | None" = None
+                         ) -> dict:
         """Build the join inner_hits payload during join-node expansion:
         the matched other-side rows (surfaced source columns + the inner
         query's score) plus the join/ranking metadata
         ``_expand_join_inner`` needs after hit paging. The frame is the
         SAME match set the keyed aggregate consumed — one extra
-        projection, no second corpus scan shape."""
+        projection, no second corpus scan shape. ``source`` (the
+        inner_hits ``_source`` include-list, r13) narrows WHICH fields
+        surface; the join key and ranking tiebreak keys still ride the
+        frame un-surfaced."""
         surf = [c for c in odocs.columns
                 if not c.startswith("__rel_")
                 and c not in (INDEXATION_FIELD, TTL_FIELD)]
-        frame = odocs.where(pred).select(
-            *surf, score.cast("double").alias("_ih_score"))
+        if source is not None:
+            missing = sorted(set(source) - set(odocs.columns))
+            if missing:
+                raise es_dsl.DslError(
+                    f"inner_hits _source fields {missing} are not "
+                    f"columns of the {prefix!r} side")
+            surf = [c for c in surf if c in source]
         order_keys = [c for c in
                       self.catalog.get(other_table)[1].key_columns
-                      if c in frame.columns]
+                      if c in odocs.columns] or \
+                     [c for c in odocs.columns if c == DOC_ID]
+        carry = list(dict.fromkeys(surf + [fk] + order_keys))
+        frame = odocs.where(pred).select(
+            *carry, score.cast("double").alias("_ih_score"))
         return {"frame": frame, "fk": fk, "hit_key": hit_key,
-                "prefix": prefix, "size": size,
-                "order_keys": order_keys or [c for c in surf
-                                             if c == DOC_ID]}
+                "prefix": prefix, "size": size, "surface": surf,
+                "order_keys": order_keys}
 
     def _expand_join_inner(self, hits: DataFrame, ordering: list,
                            spec: dict) -> tuple[DataFrame, list[str]]:
@@ -1729,9 +1741,7 @@ class SearchEngine:
         sel = [F.col("_jk"), F.col("_inner_rank"),
                F.col("_ih_score").alias(f"{spec['prefix']}__score")]
         cols.append(f"{spec['prefix']}__score")
-        for c in ranked.columns:
-            if c in ("_jk", "_inner_rank", "_ih_score"):
-                continue
+        for c in spec["surface"]:
             cname = f"{spec['prefix']}_{c}"
             if cname in hits.columns:
                 raise es_dsl.DslError(

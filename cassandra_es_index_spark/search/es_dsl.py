@@ -5008,12 +5008,13 @@ def _node(q: dict[str, Any]) -> Node:
                 f"has_child max_children ({hc_max}) < min_children "
                 f"({hc_min}) matches nothing — typed error, not a "
                 "silent MatchNone")
+        hc_ih = _join_inner_size("has_child", body.get("inner_hits"))
         return _boosted(
             HasChild(str(body["type"]), _node(body["query"]), hc_mode,
                      int(hc_min),
                      int(hc_max) if hc_max is not None else None,
-                     _join_inner_size("has_child",
-                                      body.get("inner_hits"))),
+                     hc_ih[0] if hc_ih else None,
+                     hc_ih[1] if hc_ih else None),
             body.get("boost"))
     if kind == "has_parent":
         # ES has_parent: matches CHILD docs whose parent satisfies the
@@ -5038,11 +5039,12 @@ def _node(q: dict[str, Any]) -> Node:
         if not isinstance(hp_score, bool):
             raise DslError(
                 f"has_parent score must be a boolean, got {hp_score!r}")
+        hp_ih = _join_inner_size("has_parent", body.get("inner_hits"))
         return _boosted(
             HasParent(str(body["parent_type"]), _node(body["query"]),
                       hp_score,
-                      _join_inner_size("has_parent",
-                                       body.get("inner_hits"))),
+                      hp_ih[0] if hp_ih else None,
+                      hp_ih[1] if hp_ih else None),
             body.get("boost"))
     if kind == "parent_id":
         # ES parent_id: child docs of relation `type` whose parent key
@@ -6149,23 +6151,38 @@ def _boosted(node: Node, boost: Any) -> Node:
     return node if factor == 1.0 else Boost(node, factor)
 
 
-def _join_inner_size(kind: str, ih: Any) -> int | None:
+def _join_inner_size(kind: str, ih: Any
+                     ) -> "tuple[int, tuple[str, ...] | None] | None":
     """Validate a has_child/has_parent ``inner_hits`` object (r13) —
-    engine subset: ``{"size": n}`` only (name/sort/_source/highlight on
-    join inner hits typed-reject). ES default size is 3."""
+    engine subset: ``size`` and an include-list ``_source``
+    (name/sort/highlight on join inner hits typed-reject). ES default
+    size is 3. Returns (size, source_includes | None)."""
     if ih is None:
         return None
     if not isinstance(ih, dict):
         raise DslError(f"{kind} inner_hits must be an object")
-    extra = set(ih) - {"size"}
+    extra = set(ih) - {"size", "_source"}
     if extra:
         raise DslError(f"{kind} inner_hits: unsupported parameters "
-                       f"{sorted(extra)} (engine subset: size only)")
+                       f"{sorted(extra)} (engine subset: size and "
+                       "_source only)")
     size = ih.get("size", 3)
     if isinstance(size, bool) or not isinstance(size, int) or size < 1:
         raise DslError(f"{kind} inner_hits size must be a positive "
                        f"integer, got {size!r}")
-    return size
+    src = ih.get("_source")
+    includes: tuple[str, ...] | None = None
+    if src is not None:
+        if isinstance(src, str):
+            src = [src]
+        if not isinstance(src, list) or not src or not all(
+                isinstance(f, str) for f in src):
+            raise DslError(
+                f"{kind} inner_hits _source must be a field name or a "
+                "non-empty list of field names (engine subset: "
+                "include list only)")
+        includes = tuple(src)
+    return size, includes
 
 
 def _fuzziness_edits(fuzziness: Any) -> int | tuple[int, int] | None:

@@ -499,3 +499,29 @@ def test_join_inner_hits_typed_errors(eng):
         _search(eng, "parents", {"query": {"has_parent": {
             "parent_type": "parents", "query": {"match_all": {}},
             "inner_hits": 3}}})
+
+
+def test_has_child_inner_hits_source_filter(eng):
+    # r13: _source include-list narrows the surfaced child fields;
+    # the join/tiebreak keys still rank but do not surface
+    body = {"query": {"has_child": {
+        "type": "children", "query": {"term": {"tags": "red"}},
+        "inner_hits": {"size": 1, "_source": ["tags"]}}}}
+    df = _search(eng, "parents", body)
+    assert "children_tags" in df.columns
+    assert "children_cid" not in df.columns
+    assert "children_qty" not in df.columns
+    rows = _rows(df, "pid", "children_tags")
+    assert rows == [(1, "red fast"), (2, "red red fast")]
+    # string shorthand
+    body["query"]["has_child"]["inner_hits"]["_source"] = "qty"
+    df2 = _search(eng, "parents", body)
+    assert "children_qty" in df2.columns
+    # unknown field typed
+    body["query"]["has_child"]["inner_hits"]["_source"] = ["zz"]
+    with pytest.raises(es_dsl.DslError, match="not.*columns"):
+        _search(eng, "parents", body)
+    # bad shape typed
+    body["query"]["has_child"]["inner_hits"]["_source"] = []
+    with pytest.raises(es_dsl.DslError, match="_source"):
+        _search(eng, "parents", body)
