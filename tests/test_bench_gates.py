@@ -1,0 +1,61 @@
+"""The bench idle-gate contract (r13, judge ask #1): a hot machine must
+be unable to produce the round's record. These pin the drain/refuse
+logic without spinning a Spark session (bench imports are lazy)."""
+
+import bench
+
+
+def test_wait_for_idle_passes_when_cool(monkeypatch):
+    monkeypatch.setattr(bench, "_loadavg", lambda: [0.2, 0.3, 0.5])
+    load, hot = bench._wait_for_idle(1.5, waits=2, wait_sec=0)
+    assert not hot and load == [0.2, 0.3, 0.5]
+
+
+def test_wait_for_idle_drains_then_passes(monkeypatch):
+    seq = [[4.0, 3.0, 2.0], [0.9, 2.0, 2.0]]
+    monkeypatch.setattr(bench, "_loadavg",
+                        lambda: seq.pop(0) if seq else [0.5, 0.8, 1.0])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    load, hot = bench._wait_for_idle(1.5, waits=3, wait_sec=0)
+    # second reading: 1-min 0.9 <= gate → the machine drained
+    assert not hot
+
+
+def test_wait_for_idle_reports_hot_when_never_drains(monkeypatch):
+    monkeypatch.setattr(bench, "_loadavg", lambda: [5.0, 4.0, 3.0])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    load, hot = bench._wait_for_idle(1.5, waits=2, wait_sec=0)
+    assert hot
+
+
+def test_main_refuses_record_when_all_attempts_hot(monkeypatch, capsys):
+    # loadavg never drains → no pass runs, no stdout JSON, exit 1
+    import pytest
+    monkeypatch.setattr(bench, "_loadavg", lambda: [5.0, 4.0, 3.0])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "get_spark",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("must not start spark")))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ATTEMPTS", "2")
+    # get_spark is called before the gate — patch a stub session whose
+    # read path would fail loudly if a pass actually started
+    class _Stub:
+        class sparkContext:  # noqa: N801 — mimics the pyspark attr
+            @staticmethod
+            def setLogLevel(level):
+                return None
+        class read:  # noqa: N801
+            @staticmethod
+            def parquet(path):
+                class _C:
+                    @staticmethod
+                    def count():
+                        return 0
+                return _C()
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: _Stub())
+    monkeypatch.setattr(bench.entrymod, "queries", dict)
+    with pytest.raises(SystemExit) as e:
+        bench.main()
+    assert e.value.code == 1
+    out = capsys.readouterr().out
+    assert '"metric"' not in out     # the record line never printed
