@@ -3310,6 +3310,28 @@ def q_events_ks_test(spark, sf_dir):
                       F.round("ks_two_sided", 6).alias("ks_two_sided"))
 
 
+def q_events_moving_avg(spark, sf_dir):
+    # ES legacy moving_avg (r13): simple/linear/ewma over a histogram's
+    # doc_count series — per-lag expressions unrolled into one array
+    # fold (never a frame-order collect_list), window includes the
+    # current bucket, partial start windows use present values only.
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"range":{"value":{"gte":100,"lt":200}}},'
+         '"aggs":{"h":{"histogram":{"field":"value","interval":25},'
+         '"aggs":{'
+         '"mas":{"moving_avg":{"buckets_path":"_count","window":3}},'
+         '"mal":{"moving_avg":{"buckets_path":"_count","window":3,'
+         '"model":"linear"}},'
+         '"mae":{"moving_avg":{"buckets_path":"_count","window":3,'
+         '"model":"ewma","settings":{"alpha":0.4}}}}}}}')
+    out = eng.search_aggs("events_capped", q,
+                          default_field="event_type")
+    return out.select("key", "doc_count",
+                      F.round("mas", 6).alias("mas"),
+                      F.round("mal", 6).alias("mal"),
+                      F.round("mae", 6).alias("mae"))
+
+
 def q_corpus_split(spark, sf_dir):
     # deterministic train/valid/test split (r12): keyed multiplicative
     # hash into cumulative-fraction buckets — reproducible across runs
@@ -3902,6 +3924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   oracle by design (LSH recall is probabilistic)
         "search_nested_inner_sorted": q_search_nested_inner_sorted,
         #   ~ nested family (r13): inner_hits custom element sort
+        "events_moving_avg": q_events_moving_avg,  # ~ pipeline family
+        #   (r13): legacy moving_avg simple/linear/ewma models
         # --- demoted from the window r13 (ask #4 rotation; all green
         #     r05-r12, in-window siblings named at their new slots) ---
         "search_collapse": q_search_collapse,    # field collapsing (r5)
@@ -7218,6 +7242,38 @@ def oracle_sql() -> dict[str, str]:
             FROM flt
             ORDER BY doc_count DESC, item1 ASC, item2 ASC
             LIMIT 15
+        """,
+        # moving_avg (r13): the same per-lag algebra — AVG window for
+        # simple; explicit lag sums per partial-window case for
+        # linear; the unrolled ewma recursion (alpha 0.4)
+        "events_moving_avg": """
+            WITH b AS (
+                SELECT floor(value / 25.0) * 25.0 AS key,
+                       count(*)::BIGINT AS doc_count
+                FROM events WHERE value >= 100 AND value < 200
+                GROUP BY 1),
+            r AS (SELECT key, doc_count,
+                         CAST(doc_count AS DOUBLE) AS v,
+                         lag(CAST(doc_count AS DOUBLE), 1)
+                             OVER (ORDER BY key) AS l1,
+                         lag(CAST(doc_count AS DOUBLE), 2)
+                             OVER (ORDER BY key) AS l2,
+                         row_number() OVER (ORDER BY key) AS rn
+                  FROM b)
+            SELECT key, doc_count,
+                   round(CASE WHEN rn = 1 THEN v
+                              WHEN rn = 2 THEN (l1 + v) / 2
+                              ELSE (l2 + l1 + v) / 3 END, 6) AS mas,
+                   round(CASE WHEN rn = 1 THEN v
+                              WHEN rn = 2 THEN (l1 * 1 + v * 2) / 3
+                              ELSE (l2 * 1 + l1 * 2 + v * 3) / 6
+                         END, 6) AS mal,
+                   round(CASE WHEN rn = 1 THEN v
+                              WHEN rn = 2 THEN 0.4 * v + 0.6 * l1
+                              ELSE 0.4 * v + 0.6 * (0.4 * l1
+                                                    + 0.6 * l2)
+                         END, 6) AS mae
+            FROM r
         """,
         # frequent_item_sets minimum_set_size 3 (r13): the same
         # pipeline one A-priori level deeper — triple self-join over

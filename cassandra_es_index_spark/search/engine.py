@@ -7192,6 +7192,58 @@ class SearchEngine:
                             out = out.withColumn(
                                 f"{pn}_normalized",
                                 F.col(pn) / F.lit(span / usec))
+                elif pk == "moving_avg":
+                    # ES legacy moving_avg (r13): the window INCLUDES
+                    # the current bucket. The window unrolls to per-lag
+                    # expressions (bounded ≤100 at parse) gathered into
+                    # an array — order is construction order, never a
+                    # collect_list (whose frame order is not a
+                    # contract) — then one HOF fold per model; partial
+                    # start-of-series windows keep ES's
+                    # available-values-only semantics via the null
+                    # filter.
+                    path, model, ma_w, ma_alpha = payload
+                    vcol = (F.col(cname) if path == "_count"
+                            else F.col(path)).cast("double")
+                    lags = [F.lag(vcol, k).over(wseq)
+                            for k in range(ma_w - 1, 0, -1)] + [vcol]
+                    arr = F.filter(F.array(*lags),
+                                   lambda x: x.isNotNull())
+                    if model == "simple":
+                        tot = F.aggregate(arr, F.lit(0.0),
+                                          lambda a, x: a + x)
+                        expr = F.when(F.size(arr) > 0,
+                                      tot / F.size(arr))
+                    elif model == "linear":
+                        # weight i+1 for the i-th PRESENT value,
+                        # oldest→newest (ES linear model)
+                        st = F.aggregate(
+                            arr,
+                            F.struct(F.lit(0.0).alias("num"),
+                                     F.lit(0.0).alias("den"),
+                                     F.lit(0.0).alias("i")),
+                            lambda a, x: F.struct(
+                                (a["num"] + x * (a["i"] + 1.0))
+                                .alias("num"),
+                                (a["den"] + a["i"] + 1.0).alias("den"),
+                                (a["i"] + 1.0).alias("i")))
+                        expr = F.when(F.size(arr) > 0,
+                                      st["num"] / st["den"])
+                    else:  # ewma — the Lucene recursion s←αv+(1−α)s,
+                           # seeded with the oldest value
+                        st = F.aggregate(
+                            arr,
+                            F.struct(F.lit(0.0).alias("s"),
+                                     F.lit(False).alias("init")),
+                            lambda a, x: F.struct(
+                                F.when(a["init"],
+                                       F.lit(ma_alpha) * x
+                                       + F.lit(1.0 - ma_alpha)
+                                       * a["s"])
+                                .otherwise(x).alias("s"),
+                                F.lit(True).alias("init")))
+                        expr = F.when(F.size(arr) > 0, st["s"])
+                    out = out.withColumn(pn, expr)
                 elif pk == "moving_percentiles":
                     # ES moving_percentiles (r12): percentiles over a
                     # moving window of buckets. Per-bucket percentiles

@@ -89,7 +89,8 @@ _GENERIC_BUCKET_PARAMS = {
 # ES pipeline aggs computed OVER the bucket frame (single-level only):
 # value per bucket from a sibling metric (or "_count")
 _PIPELINE_KINDS = ("cumulative_sum", "derivative", "serial_diff",
-                   "moving_fn", "bucket_script", "bucket_selector",
+                   "moving_fn", "moving_avg", "bucket_script",
+                   "bucket_selector",
                    "bucket_sort", "normalize", "cumulative_cardinality",
                    "moving_percentiles")
 # ES normalize methods → the rescaling applied per bucket over its
@@ -3292,6 +3293,68 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                         pipelines.append((n, kind, (path, "unit", u)))
                     else:
                         pipelines.append((n, kind, path))
+                elif kind == "moving_avg":
+                    # ES legacy moving_avg (r13 — removed in ES 8 in
+                    # favour of moving_fn, but ubiquitous in older
+                    # request bodies an ES porter carries over). Engine
+                    # subset (typed): models simple (default) / linear
+                    # / ewma (settings.alpha, ES default 0.3); the
+                    # window INCLUDES the current bucket (the
+                    # moving_avg contract — moving_fn's shift applies
+                    # to the moving_fn kind only). minimize/predict
+                    # typed-reject (they fit model parameters /
+                    # extrapolate buckets — out of the deterministic
+                    # frame contract).
+                    ma_extra = set(pbody) - {"buckets_path", "window",
+                                             "model", "settings"}
+                    if ma_extra:
+                        raise DslError(
+                            f"moving_avg agg {n!r}: unsupported "
+                            f"params {sorted(ma_extra)} (engine "
+                            "subset; minimize/predict change the "
+                            "result nondeterministically)")
+                    if "buckets_path" not in pbody:
+                        raise DslError(f"pipeline agg {n!r} needs a "
+                                       "'buckets_path'")
+                    ma_w = pbody.get("window", 5)
+                    if not isinstance(ma_w, int) \
+                            or isinstance(ma_w, bool) \
+                            or not 1 <= ma_w <= 100:
+                        raise DslError(
+                            f"moving_avg agg {n!r}: window must be an "
+                            "integer in [1, 100] (the window unrolls "
+                            "to per-lag expressions — bounded by "
+                            "contract)")
+                    ma_model = pbody.get("model", "simple")
+                    if ma_model not in ("simple", "linear", "ewma"):
+                        raise DslError(
+                            f"moving_avg agg {n!r}: model must be "
+                            "simple/linear/ewma (engine subset — "
+                            "holt/holt_winters fit parameters)")
+                    ma_alpha = 0.3
+                    st = pbody.get("settings")
+                    if st is not None:
+                        if not isinstance(st, dict) \
+                                or set(st) - {"alpha"}:
+                            raise DslError(
+                                f"moving_avg agg {n!r}: settings "
+                                "supports {'alpha'} only (engine "
+                                "subset)")
+                        if "alpha" in st:
+                            if ma_model != "ewma":
+                                raise DslError(
+                                    f"moving_avg agg {n!r}: alpha "
+                                    "applies to the ewma model only")
+                            a = st["alpha"]
+                            if isinstance(a, bool) or not isinstance(
+                                    a, (int, float)) or not 0 < a <= 1:
+                                raise DslError(
+                                    f"moving_avg agg {n!r}: alpha "
+                                    "must be a number in (0, 1]")
+                            ma_alpha = float(a)
+                    pipelines.append(
+                        (n, kind, (str(pbody["buckets_path"]),
+                                   ma_model, ma_w, ma_alpha)))
                 elif kind == "moving_percentiles":
                     # ES moving_percentiles (r12): percentiles over a
                     # moving window of buckets. Per-bucket percentiles
@@ -3614,7 +3677,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     pipelines[pi] = (pn, pk, (payload, tgt.field))
                     continue
                 if pk in ("cumulative_sum", "derivative",
-                          "serial_diff", "moving_fn"):
+                          "serial_diff", "moving_fn", "moving_avg"):
                     # sequence aggs need a key-ordered frame (ES
                     # requires histogram parents)
                     if first_kind not in ("histogram", "date_histogram"):

@@ -1867,3 +1867,70 @@ def test_cumulative_cardinality_counts_values_from_pruned_buckets(
     # 'a' first appears in the PRUNED bucket 0 — it still counts from
     # there on: bucket 1 cc = {a, b} = 2, bucket 2 cc = 3
     assert rows == {1.0: (2, 2), 2.0: (1, 3)}
+
+
+# -------------------------------------------- moving_avg (r13, legacy)
+
+def test_moving_avg_models_hand_computed(spark):
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "id bigint, v double")
+    eng.register(df, TableSpec("mavg", ["id"]))
+    q = json.dumps({"query": {"match_all": {}}, "aggs": {
+        "h": {"histogram": {"field": "id", "interval": 1}, "aggs": {
+            "s": {"sum": {"field": "v"}},
+            "mas": {"moving_avg": {"buckets_path": "s", "window": 3}},
+            "mal": {"moving_avg": {"buckets_path": "s", "window": 3,
+                                   "model": "linear"}},
+            "mae": {"moving_avg": {"buckets_path": "s", "window": 3,
+                                   "model": "ewma",
+                                   "settings": {"alpha": 0.5}}}}}}})
+    rows = {r["key"]: r for r in eng.search_aggs("mavg", q).collect()}
+    # window INCLUDES the current bucket; partial start windows use
+    # the present values only (ES moving_avg contract)
+    assert [rows[k]["mas"] for k in (0.0, 1.0, 2.0, 3.0, 4.0)] == \
+        [10.0, 15.0, 20.0, 30.0, 40.0]
+    exp_lin = [10.0, (10 + 40) / 3, (10 + 40 + 90) / 6,
+               (20 + 60 + 120) / 6, (30 + 80 + 150) / 6]
+    got_lin = [rows[k]["mal"] for k in (0.0, 1.0, 2.0, 3.0, 4.0)]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got_lin, exp_lin))
+    exp_ewm = [10.0, 15.0, 22.5, 32.5, 42.5]
+    got_ewm = [rows[k]["mae"] for k in (0.0, 1.0, 2.0, 3.0, 4.0)]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got_ewm, exp_ewm))
+
+
+def test_moving_avg_typed_errors(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame([(1, 2.0)],
+                                       "id bigint, v double"),
+                 TableSpec("mavg2", ["id"]))
+
+    def run(body):
+        eng.search_aggs("mavg2", json.dumps(
+            {"query": {"match_all": {}}, "aggs": {
+                "h": {"histogram": {"field": "id", "interval": 1},
+                      "aggs": {"s": {"sum": {"field": "v"}},
+                               "x": body}}}}))
+
+    with pytest.raises(DslError, match="simple/linear/ewma"):
+        run({"moving_avg": {"buckets_path": "s", "model": "holt"}})
+    with pytest.raises(DslError, match="window"):
+        run({"moving_avg": {"buckets_path": "s", "window": 101}})
+    with pytest.raises(DslError, match="unsupported params"):
+        run({"moving_avg": {"buckets_path": "s", "predict": 5}})
+    with pytest.raises(DslError, match="ewma model only"):
+        run({"moving_avg": {"buckets_path": "s",
+                            "settings": {"alpha": 0.5}}})
+    with pytest.raises(DslError, match="alpha"):
+        run({"moving_avg": {"buckets_path": "s", "model": "ewma",
+                            "settings": {"alpha": 0}}})
+    with pytest.raises(DslError, match="unknown buckets_path"):
+        run({"moving_avg": {"buckets_path": "zz"}})
+    # terms parents reject like the other sequence pipelines
+    with pytest.raises(DslError, match="ordered histogram"):
+        eng.search_aggs("mavg2", json.dumps(
+            {"query": {"match_all": {}}, "aggs": {
+                "t": {"terms": {"field": "id"}, "aggs": {
+                    "s": {"sum": {"field": "v"}},
+                    "x": {"moving_avg": {"buckets_path": "s"}}}}}}))
