@@ -443,3 +443,51 @@ def test_rescore_vector_prefilter_is_take_ordered(spark):
                             "#options:load-rows=false#" + q))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_join_inner_hits_broadcasts_both_directions(spark):
+    # r13: the <=k hit keys broadcast into the semi-prune of the child
+    # match frame, and the ranked inner frame broadcasts back onto the
+    # hits — no shuffled join keyed on the full corpus
+    import json
+    eng = SearchEngine(spark)
+    orders = read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    li = read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    eng.register(orders, TableSpec("o_plan", ["o_orderkey"]))
+    eng.register(li, TableSpec("l_plan", ["l_orderkey", "l_linenumber"]))
+    eng.register_relation("o_plan", "l_plan", "o_orderkey",
+                          "l_orderkey")
+    q = json.dumps({"query": {"has_child": {
+        "type": "l_plan", "query": {"term": {"l_returnflag": "R"}},
+        "inner_hits": {"size": 2}}}, "size": 50})
+    plan = _plan(eng.search("o_plan",
+                            "#options:load-rows=false#" + q))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the per-parent rank window partitions on the join key (Spark even
+    # pushes the rank<=size cut down as a WindowGroupLimit) — never an
+    # unpartitioned corpus-wide window
+    assert "WindowGroupLimit [_jk" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(_jk" in line
+
+
+def test_reverse_nested_subagg_is_two_hash_aggregates(spark):
+    # r13: parent-scope sub-aggs = (bucket, parent)-keyed hash agg +
+    # bucket-keyed hash agg, never a join back to the corpus scan
+    import json
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame(
+        [(1, 100.0, [("a", 1)]), (2, 50.0, [("b", 2)])],
+        "pid bigint, price double, "
+        "items array<struct<tag:string, r:bigint>>")
+    eng.register(df, TableSpec("rn_plan", ["pid"]))
+    q = json.dumps({"query": {"match_all": {}}, "aggs": {
+        "n": {"nested": {"path": "items"}, "aggs": {
+            "by": {"terms": {"field": "items.tag"}, "aggs": {
+                "back": {"reverse_nested": {}, "aggs": {
+                    "p": {"avg": {"field": "price"}}}}}}}}}})
+    plan = _plan(eng.search_aggs("rn_plan", q, default_field="pid"))
+    assert plan.count("HashAggregate") >= 4   # 2 aggs x partial+final
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
