@@ -2722,6 +2722,47 @@ def q_multimodal_features(spark, sf_dir):
         F.array_position(hist, 1.0).cast("long").alias("hot_bin"))
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    # REAL baseline-JPEG decode path (r13 — clears the r12
+    # entropy-coded seam with the pure-numpy codec): deterministic 4×4
+    # constant-color JPEGs (quality 95) from doc_id, features from
+    # decode_jpeg PIXEL statistics. Constant blocks decode BIT-EXACTLY
+    # at q95: every AC coefficient is 0 and the luma DC step is
+    # q00/8 = 2/8, so integer grays survive quantize→dequantize→IDCT
+    # unchanged — the oracle re-derives the stats from doc_id
+    # arithmetic exactly like the PNG twin, and any Huffman/DCT/color
+    # bug breaks the hash.
+    import numpy as _np
+    import pandas as _pd
+
+    from cassandra_es_index_spark.functions.media_codecs import (
+        encode_jpeg,
+    )
+
+    ids = [r["doc_id"] for r in
+           _t(spark, sf_dir, "documents").select("doc_id")
+           .orderBy("doc_id").limit(50).collect()]
+    pdf = _pd.DataFrame({
+        "media_id": [str(i) for i in ids],
+        "content": [encode_jpeg(_np.full((4, 4, 3), i % 256,
+                                         dtype=_np.uint8), quality=95)
+                    for i in ids],
+        "meta": [{"media_type": "image", "format": "jpeg", "width": 4,
+                  "height": 4, "duration_ms": None, "n_bytes": None}
+                 for _ in ids]})
+    media = spark.createDataFrame(pdf, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, dim=24, use_stub=False)
+    hist = F.slice("features", 7, 16)
+    return feats.select(
+        "media_id",
+        F.size("features").cast("long").alias("dim"),
+        F.round(F.element_at("features", 1), 6).alias("mean_c"),
+        F.element_at("features", 2).alias("std_c"),
+        F.round(F.aggregate(hist, F.lit(0.0), lambda a, x: a + x), 6)
+         .alias("hist_mass"),
+        F.array_position(hist, 1.0).cast("long").alias("hot_bin"))
+
+
 def _join_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     # parent/child join-field analogue (r12): orders = parent, lineitem
     # = child on the order key (SearchEngine.register_relation — the ES
@@ -3926,6 +3967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   ~ nested family (r13): inner_hits custom element sort
         "events_moving_avg": q_events_moving_avg,  # ~ pipeline family
         #   (r13): legacy moving_avg simple/linear/ewma models
+        "multimodal_jpeg": q_multimodal_jpeg,  # ~ multimodal tier
+        #   (r13): REAL pure-numpy baseline JPEG decode, exact oracle
         # --- demoted from the window r13 (ask #4 rotation; all green
         #     r05-r12, in-window siblings named at their new slots) ---
         "search_collapse": q_search_collapse,    # field collapsing (r5)
@@ -5410,6 +5453,21 @@ def oracle_sql() -> dict[str, str]:
         # value is doc_id % 256; a decode/unfilter/pixel-math bug on
         # the Spark side breaks the hash
         "multimodal_features": """
+            WITH d AS (SELECT doc_id, doc_id % 256 AS c
+                       FROM documents ORDER BY doc_id LIMIT 50)
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   24::BIGINT AS dim,
+                   ROUND(c / 255.0, 6) AS mean_c,
+                   0.0::DOUBLE AS std_c,
+                   1.0::DOUBLE AS hist_mass,
+                   (LEAST(CAST(FLOOR(c * 16.0 / 255.0) AS BIGINT),
+                          15) + 1)::BIGINT AS hot_bin
+            FROM d
+        """,
+        # multimodal REAL JPEG decode (r13): constant 4×4 blocks decode
+        # bit-exactly at q95 (all-zero AC, integer-exact DC step), so
+        # the PNG twin's arithmetic applies verbatim
+        "multimodal_jpeg": """
             WITH d AS (SELECT doc_id, doc_id % 256 AS c
                        FROM documents ORDER BY doc_id LIMIT 50)
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -1,10 +1,11 @@
-"""Pure-stdlib media codecs (r12): REAL decode for the two formats the
-container can handle without external libraries — PNG (zlib is stdlib)
-and WAV PCM (the ``wave`` module is stdlib) — so the multimodal tier's
-decode step is genuinely executable for those formats instead of
-stubbed. JPEG/MP4/etc. still raise ``MediaDecodeNotAvailable`` at the
-call sites (``operators/multimodal.py``): entropy-coded formats need
-real codec libraries.
+"""Pure-stdlib media codecs (r12; JPEG r13): REAL decode for the
+formats the container can handle without external libraries — PNG
+(zlib is stdlib), WAV PCM (the ``wave`` module is stdlib), and
+baseline JFIF JPEG (numpy DCT + Annex K tables,
+``functions/jpeg.py`` — re-exported here). MP4/video still raise
+``MediaDecodeNotAvailable`` at the call sites
+(``operators/multimodal.py``): container demux + inter-frame codecs
+genuinely need external libraries.
 
 The reference never decodes media at all — it refuses blobs with a
 ``"<N> bytes"`` placeholder (ref CStarUtils.java:305-306) — so this
@@ -26,6 +27,10 @@ import wave
 import zlib
 
 import numpy as np
+
+from cassandra_es_index_spark.functions.jpeg import (  # noqa: F401
+    decode_jpeg, encode_jpeg,
+)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → channels (palette type 3 rejected: needs PLTE handling)

@@ -75,6 +75,32 @@ def _png_features(content: bytes, dim: int) -> list[float]:
     return feats + [0.0] * (dim - len(feats))
 
 
+def _jpeg_features(content: bytes, dim: int) -> list[float]:
+    """REAL image features from decoded baseline-JPEG pixels (r13):
+    the same pixel statistics as ``_png_features`` — per-channel
+    mean/std + 16-bin luminance histogram — over the pure-numpy
+    ``decode_jpeg`` output (``functions/jpeg.py``)."""
+    import numpy as np
+
+    from cassandra_es_index_spark.functions.media_codecs import (
+        decode_jpeg,
+    )
+
+    px = decode_jpeg(content).astype("float64")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    feats: list[float] = []
+    for c in range(px.shape[2]):
+        feats.append(float(px[:, :, c].mean()) / 255.0)
+        feats.append(float(px[:, :, c].std()) / 255.0)
+    lum = px[:, :, : min(3, px.shape[2])].mean(axis=2)
+    hist, _ = np.histogram(lum, bins=16, range=(0.0, 255.0))
+    total = max(1, int(hist.sum()))
+    feats.extend(float(h) / total for h in hist)
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
 def _wav_features(content: bytes, dim: int) -> list[float]:
     """REAL audio features from decoded PCM samples (r12): RMS, mean
     |amplitude|, zero-crossing rate, duration-seconds (log1p-scaled) +
@@ -156,12 +182,14 @@ def extract_features(df: DataFrame, dim: int = 64,
         raw = bytes(content) if content is not None else b""
         if fmt == "png":
             return _png_features(raw, dim)
+        if fmt in ("jpeg", "jpg"):
+            return _jpeg_features(raw, dim)
         if fmt == "wav":
             return _wav_features(raw, dim)
         if not use_stub:
             raise MediaDecodeNotAvailable(
                 f"codec for format {fmt!r} is not available in this "
-                "environment (real decode: png/wav)")
+                "environment (real decode: png/jpeg/wav)")
         return _fake_features(raw, dim)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -205,6 +233,12 @@ def resize_images(df: DataFrame, width: int, height: int,
                 if fmt == "png":
                     out = encode_png(resize_nearest(
                         decode_png(raw), width, height))
+                elif fmt in ("jpeg", "jpg"):
+                    from cassandra_es_index_spark.functions import (
+                        media_codecs as mc,
+                    )
+                    out = mc.encode_jpeg(resize_nearest(
+                        mc.decode_jpeg(raw), width, height))
                 elif use_stub:
                     # deterministic stand-in for decoded+resized pixels
                     out = hashlib.md5(

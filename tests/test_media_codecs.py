@@ -183,3 +183,104 @@ def test_resize_images_real_png(spark):
     decoded = decode_png(bytes(out["content"]))
     assert decoded.shape == (4, 4, 3)
     assert np.array_equal(decoded, resize_nearest(arr, 4, 4))
+
+
+# -- baseline JPEG (r13, pure numpy + stdlib) -------------------------------
+
+
+def test_jpeg_round_trip_rgb_gradient():
+    import numpy as np
+    from cassandra_es_index_spark.functions import jpeg
+
+    h, w = 24, 40
+    gx = np.linspace(0, 255, w)[None, :]
+    gy = np.linspace(0, 255, h)[:, None]
+    img = np.stack([gx + 0 * gy, 0 * gx + gy, (gx + gy) / 2],
+                   axis=-1).astype(np.uint8)
+    enc = jpeg.encode_jpeg(img, quality=90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    rmse = float(np.sqrt(((dec.astype(float)
+                           - img.astype(float)) ** 2).mean()))
+    assert rmse < 2.0        # smooth content, q90 → near-lossless
+
+
+def test_jpeg_round_trip_gray_and_odd_dims():
+    import numpy as np
+    from cassandra_es_index_spark.functions import jpeg
+
+    g = np.arange(19 * 21, dtype=np.uint8).reshape(19, 21) % 200
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert dec.shape == (19, 21)
+    assert float(np.abs(dec.astype(int) - g.astype(int)).mean()) < 4.0
+
+
+def test_jpeg_quality_orders_size_and_error():
+    import numpy as np
+    from cassandra_es_index_spark.functions import jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    lo = jpeg.encode_jpeg(img, quality=20)
+    hi = jpeg.encode_jpeg(img, quality=95)
+    assert len(lo) < len(hi)
+    err = {q: float(np.abs(
+        jpeg.decode_jpeg(e).astype(float) - img.astype(float)).mean())
+        for q, e in (("lo", lo), ("hi", hi))}
+    assert err["hi"] < err["lo"]
+
+
+def test_jpeg_typed_rejections():
+    import struct
+
+    import numpy as np
+    import pytest
+    from cassandra_es_index_spark.functions import jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"not a jpeg")
+    # progressive (SOF2) rejects by marker class
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11)
+            + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1])
+            + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="baseline sequential"):
+        jpeg.decode_jpeg(sof2)
+    # subsampled chroma rejects
+    sof420 = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17)
+              + bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+              + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    with pytest.raises(ValueError, match="subsampled"):
+        jpeg.decode_jpeg(sof420)
+    with pytest.raises(ValueError, match="quality"):
+        jpeg.encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=0)
+    with pytest.raises(ValueError, match="uint8"):
+        jpeg.encode_jpeg(np.zeros((8, 8), dtype=np.float64))
+
+
+def test_jpeg_multimodal_features_and_resize(spark):
+    import numpy as np
+    from cassandra_es_index_spark.functions import jpeg
+    from cassandra_es_index_spark.operators import multimodal
+    import pandas as pd
+
+    imgs = [np.full((8, 8, 3), v, dtype=np.uint8) for v in (10, 200)]
+    pdf = pd.DataFrame({
+        "media_id": ["a", "b"],
+        "content": [jpeg.encode_jpeg(i, quality=95) for i in imgs],
+        "meta": [{"media_type": "image", "format": "jpeg", "width": 8,
+                  "height": 8, "duration_ms": None, "n_bytes": None}
+                 for _ in imgs]})
+    df = spark.createDataFrame(pdf, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["features"]
+             for r in multimodal.extract_features(
+                 df, dim=8, use_stub=False).collect()}
+    # constant images: mean ≈ v/255, std ≈ 0 (quantization noise only)
+    assert abs(feats["a"][0] - 10 / 255) < 0.02
+    assert abs(feats["b"][0] - 200 / 255) < 0.02
+    assert feats["a"][1] < 0.02 and feats["b"][1] < 0.02
+    out = multimodal.resize_images(df, 4, 4, use_stub=False).collect()
+    for r in out:
+        dec = jpeg.decode_jpeg(bytes(r["content"]))
+        assert dec.shape == (4, 4, 3)
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4

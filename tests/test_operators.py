@@ -117,10 +117,11 @@ def test_shingles(spark):
 
 
 def test_multimodal_features_and_frames(spark):
-    # m1 is a JPEG-format row (stub path — entropy-coded formats need
-    # real codec libs; png/wav decode for REAL, test_media_codecs.py)
+    # m1 is an unrecognized-format row (stub path); mp4 is the one
+    # remaining real seam — png/wav/jpeg all decode for REAL
+    # (test_media_codecs.py)
     rows = [
-        ("m1", b"\x01\x02\x03", ("image", "jpeg", 10, 10, None, None)),
+        ("m1", b"\x01\x02\x03", ("image", "webp", 10, 10, None, None)),
         ("m2", b"\x09\x08", ("video", "mp4", 64, 48, 3500, None)),
     ]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
