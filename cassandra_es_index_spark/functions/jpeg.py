@@ -164,55 +164,58 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def _encode_component(blocks: np.ndarray, qtab: np.ndarray,
-                      dc_codes, ac_codes, bw: _BitWriter,
-                      dc_pred: int) -> int:
-    """blocks: (n, 8, 8) level-shifted float — DCT, quantize, entropy."""
-    coefs = np.einsum("ux,nxy,vy->nuv", DCT_M, blocks, DCT_M)
-    q = np.round(coefs / qtab).astype(np.int64)
-    zz = q[:, ZIGZAG[:, 0], ZIGZAG[:, 1]]   # (n, 64)
-    for row in zz:
-        dc = int(row[0])
-        diff = dc - dc_pred
-        dc_pred = dc
-        size = _mag_category(diff)
-        code, ln = dc_codes[size]
+def _entropy_block(row: np.ndarray, dc_codes, ac_codes,
+                   bw: _BitWriter, dc_pred: int) -> int:
+    """One zigzag coefficient row (64,) → Huffman bits."""
+    dc = int(row[0])
+    diff = dc - dc_pred
+    dc_pred = dc
+    size = _mag_category(diff)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bits = diff if diff >= 0 else diff + (1 << size) - 1
+        bw.write(bits, size)
+    ac = row[1:]
+    nz = np.nonzero(ac)[0]
+    prev = -1
+    for idx in nz:
+        run = int(idx) - prev - 1
+        prev = int(idx)
+        while run > 15:
+            code, ln = ac_codes[0xF0]       # ZRL
+            bw.write(code, ln)
+            run -= 16
+        v = int(ac[idx])
+        size = _mag_category(v)
+        code, ln = ac_codes[(run << 4) | size]
         bw.write(code, ln)
-        if size:
-            bits = diff if diff >= 0 else diff + (1 << size) - 1
-            bw.write(bits, size)
-        run = 0
-        ac = row[1:]
-        nz = np.nonzero(ac)[0]
-        prev = -1
-        for idx in nz:
-            run = int(idx) - prev - 1
-            prev = int(idx)
-            while run > 15:
-                code, ln = ac_codes[0xF0]   # ZRL
-                bw.write(code, ln)
-                run -= 16
-            v = int(ac[idx])
-            size = _mag_category(v)
-            code, ln = ac_codes[(run << 4) | size]
-            bw.write(code, ln)
-            bits = v if v >= 0 else v + (1 << size) - 1
-            bw.write(bits, size)
-        if len(nz) == 0 or nz[-1] != 62:
-            code, ln = ac_codes[0x00]       # EOB
-            bw.write(code, ln)
+        bits = v if v >= 0 else v + (1 << size) - 1
+        bw.write(bits, size)
+    if len(nz) == 0 or nz[-1] != 62:
+        code, ln = ac_codes[0x00]           # EOB
+        bw.write(code, ln)
     return dc_pred
 
 
-def _blocks_of(plane: np.ndarray) -> np.ndarray:
-    """(H, W) → (n, 8, 8), edge-replicated to 8-multiples."""
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     h, w = plane.shape
-    ph, pw = (-h) % 8, (-w) % 8
+    ph, pw = (-h) % mult, (-w) % mult
     if ph or pw:
         plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _zz_grid(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """8-padded (H, W) plane → (bh, bw, 64) quantized zigzag rows —
+    DCT + quantization vectorized over the whole block grid."""
+    plane = _pad_to(plane, 8) - 128.0
     hh, ww = plane.shape
-    return (plane.reshape(hh // 8, 8, ww // 8, 8)
-                 .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+    blocks = (plane.reshape(hh // 8, 8, ww // 8, 8)
+                   .transpose(0, 2, 1, 3))
+    coefs = np.einsum("ux,rcxy,vy->rcuv", DCT_M, blocks, DCT_M)
+    q = np.round(coefs / qtab).astype(np.int64)
+    return q[:, :, ZIGZAG[:, 0], ZIGZAG[:, 1]]
 
 
 def _dht_segment(tc: int, th: int, table) -> bytes:
@@ -221,17 +224,24 @@ def _dht_segment(tc: int, th: int, table) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+def encode_jpeg(arr: np.ndarray, quality: int = 75,
+                subsampling: str = "4:4:4") -> bytes:
     """uint8 (H, W) grayscale or (H, W, 3) RGB → baseline JFIF bytes
-    (4:4:4, Annex K Huffman tables)."""
+    (Annex K Huffman tables). ``subsampling``: ``"4:4:4"`` (default,
+    bit-friendliest) or ``"4:2:0"`` (2×2 box-mean chroma — the
+    web-default layout, RGB only)."""
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3) \
             or (arr.ndim == 3 and arr.shape[2] != 3):
         raise ValueError("encode_jpeg takes uint8 (H, W) or (H, W, 3)")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r} "
+                         "(4:4:4 or 4:2:0)")
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("encode_jpeg: empty image")
     ql, qc = _quality_tables(quality)
     gray = arr.ndim == 2
+    sub420 = subsampling == "4:2:0" and not gray
     if gray:
         planes = [arr.astype(np.float64)]
     else:
@@ -241,7 +251,17 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        planes = [y, cb, cr]
+        if sub420:
+            yp = _pad_to(y, 16)
+            hh, ww = yp.shape
+            def down(p):
+                p = _pad_to(p, 16)
+                return p.reshape(hh // 2, 2, ww // 2, 2).mean(
+                    axis=(1, 3))
+            planes = [yp, down(cb), down(cr)]
+        else:
+            planes = [y, cb, cr]
+    y_samp = 0x22 if sub420 else 0x11
 
     out = bytearray()
     out += b"\xff\xd8"                                  # SOI
@@ -255,7 +275,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+        sof += bytes([cid, y_samp if cid == 1 else 0x11,
+                      0 if cid == 1 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, DC_LUMA) + _dht_segment(1, 0, AC_LUMA)
     if not gray:
@@ -272,16 +293,33 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     ac_l = _canonical_codes(*AC_LUMA)
     dc_c = _canonical_codes(*DC_CHROMA)
     ac_c = _canonical_codes(*AC_CHROMA)
-    nby = ((h + 7) // 8) * ((w + 7) // 8)
-    comp_blocks = [_blocks_of(p) - 128.0 for p in planes]
+    grids = [_zz_grid(p, ql if ci == 0 else qc)
+             for ci, p in enumerate(planes)]
     preds = [0] * ncomp
-    # 4:4:4 MCU = one block per component, interleaved
-    for bi in range(nby):
-        for ci in range(ncomp):
-            dc_t, ac_t = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            preds[ci] = _encode_component(
-                comp_blocks[ci][bi:bi + 1], ql if ci == 0 else qc,
-                dc_t, ac_t, bw, preds[ci])
+    if not sub420:
+        # MCU = one block per component, interleaved
+        bh, bwid = grids[0].shape[:2]
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci in range(ncomp):
+                    dc_t, ac_t = (dc_l, ac_l) if ci == 0 \
+                        else (dc_c, ac_c)
+                    preds[ci] = _entropy_block(
+                        grids[ci][by, bx], dc_t, ac_t, bw, preds[ci])
+    else:
+        # MCU = 4 luma blocks (2×2, row-major) + Cb + Cr
+        mh, mw = grids[1].shape[:2]
+        for my in range(mh):
+            for mx in range(mw):
+                for v in range(2):
+                    for hh2 in range(2):
+                        preds[0] = _entropy_block(
+                            grids[0][2 * my + v, 2 * mx + hh2],
+                            dc_l, ac_l, bw, preds[0])
+                preds[1] = _entropy_block(grids[1][my, mx],
+                                          dc_c, ac_c, bw, preds[1])
+                preds[2] = _entropy_block(grids[2][my, mx],
+                                          dc_c, ac_c, bw, preds[2])
     out += bw.flush()
     out += b"\xff\xd9"                                  # EOI
     return bytes(out)
@@ -419,11 +457,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, qid = seg[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError(
-                        "jpeg: subsampled chroma is not supported "
-                        "(4:4:4 baseline subset)")
-                comps.append((cid, samp, qid))
+                        "jpeg: sampling factors above 2 are not "
+                        "supported (4:4:4/4:2:2/4:2:0 subset)")
+                comps.append((cid, hi, vi, qid))
             frame = (h, w, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -447,45 +486,63 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h, w, nc = frame
     if h == 0 or w == 0:
         raise ValueError("jpeg: empty frame")
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    nby = bh * bw_
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     br = _BitReader(data[pos:])
-    zz_rows = np.zeros((nc, nby, 64), dtype=np.int64)
+    # per-component zigzag grids sized by the MCU lattice
+    zz_grids = [np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                for _, hi, vi, _ in comps]
     preds = [0] * nc
-    for bi in range(nby):
-        if restart and bi and bi % restart == 0:
-            br.resync()
-            preds = [0] * nc
-        for ci in range(nc):
-            _, dcid, acid = scan[ci]
-            s = _huff_decode(br, dc_tabs[dcid])
-            diff = _extend(br.read_bits(s), s)
-            preds[ci] += diff
-            row = zz_rows[ci, bi]
-            row[0] = preds[ci]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, ac_tabs[acid])
-                if sym == 0x00:            # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if sym == 0xF0:            # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("jpeg: AC run past block end")
-                row[k] = _extend(br.read_bits(size), size)
-                k += 1
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu and mcu % restart == 0:
+                br.resync()
+                preds = [0] * nc
+            mcu += 1
+            for ci in range(nc):
+                _, hi, vi, _ = comps[ci]
+                _, dcid, acid = scan[ci]
+                for v in range(vi):
+                    for hh2 in range(hi):
+                        s = _huff_decode(br, dc_tabs[dcid])
+                        diff = _extend(br.read_bits(s), s)
+                        preds[ci] += diff
+                        row = zz_grids[ci][my * vi + v,
+                                           mx * hi + hh2]
+                        row[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, ac_tabs[acid])
+                            if sym == 0x00:            # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if sym == 0xF0:            # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "jpeg: AC run past block end")
+                            row[k] = _extend(br.read_bits(size), size)
+                            k += 1
     planes = []
     for ci in range(nc):
-        qt = qtabs[comps[ci][2]].astype(np.float64)
-        blocks = np.zeros((nby, 8, 8), dtype=np.float64)
-        blocks[:, ZIGZAG[:, 0], ZIGZAG[:, 1]] = zz_rows[ci]
+        _, hi, vi, qid = comps[ci]
+        qt = qtabs[qid].astype(np.float64)
+        gh, gw = zz_grids[ci].shape[:2]
+        blocks = np.zeros((gh, gw, 8, 8), dtype=np.float64)
+        blocks[:, :, ZIGZAG[:, 0], ZIGZAG[:, 1]] = zz_grids[ci]
         blocks *= qt
-        pix = np.einsum("xu,nuv,yv->nxy", DCT_M.T, blocks, DCT_M.T)
-        grid = (pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
-                   .reshape(bh * 8, bw_ * 8))
+        pix = np.einsum("xu,rcuv,yv->rcxy", DCT_M.T, blocks, DCT_M.T)
+        grid = (pix.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8))
+        # upsample subsampled components back to the luma lattice
+        if vmax // vi > 1:
+            grid = np.repeat(grid, vmax // vi, axis=0)
+        if hmax // hi > 1:
+            grid = np.repeat(grid, hmax // hi, axis=1)
         planes.append(grid[:h, :w] + 128.0)
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -231,6 +231,32 @@ def test_jpeg_quality_orders_size_and_error():
     assert err["hi"] < err["lo"]
 
 
+def test_jpeg_420_round_trip():
+    import numpy as np
+    from cassandra_es_index_spark.functions import jpeg
+
+    h, w = 24, 40
+    gx = np.linspace(0, 255, w)[None, :]
+    gy = np.linspace(0, 255, h)[:, None]
+    img = np.stack([gx + 0 * gy, 0 * gx + gy, (gx + gy) / 2],
+                   axis=-1).astype(np.uint8)
+    enc = jpeg.encode_jpeg(img, quality=90, subsampling="4:2:0")
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    rmse = float(np.sqrt(((dec.astype(float)
+                           - img.astype(float)) ** 2).mean()))
+    assert rmse < 5.0        # chroma is 2x2 box-mean, luma unchanged
+    # luma survives nearly exactly despite the chroma subsampling
+    ylum = 0.299 * img[..., 0] + 0.587 * img[..., 1] \
+        + 0.114 * img[..., 2]
+    dlum = 0.299 * dec[..., 0] + 0.587 * dec[..., 1] \
+        + 0.114 * dec[..., 2]
+    assert float(np.abs(ylum - dlum).mean()) < 1.5
+    # odd dims still crop exactly
+    assert jpeg.decode_jpeg(jpeg.encode_jpeg(
+        img[:19, :21], subsampling="4:2:0")).shape == (19, 21, 3)
+
+
 def test_jpeg_typed_rejections():
     import struct
 
@@ -246,12 +272,15 @@ def test_jpeg_typed_rejections():
             + bytes([1, 0x11, 0]))
     with pytest.raises(ValueError, match="baseline sequential"):
         jpeg.decode_jpeg(sof2)
-    # subsampled chroma rejects
-    sof420 = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17)
-              + bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
-              + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    with pytest.raises(ValueError, match="subsampled"):
-        jpeg.decode_jpeg(sof420)
+    # sampling factors above 2 reject (4:2:0/4:2:2 decode for real)
+    sof44 = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17)
+             + bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+             + bytes([1, 0x44, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    with pytest.raises(ValueError, match="sampling factors"):
+        jpeg.decode_jpeg(sof44)
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8),
+                         subsampling="4:1:1")
     with pytest.raises(ValueError, match="quality"):
         jpeg.encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=0)
     with pytest.raises(ValueError, match="uint8"):
