@@ -33,7 +33,7 @@ from cassandra_es_index_spark.functions.jpeg import (  # noqa: F401
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type → channels (palette type 3 rejected: needs PLTE handling)
+# color type → channels (palette type 3 handled via PLTE expansion)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -47,14 +47,16 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
-    RGBA) to a ``(height, width, channels)`` uint8 array. All five
-    scanline filters (None/Sub/Up/Average/Paeth) are implemented.
-    Palette, 16-bit, and Adam7-interlaced images raise ValueError —
-    the documented engine subset."""
+    RGBA / palette) to a ``(height, width, channels)`` uint8 array.
+    All five scanline filters (None/Sub/Up/Average/Paeth) are
+    implemented. Palette images (r13) expand through their PLTE table
+    to RGB (tRNS alpha → RGBA). 16-bit and Adam7-interlaced images
+    raise ValueError — the documented engine subset."""
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     pos, width = len(_PNG_SIG), None
     height = channels = None
+    paletted, plte, trns = False, None, None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
@@ -67,13 +69,21 @@ def decode_png(data: bytes) -> np.ndarray:
             if depth != 8:
                 raise ValueError(f"PNG bit depth {depth} unsupported "
                                  "(engine subset: 8)")
-            if color not in _PNG_CHANNELS:
+            if color not in _PNG_CHANNELS and color != 3:
                 raise ValueError(f"PNG color type {color} unsupported "
-                                 "(engine subset: gray/RGB/±alpha)")
+                                 "(engine subset: gray/RGB/±alpha/"
+                                 "palette)")
             if interlace != 0:
                 raise ValueError("interlaced PNG unsupported "
                                  "(engine subset)")
-            channels = _PNG_CHANNELS[color]
+            paletted = color == 3
+            channels = 1 if paletted else _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(chunk) % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(chunk)
         elif ctype == b"IEND":
@@ -116,7 +126,21 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {ftype} invalid")
         prev = cur.astype(np.uint8)
         out[y] = prev
-    return out.reshape(height, width, channels)
+    px = out.reshape(height, width, channels)
+    if paletted:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][..., None]],
+                                  axis=-1)
+        return rgb
+    return px
 
 
 def _chunk(ctype: bytes, payload: bytes) -> bytes:

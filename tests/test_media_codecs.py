@@ -89,9 +89,12 @@ def test_png_typed_rejections():
         return (struct.pack(">I", len(p)) + t + p
                 + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF))
 
-    pal = sig + chunk(b"IHDR",
-                      struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
-    with pytest.raises(ValueError, match="color type"):
+    # palette (type 3) decodes for real since r13 — but needs a PLTE
+    pal = (sig + chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(
+               b"\x00\x00\x00" + b"\x00\x00\x00")))
+    with pytest.raises(ValueError, match="missing PLTE"):
         decode_png(pal)
     deep = sig + chunk(b"IHDR",
                        struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
@@ -313,3 +316,47 @@ def test_jpeg_multimodal_features_and_resize(spark):
         dec = jpeg.decode_jpeg(bytes(r["content"]))
         assert dec.shape == (4, 4, 3)
         assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+
+
+def test_png_palette_decode_with_and_without_trns():
+    import struct
+    import zlib
+
+    import numpy as np
+    from cassandra_es_index_spark.functions import media_codecs as mc
+
+    def chunk(t, p):
+        return (struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF))
+
+    w, h = 4, 3
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    raw = b"".join(b"\x00" + bytes([(x + y) % 4 for x in range(w)])
+                   for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", palette)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    px = mc.decode_png(png)
+    assert px.shape == (3, 4, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[2, 3].tolist() == [0, 255, 0]      # (3+2) % 4 = 1
+    # tRNS: alpha per palette entry, missing entries opaque
+    png2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", palette) + chunk(b"tRNS", bytes([0, 128]))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    px2 = mc.decode_png(png2)
+    assert px2.shape == (3, 4, 4)
+    assert px2[0, 0].tolist() == [255, 0, 0, 0]
+    assert px2[0, 1].tolist() == [0, 255, 0, 128]
+    assert px2[0, 2].tolist() == [0, 0, 255, 255]
+    # out-of-range palette index is typed
+    raw_bad = b"\x00" + bytes([9] * w) + raw[w + 1:]
+    png3 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", palette)
+            + chunk(b"IDAT", zlib.compress(raw_bad))
+            + chunk(b"IEND", b""))
+    import pytest
+    with pytest.raises(ValueError, match="palette index"):
+        mc.decode_png(png3)
