@@ -191,9 +191,9 @@ def _loadavg() -> list[float] | None:
         return None
 
 
-def _wait_for_idle(load_gate: float, waits: int = 5,
+def _wait_for_idle(load_gate: float, waits: int = 10,
                    wait_sec: int = 60) -> tuple[list[float] | None, bool]:
-    """Block until the 1-/5-min loadavg drains under the gate.
+    """Block until the 5-MINUTE loadavg drains under the gate.
 
     Machine-state gate (r11): the minhash anchor is shuffle-bound and
     BLIND to residual load that still inflates the lighter mid-suite
@@ -201,9 +201,12 @@ def _wait_for_idle(load_gate: float, waits: int = 5,
     anchor 3.0 — green — while span_near tripled). r12 lesson: merely
     FLAGGING a hot record is not enough — BENCH_r12.json was committed
     with anchor_hot:true at loadavg 4.30 and carried 5-6x phantom
-    regressions. So the gate now BLOCKS: wait in 60s steps for the
-    1-min load to drain (5-min lags a just-finished run by design),
-    and report hot only if it never does.
+    regressions. So the gate BLOCKS, and it blocks on the 5-min
+    average specifically (r13 tightening: a drained 1-min load with a
+    hot 5-min tail still means the early suite ran through scheduler
+    residue): wait in 60s steps — a 3.0 five-minute load decays under
+    1.5 in ~4 minutes on an idle box, so the 10-step budget covers a
+    just-finished test run — and report hot only if it never drains.
     """
     load = _loadavg()
     for _ in range(waits):
@@ -214,9 +217,7 @@ def _wait_for_idle(load_gate: float, waits: int = 5,
               file=sys.stderr)
         time.sleep(wait_sec)
         load = _loadavg()
-        if load and min(load[0], load[1]) <= load_gate:
-            return load, False
-    return load, bool(load and min(load[0], load[1]) > load_gate)
+    return load, bool(load and load[1] > load_gate)
 
 
 def _attempt(spark, queries, sf_dir, best_of, sf, load_start,

@@ -12,13 +12,14 @@ def test_wait_for_idle_passes_when_cool(monkeypatch):
 
 
 def test_wait_for_idle_drains_then_passes(monkeypatch):
-    seq = [[4.0, 3.0, 2.0], [0.9, 2.0, 2.0]]
+    # a drained 1-min load is NOT enough (r13): the 5-min average must
+    # clear the gate before a pass may run
+    seq = [[4.0, 3.0, 2.0], [0.9, 2.0, 2.0], [0.5, 0.8, 1.0]]
     monkeypatch.setattr(bench, "_loadavg",
                         lambda: seq.pop(0) if seq else [0.5, 0.8, 1.0])
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    load, hot = bench._wait_for_idle(1.5, waits=3, wait_sec=0)
-    # second reading: 1-min 0.9 <= gate → the machine drained
-    assert not hot
+    load, hot = bench._wait_for_idle(1.5, waits=5, wait_sec=0)
+    assert not hot and load[1] <= 1.5
 
 
 def test_wait_for_idle_reports_hot_when_never_drains(monkeypatch):
