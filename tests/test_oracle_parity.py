@@ -72,7 +72,8 @@ def test_queries_oracles_consistent():
     # PNG decode path is hash-checked against doc_id arithmetic)
     assert missing == {"dedup_minhash_lsh", "dedup_simhash",
                        "similarity_ann_lsh", "similarity_ivf_topk",
-                       "similarity_ivf_disk", "ann_recall"}
+                       "similarity_ivf_disk", "ann_recall",
+                       "dedup_clusters_lsh"}
 
 
 def test_queries_dict_has_no_duplicate_keys():
