@@ -46,6 +46,12 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
             f"overlap must satisfy 0 <= overlap < chunk_tokens, got "
             f"{overlap!r}")
     step = chunk_tokens - overlap
+    # parallelism guard (the ngram_repetition_stats lesson): widen a
+    # below-default-parallelism input so the tokenize/slice map is
+    # sized by CPU, not by input file count (no-op at scale)
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want, id_col)
     toks = _raw_tokens(F.col(text_col))
     n = F.size(toks)
     n_chunks = F.greatest(

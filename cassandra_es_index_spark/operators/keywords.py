@@ -33,6 +33,13 @@ def top_tfidf_terms(df: DataFrame, id_col: str, text_col: str,
     never divides by zero); ties rank by term asc."""
     if not isinstance(k, int) or k < 1:
         raise ValueError(f"k must be a positive integer, got {k!r}")
+    # parallelism guard (the ngram_repetition_stats lesson): the
+    # tokenize+explode map is CPU-amplifying and invisible to AQE's
+    # byte-based sizing — widen a below-default-parallelism input by
+    # explicit-count hash repartition on the doc id (no-op at scale)
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want, id_col)
     n_docs = df.count()
     toks = df.select(F.col(id_col),
                      F.explode(tokens(F.col(text_col))).alias("term"))
