@@ -253,24 +253,48 @@ def ngram_repetition_stats(df, id_col: str, text_col: str,
         df = df.repartition(want, id_col)
     toks = tokens(F.col(text_col))
 
-    def tag(nn: int):
-        # single-arg lambda via closure — a `lambda g, n=n` DOES NOT
-        # default-bind here: pyspark inspects lambda arity and passes
-        # the array INDEX as the second argument (the transform()
-        # arity trap, already bitten once in dup_line_fraction r12)
-        return lambda g: F.struct(F.lit(nn).alias("n"), g.alias("g"))
+    # HASH-CHAINED gram identity (r13): the statistic only needs gram
+    # IDENTITY (for the count) and gram LENGTH (for the char mass), so
+    # no n-gram string is ever BUILT — level n's hashes chain from
+    # level n−1's (h_n[i] = xxhash64(h_{n−1}[i], th[i+n−1])) and the
+    # lengths accumulate the same way. Same equivalence classes as
+    # hashing the concatenated string (64-bit collisions within one
+    # document's grams are negligible — the dedup module's documented
+    # hashed-identity trade); ~5× less allocation than materializing
+    # gram strings, which kept triggering a mid-suite GC wave that
+    # poisoned the bench entries AFTER this one (r13 finding).
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    tl = F.transform(toks, lambda t: F.length(t))
 
-    grams = F.flatten(F.array(*[
-        F.transform(ngrams_of(toks, n), tag(n)) for n in ns]))
-    # shuffle 64-bit gram hashes + lengths instead of gram strings —
-    # the count only needs identity, the mass only needs the length
-    # (same hashed-identity trade as the dedup module's hashed=True
-    # joins; a 64-bit collision within one document's grams is
-    # negligible and documented there)
+    def chain(h_prev, l_prev, n):
+        # window arrays for level n from level n−1 + the base arrays
+        m = F.greatest(F.lit(0), F.size(toks) - F.lit(n - 1))
+        hp = F.slice(h_prev, 1, m)
+        tn = F.slice(th, n, m)
+        lp = F.slice(l_prev, 1, m)
+        ln_ = F.slice(tl, n, m)
+        return (F.zip_with(hp, tn, lambda a, b: F.xxhash64(a, b)),
+                F.zip_with(lp, ln_, lambda a, b: a + b + 1))
+
+    def tag(nn: int):
+        # binary-lambda factory — a default-bound extra param would
+        # trip pyspark's lambda-arity inspection (the transform()
+        # arity trap, bitten in dup_line_fraction r12)
+        return lambda h, l: F.struct(F.lit(nn).alias("n"),
+                                     h.alias("h"), l.alias("l"))
+
+    per_n = []
+    h_cur, l_cur = th, tl
+    for n in range(2, max(ns) + 1):
+        h_cur, l_cur = chain(h_cur, l_cur, n)
+        if n in ns:
+            per_n.append(F.zip_with(h_cur, l_cur, tag(n)))
+    if 1 in ns:
+        per_n.append(F.zip_with(th, tl, tag(1)))
+    grams = F.flatten(F.array(*per_n))
     base = (df.select(F.col(id_col), F.explode(grams).alias("x"))
             .select(id_col, F.col("x.n").alias("n"),
-                    F.xxhash64("x.g").alias("h"),
-                    F.length("x.g").alias("l")))
+                    F.col("x.h").alias("h"), F.col("x.l").alias("l")))
     cnt = (base.groupBy(id_col, "n", "h", "l")
            .agg(F.count(F.lit(1)).alias("c")))
     mass = F.col("c") * F.col("l")
