@@ -41,7 +41,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_es_index_spark.catalog import TableSpec
-from cassandra_es_index_spark.docmodel import DOC_ID, TTL_FIELD, build_documents
+from cassandra_es_index_spark.docmodel import (
+    DOC_ID, INDEXATION_FIELD, TTL_FIELD, build_documents,
+)
 
 SEGMENT = "segment"
 GEN = "_gen"            # 0 = compacted base, >0 = delta generation
@@ -248,6 +250,221 @@ class ParquetIndexStore:
         if not self.exists():
             return
         self._tombstone(ids)
+
+    def bulk(self, ndjson: str) -> list[dict]:
+        """ES ``_bulk`` analogue (r13): the NDJSON action surface the
+        reference actually writes through (ref EsIndexBuilder's bulk
+        requests / ElasticIndex.java:593-615). Parses action/metadata
+        lines + source lines, resolves per-id LAST-action-wins within
+        the batch (ES applies a bulk in order; one delta generation
+        can't express an index-then-delete sequence, so the driver
+        resolves the order first), applies everything as ONE batched
+        upsert + ONE tombstone pass, and returns ES-bulk-shaped
+        per-item results in request order:
+        ``{"action", "_id", "result"|"error", "status"}``.
+
+        Semantics per action:
+        - ``index``: replace-or-insert → ``created``/``updated``;
+        - ``create``: 409 item error when the id already exists (in
+          the store or earlier in this batch);
+        - ``update``: ``{"doc": {...partial...}}`` merges onto the
+          existing source (404 item error when missing; ``script``/
+          ``upsert`` forms typed-reject — engine subset);
+        - ``delete``: ``deleted``/``not_found`` (both non-errors,
+          like ES).
+
+        Scale shape: a bulk body is a BOUNDED batch by API contract
+        (like scroll pages / percolate stored queries), so the parse,
+        the id-existence probe (one ``isin``-pruned scan collecting ≤
+        batch ids), and the update-target fetch are all O(batch)
+        driver work; the writes stay the store's O(batch) delta
+        appends. Source docs must match the base-table columns; specs
+        with json-serialized fields typed-reject (their doc build is
+        not invertible driver-side)."""
+        import json as _json
+
+        cfg = self.spec.config()
+        if cfg.json_serialized_fields or cfg.json_flat_serialized_fields:
+            raise ValueError(
+                "bulk: specs with json-serialized fields are not "
+                "supported (engine subset — the doc build is not "
+                "invertible for partial updates)")
+        lines = [ln for ln in ndjson.splitlines() if ln.strip()]
+        items: list[list] = []   # [action, meta, source]
+        i = 0
+        while i < len(lines):
+            try:
+                obj = _json.loads(lines[i])
+            except ValueError as e:
+                raise ValueError(
+                    f"bulk: malformed JSON on line {i + 1}") from e
+            i += 1
+            if not isinstance(obj, dict) or len(obj) != 1:
+                raise ValueError(
+                    "bulk: each action line must be a one-key object")
+            (action, meta), = obj.items()
+            if action not in ("index", "create", "update", "delete"):
+                raise ValueError(f"bulk: unknown action {action!r}")
+            meta = meta if isinstance(meta, dict) else {}
+            src = None
+            if action != "delete":
+                if i >= len(lines):
+                    raise ValueError(
+                        f"bulk: action {action!r} is missing its "
+                        "source line")
+                src = _json.loads(lines[i])
+                i += 1
+                if action == "update":
+                    if not isinstance(src, dict) or set(src) != {"doc"}:
+                        raise ValueError(
+                            "bulk update takes {'doc': {...}} only "
+                            "(engine subset — script/upsert forms "
+                            "change semantics silently)")
+                    src = src["doc"]
+                if not isinstance(src, dict):
+                    raise ValueError("bulk: source must be an object")
+            items.append([action, meta, src])
+
+        # base source schema = the doc schema minus the engine fields
+        sample = (self._raw() if self.exists() else None)
+        if sample is None:
+            raise ValueError("bulk: build the store first (the source "
+                             "schema derives from it)")
+        drop = {DOC_ID, INDEXATION_FIELD, TTL_FIELD, SEGMENT, GEN,
+                DELETED}
+        import pyspark.sql.types as T
+        base_fields = [f_ for f_ in sample.schema.fields
+                       if f_.name not in drop]
+        base_schema = T.StructType(base_fields)
+        base_cols = [f_.name for f_ in base_fields]
+
+        def coerce(fld: T.StructField, v):
+            if v is None:
+                return None
+            if isinstance(fld.dataType, (T.DoubleType, T.FloatType)):
+                return float(v)
+            if isinstance(fld.dataType, (T.LongType, T.IntegerType,
+                                         T.ShortType, T.ByteType)):
+                return int(v)
+            if isinstance(fld.dataType, T.StringType):
+                return str(v)
+            return v     # timestamps/dates/bools pass through
+
+        def to_row(src: dict) -> tuple:
+            extra = set(src) - set(base_cols)
+            if extra:
+                raise ValueError(
+                    f"bulk: unknown source fields {sorted(extra)} "
+                    f"(store columns: {base_cols})")
+            return tuple(coerce(f_, src.get(f_.name))
+                         for f_ in base_fields)
+
+        # synthesize ids for index/create sources with ONE local
+        # doc-build (local relation — projection preserves row order)
+        write_items = [(j, it) for j, it in enumerate(items)
+                       if it[0] in ("index", "create")]
+        ids_by_item: dict[int, str] = {}
+        if write_items:
+            rows = [to_row(it[2]) for _, it in write_items]
+            probe = build_documents(
+                self.spark.createDataFrame(rows, base_schema),
+                self.spec)
+            got = [r[0] for r in probe.select(DOC_ID).collect()]
+            for (j, _), did in zip(write_items, got):
+                ids_by_item[j] = did
+        for j, it in enumerate(items):
+            if it[0] in ("index", "create"):
+                claimed = it[1].get("_id")
+                if claimed is not None \
+                        and str(claimed) != ids_by_item[j]:
+                    # engine ids derive from the spec key columns — a
+                    # contradicting metadata _id would be silently
+                    # overridden (the no-silent-drops contract)
+                    raise ValueError(
+                        f"bulk: metadata _id {claimed!r} contradicts "
+                        f"the key-derived id {ids_by_item[j]!r}")
+            if it[0] in ("update", "delete"):
+                did = it[1].get("_id")
+                if did is None:
+                    raise ValueError(
+                        f"bulk: {it[0]} needs an '_id' in its "
+                        "metadata")
+                ids_by_item[j] = str(did)
+
+        all_ids = sorted(set(ids_by_item.values()))
+        present = {
+            r[0] for r in self.read()
+            .where(F.col(DOC_ID).isin(all_ids))
+            .select(DOC_ID).collect()} if all_ids else set()
+        # update targets need their current source fields
+        upd_ids = sorted({ids_by_item[j] for j, it in enumerate(items)
+                          if it[0] == "update"
+                          and ids_by_item[j] in present})
+        existing_src: dict[str, dict] = {}
+        if upd_ids:
+            for r in (self.read()
+                      .where(F.col(DOC_ID).isin(upd_ids))
+                      .select(DOC_ID, *base_cols).collect()):
+                existing_src[r[0]] = {c: r[c] for c in base_cols}
+
+        # walk in order: per-id running state, per-item results
+        state: dict[str, dict | None] = {}   # id → source | None=del
+        live = set(present)
+        results: list[dict] = []
+        for j, (action, _meta, src) in enumerate(items):
+            did = ids_by_item[j]
+            if action == "delete":
+                found = did in live
+                results.append({"action": action, "_id": did,
+                                "result": ("deleted" if found
+                                           else "not_found"),
+                                "status": 200 if found else 404})
+                state[did] = None
+                live.discard(did)
+                continue
+            if action == "create" and did in live:
+                results.append({"action": action, "_id": did,
+                                "error": "version_conflict (document "
+                                         "already exists)",
+                                "status": 409})
+                continue
+            if action == "update":
+                if did not in live:
+                    results.append({"action": action, "_id": did,
+                                    "error": "document missing",
+                                    "status": 404})
+                    continue
+                cur = state.get(did) or existing_src.get(did) or {}
+                merged = dict(cur)
+                extra = set(src) - set(base_cols)
+                if extra:
+                    raise ValueError(
+                        f"bulk: unknown source fields {sorted(extra)}")
+                merged.update(src)
+                state[did] = merged
+                results.append({"action": action, "_id": did,
+                                "result": "updated", "status": 200})
+                continue
+            # index / create
+            was_live = did in live
+            state[did] = src
+            live.add(did)
+            results.append({
+                "action": action, "_id": did,
+                "result": ("updated" if action == "index" and was_live
+                           else "created"),
+                "status": 200 if action == "index" and was_live
+                else 201})
+
+        writes = [s for s in state.values() if s is not None]
+        deletes = [d for d, s in state.items() if s is None]
+        if writes:
+            self.upsert(self.spark.createDataFrame(
+                [to_row(s) for s in writes], base_schema))
+        if deletes:
+            self.delete_ids(self.spark.createDataFrame(
+                [(d,) for d in deletes], f"{DOC_ID} string"))
+        return results
 
     def delete_where(self, predicate: Column) -> DataFrame | None:
         """Delete-by-query (ref ElasticIndex.java:817-836): one column-

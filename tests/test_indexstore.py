@@ -340,3 +340,112 @@ def test_update_by_query_last_writer_wins(spark, tmp_path, base):
     rows = {r["id"]: r["userid"] for r in store.read().collect()}
     # matched rows updated in the store, the non-match untouched
     assert rows == {"a": 999, "b": 999, "c": 7}
+
+
+# -- ES _bulk surface (r13) --------------------------------------------------
+
+
+def test_bulk_index_create_update_delete(spark, tmp_path, base):
+    import json
+
+    store = _store(spark, tmp_path)
+    store.build(base)
+
+    def act(action, meta=None):
+        return json.dumps({action: meta or {}})
+
+    nd = "\n".join([
+        # index new doc d → created
+        act("index"),
+        json.dumps({"id": "d", "body": "new doc", "userid": 5,
+                    "created": None, "expire_at": None}),
+        # index existing a → updated (replace)
+        act("index"),
+        json.dumps({"id": "a", "body": "replaced", "userid": 42,
+                    "created": None, "expire_at": None}),
+        # create existing b → 409 error, no write
+        act("create"),
+        json.dumps({"id": "b", "body": "conflict", "userid": 10,
+                    "created": None, "expire_at": None}),
+        # partial update c: only body changes, userid stays 7
+        act("update", {"_id": "c"}),
+        json.dumps({"doc": {"body": "patched"}}),
+        # update missing → 404 item
+        act("update", {"_id": "zz"}),
+        json.dumps({"doc": {"body": "x"}}),
+        # delete b → deleted; delete zz → not_found
+        act("delete", {"_id": "b"}),
+        act("delete", {"_id": "zz"}),
+    ])
+    res = store.bulk(nd)
+    assert [r.get("result", r.get("error"))[:7] for r in res] == [
+        "created", "updated", "version", "updated", "documen",
+        "deleted", "not_fou"]
+    assert [r["status"] for r in res] == [201, 200, 409, 200, 404,
+                                          200, 404]
+    rows = {r[DOC_ID]: (r["body"], r["userid"])
+            for r in store.read().collect()}
+    assert set(rows) == {"a", "c", "d"}          # b deleted
+    assert rows["a"] == ("replaced", 42)
+    assert rows["c"] == ("patched", 7)           # partial merge
+    assert rows["d"] == ("new doc", 5)
+
+
+def test_bulk_order_within_batch(spark, tmp_path, base):
+    import json
+
+    store = _store(spark, tmp_path)
+    store.build(base)
+    # delete a then re-index a: last action wins → a exists (new body);
+    # index e then delete e: e absent; create-after-index conflicts
+    nd = "\n".join([
+        json.dumps({"delete": {"_id": "a"}}),
+        json.dumps({"index": {}}),
+        json.dumps({"id": "a", "body": "reborn", "userid": 1,
+                    "created": None, "expire_at": None}),
+        json.dumps({"index": {}}),
+        json.dumps({"id": "e", "body": "temp", "userid": 2,
+                    "created": None, "expire_at": None}),
+        json.dumps({"delete": {"_id": "e"}}),
+        json.dumps({"create": {}}),
+        json.dumps({"id": "a", "body": "again", "userid": 3,
+                    "created": None, "expire_at": None}),
+    ])
+    res = store.bulk(nd)
+    assert res[0]["result"] == "deleted"
+    assert res[1]["result"] == "created"     # a was deleted just before
+    assert res[3]["result"] == "deleted"
+    assert res[4]["status"] == 409           # create on live a
+    rows = {r[DOC_ID]: r["body"] for r in store.read().collect()}
+    assert rows["a"] == "reborn" and "e" not in rows
+
+
+def test_bulk_typed_errors(spark, tmp_path, base):
+    import json
+
+    store = _store(spark, tmp_path)
+    store.build(base)
+    with pytest.raises(ValueError, match="unknown action"):
+        store.bulk(json.dumps({"upsertish": {}}))
+    with pytest.raises(ValueError, match="missing its source"):
+        store.bulk(json.dumps({"index": {}}))
+    with pytest.raises(ValueError, match="doc"):
+        store.bulk("\n".join([
+            json.dumps({"update": {"_id": "a"}}),
+            json.dumps({"script": "ctx..."}),
+        ]))
+    with pytest.raises(ValueError, match="unknown source fields"):
+        store.bulk("\n".join([
+            json.dumps({"index": {}}),
+            json.dumps({"id": "x", "nope": 1}),
+        ]))
+    with pytest.raises(ValueError, match="contradicts"):
+        store.bulk("\n".join([
+            json.dumps({"index": {"_id": "WRONG"}}),
+            json.dumps({"id": "x", "body": "b", "userid": 1,
+                        "created": None, "expire_at": None}),
+        ]))
+    with pytest.raises(ValueError, match="needs an '_id'"):
+        store.bulk(json.dumps({"delete": {}}))
+    with pytest.raises(ValueError, match="malformed JSON"):
+        store.bulk("{not json")
