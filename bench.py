@@ -64,6 +64,11 @@ HEADLINE = [
     # (search_fuzzy_transpositions swapped out r12 — fuzzy family stays
     # covered by search_fuzzy_boost; registry/correctness keep it)
     "events_change_point",  # argmax Welch mean-shift, HOF fold (r12)
+    "text_dup_ngrams",      # Gopher n-gram signals, hash-chained (r13)
+    # (moved to the early band r13: the interpreted nested-HOF chain
+    # is JVM-state-sensitive — mid-suite it recorded 0.75s or 8.4s
+    # run-to-run with clean neighbors; early-band runs are stable
+    # ~0.9s, the HEAVY-first hygiene principle applied to allocation)
     "search_dsl_sorted",    # sorted-from-index (range-index doc-values)
     "search_mlt",           # more_like_this: tf-idf pick + OR postings query
     "search_dis_max",       # best-field disjunction (union + per-doc max)
@@ -128,7 +133,6 @@ HEADLINE = [
     "search_has_parent",    # parent match frame → FK join (r12)
     "docs_frequent_pairs",  # A-priori pair mining: prune + self-join (r12)
     "docs_frequent_triples",  # third A-priori level (r13)
-    "text_dup_ngrams",      # Gopher n-gram signals: sorted fold/row (r12)
     "text_dup_lines",       # Gopher line-level dup fractions (r12)
     "events_rate_monthly",  # rate, calendar month parent (r12)
     "search_feature_boosts",  # rank_feature + distance_feature (r9)
