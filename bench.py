@@ -36,7 +36,15 @@ import time
 # anchor gate exists to catch, but uniform-inflation detection misses
 # because GC pressure ramps with suite position, not machine load).
 # The bench owns its measurement environment: default the heap high;
-# an explicit SPARK_GRAFT_DRIVER_MEM still wins.
+# an explicit SPARK_GRAFT_DRIVER_MEM still wins. (r13 note: random
+# mid-suite victim clusters — ngrams 8.4s one run, scroll_drain 8.6s
+# the next, neighbors clean, START loadavg green — turned out to be
+# MID-RUN bursts from a co-resident process, visible only in
+# loadavg_end: a 64g A/B ran while the co-process burst and read 3x
+# across the board. The start gate cannot see mid-run bursts; the
+# record carries loadavg_end so an adjudicator can discount, and the
+# judge's min-of-records rule absorbs it. Heap stays at the
+# calibrated 48g — the anchor gate is calibrated against it.)
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 import __spark_entry__ as entrymod  # noqa: E402
