@@ -385,6 +385,18 @@ def q_search_highlight_fragments(spark, sf_dir):
     return _search(q)(spark, sf_dir)
 
 
+def q_search_highlight_no_match(spark, sf_dir):
+    # ES highlight no_match_size (r13): hits whose highlighted field
+    # carries NO match return its leading N chars (trimmed, unwrapped)
+    # instead of omitting the field — the "always show a snippet"
+    # idiom. The lang term admits hits with no text match.
+    q = ('{"query":{"bool":{"should":[{"match":{"text":"spark"}},'
+         '{"term":{"lang":"en"}}]}},'
+         '"highlight":{"fields":{"text":{"number_of_fragments":0,'
+         '"no_match_size":40}}}}')
+    return _search(q)(spark, sf_dir)
+
+
 def q_search_sqs(spark, sf_dir):
     # ES simple_query_string: lenient grammar — phrase | term with a
     # group-level negation ("-slow" is a MUST_NOT on the enclosing OR
@@ -3969,6 +3981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (r13): legacy moving_avg simple/linear/ewma models
         "multimodal_jpeg": q_multimodal_jpeg,  # ~ multimodal tier
         #   (r13): REAL pure-numpy baseline JPEG decode, exact oracle
+        "search_highlight_no_match": q_search_highlight_no_match,
+        #   ~ highlight family (r13): no_match_size leading snippet
         # --- demoted from the window r13 (ask #4 rotation; all green
         #     r05-r12, in-window siblings named at their new slots) ---
         "search_collapse": q_search_collapse,    # field collapsing (r5)
@@ -4167,6 +4181,23 @@ def oracle_sql() -> dict[str, str]:
         # r6 fragment shape: sentence split [^.!?]+[.!?]*, cap 120 chars
         # BEFORE matching, keep match-bearing fragments, wrap, first 2,
         # JSON array (identical list pipeline on both engines)
+        # no_match_size (r13): same wrapped form on matches, leading-40
+        # trimmed snippet otherwise (lang term admits no-text-match hits)
+        "search_highlight_no_match": f"""
+            WITH s AS (
+                SELECT *,
+                       (len(regexp_extract_all(text, '{_SPARK}'))
+                        + CASE WHEN lang = 'en' THEN 1 ELSE 0
+                          END)::BIGINT AS _score
+                FROM documents)
+            SELECT doc_id, text, lang, source, n_chars, _score,
+                   CASE WHEN regexp_matches(text, '{_SPARK}')
+                        THEN regexp_replace(text, '{_SPARK}',
+                                            '<em>\\0</em>', 'g')
+                        ELSE trim(substr(text, 1, 40))
+                   END AS _highlight_text
+            FROM s WHERE _score > 0
+        """,
         "search_highlight_fragments": f"""
             WITH s AS (
                 SELECT *,

@@ -2118,16 +2118,29 @@ class SearchEngine:
                 highlight_patterns,
             )
             default = default_field or Compiler(docs).default_field
-            for fld, pre, post, n_frags, frag_size in req.highlight:
+            for fld, pre, post, n_frags, frag_size, nms in req.highlight:
                 if fld not in result.columns:
                     raise es_dsl.DslError(
                         f"highlight field {fld!r} requires the document "
                         "columns (use load-source=true or row-load mode)")
+
+                def no_match(col):
+                    # ES no_match_size (r13): the leading N chars as an
+                    # unwrapped snippet when nothing matched — a plain
+                    # string whole-field, a one-element array in the
+                    # fragment shape, like ES's fragments list
+                    if nms == 0:
+                        return F.lit(None).cast("string")
+                    lead = F.trim(F.substring(col, 1, nms))
+                    if n_frags == 0:
+                        return F.when(col.isNotNull(), lead)
+                    return F.when(col.isNotNull(),
+                                  F.to_json(F.array(lead)))
+
                 pats = highlight_patterns(req.node, fld, default)
                 if not pats:
                     result = result.withColumn(
-                        f"_highlight_{fld}",
-                        F.lit(None).cast("string"))
+                        f"_highlight_{fld}", no_match(F.col(fld)))
                     continue
                 combined = "|".join(f"(?:{p})" for p in pats)
                 repl = re.sub(r"([\\$])", r"\\\1", pre) + "$0" \
@@ -2137,7 +2150,8 @@ class SearchEngine:
                     result = result.withColumn(
                         f"_highlight_{fld}",
                         F.when(col.rlike(combined),
-                               F.regexp_replace(col, combined, repl)))
+                               F.regexp_replace(col, combined, repl))
+                         .otherwise(no_match(col)))
                     continue
                 sentences = F.regexp_extract_all(
                     col, F.lit(r"[^.!?]+[.!?]*"), F.lit(0))
@@ -2152,7 +2166,8 @@ class SearchEngine:
                 frags = F.slice(wrapped, 1, n_frags)
                 result = result.withColumn(
                     f"_highlight_{fld}",
-                    F.when(F.size(frags) > 0, F.to_json(frags)))
+                    F.when(F.size(frags) > 0, F.to_json(frags))
+                     .otherwise(no_match(col)))
             return result
 
         def apply_source_filter(result: DataFrame) -> DataFrame:

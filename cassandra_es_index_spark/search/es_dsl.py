@@ -1021,12 +1021,12 @@ class Request:
     # `<type>_<field>` columns + `_inner_rank` after paging
     join_inner: Any = None
     # ES highlight: ((field, pre_tag, post_tag, number_of_fragments,
-    # fragment_size), ...) — each requested field gains a
+    # fragment_size, no_match_size), ...) — each requested field gains a
     # `_highlight_<field>` column. number_of_fragments 0 = whole-field
     # wrapping (one string); N > 0 (ES default 5, r6) = the fragment
     # shape: a JSON array of up to N match-bearing fragments (sentence
     # fragmenter, fragment_size char cap — see SearchEngine.search)
-    highlight: tuple[tuple[str, str, str, int, int], ...] = ()
+    highlight: tuple[tuple[str, str, str, int, int, int], ...] = ()
     # ES retriever.rrf (r11 — reciprocal rank fusion, the ES 8.14+
     # hybrid-ranking surface): (sub_request_json_strings, rank_constant,
     # rank_window_size). Each sub request is a standard {"query": ...}
@@ -1439,7 +1439,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
                     "collapse inner_hits size must be a positive "
                     "integer")
             collapse_inner = isz
-    highlight: tuple[tuple[str, str, str, int, int], ...] = ()
+    highlight: tuple[tuple[str, str, str, int, int, int], ...] = ()
     hspec = obj.get("highlight")
     if hspec is not None:
         if not isinstance(hspec, dict) \
@@ -1448,7 +1448,7 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             raise DslError(
                 "highlight needs a non-empty {'fields': {name: {...}}}")
         _H_KEYS = {"pre_tags", "post_tags", "number_of_fragments",
-                   "fragment_size"}
+                   "fragment_size", "no_match_size"}
         h_extra = set(hspec) - _H_KEYS - {"fields"}
         if h_extra:
             # no silent drops (r11): a vanished `type`/`highlight_query`
@@ -1478,7 +1478,11 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
         g_post = tag(hspec, "post_tags", "</em>")
         g_nf = num(hspec, "number_of_fragments", 5, 0)
         g_fs = num(hspec, "fragment_size", 100, 1)
-        out: list[tuple[str, str, str, int, int]] = []
+        # ES no_match_size (r13): when the field carries no match,
+        # return its leading N chars as the (unwrapped) snippet
+        # instead of omitting the field; 0 (default) = omit
+        g_nm = num(hspec, "no_match_size", 0, 0)
+        out: list[tuple[str, str, str, int, int, int]] = []
         for fld, fbody in hspec["fields"].items():
             if fbody is None:
                 fbody = {}
@@ -1492,7 +1496,8 @@ def parse_request(query_json: str | dict[str, Any]) -> Request:
             out.append((fld, tag(fbody, "pre_tags", g_pre),
                         tag(fbody, "post_tags", g_post),
                         num(fbody, "number_of_fragments", g_nf, 0),
-                        num(fbody, "fragment_size", g_fs, 1)))
+                        num(fbody, "fragment_size", g_fs, 1),
+                        num(fbody, "no_match_size", g_nm, 0)))
         highlight = tuple(out)
     knn = None
     kspec = obj.get("knn")

@@ -3940,3 +3940,53 @@ def test_get_doc_and_mget(spark):
                  TableSpec("mg2", ["a", "b"]))
     some_id = eng._docs["mg2"].select("_id").orderBy("_id").first()[0]
     assert eng.get_doc("mg2", some_id).count() == 1
+
+
+def test_highlight_no_match_size(spark):
+    # r13: hits whose highlighted field has no match return its leading
+    # no_match_size chars (trimmed, unwrapped); matched hits keep the
+    # wrapped form; null fields stay null; default 0 omits
+    import json
+    eng = SearchEngine(spark)
+    rows = [(1, "spark is fast. very fast indeed.", "x"),
+            (2, "  nothing relevant here at all.", "x"),
+            (3, None, "x")]
+    eng.register(spark.createDataFrame(
+        rows, "id bigint, body string, tag string"),
+        TableSpec("nms", ["id"]))
+    q = {"query": {"term": {"tag": "x"}},
+         "highlight": {"fields": {"body": {
+             "number_of_fragments": 0, "no_match_size": 12}}}}
+    got = {r["id"]: r["_highlight_body"] for r in eng.search(
+        "nms", "#options:load-source=true#" + json.dumps(q)).collect()}
+    # the query carries no body terms: EVERY hit takes the leading
+    # snippet (ES no_match_size semantics), null fields stay null
+    assert got[1] == "spark is fas"
+    # doc 2 has two leading spaces: the 12-char window covers them
+    # BEFORE the trim (substring-then-trim, like ES's raw offsets)
+    assert got[2] == "nothing re"
+    assert got[3] is None
+    # a query that matches body in doc 1 only
+    q["query"] = {"bool": {"should": [{"term": {"body": "spark"}},
+                                      {"term": {"tag": "x"}}]}}
+    got = {r["id"]: r["_highlight_body"] for r in eng.search(
+        "nms", "#options:load-source=true#" + json.dumps(q)).collect()}
+    assert got[1] == "<em>spark</em> is fast. very fast indeed."
+    assert got[2] == "nothing re"
+    # fragment shape: one-element JSON array
+    q["highlight"]["fields"]["body"] = {"number_of_fragments": 2,
+                                        "no_match_size": 10}
+    got = {r["id"]: r["_highlight_body"] for r in eng.search(
+        "nms", "#options:load-source=true#" + json.dumps(q)).collect()}
+    assert got[2] == '["nothing"]'
+    assert got[1].startswith('["<em>spark</em>')
+    # default omits; negative typed
+    q["highlight"]["fields"]["body"] = {"number_of_fragments": 0}
+    got = {r["id"]: r["_highlight_body"] for r in eng.search(
+        "nms", "#options:load-source=true#" + json.dumps(q)).collect()}
+    assert got[2] is None
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    q["highlight"]["fields"]["body"] = {"no_match_size": -1}
+    with pytest.raises(DslError, match="no_match_size"):
+        eng.search("nms",
+                   "#options:load-source=true#" + json.dumps(q))
