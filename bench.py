@@ -232,14 +232,15 @@ def _wait_for_idle(load_gate: float, waits: int = 10,
     return load, bool(load and load[1] > load_gate)
 
 
-def _attempt(spark, queries, sf_dir, best_of, sf, load_start,
-             last_attempt: bool) -> tuple[dict, dict, bool]:
+def _attempt(spark, queries, sf_dir, best_of, sf,
+             load_start) -> tuple[dict, dict, bool]:
     """One full timing pass. Returns (timings, build, hot).
 
-    When the in-suite anchor gate trips and this is NOT the last
-    attempt, the pass aborts early (hot=True, partial timings) so the
-    caller can drain and retry instead of timing 70 queries on a busy
-    box.
+    When the in-suite anchor gate trips the pass aborts early
+    (hot=True, partial timings on stderr) — on EVERY attempt,
+    including the last: main() discards a hot pass unconditionally,
+    so completing the ~70-query suite on a known-hot box would burn
+    minutes producing a record nobody reads.
     """
     timings: dict = {}
     build: dict = {}
@@ -289,8 +290,7 @@ def _attempt(spark, queries, sf_dir, best_of, sf, load_start,
                                             for r in readings]
                 print("  ANCHOR STILL HOT — this pass is invalid",
                       file=sys.stderr)
-                if not last_attempt:
-                    return timings, build, True
+                return timings, build, True
 
         # phase 2 — index build (documents cache + postings, on-disk
         # bucketed postings) — reported separately: the baseline's trace
@@ -379,8 +379,7 @@ def main() -> None:
                   file=sys.stderr)
             continue
         timings, build, anchor_hot = _attempt(
-            spark, queries, sf_dir, best_of, sf, load_start,
-            last_attempt=(i == attempts - 1))
+            spark, queries, sf_dir, best_of, sf, load_start)
         if not anchor_hot:
             _emit(timings, build, best_of, sf)
             return

@@ -434,7 +434,13 @@ class ParquetIndexStore:
                                     "error": "document missing",
                                     "status": 404})
                     continue
-                cur = state.get(did) or existing_src.get(did) or {}
+                # in-batch state wins over the store snapshot even when
+                # it is an empty/all-falsy source — `or` would silently
+                # merge onto the STALE store row; only absence (never
+                # written this batch) falls through. state[did] can't be
+                # None here: a delete clears `live` and update 404s.
+                cur = (state[did] if did in state
+                       else existing_src.get(did, {}))
                 merged = dict(cur)
                 extra = set(src) - set(base_cols)
                 if extra:

@@ -136,6 +136,29 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("doc_a", "doc_b", "shared", "sz_a", "sz_b", "jaccard"))
 
 
+def _lsh_rows_per_band(num_hashes: int, bands: int) -> int:
+    """Validated ``num_hashes / bands`` for the LSH banding layout.
+
+    ``bands > num_hashes`` would make rows_per_band 0 — every band key
+    degenerates to the empty string and the whole corpus collides into
+    one bucket (silently merging everything into a single cluster on
+    the star path, which has no downstream Jaccard verification to
+    catch it). A non-divisible split would silently ignore the
+    ``num_hashes % bands`` trailing signature components. Both violate
+    the no-silent-drops contract, so both are typed errors."""
+    if not 1 <= bands <= num_hashes:
+        raise ValueError(
+            f"bands must satisfy 1 <= bands <= num_hashes; got "
+            f"bands={bands}, num_hashes={num_hashes}")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes must be divisible by bands (otherwise "
+            f"{num_hashes % bands} signature components would be "
+            f"silently ignored); got num_hashes={num_hashes}, "
+            f"bands={bands}")
+    return num_hashes // bands
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 32, shingle_n: int = 3,
                       unit: str = "shingle") -> DataFrame:
@@ -204,7 +227,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"unknown verify mode {verify!r}")
-    rows_per_band = num_hashes // bands
+    rows_per_band = _lsh_rows_per_band(num_hashes, bands)
     sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, unit)
 
     band_keys = sigs.select(
@@ -617,7 +640,7 @@ def minhash_lsh_star_edges(df: DataFrame, id_col: str, text_col: str,
     gives — for keep/drop decisions at threshold-level precision run
     the pair miner with ``verify="exact"`` on the (small) surviving
     clusters instead."""
-    rows_per_band = num_hashes // bands
+    rows_per_band = _lsh_rows_per_band(num_hashes, bands)
     sigs = minhash_signature(df, id_col, text_col, num_hashes,
                              shingle_n, unit)
     band_keys = sigs.select(

@@ -29,6 +29,52 @@ def test_wait_for_idle_reports_hot_when_never_drains(monkeypatch):
     assert hot
 
 
+def test_attempt_aborts_suite_when_anchor_stays_hot(monkeypatch):
+    # A tripped anchor gate aborts the pass BEFORE the headline suite —
+    # on every attempt, including the last: main() discards hot passes
+    # unconditionally, so finishing ~70 queries on a hot box is pure
+    # waste (r13 ADVICE). The fake anchor reads above the gate twice
+    # (initial + retry); no HEADLINE query may run.
+    ran = []
+
+    def fake_run(queries, name, spark, sf_dir, best_of, timings):
+        ran.append(name)
+        timings[name] = 99.0  # always above the 3.5 s gate
+
+    monkeypatch.setattr(bench, "_run", fake_run)
+    monkeypatch.setattr(bench, "_loadavg", lambda: [0.1, 0.2, 0.3])
+
+    class _Doc:
+        @staticmethod
+        def cache():
+            return _Doc()
+
+        @staticmethod
+        def count():
+            return 0
+
+    class _Entry:
+        @staticmethod
+        def _t(spark, sf_dir, name):
+            return _Doc()
+
+        @staticmethod
+        def bench_prepare(spark, sf_dir):
+            raise AssertionError("bench_prepare must not run on a hot "
+                                 "anchor")
+
+    monkeypatch.setattr(bench, "entrymod", _Entry)
+    timings, build, hot = bench._attempt(
+        spark=None, queries={}, sf_dir="x", best_of=1, sf=0.1,
+        load_start=[0.1, 0.2, 0.3])
+    assert hot
+    anchor = bench.HEAVY[0]
+    assert ran == [anchor, anchor]       # initial reading + one retry
+    assert build["anchor_readings"] == [99.0, 99.0]
+    # the finally block still stamped the load diagnostics
+    assert "loadavg_end" in build
+
+
 def test_main_refuses_record_when_all_attempts_hot(monkeypatch, capsys):
     # loadavg never drains → no pass runs, no stdout JSON, exit 1
     import pytest

@@ -420,6 +420,36 @@ def test_bulk_order_within_batch(spark, tmp_path, base):
     assert rows["a"] == "reborn" and "e" not in rows
 
 
+def test_bulk_update_merges_onto_falsy_in_batch_state(spark, tmp_path):
+    """An update must merge onto the IN-BATCH state even when that
+    state is an empty/all-falsy source dict (r13 ADVICE: a truthiness
+    fallback `state.get(did) or existing_src...` silently merged onto
+    the STALE store row instead). An empty-source index derives doc id
+    '' from the null key, so the store is seeded with an ''-keyed doc
+    carrying a stale userid the update must NOT resurrect."""
+    import json
+
+    store = _store(spark, tmp_path)
+    store.build(spark.createDataFrame(
+        [("", "stale body", 42, _ts(1), None)],
+        "id string, body string, userid int, created timestamp, "
+        "expire_at long"))
+    nd = "\n".join([
+        json.dumps({"index": {}}),
+        json.dumps({}),                      # in-batch state for '' = {}
+        json.dumps({"update": {"_id": ""}}),
+        json.dumps({"doc": {"body": "patched"}}),
+    ])
+    res = store.bulk(nd)
+    # the '' doc is live, so index reports updated(200), then update 200
+    assert [r["status"] for r in res] == [200, 200]
+    (row,) = store.read().collect()
+    assert row["body"] == "patched"
+    # the stale store source must not leak through the falsy in-batch
+    # state: the index action reset userid to null
+    assert row["userid"] is None
+
+
 def test_bulk_typed_errors(spark, tmp_path, base):
     import json
 

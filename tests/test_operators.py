@@ -1011,6 +1011,24 @@ def test_top_tfidf_terms_hand_case(spark):
         keywords.top_tfidf_terms(docs, "id", "text", k=0)
 
 
+def test_lsh_band_layout_validated(corpus):
+    """bands > num_hashes would make every band key the empty string —
+    the whole corpus collides into ONE bucket and (on the star path,
+    which has no downstream Jaccard verification) silently merges into
+    a single cluster. Non-divisible splits silently ignore the
+    remainder hashes. Both are typed errors on BOTH banding surfaces
+    (r13 ADVICE)."""
+    import pytest as _pytest
+
+    for fn in (dedup.minhash_lsh_star_edges, dedup.minhash_lsh_pairs):
+        with _pytest.raises(ValueError, match="1 <= bands"):
+            fn(corpus, "doc_id", "text", num_hashes=8, bands=16)
+        with _pytest.raises(ValueError, match="1 <= bands"):
+            fn(corpus, "doc_id", "text", num_hashes=8, bands=0)
+        with _pytest.raises(ValueError, match="divisible"):
+            fn(corpus, "doc_id", "text", num_hashes=32, bands=5)
+
+
 def test_lsh_star_edges_connectivity_matches_pairs(corpus):
     # the star graph spans exactly the same band buckets as the pair
     # clique, so connected components agree with the pair-based ones
