@@ -3184,6 +3184,20 @@ def test_datemath_date_range_agg(spark):
         '"ranges":[{"key":"old","to":"now-7d/d"},'
         '{"key":"recent","from":"now-7d/d","to":"now/d"}]}}}}').collect()}
     assert out == {"old": 7, "recent": 7}
+    # calendar-month math in AGG bounds (the Kibana "last month" panel):
+    # now=2024-03-31 → now-1M clamps to Feb 29 (Joda/ES leap-day clamp),
+    # /d rounds down — [2024-02-29, 2024-03-31) holds Mar 1-20 = 20 docs
+    rows2 = [(100 + i, datetime(2024, 3, i)) for i in range(1, 21)]
+    eng.register(spark.createDataFrame(rows2, "id long, ts timestamp"),
+                 TableSpec("dm5", ["id"]))
+    out2 = {r["key"]: r["doc_count"] for r in eng.search_aggs(
+        "dm5", '#options:now=2024-03-31T10:30:00#'
+        '{"query":{"match_all":{}},"aggs":{"p":{"date_range":{"field":"ts",'
+        '"ranges":[{"key":"lastmonth","from":"now-1M/d","to":"now/d"},'
+        '{"key":"before","to":"now-1M/d"}]}}}}').collect()}
+    # the empty 'before' bucket is dropped (engine date_range buckets
+    # are count>0, same as the search_date_range oracle)
+    assert out2 == {"lastmonth": 20}
 
 
 # ---------------------------------------------------------------------------
