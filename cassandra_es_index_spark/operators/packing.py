@@ -77,6 +77,156 @@ def chunk_by_token_budget(df: DataFrame, id_col: str, tokens_col: str,
                                      / F.lit(int(budget))).cast("long")))
 
 
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
+                   seq_tokens: int, boundary_tokens: int = 1,
+                   drop_last: bool = False,
+                   n_partitions: int | None = None) -> DataFrame:
+    """The packer's OUTPUT stage (r14): concat-and-cut the corpus token
+    stream into fixed-length training sequences and emit the exact
+    document spans each sequence holds — the last step between chunking
+    (``chunk_documents``) / budget grouping (``chunk_by_token_budget``)
+    and tokenizer sharding in an LLM data pipeline.
+
+    Model: documents concatenate in ``id_col`` order, each followed by
+    ``boundary_tokens`` end-of-document marker positions; the stream is
+    cut every ``seq_tokens`` positions. Returns one row per
+    (document, sequence) overlap:
+
+    - ``seq_id``     — which fixed-length sequence,
+    - ``id_col``     — the document,
+    - ``seq_offset`` — where the span starts INSIDE the sequence,
+    - ``doc_offset`` — where the span starts inside the document's
+      token list (the downstream slice start),
+    - ``span_tokens`` — span length.
+
+    Span rows fully determine each sequence: content = spans in
+    ``seq_offset`` order, boundary markers at every document end,
+    anything past the stream end in the final sequence is padding
+    (``drop_last=True`` drops that partial sequence — the common
+    training choice; costs one single-row aggregate broadcast).
+    Documents with zero tokens emit no span but still advance the
+    stream by their boundary markers.
+
+    Scale shape: the global start offsets come from
+    ``chunk_by_token_budget``'s two-pass prefix sum (range partition →
+    per-partition window → partition-count offset broadcast — never a
+    global single-task window); the per-document sequence range then
+    explodes in place with row multiplier ≈ doc_tokens / seq_tokens.
+    Everything downstream is pure Column arithmetic, so the assignment
+    is deterministic, engine-independent, and oracle-checkable."""
+    if not isinstance(seq_tokens, int) or seq_tokens < 1:
+        raise ValueError(
+            f"seq_tokens must be a positive integer, got {seq_tokens!r}")
+    if not isinstance(boundary_tokens, int) or boundary_tokens < 0:
+        raise ValueError(
+            f"boundary_tokens must be a non-negative integer, got "
+            f"{boundary_tokens!r}")
+    eff = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(tokens_col).cast("long")
+         + F.lit(int(boundary_tokens))).alias("eff"))
+    base = chunk_by_token_budget(eff, "id", "eff", seq_tokens,
+                                 n_partitions)
+    L = F.lit(int(seq_tokens))
+    n = (F.col("tokens") - F.lit(int(boundary_tokens))).alias("_n")
+    start = F.col("start_offset")
+    spans = (base.select("id", start, n)
+             .where(F.col("_n") > 0)
+             .select(
+                 "id", "start_offset", "_n",
+                 F.explode(F.sequence(
+                     F.floor(start / L),
+                     F.floor((start + F.col("_n") - 1) / L)))
+                 .alias("seq_id")))
+    seq_start = F.col("seq_id") * L
+    span_start = F.greatest(start, seq_start)
+    span_end = F.least(start + F.col("_n"), seq_start + L)
+    out = spans.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("id").alias(id_col),
+        (span_start - seq_start).cast("long").alias("seq_offset"),
+        (span_start - start).cast("long").alias("doc_offset"),
+        (span_end - span_start).cast("long").alias("span_tokens"))
+    if drop_last:
+        # total stream length: ONE single-row aggregate, broadcast —
+        # the final sequence is partial unless the stream divides evenly
+        total = eff.agg(F.sum("eff").alias("_total"))
+        out = (out.crossJoin(F.broadcast(total))
+                  .where(F.col("seq_id")
+                         < F.floor(F.col("_total") / L))
+                  .drop("_total"))
+    return out
+
+
+def pack_sequence_texts(df: DataFrame, id_col: str, text_col: str,
+                        seq_tokens: int,
+                        boundary_token: str = "<|endofdoc|>") -> DataFrame:
+    """Materialized packed sequences: ``pack_sequences`` spans joined
+    back to the source text, each span sliced out of the document's
+    whitespace tokens, one ``boundary_token`` piece at every document
+    end (a marker can open the NEXT sequence when the cut falls on the
+    document end — GPT-style stream semantics), and the pieces
+    assembled per sequence in stream order. Returns
+    (seq_id, n_docs, token_count, seq_text): ``token_count`` counts
+    content + marker tokens present — exactly ``seq_tokens`` for every
+    sequence but the final partial one; ``n_docs`` counts documents
+    CONTRIBUTING CONTENT to the sequence. Documents with zero tokens
+    are dropped before packing (their text is empty — materializing a
+    lone marker for them is noise; the span-table operator keeps them
+    as stream positions for pipelines that need exact accounting).
+
+    One join on the document id + one groupBy seq_id; the ordered
+    assembly is an ``array_sort`` of (seq_offset, piece) structs —
+    no window, no driver loop."""
+    from .chunking import _raw_tokens
+
+    toks = df.select(F.col(id_col).alias("_did"),
+                     _raw_tokens(F.col(text_col)).alias("_toks"))
+    counts = (toks.select("_did", F.size("_toks").alias("_n"))
+              .where(F.col("_n") > 0))
+    spans = pack_sequences(counts, "_did", "_n", seq_tokens,
+                           boundary_tokens=1)
+    L = F.lit(int(seq_tokens))
+    joined = (spans.join(toks, "_did")
+              .withColumn("_piece", F.array_join(
+                  F.slice("_toks", F.col("doc_offset") + 1,
+                          F.col("span_tokens")), " "))
+              .withColumn("_end_global",
+                          F.col("seq_id") * L + F.col("seq_offset")
+                          + F.col("span_tokens"))
+              .withColumn("_ends_doc",
+                          F.col("doc_offset") + F.col("span_tokens")
+                          == F.size("_toks")))
+    content = joined.select(
+        "seq_id",
+        F.struct(F.col("seq_offset"), F.col("_piece").alias("piece"),
+                 F.col("span_tokens").alias("n"),
+                 F.lit(True).alias("is_doc")).alias("_p"))
+    # the marker occupies the stream position right after the doc's
+    # final content token — materialized as its own piece so a marker
+    # falling on a sequence cut lands at the start of the next sequence
+    markers = (joined.where("_ends_doc").select(
+        F.floor(F.col("_end_global") / L).cast("long").alias("seq_id"),
+        F.struct(
+            F.pmod(F.col("_end_global"), L).cast("long")
+            .alias("seq_offset"),
+            F.lit(boundary_token).alias("piece"),
+            F.lit(1).cast("long").alias("n"),
+            F.lit(False).alias("is_doc")).alias("_p")))
+    return (content.unionByName(markers)
+            .groupBy("seq_id")
+            .agg(F.array_sort(F.collect_list("_p")).alias("_ps"))
+            .select(
+                "seq_id",
+                F.size(F.filter("_ps", lambda p: p["is_doc"]))
+                .cast("long").alias("n_docs"),
+                F.aggregate("_ps", F.lit(0).cast("long"),
+                            lambda acc, p: acc + p["n"])
+                .alias("token_count"),
+                F.array_join(F.transform("_ps", lambda p: p["piece"]),
+                             " ").alias("seq_text")))
+
+
 # -- deterministic sampling / corpus mixing ---------------------------------
 
 # Knuth multiplicative constant; the id first folds mod a prime so the

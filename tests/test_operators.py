@@ -545,6 +545,80 @@ def test_chunk_by_token_budget_contiguous(spark):
         chunk_by_token_budget(df, "id", "ntok", budget=0)
 
 
+def test_pack_sequences_spans_exact(spark):
+    from cassandra_es_index_spark.operators.packing import pack_sequences
+
+    # a=3 tok, b=5, c=0 (empty), d=2; boundary=1; L=4.
+    # stream positions (| = EOD marker): a0 a1 a2 | b0 b1 b2 b3 b4 |
+    # | d0 d1 |  → offsets a:0 b:4 c:10 d:11, T=14
+    df = spark.createDataFrame([("a", 3), ("b", 5), ("c", 0), ("d", 2)],
+                               "id string, n long")
+    out = [tuple(r) for r in pack_sequences(df, "id", "n", 4)
+           .orderBy("seq_id", "seq_offset").collect()]
+    assert out == [
+        (0, "a", 0, 0, 3),        # a fills seq 0 up to its marker
+        (1, "b", 0, 0, 4),        # b's first 4 tokens fill seq 1
+        (2, "b", 0, 4, 1),        # b's tail continues into seq 2
+        (2, "d", 3, 0, 1),        # d starts in seq 2 after b's marker
+        (3, "d", 0, 1, 1),        # d's final token opens seq 3
+    ]
+    # empty doc c emits no span but advanced the stream by its marker
+    # (d starts at 11, not 10)
+
+    # drop_last: T=14 → 3 full sequences; seq 3's spans drop
+    out2 = [tuple(r) for r in
+            pack_sequences(df, "id", "n", 4, drop_last=True)
+            .orderBy("seq_id", "seq_offset").collect()]
+    assert out2 == out[:4]
+
+    # no boundary markers: pure concat-and-cut
+    out3 = [tuple(r) for r in
+            pack_sequences(df, "id", "n", 4, boundary_tokens=0)
+            .orderBy("seq_id", "seq_offset").collect()]
+    assert out3 == [
+        (0, "a", 0, 0, 3), (0, "b", 3, 0, 1),
+        (1, "b", 0, 1, 4), (2, "d", 0, 0, 2),
+    ]
+
+    # partition-count invariance (the two-pass prefix sum makes the
+    # physical layout invisible)
+    out4 = [tuple(r) for r in
+            pack_sequences(df, "id", "n", 4, n_partitions=7)
+            .orderBy("seq_id", "seq_offset").collect()]
+    assert out4 == out
+
+    with pytest.raises(ValueError, match="seq_tokens"):
+        pack_sequences(df, "id", "n", 0)
+    with pytest.raises(ValueError, match="seq_tokens"):
+        pack_sequences(df, "id", "n", 2.5)
+    with pytest.raises(ValueError, match="boundary_tokens"):
+        pack_sequences(df, "id", "n", 4, boundary_tokens=-1)
+
+
+def test_pack_sequence_texts_materialize(spark):
+    from cassandra_es_index_spark.operators.packing import (
+        pack_sequence_texts,
+    )
+
+    rows = [("a", "x1 x2 x3"), ("b", "y1 y2 y3 y4 y5"),
+            ("c", "   "), ("d", "z1 z2")]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["seq_id"]: (r["n_docs"], r["token_count"], r["seq_text"])
+           for r in pack_sequence_texts(df, "id", "text", 4,
+                                        boundary_token="<eod>")
+           .collect()}
+    # c is whitespace-only → dropped entirely; stream:
+    # x1 x2 x3 <eod> y1 y2 y3 y4 y5 <eod> z1 z2 <eod>   (T = 13)
+    assert got == {
+        0: (1, 4, "x1 x2 x3 <eod>"),
+        1: (1, 4, "y1 y2 y3 y4"),
+        # y's marker lands mid-seq-2; z's marker falls exactly on the
+        # cut and opens seq 3 alone (GPT-style stream semantics)
+        2: (2, 4, "y5 <eod> z1 z2"),
+        3: (0, 1, "<eod>"),
+    }
+
+
 def test_weighted_sample_and_mix_deterministic(spark):
     from cassandra_es_index_spark.operators.packing import (
         mix_sources, weighted_sample,
