@@ -4,9 +4,10 @@ The reference refuses to index blobs (``"<N> bytes"`` placeholder,
 ref CStarUtils.java:305-306). This engine treats media as first-class
 opaque ``binary`` columns with a typed metadata struct, and runs
 decode/feature steps as Arrow-batched pandas transforms over
-``mapInPandas``. PNG and WAV decode for REAL via stdlib codecs
-(functions/media_codecs.py, r12 — zlib + wave need no external libs);
-entropy-coded formats (JPEG/MP4/…) keep the documented
+``mapInPandas``. PNG/WAV (r12) and baseline JPEG (r13) decode for REAL
+via stdlib/numpy codecs (functions/media_codecs.py, functions/jpeg.py);
+MP4 container metadata parses for real too (functions/mp4.py, r14) —
+only mp4 FRAME payloads keep the documented
 ``MediaDecodeNotAvailable`` seam / deterministic stub.
 
 Scale design: media rows are *much* wider than text rows, so every
@@ -45,8 +46,10 @@ MEDIA_SCHEMA = T.StructType([
 
 class MediaDecodeNotAvailable(NotImplementedError):
     """Raised by the real decode path for formats that need external
-    codec libraries (JPEG/MP4/…). PNG and WAV decode for REAL via the
-    stdlib codecs (functions/media_codecs.py, r12)."""
+    codec libraries. PNG/WAV (r12) and baseline JPEG (r13) decode for
+    REAL via the stdlib/numpy codecs; MP4 CONTAINER metadata parses
+    for real too (functions/mp4.py, r14) — only mp4 FRAME payloads
+    (H.264/AAC entropy streams) remain behind this seam."""
 
 
 # formats the stdlib codecs genuinely decode (r12)
@@ -260,6 +263,56 @@ def resize_images(df: DataFrame, width: int, height: int,
 
     return df.select(id_col, content_col, "meta").mapInPandas(
         batches, MEDIA_SCHEMA)
+
+
+MP4_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("major_brand", T.StringType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("timescale", T.LongType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("tracks", T.ArrayType(T.StructType([
+        T.StructField("track_id", T.LongType()),
+        T.StructField("handler", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]))),
+])
+
+
+def mp4_metadata(df: DataFrame, content_col: str = "content",
+                 id_col: str = "media_id") -> DataFrame:
+    """MP4 container metadata via real stdlib box parsing (r14 —
+    functions/mp4.py): movie duration/timescale/brand + per-track
+    handler/language/dimensions from the moov tree. Arrow-batched
+    ``mapInPandas`` like every media transform here (rows are wide);
+    malformed containers raise the parser's typed ``Mp4ParseError``
+    (no silent nulls). Frame payloads stay behind
+    ``MediaDecodeNotAvailable`` — this reads structure only, never
+    ``mdat``."""
+    from cassandra_es_index_spark.functions.mp4 import parse_mp4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                m = parse_mp4(bytes(content) if content is not None
+                              else b"")
+                rows.append({
+                    "media_id": str(mid),
+                    "major_brand": m["major_brand"],
+                    "duration_ms": m["duration_ms"],
+                    "timescale": m["timescale"],
+                    "n_tracks": m["n_tracks"],
+                    "tracks": m["tracks"],
+                })
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(
+        batches, MP4_META_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000,

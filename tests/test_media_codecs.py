@@ -360,3 +360,115 @@ def test_png_palette_decode_with_and_without_trns():
     import pytest
     with pytest.raises(ValueError, match="palette index"):
         mc.decode_png(png3)
+
+
+# ------------------------------ mp4 container metadata (r14)
+
+
+def test_mp4_build_parse_round_trip():
+    from cassandra_es_index_spark.functions.mp4 import build_mp4, parse_mp4
+
+    data = build_mp4(5500, tracks=[
+        {"track_id": 1, "handler": "vide", "duration_ms": 5500,
+         "language": "und", "width": 64, "height": 36},
+        {"track_id": 2, "handler": "soun", "duration_ms": 5400,
+         "language": "eng", "width": 0, "height": 0}])
+    m = parse_mp4(data)
+    assert (m["major_brand"], m["duration_ms"], m["timescale"],
+            m["n_tracks"]) == ("isom", 5500, 1000, 2)
+    v, a = m["tracks"]
+    assert (v["track_id"], v["handler"], v["width"], v["height"],
+            v["language"], v["duration_ms"]) == (1, "vide", 64, 36,
+                                                 "und", 5500)
+    assert (a["handler"], a["duration_ms"], a["language"]) == \
+        ("soun", 5400, "eng")
+
+
+def test_mp4_v1_64bit_layout():
+    from cassandra_es_index_spark.functions.mp4 import build_mp4, parse_mp4
+
+    m = parse_mp4(build_mp4(
+        7200, tracks=[{"track_id": 9, "handler": "vide",
+                       "duration_ms": 7200, "language": "fra",
+                       "width": 128, "height": 72}], version=1))
+    assert m["duration_ms"] == 7200
+    t = m["tracks"][0]
+    assert (t["track_id"], t["language"], t["width"]) == (9, "fra", 128)
+
+
+def test_mp4_largesize_and_to_eof_boxes_skip():
+    from cassandra_es_index_spark.functions.mp4 import build_mp4, parse_mp4
+
+    data = build_mp4(100, tracks=[])
+    base = parse_mp4(data)
+    large = (1).to_bytes(4, "big") + b"free" + (16).to_bytes(8, "big")
+    assert parse_mp4(data + large) == base       # 64-bit size skipped
+    to_eof = (0).to_bytes(4, "big") + b"free" + b"xx"
+    assert parse_mp4(data + to_eof) == base      # size-0 = to EOF
+
+
+def test_mp4_typed_errors():
+    import pytest
+
+    from cassandra_es_index_spark.functions.mp4 import (
+        Mp4ParseError, build_mp4, parse_mp4,
+    )
+
+    data = build_mp4(100, tracks=[{"track_id": 1, "handler": "vide",
+                                   "duration_ms": 100,
+                                   "language": "und",
+                                   "width": 4, "height": 4}])
+    with pytest.raises(Mp4ParseError, match="overruns|truncated"):
+        parse_mp4(data[:20])                     # cut mid-box
+    with pytest.raises(Mp4ParseError, match="no moov"):
+        parse_mp4((8).to_bytes(4, "big") + b"free")
+    with pytest.raises(Mp4ParseError, match="major brand"):
+        parse_mp4((9).to_bytes(4, "big") + b"ftyp\x00")
+    with pytest.raises(Mp4ParseError, match="truncated box header"):
+        parse_mp4(b"\x00\x00")
+    # zero timescale in mvhd is typed (never a ZeroDivisionError)
+    bad = bytearray(build_mp4(100, timescale=1000, tracks=[]))
+    i = bad.find(b"mvhd") + 4 + 4 + 4 + 4        # type+vf+c+m → timescale
+    bad[i:i + 4] = (0).to_bytes(4, "big")
+    with pytest.raises(Mp4ParseError, match="timescale"):
+        parse_mp4(bytes(bad))
+    with pytest.raises(ValueError, match="3 lowercase"):
+        build_mp4(100, tracks=[{"track_id": 1, "handler": "vide",
+                                "duration_ms": 100, "language": "EN",
+                                "width": 0, "height": 0}])
+    with pytest.raises(ValueError, match="version"):
+        build_mp4(100, version=2)
+
+
+def test_mp4_metadata_operator(spark):
+    from cassandra_es_index_spark.functions.mp4 import build_mp4
+    from cassandra_es_index_spark.operators import multimodal
+
+    rows = [("m1", build_mp4(3000, tracks=[
+                {"track_id": 1, "handler": "vide", "duration_ms": 3000,
+                 "language": "und", "width": 32, "height": 18}])),
+            ("m2", build_mp4(4000, tracks=[
+                {"track_id": 1, "handler": "soun", "duration_ms": 4000,
+                 "language": "deu", "width": 0, "height": 0}],
+                version=1))]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    got = {r["media_id"]: r for r in
+           multimodal.mp4_metadata(df).collect()}
+    assert got["m1"]["duration_ms"] == 3000
+    assert got["m1"]["tracks"][0]["width"] == 32
+    assert got["m2"]["n_tracks"] == 1
+    assert got["m2"]["tracks"][0]["language"] == "deu"
+    # frame decode is still the typed seam: extract_features without
+    # the stub refuses mp4 content
+    import pandas as pd
+    import pytest
+
+    mdf = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": ["m1"], "content": [rows[0][1]],
+            "meta": [{"media_type": "video", "format": "mp4",
+                      "width": None, "height": None,
+                      "duration_ms": 3000, "n_bytes": None}]}),
+        multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="not available"):
+        multimodal.extract_features(mdf, dim=8, use_stub=False).collect()
