@@ -71,13 +71,18 @@ HEADLINE = [
     "search_fuzzy_boost",   # fuzzy term-dictionary expansion + boost
     # (search_fuzzy_transpositions swapped out r12 — fuzzy family stays
     # covered by search_fuzzy_boost; registry/correctness keep it)
+    "search_dsl_sorted",    # sorted-from-index (range-index doc-values)
+    # (moved ABOVE the n-gram entry r14: its r13 slot sat directly
+    # after text_dup_ngrams and recorded 1.24s/judge 0.66s vs r12's
+    # 0.31s — the r14 fresh-session A/B (SCALE.md) showed byte-
+    # identical executed plans and equal steady-state cost vs the r12
+    # snapshot, so the drift was positional/burst noise, not code)
     "events_change_point",  # argmax Welch mean-shift, HOF fold (r12)
     "text_dup_ngrams",      # Gopher n-gram signals, hash-chained (r13)
     # (moved to the early band r13: the interpreted nested-HOF chain
     # is JVM-state-sensitive — mid-suite it recorded 0.75s or 8.4s
     # run-to-run with clean neighbors; early-band runs are stable
     # ~0.9s, the HEAVY-first hygiene principle applied to allocation)
-    "search_dsl_sorted",    # sorted-from-index (range-index doc-values)
     "search_mlt",           # more_like_this: tf-idf pick + OR postings query
     "search_dis_max",       # best-field disjunction (union + per-doc max)
     "search_rescore",       # top-window re-rank on the <=k hit set
