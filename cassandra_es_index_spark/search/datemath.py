@@ -148,6 +148,72 @@ def resolve(expr: str, now: datetime, round_up: bool = False) -> datetime:
     return dt
 
 
+# ES `format` (Java DateTimeFormatter patterns) → strftime, the subset
+# real date_range requests use: year/month/day/hour/minute/second/
+# millis tokens, common literal separators, and single-quoted literals
+# ('T'). Week/era/zone tokens typed-reject — a silently mis-rendered
+# bucket key is a wrong answer.
+_FMT_TOKENS = {"yyyy": "%Y", "MM": "%m", "dd": "%d", "HH": "%H",
+               "mm": "%M", "ss": "%S"}
+_FMT_LITERALS = set("-:./ T_")
+
+
+def key_formatter(fmt: str):
+    """Compile an ES date ``format`` string to a ``datetime -> str``
+    renderer. Named formats ``epoch_millis`` / ``epoch_second`` and the
+    token subset above are supported; anything else raises
+    ``DateMathError`` at parse time (typed — never a silently odd
+    key)."""
+    if fmt == "epoch_millis":
+        return lambda dt: str(int(epoch_millis(dt)))
+    if fmt == "epoch_second":
+        return lambda dt: str(int(epoch_millis(dt)) // 1000)
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "'":                      # quoted literal chunk
+            j = fmt.find("'", i + 1)
+            if j < 0:
+                raise DateMathError(
+                    f"bad date format {fmt!r}: unterminated quote")
+            lit = fmt[i + 1:j] or "'"          # '' = a literal quote
+            out.append(lit.replace("%", "%%"))
+            i = j + 1
+            continue
+        for tok, strf in _FMT_TOKENS.items():
+            if fmt.startswith(tok, i):
+                out.append(strf)
+                i += len(tok)
+                break
+        else:
+            if fmt[i] == "S":                  # SSS… fractional seconds
+                n = 0
+                while i + n < len(fmt) and fmt[i + n] == "S":
+                    n += 1
+                if n != 3:
+                    raise DateMathError(
+                        f"bad date format {fmt!r}: only 'SSS' "
+                        "millisecond precision is supported")
+                out.append("\x00MS\x00")       # post-processed below
+                i += n
+            elif fmt[i] in _FMT_LITERALS:
+                out.append(fmt[i])
+                i += 1
+            else:
+                raise DateMathError(
+                    f"unsupported date format token {fmt[i]!r} in "
+                    f"{fmt!r} (supported: yyyy MM dd HH mm ss SSS, "
+                    "quoted literals, separators, epoch_millis, "
+                    "epoch_second)")
+    pattern = "".join(out)
+
+    def render(dt: datetime) -> str:
+        s = dt.strftime(pattern.replace("\x00MS\x00", "\x01"))
+        return s.replace("\x01", f"{dt.microsecond // 1000:03d}")
+
+    return render
+
+
 _DURATION_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ms|s|m|h|H|d|w)\s*$")
 _DURATION_MILLIS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
                     "H": 3_600_000, "d": 86_400_000, "w": 604_800_000}

@@ -6876,6 +6876,35 @@ class SearchEngine:
                 if lv.kind == "date_range":
                     val = comp.resolve(lv.field).col.cast("timestamp")
                     bound = lambda v: F.lit(v).cast("timestamp")  # noqa: E731
+                    if any(k is None for k, *_ in lv.ranges):
+                        # `format` (r14): render the ES default from-to
+                        # labels of unnamed ranges from the RESOLVED
+                        # bound instants (date-math already replaced by
+                        # the request walker) — driver-side, a few
+                        # strings per request
+                        from dataclasses import replace
+
+                        from cassandra_es_index_spark.search import (
+                            datemath as dm,
+                        )
+                        fmt_fn = dm.key_formatter(lv.key_format)
+
+                        def _label(v):
+                            if v is None:
+                                return "*"
+                            return fmt_fn(dm.parse_now(v))
+
+                        rendered = tuple(
+                            (k if k is not None
+                             else f"{_label(lo)}-{_label(hi)}", lo, hi)
+                            for k, lo, hi in lv.ranges)
+                        if len({k for k, *_ in rendered}) \
+                                != len(rendered):
+                            raise es_dsl.DslError(
+                                f"date_range agg {lv.name!r}: the "
+                                "format renders duplicate range keys — "
+                                "name the ranges or use a finer format")
+                        lv = replace(lv, ranges=rendered)
                 elif lv.kind == "ip_range":
                     # ip_range agg (r12): the bucket value is the
                     # dotted quad's 32-bit long (parse-time-resolved

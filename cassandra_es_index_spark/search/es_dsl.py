@@ -37,6 +37,7 @@ from cassandra_es_index_spark.search.ast import (
     SpanNot, SpanOr,
     Term, TermPattern, TermsLookup, TermsSet, Wildcard,
 )
+from cassandra_es_index_spark.search import datemath
 from cassandra_es_index_spark.search import query_string as qs
 
 
@@ -79,7 +80,7 @@ _GENERIC_BUCKET_PARAMS = {
                        "offset", "missing", "min_doc_count",
                        "extended_bounds", "hard_bounds"},
     "range": {"field", "ranges", "keyed"},
-    "date_range": {"field", "ranges", "keyed"},
+    "date_range": {"field", "ranges", "keyed", "format"},
     "filters": {"filters", "keyed", "other_bucket", "other_bucket_key"},
     "adjacency_matrix": {"filters"},
     "ip_range": {"field", "ranges", "keyed"},
@@ -789,6 +790,11 @@ class BucketAgg:
     # names the range. Overlapping ranges count a doc in EACH bucket
     # (ES semantics).
     ranges: tuple[tuple[str, float | None, float | None], ...] = ()
+    # date_range `format` (r14): renders the ES-style default
+    # ``from-to`` keys of UNNAMED ranges from the resolved bound
+    # instants (key None in ``ranges`` until the engine renders it);
+    # validated at parse via datemath.key_formatter
+    key_format: str | None = None
     # filters agg: ((name, query-AST), ...) — one bucket per named query;
     # a doc joins EVERY bucket whose query it matches (ES semantics)
     filter_nodes: tuple[tuple[str, Node], ...] = ()
@@ -1908,17 +1914,31 @@ def _ranges(name: str,
     return tuple(out)
 
 
-def _date_ranges(name: str,
-                 spec: Any) -> tuple[tuple[str, str | None, str | None], ...]:
+def _date_ranges(name: str, spec: Any, key_format: Any = None,
+                 ) -> tuple[tuple[str | None, str | None,
+                                  str | None], ...]:
     """ES date_range-agg ``ranges``: like ``_ranges`` but bounds are date
     strings the engine casts to timestamps (``from`` inclusive, ``to``
     exclusive). ES date-math bounds (``now-1M/d``, ``2024-01-01||+1w``)
     pass through and resolve engine-side against the injectable ``now``
     anchor (r6; ``search/datemath.py``) — ``from``/``to`` both round
-    DOWN, their gte/lt comparison semantics."""
+    DOWN, their gte/lt comparison semantics.
+
+    With a ``format`` (r14): unnamed ranges get a None key here and the
+    engine renders the ES-style default ``from-to`` label from the
+    RESOLVED bound instants through the format (so date-math bounds
+    label correctly); the format itself is validated at parse time."""
     if not isinstance(spec, list) or not spec:
         raise DslError(
             f"date_range agg {name!r} needs a non-empty 'ranges' list")
+    if key_format is not None:
+        if not isinstance(key_format, str) or not key_format:
+            raise DslError(f"date_range agg {name!r}: format must be a "
+                           "non-empty string")
+        try:
+            datemath.key_formatter(key_format)
+        except datemath.DateMathError as e:
+            raise DslError(f"date_range agg {name!r}: {e}") from e
     out = []
     for entry in spec:
         if not isinstance(entry, dict) or \
@@ -1932,10 +1952,13 @@ def _date_ranges(name: str,
                 raise DslError(
                     f"date_range agg {name!r}: bounds must be date "
                     "strings (optionally with ES date-math)")
-        key = entry.get("key") or (
-            f"{'*' if lo is None else lo}-{'*' if hi is None else hi}")
-        out.append((str(key), lo, hi))
-    if len({k for k, *_ in out}) != len(out):
+        key = entry.get("key")
+        if key is None and key_format is None:
+            key = (f"{'*' if lo is None else lo}"
+                   f"-{'*' if hi is None else hi}")
+        out.append((None if key is None else str(key), lo, hi))
+    named = [k for k, *_ in out if k is not None]
+    if len(set(named)) != len(named):
         raise DslError(f"date_range agg {name!r}: duplicate range keys")
     return tuple(out)
 
@@ -3513,7 +3536,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
         if first_kind == "range":
             ranges = _ranges(name, params.get("ranges"))
         elif first_kind == "date_range":
-            ranges = _date_ranges(name, params.get("ranges"))
+            ranges = _date_ranges(name, params.get("ranges"),
+                                  params.get("format"))
         elif first_kind == "ip_range":
             ranges = _ip_ranges(name, params.get("ranges"))
         ip_plen = None
@@ -3790,6 +3814,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             fixed_interval=params.get("fixed_interval"),
             order=order,
             ranges=ranges,
+            key_format=(params.get("format")
+                        if first_kind == "date_range" else None),
             filter_nodes=filter_nodes,
             missing=params.get("missing"),
             min_doc_count=mdc,

@@ -3200,6 +3200,61 @@ def test_datemath_date_range_agg(spark):
     assert out2 == {"lastmonth": 20}
 
 
+def test_date_range_format_renders_default_keys(spark):
+    """ES date_range `format` (r14): unnamed ranges label as ES's
+    from-to default rendered through the format — from the RESOLVED
+    instants, so date-math bounds label correctly. Explicit keys win;
+    a format coarse enough to collide keys is a typed error."""
+    from datetime import datetime
+
+    from cassandra_es_index_spark.search.es_dsl import DslError
+
+    eng = SearchEngine(spark)
+    rows = [(i, datetime(2024, 1, i)) for i in range(1, 21)]
+    eng.register(spark.createDataFrame(rows, "id long, ts timestamp"),
+                 TableSpec("dmf", ["id"]))
+    out = {r["key"]: r["doc_count"] for r in eng.search_aggs(
+        "dmf", '#options:now=2024-01-15T10:30:00#'
+        '{"query":{"match_all":{}},"aggs":{"dr":{"date_range":'
+        '{"field":"ts","format":"yyyy-MM-dd","ranges":['
+        '{"to":"now-7d/d"},{"from":"now-7d/d","to":"now/d"}]}}}}')
+        .collect()}
+    assert out == {"*-2024-01-08": 7, "2024-01-08-2024-01-15": 7}
+    # named formats + quoted literal + millis
+    out2 = [r["key"] for r in eng.search_aggs(
+        "dmf", '{"query":{"match_all":{}},"aggs":{"dr":{"date_range":'
+        '{"field":"ts","format":"epoch_millis",'
+        '"ranges":[{"from":"2024-01-10"}]}}}}').collect()]
+    assert out2 == ["1704844800000-*"]
+    out3 = [r["key"] for r in eng.search_aggs(
+        "dmf", '{"query":{"match_all":{}},"aggs":{"dr":{"date_range":'
+        '{"field":"ts","format":"yyyy-MM-dd\'T\'HH:mm:ss.SSS",'
+        '"ranges":[{"from":"2024-01-10"}]}}}}').collect()]
+    assert out3 == ["2024-01-10T00:00:00.000-*"]
+    # explicit keys are untouched by the format
+    out4 = [r["key"] for r in eng.search_aggs(
+        "dmf", '{"query":{"match_all":{}},"aggs":{"dr":{"date_range":'
+        '{"field":"ts","format":"yyyy",'
+        '"ranges":[{"key":"named","from":"2024-01-10"}]}}}}').collect()]
+    assert out4 == ["named"]
+    with pytest.raises(DslError, match="unsupported date format token"):
+        eng.search_aggs(
+            "dmf", '{"query":{"match_all":{}},"aggs":{"dr":'
+            '{"date_range":{"field":"ts","format":"ww",'
+            '"ranges":[{"from":"2024-01-01"}]}}}}')
+    with pytest.raises(DslError, match="non-empty string"):
+        eng.search_aggs(
+            "dmf", '{"query":{"match_all":{}},"aggs":{"dr":'
+            '{"date_range":{"field":"ts","format":7,'
+            '"ranges":[{"from":"2024-01-01"}]}}}}')
+    with pytest.raises(DslError, match="duplicate range keys"):
+        eng.search_aggs(
+            "dmf", '{"query":{"match_all":{}},"aggs":{"dr":'
+            '{"date_range":{"field":"ts","format":"yyyy","ranges":['
+            '{"from":"2024-01-05","to":"2024-01-10"},'
+            '{"from":"2024-01-10","to":"2024-01-15"}]}}}}').collect()
+
+
 # ---------------------------------------------------------------------------
 # pipeline aggs at nested depth (round 6 — VERDICT r05 item 4)
 # ---------------------------------------------------------------------------

@@ -4,9 +4,13 @@ equivalents over the same parquet tables, then compare row count,
 column names, and the full sorted value multiset.
 
 Usage:
-    python tools/oracle_check.py [--sf DIR] [key ...]
+    python tools/oracle_check.py [--sf DIR] [--json OUT] [key ...]
 
-With no keys, checks every query that has an oracle entry (slow).
+With no keys, checks every registry query — oracle-backed entries get
+the full rows/schema/values compare, the documented no-oracle tier
+records a rows-only result. ``--json OUT`` additionally writes the
+per-key results in the driver's CORRECTNESS record shape, so a full
+sweep can be committed as a round artifact (TAILCHECK_r{N}.json).
 """
 
 from __future__ import annotations
@@ -56,6 +60,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--json", default=None,
+                    help="write per-key results (driver CORRECTNESS "
+                         "shape) to this path")
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -67,7 +74,7 @@ def main() -> int:
     spark = get_spark("oracle-check")
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    keys = args.keys or [k for k in queries if k in oracles]
+    keys = args.keys or list(queries)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -77,14 +84,32 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failed = []
+    results: dict[str, dict] = {}
     for k in keys:
         if k not in queries:
             print(f"{k}: NO SUCH QUERY")
             failed.append(k)
+            results[k] = {"rows_match": None, "schema_match": None,
+                          "hash_match": None, "spark_rows": None,
+                          "oracle_rows": None, "err": "no_such_query"}
             continue
         if k not in oracles:
-            sdf = queries[k](spark, args.sf)
-            print(f"{k}: no oracle — spark rows={sdf.count()}")
+            try:
+                sdf = queries[k](spark, args.sf)
+                n = sdf.count()
+            except Exception as e:  # noqa: BLE001
+                print(f"{k}: ERR {type(e).__name__}: {e}")
+                failed.append(k)
+                results[k] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": f"{type(e).__name__}: {e}"[:300]}
+                continue
+            print(f"{k}: no oracle — spark rows={n}")
+            results[k] = {"rows_match": None, "schema_match": None,
+                          "hash_match": None, "spark_rows": n,
+                          "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             sdf = queries[k](spark, args.sf)
@@ -96,6 +121,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"{k}: ERR {type(e).__name__}: {e}")
             failed.append(k)
+            results[k] = {"rows_match": None, "schema_match": None,
+                          "hash_match": None, "spark_rows": None,
+                          "oracle_rows": None,
+                          "err": f"{type(e).__name__}: {e}"[:300]}
             continue
         ok_rows = len(srows) == len(orows)
         ok_schema = sorted(scols) == sorted(ocols)
@@ -105,6 +134,9 @@ def main() -> int:
         status = "OK" if (ok_rows and ok_schema and ok_vals) else "FAIL"
         print(f"{k}: {status} spark={len(srows)} oracle={len(orows)}"
               + ("" if ok_schema else f" SCHEMA {scols} vs {ocols}"))
+        results[k] = {"rows_match": ok_rows, "schema_match": ok_schema,
+                      "hash_match": ok_vals, "spark_rows": len(srows),
+                      "oracle_rows": len(orows), "err": None}
         if status == "FAIL":
             failed.append(k)
             if ok_schema and ok_rows:
@@ -112,6 +144,11 @@ def main() -> int:
                 for a, b in diffs[:3]:
                     print(f"   spark  {a}\n   oracle {b}")
                 print(f"   ({len(diffs)} differing rows of {len(s_v)})")
+    if args.json:
+        import json as _json
+        with open(args.json, "w") as fh:
+            _json.dump(results, fh, indent=1)
+        print(f"wrote {args.json} ({len(results)} keys)")
     print(f"\n{len(keys) - len(failed)}/{len(keys)} green")
     return 1 if failed else 0
 
