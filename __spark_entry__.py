@@ -2099,6 +2099,21 @@ def q_text_dup_lines(spark, sf_dir):
         tx.dup_line_char_fraction(lns=lns).alias("dup_char_frac"))
 
 
+def q_docs_importance(spark, sf_dir):
+    # DSIR-style importance weights (r14, operators/lm_score.py):
+    # score every document's hashed {1,2}-gram bag under the English
+    # subset (target) vs the whole corpus (raw) — the public
+    # importance-resampling data-selection signal. Buckets hash via the
+    # engine-portable md5-prefix (identical in DuckDB); the oracle
+    # replays counts, smoothing, and the log-ratio sum exactly.
+    from cassandra_es_index_spark.operators import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score.hashed_ngram_importance(
+        docs, docs.where(F.col("lang") == "en"), "doc_id", "text",
+        n_max=2, buckets=4096)
+
+
 def q_text_unigram_xent(spark, sf_dir):
     # CCNet-style LM quality signal (r11, operators/lm_score.py): per-
     # document unigram cross-entropy under the corpus' own add-0.5-
@@ -4081,6 +4096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tier (r14): REAL ISO-BMFF container parsing over synthetic
         #   boxes; only mp4 frame payloads remain a typed seam
         #   (judge ask #5)
+        "docs_importance": q_docs_importance,  # ~ LLM pipeline tier
+        #   (r14): DSIR hashed-ngram importance weights, target=en
+        #   subset vs raw corpus, portable md5-prefix buckets
         # --- demoted from the window r14 (ask #1 rotation; all green
         #     through r13, in-window siblings named at the swap slots) ---
         "search_decay_recency": q_search_decay_recency,  # gauss decay
@@ -6420,6 +6438,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, 'rest' AS _source FROM documents
             WHERE lang != 'en'
               AND ((doc_id % 100003) * 2654435761) % 10000 < 3000
+        """,
+        # r14 DSIR importance weights: identical gram construction,
+        # md5-prefix bucket hash, add-1 smoothing, and log-ratio sum —
+        # every arithmetic step replayed in DOUBLE
+        "docs_importance": r"""
+            WITH tk AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\s+') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, lang, UNNEST(toks) AS gram FROM tk
+                UNION ALL
+                SELECT doc_id, lang,
+                       UNNEST(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]))
+                FROM tk),
+            b AS (
+                SELECT doc_id, lang,
+                       (CAST(('0x' || substr(md5(gram), 1, 8))
+                             AS UBIGINT) % 4096)::BIGINT AS bucket
+                FROM g),
+            rc AS (SELECT bucket, COUNT(*)::DOUBLE AS cr
+                   FROM b GROUP BY 1),
+            tc AS (SELECT bucket, COUNT(*)::DOUBLE AS ct
+                   FROM b WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT (SELECT SUM(cr) FROM rc) AS nr,
+                           (SELECT COALESCE(SUM(ct), 0::DOUBLE)
+                            FROM tc) AS nt),
+            tbl AS (
+                SELECT rc.bucket,
+                       ln((COALESCE(tc.ct, 0::DOUBLE) + 1.0::DOUBLE)
+                          / (tot.nt + 4096.0::DOUBLE))
+                       - ln((rc.cr + 1.0::DOUBLE)
+                            / (tot.nr + 4096.0::DOUBLE)) AS lr
+                FROM rc LEFT JOIN tc USING (bucket), tot)
+            SELECT b.doc_id, COUNT(*)::BIGINT AS n_grams,
+                   ROUND(SUM(tbl.lr), 6) AS importance
+            FROM b JOIN tbl USING (bucket)
+            GROUP BY b.doc_id
         """,
         # r14 sequence packer output stage: windowed-cumsum twin of the
         # two-pass prefix sum over effective lengths (tokens + 1 EOD

@@ -81,6 +81,109 @@ def cross_entropy_score(df: DataFrame, id_col: str, text_col: str,
                      .alias("xent")))
 
 
+def _gram_strings(toks_col: Column, n: int) -> Column:
+    """n-gram strings from a MATERIALIZED token-array column (the HOF
+    lambda references only the column, never a captured expression —
+    the SCALE.md per-element re-eval trap)."""
+    if n == 1:
+        return toks_col
+    idx = F.when(F.size(toks_col) >= n,
+                 F.sequence(F.lit(1), F.size(toks_col) - (n - 1)))
+    return F.coalesce(
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks_col, i + F.lit(j))
+                   for j in range(n)])),
+        F.array().cast("array<string>"))
+
+
+def _portable_bucket(col: Column, buckets: int) -> Column:
+    """Engine-portable hash bucket: the first 8 hex chars of md5, read
+    as an integer, mod ``buckets`` — identical in Spark
+    (``conv(substr(md5(g),1,8),16,10)``) and DuckDB
+    (``('0x' || substr(md5(g),1,8))::UBIGINT``), unlike xxhash64 which
+    only Spark implements. 32 bits of hash is plenty for bucket
+    assignment (the DSIR feature space is 10⁴-10⁵ buckets)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(int(buckets)))
+
+
+def hashed_gram_buckets(df: DataFrame, id_col: str, text_col: str,
+                        n_max: int = 2,
+                        buckets: int = 10_000) -> DataFrame:
+    """(id, bucket) — one row per word {1..n_max}-gram occurrence,
+    hashed into ``buckets`` (the DSIR feature extraction). One explode
+    over materialized token arrays, pure Column math."""
+    if not isinstance(n_max, int) or n_max < 1:
+        raise ValueError(f"n_max must be a positive integer, "
+                         f"got {n_max!r}")
+    if not isinstance(buckets, int) or buckets < 1:
+        raise ValueError(f"buckets must be a positive integer, "
+                         f"got {buckets!r}")
+    base = df.select(F.col(id_col),
+                     tokens(F.col(text_col)).alias("_toks"))
+    grams = F.concat(*[_gram_strings(F.col("_toks"), n)
+                       for n in range(1, n_max + 1)])
+    return base.select(F.col(id_col),
+                       F.explode(grams).alias("_g")) \
+               .select(F.col(id_col),
+                       _portable_bucket(F.col("_g"), buckets)
+                       .alias("bucket"))
+
+
+def hashed_ngram_importance(df: DataFrame, target_df: DataFrame,
+                            id_col: str, text_col: str,
+                            n_max: int = 2, buckets: int = 10_000,
+                            smoothing: float = 1.0) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document of ``df`` by how much more likely its hashed-n-gram bag is
+    under the TARGET corpus distribution than under the raw corpus's
+    own —
+
+    ``importance(d) = Σ_grams  ln p̂_target(bucket) − ln p̂_raw(bucket)``
+
+    with add-``smoothing`` estimates ``p̂(b) = (c_b + s) / (N + s·B)``.
+    High scores read like the target domain; downstream selection is
+    top-k or threshold (compose with ``packing.weighted_sample`` for
+    the resampling step). Returns (id, n_grams, importance) — rounded
+    to 6 dp so cross-engine float-sum ulp noise can't flip the oracle.
+
+    Scale shape: two explode+count passes (map-side combined,
+    bucket-bounded output), the ≤``buckets``-row log-ratio table
+    broadcast into the per-gram join, one per-document sum. The only
+    scalars are the two corpus totals, carried as a broadcast
+    single-row aggregate — no driver collect, no UDFs, nothing
+    corpus-squared."""
+    if not (isinstance(smoothing, (int, float))
+            and not isinstance(smoothing, bool) and smoothing > 0):
+        raise ValueError(f"smoothing must be > 0, got {smoothing!r}")
+    raw_b = hashed_gram_buckets(df, id_col, text_col, n_max, buckets)
+    tgt_b = hashed_gram_buckets(target_df, id_col, text_col, n_max,
+                                buckets)
+    raw_c = raw_b.groupBy("bucket").agg(F.count("*").alias("_cr"))
+    tgt_c = tgt_b.groupBy("bucket").agg(F.count("*").alias("_ct"))
+    totals = (raw_c.agg(F.sum("_cr").alias("_nr"))
+              .crossJoin(tgt_c.agg(F.sum("_ct").alias("_nt"))))
+    s = F.lit(float(smoothing))
+    sb = F.lit(float(smoothing) * buckets)
+    table = (raw_c.join(tgt_c, "bucket", "left")
+             .crossJoin(F.broadcast(totals))
+             .select(
+                 "bucket",
+                 (F.log((F.coalesce(F.col("_ct"), F.lit(0))
+                         .cast("double") + s)
+                        / (F.coalesce(F.col("_nt"), F.lit(0))
+                           .cast("double") + sb))
+                  - F.log((F.col("_cr").cast("double") + s)
+                          / (F.col("_nr").cast("double") + sb)))
+                 .alias("_lr")))
+    return (raw_b.join(F.broadcast(table), "bucket")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.round(F.sum("_lr"), 6).alias("importance")))
+
+
 def perplexity(xent: Column) -> Column:
     """``exp(cross-entropy)`` — the conventional perplexity form."""
     return F.exp(xent)

@@ -315,13 +315,37 @@ def mp4_metadata(df: DataFrame, content_col: str = "content",
         batches, MP4_META_SCHEMA)
 
 
+def frame_sample_mp4(df: DataFrame, every_ms: int = 1000,
+                     content_col: str = "content",
+                     id_col: str = "media_id") -> DataFrame:
+    """Frame-sample timestamps from REAL container metadata (r14):
+    ``mp4_metadata`` parses each video's true movie duration from its
+    moov box, then one ``sequence`` + ``explode`` emits a row per
+    sampled timestamp — no metadata column needed, and the timestamps
+    reflect the bytes, not a caller-supplied guess. Frame *bytes* stay
+    NULL (the ``MediaDecodeNotAvailable`` seam — this never reads
+    ``mdat``). Zero-duration movies emit no rows."""
+    if not isinstance(every_ms, int) or every_ms < 1:
+        raise ValueError(
+            f"every_ms must be a positive integer, got {every_ms!r}")
+    meta = mp4_metadata(df, content_col, id_col)
+    ts = F.sequence(F.lit(0).cast("long"),
+                    F.col("duration_ms") - 1,
+                    F.lit(every_ms).cast("long"))
+    return (meta.where(F.col("duration_ms") > 0)
+            .select(F.col("media_id").alias(id_col),
+                    F.explode(ts).alias("frame_ts_ms"))
+            .withColumn("frame", F.lit(None).cast("binary")))
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000,
                  id_col: str = "media_id") -> DataFrame:
     """Video → sampled frame rows (one row per sampled timestamp).
 
     The frame *timestamps* come from metadata (pure Column math — a
     ``sequence`` + ``explode``, no decode); the frame *bytes* would come
-    from the codec and are stubbed as NULL binary here.
+    from the codec and are stubbed as NULL binary here. For real
+    container-derived timestamps use ``frame_sample_mp4``.
     """
     ts = F.sequence(F.lit(0).cast("long"),
                     F.greatest(F.col("meta.duration_ms").cast("long") - 1, F.lit(0)),

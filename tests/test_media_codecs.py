@@ -472,3 +472,23 @@ def test_mp4_metadata_operator(spark):
         multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="not available"):
         multimodal.extract_features(mdf, dim=8, use_stub=False).collect()
+
+
+def test_frame_sample_mp4_real_durations(spark):
+    import pytest
+
+    from cassandra_es_index_spark.functions.mp4 import build_mp4
+    from cassandra_es_index_spark.operators import multimodal
+
+    rows = [("v1", build_mp4(2500, tracks=[
+                {"track_id": 1, "handler": "vide", "duration_ms": 2500,
+                 "language": "und", "width": 8, "height": 8}])),
+            ("v0", build_mp4(0, tracks=[]))]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    got = sorted((r["media_id"], r["frame_ts_ms"]) for r in
+                 multimodal.frame_sample_mp4(df, every_ms=1000)
+                 .collect())
+    # v1: 2500ms at 1000ms steps -> 0, 1000, 2000; v0: no rows
+    assert got == [("v1", 0), ("v1", 1000), ("v1", 2000)]
+    with pytest.raises(ValueError, match="every_ms"):
+        multimodal.frame_sample_mp4(df, every_ms=0)

@@ -545,6 +545,57 @@ def test_chunk_by_token_budget_contiguous(spark):
         chunk_by_token_budget(df, "id", "ntok", budget=0)
 
 
+def test_hashed_ngram_importance_matches_reference(spark):
+    """DSIR importance weights vs a brute-force python reference:
+    identical buckets (md5-prefix hash), counts, add-1 smoothing, and
+    log-ratio sum; English docs outscore the out-of-domain doc."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from cassandra_es_index_spark.operators import lm_score
+
+    raw_rows = ["the cat sat", "der hund lief schnell", "the cat ran"]
+    tgt_rows = ["the cat sat", "the cat purred"]
+    raw = spark.createDataFrame(
+        list(enumerate(raw_rows, 1)), "id long, text string")
+    tgt = spark.createDataFrame(
+        list(enumerate(tgt_rows, 10)), "id long, text string")
+    out = {r["id"]: (r["n_grams"], r["importance"]) for r in
+           lm_score.hashed_ngram_importance(
+               raw, tgt, "id", "text", n_max=2, buckets=64).collect()}
+    assert out[1][1] > out[2][1] and out[3][1] > out[2][1]
+    assert out[1][0] == 5 and out[2][0] == 7     # uni + bi gram counts
+
+    B, s = 64, 1.0
+
+    def grams(t):
+        ws = t.lower().split()
+        return ws + [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    cr = Counter(bucket(g) for r in raw_rows for g in grams(r))
+    ct = Counter(bucket(g) for r in tgt_rows for g in grams(r))
+    nr, nt = sum(cr.values()), sum(ct.values())
+    for i, text in enumerate(raw_rows, 1):
+        ref = sum(
+            math.log((ct.get(bucket(g), 0) + s) / (nt + s * B))
+            - math.log((cr[bucket(g)] + s) / (nr + s * B))
+            for g in grams(text))
+        assert abs(out[i][1] - round(ref, 6)) < 2e-6, (i, out[i], ref)
+
+    with pytest.raises(ValueError, match="n_max"):
+        lm_score.hashed_ngram_importance(raw, tgt, "id", "text",
+                                         n_max=0)
+    with pytest.raises(ValueError, match="buckets"):
+        lm_score.hashed_gram_buckets(raw, "id", "text", buckets=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        lm_score.hashed_ngram_importance(raw, tgt, "id", "text",
+                                         smoothing=0)
+
+
 def test_pack_sequences_spans_exact(spark):
     from cassandra_es_index_spark.operators.packing import pack_sequences
 
