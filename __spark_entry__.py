@@ -3166,6 +3166,40 @@ def q_docs_url_blocklist(spark, sf_dir):
         F.col("blocklisted"))
 
 
+def q_docs_url_canonical(spark, sf_dir):
+    # URL canonicalization (r14 LLM-pipeline op): a doc_id-derived
+    # fixture plants one messy URL per document — even ids get a
+    # mixed-case host, default :80 port, tracking params, unsorted
+    # survivors, a fragment and a trailing slash; odd ids get an
+    # https host with a NON-default port (kept), a case-significant
+    # path, a tracking-only query and a trailing slash. The oracle
+    # re-derives the expected canonical string from doc_id arithmetic,
+    # so any regex/sort/port bug in the Column pipeline breaks the
+    # hash.
+    from cassandra_es_index_spark.functions import web
+
+    docs = _t(spark, sf_dir, "documents")
+    even = F.concat(
+        F.lit("see HTTP://WWW.Example"), F.col("doc_id") % 7,
+        F.lit(".COM:80/path"), F.col("doc_id") % 5,
+        F.lit("/?utm_source=x&b=2&a="), F.col("doc_id") % 3,
+        F.lit("&fbclid=z#frag,"))
+    odd = F.concat(
+        F.lit("at HTTPS://Site"), F.col("doc_id") % 7,
+        F.lit(".ORG:8443/Dir/Sub"), F.col("doc_id") % 5,
+        F.lit("/?ref=tw."))
+    df = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 20),
+                 F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd))
+        .alias("text"))
+    return df.select(
+        "doc_id",
+        web.canonical_url(
+            F.element_at(web.extract_urls(F.col("text")), 1))
+        .alias("canonical"))
+
+
 def q_events_moving_median(spark, sf_dir):
     # ES moving_percentiles (r12): the rolling weekly median of event
     # values — EXACT percentiles over each 7-day window's SOURCE rows
@@ -4099,6 +4133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_importance": q_docs_importance,  # ~ LLM pipeline tier
         #   (r14): DSIR hashed-ngram importance weights, target=en
         #   subset vs raw corpus, portable md5-prefix buckets
+        "docs_url_canonical": q_docs_url_canonical,  # ~ LLM pipeline
+        #   tier (r14): crawl-dedup URL canonicalization — case/port/
+        #   fragment/tracking-param/trailing-slash normalization
         # --- demoted from the window r14 (ask #1 rotation; all green
         #     through r13, in-window siblings named at the swap slots) ---
         "search_decay_recency": q_search_decay_recency,  # gauss decay
@@ -7158,6 +7195,23 @@ def oracle_sql() -> dict[str, str]:
         # URL blocklist (r12): DuckDB replays the identical regexp
         # extraction (trailing-punctuation strip, host capture,
         # last-two-label domain reduction) over the same derived text
+        # r14 URL canonicalization: the planted URL is doc_id
+        # arithmetic, so the oracle constructs the expected canonical
+        # string directly — even ids lose case/:80/trackers/fragment/
+        # trailing slash and sort survivors; odd ids keep the
+        # non-default port and path case, drop the tracker-only query
+        "docs_url_canonical": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                       'http://www.example' || (doc_id % 7)
+                       || '.com/path' || (doc_id % 5)
+                       || '?a=' || (doc_id % 3) || '&b=2'
+                   ELSE
+                       'https://site' || (doc_id % 7)
+                       || '.org:8443/Dir/Sub' || (doc_id % 5)
+                   END AS canonical
+            FROM documents
+        """,
         "docs_url_blocklist": r"""
             WITH d AS (
                 SELECT doc_id,

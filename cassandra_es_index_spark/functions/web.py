@@ -14,8 +14,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # scheme://... up to whitespace or common delimiters that end a URL in
-# prose (quotes, angle brackets, closing paren/bracket)
-URL_RE = r"""https?://[^\s<>"')\]]+"""
+# prose (quotes, angle brackets, closing paren/bracket); schemes match
+# case-insensitively (r14 — prose contains HTTP:// too; canonical_url
+# lowercases them)
+URL_RE = r"""(?i)https?://[^\s<>"')\]]+"""
 
 
 def extract_urls(col: Column) -> Column:
@@ -34,7 +36,7 @@ def url_count(col: Column) -> Column:
 def url_host(url: Column) -> Column:
     """Lowercased host of one URL (strips scheme, path, query,
     fragment, port)."""
-    return F.lower(F.regexp_extract(url, r"https?://([^/:?#]+)", 1))
+    return F.lower(F.regexp_extract(url, r"(?i)https?://([^/:?#]+)", 1))
 
 
 def registered_domain(host: Column) -> Column:
@@ -48,6 +50,56 @@ def registered_domain(host: Column) -> Column:
         F.size(parts) >= 2,
         F.concat_ws(".", F.element_at(parts, -2),
                     F.element_at(parts, -1))).otherwise(host)
+
+
+# query parameters that never change the resource — the public
+# crawler/analytics tracking set (utm campaign tags, click ids,
+# mailchimp/instagram ids, GA cookies, bare ref tags)
+_TRACKING_PARAM_RE = (r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|"
+                      r"mc_eid|igshid|ref|ref_src|_ga)(=.*)?$")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of one http(s) URL — the crawl-dedup
+    normalization (RFC 3986 case/port rules + tracking-param strip):
+
+    - scheme and host lowercase; path case PRESERVED (case-sensitive
+      by spec);
+    - default ports dropped (``:80`` http, ``:443`` https); explicit
+      non-default ports kept;
+    - fragment dropped (never sent to the server);
+    - tracking query params removed (``utm_*``, click ids, ``ref`` —
+      the public analytics set), survivors SORTED so param order can't
+      split duplicates; an emptied query drops its ``?``;
+    - trailing path slashes stripped (root ``/`` included).
+
+    Pure Column algebra (regexp decompose + array filter/sort), so it
+    runs identically in the DuckDB oracle. Non-http(s) input → null
+    (Column code can't raise typed errors per row; null is the
+    documented contract, same as malformed-IP handling in ip_range)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    rest = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike(_TRACKING_PARAM_RE)))
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")))
+    out = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        path,
+        F.when(F.size(kept) > 0,
+               F.concat(F.lit("?"), F.array_join(kept, "&")))
+        .otherwise(""))
+    return F.when(scheme.isin("http", "https") & (host != ""), out)
 
 
 def doc_domains(col: Column) -> Column:

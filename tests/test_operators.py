@@ -987,6 +987,39 @@ def test_url_extract_domains_and_blocklist(spark):
     assert out == {1: True, 2: False, 3: True, 4: False, 5: False}
 
 
+def test_canonical_url_normalization(spark):
+    """Crawl-dedup URL canonicalization (r14): scheme/host lowercase,
+    default ports dropped, fragments dropped, tracking params stripped
+    and survivors sorted, trailing slashes stripped, path case and
+    non-default ports preserved; non-http(s) → null."""
+    from cassandra_es_index_spark.functions import web
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/path/?utm_source=x&b=2&a=1"
+         "&fbclid=z#frag", "http://www.example.com/path?a=1&b=2"),
+        ("HTTPS://Site.ORG:8443/Dir/Sub/?ref=tw",
+         "https://site.org:8443/Dir/Sub"),
+        ("https://a.b.com:443/", "https://a.b.com"),
+        ("http://x.io", "http://x.io"),
+        ("http://x.io/?utm_campaign=q", "http://x.io"),
+        # survivors sort, duplicates kept (k=v pairs are opaque)
+        ("http://x.io/p?z=1&y=2&y=1", "http://x.io/p?y=1&y=2&z=1"),
+        ("ftp://x.io/p", None),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", web.canonical_url(F.col("u")).alias("c")).collect()}
+    assert got == {i: want for i, (_, want) in enumerate(cases)}
+    # extraction finds mixed-case schemes (r14) — blocklisting a page
+    # that hides behind HTTP:// must not silently pass
+    n, = df.where("i = 0").select(
+        web.url_count(F.concat(F.lit("see "), F.col("u")))
+        .alias("n")).collect()
+    assert n["n"] == 1
+
+
 # -- near-dup clustering: connected components (r13) -----------------------
 
 
