@@ -2099,6 +2099,34 @@ def q_text_dup_lines(spark, sf_dir):
         tx.dup_line_char_fraction(lns=lns).alias("dup_char_frac"))
 
 
+def q_docs_c4_clean(spark, sf_dir):
+    # C4 cleaning stage (r14 LLM-pipeline op, Raffel et al. 2020 §2.2):
+    # terminal-punctuation + min-words + javascript line rules, page
+    # floor on kept lines, lorem-ipsum / '{' page tells. The corpus has
+    # no newlines, so the query derives a deterministic multi-line
+    # fixture (the text_dup_lines pattern): a sentence-ised prefix
+    # line, a too-short line, a tail line, a javascript line on every
+    # 3rd doc, 'lorem ipsum' planted on every 5th, '{' on every 7th.
+    # The oracle replays the identical split/trim/filter algebra.
+    docs = _t(spark, sf_dir, "documents")
+    l1 = F.concat(F.substring("text", 1, 60), F.lit("."))
+    l3 = F.concat(F.substring("text", 61, 80),
+                  F.lit(" extra tail words land here!"))
+    synth = F.concat_ws(
+        "\n", l1, F.lit("short line"), l3,
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("Please enable JavaScript to view this page."))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("best Lorem Ipsum generator on the web."))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("if (x) { return 1; }")).otherwise(F.lit("")))
+    framed = docs.select("doc_id", synth.alias("text"))
+    return tx.c4_clean(framed, "doc_id", "text", min_words=5,
+                       min_kept_lines=2)
+
+
 def q_docs_importance(spark, sf_dir):
     # DSIR-style importance weights (r14, operators/lm_score.py):
     # score every document's hashed {1,2}-gram bag under the English
@@ -4136,6 +4164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_url_canonical": q_docs_url_canonical,  # ~ LLM pipeline
         #   tier (r14): crawl-dedup URL canonicalization — case/port/
         #   fragment/tracking-param/trailing-slash normalization
+        "docs_c4_clean": q_docs_c4_clean,  # ~ LLM pipeline tier (r14):
+        #   C4 line rules + page tells over a derived multi-line
+        #   fixture; oracle replays the identical line algebra
         # --- demoted from the window r14 (ask #1 rotation; all green
         #     through r13, in-window siblings named at the swap slots) ---
         "search_decay_recency": q_search_decay_recency,  # gauss decay
@@ -7195,6 +7226,47 @@ def oracle_sql() -> dict[str, str]:
         # URL blocklist (r12): DuckDB replays the identical regexp
         # extraction (trailing-punctuation strip, host capture,
         # last-two-label domain reduction) over the same derived text
+        # r14 C4 cleaning: identical fixture construction and line
+        # algebra — split/trim/terminal-punct/word-floor/javascript
+        # line rules, kept-line page floor, lorem-ipsum/'{' page tells
+        "docs_c4_clean": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       substr(text, 1, 60) || '.' || chr(10)
+                       || 'short line' || chr(10)
+                       || substr(text, 61, 80)
+                       || ' extra tail words land here!' || chr(10)
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                          'Please enable JavaScript to view this page.'
+                          ELSE '' END || chr(10)
+                       || CASE WHEN doc_id % 5 = 0 THEN
+                          'best Lorem Ipsum generator on the web.'
+                          ELSE '' END || chr(10)
+                       || CASE WHEN doc_id % 7 = 0 THEN
+                          'if (x) { return 1; }' ELSE '' END AS t
+                FROM documents),
+            l AS (
+                SELECT doc_id, t,
+                       list_filter(list_transform(
+                           string_split(t, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lns
+                FROM d),
+            k AS (
+                SELECT doc_id, t, lns,
+                       list_filter(lns, x ->
+                           regexp_matches(x, '[.!?"]$')
+                           AND len(regexp_extract_all(x, '\S+')) >= 5
+                           AND NOT contains(lower(x), 'javascript'))
+                           AS kept
+                FROM l)
+            SELECT doc_id, len(lns)::BIGINT AS n_lines,
+                   len(kept)::BIGINT AS n_kept,
+                   (len(kept) >= 2
+                    AND NOT contains(lower(t), 'lorem ipsum')
+                    AND NOT contains(t, '{')) AS keep_doc,
+                   array_to_string(kept, chr(10)) AS clean_text
+            FROM k
+        """,
         # r14 URL canonicalization: the planted URL is doc_id
         # arithmetic, so the oracle constructs the expected canonical
         # string directly — even ids lose case/:80/trackers/fragment/

@@ -392,6 +392,65 @@ def dup_line_char_fraction(col: Column | None = None,
     return F.when(chars > 0, frac).otherwise(F.lit(0.0))
 
 
+# C4 terminal punctuation (Raffel et al. 2020 §2.2): a line survives
+# only if it reads like a sentence — ends in . ! ? or a closing quote
+_C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_kept_lines(col: Column | None = None, lns: Column | None = None,
+                  min_words: int = 5) -> Column:
+    """Lines surviving the public C4 line rules (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning", §2.2): ends in a
+    terminal punctuation mark, carries at least ``min_words``
+    whitespace words (C4's 5), and does not mention javascript (the
+    cookie/enable-JS boilerplate tell, matched case-insensitively).
+    Pass a pre-split ``lns`` to share one split across line metrics."""
+    if not isinstance(min_words, int) or min_words < 1:
+        raise ValueError(
+            f"min_words must be a positive integer, got {min_words!r}")
+    lns = lines_of(col) if lns is None else lns
+    return F.filter(
+        lns,
+        lambda ln: ln.rlike(_C4_TERMINAL_RE)
+        & (F.size(F.filter(F.split(ln, r"\s+"),
+                           lambda t: F.length(t) > 0))
+           >= F.lit(min_words))
+        & ~F.lower(ln).contains("javascript"))
+
+
+def c4_clean(df, id_col: str, text_col: str, min_words: int = 5,
+             min_kept_lines: int = 3):
+    """The C4 cleaning stage as one corpus pass → (id, n_lines,
+    n_kept, keep_doc, clean_text):
+
+    - ``clean_text`` = the surviving lines (``c4_kept_lines``)
+      re-joined with newlines;
+    - ``keep_doc`` = kept-line count ≥ ``min_kept_lines`` (C4 drops
+      pages with fewer than 3 sentences; the kept-line count is the
+      documented sentence proxy — every kept line ends in terminal
+      punctuation) AND the page mentions neither ``lorem ipsum``
+      (case-insensitive) nor a ``{`` (C4's code-page tell).
+
+    Pure Column algebra over one line split — no UDF, no shuffle; the
+    downstream drop is ``df.where(keep_doc)``, a pushed filter."""
+    if not isinstance(min_kept_lines, int) or min_kept_lines < 0:
+        raise ValueError(f"min_kept_lines must be a non-negative "
+                         f"integer, got {min_kept_lines!r}")
+    base = df.select(F.col(id_col),
+                     F.col(text_col).alias("_t"),
+                     lines_of(F.col(text_col)).alias("_lns"))
+    kept = c4_kept_lines(lns=F.col("_lns"), min_words=min_words)
+    return (base.withColumn("_kept", kept)
+            .select(
+                id_col,
+                F.size("_lns").cast("long").alias("n_lines"),
+                F.size("_kept").cast("long").alias("n_kept"),
+                ((F.size("_kept") >= F.lit(min_kept_lines))
+                 & ~F.lower("_t").contains("lorem ipsum")
+                 & ~F.col("_t").contains("{")).alias("keep_doc"),
+                F.array_join("_kept", "\n").alias("clean_text")))
+
+
 def nfc_normalize(col: Column) -> Column:
     """Unicode NFC normalization + control-character strip (keeping
     \\t \\n \\r) — the first pass of every LLM text-cleaning pipeline

@@ -987,6 +987,46 @@ def test_url_extract_domains_and_blocklist(spark):
     assert out == {1: True, 2: False, 3: True, 4: False, 5: False}
 
 
+def test_c4_clean_line_rules_and_page_tells(spark):
+    """The public C4 cleaning rules (Raffel et al. 2020 §2.2):
+    terminal-punctuation + >=5-word + no-javascript line filter;
+    page floor on kept lines; lorem-ipsum and '{' page tells."""
+    from cassandra_es_index_spark.functions import text as tx
+
+    docs = [
+        (1, "This is a proper sentence with words.\nshort line\n"
+            "Another full sentence follows right here!\n"
+            "And a third one to clear the page floor.\n"
+            "Please enable Javascript to view this page."),
+        (2, "lorem ipsum dolor sit amet consectetur adipiscing.\n"
+            "A second proper sentence sits right here.\n"
+            "A third proper sentence sits right here too."),
+        (3, "function f() { return 1; }\n"
+            "Real sentence one is right here okay.\n"
+            "Real sentence two is right here okay.\n"
+            "Real sentence three is here okay now."),
+        (4, "no terminal punctuation here at all\nanother such line"),
+        (5, 'He said "stop right there, you fool."\n'
+            "She answered with a word?\n"
+            "Final sentence number three lands right here."),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    out = {r["id"]: (r["n_lines"], r["n_kept"], r["keep_doc"])
+           for r in tx.c4_clean(df, "id", "text").collect()}
+    assert out[1] == (5, 3, True)      # short + javascript lines drop
+    assert out[2] == (3, 3, False)     # lorem ipsum page tell
+    assert out[3] == (4, 3, False)     # '{' page tell
+    assert out[4] == (2, 0, False)     # nothing sentence-like
+    assert out[5] == (3, 3, True)      # quote/question terminals count
+    clean = {r["id"]: r["clean_text"]
+             for r in tx.c4_clean(df, "id", "text").collect()}
+    assert clean[1].count("\n") == 2 and "Javascript" not in clean[1]
+    with pytest.raises(ValueError, match="min_words"):
+        tx.c4_clean(df, "id", "text", min_words=0)
+    with pytest.raises(ValueError, match="min_kept_lines"):
+        tx.c4_clean(df, "id", "text", min_kept_lines=-1)
+
+
 def test_canonical_url_normalization(spark):
     """Crawl-dedup URL canonicalization (r14): scheme/host lowercase,
     default ports dropped, fragments dropped, tracking params stripped
