@@ -102,11 +102,16 @@ HEADLINE = [
     "search_significant_terms",  # JLH fg-vs-bg term scoring
     "search_aggs_nested3",  # 3-level bucket flatten-join
     "search_dsl_range",
-    "search_topk",
+    "pack_sequences",       # packer output stage: prefix-sum offsets +
+    # in-place span explode (r14; swapped in for search_topk — the
+    # top-k family stays covered by search_bm25_topk + search_10k_cap)
     "tpch_q1",
     "tpch_q3",
     "revenue_by_nation",
-    "window_top_customers",
+    "docs_importance",      # DSIR hashed-ngram importance: two corpus
+    # gram passes + broadcast log-ratio join (r14; swapped in for
+    # window_top_customers — the ranking-window family stays covered
+    # by search_10k_cap's pinned top-k window)
     "events_tumbling",
     "events_sessionize",
     "events_json_props",

@@ -646,6 +646,31 @@ def test_pack_sequences_spans_exact(spark):
         pack_sequences(df, "id", "n", 4, boundary_tokens=-1)
 
 
+def test_pack_sequences_matches_python_twin(spark):
+    """Operator output == the pure-python arithmetic twin on a mixed
+    corpus (long docs, empties, exact fits) — the same twin the
+    hypothesis property test stresses for tiling invariants."""
+    from cassandra_es_index_spark.operators.packing import pack_sequences
+
+    counts = [7, 0, 16, 1, 8, 0, 0, 23, 4, 5, 12, 3]
+    L, boundary = 8, 1
+    expect, off = [], 0
+    for d, n in enumerate(counts):
+        if n > 0:
+            for s in range(off // L, (off + n - 1) // L + 1):
+                lo, hi = max(off, s * L), min(off + n, s * L + L)
+                expect.append((s, f"d{d:02d}", lo - s * L, lo - off,
+                               hi - lo))
+        off += n + boundary
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", n) for i, n in enumerate(counts)],
+        "id string, n long")
+    got = sorted(tuple(r) for r in
+                 pack_sequences(df, "id", "n", L,
+                                boundary_tokens=boundary).collect())
+    assert got == sorted(expect)
+
+
 def test_pack_sequence_texts_materialize(spark):
     from cassandra_es_index_spark.operators.packing import (
         pack_sequence_texts,

@@ -257,3 +257,48 @@ def test_datemath_properties(now, n, unit):
     # weeks round to Monday
     if unit == "w":
         assert down.weekday() == 0
+
+
+# --------------------------------------------------------------------------
+# pack_sequences span arithmetic (r14) — pure-python twin of the Column
+# math: the spans must tile every document's token range exactly once,
+# in stream order, within sequence bounds
+
+
+@given(st.lists(st.integers(min_value=0, max_value=37), min_size=1,
+                max_size=30),
+       st.integers(min_value=1, max_value=16),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=200, deadline=None)
+def test_pack_sequences_span_arithmetic(token_counts, L, boundary):
+    # replicate the operator's arithmetic (offsets + overlap windows)
+    # and check the tiling invariants hold for ANY corpus shape
+    spans = []
+    off = 0
+    for d, n in enumerate(token_counts):
+        if n > 0:
+            for s in range(off // L, (off + n - 1) // L + 1):
+                lo = max(off, s * L)
+                hi = min(off + n, s * L + L)
+                spans.append((s, d, lo - s * L, lo - off, hi - lo))
+        off += n + boundary
+    total = off
+    for s, d, seq_off, doc_off, w in spans:
+        assert 0 <= seq_off < L and w >= 1 and seq_off + w <= L
+        assert 0 <= doc_off < max(1, token_counts[d])
+    # every document's tokens are covered exactly once, in order
+    per_doc = {}
+    for s, d, seq_off, doc_off, w in spans:
+        per_doc.setdefault(d, []).append((s, seq_off, doc_off, w))
+    for d, n in enumerate(token_counts):
+        got = sorted(per_doc.get(d, []))
+        assert sum(w for *_, w in got) == n
+        expect_off = 0
+        for _, _, doc_off, w in got:
+            assert doc_off == expect_off
+            expect_off += w
+    # stream positions never collide across documents
+    positions = [(s * L + seq_off + k)
+                 for s, _, seq_off, _, w in spans for k in range(w)]
+    assert len(positions) == len(set(positions))
+    assert all(0 <= p < total for p in positions)
