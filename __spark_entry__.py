@@ -2219,6 +2219,39 @@ def q_pipeline_clean_corpus(spark, sf_dir):
                      F.sum("n_bpe").cast("long").alias("total_bpe")))
 
 
+def q_pipeline_pretrain(spark, sf_dir):
+    # the r14 END-TO-END pretraining flow, composed from this round's
+    # tier: quality filter → exact dedup (min-doc_id representative)
+    # → DSIR importance selection (target = the English survivors;
+    # importance is a RELATIVE signal — add-1 smoothing makes every
+    # absolute value negative on a small corpus — so selection is the
+    # deterministic top-200 by (importance desc, doc_id asc))
+    # → pack_sequences into fixed 512-token training sequences. One
+    # declarative plan; the oracle replays every stage, so a
+    # regression at ANY interface (selection set, token counts,
+    # offsets) breaks the hash.
+    from cassandra_es_index_spark.operators import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        tx.quality_score(F.col("text")).alias("q"),
+        tx.fingerprint(F.col("text")).alias("fp"))
+    kept = scored.where(F.col("q") >= 0.25)
+    reps = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    sel = kept.join(reps, ["fp", "doc_id"]).select(
+        "doc_id", "lang", "text")
+    imp = lm_score.hashed_ngram_importance(
+        sel, sel.where(F.col("lang") == "en"), "doc_id", "text",
+        n_max=2, buckets=4096)
+    chosen = (imp.orderBy(F.desc("importance"), "doc_id").limit(200)
+              .join(sel, "doc_id")
+              .select("doc_id",
+                      tx.token_count(F.col("text")).alias("ntok")))
+    return packing.pack_sequences(chosen, "doc_id", "ntok",
+                                  seq_tokens=512, boundary_tokens=1)
+
+
 def q_dedup_spans(spark, sf_dir):
     # span-level corpus dedup (C4 / "Deduplicating Training Data" line
     # dedup): 25-token windows, first occurrence wins by (doc, pos),
@@ -4169,6 +4202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_c4_clean": q_docs_c4_clean,  # ~ LLM pipeline tier (r14):
         #   C4 line rules + page tells over a derived multi-line
         #   fixture; oracle replays the identical line algebra
+        "pipeline_pretrain": q_pipeline_pretrain,  # ~ LLM pipeline
+        #   tier (r14): the composed end-to-end flow — quality → exact
+        #   dedup → DSIR selection → pack_sequences; the oracle replays
+        #   every stage so interface regressions break the hash
         # --- demoted from the window r14 (ask #1 rotation; all green
         #     through r13, in-window siblings named at the swap slots) ---
         "search_decay_recency": q_search_decay_recency,  # gauss decay
@@ -6716,6 +6753,97 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS representative_id
             FROM documents
             GROUP BY 1
+        """,
+        # r14 composed pretraining flow: every stage replayed — quality
+        # + fingerprint dedup (the pipeline_clean_corpus fragments),
+        # DSIR importance over the survivors (the docs_importance
+        # fragments, target = en survivors), selection at importance
+        # > 0, then the pack_sequences span arithmetic at 512 tokens
+        "pipeline_pretrain": r"""
+            WITH scored AS (
+                SELECT doc_id, lang, text,
+                       round(least(1.0, n_tok / 100.0)
+                             * (n_dis / n_tok), 6) AS q,
+                       md5(regexp_replace(trim(lower(text)),
+                                          '\s+', ' ', 'g')) AS fp
+                FROM (
+                    SELECT doc_id, lang, text,
+                           len(regexp_split_to_array(trim(lower(text)),
+                                                     '\s+')) AS n_tok,
+                           len(list_distinct(regexp_split_to_array(
+                               trim(lower(text)), '\s+'))) AS n_dis
+                    FROM documents)
+            ),
+            kept AS (SELECT * FROM scored WHERE q >= 0.25),
+            reps AS (SELECT fp, min(doc_id) AS doc_id
+                     FROM kept GROUP BY fp),
+            sel AS (
+                SELECT k.doc_id, k.lang, k.text
+                FROM kept k JOIN reps r
+                     ON k.fp = r.fp AND k.doc_id = r.doc_id),
+            tk AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\s+') AS toks
+                FROM sel),
+            g AS (
+                SELECT doc_id, lang, UNNEST(toks) AS gram FROM tk
+                UNION ALL
+                SELECT doc_id, lang,
+                       UNNEST(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]))
+                FROM tk),
+            b AS (
+                SELECT doc_id, lang,
+                       (CAST(('0x' || substr(md5(gram), 1, 8))
+                             AS UBIGINT) % 4096)::BIGINT AS bucket
+                FROM g),
+            rc AS (SELECT bucket, COUNT(*)::DOUBLE AS cr
+                   FROM b GROUP BY 1),
+            tc AS (SELECT bucket, COUNT(*)::DOUBLE AS ct
+                   FROM b WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT (SELECT SUM(cr) FROM rc) AS nr,
+                           (SELECT COALESCE(SUM(ct), 0::DOUBLE)
+                            FROM tc) AS nt),
+            tbl AS (
+                SELECT rc.bucket,
+                       ln((COALESCE(tc.ct, 0::DOUBLE) + 1.0::DOUBLE)
+                          / (tot.nt + 4096.0::DOUBLE))
+                       - ln((rc.cr + 1.0::DOUBLE)
+                            / (tot.nr + 4096.0::DOUBLE)) AS lr
+                FROM rc LEFT JOIN tc USING (bucket), tot),
+            imp AS (
+                SELECT b.doc_id, ROUND(SUM(tbl.lr), 6) AS importance
+                FROM b JOIN tbl USING (bucket)
+                GROUP BY b.doc_id),
+            top AS (
+                SELECT doc_id FROM imp
+                QUALIFY row_number() OVER
+                    (ORDER BY importance DESC, doc_id ASC) <= 200),
+            chosen AS (
+                SELECT t.doc_id, len(t.toks)::BIGINT AS n
+                FROM tk t JOIN top USING (doc_id)),
+            o AS (
+                SELECT doc_id, n,
+                       (SUM(n + 1) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING)
+                        - (n + 1))::BIGINT AS strt
+                FROM chosen),
+            s AS (
+                SELECT doc_id, n, strt,
+                       UNNEST(range(strt // 512,
+                                    (strt + n - 1) // 512 + 1))
+                           AS seq_id
+                FROM o WHERE n > 0)
+            SELECT seq_id::BIGINT AS seq_id, doc_id,
+                   (GREATEST(strt, seq_id * 512)
+                    - seq_id * 512)::BIGINT AS seq_offset,
+                   (GREATEST(strt, seq_id * 512) - strt)::BIGINT
+                       AS doc_offset,
+                   (LEAST(strt + n, seq_id * 512 + 512)
+                    - GREATEST(strt, seq_id * 512))::BIGINT
+                       AS span_tokens
+            FROM s
         """,
         "pipeline_clean_corpus": r"""
             WITH scored AS (
