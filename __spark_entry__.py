@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from cassandra_es_index_spark.catalog import TableSpec
 from cassandra_es_index_spark.docmodel import INT_MAX, doc_id_column, iso8601
+from cassandra_es_index_spark.indexstore import ParquetIndexStore
 from cassandra_es_index_spark.functions import text as tx
 from cassandra_es_index_spark.operators import (
     asof, dedup, multimodal, packing, rangejoin, similarity,
@@ -2696,6 +2697,73 @@ def q_segment_assignment(spark, sf_dir):
               .agg(F.count("*").cast("long").alias("n_docs")))
 
 
+def q_stream_replay(spark, sf_dir):
+    # W1/W3/W7 mutation replay, oracle-backed (r14 — the write path was
+    # tests-only): bulk-build a store from a deterministic event subset
+    # (S1), then apply two incremental mutation batches through
+    # apply_mutation_batch — updates, partition deletes, EMPTY updates
+    # (ignored, and as the latest in-batch mutation they suppress the
+    # key's earlier mutations per the single-writer window), and a
+    # post-delete re-insert. The oracle folds the same modular-
+    # arithmetic mutation plan into one CASE per key:
+    #   %14 → re-inserted v+5000 | %11 → empty-latest, base v |
+    #   %7 → deleted | %3 → updated v+1000 | else base v.
+    import os as _os
+    import re as _re
+    import tempfile as _tempfile
+
+    from cassandra_es_index_spark.streaming.indexer import (
+        apply_mutation_batch,
+    )
+
+    key = _ck(spark, sf_dir, "stream_replay")
+    if key not in _CACHE:
+        ev = (_t(spark, sf_dir, "events")
+              .where(F.col("event_id") < 1500)
+              .select("event_id", "value", "event_type", "ts"))
+        base = ev.select("event_id", "value", "event_type")
+        tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+        app = _re.sub(r"\W+", "_",
+                      spark.sparkContext.applicationId)
+        path = _os.path.join(_tempfile.gettempdir(),
+                             f"spark_graft_{app}_replay_{tag}")
+        spec = TableSpec("stream_replay", ["event_id"])
+        store = ParquetIndexStore(spark, path, spec)
+        store.build(base, truncate_first=True)
+        h = 3600
+        b2_upd = (ev.where(F.col("event_id") % 3 == 0)
+                  .select("event_id",
+                          (F.col("value") + 1000).alias("value"),
+                          "event_type", F.lit("update").alias("op"),
+                          (F.unix_seconds("ts") + h).alias("mts")))
+        b2_del = (ev.where(F.col("event_id") % 7 == 0)
+                  .select("event_id", F.lit(None).cast("double")
+                          .alias("value"),
+                          F.lit(None).cast("string").alias("event_type"),
+                          F.lit("partition_delete").alias("op"),
+                          (F.unix_seconds("ts")
+                           + F.when(F.col("event_id") % 21 == 0,
+                                    2 * h).otherwise(h // 2))
+                          .alias("mts")))
+        b2_emp = (ev.where(F.col("event_id") % 11 == 0)
+                  .select("event_id", F.lit(None).cast("double")
+                          .alias("value"),
+                          F.lit(None).cast("string").alias("event_type"),
+                          F.lit("empty_update").alias("op"),
+                          (F.unix_seconds("ts") + 3 * h).alias("mts")))
+        apply_mutation_batch(
+            store, b2_upd.unionByName(b2_del).unionByName(b2_emp),
+            ts_col="mts")
+        b3 = (ev.where(F.col("event_id") % 14 == 0)
+              .select("event_id",
+                      (F.col("value") + 5000).alias("value"),
+                      "event_type", F.lit("insert").alias("op"),
+                      (F.unix_seconds("ts") + 4 * h).alias("mts")))
+        apply_mutation_batch(store, b3, ts_col="mts")
+        _CACHE[key] = store
+    return _CACHE[key].read().select("event_id", "value", "event_type")
+
+
 def q_cross_table_union(spark, sf_dir):
     # A4 cross-type aggregation via union (ref README.md:679-683)
     docs = _t(spark, sf_dir, "documents").agg(
@@ -4206,6 +4274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tier (r14): the composed end-to-end flow — quality → exact
         #   dedup → DSIR selection → pack_sequences; the oracle replays
         #   every stage so interface regressions break the hash
+        "stream_replay": q_stream_replay,  # ~ write path (r14): W1
+        #   bulk-build + two incremental mutation batches through
+        #   apply_mutation_batch — LWW window, tombstone policy, empty-
+        #   update suppression, post-delete re-insert; previously
+        #   tests-only, now oracle-folded per key
         # --- demoted from the window r14 (ask #1 rotation; all green
         #     through r13, in-window siblings named at the swap slots) ---
         "search_decay_recency": q_search_decay_recency,  # gauss decay
@@ -6753,6 +6826,21 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS representative_id
             FROM documents
             GROUP BY 1
+        """,
+        # r14 mutation replay: fold the modular mutation plan per key —
+        # %14 re-inserted, %11 empty-latest suppresses the batch for
+        # that key, %7 deleted, %3 updated, else base
+        "stream_replay": """
+            SELECT event_id,
+                   CASE WHEN event_id % 14 = 0 THEN value + 5000
+                        WHEN event_id % 11 = 0 THEN value
+                        WHEN event_id % 3 = 0 THEN value + 1000
+                        ELSE value END AS value,
+                   event_type
+            FROM events
+            WHERE event_id < 1500
+              AND NOT (event_id % 7 = 0 AND event_id % 14 != 0
+                       AND event_id % 11 != 0)
         """,
         # r14 composed pretraining flow: every stage replayed — quality
         # + fingerprint dedup (the pipeline_clean_corpus fragments),
