@@ -2220,6 +2220,24 @@ def q_pipeline_clean_corpus(spark, sf_dir):
                      F.sum("n_bpe").cast("long").alias("total_bpe")))
 
 
+def q_corpus_temperature_mix(spark, sf_dir):
+    # temperature-based mixture sampling (r14, the multilingual
+    # pre-training staple): per-language sources sampled with
+    # p_i ∝ n_i^0.5, flattening the head language. Fractions are a
+    # handful of driver doubles computed in a PINNED operation order
+    # (sqrt → lang-ordered sum → divide → multiply → divide) so the
+    # oracle reproduces them bit-for-bit (the running-cumsum trick
+    # pins DuckDB's summation order to lang asc); membership is the
+    # deterministic keyed-hash bucket filter.
+    docs = _t(spark, sf_dir, "documents")
+    langs = sorted(r["lang"] for r in
+                   docs.select("lang").distinct().collect())
+    sources = [(lg, docs.where(F.col("lang") == lg)) for lg in langs]
+    out = packing.temperature_mix(sources, "doc_id", alpha=0.5)
+    return out.select("doc_id", "_source",
+                      F.round("_fraction", 6).alias("fraction"))
+
+
 def q_pipeline_pretrain(spark, sf_dir):
     # the r14 END-TO-END pretraining flow, composed from this round's
     # tier: quality filter → exact dedup (min-doc_id representative)
@@ -4274,6 +4292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tier (r14): the composed end-to-end flow — quality → exact
         #   dedup → DSIR selection → pack_sequences; the oracle replays
         #   every stage so interface regressions break the hash
+        "corpus_temperature_mix": q_corpus_temperature_mix,  # ~ LLM
+        #   pipeline tier (r14): n^0.5 temperature sampling across
+        #   language sources, order-pinned float parity with the oracle
         "stream_replay": q_stream_replay,  # ~ write path (r14): W1
         #   bulk-build + two incremental mutation batches through
         #   apply_mutation_batch — LWW window, tombstone policy, empty-
@@ -6826,6 +6847,33 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS representative_id
             FROM documents
             GROUP BY 1
+        """,
+        # r14 temperature mix: sqrt weights, z pinned to lang-asc
+        # summation order via the running-cumsum-last-row trick, the
+        # identical (budget*(w/z))/n operation order, then the
+        # mix_rebalance bucket arithmetic with cut = round(f*10000)
+        "corpus_temperature_mix": """
+            WITH c AS (
+                SELECT lang, COUNT(*)::BIGINT AS n
+                FROM documents GROUP BY lang),
+            w AS (
+                SELECT lang, n, power(n::DOUBLE, 0.5::DOUBLE) AS wt
+                FROM c),
+            z AS (
+                SELECT max(cum) AS zz FROM (
+                    SELECT SUM(wt) OVER (ORDER BY lang
+                        ROWS UNBOUNDED PRECEDING) AS cum FROM w)),
+            f AS (
+                SELECT w.lang, w.n,
+                       LEAST(1.0::DOUBLE,
+                             ((SELECT SUM(n) FROM c)::DOUBLE
+                              * (w.wt / z.zz)) / w.n::DOUBLE) AS frac
+                FROM w, z)
+            SELECT d.doc_id, d.lang AS _source,
+                   ROUND(f.frac, 6) AS fraction
+            FROM documents d JOIN f ON d.lang = f.lang
+            WHERE ((d.doc_id % 100003) * 2654435761) % 10000
+                  < ROUND(f.frac * 10000.0::DOUBLE)
         """,
         # r14 mutation replay: fold the modular mutation plan per key —
         # %14 re-inserted, %11 empty-latest suppresses the batch for

@@ -259,6 +259,71 @@ def weighted_sample(df: DataFrame, id_col: str, fraction: float,
     return df.where(sample_bucket(id_col, modulus) < cut)
 
 
+def temperature_fractions(counts: dict[str, int], alpha: float,
+                          budget: int | None = None) -> dict[str, float]:
+    """Per-source keep fractions for temperature-based mixture sampling
+    (the multilingual pre-training staple — e.g. the exponent-0.7
+    sampling of multilingual BERT / mT5): source *i* is sampled with
+    probability ``p_i ∝ n_i^alpha``, flattening large-corpus dominance
+    as ``alpha`` drops below 1 (``alpha=1`` = natural proportions,
+    ``alpha=0`` = uniform).
+
+    Given corpus sizes ``counts`` and a total document ``budget``
+    (default: the total corpus size), the target take from source *i*
+    is ``budget·p_i`` documents → fraction ``min(1, budget·p_i/n_i)``.
+    Pure float arithmetic on a handful of driver scalars — the
+    per-row work stays in ``weighted_sample``'s deterministic bucket
+    filter. NOTE an oracle replaying this must repeat the identical
+    operation order (pow → sum → divide → multiply → divide)."""
+    if not counts:
+        raise ValueError("temperature_fractions needs at least one "
+                         "source count")
+    if not (isinstance(alpha, (int, float))
+            and not isinstance(alpha, bool) and 0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha!r}")
+    for name, n in counts.items():
+        if not isinstance(n, int) or n < 0:
+            raise ValueError(f"count for {name!r} must be a "
+                             f"non-negative integer, got {n!r}")
+    total = sum(counts.values())
+    if total == 0:
+        return {name: 0.0 for name in counts}
+    if budget is None:
+        budget = total
+    weights = {name: float(n) ** float(alpha) if n > 0 else 0.0
+               for name, n in counts.items()}
+    z = sum(weights.values())
+    return {name: (min(1.0, budget * (w / z) / counts[name])
+                   if counts[name] > 0 else 0.0)
+            for name, w in weights.items()}
+
+
+def temperature_mix(sources: list, id_col: str, alpha: float,
+                    budget: int | None = None,
+                    modulus: int = 10_000) -> DataFrame:
+    """Deterministic temperature-sampled corpus mixture: one count per
+    source (driver scalars), fractions from
+    :func:`temperature_fractions`, then the same keyed-hash
+    ``weighted_sample`` filter + union as :func:`mix_sources` — no
+    RNG, reproducible across runs and engines. ``sources`` is
+    ``[(name, df), ...]`` over UNION-compatible frames; rows carry a
+    ``_source`` tag and the resolved ``_fraction``."""
+    if not sources:
+        raise ValueError("temperature_mix needs at least one source")
+    counts = {name: df.count() for name, df in sources}
+    fracs = temperature_fractions(counts, alpha, budget)
+    parts = []
+    for name, df in sources:
+        parts.append(
+            weighted_sample(df, id_col, fracs[name], modulus)
+            .withColumn("_source", F.lit(str(name)))
+            .withColumn("_fraction", F.lit(float(fracs[name]))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def mix_sources(sources: list, id_col: str,
                 modulus: int = 10_000) -> DataFrame:
     """Weighted corpus mixture — the training-data rebalancing step

@@ -695,6 +695,49 @@ def test_pack_sequence_texts_materialize(spark):
     }
 
 
+def test_temperature_mix_flattens_head_source(spark):
+    """n^alpha temperature sampling (the multilingual staple): alpha<1
+    flattens the head source, alpha=1 is natural proportions, alpha=0
+    targets uniform; small sources cap at fraction 1."""
+    import math
+
+    from cassandra_es_index_spark.operators.packing import (
+        temperature_fractions, temperature_mix,
+    )
+
+    counts = {"a": 9000, "b": 900, "c": 100}
+    fr = temperature_fractions(counts, 0.5)
+    z = math.sqrt(9000) + math.sqrt(900) + math.sqrt(100)
+    for k, n in counts.items():
+        assert fr[k] == min(1.0, 10000 * (math.sqrt(n) / z) / n)
+    assert fr["b"] == 1.0 and fr["c"] == 1.0 and fr["a"] < 0.8
+    assert temperature_fractions(counts, 1.0) == {
+        "a": 1.0, "b": 1.0, "c": 1.0}       # natural = keep everything
+    fr0 = temperature_fractions(counts, 0.0)
+    assert fr0["c"] == 1.0 and abs(fr0["a"] - 10000 / 3 / 9000) < 1e-12
+    assert temperature_fractions({"a": 0, "b": 10}, 0.5)["a"] == 0.0
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_fractions(counts, 1.5)
+    with pytest.raises(ValueError, match="non-negative"):
+        temperature_fractions({"a": -1}, 0.5)
+    with pytest.raises(ValueError, match="at least one"):
+        temperature_fractions({}, 0.5)
+    with pytest.raises(ValueError, match="at least one"):
+        temperature_mix([], "id", 0.5)
+
+    df = spark.range(10_000)
+    srcs = [("a", df.where("id < 9000")),
+            ("b", df.where("id >= 9000 and id < 9900")),
+            ("c", df.where("id >= 9900"))]
+    got = {r["_source"]: r["n"] for r in
+           temperature_mix(srcs, "id", alpha=0.5)
+           .groupBy("_source").agg(F.count("*").alias("n")).collect()}
+    # small sources keep everything; the head lands near its target
+    assert got["b"] == 900 and got["c"] == 100
+    target_a = fr["a"] * 9000
+    assert abs(got["a"] - target_a) < 0.05 * target_a
+
+
 def test_weighted_sample_and_mix_deterministic(spark):
     from cassandra_es_index_spark.operators.packing import (
         mix_sources, weighted_sample,
