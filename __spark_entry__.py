@@ -2427,6 +2427,26 @@ def q_dedup_embedding(spark, sf_dir):
         threshold=0.35, method="exact")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    # SemDeDup (r14, Abbas et al. 2023): deterministic k-means cells
+    # (seed init, n_iters=0 — the closed-form flavor the SQL oracle
+    # replays exactly), within-cell cosine pairs, connected components,
+    # keep-farthest-from-centroid. Threshold 0.3 matches the synthetic
+    # random-embedding calibration of dedup_embedding (max pairwise
+    # cosine ≈ 0.51 — a production 0.95 would make the check vacuous).
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_cells=16, n_iters=0, threshold=0.3)
+
+
+def q_semantic_pairs(spark, sf_dir):
+    # the SemDeDup edge stage on its own: within-cell candidate pairs —
+    # (cell, doc_a, doc_b, cos_sim); tail sibling of semantic_dedup.
+    return similarity.semantic_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_cells=16, n_iters=0, threshold=0.3)
+
+
 def q_similarity_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -3803,11 +3823,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   over one corpus scan (r9) — the alerting/routing primitive;
         #   search_page_after demoted to the tail (scroll_drain's keyset
         #   batches exercise the same search_after machinery)
-        "search_has_child": q_search_has_child,  # ~ join family —
-        #   rotated IN r13 (judge ask #4: the window had never checked
-        #   a parent/child join); search_collapse demoted to the tail
-        #   (T2 paging family stays covered by scroll_drain; collapse
-        #   pytest-pinned + tail oracle, green r05-r12)
+        "semantic_dedup": q_semantic_dedup,  # ~ dedup tier — rotated
+        #   IN r14.5 (SemDeDup: k-means cells + within-cell cosine CC +
+        #   keep-farthest-from-centroid — the round's new embedding-
+        #   dedup family head); search_has_child demoted to the tail
+        #   (green r13-r14; the parent/child join family keeps
+        #   search_has_child_inner — its superset — in-window)
         "search_pipeline_nested": q_search_pipeline_nested,  # per-parent
         #   sequence windows at depth (r6) — supersedes the single-level
         #   variant in the window; that one is in the tail, green r05
@@ -4318,6 +4339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,  # embedding exact-dup
         #   pairs (green r01-r13; demoted r14 for pack_sequences — the
         #   cosine kernel stays window-checked through similarity_topk)
+        "semantic_pairs": q_semantic_pairs,  # ~ SemDeDup edge stage on
+        #   its own (r14.5); the composed semantic_dedup is in-window
+        "search_has_child": q_search_has_child,  # ~ parent/child join
+        #   family (green r13-r14; demoted r14.5 for semantic_dedup —
+        #   search_has_child_inner, its superset, stays in-window)
     }
 
 
@@ -7171,6 +7197,110 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_sum(list_transform(range(1, 65),
                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
                         / (a.nrm * b.nrm), 6) >= 0.35
+        """,
+        # semantic_dedup / semantic_pairs (r14.5 — SemDeDup): the
+        # n_iters=0 flavor is closed-form — seeds are the 16 smallest
+        # vec_ids, assignment is the rounded-distance argmin (ties to
+        # the lowest cell), pairs join within cells, components close
+        # recursively (the dedup_clusters convention), and the keeper
+        # is the max centroid_dist (ties vec_id desc).
+        "semantic_dedup": r"""
+            WITH RECURSIVE v AS (
+                SELECT vec_id, list_transform(embedding,
+                                              x -> x::DOUBLE) AS vec
+                FROM embeddings),
+            seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       vec
+                FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+            d AS (
+                SELECT v.vec_id, s.cell,
+                       round(list_sum(list_transform(range(1, 65),
+                           i -> (v.vec[i] - s.vec[i])
+                                * (v.vec[i] - s.vec[i]))), 6) AS dist
+                FROM v, seeds s),
+            assign AS (
+                SELECT vec_id, cell, dist AS centroid_dist FROM (
+                    SELECT vec_id, cell, dist,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cell) AS rn
+                    FROM d) WHERE rn = 1),
+            n AS (
+                SELECT vec_id, vec,
+                       sqrt(list_sum(list_transform(vec,
+                                                    x -> x * x))) AS nrm
+                FROM v),
+            pairs AS (
+                SELECT aa.vec_id AS doc_a, ab.vec_id AS doc_b
+                FROM assign aa JOIN assign ab
+                     ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+                JOIN n a ON a.vec_id = aa.vec_id
+                JOIN n b ON b.vec_id = ab.vec_id
+                WHERE round(list_sum(list_transform(range(1, 65),
+                                i -> a.vec[i] * b.vec[i]))
+                            / (a.nrm * b.nrm), 6) >= 0.3),
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach AS (SELECT s AS src, s AS dst FROM edges
+                      UNION
+                      SELECT r.src, e.d FROM reach r
+                      JOIN edges e ON e.s = r.dst),
+            comp AS (SELECT src AS vid, min(dst) AS cluster
+                     FROM reach GROUP BY src),
+            outp AS (
+                SELECT a.vec_id, a.cell,
+                       coalesce(c.cluster, a.vec_id) AS cluster,
+                       a.centroid_dist
+                FROM assign a LEFT JOIN comp c ON c.vid = a.vec_id),
+            best AS (
+                SELECT cluster, vec_id AS best FROM (
+                    SELECT cluster, vec_id,
+                           row_number() OVER (
+                               PARTITION BY cluster
+                               ORDER BY centroid_dist DESC,
+                                        vec_id DESC) AS rn
+                    FROM outp) WHERE rn = 1)
+            SELECT o.vec_id, o.cell, o.cluster,
+                   o.vec_id = b.best AS keep
+            FROM outp o JOIN best b ON b.cluster = o.cluster
+        """,
+        "semantic_pairs": r"""
+            WITH v AS (
+                SELECT vec_id, list_transform(embedding,
+                                              x -> x::DOUBLE) AS vec
+                FROM embeddings),
+            seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       vec
+                FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+            d AS (
+                SELECT v.vec_id, s.cell,
+                       round(list_sum(list_transform(range(1, 65),
+                           i -> (v.vec[i] - s.vec[i])
+                                * (v.vec[i] - s.vec[i]))), 6) AS dist
+                FROM v, seeds s),
+            assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cell) AS rn
+                    FROM d) WHERE rn = 1),
+            n AS (
+                SELECT vec_id, vec,
+                       sqrt(list_sum(list_transform(vec,
+                                                    x -> x * x))) AS nrm
+                FROM v)
+            SELECT aa.cell, aa.vec_id AS doc_a, ab.vec_id AS doc_b,
+                   round(list_sum(list_transform(range(1, 65),
+                             i -> a.vec[i] * b.vec[i]))
+                         / (a.nrm * b.nrm), 6) AS cos_sim
+            FROM assign aa JOIN assign ab
+                 ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+            JOIN n a ON a.vec_id = aa.vec_id
+            JOIN n b ON b.vec_id = ab.vec_id
+            WHERE round(list_sum(list_transform(range(1, 65),
+                            i -> a.vec[i] * b.vec[i]))
+                        / (a.nrm * b.nrm), 6) >= 0.3
         """,
         "similarity_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -331,6 +331,105 @@ def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str
                      .alias("scale"))
 
 
+# -- semantic dedup (SemDeDup) tier (r14) ----------------------------------
+#
+# The public SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+# k-means the embedding space, compare pairwise cosine WITHIN each
+# cluster only, and drop all but one member of every semantic-duplicate
+# group — keeping the member FARTHEST from the cluster centroid (the
+# paper's low-redundancy choice: the most atypical copy carries the
+# most information). The reference engine has no embedding operators at
+# all (blobs are skipped outright, CStarUtils.java:305-306); this tier
+# is part of the north-star LLM-pipeline surface.
+#
+# Scale shape: the k-means is `ivf_build`'s deterministic Lloyd's
+# (centroids are the only driver-side data, n_cells × dim doubles);
+# the pair stage is an equi-join on `cell`, so cost is Σ|cell|² not
+# |corpus|² — with balanced cells that is |corpus|²/n_cells, and
+# n_cells grows with the corpus (the paper uses ~11k clusters for
+# LAION). Grouping + keeper selection reuses the connected-components
+# machinery (linear rounds, edge contraction, checkpointed lineage).
+# Everything is deterministic — seeded init, ordered double arithmetic,
+# 6-dp rounding — so the n_iters=0 flavor is exactly replayable in
+# ANSI SQL for the oracle gate.
+
+def semantic_cells(corpus: DataFrame, id_col: str, vec_col: str,
+                   n_cells: int = 16, n_iters: int = 0) -> DataFrame:
+    """Deterministic k-means cell assignment for the SemDeDup tier:
+    (corpus_id, cvec, cell, centroid_dist).
+
+    Centroids come from ``ivf_build`` (seed = the ``n_cells`` vectors
+    with the smallest ids; ``n_iters`` Lloyd rounds). Assignment here
+    rounds each squared distance to 6 dp BEFORE the argmin (ties break
+    to the lowest cell) — a rounded argmin is bit-replayable in any
+    engine that sums doubles in element order, which is what makes the
+    n_iters=0 flavor oracle-checkable; ``ivf_build``'s own unrounded
+    assignment stays as-is for the IVF query path."""
+    _, centroids = ivf_build(corpus, id_col, vec_col, n_cells, n_iters)
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      as_double_array(F.col(vec_col)).alias("cvec"))
+    dists = F.array(*[F.round(_sq_dist(F.col("cvec"), ct), 6)
+                      for ct in centroids])
+    return (c.withColumn("_d", dists)
+             .withColumn("cell", (F.array_position(
+                 F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"))
+             .withColumn("centroid_dist", F.array_min(F.col("_d")))
+             .drop("_d"))
+
+
+def _pairs_within_cells(cells: DataFrame,
+                        threshold: float) -> DataFrame:
+    """(cell, doc_a, doc_b, cos_sim) for every within-cell pair with
+    cosine ≥ threshold, doc_a < doc_b. Norms precomputed once per side;
+    the join is an equi-join on cell — never all-pairs."""
+    withn = cells.withColumn("nrm", _norm(F.col("cvec")))
+    a = withn.select("cell", F.col("corpus_id").alias("doc_a"),
+                     F.col("cvec").alias("_va"), F.col("nrm").alias("_na"))
+    b = withn.select("cell", F.col("corpus_id").alias("doc_b"),
+                     F.col("cvec").alias("_vb"), F.col("nrm").alias("_nb"))
+    return (a.join(b, "cell")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("cell", "doc_a", "doc_b",
+                     F.round(_dot(F.col("_va"), F.col("_vb"))
+                             / (F.col("_na") * F.col("_nb")), 6)
+                     .alias("cos_sim"))
+             .where(F.col("cos_sim") >= threshold))
+
+
+def semantic_pairs(corpus: DataFrame, id_col: str, vec_col: str,
+                   n_cells: int = 16, n_iters: int = 0,
+                   threshold: float = 0.95) -> DataFrame:
+    """SemDeDup candidate pairs: (cell, doc_a, doc_b, cos_sim) — the
+    within-cluster near-duplicate graph edges."""
+    return _pairs_within_cells(
+        semantic_cells(corpus, id_col, vec_col, n_cells, n_iters),
+        threshold)
+
+
+def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str,
+                   n_cells: int = 16, n_iters: int = 0,
+                   threshold: float = 0.95,
+                   max_iters: int = 20) -> DataFrame:
+    """SemDeDup: one row per document — (id, cell, cluster, keep).
+
+    Within-cell cosine pairs ≥ ``threshold`` → connected components →
+    per duplicate group the member with the LARGEST centroid distance
+    keeps (ties: id desc — the ``dedup_clusters`` quality convention);
+    every unpaired document is a singleton keeper. ``df.where(~keep)``
+    is the semantic drop list."""
+    from .dedup import dedup_clusters
+
+    cells = semantic_cells(corpus, id_col, vec_col, n_cells, n_iters)
+    pairs = _pairs_within_cells(cells, threshold)
+    base = cells.select(F.col("corpus_id").alias(id_col), "cell",
+                        "centroid_dist")
+    clustered = dedup_clusters(
+        base.select(id_col, "centroid_dist"), id_col, pairs,
+        max_iters=max_iters, quality_col="centroid_dist")
+    return (clustered.join(base.select(id_col, "cell"), on=id_col)
+            .select(id_col, "cell", "cluster", "keep"))
+
+
 def quantized_topk(df: DataFrame, id_col: str, vec_col: str,
                    query_vector: list, k: int = 10,
                    prefilter_k: int = 50) -> DataFrame:

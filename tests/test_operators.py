@@ -1380,3 +1380,93 @@ def test_chunk_documents_reference_model(spark):
                 covered.update(range(k * step,
                                      min(k * step + ct, n)))
             assert covered == set(range(n))
+
+
+# -- semantic dedup (SemDeDup) tier (r14) -----------------------------------
+
+def test_semantic_dedup_hand_case(spark):
+    # two seed cells (n_cells=2 → seeds are vec 0 and 1); the vec-5
+    # distance TIES between the cells (2.0 vs 2.0) — the rounded argmin
+    # must break to the LOWEST cell, and 5 stays a singleton keeper
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),
+            (3, [0.98, 0.02, 0.0, 0.0]),
+            (4, [0.0, 0.9, 0.1, 0.0]),
+            (5, [0.0, 0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cells = {r["corpus_id"]: (r["cell"], r["centroid_dist"])
+             for r in similarity.semantic_cells(
+                 df, "vec_id", "embedding", n_cells=2).collect()}
+    assert {k: c for k, (c, _) in cells.items()} == {
+        0: 0, 1: 1, 2: 0, 3: 0, 4: 1, 5: 0}
+    assert cells[5][1] == 2.0          # tie distance, lowest cell won
+    assert cells[3][1] == 0.0008
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["cos_sim"]
+             for r in similarity.semantic_pairs(
+                 df, "vec_id", "embedding", n_cells=2,
+                 threshold=0.95).collect()}
+    assert set(pairs) == {(0, 2), (0, 3), (2, 3), (1, 4)}
+    assert pairs[(1, 4)] == pytest.approx(0.993884)
+
+    out = {r["vec_id"]: (r["cell"], r["cluster"], r["keep"])
+           for r in similarity.semantic_dedup(
+               df, "vec_id", "embedding", n_cells=2,
+               threshold=0.95).collect()}
+    # keeper = FARTHEST from centroid per duplicate group (3 beats 0/2,
+    # 4 beats its own seed 1); singletons keep themselves
+    assert out == {0: (0, 0, False), 2: (0, 0, False), 3: (0, 0, True),
+                   1: (1, 1, False), 4: (1, 1, True), 5: (0, 5, True)}
+
+
+def test_semantic_cells_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    got = {r["corpus_id"]: (r["cell"], r["centroid_dist"])
+           for r in similarity.semantic_cells(
+               df, "vec_id", "embedding", n_cells=4).collect()}
+    seeds = vecs[:4].astype("float64")
+    v64 = vecs.astype("float64")
+    for i in range(40):
+        d = np.round(((v64[i] - seeds) ** 2).sum(axis=1), 6)
+        cell = int(np.argmin(d))          # numpy argmin = first min
+        assert got[i][0] == cell, i
+        assert got[i][1] == pytest.approx(d[cell], abs=1e-9)
+
+
+def test_semantic_dedup_kmeans_iterated_one_keeper_per_cluster(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((6, 8))
+    rows = []
+    # 6 tight groups of 3 near-identical members → 18 vectors
+    for g in range(6):
+        for j in range(3):
+            rows.append((g * 3 + j,
+                         [float(x) for x in base[g] + 1e-3 * j]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(df, "vec_id", "embedding",
+                                    n_cells=4, n_iters=2, threshold=0.99)
+    rows_out = out.collect()
+    assert len(rows_out) == 18
+    by_cluster = {}
+    for r in rows_out:
+        by_cluster.setdefault(r["cluster"], []).append(
+            (r["vec_id"], r["keep"]))
+    for cl, members in by_cluster.items():
+        assert sum(k for _, k in members) == 1, (cl, members)
+        # clusters never span the tight groups (pairs only form at
+        # cosine ≥ 0.99, and distinct random base vectors are far)
+        assert len({i // 3 for i, _ in members}) == 1, (cl, members)
+    # most groups merge — a group may split across a k-means cell
+    # boundary (the paper's documented boundary miss), but the corpus
+    # must still compress well below one-cluster-per-doc
+    assert len(by_cluster) <= 9
