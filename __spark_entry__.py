@@ -3731,6 +3731,17 @@ def q_docs_keywords(spark, sf_dir):
     return keywords.top_tfidf_terms(docs, "doc_id", "text", k=3)
 
 
+def q_docs_bpe_pairs(spark, sf_dir):
+    # BPE vocabulary induction, level 0 (r14.5): adjacent-symbol pair
+    # frequencies over the character(+word-end-marker) segmentation of
+    # the corpus vocabulary — the closed-form frame whose argmax seeds
+    # the first merge. The iterative trainer (bpe_learn / bpe_segment)
+    # is pinned against a pure-Python Sennrich twin in unit tests; this
+    # entry oracle-checks its counting kernel.
+    from cassandra_es_index_spark.operators import bpe
+    return bpe.bpe_pair_counts(_t(spark, sf_dir, "documents"), "text")
+
+
 def q_similarity_quantized(spark, sf_dir):
     # int8 quantized two-stage retrieval (r12): symmetric max-abs SQ8
     # quantization (floor(x·127/m + 0.5) — deterministic, no codebook),
@@ -4341,6 +4352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   cosine kernel stays window-checked through similarity_topk)
         "semantic_pairs": q_semantic_pairs,  # ~ SemDeDup edge stage on
         #   its own (r14.5); the composed semantic_dedup is in-window
+        "docs_bpe_pairs": q_docs_bpe_pairs,  # ~ BPE vocabulary
+        #   induction level 0 (r14.5); the iterative trainer is pinned
+        #   vs a pure-Python Sennrich twin in tests
         "search_has_child": q_search_has_child,  # ~ parent/child join
         #   family (green r13-r14; demoted r14.5 for semantic_dedup —
         #   search_has_child_inner, its superset, stays in-window)
@@ -7197,6 +7211,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_sum(list_transform(range(1, 65),
                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
                         / (a.nrm * b.nrm), 6) >= 0.35
+        """,
+        # docs_bpe_pairs (r14.5): the BPE level-0 counting kernel —
+        # vocabulary word counts, char(+</w>) segmentation, adjacent
+        # pairs weighted by word frequency
+        "docs_bpe_pairs": r"""
+            WITH w AS (
+                SELECT word, count(*)::BIGINT AS freq FROM (
+                    SELECT unnest(regexp_split_to_array(
+                        trim(lower(text)), '\s+')) AS word
+                    FROM documents)
+                WHERE word <> '' GROUP BY word),
+            s AS (SELECT freq,
+                         list_append(string_split(word, ''),
+                                     '</w>') AS syms
+                  FROM w),
+            p AS (SELECT freq,
+                         unnest(list_transform(range(1, len(syms)),
+                             i -> {'l': syms[i],
+                                   'r': syms[i + 1]})) AS pr
+                  FROM s)
+            SELECT pr.l AS "left", pr.r AS "right",
+                   sum(freq)::BIGINT AS freq
+            FROM p GROUP BY 1, 2
         """,
         # semantic_dedup / semantic_pairs (r14.5 — SemDeDup): the
         # n_iters=0 flavor is closed-form — seeds are the 16 smallest

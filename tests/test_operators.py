@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cassandra_es_index_spark.functions import text as tx
-from cassandra_es_index_spark.operators import dedup, multimodal, similarity
+from cassandra_es_index_spark.operators import bpe, dedup, multimodal, similarity
 
 
 @pytest.fixture(scope="module")
@@ -1470,3 +1470,82 @@ def test_semantic_dedup_kmeans_iterated_one_keeper_per_cluster(spark):
     # boundary (the paper's documented boundary miss), but the corpus
     # must still compress well below one-cluster-per-doc
     assert len(by_cluster) <= 9
+
+
+# -- BPE vocabulary induction (r14) -----------------------------------------
+
+def _py_bpe_learn(texts, n):
+    """Pure-Python Sennrich twin with the engine's deterministic tie
+    break (freq desc, left asc, right asc)."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            wc[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for _ in range(n):
+        pc = Counter()
+        for syms, f in wc.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = sorted(pc.items(),
+                      key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0][0]
+        merges.append(best)
+        left, right = best
+        new = Counter()
+        for syms, f in wc.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new[tuple(out)] += f
+        wc = new
+    return merges, wc
+
+
+def test_bpe_learn_matches_python_twin(spark):
+    rows = [(1, "low lower lowest low low"),
+            (2, "new newer newest new"),
+            (3, "wider wide wide new low")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want, _ = _py_bpe_learn([r[1] for r in rows], 8)
+    got = bpe.bpe_learn(df, "text", 8)
+    assert got == want
+    # greedy overlap semantics: "a a a" under (a,a) → ["aa", "a"]
+    aaa = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    m = bpe.bpe_learn(aaa, "text", 1)
+    assert m == [("a", "a")]
+    seg = bpe.bpe_segment(aaa, "doc_id", "text", m).first()
+    assert seg["bpe_tokens"] == ["aa", "a", "</w>", "aa", "a", "</w>"]
+
+
+def test_bpe_segment_roundtrip_and_order(spark):
+    rows = [(1, "low lower lowest low low"),
+            (2, "new newer newest new"),
+            (3, "wider wide wide new low")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.bpe_learn(df, "text", 8)
+    seg = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe.bpe_segment(df, "doc_id", "text", merges).collect()}
+    for i, text in rows:
+        # subwords of each doc concatenate back to its words (+ markers)
+        joined = "".join(seg[i]).replace("</w>", " ").strip()
+        assert joined == " ".join(text.lower().split())
+        # word order is preserved through the posexplode/array_sort path
+    # with zero merges, segmentation is the raw character stream
+    seg0 = bpe.bpe_segment(df.limit(1), "doc_id", "text", []).first()
+    assert seg0["bpe_tokens"][:4] == ["l", "o", "w", "</w>"]
+
+
+def test_bpe_pair_counts_and_validation(spark):
+    df = spark.createDataFrame([(1, "ab ab b")], "doc_id long, text string")
+    got = {(r["left"], r["right"]): r["freq"]
+           for r in bpe.bpe_pair_counts(df, "text").collect()}
+    assert got == {("a", "b"): 2, ("b", "</w>"): 3}
+    with pytest.raises(ValueError, match="num_merges"):
+        bpe.bpe_learn(df, "text", 0)
