@@ -3731,6 +3731,18 @@ def q_docs_keywords(spark, sf_dir):
     return keywords.top_tfidf_terms(docs, "doc_id", "text", k=3)
 
 
+def q_docs_dup_span_removal(spark, sf_dir):
+    # exact-substring dedup, removal variant (r14.5): every
+    # overlapping 20-token window occurring ≥2 times in the corpus is
+    # cut from EVERY document that contains it (position-exact, all
+    # copies — the ExactSubstr semantics, vs span_dedup's
+    # non-overlapping first-wins). md5 fingerprints keep the oracle
+    # replay engine-portable.
+    return dedup.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        span_tokens=20)
+
+
 def q_docs_bpe_pairs(spark, sf_dir):
     # BPE vocabulary induction, level 0 (r14.5): adjacent-symbol pair
     # frequencies over the character(+word-end-marker) segmentation of
@@ -4355,6 +4367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_pairs": q_docs_bpe_pairs,  # ~ BPE vocabulary
         #   induction level 0 (r14.5); the iterative trainer is pinned
         #   vs a pure-Python Sennrich twin in tests
+        "docs_dup_span_removal": q_docs_dup_span_removal,  # ~ dedup
+        #   tier (r14.5): ExactSubstr removal — overlapping dup-window
+        #   cut, position-exact, all copies
         "search_has_child": q_search_has_child,  # ~ parent/child join
         #   family (green r13-r14; demoted r14.5 for semantic_dedup —
         #   search_has_child_inner, its superset, stays in-window)
@@ -7211,6 +7226,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_sum(list_transform(range(1, 65),
                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
                         / (a.nrm * b.nrm), 6) >= 0.35
+        """,
+        # docs_dup_span_removal (r14.5): ExactSubstr removal — md5
+        # fingerprints of overlapping 20-token windows, dup counts,
+        # covered-position union, ordered rebuild of the survivors
+        "docs_dup_span_removal": r"""
+            WITH t AS (
+                SELECT doc_id AS doc,
+                       regexp_split_to_array(trim(text),
+                                             '\s+') AS toks
+                FROM documents),
+            occ AS (
+                SELECT doc, unnest(list_transform(
+                    range(0, len(toks) - 19),
+                    p -> {'p': p,
+                          'fp': md5(array_to_string(
+                              list_slice(toks, p + 1, p + 20),
+                              ' '))})) AS o
+                FROM t),
+            o2 AS (SELECT doc, o.p AS p, o.fp AS fp FROM occ),
+            dups AS (SELECT fp FROM o2 GROUP BY fp
+                     HAVING count(*) >= 2),
+            cov AS (
+                SELECT DISTINCT doc, cpos FROM (
+                    SELECT doc, unnest(range(p, p + 20)) AS cpos
+                    FROM o2 JOIN dups USING (fp))),
+            covn AS (SELECT doc, count(*)::BIGINT AS n_removed
+                     FROM cov GROUP BY doc),
+            tokpos AS (
+                SELECT doc, unnest(list_transform(
+                    range(1, len(toks) + 1),
+                    i -> {'i': i - 1, 'tk': toks[i]})) AS e
+                FROM t),
+            tp AS (SELECT doc, e.i AS i, e.tk AS tk FROM tokpos),
+            kept AS (
+                SELECT tp.doc,
+                       string_agg(tp.tk, ' ' ORDER BY tp.i)
+                           AS text_clean
+                FROM tp LEFT JOIN cov
+                     ON cov.doc = tp.doc AND cov.cpos = tp.i
+                WHERE cov.doc IS NULL
+                GROUP BY tp.doc)
+            SELECT t.doc, coalesce(k.text_clean, '') AS text_clean,
+                   len(t.toks)::BIGINT AS n_tokens,
+                   coalesce(c.n_removed, 0)::BIGINT AS n_removed
+            FROM t LEFT JOIN kept k ON k.doc = t.doc
+                   LEFT JOIN covn c ON c.doc = t.doc
         """,
         # docs_bpe_pairs (r14.5): the BPE level-0 counting kernel —
         # vocabulary word counts, char(+</w>) segmentation, adjacent

@@ -415,6 +415,70 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
                   .cast("long").alias("n_dropped")))
 
 
+def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                           span_tokens: int = 20) -> DataFrame:
+    """Exact-substring dedup, removal variant (the "Deduplicating
+    Training Data Makes Language Models Better" ExactSubstr shape,
+    token-level): every OVERLAPPING ``span_tokens``-token window that
+    occurs ≥2 times anywhere in the corpus (other documents or a repeat
+    within the same document) marks its token positions for removal;
+    the cleaned text keeps the remaining tokens in order. Unlike
+    ``span_dedup`` (non-overlapping windows, first occurrence wins),
+    this is position-exact: ALL copies of a duplicated region are cut,
+    and a region is found wherever it starts.
+
+    Returns (doc, text_clean, n_tokens, n_removed).
+
+    Scale shape: one overlapping-gram explode (≤ one row per token),
+    one md5-fingerprint count (map-side combinable) + one equi-join
+    back restricted to duplicated fingerprints, one per-doc covered-
+    position aggregation (explode bounded by dup-occurrences ×
+    span_tokens — duplicate density, not corpus size), and ONE
+    broadcast-friendly join of the per-doc covered array back onto the
+    corpus where a higher-order filter drops covered tokens without
+    ever shuffling token rows. md5 (not xxhash64) keeps the
+    fingerprint engine-portable for the oracle gate.
+    """
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be >= 2")
+    L = span_tokens
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (_spread(df)
+            .select(F.col(id_col).alias("doc"), toks.alias("toks")))
+    n = F.size("toks")
+    starts = F.when(n >= L, F.sequence(F.lit(0), n - L)) \
+              .otherwise(F.array().cast("array<int>"))
+    occ = (base
+           .select("doc", F.explode(F.transform(
+               starts,
+               lambda p: F.struct(
+                   p.cast("int").alias("p"),
+                   F.md5(F.concat_ws(
+                       " ", F.slice(F.col("toks"), p + 1, L)))
+                   .alias("fp")))).alias("o"))
+           .select("doc", F.col("o.p").alias("p"),
+                   F.col("o.fp").alias("fp")))
+    dup_fp = (occ.groupBy("fp").agg(F.count("*").alias("_c"))
+              .where(F.col("_c") >= 2).select("fp"))
+    cov = (occ.join(dup_fp, on="fp")
+           .select("doc", F.explode(
+               F.sequence(F.col("p"), F.col("p") + F.lit(L - 1)))
+               .alias("cpos"))
+           .groupBy("doc")
+           .agg(F.collect_set("cpos").alias("_cov")))
+    kept = F.when(
+        F.col("_cov").isNull(), F.col("toks")).otherwise(
+        F.filter(F.col("toks"),
+                 lambda t, i: ~F.array_contains(F.col("_cov"),
+                                                i.cast("int"))))
+    return (base.join(cov, on="doc", how="left")
+            .select("doc",
+                    F.concat_ws(" ", kept).alias("text_clean"),
+                    F.size("toks").cast("long").alias("n_tokens"),
+                    F.coalesce(F.size("_cov"), F.lit(0)).cast("long")
+                    .alias("n_removed")))
+
+
 def ngram_contamination(df: DataFrame, benchmark: DataFrame,
                         id_col: str, text_col: str,
                         n: int = 8, hashed: bool = True) -> DataFrame:

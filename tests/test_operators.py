@@ -1549,3 +1549,55 @@ def test_bpe_pair_counts_and_validation(spark):
     assert got == {("a", "b"): 2, ("b", "</w>"): 3}
     with pytest.raises(ValueError, match="num_merges"):
         bpe.bpe_learn(df, "text", 0)
+
+
+# -- exact-substring removal (r14) ------------------------------------------
+
+def test_remove_duplicate_spans_matches_twin(spark):
+    rows = [
+        (1, "a b c d e f g h"),          # shares "a b c d" with doc 2
+        (2, "x y a b c d z w"),
+        (3, "p q r s t u v"),            # unique — untouched
+        (4, "m m m m n o"),              # no window occurs twice
+        (5, "short"),
+        (6, "a b c d e f g h"),          # exact dup of 1 → both empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+           for r in dedup.remove_duplicate_spans(
+               df, "doc_id", "text", span_tokens=4).collect()}
+
+    from collections import Counter
+    toks = {i: t.strip().split() for i, t in rows}
+    cnt = Counter(" ".join(ts[p:p + 4])
+                  for ts in toks.values()
+                  for p in range(len(ts) - 3))
+    want = {}
+    for i, ts in toks.items():
+        cov = set()
+        for p in range(len(ts) - 3):
+            if cnt[" ".join(ts[p:p + 4])] >= 2:
+                cov.update(range(p, p + 4))
+        want[i] = (" ".join(t for j, t in enumerate(ts)
+                            if j not in cov), len(ts), len(cov))
+    assert got == want
+    # every copy of a duplicated region is cut — position-exact: the
+    # exact-dup docs 1/6 empty each other entirely, and doc 2 loses
+    # only its shared "a b c d" region
+    assert got[1] == ("", 8, 8) and got[6] == ("", 8, 8)
+    assert got[2][0] == "x y z w"
+    assert got[3][2] == 0 and got[4][2] == 0
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    # a tandem repeat INSIDE one document counts as ≥2 occurrences
+    df = spark.createDataFrame(
+        [(1, "u v w x u v w x tail1 tail2")],
+        "doc_id long, text string")
+    r = dedup.remove_duplicate_spans(df, "doc_id", "text",
+                                     span_tokens=4).first()
+    assert r["n_removed"] == 8
+    assert r["text_clean"] == "tail1 tail2"
+    with pytest.raises(ValueError, match="span_tokens"):
+        dedup.remove_duplicate_spans(df, "doc_id", "text",
+                                     span_tokens=1)
