@@ -3731,6 +3731,33 @@ def q_docs_keywords(spark, sf_dir):
     return keywords.top_tfidf_terms(docs, "doc_id", "text", k=3)
 
 
+# fixed offline-trained weight table for the classifier query — the
+# oracle inlines the identical VALUES list
+_QC_WEIGHTS = {"spark": 0.8, "fast": 0.5, "data": 0.4, "query": 0.3,
+               "vector": 0.2, "the": -0.1, "scan": -0.2, "slow": -0.6,
+               "boilerplate": -1.0}
+
+
+def q_docs_quality_classifier(spark, sf_dir):
+    # GPT-3/CCNet-style linear quality filter (r14.5): logistic score
+    # over the mean token weight of an offline-trained model (OOV = 0,
+    # the fastText document-vector convention) + the keep decision.
+    from cassandra_es_index_spark.operators import classify
+    return classify.linear_quality_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        _QC_WEIGHTS, bias=-0.1, threshold=0.5)
+
+
+def q_docs_ccnet_buckets(spark, sf_dir):
+    # CCNet head/middle/tail tranches (r14.5): per-language ntile(3)
+    # over the unigram cross-entropy ranking (xent asc, id asc ties) —
+    # the standard perplexity-bucket selection stage.
+    from cassandra_es_index_spark.operators import lm_score
+    return lm_score.ccnet_buckets(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        lang_col="lang")
+
+
 def q_docs_dup_span_removal(spark, sf_dir):
     # exact-substring dedup, removal variant (r14.5): every
     # overlapping 20-token window occurring ≥2 times in the corpus is
@@ -4370,6 +4397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_span_removal": q_docs_dup_span_removal,  # ~ dedup
         #   tier (r14.5): ExactSubstr removal — overlapping dup-window
         #   cut, position-exact, all copies
+        "docs_quality_classifier": q_docs_quality_classifier,  # ~ text
+        #   quality tier (r14.5): linear classifier scoring + keep
+        "docs_ccnet_buckets": q_docs_ccnet_buckets,  # ~ text quality
+        #   tier (r14.5): per-language perplexity tranches
         "search_has_child": q_search_has_child,  # ~ parent/child join
         #   family (green r13-r14; demoted r14.5 for semantic_dedup —
         #   search_has_child_inner, its superset, stays in-window)
@@ -7226,6 +7257,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_sum(list_transform(range(1, 65),
                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
                         / (a.nrm * b.nrm), 6) >= 0.35
+        """,
+        # docs_quality_classifier (r14.5): the fixed weight table
+        # inlined as VALUES; mean token weight (OOV = 0) rounded 6dp
+        # before the logistic, bias −0.1, keep at 0.5
+        "docs_quality_classifier": r"""
+            WITH w(token, weight) AS (VALUES
+                ('spark', 0.8), ('fast', 0.5), ('data', 0.4),
+                ('query', 0.3), ('vector', 0.2), ('the', -0.1),
+                ('scan', -0.2), ('slow', -0.6), ('boilerplate', -1.0)),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS token
+                FROM documents),
+            s AS (
+                SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                       round(avg(coalesce(w.weight, 0.0)), 6) AS mw
+                FROM tok LEFT JOIN w USING (token)
+                GROUP BY doc_id)
+            SELECT doc_id, n_tokens,
+                   round(1.0 / (1.0 + exp(-(-0.1 + mw))), 6) AS score,
+                   round(1.0 / (1.0 + exp(-(-0.1 + mw))), 6) >= 0.5
+                       AS keep
+            FROM s
+        """,
+        # docs_ccnet_buckets (r14.5): the text_unigram_xent model +
+        # per-language ntile(3) over (xent asc, doc_id asc)
+        "docs_ccnet_buckets": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS token
+                FROM documents),
+            m AS (SELECT token, COUNT(*)::DOUBLE AS c
+                  FROM tok GROUP BY token),
+            tot AS (SELECT SUM(c) AS n, COUNT(*)::DOUBLE AS v FROM m),
+            sc AS (
+                SELECT tok.doc_id,
+                       COUNT(*)::BIGINT AS n_tokens,
+                       ROUND(-AVG(ln((m.c + 0.5)
+                                     / (tot.n + 0.5 * tot.v))),
+                             4) AS xent
+                FROM tok JOIN m USING (token) CROSS JOIN tot
+                GROUP BY tok.doc_id)
+            SELECT sc.doc_id, d.lang, sc.n_tokens, sc.xent,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY sc.xent ASC,
+                                           sc.doc_id ASC) AS bucket
+            FROM sc JOIN documents d ON d.doc_id = sc.doc_id
         """,
         # docs_dup_span_removal (r14.5): ExactSubstr removal — md5
         # fingerprints of overlapping 20-token windows, dup counts,

@@ -81,6 +81,43 @@ def cross_entropy_score(df: DataFrame, id_col: str, text_col: str,
                      .alias("xent")))
 
 
+def ccnet_buckets(df: DataFrame, id_col: str, text_col: str,
+                  model: DataFrame | None = None, k: float = 0.5,
+                  lang_col: str | None = None,
+                  n_buckets: int = 3) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by LM
+    cross-entropy and cut the ranking into ``n_buckets`` equal-depth
+    tranches — per language when ``lang_col`` is given (CCNet buckets
+    within each language so high-resource languages don't crowd out
+    the rest). Returns (id, [lang,] n_tokens, xent, bucket) with
+    bucket 1 = "head" (most reference-like) … n = "tail".
+
+    Determinism: the rank orders (xent asc, id asc) — ties from the
+    4-dp rounding break on id, so every engine replays the same
+    tranche boundaries (``ntile`` semantics are standard SQL).
+
+    Scale shape: one scoring pass (see :func:`cross_entropy_score`)
+    plus one ntile window partitioned by language — the classic
+    global-sort-per-partition cost; with no ``lang_col`` the window is
+    global, which is exactly CCNet's single-corpus semantics (document
+    that cost; shard by language to avoid it)."""
+    from pyspark.sql.window import Window
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = cross_entropy_score(df, id_col, text_col, model=model, k=k)
+    cols = [id_col, "n_tokens", "xent"]
+    if lang_col is not None:
+        scored = scored.join(df.select(id_col, lang_col), on=id_col)
+        w = Window.partitionBy(lang_col).orderBy(F.asc("xent"),
+                                                 F.asc(id_col))
+        cols = [id_col, lang_col, "n_tokens", "xent"]
+    else:
+        w = Window.orderBy(F.asc("xent"), F.asc(id_col))
+    return scored.select(*cols,
+                         F.ntile(n_buckets).over(w).alias("bucket"))
+
+
 def _gram_strings(toks_col: Column, n: int) -> Column:
     """n-gram strings from a MATERIALIZED token-array column (the HOF
     lambda references only the column, never a captured expression —

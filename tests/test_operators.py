@@ -1601,3 +1601,55 @@ def test_remove_duplicate_spans_within_doc_repeat(spark):
     with pytest.raises(ValueError, match="span_tokens"):
         dedup.remove_duplicate_spans(df, "doc_id", "text",
                                      span_tokens=1)
+
+
+# -- quality classifier + CCNet buckets (r14) -------------------------------
+
+def test_linear_quality_score_hand_case(spark):
+    import math
+
+    from cassandra_es_index_spark.operators import classify
+
+    df = spark.createDataFrame(
+        [(1, "good good bad"), (2, "bad bad unk"), (3, "unk unk")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in classify.linear_quality_score(
+        df, "doc_id", "text", {"good": 1.0, "bad": -1.0},
+        bias=0.0, threshold=0.5).collect()}
+
+    def sig(mw):
+        return round(1.0 / (1.0 + math.exp(-round(mw, 6))), 6)
+    assert out[1]["score"] == pytest.approx(sig(1 / 3))
+    assert out[1]["keep"] is True
+    assert out[2]["score"] == pytest.approx(sig(-2 / 3))
+    assert out[2]["keep"] is False
+    # all-OOV doc scores the bias alone (0 → 0.5 → keep at >=)
+    assert out[3]["score"] == pytest.approx(0.5)
+    assert out[3]["keep"] is True
+    with pytest.raises(ValueError, match="non-empty"):
+        classify.weight_table(spark, {})
+
+
+def test_ccnet_buckets_per_language_tranches(spark):
+    from cassandra_es_index_spark.operators import lm_score
+
+    # language A: 6 docs from very reference-like to noisy; B: 3 docs
+    rows = [(1, "a", "x x x x"), (2, "a", "x x x y"),
+            (3, "a", "x x y y"), (4, "a", "x y y z"),
+            (5, "a", "y z z w"), (6, "a", "w w q q"),
+            (7, "b", "x x x x"), (8, "b", "x y z w"),
+            (9, "b", "q q q q")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in lm_score.ccnet_buckets(
+        df, "doc_id", "text", lang_col="lang", n_buckets=3).collect()}
+    assert len(out) == 9
+    # per language: equal-depth tranches in xent order
+    for lang, ids in (("a", [1, 2, 3, 4, 5, 6]), ("b", [7, 8, 9])):
+        ranked = sorted(ids, key=lambda i: (out[i]["xent"], i))
+        per = len(ids) // 3
+        for rank, i in enumerate(ranked):
+            assert out[i]["bucket"] == rank // per + 1, (lang, i)
+    # head bucket = most model-like: the all-x docs lead both languages
+    assert out[1]["bucket"] == 1 and out[7]["bucket"] == 1
+    with pytest.raises(ValueError, match="n_buckets"):
+        lm_score.ccnet_buckets(df, "doc_id", "text", n_buckets=1)
