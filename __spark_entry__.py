@@ -3738,6 +3738,20 @@ _QC_WEIGHTS = {"spark": 0.8, "fast": 0.5, "data": 0.4, "query": 0.3,
                "boilerplate": -1.0}
 
 
+def q_docs_gopher_quality(spark, sf_dir):
+    # the Gopher quality-rule battery (r14.5, Rae et al. 2021 A1.1):
+    # word-count bounds, mean word length, symbol ratio, bullet/
+    # ellipsis line fractions, alphabetic-word fraction, stop-word
+    # hits — per-rule metrics + the conjunctive keep decision. The
+    # stop list and word floor are tuned to the synthetic corpus so
+    # `keep` actually splits (the paper's English stop list never hits
+    # twice here — every doc would fail vacuously).
+    return tx.gopher_quality_flags(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        min_words=30, stop_words=("the", "a", "table", "value"),
+        min_stop_hits=2)
+
+
 def q_docs_quality_classifier(spark, sf_dir):
     # GPT-3/CCNet-style linear quality filter (r14.5): logistic score
     # over the mean token weight of an offline-trained model (OOV = 0,
@@ -4399,6 +4413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   cut, position-exact, all copies
         "docs_quality_classifier": q_docs_quality_classifier,  # ~ text
         #   quality tier (r14.5): linear classifier scoring + keep
+        "docs_gopher_quality": q_docs_gopher_quality,  # ~ text quality
+        #   tier (r14.5): the Gopher rule battery + keep
         "docs_ccnet_buckets": q_docs_ccnet_buckets,  # ~ text quality
         #   tier (r14.5): per-language perplexity tranches
         "search_has_child": q_search_has_child,  # ~ parent/child join
@@ -7257,6 +7273,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_sum(list_transform(range(1, 65),
                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
                         / (a.nrm * b.nrm), 6) >= 0.35
+        """,
+        # docs_gopher_quality (r14.5): the Gopher rule battery — every
+        # metric re-derived in list math, keep = the paper's
+        # conjunction
+        "docs_gopher_quality": r"""
+            WITH t AS (
+                SELECT doc_id AS doc, text,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\s+'),
+                                   x -> x <> '') AS toks,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)),
+                           x -> trim(x)), x -> x <> '') AS lns
+                FROM documents),
+            m AS (
+                SELECT doc,
+                       len(toks)::BIGINT AS n_words,
+                       round(list_sum(list_transform(toks,
+                             x -> length(x)::DOUBLE)) / len(toks),
+                             4) AS mean_word_len,
+                       round((length(text)
+                              - length(replace(text, '#', ''))
+                              + (length(text)
+                                 - length(replace(text, '...', '')))
+                                / 3
+                              + length(text)
+                              - length(replace(text, '…', '')))
+                             / len(toks), 6) AS symbol_ratio,
+                       CASE WHEN len(lns) > 0 THEN
+                           round(len(list_filter(lns,
+                               x -> regexp_matches(x, '^[-*•]')))
+                                 ::DOUBLE / len(lns), 6)
+                       ELSE 0.0 END AS bullet_line_frac,
+                       CASE WHEN len(lns) > 0 THEN
+                           round(len(list_filter(lns,
+                               x -> regexp_matches(x,
+                                                   '(\.\.\.|…)$')))
+                                 ::DOUBLE / len(lns), 6)
+                       ELSE 0.0 END AS ellipsis_line_frac,
+                       round(len(list_filter(toks,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                             ::DOUBLE / len(toks), 6)
+                           AS alpha_word_frac,
+                       len(list_intersect(
+                           list_distinct(list_transform(toks,
+                               x -> lower(x))),
+                           ['the','a','table','value']))::BIGINT
+                           AS stop_hits
+                FROM t)
+            SELECT doc, n_words, mean_word_len, symbol_ratio,
+                   bullet_line_frac, ellipsis_line_frac,
+                   alpha_word_frac, stop_hits,
+                   (n_words BETWEEN 30 AND 100000)
+                   AND mean_word_len BETWEEN 3.0 AND 10.0
+                   AND symbol_ratio <= 0.1
+                   AND bullet_line_frac <= 0.9
+                   AND ellipsis_line_frac <= 0.3
+                   AND alpha_word_frac >= 0.8
+                   AND stop_hits >= 2 AS keep
+            FROM m
         """,
         # docs_quality_classifier (r14.5): the fixed weight table
         # inlined as VALUES; mean token weight (OOV = 0) rounded 6dp

@@ -451,6 +451,83 @@ def c4_clean(df, id_col: str, text_col: str, min_words: int = 5,
                 F.array_join("_kept", "\n").alias("clean_text")))
 
 
+# Gopher quality-filter rules (Rae et al. 2021, Appendix A1.1 — the
+# published heuristics every large-scale text pipeline reuses). The 8
+# English "must contain ≥2 of" words from the paper:
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
+                    "that", "have", "with")
+
+
+def gopher_quality_flags(df, id_col: str, text_col: str,
+                         min_words: int = 50,
+                         max_words: int = 100_000,
+                         stop_words: tuple = GOPHER_STOPWORDS,
+                         min_stop_hits: int = 2):
+    """The Gopher quality-rule battery, one row per document:
+    (doc, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, stop_hits, keep) where
+    ``keep`` is the conjunction of the paper's rules —
+
+    - ``min_words ≤ n_words ≤ max_words``
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (``#`` chars + ``...``/``…`` runs) ≤ 0.1
+    - ≤ 90% of lines start with a bullet (``-``/``*``/``•``)
+    - ≤ 30% of lines end with an ellipsis
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 distinct hits among the paper's 8 English stop words
+
+    Pure Column math (one tokenize + one line split per doc, everything
+    else derived in codegen), rounded fractions for oracle parity.
+    Empty-line documents take the vacuous line fractions (0)."""
+    col = F.col(text_col)
+    raw_toks = F.col("_toks")
+    lns = F.col("_lns")
+    n = F.size(raw_toks)
+    mean_len = F.round(
+        F.aggregate(raw_toks, F.lit(0.0),
+                    lambda acc, t: acc + F.length(t)) / n, 4)
+    sym = (F.length(col) - F.length(F.replace(col, F.lit("#")))
+           + (F.length(col) - F.length(F.replace(col, F.lit("..."))))
+           / F.lit(3)
+           + F.length(col) - F.length(F.replace(col, F.lit("…"))))
+    symbol_ratio = F.round(sym / n, 6)
+    n_lines = F.size(lns)
+    bullet = F.size(F.filter(
+        lns, lambda ln: ln.rlike(r"^[-*•]")))
+    ellip = F.size(F.filter(
+        lns, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+    bullet_frac = F.when(n_lines > 0,
+                         F.round(bullet / n_lines, 6)).otherwise(0.0)
+    ellip_frac = F.when(n_lines > 0,
+                        F.round(ellip / n_lines, 6)).otherwise(0.0)
+    alpha = F.size(F.filter(raw_toks,
+                            lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha / n, 6)
+    low = F.array_distinct(F.transform(raw_toks,
+                                       lambda t: F.lower(t)))
+    stop_hits = F.size(F.array_intersect(
+        low, F.array(*[F.lit(w) for w in stop_words])))
+    keep = ((n >= min_words) & (n <= max_words)
+            & (mean_len >= 3.0) & (mean_len <= 10.0)
+            & (symbol_ratio <= 0.1)
+            & (bullet_frac <= 0.9) & (ellip_frac <= 0.3)
+            & (alpha_frac >= 0.8) & (stop_hits >= min_stop_hits))
+    return (df.select(
+        F.col(id_col).alias("doc"), col,
+        F.filter(F.split(F.trim(col), WS),
+                 lambda t: t != "").alias("_toks"),
+        lines_of(col).alias("_lns"))
+        .select("doc",
+                n.cast("long").alias("n_words"),
+                mean_len.alias("mean_word_len"),
+                symbol_ratio.alias("symbol_ratio"),
+                bullet_frac.alias("bullet_line_frac"),
+                ellip_frac.alias("ellipsis_line_frac"),
+                alpha_frac.alias("alpha_word_frac"),
+                stop_hits.cast("long").alias("stop_hits"),
+                keep.alias("keep")))
+
+
 def nfc_normalize(col: Column) -> Column:
     """Unicode NFC normalization + control-character strip (keeping
     \\t \\n \\r) — the first pass of every LLM text-cleaning pipeline

@@ -1653,3 +1653,34 @@ def test_ccnet_buckets_per_language_tranches(spark):
     assert out[1]["bucket"] == 1 and out[7]["bucket"] == 1
     with pytest.raises(ValueError, match="n_buckets"):
         lm_score.ccnet_buckets(df, "doc_id", "text", n_buckets=1)
+
+
+def test_gopher_quality_flags_rules(spark):
+    rows = [
+        # passes every rule (with the tuned params below)
+        (1, "the cat sat with the dog and that was that " * 5),
+        # bullet-heavy: every line starts with a bullet → fails
+        (2, "- one two three\n- four five six\n- seven eight nine"),
+        # ellipsis-heavy: every line ends with ... → fails
+        (3, "something trailing off...\nmore trailing...\nyet more..."),
+        # too few words
+        (4, "the and"),
+        # numeric tokens: alpha fraction fails
+        (5, " ".join(["123"] * 30) + " the be of"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in tx.gopher_quality_flags(
+        df, "doc_id", "text", min_words=10).collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["stop_hits"] >= 2
+    assert out[2]["bullet_line_frac"] == 1.0 and out[2]["keep"] is False
+    assert out[3]["ellipsis_line_frac"] == 1.0 and out[3]["keep"] is False
+    assert out[4]["n_words"] == 2 and out[4]["keep"] is False
+    assert out[5]["alpha_word_frac"] < 0.8 and out[5]["keep"] is False
+    # symbol ratio counts # chars and ... runs against words
+    sym = spark.createDataFrame(
+        [(1, "# # # # # word the be of and " + "w " * 10)],
+        "doc_id long, text string")
+    r = tx.gopher_quality_flags(sym, "doc_id", "text",
+                                min_words=5).first()
+    assert r["symbol_ratio"] > 0.1 and r["keep"] is False
