@@ -135,7 +135,11 @@ HEADLINE = [
     "similarity_ivf_disk",   # cold probe on the cell-partitioned IVF index
     "asof_last_click",
     "interval_join_shipments",  # binned range join, no nested-loop
-    "geo_distance_filter",  # haversine Column filter (scan plan, r9)
+    "docs_dup_span_removal",  # ExactSubstr overlapping-window cut
+    # (r14.5; swapped in for geo_distance_filter — the geo family
+    # stays covered by geo_sort_nearest / geohash_grid /
+    # geo_shape_filter / geo_grid_cell, and the haversine kernel is
+    # the same Column math geo_sort_nearest times)
     "geo_sort_nearest",     # _geo_distance sort: codegen distance + top-k (r9)
     "search_geohash_grid",  # geo grid agg: one groupBy on cell keys (r9)
     "geo_shape_filter",     # geo_shape polygon within — ray cast (r10/r11)
@@ -146,7 +150,10 @@ HEADLINE = [
     # (percolate_query_kind swapped out r13 — family covered by
     # percolate_route; registry/correctness keep it)
     "search_retriever_linear",  # weighted/minmax linear fusion (r12)
-    "search_has_child",     # parent/child join: child keyed agg + join (r12)
+    "semantic_dedup",       # SemDeDup: k-means cells + within-cell
+    # cosine CC + keep flags (r14.5; swapped in for search_has_child —
+    # the parent/child family stays covered by search_has_child_inner
+    # + search_has_parent + search_children_agg)
     "search_has_child_inner",  # join inner_hits flatten (r13)
     "search_has_parent",    # parent match frame → FK join (r12)
     "docs_frequent_pairs",  # A-priori pair mining: prune + self-join (r12)
