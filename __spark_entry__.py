@@ -3865,7 +3865,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy_boost": q_search_fuzzy_boost,
         "search_dsl_range": q_search_dsl_range,
         "search_dsl_must_should": q_search_dsl_must_should,
-        "search_dis_max": q_search_dis_max,            # best-field (r5)
+        "docs_quality_classifier": q_docs_quality_classifier,
+        #   ~ text-quality tier — rotated IN r14.5 (linear classifier
+        #   scoring + keep: the GPT-3/CCNet filter shape, a new family
+        #   head); search_dis_max demoted to the tail (green r05-r14;
+        #   the compound-scoring family keeps search_function_score_multi
+        #   and search_rrf in-window)
         "search_function_score_multi": q_search_function_score_multi,
         #   functions ARRAY (r8): filtered weight + weighted fvf + gauss,
         #   score_mode=sum, max_boost cap, range-index served;
@@ -3927,7 +3932,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (date-bound range family stays covered by search_dsl_range's
         #   date bounds, green r06-r12)
         # --- geo: derived geo_point fixture over events (r9) ---
-        "geo_distance_filter": q_geo_distance_filter,  # haversine ≤ 4000km
+        "docs_bpe_pairs": q_docs_bpe_pairs,  # ~ vocabulary-induction
+        #   tier — rotated IN r14.5 (the BPE level-0 counting kernel, a
+        #   new family head; the iterative trainer is twin-pinned in
+        #   tests); geo_distance_filter demoted to the tail (green
+        #   r09-r14; the geo family keeps search_geohash_grid +
+        #   geo_shape_filter in-window, and the haversine kernel is
+        #   the same Column math)
         "search_geohash_grid": q_search_geohash_grid,  # base32 cells +
         #   avg metric; the geotile variant is in the tail (same
         #   selection machinery, different key math)
@@ -4405,18 +4416,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   cosine kernel stays window-checked through similarity_topk)
         "semantic_pairs": q_semantic_pairs,  # ~ SemDeDup edge stage on
         #   its own (r14.5); the composed semantic_dedup is in-window
-        "docs_bpe_pairs": q_docs_bpe_pairs,  # ~ BPE vocabulary
-        #   induction level 0 (r14.5); the iterative trainer is pinned
-        #   vs a pure-Python Sennrich twin in tests
         "docs_dup_span_removal": q_docs_dup_span_removal,  # ~ dedup
         #   tier (r14.5): ExactSubstr removal — overlapping dup-window
         #   cut, position-exact, all copies
-        "docs_quality_classifier": q_docs_quality_classifier,  # ~ text
-        #   quality tier (r14.5): linear classifier scoring + keep
         "docs_gopher_quality": q_docs_gopher_quality,  # ~ text quality
         #   tier (r14.5): the Gopher rule battery + keep
         "docs_ccnet_buckets": q_docs_ccnet_buckets,  # ~ text quality
         #   tier (r14.5): per-language perplexity tranches
+        "search_dis_max": q_search_dis_max,  # best-field (r5; demoted
+        #   r14.5 for docs_quality_classifier — the compound-scoring
+        #   family keeps search_function_score_multi + search_rrf
+        #   in-window)
+        "geo_distance_filter": q_geo_distance_filter,  # haversine
+        #   ≤ 4000km (demoted r14.5 for docs_bpe_pairs — the geo
+        #   family keeps search_geohash_grid + geo_shape_filter
+        #   in-window, same haversine Column math)
         "search_has_child": q_search_has_child,  # ~ parent/child join
         #   family (green r13-r14; demoted r14.5 for semantic_dedup —
         #   search_has_child_inner, its superset, stays in-window)
