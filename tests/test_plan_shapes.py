@@ -491,3 +491,51 @@ def test_reverse_nested_subagg_is_two_hash_aggregates(spark):
     assert plan.count("HashAggregate") >= 4   # 2 aggs x partial+final
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_plan_has_no_cartesian(spark):
+    # the SemDeDup pair stage must be an equi-join on `cell`, never an
+    # all-pairs cartesian — the property that makes it Σ|cell|² instead
+    # of |corpus|²
+    from cassandra_es_index_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = similarity.semantic_dedup(emb, "vec_id", "embedding",
+                                    n_cells=4, threshold=0.3)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
+        or "ShuffledHashJoin" in plan
+
+
+def test_quality_classifier_weight_join_broadcasts(spark):
+    # the vocab-sized weight table is the small side — it must
+    # broadcast, keeping the corpus scan shuffle-free up to the agg
+    from cassandra_es_index_spark.operators import classify
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = classify.linear_quality_score(
+        docs, "doc_id", "text", {"the": 0.5, "spark": 1.0})
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_removal_no_token_row_shuffle_on_rebuild(spark):
+    # the rebuild joins per-doc covered ARRAYS back onto the corpus —
+    # the token rows themselves never shuffle; the only exchanges are
+    # fingerprint-keyed (dup counting + join-back) and the per-doc
+    # covered-set aggregation
+    from cassandra_es_index_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.remove_duplicate_spans(docs, "doc_id", "text",
+                                       span_tokens=8)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # exactly three explodes: the gram window (twice — the occurrence
+    # frame feeds both the dup count and its join-back; recompute-over-
+    # materialize, the jaccard_pairs convention) and the covered
+    # positions. A FOURTH would mean the rebuild exploded the token
+    # stream instead of filtering it with the indexed HOF.
+    assert plan.count("Generate explode") == 3
