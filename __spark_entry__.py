@@ -2220,6 +2220,17 @@ def q_pipeline_clean_corpus(spark, sf_dir):
                      F.sum("n_bpe").cast("long").alias("total_bpe")))
 
 
+def q_corpus_stratified_sample(spark, sf_dir):
+    # per-stratum deterministic sampling (r14.5): hand-chosen keep
+    # rates per language, absent strata at the default — the same
+    # keyed-hash bucket filter as the mixture ops, scan-pushable.
+    from cassandra_es_index_spark.operators import packing
+    docs = _t(spark, sf_dir, "documents")
+    return packing.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.2},
+        default=0.1).select("doc_id", "lang")
+
+
 def q_corpus_temperature_mix(spark, sf_dir):
     # temperature-based mixture sampling (r14, the multilingual
     # pre-training staple): per-language sources sampled with
@@ -4391,6 +4402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_mix": q_corpus_temperature_mix,  # ~ LLM
         #   pipeline tier (r14): n^0.5 temperature sampling across
         #   language sources, order-pinned float parity with the oracle
+        "corpus_stratified_sample": q_corpus_stratified_sample,  # ~
+        #   LLM pipeline tier (r14.5): hand-rate per-stratum sampling
+        #   on the same keyed-hash bucket filter
         "stream_replay": q_stream_replay,  # ~ write path (r14): W1
         #   bulk-build + two incremental mutation batches through
         #   apply_mutation_batch — LWW window, tombstone policy, empty-
@@ -6968,6 +6982,15 @@ def oracle_sql() -> dict[str, str]:
         # summation order via the running-cumsum-last-row trick, the
         # identical (budget*(w/z))/n operation order, then the
         # mix_rebalance bucket arithmetic with cut = round(f*10000)
+        # corpus_stratified_sample (r14.5): the identical bucket
+        # arithmetic with per-language cuts (en 0.5, de 0.2, else 0.1)
+        "corpus_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id % 100003) * 2654435761) % 10000
+                  < CASE lang WHEN 'en' THEN 5000
+                              WHEN 'de' THEN 2000
+                              ELSE 1000 END
+        """,
         "corpus_temperature_mix": """
             WITH c AS (
                 SELECT lang, COUNT(*)::BIGINT AS n

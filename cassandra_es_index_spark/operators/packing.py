@@ -259,6 +259,34 @@ def weighted_sample(df: DataFrame, id_col: str, fraction: float,
     return df.where(sample_bucket(id_col, modulus) < cut)
 
 
+def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
+                      fractions: dict, default: float = 0.0,
+                      modulus: int = 10_000) -> DataFrame:
+    """Per-stratum deterministic sampling — keep ~``fractions[s]`` of
+    each stratum (language, source, quality tranche); strata absent
+    from the dict take ``default``. One CASE over the stratum column
+    picks the cut, the keyed-hash bucket filter does the rest: a pure
+    scan-pushable filter, no RNG, no shuffle, reproducible across
+    runs, retries, and engines (the oracle replays the identical
+    bucket arithmetic). The per-training-source rebalancing step when
+    rates are chosen by hand rather than a temperature exponent."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for s, f in fractions.items():
+        if not 0.0 <= float(f) <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1], "
+                             f"got {f!r}")
+    if not 0.0 <= float(default) <= 1.0:
+        raise ValueError(f"default fraction must be in [0, 1], "
+                         f"got {default!r}")
+    cut = F.lit(int(round(float(default) * modulus)))
+    for s, f in fractions.items():
+        cut = F.when(F.col(stratum_col) == F.lit(s),
+                     F.lit(int(round(float(f) * modulus)))) \
+               .otherwise(cut)
+    return df.where(sample_bucket(id_col, modulus) < cut)
+
+
 def temperature_fractions(counts: dict[str, int], alpha: float,
                           budget: int | None = None) -> dict[str, float]:
     """Per-source keep fractions for temperature-based mixture sampling

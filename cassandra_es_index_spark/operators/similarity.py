@@ -381,6 +381,9 @@ def _semantic_cells(corpus: DataFrame, id_col: str, vec_col: str,
     stages than data); the per-row HOF cost is the honest price of
     interpretation and is flat in corpus size."""
     _, centroids = ivf_build(corpus, id_col, vec_col, n_cells, n_iters)
+    if not centroids:
+        raise ValueError("semantic_cells: empty corpus — no vectors "
+                         "to seed centroids from")
     c = corpus.select(F.col(id_col).alias("corpus_id"),
                       as_double_array(F.col(vec_col)).alias("cvec"))
     dists = F.array(*[F.round(_sq_dist(F.col("cvec"), ct), 6)

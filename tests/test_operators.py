@@ -1684,3 +1684,28 @@ def test_gopher_quality_flags_rules(spark):
     r = tx.gopher_quality_flags(sym, "doc_id", "text",
                                 min_words=5).first()
     assert r["symbol_ratio"] > 0.1 and r["keep"] is False
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from cassandra_es_index_spark.operators import packing
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = packing.stratified_sample(df, "doc_id", "lang",
+                                    {"en": 0.5, "de": 0.2}, default=0.0)
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert "fr" not in by                      # default 0 drops
+    assert abs(by["en"] / 1000 - 0.5) < 0.1    # ~rate per stratum
+    assert abs(by["de"] / 1000 - 0.2) < 0.1
+    # determinism: the same rows every time, partitioning-independent
+    again = packing.stratified_sample(
+        df.repartition(7), "doc_id", "lang",
+        {"en": 0.5, "de": 0.2}, default=0.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    with pytest.raises(ValueError, match="fraction"):
+        packing.stratified_sample(df, "doc_id", "lang", {"en": 1.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        packing.stratified_sample(df, "doc_id", "lang", {})
