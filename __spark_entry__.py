@@ -2220,6 +2220,22 @@ def q_pipeline_clean_corpus(spark, sf_dir):
                      F.sum("n_bpe").cast("long").alias("total_bpe")))
 
 
+def q_docs_mojibake_repair(spark, sf_dir):
+    # mojibake repair (r14.5, ftfy-lite core): the query constructs
+    # non-ASCII clean text from each document (the corpus itself is
+    # ASCII — a repair over it would be vacuous), injects the fault
+    # (UTF-8 bytes read as Latin-1), repairs, and emits the repaired
+    # md5 — the oracle re-derives the SAME md5 from clean SQL text, so
+    # the check is the exact inverse property repair(mangle(x)) == x.
+    docs = _t(spark, sf_dir, "documents")
+    clean = F.concat(F.col("text"), F.lit(" café №"),
+                     F.col("doc_id").cast("string"),
+                     F.lit(" — ü"))
+    repaired = tx.mojibake_repair(tx.mojibake_mangle(clean))
+    return docs.select("doc_id",
+                       F.md5(repaired).alias("repaired_md5"))
+
+
 def q_corpus_stratified_sample(spark, sf_dir):
     # per-stratum deterministic sampling (r14.5): hand-chosen keep
     # rates per language, absent strata at the default — the same
@@ -4405,6 +4421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_corpus_stratified_sample,  # ~
         #   LLM pipeline tier (r14.5): hand-rate per-stratum sampling
         #   on the same keyed-hash bucket filter
+        "docs_mojibake_repair": q_docs_mojibake_repair,  # ~ text
+        #   cleaning tier (r14.5): latin-1/utf-8 round-trip repair,
+        #   checked via the exact inverse property
         "stream_replay": q_stream_replay,  # ~ write path (r14): W1
         #   bulk-build + two incremental mutation batches through
         #   apply_mutation_batch — LWW window, tombstone policy, empty-
@@ -6982,6 +7001,14 @@ def oracle_sql() -> dict[str, str]:
         # summation order via the running-cumsum-last-row trick, the
         # identical (budget*(w/z))/n operation order, then the
         # mix_rebalance bucket arithmetic with cut = round(f*10000)
+        # docs_mojibake_repair (r14.5): the oracle constructs the
+        # EXPECTED clean text directly — repair(mangle(x)) == x
+        "docs_mojibake_repair": """
+            SELECT doc_id,
+                   md5(text || ' café №' || doc_id || ' — ü')
+                       AS repaired_md5
+            FROM documents
+        """,
         # corpus_stratified_sample (r14.5): the identical bucket
         # arithmetic with per-language cuts (en 0.5, de 0.2, else 0.1)
         "corpus_stratified_sample": """

@@ -550,6 +550,57 @@ def nfc_normalize(col: Column) -> Column:
     return pandas_udf(_norm, "string")(col)
 
 
+def mojibake_repair(col: Column, max_passes: int = 2) -> Column:
+    """Repair UTF-8-read-as-Latin-1 mojibake ("café" → "cafÃ©"): per
+    value, re-encode as latin-1 and re-decode as UTF-8 while that
+    round-trip is valid AND changes the string, up to ``max_passes``
+    (double-encoded text needs two). Pure-ASCII and already-clean text
+    are fixed points (the latin-1→utf-8 trip reproduces them), so the
+    repair is idempotent and safe to run corpus-wide — the ftfy-lite
+    core heuristic. Arrow-batched pandas UDF (encode/decode has no
+    Column form); the oracle checks the INVERSE property instead of
+    replaying it: repair(mangle(x)) == x with the expected value
+    constructed from clean source text in plain SQL."""
+    from pyspark.sql.functions import pandas_udf
+
+    passes = int(max_passes)
+    if passes < 1:
+        raise ValueError("max_passes must be >= 1")
+
+    def _fix_one(x):
+        if x is None:
+            return None
+        cur = x
+        for _ in range(passes):
+            try:
+                cand = cur.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                break
+            if cand == cur:
+                break
+            cur = cand
+        return cur
+
+    def _fix(s):
+        return s.map(_fix_one)
+
+    return pandas_udf(_fix, "string")(col)
+
+
+def mojibake_mangle(col: Column) -> Column:
+    """The inverse fault injector: UTF-8 bytes re-read as Latin-1 —
+    what a mis-configured reader does to clean text. Test/oracle
+    helper for :func:`mojibake_repair` (latin-1 decodes any byte, so
+    this never fails)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _mangle(s):
+        return s.map(lambda x: None if x is None
+                     else x.encode("utf-8").decode("latin-1"))
+
+    return pandas_udf(_mangle, "string")(col)
+
+
 def normalized_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
     return F.regexp_replace(F.lower(F.trim(col)), WS, " ")

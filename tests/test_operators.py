@@ -1709,3 +1709,32 @@ def test_stratified_sample_rates_and_determinism(spark):
         packing.stratified_sample(df, "doc_id", "lang", {"en": 1.5})
     with pytest.raises(ValueError, match="non-empty"):
         packing.stratified_sample(df, "doc_id", "lang", {})
+
+
+def test_mojibake_repair_round_trip_and_idempotence(spark):
+    rows = [(1, "café déjà vu — naïve"),        # single-encoded fault
+            (2, "plain ascii stays put"),
+            (3, "mixed: №5 ü ß € 中文"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mangled = df.select("doc_id",
+                        tx.mojibake_mangle(F.col("text")).alias("bad"))
+    # the fault actually corrupts non-ASCII text
+    bad = {r["doc_id"]: r["bad"] for r in mangled.collect()}
+    assert bad[1] != rows[0][1] and "Ã" in bad[1]
+    assert bad[2] == rows[1][1]
+    fixed = mangled.select(
+        "doc_id", tx.mojibake_repair(F.col("bad")).alias("good"))
+    got = {r["doc_id"]: r["good"] for r in fixed.collect()}
+    assert got == {1: rows[0][1], 2: rows[1][1], 3: rows[2][1], 4: None}
+    # double-encoded text repairs in two passes
+    double = df.where("doc_id = 1").select(tx.mojibake_mangle(
+        tx.mojibake_mangle(F.col("text"))).alias("bad2"))
+    r2 = double.select(tx.mojibake_repair(F.col("bad2")).alias("g")).first()
+    assert r2["g"] == rows[0][1]
+    # idempotent on clean text
+    clean = df.where("doc_id = 1").select(
+        tx.mojibake_repair(F.col("text")).alias("g")).first()
+    assert clean["g"] == rows[0][1]
+    with pytest.raises(ValueError, match="max_passes"):
+        tx.mojibake_repair(F.col("text"), max_passes=0)
