@@ -2220,6 +2220,14 @@ def q_pipeline_clean_corpus(spark, sf_dir):
                      F.sum("n_bpe").cast("long").alias("total_bpe")))
 
 
+def q_corpus_token_stats(spark, sf_dir):
+    # corpus vocabulary report (r14.5): the dataset-card numbers —
+    # totals, vocab size, hapax fraction, top-token share.
+    from cassandra_es_index_spark.operators import lm_score
+    return lm_score.corpus_token_stats(
+        _t(spark, sf_dir, "documents"), "text")
+
+
 def q_docs_mojibake_repair(spark, sf_dir):
     # mojibake repair (r14.5, ftfy-lite core): the query constructs
     # non-ASCII clean text from each document (the corpus itself is
@@ -4424,6 +4432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mojibake_repair": q_docs_mojibake_repair,  # ~ text
         #   cleaning tier (r14.5): latin-1/utf-8 round-trip repair,
         #   checked via the exact inverse property
+        "corpus_token_stats": q_corpus_token_stats,  # ~ corpus report
+        #   (r14.5): totals / vocab / hapax / top-token share
         "stream_replay": q_stream_replay,  # ~ write path (r14): W1
         #   bulk-build + two incremental mutation batches through
         #   apply_mutation_batch — LWW window, tombstone policy, empty-
@@ -7001,6 +7011,28 @@ def oracle_sql() -> dict[str, str]:
         # summation order via the running-cumsum-last-row trick, the
         # identical (budget*(w/z))/n operation order, then the
         # mix_rebalance bucket arithmetic with cut = round(f*10000)
+        # corpus_token_stats (r14.5): identical vocabulary algebra
+        "corpus_token_stats": r"""
+            WITH tok AS (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS token
+                FROM documents),
+            vocab AS (SELECT token, count(*)::BIGINT AS c
+                      FROM tok WHERE token <> '' GROUP BY token),
+            v AS (SELECT sum(c)::BIGINT AS total_tokens,
+                         count(*)::BIGINT AS vocab_size,
+                         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                             AS hapax,
+                         max(c) AS top1
+                  FROM vocab),
+            d AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+            SELECT d.n_docs, v.total_tokens, v.vocab_size,
+                   round(v.hapax / v.vocab_size, 6) AS hapax_frac,
+                   round(v.top1 / v.total_tokens, 6) AS top1_share,
+                   round(v.total_tokens / d.n_docs, 6)
+                       AS mean_doc_tokens
+            FROM d, v
+        """,
         # docs_mojibake_repair (r14.5): the oracle constructs the
         # EXPECTED clean text directly — repair(mangle(x)) == x
         "docs_mojibake_repair": """

@@ -81,6 +81,37 @@ def cross_entropy_score(df: DataFrame, id_col: str, text_col: str,
                      .alias("xent")))
 
 
+def corpus_token_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """One-row corpus vocabulary report — the numbers every dataset
+    card lists: ``n_docs``, ``total_tokens``, ``vocab_size``,
+    ``hapax_frac`` (vocabulary share occurring exactly once — the
+    Zipf tail), ``top1_share`` (corpus-mass share of the single most
+    frequent token), ``mean_doc_tokens``. Two map-side-combinable
+    aggregations (per-doc counts + the vocabulary frame), outputs
+    rounded 6 dp. Scale shape: vocabulary-sized intermediate, one
+    corpus scan feeding both aggs."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token")) \
+            .where(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    v = vocab.agg(
+        F.sum("c").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("_hapax"),
+        F.max("c").alias("_top1"))
+    d = df.agg(F.count("*").alias("n_docs"))
+    return (d.crossJoin(v)
+            .select("n_docs",
+                    F.col("total_tokens").cast("long")
+                    .alias("total_tokens"),
+                    F.col("vocab_size").cast("long").alias("vocab_size"),
+                    F.round(F.col("_hapax") / F.col("vocab_size"), 6)
+                    .alias("hapax_frac"),
+                    F.round(F.col("_top1") / F.col("total_tokens"), 6)
+                    .alias("top1_share"),
+                    F.round(F.col("total_tokens") / F.col("n_docs"), 6)
+                    .alias("mean_doc_tokens")))
+
+
 def ccnet_buckets(df: DataFrame, id_col: str, text_col: str,
                   model: DataFrame | None = None, k: float = 0.5,
                   lang_col: str | None = None,

@@ -1738,3 +1738,17 @@ def test_mojibake_repair_round_trip_and_idempotence(spark):
     assert clean["g"] == rows[0][1]
     with pytest.raises(ValueError, match="max_passes"):
         tx.mojibake_repair(F.col("text"), max_passes=0)
+
+
+def test_corpus_token_stats_hand_case(spark):
+    from cassandra_es_index_spark.operators import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a d")], "doc_id long, text string")
+    r = lm_score.corpus_token_stats(df, "text").first()
+    assert r["n_docs"] == 2
+    assert r["total_tokens"] == 6
+    assert r["vocab_size"] == 4            # a b c d
+    assert r["hapax_frac"] == pytest.approx(3 / 4)   # b c d
+    assert r["top1_share"] == pytest.approx(3 / 6)   # 'a' 3 of 6
+    assert r["mean_doc_tokens"] == pytest.approx(3.0)
