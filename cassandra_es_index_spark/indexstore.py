@@ -625,6 +625,42 @@ class ParquetIndexStore:
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 
+    # -- snapshot / restore (ES _snapshot analogue) ---------------------------
+
+    def snapshot(self, dest: str) -> dict:
+        """Copy the store's current files (every segment partition plus
+        the generation marker) to ``dest`` — the ES ``_snapshot`` API
+        analogue. Point-in-time consistency comes from the
+        log-structured layout: data files are immutable once written
+        and concurrent upserts only APPEND new-generation files, so a
+        file copy is always a consistent prefix of the log. Returns
+        ``{"files": n, "gen": g}``."""
+        if not self.exists():
+            raise ValueError(f"nothing to snapshot at {self.path!r}")
+        if os.path.exists(dest):
+            raise ValueError(f"snapshot destination {dest!r} already "
+                             "exists — snapshots are immutable, pick a "
+                             "new name")
+        shutil.copytree(self.path, dest)
+        n_files = sum(len(fs) for _, _, fs in os.walk(dest))
+        return {"files": n_files, "gen": self._current_gen()}
+
+    def restore(self, src: str, overwrite: bool = False) -> None:
+        """Replace this store's contents with a snapshot taken by
+        :meth:`snapshot`. Refuses to clobber an existing store unless
+        ``overwrite=True`` (the ES restore-into-existing-index error);
+        a directory without the generation marker is not a snapshot of
+        this store format and is typed-rejected."""
+        if not os.path.isfile(os.path.join(src, _GEN_FILE)):
+            raise ValueError(f"{src!r} is not an index-store snapshot "
+                             f"(missing {_GEN_FILE})")
+        if self.exists():
+            if not overwrite:
+                raise ValueError(f"store {self.path!r} already exists; "
+                                 "pass overwrite=True to replace it")
+            shutil.rmtree(self.path, ignore_errors=True)
+        shutil.copytree(src, self.path)
+
     # -- internals ----------------------------------------------------------
 
     def _rewrite_segments(self, data: DataFrame, segments: list[str]) -> None:

@@ -479,3 +479,47 @@ def test_bulk_typed_errors(spark, tmp_path, base):
         store.bulk(json.dumps({"delete": {}}))
     with pytest.raises(ValueError, match="malformed JSON"):
         store.bulk("{not json")
+
+
+def test_snapshot_and_restore_point_in_time(spark, tmp_path, base):
+    store = _store(spark, tmp_path)
+    store.build(base)
+    upd = spark.createDataFrame(
+        [("a", "updated body", 1, _ts(3), None)], base.schema)
+    store.upsert(upd)
+    snap = str(tmp_path / "snap1")
+    info = store.snapshot(snap)
+    assert info["files"] > 0 and info["gen"] >= 1
+
+    # mutate past the snapshot: another update + a delete
+    store.upsert(spark.createDataFrame(
+        [("b", "post-snapshot body", 2, _ts(4), None)], base.schema))
+    store.delete_ids(spark.createDataFrame([("c",)], f"{DOC_ID} string"))
+    assert store.count() == 2
+    post = {r[DOC_ID]: r["body"] for r in store.read().collect()}
+    assert post["b"] == "post-snapshot body"
+
+    # restore rewinds to the snapshot state exactly
+    store.restore(snap, overwrite=True)
+    assert store.count() == 3
+    got = {r[DOC_ID]: r["body"] for r in store.read().collect()}
+    assert got["a"] == "updated body"
+    assert got["b"] == "hello elastic"
+    assert "c" in got
+
+
+def test_snapshot_restore_typed_errors(spark, tmp_path, base):
+    store = _store(spark, tmp_path)
+    with pytest.raises(ValueError, match="nothing to snapshot"):
+        store.snapshot(str(tmp_path / "s0"))
+    store.build(base)
+    snap = str(tmp_path / "snap")
+    store.snapshot(snap)
+    with pytest.raises(ValueError, match="already exists"):
+        store.snapshot(snap)
+    with pytest.raises(ValueError, match="overwrite=True"):
+        store.restore(snap)
+    bad = tmp_path / "not_a_snapshot"
+    bad.mkdir()
+    with pytest.raises(ValueError, match="not an index-store snapshot"):
+        store.restore(str(bad), overwrite=True)
