@@ -2220,6 +2220,38 @@ def q_pipeline_clean_corpus(spark, sf_dir):
                      F.sum("n_bpe").cast("long").alias("total_bpe")))
 
 
+def q_pipeline_fineweb(spark, sf_dir):
+    # the r14.5 stages composed end-to-end (the FineWeb/RefinedWeb
+    # flow shape): Gopher rule battery → ExactSubstr dup-span removal
+    # over the survivors → linear-classifier keep on the CLEANED text
+    # → 64-token chunking. One declarative plan; the oracle chains the
+    # four stage CTEs. Thresholds tuned to the synthetic corpus so
+    # every stage drops something (battery 384/500, span floor,
+    # classifier at 0.49).
+    from cassandra_es_index_spark.operators import chunking, classify
+    docs = _t(spark, sf_dir, "documents")
+    g = tx.gopher_quality_flags(
+        docs, "doc_id", "text", min_words=30,
+        stop_words=("the", "a", "table", "value"), min_stop_hits=2)
+    kept = docs.join(
+        g.where("keep").select(F.col("doc").alias("doc_id")),
+        on="doc_id").select("doc_id", "text")
+    cleaned = dedup.remove_duplicate_spans(kept, "doc_id", "text",
+                                           span_tokens=20)
+    survivors = (cleaned
+                 .where(F.col("n_tokens") - F.col("n_removed") >= 10)
+                 .select(F.col("doc").alias("doc_id"), "text_clean"))
+    scored = classify.linear_quality_score(
+        survivors, "doc_id", "text_clean", _QC_WEIGHTS,
+        bias=-0.1, threshold=0.49)
+    sel = survivors.join(scored.where("keep").select("doc_id"),
+                         on="doc_id")
+    out = chunking.chunk_documents(sel, "doc_id", "text_clean",
+                                   chunk_tokens=64, overlap=0)
+    return out.select("doc_id", "chunk_id", "n_tokens",
+                      F.md5("chunk_text").alias("chunk_md5"))
+
+
 def q_corpus_token_stats(spark, sf_dir):
     # corpus vocabulary report (r14.5): the dataset-card numbers —
     # totals, vocab size, hapax fraction, top-token share.
@@ -4434,6 +4466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   checked via the exact inverse property
         "corpus_token_stats": q_corpus_token_stats,  # ~ corpus report
         #   (r14.5): totals / vocab / hapax / top-token share
+        "pipeline_fineweb": q_pipeline_fineweb,  # ~ composed flow
+        #   (r14.5): gopher → dup-span removal → classifier → chunks,
+        #   all four stage CTEs chained in the oracle
         "stream_replay": q_stream_replay,  # ~ write path (r14): W1
         #   bulk-build + two incremental mutation batches through
         #   apply_mutation_batch — LWW window, tombstone policy, empty-
@@ -7011,6 +7046,135 @@ def oracle_sql() -> dict[str, str]:
         # summation order via the running-cumsum-last-row trick, the
         # identical (budget*(w/z))/n operation order, then the
         # mix_rebalance bucket arithmetic with cut = round(f*10000)
+        # pipeline_fineweb (r14.5): the four r14.5 stages chained in
+        # one CTE pipeline — gopher battery, dup-span removal over the
+        # survivors, classifier on the CLEANED text, 64-token chunks
+        "pipeline_fineweb": r"""
+            WITH gt AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\s+'),
+                                   x -> x <> '') AS toks,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)),
+                           x -> trim(x)), x -> x <> '') AS lns
+                FROM documents),
+            gm AS (
+                SELECT doc_id, text,
+                       len(toks)::BIGINT AS n_words,
+                       round(list_sum(list_transform(toks,
+                             x -> length(x)::DOUBLE)) / len(toks),
+                             4) AS mean_word_len,
+                       round((length(text)
+                              - length(replace(text, '#', ''))
+                              + (length(text)
+                                 - length(replace(text, '...', '')))
+                                / 3
+                              + length(text)
+                              - length(replace(text, '…', '')))
+                             / len(toks), 6) AS symbol_ratio,
+                       CASE WHEN len(lns) > 0 THEN
+                           round(len(list_filter(lns,
+                               x -> regexp_matches(x, '^[-*•]')))
+                                 ::DOUBLE / len(lns), 6)
+                       ELSE 0.0 END AS bullet_line_frac,
+                       CASE WHEN len(lns) > 0 THEN
+                           round(len(list_filter(lns,
+                               x -> regexp_matches(x,
+                                                   '(\.\.\.|…)$')))
+                                 ::DOUBLE / len(lns), 6)
+                       ELSE 0.0 END AS ellipsis_line_frac,
+                       round(len(list_filter(toks,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                             ::DOUBLE / len(toks), 6)
+                           AS alpha_word_frac,
+                       len(list_intersect(
+                           list_distinct(list_transform(toks,
+                               x -> lower(x))),
+                           ['the','a','table','value']))::BIGINT
+                           AS stop_hits
+                FROM gt),
+            kept AS (
+                SELECT doc_id, text FROM gm
+                WHERE (n_words BETWEEN 30 AND 100000)
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_ratio <= 0.1
+                  AND bullet_line_frac <= 0.9
+                  AND ellipsis_line_frac <= 0.3
+                  AND alpha_word_frac >= 0.8
+                  AND stop_hits >= 2),
+            t2 AS (SELECT doc_id AS doc,
+                          regexp_split_to_array(trim(text),
+                                                '\s+') AS toks
+                   FROM kept),
+            occ AS (
+                SELECT doc, unnest(list_transform(
+                    range(0, len(toks) - 19),
+                    p -> {'p': p,
+                          'fp': md5(array_to_string(
+                              list_slice(toks, p + 1, p + 20),
+                              ' '))})) AS o
+                FROM t2),
+            o2 AS (SELECT doc, o.p AS p, o.fp AS fp FROM occ),
+            dups AS (SELECT fp FROM o2 GROUP BY fp
+                     HAVING count(*) >= 2),
+            cov AS (
+                SELECT DISTINCT doc, cpos FROM (
+                    SELECT doc, unnest(range(p, p + 20)) AS cpos
+                    FROM o2 JOIN dups USING (fp))),
+            covn AS (SELECT doc, count(*)::BIGINT AS n_removed
+                     FROM cov GROUP BY doc),
+            tokpos AS (
+                SELECT doc, unnest(list_transform(
+                    range(1, len(toks) + 1),
+                    i -> {'i': i - 1, 'tk': toks[i]})) AS e
+                FROM t2),
+            tpp AS (SELECT doc, e.i AS i, e.tk AS tk FROM tokpos),
+            keptt AS (
+                SELECT tpp.doc, tpp.i, tpp.tk
+                FROM tpp LEFT JOIN cov
+                     ON cov.doc = tpp.doc AND cov.cpos = tpp.i
+                WHERE cov.doc IS NULL),
+            surv AS (
+                SELECT t2.doc AS doc_id
+                FROM t2 LEFT JOIN covn c ON c.doc = t2.doc
+                WHERE len(t2.toks) - coalesce(c.n_removed, 0) >= 10),
+            ctoks AS (
+                SELECT k.doc AS doc_id,
+                       list(k.tk ORDER BY k.i) AS toks
+                FROM keptt k JOIN surv s ON s.doc_id = k.doc
+                GROUP BY k.doc),
+            w(token, weight) AS (VALUES
+                ('spark', 0.8), ('fast', 0.5), ('data', 0.4),
+                ('query', 0.3), ('vector', 0.2), ('the', -0.1),
+                ('scan', -0.2), ('slow', -0.6), ('boilerplate', -1.0)),
+            ctok AS (SELECT doc_id, lower(unnest(toks)) AS token
+                     FROM ctoks),
+            cs AS (
+                SELECT doc_id,
+                       round(avg(coalesce(w.weight, 0.0)), 6) AS mw
+                FROM ctok LEFT JOIN w USING (token)
+                GROUP BY doc_id),
+            selid AS (
+                SELECT doc_id FROM cs
+                WHERE round(1.0 / (1.0 + exp(-(-0.1 + mw))), 6)
+                      >= 0.49),
+            fin AS (SELECT c.doc_id, c.toks, len(c.toks) AS n
+                    FROM ctoks c JOIN selid USING (doc_id)
+                    WHERE len(c.toks) > 0),
+            ch AS (SELECT doc_id, toks, n,
+                          unnest(range(0, greatest(1,
+                              CAST(ceil(n / 64.0) AS BIGINT)))) AS k
+                   FROM fin)
+            SELECT doc_id, CAST(k AS INT) AS chunk_id,
+                   len(toks[k * 64 + 1:
+                            least(k * 64 + 64, n)])::BIGINT
+                       AS n_tokens,
+                   md5(array_to_string(
+                       toks[k * 64 + 1:least(k * 64 + 64, n)], ' '))
+                       AS chunk_md5
+            FROM ch
+        """,
         # corpus_token_stats (r14.5): identical vocabulary algebra
         "corpus_token_stats": r"""
             WITH tok AS (
