@@ -2220,6 +2220,18 @@ def q_pipeline_clean_corpus(spark, sf_dir):
                      F.sum("n_bpe").cast("long").alias("total_bpe")))
 
 
+def q_embedding_projection(spark, sf_dir):
+    # linear projection 64→8 (r14.5): the PCA-style reduction step
+    # before ANN indexing, with a CLOSED-FORM matrix both engines
+    # derive from index arithmetic — m[i][j] = ((i·64 + j) mod 7 − 3)
+    # / 10 — so the oracle needs no literal blob.
+    matrix = [[((i * 64 + j) % 7 - 3) / 10.0 for j in range(64)]
+              for i in range(8)]
+    out = similarity.project_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", matrix)
+    return out.select("vec_id", F.col("proj"))
+
+
 def q_pipeline_fineweb(spark, sf_dir):
     # the r14.5 stages composed end-to-end (the FineWeb/RefinedWeb
     # flow shape): Gopher rule battery → ExactSubstr dup-span removal
@@ -4469,6 +4481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_fineweb": q_pipeline_fineweb,  # ~ composed flow
         #   (r14.5): gopher → dup-span removal → classifier → chunks,
         #   all four stage CTEs chained in the oracle
+        "embedding_projection": q_embedding_projection,  # ~ embedding
+        #   toolbox (r14.5): offline-matrix projection, closed-form
+        #   matrix replayed by index arithmetic
         "stream_replay": q_stream_replay,  # ~ write path (r14): W1
         #   bulk-build + two incremental mutation batches through
         #   apply_mutation_batch — LWW window, tombstone policy, empty-
@@ -7046,6 +7061,17 @@ def oracle_sql() -> dict[str, str]:
         # summation order via the running-cumsum-last-row trick, the
         # identical (budget*(w/z))/n operation order, then the
         # mix_rebalance bucket arithmetic with cut = round(f*10000)
+        # embedding_projection (r14.5): proj_i = round(vec·m_i, 6)
+        # with the closed-form matrix re-derived from index arithmetic
+        "embedding_projection": """
+            SELECT vec_id,
+                   list_transform(range(0, 8), i ->
+                       round(list_sum(list_transform(range(1, 65),
+                           j -> embedding[j]::DOUBLE
+                                * (((i * 64 + (j - 1)) % 7 - 3)
+                                   / 10.0))), 6)) AS proj
+            FROM embeddings
+        """,
         # pipeline_fineweb (r14.5): the four r14.5 stages chained in
         # one CTE pipeline — gopher battery, dup-span removal over the
         # survivors, classifier on the CLEANED text, 64-token chunks

@@ -331,6 +331,29 @@ def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str
                      .alias("scale"))
 
 
+def project_embeddings(df: DataFrame, id_col: str, vec_col: str,
+                       matrix: list[list[float]],
+                       out_col: str = "proj") -> DataFrame:
+    """Apply an offline-trained linear projection (PCA / whitening /
+    random projection) to an embedding column: ``proj_i = round(vec ·
+    matrix_i, 6)`` — the dimension-reduction step run before ANN
+    indexing at scale (project 1536→64, then IVF/LSH the small
+    vectors). The matrix rides the plan as literals (k × dim doubles,
+    driver-side only); per-row work is k ordered dot products, one
+    corpus scan, no shuffle. Deterministic — element-order sums,
+    6-dp rounding — so a fixed matrix replays exactly in SQL."""
+    if not matrix or not matrix[0]:
+        raise ValueError("projection matrix must be non-empty")
+    width = len(matrix[0])
+    if any(len(row) != width for row in matrix):
+        raise ValueError("projection matrix rows must share one width")
+    v = as_double_array(F.col(vec_col))
+    rows = [F.round(_dot(v, F.lit([float(x) for x in row])
+                         .cast("array<double>")), 6)
+            for row in matrix]
+    return df.select(F.col(id_col), F.array(*rows).alias(out_col))
+
+
 # -- semantic dedup (SemDeDup) tier (r14) ----------------------------------
 #
 # The public SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):

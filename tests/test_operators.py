@@ -1752,3 +1752,24 @@ def test_corpus_token_stats_hand_case(spark):
     assert r["hapax_frac"] == pytest.approx(3 / 4)   # b c d
     assert r["top1_share"] == pytest.approx(3 / 6)   # 'a' 3 of 6
     assert r["mean_doc_tokens"] == pytest.approx(3.0)
+
+
+def test_project_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((10, 6)).astype("float32")
+    mat = rng.standard_normal((3, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["proj"] for r in similarity.project_embeddings(
+        df, "vec_id", "embedding", mat.tolist()).collect()}
+    want = np.round(vecs.astype("float64") @ mat.T, 6)
+    for i in range(10):
+        assert out[i] == pytest.approx(list(want[i]), abs=1e-9)
+    with pytest.raises(ValueError, match="non-empty"):
+        similarity.project_embeddings(df, "vec_id", "embedding", [])
+    with pytest.raises(ValueError, match="one width"):
+        similarity.project_embeddings(df, "vec_id", "embedding",
+                                      [[1.0, 2.0], [3.0]])
