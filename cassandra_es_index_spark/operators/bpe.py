@@ -124,8 +124,10 @@ def bpe_segment(df: DataFrame, id_col: str, text_col: str,
                 merges: list[tuple[str, str]]) -> DataFrame:
     """Apply a learned merge table: (id, bpe_tokens array<string>,
     n_bpe_tokens). One corpus scan — the merge folds compose into a
-    single whole-stage-codegen projection per document; word-end
-    markers are kept on the trailing subword (the Sennrich convention)."""
+    single projection per document; word-end markers are kept on the
+    trailing subword (the Sennrich convention). Documents with no
+    whitespace tokens produce no row (the groupBy convention shared
+    with cross_entropy_score)."""
     word_syms = _initial_symbols(F.col("word"))
     for left, right in merges:
         word_syms = _merge_pair(word_syms, left, right)
