@@ -2229,7 +2229,11 @@ def q_embedding_projection(spark, sf_dir):
               for i in range(8)]
     out = similarity.project_embeddings(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", matrix)
-    return out.select("vec_id", F.col("proj"))
+    # flattened (vec_id, dim, value) — scalar columns sort/hash in
+    # every comparator (array columns break the pandas sort in the
+    # parity twin)
+    return out.select("vec_id",
+                      F.posexplode("proj").alias("dim", "value"))
 
 
 def q_pipeline_fineweb(spark, sf_dir):
@@ -7064,13 +7068,16 @@ def oracle_sql() -> dict[str, str]:
         # embedding_projection (r14.5): proj_i = round(vec·m_i, 6)
         # with the closed-form matrix re-derived from index arithmetic
         "embedding_projection": """
-            SELECT vec_id,
-                   list_transform(range(0, 8), i ->
-                       round(list_sum(list_transform(range(1, 65),
-                           j -> embedding[j]::DOUBLE
-                                * (((i * 64 + (j - 1)) % 7 - 3)
-                                   / 10.0))), 6)) AS proj
-            FROM embeddings
+            SELECT vec_id, p.dim AS dim, p.value AS value FROM (
+                SELECT vec_id,
+                       unnest(list_transform(range(0, 8), i ->
+                           {'dim': CAST(i AS INT),
+                            'value': round(list_sum(list_transform(
+                                range(1, 65),
+                                j -> embedding[j]::DOUBLE
+                                     * (((i * 64 + (j - 1)) % 7 - 3)
+                                        / 10.0))), 6)})) AS p
+                FROM embeddings)
         """,
         # pipeline_fineweb (r14.5): the four r14.5 stages chained in
         # one CTE pipeline — gopher battery, dup-span removal over the
