@@ -7185,7 +7185,9 @@ def oracle_sql() -> dict[str, str]:
                      FROM ctoks),
             cs AS (
                 SELECT doc_id,
-                       round(avg(coalesce(w.weight, 0.0)), 6) AS mw
+                       sum(CAST(round(coalesce(w.weight, 0.0)
+                                      * 1000000.0) AS BIGINT))::DOUBLE
+                       / (1000000.0 * count(*)) AS mw
                 FROM ctok LEFT JOIN w USING (token)
                 GROUP BY doc_id),
             selid AS (
@@ -7628,8 +7630,10 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         # docs_quality_classifier (r14.5): the fixed weight table
-        # inlined as VALUES; mean token weight (OOV = 0) rounded 6dp
-        # before the logistic, bias −0.1, keep at 0.5
+        # inlined as VALUES; weights quantized ×10⁶ and summed in
+        # EXACT integer arithmetic (order-independent — a floating
+        # mean lands on rounding boundaries at this corpus shape),
+        # bias −0.1, keep at 0.5
         "docs_quality_classifier": r"""
             WITH w(token, weight) AS (VALUES
                 ('spark', 0.8), ('fast', 0.5), ('data', 0.4),
@@ -7642,7 +7646,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             s AS (
                 SELECT doc_id, count(*)::BIGINT AS n_tokens,
-                       round(avg(coalesce(w.weight, 0.0)), 6) AS mw
+                       sum(CAST(round(coalesce(w.weight, 0.0)
+                                      * 1000000.0) AS BIGINT))
+                           ::DOUBLE
+                       / (1000000.0 * count(*)) AS mw
                 FROM tok LEFT JOIN w USING (token)
                 GROUP BY doc_id)
             SELECT doc_id, n_tokens,

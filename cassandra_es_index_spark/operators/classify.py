@@ -44,19 +44,30 @@ def linear_quality_score(df: DataFrame, id_col: str, text_col: str,
 
     ``score = 1 / (1 + e^-(bias + mean_w))`` where ``mean_w`` is the
     document's mean token weight (OOV tokens weigh 0, counted in the
-    denominator), rounded to 6 dp before the logistic; ``keep`` is the
-    ``score >= threshold`` filter decision. ``weights`` may be a
-    (token, weight) DataFrame or a plain dict."""
+    denominator); ``keep`` is the ``score >= threshold`` filter
+    decision. ``weights`` may be a (token, weight) DataFrame or a
+    plain dict.
+
+    Determinism: per-token weights quantize to integers (×10⁶,
+    rounded) and the per-document SUM runs in exact integer
+    arithmetic — order-independent, so the mean is bit-identical in
+    any engine regardless of partition order. (A floating mean is
+    NOT: decimal weights over power-of-two doc lengths land exactly
+    on rounding boundaries, where sum-order ulps flip the rounded
+    value — caught by the sf0.1 oracle.)"""
     if isinstance(weights, dict):
         weights = weight_table(df.sparkSession, weights)
     tok = df.select(F.col(id_col),
                     F.explode(tokens(F.col(text_col))).alias("token"))
+    qw = F.round(F.coalesce(F.col("weight"), F.lit(0.0))
+                 * F.lit(1000000.0)).cast("long")
     scored = (tok.join(F.broadcast(weights), on="token", how="left")
               .groupBy(id_col)
               .agg(F.count("*").cast("long").alias("n_tokens"),
-                   F.round(F.avg(F.coalesce(F.col("weight"),
-                                            F.lit(0.0))), 6)
-                   .alias("_mw")))
+                   F.sum(qw).alias("_sw")))
+    scored = scored.withColumn(
+        "_mw", F.col("_sw").cast("double")
+        / (F.lit(1000000.0) * F.col("n_tokens")))
     score = F.round(
         F.lit(1.0) / (F.lit(1.0)
                       + F.exp(-(F.lit(float(bias)) + F.col("_mw")))), 6)
