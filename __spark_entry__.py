@@ -2276,6 +2276,22 @@ def q_corpus_token_stats(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "text")
 
 
+def q_docs_html_strip(spark, sf_dir):
+    # HTML extraction (r14.5): the corpus is plain text, so the query
+    # builds an HTML page around each document (tags + a script block
+    # + entities), strips it, and the oracle re-derives the expected
+    # text (collapsed source + the decoded entity suffix) directly.
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><style>p{color:red}</style></head><body>"
+              "<h1>T</h1><p class=\"x\">"),
+        F.col("text"),
+        F.lit("</p><script>var x = 1 < 2;</script>"
+              "<p>&amp;lt; &quot;q&quot; &nbsp;end</p></body></html>"))
+    return docs.select(
+        "doc_id", tx.html_to_text(page).alias("text_clean"))
+
+
 def q_docs_mojibake_repair(spark, sf_dir):
     # mojibake repair (r14.5, ftfy-lite core): the query constructs
     # non-ASCII clean text from each document (the corpus itself is
@@ -4480,6 +4496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mojibake_repair": q_docs_mojibake_repair,  # ~ text
         #   cleaning tier (r14.5): latin-1/utf-8 round-trip repair,
         #   checked via the exact inverse property
+        "docs_html_strip": q_docs_html_strip,  # ~ text cleaning tier
+        #   (r14.5): HTML extraction over a derived page fixture
         "corpus_token_stats": q_corpus_token_stats,  # ~ corpus report
         #   (r14.5): totals / vocab / hapax / top-token share
         "pipeline_fineweb": q_pipeline_fineweb,  # ~ composed flow
@@ -7231,6 +7249,17 @@ def oracle_sql() -> dict[str, str]:
                    round(v.total_tokens / d.n_docs, 6)
                        AS mean_doc_tokens
             FROM d, v
+        """,
+        # docs_html_strip (r14.5): the oracle re-derives the expected
+        # extraction directly from the clean source — the h1 text, the
+        # collapsed document, and the decoded entity suffix ("&amp;lt;"
+        # decodes to the literal text "&lt;", the double-decode pin)
+        "docs_html_strip": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       'T ' || text || ' &lt; "q" end',
+                       '\s+', ' ', 'g')) AS text_clean
+            FROM documents
         """,
         # docs_mojibake_repair (r14.5): the oracle constructs the
         # EXPECTED clean text directly — repair(mangle(x)) == x

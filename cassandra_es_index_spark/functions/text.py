@@ -550,6 +550,33 @@ def nfc_normalize(col: Column) -> Column:
     return pandas_udf(_norm, "string")(col)
 
 
+# html_to_text entity subset: decoded in THIS order — ``&amp;`` LAST,
+# so "&amp;lt;" decodes to the literal text "&lt;" (the classic
+# double-decode pitfall), and numeric entities stay as-is (documented
+# subset: no per-codepoint conversion in Column algebra)
+_HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                  ("&amp;", "&"))
+
+
+def html_to_text(col: Column) -> Column:
+    """Strip HTML to text — the first stage of a web-crawl pipeline
+    (the C4/RefinedWeb extraction step, the regex-chain subset):
+    script/style blocks drop with their CONTENT, every other tag
+    becomes a space, the common named entities decode (``&amp;``
+    last — see ``_HTML_ENTITIES``), and whitespace collapses to
+    single spaces. Every pattern is RE2-safe (non-greedy spans, no
+    backreferences — script and style are two separate passes for
+    that reason), so the identical chain replays in the SQL oracle.
+    Pure Column algebra: map-side, shuffle-free, codegen."""
+    x = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, WS, " "))
+
+
 def mojibake_repair(col: Column, max_passes: int = 2) -> Column:
     """Repair UTF-8-read-as-Latin-1 mojibake ("café" → "cafÃ©"): per
     value, re-encode as latin-1 and re-decode as UTF-8 while that

@@ -1773,3 +1773,26 @@ def test_project_embeddings_matches_numpy(spark):
     with pytest.raises(ValueError, match="one width"):
         similarity.project_embeddings(df, "vec_id", "embedding",
                                       [[1.0, 2.0], [3.0]])
+
+
+def test_html_to_text_tags_entities_blocks(spark):
+    rows = [
+        (1, "<html><body><p>Hello <b>world</b></p>"
+            "<script>if (a < b) { alert('x'); }</script>"
+            "<style>p { color: red; }</style>"
+            "<div>tail</div></body></html>"),
+        (2, "A &amp; B &lt;tag&gt; &quot;q&quot;&nbsp;&#39;s&#39;"),
+        (3, "&amp;lt; stays encoded-as-text"),
+        (4, "no markup at   all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean"] for r in df.select(
+        "doc_id", tx.html_to_text(F.col("text")).alias("clean")).collect()}
+    # script/style content drops entirely, tags become spaces
+    assert got[1] == "Hello world tail"
+    # named entities decode
+    assert got[2] == 'A & B <tag> "q" \'s\''
+    # &amp; decodes LAST: "&amp;lt;" is the literal text "&lt;"
+    assert got[3] == "&lt; stays encoded-as-text"
+    # whitespace collapses
+    assert got[4] == "no markup at all"
