@@ -6044,11 +6044,17 @@ def oracle_sql() -> dict[str, str]:
         # with the same integer arithmetic as _geo_events_engine; the
         # haversine/cell/tile math repeats functions/geo.py's operation
         # order so both engines bucket bit-identically
+        # the three geo filter oracles model the ES max-results cap
+        # (ties on the constant filter score break event_id asc — the
+        # engine's deterministic hit order): invisible at sf0.01
+        # (≤ 3.2k matches) but the sf0.1 sweep exceeds 10k
         "geo_distance_filter": f"""
             WITH g AS ({_GEO_CTE})
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND {_GEO_HAV} <= 4000000.0::DOUBLE
+            ORDER BY _score DESC, event_id ASC
+            LIMIT 10000
         """,
         # multimodal REAL PNG decode (r12 — was no-oracle): every
         # output re-derives from doc_id arithmetic because the pixel
@@ -6308,6 +6314,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND ({_poly_cond_sql(_GS_PTS)})
+            ORDER BY _score DESC, event_id ASC
+            LIMIT 10000
         """,
         # indexed_shape (r11): the stored GeoJSON resolves to the SAME
         # polygon, so the oracle is the inline query's verbatim
@@ -6316,6 +6324,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND ({_poly_cond_sql(_GS_PTS)})
+            ORDER BY _score DESC, event_id ASC
+            LIMIT 10000
         """,
         # _geo_distance sort (r9): top-50 nearest, same haversine op
         # order; distances round to 3 decimals on both sides (the sort
