@@ -5290,6 +5290,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             WHERE l.l_returnflag = 'R' AND l.l_quantity >= 45
             GROUP BY l.l_orderkey
+            ORDER BY _score DESC, o_orderkey ASC
+            LIMIT 10000
         """,
         # rescore window=50: rank by (primary desc, doc_id asc); in-window
         # docs combine 1.0×primary + 3.0×phrase-tf (qw×primary when the
@@ -6270,6 +6272,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 1::BIGINT AS _score
             FROM g
             WHERE lat IS NOT NULL AND ({_poly_cond_sql(_POLY_PTS)})
+            ORDER BY _score DESC, event_id ASC
+            LIMIT 10000
         """,
         # geo gauss decay (r11): same haversine text, python-emitted
         # ln(.5)/scale² constant, null → 1.0, round 6 both sides
