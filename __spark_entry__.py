@@ -3133,6 +3133,38 @@ def q_multimodal_mp4_meta(spark, sf_dir):
         aud["duration_ms"].alias("audio_ms"))
 
 
+def q_multimodal_mp4_frames(spark, sf_dir):
+    # REAL video frame decode (r14 — Motion-JPEG): deterministic
+    # 3-frame MJPEG movies from doc_id (4×4 constant-gray q95 JPEG
+    # frames — bit-exact by the DC-step rule the JPEG oracle pins —
+    # in a container with full stsd/stts/stsc/stsz/stco sample
+    # tables), sampled at every_ms=300 against 400 ms frames so the
+    # seek-to-keyframe rule repeats frame 0 at tick 300. Every output
+    # is doc_id/tick arithmetic — any sample-table offset/time bug or
+    # JPEG decode bug breaks the hash. Inter-frame codecs stay the
+    # typed MediaDecodeNotAvailable seam.
+    import numpy as _np
+    import pandas as _pd
+
+    from cassandra_es_index_spark.functions.jpeg import encode_jpeg
+    from cassandra_es_index_spark.functions.mp4 import build_mp4_video
+
+    ids = [r["doc_id"] for r in
+           _t(spark, sf_dir, "documents").select("doc_id")
+           .orderBy("doc_id").limit(40).collect()]
+
+    def movie(i):
+        frames = [encode_jpeg(_np.full((4, 4, 3), (i * 7 + j * 13) % 256,
+                                       dtype=_np.uint8), quality=95)
+                  for j in range(3)]
+        return build_mp4_video(frames, frame_ms=400, width=4, height=4)
+
+    pdf = _pd.DataFrame({"media_id": [str(i) for i in ids],
+                         "content": [movie(i) for i in ids]})
+    media = spark.createDataFrame(pdf, "media_id string, content binary")
+    return multimodal.decode_frames(media, every_ms=300)
+
+
 def _join_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     # parent/child join-field analogue (r12): orders = parent, lineitem
     # = child on the order key (SearchEngine.register_relation — the ES
@@ -4474,6 +4506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tier (r14): REAL ISO-BMFF container parsing over synthetic
         #   boxes; only mp4 frame payloads remain a typed seam
         #   (judge ask #5)
+        "multimodal_mp4_frames": q_multimodal_mp4_frames,  # ~
+        #   multimodal tier (r14): REAL Motion-JPEG frame decode via
+        #   the stsd/stts/stsc/stsz/stco sample tables + the baseline
+        #   JPEG codec; the media seam is now inter-frame codec
+        #   payloads (H.264/AAC) only
         "docs_importance": q_docs_importance,  # ~ LLM pipeline tier
         #   (r14): DSIR hashed-ngram importance weights, target=en
         #   subset vs raw corpus, portable md5-prefix buckets
@@ -6093,6 +6130,25 @@ def oracle_sql() -> dict[str, str]:
                    END AS audio_ms
             FROM (SELECT doc_id FROM documents
                   ORDER BY doc_id LIMIT 50)
+        """,
+        # multimodal REAL MJPEG frame decode (r14): ticks 0/300/600 vs
+        # 400 ms frames — the at-or-before seek rule gives frame
+        # j = tick // 400; constant-gray q95 frames decode bit-exactly
+        # so the mean is the doc_id/frame arithmetic itself
+        "multimodal_mp4_frames": """
+            WITH d AS (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT 40),
+            t AS (SELECT doc_id, tick
+                  FROM d CROSS JOIN (VALUES (0), (300), (600)) v(tick)),
+            f AS (SELECT doc_id, tick, tick // 400 AS j FROM t)
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   tick::BIGINT AS frame_ts_ms,
+                   (j * 400)::BIGINT AS sample_ms,
+                   4::INT AS width, 4::INT AS height,
+                   ((doc_id * 7 + j * 13) % 256)::DOUBLE AS mean_r,
+                   ((doc_id * 7 + j * 13) % 256)::DOUBLE AS mean_g,
+                   ((doc_id * 7 + j * 13) % 256)::DOUBLE AS mean_b
+            FROM f
         """,
         "multimodal_jpeg": """
             WITH d AS (SELECT doc_id, doc_id % 256 AS c

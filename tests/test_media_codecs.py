@@ -492,3 +492,101 @@ def test_frame_sample_mp4_real_durations(spark):
     assert got == [("v1", 0), ("v1", 1000), ("v1", 2000)]
     with pytest.raises(ValueError, match="every_ms"):
         multimodal.frame_sample_mp4(df, every_ms=0)
+
+
+# ------------------------------ mp4 sample tables + MJPEG frames (r14)
+
+
+def _mjpeg(colors, frame_ms=400, quality=95, codec="jpeg"):
+    import numpy as np
+
+    from cassandra_es_index_spark.functions.jpeg import encode_jpeg
+    from cassandra_es_index_spark.functions.mp4 import build_mp4_video
+
+    frames = [encode_jpeg(np.full((4, 4, 3), c, dtype=np.uint8),
+                          quality=quality) for c in colors]
+    return build_mp4_video(frames, frame_ms=frame_ms, width=4,
+                           height=4, codec=codec)
+
+
+def test_mp4_samples_round_trip():
+    from cassandra_es_index_spark.functions.jpeg import decode_jpeg
+    from cassandra_es_index_spark.functions.mp4 import mp4_samples
+
+    data = _mjpeg([10, 20, 30], frame_ms=40)
+    s = mp4_samples(data)
+    assert (s["codec"], s["track_id"]) == ("jpeg", 1)
+    assert [x["time_ms"] for x in s["samples"]] == [0, 40, 80]
+    # constant gray at q95 decodes bit-exactly (the JPEG oracle rule)
+    for smp, c in zip(s["samples"], (10, 20, 30)):
+        arr = decode_jpeg(data[smp["offset"]:smp["offset"]
+                               + smp["size"]])
+        assert arr.shape == (4, 4, 3) and int(arr[0, 0, 0]) == c
+
+
+def test_mp4_samples_typed_errors():
+    import pytest
+
+    from cassandra_es_index_spark.functions.mp4 import (
+        Mp4ParseError, build_mp4, mp4_samples,
+    )
+
+    meta_only = build_mp4(1000, tracks=[
+        {"track_id": 1, "handler": "vide", "duration_ms": 1000,
+         "language": "und", "width": 4, "height": 4}])
+    with pytest.raises(Mp4ParseError, match="complete sample table"):
+        mp4_samples(meta_only)
+    data = _mjpeg([10, 20])
+    with pytest.raises(Mp4ParseError, match="complete sample table"):
+        mp4_samples(data, track_id=7)
+    # truncating mdat makes the last sample overrun the file
+    with pytest.raises(Mp4ParseError, match="overruns"):
+        mp4_samples(data[:-200] + data[-150:])
+
+
+def test_mp4_stsc_multi_chunk_expansion():
+    from cassandra_es_index_spark.functions.mp4 import (
+        _expand_chunks, Mp4ParseError,
+    )
+    import pytest
+
+    # 5 chunks: first two hold 3 samples, rest hold 1 -> 3,3,1,1,1
+    assert _expand_chunks([(1, 3), (3, 1)], 5, 9) == [3, 3, 1, 1, 1]
+    with pytest.raises(Mp4ParseError, match="disagree"):
+        _expand_chunks([(1, 2)], 3, 5)
+    with pytest.raises(Mp4ParseError, match="chunk 1"):
+        _expand_chunks([(2, 1)], 2, 2)
+
+
+def test_decode_frames_mjpeg(spark):
+    import pandas as pd
+
+    from cassandra_es_index_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["a", "b"],
+                      "content": [_mjpeg([100, 200, 50]),
+                                  _mjpeg([7])]}),
+        "media_id string, content binary")
+    # every_ms=300 vs 400ms frames: ticks 0,300,600 -> samples 0,0,1
+    got = sorted((r["media_id"], r["frame_ts_ms"], r["sample_ms"],
+                  r["mean_r"]) for r in
+                 multimodal.decode_frames(df, every_ms=300).collect())
+    assert got == [("a", 0, 0, 100.0), ("a", 300, 0, 100.0),
+                   ("a", 600, 400, 200.0), ("b", 0, 0, 7.0)]
+
+
+def test_decode_frames_inter_frame_codec_typed(spark):
+    import pandas as pd
+    import pytest
+
+    from cassandra_es_index_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["x"],
+                      "content": [_mjpeg([1], codec="avc1")]}),
+        "media_id string, content binary")
+    with pytest.raises(Exception, match="avc1"):
+        multimodal.decode_frames(df).collect()
+    with pytest.raises(ValueError, match="every_ms"):
+        multimodal.decode_frames(df, every_ms=0)
