@@ -2461,6 +2461,22 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    # Cross-snapshot dedup (r14): a new crawl batch dedups against a
+    # seen corpus via a sparse Bloom prefilter + exact verification —
+    # the corpus is scanned, never shuffled. The seen side here is the
+    # doc_id % 3 == 0 slice with case/whitespace perturbations, so
+    # Bloom candidacy and verification must both run through the
+    # normalized fingerprint; verify=True makes the result EXACT (the
+    # Bloom only prunes), which is what the oracle replays.
+    docs = _t(spark, sf_dir, "documents")
+    seen = (docs.where(F.col("doc_id") % 3 == 0)
+            .select(F.concat(F.lit("  "), F.upper("text"),
+                             F.lit(" ")).alias("text")))
+    kept = dedup.incremental_dedup(docs, seen, "doc_id", "text")
+    return kept.select("doc_id", "lang", "n_chars")
+
+
 def q_dedup_jaccard(spark, sf_dir):
     # max_token_df=None pins the strictly-exact path: this query is
     # oracle-checked against an all-pairs SQL join, so the "auto" hot-token
@@ -4119,6 +4135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   the same chunking tier; green r06-r13, benched via
         #   pipeline_clean_corpus which composes it)
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,  # ~ dedup tier
+        #   (r14): cross-snapshot Bloom-prefilter dedup of a new batch
+        #   against a seen corpus — corpus scanned, never shuffled;
+        #   verify=True keeps the result exact (oracle replays it)
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "dedup_clusters": q_dedup_clusters,  # ~ dedup tier — rotated
         #   IN r14 (judge ask #1: first window check of near-dup
@@ -7148,6 +7168,17 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS representative_id
             FROM documents
             GROUP BY 1
+        """,
+        # r14 incremental dedup: the seen slice's perturbations (case,
+        # padding) normalize away, so seen fingerprints equal the raw
+        # slice's — kept = docs whose fingerprint is not in the slice
+        "dedup_incremental": r"""
+            WITH f AS (SELECT doc_id, lang, n_chars,
+                              md5(regexp_replace(trim(lower(text)),
+                                                 '\s+', ' ', 'g')) AS fp
+                       FROM documents)
+            SELECT doc_id, lang, n_chars FROM f
+            WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id % 3 = 0)
         """,
         # r14 temperature mix: sqrt weights, z pinned to lang-asc
         # summation order via the running-cumsum-last-row trick, the

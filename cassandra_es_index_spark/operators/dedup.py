@@ -725,3 +725,104 @@ def minhash_lsh_star_edges(df: DataFrame, id_col: str, text_col: str,
             .select(F.col("hub").alias("doc_a"),
                     F.col("doc").alias("doc_b"))
             .distinct())
+
+
+# --------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup — Bloom prefilter + exact verification
+# --------------------------------------------------------------------------
+
+
+def _bloom_positions(col, num_bits: int, num_hashes: int):
+    """array<long> of the value's Bloom bit positions: ``num_hashes``
+    independent xxhash64 streams (the seed ordinal is folded into the
+    hash input), each reduced mod ``num_bits``."""
+    return F.array(*[
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)])
+
+
+def _bloom_params(num_bits: int, num_hashes: int) -> None:
+    if not isinstance(num_bits, int) or num_bits < 8:
+        raise ValueError(f"num_bits must be an integer >= 8, "
+                         f"got {num_bits!r}")
+    if not isinstance(num_hashes, int) or not 1 <= num_hashes <= 16:
+        raise ValueError(f"num_hashes must be an integer in [1, 16], "
+                         f"got {num_hashes!r}")
+
+
+def bloom_build(seen_df: DataFrame, text_col: str,
+                num_bits: int = 1 << 22,
+                num_hashes: int = 5) -> DataFrame:
+    """The seen corpus's Bloom filter as a SPARSE frame of distinct
+    set-bit positions — one ``pos`` (long) row per set bit, bounded by
+    ``min(num_bits, num_hashes × n_docs)`` rows.
+
+    Membership hashes over the normalized-text ``fingerprint`` (the
+    exact-dedup key), so Bloom candidacy and exact verification agree
+    on normalization. The corpus is scanned once and never shuffled
+    wide: ``distinct`` on a single long column partial-aggregates
+    map-side, so the shuffle carries at most ``num_bits`` values per
+    input partition regardless of corpus size. Persist the result as
+    the snapshot artifact and pass it to ``incremental_dedup`` —
+    building once per snapshot and probing per batch is the
+    cross-snapshot shape."""
+    _bloom_params(num_bits, num_hashes)
+    fp = F.coalesce(fingerprint(F.col(text_col)), F.lit(""))
+    return (seen_df
+            .select(F.explode(_bloom_positions(
+                fp, num_bits, num_hashes)).alias("pos"))
+            .distinct())
+
+
+def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
+                      id_col: str, text_col: str,
+                      num_bits: int = 1 << 22, num_hashes: int = 5,
+                      verify: bool = True,
+                      bloom: DataFrame | None = None) -> DataFrame:
+    """Drop rows of ``new_df`` whose (normalized) text already appears
+    in ``seen_df`` — dedup of a new crawl batch against a seen corpus
+    WITHOUT shuffling the corpus.
+
+    Shape (the 100 TB path): the corpus collapses to a broadcastable
+    sparse Bloom frame (``bloom_build``; pass ``bloom=`` to reuse a
+    persisted snapshot filter). Each new doc probes it with one
+    broadcast join over its exploded bit positions; a doc is a
+    candidate only when ALL its positions hit. With ``verify=True``
+    (default) candidate fingerprints — true dups plus the Bloom's
+    ~(1-e^(-kn/m))^k false-positive sliver, a tiny frame — are
+    broadcast against one more corpus scan, so the final anti-join is
+    EXACT: the Bloom is purely a pruning device and false positives
+    cost a re-check, never a dropped doc. ``verify=False`` skips the
+    second scan and accepts the documented false-positive drops
+    (approximate tier, like the LSH family).
+
+    The seen corpus is scanned once (twice with verify), never
+    shuffled; only the new batch — the small side by construction —
+    shuffles, and only for its per-doc hit count."""
+    _bloom_params(num_bits, num_hashes)
+    if bloom is None:
+        bloom = bloom_build(seen_df, text_col, num_bits, num_hashes)
+    fp = F.coalesce(fingerprint(F.col(text_col)), F.lit(""))
+    new_fp = new_df.withColumn("_fp", fp)
+    probes = (new_fp
+              .select(id_col, "_fp",
+                      F.array_distinct(_bloom_positions(
+                          F.col("_fp"), num_bits,
+                          num_hashes)).alias("_ps"))
+              .select(id_col, "_fp", F.size("_ps").alias("_n"),
+                      F.explode("_ps").alias("pos")))
+    cand = (probes.join(F.broadcast(bloom), "pos")
+            .groupBy(id_col, "_fp", "_n")
+            .agg(F.count("*").alias("_hits"))
+            .where(F.col("_hits") == F.col("_n")))
+    if not verify:
+        return (new_fp.join(cand.select(id_col), id_col, "left_anti")
+                .drop("_fp"))
+    cand_fp = cand.select("_fp").distinct()
+    seen_dup_fp = (seen_df
+                   .select(F.coalesce(fingerprint(F.col(text_col)),
+                                      F.lit("")).alias("_fp"))
+                   .join(F.broadcast(cand_fp), "_fp", "left_semi")
+                   .distinct())
+    return (new_fp.join(F.broadcast(seen_dup_fp), "_fp", "left_anti")
+            .drop("_fp"))

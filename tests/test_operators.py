@@ -1796,3 +1796,79 @@ def test_html_to_text_tags_entities_blocks(spark):
     assert got[3] == "&lt; stays encoded-as-text"
     # whitespace collapses
     assert got[4] == "no markup at all"
+
+
+# ------------------------- incremental (Bloom) dedup (r14)
+
+
+def test_incremental_dedup_exact_vs_seen(spark):
+    from cassandra_es_index_spark.operators import dedup
+
+    new = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "unique one"),
+         (4, None)],
+        "doc_id long, text string")
+    # seen carries case/whitespace perturbations of docs 1 and 2 —
+    # normalization must still match them
+    seen = spark.createDataFrame(
+        [("  ALPHA   beta ",), ("Gamma Delta",), ("other corpus doc",)],
+        "text string")
+    kept = sorted(r["doc_id"] for r in
+                  dedup.incremental_dedup(new, seen, "doc_id", "text")
+                  .collect())
+    assert kept == [3, 4]
+    # null text in BOTH sides dedups too (coalesced sentinel key)
+    seen2 = spark.createDataFrame([(None,)], "text string")
+    kept2 = sorted(r["doc_id"] for r in
+                   dedup.incremental_dedup(new, seen2, "doc_id", "text")
+                   .collect())
+    assert kept2 == [1, 2, 3]
+
+
+def test_incremental_dedup_verify_exact_under_heavy_fp(spark):
+    from cassandra_es_index_spark.operators import dedup
+
+    new = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(40)],
+        "doc_id long, text string")
+    seen = new.where("doc_id % 4 = 0").select("text")
+    # 16-bit filter saturates -> every doc is a Bloom candidate, but
+    # verification keeps the result exact
+    kept = dedup.incremental_dedup(new, seen, "doc_id", "text",
+                                   num_bits=16, num_hashes=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == \
+        [i for i in range(40) if i % 4 != 0]
+    # verify=False on the saturated filter documents the approximate
+    # tier: candidates drop without the exactness re-check
+    approx = dedup.incremental_dedup(new, seen, "doc_id", "text",
+                                     num_bits=16, num_hashes=2,
+                                     verify=False)
+    assert approx.count() <= 30
+
+
+def test_incremental_dedup_reuses_prebuilt_bloom(spark):
+    from cassandra_es_index_spark.operators import dedup
+
+    new = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "cc")], "doc_id long, text string")
+    seen = spark.createDataFrame([("bb",)], "text string")
+    bloom = dedup.bloom_build(seen, "text")
+    kept = dedup.incremental_dedup(new, seen, "doc_id", "text",
+                                   bloom=bloom)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    # sparse frame is bounded by num_hashes x docs
+    assert bloom.count() <= 5
+
+
+def test_incremental_dedup_typed_params(spark):
+    import pytest
+
+    from cassandra_es_index_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="num_bits"):
+        dedup.bloom_build(df, "text", num_bits=4)
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.incremental_dedup(df, df, "doc_id", "text", num_hashes=0)
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.incremental_dedup(df, df, "doc_id", "text", num_hashes=17)
