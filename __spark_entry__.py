@@ -554,6 +554,20 @@ def q_events_offset_histogram(spark, sf_dir):
                            default_field="event_type")
 
 
+def q_events_dh_timezone(spark, sf_dir):
+    # date_histogram with a fixed-offset time_zone (r14): "+05:30" day
+    # buckets run 18:30→18:30 UTC — the Kibana dashboard idiom. The
+    # parse folds the zone into the shift-trunc-shift offset machinery
+    # (boundary = trunc(ts + tz) - tz); named IANA zones take the
+    # wall-clock truncation path (pinned in test_new_aggs).
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('{"query":{"match_all":{}},"aggs":{"d":{"date_histogram":'
+         '{"field":"ts","calendar_interval":"day",'
+         '"time_zone":"+05:30"}}}}')
+    return eng.search_aggs("events_capped", q,
+                           default_field="event_type")
+
+
 def q_search_script_fields(spark, sf_dir):
     # ES script_fields (r6): painless arithmetic over doc refs adds
     # response columns on the ≤k hit rows
@@ -1780,6 +1794,19 @@ def q_events_date_histogram(spark, sf_dir):
     return (out.withColumn("avg_value", F.round("avg_value", 4))
                .withColumn("vp_p50", F.round("vp_p50", 4))
                .withColumn("vp_p95", F.round("vp_p95", 4)))
+
+
+def q_search_range_timezone(spark, sf_dir):
+    # range-query time_zone (r14 graduation): zone-local bound strings
+    # resolve driver-side to UTC instants at parse — "+05:30" wall
+    # clock 2024-01-10 06:00 / 2024-01-25 00:00 are 00:30 / 18:30 UTC.
+    # Served from the ts range index like any plain bound.
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('#options:load-rows=false#'
+         '{"query":{"range":{"ts":{"gte":"2024-01-10 06:00:00",'
+         '"lt":"2024-01-25 00:00:00","time_zone":"+05:30"}}},'
+         '"size":1000000}')
+    return eng.search("events_capped", q)
 
 
 def q_search_date_math(spark, sf_dir):
@@ -4398,6 +4425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_offset_histogram": q_events_offset_histogram,  # r6
         #   date_histogram offset (oracle present, pytest-checked;
         #   window-capped)
+        "events_dh_timezone": q_events_dh_timezone,  # ~ agg family
+        #   (r14): date_histogram time_zone graduated — fixed offsets
+        #   fold into the offset machinery, named zones wall-clock
+        #   truncate (DST pinned in pytest)
         "search_script_fields": q_search_script_fields,  # r6 painless
         #   arithmetic columns (oracle present, pytest-checked;
         #   window-capped)
@@ -4519,6 +4550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapse": q_search_collapse,    # field collapsing (r5)
         "search_sqs": q_search_sqs,  # simple_query_string grammar (r5)
         "search_date_math": q_search_date_math,  # now-7d/d bounds (r6)
+        "search_range_timezone": q_search_range_timezone,  # ~ range
+        #   family (r14): time_zone graduated on range queries — zone-
+        #   local bounds resolve driver-side to UTC instants at parse
         "search_date_range_math": q_search_date_range_math,  # ~ agg
         #   family (r14): date-math now-1M/d bounds in date_range AGG
         #   buckets, resolved via the injectable now (judge ask #3)
@@ -5064,6 +5098,15 @@ def oracle_sql() -> dict[str, str]:
                    r.bg_count, r.score
             FROM par LEFT JOIN (SELECT * FROM ranked WHERE rn <= 5) r
                 USING (key)
+        """,
+        # r14 date_histogram time_zone "+05:30": boundary =
+        # trunc(ts + tz) - tz (day buckets start 18:30 UTC prior day)
+        "events_dh_timezone": """
+            SELECT date_trunc('day', ts + INTERVAL 330 MINUTE)
+                       - INTERVAL 330 MINUTE AS key,
+                   COUNT(*)::BIGINT AS doc_count
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1
         """,
         # r6 date_histogram offset "+6h": shift, truncate, shift back
         "events_offset_histogram": """
@@ -5854,6 +5897,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(i.dv_raw - LAG(i.dv_raw) OVER (
                         PARTITION BY o.key ORDER BY i.sub_key), 4) AS dd
             FROM o LEFT JOIN i USING (key)
+        """,
+        # r14 range time_zone "+05:30": local 06:00 / 00:00 bounds are
+        # 00:30 / 18:30 UTC the same/previous day
+        "search_range_timezone": """
+            SELECT event_id, 1::BIGINT AS _score
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:30:00'
+              AND ts <  TIMESTAMP '2024-01-24 18:30:00'
         """,
         # r6 date-math: now pinned to 2024-01-20T10:30:00 → gte now-7d/d
         # = 2024-01-13 00:00, lt now/d = 2024-01-20 00:00

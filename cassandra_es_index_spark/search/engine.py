@@ -6163,6 +6163,25 @@ class SearchEngine:
                            * F.lit(step) + F.lit(off), False)
                 return hk, hk
             if b.calendar_interval is not None:  # date_histogram
+                if b.time_zone:
+                    # named IANA time_zone (r14): DST-variable offset —
+                    # truncate in local wall-clock per instant
+                    # (from_utc/to_utc round-trip; fixed-offset zones
+                    # folded into b.offset at parse time never reach
+                    # here). ES offset applies within the zone.
+                    local = F.from_utc_timestamp(col.cast("timestamp"),
+                                                 b.time_zone)
+                    osec = int(b.offset or 0)
+                    if osec:
+                        sh = F.timestamp_seconds(
+                            F.unix_seconds(local) - osec)
+                        tr = F.timestamp_seconds(
+                            F.unix_seconds(F.date_trunc(
+                                b.calendar_interval, sh)) + osec)
+                    else:
+                        tr = F.date_trunc(b.calendar_interval, local)
+                    dk = clamp(F.to_utc_timestamp(tr, b.time_zone), True)
+                    return dk, dk
                 if b.offset:
                     # ES offset: shift, truncate, shift back — bucket
                     # boundaries move by the offset (day + "+6h" buckets

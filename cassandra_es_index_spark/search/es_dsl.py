@@ -78,7 +78,7 @@ _GENERIC_BUCKET_PARAMS = {
                   "min_doc_count", "extended_bounds", "hard_bounds"},
     "date_histogram": {"field", "calendar_interval", "fixed_interval",
                        "offset", "missing", "min_doc_count",
-                       "extended_bounds", "hard_bounds"},
+                       "extended_bounds", "hard_bounds", "time_zone"},
     "range": {"field", "ranges", "keyed"},
     "date_range": {"field", "ranges", "keyed", "format"},
     "filters": {"filters", "keyed", "other_bucket", "other_bucket_key"},
@@ -450,6 +450,70 @@ def _compile_bucket_script(name: str, script: str,
 _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
 
+def _fixed_tz_seconds(tz: str) -> int | None:
+    """Seconds east of UTC for a fixed-offset ``time_zone`` string
+    ("Z", "UTC", "GMT", "±HH", "±HHMM", "±HH:MM" — the ES-accepted
+    fixed forms); ``None`` for anything else (a named IANA zone)."""
+    if tz in ("Z", "UTC", "GMT"):
+        return 0
+    m = _re.fullmatch(r"([+-])(\d{2})(?::?(\d{2}))?", tz)
+    if m is None:
+        return None
+    hh, mm = int(m.group(2)), int(m.group(3) or 0)
+    if hh > 18 or mm > 59:
+        raise DslError(f"time_zone offset out of range: {tz!r}")
+    sec = hh * 3600 + mm * 60
+    return -sec if m.group(1) == "-" else sec
+
+
+def _apply_range_time_zone(tz: Any, lo: Any, hi: Any) -> tuple:
+    """Resolve a range query's ``time_zone`` (r14): string date bounds
+    WITHOUT an explicit offset are interpreted as wall-clock in the
+    zone and rewritten to concrete UTC instants; bounds carrying their
+    own offset/Z keep it (the ES rule: an explicit offset wins over
+    time_zone). Fixed offsets and named IANA zones both resolve
+    DRIVER-SIDE (the bound is a literal, so DST lookup is one zoneinfo
+    call, never per row). Numeric bounds (epoch values — zone-free by
+    definition) pass through. Date-math bounds typed-reject: zone-aware
+    `now/d` rounding is an engine subset — anchor the math on an
+    explicit-offset literal instead. Unparseable strings typed-reject —
+    time_zone asserts the field is a date, so silently skipping a
+    non-date bound would change the match set with no signal."""
+    from datetime import datetime, timedelta, timezone as _tzcls
+
+    if not isinstance(tz, str) or not tz:
+        raise DslError("range time_zone must be a non-empty string")
+    tzsec = _fixed_tz_seconds(tz)
+    if tzsec is not None:
+        tzinfo = _tzcls(timedelta(seconds=tzsec))
+    else:
+        try:
+            from zoneinfo import ZoneInfo
+            tzinfo = ZoneInfo(tz)
+        except Exception:
+            raise DslError(f"unknown time_zone {tz!r}")
+
+    def conv(v: Any) -> Any:
+        if v is None or not isinstance(v, str):
+            return v
+        if datemath.is_date_math(v):
+            raise DslError(
+                "range time_zone with date-math bounds is not "
+                "supported (engine subset) — use an explicit-offset "
+                "anchor in the expression instead")
+        try:
+            dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
+        except ValueError:
+            raise DslError(
+                f"range time_zone: unparseable date bound {v!r}")
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=tzinfo)
+        dt = dt.astimezone(_tzcls.utc).replace(tzinfo=None)
+        return dt.isoformat(sep=" ")
+
+    return conv(lo), conv(hi)
+
+
 def _pct_label(p: float) -> str:
     """50.0 → "50", 99.9 → "99_9" — column-name-safe percent label."""
     return (f"{p:g}").replace(".", "_")
@@ -780,6 +844,13 @@ class BucketAgg:
     multi_fields: tuple[str, ...] = ()
     calendar_interval: str | None = None    # date_histogram
     fixed_interval: str | None = None       # date_histogram ("30s","1h",…)
+    # date_histogram `time_zone` (r14): FIXED offsets ("Z", "±HH:MM",
+    # "±HHMM", "±HH") fold into `offset` at parse time (bucket
+    # boundary = trunc(ts + tz - offset) + offset - tz, i.e. the
+    # existing shift-trunc-shift machinery with an effective offset),
+    # so this field carries NAMED IANA zones only — their DST-variable
+    # offset needs per-instant wall-clock truncation in the engine
+    time_zone: str | None = None
     # terms bucket ordering: ((target, ascending), ...) criteria
     # applied left to right, where target is "_count", "_key", a
     # sub-metric agg name, or "<stats>.avg" etc. (ES `order` param —
@@ -3617,6 +3688,45 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 raise DslError("offset is a histogram/date_histogram "
                                "param")
 
+        tz_named = None
+        tz = params.get("time_zone")
+        if tz is not None:
+            if first_kind != "date_histogram":
+                raise DslError("time_zone is a date_histogram param")
+            if not isinstance(tz, str) or not tz:
+                raise DslError("time_zone must be a non-empty string")
+            tzsec = _fixed_tz_seconds(tz)
+            if tzsec is None:
+                # named IANA zone: the DST-variable offset rules out
+                # the effective-offset fold, so the engine truncates in
+                # local wall-clock per instant. Combinations that must
+                # GENERATE aligned keys outside the data (min_doc_count
+                # 0 spans, extended_bounds) typed-reject — fixed
+                # offsets cover those; fixed_interval's epoch alignment
+                # under a DST-variable zone is engine-ambiguous, so it
+                # typed-rejects too (ES resolves it with its own
+                # rounding prepare; fixed offsets reproduce it exactly)
+                try:
+                    from zoneinfo import ZoneInfo
+                    ZoneInfo(tz)
+                except Exception:
+                    raise DslError(f"unknown time_zone {tz!r}")
+                if params.get("fixed_interval") is not None:
+                    raise DslError(
+                        "a named time_zone needs calendar_interval "
+                        "(fixed-offset zones work with fixed_interval)")
+                if mdc == 0 or "extended_bounds" in params:
+                    raise DslError(
+                        "a named time_zone cannot combine with "
+                        "min_doc_count 0 / extended_bounds (key "
+                        "generation needs a fixed offset) — use a "
+                        "fixed-offset time_zone")
+                tz_named = tz
+            elif tzsec:
+                # boundary = trunc_zone(ts) + offset, trunc_zone(ts) =
+                # trunc(ts + tz) - tz → effective offset = offset - tz
+                offset = float(offset or 0.0) - tzsec
+
         def _inc_exc(key: str):
             raw = params.get(key)
             if raw is None:
@@ -3812,6 +3922,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
             exclude=exclude,
             calendar_interval=params.get("calendar_interval"),
             fixed_interval=params.get("fixed_interval"),
+            time_zone=tz_named,
             order=order,
             ranges=ranges,
             key_format=(params.get("format")
@@ -4355,16 +4466,23 @@ def _node(q: dict[str, Any]) -> Node:
         field, bounds = _single(body)
         if not isinstance(bounds, dict):
             raise DslError("range needs bounds object")
-        # format/time_zone change date PARSING and relation changes
+        # `format` changes date PARSING and `relation` changes
         # range-field semantics — mis-parsing silently would shift the
-        # bounds, so anything but the defaults typed-rejects (subset)
+        # bounds, so anything but the defaults typed-rejects (subset).
+        # `time_zone` GRADUATED r14: bounds are literals at parse time,
+        # so zone-local bound strings resolve driver-side to concrete
+        # UTC instants here — both serving paths (scan pushdown and
+        # range index) then see plain typed bounds.
         _leaf_params("range", bounds,
-                     {"gte", "gt", "lte", "lt", "boost", "relation"})
+                     {"gte", "gt", "lte", "lt", "boost", "relation",
+                      "time_zone"})
         if bounds.get("relation", "intersects") != "intersects":
             raise DslError("range: only relation 'intersects' is "
                            "supported (engine subset — scalar fields)")
         lo = bounds.get("gte", bounds.get("gt"))
         hi = bounds.get("lte", bounds.get("lt"))
+        if "time_zone" in bounds:
+            lo, hi = _apply_range_time_zone(bounds["time_zone"], lo, hi)
         return _boosted(Range(
             field,
             None if lo is None else _scalar(lo),

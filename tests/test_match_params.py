@@ -228,8 +228,14 @@ def test_bool_typed_errors(eng, q, msg):
      '"case_insensitive":false}}}}', "case_insensitive=false"),
     ('{"query":{"range":{"id":{"gte":1,"format":"epoch_millis"}}}}',
      "unsupported parameters"),
-    ('{"query":{"range":{"id":{"gte":1,"time_zone":"+01:00"}}}}',
-     "unsupported parameters"),
+    # time_zone GRADUATED r14 (see test_range_time_zone_*) — but it
+    # asserts date bounds, so a non-date string bound typed-rejects
+    ('{"query":{"range":{"text":{"gte":"apple",'
+     '"time_zone":"+01:00"}}}}', "unparseable date bound"),
+    ('{"query":{"range":{"id":{"gte":"now-7d/d",'
+     '"time_zone":"+01:00"}}}}', "date-math bounds"),
+    ('{"query":{"range":{"id":{"gte":1,"time_zone":"Mars/Olympus"}}}}',
+     "unknown time_zone"),
     ('{"query":{"range":{"id":{"gte":1,"relation":"within"}}}}',
      "intersects"),
     ('{"query":{"regexp":{"text":{"value":"a|b",'

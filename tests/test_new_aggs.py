@@ -395,7 +395,8 @@ def test_generic_bucket_param_allowlists(spark):
     (the r9 leaf-params lesson applied to aggs); `keyed` stays an
     accepted no-op (the flattened frame is always keyed). filters
     `other_bucket` GRADUATED from this reject list to implemented in
-    r12 (see test_filters_other_bucket)."""
+    r12 (see test_filters_other_bucket); date_histogram `time_zone`
+    GRADUATED in r14 (see the time_zone tests below)."""
     eng = SearchEngine(spark)
     eng.register(spark.createDataFrame([(1, "a", 5.0)],
                                        "id int, g string, v double"),
@@ -405,9 +406,6 @@ def test_generic_bucket_param_allowlists(spark):
          "shard_size"),
         ('{"aggs":{"h":{"histogram":{"field":"v","interval":5,'
          '"hard_bounds":{"min":0}}}}}', "hard_bounds"),
-        ('{"aggs":{"d":{"date_histogram":{"field":"v",'
-         '"calendar_interval":"day","time_zone":"+01:00"}}}}',
-         "time_zone"),
         ('{"aggs":{"h2":{"histogram":{"field":"v","interval":5,'
          '"order":{"_count":"desc"}}}}}', "order"),
     ]:
@@ -1934,3 +1932,121 @@ def test_moving_avg_typed_errors(spark):
                 "t": {"terms": {"field": "id"}, "aggs": {
                     "s": {"sum": {"field": "v"}},
                     "x": {"moving_avg": {"buckets_path": "s"}}}}}}))
+
+
+# ---------------------------------------------- time_zone (r14)
+
+
+def test_date_histogram_fixed_offset_time_zone(agg_engine):
+    rows = _aggs(agg_engine, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "time_zone": "+02:00"}}})
+    got = sorted((str(r["key"]), r["doc_count"]) for r in rows)
+    # +02:00 day buckets start at 22:00 UTC the previous day
+    assert got == [("2023-12-31 22:00:00", 2),
+                   ("2024-01-01 22:00:00", 1),
+                   ("2024-01-04 22:00:00", 1),
+                   ("2024-01-08 22:00:00", 1)]
+
+
+def test_date_histogram_negative_half_hour_zone(agg_engine):
+    rows = _aggs(agg_engine, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "time_zone": "-05:30"}}})
+    got = sorted((str(r["key"]), r["doc_count"]) for r in rows)
+    assert got == [("2023-12-31 05:30:00", 1),
+                   ("2024-01-01 05:30:00", 2),
+                   ("2024-01-04 05:30:00", 1),
+                   ("2024-01-09 05:30:00", 1)]
+
+
+def test_date_histogram_time_zone_with_offset(agg_engine):
+    # ES applies offset within the zone: +02:00 day + "+6h" offset ->
+    # boundaries at 06:00 local = 04:00 UTC
+    rows = _aggs(agg_engine, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day", "offset": "+6h",
+        "time_zone": "+02:00"}}})
+    keys = sorted(str(r["key"]) for r in rows)
+    assert all(k.endswith("04:00:00") for k in keys)
+    assert keys[0] == "2023-12-31 04:00:00"
+
+
+def test_date_histogram_fixed_zone_min_doc_count_zero(agg_engine):
+    # the parse-time effective-offset fold keeps the empty-bucket span
+    # machinery working under a fixed-offset zone
+    rows = _aggs(agg_engine, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "time_zone": "+02:00", "min_doc_count": 0}}})
+    keys = [str(r["key"]) for r in rows]
+    assert len(keys) == 9 and keys[0] == "2023-12-31 22:00:00" \
+        and keys[-1] == "2024-01-08 22:00:00"
+    by_key = {str(r["key"]): r["doc_count"] for r in rows}
+    assert by_key["2024-01-02 22:00:00"] == 0
+
+
+def test_date_histogram_named_zone_dst(spark):
+    # America/New_York day buckets across both 2024 DST transitions:
+    # truncation happens in local wall-clock, keys are UTC instants
+    eng = SearchEngine(spark)
+    df = (spark.createDataFrame(
+        [(1, "2024-03-10 06:30:00"),   # 01:30 EST (pre-spring-forward)
+         (2, "2024-03-10 12:00:00"),   # 08:00 EDT (same local day)
+         (3, "2024-11-03 06:30:00")],  # 01:30 EST (post-fall-back)
+        "id bigint, ts string")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    eng.register(df, TableSpec("nydocs", ["id"]))
+    q = json.dumps({"query": {"match_all": {}}, "aggs": {
+        "d": {"date_histogram": {"field": "ts",
+                                 "calendar_interval": "day",
+                                 "time_zone": "America/New_York"}}}})
+    got = sorted((str(r["key"]), r["doc_count"]) for r in
+                 eng.search_aggs("nydocs", q).collect())
+    # EST midnight = 05:00Z; EDT midnight = 04:00Z
+    assert got == [("2024-03-10 05:00:00", 2),
+                   ("2024-11-03 04:00:00", 1)]
+
+
+def test_date_histogram_time_zone_typed_errors(agg_engine):
+    def dh(extra):
+        return {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day", **extra}}}
+    with pytest.raises(DslError, match="unknown time_zone"):
+        _aggs(agg_engine, dh({"time_zone": "Mars/Olympus"}))
+    with pytest.raises(DslError, match="out of range"):
+        _aggs(agg_engine, dh({"time_zone": "+19:00"}))
+    with pytest.raises(DslError, match="unsupported params"):
+        _aggs(agg_engine, {"t": {"terms": {"field": "g",
+                                           "time_zone": "+01:00"}}})
+    with pytest.raises(DslError, match="calendar_interval"):
+        _aggs(agg_engine, {"d": {"date_histogram": {
+            "field": "ts", "fixed_interval": "1h",
+            "time_zone": "Europe/Paris"}}})
+    with pytest.raises(DslError, match="fixed-offset"):
+        _aggs(agg_engine, dh({"time_zone": "Europe/Paris",
+                              "min_doc_count": 0}))
+    with pytest.raises(DslError, match="fixed-offset"):
+        _aggs(agg_engine, dh({"time_zone": "Europe/Paris",
+                              "extended_bounds": {
+                                  "min": "2024-01-01 00:00:00",
+                                  "max": "2024-02-01 00:00:00"}}))
+
+
+def test_range_time_zone_shifts_date_bounds(agg_engine):
+    def n(bounds):
+        q = json.dumps({"query": {"range": {"ts": bounds}}})
+        return agg_engine.search("aggdocs", q).count()
+    # wall-clock 08:00 in +02:00 = 06:00Z -> the 06:00 row joins
+    assert n({"gte": "2024-01-01 08:00:00"}) == 3
+    assert n({"gte": "2024-01-01 08:00:00", "time_zone": "+02:00"}) == 4
+    # an explicit offset in the bound wins over time_zone (ES rule)
+    assert n({"gte": "2024-01-01T08:00:00+00:00",
+              "time_zone": "+02:00"}) == 3
+    # named zone resolves driver-side (CET = +1 in January)
+    assert n({"gte": "2024-01-01 01:00:00",
+              "time_zone": "Europe/Paris"}) == 5
+
+
+def test_range_time_zone_numeric_bounds_pass_through(agg_engine):
+    q = json.dumps({"query": {"range": {
+        "id": {"gte": 4, "time_zone": "+05:00"}}}})
+    assert agg_engine.search("aggdocs", q).count() == 3
