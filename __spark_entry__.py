@@ -1809,6 +1809,21 @@ def q_search_range_timezone(spark, sf_dir):
     return eng.search("events_capped", q)
 
 
+def q_search_range_format(spark, sf_dir):
+    # range-query format (r14 graduation): epoch_millis bounds (the
+    # Kibana time-picker wire format) and a dd/MM/yyyy custom pattern,
+    # both resolved driver-side at parse to plain UTC instants.
+    # 1704844800000 = 2024-01-10T00:00:00Z.
+    eng = _events_capped_engine(spark, sf_dir)
+    q = ('#options:load-rows=false#'
+         '{"query":{"bool":{"filter":['
+         '{"range":{"ts":{"gte":1704844800000,'
+         '"format":"epoch_millis"}}},'
+         '{"range":{"ts":{"lt":"25/01/2024",'
+         '"format":"dd/MM/yyyy||yyyy-MM-dd"}}}]}},"size":1000000}')
+    return eng.search("events_capped", q)
+
+
 def q_search_date_math(spark, sf_dir):
     # ES date-math range bounds (r6): the dashboard idiom `now-7d/d` /
     # `now/d` with an injected deterministic `now` — rewritten engine-side
@@ -4553,6 +4568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_range_timezone": q_search_range_timezone,  # ~ range
         #   family (r14): time_zone graduated on range queries — zone-
         #   local bounds resolve driver-side to UTC instants at parse
+        "search_range_format": q_search_range_format,  # ~ range family
+        #   (r14): format graduated — epoch_millis + custom-pattern
+        #   bounds parse driver-side (the Kibana wire format)
         "search_date_range_math": q_search_date_range_math,  # ~ agg
         #   family (r14): date-math now-1M/d bounds in date_range AGG
         #   buckets, resolved via the injectable now (judge ask #3)
@@ -5897,6 +5915,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(i.dv_raw - LAG(i.dv_raw) OVER (
                         PARTITION BY o.key ORDER BY i.sub_key), 4) AS dd
             FROM o LEFT JOIN i USING (key)
+        """,
+        # r14 range format: epoch_millis 1704844800000 = 2024-01-10,
+        # dd/MM/yyyy 25/01/2024 = 2024-01-25 (scored filter-only = 0)
+        "search_range_format": """
+            SELECT event_id, 0::BIGINT AS _score
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-25 00:00:00'
         """,
         # r14 range time_zone "+05:30": local 06:00 / 00:00 bounds are
         # 00:30 / 18:30 UTC the same/previous day

@@ -156,18 +156,14 @@ def resolve(expr: str, now: datetime, round_up: bool = False) -> datetime:
 _FMT_TOKENS = {"yyyy": "%Y", "MM": "%m", "dd": "%d", "HH": "%H",
                "mm": "%M", "ss": "%S"}
 _FMT_LITERALS = set("-:./ T_")
+_EPOCH = datetime(1970, 1, 1)   # naive-UTC epoch (engine convention)
 
 
-def key_formatter(fmt: str):
-    """Compile an ES date ``format`` string to a ``datetime -> str``
-    renderer. Named formats ``epoch_millis`` / ``epoch_second`` and the
-    token subset above are supported; anything else raises
-    ``DateMathError`` at parse time (typed — never a silently odd
-    key)."""
-    if fmt == "epoch_millis":
-        return lambda dt: str(int(epoch_millis(dt)))
-    if fmt == "epoch_second":
-        return lambda dt: str(int(epoch_millis(dt)) // 1000)
+def _fmt_pattern(fmt: str) -> str:
+    """Tokenize an ES date ``format`` string to a strftime/strptime
+    pattern (shared by ``key_formatter`` and ``key_parser``). The SSS
+    millisecond token compiles to the \\x00MS\\x00 marker the two
+    compilers post-process differently."""
     out = []
     i = 0
     while i < len(fmt):
@@ -205,13 +201,65 @@ def key_formatter(fmt: str):
                     f"{fmt!r} (supported: yyyy MM dd HH mm ss SSS, "
                     "quoted literals, separators, epoch_millis, "
                     "epoch_second)")
-    pattern = "".join(out)
+    return "".join(out)
+
+
+def key_formatter(fmt: str):
+    """Compile an ES date ``format`` string to a ``datetime -> str``
+    renderer. Named formats ``epoch_millis`` / ``epoch_second`` and the
+    token subset above are supported; anything else raises
+    ``DateMathError`` at parse time (typed — never a silently odd
+    key)."""
+    if fmt == "epoch_millis":
+        return lambda dt: str(int(epoch_millis(dt)))
+    if fmt == "epoch_second":
+        return lambda dt: str(int(epoch_millis(dt)) // 1000)
+    pattern = _fmt_pattern(fmt)
 
     def render(dt: datetime) -> str:
         s = dt.strftime(pattern.replace("\x00MS\x00", "\x01"))
         return s.replace("\x01", f"{dt.microsecond // 1000:03d}")
 
     return render
+
+
+def key_parser(fmt: str):
+    """Compile an ES date ``format`` string to a ``str|num -> datetime``
+    parser — the INVERSE of ``key_formatter``, same token subset.
+    ``epoch_millis`` / ``epoch_second`` accept numbers or numeric
+    strings; pattern formats parse via strptime (missing lower-order
+    fields default to the unit start — the engine's documented
+    down-rounding convention for both bound sides). A non-matching
+    value raises ``DateMathError`` naming value and format."""
+    if fmt in ("epoch_millis", "epoch_second"):
+        scale = 1 if fmt == "epoch_millis" else 1000
+
+        def parse_epoch(v: object) -> datetime:
+            if isinstance(v, bool) or not isinstance(v, (int, float,
+                                                         str)):
+                raise DateMathError(
+                    f"value {v!r} does not match format {fmt!r}")
+            try:
+                n = int(str(v).strip())
+            except ValueError as e:
+                raise DateMathError(
+                    f"value {v!r} does not match format {fmt!r}") from e
+            return _EPOCH + timedelta(milliseconds=n * scale)
+
+        return parse_epoch
+    pattern = _fmt_pattern(fmt).replace("\x00MS\x00", "%f")
+
+    def parse(v: object) -> datetime:
+        if not isinstance(v, str):
+            raise DateMathError(
+                f"value {v!r} does not match format {fmt!r}")
+        try:
+            return datetime.strptime(v, pattern)
+        except ValueError as e:
+            raise DateMathError(
+                f"value {v!r} does not match format {fmt!r}") from e
+
+    return parse
 
 
 _DURATION_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ms|s|m|h|H|d|w)\s*$")

@@ -466,6 +466,46 @@ def _fixed_tz_seconds(tz: str) -> int | None:
     return -sec if m.group(1) == "-" else sec
 
 
+def _apply_range_format(fmt: Any, lo: Any, hi: Any) -> tuple:
+    """Resolve a range query's ``format`` (r14): bound values parse
+    through the ES format-pattern subset (``datemath.key_parser`` —
+    ``epoch_millis``/``epoch_second``/yyyy-MM-dd-HH-mm-ss-SSS tokens,
+    ``||``-separated fallback patterns tried left to right like ES) and
+    rewrite to plain ISO strings, so downstream — including a following
+    ``time_zone`` — sees ordinary date bounds. Missing lower-order
+    fields default to the unit start (the engine's documented
+    down-rounding convention on BOTH bound sides; ES rounds ``lte`` up
+    — documented deviation). A bound matching NO pattern typed-rejects
+    naming value and formats — never a silently shifted bound."""
+    if not isinstance(fmt, str) or not fmt:
+        raise DslError("range format must be a non-empty string")
+    try:
+        parsers = [datemath.key_parser(p) for p in fmt.split("||")]
+    except datemath.DateMathError as e:
+        raise DslError(str(e)) from e
+
+    def conv(v: Any) -> Any:
+        if v is None:
+            return v
+        if isinstance(v, str) and datemath.is_date_math(v):
+            raise DslError(
+                "range format with date-math bounds is not supported "
+                "(engine subset) — date math already carries its own "
+                "anchor syntax")
+        errs = []
+        for p in parsers:
+            try:
+                return p(v).isoformat(sep=" ")
+            except datemath.DateMathError as e:
+                errs.append(str(e))
+        raise DslError(f"range format: {errs[-1]}"
+                       if len(parsers) == 1 else
+                       f"range format: bound {v!r} matches none of the "
+                       f"patterns in {fmt!r}")
+
+    return conv(lo), conv(hi)
+
+
 def _apply_range_time_zone(tz: Any, lo: Any, hi: Any) -> tuple:
     """Resolve a range query's ``time_zone`` (r14): string date bounds
     WITHOUT an explicit offset are interpreted as wall-clock in the
@@ -4466,21 +4506,23 @@ def _node(q: dict[str, Any]) -> Node:
         field, bounds = _single(body)
         if not isinstance(bounds, dict):
             raise DslError("range needs bounds object")
-        # `format` changes date PARSING and `relation` changes
-        # range-field semantics — mis-parsing silently would shift the
-        # bounds, so anything but the defaults typed-rejects (subset).
+        # `relation` changes range-field semantics — anything but the
+        # default typed-rejects (engine subset). `format` and
         # `time_zone` GRADUATED r14: bounds are literals at parse time,
-        # so zone-local bound strings resolve driver-side to concrete
-        # UTC instants here — both serving paths (scan pushdown and
-        # range index) then see plain typed bounds.
+        # so custom-format bound strings parse and zone-local wall
+        # clocks resolve driver-side to concrete UTC instants here —
+        # both serving paths (scan pushdown and range index) then see
+        # plain typed bounds.
         _leaf_params("range", bounds,
                      {"gte", "gt", "lte", "lt", "boost", "relation",
-                      "time_zone"})
+                      "time_zone", "format"})
         if bounds.get("relation", "intersects") != "intersects":
             raise DslError("range: only relation 'intersects' is "
                            "supported (engine subset — scalar fields)")
         lo = bounds.get("gte", bounds.get("gt"))
         hi = bounds.get("lte", bounds.get("lt"))
+        if "format" in bounds:
+            lo, hi = _apply_range_format(bounds["format"], lo, hi)
         if "time_zone" in bounds:
             lo, hi = _apply_range_time_zone(bounds["time_zone"], lo, hi)
         return _boosted(Range(

@@ -226,8 +226,14 @@ def test_bool_typed_errors(eng, q, msg):
      "unsupported parameters"),
     ('{"query":{"term":{"text":{"value":"a",'
      '"case_insensitive":false}}}}', "case_insensitive=false"),
-    ('{"query":{"range":{"id":{"gte":1,"format":"epoch_millis"}}}}',
-     "unsupported parameters"),
+    # format GRADUATED r14 (see test_range_format_*) — unknown tokens
+    # and non-matching bounds still typed-reject
+    ('{"query":{"range":{"id":{"gte":1,"format":"QQQQ"}}}}',
+     "unsupported date format token"),
+    ('{"query":{"range":{"id":{"gte":"2024","format":"yyyy-MM-dd"}}}}',
+     "does not match format"),
+    ('{"query":{"range":{"id":{"gte":"now/d","format":"yyyy"}}}}',
+     "date-math bounds"),
     # time_zone GRADUATED r14 (see test_range_time_zone_*) — but it
     # asserts date bounds, so a non-date string bound typed-rejects
     ('{"query":{"range":{"text":{"gte":"apple",'

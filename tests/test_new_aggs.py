@@ -2050,3 +2050,26 @@ def test_range_time_zone_numeric_bounds_pass_through(agg_engine):
     q = json.dumps({"query": {"range": {
         "id": {"gte": 4, "time_zone": "+05:00"}}}})
     assert agg_engine.search("aggdocs", q).count() == 3
+
+
+def test_range_format_patterns_and_epoch(agg_engine):
+    def n(bounds):
+        q = json.dumps({"query": {"range": {"ts": bounds}}})
+        return agg_engine.search("aggdocs", q).count()
+    base = n({"gte": "2024-01-02 00:00:00"})
+    # custom pattern parses to the same instant
+    assert n({"gte": "02/01/2024", "format": "dd/MM/yyyy"}) == base
+    # epoch_millis accepts numbers and numeric strings (Kibana idiom)
+    ms = 1704153600000            # 2024-01-02T00:00:00Z
+    assert n({"gte": ms, "format": "epoch_millis"}) == base
+    assert n({"gte": str(ms), "format": "epoch_millis"}) == base
+    assert n({"gte": ms // 1000, "format": "epoch_second"}) == base
+    # ||-fallback patterns try left to right
+    assert n({"gte": "2024-01-02", "format": "dd/MM/yyyy||yyyy-MM-dd"}) \
+        == base
+    # missing lower-order fields default to the unit start
+    assert n({"gte": "2024", "format": "yyyy"}) == 5
+    # format then time_zone compose: 02/01/2024 wall clock in +06:00
+    assert n({"gte": "02/01/2024", "format": "dd/MM/yyyy",
+              "time_zone": "+06:00"}) == \
+        n({"gte": "2024-01-01 18:00:00"})
