@@ -3920,6 +3920,20 @@ def q_docs_keywords(spark, sf_dir):
     return keywords.top_tfidf_terms(docs, "doc_id", "text", k=3)
 
 
+def q_docs_pmi_pairs(spark, sf_dir):
+    # PMI collocations (r14): windowed co-occurrence (offsets 1-3) +
+    # pointwise-mutual-information ranking — the phrase-detection /
+    # word2vec-prep corpus stage. The score is the PMI RATIO (one
+    # pinned-order IEEE division chain over exact integer counts, so
+    # the oracle reproduces it bit-identically; PMI = ln(ratio) is
+    # monotonic and left to the caller — ln is libm-dependent at the
+    # last ulp).
+    from cassandra_es_index_spark.operators import collocations
+    docs = _t(spark, sf_dir, "documents")
+    return collocations.pmi_pairs(docs, "doc_id", "text",
+                                  window=4, min_count=5, top_k=50)
+
+
 # fixed offline-trained weight table for the classifier query — the
 # oracle inlines the identical VALUES list
 _QC_WEIGHTS = {"spark": 0.8, "fast": 0.5, "data": 0.4, "query": 0.3,
@@ -4095,9 +4109,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   in one frame (oracle re-derives with DuckDB windows/arg_max)
         "search_aggs_nested3": q_search_aggs_nested3,  # 3-level flatten-join
         "search_significant_terms": q_search_significant_terms,  # JLH (r5)
-        "search_highlight_fragments": q_search_highlight_fragments,
-        #   fragment shape, the ES default (r6); the whole-field variant
-        #   search_highlight is in the tail, green r05
+        "events_dh_timezone": q_events_dh_timezone,  # ~ agg family —
+        #   rotated IN r14.75 (first window check of the graduated
+        #   date_histogram time_zone machinery: fixed offsets fold into
+        #   the offset shift, named zones wall-clock truncate — DST
+        #   pinned in pytest); search_highlight_fragments demoted (the
+        #   highlight family keeps pytest pins + the tail oracles
+        #   search_highlight / search_highlight_no_match)
         "events_t_test": q_events_t_test,  # ~ statistics siblings —
         #   rotated IN r13 (judge ask #4: first window check of the
         #   t_test/KS/change_point family); search_sqs demoted to the
@@ -4151,11 +4169,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
         # --- relational: TPC-H, joins, setops, grouping sets ---
-        "multimodal_jpeg": q_multimodal_jpeg,  # ~ multimodal tier —
-        #   rotated IN r14 (judge ask #1: first window check of the
-        #   pure-numpy JPEG decode path); tpch_q1 demoted to the tail
-        #   (relational family keeps tpch_q3 join+agg and
-        #   cross_table_union in-window; q1 green r01-r13, benched)
+        "multimodal_mp4_frames": q_multimodal_mp4_frames,  # ~
+        #   multimodal tier — rotated IN r14.75 (first window check of
+        #   the Motion-JPEG frame decode: stsd/stts/stsc/stsz/stco
+        #   sample tables + the baseline JPEG codec — a strict superset
+        #   of multimodal_jpeg's decode path, which demoted to the tail
+        #   with its extract_features surface still pytest-pinned and
+        #   tail-oracled); the media seam is now inter-frame codec
+        #   payloads (H.264/AAC) only
         "tpch_q3": q_tpch_q3,
         "cross_table_union": q_cross_table_union,  # SetOps family rep
         #   (setop_intersect demoted to the tail r11 for search_rrf —
@@ -4440,10 +4461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_offset_histogram": q_events_offset_histogram,  # r6
         #   date_histogram offset (oracle present, pytest-checked;
         #   window-capped)
-        "events_dh_timezone": q_events_dh_timezone,  # ~ agg family
-        #   (r14): date_histogram time_zone graduated — fixed offsets
-        #   fold into the offset machinery, named zones wall-clock
-        #   truncate (DST pinned in pytest)
+        "search_highlight_fragments": q_search_highlight_fragments,
+        #   fragment shape, the ES default (r6); demoted r14.75 for
+        #   events_dh_timezone — whole-field variant search_highlight
+        #   also in the tail, green r05
         "search_script_fields": q_search_script_fields,  # r6 painless
         #   arithmetic columns (oracle present, pytest-checked;
         #   window-capped)
@@ -4547,6 +4568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   superset (r13): 3-itemset A-priori with full sub-pair prune
         "corpus_shuffle": q_corpus_shuffle,  # ~ LLM pipeline tier
         #   (r13): deterministic epoch-shuffle key, range-sort scale path
+        "docs_pmi_pairs": q_docs_pmi_pairs,  # ~ corpus analytics
+        #   (r14): windowed co-occurrence + PMI-ratio collocations —
+        #   phrase detection / word2vec prep; ratio emitted instead of
+        #   ln so the oracle is bit-exact (pinned IEEE op order)
         "docs_keywords": q_docs_keywords,  # ~ text analysis (r13):
         #   per-doc TF-IDF top-k, hash aggs + vocab join + rank window
         "search_collapse_inner_sorted": q_search_collapse_inner_sorted,
@@ -4578,11 +4603,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tier (r14): REAL ISO-BMFF container parsing over synthetic
         #   boxes; only mp4 frame payloads remain a typed seam
         #   (judge ask #5)
-        "multimodal_mp4_frames": q_multimodal_mp4_frames,  # ~
-        #   multimodal tier (r14): REAL Motion-JPEG frame decode via
-        #   the stsd/stts/stsc/stsz/stco sample tables + the baseline
-        #   JPEG codec; the media seam is now inter-frame codec
-        #   payloads (H.264/AAC) only
+        "multimodal_jpeg": q_multimodal_jpeg,  # ~ multimodal tier —
+        #   in-window r14 → demoted r14.75 for its strict superset
+        #   multimodal_mp4_frames (same decode_jpeg codec per frame);
+        #   extract_features surface stays pytest-pinned
         "docs_importance": q_docs_importance,  # ~ LLM pipeline tier
         #   (r14): DSIR hashed-ngram importance weights, target=en
         #   subset vs raw corpus, portable md5-prefix buckets
@@ -8954,6 +8978,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # corpus split (r12): the exact keyed-hash bucket arithmetic
         # (HUGEINT on the DuckDB side), cumulative fractions 0.9/0.95
+        # docs_pmi_pairs (r14): windowed pair self-join (offsets 1-3)
+        # + the identical pinned-order ratio division — no rounding
+        # needed because every operand is an exact integer count
+        "docs_pmi_pairs": r"""
+            WITH t AS (SELECT doc_id AS rid,
+                              string_split_regex(trim(lower(text)),
+                                                 '\s+') AS toks
+                       FROM documents),
+            p0 AS (SELECT rid, unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS i
+                   FROM t),
+            u AS (SELECT tok, count(*)::BIGINT AS c FROM p0 GROUP BY 1),
+            nt AS (SELECT count(*)::DOUBLE AS n_toks FROM p0),
+            pr AS (SELECT CASE WHEN a.tok <= b.tok
+                               THEN a.tok || ' ' || b.tok
+                               ELSE b.tok || ' ' || a.tok END AS pair
+                   FROM p0 a JOIN p0 b
+                     ON a.rid = b.rid AND b.i > a.i AND b.i <= a.i + 3),
+            pc AS (SELECT pair, count(*)::BIGINT AS c_xy
+                   FROM pr GROUP BY 1),
+            np AS (SELECT sum(c_xy)::DOUBLE AS n_pairs FROM pc)
+            SELECT pc.pair, pc.c_xy,
+                   (pc.c_xy::DOUBLE * nt.n_toks * nt.n_toks)
+                       / (np.n_pairs * u1.c * u2.c) AS pmi_ratio
+            FROM pc
+            CROSS JOIN np CROSS JOIN nt
+            JOIN u u1 ON u1.tok = split_part(pc.pair, ' ', 1)
+            JOIN u u2 ON u2.tok = split_part(pc.pair, ' ', 2)
+            WHERE pc.c_xy >= 5
+            ORDER BY pmi_ratio DESC, pair ASC
+            LIMIT 50
+        """,
         # docs_keywords (r13): identical tf/df/smoothed-idf algebra +
         # per-doc rank window
         "docs_keywords": r"""

@@ -1872,3 +1872,53 @@ def test_incremental_dedup_typed_params(spark):
         dedup.incremental_dedup(df, df, "doc_id", "text", num_hashes=0)
     with pytest.raises(ValueError, match="num_hashes"):
         dedup.incremental_dedup(df, df, "doc_id", "text", num_hashes=17)
+
+
+# ------------------------- PMI collocations (r14)
+
+
+def test_pmi_pairs_brute_force_parity(spark):
+    import collections
+
+    from cassandra_es_index_spark.operators.collocations import pmi_pairs
+
+    docs = ["big data big data pipeline", "big data flows fast",
+            "data pipeline runs", "fast data fast data"]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = [(r["pair"], r["c_xy"], r["pmi_ratio"]) for r in
+           pmi_pairs(df, "doc_id", "text", window=3, min_count=2,
+                     top_k=10).collect()]
+
+    uni = collections.Counter()
+    pc = collections.Counter()
+    ntok = 0
+    for d in docs:
+        t = d.split()
+        ntok += len(t)
+        uni.update(t)
+        for i in range(len(t)):
+            for j in (1, 2):
+                if i + j < len(t):
+                    a, b = sorted((t[i], t[i + j]))
+                    pc[(a, b)] += 1
+    npairs = sum(pc.values())
+    exp = sorted(
+        ((f"{a} {b}", c, (c * ntok * ntok) / (npairs * uni[a] * uni[b]))
+         for (a, b), c in pc.items() if c >= 2),
+        key=lambda x: (-x[2], x[0]))[:10]
+    assert got == exp
+
+
+def test_pmi_pairs_typed_params(spark):
+    import pytest
+
+    from cassandra_es_index_spark.operators.collocations import pmi_pairs
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        pmi_pairs(df, "doc_id", "text", window=1)
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_pairs(df, "doc_id", "text", min_count=0)
+    with pytest.raises(ValueError, match="top_k"):
+        pmi_pairs(df, "doc_id", "text", top_k=0)
