@@ -3920,6 +3920,40 @@ def q_docs_keywords(spark, sf_dir):
     return keywords.top_tfidf_terms(docs, "doc_id", "text", k=3)
 
 
+def q_warc_ingest(spark, sf_dir):
+    # WARC crawl ingestion (r14): deterministic archives from doc_id —
+    # each holds a warcinfo record (skipped), an HTML response wrapping
+    # the document text (status 200), and a text/plain 404 — with the
+    # per-record-gzip .warc.gz layout on even ids so both wire forms
+    # are exercised. Every output re-derives from documents.text, so
+    # any header/Content-Length/boundary bug breaks the hash.
+    import pandas as _pd
+
+    from cassandra_es_index_spark.functions.warc import build_warc
+    from cassandra_es_index_spark.operators import web_ingest
+
+    rows = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .orderBy("doc_id").limit(40).collect())
+
+    def archive(r):
+        html = f"<html><body><p>{r['text']}</p></body></html>"
+        return build_warc(
+            [{"url": f"http://corpus.test/doc/{r['doc_id']}",
+              "date": "2024-01-02T03:04:05Z", "body": html},
+             {"url": f"http://corpus.test/missing/{r['doc_id']}",
+              "date": "2024-01-02T03:04:06Z",
+              "body": f"gone {r['doc_id']}", "status": 404,
+              "content_type": "text/plain"}],
+            compress=r["doc_id"] % 2 == 0)
+
+    pdf = _pd.DataFrame({
+        "archive_id": [str(r["doc_id"]) for r in rows],
+        "content": [archive(r) for r in rows]})
+    media = spark.createDataFrame(pdf,
+                                  "archive_id string, content binary")
+    return web_ingest.warc_responses(media)
+
+
 def q_docs_pmi_pairs(spark, sf_dir):
     # PMI collocations (r14): windowed co-occurrence (offsets 1-3) +
     # pointwise-mutual-information ranking — the phrase-detection /
@@ -4568,6 +4602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   superset (r13): 3-itemset A-priori with full sub-pair prune
         "corpus_shuffle": q_corpus_shuffle,  # ~ LLM pipeline tier
         #   (r13): deterministic epoch-shuffle key, range-sort scale path
+        "warc_ingest": q_warc_ingest,  # ~ source tier (r14): WARC
+        #   crawl archives (plain + per-record gzip) → response-page
+        #   rows — the head of the fineweb-style pipeline
         "docs_pmi_pairs": q_docs_pmi_pairs,  # ~ corpus analytics
         #   (r14): windowed co-occurrence + PMI-ratio collocations —
         #   phrase detection / word2vec prep; ratio emitted instead of
@@ -8978,6 +9015,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # corpus split (r12): the exact keyed-hash bucket arithmetic
         # (HUGEINT on the DuckDB side), cumulative fractions 0.9/0.95
+        # warc_ingest (r14): both response rows re-derive from
+        # documents.text (html wrap / 404 stub); warcinfo rows skipped
+        "warc_ingest": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       ORDER BY doc_id LIMIT 40),
+            p AS (
+                SELECT CAST(doc_id AS VARCHAR) AS archive_id,
+                       0 AS record_seq,
+                       'http://corpus.test/doc/' || doc_id AS url,
+                       '2024-01-02T03:04:05Z' AS warc_date,
+                       200 AS http_status, 'text/html' AS mime,
+                       octet_length(encode('<html><body><p>' || text
+                                           || '</p></body></html>'))
+                           ::BIGINT AS n_bytes,
+                       '<html><body><p>' || text
+                           || '</p></body></html>' AS body_text
+                FROM d
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), 1,
+                       'http://corpus.test/missing/' || doc_id,
+                       '2024-01-02T03:04:06Z', 404, 'text/plain',
+                       octet_length(encode('gone ' || doc_id))::BIGINT,
+                       'gone ' || doc_id
+                FROM d)
+            SELECT archive_id, record_seq::INT AS record_seq, url,
+                   warc_date, http_status::INT AS http_status, mime,
+                   n_bytes, body_text
+            FROM p
+        """,
         # docs_pmi_pairs (r14): windowed pair self-join (offsets 1-3)
         # + the identical pinned-order ratio division — no rounding
         # needed because every operand is an exact integer count

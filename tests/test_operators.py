@@ -1922,3 +1922,90 @@ def test_pmi_pairs_typed_params(spark):
         pmi_pairs(df, "doc_id", "text", min_count=0)
     with pytest.raises(ValueError, match="top_k"):
         pmi_pairs(df, "doc_id", "text", top_k=0)
+
+
+# ------------------------- WARC crawl ingestion (r14)
+
+
+def _pages():
+    return [{"url": "http://ex.com/a", "date": "2024-01-02T03:04:05Z",
+             "body": "<html><body><p>hello &amp; bye</p></body></html>"},
+            {"url": "http://ex.com/b", "date": "2024-01-02T03:04:06Z",
+             "body": "gone", "status": 404,
+             "content_type": "text/plain"}]
+
+
+def test_warc_round_trip_plain_and_gzip():
+    from cassandra_es_index_spark.functions.warc import (
+        build_warc, parse_warc,
+    )
+
+    for compress in (False, True):
+        recs = parse_warc(build_warc(_pages(), compress=compress))
+        assert recs[0]["type"] == "warcinfo"
+        rs = [r for r in recs if r["type"] == "response"]
+        assert [(r["target_uri"], r["http_status"],
+                 r["http_content_type"], r["body"].decode())
+                for r in rs] == [
+            ("http://ex.com/a", 200, "text/html", _pages()[0]["body"]),
+            ("http://ex.com/b", 404, "text/plain", "gone")]
+        # record lengths restore boundaries exactly
+        assert all(r["content_length"] >= len(r["body"]) for r in rs)
+
+
+def test_warc_typed_errors():
+    import pytest
+
+    from cassandra_es_index_spark.functions.warc import (
+        WarcParseError, build_warc, parse_warc,
+    )
+
+    with pytest.raises(WarcParseError, match="version line"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(WarcParseError, match="overruns"):
+        parse_warc(build_warc(_pages())[:-30])
+    with pytest.raises(WarcParseError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+    with pytest.raises(WarcParseError, match="gzip"):
+        parse_warc(b"\x1f\x8bnot really gzip data")
+
+
+def test_warc_responses_operator(spark):
+    import pandas as pd
+
+    from cassandra_es_index_spark.functions.warc import build_warc
+    from cassandra_es_index_spark.operators import web_ingest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"archive_id": ["w0", "w1"],
+                      "content": [build_warc(_pages()),
+                                  build_warc(_pages(),
+                                             compress=True)]}),
+        "archive_id string, content binary")
+    got = sorted((r["archive_id"], r["record_seq"], r["url"],
+                  r["http_status"], r["mime"], r["body_text"])
+                 for r in web_ingest.warc_responses(df).collect())
+    expected_one = [
+        (0, "http://ex.com/a", 200, "text/html", _pages()[0]["body"]),
+        (1, "http://ex.com/b", 404, "text/plain", "gone")]
+    assert got == [(aid, seq, url, st, mime, body)
+                   for aid in ("w0", "w1")
+                   for seq, url, st, mime, body in expected_one]
+
+
+def test_warc_to_clean_text_composes(spark):
+    # the fineweb head: WARC -> responses -> html_to_text
+    import pandas as pd
+
+    from cassandra_es_index_spark.functions.text import html_to_text
+    from cassandra_es_index_spark.functions.warc import build_warc
+    from cassandra_es_index_spark.operators import web_ingest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"archive_id": ["w"],
+                      "content": [build_warc(_pages())]}),
+        "archive_id string, content binary")
+    out = (web_ingest.warc_responses(df)
+           .where("http_status = 200 AND mime = 'text/html'")
+           .select(html_to_text(F.col("body_text")).alias("text")))
+    assert [r["text"] for r in out.collect()] == ["hello & bye"]
