@@ -120,6 +120,10 @@ HEADLINE = [
     "pii_redact",           # 4-pass regexp_replace chain + audit counts (r11)
     "contamination_flag",   # benchmark n-gram broadcast probe (r11)
     "dedup_exact",
+    "dedup_incremental",    # Bloom prefilter + exact verify, corpus
+    # never shuffled (r14.75)
+    "docs_pmi_pairs",       # windowed co-occurrence + PMI ratio
+    # (r14.75; zip_with pair arrays, floor-pruned joins)
     "dedup_clusters_lsh",   # star-edge LSH clustering + CC keep flags
     # (r13; the exact-pair twin dedup_clusters is oracle-checked in the
     # registry — its all-pairs input is quadratic in dup-cluster size
