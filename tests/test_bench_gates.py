@@ -106,3 +106,42 @@ def test_main_refuses_record_when_all_attempts_hot(monkeypatch, capsys):
     assert e.value.code == 1
     out = capsys.readouterr().out
     assert '"metric"' not in out     # the record line never printed
+
+
+def test_run_dispersion_retry_drops_wave_runs(monkeypatch):
+    """r14.75: two runs both landing in a GC wave ([5.69, 12.18]) must
+    not record the wave — the >2x dispersion loop collects steady-state
+    runs and the median-of-fastest-3 reports them."""
+    import bench
+
+    class _Noop:
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def save(self, *_):
+            return None
+
+    class _Df:
+        write = _Noop()
+
+    # per-run durations -> perf_counter absolute ticks (start, end)
+    durations = [5.69, 12.18, 1.8, 1.75]
+    ticks = []
+    t = 0.0
+    for d in durations:
+        ticks += [t, t + d]
+        t += d + 1.0
+    it = iter(ticks)
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(it))
+    timings = {}
+    bench._run({"q": lambda *_: _Df()}, "q", None, "sf", 2, timings)
+    assert timings["q"] == 1.8
+
+    # stable heavy entries keep single min-of-2 (no dispersion retry)
+    it = iter([0.0, 6.0, 7.0, 13.2])
+    timings = {}
+    bench._run({"q": lambda *_: _Df()}, "q", None, "sf", 2, timings)
+    assert timings["q"] == 6.0
