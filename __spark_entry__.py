@@ -2503,6 +2503,27 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_search_multi_index(spark, sf_dir):
+    # Multi-index search (r14.75): the Kibana index-pattern surface —
+    # "docs_*" expands over two registered corpus slices, the same
+    # term query runs on each, hits gain an _index column, and the
+    # union re-sorts globally by score (two-level gather-and-merge;
+    # per-index top-k is a superset of global top-k under score
+    # ordering). load-rows=false keeps the hit shape key+score.
+    key = _ck(spark, sf_dir, "eng:multi_index")
+    if key not in _CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        eng = SearchEngine(spark)
+        eng.register(docs.where(F.col("doc_id") % 2 == 0),
+                     TableSpec("docs_even", ["doc_id"]))
+        eng.register(docs.where(F.col("doc_id") % 2 == 1),
+                     TableSpec("docs_odd", ["doc_id"]))
+        _CACHE[key] = eng
+    return _CACHE[key].search(
+        "docs_*", "#options:load-rows=false#text:spark",
+        default_field="text", limit=1000000)
+
+
 def q_dedup_incremental(spark, sf_dir):
     # Cross-snapshot dedup (r14): a new crawl batch dedups against a
     # seen corpus via a sparse Bloom prefilter + exact verification —
@@ -4633,6 +4654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_range_format": q_search_range_format,  # ~ range family
         #   (r14): format graduated — epoch_millis + custom-pattern
         #   bounds parse driver-side (the Kibana wire format)
+        "search_multi_index": q_search_multi_index,  # ~ search surface
+        #   (r14.75): index patterns/comma lists — per-index search,
+        #   _index column, global score re-sort + re-cap
         "search_date_range_math": q_search_date_range_math,  # ~ agg
         #   family (r14): date-math now-1M/d bounds in date_range AGG
         #   buckets, resolved via the injectable now (judge ask #3)
@@ -5976,6 +6000,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(i.dv_raw - LAG(i.dv_raw) OVER (
                         PARTITION BY o.key ORDER BY i.sub_key), 4) AS dd
             FROM o LEFT JOIN i USING (key)
+        """,
+        # r14.75 multi-index: UNION of the two slices with the same
+        # term-tf score + the _index label
+        "search_multi_index": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_SPARK}'))::BIGINT
+                           AS _score,
+                       CASE WHEN doc_id % 2 = 0 THEN 'docs_even'
+                            ELSE 'docs_odd' END AS _index
+                FROM documents)
+            SELECT doc_id, _score, _index FROM t WHERE _score > 0
         """,
         # r14 range format: epoch_millis 1704844800000 = 2024-01-10,
         # dd/MM/yyyy 25/01/2024 = 2024-01-25 (scored filter-only = 0)

@@ -2028,6 +2028,108 @@ class SearchEngine:
         return (haversine_meters(lat, lon, F.lit(gs.lat), F.lit(gs.lon))
                 / F.lit(gs.unit_m))
 
+    def _expand_index_expr(self, expr: str) -> list[str]:
+        """ES index-expression resolution (r14.75): comma-separated
+        names and ``*`` wildcards over the REGISTERED table names
+        (``logs-*``, ``a,b`` — the Kibana index-pattern surface).
+        Plain names pass through untouched (the single-index fast
+        path). A pattern matching nothing and an empty list entry are
+        typed errors (ES's allow_no_indices=false posture — an empty
+        silent result set hides typos; documented deviation from the
+        ES default). Duplicate expansions dedupe, order is expression
+        order then name order within a pattern."""
+        if "," not in expr and "*" not in expr:
+            return [expr]
+        import fnmatch
+        names = sorted(self._docs)
+        out: list[str] = []
+        for part in (p.strip() for p in expr.split(",")):
+            if not part:
+                raise es_dsl.DslError(
+                    f"empty index name in expression {expr!r}")
+            if "*" in part:
+                hits = [n for n in names
+                        if fnmatch.fnmatchcase(n, part)]
+                if not hits:
+                    raise es_dsl.DslError(
+                        f"index pattern {part!r} matches no registered "
+                        f"index (registered: {', '.join(names)})")
+                out.extend(h for h in hits if h not in out)
+            else:
+                if part not in self._docs:
+                    raise es_dsl.DslError(
+                        f"unregistered index {part!r} in expression "
+                        f"{expr!r} (registered: {', '.join(names)})")
+                if part not in out:
+                    out.append(part)
+        return out
+
+    def _search_multi(self, tables: list[str], query: str,
+                      default_field: str | None,
+                      limit: int | None,
+                      search_after: list | tuple | None) -> DataFrame:
+        """Multi-index search (r14.75): the same request runs on every
+        expanded index, hits gain an ``_index`` column, and the union
+        re-sorts by (_score desc, _index asc, key columns) and re-caps
+        — per-index top-k under score ordering is a superset of the
+        global top-k, so this is the standard two-level
+        gather-and-merge. SUBSET contract (typed errors, no silent
+        drops): score ordering only — ``sort`` / ``search_after`` /
+        ``from`` / ``collapse`` don't compose across per-index anchors
+        and group spaces; admin verbs target one index; aggs/suggest
+        keep their search_aggs()/suggest_request() contract (those run
+        per single index). Differing schemas union by NAME with
+        missing columns null; a same-named column with conflicting
+        types is surfaced as a typed error."""
+        if search_after is not None:
+            raise es_dsl.DslError(
+                "search_after does not compose across a multi-index "
+                "expression (per-index keyset anchors) — page each "
+                "index separately")
+        qmd = QueryMetaData.parse(query)
+        if qmd.query.startswith("#"):
+            raise es_dsl.DslError(
+                "admin verbs target a single index — expand the "
+                "pattern and run them per index")
+        req = self._parse_request(qmd.query)
+        for attr, what in (("sort", "sort"),
+                           ("search_after", "search_after"),
+                           ("collapse", "collapse")):
+            if getattr(req, attr):
+                raise es_dsl.DslError(
+                    f"{what} does not compose across a multi-index "
+                    "expression (engine subset — score ordering only)")
+        if req.from_:
+            raise es_dsl.DslError(
+                "from does not compose across a multi-index "
+                "expression (engine subset — score ordering only)")
+        parts = []
+        for t in tables:
+            parts.append(self.search(t, query, default_field, limit)
+                         .withColumn("_index", F.lit(t)))
+        merged = parts[0]
+        try:
+            for p in parts[1:]:
+                merged = merged.unionByName(p,
+                                            allowMissingColumns=True)
+        except Exception as e:
+            raise es_dsl.DslError(
+                f"multi-index union failed — a same-named column "
+                f"carries conflicting types across "
+                f"{', '.join(tables)}: {e}") from e
+        order = [F.desc("_score"), F.asc("_index")]
+        seen: set = set()
+        for t in tables:
+            for kcol in self.catalog.get(t)[1].key_columns:
+                if kcol not in seen and kcol in merged.columns:
+                    seen.add(kcol)
+                    order.append(F.asc(kcol))
+        _, spec0 = self.catalog.get(tables[0])
+        k = limit if limit is not None else (
+            req.size if req.size is not None
+            else spec0.config().max_results)
+        return merged.orderBy(*order).limit(k)
+
     def search(self, table: str, query: str,
                default_field: str | None = None,
                limit: int | None = None,
@@ -2060,6 +2162,11 @@ class SearchEngine:
         ``_highlight_<field>`` columns wrapping query-term matches on
         the hit rows (see ``apply_highlight``).
         """
+        tables = self._expand_index_expr(table)
+        if len(tables) > 1:
+            return self._search_multi(tables, query, default_field,
+                                      limit, search_after)
+        table = tables[0]
         admin = self._admin(table, query)
         if admin is not None:
             return admin

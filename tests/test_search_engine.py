@@ -4059,3 +4059,86 @@ def test_highlight_no_match_size(spark):
     with pytest.raises(DslError, match="no_match_size"):
         eng.search("nms",
                    "#options:load-source=true#" + json.dumps(q))
+
+
+# ------------------------------------------- multi-index search (r14.75)
+
+
+@pytest.fixture()
+def multi_eng(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        [(1, "spark spark fast"), (2, "slow scan")],
+        "id int, body string"), TableSpec("logs_a", ["id"]))
+    eng.register(spark.createDataFrame(
+        [(10, "spark once"), (11, "nothing here")],
+        "id int, body string"), TableSpec("logs_b", ["id"]))
+    eng.register(spark.createDataFrame(
+        [(7, "other corpus spark")],
+        "id int, body string"), TableSpec("other", ["id"]))
+    return eng
+
+
+def test_multi_index_pattern_and_commas(multi_eng):
+    got = [(r["_index"], r["id"], r["_score"]) for r in
+           multi_eng.search("logs_*", "body:spark",
+                            default_field="body").collect()]
+    # global score order: tf 2 first, then tf 1 by index asc, id asc
+    assert got == [("logs_a", 1, 2), ("logs_b", 10, 1)]
+    got2 = [(r["_index"], r["id"]) for r in
+            multi_eng.search("logs_b,other", "body:spark",
+                             default_field="body").collect()]
+    assert got2 == [("logs_b", 10), ("other", 7)]
+    # dedup: overlapping expansion lists each index once
+    assert multi_eng.search("logs_*,logs_a", "body:spark",
+                            default_field="body").count() == 2
+    # single-name fast path: no _index column
+    assert "_index" not in multi_eng.search(
+        "logs_a", "body:spark", default_field="body").columns
+
+
+def test_multi_index_limit_caps_merged_result(multi_eng):
+    out = multi_eng.search("logs_*,other", "body:spark",
+                           default_field="body", limit=2)
+    got = [(r["_index"], r["id"]) for r in out.collect()]
+    # tf-2 hit first, then the tf-1 tie broken by index name asc
+    assert got == [("logs_a", 1), ("logs_b", 10)]
+
+
+def test_multi_index_schema_union_by_name(spark):
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame(
+        [(1, "spark", "extra")], "id int, body string, only_a string"),
+        TableSpec("u_a", ["id"]))
+    eng.register(spark.createDataFrame(
+        [(2, "spark")], "id int, body string"), TableSpec("u_b", ["id"]))
+    rows = {r["_index"]: r for r in eng.search(
+        "u_*", "body:spark", default_field="body").collect()}
+    assert rows["u_a"]["only_a"] == "extra"
+    assert rows["u_b"]["only_a"] is None
+
+
+def test_multi_index_typed_errors(multi_eng):
+    from cassandra_es_index_spark.search.es_dsl import DslError
+
+    with pytest.raises(DslError, match="matches no registered"):
+        multi_eng.search("nope_*", "body:x", default_field="body")
+    with pytest.raises(DslError, match="unregistered index"):
+        multi_eng.search("logs_a,missing", "body:x",
+                         default_field="body")
+    with pytest.raises(DslError, match="sort does not compose"):
+        multi_eng.search(
+            "logs_*",
+            '{"query":{"match_all":{}},"sort":[{"id":"asc"}]}')
+    with pytest.raises(DslError, match="from does not compose"):
+        multi_eng.search("logs_*",
+                         '{"query":{"match_all":{}},"from":5}')
+    with pytest.raises(DslError, match="collapse"):
+        multi_eng.search(
+            "logs_*",
+            '{"query":{"match_all":{}},"collapse":{"field":"body"}}')
+    with pytest.raises(DslError, match="search_after"):
+        multi_eng.search("logs_*", "body:x", default_field="body",
+                         search_after=[1])
+    with pytest.raises(DslError, match="admin"):
+        multi_eng.search("logs_*", "#truncate#")
