@@ -2524,6 +2524,23 @@ def q_search_multi_index(spark, sf_dir):
         default_field="text", limit=1000000)
 
 
+def q_search_multi_index_aggs(spark, sf_dir):
+    # Multi-index AGGS (r14.75 — the Kibana dashboard shape): terms on
+    # the synthetic _index column with an avg metric, aggregated over
+    # the unioned slices. avg re-rounds to 6dp on both sides (the
+    # integer-sum / one-division shape is engine-exact; the round only
+    # guards the display digits).
+    key = _ck(spark, sf_dir, "eng:multi_index")
+    if key not in _CACHE:
+        q_search_multi_index(spark, sf_dir)  # builds the cached engine
+    q = ('{"query":{"match_all":{}},"aggs":{"by_idx":{"terms":'
+         '{"field":"_index"},"aggs":{"chars":{"avg":'
+         '{"field":"n_chars"}}}}}}')
+    out = _CACHE[key].search_aggs("docs_*", q)
+    return out.select("key", "doc_count",
+                      F.round("chars", 6).alias("chars"))
+
+
 def q_dedup_incremental(spark, sf_dir):
     # Cross-snapshot dedup (r14): a new crawl batch dedups against a
     # seen corpus via a sparse Bloom prefilter + exact verification —
@@ -4657,6 +4674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_multi_index": q_search_multi_index,  # ~ search surface
         #   (r14.75): index patterns/comma lists — per-index search,
         #   _index column, global score re-sort + re-cap
+        "search_multi_index_aggs": q_search_multi_index_aggs,  # ~ agg
+        #   surface (r14.75): aggs over the unioned expansion, terms on
+        #   _index + avg metric (the Kibana dashboard shape)
         "search_date_range_math": q_search_date_range_math,  # ~ agg
         #   family (r14): date-math now-1M/d bounds in date_range AGG
         #   buckets, resolved via the injectable now (judge ask #3)
@@ -6000,6 +6020,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(i.dv_raw - LAG(i.dv_raw) OVER (
                         PARTITION BY o.key ORDER BY i.sub_key), 4) AS dd
             FROM o LEFT JOIN i USING (key)
+        """,
+        # r14.75 multi-index aggs: per-slice counts + avg(n_chars),
+        # one division over exact integer operands then round 6
+        "search_multi_index_aggs": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'docs_even'
+                        ELSE 'docs_odd' END AS key,
+                   COUNT(*)::BIGINT AS doc_count,
+                   ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 6) AS chars
+            FROM documents
+            GROUP BY 1
         """,
         # r14.75 multi-index: UNION of the two slices with the same
         # term-tf score + the _index label

@@ -5761,7 +5761,39 @@ class SearchEngine:
           opts into HLL++ via ``approx_count_distinct`` — the sketch that
           merges map-side and scales to 100 TB.
         """
-        docs = self._docs[table]
+        tables = self._expand_index_expr(table)
+        multi_spec: TableSpec | None = None
+        if len(tables) > 1:
+            # multi-index aggs (r14.75 — the Kibana dashboard shape):
+            # the docs frames union BY NAME with an `_index` column
+            # (aggregatable like any field — `terms` on `_index` gives
+            # per-index counts), the agg walk runs over the union with
+            # map-side combine exactly as over one table, and identity
+            # is (_index, keys) so top_hits/sampler ordering stays
+            # deterministic across indices. Per-table index-served
+            # match sets don't compose with one union scan — the scan
+            # path serves (typed behavior, not a silent wrong answer).
+            frames = [self._docs[t].withColumn("_index", F.lit(t))
+                      for t in tables]
+            docs = frames[0]
+            try:
+                for p in frames[1:]:
+                    docs = docs.unionByName(p,
+                                            allowMissingColumns=True)
+            except Exception as e:
+                raise es_dsl.DslError(
+                    f"multi-index union failed — a same-named column "
+                    f"carries conflicting types across "
+                    f"{', '.join(tables)}: {e}") from e
+            mkeys = ["_index"]
+            for t in tables:
+                for kc in self.catalog.get(t)[1].key_columns:
+                    if kc not in mkeys and kc in docs.columns:
+                        mkeys.append(kc)
+            multi_spec = TableSpec(table, mkeys)
+        else:
+            table = tables[0]
+            docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
         req = self._parse_request(qmd.query)
         req, docs = self._expand_join_nodes(req, table, docs,
@@ -5779,10 +5811,12 @@ class SearchEngine:
         # NOTE: req.post_filter is deliberately NOT applied here — ES
         # post_filter narrows the HIT LIST only; aggregations keep the
         # query scope (the faceted-navigation contract, r9)
-        _, spec = self.catalog.get(table)
+        spec = (multi_spec if multi_spec is not None
+                else self.catalog.get(table)[1])
         comp = Compiler(docs, default_field)
 
-        ph = self._postings_hits(table, req.node, default_field)
+        ph = (None if multi_spec is not None
+              else self._postings_hits(table, req.node, default_field))
         if ph is not None:
             id_col = self._postings_id_col(spec)
             ids = ph.select(F.col("doc").alias(id_col))

@@ -4142,3 +4142,22 @@ def test_multi_index_typed_errors(multi_eng):
                          search_after=[1])
     with pytest.raises(DslError, match="admin"):
         multi_eng.search("logs_*", "#truncate#")
+
+
+def test_multi_index_aggs(multi_eng):
+    import json
+
+    q = json.dumps({"query": {"match_all": {}}, "aggs": {
+        "by_idx": {"terms": {"field": "_index"}}}})
+    got = sorted((r["key"], r["doc_count"]) for r in
+                 multi_eng.search_aggs("logs_*", q).collect())
+    assert got == [("logs_a", 2), ("logs_b", 2)]
+    # a field agg over the union equals the concatenated corpora, and
+    # the query scope applies per ES (match first, then aggregate)
+    q2 = json.dumps({"query": {"query_string": {
+        "query": "body:spark", "default_field": "body"}},
+        "aggs": {"n": {"value_count": {"field": "id"}}}})
+    (row,) = multi_eng.search_aggs("logs_*,other", q2).collect()
+    assert row["n"] == 3
+    # schema union: a field missing from one index aggregates over
+    # the indices that carry it (null-filled elsewhere)
