@@ -5078,9 +5078,26 @@ class SearchEngine:
         one call — one result DataFrame per request, in request order
         (ES responses are per-body; schemas legitimately differ, so no
         forced union). Each body is lazily planned; nothing executes
-        until the caller acts on a result."""
-        return [self.search(table, q, default_field=default_field)
-                for q in queries]
+        until the caller acts on a result.
+
+        Entries are plain bodies (searched on ``table``) or — the ES
+        wire form's per-line header (r14.75) — ``(index_expr, body)``
+        pairs whose index expression overrides ``table`` for that body,
+        index patterns included (``{"index": "logs-*"}`` headers in the
+        NDJSON form)."""
+        out = []
+        for q in queries:
+            if isinstance(q, (tuple, list)):
+                if len(q) != 2 or not isinstance(q[0], str):
+                    raise es_dsl.DslError(
+                        "msearch entry must be a body or an "
+                        "(index, body) pair")
+                out.append(self.search(q[0], q[1],
+                                       default_field=default_field))
+            else:
+                out.append(self.search(table, q,
+                                       default_field=default_field))
+        return out
 
     def get_doc(self, table: str, doc_id) -> DataFrame:
         """ES GET ``/{index}/_doc/{id}`` analogue: one document by id —

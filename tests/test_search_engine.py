@@ -4161,3 +4161,17 @@ def test_multi_index_aggs(multi_eng):
     assert row["n"] == 3
     # schema union: a field missing from one index aggregates over
     # the indices that carry it (null-filled elsewhere)
+
+
+def test_msearch_per_entry_index_override(multi_eng):
+    outs = multi_eng.msearch("logs_a", [
+        "body:spark",
+        ("logs_b", "body:spark"),
+        ("logs_*", "body:spark"),
+    ], default_field="body")
+    assert [r["id"] for r in outs[0].collect()] == [1]
+    assert [r["id"] for r in outs[1].collect()] == [10]
+    assert sorted(r["id"] for r in outs[2].collect()) == [1, 10]
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    with pytest.raises(DslError, match="index, body"):
+        multi_eng.msearch("logs_a", [("logs_b",)])
