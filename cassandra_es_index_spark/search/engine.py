@@ -4756,7 +4756,14 @@ class SearchEngine:
               default_field: str | None = None) -> int:
         """ES ``_count`` analogue: the total hit count of a query with no
         hit fetching — the postings-served match set when servable, else
-        one predicate-pushed scan count."""
+        one predicate-pushed scan count. Index expressions (r14.75)
+        count per expanded index — each keeps its own plan selection —
+        and sum, like ES's shard-count merge."""
+        tables = self._expand_index_expr(table)
+        if len(tables) > 1:
+            return sum(self.count(t, query, default_field)
+                       for t in tables)
+        table = tables[0]
         docs = self._docs[table]
         qmd = QueryMetaData.parse(query)
         req = self._parse_request(qmd.query)

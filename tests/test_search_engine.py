@@ -4175,3 +4175,10 @@ def test_msearch_per_entry_index_override(multi_eng):
     from cassandra_es_index_spark.search.es_dsl import DslError
     with pytest.raises(DslError, match="index, body"):
         multi_eng.msearch("logs_a", [("logs_b",)])
+
+
+def test_count_index_patterns(multi_eng):
+    assert multi_eng.count("logs_*", "body:spark",
+                           default_field="body") == 2
+    assert multi_eng.count("logs_*,other", "body:spark",
+                           default_field="body") == 3
