@@ -6933,13 +6933,28 @@ class SearchEngine:
                          * F.lit(float(s.interval)))
                     anchor_types.append(T.DoubleType())
                 elif s.calendar_interval is not None:
-                    k = F.date_trunc(s.calendar_interval, ref.col)
+                    osec = int(s.offset_sec or 0)
+                    if osec:
+                        # offset/fixed-zone shift (r14.75): same
+                        # shift-trunc-shift as the plain agg
+                        sh = F.timestamp_seconds(
+                            F.unix_seconds(ref.col.cast("timestamp"))
+                            - osec)
+                        k = F.timestamp_seconds(
+                            F.unix_seconds(F.date_trunc(
+                                s.calendar_interval, sh)) + osec)
+                    else:
+                        k = F.date_trunc(s.calendar_interval, ref.col)
                     anchor_types.append(T.TimestampType())
                 else:
                     secs = _fixed_interval_seconds(s.fixed_interval)
+                    osec = int(s.offset_sec or 0)
                     k = F.timestamp_seconds(
-                        F.floor(F.unix_seconds(ref.col.cast("timestamp"))
-                                / F.lit(secs)) * F.lit(secs))
+                        F.floor((F.unix_seconds(ref.col
+                                                .cast("timestamp"))
+                                 - F.lit(osec))
+                                / F.lit(secs)) * F.lit(secs)
+                        + F.lit(osec))
                     anchor_types.append(T.TimestampType())
                 key_exprs.append(k)
                 # missing_bucket: null keys become a real bucket, sorted

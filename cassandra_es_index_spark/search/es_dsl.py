@@ -980,6 +980,12 @@ class CompositeSource:
     interval: float | None = None
     calendar_interval: str | None = None
     fixed_interval: str | None = None
+    # date_histogram source only (r14.75): the EFFECTIVE boundary shift
+    # in seconds — the parsed ES `offset` minus the fixed-zone seconds
+    # (the same fold the plain date_histogram uses); named zones
+    # typed-reject here because keyset `after` anchors must be fixed
+    # instants
+    offset_sec: float = 0.0
     asc: bool = True
     missing_bucket: bool = False
     precision: int = 7
@@ -2754,7 +2760,8 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 "terms": set(),
                 "histogram": {"interval"},
                 "date_histogram": {"calendar_interval",
-                                   "fixed_interval"},
+                                   "fixed_interval", "offset",
+                                   "time_zone"},
                 "geotile_grid": {"precision"},
             }[skind]
             sp_extra = set(sparams) - allowed_sp
@@ -2778,6 +2785,32 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     and "fixed_interval" not in sparams:
                 raise DslError("date_histogram source needs a "
                                "'calendar_interval' or 'fixed_interval'")
+            soff = 0.0
+            if skind == "date_histogram":
+                raw_off = sparams.get("offset")
+                if raw_off is not None:
+                    m = _re.fullmatch(r"([+-]?)(\d+)([smhd])",
+                                      str(raw_off))
+                    if m is None:
+                        raise DslError("date_histogram source offset "
+                                       "must be ±N(s|m|h|d)")
+                    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+                    secs = int(m.group(2)) * mult[m.group(3)]
+                    soff = float(-secs if m.group(1) == "-" else secs)
+                stz = sparams.get("time_zone")
+                if stz is not None:
+                    if not isinstance(stz, str) or not stz:
+                        raise DslError("time_zone must be a non-empty "
+                                       "string")
+                    tzs = _fixed_tz_seconds(stz)
+                    if tzs is None:
+                        raise DslError(
+                            "composite date_histogram time_zone must "
+                            "be a fixed offset (keyset 'after' anchors "
+                            "need fixed instants) — named zones work "
+                            "on the plain date_histogram agg")
+                    # boundary = trunc(ts + tz - off) + off - tz
+                    soff -= tzs
             sprec = 7
             if skind == "geotile_grid":
                 sprec = sparams.get("precision", 7)
@@ -2797,6 +2830,7 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                 interval=sparams.get("interval"),
                 calendar_interval=sparams.get("calendar_interval"),
                 fixed_interval=sparams.get("fixed_interval"),
+                offset_sec=soff,
                 asc=order == "asc",
                 missing_bucket=mb,
                 precision=sprec))

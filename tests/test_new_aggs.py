@@ -2073,3 +2073,27 @@ def test_range_format_patterns_and_epoch(agg_engine):
     assert n({"gte": "02/01/2024", "format": "dd/MM/yyyy",
               "time_zone": "+06:00"}) == \
         n({"gte": "2024-01-01 18:00:00"})
+
+
+def test_composite_date_histogram_offset_and_zone(agg_engine):
+    def comp(extra):
+        q = json.dumps({"query": {"match_all": {}}, "aggs": {"c": {
+            "composite": {"size": 50, "sources": [{"d": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day",
+                                   **extra}}}]}}}})
+        return [str(r["d"]) for r in
+                agg_engine.search_aggs("aggdocs", q).collect()]
+    # +02:00 day buckets start at 22:00 UTC — same keys as the plain
+    # date_histogram time_zone test
+    assert comp({"time_zone": "+02:00"}) == [
+        "2023-12-31 22:00:00", "2024-01-01 22:00:00",
+        "2024-01-04 22:00:00", "2024-01-08 22:00:00"]
+    assert comp({"offset": "+6h"})[0] == "2023-12-31 06:00:00"
+    # offset within the zone composes like the plain agg
+    assert comp({"offset": "+6h", "time_zone": "+02:00"})[0] == \
+        "2023-12-31 04:00:00"
+    with pytest.raises(DslError, match="fixed offset"):
+        comp({"time_zone": "Europe/Paris"})
+    with pytest.raises(DslError, match="offset"):
+        comp({"offset": "1x"})
