@@ -4193,9 +4193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   t_test/KS/change_point family); search_sqs demoted to the
         #   tail (query_string grammar family stays covered by
         #   search_term_bool + search_dsl_must_should, green r05-r12)
-        "search_mlt": q_search_mlt,          # tf·idf pick, oracle-backed
-        #   search_suggest demoted to the tail r9 (dictionary completion
-        #   — the least query-shaped API; oracle kept, green r05-r08)
+        "search_multi_index": q_search_multi_index,  # ~ search surface
+        #   — rotated IN r14.75 (first window check of index
+        #   patterns/comma lists: per-index plan selection, _index
+        #   column, global score re-sort + re-cap); search_mlt demoted
+        #   (the MLT family keeps search_mlt_dsl in the tail and the
+        #   tf·idf pick is compile-pinned)
         "search_metadata_agg": q_search_metadata_agg,
         "search_mapped_range": q_search_mapped_range,
         "search_10k_cap": q_search_10k_cap,      # BASELINE.md gate query
@@ -4671,9 +4674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_range_format": q_search_range_format,  # ~ range family
         #   (r14): format graduated — epoch_millis + custom-pattern
         #   bounds parse driver-side (the Kibana wire format)
-        "search_multi_index": q_search_multi_index,  # ~ search surface
-        #   (r14.75): index patterns/comma lists — per-index search,
-        #   _index column, global score re-sort + re-cap
+        "search_mlt": q_search_mlt,  # tf·idf pick, oracle-backed —
+        #   demoted from the window r14.75 for search_multi_index (MLT
+        #   family: search_mlt_dsl sibling below, compile pins)
         "search_multi_index_aggs": q_search_multi_index_aggs,  # ~ agg
         #   surface (r14.75): aggs over the unioned expansion, terms on
         #   _index + avg metric (the Kibana dashboard shape)
