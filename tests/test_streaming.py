@@ -138,3 +138,40 @@ def test_streaming_windowed_agg_end_to_end(spark, tmp_path):
     rows = spark.sql("SELECT event_type, n FROM winagg").collect()
     got = {(r["event_type"], r["n"]) for r in rows}
     assert ("view", 1) in got and ("click", 1) in got
+
+
+def test_streaming_warc_ingest_end_to_end(spark, tmp_path):
+    """Crawl ingestion under Structured Streaming (r14.75): WARC
+    archives arrive as binary rows, warc_responses (mapInPandas) and
+    html_to_text run unchanged on the streaming frame, and the cleaned
+    pages land in a memory sink — the fineweb head as a stream."""
+    import pandas as pd
+
+    from cassandra_es_index_spark.functions.text import html_to_text
+    from cassandra_es_index_spark.functions.warc import build_warc
+    from cassandra_es_index_spark.operators import web_ingest
+
+    src_dir = str(tmp_path / "warc_src")
+    pages = [{"url": "http://s.test/1", "date": "2024-01-01T00:00:00Z",
+              "body": "<html><body><p>streamed &amp; clean</p>"
+                      "</body></html>"},
+             {"url": "http://s.test/2", "date": "2024-01-01T00:00:01Z",
+              "body": "gone", "status": 404,
+              "content_type": "text/plain"}]
+    pdf = pd.DataFrame({"archive_id": ["w1"],
+                        "content": [build_warc(pages, compress=True)]})
+    df = spark.createDataFrame(pdf, "archive_id string, content binary")
+    df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    cleaned = (web_ingest.warc_responses(stream)
+               .where("http_status = 200 AND mime = 'text/html'")
+               .select("url", html_to_text(F.col("body_text"))
+                       .alias("text")))
+    q = (cleaned.writeStream.outputMode("append")
+         .format("memory").queryName("warc_pages")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT url, text FROM warc_pages").collect()
+    assert [(r["url"], r["text"]) for r in rows] == \
+        [("http://s.test/1", "streamed & clean")]
