@@ -193,6 +193,30 @@ _DSL_KEYWORDS = st.sampled_from([
     "_source", "script_fields", "max_expansions", "offset",
     "number_of_fragments", "fragment_size", "num_candidates", "method",
     "nprobe",
+    # r14.75 widening — the post-r5 surface: join/percolate/retriever/
+    # intervals/rank-features/suggest/runtime/time_zone-format kinds
+    "has_child", "has_parent", "parent_id", "inner_hits", "type",
+    "percolate", "document", "intervals", "all_of", "any_of",
+    "match_bool_prefix", "combined_fields", "rank_feature",
+    "distance_feature", "pivot", "origin", "saturation", "log",
+    "scaling_factor", "retriever", "rrf", "retrievers", "linear",
+    "standard", "rank_window_size", "weights", "normalizer",
+    "runtime_mappings", "suggest", "text", "completion", "phrase",
+    "prefix", "regex", "min_score", "post_filter", "track_total_hits",
+    "docvalue_fields", "terminate_after", "time_zone", "format",
+    "moving_avg", "moving_fn", "window", "normalize", "t_test",
+    "frequent_item_sets", "geo_distance", "geo_bounding_box",
+    "geo_polygon", "geo_shape", "geotile_grid", "geohash_grid",
+    "reverse_nested", "sampler", "diversified_sampler",
+    "random_sampler", "probability", "seed", "categorize_text",
+    "variable_width_histogram", "multi_terms", "rare_terms",
+    "significant_text", "adjacency_matrix", "ip_range", "ip_prefix",
+    "extended_bounds", "hard_bounds", "other_bucket",
+    "other_bucket_key", "span_not", "span_or", "span_first",
+    "span_multi", "fuzzy", "regexp", "wildcard", "prefix_length",
+    "transpositions", "slop", "in_order", "zero_terms_query",
+    "minimum_should_match", "tie_breaker", "operator", "analyzer",
+    "case_insensitive", "relation", "value", "flags", "rewrite",
 ])
 
 _JSON_VALUES = st.recursive(
