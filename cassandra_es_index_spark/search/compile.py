@@ -58,6 +58,23 @@ class CompileError(ValueError):
 _NUMERIC = (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
             T.FloatType, T.DoubleType, T.DecimalType)
 
+# Spark's accepted date/timestamp STRING grammar (SparkDateTimeUtils.
+# stringToTimestamp): yyyy[-[m]m[-[d]d[ or T [h]h[:[m]m[:[s]s[.frac]]]
+# [zone]]]] — zone = Z / ±hh[:mm[:ss]] / a region id. Date literals on
+# date-typed fields validate against this at COMPILE time so malformed
+# values are typed errors, never ANSI runtime cast crashes.
+_DATE_LITERAL = re.compile(
+    r"\s*[+-]?\d{4,7}"
+    r"(-\d{1,2}"
+    r"(-\d{1,2}"
+    r"([ T]\d{1,2}"
+    r"(:\d{1,2}"
+    r"(:\d{1,2}"
+    r"(\.\d{1,9})?)?)?"
+    r"\s*([zZ]|[+-]\d{1,2}(:\d{1,2}(:\d{1,2})?)?"
+    r"|[A-Za-z][A-Za-z0-9/_+\-:]*)?"
+    r")?)?)?\s*")
+
 
 @dataclass
 class FieldRef:
@@ -635,6 +652,19 @@ class Compiler:
                 raise CompileError(f"non-numeric literal {raw!r} for numeric field") from e
             return F.lit(float(raw)).cast(ref.dtype)
         if isinstance(ref.dtype, (T.TimestampType, T.DateType)):
+            # fuzz catch (r14.75): under ANSI casts a malformed date
+            # literal ("now-1d/d" that bypassed the date-math rewrite,
+            # "true", a bare epoch number) crashed at RUNTIME with a
+            # SparkDateTimeException instead of a typed compile error
+            # (the ES parse_exception analogue). Validate driver-side
+            # against Spark's accepted string grammar
+            # (yyyy[-[m]m[-[d]d[ hh:mm:ss[.f]][zone]]]).
+            if _DATE_LITERAL.fullmatch(raw) is None:
+                raise CompileError(
+                    f"unparseable date literal {raw!r} for field of "
+                    f"type {ref.dtype.simpleString()} (expected "
+                    "yyyy[-MM[-dd[ HH:mm:ss[.SSS]][zone]]] or a "
+                    "resolvable date-math expression)")
             return F.lit(raw).cast(ref.dtype)
         if isinstance(ref.dtype, T.BooleanType):
             return F.lit(raw.lower() == "true")

@@ -6327,6 +6327,18 @@ class SearchEngine:
                 hk = clamp(F.floor((col - F.lit(off)) / F.lit(step))
                            * F.lit(step) + F.lit(off), False)
                 return hk, hk
+            if b.calendar_interval is not None \
+                    or b.fixed_interval is not None:
+                # fuzz catch (r14.75): date_histogram over a non-date
+                # column crashed at RUNTIME under the ANSI cast — the
+                # ES contract is a typed field-type error instead
+                if not isinstance(ref_b.dtype,
+                                  (T.TimestampType, T.DateType,
+                                   T.TimestampNTZType, T.NullType)):
+                    raise es_dsl.DslError(
+                        f"date_histogram field {b.field!r} of type "
+                        f"{ref_b.dtype.simpleString()} is not a "
+                        "date/timestamp column")
             if b.calendar_interval is not None:  # date_histogram
                 if b.time_zone:
                     # named IANA time_zone (r14): DST-variable offset —

@@ -3986,10 +3986,19 @@ def _aggs(spec: Any) -> BucketAgg | tuple[MetricAgg, ...] | None:
                     (sn, sk,
                      count_col if metric == "_count" else metric,
                      spcts))
+        bsize = params.get("size")
+        if bsize is not None and (isinstance(bsize, bool)
+                                  or not isinstance(bsize, int)
+                                  or bsize < 1):
+            # fuzz catch (r14.75): a negative size leaked an
+            # AnalysisException out of the bucket limit (ES contract:
+            # [size] must be greater than 0)
+            raise DslError(f"{first_kind} agg {name!r}: size must be "
+                           f"a positive integer, got {bsize!r}")
         return BucketAgg(
             name=name, kind=first_kind,
             field=params.get("field", ""),
-            size=params.get("size"),
+            size=bsize,
             interval=params.get("interval"),
             offset=offset,
             include=include,
@@ -5370,6 +5379,12 @@ def _node(q: dict[str, Any]) -> Node:
         # combination is inconsistent, parenthesize instead.
         if not isinstance(body, dict) or "query" not in body:
             raise DslError("query_string needs {'query': str}")
+        if not isinstance(body["query"], str):
+            # fuzz catch (r14.75): a non-string query leaked a bare
+            # TypeError out of the Lucene parser
+            raise DslError(
+                f"query_string query must be a string, got "
+                f"{type(body['query']).__name__}")
         extra = set(body) - {"query", "default_field", "fields",
                              "default_operator", "tie_breaker",
                              "boost"}

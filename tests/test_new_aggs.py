@@ -2097,3 +2097,38 @@ def test_composite_date_histogram_offset_and_zone(agg_engine):
         comp({"time_zone": "Europe/Paris"})
     with pytest.raises(DslError, match="offset"):
         comp({"offset": "1x"})
+
+
+def test_fuzz_regressions_typed_errors(agg_engine):
+    """r14.75 structured-fuzz catches, pinned: each previously leaked a
+    non-typed exception (TypeError / ANSI SparkDateTimeException /
+    AnalysisException) out of parse or execution."""
+    from cassandra_es_index_spark.search.es_dsl import parse_request
+
+    with pytest.raises(DslError, match="must be a string"):
+        parse_request({"query": {"query_string": {"query": 0}}})
+    # malformed date literal on a timestamp column: typed at compile
+    from cassandra_es_index_spark.search.compile import CompileError
+    with pytest.raises((DslError, CompileError),
+                       match="unparseable date literal"):
+        agg_engine.search(
+            "aggdocs", '{"query":{"term":{"ts":"not-a-date"}}}'
+        ).collect()
+    with pytest.raises((DslError, CompileError),
+                       match="unparseable date literal"):
+        agg_engine.search(
+            "aggdocs", '{"query":{"match":{"ts":{"query":true}}}}'
+        ).collect()
+    # date_histogram over a non-date column: typed field-type error
+    with pytest.raises(DslError, match="not a\\s+date/timestamp"):
+        _aggs(agg_engine, {"d": {"date_histogram": {
+            "field": "s", "calendar_interval": "day"}}})
+    # negative terms size: typed (was an AnalysisException limit crash)
+    with pytest.raises(DslError, match="size must be\\s+a positive"):
+        _aggs(agg_engine, {"t": {"terms": {"field": "g", "size": -1}}})
+    # valid shapes still work: a date literal without time, terms size 1
+    assert agg_engine.search(
+        "aggdocs", '{"query":{"range":{"ts":{"gte":"2024-01-02"}}}}'
+    ).count() == 3
+    assert len(_aggs(agg_engine,
+                     {"t": {"terms": {"field": "g", "size": 1}}})) == 1
