@@ -912,11 +912,25 @@ class SearchEngine:
                 if state is not None:
                     toks = state.view().select("token")
                 else:
+                    from pyspark.sql import types as T
+
                     from cassandra_es_index_spark.functions.analyzers \
                         import standard
+                    ref = comp().resolve(fld)
+                    # fuzz catch (r14.75): the dictionary probe runs
+                    # BEFORE compile, so a non-text field crashed the
+                    # analyzer at runtime instead of the compile
+                    # path's typed text-leaf error
+                    if not (isinstance(ref.dtype, T.StringType)
+                            or (isinstance(ref.dtype, T.ArrayType)
+                                and isinstance(ref.dtype.elementType,
+                                               T.StringType))):
+                        raise es_dsl.DslError(
+                            f"match_phrase_prefix field {fld!r} of "
+                            f"type {ref.dtype.simpleString()} is not "
+                            "a text field")
                     toks = docs.select(
-                        F.explode(standard(comp().resolve(fld).col))
-                         .alias("token"))
+                        F.explode(standard(ref.col)).alias("token"))
                 # prefix filter BEFORE the distinct, so the aggregate
                 # runs over the matching-token slice only
                 rows = (toks.where(F.col("token")

@@ -2132,3 +2132,12 @@ def test_fuzz_regressions_typed_errors(agg_engine):
     ).count() == 3
     assert len(_aggs(agg_engine,
                      {"t": {"terms": {"field": "g", "size": 1}}})) == 1
+
+
+def test_phrase_prefix_non_text_field_typed(agg_engine):
+    # r14.75 fuzz catch: the max_expansions dictionary probe ran the
+    # analyzer on a non-text column before compile could reject it
+    with pytest.raises(DslError, match="not\\s+a text field"):
+        agg_engine.search(
+            "aggdocs",
+            '{"query":{"match_phrase_prefix":{"x":"1.0"}}}').collect()
