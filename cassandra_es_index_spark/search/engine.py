@@ -2744,6 +2744,15 @@ class SearchEngine:
         _, spec = self.catalog.get(table)
         docs = self._docs[table]
         fld = field or Compiler(docs).default_field
+        # API-fuzz catch (r14.75): an unknown field crashed the build
+        # (and every dictionary-backed API that funnels here —
+        # terms_enum, suggest, term_vectors, more_like_this) with an
+        # unresolved-column AnalysisException; resolve first so it is
+        # the compiler's typed error
+        try:
+            Compiler(docs).resolve(fld)
+        except CompileError as e:
+            raise es_dsl.DslError(str(e)) from e
         if (table, fld) not in self._postings:
             self._postings[(table, fld)] = PostingsState(build_postings(
                 docs, self._postings_id_col(spec), fld))
@@ -5109,13 +5118,18 @@ class SearchEngine:
         out = []
         for q in queries:
             if isinstance(q, (tuple, list)):
-                if len(q) != 2 or not isinstance(q[0], str):
+                if len(q) != 2 or not isinstance(q[0], str) \
+                        or not isinstance(q[1], str):
                     raise es_dsl.DslError(
-                        "msearch entry must be a body or an "
-                        "(index, body) pair")
+                        "msearch entry must be a body string or an "
+                        "(index, body) pair of strings")
                 out.append(self.search(q[0], q[1],
                                        default_field=default_field))
             else:
+                if not isinstance(q, str):
+                    raise es_dsl.DslError(
+                        "msearch entry must be a body string or an "
+                        "(index, body) pair of strings")
                 out.append(self.search(table, q,
                                        default_field=default_field))
         return out

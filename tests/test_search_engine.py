@@ -4182,3 +4182,24 @@ def test_count_index_patterns(multi_eng):
                            default_field="body") == 2
     assert multi_eng.count("logs_*,other", "body:spark",
                            default_field="body") == 3
+
+
+def test_dictionary_apis_unknown_field_typed(spark):
+    # r14.75 API-fuzz catches: every dictionary-backed API funnels
+    # through build_postings_index, which now resolves the field
+    # first — unknown fields are typed errors, not unresolved-column
+    # AnalysisExceptions
+    from cassandra_es_index_spark.search.es_dsl import DslError
+
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame([(1, "spark fast")],
+                                       "id int, body string"),
+                 TableSpec("dict_fz", ["id"]))
+    with pytest.raises(DslError, match="unknown field"):
+        eng.terms_enum("dict_fz", "nope", "s").collect()
+    with pytest.raises(DslError, match="unknown field"):
+        eng.suggest("dict_fz", "sp", field="nope").collect()
+    with pytest.raises(DslError, match="unknown field"):
+        eng.more_like_this("dict_fz", 1, field="nope").collect()
+    with pytest.raises(DslError, match="body string"):
+        eng.msearch("dict_fz", [42])
