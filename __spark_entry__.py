@@ -3992,6 +3992,45 @@ def q_warc_ingest(spark, sf_dir):
     return web_ingest.warc_responses(media)
 
 
+def q_pipeline_from_crawl(spark, sf_dir):
+    # End-to-end from the WIRE format (r14.75): WARC archives (one
+    # html page per doc wrapping the corpus text + a text/plain 404
+    # the status/mime gate drops) → warc_responses → html_to_text
+    # (exact inverse of the wrap on this corpus) → the linear quality
+    # classifier — the fineweb head feeding the selection stage, one
+    # declarative plan. The oracle replays the classifier CTE over
+    # documents directly because extraction is exact.
+    import pandas as _pd
+
+    from cassandra_es_index_spark.functions.text import html_to_text
+    from cassandra_es_index_spark.functions.warc import build_warc
+    from cassandra_es_index_spark.operators import classify, web_ingest
+
+    rows = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .orderBy("doc_id").limit(60).collect())
+
+    def archive(r):
+        html = f"<html><body><p>{r['text']}</p></body></html>"
+        return build_warc(
+            [{"url": f"http://corpus.test/doc/{r['doc_id']}",
+              "date": "2024-01-02T03:04:05Z", "body": html},
+             {"url": f"http://corpus.test/missing/{r['doc_id']}",
+              "date": "2024-01-02T03:04:06Z", "body": "gone",
+              "status": 404, "content_type": "text/plain"}],
+            compress=r["doc_id"] % 2 == 0)
+
+    media = spark.createDataFrame(
+        _pd.DataFrame({"archive_id": [str(r["doc_id"]) for r in rows],
+                       "content": [archive(r) for r in rows]}),
+        "archive_id string, content binary")
+    pages = (web_ingest.warc_responses(media)
+             .where("http_status = 200 AND mime = 'text/html'")
+             .select(F.col("archive_id").cast("long").alias("doc_id"),
+                     html_to_text(F.col("body_text")).alias("text")))
+    return classify.linear_quality_score(
+        pages, "doc_id", "text", _QC_WEIGHTS, bias=-0.1, threshold=0.5)
+
+
 def q_docs_pmi_pairs(spark, sf_dir):
     # PMI collocations (r14): windowed co-occurrence (offsets 1-3) +
     # pointwise-mutual-information ranking — the phrase-detection /
@@ -4265,7 +4304,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": q_asof_last_click,
         "interval_join_shipments": q_interval_join_shipments,
         # --- text analysis + dedup + similarity ---
-        "text_stats": q_text_stats,
+        "warc_ingest": q_warc_ingest,  # ~ source tier — rotated IN
+        #   r14.75 (first window check of WARC crawl ingestion, plain
+        #   + per-record gzip, rows re-derived from documents.text);
+        #   text_stats demoted (text-analysis family keeps pii_redact,
+        #   docs_chunked, docs_quality_classifier, docs_bpe_pairs
+        #   in-window)
         "docs_chunked": q_docs_chunked,  # ~ LLM pipeline tier —
         #   rotated IN r14 (judge ask #1: first window check of
         #   token-window chunking); pack_token_budget demoted to the
@@ -4643,13 +4687,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   superset (r13): 3-itemset A-priori with full sub-pair prune
         "corpus_shuffle": q_corpus_shuffle,  # ~ LLM pipeline tier
         #   (r13): deterministic epoch-shuffle key, range-sort scale path
-        "warc_ingest": q_warc_ingest,  # ~ source tier (r14): WARC
-        #   crawl archives (plain + per-record gzip) → response-page
-        #   rows — the head of the fineweb-style pipeline
+        "text_stats": q_text_stats,  # demoted from the window
+        #   r14.75 for warc_ingest (green r01-r14; family siblings
+        #   stay in-window)
         "docs_pmi_pairs": q_docs_pmi_pairs,  # ~ corpus analytics
         #   (r14): windowed co-occurrence + PMI-ratio collocations —
         #   phrase detection / word2vec prep; ratio emitted instead of
         #   ln so the oracle is bit-exact (pinned IEEE op order)
+        "pipeline_from_crawl": q_pipeline_from_crawl,  # ~ composed
+        #   pipelines (r14.75): WARC wire format → extraction →
+        #   classifier keep list, one declarative plan
         "docs_keywords": q_docs_keywords,  # ~ text analysis (r13):
         #   per-doc TF-IDF top-k, hash aggs + vocab join + rank window
         "search_collapse_inner_sorted": q_search_collapse_inner_sorted,
@@ -9112,6 +9159,35 @@ def oracle_sql() -> dict[str, str]:
                    warc_date, http_status::INT AS http_status, mime,
                    n_bytes, body_text
             FROM p
+        """,
+        # pipeline_from_crawl (r14.75): extraction is the exact inverse
+        # of the html wrap, so the classifier CTE replays over the
+        # first-60 documents directly (status/mime gate drops the 404s)
+        "pipeline_from_crawl": r"""
+            WITH d AS (SELECT doc_id, text FROM documents
+                       ORDER BY doc_id LIMIT 60),
+            w(token, weight) AS (VALUES
+                ('spark', 0.8), ('fast', 0.5), ('data', 0.4),
+                ('query', 0.3), ('vector', 0.2), ('the', -0.1),
+                ('scan', -0.2), ('slow', -0.6), ('boilerplate', -1.0)),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS token
+                FROM d),
+            s AS (
+                SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                       sum(CAST(round(coalesce(w.weight, 0.0)
+                                      * 1000000.0) AS BIGINT))
+                           ::DOUBLE
+                       / (1000000.0 * count(*)) AS mw
+                FROM tok LEFT JOIN w USING (token)
+                GROUP BY doc_id)
+            SELECT doc_id, n_tokens,
+                   round(1.0 / (1.0 + exp(-(-0.1 + mw))), 6) AS score,
+                   round(1.0 / (1.0 + exp(-(-0.1 + mw))), 6) >= 0.5
+                       AS keep
+            FROM s
         """,
         # docs_pmi_pairs (r14): windowed pair self-join (offsets 1-3)
         # + the identical pinned-order ratio division — no rounding
