@@ -4997,6 +4997,10 @@ class SearchEngine:
         docs = self._docs[table]
         _, spec = self.catalog.get(table)
         fld = field or Compiler(docs).default_field
+        try:    # API-fuzz catch (r14.75): typed unknown-field error
+            Compiler(docs).resolve(fld)
+        except CompileError as e:
+            raise es_dsl.DslError(str(e)) from e
         id_col = self._postings_id_col(spec)
         tv = (docs.where(F.col(id_col) == F.lit(doc_id))
                   .select(F.explode(standard(F.col(fld))).alias("token"))
@@ -5037,6 +5041,10 @@ class SearchEngine:
         docs = self._docs[table]
         _, spec = self.catalog.get(table)
         fld = field or Compiler(docs).default_field
+        try:    # API-fuzz catch (r14.75): typed unknown-field error
+            Compiler(docs).resolve(fld)
+        except CompileError as e:
+            raise es_dsl.DslError(str(e)) from e
         id_col = self._postings_id_col(spec)
         if not doc_ids:
             raise ValueError("mterm_vectors needs at least one doc id")

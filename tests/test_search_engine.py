@@ -4203,3 +4203,16 @@ def test_dictionary_apis_unknown_field_typed(spark):
         eng.more_like_this("dict_fz", 1, field="nope").collect()
     with pytest.raises(DslError, match="body string"):
         eng.msearch("dict_fz", [42])
+
+
+def test_term_vectors_unknown_field_typed(spark):
+    from cassandra_es_index_spark.search.es_dsl import DslError
+
+    eng = SearchEngine(spark)
+    eng.register(spark.createDataFrame([(1, "spark fast")],
+                                       "id int, body string"),
+                 TableSpec("tv_fz", ["id"]))
+    with pytest.raises(DslError, match="unknown field"):
+        eng.term_vectors("tv_fz", 1, "nope").collect()
+    with pytest.raises(DslError, match="unknown field"):
+        eng.mterm_vectors("tv_fz", [1], "nope").collect()
