@@ -179,6 +179,16 @@ class ParquetIndexStore:
         ``batch`` may be a base-table slice (documents get built here) or
         already-built documents carrying ``_id`` (e.g. from a sink
         fallback)."""
+        if DOC_ID not in batch.columns:
+            missing = [k for k in self.spec.key_columns
+                       if k not in batch.columns]
+            if missing:
+                # fuzz catch (r14.75): build_documents crashed with an
+                # unresolved-column AnalysisException instead of a
+                # typed write-contract error
+                raise ValueError(
+                    f"upsert batch for {self.spec.name!r} is missing "
+                    f"key column(s) {missing}")
         docs = batch if DOC_ID in batch.columns else build_documents(batch, self.spec)
         if SEGMENT not in docs.columns:
             docs = docs.withColumn(SEGMENT, self.segment_column())
@@ -484,7 +494,16 @@ class ParquetIndexStore:
         incrementally."""
         if not self.exists():
             return None
-        matches = (self.read().where(predicate).select(DOC_ID).distinct()
+        try:
+            matched = self.read().where(predicate)
+        except Exception as e:
+            # fuzz catch (r14.75): a predicate referencing an unknown
+            # column surfaced Spark's AnalysisException — re-raise as
+            # the store's typed error (the delete-by-query contract)
+            raise ValueError(
+                f"delete_where predicate does not resolve against "
+                f"{self.spec.name!r}: {e}") from e
+        matches = (matched.select(DOC_ID).distinct()
                        .localCheckpoint(eager=True))
         self._tombstone(matches)
         return matches

@@ -523,3 +523,17 @@ def test_snapshot_restore_typed_errors(spark, tmp_path, base):
     bad.mkdir()
     with pytest.raises(ValueError, match="not an index-store snapshot"):
         store.restore(str(bad), overwrite=True)
+
+
+def test_upsert_missing_key_and_bad_delete_predicate_typed(
+        spark, tmp_path, base):
+    # r14.75 store-fuzz catches: both previously escaped as
+    # unresolved-column AnalysisExceptions
+    store = _store(spark, tmp_path)
+    store.build(base)
+    with pytest.raises(ValueError, match="missing\\s+key column"):
+        store.upsert(spark.createDataFrame([("x",)], "subject string"))
+    with pytest.raises(ValueError, match="does not resolve"):
+        store.delete_where(F.col("zzz") > 1)
+    # the store is untouched by the rejected writes
+    assert store.count() == base.count()
