@@ -5627,6 +5627,19 @@ class SearchEngine:
                     .collect()]
         if not rows:
             raise ValueError("percolate needs at least one stored query")
+        if len(rows) > 10000:
+            # r14.75: the DSL percolate kind already carried this cap;
+            # the batch API compiled an unbounded Column-tree set (a
+            # driver melt, not an executor cost) — same typed ceiling
+            raise es_dsl.DslError(
+                "percolate: more than 10000 stored queries in one "
+                "call (the ES percolator memory-index premise — shard "
+                "the query set)")
+        ids = [str(q) for q, _ in rows]
+        if len(set(ids)) != len(ids):
+            raise es_dsl.DslError(
+                "percolate: duplicate query_id values in the stored "
+                "set (ids are the percolator's document keys)")
         comp = Compiler(documents, default_field)
         structs = []
         for qid, qtext in rows:

@@ -275,3 +275,23 @@ def test_percolate_documents_multi_slot(stored_q):
     assert set(r1) <= set(rm_)
     for qid, s in r1.items():
         assert rm_[qid] >= s
+
+
+def test_percolate_batch_cap_and_duplicate_ids(spark):
+    # r14.75: the batch API gains the DSL path's 10k ceiling (an
+    # unbounded stored set is a driver Column-tree melt) and rejects
+    # duplicate query ids
+    from cassandra_es_index_spark.catalog import TableSpec
+    from cassandra_es_index_spark.search import SearchEngine
+    from cassandra_es_index_spark.search.es_dsl import DslError
+
+    eng = SearchEngine(spark)
+    docs = spark.createDataFrame([(1, "spark fast")],
+                                 "id int, body string")
+    eng.register(docs, TableSpec("pcap", ["id"]))
+    with pytest.raises(DslError, match="more than 10000"):
+        eng.percolate(docs, [(f"q{i}", "body:spark")
+                             for i in range(10001)])
+    with pytest.raises(DslError, match="duplicate query_id"):
+        eng.percolate(docs, [("q1", "body:spark"),
+                             ("q1", "body:fast")])
