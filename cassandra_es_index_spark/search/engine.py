@@ -2085,16 +2085,16 @@ class SearchEngine:
         """Multi-index search (r14.75): the same request runs on every
         expanded index, hits gain an ``_index`` column, and the union
         re-sorts by (_score desc, _index asc, key columns) and re-caps
-        — per-index top-k under score ordering is a superset of the
-        global top-k, so this is the standard two-level
-        gather-and-merge. SUBSET contract (typed errors, no silent
-        drops): score ordering only — ``sort`` / ``search_after`` /
-        ``from`` / ``collapse`` don't compose across per-index anchors
-        and group spaces; admin verbs target one index; aggs/suggest
-        keep their search_aggs()/suggest_request() contract (those run
-        per single index). Differing schemas union by NAME with
-        missing columns null; a same-named column with conflicting
-        types is surfaced as a typed error."""
+        — per-index top-k under a SHARED total order (score, or the
+        request's DSL ``sort``, r14.75) is a superset of the global
+        top-k, so this is the standard two-level gather-and-merge.
+        SUBSET contract (typed errors, no silent drops):
+        ``search_after`` / ``from`` / ``collapse`` don't compose
+        across per-index anchors and group spaces; admin verbs target
+        one index; aggs/suggest keep their search_aggs()/
+        suggest_request() contract. Differing schemas union by NAME
+        with missing columns null; a same-named column with
+        conflicting types is surfaced as a typed error."""
         if search_after is not None:
             raise es_dsl.DslError(
                 "search_after does not compose across a multi-index "
@@ -2106,17 +2106,17 @@ class SearchEngine:
                 "admin verbs target a single index — expand the "
                 "pattern and run them per index")
         req = self._parse_request(qmd.query)
-        for attr, what in (("sort", "sort"),
-                           ("search_after", "search_after"),
+        for attr, what in (("search_after", "search_after"),
                            ("collapse", "collapse")):
             if getattr(req, attr):
                 raise es_dsl.DslError(
                     f"{what} does not compose across a multi-index "
-                    "expression (engine subset — score ordering only)")
+                    "expression (engine subset — per-index anchors/"
+                    "group spaces)")
         if req.from_:
             raise es_dsl.DslError(
                 "from does not compose across a multi-index "
-                "expression (engine subset — score ordering only)")
+                "expression (engine subset)")
         parts = []
         for t in tables:
             parts.append(self.search(t, query, default_field, limit)
@@ -2131,7 +2131,31 @@ class SearchEngine:
                 f"multi-index union failed — a same-named column "
                 f"carries conflicting types across "
                 f"{', '.join(tables)}: {e}") from e
-        order = [F.desc("_score"), F.asc("_index")]
+        if req.sort:
+            # DSL sort composes (r14.75 — the Kibana @timestamp-over-
+            # logs-* idiom): each index already returned its top-k
+            # under the SAME total order, so the global re-sort on the
+            # same keys + (_index, key columns) tiebreaks is exact.
+            # The sort fields must be in the output shape (they are
+            # under load-rows; fake-row projections that drop them are
+            # a typed error, not a silently different order).
+            order = []
+            for fld, asc, nulls_first in req.sort:
+                name = "_score" if fld == "_score" else fld
+                if name not in merged.columns:
+                    raise es_dsl.DslError(
+                        f"multi-index sort field {name!r} is not in "
+                        "the hit shape — use row-loading options that "
+                        "keep it")
+                c = F.col(name)
+                order.append(
+                    (c.asc_nulls_first() if nulls_first
+                     else c.asc_nulls_last()) if asc else
+                    (c.desc_nulls_first() if nulls_first
+                     else c.desc_nulls_last()))
+            order.append(F.asc("_index"))
+        else:
+            order = [F.desc("_score"), F.asc("_index")]
         seen: set = set()
         for t in tables:
             for kcol in self.catalog.get(t)[1].key_columns:

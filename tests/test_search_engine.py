@@ -4126,10 +4126,6 @@ def test_multi_index_typed_errors(multi_eng):
     with pytest.raises(DslError, match="unregistered index"):
         multi_eng.search("logs_a,missing", "body:x",
                          default_field="body")
-    with pytest.raises(DslError, match="sort does not compose"):
-        multi_eng.search(
-            "logs_*",
-            '{"query":{"match_all":{}},"sort":[{"id":"asc"}]}')
     with pytest.raises(DslError, match="from does not compose"):
         multi_eng.search("logs_*",
                          '{"query":{"match_all":{}},"from":5}')
@@ -4216,3 +4212,21 @@ def test_term_vectors_unknown_field_typed(spark):
         eng.term_vectors("tv_fz", 1, "nope").collect()
     with pytest.raises(DslError, match="unknown field"):
         eng.mterm_vectors("tv_fz", [1], "nope").collect()
+
+
+def test_multi_index_sort_composes(multi_eng):
+    # r14.75: DSL sort over the expansion — per-index top-k under the
+    # same total order merges exactly (the Kibana timestamp-over-
+    # logs-* idiom); ties break by _index then keys
+    q = '{"query":{"match_all":{}},"sort":[{"id":"desc"}],"size":3}'
+    got = [(r["_index"], r["id"]) for r in
+           multi_eng.search("logs_*,other", q).collect()]
+    assert got == [("logs_b", 11), ("logs_b", 10), ("other", 7)]
+    # a sort field absent from the merged shape is typed
+    from cassandra_es_index_spark.search.es_dsl import DslError
+    with pytest.raises(DslError, match="not in\s+the hit shape"):
+        multi_eng.search(
+            "logs_*",
+            '#options:load-rows=false#'
+            '{"query":{"match_all":{}},"sort":[{"body":"asc"}]}'
+        ).collect()
