@@ -4224,7 +4224,7 @@ def test_multi_index_sort_composes(multi_eng):
     assert got == [("logs_b", 11), ("logs_b", 10), ("other", 7)]
     # a sort field absent from the merged shape is typed
     from cassandra_es_index_spark.search.es_dsl import DslError
-    with pytest.raises(DslError, match="not in\s+the hit shape"):
+    with pytest.raises(DslError, match=r"not in\s+the hit shape"):
         multi_eng.search(
             "logs_*",
             '#options:load-rows=false#'
