@@ -283,6 +283,7 @@ def mp4_samples(data: bytes, track_id: int | None = None) -> dict:
     count, a sample overrunning the file) is a typed ``Mp4ParseError``
     — no silent truncation."""
     chosen: dict | None = None
+    candidates: list[dict] = []
     for btype, s, e in _boxes(data, 0, len(data)):
         if btype != b"moov":
             continue
@@ -309,8 +310,19 @@ def mp4_samples(data: bytes, track_id: int | None = None) -> dict:
                             f"track {track_id} has no complete sample "
                             f"table")
                     chosen = {**info, **tables}
-            elif full and chosen is None:
-                chosen = {**info, **tables}
+            elif full:
+                candidates.append({**info, **tables})
+    if track_id is None and candidates:
+        # default-track selection (r15 fix): real MJPEG files commonly
+        # list an audio trak (mp4a — which also carries full stbl
+        # tables) before the video trak, so "first full table" handed
+        # decode_frames the audio track. Prefer the 'vide' handler,
+        # then any intra-JPEG stsd fourcc, then document order.
+        chosen = next(
+            (c for c in candidates if c.get("handler") == "vide"),
+            next((c for c in candidates
+                  if c.get("codec") in ("jpeg", "mjpa", "mjpb")),
+                 candidates[0]))
     if chosen is None:
         raise Mp4ParseError(
             "no track with a complete sample table"
@@ -347,6 +359,7 @@ def mp4_samples(data: bytes, track_id: int | None = None) -> dict:
                 f"sample at offset {smp['offset']} size {smp['size']} "
                 f"overruns the file ({len(data)} bytes)")
     return {"track_id": chosen["track_id"], "codec": chosen["codec"],
+            "handler": chosen.get("handler"),
             "timescale": timescale, "samples": samples}
 
 

@@ -37,19 +37,37 @@ class WarcParseError(ValueError):
     Content-Length, truncated payload, non-integer length)."""
 
 
-def _parse_headers(block: bytes, what: str) -> dict:
+def _parse_headers(block: bytes, what: str,
+                   strict: bool = True) -> dict:
     """``Name: value`` lines → dict with LOWERCASED names (WARC and
-    HTTP header names are case-insensitive)."""
+    HTTP header names are case-insensitive).
+
+    ``strict=True`` (WARC record headers — OUR structural contract)
+    typed-rejects a malformed line. ``strict=False`` (the HTTP payload
+    of response records — THIRD-PARTY server output, r15 fix) folds
+    RFC 7230 obs-fold continuation lines (leading SP/HTAB) into the
+    previous value and SKIPS garbage lines: real crawl data routinely
+    carries broken HTTP headers, and one bad page must not fail the
+    whole archive."""
     headers: dict = {}
+    last: str | None = None
     for line in block.split(b"\r\n"):
         if not line:
             continue
+        if not strict and line[:1] in (b" ", b"\t"):
+            if last is not None:                  # obs-fold continuation
+                headers[last] = (headers[last] + " "
+                                 + line.strip().decode("latin-1"))
+            continue
         name, sep, value = line.partition(b":")
         if not sep:
-            raise WarcParseError(f"{what}: malformed header line "
-                                 f"{line[:60]!r}")
-        headers[name.strip().lower().decode("latin-1")] = \
-            value.strip().decode("latin-1")
+            if strict:
+                raise WarcParseError(f"{what}: malformed header line "
+                                     f"{line[:60]!r}")
+            last = None                           # garbage line — skip
+            continue
+        last = name.strip().lower().decode("latin-1")
+        headers[last] = value.strip().decode("latin-1")
     return headers
 
 
@@ -57,7 +75,9 @@ def _parse_http_response(payload: bytes) -> tuple:
     """(status:int|None, content_type:str|None, body:bytes) from an
     HTTP response payload; a payload without an HTTP status line
     returns (None, None, payload) — raw payloads pass through rather
-    than erroring (the format allows non-HTTP response content)."""
+    than erroring (the format allows non-HTTP response content), and
+    header lines inside the payload parse LENIENTLY (server output,
+    not archive structure — see ``_parse_headers``)."""
     head, sep, body = payload.partition(_CRLF2)
     first, _, rest = head.partition(b"\r\n")
     parts = first.split(None, 2)
@@ -67,7 +87,7 @@ def _parse_http_response(payload: bytes) -> tuple:
         status = int(parts[1])
     except ValueError:
         return None, None, payload
-    headers = _parse_headers(rest, "http response")
+    headers = _parse_headers(rest, "http response", strict=False)
     return status, headers.get("content-type"), body
 
 

@@ -355,6 +355,10 @@ FRAME_SCHEMA = T.StructType([
 # fields are full JFIF streams)
 _INTRA_JPEG_CODECS = {"jpeg", "mjpa", "mjpb"}
 
+# ceiling on per-media frame ticks (r15) — the hang guard for hostile
+# stts deltas; 100k ticks ≈ 28 h of video at the 1 s default
+_MAX_FRAME_TICKS = 100_000
+
 
 def decode_frames(df: DataFrame, every_ms: int = 1000,
                   content_col: str = "content",
@@ -394,6 +398,19 @@ def decode_frames(df: DataFrame, every_ms: int = 1000,
                 if not samples:
                     continue
                 end_ms = samples[-1]["time_ms"] + 1
+                # tick-count ceiling (r15 fix): end_ms derives from
+                # unvalidated 32-bit stts deltas, so a well-formed
+                # container with timescale 1 and delta 2^32 would spin
+                # this loop for ~4e12 ticks — an executor hang, not a
+                # typed error. Mirror the percolate 10000-query
+                # ceiling pattern: typed-reject absurd tick counts.
+                n_ticks = (end_ms + every_ms - 1) // every_ms
+                if n_ticks > _MAX_FRAME_TICKS:
+                    raise MediaDecodeNotAvailable(
+                        f"media {mid!r}: track duration {end_ms} ms at "
+                        f"every_ms={every_ms} needs {n_ticks} frame "
+                        f"ticks, over the {_MAX_FRAME_TICKS} ceiling — "
+                        "raise every_ms or fix the sample tables")
                 si, decoded_si, arr = 0, -1, None
                 for tick in range(0, end_ms, every_ms):
                     # last sample decoding at-or-before the tick (the

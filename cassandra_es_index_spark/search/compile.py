@@ -72,8 +72,55 @@ _DATE_LITERAL = re.compile(
     r"(:\d{1,2}"
     r"(\.\d{1,9})?)?)?"
     r"\s*([zZ]|[+-]\d{1,2}(:\d{1,2}(:\d{1,2})?)?"
-    r"|[A-Za-z][A-Za-z0-9/_+\-:]*)?"
+    r"|(?P<zone>[A-Za-z][A-Za-z0-9/_+\-:]*))?"
     r")?)?)?\s*")
+
+# java.time.ZoneId.SHORT_IDS keys — Spark resolves zone ids via
+# ZoneId.of(id, SHORT_IDS), so these legacy three-letter ids are
+# accepted on top of the IANA region database.
+_JAVA_SHORT_TZ = frozenset((
+    "ACT", "AET", "AGT", "ART", "AST", "BET", "BST", "CAT", "CNT",
+    "CST", "CTT", "EAT", "ECT", "IET", "IST", "JST", "MIT", "NET",
+    "NST", "PLT", "PNT", "PRT", "PST", "SST", "VST",
+    "EST", "HST", "MST"))
+
+
+def _zone_id_ok(zone: str, spark) -> bool:
+    """True iff Spark's timestamp-string parser would resolve ``zone``
+    (the region-id tail of a date literal). Fuzz-class fix (r15): the
+    literal grammar's zone alternative accepted ANY letter-led tail, so
+    '2024-01-01 10:00:00 NotAZone' passed compile validation and still
+    crashed at runtime with the ANSI SparkDateTimeException the check
+    exists to prevent. Resolution runs against the SAME JVM resolver
+    Spark's cast uses (DateTimeUtils.getZoneId — same pattern as
+    ``validate_java_regex``) when a JVM handle exists; without one
+    (Connect / schema-only compiles) zoneinfo + the java.time short-id
+    map + UTC/GMT/UT-prefixed offsets approximate it."""
+    jvm = getattr(spark, "_jvm", None) if spark is not None else None
+    if jvm is not None:
+        try:
+            resolver = jvm.org.apache.spark.sql.catalyst.util.DateTimeUtils
+            resolver.getZoneId("UTC")  # resolver-reachable sanity probe
+        except Exception:  # noqa: BLE001 — fall through to approximation
+            resolver = None
+        if resolver is not None:
+            try:
+                resolver.getZoneId(zone)
+                return True
+            except Exception:  # noqa: BLE001 — Py4JJavaError on bad id
+                return False
+    if re.fullmatch(
+            r"(?:UTC|GMT|UT)(?:[+-]\d{1,2}(?::\d{1,2}(?::\d{1,2})?)?)?",
+            zone):
+        return True
+    if zone in _JAVA_SHORT_TZ:
+        return True
+    try:
+        from zoneinfo import ZoneInfo
+        ZoneInfo(zone)
+        return True
+    except Exception:  # noqa: BLE001 — unknown region id
+        return False
 
 
 @dataclass
@@ -659,12 +706,21 @@ class Compiler:
             # (the ES parse_exception analogue). Validate driver-side
             # against Spark's accepted string grammar
             # (yyyy[-[m]m[-[d]d[ hh:mm:ss[.f]][zone]]]).
-            if _DATE_LITERAL.fullmatch(raw) is None:
+            m = _DATE_LITERAL.fullmatch(raw)
+            if m is None:
                 raise CompileError(
                     f"unparseable date literal {raw!r} for field of "
                     f"type {ref.dtype.simpleString()} (expected "
                     "yyyy[-MM[-dd[ HH:mm:ss[.SSS]][zone]]] or a "
                     "resolvable date-math expression)")
+            # region-id zone tails resolve against the JVM's own zone
+            # table (r15 fix) — the grammar alone accepted any
+            # letter-led tail, deferring the crash to the ANSI cast
+            zone = m.group("zone")
+            if zone is not None and not _zone_id_ok(zone, self._spark):
+                raise CompileError(
+                    f"unknown time zone {zone!r} in date literal "
+                    f"{raw!r}")
             return F.lit(raw).cast(ref.dtype)
         if isinstance(ref.dtype, T.BooleanType):
             return F.lit(raw.lower() == "true")

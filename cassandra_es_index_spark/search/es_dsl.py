@@ -476,11 +476,19 @@ def _apply_range_format(fmt: Any, lo: Any, hi: Any) -> tuple:
     fields default to the unit start (the engine's documented
     down-rounding convention on BOTH bound sides; ES rounds ``lte`` up
     — documented deviation). A bound matching NO pattern typed-rejects
-    naming value and formats — never a silently shifted bound."""
+    naming value and formats — never a silently shifted bound.
+
+    Epoch formats (``epoch_millis``/``epoch_second``) emit the ISO
+    string WITH an explicit ``+00:00`` offset (r15 fix): epoch values
+    are absolute UTC instants — ES never shifts them under a following
+    ``time_zone`` — and ``_apply_range_time_zone``'s documented
+    explicit-offset-wins rule then preserves the instant instead of
+    reinterpreting it as zone-local wall clock. Harmless without a
+    time_zone: the session zone is pinned UTC (session.py:39)."""
     if not isinstance(fmt, str) or not fmt:
         raise DslError("range format must be a non-empty string")
     try:
-        parsers = [datemath.key_parser(p) for p in fmt.split("||")]
+        parsers = [(p, datemath.key_parser(p)) for p in fmt.split("||")]
     except datemath.DateMathError as e:
         raise DslError(str(e)) from e
 
@@ -493,11 +501,15 @@ def _apply_range_format(fmt: Any, lo: Any, hi: Any) -> tuple:
                 "(engine subset) — date math already carries its own "
                 "anchor syntax")
         errs = []
-        for p in parsers:
+        for pname, p in parsers:
             try:
-                return p(v).isoformat(sep=" ")
+                iso = p(v).isoformat(sep=" ")
             except datemath.DateMathError as e:
                 errs.append(str(e))
+                continue
+            if pname in ("epoch_millis", "epoch_second"):
+                return iso + "+00:00"
+            return iso
         raise DslError(f"range format: {errs[-1]}"
                        if len(parsers) == 1 else
                        f"range format: bound {v!r} matches none of the "

@@ -576,6 +576,96 @@ def test_decode_frames_mjpeg(spark):
                    ("a", 600, 400, 200.0), ("b", 0, 0, 7.0)]
 
 
+def _audio_first(data):
+    """Rebuild a ``build_mp4_video`` file's moov with a FULL-sample-
+    table audio trak (mp4a / 'soun', track 2) listed BEFORE the video
+    trak — the real-world MJPEG layout the r15 track-selection fix
+    targets."""
+    from cassandra_es_index_spark.functions import mp4 as M
+
+    moov_s = moov_e = None
+    for btype, s, e in M._boxes(data, 0, len(data)):
+        if btype == b"moov":
+            moov_s, moov_e = s, e
+    head = data[:moov_s - 8]
+    children = list(M._boxes(data, moov_s, moov_e))
+    mvhd = next(data[s - 8:e] for t, s, e in children if t == b"mvhd")
+    vtrak = next(data[s - 8:e] for t, s, e in children if t == b"trak")
+    vf = bytes(4)
+    entry = b"mp4a" + bytes(6) + (1).to_bytes(2, "big") + bytes(20)
+    stsd = M._box(b"stsd", vf + (1).to_bytes(4, "big")
+                  + (len(entry) + 4).to_bytes(4, "big") + entry)
+    stts = M._box(b"stts", vf + (1).to_bytes(4, "big")
+                  + (1).to_bytes(4, "big") + (1000).to_bytes(4, "big"))
+    stsc = M._box(b"stsc", vf + (1).to_bytes(4, "big")
+                  + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                  + (1).to_bytes(4, "big"))
+    stsz = M._box(b"stsz", vf + bytes(4) + (1).to_bytes(4, "big")
+                  + (8).to_bytes(4, "big"))
+    stco = M._box(b"stco", vf + (1).to_bytes(4, "big")
+                  + (40).to_bytes(4, "big"))
+    stbl = M._box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = M._box(b"dinf", M._box(
+        b"dref", vf + (1).to_bytes(4, "big")
+        + M._box(b"url ", b"\x00\x00\x00\x01")))
+    minf = M._box(b"minf", M._box(b"smhd", bytes(8)) + dinf + stbl)
+    mdhd = M._box(b"mdhd", vf + bytes(8) + (1000).to_bytes(4, "big")
+                  + (1000).to_bytes(4, "big") + M._pack_lang("und")
+                  + bytes(2))
+    hdlr = M._box(b"hdlr", bytes(8) + b"soun" + bytes(12) + b"\x00")
+    mdia = M._box(b"mdia", mdhd + hdlr + minf)
+    tkhd = M._box(b"tkhd", vf + bytes(8) + (2).to_bytes(4, "big")
+                  + bytes(4) + (1000).to_bytes(4, "big") + bytes(8)
+                  + bytes(8) + M._UNITY_MATRIX + bytes(8))
+    atrak = M._box(b"trak", tkhd + mdia)
+    return head + M._box(b"moov", mvhd + atrak + vtrak)
+
+
+def test_mp4_samples_prefers_video_track(spark):
+    """r15 ADVICE fix: with track_id=None an audio trak listed first
+    (mp4a also carries full stbl tables) must not shadow the decodable
+    video trak."""
+    import pandas as pd
+
+    from cassandra_es_index_spark.functions.mp4 import mp4_samples
+    from cassandra_es_index_spark.operators import multimodal
+
+    data = _audio_first(_mjpeg([100, 200], frame_ms=400))
+    s = mp4_samples(data)
+    assert (s["codec"], s["handler"], s["track_id"]) \
+        == ("jpeg", "vide", 1)
+    # explicit track_id still reaches the audio track
+    assert mp4_samples(data, track_id=2)["codec"] == "mp4a"
+    # end-to-end: decode_frames on the two-track file decodes video
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["v"], "content": [data]}),
+        "media_id string, content binary")
+    got = sorted((r["frame_ts_ms"], r["mean_r"]) for r in
+                 multimodal.decode_frames(df, every_ms=400).collect())
+    assert got == [(0, 100.0), (400, 200.0)]
+
+
+def test_decode_frames_tick_ceiling_typed(spark):
+    """r15 ADVICE fix: hostile stts deltas (huge durations) raise a
+    typed error instead of spinning the tick loop for ~4e12
+    iterations."""
+    import pandas as pd
+    import pytest
+
+    from cassandra_es_index_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["long"],
+                      "content": [_mjpeg([1, 2],
+                                         frame_ms=200_000_000)]}),
+        "media_id string, content binary")
+    with pytest.raises(Exception, match="frame\\s+ticks"):
+        multimodal.decode_frames(df, every_ms=1000).collect()
+    # the same media decodes fine with a proportionate every_ms
+    n = multimodal.decode_frames(df, every_ms=100_000_000).count()
+    assert n == 3                  # ticks 0, 1e8, 2e8
+
+
 def test_decode_frames_inter_frame_codec_typed(spark):
     import pandas as pd
     import pytest

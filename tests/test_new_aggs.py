@@ -2075,6 +2075,58 @@ def test_range_format_patterns_and_epoch(agg_engine):
         n({"gte": "2024-01-01 18:00:00"})
 
 
+def test_range_format_epoch_immune_to_time_zone(agg_engine):
+    """r15 ADVICE fix: epoch bounds are absolute UTC instants — ES does
+    NOT shift them under time_zone. Previously the epoch parse emitted
+    a naive ISO string that a following time_zone reinterpreted as
+    zone-local wall clock, silently moving the bound by the offset."""
+    def n(bounds):
+        q = json.dumps({"query": {"range": {"ts": bounds}}})
+        return agg_engine.search("aggdocs", q).count()
+    ms = 1704088800000            # 2024-01-01T06:00:00Z
+    assert n({"gte": ms, "format": "epoch_millis"}) == 4
+    assert n({"gte": ms, "format": "epoch_millis",
+              "time_zone": "+06:00"}) == 4
+    assert n({"gte": ms // 1000, "format": "epoch_second",
+              "time_zone": "Asia/Kolkata"}) == 4
+    # pattern-format bounds still shift (wall clock in the zone)
+    assert n({"gte": "2024-01-01 06:00:00"}) == 4
+    assert n({"gte": "2024-01-01 06:00:00", "time_zone": "+06:00"}) == 5
+
+
+def test_date_literal_zone_id_validated(agg_engine):
+    """r15 ADVICE fix: the date-literal grammar's zone alternative
+    accepted ANY letter-led tail ('... NotAZone'), deferring the crash
+    to the runtime ANSI cast. Region ids now resolve against the JVM's
+    own zone table at compile time."""
+    from cassandra_es_index_spark.search.compile import CompileError
+
+    def n(gte):
+        q = json.dumps({"query": {"range": {"ts": {"gte": gte}}}})
+        return agg_engine.search("aggdocs", q).count()
+    with pytest.raises((DslError, CompileError),
+                       match="unknown time zone"):
+        n("2024-01-01 10:00:00 NotAZone")
+    # resolvable region ids / UTC forms still compile and run
+    assert n("2024-01-01 06:00:00 UTC") == 4
+    assert n("2024-01-01 01:00:00 America/New_York") == 4  # 06:00Z
+    assert n("2024-01-01 06:00:00Z") == 4
+
+
+def test_zone_id_ok_no_jvm_fallback():
+    """The approximation path (no JVM handle — Connect / schema-only
+    compiles) accepts IANA ids, java.time short ids, UTC-prefixed
+    offsets; rejects garbage."""
+    from cassandra_es_index_spark.search.compile import _zone_id_ok
+    assert _zone_id_ok("America/New_York", None)
+    assert _zone_id_ok("UTC", None)
+    assert _zone_id_ok("GMT+8", None)
+    assert _zone_id_ok("UT+05:30", None)
+    assert _zone_id_ok("PST", None)
+    assert not _zone_id_ok("NotAZone", None)
+    assert not _zone_id_ok("Mars/Olympus", None)
+
+
 def test_composite_date_histogram_offset_and_zone(agg_engine):
     def comp(extra):
         q = json.dumps({"query": {"match_all": {}}, "aggs": {"c": {

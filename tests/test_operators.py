@@ -1970,6 +1970,48 @@ def test_warc_typed_errors():
         parse_warc(b"\x1f\x8bnot really gzip data")
 
 
+def test_warc_lenient_http_payload_headers():
+    """r15 ADVICE fix: the HTTP payload of a response record is THIRD-
+    PARTY server output — garbage header lines skip and RFC 7230
+    obs-fold continuations fold into the previous value, instead of a
+    WarcParseError failing the whole archive. WARC record headers
+    (OUR structural contract) stay strict."""
+    import pytest
+
+    from cassandra_es_index_spark.functions.warc import (
+        WarcParseError, parse_warc,
+    )
+
+    def record(http: bytes) -> bytes:
+        head = (b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                b"WARC-Target-URI: http://ex.com/x\r\n"
+                b"Content-Length: " + str(len(http)).encode()
+                + b"\r\n\r\n")
+        return head + http + b"\r\n\r\n"
+
+    # garbage line + obs-fold continuation inside the HTTP headers
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"this line has no colon at all\r\n"
+            b"Content-Type: text/html;\r\n"
+            b"\tcharset=utf-8\r\n"
+            b"X-Junk\x01\x02\r\n"
+            b"\r\nbody!")
+    recs = parse_warc(record(http))
+    assert len(recs) == 1
+    assert recs[0]["http_status"] == 200
+    assert recs[0]["http_content_type"] == "text/html; charset=utf-8"
+    assert recs[0]["body"] == b"body!"
+    # an orphan continuation line (no preceding header) is skipped
+    recs = parse_warc(record(
+        b"HTTP/1.1 204 No Content\r\n"
+        b" orphan fold\r\nContent-Type: a/b\r\n\r\n"))
+    assert recs[0]["http_content_type"] == "a/b"
+    # WARC record headers remain strict
+    with pytest.raises(WarcParseError, match="malformed header"):
+        parse_warc(b"WARC/1.0\r\nno-colon-here\r\n\r\n")
+
+
 def test_warc_responses_operator(spark):
     import pandas as pd
 
