@@ -355,6 +355,115 @@ def _attempt(spark, queries, sf_dir, best_of, sf,
     return timings, build, anchor_hot
 
 
+def _load_prior_record(root: str = ".", sf: float = 0.1) \
+        -> tuple[str | None, dict]:
+    """Per-query values from the newest committed ``BENCH_r{N}.json``
+    (the driver's durable record — its ``parsed.queries`` map), for the
+    SAME scale factor only. Returns ``(None, {})`` when no prior round
+    parses — the comparator then has nothing to compare against and the
+    pass stands on the in-run gates alone (round 1 behavior)."""
+    best_n: int = -1
+    best: tuple[str | None, dict] = (None, {})
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return best
+    for fname in names:
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(os.path.join(root, fname)) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        qs = parsed.get("queries") or {}
+        if qs and parsed.get("sf") == sf:
+            best_n = int(m.group(1))
+            best = (fname, {k: float(v) for k, v in qs.items()
+                            if isinstance(v, (int, float))})
+    return best
+
+
+# cross-round comparator thresholds (r15, judge ask #2 — the BENCH_r14
+# lesson): a co-resident burst that starts AFTER the loadavg gate and
+# ends BEFORE the anchor would re-trip can inflate a mid-suite cluster
+# 2-8x while every in-run gate stays green. The prior round's committed
+# record is the one reference the burst cannot touch.
+_COMPARE_FACTOR = 2.0     # >2x the prior round's value = suspect
+_COMPARE_FLOOR = 0.15     # prior values under this are jitter, not signal
+_COMPARE_HOT_COUNT = 5    # >5 suspects SURVIVING re-drive = hot pass
+
+
+def _cross_round_suspects(timings: dict, prior: dict,
+                          factor: float = _COMPARE_FACTOR,
+                          floor: float = _COMPARE_FLOOR) -> list[str]:
+    """Queries whose recorded value exceeds ``factor`` x the prior
+    round's committed value — the signature of a mid-run burst the
+    start/anchor gates cannot see. Priors under ``floor`` seconds are
+    skipped (a 0.05s->0.12s swing is scheduling jitter, not a burst),
+    as are error entries and queries the prior round didn't run."""
+    out = []
+    for name, val in timings.items():
+        p = prior.get(name)
+        if isinstance(val, float) and isinstance(p, float) \
+                and p >= floor and val > factor * p:
+            out.append(name)
+    return out
+
+
+def _apply_comparator(spark, queries, sf_dir, best_of, sf, timings,
+                      build, load_gate) -> bool:
+    """Cross-round hot-record guard (r15, judge ask #2). After a
+    green-gated pass, diff per-query against the prior round's
+    committed record; each >2x entry gets ONE fresh re-drive (after a
+    loadavg drain check) and the recorded value takes the min. If more
+    than ``_COMPARE_HOT_COUNT`` entries STILL read >2x after the
+    re-drive, the whole pass is treated as hot (returns True — main()
+    drains and retries, exactly like anchor_hot): a cluster that wide
+    that re-drives hot means the burst is still running, and BENCH_r14
+    proved a wide 2-8x cluster can ride through every in-run gate.
+    Genuine regressions survive untouched — they reproduce under the
+    re-drive and the min keeps the honest (still >2x) value, which the
+    round's SCALE.md must then adjudicate."""
+    if sf != 0.1:          # comparator calibrated at the driver's scale
+        return False
+    prior_file, prior = _load_prior_record(
+        os.path.dirname(os.path.abspath(__file__)) or ".", sf)
+    suspects = _cross_round_suspects(timings, prior)
+    if not suspects:
+        if prior_file:
+            build["comparator"] = {"prior": prior_file, "suspects": []}
+        return False
+    print(f"  COMPARATOR: {len(suspects)} entries >"
+          f"{_COMPARE_FACTOR}x their {prior_file} value: "
+          f"{suspects} — re-driving each once", file=sys.stderr)
+    load, load_hot = _wait_for_idle(load_gate)
+    redriven: dict = {}
+    if not load_hot:
+        for name in suspects:
+            fresh: dict = {}
+            _run(queries, name, spark, sf_dir, best_of, fresh)
+            if isinstance(fresh.get(name), float):
+                redriven[name] = fresh[name]
+                timings[name] = round(
+                    min(timings[name], fresh[name]), 3)
+    still = _cross_round_suspects(
+        {k: timings[k] for k in suspects}, prior)
+    build["comparator"] = {
+        "prior": prior_file, "suspects": suspects,
+        "redriven": {k: round(v, 3) for k, v in redriven.items()},
+        "still_hot": still,
+    }
+    if load_hot or len(still) > _COMPARE_HOT_COUNT:
+        print(f"  COMPARATOR HOT: {len(still)} entries still >"
+              f"{_COMPARE_FACTOR}x after re-drive"
+              + (" (loadavg never drained)" if load_hot else "")
+              + " — this pass is invalid", file=sys.stderr)
+        return True
+    return False
+
+
 def _emit(timings: dict, build: dict, best_of: int, sf: float) -> None:
     # The driver keeps only the LAST 2,000 bytes of stdout and
     # JSON-parses them (r11 lesson: the line grew to 2,230 bytes with
@@ -421,8 +530,20 @@ def main() -> None:
         timings, build, anchor_hot = _attempt(
             spark, queries, sf_dir, best_of, sf, load_start)
         if not anchor_hot:
-            _emit(timings, build, best_of, sf)
-            return
+            # r15, judge ask #2: the prior round's committed record is
+            # the one burst-proof reference — re-drive >2x outliers,
+            # min-combine, and invalidate a pass whose outlier cluster
+            # re-drives hot (the BENCH_r14 suite-wide burst shape)
+            comparator_hot = _apply_comparator(
+                spark, queries, sf_dir, best_of, sf, timings, build,
+                load_gate)
+            if not comparator_hot:
+                _emit(timings, build, best_of, sf)
+                return
+            print(f"  attempt {i + 1}/{attempts}: cross-round "
+                  "comparator tripped — draining before retry",
+                  file=sys.stderr)
+            continue
         print(f"  attempt {i + 1}/{attempts}: anchor gate tripped — "
               "draining before retry", file=sys.stderr)
     print("BENCH ABORTED: every attempt failed the idle gates "

@@ -145,3 +145,100 @@ def test_run_dispersion_retry_drops_wave_runs(monkeypatch):
     timings = {}
     bench._run({"q": lambda *_: _Df()}, "q", None, "sf", 2, timings)
     assert timings["q"] == 6.0
+
+
+def test_cross_round_suspects_rule():
+    """r15, judge ask #2: >2x the prior round's committed value flags a
+    suspect; sub-floor priors, errors, and absent priors do not."""
+    prior = {"a": 1.0, "b": 0.5, "tiny": 0.05, "e": 1.0}
+    timings = {
+        "a": 2.5,                 # 2.5x -> suspect
+        "b": 0.9,                 # 1.8x -> fine
+        "tiny": 0.14,             # 2.8x but prior under the floor
+        "e": {"err": "boom"},     # error entries never compare
+        "new": 9.0,               # no prior -> no comparison
+    }
+    assert bench._cross_round_suspects(timings, prior) == ["a"]
+    assert bench._cross_round_suspects({}, prior) == []
+    assert bench._cross_round_suspects(timings, {}) == []
+
+
+def test_load_prior_record_picks_newest_matching_sf(tmp_path):
+    import json
+
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "queries": {"a": 1.0}}}))
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "queries": {"a": 2.0, "b": 1.5}}}))
+    # newer but at the wrong sf — must not win
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.01, "queries": {"a": 0.2}}}))
+    # newest but unparseable — must not abort the scan
+    (tmp_path / "BENCH_r10.json").write_text("not json")
+    fname, prior = bench._load_prior_record(str(tmp_path), 0.1)
+    assert fname == "BENCH_r07.json"
+    assert prior == {"a": 2.0, "b": 1.5}
+    fname, prior = bench._load_prior_record(str(tmp_path / "none"), 0.1)
+    assert (fname, prior) == (None, {})
+
+
+def test_comparator_redrives_and_min_combines(monkeypatch):
+    """Each suspect re-drives ONCE after a drain check; the record
+    takes the min. A small surviving cluster passes (SCALE.md
+    adjudicates); a wide one invalidates the pass."""
+    monkeypatch.setattr(bench, "_load_prior_record",
+                        lambda root, sf: ("BENCH_r14.json",
+                                          {"a": 1.0, "b": 1.0,
+                                           "c": 1.0}))
+    monkeypatch.setattr(bench, "_wait_for_idle",
+                        lambda gate: ([0.1, 0.2, 0.3], False))
+    redrives = []
+
+    def fake_run(queries, name, spark, sf_dir, best_of, timings):
+        redrives.append(name)
+        timings[name] = 0.9        # re-drive lands at steady state
+
+    monkeypatch.setattr(bench, "_run", fake_run)
+    timings = {"a": 3.0, "b": 0.8, "c": 1.1}
+    build = {}
+    hot = bench._apply_comparator(None, {}, "sf", 2, 0.1, timings,
+                                  build, 1.5)
+    assert not hot
+    assert redrives == ["a"]
+    assert timings == {"a": 0.9, "b": 0.8, "c": 1.1}  # min-combined
+    assert build["comparator"]["suspects"] == ["a"]
+    assert build["comparator"]["still_hot"] == []
+
+    # honest regressions survive: the re-drive reproduces the slow
+    # value and the entry stays, recorded at its min
+    def slow_run(queries, name, spark, sf_dir, best_of, timings):
+        timings[name] = 2.8
+
+    monkeypatch.setattr(bench, "_run", slow_run)
+    timings = {"a": 3.0, "b": 0.8, "c": 1.1}
+    build = {}
+    hot = bench._apply_comparator(None, {}, "sf", 2, 0.1, timings,
+                                  build, 1.5)
+    assert not hot and timings["a"] == 2.8
+    assert build["comparator"]["still_hot"] == ["a"]
+
+
+def test_comparator_wide_surviving_cluster_invalidates(monkeypatch):
+    prior = {f"q{i}": 1.0 for i in range(8)}
+    monkeypatch.setattr(bench, "_load_prior_record",
+                        lambda root, sf: ("BENCH_r14.json", prior))
+    monkeypatch.setattr(bench, "_wait_for_idle",
+                        lambda gate: ([0.1, 0.2, 0.3], False))
+
+    def hot_run(queries, name, spark, sf_dir, best_of, timings):
+        timings[name] = 5.0        # burst still running
+
+    monkeypatch.setattr(bench, "_run", hot_run)
+    timings = {f"q{i}": 4.0 for i in range(8)}
+    hot = bench._apply_comparator(None, {}, "sf", 2, 0.1, timings,
+                                  {}, 1.5)
+    assert hot
+
+    # comparator only arms at the calibrated sf
+    assert not bench._apply_comparator(None, {}, "sf", 2, 0.01,
+                                       dict(timings), {}, 1.5)
