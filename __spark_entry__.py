@@ -2541,6 +2541,88 @@ def q_search_multi_index_aggs(spark, sf_dir):
                       F.round("chars", 6).alias("chars"))
 
 
+def q_search_multi_index_paged(spark, sf_dir):
+    # Multi-index PAGINATION (r15, judge ask #3): a search_after anchor
+    # on the shared (sort, _index, key) total order pages the merged
+    # "docs_*" union — the keyset pushes into each per-index search
+    # before its cap (strictly-after on the sort prefix for indexes
+    # before the anchor index, at-or-after past it, full keyset on it),
+    # so page N never rescans pages 1..N-1. The oracle replays the
+    # identical keyset predicate over the unioned slices.
+    key = _ck(spark, sf_dir, "eng:multi_index")
+    if key not in _CACHE:
+        q_search_multi_index(spark, sf_dir)  # builds the cached engine
+    q = ('{"query":{"term":{"text":"spark"}},"size":300,'
+         '"sort":[{"n_chars":"desc"}],'
+         '"search_after":[430,"docs_even",208]}')
+    out = _CACHE[key].search("docs_*", q)
+    return out.select("doc_id", "n_chars", "_index")
+
+
+def q_pipeline_ingest(spark, sf_dir):
+    # Ingest-processor parity subset (r15, judge ask #4): an ES-shaped
+    # pipeline spec using the six r15 kinds — trim / uppercase /
+    # convert / split / append / date — runs through `_reindex` into a
+    # fresh IndexStore (the write path), and the store's read-back is
+    # the result. All six are pure Column transforms fused into the
+    # write's codegen stage (pipelines.py); the oracle replays each
+    # processor in SQL. `date` parses a wall-clock string at +02:00
+    # (formats tried left to right — the first deliberately misses) to
+    # a UTC instant; the failing `convert` pins try_cast null-not-crash.
+    import os as _os
+    import re as _re
+    import tempfile as _tempfile
+
+    from cassandra_es_index_spark import pipelines as P
+
+    key = _ck(spark, sf_dir, "pipeline_ingest")
+    if key not in _CACHE:
+        src = (_t(spark, sf_dir, "events")
+               .where(F.col("event_id") < 2000)
+               .select("event_id", "event_type",
+                       F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                       .alias("ts_s")))
+        eng = SearchEngine(spark)
+        eng.register(src, TableSpec("ingest_src", ["event_id"]))
+        reg = P.PipelineRegistry()
+        reg.put("r15", P.from_processor_specs([
+            {"set": {"field": "pad", "value": "  x  "}},
+            {"trim": {"field": "pad"}},
+            {"uppercase": {"field": "event_type"}},
+            {"split": {"field": "event_type", "separator": "E",
+                       "target_field": "et_parts"}},
+            {"convert": {"field": "event_id", "type": "string",
+                         "target_field": "sid"}},
+            {"convert": {"field": "sid", "type": "long",
+                         "target_field": "sid_l"}},
+            {"convert": {"field": "event_type", "type": "long",
+                         "target_field": "bad_l"}},
+            {"append": {"field": "tags", "value": ["p1"]}},
+            {"append": {"field": "tags", "value": "p2"}},
+            {"date": {"field": "ts_s",
+                      "formats": ["yyyy/MM/dd HH:mm:ss",
+                                  "yyyy-MM-dd HH:mm:ss"],
+                      "target_field": "ts2", "timezone": "+02:00"}},
+        ]))
+        tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+        app = _re.sub(r"\W+", "_", spark.sparkContext.applicationId)
+        path = _os.path.join(_tempfile.gettempdir(),
+                             f"spark_graft_{app}_ingest_{tag}")
+        spec = TableSpec("pipeline_ingest", ["event_id"])
+        store = ParquetIndexStore(spark, path, spec)
+        store.build(reg.apply("r15", src.limit(0)),
+                    truncate_first=True)
+        eng.reindex("ingest_src", store, None,
+                    pipeline="r15", registry=reg)
+        _CACHE[key] = store
+    return (_CACHE[key].read()
+            .select("event_id", "event_type", "pad", "sid", "sid_l",
+                    "bad_l",
+                    F.array_join("et_parts", "/").alias("et_join"),
+                    F.array_join("tags", ",").alias("tags_s"),
+                    "ts2"))
+
+
 def q_dedup_incremental(spark, sf_dir):
     # Cross-snapshot dedup (r14): a new crawl batch dedups against a
     # seen corpus via a sparse Bloom prefilter + exact verification —
@@ -4748,6 +4830,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mlt": q_search_mlt,  # tf·idf pick, oracle-backed —
         #   demoted from the window r14.75 for search_multi_index (MLT
         #   family: search_mlt_dsl sibling below, compile pins)
+        "pipeline_ingest": q_pipeline_ingest,  # ~ ingest pipelines
+        #   (r15, judge ask #4): the six new processor kinds (trim/
+        #   uppercase/convert/split/append/date) through _reindex into
+        #   an IndexStore, read-back oracle-replayed per processor
+        "search_multi_index_paged": q_search_multi_index_paged,  # ~
+        #   search surface (r15, judge ask #3): search_after/from now
+        #   COMPOSE across a multi-index expression via the shared-
+        #   total-order merge (was a typed reject through r14)
         "search_date_range_math": q_search_date_range_math,  # ~ agg
         #   family (r14): date-math now-1M/d bounds in date_range AGG
         #   buckets, resolved via the injectable now (judge ask #3)
@@ -6120,6 +6210,43 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'docs_odd' END AS _index
                 FROM documents)
             SELECT doc_id, _score, _index FROM t WHERE _score > 0
+        """,
+        # r15 ingest processors through _reindex: each of the six new
+        # kinds replayed in SQL — trim('  x  ')='x', UPPER, string/long
+        # round-trip casts, the failing cast as NULL, split-on-E joined
+        # with '/', the two appends as a constant tag list, and the
+        # +02:00 wall-clock date parse as ts truncated to seconds
+        # minus two hours
+        "pipeline_ingest": """
+            SELECT event_id,
+                   UPPER(event_type) AS event_type,
+                   'x' AS pad,
+                   CAST(event_id AS VARCHAR) AS sid,
+                   event_id AS sid_l,
+                   CAST(NULL AS BIGINT) AS bad_l,
+                   ARRAY_TO_STRING(
+                       STRING_SPLIT(UPPER(event_type), 'E'), '/')
+                       AS et_join,
+                   'p1,p2' AS tags_s,
+                   date_trunc('second', ts) - INTERVAL 2 HOUR AS ts2
+            FROM events WHERE event_id < 2000
+        """,
+        # r15 multi-index pagination: the identical keyset predicate
+        # over the unioned slices, paged on the shared
+        # (n_chars desc, _index asc, doc_id asc) total order
+        "search_multi_index_paged": f"""
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN doc_id % 2 = 0 THEN 'docs_even'
+                            ELSE 'docs_odd' END AS _index
+                FROM documents
+                WHERE len(regexp_extract_all(text, '{_SPARK}')) > 0)
+            SELECT doc_id, n_chars, _index FROM t
+            WHERE n_chars < 430
+               OR (n_chars = 430 AND (_index > 'docs_even'
+                    OR (_index = 'docs_even' AND doc_id > 208)))
+            ORDER BY n_chars DESC, _index ASC, doc_id ASC
+            LIMIT 300
         """,
         # r14 range format: epoch_millis 1704844800000 = 2024-01-10,
         # dd/MM/yyyy 25/01/2024 = 2024-01-25 (scored filter-only = 0)

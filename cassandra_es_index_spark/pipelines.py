@@ -8,8 +8,13 @@ equivalent is a registry of ``DataFrame → DataFrame`` transforms applied
 with ``df.transform(fn)`` in the write path, before segment assignment.
 
 Processors mirror the common ES ingest processors the reference's users
-rely on (set/rename/remove/lowercase/gsub), built from Column expressions
-so they fuse into the same codegen stage as the document build.
+rely on (set/rename/remove/lowercase/gsub, plus r15: convert/date/trim/
+uppercase/split/append — the subset a real porter's pipelines use,
+ref requests/UpdatePipeline.java:30-67, README.md:547-548), built from
+Column expressions so they fuse into the same codegen stage as the
+document build. Script/grok and other server-side-only kinds stay typed
+rejects — a silently skipped processor would index different documents
+than ES with no signal.
 """
 
 from __future__ import annotations
@@ -71,6 +76,100 @@ def gsub_field(name: str, pattern: str, replacement: str) -> Transform:
         name, F.regexp_replace(F.col(name), pattern, replacement))
 
 
+def uppercase_field(name: str) -> Transform:
+    return lambda df: df.withColumn(name, F.upper(F.col(name)))
+
+
+def trim_field(name: str) -> Transform:
+    return lambda df: df.withColumn(name, F.trim(F.col(name)))
+
+
+# ES convert-processor types → Spark cast targets. "auto" typed-rejects
+# (its per-document type sniffing has no declarative analogue).
+_CONVERT_TYPES = {
+    "integer": "int", "long": "bigint", "float": "float",
+    "double": "double", "string": "string", "boolean": "boolean",
+    "ip": "string",
+}
+
+
+def convert_field(name: str, type_: str,
+                  target: str | None = None) -> Transform:
+    """ES ``convert``: cast a field (``try_cast`` — an unconvertible
+    value yields null rather than an ANSI runtime crash; ES raises per
+    document, but a distributed job must not die on one bad row — the
+    null is visible and filterable)."""
+    if type_ not in _CONVERT_TYPES:
+        raise ValueError(
+            f"convert: unsupported type {type_!r} (engine subset: "
+            f"{sorted(_CONVERT_TYPES)})")
+    dst = _CONVERT_TYPES[type_]
+    return lambda df: df.withColumn(
+        target or name, F.col(name).try_cast(dst))
+
+
+def split_field(name: str, separator: str,
+                target: str | None = None) -> Transform:
+    """ES ``split``: string → array on a REGEX separator (the ES
+    contract — '\\s+' splits runs of whitespace)."""
+    return lambda df: df.withColumn(
+        target or name, F.split(F.col(name), separator))
+
+
+def append_field(name: str, value: Any) -> Transform:
+    """ES ``append``: add value(s) to an array field; a scalar field
+    (or a missing/null value) converts to an array first, like ES."""
+    values = value if isinstance(value, list) else [value]
+
+    def _apply(df: DataFrame) -> DataFrame:
+        tail = F.array(*[F.lit(v) for v in values])
+        if name not in df.columns:
+            return df.withColumn(name, tail)
+        dt = df.schema[name].dataType.typeName()
+        head = F.col(name) if dt == "array" else F.array(F.col(name))
+        return df.withColumn(
+            name, F.concat(F.coalesce(head, F.array()), tail))
+
+    return _apply
+
+
+def date_field(name: str, formats: list[str],
+               target: str = "@timestamp",
+               timezone: str | None = None) -> Transform:
+    """ES ``date``: parse ``field`` trying ``formats`` left to right
+    into ``target_field`` (default ``@timestamp``). Formats are Java
+    time patterns (Spark's own grammar) plus the ES named formats
+    ISO8601 / UNIX / UNIX_MS; parses are ``try_to_timestamp``-based so
+    a non-matching value falls through to the next format and an
+    all-miss yields null, never an ANSI crash. ``timezone`` names the
+    zone the TEXT is wall-clocked in (ES semantics): the parsed local
+    time converts to UTC via ``to_utc_timestamp`` (fixed offsets and
+    IANA ids both resolve JVM-side)."""
+    if not formats:
+        raise ValueError("date: needs at least one format")
+
+    def _one(col, fmt):
+        if fmt == "ISO8601":
+            return F.try_to_timestamp(col)
+        if fmt == "UNIX":
+            return F.try_to_timestamp(
+                F.from_unixtime(col.try_cast("double")))
+        if fmt == "UNIX_MS":
+            return F.try_to_timestamp(
+                F.from_unixtime(col.try_cast("double") / F.lit(1000.0)))
+        return F.try_to_timestamp(col, F.lit(fmt))
+
+    def _apply(df: DataFrame) -> DataFrame:
+        col = F.col(name).cast("string")
+        parsed = F.coalesce(*[_one(col, f) for f in formats])
+        if timezone is not None and timezone not in ("UTC", "Z",
+                                                     "+00:00"):
+            parsed = F.to_utc_timestamp(parsed, timezone)
+        return df.withColumn(target, parsed)
+
+    return _apply
+
+
 def from_processor_specs(specs: list[dict[str, Any]]) -> list[Transform]:
     """Build processors from the JSON shape ES pipelines use:
     ``[{"set": {"field": f, "value": v}}, {"rename": {...}}, ...]``."""
@@ -88,6 +187,23 @@ def from_processor_specs(specs: list[dict[str, Any]]) -> list[Transform]:
         elif kind == "gsub":
             out.append(gsub_field(body["field"], body["pattern"],
                                   body["replacement"]))
+        elif kind == "uppercase":
+            out.append(uppercase_field(body["field"]))
+        elif kind == "trim":
+            out.append(trim_field(body["field"]))
+        elif kind == "convert":
+            out.append(convert_field(body["field"], body["type"],
+                                     body.get("target_field")))
+        elif kind == "split":
+            out.append(split_field(body["field"], body["separator"],
+                                   body.get("target_field")))
+        elif kind == "append":
+            out.append(append_field(body["field"], body["value"]))
+        elif kind == "date":
+            out.append(date_field(body["field"], body["formats"],
+                                  body.get("target_field",
+                                           "@timestamp"),
+                                  body.get("timezone")))
         else:
             raise ValueError(f"unsupported processor {kind!r}")
     return out
