@@ -4158,6 +4158,26 @@ def q_docs_quality_classifier(spark, sf_dir):
         _QC_WEIGHTS, bias=-0.1, threshold=0.5)
 
 
+def q_docs_classifier_train(spark, sf_dir):
+    # DISTRIBUTED classifier training (r15): full-batch logistic-
+    # regression gradient descent over the corpus — the missing half
+    # of the quality-filter story (q_docs_quality_classifier applies a
+    # trained model; this TRAINS one). Two unrolled iterations on
+    # engineered integer features (n_chars, doc_id%50) against the
+    # lang=='en' label. Exactness contract: residuals quantize to 1e-6
+    # fixed point, gradients and per-row dot products run in
+    # decimal(38,0), and the lr=0.1 update is the integer recurrence
+    # W ← W − 100·G — bit-reproducible under any partitioning, which
+    # is what lets the oracle replay both iterations as chained CTEs.
+    from cassandra_es_index_spark.operators import classify
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id", "n_chars", (F.col("doc_id") % 50).alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    return classify.train_logreg(df, ["n_chars", "x2"], "y",
+                                 n_iters=2, lr=0.1)
+
+
 def q_docs_ccnet_buckets(spark, sf_dir):
     # CCNet head/middle/tail tranches (r14.5): per-language ntile(3)
     # over the unigram cross-entropy ranking (xent asc, id asc ties) —
@@ -4830,6 +4850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mlt": q_search_mlt,  # tf·idf pick, oracle-backed —
         #   demoted from the window r14.75 for search_multi_index (MLT
         #   family: search_mlt_dsl sibling below, compile pins)
+        "docs_classifier_train": q_docs_classifier_train,  # ~ LLM
+        #   pipeline tier (r15): distributed logistic-regression
+        #   TRAINING — exact integer-recurrence GD, oracle unrolls the
+        #   two iterations as chained CTEs
         "pipeline_ingest": q_pipeline_ingest,  # ~ ingest pipelines
         #   (r15, judge ask #4): the six new processor kinds (trim/
         #   uppercase/convert/split/append/date) through _reindex into
@@ -6210,6 +6234,48 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'docs_odd' END AS _index
                 FROM documents)
             SELECT doc_id, _score, _index FROM t WHERE _score > 0
+        """,
+        # r15 distributed logreg training: both GD iterations unrolled
+        # as chained CTEs — iteration 1's sigmoid(0)=0.5 residual in
+        # closed form (500000 − 1000000·y), iteration 2 re-deriving
+        # z from the exact integer weights; HUGEINT sums mirror the
+        # engine's decimal(38,0)
+        "docs_classifier_train": """
+            WITH base AS (
+                SELECT 1::HUGEINT AS x0, n_chars::HUGEINT AS x1,
+                       (doc_id % 50)::HUGEINT AS x2,
+                       (CASE WHEN lang = 'en' THEN 1 ELSE 0
+                        END)::HUGEINT AS y
+                FROM documents),
+            c AS (SELECT COUNT(*) AS n FROM base),
+            g1 AS (SELECT SUM((500000 - 1000000*y) * x0) AS g0,
+                          SUM((500000 - 1000000*y) * x1) AS g1,
+                          SUM((500000 - 1000000*y) * x2) AS g2
+                   FROM base),
+            w1 AS (SELECT (-100 * g0) AS w0, (-100 * g1) AS wa,
+                          (-100 * g2) AS wb FROM g1),
+            r2 AS (SELECT ROUND((1.0 / (1.0 + EXP(-(
+                              (w1.w0*x0 + w1.wa*x1 + w1.wb*x2)::DOUBLE
+                              / (1000000000.0 * c.n))))
+                          - y::DOUBLE) * 1000000.0)::HUGEINT AS r,
+                          x0, x1, x2
+                   FROM base, w1, c),
+            g2s AS (SELECT SUM(r*x0) AS g0, SUM(r*x1) AS g1,
+                           SUM(r*x2) AS g2 FROM r2),
+            w2 AS (SELECT w1.w0 - 100*g2s.g0 AS w0,
+                          w1.wa - 100*g2s.g1 AS wa,
+                          w1.wb - 100*g2s.g2 AS wb
+                   FROM w1, g2s)
+            SELECT f.feature,
+                   (CASE f.feature WHEN '_intercept' THEN w2.w0
+                         WHEN 'n_chars' THEN w2.wa
+                         ELSE w2.wb END)::BIGINT AS weight_scaled,
+                   (CASE f.feature WHEN '_intercept' THEN w2.w0
+                         WHEN 'n_chars' THEN w2.wa
+                         ELSE w2.wb END)::DOUBLE
+                       / (1000000000.0 * c.n) AS weight
+            FROM (VALUES ('_intercept'), ('n_chars'), ('x2'))
+                 AS f(feature), w2, c
         """,
         # r15 ingest processors through _reindex: each of the six new
         # kinds replayed in SQL — trim('  x  ')='x', UPPER, string/long

@@ -75,3 +75,80 @@ def linear_quality_score(df: DataFrame, id_col: str, text_col: str,
                          score.alias("score"),
                          (score >= F.lit(float(threshold)))
                          .alias("keep"))
+
+
+def train_logreg(df: DataFrame, feature_cols: list[str],
+                 label_col: str, *, n_iters: int = 2, lr: float = 0.1,
+                 intercept: bool = True) -> DataFrame:
+    """DISTRIBUTED training for the quality classifier (r15): full-
+    batch gradient descent for logistic regression, one corpus scan
+    per iteration — the missing half of ``linear_quality_score``
+    (which applies a trained model). Returns a (feature,
+    weight_scaled, weight) frame; ``weight = weight_scaled/(1e9·N)``.
+
+    Exactness is the design center: features and labels cast to
+    integers, the per-row residual quantizes to 1e-6 fixed point
+    (``r = round(1e6·(σ(z)−y))``), and both the gradient sums and the
+    per-row dot products run in decimal(38,0) — order-independent
+    integer arithmetic, so training is bit-reproducible under any
+    partitioning AND replayable in plain SQL (the oracle unrolls the
+    iterations as chained CTEs). The trick that keeps the weight
+    update exact with no float rounding anywhere: with
+    ``lr = lr_m/1000``, the update ``w ← w − lr·g/(1e6·N)`` in units
+    of ``1/(1e9·N)`` is the INTEGER recurrence ``W ← W − lr_m·G``;
+    ``z = (Σ W_j·x_j)/(1e9·N)`` is one deterministic double division
+    per row. ``lr`` must therefore be a positive multiple of 0.001
+    (typed error otherwise).
+
+    Scale shape (100 TB): each iteration is one scan + one map-side-
+    combinable aggregate of B decimals (B = feature count, dozens);
+    weights ride the next plan as literals. The corpus never
+    shuffles; there is no driver-side data, only the B-vector.
+    Labels must be 0/1 integers; a constant ``_intercept`` feature is
+    prepended unless ``intercept=False``.
+    """
+    if not feature_cols:
+        raise ValueError("train_logreg: feature_cols must be non-empty")
+    if not isinstance(n_iters, int) or n_iters < 1:
+        raise ValueError(f"train_logreg: n_iters must be a positive "
+                         f"integer, got {n_iters!r}")
+    lr_m = lr * 1000.0
+    if not (lr_m > 0 and abs(lr_m - round(lr_m)) < 1e-9):
+        raise ValueError(
+            f"train_logreg: lr must be a positive multiple of 0.001 "
+            f"(the exact-update grid), got {lr!r}")
+    lr_m = int(round(lr_m))
+    names = (["_intercept"] if intercept else []) + list(feature_cols)
+    xcols = ([F.lit(1).cast("long")] if intercept else []) + \
+        [F.col(c).cast("long") for c in feature_cols]
+    base = df.select(
+        *[c.alias(f"_x{j}") for j, c in enumerate(xcols)],
+        F.col(label_col).cast("long").alias("_y")).persist()
+    try:
+        n = base.count()
+        if n == 0:
+            raise ValueError("train_logreg: empty training frame")
+        b = len(names)
+        denom = 1.0e9 * n
+        dec = "decimal(38,0)"
+        weights = [0] * b
+        for _ in range(n_iters):
+            dot = F.lit(0).cast(dec)
+            for j in range(b):
+                dot = dot + (F.lit(weights[j]).cast(dec)
+                             * F.col(f"_x{j}").cast(dec))
+            z = dot.cast("double") / F.lit(denom)
+            sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            r = F.round((sig - F.col("_y").cast("double"))
+                        * F.lit(1000000.0)).cast("long")
+            row = base.agg(*[
+                F.sum((r * F.col(f"_x{j}")).cast(dec)).alias(f"g{j}")
+                for j in range(b)]).first()
+            for j in range(b):
+                weights[j] -= lr_m * int(row[f"g{j}"])
+    finally:
+        base.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(names[j], weights[j], weights[j] / denom) for j in range(b)],
+        "feature string, weight_scaled long, weight double")

@@ -2051,3 +2051,80 @@ def test_warc_to_clean_text_composes(spark):
            .where("http_status = 200 AND mime = 'text/html'")
            .select(html_to_text(F.col("body_text")).alias("text")))
     assert [r["text"] for r in out.collect()] == ["hello & bye"]
+
+
+def test_train_logreg_matches_pure_python(spark):
+    """r15: the distributed trainer replays the exact integer
+    recurrence — a pure-Python reference on the same rows produces
+    bit-identical scaled weights."""
+    import math
+
+    from cassandra_es_index_spark.operators import classify
+
+    rows = [(1, 10, 3, 1), (2, 40, 1, 0), (3, 25, 7, 1),
+            (4, 55, 2, 0), (5, 15, 5, 1), (6, 60, 9, 0)]
+    df = spark.createDataFrame(
+        rows, "id int, len bigint, punct bigint, y int")
+    out = classify.train_logreg(df, ["len", "punct"], "y",
+                                n_iters=3, lr=0.1)
+    got = {r["feature"]: (r["weight_scaled"], r["weight"])
+           for r in out.collect()}
+
+    # reference: W ← W − lr_m·G with r = round(1e6·(σ(z)−y)),
+    # z = ΣW·x/(1e9·N)
+    n = len(rows)
+    feats = [(1, r[1], r[2]) for r in rows]
+    ys = [r[3] for r in rows]
+    W = [0, 0, 0]
+    for _ in range(3):
+        G = [0, 0, 0]
+        for x, y in zip(feats, ys):
+            z = sum(w * xi for w, xi in zip(W, x)) / (1.0e9 * n)
+            sig = 1.0 / (1.0 + math.exp(-z))
+            r = round((sig - y) * 1000000.0)
+            # Python round is half-even; Spark HALF_UP — inputs here
+            # are nowhere near ties, so both agree
+            for j in range(3):
+                G[j] += r * x[j]
+        for j in range(3):
+            W[j] -= 100 * G[j]
+    assert got["_intercept"][0] == W[0]
+    assert got["len"][0] == W[1]
+    assert got["punct"][0] == W[2]
+    assert got["len"][1] == W[1] / (1.0e9 * n)
+    # the learned direction separates the classes (short docs y=1)
+    assert got["len"][1] < 0
+
+
+def test_train_logreg_partition_invariant(spark):
+    """Integer/decimal sums make training bit-reproducible under any
+    partitioning — the 100 TB determinism contract."""
+    from cassandra_es_index_spark.operators import classify
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 37).alias("a"),
+        ((F.col("id") * 7) % 11).alias("b"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"))
+    w1 = {r["feature"]: r["weight_scaled"]
+          for r in classify.train_logreg(
+              df, ["a", "b"], "y", n_iters=2).collect()}
+    w2 = {r["feature"]: r["weight_scaled"]
+          for r in classify.train_logreg(
+              df.repartition(13), ["a", "b"], "y",
+              n_iters=2).collect()}
+    assert w1 == w2 and len(w1) == 3
+
+
+def test_train_logreg_typed_errors(spark):
+    from cassandra_es_index_spark.operators import classify
+
+    df = spark.createDataFrame([(1, 1)], "x bigint, y int")
+    with pytest.raises(ValueError, match="multiple of 0.001"):
+        classify.train_logreg(df, ["x"], "y", lr=0.0007)
+    with pytest.raises(ValueError, match="n_iters"):
+        classify.train_logreg(df, ["x"], "y", n_iters=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        classify.train_logreg(df, [], "y")
+    with pytest.raises(ValueError, match="empty training frame"):
+        classify.train_logreg(df.where("x > 99"), ["x"], "y")

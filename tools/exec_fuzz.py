@@ -32,10 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--examples", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="fix the hypothesis PRNG — reproducible runs "
+                         "for the per-round FUZZCHECK artifact")
+    ap.add_argument("--json", default=None,
+                    help="write a JSON record (examples, executed, "
+                         "escapes, seed) to this path")
     args = ap.parse_args()
 
     import hypothesis.strategies as st
-    from hypothesis import HealthCheck, given, settings
+    from hypothesis import HealthCheck, given, seed, settings
     from pyspark.sql import functions as F
 
     from cassandra_es_index_spark import get_spark
@@ -196,6 +202,8 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 bad.append(("aggs", q, type(e).__name__, str(e)[:150]))
 
+    if args.seed is not None:
+        burn = seed(args.seed)(burn)
     burn()
     print(f"executed {nexec[0]} parse-valid bodies; "
           f"escapes: {len(bad)}")
@@ -206,6 +214,17 @@ def main() -> int:
             continue
         seen.add(key)
         print(f"ESCAPE [{call}] {t}: {m}\n  BODY {q[:300]}")
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump({"examples": args.examples,
+                       "executed": nexec[0],
+                       "escapes": len(bad),
+                       "seed": args.seed,
+                       "escape_samples": [
+                           {"call": c, "type": t, "msg": m,
+                            "body": q[:300]}
+                           for c, q, t, m in bad[:20]]}, fh, indent=1)
+            fh.write("\n")
     return 1 if bad else 0
 
 
