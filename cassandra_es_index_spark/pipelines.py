@@ -19,6 +19,7 @@ than ES with no signal.
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Callable
 from typing import Any
 
@@ -26,6 +27,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Transform = Callable[[DataFrame], DataFrame]
+
+
+def _check_regex(pattern: Any, kind: str) -> str:
+    """Eager typed validation of a user regex (r15 fuzz hardening): a
+    malformed pattern previously reached regexp_replace/split and
+    crashed at RUNTIME with a JVM PatternSyntaxException. Python's
+    ``re`` grammar approximates Java's closely enough to reject
+    garbage; Java-only constructs (possessive quantifiers) are
+    rejected too — documented subset, a typed error either way."""
+    if not isinstance(pattern, str):
+        raise ValueError(f"{kind}: pattern must be a string, "
+                         f"got {pattern!r}")
+    try:
+        _re.compile(pattern)
+    except _re.error as e:
+        raise ValueError(f"{kind}: bad pattern {pattern!r}: {e}") from e
+    return pattern
+
+
+# date-format patterns already probed against Spark's own parser this
+# session (set of accepted format strings)
+_DATE_FMT_OK: set[str] = set()
+
+
+def _check_date_format(fmt: str, df: DataFrame) -> None:
+    """Probe a date format against the SAME parser that executes it
+    (one cached 1-row local job): Spark's pattern grammar bans some
+    DateTimeFormatter letters, so only a real parse attempt separates
+    "pattern error at runtime" from "value doesn't match" — the former
+    must be a typed error at pipeline-apply time."""
+    if fmt in _DATE_FMT_OK:
+        return
+    try:
+        (df.sparkSession.range(1)
+           .select(F.try_to_timestamp(F.lit("probe"), F.lit(fmt)))
+           .collect())
+    except Exception as e:  # noqa: BLE001 — JVM pattern error → typed
+        raise ValueError(f"date: bad format pattern {fmt!r}: "
+                         f"{str(e)[:200]}") from e
+    _DATE_FMT_OK.add(fmt)
 
 
 class PipelineRegistry:
@@ -44,8 +85,18 @@ class PipelineRegistry:
         return self._pipelines[name]
 
     def apply(self, name: str, df: DataFrame) -> DataFrame:
-        for proc in self.get(name):
-            df = df.transform(proc)
+        from pyspark.errors import AnalysisException
+        for i, proc in enumerate(self.get(name)):
+            try:
+                df = df.transform(proc)
+            except AnalysisException as e:
+                # a processor naming a missing/ambiguous column is a
+                # user-spec error — typed, like every other bad spec
+                # (r15 fuzz hardening; transformations analyze eagerly
+                # so this surfaces here, not at the sink)
+                raise ValueError(
+                    f"pipeline {name!r} processor #{i}: "
+                    f"{str(e)[:200]}") from e
         return df
 
     def names(self) -> list[str]:
@@ -72,6 +123,7 @@ def lowercase_field(name: str) -> Transform:
 
 
 def gsub_field(name: str, pattern: str, replacement: str) -> Transform:
+    _check_regex(pattern, "gsub")
     return lambda df: df.withColumn(
         name, F.regexp_replace(F.col(name), pattern, replacement))
 
@@ -112,6 +164,7 @@ def split_field(name: str, separator: str,
                 target: str | None = None) -> Transform:
     """ES ``split``: string → array on a REGEX separator (the ES
     contract — '\\s+' splits runs of whitespace)."""
+    _check_regex(separator, "split")
     return lambda df: df.withColumn(
         target or name, F.split(F.col(name), separator))
 
@@ -160,10 +213,20 @@ def date_field(name: str, formats: list[str],
         return F.try_to_timestamp(col, F.lit(fmt))
 
     def _apply(df: DataFrame) -> DataFrame:
+        for f in formats:
+            if f not in ("ISO8601", "UNIX", "UNIX_MS"):
+                _check_date_format(f, df)
         col = F.col(name).cast("string")
         parsed = F.coalesce(*[_one(col, f) for f in formats])
         if timezone is not None and timezone not in ("UTC", "Z",
                                                      "+00:00"):
+            from cassandra_es_index_spark.search.compile import (
+                _zone_id_ok,
+            )
+            if not isinstance(timezone, str) \
+                    or not _zone_id_ok(timezone, df.sparkSession):
+                raise ValueError(f"date: unknown timezone "
+                                 f"{timezone!r}")
             parsed = F.to_utc_timestamp(parsed, timezone)
         return df.withColumn(target, parsed)
 
@@ -172,35 +235,77 @@ def date_field(name: str, formats: list[str],
 
 def from_processor_specs(specs: list[dict[str, Any]]) -> list[Transform]:
     """Build processors from the JSON shape ES pipelines use:
-    ``[{"set": {"field": f, "value": v}}, {"rename": {...}}, ...]``."""
+    ``[{"set": {"field": f, "value": v}}, {"rename": {...}}, ...]``.
+    Malformed shapes — non-dict specs, multi-kind entries, missing
+    required keys, non-string field names — are typed ``ValueError``s
+    here, not KeyErrors/JVM crashes downstream (r15 fuzz
+    hardening)."""
+    if not isinstance(specs, list):
+        raise ValueError(f"processor specs must be a list, "
+                         f"got {type(specs).__name__}")
     out: list[Transform] = []
     for spec in specs:
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise ValueError(
+                f"each processor spec must be a single-kind object "
+                f"like {{'set': {{...}}}}, got {spec!r}")
         (kind, body), = spec.items()
+        if not isinstance(body, dict):
+            raise ValueError(f"{kind}: processor body must be an "
+                             f"object, got {body!r}")
+
+        def _need(*keys, _kind=kind, _body=body):
+            for kk in keys:
+                if kk not in _body:
+                    raise ValueError(
+                        f"{_kind}: missing required key {kk!r}")
+                if kk in ("field", "target_field", "separator",
+                          "type") and not isinstance(_body[kk], str):
+                    raise ValueError(
+                        f"{_kind}: {kk} must be a string, "
+                        f"got {_body[kk]!r}")
         if kind == "set":
+            _need("field", "value")
             out.append(set_field(body["field"], body["value"]))
         elif kind == "rename":
+            _need("field", "target_field")
             out.append(rename_field(body["field"], body["target_field"]))
         elif kind == "remove":
+            _need("field")
             out.append(remove_field(body["field"]))
         elif kind == "lowercase":
+            _need("field")
             out.append(lowercase_field(body["field"]))
         elif kind == "gsub":
+            _need("field", "pattern", "replacement")
             out.append(gsub_field(body["field"], body["pattern"],
                                   body["replacement"]))
         elif kind == "uppercase":
+            _need("field")
             out.append(uppercase_field(body["field"]))
         elif kind == "trim":
+            _need("field")
             out.append(trim_field(body["field"]))
         elif kind == "convert":
+            _need("field", "type")
             out.append(convert_field(body["field"], body["type"],
                                      body.get("target_field")))
         elif kind == "split":
+            _need("field", "separator")
             out.append(split_field(body["field"], body["separator"],
                                    body.get("target_field")))
         elif kind == "append":
+            _need("field", "value")
             out.append(append_field(body["field"], body["value"]))
         elif kind == "date":
-            out.append(date_field(body["field"], body["formats"],
+            _need("field", "formats")
+            fmts = body["formats"]
+            if not isinstance(fmts, list) \
+                    or not all(isinstance(f, str) for f in fmts):
+                raise ValueError(
+                    f"date: formats must be a list of strings, "
+                    f"got {fmts!r}")
+            out.append(date_field(body["field"], fmts,
                                   body.get("target_field",
                                            "@timestamp"),
                                   body.get("timezone")))

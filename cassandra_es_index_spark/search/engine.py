@@ -2150,6 +2150,12 @@ class SearchEngine:
             raise es_dsl.DslError(
                 "collapse does not compose across a multi-index "
                 "expression (engine subset — per-index group spaces)")
+        if search_after is not None and (
+                not isinstance(search_after, (list, tuple))
+                or not search_after):
+            raise es_dsl.DslError(
+                "search_after must be a non-empty list of sort "
+                f"values, got {search_after!r}")
         after = tuple(search_after) if search_after is not None \
             else req.search_after
         from_ = req.from_ or 0
@@ -2325,9 +2331,15 @@ class SearchEngine:
         node, size = req.node, req.size
         if isinstance(search_after, PrefixAnchor):
             after: "tuple | PrefixAnchor | None" = search_after
+        elif search_after is not None:
+            if not isinstance(search_after, (list, tuple)) \
+                    or not search_after:
+                raise es_dsl.DslError(
+                    "search_after must be a non-empty list of sort "
+                    f"values, got {search_after!r}")
+            after = tuple(search_after)
         else:
-            after = tuple(search_after) if search_after is not None \
-                else req.search_after
+            after = req.search_after
 
         cfg = spec.config()
         k = limit if limit is not None else (size if size is not None else cfg.max_results)

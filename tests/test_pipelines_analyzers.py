@@ -137,3 +137,47 @@ def test_pipeline_r15_typed_rejects():
         P.from_processor_specs([{"script": {"source": "1+1"}}])
     with pytest.raises(ValueError, match="unsupported processor"):
         P.from_processor_specs([{"grok": {"field": "x"}}])
+
+
+def test_pipeline_spec_shapes_typed(spark):
+    """r15 fuzz hardening: malformed spec shapes, bad regexes, bad
+    date patterns, unknown zones, and missing columns are all typed
+    ValueErrors — never KeyErrors or JVM crashes from the write
+    path."""
+    with pytest.raises(ValueError, match="missing required key"):
+        P.from_processor_specs([{"set": {}}])
+    with pytest.raises(ValueError, match="single-kind"):
+        P.from_processor_specs([{"a": {}, "b": {}}])
+    with pytest.raises(ValueError, match="single-kind"):
+        P.from_processor_specs(["not a dict"])
+    with pytest.raises(ValueError, match="must be an\\s+object"):
+        P.from_processor_specs([{"lowercase": "x"}])
+    with pytest.raises(ValueError, match="must be a list"):
+        P.from_processor_specs("nope")
+    with pytest.raises(ValueError, match="bad pattern"):
+        P.from_processor_specs([{"gsub": {"field": "s",
+                                          "pattern": "[",
+                                          "replacement": ""}}])
+    with pytest.raises(ValueError, match="bad pattern"):
+        P.from_processor_specs([{"split": {"field": "s",
+                                           "separator": "("}}])
+    with pytest.raises(ValueError, match="formats must be a list"):
+        P.from_processor_specs([{"date": {"field": "w",
+                                          "formats": "yyyy"}}])
+    df = spark.createDataFrame([("1", "2024-01-01")],
+                               "id string, w string")
+    reg = P.PipelineRegistry()
+    # bad format PATTERN surfaces typed at apply (probed against
+    # Spark's own parser), distinct from a non-matching VALUE (null)
+    reg.put("badfmt", P.from_processor_specs(
+        [{"date": {"field": "w", "formats": ["bbbb-qq"]}}]))
+    with pytest.raises(ValueError, match="bad format pattern"):
+        reg.apply("badfmt", df).collect()
+    reg.put("badzone", P.from_processor_specs(
+        [{"date": {"field": "w", "formats": ["yyyy-MM-dd"],
+                   "timezone": "Mars/Olympus"}}]))
+    with pytest.raises(ValueError, match="unknown timezone"):
+        reg.apply("badzone", df).collect()
+    reg.put("badcol", [P.uppercase_field("missing_col")])
+    with pytest.raises(ValueError, match="processor #0"):
+        reg.apply("badcol", df)

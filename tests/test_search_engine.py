@@ -4138,6 +4138,17 @@ def test_multi_index_typed_errors(multi_eng):
     with pytest.raises(DslError, match="_index name"):
         multi_eng.search("logs_*", "body:x", default_field="body",
                          search_after=[1, 99, 1])
+    # the API param itself is typed (r15 fuzz hardening): a
+    # non-list/empty anchor never reaches tuple() as a TypeError
+    with pytest.raises(DslError, match="non-empty list"):
+        multi_eng.search("logs_*", "body:x", default_field="body",
+                         search_after=5)
+    with pytest.raises(DslError, match="non-empty list"):
+        multi_eng.search("logs_a", "body:x", default_field="body",
+                         search_after="x")
+    with pytest.raises(DslError, match="non-empty list"):
+        multi_eng.search("logs_a", "body:x", default_field="body",
+                         search_after=[])
     with pytest.raises(DslError, match="admin"):
         multi_eng.search("logs_*", "#truncate#")
 

@@ -68,6 +68,13 @@ def main() -> int:
     eng.register(
         df.withColumn("ts", F.col("ts").cast("timestamp")).cache(),
         TableSpec("fz", ["id"]))
+    # a second index so "fz*" exercises the multi-index merge +
+    # pagination decomposition (r15) — union-by-name schema, shared key
+    eng.register(
+        spark.createDataFrame(
+            [(9, "spark only here", 5), (10, None, None)],
+            "id int, body string, n int").cache(),
+        TableSpec("fz2", ["id"]))
 
     fields = st.sampled_from(["body", "n", "ts", "id", "emb", "tags",
                               "tags.k", "tags.v", "nope"])
@@ -155,6 +162,11 @@ def main() -> int:
         lambda q, extra: {"query": q, **extra},
         node,
         opt(size=st.integers(-2, 20),
+            search_after=st.sampled_from(
+                [[1], [1, "fz", 2], [0.5, "fz2", None], ["a"], [],
+                 [None, "fz", 1], [1, 2, 3, 4], 5, "x",
+                 [True, "fz", 1]]),
+            **{"from": st.sampled_from([0, 1, 3, -1, 2.5, "x", 10])},
             sort=st.sampled_from([[{"n": "asc"}], [{"nope": "desc"}],
                                   ["_score"], [{"emb": "asc"}], 5]),
             collapse=st.sampled_from([{"field": "n"},
@@ -194,6 +206,15 @@ def main() -> int:
             pass
         except Exception as e:  # noqa: BLE001
             bad.append(("search", q, type(e).__name__, str(e)[:150]))
+        # the multi-index path (r15): same body over "fz*" walks the
+        # merge + the pagination decomposition (body from/search_after
+        # strip, PrefixAnchor split, fused-frame offset)
+        try:
+            eng.search("fz*", q, default_field="body").collect()
+        except typed:
+            pass
+        except Exception as e:  # noqa: BLE001
+            bad.append(("multi", q, type(e).__name__, str(e)[:150]))
         if "aggs" in body:
             try:
                 eng.search_aggs("fz", q).collect()
@@ -205,6 +226,50 @@ def main() -> int:
     if args.seed is not None:
         burn = seed(args.seed)(burn)
     burn()
+
+    # ingest-processor spec grid (r15): every spec either builds+applies
+    # cleanly or raises a typed error — never a KeyError or a JVM
+    # pattern/zone crash out of the write path
+    from cassandra_es_index_spark import pipelines as P
+    pdf = spark.createDataFrame(
+        [("1", " a b ", "5", "2024-01-01 00:00:00")],
+        "id string, s string, num string, when string")
+    specs = [
+        {"set": {}}, {"set": {"value": 1}}, {"rename": {"field": "s"}},
+        {"gsub": {"field": "s", "pattern": "[", "replacement": ""}},
+        {"gsub": {"field": "s", "pattern": 7, "replacement": ""}},
+        {"split": {"field": "s", "separator": "("}},
+        {"split": {"field": "s", "separator": None}},
+        {"split": {"field": 9, "separator": " "}},
+        {"convert": {"field": "num", "type": "auto"}},
+        {"convert": {"field": "num"}},
+        {"date": {"field": "when", "formats": "yyyy"}},
+        {"date": {"field": "when", "formats": ["bbbb-qq"]}},
+        {"date": {"field": "when",
+                  "formats": ["yyyy-MM-dd HH:mm:ss"],
+                  "timezone": "Mars/Olympus"}},
+        {"append": {"field": "tags"}},
+        {"uppercase": {"field": "missing_col"}},
+        {"trim": {"field": "num", "extra": True}},  # extras tolerated
+        {"x": {"field": "s"}}, "not a dict", {"a": {}, "b": {}},
+        {"lowercase": "not a body"},
+        {"split": {"field": "s", "separator": "\\s+"}},  # valid
+        {"date": {"field": "when", "formats": ["ISO8601"],
+                  "timezone": "America/New_York"}},       # valid
+    ]
+    for sp in specs:
+        label = json.dumps(sp, default=str)
+        try:
+            procs = P.from_processor_specs(
+                sp if isinstance(sp, list) else [sp])
+            reg = P.PipelineRegistry()
+            reg.put("_fz", procs)
+            reg.apply("_fz", pdf).collect()
+        except typed:
+            pass
+        except Exception as e:  # noqa: BLE001
+            bad.append(("pipeline", label, type(e).__name__,
+                        str(e)[:150]))
     print(f"executed {nexec[0]} parse-valid bodies; "
           f"escapes: {len(bad)}")
     seen = set()
