@@ -224,7 +224,7 @@ def test_stream_mutations_keep_postings_served(engine, spark, tmp_path):
     ).parquet(src_dir)
     q = engine.stream_mutations("em_stream", stream,
                                 str(tmp_path / "ckpt_sm"))
-    q.awaitTermination(60)
+    assert q.awaitTermination(300)  # availableNow: must self-terminate
 
     out = engine.search("em_stream",
                         "#options:load-rows=false#body:streamed")
@@ -502,7 +502,7 @@ def test_all_index_kinds_follow_streaming_mutations(engine, spark, tmp_path):
     ).parquet(src_dir)
     q = engine.stream_mutations("em_stream", stream,
                                 str(tmp_path / "ckpt"))
-    q.awaitTermination(60)
+    assert q.awaitTermination(300)  # availableNow: must self-terminate
 
     checks = {
         '#options:load-rows=false#body:"cassandra world"': {"c"},

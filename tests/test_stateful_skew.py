@@ -34,10 +34,25 @@ def test_streaming_dedup_first_wins(spark, tmp_path):
     out = streaming_dedup_first_wins(stream, "id", ["value"])
     q = (out.writeStream.format("memory").queryName("dedup_out")
          .outputMode("append").trigger(availableNow=True).start())
+    # ProcessingTimeTimeout makes the stateful operator report
+    # shouldRunAnotherBatch=true on every batch (TTL timers might still
+    # fire), so even availableNow keeps scheduling empty batches: the
+    # query never self-terminates and processAllAvailable never latches
+    # its no-new-data flag. Poll the sink for the expected rows with a
+    # deadline, then stop the timer loop.
+    import time as _time
+    expect = {("a", 1.0), ("b", 3.0)}  # only first occurrence per key
+    rows: set = set()
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        rows = {(r["id"], r["value"])
+                for r in spark.sql("SELECT * FROM dedup_out").collect()}
+        if rows == expect:
+            break
+        _time.sleep(0.5)
+    q.stop()
     q.awaitTermination(60)
-    rows = {(r["id"], r["value"])
-            for r in spark.sql("SELECT * FROM dedup_out").collect()}
-    assert rows == {("a", 1.0), ("b", 3.0)}  # only first occurrence per key
+    assert rows == expect
 
 
 def test_running_counts(spark, tmp_path):
@@ -48,7 +63,7 @@ def test_running_counts(spark, tmp_path):
     out = running_counts(stream, "id", "value")
     q = (out.writeStream.format("memory").queryName("counts_out")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(60)
+    assert q.awaitTermination(300)  # availableNow: must self-terminate
     rows = {r["id"]: (r["n_total"], r["sum_total"])
             for r in spark.sql("SELECT * FROM counts_out").collect()}
     assert rows["a"] == (2, 3.0)

@@ -96,7 +96,7 @@ def test_foreachbatch_stream(spark, tmp_path):
     store = _store(spark, tmp_path)
     stream = (spark.readStream.schema(mutations.schema).parquet(src_dir))
     q = MutationIndexer(store).start(stream, str(tmp_path / "ckpt"))
-    q.awaitTermination(60)
+    assert q.awaitTermination(300)  # availableNow: must self-terminate
     got = {r[DOC_ID]: r["body"] for r in store.read().collect()}
     assert got == {"a": "v2"}  # b inserted then deleted in the same batch
 
@@ -134,7 +134,7 @@ def test_streaming_windowed_agg_end_to_end(spark, tmp_path):
     q = (agg.writeStream.outputMode("complete")
          .format("memory").queryName("winagg")
          .trigger(availableNow=True).start())
-    q.awaitTermination(60)
+    assert q.awaitTermination(300)  # availableNow: must self-terminate
     rows = spark.sql("SELECT event_type, n FROM winagg").collect()
     got = {(r["event_type"], r["n"]) for r in rows}
     assert ("view", 1) in got and ("click", 1) in got
@@ -171,7 +171,7 @@ def test_streaming_warc_ingest_end_to_end(spark, tmp_path):
     q = (cleaned.writeStream.outputMode("append")
          .format("memory").queryName("warc_pages")
          .trigger(availableNow=True).start())
-    q.awaitTermination(60)
+    assert q.awaitTermination(300)  # availableNow: must self-terminate
     rows = spark.sql("SELECT url, text FROM warc_pages").collect()
     assert [(r["url"], r["text"]) for r in rows] == \
         [("http://s.test/1", "streamed & clean")]
