@@ -66,16 +66,20 @@ def main() -> int:
     for key in args.keys:
         fn = queries[key]
         times = []
+        builds = []
         for i in range(args.runs):
             spark.sparkContext.setJobDescription(f"probe:{key}:{i}")
             t0 = time.perf_counter()
-            fn(spark, args.sf).write.format("noop") \
-                .mode("overwrite").save()
+            df = fn(spark, args.sf)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
+            builds.append(round(t1 - t0, 3))
         spark.sparkContext.setJobDescription(None)
         med = round(statistics.median(times), 3)
         out[key] = med
-        print(f"  {key}: {times} median={med}", file=sys.stderr)
+        print(f"  {key}: {times} median={med} "
+              f"(df-construction {builds})", file=sys.stderr)
         if args.plans_dir:
             os.makedirs(args.plans_dir, exist_ok=True)
             df = fn(spark, args.sf)
