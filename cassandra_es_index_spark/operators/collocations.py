@@ -77,9 +77,22 @@ def pmi_pairs(df: DataFrame, id_col: str, text_col: str,
 
     uni = (base.select(F.explode("_toks").alias("tok"))
            .groupBy("tok").agg(F.count("*").alias("c_tok")))
-    n_tok = base.agg(F.sum(sz).cast("double").alias("n_toks"))
+    # (r15) the pair total used to be a second aggregate over the pair
+    # counts — and with `pc` feeding two consumers the whole pair
+    # explosion (and corpus tokenize) executed twice. The total has a
+    # closed form the emitter guarantees: every doc contributes exactly
+    # max(sz-j, 0) pairs at offset j (zip_with never yields nulls, the
+    # slices drop the pad), so N_pairs = Σ_docs Σ_j max(sz-j, 0) — an
+    # exact integer identity, computed in the SAME single-row aggregate
+    # as N_tok. One corpus scan replaces three (guide §1.2/§2.4).
+    pair_cnt = None
+    for j in range(1, window):
+        term = F.greatest(sz - j, F.lit(0))
+        pair_cnt = term if pair_cnt is None else pair_cnt + term
+    totals = base.agg(
+        F.sum(sz).cast("double").alias("n_toks"),
+        F.sum(pair_cnt).cast("double").alias("n_pairs"))
     pc = pairs.groupBy("pair").agg(F.count("*").alias("c_xy"))
-    n_pairs = pc.agg(F.sum("c_xy").cast("double").alias("n_pairs"))
 
     cand = (pc.where(F.col("c_xy") >= min_count)
             .withColumn("_w1", F.split_part("pair", F.lit(" "),
@@ -90,8 +103,7 @@ def pmi_pairs(df: DataFrame, id_col: str, text_col: str,
                              F.col("c_tok").alias("_c1")), "_w1")
             .join(uni.select(F.col("tok").alias("_w2"),
                              F.col("c_tok").alias("_c2")), "_w2")
-            .crossJoin(F.broadcast(n_tok))
-            .crossJoin(F.broadcast(n_pairs)))
+            .crossJoin(F.broadcast(totals)))
     # op order pinned left-to-right — the oracle repeats it verbatim
     ratio = ((F.col("c_xy").cast("double") * F.col("n_toks")
               * F.col("n_toks"))

@@ -228,7 +228,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     if verify not in ("estimate", "exact"):
         raise ValueError(f"unknown verify mode {verify!r}")
     rows_per_band = _lsh_rows_per_band(num_hashes, bands)
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, unit)
+    # (r15) the band-key self-join consumes the signature frame on BOTH
+    # sides, and Spark does not recognize the two aggregation subtrees
+    # as shareable (no ReusedExchange fires — the plan carried the full
+    # tokenize→explode→32-seeded-hash aggregation twice). One lazy
+    # localCheckpoint pins the signatures (a row per doc — tiny next to
+    # the corpus) so the corpus is scanned and hashed once (guide §2.4).
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n,
+                             unit).localCheckpoint(eager=False)
 
     band_keys = sigs.select(
         "doc", "signature",
@@ -258,11 +265,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         return estimated
 
     # exact verification: candidates → full distinct feature sets →
-    # true Jaccard (same shape as jaccard_pairs' guarded path)
+    # true Jaccard (same shape as jaccard_pairs' guarded path).
+    # (r15) candidates are pinned once (a small pair list), their doc
+    # ids broadcast-semi-prune the feature-set scan BEFORE the arrays
+    # are built, and the pruned sets (candidate docs only — bounded by
+    # collisions, never corpus size) are pinned once for both join
+    # sides: the corpus is tokenized once here instead of twice, and
+    # only candidate docs' shingle arrays ever materialize (guide
+    # §2.3/§3.2 — prune the big side before it is shuffled).
+    estimated = estimated.localCheckpoint(eager=False)
+    cand_ids = (estimated.select(F.explode(
+        F.array("doc_a", "doc_b")).alias("doc")).distinct())
     feats = (shingles(F.col(text_col), shingle_n) if unit == "shingle"
              else tokens(F.col(text_col)))
-    feat_sets = _spread(df).select(F.col(id_col).alias("doc"),
-                                   F.array_distinct(feats).alias("fs"))
+    feat_sets = (_spread(df)
+                 .select(F.col(id_col).alias("doc"), F.col(text_col))
+                 .join(F.broadcast(cand_ids), "doc", "left_semi")
+                 .select("doc", F.array_distinct(feats).alias("fs"))
+                 .localCheckpoint(eager=False))
     fa = feat_sets.select(F.col("doc").alias("doc_a"), F.col("fs").alias("fs_a"))
     fb = feat_sets.select(F.col("doc").alias("doc_b"), F.col("fs").alias("fs_b"))
     inter = F.size(F.array_intersect("fs_a", "fs_b")).cast("double")
@@ -458,9 +478,19 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                    .alias("fp")))).alias("o"))
            .select("doc", F.col("o.p").alias("p"),
                    F.col("o.fp").alias("fp")))
-    dup_fp = (occ.groupBy("fp").agg(F.count("*").alias("_c"))
-              .where(F.col("_c") >= 2).select("fp"))
-    cov = (occ.join(dup_fp, on="fp")
+    # (r15) the duplicated-fingerprint set used to be a separate
+    # count aggregate joined back onto `occ` — two full md5-window
+    # explodes of the corpus (the count pass and the join probe pass).
+    # A count over a window PARTITIONED BY fp does both in one shuffle
+    # of a single `occ` derivation: same rows survive (occurrence
+    # count ≥ 2 over the full fp partition), one corpus-side md5
+    # explode instead of two (guide §2.4 — share the exchange).
+    from pyspark.sql.window import Window as _W
+
+    dup_occ = (occ.withColumn(
+        "_c", F.count("*").over(_W.partitionBy("fp")))
+        .where(F.col("_c") >= 2))
+    cov = (dup_occ
            .select("doc", F.explode(
                F.sequence(F.col("p"), F.col("p") + F.lit(L - 1)))
                .alias("cpos"))
@@ -587,14 +617,16 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             .select("node", F.coalesce("_c2", "component")
                     .alias("component"))
             .localCheckpoint(eager=True))
-        changed = (merged.join(
-            labels.select("node",
-                          F.col("component").alias("_old")), "node")
-            .where(F.col("component") < F.col("_old"))
-            .limit(1).count())
         labels = merged
-        if changed == 0:
-            return labels
+        # (r15) the old per-round changed-probe (merged ⋈ labels +
+        # count — one extra shuffle-join job every round) is provably
+        # redundant: edges are symmetrized, so any surviving
+        # cross-component edge (s, d) with label(s) ≠ label(d) exists
+        # in both directions and min-propagation strictly lowers the
+        # larger side's label — a nonempty frontier ALWAYS changes a
+        # label, and an empty frontier is what the contraction below
+        # already detects. Convergence is announced by the frontier
+        # emptying, never by a label fixpoint with edges remaining.
         # edge contraction (r13): rewrite the frontier as LABEL-graph
         # edges, self-loops dropped, deduped. A near-dup graph is
         # clique-heavy (a 1k-doc dup group is ~500k pairs), so the
@@ -614,25 +646,28 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          F.col("_cd").alias("d"))
                  .distinct()
                  .localCheckpoint(eager=True))
-        if not edges.take(1):
+        if edges.isEmpty():
             # no cross-component edges left: jump the label forest to
             # its roots (depth halves per jump — label-frame-only work,
-            # bounded by log of the forest depth ≤ max_iters)
+            # bounded by log of the forest depth ≤ max_iters).
+            # (r15) the moved-probe rides the SAME checkpointed join
+            # that builds the jump — `component != _old` is exactly
+            # "the indirection hit a lower parent" — so each jump is
+            # one materializing job plus a local scan of its output,
+            # not a second shuffle-join + count job.
             for _ in range(max_iters):
-                jumped = (labels.join(
+                jmp = (labels.join(
                     labels.select(F.col("node").alias("component"),
                                   F.col("component").alias("_c2")),
                     on="component", how="left")
-                    .select("node", F.coalesce("_c2", "component")
+                    .select("node",
+                            F.col("component").alias("_old"),
+                            F.coalesce("_c2", "component")
                             .alias("component"))
                     .localCheckpoint(eager=True))
-                moved = (jumped.join(
-                    labels.select("node", F.col("component")
-                                  .alias("_old")), "node")
-                    .where(F.col("component") != F.col("_old"))
-                    .limit(1).count())
-                labels = jumped
-                if moved == 0:
+                labels = jmp.select("node", "component")
+                if jmp.where(F.col("component")
+                             != F.col("_old")).isEmpty():
                     return labels
             break
     raise ValueError(
@@ -705,8 +740,12 @@ def minhash_lsh_star_edges(df: DataFrame, id_col: str, text_col: str,
     the pair miner with ``verify="exact"`` on the (small) surviving
     clusters instead."""
     rows_per_band = _lsh_rows_per_band(num_hashes, bands)
+    # (r15) band_keys feeds both the hub aggregation and the member
+    # join — pin the signatures once so the corpus-side tokenize+hash
+    # aggregation is not executed twice (same ReusedExchange gap as
+    # minhash_lsh_pairs; guide §2.4)
     sigs = minhash_signature(df, id_col, text_col, num_hashes,
-                             shingle_n, unit)
+                             shingle_n, unit).localCheckpoint(eager=False)
     band_keys = sigs.select(
         "doc",
         F.explode(F.array(*[

@@ -219,10 +219,10 @@ def hashed_ngram_importance(df: DataFrame, target_df: DataFrame,
 
     Scale shape: two explode+count passes (map-side combined,
     bucket-bounded output), the ≤``buckets``-row log-ratio table
-    broadcast into the per-gram join, one per-document sum. The only
-    scalars are the two corpus totals, carried as a broadcast
-    single-row aggregate — no driver collect, no UDFs, nothing
-    corpus-squared."""
+    broadcast into the per-gram join, one per-document sum. The two
+    corpus totals are whole-frame window sums over the joined
+    bucket-count frame (≤ 2×buckets rows — never a rescan of the
+    corpus) — no driver collect, no UDFs, nothing corpus-squared."""
     if not (isinstance(smoothing, (int, float))
             and not isinstance(smoothing, bool) and smoothing > 0):
         raise ValueError(f"smoothing must be > 0, got {smoothing!r}")
@@ -231,12 +231,28 @@ def hashed_ngram_importance(df: DataFrame, target_df: DataFrame,
                                 buckets)
     raw_c = raw_b.groupBy("bucket").agg(F.count("*").alias("_cr"))
     tgt_c = tgt_b.groupBy("bucket").agg(F.count("*").alias("_ct"))
-    totals = (raw_c.agg(F.sum("_cr").alias("_nr"))
-              .crossJoin(tgt_c.agg(F.sum("_ct").alias("_nt"))))
+    # (r15) the corpus totals used to be two single-row aggregates
+    # cross-joined and broadcast — each re-deriving its count frame
+    # from scratch, so the plan scanned (and re-tokenized) the corpus
+    # FIVE times (raw: per-gram join + totals + table; target: totals
+    # + table). Deriving both totals as whole-frame window sums OVER
+    # the joined bucket-count frame (≤ 2×buckets rows — one task)
+    # keeps the math bit-identical (integer sums, unchanged log/
+    # division chain) and drops the plan to three scans: per-gram raw,
+    # bucket-count raw, bucket-count target (guide §1.2/§2.4 — remove
+    # redundant passes). The join is FULL outer so target-only buckets
+    # still contribute to the target total exactly as before; the
+    # per-bucket rows the final join can hit are the raw-side ones,
+    # unchanged (left-join semantics restored by the _cr filter).
+    from pyspark.sql.window import Window
+
     s = F.lit(float(smoothing))
     sb = F.lit(float(smoothing) * buckets)
-    table = (raw_c.join(tgt_c, "bucket", "left")
-             .crossJoin(F.broadcast(totals))
+    w = Window.partitionBy()
+    table = (raw_c.join(tgt_c, "bucket", "full_outer")
+             .withColumn("_nr", F.sum("_cr").over(w))
+             .withColumn("_nt", F.sum("_ct").over(w))
+             .where(F.col("_cr").isNotNull())
              .select(
                  "bucket",
                  (F.log((F.coalesce(F.col("_ct"), F.lit(0))

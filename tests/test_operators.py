@@ -1192,6 +1192,19 @@ def test_dedup_clusters_quality_keeper(spark):
                     5: (5, False), 6: (5, True), 9: (9, True)}
 
 
+def test_connected_components_empty_pairs(spark):
+    # r15: convergence is announced by the frontier emptying (the
+    # per-round label-fixpoint probe was removed as redundant) — the
+    # degenerate empty-graph input must still terminate cleanly
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert dedup.connected_components(pairs).collect() == []
+    docs = spark.createDataFrame([(7,), (8,)], "doc_id bigint")
+    rows = {r["doc_id"]: (r["cluster"], r["keep"])
+            for r in dedup.dedup_clusters(docs, "doc_id",
+                                          pairs).collect()}
+    assert rows == {7: (7, True), 8: (8, True)}
+
+
 # -- document chunking (r13) ------------------------------------------------
 
 

@@ -533,9 +533,11 @@ def test_dup_span_removal_no_token_row_shuffle_on_rebuild(spark):
                                        span_tokens=8)
     plan = _plan(out)
     assert "CartesianProduct" not in plan
-    # exactly three explodes: the gram window (twice — the occurrence
-    # frame feeds both the dup count and its join-back; recompute-over-
-    # materialize, the jaccard_pairs convention) and the covered
-    # positions. A FOURTH would mean the rebuild exploded the token
+    # exactly two explodes (r15): the gram window ONCE — the dup count
+    # rides a count-over-window partitioned by fingerprint instead of
+    # a separate aggregate joined back, so the occurrence frame is
+    # derived a single time — and the covered positions. A THIRD would
+    # mean the shared-exchange window regressed to the double
+    # derivation; more would mean the rebuild exploded the token
     # stream instead of filtering it with the indexed HOF.
-    assert plan.count("Generate explode") == 3
+    assert plan.count("Generate explode") == 2
