@@ -75,8 +75,22 @@ def pmi_pairs(df: DataFrame, id_col: str, text_col: str,
     pairs = base.select(
         F.explode(F.flatten(F.array(*pair_arrays))).alias("pair"))
 
+    # (r15.2) `uni` feeds TWO joins (_w1/_w2) and Spark planned the
+    # unigram aggregation subtree — a full corpus tokenize+explode —
+    # once per consumer (no ReusedExchange across the alias boundary).
+    # One lazy localCheckpoint pins the vocab-sized count frame so the
+    # corpus-side unigram aggregation is planned once (guide §2.4: the
+    # after-plan's two broadcast builds read Scan ExistingRDD where the
+    # before-plan carried the full tokenize+agg subtree twice). Timing
+    # at sf0.1 is neutral within noise — the two broadcast builds can
+    # still race the lazy pin concurrently, each at most re-paying what
+    # the unpinned plan always paid — but the pinned form removes one
+    # corpus tokenize whenever the builds run in sequence, which is the
+    # at-scale shape. An eager pin measured slightly WORSE (its
+    # materialization job is a full extra barrier at this size).
     uni = (base.select(F.explode("_toks").alias("tok"))
-           .groupBy("tok").agg(F.count("*").alias("c_tok")))
+           .groupBy("tok").agg(F.count("*").alias("c_tok"))
+           .localCheckpoint(eager=False))
     # (r15) the pair total used to be a second aggregate over the pair
     # counts — and with `pc` feeding two consumers the whole pair
     # explosion (and corpus tokenize) executed twice. The total has a

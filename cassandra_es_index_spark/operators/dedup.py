@@ -234,6 +234,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # tokenize→explode→32-seeded-hash aggregation twice). One lazy
     # localCheckpoint pins the signatures (a row per doc — tiny next to
     # the corpus) so the corpus is scanned and hashed once (guide §2.4).
+    # Lazy, not eager (r15.2 A/B): eager pins here measured no faster
+    # in isolation (3.45 vs 3.50 s median) and one batch session blew
+    # up 30x under the accumulated per-run pin state — the lazy form,
+    # materialized inside the query's own execution, never showed that
+    # tail across any session.
     sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n,
                              unit).localCheckpoint(eager=False)
 
@@ -610,6 +615,15 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         # one self-join compresses paths; with the edge contraction
         # below this is also what PULLS a contracted component's new
         # label out to its member nodes.
+        # The jump checkpoint stays EAGER (r15.2 A/B): a lazy pin here
+        # is consumed by the contraction's TWO exchanges (ls by s, ld
+        # by d), which the scheduler runs as concurrent stages — both
+        # race to compute the pinned RDD, duplicating the whole label
+        # lineage (the min-prop shuffle included) instead of sharing
+        # one materialization. Measured: lazy read 2-5x WORSE
+        # (dedup_clusters_lsh 7.0-7.5 → 20.8-39.3 s). Eager runs the
+        # label frame exactly once in its own job and every consumer
+        # reads the pinned blocks.
         merged = (merged.join(
             merged.select(F.col("node").alias("component"),
                           F.col("component").alias("_c2")),
@@ -743,7 +757,8 @@ def minhash_lsh_star_edges(df: DataFrame, id_col: str, text_col: str,
     # (r15) band_keys feeds both the hub aggregation and the member
     # join — pin the signatures once so the corpus-side tokenize+hash
     # aggregation is not executed twice (same ReusedExchange gap as
-    # minhash_lsh_pairs; guide §2.4)
+    # minhash_lsh_pairs; guide §2.4). Lazy for the same A/B reason as
+    # minhash_lsh_pairs (r15.2).
     sigs = minhash_signature(df, id_col, text_col, num_hashes,
                              shingle_n, unit).localCheckpoint(eager=False)
     band_keys = sigs.select(

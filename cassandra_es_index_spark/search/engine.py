@@ -6778,11 +6778,31 @@ class SearchEngine:
                      .agg(F.count(F.lit(1)).alias("_c1"))
                      .where(F.col("_c1") >= min_cnt)
                      .select("item"))
+            # (r15.2) with set_size 3, `pruned` feeds THREE self-join
+            # sides plus the frequent-pair lineage, and Spark re-plans
+            # the explode + frequency prune once per consumer — one
+            # lazy localCheckpoint pins it (bounded by docs × frequent
+            # items per doc, which the support floor keeps far under
+            # the raw token frame; guide §2.4). Lazy per the r15.2
+            # A/B: the lazy form measured −20% twice on the triples
+            # bench entry while an eager pin was timing-neutral. At
+            # set_size 2 the frame has only the two pair sides and the
+            # pin measured slightly dearer than the one saved explode
+            # at bench scale — left unpinned.
             pruned = base.join(freq1, on="item", how="left_semi")
+            if set_size == 3:
+                pruned = pruned.localCheckpoint(eager=False)
             a = pruned.select(*keys, F.col("item").alias("item1"))
             b = pruned.select(*keys, F.col("item").alias("item2"))
             pairs = a.join(b, on=keys).where(
                 F.col("item1") < F.col("item2"))
+            if set_size == 3:
+                # (r15.2) with set_size 3 the per-doc pair occurrences
+                # feed BOTH the frequent-pair count and the occ2 probe
+                # — pin them so the doc-key self-join runs once
+                # (bounded by frequent-pair occurrences, the same frame
+                # occ2 materializes anyway)
+                pairs = pairs.localCheckpoint(eager=False)
             pair_counts = (pairs.groupBy("item1", "item2")
                            .agg(F.count(F.lit(1)).cast("long")
                                 .alias("doc_count"))
@@ -6796,7 +6816,11 @@ class SearchEngine:
                 # an equi-join/groupBy bounded by frequent-pair
                 # occurrences × frequent items per doc — the prunes
                 # keep the blowup to genuinely co-frequent items.
-                fp = pair_counts.select("item1", "item2")
+                # (r15.2) `fp` has three consumers (occ2 + the two
+                # sub-pair prunes) — pinned, it is vocab²-bounded
+                # after the floor.
+                fp = (pair_counts.select("item1", "item2")
+                      .localCheckpoint(eager=False))
                 occ2 = pairs.join(fp, on=["item1", "item2"],
                                   how="left_semi")
                 c = pruned.select(*keys, F.col("item").alias("item3"))
