@@ -178,6 +178,42 @@ HEADLINE = [
 ]
 
 
+def _free_query_state(spark, settle: float = 0.0) -> None:
+    """Release the previous query's dead executor state (r15.2
+    measurement-hygiene fix, declared in OPTIMIZATION_r15.md).
+
+    Several operators pin intermediates with ``localCheckpoint`` and
+    every query run builds broadcasts; those blocks are freed only when
+    the JVM garbage-collects the dead Dataset/RDD objects and the
+    ContextCleaner's reference queue drains. On the bench's 48 g heap a
+    full GC almost never happens on its own, so pinned blocks from
+    EVERY prior query accumulate for the whole suite — measured: after
+    two full passes in one JVM, ``search_scroll_drain`` re-drove at
+    33-52 s on a DRAINED box vs 4.5 s in a fresh session, and a dozen
+    sub-second entries read 2-10x their fresh-session cost. That is
+    cross-query contamination of the measurement, not query cost, so it
+    is cleaned up BETWEEN queries, outside every timed region: a Python
+    GC pass releases the py4j wrappers, a JVM GC makes the dead blocks
+    collectable, and the ContextCleaner then unpins them asynchronously
+    while the next query warms up. Live state (the documents cache, the
+    postings/IVF index frames) is reachable and therefore untouched.
+
+    ``settle`` pauses after the JVM GC so the ContextCleaner's async
+    removal RPCs and block/shuffle-file deletes drain BEFORE the next
+    query's first timed run starts, instead of landing inside it — the
+    pause itself is also outside every timed region, so it costs only
+    wall clock (~1 min across the ~70-query suite), never a number."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+        if settle:
+            time.sleep(settle)
+    except Exception:  # noqa: BLE001 — hygiene must never fail a run
+        pass
+
+
 def _run(queries, name, spark, sf_dir, best_of, timings):
     # Per-query failure isolation (round-3 lesson: one raising query
     # aborted the whole run and zero timings survived): record the error
@@ -233,6 +269,11 @@ def _run(queries, name, spark, sf_dir, best_of, timings):
         timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"  {name}: ERROR {timings[name]['err'][:120]}",
               file=sys.stderr)
+    finally:
+        # between queries, never inside a timed region (r15.2); the 1s
+        # settle keeps the cleaner's async removals out of the next
+        # query's first run
+        _free_query_state(spark, settle=1.0)
 
 
 def _loadavg() -> list[float] | None:
@@ -245,7 +286,8 @@ def _loadavg() -> list[float] | None:
 
 def _wait_for_idle(load_gate: float, waits: int = 10,
                    wait_sec: int = 60) -> tuple[list[float] | None, bool]:
-    """Block until the 5-MINUTE loadavg drains under the gate.
+    """Block until BOTH the 1-minute and 5-minute loadavg drain under
+    the gate.
 
     Machine-state gate (r11): the minhash anchor is shuffle-bound and
     BLIND to residual load that still inflates the lighter mid-suite
@@ -253,23 +295,27 @@ def _wait_for_idle(load_gate: float, waits: int = 10,
     anchor 3.0 — green — while span_near tripled). r12 lesson: merely
     FLAGGING a hot record is not enough — BENCH_r12.json was committed
     with anchor_hot:true at loadavg 4.30 and carried 5-6x phantom
-    regressions. So the gate BLOCKS, and it blocks on the 5-min
-    average specifically (r13 tightening: a drained 1-min load with a
-    hot 5-min tail still means the early suite ran through scheduler
-    residue): wait in 60s steps — a 3.0 five-minute load decays under
-    1.5 in ~4 minutes on an idle box, so the 10-step budget covers a
-    just-finished test run — and report hot only if it never drains.
+    regressions. So the gate BLOCKS, on the 5-min average (r13
+    tightening: a drained 1-min load with a hot 5-min tail still means
+    the early suite runs through scheduler residue) AND on the 1-min
+    average (r15 tightening: a pass this round started at 1-min 2.96 /
+    5-min 1.24 — gate green — and its index build ran 4.5x slow with
+    the search family 5-12x inflated; a currently-running burst is
+    exactly what the 1-min average sees first). Wait in 60s steps — a
+    3.0 five-minute load decays under 1.5 in ~4 minutes on an idle box,
+    so the 10-step budget covers a just-finished test run — and report
+    hot only if it never drains.
     """
     load = _loadavg()
     for _ in range(waits):
-        if not load or load[1] <= load_gate:
+        if not load or max(load[0], load[1]) <= load_gate:
             return load, False
-        print(f"  LOADAVG HOT (5-min {load[1]:.2f} > {load_gate}) "
-              f"— waiting {wait_sec}s for the machine to drain",
-              file=sys.stderr)
+        print(f"  LOADAVG HOT (1-min {load[0]:.2f} / 5-min "
+              f"{load[1]:.2f} vs gate {load_gate}) — waiting "
+              f"{wait_sec}s for the machine to drain", file=sys.stderr)
         time.sleep(wait_sec)
         load = _loadavg()
-    return load, bool(load and load[1] > load_gate)
+    return load, bool(load and max(load[0], load[1]) > load_gate)
 
 
 def _attempt(spark, queries, sf_dir, best_of, sf,

@@ -22,6 +22,18 @@ def test_wait_for_idle_drains_then_passes(monkeypatch):
     assert not hot and load[1] <= 1.5
 
 
+def test_wait_for_idle_blocks_on_hot_one_minute_load(monkeypatch):
+    # r15 tightening: a green 5-min with a hot 1-min means a burst is
+    # running RIGHT NOW (the r15 contaminated pass started at
+    # 1-min 2.96 / 5-min 1.24) — the gate must wait it out
+    seq = [[2.96, 1.24, 1.64], [0.5, 0.9, 1.2]]
+    monkeypatch.setattr(bench, "_loadavg",
+                        lambda: seq.pop(0) if seq else [0.5, 0.9, 1.2])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    load, hot = bench._wait_for_idle(1.5, waits=3, wait_sec=0)
+    assert not hot and load == [0.5, 0.9, 1.2]
+
+
 def test_wait_for_idle_reports_hot_when_never_drains(monkeypatch):
     monkeypatch.setattr(bench, "_loadavg", lambda: [5.0, 4.0, 3.0])
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
@@ -242,3 +254,35 @@ def test_comparator_wide_surviving_cluster_invalidates(monkeypatch):
     # comparator only arms at the calibrated sf
     assert not bench._apply_comparator(None, {}, "sf", 2, 0.01,
                                        dict(timings), {}, 1.5)
+
+
+def test_free_query_state_unpins_dead_checkpoints(spark):
+    """r15.2 hygiene: a query's dead localCheckpoint blocks must be
+    freed between queries (they otherwise accumulate for the whole
+    suite — the aged-JVM degradation documented in OPTIMIZATION_r15),
+    while reachable pinned frames survive."""
+    import time as _time
+
+    def _pinned_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = _pinned_ids()
+    keep = spark.range(10).localCheckpoint(eager=True)
+    dead = spark.range(100).selectExpr("id * 2 AS v") \
+                .localCheckpoint(eager=True)
+    new_ids = _pinned_ids() - before
+    assert len(new_ids) == 2, f"expected 2 new pins, got {new_ids}"
+    del dead
+    bench._free_query_state(spark)
+    # the ContextCleaner drains its reference queue asynchronously
+    for _ in range(60):
+        remaining = _pinned_ids() & new_ids
+        if len(remaining) == 1:
+            break
+        _time.sleep(0.5)
+        bench._free_query_state(spark)
+    assert len(remaining) == 1, (
+        f"dead checkpoint blocks not freed (or live pin lost): "
+        f"{remaining} of {new_ids} still pinned")
+    assert keep.count() == 10

@@ -62,6 +62,8 @@ def main() -> int:
         print(f"  bench_prepare: {time.perf_counter() - t0:.2f}s",
               file=sys.stderr)
 
+    from bench import _free_query_state
+
     out: dict[str, float] = {}
     for key in args.keys:
         fn = queries[key]
@@ -91,6 +93,9 @@ def main() -> int:
             with open(path, "w") as fh:
                 fh.write(plan)
             print(f"  wrote {path}", file=sys.stderr)
+        # r15.2: free the key's dead pinned/broadcast state between
+        # keys, outside every timed region — same hygiene as bench._run
+        _free_query_state(spark)
     print(json.dumps(out, separators=(",", ":")))
     return 0
 
