@@ -276,6 +276,31 @@ def _run(queries, name, spark, sf_dir, best_of, timings):
         _free_query_state(spark, settle=1.0)
 
 
+def _fresh_session(spark, sf_dir: str, attempt_idx: int):
+    """Stop the aged SparkContext and start a fresh one for a retry
+    attempt (r15.3). A refused pass leaves behind JVM state the
+    inter-query GC cannot fully reclaim (metaspace from hundreds of
+    codegen'd classes, block-manager/disk residue, listener history),
+    and the NEXT attempt pays for it in exactly the checkpoint-heavy
+    queries: in the r15 drive, attempt 2's ``dedup_clusters_lsh`` ran
+    [16.3, 50.5, 20.7, 17.5] s in the attempt-1 JVM vs 6.4 s in
+    attempt 1 and 4.9 s in a fresh-session probe — a 3-10x phantom
+    that would be recorded as a regression. Every attempt now measures
+    in its own context — the same environment the driver gets when it
+    runs ``bench.py`` once on an idle box. ``__spark_entry__``'s memo
+    is keyed by applicationId, so engines/caches re-register
+    automatically; the warm-up read keeps JVM/codegen startup out of
+    the first query, as in main()."""
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 — a dead context must not block
+        pass
+    fresh = get_spark(f"cassandra-es-index-spark-bench-a{attempt_idx}")
+    fresh.sparkContext.setLogLevel("ERROR")
+    fresh.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    return fresh
+
+
 def _loadavg() -> list[float] | None:
     try:
         with open("/proc/loadavg") as fh:
@@ -566,6 +591,7 @@ def main() -> None:
     # is hot the process exits non-zero with diagnostics on stderr —
     # the driver then keeps the previous round's record instead of a
     # poisoned one.
+    ran_before = False
     for i in range(attempts):
         load_start, load_hot = _wait_for_idle(load_gate)
         if load_hot:
@@ -573,6 +599,12 @@ def main() -> None:
                   f"drained under {load_gate} — skipping the pass",
                   file=sys.stderr)
             continue
+        if ran_before:
+            # r15.3: a refused pass ages its JVM in ways the
+            # inter-query GC cannot fully reclaim — retry attempts
+            # measure in a fresh context (see _fresh_session)
+            spark = _fresh_session(spark, sf_dir, i + 1)
+        ran_before = True
         timings, build, anchor_hot = _attempt(
             spark, queries, sf_dir, best_of, sf, load_start)
         if not anchor_hot:

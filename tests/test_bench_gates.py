@@ -256,6 +256,59 @@ def test_comparator_wide_surviving_cluster_invalidates(monkeypatch):
                                        dict(timings), {}, 1.5)
 
 
+def test_main_restarts_session_between_executed_attempts(monkeypatch):
+    """r15.3: a retry attempt must not inherit the refused attempt's
+    aged JVM (measured: dedup_clusters_lsh [16.3, 50.5, 20.7] s in the
+    attempt-1 context vs 6.4 s in attempt 1 itself) — main() stops the
+    old context and builds a fresh one before every re-run."""
+    import pytest
+
+    class _C:
+        @staticmethod
+        def count():
+            return 0
+
+    class _Read:
+        @staticmethod
+        def parquet(path):
+            return _C()
+
+    class _Sc:
+        @staticmethod
+        def setLogLevel(level):
+            return None
+
+    class _Stub:
+        sparkContext = _Sc()
+        read = _Read()
+
+        def __init__(self):
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    stubs = []
+
+    def fake_get_spark(name, *a, **k):
+        s = _Stub()
+        stubs.append(s)
+        return s
+
+    monkeypatch.setattr(bench, "get_spark", fake_get_spark)
+    monkeypatch.setattr(bench, "_loadavg", lambda: [0.1, 0.2, 0.3])
+    monkeypatch.setattr(bench.entrymod, "queries", dict)
+    # both attempts run and trip the anchor gate -> exit 1; the second
+    # must have been handed a FRESH session, the first one stopped
+    monkeypatch.setattr(bench, "_attempt",
+                        lambda *a, **k: ({}, {}, True))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ATTEMPTS", "2")
+    with pytest.raises(SystemExit):
+        bench.main()
+    assert len(stubs) == 2
+    assert stubs[0].stopped and not stubs[1].stopped
+
+
 def test_free_query_state_unpins_dead_checkpoints(spark):
     """r15.2 hygiene: a query's dead localCheckpoint blocks must be
     freed between queries (they otherwise accumulate for the whole
