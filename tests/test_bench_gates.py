@@ -328,13 +328,19 @@ def test_free_query_state_unpins_dead_checkpoints(spark):
     assert len(new_ids) == 2, f"expected 2 new pins, got {new_ids}"
     del dead
     bench._free_query_state(spark)
-    # the ContextCleaner drains its reference queue asynchronously
-    for _ in range(60):
-        remaining = _pinned_ids() & new_ids
-        if len(remaining) == 1:
-            break
+    # The ContextCleaner drains its reference queue asynchronously, and
+    # the JVM-side release is genuinely slow and age-dependent: a probe
+    # measured 5-23 s from del to unpin even with an explicit py4j
+    # detach, growing with session age. The bench never needs the free
+    # to be prompt (cleanup overlaps the next query's warmup), so the
+    # test asserts it HAPPENS, on a generous deadline, not that it is
+    # fast — a 30 s budget flaked in-suite.
+    deadline = _time.monotonic() + 120
+    remaining = _pinned_ids() & new_ids
+    while len(remaining) != 1 and _time.monotonic() < deadline:
         _time.sleep(0.5)
         bench._free_query_state(spark)
+        remaining = _pinned_ids() & new_ids
     assert len(remaining) == 1, (
         f"dead checkpoint blocks not freed (or live pin lost): "
         f"{remaining} of {new_ids} still pinned")
