@@ -215,94 +215,222 @@ def _gram_char_scores(grams: Column) -> Column:
     return F.struct(top.alias("top"), dup.alias("dup"))
 
 
+def _xxh64_long_np(x, seed):
+    """Spark's ``XXH64.hashLong`` (catalyst XxHash64 over one LongType
+    input) vectorized over numpy uint64 arrays — bit-identical to the
+    JVM: h = seed + P5 + 8; h ^= rotl(x·P2, 31)·P1; h = rotl(h, 27)·P1
+    + P4; then the standard xxh64 avalanche. All ops wrap mod 2^64
+    exactly as Java long arithmetic does."""
+    import numpy as np
+
+    p1 = np.uint64(0x9E3779B185EBCA87)
+    p2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    p3 = np.uint64(0x165667B19E3779F9)
+    p4 = np.uint64(0x85EBCA77C2B2AE63)
+    p5 = np.uint64(0x27D4EB2F165667C5)
+    u64 = np.uint64(64)
+
+    def rotl(v, r):
+        r = np.uint64(r)
+        return (v << r) | (v >> (u64 - r))
+
+    h = seed + p5 + np.uint64(8)
+    h = h ^ (rotl(x * p2, 31) * p1)
+    h = rotl(h, 27) * p1 + p4
+    h = h ^ (h >> np.uint64(33))
+    h = h * p2
+    h = h ^ (h >> np.uint64(29))
+    h = h * p3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_pair_np(a, b):
+    """Spark ``xxhash64(a, b)`` over two long columns (default seed
+    42): hashLong(b, hashLong(a, 42)) — the per-argument seed chain of
+    the catalyst XxHash64 expression, vectorized. Pinned bit-equal to
+    the JVM expression in test_operators."""
+    import numpy as np
+
+    return _xxh64_long_np(b, _xxh64_long_np(a, np.uint64(42)))
+
+
+def _ngram_chain_batches(ns: frozenset, max_n: int):
+    """mapInArrow generator factory: (id, th: list<long>, tl:
+    list<int>) doc rows → per-(doc, n) rollup rows (id, n, top, dup,
+    tot) — the hash chain AND the gram-identity aggregation computed
+    with vectorized numpy. Bit-identical to the old zip_with/xxhash64
+    Column chain + the (id, n, h, l) hash aggregation it fed (r15
+    equality run: symmetric-diff 0 on the sf0.1 corpus and the edge
+    fixtures; the hash itself is pinned by the xxh64 equivalence
+    test): every doc's rows are complete inside one batch, so the
+    whole gram-level groupBy collapses to a per-doc sort + run-length
+    count here, and no gram-scale row ever crosses an exchange or the
+    Arrow boundary back."""
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            th_col = batch.column(1)
+            tl_col = batch.column(2)
+            offs = th_col.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            # values are the UNSLICED child array — normalize to the
+            # batch's own range so flat indexes line up with offsets
+            th = th_col.values.to_numpy(zero_copy_only=False) \
+                [offs[0]:offs[-1]].astype(np.uint64)
+            tl = tl_col.values.to_numpy(zero_copy_only=False) \
+                [offs[0]:offs[-1]].astype(np.int32)
+            offs = offs - offs[0]
+            lens = np.diff(offs)
+            total = th.shape[0]
+            # per flat token index: its doc ordinal and tokens left in
+            # its doc (self included) — a level-n gram starting at flat
+            # index j is real iff remaining[j] >= n (never crosses a
+            # doc boundary)
+            doc_idx = np.repeat(np.arange(lens.shape[0]), lens)
+            remaining = np.repeat(offs[1:], lens) - np.arange(total)
+            out_id, out_n, out_top, out_dup, out_tot = [], [], [], [], []
+
+            def rollup(n, dv, hv, lv):
+                # group the level's gram occurrences by (doc, h, l) —
+                # the exact grouping key of the old groupBy — then
+                # reduce each doc segment to (top, dup, tot) masses
+                if dv.shape[0] == 0:
+                    return
+                order = np.lexsort((lv, hv, dv))
+                dv, hv, lv = dv[order], hv[order], lv[order]
+                new = np.empty(dv.shape[0], bool)
+                new[0] = True
+                new[1:] = ((dv[1:] != dv[:-1]) | (hv[1:] != hv[:-1])
+                           | (lv[1:] != lv[:-1]))
+                starts = np.flatnonzero(new)
+                cnt = np.diff(np.append(starts, dv.shape[0]))
+                mass = cnt.astype(np.int64) * lv[starts]
+                gdoc = dv[starts]
+                dnew = np.empty(gdoc.shape[0], bool)
+                dnew[0] = True
+                dnew[1:] = gdoc[1:] != gdoc[:-1]
+                dstarts = np.flatnonzero(dnew)
+                out_id.append(gdoc[dstarts])
+                out_n.append(np.full(dstarts.shape[0], n, np.int32))
+                out_top.append(np.maximum.reduceat(mass, dstarts))
+                out_dup.append(np.add.reduceat(
+                    np.where(cnt >= 2, mass, 0), dstarts))
+                out_tot.append(np.add.reduceat(mass, dstarts))
+
+            if 1 in ns:
+                rollup(1, doc_idx, th.view(np.int64),
+                       tl.astype(np.int64))
+            h_prev, l_prev = th, tl
+            for n in range(2, max_n + 1):
+                k = n - 1
+                if total > k:
+                    # h_n[j] = xxhash64(h_{n-1}[j], th[j+n-1]); cross-
+                    # doc garbage stays masked: j+k past the doc end
+                    # for level n is past it for every level above too
+                    h_cur = _xxh64_pair_np(h_prev[:total - k], th[k:])
+                    l_cur = l_prev[:total - k] + tl[k:] + np.int32(1)
+                else:
+                    h_cur = np.empty(0, np.uint64)
+                    l_cur = np.empty(0, np.int32)
+                if n in ns:
+                    valid = remaining[:h_cur.shape[0]] >= n
+                    rollup(n, doc_idx[:h_cur.shape[0]][valid],
+                           h_cur[valid].view(np.int64),
+                           l_cur[valid].astype(np.int64))
+                h_prev, l_prev = h_cur, l_cur
+            idv = np.concatenate(out_id) if out_id else \
+                np.empty(0, np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(idv)),
+                 pa.array(np.concatenate(out_n) if out_n else
+                          np.empty(0, np.int32)),
+                 pa.array(np.concatenate(out_top) if out_top else
+                          np.empty(0, np.int64)),
+                 pa.array(np.concatenate(out_dup) if out_dup else
+                          np.empty(0, np.int64)),
+                 pa.array(np.concatenate(out_tot) if out_tot else
+                          np.empty(0, np.int64))],
+                names=["_id", "n", "top", "dup", "tot"])
+    return gen
+
+
 def ngram_repetition_stats(df, id_col: str, text_col: str,
                            ns: tuple = (2, 3, 5)):
     """Per-document Gopher n-gram repetition statistics for several n
-    at once, as a DataFrame pipeline: one explode to (doc, n, gram)
-    rows, one hash aggregation per (doc, n, gram), one per-(doc, n)
-    rollup, one pivot back to columns (`top{n}_frac` = char-mass share
-    of the most frequent n-gram; `dup{n}_frac` = char-mass share of
-    occurrences whose gram repeats). Docs with fewer than n tokens get
-    0 via the final LEFT join.
+    at once: one Arrow-vectorized pass rolls every doc up to
+    (doc, n, top, dup, tot) char masses, then one pivot back to
+    columns (`top{n}_frac` = char-mass share of the most frequent
+    n-gram; `dup{n}_frac` = char-mass share of occurrences whose gram
+    repeats). Docs with fewer than n tokens get 0 via the final LEFT
+    join.
 
-    Why a pipeline and not the per-row Column functions below: the
-    grouped statistics need either a per-row sorted fold (struct-state
-    ``F.aggregate`` — measured ~600 µs/row interpreted) or nested HOFs
-    whose captured arrays re-evaluate multiplicatively (r12: 30 s →
-    175 s on the sf0.1 corpus). Hash aggregates run in whole-stage
-    codegen and partial-combine map-side; the shuffle is bounded by
-    the corpus token count × len(ns) — the postings-build cost class,
-    and 15× faster than the best row-local form on the same corpus.
-    The Column functions remain for small-document row-local use.
+    Why not the per-row Column functions below: the grouped statistics
+    need either a per-row sorted fold (struct-state ``F.aggregate`` —
+    measured ~600 µs/row interpreted) or nested HOFs whose captured
+    arrays re-evaluate multiplicatively (r12: 30 s → 175 s on the
+    sf0.1 corpus). The Column functions remain for small-document
+    row-local use.
 
-    Parallelism guard (r13): the explode + per-gram hash is a
-    CPU-AMPLIFYING projection — its cost is invisible to AQE's
-    byte-based coalescing, so a small-byte input (one parquet file →
-    one scan partition; an AQE-coalesced exchange) serializes the
-    whole map stage on one core (measured 9.8 s → 1.3 s at sf0.1,
-    7.6×). When the input's parallelism is below the session default,
-    widen it by EXPLICIT-count hash repartition on the doc id (an
-    explicit count is exempt from AQE coalescing; the id key also
-    lets the three downstream groupBys — (doc,n,h,l) → (doc,n) →
-    (doc) — and the final join reuse the one exchange, since hash
-    partitioning on a subset of the grouping keys satisfies their
-    clustered distribution). A big input (the 100 TB case) already
-    has ≥ default-parallelism partitions and is never collapsed."""
+    HASH-CHAINED gram identity (r13): the statistic only needs gram
+    IDENTITY (for the count) and gram LENGTH (for the char mass), so
+    no n-gram string is ever BUILT — level n's hashes chain from
+    level n−1's (h_n[i] = xxhash64(h_{n−1}[i], th[i+n−1])) and the
+    lengths accumulate the same way. Same equivalence classes as
+    hashing the concatenated string (64-bit collisions within one
+    document's grams are negligible — the dedup module's documented
+    hashed-identity trade); ~5× less allocation than materializing
+    gram strings, which kept triggering a mid-suite GC wave that
+    poisoned the bench entries AFTER this one (r13 finding).
+
+    Arrow-vectorized chain + rollup (r15, guide §4.2/§2.3): the r13
+    form built the chain with ~9 nested zip_with/slice layers
+    evaluated by the interpreted HOF path — per-element interpreter
+    work whose C2 compilation CHURNED across runs (measured: 25 s of
+    aggregate JIT time during a 7.9 s run, walls swinging
+    [41, 12, 8, 15, 2.8, 1.5] in one session as each run's fresh
+    codegen classes re-polluted the shared interpreter call sites) —
+    and exploded gram rows into a 3-level hash-aggregation chain. Both
+    now happen in ONE mapInArrow over (id, token-hash array,
+    token-length array): the same xxhash64 chain in vectorized numpy
+    (bit-identical — pinned by the xxh64 equivalence test) plus the
+    per-(doc, n) rollup as a sort + run-length count (every doc's rows
+    are complete inside one batch, so the gram-level groupBy needs no
+    exchange and no gram-scale row ever crosses the Python boundary
+    back — the output is ≤ len(ns) rows per doc). Walls
+    [6.1, 1.1, 1.0, 0.8] first-session vs the old form's
+    [16.4, 10.0, 3.8, 3.6] on the same corpus, no cliffs; only the
+    two shallow per-token transforms (hash, length) remain
+    JVM-interpreted, and the boundary carries ~16 B/token in and
+    ~40 B/doc out, never text.
+
+    Parallelism guard (r13): the chain + rollup is a CPU-AMPLIFYING
+    projection — its cost is invisible to AQE's byte-based coalescing,
+    so a small-byte input (one parquet file → one scan partition; an
+    AQE-coalesced exchange) serializes the whole map stage on one core
+    (measured 9.8 s → 1.3 s at sf0.1, 7.6×). When the input's
+    parallelism is below the session default, widen it by
+    EXPLICIT-count hash repartition on the doc id (an explicit count
+    is exempt from AQE coalescing). A big input (the 100 TB case)
+    already has ≥ default-parallelism partitions and is never
+    collapsed."""
     want = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < want:
         df = df.repartition(want, id_col)
     toks = tokens(F.col(text_col))
-
-    # HASH-CHAINED gram identity (r13): the statistic only needs gram
-    # IDENTITY (for the count) and gram LENGTH (for the char mass), so
-    # no n-gram string is ever BUILT — level n's hashes chain from
-    # level n−1's (h_n[i] = xxhash64(h_{n−1}[i], th[i+n−1])) and the
-    # lengths accumulate the same way. Same equivalence classes as
-    # hashing the concatenated string (64-bit collisions within one
-    # document's grams are negligible — the dedup module's documented
-    # hashed-identity trade); ~5× less allocation than materializing
-    # gram strings, which kept triggering a mid-suite GC wave that
-    # poisoned the bench entries AFTER this one (r13 finding).
     th = F.transform(toks, lambda t: F.xxhash64(t))
     tl = F.transform(toks, lambda t: F.length(t))
-
-    def chain(h_prev, l_prev, n):
-        # window arrays for level n from level n−1 + the base arrays
-        m = F.greatest(F.lit(0), F.size(toks) - F.lit(n - 1))
-        hp = F.slice(h_prev, 1, m)
-        tn = F.slice(th, n, m)
-        lp = F.slice(l_prev, 1, m)
-        ln_ = F.slice(tl, n, m)
-        return (F.zip_with(hp, tn, lambda a, b: F.xxhash64(a, b)),
-                F.zip_with(lp, ln_, lambda a, b: a + b + 1))
-
-    def tag(nn: int):
-        # binary-lambda factory — a default-bound extra param would
-        # trip pyspark's lambda-arity inspection (the transform()
-        # arity trap, bitten in dup_line_fraction r12)
-        return lambda h, l: F.struct(F.lit(nn).alias("n"),
-                                     h.alias("h"), l.alias("l"))
-
-    per_n = []
-    h_cur, l_cur = th, tl
-    for n in range(2, max(ns) + 1):
-        h_cur, l_cur = chain(h_cur, l_cur, n)
-        if n in ns:
-            per_n.append(F.zip_with(h_cur, l_cur, tag(n)))
-    if 1 in ns:
-        per_n.append(F.zip_with(th, tl, tag(1)))
-    grams = F.flatten(F.array(*per_n))
-    base = (df.select(F.col(id_col), F.explode(grams).alias("x"))
-            .select(id_col, F.col("x.n").alias("n"),
-                    F.col("x.h").alias("h"), F.col("x.l").alias("l")))
-    cnt = (base.groupBy(id_col, "n", "h", "l")
-           .agg(F.count(F.lit(1)).alias("c")))
-    mass = F.col("c") * F.col("l")
-    per = (cnt.groupBy(id_col, "n")
-           .agg(F.max(mass).alias("top"),
-                F.sum(F.when(F.col("c") >= 2, mass).otherwise(F.lit(0)))
-                .alias("dup"),
-                F.sum(mass).alias("tot")))
+    arr = df.select(F.col(id_col).alias("_id"), th.alias("_th"),
+                    tl.alias("_tl"))
+    id_type = arr.schema["_id"].dataType.simpleString()
+    per = (arr.mapInArrow(
+        _ngram_chain_batches(frozenset(ns), max(ns)),
+        schema=f"_id {id_type}, n int, top bigint, dup bigint, "
+               "tot bigint")
+        .withColumnRenamed("_id", id_col))
     stats = per.groupBy(id_col).agg(
         *[F.round(F.max(F.when(F.col("n") == n,
                                F.col("top") / F.col("tot"))), 6)

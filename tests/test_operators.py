@@ -975,6 +975,68 @@ def test_quantized_topk_recall_and_determinism(spark):
     assert zr["qvec"] == [0, 0] and zr["scale"] == 0.0
 
 
+def test_xxh64_numpy_matches_spark_expression(spark):
+    # the r15 Arrow-vectorized n-gram chain reimplements Spark's
+    # xxhash64-over-two-longs in numpy — pin bit-equality against the
+    # JVM expression on a value grid that exercises sign bits,
+    # extremes, and chained hashes
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cassandra_es_index_spark.functions.text import _xxh64_pair_np
+
+    vals = [0, 1, -1, 42, -42, 2**63 - 1, -(2**63), 123456789,
+            -987654321, 0x9E3779B185EBCA87 - 2**64]
+    pairs = [(a, b) for a in vals for b in vals]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    jvm = [r["h"] for r in
+           df.select(F.xxhash64("a", "b").alias("h")).collect()]
+    a = np.array([p[0] for p in pairs], dtype=np.int64).view(np.uint64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64).view(np.uint64)
+    ours = _xxh64_pair_np(a, b).view(np.int64).tolist()
+    assert ours == jvm
+    # chained level-3 hash: xxhash64(xxhash64(a, b), c) — the chain
+    # shape the gram levels use
+    df3 = df.select(F.xxhash64(F.xxhash64("a", "b"),
+                               F.lit(7).cast("long")).alias("h"))
+    jvm3 = [r["h"] for r in df3.collect()]
+    ours3 = _xxh64_pair_np(
+        _xxh64_pair_np(a, b),
+        np.full(len(pairs), 7, np.int64).view(np.uint64)) \
+        .view(np.int64).tolist()
+    assert ours3 == jvm3
+
+
+def test_ngram_repetition_stats_null_and_tiny_docs(spark):
+    # the Arrow chain must reproduce the Column-pipeline edge
+    # semantics: null text → zeros, empty text (one "" token) → zeros
+    # for n >= 2, single-token docs → zeros, and 1 ∈ ns emits unigrams
+    from cassandra_es_index_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, None), (4, "a a a b"), (5, "x y")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in tx.ngram_repetition_stats(
+        df, "doc_id", "text", ns=(2, 3)).collect()}
+    assert len(rows) == 5
+    for d in (1, 2, 3):
+        assert rows[d]["top2_frac"] == 0.0 and rows[d]["dup2_frac"] == 0.0
+    # doc 4: 2-grams "a a" x2, "a b" x1 over lengths 3+3+3 -> top 2/3
+    assert rows[4]["top2_frac"] == round(6 / 9, 6)
+    assert rows[4]["dup2_frac"] == round(6 / 9, 6)
+    assert rows[5]["top2_frac"] == round(3 / 3, 6)
+    assert rows[5]["dup2_frac"] == 0.0
+    # 1 ∈ ns on docs with non-empty tokens (an empty-string token has
+    # zero char mass and level-1 tot = 0, a pre-existing ANSI
+    # divide-by-zero in the Column pipeline — unchanged by the Arrow
+    # chain, so not exercised here)
+    df1 = df.where("doc_id <> 2")
+    uni = {r["doc_id"]: r for r in tx.ngram_repetition_stats(
+        df1, "doc_id", "text", ns=(1, 2)).collect()}
+    # doc 4 unigrams: "a" x3 (mass 3), "b" x1 (mass 1) -> top 3/4
+    assert uni[4]["top1_frac"] == 0.75 and uni[4]["dup1_frac"] == 0.75
+
+
 def test_ngram_repetition_stats_matches_column_form(spark):
     # the explode/hash-agg pipeline and the row-local Column functions
     # compute the same statistics (the pipeline is the corpus-scale
