@@ -40,6 +40,38 @@ def as_double_array(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _render_double(x) -> str:
+    """One double as SQL text: CAST('<repr>' AS DOUBLE). Python's repr
+    is the shortest round-tripping decimal, and both Python and the JVM
+    parse decimal→binary64 correctly rounded, so the parsed literal is
+    bit-identical to ``F.lit(float(x))`` (pinned in test_operators)."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _lit_vec_sql(values) -> str:
+    return f"array({','.join(_render_double(x) for x in values)})"
+
+
+def _lit_vec(values) -> Column:
+    """array<double> literal built in ONE py4j/parse round trip.
+
+    ``F.lit(list)`` expands Python-side to one ``lit`` call per element
+    plus the ``array`` assembly — ~80 py4j round trips for a dim-64
+    vector — and the driver pays it per vector literal: measured
+    2.6-5.6 s of pure driver-side construction for the 16-centroid
+    assignment expression in ``_semantic_cells`` (r15, guide §5: the
+    driver should do almost no work). One ``F.expr`` string parses
+    server-side in one call."""
+    return F.expr(_lit_vec_sql(values))
+
+
 def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
                 query_vector: list[float], k: int = 10,
                 exclude_id=None) -> DataFrame:
@@ -48,7 +80,7 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
     Single scan + TakeOrderedAndProject (no shuffle of the corpus); ties
     break on ascending id for determinism.
     """
-    q = F.lit(np.asarray(query_vector, dtype="float64").tolist()).cast("array<double>")
+    q = _lit_vec(np.asarray(query_vector, dtype="float64").tolist())
     scored = df.select(F.col(id_col), cosine(as_double_array(F.col(vec_col)), q).alias("cos_sim"))
     if exclude_id is not None:
         scored = scored.where(F.col(id_col) != exclude_id)
@@ -82,9 +114,34 @@ def cosine_join_topk(corpus: DataFrame, queries: DataFrame,
 
 
 def _sq_dist(a: Column, centroid: list[float]) -> Column:
-    c = F.lit(centroid).cast("array<double>")
+    c = _lit_vec(centroid)
     return F.aggregate(F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
                        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sq_dist_sql(vec_col_name: str, centroid: list[float],
+                 round_dp: int | None = None) -> str:
+    """The ``_sq_dist`` expression as one SQL string — same analyzed
+    tree (zip_with squared-diff, double-typed left-fold aggregate,
+    optional 6-dp round), zero per-element py4j traffic. The
+    accumulator seed is CAST(0.0 AS DOUBLE) because a bare SQL 0.0
+    parses as DECIMAL and would change the fold's arithmetic type."""
+    body = (f"aggregate(zip_with({vec_col_name}, "
+            f"{_lit_vec_sql(centroid)}, "
+            "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x)")
+    return f"round({body}, {round_dp})" if round_dp is not None else body
+
+
+def _sq_dists_array(vec_col_name: str, centroids: list[list[float]],
+                    round_dp: int | None = None) -> Column:
+    """Per-centroid squared distances as ONE server-parsed expression:
+    the n_cells × dim literal matrix and every fold ride a single
+    ``F.expr`` call instead of ~20 py4j round trips per centroid
+    (guide §5 — plan construction is driver-side work)."""
+    return F.expr("array(" + ",".join(
+        _sq_dist_sql(vec_col_name, ct, round_dp) for ct in centroids)
+        + ")")
 
 
 def ivf_build(corpus: DataFrame, id_col: str, vec_col: str,
@@ -106,7 +163,7 @@ def ivf_build(corpus: DataFrame, id_col: str, vec_col: str,
                  c.orderBy("corpus_id").limit(n_cells).collect()]
 
     def assign(df: DataFrame) -> DataFrame:
-        dists = F.array(*[_sq_dist(F.col("cvec"), ct) for ct in centroids])
+        dists = _sq_dists_array("cvec", centroids)
         return df.withColumn(
             "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
 
@@ -164,10 +221,10 @@ def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
 
     q = queries.select(F.col(query_id).alias("query_id"),
                        as_double_array(F.col(query_vec)).alias("qvec"))
-    dists = F.array(*[
-        F.struct(_sq_dist(F.col("qvec"), ct).alias("d"),
-                 F.lit(i).cast("int").alias("cell"))
-        for i, ct in enumerate(centroids)])
+    dists = F.expr("array(" + ",".join(
+        f"named_struct('d', {_sq_dist_sql('qvec', ct)}, "
+        f"'cell', CAST({i} AS INT))"
+        for i, ct in enumerate(centroids)) + ")")
     probed = (q.withColumn("_cells", F.slice(F.array_sort(dists), 1, nprobe))
                .select("query_id", "qvec",
                        F.explode(F.col("_cells.cell")).alias("cell")))
@@ -246,7 +303,7 @@ def plane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign bit-string of the vector against each hyperplane — the LSH
     bucket key. Computed with built-in expressions (no UDF)."""
     bits = [
-        F.when(_dot(vec, F.lit(p).cast("array<double>")) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(_dot(vec, _lit_vec(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in planes
     ]
     return F.concat(*bits)
@@ -348,8 +405,7 @@ def project_embeddings(df: DataFrame, id_col: str, vec_col: str,
     if any(len(row) != width for row in matrix):
         raise ValueError("projection matrix rows must share one width")
     v = as_double_array(F.col(vec_col))
-    rows = [F.round(_dot(v, F.lit([float(x) for x in row])
-                         .cast("array<double>")), 6)
+    rows = [F.round(_dot(v, _lit_vec(row)), 6)
             for row in matrix]
     return df.select(F.col(id_col), F.array(*rows).alias(out_col))
 
@@ -409,8 +465,7 @@ def _semantic_cells(corpus: DataFrame, id_col: str, vec_col: str,
                          "to seed centroids from")
     c = corpus.select(F.col(id_col).alias("corpus_id"),
                       as_double_array(F.col(vec_col)).alias("cvec"))
-    dists = F.array(*[F.round(_sq_dist(F.col("cvec"), ct), 6)
-                      for ct in centroids])
+    dists = _sq_dists_array("cvec", centroids, round_dp=6)
     cells = (c.withColumn("_d", dists)
              .withColumn("cell", (F.array_position(
                  F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int"))
@@ -518,7 +573,7 @@ def quantized_topk(df: DataFrame, id_col: str, vec_col: str,
     qq = [int(np.floor(x * 127.0 / m + 0.5)) if m > 0 else 0
           for x in qv.tolist()]
     quant = quantize_embeddings(df, id_col, vec_col)
-    qlit = F.lit(qq).cast("array<double>")
+    qlit = _lit_vec(qq)
     approx = (quant.select(
         F.col(id_col),
         (F.zip_with("qvec", qlit, lambda a, b: a.cast("double") * b)
@@ -533,7 +588,7 @@ def quantized_topk(df: DataFrame, id_col: str, vec_col: str,
     exact = cand.select(
         F.col(id_col),
         F.round(cosine(as_double_array(F.col(vec_col)),
-                       F.lit(qv.tolist()).cast("array<double>")), 6)
+                       _lit_vec(qv.tolist())), 6)
         .alias("cos_sim"))
     w = Window.orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (exact.withColumn("rank", F.row_number().over(w))
