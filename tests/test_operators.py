@@ -975,6 +975,31 @@ def test_quantized_topk_recall_and_determinism(spark):
     assert zr["qvec"] == [0, 0] and zr["scale"] == 0.0
 
 
+def test_lit_vec_bit_equals_per_element_lit(spark):
+    # the r15 server-side vector literal must parse to bit-identical
+    # doubles vs the per-element F.lit chain it replaced — exercised
+    # on sign/zero/extreme/subnormal/random bit patterns
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from cassandra_es_index_spark.operators.similarity import _lit_vec
+
+    random.seed(7)
+    vals = [0.0, -0.0, 1.0, -1.5, 1e-300, -1e300, 3.141592653589793,
+            2 ** -1074, float("nan"), float("inf"), float("-inf")] + \
+           [struct.unpack("<d", struct.pack("<q",
+                                            random.getrandbits(63)))[0]
+            for _ in range(50)]
+    row = spark.range(1).select(
+        _lit_vec(vals).alias("a"),
+        F.array(*[F.lit(float(v)) for v in vals]).alias("b")).first()
+    bits = [(struct.pack("<d", x), struct.pack("<d", y))
+            for x, y in zip(row["a"], row["b"])]
+    assert all(x == y for x, y in bits)
+
+
 def test_xxh64_numpy_matches_spark_expression(spark):
     # the r15 Arrow-vectorized n-gram chain reimplements Spark's
     # xxhash64-over-two-longs in numpy — pin bit-equality against the
