@@ -1752,6 +1752,16 @@ class SearchEngine:
         window partitioned by the join key (bounded by the pruned match
         set, never corpus-wide), and the final join back onto the ≤k
         hits broadcasts the ranked (≤k×size-row) inner frame."""
+        # (r15) hits feeds BOTH the key prune and the final join-back —
+        # unpinned, the WHOLE hit lineage (corpus scans, the child score
+        # aggregate, the top-k) re-plans and re-executes once per
+        # consumer: the has_child bench plan carried two byte-identical
+        # copies of the full hit subtree. A lazy pin is the measured
+        # sweet spot (the minhash/triples r15 A/B): the first consumer
+        # materializes it once, the second reads pinned blocks, and a
+        # worst-case race only re-pays what the unpinned plan always
+        # paid. Bounded by the request size cap.
+        hits = hits.localCheckpoint(eager=False)
         frame, fk = spec["frame"], spec["fk"]
         hk = hits.select(F.col(spec["hit_key"]).alias("_jk")).distinct()
         pruned = (frame.withColumn("_jk", F.col(fk).cast("string"))
