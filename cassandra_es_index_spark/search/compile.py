@@ -1018,6 +1018,17 @@ class Compiler:
             return self._walk(node.child)
         if isinstance(node, Range):
             ref = self.resolve(node.field)
+            if isinstance(ref.dtype, (T.ArrayType, T.MapType,
+                                      T.StructType)):
+                # fuzz catch (r15): a range bound on a multi-valued /
+                # structured field compiled into `array >= literal` and
+                # crashed at analysis with a raw DATATYPE_MISMATCH
+                # instead of a typed error (ES's per-value multi-valued
+                # range semantics are not implemented — honest seam)
+                raise CompileError(
+                    f"range query on {ref.dtype.simpleString()} field "
+                    f"{node.field!r} — range needs an orderable scalar "
+                    "field")
             pred = F.lit(True)
             if node.lo is not None:
                 lo = self._typed_lit(ref, node.lo)

@@ -1149,6 +1149,29 @@ def test_match_fuzzy_transpositions_param(spark):
     assert _rows(idx, "luc_idx", body) == [("f1", 2)]
 
 
+def test_range_on_array_field_typed(spark):
+    """r15 fuzz catch: a range bound on a multi-valued field compiled
+    into `array >= literal` and crashed at analysis with a raw
+    DATATYPE_MISMATCH — it must be a typed compile error (the engine
+    does not implement ES's per-value multi-valued range semantics)."""
+    import json
+
+    from cassandra_es_index_spark.catalog import TableSpec
+    from cassandra_es_index_spark.search import SearchEngine
+    from cassandra_es_index_spark.search.compile import CompileError
+
+    eng = SearchEngine(spark)
+    df = spark.createDataFrame([(1, ["a", "b"], 5)],
+                               "id long, tags array<string>, n long")
+    eng.register(df, TableSpec("rng_arr", ["id"]))
+    q = json.dumps({"query": {"range": {"tags": {"gte": 3}}}})
+    with pytest.raises(CompileError, match="range query on"):
+        eng.search("rng_arr", q, default_field="tags").collect()
+    # scalar ranges keep working
+    q2 = json.dumps({"query": {"range": {"n": {"gte": 3}}}})
+    assert eng.search("rng_arr", q2).count() == 1
+
+
 def test_fuzzy_transpositions_budget_ceiling_typed(spark):
     """The DL enumeration is exact only to budget 2 (the ES ceiling);
     a larger explicit budget with transpositions is a typed error,
