@@ -255,6 +255,130 @@ def _xxh64_pair_np(a, b):
     return _xxh64_long_np(b, _xxh64_long_np(a, np.uint64(42)))
 
 
+_XXH64_MASK = (1 << 64) - 1
+_XXH64_P1 = 0x9E3779B185EBCA87
+_XXH64_P2 = 0xC2B2AE3D27D4EB4F
+_XXH64_P3 = 0x165667B19E3779F9
+_XXH64_P4 = 0x85EBCA77C2B2AE63
+_XXH64_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_int_seed(i: int, seed: int = 42) -> int:
+    """Spark's ``XXH64.hashInt`` (catalyst XxHash64 over one
+    IntegerType input) in plain Python — how an int literal argument
+    folds into the seed chain: ``xxhash64(lit(i), s)`` hashes ``s``
+    with seed ``hashInt(i, 42)``. Returns an unsigned 64-bit int."""
+    h = (seed + _XXH64_P5 + 4) & _XXH64_MASK
+    h ^= ((i & 0xFFFFFFFF) * _XXH64_P1) & _XXH64_MASK
+    h = ((((h << 23) | (h >> 41)) & _XXH64_MASK) * _XXH64_P2
+         + _XXH64_P3) & _XXH64_MASK
+    h ^= h >> 33
+    h = (h * _XXH64_P2) & _XXH64_MASK
+    h ^= h >> 29
+    h = (h * _XXH64_P3) & _XXH64_MASK
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_bytes_prepare_np(buf, starts, lens):
+    """Spark's ``XXH64.hashUnsafeBytes`` (catalyst XxHash64 over a
+    StringType input — standard XXH64 over the UTF-8 bytes; verified
+    bit-equal to the JVM on the pinned equivalence grid) vectorized
+    over variable-length byte slices of one flat uint8 buffer.
+
+    Per-string structure: ``len // 32`` 32-byte stripes through the
+    four accumulator lanes, ``(len % 32) // 8`` tail words, one 4-byte
+    word when ``len % 8 >= 4``, then ``len % 4`` single bytes, then
+    the avalanche. All byte gathers are seed-INDEPENDENT, so they are
+    hoisted here and the returned closure re-runs only the arithmetic
+    per seed — the shape MinHash needs (num_hashes seeds over one
+    shingle set).
+
+    Returns ``run(seed:int) -> np.uint64[n]``."""
+    import numpy as np
+
+    u64 = np.uint64
+    p1, p2, p3 = u64(_XXH64_P1), u64(_XXH64_P2), u64(_XXH64_P3)
+    p4, p5 = u64(_XXH64_P4), u64(_XXH64_P5)
+    sixty4 = u64(64)
+
+    def rotl(v, r):
+        r = u64(r)
+        return (v << r) | (v >> (sixty4 - r))
+
+    def g64(pos):
+        w = buf[pos].astype(np.uint64)
+        for j in range(1, 8):
+            w |= buf[pos + j].astype(np.uint64) << u64(8 * j)
+        return w
+
+    n = starts.shape[0]
+    stripes = lens // 32
+    words = (lens % 32) // 8
+    has32 = stripes > 0
+
+    stripe_reads = []
+    for k in range(int(stripes.max()) if n else 0):
+        idx = np.flatnonzero(stripes > k)
+        pos = starts[idx] + 32 * k
+        stripe_reads.append((idx, g64(pos), g64(pos + 8),
+                             g64(pos + 16), g64(pos + 24)))
+    word_base = starts + 32 * stripes
+    word_reads = []
+    for k in range(int(words.max()) if n else 0):
+        idx = np.flatnonzero(words > k)
+        word_reads.append((idx, g64(word_base[idx] + 8 * k)))
+    idx4 = np.flatnonzero((lens % 8) >= 4)
+    pos4 = starts[idx4] + (lens[idx4] & ~np.int64(7))
+    u32s = buf[pos4].astype(np.uint64)
+    for j in range(1, 4):
+        u32s |= buf[pos4 + j].astype(np.uint64) << u64(8 * j)
+    tail = lens % 4
+    tail_base = starts + lens - tail
+    byte_reads = []
+    for k in range(int(tail.max()) if n else 0):
+        idx = np.flatnonzero(tail > k)
+        byte_reads.append((idx, buf[tail_base[idx] + k]
+                           .astype(np.uint64)))
+    lens_u64 = lens.astype(np.uint64)
+
+    def run(seed: int):
+        h = np.full(n, u64((seed + _XXH64_P5) & _XXH64_MASK))
+        if stripe_reads:
+            m = has32
+            v1 = np.full(n, u64((seed + _XXH64_P1 + _XXH64_P2)
+                                & _XXH64_MASK))
+            v2 = np.full(n, u64((seed + _XXH64_P2) & _XXH64_MASK))
+            v3 = np.full(n, u64(seed & _XXH64_MASK))
+            v4 = np.full(n, u64((seed - _XXH64_P1) & _XXH64_MASK))
+            for (idx, w1, w2, w3, w4) in stripe_reads:
+                v1[idx] = rotl(v1[idx] + w1 * p2, 31) * p1
+                v2[idx] = rotl(v2[idx] + w2 * p2, 31) * p1
+                v3[idx] = rotl(v3[idx] + w3 * p2, 31) * p1
+                v4[idx] = rotl(v4[idx] + w4 * p2, 31) * p1
+            hm = (rotl(v1[m], 1) + rotl(v2[m], 7)
+                  + rotl(v3[m], 12) + rotl(v4[m], 18))
+            for v in (v1, v2, v3, v4):
+                hm = (hm ^ (rotl(v[m] * p2, 31) * p1)) * p1 + p4
+            h[m] = hm
+        h += lens_u64
+        for (idx, w) in word_reads:
+            h[idx] = rotl(h[idx] ^ (rotl(w * p2, 31) * p1), 27) \
+                * p1 + p4
+        if idx4.shape[0]:
+            h[idx4] = rotl(h[idx4] ^ (u32s * p1), 23) * p2 + p3
+        for (idx, b) in byte_reads:
+            h[idx] = rotl(h[idx] ^ (b * p5), 11) * p1
+        h = h ^ (h >> u64(33))
+        h = h * p2
+        h = h ^ (h >> u64(29))
+        h = h * p3
+        h = h ^ (h >> u64(32))
+        return h
+
+    return run
+
+
 def _ngram_chain_batches(ns: frozenset, max_n: int):
     """mapInArrow generator factory: (id, th: list<long>, tl:
     list<int>) doc rows → per-(doc, n) rollup rows (id, n, top, dup,
@@ -367,6 +491,13 @@ def ngram_repetition_stats(df, id_col: str, text_col: str,
     n-gram; `dup{n}_frac` = char-mass share of occurrences whose gram
     repeats). Docs with fewer than n tokens get 0 via the final LEFT
     join.
+
+    PRECONDITION (ADVICE r15): ``id_col`` must be unique per row. The
+    per-row Arrow rollup treats each row as its own document; rows
+    sharing an id would keep the MAX of their per-row fractions where
+    the pre-r15 global groupBy pooled their gram counts first.
+    Every corpus this engine ingests keys documents uniquely; callers
+    with repeated ids must pre-aggregate (or dedup) before calling.
 
     Why not the per-row Column functions below: the grouped statistics
     need either a per-row sorted fold (struct-state ``F.aggregate`` —

@@ -159,12 +159,157 @@ def _lsh_rows_per_band(num_hashes: int, bands: int) -> int:
     return num_hashes // bands
 
 
+def _minhash_sig_batches(num_hashes: int, shingle_n: int, unit: str):
+    """mapInArrow generator factory for :func:`minhash_signature`:
+    (doc, token array) rows → per-ROW MinHash component minima
+    (doc, mh_0..mh_{num_hashes-1}).
+
+    Bit-identical to the old explode → ``num_hashes`` ×
+    ``min(xxhash64(lit(i), sh))`` Column aggregation (r16): the
+    shingle BYTES are never materialized — each doc's tokens are
+    joined once with single spaces into a flat buffer, and every
+    shingle is a contiguous (start, len) slice of it (``concat_ws``
+    on UTF8Strings is byte concatenation, so the slice equals the
+    JVM-built shingle string byte-for-byte, whatever the Unicode
+    content). The ``num_hashes`` seeded hashes run vectorized over
+    those slices (``_xxh64_bytes_prepare_np`` — the gathers are
+    hoisted once, only the arithmetic re-runs per seed), and the
+    per-row minima are one ``np.minimum.reduceat`` per seed. Unit
+    ``token``: rows with a NULL token array emit nothing (the old
+    explode dropped them). Unit ``shingle``: rows with fewer than
+    ``shingle_n`` tokens — INCLUDING null-text rows — emit the single
+    all-tokens shingle ("" when empty), exactly like
+    ``functions.text.shingles``'s fallback branch.
+    Duplicate doc ids stay correct: the caller's groupBy(doc) merges
+    per-row minima, and min is associative. Precondition (same as
+    the old explode form): token arrays carry no null ELEMENTS —
+    ``functions.text.tokens`` never produces them."""
+    from cassandra_es_index_spark.functions.text import _xxh64_int_seed
+
+    seeds = [_xxh64_int_seed(i) for i in range(num_hashes)]
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from cassandra_es_index_spark.functions.text import (
+            _xxh64_bytes_prepare_np,
+        )
+
+        names = ["doc"] + [f"mh_{i}" for i in range(num_hashes)]
+        for batch in batches:
+            ids = batch.column(0)
+            tk = batch.column(1)
+            # token counts per row, NULL rows zeroed — aligned with
+            # flatten(), which drops null rows' value ranges
+            counts = tk.value_lengths().fill_null(0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = tk.flatten()
+            nt = len(flat)
+            if nt:
+                fo = np.frombuffer(flat.buffers()[1], np.int32) \
+                    [flat.offset:flat.offset + nt + 1].astype(np.int64)
+                sbuf = np.frombuffer(flat.buffers()[2], np.uint8)
+            else:
+                fo = np.zeros(1, np.int64)
+                sbuf = np.empty(0, np.uint8)
+            tl = np.diff(fo)
+            row_first = np.concatenate(
+                ([0], np.cumsum(counts)[:-1])).astype(np.int64)
+            valid = ~tk.is_null().to_numpy(zero_copy_only=False)
+
+            if unit == "token":
+                starts, lens, buf = fo[:-1].copy(), tl, sbuf
+                out_rows = np.flatnonzero(valid & (counts > 0))
+                segs = row_first[out_rows]
+            else:
+                n = shingle_n
+                tok_row = np.repeat(np.arange(counts.shape[0]), counts)
+                within = np.arange(nt) - row_first[tok_row]
+                cnt_tok = counts[tok_row]
+                gaps = (within > 0).astype(np.int64)
+                cum = np.cumsum(tl + gaps)
+                ostart = cum - tl
+                out_buf = np.full(int(cum[-1]) if nt else 0, 0x20,
+                                  np.uint8)
+                if nt:
+                    shift = np.repeat(ostart - (fo[:-1] - fo[0]), tl)
+                    out_buf[np.arange(fo[-1] - fo[0]) + shift] = \
+                        sbuf[fo[0]:fo[-1]]
+                # class A: rows with >= n tokens — the sliding grams
+                selA = np.flatnonzero(within <= cnt_tok - n)
+                stA = ostart[selA]
+                lnA = (ostart[selA + (n - 1)] + tl[selA + (n - 1)]) \
+                    - stA
+                rowsA = np.flatnonzero(counts >= n)
+                mA = counts[rowsA] - (n - 1)
+                segsA = (np.cumsum(mA) - mA).astype(np.int64)
+                # class B: rows with < n tokens — ONE shingle, the
+                # whole space-joined row ("" for zero tokens). NULL
+                # token arrays are class B too: ``shingles(NULL)`` is
+                # ``[""]`` in the Column form (size(NULL) = -1 takes
+                # the fallback branch and concat_ws(NULL) = ""), so a
+                # null-text doc keeps its empty-string signature —
+                # pinned by the equivalence test's null-text row.
+                rowsB = np.flatnonzero(counts < n)
+                cntB = counts[rowsB]
+                firstB = row_first[rowsB]
+                if nt:
+                    safe_first = np.minimum(firstB, nt - 1)
+                    safe_last = np.clip(firstB + cntB - 1, 0, nt - 1)
+                    stB = np.where(cntB > 0, ostart[safe_first],
+                                   0).astype(np.int64)
+                    lnB = np.where(
+                        cntB > 0,
+                        ostart[safe_last] + tl[safe_last] - stB,
+                        0).astype(np.int64)
+                else:
+                    stB = np.zeros(rowsB.shape[0], np.int64)
+                    lnB = np.zeros(rowsB.shape[0], np.int64)
+                starts = np.concatenate((stA, stB))
+                lens = np.concatenate((lnA, lnB))
+                buf = out_buf
+                out_rows = np.concatenate((rowsA, rowsB))
+                segs = np.concatenate(
+                    (segsA, stA.shape[0] + np.arange(rowsB.shape[0])))
+            if out_rows.shape[0] == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids.slice(0, 0)]
+                    + [pa.array(np.empty(0, np.int64))] * num_hashes,
+                    names=names)
+                continue
+            run = _xxh64_bytes_prepare_np(buf, starts, lens)
+            mins = [np.minimum.reduceat(run(s).view(np.int64), segs)
+                    for s in seeds]
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(out_rows))]
+                + [pa.array(m) for m in mins], names=names)
+    return gen
+
+
+def _band_keys_expr(bands: int, rows_per_band: int):
+    """The LSH band-key struct array as ONE server-parsed expression
+    (r16, the r15.5 ``F.expr`` batching trick): the per-Column form
+    costs one py4j round trip per ``F.lit``/``F.col``/struct call —
+    ~150 trips at bands=16 — while one SQL string parses server-side
+    in a single trip. Parses to the IDENTICAL expression tree:
+    ``{b}`` is an int literal like ``F.lit(b)``, ``signature[i]`` is
+    the same 0-based GetArrayItem, and the struct field names ride
+    the ``AS`` aliases."""
+    parts = ", ".join(
+        "struct({b} as band, concat_ws('|', {cols}) as key)".format(
+            b=b,
+            cols=", ".join(f"signature[{b * rows_per_band + r}]"
+                           for r in range(rows_per_band)))
+        for b in range(bands))
+    return F.expr(f"array({parts})")
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 32, shingle_n: int = 3,
                       unit: str = "shingle") -> DataFrame:
     """MinHash signatures: component i = min over features of
-    xxhash64(i, feature) — a 64-bit seeded hash per component, all
-    JVM-native.
+    xxhash64(i, feature) — a 64-bit seeded hash per component.
 
     ``unit`` picks the feature set the signature estimates Jaccard over:
     ``"shingle"`` (default) hashes ``shingle_n``-grams — order-sensitive,
@@ -172,31 +317,42 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     token set — order-free bag-of-words similarity, the estimator twin of
     ``jaccard_pairs`` (which is token-set Jaccard).
 
-    Shape: explode features → one aggregation with ``num_hashes`` min()
-    columns, each over an independently seeded ``xxhash64(i, sh)``. The
-    hashes happen map-side in the partial aggregation and the shuffle
-    carries one partial signature per (partition, doc) — linear in corpus
-    size. Component independence matters: a bounded Kirsch–Mitzenmacher
+    Shape (r16, guide §4.2): tokenization stays a JVM Column (so the
+    token set is exactly ``functions.text.tokens``), then ONE
+    ``mapInArrow`` builds the shingle byte slices and all
+    ``num_hashes`` seeded XXH64 minima vectorized in numpy —
+    bit-identical to the old explode → 32 × ``min(xxhash64(lit(i),
+    sh))`` aggregation (pinned by the minhash equivalence test; the
+    string-XXH64 reimplementation is pinned bit-equal to the JVM on
+    its own grid), with no shingle string ever materialized on either
+    side of the boundary. The old form's 32 seeded string hashes were
+    the dominant map-side cost (~1.5 s/corpus scan at sf0.1) and ran
+    through interpreted/codegen'd per-row expression trees — the same
+    JIT-churn class r15.4 removed for the n-gram stats. The final
+    groupBy(doc) merges per-row minima (duplicate-id semantics of the
+    old global groupBy preserved; min is associative) and carries one
+    64-byte partial per doc — linear in corpus size, never in grams.
+
+    Component independence matters: a bounded Kirsch–Mitzenmacher
     ``h1 + i·h2`` variant (tried for speed) correlates the components'
-    min-rankings and inflated the estimated Jaccard ~25× at sf0.1. The
-    real cost driver was the shingle builder re-evaluating its tokenizer
-    per element — fixed in ``functions.text.shingles`` — after which the
-    32 seeded hashes are map-side-cheap (~1.5s/corpus scan at sf0.1).
+    min-rankings and inflated the estimated Jaccard ~25× at sf0.1.
     """
-    if unit == "shingle":
-        feats = shingles(F.col(text_col), shingle_n)
-    elif unit == "token":
-        feats = tokens(F.col(text_col))  # duplicates don't affect min()
-    else:
+    if unit not in ("shingle", "token"):
         raise ValueError(f"unknown minhash unit {unit!r}")
-    exploded = (_spread(df)
-                .select(F.col(id_col).alias("doc"),
-                        F.explode(feats).alias("sh")))
-    return exploded.groupBy("doc").agg(
-        F.array(*[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]).alias("signature"))
+    base = (_spread(df)
+            .select(F.col(id_col).alias("doc"),
+                    tokens(F.col(text_col)).alias("_tk")))
+    id_type = base.schema["doc"].dataType.simpleString()
+    per = base.mapInArrow(
+        _minhash_sig_batches(num_hashes, shingle_n, unit),
+        schema=f"doc {id_type}, "
+               + ", ".join(f"mh_{i} bigint" for i in range(num_hashes)))
+    # one server-parsed aggregate list (r16 — same trick as
+    # ``_band_keys_expr``): array(min(mh_0), …, min(mh_31)) in a single
+    # py4j round trip instead of ~4 per component
+    mins = ", ".join(f"min(mh_{i})" for i in range(num_hashes))
+    return per.groupBy("doc").agg(
+        F.expr(f"array({mins})").alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -244,12 +400,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
     band_keys = sigs.select(
         "doc", "signature",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.concat_ws("|", *[F.col("signature")[b * rows_per_band + r]
-                                        for r in range(rows_per_band)]).alias("key"))
-            for b in range(bands)
-        ])).alias("bk"),
+        F.explode(_band_keys_expr(bands, rows_per_band)).alias("bk"),
     ).select("doc", "signature", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     a, b = band_keys.alias("a"), band_keys.alias("b")
@@ -552,6 +703,27 @@ def ngram_contamination(df: DataFrame, benchmark: DataFrame,
                   .alias("contaminated_ngrams")))
 
 
+def _unpersist_checkpoint(df: DataFrame | None) -> None:
+    """Deterministically free a SUPERSEDED ``localCheckpoint``'s pinned
+    blocks (r16): the checkpointed Dataset's analyzed plan is a
+    ``LogicalRDD`` holding the pinned RDD — unpersist it once every
+    consumer that could read (or recompute through) it has already
+    materialized its own checkpoint. Without this the CC loop's
+    per-round pins stay resident until a JVM GC feeds the
+    ContextCleaner (measured 5-23 s per release in the GC-latency
+    test), taxing every later query in the session. Internal-API
+    access is guarded: any failure degrades to the old GC-driven
+    release, never an error. MUST only be called on frames whose
+    blocks are provably dead — a localCheckpoint cannot be recomputed
+    after its blocks are dropped."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — degrade to GC-driven release
+        pass
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
                          max_iters: int = 20) -> DataFrame:
@@ -591,6 +763,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     labels = (edges.select(F.col("s").alias("node"))
               .distinct()
               .withColumn("component", F.col("node")))
+    prev_merged: DataFrame | None = None
     for i in range(max_iters):
         if i == 0:
             # identity labels: neighbor-min needs no join — one
@@ -624,14 +797,31 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         # (dedup_clusters_lsh 7.0-7.5 → 20.8-39.3 s). Eager runs the
         # label frame exactly once in its own job and every consumer
         # reads the pinned blocks.
+        # (r16) the jump carries its pre-jump label as ``_old`` so the
+        # round records whether the indirection moved anything — a
+        # LOCAL scan of the pinned blocks, no extra job. If the
+        # frontier empties below AND this round's jump was already a
+        # fixpoint (label(label(x)) == label(x) pre-jump ⇒ the label
+        # forest is root-pointing and the jump was an identity), the
+        # whole root-jump phase is provably a no-op and is skipped —
+        # one fewer join-compile + eager job + probe per CC call in
+        # the common 1-2-round near-dup case.
         merged = (merged.join(
             merged.select(F.col("node").alias("component"),
                           F.col("component").alias("_c2")),
             on="component", how="left")
-            .select("node", F.coalesce("_c2", "component")
+            .select("node", F.col("component").alias("_old"),
+                    F.coalesce("_c2", "component")
                     .alias("component"))
             .localCheckpoint(eager=True))
-        labels = merged
+        # (r16) the previous round's label pin is superseded the moment
+        # this round's checkpoint has materialized (eager ⇒ done here):
+        # every later consumer reads the NEW pin, and nothing can
+        # recompute through the old one — free it now instead of
+        # waiting for a session GC (verdict r15 item 5).
+        _unpersist_checkpoint(prev_merged)
+        prev_merged = merged
+        labels = merged.select("node", "component")
         # (r15) the old per-round changed-probe (merged ⋈ labels +
         # count — one extra shuffle-join job every round) is provably
         # redundant: edges are symmetrized, so any surviving
@@ -654,16 +844,28 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                            F.col("component").alias("_cs"))
         ld = labels.select(F.col("node").alias("d"),
                            F.col("component").alias("_cd"))
+        old_edges = edges
         edges = (edges.join(ls, "s").join(ld, "d")
                  .where(F.col("_cs") != F.col("_cd"))
                  .select(F.col("_cs").alias("s"),
                          F.col("_cd").alias("d"))
                  .distinct()
                  .localCheckpoint(eager=True))
+        # the previous frontier (round 0: the symmetrized input pin) has
+        # no consumer after this round's merged + contraction both
+        # materialized — free it deterministically (r16)
+        _unpersist_checkpoint(old_edges)
         if edges.isEmpty():
             # no cross-component edges left: jump the label forest to
             # its roots (depth halves per jump — label-frame-only work,
             # bounded by log of the forest depth ≤ max_iters).
+            # (r16) if this round's own jump already moved nothing the
+            # forest is root-pointing and the loop below would run one
+            # provably-identity jump just to observe it — skip it with
+            # a local scan of the round's pinned frame instead.
+            if merged.where(F.col("component")
+                            != F.col("_old")).isEmpty():
+                return labels
             # (r15) the moved-probe rides the SAME checkpointed join
             # that builds the jump — `component != _old` is exactly
             # "the indirection hit a lower parent" — so each jump is
@@ -679,6 +881,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                             F.coalesce("_c2", "component")
                             .alias("component"))
                     .localCheckpoint(eager=True))
+                _unpersist_checkpoint(prev_merged)  # superseded (r16)
+                prev_merged = jmp
                 labels = jmp.select("node", "component")
                 if jmp.where(F.col("component")
                              != F.col("_old")).isEmpty():
@@ -763,13 +967,7 @@ def minhash_lsh_star_edges(df: DataFrame, id_col: str, text_col: str,
                              shingle_n, unit).localCheckpoint(eager=False)
     band_keys = sigs.select(
         "doc",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.concat_ws("|", *[
-                         F.col("signature")[b * rows_per_band + r]
-                         for r in range(rows_per_band)]).alias("key"))
-            for b in range(bands)
-        ])).alias("bk"),
+        F.explode(_band_keys_expr(bands, rows_per_band)).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
     hubs = (band_keys.groupBy("band", "key")

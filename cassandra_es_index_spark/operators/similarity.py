@@ -56,7 +56,13 @@ def _render_double(x) -> str:
 
 
 def _lit_vec_sql(values) -> str:
-    return f"array({','.join(_render_double(x) for x in values)})"
+    # a bare ``array()`` types as array<void> and fails analysis where
+    # the replaced ``F.lit(list).cast("array<double>")`` accepted a
+    # zero-dim vector — keep the degenerate case typed (ADVICE r15)
+    body = ",".join(_render_double(x) for x in values)
+    if not body:
+        return "CAST(array() AS ARRAY<DOUBLE>)"
+    return f"array({body})"
 
 
 def _lit_vec(values) -> Column:

@@ -1756,12 +1756,19 @@ class SearchEngine:
         # unpinned, the WHOLE hit lineage (corpus scans, the child score
         # aggregate, the top-k) re-plans and re-executes once per
         # consumer: the has_child bench plan carried two byte-identical
-        # copies of the full hit subtree. A lazy pin is the measured
-        # sweet spot (the minhash/triples r15 A/B): the first consumer
-        # materializes it once, the second reads pinned blocks, and a
-        # worst-case race only re-pays what the unpinned plan always
-        # paid. Bounded by the request size cap.
-        hits = hits.localCheckpoint(eager=False)
+        # copies of the full hit subtree (10 parquet scans → 2 pinned).
+        # (r16) the pin is EAGER, not lazy: the r15 lazy pin was the one
+        # touched-and-regressed bench entry two driver drives running
+        # (2.46 → 3.82 s), and this round's 3-way alternating A/B read
+        # lazy median 5.6 s vs unpinned 4.4 / eager 4.2 — the lazy pin
+        # here is consumed by the nested broadcast build AND the final
+        # join-back, the r15.2 concurrent-consumer minefield. Eager runs
+        # the ≤size-cap hit subtree exactly once in its own job; release
+        # stays GC-driven (the result depends on the pin for its whole
+        # lifetime — the bench's inter-query hygiene frees it, ADVICE
+        # r15 noted the accumulation for long-lived many-search
+        # sessions).
+        hits = hits.localCheckpoint(eager=True)
         frame, fk = spec["frame"], spec["fk"]
         hk = hits.select(F.col(spec["hit_key"]).alias("_jk")).distinct()
         pruned = (frame.withColumn("_jk", F.col(fk).cast("string"))
@@ -2275,7 +2282,8 @@ class SearchEngine:
     def search(self, table: str, query: str,
                default_field: str | None = None,
                limit: int | None = None,
-               search_after: list | tuple | None = None) -> DataFrame:
+               search_after: list | tuple | None = None,
+               _cursor: dict | None = None) -> DataFrame:
         """Full search path. Returns, per hit:
 
         - ``load-rows`` default: base-table row + ``_score``  (J1 join)
@@ -2303,6 +2311,18 @@ class SearchEngine:
         (see ``apply_rescore``); ``highlight`` adds
         ``_highlight_<field>`` columns wrapping query-term matches on
         the hit rows (see ``apply_highlight``).
+
+        ``_cursor`` (private, r16): when a dict is passed and the
+        request shape allows it (no rescore, no collapse inner_hits,
+        no metadata on the scan plan — shapes whose serving touches
+        engine state per call or is rejected with search_after
+        anyway), the compiled pre-pagination plan is captured as
+        ``_cursor["serve"](anchor)`` so a scroll drain re-applies ONLY
+        the keyset filter per batch instead of re-parsing and
+        re-compiling the whole request (~0.13 s/batch of plan
+        construction measured in r15). ``search`` itself returns
+        ``serve(after)``, so a served batch is identical to a full
+        search by construction.
         """
         tables = self._expand_index_expr(table)
         if len(tables) > 1:
@@ -2682,55 +2702,70 @@ class SearchEngine:
             anchor_types = (order_types or [None]) + \
                 [docs.schema[c].dataType for c in keys]
             collapse_pool = keyed
+            ccol = None
             if req.collapse is not None:
                 # collapse BEFORE pagination, like ES: pages walk the
                 # collapsed hit list
                 ccol = F.col(req.collapse) if req.collapse in keys \
                     else F.col("_collapse")
                 keyed = self._collapse_dedup(keyed, ccol, keys, ordering)
-            if after is not None:
-                keyed = keyed.where(
-                    self._keyset_filter(ordering, after, anchor_types))
-            hits = self._apply_ordering(keyed, ordering)
-            hits = page_and_rescore(hits)
-            if req.collapse is not None and req.collapse_inner is not None:
-                hits = self._expand_inner_hits(
-                    hits, collapse_pool, ccol, keys, ordering,
-                    req.collapse_inner, req.collapse_inner_sort)
-            # join paths would lose the page order (a join emits rows in
-            # shuffle/broadcast-probe order): rank the ≤k hits first and
-            # re-sort the joined result on that rank, so a paging client
-            # sees rows in ranking order, like ES hits.
-            needs_join = qmd.load_source or qmd.load_rows
-            if needs_join:
-                hits = hits.withColumn(RANK, F.row_number().over(
-                    Window.orderBy(*self._sort_exprs(ordering))))
-            if sort_helpers:
-                # ordering values were only needed to rank/page the hits —
-                # they are not part of the result surface
-                hits = hits.drop(*sort_helpers)
-            inner_cols = ["_inner_rank"] \
-                if "_inner_rank" in hits.columns else []
-            if qmd.load_source:
-                result = (docs.join(F.broadcast(hits), on=keys)
-                              .select(*docs.columns, SCORE, RANK,
-                                      *inner_cols))
-            elif not qmd.load_rows:
-                result = hits.select(*keys, SCORE, *inner_cols)
-            else:
-                result = self._row_load_source(table, base).join(
-                    F.broadcast(hits), on=keys, how="inner")
-            if qmd.options.get("metadata", "false").lower() == "true":
-                # totals reflect min_score AND post_filter but ignore
-                # collapse/paging (hits.total semantics) — aggregate
-                # the pre-collapse hit pool, not raw ph
-                mj = self._metadata_json(collapse_pool,
-                                         req.track_total_hits)
-                result = result.withColumn("_metadata", F.lit(mj))
-            if needs_join:
-                result = result.orderBy(RANK).drop(RANK)
-            return apply_source_filter(
-                apply_highlight(apply_script_fields(result)))
+            # engine-state lookups resolve at CONSTRUCTION time so a
+            # captured cursor stays pinned to this (possibly PIT-
+            # swapped) generation (r16)
+            row_src = self._row_load_source(table, base) \
+                if qmd.load_rows and not qmd.load_source else None
+
+            def serve_page(anchor):
+                paged = keyed if anchor is None else keyed.where(
+                    self._keyset_filter(ordering, anchor, anchor_types))
+                hits = self._apply_ordering(paged, ordering)
+                hits = page_and_rescore(hits)
+                if req.collapse is not None \
+                        and req.collapse_inner is not None:
+                    hits = self._expand_inner_hits(
+                        hits, collapse_pool, ccol, keys, ordering,
+                        req.collapse_inner, req.collapse_inner_sort)
+                # join paths would lose the page order (a join emits
+                # rows in shuffle/broadcast-probe order): rank the ≤k
+                # hits first and re-sort the joined result on that
+                # rank, so a paging client sees rows in ranking order,
+                # like ES hits.
+                needs_join = qmd.load_source or qmd.load_rows
+                if needs_join:
+                    hits = hits.withColumn(RANK, F.row_number().over(
+                        Window.orderBy(*self._sort_exprs(ordering))))
+                if sort_helpers:
+                    # ordering values were only needed to rank/page the
+                    # hits — they are not part of the result surface
+                    hits = hits.drop(*sort_helpers)
+                inner_cols = ["_inner_rank"] \
+                    if "_inner_rank" in hits.columns else []
+                if qmd.load_source:
+                    result = (docs.join(F.broadcast(hits), on=keys)
+                                  .select(*docs.columns, SCORE, RANK,
+                                          *inner_cols))
+                elif not qmd.load_rows:
+                    result = hits.select(*keys, SCORE, *inner_cols)
+                else:
+                    result = row_src.join(
+                        F.broadcast(hits), on=keys, how="inner")
+                if qmd.options.get("metadata", "false").lower() \
+                        == "true":
+                    # totals reflect min_score AND post_filter but
+                    # ignore collapse/paging (hits.total semantics) —
+                    # aggregate the pre-collapse hit pool, not raw ph
+                    mj = self._metadata_json(collapse_pool,
+                                             req.track_total_hits)
+                    result = result.withColumn("_metadata", F.lit(mj))
+                if needs_join:
+                    result = result.orderBy(RANK).drop(RANK)
+                return apply_source_filter(
+                    apply_highlight(apply_script_fields(result)))
+
+            if _cursor is not None and req.rescore is None \
+                    and req.collapse_inner is None:
+                _cursor["serve"] = serve_page
+            return serve_page(after)
 
         comp = Compiler(docs, default_field)
         pred, score = comp.compile(node)
@@ -2760,7 +2795,6 @@ class SearchEngine:
                 GEO_DIST, self._geo_sort_col(comp, gs))
             geo_cols.append(GEO_DIST)
         want_meta = qmd.options.get("metadata", "false").lower() == "true"
-        meta_json: str | None = None
         if want_meta:
             # metadata needs the FULL match set aggregate; persist the
             # scored matches so top-k and the aggregate share one corpus
@@ -2793,69 +2827,85 @@ class SearchEngine:
             # UNcollapsed `scored` (ES hits.total ignores collapsing)
             collapsed = self._collapse_dedup(
                 scored, comp.resolve(req.collapse).col, keys, ordering)
-        paged = collapsed if after is None else \
-            collapsed.where(self._keyset_filter(ordering, after,
-                                                anchor_types))
-        hits = self._apply_ordering(paged, ordering)
-        hits = page_and_rescore(hits)
-        if req.collapse is not None and req.collapse_inner is not None:
-            hits = self._expand_inner_hits(
-                hits, scored, comp.resolve(req.collapse).col, keys,
-                ordering, req.collapse_inner, req.collapse_inner_sort)
-        nested_cols: list[str] = []
-        if req.nested_inner is not None:
-            hits, nested_cols = self._expand_nested_inner(hits, comp,
-                                                          req)
-        if req.join_inner is not None:
-            hits, join_cols = self._expand_join_inner(hits, ordering,
-                                                      req.join_inner)
-            nested_cols += join_cols
+        # engine-state lookup at CONSTRUCTION time (r16) — see the
+        # index-path note
+        row_src = self._row_load_source(table, base) \
+            if qmd.load_rows and not qmd.load_source else None
 
-        if want_meta:
-            meta_json = self._metadata_json(scored, req.track_total_hits)
-            # materialize the (≤ max-results) hit set through the warm
-            # persist so the corpus isn't rescanned after unpersist
-            hits = hits.localCheckpoint(eager=True)
-            scored.unpersist()
+        def serve_page(anchor):
+            paged = collapsed if anchor is None else \
+                collapsed.where(self._keyset_filter(ordering, anchor,
+                                                    anchor_types))
+            hits = self._apply_ordering(paged, ordering)
+            hits = page_and_rescore(hits)
+            if req.collapse is not None \
+                    and req.collapse_inner is not None:
+                hits = self._expand_inner_hits(
+                    hits, scored, comp.resolve(req.collapse).col, keys,
+                    ordering, req.collapse_inner, req.collapse_inner_sort)
+            nested_cols: list[str] = []
+            if req.nested_inner is not None:
+                hits, nested_cols = self._expand_nested_inner(hits, comp,
+                                                              req)
+            if req.join_inner is not None:
+                hits, join_cols = self._expand_join_inner(hits, ordering,
+                                                          req.join_inner)
+                nested_cols += join_cols
 
-        inner_cols = (["_inner_rank"]
-                      if "_inner_rank" in hits.columns else []) \
-            + nested_cols + geo_cols
-        if qmd.load_source:
-            result = hits
-        elif not qmd.load_rows:
-            result = hits.select(*keys, SCORE, *inner_cols)
-        else:
-            # J1 — hits ⋈ base on the full primary key. The hit set is
-            # capped at max-results (10k default) so it is always
-            # broadcastable; ghost rows drop out naturally via the inner
-            # join (ref StreamingPartitionIterator.java:102-140). The join
-            # emits rows in probe order, so the hits carry their rank and
-            # the result re-sorts on it — a paging client sees rows in
-            # ranking order, like ES hits.
-            rank_order = self._sort_exprs(ordering)
-            if "_inner_rank" in hits.columns:
-                # expanded inner rows tie on every ordering column —
-                # break by inner rank so the page order is deterministic
-                rank_order.append(F.asc_nulls_last("_inner_rank"))
-            ranked = hits.withColumn(RANK, F.row_number().over(
-                Window.orderBy(*rank_order)))
-            hit_keys = F.broadcast(ranked.select(*keys, SCORE, RANK,
-                                                 *inner_cols))
-            result = (self._row_load_source(table, base)
-                      .join(hit_keys, on=keys, how="inner")
-                      .orderBy(RANK).drop(RANK))
+            meta_json: str | None = None
+            if want_meta:
+                meta_json = self._metadata_json(scored,
+                                                req.track_total_hits)
+                # materialize the (≤ max-results) hit set through the
+                # warm persist so the corpus isn't rescanned after
+                # unpersist
+                hits = hits.localCheckpoint(eager=True)
+                scored.unpersist()
 
-        if meta_json is not None:
-            # Global search metadata as a JSON column on every row. The
-            # reference smuggles this into the FIRST row's dummy index
-            # column (ref StreamingPartitionIterator.java:146-173); a
-            # DataFrame has no "first row", so every row carries it.
-            # total/max reflect ALL matches, not the top-k cap (hits.total
-            # semantics, ref README.md:199-203).
-            result = result.withColumn("_metadata", F.lit(meta_json))
-        return apply_source_filter(
+            inner_cols = (["_inner_rank"]
+                          if "_inner_rank" in hits.columns else []) \
+                + nested_cols + geo_cols
+            if qmd.load_source:
+                result = hits
+            elif not qmd.load_rows:
+                result = hits.select(*keys, SCORE, *inner_cols)
+            else:
+                # J1 — hits ⋈ base on the full primary key. The hit set
+                # is capped at max-results (10k default) so it is always
+                # broadcastable; ghost rows drop out naturally via the
+                # inner join (ref StreamingPartitionIterator.java:
+                # 102-140). The join emits rows in probe order, so the
+                # hits carry their rank and the result re-sorts on it —
+                # a paging client sees rows in ranking order, like ES.
+                rank_order = self._sort_exprs(ordering)
+                if "_inner_rank" in hits.columns:
+                    # expanded inner rows tie on every ordering column —
+                    # break by inner rank for a deterministic page order
+                    rank_order.append(F.asc_nulls_last("_inner_rank"))
+                ranked = hits.withColumn(RANK, F.row_number().over(
+                    Window.orderBy(*rank_order)))
+                hit_keys = F.broadcast(ranked.select(*keys, SCORE, RANK,
+                                                     *inner_cols))
+                result = (row_src
+                          .join(hit_keys, on=keys, how="inner")
+                          .orderBy(RANK).drop(RANK))
+
+            if meta_json is not None:
+                # Global search metadata as a JSON column on every row.
+                # The reference smuggles this into the FIRST row's dummy
+                # index column (ref StreamingPartitionIterator.java:
+                # 146-173); a DataFrame has no "first row", so every row
+                # carries it. total/max reflect ALL matches, not the
+                # top-k cap (hits.total semantics, ref README.md:
+                # 199-203).
+                result = result.withColumn("_metadata", F.lit(meta_json))
+            return apply_source_filter(
                 apply_highlight(apply_script_fields(result)))
+
+        if _cursor is not None and req.rescore is None \
+                and req.collapse_inner is None and not want_meta:
+            _cursor["serve"] = serve_page
+        return serve_page(after)
 
     # -- postings-backed plan ------------------------------------------------
 
@@ -4677,7 +4727,8 @@ class SearchEngine:
     def search_pit(self, pit_id: str, query: str,
                    default_field: str | None = None,
                    limit: int | None = None,
-                   search_after: list | tuple | None = None) -> DataFrame:
+                   search_after: list | tuple | None = None,
+                   _cursor: dict | None = None) -> DataFrame:
         """``search`` against a PIT handle's pinned generation: the
         documents frame, row source, and index views (including IVF)
         are swapped to the snapshot for plan construction and restored
@@ -4690,10 +4741,11 @@ class SearchEngine:
         single-threaded driver model (one SearchEngine per driver
         thread, like a SparkSession's session state), NOT safe for
         concurrent ``search_pit``/``search`` calls on the same engine
-        from multiple threads. Scroll handles hold only
-        ``{pit, cursor}`` driver dicts (no cached DataFrames) until
-        ``clear_scroll`` — bounded bookkeeping; abandoners leak a
-        size-bounded dict entry, not executor memory."""
+        from multiple threads. Scroll handles hold ``{pit, cursor}``
+        driver dicts plus (r16) the captured compiled-plan closure —
+        lazy plans over the PIT-pinned frames, no additional executor
+        memory — until ``clear_scroll``; abandoners leak a
+        size-bounded driver entry, not executor state."""
         snap = self._pits.get(pit_id)
         if snap is None:
             raise es_dsl.DslError(f"unknown pit {pit_id!r}")
@@ -4727,7 +4779,8 @@ class SearchEngine:
                 del self._ivf[k]
             self._ivf.update(snap.get("ivf", {}))
             return self.search(table, query, default_field=default_field,
-                               limit=limit, search_after=search_after)
+                               limit=limit, search_after=search_after,
+                               _cursor=_cursor)
         finally:
             self._docs[table] = saved_docs
             if saved_rs is not None:
@@ -4864,14 +4917,32 @@ class SearchEngine:
             raise es_dsl.DslError(f"unknown scroll {scroll_id!r}")
         table = st["table"]
         if st["done"]:
-            out = self.search_pit(st["pit"], st["query"],
-                                  default_field=st["default_field"],
-                                  limit=1)
-            return self._local_frame([], out.schema)
-        batch = self.search_pit(st["pit"], st["query"],
+            serve = st.get("serve")
+            out = serve(st["after"]) if serve is not None else \
+                self.search_pit(st["pit"], st["query"],
                                 default_field=st["default_field"],
-                                limit=st["size"],
-                                search_after=st["after"])
+                                limit=1)
+            return self._local_frame([], out.schema)
+        # (r16) the first batch captures the compiled pre-pagination
+        # plan (when the request shape allows — see search()'s _cursor
+        # note); every later batch re-applies ONLY the keyset filter to
+        # it, skipping the per-batch parse + compile + PIT swap
+        # (~0.13 s/batch of plan construction measured in r15). The
+        # captured plan references the PIT-pinned frames directly, so
+        # generation semantics are unchanged; shapes that cannot be
+        # captured keep the full per-batch search_pit path.
+        serve = st.get("serve")
+        if serve is not None:
+            batch = serve(st["after"])
+        else:
+            cur: dict = {}
+            batch = self.search_pit(st["pit"], st["query"],
+                                    default_field=st["default_field"],
+                                    limit=st["size"],
+                                    search_after=st["after"],
+                                    _cursor=cur)
+            if cur.get("serve") is not None:
+                st["serve"] = cur["serve"]
         rows = batch.collect()
         if len(rows) < st["size"]:
             st["done"] = True
@@ -4919,10 +4990,14 @@ class SearchEngine:
                 import pyarrow as pa
                 from pyspark.sql.pandas.types import to_arrow_schema
 
-                tbl = pa.Table.from_pydict(
-                    {f.name: [r[f.name] for r in rows]
-                     for f in schema.fields},
-                    schema=to_arrow_schema(schema))
+                # columns built POSITIONALLY (ADVICE r15): a dict keyed
+                # by field name would silently collapse duplicate
+                # column names (legal in Spark) onto the first match —
+                # pa.table/arrays keep every position distinct
+                arrs = [pa.array([r[i] for r in rows], type=f.type)
+                        for i, f in enumerate(to_arrow_schema(schema))]
+                tbl = pa.Table.from_arrays(
+                    arrs, schema=to_arrow_schema(schema))
                 return self.spark.createDataFrame(tbl, schema=schema)
             except Exception:  # noqa: BLE001 — exotic type: RDD path
                 pass
