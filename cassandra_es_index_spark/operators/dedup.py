@@ -159,6 +159,85 @@ def _lsh_rows_per_band(num_hashes: int, bands: int) -> int:
     return num_hashes // bands
 
 
+def _feature_spans_np(np, tk, unit: str, shingle_n: int):
+    """Byte-slice feature enumeration for one Arrow batch's token-list
+    column — the kernel shared by the Arrow MinHash and contamination
+    paths. Returns ``(buf, starts, lens, out_rows, segs)``: a flat
+    uint8 buffer plus per-feature (start, len) slices of it, the input
+    row index emitting each contiguous run of features (``out_rows``),
+    and each run's first-feature index (``segs``).
+
+    Unit ``token``: features are the tokens themselves (rows with a
+    NULL or empty token array emit nothing — the old explode's
+    behavior). Unit ``shingle``: each doc's tokens are joined once
+    with single spaces (``concat_ws`` on UTF8Strings is byte
+    concatenation, so every slice equals the JVM-built shingle string
+    byte-for-byte); rows with ≥ n tokens emit the sliding grams, rows
+    with < n tokens — INCLUDING null token arrays, because
+    ``shingles(NULL)`` is ``[""]`` in the Column form (size(NULL) = -1
+    takes the fallback branch and concat_ws(NULL) = "") — emit the
+    single all-tokens join ("" when empty)."""
+    # token counts per row, NULL rows zeroed — aligned with flatten(),
+    # which drops null rows' value ranges
+    counts = tk.value_lengths().fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = tk.flatten()
+    nt = len(flat)
+    if nt:
+        fo = np.frombuffer(flat.buffers()[1], np.int32) \
+            [flat.offset:flat.offset + nt + 1].astype(np.int64)
+        sbuf = np.frombuffer(flat.buffers()[2], np.uint8)
+    else:
+        fo = np.zeros(1, np.int64)
+        sbuf = np.empty(0, np.uint8)
+    tl = np.diff(fo)
+    row_first = np.concatenate(
+        ([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    valid = ~tk.is_null().to_numpy(zero_copy_only=False)
+
+    if unit == "token":
+        out_rows = np.flatnonzero(valid & (counts > 0))
+        return sbuf, fo[:-1].copy(), tl, out_rows, row_first[out_rows]
+
+    n = shingle_n
+    tok_row = np.repeat(np.arange(counts.shape[0]), counts)
+    within = np.arange(nt) - row_first[tok_row]
+    cnt_tok = counts[tok_row]
+    gaps = (within > 0).astype(np.int64)
+    cum = np.cumsum(tl + gaps)
+    ostart = cum - tl
+    out_buf = np.full(int(cum[-1]) if nt else 0, 0x20, np.uint8)
+    if nt:
+        shift = np.repeat(ostart - (fo[:-1] - fo[0]), tl)
+        out_buf[np.arange(fo[-1] - fo[0]) + shift] = sbuf[fo[0]:fo[-1]]
+    # class A: rows with >= n tokens — the sliding grams
+    selA = np.flatnonzero(within <= cnt_tok - n)
+    stA = ostart[selA]
+    lnA = (ostart[selA + (n - 1)] + tl[selA + (n - 1)]) - stA
+    rowsA = np.flatnonzero(counts >= n)
+    mA = counts[rowsA] - (n - 1)
+    segsA = (np.cumsum(mA) - mA).astype(np.int64)
+    # class B: rows with < n tokens — ONE shingle each (see docstring)
+    rowsB = np.flatnonzero(counts < n)
+    cntB = counts[rowsB]
+    firstB = row_first[rowsB]
+    if nt:
+        safe_first = np.minimum(firstB, nt - 1)
+        safe_last = np.clip(firstB + cntB - 1, 0, nt - 1)
+        stB = np.where(cntB > 0, ostart[safe_first], 0).astype(np.int64)
+        lnB = np.where(cntB > 0,
+                       ostart[safe_last] + tl[safe_last] - stB,
+                       0).astype(np.int64)
+    else:
+        stB = np.zeros(rowsB.shape[0], np.int64)
+        lnB = np.zeros(rowsB.shape[0], np.int64)
+    return (out_buf, np.concatenate((stA, stB)),
+            np.concatenate((lnA, lnB)),
+            np.concatenate((rowsA, rowsB)),
+            np.concatenate((segsA,
+                            stA.shape[0] + np.arange(rowsB.shape[0]))))
+
+
 def _minhash_sig_batches(num_hashes: int, shingle_n: int, unit: str):
     """mapInArrow generator factory for :func:`minhash_signature`:
     (doc, token array) rows → per-ROW MinHash component minima
@@ -200,78 +279,8 @@ def _minhash_sig_batches(num_hashes: int, shingle_n: int, unit: str):
         for batch in batches:
             ids = batch.column(0)
             tk = batch.column(1)
-            # token counts per row, NULL rows zeroed — aligned with
-            # flatten(), which drops null rows' value ranges
-            counts = tk.value_lengths().fill_null(0) \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = tk.flatten()
-            nt = len(flat)
-            if nt:
-                fo = np.frombuffer(flat.buffers()[1], np.int32) \
-                    [flat.offset:flat.offset + nt + 1].astype(np.int64)
-                sbuf = np.frombuffer(flat.buffers()[2], np.uint8)
-            else:
-                fo = np.zeros(1, np.int64)
-                sbuf = np.empty(0, np.uint8)
-            tl = np.diff(fo)
-            row_first = np.concatenate(
-                ([0], np.cumsum(counts)[:-1])).astype(np.int64)
-            valid = ~tk.is_null().to_numpy(zero_copy_only=False)
-
-            if unit == "token":
-                starts, lens, buf = fo[:-1].copy(), tl, sbuf
-                out_rows = np.flatnonzero(valid & (counts > 0))
-                segs = row_first[out_rows]
-            else:
-                n = shingle_n
-                tok_row = np.repeat(np.arange(counts.shape[0]), counts)
-                within = np.arange(nt) - row_first[tok_row]
-                cnt_tok = counts[tok_row]
-                gaps = (within > 0).astype(np.int64)
-                cum = np.cumsum(tl + gaps)
-                ostart = cum - tl
-                out_buf = np.full(int(cum[-1]) if nt else 0, 0x20,
-                                  np.uint8)
-                if nt:
-                    shift = np.repeat(ostart - (fo[:-1] - fo[0]), tl)
-                    out_buf[np.arange(fo[-1] - fo[0]) + shift] = \
-                        sbuf[fo[0]:fo[-1]]
-                # class A: rows with >= n tokens — the sliding grams
-                selA = np.flatnonzero(within <= cnt_tok - n)
-                stA = ostart[selA]
-                lnA = (ostart[selA + (n - 1)] + tl[selA + (n - 1)]) \
-                    - stA
-                rowsA = np.flatnonzero(counts >= n)
-                mA = counts[rowsA] - (n - 1)
-                segsA = (np.cumsum(mA) - mA).astype(np.int64)
-                # class B: rows with < n tokens — ONE shingle, the
-                # whole space-joined row ("" for zero tokens). NULL
-                # token arrays are class B too: ``shingles(NULL)`` is
-                # ``[""]`` in the Column form (size(NULL) = -1 takes
-                # the fallback branch and concat_ws(NULL) = ""), so a
-                # null-text doc keeps its empty-string signature —
-                # pinned by the equivalence test's null-text row.
-                rowsB = np.flatnonzero(counts < n)
-                cntB = counts[rowsB]
-                firstB = row_first[rowsB]
-                if nt:
-                    safe_first = np.minimum(firstB, nt - 1)
-                    safe_last = np.clip(firstB + cntB - 1, 0, nt - 1)
-                    stB = np.where(cntB > 0, ostart[safe_first],
-                                   0).astype(np.int64)
-                    lnB = np.where(
-                        cntB > 0,
-                        ostart[safe_last] + tl[safe_last] - stB,
-                        0).astype(np.int64)
-                else:
-                    stB = np.zeros(rowsB.shape[0], np.int64)
-                    lnB = np.zeros(rowsB.shape[0], np.int64)
-                starts = np.concatenate((stA, stB))
-                lens = np.concatenate((lnA, lnB))
-                buf = out_buf
-                out_rows = np.concatenate((rowsA, rowsB))
-                segs = np.concatenate(
-                    (segsA, stA.shape[0] + np.arange(rowsB.shape[0])))
+            buf, starts, lens, out_rows, segs = _feature_spans_np(
+                np, tk, unit, shingle_n)
             if out_rows.shape[0] == 0:
                 yield pa.RecordBatch.from_arrays(
                     [ids.slice(0, 0)]
@@ -665,6 +674,69 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                     .alias("n_removed")))
 
 
+def _gram_rows_batches(n: int, hashed: bool):
+    """mapInArrow generator factory for :func:`ngram_contamination`:
+    (doc, token array) rows → one (doc, gram) row per shingle
+    OCCURRENCE. Gram strings are byte slices of the space-joined token
+    buffer (`_feature_spans_np` — byte-identical to the Column
+    ``shingles`` output, null/short-row fallback included); the
+    ``hashed`` tier emits ``xxhash64(gram)`` straight from the
+    vectorized kernel (seed 42, pinned bit-equal to the JVM
+    expression) so no gram string ever crosses the boundary.
+
+    Deliberately NO per-doc dedup (the Column form exploded
+    ``array_distinct``): the consumer's final ``count_distinct(gram)``
+    makes occurrence multiplicity invisible in the result — pinned by
+    the contamination parity test — and an exact per-doc string dedup
+    would cost a sort + byte-verify per batch for zero output effect.
+    Only the hits-only groupBy shuffle sees the extra occurrences."""
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from cassandra_es_index_spark.functions.text import (
+            _xxh64_bytes_prepare_np,
+        )
+
+        for batch in batches:
+            ids = batch.column(0)
+            tk = batch.column(1)
+            buf, starts, lens, out_rows, segs = _feature_spans_np(
+                np, tk, "shingle", n)
+            m = starts.shape[0]
+            if m == 0:
+                grams = pa.array(np.empty(0, np.int64)) if hashed \
+                    else pa.array([], pa.string())
+                yield pa.RecordBatch.from_arrays(
+                    [ids.slice(0, 0), grams], names=["doc", "gram"])
+                continue
+            run_sizes = np.diff(np.append(segs, m))
+            docs = ids.take(pa.array(np.repeat(out_rows, run_sizes)))
+            if hashed:
+                h = _xxh64_bytes_prepare_np(buf, starts, lens)(42) \
+                    .view(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [docs, pa.array(h)], names=["doc", "gram"])
+                continue
+            tot = int(lens.sum())
+            cums = np.cumsum(lens) - lens
+            if tot:
+                pos = (np.arange(tot) - np.repeat(cums, lens)
+                       + np.repeat(starts, lens))
+                data = buf[pos]
+            else:
+                data = np.empty(0, np.uint8)
+            offs = np.concatenate(
+                ([0], np.cumsum(lens))).astype(np.int32)
+            grams = pa.Array.from_buffers(
+                pa.string(), m,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(data.tobytes())])
+            yield pa.RecordBatch.from_arrays(
+                [docs, grams], names=["doc", "gram"])
+    return gen
+
+
 def ngram_contamination(df: DataFrame, benchmark: DataFrame,
                         id_col: str, text_col: str,
                         n: int = 8, hashed: bool = True) -> DataFrame:
@@ -673,27 +745,34 @@ def ngram_contamination(df: DataFrame, benchmark: DataFrame,
     train-set contamination check (e.g. the 8-gram/13-gram overlap
     rules used for public-benchmark decontamination).
 
-    Shape: both sides explode into shingle n-grams
-    (``functions.text.shingles`` — zip_with-chained, one tokenize per
-    row); the benchmark side distincts (eval sets are small) and
-    BROADCASTS, so the corpus side is one map-side semi-join-shaped
-    probe — no corpus shuffle at all; the only exchange is the final
-    per-doc groupBy, whose input is hits-only. ``hashed=True`` joins on
+    Shape (r16, guide §4.2): both sides emit their shingle n-grams
+    from ONE ``mapInArrow`` over (doc, tokens) — tokenization stays
+    the JVM Column, the gram bytes are slices of the space-joined
+    token buffer (byte-identical to ``functions.text.shingles``,
+    whose zip_with chain ran interpreted per row — the r15.4 JIT-churn
+    class), and the ``hashed=True`` tier hashes the slices with the
+    vectorized XXH64 so no gram string crosses the boundary at all.
+    The benchmark side distincts (eval sets are small) and BROADCASTS,
+    so the corpus side is one map-side semi-join-shaped probe — no
+    corpus shuffle at all; the only exchange is the final per-doc
+    groupBy, whose input is hits-only. ``hashed=True`` joins on
     ``xxhash64(gram)`` (8 bytes instead of ~n words of string — the
     scale default); ``hashed=False`` joins on the gram strings
-    (oracle-exact). Returns (doc, contaminated_ngrams = count of
-    DISTINCT shared n-grams)."""
-    from cassandra_es_index_spark.functions.text import shingles
+    (oracle-exact). Gram OCCURRENCES (not per-doc distinct sets) feed
+    the join — invisible in the result, whose ``count_distinct``
+    dedups; pinned by the parity test. Returns
+    (doc, contaminated_ngrams = count of DISTINCT shared n-grams)."""
+    from cassandra_es_index_spark.functions.text import tokens as _toks
 
     def grams(frame: DataFrame) -> DataFrame:
-        out = frame.select(
+        base = _spread(frame).select(
             F.col(id_col).alias("doc"),
-            F.explode(F.array_distinct(
-                shingles(F.col(text_col), n))).alias("gram"))
-        if hashed:
-            out = out.select("doc",
-                             F.xxhash64("gram").alias("gram"))
-        return out
+            _toks(F.col(text_col)).alias("_tk"))
+        id_type = base.schema["doc"].dataType.simpleString()
+        gram_type = "bigint" if hashed else "string"
+        return base.mapInArrow(
+            _gram_rows_batches(n, hashed),
+            schema=f"doc {id_type}, gram {gram_type}")
 
     bench = grams(benchmark).select("gram").distinct()
     return (grams(df)

@@ -2330,3 +2330,30 @@ def test_connected_components_frees_superseded_round_pins(spark):
     assert len(leftovers) <= 3, (
         f"CC left {len(leftovers)} pinned RDDs behind — superseded "
         "round checkpoints are not being freed")
+
+
+def test_dot_unrolled_expr_matches_column_form(spark):
+    # r16: the unrolled dot product renders as ONE server-parsed SQL
+    # string — pin bit-equality against the per-Column F.get chain it
+    # replaced (same left-fold order, same get() semantics)
+    import math
+    import random
+
+    from cassandra_es_index_spark.operators.similarity import (
+        _dot_unrolled,
+    )
+
+    random.seed(3)
+    dim = 9
+    rows = [(i, [random.uniform(-2, 2) for _ in range(dim)],
+             [random.uniform(-2, 2) for _ in range(dim)])
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "i int, a array<double>, b array<double>")
+    old = F.get(F.col("a"), 0) * F.get(F.col("b"), 0)
+    for j in range(1, dim):
+        old = old + F.get(F.col("a"), j) * F.get(F.col("b"), j)
+    got = df.select("i", _dot_unrolled("a", "b", dim).alias("n"),
+                    old.alias("o")).collect()
+    for r in got:
+        assert math.isclose(r.n, r.o, rel_tol=0.0, abs_tol=0.0), r
