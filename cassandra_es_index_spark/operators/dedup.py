@@ -838,7 +838,17 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     e1 = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
     edges = e1.union(e1.select(F.col("d").alias("s"),
                                F.col("s").alias("d")))
-    edges = edges.localCheckpoint(eager=False)
+    # EAGER input pin (r16): round 1 consumes this frame through TWO
+    # union legs (neighbor-min) and the contraction joins it twice
+    # more — under a LAZY pin those consumers each re-drive the whole
+    # upstream pair-stage lineage (the r15.2 concurrent-consumer
+    # minefield; A/B: eager read dedup_clusters_lsh 6.34 → 4.63 s
+    # median, semantic_dedup 7.38 → 6.94, cold rounds ~2× better).
+    # Edge lists are pair-graph-scale (never corpus text), and the
+    # per-round freeing below releases the pin as soon as the first
+    # contraction supersedes it, so the r15.2 eager-pin accumulation
+    # tail does not apply.
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select(F.col("s").alias("node"))
               .distinct()
               .withColumn("component", F.col("node")))
